@@ -1,13 +1,483 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Medallion, Multimodal, Relational, Similarity}
+import graft.sources.{PartitionedLake, Tables}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Oracle-parity rules (SURVEY §6): identical column aliases both sides;
+  * money aggregates via exact decimal accumulation surfaced as double;
+  * deterministic ORDER BY everywhere; timestamps surfaced as NTZ (naive)
+  * to match DuckDB; event ts (parquet nanos) read as long nanos and
+  * floored to seconds for any time arithmetic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.load(s, dir, n)
+  }
+
+  /** Exact decimal sum surfaced as double (deterministic at any parallelism). */
+  private def sumx(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def ntz(ts: String): Column = expr(s"TIMESTAMP_NTZ '$ts'")
+
+  /** events.ts (nanos long) floored to epoch seconds. */
+  private val evSec: Column = expr("ts div 1000000000")
+
+  private def evTs: Column = timestamp_seconds(evSec).cast("timestamp_ntz")
+
+  private def evDateId: Column = date_format(evTs, "yyyy-MM-dd")
+
+  // ---------------------------------------------------------------- flagship
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q07(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------ §2.1 reference-surface
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events").select(
+      col("event_id"),
+      evTs.as("ts_sec"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      Medallion.parseJson(col("props"),
+        StructType(Seq(StructField("k", IntegerType)))).getField("k").as("k"),
+      evDateId.as("date_id"))
+      .orderBy(col("event_id"))
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        Medallion.bucketize(col("o_totalprice"),
+          Seq(50000.0 -> "low", 150000.0 -> "mid", 300000.0 -> "high"),
+          "vip").as("price_category"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_id"))
+      .orderBy(col("o_orderkey"))
+
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    def branch(p: String) =
+      o.filter(col("o_orderpriority") === p)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Medallion.unionBranches(
+      Seq(branch("1-URGENT") -> "urgent", branch("2-HIGH") -> "high"), "branch")
+      .withColumn("region", lit("NA"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    def daily(src: DataFrame) = src
+      .groupBy(evDateId.as("date_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumx(col("value")).as("total_value"))
+      .select(col("event_type"), col("n_events"), col("total_value"), col("date_id"))
+    val lake = s"/root/repo/target/scratch/q04_${math.abs(dir.hashCode)}"
+    val full = daily(ev)
+    PartitionedLake.writeAll(full, lake, Seq("date_id"))
+    val maxDate = full.agg(max(col("date_id"))).head().getString(0)
+    val refresh = daily(ev.filter(col("event_type") =!= "error"))
+      .filter(col("date_id") === maxDate)
+    PartitionedLake.deleteInsert(refresh, lake, Seq("date_id"))
+    PartitionedLake.read(s, lake)
+      .withColumn("date_id", col("date_id").cast("string"))
+      .select(col("date_id"), col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("date_id"), col("event_type"))
+  }
+
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part").select(
+      col("p_partkey").cast("long").as("p_partkey"),
+      trim(col("p_name")).as("p_name"),
+      col("p_brand"), col("p_type"),
+      col("p_size").cast("long").as("p_size"),
+      col("p_retailprice").cast(DecimalType(12, 2)).cast("double").as("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    val c = T(s, dir, "customer")
+    val n = T(s, dir, "nation")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("c_name"), col("n_name").as("nation"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_id"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ------------------------------------------------ §2.2 core analytics
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumx(col("l_quantity")).as("sum_qty"),
+        sumx(col("l_extendedprice")).as("sum_base_price"),
+        sumx(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1997-01-01 00:00:00") &&
+          col("l_discount").between(0.02, 0.08) &&
+          col("l_quantity") < 25)
+      .agg(
+        sumx(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), sumx(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val o = T(s, dir, "orders").filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00"))
+    val c = T(s, dir, "customer")
+    val su = T(s, dir, "supplier")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sumx(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"), col("running_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+    c.join(o.filter(col("o_orderstatus") === "F"),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(o.filter(col("o_orderstatus") === "P"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+      .limit(100)
+
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(
+        date_trunc("hour", evTs).cast("timestamp_ntz").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), evSec.as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, 1).otherwise(0)).cast("long").as(s"n_$t")) :+
+      sum(when(col("event_type") === "purchase", col("value").cast(DecimalType(18, 2)))
+        .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("purchase_value")
+    T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+  }
+
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val n = T(s, dir, "nation")
+    val r = T(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"), sumx(col("c_acctbal")).as("total_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n"), col("total_bal"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Relational.discretePercentiles(
+      T(s, dir, "orders"), "o_orderpriority", "o_totalprice", "o_orderkey",
+      Seq(0.5, 0.9))
+      .orderBy(col("o_orderpriority"))
+
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Relational.saltedSum(T(s, dir, "events"), "user_id", "value")
+      .orderBy(col("user_id"))
+
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), evSec.as("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), evSec.as("csec"))
+      .agg(max(col("event_id")).as("click_id"))
+    Relational.asofJoin(purchases, clicks, "user_id", "sec", "csec", Seq("click_id"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("click_id").as("attributed_click"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  // ------------------------------------------------ §2.3 dedup
+
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashAssign(T(s, dir, "documents"), "doc_id", "text")
+
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val sim = Dedup.simhashes(docs, "doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+    val nearCounts = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+    sim.join(nearCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardTopPairs(T(s, dir, "documents"), "doc_id", "text")
+
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 64)
+
+  // ------------------------------------------------ §2.4 similarity search
+
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.knnBrute(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+  }
+
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.annLsh(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 64, 5)
+  }
+
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), VF.norm(col("embedding")).as("nrm"))
+    val w = Window.partitionBy(col("label")).orderBy(col("nrm").desc, col("vec_id"))
+    val cw = Window.partitionBy(col("label"))
+    emb
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_vecs", count(lit(1)).over(cw))
+      .filter(col("rnk") === 1)
+      .select(col("label"), col("n_vecs"), col("vec_id").as("top_norm_vec"))
+      .orderBy(col("label"))
+  }
+
+  // ------------------------------------------------ §2.5 text analysis
+
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      TF.wordCount(col("text")).as("n_words"),
+      TF.alphaChars(col("text")).as("n_alpha"),
+      TF.punctChars(col("text")).as("n_punct"),
+      TF.stopwordCount(col("text")).as("stop_cnt"),
+      TF.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TF.langScore(col("text"), "en").as("s_en"),
+      TF.langScore(col("text"), "de").as("s_de"),
+      TF.langScore(col("text"), "es").as("s_es"),
+      TF.langScore(col("text"), "fr").as("s_fr"),
+      TF.langId(col("text")).as("lang_pred"),
+      col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TF.wordCount(col("text")).as("ws_tokens"),
+      TF.bpeishTokenCount(col("text")).as("bpe_tokens"),
+      (length(col("text")).cast("double") /
+        TF.bpeishTokenCount(col("text")).cast("double")).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------ §2.6 multimodal
+
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(s, Multimodal.attachPayload(T(s, dir, "documents")))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- maps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_bronze_flatten" -> (q01 _),
+    "q02_silver_category" -> (q02 _),
+    "q03_gold_union" -> (q03 _),
+    "q04_delete_insert" -> (q04 _),
+    "q05_schema_enforce" -> (q05 _),
+    "q06_jdbc_sink" -> (q06 _),
+    "q07_agg_full" -> (q07 _),
+    "q08_filter_pushdown" -> (q08 _),
+    "q09_join_broadcast" -> (q09 _),
+    "q10_join_multiway" -> (q10 _),
+    "q11_window" -> (q11 _),
+    "q12_semi_anti" -> (q12 _),
+    "q13_distinct_topk" -> (q13 _),
+    "q14_events_hourly" -> (q14 _),
+    "q15_sessionize" -> (q15 _),
+    "q16_pivot" -> (q16 _),
+    "q17_rollup" -> (q17 _),
+    "q18_quantiles" -> (q18 _),
+    "q19_skew_salted_agg" -> (q19 _),
+    "q20_asof_join" -> (q20 _),
+    "q21_dedup_exact" -> (q21 _),
+    "q22_dedup_minhash" -> (q22 _),
+    "q23_dedup_simhash" -> (q23 _),
+    "q24_ngram_jaccard" -> (q24 _),
+    "q25_dedup_embed" -> (q25 _),
+    "q26_knn_brute" -> (q26 _),
+    "q27_ann_lsh" -> (q27 _),
+    "q28_vec_stats" -> (q28 _),
+    "q29_text_stats" -> (q29 _),
+    "q30_langid" -> (q30 _),
+    "q31_token_count" -> (q31 _),
+    "q32_fingerprint" -> (q32 _),
+    "q33_multimodal_meta" -> (q33 _))
+
+  // ---------------------------------------------------------------- oracles
+
+  private val SUMV = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_bronze_flatten" ->
+      """SELECT event_id, date_trunc('second', ts) AS ts_sec, user_id, event_type, value, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k, strftime(ts, '%Y-%m-%d') AS date_id FROM events ORDER BY event_id""",
+    "q02_silver_category" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CASE WHEN o_totalprice < 50000 THEN 'low' WHEN o_totalprice < 150000 THEN 'mid' WHEN o_totalprice < 300000 THEN 'high' ELSE 'vip' END AS price_category, strftime(o_orderdate, '%Y-%m-%d') AS date_id FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey""",
+    "q03_gold_union" ->
+      """SELECT * FROM (SELECT o_orderkey, o_custkey, o_totalprice, 'urgent' AS branch, 'NA' AS region FROM orders WHERE o_orderpriority = '1-URGENT' UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, 'high' AS branch, 'NA' AS region FROM orders WHERE o_orderpriority = '2-HIGH') ORDER BY o_orderkey""",
+    "q04_delete_insert" ->
+      s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events GROUP BY 1, 2), mx AS (SELECT MAX(date_id) AS d FROM daily), refresh AS (SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events WHERE event_type <> 'error' AND strftime(ts, '%Y-%m-%d') = (SELECT d FROM mx) GROUP BY 1, 2) SELECT * FROM (SELECT date_id, event_type, n_events, total_value FROM daily WHERE date_id <> (SELECT d FROM mx) UNION ALL SELECT date_id, event_type, n_events, total_value FROM refresh) ORDER BY date_id, event_type""",
+    "q05_schema_enforce" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, trim(p_name) AS p_name, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS p_retailprice FROM part ORDER BY p_partkey""",
+    "q06_jdbc_sink" ->
+      """SELECT o_orderkey, c_name, n_name AS nation, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS date_id FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
+    "q07_agg_full" ->
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, COUNT(*) AS count_order, COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q08_filter_pushdown" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue, COUNT(*) AS n_rows FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25""",
+    "q09_join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q10_join_multiway" ->
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q11_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, running_total FROM (SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER w AS rn, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q12_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P') ORDER BY c_custkey""",
+    "q13_distinct_topk" ->
+      """SELECT DISTINCT o_custkey, o_orderpriority FROM orders ORDER BY o_custkey, o_orderpriority LIMIT 100""",
+    "q14_events_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q15_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, session_id, COUNT(*) AS n_events, MIN(sec) AS start_sec, MAX(sec) AS end_sec FROM t GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q16_pivot" ->
+      """SELECT user_id, CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase, CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error, CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value FROM events GROUP BY user_id ORDER BY user_id""",
+    "q17_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name) ORDER BY region_name, nation_name""",
+    "q18_quantiles" ->
+      """SELECT o_orderpriority, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN o_totalprice END) AS p50, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN o_totalprice END) AS p90, MAX(cnt) AS n FROM (SELECT o_orderpriority, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt FROM orders) GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q19_skew_salted_agg" ->
+      s"""SELECT user_id, COUNT(*) AS n, $SUMV AS total FROM events GROUP BY user_id ORDER BY user_id""",
+    "q20_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, value, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS csec, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) SELECT p.user_id, p.event_id, p.value, c.click_id AS attributed_click FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.sec >= c.csec ORDER BY p.user_id, p.event_id""",
+    "q21_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "q26_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qv, e.embedding) AS cos FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s) SELECT qid, rnk, nid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q28_vec_stats" ->
+      """WITH n AS (SELECT vec_id, label, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings), r AS (SELECT label, vec_id, ROW_NUMBER() OVER (PARTITION BY label ORDER BY nrm DESC, vec_id) AS rnk, COUNT(*) OVER (PARTITION BY label) AS n_vecs FROM n) SELECT label, n_vecs, vec_id AS top_norm_vec FROM r WHERE rnk = 1 ORDER BY label""",
+    "q29_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_m, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha, CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct, (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4 + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ' '))) / 2 + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4 + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3 AS stop_cnt, (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.5 + (((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4 + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ' '))) / 2 + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4 + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3) / CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS DOUBLE)) * 0.5 AS quality FROM documents ORDER BY doc_id""",
+    "q30_langid" ->
+      """WITH m AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents), sc AS (SELECT doc_id, lang, (length(p) - length(replace(p, ' the ', ' '))) / 4 + (length(p) - length(replace(p, ' a ', ' '))) / 2 AS s_en, (length(p) - length(replace(p, ' der ', ' '))) / 4 + (length(p) - length(replace(p, ' und ', ' '))) / 4 AS s_de, (length(p) - length(replace(p, ' el ', ' '))) / 3 + (length(p) - length(replace(p, ' los ', ' '))) / 4 AS s_es, (length(p) - length(replace(p, ' le ', ' '))) / 3 + (length(p) - length(replace(p, ' et ', ' '))) / 3 AS s_fr FROM m) SELECT doc_id, s_en, s_de, s_es, s_fr, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en' WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de' WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es > 0 THEN 'es' WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred, lang FROM sc ORDER BY doc_id""",
+    "q31_token_count" ->
+      """SELECT doc_id, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS ws_tokens, CAST(array_length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens, CAST(length(text) AS DOUBLE) / CAST(array_length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE) AS chars_per_token FROM documents ORDER BY doc_id""",
+    "q32_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    "q33_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(text) % 512 AS BIGINT) AS height, 3 AS channels, CASE CAST(octet_length(encode(text)) % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format FROM documents ORDER BY doc_id""")
 }

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus deduplication at 100 TB scale.
+  *
+  * Every variant avoids the O(n²) all-pairs trap: exact dedup is one hash
+  * shuffle; MinHash/SimHash/n-gram variants generate candidate pairs only
+  * inside LSH buckets, with a deterministic per-bucket cap so one hot bucket
+  * can't explode a join (capped rows are simply not candidate sources —
+  * a coverage/cost dial, not a correctness issue for near-dup removal).
+  * All hashing is `xxhash64` (codegen'd Catalyst expression).
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized texts, keep the smallest id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+      .select(col("text_hash"), col("n_copies"), col("keep_id"))
+
+  /** Word k-shingles of the normalized text (whole text if too short). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ws = TextFunctions.words(text)
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
+      .otherwise(array(TextFunctions.normText(text)))
+  }
+
+  /** MinHash signatures as a table: (idCol, sig array<long>).
+    *
+    * Shape matters at scale: shingles are EXPLODED to rows, each shingle is
+    * hashed once per seed against a materialized attribute, and the per-doc
+    * minima come from a hash aggregation with map-side partial combine. The
+    * tempting single-expression form (`array_min(transform(...))` × seeds ×
+    * band references) gets duplicated by CollapseProject into O(seeds²)
+    * re-evaluations of the whole shingle pipeline — measured minutes vs
+    * seconds even at sf0.1.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(col(textCol))).as("__sh"))
+    val mins = (0 until numHashes)
+      .map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__m$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys: hash of each band's signature slice. */
+  def bandKeys(sig: Column, bands: Int = 8, rowsPerBand: Int = 4): Column =
+    array((0 until bands).map { b =>
+      val rows = (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1))
+      xxhash64(rows :+ lit(b): _*)
+    }: _*)
+
+  /** Per-document near-dup assignment: `rep_id` = smallest doc id sharing at
+    * least one LSH bucket (a cheap union-find-free approximation of the dup
+    * cluster representative), plus the candidate-mate count.
+    */
+  def minhashAssign(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withBands = minhashSignatures(df, idCol, textCol).select(
+      col(idCol),
+      posexplode(bandKeys(col("sig")))
+        .as(Seq("band_idx", "band_hash")))
+    val buckets = withBands
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col(idCol)).as("bucket_rep"), count(lit(1)).as("bucket_n"))
+    withBands
+      .join(buckets, Seq("band_idx", "band_hash"))
+      .groupBy(col(idCol))
+      .agg(
+        min(col("bucket_rep")).as("rep_id"),
+        sum(col("bucket_n") - 1).as("n_candidates"))
+      .orderBy(col(idCol))
+  }
+
+  /** Candidate pairs from MinHash LSH with estimated Jaccard from signature
+    * agreement. Buckets larger than `maxBucket` are capped deterministically.
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      maxBucket: Int = 64): DataFrame = {
+    val sigDf = minhashSignatures(df, idCol, textCol, numHashes)
+      .select(col(idCol).as("id"), col("sig"))
+    val exploded = sigDf.select(
+      col("id"), col("sig"),
+      posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_hash")))
+    val wb = Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id"))
+    val capped = exploded
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= maxBucket)
+    val a = capped.select(
+      col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(
+      col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x) / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  private def bitValue(j: Int): Long = 1L << j // j=63 => Long.MinValue, intended
+
+  /** 64-bit SimHash per document: words exploded to rows, each word hashed
+    * once into a materialized attribute, 64 signed bit-sums as aggregates
+    * (map-side combinable), bits packed into a long. Same
+    * expression-duplication rationale as [[minhashSignatures]].
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("__w"))
+      .select(col(idCol), xxhash64(col("__w")).as("__h"))
+    val sums = (0 until 64).map { j =>
+      sum(when(col("__h").bitwiseAND(lit(bitValue(j))) =!= 0L, 1).otherwise(-1))
+        .as(s"__b$j")
+    }
+    val packed = (0 until 64)
+      .map(j => when(col(s"__b$j") >= 0, lit(bitValue(j))).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    h.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 × 16-bit bands, bucketed join, exact hamming
+    * distance (bit_count of xor) filter.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 12,
+      maxBucket: Int = 64): DataFrame = {
+    val sim = simhashes(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val exploded = sim.select(
+      col("id"), col("simhash"),
+      posexplode(array((0 until 4).map { b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("band_idx", "band_val")))
+    val wb = Window.partitionBy(col("band_idx"), col("band_val")).orderBy(col("id"))
+    val capped = exploded
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= maxBucket)
+    val a = capped.select(
+      col("band_idx"), col("band_val"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = capped.select(
+      col("band_idx"), col("band_val"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram-set Jaccard over LSH candidates (bucket = min shingle
+    * hash), top pairs ranked by similarity. Deterministic cap + ranking.
+    */
+  def ngramJaccardTopPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      topK: Int = 200,
+      maxBucket: Int = 64): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), n)).as("grams"))
+      .withColumn("bucket",
+        array_min(transform(col("grams"), g => xxhash64(g))))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val capped = base
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= maxBucket)
+    val a = capped.select(col("bucket"), col("id").as("id_a"), col("grams").as("g_a"))
+    val b = capped.select(col("bucket"), col("id").as("id_b"), col("grams").as("g_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))).cast("double"))
+          .as("jaccard"))
+      .distinct()
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw media payload row: opaque bytes + id. */
+case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+/** Typed metadata extracted from a media payload. */
+case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    width: Long,
+    height: Long,
+    channels: Int,
+    format: String)
+
+/** Multimodal columns: image/audio/video as opaque `binary` with typed
+  * metadata.
+  *
+  * The Spark-side plumbing is real — binary schema, typed Dataset, batched
+  * `mapPartitions` (the shape a vectorized codec wants: amortize codec init
+  * per batch, not per row). The codec itself is a STUB: no image/audio
+  * libraries ship in this container, so `fakeDecode` derives deterministic
+  * metadata from the bytes. Swap `fakeDecode` for a real decoder without
+  * touching any plumbing.
+  */
+object Multimodal {
+
+  /** Attach the opaque binary payload column (here: utf-8 bytes stand in for
+    * an image blob fetched from object storage).
+    */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batched metadata extraction over the binary column. */
+  def decodeMeta(spark: SparkSession, withPayload: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // one "codec" invocation per batch — this is where a real
+          // vectorized decode (libjpeg/ffmpeg/...) would run
+          batch.iterator.map(fakeDecode)
+        }
+      }
+  }
+
+  /** STUB decode: deterministic fake metadata derived from the payload bytes
+    * (media codecs are not available in this environment). A real
+    * implementation parses the container header here.
+    */
+  private def fakeDecode(r: MediaRecord): MediaMeta = {
+    val n = r.payload.length.toLong
+    val first = if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else 0L
+    val format = (n % 3) match {
+      case 0 => "jpeg"
+      case 1 => "png"
+      case _ => "webp"
+    }
+    MediaMeta(r.doc_id, n, 64L + n % 512, 64L + first % 512, 3, format)
+  }
+}

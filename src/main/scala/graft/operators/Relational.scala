@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operators beyond the basics: as-of join, salted aggregation,
+  * exact discrete percentiles. All are composed from built-in operators so
+  * Catalyst/AQE keep optimizing them (preference (a) in the build rules).
+  */
+object Relational {
+
+  /** Exact-decimal sum surfaced as double: deterministic under any partition
+    * order/parallelism, unlike a raw double sum. This is the engine-wide
+    * pattern for money/quantity aggregates.
+    */
+  def sumExact(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** As-of join: for each left row, the latest right row with
+    * `rightTs <= leftTs` for the same key — without a range cross-join.
+    *
+    * Implementation: union both sides tagged, one window sort per key,
+    * `last(right attrs, ignoreNulls)` carried forward, keep left rows.
+    * One shuffle on the key, sort within partitions, no row explosion —
+    * this is the plan that survives 100 TB (a key-equi shuffle), whereas a
+    * `leftTs >= rightTs` theta-join degenerates to broadcast-nested-loop.
+    *
+    * `right` must be unique per (key, ts): pre-aggregate it if not.
+    * Both `ts` columns must be the same orderable type.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      carry: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val tagged =
+      left
+        .withColumn("__ts", col(leftTs))
+        .withColumn("__side", lit(1))
+        .select(
+          (lCols.map(col) :+ col("__ts") :+ col("__side")) ++
+            carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")): _*)
+        .unionByName(
+          right
+            .withColumn("__ts", col(rightTs))
+            .withColumn("__side", lit(0))
+            .select(
+              (lCols.map(c =>
+                if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
+                col("__ts") :+ col("__side")) ++
+                carry.map(c => col(c).as(s"__c_$c")): _*))
+    // right rows (side=0) sort before left rows at equal ts => inclusive <=
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"__last_$c", last(col(s"__c_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++ carry.map(c => col(s"__last_$c").as(c)): _*)
+  }
+
+  /** Two-phase salted aggregation: pre-aggregate on (key, salt) to spread a
+    * skewed key over `saltBuckets` reducers, then combine. Semantics equal a
+    * plain groupBy thanks to exact decimal partials.
+    */
+  def saltedSum(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    salted
+      .groupBy(col(key), col("__salt"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("__s"))
+      .groupBy(col(key))
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("total"))
+  }
+
+  /** Exact discrete percentile per group: value at row `ceil(p * n)` of the
+    * group ordered by (`valueCol`, `tieBreak`). Returns one row per group
+    * with one column per requested percentile, named `p<percent>`.
+    */
+  def discretePercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieBreak: String,
+      ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieBreak))
+    val cw = Window.partitionBy(groupCol)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+    val aggs = ps.map { p =>
+      max(when(col("__rn") === ceil(col("__cnt") * lit(p)), col(valueCol)))
+        .as(s"p${(p * 100).toInt}")
+    } :+ max(col("__cnt")).as("n")
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}
