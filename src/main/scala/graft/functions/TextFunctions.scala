@@ -34,10 +34,12 @@ object TextFunctions {
     (length(text) -
       length(regexp_replace(text, """[^a-zA-Z0-9 ]""", ""))).cast("long")
 
-  /** Occurrences of a ` word `-style marker in `' '||lower(text)||' '`.
-    * Counted via replace-shrinkage: replacing the marker with a single space
-    * shortens the string by `len(marker)-1` per occurrence and keeps
-    * adjacent occurrences matchable.
+  /** Occurrences of a ` word `-style marker in `' '||lower(text)||' '`,
+    * counted via replace-shrinkage: replacing the marker with a single space
+    * shortens the string by `len(marker)-1` per occurrence. Single-pass
+    * non-overlapping semantics (immediately repeated words count once per
+    * pair) — identical in Spark and DuckDB, which is what oracle parity
+    * requires.
     */
   def markerCount(text: Column, marker: String): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))

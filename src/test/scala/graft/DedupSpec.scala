@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river edge"),
+    (4L, "completely different text about spark catalyst optimizer rules engine"),
+    (5L, "another unrelated sentence mentioning parquet columnar storage formats"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    val dup = out.filter(col("n_copies") === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash assigns identical docs the same representative") {
+    val out = Dedup.minhashAssign(docs, "doc_id", "text")
+      .select("doc_id", "rep_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) == 1L)
+    assert(out.size == 5)
+  }
+
+  test("minhash near-dup pairs finds the duplicate and near-duplicate") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash of identical docs is identical; near pairs at hamming 0") {
+    val sim = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sim(1L) == sim(2L))
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("ngram jaccard ranks the exact duplicate pair first") {
+    val top = Dedup.ngramJaccardTopPairs(docs, "doc_id", "text", topK = 10).head()
+    assert(top.getAs[Long]("id_a") == 1L)
+    assert(top.getAs[Long]("id_b") == 2L)
+    assert(top.getAs[Double]("jaccard") == 1.0)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{JdbcSink, PartitionedLake}
+
+class LakeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("deleteInsert replaces only the partitions present in the refresh") {
+    val dir = Files.createTempDirectory("graft_lake_spec").toString
+    val initial = Seq(
+      ("2024-01-01", "a", 1L), ("2024-01-01", "b", 2L),
+      ("2024-01-02", "a", 3L), ("2024-01-03", "a", 4L))
+      .toDF("date_id", "k", "v")
+    PartitionedLake.writeAll(initial, dir, Seq("date_id"))
+    // refresh one day with different content (fewer rows, new values)
+    val refresh = Seq(("2024-01-02", "z", 99L)).toDF("date_id", "k", "v")
+    PartitionedLake.deleteInsert(refresh, dir, Seq("date_id"))
+    val back = PartitionedLake.read(spark, dir)
+      .select(col("date_id").cast("string"), col("k"), col("v"))
+      .as[(String, String, Long)].collect().toSet
+    assert(back == Set(
+      ("2024-01-01", "a", 1L), ("2024-01-01", "b", 2L),
+      ("2024-01-02", "z", 99L), ("2024-01-03", "a", 4L)))
+  }
+
+  test("deleteInsert is idempotent") {
+    val dir = Files.createTempDirectory("graft_lake_spec2").toString
+    val df = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("date_id", "v")
+    PartitionedLake.writeAll(df, dir, Seq("date_id"))
+    PartitionedLake.deleteInsert(df.filter(col("date_id") === "2024-01-02"),
+      dir, Seq("date_id"))
+    PartitionedLake.deleteInsert(df.filter(col("date_id") === "2024-01-02"),
+      dir, Seq("date_id"))
+    assert(PartitionedLake.read(spark, dir).count() == 2)
+  }
+
+  test("jdbc delete statement is keyed and parameterized") {
+    assert(JdbcSink.deleteStatement("dashboard", "north_america_weather", "date_id") ==
+      "DELETE FROM dashboard.north_america_weather WHERE date_id = ?")
+  }
+}

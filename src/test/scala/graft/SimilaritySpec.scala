@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("same"),
+      VectorFunctions.cosine(col("a"), col("c")).as("orth")).head()
+    assert(math.abs(r.getAs[Double]("same") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("orth")) < 1e-12)
+  }
+
+  test("knnBrute: a planted duplicate vector is its query's top neighbor") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val top = Similarity.knnBrute(corpus, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 1).head()
+    assert(top.getAs[Long]("nid") == 100000L)
+  }
+
+  test("annLsh finds the planted duplicate (same LSH buckets by construction)") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.annLsh(corpus, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 64, 1)
+    assert(out.head().getAs[Long]("nid") == 100000L)
+  }
+
+  test("embeddingNearDupPairs surfaces the planted duplicate with cos 1") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val out = Similarity.embeddingNearDupPairs(
+      emb.unionByName(planted), "vec_id", "embedding", 64, topK = 5)
+    val top = out.head()
+    assert(top.getAs[Long]("id_a") == 0L && top.getAs[Long]("id_b") == 100000L)
+    assert(top.getAs[Double]("cos_r") == 1.0)
+  }
+}
