@@ -16,8 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Element products summed in double: dot(a, b). */
+  /** Element products summed in double: dot(a, b). Backed by the codegen
+    * [[graft.plans.VecDot]] expression (primitive loop in whole-stage
+    * codegen, same left-to-right double fold as the HOF form).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.vecDot(a, b)
+
+  /** Reference HOF formulation of dot — interpreted, kept for cross-checking
+    * the codegen expression in tests.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

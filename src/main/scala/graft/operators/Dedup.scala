@@ -73,11 +73,12 @@ object Dedup {
       col(idCol),
       posexplode(bandKeys(col("sig")))
         .as(Seq("band_idx", "band_hash")))
-    val buckets = withBands
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(min(col(idCol)).as("bucket_rep"), count(lit(1)).as("bucket_n"))
+    // bucket stats via one window pass instead of a self-join on the bucket
+    // (the join shape would recompute the whole signature DAG twice)
+    val wb = Window.partitionBy(col("band_idx"), col("band_hash"))
     withBands
-      .join(buckets, Seq("band_idx", "band_hash"))
+      .withColumn("bucket_rep", min(col(idCol)).over(wb))
+      .withColumn("bucket_n", count(lit(1)).over(wb))
       .groupBy(col(idCol))
       .agg(
         min(col("bucket_rep")).as("rep_id"),
@@ -191,17 +192,26 @@ object Dedup {
       n: Int = 2,
       topK: Int = 200,
       maxBucket: Int = 64): DataFrame = {
+    // grams as 64-bit hashes: exact Jaccard over hashed n-grams (collisions
+    // are ~2^-64), and long-array set ops are far cheaper than string sets.
+    // Bucket = the TWO smallest gram hashes: a pair with Jaccard j collides
+    // with probability ~j², which keeps high-similarity pairs while cutting
+    // bucket sizes enough that the cap below almost never bites (a single
+    // min-hash bucket degenerates on small shingle vocabularies).
     val base = df.select(
       col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), n)).as("grams"))
-      .withColumn("bucket",
-        array_min(transform(col("grams"), g => xxhash64(g))))
+      array_sort(array_distinct(
+        transform(shingles(col(textCol), n), g => xxhash64(g)))).as("grams"))
+      .withColumn("bucket", struct(
+        element_at(col("grams"), 1).as("m1"),
+        element_at(col("grams"), least(lit(2), size(col("grams")))).as("m2")))
     val wb = Window.partitionBy(col("bucket")).orderBy(col("id"))
     val capped = base
       .withColumn("__rn", row_number().over(wb))
       .filter(col("__rn") <= maxBucket)
     val a = capped.select(col("bucket"), col("id").as("id_a"), col("grams").as("g_a"))
     val b = capped.select(col("bucket"), col("id").as("id_b"), col("grams").as("g_b"))
+    // one bucket per doc => a pair can only arise once: no dedup needed
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(
@@ -209,7 +219,6 @@ object Dedup {
         (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b"))).cast("double"))
           .as("jaccard"))
-      .distinct()
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }

@@ -58,15 +58,15 @@ object Similarity {
         .select(
           col(id), col(v),
           posexplode(array(col("b0"), col("b1"))).as(Seq("band_idx", "band_val")))
-    val cand = banded(queries, "qid", "qv")
+    // vectors ride along through the band explode, so candidates are scored
+    // in place; same-pair matches from both bands collapse in the groupBy
+    val scored = banded(queries, "qid", "qv")
       .join(banded(corpus, "nid", "nv"), Seq("band_idx", "band_val"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid")).distinct()
-    val scored = cand
-      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
-      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
       .select(col("qid"), col("nid"),
         round(cosine(col("qv"), col("nv")), 4).as("cos_r"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(max(col("cos_r")).as("cos_r"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("nid"))
     scored
       .withColumn("rnk", row_number().over(w))

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two numeric arrays (`array<float>` /
+  * `array<double>` in any combination).
+  *
+  * Replaces the `aggregate(zip_with(...))` higher-order-function
+  * formulation: HOFs evaluate interpreted with per-element boxing, while
+  * this expression generates a primitive `for` loop inside whole-stage
+  * codegen. Accumulation is left-to-right in double — the same fold order
+  * as the HOF version and the engine's oracle, so results are identical.
+  *
+  * Precondition: array elements are non-null (embedding vectors). Shorter
+  * array bounds the loop.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other =>
+      throw new IllegalArgumentException(s"vec_dot expects arrays, got $other")
+  }
+
+  @transient private lazy val getL = accessor(elemType(left))
+  @transient private lazy val getR = accessor(elemType(right))
+
+  private def accessor(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+    case LongType => (a, i) => a.getLong(i).toDouble
+    case IntegerType => (a, i) => a.getInt(i).toDouble
+    case other =>
+      throw new IllegalArgumentException(s"vec_dot: unsupported element $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += getL(x, i) * getR(y, i); i += 1 }
+    s
+  }
+
+  private def javaGetter(dt: DataType, arr: String, i: String): String = dt match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case other =>
+      throw new IllegalArgumentException(s"vec_dot: unsupported element $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${javaGetter(elemType(left), a, i)} * ${javaGetter(elemType(right), b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  /** Column-level dot product backed by the codegen expression. */
+  def vecDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Register `vec_dot` for SQL use on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+}

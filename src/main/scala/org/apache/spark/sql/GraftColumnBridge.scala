@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the package-private Column <-> Expression converters, the
+  * standard pattern for libraries shipping custom Catalyst expressions
+  * (Spark 4 moved Column construction behind ColumnNode internals).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.plans.{GraftExtensions, VectorExpressions}
+import graft.sources.Tables
+
+class VectorExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("codegen vec_dot equals the HOF formulation bit-for-bit") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    val diff = emb.select(
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("fast"),
+      VectorFunctions.dotHof(col("embedding"), col("embedding")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
+  test("vec_dot handles mixed float/double arrays") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("f", "d")
+    val r = df.select(VectorExpressions.vecDot(col("f"), col("d"))).head().getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("vec_dot is available in SQL after registration") {
+    VectorExpressions.register(spark)
+    val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("extensions class injects without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
