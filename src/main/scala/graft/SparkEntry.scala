@@ -382,6 +382,63 @@ object SparkEntry {
       .toDF()
       .orderBy(col("doc_id"))
 
+  // -------------------------------------------- §2.1b source formats
+
+  private def scratch(dir: String, q: String): String =
+    s"/root/repo/target/scratch/${q}_${math.abs(dir.hashCode)}"
+
+  /** JSON-lines ingest with an explicit schema (no runaway inference pass at
+    * 100 TB): documents round-tripped through json, then aggregated.
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q34")
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    s.read.schema(schema).json(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** CSV ingest with an explicit schema + header. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q35")
+    T(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Partition-pruned read: the reference addresses exactly one
+    * `date_id=D` partition per run; here the filter on the partition column
+    * prunes directories before any file IO.
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q36")
+    val ev = T(s, dir, "events")
+    PartitionedLake.writeAll(
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), evDateId.as("date_id")),
+      path, Seq("date_id"))
+    val maxDate = ev.agg(max(evDateId)).head().getString(0)
+    PartitionedLake.read(s, path)
+      .filter(col("date_id") === maxDate)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -417,7 +474,10 @@ object SparkEntry {
     "q30_langid" -> (q30 _),
     "q31_token_count" -> (q31 _),
     "q32_fingerprint" -> (q32 _),
-    "q33_multimodal_meta" -> (q33 _))
+    "q33_multimodal_meta" -> (q33 _),
+    "q34_json_source" -> (q34 _),
+    "q35_csv_source" -> (q35 _),
+    "q36_partition_prune" -> (q36 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -479,5 +539,11 @@ object SparkEntry {
     "q32_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
     "q33_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(text) % 512 AS BIGINT) AS height, 3 AS channels, CASE CAST(octet_length(encode(text)) % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format FROM documents ORDER BY doc_id""")
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(text) % 512 AS BIGINT) AS height, 3 AS channels, CASE CAST(octet_length(encode(text)) % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format FROM documents ORDER BY doc_id""",
+    "q34_json_source" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang""",
+    "q35_csv_source" ->
+      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
+    "q36_partition_prune" ->
+      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE strftime(ts, '%Y-%m-%d') = (SELECT MAX(strftime(ts, '%Y-%m-%d')) FROM events) GROUP BY event_type ORDER BY event_type""")
 }
