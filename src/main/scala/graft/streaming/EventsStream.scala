@@ -41,6 +41,20 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Continuous bronze load: each micro-batch is written to the partitioned
+    * lake with the reference's delete-insert semantics via `foreachBatch` —
+    * re-processing a day replaces exactly that day's partitions, so the
+    * stream is idempotent under replay (the streaming analogue of
+    * /root/reference/utils/duckdb_utils.py's daily refresh).
+    */
+  def toLake(events: DataFrame, path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withColumn("date_id", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.PartitionedLake.deleteInsert(batch, path, Seq("date_id"))
+      }
+
   /** Gap-based sessionization with explicit state: a session closes after
     * `gapSec` silence; state per user is O(1).
     */

@@ -30,6 +30,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming lake sink applies delete-insert per micro-batch") {
+    val src = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake3").toString
+    eventsAsBatchOfStreamSchema.write.mode("overwrite").parquet(src)
+    val q = EventsStream.toLake(EventsStream.readEvents(spark, src), lake).start()
+    try {
+      q.processAllAvailable()
+      val n0 = spark.read.parquet(lake).count()
+      assert(n0 == 1000L)
+    } finally q.stop()
+    // replaying the same source must not duplicate rows (delete-insert)
+    val q2 = EventsStream.toLake(
+      EventsStream.readEvents(spark, src), lake).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.read.parquet(lake).count() == 1000L)
+    } finally q2.stop()
+  }
+
   test("stateful sessionization emits closed sessions with gap > 30min") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     eventsAsBatchOfStreamSchema.write.mode("overwrite").parquet(tmp)
