@@ -382,6 +382,20 @@ object SparkEntry {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** Sketch-based distinct counting: HLL++ `approx_count_distinct` next to
+    * the exact count. At 100 TB the sketch aggregates in fixed memory per
+    * group with map-side combine; no oracle (DuckDB's sketch differs) —
+    * rows-only, with the approx/exact gap asserted in tests.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   // -------------------------------------------- §2.1b source formats
 
   private def scratch(dir: String, q: String): String =
@@ -477,7 +491,8 @@ object SparkEntry {
     "q33_multimodal_meta" -> (q33 _),
     "q34_json_source" -> (q34 _),
     "q35_csv_source" -> (q35 _),
-    "q36_partition_prune" -> (q36 _))
+    "q36_partition_prune" -> (q36 _),
+    "q37_approx_distinct" -> (q37 _))
 
   // ---------------------------------------------------------------- oracles
 

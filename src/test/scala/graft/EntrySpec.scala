@@ -22,4 +22,13 @@ class EntrySpec extends SparkSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("approx distinct tracks exact within HLL++ error bounds") {
+    val rows = SparkEntry.queries("q37_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15, s"approx $approx vs exact $exact")
+    }
+  }
 }
