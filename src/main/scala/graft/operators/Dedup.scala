@@ -32,6 +32,60 @@ object Dedup {
       .otherwise(array(TextFunctions.normText(text)))
   }
 
+  /** Rotate-left on a long column via shifts+or — bitwise, so safe under
+    * Spark 4's default ANSI mode (multiply/add would throw on overflow).
+    */
+  private def rotl(c: Column, n: Int): Column = {
+    val r = ((n % 64) + 64) % 64
+    if (r == 0) c
+    else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
+  }
+
+  /** Order-sensitive overflow-free combine: acc' = rotl(acc, 8) xor h. */
+  private def mix(acc: Column, h: Column): Column = rotl(acc, 8).bitwiseXOR(h)
+
+  /** One row per k-shingle: (idCol, sh: long).
+    *
+    * Words are EXPLODED to rows, each word hashed exactly once, and shingle
+    * hashes assembled with window `lead`s over (doc, position). Array-based
+    * formulations of this (transform + element_at over a word-hash array)
+    * get the word-hash expression inlined into every element access by the
+    * optimizer — measured 30s vs 2s at sf0.1 — and a `collect`-style
+    * re-aggregation would shuffle twice. Here the window's doc-id shuffle is
+    * the only one, and downstream per-doc aggregations reuse its
+    * partitioning.
+    *
+    * Docs shorter than k words emit one row combining all their words with
+    * deterministic pad constants.
+    */
+  def shingleHashRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    val rows = df.select(col(idCol),
+      posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
+      .select(col(idCol), col("__pos"), xxhash64(col("__w")).as("__h"))
+    val ws = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val cw = Window.partitionBy(col(idCol))
+    val sh = (1 until k).foldLeft(col("__h")) { (acc, j) =>
+      mix(acc, coalesce(lead(col("__h"), j).over(ws),
+        lit(0x9e3779b97f4a7c15L * (j + 1))))
+    }
+    rows
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .withColumn("sh", sh)
+      .filter(col("__pos") <= greatest(col("__cnt") - k, lit(0)))
+      .select(col(idCol), col("sh"))
+  }
+
+  /** Permutation i of a 64-bit hash: rotate by a per-i amount then xor a
+    * per-i constant — a bijection family replacing "re-hash the shingle
+    * string numHashes times" (each min-hash seed costs two bitwise ops).
+    */
+  private def perm(h: Column, i: Int): Column =
+    rotl(h, (i * 13 + 7) % 64).bitwiseXOR(lit(i * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL))
+
   /** MinHash signatures as a table: (idCol, sig array<long>).
     *
     * Shape matters at scale: shingles are EXPLODED to rows, each shingle is
@@ -46,10 +100,12 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 32): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingles(col(textCol))).as("__sh"))
+      numHashes: Int = 32,
+      shingleK: Int = 3): DataFrame = {
+    val sh = shingleHashRows(df, idCol, textCol, shingleK)
+      .select(col(idCol), col("sh").as("__h"))
     val mins = (0 until numHashes)
-      .map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__m$i"))
+      .map(i => min(perm(col("__h"), i)).as(s"__m$i"))
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
@@ -76,6 +132,9 @@ object Dedup {
     // bucket stats via one window pass instead of a self-join on the bucket
     // (the join shape would recompute the whole signature DAG twice)
     val wb = Window.partitionBy(col("band_idx"), col("band_hash"))
+    // no global orderBy here: a final sort's range-sampling pass would
+    // execute the whole signature DAG a second time, and row order is not
+    // part of the operator's semantics
     withBands
       .withColumn("bucket_rep", min(col(idCol)).over(wb))
       .withColumn("bucket_n", count(lit(1)).over(wb))
@@ -83,7 +142,6 @@ object Dedup {
       .agg(
         min(col("bucket_rep")).as("rep_id"),
         sum(col("bucket_n") - 1).as("n_candidates"))
-      .orderBy(col(idCol))
   }
 
   /** Candidate pairs from MinHash LSH with estimated Jaccard from signature
@@ -198,27 +256,36 @@ object Dedup {
     // with probability ~j², which keeps high-similarity pairs while cutting
     // bucket sizes enough that the cap below almost never bites (a single
     // min-hash bucket degenerates on small shingle vocabularies).
-    val base = df.select(
-      col(idCol).as("id"),
-      array_sort(array_distinct(
-        transform(shingles(col(textCol), n), g => xxhash64(g)))).as("grams"))
+    val base = shingleHashRows(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("sh"))).as("grams"))
+      .select(col(idCol).as("id"), col("grams"))
       .withColumn("bucket", struct(
         element_at(col("grams"), 1).as("m1"),
         element_at(col("grams"), least(lit(2), size(col("grams")))).as("m2")))
+    // pairs generated inside each bucket from ONE collect_list aggregation —
+    // a bucket self-join would re-execute the whole shingle DAG for each join
+    // branch. The row_number cap bounds rows BEFORE collect_list buffers them
+    // (hot-bucket memory safety), and the groupBy reuses the window's hash
+    // partitioning on bucket, so no extra shuffle. One bucket per doc means
+    // each pair arises exactly once.
     val wb = Window.partitionBy(col("bucket")).orderBy(col("id"))
-    val capped = base
+    val buckets = base
       .withColumn("__rn", row_number().over(wb))
       .filter(col("__rn") <= maxBucket)
-    val a = capped.select(col("bucket"), col("id").as("id_a"), col("grams").as("g_a"))
-    val b = capped.select(col("bucket"), col("id").as("id_b"), col("grams").as("g_b"))
-    // one bucket per doc => a pair can only arise once: no dedup needed
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(
-        col("id_a"), col("id_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))).cast("double"))
-          .as("jaccard"))
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("id"), col("grams")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("ds"), (d, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), e =>
+          struct(
+            d.getField("id").as("id_a"),
+            e.getField("id").as("id_b"),
+            (size(array_intersect(d.getField("grams"), e.getField("grams"))).cast("double") /
+              size(array_union(d.getField("grams"), e.getField("grams"))).cast("double"))
+              .as("jaccard")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.jaccard"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }
