@@ -396,6 +396,32 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Bucketed co-located join: both sides written bucketed on the join key
+    * (8 buckets here; thousands on a real cluster), so the join needs NO
+    * shuffle of either side — the pre-shuffle is amortized at write time.
+    * This is the pattern for repeated fact⋈fact joins at 100 TB.
+    * The plan's shuffle-freeness is asserted in BucketedJoinSpec.
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    val (to, tc) = (s"graft_q38_orders_$tag", s"graft_q38_customer_$tag")
+    val base = scratch(dir, "q38")
+    T(s, dir, "orders")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(to)
+    T(s, dir, "customer")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(tc)
+    s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sumx(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   // -------------------------------------------- §2.1b source formats
 
   private def scratch(dir: String, q: String): String =
@@ -492,7 +518,8 @@ object SparkEntry {
     "q34_json_source" -> (q34 _),
     "q35_csv_source" -> (q35 _),
     "q36_partition_prune" -> (q36 _),
-    "q37_approx_distinct" -> (q37 _))
+    "q37_approx_distinct" -> (q37 _),
+    "q38_bucketed_join" -> (q38 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -560,5 +587,7 @@ object SparkEntry {
     "q35_csv_source" ->
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
     "q36_partition_prune" ->
-      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE strftime(ts, '%Y-%m-%d') = (SELECT MAX(strftime(ts, '%Y-%m-%d')) FROM events) GROUP BY event_type ORDER BY event_type""")
+      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE strftime(ts, '%Y-%m-%d') = (SELECT MAX(strftime(ts, '%Y-%m-%d')) FROM events) GROUP BY event_type ORDER BY event_type""",
+    "q38_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""")
 }
