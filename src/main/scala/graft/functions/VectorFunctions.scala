@@ -34,7 +34,11 @@ object VectorFunctions {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-loop codegen cosine ([[graft.plans.VecCosine]]); result is
+    * bit-identical to `dot(a,b) / (norm(a) * norm(b))`.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.vecCosine(a, b)
 
   /** Deterministic ±1 hyperplane weights: plane `p`, dimension `d`. */
   def planeWeights(p: Int, dims: Int): Array[Double] =

@@ -182,6 +182,42 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup candidate pairs: every document gets
+    * the smallest doc id reachable through the pair graph as its cluster
+    * representative (iterative min-label propagation, the standard
+    * large-graph CC approach — each round is one shuffle join; diameter
+    * rounds needed, `maxIter` bounds pathological chains).
+    *
+    * `pairs` must have columns (id_a, id_b); result: (idCol, cluster_rep).
+    */
+  def dupClusters(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("nl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("node"), col("nmin")), Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true) // truncate the lineage: iterative plans grow exponentially otherwise
+      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("cluster_rep"))
+  }
+
   private def bitValue(j: Int): Long = 1L << j // j=63 => Long.MinValue, intended
 
   /** 64-bit SimHash per document: words exploded to rows, each word hashed

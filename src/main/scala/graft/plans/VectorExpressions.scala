@@ -82,6 +82,86 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity: dot, |a|² and |b|² accumulated in ONE loop
+  * (vs three separate loops for dot/norm/norm), then
+  * `dot / (sqrt(na) * sqrt(nb))`. Same per-accumulator fold order as the
+  * unfused form, so results are bit-identical to
+  * `VecDot(a,b) / (sqrt(VecDot(a,a)) * sqrt(VecDot(b,b)))`.
+  * Returns NaN for a zero vector (0/0), like the unfused form.
+  */
+case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other =>
+      throw new IllegalArgumentException(s"vec_cosine expects arrays, got $other")
+  }
+
+  @transient private lazy val getL = VecCosine.accessor(elemType(left))
+  @transient private lazy val getR = VecCosine.accessor(elemType(right))
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = getL(x, i)
+      val yv = getR(y, i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def javaGetter(dt: DataType, arr: String, i: String): String = dt match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case other =>
+      throw new IllegalArgumentException(s"vec_cosine: unsupported element $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = ${javaGetter(elemType(left), a, i)};
+         |  double $yv = ${javaGetter(elemType(right), b, i)};
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecCosine {
+  private[plans] def accessor(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case FloatType => (a, i) => a.getFloat(i).toDouble
+    case DoubleType => (a, i) => a.getDouble(i)
+    case other =>
+      throw new IllegalArgumentException(s"vec_cosine: unsupported element $other")
+  }
+}
+
 object VectorExpressions {
 
   /** Column-level dot product backed by the codegen expression. */
@@ -89,8 +169,16 @@ object VectorExpressions {
     GraftColumnBridge.column(
       VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  /** Register `vec_dot` for SQL use on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Column-level fused cosine backed by the codegen expression. */
+  def vecCosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      VecCosine(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Register the vector functions for SQL use on an existing session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine", exprs => VecCosine(exprs(0), exprs(1)), "built-in")
+  }
 }

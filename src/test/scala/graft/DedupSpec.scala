@@ -45,6 +45,15 @@ class DedupSpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("dupClusters propagates the min id across a chain of pairs") {
+    // chain 1-2, 2-3 and isolated pair 4-5... use explicit edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(4L) == 4L && out(5L) == 4L)
+  }
+
   test("ngram jaccard ranks the exact duplicate pair first") {
     val top = Dedup.ngramJaccardTopPairs(docs, "doc_id", "text", topK = 10).head()
     assert(top.getAs[Long]("id_a") == 1L)

@@ -24,6 +24,19 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(r == 11.0)
   }
 
+  test("fused vec_cosine equals the unfused dot/norm formulation bit-for-bit") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv")).limit(5)
+    val diff = emb.crossJoin(q)
+      .select(
+        VectorFunctions.cosine(col("embedding"), col("qv")).as("fused"),
+        (VectorFunctions.dot(col("embedding"), col("qv")) /
+          (sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))) *
+            sqrt(VectorFunctions.dot(col("qv"), col("qv"))))).as("unfused"))
+      .filter(col("fused") =!= col("unfused"))
+    assert(diff.count() == 0)
+  }
+
   test("vec_dot is available in SQL after registration") {
     VectorExpressions.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
