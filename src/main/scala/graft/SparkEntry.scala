@@ -422,6 +422,13 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Composed corpus-cleaning pipeline (quality → language → dedup). */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.cleanCorpus(
+      T(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), col("alpha_ratio"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+
   // -------------------------------------------- §2.1b source formats
 
   private def scratch(dir: String, q: String): String =
@@ -519,7 +526,8 @@ object SparkEntry {
     "q35_csv_source" -> (q35 _),
     "q36_partition_prune" -> (q36 _),
     "q37_approx_distinct" -> (q37 _),
-    "q38_bucketed_join" -> (q38 _))
+    "q38_bucketed_join" -> (q38 _),
+    "q39_clean_corpus" -> (q39 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -589,5 +597,7 @@ object SparkEntry {
     "q36_partition_prune" ->
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE strftime(ts, '%Y-%m-%d') = (SELECT MAX(strftime(ts, '%Y-%m-%d')) FROM events) GROUP BY event_type ORDER BY event_type""",
     "q38_bucketed_join" ->
-      """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q39_clean_corpus" ->
+      """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), sc AS (SELECT doc_id, n_words, alpha_ratio, fp, (length(p) - length(replace(p, ' the ', ' '))) / 4 + (length(p) - length(replace(p, ' a ', ' '))) / 2 AS s_en, (length(p) - length(replace(p, ' der ', ' '))) / 4 + (length(p) - length(replace(p, ' und ', ' '))) / 4 AS s_de, (length(p) - length(replace(p, ' el ', ' '))) / 3 + (length(p) - length(replace(p, ' los ', ' '))) / 4 AS s_es, (length(p) - length(replace(p, ' le ', ' '))) / 3 + (length(p) - length(replace(p, ' et ', ' '))) / 3 AS s_fr FROM s), l AS (SELECT doc_id, n_words, alpha_ratio, fp, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en' WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de' WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es > 0 THEN 'es' WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred FROM sc), g AS (SELECT doc_id, n_words, alpha_ratio, lang_pred, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM l WHERE n_words >= 10 AND alpha_ratio >= 0.5) SELECT doc_id, n_words, alpha_ratio, lang_pred FROM g WHERE rn = 1 ORDER BY doc_id""")
 }
