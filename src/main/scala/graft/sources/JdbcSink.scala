@@ -17,15 +17,19 @@ import org.apache.spark.sql.DataFrame
   * with the cluster rather than a single pandas `to_sql` loop. Callers should
   * `df.coalesce(n)` to match the DB's acceptable connection count.
   *
-  * No database ships in this environment, so `load` is exercised only through
-  * `deleteStatement` in unit tests; the DataFrame-side plumbing is standard
-  * `DataFrameWriter.jdbc`.
+  * `load` is integration-tested against embedded Derby (LakeSpec): seed →
+  * keyed delete → append → read-back.
   */
 object JdbcSink {
 
-  /** SQL for the keyed delete that precedes the append (parameterized). */
+  /** SQL for the keyed delete that precedes the append (parameterized).
+    * The key column is quoted: tables created by `DataFrameWriter.jdbc`
+    * carry case-sensitive lower-case column names, which an unquoted
+    * identifier would not resolve against (Derby/Postgres fold unquoted
+    * identifiers).
+    */
   def deleteStatement(schema: String, table: String, keyCol: String): String =
-    s"DELETE FROM $schema.$table WHERE $keyCol = ?"
+    s"""DELETE FROM $schema.$table WHERE "$keyCol" = ?"""
 
   /** Delete-by-key then append. `numPartitions` bounds DB connections. */
   def load(

@@ -40,6 +40,26 @@ class LakeSpec extends SparkSuite {
 
   test("jdbc delete statement is keyed and parameterized") {
     assert(JdbcSink.deleteStatement("dashboard", "north_america_weather", "date_id") ==
-      "DELETE FROM dashboard.north_america_weather WHERE date_id = ?")
+      """DELETE FROM dashboard.north_america_weather WHERE "date_id" = ?""")
+  }
+
+  test("jdbc sink delete-by-key + append against embedded Derby") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    // day 1 (to be refreshed) + day 2 (must survive)
+    val seed = Seq(
+      ("2024-01-01", "old_a", 1.0), ("2024-01-01", "old_b", 2.0),
+      ("2024-01-02", "keep", 3.0)).toDF("date_id", "city", "temp")
+    seed.write.mode("overwrite")
+      .option("createTableColumnTypes", "date_id VARCHAR(10), city VARCHAR(50)")
+      .jdbc(url, "dashboard.weather", props)
+    val refresh = Seq(("2024-01-01", "new_a", 9.0)).toDF("date_id", "city", "temp")
+    JdbcSink.load(refresh, url, "dashboard", "weather", "date_id", "2024-01-01",
+      props, numPartitions = 1)
+    val back = spark.read.jdbc(url, "dashboard.weather", props)
+      .select("date_id", "city", "temp")
+      .as[(String, String, Double)].collect().toSet
+    assert(back == Set(
+      ("2024-01-02", "keep", 3.0), ("2024-01-01", "new_a", 9.0)))
   }
 }
