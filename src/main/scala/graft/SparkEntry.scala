@@ -318,6 +318,11 @@ object SparkEntry {
     Similarity.annLsh(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 64, 5)
   }
 
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding")
+  }
+
   private def q28(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), VF.norm(col("embedding")).as("nrm"))
@@ -527,7 +532,8 @@ object SparkEntry {
     "q36_partition_prune" -> (q36 _),
     "q37_approx_distinct" -> (q37 _),
     "q38_bucketed_join" -> (q38 _),
-    "q39_clean_corpus" -> (q39 _))
+    "q39_clean_corpus" -> (q39 _),
+    "q40_ann_ivf" -> (q40 _))
 
   // ---------------------------------------------------------------- oracles
 

@@ -75,6 +75,93 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** K-means coarse quantizer built with DataFrame ops only: deterministic
+    * init (first `k` vectors by id), fixed Lloyd iterations. Centroids stay
+    * a tiny DataFrame (k × dims) that Catalyst auto-broadcasts into the
+    * assignment cross join, so each iteration is one corpus scan + one
+    * small shuffle for the centroid recompute — the shape that holds at
+    * 100 TB (centroid count, not corpus size, bounds the broadcast).
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2): DataFrame = {
+    val wInit = Window.orderBy(col(idCol))
+    var centroids = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select((row_number().over(wInit) - 1).as("cid"),
+        transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(corpus, centroids, idCol, vecCol)
+      centroids = corpus
+        .join(assigned, Seq(idCol))
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cvec"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: (idCol, cid). */
+  private def assign(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("cid"))
+    corpus.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cid"), cosine(col("__v"), col("cvec")).as("__sim"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") === 1)
+      .select(col(idCol), col("cid"))
+  }
+
+  /** IVF ANN: coarse-quantize the corpus into `nCentroids` cells, probe the
+    * `nProbe` cells nearest each query, exact-rank only those candidates.
+    * Complements [[annLsh]]: IVF adapts to the data distribution where LSH
+    * is data-independent.
+    */
+  def annIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    val corpusCells = assign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("nid"), col("cid"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim").desc, col("cid"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cvec")).as("__sim"))
+      .withColumn("__rnk", row_number().over(wq))
+      .filter(col("__rnk") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("nid"))
+    probes
+      .join(corpusCells, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
+      .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nv")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Embedding-cosine near-dup candidate pairs inside LSH buckets, top pairs
     * by cosine. The near-dup variant of `annLsh` (corpus against itself).
     */

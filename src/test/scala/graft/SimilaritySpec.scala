@@ -39,6 +39,16 @@ class SimilaritySpec extends SparkSuite {
     assert(out.head().getAs[Long]("nid") == 100000L)
   }
 
+  test("annIvf finds the planted duplicate (same cell by construction)") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.annIvf(corpus, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", nCentroids = 8, nProbe = 1, k = 1)
+    assert(out.head().getAs[Long]("nid") == 100000L)
+  }
+
   test("embeddingNearDupPairs surfaces the planted duplicate with cos 1") {
     val emb = Tables.load(spark, sf, "embeddings").limit(100)
     val planted = emb.filter(col("vec_id") === 0)
