@@ -427,6 +427,41 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** CUBE aggregates over two dimensions (all grouping-set combinations). */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Row explosion (lateral view / unnest): one row per word. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), """\s+""")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("word"))
+
+  /** Scalar-subquery semantics: orders above their customer's average order
+    * value (expressed as an aggregate self-join — the plan Catalyst
+    * decorrelates a correlated subquery into anyway).
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val avgPer = o.groupBy(col("o_custkey").as("k"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_price"))
+    o.join(avgPer, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("avg_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Composed corpus-cleaning pipeline (quality → language → dedup). */
   private def q39(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextPipeline.cleanCorpus(
@@ -533,7 +568,10 @@ object SparkEntry {
     "q37_approx_distinct" -> (q37 _),
     "q38_bucketed_join" -> (q38 _),
     "q39_clean_corpus" -> (q39 _),
-    "q40_ann_ivf" -> (q40 _))
+    "q40_ann_ivf" -> (q40 _),
+    "q41_cube" -> (q41 _),
+    "q42_explode_words" -> (q42 _),
+    "q43_scalar_subquery" -> (q43 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -604,6 +642,12 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE strftime(ts, '%Y-%m-%d') = (SELECT MAX(strftime(ts, '%Y-%m-%d')) FROM events) GROUP BY event_type ORDER BY event_type""",
     "q38_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q41_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY status, priority""",
+    "q42_explode_words" ->
+      """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY word ORDER BY word""",
+    "q43_scalar_subquery" ->
+      """WITH a AS (SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price FROM orders GROUP BY o_custkey) SELECT o_orderkey, o_custkey, o_totalprice, avg_price FROM orders JOIN a ON o_custkey = k WHERE o_totalprice > avg_price ORDER BY o_orderkey""",
     "q39_clean_corpus" ->
       """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), sc AS (SELECT doc_id, n_words, alpha_ratio, fp, (length(p) - length(replace(p, ' the ', ' '))) / 4 + (length(p) - length(replace(p, ' a ', ' '))) / 2 AS s_en, (length(p) - length(replace(p, ' der ', ' '))) / 4 + (length(p) - length(replace(p, ' und ', ' '))) / 4 AS s_de, (length(p) - length(replace(p, ' el ', ' '))) / 3 + (length(p) - length(replace(p, ' los ', ' '))) / 4 AS s_es, (length(p) - length(replace(p, ' le ', ' '))) / 3 + (length(p) - length(replace(p, ' et ', ' '))) / 3 AS s_fr FROM s), l AS (SELECT doc_id, n_words, alpha_ratio, fp, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en' WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de' WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es > 0 THEN 'es' WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred FROM sc), g AS (SELECT doc_id, n_words, alpha_ratio, lang_pred, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM l WHERE n_words >= 10 AND alpha_ratio >= 0.5) SELECT doc_id, n_words, alpha_ratio, lang_pred FROM g WHERE rn = 1 ORDER BY doc_id""")
 }
