@@ -427,6 +427,41 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** As-of join with tolerance: like q20 but an attribution window of one
+    * hour — clicks older than that yield null (pandas merge_asof
+    * `tolerance` semantics).
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), evSec.as("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), evSec.as("csec"))
+      .agg(max(col("event_id")).as("click_id"))
+    Relational.asofJoin(purchases, clicks, "user_id", "sec", "csec",
+      Seq("click_id", "csec"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        when(col("sec") - col("csec") <= 3600, col("click_id"))
+          .as("attributed_click"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Time-range window frame: per-user moving sum over the trailing hour
+    * (RANGE frame on the epoch second, not a row-count frame).
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), evSec.as("sec"),
+        col("value").cast(DecimalType(18, 2)).as("__v"))
+      .withColumn("trailing_1h_sum", sum(col("__v")).over(w).cast("double"))
+      .withColumn("trailing_1h_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("sec"),
+        col("trailing_1h_sum"), col("trailing_1h_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** CUBE aggregates over two dimensions (all grouping-set combinations). */
   private def q41(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "orders")
@@ -571,7 +606,9 @@ object SparkEntry {
     "q40_ann_ivf" -> (q40 _),
     "q41_cube" -> (q41 _),
     "q42_explode_words" -> (q42 _),
-    "q43_scalar_subquery" -> (q43 _))
+    "q43_scalar_subquery" -> (q43 _),
+    "q44_asof_tolerance" -> (q44 _),
+    "q45_range_window" -> (q45 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -642,6 +679,10 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE strftime(ts, '%Y-%m-%d') = (SELECT MAX(strftime(ts, '%Y-%m-%d')) FROM events) GROUP BY event_type ORDER BY event_type""",
     "q38_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q44_asof_tolerance" ->
+      """WITH p AS (SELECT user_id, event_id, value, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS csec, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) SELECT p.user_id, p.event_id, p.value, CASE WHEN p.sec - c.csec <= 3600 THEN c.click_id END AS attributed_click FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.sec >= c.csec ORDER BY p.user_id, p.event_id""",
+    "q45_range_window" ->
+      """SELECT user_id, event_id, sec, CAST(SUM(v) OVER w AS DOUBLE) AS trailing_1h_sum, CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_n FROM (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, CAST(value AS DECIMAL(18,2)) AS v FROM events) WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) ORDER BY user_id, event_id""",
     "q41_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY status, priority""",
     "q42_explode_words" ->

@@ -91,6 +91,13 @@ object Relational {
   /** Exact discrete percentile per group: value at row `ceil(p * n)` of the
     * group ordered by (`valueCol`, `tieBreak`). Returns one row per group
     * with one column per requested percentile, named `p<percent>`.
+    *
+    * Scale note: the per-group window sort places each group on one
+    * partition — correct for group cardinalities up to partition size
+    * (the usual analytics shape: many groups). For a FEW huge groups
+    * prefer `percentile_approx` or a manual range-partitioned rank, since
+    * any exact per-group order statistic fundamentally needs the group
+    * sorted.
     */
   def discretePercentiles(
       df: DataFrame,

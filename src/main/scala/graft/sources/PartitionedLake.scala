@@ -39,4 +39,26 @@ object PartitionedLake {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-file compaction for selected partitions: rewrites each listed
+    * partition as `filesPerPartition` files via dynamic partition
+    * overwrite. Daily micro-batch appends accumulate small files that
+    * wreck 100 TB scan throughput (per-file open cost + tiny row groups);
+    * periodic compaction is the standard lakehouse maintenance pass.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      partValues: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    val part = read(spark, path)
+      .filter(org.apache.spark.sql.functions.col(partCol).isin(partValues: _*))
+      .repartition(filesPerPartition * partValues.size,
+        org.apache.spark.sql.functions.col(partCol))
+      // materialize before the write: Spark refuses to overwrite a path
+      // that the same plan is reading from
+      .localCheckpoint(true)
+    deleteInsert(part, path, Seq(partCol))
+  }
 }

@@ -38,6 +38,22 @@ class LakeSpec extends SparkSuite {
     assert(PartitionedLake.read(spark, dir).count() == 2)
   }
 
+  test("compact rewrites a partition's many small files into one") {
+    val dir = Files.createTempDirectory("graft_lake_compact").toString
+    val df = spark.range(1000)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END AS date_id")
+      .repartition(8)
+    PartitionedLake.writeAll(df, dir, Seq("date_id"))
+    def files(day: String) =
+      new java.io.File(s"$dir/date_id=$day").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(files("2024-01-01") > 1)
+    PartitionedLake.compact(spark, dir, "date_id", Seq("2024-01-01"))
+    assert(files("2024-01-01") == 1)
+    assert(files("2024-01-02") > 1) // untouched partition keeps its files
+    assert(PartitionedLake.read(spark, dir).count() == 1000)
+  }
+
   test("jdbc delete statement is keyed and parameterized") {
     assert(JdbcSink.deleteStatement("dashboard", "north_america_weather", "date_id") ==
       """DELETE FROM dashboard.north_america_weather WHERE "date_id" = ?""")
