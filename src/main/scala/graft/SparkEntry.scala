@@ -427,6 +427,26 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Frame sampling over binary payloads (every 4th frame, 100 B frames). */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sampleFrames(
+      graft.operators.Multimodal.attachPayload(T(s, dir, "documents")))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Reproducible 4/16 hash sample of the corpus. */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicSample(
+      T(s, dir, "documents"), "doc_id", 4)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified sample: 20 docs per language, deterministic order. */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      T(s, dir, "documents"), "lang", "doc_id", 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("lang"), col("doc_id"))
+
   /** As-of join with tolerance: like q20 but an attribution window of one
     * hour — clicks older than that yield null (pandas merge_asof
     * `tolerance` semantics).
@@ -608,7 +628,10 @@ object SparkEntry {
     "q42_explode_words" -> (q42 _),
     "q43_scalar_subquery" -> (q43 _),
     "q44_asof_tolerance" -> (q44 _),
-    "q45_range_window" -> (q45 _))
+    "q45_range_window" -> (q45 _),
+    "q46_frame_sample" -> (q46 _),
+    "q47_hash_sample" -> (q47 _),
+    "q48_stratified_sample" -> (q48 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -679,6 +702,12 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE strftime(ts, '%Y-%m-%d') = (SELECT MAX(strftime(ts, '%Y-%m-%d')) FROM events) GROUP BY event_type ORDER BY event_type""",
     "q38_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q46_frame_sample" ->
+      """SELECT doc_id, n_frames, frame_idx, frame_idx * 100 AS frame_offset FROM (SELECT doc_id, octet_length(encode(text)) // 100 AS n_frames, unnest(range(0, CAST(octet_length(encode(text)) // 100 AS INTEGER), 4)) AS frame_idx FROM documents WHERE octet_length(encode(text)) // 100 >= 1) ORDER BY doc_id, frame_idx""",
+    "q47_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') ORDER BY doc_id""",
+    "q48_stratified_sample" ->
+      """SELECT doc_id, lang FROM (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id""",
     "q44_asof_tolerance" ->
       """WITH p AS (SELECT user_id, event_id, value, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS csec, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) SELECT p.user_id, p.event_id, p.value, CASE WHEN p.sec - c.csec <= 3600 THEN c.click_id END AS attributed_click FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.sec >= c.csec ORDER BY p.user_id, p.event_id""",
     "q45_range_window" ->

@@ -48,6 +48,26 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling over video-ish payloads: every `step`-th frame becomes a
+    * row with its offset metadata. The explode is the Spark-idiomatic shape
+    * (frame rows scale out; no per-doc driver loop); the frame *count* comes
+    * from the STUB container parse (bytes/`bytesPerFrame`) — a real
+    * implementation reads the container index here, and the per-frame
+    * decode hangs off the emitted (payload, frame_idx) rows.
+    */
+  def sampleFrames(
+      withPayload: DataFrame,
+      step: Int = 4,
+      bytesPerFrame: Int = 100): DataFrame = {
+    val nFrames = expr(s"octet_length(payload) div $bytesPerFrame")
+    withPayload
+      .withColumn("n_frames", nFrames)
+      .filter(col("n_frames") >= 1)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+      .withColumn("frame_offset", col("frame_idx") * bytesPerFrame)
+  }
+
   /** STUB decode: deterministic fake metadata derived from the payload bytes
     * (media codecs are not available in this environment). A real
     * implementation parses the container header here.

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for corpus construction.
+  *
+  * Training-data pipelines need samples that are STABLE across reruns,
+  * cluster sizes and engines — `df.sample()` is none of those (seed +
+  * partition layout dependent). Hash-based selection on a key is: the same
+  * row set comes back anywhere, and adding data never flips previously
+  * selected rows. md5 is used as the hash because every engine agrees on
+  * it (the DuckDB oracles replay these exactly).
+  */
+object Sampling {
+
+  /** First hex nibble of md5(key-as-string): uniform over 16 buckets. */
+  private def nibble(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 1)
+
+  /** Deterministic ~`sixteenths`/16 sample selected by key hash. */
+  def deterministicSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 1 && sixteenths <= 16)
+    val keep = "0123456789abcdef".take(sixteenths).map(_.toString)
+    df.filter(nibble(col(keyCol)).isin(keep: _*))
+  }
+
+  /** Stratified sample: `perStratum` rows per stratum, chosen in a
+    * deterministic pseudo-random order (md5 of the key, tie-break key).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+}
