@@ -427,6 +427,39 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Edit-distance fuzzy matching over the distinct vocabulary: candidate
+    * pairs bucketed by length difference <= 1 (length-bucket join, not a raw
+    * cross join), kept when levenshtein <= 2.
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val words = T(s, dir, "documents")
+      .select(explode(split(trim(col("text")), """\s+""")).as("w"))
+      .distinct()
+    val a = words.select(col("w").as("w_a"), length(col("w")).as("len_a"))
+    val b = words.select(col("w").as("w_b"), length(col("w")).as("len_b"))
+    a.join(b, col("len_b").between(col("len_a") - 1, col("len_a") + 1) &&
+        col("w_a") < col("w_b"))
+      .select(col("w_a"), col("w_b"), levenshtein(col("w_a"), col("w_b")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("w_a"), col("w_b"))
+  }
+
+  /** Ordered funnel: users whose first signup precedes their first view,
+    * which precedes their first purchase (strict event-order analytics).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, evSec)).as(s"first_$t")
+    ev.groupBy(col("user_id"))
+      .agg(firstOf("signup"), firstOf("view"), firstOf("purchase"))
+      .filter(col("first_signup") < col("first_view") &&
+        col("first_view") < col("first_purchase"))
+      .select(col("user_id"), col("first_signup"), col("first_view"),
+        col("first_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   /** Frame sampling over binary payloads (every 4th frame, 100 B frames). */
   private def q46(s: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.sampleFrames(
@@ -631,7 +664,9 @@ object SparkEntry {
     "q45_range_window" -> (q45 _),
     "q46_frame_sample" -> (q46 _),
     "q47_hash_sample" -> (q47 _),
-    "q48_stratified_sample" -> (q48 _))
+    "q48_stratified_sample" -> (q48 _),
+    "q49_edit_distance" -> (q49 _),
+    "q50_funnel" -> (q50 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -702,6 +737,10 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE strftime(ts, '%Y-%m-%d') = (SELECT MAX(strftime(ts, '%Y-%m-%d')) FROM events) GROUP BY event_type ORDER BY event_type""",
     "q38_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q49_edit_distance" ->
+      """WITH v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents) SELECT a.w AS w_a, b.w AS w_b, CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2 ORDER BY w_a, w_b""",
+    "q50_funnel" ->
+      """WITH f AS (SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN CAST(epoch_ns(ts) // 1000000000 AS BIGINT) END) AS first_signup, MIN(CASE WHEN event_type = 'view' THEN CAST(epoch_ns(ts) // 1000000000 AS BIGINT) END) AS first_view, MIN(CASE WHEN event_type = 'purchase' THEN CAST(epoch_ns(ts) // 1000000000 AS BIGINT) END) AS first_purchase FROM events GROUP BY user_id) SELECT user_id, first_signup, first_view, first_purchase FROM f WHERE first_signup < first_view AND first_view < first_purchase ORDER BY user_id""",
     "q46_frame_sample" ->
       """SELECT doc_id, n_frames, frame_idx, frame_idx * 100 AS frame_offset FROM (SELECT doc_id, octet_length(encode(text)) // 100 AS n_frames, unnest(range(0, CAST(octet_length(encode(text)) // 100 AS INTEGER), 4)) AS frame_idx FROM documents WHERE octet_length(encode(text)) // 100 >= 1) ORDER BY doc_id, frame_idx""",
     "q47_hash_sample" ->
