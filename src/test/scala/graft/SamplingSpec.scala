@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Sampling}
+import graft.sources.Tables
+
+class SamplingSpec extends SparkSuite {
+
+  test("deterministic sample is stable across runs and monotone in size") {
+    val docs = Tables.load(spark, sf, "documents")
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(docs, "doc_id", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val s8 = Sampling.deterministicSample(docs, "doc_id", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s8)) // growing the rate never drops selected rows
+    assert(s1.nonEmpty && s8.size > s1.size)
+  }
+
+  test("stratified sample returns at most N per stratum, deterministically") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = Sampling.stratifiedSample(docs, "lang", "doc_id", 7)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 7))
+    assert(counts.values.sum == out.count())
+  }
+
+  test("frame sampling emits every 4th frame with byte offsets") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 450)).toDF("doc_id", "text") // 4 frames of 100B
+    val frames = Multimodal.sampleFrames(Multimodal.attachPayload(docs))
+      .select("frame_idx", "frame_offset")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(frames == Seq((0L, 0L), (4L, 400L)).filter(_._1 < 4) ++ Seq())
+    // 450 bytes => 4 frames (0..3), step 4 keeps only frame 0
+    assert(frames == Seq((0L, 0L)))
+  }
+}
