@@ -40,6 +40,29 @@ object PartitionedLake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Register the lake directory as a catalog table and discover its
+    * partitions — the Spark analogue of the reference's Glue
+    * `create_table` + `create_partition` registration
+    * (/root/reference/utils/duckdb_utils.py lines 214–289):
+    * `recoverPartitions` scans `partCol=value` directories into catalog
+    * partition metadata (MSCK REPAIR TABLE), after which queries resolve
+    * the table by name with partition pruning from the catalog.
+    */
+  def registerTable(
+      spark: SparkSession,
+      name: String,
+      path: String,
+      schemaDDL: String,
+      partCols: Seq[String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name ($schemaDDL)
+         |USING parquet
+         |PARTITIONED BY (${partCols.mkString(", ")})
+         |LOCATION '$path'""".stripMargin)
+    spark.catalog.recoverPartitions(name)
+  }
+
   /** Small-file compaction for selected partitions: rewrites each listed
     * partition as `filesPerPartition` files via dynamic partition
     * overwrite. Daily micro-batch appends accumulate small files that

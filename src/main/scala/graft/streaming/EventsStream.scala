@@ -55,6 +55,16 @@ object EventsStream {
         graft.sources.PartitionedLake.deleteInsert(batch, path, Seq("date_id"))
       }
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` on a fingerprint
+    * column — duplicates arriving across micro-batches are suppressed while
+    * state stays bounded by the watermark horizon (the streaming form of
+    * the corpus exact-dedup operator).
+    */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Gap-based sessionization with explicit state: a session closes after
     * `gapSec` silence; state per user is O(1).
     */

@@ -38,6 +38,20 @@ class LakeSpec extends SparkSuite {
     assert(PartitionedLake.read(spark, dir).count() == 2)
   }
 
+  test("registerTable + recoverPartitions resolves the lake by name with pruning") {
+    val dir = Files.createTempDirectory("graft_lake_cat").toString
+    val df = Seq(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-02", 3L))
+      .toDF("date_id", "v")
+    PartitionedLake.writeAll(df, dir, Seq("date_id"))
+    PartitionedLake.registerTable(spark, "graft_cat_events", dir,
+      "v BIGINT, date_id STRING", Seq("date_id"))
+    val day1 = spark.table("graft_cat_events")
+      .filter(col("date_id") === "2024-01-01")
+    assert(day1.count() == 2)
+    // partition metadata really is in the catalog (Glue-partition analogue)
+    assert(spark.sql("SHOW PARTITIONS graft_cat_events").count() == 2)
+  }
+
   test("compact rewrites a partition's many small files into one") {
     val dir = Files.createTempDirectory("graft_lake_compact").toString
     val df = spark.range(1000)

@@ -49,6 +49,22 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming dedup suppresses duplicates across micro-batches") {
+    val src = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    // write the same events twice as two files => two input batches worth
+    val base = eventsAsBatchOfStreamSchema
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    base.coalesce(1).write.mode("append").parquet(src)
+    val q = EventsStream.dedupedStream(
+      EventsStream.readEvents(spark, src), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 1000L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions with gap > 30min") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     eventsAsBatchOfStreamSchema.write.mode("overwrite").parquet(tmp)
