@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+/** Locks the SURVEY §5 plan-shape claims in as regression tests: what gets
+  * pushed to the scans and which join strategies run. If an operator change
+  * silently breaks pushdown or flips a broadcast join to SMJ, this fails.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q07/q08: predicates and column pruning reach the parquet scan") {
+    val p7 = formatted(q("q07_agg_full"))
+    assert(p7.contains("PushedFilters") && p7.contains("LessThanOrEqual(l_shipdate"))
+    assert(!p7.contains("l_comment")) // pruned: only referenced columns scanned
+    val p8 = formatted(q("q08_filter_pushdown"))
+    assert(p8.contains("GreaterThanOrEqual(l_shipdate") &&
+      p8.contains("LessThan(l_quantity,25.0)"))
+  }
+
+  test("q09/q10: all dimension joins broadcast; no sort-merge join") {
+    for (name <- Seq("q09_join_broadcast", "q10_join_multiway")) {
+      val df = q(name)
+      df.count() // materialize AQE final plan
+      val smj = df.queryExecution.executedPlan.collectWithSubqueries {
+        case j: SortMergeJoinExec => j
+      }
+      assert(smj.isEmpty, s"$name has SortMergeJoin:\n${df.queryExecution}")
+      assert(formatted(df).contains("BroadcastHashJoin"), name)
+    }
+  }
+
+  test("q10: dimension filter is pushed into the dimension scan") {
+    assert(formatted(q("q10_join_multiway")).contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("q26: query set broadcast, corpus scanned once (nested-loop cross)") {
+    assert(formatted(q("q26_knn_brute")).contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q20: event-type filters pushed into both as-of input scans") {
+    val p = formatted(q("q20_asof_join"))
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,click)"))
+  }
+}
