@@ -427,6 +427,43 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Nested JSON extraction — array-of-struct access like the reference's
+    * `data["weather"][0]["description"]` (bronze flatten of a nested API
+    * payload). The nested document is assembled deterministically from
+    * columns, then parsed back with a typed schema and element access.
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val nestedSchema = StructType(Seq(
+      StructField("metrics", StructType(Seq(
+        StructField("v", DoubleType),
+        StructField("tags", ArrayType(StringType)))))))
+    T(s, dir, "events")
+      .withColumn("payload", concat(
+        lit("""{"metrics": {"v": """), col("value"),
+        lit(""", "tags": ["""), lit("\""), col("event_type"), lit("\""),
+        lit("""]}}""")))
+      .select(col("event_id"),
+        from_json(col("payload"), nestedSchema).as("doc"))
+      .select(col("event_id"),
+        col("doc.metrics.v").as("v"),
+        element_at(col("doc.metrics.tags"), 1).as("tag0"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Window ranking family: rank / dense_rank / percent_rank / ntile. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rnk") <= 20)
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
   /** Edit-distance fuzzy matching over the distinct vocabulary: candidate
     * pairs bucketed by length difference <= 1 (length-bucket join, not a raw
     * cross join), kept when levenshtein <= 2.
@@ -666,7 +703,9 @@ object SparkEntry {
     "q47_hash_sample" -> (q47 _),
     "q48_stratified_sample" -> (q48 _),
     "q49_edit_distance" -> (q49 _),
-    "q50_funnel" -> (q50 _))
+    "q50_funnel" -> (q50 _),
+    "q51_nested_json" -> (q51 _),
+    "q52_rank_family" -> (q52 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -737,6 +776,10 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE strftime(ts, '%Y-%m-%d') = (SELECT MAX(strftime(ts, '%Y-%m-%d')) FROM events) GROUP BY event_type ORDER BY event_type""",
     "q38_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q51_nested_json" ->
+      """SELECT event_id, value AS v, event_type AS tag0 FROM events ORDER BY event_id""",
+    "q52_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, prnk, quartile FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank() OVER w AS INTEGER) AS rnk, CAST(dense_rank() OVER w AS INTEGER) AS drnk, percent_rank() OVER w AS prnk, CAST(ntile(4) OVER w AS INTEGER) AS quartile FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) WHERE rnk <= 20 ORDER BY o_orderpriority, rnk""",
     "q49_edit_distance" ->
       """WITH v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents) SELECT a.w AS w_a, b.w AS w_b, CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2 ORDER BY w_a, w_b""",
     "q50_funnel" ->
