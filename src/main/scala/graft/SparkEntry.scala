@@ -436,32 +436,45 @@ object SparkEntry {
     val nestedSchema = StructType(Seq(
       StructField("metrics", StructType(Seq(
         StructField("v", DoubleType),
-        StructField("tags", ArrayType(StringType)))))))
+        StructField("tags", ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("weight", DoubleType))))))))))
     T(s, dir, "events")
-      .withColumn("payload", concat(
-        lit("""{"metrics": {"v": """), col("value"),
-        lit(""", "tags": ["""), lit("\""), col("event_type"), lit("\""),
-        lit("""]}}""")))
+      // to_json assembles VALID JSON for any input (quotes/backslashes/nulls
+      // escaped) — hand-concatenation would silently null the parse on a
+      // special character
+      .withColumn("payload", to_json(struct(
+        struct(
+          col("value").as("v"),
+          array(struct(col("event_type").as("name"), col("value").as("weight")))
+            .as("tags")).as("metrics"))))
       .select(col("event_id"),
-        from_json(col("payload"), nestedSchema).as("doc"))
+        Medallion.parseJson(col("payload"), nestedSchema).as("doc"))
       .select(col("event_id"),
         col("doc.metrics.v").as("v"),
-        element_at(col("doc.metrics.tags"), 1).as("tag0"))
+        element_at(col("doc.metrics.tags"), 1).getField("name").as("tag0"),
+        element_at(col("doc.metrics.tags"), 1).getField("weight").as("w0"))
       .orderBy(col("event_id"))
   }
 
-  /** Window ranking family: rank / dense_rank / percent_rank / ntile. */
+  /** Window ranking family: rank / dense_rank / percent_rank on the VALUE
+    * ordering (real tie semantics — a unique tie-break would collapse rank,
+    * dense_rank and row_number into the same function); ntile keeps the
+    * tie-broken total order its bucket assignment needs.
+    */
   private def q52(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val wVal = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    val wTie = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     T(s, dir, "orders")
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rnk", rank().over(w))
-      .withColumn("drnk", dense_rank().over(w))
-      .withColumn("prnk", percent_rank().over(w))
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("rnk", rank().over(wVal))
+      .withColumn("drnk", dense_rank().over(wVal))
+      .withColumn("prnk", percent_rank().over(wVal))
+      .withColumn("quartile", ntile(4).over(wTie))
       .filter(col("rnk") <= 20)
-      .orderBy(col("o_orderpriority"), col("rnk"))
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
   }
 
   /** Edit-distance fuzzy matching over the distinct vocabulary: candidate
@@ -777,9 +790,9 @@ object SparkEntry {
     "q38_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q51_nested_json" ->
-      """SELECT event_id, value AS v, event_type AS tag0 FROM events ORDER BY event_id""",
+      """SELECT event_id, value AS v, event_type AS tag0, value AS w0 FROM events ORDER BY event_id""",
     "q52_rank_family" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, prnk, quartile FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank() OVER w AS INTEGER) AS rnk, CAST(dense_rank() OVER w AS INTEGER) AS drnk, percent_rank() OVER w AS prnk, CAST(ntile(4) OVER w AS INTEGER) AS quartile FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) WHERE rnk <= 20 ORDER BY o_orderpriority, rnk""",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, prnk, quartile FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank() OVER wv AS INTEGER) AS rnk, CAST(dense_rank() OVER wv AS INTEGER) AS drnk, percent_rank() OVER wv AS prnk, CAST(ntile(4) OVER wt AS INTEGER) AS quartile FROM orders WINDOW wv AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC), wt AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) WHERE rnk <= 20 ORDER BY o_orderpriority, rnk, o_orderkey""",
     "q49_edit_distance" ->
       """WITH v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents) SELECT a.w AS w_a, b.w AS w_b, CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2 ORDER BY w_a, w_b""",
     "q50_funnel" ->
