@@ -23,15 +23,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .select(col("text_hash"), col("n_copies"), col("keep_id"))
 
-  /** Word k-shingles of the normalized text (whole text if too short). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = TextFunctions.words(text)
-    when(size(ws) >= k,
-      transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
-      .otherwise(array(TextFunctions.normText(text)))
-  }
-
   /** Rotate-left on a long column via shifts+or — bitwise, so safe under
     * Spark 4's default ANSI mode (multiply/add would throw on overflow).
     */
@@ -154,15 +145,20 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 32,
       maxBucket: Int = 64): DataFrame = {
+    require(numHashes % 4 == 0, s"numHashes must be a multiple of 4, got $numHashes")
     val sigDf = minhashSignatures(df, idCol, textCol, numHashes)
       .select(col(idCol).as("id"), col("sig"))
     val exploded = sigDf.select(
       col("id"), col("sig"),
-      posexplode(bandKeys(col("sig"))).as(Seq("band_idx", "band_hash")))
+      posexplode(bandKeys(col("sig"), bands = numHashes / 4, rowsPerBand = 4))
+        .as(Seq("band_idx", "band_hash")))
     val wb = Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id"))
+    // materialize: the a/b self-join branches below would otherwise each
+    // re-execute the whole signature DAG
     val capped = exploded
       .withColumn("__rn", row_number().over(wb))
       .filter(col("__rn") <= maxBucket)
+      .localCheckpoint(true)
     val a = capped.select(
       col("band_idx"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
@@ -195,8 +191,11 @@ object Dedup {
       idCol: String,
       pairs: DataFrame,
       maxIter: Int = 10): DataFrame = {
+    // materialize once: the loop would otherwise re-execute the entire
+    // upstream candidate-pair DAG on every propagation iteration
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
     var iter = 0
     var converged = false
@@ -258,9 +257,11 @@ object Dedup {
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
       }: _*)).as(Seq("band_idx", "band_val")))
     val wb = Window.partitionBy(col("band_idx"), col("band_val")).orderBy(col("id"))
+    // materialized for the same two-branch reason as minhashNearDupPairs
     val capped = exploded
       .withColumn("__rn", row_number().over(wb))
       .filter(col("__rn") <= maxBucket)
+      .localCheckpoint(true)
     val a = capped.select(
       col("band_idx"), col("band_val"),
       col("id").as("id_a"), col("simhash").as("sh_a"))

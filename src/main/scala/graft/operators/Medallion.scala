@@ -36,12 +36,16 @@ object Medallion {
     df.select(schema.map { case (c, t) => col(c).cast(t).as(c) }: _*)
 
   /** CASE-WHEN bucketing against ascending upper bounds, e.g. the
-    * temperature_category Freezing/Cold/Mild/Warm ladder.
+    * temperature_category Freezing/Cold/Mild/Warm ladder. NULL input stays
+    * NULL (a bare CASE ladder would let null fall through every `<` into
+    * the top label, silently misclassifying missing data).
     */
-  def bucketize(v: Column, bounds: Seq[(Double, String)], last: String): Column =
-    bounds.foldRight(lit(last)) { case ((bound, label), els) =>
+  def bucketize(v: Column, bounds: Seq[(Double, String)], last: String): Column = {
+    val ladder = bounds.foldRight(lit(last)) { case ((bound, label), els) =>
       when(v < lit(bound), lit(label)).otherwise(els)
     }
+    when(v.isNull, lit(null).cast("string")).otherwise(ladder)
+  }
 
   /** Gold union: tag each branch with a literal, UNION ALL by name. */
   def unionBranches(branches: Seq[(DataFrame, String)], tagCol: String): DataFrame =

@@ -59,12 +59,18 @@ object Relational {
       .partitionBy(key)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"__last_$c", last(col(s"__c_$c"), ignoreNulls = true).over(w))
-    }
+    // carry the whole right row as ONE struct and last() that: a per-column
+    // last(ignoreNulls) would skip a right row whose carry value is
+    // legitimately NULL and mis-attribute an older row's value
+    val carried = tagged
+      .withColumn("__c_row",
+        when(col("__side") === 0,
+          struct(carry.map(c => col(s"__c_$c").as(c)): _*)))
+      .withColumn("__last_row", last(col("__c_row"), ignoreNulls = true).over(w))
     carried
       .filter(col("__side") === 1)
-      .select(lCols.map(col) ++ carry.map(c => col(s"__last_$c").as(c)): _*)
+      .select(lCols.map(col) ++
+        carry.map(c => col("__last_row").getField(c).as(c)): _*)
   }
 
   /** Two-phase salted aggregation: pre-aggregate on (key, salt) to spread a
@@ -76,7 +82,11 @@ object Relational {
       key: String,
       valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    // deterministic salt: a nondeterministic one (rand/monotonic id) makes
+    // the phase-1 shuffle key unstable under task retry — the classic
+    // silent row-loss/duplication hazard on fetch-failure recomputation
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(key), col(valueCol)), lit(saltBuckets)))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(

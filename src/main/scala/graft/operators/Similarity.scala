@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,16 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Cosine score safe for ranking: a zero-norm vector yields NaN, and
+    * Spark orders NaN ABOVE every double — a single garbage zero vector
+    * would otherwise become the rank-1 neighbor of every query. NaN is
+    * mapped to null, which `desc` ordering places last.
+    */
+  private def rankableCosine(a: Column, b: Column): Column = {
+    val c = cosine(a, b)
+    when(isnan(c), lit(null).cast("double")).otherwise(c)
+  }
+
   /** Exact brute-force cosine top-k per query vector. */
   def knnBrute(
       corpus: DataFrame,
@@ -31,7 +41,7 @@ object Similarity {
       .select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .select(col("qid"), col("nid"), rankableCosine(col("qv"), col("nv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -64,7 +74,7 @@ object Similarity {
       .join(banded(corpus, "nid", "nv"), Seq("band_idx", "band_val"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(cosine(col("qv"), col("nv")), 4).as("cos_r"))
+        round(rankableCosine(col("qv"), col("nv")), 4).as("cos_r"))
       .groupBy(col("qid"), col("nid"))
       .agg(max(col("cos_r")).as("cos_r"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("nid"))
@@ -117,7 +127,7 @@ object Similarity {
       .orderBy(col("__sim").desc, col("cid"))
     corpus.select(col(idCol), col(vecCol).as("__v"))
       .crossJoin(broadcast(centroids))
-      .select(col(idCol), col("cid"), cosine(col("__v"), col("cvec")).as("__sim"))
+      .select(col(idCol), col("cid"), rankableCosine(col("__v"), col("cvec")).as("__sim"))
       .withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") === 1)
       .select(col(idCol), col("cid"))
@@ -143,7 +153,7 @@ object Similarity {
       .orderBy(col("__sim").desc, col("cid"))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(broadcast(centroids))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cvec")).as("__sim"))
+      .select(col("qid"), col("cid"), rankableCosine(col("qv"), col("cvec")).as("__sim"))
       .withColumn("__rnk", row_number().over(wq))
       .filter(col("__rnk") <= nProbe)
       .select(col("qid"), col("cid"))
@@ -155,7 +165,7 @@ object Similarity {
       .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
       .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
       .select(col("qid"), col("nid"),
-        round(cosine(col("qv"), col("nv")), 4).as("cos_r"))
+        round(rankableCosine(col("qv"), col("nv")), 4).as("cos_r"))
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), col("cos_r"))
@@ -187,7 +197,7 @@ object Similarity {
       .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 4).as("cos_r"))
+        round(rankableCosine(col("v_a"), col("v_b")), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }

@@ -31,7 +31,14 @@ object JdbcSink {
   def deleteStatement(schema: String, table: String, keyCol: String): String =
     s"""DELETE FROM $schema.$table WHERE "$keyCol" = ?"""
 
-  /** Delete-by-key then append. `numPartitions` bounds DB connections. */
+  /** Keyed refresh via a staging table: the refresh frame is first loaded
+    * in parallel into `<table>__stage`, then delete-old + insert-new run in
+    * ONE driver transaction (`INSERT INTO target SELECT FROM stage` is
+    * server-side). A direct delete-then-parallel-append would commit the
+    * delete first and leave the serving table missing/partial for the key
+    * whenever the distributed append fails midway. `numPartitions` bounds
+    * DB connections for the staging load.
+    */
   def load(
       df: DataFrame,
       url: String,
@@ -41,15 +48,29 @@ object JdbcSink {
       keyValue: String,
       props: Properties,
       numPartitions: Int = 8): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
-      val st = conn.prepareStatement(deleteStatement(schema, table, keyCol))
-      try { st.setString(1, keyValue); st.executeUpdate() }
-      finally st.close()
-    } finally conn.close()
+    val stage = s"${table}__stage"
     df.coalesce(numPartitions)
       .write
-      .mode("append")
-      .jdbc(url, s"$schema.$table", props)
+      .mode("overwrite")
+      .jdbc(url, s"$schema.$stage", props)
+    val cols = df.columns.map(c => s""""$c"""").mkString(", ")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val del = conn.prepareStatement(deleteStatement(schema, table, keyCol))
+      try { del.setString(1, keyValue); del.executeUpdate() }
+      finally del.close()
+      val ins = conn.createStatement()
+      try ins.executeUpdate(
+        s"INSERT INTO $schema.$table ($cols) SELECT $cols FROM $schema.$stage")
+      finally ins.close()
+      conn.commit()
+      val drop = conn.createStatement()
+      try drop.executeUpdate(s"DROP TABLE $schema.$stage")
+      finally drop.close()
+      conn.commit()
+    } catch {
+      case e: Throwable => try conn.rollback() finally (); throw e
+    } finally conn.close()
   }
 }

@@ -75,10 +75,15 @@ object PartitionedLake {
       partCol: String,
       partValues: Seq[String],
       filesPerPartition: Int = 1): Unit = {
-    val part = read(spark, path)
-      .filter(org.apache.spark.sql.functions.col(partCol).isin(partValues: _*))
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64}
+    val src = read(spark, path)
+      .filter(col(partCol).isin(partValues: _*))
+    // salt the repartition key: hashing on partCol alone would collapse each
+    // partition value into ONE task/file regardless of filesPerPartition
+    val part = src
       .repartition(filesPerPartition * partValues.size,
-        org.apache.spark.sql.functions.col(partCol))
+        col(partCol),
+        pmod(xxhash64(src.columns.map(col): _*), org.apache.spark.sql.functions.lit(filesPerPartition)))
       // materialize before the write: Spark refuses to overwrite a path
       // that the same plan is reading from
       .localCheckpoint(true)

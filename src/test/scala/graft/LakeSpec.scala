@@ -66,6 +66,11 @@ class LakeSpec extends SparkSuite {
     assert(files("2024-01-01") == 1)
     assert(files("2024-01-02") > 1) // untouched partition keeps its files
     assert(PartitionedLake.read(spark, dir).count() == 1000)
+    // filesPerPartition actually controls the output file count
+    PartitionedLake.compact(spark, dir, "date_id", Seq("2024-01-02"),
+      filesPerPartition = 3)
+    assert(files("2024-01-02") == 3)
+    assert(PartitionedLake.read(spark, dir).count() == 1000)
   }
 
   test("jdbc delete statement is keyed and parameterized") {

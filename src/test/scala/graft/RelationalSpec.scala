@@ -20,6 +20,17 @@ class RelationalSpec extends SparkSuite {
     assert(out("p3").isEmpty)        // no prior right row
   }
 
+  test("asofJoin: a matching right row with NULL carry value yields null, not a stale value") {
+    val left = Seq((1L, 30L, "p1")).toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, Some(100L)), (1L, 20L, None))
+      .toDF("k", "rts", "attr")
+    val out = Relational.asofJoin(left, right, "k", "ts", "rts", Seq("attr"))
+      .select("name", "attr").as[(String, Option[Long])].collect().toMap
+    // latest right row (rts=20) matches and its attr is legitimately null —
+    // must NOT fall back to the older row's 100
+    assert(out("p1").isEmpty)
+  }
+
   test("saltedSum equals the naive aggregate") {
     val ev = Tables.load(spark, sf, "events")
     val salted = Relational.saltedSum(ev, "user_id", "value")

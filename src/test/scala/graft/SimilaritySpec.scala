@@ -49,6 +49,17 @@ class SimilaritySpec extends SparkSuite {
     assert(out.head().getAs[Long]("nid") == 100000L)
   }
 
+  test("a zero vector (NaN cosine) never outranks real neighbors") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+    val zero = Seq((200000L, Array.fill(64)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = emb.unionByName(zero)
+    val top = Similarity.knnBrute(corpus, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 5)
+    assert(!top.select("nid").as[Long].collect().contains(200000L))
+  }
+
   test("embeddingNearDupPairs surfaces the planted duplicate with cos 1") {
     val emb = Tables.load(spark, sf, "embeddings").limit(100)
     val planted = emb.filter(col("vec_id") === 0)
