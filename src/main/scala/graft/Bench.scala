@@ -3,30 +3,35 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark: SparkSession = GraftSession.local("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // consume through queryExecution.toRdd: every output column is actually
+    // computed. A count() action would let Catalyst prune all projections
+    // and eliminate sorts, timing a bare scan for map-only queries.
+    def consume(name: String): Boolean =
+      try {
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd
+          .foreach(_ => ())
+        true
+      } catch { case _: Throwable => false }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass: JVM JIT + codegen compilation; the measured pass below
     // reports steady-state throughput
-    qs.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    val results = qs.map { case (name, fn) =>
+    names.foreach(consume)
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = consume(name)
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val out = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val out = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$out,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$out,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

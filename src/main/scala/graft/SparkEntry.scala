@@ -91,7 +91,12 @@ object SparkEntry {
     val maxDate = full.agg(max(col("date_id"))).head().getString(0)
     val refresh = daily(ev.filter(col("event_type") =!= "error"))
       .filter(col("date_id") === maxDate)
-    PartitionedLake.deleteInsert(refresh, lake, Seq("date_id"))
+    if (refresh.isEmpty)
+      // dynamic overwrite can't delete a partition absent from the frame;
+      // an all-filtered day needs the reference's explicit partition delete
+      PartitionedLake.deletePartition(s, lake, "date_id", maxDate)
+    else
+      PartitionedLake.deleteInsert(refresh, lake, Seq("date_id"))
     PartitionedLake.read(s, lake)
       .withColumn("date_id", col("date_id").cast("string"))
       .select(col("date_id"), col("event_type"), col("n_events"), col("total_value"))

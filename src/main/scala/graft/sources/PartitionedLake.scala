@@ -40,6 +40,23 @@ object PartitionedLake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Explicitly drop one partition's directory — the reference's
+    * `delete_partition_data` (/root/reference/utils/duckdb_utils.py:77).
+    * Needed when a refresh legitimately produces ZERO rows for a
+    * partition: dynamic partition overwrite only replaces partitions
+    * present in the written frame, so an empty refresh would silently
+    * leave the stale partition in place.
+    */
+  def deletePartition(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      value: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$partCol=$value")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
   /** Register the lake directory as a catalog table and discover its
     * partitions — the Spark analogue of the reference's Glue
     * `create_table` + `create_partition` registration

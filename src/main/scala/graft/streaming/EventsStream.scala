@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double) {
+  def sec: Long = ts.getTime / 1000
+}
 
 case class SessionBuf(start: Long, end: Long, n: Int)
 
@@ -15,84 +17,124 @@ case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long, n_events: I
   *
   * `readStream` → watermark → windowed agg / stateful sessionization →
   * `writeStream`. The batch equivalents (SparkEntry q14/q15) share the same
-  * aggregation logic, which is the Spark-native way to keep batch and
-  * streaming consistent: same declarative transforms, different source/sink.
+  * aggregation logic — including the exact-decimal money-sum pattern — which
+  * is the Spark-native way to keep batch and streaming consistent.
   */
 object EventsStream {
 
-  val eventsSchema: StructType = StructType(Seq(
+  /** Raw schema as stored: the events lake stores parquet TIMESTAMP(NANOS),
+    * which this engine reads as a nanosecond long (same as the batch path's
+    * `nanosAsLong`) — declaring TimestampType here would fail against the
+    * engine's own data.
+    */
+  val rawEventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of event parquet files. */
+  /** File-source stream over a directory of event parquet files, surfaced
+    * with a proper second-floored TimestampType `ts` (matching the batch
+    * operators' time arithmetic).
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
+    spark.readStream.schema(rawEventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
 
-  /** Tumbling 1-hour windowed counts per event type with a 2-hour watermark
-    * (late data beyond that is dropped, state is bounded).
+  /** Tumbling 1-hour windowed counts per event type with a 2-hour watermark.
+    * Money sums use the same exact-decimal accumulation as batch q14 —
+    * a raw double sum would drift from the batch result run-to-run.
     */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
 
-  /** Continuous bronze load: each micro-batch is written to the partitioned
-    * lake with the reference's delete-insert semantics via `foreachBatch` —
-    * re-processing a day replaces exactly that day's partitions, so the
-    * stream is idempotent under replay (the streaming analogue of
-    * /root/reference/utils/duckdb_utils.py's daily refresh).
+  /** Continuous bronze load: micro-batches append under
+    * `date_id/batch_id=<id>` partitions with dynamic overwrite — a REPLAYED
+    * batch id replaces exactly its own partition (idempotent under
+    * checkpoint recovery) while different batches of the same day coexist.
+    * Overwriting bare `date_id` per batch would delete earlier batches of
+    * the same day.
     */
   def toLake(events: DataFrame, path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events
       .withColumn("date_id", date_format(col("ts"), "yyyy-MM-dd"))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.PartitionedLake.deleteInsert(batch, path, Seq("date_id"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.PartitionedLake.deleteInsert(
+          batch.withColumn("batch_id", lit(batchId)),
+          path, Seq("date_id", "batch_id"))
       }
 
-  /** Streaming exact dedup: watermarked `dropDuplicates` on a fingerprint
-    * column — duplicates arriving across micro-batches are suppressed while
-    * state stays bounded by the watermark horizon (the streaming form of
-    * the corpus exact-dedup operator).
+  /** Streaming exact dedup on the key columns alone, state bounded by the
+    * watermark: a duplicate redelivered with a different ingest timestamp is
+    * still suppressed (keying on ts as well would let it through).
     */
   def dedupedStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
-  /** Gap-based sessionization with explicit state: a session closes after
-    * `gapSec` silence; state per user is O(1).
+  /** Gap-based sessionization with explicit state.
+    *
+    * - Event-time timeout + watermark: a user's FINAL session is flushed
+    *   when the watermark passes its close, and the user's state is freed
+    *   (NoTimeout would hold every user's last session forever).
+    * - Late events inside the session window extend it with min/max (a
+    *   blind `end = late.sec` would move a session's end backwards).
+    * - Late events older than the window by more than the gap are emitted
+    *   as standalone singleton sessions.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapSec: Long = 1800): Dataset[SessionOut] = {
     import spark.implicits._
     events
-      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+      // keep the watermarked ts column itself — event-time timeout requires
+      // it to reach the grouped Dataset
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
       .as[StreamEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, it: Iterator[StreamEvent], state: GroupState[SessionBuf]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime / 1000, e.event_id))
-          var buf = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val sec = e.ts.getTime / 1000
-            buf match {
-              case Some(b) if sec - b.end <= gapSec =>
-                buf = Some(SessionBuf(b.start, sec, b.n + 1))
-              case Some(b) =>
-                out += SessionOut(user, b.start, b.end, b.n)
-                buf = Some(SessionBuf(sec, sec, 1))
-              case None =>
-                buf = Some(SessionBuf(sec, sec, 1))
+          if (!state.hasTimedOut && it.isEmpty) {
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(b => SessionOut(user, b.start, b.end, b.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.sec, e.event_id))
+            var buf = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              buf match {
+                case Some(b) if e.sec >= b.start - gapSec && e.sec <= b.end + gapSec =>
+                  buf = Some(SessionBuf(math.min(b.start, e.sec), math.max(b.end, e.sec), b.n + 1))
+                case Some(b) if e.sec > b.end + gapSec =>
+                  out += SessionOut(user, b.start, b.end, b.n)
+                  buf = Some(SessionBuf(e.sec, e.sec, 1))
+                case Some(_) => // older than the open session by > gap
+                  out += SessionOut(user, e.sec, e.sec, 1)
+                case None =>
+                  buf = Some(SessionBuf(e.sec, e.sec, 1))
+              }
             }
+            buf.foreach { b =>
+              state.update(b)
+              // flush when the watermark passes the session close; timeout
+              // must be set strictly beyond the current watermark
+              state.setTimeoutTimestamp(math.max((b.end + gapSec) * 1000L,
+                state.getCurrentWatermarkMs + 1000L))
+            }
+            out.result().iterator
           }
-          buf.foreach(state.update)
-          out.result().iterator
         })
   }
 }
