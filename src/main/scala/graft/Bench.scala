@@ -17,7 +17,10 @@ object Bench {
         true
       } catch { case _: Throwable => false }
 
+    // dev aid: SPARK_GRAFT_ONLY=q23,q35 restricts the run to matching keys
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // warm-up pass: JVM JIT + codegen compilation; the measured pass below
     // reports steady-state throughput
     names.foreach(consume)

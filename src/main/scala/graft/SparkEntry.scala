@@ -294,8 +294,12 @@ object SparkEntry {
 
   private def q23(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val sim = Dedup.simhashes(docs, "doc_id", "text")
-    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text")
+    // one signature pass, materialized: the listing AND the pair generation
+    // both consume it (recomputing the 64-aggregate pipeline was the single
+    // biggest line in the r1 bench)
+    val sim = Dedup.simhashes(docs, "doc_id", "text").localCheckpoint(true)
+    val pairs = Dedup.simhashNearDupPairsFromSigs(
+      sim.select(col("doc_id").as("id"), col("simhash")))
     val nearCounts = pairs.select(col("id_a").as("doc_id"))
       .unionAll(pairs.select(col("id_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
@@ -784,8 +788,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS ws_tokens, CAST(array_length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens, CAST(length(text) AS DOUBLE) / CAST(array_length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE) AS chars_per_token FROM documents ORDER BY doc_id""",
     "q32_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents ORDER BY doc_id""",
+    // height derives from the FIRST UTF-8 BYTE (matching the byte-level
+    // stub decoder), not the first code point: hex(blob)[1:2] → strpos
+    // arithmetic ('0' is absent from the lookup so it maps to 0)
     "q33_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ascii(text) % 512 AS BIGINT) AS height, 3 AS channels, CASE CAST(octet_length(encode(text)) % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format FROM documents ORDER BY doc_id""",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width, CAST(64 + ((strpos('123456789ABCDEF', substr(hex(encode(text)),1,1)))*16 + strpos('123456789ABCDEF', substr(hex(encode(text)),2,1))) % 512 AS BIGINT) AS height, 3 AS channels, CASE CAST(octet_length(encode(text)) % 3 AS INTEGER) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format FROM documents ORDER BY doc_id""",
     "q34_json_source" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang""",
     "q35_csv_source" ->

@@ -220,21 +220,36 @@ object Dedup {
   private def bitValue(j: Int): Long = 1L << j // j=63 => Long.MinValue, intended
 
   /** 64-bit SimHash per document: words exploded to rows, each word hashed
-    * once into a materialized attribute, 64 signed bit-sums as aggregates
-    * (map-side combinable), bits packed into a long. Same
+    * once into a materialized attribute, per-bit ONE-counts summed as
+    * aggregates (map-side combinable), bits packed into a long. Same
     * expression-duplication rationale as [[minhashSignatures]].
+    *
+    * The counters are packed two-per-long (32-bit lanes): 64 separate sum
+    * aggregates generated a >8000-bytecode method that HotSpot refuses to
+    * JIT (DontCompileHugeMethods), so the whole aggregate ran interpreted —
+    * measured ~5× slower. 32 branch-free lane sums keep the method under
+    * the JIT limit. A lane overflows only for docs beyond 2^31 words, far
+    * past any real document. Bit j of the result is set iff ones_j ≥ half
+    * the doc's words (identical semantics to the ±1-sum formulation).
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = df
       .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("__w"))
       .select(col(idCol), xxhash64(col("__w")).as("__h"))
-    val sums = (0 until 64).map { j =>
-      sum(when(col("__h").bitwiseAND(lit(bitValue(j))) =!= 0L, 1).otherwise(-1))
-        .as(s"__b$j")
-    }
-    val packed = (0 until 64)
-      .map(j => when(col(s"__b$j") >= 0, lit(bitValue(j))).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+    // lane g holds bits 2g (low 32) and 2g+1 (high 32) as 0/1 addends
+    val sums = (0 until 32).map { g =>
+      sum(
+        shiftrightunsigned(col("__h"), 2 * g).bitwiseAND(lit(1L))
+          .bitwiseOR(shiftleft(
+            shiftrightunsigned(col("__h"), 2 * g + 1).bitwiseAND(lit(1L)), 32)))
+        .as(s"__g$g")
+    } :+ count(lit(1)).as("__n")
+    val packed = (0 until 64).map { j =>
+      val ones = shiftrightunsigned(col(s"__g${j / 2}"), 32 * (j % 2))
+        .bitwiseAND(lit(0xffffffffL))
+      // ones - (n - ones) >= 0  <=>  2*ones >= n (shift, not multiply: ANSI)
+      when(shiftleft(ones, 1) >= col("__n"), lit(bitValue(j))).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
     h.groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
       .select(col(idCol), packed.as("simhash"))
@@ -248,33 +263,52 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 12,
+      maxBucket: Int = 64): DataFrame =
+    simhashNearDupPairsFromSigs(
+      simhashes(df, idCol, textCol).select(col(idCol).as("id"), col("simhash")),
+      maxHamming, maxBucket)
+
+  /** Pair generation over PRECOMPUTED signatures `(id, simhash)` — callers
+    * that also consume the signatures themselves should compute them once
+    * (and typically `localCheckpoint`) rather than paying the 64-aggregate
+    * pipeline twice.
+    */
+  def simhashNearDupPairsFromSigs(
+      sim: DataFrame,
+      maxHamming: Int = 12,
       maxBucket: Int = 64): DataFrame = {
-    val sim = simhashes(df, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
     val exploded = sim.select(
       col("id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))
       }: _*)).as(Seq("band_idx", "band_val")))
+    // pairs from ONE collect_list aggregation per bucket (same shape as
+    // ngramJaccardTopPairs): a bucket self-join would cost two extra
+    // shuffles + a checkpoint of the exploded bands. The row_number cap
+    // bounds rows BEFORE collect_list buffers them, and the groupBy reuses
+    // the window's (band_idx, band_val) hash partitioning — no added
+    // shuffle. The hamming filter runs before the cross-band pair dedup so
+    // only qualifying pairs hit the final shuffle.
     val wb = Window.partitionBy(col("band_idx"), col("band_val")).orderBy(col("id"))
-    // materialized for the same two-branch reason as minhashNearDupPairs
-    val capped = exploded
+    exploded
       .withColumn("__rn", row_number().over(wb))
       .filter(col("__rn") <= maxBucket)
-      .localCheckpoint(true)
-    val a = capped.select(
-      col("band_idx"), col("band_val"),
-      col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = capped.select(
-      col("band_idx"), col("band_val"),
-      col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(
-        col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(struct(col("id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (d, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), e =>
+          struct(
+            d.getField("id").as("id_a"),
+            e.getField("id").as("id_b"),
+            bit_count(d.getField("simhash").bitwiseXOR(e.getField("simhash")))
+              .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
+      // the same pair can surface from up to 4 bands (identical hamming
+      // each time) — one dedup shuffle on the pair key
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   /** Exact n-gram-set Jaccard over LSH candidates (bucket = min shingle

@@ -37,6 +37,11 @@ object Relational {
       leftTs: String,
       rightTs: String,
       carry: Seq[String]): DataFrame = {
+    // the union/window plumbing uses __-prefixed scratch columns; a caller
+    // column of the same name would silently corrupt the result
+    require(
+      !(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "asofJoin: input columns may not start with '__' (reserved for internal use)")
     val lCols = left.columns
     val tagged =
       left

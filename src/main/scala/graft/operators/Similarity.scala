@@ -105,14 +105,20 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as("cvec"))
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, centroids, idCol, vecCol)
-      centroids = corpus
+      val recomputed = corpus
         .join(assigned, Seq(idCol))
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("cvec"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("nvec"))
+      // a cluster that attracted zero points vanishes from the recompute
+      // groupBy — carry its previous centroid forward so the caller always
+      // gets exactly k cells (annIvf's nProbe math assumes that)
+      centroids = centroids
+        .join(recomputed, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nvec"), col("cvec")).as("cvec"))
     }
     centroids
   }

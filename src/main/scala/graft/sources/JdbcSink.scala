@@ -32,12 +32,16 @@ object JdbcSink {
     s"""DELETE FROM $schema.$table WHERE "$keyCol" = ?"""
 
   /** Keyed refresh via a staging table: the refresh frame is first loaded
-    * in parallel into `<table>__stage`, then delete-old + insert-new run in
-    * ONE driver transaction (`INSERT INTO target SELECT FROM stage` is
-    * server-side). A direct delete-then-parallel-append would commit the
-    * delete first and leave the serving table missing/partial for the key
-    * whenever the distributed append fails midway. `numPartitions` bounds
-    * DB connections for the staging load.
+    * in parallel into a per-refresh staging table, then delete-old +
+    * insert-new run in ONE driver transaction (`INSERT INTO target SELECT
+    * FROM stage` is server-side). A direct delete-then-parallel-append would
+    * commit the delete first and leave the serving table missing/partial for
+    * the key whenever the distributed append fails midway. `numPartitions`
+    * bounds DB connections for the staging load.
+    *
+    * The stage name carries a hash of the key value so concurrent refreshes
+    * of DIFFERENT keys use disjoint stage tables, and the stage is dropped
+    * in a finally block (best-effort) so a failed refresh does not leak it.
     */
   def load(
       df: DataFrame,
@@ -48,7 +52,9 @@ object JdbcSink {
       keyValue: String,
       props: Properties,
       numPartitions: Int = 8): Unit = {
-    val stage = s"${table}__stage"
+    val keyTag = java.lang.Integer.toHexString(
+      java.util.Arrays.hashCode(keyValue.getBytes("UTF-8")))
+    val stage = s"${table}__stage_$keyTag"
     df.coalesce(numPartitions)
       .write
       .mode("overwrite")
@@ -57,20 +63,29 @@ object JdbcSink {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)
-      val del = conn.prepareStatement(deleteStatement(schema, table, keyCol))
-      try { del.setString(1, keyValue); del.executeUpdate() }
-      finally del.close()
-      val ins = conn.createStatement()
-      try ins.executeUpdate(
-        s"INSERT INTO $schema.$table ($cols) SELECT $cols FROM $schema.$stage")
-      finally ins.close()
-      conn.commit()
-      val drop = conn.createStatement()
-      try drop.executeUpdate(s"DROP TABLE $schema.$stage")
-      finally drop.close()
-      conn.commit()
-    } catch {
-      case e: Throwable => try conn.rollback() finally (); throw e
+      try {
+        val del = conn.prepareStatement(deleteStatement(schema, table, keyCol))
+        try { del.setString(1, keyValue); del.executeUpdate() }
+        finally del.close()
+        val ins = conn.createStatement()
+        try ins.executeUpdate(
+          s"INSERT INTO $schema.$table ($cols) SELECT $cols FROM $schema.$stage")
+        finally ins.close()
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback()
+          catch { case _: Throwable => () } // keep the original failure
+          throw e
+      } finally {
+        // Best-effort stage cleanup on both success and failure paths.
+        try {
+          val drop = conn.createStatement()
+          try drop.executeUpdate(s"DROP TABLE $schema.$stage")
+          finally drop.close()
+          conn.commit()
+        } catch { case _: Throwable => () }
+      }
     } finally conn.close()
   }
 }
