@@ -673,6 +673,45 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  // ------------------------------------------------ §2.7 streaming (verify surface)
+
+  /** The file-stream source requires a DIRECTORY to monitor; the testdata
+    * keeps each table as a single parquet file. Stage a scratch directory
+    * holding a symlink to the events file (no data copy).
+    */
+  private def eventsPath(dir: String): String = {
+    val staged = java.nio.file.Paths.get(scratch(dir, "stream_events"))
+    val link = staged.resolve("events.parquet")
+    java.nio.file.Files.createDirectories(staged)
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    staged.toString
+  }
+
+  /** Streaming tumbling-window aggregation (Trigger.AvailableNow → memory
+    * sink), hash-compared against the batch SQL — the streaming engine runs
+    * inside the correctness gate, not just in ScalaTest.
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.hourly(s, eventsPath(dir))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Streaming gap sessionization via built-in session_window. */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.sessions(s, eventsPath(dir))
+      .orderBy(col("user_id"), col("start_sec"))
+
+  /** Streaming exact dedup (dropDuplicatesWithinWatermark). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.dedupPairs(s, eventsPath(dir))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Streaming bronze → partitioned lake → read-back aggregation. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.lakeRoundTrip(s, eventsPath(dir), scratch(dir, "q56"))
+      .orderBy(col("date_id"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -727,7 +766,11 @@ object SparkEntry {
     "q49_edit_distance" -> (q49 _),
     "q50_funnel" -> (q50 _),
     "q51_nested_json" -> (q51 _),
-    "q52_rank_family" -> (q52 _))
+    "q52_rank_family" -> (q52 _),
+    "q53_stream_hourly" -> (q53 _),
+    "q54_stream_sessions" -> (q54 _),
+    "q55_stream_dedup" -> (q55 _),
+    "q56_stream_lake" -> (q56 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -825,6 +868,17 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY word ORDER BY word""",
     "q43_scalar_subquery" ->
       """WITH a AS (SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price FROM orders GROUP BY o_custkey) SELECT o_orderkey, o_custkey, o_totalprice, avg_price FROM orders JOIN a ON o_custkey = k WHERE o_totalprice > avg_price ORDER BY o_orderkey""",
+    "q53_stream_hourly" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    // session_window's end bound is exclusive: an event exactly gap seconds
+    // after the previous one starts a NEW session, hence >= in the gap test
+    // (batch q15 uses > — inclusive merge — so the two differ by design)
+    "q54_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
+    "q55_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
+    "q56_stream_lake" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1 ORDER BY date_id""",
     "q39_clean_corpus" ->
       """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), sc AS (SELECT doc_id, n_words, alpha_ratio, fp, (length(p) - length(replace(p, ' the ', ' '))) / 4 + (length(p) - length(replace(p, ' a ', ' '))) / 2 AS s_en, (length(p) - length(replace(p, ' der ', ' '))) / 4 + (length(p) - length(replace(p, ' und ', ' '))) / 4 AS s_de, (length(p) - length(replace(p, ' el ', ' '))) / 3 + (length(p) - length(replace(p, ' los ', ' '))) / 4 AS s_es, (length(p) - length(replace(p, ' le ', ' '))) / 3 + (length(p) - length(replace(p, ' et ', ' '))) / 3 AS s_fr FROM s), l AS (SELECT doc_id, n_words, alpha_ratio, fp, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en' WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de' WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es > 0 THEN 'es' WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred FROM sc), g AS (SELECT doc_id, n_words, alpha_ratio, lang_pred, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM l WHERE n_words >= 10 AND alpha_ratio >= 0.5) SELECT doc_id, n_words, alpha_ratio, lang_pred FROM g WHERE rn = 1 ORDER BY doc_id""")
 }

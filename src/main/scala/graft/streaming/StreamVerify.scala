@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch-verifiable Structured Streaming runs.
+  *
+  * Each helper starts a REAL streaming query over the events parquet with
+  * `Trigger.AvailableNow`, drains it, and returns the result as a plain
+  * DataFrame so the driver's DuckDB oracle can hash-compare it against the
+  * equivalent batch SQL. This closes the gap where streaming operators were
+  * only ScalaTest-covered: the same correctness gate now exercises the
+  * streaming engine.
+  *
+  * Scale notes: the memory-sink Complete-mode shape is the VERIFICATION
+  * harness — production deployments pair the same aggregations with
+  * append-mode watermarked sinks (EventsStream.toLake). Complete mode is
+  * used here because append mode only emits windows the watermark has
+  * passed, which would make the result depend on micro-batch boundaries
+  * rather than on the data.
+  */
+object StreamVerify {
+
+  private val n = new AtomicLong(0)
+
+  /** Drain a memory-sink streaming query and return its table. */
+  private def drain(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_sv_${n.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Hourly tumbling-window aggregation, streamed. Exact-decimal sums keep
+    * the result hash-identical to the batch q14 aggregation.
+    */
+  def hourly(spark: SparkSession, eventsPath: String): DataFrame = {
+    val agg = EventsStream.readEvents(spark, eventsPath)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    drain(spark, agg, "complete")
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Gap-based sessionization via the built-in `session_window` aggregation
+    * (30-minute gap), streamed. Events exactly `gap` apart start a NEW
+    * session (session_window's end bound is exclusive) — the oracle mirrors
+    * that with `>=` in its gap test.
+    */
+  def sessions(spark: SparkSession, eventsPath: String): DataFrame = {
+    val agg = EventsStream.readEvents(spark, eventsPath)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+    drain(spark, agg, "complete")
+      .select(col("user_id"), col("start_sec"), col("end_sec"), col("n_events"))
+  }
+
+  /** Streaming exact dedup: first occurrence of each (user_id, event_type)
+    * is emitted as it streams past; state is bounded by the watermark. The
+    * projection keeps ONLY the key columns, so the result equals batch
+    * DISTINCT regardless of which physical row won the race per key.
+    */
+  def dedupPairs(spark: SparkSession, eventsPath: String): DataFrame = {
+    val distinctPairs = EventsStream.readEvents(spark, eventsPath)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    drain(spark, distinctPairs, "append")
+  }
+
+  /** Continuous bronze load drained end-to-end: micro-batches land in a
+    * `date_id/batch_id`-partitioned lake via idempotent delete-insert, then
+    * the lake is read back and aggregated. The lake and checkpoint are
+    * per-invocation scratch so re-runs verify the full pipeline, not
+    * leftovers (replay idempotency itself is covered in StreamingSpec).
+    */
+  def lakeRoundTrip(spark: SparkSession, eventsPath: String, scratchDir: String): DataFrame = {
+    val fs = new java.io.File(scratchDir)
+    if (fs.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(fs)
+    }
+    val lake = s"$scratchDir/lake"
+    val q = EventsStream.toLake(EventsStream.readEvents(spark, eventsPath), lake)
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.PartitionedLake.read(spark, lake)
+      .groupBy(col("date_id").cast("string").as("date_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+}
