@@ -673,6 +673,114 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Range (interval) join: orders matched to OVERLAPPING price bands via
+    * the bucketed equi-join in [[Relational.rangeJoin]] — no
+    * broadcast-nested-loop, scales as fact + intervals×buckets.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (1, 0, 30000), (2, 20000, 80000), (3, 75000, 200000),
+      (4, 150000, 400000), (5, 380000, 600000))
+      .toDF("band_id", "lo", "hi")
+    Relational.rangeJoin(
+      T(s, dir, "orders"), "o_totalprice", bands, "lo", "hi", 25000.0)
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_orders"), sumx(col("o_totalprice")).as("total"))
+      .orderBy(col("band_id"))
+  }
+
+  /** Set operations: INTERSECT / EXCEPT on customer key sets by order
+    * status, surfaced as one tagged union.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    val f = keys("F")
+    val open = keys("O")
+    f.intersect(open).withColumn("segment", lit("both"))
+      .unionByName(f.except(open).withColumn("segment", lit("f_only")))
+      .unionByName(open.except(f).withColumn("segment", lit("o_only")))
+      .orderBy(col("segment"), col("o_custkey"))
+  }
+
+  /** Connected components over the edit-distance pair graph (q49's edges):
+    * iterative min-label propagation ([[Dedup.dupClusters]]) — each word in
+    * a fuzzy-match cluster gets the lexicographically smallest member as its
+    * representative. The oracle replays the fixpoint as a recursive CTE.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q49(s, dir)
+      .select(col("w_a").as("id_a"), col("w_b").as("id_b"))
+    val nodes = pairs.select(col("id_a").as("w"))
+      .unionAll(pairs.select(col("id_b").as("w")))
+      .distinct()
+    Dedup.dupClusters(nodes, "w", pairs, maxIter = 30)
+      .orderBy(col("w"))
+  }
+
+  /** Regex extraction suite over the corpus: first number, number count,
+    * capitalized-word count (codegen'd `RegExpExtract`/`RegExpExtractAll`,
+    * no UDF).
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+      size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_nums"),
+      size(expr("regexp_extract_all(text, '[A-Z][a-z]+', 0)")).cast("long").as("n_capitalized"))
+      .orderBy(col("doc_id"))
+
+  /** Date/time function suite over order dates (year/quarter/month/day,
+    * ISO week, weekday, last_day, datediff, add_months) — the per-column
+    * date dimension a warehouse derives at ingest.
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+      weekday(col("o_orderdate")).cast("long").as("wd"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("days_since_92"),
+      date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_quarter"))
+      .orderBy(col("o_orderkey"))
+
+  /** String function suite over customer names (substr/lpad/translate/
+    * split_part/reverse/concat_ws) — all codegen'd built-ins.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg_u"),
+      substring(col("c_name"), 1, 8).as("name_head"),
+      expr("split_part(c_name, '#', 2)").as("name_num"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+      translate(col("c_name"), "#0", "-_").as("name_translated"),
+      reverse(col("c_mktsegment")).as("seg_rev"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+      length(col("c_name")).cast("long").as("name_len"))
+      .orderBy(col("c_custkey"))
+
+  /** max_by / min_by with deterministic struct tie-breaks: per user, the
+    * event type of the highest/lowest-value event. DuckDB's arg_max can't
+    * take a composite ordering, so the oracle replays the semantics with
+    * window functions.
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        max_by(col("event_type"), struct(col("value"), col("event_id"))).as("top_type"),
+        min_by(col("event_type"), struct(col("value"), col("event_id"))).as("bottom_type"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("user_id"))
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -767,6 +875,13 @@ object SparkEntry {
     "q50_funnel" -> (q50 _),
     "q51_nested_json" -> (q51 _),
     "q52_rank_family" -> (q52 _),
+    "q57_range_join" -> (q57 _),
+    "q60_regex_extract" -> (q60 _),
+    "q61_date_functions" -> (q61 _),
+    "q62_string_functions" -> (q62 _),
+    "q63_argmax" -> (q63 _),
+    "q58_set_ops" -> (q58 _),
+    "q59_word_clusters" -> (q59 _),
     "q53_stream_hourly" -> (q53 _),
     "q54_stream_sessions" -> (q54 _),
     "q55_stream_dedup" -> (q55 _),
@@ -868,6 +983,21 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY word ORDER BY word""",
     "q43_scalar_subquery" ->
       """WITH a AS (SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price FROM orders GROUP BY o_custkey) SELECT o_orderkey, o_custkey, o_totalprice, avg_price FROM orders JOIN a ON o_custkey = k WHERE o_totalprice > avg_price ORDER BY o_orderkey""",
+    "q57_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES (1, 0, 30000), (2, 20000, 80000), (3, 75000, 200000), (4, 150000, 400000), (5, 380000, 600000)) SELECT band_id, lo, hi, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id, lo, hi ORDER BY band_id""",
+    "q58_set_ops" ->
+      """SELECT o_custkey, 'both' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') UNION ALL SELECT o_custkey, 'f_only' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') UNION ALL SELECT o_custkey, 'o_only' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY segment, o_custkey""",
+    "q59_word_clusters" ->
+      """WITH RECURSIVE v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents), p AS (SELECT a.w AS wa, b.w AS wb FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2), ed AS (SELECT wa AS src, wb AS dst FROM p UNION ALL SELECT wb AS src, wa AS dst FROM p), nodes AS (SELECT DISTINCT src AS node FROM ed), reach(node, label) AS (SELECT node, node FROM nodes UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node) SELECT node AS w, MIN(label) AS cluster_rep FROM reach GROUP BY node ORDER BY w""",
+    "q60_regex_extract" ->
+      """SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num, CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums, CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capitalized FROM documents ORDER BY doc_id""",
+    // weekday: Spark 0=Monday == DuckDB isodow-1; week: ISO both sides
+    "q61_date_functions" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, CAST(quarter(o_orderdate) AS BIGINT) AS q, CAST(month(o_orderdate) AS BIGINT) AS m, CAST(day(o_orderdate) AS BIGINT) AS d, CAST(week(o_orderdate) AS BIGINT) AS iso_week, CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd, strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_92, strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_quarter FROM orders ORDER BY o_orderkey""",
+    "q62_string_functions" ->
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_u, substr(c_name, 1, 8) AS name_head, split_part(c_name, '#', 2) AS name_num, lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad, translate(c_name, '#0', '-_') AS name_translated, reverse(c_mktsegment) AS seg_rev, concat_ws('|', c_mktsegment, c_name) AS tagged, CAST(length(c_name) AS BIGINT) AS name_len FROM customer ORDER BY c_custkey""",
+    "q63_argmax" ->
+      """WITH r AS (SELECT user_id, event_type, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rmax, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rmin FROM events), a AS (SELECT user_id, COUNT(*) AS n, MAX(value) AS max_value FROM events GROUP BY user_id) SELECT a.user_id, a.n, mx.event_type AS top_type, mn.event_type AS bottom_type, a.max_value FROM a JOIN r mx ON a.user_id = mx.user_id AND mx.rmax = 1 JOIN r mn ON a.user_id = mn.user_id AND mn.rmin = 1 ORDER BY a.user_id""",
     "q53_stream_hourly" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
     // session_window's end bound is exclusive: an event exactly gap seconds

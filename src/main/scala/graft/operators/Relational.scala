@@ -103,6 +103,48 @@ object Relational {
         sum(col("__s")).cast("double").as("total"))
   }
 
+  /** Range (interval) join: fact rows matched to every interval
+    * `[loCol, hiCol)` containing `valueCol` — WITHOUT the
+    * broadcast-nested-loop plan a raw `value >= lo && value < hi` theta-join
+    * degenerates to.
+    *
+    * Each interval is exploded into the coarse buckets of width
+    * `bucketSize` it overlaps; the fact side computes its single bucket;
+    * the join becomes an EQUI-join on the bucket id (hash shuffle, AQE
+    * skew-handling, broadcastable) followed by the exact containment
+    * filter. At 100 TB this is the shape that survives: cost scales with
+    * fact rows + interval rows × avg buckets-per-interval, not
+    * fact × intervals. Choose `bucketSize` near the median interval width
+    * (smaller → more interval duplication; larger → more false candidates
+    * filtered after the join).
+    *
+    * Intervals may overlap arbitrarily; a fact row matching k intervals
+    * yields k rows. `valueCol`/`loCol`/`hiCol` must be numeric.
+    */
+  def rangeJoin(
+      fact: DataFrame,
+      valueCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      bucketSize: Double): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val lastBucket =
+      // hi is exclusive: an interval ending exactly on a bucket boundary
+      // does not overlap that bucket
+      when(col(hiCol) % bucketSize === 0.0, floor(col(hiCol) / bucketSize) - 1)
+        .otherwise(floor(col(hiCol) / bucketSize))
+    val expandedIntervals = intervals
+      .withColumn("__bucket",
+        explode(sequence(floor(col(loCol) / bucketSize).cast("long"),
+          lastBucket.cast("long"))))
+    fact
+      .withColumn("__bucket", floor(col(valueCol) / bucketSize).cast("long"))
+      .join(expandedIntervals, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bucket")
+  }
+
   /** Exact discrete percentile per group: value at row `ceil(p * n)` of the
     * group ordered by (`valueCol`, `tieBreak`). Returns one row per group
     * with one column per requested percentile, named `p<percent>`.

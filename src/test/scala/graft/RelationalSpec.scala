@@ -40,6 +40,29 @@ class RelationalSpec extends SparkSuite {
     assert(salted.except(naive).isEmpty && naive.except(salted).isEmpty)
   }
 
+  test("rangeJoin matches overlapping intervals, hi-exclusive, across bucket sizes") {
+    val fact = Seq((1L, 5.0), (2L, 20.0), (3L, 25.0), (4L, 99.0), (5L, 100.0))
+      .toDF("id", "v")
+    val intervals = Seq(("a", 0.0, 25.0), ("b", 20.0, 100.0), ("c", 90.0, 200.0))
+      .toDF("name", "lo", "hi")
+    // expected matches: 5→a; 20→a,b; 25→b (hi of a is exclusive); 99→b,c;
+    // 100→c only (hi of b is exclusive)
+    val expected = Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"),
+      (4L, "b"), (4L, "c"), (5L, "c"))
+    for (bs <- Seq(7.0, 25.0, 1000.0)) {
+      val got = Relational.rangeJoin(fact, "v", intervals, "lo", "hi", bs)
+        .select("id", "name").as[(Long, String)].collect().toSet
+      assert(got == expected, s"bucketSize=$bs")
+    }
+  }
+
+  test("rangeJoin emits each match exactly once even when an interval spans many buckets") {
+    val fact = Seq((1L, 50.0)).toDF("id", "v")
+    val intervals = Seq(("wide", 0.0, 1000.0)).toDF("name", "lo", "hi")
+    val got = Relational.rangeJoin(fact, "v", intervals, "lo", "hi", 10.0)
+    assert(got.count() == 1L)
+  }
+
   test("discretePercentiles selects the ceil(p*n)-th value") {
     val df = (1 to 100).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
     val out = Relational.discretePercentiles(df, "g", "v", "id", Seq(0.5, 0.9))
