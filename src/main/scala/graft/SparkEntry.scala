@@ -891,6 +891,92 @@ object SparkEntry {
 
   private val SUMV = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
+  // --- LSH parity helpers: the SAME ±1 plane-weight literals the Spark side
+  // materializes are inlined into the oracle SQL, and the dot product is a
+  // left-to-right list_reduce fold — bit-identical to the VecDot codegen
+  // loop (float→double casts and ±1.0 multiplies are exact, and DuckDB's
+  // first-element seed equals Spark's 0.0+x1). Macros arrive via the
+  // multi-statement prelude; the driver's execute() returns the last
+  // statement's result.
+
+  private def planeArr(p: Int): String =
+    VF.planeWeights(p, 64).map(w => if (w > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+
+  /** 8-bit LSH band signature expression over `embedding`, planes
+    * [first, first+8) — mirrors `VectorFunctions.lshSignature`.
+    */
+  private def sigExpr(first: Int): String =
+    (0 until 8).map(i =>
+      s"(CASE WHEN pdot(embedding, ${planeArr(first + i)}) >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  private val VEC_MACROS =
+    "CREATE OR REPLACE MACRO pdot(v, w) AS list_reduce(list_transform(range(1, 65), i -> CAST(v[i] AS DOUBLE) * w[i]), (a, b) -> a + b); " +
+      "CREATE OR REPLACE MACRO pcos(a, b) AS pdot(a, b) / (sqrt(pdot(a, a)) * sqrt(pdot(b, b)))"
+
+  // --- portable-hash dedup parity: the XsHash/XsMix xorshift family is
+  // replayed in HUGEINT mod-2^64 arithmetic (validated bit-for-bit against
+  // the reference implementation in tools/proto_dedup_oracle.py). Chained
+  // mix steps go through list_reduce because DuckDB macro expansion is
+  // textual — nesting xstep calls would duplicate the accumulator
+  // expression 8^depth times.
+
+  private def uns(l: Long): String = java.lang.Long.toUnsignedString(l)
+
+  private val HASH_MACROS = Seq(
+    s"CREATE OR REPLACE MACRO u64(x) AS x & CAST('${uns(-1L)}' AS HUGEINT)",
+    "CREATE OR REPLACE MACRO xsa(h) AS xor(h, u64(h << 13))",
+    "CREATE OR REPLACE MACRO xsb(h) AS xor(h, h >> 7)",
+    "CREATE OR REPLACE MACRO xsc(h) AS xor(h, u64(h << 17))",
+    "CREATE OR REPLACE MACRO xstep(h, b) AS xsc(xsb(xsa(xor(h, b))))",
+    "CREATE OR REPLACE MACRO wbytes(w) AS list_transform(range(CAST(octet_length(encode(w)) AS INTEGER)), i -> CAST(strpos('123456789ABCDEF', substr(hex(encode(w)), 2*i+1, 1))*16 + strpos('123456789ABCDEF', substr(hex(encode(w)), 2*i+2, 1)) AS HUGEINT))",
+    s"CREATE OR REPLACE MACRO xshash(w) AS list_reduce(list_prepend(CAST('${uns(graft.operators.Dedup.MixSeed)}' AS HUGEINT), wbytes(w)), (a, b) -> xstep(a, b))",
+    s"CREATE OR REPLACE MACRO tosigned(v) AS CAST(CASE WHEN v >= CAST('${uns(Long.MinValue)}' AS HUGEINT) THEN v - CAST('18446744073709551616' AS HUGEINT) ELSE v END AS BIGINT)",
+    "CREATE OR REPLACE MACRO tounsigned(v) AS u64(CAST(v AS HUGEINT))",
+    "CREATE OR REPLACE MACRO rotl8(x) AS u64(x << 8) | (x >> 56)",
+    "CREATE OR REPLACE MACRO shmix(acc, h) AS xor(rotl8(acc), h)",
+    """CREATE OR REPLACE MACRO docwords(t) AS string_split(regexp_replace(lower(trim(t)), '\s+', ' ', 'g'), ' ')""")
+    .mkString("; ")
+
+  private def padLit(j: Int): String =
+    s"CAST('${uns(0x9e3779b97f4a7c15L * (j + 1))}' AS HUGEINT)"
+
+  private def rotlSql(x: String, r0: Int): String = {
+    val r = ((r0 % 64) + 64) % 64
+    if (r == 0) x else s"(u64(($x) << $r) | (($x) >> ${64 - r}))"
+  }
+
+  /** Mirrors Dedup.perm: rotl(h, (13i+7)%64) xor C_i. */
+  private def permSql(s: String, i: Int): String = {
+    val c = i * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
+    s"xor(${rotlSql(s, (13 * i + 7) % 64)}, CAST('${uns(c)}' AS HUGEINT))"
+  }
+
+  /** 32 minhash values (signed, min over shingles) as a list expression. */
+  private def sigSql: String =
+    (0 until 32).map(i =>
+      s"list_min(list_transform(sh, s -> tosigned(${permSql("s", i)})))")
+      .mkString("[", ", ", "]")
+
+  /** Band b's key: xorshift fold of 4 signature slots + band index. */
+  private def bandSql(b: Int): String = {
+    val vals = (0 until 4).map(r => s"tounsigned(sig[${b * 4 + r + 1}])").mkString(", ")
+    s"list_reduce(list_prepend(CAST('${uns(graft.operators.Dedup.MixSeed)}' AS HUGEINT), [$vals, CAST($b AS HUGEINT)]), (a, x) -> xstep(a, x))"
+  }
+
+  /** 64-bit simhash (unsigned HUGEINT) from the word-hash list `h` and
+    * word count `n` — bit j set iff 2*ones_j >= n, like Dedup.simhashes.
+    */
+  private def simhashSqlExpr: String =
+    (0 until 64).map(j =>
+      s"(CASE WHEN 2 * len(list_filter(h, x -> (x >> $j) & 1 = 1)) >= n THEN CAST('${uns(1L << j)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
+      .mkString("(", " + ", ")")
+
+  /** Shared prelude: per-doc word-hash list + word count. */
+  private val DOC_HASHES =
+    "SELECT doc_id, list_transform(docwords(text), w -> xshash(w)) AS h, len(docwords(text)) AS n FROM documents"
+
   def oracleSql: Map[String, String] = Map(
     "q01_bronze_flatten" ->
       """SELECT event_id, date_trunc('second', ts) AS ts_sec, user_id, event_type, value, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k, strftime(ts, '%Y-%m-%d') AS date_id FROM events ORDER BY event_id""",
@@ -983,6 +1069,16 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY word ORDER BY word""",
     "q43_scalar_subquery" ->
       """WITH a AS (SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price FROM orders GROUP BY o_custkey) SELECT o_orderkey, o_custkey, o_totalprice, avg_price FROM orders JOIN a ON o_custkey = k WHERE o_totalprice > avg_price ORDER BY o_orderkey""",
+    "q22_dedup_minhash" ->
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs), sigs AS (SELECT doc_id, $sigSql AS sig FROM shingled), bands AS (SELECT doc_id, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT doc_id, z[2] AS band_idx, z[1] AS band_hash FROM bands), stats AS (SELECT doc_id, MIN(doc_id) OVER w AS bucket_rep, COUNT(*) OVER w AS bucket_n FROM wb WINDOW w AS (PARTITION BY band_idx, band_hash)) SELECT doc_id, MIN(bucket_rep) AS rep_id, CAST(SUM(bucket_n - 1) AS BIGINT) AS n_candidates FROM stats GROUP BY doc_id ORDER BY doc_id""",
+    "q23_dedup_simhash" ->
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), sims AS (SELECT doc_id, $simhashSqlExpr AS su FROM hs), bands AS (SELECT doc_id, su, unnest(list_zip([(su >> 0) & 65535, (su >> 16) & 65535, (su >> 32) & 65535, (su >> 48) & 65535], [0,1,2,3])) AS z FROM sims), wb AS (SELECT doc_id AS id, su, z[2] AS band_idx, z[1] AS band_val, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY doc_id) AS rn FROM bands), pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64 AND bit_count(tosigned(xor(a.su, b.su))) <= 12), nc AS (SELECT doc_id, COUNT(*) AS n_near FROM (SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b AS doc_id FROM pairs) GROUP BY doc_id) SELECT s.doc_id, tosigned(s.su) AS simhash, COALESCE(nc.n_near, 0) AS n_near FROM sims s LEFT JOIN nc ON s.doc_id = nc.doc_id ORDER BY s.doc_id""",
+    "q24_ngram_jaccard" ->
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), sh2 AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 2 THEN n - 1 ELSE 1 END), p -> shmix(h[p+1], coalesce(h[p+2], ${padLit(1)}))) AS sh FROM hs), grams AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform(sh, s -> tosigned(s)))) AS g FROM sh2), bk AS (SELECT id, g, g[1] AS m1, g[CASE WHEN len(g) >= 2 THEN 2 ELSE 1 END] AS m2, ROW_NUMBER() OVER (PARTITION BY g[1], g[CASE WHEN len(g) >= 2 THEN 2 ELSE 1 END] ORDER BY id) AS rn FROM grams) SELECT a.id AS id_a, b.id AS id_b, CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard FROM bk a JOIN bk b ON a.m1 = b.m1 AND a.m2 = b.m2 AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64 ORDER BY jaccard DESC, id_a, id_b LIMIT 200""",
+    "q25_dedup_embed" ->
+      s"""$VEC_MACROS; WITH sigs AS (SELECT vec_id, embedding, ${sigExpr(0)} AS b0, ${sigExpr(8)} AS b1 FROM embeddings), p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM sigs a JOIN sigs b ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id < b.vec_id) SELECT p.id_a, p.id_b, round(pcos(ea.embedding, eb.embedding), 4) AS cos_r FROM p JOIN embeddings ea ON ea.vec_id = p.id_a JOIN embeddings eb ON eb.vec_id = p.id_b ORDER BY cos_r DESC NULLS LAST, id_a, id_b LIMIT 100""",
+    "q27_ann_lsh" ->
+      s"""$VEC_MACROS; WITH sigs AS (SELECT vec_id, embedding, ${sigExpr(0)} AS b0, ${sigExpr(8)} AS b1 FROM embeddings), cand AS (SELECT DISTINCT q.vec_id AS qid, e.vec_id AS nid, round(pcos(q.embedding, e.embedding), 4) AS cos_r FROM sigs q JOIN sigs e ON (q.b0 = e.b0 OR q.b1 = e.b1) AND q.vec_id <> e.vec_id WHERE q.vec_id < 10), r AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM cand) SELECT qid, rnk, nid, cos_r FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q57_range_join" ->
       """WITH bands(band_id, lo, hi) AS (VALUES (1, 0, 30000), (2, 20000, 80000), (3, 75000, 200000), (4, 150000, 400000), (5, 380000, 600000)) SELECT band_id, lo, hi, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id, lo, hi ORDER BY band_id""",
     "q58_set_ops" ->
@@ -1000,11 +1096,12 @@ object SparkEntry {
       """WITH r AS (SELECT user_id, event_type, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rmax, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS rmin FROM events), a AS (SELECT user_id, COUNT(*) AS n, MAX(value) AS max_value FROM events GROUP BY user_id) SELECT a.user_id, a.n, mx.event_type AS top_type, mn.event_type AS bottom_type, a.max_value FROM a JOIN r mx ON a.user_id = mx.user_id AND mx.rmax = 1 JOIN r mn ON a.user_id = mn.user_id AND mn.rmin = 1 ORDER BY a.user_id""",
     "q53_stream_hourly" ->
       s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
-    // session_window's end bound is exclusive: an event exactly gap seconds
-    // after the previous one starts a NEW session, hence >= in the gap test
-    // (batch q15 uses > — inclusive merge — so the two differ by design)
+    // session_window merge is INCLUSIVE at the gap boundary (an interval
+    // touching the previous session's end extends it — verified empirically
+    // at sf0.1, where one exactly-1800s gap exists), so the oracle uses the
+    // same > gap test as batch q15
     "q54_stream_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
     "q55_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
     "q56_stream_lake" ->

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.plans.TextHashExpressions.{xsHash, xsMix}
 
 /** Corpus deduplication at 100 TB scale.
   *
@@ -13,9 +14,14 @@ import graft.functions.TextFunctions
   * inside LSH buckets, with a deterministic per-bucket cap so one hot bucket
   * can't explode a join (capped rows are simply not candidate sources —
   * a coverage/cost dial, not a correctness issue for near-dup removal).
-  * All hashing is `xxhash64` (codegen'd Catalyst expression).
+  * All hashing is the codegen'd portable xorshift family
+  * ([[graft.plans.XsHash]]/[[graft.plans.XsMix]]) so the DuckDB oracle can
+  * replay every bucket assignment bit-for-bit.
   */
 object Dedup {
+
+  /** Seed of the portable band-key fold (golden-ratio constant). */
+  val MixSeed: Long = 0x9E3779B97F4A7C15L
 
   /** Exact dedup: group identical normalized texts, keep the smallest id. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -56,7 +62,7 @@ object Dedup {
       k: Int): DataFrame = {
     val rows = df.select(col(idCol),
       posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
-      .select(col(idCol), col("__pos"), xxhash64(col("__w")).as("__h"))
+      .select(col(idCol), col("__pos"), xsHash(col("__w")).as("__h"))
     val ws = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val cw = Window.partitionBy(col(idCol))
     val sh = (1 until k).foldLeft(col("__h")) { (acc, j) =>
@@ -103,12 +109,14 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
-  /** LSH band keys: hash of each band's signature slice. */
+  /** LSH band keys: portable xorshift fold of each band's signature slice
+    * plus the band index (oracle-replayable, unlike xxhash64).
+    */
   def bandKeys(sig: Column, bands: Int = 8, rowsPerBand: Int = 4): Column =
     array((0 until bands).map { b =>
       val rows = (0 until rowsPerBand)
         .map(r => element_at(sig, b * rowsPerBand + r + 1))
-      xxhash64(rows :+ lit(b): _*)
+      (rows :+ lit(b.toLong)).foldLeft(lit(MixSeed): Column)(xsMix)
     }: _*)
 
   /** Per-document near-dup assignment: `rep_id` = smallest doc id sharing at
@@ -235,7 +243,7 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = df
       .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("__w"))
-      .select(col(idCol), xxhash64(col("__w")).as("__h"))
+      .select(col(idCol), xsHash(col("__w")).as("__h"))
     // lane g holds bits 2g (low 32) and 2g+1 (high 32) as 0/1 addends
     val sums = (0 until 32).map { g =>
       sum(

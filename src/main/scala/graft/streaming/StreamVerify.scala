@@ -54,9 +54,10 @@ object StreamVerify {
   }
 
   /** Gap-based sessionization via the built-in `session_window` aggregation
-    * (30-minute gap), streamed. Events exactly `gap` apart start a NEW
-    * session (session_window's end bound is exclusive) — the oracle mirrors
-    * that with `>=` in its gap test.
+    * (30-minute gap), streamed. Session merging is INCLUSIVE at the gap
+    * boundary — an event exactly `gap` after the previous one EXTENDS the
+    * session (its interval touches the session end) — identical to the
+    * batch q15 `diff > gap` new-session rule.
     */
   def sessions(spark: SparkSession, eventsPath: String): DataFrame = {
     val agg = EventsStream.readEvents(spark, eventsPath)
