@@ -781,6 +781,98 @@ object SparkEntry {
         max(col("value")).as("max_value"))
       .orderBy(col("user_id"))
 
+  /** Gaps-and-islands → SCD type-2 history: per user, runs of consecutive
+    * equal event_type collapse into versioned validity rows with an
+    * is_current flag (the ETL pattern for building slowly-changing
+    * dimensions from an event stream).
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), evSec.as("sec"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version", sum(col("chg")).over(cum))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("sec")).as("valid_from"), max(col("sec")).as("valid_to"),
+        count(lit(1)).as("n_events"))
+      .withColumn("is_current",
+        (col("version") === max(col("version")).over(Window.partitionBy(col("user_id"))))
+          .cast("int"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Time-series resample + forward fill: per-user hourly spine between the
+    * user's first and last active hour (`sequence` + explode — the
+    * distributed date-spine pattern), hourly sums joined on, gaps
+    * forward-filled with a `last(ignoreNulls)` window.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("user_id"), (expr("(ts div 1000000000) div 3600") * 3600).as("hsec"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("hv"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("hsec")).as("lo"), max(col("hsec")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hsec"))
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("hsec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hsec"), "left")
+      .select(col("user_id"), col("hsec"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("hv"), ignoreNulls = true).over(wf).as("total_ffill"))
+      .orderBy(col("user_id"), col("hsec"))
+  }
+
+  /** UNPIVOT (melt): the wide per-user counts of q16 stacked back to long
+    * form — zero counts included, which distinguishes this from a plain
+    * groupBy over the source.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.map(t =>
+      sum(when(col("event_type") === t, 1).otherwise(0)).cast("long").as(s"n_$t"))
+    val stackArgs = types.map(t => s"'$t', n_$t").mkString(", ")
+    T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("user_id"),
+        expr(s"stack(${types.size}, $stackArgs) AS (event_type, n)"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Histogram binning: fixed-width bins over order totals with per-bin
+    * bounds and global share (window over an aggregate).
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .withColumn("bin", floor(col("o_totalprice") / 30000.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo_seen"), max(col("o_totalprice")).as("hi_seen"))
+      .withColumn("frac",
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .orderBy(col("bin"))
+
+  /** CDC compaction: latest state per (user_id, event_type) key by
+    * (sec, event_id) — the keep-last-version dedup every change-data-capture
+    * ingest needs before serving.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("sec").desc, col("event_id").desc)
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"), evSec.as("sec"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("last_event"),
+        col("value").as("last_value"), col("sec").as("last_sec"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -877,6 +969,11 @@ object SparkEntry {
     "q52_rank_family" -> (q52 _),
     "q57_range_join" -> (q57 _),
     "q60_regex_extract" -> (q60 _),
+    "q64_scd2_islands" -> (q64 _),
+    "q65_resample_ffill" -> (q65 _),
+    "q66_unpivot" -> (q66 _),
+    "q67_histogram" -> (q67 _),
+    "q68_cdc_compact" -> (q68 _),
     "q61_date_functions" -> (q61 _),
     "q62_string_functions" -> (q62 _),
     "q63_argmax" -> (q63 _),
@@ -1085,6 +1182,16 @@ object SparkEntry {
       """SELECT o_custkey, 'both' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') UNION ALL SELECT o_custkey, 'f_only' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') UNION ALL SELECT o_custkey, 'o_only' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY segment, o_custkey""",
     "q59_word_clusters" ->
       """WITH RECURSIVE v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents), p AS (SELECT a.w AS wa, b.w AS wb FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2), ed AS (SELECT wa AS src, wb AS dst FROM p UNION ALL SELECT wb AS src, wa AS dst FROM p), nodes AS (SELECT DISTINCT src AS node FROM ed), reach(node, label) AS (SELECT node, node FROM nodes UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node) SELECT node AS w, MIN(label) AS cluster_rep FROM reach GROUP BY node ORDER BY w""",
+    "q64_scd2_islands" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), c AS (SELECT user_id, event_id, event_type, sec, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), g AS (SELECT user_id, event_type, sec, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM c), a AS (SELECT user_id, version, MIN(event_type) AS event_type, MIN(sec) AS valid_from, MAX(sec) AS valid_to, COUNT(*) AS n_events FROM g GROUP BY user_id, version) SELECT user_id, version, event_type, valid_from, valid_to, n_events, CAST(version = MAX(version) OVER (PARTITION BY user_id) AS INTEGER) AS is_current FROM a ORDER BY user_id, version""",
+    "q65_resample_ffill" ->
+      s"""WITH hourly AS (SELECT user_id, (CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 3600) * 3600 AS hsec, COUNT(*) AS n, $SUMV AS hv FROM events GROUP BY 1, 2), spine AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS hsec FROM (SELECT user_id, MIN(hsec) AS mn, MAX(hsec) AS mx FROM hourly GROUP BY user_id)), j AS (SELECT s.user_id, s.hsec, h.n, h.hv FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hsec = h.hsec) SELECT user_id, hsec, COALESCE(n, 0) AS n, last_value(hv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hsec ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_ffill FROM j ORDER BY user_id, hsec""",
+    "q66_unpivot" ->
+      """WITH w AS (SELECT user_id, CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase, CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error FROM events GROUP BY user_id) SELECT user_id, 'click' AS event_type, n_click AS n FROM w UNION ALL SELECT user_id, 'view', n_view FROM w UNION ALL SELECT user_id, 'purchase', n_purchase FROM w UNION ALL SELECT user_id, 'signup', n_signup FROM w UNION ALL SELECT user_id, 'error', n_error FROM w ORDER BY user_id, event_type""",
+    "q67_histogram" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice / 30000.0) AS BIGINT) AS bin, COUNT(*) AS n, MIN(o_totalprice) AS lo_seen, MAX(o_totalprice) AS hi_seen FROM orders GROUP BY 1) SELECT bin, n, lo_seen, hi_seen, CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS frac FROM b ORDER BY bin""",
+    "q68_cdc_compact" ->
+      """SELECT user_id, event_type, event_id AS last_event, value AS last_value, sec AS last_sec FROM (SELECT user_id, event_type, event_id, value, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT) DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
     "q60_regex_extract" ->
       """SELECT doc_id, regexp_extract(text, '([0-9]+)', 1) AS first_num, CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums, CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capitalized FROM documents ORDER BY doc_id""",
     // weekday: Spark 0=Monday == DuckDB isodow-1; week: ISO both sides
