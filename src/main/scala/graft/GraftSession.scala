@@ -11,11 +11,32 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(appName: String = "graft", cores: Int = 32): SparkSession.Builder =
+  /** Cluster-facing tuning knobs, surfaced so a deployment sizes them to
+    * its data instead of editing code:
+    *
+    * - `broadcastThresholdMb`: dims below this auto-broadcast. 10 MB is
+    *   Spark's default; at 100 TB with large executors, 64–256 MB turns
+    *   most dim joins into broadcast joins and removes their shuffles.
+    * - `maxPartitionBytes`: scan split size. Bigger splits amortize task
+    *   overhead on wide clusters; smaller splits help skewed file layouts.
+    * - AQE stays on with skew-join splitting and partition coalescing
+    *   explicit: skewed shuffle partitions split past
+    *   `skewedPartitionThresholdInBytes`, tiny ones merge — the runtime
+    *   safety net for every static estimate here.
+    */
+  def builder(
+      appName: String = "graft",
+      cores: Int = 32,
+      broadcastThresholdMb: Int = 10,
+      maxPartitionBytes: String = "128m"): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${broadcastThresholdMb}m")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       // the synthetic lake stores event timestamps as parquet TIMESTAMP(NANOS),
       // which Spark only reads as a long (see SparkEntry.evSec)

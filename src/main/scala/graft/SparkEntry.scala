@@ -912,6 +912,14 @@ object SparkEntry {
     graft.streaming.StreamVerify.lakeRoundTrip(s, eventsPath(dir), scratch(dir, "q56"))
       .orderBy(col("date_id"))
 
+  /** Stream-static join: event stream enriched against the static customer
+    * dimension, aggregated per market segment.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.staticJoin(
+      s, eventsPath(dir), T(s, dir, "customer"), "c_custkey")
+      .orderBy(col("c_mktsegment"))
+
   // ---------------------------------------------------------------- maps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -982,7 +990,8 @@ object SparkEntry {
     "q53_stream_hourly" -> (q53 _),
     "q54_stream_sessions" -> (q54 _),
     "q55_stream_dedup" -> (q55 _),
-    "q56_stream_lake" -> (q56 _))
+    "q56_stream_lake" -> (q56 _),
+    "q69_stream_static_join" -> (q69 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -1213,6 +1222,8 @@ object SparkEntry {
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
     "q56_stream_lake" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1 ORDER BY date_id""",
+    "q69_stream_static_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, $SUMV AS total_value FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q39_clean_corpus" ->
       """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), sc AS (SELECT doc_id, n_words, alpha_ratio, fp, (length(p) - length(replace(p, ' the ', ' '))) / 4 + (length(p) - length(replace(p, ' a ', ' '))) / 2 AS s_en, (length(p) - length(replace(p, ' der ', ' '))) / 4 + (length(p) - length(replace(p, ' und ', ' '))) / 4 AS s_de, (length(p) - length(replace(p, ' el ', ' '))) / 3 + (length(p) - length(replace(p, ' los ', ' '))) / 4 AS s_es, (length(p) - length(replace(p, ' le ', ' '))) / 3 + (length(p) - length(replace(p, ' et ', ' '))) / 3 AS s_fr FROM s), l AS (SELECT doc_id, n_words, alpha_ratio, fp, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en' WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de' WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es > 0 THEN 'es' WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred FROM sc), g AS (SELECT doc_id, n_words, alpha_ratio, lang_pred, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM l WHERE n_words >= 10 AND alpha_ratio >= 0.5) SELECT doc_id, n_words, alpha_ratio, lang_pred FROM g WHERE rn = 1 ORDER BY doc_id""")
 }

@@ -83,6 +83,19 @@ object StreamVerify {
     drain(spark, distinctPairs, "append")
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension DataFrame (re-read per micro-batch by the engine; the dim
+    * broadcast-joins under the session threshold), then aggregated.
+    */
+  def staticJoin(spark: SparkSession, eventsPath: String, dim: DataFrame, dimKey: String): DataFrame = {
+    val agg = EventsStream.readEvents(spark, eventsPath)
+      .join(dim, col("user_id") === col(dimKey))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+    drain(spark, agg, "complete")
+  }
+
   /** Continuous bronze load drained end-to-end: micro-batches land in a
     * `date_id/batch_id`-partitioned lake via idempotent delete-insert, then
     * the lake is read back and aggregated. The lake and checkpoint are

@@ -45,6 +45,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(formatted(q("q26_knn_brute")).contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q57: range join runs as an equi join on the bucket, never nested-loop") {
+    val p = formatted(q("q57_range_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval containment must ride the bucket equi-join, not a BNL theta-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("q20: event-type filters pushed into both as-of input scans") {
     val p = formatted(q("q20_asof_join"))
     assert(p.contains("EqualTo(event_type,purchase)") &&
