@@ -873,6 +873,77 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Ordered array aggregation: per user, the event sequence collected as a
+    * sorted struct array (collect_list alone is order-nondeterministic),
+    * then sliced/joined into a journey prefix string.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("user_id"),
+        struct(evSec.as("sec"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        size(col("es")).cast("long").as("n_events"),
+        array_join(
+          slice(transform(col("es"), x => x.getField("event_type")), 1, 5), ">")
+          .as("first5"))
+      .orderBy(col("user_id"))
+
+  /** Path (sequence) mining: top 20 three-step event-type paths via lead
+    * windows — no self-joins, one shuffle on the user key.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_type"), evSec.as("sec"), col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Cohort retention: users grouped by first-signup day, distinct actives
+    * per whole-week offset since signup.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val firstSignup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(evSec).as("s0"))
+    ev.select(col("user_id"), evSec.as("sec"))
+      .join(firstSignup, Seq("user_id"))
+      .filter(col("sec") >= col("s0"))
+      .select(
+        date_format(timestamp_seconds(col("s0")).cast("timestamp_ntz"), "yyyy-MM-dd")
+          .as("cohort_day"),
+        expr("(sec - s0) div 604800").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("week_offset"))
+  }
+
+  /** ORC source/sink round-trip with explicit schema (the engine's second
+    * columnar format beside parquet), aggregated after read-back.
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q73")
+    T(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").orc(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).orc(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -978,6 +1049,10 @@ object SparkEntry {
     "q57_range_join" -> (q57 _),
     "q60_regex_extract" -> (q60 _),
     "q64_scd2_islands" -> (q64 _),
+    "q70_array_agg" -> (q70 _),
+    "q71_event_paths" -> (q71 _),
+    "q72_cohort" -> (q72 _),
+    "q73_orc_roundtrip" -> (q73 _),
     "q65_resample_ffill" -> (q65 _),
     "q66_unpivot" -> (q66 _),
     "q67_histogram" -> (q67 _),
@@ -1191,6 +1266,14 @@ object SparkEntry {
       """SELECT o_custkey, 'both' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') UNION ALL SELECT o_custkey, 'f_only' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') UNION ALL SELECT o_custkey, 'o_only' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY segment, o_custkey""",
     "q59_word_clusters" ->
       """WITH RECURSIVE v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents), p AS (SELECT a.w AS wa, b.w AS wb FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2), ed AS (SELECT wa AS src, wb AS dst FROM p UNION ALL SELECT wb AS src, wa AS dst FROM p), nodes AS (SELECT DISTINCT src AS node FROM ed), reach(node, label) AS (SELECT node, node FROM nodes UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node) SELECT node AS w, MIN(label) AS cluster_rep FROM reach GROUP BY node ORDER BY w""",
+    "q70_array_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events, array_to_string((list(event_type ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT), event_id))[1:5], '>') AS first5 FROM events GROUP BY user_id ORDER BY user_id""",
+    "q71_event_paths" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, event_id FROM events), l AS (SELECT event_type, lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)) SELECT concat_ws('>', event_type, t2, t3) AS path, COUNT(*) AS n FROM l WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+    "q72_cohort" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS s0 FROM events WHERE event_type = 'signup' GROUP BY user_id), e AS (SELECT ev.user_id, CAST(epoch_ns(ev.ts) // 1000000000 AS BIGINT) AS sec, f.s0 FROM events ev JOIN f ON ev.user_id = f.user_id) SELECT strftime(epoch_ms(s0 * 1000), '%Y-%m-%d') AS cohort_day, (sec - s0) // 604800 AS week_offset, COUNT(DISTINCT user_id) AS n_users FROM e WHERE sec >= s0 GROUP BY 1, 2 ORDER BY cohort_day, week_offset""",
+    "q73_orc_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
     "q64_scd2_islands" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), c AS (SELECT user_id, event_id, event_type, sec, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), g AS (SELECT user_id, event_type, sec, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM c), a AS (SELECT user_id, version, MIN(event_type) AS event_type, MIN(sec) AS valid_from, MAX(sec) AS valid_to, COUNT(*) AS n_events FROM g GROUP BY user_id, version) SELECT user_id, version, event_type, valid_from, valid_to, n_events, CAST(version = MAX(version) OVER (PARTITION BY user_id) AS INTEGER) AS is_current FROM a ORDER BY user_id, version""",
     "q65_resample_ffill" ->
