@@ -944,6 +944,32 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Dynamic partition pruning: the partitioned events lake joined to a
+    * tiny date dimension — the lake's partition filter is injected at
+    * RUNTIME from the dim side (`dynamicpruning` subquery in the plan), so
+    * only the dim's days are scanned. This is how a 100 TB fact table
+    * avoids a full scan when the filter lives on the dimension.
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q36") // reuse q36's date_id-partitioned lake
+    val ev = T(s, dir, "events")
+    PartitionedLake.writeAll(
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), evDateId.as("date_id")),
+      path, Seq("date_id"))
+    // the recency cut is an explicit PREDICATE (day_rank <= 3), not a
+    // LIMIT: dynamic partition pruning only fires when the build side
+    // carries a selective filter predicate
+    val lastDays = ev.select(evDateId.as("date_id")).distinct()
+      .withColumn("day_rank", row_number().over(Window.orderBy(col("date_id").desc)))
+      .filter(col("day_rank") <= 3)
+    PartitionedLake.read(s, path)
+      .join(broadcast(lastDays), Seq("date_id"))
+      .groupBy(col("date_id").cast("string").as("date_id"), col("day_rank"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("date_id"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1053,6 +1079,7 @@ object SparkEntry {
     "q71_event_paths" -> (q71 _),
     "q72_cohort" -> (q72 _),
     "q73_orc_roundtrip" -> (q73 _),
+    "q74_dynamic_pruning" -> (q74 _),
     "q65_resample_ffill" -> (q65 _),
     "q66_unpivot" -> (q66 _),
     "q67_histogram" -> (q67 _),
@@ -1274,6 +1301,8 @@ object SparkEntry {
       """WITH f AS (SELECT user_id, MIN(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS s0 FROM events WHERE event_type = 'signup' GROUP BY user_id), e AS (SELECT ev.user_id, CAST(epoch_ns(ev.ts) // 1000000000 AS BIGINT) AS sec, f.s0 FROM events ev JOIN f ON ev.user_id = f.user_id) SELECT strftime(epoch_ms(s0 * 1000), '%Y-%m-%d') AS cohort_day, (sec - s0) // 604800 AS week_offset, COUNT(DISTINCT user_id) AS n_users FROM e WHERE sec >= s0 GROUP BY 1, 2 ORDER BY cohort_day, week_offset""",
     "q73_orc_roundtrip" ->
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
+    "q74_dynamic_pruning" ->
+      s"""WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date_id FROM events ORDER BY date_id DESC LIMIT 3), r AS (SELECT date_id, CAST(ROW_NUMBER() OVER (ORDER BY date_id DESC) AS INTEGER) AS day_rank FROM d) SELECT e.date_id, r.day_rank, COUNT(*) AS n, $SUMV AS total_value FROM (SELECT strftime(ts, '%Y-%m-%d') AS date_id, value FROM events) e JOIN r ON e.date_id = r.date_id GROUP BY e.date_id, r.day_rank ORDER BY e.date_id""",
     "q64_scd2_islands" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), c AS (SELECT user_id, event_id, event_type, sec, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), g AS (SELECT user_id, event_type, sec, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM c), a AS (SELECT user_id, version, MIN(event_type) AS event_type, MIN(sec) AS valid_from, MAX(sec) AS valid_to, COUNT(*) AS n_events FROM g GROUP BY user_id, version) SELECT user_id, version, event_type, valid_from, valid_to, n_events, CAST(version = MAX(version) OVER (PARTITION BY user_id) AS INTEGER) AS is_current FROM a ORDER BY user_id, version""",
     "q65_resample_ffill" ->

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorFunctions._
 
@@ -85,12 +86,22 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** K-means coarse quantizer built with DataFrame ops only: deterministic
-    * init (first `k` vectors by id), fixed Lloyd iterations. Centroids stay
-    * a tiny DataFrame (k × dims) that Catalyst auto-broadcasts into the
-    * assignment cross join, so each iteration is one corpus scan + one
-    * small shuffle for the centroid recompute — the shape that holds at
-    * 100 TB (centroid count, not corpus size, bounds the broadcast).
+  /** K-means coarse quantizer: deterministic init (first `k` vectors by
+    * id), fixed Lloyd iterations. Each iteration is one corpus scan
+    * (centroids broadcast into the assignment) + one shuffle for the
+    * recompute — the shape that holds at 100 TB, where the centroid set
+    * (k × dims) stays tiny by definition while the corpus scales out.
+    *
+    * Two deliberate choices:
+    * - Centroid means accumulate in DECIMAL and divide as exact
+    *   sum/count doubles — a raw double `avg` depends on shuffle-arrival
+    *   order, making the whole index nondeterministic run-to-run.
+    * - Each iteration's centroids are COLLECTED to the driver and rebuilt
+    *   as a literal DataFrame (the standard k-means driver pattern): the
+    *   alternative — chaining iteration i+1's plan onto iteration i's —
+    *   grows the lineage exponentially and re-executes every prior
+    *   iteration inside each reference. Collecting k×dims values is O(kB)
+    *   at any corpus size.
     */
   def kmeansCentroids(
       corpus: DataFrame,
@@ -98,29 +109,40 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 2): DataFrame = {
-    val wInit = Window.orderBy(col(idCol))
-    var centroids = corpus
-      .orderBy(col(idCol)).limit(k)
-      .select((row_number().over(wInit) - 1).as("cid"),
-        transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = corpus.sparkSession
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType, containsNull = false))))
+    def literal(rows: Seq[(Int, Seq[Double])]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*), schema)
+    var cur: Seq[(Int, Seq[Double])] =
+      corpus.orderBy(col(idCol)).limit(k)
+        .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (_ <- 0 until iters) {
-      val assigned = assign(corpus, centroids, idCol, vecCol)
+      val assigned = assign(corpus, literal(cur), idCol, vecCol)
       val recomputed = corpus
         .join(assigned, Seq(idCol))
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(col("x").cast("double").cast(DecimalType(30, 12))).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cid"), transform(col("ps"), p => p.getField("m")).as("nvec"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toMap
       // a cluster that attracted zero points vanishes from the recompute
       // groupBy — carry its previous centroid forward so the caller always
       // gets exactly k cells (annIvf's nProbe math assumes that)
-      centroids = centroids
-        .join(recomputed, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("nvec"), col("cvec")).as("cvec"))
+      cur = cur.map { case (cid, cvec) => (cid, recomputed.getOrElse(cid, cvec)) }
     }
-    centroids
+    literal(cur)
   }
 
   /** Nearest-centroid assignment: (idCol, cid). */

@@ -52,6 +52,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q74: lake scan carries a dynamic partition pruning subquery") {
+    val p = formatted(q("q74_dynamic_pruning"))
+    assert(p.contains("dynamicpruning"),
+      "the date dim must prune lake partitions at runtime, not post-scan")
+  }
+
   test("q20: event-type filters pushed into both as-of input scans") {
     val p = formatted(q("q20_asof_join"))
     assert(p.contains("EqualTo(event_type,purchase)") &&

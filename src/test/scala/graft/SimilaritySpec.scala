@@ -49,6 +49,14 @@ class SimilaritySpec extends SparkSuite {
     assert(out.head().getAs[Long]("nid") == 100000L)
   }
 
+  test("annIvf is deterministic run-to-run (decimal centroid accumulation)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    def run() = Similarity.annIvf(emb, q, "vec_id", "embedding", nCentroids = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
+
   test("a zero vector (NaN cosine) never outranks real neighbors") {
     import spark.implicits._
     val emb = Tables.load(spark, sf, "embeddings").limit(50)
