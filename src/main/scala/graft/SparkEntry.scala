@@ -979,10 +979,19 @@ object SparkEntry {
   private def eventsPath(dir: String): String = {
     val staged = java.nio.file.Paths.get(scratch(dir, "stream_events"))
     val link = staged.resolve("events.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
     java.nio.file.Files.createDirectories(staged)
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // NOFOLLOW: a dangling or stale link must be detected as present and
+    // replaced — Files.exists(link) follows the link and would report false,
+    // after which createSymbolicLink throws FileAlreadyExistsException
+    val linkPresent = java.nio.file.Files.exists(
+      link, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+    val stale = linkPresent &&
+      (!java.nio.file.Files.isSymbolicLink(link) ||
+        java.nio.file.Files.readSymbolicLink(link) != target)
+    if (stale) java.nio.file.Files.delete(link)
+    if (!linkPresent || stale)
+      java.nio.file.Files.createSymbolicLink(link, target)
     staged.toString
   }
 

@@ -213,15 +213,27 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("nl")).as("nmin"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin.select(col("src").as("node"), col("nmin")), Seq("node"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jumping: follow label -> label(label) and take the smaller.
+      // Neighbor propagation alone needs DIAMETER rounds (an n-node chain
+      // needs n of them); the shortcut squares the reach per round, so
+      // maxIter=30 covers chains past 2^30 nodes
+      val updated = propagated.alias("p")
+        .join(propagated.select(col("node").as("label"), col("label").as("ll")).alias("l"),
+          Seq("label"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true) // truncate the lineage: iterative plans grow exponentially otherwise
       converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).isEmpty
       labels = updated
       iter += 1
     }
+    // a silent non-fixpoint would return wrong cluster representatives (and
+    // break oracle parity); with pointer jumping this fires only on graphs
+    // beyond 2^maxIter diameter-equivalents
+    require(converged, s"dupClusters did not converge within $maxIter rounds")
     labels.select(col("node").as(idCol), col("label").as("cluster_rep"))
   }
 

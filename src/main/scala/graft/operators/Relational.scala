@@ -129,12 +129,19 @@ object Relational {
       hiCol: String,
       bucketSize: Double): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
+    require(
+      !(fact.columns ++ intervals.columns).exists(_.startsWith("__")),
+      "rangeJoin: input columns may not start with '__' (reserved for internal use)")
     val lastBucket =
       // hi is exclusive: an interval ending exactly on a bucket boundary
       // does not overlap that bucket
       when(col(hiCol) % bucketSize === 0.0, floor(col(hiCol) / bucketSize) - 1)
         .otherwise(floor(col(hiCol) / bucketSize))
     val expandedIntervals = intervals
+      // empty intervals (hi <= lo) match nothing under the hi-exclusive
+      // semantics — and without this filter their bucket sequence would run
+      // BACKWARDS (Spark's sequence auto-steps -1 when start > stop)
+      .filter(col(hiCol) > col(loCol))
       .withColumn("__bucket",
         explode(sequence(floor(col(loCol) / bucketSize).cast("long"),
           lastBucket.cast("long"))))

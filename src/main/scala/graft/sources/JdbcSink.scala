@@ -52,8 +52,11 @@ object JdbcSink {
       keyValue: String,
       props: Properties,
       numPartitions: Int = 8): Unit = {
-    val keyTag = java.lang.Integer.toHexString(
-      java.util.Arrays.hashCode(keyValue.getBytes("UTF-8")))
+    // 128-bit tag: a 32-bit hash would let distinct keys collide onto one
+    // stage table and cross-commit each other's rows
+    val keyTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(keyValue.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
     val stage = s"${table}__stage_$keyTag"
     df.coalesce(numPartitions)
       .write

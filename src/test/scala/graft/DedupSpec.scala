@@ -54,6 +54,16 @@ class DedupSpec extends SparkSuite {
     assert(out(4L) == 4L && out(5L) == 4L)
   }
 
+  test("dupClusters converges on a chain far longer than maxIter (pointer jumping)") {
+    // a 60-node chain needs 59 plain-propagation rounds; pointer jumping
+    // must finish (and hit the convergence check) within maxIter=10
+    val nodes = (1L to 60L).toDF("id")
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(nodes, "id", pairs, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 60L).forall(out(_) == 1L))
+  }
+
   test("ngram jaccard ranks the exact duplicate pair first") {
     val top = Dedup.ngramJaccardTopPairs(docs, "doc_id", "text", topK = 10).head()
     assert(top.getAs[Long]("id_a") == 1L)

@@ -56,6 +56,13 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("rangeJoin ignores empty intervals (hi <= lo) instead of exploding descending buckets") {
+    val fact = Seq((1L, 50.0)).toDF("id", "v")
+    val intervals = Seq(("empty", 50.0, 50.0), ("inverted", 80.0, 20.0))
+      .toDF("name", "lo", "hi")
+    assert(Relational.rangeJoin(fact, "v", intervals, "lo", "hi", 25.0).isEmpty)
+  }
+
   test("rangeJoin emits each match exactly once even when an interval spans many buckets") {
     val fact = Seq((1L, 50.0)).toDF("id", "v")
     val intervals = Seq(("wide", 0.0, 1000.0)).toDF("name", "lo", "hi")
