@@ -21,13 +21,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
-    // warm-up pass: JVM JIT + codegen compilation; the measured pass below
-    // reports steady-state throughput
+    // warm-up pass: JVM JIT + codegen compilation; then two measured passes
+    // with min-per-query — steady-state throughput with less scheduler/GC
+    // noise than a single pass (this box shows ±20% run-to-run)
     names.foreach(consume)
-    val results = names.map { name =>
+    def once(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = consume(name)
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val results = names.map { name =>
+      val (t1, ok1) = once(name)
+      val (t2, ok2) = once(name)
+      (name, math.min(t1, t2), ok1 && ok2)
     }
     val out = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -970,6 +970,30 @@ object SparkEntry {
       .orderBy(col("date_id"))
   }
 
+  /** Salted join: orders (big, skewed side) joined to customer (replicated
+    * small side) on (key, salt) — row-identical to the plain join, hot keys
+    * spread over 16 reducers. Aggregated for a compact verifiable result.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    Relational.saltedJoin(
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      T(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      "o_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sumx(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Quality-weighted corpus sampling: documents survive with probability
+    * equal to their quality score (deterministic md5 fraction vs weight).
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      T(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text"))),
+      "doc_id", "quality")
+      .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality_r"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1089,6 +1113,8 @@ object SparkEntry {
     "q72_cohort" -> (q72 _),
     "q73_orc_roundtrip" -> (q73 _),
     "q74_dynamic_pruning" -> (q74 _),
+    "q75_salted_join" -> (q75 _),
+    "q76_weighted_sample" -> (q76 _),
     "q65_resample_ffill" -> (q65 _),
     "q66_unpivot" -> (q66 _),
     "q67_histogram" -> (q67 _),
@@ -1190,6 +1216,10 @@ object SparkEntry {
       s"(CASE WHEN 2 * len(list_filter(h, x -> (x >> $j) & 1 = 1)) >= n THEN CAST('${uns(1L << j)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
       .mkString("(", " + ", ")")
 
+  /** TF.qualityScore replayed in SQL (same expression as the q29 oracle). */
+  private val QUALITY_SQL =
+    """(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.5 + (((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ' '))) / 4 + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ' '))) / 2 + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ' '))) / 4 + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ' '))) / 3) / CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS DOUBLE)) * 0.5"""
+
   /** Shared prelude: per-doc word-hash list + word count. */
   private val DOC_HASHES =
     "SELECT doc_id, list_transform(docwords(text), w -> xshash(w)) AS h, len(docwords(text)) AS n FROM documents"
@@ -1286,6 +1316,10 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY word ORDER BY word""",
     "q43_scalar_subquery" ->
       """WITH a AS (SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price FROM orders GROUP BY o_custkey) SELECT o_orderkey, o_custkey, o_totalprice, avg_price FROM orders JOIN a ON o_custkey = k WHERE o_totalprice > avg_price ORDER BY o_orderkey""",
+    "q75_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q76_weighted_sample" ->
+      s"""WITH q AS (SELECT doc_id, lang, $QUALITY_SQL AS quality FROM documents) SELECT doc_id, lang, round(quality, 6) AS quality_r FROM q WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < least(greatest(quality, 0.0), 1.0) ORDER BY doc_id""",
     "q22_dedup_minhash" ->
       s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs), sigs AS (SELECT doc_id, $sigSql AS sig FROM shingled), bands AS (SELECT doc_id, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT doc_id, z[2] AS band_idx, z[1] AS band_hash FROM bands), stats AS (SELECT doc_id, MIN(doc_id) OVER w AS bucket_rep, COUNT(*) OVER w AS bucket_n FROM wb WINDOW w AS (PARTITION BY band_idx, band_hash)) SELECT doc_id, MIN(bucket_rep) AS rep_id, CAST(SUM(bucket_n - 1) AS BIGINT) AS n_candidates FROM stats GROUP BY doc_id ORDER BY doc_id""",
     "q23_dedup_simhash" ->

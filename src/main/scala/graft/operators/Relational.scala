@@ -152,6 +152,35 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Salted join for skewed keys: the big side gets a deterministic salt in
+    * [0, saltBuckets) derived from non-key attributes, the small side is
+    * replicated once per salt value, and the join runs on (key, salt) —
+    * spreading one hot key over `saltBuckets` reducers. Result is
+    * row-identical to the plain join.
+    *
+    * AQE's skew-join split handles most cases at runtime; explicit salting
+    * remains the tool when a single key exceeds what one task can hold even
+    * after AQE splitting (AQE splits the partition, salting also spreads
+    * the build side), or when AQE is unavailable (streaming joins).
+    * The salt hashes row content, not rand(): task retries must re-derive
+    * the same salt or fetch-failure recomputation duplicates/loses rows.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int = 16): DataFrame = {
+    require(
+      !(big.columns ++ small.columns).exists(_.startsWith("__")),
+      "saltedJoin: input columns may not start with '__' (reserved for internal use)")
+    val nonKey = big.columns.filterNot(_ == key).map(col)
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(nonKey: _*), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit((saltBuckets - 1).toLong))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Exact discrete percentile per group: value at row `ceil(p * n)` of the
     * group ordered by (`valueCol`, `tieBreak`). Returns one row per group
     * with one column per requested percentile, named `p<percent>`.

@@ -26,6 +26,24 @@ object Sampling {
     df.filter(nibble(col(keyCol)).isin(keep: _*))
   }
 
+  /** Weighted (importance) sampling: keep a row with probability equal to
+    * its `weight` column (clamped to [0,1]), decided by comparing a
+    * uniform hash fraction of the key against the weight — deterministic,
+    * engine-portable (md5), and monotone: raising a row's weight can only
+    * ADD it to the sample, never remove others. The LLM-pipeline use:
+    * quality-weighted corpus downsampling where high-quality documents
+    * survive at higher rates.
+    *
+    * The fraction takes the first 8 md5 hex digits as an integer over
+    * 16^8 — uniform on [0,1) with 2^-32 granularity.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String): DataFrame = {
+    val frac = conv(
+      substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    df.filter(frac < least(greatest(col(weightCol), lit(0.0)), lit(1.0)))
+  }
+
   /** Stratified sample: `perStratum` rows per stratum, chosen in a
     * deterministic pseudo-random order (md5 of the key, tie-break key).
     */

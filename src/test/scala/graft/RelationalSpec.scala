@@ -70,6 +70,17 @@ class RelationalSpec extends SparkSuite {
     assert(got.count() == 1L)
   }
 
+  test("saltedJoin is row-identical to the plain join, including skewed keys") {
+    val big = ((1 to 200).map(i => (1L, i.toDouble)) ++ // hot key
+      (1 to 50).map(i => (2L + i % 3, i * 10.0))).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (9L, "unmatched"))
+      .toDF("k", "tag")
+    val salted = Relational.saltedJoin(big, small, "k")
+    val plain = big.join(small, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("discretePercentiles selects the ceil(p*n)-th value") {
     val df = (1 to 100).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
     val out = Relational.discretePercentiles(df, "g", "v", "id", Seq(0.5, 0.9))
