@@ -994,6 +994,35 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality_r"))
       .orderBy(col("doc_id"))
 
+  /** MERGE INTO (upsert) over the partitioned lake: daily aggregates seeded,
+    * then the latest day's click/view rows updated (+1000 events) and one
+    * new key inserted — read back in full. Exercises
+    * [[PartitionedLake.mergeUpsert]]'s affected-partition-only rewrite.
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q78")
+    val daily = T(s, dir, "events")
+      .groupBy(evDateId.as("date_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumx(col("value")).as("total_value"))
+    PartitionedLake.writeAll(daily, lake, Seq("date_id"))
+    val maxDate = daily.agg(max(col("date_id"))).head().getString(0)
+    val updates = daily
+      .filter(col("date_id") === maxDate && col("event_type").isin("click", "view"))
+      .withColumn("n_events", col("n_events") + 1000)
+      .unionByName(
+        s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row("synthetic", 1L, 0.0, maxDate)),
+          StructType(Seq(
+            StructField("event_type", StringType), StructField("n_events", LongType),
+            StructField("total_value", DoubleType), StructField("date_id", StringType)))))
+    PartitionedLake.mergeUpsert(s, lake, updates,
+      keyCols = Seq("date_id", "event_type"), partCols = Seq("date_id"))
+    PartitionedLake.read(s, lake)
+      .select(col("date_id").cast("string").as("date_id"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("date_id"), col("event_type"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1041,6 +1070,13 @@ object SparkEntry {
   private def q56(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamVerify.lakeRoundTrip(s, eventsPath(dir), scratch(dir, "q56"))
       .orderBy(col("date_id"))
+
+  /** Stream-stream interval join: purchases ⋈ same-user clicks within the
+    * preceding hour, both sides watermarked.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.streamStreamJoin(s, eventsPath(dir))
+      .orderBy(col("p_id"), col("c_id"))
 
   /** Stream-static join: event stream enriched against the static customer
     * dimension, aggregated per market segment.
@@ -1128,7 +1164,9 @@ object SparkEntry {
     "q54_stream_sessions" -> (q54 _),
     "q55_stream_dedup" -> (q55 _),
     "q56_stream_lake" -> (q56 _),
-    "q69_stream_static_join" -> (q69 _))
+    "q69_stream_static_join" -> (q69 _),
+    "q77_stream_stream_join" -> (q77 _),
+    "q78_merge_upsert" -> (q78 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -1215,6 +1253,18 @@ object SparkEntry {
     (0 until 64).map(j =>
       s"(CASE WHEN 2 * len(list_filter(h, x -> (x >> $j) & 1 = 1)) >= n THEN CAST('${uns(1L << j)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
       .mkString("(", " + ", ")")
+
+  /** Nearest-centroid assignment for the q40 oracle (C = centroid CTE). */
+  private def ivfAssignSql(c: String): String =
+    s"""SELECT vec_id, cid FROM (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY pcos(e.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings e CROSS JOIN $c c) WHERE rnk = 1"""
+
+  /** Lloyd recompute for the q40 oracle: decimal-exact per-position means
+    * (the same DECIMAL(30,12) sum / count the Spark side uses — that
+    * determinism fix is what makes this oracle possible), empty cells carry
+    * the previous centroid.
+    */
+  private def ivfRecomputeSql(c: String, a: String): String =
+    s"""SELECT prev.cid, COALESCE(r.nvec, prev.cvec) AS cvec FROM $c prev LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS nvec FROM (SELECT a.cid, u.pos, CAST(SUM(CAST(u.x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m FROM embeddings e JOIN $a a ON e.vec_id = a.vec_id, LATERAL (SELECT unnest(list_transform(e.embedding, f -> CAST(f AS DOUBLE))) AS x, generate_subscripts(e.embedding, 1) AS pos) u GROUP BY a.cid, u.pos) GROUP BY cid) r ON prev.cid = r.cid"""
 
   /** TF.qualityScore replayed in SQL (same expression as the q29 oracle). */
   private val QUALITY_SQL =
@@ -1316,6 +1366,10 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY word ORDER BY word""",
     "q43_scalar_subquery" ->
       """WITH a AS (SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price FROM orders GROUP BY o_custkey) SELECT o_orderkey, o_custkey, o_totalprice, avg_price FROM orders JOIN a ON o_custkey = k WHERE o_totalprice > avg_price ORDER BY o_orderkey""",
+    // the full 2-iteration deterministic k-means replayed in SQL, validated
+    // against the Spark dump at all three SFs in tools/proto_ivf_oracle.py
+    "q40_ann_ivf" ->
+      s"""$VEC_MACROS; WITH c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)), a1 AS (${ivfAssignSql("c0")}), c1 AS (${ivfRecomputeSql("c0", "a1")}), a2 AS (${ivfAssignSql("c1")}), c2 AS (${ivfRecomputeSql("c1", "a2")}), cells AS (${ivfAssignSql("c2")}), probes AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY pcos(q.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rnk <= 2), cand AS (SELECT DISTINCT p.qid, s.vec_id AS nid FROM probes p JOIN cells s ON p.cid = s.cid WHERE s.vec_id <> p.qid), scored AS (SELECT c.qid, c.nid, round(pcos(qe.embedding, ne.embedding), 4) AS cos_r FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid JOIN embeddings ne ON ne.vec_id = c.nid), r AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q75_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q76_weighted_sample" ->
@@ -1379,6 +1433,10 @@ object SparkEntry {
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1 ORDER BY date_id""",
     "q69_stream_static_join" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n, $SUMV AS total_value FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q77_stream_stream_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS c_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'click') SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id AND c.sec >= p.sec - 3600 AND c.sec <= p.sec ORDER BY p_id, c_id""",
+    "q78_merge_upsert" ->
+      s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events GROUP BY 1, 2), mx AS (SELECT MAX(date_id) AS d FROM daily), upd AS (SELECT date_id, event_type, n_events + 1000 AS n_events, total_value FROM daily WHERE date_id = (SELECT d FROM mx) AND event_type IN ('click', 'view') UNION ALL SELECT (SELECT d FROM mx), 'synthetic', 1, 0.0) SELECT * FROM (SELECT date_id, event_type, n_events, total_value FROM daily WHERE NOT (date_id = (SELECT d FROM mx) AND event_type IN ('click', 'view')) UNION ALL SELECT date_id, event_type, n_events, total_value FROM upd) ORDER BY date_id, event_type""",
     "q39_clean_corpus" ->
       """WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), sc AS (SELECT doc_id, n_words, alpha_ratio, fp, (length(p) - length(replace(p, ' the ', ' '))) / 4 + (length(p) - length(replace(p, ' a ', ' '))) / 2 AS s_en, (length(p) - length(replace(p, ' der ', ' '))) / 4 + (length(p) - length(replace(p, ' und ', ' '))) / 4 AS s_de, (length(p) - length(replace(p, ' el ', ' '))) / 3 + (length(p) - length(replace(p, ' los ', ' '))) / 4 AS s_es, (length(p) - length(replace(p, ' le ', ' '))) / 3 + (length(p) - length(replace(p, ' et ', ' '))) / 3 AS s_fr FROM s), l AS (SELECT doc_id, n_words, alpha_ratio, fp, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en' WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de' WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es > 0 THEN 'es' WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred FROM sc), g AS (SELECT doc_id, n_words, alpha_ratio, lang_pred, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM l WHERE n_words >= 10 AND alpha_ratio >= 0.5) SELECT doc_id, n_words, alpha_ratio, lang_pred FROM g WHERE rn = 1 ORDER BY doc_id""")
 }

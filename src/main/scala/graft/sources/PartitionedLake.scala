@@ -40,6 +40,36 @@ object PartitionedLake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** MERGE (upsert) emulation over the parquet lake: rows in `updates`
+    * replace same-key rows, new keys append — the Iceberg/Delta `MERGE
+    * INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` pattern on a
+    * format without row-level transactions.
+    *
+    * Only the partitions PRESENT in `updates` are rewritten: surviving
+    * rows of those partitions (anti-join on the key) union the updates,
+    * then dynamic partition overwrite commits them atomically; untouched
+    * partitions are never read or written. At 100 TB the cost is
+    * proportional to the affected partitions, not the table.
+    *
+    * Keys must not move between partitions (partition columns functionally
+    * determined by the key), the usual lake-merge contract.
+    */
+  def mergeUpsert(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      partCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val affected = updates.select(partCols.map(col): _*).distinct()
+    val survivors = read(spark, path)
+      .join(affected, partCols, "left_semi")   // only affected partitions
+      .join(updates, keyCols, "left_anti")     // drop rows being replaced
+    deleteInsert(
+      survivors.unionByName(updates.select(survivors.columns.map(col): _*)),
+      path, partCols)
+  }
+
   /** Explicitly drop one partition's directory — the reference's
     * `delete_partition_data` (/root/reference/utils/duckdb_utils.py:77).
     * Needed when a refresh legitimately produces ZERO rows for a

@@ -96,6 +96,29 @@ object StreamVerify {
     drain(spark, agg, "complete")
   }
 
+  /** Stream-stream inner join with an event-time interval condition:
+    * purchases matched to same-user clicks in the preceding hour. Both
+    * sides carry watermarks (bounding join state); inner-join matches emit
+    * as soon as both rows arrive, so an AvailableNow drain yields exactly
+    * the batch join result.
+    */
+  def streamStreamJoin(spark: SparkSession, eventsPath: String): DataFrame = {
+    val purchases = EventsStream.readEvents(spark, eventsPath)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = EventsStream.readEvents(spark, eventsPath)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= expr("p_ts - INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+    drain(spark, joined, "append")
+  }
+
   /** Continuous bronze load drained end-to-end: micro-batches land in a
     * `date_id/batch_id`-partitioned lake via idempotent delete-insert, then
     * the lake is read back and aggregated. The lake and checkpoint are

@@ -27,6 +27,32 @@ class LakeSpec extends SparkSuite {
       ("2024-01-02", "z", 99L), ("2024-01-03", "a", 4L)))
   }
 
+  test("mergeUpsert updates matched keys, inserts new keys, leaves other partitions' files alone") {
+    val dir = Files.createTempDirectory("graft_lake_merge").toString
+    val initial = Seq(
+      ("2024-01-01", "a", 1L), ("2024-01-01", "b", 2L),
+      ("2024-01-02", "a", 3L))
+      .toDF("date_id", "k", "v")
+    PartitionedLake.writeAll(initial, dir, Seq("date_id"))
+    val untouched = new java.io.File(s"$dir/date_id=2024-01-01")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // update (2024-01-02, a) and insert (2024-01-02, c)
+    val updates = Seq(("2024-01-02", "a", 30L), ("2024-01-02", "c", 5L))
+      .toDF("date_id", "k", "v")
+    PartitionedLake.mergeUpsert(spark, dir, updates,
+      keyCols = Seq("date_id", "k"), partCols = Seq("date_id"))
+    val back = PartitionedLake.read(spark, dir)
+      .select(col("date_id").cast("string"), col("k"), col("v"))
+      .as[(String, String, Long)].collect().toSet
+    assert(back == Set(
+      ("2024-01-01", "a", 1L), ("2024-01-01", "b", 2L),
+      ("2024-01-02", "a", 30L), ("2024-01-02", "c", 5L)))
+    // the unaffected partition's files were not rewritten
+    val after = new java.io.File(s"$dir/date_id=2024-01-01")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == untouched)
+  }
+
   test("deleteInsert is idempotent") {
     val dir = Files.createTempDirectory("graft_lake_spec2").toString
     val df = Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("date_id", "v")
