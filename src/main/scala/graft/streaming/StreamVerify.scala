@@ -27,16 +27,28 @@ object StreamVerify {
 
   private val n = new AtomicLong(0)
 
-  /** Drain a memory-sink streaming query and return its table. */
+  /** Drain a memory-sink streaming query and return its table.
+    *
+    * Stateful operators keep one state store per shuffle partition; at the
+    * verification data volume 32 stores are pure overhead (measured ~2×
+    * on the stream-stream join), so the drain runs with 8 and restores the
+    * session setting after. A production deployment sizes this to state
+    * volume, not to this harness. The checkpoint is fresh per drain, so
+    * the state partitioning is free to differ between runs.
+    */
   private def drain(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sv_${n.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
