@@ -17,6 +17,11 @@ import graft.sources.{PartitionedLake, Tables}
   * to match DuckDB; event ts (parquet nanos) read as long nanos and
   * floored to seconds for any time arithmetic.
   */
+/** Typed rows for the Dataset-API query (q79). */
+case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double, o_orderstatus: String)
+case class CustomerRow(c_custkey: Long, c_name: String, c_mktsegment: String)
+case class EnrichedOrder(o_orderkey: Long, c_name: String, c_mktsegment: String, o_totalprice: Double)
+
 object SparkEntry {
 
   private def T(s: SparkSession, dir: String, n: String): DataFrame = {
@@ -1023,6 +1028,66 @@ object SparkEntry {
       .orderBy(col("date_id"), col("event_type"))
   }
 
+  /** Typed Dataset API: case-class encoders, `joinWith` (typed tuple join),
+    * typed filter/map — the compile-time-checked face of the engine. Same
+    * relational plan under Catalyst as the DataFrame form, so zero
+    * performance cost (asserted by the oracle equality itself).
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .as[OrderRow]
+    val customers = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .as[CustomerRow]
+    orders.filter(_.o_orderstatus == "F")
+      .joinWith(customers, orders("o_custkey") === customers("c_custkey"))
+      .map { case (o, c) =>
+        EnrichedOrder(o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice)
+      }
+      .toDF()
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Bloom-filter pre-join pruning: a compact filter built from the small
+    * side's keys drops most non-matching big-side rows BEFORE the join
+    * shuffle (false positives are removed by the real join, so the result
+    * is exact). At 100 TB this is the standard trick to avoid shuffling a
+    * fact table against a selective dimension.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val dim = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val bloom = dim.stat.bloomFilter("c_custkey", 2000, 0.01)
+    val bloomBc = s.sparkContext.broadcast(bloom)
+    val mightMatch = udf((k: Long) => bloomBc.value.mightContain(k))
+    T(s, dir, "orders")
+      .filter(mightMatch(col("o_custkey"))) // cheap pre-shuffle prune
+      .join(dim, col("o_custkey") === col("c_custkey")) // exact join
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sumx(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Z-order layout: orders clustered by the Morton interleave of
+    * (custkey, order-day), written and read back with the z-value — the
+    * two-dimensional file-skipping layout. Oracle replays the interleave
+    * bit-for-bit.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q81")
+    val withDims = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long")
+          .as("day_nr"))
+    graft.operators.Layout.zorderWrite(withDims, path, "o_custkey", "day_nr")
+    PartitionedLake.read(s, path)
+      .select(col("o_orderkey"), col("o_custkey"), col("day_nr"),
+        graft.operators.Layout.zorderValue(col("o_custkey"), col("day_nr")).as("zval"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1166,7 +1231,10 @@ object SparkEntry {
     "q56_stream_lake" -> (q56 _),
     "q69_stream_static_join" -> (q69 _),
     "q77_stream_stream_join" -> (q77 _),
-    "q78_merge_upsert" -> (q78 _))
+    "q78_merge_upsert" -> (q78 _),
+    "q79_typed_dataset" -> (q79 _),
+    "q80_bloom_prefilter" -> (q80 _),
+    "q81_zorder_layout" -> (q81 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -1265,6 +1333,14 @@ object SparkEntry {
     */
   private def ivfRecomputeSql(c: String, a: String): String =
     s"""SELECT prev.cid, COALESCE(r.nvec, prev.cvec) AS cvec FROM $c prev LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS nvec FROM (SELECT a.cid, u.pos, CAST(SUM(CAST(u.x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m FROM embeddings e JOIN $a a ON e.vec_id = a.vec_id, LATERAL (SELECT unnest(list_transform(e.embedding, f -> CAST(f AS DOUBLE))) AS x, generate_subscripts(e.embedding, 1) AS pos) u GROUP BY a.cid, u.pos) GROUP BY cid) r ON prev.cid = r.cid"""
+
+  /** Morton bit-interleave replayed in SQL (mirrors Layout.zorderValue). */
+  private def zorderSql(x: String, y: String, bits: Int = 16): String = {
+    val m = (1L << bits) - 1
+    (0 until bits).map(i =>
+      s"((((($x) & $m) >> $i) & 1) << ${2 * i}) | ((((($y) & $m) >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
+  }
 
   /** TF.qualityScore replayed in SQL (same expression as the q29 oracle). */
   private val QUALITY_SQL =
@@ -1435,6 +1511,12 @@ object SparkEntry {
       s"""SELECT c_mktsegment, COUNT(*) AS n, $SUMV AS total_value FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q77_stream_stream_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS c_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'click') SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id AND c.sec >= p.sec - 3600 AND c.sec <= p.sec ORDER BY p_id, c_id""",
+    "q79_typed_dataset" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
+    "q81_zorder_layout" ->
+      s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
+    "q80_bloom_prefilter" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q78_merge_upsert" ->
       s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events GROUP BY 1, 2), mx AS (SELECT MAX(date_id) AS d FROM daily), upd AS (SELECT date_id, event_type, n_events + 1000 AS n_events, total_value FROM daily WHERE date_id = (SELECT d FROM mx) AND event_type IN ('click', 'view') UNION ALL SELECT (SELECT d FROM mx), 'synthetic', 1, 0.0) SELECT * FROM (SELECT date_id, event_type, n_events, total_value FROM daily WHERE NOT (date_id = (SELECT d FROM mx) AND event_type IN ('click', 'view')) UNION ALL SELECT date_id, event_type, n_events, total_value FROM upd) ORDER BY date_id, event_type""",
     "q39_clean_corpus" ->
