@@ -164,18 +164,25 @@ object Relational {
     * the build side), or when AQE is unavailable (streaming joins).
     * The salt hashes row content, not rand(): task retries must re-derive
     * the same salt or fetch-failure recomputation duplicates/loses rows.
+    * Consequence: rows identical in the salt columns share a bucket — pass
+    * `saltCols` naming a high-cardinality column (a unique id is ideal)
+    * when the default (all non-key columns) could be constant within a
+    * hot key.
     */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16,
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(
       !(big.columns ++ small.columns).exists(_.startsWith("__")),
       "saltedJoin: input columns may not start with '__' (reserved for internal use)")
-    val nonKey = big.columns.filterNot(_ == key).map(col)
+    val saltFrom = if (saltCols.nonEmpty) saltCols else big.columns.filterNot(_ == key).toSeq
+    require(saltFrom.nonEmpty,
+      "saltedJoin: need at least one non-key column (or explicit saltCols) to derive the salt")
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(nonKey: _*), lit(saltBuckets)))
+      pmod(xxhash64(saltFrom.map(col): _*), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit((saltBuckets - 1).toLong))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

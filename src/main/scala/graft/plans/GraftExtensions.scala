@@ -25,5 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecCosine(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("xs_hash"),
+      new ExpressionInfo(classOf[XsHash].getName, "xs_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        XsHash(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("xs_mix"),
+      new ExpressionInfo(classOf[XsMix].getName, "xs_mix"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        XsMix(exprs(0), exprs(1))))
   }
 }

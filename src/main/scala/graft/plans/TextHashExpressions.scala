@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.GraftColumnBridge.AbstractType
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine-portable 64-bit string hash: an xorshift64 fold over the UTF-8
@@ -24,10 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * LSH bucketing. Codegen emits the fold as a tight primitive loop inside
   * whole-stage codegen; no UDF, no boxing.
   */
-case class XsHash(child: Expression) extends UnaryExpression {
+case class XsHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "xs_hash"
+  // fail at ANALYSIS on a non-string input, not with a codegen/cast error
+  // deep inside a job
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     XsHash.hash(input.asInstanceOf[UTF8String].getBytes)
@@ -64,10 +68,12 @@ case class XsHash(child: Expression) extends UnaryExpression {
   * generated code is three sequential statements per fold step.
   */
 case class XsMix(left: Expression, right: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "xs_mix"
+  override def inputTypes: Seq[AbstractType] = Seq(LongType, LongType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     XsMix.mix(a.asInstanceOf[Long], b.asInstanceOf[Long])

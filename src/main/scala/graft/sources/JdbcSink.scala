@@ -58,35 +58,40 @@ object JdbcSink {
       .digest(keyValue.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
     val stage = s"${table}__stage_$keyTag"
-    df.coalesce(numPartitions)
-      .write
-      .mode("overwrite")
-      .jdbc(url, s"$schema.$stage", props)
     val cols = df.columns.map(c => s""""$c"""").mkString(", ")
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      conn.setAutoCommit(false)
       try {
-        val del = conn.prepareStatement(deleteStatement(schema, table, keyCol))
-        try { del.setString(1, keyValue); del.executeUpdate() }
-        finally del.close()
-        val ins = conn.createStatement()
-        try ins.executeUpdate(
-          s"INSERT INTO $schema.$table ($cols) SELECT $cols FROM $schema.$stage")
-        finally ins.close()
-        conn.commit()
-      } catch {
-        case e: Throwable =>
-          try conn.rollback()
-          catch { case _: Throwable => () } // keep the original failure
-          throw e
+        // the staging load runs INSIDE the cleanup scope: a mid-write
+        // failure (executor loss, DB timeout) must still drop the
+        // partially-loaded stage table
+        df.coalesce(numPartitions)
+          .write
+          .mode("overwrite")
+          .jdbc(url, s"$schema.$stage", props)
+        conn.setAutoCommit(false)
+        try {
+          val del = conn.prepareStatement(deleteStatement(schema, table, keyCol))
+          try { del.setString(1, keyValue); del.executeUpdate() }
+          finally del.close()
+          val ins = conn.createStatement()
+          try ins.executeUpdate(
+            s"INSERT INTO $schema.$table ($cols) SELECT $cols FROM $schema.$stage")
+          finally ins.close()
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback()
+            catch { case _: Throwable => () } // keep the original failure
+            throw e
+        }
       } finally {
         // Best-effort stage cleanup on both success and failure paths.
         try {
           val drop = conn.createStatement()
           try drop.executeUpdate(s"DROP TABLE $schema.$stage")
           finally drop.close()
-          conn.commit()
+          if (!conn.getAutoCommit) conn.commit()
         } catch { case _: Throwable => () }
       }
     } finally conn.close()

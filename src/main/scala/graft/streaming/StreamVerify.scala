@@ -49,7 +49,12 @@ object StreamVerify {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // detach the result from the memory sink, then drop the sink table —
+    // otherwise every drained result stays pinned in driver memory for the
+    // session's lifetime
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Hourly tumbling-window aggregation, streamed. Exact-decimal sums keep

@@ -9,4 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]`; expressions outside this package
+    * need the alias to declare `ExpectsInputTypes.inputTypes`.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

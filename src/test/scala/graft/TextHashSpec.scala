@@ -37,6 +37,17 @@ class TextHashSpec extends SparkSuite {
     }
   }
 
+  test("xs_hash is SQL-reachable via GraftExtensions and type-checks at analysis") {
+    assert(spark.sql("SELECT xs_hash('hello') AS h").as[Long].head() ==
+      7320341468028616870L)
+    assert(spark.sql("SELECT xs_mix(1L, 2L) AS h").as[Long].head() ==
+      graft.plans.XsMix.mix(1L, 2L))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT xs_hash(42)").collect()
+    }
+    assert(err.getMessage.contains("xs_hash") || err.getMessage.contains("STRING"))
+  }
+
   test("XsMix fold matches the reference and is order-sensitive") {
     val df = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
     val folded = Seq(col("a"), col("b"), col("c"))
