@@ -1088,6 +1088,97 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Interpolated (continuous) percentiles per group, computed with an
+    * EXPLICIT rank-interpolation formula — `pos = 1 + p(n-1)`, linear blend
+    * of the two straddling order statistics — identically on both engines,
+    * because built-in `percentile`/`quantile_cont` implementations need not
+    * agree in floating point.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    val cw = Window.partitionBy(col("o_orderpriority"))
+    val ranked = T(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+    def interp(p: Double): Column = {
+      val pos = lit(1.0) + lit(p) * (col("n").cast("double") - 1.0)
+      val lo = floor(pos).cast("long")
+      val hi = ceil(pos).cast("long")
+      val vLo = max(when(col("rn") === lo, col("o_totalprice")))
+      val vHi = max(when(col("rn") === hi, col("o_totalprice")))
+      // every input reference stays inside an aggregate (pos/lo derive from
+      // n, which is not a grouping column); frac is constant per group
+      vLo + max(pos - floor(pos)) * (vHi - vLo)
+    }
+    ranked.groupBy(col("o_orderpriority"))
+      .agg(interp(0.25).as("p25"), interp(0.5).as("p50"), interp(0.95).as("p95"),
+        max(col("n")).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Correlation / stddev the scale-correct way: raw moments (n, Σx, Σy,
+    * Σx², Σy², Σxy) accumulate in DECIMAL — order-independent, map-side
+    * combinable — and the statistics derive in double arithmetic identical
+    * on both engines. A plain `corr()`/`stddev()` over doubles is
+    * partition-order-dependent and never hash-reproducible.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    // base values cast to DECIMAL(18,2) (parity-safe: granularity far above
+    // the doubles' ulp), then multiplied IN decimal — casting a ~1e11
+    // double product to a fine-scaled decimal is NOT cross-engine-stable
+    // (the rounding position falls below the double's ulp)
+    def d(c: Column) = c.cast(DecimalType(18, 2))
+    def m(c: Column) = sum(c).cast("double")
+    val x = col("o_totalprice")
+    val y = col("days")
+    T(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("double").as("days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        m(d(x)).as("sx"), m(d(y)).as("sy"), m(d(x) * d(x)).as("sxx"),
+        m(d(y) * d(y)).as("syy"), m(d(x) * d(y)).as("sxy"))
+      .select(col("o_orderpriority"), col("n").cast("long").as("n"),
+        // outputs rounded to 9 decimals: the decimal SUMS are exact and
+        // identical cross-engine, but wide-decimal→double casts are not
+        // correctly-rounded identically everywhere (observed 1 ulp), and
+        // rounding the derived statistic absorbs that
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 9).as("corr_xy"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)), 9)
+          .as("stddev_x"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** MinHash candidate pairs with ESTIMATED Jaccard (signature agreement
+    * ratio) — the operator the LSH theory is about, replayed exactly by the
+    * oracle thanks to the portable hash family.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** TF-IDF: term frequency × inverse document frequency over the corpus,
+    * top 100 (doc, term) scores. ln() at the very end over exact integer
+    * ratios; rounded to 6 decimals for cross-engine float safety.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val nDocs = docs.count()
+    val words = docs.select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df_ = words.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(df_, Seq("w"))
+      .select(col("doc_id"), col("w"),
+        round(col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df").cast("double")), 6)
+          .as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("w"))
+      .limit(100)
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1234,7 +1325,11 @@ object SparkEntry {
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
-    "q81_zorder_layout" -> (q81 _))
+    "q81_zorder_layout" -> (q81 _),
+    "q82_percentile_interp" -> (q82 _),
+    "q83_corr_moments" -> (q83 _),
+    "q84_minhash_pairs" -> (q84 _),
+    "q85_tfidf" -> (q85 _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -1340,6 +1435,12 @@ object SparkEntry {
     (0 until bits).map(i =>
       s"((((($x) & $m) >> $i) & 1) << ${2 * i}) | ((((($y) & $m) >> $i) & 1) << ${2 * i + 1})")
       .mkString("(", " | ", ")")
+  }
+
+  /** Rank-interpolated percentile replayed in SQL (mirrors q82's interp). */
+  private def interpSql(p: String): String = {
+    val pos = s"(1.0 + $p * (CAST(n AS DOUBLE) - 1.0))"
+    s"(MAX(CASE WHEN rn = CAST(floor($pos) AS BIGINT) THEN o_totalprice END) + MAX($pos - floor($pos)) * (MAX(CASE WHEN rn = CAST(ceil($pos) AS BIGINT) THEN o_totalprice END) - MAX(CASE WHEN rn = CAST(floor($pos) AS BIGINT) THEN o_totalprice END)))"
   }
 
   /** TF.qualityScore replayed in SQL (same expression as the q29 oracle). */
@@ -1450,6 +1551,14 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q76_weighted_sample" ->
       s"""WITH q AS (SELECT doc_id, lang, $QUALITY_SQL AS quality FROM documents) SELECT doc_id, lang, round(quality, 6) AS quality_r FROM q WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < least(greatest(quality, 0.0), 1.0) ORDER BY doc_id""",
+    "q82_percentile_interp" ->
+      s"""WITH r AS (SELECT o_orderpriority, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) SELECT o_orderpriority, ${interpSql("0.25")} AS p25, ${interpSql("0.5")} AS p50, ${interpSql("0.95")} AS p95, MAX(n) AS n FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q83_corr_moments" ->
+      """WITH b AS (SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS dx, CAST(CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS DECIMAL(18,2)) AS dy FROM orders), a AS (SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy, CAST(SUM(dx*dx) AS DOUBLE) AS sxx, CAST(SUM(dy*dy) AS DOUBLE) AS syy, CAST(SUM(dx*dy) AS DOUBLE) AS sxy FROM b GROUP BY 1) SELECT o_orderpriority, CAST(n AS BIGINT) AS n, round((sxy - sx*sy/n) / (sqrt(sxx - sx*sx/n) * sqrt(syy - sy*sy/n)), 9) AS corr_xy, round(sqrt((sxx - sx*sx/n) / (n - 1.0)), 9) AS stddev_x FROM a ORDER BY o_orderpriority""",
+    "q84_minhash_pairs" ->
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands), p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32.0 AS est_jaccard FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64) SELECT id_a, id_b, est_jaccard FROM p WHERE est_jaccard >= 0.3 ORDER BY id_a, id_b""",
+    "q85_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2), df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1), nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents) SELECT doc_id, w, round(CAST(tf AS DOUBLE) * ln((SELECT n FROM nd) / CAST(df AS DOUBLE)), 6) AS tfidf FROM tf JOIN df USING (w) ORDER BY tfidf DESC, doc_id, w LIMIT 100""",
     "q22_dedup_minhash" ->
       s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs), sigs AS (SELECT doc_id, $sigSql AS sig FROM shingled), bands AS (SELECT doc_id, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT doc_id, z[2] AS band_idx, z[1] AS band_hash FROM bands), stats AS (SELECT doc_id, MIN(doc_id) OVER w AS bucket_rep, COUNT(*) OVER w AS bucket_n FROM wb WINDOW w AS (PARTITION BY band_idx, band_hash)) SELECT doc_id, MIN(bucket_rep) AS rep_id, CAST(SUM(bucket_n - 1) AS BIGINT) AS n_candidates FROM stats GROUP BY doc_id ORDER BY doc_id""",
     "q23_dedup_simhash" ->
