@@ -1179,6 +1179,76 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** RAG-style sliding-window chunking: 400-char windows, 160-char hop,
+    * per-chunk md5 (the downstream dedup/embedding key). Character-window
+    * semantics are engine-identical; the explode scales chunk rows out.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val win = 400
+    val hop = 160
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          greatest(ceil((col("len") - lit(win)).cast("double") / hop).cast("long"), lit(0L))))
+          .as("chunk_idx"))
+      .withColumn("chunk_off", col("chunk_idx") * hop)
+      .withColumn("chunk", expr(s"substring(text, chunk_off + 1, $win)"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_off"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Schema-drift union: a v2 frame with an added column and a dropped
+    * column merges with v1 via unionByName(allowMissingColumns) — the ETL
+    * answer to evolving upstream schemas without a rewrite.
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val v2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")) // drifted: +priority, -custkey
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** MapType handling: per-user event-type counts assembled into a map
+    * column (sorted entries → deterministic), then exploded back to rows —
+    * the round-trip every semi-structured pipeline needs.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"), size(col("m")).cast("long").as("n_types"),
+        explode(col("m")).as(Seq("event_type", "n")))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Three-valued-logic suite: null-safe equality (<=>), NULLIF, coalesce
+    * chains and null-aware counts over a column with injected nulls.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val nullable = T(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        nullif(col("event_type"), lit("error")).as("et"),
+        when(col("value") > 50, col("value")).as("big_value"))
+    nullable
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("et")).as("n_et"),           // nulls excluded
+        count(col("big_value")).as("n_big"),
+        sum(when(col("et") <=> lit(null), 1).otherwise(0)).cast("long").as("n_null_safe_eq"),
+        sumx(coalesce(col("big_value"), lit(0.0))).as("big_total"))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1327,6 +1397,10 @@ object SparkEntry {
     "q80_bloom_prefilter" -> (q80 _),
     "q81_zorder_layout" -> (q81 _),
     "q82_percentile_interp" -> (q82 _),
+    "q86_rag_chunking" -> (q86 _),
+    "q87_schema_drift_union" -> (q87 _),
+    "q88_map_roundtrip" -> (q88 _),
+    "q89_null_semantics" -> (q89 _),
     "q83_corr_moments" -> (q83 _),
     "q84_minhash_pairs" -> (q84 _),
     "q85_tfidf" -> (q85 _))
@@ -1551,6 +1625,14 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q76_weighted_sample" ->
       s"""WITH q AS (SELECT doc_id, lang, $QUALITY_SQL AS quality FROM documents) SELECT doc_id, lang, round(quality, 6) AS quality_r FROM q WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < least(greatest(quality, 0.0), 1.0) ORDER BY doc_id""",
+    "q86_rag_chunking" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), c AS (SELECT doc_id, text, unnest(range(0, CAST(greatest(CAST(ceil(CAST(len - 400 AS DOUBLE) / 160) AS BIGINT), 0) + 1 AS BIGINT))) AS chunk_idx FROM d) SELECT doc_id, chunk_idx, chunk_idx * 160 AS chunk_off, CAST(length(substr(text, CAST(chunk_idx * 160 + 1 AS INTEGER), 400)) AS BIGINT) AS chunk_len, md5(substr(text, CAST(chunk_idx * 160 + 1 AS INTEGER), 400)) AS chunk_md5 FROM c ORDER BY doc_id, chunk_idx""",
+    "q87_schema_drift_union" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0 UNION ALL SELECT o_orderkey, NULL, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""",
+    "q88_map_roundtrip" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), t AS (SELECT user_id, COUNT(*) AS n_types FROM c GROUP BY 1) SELECT c.user_id, t.n_types, c.event_type, c.n FROM c JOIN t ON c.user_id = t.user_id ORDER BY c.user_id, c.event_type""",
+    "q89_null_semantics" ->
+      """WITH nl AS (SELECT event_id, user_id, nullif(event_type, 'error') AS et, CASE WHEN value > 50 THEN value END AS big_value FROM events) SELECT user_id, COUNT(*) AS n_rows, COUNT(et) AS n_et, COUNT(big_value) AS n_big, CAST(SUM(CASE WHEN et IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq, CAST(SUM(CAST(coalesce(big_value, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS big_total FROM nl GROUP BY user_id ORDER BY user_id""",
     "q82_percentile_interp" ->
       s"""WITH r AS (SELECT o_orderpriority, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) SELECT o_orderpriority, ${interpSql("0.25")} AS p25, ${interpSql("0.5")} AS p50, ${interpSql("0.95")} AS p95, MAX(n) AS n FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q83_corr_moments" ->
