@@ -1249,6 +1249,65 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Corrupt-record-tolerant ingestion: JSON lines where odd doc_ids are
+    * deterministically truncated mid-object; PERMISSIVE parsing routes bad
+    * rows to `_corrupt_record` instead of failing the job — the bronze
+    * posture for messy upstream feeds.
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q90")
+    T(s, dir, "documents").select(
+      when(col("doc_id") % 2 === 0,
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+        .otherwise(concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+          lit(", \"lang\": \"")))
+        .as("line"))
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType), StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .select(when(col("_corrupt_record").isNull, "valid").otherwise("corrupt").as("status"),
+        col("lang"), col("n_chars"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("status"))
+  }
+
+  /** End-to-end training-data preparation, composed from the library's own
+    * operators in ONE declarative plan: quality+language gates and
+    * fingerprint dedup (TextPipeline.cleanCorpus) → RAG chunking →
+    * corpus-wide chunk dedup on md5 (keep first) → per-document keep
+    * stats. The shape a 100 TB pre-training pipeline actually runs.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val win = 400
+    val hop = 160
+    val clean = graft.operators.TextPipeline.cleanCorpus(
+      T(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("text"), col("lang_pred"),
+        length(col("text")).as("len"))
+    val chunks = clean
+      .select(col("doc_id"), col("text"), col("lang_pred"),
+        explode(sequence(lit(0L),
+          greatest(ceil((col("len") - lit(win)).cast("double") / hop).cast("long"), lit(0L))))
+          .as("chunk_idx"))
+      .withColumn("chunk_off", col("chunk_idx") * hop)
+      .withColumn("chunk_md5",
+        md5(expr(s"substring(text, chunk_off + 1, $win)").cast("binary")))
+    val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("doc_id"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_chunks_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1398,6 +1457,8 @@ object SparkEntry {
     "q81_zorder_layout" -> (q81 _),
     "q82_percentile_interp" -> (q82 _),
     "q86_rag_chunking" -> (q86 _),
+    "q90_corrupt_ingest" -> (q90 _),
+    "q91_prep_pipeline" -> (q91 _),
     "q87_schema_drift_union" -> (q87 _),
     "q88_map_roundtrip" -> (q88 _),
     "q89_null_semantics" -> (q89 _),
@@ -1625,6 +1686,10 @@ object SparkEntry {
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q76_weighted_sample" ->
       s"""WITH q AS (SELECT doc_id, lang, $QUALITY_SQL AS quality FROM documents) SELECT doc_id, lang, round(quality, 6) AS quality_r FROM q WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < least(greatest(quality, 0.0), 1.0) ORDER BY doc_id""",
+    "q90_corrupt_ingest" ->
+      """SELECT 'corrupt' AS status, COUNT(*) AS n, CAST(0 AS BIGINT) AS n_langs, CAST(NULL AS BIGINT) AS total_chars FROM documents WHERE doc_id % 2 = 1 UNION ALL SELECT 'valid' AS status, COUNT(*) AS n, COUNT(DISTINCT lang) AS n_langs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents WHERE doc_id % 2 = 0 ORDER BY status""",
+    "q91_prep_pipeline" ->
+      """WITH s AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_words, CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), sc AS (SELECT doc_id, text, n_words, alpha_ratio, fp, (length(p) - length(replace(p, ' the ', ' '))) / 4 + (length(p) - length(replace(p, ' a ', ' '))) / 2 AS s_en, (length(p) - length(replace(p, ' der ', ' '))) / 4 + (length(p) - length(replace(p, ' und ', ' '))) / 4 AS s_de, (length(p) - length(replace(p, ' el ', ' '))) / 3 + (length(p) - length(replace(p, ' los ', ' '))) / 4 AS s_es, (length(p) - length(replace(p, ' le ', ' '))) / 3 + (length(p) - length(replace(p, ' et ', ' '))) / 3 AS s_fr FROM s), l AS (SELECT doc_id, text, n_words, alpha_ratio, fp, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en' WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de' WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es > 0 THEN 'es' WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr > 0 THEN 'fr' ELSE 'unknown' END AS lang_pred FROM sc), g AS (SELECT doc_id, text, lang_pred, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM l WHERE n_words >= 10 AND alpha_ratio >= 0.5), kept AS (SELECT doc_id, text, lang_pred, length(text) AS len FROM g WHERE rn = 1), ch AS (SELECT doc_id, lang_pred, text, unnest(range(0, CAST(greatest(CAST(ceil(CAST(len - 400 AS DOUBLE) / 160) AS BIGINT), 0) + 1 AS BIGINT))) AS chunk_idx FROM kept), cm AS (SELECT doc_id, lang_pred, chunk_idx, md5(substr(text, CAST(chunk_idx * 160 + 1 AS INTEGER), 400)) AS chunk_md5 FROM ch), dd AS (SELECT doc_id, lang_pred, ROW_NUMBER() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_idx) AS rn2 FROM cm) SELECT doc_id, lang_pred, COUNT(*) AS n_chunks_kept FROM dd WHERE rn2 = 1 GROUP BY doc_id, lang_pred ORDER BY doc_id""",
     "q86_rag_chunking" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), c AS (SELECT doc_id, text, unnest(range(0, CAST(greatest(CAST(ceil(CAST(len - 400 AS DOUBLE) / 160) AS BIGINT), 0) + 1 AS BIGINT))) AS chunk_idx FROM d) SELECT doc_id, chunk_idx, chunk_idx * 160 AS chunk_off, CAST(length(substr(text, CAST(chunk_idx * 160 + 1 AS INTEGER), 400)) AS BIGINT) AS chunk_len, md5(substr(text, CAST(chunk_idx * 160 + 1 AS INTEGER), 400)) AS chunk_md5 FROM c ORDER BY doc_id, chunk_idx""",
     "q87_schema_drift_union" ->
