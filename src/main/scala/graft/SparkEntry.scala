@@ -1059,7 +1059,10 @@ object SparkEntry {
     */
   private def q80(s: SparkSession, dir: String): DataFrame = {
     val dim = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-    val bloom = dim.stat.bloomFilter("c_custkey", 2000, 0.01)
+    // size from the actual key count: a hardcoded capacity saturates at
+    // larger SFs and the false-positive rate quietly climbs, turning the
+    // pre-filter into a no-op
+    val bloom = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 64L), 0.01)
     val bloomBc = s.sparkContext.broadcast(bloom)
     val mightMatch = udf((k: Long) => bloomBc.value.mightContain(k))
     T(s, dir, "orders")
@@ -1183,22 +1186,13 @@ object SparkEntry {
     * per-chunk md5 (the downstream dedup/embedding key). Character-window
     * semantics are engine-identical; the explode scales chunk rows out.
     */
-  private def q86(s: SparkSession, dir: String): DataFrame = {
-    val win = 400
-    val hop = 160
-    T(s, dir, "documents")
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L),
-          greatest(ceil((col("len") - lit(win)).cast("double") / hop).cast("long"), lit(0L))))
-          .as("chunk_idx"))
-      .withColumn("chunk_off", col("chunk_idx") * hop)
-      .withColumn("chunk", expr(s"substring(text, chunk_off + 1, $win)"))
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.slidingChunks(
+      T(s, dir, "documents").select(col("doc_id"), col("text")), "text")
       .select(col("doc_id"), col("chunk_idx"), col("chunk_off"),
         length(col("chunk")).cast("long").as("chunk_len"),
         md5(col("chunk").cast("binary")).as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
-  }
 
   /** Schema-drift union: a v2 frame with an added column and a dropped
     * column merges with v1 via unionByName(allowMissingColumns) — the ETL
@@ -1270,6 +1264,10 @@ object SparkEntry {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+      // materialize the parsed frame: Spark refuses plans whose pruned scan
+      // references ONLY the corrupt-record column (e.g. a downstream count
+      // that prunes everything but `status`)
+      .localCheckpoint(true)
       .select(when(col("_corrupt_record").isNull, "valid").otherwise("corrupt").as("status"),
         col("lang"), col("n_chars"))
       .groupBy(col("status"))
@@ -1285,20 +1283,11 @@ object SparkEntry {
     * stats. The shape a 100 TB pre-training pipeline actually runs.
     */
   private def q91(s: SparkSession, dir: String): DataFrame = {
-    val win = 400
-    val hop = 160
     val clean = graft.operators.TextPipeline.cleanCorpus(
       T(s, dir, "documents"), "doc_id", "text")
-      .select(col("doc_id"), col("text"), col("lang_pred"),
-        length(col("text")).as("len"))
-    val chunks = clean
-      .select(col("doc_id"), col("text"), col("lang_pred"),
-        explode(sequence(lit(0L),
-          greatest(ceil((col("len") - lit(win)).cast("double") / hop).cast("long"), lit(0L))))
-          .as("chunk_idx"))
-      .withColumn("chunk_off", col("chunk_idx") * hop)
-      .withColumn("chunk_md5",
-        md5(expr(s"substring(text, chunk_off + 1, $win)").cast("binary")))
+      .select(col("doc_id"), col("text"), col("lang_pred"))
+    val chunks = graft.operators.TextPipeline.slidingChunks(clean, "text")
+      .withColumn("chunk_md5", md5(col("chunk").cast("binary")))
     val w = Window.partitionBy(col("chunk_md5")).orderBy(col("doc_id"), col("chunk_idx"))
     chunks
       .withColumn("__rn", row_number().over(w))

@@ -12,6 +12,29 @@ import graft.functions.TextFunctions
   */
 object TextPipeline {
 
+  /** Sliding-window (RAG-style) chunking: one row per `(input row,
+    * chunk_idx)` with the chunk's offset and text. Character windows of
+    * `win` chars every `hop` chars; a document shorter than one window
+    * still yields its single (short) chunk. The explode scales chunk rows
+    * out; offsets are engine-portable (char-based `substring`).
+    */
+  def slidingChunks(
+      df: DataFrame,
+      textCol: String,
+      win: Int = 400,
+      hop: Int = 160): DataFrame = {
+    require(win > 0 && hop > 0, "win and hop must be positive")
+    df
+      .withColumn("__len", length(col(textCol)))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L),
+          greatest(ceil((col("__len") - lit(win)).cast("double") / hop).cast("long"),
+            lit(0L)))))
+      .withColumn("chunk_off", col("chunk_idx") * hop)
+      .withColumn("chunk", expr(s"substring($textCol, chunk_off + 1, $win)"))
+      .drop("__len")
+  }
+
   /** Quality + language + dedup filter.
     *
     * Keeps documents with at least `minWords` words and `minAlphaRatio`

@@ -14,26 +14,41 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private type Exprs = Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+
+  /** Positional builders would throw IndexOutOfBoundsException on a wrong
+    * SQL argument count; surface a proper invalid-arity message instead.
+    */
+  private def arity(name: String, n: Int)(exprs: Exprs): Exprs = {
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+    exprs
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDot(exprs(0), exprs(1))))
+      (exprs: Exprs) => {
+        val a = arity("vec_dot", 2)(exprs); VecDot(a(0), a(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecCosine(exprs(0), exprs(1))))
+      (exprs: Exprs) => {
+        val a = arity("vec_cosine", 2)(exprs); VecCosine(a(0), a(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("xs_hash"),
       new ExpressionInfo(classOf[XsHash].getName, "xs_hash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        XsHash(exprs.head)))
+      (exprs: Exprs) => XsHash(arity("xs_hash", 1)(exprs).head)))
     e.injectFunction((
       new FunctionIdentifier("xs_mix"),
       new ExpressionInfo(classOf[XsMix].getName, "xs_mix"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        XsMix(exprs(0), exprs(1))))
+      (exprs: Exprs) => {
+        val a = arity("xs_mix", 2)(exprs); XsMix(a(0), a(1))
+      }))
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.GraftColumnBridge.AbstractType
@@ -69,10 +69,12 @@ case class XsHash(child: Expression) extends UnaryExpression with ExpectsInputTy
   */
 case class XsMix(left: Expression, right: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-  with ExpectsInputTypes {
+  with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "xs_mix"
+  // ImplicitCast (not strict ExpectsInputTypes): integer literals widen to
+  // long losslessly, matching every built-in hash function
   override def inputTypes: Seq[AbstractType] = Seq(LongType, LongType)
 
   override def nullSafeEval(a: Any, b: Any): Any =

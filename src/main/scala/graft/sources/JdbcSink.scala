@@ -59,16 +59,27 @@ object JdbcSink {
       .map(b => f"${b & 0xff}%02x").mkString
     val stage = s"${table}__stage_$keyTag"
     val cols = df.columns.map(c => s""""$c"""").mkString(", ")
-    val conn = java.sql.DriverManager.getConnection(url, props)
-    try {
+    // best-effort drop on a FRESH short-lived connection: a connection
+    // opened before the (possibly long) distributed staging write could be
+    // idle-timed-out by the server and fail the very cleanup it exists for
+    def dropStage(): Unit =
       try {
-        // the staging load runs INSIDE the cleanup scope: a mid-write
-        // failure (executor loss, DB timeout) must still drop the
-        // partially-loaded stage table
-        df.coalesce(numPartitions)
-          .write
-          .mode("overwrite")
-          .jdbc(url, s"$schema.$stage", props)
+        val c = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val drop = c.createStatement()
+          try drop.executeUpdate(s"DROP TABLE $schema.$stage")
+          finally drop.close()
+        } finally c.close()
+      } catch { case _: Throwable => () }
+    try {
+      // distributed staging load first — no driver connection held open
+      // underneath it
+      df.coalesce(numPartitions)
+        .write
+        .mode("overwrite")
+        .jdbc(url, s"$schema.$stage", props)
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
         conn.setAutoCommit(false)
         try {
           val del = conn.prepareStatement(deleteStatement(schema, table, keyCol))
@@ -85,15 +96,7 @@ object JdbcSink {
             catch { case _: Throwable => () } // keep the original failure
             throw e
         }
-      } finally {
-        // Best-effort stage cleanup on both success and failure paths.
-        try {
-          val drop = conn.createStatement()
-          try drop.executeUpdate(s"DROP TABLE $schema.$stage")
-          finally drop.close()
-          if (!conn.getAutoCommit) conn.commit()
-        } catch { case _: Throwable => () }
-      }
-    } finally conn.close()
+      } finally conn.close()
+    } finally dropStage()
   }
 }

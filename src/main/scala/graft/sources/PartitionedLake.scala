@@ -61,12 +61,17 @@ object PartitionedLake {
       keyCols: Seq[String],
       partCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.col
-    val affected = updates.select(partCols.map(col): _*).distinct()
+    // materialize once: the plan below references `updates` three times
+    // (partition distinct, anti-join, union) — re-evaluating a
+    // nondeterministic updates frame per reference could DELETE a key via
+    // one evaluation and fail to re-INSERT it via another (silent loss)
+    val u = updates.localCheckpoint(true)
+    val affected = u.select(partCols.map(col): _*).distinct()
     val survivors = read(spark, path)
       .join(affected, partCols, "left_semi")   // only affected partitions
-      .join(updates, keyCols, "left_anti")     // drop rows being replaced
+      .join(u, keyCols, "left_anti")           // drop rows being replaced
     deleteInsert(
-      survivors.unionByName(updates.select(survivors.columns.map(col): _*)),
+      survivors.unionByName(u.select(survivors.columns.map(col): _*)),
       path, partCols)
   }
 
