@@ -58,6 +58,13 @@ class PlanAuditSpec extends SparkSuite {
       "the date dim must prune lake partitions at runtime, not post-scan")
   }
 
+  test("q91: the composed prep pipeline reads the corpus exactly once") {
+    val p = formatted(q("q91_prep_pipeline"))
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"expected one corpus scan feeding gates+chunking+dedup, found $scans")
+  }
+
   test("q20: event-type filters pushed into both as-of input scans") {
     val p = formatted(q("q20_asof_join"))
     assert(p.contains("EqualTo(event_type,purchase)") &&
