@@ -492,17 +492,28 @@ object SparkEntry {
   }
 
   /** Edit-distance fuzzy matching over the distinct vocabulary: candidate
-    * pairs bucketed by length difference <= 1 (length-bucket join, not a raw
-    * cross join), kept when levenshtein <= 2.
+    * pairs bucketed by length difference <= 1, kept when levenshtein <= 2.
+    *
+    * Plan shape: the left side EXPLODES each word to its three candidate
+    * length buckets (len-1, len, len+1 — distinct values, so a qualifying
+    * pair matches exactly once) and the right side joins on its own length,
+    * making the length-tolerance condition an EQUI-join Catalyst hash/SMJ
+    * partitions by bucket. The naive `len_b BETWEEN len_a-1 AND len_a+1`
+    * theta-join has no equality conjunct and can only plan as
+    * BroadcastNestedLoopJoin — O(|vocab|²) with one side fully broadcast,
+    * which cannot survive a 100 TB corpus vocabulary. PlanAuditSpec asserts
+    * the no-BNL shape.
     */
   private def q49(s: SparkSession, dir: String): DataFrame = {
     val words = T(s, dir, "documents")
       .select(explode(split(trim(col("text")), """\s+""")).as("w"))
       .distinct()
-    val a = words.select(col("w").as("w_a"), length(col("w")).as("len_a"))
-    val b = words.select(col("w").as("w_b"), length(col("w")).as("len_b"))
-    a.join(b, col("len_b").between(col("len_a") - 1, col("len_a") + 1) &&
-        col("w_a") < col("w_b"))
+    val a = words.select(col("w").as("w_a"),
+      explode(array(length(col("w")) - 1, length(col("w")), length(col("w")) + 1))
+        .as("len_bucket"))
+    val b = words.select(col("w").as("w_b"), length(col("w")).as("len_bucket"))
+    a.join(b, Seq("len_bucket"))
+      .filter(col("w_a") < col("w_b"))
       .select(col("w_a"), col("w_b"), levenshtein(col("w_a"), col("w_b")).as("dist"))
       .filter(col("dist") <= 2)
       .orderBy(col("w_a"), col("w_b"))
@@ -1064,9 +1075,9 @@ object SparkEntry {
     // pre-filter into a no-op
     val bloom = dim.stat.bloomFilter("c_custkey", math.max(dim.count(), 64L), 0.01)
     val bloomBc = s.sparkContext.broadcast(bloom)
-    val mightMatch = udf((k: Long) => bloomBc.value.mightContain(k))
     T(s, dir, "orders")
-      .filter(mightMatch(col("o_custkey"))) // cheap pre-shuffle prune
+      // cheap pre-shuffle prune, codegen'd (no UDF boxing on the hot path)
+      .filter(graft.plans.BloomExpressions.mightContainLong(col("o_custkey"), bloomBc))
       .join(dim, col("o_custkey") === col("c_custkey")) // exact join
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), sumx(col("o_totalprice")).as("total"))

@@ -22,6 +22,30 @@ import org.apache.spark.sql.DataFrame
   */
 object JdbcSink {
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** Stage-table identifier, bounded to `maxLen` characters. Postgres
+    * silently truncates identifiers at 63 bytes — which would chop the
+    * 128-bit key tag and re-open the cross-key stage collision it exists to
+    * prevent. When the composed name would exceed the bound, the TABLE
+    * portion is shortened (disambiguated by 8 hex of its own digest so two
+    * long table names sharing a prefix still get distinct stages) and the
+    * full key tag is kept intact.
+    */
+  private[graft] def stageName(table: String, keyTag: String, maxLen: Int = 63): String = {
+    val raw = s"${table}__stage_$keyTag"
+    if (raw.length <= maxLen) raw
+    else {
+      val tableTag = md5hex(table).take(8)
+      val keep = maxLen - ("__stage_".length + keyTag.length + tableTag.length + 1)
+      require(keep >= 1, s"identifier budget $maxLen too small for stage name")
+      s"${table.take(keep)}_${tableTag}__stage_$keyTag"
+    }
+  }
+
   /** SQL for the keyed delete that precedes the append (parameterized).
     * The key column is quoted: tables created by `DataFrameWriter.jdbc`
     * carry case-sensitive lower-case column names, which an unquoted
@@ -54,10 +78,8 @@ object JdbcSink {
       numPartitions: Int = 8): Unit = {
     // 128-bit tag: a 32-bit hash would let distinct keys collide onto one
     // stage table and cross-commit each other's rows
-    val keyTag = java.security.MessageDigest.getInstance("MD5")
-      .digest(keyValue.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
-    val stage = s"${table}__stage_$keyTag"
+    val keyTag = md5hex(keyValue)
+    val stage = stageName(table, keyTag)
     val cols = df.columns.map(c => s""""$c"""").mkString(", ")
     // best-effort drop on a FRESH short-lived connection: a connection
     // opened before the (possibly long) distributed staging write could be

@@ -70,9 +70,16 @@ object PartitionedLake {
     val survivors = read(spark, path)
       .join(affected, partCols, "left_semi")   // only affected partitions
       .join(u, keyCols, "left_anti")           // drop rows being replaced
-    deleteInsert(
-      survivors.unionByName(u.select(survivors.columns.map(col): _*)),
-      path, partCols)
+    // materialize the merged frame BEFORE the overwrite: the plan reads
+    // `path` and dynamic-overwrite would delete the same partitions it is
+    // lazily reading — Spark's SQL-insert guard forbids exactly this shape,
+    // and a crash between partition deletion and staging rename would lose
+    // survivor rows (which, unlike deleteInsert's input, are not
+    // re-derivable). Checkpointing cuts the lineage to the lake files.
+    val merged = survivors
+      .unionByName(u.select(survivors.columns.map(col): _*))
+      .localCheckpoint(true)
+    deleteInsert(merged, path, partCols)
   }
 
   /** Explicitly drop one partition's directory — the reference's

@@ -48,13 +48,16 @@ object StreamVerify {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    // detach the result from the memory sink, then drop the sink table —
-    // otherwise every drained result stays pinned in driver memory for the
-    // session's lifetime
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
-    out
+      // detach the result from the memory sink before the sink table is
+      // dropped below
+      spark.table(name).localCheckpoint(true)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      // drop unconditionally — a failed drain would otherwise leave the
+      // sink table (and any partial results) pinned in driver memory for
+      // the session's lifetime
+      spark.catalog.dropTempView(name)
+    }
   }
 
   /** Hourly tumbling-window aggregation, streamed. Exact-decimal sums keep
@@ -97,7 +100,12 @@ object StreamVerify {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    drain(spark, distinctPairs, "append")
+    // final key distinct: with multiple micro-batches the 2-hour watermark
+    // can evict state between batches and re-emit a key recurring later, so
+    // the drained stream equals batch DISTINCT only after collapsing those
+    // re-emissions — this keeps the result batch-equivalent regardless of
+    // how the source files were batched
+    drain(spark, distinctPairs, "append").distinct()
   }
 
   /** Stream-static join: the event stream enriched against a static

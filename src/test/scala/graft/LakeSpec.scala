@@ -104,6 +104,20 @@ class LakeSpec extends SparkSuite {
       """DELETE FROM dashboard.north_america_weather WHERE "date_id" = ?""")
   }
 
+  test("jdbc stage identifier stays within the DB bound with the key tag intact") {
+    val tag = "0123456789abcdef0123456789abcdef" // 32-hex md5 key tag
+    // short table: untruncated
+    assert(JdbcSink.stageName("gold", tag) == s"gold__stage_$tag")
+    // long table: bounded at 63, full key tag preserved at the end —
+    // Postgres truncates at 63 bytes silently, which would chop the tag
+    val long = "a_very_long_serving_table_name_that_overflows_identifiers"
+    val s = JdbcSink.stageName(long, tag)
+    assert(s.length <= 63 && s.endsWith(s"__stage_$tag"))
+    // two long tables sharing a 60-char prefix still stage separately
+    val s2 = JdbcSink.stageName(long + "_v2", tag)
+    assert(s2 != s && s2.length <= 63)
+  }
+
   test("jdbc sink delete-by-key + append against embedded Derby") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val props = new java.util.Properties()

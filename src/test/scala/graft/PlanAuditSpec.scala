@@ -52,6 +52,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q49: edit-distance pair-gen is a length-bucket equi-join, never BNL") {
+    val p = formatted(q("q49_edit_distance"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "vocab pair generation must ride the exploded length-bucket equi-join; " +
+        "a BNL theta-join is O(|vocab|^2) with a full-vocab broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("q74: lake scan carries a dynamic partition pruning subquery") {
     val p = formatted(q("q74_dynamic_pruning"))
     assert(p.contains("dynamicpruning"),
