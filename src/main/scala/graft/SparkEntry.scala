@@ -1314,8 +1314,8 @@ object SparkEntry {
     * keeps each table as a single parquet file. Stage a scratch directory
     * holding a symlink to the events file (no data copy).
     */
-  private def eventsPath(dir: String): String = {
-    val staged = java.nio.file.Paths.get(scratch(dir, "stream_events"))
+  private def eventsPath(dir: String, name: String = "stream_events"): String = {
+    val staged = java.nio.file.Paths.get(scratch(dir, name))
     val link = staged.resolve("events.parquet")
     val target = java.nio.file.Paths.get(s"$dir/events.parquet")
     java.nio.file.Files.createDirectories(staged)
@@ -1361,6 +1361,48 @@ object SparkEntry {
     */
   private def q77(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamVerify.streamStreamJoin(s, eventsPath(dir))
+      .orderBy(col("p_id"), col("c_id"))
+
+  /** q92's stream input: the events file plus ONE far-future sentinel row
+    * per join side (ts = max real ts + 1 day), staged next to the symlink.
+    * The outer join emits its unmatched rows only when the watermark passes
+    * their join window (see StreamVerify.streamStreamOuterJoin); the
+    * sentinels push the watermark past every real row so the drain is
+    * batch-equivalent. The two sentinels carry DISTINCT out-of-band user
+    * ids (-1, -2) so they cannot join each other, and are never emitted
+    * because the watermark never reaches their own timestamps. Written
+    * with the raw long-nanos schema so it reads uniformly with the real
+    * file.
+    */
+  private def q92Events(s: SparkSession, dir: String): String = {
+    val staged = eventsPath(dir, "q92_events")
+    val sentinel = new java.io.File(s"$staged/zz_sentinel.parquet")
+    if (!sentinel.exists()) {
+      val maxNanos = T(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
+      val ts = maxNanos + 86400L * 1000000000L
+      val rows = Seq(
+        org.apache.spark.sql.Row(-1L, ts, -1L, "purchase", 0.0, null),
+        org.apache.spark.sql.Row(-2L, ts, -2L, "click", 0.0, null))
+      val side = scratch(dir, "q92_sentinel")
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        graft.streaming.EventsStream.rawEventsSchema)
+        .write.mode("overwrite").parquet(side)
+      // the file-stream source lists only direct children of the staged
+      // dir, so lift the part file out of the writer's output directory
+      val part = new java.io.File(side).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("sentinel write produced no part file"))
+      java.nio.file.Files.copy(part.toPath, sentinel.toPath)
+    }
+    staged
+  }
+
+  /** Stream-stream LEFT OUTER interval join: purchases with no same-user
+    * click in the preceding hour emit with a NULL click id, driven by
+    * watermark passage (sentinel-staged input, see q92Events).
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.streamStreamOuterJoin(s, q92Events(s, dir))
       .orderBy(col("p_id"), col("c_id"))
 
   /** Stream-static join: event stream enriched against the static customer
@@ -1451,6 +1493,7 @@ object SparkEntry {
     "q56_stream_lake" -> (q56 _),
     "q69_stream_static_join" -> (q69 _),
     "q77_stream_stream_join" -> (q77 _),
+    "q92_stream_outer_join" -> (q92 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -1767,6 +1810,8 @@ object SparkEntry {
       s"""SELECT c_mktsegment, COUNT(*) AS n, $SUMV AS total_value FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q77_stream_stream_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS c_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'click') SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id AND c.sec >= p.sec - 3600 AND c.sec <= p.sec ORDER BY p_id, c_id""",
+    "q92_stream_outer_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS c_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'click') SELECT p.p_id, c.c_id FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.sec >= p.sec - 3600 AND c.sec <= p.sec ORDER BY p_id, c_id""",
     "q79_typed_dataset" ->
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
     "q81_zorder_layout" ->

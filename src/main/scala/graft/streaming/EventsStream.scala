@@ -38,10 +38,24 @@ object EventsStream {
   /** File-source stream over a directory of event parquet files, surfaced
     * with a proper second-floored TimestampType `ts` (matching the batch
     * operators' time arithmetic).
+    *
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` bound each micro-batch —
+    * the production knob that keeps a backlogged directory (or a bulk
+    * backfill) from turning the first trigger into one giant batch that
+    * overwhelms state stores and sinks. Unset = drain everything available
+    * per trigger (the verification default).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawEventsSchema).parquet(dir)
+  def readEvents(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxBytesPerTrigger: Option[String] = None): DataFrame = {
+    val reader = spark.readStream.schema(rawEventsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+  }
 
   /** Tumbling 1-hour windowed counts per event type with a 2-hour watermark.
     * Money sums use the same exact-decimal accumulation as batch q14 —

@@ -144,6 +144,43 @@ object StreamVerify {
     drain(spark, joined, "append")
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase, joined to
+    * same-user clicks in the preceding hour; purchases with no qualifying
+    * click emit with a NULL click id.
+    *
+    * Outer-null emission is WATERMARK-DRIVEN: an unmatched left row is held
+    * in state until the watermark passes the end of its join window, so for
+    * the trailing watermark-delay of a bounded directory a plain drain
+    * would silently drop the tail's unmatched rows. The caller therefore
+    * stages one far-future SENTINEL row per side, with DISTINCT out-of-band
+    * user ids so the two sentinels cannot join each other. The sentinels
+    * flow through the watermark operators, advancing the global watermark
+    * past every real row's window, and are never emitted themselves: the
+    * watermark always lags max event time by the 2-hour delay, so it never
+    * passes the sentinels' own timestamps and they simply age in state
+    * until the drain ends. (Filtering them out between the watermark and
+    * the join does NOT work — the optimizer pushes the filter below the
+    * watermark operator, hiding the sentinel from the watermark stats.)
+    * The engine's trailing no-data micro-batch evicts and emits the held
+    * unmatched real rows, making the drain batch-left-join-equivalent.
+    */
+  def streamStreamOuterJoin(spark: SparkSession, eventsPath: String): DataFrame = {
+    val ev = EventsStream.readEvents(spark, eventsPath)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= expr("p_ts - INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("c_id"))
+    drain(spark, joined, "append")
+  }
+
   /** Continuous bronze load drained end-to-end: micro-batches land in a
     * `date_id/batch_id`-partitioned lake via idempotent delete-insert, then
     * the lake is read back and aggregated. The lake and checkpoint are

@@ -48,6 +48,44 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch of a backlogged directory") {
+    val src = stageSource(copies = 3)
+    val q = EventsStream.readEvents(spark, src, maxFilesPerTrigger = Some(1))
+      .select("event_id")
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 3,
+        s"3 staged files at 1 file/trigger must drain in 3 data batches, got $dataBatches")
+      assert(spark.table("rate_out").count() == 3000L)
+    } finally spark.catalog.dropTempView("rate_out")
+  }
+
+  test("stream-stream LEFT OUTER join equals the batch left join, nulls included") {
+    val got = SparkEntry.queries("q92_stream_outer_join")(spark, sf).collect()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("sec", expr("ts div 1000000000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("sec").as("p_sec"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("sec").as("c_sec"))
+    val exp = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_sec") >= col("p_sec") - 3600 && col("c_sec") <= col("p_sec"),
+      "left_outer")
+      .select(col("p_id"), col("c_id"))
+      .orderBy(col("p_id"), col("c_id"))
+      .collect()
+    assert(got.toSeq == exp.toSeq)
+    // the watermark-driven null path must actually be exercised
+    assert(got.exists(_.isNullAt(1)),
+      "expected at least one unmatched purchase emitted with a NULL click id")
+  }
+
   test("streaming dedup suppresses duplicate deliveries (keyed, not ts-keyed)") {
     val q = EventsStream.dedupedStream(
       EventsStream.readEvents(spark, stageSource(copies = 2)), Seq("event_id"))
