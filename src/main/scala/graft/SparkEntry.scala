@@ -1102,6 +1102,29 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Three-key Z-order layout: orders clustered by the Morton interleave
+    * of (custkey, order-day, price-in-thousands), written and read back
+    * with the z-value. Three selective dimensions on one fact table is the
+    * common lakehouse shape (who / when / how-much); the interleave keeps
+    * per-file min/max tight on ALL three so a range predicate on any one
+    * skips most files (LayoutSpec proves the skip ratio). Oracle replays
+    * the interleave bit-for-bit.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("o_custkey", "day_nr", "price_k")
+    val path = scratch(dir, "q94")
+    val withDims = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long")
+          .as("day_nr"),
+        floor(col("o_totalprice") / 1000.0).as("price_k"))
+    graft.operators.Layout.zorderWriteN(withDims, path, keys)
+    PartitionedLake.read(s, path)
+      .select(col("o_orderkey"), col("o_custkey"), col("day_nr"), col("price_k"),
+        graft.operators.Layout.zorderValueN(16, keys.map(col)).as("zval"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Interpolated (continuous) percentiles per group, computed with an
     * EXPLICIT rank-interpolation formula — `pos = 1 + p(n-1)`, linear blend
     * of the two straddling order statistics — identically on both engines,
@@ -1308,6 +1331,46 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** API-ingest bronze, end-to-end: request table (one URL per nation) →
+    * distributed rate-limited fetch (deterministic stub fetcher — this
+    * sandbox has no egress; see ApiIngest.DeterministicStub) → explicit-
+    * schema JSON flatten → delete-insert lake load by date_id → read-back.
+    * Mirrors the reference's weather-API bronze
+    * (analytics__world_weather.py:40–95, 135–180). Keys ≡ 7 (mod 13)
+    * 404 and are quarantined, so the oracle excludes them.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reqs = T(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("request_id"),
+      concat(lit("https://api.example.test/weather?key="), col("n_nationkey"),
+        lit("&q="), col("n_name")).as("url"))
+      .as[graft.sources.FetchRequest]
+    val fetched = graft.sources.ApiIngest.fetchAll(
+      reqs, graft.sources.ApiIngest.DeterministicStub,
+      maxPartitions = 4, perPartitionRequestsPerSec = 10000.0)
+    val payloadSchema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("sys", StructType(Seq(StructField("country", StringType)))),
+      StructField("main", StructType(Seq(
+        StructField("temp", DoubleType), StructField("humidity", LongType)))),
+      StructField("wind", StructType(Seq(StructField("speed", DoubleType))))))
+    val flat = graft.sources.ApiIngest.flattenPayloads(fetched.toDF(), payloadSchema)
+      .select(
+        col("name").as("city"),
+        col("sys.country").as("country"),
+        col("main.temp").as("temp"),
+        col("main.humidity").as("humidity"),
+        col("wind.speed").as("wind_speed"),
+        lit("2024-01-15").as("date_id"))
+    val path = scratch(dir, "q93")
+    PartitionedLake.deleteInsert(flat, path, Seq("date_id"))
+    PartitionedLake.read(s, path)
+      .select(col("city"), col("country"), col("temp"), col("humidity"),
+        col("wind_speed"), col("date_id").cast("string").as("date_id"))
+      .orderBy(col("city"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1494,6 +1557,8 @@ object SparkEntry {
     "q69_stream_static_join" -> (q69 _),
     "q77_stream_stream_join" -> (q77 _),
     "q92_stream_outer_join" -> (q92 _),
+    "q93_api_ingest" -> (q93 _),
+    "q94_zorder3" -> (q94 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -1607,13 +1672,19 @@ object SparkEntry {
   private def ivfRecomputeSql(c: String, a: String): String =
     s"""SELECT prev.cid, COALESCE(r.nvec, prev.cvec) AS cvec FROM $c prev LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS nvec FROM (SELECT a.cid, u.pos, CAST(SUM(CAST(u.x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m FROM embeddings e JOIN $a a ON e.vec_id = a.vec_id, LATERAL (SELECT unnest(list_transform(e.embedding, f -> CAST(f AS DOUBLE))) AS x, generate_subscripts(e.embedding, 1) AS pos) u GROUP BY a.cid, u.pos) GROUP BY cid) r ON prev.cid = r.cid"""
 
-  /** Morton bit-interleave replayed in SQL (mirrors Layout.zorderValue). */
-  private def zorderSql(x: String, y: String, bits: Int = 16): String = {
+  /** N-ary Morton bit-interleave replayed in SQL (mirrors
+    * Layout.zorderValueN: bit i of key j → position k*i + j).
+    */
+  private def zorderSqlN(bits: Int, keys: Seq[String]): String = {
     val m = (1L << bits) - 1
-    (0 until bits).map(i =>
-      s"((((($x) & $m) >> $i) & 1) << ${2 * i}) | ((((($y) & $m) >> $i) & 1) << ${2 * i + 1})")
+    val k = keys.size
+    (for { i <- 0 until bits; (c, j) <- keys.zipWithIndex }
+      yield s"((((($c) & $m) >> $i) & 1) << ${k * i + j})")
       .mkString("(", " | ", ")")
   }
+
+  private def zorderSql(x: String, y: String, bits: Int = 16): String =
+    zorderSqlN(bits, Seq(x, y))
 
   /** Rank-interpolated percentile replayed in SQL (mirrors q82's interp). */
   private def interpSql(p: String): String = {
@@ -1816,6 +1887,12 @@ object SparkEntry {
       """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
     "q81_zorder_layout" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
+    "q94_zorder3" ->
+      s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // replays the stub server's exact-in-double metric formulas directly
+    // over nation; keys ≡ 7 (mod 13) 404 in the stub and are quarantined
+    "q93_api_ingest" ->
+      """SELECT n_name AS city, n_name AS country, CAST(n_nationkey AS DOUBLE) * 1.5 - 10.0 AS temp, CAST((n_nationkey * 7) % 100 AS BIGINT) AS humidity, CAST(n_nationkey AS DOUBLE) * 0.25 AS wind_speed, '2024-01-15' AS date_id FROM nation WHERE n_nationkey % 13 <> 7 ORDER BY city""",
     "q80_bloom_prefilter" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q78_merge_upsert" ->

@@ -14,26 +14,44 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Bit-interleaved (Morton) value of two non-negative ints capped to
-    * `bits` bits each: x occupies even bit positions, y odd. Pure
-    * shift/and/or Column arithmetic — ANSI-safe and engine-portable.
+  /** N-ary bit-interleaved (Morton) value of non-negative int keys capped
+    * to `bits` bits each: bit `i` of key `j` lands at position
+    * `k*i + j` (k = number of keys). Pure shift/and/or Column arithmetic —
+    * ANSI-safe and engine-portable.
     */
-  def zorderValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    val xm = x.bitwiseAND(lit((1L << bits) - 1))
-    val ym = y.bitwiseAND(lit((1L << bits) - 1))
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(xm, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftrightunsigned(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+  def zorderValueN(bits: Int, keys: Seq[Column]): Column = {
+    val k = keys.size
+    require(k >= 2, "z-order needs at least two keys")
+    require(bits >= 1 && bits * k <= 62,
+      s"interleaved width ${bits * k} must fit a signed long")
+    val m = lit((1L << bits) - 1)
+    val masked = keys.map(_.bitwiseAND(m))
+    (for { i <- 0 until bits; (c, j) <- masked.zipWithIndex }
+      yield shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), k * i + j))
+      .reduce(_ bitwiseOR _)
   }
 
-  /** Write `df` as parquet clustered by the z-order of two key columns:
+  /** Two-key interleave: x occupies even bit positions, y odd. */
+  def zorderValue(x: Column, y: Column, bits: Int = 16): Column =
+    zorderValueN(bits, Seq(x, y))
+
+  /** Write `df` as parquet clustered by the z-order of the key columns:
     * a range repartition + intra-partition sort on the z-value gives each
     * output file a tight z-range (and therefore tight min/max stats on
-    * both keys).
+    * EVERY key — the property LayoutSpec's file-skipping test asserts).
     */
+  def zorderWriteN(
+      df: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      bits: Int = 16,
+      files: Int = 8): Unit =
+    df.withColumn("__z", zorderValueN(bits, keyCols.map(col)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   def zorderWrite(
       df: DataFrame,
       path: String,
@@ -41,9 +59,5 @@ object Layout {
       yCol: String,
       bits: Int = 16,
       files: Int = 8): Unit =
-    df.withColumn("__z", zorderValue(col(xCol), col(yCol), bits))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    zorderWriteN(df, path, Seq(xCol, yCol), bits, files)
 }

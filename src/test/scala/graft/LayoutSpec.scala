@@ -22,6 +22,75 @@ class LayoutSpec extends SparkSuite {
     got.foreach { case (x, y, z) => assert(z == ref(x, y, 16), s"($x,$y)") }
   }
 
+  test("zorderValueN interleaves three keys exactly (reference check)") {
+    def ref(keys: Seq[Long], bits: Int): Long =
+      (for { i <- 0 until bits; j <- keys.indices }
+        yield ((keys(j) >> i) & 1L) << (keys.size * i + j)).reduce(_ | _)
+    val rnd = new scala.util.Random(23)
+    val triples = (0 until 200).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = triples.toDF("x", "y", "w")
+      .select(col("x"), col("y"), col("w"),
+        Layout.zorderValueN(16, Seq(col("x"), col("y"), col("w"))).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, w, z) =>
+      assert(z == ref(Seq(x, y, w), 16), s"($x,$y,$w)")
+    }
+  }
+
+  /** Per-row-group (min, max) of a long column, read from the REAL parquet
+    * footers — the exact statistics the scan's row-group filter consults.
+    */
+  private def rowGroupRanges(dir: String, colName: String): Seq[Seq[(Long, Long)]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .toSeq
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == colName)
+            .getOrElse(fail(s"column $colName missing from ${f.getName} footer"))
+          val st = cc.getStatistics
+          assert(st.hasNonNullValue, s"no stats for $colName in ${f.getName}")
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        } finally r.close()
+      }
+  }
+
+  test("z-layout skips most files on a range predicate on EITHER key; an append layout skips none") {
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 40000)
+      .map(i => (i.toLong, rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+      .toDF("id", "x", "y")
+    val zdir = Files.createTempDirectory("graft_zskip").toString
+    Layout.zorderWrite(df, zdir, "x", "y", bits = 12, files = 16)
+    // baseline: insertion-ordered files — what an append-only load produces
+    val adir = Files.createTempDirectory("graft_askip").toString
+    df.repartitionByRange(16, col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(adir)
+    // a file is skipped for [lo, hi] when EVERY row group's footer range
+    // misses the interval — the same min/max test the parquet reader runs
+    def skipped(dir: String, colName: String, lo: Long, hi: Long): (Int, Int) = {
+      val perFile = rowGroupRanges(dir, colName)
+      (perFile.count(_.forall { case (mn, mx) => mx < lo || mn > hi }),
+        perFile.size)
+    }
+    for (key <- Seq("x", "y")) {
+      val (zSkip, zTotal) = skipped(zdir, key, 0, 255) // 1/16 of the domain
+      assert(zSkip >= zTotal / 2,
+        s"z-layout should skip most files on $key∈[0,255]: $zSkip of $zTotal")
+      val (aSkip, aTotal) = skipped(adir, key, 0, 255)
+      assert(aSkip == 0,
+        s"append layout has full-domain files; expected 0 skips on $key, got $aSkip of $aTotal")
+    }
+  }
+
   test("zorderWrite clusters both dimensions: per-file key ranges are narrow") {
     val dir = Files.createTempDirectory("graft_zorder").toString
     val rnd = new scala.util.Random(7)
