@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Dedup, Medallion, Multimodal, Relational, Similarity}
-import graft.sources.{PartitionedLake, Tables}
+import graft.sources.{PartitionedLake, Tables, VersionedLake}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -1371,6 +1371,76 @@ object SparkEntry {
       .orderBy(col("city"))
   }
 
+  /** Count-Min sketch heavy hitters over the corpus vocabulary: top-20
+    * words with true count and (never-undercounting) CMS estimate. The
+    * oracle replays every xorshift bucket assignment bit-for-bit.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsHeavyHitters(T(s, dir, "documents"), "text")
+
+  /** BM25 retrieval scoring of the corpus against a fixed term set —
+    * decimal-accumulated per-document sums keep the ranking
+    * order-independent and engine-identical.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.bm25(
+      T(s, dir, "documents"), "doc_id", "text", Seq("spark", "join", "scan"))
+
+  /** Incremental materialized-aggregate maintenance: the daily rollup lake
+    * is seeded from the non-error event history, then the latest day's
+    * error slice arrives as partial aggregates and
+    * [[graft.operators.Incremental.mergeAdditive]] re-aggregates ONLY that
+    * day's partition (state + partials), committing it with dynamic
+    * overwrite — maintenance cost tracks the delta, not the table.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q97")
+    val ev = T(s, dir, "events")
+    def daily(src: DataFrame) = src
+      .groupBy(evDateId.as("date_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumx(col("value")).as("total_value"))
+    val state = daily(ev.filter(col("event_type") =!= "error"))
+    PartitionedLake.writeAll(state, lake, Seq("date_id"))
+    val maxDate = state.agg(max(col("date_id"))).head().getString(0)
+    val delta = daily(ev.filter(col("event_type") === "error"))
+      .filter(col("date_id") === maxDate)
+    graft.operators.Incremental.mergeAdditive(s, lake, delta,
+      keyCols = Seq("event_type"), partCol = "date_id",
+      measureCols = Seq("n_events", "total_value"))
+    PartitionedLake.read(s, lake)
+      .select(col("date_id").cast("string").as("date_id"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("date_id"), col("event_type"))
+  }
+
+  /** Versioned (time-travel) lake: three change sets land as `version=v`
+    * partitions, then the as-of-v2 read reconstructs that snapshot —
+    * latest change per key wins, deletes drop their key, and the v3
+    * change set is partition-pruned away entirely (history stays
+    * immutable and every old snapshot remains readable).
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q98")
+    val base = T(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val v2 = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+      .withColumn("op", lit("U"))
+      .unionByName(
+        base.filter(col("c_custkey") % 10 =!= 0 && col("c_custkey") % 7 === 0)
+          .withColumn("op", lit("D")))
+    VersionedLake.writeVersion(base.withColumn("op", lit("U")), lake, 1L)
+    VersionedLake.writeVersion(v2, lake, 2L)
+    // v3 zeroes every balance — must be invisible to the as-of-v2 read
+    VersionedLake.writeVersion(
+      base.withColumn("c_acctbal", lit(0.0)).withColumn("op", lit("U")), lake, 3L)
+    VersionedLake.readAsOf(s, lake, 2L, Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("version").cast("long").as("version"))
+      .orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1559,6 +1629,10 @@ object SparkEntry {
     "q92_stream_outer_join" -> (q92 _),
     "q93_api_ingest" -> (q93 _),
     "q94_zorder3" -> (q94 _),
+    "q95_cms_heavy_hitters" -> (q95 _),
+    "q96_bm25" -> (q96 _),
+    "q97_incremental_agg" -> (q97 _),
+    "q98_time_travel" -> (q98 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -1889,6 +1963,25 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // every xorshift bucket assignment replayed bit-for-bit in HUGEINT
+    "q95_cms_heavy_hitters" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT unnest(docwords(text)) AS word FROM documents), wc AS (SELECT word, COUNT(*) AS true_n FROM w GROUP BY word), rb AS (SELECT word, true_n, i, CAST(xstep(xshash(word), CAST(i AS HUGEINT)) & 255 AS BIGINT) AS bucket FROM wc CROSS JOIN (SELECT unnest(range(4)) AS i) r), cells AS (SELECT i, bucket, CAST(SUM(true_n) AS BIGINT) AS cell_n FROM rb GROUP BY i, bucket), top AS (SELECT word FROM wc ORDER BY true_n DESC, word LIMIT 20) SELECT p.word, p.true_n, MIN(c.cell_n) AS cms_est FROM rb p JOIN top t ON p.word = t.word JOIN cells c ON c.i = p.i AND c.bucket = p.bucket GROUP BY p.word, p.true_n ORDER BY p.true_n DESC, p.word""",
+    // BM25 with the SAME double constants and operation order as the
+    // Spark expression (interpolated, not re-typed, to avoid ulp drift);
+    // per-term scores land on a 1e-9 decimal grid before the sum
+    "q96_bm25" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT doc_id, unnest(docwords(text)) AS w FROM documents), dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id), st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl), q AS (SELECT doc_id, w FROM w WHERE w IN ('spark', 'join', 'scan')), tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM q GROUP BY doc_id, w), df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY w), s AS (SELECT tf.doc_id, CAST((ln((((SELECT n FROM st) - CAST(df AS DOUBLE)) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) * (CAST(tf AS DOUBLE) * ${1.2 + 1.0})) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / (SELECT avgdl FROM st))) AS DECIMAL(18,9)) AS s FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id) SELECT doc_id, round(CAST(SUM(s) AS DOUBLE), 6) AS bm25 FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 100""",
+    // replays the seed + merged-day composition: unaffected partitions are
+    // the non-error daily aggregates verbatim; the max day re-aggregates
+    // state + the error-slice partials (SUM over the union = the same
+    // two-value double addition the merge performs)
+    "q97_incremental_agg" ->
+      s"""WITH state AS (SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events WHERE event_type <> 'error' GROUP BY 1, 2), mx AS (SELECT MAX(date_id) AS d FROM state), delta AS (SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events WHERE event_type = 'error' AND strftime(ts, '%Y-%m-%d') = (SELECT d FROM mx) GROUP BY 1, 2), merged AS (SELECT date_id, event_type, CAST(SUM(n_events) AS BIGINT) AS n_events, CAST(SUM(total_value) AS DOUBLE) AS total_value FROM (SELECT * FROM state WHERE date_id = (SELECT d FROM mx) UNION ALL SELECT * FROM delta) GROUP BY 1, 2) SELECT date_id, event_type, n_events, total_value FROM (SELECT date_id, event_type, n_events, total_value FROM state WHERE date_id <> (SELECT d FROM mx) UNION ALL SELECT date_id, event_type, n_events, total_value FROM merged) ORDER BY date_id, event_type""",
+    // as-of v2 reconstruction: +100 upserts win for keys ≡ 0 (mod 10),
+    // deletes drop keys ≡ 0 (mod 7) (minus the upsert overlap), v3 is
+    // invisible; `version` records which change set each row came from
+    "q98_time_travel" ->
+      """SELECT c_custkey, c_name, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal, CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version FROM customer WHERE c_custkey <= 500 AND NOT (c_custkey % 10 <> 0 AND c_custkey % 7 = 0) ORDER BY c_custkey""",
     // replays the stub server's exact-in-double metric formulas directly
     // over nation; keys ≡ 7 (mod 13) 404 in the stub and are quarantined
     "q93_api_ingest" ->

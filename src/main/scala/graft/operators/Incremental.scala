@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.PartitionedLake
+
+/** Incremental materialized-aggregate maintenance.
+  *
+  * At 100 TB you do not rescan history to refresh a daily rollup: the
+  * aggregate TABLE is the state, each arriving slice contributes partial
+  * aggregates, and the merge re-aggregates state + partials for ONLY the
+  * partitions the slice touches (additive measures — counts, sums — merge
+  * losslessly; averages etc. must be carried as sum+count pairs). Dynamic
+  * partition overwrite commits exactly those partitions, so maintenance
+  * cost tracks the delta, not the table.
+  */
+object Incremental {
+
+  /** Merge additive partial aggregates into the state lake at `statePath`.
+    *
+    * `delta` must already be aggregated to the state's grain
+    * (`partCol` + `keyCols`); `measureCols` are its additive measures.
+    * Existing state rows for the affected partitions re-aggregate with the
+    * delta partials; the result is cast back to the state's exact column
+    * types (a decimal sum widens per merge — left uncast, every merge
+    * would shift the parquet schema) and committed with dynamic overwrite.
+    */
+  def mergeAdditive(
+      spark: SparkSession,
+      statePath: String,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      partCol: String,
+      measureCols: Seq[String]): Unit = {
+    val d = delta.localCheckpoint(true) // referenced twice below
+    val state = PartitionedLake.read(spark, statePath)
+    val affected = d.select(col(partCol)).distinct()
+    val existing = state.join(affected, Seq(partCol), "left_semi")
+    val grain = (partCol +: keyCols).map(col)
+    val merged = existing
+      .unionByName(d.select(existing.columns.map(col): _*))
+      .groupBy(grain: _*)
+      .agg(measureCols.map(c => sum(col(c)).as(c)).head,
+        measureCols.map(c => sum(col(c)).as(c)).tail: _*)
+      // pin the state schema, and cut lineage to the files being replaced
+      .select(state.schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      .localCheckpoint(true)
+    PartitionedLake.deleteInsert(merged, statePath, Seq(partCol))
+  }
+}

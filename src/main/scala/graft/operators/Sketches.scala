@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+import graft.plans.TextHashExpressions.{xsHash, xsMix}
+
+/** Frequency-sketch and retrieval-scoring operators.
+  *
+  * Count-Min is the streaming/distributed answer to "which items are hot"
+  * when the item domain is too large to count exactly: d×w counters
+  * (constant memory) instead of |domain| counters, with one-sided error —
+  * estimates only ever OVERcount. Hashing is the engine's portable
+  * xorshift family ([[graft.plans.XsHash]]/[[graft.plans.XsMix]]) so the
+  * DuckDB oracle replays every bucket assignment bit-for-bit.
+  */
+object Sketches {
+
+  /** CMS bucket of `word` for sketch row `i`: portable mix, masked to a
+    * power-of-two width (mask keeps signed/unsigned mod equivalent across
+    * engines).
+    */
+  private def bucket(word: Column, i: Int, width: Int): Column =
+    xsMix(xsHash(word), lit(i.toLong)).bitwiseAND(lit((width - 1).toLong))
+
+  /** Heavy hitters with their Count-Min estimates.
+    *
+    * One corpus scan builds exact per-word counts (the verification
+    * ground truth — at a true 100 TB stream you would feed raw
+    * occurrences straight into the d×w cells and skip this aggregate);
+    * the d×w counter table then sums those counts per (row, bucket), and
+    * each of the top-`k` words probes its d cells, taking the min. The
+    * counter table is `depth × width` rows regardless of corpus size, and
+    * the probe join broadcasts.
+    *
+    * Returns (word, true_n, cms_est) with cms_est >= true_n always (CMS
+    * never undercounts).
+    */
+  def cmsHeavyHitters(
+      docs: DataFrame,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 256,
+      k: Int = 20): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0, "width must be a power of two")
+    require(depth >= 1 && k >= 1)
+    // exact per-word counts: ONE corpus scan, materialized because both
+    // the cell table and the top-k probe derive from it (vocab-sized, not
+    // corpus-sized)
+    val wc = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("true_n"))
+      .localCheckpoint(true)
+    val rowBuckets = wc.select(col("word"), col("true_n"),
+      explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row_i"), bucket(col("word"), i, width).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("word"), col("true_n"), col("rb.row_i"), col("rb.bucket"))
+    val cells = rowBuckets.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("true_n")).as("cell_n"))
+    val top = wc.orderBy(col("true_n").desc, col("word")).limit(k)
+    rowBuckets.join(broadcast(top.select(col("word"))), Seq("word"))
+      .join(cells, Seq("row_i", "bucket"))
+      .groupBy(col("word"), col("true_n"))
+      .agg(min(col("cell_n")).as("cms_est"))
+      .orderBy(col("true_n").desc, col("word"))
+  }
+
+  /** BM25 relevance of every document against a fixed term set: the
+    * classic retrieval scorer (the usual lexical half of hybrid search
+    * over a training corpus).
+    *
+    * `score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`
+    * with `idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Per-term scores are accumulated in DECIMAL(18,9) so the per-document
+    * sum is order-independent (a raw double sum would vary with partial
+    * aggregation order); the 1e-9 grid sits far above the double ulp of
+    * these O(1..100) scores, so the decimal cast is engine-identical.
+    * Plan: one corpus scan for doc lengths + term frequencies, tiny df
+    * and length stats broadcast back.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 100): DataFrame = {
+    require(terms.nonEmpty)
+    val words = docs
+      .select(col(idCol), explode(TextFunctions.words(col(textCol))).as("w"))
+      .localCheckpoint(true) // feeds dl, tf and df below: scan once
+    val dl = words.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs.toDouble
+    val q = words.filter(col("w").isin(terms: _*))
+    val tf = q.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val df_ = q.select(col(idCol), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val tfd = col("tf").cast("double")
+    val termScore = idf * (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(df_), Seq("w"))
+      .join(dl, Seq(idCol))
+      .select(col(idCol), termScore.cast(DecimalType(18, 9)).as("s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("s")).cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Versioned (time-travel) lake over plain parquet.
+  *
+  * Each write lands a CHANGE SET under `version=v`: rows carrying the key
+  * columns, payload, and an `op` marker (`U` upsert, `D` delete) — the
+  * Delta/Iceberg snapshot idea re-expressed with what parquet gives us.
+  * `readAsOf(v)` reconstructs the table as of any version by keeping, per
+  * key, the row from the LATEST version `<= v` and dropping keys whose
+  * latest op is a delete. History is immutable: new versions only append
+  * directories, old snapshots stay readable forever, and partition
+  * pruning on `version` keeps an as-of read from touching later change
+  * sets at all.
+  *
+  * Reconstruction is one window over (key, version) — at scale that is a
+  * single shuffle of the change rows `<= v`, not of full snapshots.
+  * Periodically compacting a reconstructed snapshot into a fresh base
+  * version (op = U for every live key) bounds the change-chain length,
+  * exactly like checkpointing a CDC log (compose with `writeVersion`).
+  */
+object VersionedLake {
+
+  /** Append one change set as `version=v`. Versions must be written with
+    * distinct, increasing ids; re-writing an id replaces that change set
+    * (idempotent backfill).
+    */
+  def writeVersion(changes: DataFrame, path: String, version: Long): Unit =
+    changes
+      .withColumn("version", lit(version))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("version")
+      .parquet(path)
+
+  /** The table as of `version`: latest change per key wins, deletes drop
+    * the key. Ties inside one version are broken deterministically by
+    * `tieBreak` (a column, e.g. an ingest sequence) — callers that never
+    * write a key twice per version can pass a constant.
+    */
+  def readAsOf(
+      spark: SparkSession,
+      path: String,
+      version: Long,
+      keyCols: Seq[String],
+      tieBreak: String = "version"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("version").desc, col(tieBreak).desc)
+    spark.read.parquet(path)
+      .filter(col("version") <= version) // partition-pruned: later versions unread
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "D")
+      .drop("__rn", "op")
+  }
+}

@@ -1,0 +1,22 @@
+package graft
+
+class SketchesSpec extends SparkSuite {
+
+  test("CMS heavy hitters: estimates never undercount the true counts") {
+    val out = SparkEntry.queries("q95_cms_heavy_hitters")(spark, sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted ${r.getString(0)}: est ${r.getLong(2)} < true ${r.getLong(1)}")
+    }
+  }
+
+  test("BM25: positive descending scores over the term set") {
+    val out = SparkEntry.queries("q96_bm25")(spark, sf).collect()
+    assert(out.length == 100)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores must be non-increasing")
+  }
+}
