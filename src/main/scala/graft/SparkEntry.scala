@@ -1419,8 +1419,13 @@ object SparkEntry {
     * change set is partition-pruned away entirely (history stays
     * immutable and every old snapshot remains readable).
     */
-  private def q98(s: SparkSession, dir: String): DataFrame = {
-    val lake = scratch(dir, "q98")
+  /** Stage the shared 3-version customer change history (q98 + q103):
+    * v1 = base snapshot of keys <= 500; v2 = +100 balance upserts for
+    * keys ≡ 0 (mod 10) and deletes for the remaining keys ≡ 0 (mod 7);
+    * v3 = every base key re-upserted with a zeroed balance.
+    */
+  private def customerVersionedLake(s: SparkSession, dir: String, q: String): String = {
+    val lake = scratch(dir, q)
     val base = T(s, dir, "customer")
       .filter(col("c_custkey") <= 500)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -1432,12 +1437,90 @@ object SparkEntry {
           .withColumn("op", lit("D")))
     VersionedLake.writeVersion(base.withColumn("op", lit("U")), lake, 1L)
     VersionedLake.writeVersion(v2, lake, 2L)
-    // v3 zeroes every balance — must be invisible to the as-of-v2 read
     VersionedLake.writeVersion(
       base.withColumn("c_acctbal", lit(0.0)).withColumn("op", lit("U")), lake, 3L)
+    lake
+  }
+
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    // the as-of-v2 read must not see v3's zeroed balances
+    val lake = customerVersionedLake(s, dir, "q98")
     VersionedLake.readAsOf(s, lake, 2L, Seq("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
         col("version").cast("long").as("version"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Trailing-24h distinct users per observed hour. The scalable shape —
+    * dedup to (hour, user) pairs, bounded 24× explode, plain groupBy —
+    * instead of the per-hour trailing-interval theta-join (which can only
+    * plan as BNL). See [[Relational.trailingDistinct]].
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    Relational.trailingDistinct(
+      T(s, dir, "events")
+        .select(expr("ts div 1000000000 div 3600").as("hour_id"), col("user_id")),
+      "hour_id", "user_id", windowBuckets = 24)
+      .orderBy(col("hour_id"))
+
+  /** PageRank over the customer–supplier bipartite graph mined from
+    * orders×lineitem (both edge directions, so no dangling nodes);
+    * suppliers are negated to share customers' id space. Three iterations,
+    * each one equi-join + one decimal-deterministic aggregation — the
+    * iterative-analytics shape that holds at 100 TB. Top 100 nodes.
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val pairs = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), (-col("supp")).as("dst"))
+      .unionByName(pairs.select((-col("supp")).as("src"), col("cust").as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 3)
+      .orderBy(col("pr").desc, col("node"))
+      .limit(100)
+  }
+
+  /** One-pass table profiling: per column non-null / exact-distinct counts
+    * and numeric min/max ([[graft.operators.Profiling.profile]]) — the
+    * trust-a-new-drop summary, single scan regardless of column count.
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(T(s, dir, "customer"))
+      .orderBy(col("col_name"))
+
+  /** Arbitrary GROUPING SETS with a grouping_id discriminator — the
+    * generalization of q17's rollup / q41's cube to caller-chosen
+    * combinations, one Expand pass.
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    li.groupingSets(
+      Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+      col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumx(col("l_quantity")).as("sum_qty"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("return_flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("return_flag"), col("line_status"))
+  }
+
+  /** Change-data feed between two lake snapshots: the keys inserted /
+    * deleted / updated going v2 → v3 of the shared version history,
+    * derived retroactively by [[VersionedLake.snapshotDiff]] (unchanged
+    * keys dropped by a null-safe payload compare).
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val lake = customerVersionedLake(s, dir, "q103")
+    VersionedLake.snapshotDiff(s, lake, 2L, 3L, Seq("c_custkey"))
+      .select(col("c_custkey"), col("change"),
+        col("old.c_acctbal").as("old_acctbal"),
+        col("new.c_acctbal").as("new_acctbal"))
       .orderBy(col("c_custkey"))
   }
 
@@ -1633,6 +1716,11 @@ object SparkEntry {
     "q96_bm25" -> (q96 _),
     "q97_incremental_agg" -> (q97 _),
     "q98_time_travel" -> (q98 _),
+    "q99_trailing_distinct" -> (q99 _),
+    "q100_pagerank" -> (q100 _),
+    "q101_profile" -> (q101 _),
+    "q102_grouping_sets" -> (q102 _),
+    "q103_snapshot_diff" -> (q103 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -1982,6 +2070,24 @@ object SparkEntry {
     // invisible; `version` records which change set each row came from
     "q98_time_travel" ->
       """SELECT c_custkey, c_name, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal, CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version FROM customer WHERE c_custkey <= 500 AND NOT (c_custkey % 10 <> 0 AND c_custkey % 7 = 0) ORDER BY c_custkey""",
+    // correlated trailing-interval COUNT(DISTINCT) — the declarative
+    // statement of what the bounded-explode plan computes
+    "q99_trailing_distinct" ->
+      """WITH pairs AS (SELECT DISTINCT epoch_ns(ts)//1000000000//3600 AS hour_id, user_id FROM events), hours AS (SELECT DISTINCT hour_id FROM pairs) SELECT h.hour_id, CAST((SELECT COUNT(DISTINCT p.user_id) FROM pairs p WHERE p.hour_id BETWEEN h.hour_id - 23 AND h.hour_id) AS BIGINT) AS n_distinct FROM hours h ORDER BY hour_id""",
+    // three Lloyd-style PageRank iterations unrolled; contributions hit the
+    // same 1e-9 decimal grid before each per-destination sum, and the
+    // (1 - damping) teleport constant is interpolated from the identical
+    // Scala double so both engines add bit-equal values
+    "q100_pagerank" ->
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), edges AS (SELECT cust AS src, -supp AS dst FROM pairs UNION ALL SELECT -supp AS src, cust AS dst FROM pairs), deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src), pr0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) AS pr FROM deg), it1 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr0 p ON e.src = p.node GROUP BY e.dst), pr1 AS (SELECT d.node, d.deg, ${1.0 - 0.85} + CAST(i.c AS DOUBLE) AS pr FROM deg d JOIN it1 i ON d.node = i.node), it2 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr1 p ON e.src = p.node GROUP BY e.dst), pr2 AS (SELECT d.node, d.deg, ${1.0 - 0.85} + CAST(i.c AS DOUBLE) AS pr FROM deg d JOIN it2 i ON d.node = i.node), it3 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr2 p ON e.src = p.node GROUP BY e.dst), pr3 AS (SELECT d.node, d.deg, ${1.0 - 0.85} + CAST(i.c AS DOUBLE) AS pr FROM deg d JOIN it3 i ON d.node = i.node) SELECT node, round(pr, 6) AS pr FROM pr3 ORDER BY pr DESC, node LIMIT 100""",
+    "q101_profile" ->
+      """SELECT * FROM (SELECT 'c_acctbal' AS col_name, COUNT(*) AS n_rows, COUNT(c_acctbal) AS n_nonnull, COUNT(DISTINCT c_acctbal) AS n_distinct, CAST(MIN(c_acctbal) AS DOUBLE) AS min_num, CAST(MAX(c_acctbal) AS DOUBLE) AS max_num FROM customer UNION ALL SELECT 'c_custkey', COUNT(*), COUNT(c_custkey), COUNT(DISTINCT c_custkey), CAST(MIN(c_custkey) AS DOUBLE), CAST(MAX(c_custkey) AS DOUBLE) FROM customer UNION ALL SELECT 'c_name', COUNT(*), COUNT(c_name), COUNT(DISTINCT c_name), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM customer UNION ALL SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey), COUNT(DISTINCT c_nationkey), CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE) FROM customer UNION ALL SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM customer) ORDER BY col_name""",
+    "q102_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS return_flag, coalesce(l_linestatus, 'ALL') AS line_status, CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ()) ORDER BY gid, return_flag, line_status""",
+    // v2→v3 delta: deleted-at-v2 keys come back as inserts, every other
+    // key updates unless its v2 balance already equalled v3's zero
+    "q103_snapshot_diff" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 500), v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal FROM base WHERE NOT (c_custkey % 10 <> 0 AND c_custkey % 7 = 0)) SELECT b.c_custkey, CASE WHEN v2.c_custkey IS NULL THEN 'I' ELSE 'U' END AS change, v2.bal AS old_acctbal, CAST(0.0 AS DOUBLE) AS new_acctbal FROM base b LEFT JOIN v2 ON b.c_custkey = v2.c_custkey WHERE v2.c_custkey IS NULL OR v2.bal <> 0.0 ORDER BY b.c_custkey""",
     // replays the stub server's exact-in-double metric formulas directly
     // over nation; keys ≡ 7 (mod 13) 404 in the stub and are quarantined
     "q93_api_ingest" ->

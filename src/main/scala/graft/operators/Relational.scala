@@ -216,4 +216,35 @@ object Relational {
     } :+ max(col("__cnt")).as("n")
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Exact distinct entities over a trailing window of `windowBuckets`
+    * time buckets, reported per observed bucket.
+    *
+    * The naive formulation — for each bucket, scan the trailing interval —
+    * is a theta-join (O(buckets × rows), plans as BNL). Scalable shape:
+    * dedup to (bucket, entity) pairs first (collapses 100 TB of events to
+    * the pair cardinality), then each pair contributes to exactly
+    * `windowBuckets` trailing windows — a BOUNDED explode — and a plain
+    * groupBy counts distinct entities per window. Three equi-shuffles, no
+    * non-equi join anywhere, replication factor fixed by the window, not
+    * the data.
+    */
+  def trailingDistinct(
+      df: DataFrame,
+      bucketCol: String,
+      entityCol: String,
+      windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1, "windowBuckets must be positive")
+    require(!df.columns.contains("__wb"),
+      "input must not carry the reserved __wb column")
+    val pairs = df.select(col(bucketCol), col(entityCol)).distinct()
+    val observed = pairs.select(col(bucketCol)).distinct()
+    pairs
+      .select(col(entityCol),
+        explode(sequence(col(bucketCol),
+          col(bucketCol) + lit(windowBuckets - 1L))).as("__wb"))
+      .join(observed.withColumnRenamed(bucketCol, "__wb"), Seq("__wb"), "left_semi")
+      .groupBy(col("__wb").as(bucketCol))
+      .agg(count_distinct(col(entityCol)).as("n_distinct"))
+  }
 }

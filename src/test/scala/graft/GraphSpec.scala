@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Graph, Profiling, Relational}
+
+class GraphSpec extends SparkSuite {
+
+  private def edgeFrame(pairs: (Long, Long)*) = {
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    // undirected: both directions
+    val rows = pairs.flatMap(p => Seq(Row(p._1, p._2), Row(p._2, p._1)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  test("pageRank: teleport invariant, symmetry, and centrality on a path graph") {
+    // path 1 - 2 - 3: ends are symmetric, the middle is most central
+    val pr = Graph.pageRank(edgeFrame((1L, 2L), (2L, 3L)), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    // total rank is conserved at n (no dangling nodes in an undirected graph)
+    assert(math.abs(pr.values.sum - 3.0) < 1e-4)
+    assert(pr(1L) == pr(3L), "symmetric ends must score identically")
+    assert(pr(2L) > pr(1L), "the centre of a path out-ranks its ends")
+  }
+
+  test("pageRank matches the hand-unrolled first iteration") {
+    // star: hub 10 connected to 11, 12, 13. deg(hub)=3, deg(leaf)=1.
+    // it1: hub <- 3 * 0.85*(1/1) = 2.55 -> pr 2.70; leaf <- 0.85/3 -> pr ~0.433
+    val pr = Graph.pageRank(edgeFrame((10L, 11L), (10L, 12L), (10L, 13L)), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(10L) - 2.7) < 1e-6)
+    assert(math.abs(pr(11L) - (0.15 + 0.85 / 3)) < 1e-6)
+  }
+
+  test("trailingDistinct counts entities over the trailing window only") {
+    val schema = StructType(Seq(
+      StructField("b", LongType), StructField("e", StringType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "u1"), Row(1L, "u2"), Row(2L, "u1"), Row(5L, "u3")), schema)
+    val out = Relational.trailingDistinct(df, "b", "e", windowBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bucket 5 is > 3 buckets after 1/2: only u3 is in its window;
+    // bucket 2 sees u1+u2 (from bucket 1) plus its own u1
+    assert(out == Map(1L -> 2L, 2L -> 2L, 5L -> 1L))
+  }
+
+  test("profile: null and distinct accounting per column") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "a"), Row(2L, null), Row(2L, "a"), Row(null, "b")), schema)
+    val rows = Profiling.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = rows("k")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 3 && k.getLong(3) == 2)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 2.0)
+    val s = rows("s")
+    assert(s.getLong(2) == 3 && s.getLong(3) == 2 && s.isNullAt(4) && s.isNullAt(5))
+  }
+}

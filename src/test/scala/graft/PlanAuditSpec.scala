@@ -60,6 +60,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q99: trailing-window distinct never plans a theta-join") {
+    val p = formatted(q("q99_trailing_distinct"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the trailing window must ride the bounded explode + equi-semi-join, " +
+        "not a per-bucket trailing-interval theta-join")
+    assert(p.contains("Generate"), "expected the bounded sequence explode")
+  }
+
   test("q74: lake scan carries a dynamic partition pruning subquery") {
     val p = formatted(q("q74_dynamic_pruning"))
     assert(p.contains("dynamicpruning"),
