@@ -1524,6 +1524,52 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** Int8-quantized ANN: corpus-global scalar quantization onto the 0..255
+    * grid, then exact top-k over the QUANTIZED vectors — the 4× memory
+    * compression every billion-vector index uses, with integer-exact
+    * cosine accumulations so ranks replay deterministically cross-engine.
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.quantizedKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+  }
+
+  /** Rule-driven data-quality suite over orders: four violation predicates
+    * evaluated in one aggregation pass ([[graft.operators.Quality]]).
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.checkRules(T(s, dir, "orders"), Seq(
+      "price_positive" -> (col("o_totalprice") <= 0.0),
+      "status_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
+      "date_present" -> col("o_orderdate").isNull,
+      "priority_format" -> !col("o_orderpriority").rlike("^[1-5]-")))
+      .orderBy(col("rule_id"))
+
+  /** Change-chain checkpoint: compact the 3-version history into a fresh
+    * base at v4, then read as-of v4 with the compaction floor — one change
+    * set scanned regardless of history length ([[VersionedLake.compact]]).
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val lake = customerVersionedLake(s, dir, "q106")
+    VersionedLake.compact(s, lake, version = 3L, keyCols = Seq("c_custkey"),
+      newVersion = 4L)
+    VersionedLake.readAsOf(s, lake, 4L, Seq("c_custkey"), floorVersion = 4L)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("version").cast("long").as("version"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** The flatMapGroupsWithState sessionizer inside the oracle gate:
+    * sentinel-staged input advances the watermark past every real
+    * session's timeout, so the drained append output hash-matches the
+    * batch gap-split sessionization.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.customStateSessions(s, q92Events(s, dir))
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy(col("user_id"), col("start_sec"))
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1721,6 +1767,10 @@ object SparkEntry {
     "q101_profile" -> (q101 _),
     "q102_grouping_sets" -> (q102 _),
     "q103_snapshot_diff" -> (q103 _),
+    "q104_quantized_ann" -> (q104 _),
+    "q105_quality_rules" -> (q105 _),
+    "q106_compact_base" -> (q106 _),
+    "q107_stream_custom_state" -> (q107 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2088,6 +2138,20 @@ object SparkEntry {
     // key updates unless its v2 balance already equalled v3's zero
     "q103_snapshot_diff" ->
       """WITH base AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 500), v2 AS (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal FROM base WHERE NOT (c_custkey % 10 <> 0 AND c_custkey % 7 = 0)) SELECT b.c_custkey, CASE WHEN v2.c_custkey IS NULL THEN 'I' ELSE 'U' END AS change, v2.bal AS old_acctbal, CAST(0.0 AS DOUBLE) AS new_acctbal FROM base b LEFT JOIN v2 ON b.c_custkey = v2.c_custkey WHERE v2.c_custkey IS NULL OR v2.bal <> 0.0 ORDER BY b.c_custkey""",
+    // replays the 0..255 quantization (identical IEEE ops on identical
+    // operands) then ranks by pcos over the quantized vectors — integer-
+    // exact accumulations make the cosine doubles bit-equal cross-engine
+    "q104_quantized_ann" ->
+      s"""$VEC_MACROS; WITH b AS (SELECT CAST(MIN(u) AS DOUBLE) AS mn, CAST(MAX(u) AS DOUBLE) AS mx FROM (SELECT unnest(embedding) AS u FROM embeddings)), qz AS (SELECT vec_id, list_transform(embedding, v -> CAST(CAST(round((CAST(v AS DOUBLE) - mn) * (255.0 / (mx - mn))) AS INT) AS FLOAT)) AS qv FROM embeddings, b), q AS (SELECT vec_id AS qid, qv AS qvec FROM qz WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id AS nid, pcos(q.qvec, e.qv) AS cos FROM q CROSS JOIN qz e WHERE e.vec_id <> q.qid), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s) SELECT qid, rnk, nid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q105_quality_rules" ->
+      """SELECT rule_id, n_violations, n_rows, round(1.0 - CAST(n_violations AS DOUBLE) / n_rows, 6) AS pass_ratio FROM (SELECT 'price_positive' AS rule_id, CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, COUNT(*) AS n_rows FROM orders UNION ALL SELECT 'status_domain', CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders UNION ALL SELECT 'date_present', CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders UNION ALL SELECT 'priority_format', CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders) ORDER BY rule_id""",
+    // the compacted v4 base IS the zeroed v3 snapshot with version = 4
+    "q106_compact_base" ->
+      """SELECT c_custkey, c_name, CAST(0.0 AS DOUBLE) AS c_acctbal, CAST(4 AS BIGINT) AS version FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""",
+    // batch gap-split sessionization — what the streaming custom-state
+    // operator must converge to once the sentinel flushes all state
+    "q107_stream_custom_state" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
     // replays the stub server's exact-in-double metric formulas directly
     // over nation; keys ≡ 7 (mod 13) 404 in the stub and are quarantined
     "q93_api_ingest" ->

@@ -30,6 +30,37 @@ object Similarity {
     when(isnan(c), lit(null).cast("double")).otherwise(c)
   }
 
+  /** Int8 scalar quantization + top-k: the standard 4× vector-memory
+    * compression for ANN at scale. Corpus-global [min, max] maps every
+    * component onto the 0..255 grid; neighbors are then ranked by cosine
+    * over the QUANTIZED vectors (stored as float — 0..255 is exact in
+    * float, which keeps the codegen [[graft.plans.VecCosine]] path).
+    *
+    * Cross-engine determinism is total here, not just probable: quantized
+    * components are small integers, so every dot/norm accumulation in the
+    * cosine is an EXACT double (products ≤ 255², sums far below 2^53,
+    * order-independent) — two candidates either tie exactly (broken by
+    * id) or differ reproducibly.
+    */
+  def quantizedKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10): DataFrame = {
+    val bounds = corpus.agg(
+      min(array_min(col(vecCol))).cast("double").as("mn"),
+      max(array_max(col(vecCol))).cast("double").as("mx")).head()
+    val mn = bounds.getDouble(0)
+    val mx = bounds.getDouble(1)
+    require(mx > mn, s"degenerate embedding range [$mn, $mx]")
+    val scale = 255.0 / (mx - mn)
+    def quant(df: DataFrame) = df.withColumn(vecCol,
+      transform(col(vecCol), v =>
+        round((v.cast("double") - lit(mn)) * lit(scale)).cast("int").cast("float")))
+    knnBrute(quant(corpus), quant(queries), idCol, vecCol, k)
+  }
+
   /** Exact brute-force cosine top-k per query vector. */
   def knnBrute(
       corpus: DataFrame,

@@ -36,6 +36,29 @@ object VersionedLake {
       .partitionBy("version")
       .parquet(path)
 
+  /** Checkpoint the change chain: materialize the reconstruction as of
+    * `version` into a fresh base change set at `newVersion` (`op = U` for
+    * every live key). As-of reads at `newVersion` and later then scan one
+    * change set instead of the whole history — the CDC-log checkpoint that
+    * bounds reconstruction cost as versions accumulate. History below
+    * `newVersion` is untouched, so every older snapshot stays readable.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      version: Long,
+      keyCols: Seq[String],
+      newVersion: Long): Unit = {
+    require(newVersion > version, "compacted base must land above its source")
+    // materialize before writing: the snapshot plan reads the same lake
+    // root the writer commits into
+    val snapshot = readAsOf(spark, path, version, keyCols)
+      .drop("version")
+      .withColumn("op", lit("U"))
+      .localCheckpoint(true)
+    writeVersion(snapshot, path, newVersion)
+  }
+
   /** Change-data feed between two snapshots: every key that was inserted
     * (`I`), deleted (`D`), or whose payload changed (`U`) going from
     * `vFrom` to `vTo`, with both payload structs attached. One full outer
@@ -70,17 +93,25 @@ object VersionedLake {
     * the key. Ties inside one version are broken deterministically by
     * `tieBreak` (a column, e.g. an ingest sequence) — callers that never
     * write a key twice per version can pass a constant.
+    *
+    * `floorVersion` is the newest [[compact]]ed base at or below
+    * `version` (the metadata a catalog tracks): change sets below it are
+    * partition-pruned away, bounding the scan to base + subsequent deltas
+    * no matter how long the history has grown.
     */
   def readAsOf(
       spark: SparkSession,
       path: String,
       version: Long,
       keyCols: Seq[String],
-      tieBreak: String = "version"): DataFrame = {
+      tieBreak: String = "version",
+      floorVersion: Long = 0L): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("version").desc, col(tieBreak).desc)
     spark.read.parquet(path)
-      .filter(col("version") <= version) // partition-pruned: later versions unread
+      // partition-pruned both ways: later change sets AND pre-compaction
+      // history are never read
+      .filter(col("version") <= version && col("version") >= floorVersion)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("op") =!= "D")
       .drop("__rn", "op")

@@ -181,6 +181,22 @@ object StreamVerify {
     drain(spark, joined, "append")
   }
 
+  /** The flatMapGroupsWithState sessionizer ([[EventsStream.sessionize]])
+    * drained through the oracle gate. Append-mode custom state only emits
+    * a session when the event-time watermark passes its close, so the
+    * input must be sentinel-staged (see the q92 staging): the far-future
+    * sentinel advances the watermark past every real session's timeout and
+    * Spark's AvailableNow runs the extra state-flush batch. The sentinel
+    * users' own sessions can never flush (the watermark always lags their
+    * event time) and are additionally filtered by their out-of-band ids.
+    */
+  def customStateSessions(spark: SparkSession, eventsPath: String): DataFrame = {
+    val sessions = EventsStream
+      .sessionize(spark, EventsStream.readEvents(spark, eventsPath))
+      .toDF()
+    drain(spark, sessions, "append").filter(col("user_id") >= 0)
+  }
+
   /** Continuous bronze load drained end-to-end: micro-batches land in a
     * `date_id/batch_id`-partitioned lake via idempotent delete-insert, then
     * the lake is read back and aggregated. The lake and checkpoint are

@@ -17,6 +17,20 @@ class IncrementalSpec extends SparkSuite {
     d.getAbsolutePath + "/lake"
   }
 
+  /** Sum of numFiles over every file scan in an executed plan. AQE wraps
+    * finished stages as leaf QueryStageExec nodes, so the scans have to be
+    * dug out recursively.
+    */
+  private def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scanFiles(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scanFiles(q.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+      f.metrics("numFiles").value
+    case other => other.children.map(scanFiles).sum
+  }
+
   private def frame(rows: Seq[(String, String, Long, Double)]) = {
     val schema = StructType(Seq(
       StructField("p", StringType), StructField("k", StringType),
@@ -96,6 +110,35 @@ class IncrementalSpec extends SparkSuite {
     assert(keys == Set(9L))
   }
 
+  test("compact: checkpointed base bounds the scan, history stays readable") {
+    val lake = tmp("compact")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("val", StringType),
+      StructField("op", StringType)))
+    def changes(rows: (Long, String, String)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*), schema)
+    VersionedLake.writeVersion(changes((1L, "a1", "U"), (2L, "b1", "U")), lake, 1L)
+    VersionedLake.writeVersion(changes((2L, "", "D"), (3L, "c2", "U")), lake, 2L)
+    VersionedLake.compact(spark, lake, version = 2L, keyCols = Seq("k"), newVersion = 3L)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("val")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Map(1L -> "a1", 3L -> "c2")
+    // compacted base reproduces the snapshot it checkpointed
+    assert(rows(VersionedLake.readAsOf(spark, lake, 3L, Seq("k"), floorVersion = 3L))
+      == expected)
+    // pre-compaction history is untouched
+    assert(rows(VersionedLake.readAsOf(spark, lake, 1L, Seq("k")))
+      == Map(1L -> "a1", 2L -> "b1"))
+    // the floored read scans ONE change set however long the history is
+    val df = VersionedLake.readAsOf(spark, lake, 3L, Seq("k"), floorVersion = 3L)
+    val plan = df.queryExecution.executedPlan
+    plan.execute().count()
+    assert(scanFiles(plan) == 1,
+      "floored as-of read must scan only the compacted base")
+  }
+
   test("as-of read partition-prunes later versions at the scan") {
     val lake = tmp("prune")
     val schema = StructType(Seq(
@@ -108,19 +151,8 @@ class IncrementalSpec extends SparkSuite {
     assert(plan.toString.contains("PartitionFilters") &&
       plan.toString.contains("version"),
       s"version filter must prune partition directories, plan was:\n$plan")
-    // execute THIS plan and read its scan metric: only the v<=2 files read.
-    // AQE wraps finished stages as leaf QueryStageExec nodes, so the scan
-    // has to be dug out recursively.
+    // execute THIS plan and read its scan metric: only the v<=2 files read
     plan.execute().count()
-    def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scanFiles(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scanFiles(q.plan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.metrics("numFiles").value
-      case other => other.children.map(scanFiles).sum
-    }
     val numFiles = scanFiles(plan)
     assert(numFiles == 2, s"expected 2 change files scanned, got $numFiles")
   }

@@ -11,6 +11,20 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("quantizedKnn rejects a degenerate (constant) embedding range") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val flat = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, Seq(2.0f, 2.0f)), Row(2L, Seq(2.0f, 2.0f))), schema)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.quantizedKnn(flat, flat, "id", "v")
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
+
   test("BM25: positive descending scores over the term set") {
     val out = SparkEntry.queries("q96_bm25")(spark, sf).collect()
     assert(out.length == 100)
