@@ -1570,6 +1570,42 @@ object SparkEntry {
         col("n_events").cast("long").as("n_events"))
       .orderBy(col("user_id"), col("start_sec"))
 
+  /** Custom typed Aggregator through the udaf surface: exact-decimal
+    * weighted mean (price weighted by quantity) per return flag — the
+    * extension point for aggregates the built-ins can't express, with the
+    * same partition-order determinism discipline as `sumx`.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.Aggregators
+          .weightedMean(col("l_extendedprice"), col("l_quantity")).as("wavg"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), round(col("wavg"), 6).as("wavg_price"), col("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Distribution-drift monitor: per-bin PSI of the latest day's event
+    * values against all prior days ([[graft.operators.Drift.psiBins]]).
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val maxDate = ev.agg(max(evDateId)).head().getString(0)
+    graft.operators.Drift.psiBins(ev, "value", evDateId === maxDate, bins = 10)
+      .orderBy(col("bin"))
+  }
+
+  /** Transitive hierarchy closure by pointer jumping: every customer key's
+    * root and depth in the synthetic decimal-digit forest (parent = key/10,
+    * roots below 10) — ⌈log₂ depth⌉ self-join rounds, not a depth-long
+    * recursive walk ([[graft.operators.Graph.rootClosure]]).
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.rootClosure(
+      T(s, dir, "customer").select(col("c_custkey").as("id"),
+        when(col("c_custkey") >= 10, expr("c_custkey DIV 10")).as("parent")))
+      .orderBy(col("id"))
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1771,6 +1807,9 @@ object SparkEntry {
     "q105_quality_rules" -> (q105 _),
     "q106_compact_base" -> (q106 _),
     "q107_stream_custom_state" -> (q107 _),
+    "q108_custom_udaf" -> (q108 _),
+    "q109_psi_drift" -> (q109 _),
+    "q110_hierarchy_closure" -> (q110 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2152,6 +2191,16 @@ object SparkEntry {
     // operator must converge to once the sentinel flushes all state
     "q107_stream_custom_state" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
+    // scale-2 bases multiplied IN decimal (exact both engines), division
+    // in double, 1e-6 output grid absorbs the wide-decimal cast ulp
+    "q108_custom_udaf" ->
+      """SELECT l_returnflag, round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // densities from integer counts with the same fixed-order double ops;
+    // psi terms computed from the UNROUNDED densities like the Spark side
+    "q109_psi_drift" ->
+      """WITH ev AS (SELECT value, strftime(ts, '%Y-%m-%d') AS date_id FROM events), mxd AS (SELECT MAX(date_id) AS d FROM ev), b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev), c AS (SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 1 ELSE 0 END) AS BIGINT) AS n_act, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 0 ELSE 1 END) AS BIGINT) AS n_ref FROM ev, b GROUP BY 1), t AS (SELECT CAST(SUM(n_act) AS BIGINT) AS t_act, CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM c), p AS (SELECT bin, n_ref, n_act, (CAST(n_ref AS DOUBLE) + 1.0) / CAST(t_ref + 10 AS DOUBLE) AS p_r, (CAST(n_act AS DOUBLE) + 1.0) / CAST(t_act + 10 AS DOUBLE) AS p_a FROM c, t) SELECT bin, n_ref, n_act, round(p_r, 6) AS p_reference, round(p_a, 6) AS p_actual, round((p_a - p_r) * ln(p_a / p_r), 6) AS psi_term FROM p ORDER BY bin""",
+    "q110_hierarchy_closure" ->
+      """WITH RECURSIVE r AS (SELECT c_custkey AS id, c_custkey AS cur, CAST(0 AS BIGINT) AS depth FROM customer UNION ALL SELECT id, cur // 10, depth + 1 FROM r WHERE cur >= 10) SELECT id, cur AS root, depth FROM r WHERE cur < 10 ORDER BY id""",
     // replays the stub server's exact-in-double metric formulas directly
     // over nation; keys ≡ 7 (mod 13) 404 in the stub and are quarantined
     "q93_api_ingest" ->

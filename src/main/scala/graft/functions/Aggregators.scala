@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom typed aggregate functions (the `Aggregator` extension surface —
+  * what a user reaches for when the built-in aggregates genuinely can't
+  * express the semantics).
+  *
+  * [[WeightedMean]] follows the engine-wide exact-decimal discipline: both
+  * running sums are decimals built from scale-2-cast bases multiplied IN
+  * decimal (never a double product cast late — that rounds below the
+  * double's ulp and diverges across engines), so `merge` is associative
+  * and the aggregate is deterministic under any partition order. The final
+  * division happens in double like every other engine statistic.
+  */
+object Aggregators {
+
+  private val S2 = java.math.BigDecimal.valueOf(100L)
+
+  /** `value` cast onto the exact scale-2 grid, mirroring
+    * `CAST(x AS DECIMAL(18,2))`.
+    */
+  private def dec2(d: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(d).setScale(2, java.math.RoundingMode.HALF_UP)
+
+  /** Weighted arithmetic mean: Σ dec2(x)·dec2(w) / Σ dec2(w), as double. */
+  object WeightedMean
+      extends Aggregator[(Double, Double), (java.math.BigDecimal, java.math.BigDecimal), Double] {
+    override def zero: (java.math.BigDecimal, java.math.BigDecimal) =
+      (java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO)
+    override def reduce(
+        b: (java.math.BigDecimal, java.math.BigDecimal),
+        a: (Double, Double)): (java.math.BigDecimal, java.math.BigDecimal) = {
+      val (x, w) = a
+      (b._1.add(dec2(x).multiply(dec2(w))), b._2.add(dec2(w)))
+    }
+    override def merge(
+        a: (java.math.BigDecimal, java.math.BigDecimal),
+        b: (java.math.BigDecimal, java.math.BigDecimal)): (java.math.BigDecimal, java.math.BigDecimal) =
+      (a._1.add(b._1), a._2.add(b._2))
+    override def finish(r: (java.math.BigDecimal, java.math.BigDecimal)): Double =
+      if (r._2.signum() == 0) Double.NaN
+      else r._1.doubleValue() / r._2.doubleValue()
+    override def bufferEncoder: Encoder[(java.math.BigDecimal, java.math.BigDecimal)] =
+      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Column form: `weightedMean(value, weight)`. */
+  def weightedMean(value: Column, weight: Column): Column =
+    udaf(WeightedMean).apply(value, weight)
+}

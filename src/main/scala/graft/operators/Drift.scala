@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring: Population Stability Index between a
+  * reference slice and an actual slice of the same column — the standard
+  * "did today's feed shift under my model" gate in a training pipeline.
+  *
+  * One scan computes the global value range and both slices' bin counts
+  * (conditional aggregation, no second read); Laplace +1 smoothing keeps
+  * empty bins finite. All densities derive from integer counts with
+  * fixed-order double arithmetic, so the per-bin PSI terms replay exactly
+  * cross-engine (rounded to the 1e-6 output grid).
+  */
+object Drift {
+
+  /** Per-bin PSI decomposition of `valueCol`, split by the boolean
+    * `actualCol` (true = actual slice, false = reference). Returns one row
+    * per bin: both smoothed densities and the bin's PSI contribution;
+    * `SUM(psi_term)` is the index.
+    */
+  def psiBins(
+      df: DataFrame,
+      valueCol: String,
+      actualCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx")).head()
+    val mn = bounds.getDouble(0)
+    val mx = bounds.getDouble(1)
+    require(mx > mn, s"degenerate value range [$mn, $mx]")
+    // top edge lands in the last bin; fixed-order (v-mn)*k/(mx-mn)
+    val bin = least(
+      floor((v - lit(mn)) * lit(bins.toDouble) / lit(mx - mn)),
+      lit(bins - 1L)).cast("long")
+    val counts = df
+      .groupBy(bin.as("bin"))
+      .agg(
+        sum(when(actualCol, 1L).otherwise(0L)).as("n_act"),
+        sum(when(actualCol, 0L).otherwise(1L)).as("n_ref"))
+      // bins-sized; materialized so the totals lookup and the final
+      // select don't each re-scan the input
+      .localCheckpoint(true)
+    val totals = counts.agg(
+      sum(col("n_act")).as("t_act"), sum(col("n_ref")).as("t_ref")).head()
+    val tAct = totals.getLong(0)
+    val tRef = totals.getLong(1)
+    val pAct = (col("n_act").cast("double") + 1.0) / lit(tAct + bins).cast("double")
+    val pRef = (col("n_ref").cast("double") + 1.0) / lit(tRef + bins).cast("double")
+    counts
+      .withColumn("p_actual", pAct)
+      .withColumn("p_reference", pRef)
+      .withColumn("psi_term",
+        round((col("p_actual") - col("p_reference")) *
+          log(col("p_actual") / col("p_reference")), 6))
+      .select(col("bin"), col("n_ref"), col("n_act"),
+        round(col("p_reference"), 6).as("p_reference"),
+        round(col("p_actual"), 6).as("p_actual"), col("psi_term"))
+  }
+}

@@ -32,6 +32,44 @@ object Graph {
     *
     * Returns `(node, pr)` with `pr` rounded to 6 decimals.
     */
+  /** Transitive root-and-depth closure of a forest given as `(id, parent)`
+    * rows (`parent` null marks a root): returns `(id, root, depth)`.
+    *
+    * Pointer jumping — each round rewires every node to its ancestor's
+    * ancestor and adds the depths, so a depth-D hierarchy closes in
+    * ⌈log₂ D⌉ rounds (roots self-loop at depth 0, making the jump
+    * idempotent at the fixpoint). Each round is ONE self-equi-join plus a
+    * change-count — the same O(log D)-shuffle shape as
+    * [[Dedup.components]], with no driver-side recursion. A recursive
+    * per-row walk would be O(D) sequential joins; this is the form that
+    * closes a billion-row org/BOM hierarchy in single-digit rounds.
+    */
+  def rootClosure(nodes: DataFrame, maxRounds: Int = 20): DataFrame = {
+    var state = nodes
+      .select(col("id"),
+        coalesce(col("parent"), col("id")).as("anc"),
+        when(col("parent").isNull, 0L).otherwise(1L).as("depth"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val hop = state.select(col("id").as("h_id"), col("anc").as("h_anc"),
+        col("depth").as("h_depth"))
+      val next = state.join(hop, state("anc") === hop("h_id"))
+        .select(col("id"), col("h_anc").as("anc"),
+          (col("depth") + col("h_depth")).as("depth"))
+        .localCheckpoint(true)
+      changed = next.join(
+          state.select(col("id").as("p_id"), col("depth").as("p_depth")),
+          next("id") === col("p_id"))
+        .filter(col("depth") =!= col("p_depth")).count()
+      state = next
+      round += 1
+    }
+    require(changed == 0, s"hierarchy did not close within $maxRounds rounds")
+    state.select(col("id"), col("anc").as("root"), col("depth"))
+  }
+
   def pageRank(
       edges: DataFrame,
       iters: Int,

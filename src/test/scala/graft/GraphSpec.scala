@@ -48,6 +48,45 @@ class GraphSpec extends SparkSuite {
     assert(out == Map(1L -> 2L, 2L -> 2L, 5L -> 1L))
   }
 
+  test("rootClosure: pointer jumping closes a multi-tree forest with depths") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("parent", LongType)))
+    // two trees: 1 <- 2 <- 3 <- 4 <- 5 (chain, depth 4) and 9 <- 10
+    val rows = Seq(Row(1L, null), Row(2L, 1L), Row(3L, 2L), Row(4L, 3L),
+      Row(5L, 4L), Row(9L, null), Row(10L, 9L))
+    val out = Graph.rootClosure(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 2L)), 4L -> ((1L, 3L)),
+      5L -> ((1L, 4L)), 9L -> ((9L, 0L)), 10L -> ((9L, 1L))))
+  }
+
+  test("weightedMean: exact-decimal UDAF is repartition-invariant") {
+    val schema = StructType(Seq(
+      StructField("x", DoubleType), StructField("w", DoubleType)))
+    val rows = (1 to 100).map(i => Row(i * 1.01, (i % 7 + 1).toDouble))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    def mean(parts: Int) = df.repartition(parts)
+      .agg(graft.functions.Aggregators.weightedMean(col("x"), col("w")))
+      .head().getDouble(0)
+    val m = mean(1)
+    assert(m == mean(7) && m == mean(32), "partition order must not change the mean")
+    // sanity: weighted mean sits inside the value range
+    assert(m > 1.0 && m < 102.0)
+  }
+
+  test("psiBins: identical distributions yield near-zero psi terms") {
+    val schema = StructType(Seq(
+      StructField("v", DoubleType), StructField("is_act", BooleanType)))
+    val rows = (0 until 200).map(i => Row((i % 100).toDouble, i >= 100))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val out = graft.operators.Drift.psiBins(df, "v", col("is_act"), bins = 5).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => math.abs(r.getDouble(5)) < 1e-9),
+      "equal slices must contribute ~0 psi per bin")
+  }
+
   test("profile: null and distinct accounting per column") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("s", StringType)))
