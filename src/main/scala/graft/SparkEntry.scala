@@ -1606,6 +1606,68 @@ object SparkEntry {
         when(col("c_custkey") >= 10, expr("c_custkey DIV 10")).as("parent")))
       .orderBy(col("id"))
 
+  /** Lakehouse maintenance: the daily rollup is written fragmented (4-way
+    * repartition → up to 4 small files per partition), the over-budget
+    * partitions are detected from scan metadata, compacted, and the lake
+    * read back row-identical ([[PartitionedLake.overBudgetPartitions]] /
+    * `compact`). Small files are the classic 100 TB scan killer.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q111")
+    val daily = T(s, dir, "events")
+      .groupBy(evDateId.as("date_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumx(col("value")).as("total_value"))
+      .repartition(4)
+    PartitionedLake.writeAll(daily, lake, Seq("date_id"))
+    val over = PartitionedLake.overBudgetPartitions(s, lake, "date_id", maxFiles = 1)
+    if (over.nonEmpty) PartitionedLake.compact(s, lake, "date_id", over)
+    PartitionedLake.read(s, lake)
+      .select(col("date_id").cast("string").as("date_id"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("date_id"), col("event_type"))
+  }
+
+  /** Approximate percentile sketch (Greenwald–Khanna `percentile_approx`)
+    * beside the exact answer's grouping — rows-only like q37: sketch
+    * internals are engine-specific by nature; SketchesSpec bounds the
+    * rank error against the exact percentiles instead.
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)),
+          lit(10000)).as("approx_p"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("approx_p").getItem(0).as("p50_approx"),
+        col("approx_p").getItem(1).as("p90_approx"), col("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Schema evolution across lake versions: v2 re-upserts a subset of
+    * keys WITH a new `c_tier` column; the mergeSchema as-of read surfaces
+    * pre-evolution rows with a null tier — the add-a-column migration
+    * every long-lived table eventually makes.
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q113")
+    val base = T(s, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_name"))
+    VersionedLake.writeVersion(base.withColumn("op", lit("U")), lake, 1L)
+    val tiered = base.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_tier",
+        when(col("c_custkey") % 3 === 0, "gold")
+          .when(col("c_custkey") % 3 === 1, "silver")
+          .otherwise("bronze"))
+      .withColumn("op", lit("U"))
+    VersionedLake.writeVersion(tiered, lake, 2L)
+    VersionedLake.readAsOf(s, lake, 2L, Seq("c_custkey"), mergeSchema = true)
+      .select(col("c_custkey"), col("c_name"), col("c_tier"),
+        col("version").cast("long").as("version"))
+      .orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1810,6 +1872,9 @@ object SparkEntry {
     "q108_custom_udaf" -> (q108 _),
     "q109_psi_drift" -> (q109 _),
     "q110_hierarchy_closure" -> (q110 _),
+    "q111_compact_small_files" -> (q111 _),
+    "q112_approx_quantile" -> (q112 _),
+    "q113_schema_evolution" -> (q113 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2201,6 +2266,14 @@ object SparkEntry {
       """WITH ev AS (SELECT value, strftime(ts, '%Y-%m-%d') AS date_id FROM events), mxd AS (SELECT MAX(date_id) AS d FROM ev), b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev), c AS (SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 1 ELSE 0 END) AS BIGINT) AS n_act, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 0 ELSE 1 END) AS BIGINT) AS n_ref FROM ev, b GROUP BY 1), t AS (SELECT CAST(SUM(n_act) AS BIGINT) AS t_act, CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM c), p AS (SELECT bin, n_ref, n_act, (CAST(n_ref AS DOUBLE) + 1.0) / CAST(t_ref + 10 AS DOUBLE) AS p_r, (CAST(n_act AS DOUBLE) + 1.0) / CAST(t_act + 10 AS DOUBLE) AS p_a FROM c, t) SELECT bin, n_ref, n_act, round(p_r, 6) AS p_reference, round(p_a, 6) AS p_actual, round((p_a - p_r) * ln(p_a / p_r), 6) AS psi_term FROM p ORDER BY bin""",
     "q110_hierarchy_closure" ->
       """WITH RECURSIVE r AS (SELECT c_custkey AS id, c_custkey AS cur, CAST(0 AS BIGINT) AS depth FROM customer UNION ALL SELECT id, cur // 10, depth + 1 FROM r WHERE cur >= 10) SELECT id, cur AS root, depth FROM r WHERE cur < 10 ORDER BY id""",
+    // compaction must be row-invisible: the read-back equals the plain
+    // daily aggregate no matter how the files were laid out
+    "q111_compact_small_files" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
+    // q112_approx_quantile: rows-only by design (GK sketch internals are
+    // engine-specific); SketchesSpec bounds the rank error vs exact
+    "q113_schema_evolution" ->
+      """SELECT c_custkey, c_name, CASE WHEN c_custkey % 5 = 0 THEN (CASE WHEN c_custkey % 3 = 0 THEN 'gold' WHEN c_custkey % 3 = 1 THEN 'silver' ELSE 'bronze' END) END AS c_tier, CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
     // replays the stub server's exact-in-double metric formulas directly
     // over nation; keys ≡ 7 (mod 13) 404 in the stub and are quarantined
     "q93_api_ingest" ->

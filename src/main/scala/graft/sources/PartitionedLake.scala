@@ -122,6 +122,26 @@ object PartitionedLake {
     spark.catalog.recoverPartitions(name)
   }
 
+  /** Partitions whose file count exceeds `maxFiles` — the candidates a
+    * maintenance pass should [[compact]]. Counted from the scan's own
+    * `_metadata.file_path` (no filesystem walk), and the result is
+    * partition NAMES, so the driver-side collect is metadata-sized no
+    * matter how big the lake is.
+    */
+  def overBudgetPartitions(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      maxFiles: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count_distinct}
+    read(spark, path)
+      .select(col(partCol).cast("string").as("p"), col("_metadata.file_path").as("f"))
+      .groupBy(col("p"))
+      .agg(count_distinct(col("f")).as("nf"))
+      .filter(col("nf") > maxFiles)
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
   /** Small-file compaction for selected partitions: rewrites each listed
     * partition as `filesPerPartition` files via dynamic partition
     * overwrite. Daily micro-batch appends accumulate small files that

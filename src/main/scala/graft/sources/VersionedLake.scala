@@ -105,10 +105,14 @@ object VersionedLake {
       version: Long,
       keyCols: Seq[String],
       tieBreak: String = "version",
-      floorVersion: Long = 0L): DataFrame = {
+      floorVersion: Long = 0L,
+      mergeSchema: Boolean = false): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("version").desc, col(tieBreak).desc)
-    spark.read.parquet(path)
+    // mergeSchema widens the read schema across change sets when a later
+    // version added columns (schema evolution): pre-evolution rows surface
+    // the new columns as null, exactly like unionByName-with-missing
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(path)
       // partition-pruned both ways: later change sets AND pre-compaction
       // history are never read
       .filter(col("version") <= version && col("version") >= floorVersion)

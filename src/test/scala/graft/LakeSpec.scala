@@ -99,6 +99,20 @@ class LakeSpec extends SparkSuite {
     assert(PartitionedLake.read(spark, dir).count() == 1000)
   }
 
+  test("overBudgetPartitions flags only fragmented partitions") {
+    val dir = Files.createTempDirectory("graft_lake_budget").toString
+    val frag = spark.range(100)
+      .selectExpr("id", "'2024-02-01' AS date_id").repartition(4)
+    val tidy = spark.range(100)
+      .selectExpr("id", "'2024-02-02' AS date_id").coalesce(1)
+    PartitionedLake.writeAll(frag.unionByName(tidy).repartition(4, col("date_id"), col("id") % 4), dir, Seq("date_id"))
+    // both days now hold up to 4 files; rewrite day 2 down to one
+    PartitionedLake.compact(spark, dir, "date_id", Seq("2024-02-02"))
+    val over = PartitionedLake.overBudgetPartitions(spark, dir, "date_id", maxFiles = 1)
+    assert(over == Seq("2024-02-01"),
+      s"only the fragmented day must be flagged, got $over")
+  }
+
   test("jdbc delete statement is keyed and parameterized") {
     assert(JdbcSink.deleteStatement("dashboard", "north_america_weather", "date_id") ==
       """DELETE FROM dashboard.north_america_weather WHERE "date_id" = ?""")

@@ -25,6 +25,23 @@ class SketchesSpec extends SparkSuite {
     assert(e.getMessage.contains("degenerate"))
   }
 
+  test("approx quantiles stay within rank tolerance of the exact answer") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q112_approx_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("p"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Double](1).head, r.getSeq[Double](1)(1)))).toMap
+    approx.foreach { case (g, (a50, a90)) =>
+      val (e50, e90) = exact(g)
+      // GK accuracy 10000 → rank error ~1e-4; generous value-space bound
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$g p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.02, s"$g p90 $a90 vs $e90")
+    }
+  }
+
   test("BM25: positive descending scores over the term set") {
     val out = SparkEntry.queries("q96_bm25")(spark, sf).collect()
     assert(out.length == 100)
