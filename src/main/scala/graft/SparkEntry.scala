@@ -1668,6 +1668,73 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** Raw binary-file ingest via the `binaryFile` source — how image/audio
+    * corpora actually enter a lake (one row per file: path, length,
+    * payload). Files are staged deterministically from nation names so
+    * the oracle can recompute every md5; at 100 TB the same reader fans
+    * file listings across executors and the payload column feeds the
+    * multimodal pipeline (q33).
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val stage = scratch(dir, "q114")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+    // dim-sized driver staging: 25 rows
+    T(s, dir, "nation").select(col("n_name")).collect().map(_.getString(0))
+      .foreach { n =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage, s"$n.bin"), n.getBytes("UTF-8"))
+      }
+    s.read.format("binaryFile").load(s"$stage/*.bin")
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .orderBy(col("file_name"))
+  }
+
+  /** Higher-order array functions over per-order price lists: collect the
+    * order's prices in line order, then size / filter / exists / a
+    * left-to-right aggregate fold — all inside whole-stage codegen, the
+    * nested-data API a DataFrame user reaches for before exploding.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(
+        struct(col("l_linenumber"), col("l_extendedprice")))).as("lines"))
+      .select(col("l_orderkey"),
+        transform(col("lines"), l => l.getField("l_extendedprice")).as("prices"))
+      .select(
+        col("l_orderkey"),
+        size(col("prices")).cast("long").as("n_items"),
+        size(filter(col("prices"), p => p > 3000.0)).cast("long").as("n_big"),
+        // left-to-right double fold: same order both engines → deterministic
+        round(aggregate(col("prices"), lit(0.0), (acc, p) => acc + p), 6)
+          .as("total"),
+        exists(col("prices"), p => p > 50000.0).as("has_jumbo"))
+      .orderBy(col("l_orderkey"))
+
+  /** Equal-frequency (quartile) discretization per priority group: exact
+    * discrete boundaries from the q18 percentile machinery, broadcast
+    * back, rows bucketed by boundary compare — the scalable two-phase
+    * shape (never a global single-partition ntile).
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val bounds = Relational.discretePercentiles(
+      o, "o_orderpriority", "o_totalprice", "o_orderkey", Seq(0.25, 0.5, 0.75))
+      .select(col("o_orderpriority"), col("p25"), col("p50"), col("p75"))
+    o.join(broadcast(bounds), Seq("o_orderpriority"))
+      .withColumn("bucket",
+        when(col("o_totalprice") <= col("p25"), 1L)
+          .when(col("o_totalprice") <= col("p50"), 2L)
+          .when(col("o_totalprice") <= col("p75"), 3L)
+          .otherwise(4L))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("o_orderpriority"), col("bucket"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1875,6 +1942,9 @@ object SparkEntry {
     "q111_compact_small_files" -> (q111 _),
     "q112_approx_quantile" -> (q112 _),
     "q113_schema_evolution" -> (q113 _),
+    "q114_binary_ingest" -> (q114 _),
+    "q115_array_hof" -> (q115 _),
+    "q116_discretize" -> (q116 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2272,6 +2342,18 @@ object SparkEntry {
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
     // q112_approx_quantile: rows-only by design (GK sketch internals are
     // engine-specific); SketchesSpec bounds the rank error vs exact
+    // files were staged byte-for-byte from nation names, so every md5 and
+    // length recomputes from the table
+    "q114_binary_ingest" ->
+      """SELECT n_name || '.bin' AS file_name, CAST(octet_length(encode(n_name)) AS BIGINT) AS length, md5(n_name) AS content_md5 FROM nation ORDER BY file_name""",
+    // the list lambdas mirror each HOF; the fold seeds 0.0 and adds left
+    // to right exactly like Spark's aggregate()
+    "q115_array_hof" ->
+      """WITH l AS (SELECT l_orderkey, list(l_extendedprice ORDER BY l_linenumber) AS prices FROM lineitem GROUP BY l_orderkey) SELECT l_orderkey, CAST(len(prices) AS BIGINT) AS n_items, CAST(len(list_filter(prices, p -> p > 3000.0)) AS BIGINT) AS n_big, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), prices), (a, b) -> a + b), 6) AS total, len(list_filter(prices, p -> p > 50000.0)) > 0 AS has_jumbo FROM l ORDER BY l_orderkey""",
+    // boundaries replayed with the same ceil(n*p) discrete-rank rule as
+    // Relational.discretePercentiles, then the same <=-boundary buckets
+    "q116_discretize" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice, o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt FROM orders), b AS (SELECT o_orderpriority, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT) THEN o_totalprice END) AS p25, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN o_totalprice END) AS p50, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT) THEN o_totalprice END) AS p75 FROM r GROUP BY o_orderpriority) SELECT o.o_orderpriority, CAST(CASE WHEN o_totalprice <= p25 THEN 1 WHEN o_totalprice <= p50 THEN 2 WHEN o_totalprice <= p75 THEN 3 ELSE 4 END AS BIGINT) AS bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority GROUP BY 1, 2 ORDER BY o.o_orderpriority, bucket""",
     "q113_schema_evolution" ->
       """SELECT c_custkey, c_name, CASE WHEN c_custkey % 5 = 0 THEN (CASE WHEN c_custkey % 3 = 0 THEN 'gold' WHEN c_custkey % 3 = 1 THEN 'silver' ELSE 'bronze' END) END AS c_tier, CAST(CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""",
     // replays the stub server's exact-in-double metric formulas directly
