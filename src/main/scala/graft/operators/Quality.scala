@@ -19,6 +19,8 @@ object Quality {
     */
   def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule required")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule ids must be unique — duplicates would collide on the stats columns")
     val aggs = rules.map { case (id, viol) =>
       sum(when(viol, 1L).otherwise(0L)).as(s"__v_$id")
     }

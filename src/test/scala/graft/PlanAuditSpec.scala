@@ -68,6 +68,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Generate"), "expected the bounded sequence explode")
   }
 
+  test("q101/q105: profiling and the rule suite each scan their table once") {
+    for (name <- Seq("q101_profile", "q105_quality_rules")) {
+      val p = formatted(q(name))
+      // detail entries only — each scan also appears once in the tree header
+      val scans = raw"\(\d+\) Scan parquet".r.findAllIn(p).length
+      assert(scans == 1,
+        s"$name must profile/check every column in ONE scan, found $scans")
+    }
+  }
+
+  test("q115: the HOF suite never explodes the arrays") {
+    val p = formatted(q("q115_array_hof"))
+    assert(!p.contains("Generate"),
+      "size/filter/exists/aggregate must run as array expressions, not explode")
+  }
+
+  test("q116: quartile boundaries broadcast back to the fact side") {
+    val p = formatted(q("q116_discretize"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 5-row boundary table must broadcast, not shuffle the fact table")
+  }
+
   test("q74: lake scan carries a dynamic partition pruning subquery") {
     val p = formatted(q("q74_dynamic_pruning"))
     assert(p.contains("dynamicpruning"),
