@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Dedup, Medallion, Multimodal, Relational, Similarity}
-import graft.sources.{PartitionedLake, Tables, VersionedLake}
+import graft.sources.{PartitionedLake, Tables, TxLake, VersionedLake}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -1735,6 +1735,50 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"), col("bucket"))
   }
 
+  /** Transaction-log lake ([[graft.sources.TxLake]]): three atomic
+    * commits — history append, latest-day partial append, then a full
+    * corrected overwrite — read back both as-of v2 (history + partial)
+    * and latest (the overwrite), tagged. Old snapshots stay readable
+    * because removes are logical; visibility is the log entry, so every
+    * commit is all-or-nothing no matter how many files it lands.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q117")
+    // fresh log per run: commits accumulate, and this query's meaning is
+    // the exact 3-commit history
+    val root = new java.io.File(lake)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (root.exists()) rm(root)
+    val daily = T(s, dir, "events")
+      .groupBy(evDateId.as("date_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumx(col("value")).as("total_value"))
+    val maxDate = daily.agg(max(col("date_id"))).head().getString(0)
+    TxLake.commit(s, lake, daily.filter(col("date_id") =!= maxDate))
+    TxLake.commit(s, lake,
+      daily.filter(col("date_id") === maxDate && col("event_type") =!= "error"))
+    TxLake.commit(s, lake, daily, overwrite = true)
+    def snap(v: Long, tag: String) =
+      TxLake.readSnapshot(s, lake, v).withColumn("snap", lit(tag))
+    snap(2L, "v2").unionByName(snap(Long.MaxValue, "latest"))
+      .select(col("snap"), col("date_id"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("snap"), col("date_id"), col("event_type"))
+  }
+
+  /** Incremental corpus dedup: the new batch's unique documents against
+    * the already-ingested history's fingerprint set
+    * ([[Dedup.incrementalNew]]) — history is never re-deduplicated.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.incrementalNew(
+      docs.filter(col("doc_id") <= 250), docs.filter(col("doc_id") > 250),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1945,6 +1989,8 @@ object SparkEntry {
     "q114_binary_ingest" -> (q114 _),
     "q115_array_hof" -> (q115 _),
     "q116_discretize" -> (q116 _),
+    "q117_txlog_lake" -> (q117 _),
+    "q118_incremental_dedup" -> (q118 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2350,6 +2396,12 @@ object SparkEntry {
     // to right exactly like Spark's aggregate()
     "q115_array_hof" ->
       """WITH l AS (SELECT l_orderkey, list(l_extendedprice ORDER BY l_linenumber) AS prices FROM lineitem GROUP BY l_orderkey) SELECT l_orderkey, CAST(len(prices) AS BIGINT) AS n_items, CAST(len(list_filter(prices, p -> p > 3000.0)) AS BIGINT) AS n_big, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), prices), (a, b) -> a + b), 6) AS total, len(list_filter(prices, p -> p > 50000.0)) > 0 AS has_jumbo FROM l ORDER BY l_orderkey""",
+    // v2 = history + the latest day's non-error slice; latest = the full
+    // overwrite — both replayed straight from events
+    "q117_txlog_lake" ->
+      s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events GROUP BY 1, 2), mx AS (SELECT MAX(date_id) AS d FROM daily) SELECT * FROM (SELECT 'v2' AS snap, date_id, event_type, n_events, total_value FROM daily WHERE date_id <> (SELECT d FROM mx) OR event_type <> 'error' UNION ALL SELECT 'latest', date_id, event_type, n_events, total_value FROM daily) ORDER BY snap, date_id, event_type""",
+    "q118_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash FROM documents), hist AS (SELECT DISTINCT text_hash FROM fp WHERE doc_id <= 250), inc AS (SELECT MIN(doc_id) AS doc_id, text_hash FROM fp WHERE doc_id > 250 GROUP BY text_hash) SELECT doc_id, text_hash FROM inc WHERE text_hash NOT IN (SELECT text_hash FROM hist) ORDER BY doc_id""",
     // boundaries replayed with the same ceil(n*p) discrete-rank rule as
     // Relational.discretePercentiles, then the same <=-boundary buckets
     "q116_discretize" ->

@@ -29,6 +29,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .select(col("text_hash"), col("n_copies"), col("keep_id"))
 
+  /** Incremental exact dedup: the documents of `incoming` that are new
+    * against BOTH the already-ingested `history` corpus and each other
+    * (smallest id wins within the batch).
+    *
+    * This is how a production corpus actually dedups: history never gets
+    * re-deduplicated — its fingerprint set (at 100 TB, a compact
+    * fingerprint table maintained incrementally, not the raw corpus) is
+    * anti-joined against the new batch's fingerprints. One shuffle for
+    * the batch groupBy, one for the anti-join.
+    */
+  def incrementalNew(
+      history: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val histFp = history
+      .select(TextFunctions.fingerprint(col(textCol)).as("text_hash"))
+      .distinct()
+    incoming
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(histFp, Seq("text_hash"), "left_anti")
+      .select(col(idCol), col("text_hash"))
+  }
+
   /** Rotate-left on a long column via shifts+or — bitwise, so safe under
     * Spark 4's default ANSI mode (multiply/add would throw on overflow).
     */

@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal transaction-log table format over plain parquet — the
+  * Delta/Iceberg commit idea re-expressed with filesystem primitives.
+  *
+  * Layout:
+  * {{{
+  *   <path>/data/v<version>-<n>/part-*.parquet   immutable data files
+  *   <path>/_log/<%08d version>.json             one commit action per file
+  * }}}
+  * Each log entry records the files the commit ADDS and the files it
+  * REMOVES (logically — removed files stay on disk so older snapshots
+  * remain readable). A snapshot at version V = replay entries 1..V,
+  * union the surviving files. That gives:
+  *
+  *   - ATOMIC multi-file commits: readers either see all of a commit's
+  *     files or none, because visibility is the log entry, not the data
+  *     files (which land before the entry is published).
+  *   - Optimistic concurrency: a commit RESERVES its version by an
+  *     atomic create of the log filename; a concurrent writer racing for
+  *     the same version gets [[ConcurrentCommitException]] and retries on
+  *     top of the new latest. (On an object store this maps to a
+  *     conditional put / put-if-absent.)
+  *   - Time travel + rollback for free: read any version; "rollback" is a
+  *     new commit removing the bad commit's files.
+  *
+  * Reservation protocol: `createFile(N.json)` atomically claims N with an
+  * EMPTY file; content then swaps in via atomic rename. Readers stop the
+  * replay at the first still-empty (pending) entry, so a partially
+  * published commit is invisible. A crashed writer leaves a permanently
+  * empty reservation — [[abandonPending]] is the janitor.
+  */
+object TxLake {
+
+  final class ConcurrentCommitException(v: Long)
+    extends RuntimeException(s"version $v was reserved by a concurrent writer")
+
+  private def logDir(path: String): Path = Paths.get(path, "_log")
+  private def logFile(path: String, v: Long): Path =
+    logDir(path).resolve(f"$v%08d.json")
+
+  /** Committed (non-pending) log entries in version order. */
+  private def entries(path: String): Seq[(Long, String)] = {
+    val dir = logDir(path)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val all = Files.list(dir)
+    val named = try {
+      all.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .map(f => f.getFileName.toString.stripSuffix(".json").toLong -> f)
+        .toSeq.sortBy(_._1)
+    } finally all.close()
+    // stop at the first pending (empty) reservation: later entries exist
+    // only if their writer raced ahead of a crashed one — invisible too
+    named.iterator
+      .map { case (v, f) => (v, new String(Files.readAllBytes(f), "UTF-8")) }
+      .takeWhile(_._2.nonEmpty)
+      .toSeq
+  }
+
+  def latestVersion(path: String): Long =
+    entries(path).lastOption.map(_._1).getOrElse(0L)
+
+  /** Active data files as of `version` (Long.MaxValue = latest). */
+  private def activeFiles(path: String, version: Long): Seq[String] = {
+    val active = scala.collection.mutable.LinkedHashSet[String]()
+    entries(path).takeWhile(_._1 <= version).foreach { case (_, json) =>
+      // minimal parser for our own writer's format: quoted paths carry no
+      // escapes (enforced at commit time)
+      def list(key: String): Seq[String] = {
+        val m = s""""$key":\\[([^\\]]*)\\]""".r.findFirstMatchIn(json)
+        m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      }
+      list("removes").foreach(active.remove)
+      list("adds").foreach(active.add)
+    }
+    active.toSeq
+  }
+
+  /** Commit `df` as the next version. `overwrite = true` logically removes
+    * every currently-active file (full-snapshot replace); `false` appends.
+    * Returns the committed version.
+    */
+  def commit(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      overwrite: Boolean = false): Long = {
+    val next = latestVersion(path) + 1
+    Files.createDirectories(logDir(path))
+    // 1. reserve the version — atomic create fails if a concurrent writer won
+    val log = logFile(path, next)
+    try Files.createFile(log)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(next)
+    }
+    // 2. land the data files (invisible until the log entry has content)
+    val dataDir = s"$path/data/v$next"
+    df.write.mode("overwrite").parquet(dataDir)
+    val adds = {
+      val d = Paths.get(dataDir)
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    require(adds.forall(p => !p.contains("\"") && !p.contains("\\")),
+      "data paths must be JSON-safe")
+    val removes = if (overwrite) activeFiles(path, next - 1) else Seq.empty
+    // 3. publish: write content to a tmp file, atomically swap onto the
+    //    reservation
+    val json =
+      s"""{"version":$next,"adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = logDir(path).resolve(f".tmp-$next%08d")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Snapshot read at `version` (default latest). */
+  def readSnapshot(
+      spark: SparkSession,
+      path: String,
+      version: Long = Long.MaxValue): DataFrame = {
+    val files = activeFiles(path, version)
+    require(files.nonEmpty, s"no committed data at or before version $version")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Remove a trailing pending (empty) reservation left by a crashed
+    * writer so the log can move forward. Returns true if one was removed.
+    */
+  def abandonPending(path: String): Boolean = {
+    val dir = logDir(path)
+    if (!Files.isDirectory(dir)) return false
+    val s = Files.list(dir)
+    val pending = try {
+      s.iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".json") && Files.size(f) == 0)
+        .toSeq
+    } finally s.close()
+    pending.foreach(Files.delete)
+    pending.nonEmpty
+  }
+}
