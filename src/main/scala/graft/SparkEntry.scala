@@ -1779,6 +1779,63 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Mergeable HLL sketch rollup (rows-only by design, like q37): per-day
+    * user sketches built once, the month's distinct estimated by MERGING
+    * the sketches — never re-scanning history. The mergeability is the
+    * entire point at 100 TB: day sketches are kilobytes, the rollup is a
+    * union of sketches, and SketchesSpec bounds the estimate against the
+    * exact distinct.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .groupBy(evDateId.as("date_id"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count_distinct(col("user_id")).as("exact_users"))
+    val perDay = daily.select(col("date_id"),
+      hll_sketch_estimate(col("sk")).as("approx_users"), col("exact_users"))
+    val total = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+      lit(null).cast("long").as("exact_users"))
+      .select(lit("ALL").as("date_id"), col("approx_users"), col("exact_users"))
+    perDay.unionByName(total).orderBy(col("date_id"))
+  }
+
+  /** Row-level DELETE (erasure): the lake is committed in three slices,
+    * then every `user_id ≡ 0 (mod 7)` row is deleted by rewriting ONLY
+    * the files that contain matches, swapped in atomically
+    * ([[TxLake.deleteWhere]]) — the right-to-be-forgotten pass that does
+    * not rewrite a 100 TB table.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q120")
+    val root = new java.io.File(lake)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (root.exists()) rm(root)
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    (0 to 2).foreach(i =>
+      TxLake.commit(s, lake, ev.filter(col("user_id") % 3 === i)))
+    TxLake.deleteWhere(s, lake, col("user_id") % 7 === 0)
+    TxLake.readSnapshot(s, lake)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exactly-once streaming sink: micro-batches commit into the
+    * transaction-log lake keyed by batchId, a deliberate duplicate
+    * delivery is absorbed by the tag, and the read-back aggregate
+    * hash-matches the batch answer ([[graft.streaming.StreamVerify.exactlyOnceLake]]).
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.exactlyOnceLake(s, eventsPath(dir), scratch(dir, "q121"))
+      .groupBy(col("date_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("date_id"), col("event_type"))
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -1991,6 +2048,9 @@ object SparkEntry {
     "q116_discretize" -> (q116 _),
     "q117_txlog_lake" -> (q117 _),
     "q118_incremental_dedup" -> (q118 _),
+    "q119_hll_rollup" -> (q119 _),
+    "q120_erasure_delete" -> (q120 _),
+    "q121_exactly_once_sink" -> (q121 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2402,6 +2462,12 @@ object SparkEntry {
       s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events GROUP BY 1, 2), mx AS (SELECT MAX(date_id) AS d FROM daily) SELECT * FROM (SELECT 'v2' AS snap, date_id, event_type, n_events, total_value FROM daily WHERE date_id <> (SELECT d FROM mx) OR event_type <> 'error' UNION ALL SELECT 'latest', date_id, event_type, n_events, total_value FROM daily) ORDER BY snap, date_id, event_type""",
     "q118_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash FROM documents), hist AS (SELECT DISTINCT text_hash FROM fp WHERE doc_id <= 250), inc AS (SELECT MIN(doc_id) AS doc_id, text_hash FROM fp WHERE doc_id > 250 GROUP BY text_hash) SELECT doc_id, text_hash FROM inc WHERE text_hash NOT IN (SELECT text_hash FROM hist) ORDER BY doc_id""",
+    // q119_hll_rollup: rows-only by design (HLL sketch internals are
+    // engine-specific); SketchesSpec bounds the merged estimate vs exact
+    "q120_erasure_delete" ->
+      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value, COUNT(DISTINCT user_id) AS n_users FROM events WHERE user_id % 7 <> 0 GROUP BY event_type ORDER BY event_type""",
+    "q121_exactly_once_sink" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
     // boundaries replayed with the same ceil(n*p) discrete-rank rule as
     // Relational.discretePercentiles, then the same <=-boundary buckets
     "q116_discretize" ->

@@ -86,13 +86,22 @@ object TxLake {
 
   /** Commit `df` as the next version. `overwrite = true` logically removes
     * every currently-active file (full-snapshot replace); `false` appends.
-    * Returns the committed version.
+    * `tag` is an optional application-level idempotency token (e.g. a
+    * streaming batchId): if an already-committed entry carries it, the
+    * commit is skipped and that entry's version returns — re-delivered
+    * batches land exactly once. Returns the committed version.
     */
   def commit(
       spark: SparkSession,
       path: String,
       df: DataFrame,
-      overwrite: Boolean = false): Long = {
+      overwrite: Boolean = false,
+      tag: String = ""): Long = {
+    require(!tag.contains("\"") && !tag.contains("\\"), "tag must be JSON-safe")
+    if (tag.nonEmpty) {
+      val already = taggedVersion(path, tag)
+      if (already.isDefined) return already.get
+    }
     val next = latestVersion(path) + 1
     Files.createDirectories(logDir(path))
     // 1. reserve the version — atomic create fails if a concurrent writer won
@@ -118,8 +127,66 @@ object TxLake {
     // 3. publish: write content to a tmp file, atomically swap onto the
     //    reservation
     val json =
-      s"""{"version":$next,"adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
+      s"""{"version":$next,"tag":"$tag",""" +
+        s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = logDir(path).resolve(f".tmp-$next%08d")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** The committed version carrying `tag`, if any. */
+  def taggedVersion(path: String, tag: String): Option[Long] =
+    entries(path).collectFirst {
+      case (v, json) if json.contains(s""""tag":"$tag"""") => v
+    }
+
+  /** Row-level DELETE with affected-file-only rewrite — the erasure
+    * (right-to-be-forgotten) path. Only the files that actually CONTAIN
+    * matching rows are rewritten (located via `_metadata.file_path`, so
+    * parquet footer stats prune the probe); untouched files stay active
+    * in the log and are not read or copied. The swap commits atomically:
+    * adds the rewritten survivors, removes the affected originals.
+    * Returns the committed version, or the current latest when nothing
+    * matched.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = readSnapshot(spark, path)
+    val affected = snap
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return latestVersion(path)
+    // _metadata.file_path is a file: URI; the log stores plain local paths
+    val plain = affected.map(p => new java.net.URI(p).getPath)
+    val survivors = spark.read.parquet(plain: _*).filter(!predicate)
+      .localCheckpoint(true) // materialize before the swap commit
+    val next = latestVersion(path) + 1
+    val log = logFile(path, next)
+    try Files.createFile(log)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(next)
+    }
+    val dataDir = s"$path/data/v$next"
+    survivors.write.mode("overwrite").parquet(dataDir)
+    val adds = {
+      val d = Paths.get(dataDir)
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    val json =
+      s"""{"version":$next,"tag":"",""" +
+        s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""removes":[${plain.map("\"" + _ + "\"").mkString(",")}]}"""
     val tmp = logDir(path).resolve(f".tmp-$next%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,

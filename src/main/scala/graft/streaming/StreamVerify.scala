@@ -197,6 +197,40 @@ object StreamVerify {
     drain(spark, sessions, "append").filter(col("user_id") >= 0)
   }
 
+  /** Exactly-once streaming sink: every micro-batch commits into the
+    * transaction-log lake with its batchId as the idempotency tag, so a
+    * re-delivered batch (engine restart replays the last uncommitted
+    * epoch) lands exactly once. After the drain a deliberate duplicate
+    * "batch-0" commit is attempted with a poison frame — if the tag logic
+    * ever regressed, the poison rows would double the counts and the
+    * oracle hash would catch it.
+    */
+  def exactlyOnceLake(
+      spark: SparkSession,
+      eventsPath: String,
+      lakePath: String): DataFrame = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val root = new java.io.File(lakePath)
+    if (root.exists()) rm(root)
+    val ev = EventsStream.readEvents(spark, eventsPath)
+      .select(col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date_id"))
+    val q = ev.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lakePath, batch, tag = s"batch-$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val poison = spark.range(1).selectExpr("id AS event_id",
+      "'poison' AS event_type", "0.0 AS value", "'1970-01-01' AS date_id")
+    graft.sources.TxLake.commit(spark, lakePath, poison, tag = "batch-0")
+    graft.sources.TxLake.readSnapshot(spark, lakePath)
+  }
+
   /** Continuous bronze load drained end-to-end: micro-batches land in a
     * `date_id/batch_id`-partitioned lake via idempotent delete-insert, then
     * the lake is read back and aggregated. The lake and checkpoint are

@@ -42,6 +42,23 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("HLL rollup: merged sketch estimate tracks the exact distinct") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q119_hll_rollup")(spark, sf).collect()
+    val (days, all) = out.partition(_.getString(0) != "ALL")
+    assert(days.nonEmpty && all.length == 1)
+    days.foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: $approx vs $exact")
+    }
+    val exactTotal = spark.read.parquet(s"$sf/events.parquet")
+      .agg(count_distinct(col("user_id"))).head().getLong(0).toDouble
+    val mergedApprox = all.head.getLong(1).toDouble
+    assert(math.abs(mergedApprox - exactTotal) / exactTotal < 0.05,
+      s"merged $mergedApprox vs exact $exactTotal")
+  }
+
   test("BM25: positive descending scores over the term set") {
     val out = SparkEntry.queries("q96_bm25")(spark, sf).collect()
     assert(out.length == 100)

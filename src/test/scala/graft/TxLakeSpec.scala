@@ -48,6 +48,38 @@ class TxLakeSpec extends SparkSuite {
     assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L))
   }
 
+  test("tagged commits are exactly-once: a re-delivered batch no-ops") {
+    val lake = tmp()
+    val v1 = TxLake.commit(spark, lake, df(1, 2), tag = "batch-0")
+    // redelivery of the same batch (poison payload proves it's skipped)
+    val v1b = TxLake.commit(spark, lake, df(99), tag = "batch-0")
+    assert(v1b == v1)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L))
+    assert(TxLake.commit(spark, lake, df(3), tag = "batch-1") == 2L)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 3L))
+  }
+
+  test("deleteWhere rewrites only the files containing matches") {
+    val lake = tmp()
+    // one file per commit so the affected-file accounting is deterministic
+    TxLake.commit(spark, lake, df(1, 2, 3).coalesce(1))     // v1: no matches
+    TxLake.commit(spark, lake, df(10, 11, 12).coalesce(1))  // v2: 10, 12 match
+    val before = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    TxLake.deleteWhere(spark, lake, col("id") % 2 === 0 && col("id") >= 10)
+    val after = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 3L, 11L))
+    // v1's untouched file is still the ACTIVE original, not a copy
+    val v1Files = before.filter(_.contains("/data/v1/"))
+    assert(v1Files.nonEmpty && v1Files.subsetOf(after),
+      "files without matching rows must stay active, never rewritten")
+    // v2's affected file was swapped out
+    assert(before.filter(_.contains("/data/v2/")).forall(!after.contains(_)))
+  }
+
   test("a pending (crashed) commit is invisible to readers") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1))
