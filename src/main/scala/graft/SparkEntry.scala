@@ -1836,6 +1836,72 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
       .orderBy(col("date_id"), col("event_type"))
 
+  /** Multi-touch attribution: each purchase's value is split equally
+    * across the user's clicks in the preceding hour (fractional
+    * allocation), then rolled up per user on the exact-decimal grid. The
+    * touch join is a plain user equi-join + time filter — never a time
+    * theta-join.
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), evSec.as("p_sec"),
+        col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), evSec.as("c_sec"))
+    val touches = p.join(c, Seq("user_id"))
+      .filter(col("c_sec") >= col("p_sec") - 3600 && col("c_sec") < col("p_sec"))
+    val w = Window.partitionBy(col("pid"))
+    touches
+      .withColumn("n_t", count(lit(1)).over(w))
+      .select(col("user_id"),
+        (col("value") / col("n_t")).cast(DecimalType(18, 9)).as("share"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(col("share")).cast("double"), 6).as("attributed_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Market-basket co-occurrence: the most frequent part pairs bought in
+    * the same order. The self-join keys on the order (equi), so pair
+    * generation is bounded by per-order basket size, never |parts|².
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(50)
+  }
+
+  /** Robust outlier detection per priority group: median and MAD (median
+    * absolute deviation) from the exact discrete-percentile machinery,
+    * then rows flagged where |x − med| > 3·MAD — resistant to the very
+    * outliers it hunts, unlike mean/stddev fences.
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    val med = Relational.discretePercentiles(
+      o, "o_orderpriority", "o_totalprice", "o_orderkey", Seq(0.5))
+      .select(col("o_orderpriority"), col("p50").as("med"))
+    val dev = o.join(broadcast(med), Seq("o_orderpriority"))
+      .withColumn("dev", abs(col("o_totalprice") - col("med")))
+    val mad = Relational.discretePercentiles(
+      dev, "o_orderpriority", "dev", "o_orderkey", Seq(0.5))
+      .select(col("o_orderpriority"), col("p50").as("mad"))
+    dev.join(broadcast(mad), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2051,6 +2117,9 @@ object SparkEntry {
     "q119_hll_rollup" -> (q119 _),
     "q120_erasure_delete" -> (q120 _),
     "q121_exactly_once_sink" -> (q121 _),
+    "q122_attribution" -> (q122 _),
+    "q123_cooccurrence" -> (q123 _),
+    "q124_robust_outliers" -> (q124 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2468,6 +2537,16 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value, COUNT(DISTINCT user_id) AS n_users FROM events WHERE user_id % 7 <> 0 GROUP BY event_type ORDER BY event_type""",
     "q121_exactly_once_sink" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
+    // per-touch shares land on the 1e-9 decimal grid before the per-user
+    // sum; value/n is the same fixed-order double division both sides
+    "q122_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS p_sec, value FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS cid, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS c_sec FROM events WHERE event_type = 'click'), t AS (SELECT p.pid, p.user_id, p.value, c.cid FROM p JOIN c ON p.user_id = c.user_id AND c.c_sec >= p.p_sec - 3600 AND c.c_sec < p.p_sec), n AS (SELECT pid, COUNT(*) AS n_t FROM t GROUP BY pid) SELECT t.user_id, COUNT(*) AS n_touches, round(CAST(SUM(CAST(t.value / n.n_t AS DECIMAL(18,9))) AS DOUBLE), 6) AS attributed_value FROM t JOIN n USING (pid) GROUP BY t.user_id ORDER BY t.user_id""",
+    "q123_cooccurrence" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_orders FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 50""",
+    // med and MAD replayed with the same ceil(n*0.5) discrete-rank rule;
+    // the 3*mad fence is the same fixed-order double compare
+    "q124_robust_outliers" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt FROM orders), m AS (SELECT o_orderpriority, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN o_totalprice END) AS med FROM r GROUP BY 1), d AS (SELECT o.o_orderpriority, o.o_orderkey, abs(o.o_totalprice - m.med) AS dev, m.med FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority), r2 AS (SELECT o_orderpriority, dev, med, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY dev, o_orderkey) AS rn, COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt FROM d), m2 AS (SELECT o_orderpriority, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN dev END) AS mad FROM r2 GROUP BY 1) SELECT d.o_orderpriority, MAX(d.med) AS med, MAX(m2.mad) AS mad, CAST(SUM(CASE WHEN d.dev > m2.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, COUNT(*) AS n FROM d JOIN m2 ON d.o_orderpriority = m2.o_orderpriority GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""",
     // boundaries replayed with the same ceil(n*p) discrete-rank rule as
     // Relational.discretePercentiles, then the same <=-boundary buckets
     "q116_discretize" ->
