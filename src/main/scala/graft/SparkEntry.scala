@@ -1902,6 +1902,56 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Log-based data skipping on the transaction lake: commits record each
+    * file's [min, max] of `user_id`, and the pruned read opens ONLY files
+    * whose logged range overlaps the predicate — a skipped file costs
+    * zero I/O, not even a footer fetch ([[TxLake.readPruned]];
+    * TxLakeSpec asserts the file count). Slices are committed on
+    * disjoint user ranges so the pruning provably bites.
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q125")
+    val root = new java.io.File(lake)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (root.exists()) rm(root)
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val m = ev.agg(max(col("user_id"))).head().getLong(0)
+    val t = m / 3
+    TxLake.commit(s, lake, ev.filter(col("user_id") <= t).coalesce(1),
+      statsCol = "user_id")
+    TxLake.commit(s, lake,
+      ev.filter(col("user_id") > t && col("user_id") <= 2 * t).coalesce(1),
+      statsCol = "user_id")
+    TxLake.commit(s, lake, ev.filter(col("user_id") > 2 * t).coalesce(1),
+      statsCol = "user_id")
+    TxLake.readPruned(s, lake, 1L, t)
+      .filter(col("user_id").between(1L, t)) // exact filter atop the pruning
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** SCD2 apply-changes: close each changed key's current dimension row
+    * at the change's effective date and append the new current version
+    * ([[graft.operators.Scd2.applyChanges]]) — the incremental other
+    * half of q64's derived history.
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val dim = T(s, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        lit("2020-01-01").as("eff_from"),
+        lit(null).cast("string").as("eff_to"))
+    val changes = dim.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey"), lit("MOVED").as("segment"),
+        lit("2024-06-01").as("eff_from"))
+    graft.operators.Scd2.applyChanges(dim, changes, "c_custkey", "eff_from", "eff_to")
+      .orderBy(col("c_custkey"), col("eff_from"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2120,6 +2170,8 @@ object SparkEntry {
     "q122_attribution" -> (q122 _),
     "q123_cooccurrence" -> (q123 _),
     "q124_robust_outliers" -> (q124 _),
+    "q125_data_skipping" -> (q125 _),
+    "q126_scd2_apply" -> (q126 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2537,6 +2589,12 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value, COUNT(DISTINCT user_id) AS n_users FROM events WHERE user_id % 7 <> 0 GROUP BY event_type ORDER BY event_type""",
     "q121_exactly_once_sink" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
+    // the pruned read + exact filter must equal the plain filtered
+    // aggregate; the boundary replays as integer division of the max
+    "q125_data_skipping" ->
+      s"""WITH t AS (SELECT MAX(user_id) // 3 AS t FROM events) SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events, t WHERE user_id BETWEEN 1 AND t.t GROUP BY event_type ORDER BY event_type""",
+    "q126_scd2_apply" ->
+      """SELECT * FROM (SELECT c_custkey, c_mktsegment AS segment, '2020-01-01' AS eff_from, CASE WHEN c_custkey % 4 = 0 THEN '2024-06-01' END AS eff_to FROM customer WHERE c_custkey <= 200 UNION ALL SELECT c_custkey, 'MOVED', '2024-06-01', NULL FROM customer WHERE c_custkey <= 200 AND c_custkey % 4 = 0) ORDER BY c_custkey, eff_from""",
     // per-touch shares land on the 1e-9 decimal grid before the per-user
     // sum; value/n is the same fixed-order double division both sides
     "q122_attribution" ->

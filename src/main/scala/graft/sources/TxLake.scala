@@ -67,9 +67,13 @@ object TxLake {
   def latestVersion(path: String): Long =
     entries(path).lastOption.map(_._1).getOrElse(0L)
 
-  /** Active data files as of `version` (Long.MaxValue = latest). */
-  private def activeFiles(path: String, version: Long): Seq[String] = {
-    val active = scala.collection.mutable.LinkedHashSet[String]()
+  /** Active data files as of `version` with their logged (min, max) stats
+    * for the commit's stats column, when recorded.
+    */
+  private def activeEntries(
+      path: String, version: Long): Seq[(String, Option[(Long, Long)])] = {
+    val active =
+      scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
     entries(path).takeWhile(_._1 <= version).foreach { case (_, json) =>
       // minimal parser for our own writer's format: quoted paths carry no
       // escapes (enforced at commit time)
@@ -78,11 +82,21 @@ object TxLake {
         m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
       }
+      val adds = list("adds")
+      val mins = list("mins")
+      val maxs = list("maxs")
+      val withStats = mins.length == adds.length && maxs.length == adds.length
       list("removes").foreach(active.remove)
-      list("adds").foreach(active.add)
+      adds.zipWithIndex.foreach { case (f, i) =>
+        active(f) =
+          if (withStats) Some((mins(i).toLong, maxs(i).toLong)) else None
+      }
     }
     active.toSeq
   }
+
+  private def activeFiles(path: String, version: Long): Seq[String] =
+    activeEntries(path, version).map(_._1)
 
   /** Commit `df` as the next version. `overwrite = true` logically removes
     * every currently-active file (full-snapshot replace); `false` appends.
@@ -96,7 +110,8 @@ object TxLake {
       path: String,
       df: DataFrame,
       overwrite: Boolean = false,
-      tag: String = ""): Long = {
+      tag: String = "",
+      statsCol: String = ""): Long = {
     require(!tag.contains("\"") && !tag.contains("\\"), "tag must be JSON-safe")
     if (tag.nonEmpty) {
       val already = taggedVersion(path, tag)
@@ -124,12 +139,31 @@ object TxLake {
     require(adds.forall(p => !p.contains("\"") && !p.contains("\\")),
       "data paths must be JSON-safe")
     val removes = if (overwrite) activeFiles(path, next - 1) else Seq.empty
+    // per-file data-skipping stats for a declared long column: one
+    // metadata-sized aggregation over the just-written files, logged
+    // alongside the adds so pruned reads never open the footers at all
+    val stats: String =
+      if (statsCol.isEmpty) ""
+      else {
+        import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+        val byFile = spark.read.parquet(dataDir)
+          .groupBy(col("_metadata.file_path").as("f"))
+          .agg(smin(col(statsCol)).cast("long").as("mn"),
+            smax(col(statsCol)).cast("long").as("mx"))
+          .collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath ->
+            ((r.getLong(1), r.getLong(2)))).toMap
+        val aligned = adds.map(f => byFile.getOrElse(f,
+          sys.error(s"no stats computed for $f")))
+        s""","statsCol":"$statsCol","mins":[${aligned.map(_._1).mkString(",")}],""" +
+          s""""maxs":[${aligned.map(_._2).mkString(",")}]"""
+      }
     // 3. publish: write content to a tmp file, atomically swap onto the
     //    reservation
     val json =
       s"""{"version":$next,"tag":"$tag",""" +
         s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]}"""
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]$stats}"""
     val tmp = logDir(path).resolve(f".tmp-$next%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
@@ -203,6 +237,37 @@ object TxLake {
     require(files.nonEmpty, s"no committed data at or before version $version")
     spark.read.parquet(files: _*)
   }
+
+  /** Data-skipping read: only the active files whose logged [min, max]
+    * range overlaps `[lo, hi]` are opened (files committed without stats
+    * are conservatively kept). The pruning decision comes from the LOG —
+    * no footer is touched for a skipped file, which on an object store
+    * saves a round-trip per file. Callers still apply their exact row
+    * filter on top; the stats only bound which files can hold matches.
+    */
+  def readPruned(
+      spark: SparkSession,
+      path: String,
+      lo: Long,
+      hi: Long,
+      version: Long = Long.MaxValue): DataFrame = {
+    val kept = prunedFiles(path, lo, hi, version)
+    require(kept.nonEmpty, s"no file can contain values in [$lo, $hi]")
+    spark.read.parquet(kept: _*)
+  }
+
+  /** The file list [[readPruned]] would open — exposed for skip-ratio
+    * assertions.
+    */
+  def prunedFiles(
+      path: String,
+      lo: Long,
+      hi: Long,
+      version: Long = Long.MaxValue): Seq[String] =
+    activeEntries(path, version).collect {
+      case (f, None) => f
+      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
+    }
 
   /** Remove a trailing pending (empty) reservation left by a crashed
     * writer so the log can move forward. Returns true if one was removed.

@@ -80,6 +80,21 @@ class TxLakeSpec extends SparkSuite {
     assert(before.filter(_.contains("/data/v2/")).forall(!after.contains(_)))
   }
 
+  test("logged file stats prune reads without touching skipped files") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2, 3).coalesce(1), statsCol = "id")
+    TxLake.commit(spark, lake, df(10, 11).coalesce(1), statsCol = "id")
+    TxLake.commit(spark, lake, df(20, 25).coalesce(1), statsCol = "id")
+    // only the middle file's [10, 11] range overlaps [9, 15]
+    val kept = TxLake.prunedFiles(lake, 9L, 15L)
+    assert(kept.size == 1 && kept.head.contains("/data/v2/"),
+      s"expected only v2's file, got $kept")
+    assert(ids(TxLake.readPruned(spark, lake, 9L, 15L)) == Set(10L, 11L))
+    // a file committed WITHOUT stats is conservatively kept
+    TxLake.commit(spark, lake, df(100).coalesce(1))
+    assert(TxLake.prunedFiles(lake, 9L, 15L).size == 2)
+  }
+
   test("a pending (crashed) commit is invisible to readers") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1))
