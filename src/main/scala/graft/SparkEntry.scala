@@ -1952,6 +1952,32 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("eff_from"))
   }
 
+  /** OPTIMIZE + VACUUM lifecycle on the transaction lake: three
+    * fragmented commits are compacted into one file in a single atomic
+    * log commit, then retention physically reclaims the superseded
+    * files — the read-back stays row-identical through both
+    * ([[TxLake.optimize]] / [[TxLake.vacuum]]; protocol details in
+    * TxLakeSpec).
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q127")
+    val root = new java.io.File(lake)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (root.exists()) rm(root)
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    (0 to 2).foreach(i =>
+      TxLake.commit(s, lake, ev.filter(col("user_id") % 3 === i)))
+    val v = TxLake.optimize(s, lake)
+    TxLake.vacuum(lake, retainVersion = v)
+    TxLake.readSnapshot(s, lake)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2172,6 +2198,7 @@ object SparkEntry {
     "q124_robust_outliers" -> (q124 _),
     "q125_data_skipping" -> (q125 _),
     "q126_scd2_apply" -> (q126 _),
+    "q127_optimize_vacuum" -> (q127 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2589,6 +2616,10 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value, COUNT(DISTINCT user_id) AS n_users FROM events WHERE user_id % 7 <> 0 GROUP BY event_type ORDER BY event_type""",
     "q121_exactly_once_sink" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
+    // optimize + vacuum must be row-invisible: the read-back equals the
+    // plain aggregate however the files were compacted or reclaimed
+    "q127_optimize_vacuum" ->
+      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
     // the pruned read + exact filter must equal the plain filtered
     // aggregate; the boundary replays as integer division of the max
     "q125_data_skipping" ->

@@ -11,8 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   <path>/data/v<version>-<n>/part-*.parquet   immutable data files
-  *   <path>/_log/<%08d version>.json             one commit action per file
+  *   <path>/data/v<version>/part-*.parquet   immutable data files
+  *   <path>/_log/<%08d version>.json         one commit entry per file
   * }}}
   * Each log entry records the files the commit ADDS and the files it
   * REMOVES (logically — removed files stay on disk so older snapshots
@@ -268,6 +268,47 @@ object TxLake {
       case (f, None) => f
       case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
     }
+
+  /** OPTIMIZE through the log: rewrite the current snapshot as
+    * `targetFiles` files in ONE atomic commit (adds the compacted files,
+    * logically removes every small one). Readers never see a half-
+    * compacted table, and time travel to pre-optimize versions keeps
+    * working because the removed files stay on disk until [[vacuum]].
+    */
+  def optimize(
+      spark: SparkSession,
+      path: String,
+      targetFiles: Int = 1,
+      statsCol: String = ""): Long = {
+    require(targetFiles >= 1)
+    // safe to read lazily: the rewrite lands in a NEW data dir; the files
+    // being logically removed stay physically intact
+    commit(spark, path, readSnapshot(spark, path).coalesce(targetFiles),
+      overwrite = true, statsCol = statsCol)
+  }
+
+  /** VACUUM: physically delete data files that were logically removed at
+    * or before `retainVersion` — they are invisible to every snapshot
+    * from `retainVersion` onward. Time travel BELOW the horizon breaks
+    * (that is the point: storage is reclaimed); the log itself is kept as
+    * the audit trail. Returns the deleted file count.
+    */
+  def vacuum(path: String, retainVersion: Long): Long = {
+    val removedAt = scala.collection.mutable.LinkedHashMap[String, Long]()
+    entries(path).foreach { case (v, json) =>
+      val m = """"removes":\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      m.foreach(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
+        .foreach(f => if (!removedAt.contains(f)) removedAt(f) = v))
+    }
+    val deletable = removedAt.collect {
+      case (f, v) if v <= retainVersion => f
+    }.toSeq
+    deletable.count { f =>
+      val p = Paths.get(f)
+      Files.deleteIfExists(p)
+    }
+  }
 
   /** Remove a trailing pending (empty) reservation left by a crashed
     * writer so the log can move forward. Returns true if one was removed.

@@ -95,6 +95,29 @@ class TxLakeSpec extends SparkSuite {
     assert(TxLake.prunedFiles(lake, 9L, 15L).size == 2)
   }
 
+  test("optimize compacts atomically; vacuum reclaims below the horizon only") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1).coalesce(1))
+    TxLake.commit(spark, lake, df(2).coalesce(1))
+    TxLake.commit(spark, lake, df(3).coalesce(1))
+    val v = TxLake.optimize(spark, lake) // v4: one file supersedes three
+    assert(v == 4L)
+    def activeCount = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(activeCount == 1L)
+    // pre-optimize time travel still works — removed files are on disk
+    assert(ids(TxLake.readSnapshot(spark, lake, 2L)) == Set(1L, 2L))
+    // vacuum at the horizon reclaims exactly the three superseded files
+    assert(TxLake.vacuum(lake, retainVersion = v) == 3L)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 3L))
+    // below-horizon snapshots are gone by design
+    intercept[Exception] {
+      TxLake.readSnapshot(spark, lake, 2L).collect()
+    }
+    // idempotent: nothing left to reclaim
+    assert(TxLake.vacuum(lake, retainVersion = v) == 0L)
+  }
+
   test("a pending (crashed) commit is invisible to readers") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1))
