@@ -1978,6 +1978,44 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Chi-square independence test of event type × weekday: contingency
+    * cells from one aggregation, expected counts from row/column/total
+    * marginals (window sums over the 42-cell frame — aggregated, tiny),
+    * per-cell terms on the decimal grid. The model-drift hypothesis test
+    * beside q109's PSI. Terms sum over OBSERVED cells (both engines
+    * replay the same convention).
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val cells = T(s, dir, "events")
+      .select(col("event_type").as("t"), dayofweek(evTs).as("d"))
+      .groupBy(col("t"), col("d"))
+      .agg(count(lit(1)).as("o"))
+    val tot = cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("t"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("d"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val term = ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+      .cast(DecimalType(28, 9))
+    tot.select(col("t"), col("d"), term.as("tm"))
+      .agg(
+        round(sum(col("tm")).cast("double"), 6).as("chi2"),
+        ((count_distinct(col("t")) - 1) * (count_distinct(col("d")) - 1))
+          .as("dof"))
+  }
+
+  /** Audio-style overlapping frame windows over the binary payloads
+    * (256-byte window, 128 hop): the featurizer framing pass, one explode,
+    * per-frame md5 so the oracle replays every byte slice
+    * ([[graft.operators.Multimodal.frameWindows]]).
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.frameWindows(
+      graft.operators.Multimodal.attachPayload(
+        T(s, dir, "documents").filter(col("doc_id") <= 200)))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2199,6 +2237,8 @@ object SparkEntry {
     "q125_data_skipping" -> (q125 _),
     "q126_scd2_apply" -> (q126 _),
     "q127_optimize_vacuum" -> (q127 _),
+    "q128_chi_square" -> (q128 _),
+    "q129_frame_windows" -> (q129 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2616,6 +2656,15 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value, COUNT(DISTINCT user_id) AS n_users FROM events WHERE user_id % 7 <> 0 GROUP BY event_type ORDER BY event_type""",
     "q121_exactly_once_sink" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
+    // identical fixed-order marginal/expected arithmetic; DuckDB weekday
+    // is 0-based (Spark's is 1-based) hence the +1
+    "q128_chi_square" ->
+      """WITH ev AS (SELECT event_type AS t, dayofweek(ts) + 1 AS d FROM events), cells AS (SELECT t, d, COUNT(*) AS o FROM ev GROUP BY 1, 2), tot AS (SELECT t, d, o, CAST(SUM(o) OVER (PARTITION BY t) AS BIGINT) AS rt, CAST(SUM(o) OVER (PARTITION BY d) AS BIGINT) AS ct, CAST(SUM(o) OVER () AS BIGINT) AS n FROM cells), term AS (SELECT t, d, CAST((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,9)) AS tm FROM tot) SELECT round(CAST(SUM(tm) AS DOUBLE), 6) AS chi2, CAST((COUNT(DISTINCT t) - 1) * (COUNT(DISTINCT d) - 1) AS BIGINT) AS dof FROM term""",
+    // every byte slice replayed in HEX space (DuckDB 1.0 has no blob
+    // substring/md5): a byte-aligned slice of hex(payload) IS the hex of
+    // the byte slice, and both engines' hex is uppercase
+    "q129_frame_windows" ->
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id <= 200), f AS (SELECT doc_id, unnest(range(0, greatest(length(hx) // 2, 1), 128)) AS off, hx FROM p WHERE length(hx) > 0) SELECT doc_id, CAST(off // 128 AS BIGINT) AS frame_idx, CAST(length(substring(hx, CAST(off * 2 + 1 AS BIGINT), 512)) // 2 AS BIGINT) AS frame_len, md5(substring(hx, CAST(off * 2 + 1 AS BIGINT), 512)) AS frame_md5 FROM f ORDER BY doc_id, frame_idx""",
     // optimize + vacuum must be row-invisible: the read-back equals the
     // plain aggregate however the files were compacted or reclaimed
     "q127_optimize_vacuum" ->

@@ -48,6 +48,32 @@ object Multimodal {
       }
   }
 
+  /** Audio-style overlapping byte windows over the binary payload: frame i
+    * covers `[i·hop, i·hop + win)`, tail frames run short — the framing
+    * every audio featurizer (STFT, wav2vec-style encoders) applies before
+    * the model. One explode, frame rows scale out with the corpus; the
+    * per-frame DSP/encode hangs off the emitted (payload-slice) rows the
+    * same way the image decode hangs off [[decodeMeta]]'s batches.
+    */
+  def frameWindows(
+      withPayload: DataFrame,
+      win: Int = 256,
+      hop: Int = 128): DataFrame = {
+    require(win >= 1 && hop >= 1, "window and hop must be positive")
+    withPayload
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0),
+          greatest(length(col("payload")) - 1, lit(0)), lit(hop)))
+          .as(Seq("frame_idx", "off")),
+        col("payload"))
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(payload, off + 1, $win)").as("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(hex(col("frame"))).as("frame_md5"))
+  }
+
   /** Frame sampling over video-ish payloads: every `step`-th frame becomes a
     * row with its offset metadata. The explode is the Spark-idiomatic shape
     * (frame rows scale out; no per-doc driver loop); the frame *count* comes
