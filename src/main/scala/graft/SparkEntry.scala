@@ -2016,6 +2016,30 @@ object SparkEntry {
         T(s, dir, "documents").filter(col("doc_id") <= 200)))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Two-phase table reconciliation ([[graft.operators.Reconcile]]): B is
+    * the customer table with deterministic drift injected — balances
+    * bumped for keys ≡ 0 (mod 97), keys ≡ 0 (mod 89) dropped, one
+    * foreign row added — and the bucketed checksum compare must surface
+    * exactly those keys, reading row-level data only from disagreeing
+    * buckets.
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val a = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("c_acctbal"),
+        col("c_mktsegment"))
+    val b = a.filter(col("c_custkey") % 89 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 97 === 0, col("c_acctbal") + 1)
+          .otherwise(col("c_acctbal")))
+      .unionByName(s.sql(
+        """SELECT CAST(10000000 AS BIGINT) AS c_custkey, 'Customer#drift' AS c_name,
+          |CAST(0 AS INT) AS c_nationkey, CAST(1.00 AS DECIMAL(12,2)) AS c_acctbal,
+          |'BUILDING' AS c_mktsegment""".stripMargin))
+    graft.operators.Reconcile.diffKeys(a, b, "c_custkey", buckets = 64)
+      .orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2239,6 +2263,7 @@ object SparkEntry {
     "q127_optimize_vacuum" -> (q127 _),
     "q128_chi_square" -> (q128 _),
     "q129_frame_windows" -> (q129 _),
+    "q130_reconcile" -> (q130 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2656,6 +2681,10 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value, COUNT(DISTINCT user_id) AS n_users FROM events WHERE user_id % 7 <> 0 GROUP BY event_type ORDER BY event_type""",
     "q121_exactly_once_sink" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
+    // the two-phase checksum drill-down must surface exactly the keys the
+    // drift injection touched — replayed as direct CASE logic
+    "q130_reconcile" ->
+      """SELECT c_custkey, status FROM (SELECT c_custkey, CASE WHEN c_custkey % 89 = 0 THEN 'A_only' WHEN c_custkey % 97 = 0 THEN 'differs' END AS status FROM customer UNION ALL SELECT 10000000, 'B_only') WHERE status IS NOT NULL ORDER BY c_custkey""",
     // identical fixed-order marginal/expected arithmetic; DuckDB weekday
     // is 0-based (Spark's is 1-based) hence the +1
     "q128_chi_square" ->
