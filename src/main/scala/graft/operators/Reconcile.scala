@@ -48,14 +48,20 @@ object Reconcile {
     def digest(df: DataFrame, n: String, x: String) =
       prep(df).groupBy(col("bucket"))
         .agg(count(lit(1)).as(n), expr("bit_xor(sig)").as(x))
+    // the digest table is at most `buckets` rows — collecting the
+    // disagreeing ids is metadata-sized and makes the phase-2 restriction
+    // a plain per-row predicate (no join, no shuffle); on a
+    // bucket-partitioned layout the same predicate prunes whole files
     val bad = digest(a, "n_a", "x_a")
       .join(digest(b, "n_b", "x_b"), Seq("bucket"), "full_outer")
       .filter(!(col("n_a") <=> col("n_b")) || !(col("x_a") <=> col("x_b")))
-      .select(col("bucket"))
+      .select(col("bucket")).collect().map(_.getLong(0)).toSeq
+    val inBad: Column =
+      if (bad.isEmpty) lit(false) else col("bucket").isin(bad: _*)
     // phase 2: row-level compare restricted to the disagreeing buckets
-    val aBad = prep(a).join(bad, Seq("bucket"), "left_semi")
+    val aBad = prep(a).filter(inBad)
       .select(col(keyCol).as("k_a"), col("sig").as("s_a"))
-    val bBad = prep(b).join(bad, Seq("bucket"), "left_semi")
+    val bBad = prep(b).filter(inBad)
       .select(col(keyCol).as("k_b"), col("sig").as("s_b"))
     aBad.join(bBad, col("k_a") === col("k_b"), "full_outer")
       .withColumn("status",
