@@ -2040,6 +2040,41 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** Growth accounting: every active (user, day) classified as new /
+    * retained / resurrected from the user's previous active day, plus
+    * churn events the day after an activity gap opens — the standard
+    * DAU decomposition (new + retained + resurrected − churned explains
+    * every day-over-day change). One distinct + one per-user window.
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val days = T(s, dir, "events")
+      .select(col("user_id"), to_date(evDateId).as("day"))
+      .distinct()
+    val maxDay = days.agg(max(col("day"))).head().getDate(0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val marked = days
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+    val activity = marked.select(col("day"),
+      when(col("prev").isNull, "new")
+        .when(datediff(col("day"), col("prev")) === 1, "retained")
+        .otherwise("resurrected").as("kind"))
+    val churn = marked
+      .filter((col("next").isNull || datediff(col("next"), col("day")) > 1) &&
+        date_add(col("day"), 1) <= lit(maxDay))
+      .select(date_add(col("day"), 1).as("day"), lit("churned").as("kind"))
+    activity.unionByName(churn)
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("kind") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("kind") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("kind") === "churned", 1L).otherwise(0L)).as("n_churned"))
+      .select(col("day").cast("string").as("day"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
+      .orderBy(col("day"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2264,6 +2299,7 @@ object SparkEntry {
     "q128_chi_square" -> (q128 _),
     "q129_frame_windows" -> (q129 _),
     "q130_reconcile" -> (q130 _),
+    "q131_growth_accounting" -> (q131 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2681,6 +2717,10 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value, COUNT(DISTINCT user_id) AS n_users FROM events WHERE user_id % 7 <> 0 GROUP BY event_type ORDER BY event_type""",
     "q121_exactly_once_sink" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
+    // same classification windows; churn lands the day AFTER a gap opens,
+    // bounded by the max active day
+    "q131_growth_accounting" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day FROM events), mx AS (SELECT MAX(day) AS m FROM days), marked AS (SELECT user_id, day, lag(day) OVER w AS prev, lead(day) OVER w AS next FROM days WINDOW w AS (PARTITION BY user_id ORDER BY day)), activity AS (SELECT day, CASE WHEN prev IS NULL THEN 'new' WHEN day - prev = 1 THEN 'retained' ELSE 'resurrected' END AS kind FROM marked), churn AS (SELECT day + 1 AS day, 'churned' AS kind FROM marked WHERE (next IS NULL OR next - day > 1) AND day + 1 <= (SELECT m FROM mx)), u AS (SELECT * FROM activity UNION ALL SELECT * FROM churn) SELECT CAST(day AS VARCHAR) AS day, CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected, CAST(SUM(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned FROM u GROUP BY day ORDER BY day""",
     // the two-phase checksum drill-down must surface exactly the keys the
     // drift injection touched — replayed as direct CASE logic
     "q130_reconcile" ->
