@@ -2075,6 +2075,34 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** Time-constrained conversion funnel: of the users whose FIRST view
+    * happened on day D, how many purchased within 24 hours of it — the
+    * windowed complement of q50's unbounded ordering funnel. The
+    * conversion probe is a user equi-join with the window as a residual
+    * filter condition (left-semi), never a time theta-join.
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(evSec).as("v_sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), evSec.as("p_sec"))
+    val converted = firstView.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_sec") > col("v_sec") && col("p_sec") <= col("v_sec") + 86400L,
+        "left_semi")
+      .select(col("user_id"), lit(1L).as("c"))
+    firstView.join(converted, Seq("user_id"), "left")
+      .groupBy(date_format(timestamp_seconds(col("v_sec")).cast("timestamp_ntz"),
+        "yyyy-MM-dd").as("view_day"))
+      .agg(count(lit(1)).as("n_first_views"),
+        sum(coalesce(col("c"), lit(0L))).as("n_converted_24h"))
+      .withColumn("conversion_rate",
+        round(col("n_converted_24h").cast("double") /
+          col("n_first_views").cast("double"), 6))
+      .orderBy(col("view_day"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2300,6 +2328,7 @@ object SparkEntry {
     "q129_frame_windows" -> (q129 _),
     "q130_reconcile" -> (q130 _),
     "q131_growth_accounting" -> (q131 _),
+    "q132_conversion_window" -> (q132 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2717,6 +2746,8 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value, COUNT(DISTINCT user_id) AS n_users FROM events WHERE user_id % 7 <> 0 GROUP BY event_type ORDER BY event_type""",
     "q121_exactly_once_sink" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
+    "q132_conversion_window" ->
+      """WITH fv AS (SELECT user_id, MIN(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS v_sec FROM events WHERE event_type = 'view' GROUP BY user_id), p AS (SELECT user_id AS p_user, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS p_sec FROM events WHERE event_type = 'purchase'), conv AS (SELECT DISTINCT fv.user_id FROM fv JOIN p ON fv.user_id = p.p_user AND p.p_sec > fv.v_sec AND p.p_sec <= fv.v_sec + 86400) SELECT strftime(to_timestamp(v_sec), '%Y-%m-%d') AS view_day, COUNT(*) AS n_first_views, CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h, round(CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id GROUP BY 1 ORDER BY view_day""",
     // same classification windows; churn lands the day AFTER a gap opens,
     // bounded by the max active day
     "q131_growth_accounting" ->
