@@ -2103,6 +2103,26 @@ object SparkEntry {
       .orderBy(col("view_day"))
   }
 
+  /** XML source/sink round-trip (Spark 4's native XML datasource): the
+    * nation dimension written as `<nation>` row elements and read back
+    * under an explicit schema — no runaway inference pass, same posture
+    * as the JSON/CSV/ORC sources (q34/q35/q73).
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q133")
+    T(s, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .coalesce(1)
+      .write.mode("overwrite").option("rowTag", "nation").format("xml").save(path)
+    s.read.format("xml")
+      .option("rowTag", "nation")
+      .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+      .load(path)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2329,6 +2349,7 @@ object SparkEntry {
     "q130_reconcile" -> (q130 _),
     "q131_growth_accounting" -> (q131 _),
     "q132_conversion_window" -> (q132 _),
+    "q133_xml_source" -> (q133 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2746,6 +2767,8 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value, COUNT(DISTINCT user_id) AS n_users FROM events WHERE user_id % 7 <> 0 GROUP BY event_type ORDER BY event_type""",
     "q121_exactly_once_sink" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
+    "q133_xml_source" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey""",
     "q132_conversion_window" ->
       """WITH fv AS (SELECT user_id, MIN(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS v_sec FROM events WHERE event_type = 'view' GROUP BY user_id), p AS (SELECT user_id AS p_user, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS p_sec FROM events WHERE event_type = 'purchase'), conv AS (SELECT DISTINCT fv.user_id FROM fv JOIN p ON fv.user_id = p.p_user AND p.p_sec > fv.v_sec AND p.p_sec <= fv.v_sec + 86400) SELECT strftime(to_timestamp(v_sec), '%Y-%m-%d') AS view_day, COUNT(*) AS n_first_views, CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h, round(CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id GROUP BY 1 ORDER BY view_day""",
     // same classification windows; churn lands the day AFTER a gap opens,
