@@ -2708,7 +2708,7 @@ object SparkEntry {
     // (1 - damping) teleport constant is interpolated from the identical
     // Scala double so both engines add bit-equal values
     "q100_pagerank" ->
-      s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), edges AS (SELECT cust AS src, -supp AS dst FROM pairs UNION ALL SELECT -supp AS src, cust AS dst FROM pairs), deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src), pr0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) AS pr FROM deg), it1 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr0 p ON e.src = p.node GROUP BY e.dst), pr1 AS (SELECT d.node, d.deg, ${1.0 - 0.85} + CAST(i.c AS DOUBLE) AS pr FROM deg d JOIN it1 i ON d.node = i.node), it2 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr1 p ON e.src = p.node GROUP BY e.dst), pr2 AS (SELECT d.node, d.deg, ${1.0 - 0.85} + CAST(i.c AS DOUBLE) AS pr FROM deg d JOIN it2 i ON d.node = i.node), it3 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr2 p ON e.src = p.node GROUP BY e.dst), pr3 AS (SELECT d.node, d.deg, ${1.0 - 0.85} + CAST(i.c AS DOUBLE) AS pr FROM deg d JOIN it3 i ON d.node = i.node) SELECT node, round(pr, 6) AS pr FROM pr3 ORDER BY pr DESC, node LIMIT 100""",
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), edges AS (SELECT cust AS src, -supp AS dst FROM pairs UNION ALL SELECT -supp AS src, cust AS dst FROM pairs), deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src), pr0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) AS pr FROM deg), it1 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr0 p ON e.src = p.node GROUP BY e.dst), pr1 AS (SELECT d.node, d.deg, ${1.0 - 0.85} + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM deg d LEFT JOIN it1 i ON d.node = i.node), it2 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr1 p ON e.src = p.node GROUP BY e.dst), pr2 AS (SELECT d.node, d.deg, ${1.0 - 0.85} + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM deg d LEFT JOIN it2 i ON d.node = i.node), it3 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr2 p ON e.src = p.node GROUP BY e.dst), pr3 AS (SELECT d.node, d.deg, ${1.0 - 0.85} + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM deg d LEFT JOIN it3 i ON d.node = i.node) SELECT node, round(pr, 6) AS pr FROM pr3 ORDER BY pr DESC, node LIMIT 100""",
     "q101_profile" ->
       """SELECT * FROM (SELECT 'c_acctbal' AS col_name, COUNT(*) AS n_rows, COUNT(c_acctbal) AS n_nonnull, COUNT(DISTINCT c_acctbal) AS n_distinct, CAST(MIN(c_acctbal) AS DOUBLE) AS min_num, CAST(MAX(c_acctbal) AS DOUBLE) AS max_num FROM customer UNION ALL SELECT 'c_custkey', COUNT(*), COUNT(c_custkey), COUNT(DISTINCT c_custkey), CAST(MIN(c_custkey) AS DOUBLE), CAST(MAX(c_custkey) AS DOUBLE) FROM customer UNION ALL SELECT 'c_name', COUNT(*), COUNT(c_name), COUNT(DISTINCT c_name), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM customer UNION ALL SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey), COUNT(DISTINCT c_nationkey), CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE) FROM customer UNION ALL SELECT 'c_mktsegment', COUNT(*), COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM customer) ORDER BY col_name""",
     "q102_grouping_sets" ->
@@ -2721,7 +2721,7 @@ object SparkEntry {
     // operands) then ranks by pcos over the quantized vectors — integer-
     // exact accumulations make the cosine doubles bit-equal cross-engine
     "q104_quantized_ann" ->
-      s"""$VEC_MACROS; WITH b AS (SELECT CAST(MIN(u) AS DOUBLE) AS mn, CAST(MAX(u) AS DOUBLE) AS mx FROM (SELECT unnest(embedding) AS u FROM embeddings)), qz AS (SELECT vec_id, list_transform(embedding, v -> CAST(CAST(round((CAST(v AS DOUBLE) - mn) * (255.0 / (mx - mn))) AS INT) AS FLOAT)) AS qv FROM embeddings, b), q AS (SELECT vec_id AS qid, qv AS qvec FROM qz WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id AS nid, pcos(q.qvec, e.qv) AS cos FROM q CROSS JOIN qz e WHERE e.vec_id <> q.qid), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s) SELECT qid, rnk, nid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
+      s"""$VEC_MACROS; WITH b AS (SELECT CAST(MIN(u) AS DOUBLE) AS mn, CAST(MAX(u) AS DOUBLE) AS mx FROM (SELECT unnest(embedding) AS u FROM embeddings)), qz AS (SELECT vec_id, list_transform(embedding, v -> CAST(CAST(least(greatest(round((CAST(v AS DOUBLE) - mn) * (255.0 / (mx - mn))), 0.0), 255.0) AS INT) AS FLOAT)) AS qv FROM embeddings, b), q AS (SELECT vec_id AS qid, qv AS qvec FROM qz WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id AS nid, pcos(q.qvec, e.qv) AS cos FROM q CROSS JOIN qz e WHERE e.vec_id <> q.qid), r AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s) SELECT qid, rnk, nid FROM r WHERE rnk <= 10 ORDER BY qid, rnk""",
     "q105_quality_rules" ->
       """SELECT rule_id, n_violations, n_rows, round(1.0 - CAST(n_violations AS DOUBLE) / n_rows, 6) AS pass_ratio FROM (SELECT 'price_positive' AS rule_id, CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, COUNT(*) AS n_rows FROM orders UNION ALL SELECT 'status_domain', CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders UNION ALL SELECT 'date_present', CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders UNION ALL SELECT 'priority_format', CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders) ORDER BY rule_id""",
     // the compacted v4 base IS the zeroed v3 snapshot with version = 4

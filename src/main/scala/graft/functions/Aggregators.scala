@@ -20,10 +20,14 @@ object Aggregators {
   private val S2 = java.math.BigDecimal.valueOf(100L)
 
   /** `value` cast onto the exact scale-2 grid, mirroring
-    * `CAST(x AS DECIMAL(18,2))`.
+    * `CAST(x AS DECIMAL(18,2))`. Spark's double→decimal cast goes through
+    * the double's SHORTEST decimal string (`BigDecimal.valueOf`), not its
+    * full binary expansion — the two diverge on half-way values (2.675
+    * rounds to 2.68 via valueOf but 2.67 via the binary expansion), so
+    * `valueOf` is required for the cast-mirroring claim to hold.
     */
   private def dec2(d: Double): java.math.BigDecimal =
-    new java.math.BigDecimal(d).setScale(2, java.math.RoundingMode.HALF_UP)
+    java.math.BigDecimal.valueOf(d).setScale(2, java.math.RoundingMode.HALF_UP)
 
   /** Weighted arithmetic mean: Σ dec2(x)·dec2(w) / Σ dec2(w), as double. */
   object WeightedMean

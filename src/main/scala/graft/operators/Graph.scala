@@ -86,10 +86,14 @@ object Graph {
           (col("pr") / col("deg") * lit(damping)).cast(DecimalType(28, 9)).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("c_sum"))
+      // LEFT join: a node with no incoming edges this round must keep the
+      // (1 - damping) teleport floor, not vanish (an inner join would
+      // silently drop it — and its outgoing mass — on directed graphs)
       pr = pr.select(col("node"), col("deg"))
-        .join(contrib, pr("node") === contrib("dst"))
+        .join(contrib, pr("node") === contrib("dst"), "left")
         .select(col("node"), col("deg"),
-          (lit(1.0 - damping) + col("c_sum").cast("double")).as("pr"))
+          (lit(1.0 - damping) +
+            coalesce(col("c_sum").cast("double"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))

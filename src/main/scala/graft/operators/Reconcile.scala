@@ -16,22 +16,43 @@ import graft.plans.TextHashExpressions.xsHash
   *   2. only the buckets whose digests disagree are re-read and compared
   *      row-by-row (full outer join on the key).
   * At 100 TB with few expected differences, phase 2 touches a vanishing
-  * fraction of the data. The usual caveat: an xor digest can collide if
-  * two differences cancel inside one bucket; count+xor makes that need
-  * simultaneous cancellation of both, and production use pairs it with a
-  * second independent hash.
+  * fraction of the data. Collision hardening: an xor digest can cancel if
+  * two differences coincide inside one bucket, and the xorshift family is
+  * affine over GF(2) (cancellation in the row hashes would CARRY to any
+  * xorshift remix of them) — so the second digest is `xxhash64`, whose
+  * multiply steps are nonlinear over GF(2) and therefore genuinely
+  * independent of the first. A bucket hides a difference only if count,
+  * xor-of-xsHash AND xor-of-xxhash64 all cancel simultaneously.
   */
 object Reconcile {
 
-  /** Per-row signature: portable xsHash over the '|'-joined column values
-    * (the caller guarantees '|' never occurs in the data — or remaps the
-    * separator).
+  /** Out-of-band marker for null column values. `concat_ws` SKIPS nulls —
+    * without a sentinel `(1, null, "x")` and `(1, "x", null)` would
+    * serialize identically and a real difference would vanish. NUL is not
+    * valid in any of the engine's text columns; callers with binary
+    * columns must pre-encode.
+    */
+  private val NullSentinel = "\u0000"
+
+  private def safeCols(cols: Seq[String]): Seq[Column] =
+    cols.map(c => coalesce(col(c).cast("string"), lit(NullSentinel)))
+
+  /** Per-row signature: portable xsHash over the '|'-joined column values,
+    * nulls replaced by [[NullSentinel]] (the caller guarantees '|' never
+    * occurs in the data — or remaps the separator).
     */
   private def rowSig(cols: Seq[String]): Column =
-    xsHash(concat_ws("|", cols.map(c => col(c).cast("string")): _*))
+    xsHash(concat_ws("|", safeCols(cols): _*))
+
+  /** Second, independent per-row signature (nonlinear over GF(2)). */
+  private def rowSig2(cols: Seq[String]): Column =
+    xxhash64(safeCols(cols): _*)
 
   /** Keys whose rows differ, labelled `A_only` / `B_only` / `differs`.
-    * `keyCol` must be an integral key (bucketed by modulo).
+    * `keyCol` must be an integral key (bucketed by modulo). Null keys are
+    * supported: they land in a reserved bucket and compare null-safely as
+    * one key class (a table with MANY null keys degenerates to a
+    * many-to-many compare of that class — a null key is not a key).
     */
   def diffKeys(
       a: DataFrame,
@@ -43,31 +64,38 @@ object Reconcile {
     require(b.columns.toSeq == cols, "schemas must align for reconciliation")
     def prep(df: DataFrame) = df.select(
       col(keyCol),
-      pmod(col(keyCol), lit(buckets.toLong)).as("bucket"),
-      rowSig(cols).as("sig"))
-    def digest(df: DataFrame, n: String, x: String) =
+      coalesce(pmod(col(keyCol), lit(buckets.toLong)).cast("long"), lit(-1L))
+        .as("bucket"),
+      rowSig(cols).as("sig"),
+      rowSig2(cols).as("sig2"))
+    def digest(df: DataFrame, suffix: String) =
       prep(df).groupBy(col("bucket"))
-        .agg(count(lit(1)).as(n), expr("bit_xor(sig)").as(x))
-    // the digest table is at most `buckets` rows — collecting the
+        .agg(count(lit(1)).as(s"n_$suffix"),
+          expr("bit_xor(sig)").as(s"x_$suffix"),
+          expr("bit_xor(sig2)").as(s"y_$suffix"))
+    // the digest table is at most `buckets`+1 rows — collecting the
     // disagreeing ids is metadata-sized and makes the phase-2 restriction
     // a plain per-row predicate (no join, no shuffle); on a
     // bucket-partitioned layout the same predicate prunes whole files
-    val bad = digest(a, "n_a", "x_a")
-      .join(digest(b, "n_b", "x_b"), Seq("bucket"), "full_outer")
-      .filter(!(col("n_a") <=> col("n_b")) || !(col("x_a") <=> col("x_b")))
+    val bad = digest(a, "a")
+      .join(digest(b, "b"), Seq("bucket"), "full_outer")
+      .filter(!(col("n_a") <=> col("n_b")) || !(col("x_a") <=> col("x_b")) ||
+        !(col("y_a") <=> col("y_b")))
       .select(col("bucket")).collect().map(_.getLong(0)).toSeq
     val inBad: Column =
       if (bad.isEmpty) lit(false) else col("bucket").isin(bad: _*)
-    // phase 2: row-level compare restricted to the disagreeing buckets
+    // phase 2: row-level compare restricted to the disagreeing buckets;
+    // the key join is null-safe so null-key rows surface too
     val aBad = prep(a).filter(inBad)
-      .select(col(keyCol).as("k_a"), col("sig").as("s_a"))
+      .select(col(keyCol).as("k_a"), col("sig").as("s_a"), col("sig2").as("t_a"))
     val bBad = prep(b).filter(inBad)
-      .select(col(keyCol).as("k_b"), col("sig").as("s_b"))
-    aBad.join(bBad, col("k_a") === col("k_b"), "full_outer")
+      .select(col(keyCol).as("k_b"), col("sig").as("s_b"), col("sig2").as("t_b"))
+    aBad.join(bBad, col("k_a") <=> col("k_b"), "full_outer")
       .withColumn("status",
-        when(col("k_a").isNull, "B_only")
-          .when(col("k_b").isNull, "A_only")
-          .when(col("s_a") =!= col("s_b"), "differs"))
+        when(col("s_a").isNull, "B_only")
+          .when(col("s_b").isNull, "A_only")
+          .when(col("s_a") =!= col("s_b") || col("t_a") =!= col("t_b"),
+            "differs"))
       .filter(col("status").isNotNull)
       .select(coalesce(col("k_a"), col("k_b")).as(keyCol), col("status"))
   }

@@ -55,9 +55,13 @@ object Similarity {
     val mx = bounds.getDouble(1)
     require(mx > mn, s"degenerate embedding range [$mn, $mx]")
     val scale = 255.0 / (mx - mn)
+    // clamp: the grid is derived from the CORPUS, so a query component
+    // outside [mn, mx] would otherwise map outside 0..255 and void the
+    // exact-in-double argument (and the int8 framing)
     def quant(df: DataFrame) = df.withColumn(vecCol,
       transform(col(vecCol), v =>
-        round((v.cast("double") - lit(mn)) * lit(scale)).cast("int").cast("float")))
+        least(greatest(round((v.cast("double") - lit(mn)) * lit(scale)),
+          lit(0.0)), lit(255.0)).cast("int").cast("float")))
     knnBrute(quant(corpus), quant(queries), idCol, vecCol, k)
   }
 

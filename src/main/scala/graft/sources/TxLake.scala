@@ -199,7 +199,14 @@ object TxLake {
     if (affected.isEmpty) return latestVersion(path)
     // _metadata.file_path is a file: URI; the log stores plain local paths
     val plain = affected.map(p => new java.net.URI(p).getPath)
-    val survivors = spark.read.parquet(plain: _*).filter(!predicate)
+    // DELETE semantics under three-valued logic: only rows where the
+    // predicate is TRUE are deleted. A bare `!predicate` would drop rows
+    // where the predicate evaluates to NULL (e.g. a null column in the
+    // condition) — silent data loss in the erasure path — so survivors
+    // keep everything not-definitely-matching.
+    val survivors = spark.read.parquet(plain: _*)
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false)))
       .localCheckpoint(true) // materialize before the swap commit
     val next = latestVersion(path) + 1
     val log = logFile(path, next)

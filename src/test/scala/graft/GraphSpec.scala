@@ -36,6 +36,24 @@ class GraphSpec extends SparkSuite {
     assert(math.abs(pr(11L) - (0.15 + 0.85 / 3)) < 1e-6)
   }
 
+  test("pageRank on a DIRECTED edge list keeps sourceless nodes alive") {
+    // 1 -> 2 -> 3 directed: node 1 never receives mass, so after round 1
+    // it must keep the (1 - damping) teleport floor — an inner contribution
+    // join would silently drop it (and node 2's inflow with it in round 2).
+    // Only sources carry out-degree; 3 is a pure sink and has no pr row.
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    val directed = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 2L), Row(2L, 3L)), schema)
+    val pr = Graph.pageRank(directed, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L), s"ranked nodes: ${pr.keySet}")
+    assert(math.abs(pr(1L) - 0.15) < 1e-6,
+      "a sourceless node must hold the teleport floor, not vanish")
+    // round 2 inflow to 2 is 0.85 * pr1(1)/deg(1) = 0.85 * 0.15
+    assert(math.abs(pr(2L) - (0.15 + 0.85 * 0.15)) < 1e-6)
+  }
+
   test("trailingDistinct counts entities over the trailing window only") {
     val schema = StructType(Seq(
       StructField("b", LongType), StructField("e", StringType)))

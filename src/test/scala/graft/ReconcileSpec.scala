@@ -28,6 +28,55 @@ class ReconcileSpec extends SparkSuite {
     assert(out == Map(2L -> "differs", 3L -> "A_only", 9L -> "B_only"))
   }
 
+  private val schema3 = StructType(Seq(
+    StructField("k", LongType), StructField("u", StringType),
+    StructField("v", StringType)))
+
+  private def frame3(rows: (java.lang.Long, String, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      schema3)
+
+  test("rows differing only in null placement are flagged") {
+    // concat_ws SKIPS nulls: without the sentinel both rows would
+    // serialize as "1|x" and the difference would vanish
+    val a = frame3((1L, null, "x"), (2L, "a", "b"))
+    val b = frame3((1L, "x", null), (2L, "a", "b"))
+    val out = Reconcile.diffKeys(a, b, "k", buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "differs"))
+  }
+
+  test("null keys land in the reserved bucket and are compared") {
+    val a = frame3((null, "n", "x"), (2L, "a", "b"))
+    val b = frame3((null, "n", "CHANGED"), (2L, "a", "b"))
+    val out = Reconcile.diffKeys(a, b, "k", buckets = 4).collect()
+    assert(out.length == 1 && out.head.isNullAt(0)
+      && out.head.getString(1) == "differs")
+    // null key present on one side only
+    val out2 = Reconcile.diffKeys(a, frame3((2L, "a", "b")), "k", buckets = 4)
+      .collect()
+    assert(out2.length == 1 && out2.head.isNullAt(0)
+      && out2.head.getString(1) == "A_only")
+  }
+
+  test("a same-bucket double difference that cancels the xor digest is still caught") {
+    // xsHash (xorshift) is affine over GF(2) at fixed length, so two
+    // equal-length differences touching the same byte position cancel in
+    // the xor-of-sig digest — prove the cancellation is real, then prove
+    // the independent xxhash64 digest still flags the bucket
+    import graft.plans.XsHash
+    def sig(s: String) = XsHash.hash(s.getBytes("UTF-8"))
+    assert((sig("1|aa") ^ sig("1|ab")) == (sig("5|ba") ^ sig("5|bb")),
+      "test premise: the first digest must genuinely cancel")
+    // keys 1 and 5 share bucket 1 when buckets = 4
+    val a = frame((1L, "aa"), (5L, "ba"))
+    val b = frame((1L, "ab"), (5L, "bb"))
+    val out = Reconcile.diffKeys(a, b, "k", buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "differs", 5L -> "differs"))
+  }
+
   test("schema mismatch is rejected up front") {
     val a = frame((1L, "x"))
     val e = intercept[IllegalArgumentException] {

@@ -80,6 +80,31 @@ class TxLakeSpec extends SparkSuite {
     assert(before.filter(_.contains("/data/v2/")).forall(!after.contains(_)))
   }
 
+  test("deleteWhere keeps null-predicate rows (three-valued logic)") {
+    val lake = tmp()
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("user_id", LongType, nullable = true)))
+    // ONE file mixing a genuine match (user_id=42), null-predicate rows,
+    // and a plain survivor — the dangerous layout: the nulls share a file
+    // with the match, so they ride through the rewrite
+    val mixed = spark.createDataFrame(
+      java.util.Arrays.asList(
+        R(1L, 42L), R(2L, null), R(3L, 7L), R(4L, null)),
+      schema).coalesce(1)
+    TxLake.commit(spark, lake, mixed)
+    TxLake.deleteWhere(spark, lake, col("user_id") === 42L)
+    val out = TxLake.readSnapshot(spark, lake)
+      .select(col("id"), col("user_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // only the TRUE-predicate row is gone; NULL-predicate rows survive
+    assert(out == Map(2L -> None, 3L -> Some(7L), 4L -> None),
+      s"null-predicate rows must survive an erasure rewrite, got $out")
+  }
+
   test("logged file stats prune reads without touching skipped files") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1, 2, 3).coalesce(1), statsCol = "id")
