@@ -2230,6 +2230,18 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- maps
 
+  /** Queries that start (and drain) a real Structured Streaming query.
+    * The bench runs these LAST: a drained stream leaves state-store
+    * maintenance work behind that perturbs whatever batch query runs
+    * next (r3 measured 2–7× spikes on alphabetical neighbors), so
+    * batch timings must never follow a drain inside a measured pass.
+    */
+  val streamingQueries: Set[String] = Set(
+    "q53_stream_hourly", "q54_stream_sessions", "q55_stream_dedup",
+    "q56_stream_lake", "q69_stream_static_join", "q77_stream_stream_join",
+    "q92_stream_outer_join", "q107_stream_custom_state",
+    "q121_exactly_once_sink")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
     "q02_silver_category" -> (q02 _),

@@ -27,6 +27,22 @@ object StreamVerify {
 
   private val n = new AtomicLong(0)
 
+  /** Post-drain quiescence: assert the drain really terminated its query,
+    * then unload every loaded state-store provider and stop the
+    * maintenance task. Terminated queries otherwise leave their providers
+    * loaded, and the background maintenance thread pool keeps waking up to
+    * snapshot/clean them — measured as 2–7× timing noise on whatever
+    * innocent query the bench happens to run next (r3 verdict: q70 logged
+    * 2.64s vs 0.37s isolated). The next streaming query lazily restarts
+    * maintenance, so this is free for correctness.
+    */
+  private def settle(spark: SparkSession): Unit = {
+    require(spark.streams.active.isEmpty,
+      s"streaming queries still active after drain: " +
+        spark.streams.active.map(_.name).mkString(", "))
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  }
+
   /** Drain a memory-sink streaming query and return its table.
     *
     * Stateful operators keep one state store per shuffle partition; at the
@@ -57,6 +73,7 @@ object StreamVerify {
       // sink table (and any partial results) pinned in driver memory for
       // the session's lifetime
       spark.catalog.dropTempView(name)
+      settle(spark)
     }
   }
 
@@ -225,6 +242,7 @@ object StreamVerify {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    settle(spark)
     val poison = spark.range(1).selectExpr("id AS event_id",
       "'poison' AS event_type", "0.0 AS value", "'1970-01-01' AS date_id")
     graft.sources.TxLake.commit(spark, lakePath, poison, tag = "batch-0")
@@ -252,6 +270,7 @@ object StreamVerify {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    settle(spark)
     graft.sources.PartitionedLake.read(spark, lake)
       .groupBy(col("date_id").cast("string").as("date_id"))
       .agg(count(lit(1)).as("n"),
