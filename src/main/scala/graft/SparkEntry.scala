@@ -2123,6 +2123,54 @@ object SparkEntry {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Image-style fixed-grid tiling over the binary payloads (64-byte row
+    * stride, 16×16-byte tiles): the patchification pass every vision
+    * pipeline applies; per-tile md5 so the oracle replays every gathered
+    * byte slice ([[graft.operators.Multimodal.tileGrid]]).
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.tileGrid(
+      graft.operators.Multimodal.attachPayload(
+        T(s, dir, "documents").filter(col("doc_id") <= 200)))
+      .orderBy(col("doc_id"), col("tile_r"), col("tile_c"))
+
+  /** The idempotent daily job-runner surface ([[graft.JobRunner]]): two
+    * named jobs committed for the max event day, then the SAME day re-run
+    * — the gate output reads the LAKE back after the re-run, so a
+    * non-idempotent runner (duplicate rows, partition drift) breaks the
+    * hash. The reference's daily-cadence posture, minus the scheduler.
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val day = T(s, dir, "events").agg(max(evDateId)).head().getString(0)
+    val lake = scratch(dir, "q137")
+    val jobs = Seq(
+      JobRunner.Job("daily_type_stats", (ss, d) =>
+        T(ss, d, "events")
+          .groupBy(evDateId.as("date_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double")
+              .as("total_value"))),
+      JobRunner.Job("daily_users", (ss, d) =>
+        T(ss, d, "events")
+          .groupBy(evDateId.as("date_id"))
+          .agg(countDistinct(col("user_id")).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double")
+              .as("total_value"))))
+    JobRunner.runDay(s, dir, lake, day, jobs)
+    JobRunner.runDay(s, dir, lake, day, jobs) // safe re-run, proven by hash
+    val stats = graft.sources.PartitionedLake
+      .read(s, JobRunner.tablePath(lake, "daily_type_stats"))
+      .filter(col("date_id") === day)
+      .select(lit("daily_type_stats").as("job"),
+        col("event_type").as("key"), col("n"), col("total_value"))
+    val users = graft.sources.PartitionedLake
+      .read(s, JobRunner.tablePath(lake, "daily_users"))
+      .filter(col("date_id") === day)
+      .select(lit("daily_users").as("job"), lit("ALL").as("key"),
+        col("n"), col("total_value"))
+    stats.unionByName(users).orderBy(col("job"), col("key"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2362,6 +2410,8 @@ object SparkEntry {
     "q131_growth_accounting" -> (q131 _),
     "q132_conversion_window" -> (q132 _),
     "q133_xml_source" -> (q133 _),
+    "q134_image_tiles" -> (q134 _),
+    "q137_job_runner" -> (q137 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2781,6 +2831,26 @@ object SparkEntry {
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
     "q133_xml_source" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey""",
+    // the lake read-back after the double run must equal the plain
+    // one-day aggregates — duplicates or partition drift break the hash
+    "q137_job_runner" ->
+      """WITH mx AS (SELECT MAX(strftime(ts, '%Y-%m-%d')) AS d FROM events), ev AS (SELECT event_type, user_id, value FROM events, mx WHERE strftime(ts, '%Y-%m-%d') = mx.d) SELECT * FROM (SELECT 'daily_type_stats' AS job, event_type AS key, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM ev GROUP BY 2 UNION ALL SELECT 'daily_users', 'ALL', COUNT(DISTINCT user_id), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) FROM ev) ORDER BY job, key""",
+    // every gathered byte slice replayed in HEX space (same trick as
+    // q129): a byte-aligned slice of hex(payload) IS the hex of the byte
+    // slice, and string_agg over the spanned raster rows in y-order equals
+    // the Spark-side binary fold; both engines' hex and md5 agree
+    "q134_image_tiles" ->
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id <= 200), d AS (SELECT doc_id, hx, length(hx) // 2 AS len, (length(hx) // 2 + 63) // 64 AS n_rows FROM p WHERE length(hx) > 0), tr AS (SELECT doc_id, hx, len, n_rows, unnest(range(0, (n_rows + 15) // 16)) AS tile_r FROM d), tc AS (SELECT doc_id, hx, len, n_rows, tile_r, unnest(range(0, (least(len, 64) + 15) // 16)) AS tile_c FROM tr), y AS (SELECT doc_id, tile_r, tile_c, hx, unnest(range(tile_r * 16, least((tile_r + 1) * 16, n_rows))) AS yy FROM tc), sl AS (SELECT doc_id, tile_r, tile_c, yy, substring(hx, CAST((yy * 64 + tile_c * 16) * 2 + 1 AS BIGINT), 32) AS s FROM y), t AS (SELECT doc_id, CAST(tile_r AS BIGINT) AS tile_r, CAST(tile_c AS BIGINT) AS tile_c, string_agg(s, '' ORDER BY yy) AS thx FROM sl GROUP BY 1, 2, 3) SELECT doc_id, tile_r, tile_c, CAST(length(thx) // 2 AS BIGINT) AS tile_len, md5(thx) AS tile_md5 FROM t WHERE length(thx) > 0 ORDER BY doc_id, tile_r, tile_c""",
+    // the lake read-back after the double run must equal the plain
+    // one-day aggregates — duplicates or partition drift break the hash
+    "q137_job_runner" ->
+      """WITH mx AS (SELECT MAX(strftime(ts, '%Y-%m-%d')) AS d FROM events), ev AS (SELECT event_type, user_id, value FROM events, mx WHERE strftime(ts, '%Y-%m-%d') = mx.d) SELECT * FROM (SELECT 'daily_type_stats' AS job, event_type AS key, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM ev GROUP BY 2 UNION ALL SELECT 'daily_users', 'ALL', COUNT(DISTINCT user_id), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) FROM ev) ORDER BY job, key""",
+    // every gathered byte slice replayed in HEX space (same trick as
+    // q129): a byte-aligned slice of hex(payload) IS the hex of the byte
+    // slice, and string_agg over the spanned raster rows in y-order equals
+    // the Spark-side binary fold; both engines' hex and md5 agree
+    "q134_image_tiles" ->
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id <= 200), d AS (SELECT doc_id, hx, length(hx) // 2 AS len, (length(hx) // 2 + 63) // 64 AS n_rows FROM p WHERE length(hx) > 0), tr AS (SELECT doc_id, hx, len, n_rows, unnest(range(0, (n_rows + 15) // 16)) AS tile_r FROM d), tc AS (SELECT doc_id, hx, len, n_rows, tile_r, unnest(range(0, (least(len, 64) + 15) // 16)) AS tile_c FROM tr), y AS (SELECT doc_id, tile_r, tile_c, hx, unnest(range(tile_r * 16, least((tile_r + 1) * 16, n_rows))) AS yy FROM tc), sl AS (SELECT doc_id, tile_r, tile_c, yy, substring(hx, CAST((yy * 64 + tile_c * 16) * 2 + 1 AS BIGINT), 32) AS s FROM y), t AS (SELECT doc_id, CAST(tile_r AS BIGINT) AS tile_r, CAST(tile_c AS BIGINT) AS tile_c, string_agg(s, '' ORDER BY yy) AS thx FROM sl GROUP BY 1, 2, 3) SELECT doc_id, tile_r, tile_c, CAST(length(thx) // 2 AS BIGINT) AS tile_len, md5(thx) AS tile_md5 FROM t WHERE length(thx) > 0 ORDER BY doc_id, tile_r, tile_c""",
     "q132_conversion_window" ->
       """WITH fv AS (SELECT user_id, MIN(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS v_sec FROM events WHERE event_type = 'view' GROUP BY user_id), p AS (SELECT user_id AS p_user, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS p_sec FROM events WHERE event_type = 'purchase'), conv AS (SELECT DISTINCT fv.user_id FROM fv JOIN p ON fv.user_id = p.p_user AND p.p_sec > fv.v_sec AND p.p_sec <= fv.v_sec + 86400) SELECT strftime(to_timestamp(v_sec), '%Y-%m-%d') AS view_day, COUNT(*) AS n_first_views, CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h, round(CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion_rate FROM fv LEFT JOIN conv ON fv.user_id = conv.user_id GROUP BY 1 ORDER BY view_day""",
     // same classification windows; churn lands the day AFTER a gap opens,

@@ -74,6 +74,59 @@ object Multimodal {
         md5(hex(col("frame"))).as("frame_md5"))
   }
 
+  /** Image-style fixed-grid tiling over the binary payload: the payload is
+    * treated as a rowStride-bytes-per-row raster (the STUB geometry — a
+    * real implementation reads width × bytes-per-pixel from the container
+    * header) and cut into `tile` × `tile`-byte tiles. Tile (r, c) gathers,
+    * for every raster row it spans, the `tile`-byte slice starting at
+    * column c·tile — the patch layout every vision pipeline (ViT
+    * patchification, tile-based thumbnailing) applies before the model.
+    *
+    * Shape at scale: the (r, c) grid explodes to tile ROWS (tiles scale
+    * out with the corpus, like [[frameWindows]] frames); each tile's bytes
+    * are assembled by a per-row `aggregate` fold over its raster rows —
+    * local arithmetic on the exploded row, no shuffle, no driver loop. The
+    * per-tile decode/encode hangs off the emitted tile rows exactly like
+    * the frame decode hangs off [[sampleFrames]]'s.
+    */
+  def tileGrid(
+      withPayload: DataFrame,
+      rowStride: Int = 64,
+      tile: Int = 16): DataFrame = {
+    require(rowStride >= 1 && tile >= 1 && tile <= rowStride,
+      "tile must fit within the row stride")
+    // raster rows, then the bounding tile grid (short tails keep partial
+    // tiles — the standard edge-padding decision is the model's, not the
+    // tiler's). Integer div only: ANSI mode, and fractional arithmetic
+    // would not replay exactly in the oracle.
+    val W = rowStride
+    val T = tile
+    withPayload
+      .filter(length(col("payload")) > 0)
+      .withColumn("n_rows", expr(s"(octet_length(payload) + ${W - 1}) div $W"))
+      .select(col("doc_id"), col("payload"), col("n_rows"),
+        explode(sequence(lit(0),
+          expr(s"(n_rows + ${T - 1}) div $T") - 1)).as("tile_r"))
+      .select(col("doc_id"), col("payload"), col("n_rows"), col("tile_r"),
+        explode(sequence(lit(0),
+          expr(s"(least(octet_length(payload), $W) + ${T - 1}) div $T") - 1))
+          .as("tile_c"))
+      // assemble the tile: one slice per raster row it spans, folded
+      // locally (referenced ONCE — HOF re-inlining is a measured trap)
+      .withColumn("tile_bytes", expr(
+        s"""aggregate(
+           |  sequence(tile_r * $T, least((tile_r + 1) * $T, n_rows) - 1),
+           |  cast(X'' as binary),
+           |  (acc, y) -> concat(acc, substring(payload, cast(y * $W + tile_c * $T + 1 as int), $T)))
+           |""".stripMargin))
+      .filter(length(col("tile_bytes")) > 0)
+      .select(col("doc_id"),
+        col("tile_r").cast("long").as("tile_r"),
+        col("tile_c").cast("long").as("tile_c"),
+        length(col("tile_bytes")).cast("long").as("tile_len"),
+        md5(hex(col("tile_bytes"))).as("tile_md5"))
+  }
+
   /** Frame sampling over video-ish payloads: every `step`-th frame becomes a
     * row with its offset metadata. The explode is the Spark-idiomatic shape
     * (frame rows scale out; no per-doc driver loop); the frame *count* comes
