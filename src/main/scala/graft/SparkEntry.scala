@@ -2268,6 +2268,56 @@ object SparkEntry {
     graft.streaming.StreamVerify.streamStreamOuterJoin(s, q92Events(s, dir))
       .orderBy(col("p_id"), col("c_id"))
 
+  /** q135's stream input: the events table split into TWO staged files by
+    * event_id parity (raw long-nanos schema, so it reads uniformly).
+    * Each user's sessions therefore span both files, and with
+    * maxFilesPerTrigger=1 the update-mode drain genuinely re-emits grown
+    * sessions across micro-batches — the semantics under test. File
+    * mtimes are pinned so the source's (mtime, path) processing order is
+    * deterministic, though the supersede pruning is order-correct either
+    * way.
+    */
+  private def q135Events(s: SparkSession, dir: String): String = {
+    val staged = java.nio.file.Paths.get(scratch(dir, "q135_events"))
+    java.nio.file.Files.createDirectories(staged)
+    val halves = Seq("a_even.parquet" -> 0, "b_odd.parquet" -> 1)
+    if (!halves.forall(h => staged.resolve(h._1).toFile.exists())) {
+      halves.foreach { case (name, parity) =>
+        val side = scratch(dir, s"q135_half$parity")
+        s.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id") % 2 === parity)
+          .coalesce(1).write.mode("overwrite").parquet(side)
+        val part = new java.io.File(side).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("half write produced no part file"))
+        val dest = staged.resolve(name)
+        java.nio.file.Files.copy(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.toFile.setLastModified(1600000000000L + parity * 10000L)
+      }
+    }
+    staged.toString
+  }
+
+  /** Session-window aggregation in UPDATE mode: grown sessions re-emitted
+    * per micro-batch, superseded emissions pruned, final state
+    * hash-equal to batch sessionization
+    * ([[graft.streaming.StreamVerify.sessionsUpdateMode]]).
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.sessionsUpdateMode(
+      s, q135Events(s, dir), scratch(dir, "q135"))
+      .orderBy(col("user_id"), col("start_sec"))
+
+  /** Per-key stream alerting against a trailing baseline: append-mode
+    * hourly windows finalized by watermark passage (sentinel-staged input,
+    * see q92Events), each compared to the mean of its key's previous 24
+    * closed hours ([[graft.streaming.StreamVerify.hourlyAlerts]]).
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.hourlyAlerts(s, q92Events(s, dir))
+      .orderBy(col("event_type"), col("hour"))
+
   /** Stream-static join: event stream enriched against the static customer
     * dimension, aggregated per market segment.
     */
@@ -2288,7 +2338,8 @@ object SparkEntry {
     "q53_stream_hourly", "q54_stream_sessions", "q55_stream_dedup",
     "q56_stream_lake", "q69_stream_static_join", "q77_stream_stream_join",
     "q92_stream_outer_join", "q107_stream_custom_state",
-    "q121_exactly_once_sink")
+    "q121_exactly_once_sink", "q136_stream_alerts",
+    "q135_stream_update_sessions")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -2412,6 +2463,8 @@ object SparkEntry {
     "q133_xml_source" -> (q133 _),
     "q134_image_tiles" -> (q134 _),
     "q137_job_runner" -> (q137 _),
+    "q136_stream_alerts" -> (q136 _),
+    "q135_stream_update_sessions" -> (q135 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2831,6 +2884,16 @@ object SparkEntry {
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
     "q133_xml_source" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey""",
+    // the pruned update-mode emissions must equal batch sessionization —
+    // same gap-split replay as q54
+    "q135_stream_update_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
+    // the append-mode drain must emit every CLOSED hourly window exactly
+    // once, so the stream result replays as the plain batch hourly counts
+    // plus a per-key trailing-24-row window; sums of small ints are exact
+    // in double, so avg and the 2x comparison are deterministic both sides
+    "q136_stream_alerts" ->
+      """WITH hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT hour, event_type, n, CAST(COUNT(n) OVER w AS BIGINT) AS n_prior, AVG(n) OVER w AS baseline FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) SELECT hour, event_type, n, n_prior, round(baseline, 6) AS baseline, CAST(CASE WHEN n_prior >= 3 AND CAST(n AS DOUBLE) > 2.0 * baseline THEN 1 ELSE 0 END AS INT) AS alert FROM b ORDER BY event_type, hour""",
     // the lake read-back after the double run must equal the plain
     // one-day aggregates — duplicates or partition drift break the hash
     "q137_job_runner" ->
@@ -2841,6 +2904,16 @@ object SparkEntry {
     // the Spark-side binary fold; both engines' hex and md5 agree
     "q134_image_tiles" ->
       """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id <= 200), d AS (SELECT doc_id, hx, length(hx) // 2 AS len, (length(hx) // 2 + 63) // 64 AS n_rows FROM p WHERE length(hx) > 0), tr AS (SELECT doc_id, hx, len, n_rows, unnest(range(0, (n_rows + 15) // 16)) AS tile_r FROM d), tc AS (SELECT doc_id, hx, len, n_rows, tile_r, unnest(range(0, (least(len, 64) + 15) // 16)) AS tile_c FROM tr), y AS (SELECT doc_id, tile_r, tile_c, hx, unnest(range(tile_r * 16, least((tile_r + 1) * 16, n_rows))) AS yy FROM tc), sl AS (SELECT doc_id, tile_r, tile_c, yy, substring(hx, CAST((yy * 64 + tile_c * 16) * 2 + 1 AS BIGINT), 32) AS s FROM y), t AS (SELECT doc_id, CAST(tile_r AS BIGINT) AS tile_r, CAST(tile_c AS BIGINT) AS tile_c, string_agg(s, '' ORDER BY yy) AS thx FROM sl GROUP BY 1, 2, 3) SELECT doc_id, tile_r, tile_c, CAST(length(thx) // 2 AS BIGINT) AS tile_len, md5(thx) AS tile_md5 FROM t WHERE length(thx) > 0 ORDER BY doc_id, tile_r, tile_c""",
+    // the pruned update-mode emissions must equal batch sessionization —
+    // same gap-split replay as q54
+    "q135_stream_update_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
+    // the append-mode drain must emit every CLOSED hourly window exactly
+    // once, so the stream result replays as the plain batch hourly counts
+    // plus a per-key trailing-24-row window; sums of small ints are exact
+    // in double, so avg and the 2x comparison are deterministic both sides
+    "q136_stream_alerts" ->
+      """WITH hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT hour, event_type, n, CAST(COUNT(n) OVER w AS BIGINT) AS n_prior, AVG(n) OVER w AS baseline FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) SELECT hour, event_type, n, n_prior, round(baseline, 6) AS baseline, CAST(CASE WHEN n_prior >= 3 AND CAST(n AS DOUBLE) > 2.0 * baseline THEN 1 ELSE 0 END AS INT) AS alert FROM b ORDER BY event_type, hour""",
     // the lake read-back after the double run must equal the plain
     // one-day aggregates — duplicates or partition drift break the hash
     "q137_job_runner" ->

@@ -11,6 +11,12 @@ case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, ev
 
 case class SessionBuf(start: Long, end: Long, n: Int)
 
+/** Update-mode sessionizer state: ALL of a user's sessions so far (the
+  * bounded-run verification shape; production pairs this with timeout
+  * eviction of watermark-closed sessions).
+  */
+case class SessionSetBuf(sessions: Seq[SessionBuf])
+
 case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long, n_events: Int)
 
 /** Structured Streaming variants of the batch event operators.
@@ -93,6 +99,58 @@ object EventsStream {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Gap-based sessionization with UPDATE-mode emission: every micro-batch
+    * emits the CURRENT merged state of each session that changed in it —
+    * the operational mode for live dashboards, where waiting for the
+    * watermark to close a session (append mode, [[sessionize]]) is too
+    * late. Spark 4 rejects `session_window` aggregations in update mode
+    * ([STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION]), so update-mode
+    * sessionization goes through the engine's supported path:
+    * `flatMapGroupsWithState(OutputMode.Update)`.
+    *
+    * Semantics: state holds the user's disjoint sessions; batch events
+    * enter as singletons and a single sorted merge pass folds anything
+    * within `gapSec` together (the same inclusive-at-gap rule as batch
+    * q15 and `session_window`). Exactly the sessions absent from the
+    * previous state — new or widened — are emitted, so a downstream
+    * consumer upserting by (user, overlapping-window) converges to the
+    * batch answer; a session is never emitted twice unchanged.
+    */
+  def sessionizeUpdates(
+      spark: SparkSession,
+      events: DataFrame,
+      gapSec: Long = 1800): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[StreamEvent], state: GroupState[SessionSetBuf]) => {
+          val existing = state.getOption.map(_.sessions.toVector)
+            .getOrElse(Vector.empty)
+          val singletons = it.toSeq.map(e => SessionBuf(e.sec, e.sec, 1))
+          if (singletons.isEmpty) Iterator.empty
+          else {
+            val merged = (existing ++ singletons)
+              .sortBy(b => (b.start, b.end))
+              .foldLeft(Vector.empty[SessionBuf]) { (acc, b) =>
+                acc.lastOption match {
+                  case Some(p) if b.start <= p.end + gapSec =>
+                    acc.init :+
+                      SessionBuf(p.start, math.max(p.end, b.end), p.n + b.n)
+                  case _ => acc :+ b
+                }
+              }
+            state.update(SessionSetBuf(merged))
+            val before = existing.toSet
+            merged.filterNot(before.contains)
+              .map(b => SessionOut(user, b.start, b.end, b.n)).iterator
+          }
+        })
+  }
 
   /** Gap-based sessionization with explicit state.
     *

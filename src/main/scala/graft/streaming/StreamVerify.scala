@@ -214,6 +214,93 @@ object StreamVerify {
     drain(spark, sessions, "append").filter(col("user_id") >= 0)
   }
 
+  /** Update-mode sessionization ([[EventsStream.sessionizeUpdates]])
+    * drained through `foreachBatch`: a session whose events span
+    * micro-batches is emitted several times — each emission the CURRENT
+    * merged state, superseding the last. The drain tags every emission
+    * with its batchId and keeps exactly the rows no LATER batch
+    * superseded: an emission is superseded iff the same user gets an
+    * overlapping session in a later batch (extension and gap-bridging
+    * merges both overlap what they replace, since merging only ever
+    * widens a session over its events). The surviving set must equal
+    * batch sessionization — that equality IS the update-mode emission
+    * contract, and the oracle hashes it.
+    *
+    * The caller stages the input as multiple files and the source reads
+    * with maxFilesPerTrigger=1, so cross-batch session growth genuinely
+    * happens. The supersede pruning equi-joins on user_id; per-user
+    * session counts are small, so the quadratic term is per-key bounded.
+    */
+  def sessionsUpdateMode(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(scratchDir))
+    val sessions = EventsStream.sessionizeUpdates(spark,
+      EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1)))
+      .toDF()
+    val outDir = s"$scratchDir/updates"
+    val q = sessions.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val ups = spark.read.parquet(outDir).localCheckpoint(true)
+    val later = ups.select(col("user_id").as("u2"),
+      col("start_sec").as("s2"), col("end_sec").as("e2"),
+      col("batch_id").as("b2"))
+    ups.join(later,
+        col("user_id") === col("u2") && col("b2") > col("batch_id") &&
+          col("s2") <= col("end_sec") && col("e2") >= col("start_sec"),
+        "left_anti")
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+        col("n_events").cast("long").as("n_events"))
+  }
+
+  /** Per-key alerting against a trailing baseline, on FINALIZED windows
+    * only: hourly counts per event_type aggregated in APPEND mode — a
+    * window emits exactly once, when the event-time watermark passes its
+    * end (sentinel-staged input advances the watermark past every real
+    * window; the sentinels' own far-future windows can never finalize, so
+    * they are never emitted and need no filtering) — then each finalized
+    * hour is compared to the mean of its key's previous 24 finalized
+    * hours. This is the production alerting shape: alerts fire on CLOSED
+    * windows, never on partial counts that a complete-mode drain (q53)
+    * would still be updating; the trailing baseline is a per-key rows
+    * window over the emitted stream, metadata-sized state per key.
+    */
+  def hourlyAlerts(spark: SparkSession, eventsPath: String): DataFrame = {
+    val hourly = EventsStream.readEvents(spark, eventsPath)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val finalized = drain(spark, hourly, "append")
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    finalized
+      .withColumn("n_prior", count(col("n")).over(w))
+      .withColumn("baseline", avg(col("n")).over(w))
+      .select(col("hour"), col("event_type"), col("n"), col("n_prior"),
+        round(col("baseline"), 6).as("baseline"),
+        (col("n_prior") >= 3 &&
+          col("n").cast("double") > col("baseline") * 2.0)
+          .cast("int").as("alert"))
+  }
+
   /** Exactly-once streaming sink: every micro-batch commits into the
     * transaction-log lake with its batchId as the idempotency tag, so a
     * re-delivered batch (engine restart replays the last uncommitted

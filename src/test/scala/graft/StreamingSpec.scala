@@ -97,6 +97,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("update-mode sessionization re-emits exactly the changed sessions per batch") {
+    import org.apache.spark.sql.{Row => R}
+    val dir = Files.createTempDirectory("graft_upd_src")
+    def writeFile(name: String, mtime: Long, rows: Seq[(Long, Long, Long)]): Unit = {
+      val side = Files.createTempDirectory("graft_upd_side").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, sec, u) =>
+            R(id, sec * 1000000000L, u, "click", 0.0, null) }, 1),
+        EventsStream.rawEventsSchema)
+        .write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime)
+    }
+    // batch A: u1 two events 1000s apart (one session), u2 singleton
+    writeFile("a.parquet", 1600000000000L,
+      Seq((1L, 1000L, 1L), (2L, 2000L, 1L), (3L, 5000L, 2L)))
+    // batch B: u1 extends its session (2500 - 2000 <= gap), u3 appears
+    writeFile("b.parquet", 1600000010000L,
+      Seq((4L, 2500L, 1L), (5L, 9000L, 3L)))
+    var emissions = Map.empty[Long, Set[(Long, Long, Long, Int)]]
+    val q = EventsStream.sessionizeUpdates(spark,
+        EventsStream.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.SessionOut], id: Long) =>
+        val rows = batch.collect()
+          .map(o => (o.user_id, o.start_sec, o.end_sec, o.n_events)).toSet
+        if (rows.nonEmpty) emissions = emissions + (id -> rows)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(emissions(0L) == Set((1L, 1000L, 2000L, 2), (2L, 5000L, 5000L, 1)))
+    // u1's grown session re-emitted; u2 silent (unchanged); u3 new
+    assert(emissions(1L) == Set((1L, 1000L, 2500L, 3), (3L, 9000L, 9000L, 1)))
+    assert(emissions.keySet == Set(0L, 1L))
+  }
+
   test("stateful sessionization emits valid sessions; finals flush via event-time timeout") {
     val q = EventsStream.sessionize(spark,
       EventsStream.readEvents(spark, stageSource()))
