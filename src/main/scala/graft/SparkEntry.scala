@@ -2171,6 +2171,52 @@ object SparkEntry {
     stats.unionByName(users).orderBy(col("job"), col("key"))
   }
 
+  /** Concat-and-chunk sequence packing at capacity 512 with a small
+    * bucket size so the two-phase distributed prefix sum genuinely runs
+    * multi-bucket in the gate ([[graft.operators.TextPipeline.packSequences]]).
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.packSequences(
+      T(s, dir, "documents"), capacity = 512L, bucketSize = 256L)
+      .orderBy(col("doc_id"))
+
+  /** Per-document repetition (boilerplate) stats over word 3-grams
+    * ([[graft.operators.TextPipeline.repetitionStats]]).
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.repetitionStats(T(s, dir, "documents"), n = 3)
+      .orderBy(col("doc_id"))
+
+  /** PII redaction ([[graft.operators.TextPipeline.redactPii]]) over
+    * deterministic synthesized PII text (the declared input-synthesis
+    * step: the corpus tables carry no emails, so the gate fabricates
+    * name+email+balance strings from the customer dimension and the
+    * oracle fabricates the identical ones).
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir, "customer").select(col("c_custkey"),
+      concat(col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+        lit("@example.com> bal "),
+        col("c_acctbal").cast(DecimalType(12, 2)).cast("string")).as("text"))
+    graft.operators.TextPipeline.redactPii(t, "text")
+      .select(col("c_custkey"), col("n_emails").cast("long").as("n_emails"),
+        col("n_digit_runs").cast("long").as("n_digit_runs"),
+        md5(col("redacted")).as("red_md5"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Benchmark-contamination check: doc_id ≡ 0 (mod 97) is the declared
+    * held-out benchmark set; every other document reports the share of
+    * its distinct word 4-gram shingles that occur anywhere in the
+    * (4 rather than the classic 8-13: the synthetic corpus has no real
+    * cross-document 8-gram overlap, and the hit path must actually fire)
+    * benchmark ([[graft.operators.TextPipeline.contamination]]).
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.contamination(
+      T(s, dir, "documents"), col("doc_id") % 97 === 0, n = 4)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2465,6 +2511,10 @@ object SparkEntry {
     "q137_job_runner" -> (q137 _),
     "q136_stream_alerts" -> (q136 _),
     "q135_stream_update_sessions" -> (q135 _),
+    "q138_seq_packing" -> (q138 _),
+    "q139_repetition" -> (q139 _),
+    "q140_pii_redact" -> (q140 _),
+    "q141_contamination" -> (q141 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2884,6 +2934,22 @@ object SparkEntry {
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1, 2 ORDER BY date_id, event_type""",
     "q133_xml_source" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation ORDER BY n_nationkey""",
+    // the two-phase distributed prefix sum must equal the plain global
+    // running sum; all arithmetic is integer-exact
+    "q138_seq_packing" ->
+      """WITH t AS (SELECT doc_id, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens FROM documents), o AS (SELECT doc_id, tokens, SUM(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS off FROM t WHERE tokens >= 1) SELECT doc_id, tokens, CAST(off // 512 AS BIGINT) AS pack_id, CAST(off % 512 AS BIGINT) AS pack_offset, CAST((off + tokens - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_spans FROM o ORDER BY doc_id""",
+    // identical 3-gram construction (1-based inclusive list slices) and
+    // count arithmetic
+    "q139_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS gram FROM w WHERE len(w) >= 3), c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2) SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, CAST(MAX(cnt) AS BIGINT) AS max_rep, round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS rep_ratio FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // same synthesized text, same lookaround-free patterns (Java regex and
+    // RE2 agree on this subset); DuckDB regexp_replace needs the g flag
+    "q140_pii_redact" ->
+      """WITH t AS (SELECT c_custkey, concat(c_name, ' <user', CAST(c_custkey AS VARCHAR), '@example.com> bal ', CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)) AS text FROM customer), r AS (SELECT c_custkey, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS ne FROM t) SELECT c_custkey, n_emails, CAST(len(regexp_extract_all(ne, '[0-9]{3,}')) AS BIGINT) AS n_digit_runs, md5(regexp_replace(ne, '[0-9]{3,}', '<NUM>', 'g')) AS red_md5 FROM r ORDER BY c_custkey""",
+    // identical 4-gram shingling; DISTINCT per (doc, shingle) both sides;
+    // benchmark membership via left join on the shingle text
+    "q141_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
     // the pruned update-mode emissions must equal batch sessionization —
     // same gap-split replay as q54
     "q135_stream_update_sessions" ->
@@ -2904,6 +2970,22 @@ object SparkEntry {
     // the Spark-side binary fold; both engines' hex and md5 agree
     "q134_image_tiles" ->
       """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id <= 200), d AS (SELECT doc_id, hx, length(hx) // 2 AS len, (length(hx) // 2 + 63) // 64 AS n_rows FROM p WHERE length(hx) > 0), tr AS (SELECT doc_id, hx, len, n_rows, unnest(range(0, (n_rows + 15) // 16)) AS tile_r FROM d), tc AS (SELECT doc_id, hx, len, n_rows, tile_r, unnest(range(0, (least(len, 64) + 15) // 16)) AS tile_c FROM tr), y AS (SELECT doc_id, tile_r, tile_c, hx, unnest(range(tile_r * 16, least((tile_r + 1) * 16, n_rows))) AS yy FROM tc), sl AS (SELECT doc_id, tile_r, tile_c, yy, substring(hx, CAST((yy * 64 + tile_c * 16) * 2 + 1 AS BIGINT), 32) AS s FROM y), t AS (SELECT doc_id, CAST(tile_r AS BIGINT) AS tile_r, CAST(tile_c AS BIGINT) AS tile_c, string_agg(s, '' ORDER BY yy) AS thx FROM sl GROUP BY 1, 2, 3) SELECT doc_id, tile_r, tile_c, CAST(length(thx) // 2 AS BIGINT) AS tile_len, md5(thx) AS tile_md5 FROM t WHERE length(thx) > 0 ORDER BY doc_id, tile_r, tile_c""",
+    // the two-phase distributed prefix sum must equal the plain global
+    // running sum; all arithmetic is integer-exact
+    "q138_seq_packing" ->
+      """WITH t AS (SELECT doc_id, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens FROM documents), o AS (SELECT doc_id, tokens, SUM(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS off FROM t WHERE tokens >= 1) SELECT doc_id, tokens, CAST(off // 512 AS BIGINT) AS pack_id, CAST(off % 512 AS BIGINT) AS pack_offset, CAST((off + tokens - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_spans FROM o ORDER BY doc_id""",
+    // identical 3-gram construction (1-based inclusive list slices) and
+    // count arithmetic
+    "q139_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS gram FROM w WHERE len(w) >= 3), c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2) SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, CAST(MAX(cnt) AS BIGINT) AS max_rep, round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS rep_ratio FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // same synthesized text, same lookaround-free patterns (Java regex and
+    // RE2 agree on this subset); DuckDB regexp_replace needs the g flag
+    "q140_pii_redact" ->
+      """WITH t AS (SELECT c_custkey, concat(c_name, ' <user', CAST(c_custkey AS VARCHAR), '@example.com> bal ', CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)) AS text FROM customer), r AS (SELECT c_custkey, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS ne FROM t) SELECT c_custkey, n_emails, CAST(len(regexp_extract_all(ne, '[0-9]{3,}')) AS BIGINT) AS n_digit_runs, md5(regexp_replace(ne, '[0-9]{3,}', '<NUM>', 'g')) AS red_md5 FROM r ORDER BY c_custkey""",
+    // identical 4-gram shingling; DISTINCT per (doc, shingle) both sides;
+    // benchmark membership via left join on the shingle text
+    "q141_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
     // the pruned update-mode emissions must equal batch sessionization —
     // same gap-split replay as q54
     "q135_stream_update_sessions" ->

@@ -35,6 +35,124 @@ object TextPipeline {
       .drop("__len")
   }
 
+  /** Per-document repetition (boilerplate) stats — the Gopher/C4-family
+    * quality rule "drop documents dominated by one repeated n-gram". For
+    * each document: its word `n`-gram count, the repeat count of the
+    * single most frequent n-gram, and the ratio between them. One explode
+    * + one (doc, gram) count + one per-doc aggregate; gram rows scale out
+    * with corpus size, nothing is corpus-global.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1)
+    val grams = docs
+      .withColumn("__w", TextFunctions.words(col("text")))
+      .filter(size(col("__w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(__w) - ${n - 1}), i -> array_join(slice(__w, i, $n), ' '))"))
+          .as("gram"))
+    grams
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"), max(col("cnt")).as("max_rep"))
+      .select(col("doc_id"), col("n_grams"), col("max_rep"),
+        round(col("max_rep").cast("double") / col("n_grams").cast("double"), 6)
+          .as("rep_ratio"))
+  }
+
+  /** PII redaction over a text column: emails first (their local parts
+    * contain digits), then standalone digit runs, each replaced by a
+    * fixed tag; returns the redacted column plus per-row match counts.
+    * Patterns stay in the lookaround-free regex subset that Java regex
+    * and RE2-family engines interpret identically.
+    */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val DigitRunRe = """[0-9]{3,}"""
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("__noEmail",
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
+      .withColumn("n_digit_runs",
+        regexp_count(col("__noEmail"), lit(DigitRunRe)))
+      .withColumn("redacted",
+        regexp_replace(col("__noEmail"), DigitRunRe, "<NUM>"))
+      .drop("__noEmail")
+
+  /** Benchmark-contamination check — the train/test hygiene pass every
+    * pre-training pipeline needs: the share of each candidate document's
+    * DISTINCT word `n`-gram shingles that also occur anywhere in the
+    * held-out benchmark set. Shingles join on their text (at 100 TB the
+    * join key would be a 64-bit shingle hash — same plan shape, smaller
+    * shuffle); the benchmark side is the small side and hash-joins.
+    */
+  def contamination(
+      docs: DataFrame,
+      benchPred: org.apache.spark.sql.Column,
+      n: Int = 8): DataFrame = {
+    val shingles = docs
+      .withColumn("__w", TextFunctions.words(col("text")))
+      .filter(size(col("__w")) >= n)
+      .select(col("doc_id"), benchPred.as("is_bench"),
+        explode(expr(
+          s"transform(sequence(1, size(__w) - ${n - 1}), i -> array_join(slice(__w, i, $n), ' '))"))
+          .as("gram"))
+      .distinct()
+    val bench = shingles.filter(col("is_bench")).select(col("gram")).distinct()
+    shingles.filter(!col("is_bench"))
+      .join(bench.withColumn("__hit", lit(1)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("contamination"))
+  }
+
+  /** Concat-and-chunk sequence packing — the pre-training batch-prep
+    * step: all documents' tokens are notionally concatenated in doc_id
+    * order and cut every `capacity` tokens; each document lands at a
+    * global token offset, from which its pack id, offset within the pack,
+    * and the number of packs it straddles follow arithmetically.
+    *
+    * The global prefix sum is the scale-relevant part and is computed in
+    * TWO PHASES: an intra-bucket running sum (window partitioned by a
+    * doc_id bucket — parallel) plus per-bucket base offsets (one tiny
+    * aggregate over #buckets rows, window over an unpartitioned but
+    * metadata-sized frame, broadcast back). No unpartitioned window ever
+    * touches a data-sized row set.
+    */
+  def packSequences(
+      docs: DataFrame,
+      capacity: Long = 2048,
+      bucketSize: Long = 4096): DataFrame = {
+    require(capacity >= 1 && bucketSize >= 1)
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.wordCount(col("text")).as("tokens"))
+      .filter(col("tokens") >= 1)
+      .withColumn("bucket", expr(s"doc_id div $bucketSize"))
+    val intra = toks.withColumn("run",
+      sum(col("tokens")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bases = toks.groupBy(col("bucket"))
+      .agg(sum(col("tokens")).as("bsum"))
+      .withColumn("base",
+        coalesce(sum(col("bsum")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("base"))
+    intra.join(broadcast(bases), Seq("bucket"))
+      .withColumn("off", col("base") + col("run") - col("tokens"))
+      .select(col("doc_id"), col("tokens"),
+        expr(s"off div $capacity").as("pack_id"),
+        expr(s"off % $capacity").as("pack_offset"),
+        (expr(s"(off + tokens - 1) div $capacity") -
+          expr(s"off div $capacity") + lit(1L)).as("n_spans"))
+  }
+
   /** Quality + language + dedup filter.
     *
     * Keeps documents with at least `minWords` words and `minAlphaRatio`

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextPipeline
+
+class TextPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("repetitionStats finds the dominant n-gram") {
+    // "a b a b a b" → 3-grams: "a b a", "b a b", "a b a", "b a b" → 4 grams,
+    // max repeat 2; "x y z w" → 2 distinct grams, max 1
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z w"), (3L, "one two"))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.repetitionStats(docs, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (4L, 2L), 2L -> (2L, 1L)))
+    assert(!out.contains(3L), "a doc shorter than one n-gram yields no row")
+  }
+
+  test("redactPii masks emails before digit runs and counts both") {
+    val docs = Seq((1L, "mail me at jo.doe+x@site-a.org or call 0123456"))
+      .toDF("id", "text")
+    val r = TextPipeline.redactPii(docs, "text").head()
+    assert(r.getAs[Int]("n_emails") == 1)
+    assert(r.getAs[Int]("n_digit_runs") == 1)
+    assert(r.getAs[String]("redacted") ==
+      "mail me at <EMAIL> or call <NUM>")
+  }
+
+  test("contamination scores distinct-shingle overlap against the benchmark") {
+    // bench doc 0 carries "p q r s"; doc 1 shares exactly that one of its
+    // two distinct 4-grams; doc 2 shares nothing
+    val docs = Seq(
+      (0L, "p q r s"),
+      (1L, "p q r s t"),
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = TextPipeline.contamination(docs, col("doc_id") === 0, n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (2L, 1L), 2L -> (2L, 0L)))
+  }
+
+  test("packSequences offsets are the global prefix sum, straddles counted") {
+    // tokens: 3, 4, 2 at capacity 4 → offsets 0, 3, 7:
+    //   doc 1: pack 0 offset 0, fits      (spans 1)
+    //   doc 2: pack 0 offset 3, runs into pack 1 (spans 2)
+    //   doc 3: pack 1 offset 3, last token in pack 2 (spans 2)
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.packSequences(docs, capacity = 4, bucketSize = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out == Map(
+      1L -> (0L, 0L, 1L), 2L -> (0L, 3L, 2L), 3L -> (1L, 3L, 2L)))
+  }
+}
