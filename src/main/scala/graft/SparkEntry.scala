@@ -2217,6 +2217,27 @@ object SparkEntry {
       T(s, dir, "documents"), col("doc_id") % 97 === 0, n = 4)
       .orderBy(col("doc_id"))
 
+  /** Blocked fuzzy record linkage ([[graft.operators.Linkage.fuzzyJoin]]):
+    * the B side is the customer names with their last two characters
+    * swapped (deterministic dirty-data injection); blocking on the first
+    * seven digits of the customer number bounds candidate pairs per
+    * block, and the codegen Jaro-Winkler threshold keeps swap-pairs
+    * (one transposition, sim ≈ 0.989) while rejecting mere same-block
+    * neighbors (two substitutions, sim ≈ 0.956).
+    */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+    val dirty = cust.select(col("c_custkey"),
+      concat(
+        expr("substring(c_name, 1, length(c_name) - 2)"),
+        expr("substring(c_name, length(c_name), 1)"),
+        expr("substring(c_name, length(c_name) - 1, 1)")).as("c_name"))
+    graft.operators.Linkage.fuzzyJoin(
+      cust, dirty, "c_custkey", "c_name",
+      expr("substring(c_name, 10, 7)"), threshold = 0.98)
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2355,6 +2376,15 @@ object SparkEntry {
       s, q135Events(s, dir), scratch(dir, "q135"))
       .orderBy(col("user_id"), col("start_sec"))
 
+  /** Built-in session_window in APPEND mode: each session emitted exactly
+    * once at watermark passage (sentinel-staged input, see q92Events) —
+    * completes the session-mode matrix (q54 complete, q135 update)
+    * ([[graft.streaming.StreamVerify.sessionsAppendMode]]).
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.sessionsAppendMode(s, q92Events(s, dir))
+      .orderBy(col("user_id"), col("start_sec"))
+
   /** Per-key stream alerting against a trailing baseline: append-mode
     * hourly windows finalized by watermark passage (sentinel-staged input,
     * see q92Events), each compared to the mean of its key's previous 24
@@ -2385,7 +2415,7 @@ object SparkEntry {
     "q56_stream_lake", "q69_stream_static_join", "q77_stream_stream_join",
     "q92_stream_outer_join", "q107_stream_custom_state",
     "q121_exactly_once_sink", "q136_stream_alerts",
-    "q135_stream_update_sessions")
+    "q135_stream_update_sessions", "q142_stream_append_sessions")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -2515,6 +2545,8 @@ object SparkEntry {
     "q139_repetition" -> (q139 _),
     "q140_pii_redact" -> (q140 _),
     "q141_contamination" -> (q141 _),
+    "q143_fuzzy_linkage" -> (q143 _),
+    "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
     "q80_bloom_prefilter" -> (q80 _),
@@ -2950,6 +2982,16 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // identical blocking and dirty-name synthesis; DuckDB's
+    // jaro_winkler_similarity is bit-identical to the codegen expression
+    // (verified over all 150k blocked pairs), so the raw-double threshold
+    // replays exactly
+    "q143_fuzzy_linkage" ->
+      """WITH a AS (SELECT c_custkey AS a_key, c_name AS a_name, substring(c_name, 10, 7) AS blk FROM customer), b AS (SELECT c_custkey AS b_key, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)) AS b_name, substring(c_name, 10, 7) AS blk FROM customer) SELECT a_key, b_key, round(jaro_winkler_similarity(a_name, b_name), 6) AS sim FROM a JOIN b USING (blk) WHERE jaro_winkler_similarity(a_name, b_name) >= 0.98 ORDER BY a_key, b_key""",
+    // append emission at watermark passage must equal batch
+    // sessionization — same gap-split replay as q54
+    "q142_stream_append_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
     // the pruned update-mode emissions must equal batch sessionization —
     // same gap-split replay as q54
     "q135_stream_update_sessions" ->
@@ -2986,6 +3028,16 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // identical blocking and dirty-name synthesis; DuckDB's
+    // jaro_winkler_similarity is bit-identical to the codegen expression
+    // (verified over all 150k blocked pairs), so the raw-double threshold
+    // replays exactly
+    "q143_fuzzy_linkage" ->
+      """WITH a AS (SELECT c_custkey AS a_key, c_name AS a_name, substring(c_name, 10, 7) AS blk FROM customer), b AS (SELECT c_custkey AS b_key, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)) AS b_name, substring(c_name, 10, 7) AS blk FROM customer) SELECT a_key, b_key, round(jaro_winkler_similarity(a_name, b_name), 6) AS sim FROM a JOIN b USING (blk) WHERE jaro_winkler_similarity(a_name, b_name) >= 0.98 ORDER BY a_key, b_key""",
+    // append emission at watermark passage must equal batch
+    // sessionization — same gap-split replay as q54
+    "q142_stream_append_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
     // the pruned update-mode emissions must equal batch sessionization —
     // same gap-split replay as q54
     "q135_stream_update_sessions" ->

@@ -106,6 +106,29 @@ object StreamVerify {
       .select(col("user_id"), col("start_sec"), col("end_sec"), col("n_events"))
   }
 
+  /** Built-in `session_window` aggregation in APPEND mode: a session is
+    * emitted exactly once, when the event-time watermark passes its close
+    * (end + gap). Completes the session-mode matrix next to the
+    * complete-mode drain ([[sessions]], q54) and the custom-state
+    * update-mode path ([[sessionsUpdateMode]], q135). Needs
+    * sentinel-staged input: the far-future sentinel rows advance the
+    * watermark past every real session's close; their own sessions can
+    * never close (the watermark trails their event time) so they are
+    * never emitted — the id filter is defensive only.
+    */
+  def sessionsAppendMode(spark: SparkSession, eventsPath: String): DataFrame = {
+    val agg = EventsStream.readEvents(spark, eventsPath)
+      .withWatermark("ts", "2 hours")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+    drain(spark, agg, "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+        col("n_events"))
+  }
+
   /** Streaming exact dedup: first occurrence of each (user_id, event_type)
     * is emitted as it streams past; state is bounded by the watermark. The
     * projection keeps ONLY the key columns, so the result equals batch

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Linkage
+import graft.plans.JaroWinklerImpl
+import graft.plans.StringSimilarityExpressions.jaroWinkler
+
+class StringSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("JaroWinklerImpl reproduces the textbook reference values") {
+    assert(JaroWinklerImpl.jw("martha", "marhta") == 0.9611111111111111)
+    assert(JaroWinklerImpl.jw("dixon", "dicksonx") == 0.8133333333333332)
+    assert(JaroWinklerImpl.jw("duane", "dwayne") == 0.8400000000000001)
+    assert(JaroWinklerImpl.jw("a", "ab") == 0.8500000000000001)
+    assert(JaroWinklerImpl.jw("abc", "abc") == 1.0)
+    assert(JaroWinklerImpl.jw("abc", "xyz") == 0.0)
+    assert(JaroWinklerImpl.jw("", "") == 1.0)
+    assert(JaroWinklerImpl.jw("", "x") == 0.0)
+  }
+
+  test("codegen jaro_winkler equals the Scala reference bit-for-bit") {
+    val names = Seq("martha", "marhta", "dixon", "dicksonx", "duane",
+      "dwayne", "", "a", "ab", "Customer#000000001", "Customer#000000010")
+    val pairs = for (x <- names; y <- names) yield (x, y)
+    val rows = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), jaroWinkler(col("x"), col("y")).as("sim"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) == JaroWinklerImpl.jw(r.getString(0), r.getString(1)),
+        s"(${r.getString(0)}, ${r.getString(1)})")
+    }
+  }
+
+  test("fuzzyJoin scores only within blocks and applies the threshold") {
+    val a = Seq((1L, "jon smith", "j"), (2L, "ann lee", "a"))
+      .toDF("k", "name", "ignored")
+    val b = Seq((10L, "john smith"), (20L, "ann leigh"), (30L, "jon smith"))
+      .toDF("k", "name")
+    // block on the first character: ann never meets the jons
+    val out = Linkage.fuzzyJoin(a, b, "k", "name",
+        expr("substring(name, 1, 1)"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 30L)), "exact pair must match at 1.0")
+    assert(out.contains((1L, 10L)), "one-insertion pair scores above 0.9")
+    assert(!out.contains((2L, 30L)), "cross-block pairs are never scored")
+    assert(out.forall(_._1 != 2L) ==
+      (JaroWinklerImpl.jw("ann lee", "ann leigh") < 0.9))
+  }
+}
