@@ -2238,6 +2238,35 @@ object SparkEntry {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** Incremental JOIN-view maintenance
+    * ([[graft.operators.Incremental.mergeJoinAppend]]): the materialized
+    * orders ⋈ customer view is built WITHOUT the late slice (orderkeys ≡
+    * 0 mod 7 of the max month), then the late delta merges in by
+    * enriching only the delta and rewriting only the touched month. The
+    * read-back aggregate must equal the plain full join — proving the
+    * maintained view converged.
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q144")
+    val orders = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val maxMonth = orders.agg(max(col("month"))).head().getString(0)
+    val dim = T(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val isLate = col("o_orderkey") % 7 === 0 && col("month") === maxMonth
+    graft.sources.PartitionedLake.writeAll(
+      orders.filter(!isLate).join(dim, Seq("o_custkey")), lake, Seq("month"))
+    graft.operators.Incremental.mergeJoinAppend(
+      s, lake, orders.filter(isLate), dim, "o_custkey", "month")
+    graft.sources.PartitionedLake.read(s, lake)
+      .groupBy(col("month").cast("string").as("month"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .orderBy(col("month"), col("segment"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2546,6 +2575,7 @@ object SparkEntry {
     "q140_pii_redact" -> (q140 _),
     "q141_contamination" -> (q141 _),
     "q143_fuzzy_linkage" -> (q143 _),
+    "q144_incremental_join" -> (q144 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -2982,6 +3012,9 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // the maintained view's aggregate must equal the plain full join
+    "q144_incremental_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, c_mktsegment AS segment, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2 ORDER BY month, segment""",
     // identical blocking and dirty-name synthesis; DuckDB's
     // jaro_winkler_similarity is bit-identical to the codegen expression
     // (verified over all 150k blocked pairs), so the raw-double threshold
@@ -3028,6 +3061,9 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // the maintained view's aggregate must equal the plain full join
+    "q144_incremental_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, c_mktsegment AS segment, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2 ORDER BY month, segment""",
     // identical blocking and dirty-name synthesis; DuckDB's
     // jaro_winkler_similarity is bit-identical to the codegen expression
     // (verified over all 150k blocked pairs), so the raw-double threshold

@@ -48,4 +48,35 @@ object Incremental {
       .localCheckpoint(true)
     PartitionedLake.deleteInsert(merged, statePath, Seq(partCol))
   }
+
+  /** Incremental maintenance of a materialized JOIN view for append-only
+    * fact deltas: the view gains `delta ⋈ dim` without rescanning any
+    * fact history — existing rows of the partitions the delta touches are
+    * read back, unioned with the enriched delta, and recommitted via
+    * dynamic partition overwrite; untouched partitions are never read or
+    * written. The standard ΔV = ΔA ⋈ B identity for append-only A (a
+    * changing dimension instead requires rewriting the partitions whose
+    * dim keys changed — the delete-insert path, not this one). The dim
+    * join is left to Catalyst: broadcast under the threshold, shuffle
+    * hash-join above it.
+    *
+    * `dim`'s join column must already carry the same name as the delta's
+    * `joinKey`.
+    */
+  def mergeJoinAppend(
+      spark: SparkSession,
+      viewPath: String,
+      delta: DataFrame,
+      dim: DataFrame,
+      joinKey: String,
+      partCol: String): Unit = {
+    val d = delta.join(dim, Seq(joinKey)).localCheckpoint(true)
+    val state = PartitionedLake.read(spark, viewPath)
+    val affected = d.select(col(partCol)).distinct()
+    val existing = state.join(affected, Seq(partCol), "left_semi")
+    val merged = existing
+      .unionByName(d.select(existing.columns.map(col): _*))
+      .localCheckpoint(true) // cut lineage to the files being replaced
+    PartitionedLake.deleteInsert(merged, viewPath, Seq(partCol))
+  }
 }

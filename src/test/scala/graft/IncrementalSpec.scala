@@ -77,6 +77,42 @@ class IncrementalSpec extends SparkSuite {
       ("b", "x", 10L, 3.5), ("b", "z", 1L, 9.0)))
   }
 
+  test("mergeJoinAppend enriches only the delta and touches only its partition") {
+    val lake = tmp("incj")
+    val dim = {
+      val schema = StructType(Seq(
+        StructField("k", StringType), StructField("seg", StringType)))
+      spark.createDataFrame(java.util.Arrays.asList(
+        Row("x", "S1"), Row("y", "S2"), Row("z", "S3")), schema)
+    }
+    // base view: (fact ⋈ dim) for partitions a and b
+    PartitionedLake.writeAll(
+      frame(Seq(("a", "x", 1L, 1.0), ("b", "y", 2L, 2.0)))
+        .join(dim, Seq("k")), lake, Seq("p"))
+    def listing(dir: java.nio.file.Path) = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f))
+          .toMap
+      } finally s.close()
+    }
+    val beforeA = listing(Paths.get(lake, "p=a"))
+    // late fact rows for partition b only
+    Incremental.mergeJoinAppend(spark, lake,
+      frame(Seq(("b", "z", 3L, 3.0))), dim, "k", "p")
+    assert(listing(Paths.get(lake, "p=a")) == beforeA,
+      "unaffected partition must not be rewritten")
+    val out = PartitionedLake.read(spark, lake)
+      .select(col("p").cast("string"), col("k"), col("seg"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      ("a", "x", "S1", 1L), ("b", "y", "S2", 2L), ("b", "z", "S3", 3L)))
+  }
+
   test("versioned lake: as-of reads replay upserts and deletes per version") {
     val lake = tmp("ver")
     val schema = StructType(Seq(

@@ -108,4 +108,46 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("EqualTo(event_type,purchase)") &&
       p.contains("EqualTo(event_type,click)"))
   }
+
+  test("q138: no unpartitioned window ever sees document rows") {
+    // the two-phase prefix sum's only global-order window must sit above
+    // the per-bucket aggregate (metadata-sized), never above the corpus
+    val plan = q("q138_seq_packing").queryExecution.optimizedPlan
+    val unpartitioned = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.nonEmpty, "expected the bucket-base window")
+    unpartitioned.foreach { w =>
+      val overAggregate = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(overAggregate.nonEmpty,
+        "an unpartitioned window must consume the bucket aggregate, not data rows")
+    }
+  }
+
+  test("q141/q143: shingle and blocked-linkage joins are hash joins, never BNL") {
+    for (name <- Seq("q141_contamination", "q143_fuzzy_linkage")) {
+      val p = formatted(q(name))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name must equi-join on the shingle/block key")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"), name)
+    }
+  }
+
+  test("q134: tile assembly is shuffle-free up to the output sort") {
+    // explodes + the per-tile fold are all local; the only exchange is the
+    // final presentation orderBy's range partitioning
+    val df = q("q134_image_tiles")
+    val exchanges = df.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+    }
+    val p = formatted(df)
+    val shuffleCount = "Exchange (range|hash)partitioning".r
+      .findAllIn(p).size
+    assert(exchanges.nonEmpty && shuffleCount <= 1,
+      s"tile assembly must not shuffle before the output sort:\n$p")
+  }
 }
