@@ -2267,6 +2267,58 @@ object SparkEntry {
       .orderBy(col("month"), col("segment"))
   }
 
+  /** TxLake row-level UPDATE ([[TxLake.updateWhere]]): purchases get a
+    * +100 value bump through an affected-file-only rewrite; the read-back
+    * aggregate must carry exactly the bumped values.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val lake = scratch(dir, "q145") + "/lake"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(lake))
+    val ev = T(s, dir, "events").select(col("event_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 2)).as("value"))
+    TxLake.commit(s, lake, ev.filter(col("event_id") % 2 === 0).coalesce(1))
+    TxLake.commit(s, lake, ev.filter(col("event_id") % 2 =!= 0).coalesce(1))
+    TxLake.updateWhere(s, lake, col("event_type") === "purchase",
+      Map("value" -> (col("value") + lit(100))))
+    TxLake.readSnapshot(s, lake)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** TxLake MERGE by key ([[TxLake.mergeByKey]]): balances zeroed for
+    * keys ≤ 100 (matched-row replacement), five out-of-range keys
+    * inserted; only files containing matched keys are rewritten.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val lake = scratch(dir, "q146") + "/lake"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(lake))
+    val cust = T(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("bal"))
+      .filter(col("c_custkey") <= 500)
+    TxLake.commit(s, lake, cust.filter(col("c_custkey") <= 250).coalesce(1))
+    TxLake.commit(s, lake, cust.filter(col("c_custkey") > 250).coalesce(1))
+    val updates = cust.filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"), lit(java.math.BigDecimal.ZERO)
+        .cast(DecimalType(12, 2)).as("bal"))
+      .unionByName(s.range(10001, 10006).select(col("id").as("c_custkey"),
+        lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)).as("bal")))
+    TxLake.mergeByKey(s, lake, updates, "c_custkey")
+    TxLake.readSnapshot(s, lake)
+      .select(col("c_custkey"), col("bal").cast("double").as("bal"))
+      .orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2576,6 +2628,8 @@ object SparkEntry {
     "q141_contamination" -> (q141 _),
     "q143_fuzzy_linkage" -> (q143 _),
     "q144_incremental_join" -> (q144 _),
+    "q145_txlake_update" -> (q145 _),
+    "q146_txlake_merge" -> (q146 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3012,6 +3066,12 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // the affected-file UPDATE must be row-equivalent to the plain CASE
+    "q145_txlake_update" ->
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) + 100 ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
+    // MERGE = replace matched keys, insert unmatched ones
+    "q146_txlake_merge" ->
+      """SELECT c_custkey, CAST(CASE WHEN c_custkey <= 100 THEN 0.00 ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS DOUBLE) AS bal FROM customer WHERE c_custkey <= 500 UNION ALL SELECT k, 1.0 FROM range(10001, 10006) t(k) ORDER BY c_custkey""",
     // the maintained view's aggregate must equal the plain full join
     "q144_incremental_join" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, c_mktsegment AS segment, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2 ORDER BY month, segment""",
@@ -3061,6 +3121,12 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // the affected-file UPDATE must be row-equivalent to the plain CASE
+    "q145_txlake_update" ->
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) + 100 ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
+    // MERGE = replace matched keys, insert unmatched ones
+    "q146_txlake_merge" ->
+      """SELECT c_custkey, CAST(CASE WHEN c_custkey <= 100 THEN 0.00 ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS DOUBLE) AS bal FROM customer WHERE c_custkey <= 500 UNION ALL SELECT k, 1.0 FROM range(10001, 10006) t(k) ORDER BY c_custkey""",
     // the maintained view's aggregate must equal the plain full join
     "q144_incremental_join" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, c_mktsegment AS segment, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2 ORDER BY month, segment""",

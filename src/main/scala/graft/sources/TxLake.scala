@@ -208,6 +208,98 @@ object TxLake {
       .filter(!org.apache.spark.sql.functions.coalesce(
         predicate, org.apache.spark.sql.functions.lit(false)))
       .localCheckpoint(true) // materialize before the swap commit
+    swapCommit(spark, path, survivors, plain)
+  }
+
+  /** Row-level UPDATE with affected-file-only rewrite: rows where
+    * `predicate` is TRUE get `assignments` applied (cast back to each
+    * column's existing type, so the table schema never drifts); rows
+    * where it is false OR NULL ride through the rewrite untouched —
+    * the same three-valued-logic discipline as [[deleteWhere]]. Files
+    * with no matching rows are never read or copied.
+    */
+  def updateWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val snap = readSnapshot(spark, path)
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    assignments.keys.foreach(c => require(snap.columns.contains(c),
+      s"assignment to unknown column $c"))
+    val affected = snap
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return latestVersion(path)
+    val plain = affected.map(p => new java.net.URI(p).getPath)
+    val hit = coalesce(predicate, lit(false))
+    val rows = spark.read.parquet(plain: _*)
+    val rewritten = rows.select(rows.schema.fields.map { f =>
+      assignments.get(f.name) match {
+        case Some(a) =>
+          when(hit, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*).localCheckpoint(true)
+    swapCommit(spark, path, rewritten, plain)
+  }
+
+  /** MERGE by key: rows of `updates` whose key exists in the table
+    * REPLACE the existing row; unmatched keys INSERT. Only the files that
+    * contain a matched key are rewritten — key membership is decided
+    * against those files alone (any table key matching `updates` must
+    * live in an affected file by construction), so no full-table scan
+    * happens beyond the pruned membership probe. Null update keys insert
+    * (a null key matches nothing). Keys must be unique within `updates`.
+    */
+  def mergeByKey(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = readSnapshot(spark, path)
+    val dataCols = snap.columns.toSeq
+    require(updates.columns.toSeq.sorted == dataCols.sorted,
+      "updates must carry exactly the table's columns")
+    val u = updates.localCheckpoint(true)
+    require(u.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).isEmpty, "duplicate keys in updates")
+    // _metadata must be projected BEFORE the join — it is a scan-level
+    // pseudo-column and does not survive into joined relations
+    val affected = snap
+      .select(col(keyCol), col("_metadata.file_path").as("f"))
+      .join(u.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .select(col("f"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val plain = affected.map(p => new java.net.URI(p).getPath)
+    val sel = dataCols.map(col)
+    val replacement =
+      if (plain.isEmpty) u.select(sel: _*)
+      else {
+        val affectedRows = spark.read.parquet(plain: _*)
+        val tableKeys = affectedRows.select(col(keyCol)).distinct()
+        affectedRows.join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .select(sel: _*)
+          .unionByName(u.join(tableKeys, Seq(keyCol), "left_semi")
+            .select(sel: _*))
+          .unionByName(u.join(tableKeys, Seq(keyCol), "left_anti")
+            .select(sel: _*))
+      }
+    swapCommit(spark, path, replacement.localCheckpoint(true), plain)
+  }
+
+  /** Reserve the next version, land `replacement` as its data files, and
+    * publish a log entry that adds them and removes `removes` — the
+    * shared tail of every rewriting operation (DELETE / UPDATE / MERGE).
+    */
+  private def swapCommit(
+      spark: SparkSession,
+      path: String,
+      replacement: DataFrame,
+      removes: Seq[String]): Long = {
     val next = latestVersion(path) + 1
     val log = logFile(path, next)
     try Files.createFile(log)
@@ -216,7 +308,7 @@ object TxLake {
         throw new ConcurrentCommitException(next)
     }
     val dataDir = s"$path/data/v$next"
-    survivors.write.mode("overwrite").parquet(dataDir)
+    replacement.write.mode("overwrite").parquet(dataDir)
     val adds = {
       val d = Paths.get(dataDir)
       val s = Files.list(d)
@@ -224,10 +316,12 @@ object TxLake {
         .filter(_.endsWith(".parquet")).toSeq.sorted
       finally s.close()
     }
+    require(adds.forall(p => !p.contains("\"") && !p.contains("\\")),
+      "data paths must be JSON-safe")
     val json =
       s"""{"version":$next,"tag":"",""" +
         s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removes":[${plain.map("\"" + _ + "\"").mkString(",")}]}"""
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]}"""
     val tmp = logDir(path).resolve(f".tmp-$next%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,

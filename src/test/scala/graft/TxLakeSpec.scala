@@ -80,6 +80,60 @@ class TxLakeSpec extends SparkSuite {
     assert(before.filter(_.contains("/data/v2/")).forall(!after.contains(_)))
   }
 
+  test("updateWhere rewrites only affected files; null-predicate rows untouched") {
+    val lake = tmp()
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("flag", LongType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    def f(rows: (Long, java.lang.Long, Long)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => R(r._1, r._2, r._3)): _*),
+      schema).coalesce(1)
+    TxLake.commit(spark, lake, f((1L, 7L, 10L), (2L, null, 20L)))  // v1: match + null
+    TxLake.commit(spark, lake, f((3L, 1L, 30L)))                   // v2: no match
+    val before = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    TxLake.updateWhere(spark, lake, col("flag") === 7L,
+      Map("v" -> (col("v") + 100L)))
+    val after = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // untouched file stays active; affected file swapped
+    assert(before.filter(_.contains("/data/v2/")).subsetOf(after))
+    assert(before.filter(_.contains("/data/v1/")).forall(!after.contains(_)))
+    val out = TxLake.readSnapshot(spark, lake)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 110L, 2L -> 20L, 3L -> 30L),
+      "matched row updated; null-predicate row rides through unchanged")
+  }
+
+  test("mergeByKey replaces matched keys, inserts the rest, prunes files") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2).coalesce(1))   // v1: contains key 2
+    TxLake.commit(spark, lake, df(5, 6).coalesce(1))   // v2: no matched key
+    import spark.implicits._
+    val updates = Seq(2L, 9L).toDF("id")
+    val before = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    TxLake.mergeByKey(spark, lake, updates, "id")
+    val after = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 5L, 6L, 9L))
+    // v2's file had no matched key: still the active original
+    assert(before.filter(_.contains("/data/v2/")).subsetOf(after))
+    assert(before.filter(_.contains("/data/v1/")).forall(!after.contains(_)))
+    // duplicate update keys are rejected
+    intercept[IllegalArgumentException] {
+      TxLake.mergeByKey(spark, lake, Seq(3L, 3L).toDF("id"), "id")
+    }
+  }
+
   test("deleteWhere keeps null-predicate rows (three-valued logic)") {
     val lake = tmp()
     import org.apache.spark.sql.{Row => R}
