@@ -2319,6 +2319,37 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** Per-key trend regression ([[graft.operators.Trend.olsPerKey]]):
+    * closed-form OLS slope of hourly volume per event type — one
+    * aggregation per key, x re-based so every sum stays integer-exact.
+    */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .select(expr("ts div 1000000000 div 3600").as("hour_id"),
+        col("event_type"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Trend.olsPerKey(hourly, "event_type", "hour_id", "n")
+      .orderBy(col("event_type"))
+  }
+
+  /** Seasonal anomaly detection
+    * ([[graft.operators.Trend.seasonalAnomalies]]): hourly volume per
+    * event type against its hour-of-day profile, flagged beyond 2
+    * residual standard deviations — the batch complement to the
+    * streaming trailing-baseline alerts (q136).
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .select(expr("ts div 1000000000 div 3600").as("hour_id"),
+        col("event_type"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.Trend.seasonalAnomalies(
+      hourly, "event_type", "hour_id", 24, "n", 2.0)
+      .orderBy(col("event_type"), col("hour_id"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2630,6 +2661,8 @@ object SparkEntry {
     "q144_incremental_join" -> (q144 _),
     "q145_txlake_update" -> (q145 _),
     "q146_txlake_merge" -> (q146 _),
+    "q147_trend_ols" -> (q147 _),
+    "q148_seasonal_anomaly" -> (q148 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3066,6 +3099,13 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // closed-form OLS over exact integer sums; identical double op order
+    "q147_trend_ols" ->
+      """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT event_type, hour_id - MIN(hour_id) OVER (PARTITION BY event_type) AS x, n AS y FROM h), a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, COUNT(DISTINCT x) AS nx FROM b GROUP BY 1) SELECT event_type, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope FROM a WHERE nx >= 2 ORDER BY event_type""",
+    // residual squares quantized to DECIMAL(28,12) before the sum on both
+    // sides (order-independent), sqrt/divisions correctly rounded
+    "q148_seasonal_anomaly" ->
+      """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), p AS (SELECT event_type, hour_id, hour_id % 24 AS season_pos, CAST(n AS DOUBLE) AS n FROM h), w AS (SELECT event_type, hour_id, n, AVG(n) OVER (PARTITION BY event_type, season_pos) AS seasonal FROM p), r AS (SELECT event_type, hour_id, n, seasonal, n - seasonal AS resid FROM w), t AS (SELECT event_type, hour_id, n, seasonal, resid, sqrt(CAST(SUM(CAST(resid * resid AS DECIMAL(28,12))) OVER (PARTITION BY event_type) AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)) AS sd FROM r) SELECT event_type, hour_id, CAST(n AS BIGINT) AS n, round(seasonal, 6) AS seasonal, CAST(CASE WHEN abs(resid) > 2.0 * sd THEN 1 ELSE 0 END AS INT) AS anomaly FROM t ORDER BY event_type, hour_id""",
     // the affected-file UPDATE must be row-equivalent to the plain CASE
     "q145_txlake_update" ->
       """SELECT event_type, COUNT(*) AS n, CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) + 100 ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
@@ -3121,6 +3161,13 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // closed-form OLS over exact integer sums; identical double op order
+    "q147_trend_ols" ->
+      """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT event_type, hour_id - MIN(hour_id) OVER (PARTITION BY event_type) AS x, n AS y FROM h), a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, COUNT(DISTINCT x) AS nx FROM b GROUP BY 1) SELECT event_type, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope FROM a WHERE nx >= 2 ORDER BY event_type""",
+    // residual squares quantized to DECIMAL(28,12) before the sum on both
+    // sides (order-independent), sqrt/divisions correctly rounded
+    "q148_seasonal_anomaly" ->
+      """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), p AS (SELECT event_type, hour_id, hour_id % 24 AS season_pos, CAST(n AS DOUBLE) AS n FROM h), w AS (SELECT event_type, hour_id, n, AVG(n) OVER (PARTITION BY event_type, season_pos) AS seasonal FROM p), r AS (SELECT event_type, hour_id, n, seasonal, n - seasonal AS resid FROM w), t AS (SELECT event_type, hour_id, n, seasonal, resid, sqrt(CAST(SUM(CAST(resid * resid AS DECIMAL(28,12))) OVER (PARTITION BY event_type) AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)) AS sd FROM r) SELECT event_type, hour_id, CAST(n AS BIGINT) AS n, round(seasonal, 6) AS seasonal, CAST(CASE WHEN abs(resid) > 2.0 * sd THEN 1 ELSE 0 END AS INT) AS anomaly FROM t ORDER BY event_type, hour_id""",
     // the affected-file UPDATE must be row-equivalent to the plain CASE
     "q145_txlake_update" ->
       """SELECT event_type, COUNT(*) AS n, CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) + 100 ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value FROM events GROUP BY event_type ORDER BY event_type""",

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Trend
+
+class TrendSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("olsPerKey recovers an exact linear trend and drops single-x keys") {
+    // key a: y = 3x + 1 (slope exactly 3); key b: constant (slope 0);
+    // key c: one x only → undefined, dropped
+    val df = Seq(
+      ("a", 10L, 31L), ("a", 11L, 34L), ("a", 12L, 37L),
+      ("b", 5L, 7L), ("b", 6L, 7L),
+      ("c", 9L, 1L)).toDF("k", "x", "y")
+    val out = Trend.olsPerKey(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out == Map("a" -> 3.0, "b" -> 0.0))
+  }
+
+  test("seasonalAnomalies flags the one bucket off its seasonal profile") {
+    // season length 2: even buckets run at 10, odd at 20 — except bucket 6
+    // spikes to 100, which dominates the residual variance and is the
+    // only |resid| > 2·sd point
+    val df = Seq(
+      ("k", 0L, 10L), ("k", 1L, 20L), ("k", 2L, 10L), ("k", 3L, 20L),
+      ("k", 4L, 10L), ("k", 5L, 20L), ("k", 6L, 100L), ("k", 7L, 20L))
+      .toDF("k", "b", "n")
+    val out = Trend.seasonalAnomalies(df, "k", "b", 2, "n", 2.0)
+      .collect().map(r => r.getLong(1) -> r.getInt(4)).toMap
+    assert(out(6L) == 1, "the spike must be flagged")
+    assert(out.filter(_._1 != 6L).values.forall(_ == 0),
+      "profile-conformant buckets must not be flagged")
+  }
+}
