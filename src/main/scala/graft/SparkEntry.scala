@@ -2350,6 +2350,33 @@ object SparkEntry {
       .orderBy(col("event_type"), col("hour_id"))
   }
 
+  /** TxLake zero-copy branching ([[TxLake.branch]]): fork at v2, commit
+    * divergent slices to branch and main, and aggregate BOTH sides —
+    * isolation in each direction is what the hash proves.
+    */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val lake = scratch(dir, "q149") + "/lake"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(lake))
+    val ev = T(s, dir, "events").select(col("event_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 2)).as("value"))
+    def slice(m: Int) = ev.filter(col("event_id") % 4 === m).coalesce(1)
+    TxLake.commit(s, lake, slice(0))
+    TxLake.commit(s, lake, slice(1))
+    val bp = TxLake.branch(lake, "exp")
+    TxLake.commit(s, bp, slice(3))   // branch-only commit
+    TxLake.commit(s, lake, slice(2)) // main-only commit after the fork
+    def agg(df: DataFrame, side: String) = df
+      .groupBy(lit(side).as("side"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total"))
+    agg(TxLake.readSnapshot(s, lake), "main")
+      .unionByName(agg(TxLake.readSnapshot(s, bp), "exp"))
+      .orderBy(col("side"), col("event_type"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2663,6 +2690,7 @@ object SparkEntry {
     "q146_txlake_merge" -> (q146 _),
     "q147_trend_ols" -> (q147 _),
     "q148_seasonal_anomaly" -> (q148 _),
+    "q149_txlake_branch" -> (q149 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3099,6 +3127,10 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // branch isolation in both directions: main sees id%4 in 0,1,2 and
+    // the branch sees 0,1,3 — any leakage changes a count and the hash
+    "q149_txlake_branch" ->
+      """WITH ev AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value FROM events) SELECT * FROM (SELECT 'main' AS side, event_type, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS total FROM ev WHERE event_id % 4 IN (0, 1, 2) GROUP BY 2 UNION ALL SELECT 'exp', event_type, COUNT(*), CAST(SUM(value) AS DOUBLE) FROM ev WHERE event_id % 4 IN (0, 1, 3) GROUP BY 2) ORDER BY side, event_type""",
     // closed-form OLS over exact integer sums; identical double op order
     "q147_trend_ols" ->
       """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT event_type, hour_id - MIN(hour_id) OVER (PARTITION BY event_type) AS x, n AS y FROM h), a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, COUNT(DISTINCT x) AS nx FROM b GROUP BY 1) SELECT event_type, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope FROM a WHERE nx >= 2 ORDER BY event_type""",
@@ -3161,6 +3193,10 @@ object SparkEntry {
     // benchmark membership via left join on the shingle text
     "q141_contamination" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
+    // branch isolation in both directions: main sees id%4 in 0,1,2 and
+    // the branch sees 0,1,3 — any leakage changes a count and the hash
+    "q149_txlake_branch" ->
+      """WITH ev AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value FROM events) SELECT * FROM (SELECT 'main' AS side, event_type, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS total FROM ev WHERE event_id % 4 IN (0, 1, 2) GROUP BY 2 UNION ALL SELECT 'exp', event_type, COUNT(*), CAST(SUM(value) AS DOUBLE) FROM ev WHERE event_id % 4 IN (0, 1, 3) GROUP BY 2) ORDER BY side, event_type""",
     // closed-form OLS over exact integer sums; identical double op order
     "q147_trend_ols" ->
       """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT event_type, hour_id - MIN(hour_id) OVER (PARTITION BY event_type) AS x, n AS y FROM h), a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, COUNT(DISTINCT x) AS nx FROM b GROUP BY 1) SELECT event_type, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope FROM a WHERE nx >= 2 ORDER BY event_type""",

@@ -291,6 +291,36 @@ object TxLake {
     swapCommit(spark, path, replacement.localCheckpoint(true), plain)
   }
 
+  /** Zero-copy branch: the branch is a full TxLake table of its own,
+    * rooted at `<path>/_branches/<name>`, whose base log entry ADDS the
+    * parent's active files at `fromVersion` without copying a byte. Every
+    * existing operation — [[commit]], [[readSnapshot]], [[deleteWhere]],
+    * [[updateWhere]], [[mergeByKey]], time travel — works on the returned
+    * branch path unchanged, because the log already stores absolute file
+    * paths. Parent commits after the fork never affect the branch, and
+    * branch commits never touch the parent log — the git-branch
+    * experiment-isolation model for table data.
+    *
+    * Caveat (documented, not enforced): [[vacuum]] on the PARENT can
+    * reclaim pre-fork files a branch still references — vacuum only below
+    * the oldest branch point, or drop branches first.
+    */
+  def branch(path: String, name: String, fromVersion: Long = Long.MaxValue): String = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"unsafe branch name: $name")
+    val bp = s"$path/_branches/$name"
+    require(!Files.exists(logDir(bp)), s"branch $name already exists")
+    val files = activeFiles(path, fromVersion)
+    Files.createDirectories(logDir(bp))
+    val json =
+      s"""{"version":1,"tag":"",""" +
+        s""""adds":[${files.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""removes":[]}"""
+    val tmp = logDir(bp).resolve(".tmp-base")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, logFile(bp, 1L), StandardCopyOption.ATOMIC_MOVE)
+    bp
+  }
+
   /** Reserve the next version, land `replacement` as its data files, and
     * publish a log entry that adds them and removes `removes` — the
     * shared tail of every rewriting operation (DELETE / UPDATE / MERGE).

@@ -197,6 +197,34 @@ class TxLakeSpec extends SparkSuite {
     assert(TxLake.vacuum(lake, retainVersion = v) == 0L)
   }
 
+  test("branch: zero-copy fork, isolated in both directions, fully operable") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2).coalesce(1))
+    TxLake.commit(spark, lake, df(3).coalesce(1))
+    val bp = TxLake.branch(lake, "exp")
+    // the fork copies no data: the branch's active files ARE the parent's
+    val parentFiles = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val branchFiles = TxLake.readSnapshot(spark, bp)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(branchFiles == parentFiles)
+    // divergent writes stay on their side
+    TxLake.commit(spark, bp, df(99))
+    TxLake.commit(spark, lake, df(4))
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 3L, 4L))
+    assert(ids(TxLake.readSnapshot(spark, bp)) == Set(1L, 2L, 3L, 99L))
+    // rewriting ops work on the branch without touching the parent: the
+    // erasure rewrites the SHARED file on the branch side only
+    TxLake.deleteWhere(spark, bp, col("id") === 2L)
+    assert(ids(TxLake.readSnapshot(spark, bp)) == Set(1L, 3L, 99L))
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 3L, 4L),
+      "a branch-side rewrite must never mutate the parent's view")
+    // double-fork of the same name is rejected
+    intercept[IllegalArgumentException] { TxLake.branch(lake, "exp") }
+  }
+
   test("a pending (crashed) commit is invisible to readers") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1))
