@@ -2377,6 +2377,26 @@ object SparkEntry {
       .orderBy(col("side"), col("event_type"))
   }
 
+  /** Persisted IVF index: build once into the lake (cells partitioned by
+    * centroid id), query through [[graft.operators.Similarity.queryIvfIndex]]
+    * — must equal q40's build-and-query results exactly (shared oracle).
+    */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val idx = scratch(dir, "q150") + "/ivf"
+    graft.operators.Similarity.buildIvfIndex(emb, "vec_id", "embedding", 16, idx)
+    graft.operators.Similarity.queryIvfIndex(
+      s, idx, emb.filter(col("vec_id") < 10), "vec_id", "embedding")
+  }
+
+  /** Footer-only table stats ([[graft.sources.FooterStats.tableStats]]):
+    * COUNT/MIN/MAX pushed into the parquet scan (V2 aggregate pushdown),
+    * answered from footer metadata — plan-audited in FooterStatsSpec.
+    */
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    graft.sources.FooterStats.tableStats(
+      s, s"$dir/orders.parquet", Seq("o_orderkey", "o_totalprice"))
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2691,6 +2711,8 @@ object SparkEntry {
     "q147_trend_ols" -> (q147 _),
     "q148_seasonal_anomaly" -> (q148 _),
     "q149_txlake_branch" -> (q149 _),
+    "q150_ivf_index" -> (q150 _),
+    "q151_footer_stats" -> (q151 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -2833,7 +2855,14 @@ object SparkEntry {
   private val DOC_HASHES =
     "SELECT doc_id, list_transform(docwords(text), w -> xshash(w)) AS h, len(docwords(text)) AS n FROM documents"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    // the persisted-index query path must reproduce the build-and-query
+    // path bit for bit, so it shares q40's oracle verbatim
+    m + ("q150_ivf_index" -> m("q40_ann_ivf"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q01_bronze_flatten" ->
       """SELECT event_id, date_trunc('second', ts) AS ts_sec, user_id, event_type, value, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k, strftime(ts, '%Y-%m-%d') AS date_id FROM events ORDER BY event_id""",
     "q02_silver_category" ->
@@ -3131,6 +3160,9 @@ object SparkEntry {
     // the branch sees 0,1,3 — any leakage changes a count and the hash
     "q149_txlake_branch" ->
       """WITH ev AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value FROM events) SELECT * FROM (SELECT 'main' AS side, event_type, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS total FROM ev WHERE event_id % 4 IN (0, 1, 2) GROUP BY 2 UNION ALL SELECT 'exp', event_type, COUNT(*), CAST(SUM(value) AS DOUBLE) FROM ev WHERE event_id % 4 IN (0, 1, 3) GROUP BY 2) ORDER BY side, event_type""",
+    // footer-derived stats must equal the plain aggregates
+    "q151_footer_stats" ->
+      """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey, MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice FROM orders""",
     // closed-form OLS over exact integer sums; identical double op order
     "q147_trend_ols" ->
       """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT event_type, hour_id - MIN(hour_id) OVER (PARTITION BY event_type) AS x, n AS y FROM h), a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, COUNT(DISTINCT x) AS nx FROM b GROUP BY 1) SELECT event_type, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope FROM a WHERE nx >= 2 ORDER BY event_type""",
@@ -3197,6 +3229,9 @@ object SparkEntry {
     // the branch sees 0,1,3 — any leakage changes a count and the hash
     "q149_txlake_branch" ->
       """WITH ev AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value FROM events) SELECT * FROM (SELECT 'main' AS side, event_type, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS total FROM ev WHERE event_id % 4 IN (0, 1, 2) GROUP BY 2 UNION ALL SELECT 'exp', event_type, COUNT(*), CAST(SUM(value) AS DOUBLE) FROM ev WHERE event_id % 4 IN (0, 1, 3) GROUP BY 2) ORDER BY side, event_type""",
+    // footer-derived stats must equal the plain aggregates
+    "q151_footer_stats" ->
+      """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey, MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice FROM orders""",
     // closed-form OLS over exact integer sums; identical double op order
     "q147_trend_ols" ->
       """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT event_type, hour_id - MIN(hour_id) OVER (PARTITION BY event_type) AS x, n AS y FROM h), a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, COUNT(DISTINCT x) AS nx FROM b GROUP BY 1) SELECT event_type, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope FROM a WHERE nx >= 2 ORDER BY event_type""",

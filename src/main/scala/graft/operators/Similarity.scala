@@ -196,6 +196,64 @@ object Similarity {
       .select(col(idCol), col("cid"))
   }
 
+  /** Build-once IVF index persisted to a lake: centroids as one tiny
+    * table, the assigned corpus partitioned BY CELL — so a query probe
+    * reads only its probed cells' directories (partition pruning), which
+    * is the property that makes vector search viable at 100 TB: index
+    * construction is amortized across every later query batch instead of
+    * re-clustering per query ([[annIvf]]'s shape).
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      indexPath: String): Unit = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    centroids.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assign(corpus, centroids, idCol, vecCol)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$indexPath/cells")
+  }
+
+  /** Query a persisted IVF index: same probe/rank arithmetic as
+    * [[annIvf]], so results are identical to the build-and-query path —
+    * the equality the oracle gate hashes.
+    */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int = 2,
+      k: Int = 5): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim").desc, col("cid"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cid"),
+        rankableCosine(col("qv"), col("cvec")).as("__sim"))
+      .withColumn("__rnk", row_number().over(wq))
+      .filter(col("__rnk") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("nid"))
+    probes
+      .join(cells, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        round(rankableCosine(col("qv"), col("nv")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** IVF ANN: coarse-quantize the corpus into `nCentroids` cells, probe the
     * `nProbe` cells nearest each query, exact-rank only those candidates.
     * Complements [[annLsh]]: IVF adapts to the data distribution where LSH
