@@ -2397,6 +2397,14 @@ object SparkEntry {
     graft.sources.FooterStats.tableStats(
       s, s"$dir/orders.parquet", Seq("o_orderkey", "o_totalprice"))
 
+  /** Leakage-safe split ([[graft.operators.TextPipeline.leakageSafeSplit]]):
+    * split membership decided per exact-duplicate group, so duplicates
+    * never straddle train/val/test.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.leakageSafeSplit(T(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2713,6 +2721,7 @@ object SparkEntry {
     "q149_txlake_branch" -> (q149 _),
     "q150_ivf_index" -> (q150 _),
     "q151_footer_stats" -> (q151 _),
+    "q152_leakage_split" -> (q152 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3160,6 +3169,9 @@ object SparkEntry {
     // the branch sees 0,1,3 — any leakage changes a count and the hash
     "q149_txlake_branch" ->
       """WITH ev AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value FROM events) SELECT * FROM (SELECT 'main' AS side, event_type, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS total FROM ev WHERE event_id % 4 IN (0, 1, 2) GROUP BY 2 UNION ALL SELECT 'exp', event_type, COUNT(*), CAST(SUM(value) AS DOUBLE) FROM ev WHERE event_id % 4 IN (0, 1, 3) GROUP BY 2) ORDER BY side, event_type""",
+    // same fingerprint (q32's), same md5 split recipe (q47/q76's)
+    "q152_leakage_split" ->
+      """WITH g AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), k AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS gkey FROM g), b AS (SELECT doc_id, gkey, CAST(concat('0x', substr(md5(CAST(gkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS pct FROM k) SELECT doc_id, gkey, CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
     // footer-derived stats must equal the plain aggregates
     "q151_footer_stats" ->
       """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey, MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice FROM orders""",
@@ -3229,6 +3241,9 @@ object SparkEntry {
     // the branch sees 0,1,3 — any leakage changes a count and the hash
     "q149_txlake_branch" ->
       """WITH ev AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value FROM events) SELECT * FROM (SELECT 'main' AS side, event_type, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS total FROM ev WHERE event_id % 4 IN (0, 1, 2) GROUP BY 2 UNION ALL SELECT 'exp', event_type, COUNT(*), CAST(SUM(value) AS DOUBLE) FROM ev WHERE event_id % 4 IN (0, 1, 3) GROUP BY 2) ORDER BY side, event_type""",
+    // same fingerprint (q32's), same md5 split recipe (q47/q76's)
+    "q152_leakage_split" ->
+      """WITH g AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), k AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS gkey FROM g), b AS (SELECT doc_id, gkey, CAST(concat('0x', substr(md5(CAST(gkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS pct FROM k) SELECT doc_id, gkey, CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
     // footer-derived stats must equal the plain aggregates
     "q151_footer_stats" ->
       """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey, MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice FROM orders""",

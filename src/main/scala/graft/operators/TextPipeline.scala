@@ -153,6 +153,34 @@ object TextPipeline {
           expr(s"off div $capacity") + lit(1L)).as("n_spans"))
   }
 
+  /** Leakage-safe train/val/test split: the split is decided per
+    * DUPLICATE GROUP (exact-fingerprint), not per document, so a document
+    * and its duplicates can never straddle splits — the train/test
+    * contamination vector naive row-hash splitting leaves open. Group
+    * key is the group's min doc_id; the split hash is the engine's
+    * portable md5 recipe. Near-dup-safe splitting plugs a MinHash
+    * cluster id in as the group key — same shape.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val grouped = docs
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .withColumn("gkey",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    val pct = conv(
+      substring(md5(col("gkey").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+    grouped
+      .withColumn("split",
+        when(pct < trainPct, "train")
+          .when(pct < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("gkey"), col("split"))
+  }
+
   /** Quality + language + dedup filter.
     *
     * Keeps documents with at least `minWords` words and `minAlphaRatio`

@@ -40,6 +40,23 @@ class TextPipelineSpec extends SparkSuite {
     assert(out == Map(1L -> (2L, 1L), 2L -> (2L, 0L)))
   }
 
+  test("leakageSafeSplit keeps duplicate groups in one split") {
+    // docs 1/5/9 are exact duplicates (one group keyed by 1); 2 and 3
+    // are singletons; WHICH split each lands in is hash-determined, the
+    // invariant is that the group never straddles
+    val docs = Seq(
+      (1L, "same words here"), (5L, "same  WORDS here"),
+      (9L, " same words HERE "), (2L, "other text"), (3L, "third doc"))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.leakageSafeSplit(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val group = out.filter(r => Set(1L, 5L, 9L).contains(r._1))
+    assert(group.map(_._2).toSet == Set(1L), "group key must be the min id")
+    assert(group.map(_._3).toSet.size == 1,
+      "duplicates must never straddle splits")
+    assert(out.map(_._3).forall(Set("train", "val", "test")))
+  }
+
   test("packSequences offsets are the global prefix sum, straddles counted") {
     // tokens: 3, 4, 2 at capacity 4 → offsets 0, 3, 7:
     //   doc 1: pack 0 offset 0, fits      (spans 1)
