@@ -108,4 +108,38 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("""[a-z]+|[0-9]+|[^a-z0-9\s]"""),
       lit(0))).cast("long")
+
+  /** Canonical URL form for web-corpus curation (the Common-Crawl-style
+    * dedup/grouping key): lower-cases scheme and authority, strips the
+    * fragment, tracking (`utm_*`) query params, default ports (`:443` for
+    * https, `:80` for http), a leading `www.`/`m.` host label, and any
+    * trailing slash. Every pattern stays in the lookaround-free subset
+    * Java regex and RE2-family engines interpret identically, so the
+    * oracle replays the chain verbatim.
+    */
+  def normalizeUrl(url: Column): Column = {
+    // 1. lower-case `scheme://authority` only — the path stays untouched
+    val pre = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(pre), url.substr(length(pre) + lit(1), lit(1 << 30)))
+    // 2. drop the fragment
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    // 3. drop utm_* tracking params, then repair the delimiter chain:
+    //    a query now starting at '&' gets its '?' back; a dangling '?'
+    //    (all params removed) disappears
+    val noUtm = regexp_replace(noFrag, "[?&]utm_[A-Za-z_]+=[^&#]*", "")
+    val fixedDelim =
+      regexp_replace(regexp_replace(noUtm, "^([^?&]*)&", "$1?"), "\\?$", "")
+    // 4. default ports are noise: strip them (non-default ports survive)
+    val noPort = regexp_replace(
+      regexp_replace(fixedDelim, "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    // 5. mobile/www host aliases collapse onto the bare registrable host
+    val noAlias = regexp_replace(noPort, "^(https?://)(www\\.|m\\.)", "$1")
+    // 6. trailing slash
+    regexp_replace(noAlias, "/$", "")
+  }
+
+  /** Host of a (normalized) URL. */
+  def urlHost(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1)
 }

@@ -211,6 +211,96 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Persist a MinHash-LSH index over `corpus`: one row per (band, bucket)
+    * membership carrying the member's full signature, written partitioned
+    * by `band_idx` and deterministically capped per bucket (same cap rule
+    * as [[minhashNearDupPairs]] — row_number by id within the bucket).
+    *
+    * This turns near-dup detection from "rescan the corpus per batch" into
+    * "build once, probe many": the 100 TB corpus is signed exactly once,
+    * and each incoming batch only computes ITS OWN signatures and joins
+    * them against the index — a shuffle sized by the batch, not the
+    * corpus. The index is ~numHashes longs per (doc, band) membership,
+    * orders of magnitude smaller than the text it summarizes.
+    */
+  def writeMinhashIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      numHashes: Int = 32,
+      maxBucket: Int = 64): Unit = {
+    require(numHashes % 4 == 0, s"numHashes must be a multiple of 4, got $numHashes")
+    val exploded = minhashSignatures(corpus, idCol, textCol, numHashes)
+      .select(col(idCol).as("id"), col("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(bandKeys(col("sig"), bands = numHashes / 4, rowsPerBand = 4))
+          .as(Seq("band_idx", "band_hash")))
+    val wb = Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id"))
+    exploded
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= maxBucket)
+      .select(col("band_idx"), col("band_hash"), col("id"), col("sig"))
+      .write.mode("overwrite").partitionBy("band_idx").parquet(path)
+  }
+
+  /** Probe a persisted MinHash-LSH index ([[writeMinhashIndex]]) with a new
+    * batch: batch docs are signed, their band keys joined against the
+    * index's buckets (the `band_idx` partitioning prunes each probe to its
+    * band's directory), and every candidate scored by signature agreement.
+    * Result: (batch_id, corpus_id, est_jaccard) for candidates at or above
+    * `threshold`.
+    */
+  def probeMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 32): DataFrame = {
+    require(numHashes % 4 == 0, s"numHashes must be a multiple of 4, got $numHashes")
+    val index = spark.read.parquet(path).select(
+      col("band_idx"), col("band_hash"),
+      col("id").as("corpus_id"), col("sig").as("sig_c"))
+    val probes = minhashSignatures(batch, idCol, textCol, numHashes)
+      .select(col(idCol).as("batch_id"), col("sig"))
+      .select(col("batch_id"), col("sig").as("sig_b"),
+        posexplode(bandKeys(col("sig"), bands = numHashes / 4, rowsPerBand = 4))
+          .as(Seq("band_idx", "band_hash")))
+    probes.join(index, Seq("band_idx", "band_hash"))
+      .select(
+        col("batch_id"), col("corpus_id"),
+        (aggregate(
+          zip_with(col("sig_b"), col("sig_c"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x) / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Canonical-document selection: given near-dup clusters, keep exactly
+    * one document per cluster — the one maximizing `weightCol` (ties to
+    * the smallest id), the standard "keep the best copy" step after
+    * near-dup clustering (length, quality score, recency…). Docs in no
+    * cluster keep themselves. Result: (idCol, cluster_rep, keep 0|1).
+    */
+  def canonicalPerCluster(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weightCol: String): DataFrame = {
+    val clusters = dupClusters(df, idCol, pairs)
+    val wk = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col(weightCol).desc, col(idCol))
+    clusters
+      .join(df.select(col(idCol), col(weightCol)), Seq(idCol))
+      .withColumn("keep",
+        when(row_number().over(wk) === 1, 1).otherwise(0).cast("int"))
+      .select(col(idCol), col("cluster_rep"), col("keep"))
+  }
+
   /** Connected components over near-dup candidate pairs: every document gets
     * the smallest doc id reachable through the pair graph as its cluster
     * representative (iterative min-label propagation, the standard

@@ -58,4 +58,39 @@ object Sampling {
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
   }
+
+  /** Temperature-scaled stratum balancing — the multilingual-corpus
+    * sampling recipe: each stratum's quota out of `target` rows is
+    * proportional to count^α with α = 0.5 (√count), which upweights
+    * low-resource strata relative to proportional sampling without the
+    * head-stratum starvation of a uniform cap. Rows within a stratum are
+    * then chosen by the engine's reproducible md5 rank.
+    *
+    * Determinism across engines: √count is quantized to DECIMAL(28,12)
+    * BEFORE the cross-stratum sum, so the weight total is
+    * order-independent; quotas are floors of exactly-reproducible
+    * doubles. The stratum table is metadata-sized and broadcast — the
+    * only corpus-sized work is one count aggregate and one per-stratum
+    * window rank.
+    */
+  def temperatureBalanced(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      target: Int): DataFrame = {
+    val weights = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__wq",
+        sqrt(col("cnt").cast("double")).cast("decimal(28,12)"))
+    val total = weights.agg(sum(col("__wq")).cast("double").as("__tw"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .select(col(stratumCol),
+        floor(lit(target.toDouble) * col("__wq").cast("double") / col("__tw"))
+          .cast("long").as("quota"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .filter(col("rk") <= col("quota"))
+  }
 }

@@ -213,4 +213,63 @@ object TextPipeline {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Corpus vocabulary with rank-assigned token ids — the tokenizer-prep
+    * step: the `topN` most frequent words (ties broken lexicographically),
+    * each with its corpus frequency, document frequency, and the running
+    * share of all corpus tokens the vocabulary covers up to that rank.
+    *
+    * Scale shape: the word counting is a map-side-combined hash aggregate
+    * over exploded words (corpus-sized, fully distributed); only the
+    * DISTINCT VOCABULARY — orders of magnitude smaller than the corpus —
+    * flows into the single-partition ranking window, which is the standard
+    * and correct place for a global sort this size.
+    */
+  def vocabulary(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("__total"))
+    val rk = Window.orderBy(col("cnt").desc, col("w"))
+    val cum = Window.orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") <= topN)
+      .crossJoin(broadcast(total))
+      .select(
+        (col("rn") - 1).cast("long").as("token_id"), col("w"), col("cnt"),
+        col("df"),
+        round(sum(col("cnt")).over(cum).cast("double") / col("__total"), 9)
+          .as("coverage"))
+  }
+
+  /** First-iteration BPE merge statistics: the frequency of every adjacent
+    * character pair inside words, weighted by word frequency — the pair
+    * counts a byte-pair-encoding trainer ranks to pick its next merge.
+    * Returns the `topN` pairs with their total weighted count and the
+    * number of distinct words containing them.
+    *
+    * The quadratic-looking step is linear: pairs explode per CHARACTER of
+    * the distinct-word table (already aggregated, tiny vs the corpus), and
+    * the corpus itself is read once for the word counts.
+    */
+  def bpePairStats(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val wordCounts = docs
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val pairs = wordCounts
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("cnt"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("w"), col("cnt"))
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("total"), count_distinct(col("w")).as("n_words"))
+    val rk = Window.orderBy(col("total").desc, col("pair"))
+    pairs
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= topN)
+      .select(col("rk"), col("pair"), col("total"), col("n_words"))
+  }
 }

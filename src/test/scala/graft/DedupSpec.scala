@@ -70,4 +70,37 @@ class DedupSpec extends SparkSuite {
     assert(top.getAs[Long]("id_b") == 2L)
     assert(top.getAs[Double]("jaccard") == 1.0)
   }
+
+  test("persisted LSH index probe finds corpus near-dups at batch cost") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_lshidx").toString + "/idx"
+    // corpus = docs 1,3,4; batch = 2 (dup of 1), 5 (unrelated)
+    Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id").isin(1L, 3L, 4L)), "doc_id", "text", idx)
+    // the index is laid out for band-pruned probes
+    assert(new java.io.File(idx).listFiles()
+      .exists(_.getName.startsWith("band_idx=")))
+    val hits = Dedup.probeMinhashIndex(
+      spark, idx, docs.filter(col("doc_id").isin(2L, 5L)),
+      "doc_id", "text", threshold = 0.5)
+      .select("batch_id", "corpus_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.exists(h => h._1 == 2L && h._2 == 1L && h._3 == 1.0),
+      "the exact duplicate must surface with full signature agreement")
+    assert(!hits.exists(_._1 == 5L), "unrelated batch doc must not match")
+  }
+
+  test("canonicalPerCluster keeps exactly the best-weighted doc per cluster") {
+    val weighted = docs.withColumn("w",
+      // doc 2 outweighs its duplicate 1: the canonical pick must be 2
+      when(col("doc_id") === 2L, 10L).otherwise(col("doc_id")))
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalPerCluster(weighted, "doc_id", pairs, "w")
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 0)) && out(2L) == ((1L, 1)) && out(3L) == ((1L, 0)),
+      "cluster {1,2,3} keeps only the heaviest member 2")
+    assert(out(4L) == ((4L, 1)) && out(5L) == ((5L, 1)),
+      "singleton docs keep themselves")
+  }
 }

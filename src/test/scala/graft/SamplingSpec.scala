@@ -29,6 +29,30 @@ class SamplingSpec extends SparkSuite {
     assert(counts.values.sum == out.count())
   }
 
+  test("temperature balancing gives √count quotas, chosen by md5 rank") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = Sampling.temperatureBalanced(docs, "lang", "doc_id", target = 100)
+    val picked = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max(col("quota")).as("q")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(picked.values.forall { case (n, q) => n == math.min(q, n) && n <= q },
+      "each stratum fills exactly up to its quota")
+    assert(picked.values.map(_._1).sum <= 100, "floors never exceed the target")
+    // √-temperature flattens the distribution: the dominant stratum's
+    // quota share must sit BELOW its raw count share
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top = counts.maxBy(_._2)._1
+    val quotaShare = picked(top)._2.toDouble / picked.values.map(_._2).sum
+    val countShare = counts(top).toDouble / counts.values.sum
+    assert(quotaShare < countShare)
+    // reproducible: a second run selects the identical rows
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.temperatureBalanced(docs, "lang", "doc_id", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("frame sampling emits every 4th frame with byte offsets") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 450)).toDF("doc_id", "text") // 4 frames of 100B

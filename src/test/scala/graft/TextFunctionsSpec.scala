@@ -50,4 +50,30 @@ class TextFunctionsSpec extends SparkSuite {
     // tokens: abc | 123 | ! | x | y
     assert(df.select(TextFunctions.bpeishTokenCount(col("text"))).head().getLong(0) == 5L)
   }
+
+  test("normalizeUrl canonicalizes scheme, host, ports, params, slashes") {
+    val cases = Seq(
+      // upper scheme/host, www, default https port, utm params, fragment
+      "HTTPS://WWW.Ex.COM:443/Docs/1?utm_source=x&ref=de#top" ->
+        "https://ex.com/Docs/1?ref=de",
+      // trailing slash, http default port
+      "http://ex.com:80/docs/2/" -> "http://ex.com/docs/2",
+      // non-default port survives; all params were tracking → no query
+      "https://ex.com:8080/docs/3?utm_medium=y" -> "https://ex.com:8080/docs/3",
+      // mobile alias collapses; path case is preserved
+      "https://m.ex.com/DOCS/4" -> "https://m.ex.com/DOCS/4"
+        .replace("m.ex.com", "ex.com"),
+      // non-utm params and their order are untouched
+      "https://ex.com/p?b=2&a=1" -> "https://ex.com/p?b=2&a=1")
+    val df = cases.map(_._1).toDF("u")
+      .select(col("u"), TextFunctions.normalizeUrl(col("u")).as("n"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"for $in") }
+  }
+
+  test("urlHost extracts the registrable host from a normalized url") {
+    val df = Seq("https://ex.com:8080/docs/3").toDF("u")
+    assert(df.select(TextFunctions.urlHost(col("u"))).head().getString(0)
+      == "ex.com")
+  }
 }

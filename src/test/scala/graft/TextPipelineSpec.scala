@@ -71,4 +71,26 @@ class TextPipelineSpec extends SparkSuite {
     assert(out == Map(
       1L -> (0L, 0L, 1L), 2L -> (0L, 3L, 2L), 3L -> (1L, 3L, 2L)))
   }
+
+  test("vocabulary ranks by frequency with running coverage") {
+    // counts: b=3, a=2, c=1 (6 tokens); ties impossible here
+    val docs = Seq((1L, "a b b"), (2L, "b a c")).toDF("doc_id", "text")
+    val out = TextPipeline.vocabulary(docs, topN = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, "b", 3L, 2L, 0.5), (1L, "a", 2L, 2L, 0.833333333)),
+      "rank order, doc frequency and 9-dp cumulative coverage must all hold")
+  }
+
+  test("bpePairStats weights char pairs by word frequency") {
+    // words: "ab" ×3 → pair ab=3; "abc" ×1 → ab+1, bc=1; "z" has no pair
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab z")).toDF("doc_id", "text")
+    val out = TextPipeline.bpePairStats(docs).collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("ab") == ((1L, 4L, 2L)), "rank 1: weight 3+1 over 2 words")
+    assert(out("bc") == ((2L, 1L, 1L)))
+    assert(out.size == 2, "single-char words contribute no pair")
+  }
 }

@@ -236,4 +236,27 @@ class TxLakeSpec extends SparkSuite {
       "half-published commit must be invisible")
     assert(TxLake.latestVersion(lake) == 1L)
   }
+
+  test("changeFeed reports net per-commit row changes, survivors cancel") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2, 3)) // v1
+    TxLake.commit(spark, lake, df(4, 5))    // v2 append
+    TxLake.deleteWhere(spark, lake, col("id") === 2L) // v3 rewrite
+    def feed(from: Long, to: Long = Long.MaxValue) =
+      TxLake.changeFeed(spark, lake, from, to)
+        .select(col("_commit_version"), col("_change_type"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed(1L) == Set((2L, "insert", 4L), (2L, "insert", 5L),
+      (3L, "delete", 2L)),
+      "survivors 1 and 3 were rewritten with 2's file and must cancel")
+    // range selection: only v2's changes
+    assert(feed(1L, 2L) == Set((2L, "insert", 4L), (2L, "insert", 5L)))
+    // from the beginning, the initial load is an insert commit too
+    assert(feed(0L, 1L) == Set((1L, "insert", 1L), (1L, "insert", 2L),
+      (1L, "insert", 3L)))
+    // an overwrite nets out as delete-everything + insert-replacement
+    TxLake.commit(spark, lake, df(7), overwrite = true) // v4
+    assert(feed(3L) == Set((4L, "insert", 7L), (4L, "delete", 1L),
+      (4L, "delete", 3L), (4L, "delete", 4L), (4L, "delete", 5L)))
+  }
 }
