@@ -2405,6 +2405,195 @@ object SparkEntry {
     graft.operators.TextPipeline.leakageSafeSplit(T(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** TxLake change-data-feed ([[TxLake.changeFeed]]): the NET row-level
+    * changes of each commit after the initial load — v2 appends the even
+    * orders, v3 erases one custkey decile — derived from the file-level
+    * log and reading only the files those commits touched. The v3 rewrite
+    * re-writes survivors into fresh files; they cancel in the feed's
+    * EXCEPT ALL and must not appear.
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q153")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(lake))
+    val o = T(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderstatus"))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 2 === 1))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 2 === 0))
+    TxLake.deleteWhere(s, lake, col("o_custkey") % 10 === 0)
+    TxLake.changeFeed(s, lake, fromVersion = 1L)
+      .orderBy(col("_commit_version"), col("_change_type"), col("o_orderkey"))
+  }
+
+  /** Persisted MinHash-LSH near-dup index ([[Dedup.writeMinhashIndex]] /
+    * [[Dedup.probeMinhashIndex]]): the corpus (doc_id % 7 ≠ 0) is signed
+    * and banded ONCE into a band-partitioned index; the incoming batch
+    * (doc_id % 7 = 0) is signed on its own and probed against the index —
+    * near-dup detection at batch cost against a standing corpus.
+    */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val idx = scratch(dir, "q154_idx")
+    val docs = T(s, dir, "documents")
+    Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", idx)
+    Dedup.probeMinhashIndex(
+      s, idx, docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+      threshold = 0.3)
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  /** Canonical-copy selection after near-dup clustering
+    * ([[Dedup.canonicalPerCluster]]): MinHash pair graph → connected
+    * components → keep exactly the longest document per cluster (ties to
+    * the smallest id) — the "keep the best copy" step between dedup
+    * detection and corpus emission.
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.3)
+    Dedup.canonicalPerCluster(docs, "doc_id", pairs, "n_chars")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rank-assigned corpus vocabulary ([[TextPipeline.vocabulary]]): the
+    * 1000 most frequent words with corpus/document frequency and running
+    * token coverage — the tokenizer-prep artifact.
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.vocabulary(T(s, dir, "documents"))
+      .orderBy(col("token_id"))
+
+  /** First-iteration BPE merge statistics ([[TextPipeline.bpePairStats]]):
+    * adjacent character pairs inside words, weighted by word frequency —
+    * what a BPE trainer ranks to pick its first merge.
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.bpePairStats(T(s, dir, "documents"))
+      .orderBy(col("rk"))
+
+  /** URL canonicalization ([[TextFunctions.normalizeUrl]]) over messy
+    * synthesized URLs (declared input synthesis — four deterministic
+    * dirty variants per doc: uppercased scheme/host + default port +
+    * tracking params + fragment, trailing slash, non-default port, mobile
+    * host alias): the Common-Crawl-style canonical grouping key, plus the
+    * extracted host.
+    */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(col("source"), lit(".example.com"))
+    val v = pmod(col("doc_id"), lit(4))
+    val url = when(v === 0, concat(
+        lit("HTTPS://WWW."), upper(host), lit(":443/docs/"), col("doc_id"),
+        lit("?utm_source=x&ref="), col("lang"), lit("#top")))
+      .when(v === 1, concat(
+        lit("http://"), host, lit("/docs/"), col("doc_id"), lit("/")))
+      .when(v === 2, concat(
+        lit("https://"), host, lit(":8080/docs/"), col("doc_id"),
+        lit("?utm_medium=y")))
+      .otherwise(concat(
+        lit("https://m."), host, lit("/docs/"), col("doc_id")))
+    T(s, dir, "documents")
+      .select(col("doc_id"), url.as("raw_url"))
+      .select(col("doc_id"), col("raw_url"),
+        TF.normalizeUrl(col("raw_url")).as("url"))
+      .select(col("doc_id"), col("url"), TF.urlHost(col("url")).as("host"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-scaled language balancing
+    * ([[Sampling.temperatureBalanced]]): per-language quotas out of a
+    * 200-document target proportional to √count, rows chosen by the
+    * reproducible md5 rank — the multilingual-corpus construction recipe.
+    */
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureBalanced(
+      T(s, dir, "documents"), "lang", "doc_id", target = 200)
+      .select(col("doc_id"), col("lang"), col("rk"), col("quota"))
+      .orderBy(col("lang"), col("rk"))
+
+  /** Point-in-time dimension join — the leakage-safe feature join: each
+    * purchase is enriched with the SCD2 state version (q64's islands) that
+    * HELD at the purchase's own second, never a later one. Dim versions
+    * sharing a `valid_from` second collapse to the highest version (the
+    * state after that second's last event) so the as-of pick is
+    * deterministic on both engines; the join itself is
+    * [[Relational.asofJoin]]'s union+window shape — one shuffle by user,
+    * no range-condition theta join.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), evSec.as("sec"))
+    val dimAll = ev
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version", sum(col("chg")).over(cum))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state_type"),
+        min(col("sec")).as("valid_from"))
+    val wv = Window.partitionBy(col("user_id"), col("valid_from"))
+      .orderBy(col("version").desc)
+    val dim = dimAll
+      .withColumn("__vrn", row_number().over(wv))
+      .filter(col("__vrn") === 1).drop("__vrn")
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("sec"))
+    Relational.asofJoin(facts, dim, "user_id", "sec", "valid_from",
+      Seq("version", "state_type"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Partition-spec evolution ([[PartitionedLake.writeSegment]] /
+    * [[PartitionedLake.readSegments]]): history stays partitioned by
+    * `date_id` while the newest day lands under the finer
+    * `(date_id, event_type)` spec — nothing is rewritten, and the
+    * layout-aware read prunes each generation under its own spec (proven
+    * in LakeSpec via inputFiles).
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "q161")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(root))
+    val ev = T(s, dir, "events").select(
+      col("event_id"), col("event_type"), col("value"), evDateId.as("date_id"))
+    val maxDate = ev.agg(max(col("date_id"))).head().getString(0)
+    PartitionedLake.writeSegment(
+      ev.filter(col("date_id") < maxDate), root, "gen1", Seq("date_id"))
+    PartitionedLake.writeSegment(
+      ev.filter(col("date_id") === maxDate), root, "gen2",
+      Seq("date_id", "event_type"))
+    PartitionedLake.readSegments(s, root)
+      // partition values may type-infer on read; the query key is a string
+      .withColumn("date_id", col("date_id").cast("string"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("date_id"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("date_id"))
+  }
+
+  /** Per-part triangle counts in the order-co-occurrence graph
+    * ([[graft.operators.Graph.triangleCounts]]): parts are linked when an
+    * order contains both (q123's edge construction); triangles — the
+    * clustering signal community detection starts from — come from the
+    * degree-ordered orientation, never the raw-degree wedge explosion.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.Graph.triangleCounts(edges)
+      .orderBy(col("n_triangles").desc, col("node")).limit(50)
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2722,6 +2911,16 @@ object SparkEntry {
     "q150_ivf_index" -> (q150 _),
     "q151_footer_stats" -> (q151 _),
     "q152_leakage_split" -> (q152 _),
+    "q153_txlake_cdf" -> (q153 _),
+    "q154_lsh_index" -> (q154 _),
+    "q155_canonical_dedup" -> (q155 _),
+    "q156_vocab_build" -> (q156 _),
+    "q157_bpe_pairs" -> (q157 _),
+    "q158_url_normalize" -> (q158 _),
+    "q159_temperature_sample" -> (q159 _),
+    "q160_pit_join" -> (q160 _),
+    "q161_partition_evolution" -> (q161 _),
+    "q162_triangles" -> (q162 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3172,78 +3371,51 @@ object SparkEntry {
     // same fingerprint (q32's), same md5 split recipe (q47/q76's)
     "q152_leakage_split" ->
       """WITH g AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), k AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS gkey FROM g), b AS (SELECT doc_id, gkey, CAST(concat('0x', substr(md5(CAST(gkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS pct FROM k) SELECT doc_id, gkey, CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
-    // footer-derived stats must equal the plain aggregates
-    "q151_footer_stats" ->
-      """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey, MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice FROM orders""",
-    // closed-form OLS over exact integer sums; identical double op order
-    "q147_trend_ols" ->
-      """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT event_type, hour_id - MIN(hour_id) OVER (PARTITION BY event_type) AS x, n AS y FROM h), a AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy, COUNT(DISTINCT x) AS nx FROM b GROUP BY 1) SELECT event_type, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope FROM a WHERE nx >= 2 ORDER BY event_type""",
-    // residual squares quantized to DECIMAL(28,12) before the sum on both
-    // sides (order-independent), sqrt/divisions correctly rounded
-    "q148_seasonal_anomaly" ->
-      """WITH h AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_id, COUNT(*) AS n FROM events GROUP BY 1, 2), p AS (SELECT event_type, hour_id, hour_id % 24 AS season_pos, CAST(n AS DOUBLE) AS n FROM h), w AS (SELECT event_type, hour_id, n, AVG(n) OVER (PARTITION BY event_type, season_pos) AS seasonal FROM p), r AS (SELECT event_type, hour_id, n, seasonal, n - seasonal AS resid FROM w), t AS (SELECT event_type, hour_id, n, seasonal, resid, sqrt(CAST(SUM(CAST(resid * resid AS DECIMAL(28,12))) OVER (PARTITION BY event_type) AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)) AS sd FROM r) SELECT event_type, hour_id, CAST(n AS BIGINT) AS n, round(seasonal, 6) AS seasonal, CAST(CASE WHEN abs(resid) > 2.0 * sd THEN 1 ELSE 0 END AS INT) AS anomaly FROM t ORDER BY event_type, hour_id""",
-    // the affected-file UPDATE must be row-equivalent to the plain CASE
-    "q145_txlake_update" ->
-      """SELECT event_type, COUNT(*) AS n, CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) + 100 ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
-    // MERGE = replace matched keys, insert unmatched ones
-    "q146_txlake_merge" ->
-      """SELECT c_custkey, CAST(CASE WHEN c_custkey <= 100 THEN 0.00 ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS DOUBLE) AS bal FROM customer WHERE c_custkey <= 500 UNION ALL SELECT k, 1.0 FROM range(10001, 10006) t(k) ORDER BY c_custkey""",
-    // the maintained view's aggregate must equal the plain full join
-    "q144_incremental_join" ->
-      """SELECT strftime(o_orderdate, '%Y-%m') AS month, c_mktsegment AS segment, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2 ORDER BY month, segment""",
-    // identical blocking and dirty-name synthesis; DuckDB's
-    // jaro_winkler_similarity is bit-identical to the codegen expression
-    // (verified over all 150k blocked pairs), so the raw-double threshold
-    // replays exactly
-    "q143_fuzzy_linkage" ->
-      """WITH a AS (SELECT c_custkey AS a_key, c_name AS a_name, substring(c_name, 10, 7) AS blk FROM customer), b AS (SELECT c_custkey AS b_key, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)) AS b_name, substring(c_name, 10, 7) AS blk FROM customer) SELECT a_key, b_key, round(jaro_winkler_similarity(a_name, b_name), 6) AS sim FROM a JOIN b USING (blk) WHERE jaro_winkler_similarity(a_name, b_name) >= 0.98 ORDER BY a_key, b_key""",
-    // append emission at watermark passage must equal batch
-    // sessionization — same gap-split replay as q54
-    "q142_stream_append_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
-    // the pruned update-mode emissions must equal batch sessionization —
-    // same gap-split replay as q54
-    "q135_stream_update_sessions" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, session_id ORDER BY user_id, start_sec""",
-    // the append-mode drain must emit every CLOSED hourly window exactly
-    // once, so the stream result replays as the plain batch hourly counts
-    // plus a per-key trailing-24-row window; sums of small ints are exact
-    // in double, so avg and the 2x comparison are deterministic both sides
-    "q136_stream_alerts" ->
-      """WITH hourly AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), b AS (SELECT hour, event_type, n, CAST(COUNT(n) OVER w AS BIGINT) AS n_prior, AVG(n) OVER w AS baseline FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) SELECT hour, event_type, n, n_prior, round(baseline, 6) AS baseline, CAST(CASE WHEN n_prior >= 3 AND CAST(n AS DOUBLE) > 2.0 * baseline THEN 1 ELSE 0 END AS INT) AS alert FROM b ORDER BY event_type, hour""",
-    // the lake read-back after the double run must equal the plain
-    // one-day aggregates — duplicates or partition drift break the hash
-    "q137_job_runner" ->
-      """WITH mx AS (SELECT MAX(strftime(ts, '%Y-%m-%d')) AS d FROM events), ev AS (SELECT event_type, user_id, value FROM events, mx WHERE strftime(ts, '%Y-%m-%d') = mx.d) SELECT * FROM (SELECT 'daily_type_stats' AS job, event_type AS key, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM ev GROUP BY 2 UNION ALL SELECT 'daily_users', 'ALL', COUNT(DISTINCT user_id), CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) FROM ev) ORDER BY job, key""",
-    // every gathered byte slice replayed in HEX space (same trick as
-    // q129): a byte-aligned slice of hex(payload) IS the hex of the byte
-    // slice, and string_agg over the spanned raster rows in y-order equals
-    // the Spark-side binary fold; both engines' hex and md5 agree
-    "q134_image_tiles" ->
-      """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id <= 200), d AS (SELECT doc_id, hx, length(hx) // 2 AS len, (length(hx) // 2 + 63) // 64 AS n_rows FROM p WHERE length(hx) > 0), tr AS (SELECT doc_id, hx, len, n_rows, unnest(range(0, (n_rows + 15) // 16)) AS tile_r FROM d), tc AS (SELECT doc_id, hx, len, n_rows, tile_r, unnest(range(0, (least(len, 64) + 15) // 16)) AS tile_c FROM tr), y AS (SELECT doc_id, tile_r, tile_c, hx, unnest(range(tile_r * 16, least((tile_r + 1) * 16, n_rows))) AS yy FROM tc), sl AS (SELECT doc_id, tile_r, tile_c, yy, substring(hx, CAST((yy * 64 + tile_c * 16) * 2 + 1 AS BIGINT), 32) AS s FROM y), t AS (SELECT doc_id, CAST(tile_r AS BIGINT) AS tile_r, CAST(tile_c AS BIGINT) AS tile_c, string_agg(s, '' ORDER BY yy) AS thx FROM sl GROUP BY 1, 2, 3) SELECT doc_id, tile_r, tile_c, CAST(length(thx) // 2 AS BIGINT) AS tile_len, md5(thx) AS tile_md5 FROM t WHERE length(thx) > 0 ORDER BY doc_id, tile_r, tile_c""",
-    // the two-phase distributed prefix sum must equal the plain global
-    // running sum; all arithmetic is integer-exact
-    "q138_seq_packing" ->
-      """WITH t AS (SELECT doc_id, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens FROM documents), o AS (SELECT doc_id, tokens, SUM(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens AS off FROM t WHERE tokens >= 1) SELECT doc_id, tokens, CAST(off // 512 AS BIGINT) AS pack_id, CAST(off % 512 AS BIGINT) AS pack_offset, CAST((off + tokens - 1) // 512 - off // 512 + 1 AS BIGINT) AS n_spans FROM o ORDER BY doc_id""",
-    // identical 3-gram construction (1-based inclusive list slices) and
-    // count arithmetic
-    "q139_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS gram FROM w WHERE len(w) >= 3), c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2) SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, CAST(MAX(cnt) AS BIGINT) AS max_rep, round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS rep_ratio FROM c GROUP BY doc_id ORDER BY doc_id""",
-    // same synthesized text, same lookaround-free patterns (Java regex and
-    // RE2 agree on this subset); DuckDB regexp_replace needs the g flag
-    "q140_pii_redact" ->
-      """WITH t AS (SELECT c_custkey, concat(c_name, ' <user', CAST(c_custkey AS VARCHAR), '@example.com> bal ', CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)) AS text FROM customer), r AS (SELECT c_custkey, CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS ne FROM t) SELECT c_custkey, n_emails, CAST(len(regexp_extract_all(ne, '[0-9]{3,}')) AS BIGINT) AS n_digit_runs, md5(regexp_replace(ne, '[0-9]{3,}', '<NUM>', 'g')) AS red_md5 FROM r ORDER BY c_custkey""",
-    // identical 4-gram shingling; DISTINCT per (doc, shingle) both sides;
-    // benchmark membership via left join on the shingle text
-    "q141_contamination" ->
-      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents), g0 AS (SELECT doc_id, doc_id % 97 = 0 AS is_bench, unnest(list_transform(range(1, len(w) - 2), i -> array_to_string(w[i:i+3], ' '))) AS gram FROM w WHERE len(w) >= 4), g AS (SELECT DISTINCT doc_id, is_bench, gram FROM g0), b AS (SELECT DISTINCT gram FROM g WHERE is_bench), c AS (SELECT g.doc_id, COUNT(*) AS n_shingles, CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM g LEFT JOIN b ON g.gram = b.gram WHERE NOT g.is_bench GROUP BY g.doc_id) SELECT doc_id, n_shingles, n_hits, round(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS contamination FROM c ORDER BY doc_id""",
-    // branch isolation in both directions: main sees id%4 in 0,1,2 and
-    // the branch sees 0,1,3 — any leakage changes a count and the hash
-    "q149_txlake_branch" ->
-      """WITH ev AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value FROM events) SELECT * FROM (SELECT 'main' AS side, event_type, COUNT(*) AS n, CAST(SUM(value) AS DOUBLE) AS total FROM ev WHERE event_id % 4 IN (0, 1, 2) GROUP BY 2 UNION ALL SELECT 'exp', event_type, COUNT(*), CAST(SUM(value) AS DOUBLE) FROM ev WHERE event_id % 4 IN (0, 1, 3) GROUP BY 2) ORDER BY side, event_type""",
-    // same fingerprint (q32's), same md5 split recipe (q47/q76's)
-    "q152_leakage_split" ->
-      """WITH g AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents), k AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS gkey FROM g), b AS (SELECT doc_id, gkey, CAST(concat('0x', substr(md5(CAST(gkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS pct FROM k) SELECT doc_id, gkey, CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split FROM b ORDER BY doc_id""",
+    // net per-commit changes replayed from the staged commit recipe:
+    // v2 appended the even orderkeys, v3 erased custkey % 10 = 0 (the
+    // rewrite's carried-over survivors cancel in the feed's EXCEPT ALL
+    // and must not appear on either side)
+    "q153_txlake_cdf" ->
+      """SELECT * FROM (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM orders WHERE o_orderkey % 2 = 0 UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'delete', 3 FROM orders WHERE o_custkey % 10 = 0) ORDER BY _commit_version, _change_type, o_orderkey""",
+    // q84's replayed MinHash machinery, split corpus/batch: the corpus
+    // side (id % 7 <> 0) is bucket-capped AFTER the split — the same rank
+    // rule the persisted index applies at build time; the probing batch
+    // (id % 7 = 0) is uncapped
+    "q154_lsh_index" ->
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands WHERE id % 7 <> 0), qb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash FROM bands WHERE id % 7 = 0), p AS (SELECT DISTINCT q.id AS batch_id, c.id AS corpus_id, CAST(len(list_filter(range(32), i -> q.sig[i+1] = c.sig[i+1])) AS DOUBLE) / 32.0 AS est_jaccard FROM qb q JOIN wb c ON q.band_idx = c.band_idx AND q.band_hash = c.band_hash WHERE c.rn <= 64) SELECT batch_id, corpus_id, est_jaccard FROM p WHERE est_jaccard >= 0.3 ORDER BY batch_id, corpus_id""",
+    // q84's replayed MinHash machinery + q59's reachability closure; the
+    // canonical pick is the longest doc (n_chars), ties to the smallest id
+    "q155_canonical_dedup" ->
+      s"""$HASH_MACROS; WITH RECURSIVE hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands), p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64 AND CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32.0 >= 0.3), e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p), reach(node, label) AS (SELECT doc_id, doc_id FROM documents UNION SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node), cl AS (SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY node), rk AS (SELECT cl.doc_id, cl.cluster_rep, ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep ORDER BY d.n_chars DESC, cl.doc_id) AS r FROM cl JOIN documents d ON d.doc_id = cl.doc_id) SELECT doc_id, cluster_rep, CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS INT) AS keep FROM rk ORDER BY doc_id""",
+    // same normalized word split as q85; ties broken lexicographically;
+    // coverage = exact integer cumulative over exact integer total
+    "q156_vocab_build" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT w, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1), t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c), r AS (SELECT w, cnt, df, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rn FROM c) SELECT CAST(rn - 1 AS BIGINT) AS token_id, w, cnt, df, round(CAST(SUM(cnt) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / (SELECT total FROM t), 9) AS coverage FROM r WHERE rn <= 1000 ORDER BY token_id""",
+    // char-based substr agrees across engines (incl. multibyte); weights
+    // are exact integer word counts
+    "q157_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1), pr AS (SELECT substr(w, CAST(i + 1 AS INTEGER), 2) AS pair, w, cnt FROM (SELECT w, cnt, unnest(range(length(w) - 1)) AS i FROM c WHERE length(w) >= 2)), a AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total, COUNT(DISTINCT w) AS n_words FROM pr GROUP BY 1), r AS (SELECT pair, total, n_words, ROW_NUMBER() OVER (ORDER BY total DESC, pair) AS rk0 FROM a) SELECT CAST(rk0 AS BIGINT) AS rk, pair, total, n_words FROM r WHERE rk0 <= 100 ORDER BY rk""",
+    // same synthesis, same lookaround-free normalization chain; every
+    // DuckDB replace carries the g flag to match Java's replace-all
+    "q158_url_normalize" ->
+      """WITH s AS (SELECT doc_id, lang, source || '.example.com' AS host, doc_id % 4 AS v FROM documents), raw AS (SELECT doc_id, CASE v WHEN 0 THEN 'HTTPS://WWW.' || upper(host) || ':443/docs/' || CAST(doc_id AS VARCHAR) || '?utm_source=x&ref=' || lang || '#top' WHEN 1 THEN 'http://' || host || '/docs/' || CAST(doc_id AS VARCHAR) || '/' WHEN 2 THEN 'https://' || host || ':8080/docs/' || CAST(doc_id AS VARCHAR) || '?utm_medium=y' ELSE 'https://m.' || host || '/docs/' || CAST(doc_id AS VARCHAR) END AS u FROM s), n1 AS (SELECT doc_id, lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) || substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS u FROM raw), n2 AS (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM n1), n3 AS (SELECT doc_id, regexp_replace(u, '[?&]utm_[A-Za-z_]+=[^&#]*', '', 'g') AS u FROM n2), n4 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '^([^?&]*)&', '\1?', 'g'), '\?$', '', 'g') AS u FROM n3), n5 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2', 'g'), '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2', 'g') AS u FROM n4), n6 AS (SELECT doc_id, regexp_replace(u, '^(https?://)(www\.|m\.)', '\1', 'g') AS u FROM n5), n7 AS (SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS url FROM n6) SELECT doc_id, url, regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host FROM n7 ORDER BY doc_id""",
+    // √count quantized to DECIMAL(28,12) BEFORE the cross-stratum sum on
+    // both sides (order-independent total); same md5 rank recipe as q47/q48
+    "q159_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1), w AS (SELECT lang, CAST(sqrt(CAST(cnt AS DOUBLE)) AS DECIMAL(28,12)) AS wq FROM c), t AS (SELECT CAST(SUM(wq) AS DOUBLE) AS tw FROM w), q AS (SELECT lang, CAST(floor(200.0 * CAST(wq AS DOUBLE) / (SELECT tw FROM t)) AS BIGINT) AS quota FROM w), r AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk FROM documents) SELECT r.doc_id, r.lang, r.rk, q.quota FROM r JOIN q USING (lang) WHERE r.rk <= q.quota ORDER BY lang, rk""",
+    // q64's island replay + per-(user, valid_from) max-version collapse,
+    // then the latest version at or before each purchase second — the
+    // as-of inclusive-<= convention both engines pin identically
+    "q160_pit_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), c AS (SELECT user_id, event_id, event_type, sec, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), g AS (SELECT user_id, event_type, sec, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM c), i AS (SELECT user_id, version, MIN(event_type) AS state_type, MIN(sec) AS valid_from FROM g GROUP BY 1, 2), d AS (SELECT user_id, version, state_type, valid_from FROM (SELECT i.*, ROW_NUMBER() OVER (PARTITION BY user_id, valid_from ORDER BY version DESC) AS rn FROM i) WHERE rn = 1), p AS (SELECT user_id, event_id AS p_id, sec FROM e WHERE event_type = 'purchase'), j AS (SELECT p.p_id, p.user_id, p.sec, d.version, d.state_type, ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY d.valid_from DESC) AS rn FROM p JOIN d ON p.user_id = d.user_id AND d.valid_from <= p.sec) SELECT p_id, user_id, sec, version, state_type FROM j WHERE rn = 1 ORDER BY p_id""",
+    // the layout-aware union must equal the plain filtered aggregate —
+    // rows duplicated or lost across generations break count and sum
+    "q161_partition_evolution" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY date_id""",
+    // same degree-ordered orientation both sides: tuple-wise (deg, id)
+    // comparisons, wedge at the lowest-ordered vertex, one closing probe
+    "q162_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), e0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), deg AS (SELECT node, COUNT(*) AS deg FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), o AS (SELECT CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN e0.a ELSE e0.b END AS src, CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN e0.b ELSE e0.a END AS dst, CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN db.deg ELSE da.deg END AS ddeg FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b), w AS (SELECT e1.src, e1.dst AS u, e2.dst AS v FROM o e1 JOIN o e2 ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)), t AS (SELECT w.src, w.u, w.v FROM w JOIN o ON o.src = w.u AND o.dst = w.v), pn AS (SELECT node, COUNT(*) AS n_triangles FROM (SELECT src AS node FROM t UNION ALL SELECT u FROM t UNION ALL SELECT v FROM t) GROUP BY 1) SELECT node, n_triangles FROM pn ORDER BY n_triangles DESC, node LIMIT 50""",
     // footer-derived stats must equal the plain aggregates
     "q151_footer_stats" ->
       """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey, MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice FROM orders""",

@@ -98,4 +98,53 @@ object Graph {
     }
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
+
+  /** Per-node triangle counts over an undirected edge list (`src`, `dst`).
+    *
+    * The classic degree-ordered orientation: every edge points from its
+    * lower to its higher endpoint under the TOTAL order (degree, id), so
+    * each triangle is generated exactly once — as a wedge at its
+    * lowest-ordered vertex closed by one oriented edge — and the wedge
+    * fan-out per vertex is bounded by its oriented OUT-degree, which
+    * degree-ordering caps near the graph's arboricity (√m for the worst
+    * vertex) instead of the raw degree. That is the difference between a
+    * hub with 10M neighbors exploding into 10¹⁴ wedges and staying at ~m.
+    * Three shuffles total (degree join, wedge self-join, closing-edge
+    * join); no global rank table — the order is compared tuple-wise, so
+    * nothing needs a single-partition window.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint(true) // reused by both wedge sides and the probe
+    val wedges = oriented.select(col("src"), col("dst").as("u"),
+        col("ddeg").as("du"))
+      .join(oriented.select(col("src"), col("dst").as("v"),
+        col("ddeg").as("dv")), Seq("src"))
+      // (deg, id) ordering makes the closing edge's direction knowable:
+      // it can only be oriented u -> v
+      .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+    val triangles = wedges
+      .join(oriented.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"))
+      .select(col("src"), col("u"), col("v"))
+    triangles.select(col("src").as("node"))
+      .unionAll(triangles.select(col("u").as("node")))
+      .unionAll(triangles.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -168,4 +168,42 @@ object PartitionedLake {
       .localCheckpoint(true)
     deleteInsert(part, path, Seq(partCol))
   }
+
+  /** Partition-spec EVOLUTION (the Iceberg capability parquet lakes lack):
+    * historical data keeps its original layout while new data lands under
+    * a finer (or different) partitioning, each generation in its own
+    * segment directory with its spec recorded in a `_layout` manifest.
+    * Old segments are NEVER rewritten — at 100 TB, re-partitioning history
+    * to change a spec is exactly the migration this avoids.
+    */
+  def writeSegment(
+      df: DataFrame,
+      root: String,
+      segment: String,
+      partCols: Seq[String]): Unit = {
+    require(segment.matches("[A-Za-z0-9_=.-]+"), s"unsafe segment name $segment")
+    val dir = s"$root/$segment"
+    writeAll(df, dir, partCols)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_layout"),
+      partCols.mkString(",").getBytes("UTF-8"))
+  }
+
+  /** Layout-aware read across every segment generation: each segment is
+    * opened under ITS OWN partition spec (so a filter prunes directories
+    * per-generation — on the columns that generation partitioned by) and
+    * the generations union by name. Partition columns materialize as data
+    * columns on read, so the union sees one uniform schema regardless of
+    * spec drift.
+    */
+  def readSegments(spark: SparkSession, root: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val segs = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    val dirs = try segs.iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p)).map(_.toString)
+      .toSeq.sorted
+    finally segs.close()
+    require(dirs.nonEmpty, s"no segments under $root")
+    dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+  }
 }

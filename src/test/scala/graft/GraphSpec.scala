@@ -105,6 +105,20 @@ class GraphSpec extends SparkSuite {
       "equal slices must contribute ~0 psi per bin")
   }
 
+  test("triangleCounts: K4 minus an edge, degree-ordered orientation") {
+    // K4 on {1,2,3,4} without edge (1,4): triangles {1,2,3} and {2,3,4};
+    // nodes 2 and 3 sit in both, 1 and 4 in one each
+    val edges = edgeFrame((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangleCounts: a triangle-free path graph yields no rows") {
+    val edges = edgeFrame((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Graph.triangleCounts(edges).isEmpty)
+  }
+
   test("profile: null and distinct accounting per column") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("s", StringType)))

@@ -113,6 +113,35 @@ class LakeSpec extends SparkSuite {
       s"only the fragmented day must be flagged, got $over")
   }
 
+  test("partition evolution: per-generation pruning, nothing rewritten") {
+    val root = Files.createTempDirectory("graft_lake_evolve").toString + "/t"
+    val gen1 = spark.range(100).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS kind",
+      "'2024-01-01' AS date_id")
+    val gen2 = spark.range(100, 200).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS kind",
+      "'2024-01-02' AS date_id")
+    PartitionedLake.writeSegment(gen1, root, "gen1", Seq("date_id"))
+    PartitionedLake.writeSegment(gen2, root, "gen2", Seq("date_id", "kind"))
+    val all = PartitionedLake.readSegments(spark, root)
+    assert(all.count() == 200, "generations union without loss or overlap")
+    // a filter on the EVOLVED column prunes directories only where that
+    // generation partitions by it: gen2 opens kind=a files only, gen1
+    // (kind is a data column there) necessarily opens its day's files
+    val pruned = all.filter(col("kind") === "a")
+    assert(pruned.count() == 100)
+    // _metadata does not resolve through a union; input_file_name is
+    // evaluated at each leaf scan and survives it
+    val opened = pruned.select(input_file_name())
+      .distinct().collect().map(_.getString(0))
+    assert(opened.exists(_.contains("/gen1/")), "gen1 must still be read")
+    assert(opened.filter(_.contains("/gen2/")).forall(_.contains("/kind=a/")),
+      "the finer generation must prune the kind=b directories")
+    // the old generation was never rewritten into the new spec
+    assert(!new java.io.File(s"$root/gen1/date_id=2024-01-01")
+      .listFiles().exists(_.getName.startsWith("kind=")))
+  }
+
   test("jdbc delete statement is keyed and parameterized") {
     assert(JdbcSink.deleteStatement("dashboard", "north_america_weather", "date_id") ==
       """DELETE FROM dashboard.north_america_weather WHERE "date_id" = ?""")
