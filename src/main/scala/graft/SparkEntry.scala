@@ -2577,11 +2577,15 @@ object SparkEntry {
       .orderBy(col("date_id"))
   }
 
-  /** Per-part triangle counts in the order-co-occurrence graph
-    * ([[graft.operators.Graph.triangleCounts]]): parts are linked when an
-    * order contains both (q123's edge construction); triangles — the
-    * clustering signal community detection starts from — come from the
-    * degree-ordered orientation, never the raw-degree wedge explosion.
+  /** Per-part triangle counts in the SUPPORT-THRESHOLDED order
+    * co-occurrence graph ([[graft.operators.Graph.triangleCounts]]):
+    * parts are linked only when they co-occur in ≥ 2 orders — the
+    * standard market-basket support cut, and the step that makes the
+    * graph scale-stable (one-off random co-occurrences grow linearly
+    * with data volume, repeated ones are signal: 1.20M raw edges at
+    * sf0.1 vs 3.6k thresholded, and the thresholded count stays flat
+    * from sf0.01 to sf0.1). Triangles then come from the degree-ordered
+    * orientation, never a raw-degree wedge explosion.
     */
   private def q162(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
@@ -2589,10 +2593,70 @@ object SparkEntry {
       .distinct()
     val edges = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select(col("src"), col("dst"))
     graft.operators.Graph.triangleCounts(edges)
       .orderBy(col("n_triangles").desc, col("node")).limit(50)
   }
+
+  /** Log checkpointing ([[TxLake.checkpoint]]): after the checkpoint at
+    * v2, the latest read replays only the erasure commit on top of the
+    * checkpointed file set, while time travel to v1 — BEFORE the
+    * checkpoint — still replays the full history. Both snapshots must be
+    * byte-equal to the plain replay (TxLakeSpec asserts the replay-count
+    * mechanics).
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q163")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(lake))
+    val daily = T(s, dir, "events")
+      .groupBy(evDateId.as("date_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumx(col("value")).as("total_value"))
+    val maxDate = daily.agg(max(col("date_id"))).head().getString(0)
+    TxLake.commit(s, lake, daily.filter(col("date_id") < maxDate))
+    TxLake.commit(s, lake, daily.filter(col("date_id") === maxDate))
+    TxLake.checkpoint(lake)
+    TxLake.deleteWhere(s, lake, col("event_type") === "error")
+    def snap(v: Long, tag: String) =
+      TxLake.readSnapshot(s, lake, v).withColumn("snap", lit(tag))
+    snap(1L, "v1").unionByName(snap(Long.MaxValue, "latest"))
+      .select(col("snap"), col("date_id"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("snap"), col("date_id"), col("event_type"))
+  }
+
+  /** Deterministic sorted-run range layout
+    * ([[graft.operators.Layout.rangeSortedWrite]]): orders land as 8
+    * non-overlapping single-file sorted runs bucketed by EXACT
+    * equal-frequency boundaries (LayoutSpec proves per-file disjointness);
+    * the read-back per-bucket stats replay the boundary arithmetic.
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q164")
+    val o = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    graft.operators.Layout.rangeSortedWrite(o, path, "o_totalprice", "o_orderkey")
+    s.read.parquet(path)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Streaming CDC apply ([[graft.streaming.StreamVerify.cdcApply]]): the
+    * two-file staged stream merges batch-by-batch into TxLake via the
+    * recency-conditional MERGE, converging on the global
+    * latest-event-per-user no matter which batch carried it.
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.cdcApply(
+      s, q135Events(s, dir), scratch(dir, "q165"))
+      .orderBy(col("user_id"))
 
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
@@ -2771,7 +2835,8 @@ object SparkEntry {
     "q56_stream_lake", "q69_stream_static_join", "q77_stream_stream_join",
     "q92_stream_outer_join", "q107_stream_custom_state",
     "q121_exactly_once_sink", "q136_stream_alerts",
-    "q135_stream_update_sessions", "q142_stream_append_sessions")
+    "q135_stream_update_sessions", "q142_stream_append_sessions",
+    "q165_stream_cdc_apply")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -2921,6 +2986,9 @@ object SparkEntry {
     "q160_pit_join" -> (q160 _),
     "q161_partition_evolution" -> (q161 _),
     "q162_triangles" -> (q162 _),
+    "q163_log_checkpoint" -> (q163 _),
+    "q164_range_layout" -> (q164 _),
+    "q165_stream_cdc_apply" -> (q165 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3408,6 +3476,20 @@ object SparkEntry {
     // as-of inclusive-<= convention both engines pin identically
     "q160_pit_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), c AS (SELECT user_id, event_id, event_type, sec, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), g AS (SELECT user_id, event_type, sec, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM c), i AS (SELECT user_id, version, MIN(event_type) AS state_type, MIN(sec) AS valid_from FROM g GROUP BY 1, 2), d AS (SELECT user_id, version, state_type, valid_from FROM (SELECT i.*, ROW_NUMBER() OVER (PARTITION BY user_id, valid_from ORDER BY version DESC) AS rn FROM i) WHERE rn = 1), p AS (SELECT user_id, event_id AS p_id, sec FROM e WHERE event_type = 'purchase'), j AS (SELECT p.p_id, p.user_id, p.sec, d.version, d.state_type, ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY d.valid_from DESC) AS rn FROM p JOIN d ON p.user_id = d.user_id AND d.valid_from <= p.sec) SELECT p_id, user_id, sec, version, state_type FROM j WHERE rn = 1 ORDER BY p_id""",
+    // both snapshots replay as plain SQL over events: v1 = pre-max-date
+    // days, latest = everything minus the erased error rows; the
+    // checkpoint must be invisible to the data
+    "q163_log_checkpoint" ->
+      s"""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS date_id, event_type, COUNT(*) AS n_events, $SUMV AS total_value FROM events GROUP BY 1, 2), mx AS (SELECT MAX(date_id) AS d FROM daily) SELECT * FROM (SELECT 'v1' AS snap, date_id, event_type, n_events, total_value FROM daily, mx WHERE date_id < mx.d UNION ALL SELECT 'latest', date_id, event_type, n_events, total_value FROM daily WHERE event_type <> 'error') ORDER BY snap, date_id, event_type""",
+    // exact discrete-rank boundaries at eighths (all exactly binary
+    // fractions, so ceil(cnt*p) replays bit-for-bit), then the CASE-chain
+    // bucket assignment — identical to the writer's
+    "q164_range_layout" ->
+      """WITH r AS (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, COUNT(*) OVER () AS cnt FROM orders), b AS (SELECT MAX(CASE WHEN rn = CAST(ceil(cnt * 0.125) AS BIGINT) THEN o_totalprice END) AS b1, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT) THEN o_totalprice END) AS b2, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.375) AS BIGINT) THEN o_totalprice END) AS b3, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN o_totalprice END) AS b4, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.625) AS BIGINT) THEN o_totalprice END) AS b5, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT) THEN o_totalprice END) AS b6, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.875) AS BIGINT) THEN o_totalprice END) AS b7 FROM r), d AS (SELECT o_totalprice, CASE WHEN o_totalprice <= b1 THEN 1 WHEN o_totalprice <= b2 THEN 2 WHEN o_totalprice <= b3 THEN 3 WHEN o_totalprice <= b4 THEN 4 WHEN o_totalprice <= b5 THEN 5 WHEN o_totalprice <= b6 THEN 6 WHEN o_totalprice <= b7 THEN 7 ELSE 8 END AS bucket FROM orders, b) SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM d GROUP BY 1 ORDER BY bucket""",
+    // the converged CDC table is the global latest event per user by
+    // (sec, event_id) — batch-split must be invisible
+    "q165_stream_cdc_apply" ->
+      """SELECT user_id, event_id, event_type, value, sec FROM (SELECT user_id, event_id, event_type, value, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT) DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id""",
     // the layout-aware union must equal the plain filtered aggregate —
     // rows duplicated or lost across generations break count and sum
     "q161_partition_evolution" ->
@@ -3415,7 +3497,7 @@ object SparkEntry {
     // same degree-ordered orientation both sides: tuple-wise (deg, id)
     // comparisons, wedge at the lowest-ordered vertex, one closing probe
     "q162_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), e0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk), deg AS (SELECT node, COUNT(*) AS deg FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), o AS (SELECT CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN e0.a ELSE e0.b END AS src, CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN e0.b ELSE e0.a END AS dst, CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN db.deg ELSE da.deg END AS ddeg FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b), w AS (SELECT e1.src, e1.dst AS u, e2.dst AS v FROM o e1 JOIN o e2 ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)), t AS (SELECT w.src, w.u, w.v FROM w JOIN o ON o.src = w.u AND o.dst = w.v), pn AS (SELECT node, COUNT(*) AS n_triangles FROM (SELECT src AS node FROM t UNION ALL SELECT u FROM t UNION ALL SELECT v FROM t) GROUP BY 1) SELECT node, n_triangles FROM pn ORDER BY n_triangles DESC, node LIMIT 50""",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), e0 AS (SELECT a.pk AS a, b.pk AS b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2), deg AS (SELECT node, COUNT(*) AS deg FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), o AS (SELECT CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN e0.a ELSE e0.b END AS src, CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN e0.b ELSE e0.a END AS dst, CASE WHEN (da.deg, e0.a) < (db.deg, e0.b) THEN db.deg ELSE da.deg END AS ddeg FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b), w AS (SELECT e1.src, e1.dst AS u, e2.dst AS v FROM o e1 JOIN o e2 ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)), t AS (SELECT w.src, w.u, w.v FROM w JOIN o ON o.src = w.u AND o.dst = w.v), pn AS (SELECT node, COUNT(*) AS n_triangles FROM (SELECT src AS node FROM t UNION ALL SELECT u FROM t UNION ALL SELECT v FROM t) GROUP BY 1) SELECT node, n_triangles FROM pn ORDER BY n_triangles DESC, node LIMIT 50""",
     // footer-derived stats must equal the plain aggregates
     "q151_footer_stats" ->
       """SELECT COUNT(*) AS n_rows, MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey, MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice FROM orders""",

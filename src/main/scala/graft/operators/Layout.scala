@@ -60,4 +60,45 @@ object Layout {
       bits: Int = 16,
       files: Int = 8): Unit =
     zorderWriteN(df, path, Seq(xCol, yCol), bits, files)
+
+  /** Deterministic sorted-run layout: rows bucketed by EXACT
+    * equal-frequency boundaries of `keyCol` (discrete ranks, not a
+    * sample), one bucket per `bucket=<i>` directory, each bucket's rows in
+    * exactly ONE file sorted by the key — so the table becomes
+    * non-overlapping sorted runs. Range scans then skip whole files on
+    * parquet min/max stats, and merge-style consumers (as-of joins,
+    * ordered exports) read pre-sorted input.
+    *
+    * Why not `repartitionByRange`: its boundaries come from reservoir
+    * sampling, so the file layout differs run to run — this layout is
+    * bit-reproducible, which the oracle (and any incremental maintenance
+    * diffing file sets) requires. The boundary table is metadata-sized
+    * (`buckets − 1` rows) and the data moves through ONE hash shuffle on
+    * the bucket id. Returns the boundaries used.
+    */
+  def rangeSortedWrite(
+      df: DataFrame,
+      path: String,
+      keyCol: String,
+      tieBreak: String,
+      buckets: Int = 8): Seq[Double] = {
+    require(buckets >= 2 && buckets <= 64, s"unreasonable bucket count $buckets")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    val row = Relational.discretePercentiles(
+      df.withColumn("__g", lit(1)), "__g", keyCol, tieBreak, ps).head()
+    val bounds = ps.map(p => row.getAs[Double](s"p${(p * 100).toInt}"))
+    require(bounds.distinct.size == bounds.size,
+      "percentile names collided or boundaries degenerate; lower `buckets`")
+    val bucket = bounds.zipWithIndex.foldRight(lit(buckets.toLong)) {
+      case ((b, i), rest) => when(col(keyCol) <= lit(b), (i + 1).toLong).otherwise(rest)
+    }
+    df.withColumn("bucket", bucket)
+      // hash shuffle on the bucket id puts ALL of a bucket's rows in one
+      // task; partitionBy then writes them as the single file of their
+      // bucket=<i> directory, sorted
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(keyCol), col(tieBreak))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    bounds
+  }
 }

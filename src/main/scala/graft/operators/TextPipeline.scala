@@ -230,14 +230,16 @@ object TextPipeline {
       .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
-    val total = counts.agg(sum(col("cnt")).cast("double").as("__total"))
     val rk = Window.orderBy(col("cnt").desc, col("w"))
     val cum = Window.orderBy(col("rn"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts
+      // the corpus token total comes from the ALREADY-AGGREGATED vocab via
+      // a whole-frame window — a separate `counts.agg(sum)` branch would
+      // re-execute the corpus scan + word explode a second time
+      .withColumn("__total", sum(col("cnt")).over(Window.partitionBy()).cast("double"))
       .withColumn("rn", row_number().over(rk))
       .filter(col("rn") <= topN)
-      .crossJoin(broadcast(total))
       .select(
         (col("rn") - 1).cast("long").as("token_id"), col("w"), col("cnt"),
         col("df"),

@@ -46,7 +46,12 @@ object TxLake {
     logDir(path).resolve(f"$v%08d.json")
 
   /** Committed (non-pending) log entries in version order. */
-  private def entries(path: String): Seq[(Long, String)] = {
+  /** Committed (non-pending) log entries in version order, reading only
+    * versions strictly after `after` (a checkpoint boundary — entries at
+    * or below it were visible when the checkpoint was written, so no
+    * pending reservation can hide below it).
+    */
+  private def entries(path: String, after: Long = 0L): Seq[(Long, String)] = {
     val dir = logDir(path)
     if (!Files.isDirectory(dir)) return Seq.empty
     val all = Files.list(dir)
@@ -54,6 +59,7 @@ object TxLake {
       all.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".json"))
         .map(f => f.getFileName.toString.stripSuffix(".json").toLong -> f)
+        .filter(_._1 > after)
         .toSeq.sortBy(_._1)
     } finally all.close()
     // stop at the first pending (empty) reservation: later entries exist
@@ -64,8 +70,10 @@ object TxLake {
       .toSeq
   }
 
-  def latestVersion(path: String): Long =
-    entries(path).lastOption.map(_._1).getOrElse(0L)
+  def latestVersion(path: String): Long = {
+    val ck = latestCheckpoint(path, Long.MaxValue).map(_._1).getOrElse(0L)
+    entries(path, after = ck).lastOption.map(_._1).getOrElse(ck)
+  }
 
   /** Active data files as of `version` with their logged (min, max) stats
     * for the commit's stats column, when recorded.
@@ -79,24 +87,88 @@ object TxLake {
       .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
   }
 
+  private def ckptFile(path: String, v: Long): Path =
+    logDir(path).resolve(f"checkpoint-$v%08d.ckpt")
+
+  /** Files+stats parsed from one adds/mins/maxs JSON blob. */
+  private def parseFileSet(json: String): Seq[(String, Option[(Long, Long)])] = {
+    val adds = jsonList(json, "adds")
+    val mins = jsonList(json, "mins")
+    val maxs = jsonList(json, "maxs")
+    val withStats = mins.length == adds.length && maxs.length == adds.length
+    adds.zipWithIndex.map { case (f, i) =>
+      f -> (if (withStats) Some((mins(i).toLong, maxs(i).toLong)) else None)
+    }
+  }
+
+  /** The newest checkpoint at or before `version`, if any. */
+  private def latestCheckpoint(
+      path: String,
+      version: Long): Option[(Long, Seq[(String, Option[(Long, Long)])])] = {
+    val dir = logDir(path)
+    if (!Files.isDirectory(dir)) return None
+    val all = Files.list(dir)
+    val best = try all.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("checkpoint-") && n.endsWith(".ckpt"))
+      .map(_.stripPrefix("checkpoint-").stripSuffix(".ckpt").toLong)
+      .filter(_ <= version).toSeq.sorted.lastOption
+    finally all.close()
+    best.map { v =>
+      val json = new String(Files.readAllBytes(ckptFile(path, v)), "UTF-8")
+      (v, parseFileSet(json))
+    }
+  }
+
   private def activeEntries(
       path: String, version: Long): Seq[(String, Option[(Long, Long)])] = {
+    val base = latestCheckpoint(path, version)
     val active =
       scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
-    entries(path).takeWhile(_._1 <= version).foreach { case (_, json) =>
-      def list(key: String): Seq[String] = jsonList(json, key)
-      val adds = list("adds")
-      val mins = list("mins")
-      val maxs = list("maxs")
-      val withStats = mins.length == adds.length && maxs.length == adds.length
-      list("removes").foreach(active.remove)
-      adds.zipWithIndex.foreach { case (f, i) =>
-        active(f) =
-          if (withStats) Some((mins(i).toLong, maxs(i).toLong)) else None
-      }
+    base.foreach(_._2.foreach { case (f, st) => active(f) = st })
+    entries(path, after = base.map(_._1).getOrElse(0L))
+      .takeWhile(_._1 <= version).foreach { case (_, json) =>
+      jsonList(json, "removes").foreach(active.remove)
+      parseFileSet(json).foreach { case (f, st) => active(f) = st }
     }
     active.toSeq
   }
+
+  /** Write a log CHECKPOINT summarizing the active file set (and, when
+    * every active file carries them, the data-skipping stats) as of the
+    * current latest version. Readers thereafter replay only entries AFTER
+    * the newest checkpoint at or below their requested version — O(delta)
+    * log parsing instead of O(table lifetime), which is what keeps a
+    * years-old 100 TB table's open cost flat (the Delta/Iceberg
+    * checkpoint/snapshot mechanism). Older entries stay in place, so time
+    * travel to pre-checkpoint versions still replays the full history.
+    * Returns the checkpointed version.
+    */
+  def checkpoint(path: String): Long = {
+    val v = latestVersion(path)
+    require(v > 0, "nothing to checkpoint")
+    val active = activeEntries(path, v)
+    val withStats = active.nonEmpty && active.forall(_._2.isDefined)
+    val stats =
+      if (!withStats) ""
+      else s""","mins":[${active.map(_._2.get._1).mkString(",")}],""" +
+        s""""maxs":[${active.map(_._2.get._2).mkString(",")}]"""
+    val json =
+      s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]$stats}"""
+    val tmp = logDir(path).resolve(f".ckpt-tmp-$v%08d")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, ckptFile(path, v), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** How many per-commit log entries a read at `version` replays after the
+    * best available checkpoint — observability for checkpoint tests and
+    * log-health monitoring.
+    */
+  def replayCount(path: String, version: Long = Long.MaxValue): Int =
+    entries(path, after = latestCheckpoint(path, version).map(_._1).getOrElse(0L))
+      .count(_._1 <= version)
 
   private def activeFiles(path: String, version: Long): Seq[String] =
     activeEntries(path, version).map(_._1)
@@ -290,6 +362,55 @@ object TxLake {
             .select(sel: _*))
           .unionByName(u.join(tableKeys, Seq(keyCol), "left_anti")
             .select(sel: _*))
+      }
+    swapCommit(spark, path, replacement.localCheckpoint(true), plain)
+  }
+
+  /** MERGE by key with a RECENCY condition — `WHEN MATCHED AND update is
+    * newer THEN UPDATE` (newer = greater `orderCols` tuple; equal tuples
+    * let the update win, so re-delivering the same row is idempotent).
+    * This makes the upsert COMMUTATIVE across batches: out-of-order or
+    * re-delivered CDC batches converge to the same final state regardless
+    * of arrival order, which plain last-write-wins [[mergeByKey]] cannot
+    * guarantee. Same affected-file-only cost shape: files without
+    * matching keys are never read or copied. The table must be
+    * key-unique (the [[mergeByKey]] family's standing contract).
+    */
+  def mergeByKeyNewest(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    require(orderCols.nonEmpty, "need at least one recency column")
+    val snap = readSnapshot(spark, path)
+    val dataCols = snap.columns.toSeq
+    require(updates.columns.toSeq.sorted == dataCols.sorted,
+      "updates must carry exactly the table's columns")
+    val u = updates.localCheckpoint(true)
+    require(u.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).isEmpty, "duplicate keys in updates")
+    val affected = snap
+      .select(col(keyCol), col("_metadata.file_path").as("f"))
+      .join(u.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .select(col("f"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val plain = affected.map(p => new java.net.URI(p).getPath)
+    val sel = dataCols.map(col)
+    val replacement =
+      if (plain.isEmpty) u.select(sel: _*)
+      else {
+        val candidates = spark.read.parquet(plain: _*).select(sel: _*)
+          .withColumn("__side", lit(0))
+          .unionByName(u.select(sel: _*).withColumn("__side", lit(1)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(orderCols.map(c => col(c).desc) :+ col("__side").desc: _*)
+        candidates
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(sel: _*)
       }
     swapCommit(spark, path, replacement.localCheckpoint(true), plain)
   }

@@ -386,4 +386,53 @@ object StreamVerify {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
   }
+
+  /** Streaming CDC apply into a TxLake table: each micro-batch reduces to
+    * its newest row per user, then lands via the RECENCY-conditional merge
+    * ([[graft.sources.TxLake.mergeByKeyNewest]]). Because that merge is
+    * commutative across batches, the final table equals the global
+    * latest-event-per-user regardless of how the source splits the input
+    * into batches or which batch a user's newest event happens to ride —
+    * the property a plain last-write-wins upsert cannot give an
+    * out-of-order CDC feed. The caller stages the input as multiple files
+    * and the read runs with maxFilesPerTrigger=1, so multi-batch
+    * application is real, not simulated.
+    */
+  def cdcApply(spark: SparkSession, eventsPath: String, scratchDir: String): DataFrame = {
+    val fs = new java.io.File(scratchDir)
+    if (fs.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(fs)
+    }
+    val lake = s"$scratchDir/lake"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("sec").desc, col("event_id").desc)
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts").cast("long").as("sec"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val newest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (graft.sources.TxLake.latestVersion(lake) == 0L)
+          graft.sources.TxLake.commit(spark, lake, newest)
+        else
+          graft.sources.TxLake.mergeByKeyNewest(
+            spark, lake, newest, "user_id", Seq("sec", "event_id"))
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.sources.TxLake.readSnapshot(spark, lake)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("sec"))
+  }
 }

@@ -110,4 +110,30 @@ class LayoutSpec extends SparkSuite {
     assert(perFile.getAs[Double]("ax") < 4096 * 0.8, s"x range too wide: $perFile")
     assert(perFile.getAs[Double]("ay") < 4096 * 0.8, s"y range too wide: $perFile")
   }
+
+  test("rangeSortedWrite: one file per bucket, non-overlapping sorted runs") {
+    val dir = Files.createTempDirectory("graft_rangerun").toString + "/t"
+    val src = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val bounds = Layout.rangeSortedWrite(
+      src, dir, "o_totalprice", "o_orderkey", buckets = 4)
+    assert(bounds.length == 3 && bounds == bounds.sorted)
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(dirs.length == 4, "every bucket gets its own directory")
+    assert(dirs.forall(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "each bucket's rows must land in exactly ONE sorted file")
+    // per-file value ranges must be strictly disjoint across the table —
+    // the property that lets range scans skip whole files on footer stats
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(spans.sliding(2).forall {
+      case Array(a, b) => a._2 < b._1
+      case _ => true
+    }, s"file ranges overlap: ${spans.mkString(", ")}")
+    assert(spark.read.parquet(dir).count() == src.count())
+  }
 }

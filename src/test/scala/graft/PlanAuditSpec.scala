@@ -150,4 +150,38 @@ class PlanAuditSpec extends SparkSuite {
     assert(exchanges.nonEmpty && shuffleCount <= 1,
       s"tile assembly must not shuffle before the output sort:\n$p")
   }
+
+  test("q154: index probe is a hash join on band keys, never BNL") {
+    val p = formatted(q("q154_lsh_index"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the probe must join band buckets by key; a theta-join would be " +
+        "batch × corpus")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("q160: the PIT join plans as one window pass, no range theta-join") {
+    val p = formatted(q("q160_pit_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must ride the union+window shape, not a valid_from <= sec " +
+        "theta-join")
+  }
+
+  test("q162: triangle joins are equi-joins end to end") {
+    val p = formatted(q("q162_triangles"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "wedge generation and the closing-edge probe must stay equi-joins; " +
+        "any theta-join form re-introduces the wedge explosion")
+  }
+
+  test("q156: one corpus scan; only the vocabulary reaches the windows") {
+    val p = formatted(q("q156_vocab_build"))
+    // count detail-section scan headers — each physical scan prints one
+    // "(n) Scan parquet" header (the tree line spells it the other way)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
+      s"the corpus token total must come from the aggregated vocab, not a " +
+        s"second corpus scan:\n$p")
+    assert(p.contains("HashAggregate"),
+      "word counting must be a hash aggregate (map-side combine)")
+  }
 }

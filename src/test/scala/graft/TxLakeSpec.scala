@@ -237,6 +237,55 @@ class TxLakeSpec extends SparkSuite {
     assert(TxLake.latestVersion(lake) == 1L)
   }
 
+  test("checkpoint: reads replay only post-checkpoint entries; time travel intact") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2)) // v1
+    TxLake.commit(spark, lake, df(3))    // v2
+    TxLake.commit(spark, lake, df(4))    // v3
+    assert(TxLake.replayCount(lake) == 3)
+    assert(TxLake.checkpoint(lake) == 3L)
+    assert(TxLake.replayCount(lake) == 0,
+      "a latest read must start at the checkpoint, replaying nothing")
+    TxLake.commit(spark, lake, df(5))                 // v4
+    TxLake.deleteWhere(spark, lake, col("id") === 1L) // v5
+    assert(TxLake.replayCount(lake) == 2)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(2L, 3L, 4L, 5L))
+    // pre-checkpoint time travel replays the full history unaffected
+    assert(ids(TxLake.readSnapshot(spark, lake, 2L)) == Set(1L, 2L, 3L))
+    assert(TxLake.replayCount(lake, 2L) == 2)
+    assert(TxLake.latestVersion(lake) == 5L)
+  }
+
+  test("checkpoint preserves data-skipping stats") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2, 3), statsCol = "id")
+    TxLake.commit(spark, lake, df(100, 200), statsCol = "id")
+    val before = TxLake.prunedFiles(lake, 100L, 300L).toSet
+    val all = TxLake.prunedFiles(lake, 0L, 300L).toSet
+    assert(before.size < all.size, "the probe range must actually prune")
+    TxLake.checkpoint(lake)
+    assert(TxLake.prunedFiles(lake, 100L, 300L).toSet == before,
+      "checkpointed stats must keep pruning exactly as the log did")
+  }
+
+  test("mergeByKeyNewest: only newer rows win; re-delivery is idempotent") {
+    import spark.implicits._
+    val lake = tmp()
+    TxLake.commit(spark, lake,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "ver", "v"))
+    // stale update for k=1, fresh for k=2, brand-new k=3
+    val u = Seq((1L, 5L, "stale"), (2L, 25L, "fresh"), (3L, 1L, "new"))
+      .toDF("k", "ver", "v")
+    def state() = TxLake.readSnapshot(spark, lake)
+      .select(col("k"), col("ver"), col("v"))
+      .as[(Long, Long, String)].collect().toSet
+    TxLake.mergeByKeyNewest(spark, lake, u, "k", Seq("ver"))
+    val want = Set((1L, 10L, "a"), (2L, 25L, "fresh"), (3L, 1L, "new"))
+    assert(state() == want, "stale rows must lose, fresh win, new insert")
+    TxLake.mergeByKeyNewest(spark, lake, u, "k", Seq("ver"))
+    assert(state() == want, "re-delivering the same batch must be a no-op")
+  }
+
   test("changeFeed reports net per-commit row changes, survivors cancel") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1, 2, 3)) // v1
