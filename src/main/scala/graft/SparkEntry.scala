@@ -2658,6 +2658,63 @@ object SparkEntry {
       s, q135Events(s, dir), scratch(dir, "q165"))
       .orderBy(col("user_id"))
 
+  /** Shuffle-skew diagnostic ([[Relational.skewReport]]): per-key counts
+    * vs a per-task target, flagged keys with their needed salt factor —
+    * what gets consulted before a hot key melts an executor.
+    */
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    Relational.skewReport(
+      T(s, dir, "events"), "event_type", threshold = 100, targetPerTask = 500)
+      .orderBy(col("event_type"))
+
+  /** Incremental IVF maintenance ([[Similarity.appendToIvfIndex]]): the
+    * index is built from the base corpus (vec_id % 5 ≠ 0), the rest
+    * appended batch-wise against the EXISTING centroids — no
+    * re-clustering per ingest — and queries see the merged cells.
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val idx = scratch(dir, "q167") + "/ivf"
+    val emb = T(s, dir, "embeddings")
+    Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", 16, idx)
+    Similarity.appendToIvfIndex(
+      s, idx, emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+    Similarity.queryIvfIndex(
+      s, idx, emb.filter(col("vec_id") < 10), "vec_id", "embedding")
+  }
+
+  /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
+    * lands; a violating commit is rejected before any version is
+    * reserved, and the table is provably untouched by it.
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q168")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(lake))
+    val o = T(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderstatus"))
+    TxLake.commitChecked(s, lake, o, Seq(
+      "price_positive" -> (col("o_totalprice") > 0),
+      "key_present" -> col("o_orderkey").isNotNull))
+    val violating = o.withColumn("o_totalprice", -col("o_totalprice"))
+    val rejected =
+      try {
+        TxLake.commitChecked(s, lake, violating,
+          Seq("price_positive" -> (col("o_totalprice") > 0)))
+        false
+      } catch { case _: IllegalArgumentException => true }
+    require(rejected, "violating commit must be rejected")
+    require(TxLake.latestVersion(lake) == 1L,
+      "a rejected commit must leave no version behind")
+    TxLake.readSnapshot(s, lake)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ------------------------------------------------ §2.7 streaming (verify surface)
 
   /** The file-stream source requires a DIRECTORY to monitor; the testdata
@@ -2989,6 +3046,9 @@ object SparkEntry {
     "q163_log_checkpoint" -> (q163 _),
     "q164_range_layout" -> (q164 _),
     "q165_stream_cdc_apply" -> (q165 _),
+    "q166_skew_report" -> (q166 _),
+    "q167_ivf_append" -> (q167 _),
+    "q168_checked_commit" -> (q168 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3091,9 +3151,12 @@ object SparkEntry {
       s"(CASE WHEN 2 * len(list_filter(h, x -> (x >> $j) & 1 = 1)) >= n THEN CAST('${uns(1L << j)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
       .mkString("(", " + ", ")")
 
-  /** Nearest-centroid assignment for the q40 oracle (C = centroid CTE). */
-  private def ivfAssignSql(c: String): String =
-    s"""SELECT vec_id, cid FROM (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY pcos(e.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings e CROSS JOIN $c c) WHERE rnk = 1"""
+  /** Nearest-centroid assignment for the q40/q167 oracles (C = centroid
+    * CTE; `where` restricts the assigned corpus, e.g. to the index's base
+    * set).
+    */
+  private def ivfAssignSql(c: String, where: String = ""): String =
+    s"""SELECT vec_id, cid FROM (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY pcos(e.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM (SELECT vec_id, embedding FROM embeddings $where) e CROSS JOIN $c c) WHERE rnk = 1"""
 
   /** Lloyd recompute for the q40 oracle: decimal-exact per-position means
     * (the same DECIMAL(30,12) sum / count the Spark side uses — that
@@ -3230,6 +3293,11 @@ object SparkEntry {
       """SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) GROUP BY word ORDER BY word""",
     "q43_scalar_subquery" ->
       """WITH a AS (SELECT o_custkey AS k, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price FROM orders GROUP BY o_custkey) SELECT o_orderkey, o_custkey, o_totalprice, avg_price FROM orders JOIN a ON o_custkey = k WHERE o_totalprice > avg_price ORDER BY o_orderkey""",
+    // q40's k-means replay restricted to the BASE corpus (vec_id % 5 <> 0)
+    // for seeding and both Lloyd iterations; the final cell assignment
+    // covers ALL vectors — exactly what build + append materializes
+    "q167_ivf_append" ->
+      s"""$VEC_MACROS; WITH c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16)), a1 AS (${ivfAssignSql("c0", "WHERE vec_id % 5 <> 0")}), c1 AS (${ivfRecomputeSql("c0", "a1")}), a2 AS (${ivfAssignSql("c1", "WHERE vec_id % 5 <> 0")}), c2 AS (${ivfRecomputeSql("c1", "a2")}), cells AS (${ivfAssignSql("c2")}), probes AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY pcos(q.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rnk <= 2), cand AS (SELECT DISTINCT p.qid, s.vec_id AS nid FROM probes p JOIN cells s ON p.cid = s.cid WHERE s.vec_id <> p.qid), scored AS (SELECT c.qid, c.nid, round(pcos(qe.embedding, ne.embedding), 4) AS cos_r FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid JOIN embeddings ne ON ne.vec_id = c.nid), r AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     // the full 2-iteration deterministic k-means replayed in SQL, validated
     // against the Spark dump at all three SFs in tools/proto_ivf_oracle.py
     "q40_ann_ivf" ->
@@ -3486,6 +3554,13 @@ object SparkEntry {
     // bucket assignment — identical to the writer's
     "q164_range_layout" ->
       """WITH r AS (SELECT o_totalprice, ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn, COUNT(*) OVER () AS cnt FROM orders), b AS (SELECT MAX(CASE WHEN rn = CAST(ceil(cnt * 0.125) AS BIGINT) THEN o_totalprice END) AS b1, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT) THEN o_totalprice END) AS b2, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.375) AS BIGINT) THEN o_totalprice END) AS b3, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN o_totalprice END) AS b4, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.625) AS BIGINT) THEN o_totalprice END) AS b5, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT) THEN o_totalprice END) AS b6, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.875) AS BIGINT) THEN o_totalprice END) AS b7 FROM r), d AS (SELECT o_totalprice, CASE WHEN o_totalprice <= b1 THEN 1 WHEN o_totalprice <= b2 THEN 2 WHEN o_totalprice <= b3 THEN 3 WHEN o_totalprice <= b4 THEN 4 WHEN o_totalprice <= b5 THEN 5 WHEN o_totalprice <= b6 THEN 6 WHEN o_totalprice <= b7 THEN 7 ELSE 8 END AS bucket FROM orders, b) SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM d GROUP BY 1 ORDER BY bucket""",
+    // flagged keys and salt factors replay as a HAVING aggregate
+    "q166_skew_report" ->
+      """SELECT event_type, COUNT(*) AS n, CAST(ceil(CAST(COUNT(*) AS DOUBLE) / 500.0) AS BIGINT) AS salt_factor FROM events GROUP BY 1 HAVING COUNT(*) >= 100 ORDER BY event_type""",
+    // the constrained table is just the valid load (the violating commit
+    // must be invisible), so the aggregate replays plainly
+    "q168_checked_commit" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
     // the converged CDC table is the global latest event per user by
     // (sec, event_id) — batch-split must be invisible
     "q165_stream_cdc_apply" ->

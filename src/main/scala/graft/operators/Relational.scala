@@ -247,4 +247,26 @@ object Relational {
       .groupBy(col("__wb").as(bucketCol))
       .agg(count_distinct(col(entityCol)).as("n_distinct"))
   }
+
+  /** Shuffle-skew diagnostic: the keys whose row count reaches
+    * `threshold`, each with the salt factor (`ceil(n / targetPerTask)`) a
+    * salted repartition ([[saltedSum]]/[[saltedJoin]]) would need to
+    * spread it over even tasks. The report is what an operator of a
+    * 100 TB pipeline consults BEFORE a hot key melts an executor: one
+    * map-side-combined count, output bounded by the flagged keys, nothing
+    * driver-sized.
+    */
+  def skewReport(
+      df: DataFrame,
+      keyCol: String,
+      threshold: Long,
+      targetPerTask: Long): DataFrame = {
+    require(threshold >= 1 && targetPerTask >= 1)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .select(col(keyCol), col("n"),
+        ceil(col("n").cast("double") / lit(targetPerTask.toDouble))
+          .cast("long").as("salt_factor"))
+  }
 }

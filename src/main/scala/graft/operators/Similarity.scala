@@ -218,6 +218,29 @@ object Similarity {
       .parquet(s"$indexPath/cells")
   }
 
+  /** Incrementally add a batch to a persisted IVF index: the batch is
+    * assigned against the EXISTING centroids (no re-clustering) and its
+    * rows append into the matching cell directories. This is how a
+    * production vector index actually grows — re-running k-means over
+    * 100 TB of embeddings per ingest batch is exactly what an inverted
+    * file structure exists to avoid. Centroids drift from the true
+    * current-data optimum as batches accumulate; periodic [[buildIvfIndex]]
+    * re-builds are the rebalance, not per-batch recompute.
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    assign(batch, centroids, idCol, vecCol)
+      .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("cid"))
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$indexPath/cells")
+  }
+
   /** Query a persisted IVF index: same probe/rank arithmetic as
     * [[annIvf]], so results are identical to the build-and-query path —
     * the equality the oracle gate hashes.

@@ -246,6 +246,37 @@ object TxLake {
     next
   }
 
+  /** Commit with CHECK constraints (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * posture): every named predicate must hold — TRUE, not false or null —
+    * on every incoming row, or the whole commit is rejected BEFORE any
+    * version is reserved or byte written, with per-constraint violation
+    * counts in the error. One aggregated validation pass over the
+    * materialized input (no per-constraint jobs), and what was validated
+    * is byte-for-byte what commits.
+    */
+  def commitChecked(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      overwrite: Boolean = false,
+      tag: String = "",
+      statsCol: String = ""): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not, sum, when}
+    require(checks.nonEmpty, "commitChecked needs at least one constraint")
+    val u = df.localCheckpoint(true)
+    val aggs = checks.map { case (name, c) =>
+      sum(when(not(coalesce(c, lit(false))), 1L).otherwise(0L)).as(name)
+    }
+    val row = u.agg(aggs.head, aggs.tail: _*).head()
+    val bad = checks.map(_._1).zipWithIndex
+      .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      .filter(_._2 > 0)
+    require(bad.isEmpty, "constraint violations: " +
+      bad.map { case (n, c) => s"$n=$c" }.mkString(", "))
+    commit(spark, path, u, overwrite, tag, statsCol)
+  }
+
   /** The committed version carrying `tag`, if any. */
   def taggedVersion(path: String, tag: String): Option[Long] =
     entries(path).collectFirst {

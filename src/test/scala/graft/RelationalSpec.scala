@@ -89,4 +89,13 @@ class RelationalSpec extends SparkSuite {
     assert(out.getAs[Double]("p90") == 90.0)
     assert(out.getAs[Long]("n") == 100L)
   }
+
+  test("skewReport flags only hot keys with the right salt factor") {
+    val df = (Seq.fill(1000)("hot") ++ Seq.fill(150)("warm") ++ Seq.fill(10)("cold"))
+      .toDF("k")
+    val out = Relational.skewReport(df, "k", threshold = 100, targetPerTask = 300)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("hot" -> ((1000L, 4L)), "warm" -> ((150L, 1L))),
+      "cold keys below the threshold must not appear; ceil(1000/300)=4")
+  }
 }

@@ -68,6 +68,29 @@ class SimilaritySpec extends SparkSuite {
     assert(!top.select("nid").as[Long].collect().contains(200000L))
   }
 
+  test("appendToIvfIndex: appended vectors are queryable without re-clustering") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString + "/ivf"
+    val emb = Tables.load(spark, sf, "embeddings").limit(80)
+    // plant a batch copy of vector 0 under a new id
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", 8, idx)
+    val centroidsBefore = spark.read.parquet(s"$idx/centroids")
+      .orderBy(col("cid")).collect().toSeq
+    Similarity.appendToIvfIndex(spark, idx, planted, "vec_id", "embedding")
+    // centroids untouched — append must not re-cluster
+    assert(spark.read.parquet(s"$idx/centroids")
+      .orderBy(col("cid")).collect().toSeq == centroidsBefore)
+    // the appended duplicate lands in vector 0's own cell, so the probe
+    // finds it as the top neighbor at cosine 1
+    val top = Similarity.queryIvfIndex(
+      spark, idx, emb.filter(col("vec_id") === 0), "vec_id", "embedding")
+      .head()
+    assert(top.getAs[Long]("nid") == 100000L)
+    assert(top.getAs[Double]("cos_r") == 1.0)
+  }
+
   test("embeddingNearDupPairs surfaces the planted duplicate with cos 1") {
     val emb = Tables.load(spark, sf, "embeddings").limit(100)
     val planted = emb.filter(col("vec_id") === 0)

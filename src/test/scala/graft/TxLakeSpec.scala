@@ -268,6 +268,28 @@ class TxLakeSpec extends SparkSuite {
       "checkpointed stats must keep pruning exactly as the log did")
   }
 
+  test("commitChecked: violations reject atomically, null checks count") {
+    import spark.implicits._
+    val lake = tmp()
+    val good = Seq((1L, 5.0), (2L, 7.0)).toDF("k", "v")
+    assert(TxLake.commitChecked(spark, lake, good,
+      Seq("v_positive" -> (col("v") > 0))) == 1L)
+    // a violating batch — including a NULL check result — must be
+    // rejected with nothing reserved or written
+    val bad = Seq((3L, -1.0), (4L, Double.NaN)).toDF("k", "v")
+      .withColumn("v", when(col("k") === 4L, lit(null).cast("double"))
+        .otherwise(col("v")))
+    val e = intercept[IllegalArgumentException] {
+      TxLake.commitChecked(spark, lake, bad, Seq("v_positive" -> (col("v") > 0)))
+    }
+    assert(e.getMessage.contains("v_positive=2"),
+      "both the negative and the null row must count as violations")
+    assert(TxLake.latestVersion(lake) == 1L,
+      "a rejected commit must leave no version (not even a pending one)")
+    assert(ids(TxLake.readSnapshot(spark, lake).select(col("k").as("id"))) ==
+      Set(1L, 2L))
+  }
+
   test("mergeByKeyNewest: only newer rows win; re-delivery is idempotent") {
     import spark.implicits._
     val lake = tmp()
