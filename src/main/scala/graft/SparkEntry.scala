@@ -2683,6 +2683,24 @@ object SparkEntry {
       s, idx, emb.filter(col("vec_id") < 10), "vec_id", "embedding")
   }
 
+  /** Mergeable per-source Count-Min sketches
+    * ([[graft.operators.Sketches.cmsMergedHeavyHitters]]): counter
+    * tables summed across sources answer the corpus heavy-hitter query —
+    * no history re-scan — with estimates equal to a direct whole-corpus
+    * sketch (spec-asserted cell equality).
+    */
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsMergedHeavyHitters(
+      T(s, dir, "documents"), "source", "text")
+
+  /** Asymmetric containment near-dup
+    * ([[Dedup.ngramContainmentPairs]]): |A∩B|/|A| in both directions on
+    * bucketed candidates — the quote/excerpt-subset detector Jaccard
+    * structurally misses.
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(T(s, dir, "documents"), "doc_id", "text")
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3049,6 +3067,8 @@ object SparkEntry {
     "q166_skew_report" -> (q166 _),
     "q167_ivf_append" -> (q167 _),
     "q168_checked_commit" -> (q168 _),
+    "q169_cms_merge" -> (q169 _),
+    "q170_containment" -> (q170 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3395,6 +3415,15 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // per-source counter tables summed into the merged sketch, every
+    // xorshift bucket replayed in HUGEINT; the merged probe's MIN and the
+    // exact rollup replay plainly
+    "q169_cms_merge" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT source, unnest(docwords(text)) AS word FROM documents), wcg AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY 1, 2), rbg AS (SELECT source, word, n, i, CAST(xstep(xshash(word), CAST(i AS HUGEINT)) & 255 AS BIGINT) AS bucket FROM wcg CROSS JOIN (SELECT unnest(range(4)) AS i) r), cellsg AS (SELECT source, i, bucket, CAST(SUM(n) AS BIGINT) AS cell_n FROM rbg GROUP BY 1, 2, 3), merged AS (SELECT i, bucket, CAST(SUM(cell_n) AS BIGINT) AS cell_n FROM cellsg GROUP BY 1, 2), wc AS (SELECT word, CAST(SUM(n) AS BIGINT) AS true_n, COUNT(DISTINCT source) AS n_groups FROM wcg GROUP BY 1), top AS (SELECT word, true_n, n_groups FROM wc ORDER BY true_n DESC, word LIMIT 20), pr AS (SELECT DISTINCT word, i, bucket FROM rbg) SELECT t.word, t.true_n, t.n_groups, MIN(m.cell_n) AS cms_est FROM pr p JOIN top t ON p.word = t.word JOIN merged m ON m.i = p.i AND m.bucket = p.bucket GROUP BY t.word, t.true_n, t.n_groups ORDER BY t.true_n DESC, t.word""",
+    // q24's bucketed candidates with BOTH directional containments;
+    // integer-over-integer divisions are exact doubles
+    "q170_containment" ->
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), sh2 AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 2 THEN n - 1 ELSE 1 END), p -> shmix(h[p+1], coalesce(h[p+2], ${padLit(1)}))) AS sh FROM hs), grams AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform(sh, s -> tosigned(s)))) AS g FROM sh2), bk AS (SELECT id, g, g[1] AS m1, g[CASE WHEN len(g) >= 2 THEN 2 ELSE 1 END] AS m2, ROW_NUMBER() OVER (PARTITION BY g[1], g[CASE WHEN len(g) >= 2 THEN 2 ELSE 1 END] ORDER BY id) AS rn FROM grams), p AS (SELECT a.id AS id_a, b.id AS id_b, CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(a.g) AS DOUBLE) AS cont_ab, CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(b.g) AS DOUBLE) AS cont_ba FROM bk a JOIN bk b ON a.m1 = b.m1 AND a.m2 = b.m2 AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64) SELECT id_a, id_b, cont_ab, cont_ba FROM p WHERE greatest(cont_ab, cont_ba) >= 0.5 ORDER BY greatest(cont_ab, cont_ba) DESC, id_a, id_b LIMIT 200""",
     // every xorshift bucket assignment replayed bit-for-bit in HUGEINT
     "q95_cms_heavy_hitters" ->
       s"""$HASH_MACROS; WITH w AS (SELECT unnest(docwords(text)) AS word FROM documents), wc AS (SELECT word, COUNT(*) AS true_n FROM w GROUP BY word), rb AS (SELECT word, true_n, i, CAST(xstep(xshash(word), CAST(i AS HUGEINT)) & 255 AS BIGINT) AS bucket FROM wc CROSS JOIN (SELECT unnest(range(4)) AS i) r), cells AS (SELECT i, bucket, CAST(SUM(true_n) AS BIGINT) AS cell_n FROM rb GROUP BY i, bucket), top AS (SELECT word FROM wc ORDER BY true_n DESC, word LIMIT 20) SELECT p.word, p.true_n, MIN(c.cell_n) AS cms_est FROM rb p JOIN top t ON p.word = t.word JOIN cells c ON c.i = p.i AND c.bucket = p.bucket GROUP BY p.word, p.true_n ORDER BY p.true_n DESC, p.word""",

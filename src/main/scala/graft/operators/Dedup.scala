@@ -495,4 +495,52 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }
+
+  /** ASYMMETRIC near-dup: n-gram containment `|A∩B| / |A|` in both
+    * directions for bucketed candidate pairs. Jaccard misses the
+    * quote/subset case — a document wholly contained in a much larger one
+    * scores low on Jaccard but 1.0 on containment — and that direction is
+    * exactly what training-data curation needs to kill excerpt
+    * duplicates. Same candidate generation and bucket cap as
+    * [[ngramJaccardTopPairs]] (two-smallest-gram bucket, pairs from one
+    * collect_list aggregation, never a bucket self-join).
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      n: Int = 2,
+      topK: Int = 200,
+      maxBucket: Int = 64): DataFrame = {
+    val base = shingleHashRows(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("sh"))).as("grams"))
+      .select(col(idCol).as("id"), col("grams"))
+      .withColumn("bucket", struct(
+        element_at(col("grams"), 1).as("m1"),
+        element_at(col("grams"), least(lit(2), size(col("grams")))).as("m2")))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("id"))
+    val buckets = base
+      .withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") <= maxBucket)
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("id"), col("grams")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("ds"), (d, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), e =>
+          struct(
+            d.getField("id").as("id_a"),
+            e.getField("id").as("id_b"),
+            (size(array_intersect(d.getField("grams"), e.getField("grams"))).cast("double") /
+              size(d.getField("grams")).cast("double")).as("cont_ab"),
+            (size(array_intersect(d.getField("grams"), e.getField("grams"))).cast("double") /
+              size(e.getField("grams")).cast("double")).as("cont_ba")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cont_ab"), col("p.cont_ba"))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .orderBy(greatest(col("cont_ab"), col("cont_ba")).desc,
+        col("id_a"), col("id_b"))
+      .limit(topK)
+  }
 }

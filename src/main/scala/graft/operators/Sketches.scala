@@ -68,6 +68,53 @@ object Sketches {
       .orderBy(col("true_n").desc, col("word"))
   }
 
+  /** Mergeable Count-Min: one sketch per `groupCol` slice (day, source,
+    * shard…), then the slices' counter tables SUM into the corpus sketch —
+    * the algebraic property that lets a 100 TB pipeline maintain per-day
+    * sketches incrementally and answer period-wide heavy-hitter queries
+    * by merging d×w tables instead of re-scanning history (the CMS
+    * counterpart of the q119 HLL rollup). The merged table is provably
+    * identical to a direct whole-corpus sketch (SketchesSpec asserts
+    * cell-for-cell equality); estimates keep CMS's one-sided error.
+    *
+    * Returns (word, true_n, n_groups, cms_est), top `k` by exact count.
+    */
+  def cmsMergedHeavyHitters(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      depth: Int = 4,
+      width: Int = 256,
+      k: Int = 20): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0, "width must be a power of two")
+    require(depth >= 1 && k >= 1)
+    val wcg = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.words(col(textCol))).as("word"))
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the per-group cells AND the exact rollup
+    val rbg = wcg.select(col("grp"), col("word"), col("n"),
+      explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row_i"), bucket(col("word"), i, width).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("grp"), col("word"), col("n"), col("rb.row_i"), col("rb.bucket"))
+    // the per-group sketch store (what a daily pipeline would persist)…
+    val groupCells = rbg.groupBy(col("grp"), col("row_i"), col("bucket"))
+      .agg(sum(col("n")).as("cell_n"))
+    // …and the MERGE: counter tables are union-addable
+    val merged = groupCells.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cell_n")).as("cell_n"))
+    val wc = wcg.groupBy(col("word"))
+      .agg(sum(col("n")).as("true_n"), count_distinct(col("grp")).as("n_groups"))
+    val top = wc.orderBy(col("true_n").desc, col("word")).limit(k)
+    rbg.select(col("word"), col("row_i"), col("bucket")).distinct()
+      .join(broadcast(top), Seq("word"))
+      .join(merged, Seq("row_i", "bucket"))
+      .groupBy(col("word"), col("true_n"), col("n_groups"))
+      .agg(min(col("cell_n")).as("cms_est"))
+      .orderBy(col("true_n").desc, col("word"))
+  }
+
   /** BM25 relevance of every document against a fixed term set: the
     * classic retrieval scorer (the usual lexical half of hybrid search
     * over a training corpus).

@@ -11,6 +11,37 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("merged per-group CMS equals the direct whole-corpus sketch") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val direct = graft.operators.Sketches
+      .cmsHeavyHitters(docs, "text")
+      .select(col("word"), col("true_n"), col("cms_est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val merged = graft.operators.Sketches
+      .cmsMergedHeavyHitters(docs, "source", "text")
+      .select(col("word"), col("true_n"), col("cms_est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // counter tables are union-addable: summing per-source sketches must
+    // reproduce the direct sketch's estimates exactly, word for word
+    assert(merged == direct)
+  }
+
+  test("containment catches the exact-duplicate pair symmetrically") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val out = graft.operators.Dedup
+      .ngramContainmentPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ab, ba) = (r.getDouble(2), r.getDouble(3))
+      assert(ab >= 0.0 && ab <= 1.0 && ba >= 0.0 && ba <= 1.0)
+      assert(math.max(ab, ba) >= 0.5, "threshold must hold on every row")
+    }
+    // the corpus carries engineered exact dups: both directions 1.0
+    assert(out.exists(r => r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0))
+  }
+
   test("quantizedKnn rejects a degenerate (constant) embedding range") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
