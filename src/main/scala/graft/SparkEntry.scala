@@ -2830,6 +2830,15 @@ object SparkEntry {
     graft.streaming.StreamVerify.streamStreamOuterJoin(s, q92Events(s, dir))
       .orderBy(col("p_id"), col("c_id"))
 
+  /** Stream-stream FULL OUTER interval join
+    * ([[graft.streaming.StreamVerify.streamStreamFullOuterJoin]]):
+    * completes the streaming join matrix (inner q77 / left q92 / full
+    * here) on the same sentinel-staged input.
+    */
+  private def q171(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.streamStreamFullOuterJoin(s, q92Events(s, dir))
+      .orderBy(col("p_id"), col("c_id"))
+
   /** q135's stream input: the events table split into TWO staged files by
     * event_id parity (raw long-nanos schema, so it reads uniformly).
     * Each user's sessions therefore span both files, and with
@@ -2911,7 +2920,7 @@ object SparkEntry {
     "q92_stream_outer_join", "q107_stream_custom_state",
     "q121_exactly_once_sink", "q136_stream_alerts",
     "q135_stream_update_sessions", "q142_stream_append_sessions",
-    "q165_stream_cdc_apply")
+    "q165_stream_cdc_apply", "q171_stream_full_outer")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -3069,6 +3078,7 @@ object SparkEntry {
     "q168_checked_commit" -> (q168 _),
     "q169_cms_merge" -> (q169 _),
     "q170_containment" -> (q170 _),
+    "q171_stream_full_outer" -> (q171 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3407,6 +3417,8 @@ object SparkEntry {
       s"""SELECT c_mktsegment, COUNT(*) AS n, $SUMV AS total_value FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q77_stream_stream_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS c_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'click') SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id AND c.sec >= p.sec - 3600 AND c.sec <= p.sec ORDER BY p_id, c_id""",
+    "q171_stream_full_outer" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS c_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'click') SELECT p.p_id, c.c_id FROM p FULL JOIN c ON p.user_id = c.user_id AND c.sec >= p.sec - 3600 AND c.sec <= p.sec ORDER BY p_id, c_id""",
     "q92_stream_outer_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS c_id, user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events WHERE event_type = 'click') SELECT p.p_id, c.c_id FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.sec >= p.sec - 3600 AND c.sec <= p.sec ORDER BY p_id, c_id""",
     "q79_typed_dataset" ->

@@ -221,6 +221,36 @@ object StreamVerify {
     drain(spark, joined, "append")
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the join matrix
+    * (inner q77 / left q92 / full here): matched purchase–click pairs
+    * emit normally; purchases without a qualifying click AND clicks that
+    * matched no purchase each emit exactly once, null-padded, when the
+    * watermark passes their join window. Both sides' state is
+    * watermark-bounded; the caller stages the q92 sentinels so every
+    * real row's window closes inside the drain.
+    */
+  def streamStreamFullOuterJoin(spark: SparkSession, eventsPath: String): DataFrame = {
+    val ev = EventsStream.readEvents(spark, eventsPath)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= expr("p_ts - INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "full_outer")
+      .select(col("p_id"), col("c_id"))
+    // the far-future sentinel rows themselves surface as unmatched once
+    // their own window closes against the other sentinel's watermark —
+    // filter them by their out-of-band negative event ids
+    drain(spark, joined, "append")
+      .filter((col("p_id").isNull || col("p_id") >= 0) &&
+        (col("c_id").isNull || col("c_id") >= 0))
+  }
+
   /** The flatMapGroupsWithState sessionizer ([[EventsStream.sessionize]])
     * drained through the oracle gate. Append-mode custom state only emits
     * a session when the event-time watermark passes its close, so the
