@@ -2701,6 +2701,30 @@ object SparkEntry {
   private def q170(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramContainmentPairs(T(s, dir, "documents"), "doc_id", "text")
 
+  /** Pure-SQL surface ([[graft.plans.GraftExtensions]]): the engine's
+    * codegen Catalyst expressions (`xs_hash`, `vec_cosine`) called from
+    * `spark.sql` TEXT over registered views — proving a library user
+    * needs no Scala to reach the custom-expression layer. The cosine sums
+    * are rounded then DECIMAL-accumulated, so the aggregate is
+    * order-independent and the oracle replays it with its portable
+    * macro equivalents.
+    */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "documents").createOrReplaceTempView("documents_v")
+    T(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    s.sql("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings_v WHERE vec_id = 0),
+      t AS (SELECT lang, count(*) AS n, sum(CASE WHEN xs_hash(text) % 2 = 0 THEN 1 ELSE 0 END) AS even_hash
+            FROM documents_v GROUP BY lang),
+      v AS (SELECT label, count(*) AS n,
+              CAST(sum(CAST(round(vec_cosine(embedding, qv), 6) AS DECIMAL(18,6))) AS DOUBLE) AS cos_sum
+            FROM embeddings_v, q GROUP BY label)
+      SELECT 'lang_hash' AS part, lang AS key, n, CAST(even_hash AS DOUBLE) AS metric FROM t
+      UNION ALL
+      SELECT 'label_cos', CAST(label AS STRING), n, cos_sum FROM v
+      ORDER BY part, key""")
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3079,6 +3103,7 @@ object SparkEntry {
     "q169_cms_merge" -> (q169 _),
     "q170_containment" -> (q170 _),
     "q171_stream_full_outer" -> (q171 _),
+    "q172_sql_surface" -> (q172 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3427,6 +3452,11 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // the same hash and cosine arithmetic through the SQL-registered
+    // expressions, replayed via the portable macros; cosine sums are
+    // 6-dp-rounded then decimal-accumulated (order-independent)
+    "q172_sql_surface" ->
+      s"""$HASH_MACROS; $VEC_MACROS; WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), t AS (SELECT lang, COUNT(*) AS n, SUM(CASE WHEN tosigned(xshash(text)) % 2 = 0 THEN 1 ELSE 0 END) AS even_hash FROM documents GROUP BY lang), v AS (SELECT label, COUNT(*) AS n, CAST(SUM(CAST(round(pcos(embedding, qv), 6) AS DECIMAL(18,6))) AS DOUBLE) AS cos_sum FROM embeddings, q GROUP BY label) SELECT * FROM (SELECT 'lang_hash' AS part, lang AS key, n, CAST(even_hash AS DOUBLE) AS metric FROM t UNION ALL SELECT 'label_cos', CAST(label AS VARCHAR), n, cos_sum FROM v) ORDER BY part, key""",
     // per-source counter tables summed into the merged sketch, every
     // xorshift bucket replayed in HUGEINT; the merged probe's MIN and the
     // exact rollup replay plainly
