@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe: replicate the sf0.1 tables 1×/10×/100× (ids
+  * offset per replica, texts made distinct, so cardinalities scale with
+  * volume) and time the heavy operator families on each size. The point
+  * is the SLOPE, not the absolute number: an operator whose time grows
+  * ~linearly from 1× to 100× has no hidden quadratic or driver-side
+  * bottleneck and can be believed at 1000× more; one that bends upward is
+  * a scale bug regardless of how fast it looks at test size.
+  *
+  * Staged replicas land under target/scratch and are written ONCE per
+  * factor (timings read real parquet, not in-memory unions). Output: one
+  * JSON line per (op, factor) with seconds and input rows.
+  */
+object ScaleProbe {
+
+  private def consume(df: DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
+  private def time[A](body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val factors = sys.env.getOrElse("SPARK_GRAFT_FACTORS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark: SparkSession = GraftSession.local("graft-scale-probe", cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scratch = s"/root/repo/target/scratch/scaleprobe_${math.abs(sfDir.hashCode)}"
+
+    def staged(table: String, factor: Int, replicate: (DataFrame, Int) => DataFrame): String = {
+      val path = s"$scratch/${table}_x$factor"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        val base = graft.sources.Tables.load(spark, sfDir, table)
+        val reps = spark.range(factor).select(col("id").cast("long").as("__rep"))
+        replicate(base.crossJoin(reps), factor)
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+
+    // id offsets keep keys distinct across replicas (user/order/doc
+    // cardinality scales with volume — weak scaling, the cluster shape)
+    def eventsAt(f: Int): DataFrame = spark.read.parquet(staged("events", f,
+      (d, _) => d.select(
+        (col("event_id") + col("__rep") * 1000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__rep") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))))
+
+    def documentsAt(f: Int): DataFrame = spark.read.parquet(staged("documents", f,
+      (d, _) => d.select(
+        (col("doc_id") + col("__rep") * 1000000000L).as("doc_id"),
+        // replica tag makes texts distinct: dedup work scales with volume
+        concat(col("text"), lit(" r"), col("__rep")).as("text"),
+        col("lang"), col("source"), col("n_chars"))))
+
+    def lineitemAt(f: Int): DataFrame = spark.read.parquet(staged("lineitem", f,
+      (d, _) => d.select(
+        (col("l_orderkey") + col("__rep") * 1000000000L).as("l_orderkey"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_shipdate"))))
+
+    val evSec = expr("ts div 1000000000")
+
+    def ops(f: Int): Seq[(String, () => Unit)] = Seq(
+      "hourly_agg" -> { () =>
+        val ev = eventsAt(f)
+        consume(ev.groupBy((evSec.cast("long") / 3600).cast("long").as("h"), col("event_type"))
+          .agg(count(lit(1)), sum(col("value").cast("decimal(18,2)"))))
+      },
+      "sessionize" -> { () =>
+        val ev = eventsAt(f)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        consume(ev.select(col("user_id"), col("event_id"), evSec.as("sec"))
+          .withColumn("new_s", when(lag(col("sec"), 1).over(w).isNull ||
+            col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(cum))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("sec")), max(col("sec")), count(lit(1))))
+      },
+      "asof_join" -> { () =>
+        val ev = eventsAt(f)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), evSec.as("sec"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), evSec.as("csec"))
+          .agg(max(col("event_id")).as("click_id"))
+        consume(graft.operators.Relational.asofJoin(
+          purchases, clicks, "user_id", "sec", "csec", Seq("click_id")))
+      },
+      "exact_dedup" -> { () =>
+        consume(graft.operators.Dedup.exact(documentsAt(f), "doc_id", "text"))
+      },
+      "minhash_assign" -> { () =>
+        consume(graft.operators.Dedup.minhashAssign(documentsAt(f), "doc_id", "text"))
+      },
+      "seq_packing" -> { () =>
+        consume(graft.operators.TextPipeline.packSequences(documentsAt(f), 512, 4096))
+      },
+      "triangles" -> { () =>
+        val li = lineitemAt(f)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val edges = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select(col("src"), col("dst"))
+        consume(graft.operators.Graph.triangleCounts(edges))
+      })
+
+    val results = for {
+      f <- factors
+      (name, body) <- ops(f)
+    } yield {
+      val warm = time(body()) // staging write rides the first call
+      val t = time(body())
+      println(f"""PROBE {"op":"$name","factor":$f,"sec":${math.min(warm, t)}%.3f}""")
+      (name, f, math.min(warm, t))
+    }
+    val byOp = results.groupBy(_._1)
+    byOp.toSeq.sortBy(_._1).foreach { case (op, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val slopes = sorted.sliding(2).collect {
+        case Seq((_, f1, t1), (_, f2, t2)) =>
+          f"${f2 / f1}x_data=${t2 / t1}%.1fx_time"
+      }.mkString(", ")
+      println(s"SLOPE $op: $slopes")
+    }
+    spark.stop()
+  }
+}
