@@ -2725,6 +2725,41 @@ object SparkEntry {
       ORDER BY part, key""")
   }
 
+  /** Spark 4 VARIANT ingestion: the semi-structured `props` payload
+    * parsed ONCE into the binary variant encoding (`parse_json`), fields
+    * then extracted with `variant_get` — the modern engine path for
+    * schema-flexible JSON at scale (one parse, typed columnar access,
+    * no per-field regex re-scan like q01's legacy extraction).
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("k_sum"))
+      .orderBy(col("event_type"), col("k_mod"))
+
+  /** Referential pseudonymization for training-data privacy: user ids
+    * replaced by a salted-hash pseudonym IDENTICALLY across fact and
+    * dimension tables, so joins still line up but raw ids never leave
+    * the pipeline. The salt is a pipeline parameter; rotating it
+    * re-keys every pseudonym consistently.
+    */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val salt = "graft-r4"
+    def pseud(c: Column): Column =
+      substring(md5(concat(lit(salt), lit(":"), c.cast("string")).cast("binary")), 1, 16)
+    val ev = T(s, dir, "events")
+      .select(pseud(col("user_id")).as("pid"), col("value"))
+    val cust = T(s, dir, "customer")
+      .select(pseud(col("c_custkey")).as("pid"), col("c_mktsegment"))
+    ev.join(cust, Seq("pid"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("pid")).as("n_users"),
+        sumx(col("value")).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3104,6 +3139,8 @@ object SparkEntry {
     "q170_containment" -> (q170 _),
     "q171_stream_full_outer" -> (q171 _),
     "q172_sql_surface" -> (q172 _),
+    "q173_variant_ingest" -> (q173 _),
+    "q174_pseudonymize" -> (q174 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3452,6 +3489,13 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // variant_get's typed extraction replays as DuckDB JSON extraction;
+    // % keeps dividend sign but k is non-negative here
+    "q173_variant_ingest" ->
+      """SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum FROM events GROUP BY 1, 2 ORDER BY event_type, k_mod""",
+    // identical salted-md5 pseudonyms on both sides keep the join keyed
+    "q174_pseudonymize" ->
+      s"""WITH ev AS (SELECT substr(md5('graft-r4:' || CAST(user_id AS VARCHAR)), 1, 16) AS pid, value FROM events), cu AS (SELECT substr(md5('graft-r4:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pid, c_mktsegment FROM customer) SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT ev.pid) AS n_users, $SUMV AS total_value FROM ev JOIN cu USING (pid) GROUP BY 1 ORDER BY c_mktsegment""",
     // the same hash and cosine arithmetic through the SQL-registered
     // expressions, replayed via the portable macros; cosine sums are
     // 6-dp-rounded then decimal-accumulated (order-independent)
