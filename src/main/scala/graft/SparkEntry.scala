@@ -1746,11 +1746,7 @@ object SparkEntry {
     val lake = scratch(dir, "q117")
     // fresh log per run: commits accumulate, and this query's meaning is
     // the exact 3-commit history
-    val root = new java.io.File(lake)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    if (root.exists()) rm(root)
+    graft.sources.LocalFs.deleteRecursively(lake)
     val daily = T(s, dir, "events")
       .groupBy(evDateId.as("date_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sumx(col("value")).as("total_value"))
@@ -1808,11 +1804,7 @@ object SparkEntry {
     */
   private def q120(s: SparkSession, dir: String): DataFrame = {
     val lake = scratch(dir, "q120")
-    val root = new java.io.File(lake)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    if (root.exists()) rm(root)
+    graft.sources.LocalFs.deleteRecursively(lake)
     val ev = T(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     (0 to 2).foreach(i =>
@@ -1911,11 +1903,7 @@ object SparkEntry {
     */
   private def q125(s: SparkSession, dir: String): DataFrame = {
     val lake = scratch(dir, "q125")
-    val root = new java.io.File(lake)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    if (root.exists()) rm(root)
+    graft.sources.LocalFs.deleteRecursively(lake)
     val ev = T(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     val m = ev.agg(max(col("user_id"))).head().getLong(0)
@@ -1961,11 +1949,7 @@ object SparkEntry {
     */
   private def q127(s: SparkSession, dir: String): DataFrame = {
     val lake = scratch(dir, "q127")
-    val root = new java.io.File(lake)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    if (root.exists()) rm(root)
+    graft.sources.LocalFs.deleteRecursively(lake)
     val ev = T(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     (0 to 2).foreach(i =>
@@ -2274,10 +2258,7 @@ object SparkEntry {
   private def q145(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLake
     val lake = scratch(dir, "q145") + "/lake"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(lake))
+    graft.sources.LocalFs.deleteRecursively(lake)
     val ev = T(s, dir, "events").select(col("event_id"), col("event_type"),
       col("value").cast(DecimalType(18, 2)).as("value"))
     TxLake.commit(s, lake, ev.filter(col("event_id") % 2 === 0).coalesce(1))
@@ -2298,10 +2279,7 @@ object SparkEntry {
   private def q146(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLake
     val lake = scratch(dir, "q146") + "/lake"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(lake))
+    graft.sources.LocalFs.deleteRecursively(lake)
     val cust = T(s, dir, "customer")
       .select(col("c_custkey"),
         col("c_acctbal").cast(DecimalType(12, 2)).as("bal"))
@@ -2357,10 +2335,7 @@ object SparkEntry {
   private def q149(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLake
     val lake = scratch(dir, "q149") + "/lake"
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(lake))
+    graft.sources.LocalFs.deleteRecursively(lake)
     val ev = T(s, dir, "events").select(col("event_id"), col("event_type"),
       col("value").cast(DecimalType(18, 2)).as("value"))
     def slice(m: Int) = ev.filter(col("event_id") % 4 === m).coalesce(1)
@@ -2414,10 +2389,7 @@ object SparkEntry {
     */
   private def q153(s: SparkSession, dir: String): DataFrame = {
     val lake = scratch(dir, "q153")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(lake))
+    graft.sources.LocalFs.deleteRecursively(lake)
     val o = T(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
       col("o_orderstatus"))
@@ -2556,10 +2528,7 @@ object SparkEntry {
     */
   private def q161(s: SparkSession, dir: String): DataFrame = {
     val root = scratch(dir, "q161")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(root))
+    graft.sources.LocalFs.deleteRecursively(root)
     val ev = T(s, dir, "events").select(
       col("event_id"), col("event_type"), col("value"), evDateId.as("date_id"))
     val maxDate = ev.agg(max(col("date_id"))).head().getString(0)
@@ -2610,10 +2579,7 @@ object SparkEntry {
     */
   private def q163(s: SparkSession, dir: String): DataFrame = {
     val lake = scratch(dir, "q163")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(lake))
+    graft.sources.LocalFs.deleteRecursively(lake)
     val daily = T(s, dir, "events")
       .groupBy(evDateId.as("date_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sumx(col("value")).as("total_value"))
@@ -2766,10 +2732,7 @@ object SparkEntry {
     */
   private def q168(s: SparkSession, dir: String): DataFrame = {
     val lake = scratch(dir, "q168")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(lake))
+    graft.sources.LocalFs.deleteRecursively(lake)
     val o = T(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
       col("o_orderstatus"))

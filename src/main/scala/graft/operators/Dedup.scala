@@ -263,6 +263,14 @@ object Dedup {
     val index = spark.read.parquet(path).select(
       col("band_idx"), col("band_hash"),
       col("id").as("corpus_id"), col("sig").as("sig_c"))
+    // the index stores no explicit metadata, so validate against its own
+    // signatures: probing with a different numHashes would misalign every
+    // band key and silently MISS near-dups instead of erroring
+    val head = index.select(size(col("sig_c")).as("n")).limit(1).collect()
+    require(head.nonEmpty, s"empty or missing MinHash index at $path")
+    require(head.head.getInt(0) == numHashes,
+      s"index at $path was built with numHashes=${head.head.getInt(0)}, " +
+        s"probe requested $numHashes")
     val probes = minhashSignatures(batch, idCol, textCol, numHashes)
       .select(col(idCol).as("batch_id"), col("sig"))
       .select(col("batch_id"), col("sig").as("sig_b"),

@@ -204,6 +204,29 @@ object PartitionedLake {
       .toSeq.sorted
     finally segs.close()
     require(dirs.nonEmpty, s"no segments under $root")
-    dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    dirs.map { d =>
+      // validate the on-disk directory chain against the segment's
+      // declared spec — a hand-copied or drifted segment must fail loudly
+      // here, not silently join the union under the wrong layout
+      val manifest = java.nio.file.Paths.get(d, "_layout")
+      if (java.nio.file.Files.exists(manifest)) {
+        val declared = new String(
+          java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+          .split(",").filter(_.nonEmpty).toSeq
+        val seen = scala.collection.mutable.ArrayBuffer[String]()
+        var cur = new java.io.File(d)
+        var walking = true
+        while (walking)
+          cur.listFiles().find(f => f.isDirectory && f.getName.contains("=")) match {
+            case Some(sub) =>
+              seen += sub.getName.takeWhile(_ != '='); cur = sub
+            case None => walking = false
+          }
+        require(seen.toSeq == declared,
+          s"segment $d layout drift: manifest declares $declared, " +
+            s"directories show ${seen.toSeq}")
+      }
+      spark.read.parquet(d)
+    }.reduce(_ unionByName _)
   }
 }

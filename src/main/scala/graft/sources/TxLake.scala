@@ -371,7 +371,9 @@ object TxLake {
     require(updates.columns.toSeq.sorted == dataCols.sorted,
       "updates must carry exactly the table's columns")
     val u = updates.localCheckpoint(true)
-    require(u.groupBy(col(keyCol)).count()
+    // null keys match nothing and insert (doc contract above): uniqueness
+    // therefore applies to non-null keys only
+    require(u.filter(col(keyCol).isNotNull).groupBy(col(keyCol)).count()
       .filter(col("count") > 1).isEmpty, "duplicate keys in updates")
     // _metadata must be projected BEFORE the join — it is a scan-level
     // pseudo-column and does not survive into joined relations
@@ -420,7 +422,10 @@ object TxLake {
     require(updates.columns.toSeq.sorted == dataCols.sorted,
       "updates must carry exactly the table's columns")
     val u = updates.localCheckpoint(true)
-    require(u.groupBy(col(keyCol)).count()
+    // null keys match nothing and always insert (the family contract), so
+    // uniqueness applies to NON-NULL keys only — grouping nulls would
+    // reject two legitimate null-key inserts as "duplicates"
+    require(u.filter(col(keyCol).isNotNull).groupBy(col(keyCol)).count()
       .filter(col("count") > 1).isEmpty, "duplicate keys in updates")
     val affected = snap
       .select(col(keyCol), col("_metadata.file_path").as("f"))
@@ -435,13 +440,19 @@ object TxLake {
         val candidates = spark.read.parquet(plain: _*).select(sel: _*)
           .withColumn("__side", lit(0))
           .unionByName(u.select(sel: _*).withColumn("__side", lit(1)))
+        // the recency argmax applies ONLY to non-null keys: a window
+        // partitioned on the raw key would pool every null-key row (table
+        // rows sharing an affected file + null-key inserts) into one
+        // group and silently keep a single row — data loss
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol))
           .orderBy(orderCols.map(c => col(c).desc) :+ col("__side").desc: _*)
-        candidates
+        val keyed = candidates.filter(col(keyCol).isNotNull)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .select(sel: _*)
+        keyed.unionByName(
+          candidates.filter(col(keyCol).isNull).select(sel: _*))
       }
     swapCommit(spark, path, replacement.localCheckpoint(true), plain)
   }
@@ -464,12 +475,20 @@ object TxLake {
     require(name.matches("[A-Za-z0-9_-]+"), s"unsafe branch name: $name")
     val bp = s"$path/_branches/$name"
     require(!Files.exists(logDir(bp)), s"branch $name already exists")
-    val files = activeFiles(path, fromVersion)
+    val active = activeEntries(path, fromVersion)
     Files.createDirectories(logDir(bp))
+    // carry the parent's per-file skipping stats into the base entry when
+    // every inherited file has them (the checkpoint rule) — a stats-blind
+    // base would silently disable log-based pruning on the branch
+    val withStats = active.nonEmpty && active.forall(_._2.isDefined)
+    val stats =
+      if (!withStats) ""
+      else s""","mins":[${active.map(_._2.get._1).mkString(",")}],""" +
+        s""""maxs":[${active.map(_._2.get._2).mkString(",")}]"""
     val json =
       s"""{"version":1,"tag":"",""" +
-        s""""adds":[${files.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removes":[]}"""
+        s""""adds":[${active.map("\"" + _._1 + "\"").mkString(",")}],""" +
+        s""""removes":[]$stats}"""
     val tmp = logDir(bp).resolve(".tmp-base")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, logFile(bp, 1L), StandardCopyOption.ATOMIC_MOVE)

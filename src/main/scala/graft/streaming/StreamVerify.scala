@@ -288,10 +288,7 @@ object StreamVerify {
       spark: SparkSession,
       eventsPath: String,
       scratchDir: String): DataFrame = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(scratchDir))
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
     val sessions = EventsStream.sessionizeUpdates(spark,
       EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1)))
       .toDF()
@@ -366,11 +363,7 @@ object StreamVerify {
       spark: SparkSession,
       eventsPath: String,
       lakePath: String): DataFrame = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    val root = new java.io.File(lakePath)
-    if (root.exists()) rm(root)
+    graft.sources.LocalFs.deleteRecursively(lakePath)
     val ev = EventsStream.readEvents(spark, eventsPath)
       .select(col("event_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd").as("date_id"))
@@ -396,14 +389,7 @@ object StreamVerify {
     * leftovers (replay idempotency itself is covered in StreamingSpec).
     */
   def lakeRoundTrip(spark: SparkSession, eventsPath: String, scratchDir: String): DataFrame = {
-    val fs = new java.io.File(scratchDir)
-    if (fs.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(fs)
-    }
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
     val lake = s"$scratchDir/lake"
     val q = EventsStream.toLake(EventsStream.readEvents(spark, eventsPath), lake)
       .option("checkpointLocation", s"$scratchDir/chk")
@@ -429,14 +415,7 @@ object StreamVerify {
     * application is real, not simulated.
     */
   def cdcApply(spark: SparkSession, eventsPath: String, scratchDir: String): DataFrame = {
-    val fs = new java.io.File(scratchDir)
-    if (fs.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(fs)
-    }
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
     val lake = s"$scratchDir/lake"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))

@@ -90,6 +90,18 @@ class DedupSpec extends SparkSuite {
     assert(!hits.exists(_._1 == 5L), "unrelated batch doc must not match")
   }
 
+  test("probing an index with a different numHashes fails loudly") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_lshidx_mismatch").toString + "/idx"
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", idx, numHashes = 32)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.probeMinhashIndex(spark, idx, docs, "doc_id", "text",
+        numHashes = 64)
+    }
+    assert(e.getMessage.contains("numHashes=32"),
+      "a band-misaligned probe silently misses near-dups; it must error")
+  }
+
   test("canonicalPerCluster keeps exactly the best-weighted doc per cluster") {
     val weighted = docs.withColumn("w",
       // doc 2 outweighs its duplicate 1: the canonical pick must be 2

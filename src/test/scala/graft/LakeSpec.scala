@@ -140,6 +140,14 @@ class LakeSpec extends SparkSuite {
     // the old generation was never rewritten into the new spec
     assert(!new java.io.File(s"$root/gen1/date_id=2024-01-01")
       .listFiles().exists(_.getName.startsWith("kind=")))
+    // a drifted manifest (hand-copied segment, wrong spec) must fail the
+    // read loudly, not silently union under the wrong layout
+    Files.write(java.nio.file.Paths.get(s"$root/gen2/_layout"),
+      "date_id".getBytes("UTF-8"))
+    val drift = intercept[IllegalArgumentException] {
+      PartitionedLake.readSegments(spark, root).count()
+    }
+    assert(drift.getMessage.contains("layout drift"))
   }
 
   test("jdbc delete statement is keyed and parameterized") {

@@ -308,6 +308,36 @@ class TxLakeSpec extends SparkSuite {
     assert(state() == want, "re-delivering the same batch must be a no-op")
   }
 
+  test("mergeByKeyNewest: null keys always insert and never collapse") {
+    import spark.implicits._
+    val lake = tmp()
+    // one null-key row rides in the same table as keyed rows
+    TxLake.commit(spark, lake,
+      Seq((Option(1L), 10L, "a"), (Option.empty[Long], 0L, "anon1"))
+        .toDF("k", "ver", "v"))
+    // two null-key inserts in ONE batch must both land (not be rejected
+    // as duplicates), and the table's existing null-key row must survive
+    // the rewrite of its file
+    val u = Seq((Option(1L), 20L, "fresh"), (Option.empty[Long], 0L, "anon2"),
+      (Option.empty[Long], 0L, "anon3")).toDF("k", "ver", "v")
+    TxLake.mergeByKeyNewest(spark, lake, u, "k", Seq("ver"))
+    val vs = TxLake.readSnapshot(spark, lake)
+      .select(col("v")).as[String].collect().toSet
+    assert(vs == Set("fresh", "anon1", "anon2", "anon3"),
+      s"got $vs — keyed row updated, every null-key row present")
+  }
+
+  test("branch inherits the parent's data-skipping stats") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2, 3), statsCol = "id")
+    TxLake.commit(spark, lake, df(100, 200), statsCol = "id")
+    val parentPruned = TxLake.prunedFiles(lake, 100L, 300L).toSet
+    assert(parentPruned.size < TxLake.prunedFiles(lake, 0L, 300L).size)
+    val bp = TxLake.branch(lake, "stats")
+    assert(TxLake.prunedFiles(bp, 100L, 300L).toSet == parentPruned,
+      "the branch base entry must carry the per-file min/max forward")
+  }
+
   test("changeFeed reports net per-commit row changes, survivors cancel") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1, 2, 3)) // v1
