@@ -2726,6 +2726,110 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Grid-bucketed nearest-station spatial join
+    * ([[graft.operators.Spatial.nearestWithin]]): customers as points,
+    * suppliers as stations, a 5°-radius search — the reference domain's
+    * (weather by city coordinate) canonical lookup, as a cell equi-join
+    * rather than a distance cross join. Coordinates are derived from the
+    * keys in exact integer micro-degrees so the oracle replays them
+    * verbatim.
+    */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    def latU(k: Column) = pmod(k * 48271L, lit(120000001L)) - 60000000L
+    def lonU(k: Column) = pmod(k * 69621L, lit(360000001L)) - 180000000L
+    val pts = T(s, dir, "customer").select(col("c_custkey"),
+      latU(col("c_custkey")).as("lat_u"), lonU(col("c_custkey")).as("lon_u"))
+    val st = T(s, dir, "supplier").select(col("s_suppkey"),
+      latU(col("s_suppkey") * 7919L).as("lat_u"),
+      lonU(col("s_suppkey") * 7919L).as("lon_u"))
+    graft.operators.Spatial.nearestWithin(
+      pts, st, "c_custkey", "s_suppkey", "lat_u", "lon_u", 5000000L)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Character-entropy quality scoring
+    * ([[graft.operators.TextPipeline.charEntropy]]): the cheap
+    * gibberish/boilerplate gate in pretraining filters, flagged at a 3.5
+    * bit threshold.
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.charEntropy(T(s, dir, "documents"), "doc_id", "text")
+      .withColumn("quality",
+        when(col("entropy") >= 3.5, lit("ok")).otherwise(lit("low")))
+      .orderBy(col("doc_id"))
+
+  /** Mergeable EXACT distinct counting via packed bitmaps
+    * ([[graft.operators.Sketches.bitmapWords]]): per-half bitmap word
+    * tables built independently (the persisted-store shape), OR-merged,
+    * popcounted — the merged exact count must equal a direct
+    * count(DISTINCT), which is precisely what the oracle checks.
+    */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val halves = Seq(0, 1).map(p =>
+      graft.operators.Sketches.bitmapWords(
+        ev.filter(col("event_id") % 2 === p), Seq("event_type"), "user_id"))
+    graft.operators.Sketches.bitmapDistinct(
+      halves.reduce(_ unionByName _), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Time-decayed engagement scoring: per-type value sums halved per week
+    * of age — the feature-store freshness weighting. The decay factor is
+    * an exact power of two (weekly buckets, `1 / 2^age_weeks`), so every
+    * per-row product is IEEE-identical cross-engine before the usual
+    * round-then-decimal accumulation.
+    */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_type"), col("value"), to_date(evTs).as("d"))
+    val mx = ev.agg(max(col("d")).as("mx"))
+    ev.join(broadcast(mx))
+      .withColumn("wk", expr("datediff(mx, d) div 7"))
+      .withColumn("contrib",
+        round(col("value") / expr("cast(shiftleft(1L, int(wk)) as double)"), 9)
+          .cast(DecimalType(28, 9)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("contrib")).cast("double").as("decayed_value"),
+        sumx(col("value")).as("raw_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Content-defined chunking ([[graft.operators.Dedup.contentChunks]]):
+    * Rabin-style cut points on the portable hash, then a corpus-wide
+    * shared-chunk profile per document — the boilerplate/quote detector
+    * fixed-width chunking cannot express. Every cut position is replayed
+    * bit-for-bit by the oracle.
+    */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val ch = Dedup.contentChunks(T(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(true) // feeds both the share map and the per-doc rollup
+    val shared = ch.groupBy(col("chunk_hash"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    ch.join(shared, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("total_len"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Checkpointed AvailableNow resume
+    * ([[graft.streaming.StreamVerify.incrementalResume]]): two batch-cadence
+    * runs over an arriving-file source, second run resumes the checkpoint
+    * and must process ONLY the new file — re-reads or drops corrupt the
+    * oracle hash by construction.
+    */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val staged = q135Events(s, dir)
+    graft.streaming.StreamVerify.incrementalResume(
+      s, s"$staged/a_even.parquet", s"$staged/b_odd.parquet",
+      scratch(dir, "q180"))
+      .orderBy(col("date_id"))
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -2942,7 +3046,8 @@ object SparkEntry {
     "q92_stream_outer_join", "q107_stream_custom_state",
     "q121_exactly_once_sink", "q136_stream_alerts",
     "q135_stream_update_sessions", "q142_stream_append_sessions",
-    "q165_stream_cdc_apply", "q171_stream_full_outer")
+    "q165_stream_cdc_apply", "q171_stream_full_outer",
+    "q180_stream_resume")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -3104,6 +3209,12 @@ object SparkEntry {
     "q172_sql_surface" -> (q172 _),
     "q173_variant_ingest" -> (q173 _),
     "q174_pseudonymize" -> (q174 _),
+    "q175_spatial_join" -> (q175 _),
+    "q176_entropy_quality" -> (q176 _),
+    "q177_bitmap_distinct" -> (q177 _),
+    "q178_decayed_score" -> (q178 _),
+    "q179_content_chunks" -> (q179 _),
+    "q180_stream_resume" -> (q180 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3459,6 +3570,32 @@ object SparkEntry {
     // identical salted-md5 pseudonyms on both sides keep the join keyed
     "q174_pseudonymize" ->
       s"""WITH ev AS (SELECT substr(md5('graft-r4:' || CAST(user_id AS VARCHAR)), 1, 16) AS pid, value FROM events), cu AS (SELECT substr(md5('graft-r4:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pid, c_mktsegment FROM customer) SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT ev.pid) AS n_users, $SUMV AS total_value FROM ev JOIN cu USING (pid) GROUP BY 1 ORDER BY c_mktsegment""",
+    // same integer micro-degree coordinate derivation and planar metric;
+    // the 3x3 neighborhood replication and cell equi-join replayed
+    // literally, argmin with the same (dist2, id) tie break
+    "q175_spatial_join" ->
+      """WITH p AS (SELECT c_custkey, (c_custkey * 48271) % 120000001 - 60000000 AS plat, (c_custkey * 69621) % 360000001 - 180000000 AS plon FROM customer), st AS (SELECT s_suppkey, (s_suppkey * 7919 * 48271) % 120000001 - 60000000 AS slat, (s_suppkey * 7919 * 69621) % 360000001 - 180000000 AS slon FROM supplier), sc AS (SELECT s_suppkey, slat, slon, CAST(floor(slat / 5000000.0) AS BIGINT) + d1.o AS cr, CAST(floor(slon / 5000000.0) AS BIGINT) + d2.o AS cc FROM st, (SELECT unnest([-1, 0, 1]) AS o) d1, (SELECT unnest([-1, 0, 1]) AS o) d2), cand AS (SELECT p.c_custkey, sc.s_suppkey, (p.plat - sc.slat) * (p.plat - sc.slat) + (p.plon - sc.slon) * (p.plon - sc.slon) AS dist2 FROM p JOIN sc ON CAST(floor(p.plat / 5000000.0) AS BIGINT) = sc.cr AND CAST(floor(p.plon / 5000000.0) AS BIGINT) = sc.cc), r AS (SELECT c_custkey, s_suppkey, dist2, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dist2, s_suppkey) AS rn FROM cand WHERE dist2 <= 25000000000000) SELECT c_custkey, s_suppkey, CAST(dist2 AS BIGINT) AS dist2 FROM r WHERE rn = 1 ORDER BY c_custkey""",
+    // per-term n*log2(n) rounded to 9 then DECIMAL-accumulated (order-
+    // independent), final entropy rounded to 6 — same grid both sides
+    "q176_entropy_quality" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2), e AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars, COUNT(*) AS n_distinct, CAST(SUM(CAST(round(n * log2(n), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s FROM cnt GROUP BY 1) SELECT doc_id, n_chars, n_distinct, round(log2(n_chars) - s / n_chars, 6) AS entropy, CASE WHEN round(log2(n_chars) - s / n_chars, 6) >= 3.5 THEN 'ok' ELSE 'low' END AS quality FROM e ORDER BY doc_id""",
+    // the bitmap merge is EXACT, so the oracle is simply the direct
+    // distinct count the merged popcount must reproduce
+    "q177_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct FROM events GROUP BY 1 ORDER BY event_type""",
+    // weekly decay factor is an exact power of two: identical doubles on
+    // both engines before the round-then-decimal accumulation
+    "q178_decayed_score" ->
+      s"""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events), e AS (SELECT event_type, value, datediff('day', CAST(ts AS DATE), mx) // 7 AS wk FROM events, mx) SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(round(value / CAST(1 << CAST(wk AS INTEGER) AS DOUBLE), 9) AS DECIMAL(28,9))) AS DOUBLE) AS decayed_value, $SUMV AS raw_value FROM e GROUP BY 1 ORDER BY event_type""",
+    // every content-defined cut replayed bit-for-bit: boundary where the
+    // trailing 8-char shingle's xshash has low 6 bits zero (pmod 64 == 0
+    // equals a low-bit mask for a power-of-two modulus)
+    "q179_content_chunks" ->
+      s"""$HASH_MACROS; WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1), cuts AS (SELECT doc_id, text, list_sort(list_distinct(list_append(CASE WHEN n >= 8 THEN list_filter(list_transform(range(8, n + 1), cp -> CASE WHEN (xshash(substr(text, cp - 7, 8)) & 63) = 0 THEN CAST(cp AS BIGINT) END), x -> x IS NOT NULL) ELSE CAST([] AS BIGINT[]) END, CAST(n AS BIGINT)))) AS b FROM d), ch AS (SELECT doc_id, text, unnest(list_transform(range(1, len(b) + 1), k -> {'st': CASE WHEN k = 1 THEN CAST(1 AS BIGINT) ELSE b[k - 1] + 1 END, 'en': b[k]})) AS c FROM cuts), hashes AS (SELECT doc_id, c.en - c.st + 1 AS chunk_len, md5(substr(text, CAST(c.st AS INTEGER), CAST(c.en - c.st + 1 AS INTEGER))) AS chunk_hash FROM ch), shared AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd FROM hashes GROUP BY 1) SELECT h.doc_id, COUNT(*) AS n_chunks, CAST(SUM(h.chunk_len) AS BIGINT) AS total_len, CAST(SUM(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks FROM hashes h JOIN shared s USING (chunk_hash) GROUP BY 1 ORDER BY h.doc_id""",
+    // both halves land exactly once across the two checkpointed runs ⇒
+    // the lake aggregate equals the batch answer over ALL events
+    "q180_stream_resume" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1 ORDER BY date_id""",
     // the same hash and cosine arithmetic through the SQL-registered
     // expressions, replayed via the portable macros; cosine sums are
     // 6-dp-rounded then decimal-accumulated (order-independent)

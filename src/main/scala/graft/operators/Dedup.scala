@@ -551,4 +551,60 @@ object Dedup {
         col("id_a"), col("id_b"))
       .limit(topK)
   }
+
+  /** Content-defined chunking: split each document at positions where the
+    * hash of the trailing `w`-char shingle satisfies `hash % modulus == 0`
+    * (the Rabin/FastCDC boundary rule, on the engine's portable xorshift
+    * hash so the oracle replays every cut bit-for-bit). Because the cut
+    * points depend on CONTENT, not offsets, inserting a sentence into a
+    * document shifts only the chunks it touches — the downstream exact-hash
+    * chunk dedup still matches every untouched chunk, which fixed-width
+    * chunking cannot do. This is the crawl-dedup primitive for catching
+    * shared boilerplate/quotes between non-identical documents.
+    *
+    * Everything up to the final chunk-hash aggregation is per-row
+    * (sequence/transform/filter HOFs — no shuffle, no explode until chunks
+    * exist); expected chunk length is `modulus` chars, so rows out ≈
+    * chars/modulus.
+    *
+    * Returns one row per (doc, chunk): (id, chunk_idx, chunk_start 1-based,
+    * chunk_len, chunk_hash).
+    */
+  def contentChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8,
+      modulus: Int = 64): DataFrame = {
+    require(w >= 2 && modulus >= 2)
+    // boundary AFTER position i when the shingle ending at i cuts; the
+    // document end is always a boundary, so chunks tile the text exactly
+    // (array_distinct absorbs a content cut landing exactly on the end)
+    val interior = filter(
+      transform(sequence(lit(w), col("__n")),
+        i => when(
+          pmod(xsHash(col("__t").substr(i - lit(w - 1), lit(w))),
+            lit(modulus.toLong)) === 0, i.cast("long"))),
+      c => c.isNotNull)
+    val bounds = array_distinct(concat(
+      when(col("__n") >= w, interior).otherwise(typedlit(Seq.empty[Long])),
+      array(col("__n").cast("long"))))
+    df
+      .select(col(idCol), col(textCol).as("__t"), length(col(textCol)).as("__n"))
+      .filter(col("__n") >= 1)
+      .withColumn("__b", bounds)
+      .select(col(idCol), col("__t"), col("__b"),
+        posexplode(col("__b")).as(Seq("__k", "__end")))
+      .withColumn("__start",
+        when(col("__k") === 0, lit(1L))
+          .otherwise(element_at(col("__b"), col("__k")) + 1L))
+      .select(
+        col(idCol),
+        col("__k").cast("long").as("chunk_idx"),
+        col("__start").as("chunk_start"),
+        (col("__end") - col("__start") + 1L).as("chunk_len"),
+        md5(col("__t").substr(col("__start").cast("int"),
+          (col("__end") - col("__start") + 1L).cast("int")).cast("binary"))
+          .as("chunk_hash"))
+  }
 }

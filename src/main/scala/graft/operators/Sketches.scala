@@ -162,4 +162,46 @@ object Sketches {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Mergeable EXACT distinct counting over a dense integer key domain —
+    * the bitmap-index counterpart to the HLL rollup (q119): where HLL
+    * trades exactness for constant size, a packed bitmap keeps exactness
+    * at one bit per possible key, the ClickHouse/Druid groupBitmap shape.
+    *
+    * Keys are packed 63 per word (`word = key div 63`, `bit = key mod
+    * 63`): 63 rather than 64 keeps every mask non-negative, because a
+    * `1 << 63` sign bit trips overflow checks on engines with checked
+    * shifts (DuckDB) and signed/unsigned asymmetries elsewhere. The
+    * per-group bitmap table is what you persist: distinct counts of any
+    * group union then come from bit_or-merging word masks WITHOUT
+    * re-scanning facts — the same union-addable contract as the HLL and
+    * CMS stores.
+    *
+    * Both aggregations map-side combine; shuffle cardinality is
+    * groups × occupied words, never fact rows.
+    */
+  def bitmapWords(
+      facts: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String): DataFrame = {
+    require(groupCols.nonEmpty)
+    facts
+      .select(groupCols.map(col) :+
+        expr(s"$keyCol div 63").as("__word") :+
+        expr(s"shiftleft(1L, int($keyCol % 63))").as("__m"): _*)
+      .groupBy((groupCols.map(col) :+ col("__word")): _*)
+      .agg(bit_or(col("__m")).as("mask"))
+  }
+
+  /** Exact distinct keys per group from a (possibly merged) bitmap-word
+    * table: pop-count each word mask and sum.
+    */
+  def bitmapDistinct(words: DataFrame, groupCols: Seq[String]): DataFrame =
+    words
+      // re-or per word first: merged stores may carry the same word from
+      // several segments, and popcounts only add across DISJOINT masks
+      .groupBy((groupCols.map(col) :+ col("__word")): _*)
+      .agg(bit_or(col("mask")).as("mask"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(bit_count(col("mask"))).as("n_distinct"))
 }

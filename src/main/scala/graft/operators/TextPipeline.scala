@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextFunctions
 
@@ -273,5 +274,38 @@ object TextPipeline {
       .withColumn("rk", row_number().over(rk).cast("long"))
       .filter(col("rk") <= topN)
       .select(col("rk"), col("pair"), col("total"), col("n_words"))
+  }
+
+  /** Character-distribution quality scoring: per-document Shannon entropy
+    * of the character histogram, the standard cheap gibberish/boilerplate
+    * detector in pretraining filters (near-zero entropy = one repeated
+    * character, ~log2(alphabet) = uniform noise; natural English sits
+    * around 4–4.5 bits).
+    *
+    * Plan shape: one corpus scan, explode to (doc, char), a map-side
+    * combined count on that pair, then a per-doc rollup — both
+    * aggregations shuffle on keys whose cardinality is bounded by
+    * docs × alphabet, never by total characters.
+    *
+    * Parity: entropy = log2(N) - Σ n·log2(n) / N. Each n·log2(n) term is
+    * rounded to 9 decimals and accumulated in DECIMAL, so the sum is
+    * order-independent and engine-portable; the final statistic is rounded
+    * to 6, far above the accumulated error.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("c"))
+      .groupBy(col(idCol), col("c"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("n").cast("double") * log2(col("n").cast("double")), 9)
+          .cast(DecimalType(28, 9))).cast("double").as("__s"))
+    terms.select(
+      col(idCol), col("n_chars"), col("n_distinct"),
+      round(log2(col("n_chars").cast("double")) - col("__s") / col("n_chars"), 6)
+        .as("entropy"))
   }
 }

@@ -388,6 +388,45 @@ object StreamVerify {
     * per-invocation scratch so re-runs verify the full pipeline, not
     * leftovers (replay idempotency itself is covered in StreamingSpec).
     */
+  /** Checkpointed incremental resume across two `Trigger.AvailableNow`
+    * runs — the modern batch-cadence streaming posture (a daily job that
+    * is a stream under the hood): run 1 sees only `firstFile`, drains and
+    * stops; `secondFile` arrives; run 2 starts from the SAME checkpoint
+    * and must process only the new file. The returned lake aggregate is
+    * oracle-checked against the batch answer over BOTH halves, which
+    * proves exactly-once resume by construction: re-reading the first
+    * half would double its rows, dropping it would lose them — either
+    * corrupts the hash.
+    */
+  def incrementalResume(
+      spark: SparkSession,
+      firstFile: String,
+      secondFile: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val stage = java.nio.file.Paths.get(scratchDir, "stage")
+    java.nio.file.Files.createDirectories(stage)
+    val lake = s"$scratchDir/lake"
+    def run(): Unit = {
+      val q = EventsStream.toLake(EventsStream.readEvents(spark, stage.toString), lake)
+        .option("checkpointLocation", s"$scratchDir/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(firstFile), stage.resolve("a.parquet"))
+    run()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(secondFile), stage.resolve("b.parquet"))
+    run()
+    settle(spark)
+    graft.sources.PartitionedLake.read(spark, lake)
+      .groupBy(col("date_id").cast("string").as("date_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+
   def lakeRoundTrip(spark: SparkSession, eventsPath: String, scratchDir: String): DataFrame = {
     graft.sources.LocalFs.deleteRecursively(scratchDir)
     val lake = s"$scratchDir/lake"

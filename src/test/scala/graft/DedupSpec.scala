@@ -102,6 +102,53 @@ class DedupSpec extends SparkSuite {
       "a band-misaligned probe silently misses near-dups; it must error")
   }
 
+  test("content-defined chunks tile each document exactly") {
+    val real = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val out = Dedup.contentChunks(real, "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("chunk_len")).as("tot"), count(lit(1)).as("nc"),
+        min(col("chunk_start")).as("first"))
+      .join(real.select(col("doc_id"), length(col("text")).as("n")), "doc_id")
+      .collect()
+    assert(out.length == 50)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tot") == r.getAs[Int]("n").toLong,
+        s"doc ${r.getAs[Long]("doc_id")}: chunks must cover every character")
+      assert(r.getAs[Long]("first") == 1L)
+    }
+  }
+
+  test("content-defined cuts survive a prefix insertion (the CDC property)") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 0).select(col("text")).as[String].head()
+    val both = Seq((0L, base), (1L, "INSERTED PREFIX " + base))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.contentChunks(both, "doc_id", "text")
+      .select(col("doc_id"), col("chunk_hash")).as[(Long, String)]
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val orig = chunks(0L)
+    assert(orig.size >= 3, "doc 0 must produce several chunks for this test")
+    // every original chunk except the first starts AT a content cut and
+    // ends at one: the insertion shifts offsets but not the cut windows,
+    // so those chunks must reappear verbatim in the modified document
+    val tail = Dedup.contentChunks(both.filter(col("doc_id") === 0), "doc_id", "text")
+      .filter(col("chunk_idx") >= 1)
+      .select(col("chunk_hash")).as[String].collect().toSet
+    assert(tail.subsetOf(chunks(1L)),
+      "fixed-width chunking breaks here; content-defined must not")
+  }
+
+  test("documents shorter than the window are a single whole chunk") {
+    import spark.implicits._
+    val out = Dedup.contentChunks(
+      Seq((7L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 1L, 3L)))
+  }
+
   test("canonicalPerCluster keeps exactly the best-weighted doc per cluster") {
     val weighted = docs.withColumn("w",
       // doc 2 outweighs its duplicate 1: the canonical pick must be 2

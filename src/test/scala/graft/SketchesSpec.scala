@@ -98,4 +98,23 @@ class SketchesSpec extends SparkSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
       "scores must be non-increasing")
   }
+
+  test("bitmap distinct: OR-merged halves equal the exact distinct count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    // keys straddle word boundaries (62|63|64) and overlap across halves —
+    // the overlap is exactly what a popcount-sum-without-re-or would
+    // double count
+    val h1 = Seq(("a", 1L), ("a", 62L), ("a", 63L), ("b", 10L))
+      .toDF("g", "k")
+    val h2 = Seq(("a", 63L), ("a", 64L), ("a", 1L), ("b", 10L), ("b", 200L))
+      .toDF("g", "k")
+    val merged = Sketches.bitmapWords(h1, Seq("g"), "k")
+      .unionByName(Sketches.bitmapWords(h2, Seq("g"), "k"))
+    val got = Sketches.bitmapDistinct(merged, Seq("g")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L),
+      "a: {1,62,63,64}; b: {10,200} — shared keys must not double count")
+  }
 }

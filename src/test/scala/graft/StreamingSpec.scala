@@ -97,6 +97,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("AvailableNow resume processes only the new file on the second run") {
+    val halves = Files.createTempDirectory("graft_resume_halves")
+    Seq(0, 1).foreach { parity =>
+      val side = Files.createTempDirectory("graft_resume_side").toString
+      spark.read.parquet(s"$sf/events.parquet")
+        .filter(col("event_id") % 2 === parity)
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, halves.resolve(s"h$parity.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = Files.createTempDirectory("graft_resume").toString + "/run"
+    val out = graft.streaming.StreamVerify.incrementalResume(spark,
+      halves.resolve("h0.parquet").toString,
+      halves.resolve("h1.parquet").toString, scratch)
+    assert(out.agg(sum("n")).head().getLong(0) == 1000L,
+      "both halves present exactly once — a re-read would double, a skip would drop")
+    // each AvailableNow run committed exactly one micro-batch: batch 1
+    // existing proves run 2 RESUMED the checkpoint instead of restarting
+    val commits = new java.io.File(s"$scratch/chk/commits").listFiles()
+      .map(_.getName).filter(_.matches("[0-9]+")).toSet
+    assert(commits == Set("0", "1"),
+      s"expected exactly batches 0 and 1, got $commits")
+  }
+
   test("update-mode sessionization re-emits exactly the changed sessions per batch") {
     import org.apache.spark.sql.{Row => R}
     val dir = Files.createTempDirectory("graft_upd_src")

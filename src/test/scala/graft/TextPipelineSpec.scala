@@ -93,4 +93,15 @@ class TextPipelineSpec extends SparkSuite {
     assert(out("bc") == ((2L, 1L, 1L)))
     assert(out.size == 2, "single-char words contribute no pair")
   }
+
+  test("charEntropy: 0 bits for one repeated char, exactly 2 for 4 uniform") {
+    val docs = Seq((1L, "aaaaaaaa"), (2L, "abcdabcd"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.charEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((8L, 1L, 0.0)), "degenerate distribution has 0 bits")
+    assert(out(2L) == ((8L, 4L, 2.0)), "4 equiprobable chars = log2(4) bits")
+    assert(out(3L) == ((2L, 2L, 1.0)))
+  }
 }
