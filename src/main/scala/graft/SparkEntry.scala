@@ -2830,6 +2830,83 @@ object SparkEntry {
       .orderBy(col("date_id"))
   }
 
+  /** Nation → IANA zone for q181. Zones chosen for rule stability (no
+    * 2019+ tzdata churn, so the JDK and ICU databases agree) and coverage
+    * of the awkward cases: half-hour offset (Kolkata), southern-hemisphere
+    * January DST (São Paulo pre-2019 had it — now fixed offset), date-line
+    * adjacent (Tokyo). Unmapped nations observe UTC.
+    */
+  private val NationTz = Seq(
+    "UNITED STATES" -> "America/New_York",
+    "BRAZIL" -> "America/Sao_Paulo",
+    "FRANCE" -> "Europe/Paris",
+    "GERMANY" -> "Europe/Berlin",
+    "UNITED KINGDOM" -> "Europe/London",
+    "JAPAN" -> "Asia/Tokyo",
+    "CHINA" -> "Asia/Shanghai",
+    "INDIA" -> "Asia/Kolkata")
+
+  /** Timezone-aware event-time normalization: the same UTC instant lands
+    * on DIFFERENT local calendar days per user region — every "daily
+    * active" metric over a global user base needs this conversion, and
+    * naive UTC bucketing miscounts it. Events are converted to each
+    * customer-nation's IANA zone before local-day aggregation; both
+    * engines resolve the zone rules from their own tz database (stable
+    * zones, so they agree).
+    */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val tzCol = NationTz.foldRight(lit("UTC")) { case ((n, z), acc) =>
+      when(col("n_name") === n, lit(z)).otherwise(acc)
+    }
+    val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(T(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    T(s, dir, "events")
+      .select(col("user_id"), col("value"), timestamp_seconds(evSec).as("uts"))
+      .join(cust, col("user_id") === col("c_custkey"))
+      .withColumn("local_date",
+        date_format(from_utc_timestamp(col("uts"), tzCol), "yyyy-MM-dd"))
+      .groupBy(col("n_name"), col("local_date"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("n_name"), col("local_date"))
+  }
+
+  /** Multi-column log-based data skipping ([[TxLake.readPrunedBy]]): the
+    * table is laid out as a (custkey-range × orderkey-range) grid of
+    * files, each commit logging NAMED per-file min/max for both columns;
+    * a conjunctive two-column predicate then opens only the files whose
+    * stats intersect BOTH ranges (TxLakeSpec asserts the exact file
+    * count). One-column stats (q125) can't skip on the second predicate —
+    * this is the Delta/Iceberg multi-column skipping surface.
+    */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q182")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val o = T(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderstatus"))
+    val r = o.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (cm, om) = (r.getLong(0), r.getLong(1))
+    val (ct, ot) = (cm / 2, om / 2)
+    for {
+      ci <- 0 to 1
+      oi <- 0 to 1
+    } TxLake.commit(s, lake,
+      o.filter((if (ci == 0) col("o_custkey") <= ct else col("o_custkey") > ct) &&
+        (if (oi == 0) col("o_orderkey") <= ot else col("o_orderkey") > ot))
+        .coalesce(1),
+      statsCols = Seq("o_custkey", "o_orderkey"))
+    TxLake.readPrunedBy(s, lake,
+      Seq(("o_custkey", 1L, ct), ("o_orderkey", 1L, ot)))
+      .filter(col("o_custkey").between(1L, ct) &&
+        col("o_orderkey").between(1L, ot)) // exact filter atop the pruning
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3215,6 +3292,8 @@ object SparkEntry {
     "q178_decayed_score" -> (q178 _),
     "q179_content_chunks" -> (q179 _),
     "q180_stream_resume" -> (q180 _),
+    "q181_local_time" -> (q181 _),
+    "q182_multicol_skipping" -> (q182 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3596,6 +3675,14 @@ object SparkEntry {
     // the lake aggregate equals the batch answer over ALL events
     "q180_stream_resume" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1 ORDER BY date_id""",
+    // the pruned read is a superset then exactly filtered, so the result
+    // must equal the plain two-range filter over the whole table
+    "q182_multicol_skipping" ->
+      """WITH b AS (SELECT MAX(o_custkey) // 2 AS ct, MAX(o_orderkey) // 2 AS ot FROM orders) SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price FROM orders, b WHERE o_custkey BETWEEN 1 AND ct AND o_orderkey BETWEEN 1 AND ot GROUP BY 1 ORDER BY o_orderstatus""",
+    // same nation→zone mapping; DuckDB resolves the conversion through
+    // its own (ICU) tz database — stable zones, so both engines agree
+    "q181_local_time" ->
+      s"""WITH cu AS (SELECT c_custkey, n_name, CASE ${NationTz.map { case (n, z) => s"WHEN n_name = '$n' THEN '$z'" }.mkString(" ")} ELSE 'UTC' END AS z FROM customer JOIN nation ON c_nationkey = n_nationkey) SELECT n_name, strftime(timezone(z, timezone('UTC', date_trunc('second', CAST(ts AS TIMESTAMP)))), '%Y-%m-%d') AS local_date, COUNT(*) AS n, $SUMV AS total_value FROM events JOIN cu ON user_id = c_custkey GROUP BY 1, 2 ORDER BY n_name, local_date""",
     // the same hash and cosine arithmetic through the SQL-registered
     // expressions, replayed via the portable macros; cosine sums are
     // 6-dp-rounded then decimal-accumulated (order-independent)

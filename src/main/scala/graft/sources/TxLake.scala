@@ -90,21 +90,52 @@ object TxLake {
   private def ckptFile(path: String, v: Long): Path =
     logDir(path).resolve(f"checkpoint-$v%08d.ckpt")
 
-  /** Files+stats parsed from one adds/mins/maxs JSON blob. */
-  private def parseFileSet(json: String): Seq[(String, Option[(Long, Long)])] = {
+  /** Files+stats parsed from one adds/mins/maxs JSON blob. The legacy
+    * single-column stats live under the "" key; named columns (the
+    * multi-column skipping surface) under `"mins:<col>"`/`"maxs:<col>"`
+    * arrays listed in `"statsCols"` — flat keys keep the escape-free
+    * extractor sufficient.
+    */
+  private def parseFileSet(json: String): Seq[(String, Map[String, (Long, Long)])] = {
     val adds = jsonList(json, "adds")
-    val mins = jsonList(json, "mins")
-    val maxs = jsonList(json, "maxs")
-    val withStats = mins.length == adds.length && maxs.length == adds.length
+    def colStats(suffix: String): Option[Seq[(Long, Long)]] = {
+      val mins = jsonList(json, s"mins$suffix")
+      val maxs = jsonList(json, s"maxs$suffix")
+      if (adds.nonEmpty && mins.length == adds.length && maxs.length == adds.length)
+        Some(mins.zip(maxs).map { case (a, b) => (a.toLong, b.toLong) })
+      else None
+    }
+    val cols: Seq[(String, Seq[(Long, Long)])] =
+      (("" -> colStats("")) +: jsonList(json, "statsCols").map(c => c -> colStats(s":$c")))
+        .collect { case (c, Some(s)) => c -> s }
     adds.zipWithIndex.map { case (f, i) =>
-      f -> (if (withStats) Some((mins(i).toLong, maxs(i).toLong)) else None)
+      f -> cols.map { case (c, s) => c -> s(i) }.toMap
+    }
+  }
+
+  /** Stats-suffix JSON (legacy "" column + every named column present on
+    * ALL files — the checkpoint rule: partial stats can't prune safely) for
+    * a summarized active set. Used by [[checkpoint]] and [[branch]] so a
+    * summarizing entry never silently drops the skipping metadata.
+    */
+  private def statsJson(active: Seq[(String, Map[String, (Long, Long)])]): String = {
+    if (active.isEmpty) return ""
+    val cols = active.map(_._2.keySet).reduce(_ intersect _)
+    cols.toSeq.sorted.map { c =>
+      val suffix = if (c.isEmpty) "" else s":$c"
+      s""","mins$suffix":[${active.map(_._2(c)._1).mkString(",")}],""" +
+        s""""maxs$suffix":[${active.map(_._2(c)._2).mkString(",")}]"""
+    }.mkString("") + {
+      val named = cols.filter(_.nonEmpty)
+      if (named.isEmpty) ""
+      else s""","statsCols":[${named.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
     }
   }
 
   /** The newest checkpoint at or before `version`, if any. */
   private def latestCheckpoint(
       path: String,
-      version: Long): Option[(Long, Seq[(String, Option[(Long, Long)])])] = {
+      version: Long): Option[(Long, Seq[(String, Map[String, (Long, Long)])])] = {
     val dir = logDir(path)
     if (!Files.isDirectory(dir)) return None
     val all = Files.list(dir)
@@ -121,10 +152,10 @@ object TxLake {
   }
 
   private def activeEntries(
-      path: String, version: Long): Seq[(String, Option[(Long, Long)])] = {
+      path: String, version: Long): Seq[(String, Map[String, (Long, Long)])] = {
     val base = latestCheckpoint(path, version)
     val active =
-      scala.collection.mutable.LinkedHashMap[String, Option[(Long, Long)]]()
+      scala.collection.mutable.LinkedHashMap[String, Map[String, (Long, Long)]]()
     base.foreach(_._2.foreach { case (f, st) => active(f) = st })
     entries(path, after = base.map(_._1).getOrElse(0L))
       .takeWhile(_._1 <= version).foreach { case (_, json) =>
@@ -148,13 +179,8 @@ object TxLake {
     val v = latestVersion(path)
     require(v > 0, "nothing to checkpoint")
     val active = activeEntries(path, v)
-    val withStats = active.nonEmpty && active.forall(_._2.isDefined)
-    val stats =
-      if (!withStats) ""
-      else s""","mins":[${active.map(_._2.get._1).mkString(",")}],""" +
-        s""""maxs":[${active.map(_._2.get._2).mkString(",")}]"""
     val json =
-      s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]$stats}"""
+      s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]${statsJson(active)}}"""
     val tmp = logDir(path).resolve(f".ckpt-tmp-$v%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, ckptFile(path, v), StandardCopyOption.ATOMIC_MOVE,
@@ -186,8 +212,11 @@ object TxLake {
       df: DataFrame,
       overwrite: Boolean = false,
       tag: String = "",
-      statsCol: String = ""): Long = {
+      statsCol: String = "",
+      statsCols: Seq[String] = Seq.empty): Long = {
     require(!tag.contains("\"") && !tag.contains("\\"), "tag must be JSON-safe")
+    require(statsCols.forall(_.matches("[A-Za-z0-9_]+")),
+      "statsCols feed flat JSON keys and the regex extractor: identifiers only")
     if (tag.nonEmpty) {
       val already = taggedVersion(path, tag)
       if (already.isDefined) return already.get
@@ -214,24 +243,41 @@ object TxLake {
     require(adds.forall(p => !p.contains("\"") && !p.contains("\\")),
       "data paths must be JSON-safe")
     val removes = if (overwrite) activeFiles(path, next - 1) else Seq.empty
-    // per-file data-skipping stats for a declared long column: one
-    // metadata-sized aggregation over the just-written files, logged
-    // alongside the adds so pruned reads never open the footers at all
+    // per-file data-skipping stats for the declared long columns: ONE
+    // metadata-sized aggregation over the just-written files (all columns
+    // in the same pass), logged alongside the adds so pruned reads never
+    // open the footers at all. `statsCol` keeps the legacy unnamed slot;
+    // `statsCols` adds named per-column arrays for multi-predicate skips.
+    val allCols = (Option(statsCol).filter(_.nonEmpty).toSeq ++ statsCols).distinct
     val stats: String =
-      if (statsCol.isEmpty) ""
+      if (allCols.isEmpty) ""
       else {
         import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+        val aggs = allCols.flatMap(c => Seq(
+          smin(col(c)).cast("long").as(s"mn_$c"),
+          smax(col(c)).cast("long").as(s"mx_$c")))
         val byFile = spark.read.parquet(dataDir)
           .groupBy(col("_metadata.file_path").as("f"))
-          .agg(smin(col(statsCol)).cast("long").as("mn"),
-            smax(col(statsCol)).cast("long").as("mx"))
+          .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map(r => new java.net.URI(r.getString(0)).getPath ->
-            ((r.getLong(1), r.getLong(2)))).toMap
+            allCols.zipWithIndex.map { case (c, i) =>
+              c -> ((r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+            }.toMap).toMap
         val aligned = adds.map(f => byFile.getOrElse(f,
           sys.error(s"no stats computed for $f")))
-        s""","statsCol":"$statsCol","mins":[${aligned.map(_._1).mkString(",")}],""" +
-          s""""maxs":[${aligned.map(_._2).mkString(",")}]"""
+        def arr(c: String, pick: ((Long, Long)) => Long): String =
+          aligned.map(m => pick(m(c))).mkString(",")
+        val legacy =
+          if (statsCol.isEmpty) ""
+          else s""","statsCol":"$statsCol","mins":[${arr(statsCol, _._1)}],""" +
+            s""""maxs":[${arr(statsCol, _._2)}]"""
+        val named =
+          if (statsCols.isEmpty) ""
+          else statsCols.map(c =>
+            s""","mins:$c":[${arr(c, _._1)}],"maxs:$c":[${arr(c, _._2)}]""").mkString("") +
+            s""","statsCols":[${statsCols.map("\"" + _ + "\"").mkString(",")}]"""
+        legacy + named
       }
     // 3. publish: write content to a tmp file, atomically swap onto the
     //    reservation
@@ -477,18 +523,13 @@ object TxLake {
     require(!Files.exists(logDir(bp)), s"branch $name already exists")
     val active = activeEntries(path, fromVersion)
     Files.createDirectories(logDir(bp))
-    // carry the parent's per-file skipping stats into the base entry when
-    // every inherited file has them (the checkpoint rule) — a stats-blind
-    // base would silently disable log-based pruning on the branch
-    val withStats = active.nonEmpty && active.forall(_._2.isDefined)
-    val stats =
-      if (!withStats) ""
-      else s""","mins":[${active.map(_._2.get._1).mkString(",")}],""" +
-        s""""maxs":[${active.map(_._2.get._2).mkString(",")}]"""
+    // carry the parent's per-file skipping stats (legacy and named
+    // columns) into the base entry — a stats-blind base would silently
+    // disable log-based pruning on the branch
     val json =
       s"""{"version":1,"tag":"",""" +
         s""""adds":[${active.map("\"" + _._1 + "\"").mkString(",")}],""" +
-        s""""removes":[]$stats}"""
+        s""""removes":[]${statsJson(active)}}"""
     val tmp = logDir(bp).resolve(".tmp-base")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, logFile(bp, 1L), StandardCopyOption.ATOMIC_MOVE)
@@ -570,9 +611,43 @@ object TxLake {
       hi: Long,
       version: Long = Long.MaxValue): Seq[String] =
     activeEntries(path, version).collect {
-      case (f, None) => f
-      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
+      // a file with no logged stats must be kept: absence can't be proven
+      case (f, st) if st.get("").forall { case (mn, mx) => mx >= lo && mn <= hi } => f
     }
+
+  /** Multi-column log-based skipping: files that can hold `col` values in
+    * `[lo, hi]`, judged from the NAMED per-file stats committed with
+    * `statsCols`. Conjunctive predicates intersect the per-column results
+    * (each call is pure log metadata — zero data I/O).
+    */
+  def prunedFilesBy(
+      path: String,
+      statsCol: String,
+      lo: Long,
+      hi: Long,
+      version: Long = Long.MaxValue): Seq[String] =
+    activeEntries(path, version).collect {
+      case (f, st) if st.get(statsCol).forall { case (mn, mx) => mx >= lo && mn <= hi } => f
+    }
+
+  /** Snapshot read pruned on several column ranges at once: one log
+    * replay, per-column interval tests intersected per file.
+    */
+  def readPrunedBy(
+      spark: SparkSession,
+      path: String,
+      ranges: Seq[(String, Long, Long)],
+      version: Long = Long.MaxValue): DataFrame = {
+    require(ranges.nonEmpty)
+    val kept = activeEntries(path, version).collect {
+      case (f, st) if ranges.forall { case (c, lo, hi) =>
+        st.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } => f
+    }
+    require(kept.nonEmpty,
+      s"no file can contain values in ${ranges.mkString(", ")}")
+    spark.read.parquet(kept: _*)
+  }
 
   /** OPTIMIZE through the log: rewrite the current snapshot as
     * `targetFiles` files in ONE atomic commit (adds the compacted files,

@@ -184,4 +184,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("HashAggregate"),
       "word counting must be a hash aggregate (map-side combine)")
   }
+
+  test("q175: the spatial join is a cell equi-join, never a distance theta-join") {
+    val p = formatted(q("q175_spatial_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "nearest-station must ride the 3x3 cell equi-join; a distance " +
+        "cross join is O(points x stations)")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q176/q177: entropy and bitmap pipelines are pure hash aggregates") {
+    for (name <- Seq("q176_entropy_quality", "q177_bitmap_distinct")) {
+      val p = formatted(q(name))
+      assert(!p.contains("Join"), s"$name must not join anything:\n$p")
+      assert(p.contains("HashAggregate"),
+        s"$name: both aggregation levels must map-side combine")
+    }
+  }
+
+  test("q179: chunking explodes only chunks; one corpus scan feeds both sides") {
+    val p = formatted(q("q179_content_chunks"))
+    // the share map and the per-doc rollup both come off the
+    // localCheckpointed chunk table — the corpus itself is read once
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      "chunk reuse must come from the checkpointed RDD, not parquet re-scans")
+    assert(p.contains("HashAggregate"))
+  }
 }

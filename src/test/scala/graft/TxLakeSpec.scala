@@ -327,6 +327,29 @@ class TxLakeSpec extends SparkSuite {
       s"got $vs — keyed row updated, every null-key row present")
   }
 
+  test("multi-column stats prune conjunctively; checkpoint and branch keep them") {
+    import spark.implicits._
+    val lake = tmp()
+    // 2x2 grid of files over (a, b) ranges: a conjunctive predicate on
+    // both columns must keep exactly ONE of the four
+    for { ai <- 0 to 1; bi <- 0 to 1 }
+      TxLake.commit(spark, lake,
+        Seq((ai * 100L + 1L, bi * 100L + 1L)).toDF("a", "b").coalesce(1),
+        statsCols = Seq("a", "b"))
+    def kept(p: String) = TxLake.readPrunedBy(spark, p,
+      Seq(("a", 0L, 50L), ("b", 0L, 50L))).inputFiles.length
+    assert(TxLake.prunedFilesBy(lake, "a", 0L, 50L).size == 2,
+      "one column alone only halves the grid")
+    assert(kept(lake) == 1, "both columns together isolate one file")
+    // a summarizing checkpoint must carry the NAMED stats forward
+    TxLake.checkpoint(lake)
+    assert(TxLake.replayCount(lake) == 0)
+    assert(kept(lake) == 1, "post-checkpoint reads prune from the checkpoint")
+    // and so must a branch base entry
+    val bp = TxLake.branch(lake, "mstats")
+    assert(kept(bp) == 1)
+  }
+
   test("branch inherits the parent's data-skipping stats") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1, 2, 3), statsCol = "id")
