@@ -117,6 +117,27 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
           .select(col("src"), col("dst"))
         consume(graft.operators.Graph.triangleCounts(edges))
+      },
+      "spatial_join" -> { () =>
+        // BOTH sides grow with the factor (weak scaling): station density
+        // per cell — and so candidate pairs per point — grows linearly,
+        // the honest shape of a denser world. 1° radius keeps the f=100
+        // candidate volume representative rather than degenerate.
+        def latU(k: org.apache.spark.sql.Column) =
+          pmod(k * 48271L, lit(120000001L)) - 60000000L
+        def lonU(k: org.apache.spark.sql.Column) =
+          pmod(k * 69621L, lit(360000001L)) - 180000000L
+        val ev = eventsAt(f) // user_id domain scales with f
+        val pts = ev.select(col("user_id").as("pid")).distinct()
+          .select(col("pid"), latU(col("pid")).as("lat_u"), lonU(col("pid")).as("lon_u"))
+        val st = ev.select((col("user_id") * 7919L).as("sid")).distinct()
+          .select(col("sid"), latU(col("sid")).as("lat_u"), lonU(col("sid")).as("lon_u"))
+        consume(graft.operators.Spatial.nearestWithin(
+          pts, st, "pid", "sid", "lat_u", "lon_u", 1000000L))
+      },
+      "content_chunks" -> { () =>
+        consume(graft.operators.Dedup.contentChunks(
+          documentsAt(f), "doc_id", "text"))
       })
 
     val results = for {

@@ -578,17 +578,12 @@ object Dedup {
       modulus: Int = 64): DataFrame = {
     require(w >= 2 && modulus >= 2)
     // boundary AFTER position i when the shingle ending at i cuts; the
-    // document end is always a boundary, so chunks tile the text exactly
-    // (array_distinct absorbs a content cut landing exactly on the end)
-    val interior = filter(
-      transform(sequence(lit(w), col("__n")),
-        i => when(
-          pmod(xsHash(col("__t").substr(i - lit(w - 1), lit(w))),
-            lit(modulus.toLong)) === 0, i.cast("long"))),
-      c => c.isNotNull)
-    val bounds = array_distinct(concat(
-      when(col("__n") >= w, interior).otherwise(typedlit(Seq.empty[Long])),
-      array(col("__n").cast("long"))))
+    // document end is always a boundary, so chunks tile the text exactly.
+    // One codegen pass over the bytes (XsWindowCuts) — the equivalent
+    // sequence/transform/filter HOF chain evaluates interpreted per
+    // character and measured ~5× slower
+    val bounds = graft.plans.TextHashExpressions
+      .xsWindowCuts(col("__t"), w, modulus.toLong)
     df
       .select(col(idCol), col(textCol).as("__t"), length(col(textCol)).as("__n"))
       .filter(col("__n") >= 1)

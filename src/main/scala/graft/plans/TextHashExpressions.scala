@@ -126,11 +126,111 @@ object XsHash {
   }
 }
 
+/** Content-defined chunk boundaries in ONE pass: the 1-based character
+  * positions `i` (w ≤ i ≤ n) where [[XsHash]] of the w-char substring
+  * ending at `i` is ≡ 0 (mod `modulus`), plus the final position n —
+  * exactly the bounds array `Dedup.contentChunks` needs.
+  *
+  * Semantically identical to the HOF formulation
+  * `array_distinct(concat(filter(transform(sequence(w,n), i -> ...)), [n]))`
+  * but those higher-order functions evaluate their lambdas INTERPRETED,
+  * per element, with a fresh UTF8String allocation per window — measured
+  * ~5× slower at sf0.1. Here the whole scan is a primitive loop inside
+  * whole-stage codegen. Windows are CHARACTER-based (UTF-8 aware, byte
+  * offsets tracked through a w+1 ring buffer), matching `substr`
+  * semantics on both engines.
+  */
+case class XsWindowCuts(child: Expression, w: Int, modulus: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(w >= 2 && modulus >= 2, "window and modulus must be at least 2")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "xs_window_cuts"
+  override def inputTypes: Seq[AbstractType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      XsWindowCuts.cuts(input.asInstanceOf[UTF8String].getBytes, w, modulus))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val tmp = ctx.freshName("tmp")
+      val ring = ctx.freshName("ring")
+      val outN = ctx.freshName("outN")
+      val off = ctx.freshName("off")
+      val ci = ctx.freshName("ci")
+      val st = ctx.freshName("st")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val res = ctx.freshName("res")
+      val w1 = w + 1
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |long[] $tmp = new long[$bytes.length + 1];
+         |int[] $ring = new int[$w1];
+         |int $outN = 0; int $off = 0; int $ci = 0;
+         |while ($off < $bytes.length) {
+         |  $ring[$ci % $w1] = $off;
+         |  $off += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte($bytes[$off]);
+         |  $ci++;
+         |  if ($ci >= $w) {
+         |    int $st = $ring[($ci - $w) % $w1];
+         |    long $h = 0x9E3779B97F4A7C15L;
+         |    for (int $i = $st; $i < $off; $i++) {
+         |      $h ^= ($bytes[$i] & 0xffL);
+         |      $h ^= $h << 13; $h ^= $h >>> 7; $h ^= $h << 17;
+         |    }
+         |    long $m = $h % ${modulus}L; if ($m < 0) $m += ${modulus}L;
+         |    if ($m == 0) $tmp[$outN++] = (long) $ci;
+         |  }
+         |}
+         |if ($outN == 0 || $tmp[$outN - 1] != (long) $ci) $tmp[$outN++] = (long) $ci;
+         |long[] $res = new long[$outN];
+         |System.arraycopy($tmp, 0, $res, 0, $outN);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): XsWindowCuts =
+    copy(child = newChild)
+}
+
+object XsWindowCuts {
+
+  /** Reference implementation (tests cross-check codegen against this). */
+  def cuts(bytes: Array[Byte], w: Int, modulus: Long): Array[Long] = {
+    val tmp = new Array[Long](bytes.length + 1)
+    val ring = new Array[Int](w + 1)
+    var outN = 0; var off = 0; var ci = 0
+    while (off < bytes.length) {
+      ring(ci % (w + 1)) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      ci += 1
+      if (ci >= w) {
+        val h = XsHash.hash(java.util.Arrays.copyOfRange(bytes, ring((ci - w) % (w + 1)), off))
+        val m = h % modulus
+        if ((if (m < 0) m + modulus else m) == 0) { tmp(outN) = ci.toLong; outN += 1 }
+      }
+    }
+    if (outN == 0 || tmp(outN - 1) != ci.toLong) { tmp(outN) = ci.toLong; outN += 1 }
+    java.util.Arrays.copyOf(tmp, outN)
+  }
+}
+
 object TextHashExpressions {
 
   /** Column-level portable hash backed by the codegen expression. */
   def xsHash(c: Column): Column =
     GraftColumnBridge.column(XsHash(GraftColumnBridge.expression(c)))
+
+  /** Column-level content-defined chunk bounds (see [[XsWindowCuts]]). */
+  def xsWindowCuts(c: Column, w: Int, modulus: Long): Column =
+    GraftColumnBridge.column(
+      XsWindowCuts(GraftColumnBridge.expression(c), w, modulus))
 
   /** Column-level portable mix step: `xorshift64(acc ^ v)`. */
   def xsMix(acc: Column, v: Column): Column =

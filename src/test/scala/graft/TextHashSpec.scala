@@ -48,6 +48,47 @@ class TextHashSpec extends SparkSuite {
     assert(err.getMessage.contains("xs_hash") || err.getMessage.contains("STRING"))
   }
 
+  test("XsWindowCuts codegen equals the HOF formulation on real documents") {
+    // the one-pass expression replaced sequence/transform/filter in
+    // contentChunks; prove it computes the IDENTICAL bounds array,
+    // including multi-byte (UTF-8) text where byte and char windows differ
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, "Zürich Zürich straße ünïcödé test here"),
+        (90002L, "short")).toDF("doc_id", "text"))
+    val w = 8
+    val hof = array_distinct(concat(
+      when(length(col("text")) >= w,
+        filter(
+          transform(sequence(lit(w), length(col("text"))),
+            i => when(pmod(TextHashExpressions.xsHash(
+              col("text").substr(i - lit(w - 1), lit(w))), lit(64L)) === 0,
+              i.cast("long"))),
+          c => c.isNotNull)).otherwise(typedlit(Seq.empty[Long])),
+      array(length(col("text")).cast("long"))))
+    val mismatches = docs
+      .select(col("doc_id"), hof.as("a"),
+        TextHashExpressions.xsWindowCuts(col("text"), w, 64L).as("b"))
+      .filter(not(col("a") === col("b")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("XsWindowCuts interpreted eval matches its reference implementation") {
+    val r = new scala.util.Random(11)
+    (0 until 200).foreach { _ =>
+      val s = (0 until r.nextInt(60)).map(_ =>
+        "aäb💡 cd".charAt(r.nextInt(7))).mkString
+      val bytes = org.apache.spark.unsafe.types.UTF8String.fromString(s).getBytes
+      val viaExpr = graft.plans.XsWindowCuts(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)), 3, 16L)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(viaExpr == graft.plans.XsWindowCuts.cuts(bytes, 3, 16L).toSeq, s"s=$s")
+    }
+  }
+
   test("XsMix fold matches the reference and is order-sensitive") {
     val df = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
     val folded = Seq(col("a"), col("b"), col("c"))
