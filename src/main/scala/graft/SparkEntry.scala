@@ -2907,6 +2907,46 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Entity resolution end to end — the MDM golden-record pipeline: two
+    * record systems (clean, trust 2 / name-corrupted with nulls, trust 1)
+    * → blocked fuzzy linkage (q143's codegen Jaro-Winkler) → connected
+    * components → per-FIELD survivorship
+    * ([[graft.operators.Linkage.goldenRecord]]). The trusted system is
+    * missing every 10th balance while the dirty system is missing every
+    * segment, so those golden records provably MIX fields from different
+    * source rows (trusted name + untrusted balance) — the property that
+    * distinguishes per-field survivorship from keep-best-record (q155).
+    */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+    def dirtyName = concat(
+      expr("substring(c_name, 1, length(c_name) - 2)"),
+      expr("substring(c_name, length(c_name), 1)"),
+      expr("substring(c_name, length(c_name) - 1, 1)"))
+    val sysA = cust.select((col("c_custkey") * 2).as("rid"),
+      lit(2L).as("trust"), col("c_name").as("name"),
+      when(col("c_custkey") % 10 === 0, lit(null))
+        .otherwise(col("c_acctbal")).cast(DecimalType(12, 2)).as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val sysB = cust.select((col("c_custkey") * 2 + 1).as("rid"),
+      lit(1L).as("trust"), dirtyName.as("name"),
+      (col("c_acctbal").cast(DecimalType(12, 2)) + lit(10).cast(DecimalType(12, 2)))
+        .as("acctbal"),
+      lit(null).cast("string").as("segment"))
+    val recs = sysA.unionByName(sysB)
+    val pairs = graft.operators.Linkage.fuzzyJoin(
+      cust, cust.select(col("c_custkey"), dirtyName.as("c_name")),
+      "c_custkey", "c_name", expr("substring(c_name, 10, 7)"), threshold = 0.98)
+      .select((col("a_key") * 2).as("id_a"), (col("b_key") * 2 + 1).as("id_b"))
+    val clusters = Dedup.dupClusters(recs, "rid", pairs)
+    graft.operators.Linkage.goldenRecord(
+      recs.join(clusters, "rid"), "cluster_rep", "rid", "trust",
+      Seq("name", "acctbal", "segment"))
+      .select(col("cluster_rep"), col("n_records"), col("name"),
+        col("acctbal").cast("double").as("acctbal"), col("segment"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3294,6 +3334,7 @@ object SparkEntry {
     "q180_stream_resume" -> (q180 _),
     "q181_local_time" -> (q181 _),
     "q182_multicol_skipping" -> (q182 _),
+    "q183_golden_record" -> (q183 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3675,6 +3716,11 @@ object SparkEntry {
     // the lake aggregate equals the batch answer over ALL events
     "q180_stream_resume" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS date_id, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY 1 ORDER BY date_id""",
+    // components via recursive CTE (q59's pattern) over the jw pairs;
+    // per-field survivorship replayed as one (has, trust, rid) window per
+    // field — identical to Spark's max(struct(...)) pick
+    "q183_golden_record" ->
+      """WITH RECURSIVE recs AS (SELECT c_custkey * 2 AS rid, 2 AS trust, c_name AS name, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS acctbal, c_mktsegment AS segment FROM customer UNION ALL SELECT c_custkey * 2 + 1, 1, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)), CAST(c_acctbal AS DECIMAL(12,2)) + 10, NULL FROM customer), a AS (SELECT c_custkey AS a_key, c_name AS a_name, substring(c_name, 10, 7) AS blk FROM customer), b AS (SELECT c_custkey AS b_key, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)) AS b_name, substring(c_name, 10, 7) AS blk FROM customer), p AS (SELECT a_key * 2 AS ida, b_key * 2 + 1 AS idb FROM a JOIN b USING (blk) WHERE jaro_winkler_similarity(a_name, b_name) >= 0.98), ed AS (SELECT ida AS src, idb AS dst FROM p UNION ALL SELECT idb, ida FROM p), reach(node, label) AS (SELECT rid, rid FROM recs UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node), cl AS (SELECT node AS rid, MIN(label) AS cluster_rep FROM reach GROUP BY node), j AS (SELECT cl.cluster_rep, recs.* FROM recs JOIN cl USING (rid)), pick AS (SELECT cluster_rep, COUNT(*) OVER (PARTITION BY cluster_rep) AS n_records, FIRST_VALUE(name) OVER (PARTITION BY cluster_rep ORDER BY (name IS NOT NULL) DESC, trust DESC, rid DESC) AS name, FIRST_VALUE(acctbal) OVER (PARTITION BY cluster_rep ORDER BY (acctbal IS NOT NULL) DESC, trust DESC, rid DESC) AS acctbal, FIRST_VALUE(segment) OVER (PARTITION BY cluster_rep ORDER BY (segment IS NOT NULL) DESC, trust DESC, rid DESC) AS segment FROM j) SELECT DISTINCT cluster_rep, n_records, name, CAST(acctbal AS DOUBLE) AS acctbal, segment FROM pick ORDER BY cluster_rep""",
     // the pruned read is a superset then exactly filtered, so the result
     // must equal the plain two-range filter over the whole table
     "q182_multicol_skipping" ->

@@ -40,4 +40,31 @@ object Linkage {
       .filter(col("sim") >= threshold)
       .select(col("a_key"), col("b_key"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Survivorship: ONE golden record per cluster, each field resolved
+    * INDEPENDENTLY by `(has a value, trust, id)` — the master-data-
+    * management step after linkage + clustering. A lower-trust system's
+    * non-null beats a higher-trust null (that is what makes the
+    * resolution per-field: the winning record can differ per column),
+    * and the unique id breaks trust ties deterministically.
+    *
+    * One hash aggregation, field picks as max(struct(...)) — per-cluster
+    * work is a constant number of struct comparisons per row, no window
+    * over the full record table.
+    */
+  def goldenRecord(
+      records: DataFrame,
+      clusterCol: String,
+      idCol: String,
+      trustCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty)
+    val picks = fields.map(f =>
+      max(struct(col(f).isNotNull.as("has"), col(trustCol).as("t"),
+        col(idCol).as("i"), col(f).as("v")))
+        .getField("v").as(f))
+    records
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_records"), picks: _*)
+  }
 }

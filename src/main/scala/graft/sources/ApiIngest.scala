@@ -53,27 +53,52 @@ object ApiIngest {
     * global rate is capped at `maxPartitions × perPartitionRequestsPerSec`
     * regardless of cluster size.
     */
+  /** Statuses worth a retry: throttling, transient server errors, and the
+    * synthetic transport-error status. 4xx (other than 429) are
+    * deterministic rejections — retrying them only burns rate budget.
+    */
+  val RetryableStatuses: Set[Int] = Set(429, 500, 502, 503, 504, 599)
+
   def fetchAll(
       requests: Dataset[FetchRequest],
       fetcher: HttpFetcher,
       maxPartitions: Int = 8,
-      perPartitionRequestsPerSec: Double = 5.0): Dataset[FetchResult] = {
-    require(maxPartitions >= 1 && perPartitionRequestsPerSec > 0)
+      perPartitionRequestsPerSec: Double = 5.0,
+      maxAttempts: Int = 1,
+      retryStatuses: Set[Int] = RetryableStatuses): Dataset[FetchResult] = {
+    require(maxPartitions >= 1 && perPartitionRequestsPerSec > 0 && maxAttempts >= 1)
     val spark = requests.sparkSession
     import spark.implicits._
     val minIntervalNanos = (1e9 / perPartitionRequestsPerSec).toLong
     requests.repartition(maxPartitions).mapPartitions { it =>
       // one rate-limiter (and, in a real fetcher, one client) per partition
       var nextAllowed = 0L
-      it.map { r =>
+      def awaitSlot(delayNanos: Long): Unit = {
         val now = System.nanoTime()
-        if (now < nextAllowed) {
-          val waitNs = nextAllowed - now
+        val due = math.max(now, nextAllowed) + delayNanos
+        if (due > now) {
+          val waitNs = due - now
           Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
         }
-        nextAllowed = math.max(now, nextAllowed) + minIntervalNanos
-        val (status, body) = fetcher.fetch(r.url)
-        FetchResult(r.request_id, r.url, status, body)
+        nextAllowed = due + minIntervalNanos
+      }
+      it.map { r =>
+        // bounded exponential backoff ON TOP of the token bucket: attempt
+        // k waits an extra (2^k - 1) base intervals, so retries always
+        // consume MORE rate budget than first tries, never less — a
+        // failing upstream sees the request rate fall, not spike (the
+        // reference client's requests-with-retries posture)
+        var attempt = 0
+        var res: (Int, String) = null
+        var done = false
+        while (!done) {
+          awaitSlot(if (attempt == 0) 0L
+            else ((1L << attempt) - 1L) * minIntervalNanos)
+          res = fetcher.fetch(r.url)
+          attempt += 1
+          done = attempt >= maxAttempts || !retryStatuses.contains(res._1)
+        }
+        FetchResult(r.request_id, r.url, res._1, res._2)
       }
     }
   }
@@ -119,6 +144,27 @@ object ApiIngest {
               s""""wind":{"speed":$wind}}""")
         }
       case _ => (599, "")
+    }
+  }
+
+  /** Stub modelling a FLAKY upstream for retry tests: every key ≡ 3
+    * (mod 5) returns 503 on its first call in this JVM and succeeds (via
+    * [[DeterministicStub]]) on the next — the shape a transient
+    * throttle/blip presents. Per-JVM call counts make it deterministic
+    * within a run; executors each see their own map, which is exactly the
+    * retry locality a real cluster has (the retry happens on the same
+    * partition that saw the failure).
+    */
+  class TransientStub extends HttpFetcher {
+    private val seen = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    private val Pat = """.*\?key=(\d+)&q=.*""".r
+    def fetch(url: String): (Int, String) = {
+      val n = seen.merge(url, 1, (a, b) => a + b)
+      url match {
+        case Pat(k) if k.toLong % 5 == 3 && n == 1 =>
+          (503, s"""{"cod":"503","message":"try again"}""")
+        case _ => DeterministicStub.fetch(url)
+      }
     }
   }
 }

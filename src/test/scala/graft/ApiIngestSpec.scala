@@ -20,6 +20,24 @@ class ApiIngestSpec extends SparkSuite {
     assert(rows.filter(_.status == 200).forall(_.payload.startsWith("{\"name\"")))
   }
 
+  test("bounded retry recovers transient failures; hard failures still quarantine") {
+    // keys ≡ 3 (mod 5) fail ONCE then succeed; key 7 is a permanent 404.
+    // maxPartitions=1 keeps one JVM-local stub instance per run shape.
+    val flaky = new ApiIngest.TransientStub
+    val without = ApiIngest.fetchAll(reqs(20), new ApiIngest.TransientStub,
+      maxPartitions = 1, perPartitionRequestsPerSec = 1e6).collect()
+    assert(without.count(_.status == 503) == 4,
+      "without retries the transient 503s surface as data rows (3,8,13,18)")
+    val withRetry = ApiIngest.fetchAll(reqs(20), flaky,
+      maxPartitions = 1, perPartitionRequestsPerSec = 1e6,
+      maxAttempts = 3).collect()
+    assert(withRetry.count(_.status == 503) == 0,
+      "one retry absorbs every transient failure")
+    assert(withRetry.filter(_.status == 404).map(_.request_id).toSeq == Seq(7L),
+      "the deterministic 404 is NOT retried away — it quarantines as before")
+    assert(withRetry.count(_.status == 200) == 19)
+  }
+
   test("explicit-schema flatten yields typed rows for the 200s only") {
     val fetched = ApiIngest.fetchAll(reqs(10), ApiIngest.DeterministicStub,
       maxPartitions = 2, perPartitionRequestsPerSec = 1e6)

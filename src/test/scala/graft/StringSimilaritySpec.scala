@@ -48,4 +48,24 @@ class StringSimilaritySpec extends SparkSuite {
     assert(out.forall(_._1 != 2L) ==
       (JaroWinklerImpl.jw("ann lee", "ann leigh") < 0.9))
   }
+
+  test("goldenRecord resolves each field independently by (has, trust, id)") {
+    // cluster 1: trusted row misses the balance, untrusted has it — the
+    // golden record must MIX name (trusted) with balance (untrusted);
+    // trust tie in cluster 2 breaks to the higher id
+    val recs = Seq(
+      (1L, 10L, 2L, "Alice", Option.empty[Long], Option("RETAIL")),
+      (1L, 11L, 1L, "Alyce", Option(500L), Option.empty[String]),
+      (2L, 20L, 1L, "Bob", Option(1L), Option("AUTO")),
+      (2L, 21L, 1L, "Bobby", Option(2L), Option("BIKE")))
+      .toDF("cluster", "rid", "trust", "name", "bal", "seg")
+    val out = Linkage.goldenRecord(recs, "cluster", "rid", "trust",
+      Seq("name", "bal", "seg")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, "Alice", 500L, "RETAIL")),
+      "per-field: trusted name + untrusted balance in ONE golden record")
+    assert(out(2L) == ((2L, "Bobby", 2L, "BIKE")),
+      "equal trust: the higher record id wins every field")
+  }
 }
