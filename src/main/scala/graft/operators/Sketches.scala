@@ -187,8 +187,12 @@ object Sketches {
     require(groupCols.nonEmpty)
     facts
       .select(groupCols.map(col) :+
-        expr(s"$keyCol div 63").as("__word") :+
-        expr(s"shiftleft(1L, int($keyCol % 63))").as("__m"): _*)
+        // FLOOR division, in exact integer arithmetic: `div` truncates
+        // toward zero, which for a negative key would pair word 0 with a
+        // positive bit and silently collide with a positive key (-1 would
+        // count as 62). (key - pmod) is always an exact multiple of 63.
+        expr(s"($keyCol - pmod($keyCol, 63)) div 63").as("__word") :+
+        expr(s"shiftleft(1L, int(pmod($keyCol, 63)))").as("__m"): _*)
       .groupBy((groupCols.map(col) :+ col("__word")): _*)
       .agg(bit_or(col("__m")).as("mask"))
   }

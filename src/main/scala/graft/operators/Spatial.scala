@@ -44,7 +44,10 @@ object Spatial {
     * if they need misses).
     *
     * Coordinates must be LONG micro-degrees; with |lat| ≤ 90e6 and
-    * |lon| ≤ 180e6 the squared sum stays far inside Long range.
+    * |lon| ≤ 180e6 the squared sum stays far inside Long range. Rows with
+    * a NULL coordinate on either side get a null cell key and drop out of
+    * the equi-join — same absent-result semantics as an out-of-radius
+    * point (geocode before joining if those rows must surface).
     */
   def nearestWithin(
       points: DataFrame,

@@ -106,15 +106,17 @@ class SketchesSpec extends SparkSuite {
     // keys straddle word boundaries (62|63|64) and overlap across halves —
     // the overlap is exactly what a popcount-sum-without-re-or would
     // double count
-    val h1 = Seq(("a", 1L), ("a", 62L), ("a", 63L), ("b", 10L))
+    val h1 = Seq(("a", 1L), ("a", 62L), ("a", 63L), ("b", 10L), ("b", -1L))
       .toDF("g", "k")
-    val h2 = Seq(("a", 63L), ("a", 64L), ("a", 1L), ("b", 10L), ("b", 200L))
-      .toDF("g", "k")
+    // -1 and 62 share a bit position under truncating division (word 0,
+    // bit 62); floor semantics must keep them distinct
+    val h2 = Seq(("a", 63L), ("a", 64L), ("a", 1L), ("b", 10L), ("b", 200L),
+      ("b", 62L)).toDF("g", "k")
     val merged = Sketches.bitmapWords(h1, Seq("g"), "k")
       .unionByName(Sketches.bitmapWords(h2, Seq("g"), "k"))
     val got = Sketches.bitmapDistinct(merged, Seq("g")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got == Map("a" -> 4L, "b" -> 2L),
-      "a: {1,62,63,64}; b: {10,200} — shared keys must not double count")
+    assert(got == Map("a" -> 4L, "b" -> 4L),
+      "a: {1,62,63,64}; b: {-1,10,62,200} — no double counts, no -1/62 collision")
   }
 }
