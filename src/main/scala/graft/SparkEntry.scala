@@ -2947,6 +2947,35 @@ object SparkEntry {
       .orderBy(col("cluster_rep"))
   }
 
+  /** OPTIMIZE + Z-ORDER through the log ([[TxLake.optimizeZorder]]): the
+    * table starts as hash-scattered commits (every file spans both key
+    * ranges — nothing skippable), one atomic optimize rewrites it
+    * z-clustered with named two-column stats, and the same conjunctive
+    * predicate then opens a fraction of the files (TxLakeSpec asserts the
+    * before/after counts). The result equals the plain filter — layout
+    * work must never change answers.
+    */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q184")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val o = T(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderstatus"))
+    (0 to 3).foreach(i => TxLake.commit(s, lake,
+      o.filter(pmod(col("o_orderkey"), lit(4)) === i).coalesce(1),
+      statsCols = Seq("o_custkey", "o_orderkey")))
+    TxLake.optimizeZorder(s, lake, Seq("o_custkey", "o_orderkey"))
+    val r = o.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ct, ot) = (r.getLong(0) / 8, r.getLong(1) / 8)
+    TxLake.readPrunedBy(s, lake,
+      Seq(("o_custkey", 1L, ct), ("o_orderkey", 1L, ot)))
+      .filter(col("o_custkey").between(1L, ct) &&
+        col("o_orderkey").between(1L, ot))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3335,6 +3364,7 @@ object SparkEntry {
     "q181_local_time" -> (q181 _),
     "q182_multicol_skipping" -> (q182 _),
     "q183_golden_record" -> (q183 _),
+    "q184_optimize_zorder" -> (q184 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3721,6 +3751,10 @@ object SparkEntry {
     // field — identical to Spark's max(struct(...)) pick
     "q183_golden_record" ->
       """WITH RECURSIVE recs AS (SELECT c_custkey * 2 AS rid, 2 AS trust, c_name AS name, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS acctbal, c_mktsegment AS segment FROM customer UNION ALL SELECT c_custkey * 2 + 1, 1, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)), CAST(c_acctbal AS DECIMAL(12,2)) + 10, NULL FROM customer), a AS (SELECT c_custkey AS a_key, c_name AS a_name, substring(c_name, 10, 7) AS blk FROM customer), b AS (SELECT c_custkey AS b_key, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)) AS b_name, substring(c_name, 10, 7) AS blk FROM customer), p AS (SELECT a_key * 2 AS ida, b_key * 2 + 1 AS idb FROM a JOIN b USING (blk) WHERE jaro_winkler_similarity(a_name, b_name) >= 0.98), ed AS (SELECT ida AS src, idb AS dst FROM p UNION ALL SELECT idb, ida FROM p), reach(node, label) AS (SELECT rid, rid FROM recs UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node), cl AS (SELECT node AS rid, MIN(label) AS cluster_rep FROM reach GROUP BY node), j AS (SELECT cl.cluster_rep, recs.* FROM recs JOIN cl USING (rid)), pick AS (SELECT cluster_rep, COUNT(*) OVER (PARTITION BY cluster_rep) AS n_records, FIRST_VALUE(name) OVER (PARTITION BY cluster_rep ORDER BY (name IS NOT NULL) DESC, trust DESC, rid DESC) AS name, FIRST_VALUE(acctbal) OVER (PARTITION BY cluster_rep ORDER BY (acctbal IS NOT NULL) DESC, trust DESC, rid DESC) AS acctbal, FIRST_VALUE(segment) OVER (PARTITION BY cluster_rep ORDER BY (segment IS NOT NULL) DESC, trust DESC, rid DESC) AS segment FROM j) SELECT DISTINCT cluster_rep, n_records, name, CAST(acctbal AS DOUBLE) AS acctbal, segment FROM pick ORDER BY cluster_rep""",
+    // layout work never changes answers: post-optimize pruned read equals
+    // the plain two-range filter (pruning improvement asserted in spec)
+    "q184_optimize_zorder" ->
+      """WITH b AS (SELECT MAX(o_custkey) // 8 AS ct, MAX(o_orderkey) // 8 AS ot FROM orders) SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price FROM orders, b WHERE o_custkey BETWEEN 1 AND ct AND o_orderkey BETWEEN 1 AND ot GROUP BY 1 ORDER BY o_orderstatus""",
     // the pruned read is a superset then exactly filtered, so the result
     // must equal the plain two-range filter over the whole table
     "q182_multicol_skipping" ->

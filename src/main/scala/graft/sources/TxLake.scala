@@ -722,6 +722,36 @@ object TxLake {
       overwrite = true, statsCol = statsCol)
   }
 
+  /** OPTIMIZE with Z-ORDER clustering (the `OPTIMIZE ... ZORDER BY`
+    * posture): rewrite the snapshot range-partitioned + sorted on the
+    * interleaved z-value of `zCols`, and log NAMED per-file min/max for
+    * those columns in the same commit — after which [[readPrunedBy]]
+    * range predicates on ANY of the clustered columns skip most files
+    * from the log alone. One atomic commit; time travel to the
+    * pre-optimize layout keeps working. Sorting is by z-value, so each
+    * output file covers a tight hyper-rectangle in key space (tight
+    * min/max on EVERY key — the multi-dimensional analogue of a single
+    * sort column).
+    */
+  def optimizeZorder(
+      spark: SparkSession,
+      path: String,
+      zCols: Seq[String],
+      bits: Int = 24,
+      targetFiles: Int = 8,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(targetFiles >= 1 && zCols.size >= 2)
+    import org.apache.spark.sql.functions.col
+    val clustered = readSnapshot(spark, path)
+      .withColumn("__z",
+        graft.operators.Layout.zorderValueN(bits, zCols.map(col)))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    commit(spark, path, clustered, overwrite = true,
+      statsCols = if (statsCols.isEmpty) zCols else statsCols)
+  }
+
   /** VACUUM: physically delete data files that were logically removed at
     * or before `retainVersion` — they are invisible to every snapshot
     * from `retainVersion` onward. Time travel BELOW the horizon breaks

@@ -350,6 +350,29 @@ class TxLakeSpec extends SparkSuite {
     assert(kept(bp) == 1)
   }
 
+  test("optimizeZorder turns an unskippable layout into a skippable one") {
+    import spark.implicits._
+    val lake = tmp()
+    // hash-scattered commits: every file spans the whole (a, b) space, so
+    // log stats can prove nothing and every file must be kept
+    val rows = (0L until 256L).map(i => (i % 16, i / 16))
+    (0 to 3).foreach(m => TxLake.commit(spark, lake,
+      rows.filter(r => (r._1 * 16 + r._2) % 4 == m).toDF("a", "b").coalesce(1),
+      statsCols = Seq("a", "b")))
+    val v1 = TxLake.latestVersion(lake)
+    def kept() = TxLake.readPrunedBy(spark, lake,
+      Seq(("a", 0L, 3L), ("b", 0L, 3L))).inputFiles.length
+    assert(kept() == 4, "scattered: stats can exclude nothing")
+    TxLake.optimizeZorder(spark, lake, Seq("a", "b"), bits = 4, targetFiles = 8)
+    assert(kept() < 4,
+      "z-clustered files cover tight (a, b) rectangles: most must skip")
+    // the corner query still sees exactly its 16 rows, and time travel to
+    // the pre-optimize layout still replays the scattered files
+    assert(TxLake.readPrunedBy(spark, lake, Seq(("a", 0L, 3L), ("b", 0L, 3L)))
+      .filter(col("a") <= 3 && col("b") <= 3).count() == 16)
+    assert(TxLake.readSnapshot(spark, lake, v1).count() == 256)
+  }
+
   test("branch inherits the parent's data-skipping stats") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1, 2, 3), statsCol = "id")
