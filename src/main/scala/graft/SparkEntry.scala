@@ -2976,6 +2976,17 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Streaming sketch-store maintenance
+    * ([[graft.streaming.StreamVerify.cmsMaintenance]]): micro-batches land
+    * their Count-Min cell increments as exactly-once tagged lake commits;
+    * the standing store is merge-on-read. Addition commutes, so the final
+    * top-k probe is independent of batch boundaries and replays as the
+    * whole-corpus sketch in the oracle.
+    */
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.cmsMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q185"))
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3193,7 +3204,7 @@ object SparkEntry {
     "q121_exactly_once_sink", "q136_stream_alerts",
     "q135_stream_update_sessions", "q142_stream_append_sessions",
     "q165_stream_cdc_apply", "q171_stream_full_outer",
-    "q180_stream_resume")
+    "q180_stream_resume", "q185_stream_cms")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -3365,6 +3376,7 @@ object SparkEntry {
     "q182_multicol_skipping" -> (q182 _),
     "q183_golden_record" -> (q183 _),
     "q184_optimize_zorder" -> (q184 _),
+    "q185_stream_cms" -> (q185 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3751,6 +3763,11 @@ object SparkEntry {
     // field — identical to Spark's max(struct(...)) pick
     "q183_golden_record" ->
       """WITH RECURSIVE recs AS (SELECT c_custkey * 2 AS rid, 2 AS trust, c_name AS name, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS acctbal, c_mktsegment AS segment FROM customer UNION ALL SELECT c_custkey * 2 + 1, 1, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)), CAST(c_acctbal AS DECIMAL(12,2)) + 10, NULL FROM customer), a AS (SELECT c_custkey AS a_key, c_name AS a_name, substring(c_name, 10, 7) AS blk FROM customer), b AS (SELECT c_custkey AS b_key, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)) AS b_name, substring(c_name, 10, 7) AS blk FROM customer), p AS (SELECT a_key * 2 AS ida, b_key * 2 + 1 AS idb FROM a JOIN b USING (blk) WHERE jaro_winkler_similarity(a_name, b_name) >= 0.98), ed AS (SELECT ida AS src, idb AS dst FROM p UNION ALL SELECT idb, ida FROM p), reach(node, label) AS (SELECT rid, rid FROM recs UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node), cl AS (SELECT node AS rid, MIN(label) AS cluster_rep FROM reach GROUP BY node), j AS (SELECT cl.cluster_rep, recs.* FROM recs JOIN cl USING (rid)), pick AS (SELECT cluster_rep, COUNT(*) OVER (PARTITION BY cluster_rep) AS n_records, FIRST_VALUE(name) OVER (PARTITION BY cluster_rep ORDER BY (name IS NOT NULL) DESC, trust DESC, rid DESC) AS name, FIRST_VALUE(acctbal) OVER (PARTITION BY cluster_rep ORDER BY (acctbal IS NOT NULL) DESC, trust DESC, rid DESC) AS acctbal, FIRST_VALUE(segment) OVER (PARTITION BY cluster_rep ORDER BY (segment IS NOT NULL) DESC, trust DESC, rid DESC) AS segment FROM j) SELECT DISTINCT cluster_rep, n_records, name, CAST(acctbal AS DOUBLE) AS acctbal, segment FROM pick ORDER BY cluster_rep""",
+    // cells are additive, so the streamed, batch-boundary-split store
+    // equals the whole-corpus sketch — replayed via the xstep macro on
+    // the unsigned user id (the same mix the codegen XsMix computes)
+    "q185_stream_cms" ->
+      s"""$HASH_MACROS; WITH uc AS (SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY 1), rb AS (SELECT user_id, true_n, i, CAST(xstep(tounsigned(user_id), CAST(i AS HUGEINT)) & 255 AS BIGINT) AS bucket FROM uc CROSS JOIN (SELECT unnest(range(4)) AS i) r), cells AS (SELECT i, bucket, CAST(SUM(true_n) AS BIGINT) AS cell_n FROM rb GROUP BY 1, 2), top AS (SELECT user_id, true_n FROM uc ORDER BY true_n DESC, user_id LIMIT 20) SELECT t.user_id, t.true_n, MIN(c.cell_n) AS cms_est FROM rb JOIN top t USING (user_id) JOIN cells c ON c.i = rb.i AND c.bucket = rb.bucket GROUP BY 1, 2 ORDER BY t.true_n DESC, t.user_id""",
     // layout work never changes answers: post-optimize pruned read equals
     // the plain two-range filter (pruning improvement asserted in spec)
     "q184_optimize_zorder" ->

@@ -217,7 +217,10 @@ object PartitionedLake {
         var cur = new java.io.File(d)
         var walking = true
         while (walking)
-          cur.listFiles().find(f => f.isDirectory && f.getName.contains("=")) match {
+          // listFiles returns NULL (not empty) on an IO error/race —
+          // treat it as end-of-chain, the manifest compare still decides
+          Option(cur.listFiles()).getOrElse(Array.empty)
+            .find(f => f.isDirectory && f.getName.contains("=")) match {
             case Some(sub) =>
               seen += sub.getName.takeWhile(_ != '='); cur = sub
             case None => walking = false

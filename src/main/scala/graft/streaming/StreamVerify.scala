@@ -427,6 +427,66 @@ object StreamVerify {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
   }
 
+  /** Streaming maintenance of a Count-Min sketch store: each micro-batch
+    * computes its own (row, bucket) cell increments and lands them as an
+    * exactly-once tagged TxLake commit; the standing store is merge-on-
+    * read (cells are additive, so summing per (row, bucket) across batch
+    * files IS the whole-stream sketch — the same union-addability as
+    * q169's batch merge, now maintained incrementally by a stream). The
+    * final probe compares top-k exact counts against the sketch estimate;
+    * because addition commutes, the result is INDEPENDENT of micro-batch
+    * boundaries, which is what makes it oracle-checkable.
+    */
+  def cmsMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      depth: Int = 4,
+      width: Int = 256,
+      k: Int = 20): DataFrame = {
+    import graft.plans.TextHashExpressions.xsMix
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/cells"
+    def cellsOf(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row_i"),
+          xsMix(col("user_id"), lit(i.toLong))
+            .bitwiseAND(lit((width - 1).toLong)).as("bucket"))): _*)).as("rb"))
+      .groupBy(col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("n")).as("cell_n"))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          cellsOf(batch).coalesce(1), tag = s"cms-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val merged = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cell_n")).as("cell_n"))
+    val exact = spark.read.parquet(eventsPath)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+    val top = exact.orderBy(col("true_n").desc, col("user_id")).limit(k)
+    top.select(col("user_id"), col("true_n"),
+      explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row_i"),
+          xsMix(col("user_id"), lit(i.toLong))
+            .bitwiseAND(lit((width - 1).toLong)).as("bucket"))): _*)).as("rb"))
+      .select(col("user_id"), col("true_n"),
+        col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+      .join(merged, Seq("row_i", "bucket"))
+      .groupBy(col("user_id"), col("true_n"))
+      .agg(min(col("cell_n")).as("cms_est"))
+      .orderBy(col("true_n").desc, col("user_id"))
+  }
+
   def lakeRoundTrip(spark: SparkSession, eventsPath: String, scratchDir: String): DataFrame = {
     graft.sources.LocalFs.deleteRecursively(scratchDir)
     val lake = s"$scratchDir/lake"
