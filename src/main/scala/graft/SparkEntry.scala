@@ -2987,6 +2987,54 @@ object SparkEntry {
     graft.streaming.StreamVerify.cmsMaintenance(
       s, q135Events(s, dir), scratch(dir, "q185"))
 
+  /** Catalog-level multi-table transaction
+    * ([[graft.sources.TxCatalog]]): a fact rollup and its per-segment
+    * summary land in ONE atomic commit, then a second transaction
+    * replaces both — readers joining the two member tables at the same
+    * version can never see the fact/rollup drift two single-table
+    * commits would expose (crash-between-tables invisibility is
+    * spec-proved). The oracle recomputes both tables directly.
+    */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxCatalog
+    val root = scratch(dir, "q186")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val o = T(s, dir, "orders")
+    val cust = T(s, dir, "customer")
+    def custAgg(f: DataFrame) = f
+      .groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+    def segAgg(byCust: DataFrame) = byCust
+      .join(cust.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).agg(
+        sum(col("n_orders")).as("n_orders"), sum(col("spend")).as("spend"))
+    // txn 1: a partial day's facts + its rollup, atomically
+    val part = o.filter(col("o_orderkey") % 3 === 0)
+    val byCust1 = custAgg(part).localCheckpoint(true)
+    TxCatalog.commit(s, root,
+      Seq("cust_orders" -> byCust1, "segment_rollup" -> segAgg(byCust1)))
+    // txn 2: the full refresh REPLACES both members in one transaction
+    val byCust2 = custAgg(o).localCheckpoint(true)
+    TxCatalog.commit(s, root,
+      Seq("cust_orders" -> byCust2, "segment_rollup" -> segAgg(byCust2)),
+      overwrite = true)
+    val fact = TxCatalog.readSnapshot(s, root, "cust_orders")
+      .join(cust.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("spend")).cast("double").as("fact_spend"))
+    val roll = TxCatalog.readSnapshot(s, root, "segment_rollup")
+      .select(col("c_mktsegment"), col("n_orders"),
+        col("spend").cast("double").as("rollup_spend"))
+    // the join consistency IS the point: fact-side recompute must equal
+    // the co-committed rollup in every segment
+    fact.join(roll, Seq("c_mktsegment"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3377,6 +3425,7 @@ object SparkEntry {
     "q183_golden_record" -> (q183 _),
     "q184_optimize_zorder" -> (q184 _),
     "q185_stream_cms" -> (q185 _),
+    "q186_tx_catalog" -> (q186 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3763,6 +3812,10 @@ object SparkEntry {
     // field — identical to Spark's max(struct(...)) pick
     "q183_golden_record" ->
       """WITH RECURSIVE recs AS (SELECT c_custkey * 2 AS rid, 2 AS trust, c_name AS name, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS acctbal, c_mktsegment AS segment FROM customer UNION ALL SELECT c_custkey * 2 + 1, 1, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)), CAST(c_acctbal AS DECIMAL(12,2)) + 10, NULL FROM customer), a AS (SELECT c_custkey AS a_key, c_name AS a_name, substring(c_name, 10, 7) AS blk FROM customer), b AS (SELECT c_custkey AS b_key, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)) AS b_name, substring(c_name, 10, 7) AS blk FROM customer), p AS (SELECT a_key * 2 AS ida, b_key * 2 + 1 AS idb FROM a JOIN b USING (blk) WHERE jaro_winkler_similarity(a_name, b_name) >= 0.98), ed AS (SELECT ida AS src, idb AS dst FROM p UNION ALL SELECT idb, ida FROM p), reach(node, label) AS (SELECT rid, rid FROM recs UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node), cl AS (SELECT node AS rid, MIN(label) AS cluster_rep FROM reach GROUP BY node), j AS (SELECT cl.cluster_rep, recs.* FROM recs JOIN cl USING (rid)), pick AS (SELECT cluster_rep, COUNT(*) OVER (PARTITION BY cluster_rep) AS n_records, FIRST_VALUE(name) OVER (PARTITION BY cluster_rep ORDER BY (name IS NOT NULL) DESC, trust DESC, rid DESC) AS name, FIRST_VALUE(acctbal) OVER (PARTITION BY cluster_rep ORDER BY (acctbal IS NOT NULL) DESC, trust DESC, rid DESC) AS acctbal, FIRST_VALUE(segment) OVER (PARTITION BY cluster_rep ORDER BY (segment IS NOT NULL) DESC, trust DESC, rid DESC) AS segment FROM j) SELECT DISTINCT cluster_rep, n_records, name, CAST(acctbal AS DOUBLE) AS acctbal, segment FROM pick ORDER BY cluster_rep""",
+    // after the overwriting transaction both members reflect the FULL
+    // fact set, so each side recomputes directly from orders/customer
+    "q186_tx_catalog" ->
+      """WITH bc AS (SELECT o_custkey, COUNT(*) AS n_orders, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend FROM orders GROUP BY 1), f AS (SELECT c_mktsegment, COUNT(*) AS n_cust, CAST(SUM(spend) AS DOUBLE) AS fact_spend FROM bc JOIN customer ON o_custkey = c_custkey GROUP BY 1), r AS (SELECT c_mktsegment, CAST(SUM(n_orders) AS BIGINT) AS n_orders, CAST(SUM(spend) AS DOUBLE) AS rollup_spend FROM bc JOIN customer ON o_custkey = c_custkey GROUP BY 1) SELECT c_mktsegment, f.n_cust, f.fact_spend, r.n_orders, r.rollup_spend FROM f JOIN r USING (c_mktsegment) ORDER BY c_mktsegment""",
     // cells are additive, so the streamed, batch-boundary-split store
     // equals the whole-corpus sketch — replayed via the xstep macro on
     // the unsigned user id (the same mix the codegen XsMix computes)
