@@ -48,9 +48,11 @@ object Linkage {
     * resolution per-field: the winning record can differ per column),
     * and the unique id breaks trust ties deterministically.
     *
-    * One hash aggregation, field picks as max(struct(...)) — per-cluster
+    * One aggregation pass, field picks as max(struct(...)) — per-cluster
     * work is a constant number of struct comparisons per row, no window
-    * over the full record table.
+    * over the full record table. (Struct buffers aren't hash-aggregable,
+    * so Spark plans a SortAggregate — still with map-side partial max,
+    * which is the property that matters at scale.)
     */
   def goldenRecord(
       records: DataFrame,

@@ -210,4 +210,20 @@ class PlanAuditSpec extends SparkSuite {
       "chunk reuse must come from the checkpointed RDD, not parquet re-scans")
     assert(p.contains("HashAggregate"))
   }
+
+  test("q181: the nation dimension broadcasts; no nested-loop anywhere") {
+    val p = formatted(q("q181_local_time"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q183: linkage and survivorship run on hash joins and aggregates only") {
+    val p = formatted(q("q183_golden_record"))
+    assert(!p.contains("CartesianProduct"),
+      "blocked linkage + components must never plan a cartesian")
+    // struct-max buffers aren't hash-aggregable; the scale property that
+    // matters is the partial (map-side) aggregate, which SortAggregate keeps
+    assert(p.contains("partial_max") || p.contains("SortAggregate"),
+      "per-field survivorship must combine map-side")
+  }
 }
