@@ -3035,6 +3035,33 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Schema evolution through the transaction log ([[TxLake.addColumn]] /
+    * [[TxLake.renameColumn]]): three waves land under three successive
+    * schemas — original, +src column, value→amount rename — with ZERO
+    * data rewrite; the snapshot read surfaces typed NULLs for
+    * pre-evolution rows and maps the renamed column across old and new
+    * files (time travel to the old schema spec-proved).
+    */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q187")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val ev = T(s, dir, "events").select(col("event_id"),
+      col("value").cast(DecimalType(18, 2)).as("value"))
+    TxLake.commit(s, lake, ev.filter(col("event_id") % 3 === 0).coalesce(1))
+    TxLake.addColumn(lake, "src", "string")
+    TxLake.commit(s, lake, ev.filter(col("event_id") % 3 === 1)
+      .withColumn("src", lit("wave2")).coalesce(1))
+    TxLake.renameColumn(lake, "value", "amount")
+    TxLake.commit(s, lake, ev.filter(col("event_id") % 3 === 2)
+      .select(col("event_id"), col("value").as("amount"))
+      .withColumn("src", lit("wave3")).coalesce(1))
+    TxLake.readSnapshot(s, lake)
+      .groupBy(coalesce(col("src"), lit("legacy")).as("src"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("amount")).cast("double").as("total_amount"))
+      .orderBy(col("src"))
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3426,6 +3453,7 @@ object SparkEntry {
     "q184_optimize_zorder" -> (q184 _),
     "q185_stream_cms" -> (q185 _),
     "q186_tx_catalog" -> (q186 _),
+    "q187_schema_evolution_log" -> (q187 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3812,6 +3840,10 @@ object SparkEntry {
     // field — identical to Spark's max(struct(...)) pick
     "q183_golden_record" ->
       """WITH RECURSIVE recs AS (SELECT c_custkey * 2 AS rid, 2 AS trust, c_name AS name, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS acctbal, c_mktsegment AS segment FROM customer UNION ALL SELECT c_custkey * 2 + 1, 1, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)), CAST(c_acctbal AS DECIMAL(12,2)) + 10, NULL FROM customer), a AS (SELECT c_custkey AS a_key, c_name AS a_name, substring(c_name, 10, 7) AS blk FROM customer), b AS (SELECT c_custkey AS b_key, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)) AS b_name, substring(c_name, 10, 7) AS blk FROM customer), p AS (SELECT a_key * 2 AS ida, b_key * 2 + 1 AS idb FROM a JOIN b USING (blk) WHERE jaro_winkler_similarity(a_name, b_name) >= 0.98), ed AS (SELECT ida AS src, idb AS dst FROM p UNION ALL SELECT idb, ida FROM p), reach(node, label) AS (SELECT rid, rid FROM recs UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node), cl AS (SELECT node AS rid, MIN(label) AS cluster_rep FROM reach GROUP BY node), j AS (SELECT cl.cluster_rep, recs.* FROM recs JOIN cl USING (rid)), pick AS (SELECT cluster_rep, COUNT(*) OVER (PARTITION BY cluster_rep) AS n_records, FIRST_VALUE(name) OVER (PARTITION BY cluster_rep ORDER BY (name IS NOT NULL) DESC, trust DESC, rid DESC) AS name, FIRST_VALUE(acctbal) OVER (PARTITION BY cluster_rep ORDER BY (acctbal IS NOT NULL) DESC, trust DESC, rid DESC) AS acctbal, FIRST_VALUE(segment) OVER (PARTITION BY cluster_rep ORDER BY (segment IS NOT NULL) DESC, trust DESC, rid DESC) AS segment FROM j) SELECT DISTINCT cluster_rep, n_records, name, CAST(acctbal AS DOUBLE) AS acctbal, segment FROM pick ORDER BY cluster_rep""",
+    // the three waves partition events by event_id mod 3; pre-evolution
+    // rows surface NULL src (grouped as 'legacy') and value maps to amount
+    "q187_schema_evolution_log" ->
+      s"""SELECT CASE event_id % 3 WHEN 0 THEN 'legacy' WHEN 1 THEN 'wave2' ELSE 'wave3' END AS src, COUNT(*) AS n, $SUMV AS total_amount FROM events GROUP BY 1 ORDER BY src""",
     // after the overwriting transaction both members reflect the FULL
     // fact set, so each side recomputes directly from orders/customer
     "q186_tx_catalog" ->

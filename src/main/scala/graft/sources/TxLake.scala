@@ -132,10 +132,12 @@ object TxLake {
     }
   }
 
-  /** The newest checkpoint at or before `version`, if any. */
+  /** The newest checkpoint at or before `version`, if any:
+    * (version, parsed file set, raw json — for the op/stat extractors).
+    */
   private def latestCheckpoint(
       path: String,
-      version: Long): Option[(Long, Seq[(String, Map[String, (Long, Long)])])] = {
+      version: Long): Option[(Long, Seq[(String, Map[String, (Long, Long)])], String)] = {
     val dir = logDir(path)
     if (!Files.isDirectory(dir)) return None
     val all = Files.list(dir)
@@ -147,7 +149,7 @@ object TxLake {
     finally all.close()
     best.map { v =>
       val json = new String(Files.readAllBytes(ckptFile(path, v)), "UTF-8")
-      (v, parseFileSet(json))
+      (v, parseFileSet(json), json)
     }
   }
 
@@ -180,7 +182,7 @@ object TxLake {
     require(v > 0, "nothing to checkpoint")
     val active = activeEntries(path, v)
     val json =
-      s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]${statsJson(active)}}"""
+      s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]${statsJson(active)}${opsJson(path, v)}}"""
     val tmp = logDir(path).resolve(f".ckpt-tmp-$v%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, ckptFile(path, v), StandardCopyOption.ATOMIC_MOVE,
@@ -529,7 +531,7 @@ object TxLake {
     val json =
       s"""{"version":1,"tag":"",""" +
         s""""adds":[${active.map("\"" + _._1 + "\"").mkString(",")}],""" +
-        s""""removes":[]${statsJson(active)}}"""
+        s""""removes":[]${statsJson(active)}${opsJson(path, fromVersion)}}"""
     val tmp = logDir(bp).resolve(".tmp-base")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, logFile(bp, 1L), StandardCopyOption.ATOMIC_MOVE)
@@ -581,7 +583,101 @@ object TxLake {
       version: Long = Long.MaxValue): DataFrame = {
     val files = activeFiles(path, version)
     require(files.nonEmpty, s"no committed data at or before version $version")
-    spark.read.parquet(files: _*)
+    val ops = schemaOps(path, version)
+    if (ops.isEmpty) spark.read.parquet(files: _*)
+    else applySchemaOps(
+      spark.read.option("mergeSchema", "true").parquet(files: _*), ops)
+  }
+
+  /** Schema evolution through the log — Delta-style metadata-only commits.
+    *
+    * `addColumn` makes a column exist from this version on: files written
+    * before it simply lack it, and the snapshot read surfaces NULL for
+    * their rows (Delta ADD COLUMN semantics — no data rewrite, ever).
+    * `renameColumn` is a logical mapping: old files keep the old physical
+    * name, new files write the new one, and the read coalesces the two —
+    * again zero rewrite. Ops replay in version order, so time travel to a
+    * pre-evolution version sees the old schema; [[checkpoint]] and
+    * [[branch]] carry the accumulated ops so summarized logs keep the
+    * mapping. The row-mutation operators (deleteWhere/merge*) operate on
+    * physical files and are supported on PRE-evolution tables; run them
+    * before evolving or after an OPTIMIZE has rewritten the snapshot
+    * under the current schema.
+    */
+  def addColumn(path: String, name: String, sqlType: String): Long = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe column name: $name")
+    // fail here, not deep inside a later read
+    org.apache.spark.sql.types.DataType.fromDDL(sqlType)
+    require(!sqlType.exists(c => c == '"' || c == '\\' || c == ':'),
+      s"unsupported type text for the log encoding: $sqlType")
+    schemaCommit(path, s"add:$name:$sqlType")
+  }
+
+  def renameColumn(path: String, from: String, to: String): Long = {
+    require(from.matches("[A-Za-z0-9_]+") && to.matches("[A-Za-z0-9_]+"),
+      s"unsafe column names: $from -> $to")
+    schemaCommit(path, s"rename:$from:$to")
+  }
+
+  /** Reserve-and-publish a metadata-only (no data files) commit. */
+  private def schemaCommit(path: String, op: String): Long = {
+    val next = latestVersion(path) + 1
+    Files.createDirectories(logDir(path))
+    val log = logFile(path, next)
+    try Files.createFile(log)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(next)
+    }
+    val json = s"""{"version":$next,"tag":"","adds":[],"removes":[],""" +
+      s""""schemaops":["$op"]}"""
+    val tmp = logDir(path).resolve(f".tmp-$next%08d")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Accumulated ops rendered for a summarizing entry (checkpoint/branch
+    * base) — empty string when the table never evolved.
+    */
+  private def opsJson(path: String, version: Long): String = {
+    val ops = schemaOps(path, version)
+    if (ops.isEmpty) ""
+    else s""","schemaops":[${ops.map("\"" + _ + "\"").mkString(",")}]"""
+  }
+
+  /** Accumulated schema ops at `version`: the checkpoint's summary plus
+    * every later entry's ops, in commit order.
+    */
+  private def schemaOps(path: String, version: Long): Seq[String] = {
+    val base = latestCheckpoint(path, version)
+    base.map(b => jsonList(b._3, "schemaops")).getOrElse(Seq.empty) ++
+      entries(path, after = base.map(_._1).getOrElse(0L))
+        .takeWhile(_._1 <= version)
+        .flatMap { case (_, json) => jsonList(json, "schemaops") }
+  }
+
+  private def applySchemaOps(df0: DataFrame, ops: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    var df = df0
+    ops.foreach { op =>
+      op.split(":", 3) match {
+        case Array("add", n, t) =>
+          // mergeSchema already surfaces the column once any file has it;
+          // fill with typed NULLs only while no file does
+          if (!df.columns.contains(n)) df = df.withColumn(n, lit(null).cast(t))
+        case Array("rename", from, to) =>
+          (df.columns.contains(from), df.columns.contains(to)) match {
+            case (true, true) =>
+              df = df.withColumn(to, coalesce(col(to), col(from))).drop(from)
+            case (true, false) => df = df.withColumnRenamed(from, to)
+            case _ => ()
+          }
+        case other => sys.error(s"unknown schema op in log: ${other.mkString(":")}")
+      }
+    }
+    df
   }
 
   /** Data-skipping read: only the active files whose logged [min, max]

@@ -384,6 +384,35 @@ class TxLakeSpec extends SparkSuite {
       "the branch base entry must carry the per-file min/max forward")
   }
 
+  test("schema evolution: add + rename are metadata-only and survive checkpoint") {
+    import spark.implicits._
+    val lake = tmp()
+    TxLake.commit(spark, lake, Seq((1L, 10L), (2L, 20L)).toDF("id", "value"))
+    val vOld = TxLake.latestVersion(lake)
+    TxLake.addColumn(lake, "src", "string")
+    TxLake.commit(spark, lake,
+      Seq((3L, 30L, "b2")).toDF("id", "value", "src"))
+    TxLake.renameColumn(lake, "value", "amount")
+    TxLake.commit(spark, lake,
+      Seq((4L, 40L, "b3")).toDF("id", "amount", "src"))
+    def state(p: String) = TxLake.readSnapshot(spark, p)
+      .select(col("id"), col("amount"), col("src"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    val want = Set((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some("b2")), (4L, 40L, Some("b3")))
+    assert(state(lake) == want,
+      "old files read NULL for added columns and map value->amount — no rewrite")
+    // time travel to the pre-evolution version sees the ORIGINAL schema
+    val old = TxLake.readSnapshot(spark, lake, vOld)
+    assert(old.columns.toSet == Set("id", "value"))
+    // a summarizing checkpoint and a branch base must carry the mapping
+    TxLake.checkpoint(lake)
+    assert(TxLake.replayCount(lake) == 0)
+    assert(state(lake) == want, "post-checkpoint reads keep the evolved schema")
+    assert(state(TxLake.branch(lake, "evo")) == want)
+  }
+
   test("changeFeed reports net per-commit row changes, survivors cancel") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1, 2, 3)) // v1
