@@ -3062,6 +3062,124 @@ object SparkEntry {
       .orderBy(col("src"))
   }
 
+  /** Product-quantization ANN ([[Similarity.annPq]]): 4 subspaces × 16
+    * dims, 16-codeword L2 codebooks per subspace (2-byte codes — 128×
+    * compression vs raw floats), asymmetric reconstruction scoring. The
+    * oracle replays all four independent k-means runs (init + 2 Lloyd
+    * iterations in exact slice arithmetic), the code assignment, and the
+    * concatenated reconstruction bit-for-bit.
+    */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.annPq(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 64)
+  }
+
+  /** Sliding-window distinct users per (event_type, hour) from a
+    * standing per-hour bitmap store
+    * ([[graft.operators.Sketches.trailingBitmapDistinct]]): facts are
+    * scanned once into hourly bitmap cells, and the trailing-6h merge
+    * runs over cells only — the dashboard counterpart of q99's
+    * fact-explode, and the sliding variant of q177's mergeable bitmaps.
+    */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(
+      col("event_type"), col("user_id"),
+      expr("(ts div 1000000000) div 3600").as("hour_id"))
+    val cells = graft.operators.Sketches.bitmapWords(
+      ev, Seq("event_type", "hour_id"), "user_id")
+    graft.operators.Sketches.trailingBitmapDistinct(
+      cells, Seq("event_type"), "hour_id", 6)
+      .orderBy(col("event_type"), col("hour_id"))
+  }
+
+  /** Multi-source BFS hop distance ([[graft.operators.Graph.bfsHops]])
+    * over the customer–supplier bipartite graph (suppliers as negative
+    * node ids, both edge directions): how many trade hops from nation 0's
+    * customers to everyone else, capped at 4. Oracle = recursive CTE with
+    * MIN(depth) — first-discovery order in the frontier expansion must
+    * equal the minimum over all enumerated paths.
+    */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val pairs = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), (-col("supp")).as("dst"))
+      .unionByName(pairs.select((-col("supp")).as("src"), col("cust").as("dst")))
+    val sources = T(s, dir, "customer").filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("node"))
+    graft.operators.Graph.bfsHops(edges, sources, maxHops = 4)
+      .orderBy(col("node"))
+  }
+
+  /** Time-series LINEAR interpolation over per-user hourly gaps — the
+    * numeric counterpart of q65's forward fill: interior missing hours
+    * get `prev + (next - prev) * elapsed-fraction`, observed hours pass
+    * through. Spine construction bounds the series to each user's own
+    * [first, last] hour, so no leading/trailing extrapolation exists by
+    * construction. One explode + two per-key window passes.
+    */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("user_id"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg(sumx(col("value")).as("hsum"), count(lit(1)).as("hn"))
+      .select(col("user_id"), col("hid"), (col("hsum") / col("hn")).as("hv"))
+    val spine = hourly.groupBy(col("user_id"))
+      .agg(min(col("hid")).as("lo"), max(col("hid")).as("hi"))
+      .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hid"))
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("hid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("hid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly, Seq("user_id", "hid"), "left")
+      .select(col("user_id"), col("hid"), col("hv"),
+        last(col("hv"), ignoreNulls = true).over(wPrev).as("pv"),
+        last(when(col("hv").isNotNull, col("hid")), ignoreNulls = true)
+          .over(wPrev).as("ph"),
+        first(col("hv"), ignoreNulls = true).over(wNext).as("nv"),
+        first(when(col("hv").isNotNull, col("hid")), ignoreNulls = true)
+          .over(wNext).as("nh"))
+      .select(col("user_id"), col("hid"),
+        col("hv").isNotNull.as("observed"),
+        // UNROUNDED on purpose: every input is decimal-exact or integral,
+        // and both engines evaluate pv + (nv-pv) * ((hid-ph)/(nh-ph)) in
+        // the same IEEE op order — the doubles are bit-identical. A final
+        // round(·, 6) would REINTRODUCE divergence: interpolation at
+        // frac=1/2 of 2-decimal rationals lands exactly on .5×1e-6
+        // boundaries, where Spark's decimal-string HALF_UP and DuckDB's
+        // numeric rounding disagree (seen live at sf0.001 row 7300).
+        when(col("hv").isNotNull, col("hv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("hid") - col("ph")) / (col("nh") - col("ph"))))
+          .as("v_interp"))
+      .orderBy(col("user_id"), col("hid"))
+  }
+
+  /** Unigram-surprisal quality scoring — the perplexity-proxy filter a
+    * CCNet-style corpus pipeline runs before training: per-word
+    * negative log-probability under the corpus's own unigram model,
+    * averaged per document (high = rare-word soup / gibberish, low =
+    * boilerplate). Per-token terms hit the 9-decimal grid and accumulate
+    * in DECIMAL (order-independent, §6); the corpus scan is one explode
+    * + one broadcast-joined count table.
+    */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val words = T(s, dir, "documents").select(col("doc_id"),
+      explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .as("w"))
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).cast("double").as("n_total"))
+    words.join(counts, Seq("w")).join(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("n_total") / col("c").cast("double")), 9)
+          .cast(DecimalType(28, 9)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3454,6 +3572,11 @@ object SparkEntry {
     "q185_stream_cms" -> (q185 _),
     "q186_tx_catalog" -> (q186 _),
     "q187_schema_evolution_log" -> (q187 _),
+    "q188_pq_ann" -> (q188 _),
+    "q189_sliding_bitmap" -> (q189 _),
+    "q190_bfs_hops" -> (q190 _),
+    "q191_interpolate" -> (q191 _),
+    "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
     "q79_typed_dataset" -> (q79 _),
@@ -3570,6 +3693,45 @@ object SparkEntry {
     */
   private def ivfRecomputeSql(c: String, a: String): String =
     s"""SELECT prev.cid, COALESCE(r.nvec, prev.cvec) AS cvec FROM $c prev LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS nvec FROM (SELECT a.cid, u.pos, CAST(SUM(CAST(u.x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m FROM embeddings e JOIN $a a ON e.vec_id = a.vec_id, LATERAL (SELECT unnest(list_transform(e.embedding, f -> CAST(f AS DOUBLE))) AS x, generate_subscripts(e.embedding, 1) AS pos) u GROUP BY a.cid, u.pos) GROUP BY cid) r ON prev.cid = r.cid"""
+
+  // --- PQ parity (q188): per-subspace L2 k-means over embedding slices.
+  // pl2s is the 16-dim squared-Euclidean fold, left-to-right like the
+  // codegen VecL2Sq loop (each term is one subtract+multiply — exact
+  // cross-engine). Lambda vars are fresh names (macro expansion is
+  // textual; see §6).
+
+  private val PQ_MACRO =
+    "CREATE OR REPLACE MACRO pl2s(v, w) AS list_reduce(list_transform(range(1, 17), i2 -> (CAST(v[i2] AS DOUBLE) - w[i2]) * (CAST(v[i2] AS DOUBLE) - w[i2])), (a2, b2) -> a2 + b2)"
+
+  /** Nearest-codeword assignment (L2 ascending, ties to lowest cid) for
+    * subspace CTE `em` (vec_id, sv) against codebook CTE `c`.
+    */
+  private def pqAssignSql(em: String, c: String): String =
+    s"""SELECT vec_id, cid FROM (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY pl2s(e.sv, c.cvec), c.cid) AS rnk FROM $em e CROSS JOIN $c c) WHERE rnk = 1"""
+
+  /** Lloyd recompute on a slice CTE — the same DECIMAL(30,12)-exact
+    * per-position means as [[ivfRecomputeSql]], over `sv` instead of the
+    * full embedding.
+    */
+  private def pqRecomputeSql(em: String, c: String, a: String): String =
+    s"""SELECT prev.cid, COALESCE(r.nvec, prev.cvec) AS cvec FROM $c prev LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS nvec FROM (SELECT a.cid, u.pos, CAST(SUM(CAST(u.x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m FROM $em e JOIN $a a ON e.vec_id = a.vec_id, LATERAL (SELECT unnest(list_transform(e.sv, f -> CAST(f AS DOUBLE))) AS x, generate_subscripts(e.sv, 1) AS pos) u GROUP BY a.cid, u.pos) GROUP BY cid) r ON prev.cid = r.cid"""
+
+  /** Full q188 replay: 4 independent subspace k-means (init + 2 Lloyd
+    * iterations), code assignment, concatenated reconstruction, ADC
+    * cosine ranking.
+    */
+  private def pqOracleSql: String = {
+    val per = (0 until 4).map { m =>
+      val lo = m * 16 + 1
+      val hi = (m + 1) * 16
+      s"""em$m AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings), c${m}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, sv FROM em$m ORDER BY vec_id LIMIT 16)), a${m}_1 AS (${pqAssignSql(s"em$m", s"c${m}_0")}), c${m}_1 AS (${pqRecomputeSql(s"em$m", s"c${m}_0", s"a${m}_1")}), a${m}_2 AS (${pqAssignSql(s"em$m", s"c${m}_1")}), c${m}_2 AS (${pqRecomputeSql(s"em$m", s"c${m}_1", s"a${m}_2")}), code$m AS (${pqAssignSql(s"em$m", s"c${m}_2")})"""
+    }.mkString(", ")
+    val books = (0 until 4).map(m =>
+      s"SELECT $m AS sub_idx, cid, cvec FROM c${m}_2").mkString(" UNION ALL ")
+    val codes = (0 until 4).map(m =>
+      s"SELECT vec_id, $m AS sub_idx, cid FROM code$m").mkString(" UNION ALL ")
+    s"""$VEC_MACROS; $PQ_MACRO; WITH $per, books AS ($books), codes AS ($codes), recon AS (SELECT c.vec_id AS nid, flatten(list(b.cvec ORDER BY c.sub_idx)) AS rv FROM codes c JOIN books b ON c.sub_idx = b.sub_idx AND c.cid = b.cid GROUP BY c.vec_id), scored AS (SELECT q.vec_id AS qid, r.nid, round(pcos(q.embedding, r.rv), 4) AS cos_r FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < 10 AND r.nid <> q.vec_id), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
+  }
 
   /** N-ary Morton bit-interleave replayed in SQL (mirrors
     * Layout.zorderValueN: bit i of key j → position k*i + j).
@@ -3703,6 +3865,15 @@ object SparkEntry {
     // covers ALL vectors — exactly what build + append materializes
     "q167_ivf_append" ->
       s"""$VEC_MACROS; WITH c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16)), a1 AS (${ivfAssignSql("c0", "WHERE vec_id % 5 <> 0")}), c1 AS (${ivfRecomputeSql("c0", "a1")}), a2 AS (${ivfAssignSql("c1", "WHERE vec_id % 5 <> 0")}), c2 AS (${ivfRecomputeSql("c1", "a2")}), cells AS (${ivfAssignSql("c2")}), probes AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY pcos(q.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rnk <= 2), cand AS (SELECT DISTINCT p.qid, s.vec_id AS nid FROM probes p JOIN cells s ON p.cid = s.cid WHERE s.vec_id <> p.qid), scored AS (SELECT c.qid, c.nid, round(pcos(qe.embedding, ne.embedding), 4) AS cos_r FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid JOIN embeddings ne ON ne.vec_id = c.nid), r AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q188_pq_ann" -> pqOracleSql,
+    "q189_sliding_bitmap" ->
+      """WITH pairs AS (SELECT DISTINCT event_type, epoch_ns(ts)//1000000000//3600 AS hour_id, user_id FROM events), ticks AS (SELECT DISTINCT event_type, hour_id FROM pairs) SELECT t.event_type, t.hour_id, CAST((SELECT COUNT(DISTINCT p.user_id) FROM pairs p WHERE p.event_type = t.event_type AND p.hour_id BETWEEN t.hour_id - 5 AND t.hour_id) AS BIGINT) AS n_distinct FROM ticks t ORDER BY event_type, hour_id""",
+    "q190_bfs_hops" ->
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), ed AS (SELECT cust AS src, -supp AS dst FROM pairs UNION ALL SELECT -supp AS src, cust AS dst FROM pairs), src AS (SELECT c_custkey AS node FROM customer WHERE c_nationkey = 0), walk(node, hops) AS (SELECT node, 0 FROM src UNION SELECT ed.dst, w.hops + 1 FROM walk w JOIN ed ON ed.src = w.node WHERE w.hops < 4) SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node ORDER BY node""",
+    "q191_interpolate" ->
+      """WITH hourly AS (SELECT user_id, epoch_ns(ts)//1000000000//3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS hv FROM events GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(hid) AS lo, MAX(hid) AS hi FROM hourly GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hid FROM bounds), j AS (SELECT s.user_id, s.hid, h.hv FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hid = h.hid), w AS (SELECT user_id, hid, hv, last_value(hv IGNORE NULLS) OVER wp AS pv, last_value(CASE WHEN hv IS NOT NULL THEN hid END IGNORE NULLS) OVER wp AS ph, first_value(hv IGNORE NULLS) OVER wn AS nv, first_value(CASE WHEN hv IS NOT NULL THEN hid END IGNORE NULLS) OVER wn AS nh FROM j WINDOW wp AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), wn AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) SELECT user_id, hid, hv IS NOT NULL AS observed, CASE WHEN hv IS NOT NULL THEN hv ELSE pv + (nv - pv) * ((hid - ph) / (nh - ph)) END AS v_interp FROM w ORDER BY user_id, hid""",
+    "q194_unigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1), t AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM c), s AS (SELECT doc_id, CAST(round(ln(n_total / CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9)) AS nll FROM w JOIN c USING (w) CROSS JOIN t) SELECT doc_id, COUNT(*) AS n_words, round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM s GROUP BY doc_id ORDER BY doc_id""",
     // the full 2-iteration deterministic k-means replayed in SQL, validated
     // against the Spark dump at all three SFs in tools/proto_ivf_oracle.py
     "q40_ann_ivf" ->

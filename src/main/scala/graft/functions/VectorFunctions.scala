@@ -40,6 +40,12 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     graft.plans.VectorExpressions.vecCosine(a, b)
 
+  /** Fused single-loop squared Euclidean distance
+    * ([[graft.plans.VecL2Sq]]): Σ (aᵢ - bᵢ)², left-to-right.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.vecL2Sq(a, b)
+
   /** Deterministic ±1 hyperplane weights: plane `p`, dimension `d`. */
   def planeWeights(p: Int, dims: Int): Array[Double] =
     Array.tabulate(dims) { d =>

@@ -99,6 +99,42 @@ object Graph {
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** Multi-source BFS hop distance over a directed edge list `(src,
+    * dst)`: every node reachable from the source set within `maxHops`
+    * hops, with `hops` = length of the shortest path (sources are hop 0;
+    * callers modelling an undirected graph pass both edge directions).
+    *
+    * Level-synchronous frontier expansion — the textbook distributed BFS:
+    * each round is ONE equi-join of the current frontier against the edge
+    * list plus an anti-join against the visited set, so a D-hop ball
+    * costs D shuffle rounds sized by the frontier, never by the graph.
+    * First discovery IS the minimum hop count (frontiers expand in hop
+    * order), so no min-aggregation over paths is ever materialized — the
+    * property that separates this from the recursive-CTE formulation,
+    * which enumerates every (node, depth) pair it can prove. Frontiers
+    * are localCheckpoint'd per round (lineage cut, like [[pageRank]]).
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var known = sources.select(col("node"), lit(0L).as("hops"))
+      .distinct().localCheckpoint(true)
+    var frontier = known
+    var hop = 0L
+    while (hop < maxHops && frontier.limit(1).count() > 0) {
+      hop += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(known.select(col("node").as("__k")), col("node") === col("__k"), "left_anti")
+        .select(col("node"), lit(hop).as("hops"))
+        .localCheckpoint(true)
+      known = known.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    known
+  }
+
   /** Per-node triangle counts over an undirected edge list (`src`, `dst`).
     *
     * The classic degree-ordered orientation: every edge points from its

@@ -143,7 +143,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      metric: String = "cosine"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = corpus.sparkSession
@@ -159,7 +160,7 @@ object Similarity {
         .collect().toSeq.zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0)) }
     for (_ <- 0 until iters) {
-      val assigned = assign(corpus, literal(cur), idCol, vecCol)
+      val assigned = assign(corpus, literal(cur), idCol, vecCol, metric)
       val recomputed = corpus
         .join(assigned, Seq(idCol))
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -180,17 +181,27 @@ object Similarity {
     literal(cur)
   }
 
-  /** Nearest-centroid assignment: (idCol, cid). */
+  /** Nearest-centroid assignment: (idCol, cid). `metric` is "cosine"
+    * (similarity, descending — the IVF family's spherical convention) or
+    * "l2" (squared Euclidean, ascending — the PQ/Lloyd-optimal pairing
+    * with the mean-recompute step). Ties break to the lowest cid in both.
+    */
   private def assign(
       corpus: DataFrame,
       centroids: DataFrame,
       idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String,
+      metric: String = "cosine"): DataFrame = {
+    val sim = metric match {
+      case "cosine" => rankableCosine(col("__v"), col("cvec"))
+      case "l2" => -graft.functions.VectorFunctions.l2sq(col("__v"), col("cvec"))
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col("cid"))
     corpus.select(col(idCol), col(vecCol).as("__v"))
       .crossJoin(broadcast(centroids))
-      .select(col(idCol), col("cid"), rankableCosine(col("__v"), col("cvec")).as("__sim"))
+      .select(col(idCol), col("cid"), sim.as("__sim"))
       .withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") === 1)
       .select(col(idCol), col("cid"))
@@ -310,6 +321,79 @@ object Similarity {
       .join(corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")), Seq("nid"))
       .select(col("qid"), col("nid"),
         round(rankableCosine(col("qv"), col("nv")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Product-quantization ANN: the memory-compression path beyond int8
+    * scalar quantization ([[quantizedKnn]]). The vector space is split
+    * into `subspaces` contiguous slices; each subspace trains its own
+    * `codebookSize`-entry codebook (independent L2 k-means — Lloyd's
+    * mean-recompute step is exactly optimal for squared Euclidean, hence
+    * the "l2" metric here vs the IVF family's spherical cosine). A corpus
+    * vector is then stored as `subspaces` small codes (here 4 × 4 bits =
+    * 2 bytes instead of 256 — a 128× compression), and queries are scored
+    * asymmetrically: the RAW query against each candidate's RECONSTRUCTED
+    * vector (codewords concatenated back in subspace order), which is the
+    * ADC formulation from Jégou et al.'s PQ paper.
+    *
+    * Scale shape: codebooks are `subspaces × codebookSize` rows — always
+    * broadcastable. Encoding is ONE corpus pass (posexplode into
+    * subvectors → broadcast-join all codebooks → per-(id, subspace)
+    * argmin), never one scan per subspace. Training cost is bounded by
+    * [[kmeansCentroids]]'s per-iteration scan; production would train on
+    * a sample — the encode path is the part that must scale.
+    *
+    * Determinism: L2 assignment compares left-to-right double folds
+    * (exact same association as the oracle's list_reduce), ties to the
+    * lowest cid; reconstruction concatenates decimal-exact centroid
+    * means; final cosine is rounded to 4 decimals before ranking, ties to
+    * the lowest neighbor id.
+    */
+  def annPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      subspaces: Int = 4,
+      codebookSize: Int = 16,
+      k: Int = 5): DataFrame = {
+    require(dims % subspaces == 0, s"$dims dims not divisible into $subspaces subspaces")
+    val sub = dims / subspaces
+    val codebook = (0 until subspaces).map { m =>
+      val sliced = corpus.select(
+        col(idCol), slice(col(vecCol), m * sub + 1, sub).as("__sv"))
+      kmeansCentroids(sliced, idCol, "__sv", codebookSize, metric = "l2")
+        .select(lit(m).as("sub_idx"), col("cid"), col("cvec"))
+    }.reduce(_ unionByName _).localCheckpoint(true) // subspaces × k rows
+    // one corpus pass: vector → its subvectors → nearest codeword each
+    val exploded = corpus.select(
+      col(idCol).as("nid"),
+      posexplode(array((0 until subspaces).map(m =>
+        slice(col(vecCol), m * sub + 1, sub)): _*)).as(Seq("sub_idx", "sv")))
+    val wa = Window.partitionBy(col("nid"), col("sub_idx"))
+      .orderBy(col("__d"), col("cid"))
+    val codes = exploded.join(broadcast(codebook), Seq("sub_idx"))
+      .select(col("nid"), col("sub_idx"), col("cid"),
+        graft.functions.VectorFunctions.l2sq(col("sv"), col("cvec")).as("__d"))
+      .withColumn("__rnk", row_number().over(wa))
+      .filter(col("__rnk") === 1)
+      .select(col("nid"), col("sub_idx"), col("cid"))
+    // reconstruction: codes → codeword vectors, concatenated in order
+    val recon = codes.join(broadcast(codebook), Seq("sub_idx", "cid"))
+      .groupBy(col("nid"))
+      .agg(array_sort(collect_list(struct(col("sub_idx"), col("cvec")))).as("ps"))
+      .select(col("nid"),
+        flatten(transform(col("ps"), p => p.getField("cvec"))).as("rv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("nid"))
+    recon.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(rankableCosine(col("qv"), col("rv")), 4).as("cos_r"))
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), col("cos_r"))

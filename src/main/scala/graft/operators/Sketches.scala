@@ -197,6 +197,43 @@ object Sketches {
       .agg(bit_or(col("__m")).as("mask"))
   }
 
+  /** Sliding-window distinct from a standing per-period bitmap store —
+    * the dashboard shape "distinct users in the trailing N hours, every
+    * hour". `words` is a [[bitmapWords]] table cut by (groupCols…,
+    * periodCol); each cell is exploded to the `window` period ticks it
+    * contributes to (a BOUNDED ×window fan-out of the cell table — never
+    * of the facts), bit_or-merged per tick, pop-counted.
+    *
+    * This is the sketch-store counterpart of the bounded-explode
+    * trailing distinct over facts (q99): facts are scanned ONCE into
+    * per-period cells; every re-query, window change, or late-arriving
+    * period touches only the cell table, whose size is groups × periods
+    * × occupied words. Output ticks are the periods the group itself has
+    * a cell for (real activity ticks, matching the direct query's
+    * semantics).
+    */
+  def trailingBitmapDistinct(
+      words: DataFrame,
+      groupCols: Seq[String],
+      periodCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1 && groupCols.nonEmpty)
+    val contrib = words
+      .withColumn("__t",
+        explode(sequence(col(periodCol), col(periodCol) + lit(window - 1).cast("long"))))
+      .drop(periodCol)
+    val ticks = words
+      .select((groupCols.map(col) :+ col(periodCol).as("__t")): _*)
+      .distinct()
+    contrib
+      .join(ticks, groupCols :+ "__t")
+      .groupBy((groupCols.map(col) :+ col("__t") :+ col("__word")): _*)
+      .agg(bit_or(col("mask")).as("mask"))
+      .groupBy((groupCols.map(col) :+ col("__t")): _*)
+      .agg(sum(bit_count(col("mask"))).as("n_distinct"))
+      .withColumnRenamed("__t", periodCol)
+  }
+
   /** Exact distinct keys per group from a (possibly merged) bitmap-word
     * table: pop-count each word mask and sum.
     */

@@ -119,6 +119,29 @@ class GraphSpec extends SparkSuite {
     assert(Graph.triangleCounts(edges).isEmpty)
   }
 
+  test("bfsHops: shortest hop wins on a graph with a long and a short path") {
+    // 1-2-5 (2 hops) and 1-3-4-5 (3 hops): node 5 must report 2;
+    // node 9 is disconnected and must not appear
+    val edges = edgeFrame((1L, 2L), (2L, 5L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (8L, 9L))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L)),
+      StructType(Seq(StructField("node", LongType))))
+    val out = Graph.bfsHops(edges, src, maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 5L -> 2L, 4L -> 2L))
+  }
+
+  test("bfsHops: maxHops caps the frontier expansion") {
+    val edges = edgeFrame((1L, 2L), (2L, 3L), (3L, 4L))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L)),
+      StructType(Seq(StructField("node", LongType))))
+    val out = Graph.bfsHops(edges, src, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), "node 4 is 3 hops out")
+  }
+
   test("profile: null and distinct accounting per column") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("s", StringType)))

@@ -57,6 +57,29 @@ class SimilaritySpec extends SparkSuite {
     assert(run() == run())
   }
 
+  test("annPq: a planted duplicate shares codes with its query and tops the ranking") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(200)
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    val out = Similarity.annPq(corpus, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 64, k = 3).collect()
+    // identical vectors quantize to identical codes, so the duplicate's
+    // reconstruction scores the maximum cosine for this query (ties with
+    // any code-colliding vector are possible, so assert on the score)
+    val top = out.head.getAs[Double]("cos_r")
+    val dup = out.find(_.getAs[Long]("nid") == 100000L)
+    assert(dup.isDefined && dup.get.getAs[Double]("cos_r") == top)
+  }
+
+  test("annPq is deterministic run-to-run (decimal codebooks, L2 assignment)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    def run() = Similarity.annPq(emb, q, "vec_id", "embedding", 64)
+      .collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
+
   test("a zero vector (NaN cosine) never outranks real neighbors") {
     import spark.implicits._
     val emb = Tables.load(spark, sf, "embeddings").limit(50)

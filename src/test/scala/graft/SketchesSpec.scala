@@ -119,4 +119,37 @@ class SketchesSpec extends SparkSuite {
     assert(got == Map("a" -> 4L, "b" -> 4L),
       "a: {1,62,63,64}; b: {-1,10,62,200} — no double counts, no -1/62 collision")
   }
+
+  test("trailingBitmapDistinct equals the direct trailing distinct, batch-split invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    // periods 1,2,4,7 for group a (gap at 3, window re-entry at 7);
+    // user 62/63 straddle a word boundary inside the merge
+    val facts = Seq(
+      ("a", 1L, 62L), ("a", 1L, 63L), ("a", 2L, 63L), ("a", 2L, 10L),
+      ("a", 4L, 62L), ("a", 7L, 99L), ("b", 2L, 1L), ("b", 3L, 1L))
+      .toDF("g", "p", "k")
+    def direct(window: Int) = {
+      val pairs = facts.select(col("g"), col("p"), col("k")).distinct().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      pairs.map { case (g, p, _) => (g, p) }.distinct.map { case (g, p) =>
+        (g, p) -> pairs.collect {
+          case (g2, p2, k) if g2 == g && p2 > p - window && p2 <= p => k
+        }.distinct.size.toLong
+      }.toMap
+    }
+    for (window <- Seq(1, 3)) {
+      // the store built in one pass and from two merged half-batches must
+      // both reproduce the direct answer — the union-addable contract
+      val whole = Sketches.bitmapWords(facts, Seq("g", "p"), "k")
+      val halves = Sketches.bitmapWords(facts.filter(col("k") % 2 === 0), Seq("g", "p"), "k")
+        .unionByName(Sketches.bitmapWords(facts.filter(col("k") % 2 =!= 0), Seq("g", "p"), "k"))
+      for (cells <- Seq(whole, halves)) {
+        val got = Sketches.trailingBitmapDistinct(cells, Seq("g"), "p", window)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(got == direct(window), s"window=$window")
+      }
+    }
+  }
 }

@@ -37,6 +37,26 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("codegen vec_l2sq equals the HOF formulation bit-for-bit") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(50)
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qv")).limit(5)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("qv"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = emb.crossJoin(q)
+      .select(
+        VectorFunctions.l2sq(col("embedding"), col("qv")).as("fast"),
+        hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+    val zero = emb
+      .select(VectorFunctions.l2sq(col("embedding"), col("embedding")).as("d"))
+      .filter(col("d") =!= lit(0.0))
+    assert(zero.count() == 0)
+  }
+
   test("vec_dot is available in SQL after registration") {
     VectorExpressions.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
