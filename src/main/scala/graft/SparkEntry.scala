@@ -3156,6 +3156,34 @@ object SparkEntry {
       .orderBy(col("user_id"), col("hid"))
   }
 
+  /** Deletion-vector DELETE ([[TxLake.deleteWhereDv]]): merge-on-read
+    * row deletion — matching positions land in a sidecar, NO data file
+    * is rewritten (asserted in-gate: the DV commit creates no data
+    * directory), reads apply the mask, time travel to the pre-delete
+    * version still sees every row. The O(matches) alternative to q120's
+    * copy-on-write erasure.
+    */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q192")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 3 === 0).coalesce(2))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 3 =!= 0).coalesce(2))
+    TxLake.deleteWhereDv(s, lake,
+      col("o_orderstatus") === "F" && col("o_totalprice") > lit(150000.0))
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$lake/data/v3")),
+      "a DV delete must not write data files")
+    def agg(df: DataFrame, tag: String): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("total"))
+      .withColumn("snap", lit(tag))
+    agg(TxLake.readSnapshot(s, lake, 2L), "before_dv")
+      .unionByName(agg(TxLake.readSnapshot(s, lake), "after_dv"))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }
+
   /** Unigram-surprisal quality scoring — the perplexity-proxy filter a
     * CCNet-style corpus pipeline runs before training: per-word
     * negative log-probability under the corpus's own unigram model,
@@ -3576,6 +3604,7 @@ object SparkEntry {
     "q189_sliding_bitmap" -> (q189 _),
     "q190_bfs_hops" -> (q190 _),
     "q191_interpolate" -> (q191 _),
+    "q192_deletion_vectors" -> (q192 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -3872,6 +3901,8 @@ object SparkEntry {
       """WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), ed AS (SELECT cust AS src, -supp AS dst FROM pairs UNION ALL SELECT -supp AS src, cust AS dst FROM pairs), src AS (SELECT c_custkey AS node FROM customer WHERE c_nationkey = 0), walk(node, hops) AS (SELECT node, 0 FROM src UNION SELECT ed.dst, w.hops + 1 FROM walk w JOIN ed ON ed.src = w.node WHERE w.hops < 4) SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node ORDER BY node""",
     "q191_interpolate" ->
       """WITH hourly AS (SELECT user_id, epoch_ns(ts)//1000000000//3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS hv FROM events GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(hid) AS lo, MAX(hid) AS hi FROM hourly GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hid FROM bounds), j AS (SELECT s.user_id, s.hid, h.hv FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hid = h.hid), w AS (SELECT user_id, hid, hv, last_value(hv IGNORE NULLS) OVER wp AS pv, last_value(CASE WHEN hv IS NOT NULL THEN hid END IGNORE NULLS) OVER wp AS ph, first_value(hv IGNORE NULLS) OVER wn AS nv, first_value(CASE WHEN hv IS NOT NULL THEN hid END IGNORE NULLS) OVER wn AS nh FROM j WINDOW wp AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), wn AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) SELECT user_id, hid, hv IS NOT NULL AS observed, CASE WHEN hv IS NOT NULL THEN hv ELSE pv + (nv - pv) * ((hid - ph) / (nh - ph)) END AS v_interp FROM w ORDER BY user_id, hid""",
+    "q192_deletion_vectors" ->
+      """SELECT 'before_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'after_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0) GROUP BY o_orderstatus ORDER BY snap, o_orderstatus""",
     "q194_unigram_surprisal" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1), t AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM c), s AS (SELECT doc_id, CAST(round(ln(n_total / CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9)) AS nll FROM w JOIN c USING (w) CROSS JOIN t) SELECT doc_id, COUNT(*) AS n_words, round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM s GROUP BY doc_id ORDER BY doc_id""",
     // the full 2-iteration deterministic k-means replayed in SQL, validated

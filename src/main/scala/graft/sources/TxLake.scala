@@ -182,7 +182,7 @@ object TxLake {
     require(v > 0, "nothing to checkpoint")
     val active = activeEntries(path, v)
     val json =
-      s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]${statsJson(active)}${opsJson(path, v)}}"""
+      s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]${statsJson(active)}${opsJson(path, v)}${dvsJson(path, v)}}"""
     val tmp = logDir(path).resolve(f".ckpt-tmp-$v%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, ckptFile(path, v), StandardCopyOption.ATOMIC_MOVE,
@@ -344,23 +344,27 @@ object TxLake {
       spark: SparkSession,
       path: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.col
-    val snap = readSnapshot(spark, path)
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val snap = snapshotWithPos(spark, path)
     val affected = snap
       .filter(predicate)
-      .select(col("_metadata.file_path").as("f"))
+      .select(col("__dv_file").as("f"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
     if (affected.isEmpty) return latestVersion(path)
-    // _metadata.file_path is a file: URI; the log stores plain local paths
+    // __dv_file carries the scan's file: URI; the log stores plain paths
     val plain = affected.map(p => new java.net.URI(p).getPath)
     // DELETE semantics under three-valued logic: only rows where the
     // predicate is TRUE are deleted. A bare `!predicate` would drop rows
     // where the predicate evaluates to NULL (e.g. a null column in the
     // condition) — silent data loss in the erasure path — so survivors
-    // keep everything not-definitely-matching.
-    val survivors = spark.read.parquet(plain: _*)
-      .filter(!org.apache.spark.sql.functions.coalesce(
-        predicate, org.apache.spark.sql.functions.lit(false)))
+    // keep everything not-definitely-matching. Survivors come from the
+    // DV-APPLIED positional view, not a raw file re-read: rewriting an
+    // affected file from raw bytes would resurrect rows an earlier
+    // deletion vector already masked.
+    val survivors = snap
+      .filter(col("__dv_file").isin(affected: _*))
+      .filter(!coalesce(predicate, lit(false)))
+      .drop("__dv_file", "__dv_pos")
       .localCheckpoint(true) // materialize before the swap commit
     swapCommit(spark, path, survivors, plain)
   }
@@ -378,25 +382,28 @@ object TxLake {
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
-    val snap = readSnapshot(spark, path)
+    val snap = snapshotWithPos(spark, path)
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     assignments.keys.foreach(c => require(snap.columns.contains(c),
       s"assignment to unknown column $c"))
     val affected = snap
       .filter(predicate)
-      .select(col("_metadata.file_path").as("f"))
+      .select(col("__dv_file").as("f"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
     if (affected.isEmpty) return latestVersion(path)
     val plain = affected.map(p => new java.net.URI(p).getPath)
     val hit = coalesce(predicate, lit(false))
-    val rows = spark.read.parquet(plain: _*)
-    val rewritten = rows.select(rows.schema.fields.map { f =>
-      assignments.get(f.name) match {
-        case Some(a) =>
-          when(hit, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
-      }
-    }: _*).localCheckpoint(true)
+    // rewrite from the DV-applied view (see deleteWhere) — raw re-reads
+    // would resurrect vector-masked rows
+    val rows = snap.filter(col("__dv_file").isin(affected: _*))
+    val rewritten = rows.select(rows.schema.fields.collect {
+      case f if f.name != "__dv_file" && f.name != "__dv_pos" =>
+        assignments.get(f.name) match {
+          case Some(a) =>
+            when(hit, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+    }.toSeq: _*).localCheckpoint(true)
     swapCommit(spark, path, rewritten, plain)
   }
 
@@ -414,8 +421,8 @@ object TxLake {
       updates: DataFrame,
       keyCol: String): Long = {
     import org.apache.spark.sql.functions.col
-    val snap = readSnapshot(spark, path)
-    val dataCols = snap.columns.toSeq
+    val snap = snapshotWithPos(spark, path)
+    val dataCols = snap.columns.toSeq.filterNot(Set("__dv_file", "__dv_pos"))
     require(updates.columns.toSeq.sorted == dataCols.sorted,
       "updates must carry exactly the table's columns")
     val u = updates.localCheckpoint(true)
@@ -423,10 +430,8 @@ object TxLake {
     // therefore applies to non-null keys only
     require(u.filter(col(keyCol).isNotNull).groupBy(col(keyCol)).count()
       .filter(col("count") > 1).isEmpty, "duplicate keys in updates")
-    // _metadata must be projected BEFORE the join — it is a scan-level
-    // pseudo-column and does not survive into joined relations
     val affected = snap
-      .select(col(keyCol), col("_metadata.file_path").as("f"))
+      .select(col(keyCol), col("__dv_file").as("f"))
       .join(u.select(col(keyCol)), Seq(keyCol), "left_semi")
       .select(col("f"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
@@ -435,7 +440,9 @@ object TxLake {
     val replacement =
       if (plain.isEmpty) u.select(sel: _*)
       else {
-        val affectedRows = spark.read.parquet(plain: _*)
+        // DV-applied view of the affected files (see deleteWhere)
+        val affectedRows = snap.filter(col("__dv_file").isin(affected: _*))
+          .select(sel: _*)
         val tableKeys = affectedRows.select(col(keyCol)).distinct()
         affectedRows.join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
           .select(sel: _*)
@@ -465,8 +472,8 @@ object TxLake {
       orderCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col, lit, row_number}
     require(orderCols.nonEmpty, "need at least one recency column")
-    val snap = readSnapshot(spark, path)
-    val dataCols = snap.columns.toSeq
+    val snap = snapshotWithPos(spark, path)
+    val dataCols = snap.columns.toSeq.filterNot(Set("__dv_file", "__dv_pos"))
     require(updates.columns.toSeq.sorted == dataCols.sorted,
       "updates must carry exactly the table's columns")
     val u = updates.localCheckpoint(true)
@@ -476,7 +483,7 @@ object TxLake {
     require(u.filter(col(keyCol).isNotNull).groupBy(col(keyCol)).count()
       .filter(col("count") > 1).isEmpty, "duplicate keys in updates")
     val affected = snap
-      .select(col(keyCol), col("_metadata.file_path").as("f"))
+      .select(col(keyCol), col("__dv_file").as("f"))
       .join(u.select(col(keyCol)), Seq(keyCol), "left_semi")
       .select(col("f"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
@@ -485,7 +492,9 @@ object TxLake {
     val replacement =
       if (plain.isEmpty) u.select(sel: _*)
       else {
-        val candidates = spark.read.parquet(plain: _*).select(sel: _*)
+        // DV-applied view of the affected files (see deleteWhere)
+        val candidates = snap.filter(col("__dv_file").isin(affected: _*))
+          .select(sel: _*)
           .withColumn("__side", lit(0))
           .unionByName(u.select(sel: _*).withColumn("__side", lit(1)))
         // the recency argmax applies ONLY to non-null keys: a window
@@ -531,7 +540,7 @@ object TxLake {
     val json =
       s"""{"version":1,"tag":"",""" +
         s""""adds":[${active.map("\"" + _._1 + "\"").mkString(",")}],""" +
-        s""""removes":[]${statsJson(active)}${opsJson(path, fromVersion)}}"""
+        s""""removes":[]${statsJson(active)}${opsJson(path, fromVersion)}${dvsJson(path, fromVersion)}}"""
     val tmp = logDir(bp).resolve(".tmp-base")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, logFile(bp, 1L), StandardCopyOption.ATOMIC_MOVE)
@@ -580,13 +589,111 @@ object TxLake {
   def readSnapshot(
       spark: SparkSession,
       path: String,
+      version: Long = Long.MaxValue): DataFrame =
+    snapshotWithPos(spark, path, version).drop("__dv_file", "__dv_pos")
+
+  /** The snapshot with per-row physical position columns (`__dv_file`,
+    * `__dv_pos`) still attached — the deletion-vector machinery's working
+    * form. `_metadata` is projected AT THE SCAN (it does not survive
+    * joins), active deletion vectors are anti-joined out, then schema ops
+    * replay.
+    */
+  private def snapshotWithPos(
+      spark: SparkSession,
+      path: String,
       version: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     val files = activeFiles(path, version)
     require(files.nonEmpty, s"no committed data at or before version $version")
     val ops = schemaOps(path, version)
-    if (ops.isEmpty) spark.read.parquet(files: _*)
-    else applySchemaOps(
-      spark.read.option("mergeSchema", "true").parquet(files: _*), ops)
+    val raw0 =
+      if (ops.isEmpty) spark.read.parquet(files: _*)
+      else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val withPos = raw0.select(col("*"),
+      expr("_metadata.file_path").as("__dv_file"),
+      expr("_metadata.row_index").as("__dv_pos"))
+    val dvs = dvFiles(path, version)
+    val masked =
+      if (dvs.isEmpty) withPos
+      else withPos.join(
+        spark.read.parquet(dvs: _*)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    applySchemaOps(masked, ops)
+  }
+
+  /** Row-level DELETE as a DELETION VECTOR — the merge-on-read
+    * alternative to [[deleteWhere]]'s copy-on-write rewrite (the
+    * Delta/Iceberg "deletion vectors" / "positional delete files"
+    * feature). Matching rows are recorded as `(file, row position)`
+    * pairs in a sidecar parquet; NO data file is rewritten, copied, or
+    * even re-read at commit time beyond the predicate probe. Snapshot
+    * reads anti-join the accumulated vectors (a broadcast-sized join for
+    * any sane vector count), so:
+    *
+    *   - DELETE cost is O(matches), not O(affected-file bytes) — on a
+    *     100 TB table where [[deleteWhere]] would rewrite a whole file to
+    *     drop one row, this writes kilobytes;
+    *   - time travel is untouched (vectors replay only at or after their
+    *     commit version);
+    *   - [[optimize]] MATERIALIZES the vectors: it rewrites the
+    *     DV-applied snapshot, after which the old vectors reference only
+    *     removed files and the anti-join is a no-op (read cost returns
+    *     to zero — the standard compact-to-reclaim cycle).
+    *
+    * Three-valued logic like [[deleteWhere]]: only predicate-TRUE rows
+    * are marked; false-or-null rows stay. Note the file-level
+    * [[changeFeed]] cannot see DV deletes (no files change) — use
+    * snapshot diffs across the commit for row-level CDC over DVs.
+    */
+  def deleteWhereDv(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val marks = snapshotWithPos(spark, path)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .localCheckpoint(true)
+    if (marks.isEmpty) return latestVersion(path)
+    val next = latestVersion(path) + 1
+    Files.createDirectories(logDir(path))
+    val log = logFile(path, next)
+    try Files.createFile(log)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(next)
+    }
+    val dvDir = s"$path/dv/v$next"
+    marks.coalesce(1).write.mode("overwrite").parquet(dvDir)
+    val dvAdds = {
+      val d = Paths.get(dvDir)
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    require(dvAdds.forall(p => !p.contains("\"") && !p.contains("\\")),
+      "dv paths must be JSON-safe")
+    val json = s"""{"version":$next,"tag":"","adds":[],"removes":[],""" +
+      s""""dvs":[${dvAdds.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = logDir(path).resolve(f".tmp-$next%08d")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Active deletion-vector sidecar files at `version` (checkpoint
+    * summary + later entries, like [[schemaOps]]). Public for spec
+    * introspection.
+    */
+  def dvFiles(path: String, version: Long = Long.MaxValue): Seq[String] = {
+    val base = latestCheckpoint(path, version)
+    base.map(b => jsonList(b._3, "dvs")).getOrElse(Seq.empty) ++
+      entries(path, after = base.map(_._1).getOrElse(0L))
+        .takeWhile(_._1 <= version)
+        .flatMap { case (_, json) => jsonList(json, "dvs") }
   }
 
   /** Schema evolution through the log — Delta-style metadata-only commits.
@@ -636,6 +743,16 @@ object TxLake {
     Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+
+  /** Accumulated deletion-vector references for a summarizing entry
+    * (checkpoint/branch base) — a dvs-blind summary would silently
+    * resurrect deleted rows after a checkpoint.
+    */
+  private def dvsJson(path: String, version: Long): String = {
+    val dvs = dvFiles(path, version)
+    if (dvs.isEmpty) ""
+    else s""","dvs":[${dvs.map("\"" + _ + "\"").mkString(",")}]"""
   }
 
   /** Accumulated ops rendered for a summarizing entry (checkpoint/branch

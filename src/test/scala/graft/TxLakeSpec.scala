@@ -435,4 +435,76 @@ class TxLakeSpec extends SparkSuite {
     assert(feed(3L) == Set((4L, "insert", 7L), (4L, "delete", 1L),
       (4L, "delete", 3L), (4L, "delete", 4L), (4L, "delete", 5L)))
   }
+
+  test("deleteWhereDv: merge-on-read delete without touching a data file") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2, 3))
+    TxLake.commit(spark, lake, df(4, 5))
+    val dataFiles = {
+      val d = java.nio.file.Paths.get(lake, "data")
+      val s = Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+      } finally s.close()
+    }
+    val v = TxLake.deleteWhereDv(spark, lake, col("id") === 2L || col("id") === 5L)
+    assert(v == 3L)
+    // data files: same set, same mtimes — nothing was rewritten
+    val after = {
+      val d = java.nio.file.Paths.get(lake, "data")
+      val s = Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+      } finally s.close()
+    }
+    assert(after == dataFiles, "a DV delete must not touch data files")
+    assert(TxLake.dvFiles(lake).nonEmpty, "the vector sidecar must be logged")
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 3L, 4L))
+    // time travel below the DV commit still sees the rows
+    assert(ids(TxLake.readSnapshot(spark, lake, 2L)) == Set(1L, 2L, 3L, 4L, 5L))
+    // vectors accumulate
+    TxLake.deleteWhereDv(spark, lake, col("id") === 4L)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 3L))
+  }
+
+  test("deleteWhereDv keeps null-predicate rows; optimize materializes vectors") {
+    import spark.implicits._
+    val lake = tmp()
+    val rows = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "v")
+    TxLake.commit(spark, lake, rows)
+    TxLake.deleteWhereDv(spark, lake, col("v") === 10L)
+    // row 2's predicate is NULL — it must survive (three-valued logic)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(2L, 3L))
+    // copy-on-write ops on a DV-bearing table must NOT resurrect masked
+    // rows when they rewrite an affected file
+    TxLake.updateWhere(spark, lake, col("id") === 3L, Map("v" -> lit(31L)))
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(2L, 3L))
+    assert(TxLake.readSnapshot(spark, lake).filter(col("id") === 3L)
+      .head().getLong(1) == 31L)
+    // optimize rewrites the DV-applied snapshot; vectors become no-ops
+    TxLake.optimize(spark, lake)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(2L, 3L))
+    // checkpoint carries the dv references (they're inert here, but a
+    // dvs-blind checkpoint on a non-optimized table would resurrect rows)
+    TxLake.checkpoint(lake)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(2L, 3L))
+  }
+
+  test("deleteWhereDv masking survives a checkpoint on a non-optimized table") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2, 3))
+    TxLake.deleteWhereDv(spark, lake, col("id") === 2L)
+    TxLake.checkpoint(lake)
+    assert(TxLake.replayCount(lake) == 0)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 3L),
+      "the checkpoint summary must carry the deletion vectors")
+    // and a branch forked after the DV inherits the masking
+    val bp = TxLake.branch(lake, "dv")
+    assert(ids(TxLake.readSnapshot(spark, bp)) == Set(1L, 3L))
+  }
 }
