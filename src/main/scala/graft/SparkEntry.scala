@@ -3184,6 +3184,18 @@ object SparkEntry {
       .orderBy(col("snap"), col("o_orderstatus"))
   }
 
+  /** Scene-cut detection over video-ish payloads
+    * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
+    * frames compared byte-for-byte, cuts where the changed-byte ratio
+    * crosses the threshold — the shot-boundary pass of a video ingest
+    * pipeline, replayed by the oracle hex pair by hex pair.
+    */
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sceneCuts(
+      graft.operators.Multimodal.attachPayload(
+        T(s, dir, "documents").filter(col("doc_id") <= 200)))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Unigram-surprisal quality scoring — the perplexity-proxy filter a
     * CCNet-style corpus pipeline runs before training: per-word
     * negative log-probability under the corpus's own unigram model,
@@ -3605,6 +3617,7 @@ object SparkEntry {
     "q190_bfs_hops" -> (q190 _),
     "q191_interpolate" -> (q191 _),
     "q192_deletion_vectors" -> (q192 _),
+    "q193_scene_cuts" -> (q193 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -3903,6 +3916,8 @@ object SparkEntry {
       """WITH hourly AS (SELECT user_id, epoch_ns(ts)//1000000000//3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS hv FROM events GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(hid) AS lo, MAX(hid) AS hi FROM hourly GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hid FROM bounds), j AS (SELECT s.user_id, s.hid, h.hv FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hid = h.hid), w AS (SELECT user_id, hid, hv, last_value(hv IGNORE NULLS) OVER wp AS pv, last_value(CASE WHEN hv IS NOT NULL THEN hid END IGNORE NULLS) OVER wp AS ph, first_value(hv IGNORE NULLS) OVER wn AS nv, first_value(CASE WHEN hv IS NOT NULL THEN hid END IGNORE NULLS) OVER wn AS nh FROM j WINDOW wp AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), wn AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) SELECT user_id, hid, hv IS NOT NULL AS observed, CASE WHEN hv IS NOT NULL THEN hv ELSE pv + (nv - pv) * ((hid - ph) / (nh - ph)) END AS v_interp FROM w ORDER BY user_id, hid""",
     "q192_deletion_vectors" ->
       """SELECT 'before_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'after_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0) GROUP BY o_orderstatus ORDER BY snap, o_orderstatus""",
+    "q193_scene_cuts" ->
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id <= 200), f AS (SELECT doc_id, unnest(range(0, greatest(length(hx) // 2, 1), 256)) AS off, hx FROM p WHERE length(hx) > 0), fr AS (SELECT doc_id, CAST(off // 256 AS BIGINT) AS frame_idx, substring(hx, CAST(off * 2 + 1 AS BIGINT), 512) AS h FROM f), lg AS (SELECT doc_id, frame_idx, h, lag(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS hp FROM fr), df AS (SELECT doc_id, frame_idx, h, hp, CASE WHEN hp IS NULL THEN NULL ELSE CAST(list_reduce(list_prepend(0, list_transform(range(0, least(length(h), length(hp)) // 2), i3 -> CASE WHEN substring(h, CAST(i3 * 2 + 1 AS INTEGER), 2) = substring(hp, CAST(i3 * 2 + 1 AS INTEGER), 2) THEN 0 ELSE 1 END)), (a3, b3) -> a3 + b3) + abs(length(h) - length(hp)) // 2 AS BIGINT) END AS diff_bytes FROM lg) SELECT doc_id, frame_idx, CAST(length(h) // 2 AS BIGINT) AS frame_len, diff_bytes, (hp IS NULL OR diff_bytes > 0.5 * (length(h) / 2.0)) AS is_cut FROM df ORDER BY doc_id, frame_idx""",
     "q194_unigram_surprisal" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1), t AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM c), s AS (SELECT doc_id, CAST(round(ln(n_total / CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9)) AS nll FROM w JOIN c USING (w) CROSS JOIN t) SELECT doc_id, COUNT(*) AS n_words, round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM s GROUP BY doc_id ORDER BY doc_id""",
     // the full 2-iteration deterministic k-means replayed in SQL, validated

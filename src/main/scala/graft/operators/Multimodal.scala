@@ -127,6 +127,56 @@ object Multimodal {
         md5(hex(col("tile_bytes"))).as("tile_md5"))
   }
 
+  /** Scene-cut detection over video-ish payloads: the payload is cut into
+    * consecutive `frameBytes`-byte frames (the STUB container geometry,
+    * like [[sampleFrames]]), and each frame is compared BYTE-FOR-BYTE
+    * against its predecessor; a frame opening a new scene is one whose
+    * changed-byte ratio exceeds `threshold` (the classic pixel-difference
+    * shot-boundary heuristic — a real pipeline runs it on decoded luma
+    * planes; the frame alignment, lag comparison and ratio logic here are
+    * exactly that pipeline's shape). The first frame of every payload is
+    * a cut by definition.
+    *
+    * Scale shape: one explode to frame rows, one per-doc lag window —
+    * frames scale out with the corpus, the byte compare is per-row local
+    * arithmetic (hex space, so the oracle replays it character-pair by
+    * character-pair).
+    */
+  def sceneCuts(
+      withPayload: DataFrame,
+      frameBytes: Int = 256,
+      threshold: Double = 0.5): DataFrame = {
+    require(frameBytes >= 1)
+    val frames = withPayload
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0),
+          greatest(length(col("payload")) - 1, lit(0)), lit(frameBytes)))
+          .as(Seq("frame_idx", "off")),
+        col("payload"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        hex(expr(s"substring(payload, off + 1, $frameBytes)")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("hp", lag(col("h"), 1).over(w))
+      // changed bytes vs the previous frame: hex character pairs compared
+      // positionally; a length difference counts its excess bytes as
+      // changed. Referenced once (HOF re-inlining trap).
+      .withColumn("diff_bytes", when(col("hp").isNotNull, expr(
+        """aggregate(
+          |  sequence(0, int(least(length(h), length(hp)) div 2 - 1)),
+          |  0L,
+          |  (acc, i3) -> acc + IF(substring(h, i3 * 2 + 1, 2) = substring(hp, i3 * 2 + 1, 2), 0L, 1L))
+          |+ abs(length(h) - length(hp)) div 2""".stripMargin)))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("cast(length(h) div 2 as bigint)").as("frame_len"),
+        col("diff_bytes"),
+        (col("hp").isNull ||
+          col("diff_bytes") > lit(threshold) * (length(col("h")) / lit(2.0)))
+          .as("is_cut"))
+  }
+
   /** Frame sampling over video-ish payloads: every `step`-th frame becomes a
     * row with its offset metadata. The explode is the Spark-idiomatic shape
     * (frame rows scale out; no per-doc driver loop); the frame *count* comes

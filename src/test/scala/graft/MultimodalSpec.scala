@@ -39,6 +39,23 @@ class MultimodalSpec extends SparkSuite {
     assert(tiles((0L, 1L)) == (8L, m("efghmnop")))
   }
 
+  test("sceneCuts: repeated frames are no cut, a changed frame is") {
+    // 4-byte frames: "aaaa" | "aaaa" | "bbbb" | "bbba" | "cc" (short tail)
+    // f0: first frame → cut. f1: identical → 0 diffs, no cut.
+    // f2: all 4 bytes differ → cut. f3: 1 of 4 differs (0.25 ≤ 0.5) → no
+    // cut. f4: short tail vs "bbba": 2 compared bytes differ ('c'≠'b')
+    // + 2 excess = 4 > 0.5·2 → cut.
+    val docs = Seq((1L, "aaaaaaaabbbbbbbacc")).toDF("doc_id", "text")
+    val out = Multimodal.sceneCuts(
+        Multimodal.attachPayload(docs), frameBytes = 4, threshold = 0.5)
+      .orderBy(col("frame_idx")).collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (0L, -1L, true), (1L, 0L, false), (2L, 4L, true),
+      (3L, 1L, false), (4L, 4L, true)))
+  }
+
   test("binary schema survives the round trip") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val payload = Multimodal.attachPayload(docs)
