@@ -3220,6 +3220,63 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** IVF-PQ composite ANN ([[Similarity.annIvfPq]]): coarse cells prune
+    * the search, PQ reconstructions replace the raw vectors in scoring —
+    * the IVFADC pairing, oracle-replayed end to end (coarse k-means +
+    * four codebook k-means + probe + ADC rank).
+    */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 64)
+  }
+
+  /** Bitmap set algebra ([[graft.operators.Sketches.bitmapPairCounts]]):
+    * audience-overlap counts for every event-type pair — exact
+    * intersection via word-level AND on the standing bitmap store, union
+    * and differences by inclusion–exclusion from the totals. The query
+    * class HLL only approximates.
+    */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("event_type"), col("user_id"))
+    graft.operators.Sketches.bitmapPairCounts(
+      graft.operators.Sketches.bitmapWords(ev, Seq("event_type"), "user_id"),
+      "event_type")
+      .orderBy(col("ga"), col("gb"))
+  }
+
+  /** Secondary key index over the lake ([[TxLake.buildKeyIndex]] /
+    * [[TxLake.readByKeys]]): point lookups on a HASH-SCATTERED table,
+    * where every file's [min, max] spans the whole key range and range
+    * skipping (q125/q182) prunes nothing — the inverted key→file map
+    * still opens only the files that contain probed keys (asserted
+    * in-gate: fewer files than active).
+    */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q196")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    // hash-scattered layout: 3 commits × 2 files, split by CUSTOMER hash,
+    // so order keys spread across every file
+    for (i <- 0 to 2)
+      TxLake.commit(s, lake,
+        o.filter(pmod(col("o_orderkey"), lit(3)) === i)
+          .repartition(2, col("o_custkey")))
+    TxLake.buildKeyIndex(s, lake, "o_orderkey", s"$lake/_idx")
+    // a point lookup is a HANDFUL of keys by definition — the 3 smallest
+    // order keys land in 3 different mod-3 commits, so at most 3 of the
+    // 6 files can contain them
+    val keys = o.orderBy(col("o_orderkey")).limit(3)
+      .select(col("o_orderkey").as("key"))
+    val keySet = keys.collect().map(_.getLong(0))
+    val opened = TxLake.filesForKeys(s, lake, s"$lake/_idx", keys)
+    require(opened.nonEmpty && opened.size < 6,
+      s"index must prune the 6-file layout, opened ${opened.size}")
+    TxLake.readByKeys(s, lake, s"$lake/_idx", keys)
+      .filter(col("o_orderkey").isin(keySet.map(x => x: Any): _*))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** CHECK-constrained commits ([[TxLake.commitChecked]]): the valid load
     * lands; a violating commit is rejected before any version is
     * reserved, and the table is provably untouched by it.
@@ -3618,6 +3675,9 @@ object SparkEntry {
     "q191_interpolate" -> (q191 _),
     "q192_deletion_vectors" -> (q192 _),
     "q193_scene_cuts" -> (q193 _),
+    "q195_ivf_pq" -> (q195 _),
+    "q196_key_index" -> (q196 _),
+    "q197_bitmap_algebra" -> (q197 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -3758,11 +3818,11 @@ object SparkEntry {
   private def pqRecomputeSql(em: String, c: String, a: String): String =
     s"""SELECT prev.cid, COALESCE(r.nvec, prev.cvec) AS cvec FROM $c prev LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS nvec FROM (SELECT a.cid, u.pos, CAST(SUM(CAST(u.x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m FROM $em e JOIN $a a ON e.vec_id = a.vec_id, LATERAL (SELECT unnest(list_transform(e.sv, f -> CAST(f AS DOUBLE))) AS x, generate_subscripts(e.sv, 1) AS pos) u GROUP BY a.cid, u.pos) GROUP BY cid) r ON prev.cid = r.cid"""
 
-  /** Full q188 replay: 4 independent subspace k-means (init + 2 Lloyd
-    * iterations), code assignment, concatenated reconstruction, ADC
-    * cosine ranking.
+  /** The PQ pipeline as CTE text (4 independent subspace k-means — init +
+    * 2 Lloyd iterations — code assignment, concatenated reconstruction in
+    * `recon(nid, rv)`), shared by the q188 and q195 oracles.
     */
-  private def pqOracleSql: String = {
+  private def pqCtes: String = {
     val per = (0 until 4).map { m =>
       val lo = m * 16 + 1
       val hi = (m + 1) * 16
@@ -3772,8 +3832,18 @@ object SparkEntry {
       s"SELECT $m AS sub_idx, cid, cvec FROM c${m}_2").mkString(" UNION ALL ")
     val codes = (0 until 4).map(m =>
       s"SELECT vec_id, $m AS sub_idx, cid FROM code$m").mkString(" UNION ALL ")
-    s"""$VEC_MACROS; $PQ_MACRO; WITH $per, books AS ($books), codes AS ($codes), recon AS (SELECT c.vec_id AS nid, flatten(list(b.cvec ORDER BY c.sub_idx)) AS rv FROM codes c JOIN books b ON c.sub_idx = b.sub_idx AND c.cid = b.cid GROUP BY c.vec_id), scored AS (SELECT q.vec_id AS qid, r.nid, round(pcos(q.embedding, r.rv), 4) AS cos_r FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < 10 AND r.nid <> q.vec_id), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
+    s"""$per, books AS ($books), codes AS ($codes), recon AS (SELECT c.vec_id AS nid, flatten(list(b.cvec ORDER BY c.sub_idx)) AS rv FROM codes c JOIN books b ON c.sub_idx = b.sub_idx AND c.cid = b.cid GROUP BY c.vec_id)"""
   }
+
+  /** Full q188 replay: PQ pipeline + brute-force ADC cosine ranking. */
+  private def pqOracleSql: String =
+    s"""$VEC_MACROS; $PQ_MACRO; WITH $pqCtes, scored AS (SELECT q.vec_id AS qid, r.nid, round(pcos(q.embedding, r.rv), 4) AS cos_r FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < 10 AND r.nid <> q.vec_id), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
+
+  /** Full q195 replay: q40's coarse k-means + cell probe for candidate
+    * pruning, PQ reconstruction for the scoring — the IVFADC composite.
+    */
+  private def ivfPqOracleSql: String =
+    s"""$VEC_MACROS; $PQ_MACRO; WITH g0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)), ga1 AS (${ivfAssignSql("g0")}), g1 AS (${ivfRecomputeSql("g0", "ga1")}), ga2 AS (${ivfAssignSql("g1")}), g2 AS (${ivfRecomputeSql("g1", "ga2")}), cells AS (${ivfAssignSql("g2")}), $pqCtes, probes AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY pcos(q.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings q CROSS JOIN g2 c WHERE q.vec_id < 10) WHERE rnk <= 2), cand AS (SELECT DISTINCT p.qid, s.vec_id AS nid FROM probes p JOIN cells s ON p.cid = s.cid WHERE s.vec_id <> p.qid), scored AS (SELECT c.qid, c.nid, round(pcos(qe.embedding, r.rv), 4) AS cos_r FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid JOIN recon r ON r.nid = c.nid), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   /** N-ary Morton bit-interleave replayed in SQL (mirrors
     * Layout.zorderValueN: bit i of key j → position k*i + j).
@@ -3908,6 +3978,7 @@ object SparkEntry {
     "q167_ivf_append" ->
       s"""$VEC_MACROS; WITH c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16)), a1 AS (${ivfAssignSql("c0", "WHERE vec_id % 5 <> 0")}), c1 AS (${ivfRecomputeSql("c0", "a1")}), a2 AS (${ivfAssignSql("c1", "WHERE vec_id % 5 <> 0")}), c2 AS (${ivfRecomputeSql("c1", "a2")}), cells AS (${ivfAssignSql("c2")}), probes AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY pcos(q.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rnk <= 2), cand AS (SELECT DISTINCT p.qid, s.vec_id AS nid FROM probes p JOIN cells s ON p.cid = s.cid WHERE s.vec_id <> p.qid), scored AS (SELECT c.qid, c.nid, round(pcos(qe.embedding, ne.embedding), 4) AS cos_r FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid JOIN embeddings ne ON ne.vec_id = c.nid), r AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q188_pq_ann" -> pqOracleSql,
+    "q195_ivf_pq" -> ivfPqOracleSql,
     "q189_sliding_bitmap" ->
       """WITH pairs AS (SELECT DISTINCT event_type, epoch_ns(ts)//1000000000//3600 AS hour_id, user_id FROM events), ticks AS (SELECT DISTINCT event_type, hour_id FROM pairs) SELECT t.event_type, t.hour_id, CAST((SELECT COUNT(DISTINCT p.user_id) FROM pairs p WHERE p.event_type = t.event_type AND p.hour_id BETWEEN t.hour_id - 5 AND t.hour_id) AS BIGINT) AS n_distinct FROM ticks t ORDER BY event_type, hour_id""",
     "q190_bfs_hops" ->
@@ -3916,6 +3987,10 @@ object SparkEntry {
       """WITH hourly AS (SELECT user_id, epoch_ns(ts)//1000000000//3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS hv FROM events GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(hid) AS lo, MAX(hid) AS hi FROM hourly GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hid FROM bounds), j AS (SELECT s.user_id, s.hid, h.hv FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hid = h.hid), w AS (SELECT user_id, hid, hv, last_value(hv IGNORE NULLS) OVER wp AS pv, last_value(CASE WHEN hv IS NOT NULL THEN hid END IGNORE NULLS) OVER wp AS ph, first_value(hv IGNORE NULLS) OVER wn AS nv, first_value(CASE WHEN hv IS NOT NULL THEN hid END IGNORE NULLS) OVER wn AS nh FROM j WINDOW wp AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), wn AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) SELECT user_id, hid, hv IS NOT NULL AS observed, CASE WHEN hv IS NOT NULL THEN hv ELSE pv + (nv - pv) * ((hid - ph) / (nh - ph)) END AS v_interp FROM w ORDER BY user_id, hid""",
     "q192_deletion_vectors" ->
       """SELECT 'before_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'after_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0) GROUP BY o_orderstatus ORDER BY snap, o_orderstatus""",
+    "q196_key_index" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3) ORDER BY o_orderkey""",
+    "q197_bitmap_algebra" ->
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events), t AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1), p AS (SELECT a.event_type AS ga, a.n AS n_a, b.event_type AS gb, b.n AS n_b FROM t a JOIN t b ON a.event_type < b.event_type), ib AS (SELECT x.event_type AS ga, y.event_type AS gb, COUNT(*) AS n_both FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type GROUP BY 1, 2) SELECT p.ga, p.gb, p.n_a, p.n_b, COALESCE(ib.n_both, 0) AS n_both, p.n_a + p.n_b - COALESCE(ib.n_both, 0) AS n_union, p.n_a - COALESCE(ib.n_both, 0) AS n_only_a, p.n_b - COALESCE(ib.n_both, 0) AS n_only_b FROM p LEFT JOIN ib ON p.ga = ib.ga AND p.gb = ib.gb ORDER BY p.ga, p.gb""",
     "q193_scene_cuts" ->
       """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE doc_id <= 200), f AS (SELECT doc_id, unnest(range(0, greatest(length(hx) // 2, 1), 256)) AS off, hx FROM p WHERE length(hx) > 0), fr AS (SELECT doc_id, CAST(off // 256 AS BIGINT) AS frame_idx, substring(hx, CAST(off * 2 + 1 AS BIGINT), 512) AS h FROM f), lg AS (SELECT doc_id, frame_idx, h, lag(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS hp FROM fr), df AS (SELECT doc_id, frame_idx, h, hp, CASE WHEN hp IS NULL THEN NULL ELSE CAST(list_reduce(list_prepend(0, list_transform(range(0, least(length(h), length(hp)) // 2), i3 -> CASE WHEN substring(h, CAST(i3 * 2 + 1 AS INTEGER), 2) = substring(hp, CAST(i3 * 2 + 1 AS INTEGER), 2) THEN 0 ELSE 1 END)), (a3, b3) -> a3 + b3) + abs(length(h) - length(hp)) // 2 AS BIGINT) END AS diff_bytes FROM lg) SELECT doc_id, frame_idx, CAST(length(h) // 2 AS BIGINT) AS frame_len, diff_bytes, (hp IS NULL OR diff_bytes > 0.5 * (length(h) / 2.0)) AS is_cut FROM df ORDER BY doc_id, frame_idx""",
     "q194_unigram_surprisal" ->

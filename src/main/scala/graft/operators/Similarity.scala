@@ -400,6 +400,82 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** IVF-PQ composite ANN — the production pairing (Jégou et al.'s
+    * IVFADC): the IVF coarse quantizer prunes the SEARCH (only `nProbe`
+    * cells' candidates are considered), while PQ compresses the STORAGE
+    * (candidates are scored against their reconstructed vectors, so the
+    * raw corpus vectors are never touched at query time). Training = one
+    * spherical k-means for the cells + `subspaces` L2 k-means for the
+    * codebooks; query cost = |probed cells| × PQ-reconstruction cosine.
+    * Every stage reuses the exact arithmetic of [[annIvf]] and [[annPq]],
+    * which is what lets the oracle replay the whole composite.
+    */
+  def annIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      subspaces: Int = 4,
+      codebookSize: Int = 16,
+      k: Int = 5): DataFrame = {
+    require(dims % subspaces == 0)
+    val sub = dims / subspaces
+    // coarse cells (spherical, like annIvf)
+    val coarse = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    val corpusCells = assign(corpus, coarse, idCol, vecCol)
+      .select(col(idCol).as("nid"), col("cid"))
+    // PQ codebooks + codes + reconstruction (L2, like annPq)
+    val codebook = (0 until subspaces).map { m =>
+      val sliced = corpus.select(
+        col(idCol), slice(col(vecCol), m * sub + 1, sub).as("__sv"))
+      kmeansCentroids(sliced, idCol, "__sv", codebookSize, metric = "l2")
+        .select(lit(m).as("sub_idx"), col("cid"), col("cvec"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val exploded = corpus.select(
+      col(idCol).as("nid"),
+      posexplode(array((0 until subspaces).map(m =>
+        slice(col(vecCol), m * sub + 1, sub)): _*)).as(Seq("sub_idx", "sv")))
+    val wa = Window.partitionBy(col("nid"), col("sub_idx"))
+      .orderBy(col("__d"), col("cid"))
+    val codes = exploded.join(broadcast(codebook), Seq("sub_idx"))
+      .select(col("nid"), col("sub_idx"), col("cid"),
+        graft.functions.VectorFunctions.l2sq(col("sv"), col("cvec")).as("__d"))
+      .withColumn("__rnk", row_number().over(wa))
+      .filter(col("__rnk") === 1)
+      .select(col("nid"), col("sub_idx"), col("cid"))
+    val recon = codes.join(broadcast(codebook), Seq("sub_idx", "cid"))
+      .groupBy(col("nid"))
+      .agg(array_sort(collect_list(struct(col("sub_idx"), col("cvec")))).as("ps"))
+      .select(col("nid"),
+        flatten(transform(col("ps"), p => p.getField("cvec"))).as("rv"))
+    // probe + ADC rank
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("__sim").desc, col("cid"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(coarse))
+      .select(col("qid"), col("cid"),
+        rankableCosine(col("qv"), col("cvec")).as("__sim"))
+      .withColumn("__rnk", row_number().over(wq))
+      .filter(col("__rnk") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("nid"))
+    probes
+      .join(corpusCells, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")), Seq("qid"))
+      .join(recon, Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(rankableCosine(col("qv"), col("rv")), 4).as("cos_r"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos_r"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Embedding-cosine near-dup candidate pairs inside LSH buckets, top pairs
     * by cosine. The near-dup variant of `annLsh` (corpus against itself).
     */

@@ -234,6 +234,40 @@ object Sketches {
       .withColumnRenamed("__t", periodCol)
   }
 
+  /** Set ALGEBRA over the bitmap store: for every pair of groups, the
+    * exact intersection / union / difference distinct counts, computed
+    * word-by-word from the standing bitmap table — "users active in both
+    * click AND purchase" without ever re-touching facts, the query class
+    * (audience overlap, cohort intersection) that HLL can only
+    * approximate and COUNT(DISTINCT …) INTERSECT re-scans for.
+    *
+    * Only the intersection needs the word-level AND join; union and
+    * differences follow by inclusion–exclusion from the per-group
+    * totals, so pairs sharing no word never even join. Shuffle
+    * cardinality is groups × occupied words, never facts.
+    */
+  def bitmapPairCounts(words0: DataFrame, groupCol: String): DataFrame = {
+    // re-or per word first: a merged multi-segment store may repeat a
+    // word per group, and AND-popcounts only add across disjoint masks
+    val words = words0.groupBy(col(groupCol), col("__word"))
+      .agg(bit_or(col("mask")).as("mask"))
+    val totals = bitmapDistinct(words, Seq(groupCol))
+    val a = words.select(col(groupCol).as("ga"), col("__word"), col("mask").as("ma"))
+    val b = words.select(col(groupCol).as("gb"), col("__word"), col("mask").as("mb"))
+    val both = a.join(b, Seq("__word")).filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(bit_count(col("ma").bitwiseAND(col("mb")))).as("nb"))
+    totals.select(col(groupCol).as("ga"), col("n_distinct").as("n_a"))
+      .join(totals.select(col(groupCol).as("gb"), col("n_distinct").as("n_b")))
+      .filter(col("ga") < col("gb"))
+      .join(both, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
+        coalesce(col("nb"), lit(0L)).as("n_both"),
+        (col("n_a") + col("n_b") - coalesce(col("nb"), lit(0L))).as("n_union"),
+        (col("n_a") - coalesce(col("nb"), lit(0L))).as("n_only_a"),
+        (col("n_b") - coalesce(col("nb"), lit(0L))).as("n_only_b"))
+  }
+
   /** Exact distinct keys per group from a (possibly merged) bitmap-word
     * table: pop-count each word mask and sum.
     */

@@ -602,9 +602,21 @@ object TxLake {
       spark: SparkSession,
       path: String,
       version: Long = Long.MaxValue): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
     val files = activeFiles(path, version)
     require(files.nonEmpty, s"no committed data at or before version $version")
+    maskedRead(spark, path, version, files)
+  }
+
+  /** DV-masked, schema-evolved read of a SUBSET of a snapshot's files —
+    * the shared tail of [[snapshotWithPos]] and the key-index lookup.
+    * Keeps `__dv_file` / `__dv_pos` attached.
+    */
+  private def maskedRead(
+      spark: SparkSession,
+      path: String,
+      version: Long,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     val ops = schemaOps(path, version)
     val raw0 =
       if (ops.isEmpty) spark.read.parquet(files: _*)
@@ -620,6 +632,85 @@ object TxLake {
           .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
         Seq("__dv_file", "__dv_pos"), "left_anti")
     applySchemaOps(masked, ops)
+  }
+
+  /** Build a SECONDARY KEY INDEX over the current snapshot: a standing
+    * `(key, file)` table, hash-bucketed into `kb=` partitions. This is
+    * the point-lookup complement to range-based data skipping
+    * ([[readPruned]]): on a hash-scattered table every file's [min, max]
+    * spans the whole key range and min/max stats prune NOTHING — but an
+    * inverted key→file map still answers "which files can hold key k"
+    * exactly. Build cost is one corpus scan + one shuffle (the index is
+    * O(distinct keys), bucketed so a probe reads only its buckets);
+    * lookups then open only the files that actually contain probed keys.
+    *
+    * The index is pinned to the table version it was built at: lookups
+    * `require` the table hasn't moved (a production system would rebuild
+    * incrementally per commit — the delta shape, not re-scan).
+    */
+  def buildKeyIndex(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      indexPath: String,
+      buckets: Int = 64): Long = {
+    import org.apache.spark.sql.functions.{col, expr, hash, lit, pmod}
+    val v = latestVersion(path)
+    val files = activeFiles(path, v)
+    require(files.nonEmpty, "nothing to index")
+    spark.read.parquet(files: _*)
+      .select(col(keyCol).as("key"), expr("_metadata.file_path").as("f"))
+      .distinct()
+      .withColumn("kb", pmod(hash(col("key")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("kb")
+      .parquet(s"$indexPath/keys")
+    Files.writeString(Paths.get(s"$indexPath/VERSION"), s"$v $buckets")
+    v
+  }
+
+  /** The data files that can contain any of the probed keys, per the
+    * index (plain paths, sorted) — exposed for skip-ratio assertions.
+    * Probe-side bucket ids are collected (point lookups are small by
+    * contract) and pushed as a partition filter, so only the probed
+    * `kb=` directories of the index itself are read.
+    */
+  def filesForKeys(
+      spark: SparkSession,
+      path: String,
+      indexPath: String,
+      keys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
+    val meta = Files.readString(Paths.get(s"$indexPath/VERSION")).trim.split(" ")
+    val v = meta(0).toLong
+    val buckets = meta(1).toInt
+    require(v == latestVersion(path),
+      s"key index is stale (indexed v$v, table at v${latestVersion(path)}) — rebuild")
+    val probe = keys.select(col(keys.columns.head).as("key")).distinct()
+      .withColumn("kb", pmod(hash(col("key")), lit(buckets)))
+      .localCheckpoint(true)
+    val kbs = probe.select(col("kb")).distinct().collect().map(_.getInt(0))
+    spark.read.parquet(s"$indexPath/keys")
+      .filter(col("kb").isin(kbs.map(x => x: Any): _*))
+      .join(broadcast(probe), Seq("kb", "key"), "left_semi")
+      .select(col("f")).distinct().collect().map(_.getString(0))
+      .toSeq.sorted.map(p => new java.net.URI(p).getPath)
+  }
+
+  /** Point-lookup read through the key index: only the files the index
+    * maps the probed keys to are opened (DV-masked and schema-evolved
+    * like any snapshot read). Callers apply their exact key filter on
+    * top — the index bounds which files can match, like every skipping
+    * layer here.
+    */
+  def readByKeys(
+      spark: SparkSession,
+      path: String,
+      indexPath: String,
+      keys: DataFrame): DataFrame = {
+    val fs = filesForKeys(spark, path, indexPath, keys)
+    require(fs.nonEmpty, "no file contains any probed key")
+    maskedRead(spark, path, latestVersion(path), fs)
+      .drop("__dv_file", "__dv_pos")
   }
 
   /** Row-level DELETE as a DELETION VECTOR — the merge-on-read

@@ -120,6 +120,25 @@ class SketchesSpec extends SparkSuite {
       "a: {1,62,63,64}; b: {-1,10,62,200} — no double counts, no -1/62 collision")
   }
 
+  test("bitmapPairCounts: exact pairwise set algebra, disjoint pairs included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    // a={1,2,63}, b={2,63,100}, c={200} (disjoint from both; never joins)
+    val facts = Seq(("a", 1L), ("a", 2L), ("a", 63L), ("b", 2L), ("b", 63L),
+      ("b", 100L), ("c", 200L)).toDF("g", "k")
+    // merged two-segment store: the re-or guard is load-bearing
+    val words = Sketches.bitmapWords(facts.filter(col("k") < 63L), Seq("g"), "k")
+      .unionByName(Sketches.bitmapWords(facts.filter(col("k") >= 63L), Seq("g"), "k"))
+    val got = Sketches.bitmapPairCounts(words, "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toMap
+    assert(got(("a", "b")) == ((3L, 3L, 2L, 4L, 1L, 1L)))
+    assert(got(("a", "c")) == ((3L, 1L, 0L, 4L, 3L, 1L)))
+    assert(got(("b", "c")) == ((3L, 1L, 0L, 4L, 3L, 1L)))
+  }
+
   test("trailingBitmapDistinct equals the direct trailing distinct, batch-split invariant") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -495,6 +495,34 @@ class TxLakeSpec extends SparkSuite {
     assert(ids(TxLake.readSnapshot(spark, lake)) == Set(2L, 3L))
   }
 
+  test("key index: lookups open only containing files, stale index rejected, DVs applied") {
+    import spark.implicits._
+    val lake = tmp()
+    // three single-file commits with disjoint known keys
+    TxLake.commit(spark, lake, df(1, 2).coalesce(1))
+    TxLake.commit(spark, lake, df(10, 11).coalesce(1))
+    TxLake.commit(spark, lake, df(20, 21).coalesce(1))
+    val idx = lake + "_idx"
+    TxLake.buildKeyIndex(spark, lake, "id", idx)
+    val probe = Seq(10L, 999L).toDF("key")
+    val opened = TxLake.filesForKeys(spark, lake, idx, probe)
+    assert(opened.size == 1 && opened.head.contains("/data/v2/"),
+      s"only v2's file holds key 10; got $opened")
+    assert(ids(TxLake.readByKeys(spark, lake, idx, probe)
+      .filter(col("id").isin(10L, 999L))) == Set(10L))
+    // a commit after the build makes the index stale — hard error
+    TxLake.commit(spark, lake, df(30).coalesce(1))
+    intercept[IllegalArgumentException] {
+      TxLake.filesForKeys(spark, lake, idx, probe)
+    }
+    // rebuilt index sees the new file; a DV-deleted row stops surfacing
+    TxLake.deleteWhereDv(spark, lake, col("id") === 10L)
+    TxLake.buildKeyIndex(spark, lake, "id", idx)
+    assert(ids(TxLake.readByKeys(spark, lake, idx, probe)
+      .filter(col("id").isin(10L, 999L))).isEmpty,
+      "the DV mask must apply to index-routed reads")
+  }
+
   test("deleteWhereDv masking survives a checkpoint on a non-optimized table") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1, 2, 3))
