@@ -3230,6 +3230,55 @@ object SparkEntry {
     Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 64)
   }
 
+  /** Deterministic negative sampling
+    * ([[graft.operators.Sampling.negativeSample]]): contrastive-pair
+    * negatives drawn from an md5 hash ring over the doc-id domain —
+    * rerun-identical, engine-portable, every draw replayed by the
+    * oracle.
+    */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.operators.Sampling.negativeSample(
+      docs, docs.filter(col("doc_id") < 20), "doc_id", k = 5)
+      .orderBy(col("anchor"), col("neg_rank"))
+  }
+
+  /** Anti-entropy REPAIR ([[graft.operators.Reconcile.repair]]): q130's
+    * drifted replica (bumped balances, dropped keys, one orphan) is
+    * committed as a TxLake table, repaired from the source — orphans
+    * removed by deletion vector, drift upserted by affected-file MERGE —
+    * and proved converged in-gate (diffKeys re-run is empty). The oracle
+    * is simply the SOURCE's aggregate: repair must make the replica
+    * indistinguishable from it.
+    */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q198")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val a = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("c_acctbal"),
+        col("c_mktsegment"))
+    val b = a.filter(col("c_custkey") % 89 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 97 === 0, col("c_acctbal") + 1)
+          .otherwise(col("c_acctbal")))
+      .unionByName(s.sql(
+        """SELECT CAST(10000000 AS BIGINT) AS c_custkey, 'Customer#drift' AS c_name,
+          |CAST(0 AS INT) AS c_nationkey, CAST(1.00 AS DECIMAL(12,2)) AS c_acctbal,
+          |'BUILDING' AS c_mktsegment""".stripMargin))
+    TxLake.commit(s, lake, b.repartition(4, col("c_custkey")))
+    val (nDel, nUp) = graft.operators.Reconcile.repair(s, a, lake, "c_custkey", 64)
+    require(nDel >= 1 && nUp >= 2, s"injected drift must be found ($nDel, $nUp)")
+    val repaired = TxLake.readSnapshot(s, lake)
+    require(graft.operators.Reconcile.diffKeys(a, repaired, "c_custkey", 64).isEmpty,
+      "repair must converge to the source")
+    repaired
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal")).cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Bitmap set algebra ([[graft.operators.Sketches.bitmapPairCounts]]):
     * audience-overlap counts for every event-type pair — exact
     * intersection via word-level AND on the standing bitmap store, union
@@ -3678,6 +3727,8 @@ object SparkEntry {
     "q195_ivf_pq" -> (q195 _),
     "q196_key_index" -> (q196 _),
     "q197_bitmap_algebra" -> (q197 _),
+    "q198_reconcile_repair" -> (q198 _),
+    "q199_negative_sample" -> (q199 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -3989,6 +4040,10 @@ object SparkEntry {
       """SELECT 'before_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'after_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0) GROUP BY o_orderstatus ORDER BY snap, o_orderstatus""",
     "q196_key_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3) ORDER BY o_orderkey""",
+    "q199_negative_sample" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents), anchors AS (SELECT doc_id AS anchor FROM documents WHERE doc_id < 20), cand AS (SELECT anchor, u.j, CAST(CAST(concat('0x', substr(md5(concat(CAST(anchor AS VARCHAR), ':', CAST(u.j AS VARCHAR))), 1, 8)) AS BIGINT) % (mx + 1) AS BIGINT) AS neg FROM anchors, mx, LATERAL (SELECT unnest(range(0, 10)) AS j) u), ex AS (SELECT c.anchor, c.j, c.neg FROM cand c JOIN (SELECT DISTINCT doc_id FROM documents) d ON c.neg = d.doc_id WHERE c.neg <> c.anchor), dd AS (SELECT anchor, j, neg, ROW_NUMBER() OVER (PARTITION BY anchor, neg ORDER BY j) AS r1 FROM ex), rk AS (SELECT anchor, j, neg, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY j, neg) AS neg_rank FROM dd WHERE r1 = 1) SELECT anchor, neg_rank, neg FROM rk WHERE neg_rank <= 5 ORDER BY anchor, neg_rank""",
+    "q198_reconcile_repair" ->
+      """SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q197_bitmap_algebra" ->
       """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events), t AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1), p AS (SELECT a.event_type AS ga, a.n AS n_a, b.event_type AS gb, b.n AS n_b FROM t a JOIN t b ON a.event_type < b.event_type), ib AS (SELECT x.event_type AS ga, y.event_type AS gb, COUNT(*) AS n_both FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type GROUP BY 1, 2) SELECT p.ga, p.gb, p.n_a, p.n_b, COALESCE(ib.n_both, 0) AS n_both, p.n_a + p.n_b - COALESCE(ib.n_both, 0) AS n_union, p.n_a - COALESCE(ib.n_both, 0) AS n_only_a, p.n_b - COALESCE(ib.n_both, 0) AS n_only_b FROM p LEFT JOIN ib ON p.ga = ib.ga AND p.gb = ib.gb ORDER BY p.ga, p.gb""",
     "q193_scene_cuts" ->

@@ -26,6 +26,47 @@ object Sampling {
     df.filter(nibble(col(keyCol)).isin(keep: _*))
   }
 
+  /** Deterministic NEGATIVE sampling for contrastive training pairs: for
+    * each anchor, `k` pseudo-random corpus rows drawn from an md5 hash
+    * ring over the id domain — the in-batch-negatives alternative when
+    * batches are engine-assembled and reruns must ship IDENTICAL pairs
+    * (otherwise a resumed training job silently changes its data).
+    *
+    * Candidates are `md5(anchor:j) mod (max_id + 1)` for j < overgen·k;
+    * ids need not be dense — existence is settled by a semi-join against
+    * the corpus keys (broadcast-sized anchors make that the only
+    * corpus-touching step), self-pairs are excluded, duplicates keep
+    * their first draw, and the first `k` surviving draws (by j, ties by
+    * id) are the sample. Fully engine-portable: the oracle replays every
+    * draw.
+    */
+  def negativeSample(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      keyCol: String,
+      k: Int,
+      overgen: Int = 2): DataFrame = {
+    require(k >= 1 && overgen >= 1)
+    val mx = corpus.agg(max(col(keyCol)).as("mx"))
+    val cand = anchors.select(col(keyCol).as("anchor"))
+      .join(broadcast(mx))
+      .select(col("anchor"), col("mx"),
+        explode(sequence(lit(0), lit(overgen * k - 1))).as("j"))
+      .select(col("anchor"), col("j"),
+        (conv(substring(md5(concat(col("anchor").cast("string"), lit(":"),
+          col("j").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % (col("mx") + 1)).as("neg"))
+      .filter(col("neg") =!= col("anchor"))
+    val existing = cand
+      .join(corpus.select(col(keyCol).as("neg")), Seq("neg"), "left_semi")
+    val w1 = Window.partitionBy(col("anchor"), col("neg")).orderBy(col("j"))
+    val w2 = Window.partitionBy(col("anchor")).orderBy(col("j"), col("neg"))
+    existing
+      .withColumn("__r", row_number().over(w1)).filter(col("__r") === 1)
+      .withColumn("neg_rank", row_number().over(w2)).filter(col("neg_rank") <= k)
+      .select(col("anchor"), col("neg_rank"), col("neg"))
+  }
+
   /** Weighted (importance) sampling: keep a row with probability equal to
     * its `weight` column (clamped to [0,1]), decided by comparing a
     * uniform hash fraction of the key against the weight — deterministic,

@@ -77,6 +77,24 @@ class ReconcileSpec extends SparkSuite {
     assert(out == Map(1L -> "differs", 5L -> "differs"))
   }
 
+  test("repair converges a drifted TxLake replica to the source") {
+    import graft.sources.TxLake
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_repair").toString + "/t"
+    val source = frame((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    // replica: key 2 drifted, key 3 missing, orphan key 9 present
+    TxLake.commit(spark, lake,
+      frame((1L, "a"), (2L, "XX"), (4L, "d"), (9L, "orphan")))
+    val (nDel, nUp) = Reconcile.repair(spark, source, lake, "k", buckets = 8)
+    assert(nDel == 1L && nUp == 2L)
+    val repaired = TxLake.readSnapshot(spark, lake)
+    assert(Reconcile.diffKeys(source, repaired, "k", 8).isEmpty)
+    assert(repaired.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // a second repair is a no-op (idempotent at the fixpoint)
+    assert(Reconcile.repair(spark, source, lake, "k", 8) == ((0L, 0L)))
+  }
+
   test("schema mismatch is rejected up front") {
     val a = frame((1L, "x"))
     val e = intercept[IllegalArgumentException] {
