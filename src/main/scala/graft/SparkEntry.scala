@@ -2987,6 +2987,16 @@ object SparkEntry {
     graft.streaming.StreamVerify.cmsMaintenance(
       s, q135Events(s, dir), scratch(dir, "q185"))
 
+  /** Streaming sliding bitmap-store maintenance
+    * ([[graft.streaming.StreamVerify.bitmapMaintenance]]): the stream is
+    * split into micro-batches, each landing its hourly bitmap cells as
+    * an exactly-once tagged commit; the merged store answers q189's
+    * trailing-6h distinct dashboard — same oracle, fed by the stream.
+    */
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.bitmapMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q200"))
+
   /** Catalog-level multi-table transaction
     * ([[graft.sources.TxCatalog]]): a fact rollup and its per-segment
     * summary land in ONE atomic commit, then a second transaction
@@ -3228,6 +3238,99 @@ object SparkEntry {
   private def q195(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     Similarity.annIvfPq(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 64)
+  }
+
+  /** Incremental AGGREGATE-over-JOIN view maintenance
+    * ([[graft.operators.Incremental.mergeAggJoinAppend]]): the monthly
+    * revenue-per-nation rollup is initialized from one fact slice, then
+    * maintained by two append deltas — each enriched against the
+    * customer→nation dimension, aggregated to the view grain, and merged
+    * into only the touched partitions. Read-back equals the full
+    * recompute (the oracle): γ-merge(V, γ(ΔA ⋈ B)) = γ(A ⋈ B).
+    */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q201")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val dim = T(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      .join(T(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+        Seq("c_nationkey"))
+      .select(col("o_custkey"), col("n_name"))
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      substring(col("o_orderdate").cast("string"), 1, 7).as("month_id"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    def slice(i: Int) = o.filter(pmod(col("o_orderkey"), lit(3)) === i)
+    val init = slice(0).join(dim, Seq("o_custkey"))
+      .groupBy(col("month_id"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price")).as("revenue"))
+    PartitionedLake.writeAll(init, lake, Seq("month_id"))
+    for (i <- 1 to 2)
+      graft.operators.Incremental.mergeAggJoinAppend(s, lake, slice(i), dim,
+        joinKey = "o_custkey", keyCols = Seq("n_name"), partCol = "month_id",
+        measures = Seq("n_orders" -> count(lit(1)), "revenue" -> sum(col("price"))))
+    PartitionedLake.read(s, lake)
+      .select(col("month_id").cast("string").as("month_id"), col("n_name"),
+        col("n_orders"), col("revenue").cast("double").as("revenue"))
+      .orderBy(col("month_id"), col("n_name"))
+  }
+
+  /** Quarantine ingest flow ([[graft.operators.Quality.quarantineSplit]]):
+    * a feed with injected bad rows (negative prices, null statuses) is
+    * routed row-by-row — clean rows commit to the main table, failures to
+    * a dead-letter table tagged with every failed check — instead of
+    * q168's all-or-nothing rejection. Output = main-table aggregate ∪
+    * quarantine triage counts, both read back from their lakes.
+    */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val lakeM = scratch(dir, "q202_main")
+    val lakeQ = scratch(dir, "q202_quar")
+    graft.sources.LocalFs.deleteRecursively(lakeM)
+    graft.sources.LocalFs.deleteRecursively(lakeQ)
+    val o = T(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 103 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 101 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val (clean, quarantined) = graft.operators.Quality.quarantineSplit(o, Seq(
+      "price_positive" -> (col("o_totalprice") > 0),
+      "status_present" -> col("o_orderstatus").isNotNull))
+    TxLake.commit(s, lakeM, clean)
+    TxLake.commit(s, lakeQ, quarantined)
+    val main = TxLake.readSnapshot(s, lakeM)
+      .groupBy(col("o_orderstatus").as("key"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("total"))
+      .withColumn("part", lit("main"))
+    val quar = TxLake.readSnapshot(s, lakeQ)
+      .groupBy(col("reasons").as("key"))
+      .agg(count(lit(1)).as("n"),
+        lit(null).cast("double").as("total"))
+      .withColumn("part", lit("quarantine"))
+    main.unionByName(quar).orderBy(col("part"), col("key"))
+  }
+
+  /** Bounded map-side TOP-K aggregator
+    * ([[graft.functions.Aggregators.TopK]]): top-3 orders by price per
+    * market segment through a typed Aggregator whose k-bounded buffer
+    * does the ranking in the partial aggregation — each partition ships
+    * ≤ k rows per group to the shuffle, vs the window formulation's full
+    * per-group sort (the oracle, which must agree row-for-row).
+    */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val joined = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(T(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+    joined
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.Aggregators.topK(3)(
+        col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("c_mktsegment"), (col("i") + 1).cast("long").as("rnk"),
+        col("p._2").as("o_orderkey"), col("p._1").as("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
   }
 
   /** Deterministic negative sampling
@@ -3729,6 +3832,10 @@ object SparkEntry {
     "q197_bitmap_algebra" -> (q197 _),
     "q198_reconcile_repair" -> (q198 _),
     "q199_negative_sample" -> (q199 _),
+    "q200_stream_bitmap" -> (q200 _),
+    "q201_ivm_agg_join" -> (q201 _),
+    "q202_quarantine" -> (q202 _),
+    "q203_topk_aggregator" -> (q203 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -3927,8 +4034,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val m = baseOracleSql
     // the persisted-index query path must reproduce the build-and-query
-    // path bit for bit, so it shares q40's oracle verbatim
-    m + ("q150_ivf_index" -> m("q40_ann_ivf"))
+    // path bit for bit, so it shares q40's oracle verbatim; the streamed
+    // bitmap store must equal the batch-built one (bit_or commutes), so
+    // q200 shares q189's
+    m + ("q150_ivf_index" -> m("q40_ann_ivf")) +
+      ("q200_stream_bitmap" -> m("q189_sliding_bitmap"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -4040,6 +4150,12 @@ object SparkEntry {
       """SELECT 'before_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'after_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0) GROUP BY o_orderstatus ORDER BY snap, o_orderstatus""",
     "q196_key_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3) ORDER BY o_orderkey""",
+    "q203_topk_aggregator" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (SELECT c_mktsegment, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
+    "q202_quarantine" ->
+      """WITH inj AS (SELECT o_orderkey, CASE WHEN o_orderkey % 103 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus, CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice FROM orders), split AS (SELECT *, coalesce(o_totalprice > 0, false) AND coalesce(o_orderstatus IS NOT NULL, false) AS ok, concat_ws(',', CASE WHEN NOT coalesce(o_totalprice > 0, false) THEN 'price_positive' END, CASE WHEN NOT coalesce(o_orderstatus IS NOT NULL, false) THEN 'status_present' END) AS reasons FROM inj) SELECT 'main' AS part, o_orderstatus AS key, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM split WHERE ok GROUP BY o_orderstatus UNION ALL SELECT 'quarantine' AS part, reasons AS key, COUNT(*) AS n, CAST(NULL AS DOUBLE) AS total FROM split WHERE NOT ok GROUP BY reasons ORDER BY part, key""",
+    "q201_ivm_agg_join" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month_id, n_name, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2 ORDER BY 1, 2""",
     "q199_negative_sample" ->
       """WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents), anchors AS (SELECT doc_id AS anchor FROM documents WHERE doc_id < 20), cand AS (SELECT anchor, u.j, CAST(CAST(concat('0x', substr(md5(concat(CAST(anchor AS VARCHAR), ':', CAST(u.j AS VARCHAR))), 1, 8)) AS BIGINT) % (mx + 1) AS BIGINT) AS neg FROM anchors, mx, LATERAL (SELECT unnest(range(0, 10)) AS j) u), ex AS (SELECT c.anchor, c.j, c.neg FROM cand c JOIN (SELECT DISTINCT doc_id FROM documents) d ON c.neg = d.doc_id WHERE c.neg <> c.anchor), dd AS (SELECT anchor, j, neg, ROW_NUMBER() OVER (PARTITION BY anchor, neg ORDER BY j) AS r1 FROM ex), rk AS (SELECT anchor, j, neg, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY j, neg) AS neg_rank FROM dd WHERE r1 = 1) SELECT anchor, neg_rank, neg FROM rk WHERE neg_rank <= 5 ORDER BY anchor, neg_rank""",
     "q198_reconcile_repair" ->

@@ -49,6 +49,34 @@ object Incremental {
     PartitionedLake.deleteInsert(merged, statePath, Seq(partCol))
   }
 
+  /** Incremental maintenance of an AGGREGATE-over-JOIN materialized view
+    * for append-only fact deltas — the composition
+    * `γ(ΔA ⋈ B)` merged additively into the state
+    * (ΔV = γ-merge(V, γ(ΔA ⋈ B)), the standard IVM identity for
+    * additive measures over append-only facts): only the delta is
+    * enriched and aggregated, and only the state partitions it touches
+    * re-aggregate. The daily-revenue-per-dimension rollup at 100 TB:
+    * per-refresh cost is the day's facts, never the table. `measures`
+    * are (name, partial-aggregate) pairs whose partials must be
+    * additive (counts, decimal sums; carry avg as sum+count).
+    */
+  def mergeAggJoinAppend(
+      spark: SparkSession,
+      statePath: String,
+      delta: DataFrame,
+      dim: DataFrame,
+      joinKey: String,
+      keyCols: Seq[String],
+      partCol: String,
+      measures: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    require(measures.nonEmpty)
+    val partial = delta.join(dim, Seq(joinKey))
+      .groupBy((partCol +: keyCols).map(col): _*)
+      .agg(measures.head._2.as(measures.head._1),
+        measures.tail.map { case (n, c) => c.as(n) }: _*)
+    mergeAdditive(spark, statePath, partial, keyCols, partCol, measures.map(_._1))
+  }
+
   /** Incremental maintenance of a materialized JOIN view for append-only
     * fact deltas: the view gains `delta ⋈ dim` without rescanning any
     * fact history — existing rows of the partitions the delta touches are

@@ -35,4 +35,34 @@ object Quality {
       .withColumn("pass_ratio",
         round(lit(1.0) - col("n_violations").cast("double") / col("n_rows"), 6))
   }
+
+  /** QUARANTINE split — the dead-letter alternative to the all-or-nothing
+    * CHECK-constrained commit (TxLake.commitChecked): instead of
+    * rejecting the whole load because 0.001% of rows are bad, route each
+    * row by its own verdict. `checks` are PASS predicates (the
+    * commitChecked convention: a row passes only when every predicate is
+    * TRUE — false or NULL quarantines, three-valued logic as everywhere).
+    * Quarantined rows carry a `reasons` column naming every failed check
+    * in declaration order — the triage key a reprocessing job groups by.
+    *
+    * One scan, two outputs; commit each side to its own table for the
+    * full bronze-ingest posture (clean table + dead-letter table).
+    */
+  def quarantineSplit(
+      df: DataFrame,
+      checks: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "at least one check required")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check ids must be unique")
+    val passAll = checks.map(c => coalesce(c._2, lit(false))).reduce(_ && _)
+    val reasons = array_join(
+      filter(
+        array(checks.map { case (n, c) =>
+          when(!coalesce(c, lit(false)), lit(n))
+        }: _*),
+        x => x.isNotNull),
+      ",")
+    (df.filter(passAll),
+      df.filter(!passAll).withColumn("reasons", reasons))
+  }
 }

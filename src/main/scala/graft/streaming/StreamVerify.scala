@@ -487,6 +487,45 @@ object StreamVerify {
       .orderBy(col("true_n").desc, col("user_id"))
   }
 
+  /** Streaming SLIDING BITMAP-STORE maintenance — the exact-distinct
+    * counterpart of [[cmsMaintenance]]: each micro-batch reduces to its
+    * per-(event_type, hour) bitmap words and lands as an exactly-once
+    * tagged TxLake commit. `bit_or` commutes and is idempotent per set
+    * bit, so the batch-boundary-split store merged on read equals the
+    * whole-corpus bitmap table — and the standing cells then answer the
+    * trailing-6h distinct-users dashboard (q189's sliding merge) without
+    * ever re-touching the event stream.
+    */
+  def bitmapMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/cells"
+    def cellsOf(df: DataFrame): DataFrame =
+      graft.operators.Sketches.bitmapWords(
+        df.select(col("event_type"), col("user_id"),
+          expr("unix_seconds(ts) div 3600").as("hour_id")),
+        Seq("event_type", "hour_id"), "user_id")
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          cellsOf(batch).coalesce(1), tag = s"bm-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Sketches.trailingBitmapDistinct(
+      graft.sources.TxLake.readSnapshot(spark, lake),
+      Seq("event_type"), "hour_id", 6)
+      .orderBy(col("event_type"), col("hour_id"))
+  }
+
   def lakeRoundTrip(spark: SparkSession, eventsPath: String, scratchDir: String): DataFrame = {
     graft.sources.LocalFs.deleteRecursively(scratchDir)
     val lake = s"$scratchDir/lake"

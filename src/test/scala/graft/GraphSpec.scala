@@ -94,6 +94,50 @@ class GraphSpec extends SparkSuite {
     assert(m > 1.0 && m < 102.0)
   }
 
+  test("topK aggregator is repartition-invariant and matches the window answer") {
+    import graft.functions.Aggregators
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => ((i % 7).toString, (i % 13).toDouble, i))
+    def run(parts: Int) = rows.toDF("g", "v", "id").repartition(parts)
+      .groupBy(col("g"))
+      .agg(Aggregators.topK(3)(col("v"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("g"), col("i"), col("p._1").as("v"), col("p._2").as("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val expected = rows.toDF("g", "v", "id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+          .orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= 3)
+      .select(col("g"), (col("rn") - 1).cast("int").as("i"), col("v"), col("id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(run(1) == expected && run(17) == expected,
+      "map-side pruning must not change the exact top-k under any partitioning")
+  }
+
+  test("quarantineSplit routes by per-row verdict with three-valued logic") {
+    import graft.operators.Quality
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(5.0), Some("ok")),   // passes both
+      (2L, Some(-1.0), Some("ok")),  // fails price
+      (3L, Some(5.0), None),         // fails status (null)
+      (4L, None, None)               // null price (3VL fail) + null status
+    ).toDF("id", "price", "status")
+    val (clean, quar) = Quality.quarantineSplit(df, Seq(
+      "price_positive" -> (col("price") > 0),
+      "status_present" -> col("status").isNotNull))
+    assert(clean.select(col("id")).collect().map(_.getLong(0)).toSet == Set(1L))
+    val reasons = quar.select(col("id"), col("reasons")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons == Map(
+      2L -> "price_positive",
+      3L -> "status_present",
+      4L -> "price_positive,status_present"))
+  }
+
   test("psiBins: identical distributions yield near-zero psi terms") {
     val schema = StructType(Seq(
       StructField("v", DoubleType), StructField("is_act", BooleanType)))
