@@ -226,4 +226,40 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_max") || p.contains("SortAggregate"),
       "per-field survivorship must combine map-side")
   }
+
+  test("q188: PQ encode joins the broadcast codebook; no SMJ, no cartesian") {
+    val p = formatted(q("q188_pq_ann"))
+    assert(p.contains("BroadcastHashJoin"),
+      "codes must come from a broadcast-join against the tiny codebook")
+    assert(!p.contains("CartesianProduct"))
+    // the final ADC scoring broadcasts the query set like q26
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q189: the sliding merge joins cells to ticks as a hash join") {
+    val p = formatted(q("q189_sliding_bitmap"))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // both aggregation layers combine map-side
+    assert(p.contains("partial_bit_or") || p.contains("partial"),
+      "bitmap cells must map-side combine")
+  }
+
+  test("q194/q199: corpus joins are hash joins; the scalar total broadcasts") {
+    for (name <- Seq("q194_unigram_surprisal", "q199_negative_sample")) {
+      val p = formatted(q(name))
+      assert(!p.contains("CartesianProduct"), name)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name: the metadata-sized side must broadcast")
+    }
+  }
+
+  test("q203: the top-k aggregator ranks in the partial aggregation") {
+    val p = formatted(q("q203_topk_aggregator"))
+    // ObjectHashAggregate partial_topk is the map-side prune — the whole
+    // point of the bounded buffer; a plan without a partial stage would
+    // ship every row per group
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_topk"),
+      "TopK must run as a partial (map-side) object aggregate")
+  }
 }
