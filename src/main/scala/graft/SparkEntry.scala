@@ -271,6 +271,46 @@ object SparkEntry {
       Seq(0.5, 0.9))
       .orderBy(col("o_orderpriority"))
 
+  /** Positional inverted index + exact phrase query
+    * ([[graft.operators.TextPipeline.positionalIndex]] /
+    * [[TextPipeline.phraseMatch]]): the corpus indexes once (term-
+    * partitioned position lists), then the phrase — doc 0's own first
+    * two words, so it exists at every SF — resolves by intersecting
+    * shifted position arrays over only the phrase's term rows. The
+    * oracle replays the occurrence count by scanning every adjacent
+    * word pair.
+    */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val phrase = docs.filter(col("doc_id") === 0)
+      .select(slice(TF.words(col("text")), 1, 2).as("p"))
+      .head().getSeq[String](0)
+    graft.operators.TextPipeline.phraseMatch(
+      graft.operators.TextPipeline.positionalIndex(docs), phrase)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winsorization — the outlier-clipping data-prep step: per-group
+    * exact discrete p05/p95 boundaries ([[Relational.discretePercentiles]],
+    * q18's machinery) come back as a METADATA-SIZED broadcast table and
+    * every value clips locally; never a global sort of the facts (q116's
+    * discretize discipline). Raw vs clipped sums in exact decimal.
+    */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    val bounds = Relational.discretePercentiles(
+      o, "o_orderpriority", "o_totalprice", "o_orderkey", Seq(0.05, 0.95))
+      .select(col("o_orderpriority"), col("p5"), col("p95"))
+    o.join(broadcast(bounds), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        least(greatest(col("o_totalprice"), col("p5")), col("p95")).as("w"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("sum_raw"),
+        sumx(col("w")).as("sum_winsorized"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   private def q19(s: SparkSession, dir: String): DataFrame =
     Relational.saltedSum(T(s, dir, "events"), "user_id", "value")
       .orderBy(col("user_id"))
@@ -3836,6 +3876,8 @@ object SparkEntry {
     "q201_ivm_agg_join" -> (q201 _),
     "q202_quarantine" -> (q202 _),
     "q203_topk_aggregator" -> (q203 _),
+    "q204_winsorize" -> (q204 _),
+    "q205_phrase_index" -> (q205 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4150,6 +4192,10 @@ object SparkEntry {
       """SELECT 'before_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'after_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0) GROUP BY o_orderstatus ORDER BY snap, o_orderstatus""",
     "q196_key_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3) ORDER BY o_orderkey""",
+    "q205_phrase_index" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT doc_id, docwords(text) AS ws FROM documents), q AS (SELECT ws[1] AS t0, ws[2] AS t1 FROM w WHERE doc_id = 0), m AS (SELECT d.doc_id, CAST(len(list_filter(range(1, len(d.ws)), i4 -> d.ws[i4] = q.t0 AND d.ws[i4+1] = q.t1)) AS BIGINT) AS n_occ FROM w d, q) SELECT doc_id, n_occ FROM m WHERE n_occ > 0 ORDER BY doc_id""",
+    "q204_winsorize" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt FROM orders), b AS (SELECT o_orderpriority, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.05) AS BIGINT) THEN o_totalprice END) AS p5, MAX(CASE WHEN rn = CAST(ceil(cnt * 0.95) AS BIGINT) THEN o_totalprice END) AS p95 FROM r GROUP BY 1) SELECT o.o_orderpriority, COUNT(*) AS n, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw, CAST(SUM(CAST(least(greatest(o.o_totalprice, b.p5), b.p95) AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
     "q203_topk_aggregator" ->
       """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (SELECT c_mktsegment, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""",
     "q202_quarantine" ->

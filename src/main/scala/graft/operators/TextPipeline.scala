@@ -226,6 +226,43 @@ object TextPipeline {
     * flows into the single-partition ranking window, which is the standard
     * and correct place for a global sort this size.
     */
+  /** POSITIONAL inverted index — the retrieval structure BM25/TF-IDF
+    * scoring (q85/q96) can't provide: per (term, doc), the sorted word
+    * positions. Build is one corpus explode + one aggregation (the index
+    * scales with corpus token count and shuffles by term — the natural
+    * partitioning for a term-addressed probe); phrase queries then touch
+    * only the phrase's term rows.
+    */
+  def positionalIndex(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(TextFunctions.words(col("text"))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("tf"))
+
+  /** Exact phrase match against a [[positionalIndex]]: docs containing
+    * `terms` CONSECUTIVELY, with the occurrence count. The classic
+    * positions-intersection walk — start from the first term's
+    * positions, and for each next term keep `prev+1 ∩ positions(term)`;
+    * whatever survives marks a full phrase occurrence. Each step is an
+    * equi-join on doc_id over ONLY the term's index rows (the index
+    * prunes by term before any join), with local array arithmetic — no
+    * text is ever re-scanned.
+    */
+  def phraseMatch(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty phrase")
+    val first = index.filter(col("term") === terms.head)
+      .select(col("doc_id"), col("positions").as("cur"))
+    terms.tail.foldLeft(first) { (acc, t) =>
+      acc.join(index.filter(col("term") === t)
+          .select(col("doc_id"), col("positions").as("nxt")), Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(transform(col("cur"), p => p + 1), col("nxt")).as("cur"))
+        .filter(size(col("cur")) > 0)
+    }.select(col("doc_id"), size(col("cur")).cast("long").as("n_occ"))
+  }
+
   def vocabulary(docs: DataFrame, topN: Int = 1000): DataFrame = {
     val counts = docs
       .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))

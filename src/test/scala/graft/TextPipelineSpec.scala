@@ -94,6 +94,21 @@ class TextPipelineSpec extends SparkSuite {
     assert(out.size == 2, "single-char words contribute no pair")
   }
 
+  test("phraseMatch: consecutive-position intersection, repeats counted") {
+    val docs = Seq(
+      (1L, "to be or not to be that is"), // "to be" twice
+      (2L, "be to or to"),                // words present, never consecutive
+      (3L, "to be"),                      // exactly once
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val idx = TextPipeline.positionalIndex(docs)
+    val two = TextPipeline.phraseMatch(idx, Seq("to", "be")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 2L, 3L -> 1L))
+    val three = TextPipeline.phraseMatch(idx, Seq("not", "to", "be")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three == Map(1L -> 1L), "the 3-term walk chains two intersections")
+  }
+
   test("charEntropy: 0 bits for one repeated char, exactly 2 for 4 uniform") {
     val docs = Seq((1L, "aaaaaaaa"), (2L, "abcdabcd"), (3L, "ab"))
       .toDF("doc_id", "text")
