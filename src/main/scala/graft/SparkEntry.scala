@@ -3037,6 +3037,19 @@ object SparkEntry {
     graft.streaming.StreamVerify.bitmapMaintenance(
       s, q135Events(s, dir), scratch(dir, "q200"))
 
+  /** Streaming erasure via deletion vectors
+    * ([[graft.streaming.StreamVerify.dvErasureStream]]): a delete-request
+    * stream lands per-micro-batch DV commits against a standing table —
+    * zero data-file writes (asserted in-gate), naturally idempotent
+    * under redelivery.
+    */
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.dvErasureStream(
+      s, q135Events(s, dir), scratch(dir, "q206"),
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment")))
+
   /** Catalog-level multi-table transaction
     * ([[graft.sources.TxCatalog]]): a fact rollup and its per-segment
     * summary land in ONE atomic commit, then a second transaction
@@ -3878,6 +3891,7 @@ object SparkEntry {
     "q203_topk_aggregator" -> (q203 _),
     "q204_winsorize" -> (q204 _),
     "q205_phrase_index" -> (q205 _),
+    "q206_stream_dv_erasure" -> (q206 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4192,6 +4206,8 @@ object SparkEntry {
       """SELECT 'before_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders GROUP BY o_orderstatus UNION ALL SELECT 'after_dv' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0) GROUP BY o_orderstatus ORDER BY snap, o_orderstatus""",
     "q196_key_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3) ORDER BY o_orderkey""",
+    "q206_stream_dv_erasure" ->
+      """SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal FROM customer WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error') GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q205_phrase_index" ->
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, docwords(text) AS ws FROM documents), q AS (SELECT ws[1] AS t0, ws[2] AS t1 FROM w WHERE doc_id = 0), m AS (SELECT d.doc_id, CAST(len(list_filter(range(1, len(d.ws)), i4 -> d.ws[i4] = q.t0 AND d.ws[i4+1] = q.t1)) AS BIGINT) AS n_occ FROM w d, q) SELECT doc_id, n_occ FROM m WHERE n_occ > 0 ORDER BY doc_id""",
     "q204_winsorize" ->

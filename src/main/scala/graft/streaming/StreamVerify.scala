@@ -526,6 +526,54 @@ object StreamVerify {
       .orderBy(col("event_type"), col("hour_id"))
   }
 
+  /** Streaming ERASURE-REQUEST application via deletion vectors: a
+    * standing customer table absorbs a stream of delete requests (here:
+    * error-event user ids), each micro-batch landing as one
+    * merge-on-read DV commit — O(requests) bytes written per batch, no
+    * data file ever rewritten (asserted). Naturally idempotent under
+    * checkpoint-recovery redelivery: a re-applied batch finds its rows
+    * already masked, marks nothing, and commits nothing — the DV
+    * counterpart of the tagged exactly-once sink.
+    */
+  def dvErasureStream(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      customers: DataFrame): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/table"
+    graft.sources.TxLake.commit(spark, lake,
+      customers.repartition(2, col("c_custkey")))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // an erasure batch is a handful of subject keys by nature —
+        // collecting it is the metadata-sized step of the flow
+        val keys = batch.distinct().collect().map(_.getLong(0))
+        if (keys.nonEmpty)
+          graft.sources.TxLake.deleteWhereDv(spark, lake,
+            col("c_custkey").isin(keys.map(x => x: Any): _*))
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$lake/data/v2")),
+      "DV erasure must never write data files")
+    require(graft.sources.TxLake.dvFiles(lake).nonEmpty,
+      "the stream must have landed deletion vectors")
+    graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast(DecimalType(12, 2))).cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def lakeRoundTrip(spark: SparkSession, eventsPath: String, scratchDir: String): DataFrame = {
     graft.sources.LocalFs.deleteRecursively(scratchDir)
     val lake = s"$scratchDir/lake"
