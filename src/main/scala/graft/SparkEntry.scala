@@ -3037,6 +3037,80 @@ object SparkEntry {
     graft.streaming.StreamVerify.bitmapMaintenance(
       s, q135Events(s, dir), scratch(dir, "q200"))
 
+  /** Persisted PQ index ([[Similarity.buildPqIndex]] /
+    * [[Similarity.queryPqIndex]]): codebook + 2-byte codes stored (the
+    * compressed form — never reconstructions), queries re-derive
+    * reconstructions from the broadcast codebook. Bit-equal to the
+    * build-and-query path, so it shares q188's oracle verbatim (the
+    * q150 contract for PQ).
+    */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val idx = scratch(dir, "q207_idx")
+    graft.sources.LocalFs.deleteRecursively(idx)
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", 64, idx)
+    Similarity.queryPqIndex(s, idx, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding")
+  }
+
+  /** Incremental PQ-index maintenance ([[Similarity.appendToPqIndex]]):
+    * codebooks train on the BASE corpus only (vec_id % 5 ≠ 0); the
+    * held-out batch appends by encoding against those existing
+    * codebooks — no re-training per ingest (q167's contract for PQ).
+    * The oracle replays the base-trained k-means with code assignment
+    * over ALL vectors.
+    */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val idx = scratch(dir, "q208_idx")
+    graft.sources.LocalFs.deleteRecursively(idx)
+    Similarity.buildPqIndex(
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", 64, idx)
+    Similarity.appendToPqIndex(s, idx,
+      emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", 64)
+    Similarity.queryPqIndex(s, idx, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding")
+  }
+
+  /** HYBRID retrieval with reciprocal-rank fusion: a lexical list (term
+    * frequency of doc 0's leading word) and a vector list (cosine to
+    * vec 0) are each pruned to their top-100 by TakeOrdered (orderBy +
+    * limit — no full sort at scale; production fuses bounded candidate
+    * lists, never corpora), then fused by RRF: Σ 1/(60 + rank), the
+    * standard k=60 formula, each term on the 9-grid. The union-join
+    * keeps single-list docs (the whole point of RRF — a doc missing
+    * from one list still places).
+    */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val emb = T(s, dir, "embeddings")
+    val term = docs.filter(col("doc_id") === 0)
+      .select(TF.words(col("text")).getItem(0)).head().getString(0)
+    val wl = Window.orderBy(col("tf").desc, col("doc_id"))
+    val lex = docs
+      .select(col("doc_id"),
+        size(filter(TF.words(col("text")), w => w === lit(term)))
+          .cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .orderBy(col("tf").desc, col("doc_id")).limit(100)
+      .withColumn("rl", row_number().over(wl))
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val wv = Window.orderBy(col("cos_r").desc, col("doc_id"))
+    val vec = emb.join(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(VF.cosine(col("embedding"), col("qv")), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("doc_id")).limit(100)
+      .withColumn("rv", row_number().over(wv))
+    lex.select(col("doc_id"), col("rl"))
+      .join(vec.select(col("doc_id"), col("rv")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(round(lit(1.0) / (lit(60) + col("rl")), 9), lit(0.0)) +
+          coalesce(round(lit(1.0) / (lit(60) + col("rv")), 9), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
   /** Streaming erasure via deletion vectors
     * ([[graft.streaming.StreamVerify.dvErasureStream]]): a delete-request
     * stream lands per-micro-batch DV commits against a standing table —
@@ -3193,16 +3267,22 @@ object SparkEntry {
       .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hid"))
     val wPrev = Window.partitionBy(col("user_id")).orderBy(col("hid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("user_id")).orderBy(col("hid"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the "next observed" values come from a DESCENDING growing frame,
+    // not first(...) over (currentRow, unboundedFollowing): a shrinking
+    // frame has no incremental implementation in WindowExec — Spark
+    // recomputes it from scratch per row, O(hours²) per user (measured:
+    // 22.7s at sf0.1 vs 1.1s for this formulation; q65's ffill never
+    // hits it because forward fill only needs the preceding frame)
+    val wNextRev = Window.partitionBy(col("user_id")).orderBy(col("hid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(hourly, Seq("user_id", "hid"), "left")
       .select(col("user_id"), col("hid"), col("hv"),
         last(col("hv"), ignoreNulls = true).over(wPrev).as("pv"),
         last(when(col("hv").isNotNull, col("hid")), ignoreNulls = true)
           .over(wPrev).as("ph"),
-        first(col("hv"), ignoreNulls = true).over(wNext).as("nv"),
-        first(when(col("hv").isNotNull, col("hid")), ignoreNulls = true)
-          .over(wNext).as("nh"))
+        last(col("hv"), ignoreNulls = true).over(wNextRev).as("nv"),
+        last(when(col("hv").isNotNull, col("hid")), ignoreNulls = true)
+          .over(wNextRev).as("nh"))
       .select(col("user_id"), col("hid"),
         col("hv").isNotNull.as("observed"),
         // UNROUNDED on purpose: every input is decimal-exact or integral,
@@ -3699,7 +3779,8 @@ object SparkEntry {
     "q121_exactly_once_sink", "q136_stream_alerts",
     "q135_stream_update_sessions", "q142_stream_append_sessions",
     "q165_stream_cdc_apply", "q171_stream_full_outer",
-    "q180_stream_resume", "q185_stream_cms")
+    "q180_stream_resume", "q185_stream_cms",
+    "q200_stream_bitmap", "q206_stream_dv_erasure")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -3892,6 +3973,9 @@ object SparkEntry {
     "q204_winsorize" -> (q204 _),
     "q205_phrase_index" -> (q205 _),
     "q206_stream_dv_erasure" -> (q206 _),
+    "q207_pq_index" -> (q207 _),
+    "q208_pq_append" -> (q208 _),
+    "q209_hybrid_rrf" -> (q209 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4036,11 +4120,14 @@ object SparkEntry {
     * 2 Lloyd iterations — code assignment, concatenated reconstruction in
     * `recon(nid, rv)`), shared by the q188 and q195 oracles.
     */
-  private def pqCtes: String = {
+  private def pqCtes(trainWhere: String = ""): String = {
     val per = (0 until 4).map { m =>
       val lo = m * 16 + 1
       val hi = (m + 1) * 16
-      s"""em$m AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings), c${m}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, sv FROM em$m ORDER BY vec_id LIMIT 16)), a${m}_1 AS (${pqAssignSql(s"em$m", s"c${m}_0")}), c${m}_1 AS (${pqRecomputeSql(s"em$m", s"c${m}_0", s"a${m}_1")}), a${m}_2 AS (${pqAssignSql(s"em$m", s"c${m}_1")}), c${m}_2 AS (${pqRecomputeSql(s"em$m", s"c${m}_1", s"a${m}_2")}), code$m AS (${pqAssignSql(s"em$m", s"c${m}_2")})"""
+      // emt = the TRAINING slice (the whole corpus, or the index's base
+      // set for the incremental-append replay); code assignment always
+      // covers em (all vectors)
+      s"""em$m AS (SELECT vec_id, embedding[$lo:$hi] AS sv FROM embeddings), emt$m AS (SELECT vec_id, sv FROM em$m $trainWhere), c${m}_0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, sv FROM emt$m ORDER BY vec_id LIMIT 16)), a${m}_1 AS (${pqAssignSql(s"emt$m", s"c${m}_0")}), c${m}_1 AS (${pqRecomputeSql(s"emt$m", s"c${m}_0", s"a${m}_1")}), a${m}_2 AS (${pqAssignSql(s"emt$m", s"c${m}_1")}), c${m}_2 AS (${pqRecomputeSql(s"emt$m", s"c${m}_1", s"a${m}_2")}), code$m AS (${pqAssignSql(s"em$m", s"c${m}_2")})"""
     }.mkString(", ")
     val books = (0 until 4).map(m =>
       s"SELECT $m AS sub_idx, cid, cvec FROM c${m}_2").mkString(" UNION ALL ")
@@ -4051,13 +4138,19 @@ object SparkEntry {
 
   /** Full q188 replay: PQ pipeline + brute-force ADC cosine ranking. */
   private def pqOracleSql: String =
-    s"""$VEC_MACROS; $PQ_MACRO; WITH $pqCtes, scored AS (SELECT q.vec_id AS qid, r.nid, round(pcos(q.embedding, r.rv), 4) AS cos_r FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < 10 AND r.nid <> q.vec_id), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
+    s"""$VEC_MACROS; $PQ_MACRO; WITH ${pqCtes()}, scored AS (SELECT q.vec_id AS qid, r.nid, round(pcos(q.embedding, r.rv), 4) AS cos_r FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < 10 AND r.nid <> q.vec_id), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
+
+  /** q208 replay: codebooks trained on the base corpus only, codes over
+    * ALL vectors — the incremental-append semantics.
+    */
+  private def pqAppendOracleSql: String =
+    s"""$VEC_MACROS; $PQ_MACRO; WITH ${pqCtes("WHERE vec_id % 5 <> 0")}, scored AS (SELECT q.vec_id AS qid, r.nid, round(pcos(q.embedding, r.rv), 4) AS cos_r FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < 10 AND r.nid <> q.vec_id), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   /** Full q195 replay: q40's coarse k-means + cell probe for candidate
     * pruning, PQ reconstruction for the scoring — the IVFADC composite.
     */
   private def ivfPqOracleSql: String =
-    s"""$VEC_MACROS; $PQ_MACRO; WITH g0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)), ga1 AS (${ivfAssignSql("g0")}), g1 AS (${ivfRecomputeSql("g0", "ga1")}), ga2 AS (${ivfAssignSql("g1")}), g2 AS (${ivfRecomputeSql("g1", "ga2")}), cells AS (${ivfAssignSql("g2")}), $pqCtes, probes AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY pcos(q.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings q CROSS JOIN g2 c WHERE q.vec_id < 10) WHERE rnk <= 2), cand AS (SELECT DISTINCT p.qid, s.vec_id AS nid FROM probes p JOIN cells s ON p.cid = s.cid WHERE s.vec_id <> p.qid), scored AS (SELECT c.qid, c.nid, round(pcos(qe.embedding, r.rv), 4) AS cos_r FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid JOIN recon r ON r.nid = c.nid), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
+    s"""$VEC_MACROS; $PQ_MACRO; WITH g0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)), ga1 AS (${ivfAssignSql("g0")}), g1 AS (${ivfRecomputeSql("g0", "ga1")}), ga2 AS (${ivfAssignSql("g1")}), g2 AS (${ivfRecomputeSql("g1", "ga2")}), cells AS (${ivfAssignSql("g2")}), ${pqCtes()}, probes AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY pcos(q.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings q CROSS JOIN g2 c WHERE q.vec_id < 10) WHERE rnk <= 2), cand AS (SELECT DISTINCT p.qid, s.vec_id AS nid FROM probes p JOIN cells s ON p.cid = s.cid WHERE s.vec_id <> p.qid), scored AS (SELECT c.qid, c.nid, round(pcos(qe.embedding, r.rv), 4) AS cos_r FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid JOIN recon r ON r.nid = c.nid), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   /** N-ary Morton bit-interleave replayed in SQL (mirrors
     * Layout.zorderValueN: bit i of key j → position k*i + j).
@@ -4094,7 +4187,8 @@ object SparkEntry {
     // bitmap store must equal the batch-built one (bit_or commutes), so
     // q200 shares q189's
     m + ("q150_ivf_index" -> m("q40_ann_ivf")) +
-      ("q200_stream_bitmap" -> m("q189_sliding_bitmap"))
+      ("q200_stream_bitmap" -> m("q189_sliding_bitmap")) +
+      ("q207_pq_index" -> m("q188_pq_ann"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -4196,6 +4290,9 @@ object SparkEntry {
       s"""$VEC_MACROS; WITH c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16)), a1 AS (${ivfAssignSql("c0", "WHERE vec_id % 5 <> 0")}), c1 AS (${ivfRecomputeSql("c0", "a1")}), a2 AS (${ivfAssignSql("c1", "WHERE vec_id % 5 <> 0")}), c2 AS (${ivfRecomputeSql("c1", "a2")}), cells AS (${ivfAssignSql("c2")}), probes AS (SELECT qid, cid FROM (SELECT q.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY pcos(q.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rnk <= 2), cand AS (SELECT DISTINCT p.qid, s.vec_id AS nid FROM probes p JOIN cells s ON p.cid = s.cid WHERE s.vec_id <> p.qid), scored AS (SELECT c.qid, c.nid, round(pcos(qe.embedding, ne.embedding), 4) AS cos_r FROM cand c JOIN embeddings qe ON qe.vec_id = c.qid JOIN embeddings ne ON ne.vec_id = c.nid), r AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM r WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q188_pq_ann" -> pqOracleSql,
     "q195_ivf_pq" -> ivfPqOracleSql,
+    "q208_pq_append" -> pqAppendOracleSql,
+    "q209_hybrid_rrf" ->
+      s"""$HASH_MACROS; $VEC_MACROS; WITH t AS (SELECT docwords(text)[1] AS term FROM documents WHERE doc_id = 0), lex AS (SELECT doc_id, rl FROM (SELECT doc_id, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rl FROM (SELECT doc_id, CAST(len(list_filter(docwords(text), w5 -> w5 = t.term)) AS BIGINT) AS tf FROM documents, t) WHERE tf > 0) WHERE rl <= 100), vec AS (SELECT doc_id, rv FROM (SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY round(pcos(e.embedding, q.embedding), 4) DESC, e.vec_id) AS rv FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q) WHERE rv <= 100) SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, COALESCE(round(1.0 / (60 + rl), 9), 0.0) + COALESCE(round(1.0 / (60 + rv), 9), 0.0) AS rrf FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q189_sliding_bitmap" ->
       """WITH pairs AS (SELECT DISTINCT event_type, epoch_ns(ts)//1000000000//3600 AS hour_id, user_id FROM events), ticks AS (SELECT DISTINCT event_type, hour_id FROM pairs) SELECT t.event_type, t.hour_id, CAST((SELECT COUNT(DISTINCT p.user_id) FROM pairs p WHERE p.event_type = t.event_type AND p.hour_id BETWEEN t.hour_id - 5 AND t.hour_id) AS BIGINT) AS n_distinct FROM ticks t ORDER BY event_type, hour_id""",
     "q190_bfs_hops" ->

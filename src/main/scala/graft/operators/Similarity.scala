@@ -361,33 +361,74 @@ object Similarity {
       subspaces: Int = 4,
       codebookSize: Int = 16,
       k: Int = 5): DataFrame = {
+    val codebook = pqTrain(corpus, idCol, vecCol, dims, subspaces, codebookSize)
+    val recon = pqRecon(
+      pqEncode(corpus, codebook, idCol, vecCol, dims, subspaces), codebook)
+    pqAdcRank(recon, queries, idCol, vecCol, k)
+  }
+
+  /** Train the `subspaces` independent L2 codebooks: (sub_idx, cid, cvec),
+    * `subspaces × codebookSize` rows — always broadcastable.
+    */
+  private def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      subspaces: Int,
+      codebookSize: Int): DataFrame = {
     require(dims % subspaces == 0, s"$dims dims not divisible into $subspaces subspaces")
     val sub = dims / subspaces
-    val codebook = (0 until subspaces).map { m =>
+    (0 until subspaces).map { m =>
       val sliced = corpus.select(
         col(idCol), slice(col(vecCol), m * sub + 1, sub).as("__sv"))
       kmeansCentroids(sliced, idCol, "__sv", codebookSize, metric = "l2")
         .select(lit(m).as("sub_idx"), col("cid"), col("cvec"))
-    }.reduce(_ unionByName _).localCheckpoint(true) // subspaces × k rows
-    // one corpus pass: vector → its subvectors → nearest codeword each
-    val exploded = corpus.select(
+    }.reduce(_ unionByName _).localCheckpoint(true)
+  }
+
+  /** ONE corpus pass: each vector → its subvectors → nearest codeword
+    * per (id, sub_idx) against the broadcast codebook.
+    */
+  private def pqEncode(
+      df: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      subspaces: Int): DataFrame = {
+    val sub = dims / subspaces
+    val exploded = df.select(
       col(idCol).as("nid"),
       posexplode(array((0 until subspaces).map(m =>
         slice(col(vecCol), m * sub + 1, sub)): _*)).as(Seq("sub_idx", "sv")))
     val wa = Window.partitionBy(col("nid"), col("sub_idx"))
       .orderBy(col("__d"), col("cid"))
-    val codes = exploded.join(broadcast(codebook), Seq("sub_idx"))
+    exploded.join(broadcast(codebook), Seq("sub_idx"))
       .select(col("nid"), col("sub_idx"), col("cid"),
         graft.functions.VectorFunctions.l2sq(col("sv"), col("cvec")).as("__d"))
       .withColumn("__rnk", row_number().over(wa))
       .filter(col("__rnk") === 1)
       .select(col("nid"), col("sub_idx"), col("cid"))
-    // reconstruction: codes → codeword vectors, concatenated in order
-    val recon = codes.join(broadcast(codebook), Seq("sub_idx", "cid"))
+  }
+
+  /** Reconstruction: codes → codeword vectors concatenated in subspace
+    * order, (nid, rv).
+    */
+  private def pqRecon(codes: DataFrame, codebook: DataFrame): DataFrame =
+    codes.join(broadcast(codebook), Seq("sub_idx", "cid"))
       .groupBy(col("nid"))
       .agg(array_sort(collect_list(struct(col("sub_idx"), col("cvec")))).as("ps"))
       .select(col("nid"),
         flatten(transform(col("ps"), p => p.getField("cvec"))).as("rv"))
+
+  /** Asymmetric (ADC) ranking: raw queries against reconstructions. */
+  private def pqAdcRank(
+      recon: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val wr = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("nid"))
     recon.crossJoin(broadcast(q))
@@ -398,6 +439,61 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), col("cos_r"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Persisted PQ index: the codebook (subspaces × k tiny rows) and the
+    * CODES (subspaces small ints per vector — the 128×-compressed form;
+    * this is what a PQ index stores, never the reconstructions) land as
+    * two parquet tables. Queries re-derive reconstructions by joining
+    * codes to the broadcast codebook — storage stays compressed, and
+    * results are bit-equal to the build-and-query [[annPq]] path (the
+    * shared-oracle contract, like the IVF index q150).
+    */
+  def buildPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      indexPath: String,
+      subspaces: Int = 4,
+      codebookSize: Int = 16): Unit = {
+    val codebook = pqTrain(corpus, idCol, vecCol, dims, subspaces, codebookSize)
+    codebook.write.mode("overwrite").parquet(s"$indexPath/codebook")
+    pqEncode(corpus, codebook, idCol, vecCol, dims, subspaces)
+      .write.mode("overwrite").parquet(s"$indexPath/codes")
+  }
+
+  /** Incrementally add a batch: encode against the EXISTING codebooks
+    * (no re-training — the codebook drifts from the data optimum as
+    * batches accumulate, and periodic [[buildPqIndex]] rebuilds are the
+    * rebalance, exactly like [[appendToIvfIndex]]) and append the codes.
+    */
+  def appendToPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      subspaces: Int = 4): Unit = {
+    val codebook = spark.read.parquet(s"$indexPath/codebook")
+    pqEncode(batch, codebook, idCol, vecCol, dims, subspaces)
+      .write.mode("append").parquet(s"$indexPath/codes")
+  }
+
+  /** Query the persisted PQ index (ADC over code-derived
+    * reconstructions).
+    */
+  def queryPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 5): DataFrame = {
+    val codebook = spark.read.parquet(s"$indexPath/codebook")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    pqAdcRank(pqRecon(codes, codebook), queries, idCol, vecCol, k)
   }
 
   /** IVF-PQ composite ANN — the production pairing (Jégou et al.'s
@@ -422,35 +518,14 @@ object Similarity {
       codebookSize: Int = 16,
       k: Int = 5): DataFrame = {
     require(dims % subspaces == 0)
-    val sub = dims / subspaces
     // coarse cells (spherical, like annIvf)
     val coarse = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
     val corpusCells = assign(corpus, coarse, idCol, vecCol)
       .select(col(idCol).as("nid"), col("cid"))
     // PQ codebooks + codes + reconstruction (L2, like annPq)
-    val codebook = (0 until subspaces).map { m =>
-      val sliced = corpus.select(
-        col(idCol), slice(col(vecCol), m * sub + 1, sub).as("__sv"))
-      kmeansCentroids(sliced, idCol, "__sv", codebookSize, metric = "l2")
-        .select(lit(m).as("sub_idx"), col("cid"), col("cvec"))
-    }.reduce(_ unionByName _).localCheckpoint(true)
-    val exploded = corpus.select(
-      col(idCol).as("nid"),
-      posexplode(array((0 until subspaces).map(m =>
-        slice(col(vecCol), m * sub + 1, sub)): _*)).as(Seq("sub_idx", "sv")))
-    val wa = Window.partitionBy(col("nid"), col("sub_idx"))
-      .orderBy(col("__d"), col("cid"))
-    val codes = exploded.join(broadcast(codebook), Seq("sub_idx"))
-      .select(col("nid"), col("sub_idx"), col("cid"),
-        graft.functions.VectorFunctions.l2sq(col("sv"), col("cvec")).as("__d"))
-      .withColumn("__rnk", row_number().over(wa))
-      .filter(col("__rnk") === 1)
-      .select(col("nid"), col("sub_idx"), col("cid"))
-    val recon = codes.join(broadcast(codebook), Seq("sub_idx", "cid"))
-      .groupBy(col("nid"))
-      .agg(array_sort(collect_list(struct(col("sub_idx"), col("cvec")))).as("ps"))
-      .select(col("nid"),
-        flatten(transform(col("ps"), p => p.getField("cvec"))).as("rv"))
+    val codebook = pqTrain(corpus, idCol, vecCol, dims, subspaces, codebookSize)
+    val recon = pqRecon(
+      pqEncode(corpus, codebook, idCol, vecCol, dims, subspaces), codebook)
     // probe + ADC rank
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("__sim").desc, col("cid"))

@@ -80,6 +80,29 @@ class SimilaritySpec extends SparkSuite {
     assert(run() == run())
   }
 
+  test("persisted PQ index reproduces annPq bit-for-bit; append encodes without retraining") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(300)
+    val q = emb.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", 64, idx)
+    val direct = Similarity.annPq(emb, q, "vec_id", "embedding", 64)
+      .collect().map(_.toSeq).toSeq
+    val viaIndex = Similarity.queryPqIndex(spark, idx, q, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSeq
+    assert(direct == viaIndex, "the index path must be bit-equal to build-and-query")
+    // append a planted duplicate of vector 0: identical subvectors encode
+    // to identical codes against the existing codebooks, so it ties the
+    // query's top reconstruction score
+    val planted = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    Similarity.appendToPqIndex(spark, idx, planted, "vec_id", "embedding", 64)
+    val out = Similarity.queryPqIndex(spark, idx,
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3).collect()
+    val top = out.head.getAs[Double]("cos_r")
+    val dup = out.find(_.getAs[Long]("nid") == 100000L)
+    assert(dup.isDefined && dup.get.getAs[Double]("cos_r") == top)
+  }
+
   test("a zero vector (NaN cosine) never outranks real neighbors") {
     import spark.implicits._
     val emb = Tables.load(spark, sf, "embeddings").limit(50)
