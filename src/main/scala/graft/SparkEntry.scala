@@ -3072,6 +3072,16 @@ object SparkEntry {
       "vec_id", "embedding")
   }
 
+  /** Exact set-similarity join ([[Dedup.setSimilarityJoin]]): EVERY pair
+    * with word-set Jaccard ≥ 0.9, found through lossless rare-first
+    * prefix filtering (the PPJoin idea) — the exact-recall counterpart
+    * to the minhash family. The oracle brute-forces ALL pairs, so the
+    * gate proves the filter misses nothing.
+    */
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.setSimilarityJoin(
+      T(s, dir, "documents"), "doc_id", "text", 0.9)
+
   /** HYBRID retrieval with reciprocal-rank fusion: a lexical list (term
     * frequency of doc 0's leading word) and a vector list (cosine to
     * vec 0) are each pruned to their top-100 by TakeOrdered (orderBy +
@@ -3976,6 +3986,7 @@ object SparkEntry {
     "q207_pq_index" -> (q207 _),
     "q208_pq_append" -> (q208 _),
     "q209_hybrid_rrf" -> (q209 _),
+    "q210_set_similarity" -> (q210 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4291,6 +4302,10 @@ object SparkEntry {
     "q188_pq_ann" -> pqOracleSql,
     "q195_ivf_pq" -> ivfPqOracleSql,
     "q208_pq_append" -> pqAppendOracleSql,
+    // brute-force all-pairs Jaccard: the prefix filter must be LOSSLESS,
+    // so the oracle deliberately ignores it
+    "q210_set_similarity" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT doc_id, list_sort(list_distinct(docwords(text))) AS toks FROM documents), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jac FROM w a JOIN w b ON a.doc_id < b.doc_id) SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9 ORDER BY id_a, id_b""",
     "q209_hybrid_rrf" ->
       s"""$HASH_MACROS; $VEC_MACROS; WITH t AS (SELECT docwords(text)[1] AS term FROM documents WHERE doc_id = 0), lex AS (SELECT doc_id, rl FROM (SELECT doc_id, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rl FROM (SELECT doc_id, CAST(len(list_filter(docwords(text), w5 -> w5 = t.term)) AS BIGINT) AS tf FROM documents, t) WHERE tf > 0) WHERE rl <= 100), vec AS (SELECT doc_id, rv FROM (SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY round(pcos(e.embedding, q.embedding), 4) DESC, e.vec_id) AS rv FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q) WHERE rv <= 100) SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, COALESCE(round(1.0 / (60 + rl), 9), 0.0) + COALESCE(round(1.0 / (60 + rv), 9), 0.0) AS rrf FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q189_sliding_bitmap" ->

@@ -457,6 +457,61 @@ object Dedup {
   /** Exact n-gram-set Jaccard over LSH candidates (bucket = min shingle
     * hash), top pairs ranked by similarity. Deterministic cap + ranking.
     */
+  /** EXACT set-similarity join with LOSSLESS prefix filtering (the
+    * PPJoin family's core idea): every pair of documents whose distinct
+    * word sets have Jaccard ≥ `threshold` — no candidate can be missed,
+    * which separates this from the minhash/simhash family's probabilistic
+    * recall (and the oracle proves it: a brute-force all-pairs Jaccard
+    * must match row for row).
+    *
+    * Prefix filtering: order each doc's tokens by GLOBAL rarity (count
+    * asc, token asc — rare first), and index only the first
+    * `|x| − ⌈t·|x|⌉ + 1` tokens. Two sets with Jaccard ≥ t must share at
+    * least one prefix token (pigeonhole on the ⌈t·|x|⌉ overlap a
+    * qualifying pair needs), so the candidate join runs on prefix
+    * tokens only — and because prefixes hold the RAREST tokens, the
+    * per-token candidate lists are the shortest possible. Cost:
+    * candidates per token ~ its prefix frequency, never |corpus|²; the
+    * exact Jaccard verify touches candidates only.
+    */
+  def setSimilarityJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val toks0 = docs.select(col(idCol).as("id"),
+      array_distinct(graft.functions.TextFunctions.words(col(textCol))).as("t0"))
+    val freq = toks0.select(explode(col("t0")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // per-doc token list re-sorted rare-first (global order), with the
+    // prefix length; the sort key rides as a struct so one collect_list
+    // rebuilds the ordered set
+    val ordered = toks0.select(col("id"), explode(col("t0")).as("tok"))
+      .join(freq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("cnt"), col("tok")))).as("ps"))
+      .select(col("id"), transform(col("ps"), p => p.getField("tok")).as("toks"))
+      .withColumn("plen",
+        (size(col("toks")) - ceil(lit(threshold) * size(col("toks"))) + 1).cast("int"))
+      .localCheckpoint(true) // feeds the prefix explode AND both verify sides
+    val prefixes = ordered.select(col("id"),
+      explode(slice(col("toks"), lit(1), col("plen"))).as("tok"))
+    val cand = prefixes.as("a").join(prefixes.as("b"), Seq("tok"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(ordered.select(col("id").as("id_a"), col("toks").as("ta")), Seq("id_a"))
+      .join(ordered.select(col("id").as("id_b"), col("toks").as("tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double")).as("jac"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def ngramJaccardTopPairs(
       df: DataFrame,
       idCol: String,

@@ -149,6 +149,32 @@ class DedupSpec extends SparkSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 1L, 3L)))
   }
 
+  test("setSimilarityJoin: prefix filtering is lossless vs brute force") {
+    // docs engineered so some qualifying pairs share ONLY common (non-rare)
+    // tokens — the case a naive rare-token-only index would miss
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),    // J(1,2) = 4/6 = 0.667
+      (3L, "alpha beta gamma delta epsilon"), // J(1,3) = 1.0
+      (4L, "omega psi chi phi upsilon"),
+      (5L, "omega psi chi phi upsilon tau"),  // J(4,5) = 5/6 = 0.833
+      (6L, "unrelated words entirely here")).toDF("doc_id", "text")
+    def brute(t: Double) = {
+      val rows = corpus.collect().map(r =>
+        r.getLong(0) -> r.getString(1).split(" ").toSet)
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= t
+      } yield (ia, ib)).toSet
+    }
+    for (t <- Seq(0.5, 0.66, 0.9)) {
+      val got = Dedup.setSimilarityJoin(corpus, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(t), s"threshold $t")
+    }
+  }
+
   test("canonicalPerCluster keeps exactly the best-weighted doc per cluster") {
     val weighted = docs.withColumn("w",
       // doc 2 outweighs its duplicate 1: the canonical pick must be 2
