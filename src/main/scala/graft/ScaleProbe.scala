@@ -138,7 +138,46 @@ object ScaleProbe {
       "content_chunks" -> { () =>
         consume(graft.operators.Dedup.contentChunks(
           documentsAt(f), "doc_id", "text"))
-      })
+      },
+      "pq_encode" -> { () =>
+        // codebooks are trained on the BASE slice (production trains on a
+        // sample); the probed cost is the one-pass ENCODE over f× vectors
+        val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        val reps = spark.range(f).select(col("id").cast("long").as("__rep"))
+        val corpus = emb.crossJoin(reps)
+          .select((col("vec_id") + col("__rep") * 1000000L).as("vec_id"),
+            col("embedding"))
+        val idx = s"$scratch/pq_x$f"
+        graft.sources.LocalFs.deleteRecursively(idx)
+        graft.operators.Similarity.buildPqIndex(
+          emb, "vec_id", "embedding", 64, idx)
+        graft.operators.Similarity.appendToPqIndex(
+          spark, idx, corpus, "vec_id", "embedding", 64)
+      },
+      "interpolate" -> { () =>
+        val ev = eventsAt(f)
+        val hourly = ev.groupBy(col("user_id"), (evSec.cast("long") / 3600).cast("long").as("hid"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("hv"))
+        val spine = hourly.groupBy(col("user_id"))
+          .agg(min(col("hid")).as("lo"), max(col("hid")).as("hi"))
+          .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("hid"))
+        val wPrev = Window.partitionBy(col("user_id")).orderBy(col("hid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNextRev = Window.partitionBy(col("user_id")).orderBy(col("hid").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        consume(spine.join(hourly, Seq("user_id", "hid"), "left")
+          .select(col("user_id"), col("hid"),
+            last(col("hv"), ignoreNulls = true).over(wPrev).as("pv"),
+            last(col("hv"), ignoreNulls = true).over(wNextRev).as("nv")))
+      },
+      // set_similarity is deliberately NOT probed: replicating this
+      // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
+      // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not
+      // operator overhead; an exact join is lower-bounded by its output).
+      // The gate verifies losslessness; the scale story for exact joins
+      // on dup-heavy corpora is "collapse exact dups first, then join".
+      )
 
     val results = for {
       f <- factors
