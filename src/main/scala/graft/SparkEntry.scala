@@ -290,6 +290,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Line-level boilerplate removal ([[graft.operators.TextPipeline
+    * .lineDedup]]): CCNet-shaped dedup at LINE granularity — any 8-word
+    * line shared by 2+ documents is boilerplate and stripped everywhere,
+    * survivors reassembled in order and fingerprinted. The line
+    * document-frequency aggregate shuffles on the line value; the
+    * reassembly is one per-doc sorted collect. Nothing corpus-global.
+    */
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.lineDedup(
+      T(s, dir, "documents"), "doc_id", "text", lineWords = 8, maxDocFreq = 2)
+      .orderBy(col("doc_id"))
+
   /** Winsorization — the outlier-clipping data-prep step: per-group
     * exact discrete p05/p95 boundaries ([[Relational.discretePercentiles]],
     * q18's machinery) come back as a METADATA-SIZED broadcast table and
@@ -3992,6 +4004,7 @@ object SparkEntry {
     "q208_pq_append" -> (q208 _),
     "q209_hybrid_rrf" -> (q209 _),
     "q210_set_similarity" -> (q210 _),
+    "q211_line_dedup" -> (q211 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4311,6 +4324,11 @@ object SparkEntry {
     // so the oracle deliberately ignores it
     "q210_set_similarity" ->
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, list_sort(list_distinct(docwords(text))) AS toks FROM documents WHERE doc_id < 500), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jac FROM w a JOIN w b ON a.doc_id < b.doc_id) SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9 ORDER BY id_a, id_b""",
+    // line-level boilerplate removal: the word-window "lines", the
+    // distinct-doc frequency and the in-order reassembly all replay
+    // exactly; string_agg skips the CASE's NULLs like collect_list does
+    "q211_line_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents), l0 AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wp FROM w), l AS (SELECT doc_id, (wp - 1) // 8 AS line_no, string_agg(word, ' ' ORDER BY wp) AS line FROM l0 GROUP BY doc_id, (wp - 1) // 8), df AS (SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM l GROUP BY line), j AS (SELECT l.doc_id, l.line_no, l.line, df.line_df FROM l JOIN df USING (line)) SELECT doc_id, COUNT(*) AS n_lines, CAST(SUM(CASE WHEN line_df < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, md5(coalesce(string_agg(CASE WHEN line_df < 2 THEN line END, ' ' ORDER BY line_no), '')) AS clean_md5 FROM j GROUP BY doc_id ORDER BY doc_id""",
     "q209_hybrid_rrf" ->
       s"""$HASH_MACROS; $VEC_MACROS; WITH t AS (SELECT docwords(text)[1] AS term FROM documents WHERE doc_id = 0), lex AS (SELECT doc_id, rl FROM (SELECT doc_id, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rl FROM (SELECT doc_id, CAST(len(list_filter(docwords(text), w5 -> w5 = t.term)) AS BIGINT) AS tf FROM documents, t) WHERE tf > 0) WHERE rl <= 100), vec AS (SELECT doc_id, rv FROM (SELECT e.vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY round(pcos(e.embedding, q.embedding), 4) DESC, e.vec_id) AS rv FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q) WHERE rv <= 100) SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, COALESCE(round(1.0 / (60 + rl), 9), 0.0) + COALESCE(round(1.0 / (60 + rv), 9), 0.0) AS rrf FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q189_sliding_bitmap" ->

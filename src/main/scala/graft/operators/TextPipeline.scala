@@ -345,4 +345,55 @@ object TextPipeline {
       round(log2(col("n_chars").cast("double")) - col("__s") / col("n_chars"), 6)
         .as("entropy"))
   }
+
+  /** Line-level boilerplate removal — the CCNet-shaped dedup pass that
+    * works at LINE granularity instead of document granularity: any line
+    * whose distinct-document frequency reaches `maxDocFreq` is boilerplate
+    * (navigation bars, cookie banners, license headers) and is stripped
+    * from every document; survivors are reassembled in original order.
+    *
+    * The corpus here carries no newlines, so "lines" are the deterministic
+    * `lineWords`-word windows of the normalized text (declared input
+    * synthesis, the q140/q158 pattern) — on real data the split column
+    * would be the newline-separated line itself.
+    *
+    * Plan shape: one corpus scan explodes to (doc, line_no, line); the
+    * document-frequency aggregate shuffles on the line value (cardinality =
+    * distinct lines, which a hash-partitioned count-distinct handles at any
+    * scale); the per-document reassembly is one more shuffle on doc_id with
+    * a sorted in-group collect whose size is the document's own line count.
+    * Nothing is corpus-global, no window spans the corpus.
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_md5) where clean_md5 hashes
+    * the space-joined surviving lines ('' when every line was boilerplate).
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lineWords: Int = 8,
+      maxDocFreq: Long = 2): DataFrame = {
+    require(lineWords > 0 && maxDocFreq > 1,
+      "need a positive line width and a boilerplate threshold above 1")
+    val lines = docs
+      .withColumn("__w", TextFunctions.words(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(floor((size(__w) - 1) / $lineWords) as int)),
+             |          i -> array_join(slice(__w, i * $lineWords + 1, $lineWords), ' '))"""
+            .stripMargin)).as(Seq("line_no", "line")))
+    val lineDf = lines
+      .groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("line_df"))
+    lines
+      .join(lineDf, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") < maxDocFreq, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(" +
+            s"CASE WHEN line_df < $maxDocFreq THEN struct(line_no, line) END)), x -> x.line)"),
+          " ")).as("clean_md5"))
+  }
 }

@@ -109,6 +109,24 @@ class TextPipelineSpec extends SparkSuite {
     assert(three == Map(1L -> 1L), "the 3-term walk chains two intersections")
   }
 
+  test("lineDedup strips corpus-frequent lines, reassembles the rest in order") {
+    // 2-word "lines": "aa bb" appears in docs 1 and 2 → boilerplate at
+    // maxDocFreq=2; "cc dd" repeats within doc 1 only → kept (distinct-DOC
+    // frequency, not occurrence count); doc 3 is all boilerplate → md5('')
+    val docs = Seq(
+      (1L, "aa bb cc dd cc dd"),
+      (2L, "aa bb ee ff"),
+      (3L, "aa bb")).toDF("doc_id", "text")
+    val out = TextPipeline.lineDedup(docs, "doc_id", "text", lineWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((3L, 2L, h("cc dd cc dd"))))
+    assert(out(2L) == ((2L, 1L, h("ee ff"))))
+    assert(out(3L) == ((1L, 0L, h(""))))
+  }
+
   test("charEntropy: 0 bits for one repeated char, exactly 2 for 4 uniform") {
     val docs = Seq((1L, "aaaaaaaa"), (2L, "abcdabcd"), (3L, "ab"))
       .toDF("doc_id", "text")
