@@ -3354,6 +3354,39 @@ object SparkEntry {
       .orderBy(col("snap"), col("o_orderstatus"))
   }
 
+  /** Metadata-only aggregates from the transaction log
+    * ([[TxLake.countRows]] / [[TxLake.commitAddCounts]]): per-file row
+    * counts are logged at commit time (the Delta numRecords posture), so
+    * COUNT(*)-class questions are O(#files) log arithmetic — no data file
+    * is opened (TxLakeSpec proves it by physically hiding the data
+    * directory). Five tagged commits (one per order priority) land the
+    * table; every answer row then comes from the LOG ALONE: per-commit
+    * counts by tag, plus the table total after a deletion-vector erasure
+    * whose O(matches) sidecar is the only data read. At 100 TB this is
+    * the difference between a dashboard COUNT costing a log parse and
+    * costing a table scan.
+    */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q212")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val o = T(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    prios.foreach { p =>
+      TxLake.commit(s, lake,
+        o.filter(col("o_orderpriority") === p).coalesce(2), tag = s"prio:$p")
+    }
+    TxLake.deleteWhereDv(s, lake, col("o_totalprice") > lit(250000.0))
+    val perCommit = TxLake.commitAddCounts(lake)
+      .collect { case (_, t, n) if t.nonEmpty =>
+        ("commit:" + t.stripPrefix("prio:"), n) }
+    val total = TxLake.countRows(s, lake)
+      .getOrElse(sys.error("every file carries a logged count"))
+    import s.implicits._
+    (perCommit :+ (("total_after_erasure", total)))
+      .toDF("slice", "n").orderBy(col("slice"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4005,6 +4038,7 @@ object SparkEntry {
     "q209_hybrid_rrf" -> (q209 _),
     "q210_set_similarity" -> (q210 _),
     "q211_line_dedup" -> (q211 _),
+    "q212_log_count" -> (q212 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4324,6 +4358,11 @@ object SparkEntry {
     // so the oracle deliberately ignores it
     "q210_set_similarity" ->
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, list_sort(list_distinct(docwords(text))) AS toks FROM documents WHERE doc_id < 500), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jac FROM w a JOIN w b ON a.doc_id < b.doc_id) SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9 ORDER BY id_a, id_b""",
+    // metadata-only counts: per-commit slices replay as plain GROUP BY
+    // counts, the erasure total as the kept-rows count (DV deletes where
+    // TRUE; <= keeps the false side, and the column is non-null here)
+    "q212_log_count" ->
+      """SELECT 'commit:' || o_orderpriority AS slice, COUNT(*) AS n FROM orders GROUP BY o_orderpriority UNION ALL SELECT 'total_after_erasure' AS slice, COUNT(*) AS n FROM orders WHERE o_totalprice <= 250000.0 ORDER BY slice""",
     // line-level boilerplate removal: the word-window "lines", the
     // distinct-doc frequency and the in-order reassembly all replay
     // exactly; string_agg skips the CASE's NULLs like collect_list does

@@ -105,8 +105,17 @@ object TxLake {
         Some(mins.zip(maxs).map { case (a, b) => (a.toLong, b.toLong) })
       else None
     }
+    // per-file row counts ride in the same aligned-array shape under the
+    // reserved "#rows" pseudo-column (stored as (n, n)) — "#" can never
+    // collide with a statsCols identifier
+    val rowsArr = jsonList(json, "rows")
+    val rowsCol: Option[Seq[(Long, Long)]] =
+      if (adds.nonEmpty && rowsArr.length == adds.length)
+        Some(rowsArr.map(r => (r.toLong, r.toLong)))
+      else None
     val cols: Seq[(String, Seq[(Long, Long)])] =
-      (("" -> colStats("")) +: jsonList(json, "statsCols").map(c => c -> colStats(s":$c")))
+      (("" -> colStats("")) +: ("#rows" -> rowsCol) +:
+        jsonList(json, "statsCols").map(c => c -> colStats(s":$c")))
         .collect { case (c, Some(s)) => c -> s }
     adds.zipWithIndex.map { case (f, i) =>
       f -> cols.map { case (c, s) => c -> s(i) }.toMap
@@ -120,7 +129,14 @@ object TxLake {
     */
   private def statsJson(active: Seq[(String, Map[String, (Long, Long)])]): String = {
     if (active.isEmpty) return ""
-    val cols = active.map(_._2.keySet).reduce(_ intersect _)
+    val all = active.map(_._2.keySet).reduce(_ intersect _)
+    // "#rows" serializes as its own aligned array (the checkpoint rule
+    // still applies: carried only when EVERY summarized file has a count)
+    val rows =
+      if (all.contains("#rows"))
+        s""","rows":[${active.map(_._2("#rows")._1).mkString(",")}]"""
+      else ""
+    val cols = all - "#rows"
     cols.toSeq.sorted.map { c =>
       val suffix = if (c.isEmpty) "" else s":$c"
       s""","mins$suffix":[${active.map(_._2(c)._1).mkString(",")}],""" +
@@ -129,7 +145,7 @@ object TxLake {
       val named = cols.filter(_.nonEmpty)
       if (named.isEmpty) ""
       else s""","statsCols":[${named.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
-    }
+    } + rows
   }
 
   /** The newest checkpoint at or before `version`, if any:
@@ -251,11 +267,16 @@ object TxLake {
     // open the footers at all. `statsCol` keeps the legacy unnamed slot;
     // `statsCols` adds named per-column arrays for multi-predicate skips.
     val allCols = (Option(statsCol).filter(_.nonEmpty).toSeq ++ statsCols).distinct
+    // ONE metadata-sized aggregation over the just-written files covers
+    // all per-file accounting: row counts ALWAYS (the Delta numRecords
+    // posture — they power metadata-only COUNTs without touching data),
+    // min/max for the declared long columns when requested. The scan
+    // covers only the commit's own delta, never the table.
     val stats: String =
-      if (allCols.isEmpty) ""
+      if (adds.isEmpty) ""
       else {
-        import org.apache.spark.sql.functions.{col, max => smax, min => smin}
-        val aggs = allCols.flatMap(c => Seq(
+        import org.apache.spark.sql.functions.{col, count => scount, lit => slit, max => smax, min => smin}
+        val aggs = scount(slit(1)).as("__n") +: allCols.flatMap(c => Seq(
           smin(col(c)).cast("long").as(s"mn_$c"),
           smax(col(c)).cast("long").as(s"mx_$c")))
         val byFile = spark.read.parquet(dataDir)
@@ -263,13 +284,16 @@ object TxLake {
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map(r => new java.net.URI(r.getString(0)).getPath ->
-            allCols.zipWithIndex.map { case (c, i) =>
-              c -> ((r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-            }.toMap).toMap
+            ((r.getLong(1), allCols.zipWithIndex.map { case (c, i) =>
+              c -> ((r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
+            }.toMap))).toMap
+        // a zero-row part file groups to nothing: it counts 0 rows and
+        // carries never-matching (max, min) stats — pruning it is always
+        // sound because it has no rows to miss
         val aligned = adds.map(f => byFile.getOrElse(f,
-          sys.error(s"no stats computed for $f")))
+          (0L, allCols.map(c => c -> ((Long.MaxValue, Long.MinValue))).toMap)))
         def arr(c: String, pick: ((Long, Long)) => Long): String =
-          aligned.map(m => pick(m(c))).mkString(",")
+          aligned.map(m => pick(m._2(c))).mkString(",")
         val legacy =
           if (statsCol.isEmpty) ""
           else s""","statsCol":"$statsCol","mins":[${arr(statsCol, _._1)}],""" +
@@ -279,7 +303,7 @@ object TxLake {
           else statsCols.map(c =>
             s""","mins:$c":[${arr(c, _._1)}],"maxs:$c":[${arr(c, _._2)}]""").mkString("") +
             s""","statsCols":[${statsCols.map("\"" + _ + "\"").mkString(",")}]"""
-        legacy + named
+        legacy + named + s""","rows":[${aligned.map(_._1).mkString(",")}]"""
       }
     // 3. publish: write content to a tmp file, atomically swap onto the
     //    reservation
@@ -574,16 +598,90 @@ object TxLake {
     }
     require(adds.forall(p => !p.contains("\"") && !p.contains("\\")),
       "data paths must be JSON-safe")
+    // row accounting for the rewritten files (see commit): one
+    // metadata-sized count over the swap's own delta
+    val rows: String =
+      if (adds.isEmpty) ""
+      else {
+        import org.apache.spark.sql.functions.{col, count => scount, lit => slit}
+        val byFile = spark.read.parquet(dataDir)
+          .groupBy(col("_metadata.file_path").as("f"))
+          .agg(scount(slit(1)).as("n")).collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1))
+          .toMap
+        s""","rows":[${adds.map(f => byFile.getOrElse(f, 0L)).mkString(",")}]"""
+      }
     val json =
       s"""{"version":$next,"tag":"",""" +
         s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]}"""
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]$rows}"""
     val tmp = logDir(path).resolve(f".tmp-$next%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     next
   }
+
+  /** Per-active-file logged row counts at `version`: None for a file whose
+    * committing entry predates row accounting. Pure log parsing — no data
+    * file (or footer) is ever opened.
+    */
+  def fileRowCounts(
+      path: String,
+      version: Long = Long.MaxValue): Seq[(String, Option[Long])] =
+    activeEntries(path, version).map { case (f, st) =>
+      f -> st.get("#rows").map(_._1)
+    }
+
+  /** Metadata-only COUNT(*) at `version`: the sum of the log's per-file
+    * row counts minus deletion-vector-masked rows. The log parse opens no
+    * data file; when DVs are present their O(matches)-sized sidecars are
+    * the only bytes read. None when any active file predates row
+    * accounting (an OPTIMIZE rewrite backfills — its swap commit counts).
+    *
+    * This is the 100 TB answer to `SELECT COUNT(*)`: O(#files) log
+    * arithmetic instead of a table scan, the same contract Delta's
+    * metadata-only query path provides.
+    */
+  def countRows(
+      spark: SparkSession,
+      path: String,
+      version: Long = Long.MaxValue): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val perFile = fileRowCounts(path, version)
+    if (perFile.isEmpty || perFile.exists(_._2.isEmpty)) return None
+    val total = perFile.map(_._2.get).sum
+    val dvs = dvFiles(path, version)
+    val masked =
+      if (dvs.isEmpty) 0L
+      else {
+        // DV sidecars store the scan's file: URI; normalize to the log's
+        // plain-path form and count only positions in still-active files
+        // (stale vectors for rewritten files are inert, as in the
+        // snapshot's anti-join). Masks are distinct by construction —
+        // deleteWhereDv marks from the already-DV-applied view — but
+        // distinct() keeps the count safe regardless.
+        val active = spark.createDataFrame(
+          perFile.map(f => Tuple1(f._1))).toDF("p")
+        spark.read.parquet(dvs: _*)
+          .select(regexp_replace(col("file"), "^file:/+", "/").as("p"),
+            col("pos")).distinct()
+          .join(active, Seq("p"), "left_semi")
+          .count()
+      }
+    Some(total - masked)
+  }
+
+  /** Per-commit (version, tag, rows-added) from the log — the commit-level
+    * row accounting view. Entries summarized away by a checkpoint are not
+    * visible; metadata-only commits report 0.
+    */
+  def commitAddCounts(path: String): Seq[(Long, String, Long)] =
+    entries(path).map { case (v, json) =>
+      val tag = """"tag":"([^"]*)"""".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse("")
+      (v, tag, jsonList(json, "rows").map(_.toLong).sum)
+    }
 
   /** Snapshot read at `version` (default latest). */
   def readSnapshot(

@@ -535,4 +535,34 @@ class TxLakeSpec extends SparkSuite {
     val bp = TxLake.branch(lake, "dv")
     assert(ids(TxLake.readSnapshot(spark, bp)) == Set(1L, 3L))
   }
+
+  test("countRows is metadata-only and DV/rewrite/checkpoint-exact") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1L to 10L: _*), tag = "b1")
+    TxLake.commit(spark, lake, df(11L to 15L: _*), tag = "b2")
+    assert(TxLake.countRows(spark, lake) == Some(15L))
+    assert(TxLake.countRows(spark, lake, 1L) == Some(10L))
+    assert(TxLake.commitAddCounts(lake).map(t => (t._1, t._2, t._3)) ==
+      Seq((1L, "b1", 10L), (2L, "b2", 5L)))
+    // DV masks subtract without opening data files
+    TxLake.deleteWhereDv(spark, lake, col("id") % 2L === 0L)
+    assert(TxLake.countRows(spark, lake) == Some(8L))
+    // copy-on-write rewrite re-counts its replacement files
+    TxLake.deleteWhere(spark, lake, col("id") === 1L)
+    assert(TxLake.countRows(spark, lake) == Some(7L))
+    // checkpoint + branch carry the per-file counts
+    TxLake.checkpoint(lake)
+    assert(TxLake.replayCount(lake) == 0)
+    assert(TxLake.countRows(spark, lake) == Some(7L))
+    val bp = TxLake.branch(lake, "cnt")
+    assert(TxLake.countRows(spark, bp) == Some(7L))
+    // the decisive metadata-only proof: move every data file away — the
+    // count still answers (DV sidecars stay: they are the one set of
+    // bytes the contract does read)
+    val hidden = java.nio.file.Paths.get(lake, "data_hidden")
+    Files.move(java.nio.file.Paths.get(lake, "data"), hidden)
+    try assert(TxLake.countRows(spark, lake) == Some(7L),
+      "countRows must not open data files")
+    finally Files.move(hidden, java.nio.file.Paths.get(lake, "data"))
+  }
 }
