@@ -3387,6 +3387,34 @@ object SparkEntry {
       .toDF("slice", "n").orderBy(col("slice"))
   }
 
+  /** Zero-copy RESTORE ([[TxLake.restore]]): a bad load (negated prices)
+    * lands as v4; RESTORE TO v2 rolls the table back in one log-only
+    * commit — no data movement (TxLakeSpec proves byte-stillness), the
+    * rolled-back span stays time-travelable, and a copy-on-write DELETE
+    * between the restore point and the bad load is correctly undone too.
+    * The gate reads BOTH the restored head and the pre-restore v4 state,
+    * proving history survives the rollback.
+    */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q213")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val o = T(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 3 === 0).coalesce(2))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 3 === 1).coalesce(2))
+    TxLake.deleteWhere(s, lake, col("o_totalprice") > lit(200000.0))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 3 === 2)
+      .withColumn("o_totalprice", -col("o_totalprice")).coalesce(2))
+    TxLake.restore(lake, 2L)
+    def agg(df: DataFrame, tag: String): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("total"))
+      .withColumn("snap", lit(tag))
+    agg(TxLake.readSnapshot(s, lake), "restored_head")
+      .unionByName(agg(TxLake.readSnapshot(s, lake, 4L), "pre_restore_v4"))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4039,6 +4067,7 @@ object SparkEntry {
     "q210_set_similarity" -> (q210 _),
     "q211_line_dedup" -> (q211 _),
     "q212_log_count" -> (q212 _),
+    "q213_restore" -> (q213 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4358,6 +4387,10 @@ object SparkEntry {
     // so the oracle deliberately ignores it
     "q210_set_similarity" ->
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, list_sort(list_distinct(docwords(text))) AS toks FROM documents WHERE doc_id < 500), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jac FROM w a JOIN w b ON a.doc_id < b.doc_id) SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9 ORDER BY id_a, id_b""",
+    // restored head = the first two thirds untouched; pre-restore v4 =
+    // those thirds after the price-cap DELETE plus the negated bad load
+    "q213_restore" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), head AS (SELECT 'restored_head' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM base WHERE o_orderkey % 3 IN (0, 1) GROUP BY o_orderstatus), v4 AS (SELECT 'pre_restore_v4' AS snap, o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM (SELECT o_orderstatus, o_totalprice FROM base WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice <= 200000.0 UNION ALL SELECT o_orderstatus, -o_totalprice FROM base WHERE o_orderkey % 3 = 2) GROUP BY o_orderstatus) SELECT snap, o_orderstatus, n, total FROM head UNION ALL SELECT snap, o_orderstatus, n, total FROM v4 ORDER BY snap, o_orderstatus""",
     // metadata-only counts: per-commit slices replay as plain GROUP BY
     // counts, the erasure total as the kept-rows count (DV deletes where
     // TRUE; <= keeps the false side, and the column is non-null here)

@@ -622,6 +622,57 @@ object TxLake {
     next
   }
 
+  /** RESTORE the table to its state at `toVersion` as a NEW atomic commit
+    * (the Delta `RESTORE TABLE ... TO VERSION AS OF` rollback): the next
+    * log entry re-ADDS the files that were active then but aren't now and
+    * REMOVES the ones that are now active but weren't then — zero bytes of
+    * data move, so restoring a 100 TB table costs one log write. History
+    * stays intact: time travel to any version, including the rolled-back
+    * span, still works, and the restore itself is just another version
+    * (re-restorable, vacuum-protected like any active set). Re-added
+    * files carry their original skipping stats and row counts forward.
+    *
+    * Guards (require, not silent wrong answers): deletion vectors and
+    * schema ops are table-global accumulations in this log format, so a
+    * restore across a DV or schema-op commit would replay the NEWER masks
+    * and ops against the OLDER file set — run OPTIMIZE (materializing
+    * vectors) or restore to a point at/after those commits instead.
+    * Restoring to the current state is a no-op and commits nothing.
+    */
+  def restore(path: String, toVersion: Long): Long = {
+    val cur = latestVersion(path)
+    require(toVersion <= cur, s"cannot restore to unwritten version $toVersion")
+    val target = activeEntries(path, toVersion)
+    require(target.nonEmpty, s"no committed data at or before version $toVersion")
+    require(dvFiles(path, cur) == dvFiles(path, toVersion),
+      "deletion vectors changed since the restore point — OPTIMIZE to " +
+        "materialize them, or restore to a later version")
+    require(schemaOps(path, cur) == schemaOps(path, toVersion),
+      "schema evolved since the restore point — restore to a later version")
+    val curActive = activeFiles(path, cur).toSet
+    val targetSet = target.map(_._1).toSet
+    val readds = target.filterNot(t => curActive.contains(t._1))
+    val removes = (curActive -- targetSet).toSeq.sorted
+    if (readds.isEmpty && removes.isEmpty) return cur
+    val next = cur + 1
+    Files.createDirectories(logDir(path))
+    val log = logFile(path, next)
+    try Files.createFile(log)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(next)
+    }
+    val json =
+      s"""{"version":$next,"tag":"",""" +
+        s""""adds":[${readds.map("\"" + _._1 + "\"").mkString(",")}],""" +
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]${statsJson(readds)}}"""
+    val tmp = logDir(path).resolve(f".tmp-$next%08d")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
   /** Per-active-file logged row counts at `version`: None for a file whose
     * committing entry predates row accounting. Pure log parsing — no data
     * file (or footer) is ever opened.

@@ -536,6 +536,40 @@ class TxLakeSpec extends SparkSuite {
     assert(ids(TxLake.readSnapshot(spark, bp)) == Set(1L, 3L))
   }
 
+  test("restore rolls back zero-copy; history, guards and accounting intact") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2))                     // v1
+    TxLake.commit(spark, lake, df(3))                        // v2
+    TxLake.deleteWhere(spark, lake, col("id") === 2L)        // v3 rewrite
+    TxLake.commit(spark, lake, df(9))                        // v4
+    def mtimes() = {
+      val s = Files.walk(java.nio.file.Paths.get(lake, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+      } finally s.close()
+    }
+    val before = mtimes()
+    assert(TxLake.restore(lake, 2L) == 5L)
+    assert(mtimes() == before, "restore must not move a byte of data")
+    assert(!Files.exists(java.nio.file.Paths.get(lake, "data", "v5")),
+      "restore writes no data directory")
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 3L))
+    // the rolled-back span is still time-travelable
+    assert(ids(TxLake.readSnapshot(spark, lake, 4L)) == Set(1L, 3L, 9L))
+    assert(TxLake.countRows(spark, lake) == Some(3L),
+      "re-added files must carry their row counts forward")
+    // restoring to the current state is a no-op
+    assert(TxLake.restore(lake, 5L) == 5L)
+    // a restore ACROSS a deletion-vector commit is rejected, not wrong
+    TxLake.deleteWhereDv(spark, lake, col("id") === 1L)      // v6
+    intercept[IllegalArgumentException](TxLake.restore(lake, 2L))
+    // the table stays fully operable after a restore
+    TxLake.commit(spark, lake, df(7))                        // v7
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(2L, 3L, 7L))
+  }
+
   test("countRows is metadata-only and DV/rewrite/checkpoint-exact") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1L to 10L: _*), tag = "b1")
