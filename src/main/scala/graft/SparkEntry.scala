@@ -3415,6 +3415,37 @@ object SparkEntry {
       .orderBy(col("snap"), col("o_orderstatus"))
   }
 
+  /** Per-file BLOOM index ([[TxLake.buildBloomIndex]]): the third
+    * skipping layer beside range stats and the exact key index, sized
+    * O(#files × bits/64) instead of O(distinct keys). The table is
+    * deliberately hash-SCATTERED (round-robin splits, so every file's
+    * [min,max] spans the whole key range and min/max stats prune
+    * nothing); the bloom still routes each point lookup to the files
+    * that can contain it — the gate requires real pruning happened —
+    * and the exact filter on top removes any false positive, so the
+    * result is exact regardless.
+    */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q214")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val idx = s"$lake-idx"
+    graft.sources.LocalFs.deleteRecursively(idx)
+    val o = T(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 2 === 0).repartition(3))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 2 === 1).repartition(3))
+    TxLake.buildBloomIndex(s, lake, "o_orderkey", idx)
+    val keys = o.orderBy(col("o_orderkey").desc).limit(3)
+      .select(col("o_orderkey"))
+    val cand = TxLake.filesForKeysBloom(s, lake, idx, keys)
+    val totalFiles = TxLake.fileRowCounts(lake).size
+    require(cand.size < totalFiles,
+      s"bloom must prune: $cand of $totalFiles files")
+    TxLake.readByKeysBloom(s, lake, idx, keys)
+      .join(broadcast(keys), Seq("o_orderkey"), "left_semi")
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4068,6 +4099,7 @@ object SparkEntry {
     "q211_line_dedup" -> (q211 _),
     "q212_log_count" -> (q212 _),
     "q213_restore" -> (q213 _),
+    "q214_bloom_index" -> (q214 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4387,6 +4419,8 @@ object SparkEntry {
     // so the oracle deliberately ignores it
     "q210_set_similarity" ->
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, list_sort(list_distinct(docwords(text))) AS toks FROM documents WHERE doc_id < 500), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jac FROM w a JOIN w b ON a.doc_id < b.doc_id) SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9 ORDER BY id_a, id_b""",
+    "q214_bloom_index" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 3) ORDER BY o_orderkey""",
     // restored head = the first two thirds untouched; pre-restore v4 =
     // those thirds after the price-cap DELETE plus the negated bad load
     "q213_restore" ->

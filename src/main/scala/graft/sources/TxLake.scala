@@ -862,6 +862,103 @@ object TxLake {
       .drop("__dv_file", "__dv_pos")
   }
 
+  /** Build a per-file BLOOM FILTER index over the current snapshot: for
+    * each active data file, a `bits`-wide bloom of its `keyCol` values
+    * (each key sets `probes` positions), packed into 64-bit words with
+    * only non-zero words stored. The third skipping layer beside range
+    * stats ([[readPruned]]) and the exact key index ([[buildKeyIndex]]):
+    * on a hash-scattered table where min/max prune nothing, the bloom
+    * answers "which files can hold key k" in O(#files × bits/64) index
+    * bytes — constant per file regardless of key cardinality, where the
+    * exact index costs O(distinct keys). False positives only cost an
+    * extra file open (the exact filter still runs on top); false
+    * negatives are impossible. Version-pinned like the key index.
+    */
+  def buildBloomIndex(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      indexPath: String,
+      bits: Int = 65536,
+      probes: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{bit_or, col, explode, expr, lit,
+      pmod, sequence, shiftright, xxhash64}
+    require(bits % 64 == 0 && bits > 0, "bits must be a positive multiple of 64")
+    require(probes >= 1, "need at least one probe position")
+    val v = latestVersion(path)
+    val files = activeFiles(path, v)
+    require(files.nonEmpty, "nothing to index")
+    spark.read.parquet(files: _*)
+      .select(col(keyCol).as("key"), expr("_metadata.file_path").as("f"))
+      .select(col("f"), col("key"),
+        explode(sequence(lit(0), lit(probes - 1))).as("j"))
+      .select(col("f"),
+        pmod(xxhash64(col("key"), col("j")), lit(bits.toLong)).as("pos"))
+      .distinct()
+      .select(col("f"), shiftright(col("pos"), 6).as("word"),
+        expr("shiftleft(1L, cast(pmod(pos, 64) as int))").as("m"))
+      .groupBy(col("f"), col("word"))
+      .agg(bit_or(col("m")).as("bits"))
+      .write.mode("overwrite").parquet(s"$indexPath/bloom")
+    Files.writeString(Paths.get(s"$indexPath/VERSION"), s"$v $bits $probes")
+    v
+  }
+
+  /** The data files whose blooms contain ALL probe positions of at least
+    * one probed key (plain paths, sorted) — the candidate set a bloom
+    * lookup opens. Exposed for skip-ratio assertions.
+    */
+  def filesForKeysBloom(
+      spark: SparkSession,
+      path: String,
+      indexPath: String,
+      keys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{bit_or, broadcast, col, count,
+      explode, expr, lit, pmod, sequence, shiftright, xxhash64}
+    val meta = Files.readString(Paths.get(s"$indexPath/VERSION")).trim.split(" ")
+    val (v, bits, probes) = (meta(0).toLong, meta(1).toInt, meta(2).toInt)
+    require(v == latestVersion(path),
+      s"bloom index is stale (indexed v$v, table at v${latestVersion(path)}) — rebuild")
+    // per (key, word): the required mask (several probes can share a word)
+    val req = keys.select(col(keys.columns.head).as("key")).distinct()
+      .select(col("key"), explode(sequence(lit(0), lit(probes - 1))).as("j"))
+      .select(col("key"),
+        pmod(xxhash64(col("key"), col("j")), lit(bits.toLong)).as("pos"))
+      .distinct()
+      .select(col("key"), shiftright(col("pos"), 6).as("word"),
+        expr("shiftleft(1L, cast(pmod(pos, 64) as int))").as("m"))
+      .groupBy(col("key"), col("word"))
+      .agg(bit_or(col("m")).as("need"))
+      .localCheckpoint(true)
+    val nWords = req.groupBy(col("key")).agg(count(lit(1)).as("nw"))
+    // a file qualifies for a key iff EVERY required word is present with
+    // all its bits — a missing (sparse-zero) index word fails the count
+    spark.read.parquet(s"$indexPath/bloom")
+      .join(broadcast(req), Seq("word"))
+      .filter((col("bits").bitwiseAND(col("need"))) === col("need"))
+      .groupBy(col("f"), col("key"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(nWords), Seq("key"))
+      .filter(col("hits") === col("nw"))
+      .select(col("f")).distinct().collect().map(_.getString(0))
+      .toSeq.sorted.map(p => new java.net.URI(p).getPath)
+  }
+
+  /** Point-lookup read through the bloom index: only candidate files are
+    * opened (DV-masked and schema-evolved like any snapshot read); the
+    * caller's exact key filter on top removes bloom false positives.
+    */
+  def readByKeysBloom(
+      spark: SparkSession,
+      path: String,
+      indexPath: String,
+      keys: DataFrame): DataFrame = {
+    val fs = filesForKeysBloom(spark, path, indexPath, keys)
+    require(fs.nonEmpty, "no file can contain any probed key")
+    maskedRead(spark, path, latestVersion(path), fs)
+      .drop("__dv_file", "__dv_pos")
+  }
+
   /** Row-level DELETE as a DELETION VECTOR — the merge-on-read
     * alternative to [[deleteWhere]]'s copy-on-write rewrite (the
     * Delta/Iceberg "deletion vectors" / "positional delete files"

@@ -536,6 +536,30 @@ class TxLakeSpec extends SparkSuite {
     assert(ids(TxLake.readSnapshot(spark, bp)) == Set(1L, 3L))
   }
 
+  test("bloom index: lookups open only candidate files; stale index rejected") {
+    val lake = tmp()
+    val idx = tmp() + "_bidx"
+    TxLake.commit(spark, lake, df(1L to 100L: _*))
+    TxLake.commit(spark, lake, df(101L to 200L: _*))
+    TxLake.commit(spark, lake, df(201L to 300L: _*))
+    TxLake.buildBloomIndex(spark, lake, "id", idx)
+    import spark.implicits._
+    val probe = Seq(150L).toDF("id")
+    val cand = TxLake.filesForKeysBloom(spark, lake, idx, probe)
+    // 64k-bit blooms over 100 keys: the false-positive odds for the other
+    // two files are ~(1e-4)^5 — candidate = exactly the containing file
+    assert(cand.size == 1 && cand.head.contains("/data/v2/"),
+      s"only v2's file holds key 150; got $cand")
+    assert(ids(TxLake.readByKeysBloom(spark, lake, idx, probe)
+      .filter(col("id") === 150L)) == Set(150L))
+    // absent key: no file qualifies
+    assert(TxLake.filesForKeysBloom(spark, lake, idx, Seq(999L).toDF("id")).isEmpty)
+    // the index pins the build version: any commit staleness rejects
+    TxLake.commit(spark, lake, df(301L))
+    intercept[IllegalArgumentException](
+      TxLake.filesForKeysBloom(spark, lake, idx, probe))
+  }
+
   test("restore rolls back zero-copy; history, guards and accounting intact") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1, 2))                     // v1
