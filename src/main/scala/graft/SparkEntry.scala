@@ -3446,6 +3446,22 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** ANN recall evaluation ([[Similarity.annRecall]]): LSH top-10 scored
+    * against the brute-force exact top-10 — the measurement that decides
+    * whether an index configuration's speed/recall trade is shippable.
+    * The oracle replays BOTH retrievals (plane-literal LSH bands + exact
+    * ranking) and the per-query overlap, so the recall numbers themselves
+    * are hash-exact.
+    */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.annRecall(
+      Similarity.annLsh(emb, q, "vec_id", "embedding", 64, 10),
+      Similarity.knnBrute(emb, q, "vec_id", "embedding", 10))
+      .orderBy(col("qid"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4100,6 +4116,7 @@ object SparkEntry {
     "q212_log_count" -> (q212 _),
     "q213_restore" -> (q213 _),
     "q214_bloom_index" -> (q214 _),
+    "q215_ann_recall" -> (q215 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4421,6 +4438,10 @@ object SparkEntry {
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, list_sort(list_distinct(docwords(text))) AS toks FROM documents WHERE doc_id < 500), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jac FROM w a JOIN w b ON a.doc_id < b.doc_id) SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9 ORDER BY id_a, id_b""",
     "q214_bloom_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 3) ORDER BY o_orderkey""",
+    // both retrievals replayed (q26's exact rank, q27's banded LSH at
+    // k=10), then the per-query overlap — recall itself is hash-exact
+    "q215_ann_recall" ->
+      s"""$VEC_MACROS; WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qv, e.embedding) AS cos FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), ex AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s) WHERE rnk <= 10), sigs AS (SELECT vec_id, embedding, ${sigExpr(0)} AS b0, ${sigExpr(8)} AS b1 FROM embeddings), cand AS (SELECT DISTINCT qc.vec_id AS qid, e.vec_id AS nid, round(pcos(qc.embedding, e.embedding), 4) AS cos_r FROM sigs qc JOIN sigs e ON (qc.b0 = e.b0 OR qc.b1 = e.b1) AND qc.vec_id <> e.vec_id WHERE qc.vec_id < 10), ap AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM cand) WHERE rnk <= 10) SELECT ex.qid, COUNT(*) AS n_exact, CAST(COUNT(ap.nid) AS BIGINT) AS n_hit, round(COUNT(ap.nid) / CAST(COUNT(*) AS DOUBLE), 6) AS recall FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid GROUP BY ex.qid ORDER BY ex.qid""",
     // restored head = the first two thirds untouched; pre-restore v4 =
     // those thirds after the price-cap DELETE plus the negated bad load
     "q213_restore" ->

@@ -121,6 +121,25 @@ object Similarity {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** ANN evaluation harness — recall@k of an approximate top-k result
+    * against the exact ground truth, both in the `(qid, rnk, nid)` shape
+    * every search operator here emits. The metric that decides whether an
+    * index's speed/recall trade is shippable (tune bands/probes until the
+    * measured recall holds). One broadcast-sized join on the k×queries
+    * result rows — evaluation cost never touches the corpus.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("qid"), col("nid"))
+    val ap = approx.select(col("qid"), col("nid"), lit(1L).as("__hit"))
+    ex.join(ap, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** K-means coarse quantizer: deterministic init (first `k` vectors by
     * id), fixed Lloyd iterations. Each iteration is one corpus scan
     * (centroids broadcast into the assignment) + one shuffle for the

@@ -29,6 +29,18 @@ class SimilaritySpec extends SparkSuite {
     assert(top.getAs[Long]("nid") == 100000L)
   }
 
+  test("annRecall: per-query overlap over the exact denominator") {
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("qid", "rnk", "nid")
+    val approx = Seq((1L, 1, 11L), (1L, 2, 99L), (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("qid", "rnk", "nid")
+    val r = Similarity.annRecall(approx, exact)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 0.5)), "one of two exact hits found")
+    assert(r(2L) == ((2L, 2L, 1.0)), "full recall; approx extras don't inflate")
+  }
+
   test("annLsh finds the planted duplicate (same LSH buckets by construction)") {
     val emb = Tables.load(spark, sf, "embeddings").limit(200)
     val planted = emb.filter(col("vec_id") === 0)
