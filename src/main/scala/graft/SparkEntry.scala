@@ -3462,6 +3462,30 @@ object SparkEntry {
       .orderBy(col("qid"))
   }
 
+  /** Incremental connected components ([[Dedup.updateClusters]]): the
+    * standing cluster assignment (built from the base half of the
+    * edit-distance pair graph) absorbs the delta edges through a
+    * CONTRACTED root graph sized by the batch's touched clusters — the
+    * historical edges are never re-propagated. The oracle is the FULL
+    * recompute (q59's recursive CTE verbatim), so the gate proves
+    * incremental == from-scratch.
+    */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q49(s, dir)
+      .select(col("w_a").as("id_a"), col("w_b").as("id_b"))
+      .localCheckpoint(true)
+    val isBase = col("id_a") < lit("m") && col("id_b") < lit("m")
+    val base = pairs.filter(isBase)
+    val delta = pairs.filter(!isBase)
+    val baseNodes = base.select(col("id_a").as("w"))
+      .unionAll(base.select(col("id_b").as("w"))).distinct()
+    val comp = Dedup.dupClusters(baseNodes, "w", base, maxIter = 30)
+    Dedup.updateClusters(
+      comp.select(col("w").as("node"), col("cluster_rep")), delta, maxIter = 30)
+      .select(col("node").as("w"), col("cluster_rep"))
+      .orderBy(col("w"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4117,6 +4141,7 @@ object SparkEntry {
     "q213_restore" -> (q213 _),
     "q214_bloom_index" -> (q214 _),
     "q215_ann_recall" -> (q215 _),
+    "q216_inc_components" -> (q216 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4278,6 +4303,9 @@ object SparkEntry {
   }
 
   /** Full q188 replay: PQ pipeline + brute-force ADC cosine ranking. */
+  private val wordClustersOracleSql: String =
+    """WITH RECURSIVE v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents), p AS (SELECT a.w AS wa, b.w AS wb FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2), ed AS (SELECT wa AS src, wb AS dst FROM p UNION ALL SELECT wb AS src, wa AS dst FROM p), nodes AS (SELECT DISTINCT src AS node FROM ed), reach(node, label) AS (SELECT node, node FROM nodes UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node) SELECT node AS w, MIN(label) AS cluster_rep FROM reach GROUP BY node ORDER BY w"""
+
   private def pqOracleSql: String =
     s"""$VEC_MACROS; $PQ_MACRO; WITH ${pqCtes()}, scored AS (SELECT q.vec_id AS qid, r.nid, round(pcos(q.embedding, r.rv), 4) AS cos_r FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < 10 AND r.nid <> q.vec_id), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
 
@@ -4532,8 +4560,10 @@ object SparkEntry {
       """WITH bands(band_id, lo, hi) AS (VALUES (1, 0, 30000), (2, 20000, 80000), (3, 75000, 200000), (4, 150000, 400000), (5, 380000, 600000)) SELECT band_id, lo, hi, COUNT(*) AS n_orders, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi GROUP BY band_id, lo, hi ORDER BY band_id""",
     "q58_set_ops" ->
       """SELECT o_custkey, 'both' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') UNION ALL SELECT o_custkey, 'f_only' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') UNION ALL SELECT o_custkey, 'o_only' AS segment FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') ORDER BY segment, o_custkey""",
-    "q59_word_clusters" ->
-      """WITH RECURSIVE v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents), p AS (SELECT a.w AS wa, b.w AS wb FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2), ed AS (SELECT wa AS src, wb AS dst FROM p UNION ALL SELECT wb AS src, wa AS dst FROM p), nodes AS (SELECT DISTINCT src AS node FROM ed), reach(node, label) AS (SELECT node, node FROM nodes UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node) SELECT node AS w, MIN(label) AS cluster_rep FROM reach GROUP BY node ORDER BY w""",
+    "q59_word_clusters" -> wordClustersOracleSql,
+    // incremental maintenance must equal the from-scratch recompute — the
+    // oracle IS q59's full recursive-CTE components, verbatim
+    "q216_inc_components" -> wordClustersOracleSql,
     "q70_array_agg" ->
       """SELECT user_id, COUNT(*) AS n_events, array_to_string((list(event_type ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT), event_id))[1:5], '>') AS first5 FROM events GROUP BY user_id ORDER BY user_id""",
     "q71_event_paths" ->

@@ -64,6 +64,22 @@ class DedupSpec extends SparkSuite {
     assert((1L to 60L).forall(out(_) == 1L))
   }
 
+  test("updateClusters merges standing clusters through the contracted root graph") {
+    // standing: {1,2}→1, {5,6}→5, {9}→9; delta: 2-5 bridges the first two
+    // clusters, 10-11 arrives as an entirely new component
+    val comp = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("node", "cluster_rep")
+    val delta = Seq((2L, 5L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.updateClusters(comp, delta)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 9L,
+      10L -> 10L, 11L -> 10L))
+    // an intra-cluster delta edge contracts to a self-loop: no-op
+    val same = Dedup.updateClusters(comp, Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(same == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("ngram jaccard ranks the exact duplicate pair first") {
     val top = Dedup.ngramJaccardTopPairs(docs, "doc_id", "text", topK = 10).head()
     assert(top.getAs[Long]("id_a") == 1L)
