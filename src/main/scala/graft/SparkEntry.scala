@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Medallion, Multimodal, Relational, Similarity}
+import graft.operators.{Dedup, Medallion, Multimodal, Quality, Relational, Similarity}
 import graft.sources.{PartitionedLake, Tables, TxLake, VersionedLake}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -3486,6 +3486,22 @@ object SparkEntry {
       .orderBy(col("w"))
   }
 
+  /** K-anonymity suppression ([[Quality.kAnonymize]]): customers whose
+    * (nation, segment) equivalence class has fewer than k=5 members get
+    * the quasi identifiers cell-suppressed to `*` before release — no
+    * published combination isolates fewer than 5 people. Class sizes come
+    * from one metadata-sized aggregation broadcast back over the rows;
+    * the aggregate view groups the released table for the oracle.
+    */
+  private def q217(s: SparkSession, dir: String): DataFrame =
+    Quality.kAnonymize(
+      T(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal")),
+      Seq("c_nationkey", "c_mktsegment"), k = 5)
+      .groupBy(col("c_nationkey_anon"), col("c_mktsegment_anon"), col("suppressed"))
+      .agg(count(lit(1)).as("n"), sumx(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_nationkey_anon"), col("c_mktsegment_anon"))
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4142,6 +4158,7 @@ object SparkEntry {
     "q214_bloom_index" -> (q214 _),
     "q215_ann_recall" -> (q215 _),
     "q216_inc_components" -> (q216 _),
+    "q217_k_anonymize" -> (q217 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4466,6 +4483,8 @@ object SparkEntry {
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, list_sort(list_distinct(docwords(text))) AS toks FROM documents WHERE doc_id < 500), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jac FROM w a JOIN w b ON a.doc_id < b.doc_id) SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9 ORDER BY id_a, id_b""",
     "q214_bloom_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 3) ORDER BY o_orderkey""",
+    "q217_k_anonymize" ->
+      """WITH sz AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cn FROM customer GROUP BY 1, 2), a AS (SELECT CASE WHEN cn >= 5 THEN CAST(c.c_nationkey AS VARCHAR) ELSE '*' END AS c_nationkey_anon, CASE WHEN cn >= 5 THEN c.c_mktsegment ELSE '*' END AS c_mktsegment_anon, cn < 5 AS suppressed, c.c_acctbal FROM customer c JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment) SELECT c_nationkey_anon, c_mktsegment_anon, suppressed, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal FROM a GROUP BY 1, 2, 3 ORDER BY c_nationkey_anon, c_mktsegment_anon""",
     // both retrievals replayed (q26's exact rank, q27's banded LSH at
     // k=10), then the per-query overlap — recall itself is hash-exact
     "q215_ann_recall" ->

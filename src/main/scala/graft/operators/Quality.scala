@@ -65,4 +65,33 @@ object Quality {
     (df.filter(passAll),
       df.filter(!passAll).withColumn("reasons", reasons))
   }
+
+  /** K-ANONYMITY suppression — the privacy release gate for quasi-
+    * identifier columns: a row's quasi values are published only when its
+    * equivalence class (the exact quasi-tuple) has at least `k` members;
+    * smaller classes get every quasi column masked to `*` (cell
+    * suppression), so no published combination isolates fewer than `k`
+    * people. Non-quasi columns ride through untouched.
+    *
+    * Plan shape: one aggregation builds the class-size table (bounded by
+    * the quasi domain, metadata-sized next to the facts), broadcast back
+    * onto the rows — never a window over the corpus. A row with any NULL
+    * quasi value is always suppressed (the equality join can't credit it
+    * to a class, and a null identifier isn't publishable anyway).
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, "need quasi columns and k >= 2")
+    val qc = quasiCols.map(col)
+    val sizes = df.groupBy(qc: _*)
+      .agg(count(lit(1)).as("__class_n"))
+    val joined = df.join(broadcast(sizes), quasiCols, "left")
+      .withColumn("__n", coalesce(col("__class_n"), lit(0L)))
+    val out = quasiCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_anon",
+        when(col("__n") >= k, col(c).cast("string")).otherwise(lit("*")))
+    }
+    out
+      .withColumn("suppressed", col("__n") < k)
+      .drop("__class_n" +: "__n" +: quasiCols: _*)
+  }
 }

@@ -117,6 +117,23 @@ class GraphSpec extends SparkSuite {
       "map-side pruning must not change the exact top-k under any partitioning")
   }
 
+  test("kAnonymize suppresses small classes cell-wise, keeps payload columns") {
+    import graft.operators.Quality
+    import spark.implicits._
+    val df = Seq(
+      (1L, "DE", "A", 10.0), (2L, "DE", "A", 20.0),   // class of 2: published
+      (3L, "FR", "B", 30.0)                           // class of 1: suppressed
+    ).toDF("id", "country", "seg", "v")
+    val out = Quality.kAnonymize(df, Seq("country", "seg"), k = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("country_anon"), r.getAs[String]("seg_anon"),
+          r.getAs[Boolean]("suppressed"), r.getAs[Double]("v")))).toMap
+    assert(out(1L) == (("DE", "A", false, 10.0)))
+    assert(out(2L) == (("DE", "A", false, 20.0)))
+    assert(out(3L) == (("*", "*", true, 30.0)),
+      "a singleton class must be masked but keep its payload")
+  }
+
   test("quarantineSplit routes by per-row verdict with three-valued logic") {
     import graft.operators.Quality
     import spark.implicits._
