@@ -3502,6 +3502,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sumx(col("c_acctbal")).as("total_bal"))
       .orderBy(col("c_nationkey_anon"), col("c_mktsegment_anon"))
 
+  /** Weighted quantiles ([[Relational.weightedPercentiles]]): the price
+    * below which 50% / 90% of shipped QUANTITY falls, per return flag —
+    * quantity-weighted, not row-weighted, the distinction that matters
+    * whenever rows carry unequal mass (token counts, bytes, durations).
+    * The threshold comparison is pure integer arithmetic, so the cut is
+    * engine-exact.
+    */
+  private def q218(s: SparkSession, dir: String): DataFrame =
+    Relational.weightedPercentiles(
+      T(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", "l_quantity",
+      "l_orderkey", Seq(50, 90))
+      .orderBy(col("l_returnflag"))
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4159,6 +4172,7 @@ object SparkEntry {
     "q215_ann_recall" -> (q215 _),
     "q216_inc_components" -> (q216 _),
     "q217_k_anonymize" -> (q217 _),
+    "q218_weighted_quantile" -> (q218 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4483,6 +4497,10 @@ object SparkEntry {
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, list_sort(list_distinct(docwords(text))) AS toks FROM documents WHERE doc_id < 500), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jac FROM w a JOIN w b ON a.doc_id < b.doc_id) SELECT id_a, id_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.9 ORDER BY id_a, id_b""",
     "q214_bloom_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 3) ORDER BY o_orderkey""",
+    // lower weighted-quantile: cumulative quantity in (value, tiebreak)
+    // order; the integer-space threshold 100*cumw >= p*W replays exactly
+    "q218_weighted_quantile" ->
+      """WITH b AS (SELECT l_returnflag, l_extendedprice, CAST(l_quantity AS BIGINT) AS w, SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw FROM lineitem) SELECT l_returnflag, MIN(CASE WHEN cw * 100 >= tw * 50 THEN l_extendedprice END) AS p50_w, MIN(CASE WHEN cw * 100 >= tw * 90 THEN l_extendedprice END) AS p90_w, CAST(MAX(tw) AS BIGINT) AS total_weight FROM b GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q217_k_anonymize" ->
       """WITH sz AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS cn FROM customer GROUP BY 1, 2), a AS (SELECT CASE WHEN cn >= 5 THEN CAST(c.c_nationkey AS VARCHAR) ELSE '*' END AS c_nationkey_anon, CASE WHEN cn >= 5 THEN c.c_mktsegment ELSE '*' END AS c_mktsegment_anon, cn < 5 AS suppressed, c.c_acctbal FROM customer c JOIN sz ON c.c_nationkey = sz.c_nationkey AND c.c_mktsegment = sz.c_mktsegment) SELECT c_nationkey_anon, c_mktsegment_anon, suppressed, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal FROM a GROUP BY 1, 2, 3 ORDER BY c_nationkey_anon, c_mktsegment_anon""",
     // both retrievals replayed (q26's exact rank, q27's banded LSH at

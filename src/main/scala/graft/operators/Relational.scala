@@ -217,6 +217,45 @@ object Relational {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact WEIGHTED percentiles per group — the lower weighted-quantile:
+    * the smallest value whose cumulative weight reaches p% of the group's
+    * total weight (e.g. "the price below which 90% of shipped QUANTITY
+    * falls", not 90% of line rows). Thresholds compare in pure integer
+    * space (`100·cumw ≥ p·W`), so the boundary is engine-exact — no
+    * double multiplication anywhere near the cut.
+    *
+    * Shape: one per-group window cumsum ordered by (value, tieBreak) plus
+    * a metadata-sized total joined back — [[discretePercentiles]]'s
+    * discipline with weights. Weights must be non-negative integers
+    * (cast-checked).
+    */
+  def weightedPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      tieBreak: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be integer percentages in [1, 100]")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(valueCol), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(groupCol)
+    val base = df.select(col(groupCol), col(valueCol), col(tieBreak),
+      col(weightCol).cast("long").as("__w"))
+    // group total via a whole-partition window: same partitioning as the
+    // cumsum (one shuffle serves both), and no self-join lineage
+    val cum = base
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .withColumn("__W", sum(col("__w")).over(whole))
+    val aggs = percents.map { p =>
+      min(when(col("__cw") * 100 >= col("__W") * p, col(valueCol)))
+        .as(s"p${p}_w")
+    } :+ max(col("__W")).as("total_weight")
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact distinct entities over a trailing window of `windowBuckets`
     * time buckets, reported per observed bucket.
     *

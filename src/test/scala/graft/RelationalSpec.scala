@@ -90,6 +90,19 @@ class RelationalSpec extends SparkSuite {
     assert(out.getAs[Long]("n") == 100L)
   }
 
+  test("weightedPercentiles cuts on cumulative weight, not row count") {
+    // values 1..4 with weights 1,1,1,7: total 10 — the row-median is 2.5
+    // territory but 50% of the WEIGHT is only reached at value 4
+    val df = Seq(("g", 1.0, 1L, 1L), ("g", 2.0, 1L, 2L),
+      ("g", 3.0, 1L, 3L), ("g", 4.0, 7L, 4L)).toDF("g", "v", "w", "id")
+    val out = Relational.weightedPercentiles(df, "g", "v", "w", "id", Seq(30, 50, 90))
+      .head()
+    assert(out.getAs[Double]("p30_w") == 3.0, "cum 3 of 10 at value 3")
+    assert(out.getAs[Double]("p50_w") == 4.0)
+    assert(out.getAs[Double]("p90_w") == 4.0)
+    assert(out.getAs[Long]("total_weight") == 10L)
+  }
+
   test("skewReport flags only hot keys with the right salt factor") {
     val df = (Seq.fill(1000)("hot") ++ Seq.fill(150)("warm") ++ Seq.fill(10)("cold"))
       .toDF("k")
