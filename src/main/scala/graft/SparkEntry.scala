@@ -3515,6 +3515,22 @@ object SparkEntry {
       "l_orderkey", Seq(50, 90))
       .orderBy(col("l_returnflag"))
 
+  /** STREAMING incremental components
+    * ([[graft.streaming.StreamVerify.componentsMaintenance]]): the
+    * edit-distance pair graph arrives as 3 micro-batches; each folds into
+    * the standing assignment through the contracted root graph and lands
+    * as a tagged exactly-once overwrite commit. Union-find merging
+    * commutes, so the batch-split result equals the one-shot recompute —
+    * the oracle is q59's full recursive CTE, shared verbatim (the q189/
+    * q200 proof pattern applied to graph maintenance).
+    */
+  private def q219(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.componentsMaintenance(
+      s, q49(s, dir).select(col("w_a").as("id_a"), col("w_b").as("id_b")),
+      scratch(dir, "q219"))
+      .select(col("node").as("w"), col("cluster_rep"))
+      .orderBy(col("w"))
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -3968,7 +3984,8 @@ object SparkEntry {
     "q135_stream_update_sessions", "q142_stream_append_sessions",
     "q165_stream_cdc_apply", "q171_stream_full_outer",
     "q180_stream_resume", "q185_stream_cms",
-    "q200_stream_bitmap", "q206_stream_dv_erasure")
+    "q200_stream_bitmap", "q206_stream_dv_erasure",
+    "q219_stream_components")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -4173,6 +4190,7 @@ object SparkEntry {
     "q216_inc_components" -> (q216 _),
     "q217_k_anonymize" -> (q217 _),
     "q218_weighted_quantile" -> (q218 _),
+    "q219_stream_components" -> (q219 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4601,6 +4619,9 @@ object SparkEntry {
     // incremental maintenance must equal the from-scratch recompute — the
     // oracle IS q59's full recursive-CTE components, verbatim
     "q216_inc_components" -> wordClustersOracleSql,
+    // ... and so must the STREAMING batch-split maintenance (union-find
+    // merging commutes across micro-batch boundaries)
+    "q219_stream_components" -> wordClustersOracleSql,
     "q70_array_agg" ->
       """SELECT user_id, COUNT(*) AS n_events, array_to_string((list(event_type ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT), event_id))[1:5], '>') AS first5 FROM events GROUP BY user_id ORDER BY user_id""",
     "q71_event_paths" ->
