@@ -3531,6 +3531,18 @@ object SparkEntry {
       .select(col("node").as("w"), col("cluster_rep"))
       .orderBy(col("w"))
 
+  /** Greedy longest-match tokenizer apply
+    * ([[graft.operators.TextPipeline.tokenizeGreedy]]): top-15 corpus
+    * words + the single-character alphabet as the vocabulary, each
+    * distinct word consumed by maximal munch — the corpus-scale
+    * tokenization step, run at vocabulary size and joined back by word.
+    * The oracle unrolls every greedy step as correlated longest-prefix
+    * subqueries, so each token sequence replays exactly.
+    */
+  private def q220(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.tokenizeGreedy(T(s, dir, "documents"), "text")
+      .orderBy(col("w"))
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4191,6 +4203,7 @@ object SparkEntry {
     "q217_k_anonymize" -> (q217 _),
     "q218_weighted_quantile" -> (q218 _),
     "q219_stream_components" -> (q219 _),
+    "q220_tokenize" -> (q220 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4352,6 +4365,27 @@ object SparkEntry {
   }
 
   /** Full q188 replay: PQ pipeline + brute-force ADC cosine ranking. */
+  /** Greedy tokenizer replay: 10 unrolled maximal-munch steps (longest
+    * word is 8 chars; the extra steps are no-ops on an empty suffix),
+    * each taking the longest vocabulary prefix via a correlated arg_max —
+    * ties are impossible (equal-length prefixes of one string are equal).
+    */
+  private val tokenizeOracleSql: String = {
+    val steps = (1 to 10).map(i =>
+      s", s$i AS (SELECT w, freq, CASE WHEN rest = '' THEN rest ELSE " +
+        "substr(rest, length((SELECT arg_max(t, length(t)) FROM vocab WHERE starts_with(rest, t))) + 1) END AS rest, " +
+        "CASE WHEN rest = '' THEN toks ELSE " +
+        "list_append(toks, (SELECT arg_max(t, length(t)) FROM vocab WHERE starts_with(rest, t))) END AS toks " +
+        s"FROM s${i - 1})").mkString("")
+    """WITH freq AS (SELECT w, COUNT(*) AS freq FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents) GROUP BY w), """ +
+      "top AS (SELECT w AS t FROM freq ORDER BY freq DESC, w LIMIT 15), " +
+      "chars AS (SELECT DISTINCT substr(w, ci + 1, 1) AS t FROM freq, LATERAL (SELECT unnest(range(length(w))) AS ci) u), " +
+      "vocab AS (SELECT DISTINCT t FROM (SELECT t FROM top UNION ALL SELECT t FROM chars)), " +
+      "s0 AS (SELECT w, freq, w AS rest, CAST([] AS VARCHAR[]) AS toks FROM freq)" +
+      steps +
+      " SELECT w, freq, CAST(len(toks) AS BIGINT) AS n_tokens, array_to_string(toks, '|') AS tokens FROM s10 ORDER BY w"
+  }
+
   private val wordClustersOracleSql: String =
     """WITH RECURSIVE v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents), p AS (SELECT a.w AS wa, b.w AS wb FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2), ed AS (SELECT wa AS src, wb AS dst FROM p UNION ALL SELECT wb AS src, wa AS dst FROM p), nodes AS (SELECT DISTINCT src AS node FROM ed), reach(node, label) AS (SELECT node, node FROM nodes UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node) SELECT node AS w, MIN(label) AS cluster_rep FROM reach GROUP BY node ORDER BY w"""
 
@@ -4622,6 +4656,7 @@ object SparkEntry {
     // ... and so must the STREAMING batch-split maintenance (union-find
     // merging commutes across micro-batch boundaries)
     "q219_stream_components" -> wordClustersOracleSql,
+    "q220_tokenize" -> tokenizeOracleSql,
     "q70_array_agg" ->
       """SELECT user_id, COUNT(*) AS n_events, array_to_string((list(event_type ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT), event_id))[1:5], '>') AS first5 FROM events GROUP BY user_id ORDER BY user_id""",
     "q71_event_paths" ->

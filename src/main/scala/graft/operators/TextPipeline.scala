@@ -346,6 +346,65 @@ object TextPipeline {
         .as("entropy"))
   }
 
+  /** Greedy longest-match (maximal-munch) TOKENIZER APPLY — the
+    * subword-tokenization step a pre-training pipeline runs over the whole
+    * corpus. The vocabulary is the `topWords` most frequent corpus words
+    * plus every single character (the guaranteed-progress base alphabet,
+    * the WordPiece/BPE fallback convention); each word then tokenizes by
+    * repeatedly taking the LONGEST vocabulary entry prefixing its
+    * remaining suffix.
+    *
+    * Scale shape — the q156/q157 discipline: tokenization runs over the
+    * DISTINCT-WORD table (vocabulary-sized, not corpus-sized) and joins
+    * back by word; the vocabulary itself is broadcast (a tokenizer vocab
+    * is constant-size by construction, so the prefix theta-join is a
+    * broadcast against a bounded list, never a shuffle). The iteration
+    * count is the longest word's length, with per-step lineage cuts.
+    *
+    * Determinism: two same-length vocabulary entries prefixing the same
+    * suffix are the same string, so the longest match is unique; the
+    * (length, token) struct-max makes the argmax explicit anyway.
+    */
+  def tokenizeGreedy(
+      docs: DataFrame,
+      textCol: String,
+      topWords: Int = 15): DataFrame = {
+    val words = docs.select(explode(TextFunctions.words(col(textCol))).as("w"))
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val top = freq.orderBy(col("freq").desc, col("w")).limit(topWords)
+      .select(col("w").as("tok"))
+    val chars = freq
+      .select(explode(split(col("w"), "")).as("tok"))
+      .filter(length(col("tok")) === 1).distinct()
+    val vocab = top.unionByName(chars).distinct().localCheckpoint(true)
+    val maxLen = freq.agg(max(length(col("w")))).head().getInt(0)
+    var state = freq.select(col("w"), col("freq"), col("w").as("rest"),
+      expr("cast(array() as array<string>)").as("toks"))
+    for (_ <- 0 until maxLen) {
+      val matched = state.filter(length(col("rest")) > 0)
+        .join(broadcast(vocab), expr("startswith(rest, tok)"))
+        .groupBy(col("w"))
+        .agg(max(struct(length(col("tok")).as("l"), col("tok").as("t"))).as("m"))
+        .select(col("w"), col("m.t").as("take"))
+      state = state.join(matched, Seq("w"), "left")
+        .select(col("w"), col("freq"),
+          when(col("take").isNotNull,
+            expr("substring(rest, length(take) + 1)")).otherwise(col("rest"))
+            .as("rest"),
+          when(col("take").isNotNull, concat(col("toks"), array(col("take"))))
+            .otherwise(col("toks")).as("toks"))
+        .localCheckpoint(true)
+    }
+    // the single-character alphabet makes progress certain; a leftover
+    // suffix means the input grew past the measured max length mid-plan
+    require(state.filter(length(col("rest")) > 0).isEmpty,
+      "tokenizer failed to consume every word")
+    state.select(col("w"), col("freq"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      array_join(col("toks"), "|").as("tokens"))
+  }
+
   /** Line-level boilerplate removal — the CCNet-shaped dedup pass that
     * works at LINE granularity instead of document granularity: any line
     * whose distinct-document frequency reaches `maxDocFreq` is boilerplate

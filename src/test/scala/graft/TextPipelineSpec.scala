@@ -109,6 +109,19 @@ class TextPipelineSpec extends SparkSuite {
     assert(three == Map(1L -> 1L), "the 3-term walk chains two intersections")
   }
 
+  test("tokenizeGreedy: maximal munch with the char-alphabet fallback") {
+    // "abc" dominates the frequency ranking (topWords=1), so the vocab is
+    // {abc, a, b, c, d}; "abcd" must tokenize abc|d (longest match wins
+    // over a|b|c|d), "dab" has no multi-char prefix → d|a|b
+    val docs = Seq((1L, "abc abc abc abcd dab")).toDF("doc_id", "text")
+    val out = TextPipeline.tokenizeGreedy(docs, "text", topWords = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("abc") == ((3L, 1L, "abc")))
+    assert(out("abcd") == ((1L, 2L, "abc|d")))
+    assert(out("dab") == ((1L, 3L, "d|a|b")))
+  }
+
   test("lineDedup strips corpus-frequent lines, reassembles the rest in order") {
     // 2-word "lines": "aa bb" appears in docs 1 and 2 → boilerplate at
     // maxDocFreq=2; "cc dd" repeats within doc 1 only → kept (distinct-DOC
