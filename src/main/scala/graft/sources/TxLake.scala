@@ -873,34 +873,52 @@ object TxLake {
     * exact index costs O(distinct keys). False positives only cost an
     * extra file open (the exact filter still runs on top); false
     * negatives are impossible. Version-pinned like the key index.
+    *
+    * SIZING: a bloom's false-positive rate is set by bits PER KEY, so a
+    * fixed width silently saturates as files grow (measured: 64k bits
+    * over 25k-row files = 85% fill = 44% FP — no pruning left). By
+    * default the width auto-sizes from the log's own per-file row counts
+    * (`bitsPerKey` × the largest file, the [[fileRowCounts]] accounting)
+    * — 10 bits/key ≈ 0.9% FP at 5 probes, at ~1.25 bytes of index per
+    * row. Pass `bits > 0` to pin an explicit width instead.
     */
   def buildBloomIndex(
       spark: SparkSession,
       path: String,
       keyCol: String,
       indexPath: String,
-      bits: Int = 65536,
-      probes: Int = 5): Long = {
+      bits: Int = 0,
+      probes: Int = 5,
+      bitsPerKey: Int = 10): Long = {
     import org.apache.spark.sql.functions.{bit_or, col, explode, expr, lit,
       pmod, sequence, shiftright, xxhash64}
-    require(bits % 64 == 0 && bits > 0, "bits must be a positive multiple of 64")
+    require(bits == 0 || (bits % 64 == 0 && bits > 0),
+      "bits must be 0 (auto) or a positive multiple of 64")
     require(probes >= 1, "need at least one probe position")
+    require(bitsPerKey >= 2, "fewer than 2 bits per key cannot prune")
     val v = latestVersion(path)
     val files = activeFiles(path, v)
     require(files.nonEmpty, "nothing to index")
+    val width: Long =
+      if (bits > 0) bits.toLong
+      else {
+        val counts = fileRowCounts(path, v).flatMap(_._2)
+        val maxRows = if (counts.nonEmpty) counts.max else 0L
+        math.max(4096L, (maxRows * bitsPerKey + 63) / 64 * 64)
+      }
     spark.read.parquet(files: _*)
       .select(col(keyCol).as("key"), expr("_metadata.file_path").as("f"))
       .select(col("f"), col("key"),
         explode(sequence(lit(0), lit(probes - 1))).as("j"))
       .select(col("f"),
-        pmod(xxhash64(col("key"), col("j")), lit(bits.toLong)).as("pos"))
+        pmod(xxhash64(col("key"), col("j")), lit(width)).as("pos"))
       .distinct()
       .select(col("f"), shiftright(col("pos"), 6).as("word"),
         expr("shiftleft(1L, cast(pmod(pos, 64) as int))").as("m"))
       .groupBy(col("f"), col("word"))
       .agg(bit_or(col("m")).as("bits"))
       .write.mode("overwrite").parquet(s"$indexPath/bloom")
-    Files.writeString(Paths.get(s"$indexPath/VERSION"), s"$v $bits $probes")
+    Files.writeString(Paths.get(s"$indexPath/VERSION"), s"$v $width $probes")
     v
   }
 
@@ -916,7 +934,7 @@ object TxLake {
     import org.apache.spark.sql.functions.{bit_or, broadcast, col, count,
       explode, expr, lit, pmod, sequence, shiftright, xxhash64}
     val meta = Files.readString(Paths.get(s"$indexPath/VERSION")).trim.split(" ")
-    val (v, bits, probes) = (meta(0).toLong, meta(1).toInt, meta(2).toInt)
+    val (v, bits, probes) = (meta(0).toLong, meta(1).toLong, meta(2).toInt)
     require(v == latestVersion(path),
       s"bloom index is stale (indexed v$v, table at v${latestVersion(path)}) — rebuild")
     // per (key, word): the required mask (several probes can share a word)

@@ -546,8 +546,8 @@ class TxLakeSpec extends SparkSuite {
     import spark.implicits._
     val probe = Seq(150L).toDF("id")
     val cand = TxLake.filesForKeysBloom(spark, lake, idx, probe)
-    // 64k-bit blooms over 100 keys: the false-positive odds for the other
-    // two files are ~(1e-4)^5 — candidate = exactly the containing file
+    // auto-sizing floors at 4096 bits for these 100-key files: FP odds
+    // for the other two files are ~1e-5 — candidate = the containing file
     assert(cand.size == 1 && cand.head.contains("/data/v2/"),
       s"only v2's file holds key 150; got $cand")
     assert(ids(TxLake.readByKeysBloom(spark, lake, idx, probe)
