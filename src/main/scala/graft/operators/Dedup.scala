@@ -412,6 +412,53 @@ object Dedup {
         coalesce(col("__newRoot"), col("cluster_rep")).as("cluster_rep"))
   }
 
+  /** Incremental CANONICAL-COPY maintenance — [[canonicalPerCluster]] at
+    * batch cost: a standing `(node, cluster_rep, keep, weight)` state
+    * absorbs a batch of new documents and new near-dup edges. The cluster
+    * assignment folds in through [[updateClusters]] (contracted root
+    * graph, never the historical edges), then the keep-best-copy pick
+    * reruns ONLY inside clusters the batch touched — members of merged or
+    * newly-formed clusters; every other row's verdict rides through
+    * untouched. `newNodes` must be disjoint from the standing state (the
+    * ingest contract); weight ties break to the smaller node id, exactly
+    * like the one-shot operator, so incremental == from-scratch.
+    */
+  def updateCanonical(
+      state: DataFrame,
+      newNodes: DataFrame,
+      newEdges: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val prior = state.select(col("node"), col("cluster_rep")).localCheckpoint(true)
+    val withNew = prior.unionByName(
+      newNodes.select(col("node")).join(prior, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("cluster_rep")))
+    val assigned = updateClusters(withNew, newEdges, maxIter).localCheckpoint(true)
+    val weights = state.select(col("node"), col("weight"))
+      .unionByName(newNodes.select(col("node"), col("weight")))
+    // touched clusters (in the NEW rep space): any cluster holding a new
+    // node, or holding a member whose rep changed (both sides of a merge
+    // land here — survivors via the changed members' new rep)
+    val changedReps = assigned
+      .join(state.select(col("node"), col("cluster_rep").as("__old")), Seq("node"))
+      .filter(col("cluster_rep") =!= col("__old"))
+      .select(col("cluster_rep"))
+      .unionAll(assigned.join(newNodes.select(col("node")), Seq("node"), "left_semi")
+        .select(col("cluster_rep")))
+      .distinct().localCheckpoint(true)
+    val touched = assigned
+      .join(changedReps, Seq("cluster_rep"), "left_semi")
+      .join(weights, Seq("node"))
+    val wk = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("weight").desc, col("node"))
+    val recomputed = touched
+      .withColumn("keep", when(row_number().over(wk) === 1, 1).otherwise(0).cast("int"))
+      .select(col("node"), col("cluster_rep"), col("keep"), col("weight"))
+    // node-level exclusion: a row is either recomputed above or carried
+    state.join(recomputed.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("cluster_rep"), col("keep"), col("weight"))
+      .unionByName(recomputed)
+  }
+
   private def bitValue(j: Int): Long = 1L << j // j=63 => Long.MinValue, intended
 
   /** 64-bit SimHash per document: words exploded to rows, each word hashed

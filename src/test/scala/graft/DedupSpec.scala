@@ -80,6 +80,25 @@ class DedupSpec extends SparkSuite {
     assert(same == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("updateCanonical re-picks only touched clusters; ties to min id") {
+    // standing: cluster {1,2} keeps 2 (weight 9 > 5); singleton {8} keeps 8.
+    // batch: node 3 (weight 9) joins {1,2} — tie with 2 → keep goes to 2
+    // (min id); node 10 arrives isolated → keeps itself; {8} untouched.
+    val state = Seq(
+      (1L, 1L, 0, 5L), (2L, 1L, 1, 9L), (8L, 8L, 1, 3L))
+      .toDF("node", "cluster_rep", "keep", "weight")
+    val newNodes = Seq((3L, 9L), (10L, 1L)).toDF("node", "weight")
+    val edges = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.updateCanonical(state, newNodes, edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((1L, 0, 5L)))
+    assert(out(2L) == ((1L, 1, 9L)), "weight tie must break to the min id")
+    assert(out(3L) == ((1L, 0, 9L)))
+    assert(out(8L) == ((8L, 1, 3L)), "an untouched cluster rides through")
+    assert(out(10L) == ((10L, 1, 1L)), "an isolated new node keeps itself")
+  }
+
   test("ngram jaccard ranks the exact duplicate pair first") {
     val top = Dedup.ngramJaccardTopPairs(docs, "doc_id", "text", topK = 10).head()
     assert(top.getAs[Long]("id_a") == 1L)
