@@ -3570,6 +3570,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** First-order Markov transition matrix ([[Trend.markovTransitions]])
+    * over per-user event paths: every consecutive event-type step, counted
+    * corpus-wide, with the exact conditional probability. The |states|²
+    * output is metadata-sized regardless of input scale; p is one
+    * correctly-rounded division of exact integers, engine-identical.
+    */
+  private def q222(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Trend.markovTransitions(
+      T(s, dir, "events"), "user_id", evSec, col("event_id"), "event_type")
+      .orderBy(col("from_state"), col("to_state"))
+
+  /** Dynamic-gap sessionization ([[Relational.dynamicGapSessions]]): a
+    * purchase or signup keeps the session alive for 3600s, anything else
+    * 1800s — per-event gaps, overlapping intervals merged. The running
+    * interval-merge is a single growing-frame window (incremental in
+    * WindowExec), one shuffle on user_id; all bounds integer seconds.
+    */
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    Relational.dynamicGapSessions(
+      T(s, dir, "events"), "user_id", evSec, col("event_id"),
+      when(col("event_type").isin("purchase", "signup"), lit(3600L))
+        .otherwise(lit(1800L)))
+      .orderBy(col("user_id"), col("session_idx"))
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4232,6 +4256,8 @@ object SparkEntry {
     "q219_stream_components" -> (q219 _),
     "q220_tokenize" -> (q220 _),
     "q221_canonical_maintenance" -> (q221 _),
+    "q222_markov_transitions" -> (q222 _),
+    "q223_dynamic_sessions" -> (q223 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4944,6 +4970,15 @@ object SparkEntry {
     // (id % 7 = 0) is uncapped
     "q154_lsh_index" ->
       s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands WHERE id % 7 <> 0), qb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash FROM bands WHERE id % 7 = 0), p AS (SELECT DISTINCT q.id AS batch_id, c.id AS corpus_id, CAST(len(list_filter(range(32), i -> q.sig[i+1] = c.sig[i+1])) AS DOUBLE) / 32.0 AS est_jaccard FROM qb q JOIN wb c ON q.band_idx = c.band_idx AND q.band_hash = c.band_hash WHERE c.rn <= 64) SELECT batch_id, corpus_id, est_jaccard FROM p WHERE est_jaccard >= 0.3 ORDER BY batch_id, corpus_id""",
+    // consecutive steps via the same (sec, event_id) order as q71; the
+    // window total runs over the |states|² aggregate; p is one exact-int
+    // division, bit-identical across engines
+    "q222_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, event_id FROM events), l AS (SELECT event_type AS from_state, lead(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS to_state FROM e), c AS (SELECT from_state, to_state, COUNT(*) AS n FROM l WHERE to_state IS NOT NULL GROUP BY 1, 2) SELECT from_state, to_state, n, CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS n_from, CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER (PARTITION BY from_state) AS BIGINT) AS DOUBLE) AS p FROM c ORDER BY from_state, to_state""",
+    // interval-merge sessionization: new session exactly when the start
+    // exceeds the running max end of all earlier intervals in the key
+    "q223_dynamic_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, CASE WHEN event_type IN ('purchase', 'signup') THEN 3600 ELSE 1800 END AS gap FROM events), m AS (SELECT user_id, sec, sec + gap AS fin, MAX(sec + gap) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end, event_id FROM e), f AS (SELECT user_id, sec, fin, event_id, CASE WHEN prev_max_end IS NULL OR sec > prev_max_end THEN 1 ELSE 0 END AS is_new FROM m), g AS (SELECT user_id, sec, fin, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f) SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(sec) AS start_sec, MAX(fin) AS end_sec FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""",
     // q84's replayed MinHash machinery + q59's reachability closure; the
     // canonical pick is the longest doc (n_chars), ties to the smallest id
     "q155_canonical_dedup" -> canonicalOracleSql,

@@ -308,4 +308,39 @@ object Relational {
         ceil(col("n").cast("double") / lit(targetPerTask.toDouble))
           .cast("long").as("salt_factor"))
   }
+
+  /** Dynamic-gap sessionization: each event opens an interval
+    * `[sec, sec + gap]` where the gap is an arbitrary per-row expression
+    * (e.g. longer idle allowance after a purchase), and overlapping or
+    * touching intervals per key merge into one session — the
+    * interval-merge generalization of fixed-gap sessionize.
+    *
+    * A new session starts exactly when an event's start exceeds the
+    * running maximum end of every earlier interval in its key (a single
+    * `max(...) over (rows unbounded preceding, 1 preceding)` — the frame
+    * GROWS, so WindowExec maintains it incrementally, one shuffle on the
+    * key, no self-join). All arithmetic is integer-exact.
+    */
+  def dynamicGapSessions(
+      df: DataFrame,
+      keyCol: String,
+      secCol: Column,
+      tieCol: Column,
+      gapSec: Column): DataFrame = {
+    val order = Window.partitionBy(col(keyCol)).orderBy(col("__sec"), col("__tie"))
+    val prevEnds = order.rowsBetween(Window.unboundedPreceding, -1)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), secCol.cast("long").as("__sec"),
+        tieCol.as("__tie"), gapSec.cast("long").as("__gap"))
+      .withColumn("__end", col("__sec") + col("__gap"))
+      .withColumn("__prev_max_end", max(col("__end")).over(prevEnds))
+      .withColumn("__new",
+        (col("__prev_max_end").isNull ||
+          col("__sec") > col("__prev_max_end")).cast("long"))
+      .withColumn("session_idx", sum(col("__new")).over(running))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__sec")).as("start_sec"),
+        max(col("__end")).as("end_sec"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,5 +80,36 @@ object Trend {
         col("n").cast("long").as("n"),
         round(col("seasonal"), 6).as("seasonal"),
         (abs(col("resid")) > lit(k) * col("sd")).cast("int").as("anomaly"))
+  }
+
+  /** First-order Markov transition matrix over per-key ordered sequences:
+    * every consecutive (state → next state) step within a key, counted
+    * corpus-wide, with the conditional probability p = n / Σn(from).
+    *
+    * Shape at scale: ONE shuffle on the key for the lead() window, then an
+    * aggregation whose cardinality is |states|² — metadata-sized however
+    * large the input. The probability is a single correctly-rounded double
+    * division of two exact integers, so it is engine-identical with no
+    * rounding grid needed.
+    */
+  def markovTransitions(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: Column,
+      tieCol: Column,
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__o"), col("__t"))
+    val steps = df
+      .select(col(keyCol), orderCol.as("__o"), tieCol.as("__t"),
+        col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+    val counts = steps.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    // the window below runs over the |states|²-row aggregate, not the input
+    val fromTot = sum(col("n")).over(Window.partitionBy(col("from_state")))
+    counts
+      .withColumn("n_from", fromTot)
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
   }
 }

@@ -103,6 +103,25 @@ class RelationalSpec extends SparkSuite {
     assert(out.getAs[Long]("total_weight") == 10L)
   }
 
+  test("dynamicGapSessions merges overlapping per-event intervals") {
+    // key u: events at 0 (gap 100), 50 (gap 10), 200 (gap 10) — the first
+    // two overlap into [0,100]; 200 > 100 starts a new session. The short
+    // mid-event must NOT shrink the session (interval merge keeps the
+    // running MAX end, not the last end): event at 90 would still chain.
+    val df = Seq(
+      ("u", 0L, 1L, 100L), ("u", 50L, 2L, 10L), ("u", 90L, 3L, 5L),
+      ("u", 200L, 4L, 10L),
+      ("v", 7L, 5L, 1L)).toDF("k", "sec", "id", "gap")
+    val out = Relational.dynamicGapSessions(df, "k", col("sec"), col("id"), col("gap"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      ("u", 1L) -> ((3L, 0L, 100L)),
+      ("u", 2L) -> ((1L, 200L, 210L)),
+      ("v", 1L) -> ((1L, 7L, 8L))))
+  }
+
   test("skewReport flags only hot keys with the right salt factor") {
     val df = (Seq.fill(1000)("hot") ++ Seq.fill(150)("warm") ++ Seq.fill(10)("cold"))
       .toDF("k")

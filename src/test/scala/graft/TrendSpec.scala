@@ -33,4 +33,20 @@ class TrendSpec extends SparkSuite {
     assert(out.filter(_._1 != 6L).values.forall(_ == 0),
       "profile-conformant buckets must not be flagged")
   }
+
+  test("markovTransitions counts consecutive steps and conditions on the from-state") {
+    // user 1: a→b→a→c, user 2: a→b — steps: a→b ×2, b→a, a→c, b is never
+    // a terminal from-state twice; last event of each user emits no step
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"), (1L, 40L, 4L, "c"),
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b")).toDF("u", "sec", "id", "st")
+    val out = Trend.markovTransitions(df, "u", col("sec"), col("id"), "st")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 3L, 2.0 / 3.0)),
+      ("a", "c") -> ((1L, 3L, 1.0 / 3.0)),
+      ("b", "a") -> ((1L, 1L, 1.0))))
+  }
 }
