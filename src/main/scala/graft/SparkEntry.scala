@@ -3594,6 +3594,24 @@ object SparkEntry {
         .otherwise(lit(1800L)))
       .orderBy(col("user_id"), col("session_idx"))
 
+  /** k-core decomposition ([[graft.operators.Graph.kCore]]) of the
+    * customer–supplier bipartite graph (suppliers as -(key+1): plain
+    * negation would collide supplier 0 with customer 0 into a dropped
+    * self-loop): the maximal subgraph where every node keeps >= 10
+    * distinct counterparties — the standard densest-region extraction for
+    * entity graphs. Peeling is monotone, so the oracle's fixed 6-round
+    * unroll is exact for any graph that stabilizes within it (this one
+    * takes 2; Spark detects the fixpoint by edge count).
+    */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val pairs = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), (-(col("l_suppkey") + 1)).as("dst"))
+    graft.operators.Graph.kCore(pairs, k = 10)
+      .orderBy(col("node"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4258,6 +4276,7 @@ object SparkEntry {
     "q221_canonical_maintenance" -> (q221 _),
     "q222_markov_transitions" -> (q222 _),
     "q223_dynamic_sessions" -> (q223 _),
+    "q224_kcore" -> (q224 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4445,6 +4464,28 @@ object SparkEntry {
 
   private val wordClustersOracleSql: String =
     """WITH RECURSIVE v AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents), p AS (SELECT a.w AS wa, b.w AS wb FROM v a JOIN v b ON length(b.w) BETWEEN length(a.w) - 1 AND length(a.w) + 1 AND a.w < b.w WHERE levenshtein(a.w, b.w) <= 2), ed AS (SELECT wa AS src, wb AS dst FROM p UNION ALL SELECT wb AS src, wa AS dst FROM p), nodes AS (SELECT DISTINCT src AS node FROM ed), reach(node, label) AS (SELECT node, node FROM nodes UNION SELECT ed.dst, r.label FROM reach r JOIN ed ON ed.src = r.node) SELECT node AS w, MIN(label) AS cluster_rep FROM reach GROUP BY node ORDER BY w"""
+
+  /** q224 replay: iterative k-core peeling unrolled to a fixed 6 rounds —
+    * peeling is monotone, so rounds past the fixpoint are identity and the
+    * unroll is exact for any graph stabilizing within it (this one: 2).
+    */
+  private val kcoreOracleSql: String = {
+    val k = 10
+    val rounds = 6
+    // MATERIALIZED: without it DuckDB inlines each CTE at every reference
+    // and the 6-round chain expands 3^6-fold (it ran out of file handles
+    // re-opening the parquet per inlined e0)
+    val sb = new StringBuilder(
+      "WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS a, -(l_suppkey + 1) AS b " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey)")
+    for (i <- 1 to rounds) {
+      sb.append(s", d$i AS (SELECT node, COUNT(*) AS c FROM (SELECT a AS node FROM e${i - 1} UNION ALL SELECT b AS node FROM e${i - 1}) GROUP BY node)")
+      sb.append(s", k$i AS (SELECT node FROM d$i WHERE c >= $k)")
+      sb.append(s", e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e JOIN k$i x ON e.a = x.node JOIN k$i y ON e.b = y.node)")
+    }
+    sb.append(s" SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b AS node FROM e$rounds) GROUP BY node ORDER BY node")
+    sb.toString
+  }
 
   private def pqOracleSql: String =
     s"""$VEC_MACROS; $PQ_MACRO; WITH ${pqCtes()}, scored AS (SELECT q.vec_id AS qid, r.nid, round(pcos(q.embedding, r.rv), 4) AS cos_r FROM embeddings q CROSS JOIN recon r WHERE q.vec_id < 10 AND r.nid <> q.vec_id), rk AS (SELECT qid, nid, cos_r, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM scored) SELECT qid, rnk, nid, cos_r FROM rk WHERE rnk <= 5 ORDER BY qid, rnk"""
@@ -4979,6 +5020,7 @@ object SparkEntry {
     // exceeds the running max end of all earlier intervals in the key
     "q223_dynamic_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, CASE WHEN event_type IN ('purchase', 'signup') THEN 3600 ELSE 1800 END AS gap FROM events), m AS (SELECT user_id, sec, sec + gap AS fin, MAX(sec + gap) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end, event_id FROM e), f AS (SELECT user_id, sec, fin, event_id, CASE WHEN prev_max_end IS NULL OR sec > prev_max_end THEN 1 ELSE 0 END AS is_new FROM m), g AS (SELECT user_id, sec, fin, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f) SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(sec) AS start_sec, MAX(fin) AS end_sec FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "q224_kcore" -> kcoreOracleSql,
     // q84's replayed MinHash machinery + q59's reachability closure; the
     // canonical pick is the longest doc (n_chars), ties to the smallest id
     "q155_canonical_dedup" -> canonicalOracleSql,

@@ -189,4 +189,50 @@ object Graph {
       .unionAll(triangles.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core: the maximal subgraph in which every node keeps degree >= k,
+    * found by iterative peeling — drop all nodes below k, recompute
+    * degrees on the surviving edges, repeat to the fixpoint. Returns the
+    * surviving `(node, core_deg)` rows (degree within the core).
+    *
+    * Each round is one map-side-combined degree aggregation plus two
+    * semi-joins of the edge list against the keep set — shuffles sized by
+    * the SHRINKING edge list, never more than the input. Peeling is
+    * monotone (nodes only leave), so rounds beyond the fixpoint are
+    * no-ops — the property the oracle's unrolled replay relies on — and
+    * convergence is detected by edge count, one count per round.
+    * Edge tables are localCheckpoint'd per round (lineage cut, like
+    * [[pageRank]]); undirected input is canonicalized first.
+    */
+  def kCore(edges: DataFrame, k: Long, maxRounds: Int = 40): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      val pruned = e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val nNext = pruned.count()
+      converged = nNext == nEdges
+      e = pruned
+      nEdges = nNext
+      round += 1
+    }
+    require(converged, s"k-core did not stabilize within $maxRounds rounds")
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -203,6 +203,20 @@ class GraphSpec extends SparkSuite {
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), "node 4 is 3 hops out")
   }
 
+  test("kCore peels cascades to the stable core") {
+    import spark.implicits._
+    // triangle 1-2-3 with a pendant chain 3-4-5: for k=2 the chain peels
+    // in two cascading rounds (5 leaves, then 4 becomes a leaf) and the
+    // triangle survives with every in-core degree exactly 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree empties the graph — and still converges
+    assert(Graph.kCore(edges, k = 4).count() == 0)
+  }
+
   test("profile: null and distinct accounting per column") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("s", StringType)))
