@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Medallion, Multimodal, Quality, Relational, Similarity}
+import graft.operators.{Dedup, Medallion, Multimodal, Quality, Relational, Sampling, Similarity}
 import graft.sources.{PartitionedLake, Tables, TxLake, VersionedLake}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -3612,6 +3612,40 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Deterministic mixture schedule ([[Sampling.mixtureSchedule]]):
+    * language weights en:6 zh:3 de:2 es:2 fr:1 → integer strides over
+    * LCM 6, per-language rank by doc_id, and the first 200 slots of the
+    * resulting total order. The global position is materialized only for
+    * this bounded head (orderBy+limit = distributed TakeOrdered); the
+    * full corpus keeps `vt` as its sort key instead of a serialized
+    * row-number.
+    */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val sched = Sampling.mixtureSchedule(
+      T(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id",
+      Map("en" -> 6L, "zh" -> 3L, "de" -> 2L, "es" -> 2L, "fr" -> 1L))
+      .orderBy(col("vt"), col("lang"), col("doc_id")).limit(200)
+    sched.withColumn("pos",
+      row_number().over(Window.orderBy(col("vt"), col("lang"), col("doc_id")))
+        .cast("long")) // window over the 200-row head only
+      .select(col("pos"), col("vt"), col("lang"), col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
+  /** Per-source crawl governance ([[Sampling.perKeyCap]] + blocklist):
+    * blocked sources dropped outright, every other source capped at 20
+    * docs chosen by reproducible md5 rank — the per-domain cap that keeps
+    * one mega-host from dominating a training corpus.
+    */
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    Sampling.perKeyCap(
+      T(s, dir, "documents")
+        .filter(!col("source").isin("src7", "src13"))
+        .select(col("doc_id"), col("source"), col("lang")),
+      "source", "doc_id", cap = 20L)
+      .orderBy(col("doc_id"))
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4277,6 +4311,8 @@ object SparkEntry {
     "q222_markov_transitions" -> (q222 _),
     "q223_dynamic_sessions" -> (q223 _),
     "q224_kcore" -> (q224 _),
+    "q225_mixture_schedule" -> (q225 _),
+    "q226_source_cap" -> (q226 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5021,6 +5057,13 @@ object SparkEntry {
     "q223_dynamic_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, CASE WHEN event_type IN ('purchase', 'signup') THEN 3600 ELSE 1800 END AS gap FROM events), m AS (SELECT user_id, sec, sec + gap AS fin, MAX(sec + gap) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end, event_id FROM e), f AS (SELECT user_id, sec, fin, event_id, CASE WHEN prev_max_end IS NULL OR sec > prev_max_end THEN 1 ELSE 0 END AS is_new FROM m), g AS (SELECT user_id, sec, fin, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f) SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(sec) AS start_sec, MAX(fin) AS end_sec FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""",
     "q224_kcore" -> kcoreOracleSql,
+    // stride scheduling: vt = in-class rank × (LCM/weight), all integer;
+    // the 200-slot head replays as a plain ORDER BY ... LIMIT
+    "q225_mixture_schedule" ->
+      """WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk FROM documents WHERE lang IN ('en', 'zh', 'de', 'es', 'fr')), v AS (SELECT doc_id, lang, CAST(rnk * CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'de' THEN 3 WHEN 'es' THEN 3 WHEN 'fr' THEN 6 END AS BIGINT) AS vt FROM r), t AS (SELECT doc_id, lang, vt, ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS pos FROM v) SELECT CAST(pos AS BIGINT) AS pos, vt, lang, doc_id FROM t WHERE pos <= 200 ORDER BY pos""",
+    // the md5-rank keep set replays exactly; blocked sources never rank
+    "q226_source_cap" ->
+      """WITH r AS (SELECT doc_id, source, lang, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank FROM documents WHERE source NOT IN ('src7', 'src13')) SELECT doc_id, source, lang, CAST(cap_rank AS BIGINT) AS cap_rank FROM r WHERE cap_rank <= 20 ORDER BY doc_id""",
     // q84's replayed MinHash machinery + q59's reachability closure; the
     // canonical pick is the longest doc (n_chars), ties to the smallest id
     "q155_canonical_dedup" -> canonicalOracleSql,

@@ -134,4 +134,50 @@ object Sampling {
       .join(broadcast(quotas), Seq(stratumCol))
       .filter(col("rk") <= col("quota"))
   }
+
+  /** Deterministic stride-scheduled mixture interleave — the data-mixing
+    * step that turns per-source corpora plus integer mixture weights into
+    * ONE total training order: class c's i-th row is scheduled at virtual
+    * time `i * (LCM(weights) / w_c)`, so over any window of L consecutive
+    * slots each class appears in proportion to its weight (stride
+    * scheduling — deterministic, no RNG, resumable from any position).
+    *
+    * Scale shape: one per-class window rank (shuffle on the class column)
+    * and a broadcast of the |classes|-row stride table. The returned
+    * `vt` IS the order — a distributed writer sorts by `(vt, class, id)`;
+    * no global row-number is materialized here (that would serialize the
+    * corpus through one partition).
+    */
+  def mixtureSchedule(
+      df: DataFrame,
+      classCol: String,
+      idCol: String,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 1))
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    val strides = weights.toSeq.map { case (c, wt) => (c, l / wt) }
+    val sdf = broadcast(
+      df.sparkSession.createDataFrame(strides)
+        .toDF(classCol, "__stride"))
+    val w = Window.partitionBy(col(classCol)).orderBy(col(idCol))
+    df.join(sdf, Seq(classCol)) // inner: classes without a weight are excluded
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("vt", col("__rank") * col("__stride"))
+      .drop("__rank", "__stride")
+  }
+
+  /** Per-key document cap — the per-domain crawl-governance rule: at most
+    * `cap` rows per key survive, chosen by the engine's reproducible md5
+    * rank (so the kept subset is stable across runs and engines, not
+    * whichever rows a scan happened to emit first). One window shuffle on
+    * the key; emits `cap_rank` (1-based) for audit.
+    */
+  def perKeyCap(df: DataFrame, keyCol: String, idCol: String, cap: Long): DataFrame = {
+    require(cap >= 1)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= cap)
+  }
 }

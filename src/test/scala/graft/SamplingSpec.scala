@@ -53,6 +53,35 @@ class SamplingSpec extends SparkSuite {
     assert(ids1 == ids2)
   }
 
+  test("mixtureSchedule interleaves classes in weight proportion") {
+    import spark.implicits._
+    // a:2 b:1 → strides 1 and 2: over any 3 consecutive vt units class a
+    // appears twice per b's once; classes without a weight are excluded
+    val df = (1L to 6L).map(i => (i, "a")) ++ (1L to 3L).map(i => (i + 100, "b")) ++
+      Seq((999L, "c"))
+    val out = Sampling.mixtureSchedule(
+      df.toDF("id", "cls"), "cls", "id", Map("a" -> 2L, "b" -> 1L))
+      .orderBy(col("vt"), col("cls"), col("id"))
+      .select("cls", "vt").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L), ("a", 2L), ("b", 2L), ("a", 3L),
+      ("a", 4L), ("b", 4L), ("a", 5L), ("a", 6L), ("b", 6L)))
+  }
+
+  test("perKeyCap keeps a stable md5-ranked subset per key") {
+    import spark.implicits._
+    val df = (1L to 30L).map(i => (i, if (i <= 25) "big" else "small"))
+      .toDF("id", "k")
+    val out = Sampling.perKeyCap(df, "k", "id", cap = 10L)
+    val byKey = out.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("big" -> 10L, "small" -> 5L))
+    // reproducible: identical keep set on a rerun
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.perKeyCap(df, "k", "id", cap = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 15)
+  }
+
   test("frame sampling emits every 4th frame with byte offsets") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 450)).toDF("doc_id", "text") // 4 frames of 100B
