@@ -3646,6 +3646,40 @@ object SparkEntry {
       "source", "doc_id", cap = 20L)
       .orderBy(col("doc_id"))
 
+  /** Optimistic concurrency through the log
+    * ([[TxLake.commitTransaction]]): three writers prepared against the
+    * SAME snapshot race. A's erasure DELETE lands first; B's whole-table
+    * compaction — derived from the now-stale snapshot — is rejected (its
+    * rewrite would resurrect A's deleted rows) and rebases against the
+    * new latest; C's append names disjoint files and lands with no retry.
+    * The final state is deterministic: delete ∘ rebased compaction ∘
+    * append, whatever the interleaving.
+    */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q227")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    TxLake.commit(s, lake,
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(3, pmod(col("o_orderkey"), lit(3)))) // v1, 3 files
+    val v1 = TxLake.latestVersion(lake)
+    TxLake.deleteWhereTx(s, lake, col("o_totalprice") > 250000.0, v1)
+    val conflicted =
+      try { TxLake.compactTx(s, lake, v1); false }
+      catch { case _: TxLake.CommitConflictException => true }
+    require(conflicted, "stale compaction must be rejected")
+    TxLake.compactTx(s, lake, TxLake.latestVersion(lake)) // the rebase
+    TxLake.commitTransaction(s, lake,
+      T(s, dir, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("X").as("o_orderstatus"), col("o_totalprice")),
+      removes = Seq.empty, readVersion = v1)
+    TxLake.readSnapshot(s, lake)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4313,6 +4347,7 @@ object SparkEntry {
     "q224_kcore" -> (q224 _),
     "q225_mixture_schedule" -> (q225 _),
     "q226_source_cap" -> (q226 _),
+    "q227_occ_race" -> (q227 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5061,6 +5096,10 @@ object SparkEntry {
     // the 200-slot head replays as a plain ORDER BY ... LIMIT
     "q225_mixture_schedule" ->
       """WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk FROM documents WHERE lang IN ('en', 'zh', 'de', 'es', 'fr')), v AS (SELECT doc_id, lang, CAST(rnk * CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'de' THEN 3 WHEN 'es' THEN 3 WHEN 'fr' THEN 6 END AS BIGINT) AS vt FROM r), t AS (SELECT doc_id, lang, vt, ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS pos FROM v) SELECT CAST(pos AS BIGINT) AS pos, vt, lang, doc_id FROM t WHERE pos <= 200 ORDER BY pos""",
+    // the serialized race reduces to: delete, content-preserving
+    // compaction, append — whatever the physical interleaving was
+    "q227_occ_race" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM (SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice <= 250000.0 UNION ALL SELECT 'X' AS o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 97 = 0) GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // the md5-rank keep set replays exactly; blocked sources never rank
     "q226_source_cap" ->
       """WITH r AS (SELECT doc_id, source, lang, ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank FROM documents WHERE source NOT IN ('src7', 'src13')) SELECT doc_id, source, lang, CAST(cap_rank AS BIGINT) AS cap_rank FROM r WHERE cap_rank <= 20 ORDER BY doc_id""",

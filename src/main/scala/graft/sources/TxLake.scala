@@ -1039,6 +1039,165 @@ object TxLake {
     next
   }
 
+  // ------------------------------------------------------------- OCC ----
+
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Optimistic transaction commit — the Delta WriteSerializable core.
+    *
+    * A writer prepares against `readVersion`: it derives `df` (the files
+    * it will ADD) from that snapshot and names the files it logically
+    * REMOVES (the ones it rewrote). Publication validates that the
+    * intervening commits did not invalidate the preparation:
+    *
+    *   - every file in `removes` must still be ACTIVE at the current
+    *     latest (another writer removing it means this rewrite was derived
+    *     from stale bytes — landing it would resurrect deleted rows), and
+    *   - no deletion vector may have been attached to any of them since
+    *     `readVersion` (same staleness through the merge-on-read path;
+    *     the new sidecars are O(matches)-sized, so reading their distinct
+    *     file lists is metadata work).
+    *
+    * Validation runs AFTER the version reservation, so it is race-free:
+    * the log below the reserved slot is frozen. Disjoint-file writers from
+    * the same snapshot all land (append transactions never conflict);
+    * a conflicted reservation is burned with an explicit no-op entry (a
+    * pending empty file would stall readers until the janitor runs) and
+    * [[CommitConflictException]] tells the caller to re-derive against the
+    * new snapshot and retry — the rebase loop. Reservation races
+    * (two writers grabbing the same slot) retry internally up to
+    * `maxAttempts`. `tag` keeps the exactly-once idempotency contract of
+    * [[commit]].
+    */
+  def commitTransaction(
+      spark: SparkSession,
+      path: String,
+      df: DataFrame,
+      removes: Seq[String],
+      readVersion: Long,
+      tag: String = "",
+      maxAttempts: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{col, count => scount, lit => slit}
+    require(!tag.contains("\"") && !tag.contains("\\"), "tag must be JSON-safe")
+    require(removes.forall(p => !p.contains("\"") && !p.contains("\\")),
+      "remove paths must be JSON-safe")
+    if (tag.nonEmpty) {
+      val already = taggedVersion(path, tag)
+      if (already.isDefined) return already.get
+    }
+    val wanted = removes.toSet
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = latestVersion(path)
+      Files.createDirectories(logDir(path))
+      val log = logFile(path, base + 1)
+      val reserved =
+        try { Files.createFile(log); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (!reserved) {
+        // another writer owns the slot: wait for it to publish, revalidate
+        if (attempt >= maxAttempts) throw new ConcurrentCommitException(base + 1)
+      } else {
+        val next = base + 1
+        val active = activeFiles(path, base).toSet
+        val staleRemoves = wanted -- active
+        val dvConflicts: Set[String] = {
+          val newDvs = dvFiles(path, base).toSet -- dvFiles(path, readVersion)
+          if (newDvs.isEmpty) Set.empty
+          else spark.read.parquet(newDvs.toSeq: _*)
+            .select(col("file")).distinct().collect()
+            .map(r => new java.net.URI(r.getString(0)).getPath)
+            .toSet.intersect(wanted)
+        }
+        if (staleRemoves.nonEmpty || dvConflicts.nonEmpty) {
+          val noop = s"""{"version":$next,"tag":"","adds":[],"removes":[]}"""
+          val tmp = logDir(path).resolve(f".tmp-$next%08d")
+          Files.write(tmp, noop.getBytes("UTF-8"))
+          Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          throw new CommitConflictException(
+            s"files touched since v$readVersion: " +
+              (staleRemoves ++ dvConflicts).toSeq.sorted.mkString(", "))
+        }
+        // validated — land the data, publish adds/removes + row accounting
+        val dataDir = s"$path/data/v$next"
+        df.write.mode("overwrite").parquet(dataDir)
+        val adds = {
+          val d = Paths.get(dataDir)
+          val s = Files.list(d)
+          try s.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted
+          finally s.close()
+        }
+        require(adds.forall(p => !p.contains("\"") && !p.contains("\\")),
+          "data paths must be JSON-safe")
+        val rows: String =
+          if (adds.isEmpty) ""
+          else {
+            val byFile = spark.read.parquet(dataDir)
+              .groupBy(col("_metadata.file_path").as("f"))
+              .agg(scount(slit(1)).as("n")).collect()
+              .map(r => new java.net.URI(r.getString(0)).getPath -> r.getLong(1))
+              .toMap
+            s""","rows":[${adds.map(f => byFile.getOrElse(f, 0L)).mkString(",")}]"""
+          }
+        val json =
+          s"""{"version":$next,"tag":"$tag",""" +
+            s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
+            s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]$rows}"""
+        val tmp = logDir(path).resolve(f".tmp-$next%08d")
+        Files.write(tmp, json.getBytes("UTF-8"))
+        Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        return next
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** DELETE prepared as an optimistic transaction against `readVersion`:
+    * affected files and survivors both derive from that snapshot (same
+    * three-valued-logic and DV-applied discipline as [[deleteWhere]]),
+    * then [[commitTransaction]] validates nothing touched them since.
+    */
+  def deleteWhereTx(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column,
+      readVersion: Long): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val snap = snapshotWithPos(spark, path, readVersion)
+    val affected = snap.filter(predicate)
+      .select(col("__dv_file").as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return latestVersion(path)
+    val survivors = snap
+      .filter(col("__dv_file").isin(affected: _*))
+      .filter(!coalesce(predicate, lit(false)))
+      .drop("__dv_file", "__dv_pos")
+      .localCheckpoint(true)
+    commitTransaction(spark, path, survivors,
+      affected.map(p => new java.net.URI(p).getPath), readVersion)
+  }
+
+  /** Full compaction prepared as an optimistic transaction: rewrite the
+    * whole `readVersion` snapshot into `targetFiles` files, removing every
+    * file active there. Conflicts with ANY intervening rewrite — the
+    * caller rebases by re-running against the new latest.
+    */
+  def compactTx(
+      spark: SparkSession,
+      path: String,
+      readVersion: Long,
+      targetFiles: Int = 1): Long = {
+    val removes = activeFiles(path, readVersion)
+    val content = readSnapshot(spark, path, readVersion)
+      .repartition(targetFiles).localCheckpoint(true)
+    commitTransaction(spark, path, content, removes, readVersion)
+  }
+
   /** Active deletion-vector sidecar files at `version` (checkpoint
     * summary + later entries, like [[schemaOps]]). Public for spec
     * introspection.

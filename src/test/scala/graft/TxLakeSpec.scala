@@ -623,4 +623,39 @@ class TxLakeSpec extends SparkSuite {
       "countRows must not open data files")
     finally Files.move(hidden, java.nio.file.Paths.get(lake, "data"))
   }
+
+  test("OCC: stale rewrites conflict, disjoint writers land, burned slots are no-ops") {
+    import spark.implicits._
+    val lake = tmp()
+    // two physical files: ids 1-4 split by parity
+    TxLake.commit(spark, lake,
+      (1L to 4L).toDF("id").repartition(2, pmod(col("id"), lit(2))))
+    val v1 = TxLake.latestVersion(lake)
+    // writer A deletes id=2 (rewrites the even file) — lands
+    val v2 = TxLake.deleteWhereTx(spark, lake, col("id") === 2L, v1)
+    assert(v2 == 2L && ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 3L, 4L))
+    // writer B, ALSO prepared at v1, rewrites the same even file → conflict;
+    // the burned reservation must advance the log as a harmless no-op
+    intercept[TxLake.CommitConflictException] {
+      TxLake.deleteWhereTx(spark, lake, col("id") === 4L, v1)
+    }
+    assert(TxLake.latestVersion(lake) == 3L, "conflicted slot burns as a no-op")
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 3L, 4L))
+    // B rebases against the new latest and now succeeds
+    TxLake.deleteWhereTx(spark, lake, col("id") === 4L, TxLake.latestVersion(lake))
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 3L))
+    // an append prepared at the ORIGINAL version still lands: no removes,
+    // no conflict surface
+    TxLake.commitTransaction(spark, lake, df(9), Seq.empty, v1)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 3L, 9L))
+    // a deletion vector attached after the read conflicts a file rewrite
+    val vNow = TxLake.latestVersion(lake)
+    TxLake.deleteWhereDv(spark, lake, col("id") === 3L)
+    intercept[TxLake.CommitConflictException] {
+      TxLake.compactTx(spark, lake, vNow)
+    }
+    // rebased compaction applies the DV mask and converges to one file
+    TxLake.compactTx(spark, lake, TxLake.latestVersion(lake))
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 9L))
+  }
 }
