@@ -3680,6 +3680,24 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** STREAMING top-k maintenance
+    * ([[graft.streaming.StreamVerify.topkMaintenance]]): the events
+    * arrive as 3 micro-batches; each batch's candidate top-5 per
+    * event_type merges into the k×|groups|-row state table under
+    * exactly-once tagged commits. Top-k is mergeable under the total
+    * order (value DESC, event_id), so the maintained state equals the
+    * one-shot ranking — the oracle.
+    */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val state = graft.streaming.StreamVerify.topkMaintenance(
+      s, T(s, dir, "events"), scratch(dir, "q228"), k = 5)
+    state.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))).cast("long"))
+      .select(col("event_type"), col("rnk"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4134,7 +4152,7 @@ object SparkEntry {
     "q165_stream_cdc_apply", "q171_stream_full_outer",
     "q180_stream_resume", "q185_stream_cms",
     "q200_stream_bitmap", "q206_stream_dv_erasure",
-    "q219_stream_components")
+    "q219_stream_components", "q228_stream_topk")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -4348,6 +4366,7 @@ object SparkEntry {
     "q225_mixture_schedule" -> (q225 _),
     "q226_source_cap" -> (q226 _),
     "q227_occ_race" -> (q227 _),
+    "q228_stream_topk" -> (q228 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5096,6 +5115,10 @@ object SparkEntry {
     // the 200-slot head replays as a plain ORDER BY ... LIMIT
     "q225_mixture_schedule" ->
       """WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk FROM documents WHERE lang IN ('en', 'zh', 'de', 'es', 'fr')), v AS (SELECT doc_id, lang, CAST(rnk * CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'de' THEN 3 WHEN 'es' THEN 3 WHEN 'fr' THEN 6 END AS BIGINT) AS vt FROM r), t AS (SELECT doc_id, lang, vt, ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS pos FROM v) SELECT CAST(pos AS BIGINT) AS pos, vt, lang, doc_id FROM t WHERE pos <= 200 ORDER BY pos""",
+    // the maintained k-per-group state equals the one-shot ranking:
+    // top-k merging is associative under (value DESC, event_id)
+    "q228_stream_topk" ->
+      """SELECT event_type, rnk, event_id, value FROM (SELECT event_type, event_id, value, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk FROM events) WHERE rnk <= 5 ORDER BY event_type, rnk""",
     // the serialized race reduces to: delete, content-preserving
     // compaction, append — whatever the physical interleaving was
     "q227_occ_race" ->

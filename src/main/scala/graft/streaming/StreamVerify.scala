@@ -629,6 +629,60 @@ object StreamVerify {
     graft.sources.TxLake.readSnapshot(spark, lake)
   }
 
+  /** Streaming per-group top-k maintenance: each micro-batch's candidate
+    * top-k merges into a k-rows-per-group state table committed
+    * exactly-once per batch. Top-k is a mergeable summary —
+    * `topk(topk(S) ∪ topk(B)) = topk(S ∪ B)` under the total order
+    * (value DESC, id) — so the batch-split maintenance equals the
+    * one-shot ranking over all events, which is exactly what the oracle
+    * computes. State stays k×|groups| rows however long the stream runs.
+    */
+  def topkMaintenance(
+      spark: SparkSession,
+      events: DataFrame,
+      scratchDir: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val src = s"$scratchDir/ev"
+    val lake = s"$scratchDir/topk"
+    val staged = events
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("__b", pmod(col("event_id"), lit(3)))
+      .localCheckpoint(true)
+    (0 until 3).foreach { b =>
+      staged.filter(col("__b") === b).drop("__b")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    def topk(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      df.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= k).drop("__r")
+    }
+    val q = spark.readStream
+      .schema(staged.drop("__b").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cand = topk(batch.localCheckpoint(true))
+        val state =
+          if (graft.sources.TxLake.latestVersion(lake) == 0L) cand.limit(0)
+          else graft.sources.TxLake.readSnapshot(spark, lake)
+        graft.sources.TxLake.commit(spark, lake,
+          topk(state.unionByName(cand)).coalesce(1),
+          overwrite = true, tag = s"topk-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.sources.TxLake.readSnapshot(spark, lake)
+  }
+
   def lakeRoundTrip(spark: SparkSession, eventsPath: String, scratchDir: String): DataFrame = {
     graft.sources.LocalFs.deleteRecursively(scratchDir)
     val lake = s"$scratchDir/lake"
