@@ -3698,6 +3698,17 @@ object SparkEntry {
       .orderBy(col("event_type"), col("rnk"))
   }
 
+  /** VAD-style energy segmentation over audio-ish payloads
+    * ([[Multimodal.energySegments]]): fixed 256-byte frames, exact
+    * integer byte-sum energies, active frames merged into utterance-span
+    * segments — the activity-detection pass of an audio ingest pipeline,
+    * replayed by the oracle in hex space like q129/q193.
+    */
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    Multimodal.energySegments(
+      Multimodal.attachPayload(T(s, dir, "documents")))
+      .orderBy(col("doc_id"), col("seg_idx"))
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4367,6 +4378,7 @@ object SparkEntry {
     "q226_source_cap" -> (q226 _),
     "q227_occ_race" -> (q227 _),
     "q228_stream_topk" -> (q228 _),
+    "q229_energy_segments" -> (q229 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5115,6 +5127,10 @@ object SparkEntry {
     // the 200-slot head replays as a plain ORDER BY ... LIMIT
     "q225_mixture_schedule" ->
       """WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk FROM documents WHERE lang IN ('en', 'zh', 'de', 'es', 'fr')), v AS (SELECT doc_id, lang, CAST(rnk * CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'de' THEN 3 WHEN 'es' THEN 3 WHEN 'fr' THEN 6 END AS BIGINT) AS vt FROM r), t AS (SELECT doc_id, lang, vt, ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS pos FROM v) SELECT CAST(pos AS BIGINT) AS pos, vt, lang, doc_id FROM t WHERE pos <= 200 ORDER BY pos""",
+    // q193's hex-space framing + exact integer byte-sum energies; the
+    // island numbering replays as the same gaps-and-islands window
+    "q229_energy_segments" ->
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents), f AS (SELECT doc_id, unnest(range(0, greatest(length(hx) // 2, 1), 256)) AS off, hx FROM p WHERE length(hx) > 0), fr AS (SELECT doc_id, CAST(off // 256 AS BIGINT) AS frame_idx, substring(hx, CAST(off * 2 + 1 AS BIGINT), 512) AS h FROM f), en AS (SELECT doc_id, frame_idx, CAST(length(h) // 2 AS BIGINT) AS flen, CAST(list_reduce(list_prepend(0, list_transform(range(0, length(h) // 2), i6 -> CAST(concat('0x', substring(h, CAST(i6 * 2 + 1 AS INTEGER), 2)) AS BIGINT))), (a6, b6) -> a6 + b6) AS BIGINT) AS energy FROM fr), act AS (SELECT doc_id, frame_idx, energy FROM en WHERE energy > 96 * flen), sg AS (SELECT doc_id, frame_idx, energy, CASE WHEN lag(frame_idx) OVER (PARTITION BY doc_id ORDER BY frame_idx) = frame_idx - 1 THEN 0 ELSE 1 END AS is_new FROM act), gi AS (SELECT doc_id, frame_idx, energy, CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_idx FROM sg) SELECT doc_id, seg_idx, MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame, COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS seg_energy FROM gi GROUP BY 1, 2 ORDER BY doc_id, seg_idx""",
     // the maintained k-per-group state equals the one-shot ranking:
     // top-k merging is associative under (value DESC, event_id)
     "q228_stream_topk" ->

@@ -197,6 +197,56 @@ object Multimodal {
       .withColumn("frame_offset", col("frame_idx") * bytesPerFrame)
   }
 
+  /** VAD-style activity segmentation over audio-ish payloads: the payload
+    * splits into fixed-size frames, each frame's "energy" is the exact
+    * integer sum of its byte values, frames above `minAvgByte × frame_len`
+    * are active, and runs of consecutive active frames merge into
+    * segments (gaps-and-islands) — the voice-activity pass that turns a
+    * raw audio blob into trainable utterance spans, with byte sums
+    * standing in for the stubbed DSP (same posture as [[sceneCuts]]).
+    *
+    * All arithmetic is integer-exact (no float thresholds), so the oracle
+    * replays it byte-for-byte in hex space. Frame rows scale out through
+    * one explode; the island numbering is a per-doc window.
+    */
+  def energySegments(
+      withPayload: DataFrame,
+      frameBytes: Int = 256,
+      minAvgByte: Int = 96): DataFrame = {
+    require(frameBytes >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    withPayload
+      .filter(length(col("payload")) > 0)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0),
+          greatest(length(col("payload")) - 1, lit(0)), lit(frameBytes)))
+          .as(Seq("frame_idx", "off")),
+        col("payload"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        hex(expr(s"substring(payload, off + 1, $frameBytes)")).as("h"))
+      .withColumn("flen", expr("cast(length(h) div 2 as bigint)"))
+      // exact integer frame energy from the hex pairs (conv is codegen'd)
+      .withColumn("energy", expr(
+        """aggregate(
+          |  sequence(0, int(length(h) div 2 - 1)),
+          |  0L,
+          |  (acc, i6) -> acc + cast(conv(substring(h, i6 * 2 + 1, 2), 16, 10) as long))""".stripMargin))
+      .filter(col("energy") > lit(minAvgByte.toLong) * col("flen"))
+      .withColumn("__new",
+        when(lag(col("frame_idx"), 1).over(w) === col("frame_idx") - 1, 0L)
+          .otherwise(1L))
+      .withColumn("seg_idx",
+        sum(col("__new")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("seg_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("seg_energy"))
+  }
+
   /** STUB decode: deterministic fake metadata derived from the payload bytes
     * (media codecs are not available in this environment). A real
     * implementation parses the container header here.

@@ -56,6 +56,19 @@ class MultimodalSpec extends SparkSuite {
       (3L, 1L, false), (4L, 4L, true)))
   }
 
+  test("energySegments finds byte-exact active islands") {
+    // 2-byte frames, threshold avg > 96: "zz" (244) and "ZZ" (180) frames —
+    // actives are frames 0,1 ('zz','zz') and 3 ('zz') around the quiet
+    // 'ZZ' frame 2 → two segments, energies 488 and 244
+    val docs = Seq((1L, "zzzzZZzz")).toDF("doc_id", "text")
+    val out = Multimodal.energySegments(
+      Multimodal.attachPayload(docs), frameBytes = 2, minAvgByte = 96)
+      .orderBy("seg_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 0L, 1L, 2L, 488L), (2L, 3L, 3L, 1L, 244L)))
+  }
+
   test("binary schema survives the round trip") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val payload = Multimodal.attachPayload(docs)
