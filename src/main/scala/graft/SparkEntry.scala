@@ -3709,6 +3709,50 @@ object SparkEntry {
       Multimodal.attachPayload(T(s, dir, "documents")))
       .orderBy(col("doc_id"), col("seg_idx"))
 
+  /** Dataloader epoch ordering ([[Sampling.epochShardOrder]]): epoch 2's
+    * seeded shuffle dealt into 4 shards, resumed after 5 consumed samples
+    * per rank — the next 10 positions each rank will read. The (epoch,
+    * consumed) pair is the ENTIRE resume state; no shuffle files or
+    * ordering manifests persist anywhere.
+    */
+  private def q230(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochShardOrder(
+      T(s, dir, "documents").select(col("doc_id")),
+      "doc_id", epoch = 2L, nShards = 4)
+      .filter(col("pos") > 5 && col("pos") <= 15)
+      .orderBy(col("shard"), col("pos"))
+
+  /** Bigram-surprisal quality scoring — q194's unigram filter upgraded to
+    * transition probabilities: each in-doc word transition (with a
+    * per-doc BOS sentinel) is scored `-ln p(w | prev)` under the corpus's
+    * own bigram model (`c_pair / c_prefix`, exact integers), averaged per
+    * document. High = incoherent word soup even when every word is
+    * common — the repetition/gibberish axis unigram models can't see.
+    * Terms hit the 9-decimal grid before the order-independent DECIMAL
+    * sum (§6 discipline, same as q194).
+    */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val words = T(s, dir, "documents").select(col("doc_id"),
+      posexplode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .as(Seq("pos", "w")))
+    val big = words
+      .withColumn("prev", coalesce(
+        lag(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))),
+        lit("<s>")))
+      .select(col("doc_id"), col("prev"), col("w"))
+    val cPair = big.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c_pair"))
+    val cFirst = cPair.groupBy(col("prev")).agg(sum(col("c_pair")).as("c_first"))
+    big.join(cPair, Seq("prev", "w")).join(cFirst, Seq("prev"))
+      .select(col("doc_id"),
+        round(log(col("c_first").cast("double") / col("c_pair").cast("double")), 9)
+          .cast(DecimalType(28, 9)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4379,6 +4423,8 @@ object SparkEntry {
     "q227_occ_race" -> (q227 _),
     "q228_stream_topk" -> (q228 _),
     "q229_energy_segments" -> (q229 _),
+    "q230_epoch_order" -> (q230 _),
+    "q231_bigram_surprisal" -> (q231 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5127,6 +5173,14 @@ object SparkEntry {
     // the 200-slot head replays as a plain ORDER BY ... LIMIT
     "q225_mixture_schedule" ->
       """WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk FROM documents WHERE lang IN ('en', 'zh', 'de', 'es', 'fr')), v AS (SELECT doc_id, lang, CAST(rnk * CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'de' THEN 3 WHEN 'es' THEN 3 WHEN 'fr' THEN 6 END AS BIGINT) AS vt FROM r), t AS (SELECT doc_id, lang, vt, ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS pos FROM v) SELECT CAST(pos AS BIGINT) AS pos, vt, lang, doc_id FROM t WHERE pos <= 200 ORDER BY pos""",
+    // the '<epoch>:<id>' md5 reseeds per epoch; shard = first 8 hex chars
+    // mod ranks (both engines: nonneg, so % == pmod)
+    "q230_epoch_order" ->
+      """WITH h AS (SELECT doc_id, md5(concat('2:', CAST(doc_id AS VARCHAR))) AS hx FROM documents), s AS (SELECT doc_id, hx, CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 4 AS shard FROM h), r AS (SELECT shard, doc_id, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos FROM s) SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id FROM r WHERE pos > 5 AND pos <= 15 ORDER BY shard, pos""",
+    // q194's grid-then-decimal-sum discipline over bigram transitions;
+    // the BOS sentinel makes every doc's first word a scored transition
+    "q231_bigram_surprisal" ->
+      """WITH wl AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents), w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wl), b AS (SELECT doc_id, coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS prev, w FROM w), cp AS (SELECT prev, w, COUNT(*) AS c_pair FROM b GROUP BY 1, 2), cf AS (SELECT prev, CAST(SUM(c_pair) AS BIGINT) AS c_first FROM cp GROUP BY 1), t AS (SELECT doc_id, CAST(round(ln(CAST(c_first AS DOUBLE) / CAST(c_pair AS DOUBLE)), 9) AS DECIMAL(28,9)) AS nll FROM b JOIN cp USING (prev, w) JOIN cf USING (prev)) SELECT doc_id, COUNT(*) AS n_trans, round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM t GROUP BY doc_id ORDER BY doc_id""",
     // q193's hex-space framing + exact integer byte-sum energies; the
     // island numbering replays as the same gaps-and-islands window
     "q229_energy_segments" ->

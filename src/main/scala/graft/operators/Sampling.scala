@@ -167,6 +167,31 @@ object Sampling {
       .drop("__rank", "__stride")
   }
 
+  /** Deterministic epoch ordering for a training dataloader: each epoch
+    * re-shuffles the corpus by a seeded md5 over `(epoch, id)`, deals rows
+    * into `nShards` hash shards (one per data-parallel rank), and numbers
+    * each shard's rows — so any rank can resume mid-epoch by skipping its
+    * first `pos <= consumed` rows, with NO coordination state beyond the
+    * (epoch, consumed) pair. Reproducible across engines and reruns; a
+    * different epoch yields an unrelated order (the hash reseeds).
+    * One window shuffle on the shard column; no global row-number.
+    */
+  def epochShardOrder(
+      df: DataFrame,
+      idCol: String,
+      epoch: Long,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1)
+    val hx = md5(concat(lit(s"$epoch:"), col(idCol).cast("string")).cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__hx"), col(idCol))
+    df.withColumn("__hx", hx)
+      .withColumn("shard",
+        pmod(conv(substring(col("__hx"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__hx")
+  }
+
   /** Per-key document cap — the per-domain crawl-governance rule: at most
     * `cap` rows per key survive, chosen by the engine's reproducible md5
     * rank (so the kept subset is stable across runs and engines, not

@@ -82,6 +82,20 @@ class SamplingSpec extends SparkSuite {
     assert(a == b && a.size == 15)
   }
 
+  test("epochShardOrder: reproducible per epoch, reseeded across epochs") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    def order(epoch: Long) = Sampling.epochShardOrder(df, "id", epoch, 4)
+      .select("shard", "pos", "id").as[(Long, Long, Long)].collect().toSet
+    val e1 = order(1L)
+    assert(e1 == order(1L), "same epoch must replay identically")
+    assert(e1 != order(2L), "a new epoch must reshuffle")
+    // every shard numbers densely from 1 (the resume contract)
+    val byShard = e1.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    byShard.foreach { case (_, ps) => assert(ps == (1L to ps.length)) }
+    assert(e1.map(_._3).size == 200, "partition, not sample: all rows appear")
+  }
+
   test("frame sampling emits every 4th frame with byte offsets") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 450)).toDF("doc_id", "text") // 4 frames of 100B
