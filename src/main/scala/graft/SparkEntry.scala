@@ -3753,6 +3753,281 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Scalable global contiguous row ids ([[graft.operators.GlobalOrder]]):
+    * the numbering `ROW_NUMBER() OVER (ORDER BY ...)` produces, computed
+    * WITHOUT the single-partition window Spark would plan for it — range
+    * repartition + local rank + broadcast per-partition offsets. The
+    * driver-side state is O(partitions) longs; every heavy stage is
+    * parallel. RelationalSpec asserts the plan has no SinglePartition
+    * exchange on the numbering path.
+    */
+  private def q232(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GlobalOrder.rowNumbers(
+      T(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars").desc, col("doc_id")))
+      .orderBy(col("global_id"))
+
+  /** Event-time completeness audit: per event type, every missing hour in
+    * the type's own [min, max] hour range, reported as contiguous gap
+    * islands — the freshness check a scheduled ingest runs before
+    * publishing a partition. The hour spine is sequence()-generated per
+    * type (O(time span) rows, independent of corpus size), the anti-join
+    * prunes to missing hours only, and the island window runs over that
+    * already-small set.
+    */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val hrs = T(s, dir, "events")
+      .select(col("event_type"), expr("(ts div 1000000000) div 3600").as("h"))
+      .distinct()
+    val spine = hrs.groupBy(col("event_type"))
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    spine.join(hrs, Seq("event_type", "h"), "left_anti")
+      .withColumn("brk",
+        when(col("h") - lag(col("h"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("gap_idx", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("event_type"), col("gap_idx"))
+      .agg(
+        timestamp_seconds(min(col("h")) * 3600).cast("timestamp_ntz").as("gap_start"),
+        timestamp_seconds(max(col("h")) * 3600).cast("timestamp_ntz").as("gap_end"),
+        count(lit(1)).as("n_missing"))
+      .orderBy(col("event_type"), col("gap_idx"))
+  }
+
+  /** Ingest-lag profiling: exact p50/p95 (q82's interpolation, identical on
+    * both engines) and max of the event-time → ingest-time delay, per event
+    * type. The test tables carry no ingest timestamp, so the delay is
+    * synthesized deterministically from event_id (documented stand-in — a
+    * real pipeline reads its ingest column here); everything downstream of
+    * that column is the real operator: one window rank + one aggregation,
+    * partitioned by type.
+    */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val lagged = T(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        ((col("event_id") * 37) % 1800).cast("double").as("delay_s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("delay_s"), col("event_id"))
+    val cw = Window.partitionBy(col("event_type"))
+    val ranked = lagged
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+    def interp(p: Double): Column = {
+      val pos = lit(1.0) + lit(p) * (col("n").cast("double") - 1.0)
+      val lo = floor(pos).cast("long")
+      val hi = ceil(pos).cast("long")
+      val vLo = max(when(col("rn") === lo, col("delay_s")))
+      val vHi = max(when(col("rn") === hi, col("delay_s")))
+      vLo + max(pos - floor(pos)) * (vHi - vLo)
+    }
+    ranked.groupBy(col("event_type"))
+      .agg(interp(0.5).as("p50_lag"), interp(0.95).as("p95_lag"),
+        max(col("delay_s")).as("max_lag"), max(col("n")).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Substring-granularity dedup — the layer between q211's exact-line pass
+    * and q21's whole-document pass (Lee et al.'s "Deduplicating Training
+    * Data" runs exactly this k-gram span scan): every word 8-gram occurring
+    * more than once corpus-wide marks its 8-token span, overlapping spans
+    * merge (gaps-and-islands over gram starts: a start within 7 positions
+    * of the previous start overlaps), and each doc reports how much of it
+    * is duplicated substring mass. One explode builds the grams (HOF over
+    * the word array, no self-join), one shuffle counts them, and the span
+    * window runs only over duplicated-gram occurrences.
+    */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"),
+      split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("ws"))
+    val grams = docs.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), size(col("ws")).as("n"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - 8),
+          i => array_join(slice(col("ws"), i + 1, lit(8)), " ")))
+          .as(Seq("pos", "g")))
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val dup = grams.join(counts.filter(col("cnt") >= 2), Seq("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= 7, 0).otherwise(1))
+      .withColumn("isl", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(first(col("n")).as("n"), count(lit(1)).as("n_gr"),
+        (max(col("pos")) - min(col("pos")) + 8).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        sum(col("n_gr")).as("n_dup_grams"),
+        sum(col("cov")).cast("long").as("covered_tokens"),
+        round(sum(col("cov")).cast("double") / max(col("n")), 6).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus drift between two snapshots: Jensen–Shannon divergence over the
+    * unigram distributions (the corpus-level companion to q109's per-feature
+    * PSI — "did the crawl change under me"), reported as the top drifting
+    * words by JSD contribution. Halves stand in for snapshots (doc_id
+    * parity). One corpus scan, one shuffle on word; per-word terms hit the
+    * 9-decimal grid before any comparison (§6 discipline), totals ride a
+    * broadcast single-row join.
+    */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val words = T(s, dir, "documents").select(
+      (col("doc_id") % 2).as("half"),
+      explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w"))
+    val c = words.groupBy(col("w")).agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+    val tot = c.agg(sum(col("c0")).cast("double").as("n0"),
+      sum(col("c1")).cast("double").as("n1"))
+    val p = col("c0").cast("double") / col("n0")
+    val q = col("c1").cast("double") / col("n1")
+    c.join(broadcast(tot))
+      .withColumn("term_p",
+        when(col("c0") > 0, p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0)))
+      .withColumn("term_q",
+        when(col("c1") > 0, q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0)))
+      .select(col("w"), col("c0"), col("c1"),
+        round(lit(0.5) * (col("term_p") + col("term_q")), 9).as("jsd_contrib"))
+      .orderBy(col("jsd_contrib").desc, col("w"))
+      .limit(20)
+  }
+
+  /** Perceptual-hash near-dup over binary payloads — the image half of the
+    * dedup stack (q22/q23 are its text siblings): a 64-bit aHash built from
+    * 64 byte-sum cells over the payload (bit i = cell i above the global
+    * byte mean, compared cross-multiplied so everything stays in exact
+    * integers), packed as four 16-bit bands. Candidate pairs share at least
+    * one band (LSH banding — at corpus scale you widen/multiply bands, same
+    * machinery as q22); survivors have Hamming distance ≤ 10 across all 64
+    * bits. The "decode" is the same deterministic stand-in as fakeDecode:
+    * real pixels would enter at the cell computation, nothing downstream
+    * changes. Oracle replays cell-by-cell in hex space (q229's pattern).
+    */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val hx = T(s, dir, "documents")
+      .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("hx"))
+      .withColumn("len", (length(col("hx")) / 2).cast("long"))
+      .filter(col("len") >= 64)
+    // cell i = exact byte sum of slice [i*len/64, (i+1)*len/64); len >= 64
+    // guarantees every cell is non-empty (so sequence() never descends)
+    val cells = hx.withColumn("cells",
+      transform(sequence(lit(0L), lit(63L)), i =>
+        aggregate(
+          sequence(
+            floor(col("len") * i / 64).cast("long"),
+            floor(col("len") * (i + 1L) / 64).cast("long") - 1L),
+          lit(0L),
+          (acc, j) =>
+            acc + conv(substring(col("hx"), (j * 2 + 1).cast("int"), lit(2)), 16, 10)
+              .cast("long"))))
+      .withColumn("total", aggregate(col("cells"), lit(0L), (a, x) => a + x))
+    // bit i: 64*cell > total (cross-multiplied mean comparison, exact)
+    val bands = cells.withColumn("bands",
+      transform(sequence(lit(0), lit(3)), k =>
+        aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, b) =>
+          acc + when(
+            element_at(col("cells"), k * 16 + b + 1) * 64 > col("total"),
+            pow(lit(2.0), b.cast("double")).cast("long")).otherwise(0L))))
+      .select(col("doc_id"), col("bands"))
+    val banded = bands.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("k", "bv")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.bands").as("ba"), col("b.bands").as("bb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr(
+        "cast(bit_count(ba[0] ^ bb[0]) + bit_count(ba[1] ^ bb[1]) + " +
+          "bit_count(ba[2] ^ bb[2]) + bit_count(ba[3] ^ bb[3]) as bigint)"))
+      .filter(col("hamming") <= 10)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Community detection by synchronous label propagation over the
+    * support-thresholded part co-purchase graph (q162's scale-stable edge
+    * construction: pairs co-occurring in ≥ 2 orders). Three synchronous
+    * rounds; each vertex adopts its neighbors' modal label, ties to the
+    * smallest — fully deterministic, so the oracle replays the fixpoint as
+    * three unrolled CTE rounds. Per-round cost is one equi-join + one
+    * grouped count + one per-vertex window (all key-partitioned); lineage
+    * is cut per round like PageRank's iterations.
+    */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("u"), col("v"))
+    val edges = e0.union(e0.select(col("v"), col("u")))
+      .toDF("src", "dst").localCheckpoint(true)
+    var labels = edges.select(col("src").as("pk")).distinct()
+      .withColumn("label", col("pk"))
+    for (_ <- 1 to 3) {
+      val cnt = edges.join(labels, edges("dst") === labels("pk"))
+        .groupBy(edges("src").as("pk2"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("pk2")).orderBy(col("c").desc, col("label"))
+      labels = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("pk2").as("pk"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels.orderBy(col("pk"))
+  }
+
+  /** Hidden-partitioning read ([[graft.sources.HiddenPartitioning]]): the
+    * table is physically laid out by day(ts) × bucket(8, user_id), but the
+    * query filters only on the raw user id — the read path derives the
+    * bucket predicate itself, so the scan opens one bucket directory in
+    * eight (LayoutSpec proves it from inputFiles). The result is plain
+    * filtered data; the oracle is the straight filter on the source table.
+    */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "q239")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val ev = T(s, dir, "events").select(
+      col("event_id"), evSec.as("sec"), col("user_id"), col("event_type"), col("value"))
+    graft.sources.HiddenPartitioning.write(ev, root, "sec", "user_id", 8)
+    graft.sources.HiddenPartitioning.read(s, root, "user_id", 8, keyEq = Some(7L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Bitemporal as-of: VALID time (the business date each order became the
+    * customer's latest) × TRANSACTION time (the lake version that had
+    * ingested it). Orders land in three TxLake commits; the query reads the
+    * table as of tx-version 2 — so the third commit's rows must not exist
+    * for it even when they are valid-time eligible — and then takes each
+    * customer's latest order valid on 1996-01-01. The oracle replays both
+    * temporal filters declaratively (tx membership = the first two ingest
+    * thirds).
+    */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "q240")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val o = T(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate").as("vd"), col("o_totalprice"))
+    TxLake.commit(s, root, o.filter(col("o_orderkey") % 3 === 0))
+    TxLake.commit(s, root, o.filter(col("o_orderkey") % 3 === 1))
+    TxLake.commit(s, root, o.filter(col("o_orderkey") % 3 === 2))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("vd").desc, col("o_orderkey").desc)
+    TxLake.readSnapshot(s, root, 2L)
+      .filter(col("vd") <= lit("1996-01-01"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_custkey"), col("vd").as("valid_from"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Scene-cut detection over video-ish payloads
     * ([[graft.operators.Multimodal.sceneCuts]]): consecutive fixed-size
     * frames compared byte-for-byte, cuts where the changed-byte ratio
@@ -4425,6 +4700,15 @@ object SparkEntry {
     "q229_energy_segments" -> (q229 _),
     "q230_epoch_order" -> (q230 _),
     "q231_bigram_surprisal" -> (q231 _),
+    "q232_global_ids" -> (q232 _),
+    "q233_gap_detect" -> (q233 _),
+    "q234_lag_profile" -> (q234 _),
+    "q235_span_dedup" -> (q235 _),
+    "q236_corpus_drift" -> (q236 _),
+    "q237_phash_dedup" -> (q237 _),
+    "q238_label_prop" -> (q238 _),
+    "q239_hidden_partitioning" -> (q239 _),
+    "q240_bitemporal" -> (q240 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4665,10 +4949,15 @@ object SparkEntry {
     zorderSqlN(bits, Seq(x, y))
 
   /** Rank-interpolated percentile replayed in SQL (mirrors q82's interp). */
-  private def interpSql(p: String): String = {
+  private def interpSql(p: String): String = interpSqlCol(p, "o_totalprice")
+
+  /** Spark-exact percentile interpolation replay (see q82) over column `c`. */
+  private def interpSqlCol(p: String, c: String): String = {
     val pos = s"(1.0 + $p * (CAST(n AS DOUBLE) - 1.0))"
-    s"(MAX(CASE WHEN rn = CAST(floor($pos) AS BIGINT) THEN o_totalprice END) + MAX($pos - floor($pos)) * (MAX(CASE WHEN rn = CAST(ceil($pos) AS BIGINT) THEN o_totalprice END) - MAX(CASE WHEN rn = CAST(floor($pos) AS BIGINT) THEN o_totalprice END)))"
+    s"(MAX(CASE WHEN rn = CAST(floor($pos) AS BIGINT) THEN $c END) + MAX($pos - floor($pos)) * (MAX(CASE WHEN rn = CAST(ceil($pos) AS BIGINT) THEN $c END) - MAX(CASE WHEN rn = CAST(floor($pos) AS BIGINT) THEN $c END)))"
   }
+
+  private def lagInterpSql(p: String): String = interpSqlCol(p, "delay_s")
 
   /** TF.qualityScore replayed in SQL (same expression as the q29 oracle). */
   private val QUALITY_SQL =
@@ -5177,6 +5466,41 @@ object SparkEntry {
     // mod ranks (both engines: nonneg, so % == pmod)
     "q230_epoch_order" ->
       """WITH h AS (SELECT doc_id, md5(concat('2:', CAST(doc_id AS VARCHAR))) AS hx FROM documents), s AS (SELECT doc_id, hx, CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) % 4 AS shard FROM h), r AS (SELECT shard, doc_id, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS pos FROM s) SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id FROM r WHERE pos > 5 AND pos <= 15 ORDER BY shard, pos""",
+    // numbering is the pure sort position, so the distributed
+    // offset-and-local-rank construction replays as one window
+    "q232_global_ids" ->
+      """SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS global_id FROM documents ORDER BY global_id""",
+    // hidden partitioning only changes WHICH files are read, never what
+    // the query returns — the oracle is the raw filter
+    "q239_hidden_partitioning" ->
+      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events WHERE user_id = 7 GROUP BY event_type ORDER BY event_type""",
+    // tx-time membership = the first two ingest thirds; valid-time = the
+    // latest order on or before the as-of date
+    "q240_bitemporal" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate AS vd, o_totalprice FROM orders WHERE o_orderkey % 3 IN (0, 1)), r AS (SELECT o_custkey, vd, o_orderkey, o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY vd DESC, o_orderkey DESC) AS rn FROM o WHERE vd <= '1996-01-01') SELECT o_custkey, vd AS valid_from, o_orderkey, o_totalprice FROM r WHERE rn = 1 ORDER BY o_custkey""",
+    // three synchronous rounds unroll as three CTEs; mode + smallest-label
+    // tie-break makes every round deterministic on both engines
+    "q238_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), e0 AS (SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING COUNT(*) >= 2), e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0), l0 AS (SELECT DISTINCT src AS pk, src AS label FROM e), r1 AS (SELECT pk, label FROM (SELECT e.src AS pk, l.label, ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label) AS rn FROM e JOIN l0 l ON e.dst = l.pk GROUP BY e.src, l.label) WHERE rn = 1), r2 AS (SELECT pk, label FROM (SELECT e.src AS pk, l.label, ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label) AS rn FROM e JOIN r1 l ON e.dst = l.pk GROUP BY e.src, l.label) WHERE rn = 1), r3 AS (SELECT pk, label FROM (SELECT e.src AS pk, l.label, ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label) AS rn FROM e JOIN r2 l ON e.dst = l.pk GROUP BY e.src, l.label) WHERE rn = 1) SELECT pk, label FROM r3 ORDER BY pk""",
+    // per-word JSD terms hit the 9-decimal grid before ranking; both
+    // engines order by the rounded contribution then the word
+    "q236_corpus_drift" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT doc_id % 2 AS half, unnest(docwords(text)) AS w FROM documents), c AS (SELECT w, CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS c0, CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS c1 FROM w GROUP BY w), t AS (SELECT CAST(SUM(c0) AS DOUBLE) AS n0, CAST(SUM(c1) AS DOUBLE) AS n1 FROM c) SELECT w, c0, c1, round(0.5 * (CASE WHEN c0 > 0 THEN (c0/n0) * ln(2.0*(c0/n0)/((c0/n0)+(c1/n1))) ELSE 0.0 END + CASE WHEN c1 > 0 THEN (c1/n1) * ln(2.0*(c1/n1)/((c0/n0)+(c1/n1))) ELSE 0.0 END), 9) AS jsd_contrib FROM c, t ORDER BY jsd_contrib DESC, w LIMIT 20""",
+    // the aHash replays cell-by-cell in hex space (q229's pattern); bands,
+    // bucket join and Hamming verify are the same integer arithmetic
+    "q237_phash_dedup" ->
+      """WITH p0 AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents), p AS (SELECT doc_id, hx, CAST(length(hx) // 2 AS BIGINT) AS len FROM p0 WHERE length(hx) // 2 >= 64), cl AS (SELECT doc_id, list_transform(range(0, 64), i -> CAST(list_reduce(list_prepend(0, list_transform(range(len * i // 64, len * (i+1) // 64), j -> CAST(concat('0x', substring(hx, CAST(j * 2 + 1 AS BIGINT), 2)) AS BIGINT))), (a, b) -> a + b) AS BIGINT)) AS cells FROM p), ct AS (SELECT doc_id, cells, CAST(list_reduce(cells, (a, b) -> a + b) AS BIGINT) AS total FROM cl), bd AS (SELECT doc_id, list_transform(range(0, 4), k -> CAST(list_reduce(list_prepend(0, list_transform(range(0, 16), b -> CASE WHEN cells[CAST(k*16+b+1 AS BIGINT)] * 64 > total THEN CAST(1 << b AS BIGINT) ELSE 0 END)), (a, c) -> a + c) AS BIGINT)) AS bands FROM ct), ev AS (SELECT doc_id, bands, k, bands[CAST(k+1 AS BIGINT)] AS bv FROM (SELECT doc_id, bands, unnest(range(0,4)) AS k FROM bd)), pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.bands AS ba, b.bands AS bb FROM ev a JOIN ev b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id), h AS (SELECT id_a, id_b, CAST(bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2])) + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4])) AS BIGINT) AS hamming FROM pr) SELECT id_a, id_b, hamming FROM h WHERE hamming <= 10 ORDER BY id_a, id_b""",
+    // the hour spine regenerates from the same [min,max] bounds, so the
+    // gap islands replay as the identical anti-join + window
+    "q233_gap_detect" ->
+      """WITH hrs AS (SELECT DISTINCT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS h FROM events), b AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hrs GROUP BY 1), sp AS (SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM b), m AS (SELECT sp.event_type, sp.h FROM sp LEFT JOIN hrs ON sp.event_type = hrs.event_type AND sp.h = hrs.h WHERE hrs.h IS NULL), g AS (SELECT event_type, h, CASE WHEN h - lag(h) OVER (PARTITION BY event_type ORDER BY h) = 1 THEN 0 ELSE 1 END AS brk FROM m), i AS (SELECT event_type, h, CAST(SUM(brk) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gap_idx FROM g) SELECT event_type, gap_idx, CAST(TIMESTAMP '1970-01-01' + MIN(h) * INTERVAL 1 HOUR AS TIMESTAMP) AS gap_start, CAST(TIMESTAMP '1970-01-01' + MAX(h) * INTERVAL 1 HOUR AS TIMESTAMP) AS gap_end, COUNT(*) AS n_missing FROM i GROUP BY 1, 2 ORDER BY event_type, gap_idx""",
+    // q82's exact-interpolation replay over the synthesized integer delays
+    "q234_lag_profile" ->
+      s"""WITH d AS (SELECT event_type, event_id, CAST((event_id * 37) % 1800 AS DOUBLE) AS delay_s FROM events), r AS (SELECT event_type, delay_s, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY delay_s, event_id) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM d) SELECT event_type, ${lagInterpSql("0.5")} AS p50_lag, ${lagInterpSql("0.95")} AS p95_lag, MAX(delay_s) AS max_lag, MAX(n) AS n FROM r GROUP BY event_type ORDER BY event_type""",
+    // grams regenerate positionally from the same normalized split; span
+    // union replays as the same fixed-length interval-merge islands
+    "q235_span_dedup" ->
+      """WITH wl AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents), f AS (SELECT doc_id, len(ws) AS n, ws, unnest(range(0, len(ws)-7)) AS pos FROM wl WHERE len(ws) >= 8), g AS (SELECT doc_id, n, CAST(pos AS BIGINT) AS pos, array_to_string(ws[pos+1:pos+8], ' ') AS g FROM f), c AS (SELECT g, COUNT(*) AS cnt FROM g GROUP BY g), d AS (SELECT doc_id, n, pos FROM g JOIN c USING (g) WHERE cnt >= 2), isl AS (SELECT doc_id, n, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7 THEN 0 ELSE 1 END AS brk FROM d), gi AS (SELECT doc_id, n, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id FROM isl), seg AS (SELECT doc_id, isl_id, ANY_VALUE(n) AS n, COUNT(*) AS n_gr, MAX(pos) - MIN(pos) + 8 AS cov FROM gi GROUP BY doc_id, isl_id) SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens, CAST(SUM(n_gr) AS BIGINT) AS n_dup_grams, CAST(SUM(cov) AS BIGINT) AS covered_tokens, round(CAST(SUM(cov) AS DOUBLE) / MAX(n), 6) AS dup_ratio FROM seg GROUP BY doc_id ORDER BY doc_id""",
     // q194's grid-then-decimal-sum discipline over bigram transitions;
     // the BOS sentinel makes every doc's first word a scored transition
     "q231_bigram_surprisal" ->

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global contiguous row numbering at scale.
+  *
+  * `ROW_NUMBER() OVER (ORDER BY ...)` with no PARTITION BY collapses the
+  * entire input onto ONE task — the classic 100 TB cliff (Spark plans it as
+  * an Exchange to SinglePartition). This operator produces the identical
+  * numbering with no single-partition stage:
+  *
+  *   1. range-repartition + sort-within-partitions on the key — the same
+  *      sampled-boundary machinery a global ORDER BY uses, so partitions
+  *      are balanced and globally ordered;
+  *   2. count rows per partition — a metadata-sized driver collect of
+  *      O(partitions) longs;
+  *   3. broadcast the cumulative offsets back and add each partition's
+  *      offset to its local rank.
+  *
+  * The numbering is deterministic whenever the sort key is a total order
+  * (callers must include a tiebreaker): partition BOUNDARIES may vary with
+  * range-sampling, but a row's global sort position — and therefore its
+  * id — cannot. The eager `localCheckpoint` between steps 1 and 2 pins one
+  * physical partitioning so the counted offsets line up with the ranks
+  * (without it the two downstream jobs could re-sample different
+  * boundaries).
+  */
+object GlobalOrder {
+
+  /** Assign `idCol` = 1-based global rank of each row under `sortCols`. */
+  def rowNumbers(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      idCol: String = "global_id",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged
+      .groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    }
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__off")
+    val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    ranged
+      .withColumn("__lr", row_number().over(local))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(idCol, col("__off") + col("__lr"))
+      .drop("__pid", "__lr", "__off")
+  }
+}

@@ -136,4 +136,32 @@ class LayoutSpec extends SparkSuite {
     }, s"file ranges overlap: ${spans.mkString(", ")}")
     assert(spark.read.parquet(dir).count() == src.count())
   }
+
+  test("hidden partitioning derives the bucket predicate and prunes to one bucket dir") {
+    val dir = Files.createTempDirectory("hidpart").toFile.getAbsolutePath + "/t"
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), expr("ts div 1000000000").as("sec"),
+        col("user_id"), col("event_type"), col("value"))
+    graft.sources.HiddenPartitioning.write(ev, dir, "sec", "user_id", 8)
+    val rd = graft.sources.HiddenPartitioning.read(
+      spark, dir, "user_id", 8, keyEq = Some(7L))
+    // the caller never mentioned __bucket, yet only bucket=7 files are
+    // read: inputFiles ignores pruning, so inspect the executed scan's
+    // selected partitions
+    val scan = rd.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val files = scan.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString)
+    assert(files.nonEmpty && files.forall(_.contains("__bucket=7")),
+      files.take(3).mkString(", "))
+    val allFiles = spark.read.parquet(dir).inputFiles
+    assert(files.length < allFiles.length / 4,
+      s"${files.length} of ${allFiles.length} — no pruning happened")
+    // and the answer equals the raw filter over the source
+    val expect = ev.filter(col("user_id") === 7L)
+      .select(col("event_id"), col("sec"), col("user_id"), col("event_type"), col("value"))
+    val got = rd.select(col("event_id"), col("sec"), col("user_id"), col("event_type"), col("value"))
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+  }
 }

@@ -122,6 +122,23 @@ class RelationalSpec extends SparkSuite {
       ("v", 1L) -> ((1L, 7L, 8L))))
   }
 
+  test("globalRowNumbers equals the single-partition window and plans no SinglePartition exchange") {
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("n_chars"))
+    val out = graft.operators.GlobalOrder.rowNumbers(
+      docs, Seq(col("n_chars").desc, col("doc_id")), numPartitions = 7)
+    val oracle = docs.withColumn("global_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+    assert(out.except(oracle).isEmpty && oracle.except(out).isEmpty)
+    // ids are contiguous 1..n
+    val n = docs.count()
+    assert(out.agg(min(col("global_id")), max(col("global_id")), count(lit(1)))
+      .collect().head.toSeq == Seq(1L, n, n))
+    // the numbering path never funnels data through one partition
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+  }
+
   test("skewReport flags only hot keys with the right salt factor") {
     val df = (Seq.fill(1000)("hot") ++ Seq.fill(150)("warm") ++ Seq.fill(10)("cold"))
       .toDF("k")
