@@ -3775,10 +3775,10 @@ object SparkEntry {
     * prunes to missing hours only, and the island window runs over that
     * already-small set.
     */
-  private def q233(s: SparkSession, dir: String): DataFrame = {
-    val hrs = T(s, dir, "events")
-      .select(col("event_type"), expr("(ts div 1000000000) div 3600").as("h"))
-      .distinct()
+  /** Gap islands over a distinct (event_type, h) hour set — shared by the
+    * batch audit (q233) and the streaming hour-store monitor (q242).
+    */
+  private def gapIslands(hrs: DataFrame): DataFrame = {
     val spine = hrs.groupBy(col("event_type"))
       .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
       .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("h"))
@@ -3795,6 +3795,46 @@ object SparkEntry {
         count(lit(1)).as("n_missing"))
       .orderBy(col("event_type"), col("gap_idx"))
   }
+
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    gapIslands(T(s, dir, "events")
+      .select(col("event_type"), expr("(ts div 1000000000) div 3600").as("h"))
+      .distinct())
+
+  /** Lexicon-based safety/content flagging — the blocklist scoring stage a
+    * corpus filter runs before training (stand-in terms; swap the lexicon).
+    * Word-boundary exact matches over the normalized split, per-doc hit
+    * counts, distinct matched terms, and a flag on the rounded hit ratio.
+    * One corpus scan; the lexicon is a literal IN-list (broadcast by
+    * construction).
+    */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val lex = Seq("dup", "fast", "slow")
+    val words = T(s, dir, "documents").select(col("doc_id"),
+      explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("w"))
+    words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isin(lex: _*), 1L).otherwise(0L)).as("n_hits"),
+        size(array_distinct(collect_list(
+          when(col("w").isin(lex: _*), col("w"))))).cast("long").as("n_terms"))
+      .withColumn("hit_ratio",
+        round(col("n_hits").cast("double") / col("n_tokens"), 6))
+      .withColumn("flagged",
+        when(col("hit_ratio") > 0.01, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** STREAMING completeness monitor ([[graft.streaming.StreamVerify
+    * .hourSetMaintenance]]): micro-batches fold distinct (type, hour) pairs
+    * into a standing exactly-once hour store (the O(active hours) state a
+    * freshness monitor keeps — never the events), and the drained store
+    * feeds the same gap-island computation as the batch audit. Union is
+    * commutative + idempotent, so the result is independent of micro-batch
+    * slicing — the gate proves it against q233's oracle verbatim.
+    */
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    gapIslands(graft.streaming.StreamVerify.hourSetMaintenance(
+      s, T(s, dir, "events"), scratch(dir, "q242")))
 
   /** Ingest-lag profiling: exact p50/p95 (q82's interpolation, identical on
     * both engines) and max of the event-time → ingest-time delay, per event
@@ -4482,7 +4522,7 @@ object SparkEntry {
     "q165_stream_cdc_apply", "q171_stream_full_outer",
     "q180_stream_resume", "q185_stream_cms",
     "q200_stream_bitmap", "q206_stream_dv_erasure",
-    "q219_stream_components", "q228_stream_topk")
+    "q219_stream_components", "q228_stream_topk", "q242_stream_gap_monitor")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -4709,6 +4749,8 @@ object SparkEntry {
     "q238_label_prop" -> (q238 _),
     "q239_hidden_partitioning" -> (q239 _),
     "q240_bitemporal" -> (q240 _),
+    "q241_lexicon_flags" -> (q241 _),
+    "q242_stream_gap_monitor" -> (q242 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -4958,6 +5000,10 @@ object SparkEntry {
   }
 
   private def lagInterpSql(p: String): String = interpSqlCol(p, "delay_s")
+
+  /** Shared by q233 (batch) and q242 (streaming hour-store monitor). */
+  private val gapDetectOracleSql =
+    """WITH hrs AS (SELECT DISTINCT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS h FROM events), b AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hrs GROUP BY 1), sp AS (SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM b), m AS (SELECT sp.event_type, sp.h FROM sp LEFT JOIN hrs ON sp.event_type = hrs.event_type AND sp.h = hrs.h WHERE hrs.h IS NULL), g AS (SELECT event_type, h, CASE WHEN h - lag(h) OVER (PARTITION BY event_type ORDER BY h) = 1 THEN 0 ELSE 1 END AS brk FROM m), i AS (SELECT event_type, h, CAST(SUM(brk) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gap_idx FROM g) SELECT event_type, gap_idx, CAST(TIMESTAMP '1970-01-01' + MIN(h) * INTERVAL 1 HOUR AS TIMESTAMP) AS gap_start, CAST(TIMESTAMP '1970-01-01' + MAX(h) * INTERVAL 1 HOUR AS TIMESTAMP) AS gap_end, COUNT(*) AS n_missing FROM i GROUP BY 1, 2 ORDER BY event_type, gap_idx"""
 
   /** TF.qualityScore replayed in SQL (same expression as the q29 oracle). */
   private val QUALITY_SQL =
@@ -5492,8 +5538,14 @@ object SparkEntry {
       """WITH p0 AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents), p AS (SELECT doc_id, hx, CAST(length(hx) // 2 AS BIGINT) AS len FROM p0 WHERE length(hx) // 2 >= 64), cl AS (SELECT doc_id, list_transform(range(0, 64), i -> CAST(list_reduce(list_prepend(0, list_transform(range(len * i // 64, len * (i+1) // 64), j -> CAST(concat('0x', substring(hx, CAST(j * 2 + 1 AS BIGINT), 2)) AS BIGINT))), (a, b) -> a + b) AS BIGINT)) AS cells FROM p), ct AS (SELECT doc_id, cells, CAST(list_reduce(cells, (a, b) -> a + b) AS BIGINT) AS total FROM cl), bd AS (SELECT doc_id, list_transform(range(0, 4), k -> CAST(list_reduce(list_prepend(0, list_transform(range(0, 16), b -> CASE WHEN cells[CAST(k*16+b+1 AS BIGINT)] * 64 > total THEN CAST(1 << b AS BIGINT) ELSE 0 END)), (a, c) -> a + c) AS BIGINT)) AS bands FROM ct), ev AS (SELECT doc_id, bands, k, bands[CAST(k+1 AS BIGINT)] AS bv FROM (SELECT doc_id, bands, unnest(range(0,4)) AS k FROM bd)), pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.bands AS ba, b.bands AS bb FROM ev a JOIN ev b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id), h AS (SELECT id_a, id_b, CAST(bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2])) + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4])) AS BIGINT) AS hamming FROM pr) SELECT id_a, id_b, hamming FROM h WHERE hamming <= 10 ORDER BY id_a, id_b""",
     // the hour spine regenerates from the same [min,max] bounds, so the
     // gap islands replay as the identical anti-join + window
-    "q233_gap_detect" ->
-      """WITH hrs AS (SELECT DISTINCT event_type, CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS h FROM events), b AS (SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hrs GROUP BY 1), sp AS (SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM b), m AS (SELECT sp.event_type, sp.h FROM sp LEFT JOIN hrs ON sp.event_type = hrs.event_type AND sp.h = hrs.h WHERE hrs.h IS NULL), g AS (SELECT event_type, h, CASE WHEN h - lag(h) OVER (PARTITION BY event_type ORDER BY h) = 1 THEN 0 ELSE 1 END AS brk FROM m), i AS (SELECT event_type, h, CAST(SUM(brk) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gap_idx FROM g) SELECT event_type, gap_idx, CAST(TIMESTAMP '1970-01-01' + MIN(h) * INTERVAL 1 HOUR AS TIMESTAMP) AS gap_start, CAST(TIMESTAMP '1970-01-01' + MAX(h) * INTERVAL 1 HOUR AS TIMESTAMP) AS gap_end, COUNT(*) AS n_missing FROM i GROUP BY 1, 2 ORDER BY event_type, gap_idx""",
+    "q233_gap_detect" -> gapDetectOracleSql,
+    // the streaming hour store is union-folded (commutative, idempotent),
+    // so the drained state feeds the exact batch-audit oracle
+    "q242_stream_gap_monitor" -> gapDetectOracleSql,
+    // lexicon hits replay as a literal IN-list; flag threshold applies to
+    // the 6-rounded ratio on both engines
+    "q241_lexicon_flags" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT doc_id, unnest(docwords(text)) AS w FROM documents), a AS (SELECT doc_id, COUNT(*) AS n_tokens, CAST(COUNT(*) FILTER (w IN ('dup','fast','slow')) AS BIGINT) AS n_hits, CAST(COUNT(DISTINCT w) FILTER (w IN ('dup','fast','slow')) AS BIGINT) AS n_terms FROM w GROUP BY doc_id), b AS (SELECT doc_id, n_tokens, n_hits, n_terms, round(CAST(n_hits AS DOUBLE) / n_tokens, 6) AS hit_ratio FROM a) SELECT doc_id, n_tokens, n_hits, n_terms, hit_ratio, CAST(CASE WHEN hit_ratio > 0.01 THEN 1 ELSE 0 END AS BIGINT) AS flagged FROM b ORDER BY doc_id""",
     // q82's exact-interpolation replay over the synthesized integer delays
     "q234_lag_profile" ->
       s"""WITH d AS (SELECT event_type, event_id, CAST((event_id * 37) % 1800 AS DOUBLE) AS delay_s FROM events), r AS (SELECT event_type, delay_s, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY delay_s, event_id) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n FROM d) SELECT event_type, ${lagInterpSql("0.5")} AS p50_lag, ${lagInterpSql("0.95")} AS p95_lag, MAX(delay_s) AS max_lag, MAX(n) AS n FROM r GROUP BY event_type ORDER BY event_type""",

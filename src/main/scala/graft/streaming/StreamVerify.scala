@@ -739,4 +739,52 @@ object StreamVerify {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("sec"))
   }
+
+  /** Streaming maintenance of a per-type OBSERVED-HOUR store — the standing
+    * state a freshness/completeness monitor keeps (O(active hours), never
+    * the events): each micro-batch folds its distinct (type, hour) pairs
+    * into a TxLake snapshot via exactly-once tagged commits. Union is
+    * commutative and idempotent, so the batch-split store equals the
+    * batch-built one regardless of how the engine slices micro-batches —
+    * the drained store feeds the same gap-island computation the batch
+    * audit (q233) runs, against the same oracle.
+    */
+  def hourSetMaintenance(
+      spark: SparkSession,
+      events: DataFrame,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val src = s"$scratchDir/ev"
+    val lake = s"$scratchDir/hours"
+    val staged = events
+      .select(col("event_type"), expr("(ts div 1000000000) div 3600").as("h"))
+      .withColumn("__b", pmod(col("h"), lit(3)))
+      .localCheckpoint(true)
+    (0 until 3).foreach { b =>
+      staged.filter(col("__b") === b).drop("__b")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val q = spark.readStream
+      .schema(staged.drop("__b").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val hrs = batch.select(col("event_type"), col("h"))
+          .distinct().localCheckpoint(true)
+        val state =
+          if (graft.sources.TxLake.latestVersion(lake) == 0L) hrs.limit(0)
+          else graft.sources.TxLake.readSnapshot(spark, lake)
+        graft.sources.TxLake.commit(spark, lake,
+          state.unionByName(hrs).distinct().coalesce(1),
+          overwrite = true, tag = s"hours-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.sources.TxLake.readSnapshot(spark, lake)
+  }
 }
