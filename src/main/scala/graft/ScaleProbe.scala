@@ -171,6 +171,102 @@ object ScaleProbe {
             last(col("hv"), ignoreNulls = true).over(wPrev).as("pv"),
             last(col("hv"), ignoreNulls = true).over(wNextRev).as("nv")))
       },
+      "global_ids" -> { () =>
+        // the no-single-partition global numbering (q232): range shuffle +
+        // local rank; driver state stays O(partitions) at every factor
+        val ev = eventsAt(f)
+        consume(graft.operators.GlobalOrder.rowNumbers(
+          ev.select(col("event_id"), col("user_id")),
+          Seq(col("user_id"), col("event_id"))))
+      },
+      "span_dedup" -> { () =>
+        // q235's gram scan: one HOF explode + one count shuffle + islands
+        // over dup occurrences only; replica-tagged texts keep interior
+        // grams duplicated, so dup mass (and the answer) grows linearly
+        val docs = documentsAt(f).select(col("doc_id"),
+          split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("ws"))
+        val grams = docs.filter(size(col("ws")) >= 8)
+          .select(col("doc_id"), size(col("ws")).as("n"),
+            posexplode(transform(sequence(lit(0), size(col("ws")) - 8),
+              i => array_join(slice(col("ws"), i + 1, lit(8)), " ")))
+              .as(Seq("pos", "g")))
+        val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        consume(grams.join(counts.filter(col("cnt") >= 2), Seq("g")))
+      },
+      "phash_encode" -> { () =>
+        // q237's hash+band computation (the linear part; pair volume on a
+        // dup-dense corpus is answer growth, same note as set_similarity)
+        val hx = documentsAt(f)
+          .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("hx"))
+          .withColumn("len", (length(col("hx")) / 2).cast("long"))
+          .filter(col("len") >= 64)
+        val cells = hx.withColumn("cells",
+          transform(sequence(lit(0L), lit(63L)), i =>
+            aggregate(
+              sequence(floor(col("len") * i / 64).cast("long"),
+                floor(col("len") * (i + 1L) / 64).cast("long") - 1L),
+              lit(0L),
+              (acc, j) => acc +
+                conv(substring(col("hx"), (j * 2 + 1).cast("int"), lit(2)), 16, 10)
+                  .cast("long"))))
+          .withColumn("total", aggregate(col("cells"), lit(0L), (a, x) => a + x))
+        consume(cells.withColumn("bands",
+          transform(sequence(lit(0), lit(3)), k =>
+            aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, b) =>
+              acc + when(
+                element_at(col("cells"), k * 16 + b + 1) * 64 > col("total"),
+                pow(lit(2.0), b.cast("double")).cast("long")).otherwise(0L))))
+          .select(col("doc_id"), col("bands"))))
+      },
+      "sorted_neighborhood" -> { () =>
+        // q243 end-to-end: distributed numbering + bounded 2x block
+        // explode + window-w pairs + codegen Jaro-Winkler verify; pairs
+        // are <= 4 per row by construction at every factor
+        val docs = documentsAt(f).select(col("doc_id"),
+          substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 60).as("skey"))
+        val ranked = graft.operators.GlobalOrder.rowNumbers(
+          docs, Seq(col("skey"), col("doc_id")), idCol = "rnk")
+        val blocked = ranked.select(col("doc_id"), col("skey"), col("rnk"),
+          explode(array(
+            floor((col("rnk") - 1) / 4),
+            floor((col("rnk") - 1) / 4) + 1)).as("blk"))
+        val pairs = blocked.as("a").join(blocked.as("b"),
+            col("a.blk") === col("b.blk") && col("b.rnk") > col("a.rnk") &&
+              col("b.rnk") - col("a.rnk") <= 4)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.skey").as("ka"), col("b.skey").as("kb"))
+          .distinct()
+        consume(pairs.withColumn("sim",
+          graft.plans.StringSimilarityExpressions.jaroWinkler(col("ka"), col("kb")))
+          .filter(col("sim") >= 0.9))
+      },
+      "label_prop" -> { () =>
+        // q238's 3 synchronous rounds over the support-thresholded graph
+        // (same graph family as the triangles probe: the part domain is
+        // fixed, so higher factors mean a DENSER graph, edges bounded by
+        // the part-pair domain; rounds stay fixed)
+        val li = lineitemAt(f)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val e0 = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select(col("u"), col("v"))
+        val edges = e0.union(e0.select(col("v"), col("u")))
+          .toDF("src", "dst").localCheckpoint(true)
+        var labels = edges.select(col("src").as("pk")).distinct()
+          .withColumn("label", col("pk"))
+        for (_ <- 1 to 3) {
+          val cnt = edges.join(labels, edges("dst") === labels("pk"))
+            .groupBy(edges("src").as("pk2"), col("label"))
+            .agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy(col("pk2")).orderBy(col("c").desc, col("label"))
+          labels = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("pk2").as("pk"), col("label"))
+            .localCheckpoint(true)
+        }
+        consume(labels)
+      },
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
       // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not

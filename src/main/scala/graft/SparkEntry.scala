@@ -3963,7 +3963,11 @@ object SparkEntry {
             acc + conv(substring(col("hx"), (j * 2 + 1).cast("int"), lit(2)), 16, 10)
               .cast("long"))))
       .withColumn("total", aggregate(col("cells"), lit(0L), (a, x) => a + x))
-    // bit i: 64*cell > total (cross-multiplied mean comparison, exact)
+    // bit i: 64*cell > total (cross-multiplied mean comparison, exact).
+    // The eager checkpoint is load-bearing: HOFs evaluate INTERPRETED, and
+    // without it Catalyst collapses this whole computation into the
+    // self-join's key/predicate expressions — re-deriving the aHash per
+    // COMPARED PAIR (measured: minutes at 5k docs vs seconds materialized)
     val bands = cells.withColumn("bands",
       transform(sequence(lit(0), lit(3)), k =>
         aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, b) =>
@@ -3971,6 +3975,7 @@ object SparkEntry {
             element_at(col("cells"), k * 16 + b + 1) * 64 > col("total"),
             pow(lit(2.0), b.cast("double")).cast("long")).otherwise(0L))))
       .select(col("doc_id"), col("bands"))
+      .localCheckpoint(true)
     val banded = bands.select(col("doc_id"), col("bands"),
       posexplode(col("bands")).as(Seq("k", "bv")))
     val pairs = banded.as("a").join(banded.as("b"),
@@ -4066,6 +4071,106 @@ object SparkEntry {
       .select(col("o_custkey"), col("vd").as("valid_from"),
         col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_custkey"))
+  }
+
+  /** Sorted-neighborhood dedup (SNM) — the third classic blocking family
+    * after hashing (q21) and LSH banding (q22/q237): records sort by a
+    * normalized key, and only rows within a fixed window of the sorted
+    * order are compared. The global order comes from q232's distributed
+    * numbering (no single-partition window), window-w candidates come from
+    * a bounded 2× block explode (pairs within w share a block — never a
+    * theta-join), and survivors verify with the codegen Jaro–Winkler
+    * (q143's expression, bit-matched to the oracle's built-in).
+    */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"),
+      substring(regexp_replace(lower(trim(col("text"))), "\\s+", " "), 1, 60).as("skey"))
+    val ranked = graft.operators.GlobalOrder.rowNumbers(
+      docs, Seq(col("skey"), col("doc_id")), idCol = "rnk")
+    val blocked = ranked.select(col("doc_id"), col("skey"), col("rnk"),
+      explode(array(
+        floor((col("rnk") - 1) / 4),
+        floor((col("rnk") - 1) / 4) + 1)).as("blk"))
+    val pairs = blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("b.rnk") > col("a.rnk") &&
+          col("b.rnk") - col("a.rnk") <= 4)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.skey").as("ka"), col("b.skey").as("kb"))
+      .distinct()
+    pairs
+      .withColumn("sim",
+        graft.plans.StringSimilarityExpressions.jaroWinkler(col("ka"), col("kb")))
+      .filter(col("sim") >= 0.9)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MERGE with schema evolution ([[TxLake.mergeByKeyEvolve]]): the update
+    * batch carries a column the table has never seen — the merge adds it
+    * as a schema op (existing rows read NULL, pre-evolution time travel
+    * still sees the old shape) instead of failing. The final snapshot's
+    * oracle is fully declarative: updated keys carry the new balance and
+    * segment, untouched keys the old balance and a NULL segment.
+    */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "q244")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val cust = T(s, dir, "customer")
+    TxLake.commit(s, root,
+      cust.select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+    val upd = cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        col("c_mktsegment").as("segment"))
+    TxLake.mergeByKeyEvolve(s, root, upd, "c_custkey")
+    TxLake.readSnapshot(s, root).orderBy(col("c_custkey"))
+  }
+
+  /** Time-weighted average value per user (TWAP): each event's value holds
+    * until the next event; the average weights by holding duration, not by
+    * row count — the metric plain AVG silently gets wrong whenever
+    * sampling is uneven (which is always). Weighted mass accumulates in
+    * exact DECIMAL × integer-seconds; the single division happens at the
+    * end in double (§6 discipline).
+    */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), evSec.as("sec"), col("value"))
+      .withColumn("nxt", lead(col("sec"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("dur", (col("nxt") - col("sec")).cast(DecimalType(12, 0)))
+      .withColumn("wv", col("value").cast(DecimalType(18, 2)) * col("dur"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("wv")).as("swv"),
+        sum(col("dur")).cast("long").as("span"), count(lit(1)).as("n_holds"))
+      .filter(col("span") > 0)
+      .select(col("user_id"), col("n_holds"),
+        round(col("swv").cast("double") / col("span").cast("double"), 6).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Lake HISTORY metadata table — the `DESCRIBE HISTORY` surface: one row
+    * per commit with its tag, rows added (logged at commit time), and the
+    * table's total row count AS OF that version — all answered from the
+    * transaction log and its per-file row accounting (q212), zero data
+    * files opened. The driver-visible result is fully declarative because
+    * the three tagged ingests partition the orders table by key thirds.
+    */
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "q246")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val o = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    (0 until 3).foreach { t =>
+      TxLake.commit(s, root, o.filter(col("o_orderkey") % 3 === t),
+        tag = s"ingest-$t")
+    }
+    val rows = TxLake.commitAddCounts(root).map { case (v, tag, added) =>
+      (v, tag, added, TxLake.countRows(s, root, v).getOrElse(-1L))
+    }
+    s.createDataFrame(rows).toDF("version", "tag", "rows_added", "total_rows")
+      .orderBy(col("version"))
   }
 
   /** Scene-cut detection over video-ish payloads
@@ -4751,6 +4856,10 @@ object SparkEntry {
     "q240_bitemporal" -> (q240 _),
     "q241_lexicon_flags" -> (q241 _),
     "q242_stream_gap_monitor" -> (q242 _),
+    "q243_sorted_neighborhood" -> (q243 _),
+    "q244_merge_evolve" -> (q244 _),
+    "q245_twap" -> (q245 _),
+    "q246_lake_history" -> (q246 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5516,6 +5625,21 @@ object SparkEntry {
     // offset-and-local-rank construction replays as one window
     "q232_global_ids" ->
       """SELECT doc_id, n_chars, CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS global_id FROM documents ORDER BY global_id""",
+    // the sorted order + window-w candidate rule replays declaratively;
+    // DuckDB's built-in Jaro-Winkler bit-matches the codegen expression
+    "q243_sorted_neighborhood" ->
+      """WITH d AS (SELECT doc_id, substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 60) AS skey FROM documents), r AS (SELECT doc_id, skey, ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rnk FROM d), p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.skey AS ka, b.skey AS kb FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4) SELECT id_a, id_b, round(jaro_winkler_similarity(ka, kb), 6) AS sim FROM p WHERE jaro_winkler_similarity(ka, kb) >= 0.9 ORDER BY id_a, id_b""",
+    // evolution is declarative: updated keys get the new balance and the
+    // new column's value, everyone else the old balance and NULL
+    "q244_merge_evolve" ->
+      """SELECT c_custkey, c_name, CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal, CASE WHEN c_custkey % 5 = 0 THEN c_mktsegment ELSE NULL END AS segment FROM customer ORDER BY c_custkey""",
+    // exact decimal x integer-second mass, one final double division
+    "q245_twap" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, value FROM events), l AS (SELECT user_id, sec, value, lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS nxt FROM e), d AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) * (nxt - sec) AS wv, (nxt - sec) AS dur FROM l WHERE nxt IS NOT NULL), a AS (SELECT user_id, SUM(wv) AS swv, CAST(SUM(dur) AS BIGINT) AS span, COUNT(*) AS n_holds FROM d GROUP BY user_id) SELECT user_id, n_holds, round(CAST(swv AS DOUBLE) / CAST(span AS DOUBLE), 6) AS twap FROM a WHERE span > 0 ORDER BY user_id""",
+    // the three tagged ingests partition orders by key thirds, so the
+    // log-derived history replays as plain counts + running totals
+    "q246_lake_history" ->
+      """WITH t AS (SELECT CAST(COUNT(*) FILTER (o_orderkey % 3 = 0) AS BIGINT) AS c0, CAST(COUNT(*) FILTER (o_orderkey % 3 = 1) AS BIGINT) AS c1, CAST(COUNT(*) FILTER (o_orderkey % 3 = 2) AS BIGINT) AS c2 FROM orders) SELECT CAST(1 AS BIGINT) AS version, 'ingest-0' AS tag, c0 AS rows_added, c0 AS total_rows FROM t UNION ALL SELECT 2, 'ingest-1', c1, c0 + c1 FROM t UNION ALL SELECT 3, 'ingest-2', c2, c0 + c1 + c2 FROM t ORDER BY version""",
     // hidden partitioning only changes WHICH files are read, never what
     // the query returns — the oracle is the raw filter
     "q239_hidden_partitioning" ->

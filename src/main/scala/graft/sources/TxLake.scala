@@ -478,6 +478,25 @@ object TxLake {
     swapCommit(spark, path, replacement.localCheckpoint(true), plain)
   }
 
+  /** MERGE with SCHEMA EVOLUTION (Delta's `mergeSchema` posture): source
+    * columns the table lacks are added as schema ops first — existing rows
+    * read them as NULL, time travel to pre-evolution versions still sees
+    * the old shape — then the standard [[mergeByKey]] runs. The source
+    * must carry every existing table column; EXTRA columns evolve the
+    * table instead of failing the merge.
+    */
+  def mergeByKeyEvolve(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyCol: String): Long = {
+    val existing = readSnapshot(spark, path).columns.toSet
+    updates.schema.fields
+      .filterNot(f => existing.contains(f.name))
+      .foreach(f => addColumn(path, f.name, f.dataType.sql))
+    mergeByKey(spark, path, updates, keyCol)
+  }
+
   /** MERGE by key with a RECENCY condition — `WHEN MATCHED AND update is
     * newer THEN UPDATE` (newer = greater `orderCols` tuple; equal tuples
     * let the update win, so re-delivering the same row is idempotent).

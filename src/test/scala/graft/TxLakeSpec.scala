@@ -658,4 +658,25 @@ class TxLakeSpec extends SparkSuite {
     TxLake.compactTx(spark, lake, TxLake.latestVersion(lake))
     assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 9L))
   }
+
+  test("mergeByKeyEvolve adds unseen source columns; old rows read NULL, old versions keep the old shape") {
+    import spark.implicits._
+    val lake = tmp()
+    val v1 = TxLake.commit(spark, lake,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal"))
+    TxLake.mergeByKeyEvolve(spark, lake,
+      Seq((2L, 25.0, "gold"), (4L, 40.0, "new")).toDF("id", "bal", "tier"), "id")
+    val now = TxLake.readSnapshot(spark, lake)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), Option(r.get(2)).map(_.toString)))).toMap
+    assert(now == Map(
+      1L -> ((10.0, None)),          // untouched row: NULL in the new column
+      2L -> ((25.0, Some("gold"))),  // updated in place with the new column
+      3L -> ((30.0, None)),
+      4L -> ((40.0, Some("new"))))) // inserted
+    // time travel to before the evolution sees the ORIGINAL two-column shape
+    val old = TxLake.readSnapshot(spark, lake, v1)
+    assert(old.columns.toSeq == Seq("id", "bal"))
+    assert(ids(old.select(col("id"))) == Set(1L, 2L, 3L))
+  }
 }
