@@ -216,7 +216,7 @@ object ScaleProbe {
               acc + when(
                 element_at(col("cells"), k * 16 + b + 1) * 64 > col("total"),
                 pow(lit(2.0), b.cast("double")).cast("long")).otherwise(0L))))
-          .select(col("doc_id"), col("bands"))))
+          .select(col("doc_id"), col("bands")))
       },
       "sorted_neighborhood" -> { () =>
         // q243 end-to-end: distributed numbering + bounded 2x block
