@@ -267,6 +267,31 @@ object ScaleProbe {
         }
         consume(labels)
       },
+      "global_ntiles" -> { () =>
+        // q247's scale-critical piece: NTILE with no single-partition
+        // window (range shuffle + broadcast offsets). Linear slope here
+        // is exactly the property the ORDER BY-window formulation lacks.
+        val per = eventsAt(f).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("freq"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("monetary"))
+        consume(graft.operators.GlobalOrder.ntiles(
+          per, Seq(col("monetary").desc, col("user_id")), 4, "m"))
+      },
+      "cusum" -> { () =>
+        // q248's closed form: two running windows per key over bucketed
+        // totals — work scales with bucket count, not raw rows
+        val hourly = eventsAt(f)
+          .groupBy(col("user_id"), (evSec.cast("long") / 3600).cast("long").as("hid"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("cents"))
+        consume(graft.operators.Trend.cusumShifts(
+          hourly, "user_id", "hid", "cents", 10000L, 200000L))
+      },
+      "kmv_sketch" -> { () =>
+        // q249: the distinct-aggregate dominates; everything after sees
+        // ≤ k rows per group
+        consume(graft.operators.Sketches.kmvDistinct(
+          eventsAt(f), "event_type", "user_id", 64))
+      },
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
       // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not

@@ -4150,6 +4150,132 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** RFM customer segmentation — recency / frequency / monetary quartiles,
+    * the standard behavioral-segmentation cut. Each quartile is a GLOBAL
+    * ntile, computed with [[graft.operators.GlobalOrder.ntiles]] (range
+    * shuffle + broadcast offsets) instead of an `ORDER BY` window, so no
+    * stage collapses to one task however many customers exist. Monetary
+    * uses the exact-decimal sum; every ordering carries the custkey
+    * tiebreaker so the tiling is engine-deterministic.
+    */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    val day = expr(
+      "unix_micros(cast(o_orderdate as timestamp)) div 1000000 div 86400")
+    val per = T(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(day).as("last_day"), count(lit(1)).as("freq"),
+        sumx(col("o_totalprice")).as("monetary"))
+    val G = graft.operators.GlobalOrder
+    val r = G.ntiles(per, Seq(col("last_day").desc, col("custkey")), 4, "r")
+    val f = G.ntiles(r, Seq(col("freq").desc, col("custkey")), 4, "f")
+    val m = G.ntiles(f, Seq(col("monetary").desc, col("custkey")), 4, "m")
+    m.select(col("custkey"), col("last_day"), col("freq"), col("monetary"),
+        col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("rfm"))
+      .orderBy(col("custkey"))
+  }
+
+  /** CUSUM level-shift detection over per-type hourly revenue
+    * ([[graft.operators.Trend.cusumShifts]]): the recursive statistic in
+    * closed form — cumsum + running-min windows, exact integer throughout.
+    */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.cusumShifts(
+        hourly, "event_type", "hid", "cents", kCents = 10000L, hCents = 200000L)
+      .orderBy(col("event_type"), col("hid"))
+  }
+
+  /** KMV distinct sketch per event type + the merged union estimate
+    * ([[graft.operators.Sketches.kmvDistinct]]) — the order-statistics
+    * sketch whose internals the oracle replays EXACTLY (md5-derived
+    * 52-bit hashes), unlike the rows-only HLL queries (q37/q119).
+    */
+  private def q249(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinct(
+      T(s, dir, "events"), "event_type", "user_id", k = 64)
+
+  /** 2-D skyline per market segment — the cheapest-earliest Pareto
+    * frontier of orders ([[Relational.skyline2d]]): sort-based windows,
+    * zero self-joins (the oracle replays it with NOT EXISTS dominance).
+    */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").join(
+      T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+    Relational.skyline2d(
+        o.select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000 div 86400")
+            .as("d"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents")),
+        Seq("seg"), col("d"), col("cents"))
+      .select(col("seg"), col("o_orderkey"), col("d"), col("cents"))
+      .orderBy(col("seg"), col("d"), col("cents"), col("o_orderkey"))
+  }
+
+  /** Systematic PPS corpus sampling ([[Sampling.systematicPps]]): exactly
+    * k weight-proportional picks per language, deterministic, no
+    * transcendentals — the reproducible alternative to A-Res reservoirs.
+    */
+  private def q251(s: SparkSession, dir: String): DataFrame =
+    Sampling.systematicPps(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "doc_id", "n_chars", k = 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_crossings"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  /** Accent folding via the engine's codegen [[graft.plans.AccentFold]]
+    * expression (NFD → strip combining marks → NFC). The ASCII corpus is
+    * first deterministically accented (vowels → composed accented forms)
+    * so the fold provably does work, then folded back — the oracle runs
+    * DuckDB's `strip_accents` over the identical accented text and
+    * hash-compares both the accented and folded forms.
+    */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val acc = translate(col("text"), "aeiou", "áéíóú")
+    val folded = graft.plans.UnicodeExpressions.accentFold(acc)
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(acc.cast("binary")).as("accented_md5"),
+        md5(folded.cast("binary")).as("folded_md5"),
+        (folded === col("text")).cast("int").as("roundtrip"),
+        (length(col("text")) -
+          length(translate(col("text"), "aeiou", ""))).as("n_folded"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-user EWMA of hourly spend ([[graft.operators.Trend.ewmaPerKey]]):
+    * a left fold inside one codegen'd higher-order aggregate, replayed
+    * bit-for-bit by the oracle's list_reduce (α = 0.25 is a power of two,
+    * keeping even the products exact).
+    */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("user_id"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .cast("double").as("v"))
+    graft.operators.Trend.ewmaPerKey(hourly, "user_id", "hid", "v", 0.25)
+      .orderBy(col("user_id"))
+  }
+
+  /** Hierarchical subtree rollup over the digit taxonomy
+    * ([[graft.operators.Graph.subtreeRollup]]): account balances
+    * aggregated up every ancestor via the pointer-doubled closure —
+    * ⌈log₂ depth⌉ joins, fact table touched once.
+    */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    graft.operators.Graph.subtreeRollup(
+        c.select(col("c_custkey").as("id"),
+          when(col("c_custkey") >= 10, expr("c_custkey DIV 10")).as("parent")),
+        c, "c_custkey", "c_acctbal")
+      .orderBy(col("node"))
+  }
+
   /** Lake HISTORY metadata table — the `DESCRIBE HISTORY` surface: one row
     * per commit with its tag, rows added (logged at commit time), and the
     * table's total row count AS OF that version — all answered from the
@@ -4500,7 +4626,7 @@ object SparkEntry {
     * batch-equivalent. The two sentinels carry DISTINCT out-of-band user
     * ids (-1, -2) so they cannot join each other, and are never emitted
     * because the watermark never reaches their own timestamps. Written
-    * with the raw long-nanos schema so it reads uniformly with the real
+    * with the raw NTZ storage schema so it reads uniformly with the real
     * file.
     */
   private def q92Events(s: SparkSession, dir: String): String = {
@@ -4508,7 +4634,8 @@ object SparkEntry {
     val sentinel = new java.io.File(s"$staged/zz_sentinel.parquet")
     if (!sentinel.exists()) {
       val maxNanos = T(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
-      val ts = maxNanos + 86400L * 1000000000L
+      val ts = graft.streaming.EventsStream.ntzOfEpochSec(
+        maxNanos / 1000000000L + 86400L)
       val rows = Seq(
         org.apache.spark.sql.Row(-1L, ts, -1L, "purchase", 0.0, null),
         org.apache.spark.sql.Row(-2L, ts, -2L, "click", 0.0, null))
@@ -4544,7 +4671,7 @@ object SparkEntry {
       .orderBy(col("p_id"), col("c_id"))
 
   /** q135's stream input: the events table split into TWO staged files by
-    * event_id parity (raw long-nanos schema, so it reads uniformly).
+    * event_id parity (raw NTZ storage schema, so it reads uniformly).
     * Each user's sessions therefore span both files, and with
     * maxFilesPerTrigger=1 the update-mode drain genuinely re-emits grown
     * sessions across micro-batches — the semantics under test. File
@@ -4860,6 +4987,14 @@ object SparkEntry {
     "q244_merge_evolve" -> (q244 _),
     "q245_twap" -> (q245 _),
     "q246_lake_history" -> (q246 _),
+    "q247_rfm" -> (q247 _),
+    "q248_cusum" -> (q248 _),
+    "q249_kmv_distinct" -> (q249 _),
+    "q250_skyline" -> (q250 _),
+    "q251_systematic_pps" -> (q251 _),
+    "q252_accent_fold" -> (q252 _),
+    "q253_ewma" -> (q253 _),
+    "q254_subtree_rollup" -> (q254 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5640,6 +5775,22 @@ object SparkEntry {
     // log-derived history replays as plain counts + running totals
     "q246_lake_history" ->
       """WITH t AS (SELECT CAST(COUNT(*) FILTER (o_orderkey % 3 = 0) AS BIGINT) AS c0, CAST(COUNT(*) FILTER (o_orderkey % 3 = 1) AS BIGINT) AS c1, CAST(COUNT(*) FILTER (o_orderkey % 3 = 2) AS BIGINT) AS c2 FROM orders) SELECT CAST(1 AS BIGINT) AS version, 'ingest-0' AS tag, c0 AS rows_added, c0 AS total_rows FROM t UNION ALL SELECT 2, 'ingest-1', c1, c0 + c1 FROM t UNION ALL SELECT 3, 'ingest-2', c2, c0 + c1 + c2 FROM t ORDER BY version""",
+    "q247_rfm" ->
+      """WITH per AS (SELECT o_custkey AS custkey, MAX(epoch_ns(o_orderdate) // 1000000000 // 86400) AS last_day, COUNT(*) AS freq, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary FROM orders GROUP BY 1), t AS (SELECT *, CAST(ntile(4) OVER (ORDER BY last_day DESC, custkey) AS BIGINT) AS r, CAST(ntile(4) OVER (ORDER BY freq DESC, custkey) AS BIGINT) AS f, CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m FROM per) SELECT custkey, last_day, freq, monetary, r, f, m, r * 100 + f * 10 + m AS rfm FROM t ORDER BY custkey""",
+    "q248_cusum" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), s AS (SELECT event_type, hid, v, COUNT(*) OVER (PARTITION BY event_type) AS m, SUM(v) OVER (PARTITION BY event_type) AS t FROM h), d AS (SELECT event_type, hid, m, m * v - t - m * 10000 AS d FROM s), p AS (SELECT event_type, hid, m, SUM(d) OVER w AS p FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), c AS (SELECT event_type, hid, m, p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY hid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s FROM p) SELECT event_type, hid, round(CAST(s AS DOUBLE) / (CAST(m AS DOUBLE) * 100.0), 6) AS cusum, CAST(s > m * 200000 AS INTEGER) AS shifted FROM c ORDER BY event_type, hid""",
+    "q249_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type AS g, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h), mins AS (SELECT g, h, rn FROM r WHERE rn <= 64), u AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM mins)), uk AS (SELECT '__union__' AS g, h, rn FROM u WHERE rn <= 64), allm AS (SELECT * FROM mins UNION ALL SELECT * FROM uk), e AS (SELECT g, COUNT(*) AS nk, MAX(CASE WHEN rn = 64 THEN h END) AS hk FROM allm GROUP BY g) SELECT g, round(CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE) ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(hk AS DOUBLE) END, 4) AS est FROM e ORDER BY g""",
+    "q250_skyline" ->
+      """WITH o AS (SELECT c_mktsegment AS seg, o_orderkey, epoch_ns(o_orderdate) // 1000000000 // 86400 AS d, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders JOIN customer ON o_custkey = c_custkey) SELECT seg, o_orderkey, d, cents FROM o q WHERE NOT EXISTS (SELECT 1 FROM o p WHERE p.seg = q.seg AND p.d <= q.d AND p.cents <= q.cents AND (p.d < q.d OR p.cents < q.cents)) ORDER BY seg, d, cents, o_orderkey""",
+    "q251_systematic_pps" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents), c AS (SELECT doc_id, lang, n_chars, SUM(n_chars) OVER (PARTITION BY lang ORDER BY hx, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, SUM(n_chars) OVER (PARTITION BY lang) AS tot FROM d) SELECT doc_id, lang, n_chars, (cumw * 10) // tot - ((cumw - n_chars) * 10) // tot AS n_crossings FROM c WHERE (cumw * 10) // tot > ((cumw - n_chars) * 10) // tot ORDER BY lang, doc_id""",
+    "q252_accent_fold" ->
+      """WITH a AS (SELECT doc_id, text, translate(text, 'aeiou', 'áéíóú') AS acc FROM documents) SELECT doc_id, md5(acc) AS accented_md5, md5(strip_accents(acc)) AS folded_md5, CAST(strip_accents(acc) = text AS INTEGER) AS roundtrip, CAST(length(text) - length(translate(text, 'aeiou', '')) AS BIGINT) AS n_folded FROM a ORDER BY doc_id""",
+    "q253_ewma" ->
+      """WITH h AS (SELECT user_id, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) AS v FROM events GROUP BY 1, 2), l AS (SELECT user_id, COUNT(*) AS n, list(v ORDER BY hid) AS vs FROM h GROUP BY 1) SELECT user_id, n, round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma FROM l ORDER BY user_id""",
+    "q254_subtree_rollup" ->
+      """WITH RECURSIVE anc AS (SELECT c_custkey AS id, c_custkey AS anc, CAST(0 AS BIGINT) AS depth FROM customer UNION ALL SELECT a.id, n.c_custkey // 10 AS anc, a.depth + 1 FROM anc a JOIN customer n ON a.anc = n.c_custkey WHERE n.c_custkey >= 10) SELECT a.anc AS node, COUNT(*) AS n_nodes, MAX(a.depth) AS subtree_depth, CAST(SUM(CAST(v.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_total FROM anc a JOIN customer v ON a.id = v.c_custkey GROUP BY 1 ORDER BY node""",
     // hidden partitioning only changes WHICH files are read, never what
     // the query returns — the oracle is the raw filter
     "q239_hidden_partitioning" ->

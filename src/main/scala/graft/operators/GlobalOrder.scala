@@ -61,4 +61,30 @@ object GlobalOrder {
       .withColumn(idCol, col("__off") + col("__lr"))
       .drop("__pid", "__lr", "__off")
   }
+
+  /** SQL-standard NTILE(k) without the single-partition window: the
+    * global rank comes from [[rowNumbers]] (range-partitioned, no
+    * collapse), and the tile from NTILE's closed form — the first
+    * `n mod k` tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋. Bit-identical to
+    * `ntile(k) OVER (ORDER BY ...)` in any SQL engine, but the plan
+    * scales: one range shuffle + one broadcast, no 100 TB cliff.
+    * `sortCols` must include a tiebreaker for a deterministic tiling.
+    */
+  def ntiles(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      k: Int,
+      outCol: String): DataFrame = {
+    require(k >= 1)
+    val n = df.count()
+    val big = n % k          // tiles 1..big hold `per + 1` rows
+    val per = n / k
+    val ranked = rowNumbers(df, sortCols, "__rn")
+    val cut = big * (per + 1) // last row index covered by the big tiles
+    val tile = expr(
+      s"""CASE WHEN $per = 0 THEN __rn
+         |     WHEN __rn <= $cut THEN (__rn - 1) div ${per + 1} + 1
+         |     ELSE $big + (__rn - $cut - 1) div $per + 1 END""".stripMargin)
+    ranked.withColumn(outCol, tile.cast("long")).drop("__rn")
+  }
 }

@@ -343,4 +343,35 @@ object Relational {
         min(col("__sec")).as("start_sec"),
         max(col("__end")).as("end_sec"))
   }
+
+  /** 2-D skyline (Pareto frontier) per group, both dimensions minimized:
+    * a row survives iff no other row in its group is ≤ in both dimensions
+    * and < in at least one (equal points do not dominate each other, so
+    * exact duplicates all survive).
+    *
+    * The naive formulation is a per-group self-join (quadratic — dead at
+    * scale). The sort-based identity used here: order by x, then a row is
+    * dominated exactly when (a) some row with strictly smaller x has
+    * y ≤ mine — a running min over the x-ordered prefix, excluded to
+    * x < current via RANGE … 1 PRECEDING — or (b) some row with EQUAL x
+    * has strictly smaller y — the per-(group, x) min. One window shuffle
+    * on the group, zero joins, linear in the partition.
+    */
+  def skyline2d(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val byX = Window.partitionBy(g: _*).orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sameX = Window.partitionBy((g :+ col("__x")): _*)
+    df.withColumn("__x", xCol.cast("long"))
+      .withColumn("__y", yCol.cast("long"))
+      .withColumn("__minPrev", min(col("__y")).over(byX))
+      .withColumn("__minSame", min(col("__y")).over(sameX))
+      .filter((col("__minPrev").isNull || col("__minPrev") > col("__y")) &&
+        col("__minSame") === col("__y"))
+      .drop("__minPrev", "__minSame")
+  }
 }

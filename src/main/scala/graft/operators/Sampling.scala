@@ -205,4 +205,42 @@ object Sampling {
     df.withColumn("cap_rank", row_number().over(w).cast("long"))
       .filter(col("cap_rank") <= cap)
   }
+
+  /** Systematic probability-proportional-to-size sampling: exactly `k`
+    * rows per stratum, selection probability proportional to an INTEGER
+    * weight, fully deterministic and engine-exact — no randomness, no
+    * transcendentals (the A-Res exponential-key scheme needs ln/pow,
+    * whose last-ulp rounding differs across engines; this doesn't).
+    *
+    * Classic systematic PPS: order the stratum on the md5 hash of the key
+    * (a reproducible shuffle, decorrelating selection from any natural
+    * ordering), take the cumulative weight, and select every row whose
+    * weight interval [cumw − w, cumw) crosses a multiple of step = W/k.
+    * The crossing test is pure integer arithmetic on k-scaled weights:
+    * ⌊k·cumw/W⌋ > ⌊k·(cumw−w)/W⌋. Rows with w ≥ W/k are always selected
+    * (may cross twice — counted once, so output can be < k only when
+    * heavy rows dominate; `n_crossings` carries the multiplicity).
+    *
+    * One window shuffle per stratum; no collect, no iteration — the same
+    * plan shape at any scale.
+    */
+  def systematicPps(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val ord = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__cumw", sum(col("__w")).over(run))
+      .withColumn("__tot",
+        sum(col("__w")).over(Window.partitionBy(col(strataCol))))
+      .withColumn("n_crossings",
+        expr(s"(__cumw * $k) div __tot - ((__cumw - __w) * $k) div __tot"))
+      .filter(col("n_crossings") >= 1)
+      .drop("__w", "__cumw", "__tot")
+  }
 }

@@ -279,4 +279,62 @@ object Sketches {
       .agg(bit_or(col("mask")).as("mask"))
       .groupBy(groupCols.map(col): _*)
       .agg(sum(bit_count(col("mask"))).as("n_distinct"))
+
+  /** 52-bit uniform hash of a key: the first 13 hex chars of md5, as a
+    * long in [0, 2^52). Both engines agree on md5 and the hex slice, and
+    * 52 bits fit a double exactly — the portable hash for order-statistic
+    * sketches.
+    */
+  private def h52(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+
+  private val H52_SPACE: Double = 4503599627370496.0 // 2^52
+
+  /** KMV (k-minimum-values) distinct-count sketch per group, plus the
+    * MERGED union estimate across all groups — the order-statistics
+    * alternative to HLL (q37/q119) whose every intermediate is exact and
+    * engine-replayable, so the oracle can hash-match it (HLL internals
+    * are rows-only-checkable; KMV is not).
+    *
+    * Per group the sketch is the k smallest distinct 52-bit key hashes;
+    * the estimator is (k−1)·2^52 / h_(k) (the classic KMV mean-matching
+    * estimate), or the exact distinct count when the group holds fewer
+    * than k hashes (the sketch IS the set). Merging sketches = merging
+    * k-min lists and re-taking the k smallest — done here across all
+    * groups, giving the union estimate without touching raw data again.
+    *
+    * Scale shape: one distinct-aggregation (the only full shuffle), then
+    * per-group top-k via window over k·|groups| rows at most, then a
+    * metadata-sized merge. At 100 TB the distinct can itself be
+    * partial-aggregated map-side; nothing downstream sees more than
+    * k rows per group.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df
+      .select(col(groupCol).as("g"), h52(col(idCol)).as("h"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy(col("g")).orderBy(col("h")))
+    val mins = hashes.withColumn("rn", rn).filter(col("rn") <= k)
+    def estimate(d: DataFrame): DataFrame =
+      d.groupBy(col("g"))
+        .agg(count(lit(1)).as("nk"),
+          max(when(col("rn") === k, col("h"))).as("hk"))
+        .select(col("g"),
+          round(when(col("nk") < k, col("nk").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(H52_SPACE) /
+              col("hk").cast("double")), 4).as("est"))
+    val union = mins.select(col("h")).distinct()
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(lit(1)).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .withColumn("g", lit("__union__"))
+    estimate(mins).unionByName(estimate(union)).orderBy(col("g"))
+  }
 }

@@ -112,4 +112,83 @@ object Trend {
       .withColumn("n_from", fromTot)
       .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
   }
+
+  /** One-sided CUSUM changepoint detection over per-key bucket totals —
+    * "when did this key's level shift up": the classic recursive statistic
+    * S_i = max(0, S_{i-1} + (v_i - mean - k)) re-expressed CLOSED-FORM as
+    * S_i = P_i - min(0, min_{j<=i} P_j) where P is the running sum of the
+    * slack-adjusted residuals. That turns a per-row recursion (which would
+    * force a sequential scan per key) into one window cumsum plus one
+    * window running-min — two passes over an already key-partitioned
+    * shuffle, fully parallel across keys at any scale.
+    *
+    * Exactness: `centsCol` must be an integral (cents-scaled) total. With
+    * m buckets for the key, the residual is scaled by m — r_i = m·v_i − T
+    * − m·k_cents — so mean subtraction needs no division and EVERY value
+    * through both windows is an exact long. The only double op is the
+    * final display division, correctly rounded and engine-identical.
+    *
+    * Emits one row per (key, bucket): the scaled statistic normalized back
+    * to cents units (`cusum`, rounded) and `shifted` = statistic > h.
+    */
+  def cusumShifts(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      centsCol: String,
+      kCents: Long,
+      hCents: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+    val ordered = byKey.orderBy(col(bucketCol))
+    val run = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scaled = df.select(col(keyCol), col(bucketCol),
+        col(centsCol).cast("long").as("__v"))
+      .withColumn("__m", count(lit(1)).over(byKey))
+      .withColumn("__t", sum(col("__v")).over(byKey))
+      .withColumn("__d",
+        col("__m") * col("__v") - col("__t") - col("__m") * lit(kCents))
+    val p = sum(col("__d")).over(run)
+    scaled
+      .withColumn("__p", p)
+      .withColumn("__s", col("__p") - least(lit(0L), min(col("__p")).over(run)))
+      .select(col(keyCol), col(bucketCol),
+        round(col("__s").cast("double") /
+          (col("__m").cast("double") * 100.0), 6).as("cusum"),
+        (col("__s") > col("__m") * lit(hCents)).cast("int").as("shifted"))
+  }
+
+  /** Per-key exponentially-weighted moving average of an ordered series,
+    * folded left-to-right: s_1 = v_1, s_i = α·v_i + (1−α)·s_{i-1}.
+    *
+    * The fold runs inside ONE codegen'd higher-order `aggregate` over the
+    * key's sorted value array — the per-key series is the unit of work, so
+    * the operator is embarrassingly parallel across keys and never
+    * shuffles more than the groupBy. The left fold is the same operation
+    * order the oracle's `list_reduce` uses, and IEEE doubles folded in the
+    * same order are bit-identical across engines (α is a power of two when
+    * callers pass 0.25/0.5, making even the products exact).
+    *
+    * Bounded state: a key's history array lives in one task — fine for
+    * bucketed series (≤ thousands of buckets per key); for unbounded raw
+    * streams, bucket first (as every caller here does).
+    */
+  def ewmaPerKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      vCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0)
+    df.select(col(keyCol), col(orderCol).cast("long").as("__o"),
+        col(vCol).cast("double").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("__o"), col("__v")))).as("__s"))
+      .select(col(keyCol), col("n"),
+        round(aggregate(
+          expr("slice(__s, 2, size(__s) - 1)"),
+          element_at(col("__s"), 1).getField("__v"),
+          (acc, e) => lit(alpha) * e.getField("__v") + lit(1.0 - alpha) * acc),
+          6).as("ewma"))
+  }
 }

@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Exprs) => {
         val a = arity("xs_mix", 2)(exprs); XsMix(a(0), a(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("accent_fold"),
+      new ExpressionInfo(classOf[AccentFold].getName, "accent_fold"),
+      (exprs: Exprs) => AccentFold(arity("accent_fold", 1)(exprs).head)))
   }
 }

@@ -25,6 +25,12 @@ object HiddenPartitioning {
   /** Write `df` partitioned by the hidden transforms of `tsSecCol` (epoch
     * seconds → day string) and `keyCol` (→ bucket). The derived columns
     * live only in the directory layout.
+    *
+    * `__day` is floor(sec/86400) days from the epoch — pure integer
+    * arithmetic, no timestamp cast — so the physical layout (and any
+    * dayFrom/dayTo pruning) is identical regardless of the session
+    * timezone of the writer or reader. A tz-dependent derivation would
+    * let a reader in a different zone silently miss boundary rows.
     */
   def write(
       df: DataFrame,
@@ -33,7 +39,10 @@ object HiddenPartitioning {
       keyCol: String,
       nBuckets: Int): Unit =
     df.withColumn("__day",
-        date_format(timestamp_seconds(col(tsSecCol)).cast("timestamp_ntz"), "yyyy-MM-dd"))
+        date_format(
+          date_add(lit("1970-01-01").cast("date"),
+            floor(col(tsSecCol) / lit(86400L)).cast("int")),
+          "yyyy-MM-dd"))
       .withColumn("__bucket", pmod(col(keyCol), lit(nBuckets.toLong)))
       .write.mode("overwrite")
       .partitionBy("__day", "__bucket")

@@ -28,18 +28,27 @@ case class SessionOut(user_id: Long, start_sec: Long, end_sec: Long, n_events: I
   */
 object EventsStream {
 
-  /** Raw schema as stored: the events lake stores parquet TIMESTAMP(NANOS),
-    * which this engine reads as a nanosecond long (same as the batch path's
-    * `nanosAsLong`) — declaring TimestampType here would fail against the
-    * engine's own data.
+  /** Raw schema as stored: the events lake stores parquet TIMESTAMP(MICROS)
+    * without UTC adjustment, which Spark surfaces as TIMESTAMP_NTZ. The
+    * stream declares exactly the storage schema so the lake is consumed in
+    * place — no rewrite-staging pass, which matters when the directory being
+    * streamed is the 100 TB lake itself. Staged side-inputs (sentinels,
+    * parity halves, test fixtures) must be written with this same schema.
     */
   val rawEventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Build the NTZ wall-clock value for a given epoch second — the writer
+    * dual of [[readEvents]]'s UTC interpretation (GraftSession pins the
+    * session timezone to UTC, so NTZ wall-clock == UTC instant).
+    */
+  def ntzOfEpochSec(sec: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
 
   /** File-source stream over a directory of event parquet files, surfaced
     * with a proper second-floored TimestampType `ts` (matching the batch
@@ -60,7 +69,10 @@ object EventsStream {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
     reader.parquet(dir)
-      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+      // NTZ wall-clock read as UTC (session tz is pinned UTC), floored to
+      // the second — the same integer arithmetic as the batch operators
+      .withColumn("ts",
+        timestamp_seconds(expr("unix_micros(cast(ts as timestamp)) div 1000000")))
   }
 
   /** Tumbling 1-hour windowed counts per event type with a 2-hour watermark.

@@ -748,6 +748,13 @@ object StreamVerify {
     * batch-built one regardless of how the engine slices micro-batches —
     * the drained store feeds the same gap-island computation the batch
     * audit (q233) runs, against the same oracle.
+    *
+    * Scope note: each commit rewrites the whole hour store — O(state)
+    * I/O per batch, which is the right trade ONLY because this store is
+    * O(active hours) (thousands of rows, one file). Reusing this pattern
+    * for state that grows with data requires append-style commits plus
+    * periodic compaction, or a keyed merge ([[TxLake.mergeByKeyNewest]])
+    * so a batch touches only the partitions it changes.
     */
   def hourSetMaintenance(
       spark: SparkSession,

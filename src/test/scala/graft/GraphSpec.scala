@@ -230,4 +230,34 @@ class GraphSpec extends SparkSuite {
     val s = rows("s")
     assert(s.getLong(2) == 3 && s.getLong(3) == 2 && s.isNullAt(4) && s.isNullAt(5))
   }
+
+  test("ancestorClosure emits every (id, ancestor, depth) pair of a 3-level tree") {
+    import spark.implicits._
+    // 1 → {10..12} → {100..102 under 10}: digit tree, parent = id div 10
+    val ids = Seq(1L, 10L, 11L, 12L, 100L, 101L, 102L)
+    val nodes = ids.map(i => (i, if (i >= 10) Some(i / 10) else None))
+      .toDF("id", "parent")
+    val got = Graph.ancestorClosure(nodes)
+      .as[(Long, Long, Long)].collect().toSet
+    val exp = ids.flatMap { i =>
+      Iterator.iterate(i)(_ / 10).takeWhile(_ >= 1).zipWithIndex
+        .map { case (a, d) => (i, a, d.toLong) }
+    }.toSet
+    assert(got == exp)
+  }
+
+  test("subtreeRollup aggregates values up every ancestor exactly once") {
+    import spark.implicits._
+    val ids = Seq(1L, 10L, 11L, 100L, 101L)
+    val nodes = ids.map(i => (i, if (i >= 10) Some(i / 10) else None))
+      .toDF("id", "parent")
+    val values = ids.map(i => (i, i.toDouble)).toDF("nid", "v")
+    val got = Graph.subtreeRollup(nodes, values, "nid", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((5L, 2L, 223.0)), "root: all five nodes, depth 2")
+    assert(got(10L) == ((3L, 1L, 211.0)), "10 + 100 + 101")
+    assert(got(11L) == ((1L, 0L, 11.0)))
+    assert(got(100L) == ((1L, 0L, 100.0)))
+  }
 }

@@ -139,6 +139,26 @@ class RelationalSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"), plan.take(2000))
   }
 
+  test("ntiles equals NTILE over a single-partition window, incl. n < k and ties") {
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("lang"))
+    for (k <- Seq(4, 7)) {
+      val got = graft.operators.GlobalOrder.ntiles(
+        docs, Seq(col("lang"), col("doc_id")), k, "t")
+      val exp = docs.withColumn("t",
+        ntile(k).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("lang"), col("doc_id"))).cast("long"))
+      assert(got.except(exp).isEmpty && exp.except(got).isEmpty, s"k=$k")
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), plan.take(2000))
+    }
+    // n < k: each row its own tile, in order
+    import spark.implicits._
+    val tiny = Seq(30L, 10L, 20L).toDF("v")
+    val t = graft.operators.GlobalOrder.ntiles(tiny, Seq(col("v")), 5, "t")
+      .orderBy(col("v")).select($"t").as[Long].collect().toSeq
+    assert(t == Seq(1L, 2L, 3L))
+  }
+
   test("skewReport flags only hot keys with the right salt factor") {
     val df = (Seq.fill(1000)("hot") ++ Seq.fill(150)("warm") ++ Seq.fill(10)("cold"))
       .toDF("k")
@@ -146,5 +166,24 @@ class RelationalSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == Map("hot" -> ((1000L, 4L)), "warm" -> ((150L, 1L))),
       "cold keys below the threshold must not appear; ceil(1000/300)=4")
+  }
+
+  test("skyline2d matches brute-force dominance, equal points all survive") {
+    import spark.implicits._
+    val pts = Seq( // (group, id, x, y)
+      ("g", 1L, 1L, 9L), ("g", 2L, 2L, 7L), ("g", 3L, 3L, 7L), // 3 dominated by 2
+      ("g", 4L, 3L, 4L), ("g", 5L, 5L, 4L), // 5 dominated by 4
+      ("g", 6L, 6L, 1L), ("g", 7L, 6L, 1L), // duplicates: both survive
+      ("g", 8L, 7L, 1L), // dominated by 6/7
+      ("h", 9L, 50L, 50L)) // other group: trivially on its frontier
+    val df = pts.toDF("grp", "id", "x", "y")
+    val got = Relational.skyline2d(df, Seq("grp"), col("x"), col("y"))
+      .select($"id").as[Long].collect().toSet
+    val brute = pts.filter { case (g, _, x, y) =>
+      !pts.exists { case (g2, _, x2, y2) =>
+        g2 == g && x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+    }.map(_._2).toSet
+    assert(got == brute)
+    assert(got == Set(1L, 2L, 4L, 6L, 7L, 9L))
   }
 }

@@ -106,4 +106,19 @@ class SamplingSpec extends SparkSuite {
     // 450 bytes => 4 frames (0..3), step 4 keeps only frame 0
     assert(frames == Seq((0L, 0L)))
   }
+
+  test("systematicPps: k crossings per stratum, heavy rows always selected, stable") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => ("s1", i.toLong, 10L)) :+
+      ("s1", 99L, 600L) // heavy: w > W/k = 1000/10 → guaranteed pick
+    val df = rows.toDF("s", "id", "w")
+    val out = Sampling.systematicPps(df, "s", "id", "w", 10)
+      .select($"id", $"n_crossings").as[(Long, Long)].collect().toMap
+    assert(out.values.sum == 10L, "crossing multiplicities must sum to k")
+    assert(out.contains(99L), "a row with w >= W/k must always be selected")
+    assert(out(99L) == 6L, "the heavy row spans 600/1000 of the ring = 6 steps")
+    val again = Sampling.systematicPps(df, "s", "id", "w", 10)
+      .select($"id", $"n_crossings").as[(Long, Long)].collect().toMap
+    assert(again == out, "selection must be deterministic across runs")
+  }
 }

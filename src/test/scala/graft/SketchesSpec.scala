@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.Sketches
+
 class SketchesSpec extends SparkSuite {
 
   test("CMS heavy hitters: estimates never undercount the true counts") {
@@ -170,5 +172,22 @@ class SketchesSpec extends SparkSuite {
         assert(got == direct(window), s"window=$window")
       }
     }
+  }
+
+  test("kmvDistinct: exact below k, bounded error above, union from merged sketches") {
+    import spark.implicits._
+    // group a: 2000 distinct ids (sketch saturates at k=64);
+    // group b: 30 distinct ids (the sketch IS the set → exact count)
+    val df = ((1 to 2000).map(i => ("a", i.toLong)) ++
+      (1 to 30).map(i => ("b", (100000 + i).toLong))).toDF("g", "id")
+    val got = Sketches.kmvDistinct(df, "g", "id", 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("b") == 30.0, "below-k groups must be exact")
+    assert(math.abs(got("a") - 2000.0) / 2000.0 < 0.3,
+      s"k=64 estimate off: ${got("a")}")
+    // the union estimate is computed purely from the two k-min lists —
+    // disjoint groups, so truth is 2030
+    assert(math.abs(got("__union__") - 2030.0) / 2030.0 < 0.3,
+      s"union estimate off: ${got("__union__")}")
   }
 }

@@ -8,8 +8,8 @@ import graft.streaming.EventsStream
 
 class StreamingSpec extends SparkSuite {
 
-  /** Stage the REAL events parquet (nanos timestamps) into a stream dir —
-    * readEvents must consume the engine's own lake format directly.
+  /** Stage the REAL events parquet (NTZ-micros timestamps) into a stream
+    * dir — readEvents must consume the engine's own lake format directly.
     */
   private def stageSource(copies: Int = 1): String = {
     val dir = Files.createTempDirectory("graft_stream_src")
@@ -67,7 +67,7 @@ class StreamingSpec extends SparkSuite {
 
   test("stream-stream LEFT OUTER join equals the batch left join, nulls included") {
     val got = SparkEntry.queries("q92_stream_outer_join")(spark, sf).collect()
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
       .withColumn("sec", expr("ts div 1000000000"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"), col("sec").as("p_sec"))
@@ -131,7 +131,7 @@ class StreamingSpec extends SparkSuite {
       spark.createDataFrame(
         spark.sparkContext.parallelize(
           rows.map { case (id, sec, u) =>
-            R(id, sec * 1000000000L, u, "click", 0.0, null) }, 1),
+            R(id, EventsStream.ntzOfEpochSec(sec), u, "click", 0.0, null) }, 1),
         EventsStream.rawEventsSchema)
         .write.mode("overwrite").parquet(side)
       val part = new java.io.File(side).listFiles()

@@ -49,4 +49,40 @@ class TrendSpec extends SparkSuite {
       ("a", "c") -> ((1L, 3L, 1.0 / 3.0)),
       ("b", "a") -> ((1L, 1L, 1.0))))
   }
+
+  test("cusumShifts closed form equals the recursive CUSUM definition") {
+    val vals = Seq(10000L, 12000L, 9000L, 30000L, 31000L, 30500L, 10000L)
+    val kC = 1000L
+    val hC = 20000L
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "b", "cents")
+    val got = Trend.cusumShifts(df, "k", "b", "cents", kC, hC)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    // reference: the textbook recursion S_i = max(0, S_{i-1} + d_i) on the
+    // same m-scaled integer residuals
+    val m = vals.length.toLong
+    val t = vals.sum
+    var s = 0L
+    val exp = vals.zipWithIndex.map { case (v, i) =>
+      s = math.max(0L, s + (m * v - t - m * kC))
+      i.toLong -> ((BigDecimal(s.toDouble / (m.toDouble * 100.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        if (s > m * hC) 1 else 0))
+    }.toMap
+    assert(got == exp)
+    assert(exp.values.exists(_._2 == 1), "the level shift must be flagged")
+    assert(exp(0L)._2 == 0, "pre-shift buckets must not be flagged")
+  }
+
+  test("ewmaPerKey equals the sequential fold, and a singleton is its value") {
+    val df = Seq(
+      ("a", 0L, 10.0), ("a", 1L, 20.0), ("a", 2L, 30.0),
+      ("b", 5L, 7.5)).toDF("k", "o", "v")
+    val got = Trend.ewmaPerKey(df, "k", "o", "v", 0.25)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val a = Seq(10.0, 20.0, 30.0).reduceLeft((acc, x) => 0.25 * x + 0.75 * acc)
+    assert(got("a")._1 == 3L)
+    assert(math.abs(got("a")._2 - a) < 1e-9)
+    assert(got("b") == ((1L, 7.5)))
+  }
 }
