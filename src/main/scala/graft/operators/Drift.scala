@@ -59,4 +59,37 @@ object Drift {
         round(col("p_reference"), 6).as("p_reference"),
         round(col("p_actual"), 6).as("p_actual"), col("psi_term"))
   }
+
+  /** Mutual information between two categorical columns — the
+    * feature-relevance score that, unlike q128's χ², is directly
+    * comparable across feature pairs (nats): MI = Σ_xy p_xy·ln(p_xy·N² /
+    * (n_x·n_y·N)) computed from one contingency aggregation.
+    *
+    * Exactness discipline: every count is an exact long from ONE groupBy
+    * (marginals come from windows over the |X|·|Y|-row contingency table,
+    * not rescans); each pair's term is fixed-order double arithmetic
+    * rounded to the 1e-9 grid and accumulated in DECIMAL, so `mi_total`
+    * is partition-order-independent and engine-identical (the q194/q236
+    * pattern). Scale shape: one shuffle on (x, y); everything after is
+    * category-cardinality-sized.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nx = sum(col("n_xy")).over(Window.partitionBy(col("x")))
+    val ny = sum(col("n_xy")).over(Window.partitionBy(col("y")))
+    val n = sum(col("n_xy")).over(Window.partitionBy())
+    val term = col("n_xy").cast("double") / col("n").cast("double") *
+      log(col("n_xy").cast("double") * col("n").cast("double") /
+        (col("n_x").cast("double") * col("n_y").cast("double")))
+    joint
+      .withColumn("n_x", nx).withColumn("n_y", ny).withColumn("n", n)
+      .withColumn("mi_term", round(term, 9).cast(DecimalType(18, 9)))
+      .withColumn("mi_total",
+        sum(col("mi_term")).over(Window.partitionBy()).cast("double"))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("mi_term").cast("double").as("mi_term"), col("mi_total"))
+  }
 }

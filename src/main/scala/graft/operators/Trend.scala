@@ -157,6 +157,53 @@ object Trend {
         (col("__s") > col("__m") * lit(hCents)).cast("int").as("shifted"))
   }
 
+  /** Per-key autocorrelation (ACF) of a bucketed integer series at the
+    * given lags — "is this key's volume self-similar hour over hour":
+    * Pearson correlation between (v_t, v_{t+lag}) pairs, one lead-window
+    * pass per lag over the already key-partitioned shuffle.
+    *
+    * The [[olsPerKey]] exactness discipline: per-pair products are exact
+    * longs, accumulated in DECIMAL(38,0) (no overflow at any realistic
+    * scale, order-independent), and only the final closed form runs in
+    * fixed-order double — engine-identical to the oracle's replay.
+    * Keys with a degenerate window (zero variance or < 3 pairs) emit
+    * NULL rather than a 0/0.
+    */
+  def autocorrPerKey(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      centsCol: String,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+      col(centsCol).cast("long").as("__v"))
+    val dec = DecimalType(38, 0)
+    lags.map { lag0 =>
+      val pairs = base
+        .withColumn("__w", lead(col("__v"), lag0).over(byKey))
+        .filter(col("__w").isNotNull)
+      pairs.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__v").cast(dec)).as("sx"),
+          sum(col("__w").cast(dec)).as("sy"),
+          sum((col("__v") * col("__v")).cast(dec)).as("sxx"),
+          sum((col("__w") * col("__w")).cast(dec)).as("syy"),
+          sum((col("__v") * col("__w")).cast(dec)).as("sxy"))
+        .select(col(keyCol), lit(lag0.toLong).as("lag"), col("n"),
+          round(
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("acf"))
+        .filter(col("n") >= 3)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Per-key exponentially-weighted moving average of an ordered series,
     * folded left-to-right: s_1 = v_1, s_i = α·v_i + (1−α)·s_{i-1}.
     *
