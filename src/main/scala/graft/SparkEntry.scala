@@ -4276,6 +4276,34 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Per-type autocorrelation of the hourly revenue series at lags 1 and
+    * 24 ([[graft.operators.Trend.autocorrPerKey]]) — the seasonality
+    * detector that complements q147's trend and q148's anomalies: one
+    * lead-window pass per lag over the key-partitioned shuffle, exact
+    * DECIMAL(38,0) sums, closed-form Pearson in pinned double order.
+    */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.autocorrPerKey(
+        hourly, "event_type", "hid", "cents", Seq(1, 24))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Mutual information between order status and priority
+    * ([[graft.operators.Drift.mutualInfo]]) — feature relevance from ONE
+    * contingency pass; every window below the groupBy runs over the
+    * |X|·|Y|-row aggregate, never the input. Per-cell terms land on the
+    * 9-decimal grid before the order-independent decimal total.
+    */
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.mutualInfo(
+        T(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")),
+        "o_orderstatus", "o_orderpriority")
+      .orderBy(col("x"), col("y"))
+
   /** Lake HISTORY metadata table — the `DESCRIBE HISTORY` surface: one row
     * per commit with its tag, rows added (logged at commit time), and the
     * table's total row count AS OF that version — all answered from the
@@ -4995,6 +5023,8 @@ object SparkEntry {
     "q252_accent_fold" -> (q252 _),
     "q253_ewma" -> (q253 _),
     "q254_subtree_rollup" -> (q254 _),
+    "q255_autocorr" -> (q255 _),
+    "q256_mutual_info" -> (q256 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5789,6 +5819,14 @@ object SparkEntry {
       """WITH a AS (SELECT doc_id, text, translate(text, 'aeiou', 'áéíóú') AS acc FROM documents) SELECT doc_id, md5(acc) AS accented_md5, md5(strip_accents(acc)) AS folded_md5, CAST(strip_accents(acc) = text AS INTEGER) AS roundtrip, CAST(length(text) - length(translate(text, 'aeiou', '')) AS BIGINT) AS n_folded FROM a ORDER BY doc_id""",
     "q253_ewma" ->
       """WITH h AS (SELECT user_id, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) AS v FROM events GROUP BY 1, 2), l AS (SELECT user_id, COUNT(*) AS n, list(v ORDER BY hid) AS vs FROM h GROUP BY 1) SELECT user_id, n, round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma FROM l ORDER BY user_id""",
+    // row-order lead (not time-offset) on both engines; exact DECIMAL(38,0)
+    // sums feed the identically-ordered closed-form Pearson
+    "q255_autocorr" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
+    // per-cell MI terms quantized to DECIMAL(18,9) before the
+    // order-independent total; ln over exact integer operands both sides
+    "q256_mutual_info" ->
+      """WITH j AS (SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS n_xy FROM orders GROUP BY 1, 2), t AS (SELECT x, y, n_xy, CAST(SUM(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x, CAST(SUM(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y, CAST(SUM(n_xy) OVER () AS BIGINT) AS n FROM j), m AS (SELECT x, y, n_xy, n_x, n_y, CAST(round(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE) * ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 9) AS DECIMAL(18,9)) AS mi_term FROM t) SELECT x, y, n_xy, n_x, n_y, CAST(mi_term AS DOUBLE) AS mi_term, CAST(SUM(mi_term) OVER () AS DOUBLE) AS mi_total FROM m ORDER BY x, y""",
     "q254_subtree_rollup" ->
       """WITH RECURSIVE anc AS (SELECT c_custkey AS id, c_custkey AS anc, CAST(0 AS BIGINT) AS depth FROM customer UNION ALL SELECT a.id, n.c_custkey // 10 AS anc, a.depth + 1 FROM anc a JOIN customer n ON a.anc = n.c_custkey WHERE n.c_custkey >= 10) SELECT a.anc AS node, COUNT(*) AS n_nodes, MAX(a.depth) AS subtree_depth, CAST(SUM(CAST(v.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_total FROM anc a JOIN customer v ON a.id = v.c_custkey GROUP BY 1 ORDER BY node""",
     // hidden partitioning only changes WHICH files are read, never what

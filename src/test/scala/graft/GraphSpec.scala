@@ -166,6 +166,21 @@ class GraphSpec extends SparkSuite {
       "equal slices must contribute ~0 psi per bin")
   }
 
+  test("mutualInfo: identity is ln 2 for uniform binary, independence is 0") {
+    import spark.implicits._
+    // x == y over two uniform symbols → MI = ln 2; the per-cell terms are
+    // each 0.5·ln 2 on the 9-decimal grid
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("s", "p")
+    val depOut = graft.operators.Drift.mutualInfo(dep, "s", "p").collect()
+    assert(depOut.length == 2)
+    assert(depOut.forall(r => math.abs(r.getDouble(6) - math.log(2.0)) < 1e-6))
+    // full independence (all four cells equally filled) → every term 0
+    val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")).toDF("s", "p")
+    val indOut = graft.operators.Drift.mutualInfo(ind, "s", "p").collect()
+    assert(indOut.length == 4)
+    assert(indOut.forall(r => math.abs(r.getDouble(6)) < 1e-9))
+  }
+
   test("triangleCounts: K4 minus an edge, degree-ordered orientation") {
     // K4 on {1,2,3,4} without edge (1,4): triangles {1,2,3} and {2,3,4};
     // nodes 2 and 3 sit in both, 1 and 4 in one each

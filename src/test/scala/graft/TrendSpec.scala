@@ -74,6 +74,20 @@ class TrendSpec extends SparkSuite {
     assert(exp(0L)._2 == 0, "pre-shift buckets must not be flagged")
   }
 
+  test("autocorrPerKey: linear series gives acf 1, alternating gives -1, short keys drop") {
+    // key a: strictly increasing linear → lag-1 pairs perfectly correlated;
+    // key b: alternating 0/10 → lag-1 pairs perfectly anti-correlated;
+    // key c: 3 points → only 2 lag-1 pairs → dropped by the n >= 3 floor
+    val rows =
+      (0 until 6).map(i => ("a", i.toLong, (i + 1).toLong)) ++
+      (0 until 6).map(i => ("b", i.toLong, if (i % 2 == 0) 0L else 10L)) ++
+      (0 until 3).map(i => ("c", i.toLong, i.toLong))
+    val df = rows.toDF("k", "b", "cents")
+    val out = Trend.autocorrPerKey(df, "k", "b", "cents", Seq(1))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map("a" -> ((5L, 1.0)), "b" -> ((5L, -1.0))))
+  }
+
   test("ewmaPerKey equals the sequential fold, and a singleton is its value") {
     val df = Seq(
       ("a", 0L, 10.0), ("a", 1L, 20.0), ("a", 2L, 30.0),
