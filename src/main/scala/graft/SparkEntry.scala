@@ -4304,6 +4304,40 @@ object SparkEntry {
         "o_orderstatus", "o_orderpriority")
       .orderBy(col("x"), col("y"))
 
+  /** Full CDC apply through [[graft.sources.TxLake.mergeCdc]]: inserts,
+    * updates and flagged deletes land in ONE merge batch — the
+    * `WHEN MATCHED AND cond THEN DELETE` clause the merge family lacked
+    * (deletes previously routed separately through deleteWhere/DVs) —
+    * with the same affected-file-only rewrite. The batch also carries a
+    * delete for an absent key, which must be a no-op.
+    */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val lake = scratch(dir, "q257") + "/lake"
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val cust = T(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_acctbal").cast(DecimalType(12, 2)).as("bal"))
+      .filter(col("c_custkey") <= 500)
+    TxLake.commit(s, lake, cust.filter(col("c_custkey") <= 250).coalesce(1))
+    TxLake.commit(s, lake, cust.filter(col("c_custkey") > 250).coalesce(1))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(12, 2))
+    val cdc = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("bal"), lit(true).as("__op_delete"))
+      .unionByName(cust
+        .filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), zero.as("bal"), lit(false).as("__op_delete")))
+      .unionByName(s.range(10001, 10006).select(col("id").as("c_custkey"),
+        lit(java.math.BigDecimal.ONE).cast(DecimalType(12, 2)).as("bal"),
+        lit(false).as("__op_delete")))
+      .unionByName(s.range(20001, 20002).select(col("id").as("c_custkey"),
+        zero.as("bal"), lit(true).as("__op_delete")))
+    TxLake.mergeCdc(s, lake, cdc, "c_custkey", "__op_delete")
+    TxLake.readSnapshot(s, lake)
+      .select(col("c_custkey"), col("bal").cast("double").as("bal"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Lake HISTORY metadata table — the `DESCRIBE HISTORY` surface: one row
     * per commit with its tag, rows added (logged at commit time), and the
     * table's total row count AS OF that version — all answered from the
@@ -5025,6 +5059,7 @@ object SparkEntry {
     "q254_subtree_rollup" -> (q254 _),
     "q255_autocorr" -> (q255 _),
     "q256_mutual_info" -> (q256 _),
+    "q257_merge_cdc" -> (q257 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5825,6 +5860,10 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
     // per-cell MI terms quantized to DECIMAL(18,9) before the
     // order-independent total; ln over exact integer operands both sides
+    // one CDC batch = matched deletes + matched updates + inserts; the
+    // absent-key delete replays as nothing on both engines
+    "q257_merge_cdc" ->
+      """SELECT c_custkey, CAST(CASE WHEN c_custkey % 5 = 0 THEN 0.00 ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS DOUBLE) AS bal FROM customer WHERE c_custkey <= 500 AND c_custkey % 7 <> 0 UNION ALL SELECT k, 1.0 FROM range(10001, 10006) t(k) ORDER BY c_custkey""",
     "q256_mutual_info" ->
       """WITH j AS (SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS n_xy FROM orders GROUP BY 1, 2), t AS (SELECT x, y, n_xy, CAST(SUM(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x, CAST(SUM(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y, CAST(SUM(n_xy) OVER () AS BIGINT) AS n FROM j), m AS (SELECT x, y, n_xy, n_x, n_y, CAST(round(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE) * ln(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 9) AS DECIMAL(18,9)) AS mi_term FROM t) SELECT x, y, n_xy, n_x, n_y, CAST(mi_term AS DOUBLE) AS mi_term, CAST(SUM(mi_term) OVER () AS DOUBLE) AS mi_total FROM m ORDER BY x, y""",
     "q254_subtree_rollup" ->

@@ -557,6 +557,68 @@ object TxLake {
     swapCommit(spark, path, replacement.localCheckpoint(true), plain)
   }
 
+  /** Full CDC MERGE — the three-clause apply (Delta/Iceberg MERGE surface)
+    * in one batch: `WHEN MATCHED AND <delete flag> THEN DELETE`,
+    * `WHEN MATCHED THEN UPDATE SET *`, `WHEN NOT MATCHED AND NOT <delete
+    * flag> THEN INSERT *`. `updates` carries the table's columns plus the
+    * boolean `deleteCol`; only a TRUE flag deletes (three-valued logic — a
+    * NULL flag upserts, the [[deleteWhere]] discipline), and a delete for
+    * an absent key is a proper no-op. Same affected-file-only cost shape
+    * as [[mergeByKey]]: files containing no key from the batch are never
+    * read or copied, and survivors come from the DV-applied positional
+    * view, so a vector-masked row can never be resurrected by the rewrite.
+    */
+  def mergeCdc(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyCol: String,
+      deleteCol: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val snap = snapshotWithPos(spark, path)
+    val dataCols = snap.columns.toSeq.filterNot(Set("__dv_file", "__dv_pos"))
+    require(updates.columns.contains(deleteCol),
+      s"updates must carry the delete-flag column $deleteCol")
+    require(updates.columns.toSeq.filterNot(_ == deleteCol).sorted ==
+      dataCols.sorted,
+      "updates must carry exactly the table's columns plus the delete flag")
+    val u = updates
+      .withColumn(deleteCol,
+        coalesce(col(deleteCol).cast("boolean"), lit(false)))
+      .localCheckpoint(true)
+    // the mergeByKey family contract: null keys match nothing (insert if
+    // not delete-flagged), so uniqueness applies to non-null keys only
+    require(u.filter(col(keyCol).isNotNull).groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).isEmpty, "duplicate keys in updates")
+    val affected = snap
+      .select(col(keyCol), col("__dv_file").as("f"))
+      .join(u.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .select(col("f"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val plain = affected.map(p => new java.net.URI(p).getPath)
+    val sel = dataCols.map(col)
+    val inserts = u.filter(!col(deleteCol))
+    val replacement =
+      if (plain.isEmpty) inserts.select(sel: _*)
+      else {
+        // DV-applied view of the affected files (see deleteWhere)
+        val affectedRows = snap.filter(col("__dv_file").isin(affected: _*))
+          .select(sel: _*)
+        val tableKeys = affectedRows.select(col(keyCol)).distinct()
+        // untouched rows ride through; matched non-delete rows replace;
+        // matched DELETE rows vanish (the anti-join drops the table row
+        // and the `inserts` filter keeps the source row out); unmatched
+        // non-delete rows (incl. null keys) insert
+        affectedRows.join(u.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .select(sel: _*)
+          .unionByName(inserts.join(tableKeys, Seq(keyCol), "left_semi")
+            .select(sel: _*))
+          .unionByName(inserts.join(tableKeys, Seq(keyCol), "left_anti")
+            .select(sel: _*))
+      }
+    swapCommit(spark, path, replacement.localCheckpoint(true), plain)
+  }
+
   /** Zero-copy branch: the branch is a full TxLake table of its own,
     * rooted at `<path>/_branches/<name>`, whose base log entry ADDS the
     * parent's active files at `fromVersion` without copying a byte. Every

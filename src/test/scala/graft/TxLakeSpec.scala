@@ -679,4 +679,60 @@ class TxLakeSpec extends SparkSuite {
     assert(old.columns.toSeq == Seq("id", "bal"))
     assert(ids(old.select(col("id"))) == Set(1L, 2L, 3L))
   }
+
+  test("mergeCdc: one batch deletes, updates and inserts; absent-key delete no-ops") {
+    import spark.implicits._
+    val lake = tmp()
+    def kv(rows: (Long, Double)*) = rows.toDF("id", "v")
+    def state() = TxLake.readSnapshot(spark, lake)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    TxLake.commit(spark, lake, kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0).coalesce(1)) // v1
+    TxLake.commit(spark, lake, kv(5L -> 5.0, 6L -> 6.0).coalesce(1))            // v2
+    TxLake.commit(spark, lake, kv(7L -> 7.0).coalesce(1))                       // v3: untouched
+    val before = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val cdc = Seq(
+      (2L, 2.0, true),    // matched delete
+      (5L, 50.0, false),  // matched update
+      (9L, 9.0, false),   // unmatched insert
+      (99L, 0.0, true))   // unmatched delete: must no-op
+      .toDF("id", "v", "del")
+    TxLake.mergeCdc(spark, lake, cdc, "id", "del")
+    assert(state() == Map(1L -> 1.0, 3L -> 3.0, 5L -> 50.0, 6L -> 6.0,
+      7L -> 7.0, 9L -> 9.0))
+    // v3 held no key from the batch: its file must still be the original
+    val after = TxLake.readSnapshot(spark, lake)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(before.filter(_.contains("/data/v3/")).subsetOf(after))
+    assert(before.filter(_.contains("/data/v1/")).forall(!after.contains(_)))
+    // delete-then-reinsert across two CDC batches round-trips
+    TxLake.mergeCdc(spark, lake, Seq((9L, 9.0, true)).toDF("id", "v", "del"),
+      "id", "del")
+    assert(!state().contains(9L))
+    TxLake.mergeCdc(spark, lake, Seq((9L, 90.0, false)).toDF("id", "v", "del"),
+      "id", "del")
+    assert(state()(9L) == 90.0)
+    // a NULL delete flag upserts (three-valued logic: only TRUE deletes)
+    TxLake.mergeCdc(spark, lake,
+      Seq((6L, 60.0)).toDF("id", "v")
+        .withColumn("del", lit(null).cast("boolean")), "id", "del")
+    assert(state()(6L) == 60.0)
+  }
+
+  test("mergeCdc never resurrects rows a deletion vector already masked") {
+    import spark.implicits._
+    val lake = tmp()
+    def kv(rows: (Long, Double)*) = rows.toDF("id", "v")
+    TxLake.commit(spark, lake, kv(1L -> 1.0, 2L -> 2.0, 3L -> 3.0).coalesce(1))
+    // DV-mask row 3 (no rewrite), then CDC-touch the SAME file via key 1:
+    // the affected-file rewrite must come from the DV-applied view
+    TxLake.deleteWhereDv(spark, lake, col("id") === 3L)
+    TxLake.mergeCdc(spark, lake, Seq((1L, 10.0, false)).toDF("id", "v", "del"),
+      "id", "del")
+    val got = TxLake.readSnapshot(spark, lake)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 2.0), "the masked row must stay deleted")
+  }
 }
