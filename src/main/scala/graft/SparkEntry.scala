@@ -4338,6 +4338,30 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
+  /** Avro round-trip through [[graft.sources.AvroIo]] — the q73-ORC
+    * pattern for the one mainstream batch format the source matrix still
+    * lacked. spark-avro's DataSource is absent here, so the container
+    * files are written/read directly against the public Avro core API:
+    * one file per partition on write, one lazy-decoding task per file on
+    * read, nullable columns as `["null", T]` unions. The read-back
+    * aggregate must equal the plain aggregate over the original table.
+    */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AvroIo
+    val path = scratch(dir, "q258")
+    graft.sources.LocalFs.deleteRecursively(path)
+    val src = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    AvroIo.write(src, path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    AvroIo.read(s, path, schema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Lake HISTORY metadata table — the `DESCRIBE HISTORY` surface: one row
     * per commit with its tag, rows added (logged at commit time), and the
     * table's total row count AS OF that version — all answered from the
@@ -5060,6 +5084,7 @@ object SparkEntry {
     "q255_autocorr" -> (q255 _),
     "q256_mutual_info" -> (q256 _),
     "q257_merge_cdc" -> (q257 _),
+    "q258_avro_roundtrip" -> (q258 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5860,6 +5885,10 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
     // per-cell MI terms quantized to DECIMAL(18,9) before the
     // order-independent total; ln over exact integer operands both sides
+    // an Avro round-trip is lossless for long/string/double, so the
+    // read-back aggregate equals the plain aggregate
+    "q258_avro_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
     // one CDC batch = matched deletes + matched updates + inserts; the
     // absent-key delete replays as nothing on both engines
     "q257_merge_cdc" ->
