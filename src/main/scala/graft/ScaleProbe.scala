@@ -300,9 +300,14 @@ object ScaleProbe {
       // on dup-heavy corpora is "collapse exact dups first, then join".
       )
 
+    // optional name filter: probe only the listed ops (dev use — lets a
+    // round add probes without re-running the already-measured families)
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     val results = for {
       f <- factors
       (name, body) <- ops(f)
+      if only.forall(_.contains(name))
     } yield {
       val warm = time(body()) // staging write rides the first call
       val t = time(body())

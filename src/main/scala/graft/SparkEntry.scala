@@ -4362,6 +4362,29 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming three-clause CDC
+    * ([[graft.streaming.StreamVerify.cdcApplyDeletes]]): per micro-batch,
+    * the newest row per user upserts and a terminal 'error' tombstones
+    * the user's row via [[graft.sources.TxLake.mergeCdc]]'s matched-
+    * DELETE. Time-sliced source files make the sequential merges converge
+    * to the global newest state, so the drained table is exactly "latest
+    * event per user, minus users whose latest is the tombstone".
+    */
+  private def q259(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.cdcApplyDeletes(
+        s, q259Events(s, dir), scratch(dir, "q259"), tombstone = "error")
+      .orderBy(col("user_id"))
+
+  /** KMV sketch set-algebra ([[graft.operators.Sketches.kmvJaccard]]):
+    * pairwise Jaccard between event types' user sets estimated from the
+    * k-min sketches alone — everything past the sketch pass is
+    * sketch-sized (|G|² pairs × ≤ 2k rows), and the md5-derived
+    * estimator replays exactly in the oracle.
+    */
+  private def q260(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvJaccard(
+      T(s, dir, "events"), "event_type", "user_id", k = 64)
+
   /** Lake HISTORY metadata table — the `DESCRIBE HISTORY` surface: one row
     * per commit with its tag, rows added (logged at commit time), and the
     * table's total row count AS OF that version — all answered from the
@@ -4787,6 +4810,39 @@ object SparkEntry {
     staged.toString
   }
 
+  /** Time-sliced staging for the deleting CDC stream (q259): three files,
+    * each holding a strictly later floored-second range than the last,
+    * mtimes forcing oldest-first processing. Slicing on the FLOORED
+    * second (the engine's canonical ordering unit) keeps equal-second
+    * rows in one slice, so the per-batch newest row is the global newest
+    * wherever the tie-breaking event_id lands.
+    */
+  private def q259Events(s: SparkSession, dir: String): String = {
+    val staged = java.nio.file.Paths.get(scratch(dir, "q259_events"))
+    java.nio.file.Files.createDirectories(staged)
+    val names = Seq("t0.parquet", "t1.parquet", "t2.parquet")
+    if (!names.forall(n => staged.resolve(n).toFile.exists())) {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val sec = expr("unix_micros(cast(ts as timestamp)) div 1000000")
+      val b = raw.agg(min(sec).as("lo"), max(sec).as("hi")).collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (b1, b2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val slices = Seq(sec <= b1, sec > b1 && sec <= b2, sec > b2)
+      names.zip(slices).zipWithIndex.foreach { case ((name, cond), i) =>
+        val side = scratch(dir, s"q259_slice$i")
+        raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(side)
+        val part = new java.io.File(side).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("slice write produced no part file"))
+        val dest = staged.resolve(name)
+        java.nio.file.Files.copy(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.toFile.setLastModified(1600000000000L + i * 10000L)
+      }
+    }
+    staged.toString
+  }
+
   /** Session-window aggregation in UPDATE mode: grown sessions re-emitted
     * per micro-batch, superseded emissions pruned, final state
     * hash-equal to batch sessionization
@@ -4840,7 +4896,8 @@ object SparkEntry {
     "q165_stream_cdc_apply", "q171_stream_full_outer",
     "q180_stream_resume", "q185_stream_cms",
     "q200_stream_bitmap", "q206_stream_dv_erasure",
-    "q219_stream_components", "q228_stream_topk", "q242_stream_gap_monitor")
+    "q219_stream_components", "q228_stream_topk", "q242_stream_gap_monitor",
+    "q259_stream_cdc_deletes")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -5085,6 +5142,8 @@ object SparkEntry {
     "q256_mutual_info" -> (q256 _),
     "q257_merge_cdc" -> (q257 _),
     "q258_avro_roundtrip" -> (q258 _),
+    "q259_stream_cdc_deletes" -> (q259 _),
+    "q260_kmv_jaccard" -> (q260 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5885,6 +5944,14 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
     // per-cell MI terms quantized to DECIMAL(18,9) before the
     // order-independent total; ln over exact integer operands both sides
+    // the converged CDC-with-deletes table = latest event per user minus
+    // tombstoned users; batch slicing must be invisible
+    "q259_stream_cdc_deletes" ->
+      """SELECT user_id, event_id, event_type, value, sec FROM (SELECT user_id, event_id, event_type, value, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(epoch_ns(ts) // 1000000000 AS BIGINT) DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+    // the KMV Jaccard estimator replays hash-for-hash: same md5-derived
+    // 52-bit space, same k-smallest-of-union membership counting
+    "q260_kmv_jaccard" ->
+      """WITH h AS (SELECT DISTINCT event_type AS g, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn FROM h), mins AS (SELECT g, h FROM r WHERE rn <= 64), gs AS (SELECT DISTINCT g FROM mins), pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g), u AS (SELECT ga, gb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (SELECT p.ga, p.gb, m.h, 1 AS in_a, 0 AS in_b FROM pairs p JOIN mins m ON m.g = p.ga UNION ALL SELECT p.ga, p.gb, m.h, 0, 1 FROM pairs p JOIN mins m ON m.g = p.gb) GROUP BY 1, 2, 3), ks AS (SELECT ga, gb, in_a, in_b, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM u) SELECT ga, gb, COUNT(*) AS kk, CAST(SUM(in_a * in_b) AS BIGINT) AS n_both, round(CAST(SUM(in_a * in_b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS jaccard_est FROM ks WHERE rn <= 64 GROUP BY 1, 2 ORDER BY ga, gb""",
     // an Avro round-trip is lossless for long/string/double, so the
     // read-back aggregate equals the plain aggregate
     "q258_avro_roundtrip" ->

@@ -337,4 +337,55 @@ object Sketches {
       .withColumn("g", lit("__union__"))
     estimate(mins).unionByName(estimate(union)).orderBy(col("g"))
   }
+
+  /** Pairwise Jaccard estimates between groups' id-sets from their KMV
+    * sketches ALONE — sketch set-algebra, the [[kmvDistinct]] companion:
+    * for each group pair, merge the two k-min lists, keep the k smallest
+    * of the union, and count how many of those sit in BOTH sketches;
+    * that count over k is the standard KMV Jaccard estimator (and with
+    * the union estimate gives intersection sizes by J·|A∪B|). Everything
+    * after the per-group sketch pass is sketch-sized: pairs are |G|²
+    * metadata, each union frame holds ≤ 2k rows — re-running against new
+    * group pairings never re-touches the fact table. md5-derived hashes,
+    * so the oracle replays the estimator EXACTLY.
+    */
+  def kmvJaccard(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df
+      .select(col(groupCol).as("g"), h52(col(idCol)).as("h"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy(col("g")).orderBy(col("h")))
+    val mins = hashes.withColumn("rn", rn).filter(col("rn") <= k)
+      .select(col("g"), col("h"))
+    val groups = mins.select(col("g")).distinct()
+    val pairs = groups.as("x").join(groups.as("y"), col("x.g") < col("y.g"))
+      .select(col("x.g").as("ga"), col("y.g").as("gb"))
+    // membership of each union hash in either sketch via two equi-joins
+    // (no OR-join, which would plan as a nested loop)
+    val fromA = pairs.join(mins, col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val fromB = pairs.join(mins, col("g") === col("gb"))
+      .select(col("ga"), col("gb"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val uni = fromA.unionByName(fromB)
+      .groupBy(col("ga"), col("gb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    // the window frame is one pair's merged sketch: ≤ 2k rows
+    val rnu = row_number()
+      .over(Window.partitionBy(col("ga"), col("gb")).orderBy(col("h")))
+    uni.withColumn("rn", rnu).filter(col("rn") <= k)
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("kk"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"))
+      .select(col("ga"), col("gb"), col("kk"), col("n_both"),
+        round(col("n_both").cast("double") / col("kk").cast("double"), 6)
+          .as("jaccard_est"))
+      .orderBy(col("ga"), col("gb"))
+  }
 }

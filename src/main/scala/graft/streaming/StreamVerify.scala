@@ -740,6 +740,55 @@ object StreamVerify {
         col("value"), col("sec"))
   }
 
+  /** Streaming CDC apply WITH DELETES ([[graft.sources.TxLake.mergeCdc]]):
+    * each micro-batch reduces to the newest row per key, rows whose
+    * terminal action is `tombstone` become matched-DELETE clauses, the
+    * rest upsert — the full three-clause CDC stream (q165 without deletes
+    * was the two-clause half). Requires TIME-SLICED source files (the
+    * q259 staging contract: file k holds strictly earlier floored-seconds
+    * than file k+1, mtime-ordered), so the sequential per-batch merges
+    * converge to the global newest state; for arbitrary file order use
+    * [[cdcApply]]'s recency merge instead, which is commutative but
+    * cannot express deletes. State cost per batch: only files containing
+    * batch keys are rewritten (the mergeCdc contract), so a micro-batch
+    * costs O(touched files), never O(table).
+    */
+  def cdcApplyDeletes(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      tombstone: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/lake"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("sec").desc, col("event_id").desc)
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts").cast("long").as("sec"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val newest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .withColumn("__del", col("event_type") === tombstone)
+        if (graft.sources.TxLake.latestVersion(lake) == 0L)
+          graft.sources.TxLake.commit(spark, lake,
+            newest.filter(!col("__del")).drop("__del"))
+        else
+          graft.sources.TxLake.mergeCdc(spark, lake, newest, "user_id", "__del")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.sources.TxLake.readSnapshot(spark, lake)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("sec"))
+  }
+
   /** Streaming maintenance of a per-type OBSERVED-HOUR store — the standing
     * state a freshness/completeness monitor keeps (O(active hours), never
     * the events): each micro-batch folds its distinct (type, hour) pairs

@@ -190,4 +190,22 @@ class SketchesSpec extends SparkSuite {
     assert(math.abs(got("__union__") - 2030.0) / 2030.0 < 0.3,
       s"union estimate off: ${got("__union__")}")
   }
+
+  test("kmvJaccard: identical sets estimate 1, disjoint sets 0, overlap in between") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => ("a", i.toLong))
+    val sameAsA = (1 to 500).map(i => ("b", i.toLong))
+    val disjoint = (1 to 500).map(i => ("c", (100000 + i).toLong))
+    val half = (251 to 750).map(i => ("d", i.toLong)) // J(a,d) = 250/750 = 1/3
+    val df = (a ++ sameAsA ++ disjoint ++ half).toDF("g", "id")
+    val got = Sketches.kmvJaccard(df, "g", "id", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got(("a", "b")) == 1.0, "identical sets share every k-min hash")
+    assert(got(("a", "c")) == 0.0, "disjoint sets share none")
+    assert(math.abs(got(("a", "d")) - 1.0 / 3.0) < 0.2,
+      s"overlap estimate off: ${got(("a", "d"))}")
+    // every unordered pair appears exactly once, ordered lexicographically
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+  }
 }
