@@ -35,6 +35,12 @@ object ScaleProbe {
     val spark: SparkSession = GraftSession.local("graft-scale-probe", cpus)
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a 100× replica with the test session's fixed 32 shuffle partitions
+    // spills where a real cluster would simply run more partitions; this
+    // override lets a probe be re-run at data-proportional parallelism to
+    // separate spill artifacts from genuine operator slope
+    sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
     val scratch = s"/root/repo/target/scratch/scaleprobe_${math.abs(sfDir.hashCode)}"
 
     def staged(table: String, factor: Int, replicate: (DataFrame, Int) => DataFrame): String = {

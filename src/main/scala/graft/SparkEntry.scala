@@ -4385,6 +4385,21 @@ object SparkEntry {
     graft.operators.Sketches.kmvJaccard(
       T(s, dir, "events"), "event_type", "user_id", k = 64)
 
+  /** Per-user Holt double-exponential smoothing of hourly spend
+    * ([[graft.operators.Trend.holtPerKey]]): level + trend folded in one
+    * codegen'd higher-order aggregate, α=β=0.5 powers of two — the
+    * trend-aware forecast EWMA (q253) structurally lags. The oracle
+    * replays the recursion with a recursive CTE, same IEEE op order.
+    */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("user_id"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .cast("double").as("v"))
+    graft.operators.Trend.holtPerKey(hourly, "user_id", "hid", "v", 0.5, 0.5)
+      .orderBy(col("user_id"))
+  }
+
   /** Lake HISTORY metadata table — the `DESCRIBE HISTORY` surface: one row
     * per commit with its tag, rows added (logged at commit time), and the
     * table's total row count AS OF that version — all answered from the
@@ -5144,6 +5159,7 @@ object SparkEntry {
     "q258_avro_roundtrip" -> (q258 _),
     "q259_stream_cdc_deletes" -> (q259 _),
     "q260_kmv_jaccard" -> (q260 _),
+    "q261_holt" -> (q261 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5944,6 +5960,10 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
     // per-cell MI terms quantized to DECIMAL(18,9) before the
     // order-independent total; ln over exact integer operands both sides
+    // the Holt recursion replays as a recursive CTE in the identical IEEE
+    // op order (s recomputed inside b on both engines)
+    "q261_holt" ->
+      """WITH RECURSIVE h AS (SELECT user_id, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) AS v FROM events GROUP BY 1, 2), o AS (SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hid) AS rn FROM h), nn AS (SELECT user_id, COUNT(*) AS n FROM o GROUP BY 1), rec AS (SELECT a.user_id, CAST(2 AS BIGINT) AS rn, b.v AS s, b.v - a.v AS b FROM o a JOIN o b ON a.user_id = b.user_id AND a.rn = 1 AND b.rn = 2 UNION ALL SELECT r.user_id, r.rn + 1, 0.5 * x.v + 0.5 * (r.s + r.b) AS s, 0.5 * ((0.5 * x.v + 0.5 * (r.s + r.b)) - r.s) + 0.5 * r.b AS b FROM rec r JOIN o x ON x.user_id = r.user_id AND x.rn = r.rn + 1) SELECT f.user_id, nn.n, round(f.s, 6) AS level, round(f.b, 6) AS trend, round(f.s + f.b, 6) AS forecast FROM rec f JOIN nn ON nn.user_id = f.user_id AND f.rn = nn.n WHERE nn.n >= 2 ORDER BY f.user_id""",
     // the converged CDC-with-deletes table = latest event per user minus
     // tombstoned users; batch slicing must be invisible
     "q259_stream_cdc_deletes" ->

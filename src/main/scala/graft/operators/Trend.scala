@@ -220,6 +220,53 @@ object Trend {
     * bucketed series (≤ thousands of buckets per key); for unbounded raw
     * streams, bucket first (as every caller here does).
     */
+  /** Per-key Holt double-exponential smoothing (level + trend) folded
+    * left-to-right: init s₂ = v₂, b₂ = v₂ − v₁, then for i ≥ 3
+    * sᵢ = α·vᵢ + (1−α)(sᵢ₋₁ + bᵢ₋₁), bᵢ = β(sᵢ − sᵢ₋₁) + (1−β)bᵢ₋₁.
+    * Emits the one-step-ahead forecast s + b — the trend-aware successor
+    * to [[ewmaPerKey]] (which a trending series always lags).
+    *
+    * Same execution shape as the EWMA: the fold runs inside ONE codegen'd
+    * higher-order `aggregate` over the key's sorted series with a struct
+    * accumulator, embarrassingly parallel across keys, no shuffle beyond
+    * the groupBy, per-key state bounded by the bucketed series length.
+    * With α and β powers of two the fold's double ops replay
+    * bit-identically in the oracle's recursive CTE (which recomputes sᵢ
+    * inside bᵢ — the same IEEE value, determinism unaffected). Keys need
+    * ≥ 2 points for a defined trend; singletons are dropped.
+    */
+  def holtPerKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      vCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta > 0.0 && beta <= 1.0)
+    val v1 = element_at(col("__s"), 1).getField("__v")
+    val v2 = element_at(col("__s"), 2).getField("__v")
+    val folded = aggregate(
+      expr("slice(__s, 3, greatest(size(__s) - 2, 0))"),
+      struct(v2.as("s"), (v2 - v1).as("b")),
+      (acc, e) => {
+        val sN = lit(alpha) * e.getField("__v") +
+          lit(1.0 - alpha) * (acc.getField("s") + acc.getField("b"))
+        struct(sN.as("s"),
+          (lit(beta) * (sN - acc.getField("s")) +
+            lit(1.0 - beta) * acc.getField("b")).as("b"))
+      })
+    df.select(col(keyCol), col(orderCol).cast("long").as("__o"),
+        col(vCol).cast("double").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("__o"), col("__v")))).as("__s"))
+      .filter(col("n") >= 2)
+      .select(col(keyCol), col("n"),
+        round(folded.getField("s"), 6).as("level"),
+        round(folded.getField("b"), 6).as("trend"),
+        round(folded.getField("s") + folded.getField("b"), 6).as("forecast"))
+  }
+
   def ewmaPerKey(
       df: DataFrame,
       keyCol: String,

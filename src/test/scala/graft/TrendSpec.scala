@@ -88,6 +88,21 @@ class TrendSpec extends SparkSuite {
     assert(out == Map("a" -> ((5L, 1.0)), "b" -> ((5L, -1.0))))
   }
 
+  test("holtPerKey tracks a perfect linear trend exactly; singletons drop") {
+    // on v_i = 10 + 5i the recursion is exact at every step: level = v_n,
+    // trend = 5, forecast = v_n + 5 — while plain EWMA would lag
+    val lin = (1 to 8).map(i => ("a", i.toLong, 10.0 + 5.0 * i))
+    val df = (lin :+ (("b", 1L, 42.0))).toDF("k", "o", "v")
+    val got = Trend.holtPerKey(df, "k", "o", "v", 0.5, 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == Map("a" -> ((8L, 50.0, 5.0, 55.0))))
+    // two points: init state IS the answer (level v2, trend v2 - v1)
+    val two = Seq(("c", 1L, 3.0), ("c", 2L, 7.0)).toDF("k", "o", "v")
+    val g2 = Trend.holtPerKey(two, "k", "o", "v", 0.5, 0.5).collect()(0)
+    assert((g2.getDouble(2), g2.getDouble(3), g2.getDouble(4)) == ((7.0, 4.0, 11.0)))
+  }
+
   test("ewmaPerKey equals the sequential fold, and a singleton is its value") {
     val df = Seq(
       ("a", 0L, 10.0), ("a", 1L, 20.0), ("a", 2L, 30.0),
