@@ -4400,6 +4400,49 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Tokenizer-coverage audit ([[graft.operators.TextPipeline.oovRate]]):
+    * per-language OOV rate against the top-1000 frequency vocabulary —
+    * the fairness lens on q156's vocab (a shared vocabulary under-serves
+    * low-resource languages first). Broadcast vocab apply; exact integer
+    * token counts.
+    */
+  private def q262(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.oovRate(T(s, dir, "documents"), topN = 1000)
+      .orderBy(col("lang"))
+
+  /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
+    * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
+    * audit, and publishes as one atomic data-free log commit; batch 3
+    * (deliberately poisoned with negative prices) stages on a second
+    * branch, FAILS its audit, and is never published — the parent table
+    * must show exactly batches 1 and 2.
+    */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val lake = scratch(dir, "q263") + "/lake"
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 3 === 0))
+    def stageAuditPublish(name: String, batch: DataFrame): Unit = {
+      val br = TxLake.branch(lake, name)
+      TxLake.commit(s, br, batch)
+      // the audit runs against the STAGED snapshot (base + batch), the
+      // exact bytes a publish would make visible
+      val violations = TxLake.readSnapshot(s, br)
+        .filter(col("price") <= 0 || col("o_orderstatus").isNull).count()
+      if (violations == 0L) TxLake.publishBranch(lake, name, tag = name)
+    }
+    stageAuditPublish("wap_good", o.filter(col("o_orderkey") % 3 === 1))
+    stageAuditPublish("wap_bad",
+      o.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("price", negate(col("price"))))
+    TxLake.readSnapshot(s, lake)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Lake HISTORY metadata table — the `DESCRIBE HISTORY` surface: one row
     * per commit with its tag, rows added (logged at commit time), and the
     * table's total row count AS OF that version — all answered from the
@@ -5160,6 +5203,8 @@ object SparkEntry {
     "q259_stream_cdc_deletes" -> (q259 _),
     "q260_kmv_jaccard" -> (q260 _),
     "q261_holt" -> (q261 _),
+    "q262_oov_rate" -> (q262 _),
+    "q263_wap_publish" -> (q263 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -5960,6 +6005,14 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
     // per-cell MI terms quantized to DECIMAL(18,9) before the
     // order-independent total; ln over exact integer operands both sides
+    // same normalized word split as q156; OOV = absence from the top-1000
+    // by (count desc, word asc); rates from exact integer counts
+    "q262_oov_rate" ->
+      """WITH w AS (SELECT doc_id, lang, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1), v AS (SELECT w FROM (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rn FROM c) WHERE rn <= 1000) SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens, CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate FROM w LEFT JOIN v ON w.w = v.w GROUP BY lang ORDER BY lang""",
+    // only the audited batches are visible: thirds 0 (direct) and 1
+    // (published); the poisoned third 2 fails its audit and never lands
+    "q263_wap_publish" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY 1""",
     // the Holt recursion replays as a recursive CTE in the identical IEEE
     // op order (s recomputed inside b on both engines)
     "q261_holt" ->

@@ -285,6 +285,36 @@ object TextPipeline {
           .as("coverage"))
   }
 
+  /** Tokenizer-coverage audit: per-language OOV rate against the topN
+    * frequency vocabulary ([[vocabulary]]'s ranking rule — count desc,
+    * word asc) — the number a tokenizer build is judged by before it
+    * ships, and the per-language fairness lens (a shared vocab
+    * under-serves low-resource languages first). Two corpus passes by
+    * design (count, then apply — the same split a production vocab
+    * build/apply pipeline has); the vocab side is topN rows and
+    * broadcasts, so the apply pass is a map-side join. Rates derive from
+    * exact integer token counts; the only double op is the final
+    * division.
+    */
+  def oovRate(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(TextFunctions.words(col("text"))).as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // ranking window over the aggregated word table (the q156 posture)
+    val rk = Window.orderBy(col("cnt").desc, col("w"))
+    val vocab = counts.withColumn("rn", row_number().over(rk))
+      .filter(col("rn") <= topN)
+      .select(col("w"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+  }
+
   /** First-iteration BPE merge statistics: the frequency of every adjacent
     * character pair inside words, weighted by word frequency — the pair
     * counts a byte-pair-encoding trainer ranks to pick its next merge.

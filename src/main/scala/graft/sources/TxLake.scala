@@ -652,6 +652,60 @@ object TxLake {
     bp
   }
 
+  /** PUBLISH a branch's staged appends into the parent — the
+    * Write–Audit–Publish cadence: stage commits on a zero-copy [[branch]],
+    * audit the staged snapshot there (reads, quality rules,
+    * [[commitChecked]]-style constraints), then make the audited files
+    * visible in the parent as ONE atomic log commit that moves no data
+    * (the log stores absolute paths). Strictly optimistic and strictly
+    * append-only:
+    *  - the parent must not have advanced since the fork (its active set
+    *    must still equal the branch's base entry) — otherwise re-branch
+    *    and re-stage;
+    *  - the branch must not have rewritten/removed inherited files nor
+    *    staged schema ops or deletion vectors — shared-state mutations
+    *    route through the merge family, not a publish.
+    * Per-file skipping stats and row counts staged on the branch ride
+    * into the parent entry unchanged. Returns the parent's new version;
+    * the branch stays a valid table (publishing only reads its log).
+    */
+  def publishBranch(
+      path: String, name: String, tag: String = ""): Long = {
+    require(!tag.contains("\"") && !tag.contains("\\"), "tag must be JSON-safe")
+    val bp = s"$path/_branches/$name"
+    require(Files.exists(logFile(bp, 1L)), s"no branch $name at $path")
+    val baseFiles = jsonList(
+      new String(Files.readAllBytes(logFile(bp, 1L)), "UTF-8"), "adds").toSet
+    val parentActive = activeEntries(path, Long.MaxValue)
+    require(parentActive.map(_._1).toSet == baseFiles,
+      "parent advanced since fork: re-branch and re-stage (optimistic WAP)")
+    val branchActive = activeEntries(bp, Long.MaxValue)
+    require(baseFiles.subsetOf(branchActive.map(_._1).toSet),
+      "branch rewrote or removed inherited files: publish is append-only")
+    require(dvsJson(bp, Long.MaxValue) == dvsJson(path, Long.MaxValue),
+      "branch staged deletion vectors: publish is append-only")
+    require(opsJson(bp, Long.MaxValue) == opsJson(path, Long.MaxValue),
+      "branch evolved schema: publish is append-only")
+    val fresh = branchActive.filterNot(e => baseFiles.contains(e._1))
+    val next = latestVersion(path) + 1
+    Files.createDirectories(logDir(path))
+    val log = logFile(path, next)
+    try Files.createFile(log)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(next)
+    }
+    val json =
+      s"""{"version":$next,"tag":"$tag",""" +
+        s""""adds":[${fresh.map("\"" + _._1 + "\"").mkString(",")}],""" +
+        s""""removes":[]${statsJson(fresh)}}"""
+    val tmp = logDir(path).resolve(f".tmp-$next%08d")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
   /** Reserve the next version, land `replacement` as its data files, and
     * publish a log entry that adds them and removes `removes` — the
     * shared tail of every rewriting operation (DELETE / UPDATE / MERGE).

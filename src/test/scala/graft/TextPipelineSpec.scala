@@ -150,4 +150,21 @@ class TextPipelineSpec extends SparkSuite {
     assert(out(2L) == ((8L, 4L, 2.0)), "4 equiprobable chars = log2(4) bits")
     assert(out(3L) == ((2L, 2L, 1.0)))
   }
+
+  test("oovRate: tokens outside the topN vocab count per language") {
+    import spark.implicits._
+    // vocab (topN=2, count desc then word asc) = {"aa" x4, "bb" x3};
+    // "zz" and "yy" are OOV. en: 5 tokens 1 OOV; fr: 4 tokens 2 OOV.
+    val docs = Seq(
+      (1L, "en", "aa aa bb zz bb"),
+      (2L, "fr", "aa bb yy zz"),
+      (3L, "en", "aa aa")).toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextPipeline.oovRate(docs, topN = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      "en" -> ((2L, 7L, 1L, BigDecimal(1.0 / 7.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      "fr" -> ((1L, 4L, 2L, 0.5))))
+  }
 }

@@ -721,6 +721,35 @@ class TxLakeSpec extends SparkSuite {
     assert(state()(6L) == 60.0)
   }
 
+  test("publishBranch: audited appends land atomically; unsafe branches are rejected") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2))
+    // stage on a branch, parent stays unaware until publish
+    val br = TxLake.branch(lake, "wap")
+    TxLake.commit(spark, br, df(3, 4))
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L))
+    val v = TxLake.publishBranch(lake, "wap", tag = "audited")
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 3L, 4L))
+    // zero-copy: the published entry references the branch's data files
+    assert(TxLake.countRows(spark, lake) == Some(4L),
+      "staged per-file row accounting must ride into the parent entry")
+    // time travel below the publish still sees the pre-publish table
+    assert(ids(TxLake.readSnapshot(spark, lake, v - 1)) == Set(1L, 2L))
+    // a branch that rewrote inherited files must not publish
+    val br2 = TxLake.branch(lake, "rewrites")
+    TxLake.deleteWhere(spark, br2, col("id") === 1L)
+    intercept[IllegalArgumentException](TxLake.publishBranch(lake, "rewrites"))
+    // a branch forked before the parent advanced must not publish
+    val br3 = TxLake.branch(lake, "stale")
+    TxLake.commit(spark, br3, df(9))
+    TxLake.commit(spark, lake, df(5)) // parent moves on
+    intercept[IllegalArgumentException](TxLake.publishBranch(lake, "stale"))
+    // a branch that staged deletion vectors must not publish
+    val br4 = TxLake.branch(lake, "dv")
+    TxLake.deleteWhereDv(spark, br4, col("id") === 2L)
+    intercept[IllegalArgumentException](TxLake.publishBranch(lake, "dv"))
+  }
+
   test("mergeCdc never resurrects rows a deletion vector already masked") {
     import spark.implicits._
     val lake = tmp()
