@@ -262,4 +262,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("ObjectHashAggregate") && p.contains("partial_topk"),
       "TopK must run as a partial (map-side) object aggregate")
   }
+
+  test("q260: sketch membership rides equi-joins; only the tiny group-pair gen is non-equi") {
+    val p = formatted(q("q260_kmv_jaccard"))
+    // the ga/gb < theta-join runs over the DISTINCT-GROUPS frame (|G|
+    // rows, metadata) — a BNL over the fact table would be the bug
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "pair-to-sketch membership must be a hash/merge equi-join")
+  }
+
+  test("q262: the topN vocab broadcasts into the apply join") {
+    val p = formatted(q("q262_oov_rate"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the 1000-row vocab must broadcast; shuffling the corpus against it " +
+        "would add a full extra corpus shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
