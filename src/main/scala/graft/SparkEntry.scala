@@ -4410,6 +4410,18 @@ object SparkEntry {
     graft.operators.TextPipeline.oovRate(T(s, dir, "documents"), topN = 1000)
       .orderBy(col("lang"))
 
+  /** Exact stratified train/val/test split
+    * ([[graft.operators.Sampling.largestRemainderSplit]]): 80/10/10 per
+    * language by the largest-remainder method — integer-exact quotas,
+    * md5-ring assignment, engine-reproducible row for row (randomSplit
+    * is neither exact nor layout-stable).
+    */
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    Sampling.largestRemainderSplit(
+        T(s, dir, "documents"), "lang", "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .orderBy(col("doc_id"))
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5205,6 +5217,7 @@ object SparkEntry {
     "q261_holt" -> (q261 _),
     "q262_oov_rate" -> (q262 _),
     "q263_wap_publish" -> (q263 _),
+    "q264_exact_split" -> (q264 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6005,6 +6018,10 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
     // per-cell MI terms quantized to DECIMAL(18,9) before the
     // order-independent total; ln over exact integer operands both sides
+    // largest-remainder quotas replay as the identical integer arithmetic;
+    // md5-ring rank makes the per-row assignment engine-deterministic
+    "q264_exact_split" ->
+      """WITH d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents), r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rn FROM d), n AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1), sp AS (SELECT * FROM (VALUES (0, 'train', 80), (1, 'val', 10), (2, 'test', 10)) AS t(idx, split, w)), q0 AS (SELECT n.lang, n.n, sp.idx, sp.split, sp.w, (n.n * sp.w) // 100 AS base, (n.n * sp.w) % 100 AS rem FROM n, sp), q1 AS (SELECT *, n - SUM(base) OVER (PARTITION BY lang) AS leftover, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rem DESC, idx) AS erk FROM q0), q2 AS (SELECT lang, idx, split, base + CASE WHEN erk <= leftover THEN 1 ELSE 0 END AS quota FROM q1), q3 AS (SELECT lang, split, quota, SUM(quota) OVER (PARTITION BY lang ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi FROM q2), b AS (SELECT lang, split, hi - quota AS lo, hi FROM q3) SELECT r.doc_id, r.lang, b.split FROM r JOIN b ON r.lang = b.lang AND r.rn > b.lo AND r.rn <= b.hi ORDER BY r.doc_id""",
     // same normalized word split as q156; OOV = absence from the top-1000
     // by (count desc, word asc); rates from exact integer counts
     "q262_oov_rate" ->

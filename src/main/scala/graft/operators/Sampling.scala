@@ -243,4 +243,54 @@ object Sampling {
       .filter(col("n_crossings") >= 1)
       .drop("__w", "__cumw", "__tot")
   }
+
+  /** Exact stratified splitting by the largest-remainder (Hamilton)
+    * method: within each stratum, rows land in the named splits in EXACT
+    * integer proportion to the weights — quota = floor(n·w/W) plus one
+    * extra for the splits with the largest fractional remainders until
+    * the stratum is exhausted (remainder ties broken by declared split
+    * order). Deterministic assignment inside a stratum follows the md5
+    * ring, so reruns, engines and cluster layouts agree row for row —
+    * `randomSplit` is approximate AND layout-dependent; this is neither.
+    *
+    * Cost shape: one shuffle (the stratum window ranking); the quota
+    * arithmetic is pure integer over the |strata|×|splits| aggregate, and
+    * the boundary table broadcasts back onto the ranked rows.
+    */
+  def largestRemainderSplit(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "positive split weights")
+    require(splits.map(_._1).distinct.length == splits.length, "unique split names")
+    val totalW = splits.map(_._2).sum
+    val ord = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    val ranked = df.select(col(strataCol), col(idCol))
+      .withColumn("__rn", row_number().over(ord))
+    val splitLits = array(splits.zipWithIndex.map { case ((nm, w), i) =>
+      struct(lit(i.toLong).as("idx"), lit(nm).as("split"), lit(w.toLong).as("w"))
+    }: _*)
+    val byStratum = Window.partitionBy(col(strataCol))
+    val cum = byStratum.orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = ranked.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .select(col(strataCol), col("n"), explode(splitLits).as("sp"))
+      .select(col(strataCol), col("n"), col("sp.idx").as("idx"),
+        col("sp.split").as("split"), col("sp.w").as("w"))
+      .withColumn("base", expr(s"(n * w) div $totalW"))
+      .withColumn("rem", expr(s"(n * w) % $totalW"))
+      .withColumn("leftover", col("n") - sum(col("base")).over(byStratum))
+      .withColumn("erk", row_number().over(
+        byStratum.orderBy(col("rem").desc, col("idx"))))
+      .withColumn("quota",
+        col("base") + when(col("erk") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("hi", sum(col("quota")).over(cum))
+      .withColumn("lo", col("hi") - col("quota"))
+      .select(col(strataCol), col("split"), col("lo"), col("hi"))
+    ranked.join(broadcast(bounds), Seq(strataCol))
+      .filter(col("__rn") > col("lo") && col("__rn") <= col("hi"))
+      .select(col(idCol), col(strataCol), col("split"))
+  }
 }

@@ -121,4 +121,25 @@ class SamplingSpec extends SparkSuite {
       .select($"id", $"n_crossings").as[(Long, Long)].collect().toMap
     assert(again == out, "selection must be deterministic across runs")
   }
+
+  test("largestRemainderSplit: integer-exact quotas, every row assigned once") {
+    import spark.implicits._
+    // stratum a: 10 rows → 8/1/1 exactly; stratum b: 7 rows → bases 5/0/0,
+    // remainders 60/70/70 → the two extras go to val (idx 1) then test
+    // (idx 2), so 5/1/1
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (11 to 17).map(i => ("b", i.toLong))).toDF("s", "id")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val out = Sampling.largestRemainderSplit(df, "s", "id", splits)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(0))
+    val counts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts == Map(("a", "train") -> 8, ("a", "val") -> 1,
+      ("a", "test") -> 1, ("b", "train") -> 5, ("b", "val") -> 1,
+      ("b", "test") -> 1))
+    assert(out.map(_._2).distinct.length == 17, "each row lands exactly once")
+    // deterministic: identical assignment on a rerun
+    val again = Sampling.largestRemainderSplit(df, "s", "id", splits)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(0))
+    assert(again.toSet == out.toSet)
+  }
 }
