@@ -4422,6 +4422,32 @@ object SparkEntry {
         Seq("train" -> 80, "val" -> 10, "test" -> 10))
       .orderBy(col("doc_id"))
 
+  /** Metadata-only retention ([[graft.sources.TxLake.dropWhereExpired]]):
+    * day-aligned ingests carry logged per-file day stats; a TTL cut at
+    * the first tertile boundary expires the oldest third via ONE log
+    * entry with zero data I/O — expiry cuts ALONG files, deleteWhere cuts
+    * through them. The read-back must equal the plain day-filtered
+    * aggregate.
+    */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val lake = scratch(dir, "q265") + "/lake"
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+    val b = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).collect()(0)
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val (b1, b2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    Seq(col("day") <= b1, col("day") > b1 && col("day") <= b2, col("day") > b2)
+      .foreach(c => TxLake.commit(s, lake, ev.filter(c), statsCols = Seq("day")))
+    TxLake.dropWhereExpired(lake, "day", cutoff = b1 + 1)
+    TxLake.readSnapshot(s, lake)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5218,6 +5244,7 @@ object SparkEntry {
     "q262_oov_rate" -> (q262 _),
     "q263_wap_publish" -> (q263 _),
     "q264_exact_split" -> (q264 _),
+    "q265_retention_drop" -> (q265 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6018,6 +6045,10 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
     // per-cell MI terms quantized to DECIMAL(18,9) before the
     // order-independent total; ln over exact integer operands both sides
+    // the metadata-only drop must equal the plain day filter; the tertile
+    // boundary replays as the same integer arithmetic
+    "q265_retention_drop" ->
+      s"""WITH d AS (SELECT event_type, value, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events), b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d) SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM d, b WHERE day > lo + (hi - lo) // 3 GROUP BY 1 ORDER BY 1""",
     // largest-remainder quotas replay as the identical integer arithmetic;
     // md5-ring rank makes the per-row assignment engine-deterministic
     "q264_exact_split" ->

@@ -619,6 +619,61 @@ object TxLake {
     swapCommit(spark, path, replacement.localCheckpoint(true), plain)
   }
 
+  /** Metadata-only RETENTION DELETE (the `ALTER TABLE DROP PARTITION` /
+    * TTL-expiry posture): logically remove every active file whose LOGGED
+    * max for `statsCol` is strictly below `cutoff` — one log entry, zero
+    * data files opened, O(active files) log work. At 100 TB this is the
+    * difference between expiring a year of history in milliseconds and
+    * rewriting it: [[deleteWhere]] is for predicates that cut through
+    * files; expiry cuts along them.
+    *
+    * Correct ONLY for partition-aligned writes (no file straddles the
+    * cutoff), and that is ENFORCED, not assumed: a file with
+    * min < cutoff ≤ max is an error (partial expiry would need a
+    * rewrite — use [[deleteWhere]]), and a file missing `statsCol` stats
+    * is rejected because its expiry can't be proven from the log. Time
+    * travel below the drop still reads the expired files; [[vacuum]]
+    * below the horizon reclaims the bytes — the standard logical/physical
+    * split. Returns the new version (or the current one if nothing
+    * expired).
+    */
+  def dropWhereExpired(path: String, statsCol: String, cutoff: Long): Long = {
+    require(statsCol.nonEmpty, "retention needs a stats column")
+    val cur = latestVersion(path)
+    val active = activeEntries(path, cur)
+    val withStats = active.map { case (f, st) => (f, st.get(statsCol)) }
+    val missing = withStats.collect { case (f, None) => f }
+    require(missing.isEmpty,
+      s"files lack $statsCol stats — expiry unprovable from the log: " +
+        missing.mkString(", "))
+    val straddle = withStats.collect {
+      case (f, Some((mn, mx))) if mn < cutoff && mx >= cutoff => f
+    }
+    require(straddle.isEmpty,
+      "files straddle the cutoff (writes not partition-aligned; use " +
+        s"deleteWhere for a rewriting delete): ${straddle.mkString(", ")}")
+    val removes = withStats.collect {
+      case (f, Some((_, mx))) if mx < cutoff => f
+    }.sorted
+    if (removes.isEmpty) return cur
+    val next = cur + 1
+    Files.createDirectories(logDir(path))
+    val log = logFile(path, next)
+    try Files.createFile(log)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(next)
+    }
+    val json =
+      s"""{"version":$next,"tag":"","adds":[],""" +
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = logDir(path).resolve(f".tmp-$next%08d")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
   /** Zero-copy branch: the branch is a full TxLake table of its own,
     * rooted at `<path>/_branches/<name>`, whose base log entry ADDS the
     * parent's active files at `fromVersion` without copying a byte. Every

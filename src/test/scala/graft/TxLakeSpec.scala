@@ -721,6 +721,43 @@ class TxLakeSpec extends SparkSuite {
     assert(state()(6L) == 60.0)
   }
 
+  test("dropWhereExpired: metadata-only TTL cut; straddling or stats-less files reject") {
+    import spark.implicits._
+    val lake = tmp()
+    // coalesce(1): each batch is ONE file spanning its day range, so the
+    // straddle check below has a genuinely multi-day file to reject
+    def days(ds: (Long, Long)*) = ds.toDF("id", "day").coalesce(1)
+    TxLake.commit(spark, lake, days(1L -> 10L, 2L -> 11L), statsCols = Seq("day"))
+    TxLake.commit(spark, lake, days(3L -> 20L, 4L -> 21L), statsCols = Seq("day"))
+    TxLake.commit(spark, lake, days(5L -> 30L), statsCols = Seq("day"))
+    def mtimes() = {
+      val s = Files.walk(java.nio.file.Paths.get(lake, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+      } finally s.close()
+    }
+    val before = mtimes()
+    // a cutoff inside a file's [min, max] must reject, not half-delete
+    intercept[IllegalArgumentException](
+      TxLake.dropWhereExpired(lake, "day", cutoff = 21L))
+    val v = TxLake.dropWhereExpired(lake, "day", cutoff = 20L)
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(3L, 4L, 5L))
+    assert(mtimes() == before, "expiry must not touch a data byte")
+    // time travel below the drop still sees the expired rows
+    assert(ids(TxLake.readSnapshot(spark, lake, v - 1)) ==
+      Set(1L, 2L, 3L, 4L, 5L))
+    // nothing expired → no new version
+    assert(TxLake.dropWhereExpired(lake, "day", cutoff = 20L) == v)
+    // row accounting survives the metadata-only delete
+    assert(TxLake.countRows(spark, lake) == Some(3L))
+    // a file without day stats can't prove expiry → reject
+    TxLake.commit(spark, lake, days(6L -> 40L))
+    intercept[IllegalArgumentException](
+      TxLake.dropWhereExpired(lake, "day", cutoff = 20L))
+  }
+
   test("publishBranch: audited appends land atomically; unsafe branches are rejected") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1, 2))
