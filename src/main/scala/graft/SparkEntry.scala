@@ -4448,6 +4448,36 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Heterogeneous-source federation: the same logical table served from
+    * three formats at once (parquet + CSV + Avro via
+    * [[graft.sources.AvroIo]]), unioned under one explicit schema and
+    * aggregated — the "read everything the lake has accumulated" path a
+    * long-lived pipeline grows into. Catalyst prunes and pushes into each
+    * source independently; the CSV leg round-trips doubles through text
+    * losslessly (Spark writes shortest-round-trip representations).
+    */
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AvroIo
+    val root = scratch(dir, "q266")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val ev = T(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$root/pq")
+    ev.filter(col("event_id") % 3 === 1)
+      .write.mode("overwrite").option("header", "true").csv(s"$root/csv")
+    AvroIo.write(ev.filter(col("event_id") % 3 === 2), s"$root/avro")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).parquet(s"$root/pq")
+      .unionByName(s.read.schema(schema).option("header", "true").csv(s"$root/csv"))
+      .unionByName(AvroIo.read(s, s"$root/avro", schema))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5245,6 +5275,7 @@ object SparkEntry {
     "q263_wap_publish" -> (q263 _),
     "q264_exact_split" -> (q264 _),
     "q265_retention_drop" -> (q265 _),
+    "q266_federated_union" -> (q266 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6045,6 +6076,10 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
     // per-cell MI terms quantized to DECIMAL(18,9) before the
     // order-independent total; ln over exact integer operands both sides
+    // a three-format federation of disjoint thirds must equal the plain
+    // aggregate: every leg is lossless for long/string/double
+    "q266_federated_union" ->
+      s"""SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
     // the metadata-only drop must equal the plain day filter; the tertile
     // boundary replays as the same integer arithmetic
     "q265_retention_drop" ->
