@@ -4478,6 +4478,25 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming ingest + TTL expiry
+    * ([[graft.streaming.StreamVerify.ingestWithRetention]]): micro-batch
+    * commits with logged sec stats over the time-sliced q259 staging,
+    * then a metadata-only [[graft.sources.TxLake.dropWhereExpired]] at
+    * the first tertile boundary — the retained table equals the plain
+    * sec-filtered aggregate.
+    */
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val secE = expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    val b = raw.agg(min(secE).as("lo"), max(secE).as("hi")).collect()(0)
+    val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 3 + 1
+    graft.streaming.StreamVerify.ingestWithRetention(
+        s, q259Events(s, dir), scratch(dir, "q267"), cutoff)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sumx(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5023,7 +5042,7 @@ object SparkEntry {
     "q180_stream_resume", "q185_stream_cms",
     "q200_stream_bitmap", "q206_stream_dv_erasure",
     "q219_stream_components", "q228_stream_topk", "q242_stream_gap_monitor",
-    "q259_stream_cdc_deletes")
+    "q259_stream_cdc_deletes", "q267_stream_retention")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -5276,6 +5295,7 @@ object SparkEntry {
     "q264_exact_split" -> (q264 _),
     "q265_retention_drop" -> (q265 _),
     "q266_federated_union" -> (q266 _),
+    "q267_stream_retention" -> (q267 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6076,6 +6096,10 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM (SELECT event_type, hid, v, lead(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS lag FROM h UNION ALL SELECT event_type, hid, v, lead(v, 24) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(24 AS BIGINT) AS lag FROM h) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2) SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3 ORDER BY event_type, lag""",
     // per-cell MI terms quantized to DECIMAL(18,9) before the
     // order-independent total; ln over exact integer operands both sides
+    // stream-committed then TTL-expired = the plain sec-filtered
+    // aggregate; the tertile cutoff replays as integer arithmetic
+    "q267_stream_retention" ->
+      s"""WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000000000 AS sec FROM events), b AS (SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM e) SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM e, b WHERE sec > lo + (hi - lo) // 3 GROUP BY 1 ORDER BY 1""",
     // a three-format federation of disjoint thirds must equal the plain
     // aggregate: every leg is lossless for long/string/double
     "q266_federated_union" ->

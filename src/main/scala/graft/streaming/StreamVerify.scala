@@ -789,6 +789,40 @@ object StreamVerify {
         col("value"), col("sec"))
   }
 
+  /** Streaming ingest with TTL retention: each micro-batch commits into
+    * the lake with logged per-file `sec` stats; after the drain the
+    * expired span drops via the metadata-only
+    * [[graft.sources.TxLake.dropWhereExpired]] — continuous ingest plus
+    * periodic expiry, the production retention cadence, with the expiry
+    * costing one log entry and zero data I/O however much history
+    * accumulated. Requires time-sliced source files (the q259 staging
+    * contract) so every batch's files sit entirely on one side of any
+    * slice-boundary cutoff.
+    */
+  def ingestWithRetention(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      cutoffSec: Long): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/lake"
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("ts").cast("long").as("sec"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.TxLake.commit(spark, lake, batch, statsCols = Seq("sec"))
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.sources.TxLake.dropWhereExpired(lake, "sec", cutoffSec)
+    graft.sources.TxLake.readSnapshot(spark, lake)
+  }
+
   /** Streaming maintenance of a per-type OBSERVED-HOUR store — the standing
     * state a freshness/completeness monitor keeps (O(active hours), never
     * the events): each micro-batch folds its distinct (type, hour) pairs
