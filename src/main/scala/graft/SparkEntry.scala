@@ -4497,6 +4497,83 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** ε-DP noisy counts ([[graft.operators.Privacy.dpNoisyCounts]]): the
+    * Laplace mechanism with hash-derived (counter-based-RNG style) noise,
+    * so stage retries and engine re-runs publish the SAME release — the
+    * determinism a distributed DP pipeline needs — and the oracle replays
+    * the draw hash-for-hash through the inverse CDF.
+    */
+  private def q268(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.dpNoisyCounts(
+        T(s, dir, "events"), "event_type", epsilon = 1.0, salt = "dp1")
+      .orderBy(col("event_type"))
+
+  /** Interval-overlap join ([[Relational.intervalOverlapJoin]]): per-user
+    * daily activity spans × incident windows (±900 s around sampled error
+    * events), joined on a shared hour-bucket grid instead of the
+    * broadcast-nested-loop a raw theta-join would plan — the overlap-join
+    * shape that survives 100 TB. Canonical-bucket filtering emits each
+    * overlapping pair exactly once, no distinct pass.
+    */
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+    val spans = e.groupBy(col("user_id"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(min(expr("ts div 1000000000")).as("span_lo"),
+        max(expr("ts div 1000000000")).as("span_hi"))
+    val windows = e.filter(col("event_type") === "error" &&
+        col("event_id") % 197 === 0)
+      .select(col("event_id").as("win_id"),
+        (expr("ts div 1000000000") - 900).as("win_lo"),
+        (expr("ts div 1000000000") + 900).as("win_hi"))
+    Relational.intervalOverlapJoin(spans, windows,
+        "span_lo", "span_hi", "win_lo", "win_hi", bucketWidth = 3600L)
+      .groupBy(col("user_id"), col("day"), col("span_lo"), col("span_hi"))
+      .agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Weighted single-source shortest paths
+    * ([[graft.operators.Graph.shortestPaths]]): 4-round distributed
+    * Bellman-Ford over the customer↔supplier bipartite graph (edge weight
+    * = min shipped quantity on any shared order), sourced at nation 0's
+    * customers. The oracle unrolls the identical four relaxation rounds —
+    * exact integer arithmetic end to end.
+    */
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    val pairs = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .agg(min(floor(col("l_quantity")).cast("long")).as("w"))
+    val edges = pairs.select(col("cust").as("src"), (-col("supp")).as("dst"),
+        col("w"))
+      .unionByName(pairs.select((-col("supp")).as("src"),
+        col("cust").as("dst"), col("w")))
+    val sources = T(s, dir, "customer").filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("node"))
+    graft.operators.Graph.shortestPaths(edges, sources, rounds = 4)
+      .orderBy(col("node"))
+  }
+
+  /** Hashing-trick feature vectors ([[graft.operators.Features
+    * .hashedFeatures]]): three categorical fields per customer folded into
+    * a fixed 16-dim signed-hash space — the stateless featurizer whose
+    * cost is O(batch) with zero vocabulary coordination. Sparse (key, idx,
+    * val) output; md5-replayable arithmetic.
+    */
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    graft.operators.Features.hashedFeatures(c, "c_custkey", Seq(
+        concat(lit("seg:"), col("c_mktsegment")),
+        concat(lit("nat:"), col("c_nationkey").cast("string")),
+        concat(lit("bal:"),
+          floor(col("c_acctbal") / 1000).cast("long").cast("string"))),
+      dim = 16)
+      .orderBy(col("c_custkey"), col("idx"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5296,6 +5373,10 @@ object SparkEntry {
     "q265_retention_drop" -> (q265 _),
     "q266_federated_union" -> (q266 _),
     "q267_stream_retention" -> (q267 _),
+    "q268_dp_counts" -> (q268 _),
+    "q269_interval_join" -> (q269 _),
+    "q270_shortest_path" -> (q270 _),
+    "q271_feature_hash" -> (q271 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6100,6 +6181,22 @@ object SparkEntry {
     // aggregate; the tertile cutoff replays as integer arithmetic
     "q267_stream_retention" ->
       s"""WITH e AS (SELECT event_type, value, epoch_ns(ts) // 1000000000 AS sec FROM events), b AS (SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM e) SELECT event_type, COUNT(*) AS n, $SUMV AS total_value FROM e, b WHERE sec > lo + (hi - lo) // 3 GROUP BY 1 ORDER BY 1""",
+    // the Laplace draw replays hash-for-hash: same md5-derived 52-bit
+    // uniform, same inverse-CDF expression, same operation order
+    "q268_dp_counts" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1), u AS (SELECT event_type, n, CAST(CAST(concat('0x', substr(md5(concat('dp1', event_type)), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 - 0.5 AS c FROM g) SELECT event_type, n, round(CAST(n AS DOUBLE) + -(1.0) * sign(c) * ln(1 - 2 * abs(c)), 6) AS noisy_n FROM u ORDER BY event_type""",
+    // the bucketed overlap join must equal the plain inequality join; the
+    // canonical-bucket filter makes each pair count exactly once
+    "q269_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events), spans AS (SELECT user_id, sec // 86400 AS day, MIN(sec) AS span_lo, MAX(sec) AS span_hi FROM e GROUP BY 1, 2), w AS (SELECT event_id AS win_id, sec - 900 AS win_lo, sec + 900 AS win_hi FROM e WHERE event_type = 'error' AND event_id % 197 = 0) SELECT s.user_id, s.day, s.span_lo, s.span_hi, COUNT(*) AS n_windows FROM spans s JOIN w ON s.span_lo <= w.win_hi AND w.win_lo <= s.span_hi GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""",
+    // four Bellman-Ford relaxation rounds unrolled as CTEs — identical
+    // integer min-plus arithmetic on both engines
+    "q270_shortest_path" ->
+      """WITH pairs AS (SELECT o_custkey AS cust, l_suppkey AS supp, MIN(CAST(floor(l_quantity) AS BIGINT)) AS w FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), ed AS (SELECT cust AS src, -supp AS dst, w FROM pairs UNION ALL SELECT -supp, cust, w FROM pairs), d0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist FROM customer WHERE c_nationkey = 0), d1 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d0 UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d JOIN ed e ON e.src = d.node) GROUP BY 1), d2 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d1 UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d JOIN ed e ON e.src = d.node) GROUP BY 1), d3 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d2 UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d JOIN ed e ON e.src = d.node) GROUP BY 1), d4 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d3 UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d JOIN ed e ON e.src = d.node) GROUP BY 1) SELECT node, dist FROM d4 ORDER BY node""",
+    // the hashing trick replays exactly: md5 bucket + modular sign bit,
+    // integer-only arithmetic, zero entries dropped on both engines
+    "q271_feature_hash" ->
+      """WITH f AS (SELECT c_custkey, concat('seg:', c_mktsegment) AS feat FROM customer UNION ALL SELECT c_custkey, concat('nat:', CAST(c_nationkey AS VARCHAR)) FROM customer UNION ALL SELECT c_custkey, concat('bal:', CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)) FROM customer), h AS (SELECT c_custkey, CAST(concat('0x', substr(md5(feat), 1, 13)) AS BIGINT) AS h FROM f), s AS (SELECT c_custkey, h % 16 AS idx, CASE WHEN h % 32 >= 16 THEN 1 ELSE -1 END AS sign FROM h) SELECT c_custkey, idx, CAST(SUM(sign) AS BIGINT) AS val FROM s GROUP BY 1, 2 HAVING SUM(sign) <> 0 ORDER BY c_custkey, idx""",
     // a three-format federation of disjoint thirds must equal the plain
     // aggregate: every leg is lossless for long/string/double
     "q266_federated_union" ->

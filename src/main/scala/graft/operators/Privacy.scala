@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Differential-privacy release mechanisms, deterministic by construction.
+  *
+  * Production DP noise is drawn from a seeded PRNG; a distributed engine
+  * re-executing a stage must NOT redraw it (a retry would publish a second,
+  * different release of the same statistic — a classic privacy-budget bug).
+  * The engine therefore derives each noise draw from a keyed hash of the
+  * release (salt + group key): the draw is a pure function of the release
+  * identity, so stage retries, AQE re-plans and engine re-runs all publish
+  * the SAME noised value, and the oracle can replay it hash-for-hash.
+  * (This mirrors the counter-based-RNG discipline of large-scale DP
+  * systems; the salt plays the role of the per-release seed, which must
+  * never be reused across releases.)
+  */
+object Privacy {
+
+  private val H52_SPACE = 4503599627370496.0 // 2^52
+
+  /** A Laplace(b) draw derived from a 52-bit keyed hash via inverse-CDF:
+    * u ∈ [0,1) from the hash, centered c = u - 1/2, then
+    * `-b * sign(c) * ln(1 - 2|c|)`. Pure column arithmetic — codegen'd,
+    * no RNG, identical on every re-execution.
+    */
+  def laplaceNoise(key: Column, salt: String, b: Double): Column = {
+    val h = conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val c = h.cast("double") / lit(H52_SPACE) - lit(0.5)
+    -lit(b) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+  }
+
+  /** ε-DP noisy counts per group (Laplace mechanism, sensitivity 1).
+    *
+    * One map-side-combined aggregate, then a per-group scalar noise
+    * expression: the shape is a plain `groupBy(...).count()` at any scale.
+    * Returns both the true and the noised count so the correctness gate
+    * can verify the mechanism; a production release would drop `n`.
+    */
+  def dpNoisyCounts(
+      df: DataFrame,
+      groupCol: String,
+      epsilon: Double,
+      salt: String): DataFrame = {
+    val b = 1.0 / epsilon
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n",
+        round(col("n").cast("double") + laplaceNoise(col(groupCol), salt, b), 6))
+  }
+}

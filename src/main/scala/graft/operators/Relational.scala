@@ -374,4 +374,48 @@ object Relational {
         col("__minSame") === col("__y"))
       .drop("__minPrev", "__minSame")
   }
+
+  /** Interval-overlap join: all (left, right) pairs whose closed intervals
+    * `[lLo, lHi] × [rLo, rHi]` intersect — WITHOUT the theta-join that
+    * Spark would execute as a broadcast-nested-loop (every left row against
+    * every right row, the plan that dies first at scale).
+    *
+    * Both sides explode each interval onto the fixed grid of
+    * `bucketWidth`-sized time buckets it covers; the join is then a plain
+    * EQUI-join on the bucket id plus the residual overlap predicate, so it
+    * shuffles on bucket and scales with (rows × buckets-per-interval +
+    * true matches), not |L|×|R|. A pair spanning several shared buckets
+    * would match once per bucket; the canonical-bucket filter — keep a
+    * match only in the bucket containing `max(lLo, rLo)`, which provably
+    * lies inside both intervals for any overlapping pair — makes every
+    * pair emit EXACTLY once with no distinct pass.
+    *
+    * `bucketWidth` trades explosion factor against join selectivity: pick
+    * it near the typical interval length so each interval covers O(1)
+    * buckets. Long-tail intervals cost proportionally more buckets (their
+    * true match potential is proportionally larger anyway).
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lLo: String, lHi: String,
+      rLo: String, rHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    // integer `div` throughout (truncating; bounds must be non-negative, as
+    // epoch-second intervals are) so the oracle replays bucket ids exactly.
+    // Column names must be disjoint across the two sides.
+    def withBuckets(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__b",
+        explode(sequence(expr(s"CAST($lo AS BIGINT) div $bucketWidth"),
+          expr(s"CAST($hi AS BIGINT) div $bucketWidth"))))
+    val l = withBuckets(left, lLo, lHi)
+    val r = withBuckets(right, rLo, rHi).withColumnRenamed("__b", "__rb")
+    l.join(r,
+        col("__b") === col("__rb") &&
+          col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+          col("__b") === expr(
+            s"CAST(greatest($lLo, $rLo) AS BIGINT) div $bucketWidth"))
+      .drop("__b", "__rb")
+  }
 }

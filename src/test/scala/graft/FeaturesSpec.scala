@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Features, Privacy}
+
+class FeaturesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("hashedFeatures: indices bounded, values nonzero, deterministic") {
+    val df = Seq((1L, "AUTO", 3), (2L, "HOUSE", 3), (3L, "AUTO", 7))
+      .toDF("k", "seg", "nat")
+    val feats = Seq(concat(lit("seg:"), col("seg")),
+      concat(lit("nat:"), col("nat").cast("string")))
+    val out = Features.hashedFeatures(df, "k", feats, dim = 8)
+      .as[(Long, Long, Long)].collect().sorted
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, idx, v) => idx >= 0 && idx < 8 && v != 0 })
+    // per key, total mass ≤ number of features (collisions only cancel)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(r => math.abs(r._3)).sum <= 2)
+    }
+    val again = Features.hashedFeatures(df, "k", feats, dim = 8)
+      .as[(Long, Long, Long)].collect().sorted
+    assert(out.sameElements(again))
+  }
+
+  test("hashedFeatures: identical feature strings collide to identical cells") {
+    val df = Seq((1L, "X"), (2L, "X")).toDF("k", "f")
+    val out = Features.hashedFeatures(df, "k", Seq(col("f")), dim = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 2)
+    assert(out.map(_._2).distinct.length == 1) // same bucket
+    assert(out.map(_._3).distinct.length == 1) // same sign
+  }
+
+  test("dpNoisyCounts: deterministic, bounded noise, salt-sensitive") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val a = Privacy.dpNoisyCounts(ev, "event_type", 1.0, "s1")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    val b = Privacy.dpNoisyCounts(ev, "event_type", 1.0, "s1")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(a.sameElements(b)) // retry-stable: the DP-budget property
+    // Laplace(1) tail at 52-bit resolution cannot exceed 52·ln2 ≈ 36.04
+    assert(a.forall { case (_, n, noisy) => math.abs(noisy - n) <= 37.0 })
+    val c = Privacy.dpNoisyCounts(ev, "event_type", 1.0, "s2")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(!a.map(_._3).sameElements(c.map(_._3))) // fresh release, fresh draw
+  }
+}

@@ -275,4 +275,21 @@ class GraphSpec extends SparkSuite {
     assert(got(11L) == ((1L, 0L, 11.0)))
     assert(got(100L) == ((1L, 0L, 100.0)))
   }
+
+  test("shortestPaths: cheaper multi-hop beats the direct edge; rounds bound respected") {
+    import spark.implicits._
+    // 1→4 direct costs 100; 1→2→3→4 costs 3. Node 5 is 5 hops out.
+    val edges = Seq((1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 6L, 1L), (6L, 7L, 1L), (7L, 8L, 1L), (8L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val sources = Seq(1L).toDF("node")
+    val d3 = operators.Graph.shortestPaths(edges, sources, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3(4L) == 3L, "min-plus relaxation, not hop count")
+    assert(d3(1L) == 0L)
+    assert(!d3.contains(5L), "node beyond the round bound stays absent")
+    val d5 = operators.Graph.shortestPaths(edges, sources, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(d5(5L) == 7L, "1→2→3→4→6→7→8→5 via the cheap chain")
+  }
 }

@@ -186,4 +186,26 @@ class RelationalSpec extends SparkSuite {
     assert(got == brute)
     assert(got == Set(1L, 2L, 4L, 6L, 7L, 9L))
   }
+
+  test("intervalOverlapJoin equals the brute theta-join, one row per pair") {
+    // spans crafted around bucket boundaries (width 10): multi-bucket
+    // spans, exact-touch endpoints, and disjoint pairs
+    val lefts = Seq((1L, 0L, 25L), (2L, 5L, 9L), (3L, 30L, 40L),
+      (4L, 18L, 22L))
+    val rights = Seq((10L, 20L, 35L), (11L, 9L, 9L), (12L, 41L, 50L),
+      (13L, 7L, 19L))
+    val l = lefts.toDF("lid", "lo", "hi")
+    val r = rights.toDF("rid", "rlo", "rhi")
+    val got = Relational
+      .intervalOverlapJoin(l, r, "lo", "hi", "rlo", "rhi", bucketWidth = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val brute = for {
+      (lid, lo, hi) <- lefts
+      (rid, rlo, rhi) <- rights
+      if lo <= rhi && rlo <= hi
+    } yield (lid, rid)
+    assert(got == brute.sorted) // equality of SEQUENCES: no duplicate pairs
+    assert(got.contains((2L, 11L)), "closed intervals: touching endpoints match")
+    assert(!got.contains((3L, 12L)), "adjacent-but-disjoint must not match")
+  }
 }
