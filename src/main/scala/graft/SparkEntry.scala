@@ -4574,6 +4574,102 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("idx"))
   }
 
+  /** Decile lift/gains table — the model-evaluation staple: customers
+    * ranked by account balance into GLOBAL deciles
+    * ([[graft.operators.GlobalOrder.ntiles]] — range-shuffle, no
+    * single-partition window), response = has-any-order, then per-decile
+    * response rate and cumulative lift. Exact integer counts; the
+    * 10-row cumulative window runs over the aggregate, not the data.
+    */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    val buyers = T(s, dir, "orders").select(col("o_custkey")).distinct()
+    val base = T(s, dir, "customer")
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("o_custkey").isNotNull.cast("long").as("pos"))
+    val dec = graft.operators.GlobalOrder.ntiles(base,
+      Seq(col("c_acctbal").desc, col("c_custkey").asc), 10, "decile")
+    val per = dec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .withColumn("tot_n", sum(col("n")).over(wa))
+      .withColumn("tot_pos", sum(col("n_pos")).over(wa))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+          (col("tot_pos").cast("double") / col("tot_n").cast("double")), 6)
+          .as("cum_lift"))
+      .orderBy(col("decile"))
+  }
+
+  /** Topological layering / critical-path depth over the divisor DAG
+    * (k → 2k, k → 3k within the part-key domain): longest path INTO each
+    * node, computed as negated min-plus through
+    * [[graft.operators.Graph.shortestPaths]] (max-plus = min-plus on
+    * negated weights, every source at distance 0) — the dependency-level
+    * assignment a DAG scheduler derives before wave-wise execution. The
+    * oracle walks the same DAG with a recursive CTE and takes MAX(len).
+    */
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    // key 0 would be a 0→0 self-loop (0·m = 0) — a cycle, not a DAG;
+    // exclude it so the max-plus fixpoint exists
+    val nodes = T(s, dir, "part").filter(col("p_partkey") >= 1)
+      .select(col("p_partkey").as("k"))
+    def scaled(m: Int) = nodes.as("a")
+      .join(nodes.as("b"), col("b.k") === col("a.k") * m)
+      .select(col("a.k").as("src"), col("b.k").as("dst"))
+    val edges = scaled(2).unionByName(scaled(3)).withColumn("w", lit(-1L))
+    graft.operators.Graph
+      .shortestPaths(edges, nodes.select(col("k").as("node")), rounds = 20)
+      .select(col("node"), negate(col("dist")).as("layer"))
+      .orderBy(col("node"))
+  }
+
+  /** JSON schema-inference report ([[graft.operators.Profiling
+    * .jsonSchemaProfile]]) over two shapes: the real `events.props`
+    * column and a heterogeneous per-order JSON (long/double/string/bool
+    * plus EXPLICIT nulls on every fifth key, `ignoreNullFields=false`).
+    * The oracle does NOT replay the profiler — it derives each
+    * (path, type, count) row independently from the relational columns,
+    * so the whole keys→extract→classify pipeline is checked against an
+    * external expectation.
+    */
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    val ev = T(s, dir, "events").select(col("props").as("j"))
+    val oj = T(s, dir, "orders").select(to_json(struct(
+        col("o_orderkey").as("key"),
+        col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("prio"),
+        (col("o_orderkey") % 7 === 0).as("flag")),
+      Map("ignoreNullFields" -> "false")).as("j"))
+    Profiling.jsonSchemaProfile(ev, "j").withColumn("src", lit("events"))
+      .unionByName(
+        Profiling.jsonSchemaProfile(oj, "j").withColumn("src", lit("orders")))
+      .select(col("src"), col("path"), col("vtype"), col("n"), col("coverage"))
+      .orderBy(col("src"), col("path"), col("vtype"))
+  }
+
+  /** Per-document lexical diversity ([[graft.operators.TextPipeline
+    * .lexicalDiversity]]): type/token and hapax-legomena ratios — the
+    * corpus-quality gate that catches template spam (low TTR) and
+    * generated filler (degenerate hapax profile). Two map-side-combined
+    * aggregation levels, exact integer counts.
+    */
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline
+      .lexicalDiversity(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5377,6 +5473,10 @@ object SparkEntry {
     "q269_interval_join" -> (q269 _),
     "q270_shortest_path" -> (q270 _),
     "q271_feature_hash" -> (q271 _),
+    "q272_decile_lift" -> (q272 _),
+    "q273_topo_layers" -> (q273 _),
+    "q274_json_schema_infer" -> (q274 _),
+    "q275_lexical_diversity" -> (q275 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6193,6 +6293,22 @@ object SparkEntry {
     // integer min-plus arithmetic on both engines
     "q270_shortest_path" ->
       """WITH pairs AS (SELECT o_custkey AS cust, l_suppkey AS supp, MIN(CAST(floor(l_quantity) AS BIGINT)) AS w FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), ed AS (SELECT cust AS src, -supp AS dst, w FROM pairs UNION ALL SELECT -supp, cust, w FROM pairs), d0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist FROM customer WHERE c_nationkey = 0), d1 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d0 UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d JOIN ed e ON e.src = d.node) GROUP BY 1), d2 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d1 UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d JOIN ed e ON e.src = d.node) GROUP BY 1), d3 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d2 UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d JOIN ed e ON e.src = d.node) GROUP BY 1), d4 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d3 UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d JOIN ed e ON e.src = d.node) GROUP BY 1) SELECT node, dist FROM d4 ORDER BY node""",
+    // per-decile lift from exact integer counts; ntile tie-break order is
+    // the same total order on both engines
+    "q272_decile_lift" ->
+      """WITH b AS (SELECT c_custkey, c_acctbal, CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END AS pos FROM customer), d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS decile FROM b), p AS (SELECT decile, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos FROM d GROUP BY 1), c AS (SELECT decile, n, n_pos, SUM(n) OVER wc AS cum_n, SUM(n_pos) OVER wc AS cum_pos, SUM(n) OVER () AS tot_n, SUM(n_pos) OVER () AS tot_pos FROM p WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT decile, n, n_pos, round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate, round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)), 6) AS cum_lift FROM c ORDER BY decile""",
+    // longest path into each node of the divisor DAG via a recursive walk
+    // from every node; the engine's bounded max-plus rounds reach the same
+    // fixpoint (DAG depth << round budget)
+    "q273_topo_layers" ->
+      """WITH RECURSIVE n AS (SELECT p_partkey AS k FROM part WHERE p_partkey >= 1), ed AS (SELECT a.k AS src, b.k AS dst FROM n a JOIN n b ON b.k = a.k * 2 UNION ALL SELECT a.k, b.k FROM n a JOIN n b ON b.k = a.k * 3), walk(node, len) AS (SELECT k, 0 FROM n UNION SELECT e.dst, w.len + 1 FROM walk w JOIN ed e ON e.src = w.node) SELECT node, CAST(MAX(len) AS BIGINT) AS layer FROM walk GROUP BY 1 ORDER BY 1""",
+    // the oracle derives every (path, type, count) row independently from
+    // the relational columns — an external expectation, not a replay
+    "q274_json_schema_infer" ->
+      """WITH rows_ AS (SELECT 'events' AS src, 'k' AS path, 'long' AS vtype, (SELECT COUNT(*) FROM events) AS n, (SELECT COUNT(*) FROM events) AS tot UNION ALL SELECT 'orders', 'key', 'long', (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM orders) UNION ALL SELECT 'orders', 'price', 'double', (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM orders) UNION ALL SELECT 'orders', 'status', 'string', (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM orders) UNION ALL SELECT 'orders', 'prio', 'string', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 <> 0), (SELECT COUNT(*) FROM orders) UNION ALL SELECT 'orders', 'prio', 'null', (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0), (SELECT COUNT(*) FROM orders) UNION ALL SELECT 'orders', 'flag', 'bool', (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM orders)) SELECT src, path, vtype, n, round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS coverage FROM rows_ ORDER BY src, path, vtype""",
+    // exact integer token/type/hapax counts over the canonical word split
+    "q275_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2) SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types, CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr, round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio FROM c GROUP BY doc_id ORDER BY doc_id""",
     // the hashing trick replays exactly: md5 bucket + modular sign bit,
     // integer-only arithmetic, zero entries dropped on both engines
     "q271_feature_hash" ->

@@ -485,4 +485,29 @@ object TextPipeline {
             s"CASE WHEN line_df < $maxDocFreq THEN struct(line_no, line) END)), x -> x.line)"),
           " ")).as("clean_md5"))
   }
+
+  /** Per-document lexical diversity: token count, type (distinct-word)
+    * count, type/token ratio, and hapax-legomena ratio (words occurring
+    * exactly once). Low TTR flags boilerplate and template spam; a
+    * degenerate hapax profile flags machine-generated filler — both
+    * standard corpus-quality gates beside q29's surface stats. One
+    * per-(doc, word) combine then a per-doc fold: the two-level
+    * aggregation is map-side combinable at any scale, no windows.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+        " ")).as("w"))
+    words.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("hapax_ratio",
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6))
+  }
 }
