@@ -4670,6 +4670,113 @@ object SparkEntry {
       .lexicalDiversity(T(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Out-of-order ingestion audit: lateness of each event = running max of
+    * event-time over ARRIVAL order, minus its own event-time — the batch
+    * measurement that tells a streaming deployment what watermark delay it
+    * actually needs. The synthetic table is stored fully time-ordered, so
+    * arrival order is the engine's deterministic md5-of-id ingest
+    * sequence (a portable stand-in for a real ingest's arrival id; with
+    * one, ORDER BY that instead). Per-user windows (one key shuffle, no
+    * global sort), bucketed into a 4-bin histogram per type.
+    */
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("user_id"), col("event_type"),
+      col("event_id"), expr("ts div 1000000000").as("sec"),
+      md5(col("event_id").cast("string")).as("arr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("lateness", max(col("sec")).over(w) - col("sec"))
+      .withColumn("bucket",
+        when(col("lateness") === 0, "a_on_time")
+          .when(col("lateness") < 60, "b_lt_1m")
+          .when(col("lateness") < 3600, "c_lt_1h")
+          .otherwise("d_ge_1h"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("lateness")).as("max_lateness"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Zipf-law fit ([[graft.operators.TextPipeline.zipfFit]]) over the
+    * top-500 corpus frequency spectrum: OLS slope/intercept in log-log
+    * space with decimal-summed terms (order-independent exactness, the
+    * q256 discipline). Slope ≈ -1 is healthy natural text; flat slopes
+    * flag templated corpora before they poison a training mix.
+    */
+  private def q277(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.zipfFit(T(s, dir, "documents"), "text", 500)
+
+  /** Zero-copy SHALLOW CLONE ([[graft.sources.TxLake.cloneTable]]): the
+    * clone references the source's files by path in ONE metadata write,
+    * then both tables evolve independently — an append and a DELETE land
+    * only in the clone; a later source commit is invisible to the clone.
+    * The dev/staging-sandbox idiom over a 100 TB production table.
+    */
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val root = scratch(dir, "q278")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val src = root + "/src"; val cl = root + "/clone"
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    TxLake.commit(s, src, o.filter(col("o_orderkey") % 3 === 0))
+    TxLake.cloneTable(src, cl)
+    TxLake.commit(s, cl, o.filter(col("o_orderkey") % 3 === 1))
+    TxLake.deleteWhere(s, cl, col("o_orderstatus") === "F")
+    TxLake.commit(s, src, o.filter(col("o_orderkey") % 3 === 2))
+    def side(p: String, tag: String) = TxLake.readSnapshot(s, p)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+      .withColumn("side", lit(tag))
+    side(src, "src").unionByName(side(cl, "clone"))
+      .select(col("side"), col("o_orderstatus"), col("n"), col("total"))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  /** Per-user event-type trigram mining (two `lead`s over the per-user
+    * event-time order, then one combine): the sequential-pattern
+    * counterpart of q222's Markov bigrams — the support table a
+    * next-action model or funnel miner starts from. One key shuffle,
+    * exact counts.
+    */
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    e.withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("event_type").as("t1"), col("t2"), col("t3"))
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("t1"), col("t2"), col("t3"))
+  }
+
+  /** Predicate-scoped atomic overwrite ([[graft.sources.TxLake
+    * .replaceWhere]]): recompute the middle day's events (values doubled)
+    * and replace EXACTLY that day in one commit — the day-partition
+    * backfill idiom, with the out-of-scope guard that keeps a stray row
+    * from corrupting a neighboring day. Read-back equals the day-patched
+    * aggregate.
+    */
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val lake = scratch(dir, "q280") + "/lake"
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val e = T(s, dir, "events").select(col("event_id"), col("event_type"),
+      col("value").cast(DecimalType(18, 2)).as("v"),
+      expr("(ts div 1000000000) div 86400").as("day"))
+    TxLake.commit(s, lake, e)
+    val b = e.agg(min(col("day")), max(col("day"))).collect()(0)
+    val d = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val corrected = e.filter(col("day") === d)
+      .withColumn("v", (col("v") * 2).cast(DecimalType(18, 2)))
+    TxLake.replaceWhere(s, lake, col("day") === d, corrected)
+    TxLake.readSnapshot(s, lake)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("total"))
+      .orderBy(col("event_type"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5477,6 +5584,11 @@ object SparkEntry {
     "q273_topo_layers" -> (q273 _),
     "q274_json_schema_infer" -> (q274 _),
     "q275_lexical_diversity" -> (q275 _),
+    "q276_lateness_audit" -> (q276 _),
+    "q277_zipf_fit" -> (q277 _),
+    "q278_lake_clone" -> (q278 _),
+    "q279_seq_trigrams" -> (q279 _),
+    "q280_replace_where" -> (q280 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6293,6 +6405,25 @@ object SparkEntry {
     // integer min-plus arithmetic on both engines
     "q270_shortest_path" ->
       """WITH pairs AS (SELECT o_custkey AS cust, l_suppkey AS supp, MIN(CAST(floor(l_quantity) AS BIGINT)) AS w FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), ed AS (SELECT cust AS src, -supp AS dst, w FROM pairs UNION ALL SELECT -supp, cust, w FROM pairs), d0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist FROM customer WHERE c_nationkey = 0), d1 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d0 UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d JOIN ed e ON e.src = d.node) GROUP BY 1), d2 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d1 UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d JOIN ed e ON e.src = d.node) GROUP BY 1), d3 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d2 UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d JOIN ed e ON e.src = d.node) GROUP BY 1), d4 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d3 UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d JOIN ed e ON e.src = d.node) GROUP BY 1) SELECT node, dist FROM d4 ORDER BY node""",
+    // running max over the same per-user arrival order on both engines;
+    // exact integer lateness and bucket counts
+    "q276_lateness_audit" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000000000 AS sec, md5(CAST(event_id AS VARCHAR)) AS arr FROM events), l AS (SELECT event_type, MAX(sec) OVER (PARTITION BY user_id ORDER BY arr, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sec AS lateness FROM e) SELECT event_type, CASE WHEN lateness = 0 THEN 'a_on_time' WHEN lateness < 60 THEN 'b_lt_1m' WHEN lateness < 3600 THEN 'c_lt_1h' ELSE 'd_ge_1h' END AS bucket, COUNT(*) AS n, MAX(lateness) AS max_lateness FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
+    // per-rank OLS terms rounded to 9 decimals and decimal-summed (the
+    // q256 discipline), then the identical closed-form slope/intercept
+    "q277_zipf_fit" ->
+      """WITH w AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1), r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rn FROM c QUALIFY rn <= 500), t AS (SELECT CAST(round(ln(CAST(rn AS DOUBLE)), 9) AS DECIMAL(18,9)) AS tx, CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ty, CAST(round(ln(CAST(rn AS DOUBLE)) * ln(CAST(rn AS DOUBLE)), 9) AS DECIMAL(18,9)) AS txx, CAST(round(ln(CAST(rn AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS txy FROM r), a AS (SELECT COUNT(*) AS n, SUM(tx) AS sx, SUM(ty) AS sy, SUM(txx) AS sxx, SUM(txy) AS sxy FROM t) SELECT n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope, round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept FROM a""",
+    // src = thirds 0∪2; clone = thirds 0∪1 minus status F — the two
+    // divergent evolutions must both read back exactly
+    "q278_lake_clone" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders) SELECT 'src' AS side, o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total FROM o WHERE o_orderkey % 3 IN (0, 2) GROUP BY 2 UNION ALL SELECT 'clone', o_orderstatus, COUNT(*), CAST(SUM(price) AS DOUBLE) FROM o WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F' GROUP BY 2 ORDER BY side, o_orderstatus""",
+    // two leads over the identical (sec, event_id) per-user order
+    "q279_seq_trigrams" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec, event_id FROM events), t AS (SELECT event_type AS t1, lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)) SELECT t1, t2, t3, COUNT(*) AS n FROM t WHERE t3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // read-back equals the day-patched aggregate: middle day doubled,
+    // every other day untouched — same integer day arithmetic
+    "q280_replace_where" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events), b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e) SELECT event_type, COUNT(*) AS n, CAST(SUM(CASE WHEN day = lo + (hi - lo) // 2 THEN CAST(v * 2 AS DECIMAL(18,2)) ELSE v END) AS DOUBLE) AS total FROM e, b GROUP BY 1 ORDER BY 1""",
     // per-decile lift from exact integer counts; ntile tie-break order is
     // the same total order on both engines
     "q272_decile_lift" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -509,5 +509,40 @@ object TextPipeline {
         round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6))
       .withColumn("hapax_ratio",
         round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6))
+  }
+
+  /** Zipf-law fit over the corpus frequency spectrum: OLS of ln(count) on
+    * ln(rank) for the top `topN` words — slope ≈ -1 is the healthy
+    * natural-text signature; a flat slope flags templated/duplicated
+    * corpora and a cliff flags a vocabulary dominated by boilerplate.
+    *
+    * Exactness discipline (the q256 pattern): each per-rank term is
+    * rounded to 9 decimals and cast to DECIMAL(18,9) BEFORE summing, so
+    * the four OLS sums are order-independent exact decimal adds — a raw
+    * double sum would hash differently under different partition orders.
+    * The rank window runs over the topN-sized aggregate, not the corpus.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val counts = df.select(explode(split(
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w").asc)))
+      .filter(col("rn") <= topN)
+    val lx = log(col("rn").cast("double"))
+    val ly = log(col("cnt").cast("double"))
+    def term(c: Column): Column = round(c, 9).cast(DecimalType(18, 9))
+    val sums = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(term(lx)).as("sx"), sum(term(ly)).as("sy"),
+      sum(term(lx * lx)).as("sxx"), sum(term(lx * ly)).as("sxy"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    sums.select(col("n"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / nD, 6).as("intercept"))
   }
 }

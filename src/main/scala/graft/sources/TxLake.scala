@@ -707,6 +707,75 @@ object TxLake {
     bp
   }
 
+  /** SHALLOW CLONE: materialize an independent table at `clonePath` whose
+    * base version references the source's active files by absolute path —
+    * zero bytes of data copied, one log write (the Delta `CREATE TABLE ...
+    * SHALLOW CLONE` semantics). Unlike [[branch]] (which lives under the
+    * parent and exists to be published back), a clone is a peer table:
+    * it evolves independently — appends, deletes, merges land in the
+    * clone's own log and data dirs and are never visible to the source,
+    * and source commits after the clone point are never visible to the
+    * clone. Per-file skipping stats, row counts, schema ops and deletion
+    * vectors carry over so the clone prunes and masks exactly like the
+    * source did at the clone point. Cloning a 100 TB table costs one
+    * metadata write.
+    */
+  def cloneTable(
+      path: String, clonePath: String,
+      fromVersion: Long = Long.MaxValue): String = {
+    require(!Files.exists(logDir(clonePath)),
+      s"clone target already has a log: $clonePath")
+    val active = activeEntries(path, fromVersion)
+    Files.createDirectories(logDir(clonePath))
+    val json =
+      s"""{"version":1,"tag":"",""" +
+        s""""adds":[${active.map("\"" + _._1 + "\"").mkString(",")}],""" +
+        s""""removes":[]${statsJson(active)}${opsJson(path, fromVersion)}${dvsJson(path, fromVersion)}}"""
+    val tmp = logDir(clonePath).resolve(".tmp-base")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, logFile(clonePath, 1L), StandardCopyOption.ATOMIC_MOVE)
+    clonePath
+  }
+
+  /** Predicate-scoped atomic overwrite — Delta's `replaceWhere`: in ONE
+    * commit, delete every row where `predicate` is TRUE and insert
+    * `batch`, whose rows must ALL satisfy the predicate (checked before
+    * anything lands; the guard is what makes "rebuild this partition"
+    * safe — a stray out-of-scope row would silently corrupt a
+    * neighboring partition). The idiom for day/partition backfills:
+    * recompute one day, replace exactly that day, leave every other file
+    * untouched.
+    *
+    * Only files containing matching rows are rewritten (survivor rows
+    * ride along, read from the DV-applied view like [[deleteWhere]]);
+    * removes + adds publish as one atomic log entry, so readers see
+    * either the old day or the new day, never a mix.
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column,
+      batch: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val outOfScope = batch.filter(!coalesce(predicate, lit(false))).count()
+    require(outOfScope == 0L,
+      s"replaceWhere: $outOfScope batch rows do not satisfy the predicate")
+    val snap = snapshotWithPos(spark, path)
+    val affected = snap
+      .filter(predicate)
+      .select(col("__dv_file").as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val plain = affected.map(p => new java.net.URI(p).getPath)
+    val dataCols = snap.columns.filterNot(_.startsWith("__dv_")).toSeq
+    val survivors = snap
+      .filter(col("__dv_file").isin(affected: _*))
+      .filter(!coalesce(predicate, lit(false)))
+      .select(dataCols.map(col): _*)
+      .localCheckpoint(true)
+    swapCommit(spark, path,
+      survivors.unionByName(batch.select(dataCols.map(col): _*)), plain)
+  }
+
   /** PUBLISH a branch's staged appends into the parent — the
     * Write–Audit–Publish cadence: stage commits on a zero-copy [[branch]],
     * audit the staged snapshot there (reads, quality rules,

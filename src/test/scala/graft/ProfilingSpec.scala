@@ -36,4 +36,22 @@ class ProfilingSpec extends SparkSuite {
     assert(got(1L) == ((1L, 4L, 3L, 2L))) // a×2, b, c → hapax {b, c}
     assert(got(2L) == ((2L, 3L, 1L, 0L)))
   }
+
+  test("zipfFit recovers the closed-form OLS on a constructed spectrum") {
+    // counts 8/4/2/1 at ranks 1..4
+    val text = (Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++
+      Seq.fill(2)("w3") ++ Seq("w4")).mkString(" ")
+    val got = TextPipeline.zipfFit(Seq(text).toDF("text"), "text", 500)
+      .select("n", "slope", "intercept").as[(Long, Double, Double)].head()
+    val xs = (1 to 4).map(r => math.log(r.toDouble))
+    val ys = Seq(8, 4, 2, 1).map(c => math.log(c.toDouble))
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got._1 == 4L)
+    assert(math.abs(got._2 - slope) < 1e-5)
+    assert(math.abs(got._3 - (sy - slope * sx) / n) < 1e-5)
+  }
 }

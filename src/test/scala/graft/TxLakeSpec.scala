@@ -801,4 +801,61 @@ class TxLakeSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == Map(1L -> 10.0, 2L -> 2.0), "the masked row must stay deleted")
   }
+
+  test("cloneTable: zero-copy, then fully independent evolution both ways") {
+    import spark.implicits._
+    val src = tmp(); val cl = src + "-clone"
+    def kv(rows: (Long, Double)*) = rows.toDF("id", "v")
+    TxLake.commit(spark, src, kv(1L -> 1.0, 2L -> 2.0).coalesce(1))
+    TxLake.cloneTable(src, cl)
+    // clone-side mutations: append + delete
+    TxLake.commit(spark, cl, kv(3L -> 3.0).coalesce(1))
+    TxLake.deleteWhere(spark, cl, col("id") === 1L)
+    // source-side append after the clone point
+    TxLake.commit(spark, src, kv(4L -> 4.0).coalesce(1))
+    def ids(p: String) = TxLake.readSnapshot(spark, p)
+      .select("id").as[Long].collect().toSet
+    assert(ids(src) == Set(1L, 2L, 4L), "clone mutations invisible to source")
+    assert(ids(cl) == Set(2L, 3L), "source append invisible to clone")
+  }
+
+  test("cloneTable refuses to overwrite an existing table") {
+    import spark.implicits._
+    val src = tmp(); val cl = src + "-clone"
+    TxLake.commit(spark, src, Seq(1L -> 1.0).toDF("id", "v"))
+    TxLake.cloneTable(src, cl)
+    assertThrows[IllegalArgumentException](TxLake.cloneTable(src, cl))
+  }
+
+  test("replaceWhere: atomic day swap, straddler survivors kept, guard enforced") {
+    import spark.implicits._
+    val lake = tmp()
+    def rows(rs: (Long, Long, Double)*) = rs.toDF("id", "day", "v")
+    // one file holds BOTH day 1 and day 2 — the straddler case
+    TxLake.commit(spark, lake,
+      rows((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 2L, 3.0)).coalesce(1))
+    val v = TxLake.replaceWhere(spark, lake, col("day") === 1L,
+      rows((10L, 1L, 10.0)))
+    val got = TxLake.readSnapshot(spark, lake)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(10L -> ((1L, 10.0)), 3L -> ((2L, 3.0))),
+      "day-1 rows replaced, day-2 straddler survives the rewrite")
+    assert(TxLake.latestVersion(lake) == v, "one atomic commit")
+    // out-of-scope batch row must be rejected before anything lands
+    assertThrows[IllegalArgumentException](
+      TxLake.replaceWhere(spark, lake, col("day") === 1L,
+        rows((11L, 1L, 11.0), (12L, 2L, 12.0))))
+    assert(TxLake.latestVersion(lake) == v, "rejected replace commits nothing")
+  }
+
+  test("replaceWhere with no matching rows is a pure scoped insert") {
+    import spark.implicits._
+    val lake = tmp()
+    def rows(rs: (Long, Long, Double)*) = rs.toDF("id", "day", "v")
+    TxLake.commit(spark, lake, rows((1L, 1L, 1.0)).coalesce(1))
+    TxLake.replaceWhere(spark, lake, col("day") === 9L, rows((9L, 9L, 9.0)))
+    val got = TxLake.readSnapshot(spark, lake)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 9L))
+  }
 }
