@@ -4777,6 +4777,106 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Markov removal-effect attribution
+    * ([[graft.operators.Attribution.markovRemoval]]): user journeys
+    * truncated at first purchase feed a first-order transition matrix
+    * (distributed counting: one window pass, one combine); the
+    * bounded-step absorption recursion runs in pure int64 p9 arithmetic
+    * on the O(channels²) collected matrix. Each channel's credit is the
+    * start→conv probability drop when paths through it are deleted.
+    */
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val o = e.withColumn("rn", row_number().over(w))
+    val fp = o.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+    val p = o.join(fp, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+      .select(col("user_id"), col("event_type"), col("rn"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val steps = p.withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .select(col("event_type").as("src"),
+        when(col("nxt").isNotNull, col("nxt"))
+          .when(col("event_type") =!= "purchase", lit("drop"))
+          .otherwise(lit(null)).as("dst"))
+      .filter(col("dst").isNotNull)
+    val starts = p.filter(col("rn") === 1)
+      .select(lit("start").as("src"), col("event_type").as("dst"))
+    val tr = starts.unionByName(steps)
+      .withColumn("dst",
+        when(col("dst") === "purchase", "conv").otherwise(col("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    graft.operators.Attribution.markovRemoval(tr,
+        Seq("click", "signup", "view", "error"), steps = 8)
+      .orderBy(col("channel"))
+  }
+
+  /** Batch debounce/throttle: per (user, type), keep an event only if
+    * ≥ 600 s passed since the last KEPT one — the greedy fold telemetry
+    * pipelines use against alert storms and duplicate beacons. One
+    * combine into a sorted per-key array, then a codegen'd
+    * higher-order-function fold; per-key volume bounds the array (shard
+    * hot keys by day first at extreme scale).
+    */
+  private def q282(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000000000").as("sec"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(col("sec"))).as("ss"))
+      .select(col("user_id"), col("event_type"), explode(expr(
+        """aggregate(ss,
+             named_struct('lk', cast(-1000000 as bigint),
+                          'kept', cast(array() as array<bigint>)),
+             (acc, x) -> IF(x >= acc.lk + 600,
+               named_struct('lk', x, 'kept', concat(acc.kept, array(x))),
+               acc),
+             acc -> acc.kept)""")).as("kept_sec"))
+      .orderBy(col("user_id"), col("event_type"), col("kept_sec"))
+
+  /** A/B experiment readout: deterministic md5 bucket assignment (the
+    * production trait — re-running assignment can never reshuffle units),
+    * outcome = the unit is an error event, and the pooled two-proportion
+    * z-score from exact integer counts. One map-side-combined pass,
+    * closed-form z replayed op-for-op. (The synthetic table has only ~15
+    * users per mille, all converting, so the randomization unit here is
+    * the event; the operator is unit-agnostic.)
+    */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val units = T(s, dir, "events")
+      .select((col("event_type") === "error").cast("long").as("conv"),
+        pmod(conv(substring(md5(concat(lit("ab1:"),
+          col("event_id").cast("string"))), 1, 13), 16, 10).cast("long"), lit(2))
+          .as("arm"))
+    val agg = units.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round((pa - pb) /
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb)), 6)
+        .as("z"))
+  }
+
+  /** Streaming debounce ([[graft.streaming.EventsStream.debounce]] via
+    * [[graft.streaming.StreamVerify.debounceStream]]): one long of state
+    * per key, update-mode final emissions, REAL cross-batch suppression
+    * over the time-sliced staging — must equal the batch greedy fold
+    * (q282's shape at a 900 s gap) row for row.
+    */
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify
+      .debounceStream(s, q259Events(s, dir), gapSec = 900)
+      .orderBy(col("user_id"), col("event_type"), col("kept_sec"))
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5322,7 +5422,8 @@ object SparkEntry {
     "q180_stream_resume", "q185_stream_cms",
     "q200_stream_bitmap", "q206_stream_dv_erasure",
     "q219_stream_components", "q228_stream_topk", "q242_stream_gap_monitor",
-    "q259_stream_cdc_deletes", "q267_stream_retention")
+    "q259_stream_cdc_deletes", "q267_stream_retention",
+    "q284_stream_debounce")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -5589,6 +5690,10 @@ object SparkEntry {
     "q278_lake_clone" -> (q278 _),
     "q279_seq_trigrams" -> (q279 _),
     "q280_replace_where" -> (q280 _),
+    "q281_markov_attribution" -> (q281 _),
+    "q282_debounce" -> (q282 _),
+    "q283_ab_ztest" -> (q283 _),
+    "q284_stream_debounce" -> (q284 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6405,6 +6510,21 @@ object SparkEntry {
     // integer min-plus arithmetic on both engines
     "q270_shortest_path" ->
       """WITH pairs AS (SELECT o_custkey AS cust, l_suppkey AS supp, MIN(CAST(floor(l_quantity) AS BIGINT)) AS w FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), ed AS (SELECT cust AS src, -supp AS dst, w FROM pairs UNION ALL SELECT -supp, cust, w FROM pairs), d0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist FROM customer WHERE c_nationkey = 0), d1 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d0 UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d JOIN ed e ON e.src = d.node) GROUP BY 1), d2 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d1 UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d JOIN ed e ON e.src = d.node) GROUP BY 1), d3 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d2 UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d JOIN ed e ON e.src = d.node) GROUP BY 1), d4 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d3 UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d JOIN ed e ON e.src = d.node) GROUP BY 1) SELECT node, dist FROM d4 ORDER BY node""",
+    // the absorption recursion replays in pure int64 p9 arithmetic:
+    // identical floor-scaled probabilities, identical 8 unrolled steps
+    "q281_markov_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec, event_id FROM events), o AS (SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn FROM e), fp AS (SELECT user_id, MIN(rn) AS prn FROM o WHERE event_type = 'purchase' GROUP BY 1), p AS (SELECT o.user_id, o.event_type, o.rn FROM o LEFT JOIN fp USING (user_id) WHERE fp.prn IS NULL OR o.rn <= fp.prn), st AS (SELECT 'start' AS src, event_type AS dst FROM p WHERE rn = 1), sq AS (SELECT event_type AS src, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY rn) AS nxt FROM p), tr0 AS (SELECT src, CASE WHEN nxt IS NOT NULL THEN nxt WHEN src <> 'purchase' THEN 'drop' ELSE NULL END AS dst FROM sq UNION ALL SELECT src, dst FROM st), cnt AS (SELECT src, CASE WHEN dst = 'purchase' THEN 'conv' ELSE dst END AS dst, COUNT(*) AS n FROM tr0 WHERE dst IS NOT NULL GROUP BY 1, 2), tot AS (SELECT src, SUM(n) AS nt FROM cnt GROUP BY 1), pm AS (SELECT c.src, c.dst, (c.n * 1000000000) // t.nt AS p9 FROM cnt c JOIN tot t ON c.src = t.src), scen AS (SELECT * FROM (VALUES ('__base__'), ('click'), ('signup'), ('view'), ('error')) v(scenario)), tm AS (SELECT sc.scenario, p.src, p.dst, p.p9 FROM scen sc JOIN pm p ON sc.scenario = '__base__' OR (p.src <> sc.scenario AND p.dst <> sc.scenario)), stt AS (SELECT DISTINCT scenario, src AS state FROM tm), cv AS (SELECT scenario, src AS state, p9 FROM tm WHERE dst = 'conv'), v0 AS (SELECT s.scenario, s.state, COALESCE(c.p9, 0) AS v FROM stt s LEFT JOIN cv c ON c.scenario = s.scenario AND c.state = s.state), v1 AS (SELECT s.scenario, s.state, COALESCE(MAX(c.p9), 0) + (COALESCE(SUM(t.p9 * pv.v), 0) // 1000000000) AS v FROM stt s LEFT JOIN cv c ON c.scenario = s.scenario AND c.state = s.state LEFT JOIN tm t ON t.scenario = s.scenario AND t.src = s.state AND t.dst NOT IN ('conv', 'drop') LEFT JOIN v0 pv ON pv.scenario = s.scenario AND pv.state = t.dst GROUP BY s.scenario, s.state), v2 AS (SELECT s.scenario, s.state, COALESCE(MAX(c.p9), 0) + (COALESCE(SUM(t.p9 * pv.v), 0) // 1000000000) AS v FROM stt s LEFT JOIN cv c ON c.scenario = s.scenario AND c.state = s.state LEFT JOIN tm t ON t.scenario = s.scenario AND t.src = s.state AND t.dst NOT IN ('conv', 'drop') LEFT JOIN v1 pv ON pv.scenario = s.scenario AND pv.state = t.dst GROUP BY s.scenario, s.state), v3 AS (SELECT s.scenario, s.state, COALESCE(MAX(c.p9), 0) + (COALESCE(SUM(t.p9 * pv.v), 0) // 1000000000) AS v FROM stt s LEFT JOIN cv c ON c.scenario = s.scenario AND c.state = s.state LEFT JOIN tm t ON t.scenario = s.scenario AND t.src = s.state AND t.dst NOT IN ('conv', 'drop') LEFT JOIN v2 pv ON pv.scenario = s.scenario AND pv.state = t.dst GROUP BY s.scenario, s.state), v4 AS (SELECT s.scenario, s.state, COALESCE(MAX(c.p9), 0) + (COALESCE(SUM(t.p9 * pv.v), 0) // 1000000000) AS v FROM stt s LEFT JOIN cv c ON c.scenario = s.scenario AND c.state = s.state LEFT JOIN tm t ON t.scenario = s.scenario AND t.src = s.state AND t.dst NOT IN ('conv', 'drop') LEFT JOIN v3 pv ON pv.scenario = s.scenario AND pv.state = t.dst GROUP BY s.scenario, s.state), v5 AS (SELECT s.scenario, s.state, COALESCE(MAX(c.p9), 0) + (COALESCE(SUM(t.p9 * pv.v), 0) // 1000000000) AS v FROM stt s LEFT JOIN cv c ON c.scenario = s.scenario AND c.state = s.state LEFT JOIN tm t ON t.scenario = s.scenario AND t.src = s.state AND t.dst NOT IN ('conv', 'drop') LEFT JOIN v4 pv ON pv.scenario = s.scenario AND pv.state = t.dst GROUP BY s.scenario, s.state), v6 AS (SELECT s.scenario, s.state, COALESCE(MAX(c.p9), 0) + (COALESCE(SUM(t.p9 * pv.v), 0) // 1000000000) AS v FROM stt s LEFT JOIN cv c ON c.scenario = s.scenario AND c.state = s.state LEFT JOIN tm t ON t.scenario = s.scenario AND t.src = s.state AND t.dst NOT IN ('conv', 'drop') LEFT JOIN v5 pv ON pv.scenario = s.scenario AND pv.state = t.dst GROUP BY s.scenario, s.state), v7 AS (SELECT s.scenario, s.state, COALESCE(MAX(c.p9), 0) + (COALESCE(SUM(t.p9 * pv.v), 0) // 1000000000) AS v FROM stt s LEFT JOIN cv c ON c.scenario = s.scenario AND c.state = s.state LEFT JOIN tm t ON t.scenario = s.scenario AND t.src = s.state AND t.dst NOT IN ('conv', 'drop') LEFT JOIN v6 pv ON pv.scenario = s.scenario AND pv.state = t.dst GROUP BY s.scenario, s.state), v8 AS (SELECT s.scenario, s.state, COALESCE(MAX(c.p9), 0) + (COALESCE(SUM(t.p9 * pv.v), 0) // 1000000000) AS v FROM stt s LEFT JOIN cv c ON c.scenario = s.scenario AND c.state = s.state LEFT JOIN tm t ON t.scenario = s.scenario AND t.src = s.state AND t.dst NOT IN ('conv', 'drop') LEFT JOIN v7 pv ON pv.scenario = s.scenario AND pv.state = t.dst GROUP BY s.scenario, s.state), fin AS (SELECT scenario, v FROM v8 WHERE state = 'start'), b AS (SELECT v AS vb FROM fin WHERE scenario = '__base__'), re AS (SELECT f.scenario AS channel, b.vb - f.v AS re9, b.vb FROM fin f, b WHERE f.scenario <> '__base__'), ts_ AS (SELECT SUM(re9) AS t9 FROM re) SELECT channel, round(CAST(re9 AS DOUBLE) / CAST(vb AS DOUBLE), 6) AS removal_effect, round(CAST(re9 AS DOUBLE) / CAST(t9 AS DOUBLE), 6) AS attribution FROM re, ts_ ORDER BY channel""",
+    // the same greedy fold, sorted per key, first element always kept
+    "q282_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events), g AS (SELECT user_id, event_type, list_sort(list(sec)) AS ss FROM e GROUP BY 1, 2), k AS (SELECT user_id, event_type, list_reduce(list_transform(ss, x -> [x]), (a, x) -> CASE WHEN x[1] >= a[-1] + 600 THEN list_append(a, x[1]) ELSE a END) AS kept FROM g) SELECT user_id, event_type, unnest(kept) AS kept_sec FROM k ORDER BY user_id, event_type, kept_sec""",
+    // md5 bucket assignment and the pooled two-proportion z replayed
+    // op-for-op from exact integer counts
+    "q283_ab_ztest" ->
+      """WITH a AS (SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS conv, CAST(concat('0x', substr(md5(concat('ab1:', CAST(event_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 AS arm FROM events), g AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a, CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b FROM a) SELECT n_a, n_b, conv_a, conv_b, round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a, round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b, round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z FROM g""",
+    // the drained update-mode emissions must equal the batch greedy fold
+    // at the 900 s gap — cross-batch state carry included
+    "q284_stream_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events), g AS (SELECT user_id, event_type, list_sort(list(sec)) AS ss FROM e GROUP BY 1, 2), k AS (SELECT user_id, event_type, list_reduce(list_transform(ss, x -> [x]), (a, x) -> CASE WHEN x[1] >= a[-1] + 900 THEN list_append(a, x[1]) ELSE a END) AS kept FROM g) SELECT user_id, event_type, unnest(kept) AS kept_sec FROM k ORDER BY user_id, event_type, kept_sec""",
     // running max over the same per-user arrival order on both engines;
     // exact integer lateness and bucket counts
     "q276_lateness_audit" ->

@@ -221,4 +221,39 @@ object EventsStream {
           }
         })
   }
+
+  /** Streaming debounce/throttle: per (user, event_type), emit an event
+    * only if at least `gapSec` elapsed since the LAST EMITTED one — the
+    * telemetry rate-limiter (alert storms, duplicate beacons) as a
+    * stateful operator. State is one long per key (the last-kept second):
+    * O(keys), unbounded history never retained. Update mode: kept events
+    * are final the moment they're emitted. Within a batch the group is
+    * sorted by (sec, event_id); across batches correctness needs
+    * time-sliced input files (the q259 staging contract), the same
+    * in-order-source requirement any streaming debounce has.
+    */
+  def debounce(
+      spark: SparkSession,
+      events: DataFrame,
+      gapSec: Long): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamEvent]
+    typed
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), it: Iterator[StreamEvent],
+            state: GroupState[Long]) => {
+          var lk = state.getOption.getOrElse(Long.MinValue / 2)
+          val kept = it.toSeq.sortBy(e => (e.sec, e.event_id)).flatMap { e =>
+            if (e.sec >= lk + gapSec) { lk = e.sec; Some((key._1, key._2, e.sec)) }
+            else None
+          }
+          state.update(lk)
+          kept.iterator
+        })
+      .toDF("user_id", "event_type", "kept_sec")
+  }
 }

@@ -877,4 +877,19 @@ object StreamVerify {
     settle(spark)
     graft.sources.TxLake.readSnapshot(spark, lake)
   }
+
+  /** The streaming debounce ([[EventsStream.debounce]]) drained through
+    * the oracle gate: time-sliced input files (the q259 staging contract,
+    * maxFilesPerTrigger=1) exercise REAL cross-batch state carry — a kept
+    * event in batch 0 suppresses a batch-1 event inside the gap — and the
+    * update-mode emissions are final, so the drained union must equal the
+    * batch per-key greedy fold exactly.
+    */
+  def debounceStream(
+      spark: SparkSession, eventsPath: String, gapSec: Long): DataFrame = {
+    val kept = EventsStream.debounce(spark,
+      EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1)),
+      gapSec)
+    drain(spark, kept, "update")
+  }
 }

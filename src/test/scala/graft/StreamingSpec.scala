@@ -182,4 +182,39 @@ class StreamingSpec extends SparkSuite {
       assert(sessions.filter(col("end_sec") < col("start_sec")).count() == 0)
     } finally q.stop()
   }
+
+  test("streaming debounce carries last-kept state across micro-batches") {
+    import org.apache.spark.sql.{Row => R}
+    val dir = Files.createTempDirectory("graft_deb_src")
+    def writeFile(name: String, mtime: Long, rows: Seq[(Long, Long)]): Unit = {
+      val side = Files.createTempDirectory("graft_deb_side").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, sec) =>
+            R(id, EventsStream.ntzOfEpochSec(sec), 1L, "click", 0.0, null) }, 1),
+        EventsStream.rawEventsSchema)
+        .write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime)
+    }
+    // batch A: 1000 kept, 1300 suppressed, 1700 kept (gap 600)
+    writeFile("a.parquet", 1600000000000L, Seq((1L, 1000L), (2L, 1300L), (3L, 1700L)))
+    // batch B: 2200 is only 500s after the batch-A kept 1700 → MUST be
+    // suppressed by carried state; 2400 kept
+    writeFile("b.parquet", 1600000010000L, Seq((4L, 2200L), (5L, 2400L)))
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val q = EventsStream.debounce(spark,
+        EventsStream.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)),
+        gapSec = 600)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => kept += r.getLong(2)); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(kept.toSet == Set(1000L, 1700L, 2400L))
+  }
 }
