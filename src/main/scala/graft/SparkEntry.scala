@@ -4877,6 +4877,138 @@ object SparkEntry {
       .debounceStream(s, q259Events(s, dir), gapSec = 900)
       .orderBy(col("user_id"), col("event_type"), col("kept_sec"))
 
+  /** Local clustering coefficient
+    * ([[graft.operators.Graph.clusteringCoefficient]]) over the top-60
+    * word co-occurrence graph (edges = word pairs sharing ≥ 3 documents):
+    * triangle counting via the arboricity-bounded degree-ordered
+    * orientation, degrees in one combine — the community-density lens on
+    * the q123/q59 co-occurrence stack.
+    */
+  private def q285(s: SparkSession, dir: String): DataFrame = {
+    val wds = T(s, dir, "documents").select(col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+          " ")).as("w"))
+      .distinct()
+    val top = wds.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+      .filter(col("rn") <= 60).select(col("w"))
+    val dw = wds.join(broadcast(top), Seq("w")).select(col("doc_id"), col("w"))
+    val edges = dw.as("a").join(dw.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("src"), col("b.w").as("dst"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 3)
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.clusteringCoefficient(edges)
+      .orderBy(col("node"))
+  }
+
+  /** Forward fill with a GAP LIMIT: interior missing hours inherit the
+    * last observed per-user hourly value only while the gap is ≤ 3 hours;
+    * longer outages stay `gap` (filling across a real outage fabricates
+    * data — the limit is what production imputation uses). Same
+    * spine + one-window shape as q191's interpolation.
+    */
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("user_id"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("hv"))
+    val bounds = hourly.groupBy(col("user_id"))
+      .agg(min(col("hid")).as("lo"), max(col("hid")).as("hi"))
+    val spine = bounds.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"))).as("hid"))
+    val j = spine.join(hourly, Seq("user_id", "hid"), "left")
+    val wp = Window.partitionBy(col("user_id")).orderBy(col("hid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.withColumn("pv", last(col("hv"), ignoreNulls = true).over(wp))
+      .withColumn("ph",
+        last(when(col("hv").isNotNull, col("hid")), ignoreNulls = true).over(wp))
+      .select(col("user_id"), col("hid"),
+        when(col("hv").isNotNull, "observed")
+          .when(col("hid") - col("ph") <= 3, "filled")
+          .otherwise("gap").as("status"),
+        when(col("hv").isNotNull, col("hv"))
+          .when(col("hid") - col("ph") <= 3, col("pv")).as("v"))
+      .orderBy(col("user_id"), col("hid"))
+  }
+
+  /** Funnel latency percentiles: first signup → first subsequent purchase
+    * per user, exact interpolated p50/p90 per market segment (the q82
+    * replayable-interpolation pattern — no approximate percentile in the
+    * readout path). One window per segment over per-user latencies.
+    */
+  private def q287(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"))
+    val sign = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("s0"))
+    val buy = e.filter(col("event_type") === "purchase")
+      .join(sign, Seq("user_id"))
+      .filter(col("sec") >= col("s0"))
+      .groupBy(col("user_id"), col("s0")).agg(min(col("sec")).as("p0"))
+    val lat = buy
+      .join(T(s, dir, "customer"), col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("user_id"),
+        (col("p0") - col("s0")).cast("double").as("lat"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("lat"), col("user_id"))
+    val cw = Window.partitionBy(col("seg"))
+    val ranked = lat.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+    def interp(p: Double): Column = {
+      val pos = lit(1.0) + lit(p) * (col("n").cast("double") - 1.0)
+      val lo = floor(pos).cast("long")
+      val hi = ceil(pos).cast("long")
+      val vLo = max(when(col("rn") === lo, col("lat")))
+      val vHi = max(when(col("rn") === hi, col("lat")))
+      vLo + max(pos - floor(pos)) * (vHi - vLo)
+    }
+    ranked.groupBy(col("seg"))
+      .agg(interp(0.5).as("p50"), interp(0.9).as("p90"), max(col("n")).as("n"))
+      .orderBy(col("seg"))
+  }
+
+  /** Model-calibration reliability table + ECE: normalized account balance
+    * as the score, has-any-order as the outcome, ten equal-width bins.
+    * Per-bin mean score accumulates in DECIMAL (order-independent); the
+    * expected-calibration-error terms are rounded-then-decimal-summed so
+    * the single ECE number is reproducible bit-for-bit at any
+    * parallelism.
+    */
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    val buyers = T(s, dir, "orders").select(col("o_custkey")).distinct()
+    val c = T(s, dir, "customer")
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("o_custkey").isNotNull.cast("long").as("pos"))
+    val mm = c.agg(min(col("c_acctbal")).as("blo"), max(col("c_acctbal")).as("bhi"))
+    val scored = c.crossJoin(broadcast(mm))
+      .withColumn("score", round((col("c_acctbal") - col("blo")) /
+        (col("bhi") - col("blo")), 6).cast(DecimalType(12, 6)))
+      .withColumn("bin",
+        least(floor(col("score") * 10).cast("long"), lit(9L)))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("score")).as("score_sum"))
+    val tot = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bins
+      .withColumn("tot_n", sum(col("n")).over(tot))
+      .withColumn("mean_score",
+        col("score_sum").cast("double") / col("n").cast("double"))
+      .withColumn("rate",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        round((col("n").cast("double") / col("tot_n").cast("double")) *
+          abs(col("rate") - col("mean_score")), 9).cast(DecimalType(18, 9)))
+      .withColumn("ece", sum(col("term")).over(tot).cast("double"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("mean_score"), 6).as("mean_score"),
+        round(col("rate"), 6).as("rate"), col("ece"))
+      .orderBy(col("bin"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5694,6 +5826,10 @@ object SparkEntry {
     "q282_debounce" -> (q282 _),
     "q283_ab_ztest" -> (q283 _),
     "q284_stream_debounce" -> (q284 _),
+    "q285_clustering_coeff" -> (q285 _),
+    "q286_ffill_limit" -> (q286 _),
+    "q287_funnel_latency" -> (q287 _),
+    "q288_calibration_ece" -> (q288 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6510,6 +6646,21 @@ object SparkEntry {
     // integer min-plus arithmetic on both engines
     "q270_shortest_path" ->
       """WITH pairs AS (SELECT o_custkey AS cust, l_suppkey AS supp, MIN(CAST(floor(l_quantity) AS BIGINT)) AS w FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), ed AS (SELECT cust AS src, -supp AS dst, w FROM pairs UNION ALL SELECT -supp, cust, w FROM pairs), d0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist FROM customer WHERE c_nationkey = 0), d1 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d0 UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d JOIN ed e ON e.src = d.node) GROUP BY 1), d2 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d1 UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d JOIN ed e ON e.src = d.node) GROUP BY 1), d3 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d2 UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d JOIN ed e ON e.src = d.node) GROUP BY 1), d4 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d3 UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d JOIN ed e ON e.src = d.node) GROUP BY 1) SELECT node, dist FROM d4 ORDER BY node""",
+    // wedge-join triangle count over the same canonical top-60 word graph;
+    // identical 2t/(d(d-1)) arithmetic
+    "q285_clustering_coeff" ->
+      """WITH wds AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents)), top AS (SELECT w FROM (SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rn FROM wds GROUP BY w) WHERE rn <= 60), dw AS (SELECT doc_id, w FROM wds JOIN top USING (w)), ed AS (SELECT a.w AS u, b.w AS v FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2 HAVING COUNT(*) >= 3), deg AS (SELECT node, COUNT(*) AS degree FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1), tri AS (SELECT node, COUNT(*) AS t FROM (SELECT unnest([e1.u, e1.v, e2.v]) AS node FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v) GROUP BY 1) SELECT d.node, d.degree, COALESCE(t.t, 0) AS n_triangles, CASE WHEN d.degree >= 2 THEN round(2.0 * CAST(COALESCE(t.t, 0) AS DOUBLE) / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0)), 6) ELSE 0.0 END AS coeff FROM deg d LEFT JOIN tri t ON t.node = d.node ORDER BY d.node""",
+    // same spine + running last-observed window; the 3-hour limit decides
+    // filled vs gap identically
+    "q286_ffill_limit" ->
+      """WITH hourly AS (SELECT user_id, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS hv FROM events GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(hid) AS lo, MAX(hid) AS hi FROM hourly GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hid FROM bounds), j AS (SELECT s.user_id, s.hid, h.hv FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hid = h.hid), w AS (SELECT user_id, hid, hv, last_value(hv IGNORE NULLS) OVER wp AS pv, last_value(CASE WHEN hv IS NOT NULL THEN hid END IGNORE NULLS) OVER wp AS ph FROM j WINDOW wp AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT user_id, hid, CASE WHEN hv IS NOT NULL THEN 'observed' WHEN hid - ph <= 3 THEN 'filled' ELSE 'gap' END AS status, CASE WHEN hv IS NOT NULL THEN hv WHEN hid - ph <= 3 THEN pv END AS v FROM w ORDER BY user_id, hid""",
+    // the q82 interpolation replay over per-user funnel latencies
+    "q287_funnel_latency" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec FROM events), sg AS (SELECT user_id, MIN(sec) AS s0 FROM e WHERE event_type = 'signup' GROUP BY 1), buy AS (SELECT e.user_id, sg.s0, MIN(e.sec) AS p0 FROM e JOIN sg ON e.user_id = sg.user_id WHERE e.event_type = 'purchase' AND e.sec >= sg.s0 GROUP BY 1, 2), l AS (SELECT c_mktsegment AS seg, b.user_id, CAST(b.p0 - b.s0 AS DOUBLE) AS lat FROM buy b JOIN customer ON b.user_id = c_custkey), r AS (SELECT seg, lat, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY lat, user_id) AS rn, COUNT(*) OVER (PARTITION BY seg) AS n FROM l) SELECT seg, ${interpSqlCol("0.5", "lat")} AS p50, ${interpSqlCol("0.9", "lat")} AS p90, MAX(n) AS n FROM r GROUP BY seg ORDER BY seg""",
+    // decimal-summed scores and rounded ECE terms: bit-reproducible at
+    // any parallelism, replayed here with the identical op order
+    "q288_calibration_ece" ->
+      """WITH b0 AS (SELECT c_custkey, c_acctbal, CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END AS pos FROM customer), mm AS (SELECT MIN(c_acctbal) AS blo, MAX(c_acctbal) AS bhi FROM b0), s AS (SELECT c_custkey, pos, CAST(round((c_acctbal - blo) / (bhi - blo), 6) AS DECIMAL(12,6)) AS score FROM b0, mm), sb AS (SELECT LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS bin, pos, score FROM s), bins AS (SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos, SUM(score) AS score_sum FROM sb GROUP BY 1), w AS (SELECT bin, n, n_pos, CAST(score_sum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score, CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate, SUM(n) OVER () AS tot_n FROM bins), t AS (SELECT bin, n, n_pos, mean_score, rate, CAST(round((CAST(n AS DOUBLE) / CAST(tot_n AS DOUBLE)) * abs(rate - mean_score), 9) AS DECIMAL(18,9)) AS term FROM w) SELECT bin, n, n_pos, round(mean_score, 6) AS mean_score, round(rate, 6) AS rate, CAST(SUM(term) OVER () AS DOUBLE) AS ece FROM t ORDER BY bin""",
     // the absorption recursion replays in pure int64 p9 arithmetic:
     // identical floor-scaled probabilities, identical 8 unrolled steps
     "q281_markov_attribution" ->

@@ -190,6 +190,34 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient: 2·triangles / (deg·(deg−1)) —
+    * the community-density metric (how close a node's neighborhood is to
+    * a clique). Triangle counting rides the degree-ordered orientation of
+    * [[triangleCounts]] (arboricity-bounded wedge fan-out, the 100 TB
+    * property); degrees are one combine over the canonical edge list.
+    * Degree-1 nodes report 0 by convention.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(und.select(col("a").as("src"), col("b").as("dst")))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff", when(col("degree") >= 2,
+        round(lit(2.0) * col("n_triangles").cast("double") /
+          (col("degree").cast("double") *
+            (col("degree").cast("double") - lit(1.0))), 6))
+        .otherwise(lit(0.0)))
+  }
+
   /** k-core: the maximal subgraph in which every node keeps degree >= k,
     * found by iterative peeling — drop all nodes below k, recompute
     * degrees on the surviving edges, repeat to the fixpoint. Returns the

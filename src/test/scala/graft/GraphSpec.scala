@@ -292,4 +292,17 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(d5(5L) == 7L, "1→2→3→4→6→7→8→5 via the cheap chain")
   }
+
+  test("clusteringCoefficient: triangle + pendant, hand-checked") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 hanging off 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val got = operators.Graph.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 0.333333)), "deg 3, one closed wedge of three")
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)), "pendant reports 0 by convention")
+  }
 }
