@@ -5009,6 +5009,72 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  /** Incremental secondary-index maintenance
+    * ([[graft.sources.TxLake.refreshBloomIndex]]): build the bloom index
+    * once, run a MERGE that rewrites some files and adds others, then
+    * refresh the index at O(delta files) data cost — carried files keep
+    * their blooms from the index itself, removed files' rows are dropped
+    * (a stale candidate must never resurrect rewritten rows). Point
+    * lookups through the refreshed index must see exactly the post-merge
+    * truth.
+    */
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.TxLake
+    val root = scratch(dir, "q289")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val lake = root + "/lake"; val idx = root + "/idx"
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    (0 until 3).foreach(t =>
+      TxLake.commit(s, lake, o.filter(col("o_orderkey") % 3 === t)))
+    TxLake.buildBloomIndex(s, lake, "o_orderkey", idx)
+    // %150 keys are ≡ 0 (mod 3): the merge touches only commit-0's files,
+    // so commits 1 and 2 must carry their blooms through the refresh
+    val updates = o.filter(col("o_orderkey") % 150 === 0)
+      .withColumn("price", (col("price") * 2).cast(DecimalType(18, 2)))
+      .unionByName(s.range(20001, 20006).select(col("id").as("o_orderkey"),
+        lit(0L).as("o_custkey"), lit("N").as("o_orderstatus"),
+        lit("1.00").cast(DecimalType(18, 2)).as("price")))
+    TxLake.mergeByKey(s, lake, updates, "o_orderkey")
+    val (nNew, _, nKept) = TxLake.refreshBloomIndex(s, lake, "o_orderkey", idx)
+    require(nNew > 0, "merge must have produced unindexed files")
+    require(nKept > 0, "untouched files must carry their blooms over")
+    TxLake.readByKeysBloom(s, lake, idx,
+        Seq(150L, 300L, 301L, 20003L).toDF("k"))
+      .filter(col("o_orderkey").isin(150L, 300L, 301L, 20003L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Three-replica golden-source election
+    * ([[graft.operators.Reconcile.majorityVote]]): field-level majority
+    * across replicas with injected divergences (a price drift, a status
+    * corruption, a missing-key outage) — the quorum DECIDES where q130's
+    * two-way diff could only flag. The oracle derives the expected
+    * report independently from the divergence rules, not by replay.
+    */
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val r2 = o.withColumn("price",
+      when(col("o_orderkey") % 31 === 0,
+        (col("price") + 1).cast(DecimalType(18, 2))).otherwise(col("price")))
+    val r3 = o.filter(col("o_orderkey") % 41 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 37 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    graft.operators.Reconcile.majorityVote(o, r2, r3, "o_orderkey",
+        Seq("o_orderstatus", "price"))
+      .filter(col("n_conflict_fields") > 0 || col("n_present") < 3)
+      .select(col("o_orderkey"), col("n_present"), col("o_orderstatus"),
+        col("price").cast("double").as("price"),
+        col("n_conflict_fields"), col("n_unresolved"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5830,6 +5896,8 @@ object SparkEntry {
     "q286_ffill_limit" -> (q286 _),
     "q287_funnel_latency" -> (q287 _),
     "q288_calibration_ece" -> (q288 _),
+    "q289_bloom_refresh" -> (q289 _),
+    "q290_majority_reconcile" -> (q290 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6646,6 +6714,15 @@ object SparkEntry {
     // integer min-plus arithmetic on both engines
     "q270_shortest_path" ->
       """WITH pairs AS (SELECT o_custkey AS cust, l_suppkey AS supp, MIN(CAST(floor(l_quantity) AS BIGINT)) AS w FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), ed AS (SELECT cust AS src, -supp AS dst, w FROM pairs UNION ALL SELECT -supp, cust, w FROM pairs), d0 AS (SELECT c_custkey AS node, CAST(0 AS BIGINT) AS dist FROM customer WHERE c_nationkey = 0), d1 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d0 UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d JOIN ed e ON e.src = d.node) GROUP BY 1), d2 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d1 UNION ALL SELECT e.dst, d.dist + e.w FROM d1 d JOIN ed e ON e.src = d.node) GROUP BY 1), d3 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d2 UNION ALL SELECT e.dst, d.dist + e.w FROM d2 d JOIN ed e ON e.src = d.node) GROUP BY 1), d4 AS (SELECT node, MIN(dist) AS dist FROM (SELECT node, dist FROM d3 UNION ALL SELECT e.dst, d.dist + e.w FROM d3 d JOIN ed e ON e.src = d.node) GROUP BY 1) SELECT node, dist FROM d4 ORDER BY node""",
+    // point lookups through the refreshed index: doubled %50 prices plus
+    // the merged-in synthetic key — derived directly, not replayed
+    "q289_bloom_refresh" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders WHERE o_orderkey IN (150, 300) UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) FROM orders WHERE o_orderkey = 301 UNION ALL SELECT 20003, 0, 'N', 1.0 ORDER BY o_orderkey""",
+    // the expected conflict report derived independently from the
+    // injected divergence rules: %31 price drift, %37 status corruption
+    // (only where replica 3 exists), %41 outage
+    "q290_majority_reconcile" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders) SELECT k AS o_orderkey, CAST(CASE WHEN k % 41 = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_present, st AS o_orderstatus, CAST(price AS DOUBLE) AS price, CAST((CASE WHEN k % 31 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 37 = 0 AND k % 41 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict_fields, CAST(0 AS BIGINT) AS n_unresolved FROM o WHERE k % 31 = 0 OR (k % 37 = 0 AND k % 41 <> 0) OR k % 41 = 0 ORDER BY k""",
     // wedge-join triangle count over the same canonical top-60 word graph;
     // identical 2t/(d(d-1)) arithmetic
     "q285_clustering_coeff" ->

@@ -138,4 +138,54 @@ object Reconcile {
       graft.sources.TxLake.mergeByKey(spark, lakePath, upserts, keyCol)
     (orphans.length.toLong, nUp)
   }
+
+  /** Golden-source election across THREE replicas by field-level majority
+    * vote — the N-way generalization of [[diffKeys]]'s 2-way compare,
+    * where a bare diff can only flag but a quorum can DECIDE. Per key and
+    * per value column: the value at least two replicas agree on wins
+    * (string-rendered comparison, null-safe); a three-way split elects
+    * the first replica's value and flags the field. Output: one golden
+    * row per key present in ≥ 2 replicas, with `n_present`,
+    * `n_conflict_fields` (fields where any disagreement existed among
+    * present replicas) and `n_unresolved` (three-way splits). One 3-way
+    * full-outer join on the key — a key-equi shuffle, no pairwise
+    * blow-up.
+    */
+  def majorityVote(
+      a: DataFrame, b: DataFrame, c: DataFrame,
+      keyCol: String, valueCols: Seq[String]): DataFrame = {
+    def tag(df: DataFrame, t: String) = df.select(
+      (col(keyCol).as(s"k_$t") +:
+        valueCols.map(v => col(v).as(s"${v}_$t"))): _*)
+    val j = tag(a, "a")
+      .join(tag(b, "b"), col("k_a") === col("k_b"), "full_outer")
+      .join(tag(c, "c"),
+        coalesce(col("k_a"), col("k_b")) === col("k_c"), "full_outer")
+    val key = coalesce(col("k_a"), col("k_b"), col("k_c"))
+    val present = Seq("a", "b", "c")
+      .map(t => when(col(s"k_$t").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    def vote(v: String): (Column, Column, Column) = {
+      val va = col(s"${v}_a"); val vb = col(s"${v}_b"); val vc = col(s"${v}_c")
+      val ab = col("k_a").isNotNull && col("k_b").isNotNull && (va <=> vb)
+      val ac = col("k_a").isNotNull && col("k_c").isNotNull && (va <=> vc)
+      val bc = col("k_b").isNotNull && col("k_c").isNotNull && (vb <=> vc)
+      val golden = when(ab || ac, va).when(bc, vb)
+        .otherwise(coalesce(va, vb, vc))
+      val conflict = when(
+        (col("k_a").isNotNull && col("k_b").isNotNull && !(va <=> vb)) ||
+          (col("k_a").isNotNull && col("k_c").isNotNull && !(va <=> vc)) ||
+          (col("k_b").isNotNull && col("k_c").isNotNull && !(vb <=> vc)),
+        1L).otherwise(0L)
+      val unresolved = when(present === 3 && !(va <=> vb) && !(va <=> vc) &&
+        !(vb <=> vc), 1L).otherwise(0L)
+      (golden, conflict, unresolved)
+    }
+    val votes = valueCols.map(v => v -> vote(v))
+    j.select((key.as(keyCol) +: present.as("n_present") +:
+        votes.map { case (v, (g, _, _)) => g.as(v) }) ++
+      Seq(votes.map(_._2._2).reduce(_ + _).as("n_conflict_fields"),
+        votes.map(_._2._3).reduce(_ + _).as("n_unresolved")): _*)
+      .filter(col("n_present") >= 2)
+  }
 }

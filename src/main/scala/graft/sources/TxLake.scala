@@ -1165,6 +1165,23 @@ object TxLake {
         val maxRows = if (counts.nonEmpty) counts.max else 0L
         math.max(4096L, (maxRows * bitsPerKey + 63) / 64 * 64)
       }
+    bloomCells(spark, files, keyCol, width, probes)
+      .write.mode("overwrite").parquet(s"$indexPath/bloom")
+    Files.writeString(Paths.get(s"$indexPath/VERSION"), s"$v $width $probes")
+    v
+  }
+
+  /** The per-(file, word) bloom rows for `files` — shared by the full
+    * [[buildBloomIndex]] and the delta-only [[refreshBloomIndex]].
+    */
+  private def bloomCells(
+      spark: SparkSession,
+      files: Seq[String],
+      keyCol: String,
+      width: Long,
+      probes: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{bit_or, col, explode, expr, lit,
+      pmod, sequence, shiftright, xxhash64}
     spark.read.parquet(files: _*)
       .select(col(keyCol).as("key"), expr("_metadata.file_path").as("f"))
       .select(col("f"), col("key"),
@@ -1176,9 +1193,47 @@ object TxLake {
         expr("shiftleft(1L, cast(pmod(pos, 64) as int))").as("m"))
       .groupBy(col("f"), col("word"))
       .agg(bit_or(col("m")).as("bits"))
+  }
+
+  /** INCREMENTAL bloom-index maintenance: after commits/merges advance the
+    * table, re-index ONLY the data files the index has not seen — the
+    * property that makes a secondary index affordable on a 100 TB table,
+    * where [[buildBloomIndex]]'s full rebuild would re-scan everything.
+    * Data-scan cost is O(delta files); rows of files no longer active are
+    * dropped (a candidate set must never surface a removed file — that
+    * would resurrect rewritten rows through [[readByKeysBloom]]); rows of
+    * surviving files carry over untouched from the index itself
+    * (index-sized I/O, zero data reads). Width and probe count are pinned
+    * by the original build so old and new blooms stay compatible.
+    * Returns (files indexed, files dropped, files carried).
+    */
+  def refreshBloomIndex(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      indexPath: String): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val meta = Files.readString(Paths.get(s"$indexPath/VERSION")).trim.split(" ")
+    val (width, probes) = (meta(1).toLong, meta(2).toInt)
+    val v = latestVersion(path)
+    val active = activeFiles(path, v).toSet
+    val existing = spark.read.parquet(s"$indexPath/bloom").localCheckpoint(true)
+    val exFiles = existing.select(col("f")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val plainOf = exFiles.map(f => f -> new java.net.URI(f).getPath).toMap
+    val keepFiles = exFiles.filter(f => active.contains(plainOf(f)))
+    val newFiles = (active -- plainOf.values).toSeq.sorted
+    val kept = existing.filter(col("f").isin(keepFiles: _*))
+    val out =
+      if (newFiles.isEmpty) kept
+      else kept.unionByName(
+        bloomCells(spark, newFiles, keyCol, width, probes))
+    // materialize before overwriting the directory the plan reads from
+    out.localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$indexPath/bloom")
     Files.writeString(Paths.get(s"$indexPath/VERSION"), s"$v $width $probes")
-    v
+    (newFiles.size.toLong, (exFiles.size - keepFiles.size).toLong,
+      keepFiles.size.toLong)
   }
 
   /** The data files whose blooms contain ALL probe positions of at least

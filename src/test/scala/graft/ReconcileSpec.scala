@@ -102,4 +102,32 @@ class ReconcileSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("schemas must align"))
   }
+
+  test("majorityVote: quorum decides, splits flagged, singletons excluded") {
+    import spark.implicits._
+    def df(rows: (Long, String)*) = rows.toDF("k", "v")
+    val a = df(1L -> "x", 2L -> "x", 3L -> "a", 4L -> "only-a")
+    val b = df(1L -> "x", 2L -> "y", 3L -> "b")
+    val c = df(1L -> "x", 3L -> "c")
+    val got = Reconcile.majorityVote(a, b, c, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((3L, "x", 0L, 0L)), "unanimous")
+    assert(got(2L) == ((2L, "x", 1L, 0L)),
+      "2-present disagreement: first replica wins, conflict flagged")
+    assert(got(3L) == ((3L, "a", 1L, 1L)), "three-way split is unresolved")
+    assert(!got.contains(4L), "a key present in one replica has no quorum")
+  }
+
+  test("majorityVote: b+c outvote a, and null agreement is null-safe") {
+    import spark.implicits._
+    val a = Seq((1L, Some("wrong")), (2L, Some("z"))).toDF("k", "v")
+    val b = Seq((1L, Some("right")), (2L, None: Option[String])).toDF("k", "v")
+    val c = Seq((1L, Some("right")), (2L, None: Option[String])).toDF("k", "v")
+    val got = Reconcile.majorityVote(a, b, c, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("right", 1L)), "the two agreeing replicas win")
+    assert(got(2L) == ((null, 1L)), "two agreeing NULLs beat a value")
+  }
 }

@@ -848,6 +848,27 @@ class TxLakeSpec extends SparkSuite {
     assert(TxLake.latestVersion(lake) == v, "rejected replace commits nothing")
   }
 
+  test("refreshBloomIndex: delta-only rebuild, stale files dropped, lookups exact") {
+    import spark.implicits._
+    val root = tmp(); val lake = s"$root/lake"; val idx = s"$root/idx"
+    def kv(rows: (Long, Double)*) = rows.toDF("id", "v")
+    TxLake.commit(spark, lake, kv(1L -> 1.0, 2L -> 2.0).coalesce(1))
+    TxLake.commit(spark, lake, kv(3L -> 3.0, 4L -> 4.0).coalesce(1))
+    TxLake.buildBloomIndex(spark, lake, "id", idx)
+    // merge touches only the file holding key 1; adds key 9
+    TxLake.mergeByKey(spark, lake, kv(1L -> 10.0, 9L -> 9.0).coalesce(1), "id")
+    val (nNew, nDropped, nKept) = TxLake.refreshBloomIndex(spark, lake, "id", idx)
+    assert(nNew >= 1, "rewritten + inserted rows live in unindexed files")
+    assert(nDropped >= 1, "the pre-merge file holding key 1 must drop")
+    assert(nKept >= 1, "the untouched commit-2 file must carry over")
+    val got = TxLake.readByKeysBloom(spark, lake, idx,
+        Seq(1L, 3L, 9L).toDF("k"))
+      .filter(col("id").isin(1L, 3L, 9L))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 3L -> 3.0, 9L -> 9.0),
+      "post-refresh lookups see merged truth, never the rewritten file")
+  }
+
   test("replaceWhere with no matching rows is a pure scoped insert") {
     import spark.implicits._
     val lake = tmp()
