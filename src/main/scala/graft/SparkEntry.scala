@@ -5075,6 +5075,61 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Benford first-digit audit ([[graft.operators.Profiling
+    * .benfordDigits]]) over order totals — the fabricated-data forensic:
+    * observed leading-digit shares vs the pinned Benford constants, χ²
+    * totaled in decimal. Leading digit from the integer part only, so no
+    * cent-rounding boundary can flip a digit between engines.
+    */
+  private def q291(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling
+      .benfordDigits(T(s, dir, "orders"), "o_totalprice")
+      .orderBy(col("digit"))
+
+  /** Functional-dependency discovery ([[graft.operators.Profiling
+    * .fdViolations]]) over four declared candidate pairs on customer —
+    * which "natural keys" actually determine which attributes (key→attr
+    * holds; nation→segment and its inverse are violated). One melted
+    * shuffle for all pairs.
+    */
+  private def q292(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.fdViolations(T(s, dir, "customer"), Seq(
+        "c_custkey" -> "c_mktsegment", "c_nationkey" -> "c_mktsegment",
+        "c_mktsegment" -> "c_nationkey", "c_name" -> "c_custkey"))
+      .orderBy(col("lhs"), col("rhs"))
+
+  /** Per-type rolling 7-day OLS slope ([[graft.operators.Trend
+    * .rollingOlsPerKey]]) over daily event counts — the local-trend
+    * series a monitoring dashboard plots (q147 fits one global line;
+    * this emits the trend at every point). Exact integer window sums,
+    * closed-form slope in pinned double order.
+    */
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.Trend.rollingOlsPerKey(daily, "event_type", "day",
+        "n_events", win = 7)
+      .orderBy(col("event_type"), col("x"))
+  }
+
+  /** Market-basket association rules ([[graft.operators.Affinity
+    * .assocRules]]): baskets = orders, items = part brands; support,
+    * confidence and lift for every co-bought brand pair in both
+    * orientations. Pair generation is basket-keyed (never cross-basket);
+    * everything after the pair aggregate is brand-domain-sized.
+    */
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val baskets = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+    graft.operators.Affinity.assocRules(baskets, "basket", "item")
+      .orderBy(col("ante"), col("cons"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5898,6 +5953,10 @@ object SparkEntry {
     "q288_calibration_ece" -> (q288 _),
     "q289_bloom_refresh" -> (q289 _),
     "q290_majority_reconcile" -> (q290 _),
+    "q291_benford" -> (q291 _),
+    "q292_fd_discovery" -> (q292 _),
+    "q293_rolling_ols" -> (q293 _),
+    "q294_assoc_rules" -> (q294 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6723,6 +6782,23 @@ object SparkEntry {
     // (only where replica 3 exists), %41 outage
     "q290_majority_reconcile" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders) SELECT k AS o_orderkey, CAST(CASE WHEN k % 41 = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_present, st AS o_orderstatus, CAST(price AS DOUBLE) AS price, CAST((CASE WHEN k % 31 = 0 THEN 1 ELSE 0 END) + (CASE WHEN k % 37 = 0 AND k % 41 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict_fields, CAST(0 AS BIGINT) AS n_unresolved FROM o WHERE k % 31 = 0 OR (k % 37 = 0 AND k % 41 <> 0) OR k % 41 = 0 ORDER BY k""",
+    // the Benford expectations are the SAME pinned 12-decimal literals on
+    // both engines; leading digit from the integer part only; χ² terms
+    // rounded then decimal-summed (order-independent)
+    "q291_benford" ->
+      """WITH obs AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n FROM orders WHERE o_totalprice >= 1 GROUP BY 1), sp AS (SELECT * FROM (VALUES (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608), (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631), (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)) AS t(digit, expected_p)), j AS (SELECT sp.digit, COALESCE(obs.n, 0) AS n, sp.expected_p FROM sp LEFT JOIN obs USING (digit)), t2 AS (SELECT digit, n, expected_p, expected_p * CAST(SUM(n) OVER () AS DOUBLE) AS expected_n FROM j), d AS (SELECT digit, n, expected_p, expected_n, CAST(round((CAST(n AS DOUBLE) - expected_n) * (CAST(n AS DOUBLE) - expected_n) / expected_n, 6) AS DECIMAL(18,6)) AS chi2_term FROM t2) SELECT digit, n, expected_p, round(expected_n, 6) AS expected_n, CAST(chi2_term AS DOUBLE) AS chi2_term, CAST(SUM(chi2_term) OVER () AS DOUBLE) AS chi2_total FROM d ORDER BY digit""",
+    // one melted union then one (pair, value) aggregation — identical
+    // string-casts of the probed columns on both engines
+    "q292_fd_discovery" ->
+      """WITH m AS (SELECT 'c_custkey' AS lhs, 'c_mktsegment' AS rhs, CAST(c_custkey AS VARCHAR) AS a, c_mktsegment AS b FROM customer UNION ALL SELECT 'c_nationkey', 'c_mktsegment', CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer UNION ALL SELECT 'c_mktsegment', 'c_nationkey', c_mktsegment, CAST(c_nationkey AS VARCHAR) FROM customer UNION ALL SELECT 'c_name', 'c_custkey', c_name, CAST(c_custkey AS VARCHAR) FROM customer), g AS (SELECT lhs, rhs, a, COUNT(DISTINCT b) AS ndv_b FROM m GROUP BY 1, 2, 3) SELECT lhs, rhs, COUNT(*) AS n_groups, CAST(SUM(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, MAX(ndv_b) AS max_multiplicity, round(CAST(SUM(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate, SUM(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END) = 0 AS holds FROM g GROUP BY 1, 2 ORDER BY 1, 2""",
+    // exact integer window sums, closed-form slope/intercept in the same
+    // pinned double op order; NULL before a full 7-row window
+    "q293_rolling_ols" ->
+      """WITH d AS (SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day, COUNT(*) AS y FROM events GROUP BY 1, 2), w AS (SELECT event_type, day AS x, y, COUNT(*) OVER win AS n, SUM(day) OVER win AS sx, SUM(y) OVER win AS sy, SUM(day * y) OVER win AS sxy, SUM(day * day) OVER win AS sxx FROM d WINDOW win AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)), r AS (SELECT event_type, x, y, n, sx, sy, CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den, (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw FROM w) SELECT event_type, x, y, CASE WHEN n = 7 AND den <> 0 THEN round(slope_raw, 6) END AS slope, CASE WHEN n = 7 AND den <> 0 THEN round((CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) END AS intercept FROM r ORDER BY event_type, x""",
+    // basket-keyed pair join, brand-domain-sized rule table; identical
+    // fixed-order support/confidence/lift arithmetic
+    "q294_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it FROM lineitem JOIN part ON l_partkey = p_partkey), s AS (SELECT it, COUNT(*) AS n_i FROM b GROUP BY 1), t AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b), p AS (SELECT l.it AS ia, r.it AS ib, COUNT(*) AS n_ab FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it GROUP BY 1, 2), r2 AS (SELECT ia AS ante, ib AS cons, n_ab FROM p UNION ALL SELECT ib, ia, n_ab FROM p) SELECT ante, cons, n_ab, sa.n_i AS n_ante, sc.n_i AS n_cons, round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support, round(CAST(n_ab AS DOUBLE) / CAST(sa.n_i AS DOUBLE), 6) AS confidence, round(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) / (CAST(sa.n_i AS DOUBLE) * CAST(sc.n_i AS DOUBLE)), 6) AS lift FROM r2 JOIN s sa ON ante = sa.it JOIN s sc ON cons = sc.it CROSS JOIN t ORDER BY ante, cons""",
     // wedge-join triangle count over the same canonical top-60 word graph;
     // identical 2t/(d(d-1)) arithmetic
     "q285_clustering_coeff" ->

@@ -60,6 +60,53 @@ object Drift {
         round(col("p_actual"), 6).as("p_actual"), col("psi_term"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance evaluated on a fixed
+    * equal-width grid — the distribution-shift test that, unlike q109's
+    * PSI, is threshold-free and, unlike the textbook KS, never needs a
+    * GLOBAL sort: rows land in `bins` buckets in one map-side-combined
+    * pass, and the ECDF difference is maximized over the bins-sized
+    * aggregate (grid evaluation bounds D from below by at most one bin's
+    * mass — the standard large-data formulation). Same fixed-order bin
+    * arithmetic as [[psiBins]]; the D statistic is a max of rounded
+    * per-bin terms, so it replays exactly cross-engine.
+    */
+  def ksBinned(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column,
+      bins: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, "need at least 2 bins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx")).head()
+    val mn = bounds.getDouble(0)
+    val mx = bounds.getDouble(1)
+    require(mx > mn, s"degenerate value range [$mn, $mx]")
+    val bin = least(
+      floor((v - lit(mn)) * lit(bins.toDouble) / lit(mx - mn)),
+      lit(bins - 1L)).cast("long")
+    val counts = df
+      .groupBy(bin.as("bin"))
+      .agg(
+        sum(when(sampleACol, 1L).otherwise(0L)).as("n_a"),
+        sum(when(sampleACol, 0L).otherwise(1L)).as("n_b"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    counts
+      .withColumn("cum_a", sum(col("n_a")).over(cum))
+      .withColumn("cum_b", sum(col("n_b")).over(cum))
+      .withColumn("t_a", sum(col("n_a")).over(all))
+      .withColumn("t_b", sum(col("n_b")).over(all))
+      .withColumn("f_a", col("cum_a").cast("double") / col("t_a").cast("double"))
+      .withColumn("f_b", col("cum_b").cast("double") / col("t_b").cast("double"))
+      .withColumn("d_term", round(abs(col("f_a") - col("f_b")), 9))
+      .withColumn("d_stat", max(col("d_term")).over(all))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("f_a"), 9).as("f_a"), round(col("f_b"), 9).as("f_b"),
+        col("d_term"), col("d_stat"))
+  }
+
   /** Mutual information between two categorical columns — the
     * feature-relevance score that, unlike q128's χ², is directly
     * comparable across feature pairs (nats): MI = Σ_xy p_xy·ln(p_xy·N² /

@@ -81,4 +81,79 @@ object Profiling {
         round(col("n").cast("double") / col("__total").cast("double"), 6))
       .drop("__total")
   }
+
+  /** Benford's-law probabilities for leading digits 1..9, pinned as
+    * 12-decimal literals so engine and oracle share the EXACT constants
+    * (log10(1+1/d) recomputed per engine would differ in the last ulp).
+    */
+  private val benfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+    4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+    7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+
+  /** Benford first-digit audit — the fabricated-data forensic: observed
+    * leading-digit distribution of a positive numeric column vs the
+    * Benford expectation, with the χ² statistic. The leading digit comes
+    * from the INTEGER part (`floor` then string head), so no cent-rounding
+    * boundary can flip a digit between engines; rows with value < 1 are
+    * excluded (no leading digit in 10⁰..). One map-side-combined count
+    * pass; a 9-row literal spine keeps absent digits visible at n=0; the
+    * χ² terms round to the 1e-6 grid and total in DECIMAL — the
+    * order-independent, engine-exact discipline.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(valueCol).cast("double")
+    val obs = df.filter(v >= 1.0)
+      .select(substring(floor(v).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = obs.sparkSession.createDataFrame(benfordP)
+      .toDF("digit", "expected_p")
+    val all = Window.partitionBy()
+    spine.join(obs, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("total", sum(col("n")).over(all))
+      .withColumn("expected_n",
+        col("expected_p") * col("total").cast("double"))
+      .withColumn("chi2_term",
+        round((col("n").cast("double") - col("expected_n")) *
+          (col("n").cast("double") - col("expected_n")) / col("expected_n"), 6)
+          .cast(DecimalType(18, 6)))
+      .withColumn("chi2_total",
+        sum(col("chi2_term")).over(all).cast("double"))
+      .select(col("digit"), col("n"), col("expected_p"),
+        round(col("expected_n"), 6).as("expected_n"),
+        col("chi2_term").cast("double").as("chi2_term"), col("chi2_total"))
+  }
+
+  /** Functional-dependency discovery over declared candidate pairs —
+    * the profiler that tells a modeler which "natural keys" actually
+    * determine which attributes before they're trusted in a join or an
+    * SCD merge. For each (determinant, dependent) pair: how many distinct
+    * determinant values exist, how many of them map to >1 dependent value
+    * (violations), the worst multiplicity, and the violation rate.
+    *
+    * Shape: every pair melts into ONE union then ONE (pair, value)-keyed
+    * aggregation — a single shuffle however many pairs are probed; the
+    * per-pair rollup runs over the group-cardinality-sized aggregate.
+    */
+  def fdViolations(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    val melted = pairs.map { case (lhs, rhs) =>
+      df.select(lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+        col(lhs).cast("string").as("a"), col(rhs).cast("string").as("b"))
+    }.reduce(_ unionByName _)
+    melted.groupBy(col("lhs"), col("rhs"), col("a"))
+      .agg(count_distinct(col("b")).as("ndv_b"))
+      .groupBy(col("lhs"), col("rhs"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("ndv_b") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("ndv_b")).as("max_multiplicity"))
+      .withColumn("violation_rate",
+        round(col("n_violating").cast("double") / col("n_groups").cast("double"),
+          6))
+      .withColumn("holds", col("n_violating") === 0)
+  }
 }

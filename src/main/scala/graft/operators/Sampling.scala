@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Reproducible sampling for corpus construction.
   *
@@ -292,5 +293,69 @@ object Sampling {
     ranked.join(broadcast(bounds), Seq(strataCol))
       .filter(col("__rn") > col("lo") && col("__rn") <= col("hi"))
       .select(col(idCol), col(strataCol), col("split"))
+  }
+
+  /** Poisson(1) CDF pinned as 12-decimal literals so engine and oracle
+    * draw the SAME bootstrap weights (recomputing e⁻¹ per engine could
+    * differ in the last ulp). Weights ≥ 5 are capped at 5 (mass 3e-4).
+    */
+  private val poisson1Cdf: Seq[Double] = Seq(
+    0.367879441171, 0.735758882343, 0.919698602929,
+    0.981011843124, 0.996340153173)
+
+  /** Deterministic Poisson bootstrap — the only bootstrap that works on
+    * a cluster: resampling n-out-of-n needs global coordination, but
+    * Binomial(n, 1/n) → Poisson(1), so each row draws an INDEPENDENT
+    * replicate-count per resample from a counter-based hash
+    * (md5(salt:id:rep)) — no RNG state, no shuffle, stage retries and
+    * engines agree draw for draw. Emits per-stratum point estimate and
+    * the discrete-rank [10%, 90%] percentile interval of the `b`
+    * resample means.
+    *
+    * Shape: rows × b expansion is map-side (explode straight into a
+    * partial aggregate); everything after is |strata|·b-sized. Resample
+    * sums accumulate in DECIMAL (order-independent); means and ranks
+    * replay exactly.
+    */
+  def poissonBootstrap(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      valueCol: String,
+      b: Int,
+      salt: String): DataFrame = {
+    require(b >= 10, "need enough resamples for the percentile ranks")
+    val u = conv(substring(md5(concat_ws(":", lit(salt),
+      col(idCol).cast("string"), col("rep").cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    val w = poisson1Cdf.zipWithIndex.foldRight(lit(5L): Column) {
+      case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
+    }
+    val rep = df.select(col(strataCol), col(idCol), col(valueCol))
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", w)
+      .groupBy(col(strataCol), col("rep"))
+      .agg(sum(col("__w")).as("n_rep"),
+        sum((col("__w") * col(valueCol)).cast(DecimalType(18, 2))).as("s_rep"))
+      .filter(col("n_rep") > 0)
+      .withColumn("mean_rep",
+        col("s_rep").cast("double") / col("n_rep").cast("double"))
+    val loRank = math.ceil(b * 0.1).toLong
+    val hiRank = math.ceil(b * 0.9).toLong
+    val ord = Window.partitionBy(col(strataCol))
+      .orderBy(col("mean_rep"), col("rep"))
+    val ranked = rep.withColumn("__rk", row_number().over(ord))
+    val ci = ranked.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_resamples"),
+        max(when(col("__rk") === loRank, col("mean_rep"))).as("ci_lo"),
+        max(when(col("__rk") === hiRank, col("mean_rep"))).as("ci_hi"))
+    val point = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valueCol).cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1)).cast("double")).as("mean"))
+    point.join(ci, Seq(strataCol))
+      .select(col(strataCol), col("n"), round(col("mean"), 6).as("mean"),
+        col("n_resamples"), round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"))
   }
 }

@@ -267,6 +267,45 @@ object Trend {
         round(folded.getField("s") + folded.getField("b"), 6).as("forecast"))
   }
 
+  /** Per-key ROLLING OLS slope over a trailing `win`-row window — the
+    * local-trend detector (q147 fits ONE global line; this emits the
+    * trend at every point, the shape a monitoring dashboard plots). All
+    * five window sums (n, Σx, Σy, Σxy, Σx²) are exact integers over the
+    * trailing frame (long-bounded for day-grained x), and the closed-form
+    * slope/intercept are evaluated in pinned double order over those
+    * exact operands — engine-identical. One key shuffle; the frame is
+    * `win` rows however long the series. Rows before a full window emit
+    * NULL slope (a 1-point "trend" is noise, not signal).
+    */
+  def rollingOlsPerKey(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      win: Int): DataFrame = {
+    require(win >= 2)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+      .rowsBetween(-(win - 1).toLong, Window.currentRow)
+    val base = df.select(col(keyCol), col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"))
+    val nD = col("__n").cast("double")
+    val den = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val slope = (nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")) / den
+    base
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w))
+      .withColumn("__sy", sum(col("__y")).over(w))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+      .select(col(keyCol), col("__x").as("x"), col("__y").as("y"),
+        when(col("__n") === win && den =!= 0.0, round(slope, 6)).as("slope"),
+        when(col("__n") === win && den =!= 0.0,
+          round((col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+            nD, 6)).as("intercept"))
+  }
+
   def ewmaPerKey(
       df: DataFrame,
       keyCol: String,

@@ -28,6 +28,44 @@ class ProfilingSpec extends SparkSuite {
     assert(math.abs(cov - 2.0 / 3.0) < 1e-6)
   }
 
+  test("benfordDigits: digit from the integer part, spine keeps zeros, χ² totals") {
+    // 9 ones, 1 two; values below 1 are excluded; 19.x still leads with 1
+    val df = (Seq.fill(8)(1.5) ++ Seq(19.99, 2.0, 0.4)).toDF("v")
+    val got = Profiling.benfordDigits(df, "v")
+      .select("digit", "n", "chi2_term").as[(Int, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1)._2 == 9L)
+    assert(got(2)._2 == 1L)
+    assert((3 to 9).forall(d => got(d)._2 == 0L))
+    // zero-count digits still contribute expected_n to χ²
+    assert(got(3)._3 > 0.0)
+    val tot = Profiling.benfordDigits(df, "v")
+      .select("chi2_total").as[Double].head()
+    val exp = Map(1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+      4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+      7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+    val manual = (1 to 9).map { d =>
+      val en = exp(d) * 10.0
+      val n = if (d == 1) 9.0 else if (d == 2) 1.0 else 0.0
+      BigDecimal((n - en) * (n - en) / en).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(tot - manual) < 1e-9)
+  }
+
+  test("fdViolations: holding and violated dependencies with exact multiplicities") {
+    val df = Seq(
+      (1L, "A", "x"), (2L, "A", "y"), (3L, "B", "z"), (4L, "B", "z"))
+      .toDF("id", "grp", "val")
+    val got = Profiling.fdViolations(df,
+        Seq("id" -> "grp", "grp" -> "val", "val" -> "grp"))
+      .select("lhs", "n_groups", "n_violating", "max_multiplicity", "holds")
+      .as[(String, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 4L, 0L, 1L, true)))     // key → anything holds
+    assert(got("grp") == (("grp", 2L, 1L, 2L, false)))  // A → {x, y} violates
+    assert(got("val") == (("val", 3L, 0L, 1L, true)))   // each val maps to one grp
+  }
+
   test("lexicalDiversity: exact token/type/hapax counts") {
     val df = Seq((1L, "a b a  c"), (2L, "x x x")).toDF("id", "text")
     val got = TextPipeline.lexicalDiversity(df, "id", "text")

@@ -103,6 +103,24 @@ class TrendSpec extends SparkSuite {
     assert((g2.getDouble(2), g2.getDouble(3), g2.getDouble(4)) == ((7.0, 4.0, 11.0)))
   }
 
+  test("rollingOlsPerKey: exact slope on a line, NULL before a full window") {
+    // y = 3x + 1 for key a → slope exactly 3, intercept exactly 1 once
+    // the window fills; the first win-1 rows emit NULL
+    val df = (0L to 5L).map(x => ("a", x, 3 * x + 1)).toDF("k", "x", "y")
+    val got = Trend.rollingOlsPerKey(df, "k", "x", "y", win = 3)
+      .orderBy("x").collect()
+    assert(got.length == 6)
+    assert(got.take(2).forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    got.drop(2).foreach { r =>
+      assert(r.getDouble(3) == 3.0)
+      assert(r.getDouble(4) == 1.0)
+    }
+    // degenerate window (all same x) emits NULL, not a 0/0
+    val dup = Seq(("b", 2L, 1L), ("b", 2L, 5L), ("b", 2L, 9L)).toDF("k", "x", "y")
+    val gb = Trend.rollingOlsPerKey(dup, "k", "x", "y", win = 3)
+    assert(gb.collect().forall(_.isNullAt(3)))
+  }
+
   test("ewmaPerKey equals the sequential fold, and a singleton is its value") {
     val df = Seq(
       ("a", 0L, 10.0), ("a", 1L, 20.0), ("a", 2L, 30.0),
