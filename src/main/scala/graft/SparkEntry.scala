@@ -5130,6 +5130,76 @@ object SparkEntry {
       .orderBy(col("ante"), col("cons"))
   }
 
+  /** Two-sample KS distance ([[graft.operators.Drift.ksBinned]]) between
+    * urgent and low-priority order totals on a 40-bin grid — the
+    * threshold-free distribution-shift test that never needs a global
+    * sort: one map-side-combined bin pass, ECDFs maximized over the
+    * bins-sized aggregate.
+    */
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    graft.operators.Drift.ksBinned(o, "o_totalprice",
+        col("o_orderpriority") === "1-URGENT", bins = 40)
+      .orderBy(col("bin"))
+  }
+
+  /** Item-item top-3 neighbors ([[graft.operators.Affinity
+    * .itemNeighbors]]) by co-occurrence cosine over brand baskets — the
+    * precomputed neighborhood an item-based recommender serves from.
+    * Ranking windows are keyed per item; ties break on the neighbor id
+    * after 1e-6 rounding so both engines rank identically.
+    */
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    val baskets = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+    graft.operators.Affinity.itemNeighbors(baskets, "basket", "item", k = 3)
+      .orderBy(col("item"), col("rank"))
+  }
+
+  /** Deterministic Poisson bootstrap ([[graft.operators.Sampling
+    * .poissonBootstrap]]): per-segment mean order total with a 40-resample
+    * [10%, 90%] percentile interval — counter-based-hash weights, no RNG
+    * state, no shuffle for the draw; the expansion aggregates map-side and
+    * everything after is |segments|·40-sized.
+    */
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "orders")
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+        col("o_totalprice"))
+    graft.operators.Sampling.poissonBootstrap(base, "seg", "o_orderkey",
+        "o_totalprice", b = 40, salt = "bs1")
+      .orderBy(col("seg"))
+  }
+
+  /** Column-level lineage ([[graft.plans.Lineage.columnLineage]]) of a
+    * join→agg→window→literal query, extracted from the ANALYZED plan —
+    * pure metadata, nothing executes. The oracle is the independently
+    * hand-derived edge list: aggregates trace to their leaf columns,
+    * the window share traces THROUGH the aliased aggregate to the same
+    * leaf, and literal/count columns report the (null, null) no-lineage
+    * row.
+    */
+  private def q298(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders")
+    val customer = T(s, dir, "customer")
+    val q = orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sumx(col("o_totalprice")).as("revenue"))
+      .withColumn("revenue_share",
+        round(col("revenue") / sum(col("revenue")).over(Window.partitionBy()), 6))
+      .withColumn("tag", lit("gold"))
+    graft.plans.Lineage
+      .columnLineage(q, Map("orders" -> orders, "customer" -> customer))
+      .orderBy(col("out_col"), col("src_table"), col("src_col"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5957,6 +6027,10 @@ object SparkEntry {
     "q292_fd_discovery" -> (q292 _),
     "q293_rolling_ols" -> (q293 _),
     "q294_assoc_rules" -> (q294 _),
+    "q295_ks_binned" -> (q295 _),
+    "q296_item_neighbors" -> (q296 _),
+    "q297_bootstrap_ci" -> (q297 _),
+    "q298_column_lineage" -> (q298 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6799,6 +6873,22 @@ object SparkEntry {
     // fixed-order support/confidence/lift arithmetic
     "q294_assoc_rules" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it FROM lineitem JOIN part ON l_partkey = p_partkey), s AS (SELECT it, COUNT(*) AS n_i FROM b GROUP BY 1), t AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b), p AS (SELECT l.it AS ia, r.it AS ib, COUNT(*) AS n_ab FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it GROUP BY 1, 2), r2 AS (SELECT ia AS ante, ib AS cons, n_ab FROM p UNION ALL SELECT ib, ia, n_ab FROM p) SELECT ante, cons, n_ab, sa.n_i AS n_ante, sc.n_i AS n_cons, round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support, round(CAST(n_ab AS DOUBLE) / CAST(sa.n_i AS DOUBLE), 6) AS confidence, round(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) / (CAST(sa.n_i AS DOUBLE) * CAST(sc.n_i AS DOUBLE)), 6) AS lift FROM r2 JOIN s sa ON ante = sa.it JOIN s sc ON cons = sc.it CROSS JOIN t ORDER BY ante, cons""",
+    // identical fixed-order bin arithmetic (the q109 pattern); ECDF diff
+    // rounded to 1e-9 then maximized over the bins-sized aggregate
+    "q295_ks_binned" ->
+      """WITH o AS (SELECT o_totalprice AS v, o_orderpriority = '1-URGENT' AS isa FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM o), bb AS (SELECT LEAST(CAST(floor((v - mn) * 40.0 / (mx - mn)) AS BIGINT), 39) AS bin, isa FROM o, mm), c AS (SELECT bin, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b FROM bb GROUP BY 1), w AS (SELECT bin, n_a, n_b, SUM(n_a) OVER cum AS cum_a, SUM(n_b) OVER cum AS cum_b, SUM(n_a) OVER () AS t_a, SUM(n_b) OVER () AS t_b FROM c WINDOW cum AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), f AS (SELECT bin, n_a, n_b, CAST(cum_a AS DOUBLE) / CAST(t_a AS DOUBLE) AS f_a, CAST(cum_b AS DOUBLE) / CAST(t_b AS DOUBLE) AS f_b FROM w), d AS (SELECT bin, n_a, n_b, f_a, f_b, round(abs(f_a - f_b), 9) AS d_term FROM f) SELECT bin, n_a, n_b, round(f_a, 9) AS f_a, round(f_b, 9) AS f_b, d_term, MAX(d_term) OVER () AS d_stat FROM d ORDER BY bin""",
+    // both engines rank on the 1e-6-rounded cosine with the neighbor-id
+    // tie-break — identical top-3 per item
+    "q296_item_neighbors" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it FROM lineitem JOIN part ON l_partkey = p_partkey), s AS (SELECT it, COUNT(*) AS n_i FROM b GROUP BY 1), p AS (SELECT l.it AS ia, r.it AS ib, COUNT(*) AS n_ab FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it GROUP BY 1, 2), bo AS (SELECT ia AS item, ib AS neighbor, n_ab FROM p UNION ALL SELECT ib, ia, n_ab FROM p), sc AS (SELECT item, neighbor, n_ab, round(CAST(n_ab AS DOUBLE) / sqrt(CAST(si.n_i AS DOUBLE) * CAST(sn.n_i AS DOUBLE)), 6) AS cosine FROM bo JOIN s si ON item = si.it JOIN s sn ON neighbor = sn.it), r AS (SELECT item, neighbor, n_ab, cosine, ROW_NUMBER() OVER (PARTITION BY item ORDER BY cosine DESC, neighbor ASC) AS rank FROM sc) SELECT item, CAST(rank AS BIGINT) AS rank, neighbor, n_ab, cosine FROM r WHERE rank <= 3 ORDER BY item, rank""",
+    // the Poisson(1) weights replay hash-for-hash from the same pinned
+    // CDF literals; resample sums in DECIMAL, discrete-rank CI
+    "q297_bootstrap_ci" ->
+      """WITH base AS (SELECT c_mktsegment AS seg, o_orderkey AS id, o_totalprice AS v FROM orders JOIN customer ON o_custkey = c_custkey), reps AS (SELECT seg, id, v, unnest(range(0, 40)) AS rep FROM base), u AS (SELECT seg, rep, v, CAST(CAST(concat('0x', substr(md5(concat('bs1', ':', CAST(id AS VARCHAR), ':', CAST(rep AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS uu FROM reps), w AS (SELECT seg, rep, v, CASE WHEN uu < 0.367879441171 THEN 0 WHEN uu < 0.735758882343 THEN 1 WHEN uu < 0.919698602929 THEN 2 WHEN uu < 0.981011843124 THEN 3 WHEN uu < 0.996340153173 THEN 4 ELSE 5 END AS w FROM u), rm AS (SELECT seg, rep, CAST(SUM(w) AS BIGINT) AS n_rep, SUM(CAST(w * v AS DECIMAL(18,2))) AS s_rep FROM w GROUP BY 1, 2), rm2 AS (SELECT seg, rep, n_rep, CAST(s_rep AS DOUBLE) / CAST(n_rep AS DOUBLE) AS mean_rep FROM rm WHERE n_rep > 0), rk AS (SELECT seg, rep, mean_rep, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY mean_rep, rep) AS rk, COUNT(*) OVER (PARTITION BY seg) AS nr FROM rm2), ci AS (SELECT seg, MAX(nr) AS n_resamples, MAX(CASE WHEN rk = 4 THEN mean_rep END) AS ci_lo, MAX(CASE WHEN rk = 36 THEN mean_rep END) AS ci_hi FROM rk GROUP BY 1), pt AS (SELECT seg, COUNT(*) AS n, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean FROM base GROUP BY 1) SELECT pt.seg, pt.n, round(pt.mean, 6) AS mean, ci.n_resamples, round(ci.ci_lo, 6) AS ci_lo, round(ci.ci_hi, 6) AS ci_hi FROM pt JOIN ci USING (seg) ORDER BY seg""",
+    // the expected edge list derived BY HAND from the query's shape —
+    // not replayed; literals/count(*) report the (NULL, NULL) row
+    "q298_column_lineage" ->
+      """SELECT * FROM (VALUES ('c_mktsegment', 'customer', 'c_mktsegment'), ('n_orders', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)), ('revenue', 'orders', 'o_totalprice'), ('revenue_share', 'orders', 'o_totalprice'), ('tag', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))) AS t(out_col, src_table, src_col) ORDER BY out_col, src_table, src_col""",
     // wedge-join triangle count over the same canonical top-60 word graph;
     // identical 2t/(d(d-1)) arithmetic
     "q285_clustering_coeff" ->

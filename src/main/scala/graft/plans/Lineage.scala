@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, ExprId}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, Union}
+
+/** Column-level lineage extracted from the ANALYZED logical plan — the
+  * governance surface (impact analysis, PII propagation, audit) that a
+  * catalog derives for every published dataset: for each output column,
+  * which (input, column) leaves it was computed from.
+  *
+  * Pure plan metadata — no data is read and nothing executes; cost is
+  * O(plan size) on the driver. Lineage is tracked through Catalyst
+  * `ExprId`s: aliases map to the union of their children's sources
+  * (covering Project/Aggregate/Window in one rule), generators fan the
+  * generator's sources out to every generated column, and Union merges
+  * sources positionally across branches. Filters, joins, sorts and
+  * limits are pass-through. A column with no leaf sources (a literal,
+  * a count(*)) reports a single (null, null) row — absence of lineage
+  * is itself the auditable fact.
+  *
+  * `inputs` must be the SAME DataFrame objects the query was built from
+  * (their leaf `ExprId`s are what the composed plan carries).
+  */
+object Lineage {
+
+  def columnLineage(df: DataFrame, inputs: Map[String, DataFrame]): DataFrame = {
+    val leafIds: Map[ExprId, (String, String)] = inputs.flatMap {
+      case (nm, in) =>
+        in.queryExecution.analyzed.output.map(a => a.exprId -> (nm, a.name))
+    }
+    type Src = Set[(String, String)]
+    // a declared-input column ENDS the walk: its own alias chain (toDF,
+    // selects inside the input) must not dissolve the boundary
+    def boundary(id: ExprId): Option[Src] = leafIds.get(id).map(Set(_))
+    def go(p: LogicalPlan): Map[ExprId, Src] = {
+      val cm = p.children.map(go)
+        .foldLeft(Map.empty[ExprId, Src])(_ ++ _)
+      // bottom-up map first (it is built boundary-respecting; Union may
+      // have MERGED several inputs under one reused ExprId), declared
+      // boundary as the fallback for ids no subtree produced
+      def lookup(id: ExprId): Src =
+        cm.get(id).orElse(boundary(id)).getOrElse(Set.empty)
+      def src(e: Expression): Src =
+        e.references.toSeq.flatMap(a => lookup(a.exprId)).toSet
+      val aliased: Map[ExprId, Src] = p.expressions.flatMap(_.collect {
+        case al: Alias => al.exprId -> boundary(al.exprId).getOrElse(src(al.child))
+      }).toMap
+      val shaped: Map[ExprId, Src] = p match {
+        case l: LeafNode =>
+          l.output.map(a =>
+            a.exprId -> boundary(a.exprId).getOrElse(Set.empty: Src)).toMap
+        case u: Union =>
+          u.output.zipWithIndex.map { case (a, i) =>
+            a.exprId -> u.children
+              .flatMap(c => cm.get(c.output(i).exprId).orElse(
+                boundary(c.output(i).exprId)).getOrElse(Set.empty: Src))
+              .toSet
+          }.toMap
+        case g: Generate =>
+          g.generatorOutput.map(o => o.exprId -> src(g.generator)).toMap
+        case _ => Map.empty
+      }
+      cm ++ aliased ++ shaped
+    }
+    val plan = df.queryExecution.analyzed
+    val m = go(plan)
+    val rows: Seq[(String, String, String)] = plan.output.flatMap { a =>
+      val srcs = m.get(a.exprId).filter(_.nonEmpty)
+        .orElse(boundary(a.exprId))
+        .getOrElse(Set.empty[(String, String)])
+      if (srcs.isEmpty) Seq((a.name, null, null))
+      else srcs.toSeq.sorted.map { case (t, c) => (a.name, t, c) }
+    }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("out_col", "src_table", "src_col")
+  }
+}

@@ -166,6 +166,22 @@ class GraphSpec extends SparkSuite {
       "equal slices must contribute ~0 psi per bin")
   }
 
+  test("ksBinned: disjoint samples reach D=1, identical samples D=0") {
+    import spark.implicits._
+    // sample A in [0,10), sample B in [20,30) → ECDFs never overlap: D=1
+    val disjoint = ((0 until 50).map(i => (i % 10 * 1.0, true)) ++
+      (0 until 50).map(i => (20.0 + i % 10, false))).toDF("v", "isa")
+    val d1 = graft.operators.Drift.ksBinned(disjoint, "v", col("isa"), bins = 10)
+      .select("d_stat").distinct().collect()
+    assert(d1.length == 1 && d1(0).getDouble(0) == 1.0)
+    // identical samples → every ECDF diff is exactly 0
+    val same = ((0 until 40).map(i => (i % 8 * 1.0, true)) ++
+      (0 until 40).map(i => (i % 8 * 1.0, false))).toDF("v", "isa")
+    val d0 = graft.operators.Drift.ksBinned(same, "v", col("isa"), bins = 8)
+      .select("d_stat").distinct().collect()
+    assert(d0.length == 1 && d0(0).getDouble(0) == 0.0)
+  }
+
   test("mutualInfo: identity is ln 2 for uniform binary, independence is 0") {
     import spark.implicits._
     // x == y over two uniform symbols → MI = ln 2; the per-cell terms are

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.Lineage
+
+class LineageSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def edges(df: org.apache.spark.sql.DataFrame,
+      inputs: Map[String, org.apache.spark.sql.DataFrame]) =
+    Lineage.columnLineage(df, inputs)
+      .as[(String, String, String)].collect().toSet
+
+  test("aliases, joins and windows trace to leaf columns; literals to null") {
+    val a = Seq((1L, 2.0, "x")).toDF("k", "v", "s")
+    val b = Seq((1L, 5L)).toDF("k2", "w")
+    val q = a.join(b, col("k") === col("k2"))
+      .groupBy(col("s"))
+      .agg(sum(col("v") + col("w")).as("t"), count(lit(1)).as("n"))
+      .withColumn("share", col("t") / sum(col("t")).over(Window.partitionBy()))
+      .withColumn("lbl", lit("z"))
+    val got = edges(q, Map("a" -> a, "b" -> b))
+    assert(got == Set(
+      ("s", "a", "s"),
+      ("t", "a", "v"), ("t", "b", "w"),
+      ("n", null, null),
+      ("share", "a", "v"), ("share", "b", "w"),
+      ("lbl", null, null)))
+  }
+
+  test("union merges branch sources positionally; explode fans generator refs") {
+    val a = Seq((1L, "p")).toDF("k", "t")
+    val b = Seq((2L, "q")).toDF("k", "t")
+    val u = a.select(col("k").as("id"), col("t"))
+      .unionByName(b.select(col("k").as("id"), col("t")))
+    val gu = edges(u, Map("a" -> a, "b" -> b))
+    assert(gu == Set(("id", "a", "k"), ("id", "b", "k"),
+      ("t", "a", "t"), ("t", "b", "t")))
+    val e = a.select(col("k"), explode(split(col("t"), " ")).as("tok"))
+    val ge = edges(e, Map("a" -> a))
+    assert(ge == Set(("k", "a", "k"), ("tok", "a", "t")))
+  }
+}

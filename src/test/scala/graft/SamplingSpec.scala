@@ -142,4 +142,27 @@ class SamplingSpec extends SparkSuite {
       .collect().map(r => (r.getString(1), r.getString(2)) -> r.getLong(0))
     assert(again.toSet == out.toSet)
   }
+
+  test("poissonBootstrap: deterministic, CI brackets the mean, ranks discrete") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => ("a", i, 10.0 + (i % 7))).toDF("s", "id", "v")
+    val out = Sampling.poissonBootstrap(df, "s", "id", "v", b = 40, salt = "t1")
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 200L)             // n
+    assert(r.getLong(3) == 40L)              // every resample non-empty
+    val (mean, lo, hi) = (r.getDouble(2), r.getDouble(4), r.getDouble(5))
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"80% CI [$lo, $hi] should bracket the mean $mean at n=200")
+    // counter-based draws: bit-identical on a rerun
+    val again = Sampling.poissonBootstrap(df, "s", "id", "v", b = 40, salt = "t1")
+      .collect()(0)
+    assert(again.getDouble(4) == lo && again.getDouble(5) == hi)
+    // a different salt draws different weights → a different interval
+    val other = Sampling.poissonBootstrap(df, "s", "id", "v", b = 40, salt = "t2")
+      .collect()(0)
+    assert(other.getDouble(4) != lo || other.getDouble(5) != hi)
+  }
 }
