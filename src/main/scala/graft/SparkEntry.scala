@@ -5200,6 +5200,37 @@ object SparkEntry {
       .orderBy(col("out_col"), col("src_table"), col("src_col"))
   }
 
+  /** BOM explosion ([[graft.operators.Graph.weightedClosure]]) over the
+    * divisor DAG (k → 2k needs 2, k → 3k needs 3, keys ≤ 600): total
+    * transitive quantity per (assembly, component) = Σ over paths of the
+    * product of edge quantities — the sum-product semiring where pointer
+    * doubling would double-count, handled by the unique-prefix recursion.
+    * The oracle walks every path with a recursive CTE and sums products.
+    */
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    val nodes = T(s, dir, "part").filter(col("p_partkey").between(1, 600))
+      .select(col("p_partkey").as("k"))
+    def scaled(m: Int, q: Int) = nodes.as("a")
+      .join(nodes.as("b"), col("b.k") === col("a.k") * m)
+      .select(col("a.k").as("src"), col("b.k").as("dst"),
+        lit(q.toLong).as("qty"))
+    val edges = scaled(2, 2).unionByName(scaled(3, 3))
+    graft.operators.Graph.weightedClosure(edges, rounds = 10)
+      .select(col("src"), col("dst"), col("total_qty").cast("long").as("total_qty"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Streaming running z-score monitor ([[graft.streaming.EventsStream
+    * .zscoreAlerts]] via [[graft.streaming.StreamVerify.zscoreStream]]):
+    * three longs of state per event type, exact-BigInt alert test, REAL
+    * cross-batch baseline carry over the time-sliced staging — must equal
+    * the batch exclusive-prefix-window replay row for row.
+    */
+  private def q300(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify
+      .zscoreStream(s, q259Events(s, dir), minN = 30, z = 3)
+      .orderBy(col("event_type"), col("sec"), col("event_id"))
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -5746,7 +5777,7 @@ object SparkEntry {
     "q200_stream_bitmap", "q206_stream_dv_erasure",
     "q219_stream_components", "q228_stream_topk", "q242_stream_gap_monitor",
     "q259_stream_cdc_deletes", "q267_stream_retention",
-    "q284_stream_debounce")
+    "q284_stream_debounce", "q300_stream_zscore")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -6031,6 +6062,8 @@ object SparkEntry {
     "q296_item_neighbors" -> (q296 _),
     "q297_bootstrap_ci" -> (q297 _),
     "q298_column_lineage" -> (q298 _),
+    "q299_bom_explosion" -> (q299 _),
+    "q300_stream_zscore" -> (q300 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6889,6 +6922,14 @@ object SparkEntry {
     // not replayed; literals/count(*) report the (NULL, NULL) row
     "q298_column_lineage" ->
       """SELECT * FROM (VALUES ('c_mktsegment', 'customer', 'c_mktsegment'), ('n_orders', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)), ('revenue', 'orders', 'o_totalprice'), ('revenue_share', 'orders', 'o_totalprice'), ('tag', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))) AS t(out_col, src_table, src_col) ORDER BY out_col, src_table, src_col""",
+    // every src→dst path enumerated by the recursive CTE, quantities
+    // multiplied along the path and summed per pair — exact integers
+    "q299_bom_explosion" ->
+      """WITH RECURSIVE nodes AS (SELECT p_partkey AS k FROM part WHERE p_partkey BETWEEN 1 AND 600), e AS (SELECT a.k AS src, b.k AS dst, 2 AS qty FROM nodes a JOIN nodes b ON b.k = a.k * 2 UNION ALL SELECT a.k, b.k, 3 FROM nodes a JOIN nodes b ON b.k = a.k * 3), paths AS (SELECT src, dst, CAST(qty AS BIGINT) AS q, 1 AS len FROM e UNION ALL SELECT p.src, e.dst, p.q * e.qty, p.len + 1 FROM paths p JOIN e ON e.src = p.dst WHERE p.len < 10) SELECT src, dst, CAST(SUM(q) AS BIGINT) AS total_qty FROM paths GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the exclusive-prefix replay of the streaming state: same cents
+    // grid, same int128 alert inequality, same (sec, event_id) fold order
+    "q300_stream_zscore" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_ns(ts) // 1000000000 AS sec, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events), w AS (SELECT event_type, sec, event_id, c, COUNT(*) OVER pre AS n, COALESCE(SUM(c) OVER pre, 0) AS s, COALESCE(SUM(c * c) OVER pre, 0) AS sq FROM e WINDOW pre AS (PARTITION BY event_type ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) SELECT event_type, sec, event_id, c AS value_cents, CAST(n AS BIGINT) AS n_prior FROM w WHERE n >= 30 AND (CAST(n AS HUGEINT) * c - CAST(s AS HUGEINT)) * (CAST(n AS HUGEINT) * c - CAST(s AS HUGEINT)) > 9 * (CAST(n AS HUGEINT) * CAST(sq AS HUGEINT) - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) ORDER BY event_type, sec, event_id""",
     // wedge-join triangle count over the same canonical top-60 word graph;
     // identical 2t/(d(d-1)) arithmetic
     "q285_clustering_coeff" ->

@@ -363,4 +363,43 @@ object Graph {
     }
     dist
   }
+
+  /** Sum-product weighted closure over a DAG — the BOM EXPLOSION: for an
+    * edge list `(src, dst, qty)` ("one src needs qty dsts"), the total
+    * quantity of every transitive component per ancestor, i.e.
+    * Σ over all src→dst paths of the PRODUCT of edge quantities.
+    *
+    * Unlike min-plus ([[shortestPaths]]), the sum-product semiring is not
+    * idempotent, so pointer doubling would double-count a path's split
+    * decompositions; the unique-prefix recursion S₁ = A,
+    * Sᵢ₊₁ = A + A·Sᵢ (first hop ∘ rest-of-path — every path decomposes
+    * exactly once) stays exact in `rounds` linear rounds, covering all
+    * paths up to `rounds` hops — the bounded-depth contract every BOM
+    * system imposes anyway. Quantities accumulate in DECIMAL(38,0): path
+    * products grow multiplicatively and must not wrap a long silently.
+    *
+    * Per-round cost: one equi-join of the closure against the edge list
+    * on the first hop + one sum-combine; `localCheckpoint` cuts lineage.
+    * Cycles make the closure diverge by definition (a part cannot contain
+    * itself) — feed DAGs only.
+    */
+  def weightedClosure(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val dec = DecimalType(38, 0)
+    val e = edges.select(col("src"), col("dst"), col("qty").cast(dec).as("qty"))
+      .localCheckpoint(true)
+    var closure = e.select(col("src"), col("dst"), col("qty").as("total_qty"))
+    for (_ <- 2 to rounds) {
+      val extended = e.as("a")
+        .join(closure.as("s"), col("a.dst") === col("s.src"))
+        .select(col("a.src").as("src"), col("s.dst").as("dst"),
+          (col("a.qty") * col("s.total_qty")).cast(dec).as("total_qty"))
+      closure = e.select(col("src"), col("dst"), col("qty").as("total_qty"))
+        .unionByName(extended)
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("total_qty")).cast(dec).as("total_qty"))
+        .localCheckpoint(true)
+    }
+    closure
+  }
 }

@@ -256,4 +256,52 @@ object EventsStream {
         })
       .toDF("user_id", "event_type", "kept_sec")
   }
+
+  /** Streaming running z-score monitor: per event type, three longs of
+    * state (n, Σcents, Σcents²) — Welford without the float drift — and
+    * an alert whenever a point sits more than `z` sigmas from the mean of
+    * everything BEFORE it (the online anomaly gate; the point then joins
+    * the baseline). The test is evaluated in exact BigInt arithmetic,
+    *   (n·v − Σ)² > z²·(n·Σ² − Σ²),
+    * so no engine float rounding can flip an alert — the batch oracle
+    * replays it in int128. Events fold in (sec, event_id) order within a
+    * batch; the time-sliced staging contract (q259) makes cross-batch
+    * order the same global order, so streaming equals the batch prefix
+    * windows row for row. Alerts need `minN` prior points.
+    */
+  def zscoreAlerts(
+      spark: SparkSession,
+      events: DataFrame,
+      minN: Int,
+      z: Int): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamEvent]
+    typed
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[StreamEvent],
+            state: GroupState[(Long, Long, Long)]) => {
+          var (n, s, sq) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = it.toSeq.sortBy(e => (e.sec, e.event_id)).flatMap { e =>
+            val c = java.math.BigDecimal.valueOf(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            val alert = n >= minN && {
+              val lhs = BigInt(n) * c - BigInt(s)
+              lhs * lhs > BigInt(z.toLong * z) *
+                (BigInt(n) * sq - BigInt(s) * BigInt(s))
+            }
+            val res =
+              if (alert) Some((key, e.sec, e.event_id, c, n)) else None
+            n += 1; s += c; sq += c * c
+            res
+          }
+          state.update((n, s, sq))
+          out.iterator
+        })
+      .toDF("event_type", "sec", "event_id", "value_cents", "n_prior")
+  }
 }

@@ -892,4 +892,19 @@ object StreamVerify {
       gapSec)
     drain(spark, kept, "update")
   }
+
+  /** The streaming z-score monitor ([[EventsStream.zscoreAlerts]])
+    * drained through the oracle gate: time-sliced files (the q259
+    * contract) carry REAL per-key (n, Σ, Σ²) state across batches — an
+    * alert's baseline spans every earlier slice — and the update-mode
+    * emissions are final, so the drained union must equal the batch
+    * exclusive-prefix-window replay exactly.
+    */
+  def zscoreStream(
+      spark: SparkSession, eventsPath: String, minN: Int, z: Int): DataFrame = {
+    val alerts = EventsStream.zscoreAlerts(spark,
+      EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1)),
+      minN, z)
+    drain(spark, alerts, "update")
+  }
 }

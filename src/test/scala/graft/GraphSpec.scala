@@ -166,6 +166,21 @@ class GraphSpec extends SparkSuite {
       "equal slices must contribute ~0 psi per bin")
   }
 
+  test("weightedClosure: path products sum without double-counting") {
+    import spark.implicits._
+    // diamond: 1→2 (×2), 1→3 (×3), 2→4 (×5), 3→4 (×7), plus direct 1→4 (×1)
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 3L), (2L, 4L, 5L), (3L, 4L, 7L),
+      (1L, 4L, 1L)).toDF("src", "dst", "qty")
+    val got = graft.operators.Graph.weightedClosure(edges, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getDecimal(2).longValueExact()).toMap
+    // 1→4: direct 1 + 2·5 + 3·7 = 32 — each path counted exactly once
+    assert(got((1L, 4L)) == 32L)
+    assert(got((1L, 2L)) == 2L && got((1L, 3L)) == 3L)
+    assert(got((2L, 4L)) == 5L && got((3L, 4L)) == 7L)
+    assert(got.size == 5)
+  }
+
   test("ksBinned: disjoint samples reach D=1, identical samples D=0") {
     import spark.implicits._
     // sample A in [0,10), sample B in [20,30) → ECDFs never overlap: D=1

@@ -217,4 +217,42 @@ class StreamingSpec extends SparkSuite {
     try q.awaitTermination() finally q.stop()
     assert(kept.toSet == Set(1000L, 1700L, 2400L))
   }
+
+  test("streaming zscore carries (n, Σ, Σ²) baseline across micro-batches") {
+    import org.apache.spark.sql.{Row => R}
+    val dir = Files.createTempDirectory("graft_z_src")
+    def writeFile(name: String, mtime: Long, rows: Seq[(Long, Long, Double)]): Unit = {
+      val side = Files.createTempDirectory("graft_z_side").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, sec, v) =>
+            R(id, EventsStream.ntzOfEpochSec(sec), 1L, "click", v, null) }, 1),
+        EventsStream.rawEventsSchema)
+        .write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime)
+    }
+    // batch A: six identical points — zero variance, no alert possible
+    writeFile("a.parquet", 1600000000000L,
+      (1L to 6L).map(i => (i, i * 100L, 10.0)))
+    // batch B: another on-mean point (no alert: |v−mean| = 0), then an
+    // outlier that must alert AGAINST THE CARRIED BASELINE with n_prior=7
+    writeFile("b.parquet", 1600000010000L,
+      Seq((7L, 700L, 10.0), (8L, 800L, 100.0)))
+    val alerts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = EventsStream.zscoreAlerts(spark,
+        EventsStream.readEvents(spark, dir.toString, maxFilesPerTrigger = Some(1)),
+        minN = 5, z = 3)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => alerts += ((r.getLong(2), r.getLong(4)))); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(alerts.toList == List((8L, 7L)),
+      s"only the outlier should alert, with the cross-batch n_prior; got $alerts")
+  }
 }
