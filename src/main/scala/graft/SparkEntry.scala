@@ -5231,6 +5231,73 @@ object SparkEntry {
       .zscoreStream(s, q259Events(s, dir), minN = 30, z = 3)
       .orderBy(col("event_type"), col("sec"), col("event_id"))
 
+  /** Per-type changepoint ([[graft.operators.Trend.changePointPerKey]])
+    * over daily event counts: the single binary-segmentation split that
+    * maximizes the two-segment SSE reduction — "when did the level
+    * shift", from exact integer prefix sums in one ordered pass per key.
+    */
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 86400").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.operators.Trend.changePointPerKey(daily, "event_type", "day",
+        "n_events")
+      .orderBy(col("event_type"))
+  }
+
+  /** Positional proximity search (the slop-query surface of the q205
+    * phrase index): docs where BOTH probe terms occur within 10 token
+    * positions — per-doc position lists joined doc-locally (cost bounded
+    * by per-doc term frequency, never cross-doc), exact integer distance.
+    */
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tok = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val probe = docs.filter(col("doc_id") === 0)
+      .select(element_at(tok, 1).as("t0"), element_at(tok, 4).as("t1"))
+      .head()
+    val (t0, t1) = (probe.getString(0), probe.getString(1))
+    val toks = docs.select(col("doc_id"), posexplode(tok).as(Seq("pos", "w")))
+    def positions(t: String, nm: String) = toks.filter(col("w") === t)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as(s"n_$nm"), collect_list(col("pos")).as(s"ps_$nm"))
+    positions(t0, "a").join(positions(t1, "b"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_a"), col("n_b"),
+        expr("""aggregate(flatten(transform(ps_a, p -> transform(ps_b, r -> abs(p - r)))),
+                cast(9223372036854775807 as bigint), (acc, x) -> least(acc, cast(x as bigint)))""")
+          .as("min_dist"))
+      .filter(col("min_dist") <= 10)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Calendar dimension with business-day arithmetic — the date-dim
+    * staple every warehouse materializes: one row per day spanning the
+    * order-date range with ISO week/weekday fields and a running
+    * BUSINESS-DAY sequence (subtracting two rows' business_seq = business
+    * days between, the add_business_days primitive). The spine is
+    * date-range-sized metadata, so the one unpartitioned window is
+    * aggregate-scale by construction.
+    */
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    val b = T(s, dir, "orders")
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+    val spine = b.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val run = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .withColumn("dow", weekday(col("d")).cast("long"))
+      .withColumn("is_weekend", col("dow") >= 5)
+      .withColumn("business_seq",
+        sum(when(col("dow") >= 5, 0L).otherwise(1L)).over(run))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("date_id"), col("dow"),
+        col("is_weekend"), month(col("d")).cast("long").as("month"),
+        quarter(col("d")).cast("long").as("quarter"),
+        weekofyear(col("d")).cast("long").as("iso_week"), col("business_seq"))
+      .orderBy(col("date_id"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -6064,6 +6131,9 @@ object SparkEntry {
     "q298_column_lineage" -> (q298 _),
     "q299_bom_explosion" -> (q299 _),
     "q300_stream_zscore" -> (q300 _),
+    "q301_changepoint" -> (q301 _),
+    "q302_proximity_search" -> (q302 _),
+    "q303_calendar_dim" -> (q303 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6926,6 +6996,18 @@ object SparkEntry {
     // multiplied along the path and summed per pair — exact integers
     "q299_bom_explosion" ->
       """WITH RECURSIVE nodes AS (SELECT p_partkey AS k FROM part WHERE p_partkey BETWEEN 1 AND 600), e AS (SELECT a.k AS src, b.k AS dst, 2 AS qty FROM nodes a JOIN nodes b ON b.k = a.k * 2 UNION ALL SELECT a.k, b.k, 3 FROM nodes a JOIN nodes b ON b.k = a.k * 3), paths AS (SELECT src, dst, CAST(qty AS BIGINT) AS q, 1 AS len FROM e UNION ALL SELECT p.src, e.dst, p.q * e.qty, p.len + 1 FROM paths p JOIN e ON e.src = p.dst WHERE p.len < 10) SELECT src, dst, CAST(SUM(q) AS BIGINT) AS total_qty FROM paths GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same integer prefix sums, same pinned-order gain arithmetic,
+    // argmax on the 1e-6-rounded gain with the earliest-split tie-break
+    "q301_changepoint" ->
+      """WITH d AS (SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day, COUNT(*) AS y FROM events GROUP BY 1, 2), w AS (SELECT event_type, day, y, COUNT(*) OVER run AS cn, SUM(y) OVER run AS cs, SUM(y * y) OVER run AS cq, COUNT(*) OVER k AS n, SUM(y) OVER k AS s, SUM(y * y) OVER k AS q FROM d WINDOW run AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), k AS (PARTITION BY event_type)), g AS (SELECT event_type, day, cn, n, cs, s, round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) - (CAST(cq AS DOUBLE) - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)) - ((CAST(q AS DOUBLE) - CAST(cq AS DOUBLE)) - (CAST(s AS DOUBLE) - CAST(cs AS DOUBLE)) * (CAST(s AS DOUBLE) - CAST(cs AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE))), 6) AS gain FROM w WHERE cn < n), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gain DESC, day ASC) AS rk FROM g) SELECT event_type, day AS split_x, CAST(cn AS BIGINT) AS n_left, CAST(n - cn AS BIGINT) AS n_right, round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS mean_left, round((CAST(s AS DOUBLE) - CAST(cs AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(cn AS DOUBLE)), 6) AS mean_right, gain FROM r WHERE rk = 1 ORDER BY event_type""",
+    // same canonical tokenization (docwords), 1-based oracle positions
+    // cancel in the differences; doc-local pair min, exact integers
+    "q302_proximity_search" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT doc_id, docwords(text) AS ws FROM documents), q AS (SELECT ws[1] AS t0, ws[4] AS t1 FROM w WHERE doc_id = 0), pa AS (SELECT d.doc_id, unnest(list_filter(range(1, len(d.ws) + 1), i6 -> d.ws[i6] = q.t0)) AS p FROM w d, q), pb AS (SELECT d.doc_id, unnest(list_filter(range(1, len(d.ws) + 1), i7 -> d.ws[i7] = q.t1)) AS p FROM w d, q), na AS (SELECT doc_id, COUNT(*) AS n_a FROM pa GROUP BY 1), nb AS (SELECT doc_id, COUNT(*) AS n_b FROM pb GROUP BY 1), j AS (SELECT pa.doc_id, MIN(abs(pa.p - pb.p)) AS min_dist FROM pa JOIN pb ON pa.doc_id = pb.doc_id GROUP BY 1) SELECT j.doc_id, na.n_a, nb.n_b, CAST(j.min_dist AS BIGINT) AS min_dist FROM j JOIN na ON j.doc_id = na.doc_id JOIN nb ON j.doc_id = nb.doc_id WHERE j.min_dist <= 10 ORDER BY j.doc_id""",
+    // isodow-1 = Spark weekday (0=Monday); both weekofyear are ISO-8601;
+    // the business-day running count replays over the same spine
+    "q303_calendar_dim" ->
+      """WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders), spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b), w AS (SELECT d, CAST(isodow(d) - 1 AS BIGINT) AS dow FROM spine) SELECT strftime(d, '%Y-%m-%d') AS date_id, dow, dow >= 5 AS is_weekend, CAST(month(d) AS BIGINT) AS month, CAST(quarter(d) AS BIGINT) AS quarter, CAST(weekofyear(d) AS BIGINT) AS iso_week, CAST(SUM(CASE WHEN dow >= 5 THEN 0 ELSE 1 END) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS business_seq FROM w ORDER BY date_id""",
     // the exclusive-prefix replay of the streaming state: same cents
     // grid, same int128 alert inequality, same (sec, event_id) fold order
     "q300_stream_zscore" ->

@@ -306,6 +306,52 @@ object Trend {
             nD, 6)).as("intercept"))
   }
 
+  /** Per-key CHANGEPOINT by single binary segmentation: the split that
+    * maximizes the SSE reduction when the series is modeled as two
+    * constant segments instead of one — the "when did the level shift"
+    * answer that [[seasonalAnomalies]] (pointwise) and the CUSUM (drift
+    * alarm) don't give. Every candidate split is scored from exact
+    * integer prefix sums (one ordered window pass per key; no per-split
+    * rescan), the gain is evaluated in pinned double order and rounded
+    * to 1e-6 BEFORE the argmax, and ties break on the earliest split —
+    * engine-identical selection. Keys need ≥ 2 points.
+    */
+  def changePointPerKey(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+    val run = byKey.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(col(keyCol), col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"))
+    def d(c: Column): Column = c.cast("double")
+    val cn = d(col("__cn")); val cs = d(col("__cs")); val cq = d(col("__cq"))
+    val nn = d(col("__n")); val ss = d(col("__s")); val qq = d(col("__q"))
+    val gain = (qq - ss * ss / nn) -
+      (cq - cs * cs / cn) -
+      ((qq - cq) - (ss - cs) * (ss - cs) / (nn - cn))
+    val scored = base
+      .withColumn("__cn", count(lit(1)).over(run))
+      .withColumn("__cs", sum(col("__y")).over(run))
+      .withColumn("__cq", sum(col("__y") * col("__y")).over(run))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("__s", sum(col("__y")).over(byKey))
+      .withColumn("__q", sum(col("__y") * col("__y")).over(byKey))
+      .filter(col("__cn") < col("__n"))
+      .withColumn("gain", round(gain, 6))
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(col("gain").desc, col("__x").asc)
+    scored.withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1)
+      .select(col(keyCol), col("__x").as("split_x"),
+        col("__cn").as("n_left"), (col("__n") - col("__cn")).as("n_right"),
+        round(cs / cn, 6).as("mean_left"),
+        round((ss - cs) / (nn - cn), 6).as("mean_right"),
+        col("gain"))
+  }
+
   def ewmaPerKey(
       df: DataFrame,
       keyCol: String,

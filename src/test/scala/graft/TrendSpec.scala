@@ -121,6 +121,21 @@ class TrendSpec extends SparkSuite {
     assert(gb.collect().forall(_.isNullAt(3)))
   }
 
+  test("changePointPerKey finds the level shift with exact segment means") {
+    // key a: 5, 5, 5 then 50, 50 → best split after x=3
+    val df = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L),
+      ("a", 4L, 50L), ("a", 5L, 50L),
+      // key b: flat series — any split has gain 0; earliest wins
+      ("b", 1L, 7L), ("b", 2L, 7L), ("b", 3L, 7L)).toDF("k", "x", "y")
+    val got = graft.operators.Trend.changePointPerKey(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("a") == ((3L, 3L, 2L, 5.0, 50.0)))
+    assert(got("b")._1 == 1L) // deterministic earliest-split tie-break
+    assert(got("b")._4 == 7.0 && got("b")._5 == 7.0)
+  }
+
   test("ewmaPerKey equals the sequential fold, and a singleton is its value") {
     val df = Seq(
       ("a", 0L, 10.0), ("a", 1L, 20.0), ("a", 2L, 30.0),
