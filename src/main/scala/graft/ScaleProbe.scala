@@ -298,6 +298,36 @@ object ScaleProbe {
         consume(graft.operators.Sketches.kmvDistinct(
           eventsAt(f), "event_type", "user_id", 64))
       },
+      "assoc_rules" -> { () =>
+        // q294's shape: baskets scale linearly, the item domain stays
+        // fixed (a catalog doesn't grow with traffic) — per-basket pair
+        // generation is bounded, so total pairs are linear in baskets
+        val baskets = lineitemAt(f).select(col("l_orderkey").as("basket"),
+          (col("l_partkey") % 25).as("item"))
+        consume(graft.operators.Affinity.assocRules(baskets, "basket", "item"))
+      },
+      "weighted_closure" -> { () =>
+        // q299's recursion at a domain that GROWS with the factor
+        // (synthetic divisor DAG straight from range — the operator's
+        // cost is the 10 bounded rounds of edge joins, input staging
+        // adds nothing): linear edge growth, fixed round count
+        val n = 60000L * f
+        val nodes = spark.range(1, n + 1).select(col("id").as("k"))
+        def scaled(m: Int, q: Int) = nodes.as("a")
+          .join(nodes.as("b"), col("b.k") === col("a.k") * m)
+          .select(col("a.k").as("src"), col("b.k").as("dst"),
+            lit(q.toLong).as("qty"))
+        consume(graft.operators.Graph.weightedClosure(
+          scaled(2, 2).unionByName(scaled(3, 3)), rounds = 10))
+      },
+      "poisson_bootstrap" -> { () =>
+        // q297's expansion: rows × 40 hash draws, all map-side into the
+        // partial aggregate — the slope must track the input, not the
+        // 40× expansion (which never shuffles)
+        consume(graft.operators.Sampling.poissonBootstrap(
+          eventsAt(f).select(col("event_type"), col("event_id"), col("value")),
+          "event_type", "event_id", "value", b = 40, salt = "probe"))
+      },
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
       // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not

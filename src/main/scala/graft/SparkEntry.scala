@@ -5298,6 +5298,62 @@ object SparkEntry {
       .orderBy(col("date_id"))
   }
 
+  /** Behavioral-regularity (bot) score: per-user entropy of the
+    * inter-event-gap distribution over fixed edges — scripted traffic
+    * collapses into one bucket (entropy → 0), humans spread out. One
+    * lag-window pass for gaps, one combine; entropy terms on the 1e-9
+    * grid decimal-summed per user (the q256 discipline), so the score is
+    * parallelism- and engine-exact. Flags users with ≥ 20 gaps and
+    * entropy < 0.6 nats.
+    */
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("user_id"), col("event_id"),
+      expr("ts div 1000000000").as("sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val gaps = e.withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket",
+        when(col("gap") < 60, 0L).when(col("gap") < 300, 1L)
+          .when(col("gap") < 900, 2L).when(col("gap") < 3600, 3L)
+          .when(col("gap") < 21600, 4L).otherwise(5L))
+    val byUser = Window.partitionBy(col("user_id"))
+    val counts = gaps.groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("n", sum(col("nb")).over(byUser))
+    val p = col("nb").cast("double") / col("n").cast("double")
+    counts
+      .withColumn("term",
+        round(negate(p * log(p)), 9).cast(DecimalType(18, 9)))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_gaps"),
+        count(lit(1)).as("n_buckets"),
+        round(max(col("nb")).cast("double") /
+          max(col("n")).cast("double"), 6).as("top_share"),
+        sum(col("term")).cast("double").as("entropy"))
+      .withColumn("bot_like", col("n_gaps") >= 20 && col("entropy") < 0.6)
+      .orderBy(col("user_id"))
+  }
+
+  /** Hourly OHLC bars per event type — the finance-standard candle
+    * rollup: open/close by deterministic (sec, event_id) argmin/argmax,
+    * high/low, volume, and a decimal-exact VWAP-style mean. ONE
+    * map-side-combined aggregation; no window over raw rows.
+    */
+  private def q305(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("event_type"), col("event_id"),
+      col("value"), expr("ts div 1000000000").as("sec"))
+      .withColumn("hour", expr("sec div 3600"))
+    e.groupBy(col("event_type"), col("hour"))
+      .agg(
+        min_by(col("value"), struct(col("sec"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("sec"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"),
+        round(sumx(col("value")) / count(lit(1)).cast("double"), 6)
+          .as("mean_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Write–Audit–Publish ([[graft.sources.TxLake.publishBranch]]): batch
     * 1 lands directly; batch 2 stages on a zero-copy branch, passes its
     * audit, and publishes as one atomic data-free log commit; batch 3
@@ -6134,6 +6190,8 @@ object SparkEntry {
     "q301_changepoint" -> (q301 _),
     "q302_proximity_search" -> (q302 _),
     "q303_calendar_dim" -> (q303 _),
+    "q304_bot_score" -> (q304 _),
+    "q305_ohlc_bars" -> (q305 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -6996,6 +7054,14 @@ object SparkEntry {
     // multiplied along the path and summed per pair — exact integers
     "q299_bom_explosion" ->
       """WITH RECURSIVE nodes AS (SELECT p_partkey AS k FROM part WHERE p_partkey BETWEEN 1 AND 600), e AS (SELECT a.k AS src, b.k AS dst, 2 AS qty FROM nodes a JOIN nodes b ON b.k = a.k * 2 UNION ALL SELECT a.k, b.k, 3 FROM nodes a JOIN nodes b ON b.k = a.k * 3), paths AS (SELECT src, dst, CAST(qty AS BIGINT) AS q, 1 AS len FROM e UNION ALL SELECT p.src, e.dst, p.q * e.qty, p.len + 1 FROM paths p JOIN e ON e.src = p.dst WHERE p.len < 10) SELECT src, dst, CAST(SUM(q) AS BIGINT) AS total_qty FROM paths GROUP BY 1, 2 ORDER BY 1, 2""",
+    // entropy terms on the 1e-9 grid decimal-summed per user; identical
+    // fixed gap edges and fixed-order p·ln(p) arithmetic
+    "q304_bot_score" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events), g AS (SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM e), b AS (SELECT user_id, CASE WHEN gap < 60 THEN 0 WHEN gap < 300 THEN 1 WHEN gap < 900 THEN 2 WHEN gap < 3600 THEN 3 WHEN gap < 21600 THEN 4 ELSE 5 END AS bucket FROM g WHERE gap IS NOT NULL), c AS (SELECT user_id, bucket, COUNT(*) AS nb FROM b GROUP BY 1, 2), c2 AS (SELECT user_id, bucket, nb, SUM(nb) OVER (PARTITION BY user_id) AS n FROM c), t AS (SELECT user_id, nb, n, CAST(round(-(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE) * ln(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS DECIMAL(18,9)) AS term FROM c2), a AS (SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_gaps, COUNT(*) AS n_buckets, round(CAST(MAX(nb) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS top_share, CAST(SUM(term) AS DOUBLE) AS entropy FROM t GROUP BY 1) SELECT user_id, n_gaps, n_buckets, top_share, entropy, n_gaps >= 20 AND entropy < 0.6 AS bot_like FROM a ORDER BY user_id""",
+    // open/close replayed by the same (sec, event_id) total order; the
+    // decimal-exact mean replays via the house SUMV pattern
+    "q305_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts) // 1000000000 AS sec FROM events), h AS (SELECT *, sec // 3600 AS hour FROM e), r AS (SELECT event_type, hour, value, sec, event_id, ROW_NUMBER() OVER (PARTITION BY event_type, hour ORDER BY sec, event_id) AS rn_a, ROW_NUMBER() OVER (PARTITION BY event_type, hour ORDER BY sec DESC, event_id DESC) AS rn_z FROM h), a AS (SELECT event_type, hour, MAX(value) AS high, MIN(value) AS low, COUNT(*) AS volume, round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_value FROM h GROUP BY 1, 2) SELECT a.event_type, a.hour, o.value AS open, a.high, a.low, c.value AS close, a.volume, a.mean_value FROM a JOIN r o ON a.event_type = o.event_type AND a.hour = o.hour AND o.rn_a = 1 JOIN r c ON a.event_type = c.event_type AND a.hour = c.hour AND c.rn_z = 1 ORDER BY a.event_type, a.hour""",
     // same integer prefix sums, same pinned-order gain arithmetic,
     // argmax on the 1e-6-rounded gain with the earliest-split tie-break
     "q301_changepoint" ->

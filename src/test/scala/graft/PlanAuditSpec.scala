@@ -279,4 +279,30 @@ class PlanAuditSpec extends SparkSuite {
         "would add a full extra corpus shuffle")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q294/q296: basket pair-gen is an equi-join; no cartesian") {
+    // the a.basket = b.basket AND a.item < b.item theta-join must plan as
+    // an equi-join on the basket key with the < as a post-condition — a
+    // cartesian here is exactly the all-pairs blowup the operator exists
+    // to avoid. q294's ONE BroadcastNestedLoopJoin is the 1-row totals
+    // scalar riding crossJoin(broadcast(...)) — the house scalar pattern
+    // (same adjudication as q194/q199); the neighbor variant has none.
+    val p4 = formatted(q("q294_assoc_rules"))
+    assert(!p4.contains("CartesianProduct"))
+    // FormattedMode prints each node twice (tree line + detail header),
+    // so ONE physical BNL = 2 string occurrences
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p4).length <= 2,
+      "only the scalar-totals BNL is allowed")
+    val p6 = formatted(q("q296_item_neighbors"))
+    assert(!p6.contains("CartesianProduct"))
+    assert(!p6.contains("BroadcastNestedLoopJoin"), "q296 has a BNL")
+  }
+
+  test("q295: the KS bin pass aggregates map-side; windows only over bins") {
+    val p = formatted(q("q295_ks_binned"))
+    // one HashAggregate pair (partial + final) over the bin keys; the
+    // window operators run after the aggregate, over ≤ bins rows
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
