@@ -5334,6 +5334,45 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Two-hop recommendation candidates over the category co-occurrence
+    * graph: categories reachable through a shared neighbor but NOT
+    * directly co-bought (the anti-join is the point — direct pairs are
+    * already merchandised; the second ring is where discovery lives).
+    * The edge set is the TOP-400 pairs by support (rank-based, so the
+    * graph keeps the same sparsity at every data scale — a fixed
+    * threshold saturates as co-occurrence counts grow with volume); the
+    * ranking window runs over the ≤ domain² pair AGGREGATE, never raw
+    * rows. Score = distinct bridges + bottleneck support Σ min(w_ab,
+    * w_bc) — exact integers.
+    */
+  private def q306(s: SparkSession, dir: String): DataFrame = {
+    val baskets = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"),
+        (col("p_partkey") % 200).as("item"))
+    val pairs = graft.operators.Affinity
+      .pairCounts(baskets, "basket", "item")
+      .withColumn("__rk", row_number().over(Window.orderBy(
+        col("n_ab").desc, col("item_a").asc, col("item_b").asc)))
+      .filter(col("__rk") <= 400).drop("__rk")
+    val edges = pairs.select(col("item_a").as("u"), col("item_b").as("v"),
+        col("n_ab").as("w"))
+      .unionByName(pairs.select(col("item_b").as("u"), col("item_a").as("v"),
+        col("n_ab").as("w")))
+    val twoHop = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .filter(col("e1.u") =!= col("e2.v"))
+      .select(col("e1.u").as("src"), col("e2.v").as("rec"),
+        col("e1.v").as("bridge"), least(col("e1.w"), col("e2.w")).as("bw"))
+    twoHop.join(edges.select(col("u"), col("v")),
+        col("src") === col("u") && col("rec") === col("v"), "left_anti")
+      .groupBy(col("src"), col("rec"))
+      .agg(count(lit(1)).as("n_bridges"), sum(col("bw")).as("bottleneck_support"))
+      .orderBy(col("src"), col("rec"))
+  }
+
   /** Hourly OHLC bars per event type — the finance-standard candle
     * rollup: open/close by deterministic (sec, event_id) argmin/argmax,
     * high/low, volume, and a decimal-exact VWAP-style mean. ONE
@@ -6192,6 +6231,7 @@ object SparkEntry {
     "q303_calendar_dim" -> (q303 _),
     "q304_bot_score" -> (q304 _),
     "q305_ohlc_bars" -> (q305 _),
+    "q306_two_hop_recs" -> (q306 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -7054,6 +7094,11 @@ object SparkEntry {
     // multiplied along the path and summed per pair — exact integers
     "q299_bom_explosion" ->
       """WITH RECURSIVE nodes AS (SELECT p_partkey AS k FROM part WHERE p_partkey BETWEEN 1 AND 600), e AS (SELECT a.k AS src, b.k AS dst, 2 AS qty FROM nodes a JOIN nodes b ON b.k = a.k * 2 UNION ALL SELECT a.k, b.k, 3 FROM nodes a JOIN nodes b ON b.k = a.k * 3), paths AS (SELECT src, dst, CAST(qty AS BIGINT) AS q, 1 AS len FROM e UNION ALL SELECT p.src, e.dst, p.q * e.qty, p.len + 1 FROM paths p JOIN e ON e.src = p.dst WHERE p.len < 10) SELECT src, dst, CAST(SUM(q) AS BIGINT) AS total_qty FROM paths GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the same top-400-by-(support, pair) edge set, symmetric closure,
+    // bridge join and direct-pair anti-join — exact integer bridge
+    // counts and bottlenecks
+    "q306_two_hop_recs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_partkey % 200 AS it FROM lineitem JOIN part ON l_partkey = p_partkey), p0 AS (SELECT l.it AS ia, r.it AS ib, COUNT(*) AS n_ab FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it GROUP BY 1, 2), p AS (SELECT ia, ib, n_ab FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_ab DESC, ia ASC, ib ASC) AS rk FROM p0) WHERE rk <= 400), e AS (SELECT ia AS u, ib AS v, n_ab AS w FROM p UNION ALL SELECT ib, ia, n_ab FROM p), th AS (SELECT e1.u AS src, e2.v AS rec, LEAST(e1.w, e2.w) AS bw FROM e e1 JOIN e e2 ON e1.v = e2.u WHERE e1.u <> e2.v), filt AS (SELECT th.src, th.rec, th.bw FROM th WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = th.src AND e.v = th.rec)) SELECT src, rec, COUNT(*) AS n_bridges, CAST(SUM(bw) AS BIGINT) AS bottleneck_support FROM filt GROUP BY 1, 2 ORDER BY 1, 2""",
     // entropy terms on the 1e-9 grid decimal-summed per user; identical
     // fixed gap edges and fixed-order p·ln(p) arithmetic
     "q304_bot_score" ->
