@@ -321,9 +321,9 @@ object ScaleProbe {
           scaled(2, 2).unionByName(scaled(3, 3)), rounds = 10))
       },
       "poisson_bootstrap" -> { () =>
-        // q297's expansion: rows × 40 hash draws, all map-side into the
-        // partial aggregate — the slope must track the input, not the
-        // 40× expansion (which never shuffles)
+        // q297's expansion: rows × 40 xorshift draws (codegen integer
+        // mix), all map-side into the partial aggregate — the slope must
+        // track the input, not the 40× expansion (which never shuffles)
         consume(graft.operators.Sampling.poissonBootstrap(
           eventsAt(f).select(col("event_type"), col("event_id"), col("value")),
           "event_type", "event_id", "value", b = 40, salt = "probe"))

@@ -5034,7 +5034,7 @@ object SparkEntry {
     // so commits 1 and 2 must carry their blooms through the refresh
     val updates = o.filter(col("o_orderkey") % 150 === 0)
       .withColumn("price", (col("price") * 2).cast(DecimalType(18, 2)))
-      .unionByName(s.range(20001, 20006).select(col("id").as("o_orderkey"),
+      .unionByName(s.range(20000001L, 20000006L).select(col("id").as("o_orderkey"),
         lit(0L).as("o_custkey"), lit("N").as("o_orderstatus"),
         lit("1.00").cast(DecimalType(18, 2)).as("price")))
     TxLake.mergeByKey(s, lake, updates, "o_orderkey")
@@ -5042,8 +5042,8 @@ object SparkEntry {
     require(nNew > 0, "merge must have produced unindexed files")
     require(nKept > 0, "untouched files must carry their blooms over")
     TxLake.readByKeysBloom(s, lake, idx,
-        Seq(150L, 300L, 301L, 20003L).toDF("k"))
-      .filter(col("o_orderkey").isin(150L, 300L, 301L, 20003L))
+        Seq(150L, 300L, 301L, 20000003L).toDF("k"))
+      .filter(col("o_orderkey").isin(150L, 300L, 301L, 20000003L))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("price").cast("double").as("price"))
       .orderBy(col("o_orderkey"))
@@ -5371,6 +5371,79 @@ object SparkEntry {
       .groupBy(col("src"), col("rec"))
       .agg(count(lit(1)).as("n_bridges"), sum(col("bw")).as("bottleneck_support"))
       .orderBy(col("src"), col("rec"))
+  }
+
+  /** SQL-text column lineage ([[graft.plans.Lineage.columnLineageSql]]):
+    * the q298 walker anchored on VIEW NAMES instead of DataFrame objects
+    * — the shape a catalog needs, since production queries arrive as SQL
+    * text over registered tables, not as in-process frames. The boundary
+    * is the `SubqueryAlias` the analyzer wraps around each resolved
+    * view; the oracle is the independently hand-derived edge list.
+    */
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("orders_v")
+    T(s, dir, "customer").createOrReplaceTempView("customer_v")
+    val q = s.sql("""
+      SELECT c.c_mktsegment AS segment,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             upper(c.c_mktsegment) AS segment_uc,
+             'audited' AS tag
+      FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment""")
+    graft.plans.Lineage.columnLineageSql(q, Set("orders_v", "customer_v"))
+      .orderBy(col("out_col"), col("src_table"), col("src_col"))
+  }
+
+  /** Arbitrary-state v2 profile ([[graft.streaming.EventsStream
+    * .twsProfile]] via [[graft.streaming.StreamVerify.twsProfileStream]]):
+    * per-user lifetime (events, sessions) counters in TWO named value
+    * states on `transformWithState` + RocksDB — Spark 4's successor API
+    * to flatMapGroupsWithState, exercised under the same oracle gate as
+    * the rest of the streaming surface. Must equal the batch
+    * sessionization count row for row.
+    */
+  private def q308(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify
+      .twsProfileStream(s, q259Events(s, dir), gapSec = 1800)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_sessions")).as("n_sessions"))
+      .orderBy(col("user_id"))
+
+  /** Co-partitioned STAR join: fact (lineitem) and the orders leg both
+    * bucketed ×8 on the order key — their join is exchange-free by
+    * layout (BucketedJoinSpec asserts it on the executed plan); the
+    * customer dimension rides a broadcast. The 100 TB shape: ONE shuffle
+    * saved on the biggest join in the schema, dims never shuffled.
+    */
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    val (tl, to) = (s"graft_q309_lineitem_$tag", s"graft_q309_orders_$tag")
+    val base = scratch(dir, "q309")
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(tl)
+    T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$base/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(to)
+    s.table(tl)
+      .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sumx(col("l_extendedprice")).as("revenue"),
+        sum(floor(col("l_quantity")).cast("long")).as("total_qty"))
+      .orderBy(col("c_mktsegment"), col("o_orderpriority"))
   }
 
   /** Hourly OHLC bars per event type — the finance-standard candle
@@ -5939,7 +6012,7 @@ object SparkEntry {
     "q200_stream_bitmap", "q206_stream_dv_erasure",
     "q219_stream_components", "q228_stream_topk", "q242_stream_gap_monitor",
     "q259_stream_cdc_deletes", "q267_stream_retention",
-    "q284_stream_debounce", "q300_stream_zscore")
+    "q284_stream_debounce", "q300_stream_zscore", "q308_tws_profile")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_bronze_flatten" -> (q01 _),
@@ -6232,6 +6305,9 @@ object SparkEntry {
     "q304_bot_score" -> (q304 _),
     "q305_ohlc_bars" -> (q305 _),
     "q306_two_hop_recs" -> (q306 _),
+    "q307_lineage_sql" -> (q307 _),
+    "q308_tws_profile" -> (q308 _),
+    "q309_star_bucketed" -> (q309 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -7051,7 +7127,7 @@ object SparkEntry {
     // point lookups through the refreshed index: doubled %50 prices plus
     // the merged-in synthetic key — derived directly, not replayed
     "q289_bloom_refresh" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders WHERE o_orderkey IN (150, 300) UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) FROM orders WHERE o_orderkey = 301 UNION ALL SELECT 20003, 0, 'N', 1.0 ORDER BY o_orderkey""",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders WHERE o_orderkey IN (150, 300) UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) FROM orders WHERE o_orderkey = 301 UNION ALL SELECT 20000003, 0, 'N', 1.0 ORDER BY o_orderkey""",
     // the expected conflict report derived independently from the
     // injected divergence rules: %31 price drift, %37 status corruption
     // (only where replica 3 exists), %41 outage
@@ -7082,10 +7158,11 @@ object SparkEntry {
     // tie-break — identical top-3 per item
     "q296_item_neighbors" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it FROM lineitem JOIN part ON l_partkey = p_partkey), s AS (SELECT it, COUNT(*) AS n_i FROM b GROUP BY 1), p AS (SELECT l.it AS ia, r.it AS ib, COUNT(*) AS n_ab FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it GROUP BY 1, 2), bo AS (SELECT ia AS item, ib AS neighbor, n_ab FROM p UNION ALL SELECT ib, ia, n_ab FROM p), sc AS (SELECT item, neighbor, n_ab, round(CAST(n_ab AS DOUBLE) / sqrt(CAST(si.n_i AS DOUBLE) * CAST(sn.n_i AS DOUBLE)), 6) AS cosine FROM bo JOIN s si ON item = si.it JOIN s sn ON neighbor = sn.it), r AS (SELECT item, neighbor, n_ab, cosine, ROW_NUMBER() OVER (PARTITION BY item ORDER BY cosine DESC, neighbor ASC) AS rank FROM sc) SELECT item, CAST(rank AS BIGINT) AS rank, neighbor, n_ab, cosine FROM r WHERE rank <= 3 ORDER BY item, rank""",
-    // the Poisson(1) weights replay hash-for-hash from the same pinned
-    // CDF literals; resample sums in DECIMAL, discrete-rank CI
+    // the Poisson(1) weights replay draw-for-draw: the same xorshift mix
+    // through the HUGEINT macros, the same pinned CDF literals; resample
+    // sums in DECIMAL, discrete-rank CI
     "q297_bootstrap_ci" ->
-      """WITH base AS (SELECT c_mktsegment AS seg, o_orderkey AS id, o_totalprice AS v FROM orders JOIN customer ON o_custkey = c_custkey), reps AS (SELECT seg, id, v, unnest(range(0, 40)) AS rep FROM base), u AS (SELECT seg, rep, v, CAST(CAST(concat('0x', substr(md5(concat('bs1', ':', CAST(id AS VARCHAR), ':', CAST(rep AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS uu FROM reps), w AS (SELECT seg, rep, v, CASE WHEN uu < 0.367879441171 THEN 0 WHEN uu < 0.735758882343 THEN 1 WHEN uu < 0.919698602929 THEN 2 WHEN uu < 0.981011843124 THEN 3 WHEN uu < 0.996340153173 THEN 4 ELSE 5 END AS w FROM u), rm AS (SELECT seg, rep, CAST(SUM(w) AS BIGINT) AS n_rep, SUM(CAST(w * v AS DECIMAL(18,2))) AS s_rep FROM w GROUP BY 1, 2), rm2 AS (SELECT seg, rep, n_rep, CAST(s_rep AS DOUBLE) / CAST(n_rep AS DOUBLE) AS mean_rep FROM rm WHERE n_rep > 0), rk AS (SELECT seg, rep, mean_rep, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY mean_rep, rep) AS rk, COUNT(*) OVER (PARTITION BY seg) AS nr FROM rm2), ci AS (SELECT seg, MAX(nr) AS n_resamples, MAX(CASE WHEN rk = 4 THEN mean_rep END) AS ci_lo, MAX(CASE WHEN rk = 36 THEN mean_rep END) AS ci_hi FROM rk GROUP BY 1), pt AS (SELECT seg, COUNT(*) AS n, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean FROM base GROUP BY 1) SELECT pt.seg, pt.n, round(pt.mean, 6) AS mean, ci.n_resamples, round(ci.ci_lo, 6) AS ci_lo, round(ci.ci_hi, 6) AS ci_hi FROM pt JOIN ci USING (seg) ORDER BY seg""",
+      s"""$HASH_MACROS; WITH base AS (SELECT c_mktsegment AS seg, o_orderkey AS id, o_totalprice AS v FROM orders JOIN customer ON o_custkey = c_custkey), reps AS (SELECT seg, id, v, unnest(range(0, 40)) AS rep FROM base), u AS (SELECT seg, rep, v, CAST(xstep(xstep(xstep(xstep(xshash('bs1'), CAST(id AS HUGEINT)), CAST(rep AS HUGEINT)), CAST('11400714819323198485' AS HUGEINT)), CAST('11400714819323198485' AS HUGEINT)) >> 12 AS DOUBLE) / 4503599627370496.0 AS uu FROM reps), w AS (SELECT seg, rep, v, CASE WHEN uu < 0.367879441171 THEN 0 WHEN uu < 0.735758882343 THEN 1 WHEN uu < 0.919698602929 THEN 2 WHEN uu < 0.981011843124 THEN 3 WHEN uu < 0.996340153173 THEN 4 ELSE 5 END AS w FROM u), rm AS (SELECT seg, rep, CAST(SUM(w) AS BIGINT) AS n_rep, SUM(CAST(w * v AS DECIMAL(18,2))) AS s_rep FROM w GROUP BY 1, 2), rm2 AS (SELECT seg, rep, n_rep, CAST(s_rep AS DOUBLE) / CAST(n_rep AS DOUBLE) AS mean_rep FROM rm WHERE n_rep > 0), rk AS (SELECT seg, rep, mean_rep, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY mean_rep, rep) AS rk, COUNT(*) OVER (PARTITION BY seg) AS nr FROM rm2), ci AS (SELECT seg, MAX(nr) AS n_resamples, MAX(CASE WHEN rk = 4 THEN mean_rep END) AS ci_lo, MAX(CASE WHEN rk = 36 THEN mean_rep END) AS ci_hi FROM rk GROUP BY 1), pt AS (SELECT seg, COUNT(*) AS n, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean FROM base GROUP BY 1) SELECT pt.seg, pt.n, round(pt.mean, 6) AS mean, ci.n_resamples, round(ci.ci_lo, 6) AS ci_lo, round(ci.ci_hi, 6) AS ci_hi FROM pt JOIN ci USING (seg) ORDER BY seg""",
     // the expected edge list derived BY HAND from the query's shape —
     // not replayed; literals/count(*) report the (NULL, NULL) row
     "q298_column_lineage" ->
@@ -7094,6 +7171,18 @@ object SparkEntry {
     // multiplied along the path and summed per pair — exact integers
     "q299_bom_explosion" ->
       """WITH RECURSIVE nodes AS (SELECT p_partkey AS k FROM part WHERE p_partkey BETWEEN 1 AND 600), e AS (SELECT a.k AS src, b.k AS dst, 2 AS qty FROM nodes a JOIN nodes b ON b.k = a.k * 2 UNION ALL SELECT a.k, b.k, 3 FROM nodes a JOIN nodes b ON b.k = a.k * 3), paths AS (SELECT src, dst, CAST(qty AS BIGINT) AS q, 1 AS len FROM e UNION ALL SELECT p.src, e.dst, p.q * e.qty, p.len + 1 FROM paths p JOIN e ON e.src = p.dst WHERE p.len < 10) SELECT src, dst, CAST(SUM(q) AS BIGINT) AS total_qty FROM paths GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the expected edge list derived by hand from the SQL text's shape;
+    // view-name boundaries, literals/count(*) report (NULL, NULL)
+    "q307_lineage_sql" ->
+      """SELECT * FROM (VALUES ('segment', 'customer_v', 'c_mktsegment'), ('n_orders', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)), ('revenue', 'orders_v', 'o_totalprice'), ('segment_uc', 'customer_v', 'c_mktsegment'), ('tag', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))) AS t(out_col, src_table, src_col) ORDER BY out_col, src_table, src_col""",
+    // the v2-state profile must equal plain batch sessionization: first
+    // event or gap > 1800 s opens a session, counters are lifetime totals
+    "q308_tws_profile" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events), g AS (SELECT user_id, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)) SELECT user_id, COUNT(*) AS n_events, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM g GROUP BY 1 ORDER BY 1""",
+    // layout must not change answers: the bucketed star equals the plain
+    // three-way join aggregate
+    "q309_star_bucketed" ->
+      """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_lines, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2 ORDER BY 1, 2""",
     // the same top-400-by-(support, pair) edge set, symmetric closure,
     // bridge join and direct-pair anti-join — exact integer bridge
     // counts and bottlenecks

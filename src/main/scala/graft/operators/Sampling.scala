@@ -306,11 +306,19 @@ object Sampling {
   /** Deterministic Poisson bootstrap — the only bootstrap that works on
     * a cluster: resampling n-out-of-n needs global coordination, but
     * Binomial(n, 1/n) → Poisson(1), so each row draws an INDEPENDENT
-    * replicate-count per resample from a counter-based hash
-    * (md5(salt:id:rep)) — no RNG state, no shuffle, stage retries and
-    * engines agree draw for draw. Emits per-stratum point estimate and
-    * the discrete-rank [10%, 90%] percentile interval of the `b`
-    * resample means.
+    * replicate-count per resample from a counter-based hash — no RNG
+    * state, no shuffle, stage retries and engines agree draw for draw.
+    * The draw is the codegen'd portable xorshift mix (seed(salt) → id →
+    * rep → TWO finalizer rounds — one xorshift round only moves a
+    * low-bit change up ~35 bit positions, so without the finalizers the
+    * small `rep` counter never reaches the high bits the uniform is cut
+    * from; with them the weight distribution is Poisson(1) to within
+    * sampling noise), top 52 bits → uniform. Pure integer ops inside
+    * whole-stage codegen, ~10× cheaper per draw than a string md5, and
+    * the oracle replays it bit-for-bit through the same HUGEINT macros
+    * as the dedup family. Emits
+    * per-stratum point estimate and the discrete-rank [10%, 90%]
+    * percentile interval of the `b` resample means.
     *
     * Shape: rows × b expansion is map-side (explode straight into a
     * partial aggregate); everything after is |strata|·b-sized. Resample
@@ -325,9 +333,13 @@ object Sampling {
       b: Int,
       salt: String): DataFrame = {
     require(b >= 10, "need enough resamples for the percentile ranks")
-    val u = conv(substring(md5(concat_ws(":", lit(salt),
-      col(idCol).cast("string"), col("rep").cast("string"))), 1, 13), 16, 10)
-      .cast("long").cast("double") / lit(4503599627370496.0)
+    import graft.plans.TextHashExpressions.xsMix
+    val seed = graft.plans.XsHash.hash(salt.getBytes("UTF-8"))
+    val fin = lit(0x9E3779B97F4A7C15L)
+    val mixed = xsMix(xsMix(xsMix(xsMix(lit(seed),
+      col(idCol).cast("long")), col("rep").cast("long")), fin), fin)
+    val u = shiftrightunsigned(mixed, 12).cast("double") /
+      lit(4503599627370496.0)
     val w = poisson1Cdf.zipWithIndex.foldRight(lit(5L): Column) {
       case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
     }

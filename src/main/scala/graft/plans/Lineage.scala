@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, ExprId}
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, SubqueryAlias, Union}
 
 /** Column-level lineage extracted from the ANALYZED logical plan — the
   * governance surface (impact analysis, PII propagation, audit) that a
@@ -19,17 +19,39 @@ import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalP
   * a count(*)) reports a single (null, null) row — absence of lineage
   * is itself the auditable fact.
   *
-  * `inputs` must be the SAME DataFrame objects the query was built from
-  * (their leaf `ExprId`s are what the composed plan carries).
+  * Two boundary flavors share one walker:
+  *  - [[columnLineage]]: inputs are DataFrame OBJECTS (`inputs` must be
+  *    the same objects the query was built from — their leaf `ExprId`s
+  *    are what the composed plan carries);
+  *  - [[columnLineageSql]]: inputs are VIEW NAMES — the boundary is the
+  *    `SubqueryAlias` the analyzer wraps around each resolved view, so
+  *    lineage works for `spark.sql(text)` plans where no DataFrame
+  *    object exists to anchor on.
   */
 object Lineage {
+
+  private type Src = Set[(String, String)]
 
   def columnLineage(df: DataFrame, inputs: Map[String, DataFrame]): DataFrame = {
     val leafIds: Map[ExprId, (String, String)] = inputs.flatMap {
       case (nm, in) =>
         in.queryExecution.analyzed.output.map(a => a.exprId -> (nm, a.name))
     }
-    type Src = Set[(String, String)]
+    emit(df, walkAndResolve(df.queryExecution.analyzed, leafIds, Set.empty))
+  }
+
+  /** Lineage for a `spark.sql`-built frame: `views` are the registered
+    * temp-view names the query reads; each view's `SubqueryAlias` node
+    * is the boundary (its own internals — however the view was built —
+    * stay opaque, exactly like a catalog table would).
+    */
+  def columnLineageSql(df: DataFrame, views: Set[String]): DataFrame =
+    emit(df, walkAndResolve(df.queryExecution.analyzed, Map.empty, views))
+
+  private def walkAndResolve(
+      plan: LogicalPlan,
+      leafIds: Map[ExprId, (String, String)],
+      views: Set[String]): Seq[(String, String, String)] = {
     // a declared-input column ENDS the walk: its own alias chain (toDF,
     // selects inside the input) must not dissolve the boundary
     def boundary(id: ExprId): Option[Src] = leafIds.get(id).map(Set(_))
@@ -47,6 +69,10 @@ object Lineage {
         case al: Alias => al.exprId -> boundary(al.exprId).getOrElse(src(al.child))
       }).toMap
       val shaped: Map[ExprId, Src] = p match {
+        case sa: SubqueryAlias if views.contains(sa.alias) =>
+          // named-view boundary: everything beneath is the view's
+          // business; its output columns ARE the lineage leaves
+          sa.output.map(a => a.exprId -> (Set((sa.alias, a.name)): Src)).toMap
         case l: LeafNode =>
           l.output.map(a =>
             a.exprId -> boundary(a.exprId).getOrElse(Set.empty: Src)).toMap
@@ -63,16 +89,18 @@ object Lineage {
       }
       cm ++ aliased ++ shaped
     }
-    val plan = df.queryExecution.analyzed
     val m = go(plan)
-    val rows: Seq[(String, String, String)] = plan.output.flatMap { a =>
+    plan.output.flatMap { a =>
       val srcs = m.get(a.exprId).filter(_.nonEmpty)
         .orElse(boundary(a.exprId))
         .getOrElse(Set.empty[(String, String)])
       if (srcs.isEmpty) Seq((a.name, null, null))
       else srcs.toSeq.sorted.map { case (t, c) => (a.name, t, c) }
     }
+  }
+
+  private def emit(
+      df: DataFrame, rows: Seq[(String, String, String)]): DataFrame =
     df.sparkSession.createDataFrame(rows)
       .toDF("out_col", "src_table", "src_col")
-  }
 }

@@ -304,4 +304,60 @@ object EventsStream {
         })
       .toDF("event_type", "sec", "event_id", "value_cents", "n_prior")
   }
+
+  /** Per-user lifetime profile on the ARBITRARY-STATE V2 API
+    * (`transformWithState`, Spark 4's successor to
+    * flatMapGroupsWithState): TWO independently-typed named value states
+    * per key — the last-seen second (session tracking) and the
+    * (events, sessions) counters — maintained by a `StatefulProcessor`
+    * against the RocksDB state store. A gap > `gapSec` opens a new
+    * session (the q15 rule). Update-mode emissions are cumulative and
+    * monotone, so the drained final row per key is a plain max.
+    */
+  def twsProfile(
+      spark: SparkSession,
+      events: DataFrame,
+      gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamEvent]
+    val processor = new org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StreamEvent, (Long, Long, Long)] {
+      @transient private var lastSec:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+      @transient private var counts:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode,
+          timeMode: TimeMode): Unit = {
+        lastSec = getHandle.getValueState[Long]("lastSec",
+          Encoders.scalaLong, TTLConfig.NONE)
+        val tupleEnc: Encoder[(Long, Long)] =
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        counts = getHandle.getValueState[(Long, Long)]("counts",
+          tupleEnc, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Long, rows: Iterator[StreamEvent],
+          timerValues: org.apache.spark.sql.streaming.TimerValues)
+          : Iterator[(Long, Long, Long)] = {
+        var ls = if (lastSec.exists()) lastSec.get() else Long.MinValue / 2
+        var (ne, ns) =
+          if (counts.exists()) counts.get() else (0L, 0L)
+        rows.toSeq.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+          if (e.sec - ls > gapSec) ns += 1
+          ls = e.sec; ne += 1
+        }
+        lastSec.update(ls)
+        counts.update((ne, ns))
+        Iterator.single((key, ne, ns))
+      }
+    }
+    typed
+      .groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "n_sessions")
+  }
 }

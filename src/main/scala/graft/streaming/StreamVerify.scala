@@ -907,4 +907,31 @@ object StreamVerify {
       minN, z)
     drain(spark, alerts, "update")
   }
+
+  /** The transformWithState profile ([[EventsStream.twsProfile]]) drained
+    * through the oracle gate. The arbitrary-state v2 operator requires
+    * the RocksDB state store — set for this query only and restored
+    * after (every other streaming query keeps the default HDFS-backed
+    * store, so the engine exercises BOTH providers under the gate).
+    * Emissions are cumulative per key, so the drained union reduces to
+    * the per-key max — which must equal the batch sessionization count.
+    */
+  def twsProfileStream(
+      spark: SparkSession, eventsPath: String, gapSec: Long): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val prof = EventsStream.twsProfile(spark,
+        EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1)),
+        gapSec)
+      drain(spark, prof, "update")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

@@ -42,4 +42,22 @@ class LineageSpec extends SparkSuite {
     val ge = edges(e, Map("a" -> a))
     assert(ge == Set(("k", "a", "k"), ("tok", "a", "t")))
   }
+
+  test("columnLineageSql anchors on view names; view internals stay opaque") {
+    // the view itself is built from a projection — lineage must stop at
+    // the VIEW's columns, not dissolve through to the underlying frame
+    Seq((1L, 2.0, "x")).toDF("k0", "v0", "s0")
+      .select(col("k0").as("k"), (col("v0") * 2).as("v"), col("s0").as("s"))
+      .createOrReplaceTempView("base_v")
+    val q = spark.sql(
+      "SELECT s AS grp, sum(v) AS total, count(*) AS n, 'z' AS lit " +
+        "FROM base_v GROUP BY s")
+    val got = Lineage.columnLineageSql(q, Set("base_v"))
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("grp", "base_v", "s"),
+      ("total", "base_v", "v"),
+      ("n", null, null),
+      ("lit", null, null)))
+  }
 }

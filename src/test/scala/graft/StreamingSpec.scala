@@ -255,4 +255,37 @@ class StreamingSpec extends SparkSuite {
     assert(alerts.toList == List((8L, 7L)),
       s"only the outlier should alert, with the cross-batch n_prior; got $alerts")
   }
+
+  test("transformWithState profile carries both value states across batches") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.functions.{col, max}
+    val dir = Files.createTempDirectory("graft_tws_src")
+    def writeFile(name: String, mtime: Long, rows: Seq[(Long, Long)]): Unit = {
+      val side = Files.createTempDirectory("graft_tws_side").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, sec) =>
+            R(id, EventsStream.ntzOfEpochSec(sec), 7L, "click", 0.0, null) }, 1),
+        EventsStream.rawEventsSchema)
+        .write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(name)
+      Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime)
+    }
+    // batch A: one session (gap 200 ≤ 1800)
+    writeFile("a.parquet", 1600000000000L, Seq((1L, 1000L), (2L, 1200L)))
+    // batch B: 2000 continues the carried session (gap 800); 10000 opens
+    // a second one — both value states must have survived the batch edge
+    writeFile("b.parquet", 1600000010000L, Seq((3L, 2000L), (4L, 10000L)))
+    val out = graft.streaming.StreamVerify
+      .twsProfileStream(spark, dir.toString, gapSec = 1800)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("ne"), max(col("n_sessions")).as("ns"))
+      .collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) ==
+      ((7L, 4L, 2L)))
+  }
 }
