@@ -5446,6 +5446,65 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"), col("o_orderpriority"))
   }
 
+  /** RELATIONAL DIVISION — "suppliers who supply ALL the probe parts" —
+    * the classic for-all quantifier SQL lacks as a primitive, as the
+    * double-anti-join: candidates × probe (a broadcast of the fixed-size
+    * probe set), minus pairs that exist, leaves each candidate's MISSING
+    * requirements; whoever has none qualifies. Every join is equi-keyed;
+    * the one nested-loop is the 2-row probe broadcast (the scalar
+    * pattern). Output carries each qualifier's volume over the probe.
+    */
+  private def q310(s: SparkSession, dir: String): DataFrame = {
+    val probe = T(s, dir, "part").select(col("p_partkey"))
+      .orderBy(col("p_partkey")).limit(2)
+    val sp = T(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val missing = T(s, dir, "supplier").select(col("s_suppkey"))
+      .crossJoin(broadcast(probe))
+      .join(sp, col("s_suppkey") === col("l_suppkey") &&
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("s_suppkey")).distinct()
+    val qualified = T(s, dir, "supplier").select(col("s_suppkey"))
+      .join(missing, Seq("s_suppkey"), "left_anti")
+    val volume = T(s, dir, "lineitem")
+      .join(broadcast(probe), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(floor(col("l_quantity")).cast("long")).as("total_qty"))
+    qualified.join(volume, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("n_lines"), col("total_qty"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Hierarchical share-of-parent (ratio-to-report): revenue per
+    * (region, nation) with each nation's share of its REGION and each
+    * region's share of the TOTAL — the BI staple behind every treemap.
+    * Window sums run in DECIMAL over the ≤|nations| aggregate (double
+    * window sums would be partition-order-dependent); ratios surface as
+    * rounded doubles.
+    */
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "orders")
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_d"))
+    val wRegion = Window.partitionBy(col("region"))
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("region_d", sum(col("rev_d")).over(wRegion))
+      .withColumn("total_d", sum(col("rev_d")).over(wAll))
+      .select(col("region"), col("nation"),
+        col("rev_d").cast("double").as("revenue"),
+        round(col("rev_d").cast("double") / col("region_d").cast("double"), 6)
+          .as("share_in_region"),
+        round(col("region_d").cast("double") / col("total_d").cast("double"), 6)
+          .as("region_share_of_total"))
+      .orderBy(col("region"), col("nation"))
+  }
+
   /** Hourly OHLC bars per event type — the finance-standard candle
     * rollup: open/close by deterministic (sec, event_id) argmin/argmax,
     * high/low, volume, and a decimal-exact VWAP-style mean. ONE
@@ -6308,6 +6367,8 @@ object SparkEntry {
     "q307_lineage_sql" -> (q307 _),
     "q308_tws_profile" -> (q308 _),
     "q309_star_bucketed" -> (q309 _),
+    "q310_rel_division" -> (q310 _),
+    "q311_share_of_parent" -> (q311 _),
     "q194_unigram_surprisal" -> (q194 _),
     "q142_stream_append_sessions" -> (q142 _),
     "q78_merge_upsert" -> (q78 _),
@@ -7171,6 +7232,14 @@ object SparkEntry {
     // multiplied along the path and summed per pair — exact integers
     "q299_bom_explosion" ->
       """WITH RECURSIVE nodes AS (SELECT p_partkey AS k FROM part WHERE p_partkey BETWEEN 1 AND 600), e AS (SELECT a.k AS src, b.k AS dst, 2 AS qty FROM nodes a JOIN nodes b ON b.k = a.k * 2 UNION ALL SELECT a.k, b.k, 3 FROM nodes a JOIN nodes b ON b.k = a.k * 3), paths AS (SELECT src, dst, CAST(qty AS BIGINT) AS q, 1 AS len FROM e UNION ALL SELECT p.src, e.dst, p.q * e.qty, p.len + 1 FROM paths p JOIN e ON e.src = p.dst WHERE p.len < 10) SELECT src, dst, CAST(SUM(q) AS BIGINT) AS total_qty FROM paths GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the for-all via NOT EXISTS double negation — same probe set (2
+    // smallest part keys), same distinct pair relation
+    "q310_rel_division" ->
+      """WITH probe AS (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 2), sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem), ok AS (SELECT s_suppkey FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.l_suppkey = s.s_suppkey AND sp.l_partkey = p.p_partkey))), q AS (SELECT l_suppkey, COUNT(*) AS n_lines, CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty FROM lineitem JOIN probe ON l_partkey = p_partkey GROUP BY 1) SELECT ok.s_suppkey, q.n_lines, q.total_qty FROM ok JOIN q ON ok.s_suppkey = q.l_suppkey ORDER BY 1""",
+    // window sums in DECIMAL over the nations aggregate — exact at any
+    // order; identical ratio arithmetic
+    "q311_share_of_parent" ->
+      """WITH rev AS (SELECT r_name AS region, n_name AS nation, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2), w AS (SELECT region, nation, rev_d, SUM(rev_d) OVER (PARTITION BY region) AS region_d, SUM(rev_d) OVER () AS total_d FROM rev) SELECT region, nation, CAST(rev_d AS DOUBLE) AS revenue, round(CAST(rev_d AS DOUBLE) / CAST(region_d AS DOUBLE), 6) AS share_in_region, round(CAST(region_d AS DOUBLE) / CAST(total_d AS DOUBLE), 6) AS region_share_of_total FROM w ORDER BY region, nation""",
     // the expected edge list derived by hand from the SQL text's shape;
     // view-name boundaries, literals/count(*) report (NULL, NULL)
     "q307_lineage_sql" ->
