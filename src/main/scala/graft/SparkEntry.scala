@@ -4400,6 +4400,24 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Per-type HOLT–WINTERS triple exponential smoothing
+    * ([[graft.operators.Trend.holtWintersPerKey]]): level + trend +
+    * 24-hour additive seasonality folded in ONE codegen'd HOF aggregate
+    * with an array-slot struct accumulator — the daily-cycle forecaster
+    * q261's trend-only Holt structurally misses. α=0.5, β=γ=0.25 (powers
+    * of two, exact complements); the oracle replays the identical
+    * recursion as a recursive CTE carrying the 24 slots as a LIST.
+    */
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .cast("double").as("v"))
+    graft.operators.Trend.holtWintersPerKey(hourly, "event_type", "hid", "v",
+        0.5, 0.25, 0.25, 24)
+      .orderBy(col("event_type"))
+  }
+
   /** Tokenizer-coverage audit ([[graft.operators.TextPipeline.oovRate]]):
     * per-language OOV rate against the top-1000 frequency vocabulary —
     * the fairness lens on q156's vocab (a shared vocabulary under-serves
@@ -5031,10 +5049,14 @@ object SparkEntry {
       TxLake.commit(s, lake, o.filter(col("o_orderkey") % 3 === t)))
     TxLake.buildBloomIndex(s, lake, "o_orderkey", idx)
     // %150 keys are ≡ 0 (mod 3): the merge touches only commit-0's files,
-    // so commits 1 and 2 must carry their blooms through the refresh
+    // so commits 1 and 2 must carry their blooms through the refresh.
+    // Synthetic insert keys derive from max(o_orderkey) — a fixed literal
+    // would collide again at a large enough scale factor (r6 lesson).
+    val base = (o.agg(max(col("o_orderkey"))).head().getLong(0) /
+      1000000L + 1L) * 1000000L
     val updates = o.filter(col("o_orderkey") % 150 === 0)
       .withColumn("price", (col("price") * 2).cast(DecimalType(18, 2)))
-      .unionByName(s.range(20000001L, 20000006L).select(col("id").as("o_orderkey"),
+      .unionByName(s.range(base + 1L, base + 6L).select(col("id").as("o_orderkey"),
         lit(0L).as("o_custkey"), lit("N").as("o_orderstatus"),
         lit("1.00").cast(DecimalType(18, 2)).as("price")))
     TxLake.mergeByKey(s, lake, updates, "o_orderkey")
@@ -5042,8 +5064,8 @@ object SparkEntry {
     require(nNew > 0, "merge must have produced unindexed files")
     require(nKept > 0, "untouched files must carry their blooms over")
     TxLake.readByKeysBloom(s, lake, idx,
-        Seq(150L, 300L, 301L, 20000003L).toDF("k"))
-      .filter(col("o_orderkey").isin(150L, 300L, 301L, 20000003L))
+        Seq(150L, 300L, 301L, base + 3L).toDF("k"))
+      .filter(col("o_orderkey").isin(150L, 300L, 301L, base + 3L))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("price").cast("double").as("price"))
       .orderBy(col("o_orderkey"))
@@ -5411,6 +5433,70 @@ object SparkEntry {
       .agg(max(col("n_events")).as("n_events"),
         max(col("n_sessions")).as("n_sessions"))
       .orderBy(col("user_id"))
+
+  /** Event-time TIMERS on the arbitrary-state v2 API
+    * ([[graft.streaming.EventsStream.twsSessionTimers]]): sessions are
+    * finalized by `registerTimer`/`handleExpiredTimer` when the watermark
+    * passes (last + gap) — the transformWithState family member a
+    * production session pipeline migrating off
+    * flatMapGroupsWithState's event-time timeout actually needs.
+    * Time-sliced + sentinel-staged input (see q312Events); append-mode
+    * emissions are final and must equal batch q15 sessionization.
+    */
+  private def q312(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify
+      .twsSessionTimersStream(s, q312Events(s, dir), gapSec = 1800)
+      .select(col("user_id"), col("start_sec"), col("end_sec"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_sec"))
+
+  /** TTL'd state on the arbitrary-state v2 API
+    * ([[graft.streaming.EventsStream.twsFirstSeenTtl]]): the first-seen
+    * marker per (user, event_type) lives in value state created with a
+    * REAL `TTLConfig` duration, so the key space self-evicts at
+    * production scale. The gate's TTL (1h) exceeds the drain wall-clock:
+    * nothing expires mid-run, cross-batch suppression is real, and the
+    * drained union equals exact batch first-per-key. Expiry itself is
+    * proven in StreamingSpec across checkpoint-resumed runs.
+    */
+  private def q313(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify
+      .twsFirstSeenTtlStream(s, q259Events(s, dir),
+        java.time.Duration.ofHours(1))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** `StatefulProcessorWithInitialState`
+    * ([[graft.streaming.EventsStream.twsProfileSeeded]]): per-user
+    * lifetime totals seeded from a batch aggregate over the first time
+    * tertile; only later events stream. The drained totals (unioned with
+    * seeded users the stream never touched) must equal the FULL-history
+    * aggregate — which holds only if `handleInitialState` installed every
+    * seed. The migration shape for moving a standing aggregate onto a new
+    * streaming job without replaying history.
+    */
+  private def q314(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val secE = expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    val b = raw.agg(min(secE).as("lo"), max(secE).as("hi")).collect()(0)
+    val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 3
+    val initial = raw.filter(secE <= cutoff)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("sum_cents"))
+    val drained = graft.streaming.StreamVerify
+      .twsProfileSeededStream(s, q259Events(s, dir), initial, cutoff)
+    // cumulative update-mode emissions: per key the row with max n wins;
+    // users whose every event predates the cutoff never stream — their
+    // answer IS their seed
+    val reduced = drained.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("sum_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.sum_cents").as("sum_cents"))
+    reduced
+      .unionByName(initial.join(reduced, Seq("user_id"), "left_anti"))
+      .orderBy(col("user_id"))
+  }
 
   /** Co-partitioned STAR join: fact (lineitem) and the orders leg both
     * bucketed ×8 on the order key — their join is exchange-free by
@@ -6016,6 +6102,43 @@ object SparkEntry {
     staged.toString
   }
 
+  /** q312's stream input: the q259 time slices PLUS a far-future sentinel
+    * file (user -1, ts = max real ts + 1 day) with the LATEST mtime, so it
+    * is processed last and pushes the watermark past every real session's
+    * close — firing every registered event-time timer. The sentinel's own
+    * session can never finalize (the watermark trails its event time).
+    */
+  private def q312Events(s: SparkSession, dir: String): String = {
+    val staged = java.nio.file.Paths.get(scratch(dir, "q312_events"))
+    java.nio.file.Files.createDirectories(staged)
+    val src = java.nio.file.Paths.get(q259Events(s, dir))
+    Seq("t0.parquet", "t1.parquet", "t2.parquet").zipWithIndex.foreach {
+      case (name, i) =>
+        val dest = staged.resolve(name)
+        if (!dest.toFile.exists())
+          java.nio.file.Files.copy(src.resolve(name), dest)
+        dest.toFile.setLastModified(1600000000000L + i * 10000L)
+    }
+    val sentinel = staged.resolve("t3_sentinel.parquet")
+    if (!sentinel.toFile.exists()) {
+      val maxNanos = T(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
+      val ts = graft.streaming.EventsStream.ntzOfEpochSec(
+        maxNanos / 1000000000L + 86400L)
+      val side = scratch(dir, "q312_sentinel")
+      s.createDataFrame(
+        s.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row(-1L, ts, -1L, "noop", 0.0, null)), 1),
+        graft.streaming.EventsStream.rawEventsSchema)
+        .write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("sentinel write produced no part file"))
+      java.nio.file.Files.copy(part.toPath, sentinel)
+    }
+    sentinel.toFile.setLastModified(1600000000000L + 30000L)
+    staged.toString
+  }
+
   /** Session-window aggregation in UPDATE mode: grown sessions re-emitted
     * per micro-batch, superseded emissions pruned, final state
     * hash-equal to batch sessionization
@@ -6366,6 +6489,10 @@ object SparkEntry {
     "q306_two_hop_recs" -> (q306 _),
     "q307_lineage_sql" -> (q307 _),
     "q308_tws_profile" -> (q308 _),
+    "q312_tws_timers" -> (q312 _),
+    "q313_tws_ttl" -> (q313 _),
+    "q314_tws_initial" -> (q314 _),
+    "q315_holt_winters" -> (q315 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7158,7 +7285,7 @@ object SparkEntry {
     "q250_skyline" ->
       """WITH o AS (SELECT c_mktsegment AS seg, o_orderkey, epoch_ns(o_orderdate) // 1000000000 // 86400 AS d, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders JOIN customer ON o_custkey = c_custkey) SELECT seg, o_orderkey, d, cents FROM o q WHERE NOT EXISTS (SELECT 1 FROM o p WHERE p.seg = q.seg AND p.d <= q.d AND p.cents <= q.cents AND (p.d < q.d OR p.cents < q.cents)) ORDER BY seg, d, cents, o_orderkey""",
     "q251_systematic_pps" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents), c AS (SELECT doc_id, lang, n_chars, SUM(n_chars) OVER (PARTITION BY lang ORDER BY hx, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, SUM(n_chars) OVER (PARTITION BY lang) AS tot FROM d) SELECT doc_id, lang, n_chars, (cumw * 10) // tot - ((cumw - n_chars) * 10) // tot AS n_crossings FROM c WHERE (cumw * 10) // tot > ((cumw - n_chars) * 10) // tot ORDER BY lang, doc_id""",
+      """WITH d AS (SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents), c AS (SELECT doc_id, lang, n_chars, SUM(n_chars) OVER (PARTITION BY lang ORDER BY hx, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, SUM(n_chars) OVER (PARTITION BY lang) AS tot FROM d) SELECT doc_id, lang, n_chars, CAST((cumw * 10) // tot - ((cumw - n_chars) * 10) // tot AS BIGINT) AS n_crossings FROM c WHERE (cumw * 10) // tot > ((cumw - n_chars) * 10) // tot ORDER BY lang, doc_id""",
     "q252_accent_fold" ->
       """WITH a AS (SELECT doc_id, text, translate(text, 'aeiou', 'áéíóú') AS acc FROM documents) SELECT doc_id, md5(acc) AS accented_md5, md5(strip_accents(acc)) AS folded_md5, CAST(strip_accents(acc) = text AS INTEGER) AS roundtrip, CAST(length(text) - length(translate(text, 'aeiou', '')) AS BIGINT) AS n_folded FROM a ORDER BY doc_id""",
     "q253_ewma" ->
@@ -7188,7 +7315,7 @@ object SparkEntry {
     // point lookups through the refreshed index: doubled %50 prices plus
     // the merged-in synthetic key — derived directly, not replayed
     "q289_bloom_refresh" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders WHERE o_orderkey IN (150, 300) UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) FROM orders WHERE o_orderkey = 301 UNION ALL SELECT 20000003, 0, 'N', 1.0 ORDER BY o_orderkey""",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders WHERE o_orderkey IN (150, 300) UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) FROM orders WHERE o_orderkey = 301 UNION ALL SELECT CAST((MAX(o_orderkey) // 1000000 + 1) * 1000000 + 3 AS BIGINT), 0, 'N', 1.0 FROM orders ORDER BY o_orderkey""",
     // the expected conflict report derived independently from the
     // injected divergence rules: %31 price drift, %37 status corruption
     // (only where replica 3 exists), %41 outage
@@ -7248,6 +7375,20 @@ object SparkEntry {
     // event or gap > 1800 s opens a session, counters are lifetime totals
     "q308_tws_profile" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events), g AS (SELECT user_id, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS ns FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)) SELECT user_id, COUNT(*) AS n_events, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM g GROUP BY 1 ORDER BY 1""",
+    // timer-finalized sessions must equal batch gap sessionization
+    "q312_tws_timers" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), s AS (SELECT user_id, event_id, sec, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), t AS (SELECT user_id, sec, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM s) SELECT user_id, MIN(sec) AS start_sec, MAX(sec) AS end_sec, COUNT(*) AS n_events FROM t GROUP BY user_id, sid ORDER BY user_id, start_sec""",
+    // TTL'd first-seen: exact first event per (user, event_type)
+    "q313_tws_ttl" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), r AS (SELECT user_id, event_type, sec, event_id, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY sec, event_id) AS rn FROM e) SELECT user_id, event_type, sec AS first_sec, event_id AS first_event_id FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
+    // seeded profile must reconstruct the FULL-history aggregate
+    "q314_tws_initial" ->
+      """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_cents FROM events GROUP BY 1 ORDER BY 1""",
+    // the triple-smoothing recursion replays as a recursive CTE carrying
+    // the 24 seasonal slots as a LIST, level recomputed inside trend and
+    // seasonal on both engines (the q261 discipline, scaled up)
+    "q315_holt_winters" ->
+      """WITH RECURSIVE h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) AS v FROM events GROUP BY 1, 2), o AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hid) AS rn FROM h), nn AS (SELECT event_type, COUNT(*) AS n FROM o GROUP BY 1), rec AS (SELECT event_type, CAST(1 AS BIGINT) AS rn, v AS l, CAST(0 AS DOUBLE) AS b, list_transform(range(24), i -> CAST(0 AS DOUBLE)) AS s FROM o WHERE rn = 1 UNION ALL SELECT r.event_type, r.rn + 1, 0.5 * (x.v - r.s[CAST(r.rn % 24 AS INTEGER) + 1]) + 0.5 * (r.l + r.b) AS l, 0.25 * ((0.5 * (x.v - r.s[CAST(r.rn % 24 AS INTEGER) + 1]) + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b, r.s[1:CAST(r.rn % 24 AS INTEGER)] || [0.25 * (x.v - (0.5 * (x.v - r.s[CAST(r.rn % 24 AS INTEGER) + 1]) + 0.5 * (r.l + r.b))) + 0.75 * r.s[CAST(r.rn % 24 AS INTEGER) + 1]] || r.s[CAST(r.rn % 24 AS INTEGER) + 2:24] AS s FROM rec r JOIN o x ON x.event_type = r.event_type AND x.rn = r.rn + 1) SELECT f.event_type, nn.n, round(f.l, 6) AS level, round(f.b, 6) AS trend, round(f.l + f.b + f.s[CAST(nn.n % 24 AS INTEGER) + 1], 6) AS forecast FROM rec f JOIN nn ON nn.event_type = f.event_type AND f.rn = nn.n WHERE nn.n >= 2 ORDER BY f.event_type""",
     // layout must not change answers: the bucketed star equals the plain
     // three-way join aggregate
     "q309_star_bucketed" ->

@@ -78,7 +78,17 @@ object Drift {
     import org.apache.spark.sql.expressions.Window
     require(bins >= 2, "need at least 2 bins")
     val v = col(valueCol).cast("double")
-    val bounds = df.agg(min(v).as("mn"), max(v).as("mx")).head()
+    // one metadata-sized pass: bounds + both sample sizes together, so the
+    // empty/all-null and one-sided cases fail with a message instead of a
+    // bounds NPE or silent NaN ECDFs
+    val bounds = df.agg(min(v).as("mn"), max(v).as("mx"),
+      sum(when(sampleACol, 1L).otherwise(0L)).as("na"),
+      sum(when(sampleACol, 0L).otherwise(1L)).as("nb")).head()
+    require(!bounds.isNullAt(0) && !bounds.isNullAt(1),
+      s"ksBinned: empty input or all-null $valueCol")
+    require(bounds.getLong(2) > 0 && bounds.getLong(3) > 0,
+      s"ksBinned: both samples must be non-empty " +
+        s"(n_a=${bounds.getLong(2)}, n_b=${bounds.getLong(3)})")
     val mn = bounds.getDouble(0)
     val mx = bounds.getDouble(1)
     require(mx > mn, s"degenerate value range [$mn, $mx]")

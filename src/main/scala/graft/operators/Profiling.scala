@@ -118,8 +118,13 @@ object Profiling {
       .withColumn("expected_n",
         col("expected_p") * col("total").cast("double"))
       .withColumn("chi2_term",
-        round((col("n").cast("double") - col("expected_n")) *
-          (col("n").cast("double") - col("expected_n")) / col("expected_n"), 6)
+        // zero qualifying rows => expected_n = 0 everywhere; emit NULL
+        // terms (and so a NULL chi2_total) explicitly rather than letting
+        // 0/0 leak a NaN through the decimal cast
+        when(col("total") > 0L,
+          round((col("n").cast("double") - col("expected_n")) *
+            (col("n").cast("double") - col("expected_n")) /
+            col("expected_n"), 6))
           .cast(DecimalType(18, 6)))
       .withColumn("chi2_total",
         sum(col("chi2_term")).over(all).cast("double"))

@@ -388,4 +388,67 @@ object Sketches {
           .as("jaccard_est"))
       .orderBy(col("ga"), col("gb"))
   }
+
+  /** Mergeable QUANTILE sketch by BOTTOM-k-BY-HASH sampling — the
+    * sketch-shelf answer to "p99 across a period without re-scanning
+    * facts" next to HLL/KMV (distinct), CMS (frequency) and bitmaps
+    * (membership). Each segment keeps the k rows with the smallest
+    * 52-bit id hashes (a uniform without-replacement sample); merging
+    * sketches = union + re-take the k smallest — EXACTLY the global
+    * bottom-k, so per-day sketches compose to the period sample with no
+    * approximation beyond the sampling itself (rank error O(1/√k)).
+    * Chosen over KLL deliberately: KLL's level-compactor coin flips
+    * can't be replayed cross-engine, while bottom-k is a pure function
+    * of the md5 hashes — every intermediate here is engine-exact and the
+    * oracle hash-matches the whole pipeline (the q249 KMV discipline
+    * applied to quantiles; the engine's exact-oracle bar beats KLL's
+    * ~2× tighter constant).
+    *
+    * Scale shape: BUILD is one fact pass (per-segment window over
+    * segment-local rows, map-side prunable to k per partition); MERGE
+    * touches only the ≤ k·|segments| sketch rows (the one unpartitioned
+    * window runs over that sketch-sized frame, never the corpus);
+    * estimation reads the ≤ k merged sample into one sorted array.
+    */
+  def quantileSketch(
+      df: DataFrame,
+      segmentCol: Column,
+      idCol: String,
+      vCol: String,
+      k: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(k >= 2, "sample size k must be at least 2")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.select(segmentCol.as("seg"), h52(col(idCol)).as("h"),
+      col(idCol).cast("long").as("id"), col(vCol).cast("double").as("v"))
+    // BUILD: one fact pass → per-segment bottom-k sample (+ counts)
+    val segSketch = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("h"), col("id"))))
+      .filter(col("rn") <= k)
+    val totals = hashed.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    // MERGE: sketches only — union the per-segment samples and re-take
+    // the global bottom-k (== the bottom-k of the raw union, exactly);
+    // the unpartitioned window frame is the k·|segments| sketch, never
+    // the corpus
+    val merged = segSketch
+      .withColumn("grn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("h"), col("id"))))
+      .filter(col("grn") <= k)
+    val sample = merged.agg(
+      sort_array(collect_list(col("v"))).as("vals"),
+      count(lit(1)).as("sample_k"))
+    val nTotal = totals.agg(sum(col("n")).as("n_total"))
+    val spine = df.sparkSession.createDataFrame(qs.map(Tuple1(_)))
+      .toDF("quantile")
+    sample.crossJoin(broadcast(nTotal)).crossJoin(broadcast(spine))
+      .select(col("quantile"),
+        element_at(col("vals"),
+          greatest(lit(1L), ceil(col("quantile") * col("sample_k")))
+            .cast("int")).as("est"),
+        col("sample_k"), col("n_total"))
+      .orderBy(col("quantile"))
+  }
 }

@@ -267,6 +267,66 @@ object Trend {
         round(folded.getField("s") + folded.getField("b"), 6).as("forecast"))
   }
 
+  /** Per-key HOLT–WINTERS triple exponential smoothing (additive
+    * seasonality, period `m`) — [[holtPerKey]] plus the seasonal
+    * component a daily-cycle metric actually needs. The whole recursion
+    * folds in ONE codegen'd higher-order aggregate whose accumulator is a
+    * struct carrying (level, trend, the m seasonal slots as an array, a
+    * position counter); each step reads its slot with `element_at` and
+    * rewrites exactly that slot with an indexed `transform` — O(m) per
+    * step, no per-step shuffle, one key shuffle total. Deterministic
+    * init: level = x₁, trend = 0, all seasonals 0 (the oracle replays the
+    * identical recursion as a recursive CTE carrying the slots as a
+    * LIST, in the same IEEE op order — level recomputed inside trend and
+    * seasonal on both engines). α/β/γ should be powers of two so the
+    * (1-·) complements are exact. Forecast = level + trend + the next
+    * slot's seasonal.
+    */
+  def holtWintersPerKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      vCol: String,
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      m: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta > 0.0 && beta <= 1.0 &&
+      gamma > 0.0 && gamma <= 1.0, "smoothing constants must be in (0, 1]")
+    require(m >= 2, "seasonal period must be at least 2")
+    val v1 = element_at(col("__s"), 1).getField("__v")
+    val init = struct(v1.as("l"), lit(0.0).as("b"),
+      array_repeat(lit(0.0), m).as("s"), lit(1).as("t"))
+    val folded = aggregate(
+      expr("slice(__s, 2, greatest(size(__s) - 1, 0))"),
+      init,
+      (acc, e) => {
+        val x = e.getField("__v")
+        val idx0 = acc.getField("t") % m // 0-based seasonal slot
+        val sPrev = element_at(acc.getField("s"), idx0 + 1)
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val lNew = lit(alpha) * (x - sPrev) + lit(1.0 - alpha) * (l + b)
+        val bNew = lit(beta) * (lNew - l) + lit(1.0 - beta) * b
+        val sNew = lit(gamma) * (x - lNew) + lit(1.0 - gamma) * sPrev
+        struct(lNew.as("l"), bNew.as("b"),
+          transform(acc.getField("s"),
+            (el, i) => when(i === idx0, sNew).otherwise(el)).as("s"),
+          (acc.getField("t") + 1).as("t"))
+      })
+    df.select(col(keyCol), col(orderCol).cast("long").as("__o"),
+        col(vCol).cast("double").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("__o"), col("__v")))).as("__s"))
+      .filter(col("n") >= 2)
+      .select(col(keyCol), col("n"),
+        round(folded.getField("l"), 6).as("level"),
+        round(folded.getField("b"), 6).as("trend"),
+        round(folded.getField("l") + folded.getField("b") +
+          element_at(folded.getField("s"),
+            (col("n") % m).cast("int") + 1), 6).as("forecast"))
+  }
+
   /** Per-key ROLLING OLS slope over a trailing `win`-row window — the
     * local-trend detector (q147 fits ONE global line; this emits the
     * trend at every point, the shape a monitoring dashboard plots). All
@@ -276,6 +336,11 @@ object Trend {
     * exact operands — engine-identical. One key shuffle; the frame is
     * `win` rows however long the series. Rows before a full window emit
     * NULL slope (a 1-point "trend" is noise, not signal).
+    *
+    * Determinism contract: the frame orders by (x, y) — the y tiebreak
+    * makes duplicate-x frames partition-order-independent (rows tied on
+    * BOTH x and y are interchangeable in every window sum). Callers with
+    * distinct x per key (the normal time-series case) are unaffected.
     */
   def rollingOlsPerKey(
       df: DataFrame,
@@ -284,7 +349,7 @@ object Trend {
       yCol: String,
       win: Int): DataFrame = {
     require(win >= 2)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__x"), col("__y"))
       .rowsBetween(-(win - 1).toLong, Window.currentRow)
     val base = df.select(col(keyCol), col(xCol).cast("long").as("__x"),
       col(yCol).cast("long").as("__y"))

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, ExprId}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, SubqueryAlias, Union}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Column-level lineage extracted from the ANALYZED logical plan — the
   * governance surface (impact analysis, PII propagation, audit) that a
@@ -48,10 +49,45 @@ object Lineage {
   def columnLineageSql(df: DataFrame, views: Set[String]): DataFrame =
     emit(df, walkAndResolve(df.queryExecution.analyzed, Map.empty, views))
 
+  /** Lineage anchored on LAKE PATHS — the catalog's production shape:
+    * `lakes` maps a table label to its TxLake root; any file-scan leaf
+    * whose every input file sits under a registered root resolves to that
+    * label (longest root wins, so nested lakes stay distinct). This is
+    * how lineage covers `TxLake.readSnapshot` frames, where there is no
+    * DataFrame object or view name to anchor on — the physical layout IS
+    * the identity. Composes with the view boundary: both can be active
+    * in one walk.
+    */
+  def columnLineageLake(
+      df: DataFrame,
+      lakes: Map[String, String],
+      views: Set[String] = Set.empty): DataFrame =
+    emit(df, walkAndResolve(df.queryExecution.analyzed, Map.empty, views,
+      lakes.map { case (label, root) =>
+        label -> new org.apache.hadoop.fs.Path(root).toUri.getPath
+      }))
+
   private def walkAndResolve(
       plan: LogicalPlan,
       leafIds: Map[ExprId, (String, String)],
-      views: Set[String]): Seq[(String, String, String)] = {
+      views: Set[String],
+      lakeRoots: Map[String, String] = Map.empty)
+      : Seq[(String, String, String)] = {
+    // label of the registered lake that contains EVERY file this relation
+    // scans (longest matching root wins)
+    def lakeLabel(lr: LogicalRelation): Option[String] =
+      lr.relation match {
+        case h: HadoopFsRelation =>
+          val files = h.location.rootPaths.map(_.toUri.getPath)
+          lakeRoots.toSeq
+            .filter { case (_, root) =>
+              files.nonEmpty &&
+                files.forall(f => f == root || f.startsWith(root + "/"))
+            }
+            .sortBy { case (_, root) => -root.length }
+            .headOption.map(_._1)
+        case _ => None
+      }
     // a declared-input column ENDS the walk: its own alias chain (toDF,
     // selects inside the input) must not dissolve the boundary
     def boundary(id: ExprId): Option[Src] = leafIds.get(id).map(Set(_))
@@ -73,6 +109,9 @@ object Lineage {
           // named-view boundary: everything beneath is the view's
           // business; its output columns ARE the lineage leaves
           sa.output.map(a => a.exprId -> (Set((sa.alias, a.name)): Src)).toMap
+        case lr: LogicalRelation if lakeLabel(lr).isDefined =>
+          val label = lakeLabel(lr).get
+          lr.output.map(a => a.exprId -> (Set((label, a.name)): Src)).toMap
         case l: LeafNode =>
           l.output.map(a =>
             a.exprId -> boundary(a.exprId).getOrElse(Set.empty: Src)).toMap

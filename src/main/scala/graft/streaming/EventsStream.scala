@@ -296,7 +296,11 @@ object EventsStream {
             }
             val res =
               if (alert) Some((key, e.sec, e.event_id, c, n)) else None
-            n += 1; s += c; sq += c * c
+            // exact accumulation: cents² can overflow a Long after ~9M
+            // rows per key; fail loudly rather than silently flip alerts
+            n += 1
+            s = Math.addExact(s, c)
+            sq = Math.addExact(sq, Math.multiplyExact(c, c))
             res
           }
           state.update((n, s, sq))
@@ -359,5 +363,201 @@ object EventsStream {
       .groupByKey(_.user_id)
       .transformWithState(processor, TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "n_events", "n_sessions")
+  }
+
+  /** Gap-session FINALIZATION via EVENT-TIME TIMERS on the arbitrary-state
+    * v2 API — the [[twsProfile]] family member that exercises
+    * `registerTimer` / `handleExpiredTimer`: sessions closed by an
+    * observed in-data gap emit from `handleInputRows`; each key's LAST
+    * open session is closed by a registered event-time timer at
+    * (last + gap) once the watermark passes it — the production "emit
+    * exactly once, when provably complete" pattern without
+    * `session_window`. Exactly one live timer per key (each batch deletes
+    * stale timers before re-registering), and `handleExpiredTimer` guards
+    * on the watermark so a timer racing a same-batch extension can never
+    * emit a still-open session. Watermark delay (2h) > gap (≤30min) means
+    * a fired timer's session is provably un-extendable under time-ordered
+    * slices. Append-mode emissions are final; the drained union must
+    * equal batch q15 sessionization row for row.
+    */
+  def twsSessionTimers(
+      spark: SparkSession,
+      events: DataFrame,
+      gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamEvent]
+    val processor = new org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StreamEvent, (Long, Long, Long, Long)] {
+      @transient private var open: ValueState[(Long, Long, Long)] = _
+      override def init(outputMode: OutputMode,
+          timeMode: TimeMode): Unit = {
+        val enc = Encoders.tuple(
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+        open = getHandle.getValueState[(Long, Long, Long)]("open", enc,
+          TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Long, rows: Iterator[StreamEvent],
+          timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+        var cur = if (open.exists()) Option(open.get()) else None
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        rows.toSeq.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+          cur match {
+            case Some((st, la, n)) if e.sec - la > gapSec =>
+              out += ((key, st, la, n))
+              cur = Some((e.sec, e.sec, 1L))
+            case Some((st, la, n)) =>
+              cur = Some((st, math.max(la, e.sec), n + 1L))
+            case None =>
+              cur = Some((e.sec, e.sec, 1L))
+          }
+        }
+        cur.foreach { case (st, la, n) =>
+          open.update((st, la, n))
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer((la + gapSec) * 1000L + 1000L)
+        }
+        out.iterator
+      }
+      override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+          expiredTimerInfo: ExpiredTimerInfo)
+          : Iterator[(Long, Long, Long, Long)] = {
+        if (open.exists()) {
+          val (st, la, n) = open.get()
+          // only emit a session the watermark has provably closed — a
+          // stale timer surviving a same-batch re-registration must not
+          // flush the REPLACEMENT session early
+          if ((la + gapSec) * 1000L < timerValues.getCurrentWatermarkInMs()) {
+            open.clear()
+            Iterator.single((key, st, la, n))
+          } else Iterator.empty
+        } else Iterator.empty
+      }
+    }
+    typed
+      .groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_sec", "end_sec", "n_events")
+  }
+
+  /** First-seen emission per (user, event_type) with TTL'd state — the
+    * [[twsProfile]] family member that exercises a REAL `TTLConfig`
+    * duration: the "seen" marker is value state created with a TTL, so at
+    * production scale the key space self-evicts instead of growing
+    * forever (the dedup-state retention knob `dropDuplicatesWithinWatermark`
+    * ties to the watermark, this ties to wall-clock age). TTL is
+    * processing-time by API contract, so the verification gate runs with
+    * a TTL far above the drain's wall-clock (nothing expires: result ==
+    * exact batch first-per-key, oracle-hashable); StreamingSpec proves
+    * actual expiry with a short TTL across two checkpoint-resumed runs.
+    */
+  def twsFirstSeenTtl(
+      spark: SparkSession,
+      events: DataFrame,
+      ttl: java.time.Duration): DataFrame = {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig,
+      ValueState}
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamEvent]
+    val processor = new org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), StreamEvent, (Long, String, Long, Long)] {
+      @transient private var seen: ValueState[Long] = _
+      override def init(outputMode: OutputMode,
+          timeMode: TimeMode): Unit = {
+        seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+          TTLConfig(ttl))
+      }
+      override def handleInputRows(key: (Long, String),
+          rows: Iterator[StreamEvent], timerValues: TimerValues)
+          : Iterator[(Long, String, Long, Long)] = {
+        val batch = rows.toSeq
+        if (seen.exists()) Iterator.empty
+        else {
+          val first = batch.minBy(e => (e.sec, e.event_id))
+          seen.update(first.sec)
+          Iterator.single((key._1, key._2, first.sec, first.event_id))
+        }
+      }
+    }
+    typed
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(processor, TimeMode.ProcessingTime(),
+        OutputMode.Update())
+      .toDF("user_id", "event_type", "first_sec", "first_event_id")
+  }
+
+  /** Lifetime per-user totals SEEDED from batch state — the
+    * [[twsProfile]] family member that exercises
+    * `StatefulProcessorWithInitialState`: the migration shape for moving a
+    * standing aggregate onto a new streaming job without replaying
+    * history. `handleInitialState` installs each key's batch-computed
+    * (n_events, sum_cents) before the first input batch; the stream then
+    * accumulates on top with the exact-cents arithmetic of
+    * [[zscoreAlerts]]. Update-mode emissions are cumulative and monotone
+    * in n, so the drained per-key argmax must equal the FULL-history
+    * batch aggregate — which only holds if the seed was actually applied.
+    */
+  def twsProfileSeeded(
+      spark: SparkSession,
+      events: DataFrame,
+      initial: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig,
+      ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamEvent]
+    val init = initial
+      .select(col("user_id").cast("long"), col("n_events").cast("long"),
+        col("sum_cents").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+    val processor =
+      new org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+          Long, StreamEvent, (Long, Long, Long), (Long, Long, Long)] {
+        @transient private var tot: ValueState[(Long, Long)] = _
+        override def init(outputMode: OutputMode,
+            timeMode: TimeMode): Unit = {
+          val enc: Encoder[(Long, Long)] =
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+          tot = getHandle.getValueState[(Long, Long)]("tot", enc,
+            TTLConfig.NONE)
+        }
+        override def handleInitialState(key: Long,
+            initialState: (Long, Long, Long),
+            timerValues: TimerValues): Unit =
+          tot.update((initialState._2, initialState._3))
+        override def handleInputRows(key: Long, rows: Iterator[StreamEvent],
+            timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+          var (n, cents) = if (tot.exists()) tot.get() else (0L, 0L)
+          rows.foreach { e =>
+            val c = java.math.BigDecimal.valueOf(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            n += 1L
+            cents = Math.addExact(cents, c)
+          }
+          tot.update((n, cents))
+          Iterator.single((key, n, cents))
+        }
+      }
+    typed
+      .groupByKey(_.user_id)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update(),
+        init)
+      .toDF("user_id", "n_events", "sum_cents")
   }
 }

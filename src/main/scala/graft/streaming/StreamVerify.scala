@@ -917,21 +917,136 @@ object StreamVerify {
     * the per-key max — which must equal the batch sessionization count.
     */
   def twsProfileStream(
-      spark: SparkSession, eventsPath: String, gapSec: Long): DataFrame = {
+      spark: SparkSession, eventsPath: String, gapSec: Long): DataFrame =
+    withRocksDb(spark) {
+      drain(spark, EventsStream.twsProfile(spark,
+        EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1)),
+        gapSec), "update")
+    }
+
+  /** Drain for PROCESSING-TIME-mode stateful queries: in that mode
+    * `shouldRunAnotherBatch` is unconditionally true (wall-clock always
+    * advances for TTL/timers), so the trigger loop never reaches the
+    * "no new data" state — `Trigger.AvailableNow` never terminates AND
+    * `processAllAvailable()` parks forever while empty no-data batches
+    * spin. The deterministic drain: count processed input rows through a
+    * StreamingQueryListener and stop the query once every expected row
+    * has been committed (listener fires AFTER a batch's sink commit, so
+    * the memory table already holds that batch's emissions).
+    */
+  private def drainProcessingTime(
+      spark: SparkSession, df: DataFrame, mode: String,
+      expectedInputRows: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val name = s"graft_sv_${n.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        if (e.progress.name == name &&
+            seen.addAndGet(e.progress.numInputRows) >= expectedInputRows) {
+          done.countDown()
+        }
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try {
+        require(done.await(300, java.util.concurrent.TimeUnit.SECONDS),
+          s"drainProcessingTime: only ${seen.get()} of $expectedInputRows " +
+            "input rows processed before timeout")
+      } finally q.stop()
+      q.awaitTermination()
+      spark.table(name).localCheckpoint(true)
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.catalog.dropTempView(name)
+      settle(spark)
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store provider — set
+    * for the body and restored after, so every other streaming query
+    * keeps the default HDFS-backed store and the suite exercises BOTH
+    * providers under the gate.
+    */
+  private def withRocksDb(spark: SparkSession)(body: => DataFrame): DataFrame = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val prof = EventsStream.twsProfile(spark,
-        EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1)),
-        gapSec)
-      drain(spark, prof, "update")
-    } finally {
+    try body
+    finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
     }
   }
+
+  /** Event-time TIMER sessionization ([[EventsStream.twsSessionTimers]])
+    * drained through the oracle gate: time-sliced files carry open
+    * sessions across batches; the far-future sentinel (latest mtime, so
+    * processed last) advances the watermark past every real session's
+    * close and every registered timer fires — append-mode emissions are
+    * final and must equal batch q15 sessionization row for row. The
+    * sentinel key's own timer can never fire (the watermark trails its
+    * event time), so the id filter is defensive only.
+    */
+  def twsSessionTimersStream(
+      spark: SparkSession, eventsPath: String, gapSec: Long): DataFrame =
+    withRocksDb(spark) {
+      drain(spark, EventsStream.twsSessionTimers(spark,
+        EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1)),
+        gapSec), "append")
+        .filter(col("user_id") >= 0)
+    }
+
+  /** TTL'd first-seen dedup ([[EventsStream.twsFirstSeenTtl]]) drained
+    * through the oracle gate with a TTL far above the drain's wall-clock:
+    * nothing expires mid-run, so cross-batch suppression is REAL (a key
+    * first seen in batch 0 must stay silent in batch 2) and the drained
+    * union equals exact batch first-per-key. StreamingSpec separately
+    * proves expiry with a short TTL across checkpoint-resumed runs.
+    */
+  def twsFirstSeenTtlStream(
+      spark: SparkSession, eventsPath: String,
+      ttl: java.time.Duration): DataFrame =
+    withRocksDb(spark) {
+      val expected = spark.read
+        .schema(EventsStream.rawEventsSchema).parquet(eventsPath).count()
+      drainProcessingTime(spark, EventsStream.twsFirstSeenTtl(spark,
+        EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1)),
+        ttl), "update", expected)
+    }
+
+  /** Seeded lifetime profile ([[EventsStream.twsProfileSeeded]]) drained
+    * through the oracle gate: only events STRICTLY AFTER `cutoffSec`
+    * stream; everything at or before it arrives solely through the
+    * batch-computed initial state — so the drained totals equal the
+    * full-history aggregate only if `handleInitialState` installed the
+    * seed.
+    */
+  def twsProfileSeededStream(
+      spark: SparkSession, eventsPath: String, initial: DataFrame,
+      cutoffSec: Long): DataFrame =
+    withRocksDb(spark) {
+      drain(spark, EventsStream.twsProfileSeeded(spark,
+        EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+          .filter(unix_timestamp(col("ts")) > cutoffSec),
+        initial), "update")
+    }
 }

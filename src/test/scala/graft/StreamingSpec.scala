@@ -288,4 +288,120 @@ class StreamingSpec extends SparkSuite {
     assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) ==
       ((7L, 4L, 2L)))
   }
+
+  /** Shared writer for the transformWithState-family tests: one parquet
+    * file per micro-batch, mtimes forcing oldest-first processing.
+    */
+  private def writeEventFile(dir: java.nio.file.Path, name: String,
+      mtime: Long, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+    import org.apache.spark.sql.{Row => R}
+    val side = Files.createTempDirectory("graft_twsf_side").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, sec, user, typ, v) =>
+          R(id, EventsStream.ntzOfEpochSec(sec), user, typ, v, null) }, 1),
+      EventsStream.rawEventsSchema)
+      .write.mode("overwrite").parquet(side)
+    val part = new java.io.File(side).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = dir.resolve(name)
+    Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    dest.toFile.setLastModified(mtime)
+  }
+
+  test("transformWithState timers finalize the last open session at watermark passage") {
+    val dir = Files.createTempDirectory("graft_twst_src")
+    // batch A: one session for user 7 (gap 600): events at 1000, 1200
+    writeEventFile(dir, "a.parquet", 1600000000000L,
+      Seq((1L, 1000L, 7L, "click", 0.0), (2L, 1200L, 7L, "click", 0.0)))
+    // batch B: 2000 is 800 > 600 after 1200 → closes session 1 in-data,
+    // opens session 2 — which only a TIMER can ever close
+    writeEventFile(dir, "b.parquet", 1600000010000L,
+      Seq((3L, 2000L, 7L, "click", 0.0)))
+    // batch C: far-future sentinel pushes the watermark (2h delay) past
+    // 2000 + 600, firing user 7's registered timer
+    writeEventFile(dir, "c.parquet", 1600000020000L,
+      Seq((99L, 200000L, -1L, "noop", 0.0)))
+    val out = graft.streaming.StreamVerify
+      .twsSessionTimersStream(spark, dir.toString, gapSec = 600)
+      .orderBy(col("start_sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toList == List((7L, 1000L, 1200L, 2L), (7L, 2000L, 2000L, 1L)),
+      s"expected the gap-closed AND the timer-closed session; got ${out.toList}")
+  }
+
+  test("TTL'd first-seen state expires and re-admits a key across resumed runs") {
+    val dir = Files.createTempDirectory("graft_twsttl_src")
+    val chk = Files.createTempDirectory("graft_twsttl_chk").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def runOnce(expectedEmissions: Int): Unit = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        // ProcessingTime mode can't drain via AvailableNow OR
+        // processAllAvailable (wall-clock always advances →
+        // shouldRunAnotherBatch never false, the "no new data" state is
+        // never reached): poll the sink for the expected emissions, then
+        // stop — the same completion contract as
+        // StreamVerify.drainProcessingTime
+        val q = EventsStream.twsFirstSeenTtl(spark,
+            EventsStream.readEvents(spark, dir.toString),
+            java.time.Duration.ofSeconds(1))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", chk)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.collect().foreach(r =>
+              emitted += ((r.getLong(0), r.getLong(3)))); ()
+          }
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (emitted.size < expectedEmissions &&
+              System.nanoTime() < deadline) Thread.sleep(100L)
+        } finally q.stop()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+    writeEventFile(dir, "a.parquet", 1600000000000L,
+      Seq((1L, 1000L, 1L, "click", 0.0)))
+    runOnce(1)
+    assert(emitted.toList == List((1L, 1L)))
+    // let the 1s TTL lapse, then redeliver the SAME key in a resumed run:
+    // the expired marker must re-admit it as first-seen
+    Thread.sleep(4000L)
+    writeEventFile(dir, "b.parquet", 1600000010000L,
+      Seq((2L, 2000L, 1L, "click", 0.0)))
+    runOnce(2)
+    assert(emitted.toList == List((1L, 1L), (1L, 2L)),
+      s"expired key must re-emit with the new first event id; got $emitted")
+  }
+
+  test("initial state seeds the processor before the first input batch") {
+    val dir = Files.createTempDirectory("graft_twsi_src")
+    // user 7 streams two 1.00-value events on top of a (5, 1000) seed;
+    // user 9 exists ONLY in the seed and must never emit
+    writeEventFile(dir, "a.parquet", 1600000000000L,
+      Seq((1L, 1000L, 7L, "click", 1.0), (2L, 1200L, 7L, "click", 1.0)))
+    import spark.implicits._
+    val initial = Seq((7L, 5L, 1000L), (9L, 3L, 700L))
+      .toDF("user_id", "n_events", "sum_cents")
+    val out = graft.streaming.StreamVerify
+      .twsProfileSeededStream(spark, dir.toString, initial, cutoffSec = 0L)
+      .groupBy(col("user_id"))
+      .agg(max(org.apache.spark.sql.functions.struct(
+        col("n_events"), col("sum_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events"), col("m.sum_cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toList == List((7L, 7L, 1200L)),
+      s"seed (5,1000) + two 100-cent events = (7,1200), no user 9; got ${out.toList}")
+  }
 }

@@ -24,6 +24,33 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_drift(g: pd.DataFrame, e: pd.DataFrame) -> str:
+    """Return a description of the first dtype mismatch between the engine
+    frame g and oracle frame e, ignoring integer-width widening (int32 vs
+    int64) and object-vs-string spellings. Float-vs-int IS drift: the
+    driver's hash renders 1 and 1.0 differently."""
+    def kind(dt) -> str:
+        s = str(dt)
+        if s.startswith(("int", "Int", "uint", "UInt")):
+            return "int"
+        if s.startswith(("float", "Float")):
+            return "float"
+        if s.startswith(("object", "string", "str")):
+            return "str"
+        if s.startswith("datetime64"):
+            return "ts"
+        if s.startswith("bool"):
+            return "bool"
+        return s
+    for c in g.columns:
+        kg, ke = kind(g[c].dtype), kind(e[c].dtype)
+        if kg != ke:
+            # a float oracle col whose values are all integral but whose
+            # engine side is int is exactly the HUGEINT trap
+            return f"col={c}: engine {g[c].dtype} vs oracle {e[c].dtype}"
+    return ""
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
@@ -53,6 +80,11 @@ def main(sf_dir: str, out_dir: str) -> int:
                 ok, status = False, f"columns {list(g.columns)} vs {list(e.columns)}"
             elif len(g) != len(e):
                 ok, status = False, f"rowcount {len(g)} vs {len(e)}"
+            elif dtype_drift(g, e):
+                # the driver hashes RENDERED values, so int64 vs float64
+                # (DuckDB HUGEINT -> pandas float64) fails there even when
+                # values compare equal; catch that class here (r6 verdict).
+                ok, status = False, "dtype drift: " + dtype_drift(g, e)
             else:
                 try:
                     pd.testing.assert_frame_equal(
