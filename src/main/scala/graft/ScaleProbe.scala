@@ -76,6 +76,40 @@ object ScaleProbe {
         col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_shipdate"))))
 
+    def ordersAt(f: Int): DataFrame = spark.read.parquet(staged("orders", f,
+      (d, _) => d.select(
+        (col("o_orderkey") + col("__rep") * 1000000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))))
+
+    // bucketed fact + dim legs for the star-join probe, staged ONCE per
+    // factor as catalog tables (the bucket layout is the point)
+    def bucketedStarAt(f: Int): (String, String) = {
+      val tl = s"graft_probe_li_x$f"
+      val to = s"graft_probe_ord_x$f"
+      if (!spark.catalog.tableExists(tl)) {
+        lineitemAt(f).select(col("l_orderkey"), col("l_extendedprice"))
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$scratch/bucketed_li_x$f")
+          .bucketBy(32, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+      }
+      if (!spark.catalog.tableExists(to)) {
+        ordersAt(f).select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$scratch/bucketed_ord_x$f")
+          .bucketBy(32, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+      }
+      (tl, to)
+    }
+
+    // force the SMJ both ways (at probe size the orders leg would
+    // otherwise broadcast and hide the exchange being measured)
+    def noBroadcast(body: => Unit): Unit = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try body
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+
     val evSec = expr("ts div 1000000000")
 
     def ops(f: Int): Seq[(String, () => Unit)] = Seq(
@@ -327,6 +361,30 @@ object ScaleProbe {
         consume(graft.operators.Sampling.poissonBootstrap(
           eventsAt(f).select(col("event_type"), col("event_id"), col("value")),
           "event_type", "event_id", "value", b = 40, salt = "probe"))
+      },
+      "star_join_bucketed" -> { () =>
+        // q309's layout at scale: both legs bucketed ×32 on the order
+        // key → the SMJ reads co-partitioned buckets, NO exchange on
+        // either side (the saving star_join_shuffled quantifies)
+        val (tl, to) = bucketedStarAt(f)
+        noBroadcast {
+          consume(spark.table(tl)
+            .join(spark.table(to),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_orderkey") % 97)
+            .agg(count(lit(1)), sum(col("l_extendedprice").cast("decimal(18,2)"))))
+        }
+      },
+      "star_join_shuffled" -> { () =>
+        // identical join over the identical rows from PLAIN parquet:
+        // both sides pay the full shuffle the bucket layout removes
+        noBroadcast {
+          consume(lineitemAt(f).select(col("l_orderkey"), col("l_extendedprice"))
+            .join(ordersAt(f).select(col("o_orderkey"), col("o_totalprice")),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_orderkey") % 97)
+            .agg(count(lit(1)), sum(col("l_extendedprice").cast("decimal(18,2)"))))
+        }
       },
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically

@@ -4418,6 +4418,50 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Mergeable quantile sketch
+    * ([[graft.operators.Sketches.quantileSketch]]): per-day bottom-k-by-
+    * hash samples over event values merge to the period p50/p90/p99
+    * without re-scanning facts — the sketch shelf's quantile member next
+    * to KMV/HLL/CMS/bitmaps. Bottom-k chosen over KLL deliberately: the
+    * merge is EXACTLY the global bottom-k (pure function of md5 hashes),
+    * so the whole pipeline replays hash-for-hash in the oracle, where
+    * KLL's compactor coin flips could never (SURVEY §5 frontier #4).
+    */
+  private def q316(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.quantileSketch(
+      T(s, dir, "events"),
+      expr("date_format(timestamp_seconds(ts div 1000000000), 'yyyy-MM-dd')"),
+      "event_id", "value", 256, Seq(0.5, 0.9, 0.99))
+
+  /** Column lineage anchored on TXLAKE READS
+    * ([[graft.plans.Lineage.columnLineageLake]]): leaves resolve by LAKE
+    * PATH — the catalog's production shape, where a `TxLake.readSnapshot`
+    * frame has no DataFrame object or view name to anchor on and the
+    * physical layout IS the table identity. The plain-parquet customer
+    * read resolves through the same path rule. Oracle = the hand-derived
+    * edge list (count(*) has NO leaf source — absence is the audited
+    * fact).
+    */
+  private def q317(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val root = scratch(dir, "q317")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val lake = root + "/orders_lake"
+    TxLake.commit(s, lake, T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    val snap = TxLake.readSnapshot(s, lake)
+    val cust = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = snap.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sumx(col("o_totalprice")).as("revenue"))
+      .select(col("c_mktsegment").as("segment"), col("n_orders"),
+        col("revenue"), upper(col("c_mktsegment")).as("segment_uc"))
+    graft.plans.Lineage.columnLineageLake(q,
+        Map("orders_lake" -> lake, "customer_pq" -> s"$dir/customer.parquet"))
+      .orderBy(col("out_col"), col("src_table"), col("src_col"))
+  }
+
   /** Tokenizer-coverage audit ([[graft.operators.TextPipeline.oovRate]]):
     * per-language OOV rate against the top-1000 frequency vocabulary —
     * the fairness lens on q156's vocab (a shared vocabulary under-serves
@@ -6493,6 +6537,8 @@ object SparkEntry {
     "q313_tws_ttl" -> (q313 _),
     "q314_tws_initial" -> (q314 _),
     "q315_holt_winters" -> (q315 _),
+    "q316_quantile_sketch" -> (q316 _),
+    "q317_lineage_lake" -> (q317 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7389,6 +7435,14 @@ object SparkEntry {
     // seasonal on both engines (the q261 discipline, scaled up)
     "q315_holt_winters" ->
       """WITH RECURSIVE h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) AS v FROM events GROUP BY 1, 2), o AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hid) AS rn FROM h), nn AS (SELECT event_type, COUNT(*) AS n FROM o GROUP BY 1), rec AS (SELECT event_type, CAST(1 AS BIGINT) AS rn, v AS l, CAST(0 AS DOUBLE) AS b, list_transform(range(24), i -> CAST(0 AS DOUBLE)) AS s FROM o WHERE rn = 1 UNION ALL SELECT r.event_type, r.rn + 1, 0.5 * (x.v - r.s[CAST(r.rn % 24 AS INTEGER) + 1]) + 0.5 * (r.l + r.b) AS l, 0.25 * ((0.5 * (x.v - r.s[CAST(r.rn % 24 AS INTEGER) + 1]) + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b AS b, r.s[1:CAST(r.rn % 24 AS INTEGER)] || [0.25 * (x.v - (0.5 * (x.v - r.s[CAST(r.rn % 24 AS INTEGER) + 1]) + 0.5 * (r.l + r.b))) + 0.75 * r.s[CAST(r.rn % 24 AS INTEGER) + 1]] || r.s[CAST(r.rn % 24 AS INTEGER) + 2:24] AS s FROM rec r JOIN o x ON x.event_type = r.event_type AND x.rn = r.rn + 1) SELECT f.event_type, nn.n, round(f.l, 6) AS level, round(f.b, 6) AS trend, round(f.l + f.b + f.s[CAST(nn.n % 24 AS INTEGER) + 1], 6) AS forecast FROM rec f JOIN nn ON nn.event_type = f.event_type AND f.rn = nn.n WHERE nn.n >= 2 ORDER BY f.event_type""",
+    // the bottom-k-by-hash sample replays hash-for-hash: per-day bottom
+    // 256, global re-take, sorted-array quantile pick
+    "q316_quantile_sketch" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS seg, event_id AS id, CAST(value AS DOUBLE) AS v, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), sk AS (SELECT seg, h, id, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY h, id) AS rn FROM e) WHERE rn <= 256), m AS (SELECT v FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY h, id) AS grn FROM sk) WHERE grn <= 256), arr AS (SELECT list_sort(list(v)) AS vals, COUNT(*) AS kk FROM m), tot AS (SELECT COUNT(*) AS n_total FROM e), spine AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)) SELECT q AS quantile, vals[CAST(GREATEST(1, CEIL(q * kk)) AS INTEGER)] AS est, kk AS sample_k, n_total FROM spine, arr, tot ORDER BY quantile""",
+    // hand-derived lineage edges over the lake-backed join: count(*) has
+    // no leaf source by design
+    "q317_lineage_lake" ->
+      """SELECT * FROM (VALUES ('segment', 'customer_pq', 'c_mktsegment'), ('n_orders', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)), ('revenue', 'orders_lake', 'o_totalprice'), ('segment_uc', 'customer_pq', 'c_mktsegment')) AS t(out_col, src_table, src_col) ORDER BY out_col, src_table, src_col""",
     // layout must not change answers: the bucketed star equals the plain
     // three-way join aggregate
     "q309_star_bucketed" ->

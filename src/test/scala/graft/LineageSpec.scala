@@ -60,4 +60,31 @@ class LineageSpec extends SparkSuite {
       ("n", null, null),
       ("lit", null, null)))
   }
+
+  test("columnLineageLake anchors file-scan leaves by lake path, longest root wins") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lin_lake")
+    val outer = root.resolve("outer").toString
+    val inner = root.resolve("outer/nested").toString
+    Seq((1L, 2.0)).toDF("k", "v").write.mode("overwrite").parquet(outer)
+    Seq((1L, "x")).toDF("k", "s").write.mode("overwrite").parquet(inner)
+    val a = spark.read.parquet(outer)
+    val b = spark.read.parquet(inner)
+    val q = a.join(b, Seq("k"))
+      .select(col("k"), (col("v") * 2).as("v2"), upper(col("s")).as("su"))
+    val got = Lineage.columnLineageLake(q,
+        Map("outer_t" -> outer, "inner_t" -> inner))
+      .as[(String, String, String)].collect().toSet
+    // the nested table's files sit under BOTH roots: the longer (more
+    // specific) registration must claim them. An inner USING join emits
+    // the LEFT side's key attribute, so k traces to outer_t alone.
+    assert(got == Set(
+      ("k", "outer_t", "k"),
+      ("v2", "outer_t", "v"),
+      ("su", "inner_t", "s")))
+    // an unregistered scan stays unresolved rather than mislabeled
+    val loose = Lineage.columnLineageLake(
+        b.select((col("k") + 1).as("k1")), Map("outer_only" -> (outer + "/zz")))
+      .as[(String, String, String)].collect().toSet
+    assert(loose == Set(("k1", null, null)))
+  }
 }

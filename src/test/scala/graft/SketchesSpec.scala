@@ -29,6 +29,30 @@ class SketchesSpec extends SparkSuite {
     assert(merged == direct)
   }
 
+  test("quantile sketch: segmentation-invariant merge and bounded rank error") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // 10k distinct values, ids scrambled so hash sampling is exercised
+    val base = (1 to 10000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val qs = Seq(0.5, 0.9, 0.99)
+    def run(seg: org.apache.spark.sql.Column): Seq[(Double, Double, Long, Long)] =
+      Sketches.quantileSketch(base, seg, "id", "v", 256, qs)
+        .collect().map(r =>
+          (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    val one = run(lit("all"))
+    val many = run((col("id") % 7).cast("string"))
+    // per-segment bottom-k samples merge to EXACTLY the global bottom-k:
+    // how the data is segmented must not change a single estimate
+    assert(one == many, s"segmentation changed the sketch: $one vs $many")
+    one.foreach { case (q, est, k, n) =>
+      assert(k == 256L && n == 10000L)
+      // uniform sample of 256: observed rank must sit within ±0.1 of q
+      val rank = est / 10000.0
+      assert(math.abs(rank - q) <= 0.1,
+        s"q=$q estimated value $est (rank $rank) outside the error bound")
+    }
+  }
+
   test("containment catches the exact-duplicate pair symmetrically") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val out = graft.operators.Dedup
