@@ -4462,6 +4462,89 @@ object SparkEntry {
       .orderBy(col("out_col"), col("src_table"), col("src_col"))
   }
 
+  /** EXACT global percentiles
+    * ([[graft.operators.GlobalOrder.exactPercentiles]]): the ground truth
+    * q316's sketch approximates, at a plan with NO single-partition sort —
+    * range-shuffle global ranks, then each quantile prunes to one row by
+    * an equi-join on rank = ⌈q·N⌉ against a broadcast spine.
+    */
+  private def q318(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GlobalOrder.exactPercentiles(
+      T(s, dir, "events"), "value", "event_id", Seq(0.5, 0.9, 0.99))
+
+  /** MANN–WHITNEY U with tie correction
+    * ([[graft.operators.Drift.mannWhitney]]): the non-parametric
+    * location test next to q283's z-test and q295's KS — purchase vs
+    * click values, ranks computed over the VALUE DOMAIN (never a per-row
+    * global sort), doubled-rank and tie sums exact in DECIMAL(38,0).
+    */
+  private def q319(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.mannWhitney(
+      T(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click")),
+      "value", col("event_type") === "purchase")
+
+  /** THEIL–SEN robust slope per event type
+    * ([[graft.operators.Trend.theilSenPerKey]]): the median of all
+    * pairwise hourly slopes — a 29%-breakdown trend estimate OLS (q147/
+    * q293) can't give; pair generation key-local and bounded by the hour
+    * domain.
+    */
+  private def q320(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("v"))
+    graft.operators.Trend.theilSenPerKey(hourly, "event_type", "hid", "v")
+      .orderBy(col("event_type"))
+  }
+
+  /** KAPLAN–MEIER survival over user lifetimes
+    * ([[graft.operators.Trend.kaplanMeier]]): right-censoring-correct
+    * retention curve (users last seen in the final time tertile are
+    * censored, not churned); everything past one per-user aggregate runs
+    * over the duration domain; the survival product folds sequentially
+    * and replays via list_reduce.
+    */
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000000").cast("long").as("sec"))
+    val b = ev.agg(min(col("sec")).as("lo"), max(col("sec")).as("hi")).head()
+    val cutoff = b.getLong(0) + 2L * (b.getLong(1) - b.getLong(0)) / 3L
+    graft.operators.Trend.kaplanMeier(ev, "user_id", "sec", cutoff)
+      .orderBy(col("t"))
+  }
+
+  /** l-DIVERSITY audit ([[graft.operators.Privacy.lDiversity]]): the
+    * homogeneity-attack check k-anonymity (q217) misses — per
+    * (nation, segment) class: size, distinct balance buckets, dominant
+    * share, and the l≥3 flag. Class-domain aggregates only.
+    */
+  private def q322(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.lDiversity(
+      T(s, dir, "customer")
+        .withColumn("bal_bucket",
+          floor(col("c_acctbal").cast("double") / 2000.0).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", 3)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
+    * per-depth census of the implicit binary tree over supplier keys
+    * (parent = key div 2) — the engine's own iterative closures (q110,
+    * q270, q299) now have the declarative spelling; both engines run the
+    * SAME recursion text modulo the integer-division token.
+    */
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "supplier").createOrReplaceTempView("supplier_v323")
+    s.sql("""WITH RECURSIVE d AS (
+        SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        UNION ALL
+        SELECT s.s_suppkey, d.depth + 1
+        FROM supplier_v323 s JOIN d ON s.s_suppkey div 2 = d.node)
+      SELECT depth, COUNT(*) AS n, MIN(node) AS min_node, MAX(node) AS max_node
+      FROM d GROUP BY depth ORDER BY depth""")
+  }
+
   /** Tokenizer-coverage audit ([[graft.operators.TextPipeline.oovRate]]):
     * per-language OOV rate against the top-1000 frequency vocabulary —
     * the fairness lens on q156's vocab (a shared vocabulary under-serves
@@ -6539,6 +6622,12 @@ object SparkEntry {
     "q315_holt_winters" -> (q315 _),
     "q316_quantile_sketch" -> (q316 _),
     "q317_lineage_lake" -> (q317 _),
+    "q318_exact_percentile" -> (q318 _),
+    "q319_mann_whitney" -> (q319 _),
+    "q320_theil_sen" -> (q320 _),
+    "q321_kaplan_meier" -> (q321 _),
+    "q322_l_diversity" -> (q322 _),
+    "q323_recursive_sql" -> (q323 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7443,6 +7532,27 @@ object SparkEntry {
     // no leaf source by design
     "q317_lineage_lake" ->
       """SELECT * FROM (VALUES ('segment', 'customer_pq', 'c_mktsegment'), ('n_orders', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)), ('revenue', 'orders_lake', 'o_totalprice'), ('segment_uc', 'customer_pq', 'c_mktsegment')) AS t(out_col, src_table, src_col) ORDER BY out_col, src_table, src_col""",
+    // the order statistic at rank ceil(q*N) under the total (v, id) order
+    "q318_exact_percentile" ->
+      """WITH e AS (SELECT CAST(value AS DOUBLE) AS v, event_id AS id FROM events), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rnk FROM e), n AS (SELECT COUNT(*) AS n FROM e), spine AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)) SELECT q AS quantile, v AS exact_value, n.n AS n_total FROM spine, n, r WHERE r.rnk = CAST(GREATEST(1, CEIL(q * n.n)) AS BIGINT) ORDER BY quantile""",
+    // doubled average ranks (2c - t + 1) and the tie term in exact
+    // decimals; mu/sigma/z in the engine's pinned double order
+    "q319_mann_whitney" ->
+      """WITH e AS (SELECT CAST(value AS DOUBLE) AS v, event_type = 'purchase' AS isa FROM events WHERE event_type IN ('purchase', 'click')), bv AS (SELECT v, SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ta, SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS tb FROM e GROUP BY v), rk AS (SELECT ta, tb, ta + tb AS t, SUM(ta + tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM bv), ag AS (SELECT CAST(SUM(ta) AS BIGINT) AS na, CAST(SUM(tb) AS BIGINT) AS nb, SUM(CAST(ta AS DECIMAL(38,0)) * CAST(2 * c - t + 1 AS DECIMAL(38,0))) AS ra2, SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties FROM rk) SELECT na AS n_a, nb AS n_b, CAST(ra2 - CAST(na AS DECIMAL(38,0)) * CAST(na + 1 AS DECIMAL(38,0)) AS DOUBLE) / 2.0 AS u_a, round((CAST(ra2 - CAST(na AS DECIMAL(38,0)) * CAST(na + 1 AS DECIMAL(38,0)) AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 * ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))))), 6) AS z FROM ag""",
+    // median pairwise slope: lower-median rank over each key's slope set
+    "q320_theil_sen" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), p AS (SELECT a.event_type, CAST(b.v - a.v AS DOUBLE) / CAST(b.hid - a.hid AS DOUBLE) AS slope FROM h a JOIN h b ON a.event_type = b.event_type AND b.hid > a.hid), r AS (SELECT event_type, slope, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn, COUNT(*) OVER (PARTITION BY event_type) AS np FROM p) SELECT event_type, np AS n_pairs, round(slope, 6) AS slope FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""",
+    // survival = sequential product of (1 - d/n_risk) over death times,
+    // replayed via list_reduce over the k-prefix (1.0-seeded, engine fold
+    // order)
+    "q321_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), b AS (SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM e), u AS (SELECT user_id, MIN(sec) AS first, MAX(sec) AS last FROM e GROUP BY 1), lv AS (SELECT CAST((last - first) // 3600 AS BIGINT) AS t, CASE WHEN last > (SELECT lo + 2 * (hi - lo) // 3 FROM b) THEN 0 ELSE 1 END AS death FROM u), bt AS (SELECT t, CAST(SUM(death) AS BIGINT) AS d, CAST(SUM(1 - death) AS BIGINT) AS c, COUNT(*) AS n_t FROM lv GROUP BY 1), rk AS (SELECT t, d, c, CAST(SUM(n_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk FROM bt), f AS (SELECT t, d, c, n_risk, 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor FROM rk), idx AS (SELECT t, d, c, n_risk, ROW_NUMBER() OVER (ORDER BY t) AS i FROM f), arr AS (SELECT list(factor ORDER BY t) AS fs FROM f) SELECT t, d AS n_death, c AS n_censored, n_risk, round(list_reduce(list_prepend(CAST(1 AS DOUBLE), fs[1:CAST(i AS INTEGER)]), (a, x) -> a * x), 6) AS survival FROM idx, arr ORDER BY t""",
+    // class size, distinct sensitive buckets, dominant share, l>=3 flag
+    "q322_l_diversity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT) AS bal_bucket FROM customer), cells AS (SELECT c_nationkey, c_mktsegment, bal_bucket, COUNT(*) AS n FROM c GROUP BY 1, 2, 3) SELECT c_nationkey, c_mktsegment, CAST(SUM(n) AS BIGINT) AS class_size, COUNT(*) AS n_sensitive, CAST(MAX(n) AS BIGINT) AS max_sensitive_n, round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS dominant_share, CAST(COUNT(*) >= 3 AS INTEGER) AS diverse FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the identical recursion text modulo the integer-division token
+    "q323_recursive_sql" ->
+      """WITH RECURSIVE d AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth UNION ALL SELECT s.s_suppkey, d.depth + 1 FROM supplier s JOIN d ON s.s_suppkey // 2 = d.node) SELECT depth, COUNT(*) AS n, MIN(node) AS min_node, MAX(node) AS max_node FROM d GROUP BY depth ORDER BY depth""",
     // layout must not change answers: the bucketed star equals the plain
     // three-way join aggregate
     "q309_star_bucketed" ->

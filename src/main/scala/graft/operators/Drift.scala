@@ -149,4 +149,56 @@ object Drift {
       .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
         col("mi_term").cast("double").as("mi_term"), col("mi_total"))
   }
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) with tie correction — the
+    * NON-parametric two-sample location test next to the parametric
+    * z-test (q283) and the distributional KS (q295): "are sample A's
+    * values systematically larger," robust to outliers and any monotone
+    * transform. NO global per-row sort: values collapse to the VALUE
+    * DOMAIN first (one map-side-combined aggregate), average ranks come
+    * from a cumulative window over that domain-sized frame, and the rank
+    * sum re-joins by value — the 100 TB formulation of a rank test.
+    * Exactness: doubled ranks (2·avg is always integral) and the tie term
+    * Σ(t³−t) accumulate in DECIMAL(38,0); only the final μ/σ/z are
+    * doubles, evaluated in pinned order and rounded to 1e-6.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(valueCol).cast("double")
+    val byValue = df
+      .groupBy(v.as("v"))
+      .agg(sum(when(sampleACol, 1L).otherwise(0L)).as("ta"),
+        sum(when(sampleACol, 0L).otherwise(1L)).as("tb"))
+      .withColumn("t", col("ta") + col("tb"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // doubled average rank of a tie group ending at cumulative count c:
+    // 2·avg = 2c − t + 1 (exactly integral)
+    val ranked = byValue
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("r2", lit(2L) * col("c") - col("t") + 1L)
+    val d38 = DecimalType(38, 0)
+    val agg = ranked.agg(
+      sum(col("ta")).as("na"), sum(col("tb")).as("nb"),
+      sum(col("ta").cast(d38) * col("r2").cast(d38)).as("ra2"),
+      sum(col("t").cast(d38) * col("t").cast(d38) * col("t").cast(d38) -
+        col("t").cast(d38)).as("ties"))
+    def dbl(c: Column): Column = c.cast("double")
+    val na = col("na"); val nb = col("nb")
+    val n = na + nb
+    // U_A from the doubled rank sum: U = (ra2 − na(na+1))/2 stays exact
+    // (na is promoted to DECIMAL before the product — a long·long multiply
+    // would wrap past ~3e9 rows)
+    val u2 = col("ra2") - na.cast(d38) * (na + lit(1L)).cast(d38)
+    val mu2 = dbl(na) * dbl(nb) // 2μ = na·nb... (μ = na·nb/2, doubled)
+    val sig2 = dbl(na) * dbl(nb) / 12.0 *
+      ((dbl(n) + 1.0) - dbl(col("ties")) / (dbl(n) * (dbl(n) - 1.0)))
+    agg.select(na.as("n_a"), nb.as("n_b"),
+        (dbl(u2) / 2.0).as("u_a"),
+        round((dbl(u2) - mu2) / (lit(2.0) * sqrt(sig2)), 6).as("z"))
+  }
 }

@@ -87,4 +87,35 @@ object GlobalOrder {
          |     ELSE $big + (__rn - $cut - 1) div $per + 1 END""".stripMargin)
     ranked.withColumn(outCol, tile.cast("long")).drop("__rn")
   }
+
+  /** EXACT global percentiles as order statistics — the ground truth the
+    * sketch shelf (q112 approx, q316 bottom-k) trades away, at a plan
+    * that still scales: [[rowNumbers]]' range shuffle assigns every row
+    * its global rank with NO single-partition sort, and each requested
+    * quantile prunes to exactly one row by an equi-join on
+    * rank = ⌈q·N⌉ against a broadcast target spine. One count + one
+    * range shuffle total, however many quantiles are asked.
+    * `tieCol` makes the order total, so the picked VALUE is deterministic
+    * even among duplicates.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      vCol: String,
+      tieCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val base = df.select(col(vCol).cast("double").as("__v"),
+      col(tieCol).cast("long").as("__t"))
+    val n = base.count()
+    require(n > 0, "exactPercentiles: empty input")
+    val targets = qs.map(q =>
+      (q, math.max(1L, math.ceil(q * n).toLong), n))
+    val spine = df.sparkSession.createDataFrame(targets)
+      .toDF("quantile", "__target", "n_total")
+    rowNumbers(base, Seq(col("__v"), col("__t")), "__rn")
+      .join(broadcast(spine), col("__rn") === col("__target"))
+      .select(col("quantile"), col("__v").as("exact_value"), col("n_total"))
+      .orderBy(col("quantile"))
+  }
 }

@@ -50,4 +50,34 @@ object Privacy {
       .withColumn("noisy_n",
         round(col("n").cast("double") + laplaceNoise(col(groupCol), salt, b), 6))
   }
+
+  /** l-DIVERSITY audit — the re-identification check k-anonymity (q217)
+    * misses: a quasi-identifier class can hold k rows yet leak the
+    * sensitive attribute completely if all k share one value (the
+    * homogeneity attack). Per QI class: size, DISTINCT sensitive values,
+    * the dominant value's share, and the flag `diverse = distinct ≥ l`.
+    * One grouped aggregate on (QI, sensitive) then a class-level rollup —
+    * both map-side combinable; nothing larger than the class domain
+    * shuffles.
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(l >= 2, "l must be at least 2")
+    val qi = quasiCols.map(col)
+    val cells = df
+      .groupBy(qi :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__n"))
+    cells
+      .groupBy(qi: _*)
+      .agg(sum(col("__n")).as("class_size"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("__n")).as("max_sensitive_n"))
+      .withColumn("dominant_share",
+        round(col("max_sensitive_n").cast("double") /
+          col("class_size").cast("double"), 6))
+      .withColumn("diverse", (col("n_sensitive") >= l).cast("int"))
+  }
 }
