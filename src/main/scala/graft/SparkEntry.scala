@@ -4528,6 +4528,90 @@ object SparkEntry {
       Seq("c_nationkey", "c_mktsegment"), "bal_bucket", 3)
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
 
+  /** LEAVE-ONE-OUT target encoding with m-estimate smoothing
+    * ([[graft.operators.Features.targetEncodeLoo]]): the high-cardinality
+    * categorical encoder that never leaks a row's own label into its
+    * feature — segment-level sums broadcast back, the fact table never
+    * shuffles for the encode.
+    */
+  private def q324(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderstatus") === "F").cast("long").as("target"))
+      .join(T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    graft.operators.Features.targetEncodeLoo(o, "c_mktsegment", "target", 10.0)
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment"),
+        col("target"), col("enc"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** WEIGHT OF EVIDENCE / INFORMATION VALUE
+    * ([[graft.operators.Features.woeIv]]): the credit-scoring audit of a
+    * numeric feature against a binary target — per price bin,
+    * ln(goodShare/badShare) with Laplace smoothing and the IV total; all
+    * shares from exact integer counts, ln replayed cross-engine (the
+    * q256 discipline).
+    */
+  private def q325(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.woeIv(T(s, dir, "orders"), "o_totalprice",
+        col("o_orderstatus") === "F", 10)
+      .orderBy(col("bin"))
+
+  /** Streaming QUANTILE-SKETCH maintenance
+    * ([[graft.streaming.StreamVerify.quantileSketchMaintenance]]): q316's
+    * mergeable bottom-k sample kept current per micro-batch as
+    * exactly-once TxLake delta commits (O(batch + k) each); because the
+    * merge IS the global bottom-k, the standing store must answer
+    * p50/p90/p99 exactly as the one-shot batch sketch — however the
+    * stream sliced the data.
+    */
+  private def q326(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.quantileSketchMaintenance(
+      s, q259Events(s, dir), scratch(dir, "q326"), 256, Seq(0.5, 0.9, 0.99))
+
+  /** Partition COMPLETENESS / FRESHNESS audit: per day — event count,
+    * distinct hours with data, head offset and tail gap in seconds, and
+    * the 24-hour completeness flag. The ops dashboard that catches a
+    * stalled upstream feed before consumers do; one map-side-combined
+    * aggregate over integer second arithmetic.
+    */
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    val sec = expr("ts div 1000000000")
+    T(s, dir, "events")
+      .select(sec.cast("long").as("sec"))
+      .groupBy(expr("sec div 86400").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(expr("(sec div 3600) % 24")).as("n_hours"),
+        (min(col("sec")) % 86400L).as("head_offset_sec"),
+        (lit(86399L) - max(col("sec")) % 86400L).as("tail_gap_sec"))
+      .withColumn("complete", (col("n_hours") === 24L).cast("int"))
+      .orderBy(col("day"))
+  }
+
+  /** EMBEDDING-distribution drift
+    * ([[graft.operators.Similarity.embeddingDrift]]): per-dimension mean
+    * shift between the even- and odd-label slices plus the cosine between
+    * mean vectors — the audit a re-embedding run needs before its vectors
+    * are trusted; everything past the one explode is dim-domain-sized.
+    */
+  private def q328(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.embeddingDrift(
+        T(s, dir, "embeddings"), "embedding", col("label") % 2 === 0)
+      .orderBy(col("dim"))
+
+  /** CLASS-BALANCED downsampling
+    * ([[graft.operators.Sampling.balancedDownsample]]): every event type
+    * keeps exactly the minority count, rows chosen by md5-hash order —
+    * the deterministic rebalance a training pipeline can re-run without
+    * changing the training set.
+    */
+  private def q329(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.balancedDownsample(
+        T(s, dir, "events").select(col("event_id"), col("event_type")),
+        "event_type", "event_id")
+      .orderBy(col("event_type"), col("event_id"))
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -6628,6 +6712,12 @@ object SparkEntry {
     "q321_kaplan_meier" -> (q321 _),
     "q322_l_diversity" -> (q322 _),
     "q323_recursive_sql" -> (q323 _),
+    "q324_target_encoding" -> (q324 _),
+    "q325_woe_iv" -> (q325 _),
+    "q326_stream_quantile_sketch" -> (q326 _),
+    "q327_freshness_audit" -> (q327 _),
+    "q328_embedding_drift" -> (q328 _),
+    "q329_balanced_sample" -> (q329 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7550,6 +7640,26 @@ object SparkEntry {
     // class size, distinct sensitive buckets, dominant share, l>=3 flag
     "q322_l_diversity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment, CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT) AS bal_bucket FROM customer), cells AS (SELECT c_nationkey, c_mktsegment, bal_bucket, COUNT(*) AS n FROM c GROUP BY 1, 2, 3) SELECT c_nationkey, c_mktsegment, CAST(SUM(n) AS BIGINT) AS class_size, COUNT(*) AS n_sensitive, CAST(MAX(n) AS BIGINT) AS max_sensitive_n, round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS dominant_share, CAST(COUNT(*) >= 3 AS INTEGER) AS diverse FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
+    // LOO encode: (catSum - own + prior*m) / (catN - 1 + m), m = 10
+    "q324_target_encoding" ->
+      """WITH o AS (SELECT o_orderkey, c_mktsegment AS segment, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target FROM orders JOIN customer ON o_custkey = c_custkey), cs AS (SELECT segment, SUM(target) AS cssum, COUNT(*) AS cn FROM o GROUP BY 1), g AS (SELECT SUM(target) AS gs, COUNT(*) AS gn FROM o) SELECT o.o_orderkey, o.segment, CAST(o.target AS BIGINT) AS target, round((CAST(cs.cssum - o.target AS DOUBLE) + CAST(g.gs AS DOUBLE) / CAST(g.gn AS DOUBLE) * 10.0) / (CAST(cs.cn - 1 AS DOUBLE) + 10.0), 6) AS enc FROM o, g JOIN cs ON cs.segment = o.segment ORDER BY o.o_orderkey""",
+    // per-bin ln(goodShare/badShare) with +0.5 smoothing; IV total on the
+    // 1e-9 decimal grid (raw woe inside the iv term, rounded woe emitted)
+    "q325_woe_iv" ->
+      """WITH b AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn, MAX(CAST(o_totalprice AS DOUBLE)) AS mx, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ng, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS nb FROM orders), c AS (SELECT CAST(LEAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS g, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS bd FROM orders, b GROUP BY 1), w AS (SELECT bin, g, bd, ln(((CAST(g AS DOUBLE) + 0.5) / CAST((SELECT ng FROM b) AS DOUBLE)) / ((CAST(bd AS DOUBLE) + 0.5) / CAST((SELECT nb FROM b) AS DOUBLE))) AS woe_raw, (CAST(g AS DOUBLE) + 0.5) / CAST((SELECT ng FROM b) AS DOUBLE) - (CAST(bd AS DOUBLE) + 0.5) / CAST((SELECT nb FROM b) AS DOUBLE) AS dd FROM c), t AS (SELECT bin, g, bd, woe_raw, CAST(round(dd * woe_raw, 9) AS DECIMAL(18,9)) AS ivt FROM w) SELECT bin, g AS n_good, bd AS n_bad, round(woe_raw, 6) AS woe, CAST(ivt AS DOUBLE) AS iv_term, CAST(SUM(ivt) OVER () AS DOUBLE) AS iv_total FROM t ORDER BY bin""",
+    // the standing bottom-k store must equal the one-shot global bottom-k
+    "q326_stream_quantile_sketch" ->
+      """WITH e AS (SELECT event_id AS id, CAST(value AS DOUBLE) AS v, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), m AS (SELECT v FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY h, id) AS rn FROM e) WHERE rn <= 256), arr AS (SELECT list_sort(list(v)) AS vals, COUNT(*) AS kk FROM m), tot AS (SELECT COUNT(*) AS n_total FROM e), spine AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)) SELECT q AS quantile, vals[CAST(GREATEST(1, CEIL(q * kk)) AS INTEGER)] AS est, kk AS sample_k, n_total FROM spine, arr, tot ORDER BY quantile""",
+    // per-day census in integer second arithmetic
+    "q327_freshness_audit" ->
+      """WITH e AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events) SELECT sec // 86400 AS day, COUNT(*) AS n_events, COUNT(DISTINCT (sec // 3600) % 24) AS n_hours, MIN(sec) % 86400 AS head_offset_sec, 86399 - MAX(sec) % 86400 AS tail_gap_sec, CAST(COUNT(DISTINCT (sec // 3600) % 24) = 24 AS INTEGER) AS complete FROM e GROUP BY 1 ORDER BY 1""",
+    // per-dim decimal sums of 1e-6-rounded components; cosine of mean
+    // vectors from 1e-12-grid cross-dim products
+    "q328_embedding_drift" ->
+      """WITH x AS (SELECT label % 2 = 0 AS isa, unnest(list_zip(embedding, range(0, len(embedding)))) AS z FROM embeddings), d AS (SELECT CAST(z[2] AS BIGINT) AS dim, isa, CAST(round(CAST(z[1] AS DOUBLE), 6) AS DECIMAL(18,6)) AS c FROM x), a AS (SELECT dim, SUM(CASE WHEN isa THEN c END) AS sa, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na, SUM(CASE WHEN NOT isa THEN c END) AS sb, CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM d GROUP BY 1), mm AS (SELECT dim, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb FROM a), g AS (SELECT dim, ma, mb, CAST(round(ma * mb, 12) AS DECIMAL(30,12)) AS ab, CAST(round(ma * ma, 12) AS DECIMAL(30,12)) AS aa, CAST(round(mb * mb, 12) AS DECIMAL(30,12)) AS bb FROM mm) SELECT dim, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, round(ma - mb, 6) AS shift, round(CAST(SUM(ab) OVER () AS DOUBLE) / (sqrt(CAST(SUM(aa) OVER () AS DOUBLE)) * sqrt(CAST(SUM(bb) OVER () AS DOUBLE))), 6) AS mean_cosine FROM g ORDER BY dim""",
+    // every class keeps exactly the minority count, by md5-hash order
+    "q329_balanced_sample" ->
+      """WITH e AS (SELECT event_id, event_type, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), m AS (SELECT MIN(n) AS mn FROM (SELECT COUNT(*) AS n FROM e GROUP BY event_type)), r AS (SELECT event_id, event_type, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn FROM e) SELECT event_id, event_type FROM r, m WHERE rn <= mn ORDER BY event_type, event_id""",
     // the identical recursion text modulo the integer-division token
     "q323_recursive_sql" ->
       """WITH RECURSIVE d AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth UNION ALL SELECT s.s_suppkey, d.depth + 1 FROM supplier s JOIN d ON s.s_suppkey // 2 = d.node) SELECT depth, COUNT(*) AS n, MIN(node) AS min_node, MAX(node) AS max_node FROM d GROUP BY depth ORDER BY depth""",

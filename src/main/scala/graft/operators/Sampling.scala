@@ -370,4 +370,29 @@ object Sampling {
         col("n_resamples"), round(col("ci_lo"), 6).as("ci_lo"),
         round(col("ci_hi"), 6).as("ci_hi"))
   }
+
+  /** CLASS-BALANCED downsampling to the minority count: every class keeps
+    * exactly min(|class|) rows, chosen by md5-hash order of the id — a
+    * deterministic uniform draw (stage retries and engine re-runs keep
+    * the SAME rows, the property a training-data pipeline needs for
+    * reproducible rebalancing). One class-count aggregate (broadcast
+    * back, it is class-domain-sized) + one per-class window; no
+    * corpus-wide ordering anywhere.
+    */
+  def balancedDownsample(
+      df: DataFrame,
+      classCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val minN = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).head().getLong(0)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    df.withColumn("__h", h)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(classCol))
+          .orderBy(col("__h"), col(idCol))))
+      .filter(col("__rn") <= minN)
+      .drop("__h", "__rn")
+  }
 }

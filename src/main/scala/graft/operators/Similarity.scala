@@ -599,4 +599,50 @@ object Similarity {
       .orderBy(col("cos_r").desc, col("id_a"), col("id_b"))
       .limit(topK)
   }
+
+  /** EMBEDDING-DISTRIBUTION drift between two corpus slices — the audit a
+    * re-embedding run (new model version, new preprocessing) needs before
+    * its vectors are trusted: per dimension, both slice means and the
+    * shift; plus the cosine between the two MEAN vectors (1.0 = no
+    * directional drift). One explode + one (dim)-keyed aggregate — the
+    * frame after that is dim-domain-sized, so the cosine windows are
+    * aggregate-scale by construction. Components are rounded to the 1e-6
+    * grid and summed in DECIMAL (order-independent, float→double widening
+    * exact); cross-dim products for the cosine take the same
+    * decimal-grid treatment (the q256 discipline), so every number
+    * replays cross-engine.
+    */
+  def embeddingDrift(
+      df: DataFrame,
+      vecCol: String,
+      sliceACol: Column): DataFrame = {
+    val comp = round(col("__x").cast("double"), 6).cast(DecimalType(18, 6))
+    val byDim = df
+      .select(sliceACol.as("__a"), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col("dim"))
+      .agg(
+        sum(when(col("__a"), comp)).as("sa"),
+        sum(when(col("__a"), lit(1L)).otherwise(0L)).as("na"),
+        sum(when(!col("__a"), comp)).as("sb"),
+        sum(when(!col("__a"), lit(1L)).otherwise(0L)).as("nb"))
+    val ma = col("sa").cast("double") / col("na").cast("double")
+    val mb = col("sb").cast("double") / col("nb").cast("double")
+    val d12 = DecimalType(30, 12)
+    val w = Window.partitionBy()
+    byDim
+      .withColumn("mean_a", ma)
+      .withColumn("mean_b", mb)
+      .withColumn("__ab", round(ma * mb, 12).cast(d12))
+      .withColumn("__aa", round(ma * ma, 12).cast(d12))
+      .withColumn("__bb", round(mb * mb, 12).cast(d12))
+      .withColumn("mean_cosine", round(
+        sum(col("__ab")).over(w).cast("double") /
+          (sqrt(sum(col("__aa")).over(w).cast("double")) *
+            sqrt(sum(col("__bb")).over(w).cast("double"))), 6))
+      .select(col("dim"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(ma - mb, 6).as("shift"),
+        col("mean_cosine"))
+  }
 }

@@ -410,6 +410,63 @@ object Sketches {
     * window runs over that sketch-sized frame, never the corpus);
     * estimation reads the ≤ k merged sample into one sorted array.
     */
+  /** Hash-keyed sample rows (h, id, v) — the working form every
+    * bottom-k pass below orders by. Exposed so incremental maintainers
+    * (streaming micro-batches) can hash THEIR rows identically.
+    */
+  def hashedSample(df: DataFrame, idCol: String, vCol: String): DataFrame =
+    df.select(h52(col(idCol)).as("h"), col(idCol).cast("long").as("id"),
+      col(vCol).cast("double").as("v"))
+
+  /** Bottom-k of an arbitrarily LARGE (h, id, v) frame without a
+    * single-partition window: partition-local bottom-k first, then the
+    * global re-take over the ≤ k·partitions survivors.
+    */
+  def bottomKLarge(hashed: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = hashed
+      .withColumn("__p", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__p")).orderBy(col("h"), col("id"))))
+      .filter(col("__rn") <= k)
+      .drop("__p", "__rn")
+    bottomKSmall(local, k)
+  }
+
+  /** Bottom-k of a SKETCH-SIZED (h, id, v) frame — the merge step; the
+    * unpartitioned window is fine because the input is already ≤
+    * k·segments rows by contract.
+    */
+  def bottomKSmall(samples: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    samples
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("h"), col("id"))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Quantile estimates from a merged bottom-k sample: the sorted value
+    * array picked at rank ⌈q·k'⌉. `nTotal` is a one-row (n_total) frame.
+    */
+  def quantileEstimate(
+      sample: DataFrame, nTotal: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val packed = sample.agg(
+      sort_array(collect_list(col("v"))).as("vals"),
+      count(lit(1)).as("sample_k"))
+    val spine = sample.sparkSession.createDataFrame(qs.map(Tuple1(_)))
+      .toDF("quantile")
+    packed.crossJoin(broadcast(nTotal)).crossJoin(broadcast(spine))
+      .select(col("quantile"),
+        element_at(col("vals"),
+          greatest(lit(1L), ceil(col("quantile") * col("sample_k")))
+            .cast("int")).as("est"),
+        col("sample_k"), col("n_total"))
+      .orderBy(col("quantile"))
+  }
+
   def quantileSketch(
       df: DataFrame,
       segmentCol: Column,
@@ -418,8 +475,6 @@ object Sketches {
       k: Int,
       qs: Seq[Double]): DataFrame = {
     require(k >= 2, "sample size k must be at least 2")
-    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
-      "quantiles must lie in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     val hashed = df.select(segmentCol.as("seg"), h52(col(idCol)).as("h"),
       col(idCol).cast("long").as("id"), col(vCol).cast("double").as("v"))
@@ -428,27 +483,13 @@ object Sketches {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("seg")).orderBy(col("h"), col("id"))))
       .filter(col("rn") <= k)
+      .drop("rn", "seg")
     val totals = hashed.groupBy(col("seg")).agg(count(lit(1)).as("n"))
     // MERGE: sketches only — union the per-segment samples and re-take
     // the global bottom-k (== the bottom-k of the raw union, exactly);
     // the unpartitioned window frame is the k·|segments| sketch, never
     // the corpus
-    val merged = segSketch
-      .withColumn("grn", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("h"), col("id"))))
-      .filter(col("grn") <= k)
-    val sample = merged.agg(
-      sort_array(collect_list(col("v"))).as("vals"),
-      count(lit(1)).as("sample_k"))
-    val nTotal = totals.agg(sum(col("n")).as("n_total"))
-    val spine = df.sparkSession.createDataFrame(qs.map(Tuple1(_)))
-      .toDF("quantile")
-    sample.crossJoin(broadcast(nTotal)).crossJoin(broadcast(spine))
-      .select(col("quantile"),
-        element_at(col("vals"),
-          greatest(lit(1L), ceil(col("quantile") * col("sample_k")))
-            .cast("int")).as("est"),
-        col("sample_k"), col("n_total"))
-      .orderBy(col("quantile"))
+    val merged = bottomKSmall(segSketch, k)
+    quantileEstimate(merged, totals.agg(sum(col("n")).as("n_total")), qs)
   }
 }

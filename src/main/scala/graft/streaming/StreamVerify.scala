@@ -487,6 +487,51 @@ object StreamVerify {
       .orderBy(col("true_n").desc, col("user_id"))
   }
 
+  /** Streaming QUANTILE-SKETCH maintenance — the mergeable bottom-k
+    * sample (q316) kept current per micro-batch: each batch reduces to
+    * ITS bottom-k (h, id, v) rows + one count row, landed as exactly-once
+    * tagged TxLake commits (O(batch + k) per batch, the stream is never
+    * re-read). Because bottom-k merge = union + re-take-k = EXACTLY the
+    * global bottom-k, the standing store read back and merged must equal
+    * the one-shot batch sketch over the whole corpus — however the
+    * batches sliced it. p50/p90/p99 then come from the store alone.
+    */
+  def quantileSketchMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      k: Int,
+      qs: Seq[Double]): DataFrame = {
+    import graft.operators.Sketches
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val sampleLake = s"$scratchDir/samples"
+    val countLake = s"$scratchDir/counts"
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pinned = batch.localCheckpoint(true)
+        graft.sources.TxLake.commit(spark, sampleLake,
+          Sketches.bottomKLarge(
+            Sketches.hashedSample(pinned, "event_id", "value"), k).coalesce(1),
+          tag = s"qsk-$id")
+        graft.sources.TxLake.commit(spark, countLake,
+          spark.range(1).select(lit(id).as("batch_id"),
+            lit(pinned.count()).as("n")).coalesce(1),
+          tag = s"qskn-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val samples = graft.sources.TxLake.readSnapshot(spark, sampleLake)
+    val tot = graft.sources.TxLake.readSnapshot(spark, countLake)
+      .agg(sum(col("n")).as("n_total"))
+    Sketches.quantileEstimate(Sketches.bottomKSmall(samples, k), tot, qs)
+  }
+
   /** Streaming SLIDING BITMAP-STORE maintenance — the exact-distinct
     * counterpart of [[cmsMaintenance]]: each micro-batch reduces to its
     * per-(event_type, hour) bitmap words and lands as an exactly-once
