@@ -4612,6 +4612,86 @@ object SparkEntry {
         "event_type", "event_id")
       .orderBy(col("event_type"), col("event_id"))
 
+  /** Binary-classifier evaluation
+    * ([[graft.operators.Features.binaryMetrics]]): confusion matrix +
+    * P/R/F1 at a threshold and EXACT rank-statistic ROC-AUC (the
+    * Mann–Whitney identity) — ranks over the score domain, never a
+    * corpus sort; price "scores" predicting finished orders.
+    */
+  private def q330(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.binaryMetrics(T(s, dir, "orders"),
+      "o_totalprice", col("o_orderstatus") === "F", 150000.0)
+
+  /** SQL-surface LATERAL join (correlated subquery in FROM with
+    * ORDER BY + LIMIT): top-2 orders per customer spelled the way an
+    * analyst writes it — the declarative twin of the q52 window
+    * formulation, proving Spark's decorrelation handles the
+    * ordered-limit case.
+    */
+  private def q331(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "customer").createOrReplaceTempView("customer_v331")
+    T(s, dir, "orders").createOrReplaceTempView("orders_v331")
+    s.sql("""SELECT c.c_custkey, t.o_orderkey, t.price
+      FROM customer_v331 c
+      JOIN LATERAL (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        FROM orders_v331 o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.o_orderkey""")
+  }
+
+  /** Per-document BYTE ENTROPY over the payload bytes — the multimodal
+    * corruption/quality detector (truncated or zero-padded blobs crater;
+    * compressed/encrypted ones saturate): hex-pair explode → per-doc
+    * byte census → Shannon entropy with per-byte terms on the 1e-9
+    * decimal grid. The payload here is the document's utf8 bytes — the
+    * plumbing is byte-level and carries to any binary column.
+    */
+  private def q332(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = T(s, dir, "documents")
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+    val counts = d
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, length(hx) div 2 - 1), i -> substring(hx, i * 2 + 1, 2))"))
+        .as("byte"))
+      .groupBy(col("doc_id"), col("byte")).agg(count(lit(1)).as("c"))
+    val n = sum(col("c")).over(Window.partitionBy(col("doc_id")))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts
+      .withColumn("n", n)
+      .withColumn("term",
+        round(-p * log(p), 9).cast(DecimalType(18, 9)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_bytes"), count(lit(1)).as("n_distinct_bytes"),
+        sum(col("term")).cast("double").as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXACT Shapley-value attribution
+    * ([[graft.operators.Attribution.shapley]]): converting users collapse
+    * to a 16-bucket touched-channel mask census; coalition values,
+    * factorial weights and both v(S) lookups are broadcast spines; φ is
+    * an exact scaled integer until one division by 4!.
+    */
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    val masks = T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        (max(when(col("event_type") === "click", 1).otherwise(0)) +
+          max(when(col("event_type") === "view", 2).otherwise(0)) +
+          max(when(col("event_type") === "signup", 4).otherwise(0)) +
+          max(when(col("event_type") === "error", 8).otherwise(0))).as("mask"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .filter(col("conv") === 1)
+      .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+    graft.operators.Attribution.shapley(masks,
+        Seq(("click", 1), ("view", 2), ("signup", 4), ("error", 8)))
+      .orderBy(col("channel"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -6718,6 +6798,10 @@ object SparkEntry {
     "q327_freshness_audit" -> (q327 _),
     "q328_embedding_drift" -> (q328 _),
     "q329_balanced_sample" -> (q329 _),
+    "q330_binary_metrics" -> (q330 _),
+    "q331_lateral_topn" -> (q331 _),
+    "q332_blob_entropy" -> (q332 _),
+    "q333_shapley_attribution" -> (q333 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7657,6 +7741,19 @@ object SparkEntry {
     // vectors from 1e-12-grid cross-dim products
     "q328_embedding_drift" ->
       """WITH x AS (SELECT label % 2 = 0 AS isa, unnest(list_zip(embedding, range(0, len(embedding)))) AS z FROM embeddings), d AS (SELECT CAST(z[2] AS BIGINT) AS dim, isa, CAST(round(CAST(z[1] AS DOUBLE), 6) AS DECIMAL(18,6)) AS c FROM x), a AS (SELECT dim, SUM(CASE WHEN isa THEN c END) AS sa, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na, SUM(CASE WHEN NOT isa THEN c END) AS sb, CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM d GROUP BY 1), mm AS (SELECT dim, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb FROM a), g AS (SELECT dim, ma, mb, CAST(round(ma * mb, 12) AS DECIMAL(30,12)) AS ab, CAST(round(ma * ma, 12) AS DECIMAL(30,12)) AS aa, CAST(round(mb * mb, 12) AS DECIMAL(30,12)) AS bb FROM mm) SELECT dim, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, round(ma - mb, 6) AS shift, round(CAST(SUM(ab) OVER () AS DOUBLE) / (sqrt(CAST(SUM(aa) OVER () AS DOUBLE)) * sqrt(CAST(SUM(bb) OVER () AS DOUBLE))), 6) AS mean_cosine FROM g ORDER BY dim""",
+    // P/R/F1 at the threshold + exact tie-averaged rank AUC
+    "q330_binary_metrics" ->
+      """WITH e AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, o_orderstatus = 'F' AS lab FROM orders), bv AS (SELECT v, CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS tp1, CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS tn1 FROM e GROUP BY v), rk AS (SELECT v, tp1, tn1, tp1 + tn1 AS t, SUM(tp1 + tn1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM bv), ag AS (SELECT CAST(SUM(tp1) AS BIGINT) AS np, CAST(SUM(tn1) AS BIGINT) AS nn, SUM(CAST(tp1 AS DECIMAL(38,0)) * CAST(2 * c - t + 1 AS DECIMAL(38,0))) AS rp2, CAST(SUM(CASE WHEN v >= 150000.0 THEN tp1 ELSE 0 END) AS BIGINT) AS tp, CAST(SUM(CASE WHEN v >= 150000.0 THEN tn1 ELSE 0 END) AS BIGINT) AS fp, CAST(SUM(CASE WHEN v < 150000.0 THEN tp1 ELSE 0 END) AS BIGINT) AS fn, CAST(SUM(CASE WHEN v < 150000.0 THEN tn1 ELSE 0 END) AS BIGINT) AS tn FROM rk) SELECT np AS n_pos, nn AS n_neg, tp, fp, fn, tn, round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision, round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall, round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) AS f1, round(CAST(rp2 - CAST(np AS DECIMAL(38,0)) * CAST(np + 1 AS DECIMAL(38,0)) AS DOUBLE) / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc FROM ag""",
+    // the same ordered-limit lateral, DuckDB spelling
+    "q331_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price FROM customer c JOIN LATERAL (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2) t ON TRUE ORDER BY c.c_custkey, t.o_orderkey""",
+    // hex-pair byte census, per-byte -p*ln(p) on the 1e-9 grid
+    "q332_blob_entropy" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents), b AS (SELECT doc_id, unnest(list_transform(range(0, length(hx) // 2), i -> substr(hx, CAST(i * 2 + 1 AS INTEGER), 2))) AS byte FROM d), c AS (SELECT doc_id, byte, COUNT(*) AS c FROM b GROUP BY 1, 2), t AS (SELECT doc_id, byte, c, CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM c), e AS (SELECT doc_id, n, CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS term FROM t) SELECT doc_id, MAX(n) AS n_bytes, COUNT(*) AS n_distinct_bytes, CAST(SUM(term) AS DOUBLE) AS entropy FROM e GROUP BY 1 ORDER BY 1""",
+    // v(S) = converting users with touched-set ⊆ S; φ exact over the 16
+    // coalitions with 4!-scaled integer weights (6,2,2,6)
+    "q333_shapley_attribution" ->
+      """WITH u AS (SELECT user_id, MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) + MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END) + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) + MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), mc AS (SELECT mask, COUNT(*) AS n FROM u WHERE conv = 1 GROUP BY 1), coal AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS s), vv AS (SELECT s, (s // 1) % 2 + (s // 2) % 2 + (s // 4) % 2 + (s // 8) % 2 AS sz, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS v FROM coal LEFT JOIN mc ON (s | mask) = s GROUP BY 1, 2), ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4), ('error', 8)) AS t(channel, bit)), pairs AS (SELECT ch.channel, b.sz, b.v AS v_without, w.v AS v_with FROM ch JOIN vv b ON (b.s & ch.bit) = 0 JOIN vv w ON w.s = (b.s | ch.bit)) SELECT channel, round(CAST(SUM((CASE sz WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END) * (v_with - v_without)) AS DOUBLE) / 24.0, 6) AS phi FROM pairs GROUP BY 1 ORDER BY channel""",
     // every class keeps exactly the minority count, by md5-hash order
     "q329_balanced_sample" ->
       """WITH e AS (SELECT event_id, event_type, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), m AS (SELECT MIN(n) AS mn FROM (SELECT COUNT(*) AS n FROM e GROUP BY event_type)), r AS (SELECT event_id, event_type, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn FROM e) SELECT event_id, event_type FROM r, m WHERE rn <= mn ORDER BY event_type, event_id""",

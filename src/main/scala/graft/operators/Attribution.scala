@@ -64,4 +64,57 @@ object Attribution {
         round(col("re9").cast("double") / lit(t9.toDouble), 6)
           .as("attribution"))
   }
+
+  /** EXACT SHAPLEY-VALUE attribution over touched-channel coalitions —
+    * the game-theoretic split [[markovRemoval]] approximates by removal:
+    * with v(S) = converting users whose touched set ⊆ S, channel c gets
+    * φ_c = Σ_{S∌c} |S|!(n−1−|S|)!/n! · (v(S∪c) − v(S)). Every piece is
+    * COALITION-DOMAIN-SIZED: users collapse to a 2ⁿ-bucket mask census
+    * in one aggregate; coalitions, factorial weights and both v lookups
+    * are broadcast spines; φ stays an exact scaled INTEGER until the one
+    * final division by n!. Bounded to n ≤ 16 channels by construction —
+    * the honest limit of exact Shapley anywhere.
+    *
+    * `maskCounts`: (mask, n) — converting users per exact touched-set
+    * bitmask, mask built from `channels`' (name, bit) assignments.
+    */
+  def shapley(
+      maskCounts: DataFrame,
+      channels: Seq[(String, Int)]): DataFrame = {
+    val n = channels.size
+    require(n >= 1 && n <= 16, "exact Shapley needs 1..16 channels")
+    require(channels.map(_._2).toSet == (0 until n).map(1 << _).toSet,
+      "channel bits must be exactly the low n single-bit masks")
+    val spark = maskCounts.sparkSession
+    val fact = (0 to n).scanLeft(1L)((a, i) => a * math.max(i, 1)).tail
+    // fact(i) = i! for i in 0..n (fact(0) = 1)
+    val factArr = array((0 to n).map(i =>
+      lit((1 to i).foldLeft(1L)(_ * _))): _*)
+    val coalitions = spark.createDataFrame(
+      (0 until (1 << n)).map(s => (s, Integer.bitCount(s))))
+      .toDF("s", "sz")
+    val v = coalitions
+      .join(broadcast(maskCounts),
+        col("s").bitwiseOR(col("mask")) === col("s"), "left")
+      .groupBy(col("s"), col("sz"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("v"))
+    val ch = spark.createDataFrame(channels).toDF("channel", "bit")
+    val base = broadcast(ch).join(v,
+        col("s").bitwiseAND(col("bit")) === 0)
+      .select(col("channel"), col("bit"), col("s"), col("sz"),
+        col("v").as("v_without"))
+    val withC = v.select(col("s").as("s2"), col("v").as("v_with"))
+    val nBang = fact(n - 1) * n
+    base
+      .join(broadcast(withC), col("s").bitwiseOR(col("bit")) === col("s2"))
+      .withColumn("w",
+        element_at(factArr, col("sz").cast("int") + 1) *
+          element_at(factArr, lit(n) - col("sz").cast("int")))
+      .groupBy(col("channel"))
+      .agg(sum(col("w") * (col("v_with") - col("v_without")))
+        .as("phi_scaled"))
+      .select(col("channel"),
+        round(col("phi_scaled").cast("double") / lit(nBang.toDouble), 6)
+          .as("phi"))
+  }
 }

@@ -78,6 +78,53 @@ object Features {
       .drop("__cs", "__cn", "__gs", "__gn")
   }
 
+  /** BINARY-CLASSIFIER evaluation in one pass: the confusion matrix and
+    * P/R/F1 at a threshold, plus EXACT ROC-AUC as the rank statistic
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with tie-averaged ranks — the
+    * Mann–Whitney identity, so no curve integration, no score sort of
+    * the corpus: ranks come from the SCORE DOMAIN (one map-side-combined
+    * aggregate + a domain-sized cumulative window), doubled ranks and
+    * sums exact in DECIMAL(38,0) (the q319 machinery pointed at model
+    * evaluation).
+    */
+  def binaryMetrics(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val s = col(scoreCol).cast("double")
+    val byScore = df
+      .groupBy(s.as("v"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("tp1"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("tn1"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byScore
+      .withColumn("t", col("tp1") + col("tn1"))
+      .withColumn("c", sum(col("tp1") + col("tn1")).over(cum))
+      .withColumn("r2", lit(2L) * col("c") - col("t") + 1L)
+    val d38 = DecimalType(38, 0)
+    val agg = ranked.agg(
+      sum(col("tp1")).as("np"), sum(col("tn1")).as("nn"),
+      sum(col("tp1").cast(d38) * col("r2").cast(d38)).as("rp2"),
+      sum(when(col("v") >= threshold, col("tp1")).otherwise(0L)).as("tp"),
+      sum(when(col("v") >= threshold, col("tn1")).otherwise(0L)).as("fp"),
+      sum(when(col("v") < threshold, col("tp1")).otherwise(0L)).as("fn"),
+      sum(when(col("v") < threshold, col("tn1")).otherwise(0L)).as("tn"))
+    def dbl(c: Column): Column = c.cast("double")
+    val prec = dbl(col("tp")) / dbl(col("tp") + col("fp"))
+    val rec = dbl(col("tp")) / dbl(col("tp") + col("fn"))
+    val auc2 = col("rp2") - col("np").cast(d38) * (col("np") + 1L).cast(d38)
+    agg.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+      round(lit(2.0) * prec * rec / (prec + rec), 6).as("f1"),
+      round(dbl(auc2) / (lit(2.0) * dbl(col("np")) * dbl(col("nn"))), 6)
+        .as("auc"))
+  }
+
   /** WEIGHT OF EVIDENCE / INFORMATION VALUE over fixed-width bins — the
     * credit-scoring feature audit: per bin of a numeric column,
     * woe = ln(goodShare/badShare) with +0.5 Laplace smoothing, and

@@ -42,4 +42,18 @@ class AttributionSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(ok("A") == 1.0 && ok("B") == 1.0 && ok("C") == 1.0)
   }
+
+  test("shapley: hand-computed two-channel game plus the efficiency axiom") {
+    // 10 converters touched only A (mask 1), 4 touched both (mask 3):
+    // v({A})=10, v({B})=0, v({A,B})=14 → φ_A = ½·10 + ½·14 = 12, φ_B = 2
+    val masks = Seq((1, 10L), (3, 4L)).toDF("mask", "n")
+    val phi = Attribution.shapley(masks, Seq(("A", 1), ("B", 2)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(phi == Map("A" -> 12.0, "B" -> 2.0))
+    // efficiency: the shares exhaust v(full) − v(∅) exactly
+    assert(phi.values.sum == 14.0)
+    // channel bit assignments must be the low single bits
+    assertThrows[IllegalArgumentException](
+      Attribution.shapley(masks, Seq(("A", 1), ("B", 4))))
+  }
 }

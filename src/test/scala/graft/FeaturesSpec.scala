@@ -47,4 +47,21 @@ class FeaturesSpec extends SparkSuite {
       .as[(String, Long, Double)].collect().sortBy(_._1)
     assert(!a.map(_._3).sameElements(c.map(_._3))) // fresh release, fresh draw
   }
+
+  test("binaryMetrics: perfect separation and the tie-averaged AUC") {
+    val perfect = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+      .toDF("score", "lab")
+    val m = Features.binaryMetrics(perfect, "score", col("lab"), 2.5)
+      .collect()(0)
+    assert((m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5)) ==
+      ((2L, 0L, 0L, 2L)))
+    assert(m.getDouble(6) == 1.0 && m.getDouble(7) == 1.0 &&
+      m.getDouble(8) == 1.0 && m.getDouble(9) == 1.0)
+    // fully tied within each score value: AUC must be exactly chance
+    val tied = Seq((1.0, false), (1.0, true), (2.0, false), (2.0, true))
+      .toDF("score", "lab")
+    val t = Features.binaryMetrics(tied, "score", col("lab"), 1.5)
+      .collect()(0)
+    assert(t.getDouble(9) == 0.5, s"tie-averaged AUC should be 0.5, got $t")
+  }
 }
