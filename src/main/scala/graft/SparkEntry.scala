@@ -4692,6 +4692,106 @@ object SparkEntry {
       .orderBy(col("channel"))
   }
 
+  /** Per-user INTERVAL UNION ([[graft.operators.Relational.intervalUnion]]):
+    * each event opens a 10-minute activity span; overlapping spans merge
+    * into maximal disjoint ones — total covered time under decay, the
+    * coverage question q64's point-gap islands can't answer (an interval
+    * can swallow a later-starting but earlier-ending one).
+    */
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    val sec = expr("ts div 1000000000")
+    graft.operators.Relational.intervalUnion(
+        T(s, dir, "events").select(col("user_id"), sec.cast("long").as("s0"),
+          (sec.cast("long") + 600L).as("e0")),
+        "user_id", "s0", "e0")
+      .orderBy(col("user_id"), col("span_start"))
+  }
+
+  /** SPEARMAN rank correlation ([[graft.operators.Relational.spearman]]):
+    * monotone association between per-user activity and spend — ranks
+    * over each variable's own value domain with tie averaging (the q319
+    * machinery twice), ρ exact until one pinned-double finish.
+    */
+  private def q335(s: SparkSession, dir: String): DataFrame = {
+    val per = T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("acts"),
+        (sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+          .as("cents"))
+    graft.operators.Relational.spearman(per, "acts", "cents")
+  }
+
+  /** SUBJECT ACCESS REPORT (the GDPR/DSAR production query): every
+    * record about each probed subject gathered across heterogeneous
+    * tables into one canonical (subject, source, key, payload-md5)
+    * listing — the union-of-schemas shape a privacy office actually
+    * runs; probe set = the two smallest purchasing users, broadcast.
+    */
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    val subj = T(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("subject_id")).distinct()
+      .orderBy(col("subject_id")).limit(2)
+    val ev = T(s, dir, "events")
+      .join(broadcast(subj), col("user_id") === col("subject_id"))
+      .select(col("subject_id"), lit("events").as("source"),
+        col("event_id").as("record_key"),
+        md5(concat_ws("|", col("user_id"), col("event_type"),
+          expr("ts div 1000000000"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")))
+          .as("payload_md5"))
+    val ord = T(s, dir, "orders")
+      .join(broadcast(subj), col("o_custkey") === col("subject_id"))
+      .select(col("subject_id"), lit("orders").as("source"),
+        col("o_orderkey").as("record_key"),
+        md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")))
+          .as("payload_md5"))
+    val cust = T(s, dir, "customer")
+      .join(broadcast(subj), col("c_custkey") === col("subject_id"))
+      .select(col("subject_id"), lit("customer").as("source"),
+        col("c_custkey").as("record_key"),
+        md5(concat_ws("|", col("c_name"), col("c_mktsegment")))
+          .as("payload_md5"))
+    ev.unionByName(ord).unionByName(cust)
+      .orderBy(col("subject_id"), col("source"), col("record_key"))
+  }
+
+  /** LATE-ARRIVING DIMENSION with park-and-replay: facts joining a
+    * half-arrived dimension resolve what they can, PARK the rest in a
+    * TxLake pending table (exactly-once, auditable), and re-resolve when
+    * the second half lands; truly-missing dims (key % 97 == 0, dropped
+    * from both halves) surface with a NULL attribute instead of
+    * silently vanishing. The converged union must equal the one-shot
+    * left join against the full dimension.
+    */
+  private def q337(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val root = scratch(dir, "q337")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val facts = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dim = T(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .filter(col("c_custkey") % 97 =!= 0)
+    val h1 = dim.filter(col("c_custkey") % 2 === 0)
+    val h2 = dim.filter(col("c_custkey") % 2 === 1)
+    val r1 = facts.join(h1, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_mktsegment").as("segment"))
+    TxLake.commit(s, s"$root/pending",
+      facts.join(h1, col("o_custkey") === col("c_custkey"), "left_anti"))
+    val parked = TxLake.readSnapshot(s, s"$root/pending")
+    val r2 = parked.join(h2, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_mktsegment").as("segment"))
+    val still = parked
+      .join(h2, col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit(null).cast("string").as("segment"))
+    r1.unionByName(r2).unionByName(still).orderBy(col("o_orderkey"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -6802,6 +6902,10 @@ object SparkEntry {
     "q331_lateral_topn" -> (q331 _),
     "q332_blob_entropy" -> (q332 _),
     "q333_shapley_attribution" -> (q333 _),
+    "q334_interval_union" -> (q334 _),
+    "q335_spearman" -> (q335 _),
+    "q336_subject_access" -> (q336 _),
+    "q337_late_dimension" -> (q337 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7754,6 +7858,18 @@ object SparkEntry {
     // coalitions with 4!-scaled integer weights (6,2,2,6)
     "q333_shapley_attribution" ->
       """WITH u AS (SELECT user_id, MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) + MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END) + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) + MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), mc AS (SELECT mask, COUNT(*) AS n FROM u WHERE conv = 1 GROUP BY 1), coal AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS s), vv AS (SELECT s, (s // 1) % 2 + (s // 2) % 2 + (s // 4) % 2 + (s // 8) % 2 AS sz, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS v FROM coal LEFT JOIN mc ON (s | mask) = s GROUP BY 1, 2), ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4), ('error', 8)) AS t(channel, bit)), pairs AS (SELECT ch.channel, b.sz, b.v AS v_without, w.v AS v_with FROM ch JOIN vv b ON (b.s & ch.bit) = 0 JOIN vv w ON w.s = (b.s | ch.bit)) SELECT channel, round(CAST(SUM((CASE sz WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END) * (v_with - v_without)) AS DOUBLE) / 24.0, 6) AS phi FROM pairs GROUP BY 1 ORDER BY channel""",
+    // sweep-line merge: new span iff start clears the running max end
+    "q334_interval_union" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, CAST(epoch_ns(ts) // 1000000000 + 600 AS BIGINT) AS e FROM events), m AS (SELECT user_id, s, e, CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w THEN 1 ELSE 0 END AS nw FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), g AS (SELECT user_id, s, e, SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span FROM m) SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_merged FROM g GROUP BY user_id, span ORDER BY user_id, span_start""",
+    // tie-averaged doubled ranks per variable, Pearson over the ranks
+    "q335_spearman" ->
+      """WITH per AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS x, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) AS y FROM events GROUP BY 1), rx AS (SELECT v, 2 * cc - t + 1 AS r2 FROM (SELECT x AS v, COUNT(*) AS t, SUM(COUNT(*)) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM per GROUP BY x)), ry AS (SELECT v, 2 * cc - t + 1 AS r2 FROM (SELECT y AS v, COUNT(*) AS t, SUM(COUNT(*)) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM per GROUP BY y)), j AS (SELECT rx.r2 AS rxx, ry.r2 AS ryy FROM per JOIN rx ON per.x = rx.v JOIN ry ON per.y = ry.v), a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(rxx AS DECIMAL(38,0))) AS sx, SUM(CAST(ryy AS DECIMAL(38,0))) AS sy, SUM(CAST(rxx AS DECIMAL(38,0)) * CAST(rxx AS DECIMAL(38,0))) AS sxx, SUM(CAST(ryy AS DECIMAL(38,0)) * CAST(ryy AS DECIMAL(38,0))) AS syy, SUM(CAST(rxx AS DECIMAL(38,0)) * CAST(ryy AS DECIMAL(38,0))) AS sxy FROM j) SELECT n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho FROM a""",
+    // one canonical (subject, source, key, md5) listing per probed user
+    "q336_subject_access" ->
+      """WITH subj AS (SELECT DISTINCT user_id AS subject_id FROM events WHERE event_type = 'purchase' ORDER BY 1 LIMIT 2), ev AS (SELECT subject_id, 'events' AS source, event_id AS record_key, md5(concat_ws('|', user_id, event_type, epoch_ns(ts) // 1000000000, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))) AS payload_md5 FROM events JOIN subj ON user_id = subject_id), ord AS (SELECT subject_id, 'orders' AS source, o_orderkey AS record_key, md5(concat_ws('|', o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))) AS payload_md5 FROM orders JOIN subj ON o_custkey = subject_id), cust AS (SELECT subject_id, 'customer' AS source, c_custkey AS record_key, md5(concat_ws('|', c_name, c_mktsegment)) AS payload_md5 FROM customer JOIN subj ON c_custkey = subject_id) SELECT * FROM (SELECT * FROM ev UNION ALL SELECT * FROM ord UNION ALL SELECT * FROM cust) ORDER BY subject_id, source, record_key""",
+    // park-and-replay must converge to the one-shot left join
+    "q337_late_dimension" ->
+      """SELECT o_orderkey, o_custkey, c_mktsegment AS segment FROM orders LEFT JOIN customer ON o_custkey = c_custkey AND c_custkey % 97 <> 0 ORDER BY o_orderkey""",
     // every class keeps exactly the minority count, by md5-hash order
     "q329_balanced_sample" ->
       """WITH e AS (SELECT event_id, event_type, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), m AS (SELECT MIN(n) AS mn FROM (SELECT COUNT(*) AS n FROM e GROUP BY event_type)), r AS (SELECT event_id, event_type, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn FROM e) SELECT event_id, event_type FROM r, m WHERE rn <= mn ORDER BY event_type, event_id""",

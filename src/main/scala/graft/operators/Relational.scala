@@ -418,4 +418,79 @@ object Relational {
             s"CAST(greatest($lLo, $rLo) AS BIGINT) div $bucketWidth"))
       .drop("__b", "__rb")
   }
+
+  /** Per-key INTERVAL UNION: merge overlapping-or-touching [start, end)
+    * spans into maximal disjoint spans — the coverage question behind
+    * "total active time", SLA uptime stitching and validity-window
+    * normalization that q64's point-gap islands can't answer (intervals
+    * can swallow LATER-STARTING but earlier-ending ones; a lag-based gap
+    * test misses that). A span is new iff its start clears the running
+    * max of all previous ends (the standard sweep), so one ordered
+    * window pass per key; ties on start break by end. Emits one row per
+    * merged span with its source count.
+    */
+  def intervalUnion(
+      df: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s"), col("__e"))
+    val prevMax = max(col("__e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(keyCol), col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .withColumn("__new",
+        when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__span"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .select(col(keyCol), col("span_start"), col("span_end"),
+        col("n_merged"))
+  }
+
+  /** SPEARMAN rank correlation with tie-averaged ranks — the monotone-
+    * association measure where Pearson (q83) assumes linearity: each
+    * variable ranks over its own VALUE DOMAIN (the q319 shape, twice),
+    * doubled ranks stay integral, and ρ is Pearson over the doubled
+    * ranks (the 2× scale cancels) with every sum exact in
+    * DECIMAL(38,0) and one pinned-order double finish.
+    */
+  def spearman(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def ranks2(c: String): DataFrame = {
+      val byV = df.groupBy(col(c).cast("double").as("v"))
+        .agg(count(lit(1)).as("t"))
+      val cum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV.withColumn("cc", sum(col("t")).over(cum))
+        .select(col("v"), (lit(2L) * col("cc") - col("t") + 1L).as("r2"))
+    }
+    val d38 = DecimalType(38, 0)
+    val joined = df
+      .select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .join(broadcast(ranks2(xCol).withColumnRenamed("r2", "rx")),
+        col("x") === col("v")).drop("v")
+      .join(broadcast(ranks2(yCol).withColumnRenamed("r2", "ry")),
+        col("y") === col("v")).drop("v")
+    def dbl(c: Column): Column = c.cast("double")
+    val a = joined.agg(count(lit(1)).as("n"),
+      sum(col("rx").cast(d38)).as("sx"), sum(col("ry").cast(d38)).as("sy"),
+      sum(col("rx").cast(d38) * col("rx").cast(d38)).as("sxx"),
+      sum(col("ry").cast(d38) * col("ry").cast(d38)).as("syy"),
+      sum(col("rx").cast(d38) * col("ry").cast(d38)).as("sxy"))
+    a.select(col("n"),
+      round((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+        (sqrt(dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+          sqrt(dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))),
+        6).as("rho"))
+  }
 }
