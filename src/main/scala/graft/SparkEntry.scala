@@ -4792,6 +4792,123 @@ object SparkEntry {
     r1.unionByName(r2).unionByName(still).orderBy(col("o_orderkey"))
   }
 
+  /** GINI COEFFICIENT of customer revenue concentration
+    * ([[graft.operators.GlobalOrder.rowNumbers]] + one exact aggregate):
+    * G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over ascending-ranked exact cents —
+    * the inequality scalar a marketplace health report leads with; ranks
+    * from the range shuffle, numerator exact in DECIMAL(38,0).
+    */
+  private def q338(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val rev = T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val ranked = graft.operators.GlobalOrder.rowNumbers(
+      rev, Seq(col("cents"), col("o_custkey")), "i")
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+        sum(col("i").cast(d38) * col("cents").cast(d38)).as("s2"))
+      .select(col("n"), col("total_cents"),
+        round((lit(2L) * col("s2") -
+            (col("n") + 1L).cast(d38) * col("total_cents").cast(d38))
+            .cast("double") /
+          (col("n").cast(d38) * col("total_cents").cast(d38)).cast("double"),
+          6).as("gini"))
+  }
+
+  /** ABC INVENTORY CLASSES over part revenue
+    * ([[graft.operators.GlobalOrder.prefixSums]]): cumulative revenue
+    * share under descending order WITHOUT a single-partition window —
+    * the range-shuffle prefix sum; class cut-offs compared as exact
+    * integer cross-products (cum·100 ≤ tot·80), so no double share can
+    * flip a part across the A/B boundary between engines.
+    */
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val rev = T(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val cum = graft.operators.GlobalOrder.prefixSums(
+      rev, Seq(col("cents").desc, col("l_partkey")), "cents", "cum")
+    val tot = rev.agg(sum(col("cents")).as("tot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum").cast(d38) * 100 <= col("tot").cast(d38) * 80, "A")
+          .when(col("cum").cast(d38) * 100 <= col("tot").cast(d38) * 95, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("cents"),
+        round(sum(col("cents")).cast("double") /
+          max(col("tot")).cast("double"), 6).as("share"))
+      .orderBy(col("abc_class"))
+  }
+
+  /** MinHash-LSH RECALL METER against exact shingle-Jaccard ground truth
+    * on a capped evaluation sample — q215's "measured, not assumed"
+    * discipline applied to dedup: truth = exact 3-shingle Jaccard ≥ 0.35
+    * (all pairs over the broadcast sample), candidates = the production
+    * q84 minhash pipeline at its 0.3 threshold; emits hit counts +
+    * precision/recall. This is exactly how a corpus pipeline audits its
+    * banding config before trusting it at 100 TB.
+    */
+  private def q340(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = T(s, dir, "documents").filter(col("doc_id") < 300)
+    val sets = Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("g"))
+    // all-pairs ONLY over the capped broadcast sample (45k pairs) — the
+    // labeled-sample shape, never the corpus
+    val truth = sets.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      .join(broadcast(sets.select(col("doc_id").as("id_b"), col("g").as("gb"))),
+        col("id_a") < col("id_b"))
+      .filter(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+        size(array_union(col("ga"), col("gb"))).cast("double") >= 0.35)
+      .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+    val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.3)
+      .select(col("id_a"), col("id_b"), lit(1L).as("c"))
+    truth.join(cand, Seq("id_a", "id_b"), "full")
+      .agg(sum(col("t")).as("n_truth"), sum(col("c")).as("n_cand"),
+        sum(col("t") * col("c")).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall"),
+        round(col("n_hit").cast("double") / col("n_cand").cast("double"), 6)
+          .as("precision"))
+  }
+
+  /** Per-user BURSTINESS B = (σ−μ)/(σ+μ) of inter-event gaps — the
+    * event-cadence fingerprint (B→−1 periodic/bot-like, B→0 Poisson,
+    * B→1 bursty/human) next to q304's entropy regularity; gap moments
+    * exact in DECIMAL(38,0), one pinned-double finish.
+    */
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val sec = expr("ts div 1000000000")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val gaps = T(s, dir, "events")
+      .select(col("user_id"), sec.cast("long").as("sec"), col("event_id"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    def dbl(c: Column): Column = c.cast("double")
+    val a = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(d38)).as("sg"),
+        sum(col("gap").cast(d38) * col("gap").cast(d38)).as("sq"))
+      .filter(col("n_gaps") >= 3)
+    val mu = dbl(col("sg")) / dbl(col("n_gaps"))
+    val sd = sqrt(dbl(col("n_gaps")) * dbl(col("sq")) -
+      dbl(col("sg")) * dbl(col("sg"))) / dbl(col("n_gaps"))
+    a.select(col("user_id"), col("n_gaps"), round(mu, 6).as("mean_gap"),
+        round((sd - mu) / (sd + mu), 6).as("burstiness"))
+      .orderBy(col("user_id"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -6906,6 +7023,10 @@ object SparkEntry {
     "q335_spearman" -> (q335 _),
     "q336_subject_access" -> (q336 _),
     "q337_late_dimension" -> (q337 _),
+    "q338_gini" -> (q338 _),
+    "q339_abc_classes" -> (q339 _),
+    "q340_dedup_recall" -> (q340 _),
+    "q341_burstiness" -> (q341 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7870,6 +7991,19 @@ object SparkEntry {
     // park-and-replay must converge to the one-shot left join
     "q337_late_dimension" ->
       """SELECT o_orderkey, o_custkey, c_mktsegment AS segment FROM orders LEFT JOIN customer ON o_custkey = c_custkey AND c_custkey % 97 <> 0 ORDER BY o_orderkey""",
+    // G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) over ascending ranks
+    "q338_gini" ->
+      """WITH r AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM orders GROUP BY 1), rk AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM r), a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents, SUM(CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS s2 FROM rk) SELECT n, total_cents, round(CAST(2 * s2 - CAST(n + 1 AS DECIMAL(38,0)) * CAST(total_cents AS DECIMAL(38,0)) AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * CAST(total_cents AS DECIMAL(38,0)) AS DOUBLE), 6) AS gini FROM a""",
+    // class cut-offs as exact integer cross-products on the cumulative
+    "q339_abc_classes" ->
+      """WITH r AS (SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM lineitem GROUP BY 1), c AS (SELECT cents, CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum, CAST(SUM(cents) OVER () AS DECIMAL(38,0)) AS tot FROM r), k AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A' WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc_class, cents, tot FROM c) SELECT abc_class, COUNT(*) AS n_parts, CAST(SUM(cents) AS BIGINT) AS cents, round(CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share FROM k GROUP BY abc_class, tot ORDER BY abc_class""",
+    // truth = exact 3-shingle Jaccard >= 0.35 on the capped sample;
+    // candidates = the q84 minhash pipeline at 0.3; meter = hits over both
+    "q340_dedup_recall" ->
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs WHERE doc_id < 300), sets AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform(sh, s -> tosigned(s)))) AS g FROM shingled), tp AS (SELECT a.id AS id_a, b.id AS id_b FROM sets a JOIN sets b ON a.id < b.id WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.35), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands), cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64 AND CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32.0 >= 0.3), j AS (SELECT CASE WHEN tp.id_a IS NOT NULL THEN 1 ELSE 0 END AS t, CASE WHEN cp.id_a IS NOT NULL THEN 1 ELSE 0 END AS c FROM tp FULL OUTER JOIN cp ON tp.id_a = cp.id_a AND tp.id_b = cp.id_b), a AS (SELECT CAST(SUM(t) AS BIGINT) AS n_truth, CAST(SUM(c) AS BIGINT) AS n_cand, CAST(SUM(t * c) AS BIGINT) AS n_hit FROM j) SELECT n_truth, n_cand, n_hit, round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall, round(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS precision FROM a""",
+    // gap moments exact; B = (sd - mu) / (sd + mu) in pinned doubles
+    "q341_burstiness" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), g AS (SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM e), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL), a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, SUM(CAST(gap AS DECIMAL(38,0))) AS sg, SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS sq FROM gg GROUP BY 1 HAVING COUNT(*) >= 3) SELECT user_id, n_gaps, round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap, round((sqrt(CAST(n_gaps AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) AS burstiness FROM a ORDER BY user_id""",
     // every class keeps exactly the minority count, by md5-hash order
     "q329_balanced_sample" ->
       """WITH e AS (SELECT event_id, event_type, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), m AS (SELECT MIN(n) AS mn FROM (SELECT COUNT(*) AS n FROM e GROUP BY event_type)), r AS (SELECT event_id, event_type, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn FROM e) SELECT event_id, event_type FROM r, m WHERE rn <= mn ORDER BY event_type, event_id""",

@@ -88,6 +88,56 @@ object GlobalOrder {
     ranked.withColumn(outCol, tile.cast("long")).drop("__rn")
   }
 
+  /** Global PREFIX SUMS under a total order with no single-partition
+    * stage — [[rowNumbers]]' machinery carrying a running VALUE instead
+    * of a rank: range-repartition + local sort, per-partition value
+    * totals collected (O(partitions) longs), cumulative offsets
+    * broadcast back, each row's inclusive prefix sum = its local running
+    * sum + its partition's offset. The building block behind cumulative
+    * revenue share / ABC / Pareto analyses at corpus scale (an
+    * unpartitioned cumulative window would collapse onto one task).
+    * `sortCols` must be a total order; `valueCol` must be integral
+    * (exact offsets — double offsets would make the result
+    * partition-boundary-dependent).
+    */
+  def prefixSums(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      valueCol: String,
+      outCol: String = "prefix_sum",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("long")).as("t"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      totals.map { case (pid, t) =>
+        val o = (pid, acc); acc = Math.addExact(acc, t); o
+      }
+    }
+    val offDf = spark.createDataFrame(offsets.toIndexedSeq)
+      .toDF("__pid", "__off")
+    val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__run", sum(col(valueCol).cast("long")).over(local))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__run"))
+      .drop("__pid", "__run", "__off")
+  }
+
   /** EXACT global percentiles as order statistics — the ground truth the
     * sketch shelf (q112 approx, q316 bottom-k) trades away, at a plan
     * that still scales: [[rowNumbers]]' range shuffle assigns every row
