@@ -362,6 +362,23 @@ object ScaleProbe {
           eventsAt(f).select(col("event_type"), col("event_id"), col("value")),
           "event_type", "event_id", "value", b = 40, salt = "probe"))
       },
+      "quantile_sketch" -> { () =>
+        // q316's build + merge: per-day bottom-256 windows then the
+        // sketch-sized global re-take — slope must track the scan
+        consume(graft.operators.Sketches.quantileSketch(
+          eventsAt(f).select(col("event_id"), col("value"), col("ts")),
+          expr("date_format(timestamp_seconds(ts div 1000000000), 'yyyy-MM-dd')"),
+          "event_id", "value", 256, Seq(0.5, 0.9, 0.99)))
+      },
+      "global_prefix_sums" -> { () =>
+        // q339's distributed cumsum: range shuffle + offsets, no
+        // single-partition stage to bend the slope upward
+        consume(graft.operators.GlobalOrder.prefixSums(
+          lineitemAt(f).groupBy(col("l_partkey"))
+            .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+              .cast("long").as("cents")),
+          Seq(col("cents").desc, col("l_partkey")), "cents", "cum"))
+      },
       "star_join_bucketed" -> { () =>
         // q309's layout at scale: both legs bucketed ×32 on the order
         // key → the SMJ reads co-partitioned buckets, NO exchange on

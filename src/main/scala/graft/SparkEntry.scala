@@ -4909,6 +4909,98 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** RETRACTABLE incremental view maintenance: a per-status aggregate
+    * kept current under a CDC tape (insert → update → delete slices) by
+    * RETRACTION DELTAS — every matched key contributes −old, every
+    * surviving op +new, and only the status-domain-sized delta ever
+    * merges into the standing aggregate; the base table never re-scans
+    * (q201 maintains under inserts; this is the Materialize-style
+    * general case deletes and updates need). The converged aggregate
+    * must equal the direct aggregate over the final table state.
+    */
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val root = scratch(dir, "q342")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val cur = s"$root/cur"; val aggDir = s"$root/agg"
+    val o = T(s, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val tape = Seq(
+      o.withColumn("del", lit(false)),
+      o.filter(col("k") % 5 === 0)
+        .withColumn("cents", col("cents") * 2)
+        .withColumn("del", lit(false)),
+      o.filter(col("k") % 7 === 0).withColumn("del", lit(true)))
+    tape.zipWithIndex.foreach { case (ops0, i) =>
+      val ops = ops0.localCheckpoint(true)
+      val plus = ops.filter(!col("del"))
+        .select(col("st"), lit(1L).as("dn"), col("cents").as("dc"))
+      val delta = (if (i == 0) plus
+        else TxLake.readSnapshot(s, cur)
+          .join(ops.select(col("k")), Seq("k"), "left_semi")
+          .select(col("st"), lit(-1L).as("dn"), (-col("cents")).as("dc"))
+          .unionByName(plus))
+        .groupBy(col("st"))
+        .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+      val merged = (if (i == 0)
+          delta.select(col("st"), col("dn").as("n"), col("dc").as("cents"))
+        else s.read.parquet(aggDir).localCheckpoint(true)
+          .join(delta, Seq("st"), "full")
+          .select(col("st"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("cents")))
+        .localCheckpoint(true)
+      merged.coalesce(1).write.mode("overwrite").parquet(aggDir)
+      if (i == 0) TxLake.commit(s, cur, ops.drop("del"))
+      else TxLake.mergeCdc(s, cur, ops, "k", "del")
+    }
+    s.read.parquet(aggDir).filter(col("n") =!= 0L)
+      .orderBy(col("st"))
+  }
+
+  /** QUOTA-diversified top-k: the overall top-10 documents by length
+    * with AT MOST 2 per source — search-result diversification as a
+    * per-source window + one global re-rank over the quota survivors
+    * (a source-domain-bounded frame, never the corpus).
+    */
+  private def q343(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("src_rank", row_number().over(perSrc))
+      .filter(col("src_rank") <= 2)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(10)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quantile-sketch ERROR METER: q316's bottom-k estimates audited
+    * against their observed ranks in the full data — |rank(est) − q| per
+    * quantile, the "measured, not assumed" loop (q215 for ANN, q340 for
+    * dedup) closed for the sketch shelf; one broadcast of the 3-row
+    * estimate spine against a single corpus scan.
+    */
+  private def q344(s: SparkSession, dir: String): DataFrame = {
+    val sk = graft.operators.Sketches.quantileSketch(
+      T(s, dir, "events"),
+      expr("date_format(timestamp_seconds(ts div 1000000000), 'yyyy-MM-dd')"),
+      "event_id", "value", 256, Seq(0.5, 0.9, 0.99))
+    T(s, dir, "events").select(col("value").cast("double").as("v"))
+      .crossJoin(broadcast(sk))
+      .groupBy(col("quantile"), col("est"), col("n_total"))
+      .agg(sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("n_le"))
+      .select(col("quantile"), col("est"), col("n_le"), col("n_total"),
+        round(abs(col("n_le").cast("double") / col("n_total").cast("double") -
+          col("quantile")), 6).as("rank_error"))
+      .orderBy(col("quantile"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7027,6 +7119,9 @@ object SparkEntry {
     "q339_abc_classes" -> (q339 _),
     "q340_dedup_recall" -> (q340 _),
     "q341_burstiness" -> (q341 _),
+    "q342_ivm_retract" -> (q342 _),
+    "q343_quota_topk" -> (q343 _),
+    "q344_sketch_error" -> (q344 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8001,6 +8096,15 @@ object SparkEntry {
     // candidates = the q84 minhash pipeline at 0.3; meter = hits over both
     "q340_dedup_recall" ->
       s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs WHERE doc_id < 300), sets AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform(sh, s -> tosigned(s)))) AS g FROM shingled), tp AS (SELECT a.id AS id_a, b.id AS id_b FROM sets a JOIN sets b ON a.id < b.id WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.35), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands), cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64 AND CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32.0 >= 0.3), j AS (SELECT CASE WHEN tp.id_a IS NOT NULL THEN 1 ELSE 0 END AS t, CASE WHEN cp.id_a IS NOT NULL THEN 1 ELSE 0 END AS c FROM tp FULL OUTER JOIN cp ON tp.id_a = cp.id_a AND tp.id_b = cp.id_b), a AS (SELECT CAST(SUM(t) AS BIGINT) AS n_truth, CAST(SUM(c) AS BIGINT) AS n_cand, CAST(SUM(t * c) AS BIGINT) AS n_hit FROM j) SELECT n_truth, n_cand, n_hit, round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall, round(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS precision FROM a""",
+    // retractions replay declaratively: last surviving value per key
+    "q342_ivm_retract" ->
+      """WITH f AS (SELECT o_orderstatus AS st, CASE WHEN o_orderkey % 5 = 0 THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) END AS cents FROM orders WHERE o_orderkey % 7 <> 0) SELECT st, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents FROM f GROUP BY 1 ORDER BY 1""",
+    // per-source quota then global re-rank
+    "q343_quota_topk" ->
+      """WITH r AS (SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS src_rank FROM documents), q AS (SELECT * FROM r WHERE src_rank <= 2 ORDER BY n_chars DESC, doc_id LIMIT 10) SELECT doc_id, source, n_chars, src_rank FROM q ORDER BY doc_id""",
+    // observed rank of each bottom-k estimate vs its target quantile
+    "q344_sketch_error" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS seg, event_id AS id, CAST(value AS DOUBLE) AS v, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), sk AS (SELECT seg, h, id, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY h, id) AS rn FROM e) WHERE rn <= 256), m AS (SELECT v FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY h, id) AS grn FROM sk) WHERE grn <= 256), arr AS (SELECT list_sort(list(v)) AS vals, COUNT(*) AS kk FROM m), tot AS (SELECT COUNT(*) AS n_total FROM e), spine AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)), est AS (SELECT q AS quantile, vals[CAST(GREATEST(1, CEIL(q * kk)) AS INTEGER)] AS est, n_total FROM spine, arr, tot) SELECT quantile, est, CAST(SUM(CASE WHEN e2.v <= est THEN 1 ELSE 0 END) AS BIGINT) AS n_le, n_total, round(abs(CAST(SUM(CASE WHEN e2.v <= est THEN 1 ELSE 0 END) AS BIGINT) / CAST(n_total AS DOUBLE) - quantile), 6) AS rank_error FROM est, e e2 GROUP BY quantile, est, n_total ORDER BY quantile""",
     // gap moments exact; B = (sd - mu) / (sd + mu) in pinned doubles
     "q341_burstiness" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), g AS (SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM e), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL), a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, SUM(CAST(gap AS DECIMAL(38,0))) AS sg, SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS sq FROM gg GROUP BY 1 HAVING COUNT(*) >= 3) SELECT user_id, n_gaps, round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap, round((sqrt(CAST(n_gaps AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) AS burstiness FROM a ORDER BY user_id""",
