@@ -5001,6 +5001,64 @@ object SparkEntry {
       .orderBy(col("quantile"))
   }
 
+  /** DYNAMIC-GAP streaming sessionization
+    * ([[graft.streaming.StreamVerify.dynamicSessionsStream]]): built-in
+    * `session_window` with a PER-EVENT gap column (purchases hold 60
+    * minutes, others 30) — the last cell of the session-mode matrix;
+    * must equal the variable-end interval-union sweep.
+    */
+  private def q345(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.dynamicSessionsStream(s, eventsPath(dir))
+      .orderBy(col("user_id"), col("start_sec"))
+
+  /** SLO BURN-RATE alerting (the SRE multiwindow rule): hourly error
+    * share over a 1% error budget, 1h and trailing-6h burn rates, page
+    * when BOTH exceed (14.4 / 6) — fast detection without
+    * single-spike flapping; one hourly aggregate, windows over the
+    * hours-domain series.
+    */
+  private def q346(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = T(s, dir, "events")
+      .groupBy(expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+    // one global hourly series — aggregate-scale by construction
+    val w6 = Window.orderBy(col("hid")).rowsBetween(-5, Window.currentRow)
+    def dbl(c: Column): Column = c.cast("double")
+    val b1 = dbl(col("errs")) / dbl(col("total")) / 0.01
+    val b6 = dbl(col("errs6")) / dbl(col("total6")) / 0.01
+    h.withColumn("errs6", sum(col("errs")).over(w6))
+      .withColumn("total6", sum(col("total")).over(w6))
+      .select(col("hid"), col("total"), col("errs"),
+        round(b1, 6).as("burn_1h"), round(b6, 6).as("burn_6h"),
+        (b1 > 14.4 && b6 > 6.0).cast("int").as("page"))
+      .orderBy(col("hid"))
+  }
+
+  /** SCHEMA-COMPATIBILITY audit
+    * ([[graft.operators.Reconcile.schemaCompat]]): the data-contract
+    * gate run BEFORE a producer deploy — per-field verdicts under the
+    * standard evolution rules (widening ok, drops/narrowing/new-required
+    * break), exercised over a schema pair covering every verdict class.
+    * Pure metadata; the oracle is the hand-derived verdict table.
+    */
+  private def q347(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val oldS = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", LongType),
+      StructField("c", StringType), StructField("d", DoubleType),
+      StructField("e", DecimalType(10, 2)), StructField("f", StringType)))
+    val newS = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType),
+      StructField("d", StringType), StructField("e", DecimalType(12, 2)),
+      StructField("f", StringType),
+      StructField("g", StringType, nullable = true),
+      StructField("h", LongType, nullable = false)))
+    graft.operators.Reconcile.schemaCompat(s, oldS, newS)
+      .orderBy(col("field"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7122,6 +7180,9 @@ object SparkEntry {
     "q342_ivm_retract" -> (q342 _),
     "q343_quota_topk" -> (q343 _),
     "q344_sketch_error" -> (q344 _),
+    "q345_stream_dynamic_sessions" -> (q345 _),
+    "q346_slo_burn" -> (q346 _),
+    "q347_schema_compat" -> (q347 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8105,6 +8166,15 @@ object SparkEntry {
     // observed rank of each bottom-k estimate vs its target quantile
     "q344_sketch_error" ->
       """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS seg, event_id AS id, CAST(value AS DOUBLE) AS v, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), sk AS (SELECT seg, h, id, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY h, id) AS rn FROM e) WHERE rn <= 256), m AS (SELECT v FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY h, id) AS grn FROM sk) WHERE grn <= 256), arr AS (SELECT list_sort(list(v)) AS vals, COUNT(*) AS kk FROM m), tot AS (SELECT COUNT(*) AS n_total FROM e), spine AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)), est AS (SELECT q AS quantile, vals[CAST(GREATEST(1, CEIL(q * kk)) AS INTEGER)] AS est, n_total FROM spine, arr, tot) SELECT quantile, est, CAST(SUM(CASE WHEN e2.v <= est THEN 1 ELSE 0 END) AS BIGINT) AS n_le, n_total, round(abs(CAST(SUM(CASE WHEN e2.v <= est THEN 1 ELSE 0 END) AS BIGINT) / CAST(n_total AS DOUBLE) - quantile), 6) AS rank_error FROM est, e e2 GROUP BY quantile, est, n_total ORDER BY quantile""",
+    // dynamic-gap sessions = variable-end interval-union sweep
+    "q345_stream_dynamic_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, CAST(epoch_ns(ts) // 1000000000 + CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS BIGINT) AS en FROM events), m AS (SELECT user_id, s, en, CASE WHEN MAX(en) OVER w IS NULL OR s > MAX(en) OVER w THEN 1 ELSE 0 END AS nw FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), g AS (SELECT user_id, s, en, SUM(nw) OVER (PARTITION BY user_id ORDER BY s, en ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span FROM m) SELECT user_id, MIN(s) AS start_sec, MAX(en) AS end_sec, COUNT(*) AS n_events FROM g GROUP BY user_id, span ORDER BY user_id, start_sec""",
+    // multiwindow burn: page only when BOTH 1h and 6h rates exceed
+    "q346_slo_burn" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS hid, COUNT(*) AS total, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs FROM events GROUP BY 1), w AS (SELECT hid, total, errs, CAST(SUM(errs) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS errs6, CAST(SUM(total) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS total6 FROM h) SELECT hid, total, errs, round(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01, 6) AS burn_1h, round(CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01, 6) AS burn_6h, CAST(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01 > 14.4 AND CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01 > 6.0 AS INTEGER) AS page FROM w ORDER BY hid""",
+    // the hand-derived verdict table over every evolution-rule class
+    "q347_schema_compat" ->
+      """SELECT * FROM (VALUES ('a', 'ok_widened', 'int -> bigint'), ('b', 'ok', 'bigint'), ('c', 'break_dropped', 'string -> absent'), ('d', 'break_type', 'double -> string'), ('e', 'ok_widened', 'decimal(10,2) -> decimal(12,2)'), ('f', 'ok', 'string'), ('g', 'ok_added', 'absent -> string'), ('h', 'break_added_required', 'absent -> bigint NOT NULL')) AS t(field, verdict, detail) ORDER BY field""",
     // gap moments exact; B = (sd - mu) / (sd + mu) in pinned doubles
     "q341_burstiness" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), g AS (SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM e), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL), a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, SUM(CAST(gap AS DECIMAL(38,0))) AS sg, SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS sq FROM gg GROUP BY 1 HAVING COUNT(*) >= 3) SELECT user_id, n_gaps, round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap, round((sqrt(CAST(n_gaps AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sq AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) AS burstiness FROM a ORDER BY user_id""",

@@ -188,4 +188,49 @@ object Reconcile {
         votes.map(_._2._3).reduce(_ + _).as("n_unresolved")): _*)
       .filter(col("n_present") >= 2)
   }
+
+  /** SCHEMA-COMPATIBILITY audit between a producer's current schema and
+    * its proposed next one — the data-contract gate run BEFORE a
+    * deploy, not after consumers break: per field, a verdict under the
+    * standard evolution rules (identical → ok; int→long / float→double /
+    * decimal precision growth at equal scale → ok_widened; new nullable →
+    * ok_added; new required → break_added_required; dropped →
+    * break_dropped; anything else → break_type). Pure metadata — two
+    * StructTypes compared on the driver, no data touched.
+    */
+  def schemaCompat(
+      spark: org.apache.spark.sql.SparkSession,
+      oldS: org.apache.spark.sql.types.StructType,
+      newS: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    def widened(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (IntegerType, LongType) | (ShortType, IntegerType) |
+           (ShortType, LongType) | (FloatType, DoubleType) => true
+      case (x: DecimalType, y: DecimalType) =>
+        y.scale == x.scale && y.precision > x.precision
+      case _ => false
+    }
+    val oldF = oldS.fields.map(f => f.name -> f).toMap
+    val newF = newS.fields.map(f => f.name -> f).toMap
+    val rows = (oldS.fields.map { f =>
+      newF.get(f.name) match {
+        case None => (f.name, "break_dropped",
+          s"${f.dataType.simpleString} -> absent")
+        case Some(g) if g.dataType == f.dataType =>
+          (f.name, "ok", f.dataType.simpleString)
+        case Some(g) if widened(f.dataType, g.dataType) =>
+          (f.name, "ok_widened",
+            s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+        case Some(g) => (f.name, "break_type",
+          s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+      }
+    } ++ newS.fields.filterNot(g => oldF.contains(g.name)).map { g =>
+      if (g.nullable)
+        (g.name, "ok_added", s"absent -> ${g.dataType.simpleString}")
+      else
+        (g.name, "break_added_required",
+          s"absent -> ${g.dataType.simpleString} NOT NULL")
+    }).toIndexedSeq
+    spark.createDataFrame(rows).toDF("field", "verdict", "detail")
+  }
 }

@@ -487,6 +487,31 @@ object StreamVerify {
       .orderBy(col("true_n").desc, col("user_id"))
   }
 
+  /** DYNAMIC-GAP streaming sessionization: the built-in `session_window`
+    * with a PER-EVENT gap column (purchases hold a session open 60
+    * minutes, everything else 30) — the q223 batch semantics on the
+    * streaming engine, completing the session matrix's last cell (q54
+    * fixed-gap complete, q142 append, q135 update, q345 dynamic).
+    * Sessions merge exactly when an event's [ts, ts+gap) window touches
+    * the running session end, so the batch oracle is the variable-end
+    * interval-union sweep.
+    */
+  def dynamicSessionsStream(spark: SparkSession, eventsPath: String): DataFrame = {
+    // make_interval (CalendarIntervalType) — the ANSI INTERVAL literal is
+    // DayTimeIntervalType, which session_window's gap column rejects
+    val gap = when(col("event_type") === "purchase",
+        expr("make_interval(0, 0, 0, 0, 0, 60, 0)"))
+      .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    val agg = EventsStream.readEvents(spark, eventsPath)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    drain(spark, agg, "complete")
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        unix_timestamp(col("session_window.end")).as("end_sec"),
+        col("n_events"))
+  }
+
   /** Streaming QUANTILE-SKETCH maintenance — the mergeable bottom-k
     * sample (q316) kept current per micro-batch: each batch reduces to
     * ITS bottom-k (h, id, v) rows + one count row, landed as exactly-once
