@@ -5059,6 +5059,39 @@ object SparkEntry {
       .orderBy(col("field"))
   }
 
+  /** ORDER-INDEPENDENT table fingerprints
+    * ([[graft.operators.Reconcile.fingerprint]]): (count, XOR of 52-bit
+    * row hashes) per table — the cross-system "are these copies
+    * content-identical" handshake that ships two longs instead of a
+    * table; XOR commutes so partitioning/order/engine are invisible.
+    */
+  private def q348(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Reconcile
+    def cents(c: Column): Column =
+      (c.cast(DecimalType(18, 2)) * 100).cast("long")
+    def named(name: String, fp: DataFrame): DataFrame =
+      fp.select(lit(name).as("table_name"), col("n_rows"), col("xor_fp"))
+    named("customer", Reconcile.fingerprint(T(s, dir, "customer"),
+        Seq(col("c_custkey"), col("c_name"), col("c_mktsegment"))))
+      .unionByName(named("lineitem", Reconcile.fingerprint(T(s, dir, "lineitem"),
+        Seq(col("l_orderkey"), col("l_partkey"), cents(col("l_extendedprice"))))))
+      .unionByName(named("orders", Reconcile.fingerprint(T(s, dir, "orders"),
+        Seq(col("o_orderkey"), col("o_orderstatus"), cents(col("o_totalprice"))))))
+      .orderBy(col("table_name"))
+  }
+
+  /** Streaming INTERVAL-UNION maintenance
+    * ([[graft.streaming.StreamVerify.intervalUnionMaintenance]]): q334's
+    * activity spans kept current per micro-batch as exactly-once TxLake
+    * delta commits of already-merged spans (weights carry the source
+    * counts); union associativity makes the re-swept store equal the
+    * one-shot batch union row for row.
+    */
+  private def q349(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.intervalUnionMaintenance(
+        s, q259Events(s, dir), scratch(dir, "q349"), 600L)
+      .orderBy(col("user_id"), col("span_start"))
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7183,6 +7216,8 @@ object SparkEntry {
     "q345_stream_dynamic_sessions" -> (q345 _),
     "q346_slo_burn" -> (q346 _),
     "q347_schema_compat" -> (q347 _),
+    "q348_table_fingerprint" -> (q348 _),
+    "q349_stream_interval_union" -> (q349 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8172,6 +8207,12 @@ object SparkEntry {
     // multiwindow burn: page only when BOTH 1h and 6h rates exceed
     "q346_slo_burn" ->
       """WITH h AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS hid, COUNT(*) AS total, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs FROM events GROUP BY 1), w AS (SELECT hid, total, errs, CAST(SUM(errs) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS errs6, CAST(SUM(total) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS total6 FROM h) SELECT hid, total, errs, round(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01, 6) AS burn_1h, round(CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01, 6) AS burn_6h, CAST(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01 > 14.4 AND CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01 > 6.0 AS INTEGER) AS page FROM w ORDER BY hid""",
+    // commuting XOR of row hashes: partitioning/order/engine invisible
+    "q348_table_fingerprint" ->
+      """WITH o AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))), 1, 13)) AS BIGINT) AS h FROM orders), c AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', c_custkey, c_name, c_mktsegment)), 1, 13)) AS BIGINT) AS h FROM customer), l AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', l_orderkey, l_partkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))), 1, 13)) AS BIGINT) AS h FROM lineitem) SELECT * FROM (SELECT 'customer' AS table_name, COUNT(*) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS xor_fp FROM c UNION ALL SELECT 'lineitem', COUNT(*), CAST(bit_xor(h) AS BIGINT) FROM l UNION ALL SELECT 'orders', COUNT(*), CAST(bit_xor(h) AS BIGINT) FROM o) ORDER BY table_name""",
+    // the maintained span store must equal the one-shot sweep (q334)
+    "q349_stream_interval_union" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, CAST(epoch_ns(ts) // 1000000000 + 600 AS BIGINT) AS e FROM events), m AS (SELECT user_id, s, e, CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w THEN 1 ELSE 0 END AS nw FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), g AS (SELECT user_id, s, e, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span FROM m) SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_merged FROM g GROUP BY user_id, span ORDER BY user_id, span_start""",
     // the hand-derived verdict table over every evolution-rule class
     "q347_schema_compat" ->
       """SELECT * FROM (VALUES ('a', 'ok_widened', 'int -> bigint'), ('b', 'ok', 'bigint'), ('c', 'break_dropped', 'string -> absent'), ('d', 'break_type', 'double -> string'), ('e', 'ok_widened', 'decimal(10,2) -> decimal(12,2)'), ('f', 'ok', 'string'), ('g', 'ok_added', 'absent -> string'), ('h', 'break_added_required', 'absent -> bigint NOT NULL')) AS t(field, verdict, detail) ORDER BY field""",

@@ -189,6 +189,22 @@ object Reconcile {
       .filter(col("n_present") >= 2)
   }
 
+  /** ORDER-INDEPENDENT table fingerprint: (row count, XOR of 52-bit row
+    * hashes over the canonical field string) — the cross-system
+    * reconciliation primitive that answers "are these two copies
+    * byte-identical in content" WITHOUT moving rows (ship two longs, not
+    * a table): XOR commutes, so partitioning, ordering and engine are all
+    * invisible; any single-row difference flips the fingerprint.
+    * One map-side-combined aggregate; md5-derived so the oracle replays
+    * it exactly. (XOR cancels PAIRS of identical rows — fingerprints
+    * compare row SETS; pair with the count for multiplicity.)
+    */
+  def fingerprint(df: DataFrame, cols: Seq[Column]): DataFrame =
+    df.select(conv(substring(md5(concat_ws("|", cols: _*)), 1, 13), 16, 10)
+        .cast("long").as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_fp"))
+
   /** SCHEMA-COMPATIBILITY audit between a producer's current schema and
     * its proposed next one — the data-contract gate run BEFORE a
     * deploy, not after consumers break: per field, a verdict under the

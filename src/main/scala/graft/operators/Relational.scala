@@ -433,21 +433,26 @@ object Relational {
       df: DataFrame,
       keyCol: String,
       startCol: String,
-      endCol: String): DataFrame = {
+      endCol: String,
+      weightCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__s"), col("__e"))
     val prevMax = max(col("__e")).over(
       w.rowsBetween(Window.unboundedPreceding, -1))
+    // n_merged counts source intervals — or sums a carried weight, so
+    // already-merged spans (incremental maintenance) recompose their
+    // underlying counts exactly
+    val weight = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     df.select(col(keyCol), col(startCol).cast("long").as("__s"),
-        col(endCol).cast("long").as("__e"))
+        col(endCol).cast("long").as("__e"), weight.as("__w"))
       .withColumn("__new",
         when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
       .withColumn("__span", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(keyCol), col("__span"))
       .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"),
-        count(lit(1)).as("n_merged"))
+        sum(col("__w")).as("n_merged"))
       .select(col(keyCol), col("span_start"), col("span_end"),
         col("n_merged"))
   }

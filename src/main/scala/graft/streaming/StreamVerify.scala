@@ -512,6 +512,43 @@ object StreamVerify {
         col("n_events"))
   }
 
+  /** Streaming INTERVAL-UNION (uptime) maintenance: each micro-batch
+    * reduces to ITS merged activity spans (weight = source-interval
+    * count) and lands as an exactly-once TxLake delta commit; interval
+    * union is associative, so the store read back and re-swept — weights
+    * summing through — must equal the one-shot batch union (q334) row
+    * for row. O(batch + standing-answer) per batch; events never
+    * re-stream.
+    */
+  def intervalUnionMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      spanSec: Long): DataFrame = {
+    import graft.operators.Relational
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/spans"
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s0"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spans = Relational.intervalUnion(
+          batch.withColumn("e0", col("s0") + spanSec),
+          "user_id", "s0", "e0")
+        graft.sources.TxLake.commit(spark, lake, spans.coalesce(1),
+          tag = s"spans-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    Relational.intervalUnion(
+      graft.sources.TxLake.readSnapshot(spark, lake),
+      "user_id", "span_start", "span_end", weightCol = Some("n_merged"))
+  }
+
   /** Streaming QUANTILE-SKETCH maintenance — the mergeable bottom-k
     * sample (q316) kept current per micro-batch: each batch reduces to
     * ITS bottom-k (h, id, v) rows + one count row, landed as exactly-once

@@ -305,4 +305,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("HashAggregate"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q343: the per-source quota window plans a WindowGroupLimit pushdown") {
+    // Spark's InferWindowGroupLimit must prune each source's rows to the
+    // top-(k) BEFORE the full window sort — the rank<=k optimization the
+    // quota shape exists to hit
+    val p = formatted(q("q343_quota_topk"))
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=2 filter did not push down as WindowGroupLimit")
+  }
+
+  test("q318/q339: global order statistics keep their windows partition-local") {
+    // rowNumbers/prefixSums replace the unpartitioned ORDER BY window
+    // with a range shuffle + per-partition (__pid) windows — the corpus
+    // must never flow through a window with an empty partition spec
+    for (name <- Seq("q318_exact_percentile", "q339_abc_classes")) {
+      val p = formatted(q(name))
+      assert(p.contains("rangepartitioning"), s"$name lost its range shuffle")
+      val unpartitioned = "Window \\[[^\\]]*\\], \\[\\]".r
+      assert(unpartitioned.findFirstIn(p).isEmpty,
+        s"$name grew an unpartitioned window")
+    }
+  }
 }
