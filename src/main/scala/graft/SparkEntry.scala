@@ -5092,6 +5092,51 @@ object SparkEntry {
         s, q259Events(s, dir), scratch(dir, "q349"), 600L)
       .orderBy(col("user_id"), col("span_start"))
 
+  /** END-TO-END corpus-prep FUNNEL — the whole pre-training pipeline as
+    * ONE declarative plan with a per-stage audit: quality gates → bench
+    * exclusion → language gate → exact dedup (min-id per normalized
+    * text) → 4-gram DECONTAMINATION against the benchmark probes
+    * ([[graft.operators.TextPipeline.contamination]], strict-minority
+    * overlap) → per-language BALANCED downsample
+    * ([[graft.operators.Sampling.balancedDownsample]]). The emitted
+    * (stage, lang, n_docs) funnel is the report a data lead signs off
+    * on; every stage is an already-oracle-proven operator composed, and
+    * the whole funnel is itself hash-gated.
+    */
+  private def q350(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val raw = T(s, dir, "documents")
+    val s1 = raw.filter(TextFunctions.wordCount(col("text")) >= 10 &&
+      col("n_chars") >= 50 && col("doc_id") % 97 =!= 0)
+    val s2 = s1.filter(col("lang").isin("en", "es", "fr"))
+    val s3 = s2
+      .withColumn("__k", md5(array_join(TextFunctions.words(col("text")), " ")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__k")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__k", "__rn")
+    val cont = graft.operators.TextPipeline.contamination(
+      s3.select(col("doc_id"), col("text"))
+        .unionByName(raw.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))),
+      col("doc_id") % 97 === 0, n = 4)
+    val s4 = s3.join(
+      cont.filter(col("n_hits") * 2 < col("n_shingles")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s5 = graft.operators.Sampling.balancedDownsample(
+      s4.select(col("doc_id"), col("lang")), "lang", "doc_id")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("lang"), col("n_docs"))
+    stage("s0_raw", raw)
+      .unionByName(stage("s1_quality", s1))
+      .unionByName(stage("s2_lang", s2))
+      .unionByName(stage("s3_exact_dedup", s3))
+      .unionByName(stage("s4_decontaminated", s4))
+      .unionByName(stage("s5_balanced", s5))
+      .orderBy(col("stage"), col("lang"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7218,6 +7263,7 @@ object SparkEntry {
     "q347_schema_compat" -> (q347 _),
     "q348_table_fingerprint" -> (q348 _),
     "q349_stream_interval_union" -> (q349 _),
+    "q350_pipeline_funnel" -> (q350 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8210,6 +8256,11 @@ object SparkEntry {
     // commuting XOR of row hashes: partitioning/order/engine invisible
     "q348_table_fingerprint" ->
       """WITH o AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))), 1, 13)) AS BIGINT) AS h FROM orders), c AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', c_custkey, c_name, c_mktsegment)), 1, 13)) AS BIGINT) AS h FROM customer), l AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', l_orderkey, l_partkey, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))), 1, 13)) AS BIGINT) AS h FROM lineitem) SELECT * FROM (SELECT 'customer' AS table_name, COUNT(*) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS xor_fp FROM c UNION ALL SELECT 'lineitem', COUNT(*), CAST(bit_xor(h) AS BIGINT) FROM l UNION ALL SELECT 'orders', COUNT(*), CAST(bit_xor(h) AS BIGINT) FROM o) ORDER BY table_name""",
+    // the staged funnel replays stage by stage: quality → bench-exclude →
+    // lang → min-id exact dedup → 4-gram decontamination (q141's gram
+    // fragment) → hash-ranked balanced downsample (q329's rule)
+    "q350_pipeline_funnel" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT doc_id, lang, n_chars, docwords(text) AS ws FROM documents), s1 AS (SELECT * FROM w WHERE len(ws) >= 10 AND n_chars >= 50 AND doc_id % 97 <> 0), s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'es', 'fr')), k AS (SELECT doc_id, lang, ws, md5(array_to_string(ws, ' ')) AS kk FROM s2), s3 AS (SELECT k.doc_id, k.lang, k.ws FROM k JOIN (SELECT kk AS k2, MIN(doc_id) AS md FROM k GROUP BY 1) m ON k.kk = m.k2 AND k.doc_id = m.md), bg0 AS (SELECT unnest(list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))) AS gram FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 4), bg AS (SELECT DISTINCT gram FROM bg0), dg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))) AS gram FROM s3 WHERE len(ws) >= 4), dg AS (SELECT DISTINCT doc_id, lang, gram FROM dg0), ct AS (SELECT dg.doc_id, dg.lang, COUNT(*) AS ns, CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nh FROM dg LEFT JOIN bg ON dg.gram = bg.gram GROUP BY 1, 2), s4 AS (SELECT doc_id, lang FROM ct WHERE nh * 2 < ns), mn AS (SELECT MIN(n) AS m FROM (SELECT COUNT(*) AS n FROM s4 GROUP BY lang)), r5 AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT), doc_id) AS rn FROM s4), s5 AS (SELECT doc_id, lang FROM r5, mn WHERE rn <= m), f AS (SELECT 's0_raw' AS stage, lang, COUNT(*) AS n_docs FROM w GROUP BY 2 UNION ALL SELECT 's1_quality', lang, COUNT(*) FROM s1 GROUP BY 2 UNION ALL SELECT 's2_lang', lang, COUNT(*) FROM s2 GROUP BY 2 UNION ALL SELECT 's3_exact_dedup', lang, COUNT(*) FROM s3 GROUP BY 2 UNION ALL SELECT 's4_decontaminated', lang, COUNT(*) FROM s4 GROUP BY 2 UNION ALL SELECT 's5_balanced', lang, COUNT(*) FROM s5 GROUP BY 2) SELECT stage, lang, n_docs FROM f ORDER BY stage, lang""",
     // the maintained span store must equal the one-shot sweep (q334)
     "q349_stream_interval_union" ->
       """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, CAST(epoch_ns(ts) // 1000000000 + 600 AS BIGINT) AS e FROM events), m AS (SELECT user_id, s, e, CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w THEN 1 ELSE 0 END AS nw FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), g AS (SELECT user_id, s, e, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span FROM m) SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_merged FROM g GROUP BY user_id, span ORDER BY user_id, span_start""",
