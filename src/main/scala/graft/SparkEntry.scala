@@ -5137,6 +5137,29 @@ object SparkEntry {
       .orderBy(col("stage"), col("lang"))
   }
 
+  /** STREAMING SLO burn alerting
+    * ([[graft.streaming.StreamVerify.sloBurnStream]]): q346's
+    * multiwindow page rule on FINALIZED hours only — each hour's error
+    * share emits exactly once at watermark passage (append mode,
+    * sentinel-staged input); the trailing-6h baseline runs over the
+    * emitted stream. Must equal the batch burn table row for row.
+    */
+  private def q351(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.sloBurnStream(s, q92Events(s, dir))
+      .orderBy(col("hid"))
+
+  /** GROUPED quantile sketches
+    * ([[graft.operators.Sketches.quantileSketchGrouped]]): per-event-type
+    * bottom-k samples → per-type p50/p90/p99 — the per-tenant latency
+    * dashboard; all windows group-keyed, everything after the build is
+    * k·|groups|-sized.
+    */
+  private def q352(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.quantileSketchGrouped(
+      T(s, dir, "events"), "event_type",
+      expr("date_format(timestamp_seconds(ts div 1000000000), 'yyyy-MM-dd')"),
+      "event_id", "value", 128, Seq(0.5, 0.9, 0.99))
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7264,6 +7287,8 @@ object SparkEntry {
     "q348_table_fingerprint" -> (q348 _),
     "q349_stream_interval_union" -> (q349 _),
     "q350_pipeline_funnel" -> (q350 _),
+    "q351_stream_slo_burn" -> (q351 _),
+    "q352_grouped_quantile_sketch" -> (q352 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8261,6 +8286,12 @@ object SparkEntry {
     // fragment) → hash-ranked balanced downsample (q329's rule)
     "q350_pipeline_funnel" ->
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, lang, n_chars, docwords(text) AS ws FROM documents), s1 AS (SELECT * FROM w WHERE len(ws) >= 10 AND n_chars >= 50 AND doc_id % 97 <> 0), s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'es', 'fr')), k AS (SELECT doc_id, lang, ws, md5(array_to_string(ws, ' ')) AS kk FROM s2), s3 AS (SELECT k.doc_id, k.lang, k.ws FROM k JOIN (SELECT kk AS k2, MIN(doc_id) AS md FROM k GROUP BY 1) m ON k.kk = m.k2 AND k.doc_id = m.md), bg0 AS (SELECT unnest(list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))) AS gram FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 4), bg AS (SELECT DISTINCT gram FROM bg0), dg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))) AS gram FROM s3 WHERE len(ws) >= 4), dg AS (SELECT DISTINCT doc_id, lang, gram FROM dg0), ct AS (SELECT dg.doc_id, dg.lang, COUNT(*) AS ns, CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nh FROM dg LEFT JOIN bg ON dg.gram = bg.gram GROUP BY 1, 2), s4 AS (SELECT doc_id, lang FROM ct WHERE nh * 2 < ns), mn AS (SELECT MIN(n) AS m FROM (SELECT COUNT(*) AS n FROM s4 GROUP BY lang)), r5 AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT), doc_id) AS rn FROM s4), s5 AS (SELECT doc_id, lang FROM r5, mn WHERE rn <= m), f AS (SELECT 's0_raw' AS stage, lang, COUNT(*) AS n_docs FROM w GROUP BY 2 UNION ALL SELECT 's1_quality', lang, COUNT(*) FROM s1 GROUP BY 2 UNION ALL SELECT 's2_lang', lang, COUNT(*) FROM s2 GROUP BY 2 UNION ALL SELECT 's3_exact_dedup', lang, COUNT(*) FROM s3 GROUP BY 2 UNION ALL SELECT 's4_decontaminated', lang, COUNT(*) FROM s4 GROUP BY 2 UNION ALL SELECT 's5_balanced', lang, COUNT(*) FROM s5 GROUP BY 2) SELECT stage, lang, n_docs FROM f ORDER BY stage, lang""",
+    // finalized-hour burn rates must equal the batch burn table (q346)
+    "q351_stream_slo_burn" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS hid, COUNT(*) AS total, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs FROM events GROUP BY 1), w AS (SELECT hid, total, errs, CAST(SUM(errs) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS errs6, CAST(SUM(total) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS total6 FROM h) SELECT hid, total, errs, round(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01, 6) AS burn_1h, round(CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01, 6) AS burn_6h, CAST(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01 > 14.4 AND CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01 > 6.0 AS INTEGER) AS page FROM w ORDER BY hid""",
+    // per-group bottom-k replay: (g, seg) build windows, g-keyed merge
+    "q352_grouped_quantile_sketch" ->
+      """WITH e AS (SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS seg, event_id AS id, CAST(value AS DOUBLE) AS v, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), sk AS (SELECT g, seg, h, id, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g, seg ORDER BY h, id) AS rn FROM e) WHERE rn <= 128), m AS (SELECT g, v FROM (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, id) AS grn FROM sk) WHERE grn <= 128), arr AS (SELECT g, list_sort(list(v)) AS vals, COUNT(*) AS kk FROM m GROUP BY 1), tot AS (SELECT g, COUNT(*) AS n_total FROM e GROUP BY 1), spine AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)) SELECT arr.g AS event_type, q AS quantile, vals[CAST(GREATEST(1, CEIL(q * kk)) AS INTEGER)] AS est, kk AS sample_k, n_total FROM spine, arr JOIN tot ON arr.g = tot.g ORDER BY event_type, quantile""",
     // the maintained span store must equal the one-shot sweep (q334)
     "q349_stream_interval_union" ->
       """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, CAST(epoch_ns(ts) // 1000000000 + 600 AS BIGINT) AS e FROM events), m AS (SELECT user_id, s, e, CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w THEN 1 ELSE 0 END AS nw FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), g AS (SELECT user_id, s, e, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span FROM m) SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_merged FROM g GROUP BY user_id, span ORDER BY user_id, span_start""",

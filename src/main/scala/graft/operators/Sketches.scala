@@ -467,6 +467,52 @@ object Sketches {
       .orderBy(col("quantile"))
   }
 
+  /** GROUPED quantile sketches — [[quantileSketch]] per key: every group
+    * gets its own per-segment bottom-k samples, merge, and p-estimates
+    * (the per-tenant / per-metric latency-dashboard shape). All windows
+    * are (group, segment)- or group-keyed — parallel across groups, ≤ k
+    * rows per group after the build; the estimate reads each group's ≤ k
+    * sample into one sorted array.
+    */
+  def quantileSketchGrouped(
+      df: DataFrame,
+      groupCol: String,
+      segmentCol: Column,
+      idCol: String,
+      vCol: String,
+      k: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(k >= 2, "sample size k must be at least 2")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.select(col(groupCol).as("g"), segmentCol.as("seg"),
+      h52(col(idCol)).as("h"), col(idCol).cast("long").as("id"),
+      col(vCol).cast("double").as("v"))
+    val segSketch = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"), col("seg")).orderBy(col("h"), col("id"))))
+      .filter(col("rn") <= k)
+    val merged = segSketch
+      .withColumn("grn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("h"), col("id"))))
+      .filter(col("grn") <= k)
+    val totals = hashed.groupBy(col("g")).agg(count(lit(1)).as("n_total"))
+    val packed = merged.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("v"))).as("vals"),
+        count(lit(1)).as("sample_k"))
+      .join(totals, Seq("g"))
+    val spine = df.sparkSession.createDataFrame(qs.map(Tuple1(_)))
+      .toDF("quantile")
+    packed.crossJoin(broadcast(spine))
+      .select(col("g").as(groupCol), col("quantile"),
+        element_at(col("vals"),
+          greatest(lit(1L), ceil(col("quantile") * col("sample_k")))
+            .cast("int")).as("est"),
+        col("sample_k"), col("n_total"))
+      .orderBy(col(groupCol), col("quantile"))
+  }
+
   def quantileSketch(
       df: DataFrame,
       segmentCol: Column,

@@ -487,6 +487,37 @@ object StreamVerify {
       .orderBy(col("true_n").desc, col("user_id"))
   }
 
+  /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
+    * multiwindow rule (page only when the 1h AND trailing-6h burns both
+    * exceed) computed the way production alerting must: each hour's
+    * error share emits exactly once, at event-time watermark passage
+    * (append mode, sentinel-staged input — the q136 pattern), and the
+    * trailing baseline runs over the emitted finalized stream, never
+    * over partial counts a complete-mode drain would still be updating.
+    */
+  def sloBurnStream(spark: SparkSession, eventsPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = EventsStream.readEvents(spark, eventsPath)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+    val fin = drain(spark, hourly, "append")
+      .select(expr("unix_timestamp(window.start) div 3600").as("hid"),
+        col("total"), col("errs"))
+    val w6 = Window.orderBy(col("hid")).rowsBetween(-5, Window.currentRow)
+    def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    val b1 = dbl(col("errs")) / dbl(col("total")) / 0.01
+    val b6 = dbl(col("errs6")) / dbl(col("total6")) / 0.01
+    fin
+      .withColumn("errs6", sum(col("errs")).over(w6))
+      .withColumn("total6", sum(col("total")).over(w6))
+      .select(col("hid"), col("total"), col("errs"),
+        round(b1, 6).as("burn_1h"), round(b6, 6).as("burn_6h"),
+        (b1 > 14.4 && b6 > 6.0).cast("int").as("page"))
+  }
+
   /** DYNAMIC-GAP streaming sessionization: the built-in `session_window`
     * with a PER-EVENT gap column (purchases hold a session open 60
     * minutes, everything else 30) — the q223 batch semantics on the
