@@ -5160,6 +5160,21 @@ object SparkEntry {
       expr("date_format(timestamp_seconds(ts div 1000000000), 'yyyy-MM-dd')"),
       "event_id", "value", 128, Seq(0.5, 0.9, 0.99))
 
+  /** LTTB downsampling ([[graft.operators.Trend.lttbPerKey]]): each
+    * event type's hourly series reduced to 20 shape-preserving points
+    * (largest-triangle-three-buckets) — the dashboard reducer that keeps
+    * peaks where striding drops them; the whole sequential selection is
+    * one HOF fold, replayed by a recursive CTE carrying the anchor.
+    */
+  private def q353(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("v"))
+    graft.operators.Trend.lttbPerKey(hourly, "event_type", "hid", "v", 20)
+      .orderBy(col("event_type"), col("idx"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7289,6 +7304,7 @@ object SparkEntry {
     "q350_pipeline_funnel" -> (q350 _),
     "q351_stream_slo_burn" -> (q351 _),
     "q352_grouped_quantile_sketch" -> (q352 _),
+    "q353_lttb_downsample" -> (q353 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8286,6 +8302,10 @@ object SparkEntry {
     // fragment) → hash-ranked balanced downsample (q329's rule)
     "q350_pipeline_funnel" ->
       s"""$HASH_MACROS; WITH w AS (SELECT doc_id, lang, n_chars, docwords(text) AS ws FROM documents), s1 AS (SELECT * FROM w WHERE len(ws) >= 10 AND n_chars >= 50 AND doc_id % 97 <> 0), s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'es', 'fr')), k AS (SELECT doc_id, lang, ws, md5(array_to_string(ws, ' ')) AS kk FROM s2), s3 AS (SELECT k.doc_id, k.lang, k.ws FROM k JOIN (SELECT kk AS k2, MIN(doc_id) AS md FROM k GROUP BY 1) m ON k.kk = m.k2 AND k.doc_id = m.md), bg0 AS (SELECT unnest(list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))) AS gram FROM w WHERE doc_id % 97 = 0 AND len(ws) >= 4), bg AS (SELECT DISTINCT gram FROM bg0), dg0 AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws) - 2), i -> array_to_string(ws[i:i+3], ' '))) AS gram FROM s3 WHERE len(ws) >= 4), dg AS (SELECT DISTINCT doc_id, lang, gram FROM dg0), ct AS (SELECT dg.doc_id, dg.lang, COUNT(*) AS ns, CAST(SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nh FROM dg LEFT JOIN bg ON dg.gram = bg.gram GROUP BY 1, 2), s4 AS (SELECT doc_id, lang FROM ct WHERE nh * 2 < ns), mn AS (SELECT MIN(n) AS m FROM (SELECT COUNT(*) AS n FROM s4 GROUP BY lang)), r5 AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT), doc_id) AS rn FROM s4), s5 AS (SELECT doc_id, lang FROM r5, mn WHERE rn <= m), f AS (SELECT 's0_raw' AS stage, lang, COUNT(*) AS n_docs FROM w GROUP BY 2 UNION ALL SELECT 's1_quality', lang, COUNT(*) FROM s1 GROUP BY 2 UNION ALL SELECT 's2_lang', lang, COUNT(*) FROM s2 GROUP BY 2 UNION ALL SELECT 's3_exact_dedup', lang, COUNT(*) FROM s3 GROUP BY 2 UNION ALL SELECT 's4_decontaminated', lang, COUNT(*) FROM s4 GROUP BY 2 UNION ALL SELECT 's5_balanced', lang, COUNT(*) FROM s5 GROUP BY 2) SELECT stage, lang, n_docs FROM f ORDER BY stage, lang""",
+    // the bucket-sequential LTTB selection replays as a recursive CTE
+    // carrying the anchor; argmax ties break earliest on both engines
+    "q353_lttb_downsample" ->
+      """WITH RECURSIVE h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), pts AS (SELECT event_type AS key, list(struct_pack(x := hid, y := v) ORDER BY hid) AS p, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1 HAVING COUNT(*) > 20), rec AS (SELECT key, CAST(0 AS BIGINT) AS step, CAST(p[1]['x'] AS DOUBLE) AS ax, CAST(p[1]['y'] AS DOUBLE) AS ay, CAST(0 AS BIGINT) AS chosen FROM pts UNION ALL SELECT z.key, z.step + 1, CAST(z.p[z.bj]['x'] AS DOUBLE), CAST(z.p[z.bj]['y'] AS DOUBLE), z.bj FROM (SELECT t.key, t.step, t.p, t.best['j'] AS bj FROM (SELECT u.key, u.step, u.p, list_reduce(list_transform(range(u.lo, u.hi + 1), j -> struct_pack(a := abs((u.ax - u.cx) * (CAST(u.p[j]['y'] AS DOUBLE) - u.ay) - (u.ax - CAST(u.p[j]['x'] AS DOUBLE)) * (u.cy - u.ay)), j := j)), (acc, e) -> CASE WHEN e['a'] > acc['a'] THEN e ELSE acc END) AS best FROM (SELECT r.key, r.step, r.ax, r.ay, pts.p, pts.n, 2 + (r.step * (pts.n - 2)) // 18 AS lo, 1 + ((r.step + 1) * (pts.n - 2)) // 18 AS hi, CASE WHEN r.step = 17 THEN CAST(pts.p[CAST(pts.n AS INTEGER)]['x'] AS DOUBLE) ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(pts.p[(2 + ((r.step + 1) * (pts.n - 2)) // 18):(1 + ((r.step + 2) * (pts.n - 2)) // 18)], e -> CAST(e['x'] AS DOUBLE))), (a, b) -> a + b) / CAST((1 + ((r.step + 2) * (pts.n - 2)) // 18) - (2 + ((r.step + 1) * (pts.n - 2)) // 18) + 1 AS DOUBLE) END AS cx, CASE WHEN r.step = 17 THEN CAST(pts.p[CAST(pts.n AS INTEGER)]['y'] AS DOUBLE) ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(pts.p[(2 + ((r.step + 1) * (pts.n - 2)) // 18):(1 + ((r.step + 2) * (pts.n - 2)) // 18)], e -> CAST(e['y'] AS DOUBLE))), (a, b) -> a + b) / CAST((1 + ((r.step + 2) * (pts.n - 2)) // 18) - (2 + ((r.step + 1) * (pts.n - 2)) // 18) + 1 AS DOUBLE) END AS cy FROM rec r JOIN pts ON pts.key = r.key WHERE r.step < 18) u) t) z), final AS (SELECT key, CAST(1 AS BIGINT) AS idx FROM pts UNION ALL SELECT key, chosen FROM rec WHERE step >= 1 UNION ALL SELECT key, n FROM pts) SELECT f.key AS event_type, f.idx, pts.p[CAST(f.idx AS INTEGER)]['x'] AS x, pts.p[CAST(f.idx AS INTEGER)]['y'] AS y FROM final f JOIN pts ON pts.key = f.key ORDER BY event_type, idx""",
     // finalized-hour burn rates must equal the batch burn table (q346)
     "q351_stream_slo_burn" ->
       """WITH h AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS hid, COUNT(*) AS total, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs FROM events GROUP BY 1), w AS (SELECT hid, total, errs, CAST(SUM(errs) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS errs6, CAST(SUM(total) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS total6 FROM h) SELECT hid, total, errs, round(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01, 6) AS burn_1h, round(CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01, 6) AS burn_6h, CAST(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01 > 14.4 AND CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01 > 6.0 AS INTEGER) AS page FROM w ORDER BY hid""",

@@ -437,6 +437,88 @@ object Trend {
           6).as("ewma"))
   }
 
+  /** Per-key LTTB (Largest-Triangle-Three-Buckets) downsampling — the
+    * plotting reducer (Steinarsson 2013): keep first and last points,
+    * split the interior into `threshold − 2` buckets, and from each
+    * bucket keep the point forming the LARGEST triangle with the
+    * previously-selected point and the NEXT bucket's centroid — the
+    * shape-preserving reduction a dashboard uses where naive striding
+    * drops peaks. The whole sequential selection folds in ONE codegen'd
+    * HOF aggregate (the q315 pattern): the accumulator carries the
+    * current anchor + chosen indices, the inner argmax folds each
+    * bucket's candidates with a strict `>` (earliest index wins ties).
+    * Exactness: integer bucket bounds via floor over doubles (exact —
+    * operands ≪ 2⁵², denominators ≤ threshold); centroids are exact
+    * integer sums over ≤ bucket-size points; triangle areas are pinned
+    * doubles both engines compute identically (the /2 is dropped —
+    * argmax-invariant). Keys need n > threshold (shorter series are the
+    * identity and are excluded by contract).
+    */
+  def lttbPerKey(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      threshold: Int): DataFrame = {
+    require(threshold >= 3, "threshold must be at least 3")
+    val b = threshold - 2
+    val pts = df.select(col(keyCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__x"), col("__y")))).as("p"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > threshold)
+    def px(j: Column): Column =
+      element_at(col("p"), j).getField("__x").cast("double")
+    def py(j: Column): Column =
+      element_at(col("p"), j).getField("__y").cast("double")
+    val folded = aggregate(
+      sequence(lit(0), lit(b - 1)),
+      struct(px(lit(1)).as("ax"), py(lit(1)).as("ay"),
+        array().cast("array<int>").as("sel")),
+      (acc, i0) => {
+        val i = i0.cast("double")
+        val nD = (col("n") - 2L).cast("double")
+        val bD = lit(b.toDouble)
+        val lo = (lit(2.0) + floor(i * nD / bD)).cast("int")
+        val hi = (lit(1.0) + floor((i + 1.0) * nD / bD)).cast("int")
+        val nlo = (lit(2.0) + floor((i + 1.0) * nD / bD)).cast("int")
+        val nhi = (lit(1.0) + floor((i + 2.0) * nD / bD)).cast("int")
+        val isLast = i0 === lit(b - 1)
+        val nextXs = transform(
+          slice(col("p"), nlo, greatest(nhi - nlo + 1, lit(0))),
+          e => e.getField("__x").cast("double"))
+        val nextYs = transform(
+          slice(col("p"), nlo, greatest(nhi - nlo + 1, lit(0))),
+          e => e.getField("__y").cast("double"))
+        val cnt = (nhi - nlo + 1).cast("double")
+        val cx = when(isLast, px(col("n").cast("int")))
+          .otherwise(aggregate(nextXs, lit(0.0), (a, e) => a + e) / cnt)
+        val cy = when(isLast, py(col("n").cast("int")))
+          .otherwise(aggregate(nextYs, lit(0.0), (a, e) => a + e) / cnt)
+        val best = aggregate(
+          sequence(lo, hi),
+          struct(lit(-1.0).as("area"), lit(0).as("idx")),
+          (bst, j) => {
+            val area = abs(
+              (acc.getField("ax") - cx) * (py(j) - acc.getField("ay")) -
+                (acc.getField("ax") - px(j)) * (cy - acc.getField("ay")))
+            when(area > bst.getField("area"),
+              struct(area.as("area"), j.as("idx"))).otherwise(bst)
+          })
+        struct(px(best.getField("idx")).as("ax"),
+          py(best.getField("idx")).as("ay"),
+          concat(acc.getField("sel"), array(best.getField("idx"))).as("sel"))
+      })
+    pts
+      .select(col(keyCol), col("p"),
+        explode(concat(array(lit(1)), folded.getField("sel"),
+          array(col("n").cast("int")))).as("idx"))
+      .select(col(keyCol), col("idx").cast("long").as("idx"),
+        element_at(col("p"), col("idx")).getField("__x").as("x"),
+        element_at(col("p"), col("idx")).getField("__y").as("y"))
+  }
+
   /** Per-key THEIL–SEN slope: the MEDIAN of all pairwise slopes — the
     * robust trend line next to the least-squares fits (q147 global, q293
     * rolling): a single corrupted bucket that would drag an OLS slope
