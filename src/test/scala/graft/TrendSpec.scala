@@ -147,4 +147,20 @@ class TrendSpec extends SparkSuite {
     assert(math.abs(got("a")._2 - a) < 1e-9)
     assert(got("b") == ((1L, 7.5)))
   }
+
+  test("lttb keeps the endpoints and the interior peak; short series are excluded") {
+    // flat series with one spike: threshold 3 = one interior bucket whose
+    // largest triangle against (first, last) is exactly the spike
+    val spike = (1 to 23).map(x =>
+      ("s", x.toLong, if (x == 12) 100L else 10L))
+    // a series no longer than the threshold is the identity — excluded
+    val short = (1 to 3).map(x => ("t", x.toLong, 5L))
+    val df = (spike ++ short).toDF("k", "x", "y")
+    val got = Trend.lttbPerKey(df, "k", "x", "y", 3)
+      .orderBy(col("idx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList == List(
+      ("s", 1L, 1L, 10L), ("s", 12L, 12L, 100L), ("s", 23L, 23L, 10L)),
+      s"expected endpoints + spike; got ${got.toList}")
+  }
 }
