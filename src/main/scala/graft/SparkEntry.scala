@@ -5175,6 +5175,25 @@ object SparkEntry {
       .orderBy(col("event_type"), col("idx"))
   }
 
+  /** SQL-surface UNPIVOT → PIVOT round-trip: the wide customer metrics
+    * melted with the UNPIVOT keyword and immediately re-pivoted with
+    * PIVOT (MAX) — the reshaping keywords q16/q66 exercise through the
+    * DataFrame API, now proven at the SQL surface; the round trip is the
+    * identity, so the oracle is the plain projection.
+    */
+  private def q354(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "customer").createOrReplaceTempView("customer_v354")
+    s.sql("""
+      SELECT * FROM (
+        SELECT c_custkey, metric, val FROM (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS balance,
+                 CAST(c_nationkey AS DOUBLE) AS nation
+          FROM customer_v354)
+        UNPIVOT (val FOR metric IN (balance, nation)))
+      PIVOT (MAX(val) FOR metric IN ('balance' AS balance, 'nation' AS nation))
+      ORDER BY c_custkey""")
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7305,6 +7324,7 @@ object SparkEntry {
     "q351_stream_slo_burn" -> (q351 _),
     "q352_grouped_quantile_sketch" -> (q352 _),
     "q353_lttb_downsample" -> (q353 _),
+    "q354_pivot_roundtrip" -> (q354 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8306,6 +8326,9 @@ object SparkEntry {
     // carrying the anchor; argmax ties break earliest on both engines
     "q353_lttb_downsample" ->
       """WITH RECURSIVE h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), pts AS (SELECT event_type AS key, list(struct_pack(x := hid, y := v) ORDER BY hid) AS p, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1 HAVING COUNT(*) > 20), rec AS (SELECT key, CAST(0 AS BIGINT) AS step, CAST(p[1]['x'] AS DOUBLE) AS ax, CAST(p[1]['y'] AS DOUBLE) AS ay, CAST(0 AS BIGINT) AS chosen FROM pts UNION ALL SELECT z.key, z.step + 1, CAST(z.p[z.bj]['x'] AS DOUBLE), CAST(z.p[z.bj]['y'] AS DOUBLE), z.bj FROM (SELECT t.key, t.step, t.p, t.best['j'] AS bj FROM (SELECT u.key, u.step, u.p, list_reduce(list_transform(range(u.lo, u.hi + 1), j -> struct_pack(a := abs((u.ax - u.cx) * (CAST(u.p[j]['y'] AS DOUBLE) - u.ay) - (u.ax - CAST(u.p[j]['x'] AS DOUBLE)) * (u.cy - u.ay)), j := j)), (acc, e) -> CASE WHEN e['a'] > acc['a'] THEN e ELSE acc END) AS best FROM (SELECT r.key, r.step, r.ax, r.ay, pts.p, pts.n, 2 + (r.step * (pts.n - 2)) // 18 AS lo, 1 + ((r.step + 1) * (pts.n - 2)) // 18 AS hi, CASE WHEN r.step = 17 THEN CAST(pts.p[CAST(pts.n AS INTEGER)]['x'] AS DOUBLE) ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(pts.p[(2 + ((r.step + 1) * (pts.n - 2)) // 18):(1 + ((r.step + 2) * (pts.n - 2)) // 18)], e -> CAST(e['x'] AS DOUBLE))), (a, b) -> a + b) / CAST((1 + ((r.step + 2) * (pts.n - 2)) // 18) - (2 + ((r.step + 1) * (pts.n - 2)) // 18) + 1 AS DOUBLE) END AS cx, CASE WHEN r.step = 17 THEN CAST(pts.p[CAST(pts.n AS INTEGER)]['y'] AS DOUBLE) ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(pts.p[(2 + ((r.step + 1) * (pts.n - 2)) // 18):(1 + ((r.step + 2) * (pts.n - 2)) // 18)], e -> CAST(e['y'] AS DOUBLE))), (a, b) -> a + b) / CAST((1 + ((r.step + 2) * (pts.n - 2)) // 18) - (2 + ((r.step + 1) * (pts.n - 2)) // 18) + 1 AS DOUBLE) END AS cy FROM rec r JOIN pts ON pts.key = r.key WHERE r.step < 18) u) t) z), final AS (SELECT key, CAST(1 AS BIGINT) AS idx FROM pts UNION ALL SELECT key, chosen FROM rec WHERE step >= 1 UNION ALL SELECT key, n FROM pts) SELECT f.key AS event_type, f.idx, pts.p[CAST(f.idx AS INTEGER)]['x'] AS x, pts.p[CAST(f.idx AS INTEGER)]['y'] AS y FROM final f JOIN pts ON pts.key = f.key ORDER BY event_type, idx""",
+    // the reshape round-trip is the identity
+    "q354_pivot_roundtrip" ->
+      """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS balance, CAST(c_nationkey AS DOUBLE) AS nation FROM customer ORDER BY c_custkey""",
     // finalized-hour burn rates must equal the batch burn table (q346)
     "q351_stream_slo_burn" ->
       """WITH h AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS hid, COUNT(*) AS total, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs FROM events GROUP BY 1), w AS (SELECT hid, total, errs, CAST(SUM(errs) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS errs6, CAST(SUM(total) OVER (ORDER BY hid ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS total6 FROM h) SELECT hid, total, errs, round(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01, 6) AS burn_1h, round(CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01, 6) AS burn_6h, CAST(CAST(errs AS DOUBLE) / CAST(total AS DOUBLE) / 0.01 > 14.4 AND CAST(errs6 AS DOUBLE) / CAST(total6 AS DOUBLE) / 0.01 > 6.0 AS INTEGER) AS page FROM w ORDER BY hid""",
