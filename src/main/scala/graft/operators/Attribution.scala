@@ -85,6 +85,17 @@ object Attribution {
     require(n >= 1 && n <= 16, "exact Shapley needs 1..16 channels")
     require(channels.map(_._2).toSet == (0 until n).map(1 << _).toSet,
       "channel bits must be exactly the low n single-bit masks")
+    // A mask with a bit outside the low n is never a subset of any
+    // coalition, so its converters would silently vanish from every v(S)
+    // including v(full) and deflate every φ — fail loudly instead. One
+    // one-row aggregate against the already-census-sized input.
+    val mxRow = maskCounts.agg(max(col("mask"))).head()
+    if (!mxRow.isNullAt(0)) {
+      val mx = mxRow.get(0).asInstanceOf[Number].longValue
+      require(mx < (1L << n),
+        s"shapley: maskCounts contains mask $mx with bits outside the " +
+          s"declared $n channels — add the channel or pre-filter the mask")
+    }
     val spark = maskCounts.sparkSession
     val fact = (0 to n).scanLeft(1L)((a, i) => a * math.max(i, 1)).tail
     // fact(i) = i! for i in 0..n (fact(0) = 1)

@@ -197,10 +197,16 @@ object Reconcile {
     * invisible; any single-row difference flips the fingerprint.
     * One map-side-combined aggregate; md5-derived so the oracle replays
     * it exactly. (XOR cancels PAIRS of identical rows — fingerprints
-    * compare row SETS; pair with the count for multiplicity.)
+    * compare row SETS; pair with the count for multiplicity.) Columns get
+    * the [[NullSentinel]] treatment like every other digest here:
+    * `concat_ws` SKIPS nulls, so without it (1, null, 'x') and
+    * (1, 'x', null) would serialize identically and a real cross-system
+    * difference would cancel out of the XOR.
     */
   def fingerprint(df: DataFrame, cols: Seq[Column]): DataFrame =
-    df.select(conv(substring(md5(concat_ws("|", cols: _*)), 1, 13), 16, 10)
+    df.select(conv(substring(md5(concat_ws("|",
+          cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*)),
+          1, 13), 16, 10)
         .cast("long").as("__h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("xor_fp"))
@@ -211,8 +217,14 @@ object Reconcile {
     * standard evolution rules (identical → ok; int→long / float→double /
     * decimal precision growth at equal scale → ok_widened; new nullable →
     * ok_added; new required → break_added_required; dropped →
-    * break_dropped; anything else → break_type). Pure metadata — two
-    * StructTypes compared on the driver, no data touched.
+    * break_dropped; anything else → break_type). Nullability on matched
+    * fields is part of the contract too: nullable → NOT NULL is a
+    * consumer-visible tightening (break_now_required — a writer that
+    * used to emit nulls now rejects them downstream); NOT NULL →
+    * nullable is a relaxation consumers must be told about (ok_relaxed —
+    * readers that never null-checked now must). A type break dominates a
+    * nullability change. Pure metadata — two StructTypes compared on the
+    * driver, no data touched.
     */
   def schemaCompat(
       spark: org.apache.spark.sql.SparkSession,
@@ -228,14 +240,21 @@ object Reconcile {
     }
     val oldF = oldS.fields.map(f => f.name -> f).toMap
     val newF = newS.fields.map(f => f.name -> f).toMap
+    def nullShift(f: StructField, g: StructField,
+        verdict: String, detail: String): (String, String, String) =
+      if (f.nullable && !g.nullable)
+        (f.name, "break_now_required", s"$detail, now NOT NULL")
+      else if (!f.nullable && g.nullable)
+        (f.name, "ok_relaxed", s"$detail, now nullable")
+      else (f.name, verdict, detail)
     val rows = (oldS.fields.map { f =>
       newF.get(f.name) match {
         case None => (f.name, "break_dropped",
           s"${f.dataType.simpleString} -> absent")
         case Some(g) if g.dataType == f.dataType =>
-          (f.name, "ok", f.dataType.simpleString)
+          nullShift(f, g, "ok", f.dataType.simpleString)
         case Some(g) if widened(f.dataType, g.dataType) =>
-          (f.name, "ok_widened",
+          nullShift(f, g, "ok_widened",
             s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
         case Some(g) => (f.name, "break_type",
           s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")

@@ -463,6 +463,16 @@ object Relational {
     * doubled ranks stay integral, and ρ is Pearson over the doubled
     * ranks (the 2× scale cancels) with every sum exact in
     * DECIMAL(38,0) and one pinned-order double finish.
+    *
+    * Scale assumption: the rank frames (and the unpartitioned cumulative
+    * window inside them) are sized by each column's DISTINCT-VALUE
+    * domain. For coded/bucketed columns that is small and the rank joins
+    * broadcast; for a continuous double column the domain approaches the
+    * row count — AQE picks the join strategy (no forced broadcast here,
+    * so a corpus-sized domain degrades to a shuffle join instead of a
+    * driver OOM), but the single-partition rank window still bounds this
+    * to domains that fit one executor. Discretize first (q116) when the
+    * value domain is corpus-sized.
     */
   def spearman(
       df: DataFrame,
@@ -482,9 +492,9 @@ object Relational {
     val joined = df
       .select(col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y"))
-      .join(broadcast(ranks2(xCol).withColumnRenamed("r2", "rx")),
+      .join(ranks2(xCol).withColumnRenamed("r2", "rx"),
         col("x") === col("v")).drop("v")
-      .join(broadcast(ranks2(yCol).withColumnRenamed("r2", "ry")),
+      .join(ranks2(yCol).withColumnRenamed("r2", "ry"),
         col("y") === col("v")).drop("v")
     def dbl(c: Column): Column = c.cast("double")
     val a = joined.agg(count(lit(1)).as("n"),

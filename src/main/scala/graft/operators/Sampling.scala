@@ -384,8 +384,10 @@ object Sampling {
       classCol: String,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val minN = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
-      .agg(min(col("__n"))).head().getLong(0)
+    val minRow = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).head()
+    require(!minRow.isNullAt(0), "balancedDownsample: empty input")
+    val minN = minRow.getLong(0)
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast("long")
     df.withColumn("__h", h)

@@ -55,5 +55,10 @@ class AttributionSpec extends SparkSuite {
     // channel bit assignments must be the low single bits
     assertThrows[IllegalArgumentException](
       Attribution.shapley(masks, Seq(("A", 1), ("B", 4))))
+    // a mask with a bit outside the declared channels would silently
+    // vanish from every coalition — it must fail loudly instead
+    val stray = Seq((1, 10L), (5, 4L)).toDF("mask", "n")
+    assertThrows[IllegalArgumentException](
+      Attribution.shapley(stray, Seq(("A", 1), ("B", 2))))
   }
 }

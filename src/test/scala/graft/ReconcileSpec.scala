@@ -130,4 +130,35 @@ class ReconcileSpec extends SparkSuite {
     assert(got(1L) == (("right", 1L)), "the two agreeing replicas win")
     assert(got(2L) == ((null, 1L)), "two agreeing NULLs beat a value")
   }
+
+  test("fingerprint: null position is part of the content") {
+    import spark.implicits._
+    // (1, null, 'x') vs (1, 'x', null): concat_ws alone would cancel them
+    val a = Seq((1L, None: Option[String], Some("x"))).toDF("k", "u", "v")
+    val b = Seq((1L, Some("x"), None: Option[String])).toDF("k", "u", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Reconcile.fingerprint(df, Seq(col("k"), col("u"), col("v")))
+        .collect()(0).getLong(1)
+    assert(fp(a) != fp(b), "null-position swap must change the fingerprint")
+    assert(fp(a) == fp(a), "deterministic")
+  }
+
+  test("schemaCompat: nullability shifts on matched fields get verdicts") {
+    val oldS = StructType(Seq(
+      StructField("a", StringType, nullable = true),
+      StructField("b", LongType, nullable = false),
+      StructField("c", IntegerType, nullable = false),
+      StructField("d", DoubleType, nullable = true)))
+    val newS = StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", LongType, nullable = true),
+      StructField("c", LongType, nullable = true),
+      StructField("d", StringType, nullable = false)))
+    val got = Reconcile.schemaCompat(spark, oldS, newS)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "break_now_required", "nullable -> NOT NULL tightens")
+    assert(got("b") == "ok_relaxed", "NOT NULL -> nullable relaxes")
+    assert(got("c") == "ok_relaxed", "widening + relaxation: flag the shift")
+    assert(got("d") == "break_type", "a type break dominates nullability")
+  }
 }

@@ -165,4 +165,12 @@ class SamplingSpec extends SparkSuite {
       .collect()(0)
     assert(other.getDouble(4) != lo || other.getDouble(5) != hi)
   }
+
+  test("balancedDownsample: empty input fails loudly, not with an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("cls", "id")
+    val e = intercept[IllegalArgumentException](
+      Sampling.balancedDownsample(empty, "cls", "id").collect())
+    assert(e.getMessage.contains("empty input"))
+  }
 }
