@@ -5198,6 +5198,32 @@ object SparkEntry {
       ORDER BY c_custkey""")
   }
 
+  /** d=2 HILBERT-CURVE layout ([[graft.operators.Layout.hilbertWrite]] /
+    * [[graft.plans.HilbertIndex2]]): orders clustered by the Hilbert index
+    * of (custkey, order-day) — the locality-preserving sibling of q81's
+    * Morton interleave. Every curve step is a unit grid move, so a file's
+    * contiguous index segment is a near-square tile with tighter min/max
+    * on BOTH keys than Morton's quadrant jumps allow; LayoutSpec measures
+    * the files-opened comparison on the same probe. The oracle replays
+    * the xy2d rotation loop bit-for-bit as a list_reduce fold.
+    */
+  private def q355(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(dir, "q355")
+    val withDims = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long")
+          .as("day_nr"))
+    // bits=12: day_nr tops out under 4096 at every SF and the packed
+    // oracle replay needs 4*bits <= 62; higher custkeys mask like zorder
+    graft.operators.Layout.hilbertWrite(withDims, path, "o_custkey", "day_nr",
+      bits = 12)
+    PartitionedLake.read(s, path)
+      .select(col("o_orderkey"), col("o_custkey"), col("day_nr"),
+        graft.operators.Layout.hilbertValue(col("o_custkey"), col("day_nr"), 12)
+          .as("hval"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7329,6 +7355,7 @@ object SparkEntry {
     "q352_grouped_quantile_sketch" -> (q352 _),
     "q353_lttb_downsample" -> (q353 _),
     "q354_pivot_roundtrip" -> (q354 _),
+    "q355_hilbert_layout" -> (q355 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7570,6 +7597,38 @@ object SparkEntry {
 
   private def zorderSql(x: String, y: String, bits: Int = 16): String =
     zorderSqlN(bits, Seq(x, y))
+
+  /** DuckDB replay of [[graft.plans.HilbertIndex2]]'s xy2d walk: a
+    * list_reduce fold over the bit levels (top bit first), flip with the
+    * constant n−1 exactly like the engine's loop. The (x, y, d) state is
+    * PACKED INTO ONE BIGINT (x·2^3b | y·2^2b | d, so 4·bits ≤ 62) and
+    * every branch is arithmetic (rx·… + (1−rx)·…): DuckDB 1.0's
+    * list_reduce evaluates struct_pack accumulator fields IN PLACE when
+    * the lambda also references the element — a later field reading
+    * `a['x']` sees the already-overwritten value — so a struct state or
+    * a CASE over it silently computes the wrong walk (found while
+    * gating q355; the scalar fold measured exact on 20k random points).
+    */
+  private def hilbertSql(x: String, y: String, bits: Int): String = {
+    require(4 * bits <= 62, s"packed hilbert oracle needs 4*bits <= 62")
+    val m = (1L << bits) - 1
+    val dmask = (1L << (2 * bits)) - 1
+    val ys = 2 * bits
+    val xs = 3 * bits
+    val ax = s"(a >> $xs)"
+    val ay = s"((a >> $ys) & $m)"
+    val rx = s"((($ax) // e) & 1)"
+    val ry = s"((($ay) // e) & 1)"
+    s"(list_reduce(list_prepend(" +
+      s"CAST((($x) & $m) AS BIGINT) * ${1L << xs} + " +
+      s"CAST((($y) & $m) AS BIGINT) * ${1L << ys}, " +
+      s"list_transform(range(0, $bits), i -> " +
+      s"(CAST(1 AS BIGINT) << (${bits - 1} - i)))), " +
+      s"(a, e) -> " +
+      s"($ry * $ax + (1 - $ry) * ($rx * ($m - $ay) + (1 - $rx) * $ay)) * ${1L << xs} + " +
+      s"($ry * $ay + (1 - $ry) * ($rx * ($m - $ax) + (1 - $rx) * $ax)) * ${1L << ys} + " +
+      s"(a & $dmask) + e * e * xor(3 * $rx, $ry)) & $dmask)"
+  }
 
   /** Rank-interpolated percentile replayed in SQL (mirrors q82's interp). */
   private def interpSql(p: String): String = interpSqlCol(p, "o_totalprice")
@@ -7874,6 +7933,9 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // the xy2d rotation loop replayed as a per-row list_reduce fold
+    "q355_hilbert_layout" ->
+      s"""SELECT o_orderkey, o_custkey, day_nr, ${hilbertSql("o_custkey", "day_nr", 12)} AS hval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     // variant_get's typed extraction replays as DuckDB JSON extraction;
     // % keeps dividend sign but k is non-negative here
     "q173_variant_ingest" ->

@@ -61,6 +61,35 @@ object Layout {
       files: Int = 8): Unit =
     zorderWriteN(df, path, Seq(xCol, yCol), bits, files)
 
+  /** d=2 Hilbert-curve value of two non-negative int keys capped to `bits`
+    * bits each ([[graft.plans.HilbertIndex2]]): the locality-preserving
+    * alternative to [[zorderValue]] — every curve step is a unit grid
+    * move, so a contiguous index range maps to a tighter bounding box
+    * than Morton's quadrant jumps and a range probe on either key opens
+    * fewer files at equal file count (LayoutSpec measures both layouts
+    * on the same probe).
+    */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column =
+    graft.plans.CurveExpressions.hilbertIndex(x, y, bits)
+
+  /** Write `df` as parquet clustered by the Hilbert index of (x, y) —
+    * [[zorderWrite]]'s shape with the curve swapped: range repartition +
+    * intra-partition sort on the index gives each file a contiguous
+    * curve segment, i.e. a near-square tile of the key plane.
+    */
+  def hilbertWrite(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      bits: Int = 16,
+      files: Int = 8): Unit =
+    df.withColumn("__h", hilbertValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+
   /** Deterministic sorted-run layout: rows bucketed by EXACT
     * equal-frequency boundaries of `keyCol` (discrete ranks, not a
     * sample), one bucket per `bucket=<i>` directory, each bucket's rows in

@@ -38,6 +38,27 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("hilbertValue walks the full grid in unit steps (bijective + adjacent)") {
+    // bits=5: the curve visits all 1024 cells of the 32x32 grid exactly
+    // once, and consecutive indices are Manhattan-distance-1 neighbors —
+    // THE Hilbert property (Morton teleports at power-of-two seams).
+    // Checked through the CODEGEN path (whole-stage codegen, not eval).
+    val cells = for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)
+    val got = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), bits = 5).as("h"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.map(_._3).toSeq == (0L until 1024L), "indices must be 0..1023 once each")
+    got.sliding(2).foreach { case Array((x1, y1, h), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step after h=$h jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+    // codegen and interpreted twins agree
+    got.foreach { case (x, y, h) =>
+      assert(graft.plans.HilbertIndex2.index(x, y, 5) == h)
+    }
+  }
+
   /** Per-row-group (min, max) of a long column, read from the REAL parquet
     * footers — the exact statistics the scan's row-group filter consults.
     */
@@ -88,6 +109,26 @@ class LayoutSpec extends SparkSuite {
       val (aSkip, aTotal) = skipped(adir, key, 0, 255)
       assert(aSkip == 0,
         s"append layout has full-domain files; expected 0 skips on $key, got $aSkip of $aTotal")
+    }
+    // files-opened comparison: the Hilbert layout of the SAME data at the
+    // SAME file count must be at least as skippable on the same probes —
+    // its files are contiguous curve segments, i.e. near-square tiles,
+    // where Morton segments straddle quadrant seams
+    val hdir = Files.createTempDirectory("graft_hskip").toString
+    Layout.hilbertWrite(df, hdir, "x", "y", bits = 12, files = 16)
+    def opened(dir: String, key: String): Int = {
+      val (s, t) = skipped(dir, key, 0, 255)
+      t - s
+    }
+    val zOpened = opened(zdir, "x") + opened(zdir, "y")
+    val hOpened = opened(hdir, "x") + opened(hdir, "y")
+    assert(hOpened <= zOpened,
+      s"hilbert should open no more files than z-order on the same probes: " +
+        s"hilbert $hOpened vs z $zOpened (of 16 per key)")
+    for (key <- Seq("x", "y")) {
+      val (hSkip, hTotal) = skipped(hdir, key, 0, 255)
+      assert(hSkip >= hTotal / 2,
+        s"hilbert layout should skip most files on $key∈[0,255]: $hSkip of $hTotal")
     }
   }
 
