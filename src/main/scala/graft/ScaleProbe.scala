@@ -233,6 +233,43 @@ object ScaleProbe {
         val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         consume(grams.join(counts.filter(col("cnt") >= 2), Seq("g")))
       },
+      "byte_entropy_explode" -> { () =>
+        // q332's pre-r8 plan: one intermediate row PER CORPUS BYTE
+        // through the scan stage before the map-side combine
+        val d = documentsAt(f)
+          .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+        val counts = d
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, length(hx) div 2 - 1), i -> substring(hx, i * 2 + 1, 2))"))
+            .as("byte"))
+          .groupBy(col("doc_id"), col("byte")).agg(count(lit(1)).as("c"))
+        val n = sum(col("c")).over(Window.partitionBy(col("doc_id")))
+        val p = col("c").cast("double") / col("n").cast("double")
+        consume(counts.withColumn("n", n)
+          .withColumn("term", round(-p * log(p), 9).cast("decimal(18,9)"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")), count(lit(1)), sum(col("term")).cast("double")))
+      },
+      "byte_entropy_census" -> { () =>
+        // q332's r8 plan: codegen ByteHistogram (one 256-long array per
+        // doc, zero exploded rows) + array-HOF finish
+        consume(documentsAt(f)
+          .select(col("doc_id"),
+            graft.plans.TextHashExpressions.byteHistogram(
+              col("text").cast("binary")).as("hist"))
+          .withColumn("n_bytes", expr("aggregate(hist, 0L, (a, c) -> a + c)"))
+          .filter(col("n_bytes") > 0)
+          .withColumn("present", expr("filter(hist, c -> c > 0)"))
+          .select(col("doc_id"), col("n_bytes"),
+            size(col("present")).cast("long"),
+            expr("""CAST(aggregate(
+                transform(present, c -> CAST(round(
+                  -(CAST(c AS DOUBLE) / CAST(n_bytes AS DOUBLE)) *
+                    ln(CAST(c AS DOUBLE) / CAST(n_bytes AS DOUBLE)), 9)
+                  AS DECIMAL(18,9))),
+                CAST(0 AS DECIMAL(18,9)),
+                (a, t) -> CAST(a + t AS DECIMAL(18,9))) AS DOUBLE)""")))
+      },
       "phash_encode" -> { () =>
         // q237's hash+band computation (the linear part; pair volume on a
         // dup-dense corpus is answer growth, same note as set_similarity)

@@ -4644,29 +4644,32 @@ object SparkEntry {
 
   /** Per-document BYTE ENTROPY over the payload bytes — the multimodal
     * corruption/quality detector (truncated or zero-padded blobs crater;
-    * compressed/encrypted ones saturate): hex-pair explode → per-doc
-    * byte census → Shannon entropy with per-byte terms on the 1e-9
-    * decimal grid. The payload here is the document's utf8 bytes — the
-    * plumbing is byte-level and carries to any binary column.
+    * compressed/encrypted ones saturate): a one-pass codegen byte census
+    * ([[graft.plans.ByteHistogram]], 256-long array per doc) finished in
+    * array HOFs — no row per byte ever exists, where the explode
+    * formulation pushed ~corpus-bytes intermediate rows through the scan
+    * stage (~10¹⁴ at 100 TB; ScaleProbe measures the gap). Entropy terms
+    * stay on the 1e-9 decimal grid summed exactly, so the hash matches
+    * the hex-pair oracle bit-for-bit. The payload here is the document's
+    * utf8 bytes — the plumbing carries to any binary column.
     */
   private def q332(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = T(s, dir, "documents")
-      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
-    val counts = d
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, length(hx) div 2 - 1), i -> substring(hx, i * 2 + 1, 2))"))
-        .as("byte"))
-      .groupBy(col("doc_id"), col("byte")).agg(count(lit(1)).as("c"))
-    val n = sum(col("c")).over(Window.partitionBy(col("doc_id")))
-    val p = col("c").cast("double") / col("n").cast("double")
-    counts
-      .withColumn("n", n)
-      .withColumn("term",
-        round(-p * log(p), 9).cast(DecimalType(18, 9)))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n")).as("n_bytes"), count(lit(1)).as("n_distinct_bytes"),
-        sum(col("term")).cast("double").as("entropy"))
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.plans.TextHashExpressions.byteHistogram(col("text").cast("binary"))
+          .as("hist"))
+      .withColumn("n_bytes", expr("aggregate(hist, 0L, (a, c) -> a + c)"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("present", expr("filter(hist, c -> c > 0)"))
+      .select(col("doc_id"), col("n_bytes"),
+        size(col("present")).cast("long").as("n_distinct_bytes"),
+        expr("""CAST(aggregate(
+            transform(present, c -> CAST(round(
+              -(CAST(c AS DOUBLE) / CAST(n_bytes AS DOUBLE)) *
+                ln(CAST(c AS DOUBLE) / CAST(n_bytes AS DOUBLE)), 9)
+              AS DECIMAL(18,9))),
+            CAST(0 AS DECIMAL(18,9)),
+            (a, t) -> CAST(a + t AS DECIMAL(18,9))) AS DOUBLE)""").as("entropy"))
       .orderBy(col("doc_id"))
   }
 
@@ -5222,6 +5225,46 @@ object SparkEntry {
         graft.operators.Layout.hilbertValue(col("o_custkey"), col("day_nr"), 12)
           .as("hval"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Per-file SKETCH-STORE stats in the TxLake log
+    * ([[graft.sources.TxLake.SketchSpec]] /
+    * [[graft.sources.TxLake.sketchQuantiles]]): every commit persists a
+    * bottom-256 (h, id, v) sample of `value` beside its min/max stats —
+    * the schema-level "sketch column" a lakehouse stats system keeps —
+    * and p50/p90/p99 then answer FROM THE LOG ALONE, zero data files
+    * opened (TxLakeSpec deletes the data directory and still answers;
+    * the q212 proof shape), carried intact through a checkpoint.
+    * Bottom-k merges exactly, so the metadata answer is bit-identical
+    * to q316's corpus sketch at the same k; oracle = the global
+    * bottom-256 replay.
+    */
+  private def q356(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    val lake = scratch(dir, "q356")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val ev = T(s, dir, "events").select(col("event_id"), col("value"))
+    (0 to 3).foreach(i => TxLake.commit(s, lake,
+      ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(2),
+      sketch = Some(TxLake.SketchSpec("event_id", "value", 256))))
+    TxLake.checkpoint(lake)
+    TxLake.sketchQuantiles(s, lake, "value", Seq(0.5, 0.9, 0.99))
+  }
+
+  /** MMR DIVERSIFIED re-ranking ([[graft.operators.Similarity.mmrRerank]]):
+    * each query's top-24 cosine candidates greedily reduced to 8 by
+    * `0.7·rel − 0.3·max-sim-to-selected` — the redundancy-penalized
+    * shelf relevance-only ranking (q26/q209) can't express. The whole
+    * sequential selection runs inside one row per query (the q353
+    * nested-HOF-fold pattern); scores live on the 4-decimal grid where
+    * VecCosine and pcos are bit-equal, and the oracle replays the greedy
+    * walk as a recursive CTE carrying the selected list.
+    */
+  private def q357(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.mmrRerank(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      m = 24, k = 8, lamRel = 0.7, lamDiv = 0.3)
   }
 
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
@@ -7356,6 +7399,8 @@ object SparkEntry {
     "q353_lttb_downsample" -> (q353 _),
     "q354_pivot_roundtrip" -> (q354 _),
     "q355_hilbert_layout" -> (q355 _),
+    "q356_sketch_store" -> (q356 _),
+    "q357_mmr_rerank" -> (q357 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7933,6 +7978,13 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // the greedy MMR walk replayed as a recursive CTE carrying the
+    // selected list; scores on the 4-decimal grid where pcos == VecCosine
+    "q357_mmr_rerank" ->
+      s"""$VEC_MACROS; WITH RECURSIVE qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), sc AS (SELECT qv.qid, e2.vec_id AS nid, round(pcos(qv.qe, e2.embedding), 4) AS rel, e2.embedding AS nv FROM qv CROSS JOIN embeddings e2 WHERE e2.vec_id <> qv.qid), c0 AS (SELECT qid, nid, rel, nv, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC NULLS LAST, nid) AS rnk FROM sc), cand AS (SELECT qid, list(struct_pack(nid := nid, rel := rel, nv := nv) ORDER BY nid) AS cs FROM c0 WHERE rnk <= 24 GROUP BY qid), rec AS (SELECT qid, CAST(0 AS BIGINT) AS step, CAST([] AS BIGINT[]) AS sel FROM cand UNION ALL SELECT r.qid, r.step + 1, list_append(r.sel, list_reduce(list_filter(list_transform(range(1, len(c.cs) + 1), jj -> struct_pack(s := 0.7 * c.cs[CAST(jj AS INTEGER)]['rel'] - 0.3 * (CASE WHEN len(r.sel) = 0 THEN 0.0 ELSE list_reduce(list_transform(r.sel, si -> round(pcos(c.cs[CAST(jj AS INTEGER)]['nv'], c.cs[CAST(si AS INTEGER)]['nv']), 4)), (m1, m2) -> CASE WHEN m2 > m1 THEN m2 ELSE m1 END) END), j := jj, ok := NOT list_contains(r.sel, jj))), st -> st['ok']), (a1, e1) -> CASE WHEN e1['s'] > a1['s'] THEN e1 ELSE a1 END)['j']) FROM rec r JOIN cand c ON c.qid = r.qid WHERE r.step < 8) SELECT r.qid, r.step, CAST(c.cs[CAST(r.sel[CAST(r.step AS INTEGER)] AS INTEGER)]['nid'] AS BIGINT) AS nid FROM rec r JOIN cand c ON c.qid = r.qid WHERE r.step >= 1 ORDER BY r.qid, r.step""",
+    // log-only percentiles must equal the global bottom-256 replay
+    "q356_sketch_store" ->
+      """WITH e AS (SELECT event_id AS id, CAST(value AS DOUBLE) AS v, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), m AS (SELECT v FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY h, id) AS rn FROM e) WHERE rn <= 256), arr AS (SELECT list_sort(list(v)) AS vals, COUNT(*) AS kk FROM m), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM e), spine AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)) SELECT q AS quantile, vals[CAST(GREATEST(1, CEIL(q * kk)) AS INTEGER)] AS est, CAST(kk AS BIGINT) AS sample_k, n_total FROM spine, arr, tot ORDER BY quantile""",
     // the xy2d rotation loop replayed as a per-row list_reduce fold
     "q355_hilbert_layout" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, ${hilbertSql("o_custkey", "day_nr", 12)} AS hval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",

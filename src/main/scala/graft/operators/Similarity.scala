@@ -645,4 +645,78 @@ object Similarity {
         round(ma - mb, 6).as("shift"),
         col("mean_cosine"))
   }
+
+  /** MMR (Maximal Marginal Relevance) DIVERSIFIED re-ranking: from each
+    * query's top-`m` cosine candidates, greedily select `k` — step t
+    * picks argmax of `lamRel·rel(c) − lamDiv·max_{s∈S} cos(c, s)` over
+    * the not-yet-selected, so near-duplicates of an already-chosen hit
+    * are penalized out and the shelf shows VARIETY, not five paraphrases
+    * of rank 1 (the redundancy fix relevance-only ranking — q26/q209 —
+    * cannot express). Ties break on the earliest candidate id, first
+    * pick ≡ argmax rel (empty-set penalty is 0).
+    *
+    * Scale shape: the corpus appears ONLY in the brute top-m prefilter
+    * (one scan, query set broadcast — swap in the IVF/PQ shelf for the
+    * prefilter at 100 TB); the sequential greedy loop runs entirely
+    * inside ONE ROW per query over the m-candidate array (the q353
+    * nested-HOF-fold pattern), m·k·d work per query, no shuffle, no
+    * driver state. Scores stay on the 4-decimal grid — [[graft.plans.VecCosine]]
+    * and the oracle's pcos macro accumulate in the identical
+    * left-to-right double order, so the grid values are bit-equal and
+    * the selection replays as a recursive CTE carrying the selected
+    * list.
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      lamRel: Double,
+      lamDiv: Double): DataFrame = {
+    require(m >= 1 && k >= 1 && k <= m, s"need 1 <= k <= m, got k=$k m=$m")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("nv"),
+        round(rankableCosine(col("qv"), col("nv")), 4).as("rel"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("nid"))
+    val packed = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(struct(col("nid"), col("rel"), col("nv"))))
+        .as("cs"))
+    val mm = size(col("cs"))
+    val sel = aggregate(
+      sequence(lit(1), lit(k)),
+      array().cast("array<int>"),
+      (selAcc, _) => {
+        val best = aggregate(
+          sequence(lit(1), mm),
+          struct(lit(Double.MinValue).as("s"), lit(0).as("j")),
+          (bst, jj0) => {
+            val jj = jj0.cast("int")
+            val cj = element_at(col("cs"), jj)
+            val ms = when(size(selAcc) === 0, lit(0.0))
+              .otherwise(aggregate(
+                transform(selAcc, si =>
+                  round(cosine(cj.getField("nv"),
+                    element_at(col("cs"), si).getField("nv")), 4)),
+                lit(-1.0), (m1, m2) => greatest(m1, m2)))
+            val score = lit(lamRel) * cj.getField("rel") - lit(lamDiv) * ms
+            when(array_contains(selAcc, jj) || score <= bst.getField("s"), bst)
+              .otherwise(struct(score.as("s"), jj.as("j")))
+          })
+        concat(selAcc, array(best.getField("j")))
+      })
+    packed
+      .select(col("qid"), col("cs"), posexplode(sel).as(Seq("pos", "j")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("step"),
+        element_at(col("cs"), col("j")).getField("nid").as("nid"))
+      .orderBy(col("qid"), col("step"))
+  }
 }

@@ -126,6 +126,59 @@ object XsHash {
   }
 }
 
+/** 256-bucket BYTE HISTOGRAM of a binary payload in ONE pass — the census
+  * behind per-doc byte entropy (q332) without materializing a row per
+  * byte: the explode formulation pushes ~corpus-bytes rows through the
+  * scan stage before the map-side combine (at 100 TB that is ~10¹⁴
+  * intermediate rows of codegen work), where this emits one 256-long
+  * array per document and the entropy finishes in array HOFs. The loop
+  * is primitive Java inside whole-stage codegen; ScaleProbe measures the
+  * explode-vs-census gap.
+  */
+case class ByteHistogram(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_histogram"
+  override def inputTypes: Seq[AbstractType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ByteHistogram.census(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val h = ctx.freshName("hist")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $h = new long[256];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $h[$b[$i] & 0xff]++;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($h);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+}
+
+object ByteHistogram {
+
+  /** Reference implementation (tests cross-check codegen against this). */
+  def census(bytes: Array[Byte]): Array[Long] = {
+    val h = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) {
+      h(bytes(i) & 0xff) += 1
+      i += 1
+    }
+    h
+  }
+}
+
 /** Content-defined chunk boundaries in ONE pass: the 1-based character
   * positions `i` (w ≤ i ≤ n) where [[XsHash]] of the w-char substring
   * ending at `i` is ≡ 0 (mod `modulus`), plus the final position n —
@@ -231,6 +284,10 @@ object TextHashExpressions {
   def xsWindowCuts(c: Column, w: Int, modulus: Long): Column =
     GraftColumnBridge.column(
       XsWindowCuts(GraftColumnBridge.expression(c), w, modulus))
+
+  /** Column-level 256-bucket byte census (see [[ByteHistogram]]). */
+  def byteHistogram(c: Column): Column =
+    GraftColumnBridge.column(ByteHistogram(GraftColumnBridge.expression(c)))
 
   /** Column-level portable mix step: `xorshift64(acc ^ v)`. */
   def xsMix(acc: Column, v: Column): Column =

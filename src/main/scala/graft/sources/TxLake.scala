@@ -183,6 +183,62 @@ object TxLake {
     active.toSeq
   }
 
+  /** Per-file sketch strings for `vCol` from one adds-aligned log blob. */
+  private def parseSketchSet(json: String, vCol: String): Seq[(String, String)] = {
+    val adds = jsonList(json, "adds")
+    val sk = jsonList(json, s"sketch:$vCol")
+    if (adds.nonEmpty && sk.length == adds.length) adds.zip(sk) else Seq.empty
+  }
+
+  /** Replay the log's per-file sketches for `vCol` up to `version`:
+    * (active file → serialized sample, sketch k). Same checkpoint-then-
+    * delta walk as [[activeEntries]]; files added without a sketch are
+    * simply absent (the reader decides whether that is fatal).
+    */
+  private def activeSketches(
+      path: String, version: Long, vCol: String): (Map[String, String], Option[Int]) = {
+    val base = latestCheckpoint(path, version)
+    val active = scala.collection.mutable.LinkedHashMap[String, String]()
+    var k: Option[Int] = None
+    def absorb(json: String): Unit = {
+      jsonList(json, "removes").foreach(active.remove)
+      parseSketchSet(json, vCol).foreach { case (f, s) => active(f) = s }
+      jsonList(json, s"sketchK:$vCol").headOption.foreach(v => k = Some(v.toInt))
+    }
+    base.foreach(b => absorb(b._3))
+    entries(path, after = base.map(_._1).getOrElse(0L))
+      .takeWhile(_._1 <= version).foreach { case (_, json) => absorb(json) }
+    (active.toMap, k)
+  }
+
+  /** Sketch columns declared anywhere in the visible log span. */
+  private def sketchColsOf(path: String, version: Long): Seq[String] = {
+    val base = latestCheckpoint(path, version)
+    (base.toSeq.flatMap(b => jsonList(b._3, "sketchCols")) ++
+      entries(path, after = base.map(_._1).getOrElse(0L))
+        .takeWhile(_._1 <= version).flatMap(e => jsonList(e._2, "sketchCols")))
+      .distinct
+  }
+
+  /** Sketch-suffix JSON for a summarizing entry (checkpoint / branch
+    * base): each sketch column rides along when EVERY summarized file
+    * carries a sample — the same all-files rule as [[statsJson]], so a
+    * summary never silently half-drops the percentile surface.
+    */
+  private def sketchCarry(
+      path: String, version: Long, files: Seq[String]): String = {
+    val carried = sketchColsOf(path, version).flatMap { c =>
+      val (m, k) = activeSketches(path, version, c)
+      if (k.isDefined && files.forall(m.contains))
+        Some(c -> (s""","sketch:$c":[${files.map(f => "\"" + m(f) + "\"").mkString(",")}]""" +
+          s""","sketchK:$c":[${k.get}]"""))
+      else None
+    }
+    if (carried.isEmpty) ""
+    else carried.map(_._2).mkString("") +
+      s""","sketchCols":[${carried.map("\"" + _._1 + "\"").mkString(",")}]"""
+  }
+
   /** Write a log CHECKPOINT summarizing the active file set (and, when
     * every active file carries them, the data-skipping stats) as of the
     * current latest version. Readers thereafter replay only entries AFTER
@@ -198,7 +254,7 @@ object TxLake {
     require(v > 0, "nothing to checkpoint")
     val active = activeEntries(path, v)
     val json =
-      s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]${statsJson(active)}${opsJson(path, v)}${dvsJson(path, v)}}"""
+      s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]${statsJson(active)}${sketchCarry(path, v, active.map(_._1))}${opsJson(path, v)}${dvsJson(path, v)}}"""
     val tmp = logDir(path).resolve(f".ckpt-tmp-$v%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, ckptFile(path, v), StandardCopyOption.ATOMIC_MOVE,
@@ -224,6 +280,23 @@ object TxLake {
     * commit is skipped and that entry's version returns — re-delivered
     * batches land exactly once. Returns the committed version.
     */
+  /** Per-file bottom-k quantile-sketch spec persisted at commit time:
+    * rows hashed by md5(idCol) (the Sketches.h52 formula, so the stored
+    * sample IS the one `Sketches.quantileSketch` would draw), the k
+    * lowest (h, id) pairs per data file serialized into the log entry.
+    * Bottom-k merges exactly (bottom-k of unioned per-file samples ==
+    * bottom-k of all rows), so [[sketchQuantiles]] answers percentiles
+    * from the LOG ALONE — zero data files opened — and a checkpoint or
+    * branch carries the sketches like any other per-file stat. Contract:
+    * sketches describe FILE contents; a DV-masked table must rewrite
+    * (OPTIMIZE) before trusting them, same as min/max stats.
+    */
+  final case class SketchSpec(idCol: String, vCol: String, k: Int) {
+    require(k >= 2 && k <= 65536, s"unreasonable sketch size $k")
+    require(Seq(idCol, vCol).forall(_.matches("[A-Za-z0-9_]+")),
+      "sketch columns feed flat JSON keys: identifiers only")
+  }
+
   def commit(
       spark: SparkSession,
       path: String,
@@ -231,7 +304,8 @@ object TxLake {
       overwrite: Boolean = false,
       tag: String = "",
       statsCol: String = "",
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      sketch: Option[SketchSpec] = None): Long = {
     require(!tag.contains("\"") && !tag.contains("\\"), "tag must be JSON-safe")
     require(statsCols.forall(_.matches("[A-Za-z0-9_]+")),
       "statsCols feed flat JSON keys and the regex extractor: identifiers only")
@@ -305,12 +379,45 @@ object TxLake {
             s""","statsCols":[${statsCols.map("\"" + _ + "\"").mkString(",")}]"""
         legacy + named + s""","rows":[${aligned.map(_._1).mkString(",")}]"""
       }
+    // per-file bottom-k sketch: one windowed pass over the commit's own
+    // delta (k rows per file survive the map side), k·|files| rows
+    // collected — metadata-sized by the SketchSpec contract
+    val sketchPart: String = sketch match {
+      case None => ""
+      case Some(spec) if adds.isEmpty => ""
+      case Some(spec) =>
+        import org.apache.spark.sql.functions.{col, conv, md5, row_number, substring}
+        import org.apache.spark.sql.expressions.Window
+        val h = conv(substring(md5(col(spec.idCol).cast("string")
+          .cast("binary")), 1, 13), 16, 10).cast("long")
+        val perFile = spark.read.parquet(dataDir)
+          .select(col("_metadata.file_path").as("f"), h.as("h"),
+            col(spec.idCol).cast("long").as("id"),
+            col(spec.vCol).cast("double").as("v"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("f")).orderBy(col("h"), col("id"))))
+          .filter(col("rn") <= spec.k)
+          .collect()
+          .map(r => new java.net.URI(r.getString(0)).getPath ->
+            ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+          .groupBy(_._1)
+          .map { case (f, rs) => f ->
+            rs.map(_._2).sortBy(t => (t._1, t._2))
+              .map { case (hh, id, v) => s"$hh:$id:$v" }.mkString(";") }
+        // "-" marks an empty (zero-row) file: the quoted-string arrays
+        // ride the same escape-free extractor, which drops empty strings
+        val arr = adds.map(f => "\"" +
+          perFile.getOrElse(f, "-").replace("\"", "") + "\"").mkString(",")
+        s""","sketch:${spec.vCol}":[$arr]""" +
+          s""","sketchK:${spec.vCol}":[${spec.k}]""" +
+          s""","sketchCols":["${spec.vCol}"]"""
+    }
     // 3. publish: write content to a tmp file, atomically swap onto the
     //    reservation
     val json =
       s"""{"version":$next,"tag":"$tag",""" +
         s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]$stats}"""
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]$stats$sketchPart}"""
     val tmp = logDir(path).resolve(f".tmp-$next%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
@@ -700,7 +807,7 @@ object TxLake {
     val json =
       s"""{"version":1,"tag":"",""" +
         s""""adds":[${active.map("\"" + _._1 + "\"").mkString(",")}],""" +
-        s""""removes":[]${statsJson(active)}${opsJson(path, fromVersion)}${dvsJson(path, fromVersion)}}"""
+        s""""removes":[]${statsJson(active)}${sketchCarry(path, fromVersion, active.map(_._1))}${opsJson(path, fromVersion)}${dvsJson(path, fromVersion)}}"""
     val tmp = logDir(bp).resolve(".tmp-base")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, logFile(bp, 1L), StandardCopyOption.ATOMIC_MOVE)
@@ -730,7 +837,7 @@ object TxLake {
     val json =
       s"""{"version":1,"tag":"",""" +
         s""""adds":[${active.map("\"" + _._1 + "\"").mkString(",")}],""" +
-        s""""removes":[]${statsJson(active)}${opsJson(path, fromVersion)}${dvsJson(path, fromVersion)}}"""
+        s""""removes":[]${statsJson(active)}${sketchCarry(path, fromVersion, active.map(_._1))}${opsJson(path, fromVersion)}${dvsJson(path, fromVersion)}}"""
     val tmp = logDir(clonePath).resolve(".tmp-base")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, logFile(clonePath, 1L), StandardCopyOption.ATOMIC_MOVE)
@@ -980,6 +1087,52 @@ object TxLake {
           .count()
       }
     Some(total - masked)
+  }
+
+  /** METADATA-ONLY percentile read from the log's per-file sketches
+    * ([[SketchSpec]]): union the stored per-file bottom-k samples,
+    * re-take the global bottom-k (exact — the mergeability property),
+    * estimate at rank ⌈q·k'⌉ against the logged row counts. NO data file
+    * is opened: the percentile dashboard over a 100 TB table costs one
+    * log read + a k·|files|-row local job, the same posture as
+    * [[countRows]]'s metadata COUNT. Refuses DV-masked tables loudly
+    * (sketches describe file contents; OPTIMIZE first), and refuses any
+    * active file lacking a sketch rather than under-reporting silently.
+    * Output schema matches `Sketches.quantileEstimate`:
+    * (quantile, est, sample_k, n_total).
+    */
+  def sketchQuantiles(
+      spark: SparkSession,
+      path: String,
+      vCol: String,
+      qs: Seq[Double],
+      version: Long = Long.MaxValue): DataFrame = {
+    require(dvFiles(path, version).isEmpty,
+      "sketchQuantiles: table carries deletion vectors; sketches describe " +
+        "file contents — OPTIMIZE (rewrite) before metadata-only reads")
+    val files = activeEntries(path, version)
+    require(files.nonEmpty, "sketchQuantiles: empty table")
+    require(files.forall(_._2.contains("#rows")),
+      "sketchQuantiles needs logged per-file row counts on every file")
+    val nTotal = files.map(_._2("#rows")._1).sum
+    val (skMap, kOpt) = activeSketches(path, version, vCol)
+    require(kOpt.isDefined, s"no sketch column '$vCol' in the log")
+    files.map(_._1).foreach(f => require(skMap.contains(f),
+      s"active file without a '$vCol' sketch: $f — recommit it with the " +
+        "SketchSpec (partial sketches would under-report percentiles)"))
+    val triples = files.map(_._1).flatMap { f =>
+      val s = skMap(f)
+      if (s == "-") Seq.empty
+      else s.split(";").toSeq.map { t =>
+        val p = t.split(":")
+        (p(0).toLong, p(1).toLong, p(2).toDouble)
+      }
+    }
+    import spark.implicits._
+    val merged = graft.operators.Sketches.bottomKSmall(
+      triples.toDF("h", "id", "v"), kOpt.get)
+    graft.operators.Sketches.quantileEstimate(
+      merged, Seq(Tuple1(nTotal)).toDF("n_total"), qs)
   }
 
   /** Per-commit (version, tag, rows-added) from the log — the commit-level

@@ -159,4 +159,33 @@ class SimilaritySpec extends SparkSuite {
     assert(top.getAs[Long]("id_a") == 0L && top.getAs[Long]("id_b") == 100000L)
     assert(top.getAs[Double]("cos_r") == 1.0)
   }
+
+  test("mmrRerank diversifies: the near-duplicate of pick 1 is demoted") {
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.01f)),   // rel ~1.0
+      (2L, Array(1.0f, 0.011f)),  // near-duplicate of 1, rel ~1.0
+      (3L, Array(0.6f, 0.8f))     // different direction, rel 0.6
+    ).toDF("id", "vec")
+    // diversity must outweigh relevance to sink a near-duplicate whose
+    // redundancy (sim to pick 1 ≈ 1) exceeds the alternative's (≈ its
+    // own relevance, since pick 1 sits at the query direction):
+    // step2 scores  2: .3·1 − .7·1 = −.40   3: .3·.6 − .7·.608 = −.25
+    val got = Similarity.mmrRerank(corpus, q, "id", "vec",
+        m = 3, k = 3, lamRel = 0.3, lamDiv = 0.7)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+      s"expected diversified order 1,3,2; got ${got.mkString(",")}")
+  }
+
+  test("mmrRerank tie-breaks: identical candidates pick the lowest id first") {
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val corpus = Seq(
+      (7L, Array(1.0f, 0.0f)), (3L, Array(1.0f, 0.0f)),
+      (5L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val got = Similarity.mmrRerank(corpus, q, "id", "vec",
+        m = 3, k = 3, lamRel = 0.7, lamDiv = 0.3)
+      .collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(3L, 5L, 7L), s"ties must resolve by ascending id: $got")
+  }
 }

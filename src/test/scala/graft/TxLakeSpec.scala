@@ -879,4 +879,50 @@ class TxLakeSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(got == Set(1L, 9L))
   }
+
+  test("sketch store: log-only percentiles, data dir deleted, checkpoint/branch carry") {
+    import spark.implicits._
+    val lake = tmp()
+    val rows = (1L to 3000L).map(i => (i, (i * 37 % 1000).toDouble))
+    val d = rows.toDF("id", "v")
+    val spec = TxLake.SketchSpec("id", "v", 64)
+    TxLake.commit(spark, lake, d.filter(col("id") % 2 === 0).repartition(3),
+      sketch = Some(spec))
+    TxLake.commit(spark, lake, d.filter(col("id") % 2 === 1).repartition(2),
+      sketch = Some(spec))
+    val qs = Seq(0.5, 0.9, 0.99)
+    // the metadata answer equals the direct corpus sketch at the same k
+    val direct = graft.operators.Sketches.quantileSketch(
+      d, (col("id") % 5).cast("string"), "id", "v", 64, qs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    def metaAnswer() = TxLake.sketchQuantiles(spark, lake, "v", qs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(metaAnswer() == direct, "log sketch must equal the corpus sketch")
+    // survives a checkpoint (replay starts from the summarizing entry)
+    TxLake.checkpoint(lake)
+    assert(TxLake.replayCount(lake) == 0)
+    assert(metaAnswer() == direct, "checkpoint must carry the sketches")
+    // a branch base carries them too
+    val bp = TxLake.branch(lake, "stats-br")
+    assert(TxLake.sketchQuantiles(spark, bp, "v", qs)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq == direct)
+    // THE proof: physically delete every data file — the percentile
+    // read never notices, because it opens none
+    graft.sources.LocalFs.deleteRecursively(s"$lake/data")
+    assert(metaAnswer() == direct, "answer must survive data deletion")
+    // partial coverage fails loudly instead of under-reporting
+    val lake2 = tmp()
+    TxLake.commit(spark, lake2, d.limit(10), sketch = Some(spec))
+    TxLake.commit(spark, lake2, d.limit(5)) // no sketch
+    val e = intercept[IllegalArgumentException](
+      TxLake.sketchQuantiles(spark, lake2, "v", qs))
+    assert(e.getMessage.contains("without a 'v' sketch"))
+    // DV-masked tables are refused (sketches describe file contents)
+    val lake3 = tmp()
+    TxLake.commit(spark, lake3, d.limit(100), sketch = Some(spec))
+    TxLake.deleteWhereDv(spark, lake3, col("id") <= 3)
+    val e2 = intercept[IllegalArgumentException](
+      TxLake.sketchQuantiles(spark, lake3, "v", qs))
+    assert(e2.getMessage.contains("deletion vectors"))
+  }
 }
