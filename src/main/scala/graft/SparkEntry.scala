@@ -4570,6 +4570,18 @@ object SparkEntry {
     graft.streaming.StreamVerify.quantileSketchMaintenance(
       s, q259Events(s, dir), scratch(dir, "q326"), 256, Seq(0.5, 0.9, 0.99))
 
+  /** Streaming SKETCH-STORE maintenance
+    * ([[graft.streaming.StreamVerify.sketchStoreMaintenance]]): q356's
+    * log-resident sketches fed by the stream — each micro-batch lands
+    * its raw rows as an exactly-once commit CARRYING the SketchSpec, so
+    * the stats surface maintains itself as a side effect of ingestion
+    * and p50/p90/p99 read only the log. Bottom-k merges exactly across
+    * batch boundaries → same oracle as q356 (the whole-corpus replay).
+    */
+  private def q359(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.sketchStoreMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q359"), 256, Seq(0.5, 0.9, 0.99))
+
   /** Partition COMPLETENESS / FRESHNESS audit: per day — event count,
     * distinct hours with data, head offset and tail gap in seconds, and
     * the 24-hour completeness flag. The ops dashboard that catches a
@@ -5265,6 +5277,70 @@ object SparkEntry {
     graft.operators.Similarity.mmrRerank(
       emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
       m = 24, k = 8, lamRel = 0.7, lamDiv = 0.3)
+  }
+
+  /** OPTIMIZE + HILBERT through the log
+    * ([[graft.sources.TxLake.optimizeHilbert]]): q184's atomic-rewrite
+    * proof shape with the locality-preserving curve — four
+    * hash-scattered commits become one Hilbert-clustered snapshot with
+    * named stats on both keys, then a two-predicate pruned read + exact
+    * filter answers the same aggregate. The curve value is layout-only
+    * (dropped before write), so the oracle is the plain filtered
+    * aggregate — identical to q184's, proving layout never changes
+    * answers, only file-skip rates (LayoutSpec measures those).
+    */
+  private def q358(s: SparkSession, dir: String): DataFrame = {
+    val lake = scratch(dir, "q358")
+    graft.sources.LocalFs.deleteRecursively(lake)
+    val o = T(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderstatus"))
+    (0 to 3).foreach(i => TxLake.commit(s, lake,
+      o.filter(pmod(col("o_orderkey"), lit(4)) === i).coalesce(1),
+      statsCols = Seq("o_custkey", "o_orderkey")))
+    TxLake.optimizeHilbert(s, lake, "o_custkey", "o_orderkey", bits = 16)
+    val r = o.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+    val (ct, ot) = (r.getLong(0) / 8, r.getLong(1) / 8)
+    TxLake.readPrunedBy(s, lake,
+      Seq(("o_custkey", 1L, ct), ("o_orderkey", 1L, ot)))
+      .filter(col("o_custkey").between(1L, ct) &&
+        col("o_orderkey").between(1L, ot))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumx(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** LAGGED CROSS-CORRELATION ([[graft.operators.Trend.crossCorr]]):
+    * Pearson r between hourly view counts and purchase counts at lags
+    * −3..+3 — the lead/lag detector q255's autocorrelation can't see
+    * (it correlates a series only with itself). Hour-domain frame, lag
+    * spine broadcast, sums exact in DECIMAL(38,0), one pinned-order
+    * double finish per lag.
+    */
+  private def q360(s: SparkSession, dir: String): DataFrame = {
+    val h = T(s, dir, "events")
+      .groupBy(expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    graft.operators.Trend.crossCorr(h, "hid", "x", "y", -3 to 3)
+  }
+
+  /** ROLLING-ORIGIN Holt BACKTEST
+    * ([[graft.operators.Trend.holtBacktestPerKey]]): at every hour t ≥ 3
+    * the pre-update (level, trend) state forecasts the hour's value;
+    * |error| and sMAPE terms accumulate inside the same sequential fold
+    * (double-sum order pinned to series order, replayed term-for-term by
+    * the recursive-CTE oracle). The "should I trust q261's forecaster on
+    * this series" report, per event type.
+    */
+  private def q361(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .cast("double").as("v"))
+    graft.operators.Trend.holtBacktestPerKey(
+        hourly, "event_type", "hid", "v", 0.5, 0.5)
+      .orderBy(col("event_type"))
   }
 
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
@@ -7401,6 +7477,10 @@ object SparkEntry {
     "q355_hilbert_layout" -> (q355 _),
     "q356_sketch_store" -> (q356 _),
     "q357_mmr_rerank" -> (q357 _),
+    "q358_optimize_hilbert" -> (q358 _),
+    "q359_stream_sketch_store" -> (q359 _),
+    "q360_crosscorr" -> (q360 _),
+    "q361_holt_backtest" -> (q361 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7978,6 +8058,19 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // per-lag Pearson over shifted hour pairs, DECIMAL(38,0) exact sums
+    "q360_crosscorr" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS t, CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y FROM events GROUP BY 1), l AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS t(lag)), p AS (SELECT l.lag, a.x, b.y FROM l CROSS JOIN h a JOIN h b ON b.t = a.t + l.lag), s AS (SELECT lag, COUNT(*) AS np, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy FROM p GROUP BY 1) SELECT lag, CAST(np AS BIGINT) AS n_pairs, round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r FROM s ORDER BY lag""",
+    // the backtest recursion carries (s, b, err-sum, smape-sum, count)
+    // in series order — double accumulation replayed term for term
+    "q361_holt_backtest" ->
+      """WITH RECURSIVE h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) AS v FROM events GROUP BY 1, 2), o AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hid) AS rn FROM h), nn AS (SELECT event_type, COUNT(*) AS n FROM o GROUP BY 1), rec AS (SELECT a.event_type, CAST(2 AS BIGINT) AS rn, b.v AS s, b.v - a.v AS b, CAST(0 AS DOUBLE) AS es, CAST(0 AS DOUBLE) AS sm, CAST(0 AS BIGINT) AS c FROM o a JOIN o b ON a.event_type = b.event_type AND a.rn = 1 AND b.rn = 2 UNION ALL SELECT r.event_type, r.rn + 1, 0.5 * x.v + 0.5 * (r.s + r.b), 0.5 * ((0.5 * x.v + 0.5 * (r.s + r.b)) - r.s) + 0.5 * r.b, r.es + abs(x.v - (r.s + r.b)), r.sm + CASE WHEN abs(x.v) + abs(r.s + r.b) = 0 THEN 0.0 ELSE 2.0 * abs(x.v - (r.s + r.b)) / (abs(x.v) + abs(r.s + r.b)) END, r.c + 1 FROM rec r JOIN o x ON x.event_type = r.event_type AND x.rn = r.rn + 1) SELECT f.event_type, nn.n, f.c AS n_forecasts, round(f.es / CAST(f.c AS DOUBLE), 6) AS mae, round(f.sm / CAST(f.c AS DOUBLE), 6) AS smape FROM rec f JOIN nn ON nn.event_type = f.event_type AND f.rn = nn.n WHERE nn.n >= 3 ORDER BY f.event_type""",
+    // the stream-fed sketch store must equal the whole-corpus replay
+    "q359_stream_sketch_store" ->
+      """WITH e AS (SELECT event_id AS id, CAST(value AS DOUBLE) AS v, CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h FROM events), m AS (SELECT v FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY h, id) AS rn FROM e) WHERE rn <= 256), arr AS (SELECT list_sort(list(v)) AS vals, COUNT(*) AS kk FROM m), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM e), spine AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)) SELECT q AS quantile, vals[CAST(GREATEST(1, CEIL(q * kk)) AS INTEGER)] AS est, CAST(kk AS BIGINT) AS sample_k, n_total FROM spine, arr, tot ORDER BY quantile""",
+    // layout never changes answers: same filtered aggregate as q184
+    "q358_optimize_hilbert" ->
+      """WITH b AS (SELECT MAX(o_custkey) // 8 AS ct, MAX(o_orderkey) // 8 AS ot FROM orders) SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price FROM orders, b WHERE o_custkey BETWEEN 1 AND ct AND o_orderkey BETWEEN 1 AND ot GROUP BY 1 ORDER BY o_orderstatus""",
     // the greedy MMR walk replayed as a recursive CTE carrying the
     // selected list; scores on the 4-decimal grid where pcos == VecCosine
     "q357_mmr_rerank" ->

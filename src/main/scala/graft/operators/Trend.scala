@@ -607,4 +607,98 @@ object Trend {
           expr("slice(transform(rows, x -> x.factor), 1, i + 1)"),
           lit(1.0), (acc, f) => acc * f), 6).as("survival"))
   }
+
+  /** LAGGED CROSS-CORRELATION between two integer series on a shared
+    * time axis: for each lag L, Pearson r over the pairs (x_t, y_{t+L})
+    * — the lead/lag detector ("views move purchases three hours later")
+    * that [[autocorrPerKey]] can't see because it correlates a series
+    * only with itself. Input frame is TIME-BUCKET-domain-sized by
+    * contract (hours/days — aggregate first); the lag spine broadcasts,
+    * pairs form by an equi-join on the shifted bucket id, and every sum
+    * is exact in DECIMAL(38,0) with one pinned-order double finish per
+    * lag (the q83/q335 discipline).
+    */
+  def crossCorr(
+      df: DataFrame,
+      tCol: String,
+      xCol: String,
+      yCol: String,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.distinct.size == lags.size)
+    val base = df.select(col(tCol).cast("long").as("t"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val spine = df.sparkSession.createDataFrame(lags.map(Tuple1(_)))
+      .toDF("lag")
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val pairs = base.as("a").crossJoin(broadcast(spine))
+      .join(base.as("b"), col("b.t") === col("a.t") + col("lag"))
+      .select(col("lag"), col("a.x").as("x"), col("b.y").as("y"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"))
+      .select(col("lag"), col("n_pairs"),
+        round((dbl(col("n_pairs")) * dbl(col("sxy")) -
+            dbl(col("sx")) * dbl(col("sy"))) /
+          (sqrt(dbl(col("n_pairs")) * dbl(col("sxx")) -
+            dbl(col("sx")) * dbl(col("sx"))) *
+            sqrt(dbl(col("n_pairs")) * dbl(col("syy")) -
+              dbl(col("sy")) * dbl(col("sy")))), 6).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  /** ROLLING-ORIGIN one-step-ahead HOLT BACKTEST — the evaluation
+    * [[holtPerKey]] itself never gives you: at every step t ≥ 3 the
+    * pre-update state forecasts x_t, and |error| plus sMAPE terms
+    * accumulate INSIDE the same sequential fold (so double-sum order is
+    * pinned to series order and the oracle's recursive CTE replays it
+    * term for term). α/β powers of two keep the complements exact.
+    * Output per key: n, n_forecasts, mae, smape — the "should I trust
+    * this forecaster on this series" report.
+    */
+  def holtBacktestPerKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      vCol: String,
+      alpha: Double,
+      beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta > 0.0 && beta <= 1.0)
+    val v1 = element_at(col("__s"), 1).getField("__v")
+    val v2 = element_at(col("__s"), 2).getField("__v")
+    val folded = aggregate(
+      expr("slice(__s, 3, greatest(size(__s) - 2, 0))"),
+      struct(v2.as("s"), (v2 - v1).as("b"),
+        lit(0.0).as("es"), lit(0.0).as("sm"), lit(0L).as("c")),
+      (acc, e) => {
+        val yHat = acc.getField("s") + acc.getField("b")
+        val y = e.getField("__v")
+        val err = abs(y - yHat)
+        val denom = abs(y) + abs(yHat)
+        val smT = when(denom === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * err / denom)
+        val sN = lit(alpha) * y + lit(1.0 - alpha) * yHat
+        struct(sN.as("s"),
+          (lit(beta) * (sN - acc.getField("s")) +
+            lit(1.0 - beta) * acc.getField("b")).as("b"),
+          (acc.getField("es") + err).as("es"),
+          (acc.getField("sm") + smT).as("sm"),
+          (acc.getField("c") + 1L).as("c"))
+      })
+    df.select(col(keyCol), col(orderCol).cast("long").as("__o"),
+        col(vCol).cast("double").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("__o"), col("__v")))).as("__s"))
+      .filter(col("n") >= 3)
+      .select(col(keyCol), col("n"),
+        folded.getField("c").as("n_forecasts"),
+        round(folded.getField("es") / folded.getField("c").cast("double"), 6)
+          .as("mae"),
+        round(folded.getField("sm") / folded.getField("c").cast("double"), 6)
+          .as("smape"))
+  }
 }

@@ -1946,6 +1946,36 @@ object TxLake {
       statsCols = if (statsCols.isEmpty) zCols else statsCols)
   }
 
+  /** OPTIMIZE + HILBERT: [[optimizeZorder]] with the locality-preserving
+    * curve ([[graft.operators.Layout.hilbertValue]]) — one atomic
+    * overwrite commit rewrites the snapshot clustered by the d=2 Hilbert
+    * index of `(xCol, yCol)` with named min/max stats on both, so
+    * log-based pruning skips on either key with tighter per-file ranges
+    * than Morton at equal file count (each file is a contiguous curve
+    * segment = a near-square tile; LayoutSpec measures the comparison).
+    * Time travel to the pre-layout versions stays intact like every
+    * OPTIMIZE here.
+    */
+  def optimizeHilbert(
+      spark: SparkSession,
+      path: String,
+      xCol: String,
+      yCol: String,
+      bits: Int = 12,
+      targetFiles: Int = 8,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(targetFiles >= 1)
+    import org.apache.spark.sql.functions.col
+    val clustered = readSnapshot(spark, path)
+      .withColumn("__h",
+        graft.operators.Layout.hilbertValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(targetFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+    commit(spark, path, clustered, overwrite = true,
+      statsCols = if (statsCols.isEmpty) Seq(xCol, yCol) else statsCols)
+  }
+
   /** VACUUM: physically delete data files that were logically removed at
     * or before `retainVersion` — they are invisible to every snapshot
     * from `retainVersion` onward. Time travel BELOW the horizon breaks

@@ -580,6 +580,43 @@ object StreamVerify {
       "user_id", "span_start", "span_end", weightCol = Some("n_merged"))
   }
 
+  /** Streaming SKETCH-STORE maintenance — the LOG-RESIDENT per-file
+    * sketches (q356's `TxLake.SketchSpec`) fed by a stream: each
+    * micro-batch lands its RAW rows as an exactly-once tagged commit
+    * that carries the sketch spec, so the stats surface maintains
+    * itself as a SIDE EFFECT of ingestion — no separate sample table
+    * (contrast [[quantileSketchMaintenance]], which maintains one) —
+    * and the percentile dashboard reads ONLY the log at any moment.
+    * Bottom-k merges exactly across batch boundaries, so the metadata
+    * answer equals the whole-corpus sketch however the stream sliced
+    * it.
+    */
+  def sketchStoreMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      k: Int,
+      qs: Seq[Double]): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/events_lake"
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.localCheckpoint(true).coalesce(1),
+          tag = s"sks-$id",
+          sketch = Some(graft.sources.TxLake.SketchSpec("event_id", "value", k)))
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.sources.TxLake.sketchQuantiles(spark, lake, "value", qs)
+  }
+
   /** Streaming QUANTILE-SKETCH maintenance — the mergeable bottom-k
     * sample (q316) kept current per micro-batch: each batch reduces to
     * ITS bottom-k (h, id, v) rows + one count row, landed as exactly-once

@@ -163,4 +163,29 @@ class TrendSpec extends SparkSuite {
       ("s", 1L, 1L, 10L), ("s", 12L, 12L, 100L), ("s", 23L, 23L, 10L)),
       s"expected endpoints + spike; got ${got.toList}")
   }
+
+  test("crossCorr: a planted 2-step lead reads r=1 at lag 2 and only there") {
+    val x = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    // y repeats x two steps later: y_{t+2} = x_t
+    val rows = (1 to 10).map(t =>
+      (t.toLong, x(t - 1), if (t >= 3) x(t - 3) else 0L))
+    val got = Trend.crossCorr(rows.toDF("t", "x", "y"), "t", "x", "y",
+        Seq(-1, 0, 1, 2, 3))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(2) == ((8L, 1.0)), s"lag 2 must be a perfect r=1: ${got(2)}")
+    assert(math.abs(got(0)._2) < 0.999, "lag 0 must not be perfect")
+    assert(got(-1)._1 == 9L && got(3)._1 == 7L, "pair counts shrink with |lag|")
+  }
+
+  test("holtBacktest: zero error on a perfect line, hand-computed otherwise") {
+    def bt(vals: Seq[Double]) = Trend.holtBacktestPerKey(
+      vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+        .toDF("k", "t", "v"), "k", "t", "v", 0.5, 0.5)
+      .collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).head
+    // Holt is exact on a linear series with the (x2, x2-x1) init
+    assert(bt(Seq(2, 4, 6, 8)) == ((4L, 2L, 0.0, 0.0)))
+    // final point misses by 2: yHat=8, y=10 → mae 1.0, smape 2/18 avg'd
+    assert(bt(Seq(2, 4, 6, 10)) == ((4L, 2L, 1.0, 0.111111)))
+  }
 }
