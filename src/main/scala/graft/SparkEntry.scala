@@ -5343,6 +5343,78 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** WELCH'S t-TEST ([[graft.operators.Drift.welchTTest]]): view-event
+    * value cents vs click-event value cents — the unequal-variance mean
+    * test beside q283's proportion z-test and q319's rank test; both
+    * slices' moments from one conditional pass, sums exact in
+    * DECIMAL(38,0), t and Welch–Satterthwaite df in pinned-order
+    * doubles.
+    */
+  private def q362(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"),
+        (col("event_type") === "view").as("isa"))
+    graft.operators.Drift.welchTTest(ev, "cents", col("isa"))
+  }
+
+  /** CLAMPED RUNNING BALANCE ([[graft.operators.Relational.clampedBalance]]):
+    * per-supplier on-hand stock under receipts (+qty) and returns (−qty)
+    * clamped to [0, 500] — the inventory fold no window can express
+    * (each step depends on the CLAMPED previous value, not the raw
+    * prefix sum); shortage and overflow hits counted in the same
+    * sequential HOF fold, replayed exactly by the recursive-CTE oracle.
+    */
+  private def q363(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select(col("l_suppkey"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("seq"),
+      when(col("l_returnflag") === "R", -col("l_quantity").cast("long"))
+        .otherwise(col("l_quantity").cast("long")).as("delta"))
+    graft.operators.Relational.clampedBalance(li, "l_suppkey", "seq",
+        "delta", cap = 500L)
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** EXACT-CENTS PRORATION ([[graft.operators.Relational.prorateCents]]):
+    * each order's 10% discount (integer cents) split across its line
+    * items proportionally to extended price, floors reconciled by
+    * largest remainder so every order's allocations SUM EXACTLY to its
+    * discount — the invoice requirement a double multiply silently
+    * violates. Remainders compare as exact integers; zero floating
+    * point anywhere.
+    */
+  private def q364(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("line_id"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("w"))
+    val o = T(s, dir, "orders").select(col("o_orderkey"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 10")
+        .as("disc"))
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("line_id"), col("w"), col("disc"))
+    graft.operators.Relational.prorateCents(j, "l_orderkey", "line_id",
+        "w", "disc")
+      .orderBy(col("l_orderkey"), col("line_id"))
+  }
+
+  /** t-CLOSENESS audit ([[graft.operators.Privacy.tCloseness]]): per
+    * market segment, the ordered-EMD between the segment's account-
+    * balance-decile distribution and the global one — the attack q322's
+    * l-diversity misses (a diverse class can still sit entirely in the
+    * top deciles). Densities on the 1e-9 grid, cumulative differences
+    * exact in DECIMAL, one double finish.
+    */
+  private def q365(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").select(col("c_mktsegment"),
+      floor((col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long") /
+        lit(100000.0)).cast("long").as("bal_decile"))
+    graft.operators.Privacy.tCloseness(c, Seq("c_mktsegment"),
+        "bal_decile", t = 0.2)
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7481,6 +7553,10 @@ object SparkEntry {
     "q359_stream_sketch_store" -> (q359 _),
     "q360_crosscorr" -> (q360 _),
     "q361_holt_backtest" -> (q361 _),
+    "q362_welch_ttest" -> (q362 _),
+    "q363_clamped_balance" -> (q363 _),
+    "q364_prorate_cents" -> (q364 _),
+    "q365_t_closeness" -> (q365 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8058,6 +8134,19 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // moments exact in DECIMAL(38,0); t and Welch df in pinned doubles
+    "q362_welch_ttest" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_type = 'view' AS isa FROM events WHERE event_type IN ('view', 'click')), s AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS nb, SUM(CASE WHEN isa THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sa, SUM(CASE WHEN NOT isa THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sb, SUM(CASE WHEN isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS saa, SUM(CASE WHEN NOT isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sbb FROM e), w AS (SELECT na, nb, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, ((CAST(na AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) AS sea, ((CAST(nb AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE) AS seb FROM s) SELECT na AS n_a, nb AS n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, round((ma - mb) / sqrt(sea + seb), 6) AS t_stat, round((sea + seb) * (sea + seb) / (sea * sea / (CAST(na AS DOUBLE) - 1.0) + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) AS df_welch FROM w""",
+    // the clamp makes each step depend on the CLAMPED previous value —
+    // replay is necessarily sequential per key
+    "q363_clamped_balance" ->
+      """WITH RECURSIVE li AS (SELECT l_suppkey AS k, l_orderkey * 8 + l_linenumber AS seq, CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT) ELSE CAST(l_quantity AS BIGINT) END AS d FROM lineitem), o AS (SELECT k, d, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq, d) AS rn FROM li), nn AS (SELECT k, COUNT(*) AS n FROM o GROUP BY 1), rec AS (SELECT k, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS h, CAST(0 AS BIGINT) AS lo, CAST(0 AS BIGINT) AS hi FROM nn UNION ALL SELECT r.k, r.rn + 1, LEAST(CAST(500 AS BIGINT), GREATEST(CAST(0 AS BIGINT), r.h + x.d)), r.lo + CASE WHEN r.h + x.d < 0 THEN 1 ELSE 0 END, r.hi + CASE WHEN r.h + x.d > 500 THEN 1 ELSE 0 END FROM rec r JOIN o x ON x.k = r.k AND x.rn = r.rn + 1) SELECT f.k AS l_suppkey, nn.n AS n_moves, f.h AS on_hand, f.lo AS n_shortages, f.hi AS n_overflows FROM rec f JOIN nn ON nn.k = f.k AND f.rn = nn.n ORDER BY f.k""",
+    // pure integer arithmetic: floor shares + largest-remainder top-up
+    "q364_prorate_cents" ->
+      """WITH li AS (SELECT l_orderkey, l_orderkey * 8 + l_linenumber AS line_id, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w FROM lineitem), o AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10 AS disc FROM orders), j AS (SELECT l_orderkey, line_id, w, disc FROM li JOIN o ON l_orderkey = o_orderkey), b AS (SELECT *, CAST(SUM(w) OVER (PARTITION BY l_orderkey) AS BIGINT) AS tw FROM j), c AS (SELECT *, disc * w AS num FROM b WHERE tw > 0), d AS (SELECT *, num // tw AS fs, num % tw AS rem FROM c), e AS (SELECT *, CAST(disc - SUM(fs) OVER (PARTITION BY l_orderkey) AS BIGINT) AS leftover, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY rem DESC, line_id, w) AS rk FROM d) SELECT l_orderkey, line_id, w, fs + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc FROM e ORDER BY l_orderkey, line_id""",
+    // densities on the 1e-9 grid, cumulative differences exact in DECIMAL
+    "q365_t_closeness" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) / 100000.0) AS BIGINT) AS s FROM customer), cells AS (SELECT seg, s, COUNT(*) AS n FROM c GROUP BY 1, 2), ct AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY 1), g AS (SELECT s, CAST(SUM(n) AS BIGINT) AS gn FROM cells GROUP BY 1), gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS nt FROM g), spine AS (SELECT ct.seg, ct.cn, g.s, g.gn, gt.nt FROM ct CROSS JOIN g CROSS JOIN gt), jj AS (SELECT sp.seg, sp.cn, sp.s, CAST(round(CAST(coalesce(cells.n, 0) AS DOUBLE) / CAST(sp.cn AS DOUBLE), 9) AS DECIMAL(18,9)) AS p, CAST(round(CAST(sp.gn AS DOUBLE) / CAST(sp.nt AS DOUBLE), 9) AS DECIMAL(18,9)) AS q FROM spine sp LEFT JOIN cells ON cells.seg = sp.seg AND cells.s = sp.s), cd AS (SELECT seg, cn, s, SUM(p - q) OVER (PARTITION BY seg ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdiff FROM jj), f AS (SELECT seg, cn AS class_size, COUNT(*) AS m_categories, SUM(abs(cdiff)) AS es FROM cd GROUP BY 1, 2) SELECT seg AS c_mktsegment, class_size, CAST(m_categories AS BIGINT) AS m_categories, round(CAST(es AS DOUBLE) / (CAST(m_categories AS DOUBLE) - 1.0), 6) AS emd, CAST(round(CAST(es AS DOUBLE) / (CAST(m_categories AS DOUBLE) - 1.0), 6) <= 0.2 AS INTEGER) AS close FROM f ORDER BY c_mktsegment""",
     // per-lag Pearson over shifted hour pairs, DECIMAL(38,0) exact sums
     "q360_crosscorr" ->
       """WITH h AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS t, CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y FROM events GROUP BY 1), l AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS t(lag)), p AS (SELECT l.lag, a.x, b.y FROM l CROSS JOIN h a JOIN h b ON b.t = a.t + l.lag), s AS (SELECT lag, COUNT(*) AS np, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy FROM p GROUP BY 1) SELECT lag, CAST(np AS BIGINT) AS n_pairs, round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(np AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r FROM s ORDER BY lag""",

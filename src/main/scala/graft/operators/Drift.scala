@@ -201,4 +201,45 @@ object Drift {
         (dbl(u2) / 2.0).as("u_a"),
         round((dbl(u2) - mu2) / (lit(2.0) * sqrt(sig2)), 6).as("z"))
   }
+
+  /** WELCH'S t-TEST (unequal variances) between two slices of an
+    * integer-valued column — the mean-difference test beside q283's
+    * proportion z-test and [[mannWhitney]]'s rank test: t =
+    * (m̄_a − m̄_b) / √(s²_a/n_a + s²_b/n_b) with the Welch–Satterthwaite
+    * df. Both slices' first two moments come from ONE conditional
+    * aggregation pass with every sum exact in DECIMAL(38,0) (the
+    * integer-cents discipline — cast money to cents first); the
+    * variance, t and df finish in pinned-order doubles rounded once.
+    */
+  def welchTTest(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val v = col(valueCol).cast("long").cast(d38)
+    val agg = df.agg(
+      sum(when(sampleACol, 1L).otherwise(0L)).as("na"),
+      sum(when(sampleACol, 0L).otherwise(1L)).as("nb"),
+      sum(when(sampleACol, v).otherwise(lit(0).cast(d38))).as("sa"),
+      sum(when(!sampleACol, v).otherwise(lit(0).cast(d38))).as("sb"),
+      sum(when(sampleACol, v * v).otherwise(lit(0).cast(d38))).as("saa"),
+      sum(when(!sampleACol, v * v).otherwise(lit(0).cast(d38))).as("sbb"))
+    def dbl(c: Column): Column = c.cast("double")
+    val (na, nb) = (dbl(col("na")), dbl(col("nb")))
+    // s² = (n·Σx² − (Σx)²) / (n·(n−1)), exact numerator
+    val va = (na * dbl(col("saa")) - dbl(col("sa")) * dbl(col("sa"))) /
+      (na * (na - 1.0))
+    val vb = (nb * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))) /
+      (nb * (nb - 1.0))
+    val sea = va / na
+    val seb = vb / nb
+    val t = (dbl(col("sa")) / na - dbl(col("sb")) / nb) / sqrt(sea + seb)
+    val dfW = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(dbl(col("sa")) / na, 6).as("mean_a"),
+      round(dbl(col("sb")) / nb, 6).as("mean_b"),
+      round(t, 6).as("t_stat"), round(dfW, 6).as("df_welch"))
+  }
 }

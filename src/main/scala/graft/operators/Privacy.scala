@@ -80,4 +80,60 @@ object Privacy {
           col("class_size").cast("double"), 6))
       .withColumn("diverse", (col("n_sensitive") >= l).cast("int"))
   }
+
+  /** t-CLOSENESS audit over an ORDERED sensitive attribute — the attack
+    * [[lDiversity]] misses: a class can be l-diverse yet still leak
+    * ("every salary in this class is in the top two deciles"). Distance
+    * is the ordered-EMD: (1/(m−1))·Σᵢ |Σ_{j≤i} (p_j − q_j)| between each
+    * class's sensitive-value distribution p and the global q over the m
+    * ordered categories. Per-category densities are rounded to the 1e-9
+    * grid and the CUMULATIVE sums run in DECIMAL (exact, order-free), so
+    * only the final division is floating point — the q332 term-grid
+    * discipline. Everything after the one cell census is
+    * (classes × m)-sized.
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(t > 0.0 && t < 1.0, "t must lie in (0, 1)")
+    val qi = quasiCols.map(col)
+    val d18 = DecimalType(18, 9)
+    val cells = df
+      .groupBy(qi :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val classTotals = cells.groupBy(qi: _*)
+      .agg(sum(col("__n")).as("__cn"))
+    val globalBySens = cells.groupBy(col("__s"))
+      .agg(sum(col("__n")).as("__gn"))
+    val globalTotal = globalBySens.agg(sum(col("__gn")).as("__N"))
+    // every (class × sensitive-category) pair, absent cells included —
+    // the cumulative difference needs the full ordered spine
+    val spine = classTotals.crossJoin(broadcast(
+      globalBySens.crossJoin(globalTotal)))
+    // rename the rejoined census column: spine already carries `cells`
+    // lineage (class/global totals derive from it), so a bare `__n`
+    // reference would be ambiguous under Spark's self-join resolution
+    val cellsR = cells.withColumnRenamed("__n", "__cell_n")
+    val joined = spine.join(cellsR, quasiCols :+ "__s", "left")
+      .withColumn("__p", round(coalesce(col("__cell_n"), lit(0L)).cast("double") /
+        col("__cn").cast("double"), 9).cast(d18))
+      .withColumn("__q", round(col("__gn").cast("double") /
+        col("__N").cast("double"), 9).cast(d18))
+    val cum = Window.partitionBy(qi: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("__cd", sum(col("__p") - col("__q")).over(cum))
+      .groupBy(qi :+ col("__cn").as("class_size"): _*)
+      .agg(count(lit(1)).as("m_categories"),
+        sum(abs(col("__cd"))).as("__emd_sum"))
+      .withColumn("emd",
+        round(col("__emd_sum").cast("double") /
+          (col("m_categories").cast("double") - 1.0), 6))
+      .withColumn("close", (col("emd") <= t).cast("int"))
+      .drop("__emd_sum")
+  }
 }

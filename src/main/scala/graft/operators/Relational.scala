@@ -508,4 +508,85 @@ object Relational {
           sqrt(dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))),
         6).as("rho"))
   }
+
+  /** CLAMPED RUNNING BALANCE per key: h_t = min(cap, max(0, h_{t−1} + Δ_t))
+    * — the inventory/credit-balance fold NO window function can express
+    * (the clamp makes each step depend on the clamped previous value, not
+    * the raw prefix sum; a plain cumsum resurrects stock that was never
+    * there). The whole per-key series folds in ONE codegen'd HOF
+    * aggregate over the sorted deltas (the q353 pattern) counting floor
+    * and ceiling hits as it goes — the stock-out / overflow audit. Pure
+    * integer arithmetic, replayed exactly by a recursive CTE.
+    *
+    * Per-key series must fit one row (the documented LTTB/Holt bound);
+    * order ties on `orderCol` are broken by the delta value for
+    * determinism — pass a unique ordering column.
+    */
+  def clampedBalance(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      deltaCol: String,
+      cap: Long): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val folded = aggregate(
+      col("__s"),
+      struct(lit(0L).as("h"), lit(0L).as("lo"), lit(0L).as("hi")),
+      (acc, e) => {
+        val raw = acc.getField("h") + e.getField("__d")
+        val h = least(lit(cap), greatest(lit(0L), raw))
+        struct(h.as("h"),
+          (acc.getField("lo") + when(raw < 0L, 1L).otherwise(0L)).as("lo"),
+          (acc.getField("hi") + when(raw > cap, 1L).otherwise(0L)).as("hi"))
+      })
+    df.select(col(keyCol), col(orderCol).cast("long").as("__o"),
+        col(deltaCol).cast("long").as("__d"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_moves"),
+        sort_array(collect_list(struct(col("__o"), col("__d")))).as("__s"))
+      .select(col(keyCol), col("n_moves"),
+        folded.getField("h").as("on_hand"),
+        folded.getField("lo").as("n_shortages"),
+        folded.getField("hi").as("n_overflows"))
+  }
+
+  /** EXACT-CENTS PRORATION with largest-remainder reconciliation: split
+    * each group's integer `totalCol` across its lines proportionally to
+    * integer `weightCol`, floor the shares, then hand the leftover cents
+    * to the largest fractional remainders (ties → lowest line id) so the
+    * allocations SUM EXACTLY to the total per group — the invoice /
+    * revenue-share requirement a double multiply silently violates.
+    * Remainders compare as exact integers (total·w mod W), two per-group
+    * windows, zero floating point anywhere.
+    */
+  def prorateCents(
+      df: DataFrame,
+      groupCol: String,
+      lineCol: String,
+      weightCol: String,
+      totalCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__g"))
+    val base = df.select(col(groupCol).as("__g"), col(lineCol).as("__l"),
+        col(weightCol).cast("long").as("__w"),
+        col(totalCol).cast("long").as("__t"))
+      // "__tw", not "__W": withColumn resolves case-INsensitively, so a
+      // column named __W would silently REPLACE __w (hit in round 8)
+      .withColumn("__tw", sum(col("__w")).over(w))
+      .filter(col("__tw") > 0)
+    // long arithmetic throughout: total·weight must fit a signed long
+    // (10^7-cent totals × 10^7-cent weights leave 4 orders of headroom);
+    // `div` is integer division, pmod the exact remainder
+    val ranked = base
+      .withColumn("__num", col("__t") * col("__w"))
+      .withColumn("__fs", expr("__num div __tw"))
+      .withColumn("__rem", pmod(col("__num"), col("__tw")))
+      .withColumn("__left", (col("__t") -
+        sum(col("__fs")).over(w)).cast("long"))
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col("__rem").desc, col("__l"), col("__w"))))
+    ranked.select(col("__g").as(groupCol), col("__l").as(lineCol),
+        col("__w").as(weightCol),
+        (col("__fs") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

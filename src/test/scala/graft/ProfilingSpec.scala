@@ -92,4 +92,30 @@ class ProfilingSpec extends SparkSuite {
     assert(math.abs(got._2 - slope) < 1e-5)
     assert(math.abs(got._3 - (sy - slope * sx) / n) < 1e-5)
   }
+
+  test("welchTTest: hand-computed two-sample case") {
+    import spark.implicits._
+    // A = [1,2,3] (mean 2, s²=1), B = [2,4,6] (mean 4, s²=4):
+    // t = -2/√(1/3+4/3) = -1.549193, df = (5/3)²/((1/9+16/9)/2) = 50/17
+    val df = (Seq(1L, 2L, 3L).map((_, true)) ++ Seq(2L, 4L, 6L).map((_, false)))
+      .toDF("v", "isa")
+    val r = graft.operators.Drift.welchTTest(df, "v", col("isa")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == -1.549193)
+    assert(r.getDouble(5) == math.rint(50.0 / 17.0 * 1e6) / 1e6)
+  }
+
+  test("tCloseness: ordered EMD against the global distribution") {
+    import spark.implicits._
+    // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 1L)).toDF("cls", "s")
+    val got = graft.operators.Privacy.tCloseness(df, Seq("cls"), "s", 0.3)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getInt(4))))
+      .toMap
+    assert(got("A") == ((0.25, 1)) && got("B") == ((0.25, 1)))
+    val tight = graft.operators.Privacy.tCloseness(df, Seq("cls"), "s", 0.2)
+      .collect().map(r => r.getInt(4)).toSeq
+    assert(tight == Seq(0, 0), "at t=0.2 both classes must fail closeness")
+  }
 }

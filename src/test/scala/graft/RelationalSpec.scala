@@ -208,4 +208,35 @@ class RelationalSpec extends SparkSuite {
     assert(got.contains((2L, 11L)), "closed intervals: touching endpoints match")
     assert(!got.contains((3L, 12L)), "adjacent-but-disjoint must not match")
   }
+
+  test("clampedBalance: floors, ceilings and hit counts, hand-computed") {
+    import spark.implicits._
+    // deltas +10, -5, -20 (short), +600 (overflow), +3 (overflow: 103>100)
+    val df = Seq((1L, 10L), (2L, -5L), (3L, -20L), (4L, 600L), (5L, 3L))
+      .map { case (t, d) => ("k", t, d) }.toDF("k", "t", "d")
+    val r = Relational.clampedBalance(df, "k", "t", "d", cap = 100L).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 100L, 1L, 2L)))
+    // the unclamped cumsum would say 588 — the clamp is not a formality
+  }
+
+  test("prorateCents: allocations sum exactly to the total, ties by line id") {
+    import spark.implicits._
+    // total 10 over equal weights: floors 3+3+3, leftover 1 -> lowest line
+    val eq = Seq((1L, 1L, 7L, 10L), (1L, 2L, 7L, 10L), (1L, 3L, 7L, 10L))
+      .toDF("g", "l", "w", "t")
+    val gotEq = Relational.prorateCents(eq, "g", "l", "w", "t")
+      .orderBy(col("l")).collect().map(_.getLong(3)).toSeq
+    assert(gotEq == Seq(4L, 3L, 3L))
+    // skewed weights still reconcile exactly on every group
+    val rnd = new scala.util.Random(3)
+    val lines = for { g <- 1L to 20L; l <- 1L to (1 + rnd.nextInt(6)).toLong }
+      yield (g, l, (1 + rnd.nextInt(9999)).toLong, 100000L + g)
+    val out = Relational.prorateCents(lines.toDF("g", "l", "w", "t"),
+      "g", "l", "w", "t")
+    val sums = out.groupBy(col("g")).agg(sum(col("alloc")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 20L).foreach(g =>
+      assert(sums(g) == 100000L + g, s"group $g must reconcile exactly"))
+  }
 }
