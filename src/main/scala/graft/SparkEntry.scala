@@ -5415,6 +5415,44 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** EXACT pairwise AUDIENCE OVERLAP
+    * ([[graft.operators.Sketches.bitmapOverlap]]): shared users between
+    * every pair of event types from the bitmap store — facts scanned
+    * once into word cells, each pair answered by popcount(AND) over the
+    * word-aligned cell join; exact, the precision companion to q260's
+    * KMV estimate. Oracle is the semantic COUNT-DISTINCT pair join
+    * (the q177 posture: the bitmap is the mechanism, not the meaning).
+    */
+  private def q366(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.bitmapOverlap(
+      T(s, dir, "events"), "event_type", "user_id")
+
+  /** BORŮVKA minimum spanning forest
+    * ([[graft.operators.Graph.minimumSpanningForest]]): every component
+    * picks its cheapest outgoing edge simultaneously — O(log n) rounds
+    * of joins, the MST shape that survives 1000 executors (Kruskal's
+    * global sort and Prim's one-at-a-time frontier do not). Graph:
+    * supplier ranks 1..N chained at deltas {1,2,5,11} (connected by
+    * construction) with md5-derived DISTINCT weights, so the MST is
+    * unique and the oracle — a sequential PRIM replay as a recursive
+    * CTE carrying the visited list — must produce the identical edge
+    * set, two utterly different algorithms agreeing edge-for-edge.
+    */
+  private def q367(s: SparkSession, dir: String): DataFrame = {
+    val ranks = T(s, dir, "supplier")
+      .select(row_number().over(Window.orderBy(col("s_suppkey")))
+        .cast("long").as("r"))
+    val mx = ranks.agg(max(col("r"))).head().getLong(0)
+    val d = s.createDataFrame(Seq(1L, 2L, 5L, 11L).map(Tuple1(_))).toDF("d")
+    val edges = ranks.crossJoin(broadcast(d))
+      .filter(col("r") + col("d") <= mx)
+      .select(col("r").as("src"), (col("r") + col("d")).as("dst"))
+      .withColumn("w", conv(substring(md5(concat_ws(":",
+        col("src"), col("dst"))), 1, 13), 16, 10).cast("long"))
+    graft.operators.Graph.minimumSpanningForest(edges)
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7557,6 +7595,8 @@ object SparkEntry {
     "q363_clamped_balance" -> (q363 _),
     "q364_prorate_cents" -> (q364 _),
     "q365_t_closeness" -> (q365 _),
+    "q366_audience_overlap" -> (q366 _),
+    "q367_boruvka_msf" -> (q367 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8134,6 +8174,15 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // the bitmap is the mechanism, not the meaning: the overlap matrix
+    // replays as the plain distinct-pair join
+    "q366_audience_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events), n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1), p AS (SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS n_inter FROM s a JOIN s b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2) SELECT p.ga, p.gb, na.n AS n_a, nb.n AS n_b, p.n_inter, round(CAST(p.n_inter AS DOUBLE) / CAST(na.n + nb.n - p.n_inter AS DOUBLE), 6) AS jaccard FROM p JOIN n na ON na.g = p.ga JOIN n nb ON nb.g = p.gb ORDER BY p.ga, p.gb""",
+    // distinct weights => the MSF is unique: sequential Prim (visited
+    // list carried through a recursive CTE) must agree edge-for-edge
+    // with the bulk-parallel Boruvka
+    "q367_boruvka_msf" ->
+      """WITH RECURSIVE k AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS r FROM supplier), n AS (SELECT MAX(r) AS mx FROM k), e AS (SELECT r AS src, r + d AS dst, CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || CAST(r + d AS VARCHAR)), 1, 13)) AS BIGINT) AS w FROM k CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)), (CAST(5 AS BIGINT)), (CAST(11 AS BIGINT))) AS dd(d) CROSS JOIN n WHERE r + d <= mx), eb AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e), prim AS (SELECT CAST(0 AS BIGINT) AS step, [CAST(1 AS BIGINT)] AS vis, CAST(NULL AS BIGINT) AS esrc, CAST(NULL AS BIGINT) AS edst, CAST(NULL AS BIGINT) AS ew UNION ALL SELECT t.step + 1, list_append(t.vis, CAST(t.m['dst'] AS BIGINT)), CAST(t.m['src'] AS BIGINT), CAST(t.m['dst'] AS BIGINT), CAST(t.m['w'] AS BIGINT) FROM (SELECT p.step AS step, p.vis AS vis, min(struct_pack(w := eb.w, src := eb.src, dst := eb.dst)) AS m FROM prim p JOIN eb ON list_contains(p.vis, eb.src) AND NOT list_contains(p.vis, eb.dst) GROUP BY p.step, p.vis) t) SELECT LEAST(esrc, edst) AS src, GREATEST(esrc, edst) AS dst, ew AS w FROM prim WHERE step >= 1 ORDER BY src, dst""",
     // moments exact in DECIMAL(38,0); t and Welch df in pinned doubles
     "q362_welch_ttest" ->
       """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_type = 'view' AS isa FROM events WHERE event_type IN ('view', 'click')), s AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS nb, SUM(CASE WHEN isa THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sa, SUM(CASE WHEN NOT isa THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sb, SUM(CASE WHEN isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS saa, SUM(CASE WHEN NOT isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sbb FROM e), w AS (SELECT na, nb, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, ((CAST(na AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) AS sea, ((CAST(nb AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE) AS seb FROM s) SELECT na AS n_a, nb AS n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, round((ma - mb) / sqrt(sea + seb), 6) AS t_stat, round((sea + seb) * (sea + seb) / (sea * sea / (CAST(na AS DOUBLE) - 1.0) + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) AS df_welch FROM w""",

@@ -402,4 +402,71 @@ object Graph {
     }
     closure
   }
+
+  /** BORŮVKA minimum spanning forest — the BULK-PARALLEL MST algorithm
+    * (Kruskal needs a global edge sort + sequential union-find; Prim
+    * grows one frontier at a time; Borůvka lets EVERY component pick its
+    * cheapest outgoing edge simultaneously, halving the component count
+    * per round → O(log n) rounds of joins/aggregations, the only MST
+    * shape that survives 1000 executors). Weights MUST be distinct
+    * (hash-derive them) — with distinct weights the MSF is unique, the
+    * simultaneous picks can't close a cycle longer than 2, and the one
+    * 2-cycle case (two components choosing each other) is broken by
+    * rooting at the smaller component id. Component merging is
+    * [[rootClosure]] pointer jumping over the COMPONENT-level pointer
+    * graph (component-domain-sized, never edges).
+    *
+    * `edges`: (src, dst, w) undirected, one row per edge. Returns the
+    * forest's (src, dst, w) rows in the input orientation.
+    */
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val nodes = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id"))).distinct()
+    var comp = nodes.select(col("id"), col("id").as("c")).localCheckpoint(true)
+    var forest = e0.limit(0).localCheckpoint(true)
+    var round = 0
+    var active = 1L
+    while (active > 0 && round < maxRounds) {
+      val cs = comp.select(col("id").as("src"), col("c").as("cs"))
+      val cd = comp.select(col("id").as("dst"), col("c").as("cd"))
+      val e2 = e0.join(cs, "src").join(cd, "dst")
+        .filter(col("cs") =!= col("cd")).localCheckpoint(true)
+      active = e2.count()
+      if (active > 0) {
+        // every inter-component edge is OUTGOING for both endpoints
+        val cand = e2.select(col("cs").as("c"),
+            struct(col("w"), col("src"), col("dst"), col("cd").as("o")).as("e"))
+          .unionByName(e2.select(col("cd").as("c"),
+            struct(col("w"), col("src"), col("dst"), col("cs").as("o")).as("e")))
+        // struct min is lexicographic and w leads: distinct weights make
+        // the per-component pick unique and engine-independent
+        val minE = cand.groupBy(col("c")).agg(min(col("e")).as("e"))
+          .localCheckpoint(true)
+        forest = forest.unionByName(
+            minE.select(col("e.src").as("src"), col("e.dst").as("dst"),
+              col("e.w").as("w")).distinct())
+          .localCheckpoint(true)
+        // component pointer graph c -> other; mutual picks (the only
+        // possible cycles) root at the smaller id, giving a forest
+        val ptr0 = minE.select(col("c"), col("e.o").as("p"))
+        val back = ptr0.select(col("c").as("c2"), col("p").as("p2"))
+        val ptr = ptr0.join(back,
+            ptr0("c") === col("p2") && ptr0("p") === col("c2"), "left")
+          .select(ptr0("c").as("id"),
+            when(col("c2").isNotNull && ptr0("c") < ptr0("p"),
+              lit(null).cast("long")).otherwise(ptr0("p")).as("parent"))
+        val rootMap = rootClosure(ptr, maxRounds)
+          .select(col("id").as("cOld"), col("root").as("cNew"))
+        comp = comp.join(rootMap, comp("c") === col("cOld"), "left")
+          .select(col("id"), coalesce(col("cNew"), col("c")).as("c"))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    require(active == 0, s"Borůvka did not converge within $maxRounds rounds")
+    forest
+  }
 }

@@ -180,6 +180,44 @@ object Sketches {
     * Both aggregations map-side combine; shuffle cardinality is
     * groups × occupied words, never fact rows.
     */
+  /** EXACT pairwise AUDIENCE OVERLAP from the bitmap store — the
+    * marketing/segmentation matrix ("how many users do segments A and B
+    * share") at bitmap cost: facts are scanned ONCE into per-group word
+    * cells ([[bitmapWords]]); every pair's intersection is then
+    * popcount(maskₐ AND mask_b) summed over the words the pair shares —
+    * a word-aligned equi-join over the CELL table (groups × occupied
+    * words), never a fact self-join. Emits (ga, gb, n_a, n_b, n_inter,
+    * jaccard) for pairs with n_inter > 0; exact, not estimated — the
+    * precision companion to [[kmvJaccard]]'s sketch estimate.
+    */
+  def bitmapOverlap(
+      facts: DataFrame,
+      groupCol: String,
+      keyCol: String): DataFrame = {
+    val cells = bitmapWords(
+      facts.select(col(groupCol).as("g"), col(keyCol).as("k")),
+      Seq("g"), "k")
+    val sizes = cells.groupBy(col("g"))
+      .agg(sum(bit_count(col("mask")).cast("long")).as("n"))
+    val inter = cells.select(col("g").as("ga"), col("__word"),
+        col("mask").as("ma"))
+      .join(cells.select(col("g").as("gb"), col("__word"),
+        col("mask").as("mb")), Seq("__word"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(bit_count(col("ma").bitwiseAND(col("mb"))).cast("long"))
+        .as("n_inter"))
+      .filter(col("n_inter") > 0)
+    inter
+      .join(sizes.select(col("g").as("ga"), col("n").as("n_a")), Seq("ga"))
+      .join(sizes.select(col("g").as("gb"), col("n").as("n_b")), Seq("gb"))
+      .select(col("ga"), col("gb"), col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("ga"), col("gb"))
+  }
+
   def bitmapWords(
       facts: DataFrame,
       groupCols: Seq[String],

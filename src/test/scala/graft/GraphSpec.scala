@@ -336,4 +336,53 @@ class GraphSpec extends SparkSuite {
     assert(got(3L) == ((2L, 1L, 1.0)))
     assert(got(4L) == ((1L, 0L, 0.0)), "pendant reports 0 by convention")
   }
+
+  /** Sequential Kruskal with union-find — the in-test referee for the
+    * bulk-parallel Borůvka (two unrelated algorithms; distinct weights
+    * make the answer unique, so they must agree edge-for-edge).
+    */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.sortBy(_._3).flatMap { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSet
+  }
+
+  test("minimumSpanningForest matches Kruskal on a random graph, incl. forests") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // two islands (1..30 and 101..120) -> a FOREST, not a tree
+    def island(lo: Long, hi: Long): Seq[(Long, Long)] = {
+      val chain = (lo until hi).map(i => (i, i + 1))
+      val extra = (0 until 40).map { _ =>
+        val a = lo + rnd.nextInt((hi - lo).toInt)
+        val b = lo + rnd.nextInt((hi - lo).toInt)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+      (chain ++ extra).distinct
+    }
+    val pairs = island(1L, 30L) ++ island(101L, 120L)
+    // distinct weights by construction: a permutation of indices
+    val weights = rnd.shuffle(pairs.indices.toList)
+    val edges = pairs.zip(weights).map { case ((a, b), w) => (a, b, w.toLong) }
+    val got = Graph.minimumSpanningForest(edges.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == kruskal(edges), "unique MSF: Boruvka must equal Kruskal")
+    assert(got.size == (29 + 19), "n-1 edges per island")
+  }
+
+  test("minimumSpanningForest: the mutual-pick 2-cycle resolves cleanly") {
+    import spark.implicits._
+    // components {1,2} both pick the same cheapest bridge in round 1
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 50L), (2L, 4L, 60L),
+      (3L, 4L, 70L)).toDF("src", "dst", "w")
+    val got = Graph.minimumSpanningForest(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 5L), (1L, 3L, 50L), (2L, 4L, 60L)))
+  }
 }

@@ -232,4 +232,27 @@ class SketchesSpec extends SparkSuite {
     assert(got.keySet == Set(("a", "b"), ("a", "c"), ("a", "d"),
       ("b", "c"), ("b", "d"), ("c", "d")))
   }
+
+  test("bitmapOverlap: exact pairwise intersections vs a brute set compare") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val facts = (0 until 3000).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(500).toLong))
+    val got = Sketches.bitmapOverlap(facts.toDF("g", "k"), "g", "k")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val sets = facts.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    for { a <- sets.keys; b <- sets.keys if a < b } {
+      val inter = (sets(a) & sets(b)).size.toLong
+      if (inter > 0) {
+        val (na, nb, ni, j) = got((a, b))
+        assert((na, nb, ni) == ((sets(a).size.toLong, sets(b).size.toLong, inter)),
+          s"pair ($a,$b)")
+        val expJ = math.rint(inter.toDouble /
+          (sets(a).size + sets(b).size - inter) * 1e6) / 1e6
+        assert(j == expJ)
+      } else assert(!got.contains((a, b)), "zero-overlap pairs are absent")
+    }
+  }
 }
