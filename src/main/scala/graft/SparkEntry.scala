@@ -5453,6 +5453,42 @@ object SparkEntry {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** FOREIGN-KEY DISCOVERY ([[graft.operators.Profiling.fkContainment]]):
+    * inclusion-dependency profiles for five candidate child→parent column
+    * pairs — four true FKs and one deliberate non-FK (orderkey ⊄
+    * custkey) — the join-graph inference audit for an undocumented lake;
+    * each pair costs two distinct-aggregates and a key-domain join,
+    * never a fact×fact join.
+    */
+  private def q368(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.fkContainment(Seq(
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        T(s, dir, "lineitem"), "l_orderkey", T(s, dir, "orders"), "o_orderkey"),
+      ("lineitem.l_partkey->part.p_partkey",
+        T(s, dir, "lineitem"), "l_partkey", T(s, dir, "part"), "p_partkey"),
+      ("orders.o_custkey->customer.c_custkey",
+        T(s, dir, "orders"), "o_custkey", T(s, dir, "customer"), "c_custkey"),
+      ("customer.c_nationkey->nation.n_nationkey",
+        T(s, dir, "customer"), "c_nationkey", T(s, dir, "nation"), "n_nationkey"),
+      ("orders.o_orderkey->customer.c_custkey",
+        T(s, dir, "orders"), "o_orderkey", T(s, dir, "customer"), "c_custkey")))
+      .orderBy(col("candidate"))
+
+  /** OFF-POLICY REPLAY evaluation
+    * ([[graft.operators.Features.policyReplay]]): a deterministic
+    * hash-rule policy scored against the logged event stream by the
+    * replay method — keep rows where the logged action equals the
+    * policy's choice, average their reward cents exactly, report beside
+    * the logged baseline. The offline bandit readout before an online
+    * A/B.
+    */
+  private def q369(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("user_id"), col("event_type"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    graft.operators.Features.policyReplay(ev, "user_id", "event_type",
+      "cents", Seq("view", "click", "purchase", "signup", "error"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7597,6 +7633,8 @@ object SparkEntry {
     "q365_t_closeness" -> (q365 _),
     "q366_audience_overlap" -> (q366 _),
     "q367_boruvka_msf" -> (q367 _),
+    "q368_fk_discovery" -> (q368 _),
+    "q369_policy_replay" -> (q369 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7838,6 +7876,19 @@ object SparkEntry {
 
   private def zorderSql(x: String, y: String, bits: Int = 16): String =
     zorderSqlN(bits, Seq(x, y))
+
+  /** One fk-containment candidate replayed: distinct key domains joined,
+    * parent-distinct via scalar subquery (mirrors Profiling.fkContainment).
+    */
+  private def fkPairSql(name: String, childTable: String, childCol: String,
+      parentTable: String, parentCol: String): String =
+    s"SELECT '$name' AS candidate, CAST(COUNT(*) AS BIGINT) AS n_child_distinct, " +
+      s"(SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT CAST($parentCol AS VARCHAR) AS k FROM $parentTable WHERE $parentCol IS NOT NULL)) AS n_parent_distinct, " +
+      s"CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contained, " +
+      s"round(CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS containment, " +
+      s"CAST(CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = CAST(COUNT(*) AS BIGINT) AS INTEGER) AS is_fk " +
+      s"FROM (SELECT DISTINCT CAST($childCol AS VARCHAR) AS k FROM $childTable WHERE $childCol IS NOT NULL) c " +
+      s"LEFT JOIN (SELECT DISTINCT CAST($parentCol AS VARCHAR) AS k FROM $parentTable WHERE $parentCol IS NOT NULL) p ON c.k = p.k"
 
   /** DuckDB replay of [[graft.plans.HilbertIndex2]]'s xy2d walk: a
     * list_reduce fold over the bit levels (top bit first), flip with the
@@ -8174,6 +8225,19 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, day_nr, ${zorderSql("o_custkey", "day_nr")} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr FROM orders) ORDER BY o_orderkey""",
     "q94_zorder3" ->
       s"""SELECT o_orderkey, o_custkey, day_nr, price_k, ${zorderSqlN(16, Seq("o_custkey", "day_nr", "price_k"))} AS zval FROM (SELECT o_orderkey, o_custkey, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_nr, CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k FROM orders) ORDER BY o_orderkey""",
+    // five inclusion-dependency probes over distinct key domains
+    "q368_fk_discovery" ->
+      s"""SELECT * FROM (${Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("orders.o_orderkey->customer.c_custkey", "orders", "o_orderkey", "customer", "c_custkey"))
+        .map(p => fkPairSql(p._1, p._2, p._3, p._4, p._5))
+        .mkString(" UNION ALL ")}) ORDER BY candidate""",
+    // the hash policy replays verbatim; exact-cents reward means
+    "q369_policy_replay" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, ['view','click','purchase','signup','error'][CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) % 5 AS INTEGER) + 1] AS pol FROM events), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total, CAST(SUM(CASE WHEN event_type = pol THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, SUM(CASE WHEN event_type = pol THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sr, SUM(CAST(cents AS DECIMAL(38,0))) AS srall FROM e) SELECT n_total, n_matched, round(CAST(n_matched AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS match_rate, round(CAST(sr AS DOUBLE) / CAST(n_matched AS DOUBLE), 6) AS replay_reward, round(CAST(srall AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS baseline_reward FROM s""",
     // the bitmap is the mechanism, not the meaning: the overlap matrix
     // replays as the plain distinct-pair join
     "q366_audience_overlap" ->

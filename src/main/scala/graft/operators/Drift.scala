@@ -242,4 +242,59 @@ object Drift {
       round(dbl(col("sb")) / nb, 6).as("mean_b"),
       round(t, 6).as("t_stat"), round(dfW, 6).as("df_welch"))
   }
+
+  /** KRUSKAL–WALLIS H — [[mannWhitney]]'s k-group generalization: "does
+    * ANY of these groups sit systematically higher," the non-parametric
+    * one-way ANOVA. Same 100 TB rank formulation: values collapse to the
+    * (value × group) DOMAIN in one map-side-combined pass, average ranks
+    * come from a cumulative window over the value domain (doubled so
+    * 2·avg stays integral), per-group rank sums re-join by value.
+    * Exactness: rank sums and the tie term Σ(t³−t) accumulate in
+    * DECIMAL(38,0); each group's R²/n term lands once on the 1e-6
+    * decimal grid and the k-row finish (H, tie-corrected H) is pinned
+    * doubles — H = 3/(n(n+1))·Σ (2R_g)²/n_g − 3(n+1) over the doubled
+    * sums. Output: one row per group (n, rank_sum) with the shared H
+    * broadcast onto each row (the mutual-info mi_total shape).
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val byVG = df
+      .groupBy(col(valueCol).cast("double").as("v"),
+        col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("tvg"))
+    val byV = byVG.groupBy(col("v")).agg(sum(col("tvg")).as("t"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // doubled average rank of the tie group ending at cumulative count c
+    val ranked = byV
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("r2", lit(2L) * col("c") - col("t") + 1L)
+    val perGroup = byVG.join(ranked, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("tvg")).as("n_g"),
+        sum(col("tvg").cast(d38) * col("r2").cast(d38)).as("r2sum"))
+      // (2R_g)²/n_g on the 1e-6 grid: one rounding per group, summed exact
+      .withColumn("term",
+        round(dbl(col("r2sum")) * dbl(col("r2sum")) / dbl(col("n_g")), 6)
+          .cast(DecimalType(38, 6)))
+    val ties = ranked.agg(
+      sum(col("t").cast(d38) * col("t").cast(d38) * col("t").cast(d38) -
+        col("t").cast(d38)).as("ties"))
+    val tot = Window.partitionBy()
+    val n = sum(col("n_g")).over(tot)
+    val h = lit(3.0) / (dbl(n) * (dbl(n) + 1.0)) *
+      dbl(sum(col("term")).over(tot)) - lit(3.0) * (dbl(n) + 1.0)
+    val corr = lit(1.0) - dbl(col("ties")) / (dbl(n) * dbl(n) * dbl(n) - dbl(n))
+    perGroup.crossJoin(broadcast(ties))
+      .select(col("g"), col("n_g"),
+        (dbl(col("r2sum")) / 2.0).as("rank_sum"),
+        round(h, 6).as("h_stat"),
+        round(h / corr, 6).as("h_tie_corrected"))
+  }
 }

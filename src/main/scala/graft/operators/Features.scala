@@ -171,4 +171,99 @@ object Features {
         col("woe"), col("iv_term").cast("double").as("iv_term"),
         col("iv_total"))
   }
+
+  /** OFF-POLICY REPLAY evaluation (the Li et al. replay method): score a
+    * DETERMINISTIC candidate policy against logged (context, action,
+    * reward) rows without deploying it — keep only rows where the logged
+    * action happens to equal the policy's choice for that context, and
+    * average their rewards. Unbiased when logging was uniform-random
+    * over `actions`; always an apples-to-apples A/B-style readout
+    * against the logged baseline. The policy here is the hash rule
+    * `actions[h52(context) mod |actions|]` — stateless, so every
+    * executor (and the oracle) scores contexts identically with zero
+    * coordination, the same property that makes [[hashedFeatures]]
+    * serve-safe. Reward means are exact-cents decimal sums divided once.
+    */
+  def policyReplay(
+      df: DataFrame,
+      contextCol: String,
+      actionCol: String,
+      rewardCentsCol: String,
+      actions: Seq[String]): DataFrame = {
+    require(actions.nonEmpty && actions.distinct.size == actions.size)
+    import org.apache.spark.sql.types.DecimalType
+    val policy = hashPolicy(col(contextCol), actions)
+    val d38 = DecimalType(38, 0)
+    val r = col(rewardCentsCol).cast("long").cast(d38)
+    val matched = col(actionCol) === policy
+    df.agg(count(lit(1)).as("n_total"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(matched, r).otherwise(lit(0).cast(d38))).as("sr"),
+        sum(r).as("srAll"))
+      .select(col("n_total"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("n_total").cast("double"),
+          6).as("match_rate"),
+        round(col("sr").cast("double") / col("n_matched").cast("double"), 6)
+          .as("replay_reward"),
+        round(col("srAll").cast("double") / col("n_total").cast("double"), 6)
+          .as("baseline_reward"))
+  }
+
+  /** The deterministic hash policy both off-policy evaluators score:
+    * `actions[h52(context) mod |actions|]`. Stateless, so every executor
+    * (and the oracle) maps contexts identically with zero coordination.
+    */
+  private def hashPolicy(context: Column, actions: Seq[String]): Column = {
+    val h = conv(substring(md5(context.cast("string").cast("binary")),
+      1, 13), 16, 10).cast("long")
+    element_at(array(actions.map(lit): _*),
+      pmod(h, lit(actions.size)).cast("int") + 1)
+  }
+
+  /** INVERSE-PROPENSITY-SCORED off-policy evaluation — [[policyReplay]]'s
+    * estimator when logging was NOT uniform: weight each matched row by
+    * 1/p̂(logged action), with p̂ the EMPIRICAL logging distribution
+    * (n_a/n, measured from the log itself in the same pass). Reports both
+    * plain IPS — unbiased but variance-prone when a rare action carries a
+    * big weight — and the self-normalized SNIPS = Σwr/Σw that trades a
+    * vanishing bias for much lower variance (the estimator actually
+    * shipped). All mass aggregates to the ACTION domain first (≤ |actions|
+    * rows), each action's Σr/n_a and m_a/n_a terms land once on the 1e-6
+    * decimal grid, and the k-row finish is pinned doubles — so the whole
+    * evaluation is one map-side-combined pass over the log regardless of
+    * scale.
+    */
+  def ipsEval(
+      df: DataFrame,
+      contextCol: String,
+      actionCol: String,
+      rewardCentsCol: String,
+      actions: Seq[String]): DataFrame = {
+    require(actions.nonEmpty && actions.distinct.size == actions.size)
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val d386 = DecimalType(38, 6)
+    def dbl(c: Column): Column = c.cast("double")
+    val matched = col(actionCol) === hashPolicy(col(contextCol), actions)
+    val r = col(rewardCentsCol).cast("long").cast(d38)
+    val byAction = df
+      .groupBy(col(actionCol).as("a"))
+      .agg(count(lit(1)).as("n_a"),
+        sum(when(matched, 1L).otherwise(0L)).as("m_a"),
+        sum(when(matched, r).otherwise(lit(0).cast(d38))).as("s_a"),
+        sum(r).as("sr_a"))
+    byAction
+      .agg(sum(col("n_a")).as("n_total"),
+        sum(col("m_a")).as("n_matched"),
+        sum(round(dbl(col("s_a")) / dbl(col("n_a")), 6).cast(d386))
+          .as("ips_sum"),
+        sum(round(dbl(col("m_a")) / dbl(col("n_a")), 6).cast(d386))
+          .as("w_sum"),
+        sum(col("sr_a")).as("sr_all"))
+      .select(col("n_total"), col("n_matched"),
+        round(dbl(col("ips_sum")), 6).as("ips_reward"),
+        round(dbl(col("ips_sum")) / dbl(col("w_sum")), 6).as("snips_reward"),
+        round(dbl(col("sr_all")) / dbl(col("n_total")), 6)
+          .as("baseline_reward"))
+  }
 }

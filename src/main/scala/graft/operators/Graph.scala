@@ -469,4 +469,45 @@ object Graph {
     require(active == 0, s"Borůvka did not converge within $maxRounds rounds")
     forest
   }
+
+  /** ADAMIC–ADAR link prediction over a bipartite incidence list
+    * `(node, via)`: score(n1, n2) = Σ over shared connectors of
+    * 1/ln(degree(via)) — common neighbors, discounted by how promiscuous
+    * each connector is (two parts sharing a 2-part order is signal; a
+    * 50-part order says almost nothing). Pairs materialize ONLY per
+    * connector (a self-join inside the via key), so the cost is
+    * Σ deg(via)², never node²; connectors with degree > `maxDegree`
+    * are dropped outright — the LSH-band-cap posture: at 100 TB a single
+    * hub via would otherwise emit billions of pairs that each carry a
+    * near-zero 1/ln(d) anyway. Degree-1 connectors contribute no pairs
+    * (and would divide by ln 1 = 0), so they're filtered with the same
+    * predicate. Per-connector weights land on the 1e-9 decimal grid and
+    * sum exactly; pairs below `minShared` shared connectors are noise
+    * and are dropped to keep the output answer-sized.
+    */
+  def adamicAdar(
+      df: DataFrame,
+      nodeCol: String,
+      viaCol: String,
+      minShared: Int,
+      maxDegree: Int): DataFrame = {
+    require(minShared >= 1 && maxDegree >= 2)
+    val nv = df.select(col(nodeCol).cast("long").as("n"),
+      col(viaCol).cast("long").as("v")).distinct()
+    val deg = nv.groupBy(col("v"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= maxDegree)
+      .withColumn("w",
+        round(lit(1.0) / log(col("d").cast("double")), 9)
+          .cast(DecimalType(18, 9)))
+    val inc = nv.join(deg, "v")
+    inc.as("a").join(inc.as("b"),
+        col("a.v") === col("b.v") && col("a.n") < col("b.n"))
+      .groupBy(col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("a.w")).as("__s"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("n1"), col("n2"), col("n_shared"),
+        col("__s").cast("double").as("aa_score"))
+  }
 }

@@ -161,4 +161,37 @@ object Profiling {
           6))
       .withColumn("holds", col("n_violating") === 0)
   }
+
+  /** FOREIGN-KEY DISCOVERY across tables — [[fdViolations]]' cross-table
+    * sibling: for each candidate (child column → parent column) pair,
+    * the inclusion-dependency profile — distinct counts on both sides,
+    * how many child values the parent CONTAINS, the containment
+    * fraction, and the is_fk verdict (containment = 1). The schema-
+    * inference audit run before trusting an undocumented lake's join
+    * graph. Each pair is two distinct-aggregates and one left join on
+    * the DISTINCT key domains — never a fact×fact join; pairs union into
+    * one frame.
+    */
+  def fkContainment(
+      candidates: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(candidates.nonEmpty)
+    candidates.map { case (name, child, childCol, parent, parentCol) =>
+      val c = child.select(col(childCol).cast("string").as("k"))
+        .filter(col("k").isNotNull).distinct()
+      val p = parent.select(col(parentCol).cast("string").as("k"))
+        .filter(col("k").isNotNull).distinct()
+        .withColumn("__in_p", lit(1L))
+      c.join(p, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child_distinct"),
+          sum(coalesce(col("__in_p"), lit(0L))).as("n_contained"))
+        .crossJoin(p.agg(count(lit(1)).as("n_parent_distinct")))
+        .select(lit(name).as("candidate"),
+          col("n_child_distinct"), col("n_parent_distinct"),
+          col("n_contained"),
+          round(col("n_contained").cast("double") /
+            col("n_child_distinct").cast("double"), 6).as("containment"),
+          (col("n_contained") === col("n_child_distinct")).cast("int")
+            .as("is_fk"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -701,4 +701,35 @@ object Trend {
         round(folded.getField("sm") / folded.getField("c").cast("double"), 6)
           .as("smape"))
   }
+
+  /** MAXIMUM DRAWDOWN per key — the risk statistic of a value series:
+    * the deepest peak-to-trough fall `max_t (max_{s≤t} v_s − v_t)`, plus
+    * the running peak and global trough for context. A pure window
+    * composition (running max inside the key partition, then one
+    * aggregate), so the whole thing is two key-partitioned shuffles with
+    * ZERO sequential state — unlike [[holtBacktestPerKey]]'s fold this
+    * needs no collect_list bound because running max is
+    * window-streamable. Values are integer cents by contract, so every
+    * intermediate is exact; `orderCols` must pin a deterministic total
+    * order within the key (running max depends on it when timestamps
+    * tie).
+    */
+  def maxDrawdown(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      vCentsCol: String): DataFrame = {
+    require(orderCols.nonEmpty)
+    val v = col(vCentsCol).cast("long")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol) +: orderCols.map(col) :+ v.as("__v"): _*)
+      .withColumn("__dd", max(col("__v")).over(w) - col("__v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("__dd")).as("max_drawdown"),
+        max(col("__v")).as("peak"),
+        min(col("__v")).as("trough"))
+  }
 }

@@ -64,4 +64,26 @@ class FeaturesSpec extends SparkSuite {
       .collect()(0)
     assert(t.getDouble(9) == 0.5, s"tie-averaged AUC should be 0.5, got $t")
   }
+
+  test("policyReplay: hash policy scored exactly against a replayed log") {
+    val actions = Seq("a", "b", "c")
+    // the same h52-mod rule the operator evaluates, recomputed in plain JVM
+    def pol(ctx: String): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(ctx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      actions((java.lang.Long.parseLong(hex.substring(0, 13), 16) % 3).toInt)
+    }
+    // every context logs each action once, with action-dependent reward,
+    // so exactly one row per context matches the deterministic policy
+    val users = Seq("u1", "u2", "u3", "u4", "u5")
+    val rows = for { u <- users; (a, i) <- actions.zipWithIndex }
+      yield (u, a, 100L * (i + 1))
+    val r = Features.policyReplay(rows.toDF("ctx", "act", "cents"),
+      "ctx", "act", "cents", actions).head()
+    val matchedSum = users.map(u => 100L * (actions.indexOf(pol(u)) + 1)).sum
+    assert(r.getLong(0) == 15L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == math.rint(5.0 / 15.0 * 1e6) / 1e6)
+    assert(r.getDouble(3) == math.rint(matchedSum / 5.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(600.0 * 5 / 15.0 * 1e6) / 1e6)
+  }
 }

@@ -118,4 +118,20 @@ class ProfilingSpec extends SparkSuite {
       .collect().map(r => r.getInt(4)).toSeq
     assert(tight == Seq(0, 0), "at t=0.2 both classes must fail closeness")
   }
+
+  test("fkContainment: containment fractions, verdicts, null exclusion") {
+    val parent = Seq(1, 2, 3, 4).toDF("pk")
+    val full = Seq(Some(1), Some(2), Some(2), Some(3), None).toDF("ck")
+    val partial = Seq(1, 5, 5).toDF("ck") // 5 ∉ parent
+    val got = Profiling.fkContainment(Seq(
+      ("full", full, "ck", parent, "pk"),
+      ("partial", partial, "ck", parent, "pk")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f = got("full") // null dropped, dup collapsed: domain {1,2,3}
+    assert(f.getLong(1) == 3L && f.getLong(2) == 4L && f.getLong(3) == 3L)
+    assert(f.getDouble(4) == 1.0 && f.getInt(5) == 1)
+    val p = got("partial") // domain {1,5}: only 1 contained
+    assert(p.getLong(1) == 2L && p.getLong(2) == 4L && p.getLong(3) == 1L)
+    assert(p.getDouble(4) == 0.5 && p.getInt(5) == 0)
+  }
 }
