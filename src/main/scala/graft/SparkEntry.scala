@@ -5489,6 +5489,60 @@ object SparkEntry {
       "cents", Seq("view", "click", "purchase", "signup", "error"))
   }
 
+  /** MAXIMUM DRAWDOWN per supplier
+    * ([[graft.operators.Trend.maxDrawdown]]): deepest peak-to-trough fall
+    * of each supplier's line-price series in exact cents — two
+    * key-partitioned window/aggregate shuffles, zero sequential state.
+    * The order is pinned to (shipdate, orderkey, linenumber, cents)
+    * because this synthetic lineitem carries duplicate
+    * (orderkey, linenumber) pairs — the q363 lesson.
+    */
+  private def q370(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select(col("l_suppkey"),
+      col("l_shipdate").as("t"), col("l_orderkey").as("ok"),
+      col("l_linenumber").cast("long").as("ln"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.maxDrawdown(li, "l_suppkey",
+      Seq("t", "ok", "ln", "cents"), "cents").orderBy(col("l_suppkey"))
+  }
+
+  /** INVERSE-PROPENSITY off-policy evaluation
+    * ([[graft.operators.Features.ipsEval]]): q369's replay estimator
+    * reweighted by the EMPIRICAL logging distribution — IPS and the
+    * self-normalized SNIPS side by side; all mass collapses to the
+    * action domain in one map-side-combined pass, per-action terms on
+    * the 1e-6 decimal grid.
+    */
+  private def q371(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("user_id"), col("event_type"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    graft.operators.Features.ipsEval(ev, "user_id", "event_type", "cents",
+      Seq("view", "click", "purchase", "signup", "error"))
+  }
+
+  /** ADAMIC–ADAR link prediction ([[graft.operators.Graph.adamicAdar]])
+    * over the part–order bipartite graph: parts sharing orders score
+    * Σ 1/ln(order's part count) — common-neighbor evidence discounted by
+    * connector promiscuity. Pairs form per order (degree ≤ 8 capped,
+    * the LSH-band-cap posture), weights on the 1e-9 decimal grid,
+    * co-support ≥ 2 keeps the answer answer-sized.
+    */
+  private def q372(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.adamicAdar(
+      T(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey")),
+      "l_partkey", "l_orderkey", minShared = 2, maxDegree = 8)
+      .orderBy(col("n1"), col("n2"))
+
+  /** KRUSKAL–WALLIS H ([[graft.operators.Drift.kruskalWallis]]): does
+    * any order-priority class price systematically higher — the k-group
+    * rank test beside q319's two-sample Mann–Whitney, on the same
+    * value-domain rank formulation (no global per-row sort).
+    */
+  private def q373(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.kruskalWallis(T(s, dir, "orders"),
+      "o_totalprice", "o_orderpriority").orderBy(col("g"))
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7635,6 +7689,10 @@ object SparkEntry {
     "q367_boruvka_msf" -> (q367 _),
     "q368_fk_discovery" -> (q368 _),
     "q369_policy_replay" -> (q369 _),
+    "q370_max_drawdown" -> (q370 _),
+    "q371_ips_eval" -> (q371 _),
+    "q372_adamic_adar" -> (q372 _),
+    "q373_kruskal_wallis" -> (q373 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8238,6 +8296,18 @@ object SparkEntry {
     // the hash policy replays verbatim; exact-cents reward means
     "q369_policy_replay" ->
       """WITH e AS (SELECT user_id, event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, ['view','click','purchase','signup','error'][CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) % 5 AS INTEGER) + 1] AS pol FROM events), s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total, CAST(SUM(CASE WHEN event_type = pol THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, SUM(CASE WHEN event_type = pol THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sr, SUM(CAST(cents AS DECIMAL(38,0))) AS srall FROM e) SELECT n_total, n_matched, round(CAST(n_matched AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS match_rate, round(CAST(sr AS DOUBLE) / CAST(n_matched AS DOUBLE), 6) AS replay_reward, round(CAST(srall AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS baseline_reward FROM s""",
+    // running-max window replay with the identical pinned tie-break order
+    "q370_max_drawdown" ->
+      """WITH s AS (SELECT l_suppkey, l_shipdate AS t, l_orderkey AS ok, CAST(l_linenumber AS BIGINT) AS ln, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM lineitem), w AS (SELECT l_suppkey, cents, MAX(cents) OVER (PARTITION BY l_suppkey ORDER BY t, ok, ln, cents ROWS UNBOUNDED PRECEDING) - cents AS dd FROM s) SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n, MAX(dd) AS max_drawdown, MAX(cents) AS peak, MIN(cents) AS trough FROM w GROUP BY l_suppkey ORDER BY l_suppkey""",
+    // per-action empirical propensities; IPS/SNIPS terms on the 1e-6 grid
+    "q371_ips_eval" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, ['view','click','purchase','signup','error'][CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) % 5 AS INTEGER) + 1] AS pol FROM events), a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN event_type = pol THEN 1 ELSE 0 END) AS BIGINT) AS m_a, SUM(CASE WHEN event_type = pol THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS s_a, SUM(CAST(cents AS DECIMAL(38,0))) AS sr_a FROM e GROUP BY event_type), f AS (SELECT CAST(SUM(n_a) AS BIGINT) AS n_total, CAST(SUM(m_a) AS BIGINT) AS n_matched, SUM(CAST(round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS DECIMAL(38,6))) AS ips_sum, SUM(CAST(round(CAST(m_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS DECIMAL(38,6))) AS w_sum, SUM(sr_a) AS sr_all FROM a) SELECT n_total, n_matched, round(CAST(ips_sum AS DOUBLE), 6) AS ips_reward, round(CAST(ips_sum AS DOUBLE) / CAST(w_sum AS DOUBLE), 6) AS snips_reward, round(CAST(sr_all AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS baseline_reward FROM f""",
+    // per-connector pair join on the distinct incidence list, capped degree
+    "q372_adamic_adar" ->
+      """WITH nv AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS n, CAST(l_orderkey AS BIGINT) AS v FROM lineitem), deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM nv GROUP BY v HAVING COUNT(*) BETWEEN 2 AND 8), w AS (SELECT v, CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w FROM deg), inc AS (SELECT nv.n, nv.v, w.w FROM nv JOIN w ON nv.v = w.v) SELECT a.n AS n1, b.n AS n2, CAST(COUNT(*) AS BIGINT) AS n_shared, CAST(SUM(a.w) AS DOUBLE) AS aa_score FROM inc a JOIN inc b ON a.v = b.v AND a.n < b.n GROUP BY a.n, b.n HAVING COUNT(*) >= 2 ORDER BY n1, n2""",
+    // doubled-rank replay over the value domain; R2^2/n terms on the grid
+    "q373_kruskal_wallis" ->
+      """WITH bv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, CAST(o_orderpriority AS VARCHAR) AS g, CAST(COUNT(*) AS BIGINT) AS tvg FROM orders GROUP BY 1, 2), byv AS (SELECT v, CAST(SUM(tvg) AS BIGINT) AS t FROM bv GROUP BY v), rk AS (SELECT v, t, 2 * SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t + 1 AS r2 FROM byv), pg AS (SELECT g, CAST(SUM(tvg) AS BIGINT) AS n_g, SUM(CAST(tvg AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))) AS r2sum FROM bv JOIN rk USING (v) GROUP BY g), pt AS (SELECT g, n_g, r2sum, CAST(round(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS term FROM pg), ti AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties FROM rk), ag AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(term) AS ts FROM pt) SELECT g, n_g, CAST(r2sum AS DOUBLE) / 2.0 AS rank_sum, round(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * CAST(ts AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat, round((3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * CAST(ts AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0)) / (1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS h_tie_corrected FROM pt, ti, ag ORDER BY g""",
     // the bitmap is the mechanism, not the meaning: the overlap matrix
     // replays as the plain distinct-pair join
     "q366_audience_overlap" ->

@@ -721,10 +721,14 @@ object Trend {
       vCentsCol: String): DataFrame = {
     require(orderCols.nonEmpty)
     val v = col(vCentsCol).cast("long")
+    // the value column may itself be an order tie-break: reference it
+    // through __v so the projection never carries a duplicate name
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(orderCols.map(col): _*)
+      .orderBy(orderCols.map(c =>
+        if (c == vCentsCol) col("__v") else col(c)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(keyCol) +: orderCols.map(col) :+ v.as("__v"): _*)
+    df.select(col(keyCol) +:
+        orderCols.filterNot(_ == vCentsCol).map(col) :+ v.as("__v"): _*)
       .withColumn("__dd", max(col("__v")).over(w) - col("__v"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),

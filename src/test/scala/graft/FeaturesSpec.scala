@@ -86,4 +86,43 @@ class FeaturesSpec extends SparkSuite {
     assert(r.getDouble(3) == math.rint(matchedSum / 5.0 * 1e6) / 1e6)
     assert(r.getDouble(4) == math.rint(600.0 * 5 / 15.0 * 1e6) / 1e6)
   }
+
+  test("ipsEval: empirical-propensity reweighting on a skewed log") {
+    val actions = Seq("a", "b", "c")
+    def pol(ctx: String): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(ctx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      actions((java.lang.Long.parseLong(hex.substring(0, 13), 16) % 3).toInt)
+    }
+    val users = Seq("u1", "u2", "u3", "u4", "u5")
+    // skewed logging: action "a" logged twice per user (propensity 1/2,
+    // others 1/4 each), with action-dependent reward
+    val rows = users.flatMap { u =>
+      actions.zipWithIndex.map { case (a, i) => (u, a, 100L * (i + 1)) } :+
+        ((u, "a", 100L))
+    }
+    val r = Features.ipsEval(rows.toDF("ctx", "act", "cents"),
+      "ctx", "act", "cents", actions).head()
+    // expected from the same formula, decimal-exact via BigDecimal
+    val byA = rows.groupBy(_._2)
+    def grid(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ips = actions.map { a =>
+      val rs = byA(a)
+      val s = rs.filter { case (u, act, _) => pol(u) == act }.map(_._3).sum
+      grid(BigDecimal(s.toDouble / rs.size))
+    }.sum
+    val w = actions.map { a =>
+      val rs = byA(a)
+      val m = rs.count { case (u, act, _) => pol(u) == act }
+      grid(BigDecimal(m.toDouble / rs.size))
+    }.sum
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == users.count(u => pol(u) == "a") * 2 +
+      users.count(u => pol(u) != "a"))
+    assert(r.getDouble(2) == grid(ips).toDouble)
+    assert(r.getDouble(3) ==
+      math.rint(ips.toDouble / w.toDouble * 1e6) / 1e6)
+    val total = rows.map(_._3).sum
+    assert(r.getDouble(4) == math.rint(total / 20.0 * 1e6) / 1e6)
+  }
 }

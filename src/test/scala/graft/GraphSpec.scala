@@ -385,4 +385,25 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 5L), (1L, 3L, 50L), (2L, 4L, 60L)))
   }
+
+  test("adamicAdar: discounted common neighbors, degree cap, minShared") {
+    import spark.implicits._
+    // via 10 & 40 connect {1,2} (deg 2), via 20 connects {1,2,3} (deg 3),
+    // via 30 touches only node 1 (deg 1: no pairs, would divide by ln 1)
+    val inc = Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L), (3L, 20L),
+      (1L, 30L), (1L, 40L), (2L, 40L), (2L, 40L)).toDF("n", "v")
+    // grid weights sum as DECIMALS in the engine: replicate exactly
+    def g9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val got = Graph.adamicAdar(inc, "n", "v", minShared = 2, maxDegree = 8)
+      .as[(Long, Long, Long, Double)].collect()
+    // only (1,2) reaches two shared connectors; duplicate rows collapse
+    assert(got.toSeq == Seq((1L, 2L, 3L,
+      (g9(1.0 / math.log(2.0)) * 2 + g9(1.0 / math.log(3.0))).toDouble)))
+    // capping at degree 2 drops via 20 entirely
+    val capped = Graph.adamicAdar(inc, "n", "v", minShared = 2, maxDegree = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(capped.toSeq == Seq((1L, 2L, 2L,
+      (g9(1.0 / math.log(2.0)) * 2).toDouble)))
+  }
 }

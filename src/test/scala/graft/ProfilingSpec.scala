@@ -119,6 +119,26 @@ class ProfilingSpec extends SparkSuite {
     assert(tight == Seq(0, 0), "at t=0.2 both classes must fail closeness")
   }
 
+  test("kruskalWallis: hand-computed H, tie correction") {
+    // A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7 → H = 2.4, no ties
+    val clean = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("g", "v")
+    val g1 = graft.operators.Drift.kruskalWallis(clean, "v", "g")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(g1("A") == (("A", 2L, 3.0, 2.4, 2.4)))
+    assert(g1("B") == (("B", 2L, 7.0, 2.4, 2.4)))
+    // A=[1,1], B=[1,2]: value 1 is a 3-way tie (avg rank 2), value 2 rank
+    // 4 → R_A=4, R_B=6, H=0.6; Σ(t³−t)=24 → corr 0.6 → H/corr = 1.0
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 2L))
+      .toDF("g", "v")
+    val g2 = graft.operators.Drift.kruskalWallis(tied, "v", "g")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(g2("A") == (("A", 2L, 4.0, 0.6, 1.0)))
+    assert(g2("B") == (("B", 2L, 6.0, 0.6, 1.0)))
+  }
+
   test("fkContainment: containment fractions, verdicts, null exclusion") {
     val parent = Seq(1, 2, 3, 4).toDF("pk")
     val full = Seq(Some(1), Some(2), Some(2), Some(3), None).toDF("ck")

@@ -188,4 +188,16 @@ class TrendSpec extends SparkSuite {
     // final point misses by 2: yHat=8, y=10 → mae 1.0, smape 2/18 avg'd
     assert(bt(Seq(2, 4, 6, 10)) == ((4L, 2L, 1.0, 0.111111)))
   }
+
+  test("maxDrawdown: hand series, per-key partitioning, value tie-break") {
+    val rows = Seq(100L, 80L, 120L, 60L, 90L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) } ++
+      Seq(("b", 0L, 50L), ("b", 1L, 70L)) // monotone up: zero drawdown
+    val got = Trend.maxDrawdown(rows.toDF("k", "t", "v"),
+        "k", Seq("t", "v"), "v")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 5L, 60L, 120L, 60L))) // peak 120 → trough 60
+    assert(got("b") == (("b", 2L, 0L, 70L, 50L)))
+  }
 }
