@@ -5543,6 +5543,62 @@ object SparkEntry {
     graft.operators.Drift.kruskalWallis(T(s, dir, "orders"),
       "o_totalprice", "o_orderpriority").orderBy(col("g"))
 
+  /** 1-D KALMAN local-level filter per user
+    * ([[graft.operators.Trend.kalmanLevelPerKey]]) over hourly spend —
+    * the uncertainty-aware smoother beside q261's Holt: adaptive gain,
+    * posterior variance in the answer. q=0.25, r=1.0 (powers of two);
+    * oracle replays the recursion as a recursive CTE carrying (x, P).
+    */
+  private def q374(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("user_id"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .cast("double").as("v"))
+    graft.operators.Trend.kalmanLevelPerKey(hourly, "user_id", "hid", "v",
+      qVar = 0.25, rVar = 1.0).orderBy(col("user_id"))
+  }
+
+  /** CLASSICAL ADDITIVE DECOMPOSITION
+    * ([[graft.operators.Trend.maDecompose]]) of the global hourly event
+    * count into trend (centered 2×24 MA) + daily seasonal indices +
+    * remainder — the "growing vs just cycling" splitter; bucket-domain
+    * frame, exact integers to the single grid division.
+    */
+  private def q375(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg(count(lit(1)).as("c"))
+    graft.operators.Trend.maDecompose(hourly, "hid", "c", period = 24)
+      .orderBy(col("t"))
+  }
+
+  /** SCD VALIDITY-WINDOW AUDIT
+    * ([[graft.operators.Relational.validityAudit]]): overlap/gap/empty
+    * census per customer over deterministic [from, to) windows derived
+    * from order dates (to = from + 1 + orderkey mod 40, so both defect
+    * classes actually occur) — classified against the running max of
+    * previous ends, the q334 sweep posture.
+    */
+  private def q376(s: SparkSession, dir: String): DataFrame = {
+    val iv = T(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey").as("ok"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1992-01-01"))).cast("long").as("from_day"))
+      .withColumn("to_day",
+        col("from_day") + lit(1L) + pmod(col("ok"), lit(40L)))
+    graft.operators.Relational.validityAudit(iv, "o_custkey",
+      "from_day", "to_day", Seq("ok")).orderBy(col("o_custkey"))
+  }
+
+  /** GOOD–TURING unseen mass per language
+    * ([[graft.operators.TextPipeline.goodTuring]]): singleton mass N₁/N
+    * as the expected never-seen-type share of the next token — the
+    * no-vocab coverage-risk ranking beside q262's fixed-vocab OOV rate.
+    */
+  private def q377(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.goodTuring(T(s, dir, "documents"), "lang")
+      .orderBy(col("lang"))
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7693,6 +7749,10 @@ object SparkEntry {
     "q371_ips_eval" -> (q371 _),
     "q372_adamic_adar" -> (q372 _),
     "q373_kruskal_wallis" -> (q373 _),
+    "q374_kalman_level" -> (q374 _),
+    "q375_ma_decompose" -> (q375 _),
+    "q376_validity_audit" -> (q376 _),
+    "q377_good_turing" -> (q377 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8305,6 +8365,18 @@ object SparkEntry {
     // per-connector pair join on the distinct incidence list, capped degree
     "q372_adamic_adar" ->
       """WITH nv AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS n, CAST(l_orderkey AS BIGINT) AS v FROM lineitem), deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM nv GROUP BY v HAVING COUNT(*) BETWEEN 2 AND 8), w AS (SELECT v, CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w FROM deg), inc AS (SELECT nv.n, nv.v, w.w FROM nv JOIN w ON nv.v = w.v) SELECT a.n AS n1, b.n AS n2, CAST(COUNT(*) AS BIGINT) AS n_shared, CAST(SUM(a.w) AS DOUBLE) AS aa_score FROM inc a JOIN inc b ON a.v = b.v AND a.n < b.n GROUP BY a.n, b.n HAVING COUNT(*) >= 2 ORDER BY n1, n2""",
+    // the Kalman recursion replayed step-for-step, same IEEE op order
+    "q374_kalman_level" ->
+      """WITH RECURSIVE h AS (SELECT user_id, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE) AS v FROM events GROUP BY 1, 2), o AS (SELECT user_id, v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hid) AS rn FROM h), nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1), rec AS (SELECT user_id, CAST(1 AS BIGINT) AS rn, v AS x, CAST(1.0 AS DOUBLE) AS p FROM o WHERE rn = 1 UNION ALL SELECT r.user_id, r.rn + 1, r.x + ((r.p + 0.25) / ((r.p + 0.25) + 1.0)) * (e.v - r.x) AS x, (1.0 - (r.p + 0.25) / ((r.p + 0.25) + 1.0)) * (r.p + 0.25) AS p FROM rec r JOIN o e ON e.user_id = r.user_id AND e.rn = r.rn + 1) SELECT f.user_id, nn.n, round(f.x, 6) AS level, round(f.p, 6) AS p_var FROM rec f JOIN nn ON nn.user_id = f.user_id AND f.rn = nn.n ORDER BY f.user_id""",
+    // centered 2x24 MA + equal-slot seasonal means on the decimal grid
+    "q375_ma_decompose" ->
+      """WITH h AS (SELECT epoch_ns(ts) // 1000000000 // 3600 AS t, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), w AS (SELECT t, x, SUM(x) OVER (ORDER BY t ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) + SUM(x) OVER (ORDER BY t ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS s, COUNT(*) OVER (ORDER BY t ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) + COUNT(*) OVER (ORDER BY t ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS c FROM h), de AS (SELECT t, x, CASE WHEN c = 48 THEN CAST(round(CAST(s AS DOUBLE) / 48.0, 6) AS DECIMAL(18,6)) END AS trend, t % 24 AS slot FROM w), dd AS (SELECT t, x, trend, slot, CAST(x AS DECIMAL(18,6)) - trend AS d FROM de), sm AS (SELECT slot, CAST(round(CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS seas0 FROM dd WHERE trend IS NOT NULL GROUP BY slot), ct AS (SELECT CAST(round(CAST(SUM(seas0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS ctr FROM sm) SELECT dd.t, dd.x, CAST(dd.trend AS DOUBLE) AS trend, CAST(sm.seas0 - ct.ctr AS DOUBLE) AS seasonal, CAST(CAST(dd.x AS DECIMAL(18,6)) - dd.trend - (sm.seas0 - ct.ctr) AS DOUBLE) AS remainder FROM dd LEFT JOIN sm ON dd.slot = sm.slot CROSS JOIN ct ORDER BY dd.t""",
+    // sweep-rule overlap/gap census against the running max of prior ends
+    "q376_validity_audit" ->
+      """WITH iv AS (SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS ok, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS f FROM orders), i2 AS (SELECT o_custkey, ok, f, f + 1 + ok % 40 AS tt FROM iv), p AS (SELECT o_custkey, f, tt, MAX(tt) OVER (PARTITION BY o_custkey ORDER BY f, tt, ok ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM i2) SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN f < pe THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps, CAST(SUM(CASE WHEN f > pe THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, CAST(SUM(CASE WHEN tt <= f THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, (SUM(CASE WHEN f < pe THEN 1 ELSE 0 END) + SUM(CASE WHEN f > pe THEN 1 ELSE 0 END) + SUM(CASE WHEN tt <= f THEN 1 ELSE 0 END)) = 0 AS clean FROM p GROUP BY o_custkey ORDER BY o_custkey""",
+    // count-of-counts census; singleton mass N1/N per language
+    "q377_good_turing" ->
+      """WITH w AS (SELECT lang, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2) SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types, CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons, CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_doubletons, round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS unseen_mass FROM c GROUP BY lang ORDER BY lang""",
     // doubled-rank replay over the value domain; R2^2/n terms on the grid
     "q373_kruskal_wallis" ->
       """WITH bv AS (SELECT CAST(o_totalprice AS DOUBLE) AS v, CAST(o_orderpriority AS VARCHAR) AS g, CAST(COUNT(*) AS BIGINT) AS tvg FROM orders GROUP BY 1, 2), byv AS (SELECT v, CAST(SUM(tvg) AS BIGINT) AS t FROM bv GROUP BY v), rk AS (SELECT v, t, 2 * SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t + 1 AS r2 FROM byv), pg AS (SELECT g, CAST(SUM(tvg) AS BIGINT) AS n_g, SUM(CAST(tvg AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))) AS r2sum FROM bv JOIN rk USING (v) GROUP BY g), pt AS (SELECT g, n_g, r2sum, CAST(round(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS term FROM pg), ti AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties FROM rk), ag AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(term) AS ts FROM pt) SELECT g, n_g, CAST(r2sum AS DOUBLE) / 2.0 AS rank_sum, round(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * CAST(ts AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat, round((3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * CAST(ts AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0)) / (1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS h_tie_corrected FROM pt, ti, ag ORDER BY g""",

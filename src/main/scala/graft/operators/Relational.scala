@@ -589,4 +589,42 @@ object Relational {
         (col("__fs") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
           .as("alloc"))
   }
+
+  /** VALIDITY-WINDOW AUDIT for SCD-style [from, to) interval tables —
+    * the pre-trust check on a dimension someone ELSE maintains: per key,
+    * how many intervals OVERLAP a predecessor (two versions
+    * simultaneously "current" — joins fan out) and how many leave a GAP
+    * (as-of lookups silently miss). Classification is against the
+    * RUNNING MAX of previous ends (the q334 sweep rule — a long interval
+    * can swallow a later-starting, earlier-ending one; comparing only
+    * the adjacent predecessor would miss that overlap). Intervals are
+    * integer bucket ids by contract; one ordered window pass per key,
+    * counts per key, zero floating point. First interval of a key is
+    * neither gap nor overlap; abutting intervals (from = prev end) are
+    * clean.
+    */
+  def validityAudit(
+      df: DataFrame,
+      keyCol: String,
+      fromCol: String,
+      toCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val base = df.select(col(keyCol) +: (Seq(fromCol, toCol) ++ tieCols)
+      .map(c => col(c).cast("long").as(c)): _*)
+    val order = (Seq(fromCol, toCol) ++ tieCols).map(col)
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("__pe", max(col(toCol)).over(wPrev))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col(fromCol) < col("__pe"), 1L).otherwise(0L))
+          .as("n_overlaps"),
+        sum(when(col(fromCol) > col("__pe"), 1L).otherwise(0L))
+          .as("n_gaps"),
+        sum(when(col(toCol) <= col(fromCol), 1L).otherwise(0L))
+          .as("n_empty"))
+      .withColumn("clean",
+        col("n_overlaps") + col("n_gaps") + col("n_empty") === 0L)
+  }
 }

@@ -545,4 +545,32 @@ object TextPipeline {
       round(slope, 6).as("slope"),
       round((sy - slope * sx) / nD, 6).as("intercept"))
   }
+
+  /** GOOD–TURING unseen-mass estimate per language slice: the fraction
+    * of the NEXT token expected to be a never-seen type, estimated by
+    * the singleton mass N₁/N (Good 1953) — the "how much of this
+    * language's vocabulary does my corpus still not know" number that
+    * ranks slices by coverage risk before a tokenizer or LM trains on
+    * them (OOV rate q262 measures against a FIXED vocab; this needs no
+    * vocab at all). Two map-side-combined censuses — tokens to the
+    * (lang, type) domain, then type frequencies to the count-of-counts
+    * domain — so nothing past the first aggregate is corpus-sized.
+    * Integer counts throughout, one final division on the 1e-6 grid.
+    */
+  def goodTuring(docs: DataFrame, langCol: String): DataFrame = {
+    val types = docs
+      .select(col(langCol).as("lang"),
+        explode(TextFunctions.words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    types.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n_doubletons"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("n_singletons"), col("n_doubletons"),
+        round(col("n_singletons").cast("double") /
+          col("n_tokens").cast("double"), 6).as("unseen_mass"))
+  }
 }

@@ -702,6 +702,98 @@ object Trend {
           .as("smape"))
   }
 
+  /** 1-D KALMAN FILTER (local-level model) per key — the
+    * uncertainty-aware smoother beside [[holtPerKey]]: a random-walk
+    * state x with process variance q, observed with noise variance r;
+    * each step predicts (P+q), gains K = P'/(P'+r), and corrects
+    * x += K·(z − x). Unlike the EWMA's fixed α, the gain ADAPTS — high
+    * while uncertainty is large, settling toward the steady state — and
+    * the posterior variance P is part of the answer ("how sure is the
+    * level"). The recursion is inherently sequential per key, so it
+    * folds inside ONE codegen'd HOF aggregate over the collected series
+    * (the [[holtBacktestPerKey]] bound: one key's series in one row,
+    * documented per-key contract); q and r should be powers of two so
+    * the oracle's recursive CTE replays the same IEEE ops.
+    */
+  def kalmanLevelPerKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      vCol: String,
+      qVar: Double,
+      rVar: Double): DataFrame = {
+    require(qVar > 0.0 && rVar > 0.0)
+    val v1 = element_at(col("__s"), 1).getField("__v")
+    val folded = aggregate(
+      expr("slice(__s, 2, greatest(size(__s) - 1, 0))"),
+      struct(v1.as("x"), lit(rVar).as("p")),
+      (acc, e) => {
+        val pp = acc.getField("p") + lit(qVar)
+        val k = pp / (pp + lit(rVar))
+        struct(
+          (acc.getField("x") + k * (e.getField("__v") - acc.getField("x")))
+            .as("x"),
+          ((lit(1.0) - k) * pp).as("p"))
+      })
+    df.select(col(keyCol), col(orderCol).cast("long").as("__o"),
+        col(vCol).cast("double").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("__o"), col("__v")))).as("__s"))
+      .select(col(keyCol), col("n"),
+        round(folded.getField("x"), 6).as("level"),
+        round(folded.getField("p"), 6).as("p_var"))
+  }
+
+  /** CLASSICAL ADDITIVE DECOMPOSITION of a bucket-domain series into
+    * trend + seasonal + remainder — the "what is actually growing vs
+    * just cycling" splitter that [[holtWintersPerKey]] fits predictively
+    * and q148 only measures residuals against. Trend is the standard
+    * centered 2×m moving average for even period m (two offset m-windows
+    * summed, divided once — exact integers until the single 1e-6-grid
+    * division); the seasonal index per slot is the mean of detrended
+    * values (decimal-grid), centered so the m indices sum to ~0 (each
+    * slot weighted equally, not each row). Input is TIME-BUCKET-domain
+    * sized by contract (aggregate first), so the unpartitioned ordered
+    * windows are over an aggregate-scale frame; slots come from the
+    * bucket id mod m, which stays honest under missing buckets even
+    * though the MA window is row-based.
+    */
+  def maDecompose(
+      df: DataFrame,
+      tCol: String,
+      vCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 0, "even period required")
+    val h = period / 2
+    val d186 = DecimalType(18, 6)
+    val w1 = Window.orderBy(col("t")).rowsBetween(-h, h - 1)
+    val w2 = Window.orderBy(col("t")).rowsBetween(-(h - 1), h)
+    val base = df.select(col(tCol).cast("long").as("t"),
+      col(vCol).cast("long").as("x"))
+    val detr = base
+      .withColumn("__s", sum(col("x")).over(w1) + sum(col("x")).over(w2))
+      .withColumn("__c", count(lit(1)).over(w1) + count(lit(1)).over(w2))
+      .withColumn("trend", when(col("__c") === 2 * period,
+        round(col("__s").cast("double") / lit(2.0 * period), 6).cast(d186)))
+      .withColumn("slot", pmod(col("t"), lit(period.toLong)))
+      .withColumn("__d", col("x").cast(d186) - col("trend"))
+    val slotMeans = detr.filter(col("trend").isNotNull)
+      .groupBy(col("slot"))
+      .agg(round(sum(col("__d")).cast("double") /
+        count(lit(1)).cast("double"), 6).cast(d186).as("__seas0"))
+    val center = slotMeans.agg(round(sum(col("__seas0")).cast("double") /
+      count(lit(1)).cast("double"), 6).cast(d186).as("__ctr"))
+    detr.join(broadcast(slotMeans), Seq("slot"), "left")
+      .crossJoin(broadcast(center))
+      .withColumn("seasonal", col("__seas0") - col("__ctr"))
+      .select(col("t"), col("x"),
+        col("trend").cast("double").as("trend"),
+        col("seasonal").cast("double").as("seasonal"),
+        (col("x").cast(d186) - col("trend") - col("seasonal"))
+          .cast("double").as("remainder"))
+  }
+
   /** MAXIMUM DRAWDOWN per key — the risk statistic of a value series:
     * the deepest peak-to-trough fall `max_t (max_{s≤t} v_s − v_t)`, plus
     * the running peak and global trough for context. A pure window

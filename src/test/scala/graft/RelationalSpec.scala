@@ -239,4 +239,25 @@ class RelationalSpec extends SparkSuite {
     (1L to 20L).foreach(g =>
       assert(sums(g) == 100000L + g, s"group $g must reconcile exactly"))
   }
+
+  test("validityAudit: overlap vs gap vs abut vs swallow, per key") {
+    // key A: [0,10) then [5,12) overlap, then [12,15) abuts (clean),
+    // then [20,25) gap — 1 overlap, 1 gap
+    // key B: [0,100) swallows [10,20) (overlap even though it ends
+    // earlier than the running max), then [30,40) ALSO overlaps the
+    // running max 100 — the sweep rule, not adjacent-pair comparison
+    // key C: a single interval and an empty [5,5) — 1 empty
+    val iv = Seq(
+      ("A", 0L, 10L, 1L), ("A", 5L, 12L, 2L), ("A", 12L, 15L, 3L),
+      ("A", 20L, 25L, 4L),
+      ("B", 0L, 100L, 1L), ("B", 10L, 20L, 2L), ("B", 30L, 40L, 3L),
+      ("C", 0L, 3L, 1L), ("C", 5L, 5L, 2L))
+      .toDF("k", "f", "t", "ok")
+    val got = Relational.validityAudit(iv, "k", "f", "t", Seq("ok"))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 4L, 1L, 1L, 0L, false)))
+    assert(got("B") == (("B", 3L, 2L, 0L, 0L, false)))
+    assert(got("C") == (("C", 2L, 0L, 1L, 1L, false)))
+  }
 }

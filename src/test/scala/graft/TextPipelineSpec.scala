@@ -167,4 +167,19 @@ class TextPipelineSpec extends SparkSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
       "fr" -> ((1L, 4L, 2L, 0.5))))
   }
+
+  test("goodTuring: singleton mass per language, cross-doc type merge") {
+    import spark.implicits._
+    // en: tokens a a b c → types {a:2, b:1, c:1}: N=4, V=3, N1=2, N2=1
+    // fr: x x  (one type seen twice): N=2, V=1, N1=0, N2=1
+    val docs = Seq(
+      (1L, "en", "a a b"), (2L, "en", "c"),
+      (3L, "fr", "x x")).toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextPipeline.goodTuring(docs, "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out("en") == ((4L, 3L, 2L, 1L, 0.5)))
+    assert(out("fr") == ((2L, 1L, 0L, 1L, 0.0)))
+  }
 }

@@ -189,6 +189,52 @@ class TrendSpec extends SparkSuite {
     assert(bt(Seq(2, 4, 6, 10)) == ((4L, 2L, 1.0, 0.111111)))
   }
 
+  test("kalmanLevelPerKey: hand-stepped recursion, gain settles") {
+    // q=0.25, r=1: x1=10, P=1
+    // step2: Pp=1.25, K=1.25/2.25=5/9, x=10+5/9*(19-10)=15, P=(4/9)*1.25
+    val got = Trend.kalmanLevelPerKey(
+      Seq(("k", 0L, 10.0), ("k", 1L, 19.0)).toDF("k", "t", "v"),
+      "k", "t", "v", 0.25, 1.0).head()
+    assert(got.getLong(1) == 2L)
+    assert(got.getDouble(2) == 15.0)
+    assert(got.getDouble(3) ==
+      math.rint((1.0 - 1.25 / 2.25) * 1.25 * 1e6) / 1e6)
+    // constant series: level stays at the constant regardless of steps
+    val const = Trend.kalmanLevelPerKey(
+      (0 to 9).map(i => ("c", i.toLong, 7.0)).toDF("k", "t", "v"),
+      "k", "t", "v", 0.25, 1.0).head()
+    assert(const.getDouble(2) == 7.0)
+  }
+
+  test("maDecompose: constant series decomposes to itself, zero seasonal") {
+    // 96 hourly buckets of a constant: trend = c where defined, seasonal
+    // indices all 0, remainder 0
+    val df = (0 until 96).map(t => (t.toLong, 5L)).toDF("t", "v")
+    val got = Trend.maDecompose(df, "t", "v", 24)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.length == 96)
+    // rows 12..83 have full 2x24 windows
+    val defined = got.filter(_._3.isDefined).map(_._1)
+    assert(defined.head == 12L && defined.last == 83L)
+    got.filter(_._3.isDefined).foreach { r =>
+      assert(r._3.contains(5.0) && r._4.contains(0.0) &&
+        r._5.contains(0.0), s"row $r")
+    }
+    // pure seasonal square wave, period 24: slot k contributes v=10 for
+    // k<12 else 0; trend = mean = 5, seasonal = ±5, remainder 0
+    val sq = (0 until 96).map(t =>
+      (t.toLong, if (t % 24 < 12) 10L else 0L)).toDF("t", "v")
+    val g2 = Trend.maDecompose(sq, "t", "v", 24)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().filter(_._3.isDefined)
+    g2.foreach { r =>
+      assert(r._3.contains(5.0), s"trend $r")
+      val want = if (r._1 % 24 < 12) 5.0 else -5.0
+      assert(r._4.contains(want) && r._5.contains(0.0), s"seasonal $r")
+    }
+  }
+
   test("maxDrawdown: hand series, per-key partitioning, value tie-break") {
     val rows = Seq(100L, 80L, 120L, 60L, 90L).zipWithIndex
       .map { case (v, i) => ("a", i.toLong, v) } ++
