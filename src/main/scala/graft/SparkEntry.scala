@@ -5599,6 +5599,70 @@ object SparkEntry {
     graft.operators.TextPipeline.goodTuring(T(s, dir, "documents"), "lang")
       .orderBy(col("lang"))
 
+  /** CONSISTENT-HASH ring routing
+    * ([[graft.operators.Sharding.ringAssign]]): customers assigned to 8
+    * shards × 40 vnodes; per-shard load report. The ring is metadata-
+    * sized and broadcast — routing is a map-side array scan, zero
+    * shuffles; ShardingSpec proves the consistency property (removing a
+    * shard moves ONLY its own keys).
+    */
+  private def q378(s: SparkSession, dir: String): DataFrame = {
+    val shards = (0 until 8).map(i => "shard-" + i)
+    graft.operators.Sharding
+      .ringAssign(T(s, dir, "customer"), "c_custkey", shards, vnodes = 40)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_keys"))
+      .withColumn("pct", round(col("n_keys").cast("double") /
+        sum(col("n_keys")).over(Window.partitionBy()).cast("double"), 6))
+      .orderBy(col("shard"))
+  }
+
+  /** REPLAYABLE HyperLogLog ([[graft.operators.Sketches.hllRegisters]] /
+    * hllEstimate): register-level HLL whose every register and estimate
+    * hash-matches cross-engine — the exact-oracle upgrade of the q37/
+    * q119 family (whose built-in HLL++ internals are rows-only
+    * checkable). Per event_type plus the '(all)' row MERGED from the
+    * per-type registers (max per bucket) — the mergeability proof — with
+    * exact distincts and relative error beside each estimate.
+    */
+  private def q379(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val perType =
+      graft.operators.Sketches.hllRegisters(ev, "event_type", "user_id")
+    val merged = perType.groupBy(col("j")).agg(max(col("m")).as("m"))
+      .withColumn("g", lit("(all)")).select("g", "j", "m")
+    val est = graft.operators.Sketches.hllEstimate(
+      perType.unionByName(merged))
+    val exact = ev.groupBy(col("event_type").as("g"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+      .unionByName(ev.agg(count_distinct(col("user_id")).as("n_exact"))
+        .withColumn("g", lit("(all)")).select("g", "n_exact"))
+    est.join(exact, "g")
+      .withColumn("rel_error",
+        round((col("estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6))
+      .orderBy(col("g"))
+  }
+
+  /** MAX-MIN FAIR allocation ([[graft.operators.Relational.waterfill]]):
+    * each order's capacity (60% of total quantity) split across its
+    * lines by water-filling — small demands met in full, the rest split
+    * evenly with largest-remainder integer cents; duplicate
+    * (orderkey, linenumber) pairs collapse in the demand census first
+    * (the q363 duplicate-pair lesson).
+    */
+  private def q380(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber").cast("long")
+        .as("l_linenumber"))
+      .agg(sum(col("l_quantity").cast("long")).as("demand"))
+      .withColumn("cap",
+        expr("(sum(demand) over (partition by l_orderkey) * 3) div 5"))
+    graft.operators.Relational.waterfill(li, "l_orderkey", "l_linenumber",
+        "demand", "cap")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7753,6 +7817,9 @@ object SparkEntry {
     "q375_ma_decompose" -> (q375 _),
     "q376_validity_audit" -> (q376 _),
     "q377_good_turing" -> (q377 _),
+    "q378_consistent_hash" -> (q378 _),
+    "q379_hll_registers" -> (q379 _),
+    "q380_waterfill" -> (q380 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8374,6 +8441,15 @@ object SparkEntry {
     // sweep-rule overlap/gap census against the running max of prior ends
     "q376_validity_audit" ->
       """WITH iv AS (SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS ok, CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS f FROM orders), i2 AS (SELECT o_custkey, ok, f, f + 1 + ok % 40 AS tt FROM iv), p AS (SELECT o_custkey, f, tt, MAX(tt) OVER (PARTITION BY o_custkey ORDER BY f, tt, ok ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM i2) SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(CASE WHEN f < pe THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps, CAST(SUM(CASE WHEN f > pe THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, CAST(SUM(CASE WHEN tt <= f THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, (SUM(CASE WHEN f < pe THEN 1 ELSE 0 END) + SUM(CASE WHEN f > pe THEN 1 ELSE 0 END) + SUM(CASE WHEN tt <= f THEN 1 ELSE 0 END)) = 0 AS clean FROM p GROUP BY o_custkey ORDER BY o_custkey""",
+    // the ring replays as parallel sorted lists + a filter-count probe
+    "q378_consistent_hash" ->
+      s"""WITH vn AS (SELECT s, i, CAST(concat('0x', substr(md5(concat(s, ':', CAST(i AS VARCHAR))), 1, 13)) AS BIGINT) AS ring FROM (SELECT unnest([${(0 until 8).map(i => s"'shard-$i'").mkString(",")}]) AS s), (SELECT unnest(range(0, 40)) AS i)), a AS (SELECT list(ring ORDER BY ring, s) AS rings, list(s ORDER BY ring, s) AS ss FROM vn), k AS (SELECT c_custkey, CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hk FROM customer), r AS (SELECT c_custkey, CASE WHEN len(list_filter(rings, x -> x < hk)) = len(rings) THEN ss[1] ELSE ss[len(list_filter(rings, x -> x < hk)) + 1] END AS shard FROM k, a) SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_keys, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS pct FROM r GROUP BY shard ORDER BY shard""",
+    // register-for-register HLL replay; 2^-M terms on the 1e-18 grid
+    "q379_hll_registers" ->
+      """WITH h AS (SELECT event_type AS g, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hh FROM events), b AS (SELECT g, hh % 256 AS j, CASE WHEN hh // 256 = 0 THEN 45 ELSE 45 - length(bin(hh // 256)) END AS rho FROM h), regs0 AS (SELECT g, j, MAX(rho) AS m FROM b GROUP BY 1, 2), regs AS (SELECT * FROM regs0 UNION ALL SELECT '(all)' AS g, j, MAX(m) AS m FROM regs0 GROUP BY j), agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_regs, SUM(CAST(round(pow(2.0, -m), 18) AS DECIMAL(38,18))) AS sp FROM regs GROUP BY g), e2 AS (SELECT g, n_regs, 256 - n_regs AS v_empty, 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / CAST(sp + CAST(256 - n_regs AS DECIMAL(38,18)) AS DOUBLE) AS eraw FROM agg), ex AS (SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY 1 UNION ALL SELECT '(all)', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) SELECT e2.g, e2.n_regs, CAST(e2.v_empty AS BIGINT) AS v_empty, round(CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END, 6) AS estimate, ex.n_exact, round((CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error FROM e2 JOIN ex ON e2.g = ex.g ORDER BY e2.g""",
+    // sorted prefix sums find the water level; floor + largest remainder
+    "q380_waterfill" ->
+      """WITH li AS (SELECT l_orderkey AS g, CAST(l_linenumber AS BIGINT) AS l, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d FROM lineitem GROUP BY 1, 2), c AS (SELECT g, l, d, CAST((SUM(d) OVER (PARTITION BY g) * 3) // 5 AS BIGINT) AS cap FROM li), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY d, l) AS rn, COUNT(*) OVER (PARTITION BY g) AS n, CAST(SUM(d) OVER (PARTITION BY g ORDER BY d, l ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre FROM c), s AS (SELECT *, d * (n - rn + 1) <= cap - (pre - d) AS sat FROM r), t AS (SELECT *, CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER (PARTITION BY g) AS BIGINT) AS ns, CAST(SUM(CASE WHEN sat THEN d ELSE 0 END) OVER (PARTITION BY g) AS BIGINT) AS ss FROM s), u AS (SELECT *, CASE WHEN n - ns > 0 THEN (cap - ss) // (n - ns) END AS lvl, CASE WHEN n - ns > 0 THEN (cap - ss) % (n - ns) END AS lft, ROW_NUMBER() OVER (PARTITION BY g, sat ORDER BY l) AS rnu FROM t) SELECT g AS l_orderkey, l AS l_linenumber, d AS demand, CAST(CASE WHEN sat THEN d ELSE lvl + CASE WHEN rnu <= lft THEN 1 ELSE 0 END END AS BIGINT) AS alloc FROM u ORDER BY l_orderkey, l_linenumber""",
     // count-of-counts census; singleton mass N1/N per language
     "q377_good_turing" ->
       """WITH w AS (SELECT lang, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2) SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types, CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons, CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_doubletons, round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS unseen_mass FROM c GROUP BY lang ORDER BY lang""",

@@ -590,6 +590,56 @@ object Relational {
           .as("alloc"))
   }
 
+  /** MAX-MIN FAIR allocation (WATER-FILLING) of an integer per-group
+    * capacity across integer line demands — the fairness-first quota
+    * [[prorateCents]]' proportional split can't express: small demands
+    * are satisfied IN FULL, the remainder splits evenly among the big
+    * ones (bandwidth quotas, inventory rationing, budget caps). The
+    * water level needs no iteration: with lines sorted by demand, line k
+    * is saturated iff d_k·(n−k+1) ≤ C − prefix_{k−1} (exact integer
+    * compare — the predicate is monotone along the sort, so the
+    * saturated set is a prefix), and the unsaturated lines split
+    * C − Σsat as floor + largest-remainder (+1 to the lowest line ids) —
+    * so allocations are integers summing EXACTLY to min(C, Σd). Two
+    * per-group window passes, zero floating point; an unsaturated line
+    * always has d ≥ L+1, so the +1 never overshoots a demand.
+    */
+  def waterfill(
+      df: DataFrame,
+      groupCol: String,
+      lineCol: String,
+      demandCol: String,
+      capCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__g"))
+    val wOrd = w.orderBy(col("__d"), col("__l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.select(col(groupCol).as("__g"), col(lineCol).as("__l"),
+        col(demandCol).cast("long").as("__d"),
+        col(capCol).cast("long").as("__cap"))
+      .withColumn("__rn", row_number().over(w.orderBy(col("__d"), col("__l"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__pre", sum(col("__d")).over(wOrd))
+      .withColumn("__sat", col("__d") * (col("__n") - col("__rn") + 1L) <=
+        col("__cap") - (col("__pre") - col("__d")))
+    val leveled = ranked
+      .withColumn("__ns", sum(when(col("__sat"), 1L).otherwise(0L)).over(w))
+      .withColumn("__ss", sum(when(col("__sat"), col("__d")).otherwise(0L))
+        .over(w))
+      .withColumn("__m", col("__n") - col("__ns"))
+      .withColumn("__lvl", when(col("__m") > 0L,
+        expr("(__cap - __ss) div __m")))
+      .withColumn("__left", when(col("__m") > 0L,
+        pmod(col("__cap") - col("__ss"), col("__m"))))
+      .withColumn("__rnu", row_number().over(
+        Window.partitionBy(col("__g"), col("__sat")).orderBy(col("__l"))))
+    leveled.select(col("__g").as(groupCol), col("__l").as(lineCol),
+      col("__d").as(demandCol),
+      when(col("__sat"), col("__d"))
+        .otherwise(col("__lvl") +
+          when(col("__rnu") <= col("__left"), 1L).otherwise(0L))
+        .as("alloc"))
+  }
+
   /** VALIDITY-WINDOW AUDIT for SCD-style [from, to) interval tables —
     * the pre-trust check on a dimension someone ELSE maintains: per key,
     * how many intervals OVERLAP a predecessor (two versions

@@ -576,4 +576,56 @@ object Sketches {
     val merged = bottomKSmall(segSketch, k)
     quantileEstimate(merged, totals.agg(sum(col("n")).as("n_total")), qs)
   }
+
+  /** REPLAYABLE HyperLogLog registers (Flajolet et al. 2007) per group:
+    * the register-based distinct sketch the built-in
+    * approx_count_distinct hides (its HLL++ internals make q37/q119
+    * rows-only-checkable; THIS one is a pure md5 function, so every
+    * register and the estimate hash-match cross-engine — the q249/q316
+    * discipline applied to HLL itself). m = 256 registers: bucket =
+    * low 8 bits of the 52-bit hash, register value = leading-zero rank
+    * ρ of the remaining 44 bits (45 − bitlength, integer-exact via the
+    * binary string — no log2 anywhere). One map-side-combined MAX per
+    * (group, bucket): the fact pass emits ≤ 256 rows per group
+    * regardless of scale, and registers MERGE by the same MAX — see
+    * [[hllEstimate]].
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val h = h52(col(keyCol))
+    val w = expr("__h div 256")
+    df.select(col(groupCol).as("g"), h.as("__h"))
+      .withColumn("j", pmod(col("__h"), lit(256L)))
+      .withColumn("rho",
+        when(w === 0L, 45).otherwise(lit(45) - length(bin(w))).cast("int"))
+      .groupBy(col("g"), col("j"))
+      .agg(max(col("rho")).as("m"))
+  }
+
+  /** HLL ESTIMATE from [[hllRegisters]] rows: raw E = α·m²/Σ2^(−M_j)
+    * (empty registers contribute 1), with the linear-counting
+    * small-range correction m·ln(m/V) when E ≤ 2.5m and empty registers
+    * remain. Exactness: every 2^(−M) is a power of two (exact in
+    * double), landed on the 1e-18 decimal grid and summed exactly; the
+    * α/harmonic finish is pinned doubles rounded once. The input is
+    * register-domain sized (≤ 256 rows per group) — estimating costs
+    * nothing at any scale, and merging groups is a MAX per bucket
+    * upstream of this function.
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = 256
+    val d3818 = DecimalType(38, 18)
+    def dbl(c: Column): Column = c.cast("double")
+    val agg = regs.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(round(pow(lit(2.0), -col("m")), 18).cast(d3818)).as("s_present"))
+      .withColumn("v_empty", lit(m.toLong) - col("n_regs"))
+      .withColumn("s", dbl(col("s_present") +
+        col("v_empty").cast(d3818)))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val eRaw = alpha * lit(65536.0) / col("s")
+    val e = when(eRaw <= lit(2.5 * m) && col("v_empty") > 0L,
+      lit(256.0) * log(lit(256.0) / dbl(col("v_empty")))).otherwise(eRaw)
+    agg.select(col("g"), col("n_regs"), col("v_empty"),
+      round(e, 6).as("estimate"))
+  }
 }

@@ -240,6 +240,37 @@ class RelationalSpec extends SparkSuite {
       assert(sums(g) == 100000L + g, s"group $g must reconcile exactly"))
   }
 
+  test("waterfill: saturation prefix, exact reconciliation, fair split") {
+    // demands (1, 2, 10, 10), cap 16: lines 1 & 2 saturate (1+2=3), the
+    // two big lines split 13 as 7/6 with the +1 to the LOWER line id
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 10L),
+      ("A", 4L, 10L)).toDF("g", "l", "d").withColumn("cap", lit(16L))
+    val got = Relational.waterfill(df, "g", "l", "d", "cap")
+      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 7L, 4L -> 6L))
+    // non-binding capacity: everyone gets their demand
+    val loose = Relational.waterfill(
+      df.withColumn("cap", lit(100L)), "g", "l", "d", "cap")
+      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(loose == Map(1L -> 1L, 2L -> 2L, 3L -> 10L, 4L -> 10L))
+    // random groups: allocs sum to min(cap, sum d), never exceed demand
+    val rnd = new scala.util.Random(7)
+    val lines = (1 to 200).map { i =>
+      (i % 20, i.toLong, 1L + rnd.nextInt(50).toLong)
+    }
+    val caps = lines.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._3).sum * 2 / 3 }
+    val rdf = lines.map { case (g, l, d) => (g, l, d, caps(g)) }
+      .toDF("g", "l", "d", "cap")
+    val out = Relational.waterfill(rdf, "g", "l", "d", "cap")
+      .as[(Int, Long, Long, Long)].collect()
+    out.foreach { case (_, l, d, a) =>
+      assert(a <= d && a >= 0, s"line $l alloc $a vs demand $d") }
+    out.groupBy(_._1).foreach { case (g, xs) =>
+      val total = lines.filter(_._1 == g).map(_._3).sum
+      assert(xs.map(_._4).sum == math.min(caps(g), total), s"group $g") }
+  }
+
   test("validityAudit: overlap vs gap vs abut vs swallow, per key") {
     // key A: [0,10) then [5,12) overlap, then [12,15) abuts (clean),
     // then [20,25) gap — 1 overlap, 1 gap

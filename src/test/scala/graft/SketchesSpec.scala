@@ -255,4 +255,51 @@ class SketchesSpec extends SparkSuite {
       } else assert(!got.contains((a, b)), "zero-overlap pairs are absent")
     }
   }
+
+  test("hllRegisters: hand-checked bucket and rho from the md5 arithmetic") {
+    import spark.implicits._
+    def h52(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    val regs = Sketches.hllRegisters(Seq(("g1", "42")).toDF("g", "k"),
+      "g", "k").as[(String, Long, Int)].collect()
+    val h = h52("42")
+    val w = h / 256
+    val rho = if (w == 0) 45 else 45 - java.lang.Long.toBinaryString(w).length
+    assert(regs.toSeq == Seq(("g1", h % 256, rho)))
+  }
+
+  test("hllEstimate: ~2% error at 5k keys; merge law is exact") {
+    import spark.implicits._
+    val facts = (1 to 5000).map(i => ("u", i.toString)).toDF("g", "k")
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(facts, "g", "k"))
+      .select("estimate").as[Double].head()
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.15,
+      s"HLL(m=256) should land within ~3sigma of 5000, got $est")
+    // mergeability: max-per-bucket over two overlapping halves must give
+    // EXACTLY the union's registers (and hence the union's estimate)
+    val partA = (1 to 3000).map(i => ("a", i.toString))
+    val partB = (2000 to 5000).map(i => ("b", i.toString))
+    val halves = Sketches.hllRegisters(
+      (partA ++ partB).toDF("g", "k"), "g", "k")
+    val merged = halves.groupBy($"j")
+      .agg(org.apache.spark.sql.functions.max($"m").as("m"))
+      .select($"j", $"m").as[(Long, Int)].collect().toMap
+    val union = Sketches.hllRegisters(facts, "g", "k")
+      .select($"j", $"m").as[(Long, Int)].collect().toMap
+    assert(merged == union, "register merge must equal the union sketch")
+  }
+
+  test("hllEstimate: linear-counting regime for tiny cardinalities") {
+    import spark.implicits._
+    // 3 distinct keys: E_raw is far below 2.5m with empty registers, so
+    // the estimate must be the m*ln(m/V) correction — near-exact here
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(
+        Seq("x", "y", "z").map(("g", _)).toDF("g", "k"), "g", "k"))
+      .select("v_empty", "estimate").as[(Long, Double)].head()
+    assert(est._1 == 253L)
+    assert(est._2 == math.rint(256.0 * math.log(256.0 / 253.0) * 1e6) / 1e6)
+  }
 }
