@@ -5663,6 +5663,59 @@ object SparkEntry {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** STREAMING HyperLogLog maintenance
+    * ([[graft.streaming.StreamVerify.hllMaintenance]]): micro-batches
+    * land their register MAXes as exactly-once lake commits; MAX
+    * commutes and is idempotent, so the merged store equals the
+    * whole-corpus sketch and q379's oracle replays it — batch
+    * boundaries must be invisible.
+    */
+  private def q381(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.hllMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q381"))
+
+  /** RENDEZVOUS (HRW) routing
+    * ([[graft.operators.Sharding.rendezvousAssign]]): argmax-of-hashes
+    * routing beside q378's ring — no vnodes, perfect expected balance,
+    * same minimal-movement law (ShardingSpec proves it); one row-local
+    * array expression, zero shuffles.
+    */
+  private def q382(s: SparkSession, dir: String): DataFrame = {
+    val shards = (0 until 8).map(i => "shard-" + i)
+    graft.operators.Sharding
+      .rendezvousAssign(T(s, dir, "customer"), "c_custkey", shards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_keys"))
+      .withColumn("pct", round(col("n_keys").cast("double") /
+        sum(col("n_keys")).over(Window.partitionBy()).cast("double"), 6))
+      .orderBy(col("shard"))
+  }
+
+  /** HILL TAIL-INDEX ([[graft.operators.Trend.hillTailIndex]]) of the
+    * order-price distribution from the top-101 order statistics — "is
+    * this tail power-law-heavy enough that sums are giant-dominated";
+    * the distributional companion to q277's Zipf rank fit.
+    */
+  private def q383(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Trend.hillTailIndex(
+      T(s, dir, "orders").select(
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents")),
+      "cents", k = 100)
+
+  /** GCRA RATE-LIMIT AUDIT
+    * ([[graft.operators.Relational.rateLimitAudit]]): replay each user's
+    * event stream against a 1-per-60s limiter with burst 4 and report
+    * would-be allowed/rejected counts — the offline capacity-planning
+    * readout; all integer seconds, recursive-CTE oracle.
+    */
+  private def q384(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000000000").as("tsec"), col("event_id"))
+    graft.operators.Relational.rateLimitAudit(ev, "user_id", "tsec",
+      "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7820,6 +7873,10 @@ object SparkEntry {
     "q378_consistent_hash" -> (q378 _),
     "q379_hll_registers" -> (q379 _),
     "q380_waterfill" -> (q380 _),
+    "q381_stream_hll" -> (q381 _),
+    "q382_rendezvous_hash" -> (q382 _),
+    "q383_hill_tail" -> (q383 _),
+    "q384_rate_limit" -> (q384 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -7989,6 +8046,13 @@ object SparkEntry {
     * each taking the longest vocabulary prefix via a correlated arg_max —
     * ties are impossible (equal-length prefixes of one string are equal).
     */
+  /** Register-for-register HLL replay (q379 AND q381: the streaming
+    * store's MAX-merge makes batch boundaries invisible, so both gate
+    * against the identical whole-corpus sketch).
+    */
+  private val hllOracleSql: String =
+    """WITH h AS (SELECT event_type AS g, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hh FROM events), b AS (SELECT g, hh % 256 AS j, CASE WHEN hh // 256 = 0 THEN 45 ELSE 45 - length(bin(hh // 256)) END AS rho FROM h), regs0 AS (SELECT g, j, MAX(rho) AS m FROM b GROUP BY 1, 2), regs AS (SELECT * FROM regs0 UNION ALL SELECT '(all)' AS g, j, MAX(m) AS m FROM regs0 GROUP BY j), agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_regs, SUM(CAST(round(pow(2.0, -m), 18) AS DECIMAL(38,18))) AS sp FROM regs GROUP BY g), e2 AS (SELECT g, n_regs, 256 - n_regs AS v_empty, 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / CAST(sp + CAST(256 - n_regs AS DECIMAL(38,18)) AS DOUBLE) AS eraw FROM agg), ex AS (SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY 1 UNION ALL SELECT '(all)', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) SELECT e2.g, e2.n_regs, CAST(e2.v_empty AS BIGINT) AS v_empty, round(CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END, 6) AS estimate, ex.n_exact, round((CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error FROM e2 JOIN ex ON e2.g = ex.g ORDER BY e2.g"""
+
   private val tokenizeOracleSql: String = {
     val steps = (1 to 10).map(i =>
       s", s$i AS (SELECT w, freq, CASE WHEN rest = '' THEN rest ELSE " +
@@ -8445,8 +8509,19 @@ object SparkEntry {
     "q378_consistent_hash" ->
       s"""WITH vn AS (SELECT s, i, CAST(concat('0x', substr(md5(concat(s, ':', CAST(i AS VARCHAR))), 1, 13)) AS BIGINT) AS ring FROM (SELECT unnest([${(0 until 8).map(i => s"'shard-$i'").mkString(",")}]) AS s), (SELECT unnest(range(0, 40)) AS i)), a AS (SELECT list(ring ORDER BY ring, s) AS rings, list(s ORDER BY ring, s) AS ss FROM vn), k AS (SELECT c_custkey, CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13)) AS BIGINT) AS hk FROM customer), r AS (SELECT c_custkey, CASE WHEN len(list_filter(rings, x -> x < hk)) = len(rings) THEN ss[1] ELSE ss[len(list_filter(rings, x -> x < hk)) + 1] END AS shard FROM k, a) SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_keys, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS pct FROM r GROUP BY shard ORDER BY shard""",
     // register-for-register HLL replay; 2^-M terms on the 1e-18 grid
-    "q379_hll_registers" ->
-      """WITH h AS (SELECT event_type AS g, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hh FROM events), b AS (SELECT g, hh % 256 AS j, CASE WHEN hh // 256 = 0 THEN 45 ELSE 45 - length(bin(hh // 256)) END AS rho FROM h), regs0 AS (SELECT g, j, MAX(rho) AS m FROM b GROUP BY 1, 2), regs AS (SELECT * FROM regs0 UNION ALL SELECT '(all)' AS g, j, MAX(m) AS m FROM regs0 GROUP BY j), agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_regs, SUM(CAST(round(pow(2.0, -m), 18) AS DECIMAL(38,18))) AS sp FROM regs GROUP BY g), e2 AS (SELECT g, n_regs, 256 - n_regs AS v_empty, 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / CAST(sp + CAST(256 - n_regs AS DECIMAL(38,18)) AS DOUBLE) AS eraw FROM agg), ex AS (SELECT event_type AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY 1 UNION ALL SELECT '(all)', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) SELECT e2.g, e2.n_regs, CAST(e2.v_empty AS BIGINT) AS v_empty, round(CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END, 6) AS estimate, ex.n_exact, round((CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error FROM e2 JOIN ex ON e2.g = ex.g ORDER BY e2.g""",
+    "q379_hll_registers" -> hllOracleSql,
+    // the streaming register store must equal the whole-corpus sketch:
+    // MAX-merge makes batch boundaries invisible, so the SAME oracle
+    "q381_stream_hll" -> hllOracleSql,
+    // argmax-of-hashes per key; rank replay with the (h desc, s desc) tie
+    "q382_rendezvous_hash" ->
+      s"""WITH sh AS (SELECT unnest([${(0 until 8).map(i => s"'shard-$i'").mkString(",")}]) AS s), h AS (SELECT c_custkey, s, CAST(concat('0x', substr(md5(concat(CAST(c_custkey AS VARCHAR), '|', s)), 1, 13)) AS BIGINT) AS hv FROM customer, sh), r AS (SELECT c_custkey, s, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY hv DESC, s DESC) AS rn FROM h) SELECT s AS shard, CAST(COUNT(*) AS BIGINT) AS n_keys, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS pct FROM r WHERE rn = 1 GROUP BY s ORDER BY s""",
+    // top-(k+1) order statistics; log-ratio terms on the 1e-9 grid
+    "q383_hill_tail" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
+    // the TAT recursion replayed per user; all integer seconds
+    "q384_rate_limit" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_id FROM events), o AS (SELECT user_id, t, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn FROM e), nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1), rec AS (SELECT user_id, CAST(1 AS BIGINT) AS rn, CAST(t + 60 AS BIGINT) AS tat, CAST(1 AS BIGINT) AS ok FROM o WHERE rn = 1 UNION ALL SELECT r.user_id, r.rn + 1, CAST(CASE WHEN e.t >= r.tat - 240 THEN greatest(r.tat, e.t) + 60 ELSE r.tat END AS BIGINT), r.ok + CASE WHEN e.t >= r.tat - 240 THEN 1 ELSE 0 END FROM rec r JOIN o e ON e.user_id = r.user_id AND e.rn = r.rn + 1) SELECT f.user_id, nn.n AS n_events, f.ok AS n_allowed, CAST(nn.n - f.ok AS BIGINT) AS n_rejected FROM rec f JOIN nn ON nn.user_id = f.user_id AND f.rn = nn.n ORDER BY f.user_id""",
     // sorted prefix sums find the water level; floor + largest remainder
     "q380_waterfill" ->
       """WITH li AS (SELECT l_orderkey AS g, CAST(l_linenumber AS BIGINT) AS l, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d FROM lineitem GROUP BY 1, 2), c AS (SELECT g, l, d, CAST((SUM(d) OVER (PARTITION BY g) * 3) // 5 AS BIGINT) AS cap FROM li), r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY d, l) AS rn, COUNT(*) OVER (PARTITION BY g) AS n, CAST(SUM(d) OVER (PARTITION BY g ORDER BY d, l ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre FROM c), s AS (SELECT *, d * (n - rn + 1) <= cap - (pre - d) AS sat FROM r), t AS (SELECT *, CAST(SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER (PARTITION BY g) AS BIGINT) AS ns, CAST(SUM(CASE WHEN sat THEN d ELSE 0 END) OVER (PARTITION BY g) AS BIGINT) AS ss FROM s), u AS (SELECT *, CASE WHEN n - ns > 0 THEN (cap - ss) // (n - ns) END AS lvl, CASE WHEN n - ns > 0 THEN (cap - ss) % (n - ns) END AS lft, ROW_NUMBER() OVER (PARTITION BY g, sat ORDER BY l) AS rnu FROM t) SELECT g AS l_orderkey, l AS l_linenumber, d AS demand, CAST(CASE WHEN sat THEN d ELSE lvl + CASE WHEN rnu <= lft THEN 1 ELSE 0 END END AS BIGINT) AS alloc FROM u ORDER BY l_orderkey, l_linenumber""",

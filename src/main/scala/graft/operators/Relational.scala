@@ -640,6 +640,50 @@ object Relational {
         .as("alloc"))
   }
 
+  /** GCRA RATE-LIMIT AUDIT (the token-bucket / leaky-bucket algorithm in
+    * its integer form): replay each key's event stream against a limiter
+    * of one permit per `emissionSec` with `burst` extra tolerance, and
+    * report how many events WOULD have been allowed vs rejected — the
+    * capacity-planning question ("what hit rate would this limit cause")
+    * answered offline before any limiter ships. GCRA state is one
+    * integer: the theoretical arrival time TAT; an event at t is allowed
+    * iff t ≥ TAT − burst·T, and then TAT ← max(TAT, t) + T (rejections
+    * leave TAT untouched, so `burst`+1 instantaneous events pass, then
+    * one per T). Inherently sequential per key → one HOF fold over the
+    * collected per-key series (the documented per-key bound), ALL
+    * integer seconds — the oracle's recursive CTE replays it exactly.
+    */
+  def rateLimitAudit(
+      df: DataFrame,
+      keyCol: String,
+      tSecCol: String,
+      idCol: String,
+      emissionSec: Long,
+      burst: Int): DataFrame = {
+    require(emissionSec > 0 && burst >= 0)
+    val tau = burst * emissionSec
+    val folded = aggregate(
+      expr("slice(__s, 2, greatest(size(__s) - 1, 0))"),
+      struct((element_at(col("__s"), 1).getField("__t") + lit(emissionSec))
+        .as("tat"), lit(1L).as("ok")),
+      (acc, e) => {
+        val t = e.getField("__t")
+        val allowed = t >= acc.getField("tat") - lit(tau)
+        struct(
+          when(allowed, greatest(acc.getField("tat"), t) + lit(emissionSec))
+            .otherwise(acc.getField("tat")).as("tat"),
+          (acc.getField("ok") + when(allowed, 1L).otherwise(0L)).as("ok"))
+      })
+    df.select(col(keyCol), col(tSecCol).cast("long").as("__t"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("__t"), col("__id")))).as("__s"))
+      .select(col(keyCol), col("n_events"),
+        folded.getField("ok").as("n_allowed"),
+        (col("n_events") - folded.getField("ok")).as("n_rejected"))
+  }
+
   /** VALIDITY-WINDOW AUDIT for SCD-style [from, to) interval tables —
     * the pre-trust check on a dimension someone ELSE maintains: per key,
     * how many intervals OVERLAP a predecessor (two versions

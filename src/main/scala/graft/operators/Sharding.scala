@@ -62,4 +62,27 @@ object Sharding {
           .otherwise(element_at(col("ss"), col("__c") + 1)))
       .select(col(keyCol), col("shard"))
   }
+
+  /** RENDEZVOUS (highest-random-weight) routing — the other standard
+    * consistent scheme: every key goes to argmax over shards of
+    * h52(key "|" shard). No ring, no vnodes, PERFECT expected balance
+    * (each shard wins exactly 1/S of the hash space), and the same
+    * minimal-movement property as [[ringAssign]] — removing a shard
+    * re-routes only the keys it was winning, because every other key's
+    * argmax is untouched. Cost: S hashes per key instead of one, all
+    * inside one row-local array expression (argmax = lexicographic max
+    * of (hash, shard) structs) — still zero shuffles, still a pure md5
+    * function the oracle replays.
+    */
+  def rendezvousAssign(
+      df: DataFrame,
+      keyCol: String,
+      shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size)
+    val cands = array(shards.map(s => struct(
+      h52(concat(col(keyCol).cast("string"), lit("|"), lit(s))).as("h"),
+      lit(s).as("s"))): _*)
+    df.select(col(keyCol),
+      array_max(cands).getField("s").as("shard"))
+  }
 }

@@ -794,6 +794,36 @@ object Trend {
           .cast("double").as("remainder"))
   }
 
+  /** HILL TAIL-INDEX estimator — "how heavy is this distribution's
+    * tail": α̂ = k / Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k+1 largest values
+    * (Hill 1975). α near 1–2 means a power-law tail where means/maxima
+    * are dominated by a few giants (plan for skew!); large α means the
+    * tail decays fast. The distributional companion to q277's Zipf fit
+    * (ranks of a frequency spectrum) — this works on any positive
+    * measure directly. Cost: a global top-(k+1) (TakeOrdered — k is
+    * answer-sized), then k log terms on the 1e-9 decimal grid summed
+    * exactly; ties at the threshold are harmless because only the VALUE
+    * multiset enters the sum.
+    */
+  def hillTailIndex(df: DataFrame, vCol: String, k: Int): DataFrame = {
+    require(k >= 2)
+    val top = df.select(col(vCol).cast("long").as("v"))
+      .filter(col("v") > 0L)
+      .orderBy(col("v").desc).limit(k + 1)
+    val thr = top.agg(min(col("v")).as("xmin"), count(lit(1)).as("n_top"))
+    top
+      .withColumn("rn", row_number().over(Window.orderBy(col("v").desc)))
+      .filter(col("rn") <= k)
+      .crossJoin(broadcast(thr))
+      .withColumn("term", round(log(col("v").cast("double") /
+        col("xmin").cast("double")), 9).cast(DecimalType(18, 9)))
+      .groupBy(col("xmin"), col("n_top"))
+      .agg(count(lit(1)).as("k"), sum(col("term")).as("__s"))
+      .select(col("k"), col("xmin"),
+        round(col("k").cast("double") / col("__s").cast("double"), 6)
+          .as("alpha"))
+  }
+
   /** MAXIMUM DRAWDOWN per key — the risk statistic of a value series:
     * the deepest peak-to-trough fall `max_t (max_{s≤t} v_s − v_t)`, plus
     * the running peak and global trough for context. A pure window

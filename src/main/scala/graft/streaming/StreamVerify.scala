@@ -487,6 +487,55 @@ object StreamVerify {
       .orderBy(col("true_n").desc, col("user_id"))
   }
 
+  /** STREAMING HyperLogLog maintenance: each micro-batch lands its
+    * register MAXes (graft.operators.Sketches.hllRegisters — ≤ 256 rows
+    * per group per batch) as an exactly-once tagged lake commit; the
+    * standing register table is merge-on-read MAX per (group, bucket).
+    * MAX commutes and is idempotent, so batch boundaries are invisible
+    * and the drained estimate replays as the WHOLE-CORPUS sketch in the
+    * oracle — q379's exact SQL, now fed by a stream. This is the
+    * streaming-ingest shape of a distinct-count stats surface: registers
+    * maintain themselves as a side effect of ingestion and the estimate
+    * reads only the (groups × 256)-row store.
+    */
+  def hllMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/regs"
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("user_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          graft.operators.Sketches
+            .hllRegisters(batch, "event_type", "user_id").coalesce(1),
+          tag = s"hll-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val regs = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("g"), col("j")).agg(max(col("m")).as("m"))
+    val merged = regs.groupBy(col("j")).agg(max(col("m")).as("m"))
+      .withColumn("g", lit("(all)")).select("g", "j", "m")
+    val est = graft.operators.Sketches.hllEstimate(regs.unionByName(merged))
+    val ev = spark.read.parquet(eventsPath)
+    val exact = ev.groupBy(col("event_type").as("g"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+      .unionByName(ev.agg(count_distinct(col("user_id")).as("n_exact"))
+        .withColumn("g", lit("(all)")).select("g", "n_exact"))
+    est.join(exact, "g")
+      .withColumn("rel_error",
+        round((col("estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6))
+      .orderBy(col("g"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -240,6 +240,28 @@ class RelationalSpec extends SparkSuite {
       assert(sums(g) == 100000L + g, s"group $g must reconcile exactly"))
   }
 
+  test("rateLimitAudit: burst passes, steady-state spacing, recovery") {
+    // T=60, burst=4: five instantaneous events pass, the sixth is
+    // rejected; after a long quiet gap the budget is back
+    val burst = (1L to 6L).map(i => ("u", 1000L, i)) :+ (("u", 5000L, 7L))
+    val got = Relational.rateLimitAudit(burst.toDF("k", "t", "id"),
+      "k", "t", "id", 60L, 4).head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((7L, 6L, 1L)))
+    // exactly-spaced arrivals at the emission interval: all pass
+    val paced = (0L until 10L).map(i => ("p", i * 60L, i))
+    val g2 = Relational.rateLimitAudit(paced.toDF("k", "t", "id"),
+      "k", "t", "id", 60L, 4).head()
+    assert((g2.getLong(1), g2.getLong(2), g2.getLong(3)) == ((10L, 10L, 0L)))
+    // twice-too-fast arrivals: after the burst drains, every other one
+    // is rejected (TAT grows 60 per accept, arrivals come every 30)
+    val fast = (0L until 20L).map(i => ("f", i * 30L, i))
+    val g3 = Relational.rateLimitAudit(fast.toDF("k", "t", "id"),
+      "k", "t", "id", 60L, 4).head()
+    assert(g3.getLong(2) < 20L && g3.getLong(2) >= 12L,
+      s"some but not all should pass, got ${g3.getLong(2)}")
+  }
+
   test("waterfill: saturation prefix, exact reconciliation, fair split") {
     // demands (1, 2, 10, 10), cap 16: lines 1 & 2 saturate (1+2=3), the
     // two big lines split 13 as 7/6 with the +1 to the LOWER line id

@@ -189,6 +189,24 @@ class TrendSpec extends SparkSuite {
     assert(bt(Seq(2, 4, 6, 10)) == ((4L, 2L, 1.0, 0.111111)))
   }
 
+  test("hillTailIndex: exact Pareto recovers its exponent") {
+    // x_i = floor(1e6 / i^(1/2)) for i = 1..3000 is Pareto with alpha=2:
+    // the Hill estimate over the top 100 should land near 2
+    val vals = (1 to 3000).map(i =>
+      (math.floor(1e6 / math.sqrt(i.toDouble)).toLong, i))
+    val got = Trend.hillTailIndex(vals.toDF("v", "i"), "v", 100).head()
+    assert(got.getLong(0) == 100L)
+    val alpha = got.getDouble(2)
+    assert(alpha > 1.7 && alpha < 2.3, s"Hill alpha should be ~2, got $alpha")
+    // hand case: values 8,4,2,1 with k=2: terms ln(8/2), ln(4/2)
+    val hand = Trend.hillTailIndex(
+      Seq(8L, 4L, 2L, 1L).map((_, 0)).toDF("v", "i"), "v", 2).head()
+    def g9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val s = g9(math.log(4.0)) + g9(math.log(2.0))
+    assert(hand.getLong(1) == 2L)
+    assert(hand.getDouble(2) == math.rint(2.0 / s.toDouble * 1e6) / 1e6)
+  }
+
   test("kalmanLevelPerKey: hand-stepped recursion, gain settles") {
     // q=0.25, r=1: x1=10, P=1
     // step2: Pp=1.25, K=1.25/2.25=5/9, x=10+5/9*(19-10)=15, P=(4/9)*1.25
