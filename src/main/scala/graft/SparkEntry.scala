@@ -5716,6 +5716,68 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov
+    * ([[graft.operators.Drift.ksExact]]): purchase vs view value
+    * distributions, D and its location computed in INTEGERS over the
+    * value domain (cross-multiplied cumulative counts) — the unbinned
+    * upgrade of q295's binned KS.
+    */
+  private def q385(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select((col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"), col("event_type"))
+    graft.operators.Drift.ksExact(ev, "cents",
+      col("event_type") === "purchase")
+  }
+
+  /** JOIN-FANOUT AUDIT ([[graft.operators.Profiling.joinFanout]]): the
+    * exact output cardinality of the l_partkey self-join (q372's cost
+    * model) from key-domain statistics alone — total pairs plus the
+    * top-20 contributing keys with their share, the pre-join skew
+    * diagnosis that picks between shuffle/broadcast/salting.
+    */
+  private def q386(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    graft.operators.Profiling.joinFanout(li, "l_partkey", li, "l_partkey",
+      topN = 20).orderBy(col("rank"))
+  }
+
+  /** EVENTUALLY-FOLLOWS graph
+    * ([[graft.operators.Affinity.eventuallyFollows]]): per ordered
+    * event-type pair, how many users saw a strictly before b (first
+    * occurrences) — the process-mining relation q222's adjacent-step
+    * Markov transitions can't see.
+    */
+  private def q387(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Affinity.eventuallyFollows(T(s, dir, "events"),
+      "user_id", "event_type", "ts").orderBy(col("a"), col("b"))
+
+  /** DAG CRITICAL PATH ([[graft.operators.Graph.longestPathDag]]):
+    * longest weighted root-to-node distance over the two-parent supplier
+    * DAG (k div 2 and k div 3 edges, md5-derived weights) by
+    * layer-synchronous relaxation; the oracle unrolls the same
+    * relaxation to a fixed 20-round CTE chain (the q224 fixpoint
+    * pattern).
+    */
+  private def q388(s: SparkSession, dir: String): DataFrame = {
+    val keys = T(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("k"))
+    def hmod(prefix: String) =
+      pmod(conv(substring(md5(concat(lit(prefix),
+        col("k").cast("string")).cast("binary")), 1, 13), 16, 10)
+        .cast("long"), lit(1000L))
+    val e2 = keys.filter(col("k") >= 2)
+      .select(expr("k div 2").as("src"), col("k").as("dst"),
+        hmod("e2:").as("w"))
+    val e3 = keys.filter(col("k") >= 3 &&
+        expr("k div 3") =!= expr("k div 2"))
+      .select(expr("k div 3").as("src"), col("k").as("dst"),
+        hmod("e3:").as("w"))
+    graft.operators.Graph.longestPathDag(e2.unionByName(e3), maxRounds = 40)
+      .select(col("id"), col("d").as("dist")).orderBy(col("id"))
+  }
+
   /** SQL-surface RECURSIVE CTE (Spark 4's WITH RECURSIVE / UnionLoop):
     * per-depth census of the implicit binary tree over supplier keys
     * (parent = key div 2) — the engine's own iterative closures (q110,
@@ -7877,6 +7939,10 @@ object SparkEntry {
     "q382_rendezvous_hash" -> (q382 _),
     "q383_hill_tail" -> (q383 _),
     "q384_rate_limit" -> (q384 _),
+    "q385_ks_exact" -> (q385 _),
+    "q386_join_fanout" -> (q386 _),
+    "q387_eventually_follows" -> (q387 _),
+    "q388_critical_path" -> (q388 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8046,6 +8112,22 @@ object SparkEntry {
     * each taking the longest vocabulary prefix via a correlated arg_max —
     * ties are impossible (equal-length prefixes of one string are equal).
     */
+  /** DuckDB replay of [[graft.operators.Graph.longestPathDag]] on the
+    * supplier DAG: the relaxation unrolled to a fixed CTE chain (the
+    * q224 fixpoint-unroll pattern — recursive CTEs cannot aggregate in
+    * the recursive term). `rounds` must exceed the longest path length;
+    * 20 covers suppliers to k = 2^20.
+    */
+  private def longestPathSql(rounds: Int): String = {
+    val ed = "ed AS (SELECT k // 2 AS src, k AS dst, CAST(concat('0x', substr(md5(concat('e2:', CAST(k AS VARCHAR))), 1, 13)) AS BIGINT) % 1000 AS w FROM sk WHERE k >= 2 UNION ALL SELECT k // 3, k, CAST(concat('0x', substr(md5(concat('e3:', CAST(k AS VARCHAR))), 1, 13)) AS BIGINT) % 1000 FROM sk WHERE k >= 3 AND k // 3 <> k // 2)"
+    val d0 = "d0 AS (SELECT id, CAST(0 AS BIGINT) AS d FROM (SELECT src AS id FROM ed UNION SELECT dst FROM ed) n WHERE id NOT IN (SELECT dst FROM ed))"
+    // AS MATERIALIZED is load-bearing: each round references its
+    // predecessor twice, so inlined CTEs re-evaluate 2^rounds times
+    val steps = (1 to rounds).map(i =>
+      s"d$i AS MATERIALIZED (SELECT id, MAX(d) AS d FROM (SELECT id, d FROM d${i - 1} UNION ALL SELECT e.dst AS id, p.d + e.w AS d FROM d${i - 1} p JOIN ed e ON e.src = p.id) u GROUP BY id)").mkString(", ")
+    s"WITH sk AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier), $ed, $d0, $steps SELECT id, CAST(d AS BIGINT) AS dist FROM d$rounds ORDER BY id"
+  }
+
   /** Register-for-register HLL replay (q379 AND q381: the streaming
     * store's MAX-merge makes batch boundaries invisible, so both gate
     * against the identical whole-corpus sketch).
@@ -8519,6 +8601,17 @@ object SparkEntry {
     // top-(k+1) order statistics; log-ratio terms on the 1e-9 grid
     "q383_hill_tail" ->
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
+    // integer cross-multiplied cumulative counts; min attaining value
+    "q385_ks_exact" ->
+      """WITH e AS (SELECT CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) AS v, event_type = 'purchase' AS isa FROM events WHERE event_type IN ('purchase', 'view')), bv AS (SELECT v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb FROM e GROUP BY v), ck AS (SELECT v, CAST(SUM(ta) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca, CAST(SUM(tb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb, CAST(SUM(ta) OVER () AS BIGINT) AS na, CAST(SUM(tb) OVER () AS BIGINT) AS nb FROM bv), nm AS (SELECT v, abs(CAST(ca AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) - CAST(cb AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0))) AS num, na, nb FROM ck), mx AS (SELECT MAX(num) AS mnum FROM nm) SELECT MAX(na) AS n_a, MAX(nb) AS n_b, round(CAST(mx.mnum AS DOUBLE) / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6) AS d_stat, MIN(CASE WHEN num = mx.mnum THEN v END) AS at_v FROM nm, mx GROUP BY mx.mnum""",
+    // key-domain counts squared; top contributors by exact product
+    "q386_join_fanout" ->
+      """WITH cl AS (SELECT CAST(l_partkey AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS n_left FROM lineitem GROUP BY 1), j AS (SELECT k, n_left, n_left AS n_right, CAST(n_left AS DECIMAL(38,0)) * CAST(n_left AS DECIMAL(38,0)) AS np FROM cl), t AS (SELECT SUM(np) AS tp FROM j), r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY np DESC, k) AS rn FROM j) SELECT CAST(rn AS BIGINT) AS rank, k, n_left, n_right, CAST(np AS BIGINT) AS n_pairs, CAST(t.tp AS BIGINT) AS total_pairs, round(CAST(np AS DOUBLE) / CAST(t.tp AS DOUBLE), 6) AS share FROM r, t WHERE rn <= 20 ORDER BY rank""",
+    // first-occurrence census then the strict-precedence pair join
+    "q387_eventually_follows" ->
+      """WITH f AS (SELECT user_id AS c, event_type AS act, MIN(epoch_ns(ts)) AS t FROM events GROUP BY 1, 2), n AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS nc FROM f) SELECT x.act AS a, y.act AS b, CAST(COUNT(*) AS BIGINT) AS n_cases, round(CAST(COUNT(*) AS DOUBLE) / CAST(n.nc AS DOUBLE), 6) AS case_share FROM f x JOIN f y ON x.c = y.c AND x.act <> y.act AND x.t < y.t, n GROUP BY x.act, y.act, n.nc ORDER BY a, b""",
+    // relaxation unrolled to a 20-round CTE chain (q224 fixpoint pattern)
+    "q388_critical_path" -> longestPathSql(20),
     // the TAT recursion replayed per user; all integer seconds
     "q384_rate_limit" ->
       """WITH RECURSIVE e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, event_id FROM events), o AS (SELECT user_id, t, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn FROM e), nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1), rec AS (SELECT user_id, CAST(1 AS BIGINT) AS rn, CAST(t + 60 AS BIGINT) AS tat, CAST(1 AS BIGINT) AS ok FROM o WHERE rn = 1 UNION ALL SELECT r.user_id, r.rn + 1, CAST(CASE WHEN e.t >= r.tat - 240 THEN greatest(r.tat, e.t) + 60 ELSE r.tat END AS BIGINT), r.ok + CASE WHEN e.t >= r.tat - 240 THEN 1 ELSE 0 END FROM rec r JOIN o e ON e.user_id = r.user_id AND e.rn = r.rn + 1) SELECT f.user_id, nn.n AS n_events, f.ok AS n_allowed, CAST(nn.n - f.ok AS BIGINT) AS n_rejected FROM rec f JOIN nn ON nn.user_id = f.user_id AND f.rn = nn.n ORDER BY f.user_id""",

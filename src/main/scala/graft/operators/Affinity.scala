@@ -101,4 +101,35 @@ object Affinity {
       .filter(col("rank") <= k)
       .select(col("item"), col("rank"), col("neighbor"), col("n_ab"), col("cosine"))
   }
+
+  /** EVENTUALLY-FOLLOWS graph — the process-mining primitive under every
+    * conformance/bottleneck analysis: for each ordered activity pair
+    * (a, b), how many cases saw a STRICTLY before b (first occurrences
+    * compared). [[pairCounts]] is unordered co-presence and q222's
+    * Markov transitions are ADJACENT steps; eventually-follows is the
+    * transitive "a precedes b somewhere" relation that exposes long-range
+    * process order. Cost: one map-side-combined (case, activity) →
+    * min-time census — after it everything is (cases × activities)-sized,
+    * and the per-case self-join fans out at most |activities|² per case.
+    * Equal first-occurrence times count in NEITHER direction (strict <),
+    * keeping the relation antisymmetric and engine-independent.
+    */
+  def eventuallyFollows(
+      df: DataFrame,
+      caseCol: String,
+      activityCol: String,
+      tCol: String): DataFrame = {
+    val firsts = df
+      .groupBy(col(caseCol).as("c"), col(activityCol).as("act"))
+      .agg(min(col(tCol).cast("long")).as("t"))
+    val nCases = firsts.select(col("c")).distinct().count()
+    firsts.as("x").join(firsts.as("y"),
+        col("x.c") === col("y.c") && col("x.act") =!= col("y.act") &&
+          col("x.t") < col("y.t"))
+      .groupBy(col("x.act").as("a"), col("y.act").as("b"))
+      .agg(count(lit(1)).as("n_cases"))
+      .select(col("a"), col("b"), col("n_cases"),
+        round(col("n_cases").cast("double") / lit(nCases.toDouble), 6)
+          .as("case_share"))
+  }
 }

@@ -243,6 +243,48 @@ object Drift {
       round(t, 6).as("t_stat"), round(dfW, 6).as("df_welch"))
   }
 
+  /** EXACT two-sample KOLMOGOROV–SMIRNOV — the unbinned upgrade of the
+    * q295 binned KS: D = max over the VALUE DOMAIN of |F_a − F_b|,
+    * computed entirely in integers by cross-multiplying the cumulative
+    * counts (|ca·nb − cb·na| vs na·nb), so the supremum and its location
+    * are exact — no bin-placement error, no doubles until the single
+    * final division. Same 100 TB shape as [[mannWhitney]]: one
+    * map-side-combined census to the value domain, one cumulative window
+    * over that domain-sized frame, one aggregate. Ties at the supremum
+    * resolve to the SMALLEST attaining value (struct-max with negated
+    * v), pinning the answer across engines.
+    */
+  def ksExact(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val byValue = df
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(when(sampleACol, 1L).otherwise(0L)).as("ta"),
+        sum(when(sampleACol, 0L).otherwise(1L)).as("tb"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val ranked = byValue
+      .withColumn("ca", sum(col("ta")).over(cum))
+      .withColumn("cb", sum(col("tb")).over(cum))
+      .withColumn("na", sum(col("ta")).over(tot))
+      .withColumn("nb", sum(col("tb")).over(tot))
+      .withColumn("num", abs(col("ca").cast(d38) * col("nb").cast(d38) -
+        col("cb").cast(d38) * col("na").cast(d38)))
+    ranked
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(struct(col("num").as("n"), (-col("v")).as("mv"))).as("__arg"))
+      .select(col("n_a"), col("n_b"),
+        round(dbl(col("__arg").getField("n")) /
+          (dbl(col("n_a")) * dbl(col("n_b"))), 6).as("d_stat"),
+        (-col("__arg").getField("mv")).as("at_v"))
+  }
+
   /** KRUSKAL–WALLIS H — [[mannWhitney]]'s k-group generalization: "does
     * ANY of these groups sit systematically higher," the non-parametric
     * one-way ANOVA. Same 100 TB rank formulation: values collapse to the

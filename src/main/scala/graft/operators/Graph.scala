@@ -470,6 +470,45 @@ object Graph {
     forest
   }
 
+  /** LONGEST PATH (critical path) through a weighted DAG by
+    * layer-synchronous relaxation: start every root (in-degree 0) at 0,
+    * and each round relax dist(v) = max(dist(v), max over incoming
+    * edges of dist(p) + w). In a DAG the relaxation converges in
+    * longest-path-length rounds — each round ONE equi-join shuffle of
+    * the edge list against the current frontier plus one max-aggregate,
+    * the bulk-parallel schedule-analysis shape (project CPM, pipeline
+    * latency, dependency build times). Negative weights are fine (max
+    * relaxation, no cycles by contract); `maxRounds` bounds runaway
+    * input that is not actually acyclic — convergence before the bound
+    * is REQUIRED, so a cycle fails loudly instead of silently capping.
+    */
+  def longestPathDag(edges: DataFrame, maxRounds: Int): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val nodes = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id"))).distinct()
+    val dsts = e0.select(col("dst").as("id")).distinct()
+    var dist = nodes.join(dsts, Seq("id"), "left_anti")
+      .select(col("id"), lit(0L).as("d")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val relaxed = dist.join(e0, dist("id") === e0("src"))
+        .select(col("dst").as("id"), (col("d") + col("w")).as("d"))
+        .unionByName(dist)
+        .groupBy(col("id")).agg(max(col("d")).as("d"))
+        .localCheckpoint(true)
+      changed = relaxed.as("n").join(dist.as("o"), Seq("id"), "left")
+        .filter(col("o.d").isNull || col("n.d") =!= col("o.d")).count()
+      dist = relaxed
+      round += 1
+    }
+    require(changed == 0,
+      s"longestPathDag did not converge within $maxRounds rounds — cycle?")
+    dist
+  }
+
   /** ADAMIC–ADAR link prediction over a bipartite incidence list
     * `(node, via)`: score(n1, n2) = Σ over shared connectors of
     * 1/ln(degree(via)) — common neighbors, discounted by how promiscuous

@@ -172,6 +172,47 @@ object Profiling {
     * the DISTINCT key domains — never a fact×fact join; pairs union into
     * one frame.
     */
+  /** JOIN-FANOUT AUDIT — the "will this join explode" question answered
+    * BEFORE the join runs, from key-domain statistics alone: per join
+    * key, the output contribution is n_left(k)·n_right(k), so the exact
+    * total join cardinality is Σ over the key domain — two
+    * map-side-combined counts and one domain-sized equi-join, never the
+    * fact×fact join being audited. Reports the topN contributing keys
+    * with their share of the total: the skew diagnosis that decides
+    * between a plain shuffle join, a broadcast, or salting (q19/q75)
+    * at 100 TB. Exact decimals throughout; share is the single double.
+    */
+  def joinFanout(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(topN >= 1)
+    val d38 = DecimalType(38, 0)
+    val cl = left.groupBy(col(leftKey).cast("string").as("k"))
+      .agg(count(lit(1)).as("n_left"))
+    val cr = right.groupBy(col(rightKey).cast("string").as("k"))
+      .agg(count(lit(1)).as("n_right"))
+    val joined = cl.join(cr, Seq("k"))
+      .withColumn("n_pairs", col("n_left").cast(d38) *
+        col("n_right").cast(d38))
+    val tot = Window.partitionBy()
+    joined
+      .withColumn("total_pairs", sum(col("n_pairs")).over(tot))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_pairs").desc, col("k"))))
+      .filter(col("rn") <= topN)
+      .select(col("rn").cast("long").as("rank"), col("k"),
+        col("n_left"), col("n_right"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("total_pairs").cast("long").as("total_pairs"),
+        round(col("n_pairs").cast("double") /
+          col("total_pairs").cast("double"), 6).as("share"))
+  }
+
   def fkContainment(
       candidates: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(candidates.nonEmpty)

@@ -54,4 +54,19 @@ class AffinitySpec extends SparkSuite {
     // for b: cos(b,a) = 2/3 vs cos(b,c) = 2/sqrt(6) ≈ .816 → c first
     assert(got("b") == List("c", "a"))
   }
+
+  test("eventuallyFollows: strict first-occurrence precedence per case") {
+    import spark.implicits._
+    // u1: a@1, b@2, c@2 (b/c tie → neither direction); a repeats late
+    // but only FIRST occurrences compare. u2: b@1, a@3.
+    val ev = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 2L),
+      (1L, "a", 9L), (2L, "b", 1L), (2L, "a", 3L))
+      .toDF("u", "act", "t")
+    val got = Affinity.eventuallyFollows(ev, "u", "act", "t")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 0.5))))
+  }
 }

@@ -386,6 +386,26 @@ class GraphSpec extends SparkSuite {
     assert(got == Set((1L, 2L, 5L), (1L, 3L, 50L), (2L, 4L, 60L)))
   }
 
+  test("longestPathDag: diamond relaxation, multi-root, cycle detection") {
+    import spark.implicits._
+    // diamond 1→2(5), 1→3(1), 2→4(1), 3→4(10): dist 4 = max(6, 11) = 11
+    val d = Seq((1L, 2L, 5L), (1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 10L))
+    val got = Graph.longestPathDag(d.toDF("src", "dst", "w"), 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 1L, 4L -> 11L))
+    // second root 10→4(100) dominates
+    val got2 = Graph.longestPathDag(
+      (d :+ ((10L, 4L, 100L))).toDF("src", "dst", "w"), 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got2(4L) == 100L && got2(10L) == 0L)
+    // a cycle must fail loudly, not silently cap
+    intercept[IllegalArgumentException] {
+      Graph.longestPathDag(
+        Seq((1L, 2L, 1L), (2L, 1L, 1L), (9L, 1L, 1L)).toDF("src", "dst", "w"),
+        5).collect()
+    }
+  }
+
   test("adamicAdar: discounted common neighbors, degree cap, minShared") {
     import spark.implicits._
     // via 10 & 40 connect {1,2} (deg 2), via 20 connects {1,2,3} (deg 3),

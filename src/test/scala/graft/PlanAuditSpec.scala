@@ -327,4 +327,26 @@ class PlanAuditSpec extends SparkSuite {
         s"$name grew an unpartitioned window")
     }
   }
+
+  test("q372: Adamic-Adar pair-gen rides the connector equi-join, never BNL") {
+    val p = formatted(q("q372_adamic_adar"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "pairs must form per connector via the equi-join on v")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q378/q382: shard routing is map-side, never a key-side shuffle join") {
+    for (name <- Seq("q378_consistent_hash", "q382_rendezvous_hash")) {
+      val df = q(name)
+      df.count()
+      val smj = df.queryExecution.executedPlan.collectWithSubqueries {
+        case j: SortMergeJoinExec => j
+      }
+      assert(smj.isEmpty, s"$name shuffled the key side into a join")
+    }
+    // rendezvous routing is one row-local expression: NO join of any kind
+    assert(!formatted(q("q382_rendezvous_hash")).contains("Join"),
+      "HRW argmax must stay a row-local array expression")
+  }
 }

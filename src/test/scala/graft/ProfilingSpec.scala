@@ -119,6 +119,31 @@ class ProfilingSpec extends SparkSuite {
     assert(tight == Seq(0, 0), "at t=0.2 both classes must fail closeness")
   }
 
+  test("ksExact: supremum, its location, disjoint samples reach D=1") {
+    // A=[1,2], B=[2,3]: D = 1/2, first attained at v=1
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("v", "isa")
+    val r = graft.operators.Drift.ksExact(df, "v", col("isa")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 1.0)
+    // disjoint supports: D = 1 exactly, at A's max value
+    val dj = Seq((1L, true), (2L, true), (5L, false), (6L, false))
+      .toDF("v", "isa")
+    val r2 = graft.operators.Drift.ksExact(dj, "v", col("isa")).head()
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 2.0)
+  }
+
+  test("joinFanout: exact pair counts, deterministic top ranking") {
+    val left = Seq("a", "a", "b").toDF("k")
+    val right = Seq("a", "b", "b", "c").toDF("k")
+    val got = Profiling.joinFanout(left, "k", right, "k", topN = 5)
+      .as[(Long, String, Long, Long, Long, Long, Double)].collect()
+      .sortBy(_._1)
+    // a: 2x1=2, b: 1x2=2 (c never joins); total 4; tie ranks by key
+    assert(got.map(r => (r._1, r._2, r._5, r._6, r._7)).toSeq == Seq(
+      (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
+  }
+
   test("kruskalWallis: hand-computed H, tie correction") {
     // A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7 → H = 2.4, no ties
     val clean = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
