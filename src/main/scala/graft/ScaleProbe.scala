@@ -440,6 +440,29 @@ object ScaleProbe {
             .agg(count(lit(1)), sum(col("l_extendedprice").cast("decimal(18,2)"))))
         }
       },
+      "hll_registers" -> { () =>
+        // q379/q381: the fact pass emits ≤ 256 rows per group at EVERY
+        // factor — the slope must track the scan and nothing else (the
+        // whole point of a register sketch vs the kmv distinct-aggregate)
+        consume(graft.operators.Sketches.hllRegisters(
+          eventsAt(f), "event_type", "user_id"))
+      },
+      "rate_limit" -> { () =>
+        // q384: per-key GCRA fold over the collected series; the user
+        // domain scales with the factor (weak scaling) so per-key series
+        // length is constant — the collect_list bound never grows
+        consume(graft.operators.Relational.rateLimitAudit(
+          eventsAt(f).select(col("user_id"), evSec.as("tsec"), col("event_id")),
+          "user_id", "tsec", "event_id", 60L, 4))
+      },
+      "adamic_adar" -> { () =>
+        // q372: pairs form per order (≤ 8 parts each) — linear in orders;
+        // the part domain is fixed, so the banded-cap posture keeps pair
+        // volume proportional to input, never parts²
+        consume(graft.operators.Graph.adamicAdar(
+          lineitemAt(f).select(col("l_partkey"), col("l_orderkey")),
+          "l_partkey", "l_orderkey", 2, 8))
+      },
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
       // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not

@@ -5716,6 +5716,46 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** FIRST-FIT-DECREASING compaction plan
+    * ([[graft.operators.Packing.ffdPlan]]): per-brand file lists
+    * (deterministic sizes from retail-price cents) packed into 128 MB
+    * bins — the PLANNING half of compaction upstream of q111/q127's
+    * rewrites; partitions parallelize, the per-partition fold is
+    * metadata-sized by contract.
+    */
+  private def q389(s: SparkSession, dir: String): DataFrame = {
+    val cap = 134217728L
+    val files = T(s, dir, "part").select(col("p_brand"),
+      col("p_partkey"),
+      (pmod((col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long"), lit(cap)) + 1L).as("bytes"))
+    graft.operators.Packing.ffdPlan(files, "p_brand", "p_partkey",
+      "bytes", cap).orderBy(col("part"), col("id"))
+  }
+
+  /** SAMPLE-RATIO-MISMATCH check ([[graft.operators.Drift.srmCheck]]):
+    * distinct users assigned 2:1:1 by the salted portable hash, arm
+    * counts χ²-tested against the declared split (crit 9.21 = χ²₀.₀₁,
+    * df 2) — the gate every A/B readout runs first.
+    */
+  private def q390(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.srmCheck(T(s, dir, "events"), "user_id",
+      Seq(("control", 2), ("t1", 1), ("t2", 1)), "exp42", 9.21034)
+      .orderBy(col("arm"))
+
+  /** EXACT TRIMMED MEAN ([[graft.operators.Relational.trimmedMean]]):
+    * 5%-each-side trimmed order price per priority class, tie groups
+    * straddling the trim boundary apportioned exactly on the value
+    * domain — the robust mean beside q204's clamping winsorize.
+    */
+  private def q391(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_orderpriority"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Relational.trimmedMean(o, "o_orderpriority", "cents",
+      trimBp = 500).orderBy(col("g"))
+  }
+
   /** EXACT two-sample Kolmogorov–Smirnov
     * ([[graft.operators.Drift.ksExact]]): purchase vs view value
     * distributions, D and its location computed in INTEGERS over the
@@ -7943,6 +7983,9 @@ object SparkEntry {
     "q386_join_fanout" -> (q386 _),
     "q387_eventually_follows" -> (q387 _),
     "q388_critical_path" -> (q388 _),
+    "q389_compaction_plan" -> (q389 _),
+    "q390_srm_check" -> (q390 _),
+    "q391_trimmed_mean" -> (q391 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8601,6 +8644,16 @@ object SparkEntry {
     // top-(k+1) order statistics; log-ratio terms on the 1e-9 grid
     "q383_hill_tail" ->
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
+    // the FFD fold replayed per partition: bins as LIST state in a
+    // parallel recursive CTE (x/y lambda names distinct per the §6 rule)
+    "q389_compaction_plan" ->
+      """WITH RECURSIVE f AS (SELECT p_brand AS part, CAST(p_partkey AS BIGINT) AS id, CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 134217728 AS BIGINT) + 1 AS sz FROM part), it AS (SELECT part, id, sz, ROW_NUMBER() OVER (PARTITION BY part ORDER BY sz DESC, id) AS rn FROM f), rec AS (SELECT part, CAST(1 AS BIGINT) AS rn, id, sz, CAST(1 AS BIGINT) AS bin, [CAST(134217728 - sz AS BIGINT)] AS rem FROM it WHERE rn = 1 UNION ALL SELECT i.part, i.rn, i.id, i.sz, CAST(CASE WHEN len(list_filter(range(1, len(r.rem) + 1), x -> r.rem[x] >= i.sz)) > 0 THEN list_filter(range(1, len(r.rem) + 1), x -> r.rem[x] >= i.sz)[1] ELSE len(r.rem) + 1 END AS BIGINT) AS bin, CASE WHEN len(list_filter(range(1, len(r.rem) + 1), x -> r.rem[x] >= i.sz)) > 0 THEN list_transform(range(1, len(r.rem) + 1), z -> CASE WHEN z = list_filter(range(1, len(r.rem) + 1), y -> r.rem[y] >= i.sz)[1] THEN r.rem[z] - i.sz ELSE r.rem[z] END) ELSE list_append(r.rem, CAST(134217728 - i.sz AS BIGINT)) END AS rem FROM rec r JOIN it i ON i.part = r.part AND i.rn = r.rn + 1) SELECT part, id, sz AS size, bin FROM rec ORDER BY part, id""",
+    // weighted-bucket assignment over DISTINCT units; exact-rational chi2
+    "q390_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events), a AS (SELECT CASE WHEN b < 2 THEN 'control' WHEN b < 3 THEN 't1' ELSE 't2' END AS arm FROM (SELECT CAST(concat('0x', substr(md5(concat('exp42:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 4 AS b FROM u)), c0 AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_observed FROM a GROUP BY arm), wt AS (SELECT unnest(['control', 't1', 't2']) AS arm, unnest([2, 1, 1]) AS wgt), c AS (SELECT wt.arm, CAST(COALESCE(c0.n_observed, 0) AS BIGINT) AS n_observed, CAST(wt.wgt AS BIGINT) AS wgt FROM wt LEFT JOIN c0 ON wt.arm = c0.arm), t AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n FROM c), g AS (SELECT arm, n_observed, wgt, t.n, CAST(round(CAST(CAST(n_observed AS DECIMAL(38,0)) * 4 - CAST(t.n AS DECIMAL(38,0)) * CAST(wgt AS DECIMAL(38,0)) AS DOUBLE) * CAST(CAST(n_observed AS DECIMAL(38,0)) * 4 - CAST(t.n AS DECIMAL(38,0)) * CAST(wgt AS DECIMAL(38,0)) AS DOUBLE) / (CAST(t.n AS DOUBLE) * CAST(wgt AS DOUBLE) * 4.0), 9) AS DECIMAL(18,9)) AS term FROM c, t), s AS (SELECT SUM(term) AS ts FROM g) SELECT arm, n_observed, round(CAST(n AS DOUBLE) * CAST(wgt AS DOUBLE) / 4.0, 6) AS expected, round(CAST(s.ts AS DOUBLE), 6) AS chi2, CAST(s.ts AS DOUBLE) > 9.21034 AS srm FROM g, s ORDER BY arm""",
+    // value-domain rank-interval overlap: exact tie apportioning
+    "q391_trimmed_mean" ->
+      """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), bv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM bv), kp AS (SELECT g, v, t, c, n, (n * 500) // 10000 AS l FROM rk), ov AS (SELECT g, v, t, n, l, greatest(0, least(c, n - l) - greatest(c - t, l)) AS keep FROM kp) SELECT g, MAX(n) AS n, CAST(MAX(l) AS BIGINT) AS n_trimmed_each, round(CAST(SUM(CAST(v AS DECIMAL(38,0)) * CAST(keep AS DECIMAL(38,0))) AS DOUBLE) / (CAST(MAX(n) AS DOUBLE) - 2.0 * CAST(MAX(l) AS DOUBLE)), 6) AS trimmed_mean, round(CAST(SUM(CAST(v AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS raw_mean FROM ov GROUP BY g ORDER BY g""",
     // integer cross-multiplied cumulative counts; min attaining value
     "q385_ks_exact" ->
       """WITH e AS (SELECT CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) AS v, event_type = 'purchase' AS isa FROM events WHERE event_type IN ('purchase', 'view')), bv AS (SELECT v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb FROM e GROUP BY v), ck AS (SELECT v, CAST(SUM(ta) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca, CAST(SUM(tb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb, CAST(SUM(ta) OVER () AS BIGINT) AS na, CAST(SUM(tb) OVER () AS BIGINT) AS nb FROM bv), nm AS (SELECT v, abs(CAST(ca AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)) - CAST(cb AS DECIMAL(38,0)) * CAST(na AS DECIMAL(38,0))) AS num, na, nb FROM ck), mx AS (SELECT MAX(num) AS mnum FROM nm) SELECT MAX(na) AS n_a, MAX(nb) AS n_b, round(CAST(mx.mnum AS DOUBLE) / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6) AS d_stat, MIN(CASE WHEN num = mx.mnum THEN v END) AS at_v FROM nm, mx GROUP BY mx.mnum""",

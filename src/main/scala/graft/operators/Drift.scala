@@ -243,6 +243,61 @@ object Drift {
       round(t, 6).as("t_stat"), round(dfW, 6).as("df_welch"))
   }
 
+  /** SAMPLE-RATIO-MISMATCH check — the first gate every experimentation
+    * platform runs before reading an A/B result: do the ARM COUNTS match
+    * the declared split? A mismatch means broken assignment or
+    * differential logging loss, and every downstream metric is suspect.
+    * Units assign by the engine's portable hash (salted, weighted
+    * buckets), counts are DISTINCT units, expected counts are exact
+    * rationals N·w/W, and the χ² goodness-of-fit terms
+    * (O·W − N·w)²/(N·w·W) land once on the 1e-9 grid — only the
+    * verdict compare is a double. Output: one row per arm with the
+    * shared χ² and verdict broadcast on (the mi_total shape).
+    */
+  def srmCheck(
+      df: DataFrame,
+      unitCol: String,
+      arms: Seq[(String, Int)],
+      salt: String,
+      critChi2: Double): DataFrame = {
+    require(arms.nonEmpty && arms.forall(_._2 >= 1) &&
+      arms.map(_._1).distinct.size == arms.size)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = arms.map(_._2.toLong).sum
+    val bounds = arms.scanLeft(0L)(_ + _._2).tail
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      col(unitCol).cast("string")).cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+    val bucket = pmod(h, lit(w))
+    val arm = arms.zip(bounds).foldRight(lit(arms.last._1)) {
+      case (((name, _), hi), rest) => when(bucket < hi, lit(name))
+        .otherwise(rest)
+    }
+    val weights = df.sparkSession.createDataFrame(arms).toDF("arm", "wgt")
+    val counts = df.select(col(unitCol)).distinct()
+      .select(arm.as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n_observed"))
+      .join(broadcast(weights), Seq("arm"), "right")
+      .select(col("arm"), coalesce(col("n_observed"), lit(0L))
+        .as("n_observed"), col("wgt").cast("long").as("wgt"))
+    val tot = Window.partitionBy()
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val n = sum(col("n_observed")).over(tot)
+    val diff = col("n_observed").cast(d38) * lit(w) -
+      n.cast(d38) * col("wgt").cast(d38)
+    // (O−E)²/E with E = N·w/W rewrites to diff²/(N·w·W), diff integer
+    val term = round(dbl(diff) * dbl(diff) /
+      (dbl(n) * dbl(col("wgt")) * lit(w.toDouble)), 9)
+      .cast(DecimalType(18, 9))
+    val chi2 = dbl(sum(term).over(tot))
+    counts.select(col("arm"), col("n_observed"),
+      round(dbl(n) * dbl(col("wgt")) / lit(w.toDouble), 6).as("expected"),
+      round(chi2, 6).as("chi2"),
+      (chi2 > lit(critChi2)).as("srm"))
+  }
+
   /** EXACT two-sample KOLMOGOROV–SMIRNOV — the unbinned upgrade of the
     * q295 binned KS: D = max over the VALUE DOMAIN of |F_a − F_b|,
     * computed entirely in integers by cross-multiplying the cumulative

@@ -640,6 +640,49 @@ object Relational {
         .as("alloc"))
   }
 
+  /** EXACT TRIMMED MEAN per group — the robust location estimate that
+    * DROPS the top and bottom `trimBp` basis points before averaging
+    * (q204's winsorize CLAMPS; trimming discards, the textbook robust
+    * mean). No per-row sort: values collapse to the per-group VALUE
+    * DOMAIN, the cumulative window walks that domain-sized frame, and
+    * each tie group contributes v · overlap where overlap is the exact
+    * integer intersection of the group's rank interval (c−t, c] with
+    * the kept band (l, n−l] — so ties straddling the trim boundary are
+    * apportioned EXACTLY, the case rank-filter formulations get wrong.
+    * Integer cents in, one double division out.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      groupCol: String,
+      vCentsCol: String,
+      trimBp: Int): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000, "trim each side must be < 50%")
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val byVG = df
+      .groupBy(col(groupCol).as("g"), col(vCentsCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val wg = Window.partitionBy(col("g"))
+    val cum = wg.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVG
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(wg))
+      .withColumn("l", expr(s"(n * $trimBp) div 10000"))
+      .withColumn("keep",
+        greatest(lit(0L), least(col("c"), col("n") - col("l")) -
+          greatest(col("c") - col("t"), col("l"))))
+    ranked.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("l")).as("n_trimmed_each"),
+        sum(col("v").cast(d38) * col("keep").cast(d38)).as("__ts"),
+        sum(col("v").cast(d38) * col("t").cast(d38)).as("__rs"))
+      .select(col("g"), col("n"), col("n_trimmed_each"),
+        round(dbl(col("__ts")) /
+          (dbl(col("n")) - lit(2.0) * dbl(col("n_trimmed_each"))), 6)
+          .as("trimmed_mean"),
+        round(dbl(col("__rs")) / dbl(col("n")), 6).as("raw_mean"))
+  }
+
   /** GCRA RATE-LIMIT AUDIT (the token-bucket / leaky-bucket algorithm in
     * its integer form): replay each key's event stream against a limiter
     * of one permit per `emissionSec` with `burst` extra tolerance, and

@@ -119,6 +119,39 @@ class ProfilingSpec extends SparkSuite {
     assert(tight == Seq(0, 0), "at t=0.2 both classes must fail closeness")
   }
 
+  test("srmCheck: JVM-replayed assignment, exact chi2, zero-arm safety") {
+    import spark.implicits._
+    val arms = Seq(("control", 2), ("t1", 1), ("t2", 1))
+    def bucket(u: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s9:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 4).toInt
+    }
+    def armOf(b: Int) = if (b < 2) "control" else if (b < 3) "t1" else "t2"
+    val units = (1L to 200L)
+    // duplicates must not double-count: each unit appears twice
+    val df = (units ++ units).toDF("u")
+    val got = graft.operators.Drift.srmCheck(df, "u", arms, "s9", 9.21034)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    val obs = units.groupBy(u => armOf(bucket(u))).map { case (a, us) =>
+      a -> us.size.toLong }
+    def grid9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val chi = arms.map { case (a, w) =>
+      val o = obs.getOrElse(a, 0L)
+      val diff = (o * 4 - 200L * w).toDouble
+      grid9(diff * diff / (200.0 * w * 4.0))
+    }.sum
+    arms.foreach { case (a, w) =>
+      val (n, e, c2, _) = got(a)
+      assert(n == obs.getOrElse(a, 0L), s"arm $a")
+      assert(e == math.rint(200.0 * w / 4.0 * 1e6) / 1e6)
+      assert(c2 == math.rint(chi.toDouble * 1e6) / 1e6)
+    }
+  }
+
   test("ksExact: supremum, its location, disjoint samples reach D=1") {
     // A=[1,2], B=[2,3]: D = 1/2, first attained at v=1
     val df = Seq((1L, true), (2L, true), (2L, false), (3L, false))

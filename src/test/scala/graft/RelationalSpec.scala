@@ -240,6 +240,20 @@ class RelationalSpec extends SparkSuite {
       assert(sums(g) == 100000L + g, s"group $g must reconcile exactly"))
   }
 
+  test("trimmedMean: drops tails exactly, apportions boundary ties") {
+    // [0, 1..8, 100] trim 10% each side: drop 0 and 100 → mean 4.5
+    val vals = (Seq(0L, 100L) ++ (1L to 8L)).map(("g", _)).toDF("g", "v")
+    val r = Relational.trimmedMean(vals, "g", "v", 1000).head()
+    assert((r.getLong(1), r.getLong(2)) == ((10L, 1L)))
+    assert(r.getDouble(3) == 4.5)
+    assert(r.getDouble(4) == math.rint(136.0 / 10.0 * 1e6) / 1e6)
+    // tie straddling the trim boundary: [1,1,1,2,3] trim 20% → l=1,
+    // keep ranks 2..4 → two of the 1s + the 2 → mean 4/3
+    val tied = Seq(1L, 1L, 1L, 2L, 3L).map(("t", _)).toDF("g", "v")
+    val r2 = Relational.trimmedMean(tied, "g", "v", 2000).head()
+    assert(r2.getDouble(3) == math.rint(4.0 / 3.0 * 1e6) / 1e6)
+  }
+
   test("rateLimitAudit: burst passes, steady-state spacing, recovery") {
     // T=60, burst=4: five instantaneous events pass, the sixth is
     // rejected; after a long quiet gap the budget is back
