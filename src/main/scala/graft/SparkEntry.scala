@@ -5716,6 +5716,46 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** SAX SYMBOLIZATION ([[graft.operators.Trend.saxSymbols]]): per-user
+    * hourly spend compressed to 4-hour PAA means then a 4-letter motif
+    * string via exact-rank global breakpoints — the symbolic form motif
+    * mining and whole-series indexing consume.
+    */
+  private def q392(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("user_id"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.saxSymbols(hourly, "user_id", "hid", "cents",
+      paaWindow = 4, alphabet = 4).orderBy(col("k"))
+  }
+
+  /** EXACT ENERGY DISTANCE ([[graft.operators.Drift.energyDistance]]):
+    * purchase vs view value distributions — the integral-type
+    * two-sample statistic beside q385's KS supremum, every pairwise
+    * term exact via value-domain prefix sums.
+    */
+  private def q393(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select((col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"), col("event_type"))
+    graft.operators.Drift.energyDistance(ev, "cents",
+      col("event_type") === "purchase")
+  }
+
+  /** MEDIAN + order-statistic CI ([[graft.operators.Relational.medianCI]]):
+    * per-priority order-price median with the distribution-free 95%
+    * interval — ranks resolved on the value domain, no per-row sort.
+    */
+  private def q394(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_orderpriority"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Relational.medianCI(o, "o_orderpriority", "cents")
+      .orderBy(col("g"))
+  }
+
   /** FIRST-FIT-DECREASING compaction plan
     * ([[graft.operators.Packing.ffdPlan]]): per-brand file lists
     * (deterministic sizes from retail-price cents) packed into 128 MB
@@ -7986,6 +8026,9 @@ object SparkEntry {
     "q389_compaction_plan" -> (q389 _),
     "q390_srm_check" -> (q390 _),
     "q391_trimmed_mean" -> (q391 _),
+    "q392_sax_symbols" -> (q392 _),
+    "q393_energy_distance" -> (q393 _),
+    "q394_median_ci" -> (q394 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8644,6 +8687,15 @@ object SparkEntry {
     // top-(k+1) order statistics; log-ratio terms on the 1e-9 grid
     "q383_hill_tail" ->
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
+    // PAA means on the grid; exact-rank breakpoints; ordered string_agg
+    "q392_sax_symbols" ->
+      """WITH h AS (SELECT user_id AS k, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM events GROUP BY 1, 2), paa AS (SELECT k, hid // 4 AS seg, CAST(round(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS m FROM h GROUP BY 1, 2), d AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS t FROM paa GROUP BY m), rk AS (SELECT m, CAST(SUM(t) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER () AS BIGINT) AS n FROM d), bp AS (SELECT MIN(CASE WHEN c >= (n * 1 + 3) // 4 THEN m END) AS b1, MIN(CASE WHEN c >= (n * 2 + 3) // 4 THEN m END) AS b2, MIN(CASE WHEN c >= (n * 3 + 3) // 4 THEN m END) AS b3 FROM rk), sym AS (SELECT k, seg, (CASE WHEN m > bp.b1 THEN 1 ELSE 0 END + CASE WHEN m > bp.b2 THEN 1 ELSE 0 END + CASE WHEN m > bp.b3 THEN 1 ELSE 0 END) AS si FROM paa, bp) SELECT k, CAST(COUNT(*) AS BIGINT) AS n_segments, string_agg(['a','b','c','d'][si + 1], '' ORDER BY seg) AS sax FROM sym GROUP BY k ORDER BY k""",
+    // pairwise mean-abs-differences from prefix sums, zero pairs built
+    "q393_energy_distance" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, event_type = 'purchase' AS isa FROM events WHERE event_type IN ('purchase', 'view')), bv AS (SELECT v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb FROM e GROUP BY v), ck AS (SELECT v, ta, tb, CAST(SUM(ta) OVER w AS BIGINT) AS ca, CAST(SUM(tb) OVER w AS BIGINT) AS cb, SUM(CAST(v AS DECIMAL(38,0)) * CAST(ta AS DECIMAL(38,0))) OVER w AS sa, SUM(CAST(v AS DECIMAL(38,0)) * CAST(tb AS DECIMAL(38,0))) OVER w AS sb, CAST(SUM(ta) OVER () AS BIGINT) AS na, CAST(SUM(tb) OVER () AS BIGINT) AS nb, SUM(CAST(v AS DECIMAL(38,0)) * CAST(ta AS DECIMAL(38,0))) OVER () AS sat, SUM(CAST(v AS DECIMAL(38,0)) * CAST(tb AS DECIMAL(38,0))) OVER () AS sbt FROM bv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), ag AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b, SUM(CAST(ta AS DECIMAL(38,0)) * (CAST(v AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)) - sb + (sbt - sb) - CAST(v AS DECIMAL(38,0)) * (CAST(nb AS DECIMAL(38,0)) - CAST(cb AS DECIMAL(38,0))))) AS axy, SUM(CAST(ta AS DECIMAL(38,0)) * (CAST(v AS DECIMAL(38,0)) * CAST(ca AS DECIMAL(38,0)) - sa + (sat - sa) - CAST(v AS DECIMAL(38,0)) * (CAST(na AS DECIMAL(38,0)) - CAST(ca AS DECIMAL(38,0))))) AS axx, SUM(CAST(tb AS DECIMAL(38,0)) * (CAST(v AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)) - sb + (sbt - sb) - CAST(v AS DECIMAL(38,0)) * (CAST(nb AS DECIMAL(38,0)) - CAST(cb AS DECIMAL(38,0))))) AS byy FROM ck) SELECT n_a, n_b, round(2.0 * CAST(axy AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - CAST(axx AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)) - CAST(byy AS DOUBLE) / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS energy FROM ag""",
+    // discrete-rank lookups for the median and both CI bounds
+    "q394_median_ci" ->
+      """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), bv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM bv), rr AS (SELECT g, v, c, n, (n + 1) // 2 AS rmed, greatest(1, CAST(floor((CAST(n AS DOUBLE) - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS rlo, least(n, 1 + CAST(ceil((CAST(n AS DOUBLE) + 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS rhi FROM rk) SELECT g, MAX(n) AS n, MIN(CASE WHEN c >= rmed THEN v END) AS median, MIN(CASE WHEN c >= rlo THEN v END) AS ci_lo, MIN(CASE WHEN c >= rhi THEN v END) AS ci_hi FROM rr GROUP BY g ORDER BY g""",
     // the FFD fold replayed per partition: bins as LIST state in a
     // parallel recursive CTE (x/y lambda names distinct per the §6 rule)
     "q389_compaction_plan" ->

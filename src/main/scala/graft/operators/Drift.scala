@@ -340,6 +340,65 @@ object Drift {
         (-col("__arg").getField("mv")).as("at_v"))
   }
 
+  /** EXACT ENERGY DISTANCE (Székely–Rizzo) between two samples —
+    * the INTEGRAL-type two-sample statistic beside [[ksExact]]'s
+    * supremum: E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, zero iff the
+    * distributions match, sensitive to everywhere-small differences a
+    * single-point supremum underweights. All three pairwise
+    * mean-absolute-differences compute EXACTLY without materializing a
+    * single pair: on the sorted value domain, Σ|v−y| decomposes into
+    * cumulative count/sum prefixes (v·c_below − s_below + s_above −
+    * v·c_above), so the whole statistic is integer/decimal arithmetic
+    * over one census + one cumulative window, with three final double
+    * divisions. Values are integer cents by contract.
+    */
+  def energyDistance(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val byValue = df
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(sampleACol, 1L).otherwise(0L)).as("ta"),
+        sum(when(sampleACol, 0L).otherwise(1L)).as("tb"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    def vd = col("v").cast(d38)
+    val r = byValue
+      .withColumn("ca", sum(col("ta")).over(cum))
+      .withColumn("cb", sum(col("tb")).over(cum))
+      .withColumn("sa", sum(vd * col("ta").cast(d38)).over(cum))
+      .withColumn("sb", sum(vd * col("tb").cast(d38)).over(cum))
+      .withColumn("na", sum(col("ta")).over(tot))
+      .withColumn("nb", sum(col("tb")).over(tot))
+      .withColumn("sat", sum(vd * col("ta").cast(d38)).over(tot))
+      .withColumn("sbt", sum(vd * col("tb").cast(d38)).over(tot))
+    // Σ over pairs (x from this tie group, y from sample S) of |x−y|:
+    // x·below(S) − sum_below(S) + sum_above(S) − x·above(S), exact
+    def cross(tx: Column, cS: Column, sS: Column, nS: Column, sT: Column) =
+      tx.cast(d38) * (vd * cS.cast(d38) - sS +
+        (sT - sS) - vd * (nS.cast(d38) - cS.cast(d38)))
+    val agg = r.agg(
+      max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      // A: x in a vs y in b (cumulative INCLUSIVE of the tie group is
+      // fine for |x−y|: same-value pairs contribute 0 either way)
+      sum(cross(col("ta"), col("cb"), col("sb"), col("nb"), col("sbt")))
+        .as("axy"),
+      sum(cross(col("ta"), col("ca"), col("sa"), col("na"), col("sat")))
+        .as("axx"),
+      sum(cross(col("tb"), col("cb"), col("sb"), col("nb"), col("sbt")))
+        .as("byy"))
+    agg.select(col("n_a"), col("n_b"),
+      round(lit(2.0) * dbl(col("axy")) / (dbl(col("n_a")) * dbl(col("n_b"))) -
+        dbl(col("axx")) / (dbl(col("n_a")) * dbl(col("n_a"))) -
+        dbl(col("byy")) / (dbl(col("n_b")) * dbl(col("n_b"))), 6)
+        .as("energy"))
+  }
+
   /** KRUSKAL–WALLIS H — [[mannWhitney]]'s k-group generalization: "does
     * ANY of these groups sit systematically higher," the non-parametric
     * one-way ANOVA. Same 100 TB rank formulation: values collapse to the

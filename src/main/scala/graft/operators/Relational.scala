@@ -683,6 +683,44 @@ object Relational {
         round(dbl(col("__rs")) / dbl(col("n")), 6).as("raw_mean"))
   }
 
+  /** DISTRIBUTION-FREE MEDIAN with its order-statistic CONFIDENCE
+    * INTERVAL per group — the answer to "is this median real or noise"
+    * without any normality assumption: the CI is the pair of order
+    * statistics at ranks ⌊(n − z√n)/2⌋ and 1 + ⌈(n + z√n)/2⌉ (z = 1.96,
+    * the binomial normal approximation; clamped to [1, n]), a textbook
+    * nonparametric interval. Ranks resolve to values on the VALUE
+    * DOMAIN (min value whose cumulative count reaches the rank — the
+    * q124 discrete-rank discipline, no per-row sort); the only doubles
+    * are the √n rank arithmetic, pinned identically in the oracle.
+    */
+  def medianCI(
+      df: DataFrame,
+      groupCol: String,
+      vCentsCol: String): DataFrame = {
+    val byVG = df
+      .groupBy(col(groupCol).as("g"), col(vCentsCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val wg = Window.partitionBy(col("g"))
+    val cum = wg.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVG
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(wg))
+      .withColumn("rmed", expr("(n + 1) div 2"))
+      .withColumn("rlo", greatest(lit(1L),
+        floor((col("n").cast("double") -
+          lit(1.959964) * sqrt(col("n").cast("double"))) / 2.0)
+          .cast("long")))
+      .withColumn("rhi", least(col("n"),
+        lit(1L) + ceil((col("n").cast("double") +
+          lit(1.959964) * sqrt(col("n").cast("double"))) / 2.0)
+          .cast("long")))
+    def at(rank: Column): Column = min(when(col("c") >= rank, col("v")))
+    ranked.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), at(col("rmed")).as("median"),
+        at(col("rlo")).as("ci_lo"), at(col("rhi")).as("ci_hi"))
+  }
+
   /** GCRA RATE-LIMIT AUDIT (the token-bucket / leaky-bucket algorithm in
     * its integer form): replay each key's event stream against a limiter
     * of one permit per `emissionSec` with `burst` extra tolerance, and

@@ -794,6 +794,57 @@ object Trend {
           .cast("double").as("remainder"))
   }
 
+  /** SAX SYMBOLIZATION (Lin et al. 2003) per key: the series compresses
+    * to PAA segment means (integer sums, one grid division per segment),
+    * segments map to an `alphabet`-ary symbol by EXACT-RANK global
+    * breakpoints (value at rank ⌈n·i/α⌉ over the segment-mean domain —
+    * no Gaussian assumption, no approx percentile), and each key's
+    * symbols concatenate in time order into the motif string that
+    * downstream matching/indexing consumes. Everything after the PAA
+    * census is segment-domain sized; breakpoints are ≤ α−1 values and
+    * broadcast. Symbols: 'a' lowest band upward.
+    */
+  def saxSymbols(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      vCol: String,
+      paaWindow: Int,
+      alphabet: Int): DataFrame = {
+    require(paaWindow >= 1 && alphabet >= 2 && alphabet <= 26)
+    val d186 = DecimalType(18, 6)
+    val paa = df.select(col(keyCol).as("k"),
+        (col(tCol).cast("long") / paaWindow).cast("long").as("seg"),
+        col(vCol).cast("long").as("v"))
+      .groupBy(col("k"), col("seg"))
+      .agg(round(sum(col("v")).cast("double") /
+        count(lit(1)).cast("double"), 6).cast(d186).as("m"))
+    val byV = paa.groupBy(col("m")).agg(count(lit(1)).as("t"))
+    val cum = Window.orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val ranked = byV
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(tot))
+    // breakpoint i = value at rank ceil(n*i/alpha), integer arithmetic
+    val bps = (1 until alphabet).map { i =>
+      ranked.filter(col("c") >= expr(s"(n * $i + ${alphabet - 1}) div $alphabet"))
+        .agg(min(col("m")).as(s"b$i"))
+    }.reduce(_ crossJoin _)
+    val symIdx = (1 until alphabet).map(i =>
+      when(col("m") > col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    paa.crossJoin(broadcast(bps))
+      .withColumn("sym",
+        element_at(array(('a' until ('a' + alphabet).toChar)
+          .map(ch => lit(ch.toString)): _*), symIdx + 1))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_segments"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("seg"), col("sym")))),
+          x => x.getField("sym")), "").as("sax"))
+  }
+
   /** HILL TAIL-INDEX estimator — "how heavy is this distribution's
     * tail": α̂ = k / Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k+1 largest values
     * (Hill 1975). α near 1–2 means a power-law tail where means/maxima

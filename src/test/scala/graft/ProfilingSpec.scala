@@ -152,6 +152,18 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("energyDistance: zero on identical samples, hand pairwise cases") {
+    def e(rows: Seq[(Long, Boolean)]): Double =
+      graft.operators.Drift.energyDistance(
+        rows.toDF("v", "isa"), "v", col("isa")).head().getDouble(2)
+    // identical distributions: E = 0 exactly
+    assert(e(Seq((1L, true), (5L, true), (1L, false), (5L, false))) == 0.0)
+    // A=[0], B=[2]: 2*2/1 - 0 - 0 = 4
+    assert(e(Seq((0L, true), (2L, false))) == 4.0)
+    // A=[0,2], B=[1]: 2*(1+1)/2 - (|0-2|*2)/4 - 0 = 2 - 1 = 1
+    assert(e(Seq((0L, true), (2L, true), (1L, false))) == 1.0)
+  }
+
   test("ksExact: supremum, its location, disjoint samples reach D=1") {
     // A=[1,2], B=[2,3]: D = 1/2, first attained at v=1
     val df = Seq((1L, true), (2L, true), (2L, false), (3L, false))

@@ -240,6 +240,19 @@ class RelationalSpec extends SparkSuite {
       assert(sums(g) == 100000L + g, s"group $g must reconcile exactly"))
   }
 
+  test("medianCI: discrete ranks on 1..100, bounds clamp on tiny n") {
+    val vals = (1L to 100L).map(("g", _)).toDF("g", "v")
+    val r = Relational.medianCI(vals, "g", "v").head()
+    // rmed=50; rlo=floor(40.200)=40; rhi=1+ceil(59.800)=61
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((100L, 50L, 40L, 61L)))
+    // n=2: bounds clamp into [1, n]
+    val tiny = Seq(("t", 10L), ("t", 20L)).toDF("g", "v")
+    val r2 = Relational.medianCI(tiny, "g", "v").head()
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) ==
+      ((10L, 10L, 20L)))
+  }
+
   test("trimmedMean: drops tails exactly, apportions boundary ties") {
     // [0, 1..8, 100] trim 10% each side: drop 0 and 100 → mean 4.5
     val vals = (Seq(0L, 100L) ++ (1L to 8L)).map(("g", _)).toDF("g", "v")

@@ -189,6 +189,21 @@ class TrendSpec extends SparkSuite {
     assert(bt(Seq(2, 4, 6, 10)) == ((4L, 2L, 1.0, 0.111111)))
   }
 
+  test("saxSymbols: ramp series maps one segment per letter") {
+    // hours 0..15 valued 0..15, PAA window 4 → means 1.5/5.5/9.5/13.5;
+    // exact-rank quartile breakpoints put one segment in each band
+    val df = (0 until 16).map(t => ("u", t.toLong, t.toLong))
+      .toDF("k", "t", "v")
+    val got = Trend.saxSymbols(df, "k", "t", "v", 4, 4)
+      .as[(String, Long, String)].collect()
+    assert(got.toSeq == Seq(("u", 4L, "abcd")))
+    // constant series: single band, all 'a'
+    val const = (0 until 8).map(t => ("c", t.toLong, 7L)).toDF("k", "t", "v")
+    val g2 = Trend.saxSymbols(const, "k", "t", "v", 4, 4)
+      .as[(String, Long, String)].collect()
+    assert(g2.toSeq == Seq(("c", 2L, "aa")))
+  }
+
   test("hillTailIndex: exact Pareto recovers its exponent") {
     // x_i = floor(1e6 / i^(1/2)) for i = 1..3000 is Pareto with alpha=2:
     // the Hill estimate over the top 100 should land near 2
