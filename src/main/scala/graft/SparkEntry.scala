@@ -5716,6 +5716,60 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** CUPED variance reduction ([[graft.operators.Features.cuped]]):
+    * per-user post-period spend adjusted by pre-period spend (θ fitted
+    * pooled), reported per hash-assigned arm with the variance ratio —
+    * the "how much less traffic does the next test need" number; the
+    * experimentation stack beside q390's SRM gate and q283/q362's
+    * tests.
+    */
+  private def q395(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("user_id"),
+      col("ts").cast("long").as("t"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val mm = ev.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    val per = ev.crossJoin(broadcast(mm))
+      .withColumn("pre", col("t") <= expr("(tmin + tmax) div 2"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm", when(pmod(conv(substring(md5(concat(
+        lit("cuped:"), col("user_id").cast("string")).cast("binary")),
+        1, 13), 16, 10).cast("long"), lit(2L)) === 0L,
+        lit("control")).otherwise(lit("treatment")))
+    graft.operators.Features.cuped(per, "arm", "x", "y").orderBy(col("arm"))
+  }
+
+  /** FELLEGI–SUNTER EM ([[graft.operators.Linkage.fellegiSunter]]):
+    * m/u agreement probabilities and log-likelihood weights learned
+    * UNSUPERVISED from sorted-neighborhood customer pairs (nation /
+    * segment / close-balance agreement) — the principled upgrade of
+    * q143's hand-thresholded fuzzy linkage; EM runs on the 2³-pattern
+    * census, oracle replays it as a 10-round unrolled CTE chain.
+    */
+  private def q396(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"), col("c_mktsegment"),
+      (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("bal"))
+    val ranked = graft.operators.GlobalOrder.rowNumbers(c,
+      Seq(col("bal"), col("c_custkey")), idCol = "rnk")
+    val left = ranked.select(col("rnk"), col("c_nationkey").as("n1"),
+        col("c_mktsegment").as("s1"), col("bal").as("b1"))
+      .withColumn("d", explode(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("tgt", col("rnk") + col("d"))
+    val pairs = left.join(ranked.select(col("rnk").as("tgt"),
+        col("c_nationkey").as("n2"), col("c_mktsegment").as("s2"),
+        col("bal").as("b2")), Seq("tgt"))
+      .select((col("n1") === col("n2")).as("same_nation"),
+        (col("s1") === col("s2")).as("same_segment"),
+        (abs(col("b1") - col("b2")) < 5000L).as("close_balance"))
+    graft.operators.Linkage.fellegiSunter(pairs,
+      Seq("same_nation", "same_segment", "close_balance"), iters = 10)
+      .orderBy(col("field"))
+  }
+
   /** SAX SYMBOLIZATION ([[graft.operators.Trend.saxSymbols]]): per-user
     * hourly spend compressed to 4-hour PAA means then a 4-letter motif
     * string via exact-rank global breakpoints — the symbolic form motif
@@ -8029,6 +8083,8 @@ object SparkEntry {
     "q392_sax_symbols" -> (q392 _),
     "q393_energy_distance" -> (q393 _),
     "q394_median_ci" -> (q394 _),
+    "q395_cuped" -> (q395 _),
+    "q396_fellegi_sunter" -> (q396 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8212,6 +8268,66 @@ object SparkEntry {
     val steps = (1 to rounds).map(i =>
       s"d$i AS MATERIALIZED (SELECT id, MAX(d) AS d FROM (SELECT id, d FROM d${i - 1} UNION ALL SELECT e.dst AS id, p.d + e.w AS d FROM d${i - 1} p JOIN ed e ON e.src = p.id) u GROUP BY id)").mkString(", ")
     s"WITH sk AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier), $ed, $d0, $steps SELECT id, CAST(d AS BIGINT) AS dist FROM d$rounds ORDER BY id"
+  }
+
+  /** DuckDB replay of [[graft.operators.Features.cuped]] on the events
+    * pre/post split: θ appears many times, so the SQL is assembled with
+    * the expression inlined once here — every division/multiplication
+    * parenthesized to the engine's pinned order.
+    */
+  private def cupedSql: String = {
+    val th = "((g.gn * g.gsxy - g.gsx * g.gsy) / (g.gn * g.gsxx - g.gsx * g.gsx))"
+    val meanY = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    val meanX = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val meanD = s"($meanY - $th * $meanX)"
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS t, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events), mm AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM e), per AS (SELECT user_id, CAST(SUM(CASE WHEN t <= mm.mid THEN cents ELSE 0 END) AS BIGINT) AS x, CAST(SUM(CASE WHEN t > mm.mid THEN cents ELSE 0 END) AS BIGINT) AS y FROM e, mm GROUP BY user_id), ar AS (SELECT CASE WHEN CAST(concat('0x', substr(md5(concat('cuped:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm, x, y FROM per), pa AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy FROM ar GROUP BY arm), g AS (SELECT CAST(SUM(n) AS DOUBLE) AS gn, CAST(SUM(sx) AS DOUBLE) AS gsx, CAST(SUM(sy) AS DOUBLE) AS gsy, CAST(SUM(sxx) AS DOUBLE) AS gsxx, CAST(SUM(sxy) AS DOUBLE) AS gsxy FROM pa) SELECT arm, n, round($meanY, 6) AS mean_y, round($meanY - $th * ($meanX - g.gsx / g.gn), 6) AS mean_y_adj, round($th, 6) AS theta, round(((CAST(syy AS DOUBLE) - 2.0 * $th * CAST(sxy AS DOUBLE) + $th * $th * CAST(sxx AS DOUBLE)) / CAST(n AS DOUBLE) - $meanD * $meanD) / (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - $meanY * $meanY), 6) AS var_ratio FROM pa, g ORDER BY arm"""
+  }
+
+  /** DuckDB replay of [[graft.operators.Linkage.fellegiSunter]]: the EM
+    * unrolled to `iters` MATERIALIZED state CTEs over the 2³-pattern
+    * census; state probabilities live as DECIMAL(11,9) so the E-step
+    * products are exact decimals matching the engine's BigDecimal
+    * arithmetic, with one pinned double division per update onto the
+    * 1e-9 grid.
+    */
+  private def fsSql(iters: Int): String = {
+    def mp(pfx: String) = (1 to 3).map(i =>
+      s"(CASE WHEN c.b$i = 1 THEN s.$pfx$i ELSE 1 - s.$pfx$i END)")
+      .mkString(" * ")
+    val steps = (1 to iters).map { i =>
+      val e = s"e$i AS MATERIALIZED (SELECT c.b1, c.b2, c.b3, c.cnt, " +
+        s"CAST(round(CAST(s.lam * ${mp("m")} AS DOUBLE) / " +
+        s"CAST(s.lam * ${mp("m")} + (1 - s.lam) * ${mp("u")} AS DOUBLE), 9) " +
+        s"AS DECIMAL(11,9)) AS resp FROM cen c, s${i - 1} s)"
+      def mU(i2: Int) =
+        s"CAST(round(CAST(SUM(CASE WHEN b$i2 = 1 THEN cnt * resp ELSE 0 END) AS DOUBLE) / CAST(SUM(cnt * resp) AS DOUBLE), 9) AS DECIMAL(11,9)) AS m$i2"
+      def uU(i2: Int) =
+        s"CAST(round(CAST(SUM(CASE WHEN b$i2 = 1 THEN cnt * (1 - resp) ELSE 0 END) AS DOUBLE) / CAST(SUM(cnt * (1 - resp)) AS DOUBLE), 9) AS DECIMAL(11,9)) AS u$i2"
+      val st = s"s$i AS MATERIALIZED (SELECT " +
+        s"CAST(round(CAST(SUM(cnt * resp) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 9) AS DECIMAL(11,9)) AS lam, " +
+        (1 to 3).map(mU).mkString(", ") + ", " +
+        (1 to 3).map(uU).mkString(", ") + s" FROM e$i)"
+      s"$e, $st"
+    }.mkString(", ")
+    def outRow(name: String, i: Int) =
+      s"SELECT '$name' AS field, CAST(s.m$i AS DOUBLE) AS m_prob, " +
+        s"CAST(s.u$i AS DOUBLE) AS u_prob, " +
+        s"round(ln(CAST(s.m$i AS DOUBLE) / CAST(s.u$i AS DOUBLE)), 6) AS w_agree, " +
+        s"round(ln(CAST(1 - s.m$i AS DOUBLE) / CAST(1 - s.u$i AS DOUBLE)), 6) AS w_disagree, " +
+        s"CAST(s.lam AS DOUBLE) AS lambda FROM s$iters s"
+    "WITH r AS (SELECT c_custkey, c_nationkey, c_mktsegment, " +
+      "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal FROM customer), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bal, c_custkey) AS rnk FROM r), " +
+      "pr AS (SELECT CAST(a.c_nationkey = b.c_nationkey AS INTEGER) AS b1, " +
+      "CAST(a.c_mktsegment = b.c_mktsegment AS INTEGER) AS b2, " +
+      "CAST(abs(a.bal - b.bal) < 5000 AS INTEGER) AS b3 " +
+      "FROM rk a JOIN rk b ON b.rnk - a.rnk IN (1, 2, 3)), " +
+      "cen AS MATERIALIZED (SELECT b1, b2, b3, CAST(COUNT(*) AS DECIMAL(38,0)) AS cnt FROM pr GROUP BY 1, 2, 3), " +
+      "s0 AS (SELECT CAST(0.1 AS DECIMAL(11,9)) AS lam, " +
+      (1 to 3).map(i => s"CAST(0.9 AS DECIMAL(11,9)) AS m$i").mkString(", ") + ", " +
+      (1 to 3).map(i => s"CAST(0.1 AS DECIMAL(11,9)) AS u$i").mkString(", ") + "), " +
+      steps +
+      s" ${outRow("close_balance", 3)} UNION ALL ${outRow("same_nation", 1)} UNION ALL ${outRow("same_segment", 2)} ORDER BY field"
   }
 
   /** Register-for-register HLL replay (q379 AND q381: the streaming
@@ -8687,6 +8803,10 @@ object SparkEntry {
     // top-(k+1) order statistics; log-ratio terms on the 1e-9 grid
     "q383_hill_tail" ->
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
+    // pooled theta from exact moments; adjusted means + variance ratio
+    "q395_cuped" -> cupedSql,
+    // EM unrolled to 10 materialized state CTEs over the pattern census
+    "q396_fellegi_sunter" -> fsSql(10),
     // PAA means on the grid; exact-rank breakpoints; ordered string_agg
     "q392_sax_symbols" ->
       """WITH h AS (SELECT user_id AS k, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM events GROUP BY 1, 2), paa AS (SELECT k, hid // 4 AS seg, CAST(round(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS m FROM h GROUP BY 1, 2), d AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS t FROM paa GROUP BY m), rk AS (SELECT m, CAST(SUM(t) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER () AS BIGINT) AS n FROM d), bp AS (SELECT MIN(CASE WHEN c >= (n * 1 + 3) // 4 THEN m END) AS b1, MIN(CASE WHEN c >= (n * 2 + 3) // 4 THEN m END) AS b2, MIN(CASE WHEN c >= (n * 3 + 3) // 4 THEN m END) AS b3 FROM rk), sym AS (SELECT k, seg, (CASE WHEN m > bp.b1 THEN 1 ELSE 0 END + CASE WHEN m > bp.b2 THEN 1 ELSE 0 END + CASE WHEN m > bp.b3 THEN 1 ELSE 0 END) AS si FROM paa, bp) SELECT k, CAST(COUNT(*) AS BIGINT) AS n_segments, string_agg(['a','b','c','d'][si + 1], '' ORDER BY seg) AS sax FROM sym GROUP BY k ORDER BY k""",

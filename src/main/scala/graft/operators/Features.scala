@@ -220,6 +220,57 @@ object Features {
       pmod(h, lit(actions.size)).cast("int") + 1)
   }
 
+  /** CUPED variance reduction (Deng et al. 2013) — the experimentation
+    * workhorse that makes A/B tests decisive at a fraction of the
+    * traffic: adjust each unit's post-period metric y by its PRE-period
+    * covariate x, ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x) fitted on
+    * the POOLED sample (pre-period data is treatment-independent, so
+    * the adjustment is unbiased). Reports per arm the raw and adjusted
+    * means plus the variance ratio — the fraction of noise CUPED
+    * removed, i.e. how much less traffic the next test needs. ONE
+    * conditional-moment pass over (unit, x, y, arm): all sums exact in
+    * DECIMAL(38,0) (integer cents in), θ and the finishes pinned
+    * doubles; var(ŷ) expands to Σy² − 2θΣxy + θ²Σx² so no second pass
+    * materializes adjusted rows.
+    */
+  def cuped(
+      df: DataFrame,
+      armCol: String,
+      xCentsCol: String,
+      yCentsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val x = col(xCentsCol).cast("long").cast(d38)
+    val y = col(yCentsCol).cast("long").cast(d38)
+    val perArm = df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val tot = Window.partitionBy()
+    def g(c: String): Column = sum(col(c)).over(tot)
+    val gn = dbl(g("n"))
+    // pooled theta = (N·Σxy − Σx·Σy) / (N·Σxx − Σx·Σx), exact operands
+    val theta = (gn * dbl(g("sxy")) - dbl(g("sx")) * dbl(g("sy"))) /
+      (gn * dbl(g("sxx")) - dbl(g("sx")) * dbl(g("sx")))
+    val xbar = dbl(g("sx")) / gn
+    val n = dbl(col("n"))
+    val meanY = dbl(col("sy")) / n
+    val meanX = dbl(col("sx")) / n
+    val meanAdj = meanY - theta * (meanX - xbar)
+    // per-arm variances (population form): Σ(v−v̄)²/n from raw moments
+    val varY = dbl(col("syy")) / n - meanY * meanY
+    val varAdj = (dbl(col("syy")) - lit(2.0) * theta * dbl(col("sxy")) +
+      theta * theta * dbl(col("sxx"))) / n -
+      (meanY - theta * meanX) * (meanY - theta * meanX)
+    perArm.select(col("arm"), col("n"),
+      round(meanY, 6).as("mean_y"),
+      round(meanAdj, 6).as("mean_y_adj"),
+      round(theta, 6).as("theta"),
+      round(varAdj / varY, 6).as("var_ratio"))
+  }
+
   /** INVERSE-PROPENSITY-SCORED off-policy evaluation — [[policyReplay]]'s
     * estimator when logging was NOT uniform: weight each matched row by
     * 1/p̂(logged action), with p̂ the EMPIRICAL logging distribution

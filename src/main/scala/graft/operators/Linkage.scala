@@ -69,4 +69,88 @@ object Linkage {
       .groupBy(col(clusterCol))
       .agg(count(lit(1)).as("n_records"), picks: _*)
   }
+
+  /** FELLEGI–SUNTER EM (1969; Winkler's EM fitting): learn per-field
+    * match (m) and non-match (u) agreement probabilities UNSUPERVISED
+    * from blocked candidate pairs — the parameters that turn [[fuzzyJoin]]
+    * from a hand-tuned threshold into principled log-likelihood-ratio
+    * weights (w_agree = ln m/u, w_disagree = ln (1−m)/(1−u)). The E/M
+    * steps run over the agreement-PATTERN census (≤ 2^k rows — the
+    * distributed pair scan collapses to it in one map-side-combined
+    * pass), so the iteration itself is metadata-sized: the census
+    * collects to the driver exactly like the O(channels²) attribution
+    * matrix, and every intermediate lands on the engine's 1e-9 grid
+    * (probabilities exact-decimal, divisions pinned doubles) so the
+    * oracle's unrolled-CTE EM replays it bit for bit.
+    *
+    * Input: one row per candidate pair with BOOLEAN agreement columns
+    * `fields`. Output: one row per field with m/u/weights plus the
+    * fitted match prevalence λ.
+    */
+  def fellegiSunter(
+      pairs: DataFrame,
+      fields: Seq[String],
+      iters: Int): DataFrame = {
+    require(fields.nonEmpty && fields.size <= 8 && iters >= 1)
+    val k = fields.size
+    val census = pairs
+      .groupBy(fields.map(f => col(f).cast("int").as(f)): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (fields.indices.map(i => r.getInt(i) == 1).toVector,
+        r.getLong(k)))
+      .sortBy(_._1.map(b => if (b) "1" else "0").mkString)
+    val nTotal = census.map(_._2).sum
+    require(nTotal > 0, "fellegiSunter: no candidate pairs")
+    def grid9(x: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val one = BigDecimal(1)
+    var lam = BigDecimal("0.1")
+    var m = Vector.fill(k)(BigDecimal("0.9"))
+    var u = Vector.fill(k)(BigDecimal("0.1"))
+    for (_ <- 1 to iters) {
+      // E: responsibility per pattern, exact-decimal products, one
+      // pinned double division onto the grid
+      val r = census.map { case (bits, _) =>
+        val mp = bits.indices.map(i => if (bits(i)) m(i) else one - m(i))
+          .foldLeft(one)(_ * _)
+        val up = bits.indices.map(i => if (bits(i)) u(i) else one - u(i))
+          .foldLeft(one)(_ * _)
+        val num = lam * mp
+        val den = num + (one - lam) * up
+        grid9(num.toDouble / den.toDouble)
+      }
+      // M: exact-decimal count·r sums, pinned double divisions
+      val cr = census.zip(r).map { case ((_, c), ri) => BigDecimal(c) * ri }
+      val srm = cr.sum
+      val sru = BigDecimal(nTotal) - srm
+      lam = grid9(srm.toDouble / nTotal.toDouble)
+      m = fields.indices.map { i =>
+        val num = census.zip(cr).collect {
+          case ((bits, _), cri) if bits(i) => cri }.sum
+        grid9(num.toDouble / srm.toDouble)
+      }.toVector
+      u = fields.indices.map { i =>
+        val num = census.zip(r).collect {
+          case ((bits, c), ri) if bits(i) => BigDecimal(c) * (one - ri) }.sum
+        grid9(num.toDouble / sru.toDouble)
+      }.toVector
+    }
+    // HALF_UP at 6 dp — the engine/oracle round(), NOT math.rint's
+    // half-even
+    def r6(x: Double): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = fields.indices.map { i =>
+      (fields(i), m(i).toDouble, u(i).toDouble,
+        r6(math.log(m(i).toDouble / u(i).toDouble)),
+        r6(math.log((one - m(i)).toDouble / (one - u(i)).toDouble)),
+        lam.toDouble)
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    rows.toDF("field", "m_prob", "u_prob", "w_agree", "w_disagree",
+      "lambda")
+  }
 }

@@ -87,6 +87,19 @@ class FeaturesSpec extends SparkSuite {
     assert(r.getDouble(4) == math.rint(600.0 * 5 / 15.0 * 1e6) / 1e6)
   }
 
+  test("cuped: perfectly predictive covariate zeroes the variance") {
+    // y = 2x pooled: theta = 2, adjusted variance 0, and both arms'
+    // adjusted means equalize at the pooled mean of y
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("b", 3L, 6L),
+      ("b", 4L, 8L)).toDF("arm", "x", "y")
+    val got = Features.cuped(df, "arm", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("a") == ((2L, 3.0, 5.0, 2.0, 0.0)))
+    assert(got("b") == ((2L, 7.0, 5.0, 2.0, 0.0)))
+  }
+
   test("ipsEval: empirical-propensity reweighting on a skewed log") {
     val actions = Seq("a", "b", "c")
     def pol(ctx: String): String = {

@@ -68,4 +68,27 @@ class StringSimilaritySpec extends SparkSuite {
     assert(out(2L) == ((2L, "Bobby", 2L, "BIKE")),
       "equal trust: the higher record id wins every field")
   }
+
+  test("fellegiSunter: EM separates a noisy two-field mixture") {
+    import spark.implicits._
+    // 40 all-agree + 40 all-disagree pairs with 10+10 noise pairs: EM
+    // must learn m >> u on both fields and a match share near 0.5
+    val pairs = (Seq.fill(40)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(40)((false, false)))
+      .toDF("f1", "f2")
+    val got = Linkage.fellegiSunter(pairs, Seq("f1", "f2"), iters = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    for (f <- Seq("f1", "f2")) {
+      val (m, u, wa, wd, lam) = got(f)
+      assert(m > 0.7 && u < 0.3, s"$f: m=$m u=$u must separate")
+      assert(wa > 0.0 && wd < 0.0, s"$f: weights must have LR signs")
+      assert(lam > 0.3 && lam < 0.7, s"prevalence ~0.5, got $lam")
+    }
+    // retry-stable: EM is a pure function of the census
+    val again = Linkage.fellegiSunter(pairs, Seq("f1", "f2"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.map { case (k, v) => k -> v._1 } == again)
+  }
 }
