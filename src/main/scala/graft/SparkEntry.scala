@@ -5716,6 +5716,66 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** SPLIT-CONFORMAL intervals
+    * ([[graft.operators.Features.conformalInterval]]): per event type, a
+    * 90% distribution-free prediction interval around the train-split
+    * mean — q̂ by discrete-rank lookup on the exact residual domain,
+    * measured calibration coverage beside the guarantee.
+    */
+  private def q397(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("event_type"), col("event_id"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Features.conformalInterval(ev, "event_type", "cents",
+      "event_id", alphaBp = 1000, salt = "conf").orderBy(col("g"))
+  }
+
+  /** AMS F₂ sketch ([[graft.operators.Sketches.amsF2]]): the
+    * second-frequency-moment estimate (= q386's self-join size) from 64
+    * signed counters vs the exact Σc² — integer signs, exact sums,
+    * the sketch replayed hash for hash.
+    */
+  private def q398(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.amsF2(T(s, dir, "events"), "user_id",
+      k = 64, salt = "ams")
+
+  /** SLIDING-WINDOW HLL ([[graft.operators.Sketches.slidingHllCells]]):
+    * one (bucket, ρ, max-ts) cell store answers distinct-user counts
+    * for BOTH the full range and the recent half — per-window registers
+    * re-derived by a ts filter over ≤ 256·45 cells, estimated by
+    * [[graft.operators.Sketches.hllEstimate]], compared to exact.
+    */
+  private def q399(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("user_id"),
+      col("ts").cast("long").as("t"))
+    val mm = ev.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    val cells = graft.operators.Sketches.slidingHllCells(
+      ev.withColumn("g", lit("all")), "g", "user_id", "t")
+      .crossJoin(broadcast(mm))
+      .withColumn("mid", expr("(tmin + tmax) div 2"))
+    val winCells = cells
+      .select(col("j"), col("rho"), col("max_ts"), lit("w_all").as("g"),
+        col("tmin").as("cut"))
+      .unionByName(cells.select(col("j"), col("rho"), col("max_ts"),
+        lit("w_recent").as("g"), (col("mid") + 1L).as("cut")))
+    val regs = winCells.filter(col("max_ts") >= col("cut"))
+      .groupBy(col("g"), col("j")).agg(max(col("rho")).as("m"))
+    val est = graft.operators.Sketches.hllEstimate(regs)
+    val evm = ev.crossJoin(broadcast(mm))
+      .withColumn("mid", expr("(tmin + tmax) div 2"))
+    val exact = evm.filter(col("t") >= col("tmin"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+      .withColumn("g", lit("w_all")).select("g", "n_exact")
+      .unionByName(evm.filter(col("t") >= col("mid") + 1L)
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+        .withColumn("g", lit("w_recent")).select("g", "n_exact"))
+    est.join(exact, "g")
+      .withColumn("rel_error",
+        round((col("estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6))
+      .orderBy(col("g"))
+  }
+
   /** CUPED variance reduction ([[graft.operators.Features.cuped]]):
     * per-user post-period spend adjusted by pre-period spend (θ fitted
     * pooled), reported per hash-assigned arm with the variance ratio —
@@ -8085,6 +8145,9 @@ object SparkEntry {
     "q394_median_ci" -> (q394 _),
     "q395_cuped" -> (q395 _),
     "q396_fellegi_sunter" -> (q396 _),
+    "q397_conformal" -> (q397 _),
+    "q398_ams_f2" -> (q398 _),
+    "q399_sliding_hll" -> (q399 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8805,6 +8868,15 @@ object SparkEntry {
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
     // pooled theta from exact moments; adjusted means + variance ratio
     "q395_cuped" -> cupedSql,
+    // residual-domain rank lookup; the qhat row carries the coverage
+    "q397_conformal" ->
+      """WITH e AS (SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y, CAST(concat('0x', substr(md5(concat('conf:', CAST(event_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS train FROM events), p AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_train, CAST(round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS pred FROM e WHERE train GROUP BY g), rs AS (SELECT e.g, p.n_train, p.pred, abs(CAST(e.y AS DECIMAL(18,6)) - p.pred) AS r, CAST(COUNT(*) AS BIGINT) AS t FROM e JOIN p ON e.g = p.g WHERE NOT train GROUP BY 1, 2, 3, 4), rk AS (SELECT *, CAST(SUM(t) OVER (PARTITION BY g ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n_cal FROM rs), rr AS (SELECT *, least(n_cal, ((n_cal + 1) * 9000 + 9999) // 10000) AS rkk FROM rk) SELECT g, MAX(n_train) AS n_train, MAX(n_cal) AS n_cal, CAST(MAX(pred) AS DOUBLE) AS pred, CAST(MIN(CASE WHEN c >= rkk THEN r END) AS DOUBLE) AS qhat, CAST(MAX(pred) - MIN(CASE WHEN c >= rkk THEN r END) AS DOUBLE) AS lo, CAST(MAX(pred) + MIN(CASE WHEN c >= rkk THEN r END) AS DOUBLE) AS hi, round(CAST(MIN(CASE WHEN c >= rkk THEN c END) AS DOUBLE) / CAST(MAX(n_cal) AS DOUBLE), 6) AS coverage FROM rr GROUP BY g ORDER BY g""",
+    // 64 signed counters vs the exact self-join moment
+    "q398_ams_f2" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS u, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), jj AS (SELECT unnest(range(0, 64)) AS j), sgn AS (SELECT jj.j, c.c, 1 - 2 * (CAST(concat('0x', substr(md5(concat('ams:', CAST(jj.j AS VARCHAR), ':', c.u)), 1, 13)) AS BIGINT) % 2) AS s FROM c, jj), z AS (SELECT j, SUM(CAST(s * c AS DECIMAL(38,0))) AS z FROM sgn GROUP BY j), zz AS (SELECT SUM(z * z) AS zz, CAST(COUNT(*) AS BIGINT) AS nk FROM z), ex AS (SELECT SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS f2, CAST(COUNT(*) AS BIGINT) AS n_keys FROM c) SELECT n_keys, CAST(f2 AS DOUBLE) AS f2_exact, round(CAST(zz AS DOUBLE) / CAST(nk AS DOUBLE), 6) AS f2_ams, round((CAST(zz AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(f2 AS DOUBLE)) / CAST(f2 AS DOUBLE), 6) AS rel_error FROM ex, zz""",
+    // one cell store, per-window registers by ts filter, q379's finish
+    "q399_sliding_hll" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events), mm AS (SELECT MIN(t) AS tmin, (MIN(t) + MAX(t)) // 2 AS mid FROM e), h AS (SELECT user_id, t, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hh FROM e), cells AS (SELECT hh % 256 AS j, CASE WHEN hh // 256 = 0 THEN 45 ELSE 45 - length(bin(hh // 256)) END AS rho, MAX(t) AS max_ts FROM h GROUP BY 1, 2), wc AS (SELECT 'w_all' AS g, j, rho FROM cells, mm WHERE max_ts >= mm.tmin UNION ALL SELECT 'w_recent', j, rho FROM cells, mm WHERE max_ts >= mm.mid + 1), regs AS (SELECT g, j, MAX(rho) AS m FROM wc GROUP BY 1, 2), agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_regs, SUM(CAST(round(pow(2.0, -m), 18) AS DECIMAL(38,18))) AS sp FROM regs GROUP BY g), e2 AS (SELECT g, n_regs, 256 - n_regs AS v_empty, 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / CAST(sp + CAST(256 - n_regs AS DECIMAL(38,18)) AS DOUBLE) AS eraw FROM agg), ex AS (SELECT 'w_all' AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM e, mm WHERE t >= mm.tmin UNION ALL SELECT 'w_recent', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e, mm WHERE t >= mm.mid + 1) SELECT e2.g, e2.n_regs, CAST(e2.v_empty AS BIGINT) AS v_empty, round(CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END, 6) AS estimate, ex.n_exact, round((CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error FROM e2 JOIN ex ON e2.g = ex.g ORDER BY e2.g""",
     // EM unrolled to 10 materialized state CTEs over the pattern census
     "q396_fellegi_sunter" -> fsSql(10),
     // PAA means on the grid; exact-rank breakpoints; ordered string_agg

@@ -601,6 +601,71 @@ object Sketches {
       .agg(max(col("rho")).as("m"))
   }
 
+  /** AMS second-moment (F₂) sketch (Alon–Matias–Szegedy 1996), fully
+    * replayable: F₂ = Σ c_u² is EXACTLY the self-join size [[q386]]'s
+    * fanout audit computes — the AMS sketch estimates it with k counters
+    * instead of the key domain: Z_j = Σ_u s_j(u)·c_u with md5-derived
+    * ±1 signs, E[Z²] = F₂. Returns the exact F₂, the k-estimator mean
+    * of Z², and the relative error — every intermediate an exact
+    * integer/decimal (signs and counts are integers; the only doubles
+    * are the final casts), so the oracle replays the sketch hash for
+    * hash. The per-key cost is k sign hashes AFTER the count census —
+    * key-domain sized, never fact-sized.
+    */
+  def amsF2(
+      df: DataFrame,
+      keyCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1)
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val counts = df.groupBy(col(keyCol).cast("string").as("u"))
+      .agg(count(lit(1)).as("c"))
+    val signed = counts.select(col("c"),
+      explode(array((0 until k).map { j =>
+        val s = lit(1L) - lit(2L) * pmod(
+          conv(substring(md5(concat(lit(s"$salt:$j:"), col("u"))
+            .cast("binary")), 1, 13), 16, 10).cast("long"), lit(2L))
+        struct(lit(j).as("j"), (s * col("c")).as("zc"))
+      }: _*)).as("e"))
+    val z = signed.groupBy(col("e.j").as("j"))
+      .agg(sum(col("e.zc").cast(d38)).as("z"))
+      .agg(sum(col("z") * col("z")).as("zz"), count(lit(1)).as("nk"))
+    val exact = counts.agg(sum(col("c").cast(d38) * col("c").cast(d38))
+      .as("f2"), count(lit(1)).as("n_keys"))
+    exact.crossJoin(z)
+      .select(col("n_keys"), dbl(col("f2")).as("f2_exact"),
+        round(dbl(col("zz")) / dbl(col("nk")), 6).as("f2_ams"),
+        round((dbl(col("zz")) / dbl(col("nk")) - dbl(col("f2"))) /
+          dbl(col("f2")), 6).as("rel_error"))
+  }
+
+  /** SLIDING-WINDOW HLL cells: [[hllRegisters]] extended with the MAX
+    * EVENT TIME per (group, bucket, ρ) cell — the classic trick that
+    * makes one register store answer "distinct in ANY suffix window":
+    * at query time keep only cells with ts ≥ cutoff, re-take the max ρ
+    * per bucket, and estimate. The store is ≤ 256·45 cells per group
+    * at any scale, maintained by a MAX that commutes (streaming-safe),
+    * and the answer for EVERY cutoff comes from the same store — no
+    * per-window re-scan of facts.
+    */
+  def slidingHllCells(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val h = h52(col(keyCol))
+    val w = expr("__h div 256")
+    df.select(col(groupCol).as("g"), h.as("__h"),
+        col(tsCol).cast("long").as("ts"))
+      .withColumn("j", pmod(col("__h"), lit(256L)))
+      .withColumn("rho",
+        when(w === 0L, 45).otherwise(lit(45) - length(bin(w))).cast("int"))
+      .groupBy(col("g"), col("j"), col("rho"))
+      .agg(max(col("ts")).as("max_ts"))
+  }
+
   /** HLL ESTIMATE from [[hllRegisters]] rows: raw E = α·m²/Σ2^(−M_j)
     * (empty registers contribute 1), with the linear-counting
     * small-range correction m·ln(m/V) when E ≤ 2.5m and empty registers

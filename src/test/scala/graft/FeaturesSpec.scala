@@ -100,6 +100,35 @@ class FeaturesSpec extends SparkSuite {
     assert(got("b") == ((2L, 7.0, 5.0, 2.0, 0.0)))
   }
 
+  test("conformalInterval: JVM-replayed split, exact rank, coverage") {
+    def trainSide(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cf:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2 == 0
+    }
+    val rows = (1L to 40L).map(id => ("g", id, id * 10L))
+    val r = Features.conformalInterval(rows.toDF("g", "y_id", "cents")
+      .select(col("g"), col("cents"), col("y_id")),
+      "g", "cents", "y_id", alphaBp = 1000, salt = "cf").head()
+    val (train, cal) = (1L to 40L).partition(trainSide)
+    val pred = BigDecimal(train.map(_ * 10).sum.toDouble / train.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val resids = cal.map(id => (BigDecimal(id * 10) - pred).abs).sorted
+    val rk = math.min(cal.size, (cal.size + 1) * 9 / 10 +
+      (if ((cal.size + 1) * 9 % 10 == 0) 0 else 1))
+    val qhat = resids(rk - 1)
+    assert(r.getLong(1) == train.size.toLong &&
+      r.getLong(2) == cal.size.toLong)
+    assert(r.getDouble(3) == pred.toDouble)
+    assert(r.getDouble(4) == qhat.toDouble)
+    assert(r.getDouble(5) == (pred - qhat).toDouble &&
+      r.getDouble(6) == (pred + qhat).toDouble)
+    val within = cal.count(id => (BigDecimal(id * 10) - pred).abs <= qhat)
+    assert(r.getDouble(7) ==
+      math.rint(within.toDouble / cal.size * 1e6) / 1e6)
+    assert(r.getDouble(7) >= 0.9, "conformal guarantee on calibration")
+  }
+
   test("ipsEval: empirical-propensity reweighting on a skewed log") {
     val actions = Seq("a", "b", "c")
     def pol(ctx: String): String = {

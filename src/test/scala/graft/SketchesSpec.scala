@@ -292,6 +292,41 @@ class SketchesSpec extends SparkSuite {
     assert(merged == union, "register merge must equal the union sketch")
   }
 
+  test("amsF2: exact moment on a hand census, JVM-replayed estimator") {
+    import spark.implicits._
+    def sign(j: Int, u: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"x:$j:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      1L - 2L * (java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2)
+    }
+    val facts = (Seq.fill(3)("a") ++ Seq.fill(4)("b")).toDF("k")
+    val r = Sketches.amsF2(facts, "k", k = 16, salt = "x").head()
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 25.0)
+    val zz = (0 until 16).map { j =>
+      val z = sign(j, "a") * 3 + sign(j, "b") * 4
+      z * z
+    }.sum
+    assert(r.getDouble(2) == math.rint(zz.toDouble / 16 * 1e6) / 1e6)
+  }
+
+  test("slidingHllCells: suffix-window registers equal a direct rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val facts = (1 to 200).map(i =>
+      ("g", i.toString, 1L + rnd.nextInt(100).toLong))
+      .toDF("g", "k", "t")
+    val cells = Sketches.slidingHllCells(facts, "g", "k", "t")
+    val cutoff = 50L
+    val fromCells = cells.filter($"max_ts" >= cutoff)
+      .groupBy($"j").agg(org.apache.spark.sql.functions.max($"rho").as("m"))
+      .as[(Long, Int)].collect().toMap
+    val direct = Sketches.hllRegisters(
+      facts.filter($"t" >= cutoff), "g", "k")
+      .select($"j", $"m").as[(Long, Int)].collect().toMap
+    assert(fromCells == direct,
+      "cell store must answer any suffix window exactly")
+  }
+
   test("hllEstimate: linear-counting regime for tiny cardinalities") {
     import spark.implicits._
     // 3 distinct keys: E_raw is far below 2.5m with empty registers, so
