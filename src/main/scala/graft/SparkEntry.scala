@@ -5716,6 +5716,38 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** ε-DP MEDIAN ([[graft.operators.Privacy.dpMedian]]): the exponential
+    * mechanism over the order-price value domain with a Gumbel-max
+    * derandomized draw (salted md5 uniforms — retry-stable, oracle-
+    * replayable); the rank-sensitivity DP release the Laplace family
+    * (q268) can't give for order statistics.
+    */
+  private def q400(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.dpMedian(
+      T(s, dir, "orders").select(
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents")),
+      "cents", epsilon = 0.5, salt = "dpm")
+
+  /** MERKLE-TREE table diff ([[graft.operators.Reconcile.merkleDiff]]):
+    * orders vs a deterministically drifted copy (every 997th key's
+    * price bumped one cent) — the anti-entropy reconciliation that
+    * finds every differing leaf range at log descent cost; q348's XOR
+    * fingerprint generalized to a range tree.
+    */
+  private def q401(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val drifted = base.withColumn("cents",
+      when(pmod(col("o_orderkey"), lit(997L)) === 0L, col("cents") + 1L)
+        .otherwise(col("cents")))
+    graft.operators.Reconcile.merkleDiff(base, drifted,
+      Seq("o_orderkey", "o_orderstatus", "cents"), buckets = 1024,
+      fanout = 32).orderBy(col("leaf"))
+  }
+
   /** SPLIT-CONFORMAL intervals
     * ([[graft.operators.Features.conformalInterval]]): per event type, a
     * 90% distribution-free prediction interval around the train-split
@@ -8148,6 +8180,8 @@ object SparkEntry {
     "q397_conformal" -> (q397 _),
     "q398_ams_f2" -> (q398 _),
     "q399_sliding_hll" -> (q399 _),
+    "q400_dp_median" -> (q400 _),
+    "q401_merkle_diff" -> (q401 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8868,6 +8902,12 @@ object SparkEntry {
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
     // pooled theta from exact moments; adjusted means + variance ratio
     "q395_cuped" -> cupedSql,
+    // exponential mechanism: doubled rank utilities + Gumbel-max draw
+    "q400_dp_median" ->
+      """WITH e AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY v), rk AS (SELECT v, t, CAST(SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER () AS BIGINT) AS n FROM bv), sc AS (SELECT v, c, n, round(0.125 * CAST(-abs(2 * c - t - n) AS DOUBLE) + (-ln(-ln((CAST(CAST(concat('0x', substr(md5(concat('dpm:', CAST(v AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0))), 9) AS score FROM rk), mx AS (SELECT MAX(score) AS ms FROM sc) SELECT MAX(n) AS n, MIN(CASE WHEN c >= (n + 1) // 2 THEN v END) AS true_median, MIN(CASE WHEN score = mx.ms THEN v END) AS dp_median FROM sc, mx GROUP BY mx.ms""",
+    // content-addressed leaves; only differing ones survive the diff
+    "q401_merkle_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), drift AS (SELECT o_orderkey, o_orderstatus, CASE WHEN o_orderkey % 997 = 0 THEN cents + 1 ELSE cents END AS cents FROM base), ha AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', coalesce(CAST(o_orderkey AS VARCHAR), chr(0)), coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)), coalesce(CAST(cents AS VARCHAR), chr(0)))), 1, 13)) AS BIGINT) AS h FROM base), hb AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', coalesce(CAST(o_orderkey AS VARCHAR), chr(0)), coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)), coalesce(CAST(cents AS VARCHAR), chr(0)))), 1, 13)) AS BIGINT) AS h FROM drift), la AS (SELECT h % 1024 AS leaf, CAST(COUNT(*) AS BIGINT) AS n_a, CAST(bit_xor(h) AS BIGINT) AS fp_a FROM ha GROUP BY 1), lb AS (SELECT h % 1024 AS leaf, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(bit_xor(h) AS BIGINT) AS fp_b FROM hb GROUP BY 1), j AS (SELECT COALESCE(la.leaf, lb.leaf) AS leaf, CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a, CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b, CAST(COALESCE(fp_a, 0) AS BIGINT) AS fp_a, CAST(COALESCE(fp_b, 0) AS BIGINT) AS fp_b FROM la FULL OUTER JOIN lb ON la.leaf = lb.leaf) SELECT leaf, CAST(leaf // 32 AS BIGINT) AS node, n_a, n_b, fp_a, fp_b FROM j WHERE fp_a <> fp_b OR n_a <> n_b ORDER BY leaf""",
     // residual-domain rank lookup; the qhat row carries the coverage
     "q397_conformal" ->
       """WITH e AS (SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y, CAST(concat('0x', substr(md5(concat('conf:', CAST(event_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS train FROM events), p AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_train, CAST(round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS pred FROM e WHERE train GROUP BY g), rs AS (SELECT e.g, p.n_train, p.pred, abs(CAST(e.y AS DECIMAL(18,6)) - p.pred) AS r, CAST(COUNT(*) AS BIGINT) AS t FROM e JOIN p ON e.g = p.g WHERE NOT train GROUP BY 1, 2, 3, 4), rk AS (SELECT *, CAST(SUM(t) OVER (PARTITION BY g ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n_cal FROM rs), rr AS (SELECT *, least(n_cal, ((n_cal + 1) * 9000 + 9999) // 10000) AS rkk FROM rk) SELECT g, MAX(n_train) AS n_train, MAX(n_cal) AS n_cal, CAST(MAX(pred) AS DOUBLE) AS pred, CAST(MIN(CASE WHEN c >= rkk THEN r END) AS DOUBLE) AS qhat, CAST(MAX(pred) - MIN(CASE WHEN c >= rkk THEN r END) AS DOUBLE) AS lo, CAST(MAX(pred) + MIN(CASE WHEN c >= rkk THEN r END) AS DOUBLE) AS hi, round(CAST(MIN(CASE WHEN c >= rkk THEN c END) AS DOUBLE) / CAST(MAX(n_cal) AS DOUBLE), 6) AS coverage FROM rr GROUP BY g ORDER BY g""",

@@ -51,6 +51,52 @@ object Privacy {
         round(col("n").cast("double") + laplaceNoise(col(groupCol), salt, b), 6))
   }
 
+  /** ε-DP MEDIAN by the EXPONENTIAL MECHANISM (McSherry–Talwar) — the
+    * DP release for order statistics where [[laplaceNoise]] on the value
+    * is useless (a median's sensitivity to one record is unbounded in
+    * VALUE but exactly 1 in RANK): every candidate value scores
+    * u(v) = −|rank distance to the median| and is selected with
+    * probability ∝ exp(ε·u/2). The selection is derandomized with the
+    * Gumbel-max trick on salted md5 uniforms — a pure function, so the
+    * release is retry-stable (the DP-budget property [[dpNoisyCounts]]
+    * establishes) and the oracle replays the draw exactly. Doubled rank
+    * distances keep utilities integral; ε/4-scaled scores land once on
+    * the 1e-9 grid; argmax ties break to the smaller value. One
+    * value-domain census + one argmax — nothing fact-sized past the
+    * first aggregate.
+    */
+  def dpMedian(
+      df: DataFrame,
+      vCol: String,
+      epsilon: Double,
+      salt: String): DataFrame = {
+    require(epsilon > 0.0)
+    import org.apache.spark.sql.expressions.Window
+    val byV = df.groupBy(col(vCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val ranked = byV
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(tot))
+      // doubled rank distance of the tie-group midpoint to the median
+      .withColumn("u2", -abs(lit(2L) * col("c") - col("t") - col("n")))
+    val hexU = conv(substring(md5(concat(lit(salt + ":"),
+      col("v").cast("string")).cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+    val uni = (hexU.cast("double") + 0.5) / lit(H52_SPACE)
+    val gumbel = -log(-log(uni))
+    val scored = ranked.withColumn("score",
+      round(lit(epsilon / 4.0) * col("u2").cast("double") + gumbel, 9))
+    scored.agg(max(col("n")).as("n"),
+        min(when(col("c") >= expr("(n + 1) div 2"), col("v")))
+          .as("true_median"),
+        max(struct(col("score").as("s"), (-col("v")).as("mv"))).as("__a"))
+      .select(col("n"), col("true_median"),
+        (-col("__a").getField("mv")).as("dp_median"))
+  }
+
   /** l-DIVERSITY audit — the re-identification check k-anonymity (q217)
     * misses: a quasi-identifier class can hold k rows yet leak the
     * sensitive attribute completely if all k share one value (the

@@ -203,6 +203,47 @@ object Reconcile {
     * (1, 'x', null) would serialize identically and a real cross-system
     * difference would cancel out of the XOR.
     */
+  /** MERKLE-TREE table diff — [[fingerprint]]'s range-tree
+    * generalization: rows hash into `buckets` content-addressed leaves
+    * (bucket = row hash mod buckets), each leaf carries an XOR
+    * fingerprint + count, and leaves roll up by `fanout` into interior
+    * XOR nodes. Two tables then reconcile at LOG cost: equal roots end
+    * the conversation with two longs; on mismatch only the differing
+    * branches descend, and resync ships only the differing leaves'
+    * rows — the anti-entropy protocol shape (Dynamo/Cassandra repair)
+    * for cross-system tables. This batch verifier computes both trees
+    * and returns the differing LEAVES (with both sides' counts and
+    * fingerprints) plus each one's interior path, so the caller sees
+    * exactly what a remote descent would have fetched. XOR commutes —
+    * partitioning and order are invisible, any one-row difference flips
+    * its leaf, its interior node, and the root.
+    */
+  def merkleDiff(
+      a: DataFrame,
+      b: DataFrame,
+      cols: Seq[String],
+      buckets: Int,
+      fanout: Int): DataFrame = {
+    require(buckets >= 2 && fanout >= 2)
+    def leaves(df: DataFrame): DataFrame = df
+      .select(conv(substring(md5(concat_ws("|", safeCols(cols): _*)),
+        1, 13), 16, 10).cast("long").as("__h"))
+      .withColumn("leaf", pmod(col("__h"), lit(buckets.toLong)))
+      .groupBy(col("leaf"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("fp"))
+    val la = leaves(a).select(col("leaf"), col("n").as("n_a"),
+      col("fp").as("fp_a"))
+    val lb = leaves(b).select(col("leaf"), col("n").as("n_b"),
+      col("fp").as("fp_b"))
+    la.join(lb, Seq("leaf"), "full_outer")
+      .select(col("leaf"), expr(s"leaf div $fanout").as("node"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("fp_a"), lit(0L)).as("fp_a"),
+        coalesce(col("fp_b"), lit(0L)).as("fp_b"))
+      .filter(col("fp_a") =!= col("fp_b") || col("n_a") =!= col("n_b"))
+  }
+
   def fingerprint(df: DataFrame, cols: Seq[Column]): DataFrame =
     df.select(conv(substring(md5(concat_ws("|",
           cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*)),

@@ -119,6 +119,22 @@ class ProfilingSpec extends SparkSuite {
     assert(tight == Seq(0, 0), "at t=0.2 both classes must fail closeness")
   }
 
+  test("dpMedian: retry-stable, concentrated near the true median") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("v")
+    val a = graft.operators.Privacy.dpMedian(df, "v", 0.5, "s1").head()
+    val b = graft.operators.Privacy.dpMedian(df, "v", 0.5, "s1").head()
+    assert(a == b, "the DP release must be retry-stable (budget property)")
+    assert(a.getLong(0) == 1000L && a.getLong(1) == 500L)
+    // exponential mechanism with eps=0.5 on n=1000: u2 penalty is
+    // 0.125/doubled-rank vs Gumbel scale ~1 → stays within ~40 ranks
+    assert(math.abs(a.getLong(2) - 500L) < 100L,
+      s"dp median ${a.getLong(2)} drifted far from 500")
+    // a different salt is a fresh draw
+    val c = graft.operators.Privacy.dpMedian(df, "v", 0.5, "s2").head()
+    assert(math.abs(c.getLong(2) - 500L) < 100L)
+  }
+
   test("srmCheck: JVM-replayed assignment, exact chi2, zero-arm safety") {
     import spark.implicits._
     val arms = Seq(("control", 2), ("t1", 1), ("t2", 1))

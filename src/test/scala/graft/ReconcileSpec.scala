@@ -161,4 +161,23 @@ class ReconcileSpec extends SparkSuite {
     assert(got("c") == "ok_relaxed", "widening + relaxation: flag the shift")
     assert(got("d") == "break_type", "a type break dominates nullability")
   }
+
+  test("merkleDiff: identical → empty; edit and delete localize to leaves") {
+    import spark.implicits._
+    val a = (1L to 500L).map(i => (i, "v" + i)).toDF("id", "payload")
+    assert(Reconcile.merkleDiff(a, a, Seq("id", "payload"), 64, 8)
+      .count() == 0, "equal tables must produce zero differing leaves")
+    // one edited row: exactly one leaf differs, counts equal, fps differ
+    val edited = a.withColumn("payload",
+      when(col("id") === 250L, lit("CHANGED")).otherwise(col("payload")))
+    val d1 = Reconcile.merkleDiff(a, edited, Seq("id", "payload"), 64, 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(d1.length <= 2 && d1.nonEmpty, s"edit touches 1-2 leaves: $d1")
+    assert(d1.forall(r => r._5 != r._6))
+    // one deleted row: its leaf shows n_b = n_a - 1
+    val deleted = a.filter(col("id") =!= 123L)
+    val d2 = Reconcile.merkleDiff(a, deleted, Seq("id", "payload"), 64, 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(d2.length == 1 && d2.head._3 == d2.head._4 + 1)
+  }
 }
