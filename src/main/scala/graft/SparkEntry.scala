@@ -5716,6 +5716,46 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** STREAMING MERKLE maintenance
+    * ([[graft.streaming.StreamVerify.merkleMaintenance]]): micro-batches
+    * land partial leaf censuses as exactly-once commits; XOR and count
+    * both merge, so the store equals the whole-corpus census no matter
+    * how ingestion was batched — q401's reconciliation surface
+    * maintained as a side effect of ingestion.
+    */
+  private def q402(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.merkleMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q402"))
+
+  /** YUEN'S TRIMMED t-TEST ([[graft.operators.Drift.yuenTTest]]):
+    * purchase vs view values, 10% trim — the robust mean test beside
+    * q362's raw-mean Welch; trimmed means + winsorized variances
+    * computed exactly on the value domain.
+    */
+  private def q403(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select((col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"), col("event_type"))
+    graft.operators.Drift.yuenTTest(ev, "cents",
+      col("event_type") === "purchase", trimBp = 1000)
+  }
+
+  /** MASE-scored backtest ([[graft.operators.Trend.maseBacktest]]):
+    * q361's Holt rolling-origin MAE scaled by the lag-24 seasonal-naive
+    * MAE — the unit-free "beats repeating yesterday?" verdict per event
+    * type.
+    */
+  private def q404(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.maseBacktest(hourly, "event_type", "hid",
+      "cents", 0.5, 0.5, season = 24).orderBy(col("event_type"))
+  }
+
   /** ε-DP MEDIAN ([[graft.operators.Privacy.dpMedian]]): the exponential
     * mechanism over the order-price value domain with a Gumbel-max
     * derandomized draw (salted md5 uniforms — retry-stable, oracle-
@@ -8182,6 +8222,9 @@ object SparkEntry {
     "q399_sliding_hll" -> (q399 _),
     "q400_dp_median" -> (q400 _),
     "q401_merkle_diff" -> (q401 _),
+    "q402_stream_merkle" -> (q402 _),
+    "q403_yuen_ttest" -> (q403 _),
+    "q404_mase_backtest" -> (q404 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8425,6 +8468,24 @@ object SparkEntry {
       (1 to 3).map(i => s"CAST(0.1 AS DECIMAL(11,9)) AS u$i").mkString(", ") + "), " +
       steps +
       s" ${outRow("close_balance", 3)} UNION ALL ${outRow("same_nation", 1)} UNION ALL ${outRow("same_segment", 2)} ORDER BY field"
+  }
+
+  /** DuckDB replay of [[graft.operators.Drift.yuenTTest]]: every trimmed/
+    * winsorized sum from the value domain, t/df expressions pinned to
+    * the engine's operation order (assembled here so the repeated
+    * subexpressions stay literally identical).
+    */
+  private def yuenSql: String = {
+    def h(n: String, l: String) =
+      s"(CAST($n AS DOUBLE) - 2.0 * CAST($l AS DOUBLE))"
+    def d(sww: String, sw: String, n: String, l: String) =
+      s"((CAST($sww AS DOUBLE) - CAST($sw AS DOUBLE) * CAST($sw AS DOUBLE) / CAST($n AS DOUBLE)) / (${h(n, l)} * (${h(n, l)} - 1.0)))"
+    def tmu(ts: String, n: String, l: String) =
+      s"(CAST($ts AS DOUBLE) / ${h(n, l)})"
+    val da = d("swwa", "swa", "na", "la")
+    val db = d("swwb", "swb", "nb", "lb")
+    val w = "least(greatest(v, vlo), vhi)"
+    s"""WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g FROM events WHERE event_type IN ('purchase', 'view')), bv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM bv), r2 AS (SELECT *, (n * 1000) // 10000 AS l FROM rk), bd AS (SELECT g, MIN(CASE WHEN c >= l + 1 THEN v END) AS vlo, MIN(CASE WHEN c >= n - l THEN v END) AS vhi FROM r2 GROUP BY g), st AS (SELECT r2.g, MAX(n) AS n, MAX(l) AS l, SUM(CAST(v AS DECIMAL(38,0)) * CAST(greatest(0, least(c, n - l) - greatest(c - t, l)) AS DECIMAL(38,0))) AS ts, SUM(CAST($w AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS sw, SUM(CAST($w AS DECIMAL(38,0)) * CAST($w AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS sww FROM r2 JOIN bd ON r2.g = bd.g GROUP BY r2.g), aa AS (SELECT n AS na, l AS la, ts AS tsa, sw AS swa, sww AS swwa FROM st WHERE g = 'a'), bb AS (SELECT n AS nb, l AS lb, ts AS tsb, sw AS swb, sww AS swwb FROM st WHERE g = 'b') SELECT na AS n_a, nb AS n_b, round(${tmu("tsa", "na", "la")}, 6) AS tm_a, round(${tmu("tsb", "nb", "lb")}, 6) AS tm_b, round((${tmu("tsa", "na", "la")} - ${tmu("tsb", "nb", "lb")}) / sqrt($da + $db), 6) AS t_yuen, round(($da + $db) * ($da + $db) / ($da * $da / (${h("na", "la")} - 1.0) + $db * $db / (${h("nb", "lb")} - 1.0)), 6) AS df_yuen FROM aa, bb"""
   }
 
   /** Register-for-register HLL replay (q379 AND q381: the streaming
@@ -8902,6 +8963,14 @@ object SparkEntry {
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
     // pooled theta from exact moments; adjusted means + variance ratio
     "q395_cuped" -> cupedSql,
+    // the streamed store must equal the whole-corpus leaf census
+    "q402_stream_merkle" ->
+      """WITH h AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', coalesce(CAST(event_id AS VARCHAR), chr(0)), coalesce(CAST(user_id AS VARCHAR), chr(0)), coalesce(CAST(event_type AS VARCHAR), chr(0)), coalesce(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), chr(0)))), 1, 13)) AS BIGINT) AS h FROM events) SELECT h % 1024 AS leaf, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS fp FROM h GROUP BY 1 ORDER BY leaf""",
+    // trimmed means + winsorized variances from the value domain
+    "q403_yuen_ttest" -> yuenSql,
+    // q361's recursion + a lag-24 naive denominator; ratio of the rounds
+    "q404_mase_backtest" ->
+      """WITH RECURSIVE h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vc FROM events GROUP BY 1, 2), o AS (SELECT event_type, CAST(vc AS DOUBLE) AS v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hid) AS rn FROM h), nn AS (SELECT event_type, COUNT(*) AS n FROM o GROUP BY 1), rec AS (SELECT a.event_type, CAST(2 AS BIGINT) AS rn, b.v AS s, b.v - a.v AS b, CAST(0 AS DOUBLE) AS es, CAST(0 AS BIGINT) AS c FROM o a JOIN o b ON a.event_type = b.event_type AND a.rn = 1 AND b.rn = 2 UNION ALL SELECT r.event_type, r.rn + 1, 0.5 * x.v + 0.5 * (r.s + r.b), 0.5 * ((0.5 * x.v + 0.5 * (r.s + r.b)) - r.s) + 0.5 * r.b, r.es + abs(x.v - (r.s + r.b)), r.c + 1 FROM rec r JOIN o x ON x.event_type = r.event_type AND x.rn = r.rn + 1), sn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(abs(vc - lg)) AS BIGINT) AS sae FROM (SELECT event_type, vc, LAG(vc, 24) OVER (PARTITION BY event_type ORDER BY hid) AS lg FROM h) q WHERE lg IS NOT NULL GROUP BY 1) SELECT f.event_type, nn.n, f.c AS n_forecasts, round(f.es / CAST(f.c AS DOUBLE), 6) AS mae, round(CAST(sn.sae AS DOUBLE) / CAST(sn.ns AS DOUBLE), 6) AS mae_snaive, round(round(f.es / CAST(f.c AS DOUBLE), 6) / round(CAST(sn.sae AS DOUBLE) / CAST(sn.ns AS DOUBLE), 6), 6) AS mase FROM rec f JOIN nn ON nn.event_type = f.event_type AND f.rn = nn.n JOIN sn ON sn.event_type = f.event_type WHERE nn.n >= 3 ORDER BY f.event_type""",
     // exponential mechanism: doubled rank utilities + Gumbel-max draw
     "q400_dp_median" ->
       """WITH e AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), bv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY v), rk AS (SELECT v, t, CAST(SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER () AS BIGINT) AS n FROM bv), sc AS (SELECT v, c, n, round(0.125 * CAST(-abs(2 * c - t - n) AS DOUBLE) + (-ln(-ln((CAST(CAST(concat('0x', substr(md5(concat('dpm:', CAST(v AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0))), 9) AS score FROM rk), mx AS (SELECT MAX(score) AS ms FROM sc) SELECT MAX(n) AS n, MIN(CASE WHEN c >= (n + 1) // 2 THEN v END) AS true_median, MIN(CASE WHEN score = mx.ms THEN v END) AS dp_median FROM sc, mx GROUP BY mx.ms""",

@@ -340,6 +340,81 @@ object Drift {
         (-col("__arg").getField("mv")).as("at_v"))
   }
 
+  /** YUEN'S TRIMMED t-TEST (Yuen 1974) — the robust two-sample mean
+    * test that survives heavy tails where [[welchTTest]]'s raw means get
+    * dragged: compare TRIMMED means, estimate their variance from the
+    * WINSORIZED sums of squares, Welch–Satterthwaite df on the effective
+    * (post-trim) sizes. Everything on the VALUE DOMAIN: trimmed means by
+    * exact rank-interval overlap (the q391 arithmetic), winsorized
+    * values by clamping each tie group at the exact rank-(l+1)/(n−l)
+    * order statistics — so boundary ties apportion exactly on both
+    * paths; winsorized Σw/Σw² are exact decimals, the t/df finish is
+    * pinned doubles. Values are integer cents by contract.
+    */
+  def yuenTTest(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column,
+      trimBp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(trimBp > 0 && trimBp < 5000)
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val byVG = df
+      .groupBy(when(sampleACol, "a").otherwise("b").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val wg = Window.partitionBy(col("g"))
+    val cum = wg.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVG
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(wg))
+      .withColumn("l", expr(s"(n * $trimBp) div 10000"))
+    // order statistics at ranks l+1 and n−l = the winsorizing clamps
+    val bounds = ranked.groupBy(col("g"))
+      .agg(min(when(col("c") >= col("l") + 1L, col("v"))).as("vlo"),
+        min(when(col("c") >= col("n") - col("l"), col("v"))).as("vhi"))
+    val stats = ranked.join(bounds, Seq("g"))
+      .withColumn("keep",
+        greatest(lit(0L), least(col("c"), col("n") - col("l")) -
+          greatest(col("c") - col("t"), col("l"))))
+      .withColumn("w", least(greatest(col("v"), col("vlo")), col("vhi")))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("l")).as("l"),
+        sum(col("v").cast(d38) * col("keep").cast(d38)).as("ts"),
+        sum(col("w").cast(d38) * col("t").cast(d38)).as("sw"),
+        sum(col("w").cast(d38) * col("w").cast(d38) * col("t").cast(d38))
+          .as("sww"))
+    val a = stats.filter(col("g") === "a")
+      .select(col("n").as("na"), col("l").as("la"), col("ts").as("tsa"),
+        col("sw").as("swa"), col("sww").as("swwa"))
+    val b = stats.filter(col("g") === "b")
+      .select(col("n").as("nb"), col("l").as("lb"), col("ts").as("tsb"),
+        col("sw").as("swb"), col("sww").as("swwb"))
+    val j = a.crossJoin(b)
+    def tm(ts: String, n: String, l: String) =
+      dbl(col(ts)) / (dbl(col(n)) - lit(2.0) * dbl(col(l)))
+    // winsorized SS about the winsorized mean: Σw² − (Σw)²/n
+    def dTerm(sww: String, sw: String, n: String, l: String) = {
+      val h = dbl(col(n)) - lit(2.0) * dbl(col(l))
+      (dbl(col(sww)) - dbl(col(sw)) * dbl(col(sw)) / dbl(col(n))) /
+        (h * (h - lit(1.0)))
+    }
+    val da = dTerm("swwa", "swa", "na", "la")
+    val db = dTerm("swwb", "swb", "nb", "lb")
+    val ha = dbl(col("na")) - lit(2.0) * dbl(col("la"))
+    val hb = dbl(col("nb")) - lit(2.0) * dbl(col("lb"))
+    val t = (tm("tsa", "na", "la") - tm("tsb", "nb", "lb")) / sqrt(da + db)
+    val dfY = (da + db) * (da + db) /
+      (da * da / (ha - lit(1.0)) + db * db / (hb - lit(1.0)))
+    j.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(tm("tsa", "na", "la"), 6).as("tm_a"),
+      round(tm("tsb", "nb", "lb"), 6).as("tm_b"),
+      round(t, 6).as("t_yuen"), round(dfY, 6).as("df_yuen"))
+  }
+
   /** EXACT ENERGY DISTANCE (Székely–Rizzo) between two samples —
     * the INTEGRAL-type two-sample statistic beside [[ksExact]]'s
     * supremum: E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|, zero iff the

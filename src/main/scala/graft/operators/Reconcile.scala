@@ -225,16 +225,10 @@ object Reconcile {
       buckets: Int,
       fanout: Int): DataFrame = {
     require(buckets >= 2 && fanout >= 2)
-    def leaves(df: DataFrame): DataFrame = df
-      .select(conv(substring(md5(concat_ws("|", safeCols(cols): _*)),
-        1, 13), 16, 10).cast("long").as("__h"))
-      .withColumn("leaf", pmod(col("__h"), lit(buckets.toLong)))
-      .groupBy(col("leaf"))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("fp"))
-    val la = leaves(a).select(col("leaf"), col("n").as("n_a"),
-      col("fp").as("fp_a"))
-    val lb = leaves(b).select(col("leaf"), col("n").as("n_b"),
-      col("fp").as("fp_b"))
+    val la = merkleLeaves(a, cols, buckets).select(col("leaf"),
+      col("n").as("n_a"), col("fp").as("fp_a"))
+    val lb = merkleLeaves(b, cols, buckets).select(col("leaf"),
+      col("n").as("n_b"), col("fp").as("fp_b"))
     la.join(lb, Seq("leaf"), "full_outer")
       .select(col("leaf"), expr(s"leaf div $fanout").as("node"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
@@ -243,6 +237,19 @@ object Reconcile {
         coalesce(col("fp_b"), lit(0L)).as("fp_b"))
       .filter(col("fp_a") =!= col("fp_b") || col("n_a") =!= col("n_b"))
   }
+
+  /** The content-addressed leaf census [[merkleDiff]] compares: bucket =
+    * row hash mod `buckets`, per-leaf XOR fingerprint + count. XOR and
+    * count both merge across arbitrary row slices (bit_xor of partial
+    * fps, sum of partial counts), so a streaming ingest can maintain the
+    * store incrementally and land exactly this table — see q402.
+    */
+  def merkleLeaves(df: DataFrame, cols: Seq[String], buckets: Int): DataFrame =
+    df.select(conv(substring(md5(concat_ws("|", safeCols(cols): _*)),
+        1, 13), 16, 10).cast("long").as("__h"))
+      .withColumn("leaf", pmod(col("__h"), lit(buckets.toLong)))
+      .groupBy(col("leaf"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("fp"))
 
   def fingerprint(df: DataFrame, cols: Seq[Column]): DataFrame =
     df.select(conv(substring(md5(concat_ws("|",

@@ -794,6 +794,45 @@ object Trend {
           .cast("double").as("remainder"))
   }
 
+  /** MASE-scored backtest (Hyndman–Koehler 2006): the Holt rolling-origin
+    * backtest's MAE scaled by the SEASONAL-NAIVE MAE on the same series —
+    * the unit-free "is this forecaster better than repeating yesterday"
+    * ratio (MASE < 1 = beats the naive; sMAPE alone can't say that).
+    * The naive denominator is one lag window over integer values (exact
+    * sums, one division); the numerator comes from
+    * [[holtBacktestPerKey]]'s sequential fold; the ratio divides the two
+    * rounded reports, so the oracle composes its existing recursive
+    * replay with a lag window.
+    */
+  def maseBacktest(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      vCentsCol: String,
+      alpha: Double,
+      beta: Double,
+      season: Int): DataFrame = {
+    require(season >= 1)
+    val bt = holtBacktestPerKey(df, keyCol, orderCol,
+      vCentsCol, alpha, beta)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol).cast("long"))
+    val sn = df.select(col(keyCol), col(orderCol),
+        col(vCentsCol).cast("long").as("__v"))
+      .withColumn("__lag", lag(col("__v"), season).over(w))
+      .filter(col("__lag").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__ns"),
+        sum(abs(col("__v") - col("__lag"))).as("__sae"))
+      .select(col(keyCol),
+        round(col("__sae").cast("double") / col("__ns").cast("double"), 6)
+          .as("mae_snaive"))
+    bt.join(sn, Seq(keyCol))
+      .select(col(keyCol), col("n"), col("n_forecasts"), col("mae"),
+        col("mae_snaive"),
+        round(col("mae") / col("mae_snaive"), 6).as("mase"))
+  }
+
   /** SAX SYMBOLIZATION (Lin et al. 2003) per key: the series compresses
     * to PAA segment means (integer sums, one grid division per segment),
     * segments map to an `alphabet`-ary symbol by EXACT-RANK global

@@ -536,6 +536,47 @@ object StreamVerify {
       .orderBy(col("g"))
   }
 
+  /** STREAMING MERKLE-LEAF maintenance: each micro-batch lands its
+    * partial leaf census (XOR fingerprint + count per content-addressed
+    * bucket) as an exactly-once lake commit; XOR and count both merge
+    * across arbitrary row slices, so the merge-on-read store equals the
+    * WHOLE-CORPUS census no matter how ingestion was batched — the
+    * anti-entropy surface (q401) maintained as a side effect of
+    * ingestion, ready to reconcile against any other system's copy
+    * with two longs. Oracle = the batch leaf census of all events.
+    */
+  def merkleMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      buckets: Int = 1024): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/leaves"
+    def prep(df: DataFrame): DataFrame = df.select(col("event_id"),
+      col("user_id"), col("event_type"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          graft.operators.Reconcile.merkleLeaves(prep(batch),
+            Seq("event_id", "user_id", "event_type", "cents"), buckets)
+            .coalesce(1),
+          tag = s"merkle-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("leaf"))
+      .agg(sum(col("n")).as("n_rows"), expr("bit_xor(fp)").as("fp"))
+      .orderBy(col("leaf"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -168,6 +168,21 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("yuenTTest: symmetric shifted samples, hand-computed t and df") {
+    import spark.implicits._
+    // A = 1..10, B = 11..20, 10% trim: trimmed means 5.5 / 15.5,
+    // winsorized SS = 66.5 each, d = 66.5/56, df = 2(h-1) = 14 exactly
+    val rows = (1L to 10L).map((_, true)) ++ (11L to 20L).map((_, false))
+    val r = graft.operators.Drift.yuenTTest(rows.toDF("v", "isa"),
+      "v", col("isa"), 1000).head()
+    assert((r.getLong(0), r.getLong(1)) == ((10L, 10L)))
+    assert(r.getDouble(2) == 5.5 && r.getDouble(3) == 15.5)
+    val d = 66.5 / (8.0 * 7.0)
+    val t = (5.5 - 15.5) / math.sqrt(d + d)
+    assert(r.getDouble(4) == math.rint(t * 1e6) / 1e6)
+    assert(r.getDouble(5) == 14.0)
+  }
+
   test("energyDistance: zero on identical samples, hand pairwise cases") {
     def e(rows: Seq[(Long, Boolean)]): Double =
       graft.operators.Drift.energyDistance(

@@ -189,6 +189,16 @@ class TrendSpec extends SparkSuite {
     assert(bt(Seq(2, 4, 6, 10)) == ((4L, 2L, 1.0, 0.111111)))
   }
 
+  test("maseBacktest: Holt is exact on a line, naive denominator exact") {
+    // v = 10t: Holt one-step error 0 → mae 0, mase 0; season-5 naive
+    // |v_t − v_{t−5}| = 50 every step → mae_snaive 50
+    val df = (1 to 30).map(t => ("k", t.toLong, 10L * t)).toDF("k", "t", "v")
+    val r = Trend.maseBacktest(df, "k", "t", "v", 0.5, 0.5, 5).head()
+    assert((r.getLong(1), r.getLong(2)) == ((30L, 28L)))
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 50.0 &&
+      r.getDouble(5) == 0.0)
+  }
+
   test("saxSymbols: ramp series maps one segment per letter") {
     // hours 0..15 valued 0..15, PAA window 4 → means 1.5/5.5/9.5/13.5;
     // exact-rank quartile breakpoints put one segment in each band
