@@ -5716,6 +5716,33 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** BUTTERFLY census ([[graft.operators.Graph.butterflyCounts]]):
+    * exact bipartite 4-cycle counts over the part–order graph from the
+    * shared-connector pair census (C(s,2) per pair, never enumerating
+    * cycles) — the bipartite clustering analog of q162's triangles.
+    */
+  private def q405(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.butterflyCounts(
+      T(s, dir, "lineitem").select(col("l_partkey"), col("l_orderkey")),
+      "l_partkey", "l_orderkey", topN = 10).orderBy(col("rank"))
+
+  /** ISOTONIC calibration ([[graft.operators.Trend.isotonicFit]]): the
+    * monotone order-status rate curve over price buckets by the exact
+    * minimax characterization (PAVA's unique answer without a merge
+    * schedule) — the score-to-probability calibration fit, bucket
+    * domain by contract.
+    */
+  private def q406(s: SparkSession, dir: String): DataFrame = {
+    val b = T(s, dir, "orders").select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 2000000")
+          .as("bucket"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("conv"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("conv")).as("ysum"), count(lit(1)).as("n"))
+    graft.operators.Trend.isotonicFit(b, "bucket", "ysum", "n")
+      .orderBy(col("x"))
+  }
+
   /** STREAMING MERKLE maintenance
     * ([[graft.streaming.StreamVerify.merkleMaintenance]]): micro-batches
     * land partial leaf censuses as exactly-once commits; XOR and count
@@ -8225,6 +8252,8 @@ object SparkEntry {
     "q402_stream_merkle" -> (q402 _),
     "q403_yuen_ttest" -> (q403 _),
     "q404_mase_backtest" -> (q404 _),
+    "q405_butterflies" -> (q405 _),
+    "q406_isotonic" -> (q406 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8963,6 +8992,12 @@ object SparkEntry {
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
     // pooled theta from exact moments; adjusted means + variance ratio
     "q395_cuped" -> cupedSql,
+    // C(shared,2) per pair from the connector equi-join; integer total
+    "q405_butterflies" ->
+      """WITH nv AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS n, CAST(l_orderkey AS BIGINT) AS v FROM lineitem), deg AS (SELECT v FROM nv GROUP BY v HAVING COUNT(*) >= 2), inc AS (SELECT nv.n, nv.v FROM nv JOIN deg ON nv.v = deg.v), p AS (SELECT a.n AS n1, b.n AS n2, CAST(COUNT(*) AS BIGINT) AS s FROM inc a JOIN inc b ON a.v = b.v AND a.n < b.n GROUP BY 1, 2 HAVING COUNT(*) >= 2), p2 AS (SELECT n1, n2, s, (s * (s - 1)) // 2 AS bf FROM p), t AS (SELECT CAST(SUM(bf) AS BIGINT) AS tb FROM p2), r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bf DESC, n1, n2) AS rn FROM p2) SELECT CAST(rn AS BIGINT) AS rank, n1, n2, s AS n_shared, CAST(bf AS BIGINT) AS butterflies, t.tb AS total_butterflies FROM r, t WHERE rn <= 10 ORDER BY rank""",
+    // minimax isotonic: prefix sums -> suffix-min per start -> max
+    "q406_isotonic" ->
+      """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 2000000 AS x, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ys, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1), rk AS (SELECT x, ys, n, ROW_NUMBER() OVER (ORDER BY x) AS rn, CAST(SUM(ys) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp, CAST(SUM(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM b), pr AS (SELECT j.rn AS j, k.rn AS k, CAST(round(CAST(k.cp - (j.cp - j.ys) AS DOUBLE) / CAST(k.cc - (j.cc - j.n) AS DOUBLE), 12) AS DECIMAL(24,12)) AS avg FROM rk j JOIN rk k ON j.rn <= k.rn), m AS (SELECT j, k AS i, MIN(avg) OVER (PARTITION BY j ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS m FROM pr), f AS (SELECT i, MAX(m) AS f FROM m GROUP BY i) SELECT rk.x, rk.n, round(CAST(rk.ys AS DOUBLE) / CAST(rk.n AS DOUBLE), 6) AS raw_rate, round(CAST(f.f AS DOUBLE), 6) AS fitted_rate FROM rk JOIN f ON rk.rn = f.i ORDER BY rk.x""",
     // the streamed store must equal the whole-corpus leaf census
     "q402_stream_merkle" ->
       """WITH h AS (SELECT CAST(concat('0x', substr(md5(concat_ws('|', coalesce(CAST(event_id AS VARCHAR), chr(0)), coalesce(CAST(user_id AS VARCHAR), chr(0)), coalesce(CAST(event_type AS VARCHAR), chr(0)), coalesce(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), chr(0)))), 1, 13)) AS BIGINT) AS h FROM events) SELECT h % 1024 AS leaf, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS fp FROM h GROUP BY 1 ORDER BY leaf""",

@@ -794,6 +794,52 @@ object Trend {
           .cast("double").as("remainder"))
   }
 
+  /** ISOTONIC REGRESSION (weighted, nondecreasing) over a bucket domain
+    * — the calibration fit every score-to-probability mapping ships
+    * through (Zadrozny–Elkan): find the monotone curve minimizing
+    * weighted SSE to the empirical rates. Computed by the EXACT minimax
+    * characterization fitted(i) = max_{j≤i} min_{k≥i} avg(y[j..k]) — no
+    * iteration, no merge schedule to replay (PAVA's answer is unique;
+    * this closed form reaches it directly), so the oracle is the same
+    * three-step SQL: prefix sums → suffix-min over k per start j →
+    * max over starts. Input is BUCKET-domain sized by contract
+    * (aggregate first); the pair frame is domain², fine for the ≤ a few
+    * hundred buckets a calibration curve has. Interval averages land
+    * once on the 1e-12 grid; ties there are value-identical so min/max
+    * selection is stable.
+    */
+  def isotonicFit(
+      df: DataFrame,
+      xCol: String,
+      ySumCol: String,
+      nCol: String): DataFrame = {
+    val d2412 = DecimalType(24, 12)
+    def dbl(c: Column): Column = c.cast("double")
+    val cum = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.select(col(xCol).cast("long").as("x"),
+        col(ySumCol).cast("long").as("ys"), col(nCol).cast("long").as("n"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("x"))))
+      .withColumn("cp", sum(col("ys")).over(cum))
+      .withColumn("cc", sum(col("n")).over(cum))
+    val js = ranked.select(col("rn").as("j"),
+      (col("cp") - col("ys")).as("pj"), (col("cc") - col("n")).as("cj"))
+    val ks = ranked.select(col("rn").as("k"), col("cp").as("pk"),
+      col("cc").as("ck"))
+    val pairs = js.join(ks, col("j") <= col("k"))
+      .withColumn("avg", round(dbl(col("pk") - col("pj")) /
+        dbl(col("ck") - col("cj")), 12).cast(d2412))
+    val wSuffix = Window.partitionBy(col("j")).orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = pairs.withColumn("m", min(col("avg")).over(wSuffix))
+      .select(col("j"), col("k").as("i"), col("m"))
+    val fitted = m.groupBy(col("i")).agg(max(col("m")).as("f"))
+    ranked.join(fitted, ranked("rn") === fitted("i"))
+      .select(col("x"), col("n"),
+        round(dbl(col("ys")) / dbl(col("n")), 6).as("raw_rate"),
+        round(dbl(col("f")), 6).as("fitted_rate"))
+  }
+
   /** MASE-scored backtest (Hyndman–Koehler 2006): the Holt rolling-origin
     * backtest's MAE scaled by the SEASONAL-NAIVE MAE on the same series —
     * the unit-free "is this forecaster better than repeating yesterday"

@@ -386,6 +386,18 @@ class GraphSpec extends SparkSuite {
     assert(got == Set((1L, 2L, 5L), (1L, 3L, 50L), (2L, 4L, 60L)))
   }
 
+  test("butterflyCounts: C(shared,2) per pair, exact total") {
+    import spark.implicits._
+    // (1,2) share 3 connectors -> 3 butterflies; (2,3) share 2 -> 1
+    val inc = Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L),
+      (1L, 30L), (2L, 30L), (3L, 30L), (2L, 40L), (3L, 40L))
+      .toDF("n", "v")
+    val got = Graph.butterflyCounts(inc, "n", "v", topN = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 2L, 3L, 3L, 4L),
+      (2L, 2L, 3L, 2L, 1L, 4L)))
+  }
+
   test("longestPathDag: diamond relaxation, multi-root, cycle detection") {
     import spark.implicits._
     // diamond 1→2(5), 1→3(1), 2→4(1), 3→4(10): dist 4 = max(6, 11) = 11

@@ -189,6 +189,24 @@ class TrendSpec extends SparkSuite {
     assert(bt(Seq(2, 4, 6, 10)) == ((4L, 2L, 1.0, 0.111111)))
   }
 
+  test("isotonicFit: violators pool to the PAVA solution, monotone out") {
+    // unit weights, means [3, 1, 2, 4] → isotonic fit [2, 2, 2, 4]
+    val df = Seq((1L, 3L, 1L), (2L, 1L, 1L), (3L, 2L, 1L), (4L, 4L, 1L))
+      .toDF("x", "ys", "n")
+    val got = Trend.isotonicFit(df, "x", "ys", "n")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._4).toSeq == Seq(2.0, 2.0, 2.0, 4.0))
+    assert(got.map(_._3).toSeq == Seq(3.0, 1.0, 2.0, 4.0))
+    // already-monotone input is a fixed point
+    val mono = Seq((1L, 1L, 2L), (2L, 3L, 2L), (3L, 5L, 2L))
+      .toDF("x", "ys", "n")
+    val g2 = Trend.isotonicFit(mono, "x", "ys", "n")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(g2.forall(r => r._3 == r._4))
+    // output is nondecreasing by construction
+    assert(got.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("maseBacktest: Holt is exact on a line, naive denominator exact") {
     // v = 10t: Holt one-step error 0 → mae 0, mase 0; season-5 naive
     // |v_t − v_{t−5}| = 50 every step → mae_snaive 50
