@@ -5716,6 +5716,68 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** HITS authorities ([[graft.operators.Graph.hits]]): 8 alternating
+    * power-iteration rounds over the customer→part purchase graph in
+    * EXACT integer arithmetic (normalization is monotone — the ranking
+    * is the fixed point's); top-10 authority parts with
+    * parts-per-million relative scores by integer division. The oracle
+    * unrolls the identical iteration (materialized CTEs, the q388
+    * lesson) with zero floating point anywhere.
+    */
+  private def q407(s: SparkSession, dir: String): DataFrame = {
+    val edges = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("hub"), col("l_partkey").as("auth"))
+    val (_, auth) = graft.operators.Graph.hits(edges, "hub", "auth",
+      rounds = 8)
+    auth
+      .withColumn("mx", max(col("asc")).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("asc").desc, col("a"))))
+      .filter(col("rank") <= 10)
+      .select(col("rank").cast("long").as("rank"), col("a").as("part"),
+        // exact floor: subtract the remainder first, then the division
+        // is exact — `div`/`//` on DECIMALs round differently per engine
+        expr("CAST((asc * 1000000 - pmod(asc * 1000000, mx)) / mx AS BIGINT)")
+          .as("score_ppm"))
+      .orderBy(col("rank"))
+  }
+
+  /** ONE-WAY ANOVA F ([[graft.operators.Drift.anovaF]]): the k-group
+    * parametric mean test over order priorities — completes the family
+    * beside q362's two-group Welch and q373's k-group rank test; exact
+    * moments, grid terms, pinned finish.
+    */
+  private def q408(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_orderpriority"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Drift.anovaF(o, "cents", "o_orderpriority")
+      .orderBy(col("g"))
+  }
+
+  /** McNEMAR paired test ([[graft.operators.Drift.mcnemar]]): did the
+    * SAME users flip purchase behavior between the pre and post halves
+    * — the within-subject change test; only discordant cells matter.
+    */
+  private def q409(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("user_id"),
+      col("ts").cast("long").as("t"), col("event_type"))
+    val mm = ev.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    // unit = (user, event type); outcome = "active" (≥ 10 events) in
+    // the half — heavy users make any existence predicate degenerate
+    val per = ev.crossJoin(broadcast(mm))
+      .withColumn("mid", expr("(tmin + tmax) div 2"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg((sum(when(col("t") <= col("mid"), 1L).otherwise(0L)) >= 10L)
+        .as("pre"),
+        (sum(when(col("t") > col("mid"), 1L).otherwise(0L)) >= 10L)
+          .as("post"))
+    graft.operators.Drift.mcnemar(per, col("pre"), col("post"))
+  }
+
   /** BUTTERFLY census ([[graft.operators.Graph.butterflyCounts]]):
     * exact bipartite 4-cycle counts over the part–order graph from the
     * shared-connector pair census (C(s,2) per pair, never enumerating
@@ -8254,6 +8316,9 @@ object SparkEntry {
     "q404_mase_backtest" -> (q404 _),
     "q405_butterflies" -> (q405 _),
     "q406_isotonic" -> (q406 _),
+    "q407_hits" -> (q407 _),
+    "q408_anova_f" -> (q408 _),
+    "q409_mcnemar" -> (q409 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8515,6 +8580,23 @@ object SparkEntry {
     val db = d("swwb", "swb", "nb", "lb")
     val w = "least(greatest(v, vlo), vhi)"
     s"""WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END AS g FROM events WHERE event_type IN ('purchase', 'view')), bv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM bv), r2 AS (SELECT *, (n * 1000) // 10000 AS l FROM rk), bd AS (SELECT g, MIN(CASE WHEN c >= l + 1 THEN v END) AS vlo, MIN(CASE WHEN c >= n - l THEN v END) AS vhi FROM r2 GROUP BY g), st AS (SELECT r2.g, MAX(n) AS n, MAX(l) AS l, SUM(CAST(v AS DECIMAL(38,0)) * CAST(greatest(0, least(c, n - l) - greatest(c - t, l)) AS DECIMAL(38,0))) AS ts, SUM(CAST($w AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS sw, SUM(CAST($w AS DECIMAL(38,0)) * CAST($w AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS sww FROM r2 JOIN bd ON r2.g = bd.g GROUP BY r2.g), aa AS (SELECT n AS na, l AS la, ts AS tsa, sw AS swa, sww AS swwa FROM st WHERE g = 'a'), bb AS (SELECT n AS nb, l AS lb, ts AS tsb, sw AS swb, sww AS swwb FROM st WHERE g = 'b') SELECT na AS n_a, nb AS n_b, round(${tmu("tsa", "na", "la")}, 6) AS tm_a, round(${tmu("tsb", "nb", "lb")}, 6) AS tm_b, round((${tmu("tsa", "na", "la")} - ${tmu("tsb", "nb", "lb")}) / sqrt($da + $db), 6) AS t_yuen, round(($da + $db) * ($da + $db) / ($da * $da / (${h("na", "la")} - 1.0) + $db * $db / (${h("nb", "lb")} - 1.0)), 6) AS df_yuen FROM aa, bb"""
+  }
+
+  /** DuckDB replay of [[graft.operators.Graph.hits]]: the alternating
+    * power iteration unrolled to `rounds` MATERIALIZED CTE pairs, all
+    * EXACT DECIMAL(38,0) integer sums — zero floating point anywhere,
+    * relative scores by integer division.
+    */
+  private def hitsSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      val aR = s"a$i AS MATERIALIZED (SELECT e.a, CAST(SUM(hh.s) AS DECIMAL(38,0)) AS s FROM e JOIN h${i - 1} hh ON hh.h = e.h GROUP BY e.a)"
+      val hR = s"h$i AS MATERIALIZED (SELECT e.h, CAST(SUM(aa.s) AS DECIMAL(38,0)) AS s FROM e JOIN a$i aa ON aa.a = e.a GROUP BY e.h)"
+      Seq(aR, hR).mkString(", ")
+    }.mkString(", ")
+    "WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS h, CAST(l_partkey AS BIGINT) AS a FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "h0 AS (SELECT DISTINCT h, CAST(1 AS DECIMAL(38,0)) AS s FROM e), " +
+      steps +
+      s" SELECT * FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY s DESC, a) AS BIGINT) AS rank, a AS part, CAST((s * 1000000 - (s * 1000000) % (SELECT MAX(s) FROM a$rounds)) / (SELECT MAX(s) FROM a$rounds) AS BIGINT) AS score_ppm FROM a$rounds) WHERE rank <= 10 ORDER BY rank"
   }
 
   /** Register-for-register HLL replay (q379 AND q381: the streaming
@@ -8992,6 +9074,14 @@ object SparkEntry {
       """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_totalprice > 0), top AS (SELECT cents AS v FROM v ORDER BY v DESC LIMIT 101), thr AS (SELECT MIN(v) AS xmin FROM top), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn FROM top) SELECT CAST(COUNT(*) AS BIGINT) AS k, MIN(thr.xmin) AS xmin, round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(CAST(round(ln(CAST(v AS DOUBLE) / CAST(thr.xmin AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS alpha FROM r, thr WHERE rn <= 100""",
     // pooled theta from exact moments; adjusted means + variance ratio
     "q395_cuped" -> cupedSql,
+    // 8 unrolled materialized power-iteration rounds, gridded scores
+    "q407_hits" -> hitsSql(8),
+    // per-group S^2/n terms on the grid; SSB/SSW/F in pinned doubles
+    "q408_anova_f" ->
+      """WITH e AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g, SUM(CAST(v AS DECIMAL(38,0))) AS s_g, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS ss_g FROM e GROUP BY g), pt AS (SELECT *, CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS term FROM pg), t AS (SELECT CAST(SUM(n_g) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS k, CAST(SUM(s_g) AS DOUBLE) AS s, CAST(SUM(ss_g) AS DOUBLE) AS ss, CAST(SUM(term) AS DOUBLE) AS tsum FROM pt) SELECT g, n_g, round(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS mean_g, round(((t.tsum - t.s * t.s / t.n) / (t.k - 1.0)) / (((t.ss - t.s * t.s / t.n) - (t.tsum - t.s * t.s / t.n)) / (t.n - t.k)), 6) AS f_stat FROM pt, t ORDER BY g""",
+    // discordant cells only; continuity-corrected variant beside
+    "q409_mcnemar" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS t, event_type FROM events), mm AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM e), per AS (SELECT user_id, event_type, SUM(CASE WHEN t <= mm.mid THEN 1 ELSE 0 END) >= 10 AS pre, SUM(CASE WHEN t > mm.mid THEN 1 ELSE 0 END) >= 10 AS post FROM e, mm GROUP BY 1, 2), ag AS (SELECT CAST(SUM(CASE WHEN pre AND post THEN 1 ELSE 0 END) AS BIGINT) AS n11, CAST(SUM(CASE WHEN pre AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(SUM(CASE WHEN NOT pre AND post THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(SUM(CASE WHEN NOT pre AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n00 FROM per) SELECT n11, b, c, n00, round(CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE) / CAST(b + c AS DOUBLE), 6) AS chi2, round((abs(CAST(b - c AS DOUBLE)) - 1.0) * (abs(CAST(b - c AS DOUBLE)) - 1.0) / CAST(b + c AS DOUBLE), 6) AS chi2_corrected FROM ag""",
     // C(shared,2) per pair from the connector equi-join; integer total
     "q405_butterflies" ->
       """WITH nv AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS n, CAST(l_orderkey AS BIGINT) AS v FROM lineitem), deg AS (SELECT v FROM nv GROUP BY v HAVING COUNT(*) >= 2), inc AS (SELECT nv.n, nv.v FROM nv JOIN deg ON nv.v = deg.v), p AS (SELECT a.n AS n1, b.n AS n2, CAST(COUNT(*) AS BIGINT) AS s FROM inc a JOIN inc b ON a.v = b.v AND a.n < b.n GROUP BY 1, 2 HAVING COUNT(*) >= 2), p2 AS (SELECT n1, n2, s, (s * (s - 1)) // 2 AS bf FROM p), t AS (SELECT CAST(SUM(bf) AS BIGINT) AS tb FROM p2), r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bf DESC, n1, n2) AS rn FROM p2) SELECT CAST(rn AS BIGINT) AS rank, n1, n2, s AS n_shared, CAST(bf AS BIGINT) AS butterflies, t.tb AS total_butterflies FROM r, t WHERE rn <= 10 ORDER BY rank""",

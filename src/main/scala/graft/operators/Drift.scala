@@ -340,6 +340,74 @@ object Drift {
         (-col("__arg").getField("mv")).as("at_v"))
   }
 
+  /** ONE-WAY ANOVA F — the k-group PARAMETRIC mean test completing the
+    * family ([[welchTTest]] two-group parametric, [[kruskalWallis]]
+    * k-group rank): F = (SSB/(k−1)) / (SSW/(N−k)) with the sums of
+    * squares from ONE conditional-moment pass — SSB = Σ S_g²/n_g − S²/N
+    * (per-group terms once on the 1e-6 grid, the Kruskal discipline),
+    * SST = Σx² − S²/N, SSW = SST − SSB. Integer cents in, exact
+    * DECIMAL(38,0) sums, a pinned-double finish broadcast onto the k
+    * group rows.
+    */
+  def anovaF(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val perGroup = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"), sum(v * v).as("ss_g"))
+      .withColumn("term", round(dbl(col("s_g")) * dbl(col("s_g")) /
+        dbl(col("n_g")), 6).cast(DecimalType(38, 6)))
+    val tot = Window.partitionBy()
+    val n = dbl(sum(col("n_g")).over(tot))
+    val k = dbl(count(lit(1)).over(tot))
+    val s = dbl(sum(col("s_g")).over(tot))
+    val ss = dbl(sum(col("ss_g")).over(tot))
+    val ssb = dbl(sum(col("term")).over(tot)) - s * s / n
+    val ssw = (ss - s * s / n) - ssb
+    val f = (ssb / (k - lit(1.0))) / (ssw / (n - k))
+    // only O(1)-magnitude statistics leave this operator: the raw sums
+    // of squares sit at cents² scale where wide-decimal→double casts
+    // carry a 1-ulp cross-engine difference (the q83 lesson) — F is a
+    // RATIO of them, so the ulp cancels to ~1e-16 relative and the 1e-6
+    // round absorbs it; raw SSB/SSW at 1e15 would expose it
+    perGroup.select(col("g"), col("n_g"),
+      round(dbl(col("s_g")) / dbl(col("n_g")), 6).as("mean_g"),
+      round(f, 6).as("f_stat"))
+  }
+
+  /** McNEMAR'S TEST for paired binary outcomes — the within-subject
+    * change test ([[srmCheck]] guards assignment, [[welchTTest]] compares
+    * groups; this asks "did the SAME units flip"): only the discordant
+    * cells matter, χ² = (b−c)²/(b+c), reported with the
+    * continuity-corrected (|b−c|−1)²/(b+c) variant. Input: one row per
+    * unit with two BOOLEAN outcome columns; one map-side-combined census
+    * of the 2×2 table, pure integers to the final divisions.
+    */
+  def mcnemar(
+      df: DataFrame,
+      preCol: Column,
+      postCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val agg = df.agg(
+      sum(when(preCol && postCol, 1L).otherwise(0L)).as("n11"),
+      sum(when(preCol && !postCol, 1L).otherwise(0L)).as("b"),
+      sum(when(!preCol && postCol, 1L).otherwise(0L)).as("c"),
+      sum(when(!preCol && !postCol, 1L).otherwise(0L)).as("n00"))
+    val diff = col("b").cast(d38) - col("c").cast(d38)
+    val chi = dbl(diff) * dbl(diff) / dbl(col("b") + col("c"))
+    val chiCc = (abs(dbl(diff)) - lit(1.0)) * (abs(dbl(diff)) - lit(1.0)) /
+      dbl(col("b") + col("c"))
+    agg.select(col("n11"), col("b"), col("c"), col("n00"),
+      round(chi, 6).as("chi2"), round(chiCc, 6).as("chi2_corrected"))
+  }
+
   /** YUEN'S TRIMMED t-TEST (Yuen 1974) — the robust two-sample mean
     * test that survives heavy tails where [[welchTTest]]'s raw means get
     * dragged: compare TRIMMED means, estimate their variance from the

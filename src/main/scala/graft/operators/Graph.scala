@@ -509,6 +509,44 @@ object Graph {
     dist
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a bipartite edge
+    * list `(hub, auth)`: alternating power iteration — authority =
+    * Σ hub scores pointing at it, hub = Σ authority scores it points
+    * at. Every round is ONE edge equi-join + aggregate per direction
+    * (the [[pageRank]] schedule). Scores stay EXACT INTEGERS in
+    * DECIMAL(38,0): normalization is monotone, so the RANKING is
+    * identical to the normalized fixed point and the whole iteration
+    * replays with zero floating point anywhere — callers report
+    * relative scores by integer division (the q364 exact-arithmetic
+    * posture). Magnitudes grow by ~(avg in-degree × avg out-degree)
+    * per round: `rounds` × log₁₀(degree product) must stay under 38 —
+    * at 8 rounds that allows degree products of 50,000 per round,
+    * far past any real catalog. Fixed `rounds` — power iteration
+    * converges geometrically and a fixed count is what an oracle can
+    * replay (the q224/q388 unroll pattern).
+    */
+  def hits(
+      edges: DataFrame,
+      hubCol: String,
+      authCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1)
+    val d38 = DecimalType(38, 0)
+    val e = edges.select(col(hubCol).cast("long").as("h"),
+      col(authCol).cast("long").as("a")).distinct().localCheckpoint(true)
+    var hub = e.select(col("h")).distinct()
+      .select(col("h"), lit(1L).cast(d38).as("hs"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auth = e.join(hub, Seq("h")).groupBy(col("a"))
+        .agg(sum(col("hs")).as("asc")).localCheckpoint(true)
+      hub = e.join(auth, Seq("a")).groupBy(col("h"))
+        .agg(sum(col("asc")).as("hs")).localCheckpoint(true)
+    }
+    (hub, auth)
+  }
+
   /** BUTTERFLY (4-cycle) counts in a bipartite graph — the bipartite
     * analog of [[triangleCounts]]: a butterfly is two nodes sharing TWO
     * connectors, the smallest unit of bipartite clustering (co-purchase

@@ -386,6 +386,25 @@ class GraphSpec extends SparkSuite {
     assert(got == Set((1L, 2L, 5L), (1L, 3L, 50L), (2L, 4L, 60L)))
   }
 
+  test("hits: exact integer iteration, hand-stepped two rounds") {
+    import spark.implicits._
+    // hub 1 → {10, 20}, hub 2 → {10}: with h0 = (1,1),
+    // round 1: a = (2, 1), h = (3, 2); round 2: a = (5, 3), h = (8, 5)
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("h", "a")
+    val (hub2, auth2) = Graph.hits(e, "h", "a", rounds = 2)
+    val as = auth2.collect().map(r =>
+      r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    val hs = hub2.collect().map(r =>
+      r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    assert(as == Map(10L -> 5L, 20L -> 3L))
+    assert(hs == Map(1L -> 8L, 2L -> 5L))
+    // ranking is stable at more rounds (authority of 10 stays on top)
+    val (_, auth8) = Graph.hits(e, "h", "a", rounds = 8)
+    val a8 = auth8.collect().map(r =>
+      r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    assert(a8(10L) > a8(20L))
+  }
+
   test("butterflyCounts: C(shared,2) per pair, exact total") {
     import spark.implicits._
     // (1,2) share 3 connectors -> 3 butterflies; (2,3) share 2 -> 1

@@ -168,6 +168,28 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("anovaF: two-group hand case, F = 5 exactly") {
+    import spark.implicits._
+    // A=[1,2], B=[3,5]: SSB=6.25, SSW=2.5 → F = 6.25/(2.5/2) = 5
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 5L)).toDF("g", "v")
+    val got = graft.operators.Drift.anovaF(df, "v", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("A") == ((2L, 1.5, 5.0)))
+    assert(got("B") == ((2L, 4.0, 5.0)))
+  }
+
+  test("mcnemar: only discordant cells drive the statistic") {
+    import spark.implicits._
+    val rows = Seq.fill(2)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(4)((false, false))
+    val r = graft.operators.Drift.mcnemar(rows.toDF("pre", "post"),
+      col("pre"), col("post")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 3L, 1L, 4L)))
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 0.25)
+  }
+
   test("yuenTTest: symmetric shifted samples, hand-computed t and df") {
     import spark.implicits._
     // A = 1..10, B = 11..20, 10% trim: trimmed means 5.5 / 15.5,
