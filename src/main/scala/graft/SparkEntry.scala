@@ -5716,6 +5716,44 @@ object SparkEntry {
       "event_id", emissionSec = 60L, burst = 4).orderBy(col("user_id"))
   }
 
+  /** STREAMING sliding-HLL maintenance
+    * ([[graft.streaming.StreamVerify.slidingHllMaintenance]]): the
+    * (bucket, ρ, max-ts) cell store maintained by exactly-once
+    * commits — MAX over ts commutes so batching is invisible; the
+    * drained store answers q399's two suffix windows on the
+    * epoch-second axis.
+    */
+  private def q410(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.slidingHllMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q410"))
+
+  /** THEIL T decomposition ([[graft.operators.Drift.theilIndex]]):
+    * order-price inequality split additively into between-priority and
+    * within-priority components — the decomposition the Gini (q338)
+    * cannot give; exact-input doubles, grid terms, O(1) outputs.
+    */
+  private def q411(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_orderpriority"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Drift.theilIndex(o, "cents", "o_orderpriority")
+      .orderBy(col("g"))
+  }
+
+  /** SPRT per user ([[graft.operators.Drift.sprt]]): Wald's sequential
+    * test walking each user's event stream for purchase-rate
+    * H1 p=0.25 vs H0 p=0.15 with ±ln(19) boundaries — the early-stopping
+    * monitor without the peeking problem; first crossing by struct-min.
+    */
+  private def q412(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000000000").as("tsec"), col("event_id"),
+      col("event_type"))
+    graft.operators.Drift.sprt(ev, "user_id", Seq("tsec", "event_id"),
+      col("event_type") === "purchase", p0 = 0.15, p1 = 0.25,
+      alphaInv = 19.0).orderBy(col("user_id"))
+  }
+
   /** HITS authorities ([[graft.operators.Graph.hits]]): 8 alternating
     * power-iteration rounds over the customer→part purchase graph in
     * EXACT integer arithmetic (normalization is monotone — the ranking
@@ -8319,6 +8357,9 @@ object SparkEntry {
     "q407_hits" -> (q407 _),
     "q408_anova_f" -> (q408 _),
     "q409_mcnemar" -> (q409 _),
+    "q410_stream_sliding_hll" -> (q410 _),
+    "q411_theil_index" -> (q411 _),
+    "q412_sprt" -> (q412 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9076,6 +9117,15 @@ object SparkEntry {
     "q395_cuped" -> cupedSql,
     // 8 unrolled materialized power-iteration rounds, gridded scores
     "q407_hits" -> hitsSql(8),
+    // q399's two-window report on the epoch-second axis the stream uses
+    "q410_stream_sliding_hll" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t FROM events), mm AS (SELECT MIN(t) AS tmin, (MIN(t) + MAX(t)) // 2 AS mid FROM e), h AS (SELECT user_id, t, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS hh FROM e), cells AS (SELECT hh % 256 AS j, CASE WHEN hh // 256 = 0 THEN 45 ELSE 45 - length(bin(hh // 256)) END AS rho, MAX(t) AS max_ts FROM h GROUP BY 1, 2), wc AS (SELECT 'w_all' AS g, j, rho FROM cells, mm WHERE max_ts >= mm.tmin UNION ALL SELECT 'w_recent', j, rho FROM cells, mm WHERE max_ts >= mm.mid + 1), regs AS (SELECT g, j, MAX(rho) AS m FROM wc GROUP BY 1, 2), agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_regs, SUM(CAST(round(pow(2.0, -m), 18) AS DECIMAL(38,18))) AS sp FROM regs GROUP BY g), e2 AS (SELECT g, n_regs, 256 - n_regs AS v_empty, 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / CAST(sp + CAST(256 - n_regs AS DECIMAL(38,18)) AS DOUBLE) AS eraw FROM agg), ex AS (SELECT 'w_all' AS g, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM e, mm WHERE t >= mm.tmin UNION ALL SELECT 'w_recent', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e, mm WHERE t >= mm.mid + 1) SELECT e2.g, e2.n_regs, CAST(e2.v_empty AS BIGINT) AS v_empty, round(CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END, 6) AS estimate, ex.n_exact, round((CASE WHEN eraw <= 640.0 AND v_empty > 0 THEN 256.0 * ln(256.0 / CAST(v_empty AS DOUBLE)) ELSE eraw END - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_error FROM e2 JOIN ex ON e2.g = ex.g ORDER BY e2.g""",
+    // grid terms times scale-0 counts; O(1) outputs only
+    "q411_theil_index" ->
+      """WITH e AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), bv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), wt AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS ng, SUM(CAST(v AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) OVER (PARTITION BY g) AS xg, CAST(SUM(t) OVER () AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) OVER () AS x FROM bv), pg AS (SELECT g, ng, xg, n, x, SUM(CAST(round((CAST(v AS DOUBLE) * CAST(ng AS DOUBLE) / CAST(xg AS DOUBLE)) * ln(CAST(v AS DOUBLE) * CAST(ng AS DOUBLE) / CAST(xg AS DOUBLE)), 9) AS DECIMAL(18,9)) * CAST(t AS DECIMAL(20,0))) AS tg_sum, SUM(CAST(round((CAST(v AS DOUBLE) * CAST(n AS DOUBLE) / CAST(x AS DOUBLE)) * ln(CAST(v AS DOUBLE) * CAST(n AS DOUBLE) / CAST(x AS DOUBLE)), 9) AS DECIMAL(18,9)) * CAST(t AS DECIMAL(20,0))) AS tu_sum FROM wt GROUP BY 1, 2, 3, 4, 5), fin AS (SELECT g, ng, xg, n, x, tg_sum, tu_sum, CAST(round((CAST(xg AS DOUBLE) / CAST(x AS DOUBLE)) * (CAST(tg_sum AS DOUBLE) / CAST(ng AS DOUBLE)), 9) AS DECIMAL(18,9)) AS within_term, CAST(round((CAST(xg AS DOUBLE) / CAST(x AS DOUBLE)) * ln(CAST(xg AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(x AS DOUBLE) * CAST(ng AS DOUBLE))), 9) AS DECIMAL(18,9)) AS between_term FROM pg) SELECT g, ng AS n_g, round(CAST(xg AS DOUBLE) / CAST(x AS DOUBLE), 6) AS income_share, round(CAST(tg_sum AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS theil_g, round(CAST(SUM(within_term) OVER () AS DOUBLE), 6) AS theil_within, round(CAST(SUM(between_term) OVER () AS DOUBLE), 6) AS theil_between, round(CAST(SUM(tu_sum) OVER () AS DOUBLE) / CAST(n AS DOUBLE), 6) AS theil_total FROM fin ORDER BY g""",
+    // the LLR walk with integer counts; first crossing by min rank
+    "q412_sprt" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS tsec, event_id, event_type = 'purchase' AS conv FROM events), o AS (SELECT user_id, CASE WHEN conv THEN 1 ELSE 0 END AS c, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS rn FROM e), wk AS (SELECT user_id, rn, CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1 FROM o), ll AS (SELECT user_id, rn, CAST(n1 AS DOUBLE) * ln(0.25 / 0.15) + CAST(rn - n1 AS DOUBLE) * ln((1.0 - 0.25) / (1.0 - 0.15)) AS llr FROM wk), dd AS (SELECT user_id, rn, llr, CASE WHEN llr >= ln(19.0) THEN 'h1' WHEN llr <= -ln(19.0) THEN 'h0' END AS dcn FROM ll), fin AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_total, round(max_by(llr, rn), 6) AS llr_final, CAST(MIN(CASE WHEN dcn IS NOT NULL THEN rn END) AS BIGINT) AS n_at_decision FROM dd GROUP BY 1) SELECT f.user_id, f.n_total, COALESCE(d.dcn, 'continue') AS decision, f.n_at_decision, round(d.llr, 6) AS llr_at_decision, f.llr_final FROM fin f LEFT JOIN dd d ON d.user_id = f.user_id AND d.rn = f.n_at_decision ORDER BY f.user_id""",
     // per-group S^2/n terms on the grid; SSB/SSW/F in pinned doubles
     "q408_anova_f" ->
       """WITH e AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g, SUM(CAST(v AS DECIMAL(38,0))) AS s_g, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS ss_g FROM e GROUP BY g), pt AS (SELECT *, CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS term FROM pg), t AS (SELECT CAST(SUM(n_g) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS k, CAST(SUM(s_g) AS DOUBLE) AS s, CAST(SUM(ss_g) AS DOUBLE) AS ss, CAST(SUM(term) AS DOUBLE) AS tsum FROM pt) SELECT g, n_g, round(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS mean_g, round(((t.tsum - t.s * t.s / t.n) / (t.k - 1.0)) / (((t.ss - t.s * t.s / t.n) - (t.tsum - t.s * t.s / t.n)) / (t.n - t.k)), 6) AS f_stat FROM pt, t ORDER BY g""",

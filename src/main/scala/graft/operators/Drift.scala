@@ -340,6 +340,123 @@ object Drift {
         (-col("__arg").getField("mv")).as("at_v"))
   }
 
+  /** THEIL T INEQUALITY INDEX with its between/within DECOMPOSITION —
+    * the property the Gini (q338) famously lacks: T = T_between +
+    * Σ share_g·T_g splits total inequality ADDITIVELY into "groups
+    * differ from each other" vs "inequality inside groups", the
+    * first question any concentration analysis asks next. Per value-
+    * domain row the contribution is t·(v·N/X)·ln(v·N/X) — v·N and the
+    * totals stay below 2^53 so every double is exact-input, terms land
+    * once on the 1e-9 grid and sum in decimals; all OUTPUT statistics
+    * are O(1) (the q83/q408 magnitude discipline). Values must be
+    * positive (ln); zero/negative rows are refused loudly.
+    */
+  def theilIndex(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val d189 = DecimalType(18, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("long").as("v"))
+    require(base.filter(col("v") <= 0L).isEmpty,
+      "theilIndex: values must be strictly positive")
+    val byVG = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("t"))
+    val wg = Window.partitionBy(col("g"))
+    val tot = Window.partitionBy()
+    val withTotals = byVG
+      .withColumn("ng", sum(col("t")).over(wg))
+      .withColumn("xg", sum(col("v").cast(d38) * col("t").cast(d38))
+        .over(wg))
+      .withColumn("n", sum(col("t")).over(tot))
+      .withColumn("x", sum(col("v").cast(d38) * col("t").cast(d38))
+        .over(tot))
+    // within-group ratio w = v·n_g/X_g; global ratio u = v·N/X — the
+    // products are exact doubles (v·n below 2^53 by contract); the tie
+    // count multiplies at SCALE 0 so the term sums stay scale-9 and
+    // convert to double exactly (the q407/q408 wide-decimal lesson)
+    def term(num: Column, den: Column): Column = {
+      val w = dbl(col("v")) * dbl(num) / dbl(den)
+      round(w * log(w), 9).cast(d189) * col("t").cast(DecimalType(20, 0))
+    }
+    val perGroup = withTotals
+      .groupBy(col("g"), col("ng"), col("xg"), col("n"), col("x"))
+      .agg(sum(term(col("ng"), col("xg"))).as("tg_sum"),
+        sum(term(col("n"), col("x"))).as("tu_sum"))
+    val share = dbl(col("xg")) / dbl(col("x"))
+    val tWithin = dbl(col("tg_sum")) / dbl(col("ng"))
+    val between = share *
+      log(dbl(col("xg")) * dbl(col("n")) / (dbl(col("x")) * dbl(col("ng"))))
+    val agg2 = perGroup
+      .withColumn("theil_total",
+        round(dbl(sum(col("tu_sum")).over(tot)) / dbl(col("n")), 6))
+      .withColumn("within_term",
+        round(share * tWithin, 9).cast(d189))
+      .withColumn("between_term", round(between, 9).cast(d189))
+    agg2.select(col("g"), col("ng").as("n_g"),
+      round(share, 6).as("income_share"),
+      round(tWithin, 6).as("theil_g"),
+      round(dbl(sum(col("within_term")).over(tot)), 6).as("theil_within"),
+      round(dbl(sum(col("between_term")).over(tot)), 6).as("theil_between"),
+      col("theil_total"))
+  }
+
+  /** SPRT — Wald's sequential probability ratio test per key: walk the
+    * key's trial stream accumulating the log-likelihood ratio for
+    * H1: p = p1 against H0: p = p0, and STOP at the first crossing of
+    * ±ln((1−β)/α) — the early-stopping monitor that reads an experiment
+    * continuously without the peeking problem (the boundaries hold the
+    * error rates by construction). The LLR is n1·ln(p1/p0) +
+    * n0·ln((1−p1)/(1−p0)) — cumulative integer counts times constants,
+    * so the walk is two key-partitioned windows; the first crossing
+    * resolves with one struct-min. Keys that never cross report
+    * 'continue' with their final state.
+    */
+  def sprt(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      convCol: Column,
+      p0: Double,
+      p1: Double,
+      alphaInv: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0 && alphaInv > 1)
+    def dbl(c: Column): Column = c.cast("double")
+    val a = log(lit(p1) / lit(p0))
+    val b = log((lit(1.0) - lit(p1)) / (lit(1.0) - lit(p0)))
+    val bound = log(lit(alphaInv))
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = df
+      .select(col(keyCol) +: orderCols.map(col) :+
+        when(convCol, 1L).otherwise(0L).as("__c"): _*)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*))
+        .cast("long"))
+      .withColumn("__n1", sum(col("__c")).over(w))
+      .withColumn("__llr", dbl(col("__n1")) * a +
+        dbl(col("__rn") - col("__n1")) * b)
+      .withColumn("__dec", when(col("__llr") >= bound, "h1")
+        .when(col("__llr") <= -bound, "h0"))
+    walked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_total"),
+        round(max(struct(col("__rn"), col("__llr"))).getField("__llr"), 6)
+          .as("llr_final"),
+        min(when(col("__dec").isNotNull,
+          struct(col("__rn").as("rn"), col("__dec").as("d"),
+            col("__llr").as("l")))).as("__first"))
+      .select(col(keyCol), col("n_total"),
+        coalesce(col("__first").getField("d"), lit("continue"))
+          .as("decision"),
+        col("__first").getField("rn").as("n_at_decision"),
+        round(col("__first").getField("l"), 6).as("llr_at_decision"),
+        col("llr_final"))
+  }
+
   /** ONE-WAY ANOVA F — the k-group PARAMETRIC mean test completing the
     * family ([[welchTTest]] two-group parametric, [[kruskalWallis]]
     * k-group rank): F = (SSB/(k−1)) / (SSW/(N−k)) with the sums of

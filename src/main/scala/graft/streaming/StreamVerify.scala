@@ -577,6 +577,70 @@ object StreamVerify {
       .orderBy(col("leaf"))
   }
 
+  /** STREAMING SLIDING-HLL maintenance: micro-batches land
+    * (bucket, ρ, max-ts) cell increments (Sketches.slidingHllCells —
+    * ≤ 256·45 rows per batch) as exactly-once commits; MAX over ts
+    * commutes, so the merged cell store answers distinct counts for ANY
+    * suffix window at any moment — q399's two-window report, fed by a
+    * stream, gated by q399's identical oracle (batch boundaries must be
+    * invisible).
+    */
+  def slidingHllMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/cells"
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("ts").cast("long").as("t"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          graft.operators.Sketches.slidingHllCells(
+            batch.withColumn("g", lit("all")), "g", "user_id", "t")
+            .coalesce(1),
+          tag = s"shll-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val cells = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("j"), col("rho")).agg(max(col("max_ts")).as("max_ts"))
+    // the staged stream files carry NTZ storage timestamps; floor to the
+    // same epoch-second axis the streaming cells use (readEvents floors
+    // to seconds)
+    val ev = spark.read.parquet(eventsPath)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("t"))
+    val mm = ev.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+    val withMm = cells.crossJoin(broadcast(mm))
+      .withColumn("mid", expr("(tmin + tmax) div 2"))
+    val winCells = withMm
+      .select(col("j"), col("rho"), col("max_ts"), lit("w_all").as("g"),
+        col("tmin").as("cut"))
+      .unionByName(withMm.select(col("j"), col("rho"), col("max_ts"),
+        lit("w_recent").as("g"), (col("mid") + 1L).as("cut")))
+    val regs = winCells.filter(col("max_ts") >= col("cut"))
+      .groupBy(col("g"), col("j")).agg(max(col("rho")).as("m"))
+    val est = graft.operators.Sketches.hllEstimate(regs)
+    val evm = ev.crossJoin(broadcast(mm))
+      .withColumn("mid", expr("(tmin + tmax) div 2"))
+    val exact = evm.filter(col("t") >= col("tmin"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+      .withColumn("g", lit("w_all")).select("g", "n_exact")
+      .unionByName(evm.filter(col("t") >= col("mid") + 1L)
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+        .withColumn("g", lit("w_recent")).select("g", "n_exact"))
+    est.join(exact, "g")
+      .withColumn("rel_error",
+        round((col("estimate") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6))
+      .orderBy(col("g"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

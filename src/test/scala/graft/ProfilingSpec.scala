@@ -168,6 +168,46 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("theilIndex: within-zero case decomposes fully to between") {
+    import spark.implicits._
+    // A = [1,1], B = [2,2]: no inequality inside groups → within = 0,
+    // total = between = (1/3)ln(2/3) + (2/3)ln(4/3)
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L)).toDF("g", "v")
+    val got = graft.operators.Drift.theilIndex(df, "v", "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val expect = (1.0 / 3.0) * math.log(2.0 / 3.0) +
+      (2.0 / 3.0) * math.log(4.0 / 3.0)
+    for ((_, r) <- got) {
+      assert(r.getDouble(3) == 0.0, "theil_g must be 0 inside equal groups")
+      assert(math.abs(r.getDouble(4)) < 1e-6, "within must be ~0")
+      assert(math.abs(r.getDouble(5) - expect) < 1e-5, "between")
+      assert(math.abs(r.getDouble(6) - expect) < 1e-5, "total = between")
+    }
+    assert(got("A").getDouble(2) == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    intercept[IllegalArgumentException] {
+      graft.operators.Drift.theilIndex(
+        Seq(("A", 0L)).toDF("g", "v"), "v", "g").collect()
+    }
+  }
+
+  test("sprt: crossings at the exact boundary trial, continue otherwise") {
+    import spark.implicits._
+    // all successes: llr = n·ln(5/3) crosses ln(19) at n = 6
+    val up = (1L to 10L).map(i => ("u", i, true))
+    // all failures: llr = n·ln(15/17) crosses −ln(19) at n = 24
+    val down = (1L to 30L).map(i => ("d", i, false))
+    // too short to decide
+    val short = (1L to 3L).map(i => ("s", i, true))
+    val df = (up ++ down ++ short).toDF("k", "t", "conv")
+    val got = graft.operators.Drift.sprt(df, "k", Seq("t"), col("conv"),
+      0.15, 0.25, 19.0).collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got("u") == ((10L, "h1", Some(6L))))
+    assert(got("d") == ((30L, "h0", Some(24L))))
+    assert(got("s") == ((3L, "continue", None)))
+  }
+
   test("anovaF: two-group hand case, F = 5 exactly") {
     import spark.implicits._
     // A=[1,2], B=[3,5]: SSB=6.25, SSW=2.5 → F = 6.25/(2.5/2) = 5
