@@ -282,6 +282,9 @@ object Features {
     * resolves by discrete-rank lookup on the residual VALUE DOMAIN (the
     * q124 discipline) — the only doubles are the output casts. The
     * measured calibration coverage is reported beside the guarantee.
+    * Groups with no train rows (or no calibration rows) have no fit and
+    * DROP from the output — an interval from zero calibration points
+    * would be a lie, not a row.
     */
   def conformalInterval(
       df: DataFrame,

@@ -44,21 +44,36 @@ object Graph {
     * per-row walk would be O(D) sequential joins; this is the form that
     * closes a billion-row org/BOM hierarchy in single-digit rounds.
     */
+  /** Stats firewall for iterative SELF-joins: localCheckpoint cuts
+    * LINEAGE but carries the child plan's size ESTIMATE into the new
+    * LogicalRDD, and a loop that joins a frame with itself (pointer
+    * jumping) then SQUARES that estimate every hop — after k hops the
+    * BigInteger statistic has 2^k digits and the PLANNER, not the job,
+    * becomes the bottleneck (measured in-round: q367 at sf0.1 spent
+    * 20+ minutes inside Toom-Cook BigInteger multiplies in
+    * SizeInBytesOnlyStatsPlanVisitor before any task ran). Rebuilding
+    * from the checkpointed RDD resets the statistic to the session
+    * default; the frames cycled here are component/pointer tables, so
+    * the extra row conversion is noise.
+    */
+  private def fresh(df: DataFrame): DataFrame = {
+    val d = df.localCheckpoint(true)
+    d.sparkSession.createDataFrame(d.rdd, d.schema)
+  }
+
   def rootClosure(nodes: DataFrame, maxRounds: Int = 20): DataFrame = {
-    var state = nodes
+    var state = fresh(nodes
       .select(col("id"),
         coalesce(col("parent"), col("id")).as("anc"),
-        when(col("parent").isNull, 0L).otherwise(1L).as("depth"))
-      .localCheckpoint(true)
+        when(col("parent").isNull, 0L).otherwise(1L).as("depth")))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       val hop = state.select(col("id").as("h_id"), col("anc").as("h_anc"),
         col("depth").as("h_depth"))
-      val next = state.join(hop, state("anc") === hop("h_id"))
+      val next = fresh(state.join(hop, state("anc") === hop("h_id"))
         .select(col("id"), col("h_anc").as("anc"),
-          (col("depth") + col("h_depth")).as("depth"))
-        .localCheckpoint(true)
+          (col("depth") + col("h_depth")).as("depth")))
       changed = next.join(
           state.select(col("id").as("p_id"), col("depth").as("p_depth")),
           next("id") === col("p_id"))
@@ -432,8 +447,8 @@ object Graph {
     while (active > 0 && round < maxRounds) {
       val cs = comp.select(col("id").as("src"), col("c").as("cs"))
       val cd = comp.select(col("id").as("dst"), col("c").as("cd"))
-      val e2 = e0.join(cs, "src").join(cd, "dst")
-        .filter(col("cs") =!= col("cd")).localCheckpoint(true)
+      val e2 = fresh(e0.join(cs, "src").join(cd, "dst")
+        .filter(col("cs") =!= col("cd")))
       active = e2.count()
       if (active > 0) {
         // every inter-component edge is OUTGOING for both endpoints
@@ -443,12 +458,10 @@ object Graph {
             struct(col("w"), col("src"), col("dst"), col("cs").as("o")).as("e")))
         // struct min is lexicographic and w leads: distinct weights make
         // the per-component pick unique and engine-independent
-        val minE = cand.groupBy(col("c")).agg(min(col("e")).as("e"))
-          .localCheckpoint(true)
-        forest = forest.unionByName(
+        val minE = fresh(cand.groupBy(col("c")).agg(min(col("e")).as("e")))
+        forest = fresh(forest.unionByName(
             minE.select(col("e.src").as("src"), col("e.dst").as("dst"),
-              col("e.w").as("w")).distinct())
-          .localCheckpoint(true)
+              col("e.w").as("w")).distinct()))
         // component pointer graph c -> other; mutual picks (the only
         // possible cycles) root at the smaller id, giving a forest
         val ptr0 = minE.select(col("c"), col("e.o").as("p"))
@@ -460,9 +473,8 @@ object Graph {
               lit(null).cast("long")).otherwise(ptr0("p")).as("parent"))
         val rootMap = rootClosure(ptr, maxRounds)
           .select(col("id").as("cOld"), col("root").as("cNew"))
-        comp = comp.join(rootMap, comp("c") === col("cOld"), "left")
-          .select(col("id"), coalesce(col("cNew"), col("c")).as("c"))
-          .localCheckpoint(true)
+        comp = fresh(comp.join(rootMap, comp("c") === col("cOld"), "left")
+          .select(col("id"), coalesce(col("cNew"), col("c")).as("c")))
       }
       round += 1
     }

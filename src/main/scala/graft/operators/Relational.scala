@@ -613,9 +613,14 @@ object Relational {
     val w = Window.partitionBy(col("__g"))
     val wOrd = w.orderBy(col("__d"), col("__l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = df.select(col(groupCol).as("__g"), col(lineCol).as("__l"),
-        col(demandCol).cast("long").as("__d"),
-        col(capCol).cast("long").as("__cap"))
+    val base0 = df.select(col(groupCol).as("__g"), col(lineCol).as("__l"),
+      col(demandCol).cast("long").as("__d"),
+      col(capCol).cast("long").as("__cap"))
+    // a negative capacity would silently emit negative allocations from
+    // the level division — refuse loudly (the ffdPlan/theilIndex posture)
+    require(base0.filter(col("__cap") < 0L || col("__d") < 0L).isEmpty,
+      "waterfill: capacities and demands must be non-negative")
+    val ranked = base0
       .withColumn("__rn", row_number().over(w.orderBy(col("__d"), col("__l"))))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__pre", sum(col("__d")).over(wOrd))

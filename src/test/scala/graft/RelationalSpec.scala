@@ -318,6 +318,11 @@ class RelationalSpec extends SparkSuite {
     out.groupBy(_._1).foreach { case (g, xs) =>
       val total = lines.filter(_._1 == g).map(_._3).sum
       assert(xs.map(_._4).sum == math.min(caps(g), total), s"group $g") }
+    // negative capacity is refused loudly, never silently allocated
+    intercept[IllegalArgumentException] {
+      Relational.waterfill(Seq(("g", 1L, 5L, -1L)).toDF("g", "l", "d", "cap"),
+        "g", "l", "d", "cap").collect()
+    }
   }
 
   test("validityAudit: overlap vs gap vs abut vs swallow, per key") {
