@@ -5754,6 +5754,78 @@ object SparkEntry {
       alphaInv = 19.0).orderBy(col("user_id"))
   }
 
+  /** 4-truss ([[graft.operators.Graph.kTruss]]) of the raw part
+    * co-occurrence graph (parts sharing an order): the maximal subgraph
+    * where every EDGE closes >= 2 triangles — the edge-level community
+    * extraction beside q224's node-level k-core (q162's support cut
+    * would leave this graph triangle-starved at sf0.01; the truss IS
+    * the structural noise filter here, peeling one-off co-occurrences
+    * that never triangulate). Peeling is monotone, so the oracle's
+    * fixed 8-round unroll is exact for any graph that stabilizes within
+    * it (this one takes 3); Spark detects the fixpoint by edge count
+    * and reports support inside the truss.
+    */
+  private def q413(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    graft.operators.Graph.kTruss(edges, k = 4)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Kneser–Ney bigram scoring
+    * ([[graft.operators.TextPipeline.knBigram]]): q231's raw-MLE
+    * surprisal upgraded to the standard smoothed LM — absolute discount
+    * 0.75 with the continuation-count back-off, all inputs exact
+    * integer censuses of the bigram-type domain, one pinned double
+    * probability per transition on the 1e-9 grid.
+    */
+  private def q414(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.knBigram(
+      T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Absorbing-Markov funnel metrics
+    * ([[graft.operators.Attribution.absorbingMetrics]]): q281's journey
+    * matrix (truncation at first purchase, start/conv/drop sentinels)
+    * read through the fundamental matrix instead of removal effects —
+    * per transient state, expected steps to absorption and the
+    * conv/drop absorption split, as an 8-round bounded geometric series
+    * in pure int64 p9/st6 arithmetic replayed bit for bit by the
+    * oracle's unrolled CTE chain.
+    */
+  private def q415(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val o = e.withColumn("rn", row_number().over(w))
+    val fp = o.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+    val p = o.join(fp, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+      .select(col("user_id"), col("event_type"), col("rn"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val steps = p.withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .select(col("event_type").as("src"),
+        when(col("nxt").isNotNull, col("nxt"))
+          .when(col("event_type") =!= "purchase", lit("drop"))
+          .otherwise(lit(null)).as("dst"))
+      .filter(col("dst").isNotNull)
+    val starts = p.filter(col("rn") === 1)
+      .select(lit("start").as("src"), col("event_type").as("dst"))
+    val tr = starts.unionByName(steps)
+      .withColumn("dst",
+        when(col("dst") === "purchase", "conv").otherwise(col("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    graft.operators.Attribution.absorbingMetrics(tr,
+        Seq("click", "signup", "view", "error"), steps = 8)
+      .orderBy(col("state"))
+  }
+
   /** HITS authorities ([[graft.operators.Graph.hits]]): 8 alternating
     * power-iteration rounds over the customer→part purchase graph in
     * EXACT integer arithmetic (normalization is monotone — the ranking
@@ -8360,6 +8432,9 @@ object SparkEntry {
     "q410_stream_sliding_hll" -> (q410 _),
     "q411_theil_index" -> (q411 _),
     "q412_sprt" -> (q412 _),
+    "q413_ktruss" -> (q413 _),
+    "q414_kneser_ney" -> (q414 _),
+    "q415_absorbing_funnel" -> (q415 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8673,6 +8748,68 @@ object SparkEntry {
     * peeling is monotone, so rounds past the fixpoint are identity and the
     * unroll is exact for any graph stabilizing within it (this one: 2).
     */
+  /** q415 replay: q281's journey census, then the 8-round geometric
+    * series for expected steps (st, 1e6 scale) and conv/drop absorption
+    * (cv/dv, 1e9 scale) in pure integer arithmetic — the same
+    * floor-divide recurrence the Scala fold runs, bit for bit.
+    */
+  private val absorbingOracleSql: String = {
+    val rounds = 8
+    val sb = new StringBuilder(
+      "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec, event_id FROM events), " +
+        "o AS (SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn FROM e), " +
+        "fp AS (SELECT user_id, MIN(rn) AS prn FROM o WHERE event_type = 'purchase' GROUP BY 1), " +
+        "p AS (SELECT o.user_id, o.event_type, o.rn FROM o LEFT JOIN fp USING (user_id) WHERE fp.prn IS NULL OR o.rn <= fp.prn), " +
+        "st AS (SELECT 'start' AS src, event_type AS dst FROM p WHERE rn = 1), " +
+        "sq AS (SELECT event_type AS src, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY rn) AS nxt FROM p), " +
+        "tr0 AS (SELECT src, CASE WHEN nxt IS NOT NULL THEN nxt WHEN src <> 'purchase' THEN 'drop' ELSE NULL END AS dst FROM sq UNION ALL SELECT src, dst FROM st), " +
+        "cnt AS (SELECT src, CASE WHEN dst = 'purchase' THEN 'conv' ELSE dst END AS dst, COUNT(*) AS n FROM tr0 WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+        "tot AS (SELECT src, SUM(n) AS nt FROM cnt GROUP BY 1), " +
+        "pm AS (SELECT c.src, c.dst, (c.n * 1000000000) // t.nt AS p9 FROM cnt c JOIN tot t ON c.src = t.src), " +
+        "stt AS (SELECT DISTINCT src AS state FROM pm), " +
+        "cvp AS (SELECT src AS state, p9 FROM pm WHERE dst = 'conv'), " +
+        "drp AS (SELECT src AS state, p9 FROM pm WHERE dst = 'drop'), " +
+        "i0 AS (SELECT s.state, CAST(1000000 AS BIGINT) AS stp, COALESCE(c.p9, 0) AS cv, COALESCE(d.p9, 0) AS dv FROM stt s LEFT JOIN cvp c ON c.state = s.state LEFT JOIN drp d ON d.state = s.state)")
+    for (t <- 1 to rounds)
+      sb.append(s", i$t AS (SELECT s.state, " +
+        "1000000 + (COALESCE(SUM(t.p9 * pv.stp), 0) // 1000000000) AS stp, " +
+        "COALESCE(MAX(c.p9), 0) + (COALESCE(SUM(t.p9 * pv.cv), 0) // 1000000000) AS cv, " +
+        "COALESCE(MAX(d.p9), 0) + (COALESCE(SUM(t.p9 * pv.dv), 0) // 1000000000) AS dv " +
+        "FROM stt s LEFT JOIN cvp c ON c.state = s.state LEFT JOIN drp d ON d.state = s.state " +
+        "LEFT JOIN pm t ON t.src = s.state AND t.dst NOT IN ('conv', 'drop') " +
+        s"LEFT JOIN i${t - 1} pv ON pv.state = t.dst GROUP BY s.state)")
+    sb.append(s" SELECT f.state, CAST(t2.nt AS BIGINT) AS n_out, " +
+      "round(CAST(f.stp AS DOUBLE) / 1000000.0, 6) AS exp_steps, " +
+      "round(CAST(f.cv AS DOUBLE) / 1000000000.0, 6) AS p_conv, " +
+      "round(CAST(f.dv AS DOUBLE) / 1000000000.0, 6) AS p_drop " +
+      s"FROM i$rounds f JOIN tot t2 ON t2.src = f.state ORDER BY f.state")
+    sb.toString
+  }
+
+  /** k-truss peeling replayed as a fixed unroll: per round, canonical
+    * x<y<z triangle enumeration, per-edge support census, edges below
+    * k−2 dropped. Peeling is monotone, so rounds past the fixpoint are
+    * no-ops and any unroll >= the convergence depth is exact.
+    */
+  private val ktrussOracleSql: String = {
+    val minSup = 2 // k = 4
+    val rounds = 8
+    // MATERIALIZED: the triangle CTE references e(i-1) three times —
+    // without it DuckDB inlines each reference and the chain expands
+    // 3^rounds-fold (the q224 lesson)
+    val sb = new StringBuilder(
+      "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b FROM li a JOIN li b " +
+        "ON a.ok = b.ok AND a.pk < b.pk)")
+    for (i <- 1 to rounds) {
+      sb.append(s", t$i AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e1.a = e2.a AND e1.b < e2.b JOIN e${i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b)")
+      sb.append(s", s$i AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (SELECT x AS a, y AS b FROM t$i UNION ALL SELECT x, z FROM t$i UNION ALL SELECT y, z FROM t$i) GROUP BY a, b)")
+      sb.append(s", e$i AS MATERIALIZED (SELECT a, b, support FROM s$i WHERE support >= $minSup)")
+    }
+    sb.append(s" SELECT a, b, support FROM e$rounds ORDER BY a, b")
+    sb.toString
+  }
+
   private val kcoreOracleSql: String = {
     val k = 10
     val rounds = 6
@@ -9461,6 +9598,13 @@ object SparkEntry {
     "q223_dynamic_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, CASE WHEN event_type IN ('purchase', 'signup') THEN 3600 ELSE 1800 END AS gap FROM events), m AS (SELECT user_id, sec, sec + gap AS fin, MAX(sec + gap) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end, event_id FROM e), f AS (SELECT user_id, sec, fin, event_id, CASE WHEN prev_max_end IS NULL OR sec > prev_max_end THEN 1 ELSE 0 END AS is_new FROM m), g AS (SELECT user_id, sec, fin, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f) SELECT user_id, session_idx, COUNT(*) AS n_events, MIN(sec) AS start_sec, MAX(fin) AS end_sec FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""",
     "q224_kcore" -> kcoreOracleSql,
+    // fixed 8-round peeling unroll; exact past the fixpoint
+    "q413_ktruss" -> ktrussOracleSql,
+    // 8-round integer geometric series, bit-identical recurrence
+    "q415_absorbing_funnel" -> absorbingOracleSql,
+    // exact type censuses; one pinned double probability per term
+    "q414_kneser_ney" ->
+      """WITH wl AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents), w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wl), b AS (SELECT doc_id, coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS prev, w FROM w), cp AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_pair FROM b GROUP BY 1, 2), cf AS (SELECT prev, CAST(SUM(c_pair) AS BIGINT) AS c_first, CAST(COUNT(*) AS BIGINT) AS n_after FROM cp GROUP BY 1), ct AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_prec FROM cp GROUP BY 1), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cp), t AS (SELECT doc_id, CAST(round(-ln((GREATEST(CAST(c_pair AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(n_after AS DOUBLE) * (CAST(n_prec AS DOUBLE) / CAST(n_types AS DOUBLE))) / CAST(c_first AS DOUBLE)), 9) AS DECIMAL(28,9)) AS nll FROM b JOIN cp USING (prev, w) JOIN cf USING (prev) JOIN ct USING (w) CROSS JOIN nt) SELECT doc_id, COUNT(*) AS n_trans, round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM t GROUP BY doc_id ORDER BY doc_id""",
     // stride scheduling: vt = in-class rank × (LCM/weight), all integer;
     // the 200-slot head replays as a plain ORDER BY ... LIMIT
     "q225_mixture_schedule" ->

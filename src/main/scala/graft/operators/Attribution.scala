@@ -128,4 +128,66 @@ object Attribution {
         round(col("phi_scaled").cast("double") / lit(nBang.toDouble), 6)
           .as("phi"))
   }
+
+  /** ABSORBING-MARKOV funnel metrics over the same journey matrix as
+    * [[markovRemoval]]: for every transient state, the expected number
+    * of steps to absorption (the row sum of the fundamental matrix
+    * N = (I−Q)⁻¹) and the absorption split P(conv) vs P(drop) —
+    * computed as the bounded-step geometric series in the same pure
+    * int64 arithmetic, so engine and oracle replay it bit for bit:
+    *
+    *   E[s]  = 1 + Σ_c p(s,c)·E[c]          (each visit takes one step)
+    *   A[s]  = p(s,a) + Σ_c p(s,c)·A[c]     (a ∈ {conv, drop})
+    *
+    * truncated at `steps` rounds IDENTICALLY on both engines.
+    * Probabilities ride the p9 = 10⁹ scale; expected steps ride a 10⁶
+    * scale, so p9·st6 products stay under 2^63 for expected-step values
+    * below ~9·10⁶ — far past any funnel that converges at all. The
+    * matrix is O((channels+2)²) collected metadata (the
+    * [[markovRemoval]] posture); transition COUNTING stays distributed
+    * in the caller.
+    */
+  def absorbingMetrics(
+      transitions: DataFrame,
+      channels: Seq[String],
+      steps: Int): DataFrame = {
+    require(steps >= 1 && channels.nonEmpty)
+    val spark = transitions.sparkSession
+    val cells = transitions.groupBy(col("src"), col("dst"))
+      .agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val outTot: Map[String, Long] =
+      cells.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    require(channels.forall(outTot.contains),
+      "absorbingMetrics: every declared channel needs outgoing transitions")
+    def p9(s: String, d: String): Long =
+      cells.get((s, d)).map(n => n * S / outTot(s)).getOrElse(0L)
+    val states = "start" +: channels
+    val V = 1000000L
+    var vConv = states.map(s => s -> p9(s, "conv")).toMap
+    var vDrop = states.map(s => s -> p9(s, "drop")).toMap
+    var st6 = states.map(s => s -> V).toMap
+    for (_ <- 1 to steps) {
+      vConv = states.map { s =>
+        s -> (p9(s, "conv") + channels.map(c => p9(s, c) * vConv(c)).sum / S)
+      }.toMap
+      vDrop = states.map { s =>
+        s -> (p9(s, "drop") + channels.map(c => p9(s, c) * vDrop(c)).sum / S)
+      }.toMap
+      st6 = states.map { s =>
+        s -> (V + channels.map(c => p9(s, c) * st6(c)).sum / S)
+      }.toMap
+    }
+    import spark.implicits._
+    states.map(s => (s, outTot(s), st6(s), vConv(s), vDrop(s)))
+      .toDF("state", "n_out", "st6", "c9", "d9")
+      .select(col("state"), col("n_out"),
+        round(col("st6").cast("double") / lit(1000000.0), 6)
+          .as("exp_steps"),
+        round(col("c9").cast("double") / lit(1000000000.0), 6)
+          .as("p_conv"),
+        round(col("d9").cast("double") / lit(1000000000.0), 6)
+          .as("p_drop"))
+  }
 }

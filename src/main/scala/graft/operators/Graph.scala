@@ -639,4 +639,81 @@ object Graph {
       .select(col("n1"), col("n2"), col("n_shared"),
         col("__s").cast("double").as("aa_score"))
   }
+
+  /** k-truss: the maximal subgraph in which every EDGE sits in at least
+    * k−2 triangles — the edge-level strengthening of [[kCore]] (every
+    * k-truss is contained in the (k−1)-core, but the truss demands the
+    * triangles that make a neighborhood an actual community, not merely
+    * a dense one).
+    *
+    * Peeling loop: each round enumerates every surviving triangle ONCE
+    * through the degree-ordered orientation of [[triangleCounts]]
+    * (wedge fan-out bounded by arboricity, not raw degree — the
+    * property that keeps the wedge join alive on power-law graphs at
+    * 100 TB), folds each triangle onto its three canonical edges with a
+    * map-side-combined count, and drops edges below support k−2.
+    * Support is monotone non-increasing under edge deletion, so peeling
+    * converges and rounds past the fixpoint are no-ops — the property
+    * the oracle's fixed unroll relies on. Convergence is detected by
+    * edge count (one count per round), and every cycled frame passes
+    * through [[fresh]]: the triangle join is edges³-shaped, so the
+    * localCheckpoint size-estimate carry would CUBE per round without
+    * the stats firewall.
+    *
+    * Returns surviving canonical edges `(a, b, support)` with support
+    * measured inside the truss.
+    */
+  def kTruss(edges: DataFrame, k: Long, maxRounds: Int = 30): DataFrame = {
+    require(k >= 3 && maxRounds >= 1, "k-truss needs k >= 3")
+    var e = fresh(edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var nEdges = e.count()
+    var out = e.withColumn("support", lit(0L)).limit(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+      val oriented = e
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+          when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
+          when(lowFirst, col("db")).otherwise(col("da")).as("ddeg"))
+        .localCheckpoint(true) // reused by both wedge sides and the probe
+      val wedges = oriented.select(col("src"), col("dst").as("u"),
+          col("ddeg").as("du"))
+        .join(oriented.select(col("src"), col("dst").as("v"),
+          col("ddeg").as("dv")), Seq("src"))
+        .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      val tri = wedges
+        .join(oriented.select(col("src").as("u"), col("dst").as("v")),
+          Seq("u", "v"))
+        .select(col("src").as("x"), col("u").as("y"), col("v").as("z"))
+      val sup = tri.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .unionAll(tri.select(least(col("x"), col("z")).as("a"),
+          greatest(col("x"), col("z")).as("b")))
+        .unionAll(tri.select(least(col("y"), col("z")).as("a"),
+          greatest(col("y"), col("z")).as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+      val pruned = fresh(e.join(sup, Seq("a", "b"))
+        .select(col("a"), col("b"), col("support")))
+      val nNext = pruned.count()
+      converged = nNext == nEdges
+      out = pruned
+      e = pruned.select(col("a"), col("b"))
+      nEdges = nNext
+      round += 1
+    }
+    require(converged, s"k-truss did not stabilize within $maxRounds rounds")
+    out
+  }
 }

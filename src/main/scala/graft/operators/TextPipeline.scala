@@ -573,4 +573,65 @@ object TextPipeline {
         round(col("n_singletons").cast("double") /
           col("n_tokens").cast("double"), 6).as("unseen_mass"))
   }
+
+  /** Interpolated KNESER–NEY bigram scoring — the real-LM upgrade of the
+    * raw-MLE bigram surprisal: every in-doc transition (per-doc BOS
+    * sentinel) is scored −ln P_KN(w|prev) with absolute discount D and
+    * the CONTINUATION-count back-off that makes KN the standard n-gram
+    * smoother:
+    *
+    *   P_KN(w|prev) = ( max(c(prev,w) − D, 0)
+    *                    + D · N1+(prev,·) · N1+(·,w) / N1+(··) ) / c(prev)
+    *
+    * N1+(prev,·)/N1+(·,w) are DISTINCT follower/predecessor type counts
+    * and N1+(··) the bigram-type total — "how many contexts has w opened"
+    * rather than "how often has w occurred", the correction that stops
+    * frequent-but-context-bound words (the "San Francisco" effect) from
+    * dominating the back-off.
+    *
+    * Scale shape: everything derives from ONE bigram-type census
+    * (map-side-combined, type-domain-sized, localCheckpoint'd because
+    * four downstream branches reuse it); the corpus-sized work is the
+    * census scan and the final probe join. The probability is ONE pinned
+    * double expression — identical literal order both engines — rounded
+    * to the 1e-9 grid before the order-independent per-doc DECIMAL sum
+    * (§6 discipline). Every observed type has N1+(·,w) >= 1 (each token
+    * is somebody's successor, BOS included), so the back-off term is
+    * never zero and the log is total.
+    */
+  def knBigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+        " ")).as(Seq("pos", "w")))
+    val big = words
+      .withColumn("prev", coalesce(
+        lag(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))),
+        lit("<s>")))
+      .select(col("doc_id"), col("prev"), col("w"))
+    val cPair = big.groupBy(col("prev"), col("w"))
+      .agg(count(lit(1)).as("c_pair"))
+      .localCheckpoint(true) // reused by cf / ct / the type total / probe
+    val cFirst = cPair.groupBy(col("prev"))
+      .agg(sum(col("c_pair")).as("c_first"), count(lit(1)).as("n_after"))
+    val cont = cPair.groupBy(col("w")).agg(count(lit(1)).as("n_prec"))
+    val nTypes = cPair.agg(count(lit(1)).as("n_types"))
+    def dbl(c: Column): Column = c.cast("double")
+    val p = (greatest(dbl(col("c_pair")) - lit(discount), lit(0.0)) +
+      lit(discount) * dbl(col("n_after")) *
+        (dbl(col("n_prec")) / dbl(col("n_types")))) / dbl(col("c_first"))
+    big.join(cPair, Seq("prev", "w")).join(cFirst, Seq("prev"))
+      .join(cont, Seq("w")).crossJoin(broadcast(nTypes))
+      .select(col("doc_id"),
+        round(-log(p), 9).cast(DecimalType(28, 9)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"),
+        round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+          .as("avg_nll"))
+  }
 }

@@ -61,4 +61,23 @@ class AttributionSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](
       Attribution.shapley(stray, Seq(("A", 1), ("B", 2))))
   }
+
+  test("absorbingMetrics: self-loop funnel, hand-traced integer series") {
+    // start → A always; A loops on itself or converts (p = 1/2 each).
+    // Exact fixpoint: E[A] = 2 steps, P(conv|A) = 1; the 8-round
+    // truncated integer series lands at the hand-traced values
+    //   st8[A] = 1996093 (µsteps), cv8[A] = 998046875 (p9)
+    //   st8[start] = 1e6 + st7[A] = 2992187, cv8[start] = cv7[A]
+    val tr = Seq(("start", "A", 1L), ("A", "A", 1L), ("A", "conv", 1L))
+      .toDF("src", "dst", "n")
+    val out = Attribution.absorbingMetrics(tr, Seq("A"), steps = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("A") == ((2L, 1.996093, 0.998047, 0.0)))
+    assert(out("start") == ((1L, 2.992187, 0.996094, 0.0)))
+    // a channel with no outgoing mass is a contract violation, not a NPE
+    assertThrows[IllegalArgumentException](
+      Attribution.absorbingMetrics(tr, Seq("A", "ghost"), steps = 4))
+  }
 }

@@ -263,6 +263,21 @@ class GraphSpec extends SparkSuite {
     assert(Graph.kCore(edges, k = 4).count() == 0)
   }
 
+  test("kTruss: pendant triangle peels, the 4-clique survives with support 2") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every edge closes 2 triangles) with a pendant
+    // triangle {4,5,6} (each of its edges closes only 1)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val out = Graph.kTruss(edges, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(out.values.forall(_ == 2L), "support measured inside the truss")
+    // k above every support empties the graph — and still converges
+    assert(Graph.kTruss(edges, k = 5).count() == 0)
+  }
+
   test("profile: null and distinct accounting per column") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("s", StringType)))

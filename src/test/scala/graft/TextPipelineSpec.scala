@@ -182,4 +182,27 @@ class TextPipelineSpec extends SparkSuite {
     assert(out("en") == ((4L, 3L, 2L, 1L, 0.5)))
     assert(out("fr") == ((2L, 1L, 0L, 1L, 0.0)))
   }
+
+  test("knBigram: discounted mass + continuation back-off, hand-checked") {
+    import spark.implicits._
+    // bigrams (BOS sentinel): d1 (<s>,a)(a,b); d2 (<s>,b)(b,b)
+    // types: 4; followers: <s>→2, a→1, b→1; predecessors: a←1, b←3
+    // Pcont(a)=1/4 Pcont(b)=3/4, D=0.75:
+    //   P(a|<s>) = (0.25 + 0.75·2·0.25)/2  = 0.3125
+    //   P(b|a)   = (0.25 + 0.75·1·0.75)/1  = 0.8125
+    //   P(b|<s>) = (0.25 + 0.75·2·0.75)/2  = 0.6875
+    //   P(b|b)   = (0.25 + 0.75·1·0.75)/1  = 0.8125
+    val docs = Seq((1L, "a b"), (2L, "b b")).toDF("doc_id", "text")
+    val out = graft.operators.TextPipeline.knBigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val d1 = (math.log(0.3125) + math.log(0.8125)) / -2.0
+    val d2 = (math.log(0.6875) + math.log(0.8125)) / -2.0
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2 - d1) < 1e-6)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - d2) < 1e-6)
+    // unseen-successor mass: for any prev, the discounted leftover
+    // D·N1+(prev,·)/c(prev) routes through Pcont, so the model's mass
+    // over the OBSERVED vocab sums to exactly 1 per context
+    // (hand-check for prev=b: P(a|b)=0.1875, P(b|b)=0.8125)
+  }
 }
