@@ -5826,6 +5826,73 @@ object SparkEntry {
       .orderBy(col("state"))
   }
 
+  /** Quantile normalization
+    * ([[graft.operators.Features.quantileNormalize]]): order totals
+    * (cents) per priority class mapped onto the POOLED distribution's
+    * order statistic at the same scaled rank — after it every priority
+    * class shares one price distribution (the cross-segment score
+    * calibrator). Ranks are key-partitioned windows; the pooled
+    * cumulative census runs through GlobalOrder.prefixSums (no
+    * single-partition window); the rank→value lookup is the q57
+    * bucketized containment join.
+    */
+  private def q416(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(col("o_orderpriority").as("pri"),
+      col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Features.quantileNormalize(
+        o, "pri", "o_orderkey", "cents", bucketSize = 1024L)
+      .select(col("id").as("o_orderkey"), col("g").as("pri"),
+        col("v").as("cents"), col("v_norm"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** STREAMING SRM maintenance
+    * ([[graft.streaming.StreamVerify.srmMaintenance]]): per-batch
+    * distinct (arm, unit) assignments land as exactly-once lake
+    * commits; distinct-union makes batch boundaries invisible, so the
+    * drained store's χ² gate is bit-equal to q390's batch readout —
+    * the experimentation stack's first self-maintaining stats surface.
+    */
+  private def q417(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.srmMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q417"))
+
+  /** Phonetic blocking census ([[graft.plans.PhoneticKey]]): every part
+    * name keyed by the pinned Soundex-family walk (one codegen byte
+    * loop), then the blocking census — parts and distinct names per
+    * phonetic bucket. The sounds-alike upgrade of q143/q396's prefix
+    * blocking; the oracle replays the walk as a letters-only char
+    * unnest + one LAG over the H/W-filtered sequence.
+    */
+  /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
+    * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
+    * local pooling + one metadata-sized driver stack merge reaches the
+    * same unique isotonic optimum the minimax form defines — the oracle
+    * IS the minimax replay at this domain, proving plan-independence of
+    * the answer; per-x expansion by the q57 containment join.
+    */
+  private def q419(s: SparkSession, dir: String): DataFrame = {
+    val b = T(s, dir, "orders").select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 20000")
+          .as("bucket"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("conv"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("conv")).as("ysum"), count(lit(1)).as("n"))
+    graft.operators.Trend.isotonicPava(b, "bucket", "ysum", "n")
+      .orderBy(col("x"))
+  }
+
+  private def q418(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part").select(
+        graft.plans.PhoneticExpressions.phoneticKey(col("p_name")).as("key"),
+        col("p_name"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_parts"),
+        count_distinct(col("p_name")).as("n_names"))
+      .orderBy(col("key"))
+
   /** HITS authorities ([[graft.operators.Graph.hits]]): 8 alternating
     * power-iteration rounds over the customer→part purchase graph in
     * EXACT integer arithmetic (normalization is monotone — the ranking
@@ -8435,6 +8502,10 @@ object SparkEntry {
     "q413_ktruss" -> (q413 _),
     "q414_kneser_ney" -> (q414 _),
     "q415_absorbing_funnel" -> (q415 _),
+    "q416_quantile_norm" -> (q416 _),
+    "q417_stream_srm" -> (q417 _),
+    "q418_phonetic_block" -> (q418 _),
+    "q419_isotonic_pava" -> (q419 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9602,6 +9673,18 @@ object SparkEntry {
     "q413_ktruss" -> ktrussOracleSql,
     // 8-round integer geometric series, bit-identical recurrence
     "q415_absorbing_funnel" -> absorbingOracleSql,
+    // exact integer ceiling ranks against the pooled cumulative census
+    "q416_quantile_norm" ->
+      """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
+    // the minimax replay at the PAVA domain: plan-independent optimum
+    "q419_isotonic_pava" ->
+      """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 20000 AS x, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ys, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1), rk AS (SELECT x, ys, n, ROW_NUMBER() OVER (ORDER BY x) AS rn, CAST(SUM(ys) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp, CAST(SUM(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM b), pr AS (SELECT j.rn AS j, k.rn AS k, CAST(round(CAST(k.cp - (j.cp - j.ys) AS DOUBLE) / CAST(k.cc - (j.cc - j.n) AS DOUBLE), 12) AS DECIMAL(24,12)) AS avg FROM rk j JOIN rk k ON j.rn <= k.rn), m AS (SELECT j, k AS i, MIN(avg) OVER (PARTITION BY j ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS m FROM pr), f AS (SELECT i, MAX(m) AS f FROM m GROUP BY i) SELECT rk.x, rk.n, round(CAST(rk.ys AS DOUBLE) / CAST(rk.n AS DOUBLE), 6) AS raw_rate, round(CAST(f.f AS DOUBLE), 6) AS fitted_rate FROM rk JOIN f ON rk.rn = f.i ORDER BY rk.x""",
+    // the pinned Soundex walk as char unnest + LAG over the no-H/W seq
+    "q418_phonetic_block" ->
+      """WITH base AS (SELECT p_partkey, p_name FROM part), cl AS (SELECT p_partkey, upper(regexp_replace(p_name, '[^A-Za-z]', '', 'g')) AS l FROM base), m AS (SELECT p_partkey, generate_subscripts(string_split(l, ''), 1) AS i, CAST(substr('01230127022455012623017202', ascii(unnest(string_split(l, ''))) - 64, 1) AS INTEGER) AS code FROM cl WHERE length(l) > 0), noh AS (SELECT p_partkey, i, code, LAG(code) OVER (PARTITION BY p_partkey ORDER BY i) AS prev FROM m WHERE code <> 7), em AS (SELECT p_partkey, i, CAST(code AS VARCHAR) AS d, ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY i) AS rn FROM noh WHERE i > 1 AND code BETWEEN 1 AND 6 AND (prev IS NULL OR prev <> code)), dig AS (SELECT p_partkey, string_agg(d, '' ORDER BY i) AS ds FROM em WHERE rn <= 3 GROUP BY 1), ky AS (SELECT b.p_partkey, b.p_name, CASE WHEN length(cl.l) = 0 THEN '' ELSE substr(cl.l, 1, 1) || rpad(COALESCE(dig.ds, ''), 3, '0') END AS key FROM base b JOIN cl ON b.p_partkey = cl.p_partkey LEFT JOIN dig ON b.p_partkey = dig.p_partkey) SELECT key, CAST(COUNT(*) AS BIGINT) AS n_parts, CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names FROM ky GROUP BY key ORDER BY key""",
+    // the drained distinct-assignment store equals the batch gate
+    "q417_stream_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events), a AS (SELECT CASE WHEN b < 2 THEN 'control' WHEN b < 3 THEN 't1' ELSE 't2' END AS arm FROM (SELECT CAST(concat('0x', substr(md5(concat('exp42:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 4 AS b FROM u)), c0 AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_observed FROM a GROUP BY arm), wt AS (SELECT unnest(['control', 't1', 't2']) AS arm, unnest([2, 1, 1]) AS wgt), c AS (SELECT wt.arm, CAST(COALESCE(c0.n_observed, 0) AS BIGINT) AS n_observed, CAST(wt.wgt AS BIGINT) AS wgt FROM wt LEFT JOIN c0 ON wt.arm = c0.arm), t AS (SELECT CAST(SUM(n_observed) AS BIGINT) AS n FROM c), g AS (SELECT arm, n_observed, wgt, t.n, CAST(round(CAST(CAST(n_observed AS DECIMAL(38,0)) * 4 - CAST(t.n AS DECIMAL(38,0)) * CAST(wgt AS DECIMAL(38,0)) AS DOUBLE) * CAST(CAST(n_observed AS DECIMAL(38,0)) * 4 - CAST(t.n AS DECIMAL(38,0)) * CAST(wgt AS DECIMAL(38,0)) AS DOUBLE) / (CAST(t.n AS DOUBLE) * CAST(wgt AS DOUBLE) * 4.0), 9) AS DECIMAL(18,9)) AS term FROM c, t), s AS (SELECT SUM(term) AS ts FROM g) SELECT arm, n_observed, round(CAST(n AS DOUBLE) * CAST(wgt AS DOUBLE) / 4.0, 6) AS expected, round(CAST(s.ts AS DOUBLE), 6) AS chi2, CAST(s.ts AS DOUBLE) > 9.21034 AS srm FROM g, s ORDER BY arm""",
     // exact type censuses; one pinned double probability per term
     "q414_kneser_ney" ->
       """WITH wl AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents), w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wl), b AS (SELECT doc_id, coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS prev, w FROM w), cp AS (SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c_pair FROM b GROUP BY 1, 2), cf AS (SELECT prev, CAST(SUM(c_pair) AS BIGINT) AS c_first, CAST(COUNT(*) AS BIGINT) AS n_after FROM cp GROUP BY 1), ct AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_prec FROM cp GROUP BY 1), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cp), t AS (SELECT doc_id, CAST(round(-ln((GREATEST(CAST(c_pair AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(n_after AS DOUBLE) * (CAST(n_prec AS DOUBLE) / CAST(n_types AS DOUBLE))) / CAST(c_first AS DOUBLE)), 9) AS DECIMAL(28,9)) AS nll FROM b JOIN cp USING (prev, w) JOIN cf USING (prev) JOIN ct USING (w) CROSS JOIN nt) SELECT doc_id, COUNT(*) AS n_trans, round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll FROM t GROUP BY doc_id ORDER BY doc_id""",

@@ -382,4 +382,52 @@ object Features {
         round(dbl(col("sr_all")) / dbl(col("n_total")), 6)
           .as("baseline_reward"))
   }
+
+  /** QUANTILE NORMALIZATION to the pooled reference distribution: every
+    * group's values are replaced by the pooled distribution's order
+    * statistic at the same scaled rank — after it, all groups share ONE
+    * value distribution (the batch-effect remover of expression arrays,
+    * and the cross-segment score calibrator here). The mapping is pinned
+    * exactly: within group g of size n_g, the rank-rn row (ties broken
+    * by id) maps to pooled position p = ⌈rn·N/n_g⌉ (exact integer
+    * ceiling; contract rn·N < 2^63) and receives the p-th smallest
+    * pooled value.
+    *
+    * Scale shape: per-group ranks are key-partitioned windows; the
+    * pooled order statistics come from a VALUE-DOMAIN census run through
+    * [[GlobalOrder.prefixSums]] (range shuffle + broadcast offsets — no
+    * single-partition window anywhere); and the rank→value lookup is
+    * [[Relational.rangeJoin]]'s bucketized containment join on the
+    * cumulative-count intervals — an EQUI-join on coarse buckets, never
+    * fact × census. Returns `(g, id, v, v_norm)`.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      bucketSize: Long = 4096L): DataFrame = {
+    require(bucketSize >= 1, "bucketSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(valueCol).cast("long").as("v"))
+    val fact = rows
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("g")).orderBy(col("v"), col("id")))
+        .cast("long"))
+      .withColumn("n_g", count(lit(1))
+        .over(Window.partitionBy(col("g"))))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("n_total"))))
+      .withColumn("p", expr("(rn * n_total + n_g - 1) div n_g"))
+    val census = rows.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val intervals = GlobalOrder
+      .prefixSums(census, Seq(col("v")), "cnt", "cum")
+      .select(col("v").as("v_norm"),
+        (col("cum") - col("cnt") + 1L).as("lo"),
+        (col("cum") + 1L).as("hi"))
+    Relational.rangeJoin(
+        fact.select(col("g"), col("id"), col("v"), col("p")),
+        "p", intervals, "lo", "hi", bucketSize.toDouble)
+      .select(col("g"), col("id"), col("v"), col("v_norm"))
+  }
 }

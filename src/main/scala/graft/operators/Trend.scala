@@ -994,4 +994,80 @@ object Trend {
         max(col("__v")).as("peak"),
         min(col("__v")).as("trough"))
   }
+
+  /** DISTRIBUTED PAVA — [[isotonicFit]]'s exact answer at domains where
+    * the minimax pair frame (domain²) stops being writable: range-shuffle
+    * the bucket census, pool adjacent violators LOCALLY per partition
+    * (classic PAVA invariant: adjacent violators share a level set in
+    * the unique optimum, so local pooling can never cross a boundary the
+    * global solution keeps), then run the same stack merge once over the
+    * collected partition block lists — O(blocks) driver work against
+    * metadata-sized state (the markovRemoval / FFD posture, bounded
+    * loudly by `maxBlocks`). A million-bucket domain that local-pools to
+    * thousands of blocks costs one range shuffle + one coalesced pass —
+    * versus 10¹² minimax pairs.
+    *
+    * Violation compare is cross-multiplied BigInt (exact at any count
+    * scale); ties merge (fitted values are identical either way, and
+    * pinning it keeps block frames deterministic). Fitted values take
+    * the same two-step 1e-12 → 1e-6 grid as [[isotonicFit]], so the two
+    * operators agree bit for bit — the spec asserts it and the oracle
+    * replays the minimax form. Per-x expansion is the q57 bucketized
+    * containment join, never blocks × domain.
+    *
+    * mapPartitions is the honest tool here (case (d) of the operator
+    * preference order): the local pool is genuinely per-partition
+    * imperative state over a sorted run.
+    */
+  def isotonicPava(
+      df: DataFrame,
+      xCol: String,
+      ySumCol: String,
+      nCol: String,
+      maxBlocks: Int = 2000000,
+      bucketSize: Long = 64L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def mergeInto(
+        stack: scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)],
+        block: (Long, Long, Long, Long)): Unit = {
+      var cur = block
+      while (stack.nonEmpty &&
+        BigInt(stack.last._3) * cur._4 >= BigInt(cur._3) * stack.last._4) {
+        val top = stack.remove(stack.length - 1)
+        cur = (top._1, cur._2, top._3 + cur._3, top._4 + cur._4)
+      }
+      stack += cur
+    }
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranked = df.select(col(xCol).cast("long").as("x"),
+      col(ySumCol).cast("long").as("ys"), col(nCol).cast("long").as("n"))
+    val localBlocks = ranked
+      .repartitionByRange(p, col("x"))
+      .sortWithinPartitions(col("x"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val stack =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        it.foreach { case (x, ys, n) => mergeInto(stack, (x, x, ys, n)) }
+        stack.iterator
+      }
+      .collect() // partition order + within-partition order = x order
+    require(localBlocks.length <= maxBlocks,
+      s"isotonicPava: ${localBlocks.length} locally pooled blocks exceed " +
+        s"maxBlocks=$maxBlocks — widen the bound or pre-bucket the domain")
+    val stack =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    localBlocks.foreach(mergeInto(stack, _))
+    def dbl(c: Column): Column = c.cast("double")
+    val blocks = stack.toSeq.toDF("bxs", "bxe", "bys", "bn")
+      .withColumn("f", round(dbl(col("bys")) / dbl(col("bn")), 12)
+        .cast(DecimalType(24, 12)))
+      .select(col("bxs"), (col("bxe") + 1L).as("bxh"), col("f"))
+    Relational.rangeJoin(ranked, "x", blocks, "bxs", "bxh",
+        bucketSize.toDouble)
+      .select(col("x"), col("n"),
+        round(dbl(col("ys")) / dbl(col("n")), 6).as("raw_rate"),
+        round(dbl(col("f")), 6).as("fitted_rate"))
+  }
 }

@@ -54,5 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("accent_fold"),
       new ExpressionInfo(classOf[AccentFold].getName, "accent_fold"),
       (exprs: Exprs) => AccentFold(arity("accent_fold", 1)(exprs).head)))
+    e.injectFunction((
+      new FunctionIdentifier("phonetic_key"),
+      new ExpressionInfo(classOf[PhoneticKey].getName, "phonetic_key"),
+      (exprs: Exprs) => PhoneticKey(arity("phonetic_key", 1)(exprs).head)))
   }
 }

@@ -641,6 +641,58 @@ object StreamVerify {
       .orderBy(col("g"))
   }
 
+  /** STREAMING SRM maintenance: the experiment-health surface (q390's
+    * sample-ratio-mismatch gate) maintained as an ingestion side effect.
+    * Each micro-batch lands its DISTINCT (arm, unit) assignments — the
+    * arm from the same salted md5 bucket hash [[graft.operators.Drift
+    * .srmCheck]] uses — as an exactly-once tagged lake commit.
+    * Distinct-union is idempotent and commutative, so the merge-on-read
+    * store holds exactly the corpus's assigned-unit sets however
+    * ingestion was batched, and the drained χ² readout is bit-equal to
+    * the batch gate (the oracle runs q390's SQL). The store is
+    * unit-domain-sized (one row per distinct unit) — the same posture
+    * as the hour-set and components stores, and the price of an EXACT
+    * distinct count per arm; q381's HLL store is the sketched
+    * alternative when units outgrow it.
+    */
+  def srmMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/assign"
+    val arms = Seq(("control", 2), ("t1", 1), ("t2", 1))
+    val w = arms.map(_._2.toLong).sum
+    val bounds = arms.scanLeft(0L)(_ + _._2).tail
+    def armOf(df: DataFrame): DataFrame = {
+      val h = conv(substring(md5(concat(lit("exp42:"),
+        col("user_id").cast("string")).cast("binary")), 1, 13), 16, 10)
+        .cast("long")
+      val bucket = pmod(h, lit(w))
+      val arm = arms.zip(bounds).foldRight(lit(arms.last._1)) {
+        case (((name, _), hi), rest) => when(bucket < hi, lit(name))
+          .otherwise(rest)
+      }
+      df.select(arm.as("arm"), col("user_id")).distinct()
+    }
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          armOf(batch).coalesce(1), tag = s"srm-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val store = graft.sources.TxLake.readSnapshot(spark, lake).distinct()
+    graft.operators.Drift.srmCheck(store, "user_id", arms, "exp42", 9.21034)
+      .orderBy(col("arm"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

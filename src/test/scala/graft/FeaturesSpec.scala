@@ -167,4 +167,20 @@ class FeaturesSpec extends SparkSuite {
     val total = rows.map(_._3).sum
     assert(r.getDouble(4) == math.rint(total / 20.0 * 1e6) / 1e6)
   }
+
+  test("quantileNormalize: hand-checked pooled order-statistic mapping") {
+    import spark.implicits._
+    // A = [1,2,3,4], B = [10,20]; pooled sorted = 1,2,3,4,10,20 (N=6)
+    // A ranks 1..4 -> p = ceil(rn*6/4) = 2,3,5,6 -> 2,3,10,20
+    // B ranks 1..2 -> p = ceil(rn*6/2) = 3,6   -> 3,20
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L), ("A", 4L, 4L),
+      ("B", 5L, 10L), ("B", 6L, 20L)).toDF("g", "id", "v")
+    val out = graft.operators.Features
+      .quantileNormalize(df, "g", "id", "v", bucketSize = 2L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 3L, 3L -> 10L, 4L -> 20L,
+      5L -> 3L, 6L -> 20L))
+    // the max rank of every group lands exactly on the pooled max
+    // (p = N), and ties resolve by id so the mapping is deterministic
+  }
 }

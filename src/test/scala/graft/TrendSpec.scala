@@ -207,6 +207,29 @@ class TrendSpec extends SparkSuite {
     assert(got.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("isotonicPava: block-merge plan agrees with the minimax form exactly") {
+    // strictly decreasing input pools to ONE block (the all-mean)
+    val dec = (1L to 9L).map(x => (x, 10L - x, 1L)).toDF("x", "ys", "n")
+    val g1 = Trend.isotonicPava(dec, "x", "ys", "n", bucketSize = 2L)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(g1.length == 9 && g1.forall(_._4 == 5.0))
+    // random weighted census: PAVA == minimax, row for row (the two
+    // plans must reach the same unique optimum on the same grids)
+    val rnd = new scala.util.Random(19)
+    val census = (1L to 120L).map(x =>
+      (x, rnd.nextInt(50).toLong, 1L + rnd.nextInt(9).toLong))
+      .map { case (x, y, n) => (x, math.min(y, n * 3), n) }
+      .toDF("x", "ys", "n")
+    val pava = Trend.isotonicPava(census, "x", "ys", "n", bucketSize = 8L)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val mm = Trend.isotonicFit(census, "x", "ys", "n")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(pava == mm)
+    // the loud block bound
+    assertThrows[IllegalArgumentException](
+      Trend.isotonicPava(census, "x", "ys", "n", maxBlocks = 3))
+  }
+
   test("maseBacktest: Holt is exact on a line, naive denominator exact") {
     // v = 10t: Holt one-step error 0 → mae 0, mase 0; season-5 naive
     // |v_t − v_{t−5}| = 50 every step → mae_snaive 50
