@@ -5866,6 +5866,65 @@ object SparkEntry {
     * blocking; the oracle replays the walk as a letters-only char
     * unnest + one LAG over the H/W-filtered sequence.
     */
+  /** BH-FDR over a per-nation Welch z family
+    * ([[graft.operators.Drift.bhFdr]]): each nation's customer balances
+    * tested against the rest (exact DECIMAL moments, pinned Welch z),
+    * p-values through the pinned A&S 26.2.17 tail polynomial
+    * ([[graft.operators.Drift.normalTailP2]]) onto the 1e-9 grid, then
+    * the step-up rule over the 25-hypothesis family — the
+    * multiple-testing gate the per-key test shelf needs before anyone
+    * reads 25 "significant" nations off 25 raw p-values.
+    */
+  private def q420(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val c = T(s, dir, "customer")
+      .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("cents"))
+    val cts = col("cents").cast(d38)
+    val g = c.groupBy(col("n_name")).agg(count(lit(1)).as("na"),
+      sum(cts).as("sa"), sum(cts * cts).as("saa"))
+    val t = c.agg(count(lit(1)).as("nt"), sum(cts).as("st"),
+      sum(cts * cts).as("stt"))
+    def dbl(x: Column): Column = x.cast("double")
+    val j = g.crossJoin(broadcast(t)).select(col("n_name"), col("na"),
+      dbl(col("sa")).as("saD"), dbl(col("saa")).as("saaD"),
+      (col("nt") - col("na")).as("nb"),
+      dbl(col("st") - col("sa")).as("sbD"),
+      dbl(col("stt") - col("saa")).as("sbbD"))
+    val na = dbl(col("na"))
+    val nb = dbl(col("nb"))
+    val va = (na * col("saaD") - col("saD") * col("saD")) /
+      (na * (na - 1.0))
+    val vb = (nb * col("sbbD") - col("sbD") * col("sbD")) /
+      (nb * (nb - 1.0))
+    val z = (col("saD") / na - col("sbD") / nb) / sqrt(va / na + vb / nb)
+    val withP = j.select(col("n_name"), round(z, 6).as("zr"),
+      round(graft.operators.Drift.normalTailP2(z), 9).as("p"))
+    graft.operators.Drift
+      .bhFdr(withP.select(col("n_name"), col("p")), "n_name", "p", 0.05)
+      .join(withP.select(col("n_name").as("k"), col("zr")), Seq("k"))
+      .select(col("k").as("nation"), col("zr").as("z"), col("p"),
+        col("p_rank"), col("bh_crit"), col("rejected"))
+      .orderBy(col("p_rank"))
+  }
+
+  /** Mann–Kendall trend test ([[graft.operators.Trend.mannKendall]])
+    * over each event type's daily-count series: the nonparametric
+    * monotone-trend screen (exact integer S, tie-corrected variance,
+    * continuity-corrected Z) beside q147's parametric OLS slope.
+    */
+  private def q421(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_type"), expr("(ts div 1000000000) div 86400").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    graft.operators.Trend.mannKendall(ev, "event_type", "day", "cnt")
+      .select(col("k").as("event_type"), col("n"), col("s"),
+        col("var_s"), col("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
     * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
     * local pooling + one metadata-sized driver stack merge reaches the
@@ -8506,6 +8565,8 @@ object SparkEntry {
     "q417_stream_srm" -> (q417 _),
     "q418_phonetic_block" -> (q418 _),
     "q419_isotonic_pava" -> (q419 _),
+    "q420_bh_fdr" -> (q420 _),
+    "q421_mann_kendall" -> (q421 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9676,6 +9737,12 @@ object SparkEntry {
     // exact integer ceiling ranks against the pooled cumulative census
     "q416_quantile_norm" ->
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
+    // pinned Welch z + A&S tail polynomial + step-up over the family
+    "q420_bh_fdr" ->
+      """WITH c AS (SELECT n.n_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM customer JOIN nation n ON c_nationkey = n_nationkey), g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS na, SUM(CAST(cents AS DECIMAL(38,0))) AS sa, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS saa FROM c GROUP BY 1), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, SUM(CAST(cents AS DECIMAL(38,0))) AS st, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS stt FROM c), j AS (SELECT n_name, na, CAST(sa AS DOUBLE) AS saD, CAST(saa AS DOUBLE) AS saaD, nt - na AS nb, CAST(st - sa AS DOUBLE) AS sbD, CAST(stt - saa AS DOUBLE) AS sbbD FROM g, t), zc AS (SELECT n_name, (saD / CAST(na AS DOUBLE) - sbD / CAST(nb AS DOUBLE)) / sqrt(((CAST(na AS DOUBLE) * saaD - saD * saD) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) + ((CAST(nb AS DOUBLE) * sbbD - sbD * sbD) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)) AS z FROM j), pt AS (SELECT n_name, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zc), pp AS (SELECT n_name, round(z, 6) AS zr, round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), bh AS (SELECT n_name, zr, p, CAST(ROW_NUMBER() OVER (ORDER BY p, n_name) AS BIGINT) AS r, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pp), km AS (SELECT MAX(CASE WHEN p * CAST(m AS DOUBLE) <= CAST(r AS DOUBLE) * 0.05 THEN r END) AS kmax FROM bh) SELECT n_name AS nation, zr AS z, p, r AS p_rank, round(CAST(r AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 9) AS bh_crit, (km.kmax IS NOT NULL AND r <= km.kmax) AS rejected FROM bh, km ORDER BY p_rank""",
+    // exact integer S and tie census; one pinned Z per key
+    "q421_mann_kendall" ->
+      """WITH b AS (SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events), c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), p AS (SELECT a.event_type, CAST(SUM(CASE WHEN b2.cnt > a.cnt THEN 1 WHEN b2.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s FROM c a JOIN c b2 ON a.event_type = b2.event_type AND a.day < b2.day GROUP BY 1), n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1), tt AS (SELECT event_type, CAST(SUM(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT) AS tsum FROM (SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS tj FROM c GROUP BY 1, 2) GROUP BY 1), v AS (SELECT p.event_type, n.n, p.s, (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0) * (2.0 * CAST(n.n AS DOUBLE) + 5.0) - CAST(tt.tsum AS DOUBLE)) / 18.0 AS vs FROM p JOIN n USING (event_type) JOIN tt USING (event_type) WHERE n.n >= 3) SELECT event_type, n, s, round(vs, 6) AS var_s, round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(vs) WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(vs) ELSE 0.0 END, 6) AS z FROM v ORDER BY event_type""",
     // the minimax replay at the PAVA domain: plan-independent optimum
     "q419_isotonic_pava" ->
       """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 20000 AS x, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ys, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1), rk AS (SELECT x, ys, n, ROW_NUMBER() OVER (ORDER BY x) AS rn, CAST(SUM(ys) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp, CAST(SUM(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM b), pr AS (SELECT j.rn AS j, k.rn AS k, CAST(round(CAST(k.cp - (j.cp - j.ys) AS DOUBLE) / CAST(k.cc - (j.cc - j.n) AS DOUBLE), 12) AS DECIMAL(24,12)) AS avg FROM rk j JOIN rk k ON j.rn <= k.rn), m AS (SELECT j, k AS i, MIN(avg) OVER (PARTITION BY j ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS m FROM pr), f AS (SELECT i, MAX(m) AS f FROM m GROUP BY i) SELECT rk.x, rk.n, round(CAST(rk.ys AS DOUBLE) / CAST(rk.n AS DOUBLE), 6) AS raw_rate, round(CAST(f.f AS DOUBLE), 6) AS fitted_rate FROM rk JOIN f ON rk.rn = f.i ORDER BY rk.x""",

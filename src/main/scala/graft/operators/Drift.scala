@@ -713,4 +713,50 @@ object Drift {
         round(h, 6).as("h_stat"),
         round(h / corr, 6).as("h_tie_corrected"))
   }
+
+  /** Two-sided normal tail probability 2·Q(|z|) as ONE pinned double
+    * polynomial — Abramowitz–Stegun 26.2.17 (|ε| < 7.5e-8), written in
+    * the identical literal order on engine and oracle so the p-values
+    * that feed [[bhFdr]]'s ranking agree bit for bit (the only
+    * cross-engine wobble left is exp()'s final ulp, 8 orders below the
+    * 1e-9 grid the caller rounds onto).
+    */
+  def normalTailP2(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = ((((lit(1.330274429) * t - lit(1.821255978)) * t +
+      lit(1.781477937)) * t - lit(0.356563782)) * t + lit(0.319381530)) * t
+    lit(2.0) * lit(0.3989422804014327) * exp(-(az * az) / lit(2.0)) * poly
+  }
+
+  /** BENJAMINI–HOCHBERG step-up FDR control — the multiple-testing gate
+    * that belongs on top of every per-key test family this shelf
+    * produces (q362/q373/q408/q412...): rank the m p-values ascending,
+    * find k = max{r : p_r ≤ r·α/m}, reject ranks 1..k. The compare runs
+    * as p_r·m ≤ r·α in pinned doubles; rank ties break by key so the
+    * order is total. The family is METADATA-SIZED by contract (one row
+    * per hypothesis), so the unpartitioned rank window is answer-sized,
+    * never data-sized — the heavy moment aggregation that produced each
+    * p-value stays distributed in the caller.
+    */
+  def bhFdr(
+      tests: DataFrame,
+      keyCol: String,
+      pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0)
+    import org.apache.spark.sql.expressions.Window
+    val fam = Window.partitionBy()
+    val w = Window.orderBy(col("p"), col("k"))
+    tests.select(col(keyCol).as("k"), col(pCol).cast("double").as("p"))
+      .withColumn("m", count(lit(1)).over(fam))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("ok",
+        col("p") * col("m").cast("double") <= col("r").cast("double") * lit(alpha))
+      .withColumn("kmax", max(when(col("ok"), col("r"))).over(fam))
+      .select(col("k"), col("p"), col("r").as("p_rank"), col("m"),
+        round(col("r").cast("double") * lit(alpha) / col("m").cast("double"), 9)
+          .as("bh_crit"),
+        (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
+  }
 }

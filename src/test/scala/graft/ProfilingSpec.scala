@@ -317,4 +317,48 @@ class ProfilingSpec extends SparkSuite {
     assert(p.getLong(1) == 2L && p.getLong(2) == 4L && p.getLong(3) == 1L)
     assert(p.getDouble(4) == 0.5 && p.getInt(5) == 0)
   }
+
+  test("normalTailP2: A&S polynomial hits the textbook values") {
+    import spark.implicits._
+    val got = Seq(0.0, 1.959964, 2.575829).toDF("z")
+      .select(col("z"),
+        graft.operators.Drift.normalTailP2(col("z")).as("p"))
+      .as[(Double, Double)].collect().toMap
+    assert(math.abs(got(0.0) - 1.0) < 2e-7)
+    assert(math.abs(got(1.959964) - 0.05) < 2e-7)
+    assert(math.abs(got(2.575829) - 0.01) < 2e-7)
+  }
+
+  test("bhFdr: step-up rejects BELOW the max passing rank, even past a gap") {
+    import spark.implicits._
+    // m=3, alpha=0.1, crits 0.0333/0.0667/0.1: r2 fails its own crit but
+    // r3 passes, so the STEP-UP rule rejects all three (the property a
+    // naive per-rank filter gets wrong)
+    val df = Seq(("a", 0.001), ("b", 0.07), ("c", 0.071)).toDF("k", "p")
+    val got = graft.operators.Drift.bhFdr(df, "k", "p", 0.1)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(got == Map("a" -> true, "b" -> true, "c" -> true))
+    // nothing passes -> nothing rejected (kmax null path)
+    val none = graft.operators.Drift.bhFdr(
+      Seq(("a", 0.5), ("b", 0.9)).toDF("k", "p"), "k", "p", 0.1)
+      .collect().map(_.getBoolean(5))
+    assert(none.forall(!_))
+  }
+
+  test("mannKendall: hand-counted S with ties, continuity-corrected Z") {
+    import spark.implicits._
+    // series 1,2,2,3 -> S = 5 (one tied pair), tsum = 18,
+    // Var = (4*3*13 - 18)/18 = 138/18
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 2L), ("k", 4L, 3L),
+      ("short", 1L, 9L), ("short", 2L, 1L)).toDF("g", "t", "v")
+    val got = graft.operators.Trend.mannKendall(df, "g", "t", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    val varS = 138.0 / 18.0
+    assert(got("k")._1 == 4L && got("k")._2 == 5L)
+    assert(got("k")._3 == math.rint(varS * 1e6) / 1e6)
+    assert(got("k")._4 == math.rint((5.0 - 1.0) / math.sqrt(varS) * 1e6) / 1e6)
+    assert(!got.contains("short"), "n < 3 keys drop")
+  }
+
 }
