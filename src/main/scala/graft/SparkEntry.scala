@@ -5925,6 +5925,45 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING CONFORMAL maintenance
+    * ([[graft.streaming.StreamVerify.conformalMaintenance]]):
+    * micro-batches land partial (group, split, value) censuses as
+    * exactly-once commits; counts add, so the drained
+    * split-conformal report equals batch q397 bit for bit — calibrated
+    * uncertainty as a self-maintaining ingestion surface.
+    */
+  private def q422(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.conformalMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q422"))
+
+  /** TextRank keyword extraction (Mihalcea–Tarau 2004 shape): PageRank
+    * ([[graft.operators.Graph.pageRank]]) over the ADJACENCY
+    * co-occurrence graph — consecutive word pairs, canonicalized and
+    * support-thresholded (≥3) so one-off juxtapositions drop — then the
+    * top-30 centrality words. Pure composition: q231's tokenization,
+    * q162's threshold posture, q100's 3-iteration gridded PageRank; no
+    * POS filter (no NLP runtime), so function words rank too — the
+    * honest unfiltered TextRank.
+    */
+  private def q423(s: SparkSession, dir: String): DataFrame = {
+    val words = T(s, dir, "documents").select(col("doc_id"),
+      posexplode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "),
+        " ")).as(Seq("pos", "w")))
+    val adj = words
+      .withColumn("prev", lag(col("w"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("prev").isNotNull && col("prev") =!= col("w"))
+      .select(least(col("prev"), col("w")).as("a"),
+        greatest(col("prev"), col("w")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3)
+    val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(adj.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.Graph.pageRank(edges, iters = 3)
+      .select(col("node").as("word"), col("pr"))
+      .orderBy(col("pr").desc, col("word")).limit(30)
+  }
+
   /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
     * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
     * local pooling + one metadata-sized driver stack merge reaches the
@@ -8567,6 +8606,8 @@ object SparkEntry {
     "q419_isotonic_pava" -> (q419 _),
     "q420_bh_fdr" -> (q420 _),
     "q421_mann_kendall" -> (q421 _),
+    "q422_stream_conformal" -> (q422 _),
+    "q423_textrank" -> (q423 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9737,6 +9778,12 @@ object SparkEntry {
     // exact integer ceiling ranks against the pooled cumulative census
     "q416_quantile_norm" ->
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
+    // adjacency census -> thresholded undirected graph -> 3-iter PR
+    "q423_textrank" ->
+      s"""WITH wl AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents), w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wl), aj AS (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w FROM w), und AS (SELECT least(prev, w) AS a, greatest(prev, w) AS b FROM aj WHERE prev IS NOT NULL AND prev <> w), cu AS (SELECT a, b FROM (SELECT a, b, COUNT(*) AS c FROM und GROUP BY 1, 2) WHERE c >= 3), edges AS (SELECT a AS src, b AS dst FROM cu UNION ALL SELECT b, a FROM cu), deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src), pr0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) AS pr FROM deg), it1 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * 0.85 AS DECIMAL(28,9))) AS c FROM edges e JOIN pr0 p ON e.src = p.node GROUP BY e.dst), pr1 AS (SELECT d.node, d.deg, 0.15 + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM deg d LEFT JOIN it1 i ON d.node = i.node), it2 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * 0.85 AS DECIMAL(28,9))) AS c FROM edges e JOIN pr1 p ON e.src = p.node GROUP BY e.dst), pr2 AS (SELECT d.node, d.deg, 0.15 + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM deg d LEFT JOIN it2 i ON d.node = i.node), it3 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * 0.85 AS DECIMAL(28,9))) AS c FROM edges e JOIN pr2 p ON e.src = p.node GROUP BY e.dst), pr3 AS (SELECT d.node, d.deg, 0.15 + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM deg d LEFT JOIN it3 i ON d.node = i.node) SELECT node AS word, round(pr, 6) AS pr FROM pr3 ORDER BY pr DESC, word LIMIT 30""",
+    // the drained census store equals the batch split-conformal report
+    "q422_stream_conformal" ->
+      """WITH e AS (SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y, CAST(concat('0x', substr(md5(concat('conf:', CAST(event_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS train FROM events), p AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_train, CAST(round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS pred FROM e WHERE train GROUP BY g), rs AS (SELECT e.g, p.n_train, p.pred, abs(CAST(e.y AS DECIMAL(18,6)) - p.pred) AS r, CAST(COUNT(*) AS BIGINT) AS t FROM e JOIN p ON e.g = p.g WHERE NOT train GROUP BY 1, 2, 3, 4), rk AS (SELECT *, CAST(SUM(t) OVER (PARTITION BY g ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n_cal FROM rs), rr AS (SELECT *, least(n_cal, ((n_cal + 1) * 9000 + 9999) // 10000) AS rkk FROM rk) SELECT g, MAX(n_train) AS n_train, MAX(n_cal) AS n_cal, CAST(MAX(pred) AS DOUBLE) AS pred, CAST(MIN(CASE WHEN c >= rkk THEN r END) AS DOUBLE) AS qhat, CAST(MAX(pred) - MIN(CASE WHEN c >= rkk THEN r END) AS DOUBLE) AS lo, CAST(MAX(pred) + MIN(CASE WHEN c >= rkk THEN r END) AS DOUBLE) AS hi, round(CAST(MIN(CASE WHEN c >= rkk THEN c END) AS DOUBLE) / CAST(MAX(n_cal) AS DOUBLE), 6) AS coverage FROM rr GROUP BY g ORDER BY g""",
     // pinned Welch z + A&S tail polynomial + step-up over the family
     "q420_bh_fdr" ->
       """WITH c AS (SELECT n.n_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM customer JOIN nation n ON c_nationkey = n_nationkey), g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS na, SUM(CAST(cents AS DECIMAL(38,0))) AS sa, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS saa FROM c GROUP BY 1), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, SUM(CAST(cents AS DECIMAL(38,0))) AS st, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS stt FROM c), j AS (SELECT n_name, na, CAST(sa AS DOUBLE) AS saD, CAST(saa AS DOUBLE) AS saaD, nt - na AS nb, CAST(st - sa AS DOUBLE) AS sbD, CAST(stt - saa AS DOUBLE) AS sbbD FROM g, t), zc AS (SELECT n_name, (saD / CAST(na AS DOUBLE) - sbD / CAST(nb AS DOUBLE)) / sqrt(((CAST(na AS DOUBLE) * saaD - saD * saD) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) + ((CAST(nb AS DOUBLE) * sbbD - sbD * sbD) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)) AS z FROM j), pt AS (SELECT n_name, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zc), pp AS (SELECT n_name, round(z, 6) AS zr, round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), bh AS (SELECT n_name, zr, p, CAST(ROW_NUMBER() OVER (ORDER BY p, n_name) AS BIGINT) AS r, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pp), km AS (SELECT MAX(CASE WHEN p * CAST(m AS DOUBLE) <= CAST(r AS DOUBLE) * 0.05 THEN r END) AS kmax FROM bh) SELECT n_name AS nation, zr AS z, p, r AS p_rank, round(CAST(r AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 9) AS bh_crit, (km.kmax IS NOT NULL AND r <= km.kmax) AS rejected FROM bh, km ORDER BY p_rank""",

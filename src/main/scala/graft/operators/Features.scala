@@ -313,6 +313,17 @@ object Features {
       .groupBy(col("g"), col("n_train"), col("pred"),
         abs(col("y").cast(d186) - col("pred")).as("r"))
       .agg(count(lit(1)).as("t"))
+    conformalTail(resid, alphaBp)
+  }
+
+  /** Shared finish of the split-conformal computation: from the
+    * per-group RESIDUAL census `(g, n_train, pred, r, t)` to the
+    * interval report — rank lookup on the exact residual domain, the
+    * q̂ row's cumulative count doubling as the measured coverage.
+    */
+  private def conformalTail(resid: DataFrame, alphaBp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dbl(c: Column): Column = c.cast("double")
     val wg = Window.partitionBy(col("g"))
     val cum = wg.orderBy(col("r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -334,6 +345,33 @@ object Features {
         dbl(col("pred") + col("__a").getField("q")).as("hi"),
         round(dbl(col("__a").getField("w")) / dbl(col("n_cal")), 6)
           .as("coverage"))
+  }
+
+  /** [[conformalInterval]] recomputed from the `(g, train, y, t)` VALUE
+    * CENSUS — the sufficient statistic of split conformal, and the form
+    * a STREAM can maintain: censuses merge by ADDING counts, so partial
+    * censuses from arbitrary micro-batch slices reassemble the corpus
+    * census exactly (StreamVerify.conformalMaintenance is the ingestion
+    * side). Integer sums Σy·t / Σt reproduce the row-level mean bit for
+    * bit, and the residual census derives from the value census by one
+    * domain-sized transform — so the report equals the batch
+    * [[conformalInterval]] on the same rows, row for row.
+    */
+  def conformalFromCensus(census: DataFrame, alphaBp: Int): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000)
+    import org.apache.spark.sql.types.DecimalType
+    val d186 = DecimalType(18, 6)
+    def dbl(c: Column): Column = c.cast("double")
+    val pred = census.filter(col("train"))
+      .groupBy(col("g"))
+      .agg(sum(col("t")).as("n_train"),
+        round(dbl(sum(col("y") * col("t"))) / dbl(sum(col("t"))), 6)
+          .cast(d186).as("pred"))
+    val resid = census.filter(!col("train")).join(pred, Seq("g"))
+      .groupBy(col("g"), col("n_train"), col("pred"),
+        abs(col("y").cast(d186) - col("pred")).as("r"))
+      .agg(sum(col("t")).as("t"))
+    conformalTail(resid, alphaBp)
   }
 
   /** INVERSE-PROPENSITY-SCORED off-policy evaluation — [[policyReplay]]'s

@@ -693,6 +693,54 @@ object StreamVerify {
       .orderBy(col("arm"))
   }
 
+  /** STREAMING CONFORMAL maintenance: the split-conformal calibration
+    * surface (q397) maintained as an ingestion side effect. Each
+    * micro-batch lands its partial (group, split, value) CENSUS — the
+    * sufficient statistic of split conformal — as an exactly-once lake
+    * commit; censuses merge by ADDING counts, so the merge-on-read
+    * store equals the whole-corpus census however ingestion was
+    * batched, and the drained interval report
+    * ([[graft.operators.Features.conformalFromCensus]]) is bit-equal to
+    * the batch q397 (same oracle SQL). The second experimentation-stack
+    * self-maintaining surface beside the SRM store: assignment health
+    * and calibrated uncertainty both stay current with zero recompute.
+    */
+  def conformalMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/census"
+    def censusOf(df: DataFrame): DataFrame = {
+      val h = conv(substring(md5(concat(lit("conf:"),
+        col("event_id").cast("string")).cast("binary")), 1, 13), 16, 10)
+        .cast("long")
+      df.select(col("event_type").as("g"),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("y"),
+          (pmod(h, lit(2L)) === 0L).as("train"))
+        .groupBy(col("g"), col("train"), col("y"))
+        .agg(count(lit(1)).as("t"))
+    }
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"conf-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val merged = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("g"), col("train"), col("y"))
+      .agg(sum(col("t")).as("t"))
+    graft.operators.Features.conformalFromCensus(merged, alphaBp = 1000)
+      .orderBy(col("g"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -168,6 +168,29 @@ class FeaturesSpec extends SparkSuite {
     assert(r.getDouble(4) == math.rint(total / 20.0 * 1e6) / 1e6)
   }
 
+  test("conformalFromCensus equals the row-level conformalInterval exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 400L).map(id =>
+      (if (id % 2 == 0) "a" else "b", id, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("g", "id", "cents")
+    val byRows = graft.operators.Features
+      .conformalInterval(df, "g", "cents", "id", 1000, "conf")
+      .collect().map(_.toSeq).toSet
+    // the census a stream would maintain: (g, train, y) -> t
+    val h = org.apache.spark.sql.functions.conv(
+      substring(md5(concat(lit("conf:"), col("id").cast("string"))
+        .cast("binary")), 1, 13), 16, 10).cast("long")
+    val census = df.select(col("g"), col("cents").as("y"),
+        (pmod(h, lit(2L)) === 0L).as("train"))
+      .groupBy(col("g"), col("train"), col("y"))
+      .agg(count(lit(1)).as("t"))
+    val byCensus = graft.operators.Features
+      .conformalFromCensus(census, 1000)
+      .collect().map(_.toSeq).toSet
+    assert(byRows == byCensus)
+  }
+
   test("quantileNormalize: hand-checked pooled order-statistic mapping") {
     import spark.implicits._
     // A = [1,2,3,4], B = [10,20]; pooled sorted = 1,2,3,4,10,20 (N=6)
