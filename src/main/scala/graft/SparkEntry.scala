@@ -5964,6 +5964,43 @@ object SparkEntry {
       .orderBy(col("pr").desc, col("word")).limit(30)
   }
 
+  /** Kendall τ-b ([[graft.operators.Relational.kendallTauB]]) between
+    * line quantity and line number — exact concordant/discordant pair
+    * counts on the (quantity × linenumber) cell census with both tie
+    * corrections; the discrete-domain rank correlation beside q271's
+    * Spearman.
+    */
+  private def q424(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.kendallTauB(
+      T(s, dir, "lineitem").select(col("l_quantity"), col("l_linenumber")),
+      "l_quantity", "l_linenumber")
+
+  /** Cramér's V ([[graft.operators.Relational.cramersV]]) for order
+    * status × priority — the normalized-χ² association on [0,1]
+    * completing q256's mutual information on the same pair; FULL R×C
+    * spine so empty cells pay their expected-count term.
+    */
+  private def q425(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.cramersV(
+      T(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")),
+      "o_orderstatus", "o_orderpriority")
+      .orderBy(col("x"), col("y"))
+
+  /** Cochran–Armitage trend test
+    * ([[graft.operators.Drift.cochranArmitage]]): does the fulfilled
+    * rate TREND across $50k order-price buckets — the ordered
+    * alternative q408's ANOVA wastes power on; exact integer moments,
+    * one pinned Z.
+    */
+  private def q426(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.cochranArmitage(
+      T(s, dir, "orders").select(
+        expr("least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000, 9)")
+          .as("bucket"),
+        col("o_orderstatus")),
+      "bucket", col("o_orderstatus") === "F")
+      .orderBy(col("score"))
+
   /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
     * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
     * local pooling + one metadata-sized driver stack merge reaches the
@@ -8608,6 +8645,9 @@ object SparkEntry {
     "q421_mann_kendall" -> (q421 _),
     "q422_stream_conformal" -> (q422 _),
     "q423_textrank" -> (q423 _),
+    "q424_kendall_tau" -> (q424 _),
+    "q425_cramers_v" -> (q425 _),
+    "q426_cochran_armitage" -> (q426 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9778,6 +9818,15 @@ object SparkEntry {
     // exact integer ceiling ranks against the pooled cumulative census
     "q416_quantile_norm" ->
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
+    // exact pair counts on the cell census, both tie corrections
+    "q424_kendall_tau" ->
+      """WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS x, CAST(l_linenumber AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), p AS (SELECT SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS cc, SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS dd FROM c a JOIN c b ON b.x > a.x AND b.y <> a.y), m AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n FROM c), tx AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS tx2 FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY x)), ty AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS ty2 FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY y)) SELECT CAST(m.n AS BIGINT) AS n, CAST(p.cc AS BIGINT) AS concordant, CAST(p.dd AS BIGINT) AS discordant, round((CAST(p.cc AS DOUBLE) - CAST(p.dd AS DOUBLE)) / sqrt((CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1.0) - CAST(tx.tx2 AS DOUBLE)) / 2.0 * ((CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1.0) - CAST(ty.ty2 AS DOUBLE)) / 2.0)), 6) AS tau_b FROM p, m, tx, ty""",
+    // full R-by-C spine: empty cells pay their expected-count term
+    "q425_cramers_v" ->
+      """WITH c AS (SELECT CAST(o_orderstatus AS VARCHAR) AS x, CAST(o_orderpriority AS VARCHAR) AS y, CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2), sp AS (SELECT dx.x, dy.y, CAST(COALESCE(c.o, 0) AS BIGINT) AS o FROM (SELECT DISTINCT x FROM c) dx CROSS JOIN (SELECT DISTINCT y FROM c) dy LEFT JOIN c USING (x, y)), t AS (SELECT x, y, o, CAST(SUM(o) OVER () AS BIGINT) AS n, CAST(SUM(o) OVER (PARTITION BY x) AS BIGINT) AS rx, CAST(SUM(o) OVER (PARTITION BY y) AS BIGINT) AS cy, CAST((SELECT COUNT(DISTINCT x) FROM c) AS BIGINT) AS nx, CAST((SELECT COUNT(DISTINCT y) FROM c) AS BIGINT) AS ny FROM sp), g AS (SELECT *, CAST(round(CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(rx AS DECIMAL(38,0)) * cy AS DOUBLE) * CAST(CAST(o AS DECIMAL(38,0)) * n - CAST(rx AS DECIMAL(38,0)) * cy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)), 9) AS DECIMAL(18,9)) AS term FROM t), s AS (SELECT SUM(term) AS ts FROM g) SELECT x, y, o, rx, cy, round(CAST(s.ts AS DOUBLE), 6) AS chi2, round(sqrt(CAST(s.ts AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(least(nx, ny) - 1 AS DOUBLE))), 6) AS cramers_v FROM g, s ORDER BY x, y""",
+    // exact integer moments; Z = (T*N)*sqrt(N)/sqrt(Var*N^3)
+    "q426_cochran_armitage" ->
+      """WITH b AS (SELECT least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000, 9) AS w, CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s FROM orders), g AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_g, CAST(SUM(s) AS BIGINT) AS y_g FROM b GROUP BY 1), t AS (SELECT w, n_g, y_g, CAST(SUM(n_g) OVER () AS BIGINT) AS n, CAST(SUM(y_g) OVER () AS BIGINT) AS y, SUM(CAST(w AS DECIMAL(38,0)) * CAST(y_g AS DECIMAL(38,0))) OVER () AS swy, SUM(CAST(w AS DECIMAL(38,0)) * CAST(n_g AS DECIMAL(38,0))) OVER () AS swn, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0)) * CAST(n_g AS DECIMAL(38,0))) OVER () AS swwn FROM g) SELECT w AS score, n_g, y_g, round(CAST(y_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS rate, round(CAST(CAST(n AS DECIMAL(38,0)) * swy - CAST(y AS DECIMAL(38,0)) * swn AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / sqrt(CAST(CAST(y AS DECIMAL(38,0)) * CAST(n - y AS DECIMAL(38,0)) AS DOUBLE) * CAST(CAST(n AS DECIMAL(38,0)) * swwn - swn * swn AS DOUBLE)), 6) AS z_trend FROM t ORDER BY score""",
     // adjacency census -> thresholded undirected graph -> 3-iter PR
     "q423_textrank" ->
       s"""WITH wl AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws FROM documents), w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wl), aj AS (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w FROM w), und AS (SELECT least(prev, w) AS a, greatest(prev, w) AS b FROM aj WHERE prev IS NOT NULL AND prev <> w), cu AS (SELECT a, b FROM (SELECT a, b, COUNT(*) AS c FROM und GROUP BY 1, 2) WHERE c >= 3), edges AS (SELECT a AS src, b AS dst FROM cu UNION ALL SELECT b, a FROM cu), deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src), pr0 AS (SELECT node, deg, CAST(1.0 AS DOUBLE) AS pr FROM deg), it1 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * 0.85 AS DECIMAL(28,9))) AS c FROM edges e JOIN pr0 p ON e.src = p.node GROUP BY e.dst), pr1 AS (SELECT d.node, d.deg, 0.15 + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM deg d LEFT JOIN it1 i ON d.node = i.node), it2 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * 0.85 AS DECIMAL(28,9))) AS c FROM edges e JOIN pr1 p ON e.src = p.node GROUP BY e.dst), pr2 AS (SELECT d.node, d.deg, 0.15 + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM deg d LEFT JOIN it2 i ON d.node = i.node), it3 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * 0.85 AS DECIMAL(28,9))) AS c FROM edges e JOIN pr2 p ON e.src = p.node GROUP BY e.dst), pr3 AS (SELECT d.node, d.deg, 0.15 + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM deg d LEFT JOIN it3 i ON d.node = i.node) SELECT node AS word, round(pr, 6) AS pr FROM pr3 ORDER BY pr DESC, word LIMIT 30""",

@@ -729,6 +729,49 @@ object Drift {
     lit(2.0) * lit(0.3989422804014327) * exp(-(az * az) / lit(2.0)) * poly
   }
 
+  /** COCHRAN–ARMITAGE trend test — "does the success rate trend across
+    * ORDERED groups": the directed alternative the q408 ANOVA and q373
+    * Kruskal–Wallis both waste power on, with the group index as the
+    * dose score. All moments are exact integers aggregated per group
+    * (w·y, w·n, w²·n fit long for scores ≤ ~10⁶), and the statistic
+    *   T = Σwᵢyᵢ − (Y/N)·Σwᵢnᵢ,
+    *   Var = (Y/N)(1 − Y/N)·(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N)
+    * is ONE pinned double expression — cross-multiplied to
+    * T' = N·Σwy − Y·Σwn over exact integers first, so the only
+    * division happens inside the final Z. Returns per-group rates plus
+    * the shared Z (the mi_total broadcast shape).
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      scoreCol: String,
+      successCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val tot = Window.partitionBy()
+    val g = df.select(col(scoreCol).cast("long").as("w"),
+        when(successCol, 1L).otherwise(0L).as("s"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_g"), sum(col("s")).as("y_g"))
+    val t = g.select(col("w"), col("n_g"), col("y_g"),
+      sum(col("n_g")).over(tot).as("n"),
+      sum(col("y_g")).over(tot).as("y"),
+      sum(col("w").cast(d38) * col("y_g").cast(d38)).over(tot).as("swy"),
+      sum(col("w").cast(d38) * col("n_g").cast(d38)).over(tot).as("swn"),
+      sum(col("w").cast(d38) * col("w").cast(d38) * col("n_g").cast(d38))
+        .over(tot).as("swwn"))
+    // T·N = N·Σwy − Y·Σwn and Var = Y(N−Y)(N·Σw²n − (Σwn)²)/N³, both
+    // exact integers inside; Z = T/√Var = (T·N)·√N / √(Var·N³)
+    val num = dbl(col("n").cast(d38) * col("swy") -
+      col("y").cast(d38) * col("swn"))
+    val den = sqrt(dbl(col("y").cast(d38) * (col("n") - col("y")).cast(d38)) *
+      dbl(col("n").cast(d38) * col("swwn") - col("swn") * col("swn")))
+    t.select(col("w").as("score"), col("n_g"), col("y_g"),
+      round(dbl(col("y_g")) / dbl(col("n_g")), 6).as("rate"),
+      round(num * sqrt(dbl(col("n"))) / den, 6).as("z_trend"))
+  }
+
   /** BENJAMINI–HOCHBERG step-up FDR control — the multiple-testing gate
     * that belongs on top of every per-key test family this shelf
     * produces (q362/q373/q408/q412...): rank the m p-values ascending,

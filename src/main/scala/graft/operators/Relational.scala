@@ -807,4 +807,89 @@ object Relational {
       .withColumn("clean",
         col("n_overlaps") + col("n_gaps") + col("n_empty") === 0L)
   }
+
+  /** KENDALL τ-b between two DISCRETE columns — the rank-correlation
+    * completing [[spearman]]: concordant-minus-discordant pair counts
+    * with BOTH tie corrections, exact to the last pair. Everything runs
+    * on the (x, y) CELL CENSUS: concordance is a census self-join
+    * (domain² cells, fine for the bucketed/categorical domains τ-b is
+    * for — quantities, grades, priorities; NOT continuous doubles),
+    * pair counts accumulate in DECIMAL(38,0) (c·S products are O(n²)
+    * and overflow long at petabyte row counts), and the single final
+    * τ-b division is the only double. Returns one row:
+    * (n, concordant, discordant, tau_b).
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // probed four ways below
+    val other = census.select(col("x").as("x2"), col("y").as("y2"),
+      col("c").as("c2"))
+    val pairs = census.join(other,
+        col("x2") > col("x") && col("y2") =!= col("y"))
+      .groupBy(col("x"), col("y"), col("c"))
+      .agg(
+        sum(when(col("y2") > col("y"), col("c2")).otherwise(0L)).as("gt"),
+        sum(when(col("y2") < col("y"), col("c2")).otherwise(0L)).as("lt"))
+      .agg(
+        sum((col("c").cast(d38) * col("gt").cast(d38))).as("cc"),
+        sum((col("c").cast(d38) * col("lt").cast(d38))).as("dd"))
+    val margins = census.agg(sum(col("c")).cast(d38).as("n"))
+    val tx = census.groupBy(col("x")).agg(sum(col("c")).as("t"))
+      .agg(sum(col("t").cast(d38) * (col("t").cast(d38) - 1)).as("tx2"))
+    val ty = census.groupBy(col("y")).agg(sum(col("c")).as("t"))
+      .agg(sum(col("t").cast(d38) * (col("t").cast(d38) - 1)).as("ty2"))
+    // n0/n1/n2 carried DOUBLED (t(t-1), not t(t-1)/2) — the /2 cancels
+    pairs.crossJoin(broadcast(margins)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n").cast("long").as("n"),
+        col("cc").cast("long").as("concordant"),
+        col("dd").cast("long").as("discordant"),
+        round((dbl(col("cc")) - dbl(col("dd"))) /
+          sqrt((dbl(col("n")) * (dbl(col("n")) - 1.0) - dbl(col("tx2"))) /
+            2.0 * ((dbl(col("n")) * (dbl(col("n")) - 1.0) - dbl(col("ty2"))) /
+            2.0)), 6).as("tau_b"))
+  }
+
+  /** CRAMÉR'S V — the normalized-χ² association strength for two
+    * CATEGORICAL columns, completing the q256 mutual-information pair:
+    * MI says how many bits, V says how far from independence on [0, 1].
+    * χ² terms run cross-multiplied on exact integers,
+    * (o·n − r·c)²/(n·r·c), each landing once on the 1e-9 grid before
+    * the order-independent DECIMAL sum; V = √(χ²/(n·min(R−1, C−1))).
+    * One contingency census; everything after is R·C rows.
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val tot = Window.partitionBy()
+    val census = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // spine + probe reuse
+    // FULL R×C spine: an EMPTY cell still owes its e = r·c/n to χ²
+    // (census-only terms silently understate dependence)
+    val spine = census.select(col("x")).distinct()
+      .crossJoin(census.select(col("y")).distinct())
+    val t = spine.join(census, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("n", sum(col("o")).over(tot))
+      .withColumn("rx", sum(col("o")).over(Window.partitionBy(col("x"))))
+      .withColumn("cy", sum(col("o")).over(Window.partitionBy(col("y"))))
+      .withColumn("nx", size(collect_set(col("x")).over(tot)).cast("long"))
+      .withColumn("ny", size(collect_set(col("y")).over(tot)).cast("long"))
+    val diff = col("o").cast(d38) * col("n").cast(d38) -
+      col("rx").cast(d38) * col("cy").cast(d38)
+    val term = round(dbl(diff) * dbl(diff) /
+      (dbl(col("n")) * dbl(col("rx")) * dbl(col("cy"))), 9)
+      .cast(DecimalType(18, 9))
+    val chi2 = dbl(sum(term).over(tot))
+    t.select(col("x"), col("y"), col("o"), col("rx"), col("cy"),
+      round(chi2, 6).as("chi2"),
+      round(sqrt(chi2 / (dbl(col("n")) *
+        dbl(least(col("nx"), col("ny")) - 1))), 6).as("cramers_v"))
+  }
 }

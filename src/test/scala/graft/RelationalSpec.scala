@@ -345,4 +345,51 @@ class RelationalSpec extends SparkSuite {
     assert(got("B") == (("B", 3L, 2L, 0L, 0L, false)))
     assert(got("C") == (("C", 2L, 0L, 1L, 1L, false)))
   }
+
+  test("kendallTauB: perfect concordance, ties, and the textbook half") {
+    import spark.implicits._
+    // strictly increasing -> tau = 1
+    val inc = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    val r1 = graft.operators.Relational.kendallTauB(inc, "x", "y").head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getDouble(3)) ==
+      ((3L, 3L, 0L, 1.0)))
+    // (1,1),(1,2),(2,2): one concordant pair, one x-tie, one y-tie ->
+    // tau_b = 1 / sqrt(2*2) = 0.5
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("x", "y")
+    val r2 = graft.operators.Relational.kendallTauB(tied, "x", "y").head()
+    assert((r2.getLong(1), r2.getLong(2), r2.getDouble(3)) == ((1L, 0L, 0.5)))
+  }
+
+  test("cramersV: perfect association reads 1, empty cells pay chi2") {
+    import spark.implicits._
+    // x == y perfectly on a 2x2: chi2 = n, V = 1 — but ONLY if the two
+    // empty off-diagonal cells contribute their expected counts
+    val df = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("u", "v")
+    val rows = graft.operators.Relational.cramersV(df, "u", "v").collect()
+    assert(rows.length == 4, "full R x C spine incl. empty cells")
+    val r = rows.head
+    assert(r.getDouble(5) == 4.0 && r.getDouble(6) == 1.0)
+    // independence: uniform 2x2 -> chi2 = 0, V = 0
+    val ind = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("u", "v")
+    val r0 = graft.operators.Relational.cramersV(ind, "u", "v").head()
+    assert(r0.getDouble(5) == 0.0 && r0.getDouble(6) == 0.0)
+  }
+
+  test("cochranArmitage: hand-computed dose trend") {
+    import spark.implicits._
+    // scores 0,1,2 with n = 4 each, successes 1,2,3:
+    // N=12 Y=6 Swy=8 Swn=12 Swwn=20
+    // T*N = 12*8 - 6*12 = 24; Var*N^3 = 6*6*(12*20-144) = 3456
+    // Z = 24*sqrt(12)/sqrt(3456)
+    val rows = (0 until 4).flatMap(i => Seq(
+      (0L, i < 1), (1L, i < 2), (2L, i < 3))).toDF("w", "s")
+    val got = graft.operators.Drift.cochranArmitage(rows, "w", col("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val z = 24.0 * math.sqrt(12.0) / math.sqrt(3456.0)
+    assert(got(0L) == ((4L, 1L, 0.25, math.rint(z * 1e6) / 1e6)))
+    assert(got(2L)._2 == 3L && got(2L)._3 == 0.75)
+  }
 }
