@@ -6001,6 +6001,35 @@ object SparkEntry {
       "bucket", col("o_orderstatus") === "F")
       .orderBy(col("score"))
 
+  /** Stable supplier→nation assignment
+    * ([[graft.operators.Sharding.stableMatch]]): synchronized
+    * Gale–Shapley deferred acceptance over md5-derived two-sided
+    * preferences, capacity ⌈S/N⌉+1 per nation — the both-sides-have-
+    * preferences allocation beside q378/q382's hash placement. The
+    * oracle unrolls 10 proposal rounds (fixpoint at 3 at sf0.01;
+    * post-fixpoint rounds are no-ops); Spark detects convergence by
+    * the rejection count.
+    */
+  private def q427(s: SparkSession, dir: String): DataFrame = {
+    val sup = T(s, dir, "supplier").select(col("s_suppkey").as("agent"))
+    val nat = T(s, dir, "nation").select(col("n_nationkey").as("target"))
+    val nS = sup.count()
+    val nN = nat.count()
+    val cap = ((nS + nN - 1) / nN + 1).toInt
+    def h(salt: String): Column = conv(substring(md5(concat(lit(salt + ":"),
+      col("agent").cast("string"), lit(":"), col("target").cast("string"))
+      .cast("binary")), 1, 13), 16, 10).cast("long")
+    val spine = sup.crossJoin(broadcast(nat))
+      .withColumn("a_rank", row_number().over(
+        Window.partitionBy(col("agent")).orderBy(h("gs1"), col("target")))
+        .cast("long"))
+      .withColumn("t_score", h("gs2"))
+    graft.operators.Sharding.stableMatch(spine, cap)
+      .select(col("agent").as("s_suppkey"),
+        col("target").as("n_nationkey"), col("a_rank"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
     * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
     * local pooling + one metadata-sized driver stack merge reaches the
@@ -8648,6 +8677,7 @@ object SparkEntry {
     "q424_kendall_tau" -> (q424 _),
     "q425_cramers_v" -> (q425 _),
     "q426_cochran_armitage" -> (q426 _),
+    "q427_stable_match" -> (q427 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8996,6 +9026,31 @@ object SparkEntry {
       "round(CAST(f.cv AS DOUBLE) / 1000000000.0, 6) AS p_conv, " +
       "round(CAST(f.dv AS DOUBLE) / 1000000000.0, 6) AS p_drop " +
       s"FROM i$rounds f JOIN tot t2 ON t2.src = f.state ORDER BY f.state")
+    sb.toString
+  }
+
+  /** q427 replay: the synchronized deferred-acceptance rounds as a
+    * fixed unroll over the one-integer-per-agent state — live agents
+    * occupy their rank-(ptr+1) target, each target keeps its cap best,
+    * rejections advance ptr; rounds past the fixpoint are no-ops.
+    */
+  private val stableMatchOracleSql: String = {
+    val rounds = 10
+    val sb = new StringBuilder(
+      "WITH ag AS (SELECT s_suppkey AS agent FROM supplier), " +
+        "tg AS (SELECT n_nationkey AS target FROM nation), " +
+        "sp AS MATERIALIZED (SELECT agent, target, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY agent ORDER BY CAST(concat('0x', substr(md5(concat('gs1:', CAST(agent AS VARCHAR), ':', CAST(target AS VARCHAR))), 1, 13)) AS BIGINT), target) AS BIGINT) AS a_rank, " +
+        "CAST(concat('0x', substr(md5(concat('gs2:', CAST(agent AS VARCHAR), ':', CAST(target AS VARCHAR))), 1, 13)) AS BIGINT) AS t_score FROM ag, tg), " +
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tg), " +
+        "cp AS (SELECT ((SELECT CAST(COUNT(*) AS BIGINT) FROM ag) + n - 1) // n + 1 AS cap FROM nt), " +
+        "st0 AS (SELECT agent, CAST(0 AS BIGINT) AS ptr FROM ag)")
+    for (t <- 1 to rounds) {
+      sb.append(s", occ$t AS (SELECT st.agent, sp.target, sp.t_score FROM st${t - 1} st JOIN sp ON sp.agent = st.agent AND sp.a_rank = st.ptr + 1, nt WHERE st.ptr < nt.n)")
+      sb.append(s", kp$t AS (SELECT agent FROM (SELECT agent, ROW_NUMBER() OVER (PARTITION BY target ORDER BY t_score, agent) AS rk FROM occ$t) WHERE rk <= (SELECT cap FROM cp))")
+      sb.append(s", st$t AS MATERIALIZED (SELECT st.agent, st.ptr + CASE WHEN o.agent IS NOT NULL AND k.agent IS NULL THEN 1 ELSE 0 END AS ptr FROM st${t - 1} st LEFT JOIN (SELECT DISTINCT agent FROM occ$t) o ON o.agent = st.agent LEFT JOIN kp$t k ON k.agent = st.agent)")
+    }
+    sb.append(s" SELECT st.agent AS s_suppkey, sp.target AS n_nationkey, sp.a_rank FROM st$rounds st LEFT JOIN sp ON sp.agent = st.agent AND sp.a_rank = st.ptr + 1 ORDER BY s_suppkey")
     sb.toString
   }
 
@@ -9818,6 +9873,8 @@ object SparkEntry {
     // exact integer ceiling ranks against the pooled cumulative census
     "q416_quantile_norm" ->
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
+    // 10-round synchronized deferred-acceptance unroll
+    "q427_stable_match" -> stableMatchOracleSql,
     // exact pair counts on the cell census, both tie corrections
     "q424_kendall_tau" ->
       """WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS x, CAST(l_linenumber AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), p AS (SELECT SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS cc, SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS dd FROM c a JOIN c b ON b.x > a.x AND b.y <> a.y), m AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n FROM c), tx AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS tx2 FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY x)), ty AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS ty2 FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY y)) SELECT CAST(m.n AS BIGINT) AS n, CAST(p.cc AS BIGINT) AS concordant, CAST(p.dd AS BIGINT) AS discordant, round((CAST(p.cc AS DOUBLE) - CAST(p.dd AS DOUBLE)) / sqrt((CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1.0) - CAST(tx.tx2 AS DOUBLE)) / 2.0 * ((CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1.0) - CAST(ty.ty2 AS DOUBLE)) / 2.0)), 6) AS tau_b FROM p, m, tx, ty""",

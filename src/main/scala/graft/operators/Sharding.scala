@@ -85,4 +85,76 @@ object Sharding {
     df.select(col(keyCol),
       array_max(cands).getField("s").as("shard"))
   }
+
+  /** STABLE MATCHING by synchronized deferred acceptance (Gale–Shapley,
+    * proposer side = `agents`, capacity `cap` per target) — the
+    * assignment that [[ringAssign]]/[[rendezvousAssign]] can't give:
+    * both sides have PREFERENCES, and the result is stable (no
+    * agent–target pair would both rather defect). Placement with
+    * affinity, ownership with bids, consumers onto partitions they
+    * rank — the allocation primitive behind them all.
+    *
+    * State is ONE integer per agent: `ptr` = nations fully rejected so
+    * far; every live agent "occupies" its rank-(ptr+1) target, each
+    * target keeps its `cap` best occupants by the target-side score,
+    * rejections advance ptr. Synchronized parallel proposals reach the
+    * SAME proposer-optimal matching as sequential DA (the outcome is
+    * proposal-order invariant), rounds after the fixpoint are no-ops
+    * (the property the oracle's fixed unroll relies on), and
+    * convergence is detected by the rejection count. Each round is two
+    * broadcast-joinable frames over the agents; the preference spine is
+    * agents × targets rows — contract: targets is the SMALL side
+    * (shards, regions, queues), so the spine is a modest fan-out of the
+    * agent table, never agents².
+    *
+    * `prefs`: (agent, target, a_rank, t_score) — agent's 1-based
+    * preference rank and the target's score of the agent (lower =
+    * better). Returns matched pairs (agent, target, a_rank) plus
+    * unmatched agents as (agent, NULL, NULL).
+    */
+  def stableMatch(
+      prefs: DataFrame,
+      cap: Int,
+      maxRounds: Int = 200): DataFrame = {
+    require(cap >= 1 && maxRounds >= 1)
+    def fresh(df: DataFrame): DataFrame = {
+      val d = df.localCheckpoint(true)
+      d.sparkSession.createDataFrame(d.rdd, d.schema)
+    }
+    val spine = prefs.select(col("agent"), col("target"),
+      col("a_rank").cast("long").as("a_rank"),
+      col("t_score").cast("long").as("t_score"))
+      .localCheckpoint(true)
+    val nTargets = spine.select(col("target")).distinct().count()
+    var st = fresh(spine.select(col("agent")).distinct()
+      .select(col("agent"), lit(0L).as("ptr")))
+    var round = 0
+    var rejections = 1L
+    while (rejections > 0 && round < maxRounds) {
+      val occ = st.filter(col("ptr") < nTargets)
+        .join(spine, col("a_rank") === col("ptr") + 1L && spine("agent") === st("agent"))
+        .select(st("agent").as("agent"), col("target"), col("t_score"))
+      val kept = occ.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("target"))
+            .orderBy(col("t_score"), col("agent"))))
+        .filter(col("rk") <= cap)
+        .select(col("agent"))
+      val next = fresh(st.join(
+          occ.select(col("agent"), lit(1L).as("occupying")), Seq("agent"), "left")
+        .join(kept.select(col("agent"), lit(1L).as("kept")), Seq("agent"), "left")
+        .select(col("agent"),
+          (col("ptr") + when(col("occupying").isNotNull && col("kept").isNull, 1L)
+            .otherwise(0L)).as("ptr")))
+      rejections = next.join(st.select(col("agent"), col("ptr").as("p0")),
+        Seq("agent")).filter(col("ptr") =!= col("p0")).count()
+      st = next
+      round += 1
+    }
+    require(rejections == 0,
+      s"stable matching did not converge within $maxRounds rounds")
+    st.join(spine, spine("agent") === st("agent") &&
+        col("a_rank") === col("ptr") + 1L, "left")
+      .select(st("agent").as("agent"), col("target"),
+        col("a_rank"))
+  }
 }

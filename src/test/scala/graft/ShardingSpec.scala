@@ -49,4 +49,28 @@ class ShardingSpec extends SparkSuite {
       else assert(c(k) == a(k), s"key $k moved without its shard dying")
     }
   }
+
+  test("stableMatch: hand-traced deferred acceptance with a bump chain") {
+    import spark.implicits._
+    // 1: a>b>c, 2: a>c>b, 3: b>a>c; a ranks 2<1<3, b ranks 1<3<2.
+    // DA: 1,2 clash on a (2 wins) -> 1 bumps 3 off b -> 3 tries a,
+    // loses to 2 -> 3 lands on c. Proposer-optimal: 1-b, 2-a, 3-c.
+    val prefs = Seq(
+      (1L, "a", 1L, 2L), (1L, "b", 2L, 1L), (1L, "c", 3L, 1L),
+      (2L, "a", 1L, 1L), (2L, "c", 2L, 2L), (2L, "b", 3L, 3L),
+      (3L, "b", 1L, 2L), (3L, "a", 2L, 3L), (3L, "c", 3L, 3L))
+      .toDF("agent", "target", "a_rank", "t_score")
+    val got = graft.operators.Sharding.stableMatch(prefs, cap = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> (("b", 2L)), 2L -> (("a", 1L)),
+      3L -> (("c", 3L))))
+    // over-capacity: 3 agents, one target, cap 2 -> worst-scored agent
+    // exhausts its list and reports NULL
+    val one = Seq((1L, "t", 1L, 1L), (2L, "t", 1L, 2L), (3L, "t", 1L, 3L))
+      .toDF("agent", "target", "a_rank", "t_score")
+    val m = graft.operators.Sharding.stableMatch(one, cap = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m == Map(1L -> Some("t"), 2L -> Some("t"), 3L -> None))
+  }
 }
