@@ -6030,6 +6030,58 @@ object SparkEntry {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Brown–Forsythe variance-homogeneity test
+    * ([[graft.operators.Drift.brownForsythe]]): do the order-priority
+    * groups share a price SPREAD — the dispersion gate q408's ANOVA
+    * (same grouping) assumes away; median-centered |x − med_g| by exact
+    * census order statistics, then the one-way F on the deviations.
+    */
+  private def q428(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.brownForsythe(
+      T(s, dir, "orders").select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("o_orderpriority")),
+      "cents", "o_orderpriority")
+      .orderBy(col("g"))
+
+  /** Ljung–Box portmanteau test ([[graft.operators.Trend.ljungBoxPerKey]])
+    * over each event type's hourly volume series, lags 1..6 — "is there
+    * ANY serial structure left", the whiteness gate q255's single-lag
+    * ACF can't aggregate; cross-multiplied integer autocorrelations,
+    * per-lag terms on the 1e-9 grid, one pinned Q per key.
+    */
+  private def q429(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.ljungBoxPerKey(
+        hourly, "event_type", "hid", "cents", maxLag = 6)
+      .orderBy(col("event_type"))
+  }
+
+  /** Friedman complete-block rank test ([[graft.operators.Drift.friedman]]):
+    * do event TYPES differ in daily volume once the day itself (the
+    * block) is ranked out — the within-block sibling of q373's
+    * Kruskal–Wallis, immune to day-level level shifts that would pollute
+    * a pooled ranking; (day × type) spine zero-filled so blocks are
+    * complete, doubled-rank integer arithmetic to one pinned χ².
+    */
+  private def q430(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+      .select(expr("(ts div 1000000000) div 86400").as("day"), col("event_type"))
+    val counts = e.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = e.select(col("day")).distinct()
+      .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+    val full = spine.join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    graft.operators.Drift.friedman(full, "day", "event_type", "n")
+      .orderBy(col("j"))
+  }
+
   /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
     * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
     * local pooling + one metadata-sized driver stack merge reaches the
@@ -8678,6 +8730,9 @@ object SparkEntry {
     "q425_cramers_v" -> (q425 _),
     "q426_cochran_armitage" -> (q426 _),
     "q427_stable_match" -> (q427 _),
+    "q428_brown_forsythe" -> (q428 _),
+    "q429_ljung_box" -> (q429 _),
+    "q430_friedman" -> (q430 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9875,6 +9930,16 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // census order-stat medians, then the q408 F replay on |x − med|
+    "q428_brown_forsythe" ->
+      """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), cen AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n_g FROM cen), md AS (SELECT g, MIN(v) AS med FROM rk WHERE c >= (n_g + 1) // 2 GROUP BY g), z AS (SELECT cen.g, abs(cen.v - md.med) AS z, cen.t, md.med FROM cen JOIN md ON cen.g = md.g), pg AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n_g, MAX(med) AS med, SUM(CAST(z AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS s_g, SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS ss_g FROM z GROUP BY g), pt AS (SELECT *, CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS term FROM pg), t AS (SELECT CAST(SUM(n_g) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS k, CAST(SUM(s_g) AS DOUBLE) AS s, CAST(SUM(ss_g) AS DOUBLE) AS ss, CAST(SUM(term) AS DOUBLE) AS tsum FROM pt) SELECT g, n_g, med, round(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS mad_mean, round(((t.tsum - t.s * t.s / t.n) / (t.k - 1.0)) / (((t.ss - t.s * t.s / t.n) - (t.tsum - t.s * t.s / t.n)) / (t.n - t.k)), 6) AS bf_stat FROM pt, t ORDER BY g""",
+    // cross-multiplied LB autocorrelations; 1e-9 terms, pinned Q
+    "q429_ljung_box" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), mo AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS ssq FROM h GROUP BY 1), lg AS (SELECT event_type, k, v, w FROM (SELECT event_type, v, LAG(v, 1) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST(1 AS BIGINT) AS k FROM h UNION ALL SELECT event_type, v, LAG(v, 2) OVER (PARTITION BY event_type ORDER BY hid), 2 FROM h UNION ALL SELECT event_type, v, LAG(v, 3) OVER (PARTITION BY event_type ORDER BY hid), 3 FROM h UNION ALL SELECT event_type, v, LAG(v, 4) OVER (PARTITION BY event_type ORDER BY hid), 4 FROM h UNION ALL SELECT event_type, v, LAG(v, 5) OVER (PARTITION BY event_type ORDER BY hid), 5 FROM h UNION ALL SELECT event_type, v, LAG(v, 6) OVER (PARTITION BY event_type ORDER BY hid), 6 FROM h) q WHERE w IS NOT NULL), a AS (SELECT event_type, k, SUM(CAST(v AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sp, SUM(CAST(v AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy FROM lg GROUP BY 1, 2), r AS (SELECT a.event_type, a.k, mo.n, CAST(CAST(mo.n AS DECIMAL(38,0)) * mo.n * a.sp - CAST(mo.n AS DECIMAL(38,0)) * mo.s * (a.sx + a.sy) + (CAST(mo.n AS DECIMAL(38,0)) - a.k) * mo.s * mo.s AS DOUBLE) / CAST(CAST(mo.n AS DECIMAL(38,0)) * mo.n * mo.ssq - CAST(mo.n AS DECIMAL(38,0)) * mo.s * mo.s AS DOUBLE) AS r FROM a JOIN mo ON a.event_type = mo.event_type WHERE mo.n > a.k AND CAST(mo.n AS DECIMAL(38,0)) * mo.ssq <> mo.s * mo.s), tm AS (SELECT event_type, n, k, r, CAST(round(r * r / CAST(n - k AS DOUBLE), 9) AS DECIMAL(18,9)) AS term FROM r) SELECT event_type, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS m, round(MAX(CASE WHEN k = 1 THEN r END), 6) AS r1, round(CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) + 2.0) * CAST(SUM(term) AS DOUBLE), 6) AS q_stat FROM tm GROUP BY event_type ORDER BY event_type""",
+    // zero-filled (day × type) spine; doubled in-block ranks; tie-
+    // corrected χ² from pure integers
+    "q430_friedman" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, event_type FROM events), cnt AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), sp AS (SELECT d.day, t.event_type FROM (SELECT DISTINCT day FROM e) d, (SELECT DISTINCT event_type FROM e) t), fl AS (SELECT sp.day AS b, sp.event_type AS j, COALESCE(cnt.n, 0) AS v FROM sp LEFT JOIN cnt ON sp.day = cnt.day AND sp.event_type = cnt.event_type), cen AS (SELECT b, v, CAST(COUNT(*) AS BIGINT) AS t FROM fl GROUP BY 1, 2), rk AS (SELECT b, v, t, CAST(2 * SUM(t) OVER (PARTITION BY b ORDER BY v ROWS UNBOUNDED PRECEDING) - t + 1 AS BIGINT) AS r2 FROM cen), wr AS (SELECT fl.j, rk.r2 FROM fl JOIN rk ON fl.b = rk.b AND fl.v = rk.v), pt AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS n_b, SUM(CAST(r2 AS DECIMAL(38,0))) AS r2sum FROM wr GROUP BY j), sq AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))) AS r2sq FROM rk), tt AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS k FROM pt), nm AS (SELECT SUM((r2sum - CAST(n_b AS DECIMAL(38,0)) * (tt.k + 1)) * (r2sum - CAST(n_b AS DECIMAL(38,0)) * (tt.k + 1))) AS num, MAX(n_b) AS b FROM pt, tt), dn AS (SELECT sq.r2sq - CAST(nm.b AS DECIMAL(38,0)) * tt.k * (tt.k + 1) * (tt.k + 1) AS den FROM sq, nm, tt) SELECT pt.j, pt.n_b, CAST(pt.r2sum AS DOUBLE) / 2.0 AS rank_sum, round(CASE WHEN dn.den <> 0 THEN CAST(tt.k - 1 AS DOUBLE) * CAST(nm.num AS DOUBLE) / CAST(dn.den AS DOUBLE) END, 6) AS chi2 FROM pt, tt, nm, dn ORDER BY pt.j""",
     // exact pair counts on the cell census, both tie corrections
     "q424_kendall_tau" ->
       """WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS x, CAST(l_linenumber AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2), p AS (SELECT SUM(CASE WHEN b.y > a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS cc, SUM(CASE WHEN b.y < a.y THEN CAST(a.c AS DECIMAL(38,0)) * b.c END) AS dd FROM c a JOIN c b ON b.x > a.x AND b.y <> a.y), m AS (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n FROM c), tx AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS tx2 FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY x)), ty AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * (t - 1)) AS ty2 FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY y)) SELECT CAST(m.n AS BIGINT) AS n, CAST(p.cc AS BIGINT) AS concordant, CAST(p.dd AS BIGINT) AS discordant, round((CAST(p.cc AS DOUBLE) - CAST(p.dd AS DOUBLE)) / sqrt((CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1.0) - CAST(tx.tx2 AS DOUBLE)) / 2.0 * ((CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1.0) - CAST(ty.ty2 AS DOUBLE)) / 2.0)), 6) AS tau_b FROM p, m, tx, ty""",

@@ -802,4 +802,124 @@ object Drift {
           .as("bh_crit"),
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
+
+  /** BROWN–FORSYTHE test (Levene with median centers) — "do the groups
+    * share a VARIANCE": the spread-homogeneity gate the mean tests
+    * ([[anovaF]], [[welchTTest]]) assume away, run before pooling or
+    * after a treatment that should change dispersion, not level. The
+    * robust median-centered variant: z = |x − med_g|, then the one-way
+    * F of [[anovaF]] on z.
+    *
+    * Everything stays on the VALUE CENSUS: per-group medians are exact
+    * lower order statistics from a cumulative count (the q394 rank
+    * lookup), |x − med| is exact integer cents, and the weighted moment
+    * pass feeds the same cross-multiplied F finish as [[anovaF]] (per-
+    * group S²/n terms once on the 1e-6 grid, DECIMAL(38,0) sums, one
+    * pinned-double ratio at the end — the wide-decimal ulp cancels in
+    * the ratio). Group count = k rows out, census-sized shuffles only.
+    */
+  def brownForsythe(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df
+      .groupBy(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n_g", sum(col("t")).over(Window.partitionBy(col("g"))))
+    // lower-median rank (n+1) div 2, integer-exact (Column `/` on longs
+    // is a double divide — expr's `div` keeps the floor semantics)
+    val med = ranked
+      .filter(col("c") >= expr("(n_g + 1) div 2"))
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+    val z = census.join(med, "g")
+      .withColumn("z", abs(col("v") - col("med")))
+    val perGroup = z.groupBy(col("g"))
+      .agg(sum(col("t")).as("n_g"), max(col("med")).as("med"),
+        sum(col("z").cast(d38) * col("t").cast(d38)).as("s_g"),
+        sum(col("z").cast(d38) * col("z").cast(d38) * col("t").cast(d38))
+          .as("ss_g"))
+      .withColumn("term", round(dbl(col("s_g")) * dbl(col("s_g")) /
+        dbl(col("n_g")), 6).cast(DecimalType(38, 6)))
+    val tot = Window.partitionBy()
+    val n = dbl(sum(col("n_g")).over(tot))
+    val k = dbl(count(lit(1)).over(tot))
+    val s = dbl(sum(col("s_g")).over(tot))
+    val ss = dbl(sum(col("ss_g")).over(tot))
+    val ssb = dbl(sum(col("term")).over(tot)) - s * s / n
+    val ssw = (ss - s * s / n) - ssb
+    val f = (ssb / (k - lit(1.0))) / (ssw / (n - k))
+    perGroup.select(col("g"), col("n_g"), col("med"),
+      round(dbl(col("s_g")) / dbl(col("n_g")), 6).as("mad_mean"),
+      round(f, 6).as("bf_stat"))
+  }
+
+  /** FRIEDMAN test — the k-treatment test for COMPLETE BLOCK designs
+    * ("do the treatments differ when every block sees all of them"):
+    * the within-block-ranked sibling of [[kruskalWallis]] (which pools
+    * ranks globally and so confounds block effects). Callers supply one
+    * row per (block, treatment) — complete blocks, zero-filled via a
+    * spine if needed.
+    *
+    * Ranks are DOUBLED average ranks from the per-block value census
+    * (r2 = 2c − t + 1, the [[kruskalWallis]] trick), so every quantity
+    * through the tie-corrected statistic
+    *   χ² = (k−1)·Σⱼ(2Rⱼ − b(k+1))² / (Σ r2²ᵢⱼ − b·k·(k+1)²)
+    * is exact integer arithmetic in DECIMAL(38,0); the single division
+    * is the final pinned-double χ². Block-partitioned windows only —
+    * the shuffle key is the block, never a global sort.
+    */
+  def friedman(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val rows = df.select(col(blockCol).cast("long").as("b"),
+      col(treatCol).cast("string").as("j"),
+      col(valueCol).cast("long").as("v"))
+    val census = rows.groupBy(col("b"), col("v")).agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("r2", lit(2L) * col("c") - col("t") + 1L)
+    val withRanks = rows.join(ranked.select(col("b"), col("v"), col("r2")),
+      Seq("b", "v"))
+    val perTreat = withRanks.groupBy(col("j"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(col("r2").cast(d38)).as("r2sum"))
+    val tot = Window.partitionBy()
+    val one = lit(1).cast(d38)
+    // Σ r2² over all cells, tie groups weighted by their size
+    val sq = ranked.agg(
+      sum(col("t").cast(d38) * col("r2").cast(d38) * col("r2").cast(d38))
+        .as("r2sq"))
+    // staged windows (k then Σdev²) — window expressions can't nest;
+    // every frame here is treatment-count-sized, never the input
+    val staged = perTreat
+      .withColumn("kk", count(lit(1)).over(tot).cast(d38))
+      .withColumn("dev",
+        col("r2sum") - col("n_b").cast(d38) * (col("kk") + one))
+      .withColumn("num", sum(col("dev") * col("dev")).over(tot))
+      .crossJoin(broadcast(sq))
+      .withColumn("den", col("r2sq") - col("n_b").cast(d38) * col("kk") *
+        (col("kk") + one) * (col("kk") + one))
+    val chi = (col("kk") - one).cast("double") * dbl(col("num")) /
+      dbl(col("den"))
+    staged.select(col("j"), col("n_b"),
+      (dbl(col("r2sum")) / 2.0).as("rank_sum"),
+      round(when(col("den") =!= lit(0).cast(d38), chi), 6).as("chi2"))
+  }
 }

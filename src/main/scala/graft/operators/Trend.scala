@@ -205,6 +205,68 @@ object Trend {
     }.reduce(_.unionByName(_))
   }
 
+  /** LJUNG–BOX whiteness test per key — "is there ANY serial structure
+    * left in this series up to lag m", the portmanteau gate run on model
+    * residuals (after [[holtPerKey]]/[[olsPerKey]] detrending) where
+    * [[autocorrPerKey]] reads one lag at a time. Uses the standard LB
+    * autocorrelation estimator (full-series mean and denominator, not the
+    * per-pair Pearson):
+    *   r_k = Σₜ(xₜ−x̄)(xₜ₋ₖ−x̄) / Σₜ(xₜ−x̄)²,
+    *   Q = n(n+2)·Σₖ r_k²/(n−k)  ~ χ²(m).
+    *
+    * Exactness: both sides of r_k are cross-multiplied by n² so every
+    * accumulated quantity is an exact integer in DECIMAL(38,0)
+    * (n²Σxₜxₜ₋ₖ − nS(Σ'xₜ+Σ'xₜ₋ₖ) + (n−k)S² over n²Σx² − nS²); r_k is
+    * one pinned-double ratio (the wide-decimal ulp cancels), the per-lag
+    * terms r_k²/(n−k) are quantized to DECIMAL(18,9) before the
+    * order-independent sum (the q256 MI discipline), and Q is the final
+    * pinned product. One lead-window pass per lag over the key-
+    * partitioned shuffle — m small by contract; series bucketed first.
+    */
+  def ljungBoxPerKey(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      centsCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "need at least one lag")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+    val dec = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+      col(centsCol).cast("long").as("__v"))
+    val moments = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__v").cast(dec)).as("s"),
+        sum((col("__v") * col("__v")).cast(dec)).as("ssq"))
+    val perLag = (1 to maxLag).map { k =>
+      base
+        .withColumn("__w", lag(col("__v"), k).over(byKey))
+        .filter(col("__w").isNotNull)
+        .groupBy(col(keyCol))
+        .agg(sum((col("__v") * col("__w")).cast(dec)).as("sp"),
+          sum(col("__v").cast(dec)).as("sx"),
+          sum(col("__w").cast(dec)).as("sy"))
+        .withColumn("lag", lit(k.toLong))
+    }.reduce(_.unionByName(_))
+    val nD = col("n").cast(dec)
+    val kD = col("lag").cast(dec)
+    val num = nD * nD * col("sp") - nD * col("s") * (col("sx") + col("sy")) +
+      (nD - kD) * col("s") * col("s")
+    val den = nD * nD * col("ssq") - nD * col("s") * col("s")
+    val r = dbl(num) / dbl(den)
+    val terms = perLag.join(moments, Seq(keyCol.toString))
+      .filter(col("n") > col("lag") && col("ssq").cast(dec) * nD =!= col("s") * col("s"))
+      .withColumn("r", r)
+      .withColumn("term",
+        round(col("r") * col("r") / dbl(col("n") - col("lag")), 9)
+          .cast(DecimalType(18, 9)))
+    terms.groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("m"),
+        round(max(when(col("lag") === 1L, col("r"))), 6).as("r1"),
+        round(dbl(max(col("n"))) * (dbl(max(col("n"))) + lit(2.0)) *
+          dbl(sum(col("term"))), 6).as("q_stat"))
+  }
+
   /** Per-key exponentially-weighted moving average of an ordered series,
     * folded left-to-right: s_1 = v_1, s_i = α·v_i + (1−α)·s_{i-1}.
     *

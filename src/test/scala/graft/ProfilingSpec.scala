@@ -282,6 +282,54 @@ class ProfilingSpec extends SparkSuite {
       (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
   }
 
+  test("brownForsythe: hand medians (LOWER order stat on even n) and F") {
+    import spark.implicits._
+    // A=[1,2,3]: med 2, z=[1,0,1]; B=[10,20,40,40]: lower median is the
+    // rank-2 stat 20 (NOT 40 — the even-n discriminator), z=[10,0,20,20]
+    val df = (Seq(1L, 2L, 3L).map(("A", _)) ++
+      Seq(10L, 20L, 40L, 40L).map(("B", _))).toDF("g", "v")
+    val got = graft.operators.Drift.brownForsythe(df, "v", "g")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // terms: 2²/3 → 1.333333 (gridded), 50²/4 = 625; N=7, S=52, SS=902
+    val tsum = math.rint(4.0 / 3.0 * 1e6) / 1e6 + 625.0
+    val s2n = 52.0 * 52.0 / 7.0
+    val ssb = tsum - s2n
+    val ssw = (902.0 - s2n) - ssb
+    val f = math.rint(ssb / (ssw / 5.0) * 1e6) / 1e6
+    assert(got("A") == (("A", 3L, 2L, 0.666667, f)))
+    assert(got("B") == (("B", 4L, 20L, 12.5, f)))
+  }
+
+  test("friedman: textbook no-tie chi2, tied block, degenerate NULL") {
+    import spark.implicits._
+    // 3 blocks × 3 treatments; blocks 1-2 rank A<B<C, block 3 B<A<C:
+    // R = (4, 5, 9) → χ² = 12/(3·3·4)·(16+25+81) − 3·3·4 = 14/3
+    val clean = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
+      (2L, "A", 1L), (2L, "B", 2L), (2L, "C", 3L),
+      (3L, "A", 2L), (3L, "B", 1L), (3L, "C", 3L)).toDF("b", "j", "v")
+    val g1 = graft.operators.Drift.friedman(clean, "b", "j", "v")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(g1("A") == (("A", 3L, 4.0, 4.666667)))
+    assert(g1("B") == (("B", 3L, 5.0, 4.666667)))
+    assert(g1("C") == (("C", 3L, 9.0, 4.666667)))
+    // block 3 ties A=B at 1 (avg rank 1.5): 2R=(7,11,18), num=62, den=22
+    val tied = Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
+      (2L, "A", 1L), (2L, "B", 2L), (2L, "C", 3L),
+      (3L, "A", 1L), (3L, "B", 1L), (3L, "C", 3L)).toDF("b", "j", "v")
+    val g2 = graft.operators.Drift.friedman(tied, "b", "j", "v")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(g2("A")._3 == 3.5 && g2("B")._3 == 5.5 && g2("C")._3 == 9.0)
+    assert(g2("A")._4 == math.rint(2.0 * 62.0 / 22.0 * 1e6) / 1e6)
+    // every block fully tied → zero denominator → NULL, not a 0/0
+    val flat = Seq((1L, "A", 5L), (1L, "B", 5L),
+      (2L, "A", 7L), (2L, "B", 7L)).toDF("b", "j", "v")
+    val g3 = graft.operators.Drift.friedman(flat, "b", "j", "v").collect()
+    assert(g3.forall(_.isNullAt(3)))
+  }
+
   test("kruskalWallis: hand-computed H, tie correction") {
     // A=[1,2], B=[3,4]: ranks 1..4, R_A=3, R_B=7 → H = 2.4, no ties
     val clean = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))

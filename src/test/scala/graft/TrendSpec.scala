@@ -88,6 +88,23 @@ class TrendSpec extends SparkSuite {
     assert(out == Map("a" -> ((5L, 1.0)), "b" -> ((5L, -1.0))))
   }
 
+  test("ljungBoxPerKey: alternating series, hand r_k and exact Q = 12") {
+    // x = [1,2,1,2,1,2]: r1 = -45/54 = -5/6, r2 = 36/54 = 2/3;
+    // terms r1²/5 + r2²/4 = 0.138888889 + 0.111111111 = 0.25 on the
+    // 1e-9 grid, Q = 6·8·0.25 = 12 exactly. Constant key drops (den=0),
+    // short key keeps only lags < n.
+    val rows = (0 until 6).map(i => ("a", i.toLong, 1L + (i % 2))) ++
+      (0 until 4).map(i => ("c", i.toLong, 7L)) ++
+      (0 until 3).map(i => ("s", i.toLong, (i * i).toLong))
+    val df = rows.toDF("k", "b", "cents")
+    val out = Trend.ljungBoxPerKey(df, "k", "b", "cents", maxLag = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a") == ((6L, 2L, -0.833333, 12.0)))
+    assert(!out.contains("c"), "zero-variance keys drop (den = 0)")
+    assert(out("s")._2 == 2L, "n=3 keeps lags 1..2 (lag < n)")
+  }
+
   test("holtPerKey tracks a perfect linear trend exactly; singletons drop") {
     // on v_i = 10 + 5i the recursion is exact at every step: level = v_n,
     // trend = 5, forecast = v_n + 5 — while plain EWMA would lag
