@@ -6082,6 +6082,36 @@ object SparkEntry {
       .orderBy(col("j"))
   }
 
+  /** Retrieval evaluation ([[graft.operators.Similarity.rankingMetrics]]):
+    * NDCG@10 / MAP@10 / MRR per query over the exact cosine top-10 with
+    * same-label binary relevance — the metrics half the vector shelf
+    * (q26 knn, q209 RRF, q357 MMR) needs before anyone tunes it. DCG
+    * discounts and IDCG prefix sums are pinned 12-decimal literals (no
+    * libm log either engine); per-rank terms quantized to DECIMAL(18,12)
+    * before the order-independent sums.
+    */
+  private def q431(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.rankingMetrics(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+        k = 10)
+      .orderBy(col("qid"))
+  }
+
+  /** Temperature-scaled mixing table
+    * ([[graft.operators.Sampling.temperatureMixing]]): per-language
+    * sampling weights pᵢ ∝ √tokensᵢ over the documents corpus with a
+    * 1M-token budget — the α = 0.5 multilingual up-sampling recipe;
+    * √tokens is IEEE-exact on both engines, weights summed as decimals,
+    * per-group effective epochs flag over-sampling.
+    */
+  private def q432(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMixing(
+      T(s, dir, "documents").select(col("lang"),
+        graft.functions.TextFunctions.wordCount(col("text")).as("tokens")),
+      "lang", "tokens", tokenBudget = 1000000L)
+      .orderBy(col("g"))
+
   /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
     * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
     * local pooling + one metadata-sized driver stack merge reaches the
@@ -8733,6 +8763,8 @@ object SparkEntry {
     "q428_brown_forsythe" -> (q428 _),
     "q429_ljung_box" -> (q429 _),
     "q430_friedman" -> (q430 _),
+    "q431_ranking_metrics" -> (q431 _),
+    "q432_temperature_mix" -> (q432 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9930,6 +9962,14 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // pinned discount/IDCG literals; exact-division terms on the
+    // 1e-12 decimal grid; same-label relevance from the label census
+    "q431_ranking_metrics" ->
+      s"""$VEC_MACROS; WITH qv AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id < 8), sc AS (SELECT qv.qid, qv.qlabel, e.vec_id AS nid, round(pcos(qv.qe, e.embedding), 4) AS score, CASE WHEN e.label = qv.qlabel THEN 1 ELSE 0 END AS rel FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qv.qid), rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC NULLS LAST, nid) AS rnk FROM sc), tk AS (SELECT *, CAST(SUM(rel) OVER (PARTITION BY qid ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumrel FROM rk WHERE rnk <= 10), pq AS (SELECT qid, qlabel, CAST(SUM(rel) AS BIGINT) AS n_rel_at_k, MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel, SUM(CAST(round(CASE WHEN rel = 1 THEN CAST(cumrel AS DOUBLE) / CAST(rnk AS DOUBLE) ELSE 0.0 END, 12) AS DECIMAL(18,12))) AS ap_sum, SUM(CAST(round(CASE WHEN rel = 1 THEN [1.000000000000, 0.630929753571, 0.500000000000, 0.430676558073, 0.386852807235, 0.356207187108, 0.333333333333, 0.315464876786, 0.301029995664, 0.289064826318][CAST(rnk AS INTEGER)] ELSE 0.0 END, 12) AS DECIMAL(18,12))) AS dcg FROM tk GROUP BY 1, 2), lc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label FROM embeddings GROUP BY 1), fin AS (SELECT pq.*, COALESCE(lc.n_label - 1, 0) AS r_total, LEAST(COALESCE(lc.n_label - 1, 0), 10) AS eff_k FROM pq LEFT JOIN lc ON pq.qlabel = lc.label) SELECT qid, qlabel AS label, r_total, n_rel_at_k, CASE WHEN eff_k > 0 THEN round(COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0), 6) END AS mrr, CASE WHEN eff_k > 0 THEN round(CAST(ap_sum AS DOUBLE) / CAST(eff_k AS DOUBLE), 6) END AS ap, CASE WHEN eff_k > 0 THEN round(CAST(dcg AS DOUBLE) / ([0.000000000000, 1.000000000000, 1.630929753571, 2.130929753571, 2.561606311645, 2.948459118879, 3.304666305987, 3.637999639321, 3.953464516106, 4.254494511770, 4.543559338088][CAST(eff_k AS INTEGER) + 1]), 6) END AS ndcg FROM fin ORDER BY qid""",
+    // IEEE-exact sqrt weights on the 1e-6 grid, decimal-summed; one
+    // pinned ratio per group
+    "q432_temperature_mix" ->
+      """WITH d AS (SELECT lang AS g, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens FROM documents), c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens FROM d GROUP BY g), w AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w FROM c), z AS (SELECT SUM(w) AS z FROM w) SELECT g, n_docs, n_tokens, round(CAST(w.w AS DOUBLE) / CAST(z.z AS DOUBLE), 9) AS weight, round(CAST(w.w AS DOUBLE) / CAST(z.z AS DOUBLE) * 1000000.0, 6) AS tokens_per_epoch, round(CAST(w.w AS DOUBLE) / CAST(z.z AS DOUBLE) * 1000000.0 / CAST(n_tokens AS DOUBLE), 6) AS eff_epochs FROM w, z ORDER BY g""",
     // census order-stat medians, then the q408 F replay on |x − med|
     "q428_brown_forsythe" ->
       """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), cen AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n_g FROM cen), md AS (SELECT g, MIN(v) AS med FROM rk WHERE c >= (n_g + 1) // 2 GROUP BY g), z AS (SELECT cen.g, abs(cen.v - md.med) AS z, cen.t, md.med FROM cen JOIN md ON cen.g = md.g), pg AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n_g, MAX(med) AS med, SUM(CAST(z AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS s_g, SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS ss_g FROM z GROUP BY g), pt AS (SELECT *, CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS term FROM pg), t AS (SELECT CAST(SUM(n_g) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS k, CAST(SUM(s_g) AS DOUBLE) AS s, CAST(SUM(ss_g) AS DOUBLE) AS ss, CAST(SUM(term) AS DOUBLE) AS tsum FROM pt) SELECT g, n_g, med, round(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS mad_mean, round(((t.tsum - t.s * t.s / t.n) / (t.k - 1.0)) / (((t.ss - t.s * t.s / t.n) - (t.tsum - t.s * t.s / t.n)) / (t.n - t.k)), 6) AS bf_stat FROM pt, t ORDER BY g""",

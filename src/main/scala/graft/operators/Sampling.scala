@@ -397,4 +397,40 @@ object Sampling {
       .filter(col("__rn") <= minN)
       .drop("__h", "__rn")
   }
+
+  /** TEMPERATURE-SCALED MIXING WEIGHTS (α = 0.5) — the data-mixing table
+    * every multi-source training run starts from: sampling probability
+    * pᵢ ∝ tᵢ^α flattens the source distribution so small domains are
+    * up-sampled relative to their token share (α=1 is proportional,
+    * α=0 uniform; the classic multilingual-LM recipe). Reports, per
+    * group, the mixing weight, the tokens one "epoch" of the budget
+    * draws from it, and how many times its own corpus that re-reads
+    * (effective epochs — the over-sampling red flag when ≫ 1).
+    *
+    * α is FIXED at 0.5 because sqrt is IEEE-correctly-rounded on both
+    * engines (bit-identical) while pow(x, α) is libm-dependent; the
+    * weights are √tokens rounded once to the 1e-6 grid and summed as
+    * exact decimals (order-independent), each pᵢ one pinned double
+    * ratio. One group-census aggregate — group-domain-sized everything.
+    */
+  def temperatureMixing(
+      df: DataFrame,
+      groupCol: String,
+      tokensCol: String,
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, "need a positive token budget")
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("n_tokens"))
+      .withColumn("w",
+        round(sqrt(dbl(col("n_tokens"))), 6).cast(DecimalType(18, 6)))
+    val tot = Window.partitionBy()
+    val p = dbl(col("w")) / dbl(sum(col("w")).over(tot))
+    census.select(col("g"), col("n_docs"), col("n_tokens"),
+      round(p, 9).as("weight"),
+      round(p * lit(tokenBudget.toDouble), 6).as("tokens_per_epoch"),
+      round(p * lit(tokenBudget.toDouble) / dbl(col("n_tokens")), 6)
+        .as("eff_epochs"))
+  }
 }

@@ -719,4 +719,87 @@ object Similarity {
         element_at(col("cs"), col("j")).getField("nid").as("nid"))
       .orderBy(col("qid"), col("step"))
   }
+
+  /** 1/log2(i+1) DCG discounts for ranks 1..10 and their prefix sums
+    * (IDCG at j binary-relevant ideal hits) — PINNED 12-decimal literals
+    * shared verbatim with the oracle SQL, so no libm log ever runs on
+    * either engine (the q291 Benford posture).
+    */
+  private val DcgW = Seq(1.000000000000, 0.630929753571, 0.500000000000,
+    0.430676558073, 0.386852807235, 0.356207187108, 0.333333333333,
+    0.315464876786, 0.301029995664, 0.289064826318)
+  private[graft] val DcgCum = Seq(0.000000000000, 1.000000000000,
+    1.630929753571, 2.130929753571, 2.561606311645, 2.948459118879,
+    3.304666305987, 3.637999639321, 3.953464516106, 4.254494511770,
+    4.543559338088)
+
+  /** RANKING-QUALITY METRICS (NDCG@k / MAP@k / MRR) for the vector
+    * shelf — the evaluation half the retrieval operators ([[knnBrute]],
+    * [[mmrRerank]], RRF) need before anyone tunes them: score each
+    * query's exact cosine top-k against binary same-label relevance and
+    * report the three standard figures per query.
+    *
+    * Scale shape = [[knnBrute]]: queries broadcast, ONE corpus scan, the
+    * window shuffles only |corpus|×|queries| score rows. Exactness: DCG
+    * discounts and IDCG prefix sums are pinned literals (no log on
+    * either engine), precision@i and 1/first_rel are single IEEE
+    * divisions of small integers (correctly rounded by both engines),
+    * and per-rank AP/DCG terms are quantized to DECIMAL(18,12) before
+    * the order-independent sum. R (total relevant) comes from the label
+    * census minus the query itself — queries must be drawn FROM the
+    * corpus; R = 0 queries emit NULL metrics rather than a 0/0.
+    */
+  def rankingMetrics(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, "discount literals are pinned through rank 10")
+    val d1812 = DecimalType(18, 12)
+    def dbl(c: Column): Column = c.cast("double")
+    val disArr = array(DcgW.map(lit): _*)
+    val cumArr = array(DcgCum.map(lit): _*)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val labCensus = corpus.groupBy(col(labelCol).as("qlabel"))
+      .agg(count(lit(1)).as("n_label"))
+    val scored = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col(labelCol).as("nlabel"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("nid"),
+        round(rankableCosine(col("qv"), col("nv")), 4).as("score"),
+        when(col("nlabel") === col("qlabel"), 1L).otherwise(0L).as("rel"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    val cum = Window.partitionBy(col("qid")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val topk = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("cumrel", sum(col("rel")).over(cum))
+    val perQ = topk.groupBy(col("qid"), col("qlabel"))
+      .agg(
+        sum(col("rel")).as("n_rel_at_k"),
+        min(when(col("rel") === 1L, col("rank"))).as("first_rel"),
+        sum(when(col("rel") === 1L,
+          round(dbl(col("cumrel")) / dbl(col("rank")), 12))
+          .otherwise(lit(0.0)).cast(d1812)).as("ap_sum"),
+        sum(when(col("rel") === 1L,
+          round(element_at(disArr, col("rank")), 12))
+          .otherwise(lit(0.0)).cast(d1812)).as("dcg"))
+    perQ.join(broadcast(labCensus), Seq("qlabel"), "left")
+      .withColumn("r_total", coalesce(col("n_label") - 1L, lit(0L)))
+      .withColumn("eff_k", least(col("r_total"), lit(k.toLong)))
+      .select(col("qid"), col("qlabel").as("label"), col("r_total"),
+        col("n_rel_at_k"),
+        when(col("eff_k") > 0L, round(coalesce(
+          lit(1.0) / dbl(col("first_rel")), lit(0.0)), 6)).as("mrr"),
+        when(col("eff_k") > 0L,
+          round(dbl(col("ap_sum")) / dbl(col("eff_k")), 6)).as("ap"),
+        when(col("eff_k") > 0L, round(dbl(col("dcg")) /
+          element_at(cumArr, col("eff_k").cast("int") + 1), 6)).as("ndcg"))
+  }
 }

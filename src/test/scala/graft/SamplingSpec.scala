@@ -173,4 +173,15 @@ class SamplingSpec extends SparkSuite {
       Sampling.balancedDownsample(empty, "cls", "id").collect())
     assert(e.getMessage.contains("empty input"))
   }
+
+  test("temperatureMixing: sqrt weights, exact shares, effective epochs") {
+    import spark.implicits._
+    // a: 25 tokens → w=5; b: 4 tokens → w=2; budget 700 → shares 5/7, 2/7
+    val df = Seq(("a", 9L), ("a", 16L), ("b", 4L)).toDF("g", "tok")
+    val got = Sampling.temperatureMixing(df, "g", "tok", 700L)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 25L, 0.714285714, 500.0, 20.0)))
+    assert(got("b") == (("b", 1L, 4L, 0.285714286, 200.0, 50.0)))
+  }
 }

@@ -188,4 +188,27 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(_.getLong(2)).toSeq
     assert(got == Seq(3L, 5L, 7L), s"ties must resolve by ascending id: $got")
   }
+
+  test("rankingMetrics: hand MRR/AP/NDCG, R=0 queries emit NULLs") {
+    // query 0 (label 1): ranks are 1→id1(rel, cos 1), then the 0.7071
+    // tie id2/id4 broken by id, 4→id3(rel, cos 0); R = 2 (ids 1, 3).
+    // MRR = 1, AP = (1/1 + 2/4)/2 = 0.75, DCG = 1 + 0.430676558073,
+    // IDCG = cum[2] = 1.630929753571.
+    // query 4's label is unique in the corpus → R = 0 → NULL metrics.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(2.0f, 0.0f), 1),
+      (2L, Array(1.0f, 1.0f), 0), (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.5f, 0.5f), 9)).toDF("id", "vec", "lab")
+    val got = Similarity.rankingMetrics(corpus,
+        corpus.filter($"id" === 0L || $"id" === 4L), "id", "vec", "lab")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q0 = got(0L)
+    assert((q0.getLong(2), q0.getLong(3)) == ((2L, 2L)))
+    assert(q0.getDouble(4) == 1.0 && q0.getDouble(5) == 0.75)
+    assert(q0.getDouble(6) ==
+      math.rint((1.0 + 0.430676558073) / 1.630929753571 * 1e6) / 1e6)
+    val q4 = got(4L)
+    assert(q4.getLong(2) == 0L)
+    assert(q4.isNullAt(4) && q4.isNullAt(5) && q4.isNullAt(6))
+  }
 }
