@@ -5936,6 +5936,18 @@ object SparkEntry {
     graft.streaming.StreamVerify.conformalMaintenance(
       s, q135Events(s, dir), scratch(dir, "q422"))
 
+  /** Streaming Welch-t maintenance
+    * ([[graft.streaming.StreamVerify.welchMaintenance]]): q362's
+    * two-sample test kept current as an ingestion side effect — per-batch
+    * (isa, n, Σx, Σx²) moment partials land as exactly-once lake
+    * commits; moments ADD, so the drained readout is bit-equal to the
+    * batch test and shares its oracle verbatim. Third self-maintaining
+    * experimentation surface beside q417 (SRM) and q422 (conformal).
+    */
+  private def q433(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.welchMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q433"))
+
   /** TextRank keyword extraction (Mihalcea–Tarau 2004 shape): PageRank
     * ([[graft.operators.Graph.pageRank]]) over the ADJACENCY
     * co-occurrence graph — consecutive word pairs, canonicalized and
@@ -8765,6 +8777,7 @@ object SparkEntry {
     "q430_friedman" -> (q430 _),
     "q431_ranking_metrics" -> (q431 _),
     "q432_temperature_mix" -> (q432 _),
+    "q433_stream_welch" -> (q433 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8788,6 +8801,12 @@ object SparkEntry {
   // ---------------------------------------------------------------- oracles
 
   private val SUMV = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // Welch t: shared by the batch test (q362) and the streaming moment
+  // store (q433) - the store replays the identical sufficient statistic
+  private val welchSql: String =
+    """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_type = 'view' AS isa FROM events WHERE event_type IN ('view', 'click')), s AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS nb, SUM(CASE WHEN isa THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sa, SUM(CASE WHEN NOT isa THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sb, SUM(CASE WHEN isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS saa, SUM(CASE WHEN NOT isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sbb FROM e), w AS (SELECT na, nb, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, ((CAST(na AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) AS sea, ((CAST(nb AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE) AS seb FROM s) SELECT na AS n_a, nb AS n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, round((ma - mb) / sqrt(sea + seb), 6) AS t_stat, round((sea + seb) * (sea + seb) / (sea * sea / (CAST(na AS DOUBLE) - 1.0) + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) AS df_welch FROM w"""
+
 
   // --- LSH parity helpers: the SAME ±1 plane-weight literals the Spark side
   // materializes are inlined into the oracle SQL, and the dot product is a
@@ -9707,8 +9726,9 @@ object SparkEntry {
     "q367_boruvka_msf" ->
       """WITH RECURSIVE k AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS BIGINT) AS r FROM supplier), n AS (SELECT MAX(r) AS mx FROM k), e AS (SELECT r AS src, r + d AS dst, CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || CAST(r + d AS VARCHAR)), 1, 13)) AS BIGINT) AS w FROM k CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)), (CAST(5 AS BIGINT)), (CAST(11 AS BIGINT))) AS dd(d) CROSS JOIN n WHERE r + d <= mx), eb AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e), prim AS (SELECT CAST(0 AS BIGINT) AS step, [CAST(1 AS BIGINT)] AS vis, CAST(NULL AS BIGINT) AS esrc, CAST(NULL AS BIGINT) AS edst, CAST(NULL AS BIGINT) AS ew UNION ALL SELECT t.step + 1, list_append(t.vis, CAST(t.m['dst'] AS BIGINT)), CAST(t.m['src'] AS BIGINT), CAST(t.m['dst'] AS BIGINT), CAST(t.m['w'] AS BIGINT) FROM (SELECT p.step AS step, p.vis AS vis, min(struct_pack(w := eb.w, src := eb.src, dst := eb.dst)) AS m FROM prim p JOIN eb ON list_contains(p.vis, eb.src) AND NOT list_contains(p.vis, eb.dst) GROUP BY p.step, p.vis) t) SELECT LEAST(esrc, edst) AS src, GREATEST(esrc, edst) AS dst, ew AS w FROM prim WHERE step >= 1 ORDER BY src, dst""",
     // moments exact in DECIMAL(38,0); t and Welch df in pinned doubles
-    "q362_welch_ttest" ->
-      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_type = 'view' AS isa FROM events WHERE event_type IN ('view', 'click')), s AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS nb, SUM(CASE WHEN isa THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sa, SUM(CASE WHEN NOT isa THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sb, SUM(CASE WHEN isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS saa, SUM(CASE WHEN NOT isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS sbb FROM e), w AS (SELECT na, nb, CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, ((CAST(na AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) AS sea, ((CAST(nb AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE) AS seb FROM s) SELECT na AS n_a, nb AS n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, round((ma - mb) / sqrt(sea + seb), 6) AS t_stat, round((sea + seb) * (sea + seb) / (sea * sea / (CAST(na AS DOUBLE) - 1.0) + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) AS df_welch FROM w""",
+    "q362_welch_ttest" -> welchSql,
+    // the streamed moment store must equal the batch test bit-for-bit
+    "q433_stream_welch" -> welchSql,
     // the clamp makes each step depend on the CLAMPED previous value —
     // replay is necessarily sequential per key
     "q363_clamped_balance" ->

@@ -218,13 +218,38 @@ object Drift {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
     val v = col(valueCol).cast("long").cast(d38)
-    val agg = df.agg(
+    welchFinish(df.agg(
       sum(when(sampleACol, 1L).otherwise(0L)).as("na"),
       sum(when(sampleACol, 0L).otherwise(1L)).as("nb"),
       sum(when(sampleACol, v).otherwise(lit(0).cast(d38))).as("sa"),
       sum(when(!sampleACol, v).otherwise(lit(0).cast(d38))).as("sb"),
       sum(when(sampleACol, v * v).otherwise(lit(0).cast(d38))).as("saa"),
-      sum(when(!sampleACol, v * v).otherwise(lit(0).cast(d38))).as("sbb"))
+      sum(when(!sampleACol, v * v).otherwise(lit(0).cast(d38))).as("sbb")))
+  }
+
+  /** [[welchTTest]] computed from a MOMENT CENSUS — rows of
+    * (isa, n, Σx, Σx²) partials (e.g. the streaming store's per-batch
+    * commits). Integer/decimal sums are associative, so however the
+    * partials were batched the merged moments — and therefore every
+    * output bit — equal the one-pass [[welchTTest]] over the raw rows;
+    * that is the property that lets the streaming surface share the
+    * batch oracle verbatim.
+    */
+  def welchFromMoments(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def side(flag: Boolean, c: Column): Column =
+      sum(when(col("isa") === flag, c).otherwise(lit(0).cast(d38)))
+    welchFinish(census.agg(
+      sum(when(col("isa"), col("n")).otherwise(0L)).as("na"),
+      sum(when(!col("isa"), col("n")).otherwise(0L)).as("nb"),
+      side(true, col("s").cast(d38)).as("sa"),
+      side(false, col("s").cast(d38)).as("sb"),
+      side(true, col("ss").cast(d38)).as("saa"),
+      side(false, col("ss").cast(d38)).as("sbb")))
+  }
+
+  private def welchFinish(agg: DataFrame): DataFrame = {
     def dbl(c: Column): Column = c.cast("double")
     val (na, nb) = (dbl(col("na")), dbl(col("nb")))
     // s² = (n·Σx² − (Σx)²) / (n·(n−1)), exact numerator

@@ -741,6 +741,54 @@ object StreamVerify {
       .orderBy(col("g"))
   }
 
+  /** STREAMING WELCH-t maintenance: the two-sample mean test (q362)
+    * maintained as an ingestion side effect — each micro-batch lands its
+    * partial (isa, n, Σx, Σx²) MOMENT census as an exactly-once lake
+    * commit. Moments ADD (integer/decimal sums are associative), so the
+    * merge-on-read store equals the whole-corpus moments however
+    * ingestion was batched, and the drained test
+    * ([[graft.operators.Drift.welchFromMoments]]) is bit-equal to the
+    * batch q362 — same oracle SQL. Third self-maintaining
+    * experimentation surface beside the SRM (q417) and conformal (q422)
+    * stores: assignment health, calibrated uncertainty, and now the
+    * treatment-effect readout all stay current with zero recompute, each
+    * store bounded by its sufficient statistic (here: 2 rows per batch),
+    * never the event volume.
+    */
+  def welchMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/moments"
+    val d38 = DecimalType(38, 0)
+    def momentsOf(df: DataFrame): DataFrame =
+      df.filter(col("event_type").isin("view", "click"))
+        .select(
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"),
+          (col("event_type") === "view").as("isa"))
+        .groupBy(col("isa"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(d38)).as("s"),
+          sum(col("cents").cast(d38) * col("cents").cast(d38)).as("ss"))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          momentsOf(batch).coalesce(1), tag = s"welch-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.welchFromMoments(
+      graft.sources.TxLake.readSnapshot(spark, lake))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -106,6 +106,24 @@ class ProfilingSpec extends SparkSuite {
     assert(r.getDouble(5) == math.rint(50.0 / 17.0 * 1e6) / 1e6)
   }
 
+  test("welchFromMoments: arbitrarily-batched partials equal the row path") {
+    import spark.implicits._
+    // the same samples as above, split across 3 uneven "micro-batch"
+    // partials (A: [1,2]+[3]; B: [2]+[4,6]) — moments add, so the census
+    // path must reproduce the row path bit for bit
+    val census = Seq(
+      (true, 2L, BigDecimal(3), BigDecimal(5)),
+      (true, 1L, BigDecimal(3), BigDecimal(9)),
+      (false, 1L, BigDecimal(2), BigDecimal(4)),
+      (false, 2L, BigDecimal(10), BigDecimal(52)))
+      .toDF("isa", "n", "s", "ss")
+    val rows = (Seq(1L, 2L, 3L).map((_, true)) ++
+      Seq(2L, 4L, 6L).map((_, false))).toDF("v", "isa")
+    val a = graft.operators.Drift.welchFromMoments(census).head()
+    val b = graft.operators.Drift.welchTTest(rows, "v", col("isa")).head()
+    assert(a == b)
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away
