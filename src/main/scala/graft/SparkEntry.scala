@@ -6124,6 +6124,35 @@ object SparkEntry {
       "lang", "tokens", tokenBudget = 1000000L)
       .orderBy(col("g"))
 
+  /** RAKE keyword extraction
+    * ([[graft.operators.TextPipeline.rakeKeywords]]): top-20 candidate
+    * PHRASES (maximal stopword-free runs) scored by Σ degree/frequency
+    * of their words — the collocation-aware phrase ranker beside q423's
+    * single-word TextRank; stopword island segmentation per doc,
+    * word-domain stats, 1e-9-grid word scores decimal-summed per phrase.
+    */
+  private def q434(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.rakeKeywords(
+      T(s, dir, "documents"), "doc_id", "text", topN = 20)
+      .orderBy(col("rank"))
+
+  /** Jonckheere–Terpstra ordered-alternative test
+    * ([[graft.operators.Drift.jonckheereTerpstra]]): does line QUANTITY
+    * trend with order PRIORITY (1-URGENT … 5-LOW) — the
+    * continuous-response sibling of q426's Cochran–Armitage; exact 2J
+    * from the (priority, quantity) cell census, tie-corrected variance
+    * from pure integer censuses, one pinned Z.
+    */
+  private def q435(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.jonckheereTerpstra(
+      T(s, dir, "lineitem").join(T(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("prio"),
+          col("l_quantity").cast("long").as("qty")),
+      "prio", "qty")
+      .orderBy(col("g"))
+
   /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
     * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
     * local pooling + one metadata-sized driver stack merge reaches the
@@ -8778,6 +8807,8 @@ object SparkEntry {
     "q431_ranking_metrics" -> (q431 _),
     "q432_temperature_mix" -> (q432 _),
     "q433_stream_welch" -> (q433 _),
+    "q434_rake_keywords" -> (q434 _),
+    "q435_jonckheere" -> (q435 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9982,6 +10013,14 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // stopword-island segmentation; degree/freq on the 1e-9 grid,
+    // decimal phrase sums; identical text ⇒ identical score
+    "q434_rake_keywords" ->
+      """WITH wl AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents), tk AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM wl), st AS (SELECT doc_id, pos, w, (w IN ('the', 'a', 'an', 'and', 'of', 'to', 'in', 'is', 'on', 'for', 'with', 'as', 'by', 'at', 'or', 'be', 'this', 'that', 'it', 'from') OR w = '') AS stop FROM tk), gp AS (SELECT doc_id, pos, w, stop, SUM(CASE WHEN stop THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM st), ph AS (SELECT doc_id, grp, pos, w, COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen FROM gp WHERE NOT stop), ws2 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(plen) AS BIGINT) AS deg FROM ph GROUP BY w), wsc AS (SELECT w, CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 9) AS DECIMAL(18,9)) AS wscore FROM ws2), pr AS (SELECT ph.doc_id, ph.grp, string_agg(ph.w, ' ' ORDER BY ph.pos) AS phrase, CAST(COUNT(*) AS BIGINT) AS n_words, SUM(wsc.wscore) AS score FROM ph JOIN wsc ON ph.w = wsc.w GROUP BY 1, 2), dd AS (SELECT phrase, MAX(n_words) AS n_words, CAST(COUNT(*) AS BIGINT) AS n_occurrences, MAX(score) AS score FROM pr GROUP BY phrase), rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS rnk FROM dd) SELECT CAST(rnk AS BIGINT) AS rank, phrase, n_words, n_occurrences, round(CAST(score AS DOUBLE), 6) AS score FROM rk WHERE rnk <= 20 ORDER BY rank""",
+    // doubled-J integer pair census; tie-corrected variance from pure
+    // integer census sums; one pinned Z broadcast per group
+    "q435_jonckheere" ->
+      """WITH e AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS g, CAST(l_quantity AS BIGINT) AS v FROM lineitem JOIN orders ON l_orderkey = o_orderkey), c AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), j AS (SELECT COALESCE(SUM(CAST(a.t AS DECIMAL(38,0)) * b.t * (CASE WHEN a.v < b.v THEN 2 WHEN a.v = b.v THEN 1 ELSE 0 END)), 0) AS j2 FROM c a JOIN c b ON a.g < b.g), gr AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n_g, SUM(CAST(v AS DECIMAL(38,0)) * t) AS sv FROM c GROUP BY g), gm AS (SELECT SUM(CAST(n_g AS DECIMAL(38,0))) AS n, SUM(CAST(n_g AS DECIMAL(38,0)) * n_g) AS sn2, SUM(CAST(n_g AS DECIMAL(38,0)) * (n_g - 1)) AS u1, SUM(CAST(n_g AS DECIMAL(38,0)) * (n_g - 1) * (2 * n_g + 5)) AS u2, SUM(CAST(n_g AS DECIMAL(38,0)) * (n_g - 1) * (n_g - 2)) AS u3 FROM gr), tv AS (SELECT v, CAST(SUM(t) AS BIGINT) AS tu FROM c GROUP BY v), tm AS (SELECT COALESCE(SUM(CAST(tu AS DECIMAL(38,0)) * (tu - 1)), 0) AS w1, COALESCE(SUM(CAST(tu AS DECIMAL(38,0)) * (tu - 1) * (2 * tu + 5)), 0) AS w2, COALESCE(SUM(CAST(tu AS DECIMAL(38,0)) * (tu - 1) * (tu - 2)), 0) AS w3 FROM tv), fin AS (SELECT gr.g, gr.n_g, gr.sv, j.j2, CAST(gm.n AS DOUBLE) AS nd, gm.sn2, gm.u1, gm.u2, gm.u3, tm.w1, tm.w2, tm.w3, gm.n FROM gr, j, gm, tm), vv AS (SELECT *, (nd * (nd - 1.0) * (2.0 * nd + 5.0) - CAST(u2 AS DOUBLE) - CAST(w2 AS DOUBLE)) / 72.0 + CAST(u3 AS DOUBLE) * CAST(w3 AS DOUBLE) / (36.0 * nd * (nd - 1.0) * (nd - 2.0)) + CAST(u1 AS DOUBLE) * CAST(w1 AS DOUBLE) / (8.0 * nd * (nd - 1.0)) AS varj FROM fin) SELECT g, n_g, round(CAST(sv AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS mean_v, CAST(j2 AS DOUBLE) / 2.0 AS j_stat, round(CASE WHEN varj > 0.0 THEN (CAST(j2 AS DOUBLE) - CAST(n * n - sn2 AS DOUBLE) / 2.0) / (2.0 * sqrt(varj)) END, 6) AS z FROM vv ORDER BY g""",
     // pinned discount/IDCG literals; exact-division terms on the
     // 1e-12 decimal grid; same-label relevance from the label census
     "q431_ranking_metrics" ->

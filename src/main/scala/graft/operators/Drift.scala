@@ -828,6 +828,74 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** JONCKHEERE–TERPSTRA trend test — "does the RESPONSE trend across
+    * ORDERED groups": the continuous-response sibling of
+    * [[cochranArmitage]] (binary response) and the directed alternative
+    * [[kruskalWallis]] wastes power on. J = Σ_{i<j} U_ij with U_ij the
+    * Mann–Whitney count between group pair (i, j); ties count ½, so the
+    * engine carries 2J as a pure integer: over the (group, value) CELL
+    * census, every ordered cell pair contributes t₁t₂(2·[v₁<v₂] +
+    * [v₁=v₂]). Null moments use the standard tie-corrected variance
+    * (three integer component sums from the group and value censuses);
+    * Z = (2J − 2E)/(2√Var) is one pinned-double expression.
+    *
+    * The pair join is census² — the bucketed/categorical contract
+    * (q421/q424): callers pass a small-domain response. Output: one row
+    * per group with its n and mean rank-free summary (Σv/n), the shared
+    * J and Z broadcast on (the mi_total shape).
+    */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      scoreCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val cells = df
+      .groupBy(col(scoreCol).cast("long").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val j2 = cells.as("a").join(cells.as("b"), col("a.g") < col("b.g"))
+      .agg(coalesce(sum(col("a.t").cast(d38) * col("b.t").cast(d38) *
+        (when(col("a.v") < col("b.v"), 2L)
+          .when(col("a.v") === col("b.v"), 1L).otherwise(0L)).cast(d38)),
+        lit(0).cast(d38)).as("j2"))
+    val groups = cells.groupBy(col("g"))
+      .agg(sum(col("t")).as("n_g"),
+        sum(col("v").cast(d38) * col("t").cast(d38)).as("sv"))
+    val gm = groups.agg(
+      sum(col("n_g").cast(d38)).as("n"),
+      sum(col("n_g").cast(d38) * col("n_g").cast(d38)).as("sn2"),
+      sum(col("n_g").cast(d38) * (col("n_g") - 1L).cast(d38)).as("u1"),
+      sum(col("n_g").cast(d38) * (col("n_g") - 1L).cast(d38) *
+        (lit(2L) * col("n_g") + 5L).cast(d38)).as("u2"),
+      sum(col("n_g").cast(d38) * (col("n_g") - 1L).cast(d38) *
+        (col("n_g") - 2L).cast(d38)).as("u3"))
+    val ties = cells.groupBy(col("v")).agg(sum(col("t")).as("tu"))
+      .agg(
+        coalesce(sum(col("tu").cast(d38) * (col("tu") - 1L).cast(d38)),
+          lit(0).cast(d38)).as("w1"),
+        coalesce(sum(col("tu").cast(d38) * (col("tu") - 1L).cast(d38) *
+          (lit(2L) * col("tu") + 5L).cast(d38)), lit(0).cast(d38)).as("w2"),
+        coalesce(sum(col("tu").cast(d38) * (col("tu") - 1L).cast(d38) *
+          (col("tu") - 2L).cast(d38)), lit(0).cast(d38)).as("w3"))
+    val n = dbl(col("n"))
+    val e2 = (col("n") * col("n") - col("sn2")).cast("double") / lit(2.0)
+    val varJ = (n * (n - 1.0) * (lit(2.0) * n + 5.0) - dbl(col("u2")) -
+        dbl(col("w2"))) / lit(72.0) +
+      dbl(col("u3")) * dbl(col("w3")) /
+        (lit(36.0) * n * (n - 1.0) * (n - 2.0)) +
+      dbl(col("u1")) * dbl(col("w1")) / (lit(8.0) * n * (n - 1.0))
+    val z = (dbl(col("j2")) - e2) / (lit(2.0) * sqrt(varJ))
+    groups.crossJoin(broadcast(j2)).crossJoin(broadcast(gm))
+      .crossJoin(broadcast(ties))
+      .select(col("g"), col("n_g"),
+        round(dbl(col("sv")) / dbl(col("n_g")), 6).as("mean_v"),
+        (dbl(col("j2")) / 2.0).as("j_stat"),
+        round(when(varJ > 0.0, z), 6).as("z"))
+  }
+
   /** BROWN–FORSYTHE test (Levene with median centers) — "do the groups
     * share a VARIANCE": the spread-homogeneity gate the mean tests
     * ([[anovaF]], [[welchTTest]]) assume away, run before pooling or

@@ -634,4 +634,70 @@ object TextPipeline {
         round(sum(col("nll")).cast("double") / count(lit(1)), 6)
           .as("avg_nll"))
   }
+
+  /** Pinned RAKE stopword/delimiter list — shared verbatim with the
+    * oracle SQL so candidate segmentation is engine-identical.
+    */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "on", "for",
+    "with", "as", "by", "at", "or", "be", "this", "that", "it", "from")
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the PHRASE-level
+    * keyword ranker beside q423's single-word TextRank: candidate
+    * phrases are maximal stopword-free word runs, each word scores
+    * degree/frequency over the candidate corpus (degree = Σ lengths of
+    * the phrases containing it — co-occurrence credit that favors words
+    * living in longer collocations), and a phrase scores the sum of its
+    * words' scores. Top-N distinct phrases by score.
+    *
+    * Scale: one explode pass; phrase segmentation is a per-doc
+    * stopword-prefix-sum island (doc-partitioned windows only); word
+    * stats and the final ranking live on the word/phrase DOMAIN, never
+    * the corpus. Exactness: degree/freq is one IEEE division quantized
+    * to DECIMAL(18,9) per word, phrase scores are order-independent
+    * decimal sums, identical phrase text ⇒ identical score (word stats
+    * are corpus-global), so the cross-doc dedup's MAX(score) is exact;
+    * ties rank by phrase text.
+    */
+  def rakeKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topN: Int = 20): DataFrame = {
+    require(topN >= 1)
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("stop",
+        col("w").isin(RakeStopwords: _*) || col("w") === "")
+    val run = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = toks
+      .withColumn("grp", sum(when(col("stop"), 1L).otherwise(0L)).over(run))
+      .filter(!col("stop"))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy(col("id"), col("grp"))))
+    val wstats = ph.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore",
+        round(col("deg").cast("double") / col("freq").cast("double"), 9)
+          .cast(DecimalType(18, 9)))
+    val phrases = ph.join(wstats.select(col("w"), col("wscore")), "w")
+      .groupBy(col("id"), col("grp"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          _.getField("w")), " ").as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore")).as("score"))
+    phrases.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("phrase"))).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("phrase"), col("n_words"),
+        col("n_occurrences"), round(col("score").cast("double"), 6)
+          .as("score"))
+  }
 }

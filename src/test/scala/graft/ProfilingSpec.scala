@@ -300,6 +300,19 @@ class ProfilingSpec extends SparkSuite {
       (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
   }
 
+  test("jonckheereTerpstra: hand 2J with a tie, exact Var = 1.5") {
+    import spark.implicits._
+    // g1=[1,2], g2=[2,3]: pair counts 2+2+1+2 → 2J=7, J=3.5; E=2;
+    // Var = 102/72 + 0 + 8/96 = 1.5 exactly → z = 1.5/√1.5
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L)).toDF("g", "v")
+    val got = graft.operators.Drift.jonckheereTerpstra(df, "g", "v")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1.5, 3.5,
+      math.rint(1.5 / math.sqrt(1.5) * 1e6) / 1e6)))
+    assert(got(2L)._3 == 2.5 && got(2L)._4 == 3.5)
+  }
+
   test("brownForsythe: hand medians (LOWER order stat on even n) and F") {
     import spark.implicits._
     // A=[1,2,3]: med 2, z=[1,0,1]; B=[10,20,40,40]: lower median is the

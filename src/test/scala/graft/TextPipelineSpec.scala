@@ -205,4 +205,19 @@ class TextPipelineSpec extends SparkSuite {
     // over the OBSERVED vocab sums to exactly 1 per context
     // (hand-check for prev=b: P(a|b)=0.1875, P(b|b)=0.8125)
   }
+  test("rakeKeywords: degree/frequency scores, phrase ranking, dedup") {
+    // corpus word stats: deep freq 3 deg 7 -> 7/3; learning freq 3 deg 7;
+    // models freq 1 deg 3 -> 3. Phrases: "deep learning models" = 2*(7/3)+3,
+    // "deep learning" = 2*(7/3) (occurs twice), "models" single
+    val docs = Seq(
+      (1L, "deep learning models of deep learning"),
+      (2L, "deep learning")).toDF("doc_id", "text")
+    val got = TextPipeline.rakeKeywords(docs, "doc_id", "text", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, "deep learning models", 3L, 1L, 7.666667),
+      (2L, "deep learning", 2L, 2L, 4.666667)))
+  }
+
 }
