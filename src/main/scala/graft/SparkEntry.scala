@@ -6153,6 +6153,53 @@ object SparkEntry {
       "prio", "qty")
       .orderBy(col("g"))
 
+  /** Spend-concentration report
+    * ([[graft.operators.Relational.concentration]]): Gini, HHI and CR4
+    * of per-customer spend within each nation — the inequality figures
+    * beside q411's Theil decomposition; Gini's rank term from doubled
+    * census ranks (pure integers), HHI/CR4 exact, one pinned division
+    * each.
+    */
+  private def q436(s: SparkSession, dir: String): DataFrame = {
+    val spend = T(s, dir, "orders").join(T(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(expr(
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("cents"))
+    graft.operators.Relational.concentration(spend, "c_nationkey", "cents")
+      .orderBy(col("g"))
+  }
+
+  /** Cochran's Q ([[graft.operators.Drift.cochranQ]]): do event TYPES
+    * differ in their day-level "above the day's average volume" flag —
+    * the paired-binary k-treatment test completing q409's McNemar the
+    * way q430's Friedman completes Kruskal–Wallis; zero-filled
+    * (day × type) spine, the flag is the exact integer compare
+    * n·k > day_total, Q from pure integer census sums.
+    */
+  private def q437(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+      .select(expr("(ts div 1000000000) div 86400").as("day"),
+        col("event_type"))
+    val counts = e.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = e.select(col("day")).distinct()
+      .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+    val full = spine.join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val wd = Window.partitionBy(col("day"))
+    val flagged = full
+      .withColumn("k", count(lit(1)).over(wd))
+      .withColumn("tot", sum(col("n")).over(wd))
+      .select(col("day"), col("event_type"),
+        (col("n") * col("k") > col("tot")).as("above"))
+    graft.operators.Drift.cochranQ(flagged, "day", "event_type",
+        col("above"))
+      .orderBy(col("j"))
+  }
+
   /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
     * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
     * local pooling + one metadata-sized driver stack merge reaches the
@@ -8809,6 +8856,8 @@ object SparkEntry {
     "q433_stream_welch" -> (q433 _),
     "q434_rake_keywords" -> (q434 _),
     "q435_jonckheere" -> (q435 _),
+    "q436_concentration" -> (q436 _),
+    "q437_cochran_q" -> (q437 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10013,6 +10062,14 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // doubled census ranks make Σ rank·x exact with ties; top-4 SUM is
+    // tie-invariant (equal values); string group keys on both sides
+    "q436_concentration" ->
+      """WITH sp AS (SELECT CAST(c_nationkey AS VARCHAR) AS g, c_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), cen AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t FROM sp GROUP BY 1, 2), rk AS (SELECT g, x, t, CAST(2 * SUM(t) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) - t + 1 AS BIGINT) AS r2 FROM cen), ag AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n, SUM(CAST(x AS DECIMAL(38,0)) * t) AS s, SUM(CAST(x AS DECIMAL(38,0)) * x * t) AS sxx, SUM(CAST(t AS DECIMAL(38,0)) * r2 * x) AS rx FROM rk GROUP BY g), tp AS (SELECT g, SUM(CAST(x AS DECIMAL(38,0))) AS top4 FROM (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rn FROM sp) q WHERE rn <= 4 GROUP BY g) SELECT ag.g, ag.n, CAST(ag.s AS BIGINT) AS total, round(CASE WHEN ag.s <> 0 THEN (CAST(rx AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) END, 6) AS gini, round(CASE WHEN ag.s <> 0 THEN CAST(sxx AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) END, 6) AS hhi, round(CASE WHEN ag.s <> 0 THEN CAST(COALESCE(tp.top4, 0) AS DOUBLE) / CAST(s AS DOUBLE) END, 6) AS cr4 FROM ag LEFT JOIN tp ON ag.g = tp.g ORDER BY ag.g""",
+    // zero-filled spine; the above-average flag is an exact integer
+    // compare; Q from pure integer treatment/block census sums
+    "q437_cochran_q" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, event_type FROM events), cnt AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), sp AS (SELECT d.day, t.event_type FROM (SELECT DISTINCT day FROM e) d, (SELECT DISTINCT event_type FROM e) t), fl AS (SELECT sp.day, sp.event_type, COALESCE(cnt.n, 0) AS n FROM sp LEFT JOIN cnt ON sp.day = cnt.day AND sp.event_type = cnt.event_type), ab AS (SELECT day AS b, event_type AS j, CASE WHEN n * (COUNT(*) OVER (PARTITION BY day)) > (SUM(n) OVER (PARTITION BY day)) THEN 1 ELSE 0 END AS x FROM fl), pt AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(x) AS BIGINT) AS c_j FROM ab GROUP BY j), bm AS (SELECT SUM(CAST(ri AS DECIMAL(38,0))) AS t, SUM(CAST(ri AS DECIMAL(38,0)) * ri) AS sr2 FROM (SELECT b, CAST(SUM(x) AS BIGINT) AS ri FROM ab GROUP BY b) q), tt AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS k, SUM(CAST(c_j AS DECIMAL(38,0)) * c_j) AS sc2 FROM pt) SELECT pt.j, pt.n_b, pt.c_j, round(CASE WHEN tt.k * bm.t - bm.sr2 <> 0 THEN CAST(tt.k - 1 AS DOUBLE) * CAST(tt.k * sc2 - bm.t * bm.t AS DOUBLE) / CAST(tt.k * bm.t - bm.sr2 AS DOUBLE) END, 6) AS q_stat FROM pt, bm, tt ORDER BY pt.j""",
     // stopword-island segmentation; degree/freq on the 1e-9 grid,
     // decimal phrase sums; identical text ⇒ identical score
     "q434_rake_keywords" ->

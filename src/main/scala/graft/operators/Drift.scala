@@ -828,6 +828,52 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** COCHRAN'S Q — the k-treatment test for PAIRED BINARY outcomes
+    * ("did the same blocks succeed under different treatments"),
+    * completing the family the way [[friedman]] completes
+    * [[kruskalWallis]]: [[mcnemar]] is its k = 2 special case. Callers
+    * supply one row per (block, treatment) with a boolean outcome —
+    * complete blocks by contract.
+    *
+    *   Q = (k−1)·(k·ΣCⱼ² − T²) / (k·T − ΣRᵢ²)
+    *
+    * with Cⱼ the treatment totals, Rᵢ the block totals, T the grand
+    * total — every quantity an exact integer in DECIMAL(38,0), the
+    * single division the final pinned-double Q (~χ²(k−1)). Blocks that
+    * respond identically under every treatment contribute nothing; if
+    * ALL do, the denominator is 0 and Q is NULL rather than 0/0.
+    * Treatment-count-sized output; block-sized aggregates only.
+    */
+  def cochranQ(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      successCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val rows = df.select(col(blockCol).cast("string").as("b"),
+      col(treatCol).cast("string").as("j"),
+      when(successCol, 1L).otherwise(0L).as("x"))
+    val perT = rows.groupBy(col("j"))
+      .agg(count(lit(1)).as("n_b"), sum(col("x")).as("c_j"))
+    val bm = rows.groupBy(col("b")).agg(sum(col("x")).as("ri"))
+      .agg(sum(col("ri").cast(d38)).as("t"),
+        sum(col("ri").cast(d38) * col("ri").cast(d38)).as("sr2"))
+    val tot = Window.partitionBy()
+    val staged = perT
+      .withColumn("kk", count(lit(1)).over(tot).cast(d38))
+      .withColumn("sc2",
+        sum(col("c_j").cast(d38) * col("c_j").cast(d38)).over(tot))
+      .crossJoin(broadcast(bm))
+      .withColumn("den", col("kk") * col("t") - col("sr2"))
+    val q = (col("kk") - lit(1).cast(d38)).cast("double") *
+      dbl(col("kk") * col("sc2") - col("t") * col("t")) / dbl(col("den"))
+    staged.select(col("j"), col("n_b"), col("c_j"),
+      round(when(col("den") =!= lit(0).cast(d38), q), 6).as("q_stat"))
+  }
+
   /** JONCKHEERE–TERPSTRA trend test — "does the RESPONSE trend across
     * ORDERED groups": the continuous-response sibling of
     * [[cochranArmitage]] (binary response) and the directed alternative

@@ -892,4 +892,61 @@ object Relational {
       round(sqrt(chi2 / (dbl(col("n")) *
         dbl(least(col("nx"), col("ny")) - 1))), 6).as("cramers_v"))
   }
+
+  /** CONCENTRATION REPORT per group — Gini coefficient, Herfindahl–
+    * Hirschman index, and the top-4 concentration ratio over each
+    * group's member values: "how skewed is spend/volume across members"
+    * — the inequality census beside q411's Theil decomposition (Theil
+    * splits between/within; Gini/HHI/CR4 are the figures a regulator or
+    * capacity planner quotes).
+    *
+    * All three from ONE member frame: Gini's Σ rank·x term uses doubled
+    * average ranks off the per-group value census (t·r2·x = 2·Σ i·x_(i)
+    * exactly, ties correct by construction), so
+    * G = (Σ t·r2·x − (n+1)·S) / (n·S) is pure integers to one pinned
+    * division; HHI = Σx²/S² and CR4's top-4 sum are exact
+    * integers/windows. Members must be non-negative; group-partitioned
+    * windows only.
+    */
+  def concentration(
+      members: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = members.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).cast("long").as("x"))
+    val census = base.groupBy(col("g"), col("x")).agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("r2", lit(2L) * col("c") - col("t") + 1L)
+    val cr = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("x").desc)))
+      .filter(col("rn") <= 4)
+      .groupBy(col("g"))
+      .agg(sum(col("x").cast(d38)).as("top4"))
+    val agg = ranked.groupBy(col("g"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("x").cast(d38) * col("t").cast(d38)).as("s"),
+        sum(col("x").cast(d38) * col("x").cast(d38) * col("t").cast(d38))
+          .as("sxx"),
+        sum(col("t").cast(d38) * col("r2").cast(d38) * col("x").cast(d38))
+          .as("rx"))
+    agg.join(cr, Seq("g"), "left")
+      .select(col("g"), col("n"),
+        col("s").cast("long").as("total"),
+        round(when(col("s") =!= lit(0).cast(d38),
+          (dbl(col("rx")) - (dbl(col("n")) + 1.0) * dbl(col("s"))) /
+            (dbl(col("n")) * dbl(col("s")))), 6).as("gini"),
+        round(when(col("s") =!= lit(0).cast(d38),
+          dbl(col("sxx")) / (dbl(col("s")) * dbl(col("s")))), 6).as("hhi"),
+        round(when(col("s") =!= lit(0).cast(d38),
+          dbl(coalesce(col("top4"), lit(0).cast(d38))) / dbl(col("s"))), 6)
+          .as("cr4"))
+  }
 }

@@ -300,6 +300,28 @@ class ProfilingSpec extends SparkSuite {
       (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
   }
 
+  test("cochranQ: textbook Q = 3 exactly, all-identical blocks give NULL") {
+    import spark.implicits._
+    // C = (3,2,1), T = 6, ΣR² = 14, ΣC² = 14 → Q = 2·(42−36)/(18−14) = 3
+    val df = Seq(
+      ("b1", "A", true), ("b1", "B", true), ("b1", "C", false),
+      ("b2", "A", true), ("b2", "B", false), ("b2", "C", false),
+      ("b3", "A", true), ("b3", "B", true), ("b3", "C", true),
+      ("b4", "A", false), ("b4", "B", false), ("b4", "C", false))
+      .toDF("b", "j", "s")
+    val got = graft.operators.Drift.cochranQ(df, "b", "j", col("s"))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 4L, 3L, 3.0)))
+    assert(got("B") == (("B", 4L, 2L, 3.0)))
+    assert(got("C") == (("C", 4L, 1L, 3.0)))
+    // every block answers identically under every treatment → den = 0
+    val flat = Seq(("b1", "A", true), ("b1", "B", true),
+      ("b2", "A", false), ("b2", "B", false)).toDF("b", "j", "s")
+    val g2 = graft.operators.Drift.cochranQ(flat, "b", "j", col("s"))
+      .collect()
+    assert(g2.forall(_.isNullAt(3)))
+  }
+
   test("jonckheereTerpstra: hand 2J with a tie, exact Var = 1.5") {
     import spark.implicits._
     // g1=[1,2], g2=[2,3]: pair counts 2+2+1+2 → 2J=7, J=3.5; E=2;

@@ -392,4 +392,23 @@ class RelationalSpec extends SparkSuite {
     assert(got(0L) == ((4L, 1L, 0.25, math.rint(z * 1e6) / 1e6)))
     assert(got(2L)._2 == 3L && got(2L)._3 == 0.75)
   }
+  test("concentration: hand Gini/HHI/CR4 with ties, zero-total NULLs") {
+    import spark.implicits._
+    // a = [1,1,2]: 2Σi·x = 18 → G = (18-16)/12; HHI = 6/16; CR4 = 1
+    // b = [5,5]: perfectly equal → G = 0, HHI = 0.5
+    // z = [0,0]: zero total → NULL ratios, not 0/0
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L), ("b", 5L),
+      ("z", 0L), ("z", 0L)).toDF("g", "x")
+    val got = Relational.concentration(df, "g", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 4L)
+    assert(a.getDouble(3) == 0.166667 && a.getDouble(4) == 0.375 &&
+      a.getDouble(5) == 1.0)
+    val b = got("b")
+    assert(b.getDouble(3) == 0.0 && b.getDouble(4) == 0.5)
+    val z = got("z")
+    assert(z.isNullAt(3) && z.isNullAt(4) && z.isNullAt(5))
+  }
+
 }
