@@ -6200,6 +6200,44 @@ object SparkEntry {
       .orderBy(col("j"))
   }
 
+  /** Page–Hinkley drift monitor ([[graft.operators.Trend.pageHinkley]])
+    * over each event type's hourly volume — the reference-free
+    * mean-shift detector beside q248's known-level CUSUM: per-step
+    * deviations from the RUNNING mean on the 1e-9 grid, exact decimal
+    * cumulative/min folds, alarm at λ = $1000 of hourly lift.
+    */
+  private def q438(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.pageHinkley(
+        hourly, "event_type", "hid", "cents",
+        deltaCents = 0.0, lambdaCents = 100000.0)
+      .orderBy(col("event_type"))
+  }
+
+  /** Seasonal Mann–Kendall
+    * ([[graft.operators.Trend.seasonalMannKendall]]): cross-DAY monotone
+    * trend per event type WITHIN each hour-of-day season (Hirsch–Slack)
+    * — the diurnal cycle q421's plain MK would misread as trend; S and
+    * the variance numerators combine as exact integers across the 24
+    * seasons before the single /18.
+    */
+  private def q439(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+      .select(col("event_type"), pmod(col("hid"), lit(24L)).as("hod"),
+        expr("hid div 24").as("day"), col("cents"))
+    graft.operators.Trend.seasonalMannKendall(
+        hourly, "event_type", "hod", "day", "cents")
+      .orderBy(col("k"))
+  }
+
   /** Distributed PAVA ([[graft.operators.Trend.isotonicPava]]) at 100×
     * q406's bucket domain ($200 buckets instead of $20k): range-shuffled
     * local pooling + one metadata-sized driver stack merge reaches the
@@ -8858,6 +8896,8 @@ object SparkEntry {
     "q435_jonckheere" -> (q435 _),
     "q436_concentration" -> (q436 _),
     "q437_cochran_q" -> (q437 _),
+    "q438_page_hinkley" -> (q438 _),
+    "q439_seasonal_mk" -> (q439 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10062,6 +10102,14 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // per-step running-mean deviations on the 1e-9 grid; exact decimal
+    // cumsum/min folds; peak tie broken by earliest bucket
+    "q438_page_hinkley" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), w1 AS (SELECT event_type, hid, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hid) AS rn, SUM(v) OVER (PARTITION BY event_type ORDER BY hid ROWS UNBOUNDED PRECEDING) AS s FROM h), t2 AS (SELECT event_type, hid, CAST(round(CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(rn AS DOUBLE) - 0.0, 9) AS DECIMAL(28,9)) AS term FROM w1), m1 AS (SELECT event_type, hid, SUM(term) OVER (PARTITION BY event_type ORDER BY hid ROWS UNBOUNDED PRECEDING) AS m FROM t2), p1 AS (SELECT event_type, hid, m - MIN(m) OVER (PARTITION BY event_type ORDER BY hid ROWS UNBOUNDED PRECEDING) AS ph FROM m1), pk2 AS (SELECT event_type, hid, ph, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ph DESC, hid) AS pr FROM p1), ag AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, MIN(CASE WHEN CAST(ph AS DOUBLE) > 100000.0 THEN hid END) AS alarm_bucket FROM p1 GROUP BY 1) SELECT ag.event_type, ag.n, round(CAST(pk2.ph AS DOUBLE), 6) AS max_ph, pk2.hid AS peak_bucket, ag.alarm_bucket, ag.alarm_bucket IS NOT NULL AS alarmed FROM ag JOIN pk2 ON ag.event_type = pk2.event_type AND pk2.pr = 1 ORDER BY ag.event_type""",
+    // per-season integer pair counts and variance numerators, summed
+    // exact before the single /18; continuity-corrected Z on the total
+    "q439_seasonal_mk" ->
+      """WITH h AS (SELECT event_type AS k, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), b AS (SELECT k, hid % 24 AS h, hid // 24 AS t, v FROM h), s AS (SELECT a.k, CAST(SUM(CASE WHEN b2.v > a.v THEN 1 WHEN b2.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s FROM b a JOIN b b2 ON a.k = b2.k AND a.h = b2.h AND a.t < b2.t GROUP BY a.k), tj AS (SELECT k, h, v, CAST(COUNT(*) AS BIGINT) AS tj FROM b GROUP BY 1, 2, 3), ts2 AS (SELECT k, h, CAST(SUM(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT) AS tsum, CAST(SUM(tj) AS BIGINT) AS n_h FROM tj GROUP BY 1, 2), ps AS (SELECT k, CAST(SUM(n_h) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_seasons, CAST(SUM(n_h * (n_h - 1) * (2 * n_h + 5) - tsum) AS BIGINT) AS numvar FROM ts2 GROUP BY k) SELECT s.k, ps.n, ps.n_seasons, s.s, round(CAST(numvar AS DOUBLE) / 18.0, 6) AS var_s, round(CASE WHEN s.s > 0 THEN (CAST(s.s AS DOUBLE) - 1.0) / sqrt(CAST(numvar AS DOUBLE) / 18.0) WHEN s.s < 0 THEN (CAST(s.s AS DOUBLE) + 1.0) / sqrt(CAST(numvar AS DOUBLE) / 18.0) ELSE 0.0 END, 6) AS z FROM s JOIN ps ON s.k = ps.k WHERE numvar > 0 ORDER BY s.k""",
     // doubled census ranks make Σ rank·x exact with ties; top-4 SUM is
     // tie-invariant (equal values); string group keys on both sides
     "q436_concentration" ->

@@ -1105,6 +1105,103 @@ object Trend {
         round(z, 6).as("z"))
   }
 
+  /** PAGE–HINKLEY drift detector per key — the sequential mean-shift
+    * monitor beside [[cusumShifts]]'s known-level form: PH tracks
+    * m_t = Σ(x_s − x̄_s − δ) against its running MINIMUM (x̄_s = mean of
+    * the series UP TO s, so no reference level is supplied), and alarms
+    * when the lift m_t − min m exceeds λ — the standard concept-drift
+    * gate over model-quality or volume series.
+    *
+    * Exactness: each per-step term is one pinned double expression
+    * (v − S_t/t − δ) quantized to the 1e-9 grid, the cumulative sum and
+    * running min are then EXACT decimal window folds in time order, and
+    * the alarm compare/peak argmax run on those exact decimals (peak tie
+    * → earliest bucket). Key-partitioned windows only; series bucketed
+    * by contract. δ and λ are in cents (the [[cusumShifts]] convention).
+    */
+  def pageHinkley(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      centsCol: String,
+      deltaCents: Double,
+      lambdaCents: Double): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+    val run = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+      col(centsCol).cast("long").as("__v"))
+    val walked = base
+      .withColumn("__rn", row_number().over(byKey).cast("long"))
+      .withColumn("__s", sum(col("__v")).over(run))
+      .withColumn("__term",
+        round(dbl(col("__v")) - dbl(col("__s")) / dbl(col("__rn")) -
+          lit(deltaCents), 9).cast(DecimalType(28, 9)))
+      .withColumn("__m", sum(col("__term")).over(run))
+      .withColumn("__ph", col("__m") - min(col("__m")).over(run))
+    walked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(dbl(max(struct(col("__ph"), (-col("__b")).as("nb")))
+          .getField("__ph")), 6).as("max_ph"),
+        (-max(struct(col("__ph"), (-col("__b")).as("nb")))
+          .getField("nb")).as("peak_bucket"),
+        min(when(dbl(col("__ph")) > lit(lambdaCents), col("__b")))
+          .as("alarm_bucket"))
+      .withColumn("alarmed", col("alarm_bucket").isNotNull)
+  }
+
+  /** SEASONAL MANN–KENDALL — [[mannKendall]] computed WITHIN each season
+    * (hour-of-day, month, …) and combined: S = Σ_h S_h and
+    * Var = Σ_h Var_h (seasons are independent under H₀), so a diurnal
+    * cycle no longer reads as "trend" and a real cross-day drift still
+    * does — the Hirsch–Slack test every seasonal ops series needs.
+    *
+    * Per-season integer pair counts (the [[mannKendall]] census²-within-
+    * season contract), per-season variance NUMERATORS n(n−1)(2n+5) −
+    * Σtⱼ(tⱼ−1)(2tⱼ+5) kept as exact integers and summed BEFORE the
+    * single /18 — so the combined variance is one pinned double, and
+    * the continuity-corrected Z matches [[mannKendall]]'s form on the
+    * seasonal total.
+    */
+  def seasonalMannKendall(
+      df: DataFrame,
+      keyCol: String,
+      seasonCol: String,
+      orderCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(keyCol).as("k"),
+      col(seasonCol).cast("long").as("h"),
+      col(orderCol).cast("long").as("t"), col(valueCol).cast("long").as("v"))
+    val s = base.select(col("k"), col("h"), col("t").as("t1"),
+        col("v").as("v1"))
+      .join(base.select(col("k"), col("h"), col("t").as("t2"),
+        col("v").as("v2")), Seq("k", "h"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("v2") > col("v1"), 1L)
+        .when(col("v2") < col("v1"), -1L).otherwise(0L)).as("s"))
+    val ties = base.groupBy(col("k"), col("h"), col("v"))
+      .agg(count(lit(1)).as("tj"))
+      .groupBy(col("k"), col("h"))
+      .agg(sum(col("tj") * (col("tj") - 1L) * (lit(2L) * col("tj") + 5L))
+        .as("tsum"), sum(col("tj")).as("n_h"))
+    val perSeason = ties
+      .withColumn("numvar", col("n_h") * (col("n_h") - 1L) *
+        (lit(2L) * col("n_h") + 5L) - col("tsum"))
+      .groupBy(col("k"))
+      .agg(sum(col("n_h")).as("n"), count(lit(1)).as("n_seasons"),
+        sum(col("numvar")).as("numvar"))
+    val varS = dbl(col("numvar")) / 18.0
+    val z = when(col("s") > 0L, (dbl(col("s")) - 1.0) / sqrt(varS))
+      .when(col("s") < 0L, (dbl(col("s")) + 1.0) / sqrt(varS))
+      .otherwise(lit(0.0))
+    s.join(perSeason, Seq("k"))
+      .filter(col("numvar") > 0L)
+      .select(col("k"), col("n"), col("n_seasons"), col("s"),
+        round(varS, 6).as("var_s"), round(z, 6).as("z"))
+  }
+
   /** DISTRIBUTED PAVA — [[isotonicFit]]'s exact answer at domains where
     * the minimax pair frame (domain²) stops being writable: range-shuffle
     * the bucket census, pool adjacent violators LOCALLY per partition

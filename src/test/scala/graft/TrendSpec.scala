@@ -105,6 +105,33 @@ class TrendSpec extends SparkSuite {
     assert(out("s")._2 == 2L, "n=3 keeps lags 1..2 (lag < n)")
   }
 
+  test("pageHinkley: running-mean deviations, alarm at the shift, flat = 0") {
+    // a = [10,10,10,40]: terms 0,0,0,22.5 → ph peaks 22.5 at bucket 3,
+    // crossing λ=15 there; b flat → ph 0 everywhere, peak tie → bucket 0
+    val rows = Seq(("a", 0L, 10L), ("a", 1L, 10L), ("a", 2L, 10L),
+      ("a", 3L, 40L), ("b", 0L, 5L), ("b", 1L, 5L))
+    val df = rows.toDF("k", "b", "cents")
+    val got = Trend.pageHinkley(df, "k", "b", "cents", 0.0, 15.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5)))).toMap
+    assert(got("a") == ((4L, 22.5, 3L, Some(3L), true)))
+    assert(got("b") == ((2L, 0.0, 0L, None, false)))
+  }
+
+  test("seasonalMannKendall: per-season S and variance numerators combine") {
+    // season 0: 1,2,3 → S=3, numvar 66; season 1: 5,5,4 → S=-2, ties
+    // tsum 18 → numvar 48; total S=1, Var=114/18, z=(1-1)/√Var = 0
+    val rows = Seq(("a", 0L, 0L, 1L), ("a", 0L, 1L, 2L), ("a", 0L, 2L, 3L),
+      ("a", 1L, 0L, 5L), ("a", 1L, 1L, 5L), ("a", 1L, 2L, 4L))
+    val df = rows.toDF("k", "h", "t", "v")
+    val r = Trend.seasonalMannKendall(df, "k", "h", "t", "v").head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("a", 6L, 2L, 1L)))
+    assert(r.getDouble(4) == math.rint(114.0 / 18.0 * 1e6) / 1e6)
+    assert(r.getDouble(5) == 0.0)
+  }
+
   test("holtPerKey tracks a perfect linear trend exactly; singletons drop") {
     // on v_i = 10 + 5i the recursion is exact at every step: level = v_n,
     // trend = 5, forecast = v_n + 5 — while plain EWMA would lag
