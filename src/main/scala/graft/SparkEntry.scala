@@ -6218,6 +6218,33 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming Mann–Kendall maintenance
+    * ([[graft.streaming.StreamVerify.mannKendallMaintenance]]): q421's
+    * trend screen kept current as an ingestion side effect — per-batch
+    * (type, day, cnt) daily-census partials land exactly-once; counts
+    * add, the drained test shares q421's oracle verbatim. Fourth
+    * self-maintaining surface; the quadratic pair census runs only at
+    * READ time over the day-domain store.
+    */
+  private def q440(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.mannKendallMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q440"))
+
+  /** Mood's median test ([[graft.operators.Drift.moodMedian]]): do the
+    * order-status groups share a price MEDIAN — the outlier-immune
+    * coarse location gate beside q373's rank-based Kruskal–Wallis;
+    * pooled lower median by exact census order statistic, 2×k χ² in
+    * cross-multiplied integers on the 1e-9 grid.
+    */
+  private def q441(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.moodMedian(
+      T(s, dir, "orders").select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("o_orderstatus")),
+      "cents", "o_orderstatus")
+      .orderBy(col("g"))
+
   /** Seasonal Mann–Kendall
     * ([[graft.operators.Trend.seasonalMannKendall]]): cross-DAY monotone
     * trend per event type WITHIN each hour-of-day season (Hirsch–Slack)
@@ -8898,6 +8925,8 @@ object SparkEntry {
     "q437_cochran_q" -> (q437 _),
     "q438_page_hinkley" -> (q438 _),
     "q439_seasonal_mk" -> (q439 _),
+    "q440_stream_mk" -> (q440 _),
+    "q441_mood_median" -> (q441 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -8921,6 +8950,11 @@ object SparkEntry {
   // ---------------------------------------------------------------- oracles
 
   private val SUMV = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // Mann-Kendall: shared by the batch screen (q421) and the streaming
+  // daily-census store (q440) - counts add, batching is invisible
+  private val mkSql: String =
+    """WITH b AS (SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events), c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), p AS (SELECT a.event_type, CAST(SUM(CASE WHEN b2.cnt > a.cnt THEN 1 WHEN b2.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s FROM c a JOIN c b2 ON a.event_type = b2.event_type AND a.day < b2.day GROUP BY 1), n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1), tt AS (SELECT event_type, CAST(SUM(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT) AS tsum FROM (SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS tj FROM c GROUP BY 1, 2) GROUP BY 1), v AS (SELECT p.event_type, n.n, p.s, (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0) * (2.0 * CAST(n.n AS DOUBLE) + 5.0) - CAST(tt.tsum AS DOUBLE)) / 18.0 AS vs FROM p JOIN n USING (event_type) JOIN tt USING (event_type) WHERE n.n >= 3) SELECT event_type, n, s, round(vs, 6) AS var_s, round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(vs) WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(vs) ELSE 0.0 END, 6) AS z FROM v ORDER BY event_type"""
 
   // Welch t: shared by the batch test (q362) and the streaming moment
   // store (q433) - the store replays the identical sufficient statistic
@@ -10102,6 +10136,10 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // pooled census lower median; 2×k chi2 in cross-multiplied integers
+    // on the 1e-9 grid (the srm form); degenerate splits NULL
+    "q441_mood_median" ->
+      """WITH e AS (SELECT o_orderstatus AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), cen AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), pl AS (SELECT v, CAST(SUM(t) AS BIGINT) AS t FROM cen GROUP BY v), rk AS (SELECT v, t, CAST(SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER () AS BIGINT) AS n FROM pl), md AS (SELECT MIN(v) AS med FROM rk WHERE c >= (n + 1) // 2), pg AS (SELECT g, CAST(SUM(t) AS BIGINT) AS n_g, CAST(SUM(CASE WHEN v > md.med THEN t ELSE 0 END) AS BIGINT) AS n_above FROM cen, md GROUP BY g), st AS (SELECT *, CAST(SUM(n_g) OVER () AS BIGINT) AS nn, CAST(SUM(n_above) OVER () AS BIGINT) AS aa FROM pg), t2 AS (SELECT *, CAST(n_above AS DECIMAL(38,0)) * nn - CAST(n_g AS DECIMAL(38,0)) * aa AS d FROM st), t3 AS (SELECT *, CASE WHEN aa > 0 AND aa < nn THEN CAST(round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(n_g AS DOUBLE) * CAST(aa AS DOUBLE)), 9) AS DECIMAL(18,9)) + CAST(round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(n_g AS DOUBLE) * CAST(nn - aa AS DOUBLE)), 9) AS DECIMAL(18,9)) END AS term FROM t2) SELECT g, n_g, n_above, round(CAST(n_g AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS expected_above, round(CAST(SUM(term) OVER () AS DOUBLE), 6) AS chi2 FROM t3 ORDER BY g""",
     // per-step running-mean deviations on the 1e-9 grid; exact decimal
     // cumsum/min folds; peak tie broken by earliest bucket
     "q438_page_hinkley" ->
@@ -10163,8 +10201,9 @@ object SparkEntry {
     "q420_bh_fdr" ->
       """WITH c AS (SELECT n.n_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM customer JOIN nation n ON c_nationkey = n_nationkey), g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS na, SUM(CAST(cents AS DECIMAL(38,0))) AS sa, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS saa FROM c GROUP BY 1), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, SUM(CAST(cents AS DECIMAL(38,0))) AS st, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS stt FROM c), j AS (SELECT n_name, na, CAST(sa AS DOUBLE) AS saD, CAST(saa AS DOUBLE) AS saaD, nt - na AS nb, CAST(st - sa AS DOUBLE) AS sbD, CAST(stt - saa AS DOUBLE) AS sbbD FROM g, t), zc AS (SELECT n_name, (saD / CAST(na AS DOUBLE) - sbD / CAST(nb AS DOUBLE)) / sqrt(((CAST(na AS DOUBLE) * saaD - saD * saD) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) + ((CAST(nb AS DOUBLE) * sbbD - sbD * sbD) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)) AS z FROM j), pt AS (SELECT n_name, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zc), pp AS (SELECT n_name, round(z, 6) AS zr, round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), bh AS (SELECT n_name, zr, p, CAST(ROW_NUMBER() OVER (ORDER BY p, n_name) AS BIGINT) AS r, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pp), km AS (SELECT MAX(CASE WHEN p * CAST(m AS DOUBLE) <= CAST(r AS DOUBLE) * 0.05 THEN r END) AS kmax FROM bh) SELECT n_name AS nation, zr AS z, p, r AS p_rank, round(CAST(r AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 9) AS bh_crit, (km.kmax IS NOT NULL AND r <= km.kmax) AS rejected FROM bh, km ORDER BY p_rank""",
     // exact integer S and tie census; one pinned Z per key
-    "q421_mann_kendall" ->
-      """WITH b AS (SELECT event_type, (epoch_ns(ts) // 1000000000) // 86400 AS day FROM events), c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2), p AS (SELECT a.event_type, CAST(SUM(CASE WHEN b2.cnt > a.cnt THEN 1 WHEN b2.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s FROM c a JOIN c b2 ON a.event_type = b2.event_type AND a.day < b2.day GROUP BY 1), n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1), tt AS (SELECT event_type, CAST(SUM(tj * (tj - 1) * (2 * tj + 5)) AS BIGINT) AS tsum FROM (SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS tj FROM c GROUP BY 1, 2) GROUP BY 1), v AS (SELECT p.event_type, n.n, p.s, (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0) * (2.0 * CAST(n.n AS DOUBLE) + 5.0) - CAST(tt.tsum AS DOUBLE)) / 18.0 AS vs FROM p JOIN n USING (event_type) JOIN tt USING (event_type) WHERE n.n >= 3) SELECT event_type, n, s, round(vs, 6) AS var_s, round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(vs) WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(vs) ELSE 0.0 END, 6) AS z FROM v ORDER BY event_type""",
+    "q421_mann_kendall" -> mkSql,
+    // the streamed daily-census store must equal the batch trend test
+    "q440_stream_mk" -> mkSql,
     // the minimax replay at the PAVA domain: plan-independent optimum
     "q419_isotonic_pava" ->
       """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 20000 AS x, CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ys, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1), rk AS (SELECT x, ys, n, ROW_NUMBER() OVER (ORDER BY x) AS rn, CAST(SUM(ys) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp, CAST(SUM(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM b), pr AS (SELECT j.rn AS j, k.rn AS k, CAST(round(CAST(k.cp - (j.cp - j.ys) AS DOUBLE) / CAST(k.cc - (j.cc - j.n) AS DOUBLE), 12) AS DECIMAL(24,12)) AS avg FROM rk j JOIN rk k ON j.rn <= k.rn), m AS (SELECT j, k AS i, MIN(avg) OVER (PARTITION BY j ORDER BY k DESC ROWS UNBOUNDED PRECEDING) AS m FROM pr), f AS (SELECT i, MAX(m) AS f FROM m GROUP BY i) SELECT rk.x, rk.n, round(CAST(rk.ys AS DOUBLE) / CAST(rk.n AS DOUBLE), 6) AS raw_rate, round(CAST(f.f AS DOUBLE), 6) AS fitted_rate FROM rk JOIN f ON rk.rn = f.i ORDER BY rk.x""",

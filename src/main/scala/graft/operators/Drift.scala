@@ -828,6 +828,65 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** MOOD'S MEDIAN TEST — "do the groups share a MEDIAN": the coarse,
+    * outlier-immune k-group location test beside [[kruskalWallis]]
+    * (which uses full rank information) — the right gate when the data
+    * are heavy-tailed or censored at the ends. Counts each group's
+    * values strictly above the POOLED lower median (exact census order
+    * statistic, the [[brownForsythe]] rank lookup) and runs the 2×k
+    * contingency χ²: per cell, (O·N − n_g·A)²/(N·n_g·A) over exact
+    * integers (the [[srmCheck]] cross-multiplied form), terms once on
+    * the 1e-9 grid, decimal-summed. Degenerate splits (all above / none
+    * above) emit NULL. Census-domain shuffles only.
+    */
+  def moodMedian(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df
+      .groupBy(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val pooled = census.groupBy(col("v")).agg(sum(col("t")).as("t"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = pooled
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(Window.partitionBy()))
+      .filter(col("c") >= expr("(n + 1) div 2"))
+      .agg(min(col("v")).as("med"))
+    val perGroup = census.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(sum(col("t")).as("n_g"),
+        sum(when(col("v") > col("med"), col("t")).otherwise(0L))
+          .as("n_above"))
+    val tot = Window.partitionBy()
+    val staged = perGroup
+      .withColumn("nn", sum(col("n_g")).over(tot))
+      .withColumn("aa", sum(col("n_above")).over(tot))
+      .withColumn("d", col("n_above").cast(d38) * col("nn").cast(d38) -
+        col("n_g").cast(d38) * col("aa").cast(d38))
+      .withColumn("term",
+        when(col("aa") > 0L && col("aa") < col("nn"),
+          round(dbl(col("d")) * dbl(col("d")) /
+            (dbl(col("nn")) * dbl(col("n_g")) * dbl(col("aa"))), 9)
+            .cast(DecimalType(18, 9)) +
+          round(dbl(col("d")) * dbl(col("d")) /
+            (dbl(col("nn")) * dbl(col("n_g")) *
+              dbl(col("nn") - col("aa"))), 9)
+            .cast(DecimalType(18, 9))))
+    staged
+      .withColumn("chi2", sum(col("term")).over(tot))
+      .select(col("g"), col("n_g"), col("n_above"),
+        round(dbl(col("n_g")) * dbl(col("aa")) / dbl(col("nn")), 6)
+          .as("expected_above"),
+        round(dbl(col("chi2")), 6).as("chi2"))
+  }
+
   /** COCHRAN'S Q — the k-treatment test for PAIRED BINARY outcomes
     * ("did the same blocks succeed under different treatments"),
     * completing the family the way [[friedman]] completes

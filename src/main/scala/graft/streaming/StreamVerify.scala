@@ -789,6 +789,51 @@ object StreamVerify {
       graft.sources.TxLake.readSnapshot(spark, lake))
   }
 
+  /** STREAMING MANN–KENDALL maintenance: the monotone-trend screen
+    * (q421) maintained as an ingestion side effect — each micro-batch
+    * lands its partial (event_type, day, cnt) DAILY census as an
+    * exactly-once lake commit. Counts ADD, so the merged census equals
+    * the whole-corpus daily census however ingestion was batched, and
+    * the drained trend test ([[graft.operators.Trend.mannKendall]] over
+    * the merge-on-read store) is bit-equal to batch q421 — same oracle
+    * SQL. Fourth self-maintaining surface (q417 SRM, q422 conformal,
+    * q433 Welch): the store is day-domain-sized per key, never event
+    * volume, and the quadratic pair census runs only at READ time over
+    * that bounded domain.
+    */
+  def mannKendallMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/daily"
+    def censusOf(df: DataFrame): DataFrame =
+      df.select(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"mk-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val merged = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cnt")).as("cnt"))
+    graft.operators.Trend.mannKendall(merged, "event_type", "day", "cnt")
+      .select(col("k").as("event_type"), col("n"), col("s"),
+        col("var_s"), col("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -300,6 +300,23 @@ class ProfilingSpec extends SparkSuite {
       (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
   }
 
+  test("moodMedian: pooled lower median, 2xk chi2 = 6 exactly") {
+    import spark.implicits._
+    // pooled [1..6]: lower median 3; above-counts A=0, B=3 of A=3 total
+    // → each group's two cells contribute 1.5+1.5 → χ² = 6
+    val df = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(4L, 5L, 6L).map(("B", _)))
+      .toDF("g", "v")
+    val got = graft.operators.Drift.moodMedian(df, "v", "g")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 3L, 0L, 1.5, 6.0)))
+    assert(got("B") == (("B", 3L, 3L, 1.5, 6.0)))
+    // all values equal → nothing above the median → NULL, not 0/0
+    val flat = Seq(("A", 7L), ("B", 7L)).toDF("g", "v")
+    val g2 = graft.operators.Drift.moodMedian(flat, "v", "g").collect()
+    assert(g2.forall(_.isNullAt(4)))
+  }
+
   test("cochranQ: textbook Q = 3 exactly, all-identical blocks give NULL") {
     import spark.implicits._
     // C = (3,2,1), T = 6, ΣR² = 14, ΣC² = 14 → Q = 2·(42−36)/(18−14) = 3
