@@ -6218,6 +6218,47 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Post-hoc pairwise Welch contrasts gated by BH-FDR (composition:
+    * [[graft.operators.Drift.pairwiseWelch]] × q420's
+    * [[graft.operators.Drift.bhFdr]]): after q408's ANOVA says the
+    * priority groups differ, WHICH pairs differ — all 10 contrasts from
+    * one moment pass, pinned-polynomial p-values, step-up gate at
+    * α = 0.05.
+    */
+  private def q442(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      col("o_orderpriority"))
+    val pw = graft.operators.Drift.pairwiseWelch(o, "cents",
+        "o_orderpriority")
+      .withColumn("pair", concat_ws("|", col("ga"), col("gb")))
+    val bh = graft.operators.Drift.bhFdr(
+      pw.select(col("pair"), col("p")), "pair", "p", 0.05)
+    pw.join(bh.select(col("k").as("pair"), col("p_rank"), col("bh_crit"),
+        col("rejected")), "pair")
+      .select(col("ga"), col("gb"), col("t_stat"), col("p"),
+        col("p_rank"), col("bh_crit"), col("rejected"))
+      .orderBy(col("p_rank"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio + CMH χ²
+    * ([[graft.operators.Drift.mantelHaenszel]]): is URGENT/HIGH priority
+    * associated with fulfilled status once the order YEAR is held fixed
+    * — the stratified 2×2 effect readout a flat table confounds when
+    * year mix and baseline both drift; per-stratum terms on the 1e-9
+    * grid, two pinned ratios.
+    */
+  private def q443(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.mantelHaenszel(
+      T(s, dir, "orders").select(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority"), col("o_orderstatus")),
+      "yr",
+      expr("substring(o_orderpriority, 1, 1) IN ('1','2')"),
+      col("o_orderstatus") === "F")
+      .orderBy(col("stratum"))
+
   /** Streaming Mann–Kendall maintenance
     * ([[graft.streaming.StreamVerify.mannKendallMaintenance]]): q421's
     * trend screen kept current as an ingestion side effect — per-batch
@@ -8927,6 +8968,8 @@ object SparkEntry {
     "q439_seasonal_mk" -> (q439 _),
     "q440_stream_mk" -> (q440 _),
     "q441_mood_median" -> (q441 _),
+    "q442_pairwise_welch" -> (q442 _),
+    "q443_mantel_haenszel" -> (q443 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10136,6 +10179,13 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // one moment pass, k²/2 pair frame, the q420 polynomial + step-up
+    "q442_pairwise_welch" ->
+      """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS ss FROM e GROUP BY g), pr AS (SELECT a.g AS ga, b.g AS gb, CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb, CAST(a.s AS DOUBLE) AS sa, CAST(b.s AS DOUBLE) AS sb, CAST(a.ss AS DOUBLE) AS saa, CAST(b.ss AS DOUBLE) AS sbb FROM m a JOIN m b ON a.g < b.g), tz AS (SELECT ga, gb, (sa / na - sb / nb) / sqrt(((na * saa - sa * sa) / (na * (na - 1.0))) / na + ((nb * sbb - sb * sb) / (nb * (nb - 1.0))) / nb) AS t FROM pr), pt AS (SELECT ga, gb, t, 1.0 / (1.0 + 0.2316419 * abs(t)) AS tt FROM tz), pp AS (SELECT ga, gb, round(t, 6) AS t_stat, round(2.0 * 0.3989422804014327 * exp(-(abs(t) * abs(t)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), bh AS (SELECT *, ga || '|' || gb AS pair FROM pp), r1 AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p, pair) AS BIGINT) AS p_rank, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM bh), km AS (SELECT MAX(CASE WHEN p * CAST(m AS DOUBLE) <= CAST(p_rank AS DOUBLE) * 0.05 THEN p_rank END) AS kmax FROM r1) SELECT ga, gb, t_stat, p, p_rank, round(CAST(p_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 9) AS bh_crit, (km.kmax IS NOT NULL AND p_rank <= km.kmax) AS rejected FROM r1, km ORDER BY p_rank""",
+    // per-stratum 2×2 terms on the 1e-9 grid, decimal-summed; two
+    // pinned ratios (no continuity correction, as documented)
+    "q443_mantel_haenszel" ->
+      """WITH e AS (SELECT CAST(year(o_orderdate) AS VARCHAR) AS stratum, substr(o_orderpriority, 1, 1) IN ('1', '2') AS ex, o_orderstatus = 'F' AS oc FROM orders), cl AS (SELECT stratum, CAST(SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) AS d FROM e GROUP BY 1), t2 AS (SELECT *, a + b + c + d AS n FROM cl), t3 AS (SELECT *, CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DECIMAL(18,9)) AS ad, CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DECIMAL(18,9)) AS bc, CAST(round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DECIMAL(18,9)) AS e1, CASE WHEN n > 1 THEN CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END AS v1 FROM t2), ag AS (SELECT SUM(ad) AS sad, SUM(bc) AS sbc, SUM(e1) AS se1, SUM(v1) AS sv1, CAST(SUM(a) AS BIGINT) AS sa FROM t3) SELECT t3.stratum, t3.a, t3.b, t3.c, t3.d, round(CASE WHEN CAST(sbc AS DOUBLE) > 0.0 THEN CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE) END, 6) AS or_mh, round(CASE WHEN CAST(sv1 AS DOUBLE) > 0.0 THEN (CAST(sa AS DOUBLE) - CAST(se1 AS DOUBLE)) * (CAST(sa AS DOUBLE) - CAST(se1 AS DOUBLE)) / CAST(sv1 AS DOUBLE) END, 6) AS cmh_chi2 FROM t3, ag ORDER BY t3.stratum""",
     // pooled census lower median; 2×k chi2 in cross-multiplied integers
     // on the 1e-9 grid (the srm form); degenerate splits NULL
     "q441_mood_median" ->

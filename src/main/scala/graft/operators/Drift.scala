@@ -828,6 +828,101 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** PAIRWISE WELCH CONTRASTS — every group pair's two-sample t from ONE
+    * moment pass: the post-hoc step after [[anovaF]] says "the groups
+    * differ" and the analyst asks WHICH; feed the p-values to [[bhFdr]]
+    * to control the family-wise discovery rate (q442 composes exactly
+    * that). Group moments aggregate once (integer cents in DECIMAL
+    * sums), the k²/2 pair frame is group-domain-sized, each pair's
+    * t/df/p is the [[welchTTest]] finish plus the pinned
+    * [[normalTailP2]] tail (the z-approximation of the t tail — exact
+    * for the large-n pipeline contract, stated). p on the 1e-9 grid.
+    */
+  def pairwiseWelch(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val m = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("ss"))
+    val pairs = m.select(col("g").as("ga"), col("n").as("na0"),
+        col("s").as("sa"), col("ss").as("saa"))
+      .join(m.select(col("g").as("gb"), col("n").as("nb0"),
+        col("s").as("sb"), col("ss").as("sbb")), col("ga") < col("gb"))
+    val na = dbl(col("na0"))
+    val nb = dbl(col("nb0"))
+    val va = (na * dbl(col("saa")) - dbl(col("sa")) * dbl(col("sa"))) /
+      (na * (na - 1.0))
+    val vb = (nb * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))) /
+      (nb * (nb - 1.0))
+    val sea = va / na
+    val seb = vb / nb
+    val t = (dbl(col("sa")) / na - dbl(col("sb")) / nb) / sqrt(sea + seb)
+    pairs.select(col("ga"), col("gb"),
+      col("na0").as("n_a"), col("nb0").as("n_b"),
+      round(t, 6).as("t_stat"),
+      round(normalTailP2(t), 9).as("p"))
+  }
+
+  /** MANTEL–HAENSZEL pooled odds ratio + CMH test over STRATIFIED 2×2
+    * tables — "is exposure associated with outcome once the stratum
+    * (year, site, cohort) is held fixed": the confounding-aware effect
+    * readout a flat 2×2 ([[mcnemar]] is paired, this is stratified)
+    * gets wrong when strata differ in both mix and baseline.
+    *
+    *   OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ),
+    *   CMH χ² = (Σaᵢ − Σ r1ᵢc1ᵢ/nᵢ)² / Σ r1ᵢr2ᵢc1ᵢc2ᵢ/(nᵢ²(nᵢ−1))
+    *
+    * (no continuity correction — stated). Every per-stratum term is one
+    * pinned double over exact integer cells, quantized to the 1e-9 grid
+    * and decimal-summed (order-independent); the two final ratios are
+    * pinned doubles. Output: one row per stratum with its cells, the
+    * shared OR and χ² broadcast on (the mi_total shape); NULL OR when a
+    * side's sum is 0, NULL χ² on a degenerate variance.
+    */
+  def mantelHaenszel(
+      df: DataFrame,
+      stratumCol: String,
+      exposedCol: Column,
+      outcomeCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d189 = DecimalType(18, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    def g9(c: Column): Column = round(c, 9).cast(d189)
+    val cells = df.groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(
+        sum(when(exposedCol && outcomeCol, 1L).otherwise(0L)).as("a"),
+        sum(when(exposedCol && !outcomeCol, 1L).otherwise(0L)).as("b"),
+        sum(when(!exposedCol && outcomeCol, 1L).otherwise(0L)).as("c"),
+        sum(when(!exposedCol && !outcomeCol, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    val n = dbl(col("n"))
+    val terms = cells
+      .withColumn("ad", g9(dbl(col("a")) * dbl(col("d")) / n))
+      .withColumn("bc", g9(dbl(col("b")) * dbl(col("c")) / n))
+      .withColumn("e1", g9(dbl(col("a") + col("b")) *
+        dbl(col("a") + col("c")) / n))
+      .withColumn("v1", when(col("n") > 1L,
+        g9(dbl(col("a") + col("b")) * dbl(col("c") + col("d")) *
+          dbl(col("a") + col("c")) * dbl(col("b") + col("d")) /
+          (n * n * (n - lit(1.0))))).otherwise(g9(lit(0.0))))
+    val tot = Window.partitionBy()
+    val sad = sum(col("ad")).over(tot)
+    val sbc = sum(col("bc")).over(tot)
+    val se1 = sum(col("e1")).over(tot)
+    val sv1 = sum(col("v1")).over(tot)
+    val sa = sum(col("a")).over(tot)
+    val orMh = when(dbl(sbc) > 0.0, dbl(sad) / dbl(sbc))
+    val chi = when(dbl(sv1) > 0.0,
+      (dbl(sa) - dbl(se1)) * (dbl(sa) - dbl(se1)) / dbl(sv1))
+    terms.select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+      round(orMh, 6).as("or_mh"), round(chi, 6).as("cmh_chi2"))
+  }
+
   /** MOOD'S MEDIAN TEST — "do the groups share a MEDIAN": the coarse,
     * outlier-immune k-group location test beside [[kruskalWallis]]
     * (which uses full rank information) — the right gate when the data

@@ -300,6 +300,46 @@ class ProfilingSpec extends SparkSuite {
       (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
   }
 
+  test("pairwiseWelch: pair t matches welchTTest, all pairs present") {
+    import spark.implicits._
+    // A/B are the welchTTest hand case (t = -1.549193); C adds 2 pairs
+    val df = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(2L, 4L, 6L).map(("B", _))
+      ++ Seq(7L, 8L, 9L).map(("C", _))).toDF("g", "v")
+    val got = graft.operators.Drift.pairwiseWelch(df, "v", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size == 3)
+    val ab = got(("A", "B"))
+    assert(ab._1 == 3L && ab._2 == 3L && ab._3 == -1.549193)
+    assert(ab._4 > 0.0 && ab._4 < 1.0)
+    assert(got(("A", "C"))._3 < got(("A", "B"))._3,
+      "the far-apart pair must be more extreme")
+  }
+
+  test("mantelHaenszel: hand two-strata OR and CMH chi2") {
+    import spark.implicits._
+    // s1: (10,5,5,10) n=30; s2: (2,8,8,2) n=20 — opposite-direction
+    // strata pool to OR < 1 and a small chi2
+    def rows(st: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((st, true, true)) ++ Seq.fill(b)((st, true, false)) ++
+      Seq.fill(c)((st, false, true)) ++ Seq.fill(d)((st, false, false))
+    val df = (rows("s1", 10, 5, 5, 10) ++ rows("s2", 2, 8, 8, 2))
+      .toDF("st", "ex", "oc")
+    val r = graft.operators.Drift.mantelHaenszel(df, "st", col("ex"),
+      col("oc")).collect().map(x => x.getString(0) -> x).toMap
+    val g9 = (x: Double) => math.rint(x * 1e9) / 1e9
+    val sad = g9(100.0 / 30.0) + g9(4.0 / 20.0)
+    val sbc = g9(25.0 / 30.0) + g9(64.0 / 20.0)
+    val se1 = g9(225.0 / 30.0) + g9(100.0 / 20.0)
+    val sv1 = g9(50625.0 / (900.0 * 29.0)) + g9(10000.0 / (400.0 * 19.0))
+    val s1 = r("s1")
+    assert((s1.getLong(1), s1.getLong(2), s1.getLong(3), s1.getLong(4)) ==
+      ((10L, 5L, 5L, 10L)))
+    assert(s1.getDouble(5) == math.rint(sad / sbc * 1e6) / 1e6)
+    assert(s1.getDouble(6) ==
+      math.rint((12.0 - se1) * (12.0 - se1) / sv1 * 1e6) / 1e6)
+  }
+
   test("moodMedian: pooled lower median, 2xk chi2 = 6 exactly") {
     import spark.implicits._
     // pooled [1..6]: lower median 3; above-counts A=0, B=3 of A=3 total
