@@ -6218,6 +6218,58 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Cronbach's alpha ([[graft.operators.Drift.cronbachAlpha]]): do the
+    * five event types' daily volumes measure ONE underlying activity
+    * level — the internal-consistency gate before averaging them into a
+    * composite health score; items = types, observations = days
+    * (zero-filled spine), variance numerators pure integers to one
+    * pinned α.
+    */
+  private def q444(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+      .select(expr("(ts div 1000000000) div 86400").as("day"),
+        col("event_type"))
+    val counts = e.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = e.select(col("day")).distinct()
+      .crossJoin(broadcast(e.select(col("event_type")).distinct()))
+    val full = spine.join(counts, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("x"))
+    graft.operators.Drift.cronbachAlpha(full, "day", "event_type", "x")
+      .orderBy(col("i"))
+  }
+
+  /** MDE report ([[graft.operators.Drift.mdeReport]]): the minimum
+    * detectable effect of a 50/50 two-sample test per event type at
+    * current traffic — the pre-experiment power table every A/B
+    * platform publishes; pinned z literals (5% two-sided / 80% power),
+    * exact-moment variance, one pinned finish.
+    */
+  private def q445(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.mdeReport(
+      T(s, dir, "events").select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents")),
+      "event_type", "cents")
+      .orderBy(col("g"))
+
+  /** XmR control chart ([[graft.operators.Trend.xmrChart]]): natural
+    * process limits x̄ ± 2.66·M̄R per event type's hourly volume with
+    * special-cause violations — the SPC single-excursion flag beside
+    * q438's accumulating Page–Hinkley; exact integer sums, pinned
+    * limits, engine-exact point compares.
+    */
+  private def q446(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.xmrChart(hourly, "event_type", "hid", "cents")
+      .orderBy(col("event_type"))
+  }
+
   /** Post-hoc pairwise Welch contrasts gated by BH-FDR (composition:
     * [[graft.operators.Drift.pairwiseWelch]] × q420's
     * [[graft.operators.Drift.bhFdr]]): after q408's ANOVA says the
@@ -8970,6 +9022,9 @@ object SparkEntry {
     "q441_mood_median" -> (q441 _),
     "q442_pairwise_welch" -> (q442 _),
     "q443_mantel_haenszel" -> (q443 _),
+    "q444_cronbach_alpha" -> (q444 _),
+    "q445_mde_report" -> (q445 _),
+    "q446_xmr_chart" -> (q446 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10179,6 +10234,16 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // shared n(n−1) denominators cancel: integer variance numerators
+    // to ONE pinned alpha; zero-filled (day × type) spine
+    "q444_cronbach_alpha" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000000000 // 86400 AS day, event_type FROM events), cnt AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), sp AS (SELECT d.day, t.event_type FROM (SELECT DISTINCT day FROM e) d, (SELECT DISTINCT event_type FROM e) t), fl AS (SELECT sp.day AS o, sp.event_type AS i, COALESCE(cnt.n, 0) AS x FROM sp LEFT JOIN cnt ON sp.day = cnt.day AND sp.event_type = cnt.event_type), pi AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS s, SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx FROM fl GROUP BY i), pv AS (SELECT *, CAST(n AS DECIMAL(38,0)) * sxx - s * s AS vnum FROM pi), to1 AS (SELECT o, SUM(CAST(x AS DECIMAL(38,0))) AS t FROM fl GROUP BY o), tm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_obs, SUM(t) AS st, SUM(t * t) AS stt FROM to1), t2 AS (SELECT CAST(n_obs AS DECIMAL(38,0)) * stt - st * st AS tnum FROM tm), kk AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS k, SUM(vnum) AS svnum FROM pv) SELECT pv.i, pv.n, round(CAST(vnum AS DOUBLE) / (CAST(pv.n AS DOUBLE) * (CAST(pv.n AS DOUBLE) - 1.0)), 6) AS var_i, round(CASE WHEN t2.tnum > 0 THEN CAST(kk.k AS DOUBLE) / (CAST(kk.k AS DOUBLE) - 1.0) * (1.0 - CAST(kk.svnum AS DOUBLE) / CAST(t2.tnum AS DOUBLE)) END, 6) AS alpha FROM pv, t2, kk ORDER BY pv.i""",
+    // pinned z literals summed as the SAME two literals on both engines
+    "q445_mde_report" ->
+      """WITH e AS (SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events), m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS sxx FROM e GROUP BY g), f AS (SELECT g, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS variance FROM m WHERE n >= 2), f2 AS (SELECT *, (1.959964 + 0.841621) * sqrt(variance) * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) AS mde FROM f) SELECT g, n, round(mean, 6) AS mean, round(variance, 6) AS variance, round(mde, 6) AS mde_abs, round(CASE WHEN mean <> 0.0 THEN mde / mean END, 6) AS mde_rel FROM f2 ORDER BY g""",
+    // integer Σx and Σ|Δx|; pinned limits; engine-exact point compares
+    "q446_xmr_chart" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), mr AS (SELECT event_type, hid, v, abs(v - LAG(v) OVER (PARTITION BY event_type ORDER BY hid)) AS mr FROM h), st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(mr) AS BIGINT) AS smr, CAST(COUNT(mr) AS BIGINT) AS nmr FROM mr GROUP BY 1), lim AS (SELECT event_type, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar, CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE) AS mrbar FROM st WHERE nmr >= 1), l2 AS (SELECT *, xbar + 2.66 * mrbar AS ucl, xbar - 2.66 * mrbar AS lcl FROM lim), j AS (SELECT h.event_type AS k, h.hid, CAST(h.v AS DOUBLE) AS vd, l2.n, l2.xbar, l2.mrbar, l2.ucl, l2.lcl FROM h JOIN l2 ON h.event_type = l2.event_type) SELECT k AS event_type, MAX(n) AS n, round(MAX(xbar), 6) AS xbar, round(MAX(mrbar), 6) AS mr_bar, round(MAX(ucl), 6) AS ucl, round(MAX(lcl), 6) AS lcl, CAST(SUM(CASE WHEN vd > ucl OR vd < lcl THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, MIN(CASE WHEN vd > ucl OR vd < lcl THEN hid END) AS first_violation FROM j GROUP BY k ORDER BY event_type""",
     // one moment pass, k²/2 pair frame, the q420 polynomial + step-up
     "q442_pairwise_welch" ->
       """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS ss FROM e GROUP BY g), pr AS (SELECT a.g AS ga, b.g AS gb, CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb, CAST(a.s AS DOUBLE) AS sa, CAST(b.s AS DOUBLE) AS sb, CAST(a.ss AS DOUBLE) AS saa, CAST(b.ss AS DOUBLE) AS sbb FROM m a JOIN m b ON a.g < b.g), tz AS (SELECT ga, gb, (sa / na - sb / nb) / sqrt(((na * saa - sa * sa) / (na * (na - 1.0))) / na + ((nb * sbb - sb * sb) / (nb * (nb - 1.0))) / nb) AS t FROM pr), pt AS (SELECT ga, gb, t, 1.0 / (1.0 + 0.2316419 * abs(t)) AS tt FROM tz), pp AS (SELECT ga, gb, round(t, 6) AS t_stat, round(2.0 * 0.3989422804014327 * exp(-(abs(t) * abs(t)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), bh AS (SELECT *, ga || '|' || gb AS pair FROM pp), r1 AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p, pair) AS BIGINT) AS p_rank, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM bh), km AS (SELECT MAX(CASE WHEN p * CAST(m AS DOUBLE) <= CAST(p_rank AS DOUBLE) * 0.05 THEN p_rank END) AS kmax FROM r1) SELECT ga, gb, t_stat, p, p_rank, round(CAST(p_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 9) AS bh_crit, (km.kmax IS NOT NULL AND p_rank <= km.kmax) AS rejected FROM r1, km ORDER BY p_rank""",

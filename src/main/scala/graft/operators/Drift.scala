@@ -828,6 +828,97 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** CRONBACH'S ALPHA — internal-consistency reliability of k ITEMS
+    * measured over the same observations ("do these k signals measure
+    * one underlying thing"): the gate before anyone averages k metrics
+    * into a composite score. Callers supply the complete (obs, item,
+    * value) frame.
+    *
+    *   α = k/(k−1) · (1 − Σᵢ varᵢ / var_total)
+    *
+    * Sample variances share the n(n−1) denominator, so the ratio
+    * rewrites over pure integer numerators: Σᵢ(n·Σx² − Sᵢ²) over
+    * n·ΣT² − (ΣT)² with T the per-observation totals — exact
+    * DECIMAL(38,0) to one pinned double. Item-domain output with α
+    * broadcast; NULL on zero total variance.
+    */
+  def cronbachAlpha(
+      df: DataFrame,
+      obsCol: String,
+      itemCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val rows = df.select(col(obsCol).cast("string").as("o"),
+      col(itemCol).cast("string").as("i"),
+      col(valueCol).cast("long").as("x"))
+    val perItem = rows.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("s"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
+      .withColumn("vnum",
+        col("n").cast(d38) * col("sxx") - col("s") * col("s"))
+    val totals = rows.groupBy(col("o"))
+      .agg(sum(col("x").cast(d38)).as("tt"))
+      .agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+        sum(col("tt") * col("tt")).as("stt"))
+      .withColumn("tnum",
+        col("n").cast(d38) * col("stt") - col("st") * col("st"))
+    val tot = Window.partitionBy()
+    val staged = perItem
+      .withColumn("kk", count(lit(1)).over(tot).cast(d38))
+      .withColumn("svnum", sum(col("vnum")).over(tot))
+      .crossJoin(broadcast(totals.select(col("tnum"), col("n").as("n_obs"))))
+    val denom = dbl(col("n")) * (dbl(col("n")) - 1.0)
+    val alpha = dbl(col("kk")) / (dbl(col("kk")) - 1.0) *
+      (lit(1.0) - dbl(col("svnum")) / dbl(col("tnum")))
+    staged.select(col("i"), col("n"),
+      round(dbl(col("vnum")) / denom, 6).as("var_i"),
+      round(when(col("tnum") > lit(0).cast(d38), alpha), 6).as("alpha"))
+  }
+
+  /** MDE REPORT — "what effect size could this metric even detect at
+    * current traffic": the pre-experiment power calculation every A/B
+    * platform runs before anyone ships a test. Per group, the minimum
+    * detectable effect of a two-sample mean test at a 50/50 split of
+    * the group's n:
+    *
+    *   MDE = (z_{α/2} + z_β) · σ · √(2 / (n/2))
+    *
+    * with the z critical values PINNED literals supplied by the caller
+    * (1.959964/0.841621 for the classic 5%/80%). σ² is the exact-moment
+    * sample variance ((nΣx² − S²)/(n(n−1)) over integer cents), the
+    * finish one pinned double expression; relative MDE divides by the
+    * exact mean. Group-domain everything.
+    */
+  def mdeReport(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      zAlpha: Double = 1.959964,
+      zBeta: Double = 0.841621): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val m = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("sxx"))
+      .filter(col("n") >= 2L)
+    val n = dbl(col("n"))
+    val mean = dbl(col("s")) / n
+    val variance = (n * dbl(col("sxx")) - dbl(col("s")) * dbl(col("s"))) /
+      (n * (n - 1.0))
+    val mde = lit(zAlpha + zBeta) * sqrt(variance) *
+      sqrt(lit(2.0) / (n / 2.0))
+    m.select(col("g"), col("n"),
+      round(mean, 6).as("mean"),
+      round(variance, 6).as("variance"),
+      round(mde, 6).as("mde_abs"),
+      round(when(mean =!= lit(0.0), mde / mean), 6).as("mde_rel"))
+  }
+
   /** PAIRWISE WELCH CONTRASTS — every group pair's two-sample t from ONE
     * moment pass: the post-hoc step after [[anovaF]] says "the groups
     * differ" and the analyst asks WHICH; feed the p-values to [[bhFdr]]

@@ -1150,6 +1150,55 @@ object Trend {
       .withColumn("alarmed", col("alarm_bucket").isNotNull)
   }
 
+  /** XmR (individuals + moving range) CONTROL CHART per key — the SPC
+    * workhorse for "is this series just noise or did something change":
+    * natural process limits x̄ ± 2.66·M̄R from the mean moving range
+    * (2.66 = 3/d₂ for n=2, the standard constant), points outside are
+    * special-cause signals. The ops-facing cousin of [[pageHinkley]]
+    * (which accumulates; XmR flags single excursions).
+    *
+    * Exactness: Σx and Σ|Δx| are exact integers (cents), x̄ / M̄R / the
+    * limits are pinned double expressions over them, and each point's
+    * violation compare runs on those identical doubles — engine-exact.
+    * One lag-window pass, key-partitioned; ≥ 2 points per key.
+    */
+  def xmrChart(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      centsCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+      col(centsCol).cast("long").as("__v"))
+    val withMr = base
+      .withColumn("__mr", abs(col("__v") - lag(col("__v"), 1).over(byKey)))
+    val stats = withMr.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
+        sum(col("__mr")).as("smr"),
+        count(col("__mr")).as("nmr"))
+      .filter(col("nmr") >= 1L)
+    val xbar = dbl(col("s")) / dbl(col("n"))
+    val mrbar = dbl(col("smr")) / dbl(col("nmr"))
+    val limits = stats.select(col(keyCol), col("n"),
+      xbar.as("__xbar"), mrbar.as("__mrbar"),
+      (xbar + lit(2.66) * mrbar).as("__ucl"),
+      (xbar - lit(2.66) * mrbar).as("__lcl"))
+    base.join(limits, Seq(keyCol.toString))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"),
+        round(max(col("__xbar")), 6).as("xbar"),
+        round(max(col("__mrbar")), 6).as("mr_bar"),
+        round(max(col("__ucl")), 6).as("ucl"),
+        round(max(col("__lcl")), 6).as("lcl"),
+        sum(when(dbl(col("__v")) > col("__ucl") ||
+          dbl(col("__v")) < col("__lcl"), 1L).otherwise(0L))
+          .as("n_violations"),
+        min(when(dbl(col("__v")) > col("__ucl") ||
+          dbl(col("__v")) < col("__lcl"), col("__b")))
+          .as("first_violation"))
+  }
+
   /** SEASONAL MANN–KENDALL — [[mannKendall]] computed WITHIN each season
     * (hour-of-day, month, …) and combined: S = Σ_h S_h and
     * Var = Σ_h Var_h (seasons are independent under H₀), so a diurnal

@@ -300,6 +300,30 @@ class ProfilingSpec extends SparkSuite {
       (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
   }
 
+  test("cronbachAlpha: perfectly correlated items, hand alpha = 8/9") {
+    import spark.implicits._
+    // A=[1,2,3], B=[2,4,6]: vnums 6+24=30, totals [3,6,9] → tnum 54,
+    // α = 2·(1 − 30/54) = 0.888889 on the grid
+    val df = Seq(("o1", "A", 1L), ("o2", "A", 2L), ("o3", "A", 3L),
+      ("o1", "B", 2L), ("o2", "B", 4L), ("o3", "B", 6L))
+      .toDF("o", "i", "x")
+    val got = graft.operators.Drift.cronbachAlpha(df, "o", "i", "x")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 3L, 1.0, math.rint(2.0 * (1.0 - 30.0 / 54.0) * 1e6) / 1e6)))
+    assert(got("B")._3 == 4.0)
+  }
+
+  test("mdeReport: hand MDE from exact moments") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L)).toDF("g", "v")
+    val r = graft.operators.Drift.mdeReport(df, "g", "v").head()
+    val mde = (1.959964 + 0.841621) * math.sqrt(1.0) *
+      math.sqrt(2.0 / (3.0 / 2.0))
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3)) == ((3L, 2.0, 1.0)))
+    assert(r.getDouble(4) == math.rint(mde * 1e6) / 1e6)
+    assert(r.getDouble(5) == math.rint(mde / 2.0 * 1e6) / 1e6)
+  }
+
   test("pairwiseWelch: pair t matches welchTTest, all pairs present") {
     import spark.implicits._
     // A/B are the welchTTest hand case (t = -1.549193); C adds 2 pairs

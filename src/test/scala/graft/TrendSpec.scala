@@ -105,6 +105,22 @@ class TrendSpec extends SparkSuite {
     assert(out("s")._2 == 2L, "n=3 keeps lags 1..2 (lag < n)")
   }
 
+  test("xmrChart: limits from the mean moving range, spike flagged") {
+    // a = [10,12,10,12,40]: x̄=16.8, MR̄=34/4=8.5 → UCL=16.8+2.66·8.5
+    // = 39.41 < 40 → one violation at bucket 4; b in-control
+    val rows = Seq(("a", 0L, 10L), ("a", 1L, 12L), ("a", 2L, 10L),
+      ("a", 3L, 12L), ("a", 4L, 40L), ("b", 0L, 5L), ("b", 1L, 6L))
+    val df = rows.toDF("k", "b", "cents")
+    val got = Trend.xmrChart(df, "k", "b", "cents")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 5L && a.getDouble(2) == 16.8 &&
+      a.getDouble(3) == 8.5)
+    assert(a.getDouble(4) == math.rint((16.8 + 2.66 * 8.5) * 1e6) / 1e6)
+    assert(a.getLong(6) == 1L && a.getLong(7) == 4L)
+    assert(got("b").getLong(6) == 0L && got("b").isNullAt(7))
+  }
+
   test("pageHinkley: running-mean deviations, alarm at the shift, flat = 0") {
     // a = [10,10,10,40]: terms 0,0,0,22.5 → ph peaks 22.5 at bucket 3,
     // crossing λ=15 there; b flat → ph 0 everywhere, peak tie → bucket 0
