@@ -463,6 +463,45 @@ object ScaleProbe {
           lineitemAt(f).select(col("l_partkey"), col("l_orderkey")),
           "l_partkey", "l_orderkey", 2, 8))
       },
+      "rake_keywords" -> { () =>
+        // q434: one explode pass + word/phrase-domain stats; text domain
+        // scales with the factor (replica-tagged) — slope must be ~linear
+        // in corpus tokens, never phrase²
+        consume(graft.operators.TextPipeline.rakeKeywords(
+          documentsAt(f), "doc_id", "text", topN = 20))
+      },
+      "jonckheere" -> { () =>
+        // q435: the pair join is CELL-census² — quantity domain is fixed
+        // (1..50) and the group domain is pinned to 5, so the pair frame
+        // is constant at every factor; slope must track the scan alone
+        consume(graft.operators.Drift.jonckheereTerpstra(
+          lineitemAt(f).select(pmod(col("l_partkey"), lit(5L)).as("g"),
+            col("l_quantity").cast("long").as("v")), "g", "v"))
+      },
+      "page_hinkley" -> { () =>
+        // q438: hourly census per type is TIME-domain-sized (replicas
+        // share the time range), so the window folds run over a constant
+        // frame and the slope is the aggregation scan
+        val hourly = eventsAt(f)
+          .groupBy(col("event_type"), (evSec.cast("long") / 3600).cast("long").as("hid"))
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+            .as("cents"))
+        consume(graft.operators.Trend.pageHinkley(
+          hourly, "event_type", "hid", "cents", 0.0, 100000.0))
+      },
+      "ranking_metrics" -> { () =>
+        // q431: fixed 8-query panel broadcast against an f×-replicated
+        // corpus — one corpus scan per factor, score rows 8·|corpus|;
+        // linear by construction, the knnBrute scan shape
+        val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        val reps = spark.range(f).select(col("id").cast("long").as("__rep"))
+        val corpus = emb.crossJoin(reps)
+          .select((col("vec_id") + col("__rep") * 1000000L).as("vec_id"),
+            col("embedding"), col("label"))
+        consume(graft.operators.Similarity.rankingMetrics(
+          corpus, corpus.filter(col("vec_id") < 8), "vec_id", "embedding",
+          "label", k = 10))
+      },
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
       // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not

@@ -6218,6 +6218,76 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Cohen's kappa ([[graft.operators.Drift.cohenKappa]]):
+    * chance-corrected agreement between the "urgent/high priority" and
+    * "fulfilled status" flags — how much the two binary signals agree
+    * beyond what their base rates force; pure-integer cross-multiplied
+    * κ, one pinned division.
+    */
+  private def q447(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.cohenKappa(
+      T(s, dir, "orders"),
+      expr("substring(o_orderpriority, 1, 1) IN ('1','2')"),
+      col("o_orderstatus") === "F")
+
+  /** Wald–Wolfowitz runs test ([[graft.operators.Drift.runsTest]]): is
+    * each event type's hourly above-mean/below-mean sequence RANDOM or
+    * does it cluster into regimes — the order-sensitive complement of
+    * the distribution tests; the flag is the exact integer compare
+    * v·n > S, runs counted in one lag pass, pinned Z.
+    */
+  private def q448(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    val wk = Window.partitionBy(col("event_type"))
+    val flagged = hourly
+      .withColumn("nk", count(lit(1)).over(wk))
+      .withColumn("sk", sum(col("cents")).over(wk))
+      .select(col("event_type"), col("hid"),
+        (col("cents") * col("nk") > col("sk")).as("above"))
+    graft.operators.Drift.runsTest(flagged, "event_type", "hid",
+        col("above"))
+      .orderBy(col("k"))
+  }
+
+  /** Chapman capture–recapture
+    * ([[graft.operators.Sketches.captureRecapture]]): estimate the TOTAL
+    * user population — including users neither window saw — from the
+    * first-half/second-half observation overlap; the coverage estimator
+    * count-distinct structurally can't produce, with the closed-form
+    * Chapman CI.
+    */
+  private def q449(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000000").as("sec"))
+    val b = e.agg(min(col("sec")), max(col("sec"))).head()
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    graft.operators.Sketches.captureRecapture(
+      e.filter(col("sec") <= mid), e.filter(col("sec") > mid), "user_id")
+  }
+
+  /** Bland–Altman agreement ([[graft.operators.Reconcile.blandAltman]]):
+    * order header price vs the order's summed line prices — bias and
+    * 95% limits of agreement between the two "measurements" of the same
+    * order, plus the outside-limits count; the calibrated follow-up to
+    * q348's whether-they-differ fingerprints.
+    */
+  private def q450(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(expr(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("li_cents"))
+    val o = T(s, dir, "orders").select(col("o_orderkey"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("o_cents"))
+    graft.operators.Reconcile.blandAltman(
+      o.join(li, col("o_orderkey") === col("l_orderkey")),
+      "o_cents", "li_cents")
+  }
+
   /** Cronbach's alpha ([[graft.operators.Drift.cronbachAlpha]]): do the
     * five event types' daily volumes measure ONE underlying activity
     * level — the internal-consistency gate before averaging them into a
@@ -9025,6 +9095,10 @@ object SparkEntry {
     "q444_cronbach_alpha" -> (q444 _),
     "q445_mde_report" -> (q445 _),
     "q446_xmr_chart" -> (q446 _),
+    "q447_cohen_kappa" -> (q447 _),
+    "q448_runs_test" -> (q448 _),
+    "q449_capture_recapture" -> (q449 _),
+    "q450_bland_altman" -> (q450 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10234,6 +10308,18 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // cross-multiplied kappa over the 2×2 census — pure integers
+    "q447_cohen_kappa" ->
+      """WITH e AS (SELECT substr(o_orderpriority, 1, 1) IN ('1', '2') AS r1, o_orderstatus = 'F' AS r2 FROM orders), c AS (SELECT CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(SUM(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(SUM(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM e), t AS (SELECT *, a + b + c + d AS n FROM c), k AS (SELECT *, CAST(a + b AS DECIMAL(38,0)) * (a + c) + CAST(c + d AS DECIMAL(38,0)) * (b + d) AS pe2 FROM t) SELECT a, b, c, d, n, round(CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed, round(CASE WHEN CAST(n AS DECIMAL(38,0)) * n - pe2 <> 0 THEN CAST(CAST(n AS DECIMAL(38,0)) * (a + d) - pe2 AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * n - pe2 AS DOUBLE) END, 6) AS kappa FROM k""",
+    // exact above-mean flags (v·n > S), one lag pass, pinned moments
+    "q448_runs_test" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), f AS (SELECT event_type AS k, hid AS t, CASE WHEN v * (COUNT(*) OVER (PARTITION BY event_type)) > (SUM(v) OVER (PARTITION BY event_type)) THEN 1 ELSE 0 END AS xi FROM h), r AS (SELECT k, t, xi, CASE WHEN LAG(xi) OVER (PARTITION BY k ORDER BY t) IS NULL OR LAG(xi) OVER (PARTITION BY k ORDER BY t) <> xi THEN 1 ELSE 0 END AS nw FROM f), a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(xi) AS BIGINT) AS n1, CAST(SUM(nw) AS BIGINT) AS runs FROM r GROUP BY k), a2 AS (SELECT *, n - n1 AS n0, CAST(2 AS DECIMAL(38,0)) * n1 * (n - n1) AS p FROM a) SELECT k, n, n1, n0, runs, round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE) + 1.0, 6) AS expected_runs, round(CASE WHEN n1 > 0 AND n0 > 0 AND n > 1 THEN (CAST(runs AS DOUBLE) - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE) + 1.0)) / sqrt(CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END, 6) AS z FROM a2 ORDER BY k""",
+    // two distinct windows, full-outer overlap, Chapman closed form
+    "q449_capture_recapture" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS sec FROM events), b AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS mid FROM e), s1 AS (SELECT DISTINCT user_id FROM e, b WHERE sec <= b.mid), s2 AS (SELECT DISTINCT user_id FROM e, b WHERE sec > b.mid), j AS (SELECT s1.user_id IS NOT NULL AS in1, s2.user_id IS NOT NULL AS in2 FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id), a AS (SELECT CAST(SUM(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, CAST(SUM(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(SUM(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT) AS m, CAST(COUNT(*) AS BIGINT) AS n_seen FROM j), f AS (SELECT *, CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) / CAST(m + 1 AS DOUBLE) - 1.0 AS nh, CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE) * CAST(n1 - m AS DOUBLE) * CAST(n2 - m AS DOUBLE) / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE) * CAST(m + 2 AS DOUBLE)) AS varn FROM a) SELECT n1, n2, m, n_seen, round(nh, 6) AS n_hat, round(sqrt(varn), 6) AS se, round(nh - 1.959964 * sqrt(varn), 6) AS ci_lo, round(nh + 1.959964 * sqrt(varn), 6) AS ci_hi FROM f""",
+    // header-vs-detail bias and limits of agreement; exact diffs
+    "q450_bland_altman" ->
+      """WITH li AS (SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS lc FROM lineitem GROUP BY 1), o AS (SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS oc FROM orders), d AS (SELECT oc - lc AS d FROM o JOIN li ON o_orderkey = l_orderkey), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(d AS DECIMAL(38,0))) AS s, SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS ss FROM d), f AS (SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS bias, CASE WHEN n > 1 THEN sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS sd FROM m), f2 AS (SELECT *, bias - 1.959964 * sd AS lo, bias + 1.959964 * sd AS hi FROM f) SELECT f2.n, round(f2.bias, 6) AS bias, round(f2.sd, 6) AS sd_diff, round(f2.lo, 6) AS loa_lo, round(f2.hi, 6) AS loa_hi, CAST(SUM(CASE WHEN CAST(d.d AS DOUBLE) < f2.lo OR CAST(d.d AS DOUBLE) > f2.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outside FROM d, f2 GROUP BY 1, 2, 3, 4, 5""",
     // shared n(n−1) denominators cancel: integer variance numerators
     // to ONE pinned alpha; zero-filled (day × type) spine
     "q444_cronbach_alpha" ->

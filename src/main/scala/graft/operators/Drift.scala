@@ -828,6 +828,84 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** COHEN'S KAPPA — chance-corrected agreement between two BINARY
+    * raters over the same units ("do these two flags/systems/annotators
+    * agree beyond what their base rates force"): the labeling-QA gate
+    * beside [[mcnemar]] (which asks about DISAGREEMENT direction; kappa
+    * scores agreement level). Cross-multiplied to pure integers:
+    *
+    *   κ = (n(a+d) − [(a+b)(a+c) + (c+d)(b+d)]) / (n² − [...])
+    *
+    * — exact DECIMAL(38,0) to one pinned division; NULL when chance
+    * agreement is total (denominator 0). One 2×2 census pass.
+    */
+  def cohenKappa(
+      df: DataFrame,
+      rater1: Column,
+      rater2: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val cells = df.agg(
+      sum(when(rater1 && rater2, 1L).otherwise(0L)).as("a"),
+      sum(when(rater1 && !rater2, 1L).otherwise(0L)).as("b"),
+      sum(when(!rater1 && rater2, 1L).otherwise(0L)).as("c"),
+      sum(when(!rater1 && !rater2, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    val pe2 = (col("a") + col("b")).cast(d38) * (col("a") + col("c")).cast(d38) +
+      (col("c") + col("d")).cast(d38) * (col("b") + col("d")).cast(d38)
+    val num = col("n").cast(d38) * (col("a") + col("d")).cast(d38) - pe2
+    val den = col("n").cast(d38) * col("n").cast(d38) - pe2
+    cells.select(col("a"), col("b"), col("c"), col("d"), col("n"),
+      round(dbl((col("a") + col("d")).cast(d38)) / dbl(col("n")), 6)
+        .as("p_observed"),
+      round(when(den =!= lit(0).cast(d38), dbl(num) / dbl(den)), 6)
+        .as("kappa"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST per key — "is this binary sequence random
+    * or does it cluster": too FEW runs = positive serial dependence
+    * (regimes), too many = oscillation; the order-sensitive complement
+    * of the distributional tests. R = number of runs counted by one
+    * lag-window pass;
+    *
+    *   E[R] = 2n₁n₀/n + 1,  Var = 2n₁n₀(2n₁n₀ − n) / (n²(n−1))
+    *
+    * over exact integers (2n₁n₀ in DECIMAL38), Z one pinned double.
+    * Degenerate sequences (all one symbol, n < 2) emit NULL Z.
+    */
+  def runsTest(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      flagCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val byKey = Window.partitionBy(col("k")).orderBy(col("t"))
+    val base = df.select(col(keyCol).as("k"),
+      col(orderCol).cast("long").as("t"),
+      when(flagCol, 1L).otherwise(0L).as("x"))
+    val agg = base
+      .withColumn("__new",
+        when(lag(col("x"), 1).over(byKey).isNull ||
+          lag(col("x"), 1).over(byKey) =!= col("x"), 1L).otherwise(0L))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("n1"),
+        sum(col("__new")).as("runs"))
+      .withColumn("n0", col("n") - col("n1"))
+    val p = lit(2L).cast(d38) * col("n1").cast(d38) * col("n0").cast(d38)
+    val er = dbl(p) / dbl(col("n")) + lit(1.0)
+    val varR = dbl(p) * (dbl(p) - dbl(col("n"))) /
+      (dbl(col("n")) * dbl(col("n")) * (dbl(col("n")) - 1.0))
+    val z = (dbl(col("runs")) - er) / sqrt(varR)
+    agg.select(col("k"), col("n"), col("n1"), col("n0"), col("runs"),
+      round(er, 6).as("expected_runs"),
+      round(when(col("n1") > 0L && col("n0") > 0L && col("n") > 1L, z), 6)
+        .as("z"))
+  }
+
   /** CRONBACH'S ALPHA — internal-consistency reliability of k ITEMS
     * measured over the same observations ("do these k signals measure
     * one underlying thing"): the gate before anyone averages k metrics

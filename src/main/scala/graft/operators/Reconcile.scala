@@ -316,4 +316,47 @@ object Reconcile {
     }).toIndexedSeq
     spark.createDataFrame(rows).toDF("field", "verdict", "detail")
   }
+
+  /** BLAND–ALTMAN AGREEMENT — do two measurement SYSTEMS agree on the
+    * same units: bias (mean difference) and 95% limits of agreement
+    * bias ± 1.959964·SD(diff), plus the share of units outside — the
+    * calibrated follow-up to the row-level diff surfaces here
+    * ([[fingerprint]] says WHETHER they differ; this says BY HOW MUCH
+    * and whether the disagreement is systematic or noise). Callers
+    * supply one row per unit with both measurements in integer cents.
+    *
+    * Exact integer Σd / Σd² in DECIMAL(38,0), sample SD and the limits
+    * one pinned double expression each; the outside-count compares each
+    * exact diff against those identical doubles. NULL limits below 2
+    * units.
+    */
+  def blandAltman(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val diffs = df.select(
+      (col(aCol).cast("long") - col(bCol).cast("long")).as("d"))
+    val m = diffs.agg(count(lit(1)).as("n"),
+      sum(col("d").cast(d38)).as("s"),
+      sum(col("d").cast(d38) * col("d").cast(d38)).as("ss"))
+    val n = dbl(col("n"))
+    val bias = dbl(col("s")) / n
+    val sd = when(col("n") > 1L,
+      sqrt((n * dbl(col("ss")) - dbl(col("s")) * dbl(col("s"))) /
+        (n * (n - 1.0))))
+    val lims = m.select(col("n"), bias.as("__bias"), sd.as("__sd"),
+      (bias - lit(1.959964) * sd).as("__lo"),
+      (bias + lit(1.959964) * sd).as("__hi"))
+    diffs.crossJoin(broadcast(lims))
+      .agg(max(col("n")).as("n"),
+        round(max(col("__bias")), 6).as("bias"),
+        round(max(col("__sd")), 6).as("sd_diff"),
+        round(max(col("__lo")), 6).as("loa_lo"),
+        round(max(col("__hi")), 6).as("loa_hi"),
+        sum(when(dbl(col("d")) < col("__lo") ||
+          dbl(col("d")) > col("__hi"), 1L).otherwise(0L)).as("n_outside"))
+  }
 }

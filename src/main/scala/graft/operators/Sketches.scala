@@ -693,4 +693,43 @@ object Sketches {
     agg.select(col("g"), col("n_regs"), col("v_empty"),
       round(e, 6).as("estimate"))
   }
+
+  /** CHAPMAN CAPTURE–RECAPTURE — estimate a POPULATION you only sample:
+    * two overlapping observation windows ("captures") of the same
+    * universe give N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with m the overlap — the
+    * coverage estimator for "how many distinct users/entities exist,
+    * including the ones neither window saw" that a plain
+    * count-distinct (q37's HLL, q366's bitmaps) structurally cannot
+    * answer. Assumes equal catchability across windows (stated).
+    *
+    * One distinct-per-window census; the estimate is exact integer
+    * arithmetic to one pinned division, with the closed-form Chapman
+    * variance for a CI. Output one row per key domain split.
+    */
+  def captureRecapture(
+      sample1: DataFrame,
+      sample2: DataFrame,
+      idCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val s1 = sample1.select(col(idCol).as("id")).distinct()
+      .withColumn("in1", lit(1L))
+    val s2 = sample2.select(col(idCol).as("id")).distinct()
+      .withColumn("in2", lit(1L))
+    val j = s1.join(s2, Seq("id"), "full")
+      .agg(sum(coalesce(col("in1"), lit(0L))).as("n1"),
+        sum(coalesce(col("in2"), lit(0L))).as("n2"),
+        sum(when(col("in1").isNotNull && col("in2").isNotNull, 1L)
+          .otherwise(0L)).as("m"),
+        count(lit(1)).as("n_seen"))
+    val nh = dbl(col("n1") + 1L) * dbl(col("n2") + 1L) /
+      dbl(col("m") + 1L) - lit(1.0)
+    val varN = dbl(col("n1") + 1L) * dbl(col("n2") + 1L) *
+      dbl(col("n1") - col("m")) * dbl(col("n2") - col("m")) /
+      (dbl(col("m") + 1L) * dbl(col("m") + 1L) * dbl(col("m") + 2L))
+    j.select(col("n1"), col("n2"), col("m"), col("n_seen"),
+      round(nh, 6).as("n_hat"),
+      round(sqrt(varN), 6).as("se"),
+      round(nh - lit(1.959964) * sqrt(varN), 6).as("ci_lo"),
+      round(nh + lit(1.959964) * sqrt(varN), 6).as("ci_hi"))
+  }
 }

@@ -300,6 +300,55 @@ class ProfilingSpec extends SparkSuite {
       (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
   }
 
+  test("cohenKappa: hand 2x2 gives kappa = 0.4 exactly; runs test moments") {
+    import spark.implicits._
+    // cells (20,5,10,15): po=0.7, pe2=1250, κ = 500/1250 = 0.4
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = graft.operators.Drift.cohenKappa(rows.toDF("r1", "r2"),
+      col("r1"), col("r2")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((20L, 5L, 10L, 15L)))
+    assert(r.getDouble(5) == 0.7 && r.getDouble(6) == 0.4)
+    // runs test: [1,1,0,0,1] → 3 runs, E=3.4, Var=0.84; all-true → NULL z
+    val seq1 = Seq(("a", 0L, true), ("a", 1L, true), ("a", 2L, false),
+      ("a", 3L, false), ("a", 4L, true), ("b", 0L, true), ("b", 1L, true))
+    val got = graft.operators.Drift.runsTest(seq1.toDF("k", "t", "f"),
+      "k", "t", col("f")).collect().map(x => x.getString(0) -> x).toMap
+    val a = got("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4)) ==
+      ((5L, 3L, 2L, 3L)))
+    assert(a.getDouble(5) == 3.4)
+    assert(a.getDouble(6) ==
+      math.rint((3.0 - 3.4) / math.sqrt(0.84) * 1e6) / 1e6)
+    assert(got("b").isNullAt(6))
+  }
+
+  test("captureRecapture: Chapman estimate and CI from hand overlap") {
+    import spark.implicits._
+    val s1 = Seq(1L, 2L, 3L).toDF("id")
+    val s2 = Seq(2L, 3L, 4L, 5L).toDF("id")
+    val r = graft.operators.Sketches.captureRecapture(s1, s2, "id").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 4L, 2L, 5L)))
+    val nh = 4.0 * 5.0 / 3.0 - 1.0
+    val se = math.sqrt(4.0 * 5.0 * 1.0 * 2.0 / (3.0 * 3.0 * 4.0))
+    assert(r.getDouble(4) == math.rint(nh * 1e6) / 1e6)
+    assert(r.getDouble(5) == math.rint(se * 1e6) / 1e6)
+  }
+
+  test("blandAltman: bias, limits, outside count from exact diffs") {
+    import spark.implicits._
+    // diffs [1, 3]: bias 2, sd √2; both inside the limits
+    val df = Seq((10L, 9L), (10L, 7L)).toDF("a", "b")
+    val r = graft.operators.Reconcile.blandAltman(df, "a", "b").head()
+    val sd = math.sqrt(2.0)
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 2.0)
+    assert(r.getDouble(2) == math.rint(sd * 1e6) / 1e6)
+    assert(r.getDouble(3) == math.rint((2.0 - 1.959964 * sd) * 1e6) / 1e6)
+    assert(r.getLong(5) == 0L)
+  }
+
   test("cronbachAlpha: perfectly correlated items, hand alpha = 8/9") {
     import spark.implicits._
     // A=[1,2,3], B=[2,4,6]: vnums 6+24=30, totals [3,6,9] → tnum 54,
