@@ -6218,6 +6218,51 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Duplication profile ([[graft.operators.Dedup.dupSizeProfile]]): the
+    * cluster-size histogram of exact duplicates — how much of the corpus
+    * is the same document repeated s times, the one-table summary read
+    * before choosing a dedup policy; two map-side-combined aggregations,
+    * shares as pinned divisions.
+    */
+  private def q451(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dupSizeProfile(
+        T(s, dir, "events").select(col("props"))
+          .unionByName(T(s, dir, "documents").select(col("text").as("props"))),
+        "props")
+      .orderBy(col("cluster_size"))
+
+  /** Degree assortativity ([[graft.operators.Graph.degreeAssortativity]]):
+    * do high-degree customers trade with high-degree suppliers — Newman's
+    * endpoint-degree correlation over the distinct customer–supplier
+    * edge list (supplier ids negated, the q270 convention); exact
+    * integer moment sums, one pinned correlation.
+    */
+  private def q452(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.degreeAssortativity(
+      T(s, dir, "lineitem").join(T(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (-col("l_suppkey")).as("dst"))
+        .distinct())
+
+  /** Covariate balance ([[graft.operators.Drift.covariateBalance]]):
+    * standardized mean differences of per-user activity covariates
+    * across a deterministic 50/50 split — the covariate-MIX health check
+    * beside q390's count-level SRM; exact moments, |SMD| < 0.1 flags.
+    */
+  private def q453(s: SparkSession, dir: String): DataFrame = {
+    val users = T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+          .as("cents"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+    graft.operators.Drift.covariateBalance(users,
+        pmod(col("user_id"), lit(2L)) === 0L,
+        Seq("n_events", "cents", "n_purchases"))
+      .orderBy(col("cov"))
+  }
+
   /** Cohen's kappa ([[graft.operators.Drift.cohenKappa]]):
     * chance-corrected agreement between the "urgent/high priority" and
     * "fulfilled status" flags — how much the two binary signals agree
@@ -9099,6 +9144,9 @@ object SparkEntry {
     "q448_runs_test" -> (q448 _),
     "q449_capture_recapture" -> (q449 _),
     "q450_bland_altman" -> (q450 _),
+    "q451_dup_profile" -> (q451 _),
+    "q452_assortativity" -> (q452 _),
+    "q453_covariate_balance" -> (q453 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10308,6 +10356,15 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // fingerprint → size census → histogram; shares pinned
+    "q451_dup_profile" ->
+      """WITH corp AS (SELECT props AS text FROM events UNION ALL SELECT text FROM documents), fp AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM corp), cl AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS s FROM fp GROUP BY fp), h AS (SELECT s AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM cl GROUP BY s), h2 AS (SELECT *, cluster_size * n_clusters AS n_docs FROM h), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM h2) SELECT cluster_size, n_clusters, n_docs, round(CAST(n_docs AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS corpus_share, (cluster_size - 1) * n_clusters AS rows_removable FROM h2, t ORDER BY cluster_size""",
+    // endpoint-degree Pearson over both edge directions — exact moments
+    "q452_assortativity" ->
+      """WITH ed AS (SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst FROM lineitem JOIN orders ON l_orderkey = o_orderkey), und AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed), deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1), pr AS (SELECT d1.deg AS x, d2.deg AS y FROM und JOIN deg d1 ON und.src = d1.node JOIN deg d2 ON und.dst = d2.node), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy, SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx, SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy FROM pr), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg), dn AS (SELECT m.m, sx, sy, sxy, sxx, syy, sqrt(CAST(m.m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(m.m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den FROM m) SELECT nn.n_nodes, dn.m // 2 AS n_edges, round(CASE WHEN dn.den <> 0.0 THEN (CAST(dn.m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / dn.den END, 6) AS assortativity FROM dn, nn""",
+    // melted covariates, exact side moments, pinned SMD per covariate
+    "q453_covariate_balance" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases FROM events GROUP BY 1), mel AS (SELECT 'n_events' AS cov, user_id % 2 = 0 AS t, n_events AS v FROM u UNION ALL SELECT 'cents', user_id % 2 = 0, cents FROM u UNION ALL SELECT 'n_purchases', user_id % 2 = 0, n_purchases FROM u), m AS (SELECT cov, CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt, CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS nc, SUM(CASE WHEN t THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS st, SUM(CASE WHEN NOT t THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sc, SUM(CASE WHEN t THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sst, SUM(CASE WHEN NOT t THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS ssc FROM mel GROUP BY cov), f AS (SELECT cov, nt, nc, CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mt, CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS mc, (CAST(nt AS DOUBLE) * CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0)) AS vt, (CAST(nc AS DOUBLE) * CAST(ssc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1.0)) AS vc FROM m), f2 AS (SELECT *, sqrt((vt + vc) / 2.0) AS pooled FROM f) SELECT cov, nt, nc, round(mt, 6) AS mean_t, round(mc, 6) AS mean_c, round(CASE WHEN pooled > 0.0 THEN (mt - mc) / pooled END, 6) AS smd, CASE WHEN pooled > 0.0 THEN abs((mt - mc) / pooled) < 0.1 END AS balanced FROM f2 ORDER BY cov""",
     // cross-multiplied kappa over the 2×2 census — pure integers
     "q447_cohen_kappa" ->
       """WITH e AS (SELECT substr(o_orderpriority, 1, 1) IN ('1', '2') AS r1, o_orderstatus = 'F' AS r2 FROM orders), c AS (SELECT CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(SUM(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(SUM(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM e), t AS (SELECT *, a + b + c + d AS n FROM c), k AS (SELECT *, CAST(a + b AS DECIMAL(38,0)) * (a + c) + CAST(c + d AS DECIMAL(38,0)) * (b + d) AS pe2 FROM t) SELECT a, b, c, d, n, round(CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed, round(CASE WHEN CAST(n AS DECIMAL(38,0)) * n - pe2 <> 0 THEN CAST(CAST(n AS DECIMAL(38,0)) * (a + d) - pe2 AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * n - pe2 AS DOUBLE) END, 6) AS kappa FROM k""",

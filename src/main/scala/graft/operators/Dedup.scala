@@ -756,4 +756,38 @@ object Dedup {
           (col("__end") - col("__start") + 1L).cast("int")).cast("binary"))
           .as("chunk_hash"))
   }
+
+  /** DUPLICATION PROFILE — the cluster-SIZE histogram of exact
+    * duplicates: "how much of this corpus is the same document repeated
+    * s times", the one-table summary a data lead reads before choosing
+    * a dedup policy (a corpus that is 40% size-2 clusters needs a
+    * different treatment than one with a single size-10⁴ boilerplate
+    * blob). One row per observed cluster size s: clusters, docs, the
+    * share of the corpus those docs are, and the rows dedup-to-one
+    * would delete.
+    *
+    * Two map-side-combined aggregations (fingerprint → size census →
+    * size histogram); shares are single pinned divisions over exact
+    * integers. Fingerprints are normalized-text md5 ([[exact]]'s
+    * key), so the profile matches the exact-dedup operators row for
+    * row.
+    */
+  def dupSizeProfile(
+      docs: DataFrame,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dbl(c: Column): Column = c.cast("double")
+    val clusters = docs
+      .select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("s"))
+    val hist = clusters.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("s") * col("n_clusters"))
+    val tot = Window.partitionBy()
+    hist.select(col("s").as("cluster_size"), col("n_clusters"),
+        col("n_docs"),
+        round(dbl(col("n_docs")) / dbl(sum(col("n_docs")).over(tot)), 6)
+          .as("corpus_share"),
+        ((col("s") - 1L) * col("n_clusters")).as("rows_removable"))
+  }
 }

@@ -828,6 +828,56 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** COVARIATE BALANCE (standardized mean differences) — the diagnostic
+    * TABLE an observational analysis or experiment-health check reads
+    * before trusting any effect estimate: per covariate,
+    * SMD = (mean_t − mean_c) / √((var_t + var_c)/2), with the
+    * conventional |SMD| < 0.1 "balanced" flag. Complements [[srmCheck]]
+    * (which gates COUNTS; this gates covariate MIX).
+    *
+    * Covariates are melted into (name, value) rows in ONE pass (the
+    * covariate list is small by contract), each side's moments are
+    * exact DECIMAL(38,0) integer sums, and SMD is one pinned double per
+    * covariate; zero pooled variance emits NULL. Covariate-domain
+    * output.
+    */
+  def covariateBalance(
+      df: DataFrame,
+      treatedCol: Column,
+      covariates: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(covariates.nonEmpty)
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val melted = covariates.map { c =>
+      df.select(lit(c).as("cov"), treatedCol.as("t"),
+        col(c).cast("long").as("v"))
+    }.reduce(_.unionByName(_))
+    def side(flag: Boolean, c: Column): Column =
+      sum(when(col("t") === flag, c).otherwise(lit(0).cast(d38)))
+    val m = melted.groupBy(col("cov")).agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+      side(true, col("v").cast(d38)).as("st"),
+      side(false, col("v").cast(d38)).as("sc"),
+      side(true, col("v").cast(d38) * col("v").cast(d38)).as("sst"),
+      side(false, col("v").cast(d38) * col("v").cast(d38)).as("ssc"))
+    val nt = dbl(col("nt"))
+    val nc = dbl(col("nc"))
+    val mt = dbl(col("st")) / nt
+    val mc = dbl(col("sc")) / nc
+    val vt = (nt * dbl(col("sst")) - dbl(col("st")) * dbl(col("st"))) /
+      (nt * (nt - 1.0))
+    val vc = (nc * dbl(col("ssc")) - dbl(col("sc")) * dbl(col("sc"))) /
+      (nc * (nc - 1.0))
+    val pooled = sqrt((vt + vc) / lit(2.0))
+    val smd = (mt - mc) / pooled
+    m.select(col("cov"), col("nt"), col("nc"),
+      round(mt, 6).as("mean_t"), round(mc, 6).as("mean_c"),
+      round(when(pooled > 0.0, smd), 6).as("smd"),
+      when(pooled > 0.0, abs(smd) < lit(0.1)).as("balanced"))
+  }
+
   /** COHEN'S KAPPA — chance-corrected agreement between two BINARY
     * raters over the same units ("do these two flags/systems/annotators
     * agree beyond what their base rates force"): the labeling-QA gate

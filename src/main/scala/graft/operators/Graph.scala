@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -715,5 +715,43 @@ object Graph {
     }
     require(converged, s"k-truss did not stabilize within $maxRounds rounds")
     out
+  }
+
+  /** DEGREE ASSORTATIVITY — the one-number answer to "do hubs connect
+    * to hubs": Pearson correlation of endpoint degrees over every
+    * directed edge instance (each undirected edge counted both ways —
+    * the standard Newman definition). Positive = hub-to-hub mixing
+    * (social shape), negative = hub-to-leaf (infrastructure / star
+    * shape) — the structural health check beside [[clusteringCoefficient]]
+    * (local density) and [[kCore]] (peeling depth).
+    *
+    * One degree aggregate, two broadcast-joinable lookups onto the edge
+    * list, exact DECIMAL(38,0) moment sums (degrees are integers), one
+    * pinned-double correlation. Edge-linear, degree-domain state.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = und
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+    val m = pairs.agg(count(lit(1)).as("m"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("y") * col("y")).cast(d38)).as("syy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val num = dbl(col("m")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val den = sqrt(dbl(col("m")) * dbl(col("sxx")) -
+        dbl(col("sx")) * dbl(col("sx"))) *
+      sqrt(dbl(col("m")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+    m.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), expr("m div 2").as("n_edges"),
+        round(when(den =!= lit(0.0), num / den), 6).as("assortativity"))
   }
 }

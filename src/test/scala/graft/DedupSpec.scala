@@ -223,4 +223,15 @@ class DedupSpec extends SparkSuite {
     assert(out(4L) == ((4L, 1)) && out(5L) == ((5L, 1)),
       "singleton docs keep themselves")
   }
+  test("dupSizeProfile: hand histogram with shares and removable counts") {
+    import spark.implicits._
+    val docs = Seq("a", "a", "a", "b", "b", "c").toDF("text")
+    val got = Dedup.dupSizeProfile(docs, "text")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 0.166667, 0L)))
+    assert(got(2L) == ((2L, 1L, 2L, 0.333333, 1L)))
+    assert(got(3L) == ((3L, 1L, 3L, 0.5, 2L)))
+  }
+
 }

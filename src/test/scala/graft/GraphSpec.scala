@@ -472,4 +472,15 @@ class GraphSpec extends SparkSuite {
     assert(capped.toSeq == Seq((1L, 2L, 2L,
       (g9(1.0 / math.log(2.0)) * 2).toDouble)))
   }
+  test("degreeAssortativity: a star is perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star).head()
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 3L)))
+    assert(r.getDouble(2) == -1.0)
+    // a regular graph (cycle) has zero degree variance -> NULL, not 0/0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(Graph.degreeAssortativity(cyc).head().isNullAt(2))
+  }
+
 }

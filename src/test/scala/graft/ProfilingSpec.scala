@@ -300,6 +300,20 @@ class ProfilingSpec extends SparkSuite {
       (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
   }
 
+  test("covariateBalance: hand SMD = 1/sqrt(2), balanced flag") {
+    import spark.implicits._
+    // treated [2,4] (mean 3, var 2) vs control [1,3] (mean 2, var 2):
+    // SMD = 1/√2 ≈ 0.707 → unbalanced at the 0.1 convention
+    val df = Seq((true, 2L), (true, 4L), (false, 1L), (false, 3L))
+      .toDF("t", "x")
+    val r = graft.operators.Drift.covariateBalance(df, col("t"), Seq("x"))
+      .head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("x", 2L, 2L)))
+    assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) == math.rint(1.0 / math.sqrt(2.0) * 1e6) / 1e6)
+    assert(!r.getBoolean(6))
+  }
+
   test("cohenKappa: hand 2x2 gives kappa = 0.4 exactly; runs test moments") {
     import spark.implicits._
     // cells (20,5,10,15): po=0.7, pe2=1250, κ = 500/1250 = 0.4
