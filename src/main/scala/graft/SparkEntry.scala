@@ -6218,6 +6218,47 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming XmR maintenance
+    * ([[graft.streaming.StreamVerify.xmrMaintenance]]): q446's control
+    * chart kept current as an ingestion side effect — per-batch hourly
+    * cents-census partials land exactly-once; sums add, the drained
+    * chart shares q446's oracle verbatim. Fifth self-maintaining
+    * surface; the moving-range pass runs only at read time over the
+    * hour-domain store.
+    */
+  private def q454(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.xmrMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q454"))
+
+  /** Pairwise Jensen–Shannon divergence matrix
+    * ([[graft.operators.Drift.jsdMatrix]]): how different every pair of
+    * event types' hour-of-day profiles is on the symmetric bounded
+    * [0, ln 2] scale — the all-pairs distribution-similarity table for
+    * mixing/shift decisions (q23's PSI compares exactly two slices);
+    * ln over exact integer cross-ratios on the 1e-9 grid.
+    */
+  private def q455(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.jsdMatrix(
+      T(s, dir, "events").select(col("event_type"),
+        pmod(expr("(ts div 1000000000) div 3600"), lit(24L)).as("hod")),
+      "event_type", "hod")
+      .orderBy(col("ka"), col("kb"))
+
+  /** Overdispersion check ([[graft.operators.Trend.dispersionCheck]]):
+    * variance-to-mean ratio of each event type's hourly counts + the
+    * Poisson dispersion statistic — the modeling gate before fitting
+    * ±k√λ alert bands (VMR ≫ 1 needs an empirical band instead);
+    * exact integer moments, pinned finish.
+    */
+  private def q456(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.Trend.dispersionCheck(hourly, "event_type", "cnt")
+      .orderBy(col("event_type"))
+  }
+
   /** Duplication profile ([[graft.operators.Dedup.dupSizeProfile]]): the
     * cluster-size histogram of exact duplicates — how much of the corpus
     * is the same document repeated s times, the one-table summary read
@@ -9147,6 +9188,9 @@ object SparkEntry {
     "q451_dup_profile" -> (q451 _),
     "q452_assortativity" -> (q452 _),
     "q453_covariate_balance" -> (q453 _),
+    "q454_stream_xmr" -> (q454 _),
+    "q455_jsd_matrix" -> (q455 _),
+    "q456_dispersion" -> (q456 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9170,6 +9214,11 @@ object SparkEntry {
   // ---------------------------------------------------------------- oracles
 
   private val SUMV = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // XmR: shared by the batch chart (q446) and the streaming hourly
+  // census store (q454) - cents sums add, batching is invisible
+  private val xmrSql: String =
+    """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), mr AS (SELECT event_type, hid, v, abs(v - LAG(v) OVER (PARTITION BY event_type ORDER BY hid)) AS mr FROM h), st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(mr) AS BIGINT) AS smr, CAST(COUNT(mr) AS BIGINT) AS nmr FROM mr GROUP BY 1), lim AS (SELECT event_type, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar, CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE) AS mrbar FROM st WHERE nmr >= 1), l2 AS (SELECT *, xbar + 2.66 * mrbar AS ucl, xbar - 2.66 * mrbar AS lcl FROM lim), j AS (SELECT h.event_type AS k, h.hid, CAST(h.v AS DOUBLE) AS vd, l2.n, l2.xbar, l2.mrbar, l2.ucl, l2.lcl FROM h JOIN l2 ON h.event_type = l2.event_type) SELECT k AS event_type, MAX(n) AS n, round(MAX(xbar), 6) AS xbar, round(MAX(mrbar), 6) AS mr_bar, round(MAX(ucl), 6) AS ucl, round(MAX(lcl), 6) AS lcl, CAST(SUM(CASE WHEN vd > ucl OR vd < lcl THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, MIN(CASE WHEN vd > ucl OR vd < lcl THEN hid END) AS first_violation FROM j GROUP BY k ORDER BY event_type"""
 
   // Mann-Kendall: shared by the batch screen (q421) and the streaming
   // daily-census store (q440) - counts add, batching is invisible
@@ -10356,6 +10405,13 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // ln over exact integer cross-ratios (the q256 MI discipline);
+    // per-cell terms on the 1e-9 grid, decimal-summed per pair
+    "q455_jsd_matrix" ->
+      """WITH e AS (SELECT event_type AS k, (epoch_ns(ts) // 1000000000 // 3600) % 24 AS b FROM events), c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), t AS (SELECT k, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY k), sp AS (SELECT a.k AS ka, b.k AS kb, a.t AS ta, b.t AS tb FROM t a JOIN t b ON a.k < b.k), asd AS (SELECT sp.ka, sp.kb, c.b, c.n AS na FROM sp JOIN c ON c.k = sp.ka), bsd AS (SELECT sp.ka, sp.kb, c.b, c.n AS nb FROM sp JOIN c ON c.k = sp.kb), j AS (SELECT COALESCE(asd.ka, bsd.ka) AS ka, COALESCE(asd.kb, bsd.kb) AS kb, COALESCE(asd.b, bsd.b) AS b, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb FROM asd FULL OUTER JOIN bsd ON asd.ka = bsd.ka AND asd.kb = bsd.kb AND asd.b = bsd.b), j2 AS (SELECT j.*, sp.ta, sp.tb FROM j JOIN sp ON j.ka = sp.ka AND j.kb = sp.kb), tm AS (SELECT ka, kb, CASE WHEN na > 0 THEN CAST(round(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) * ln(2.0 * CAST(CAST(na AS DECIMAL(38,0)) * tb AS DOUBLE) / CAST(CAST(na AS DECIMAL(38,0)) * tb + CAST(nb AS DECIMAL(38,0)) * ta AS DOUBLE)), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END AS pa, CASE WHEN nb > 0 THEN CAST(round(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) * ln(2.0 * CAST(CAST(nb AS DECIMAL(38,0)) * ta AS DOUBLE) / CAST(CAST(nb AS DECIMAL(38,0)) * ta + CAST(na AS DECIMAL(38,0)) * tb AS DOUBLE)), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END AS pb FROM j2) SELECT ka, kb, round((CAST(SUM(pa) AS DOUBLE) + CAST(SUM(pb) AS DOUBLE)) / 2.0, 6) AS jsd_nats FROM tm GROUP BY 1, 2 ORDER BY ka, kb""",
+    // integer count moments; VMR and (n−1)·VMR single pinned finishes
+    "q456_dispersion" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(cnt AS DECIMAL(38,0))) AS s, SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) AS ss FROM h GROUP BY 1 HAVING COUNT(*) >= 2), f AS (SELECT event_type, n, s, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS variance FROM m) SELECT event_type, n, round(mean, 6) AS mean, round(variance, 6) AS variance, round(CASE WHEN s > 0 THEN variance / mean END, 6) AS vmr, round(CASE WHEN s > 0 THEN (CAST(n AS DOUBLE) - 1.0) * (variance / mean) END, 6) AS dispersion_stat FROM f ORDER BY event_type""",
     // fingerprint → size census → histogram; shares pinned
     "q451_dup_profile" ->
       """WITH corp AS (SELECT props AS text FROM events UNION ALL SELECT text FROM documents), fp AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM corp), cl AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS s FROM fp GROUP BY fp), h AS (SELECT s AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM cl GROUP BY s), h2 AS (SELECT *, cluster_size * n_clusters AS n_docs FROM h), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM h2) SELECT cluster_size, n_clusters, n_docs, round(CAST(n_docs AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS corpus_share, (cluster_size - 1) * n_clusters AS rows_removable FROM h2, t ORDER BY cluster_size""",
@@ -10385,8 +10441,9 @@ object SparkEntry {
     "q445_mde_report" ->
       """WITH e AS (SELECT event_type AS g, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events), m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS sxx FROM e GROUP BY g), f AS (SELECT g, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS variance FROM m WHERE n >= 2), f2 AS (SELECT *, (1.959964 + 0.841621) * sqrt(variance) * sqrt(2.0 / (CAST(n AS DOUBLE) / 2.0)) AS mde FROM f) SELECT g, n, round(mean, 6) AS mean, round(variance, 6) AS variance, round(mde, 6) AS mde_abs, round(CASE WHEN mean <> 0.0 THEN mde / mean END, 6) AS mde_rel FROM f2 ORDER BY g""",
     // integer Σx and Σ|Δx|; pinned limits; engine-exact point compares
-    "q446_xmr_chart" ->
-      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), mr AS (SELECT event_type, hid, v, abs(v - LAG(v) OVER (PARTITION BY event_type ORDER BY hid)) AS mr FROM h), st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(mr) AS BIGINT) AS smr, CAST(COUNT(mr) AS BIGINT) AS nmr FROM mr GROUP BY 1), lim AS (SELECT event_type, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar, CAST(smr AS DOUBLE) / CAST(nmr AS DOUBLE) AS mrbar FROM st WHERE nmr >= 1), l2 AS (SELECT *, xbar + 2.66 * mrbar AS ucl, xbar - 2.66 * mrbar AS lcl FROM lim), j AS (SELECT h.event_type AS k, h.hid, CAST(h.v AS DOUBLE) AS vd, l2.n, l2.xbar, l2.mrbar, l2.ucl, l2.lcl FROM h JOIN l2 ON h.event_type = l2.event_type) SELECT k AS event_type, MAX(n) AS n, round(MAX(xbar), 6) AS xbar, round(MAX(mrbar), 6) AS mr_bar, round(MAX(ucl), 6) AS ucl, round(MAX(lcl), 6) AS lcl, CAST(SUM(CASE WHEN vd > ucl OR vd < lcl THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, MIN(CASE WHEN vd > ucl OR vd < lcl THEN hid END) AS first_violation FROM j GROUP BY k ORDER BY event_type""",
+    "q446_xmr_chart" -> xmrSql,
+    // the streamed hourly-census store must equal the batch chart
+    "q454_stream_xmr" -> xmrSql,
     // one moment pass, k²/2 pair frame, the q420 polynomial + step-up
     "q442_pairwise_welch" ->
       """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS ss FROM e GROUP BY g), pr AS (SELECT a.g AS ga, b.g AS gb, CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb, CAST(a.s AS DOUBLE) AS sa, CAST(b.s AS DOUBLE) AS sb, CAST(a.ss AS DOUBLE) AS saa, CAST(b.ss AS DOUBLE) AS sbb FROM m a JOIN m b ON a.g < b.g), tz AS (SELECT ga, gb, (sa / na - sb / nb) / sqrt(((na * saa - sa * sa) / (na * (na - 1.0))) / na + ((nb * sbb - sb * sb) / (nb * (nb - 1.0))) / nb) AS t FROM pr), pt AS (SELECT ga, gb, t, 1.0 / (1.0 + 0.2316419 * abs(t)) AS tt FROM tz), pp AS (SELECT ga, gb, round(t, 6) AS t_stat, round(2.0 * 0.3989422804014327 * exp(-(abs(t) * abs(t)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), bh AS (SELECT *, ga || '|' || gb AS pair FROM pp), r1 AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p, pair) AS BIGINT) AS p_rank, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM bh), km AS (SELECT MAX(CASE WHEN p * CAST(m AS DOUBLE) <= CAST(p_rank AS DOUBLE) * 0.05 THEN p_rank END) AS kmax FROM r1) SELECT ga, gb, t_stat, p, p_rank, round(CAST(p_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 9) AS bh_crit, (km.kmax IS NOT NULL AND p_rank <= km.kmax) AS rejected FROM r1, km ORDER BY p_rank""",

@@ -828,6 +828,68 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** PAIRWISE JENSEN–SHANNON DIVERGENCE matrix — how DIFFERENT every
+    * pair of groups' distributions over a shared categorical support is,
+    * on the symmetric bounded [0, ln 2] scale: the all-pairs
+    * distribution-similarity table (data-mixing / domain-shift
+    * decisions) where [[psiBins]] compares exactly two slices and
+    * mutualInfo scores one joint. JSD(P,Q) = ½ΣP ln(2P/(P+M)) … with
+    * M = P+Q implied: here the standard ½[KL(P‖A) + KL(Q‖A)],
+    * A = (P+Q)/2, computed as ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)).
+    *
+    * Every term is ln over EXACT integer cross-ratios (counts and the
+    * two group totals — the q256 mutual-information discipline),
+    * quantized to the 1e-9 grid and decimal-summed order-independently;
+    * zero cells contribute zero (lim x·ln x = 0). Support × k² sized —
+    * the bounded-domain contract, stated.
+    */
+  def jsdMatrix(
+      df: DataFrame,
+      keyCol: String,
+      binCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d189 = DecimalType(18, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.groupBy(col(keyCol).cast("string").as("k"),
+        col(binCol).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val totals = census.groupBy(col("k")).agg(sum(col("n")).as("t"))
+    val spine = totals.select(col("k").as("ka"), col("t").as("ta"))
+      .join(totals.select(col("k").as("kb"), col("t").as("tb")),
+        col("ka") < col("kb"))
+    val aSide = spine.select(col("ka"), col("kb"))
+      .join(census.select(col("k").as("ka"), col("b"), col("n").as("na")),
+        Seq("ka"))
+    val bSide = spine.select(col("ka"), col("kb"))
+      .join(census.select(col("k").as("kb"), col("b"), col("n").as("nb")),
+        Seq("kb"))
+    val joined = aSide.join(bSide, Seq("ka", "kb", "b"), "full")
+      .join(spine, Seq("ka", "kb"))
+      .select(col("ka"), col("kb"), col("ta"), col("tb"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    // p·ln(2p/(p+q)) with p = na/ta, q = nb/tb rewritten over integers:
+    // ln(2·na·tb / (na·tb + nb·ta)) — exact integer operands, products
+    // in DECIMAL(38,0) so count·total never overflows long at scale
+    val d38 = DecimalType(38, 0)
+    def half(nc: Column, tc: Column, oc: Column, otc: Column): Column = {
+      val cross = nc.cast(d38) * otc.cast(d38)
+      val crossSum = nc.cast(d38) * otc.cast(d38) + oc.cast(d38) * tc.cast(d38)
+      when(nc > 0L,
+        round(dbl(nc) / dbl(tc) *
+          log(lit(2.0) * dbl(cross) / dbl(crossSum)), 9)
+          .cast(d189))
+        .otherwise(lit(0).cast(d189))
+    }
+    joined
+      .select(col("ka"), col("kb"),
+        half(col("na"), col("ta"), col("nb"), col("tb")).as("pa"),
+        half(col("nb"), col("tb"), col("na"), col("ta")).as("pb"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(round((dbl(sum(col("pa"))) + dbl(sum(col("pb")))) / 2.0, 6)
+        .as("jsd_nats"))
+  }
+
   /** COVARIATE BALANCE (standardized mean differences) — the diagnostic
     * TABLE an observational analysis or experiment-health check reads
     * before trusting any effect estimate: per covariate,

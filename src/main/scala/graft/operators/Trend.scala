@@ -1150,6 +1150,40 @@ object Trend {
       .withColumn("alarmed", col("alarm_bucket").isNotNull)
   }
 
+  /** OVERDISPERSION CHECK per key — variance-to-mean ratio of a count
+    * series plus the Poisson dispersion statistic D = (n−1)·VMR ~
+    * χ²(n−1): "are these counts Poisson-noise or is there burstiness"
+    * — the modeling gate before anyone fits rate-based alerting
+    * thresholds (a VMR ≫ 1 series needs a negative-binomial or
+    * empirical band, not ±k√λ). Exact integer moments (counts in
+    * DECIMAL(38,0)), VMR and D single pinned expressions; zero-mean
+    * keys emit NULL.
+    */
+  def dispersionCheck(
+      df: DataFrame,
+      keyCol: String,
+      countCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val m = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(countCol).cast("long").cast(d38)).as("s"),
+        sum(col(countCol).cast("long").cast(d38) *
+          col(countCol).cast("long").cast(d38)).as("ss"))
+      .filter(col("n") >= 2L)
+    val n = dbl(col("n"))
+    val mean = dbl(col("s")) / n
+    val variance = (n * dbl(col("ss")) - dbl(col("s")) * dbl(col("s"))) /
+      (n * (n - 1.0))
+    val vmr = variance / mean
+    m.select(col(keyCol), col("n"),
+      round(mean, 6).as("mean"),
+      round(variance, 6).as("variance"),
+      round(when(col("s") > lit(0).cast(d38), vmr), 6).as("vmr"),
+      round(when(col("s") > lit(0).cast(d38), (n - 1.0) * vmr), 6)
+        .as("dispersion_stat"))
+  }
+
   /** XmR (individuals + moving range) CONTROL CHART per key — the SPC
     * workhorse for "is this series just noise or did something change":
     * natural process limits x̄ ± 2.66·M̄R from the mean moving range

@@ -834,6 +834,50 @@ object StreamVerify {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING XmR maintenance: the control chart (q446) maintained as
+    * an ingestion side effect — each micro-batch lands its partial
+    * (event_type, hid, cents) HOURLY census as an exactly-once commit;
+    * cents sums ADD, so the merged census equals the whole-corpus hourly
+    * series however ingestion was batched, and the drained chart
+    * ([[graft.operators.Trend.xmrChart]] over the merge-on-read store)
+    * is bit-equal to batch q446 — same oracle SQL. Fifth
+    * self-maintaining surface: the store is hour-domain-sized per key,
+    * and the moving-range pass runs only at READ time over that bounded
+    * series.
+    */
+  def xmrMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/hourly"
+    def censusOf(df: DataFrame): DataFrame =
+      df.select(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hid"),
+          col("value"))
+        .groupBy(col("event_type"), col("hid"))
+        .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("cents"))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("ts"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"xmr-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val merged = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("event_type"), col("hid"))
+      .agg(sum(col("cents")).as("cents"))
+    graft.operators.Trend.xmrChart(merged, "event_type", "hid", "cents")
+      .orderBy(col("event_type"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -300,6 +300,19 @@ class ProfilingSpec extends SparkSuite {
       (1L, "a", 2L, 4L, 0.5), (2L, "b", 2L, 4L, 0.5)))
   }
 
+  test("jsdMatrix: identical = 0 exactly, disjoint = ln 2 on the grid") {
+    import spark.implicits._
+    // A and B share the same histogram; C lives on a disjoint bin
+    val rows = Seq(("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
+      ("B", 0L), ("B", 0L), ("B", 1L), ("B", 1L), ("C", 2L), ("C", 2L))
+    val got = graft.operators.Drift.jsdMatrix(rows.toDF("k", "b"), "k", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("A", "B")) == 0.0, "identical distributions read 0 exactly")
+    assert(got(("A", "C")) == 0.693147 && got(("B", "C")) == 0.693147,
+      "disjoint supports saturate at ln 2")
+  }
+
   test("covariateBalance: hand SMD = 1/sqrt(2), balanced flag") {
     import spark.implicits._
     // treated [2,4] (mean 3, var 2) vs control [1,3] (mean 2, var 2):

@@ -105,6 +105,18 @@ class TrendSpec extends SparkSuite {
     assert(out("s")._2 == 2L, "n=3 keeps lags 1..2 (lag < n)")
   }
 
+  test("dispersionCheck: hand VMR, zero-mean keys emit NULL") {
+    // counts [1,2,3]: mean 2, var 1, VMR 0.5, D = (n-1)·VMR = 1
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("z", 0L), ("z", 0L))
+    val got = Trend.dispersionCheck(rows.toDF("k", "cnt"), "k", "cnt")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 2.0 &&
+      a.getDouble(3) == 1.0)
+    assert(a.getDouble(4) == 0.5 && a.getDouble(5) == 1.0)
+    assert(got("z").isNullAt(4) && got("z").isNullAt(5))
+  }
+
   test("xmrChart: limits from the mean moving range, spike flagged") {
     // a = [10,12,10,12,40]: x̄=16.8, MR̄=34/4=8.5 → UCL=16.8+2.66·8.5
     // = 39.41 < 40 → one violation at bucket 4; b in-control
