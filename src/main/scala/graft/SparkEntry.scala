@@ -6218,6 +6218,63 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Correlation matrix ([[graft.operators.Relational.corrMatrix]]):
+    * all-pairs Pearson between the per-user activity metrics — which
+    * features move together, the numeric companion of q453's balance
+    * table; entity-keyed pair join (k²/2 per entity, k = 3), exact
+    * decimal moments, pinned r per pair.
+    */
+  private def q457(s: SparkSession, dir: String): DataFrame = {
+    val users = T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+          .as("cents"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+    graft.operators.Relational.corrMatrix(users, "user_id",
+        Seq("n_events", "cents", "n_purchases"))
+      .orderBy(col("ma"), col("mb"))
+  }
+
+  /** Intraclass correlation ICC(1) ([[graft.operators.Drift.icc]]): how
+    * much of the order-price spread is BETWEEN priorities — the design
+    * effect / clustering number read off the same one-way decomposition
+    * as q408's ANOVA; unbalanced-design n₀, pinned finishes.
+    */
+  private def q458(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.icc(
+      T(s, dir, "orders").select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("o_orderpriority")),
+      "cents", "o_orderpriority")
+
+  /** Negative-binomial MoM fit ([[graft.operators.Trend.negbinFit]]):
+    * the parameter step after q456 says "overdispersed" — r̂ = m²/(v−m),
+    * p̂ = m/v per event type's hourly counts, the NB whose alert bands
+    * fit bursty series; NULL parameters when not overdispersed.
+    */
+  private def q459(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.Trend.negbinFit(hourly, "event_type", "cnt")
+      .orderBy(col("event_type"))
+  }
+
+  /** Column entropy profile ([[graft.operators.Profiling.entropyProfile]]):
+    * distinct count, Shannon entropy and normalized entropy per orders
+    * column — the "how identifying / how skewed" reading a distinct
+    * count hides; c·ln c terms on the 1e-9 grid, decimal-summed.
+    */
+  private def q460(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.entropyProfile(
+      T(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+      .orderBy(col("col_name"))
+
   /** Streaming XmR maintenance
     * ([[graft.streaming.StreamVerify.xmrMaintenance]]): q446's control
     * chart kept current as an ingestion side effect — per-batch hourly
@@ -9191,6 +9248,10 @@ object SparkEntry {
     "q454_stream_xmr" -> (q454 _),
     "q455_jsd_matrix" -> (q455 _),
     "q456_dispersion" -> (q456 _),
+    "q457_corr_matrix" -> (q457 _),
+    "q458_icc" -> (q458 _),
+    "q459_negbin_fit" -> (q459 _),
+    "q460_entropy_profile" -> (q460 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10405,6 +10466,18 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // entity-keyed pair melt; exact decimal moments; pinned r per pair
+    "q457_corr_matrix" ->
+      """WITH u AS (SELECT user_id AS id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases FROM events GROUP BY 1), mel AS (SELECT id, 'n_events' AS m, n_events AS v FROM u UNION ALL SELECT id, 'cents', cents FROM u UNION ALL SELECT id, 'n_purchases', n_purchases FROM u), pr AS (SELECT a.m AS ma, b.m AS mb, a.v AS x, b.v AS y FROM mel a JOIN mel b ON a.id = b.id AND a.m < b.m), ag AS (SELECT ma, mb, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy, SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx, SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy FROM pr GROUP BY 1, 2), dn AS (SELECT *, sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den FROM ag) SELECT ma, mb, n, round(CASE WHEN den <> 0.0 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den END, 6) AS r FROM dn ORDER BY ma, mb""",
+    // the q408 decomposition read as a variance share; unbalanced n0
+    "q458_icc" ->
+      """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g, SUM(CAST(v AS DECIMAL(38,0))) AS s_g, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS ss_g FROM e GROUP BY g), pt AS (SELECT *, CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)) AS term FROM pg), m AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k, SUM(s_g) AS s, SUM(ss_g) AS ss, SUM(term) AS tsum, SUM(CAST(n_g AS DECIMAL(38,0)) * n_g) AS sn2 FROM pt), f AS (SELECT k, nn, CAST(nn AS DOUBLE) AS n, CAST(k AS DOUBLE) AS kd, CAST(tsum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) AS ssb, CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) AS sst, CAST(sn2 AS DOUBLE) AS sn2d FROM m), f2 AS (SELECT k, nn, ssb / (kd - 1.0) AS msb, (sst - ssb) / (n - kd) AS msw, (n - sn2d / n) / (kd - 1.0) AS n0 FROM f) SELECT k, nn AS n, round(CASE WHEN msw <> 0.0 THEN msb / msw END, 6) AS ms_ratio, round(n0, 6) AS n0, round(CASE WHEN msb + (n0 - 1.0) * msw <> 0.0 THEN (msb - msw) / (msb + (n0 - 1.0) * msw) END, 6) AS icc FROM f2""",
+    // the q456 moments re-read as NB(r, p); NULL when not overdispersed
+    "q459_negbin_fit" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(cnt AS DECIMAL(38,0))) AS s, SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) AS ss FROM h GROUP BY 1 HAVING COUNT(*) >= 2), f AS (SELECT event_type, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS variance FROM m) SELECT event_type, n, round(mean, 6) AS mean, round(variance, 6) AS variance, round(CASE WHEN variance > mean AND mean > 0.0 THEN mean * mean / (variance - mean) END, 6) AS r_hat, round(CASE WHEN variance > mean AND mean > 0.0 THEN mean / variance END, 6) AS p_hat FROM f ORDER BY event_type""",
+    // c·ln c terms on the 1e-9 grid; NULLs as a sentinel category
+    "q460_entropy_profile" ->
+      """WITH mel AS (SELECT 'o_orderstatus' AS col_name, COALESCE(CAST(o_orderstatus AS VARCHAR), ' null') AS v FROM orders UNION ALL SELECT 'o_orderpriority', COALESCE(CAST(o_orderpriority AS VARCHAR), ' null') FROM orders UNION ALL SELECT 'o_custkey', COALESCE(CAST(o_custkey AS VARCHAR), ' null') FROM orders), c AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS c FROM mel GROUP BY 1, 2), t AS (SELECT col_name, v, c, CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS term FROM c), a AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct, SUM(term) AS clogc FROM t GROUP BY 1), f AS (SELECT *, ln(CAST(n AS DOUBLE)) - CAST(clogc AS DOUBLE) / CAST(n AS DOUBLE) AS h FROM a) SELECT col_name, n, n_distinct, round(h, 6) AS entropy_nats, round(CASE WHEN n_distinct > 1 THEN h / ln(CAST(n_distinct AS DOUBLE)) END, 6) AS entropy_norm FROM f ORDER BY col_name""",
     // ln over exact integer cross-ratios (the q256 MI discipline);
     // per-cell terms on the 1e-9 grid, decimal-summed per pair
     "q455_jsd_matrix" ->

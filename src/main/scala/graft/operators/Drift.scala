@@ -828,6 +828,54 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** INTRACLASS CORRELATION ICC(1) — "how much of the variance is
+    * BETWEEN groups": the reliability/clustering number behind design
+    * effects and mixed-model decisions, read off the same one-way
+    * decomposition as [[anovaF]] (which asks IF groups differ; ICC asks
+    * how much of the total spread they explain):
+    *
+    *   ICC = (MSB − MSW) / (MSB + (n₀ − 1)·MSW),
+    *   n₀ = (N − Σn_g²/N) / (k − 1)   (unbalanced-design group size)
+    *
+    * One conditional-moment pass (integer cents in DECIMAL sums). Only
+    * O(1)-magnitude statistics leave the operator (ICC, the MSB/MSW
+    * ratio, n₀) — the raw mean squares sit at cents² scale where
+    * wide-decimal→double casts carry a cross-engine ulp the 1e-6 grid
+    * cannot absorb (the q83/q408 lesson, re-confirmed by this
+    * operator's own first draft failing the sf0.01 hash on a raw MSB of
+    * 3·10¹⁴); ratios cancel the ulp. NULL on degenerate denominators.
+    */
+  def icc(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val perGroup = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"), sum(v * v).as("ss_g"))
+      .withColumn("term", round(dbl(col("s_g")) * dbl(col("s_g")) /
+        dbl(col("n_g")), 6).cast(DecimalType(38, 6)))
+    val m = perGroup.agg(
+      sum(col("n_g")).as("nn"), count(lit(1)).as("k"),
+      sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+      sum(col("term")).as("tsum"),
+      sum(col("n_g").cast(d38) * col("n_g").cast(d38)).as("sn2"))
+    val n = dbl(col("nn"))
+    val k = dbl(col("k"))
+    val ssb = dbl(col("tsum")) - dbl(col("s")) * dbl(col("s")) / n
+    val ssw = (dbl(col("ss")) - dbl(col("s")) * dbl(col("s")) / n) - ssb
+    val msb = ssb / (k - 1.0)
+    val msw = ssw / (n - k)
+    val n0 = (n - dbl(col("sn2")) / n) / (k - 1.0)
+    val den = msb + (n0 - 1.0) * msw
+    m.select(col("k"), col("nn").as("n"),
+      round(when(msw =!= lit(0.0), msb / msw), 6).as("ms_ratio"),
+      round(n0, 6).as("n0"),
+      round(when(den =!= lit(0.0), (msb - msw) / den), 6).as("icc"))
+  }
+
   /** PAIRWISE JENSEN–SHANNON DIVERGENCE matrix — how DIFFERENT every
     * pair of groups' distributions over a shared categorical support is,
     * on the symmetric bounded [0, ln 2] scale: the all-pairs

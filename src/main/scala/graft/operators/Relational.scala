@@ -893,6 +893,46 @@ object Relational {
         dbl(least(col("nx"), col("ny")) - 1))), 6).as("cramers_v"))
   }
 
+  /** CORRELATION MATRIX — all-pairs Pearson between k entity-level
+    * metrics ("which of my features move together"), the numeric
+    * companion to the q453 balance table and the many-pairs
+    * generalization of q83's single corr. Metrics are melted once and
+    * pair rows form by an ENTITY-keyed self-join (k²/2 pairs per
+    * entity — k small by contract, stated), then each pair's moments
+    * accumulate exactly in DECIMAL(38,0) with one pinned-double r.
+    * NULL r on zero-variance sides.
+    */
+  def corrMatrix(
+      df: DataFrame,
+      idCol: String,
+      metrics: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(metrics.size >= 2)
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val melted = metrics.map { m =>
+      df.select(col(idCol).as("id"), lit(m).as("m"),
+        col(m).cast("long").as("v"))
+    }.reduce(_.unionByName(_))
+    val pairs = melted.select(col("id"), col("m").as("ma"),
+        col("v").as("x"))
+      .join(melted.select(col("id"), col("m").as("mb"), col("v").as("y")),
+        Seq("id"))
+      .filter(col("ma") < col("mb"))
+    val agg = pairs.groupBy(col("ma"), col("mb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"))
+    val num = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val den = sqrt(dbl(col("n")) * dbl(col("sxx")) -
+        dbl(col("sx")) * dbl(col("sx"))) *
+      sqrt(dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+    agg.select(col("ma"), col("mb"), col("n"),
+      round(when(den =!= lit(0.0), num / den), 6).as("r"))
+  }
+
   /** CONCENTRATION REPORT per group — Gini coefficient, Herfindahl–
     * Hirschman index, and the top-4 concentration ratio over each
     * group's member values: "how skewed is spend/volume across members"

@@ -1184,6 +1184,35 @@ object Trend {
         .as("dispersion_stat"))
   }
 
+  /** NEGATIVE-BINOMIAL FIT (method of moments) per key — the parameter
+    * step after [[dispersionCheck]] says "overdispersed": r̂ = m²/(v−m),
+    * p̂ = m/v give the NB(r, p) whose alert bands actually fit bursty
+    * counts where Poisson ±k√λ pages constantly. Exact integer moments,
+    * two pinned finishes; keys with v ≤ m (not overdispersed — Poisson
+    * or degenerate) emit NULL parameters rather than a negative r.
+    */
+  def negbinFit(
+      df: DataFrame,
+      keyCol: String,
+      countCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val c = col(countCol).cast("long").cast(d38)
+    val m = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(c).as("s"), sum(c * c).as("ss"))
+      .filter(col("n") >= 2L)
+    val n = dbl(col("n"))
+    val mean = dbl(col("s")) / n
+    val variance = (n * dbl(col("ss")) - dbl(col("s")) * dbl(col("s"))) /
+      (n * (n - 1.0))
+    val over = variance > mean && mean > lit(0.0)
+    m.select(col(keyCol), col("n"),
+      round(mean, 6).as("mean"),
+      round(variance, 6).as("variance"),
+      round(when(over, mean * mean / (variance - mean)), 6).as("r_hat"),
+      round(when(over, mean / variance), 6).as("p_hat"))
+  }
+
   /** XmR (individuals + moving range) CONTROL CHART per key — the SPC
     * workhorse for "is this series just noise or did something change":
     * natural process limits x̄ ± 2.66·M̄R from the mean moving range

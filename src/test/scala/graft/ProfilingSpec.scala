@@ -619,4 +619,28 @@ class ProfilingSpec extends SparkSuite {
     assert(!got.contains("short"), "n < 3 keys drop")
   }
 
+  test("icc: hand two-group case, ratio and ICC exact") {
+    import spark.implicits._
+    // A=[1,2], B=[5,6]: SSB=16, SSW=1 -> MSB/MSW=32, n0=2,
+    // ICC = 15.5/16.5
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 5L), ("B", 6L)).toDF("g", "v")
+    val r = graft.operators.Drift.icc(df, "v", "g").head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 4L)))
+    assert(r.getDouble(2) == 32.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == math.rint(15.5 / 16.5 * 1e6) / 1e6)
+  }
+
+  test("entropyProfile: uniform column normalizes to 1, constant to NULL") {
+    import spark.implicits._
+    val df = Seq(("a", "k"), ("a", "k"), ("b", "k"), ("b", "k"))
+      .toDF("u", "c")
+    val got = graft.operators.Profiling.entropyProfile(df, Seq("u", "c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val u = got("u")
+    assert(u.getLong(1) == 4L && u.getLong(2) == 2L)
+    assert(u.getDouble(3) == 0.693147 && u.getDouble(4) == 1.0)
+    val c = got("c")
+    assert(c.getDouble(3) == 0.0 && c.isNullAt(4))
+  }
+
 }

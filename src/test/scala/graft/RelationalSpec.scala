@@ -411,4 +411,16 @@ class RelationalSpec extends SparkSuite {
     assert(z.isNullAt(3) && z.isNullAt(4) && z.isNullAt(5))
   }
 
+  test("corrMatrix: perfect pair reads 1, inverse reads -1, all pairs") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 2L, 3L), (2L, 2L, 4L, 2L), (3L, 3L, 6L, 1L))
+      .toDF("id", "x", "y", "w")
+    val got = Relational.corrMatrix(df, "id", Seq("x", "y", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == 3)
+    assert(got(("x", "y")) == ((3L, 1.0)))
+    assert(got(("w", "x")) == ((3L, -1.0)))
+  }
+
 }

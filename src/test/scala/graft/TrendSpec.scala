@@ -402,4 +402,19 @@ class TrendSpec extends SparkSuite {
     assert(got("a") == (("a", 5L, 60L, 120L, 60L))) // peak 120 → trough 60
     assert(got("b") == (("b", 2L, 0L, 70L, 50L)))
   }
+  test("negbinFit: hand MoM parameters, Poisson-or-under emits NULL") {
+    // [1,2,3,6]: mean 3, var 14/3 -> r = 9/(5/3) = 5.4, p = 9/14
+    val df = (Seq(1L, 2L, 3L, 6L).map(("a", _)) ++
+      Seq(2L, 2L, 2L).map(("z", _))).toDF("k", "cnt")
+    val got = Trend.negbinFit(df, "k", "cnt")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    val v = 14.0 / 3.0
+    assert(a.getDouble(2) == 3.0)
+    assert(a.getDouble(4) == math.rint(9.0 / (v - 3.0) * 1e6) / 1e6)
+    assert(a.getDouble(5) == math.rint(3.0 / v * 1e6) / 1e6)
+    assert(got("z").isNullAt(4) && got("z").isNullAt(5),
+      "zero-variance keys are not overdispersed")
+  }
+
 }
