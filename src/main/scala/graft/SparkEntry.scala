@@ -6218,6 +6218,47 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Rank-biased overlap
+    * ([[graft.operators.Relational.rankBiasedOverlap]]): split-half
+    * stability of the top-10 parts-by-revenue ranking (even vs odd
+    * orders) — the top-weighted ranking-drift number a dashboard needs
+    * where plain overlap@k misreads; pinned 0.9-power weights, exact
+    * max-rank census, 1e-9 terms.
+    */
+  private def q461(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").join(T(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), pmod(col("o_orderkey"), lit(2L)).as("half"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    def top(h: Long): DataFrame = li.filter(col("half") === h)
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rev").desc, col("l_partkey"))).cast("long"))
+      .filter(col("rnk") <= 10)
+    graft.operators.Relational.rankBiasedOverlap(
+      top(0), top(1), "l_partkey", "rnk", k = 10)
+  }
+
+  /** Post-stratified estimator ([[graft.operators.Sampling.postStratify]]):
+    * mean customer spend reweighted to the KNOWN per-nation customer
+    * population — the survey correction for "buyers over-represent some
+    * nations"; exact stratum moments, 1e-9 grid terms, unsampled strata
+    * reported (not silently renormalized).
+    */
+  private def q462(s: SparkSession, dir: String): DataFrame = {
+    val spend = T(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(expr(
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("cents"))
+    val sample = spend.join(T(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("cents"))
+    graft.operators.Sampling.postStratify(sample,
+        T(s, dir, "customer"), "c_nationkey", "cents")
+      .orderBy(col("h"))
+  }
+
   /** Correlation matrix ([[graft.operators.Relational.corrMatrix]]):
     * all-pairs Pearson between the per-user activity metrics — which
     * features move together, the numeric companion of q453's balance
@@ -9252,6 +9293,8 @@ object SparkEntry {
     "q458_icc" -> (q458 _),
     "q459_negbin_fit" -> (q459 _),
     "q460_entropy_profile" -> (q460 _),
+    "q461_rbo" -> (q461 _),
+    "q462_post_stratify" -> (q462 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10466,6 +10509,12 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // full-outer rank join -> max-rank census; pinned 0.9-power weights
+    "q461_rbo" ->
+      """WITH li AS (SELECT l_partkey, o_orderkey % 2 AS half, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM lineitem JOIN orders ON l_orderkey = o_orderkey), r0 AS (SELECT item, ra FROM (SELECT l_partkey AS item, CAST(ROW_NUMBER() OVER (ORDER BY SUM(cents) DESC, l_partkey) AS BIGINT) AS ra FROM li WHERE half = 0 GROUP BY l_partkey) q WHERE ra <= 10), r1 AS (SELECT item, rb FROM (SELECT l_partkey AS item, CAST(ROW_NUMBER() OVER (ORDER BY SUM(cents) DESC, l_partkey) AS BIGINT) AS rb FROM li WHERE half = 1 GROUP BY l_partkey) q WHERE rb <= 10), j AS (SELECT GREATEST(COALESCE(ra, 11), COALESCE(rb, 11)) AS m FROM r0 FULL OUTER JOIN r1 USING (item)), jf AS (SELECT m FROM j WHERE m <= 10), sp AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS d), xd AS (SELECT d, CAST(COUNT(jf.m) AS BIGINT) AS x FROM sp LEFT JOIN jf ON jf.m <= sp.d GROUP BY d), tm AS (SELECT d, x, CAST(round([0.1, 0.09, 0.081, 0.0729, 0.06561, 0.059049, 0.0531441, 0.04782969, 0.043046721, 0.0387420489][CAST(d AS INTEGER)] * CAST(x AS DOUBLE) / CAST(d AS DOUBLE), 9) AS DECIMAL(18,9)) AS term FROM xd) SELECT CAST(10 AS BIGINT) AS k, MAX(CASE WHEN d = 10 THEN x END) AS overlap_at_k, round(CAST(SUM(term) AS DOUBLE), 6) AS rbo FROM tm""",
+    // known population shares reweight the biased sample; 1e-9 terms
+    "q462_post_stratify" ->
+      """WITH sp AS (SELECT c_nationkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY o_custkey, c_nationkey), pop AS (SELECT CAST(c_nationkey AS VARCHAR) AS h, CAST(COUNT(*) AS BIGINT) AS pop_n FROM customer GROUP BY 1), sm AS (SELECT CAST(c_nationkey AS VARCHAR) AS h, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(cents AS DECIMAL(38,0))) AS s, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS ss FROM sp GROUP BY 1), j AS (SELECT pop.h, pop.pop_n, COALESCE(sm.n, 0) AS n, sm.s, sm.ss FROM pop LEFT JOIN sm USING (h)), t AS (SELECT CAST(SUM(pop_n) AS BIGINT) AS tot FROM j), f AS (SELECT j.*, CAST(pop_n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS w, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mh, (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vh FROM j, t), f2 AS (SELECT h, pop_n, n, round(w, 9) AS w, CASE WHEN n > 0 THEN round(mh, 6) END AS mean_h, n > 0 AS covered, CASE WHEN n > 0 THEN CAST(round(w * mh, 9) AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END AS ty, CASE WHEN n > 1 THEN CAST(round(w * w * vh / CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END AS tv FROM f) SELECT h, pop_n, n, w, mean_h, covered, round(CAST(SUM(ty) OVER () AS DOUBLE), 6) AS estimate, round(sqrt(CAST(SUM(tv) OVER () AS DOUBLE)), 6) AS se FROM f2 ORDER BY h""",
     // entity-keyed pair melt; exact decimal moments; pinned r per pair
     "q457_corr_matrix" ->
       """WITH u AS (SELECT user_id AS id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents, CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases FROM events GROUP BY 1), mel AS (SELECT id, 'n_events' AS m, n_events AS v FROM u UNION ALL SELECT id, 'cents', cents FROM u UNION ALL SELECT id, 'n_purchases', n_purchases FROM u), pr AS (SELECT a.m AS ma, b.m AS mb, a.v AS x, b.v AS y FROM mel a JOIN mel b ON a.id = b.id AND a.m < b.m), ag AS (SELECT ma, mb, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy, SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx, SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy FROM pr GROUP BY 1, 2), dn AS (SELECT *, sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den FROM ag) SELECT ma, mb, n, round(CASE WHEN den <> 0.0 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den END, 6) AS r FROM dn ORDER BY ma, mb""",

@@ -893,6 +893,59 @@ object Relational {
         dbl(least(col("nx"), col("ny")) - 1))), 6).as("cramers_v"))
   }
 
+  /** RBO weights (1−p)·p^(d−1) for p = 0.9, depths 1..10 — EXACT decimal
+    * expansions of powers of 0.9, pinned as the same literals on both
+    * engines (the q431 DcgW posture).
+    */
+  val RboW09: Seq[Double] = Seq(0.1, 0.09, 0.081, 0.0729, 0.06561,
+    0.059049, 0.0531441, 0.04782969, 0.043046721, 0.0387420489)
+
+  /** RANK-BIASED OVERLAP (Webber et al. 2010, truncated at depth k) —
+    * "did my top-k CHANGE": the ranking-drift number between two top-k
+    * lists that overlap-at-k alone misreads (RBO weights agreement at
+    * the TOP, where dashboard eyes live).
+    *
+    *   RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) · |A_d ∩ B_d| / d
+    *
+    * An item sits in both depth-d prefixes iff max(rank_A, rank_B) ≤ d,
+    * so one full-outer join + a max-rank census gives every X_d; the
+    * weights are pinned literals ([[RboW09]]), per-depth terms land on
+    * the 1e-9 grid and decimal-sum. Everything after the two rank
+    * windows is k-sized. Callers supply the two ranked lists
+    * (item, rank 1..k).
+    */
+  def rankBiasedOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      itemCol: String,
+      rankCol: String,
+      k: Int,
+      weights: Seq[Double] = RboW09): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1 && k <= weights.size,
+      s"need 1 <= k <= ${weights.size} pinned weights")
+    val d189 = DecimalType(18, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val wArr = array(weights.map(lit): _*)
+    val j = a.select(col(itemCol).as("item"), col(rankCol).as("ra"))
+      .join(b.select(col(itemCol).as("item"), col(rankCol).as("rb")),
+        Seq("item"), "full")
+      .select(greatest(coalesce(col("ra"), lit(k + 1L)),
+        coalesce(col("rb"), lit(k + 1L))).cast("long").as("m"))
+      .filter(col("m") <= k)
+    val spine = a.sparkSession.range(1, k + 1)
+      .select(col("id").cast("long").as("d"))
+    val xd = broadcast(spine).join(j, col("m") <= col("d"), "left")
+      .groupBy(col("d"))
+      .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L)).as("x"))
+    val terms = xd.withColumn("term",
+      round(element_at(wArr, col("d").cast("int")) * dbl(col("x")) /
+        dbl(col("d")), 9).cast(d189))
+    terms.agg(lit(k.toLong).as("k"),
+      max(when(col("d") === k.toLong, col("x"))).as("overlap_at_k"),
+      round(dbl(sum(col("term"))), 6).as("rbo"))
+  }
+
   /** CORRELATION MATRIX — all-pairs Pearson between k entity-level
     * metrics ("which of my features move together"), the numeric
     * companion to the q453 balance table and the many-pairs

@@ -398,6 +398,59 @@ object Sampling {
       .drop("__h", "__rn")
   }
 
+  /** POST-STRATIFICATION — reweight a biased sample to KNOWN population
+    * stratum shares: the survey-sampling estimator that fixes "my
+    * sample over-represents stratum X" without re-collecting,
+    *
+    *   ŷ = Σ_h W_h·ȳ_h,   SE² = Σ_h W_h²·s_h²/n_h,   W_h = N_h/N
+    *
+    * — the companion to [[balancedDownsample]] (which rebalances by
+    * DROPPING rows; this reweights the estimate). Exact integer moments
+    * per stratum, per-stratum W·ȳ and W²s²/n terms on the 1e-9 grid,
+    * decimal-summed; the estimate/SE broadcast onto the per-stratum
+    * rows (the mi_total shape). Strata present in the population but
+    * unsampled are REPORTED (NULL mean, n = 0) — their weight is
+    * missing mass the estimate cannot cover, flagged rather than
+    * silently renormalized.
+    */
+  def postStratify(
+      sample: DataFrame,
+      population: DataFrame,
+      stratumCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val pop = population.groupBy(col(stratumCol).cast("string").as("h"))
+      .agg(count(lit(1)).as("pop_n"))
+    val samp = sample.groupBy(col(stratumCol).cast("string").as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long").cast(d38)).as("s"),
+        sum(col(valueCol).cast("long").cast(d38) *
+          col(valueCol).cast("long").cast(d38)).as("ss"))
+    val joined = pop.join(samp, Seq("h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val tot = Window.partitionBy()
+    val nD = dbl(col("n"))
+    val w = dbl(col("pop_n")) / dbl(sum(col("pop_n")).over(tot))
+    val meanH = dbl(col("s")) / nD
+    val varH = (nD * dbl(col("ss")) - dbl(col("s")) * dbl(col("s"))) /
+      (nD * (nD - 1.0))
+    val staged = joined
+      .withColumn("w", round(w, 9))
+      .withColumn("mean_h", when(col("n") > 0L, round(meanH, 6)))
+      .withColumn("term_y", when(col("n") > 0L,
+        round(w * meanH, 9)).otherwise(lit(0.0))
+        .cast(DecimalType(28, 9)))
+      .withColumn("term_v", when(col("n") > 1L,
+        round(w * w * varH / nD, 9)).otherwise(lit(0.0))
+        .cast(DecimalType(28, 9)))
+      .withColumn("covered", col("n") > 0L)
+    staged.select(col("h"), col("pop_n"), col("n"), col("w"),
+      col("mean_h"), col("covered"),
+      round(dbl(sum(col("term_y")).over(tot)), 6).as("estimate"),
+      round(sqrt(dbl(sum(col("term_v")).over(tot))), 6).as("se"))
+  }
+
   /** TEMPERATURE-SCALED MIXING WEIGHTS (α = 0.5) — the data-mixing table
     * every multi-source training run starts from: sampling probability
     * pᵢ ∝ tᵢ^α flattens the source distribution so small domains are

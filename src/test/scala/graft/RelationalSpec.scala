@@ -423,4 +423,25 @@ class RelationalSpec extends SparkSuite {
     assert(got(("w", "x")) == ((3L, -1.0)))
   }
 
+  test("rankBiasedOverlap: identical lists sum the weights, disjoint = 0") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("item", "rnk")
+    val same = Relational.rankBiasedOverlap(a, a, "item", "rnk", k = 3)
+      .head()
+    val wsum = Seq(0.1, 0.09, 0.081).map(w =>
+      BigDecimal(w).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(same.getLong(1) == 3L)
+    assert(same.getDouble(2) ==
+      wsum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val b = Seq((77L, 1L), (88L, 2L), (99L, 3L)).toDF("item", "rnk")
+    val disj = Relational.rankBiasedOverlap(a, b, "item", "rnk", k = 3)
+      .head()
+    assert(disj.getLong(1) == 0L && disj.getDouble(2) == 0.0)
+    // a swap deep in the list costs less than one at the top
+    val swapTop = Seq((20L, 1L), (10L, 2L), (30L, 3L)).toDF("item", "rnk")
+    val topCost = Relational.rankBiasedOverlap(a, swapTop, "item", "rnk", 3)
+      .head().getDouble(2)
+    assert(topCost < same.getDouble(2) && topCost > 0.0)
+  }
+
 }

@@ -184,4 +184,19 @@ class SamplingSpec extends SparkSuite {
     assert(got("a") == (("a", 2L, 25L, 0.714285714, 500.0, 20.0)))
     assert(got("b") == (("b", 1L, 4L, 0.285714286, 200.0, 50.0)))
   }
+  test("postStratify: hand reweighting, SE, unsampled stratum reported") {
+    import spark.implicits._
+    val pop = (Seq.fill(2)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("h")
+    val sample = Seq(("a", 10L), ("b", 20L), ("b", 40L)).toDF("h", "v")
+    val got = Sampling.postStratify(sample, pop, "h", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // W = (0.4, 0.4, 0.2); estimate = 0.4*10 + 0.4*30 = 16;
+    // SE^2 = 0.16*200/2 = 16 -> SE = 4
+    assert(got("a").getDouble(3) == 0.4 && got("c").getDouble(3) == 0.2)
+    assert(got("b").getDouble(4) == 30.0)
+    assert(got("a").getDouble(6) == 16.0 && got("a").getDouble(7) == 4.0)
+    assert(!got("c").getBoolean(5) && got("c").isNullAt(4),
+      "unsampled strata are reported, not renormalized away")
+  }
+
 }
