@@ -6218,6 +6218,51 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Croston's intermittent-demand forecast
+    * ([[graft.operators.Trend.crostonPerKey]]): weekly part demand is
+    * SPARSE (most part-weeks are zero) — Croston smooths sizes and
+    * inter-demand intervals separately where Holt would forecast
+    * mostly-zero noise; one HOF fold per part over demand events only,
+    * α = 0.5, recursive-CTE replay with explicit anchor casts.
+    */
+  private def q463(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Trend.crostonPerKey(weeklyDemand(s, dir),
+        "l_partkey", "week", "qty")
+      .orderBy(col("l_partkey"))
+
+  /** SBC demand classification ([[graft.operators.Trend.sbcClassify]]):
+    * route each part's demand series to the right forecaster —
+    * smooth/intermittent/erratic/lumpy from (ADI, CV²) at the standard
+    * 1.32/0.49 cutoffs; exact census moments, pinned compares.
+    */
+  private def q464(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Trend.sbcClassify(weeklyDemand(s, dir),
+        "l_partkey", "week", "qty")
+      .orderBy(col("l_partkey"))
+
+  private def weeklyDemand(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_partkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01') AS BIGINT) div 7")
+          .as("week"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+
+  /** Pinball-loss evaluation ([[graft.operators.Trend.pinballEval]]):
+    * score each event type's train-half p90 as a quantile forecast over
+    * the test half — the calibration-aware metric a point-MAE can't
+    * give; exact census order-stat forecast, 0.9·integer terms on the
+    * 1e-9 grid.
+    */
+  private def q465(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.pinballEval(hourly, "event_type", "hid", "cents")
+      .orderBy(col("event_type"))
+  }
+
   /** Rank-biased overlap
     * ([[graft.operators.Relational.rankBiasedOverlap]]): split-half
     * stability of the top-10 parts-by-revenue ranking (even vs odd
@@ -9295,6 +9340,9 @@ object SparkEntry {
     "q460_entropy_profile" -> (q460 _),
     "q461_rbo" -> (q461 _),
     "q462_post_stratify" -> (q462 _),
+    "q463_croston" -> (q463 _),
+    "q464_sbc_classify" -> (q464 _),
+    "q465_pinball" -> (q465 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10509,6 +10557,17 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // demand events only; the fold replays as a per-key recursive CTE
+    // with explicit anchor casts (the §6 DECIMAL-anchor trap)
+    "q463_croston" ->
+      """WITH RECURSIVE d AS (SELECT l_partkey AS k, date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7 AS b, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1, 2), e AS (SELECT k, b, x, ROW_NUMBER() OVER (PARTITION BY k ORDER BY b) AS rn, CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n FROM d WHERE x > 0), r AS (SELECT k, rn, CAST(x AS DOUBLE) AS z, CAST(-1 AS DOUBLE) AS p, CAST(b AS DOUBLE) AS lb, n FROM e WHERE rn = 1 AND n >= 2 UNION ALL SELECT e.k, e.rn, 0.5 * CAST(e.x AS DOUBLE) + 0.5 * r.z, CASE WHEN r.p < 0 THEN CAST(e.b AS DOUBLE) - r.lb ELSE 0.5 * (CAST(e.b AS DOUBLE) - r.lb) + 0.5 * r.p END, CAST(e.b AS DOUBLE), r.n FROM r JOIN e ON e.k = r.k AND e.rn = r.rn + 1) SELECT k AS l_partkey, n AS n_demands, round(z, 6) AS size_hat, round(p, 6) AS interval_hat, round(z / p, 6) AS rate_forecast FROM r WHERE rn = n ORDER BY k""",
+    // census moments -> (ADI, CV²) -> pinned 1.32/0.49 routing
+    "q464_sbc_classify" ->
+      """WITH d AS (SELECT l_partkey AS k, date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) // 7 AS b, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1, 2), e AS (SELECT k, b, x FROM d WHERE x > 0), m AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n, MIN(b) AS b0, MAX(b) AS b1, SUM(CAST(x AS DECIMAL(38,0))) AS s, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS ss FROM e GROUP BY k HAVING COUNT(*) >= 2 AND SUM(CAST(x AS DECIMAL(38,0))) > 0), f AS (SELECT k, n, CAST(b1 - b0 AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) AS adi, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS variance FROM m), f2 AS (SELECT k, n, adi, variance / (mean * mean) AS cv2 FROM f) SELECT k AS l_partkey, n AS n_demands, round(adi, 6) AS adi, round(cv2, 6) AS cv2, CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth' WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent' WHEN adi < 1.32 THEN 'erratic' ELSE 'lumpy' END AS class FROM f2 ORDER BY k""",
+    // train-half order-stat forecast; 0.9·int terms; (0.9 - 1.0) as the
+    // SAME two literals both engines (a -0.1 literal parses differently)
+    "q465_pinball" ->
+      """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), tr AS (SELECT event_type, v FROM h WHERE hid % 2 = 0), te AS (SELECT event_type, v FROM h WHERE hid % 2 = 1), cen AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS t FROM tr GROUP BY 1, 2), rk AS (SELECT event_type, v, CAST(SUM(t) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM cen), f AS (SELECT event_type, MIN(v) AS f FROM rk WHERE c * 10000 >= n * 9000 GROUP BY 1), tm AS (SELECT te.event_type, te.v - f.f AS d FROM te JOIN f USING (event_type)), t2 AS (SELECT event_type, CAST(round(GREATEST(0.9 * CAST(d AS DOUBLE), (0.9 - 1.0) * CAST(d AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term FROM tm) SELECT t2.event_type, MAX(f.f) AS forecast, CAST(COUNT(*) AS BIGINT) AS n_test, round(CAST(SUM(term) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS pinball FROM t2 JOIN f ON t2.event_type = f.event_type GROUP BY 1 ORDER BY 1""",
     // full-outer rank join -> max-rank census; pinned 0.9-power weights
     "q461_rbo" ->
       """WITH li AS (SELECT l_partkey, o_orderkey % 2 AS half, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM lineitem JOIN orders ON l_orderkey = o_orderkey), r0 AS (SELECT item, ra FROM (SELECT l_partkey AS item, CAST(ROW_NUMBER() OVER (ORDER BY SUM(cents) DESC, l_partkey) AS BIGINT) AS ra FROM li WHERE half = 0 GROUP BY l_partkey) q WHERE ra <= 10), r1 AS (SELECT item, rb FROM (SELECT l_partkey AS item, CAST(ROW_NUMBER() OVER (ORDER BY SUM(cents) DESC, l_partkey) AS BIGINT) AS rb FROM li WHERE half = 1 GROUP BY l_partkey) q WHERE rb <= 10), j AS (SELECT GREATEST(COALESCE(ra, 11), COALESCE(rb, 11)) AS m FROM r0 FULL OUTER JOIN r1 USING (item)), jf AS (SELECT m FROM j WHERE m <= 10), sp AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS d), xd AS (SELECT d, CAST(COUNT(jf.m) AS BIGINT) AS x FROM sp LEFT JOIN jf ON jf.m <= sp.d GROUP BY d), tm AS (SELECT d, x, CAST(round([0.1, 0.09, 0.081, 0.0729, 0.06561, 0.059049, 0.0531441, 0.04782969, 0.043046721, 0.0387420489][CAST(d AS INTEGER)] * CAST(x AS DOUBLE) / CAST(d AS DOUBLE), 9) AS DECIMAL(18,9)) AS term FROM xd) SELECT CAST(10 AS BIGINT) AS k, MAX(CASE WHEN d = 10 THEN x END) AS overlap_at_k, round(CAST(SUM(term) AS DOUBLE), 6) AS rbo FROM tm""",

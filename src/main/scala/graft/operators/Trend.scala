@@ -1150,6 +1150,140 @@ object Trend {
       .withColumn("alarmed", col("alarm_bucket").isNotNull)
   }
 
+  /** CROSTON'S METHOD per key — the INTERMITTENT-demand forecaster:
+    * exponential smoothing of demand SIZES and inter-demand INTERVALS
+    * separately, forecast = z/p demand per bucket. Sparse series (most
+    * buckets zero — spare parts, long-tail SKUs, rare event types) make
+    * [[holtPerKey]] forecast mostly-zero noise; Croston smooths only at
+    * demand points.
+    *
+    * Convention (documented, replayed by the oracle): z initializes to
+    * the first demand size, p to the SECOND event's gap; from the third
+    * event both smooth with α (z from the second). α a power of two so
+    * the fold's IEEE ops replay bit-identically in the oracle's
+    * recursive CTE (with explicit anchor casts — the §6 DECIMAL-anchor
+    * trap). One codegen'd HOF fold per key over the sorted demand-event
+    * array (events only — the zero buckets never materialize); keys
+    * with < 2 demand events drop.
+    */
+  def crostonPerKey(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      qtyCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0)
+    val first = element_at(col("__s"), 1)
+    val folded = aggregate(
+      expr("slice(__s, 2, greatest(size(__s) - 1, 0))"),
+      struct(first.getField("__v").as("z"), lit(-1.0).as("p"),
+        first.getField("__o").cast("double").as("lb")),
+      (acc, e) => {
+        val g = e.getField("__o").cast("double") - acc.getField("lb")
+        val z2 = lit(alpha) * e.getField("__v") +
+          lit(1.0 - alpha) * acc.getField("z")
+        val p2 = when(acc.getField("p") < 0.0, g)
+          .otherwise(lit(alpha) * g + lit(1.0 - alpha) * acc.getField("p"))
+        struct(z2.as("z"), p2.as("p"),
+          e.getField("__o").cast("double").as("lb"))
+      })
+    df.filter(col(qtyCol) > 0)
+      .select(col(keyCol), col(bucketCol).cast("long").as("__o"),
+        col(qtyCol).cast("double").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_demands"),
+        sort_array(collect_list(struct(col("__o"), col("__v")))).as("__s"))
+      .filter(col("n_demands") >= 2)
+      .select(col(keyCol), col("n_demands"),
+        round(folded.getField("z"), 6).as("size_hat"),
+        round(folded.getField("p"), 6).as("interval_hat"),
+        round(folded.getField("z") / folded.getField("p"), 6)
+          .as("rate_forecast"))
+  }
+
+  /** SBC DEMAND CLASSIFICATION (Syntetos–Boylan–Croston) per key — the
+    * routing decision BEFORE forecasting: smooth / intermittent /
+    * erratic / lumpy from (ADI, CV²) with the standard pinned cutoffs
+    * 1.32 and 0.49; smooth series go to [[holtPerKey]]-family models,
+    * intermittent/lumpy to [[crostonPerKey]]. ADI = (last − first)/(n−1)
+    * over demand events, CV² = sample-variance/mean² of the sizes —
+    * exact integer census moments, two pinned ratios, literal compares.
+    */
+  def sbcClassify(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      qtyCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val q = col(qtyCol).cast("long").cast(d38)
+    val m = df.filter(col(qtyCol) > 0)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(col(bucketCol).cast("long")).as("b0"),
+        max(col(bucketCol).cast("long")).as("b1"),
+        sum(q).as("s"), sum(q * q).as("ss"))
+      .filter(col("n") >= 2L && col("s") > lit(0).cast(d38))
+    val n = dbl(col("n"))
+    val adi = dbl(col("b1") - col("b0")) / (n - 1.0)
+    val mean = dbl(col("s")) / n
+    val variance = (n * dbl(col("ss")) - dbl(col("s")) * dbl(col("s"))) /
+      (n * (n - 1.0))
+    val cv2 = variance / (mean * mean)
+    m.select(col(keyCol), col("n").as("n_demands"),
+      round(adi, 6).as("adi"), round(cv2, 6).as("cv2"),
+      when(adi < 1.32 && cv2 < 0.49, "smooth")
+        .when(adi >= 1.32 && cv2 < 0.49, "intermittent")
+        .when(adi < 1.32, "erratic")
+        .otherwise("lumpy").as("class"))
+  }
+
+  /** PINBALL (quantile) LOSS evaluation per key — scores a QUANTILE
+    * forecast the way MAE scores a point forecast: the exact p90 of the
+    * EVEN buckets (train) is held as the forecast and scored against
+    * the ODD buckets (test) with L_q(y, F) = max(q(y−F), (q−1)(y−F)).
+    * A well-calibrated q-quantile minimizes it; systematic under- or
+    * over-forecasting shows up asymmetrically.
+    *
+    * The forecast is an exact census order statistic (100·cum ≥ q·n in
+    * pure integers — the q218 weighted-quantile form), y − F diffs are
+    * exact integers, each loss term is one 0.9·int product on the 1e-9
+    * grid, decimal-summed; the mean is the single final division.
+    */
+  def pinballEval(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      centsCol: String,
+      qBp: Int = 9000): DataFrame = {
+    require(qBp > 0 && qBp < 10000)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+      col(centsCol).cast("long").as("__v"))
+    val train = base.filter(pmod(col("__b"), lit(2L)) === 0L)
+    val test = base.filter(pmod(col("__b"), lit(2L)) === 1L)
+    val census = train.groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = census
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(Window.partitionBy(col(keyCol))))
+      .filter(col("c") * 10000L >= col("n") * qBp)
+      .groupBy(col(keyCol)).agg(min(col("__v")).as("f"))
+    val qq = qBp.toDouble / 10000.0
+    val terms = test.join(f, Seq(keyCol.toString))
+      .withColumn("d", col("__v") - col("f"))
+      .withColumn("term",
+        round(greatest(lit(qq) * dbl(col("d")),
+          lit(qq - 1.0) * dbl(col("d"))), 9).cast(DecimalType(28, 9)))
+    terms.groupBy(col(keyCol))
+      .agg(max(col("f")).as("forecast"),
+        count(lit(1)).as("n_test"),
+        round(dbl(sum(col("term"))) / dbl(count(lit(1))), 6)
+          .as("pinball"))
+  }
+
   /** OVERDISPERSION CHECK per key — variance-to-mean ratio of a count
     * series plus the Poisson dispersion statistic D = (n−1)·VMR ~
     * χ²(n−1): "are these counts Poisson-noise or is there burstiness"

@@ -105,6 +105,42 @@ class TrendSpec extends SparkSuite {
     assert(out("s")._2 == 2L, "n=3 keeps lags 1..2 (lag < n)")
   }
 
+  test("crostonPerKey: hand fold — init, interval seed, smoothed rate") {
+    // events (0,4), (2,8), (5,2): z: 4 → 6 → 4; p: seed 2 → 2.5;
+    // forecast 4/2.5 = 1.6. Zero rows excluded; single-event keys drop.
+    val rows = Seq(("a", 0L, 4L), ("a", 1L, 0L), ("a", 2L, 8L),
+      ("a", 5L, 2L), ("s", 3L, 9L))
+    val got = Trend.crostonPerKey(rows.toDF("k", "b", "q"), "k", "b", "q")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 3L)
+    assert(a.getDouble(2) == 4.0 && a.getDouble(3) == 2.5)
+    assert(a.getDouble(4) == 1.6)
+    assert(!got.contains("s"), "single-demand keys drop")
+  }
+
+  test("sbcClassify: dense-constant = smooth, sparse-volatile = lumpy") {
+    val smooth = (0L to 9L).map(b => ("sm", b, 10L))
+    val lumpy = Seq(("lu", 0L, 1L), ("lu", 10L, 100L))
+    val got = Trend.sbcClassify((smooth ++ lumpy).toDF("k", "b", "q"),
+        "k", "b", "q")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(got("sm") == ((1.0, 0.0, "smooth")))
+    assert(got("lu")._1 == 10.0 && got("lu")._3 == "lumpy")
+  }
+
+  test("pinballEval: train p90 order stat, asymmetric loss on test") {
+    // train (even buckets) [10,20,30] → p90 = 30; test [25, 35]:
+    // losses max(.9d, -.1d) = (0.5, 4.5) → mean 2.5
+    val rows = Seq(("a", 0L, 10L), ("a", 2L, 20L), ("a", 4L, 30L),
+      ("a", 1L, 25L), ("a", 3L, 35L))
+    val r = Trend.pinballEval(rows.toDF("k", "b", "cents"),
+      "k", "b", "cents").head()
+    assert(r.getLong(1) == 30L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 2.5)
+  }
+
   test("dispersionCheck: hand VMR, zero-mean keys emit NULL") {
     // counts [1,2,3]: mean 2, var 1, VMR 0.5, D = (n-1)·VMR = 1
     val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("z", 0L), ("z", 0L))
