@@ -6218,6 +6218,53 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** PMI collocations ([[graft.operators.TextPipeline.pmiCollocations]]):
+    * top-30 adjacent word pairs co-occurring far beyond their margins —
+    * phrase DISCOVERY beside q434's RAKE scoring; ln over exact integer
+    * cross-products, full-census margins, min-support 3.
+    */
+  private def q466(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.pmiCollocations(
+        T(s, dir, "documents"), "doc_id", "text", minCount = 3, topN = 30)
+      .orderBy(col("rank"))
+
+  /** Embedding-truncation fidelity
+    * ([[graft.operators.Similarity.truncationFidelity]]): per query,
+    * RBO@10 between the 64-dim cosine top-10 and the 16-dim truncated
+    * top-10 — the matryoshka serve-cost decision table; two knnBrute
+    * scans, max-rank census, pinned 0.9-power weights.
+    */
+  private def q467(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.truncationFidelity(
+        emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        dims = 16, k = 10)
+      .orderBy(col("qid"))
+  }
+
+  /** Rule-based multi-touch credits
+    * ([[graft.operators.Attribution.positionCredits]]): first/last/
+    * linear/U-shaped per channel over converting users' pre-purchase
+    * touches (the q281 journey derivation) — the four dashboard
+    * heuristics beside the model-based q281 Markov and q343-family
+    * Shapley; exact counts + 1e-9-grid rational credits.
+    */
+  private def q468(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("sec"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val o = e.withColumn("rn", row_number().over(w))
+    val fp = o.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+    val touches = o.join(fp, Seq("user_id"))
+      .filter(col("rn") < col("prn"))
+      .select(col("user_id"), col("rn"), col("event_type"))
+    graft.operators.Attribution.positionCredits(touches,
+        "user_id", "rn", "event_type")
+      .orderBy(col("ch"))
+  }
+
   /** Croston's intermittent-demand forecast
     * ([[graft.operators.Trend.crostonPerKey]]): weekly part demand is
     * SPARSE (most part-weeks are zero) — Croston smooths sizes and
@@ -9343,6 +9390,9 @@ object SparkEntry {
     "q463_croston" -> (q463 _),
     "q464_sbc_classify" -> (q464 _),
     "q465_pinball" -> (q465 _),
+    "q466_pmi_collocations" -> (q466 _),
+    "q467_truncation_fidelity" -> (q467 _),
+    "q468_position_credits" -> (q468 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10557,6 +10607,16 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // full-census margins; ln over exact integer cross-products
+    "q466_pmi_collocations" ->
+      """WITH wl AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents), tk AS (SELECT doc_id, unnest(ws) AS w1, generate_subscripts(ws, 1) AS pos FROM wl), bg AS (SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tk), bg2 AS (SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''), pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bg2 GROUP BY 1, 2), lc AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pc GROUP BY 1), rc AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM pc GROUP BY 1), na AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_all FROM pc), sc AS (SELECT pc.w1, pc.w2, pc.c_xy, round(ln(CAST(CAST(na.n_all AS DECIMAL(38,0)) * pc.c_xy AS DOUBLE) / CAST(CAST(lc.c_x AS DECIMAL(38,0)) * rc.c_y AS DOUBLE)), 6) AS pmi FROM pc JOIN lc USING (w1) JOIN rc USING (w2), na WHERE pc.c_xy >= 3), rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM sc) SELECT CAST(rnk AS BIGINT) AS rank, w1, w2, c_xy, pmi FROM rk WHERE rnk <= 30 ORDER BY rank""",
+    // two cosine rankings (full + first-16 slice), per-query max-rank
+    // census, the q461 pinned weights
+    "q467_truncation_fidelity" ->
+      s"""$VEC_MACROS; CREATE OR REPLACE MACRO pdot16(v, w) AS list_reduce(list_transform(range(1, 17), i -> CAST(v[i] AS DOUBLE) * w[i]), (a, b) -> a + b); CREATE OR REPLACE MACRO pcos16(a, b) AS pdot16(a, b) / (sqrt(pdot16(a, a)) * sqrt(pdot16(b, b))); WITH qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8), fsc AS (SELECT qv.qid, e.vec_id AS nid, round(pcos(qv.qe, e.embedding), 4) AS s FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qv.qid), fr AS (SELECT qid, nid, rnk AS ra FROM (SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC NULLS LAST, nid) AS BIGINT) AS rnk FROM fsc) q WHERE rnk <= 10), tsc AS (SELECT qv.qid, e.vec_id AS nid, round(pcos16(qv.qe, e.embedding), 4) AS s FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> qv.qid), tr AS (SELECT qid, nid, rnk AS rb FROM (SELECT qid, nid, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC NULLS LAST, nid) AS BIGINT) AS rnk FROM tsc) q WHERE rnk <= 10), j AS (SELECT COALESCE(fr.qid, tr.qid) AS qid, GREATEST(COALESCE(ra, 11), COALESCE(rb, 11)) AS m FROM fr FULL OUTER JOIN tr ON fr.qid = tr.qid AND fr.nid = tr.nid), jf AS (SELECT qid, m FROM j WHERE m <= 10), sp AS (SELECT qv.qid, CAST(u.u AS BIGINT) AS d FROM qv, (SELECT unnest(range(1, 11)) AS u) u), xd AS (SELECT sp.qid, sp.d, CAST(COUNT(jf.m) AS BIGINT) AS x FROM sp LEFT JOIN jf ON jf.qid = sp.qid AND jf.m <= sp.d GROUP BY 1, 2), tm AS (SELECT qid, d, x, CAST(round([0.1, 0.09, 0.081, 0.0729, 0.06561, 0.059049, 0.0531441, 0.04782969, 0.043046721, 0.0387420489][CAST(d AS INTEGER)] * CAST(x AS DOUBLE) / CAST(d AS DOUBLE), 9) AS DECIMAL(18,9)) AS term FROM xd) SELECT qid, MAX(CASE WHEN d = 10 THEN x END) AS overlap_at_k, round(CAST(SUM(term) AS DOUBLE), 6) AS rbo FROM tm GROUP BY qid ORDER BY qid""",
+    // q281's journey derivation; exact end counts, 1e-9 rational credits
+    "q468_position_credits" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec, event_id FROM events), o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn FROM e), fp AS (SELECT user_id, MIN(rn) AS prn FROM o WHERE event_type = 'purchase' GROUP BY 1), t AS (SELECT o.user_id AS j, o.rn AS ord, o.event_type AS ch FROM o JOIN fp ON o.user_id = fp.user_id WHERE o.rn < fp.prn), b AS (SELECT j, ch, CAST(ROW_NUMBER() OVER (PARTITION BY j ORDER BY ord) AS BIGINT) AS i, CAST(COUNT(*) OVER (PARTITION BY j) AS BIGINT) AS n FROM t), c AS (SELECT ch, CAST(COUNT(*) AS BIGINT) AS n_touches, CAST(SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch, CAST(SUM(CASE WHEN i = n THEN 1 ELSE 0 END) AS BIGINT) AS last_touch, SUM(CAST(round(1.0 / CAST(n AS DOUBLE), 9) AS DECIMAL(18,9))) AS lin, SUM(CAST(round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5 WHEN i = 1 OR i = n THEN 0.4 ELSE 0.2 / CAST(n - 2 AS DOUBLE) END, 9) AS DECIMAL(18,9))) AS ush FROM b GROUP BY ch) SELECT ch, n_touches, first_touch, last_touch, round(CAST(lin AS DOUBLE), 6) AS linear, round(CAST(ush AS DOUBLE), 6) AS u_shaped FROM c ORDER BY ch""",
     // demand events only; the fold replays as a per-key recursive CTE
     // with explicit anchor casts (the §6 DECIMAL-anchor trap)
     "q463_croston" ->

@@ -190,4 +190,46 @@ object Attribution {
         round(col("d9").cast("double") / lit(1000000000.0), 6)
           .as("p_drop"))
   }
+
+  /** RULE-BASED MULTI-TOUCH CREDITS — first-touch, last-touch, linear
+    * and U-shaped (40/20/40) in ONE pass per channel: the four
+    * heuristics every attribution dashboard shows next to the
+    * model-based numbers ([[markovRemoval]], [[shapley]]); disagreement
+    * between the columns IS the insight (first≫last = awareness
+    * channel, etc.).
+    *
+    * Callers supply one row per (journey, order, channel) touch —
+    * converting journeys only by convention. First/last are exact
+    * integer counts; linear (1/n) and U-shaped (0.4 ends, 0.2/(n−2)
+    * middles; n=1 → 1, n=2 → ½/½) are single IEEE divisions per touch
+    * quantized to the 1e-9 grid and decimal-summed. Journey-partitioned
+    * windows only; channel-domain output.
+    */
+  def positionCredits(
+      df: DataFrame,
+      journeyCol: String,
+      orderCol: String,
+      channelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d189 = DecimalType(18, 9)
+    def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    val base = df.select(col(journeyCol).as("j"), col(orderCol).as("o"),
+        col(channelCol).as("ch"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("j")).orderBy(col("o"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("j"))))
+    val lin = round(lit(1.0) / dbl(col("n")), 9).cast(d189)
+    val ush = when(col("n") === 1L, lit(1.0))
+      .when(col("n") === 2L, lit(0.5))
+      .when(col("i") === 1L || col("i") === col("n"), lit(0.4))
+      .otherwise(lit(0.2) / dbl(col("n") - 2L))
+    base.groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("i") === 1L, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("i") === col("n"), 1L).otherwise(0L)).as("last_touch"),
+        round(dbl(sum(lin)), 6).as("linear"),
+        round(dbl(sum(round(ush, 9).cast(d189))), 6).as("u_shaped"))
+  }
 }

@@ -720,6 +720,61 @@ object Similarity {
       .orderBy(col("qid"), col("step"))
   }
 
+  /** EMBEDDING-TRUNCATION FIDELITY — "can I serve the first `dims`
+    * dimensions and keep my rankings": per query, RBO@k between the
+    * full-vector cosine top-k and the truncated-vector top-k (the
+    * matryoshka/cost-cut decision table). Two [[knnBrute]]-shaped
+    * scans (full + sliced vectors), one full-outer rank join per query,
+    * the max-rank census trick, and the pinned 0.9-power RBO weights
+    * ([[Relational.RboW09]]); per-depth terms on the 1e-9 grid.
+    */
+  def truncationFidelity(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int = 10): DataFrame = {
+    require(dims >= 1 && k >= 1 && k <= Relational.RboW09.size)
+    val d189 = DecimalType(18, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val wArr = array(Relational.RboW09.map(lit): _*)
+    def topk(vec: Column => Column): DataFrame = {
+      val q = queries.select(col(idCol).as("qid"), vec(col(vecCol)).as("qv"))
+      val scored = corpus.select(col(idCol).as("nid"),
+          vec(col(vecCol)).as("nv"))
+        .crossJoin(broadcast(q))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          round(rankableCosine(col("qv"), col("nv")), 4).as("score"))
+      scored.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("nid"))).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("nid"), col("rnk"))
+    }
+    val full = topk(identity)
+    val trunc = topk(v => slice(v, 1, dims))
+    val m = full.withColumnRenamed("rnk", "ra")
+      .join(trunc.withColumnRenamed("rnk", "rb"), Seq("qid", "nid"), "full")
+      .select(col("qid"), greatest(coalesce(col("ra"), lit(k + 1L)),
+        coalesce(col("rb"), lit(k + 1L))).as("m"))
+      .filter(col("m") <= k)
+    val spine = queries.select(col(idCol).as("qid"))
+      .crossJoin(broadcast(corpus.sparkSession.range(1, k + 1)
+        .select(col("id").cast("long").as("d"))))
+    val xd = spine.join(m, spine("qid") === m("qid") &&
+        m("m") <= spine("d"), "left")
+      .groupBy(spine("qid").as("qid"), col("d"))
+      .agg(sum(when(m("m").isNotNull, 1L).otherwise(0L)).as("x"))
+    val terms = xd.withColumn("term",
+      round(element_at(wArr, col("d").cast("int")) * dbl(col("x")) /
+        dbl(col("d")), 9).cast(d189))
+    terms.groupBy(col("qid"))
+      .agg(max(when(col("d") === k.toLong, col("x"))).as("overlap_at_k"),
+        round(dbl(sum(col("term"))), 6).as("rbo"))
+  }
+
   /** 1/log2(i+1) DCG discounts for ranks 1..10 and their prefix sums
     * (IDCG at j binary-relevant ideal hits) — PINNED 12-decimal literals
     * shared verbatim with the oracle SQL, so no libm log ever runs on

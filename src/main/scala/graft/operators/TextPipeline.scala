@@ -635,6 +635,53 @@ object TextPipeline {
           .as("avg_nll"))
   }
 
+  /** PMI COLLOCATIONS — ordered adjacent word pairs that co-occur far
+    * more than their margins predict: PMI = ln(N·c_xy / (c_x·c_y)) with
+    * c_x / c_y the bigram LEFT/RIGHT margins (so the contingency sums
+    * close; documented convention). The phrase-DISCOVERY tool beside
+    * [[rakeKeywords]] (which scores stopword-free runs) — PMI finds
+    * "san francisco" even when both words are common, because it
+    * corrects for the margins.
+    *
+    * One explode + lead pass builds bigrams (doc-partitioned window);
+    * everything after is bigram-domain-sized. PMI is ln over EXACT
+    * integer cross-products (DECIMAL38, the q256 discipline), min-count
+    * support keeps noise pairs out, ties rank by pair text.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Int = 3,
+      topN: Int = 30): DataFrame = {
+    require(minCount >= 1 && topN >= 1)
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val bigrams = docs.select(col(idCol).as("id"),
+        posexplode(TextFunctions.words(col(textCol))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull && col("w1") =!= "" && col("w2") =!= "")
+      .select(col("w1"), col("w2"))
+    val pairC = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+    val leftC = pairC.groupBy(col("w1")).agg(sum(col("c_xy")).as("c_x"))
+    val rightC = pairC.groupBy(col("w2")).agg(sum(col("c_xy")).as("c_y"))
+    val scored = pairC.filter(col("c_xy") >= minCount.toLong)
+      .join(leftC, "w1").join(rightC, "w2")
+    // margins and N come from the FULL bigram census (not the supported
+    // subset) or PMI would be biased upward
+    val nAll = pairC.agg(sum(col("c_xy")).as("n_all"))
+    val pmi = log(dbl(col("n_all").cast(d38) * col("c_xy").cast(d38)) /
+      dbl(col("c_x").cast(d38) * col("c_y").cast(d38)))
+    scored.crossJoin(broadcast(nAll))
+      .withColumn("pmi", round(pmi, 6))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("w1"), col("w2"), col("c_xy"), col("pmi"))
+  }
+
   /** Pinned RAKE stopword/delimiter list — shared verbatim with the
     * oracle SQL so candidate segmentation is engine-identical.
     */

@@ -80,4 +80,17 @@ class AttributionSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](
       Attribution.absorbingMetrics(tr, Seq("A", "ghost"), steps = 4))
   }
+  test("positionCredits: hand journeys, all four rules in one table") {
+    import spark.implicits._
+    // u1: a->b->c (U = 0.4/0.2/0.4); u2: b alone (all rules give 1)
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 1L, "b")).toDF("j", "o", "ch")
+    val got = graft.operators.Attribution.positionCredits(df, "j", "o", "ch")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("a") == ((1L, 1L, 0L, 0.333333, 0.4)))
+    assert(got("b") == ((2L, 1L, 1L, 1.333333, 1.2)))
+    assert(got("c") == ((1L, 0L, 1L, 0.333333, 0.4)))
+  }
+
 }

@@ -211,4 +211,17 @@ class SimilaritySpec extends SparkSuite {
     assert(q4.getLong(2) == 0L)
     assert(q4.isNullAt(4) && q4.isNullAt(5) && q4.isNullAt(6))
   }
+  test("truncationFidelity: a truncation-flipped pair halves the RBO") {
+    // full ranking c2 > c1; first-2-dims ranking c1 > c2 (ties by id):
+    // X_1 = 0, X_2 = 2 -> RBO = 0.09; both still overlap at k
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(1.0f, 0.1f, 0.0f))).toDF("id", "vec")
+    val r = Similarity.truncationFidelity(corpus,
+      corpus.filter($"id" === 0L), "id", "vec", dims = 2, k = 2).head()
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.09)
+  }
+
 }

@@ -220,4 +220,20 @@ class TextPipelineSpec extends SparkSuite {
       (2L, "deep learning", 2L, 2L, 4.666667)))
   }
 
+  test("pmiCollocations: margins from the FULL census, support gate, ties") {
+    // (new,york) and (a,b) each occur 3x with margins 3/3 over N=10
+    // bigrams -> PMI = ln(10/3); sub-support reversals drop
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "a b a b a b")).toDF("doc_id", "text")
+    val got = TextPipeline.pmiCollocations(docs, "doc_id", "text",
+        minCount = 3, topN = 10)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(0), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size == 2, "the reversed sub-support pairs must drop")
+    val pmi = math.rint(math.log(10.0 / 3.0) * 1e6) / 1e6
+    assert(got(("a", "b")) == ((1L, 3L, pmi)))
+    assert(got(("new", "york")) == ((2L, 3L, pmi)))
+  }
+
 }
