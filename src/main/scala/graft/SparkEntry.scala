@@ -6218,6 +6218,44 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
+    * robust L-CV of order prices per priority — the dispersion family
+    * that stays stable on heavy tails where classical variance explodes;
+    * doubled-tie-rank census makes the λ₂ numerator a pure integer.
+    */
+  private def q469(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.lMoments(
+      T(s, dir, "orders").select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents")),
+      "o_orderpriority", "cents")
+      .orderBy(col("g"))
+
+  /** Two-sample Cramér–von Mises
+    * ([[graft.operators.Relational.cramerVonMises]]): integrated squared
+    * CDF difference between view and click values — registers shelf-wide
+    * shifts q385's supremum-only KS misses; cross-multiplied integer
+    * census arithmetic to one pinned T.
+    */
+  private def q470(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.cramerVonMises(
+      T(s, dir, "events").filter(col("event_type").isin("view", "click"))
+        .select((col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"),
+          (col("event_type") === "view").as("isa")),
+      "cents", col("isa"))
+
+  /** Streaming JSD maintenance
+    * ([[graft.streaming.StreamVerify.jsdMaintenance]]): q455's pairwise
+    * distribution matrix as an ingestion side effect — per-batch
+    * (type, hour-of-day, n) census partials land exactly-once; counts
+    * add, the drained matrix reads through jsdMatrixFromCensus and
+    * shares q455's oracle verbatim. Sixth self-maintaining surface.
+    */
+  private def q471(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.jsdMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q471"))
+
   /** PMI collocations ([[graft.operators.TextPipeline.pmiCollocations]]):
     * top-30 adjacent word pairs co-occurring far beyond their margins —
     * phrase DISCOVERY beside q434's RAKE scoring; ln over exact integer
@@ -9393,6 +9431,9 @@ object SparkEntry {
     "q466_pmi_collocations" -> (q466 _),
     "q467_truncation_fidelity" -> (q467 _),
     "q468_position_credits" -> (q468 _),
+    "q469_l_moments" -> (q469 _),
+    "q470_cramer_von_mises" -> (q470 _),
+    "q471_stream_jsd" -> (q471 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9416,6 +9457,11 @@ object SparkEntry {
   // ---------------------------------------------------------------- oracles
 
   private val SUMV = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // JSD: shared by the batch matrix (q455) and the streaming
+  // hour-profile census store (q471) - counts add, batching invisible
+  private val jsdSql: String =
+    """WITH e AS (SELECT event_type AS k, (epoch_ns(ts) // 1000000000 // 3600) % 24 AS b FROM events), c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), t AS (SELECT k, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY k), sp AS (SELECT a.k AS ka, b.k AS kb, a.t AS ta, b.t AS tb FROM t a JOIN t b ON a.k < b.k), asd AS (SELECT sp.ka, sp.kb, c.b, c.n AS na FROM sp JOIN c ON c.k = sp.ka), bsd AS (SELECT sp.ka, sp.kb, c.b, c.n AS nb FROM sp JOIN c ON c.k = sp.kb), j AS (SELECT COALESCE(asd.ka, bsd.ka) AS ka, COALESCE(asd.kb, bsd.kb) AS kb, COALESCE(asd.b, bsd.b) AS b, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb FROM asd FULL OUTER JOIN bsd ON asd.ka = bsd.ka AND asd.kb = bsd.kb AND asd.b = bsd.b), j2 AS (SELECT j.*, sp.ta, sp.tb FROM j JOIN sp ON j.ka = sp.ka AND j.kb = sp.kb), tm AS (SELECT ka, kb, CASE WHEN na > 0 THEN CAST(round(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) * ln(2.0 * CAST(CAST(na AS DECIMAL(38,0)) * tb AS DOUBLE) / CAST(CAST(na AS DECIMAL(38,0)) * tb + CAST(nb AS DECIMAL(38,0)) * ta AS DOUBLE)), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END AS pa, CASE WHEN nb > 0 THEN CAST(round(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) * ln(2.0 * CAST(CAST(nb AS DECIMAL(38,0)) * ta AS DOUBLE) / CAST(CAST(nb AS DECIMAL(38,0)) * ta + CAST(na AS DECIMAL(38,0)) * tb AS DOUBLE)), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END AS pb FROM j2) SELECT ka, kb, round((CAST(SUM(pa) AS DOUBLE) + CAST(SUM(pb) AS DOUBLE)) / 2.0, 6) AS jsd_nats FROM tm GROUP BY 1, 2 ORDER BY ka, kb"""
 
   // XmR: shared by the batch chart (q446) and the streaming hourly
   // census store (q454) - cents sums add, batching is invisible
@@ -10607,6 +10653,12 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // doubled tie ranks make the λ₂ numerator a pure integer
+    "q469_l_moments" ->
+      """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), cen AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM cen), r2 AS (SELECT *, 2 * c - t + 1 AS r2 FROM rk), ag AS (SELECT g, MAX(n) AS n, SUM(CAST(v AS DECIMAL(38,0)) * t) AS s, SUM(CAST(v AS DECIMAL(38,0)) * (CAST(t AS DECIMAL(38,0)) * r2 - CAST(t AS DECIMAL(38,0)) * (n + 1))) AS n2 FROM r2 GROUP BY g HAVING MAX(n) >= 2), f AS (SELECT g, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS l1, CAST(n2 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS l2 FROM ag) SELECT g, n, round(l1, 6) AS l1, round(l2, 6) AS l2, round(CASE WHEN l1 <> 0.0 THEN l2 / l1 END, 6) AS l_cv FROM f ORDER BY g""",
+    // cross-multiplied CDF differences over the pooled census
+    "q470_cramer_von_mises" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, event_type = 'view' AS isa FROM events WHERE event_type IN ('view', 'click')), cen AS (SELECT v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb FROM e GROUP BY v), rk AS (SELECT *, CAST(SUM(ta) OVER w AS BIGINT) AS ca, CAST(SUM(tb) OVER w AS BIGINT) AS cb, CAST(SUM(ta) OVER () AS BIGINT) AS na, CAST(SUM(tb) OVER () AS BIGINT) AS nb FROM cen WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), dd AS (SELECT *, CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na AS d FROM rk), ag AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b, SUM(CAST(ta + tb AS DECIMAL(38,0)) * d * d) AS u FROM dd) SELECT n_a, n_b, round(CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(u AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)) END, 6) AS cvm_t FROM ag""",
     // full-census margins; ln over exact integer cross-products
     "q466_pmi_collocations" ->
       """WITH wl AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents), tk AS (SELECT doc_id, unnest(ws) AS w1, generate_subscripts(ws, 1) AS pos FROM wl), bg AS (SELECT w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tk), bg2 AS (SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL AND w1 <> '' AND w2 <> ''), pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bg2 GROUP BY 1, 2), lc AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pc GROUP BY 1), rc AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM pc GROUP BY 1), na AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_all FROM pc), sc AS (SELECT pc.w1, pc.w2, pc.c_xy, round(ln(CAST(CAST(na.n_all AS DECIMAL(38,0)) * pc.c_xy AS DOUBLE) / CAST(CAST(lc.c_x AS DECIMAL(38,0)) * rc.c_y AS DOUBLE)), 6) AS pmi FROM pc JOIN lc USING (w1) JOIN rc USING (w2), na WHERE pc.c_xy >= 3), rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rnk FROM sc) SELECT CAST(rnk AS BIGINT) AS rank, w1, w2, c_xy, pmi FROM rk WHERE rnk <= 30 ORDER BY rank""",
@@ -10648,8 +10700,9 @@ object SparkEntry {
       """WITH mel AS (SELECT 'o_orderstatus' AS col_name, COALESCE(CAST(o_orderstatus AS VARCHAR), ' null') AS v FROM orders UNION ALL SELECT 'o_orderpriority', COALESCE(CAST(o_orderpriority AS VARCHAR), ' null') FROM orders UNION ALL SELECT 'o_custkey', COALESCE(CAST(o_custkey AS VARCHAR), ' null') FROM orders), c AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS c FROM mel GROUP BY 1, 2), t AS (SELECT col_name, v, c, CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS term FROM c), a AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct, SUM(term) AS clogc FROM t GROUP BY 1), f AS (SELECT *, ln(CAST(n AS DOUBLE)) - CAST(clogc AS DOUBLE) / CAST(n AS DOUBLE) AS h FROM a) SELECT col_name, n, n_distinct, round(h, 6) AS entropy_nats, round(CASE WHEN n_distinct > 1 THEN h / ln(CAST(n_distinct AS DOUBLE)) END, 6) AS entropy_norm FROM f ORDER BY col_name""",
     // ln over exact integer cross-ratios (the q256 MI discipline);
     // per-cell terms on the 1e-9 grid, decimal-summed per pair
-    "q455_jsd_matrix" ->
-      """WITH e AS (SELECT event_type AS k, (epoch_ns(ts) // 1000000000 // 3600) % 24 AS b FROM events), c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), t AS (SELECT k, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY k), sp AS (SELECT a.k AS ka, b.k AS kb, a.t AS ta, b.t AS tb FROM t a JOIN t b ON a.k < b.k), asd AS (SELECT sp.ka, sp.kb, c.b, c.n AS na FROM sp JOIN c ON c.k = sp.ka), bsd AS (SELECT sp.ka, sp.kb, c.b, c.n AS nb FROM sp JOIN c ON c.k = sp.kb), j AS (SELECT COALESCE(asd.ka, bsd.ka) AS ka, COALESCE(asd.kb, bsd.kb) AS kb, COALESCE(asd.b, bsd.b) AS b, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb FROM asd FULL OUTER JOIN bsd ON asd.ka = bsd.ka AND asd.kb = bsd.kb AND asd.b = bsd.b), j2 AS (SELECT j.*, sp.ta, sp.tb FROM j JOIN sp ON j.ka = sp.ka AND j.kb = sp.kb), tm AS (SELECT ka, kb, CASE WHEN na > 0 THEN CAST(round(CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) * ln(2.0 * CAST(CAST(na AS DECIMAL(38,0)) * tb AS DOUBLE) / CAST(CAST(na AS DECIMAL(38,0)) * tb + CAST(nb AS DECIMAL(38,0)) * ta AS DOUBLE)), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END AS pa, CASE WHEN nb > 0 THEN CAST(round(CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) * ln(2.0 * CAST(CAST(nb AS DECIMAL(38,0)) * ta AS DOUBLE) / CAST(CAST(nb AS DECIMAL(38,0)) * ta + CAST(na AS DECIMAL(38,0)) * tb AS DOUBLE)), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END AS pb FROM j2) SELECT ka, kb, round((CAST(SUM(pa) AS DOUBLE) + CAST(SUM(pb) AS DOUBLE)) / 2.0, 6) AS jsd_nats FROM tm GROUP BY 1, 2 ORDER BY ka, kb""",
+    "q455_jsd_matrix" -> jsdSql,
+    // the streamed hour-profile census store must equal the batch matrix
+    "q471_stream_jsd" -> jsdSql,
     // integer count moments; VMR and (n−1)·VMR single pinned finishes
     "q456_dispersion" ->
       """WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(cnt AS DECIMAL(38,0))) AS s, SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0))) AS ss FROM h GROUP BY 1 HAVING COUNT(*) >= 2), f AS (SELECT event_type, n, s, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS variance FROM m) SELECT event_type, n, round(mean, 6) AS mean, round(variance, 6) AS variance, round(CASE WHEN s > 0 THEN variance / mean END, 6) AS vmr, round(CASE WHEN s > 0 THEN (CAST(n AS DOUBLE) - 1.0) * (variance / mean) END, 6) AS dispersion_stat FROM f ORDER BY event_type""",

@@ -894,13 +894,20 @@ object Drift {
   def jsdMatrix(
       df: DataFrame,
       keyCol: String,
-      binCol: String): DataFrame = {
+      binCol: String): DataFrame =
+    jsdMatrixFromCensus(df.groupBy(col(keyCol).cast("string").as("k"),
+        col(binCol).cast("long").as("b"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[jsdMatrix]] from an already-aggregated (k, b, n) CENSUS — the
+    * entry point the streaming store uses: censuses ADD across batches,
+    * so the drained matrix equals the batch one without ever
+    * re-materializing rows.
+    */
+  def jsdMatrixFromCensus(census: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d189 = DecimalType(18, 9)
     def dbl(c: Column): Column = c.cast("double")
-    val census = df.groupBy(col(keyCol).cast("string").as("k"),
-        col(binCol).cast("long").as("b"))
-      .agg(count(lit(1)).as("n"))
     val totals = census.groupBy(col("k")).agg(sum(col("n")).as("t"))
     val spine = totals.select(col("k").as("ka"), col("t").as("ta"))
       .join(totals.select(col("k").as("kb"), col("t").as("tb")),

@@ -893,6 +893,99 @@ object Relational {
         dbl(least(col("nx"), col("ny")) - 1))), 6).as("cramers_v"))
   }
 
+  /** L-MOMENTS (λ₁, λ₂, L-CV) per group — the ORDER-STATISTIC moment
+    * family: λ₂ = E|X₁−X₂|/2 is a dispersion measure that exists (and
+    * stays stable) for heavy-tailed data where the classical variance
+    * explodes, and L-CV = λ₂/λ₁ is the robust coefficient of variation
+    * hydrology/insurance quote. The unbiased estimator
+    * λ̂₂ = Σ x₍ᵢ₎(2i − n − 1) / (n(n−1)) rewrites over the value census
+    * with DOUBLED tie ranks: Σ over a tie block of (2i−n−1) is exactly
+    * t·r2 − t(n+1) (r2 = 2c−t+1), so the numerator is a pure integer in
+    * DECIMAL(38,0) — ties exact by construction; λ₁/λ₂/L-CV are single
+    * pinned divisions. Census-domain shuffles only; values integer
+    * cents by contract.
+    */
+  def lMoments(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.groupBy(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(Window.partitionBy(col("g"))))
+      .withColumn("r2", lit(2L) * col("c") - col("t") + 1L)
+    val agg = ranked.groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        sum(col("v").cast(d38) * col("t").cast(d38)).as("s"),
+        sum(col("v").cast(d38) *
+          (col("t").cast(d38) * col("r2").cast(d38) -
+            col("t").cast(d38) * (col("n") + 1L).cast(d38))).as("n2"))
+      .filter(col("n") >= 2L)
+    val n = dbl(col("n"))
+    val l1 = dbl(col("s")) / n
+    val l2 = dbl(col("n2")) / (n * (n - 1.0))
+    agg.select(col("g"), col("n"),
+      round(l1, 6).as("l1"),
+      round(l2, 6).as("l2"),
+      round(when(l1 =!= lit(0.0), l2 / l1), 6).as("l_cv"))
+  }
+
+  /** TWO-SAMPLE CRAMÉR–VON MISES — the INTEGRATED-CDF-difference test
+    * completing the two-sample family: q385's KS reads the supremum
+    * (one worst point), q393's energy distance the pairwise means; CvM
+    * integrates (F_a − F_b)² over the pooled sample, so many small
+    * shelf-wide differences that never produce one big KS gap still
+    * register.
+    *
+    *   T = Σ_v (t_a+t_b)·(c_a·n_b − c_b·n_a)² / (n_a·n_b·N²)
+    *
+    * over the pooled value census — cross-multiplied so every
+    * accumulated quantity is an exact integer in DECIMAL(38,0)
+    * (bucketed/cents census contract: c·n products must fit 38 digits),
+    * one pinned final division. Census-domain shuffles only.
+    */
+  def cramerVonMises(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.select(col(valueCol).cast("long").as("v"),
+        when(sampleACol, 1L).otherwise(0L).as("ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ta"),
+        sum(lit(1L) - col("ia")).as("tb"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val ranked = census
+      .withColumn("ca", sum(col("ta")).over(cum))
+      .withColumn("cb", sum(col("tb")).over(cum))
+      .withColumn("na", sum(col("ta")).over(tot))
+      .withColumn("nb", sum(col("tb")).over(tot))
+      .withColumn("d", col("ca").cast(d38) * col("nb").cast(d38) -
+        col("cb").cast(d38) * col("na").cast(d38))
+    val agg = ranked.agg(
+      max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      sum((col("ta") + col("tb")).cast(d38) * col("d") * col("d"))
+        .as("u"))
+    val nn = dbl(col("n_a") + col("n_b"))
+    val t = dbl(col("u")) /
+      (dbl(col("n_a")) * dbl(col("n_b")) * nn * nn)
+    agg.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L, t), 6).as("cvm_t"))
+  }
+
   /** RBO weights (1−p)·p^(d−1) for p = 0.9, depths 1..10 — EXACT decimal
     * expansions of powers of 0.9, pinned as the same literals on both
     * engines (the q431 DcgW posture).

@@ -878,6 +878,49 @@ object StreamVerify {
       .orderBy(col("event_type"))
   }
 
+  /** STREAMING DISTRIBUTION-PROFILE maintenance: the pairwise JSD matrix
+    * (q455) kept current as an ingestion side effect — each micro-batch
+    * lands its partial (event_type, hour-of-day, n) census exactly-once;
+    * counts ADD, so the drained matrix over the merge-on-read store is
+    * bit-equal to batch q455 — same oracle SQL. Sixth self-maintaining
+    * surface: distribution drift between every pair of types stays
+    * current, the store bounded by types × 24 bins; the drained matrix
+    * reads through [[graft.operators.Drift.jsdMatrixFromCensus]] — the
+    * k²·support work runs only at READ time over the merged census,
+    * never over rows.
+    */
+  def jsdMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/profile"
+    def censusOf(df: DataFrame): DataFrame =
+      df.select(col("event_type"),
+          pmod(expr("unix_timestamp(ts) div 3600"), lit(24L)).as("hod"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"jsd-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val merged = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("event_type").cast("string").as("k"),
+        col("hod").cast("long").as("b"))
+      .agg(sum(col("n")).as("n"))
+    graft.operators.Drift.jsdMatrixFromCensus(merged)
+      .orderBy(col("ka"), col("kb"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

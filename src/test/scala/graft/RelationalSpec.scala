@@ -444,4 +444,31 @@ class RelationalSpec extends SparkSuite {
     assert(topCost < same.getDouble(2) && topCost > 0.0)
   }
 
+  test("lMoments: hand lambda2 with ties, L-CV") {
+    import spark.implicits._
+    // A=[0,1]: λ2 = 0.5 (E|X1-X2|/2 of a fair coin); B tied → λ2 = 0;
+    // C=[1,2,3]: numerator -2+0+6 = 4 → λ2 = 2/3
+    val df = (Seq(0L, 1L).map(("A", _)) ++ Seq(10L, 10L).map(("B", _)) ++
+      Seq(1L, 2L, 3L).map(("C", _))).toDF("g", "v")
+    val got = Relational.lMoments(df, "g", "v")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 2L, 0.5, 0.5, 1.0)))
+    assert(got("B") == (("B", 2L, 10.0, 0.0, 0.0)))
+    assert(got("C") == (("C", 3L, 2.0, 0.666667, 0.333333)))
+  }
+
+  test("cramerVonMises: identical = 0 exactly, disjoint hand value") {
+    import spark.implicits._
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "isa")
+    assert(Relational.cramerVonMises(same, "v", col("isa"))
+      .head().getDouble(2) == 0.0)
+    // A=[1,2], B=[3,4]: U = 4+16+4+0 = 24 → T = 24/64
+    val disj = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "isa")
+    assert(Relational.cramerVonMises(disj, "v", col("isa"))
+      .head().getDouble(2) == 0.375)
+  }
+
 }
