@@ -6218,6 +6218,37 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Group-sequential monitoring
+    * ([[graft.operators.Drift.groupSequential]]): the view-vs-click
+    * value test evaluated at three interim time looks against pinned
+    * O'Brien–Fleming-style boundaries (3.471/2.454/2.004) — peeking
+    * discipline the plain q362 z-gate lacks; one conditional-moment
+    * pass for all looks, the stop decision broadcast.
+    */
+  private def q472(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.groupSequential(
+      T(s, dir, "events").filter(col("event_type").isin("view", "click"))
+        .select((col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"),
+          (col("event_type") === "view").as("isa"),
+          expr("ts div 1000000000").as("sec")),
+      "cents", col("isa"), col("sec"),
+      boundaries = Seq(3.471, 2.454, 2.004))
+      .orderBy(col("look"))
+
+  /** Tukey-fences outlier report ([[graft.operators.Profiling.tukeyFences]]):
+    * the boxplot census per priority — exact Q1/Q3 order stats,
+    * 1.5·IQR fences (exact in double over cents), outside counts; the
+    * skew-safe outlier reading a z-score report gets wrong.
+    */
+  private def q473(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.tukeyFences(
+      T(s, dir, "orders").select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents")),
+      "o_orderpriority", "cents")
+      .orderBy(col("g"))
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -9434,6 +9465,8 @@ object SparkEntry {
     "q469_l_moments" -> (q469 _),
     "q470_cramer_von_mises" -> (q470 _),
     "q471_stream_jsd" -> (q471 _),
+    "q472_group_sequential" -> (q472 _),
+    "q473_tukey_fences" -> (q473 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10653,6 +10686,13 @@ object SparkEntry {
       """WITH r AS (SELECT o_orderpriority AS pri, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), s AS (SELECT pri, o_orderkey, cents, CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS BIGINT) AS rn, CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n_g, CAST(COUNT(*) OVER () AS BIGINT) AS n FROM r), f AS (SELECT pri, o_orderkey, cents, (rn * n + n_g - 1) // n_g AS p FROM s), c AS (SELECT cents AS v_norm, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY 1), cc AS (SELECT v_norm, cnt, CAST(SUM(cnt) OVER (ORDER BY v_norm) AS BIGINT) AS cum FROM c) SELECT f.o_orderkey, f.pri, f.cents, cc.v_norm FROM f JOIN cc ON f.p > cc.cum - cc.cnt AND f.p <= cc.cum ORDER BY f.o_orderkey""",
     // 10-round synchronized deferred-acceptance unroll
     "q427_stable_match" -> stableMatchOracleSql,
+    // integer time-fraction cutoffs; one conditional pass per look;
+    // pinned OBF boundary literals; stop decision broadcast
+    "q472_group_sequential" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, event_type = 'view' AS isa, epoch_ns(ts) // 1000000000 AS sec FROM events WHERE event_type IN ('view', 'click')), bb AS (SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM e), lk AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 3.471), (CAST(2 AS BIGINT), 2.454), (CAST(3 AS BIGINT), 2.004)) AS t(look, boundary)), cu AS (SELECT lk.look, lk.boundary, bb.lo + (bb.hi - bb.lo) * lk.look // 3 AS cut FROM lk, bb), m AS (SELECT cu.look, cu.boundary, CAST(SUM(CASE WHEN e.sec <= cu.cut AND isa THEN 1 ELSE 0 END) AS BIGINT) AS na, CAST(SUM(CASE WHEN e.sec <= cu.cut AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb, SUM(CASE WHEN e.sec <= cu.cut AND isa THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sa, SUM(CASE WHEN e.sec <= cu.cut AND NOT isa THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sb, SUM(CASE WHEN e.sec <= cu.cut AND isa THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS saa, SUM(CASE WHEN e.sec <= cu.cut AND NOT isa THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sbb FROM cu, e GROUP BY 1, 2), zz AS (SELECT look, boundary, na, nb, round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(((CAST(na AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) + ((CAST(nb AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)), 6) AS z FROM m), st AS (SELECT *, abs(z) > boundary AS crossed FROM zz) SELECT look, na AS n_a, nb AS n_b, boundary, z, crossed, MIN(CASE WHEN crossed THEN look END) OVER () AS stop_at_look FROM st ORDER BY look""",
+    // exact Q1/Q3 order stats; 1.5·IQR fences exact in double
+    "q473_tukey_fences" ->
+      """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), cen AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM cen), q1 AS (SELECT g, MIN(v) AS q1 FROM rk WHERE c * 4 >= n * 1 GROUP BY g), q3 AS (SELECT g, MIN(v) AS q3 FROM rk WHERE c * 4 >= n * 3 GROUP BY g), f AS (SELECT q1.g, q1.q1, q3.q3, q3.q3 - q1.q1 AS iqr, CAST(q1.q1 AS DOUBLE) - 1.5 * CAST(q3.q3 - q1.q1 AS DOUBLE) AS lo, CAST(q3.q3 AS DOUBLE) + 1.5 * CAST(q3.q3 - q1.q1 AS DOUBLE) AS hi FROM q1 JOIN q3 USING (g)) SELECT cen.g, CAST(SUM(t) AS BIGINT) AS n, MAX(f.q1) AS q1, MAX(f.q3) AS q3, MAX(f.iqr) AS iqr, MAX(f.lo) AS fence_lo, MAX(f.hi) AS fence_hi, CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < f.lo THEN t ELSE 0 END) AS BIGINT) AS n_low, CAST(SUM(CASE WHEN CAST(v AS DOUBLE) > f.hi THEN t ELSE 0 END) AS BIGINT) AS n_high FROM cen JOIN f USING (g) GROUP BY cen.g ORDER BY g""",
     // doubled tie ranks make the λ₂ numerator a pure integer
     "q469_l_moments" ->
       """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), cen AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM cen), r2 AS (SELECT *, 2 * c - t + 1 AS r2 FROM rk), ag AS (SELECT g, MAX(n) AS n, SUM(CAST(v AS DECIMAL(38,0)) * t) AS s, SUM(CAST(v AS DECIMAL(38,0)) * (CAST(t AS DECIMAL(38,0)) * r2 - CAST(t AS DECIMAL(38,0)) * (n + 1))) AS n2 FROM r2 GROUP BY g HAVING MAX(n) >= 2), f AS (SELECT g, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS l1, CAST(n2 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS l2 FROM ag) SELECT g, n, round(l1, 6) AS l1, round(l2, 6) AS l2, round(CASE WHEN l1 <> 0.0 THEN l2 / l1 END, 6) AS l_cv FROM f ORDER BY g""",

@@ -1164,6 +1164,79 @@ object Drift {
       round(when(mean =!= lit(0.0), mde / mean), 6).as("mde_rel"))
   }
 
+  /** GROUP-SEQUENTIAL MONITORING (O'Brien–Fleming–style boundaries) —
+    * "looking at the experiment K times without inflating α": the
+    * running two-sample z is evaluated at K interim looks (time
+    * fractions of the data) against caller-PINNED boundary literals;
+    * a look crosses when |z| exceeds its boundary, and the report says
+    * at which look the test would have stopped. The sequential
+    * discipline [[welchTTest]] alone can't give — peeking at an
+    * unadjusted z = 1.96 gate inflates false positives several-fold.
+    *
+    * Looks are time-fraction cutoffs lo + (hi−lo)·k/K in pure integer
+    * arithmetic (2-value min/max driver read — metadata-sized); each
+    * look's moments come from ONE conditional pass (sec ≤ cut_k terms),
+    * the z is the [[welchTTest]] finish, boundaries are literals shared
+    * verbatim with the oracle. Look-domain output with the stop
+    * decision broadcast.
+    */
+  def groupSequential(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column,
+      secCol: Column,
+      boundaries: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(boundaries.nonEmpty)
+    val kLooks = boundaries.size
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val b = df.agg(min(secCol).as("lo"), max(secCol).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val cuts = (1 to kLooks).map(k => lo + (hi - lo) * k / kLooks)
+    val v = col(valueCol).cast("long").cast(d38)
+    val aggs = (1 to kLooks).flatMap { k =>
+      val in = secCol <= cuts(k - 1)
+      Seq(
+        sum(when(in && sampleACol, 1L).otherwise(0L)).as(s"na$k"),
+        sum(when(in && !sampleACol, 1L).otherwise(0L)).as(s"nb$k"),
+        sum(when(in && sampleACol, v).otherwise(lit(0).cast(d38)))
+          .as(s"sa$k"),
+        sum(when(in && !sampleACol, v).otherwise(lit(0).cast(d38)))
+          .as(s"sb$k"),
+        sum(when(in && sampleACol, v * v).otherwise(lit(0).cast(d38)))
+          .as(s"saa$k"),
+        sum(when(in && !sampleACol, v * v).otherwise(lit(0).cast(d38)))
+          .as(s"sbb$k"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val looks = (1 to kLooks).map { k =>
+      m.select(lit(k.toLong).as("look"),
+        lit(boundaries(k - 1)).as("boundary"),
+        col(s"na$k").as("na"), col(s"nb$k").as("nb"),
+        col(s"sa$k").as("sa"), col(s"sb$k").as("sb"),
+        col(s"saa$k").as("saa"), col(s"sbb$k").as("sbb"))
+    }.reduce(_.unionByName(_))
+    val na = dbl(col("na"))
+    val nb = dbl(col("nb"))
+    val va = (na * dbl(col("saa")) - dbl(col("sa")) * dbl(col("sa"))) /
+      (na * (na - 1.0))
+    val vb = (nb * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))) /
+      (nb * (nb - 1.0))
+    val z = (dbl(col("sa")) / na - dbl(col("sb")) / nb) /
+      sqrt(va / na + vb / nb)
+    val staged = looks
+      .withColumn("z", round(z, 6))
+      .withColumn("crossed", abs(col("z")) > col("boundary"))
+    staged
+      .withColumn("stop_at_look",
+        min(when(col("crossed"), col("look")))
+          .over(Window.partitionBy()))
+      .select(col("look"), col("na").as("n_a"), col("nb").as("n_b"),
+        col("boundary"), col("z"), col("crossed"), col("stop_at_look"))
+  }
+
   /** PAIRWISE WELCH CONTRASTS — every group pair's two-sample t from ONE
     * moment pass: the post-hoc step after [[anovaF]] says "the groups
     * differ" and the analyst asks WHICH; feed the p-values to [[bhFdr]]

@@ -236,6 +236,50 @@ object Profiling {
     }.reduce(_ unionByName _)
   }
 
+  /** TUKEY-FENCES OUTLIER REPORT per group — the boxplot numbers: exact
+    * Q1/Q3 (lower order statistics at ⌈n/4⌉ / ⌈3n/4⌉ over the value
+    * census, pure-integer rank compares), IQR, the 1.5·IQR fences, and
+    * how many points sit outside each — the scale-free outlier census
+    * a z-score report gets wrong on skewed data (the fences don't
+    * assume symmetry). 1.5·integer-cents is exact in double, so the
+    * fences and every point compare are engine-identical.
+    */
+  def tukeyFences(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = df.groupBy(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(Window.partitionBy(col("g"))))
+    def orderStat(pNum: Int, pDen: Int) =
+      ranked.filter(col("c") * pDen >= col("n") * pNum)
+        .groupBy(col("g")).agg(min(col("v")))
+    val q1 = orderStat(1, 4).withColumnRenamed("min(v)", "q1")
+    val q3 = orderStat(3, 4).withColumnRenamed("min(v)", "q3")
+    val fences = q1.join(q3, "g")
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1").cast("double") -
+        lit(1.5) * col("iqr").cast("double"))
+      .withColumn("hi", col("q3").cast("double") +
+        lit(1.5) * col("iqr").cast("double"))
+    census.join(fences, "g")
+      .groupBy(col("g"))
+      .agg(sum(col("t")).as("n"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("iqr")).as("iqr"),
+        max(col("lo")).as("fence_lo"), max(col("hi")).as("fence_hi"),
+        sum(when(col("v").cast("double") < col("lo"), col("t"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("v").cast("double") > col("hi"), col("t"))
+          .otherwise(0L)).as("n_high"))
+  }
+
   /** COLUMN ENTROPY PROFILE — per column: distinct count, Shannon
     * entropy (nats) and the [0,1] normalized entropy H/ln(distinct):
     * the "how identifying / how skewed is this column" reading that a
