@@ -6249,6 +6249,21 @@ object SparkEntry {
       "o_orderpriority", "cents")
       .orderBy(col("g"))
 
+  /** ANN recall sweep ([[graft.operators.Similarity.recallSweep]]):
+    * brute-force exact top-10 over the 10-query sample as ground truth;
+    * 2-band LSH and IVF at nProbe ∈ {1,2,4} each scored by corpus-wide
+    * recall@10 — the measured index-quality table the §2.4 family's
+    * speed/recall trade rests on. The IVF clustering runs ONCE for the
+    * whole sweep; every retrieval and the exact hit counts replay in the
+    * oracle, so the recall numbers themselves are hash-exact.
+    */
+  private def q474(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    graft.operators.Similarity.recallSweep(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", 64,
+      k = 10, nCentroids = 16, probes = Seq(1, 2, 4))
+  }
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -9467,6 +9482,7 @@ object SparkEntry {
     "q471_stream_jsd" -> (q471 _),
     "q472_group_sequential" -> (q472 _),
     "q473_tukey_fences" -> (q473 _),
+    "q474_recall_sweep" -> (q474 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9594,6 +9610,33 @@ object SparkEntry {
       s"(CASE WHEN 2 * len(list_filter(h, x -> (x >> $j) & 1 = 1)) >= n THEN CAST('${uns(1L << j)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
       .mkString("(", " + ", ")")
 
+  /** q474 replay: exact top-10 (q26), 2-band LSH top-10 (q215's ap),
+    * the full 2-iteration k-means + cells (q40), one probe-ranked
+    * retrieval per nProbe level, then a per-method recall readout —
+    * every number in the sweep table is hash-exact.
+    */
+  private def recallSweepOracleSql: String = {
+    def probeCtes(p: Int) =
+      s"cand$p AS (SELECT DISTINCT pr.qid, s2.vec_id AS nid FROM (SELECT qid, cid FROM qsim WHERE rnk <= $p) pr JOIN cells s2 ON pr.cid = s2.cid WHERE s2.vec_id <> pr.qid), " +
+        s"sc$p AS (SELECT c.qid, c.nid, round(pcos(qe.embedding, ne.embedding), 4) AS cos_r FROM cand$p c JOIN embeddings qe ON qe.vec_id = c.qid JOIN embeddings ne ON ne.vec_id = c.nid), " +
+        s"ap$p AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM sc$p) WHERE rnk <= 10)"
+    def readout(method: String, ap: String) =
+      s"SELECT '$method' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries, CAST(SUM(n_exact) AS BIGINT) AS n_exact, CAST(SUM(n_hit) AS BIGINT) AS n_hit, round(CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(n_exact) AS DOUBLE), 6) AS recall FROM (SELECT ex.qid, COUNT(*) AS n_exact, COUNT($ap.nid) AS n_hit FROM ex LEFT JOIN $ap ON ex.qid = $ap.qid AND ex.nid = $ap.nid GROUP BY ex.qid)"
+    s"$VEC_MACROS; WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+      "s AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qv, e.embedding) AS cos FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid), " +
+      "ex AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s) WHERE rnk <= 10), " +
+      s"sigs AS (SELECT vec_id, embedding, ${sigExpr(0)} AS b0, ${sigExpr(8)} AS b1 FROM embeddings), " +
+      "candl AS (SELECT DISTINCT qc.vec_id AS qid, e.vec_id AS nid, round(pcos(qc.embedding, e.embedding), 4) AS cos_r FROM sigs qc JOIN sigs e ON (qc.b0 = e.b0 OR qc.b1 = e.b1) AND qc.vec_id <> e.vec_id WHERE qc.vec_id < 10), " +
+      "apl AS (SELECT qid, nid FROM (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_r DESC NULLS LAST, nid) AS rnk FROM candl) WHERE rnk <= 10), " +
+      "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)), " +
+      s"a1 AS (${ivfAssignSql("c0")}), c1 AS (${ivfRecomputeSql("c0", "a1")}), " +
+      s"a2 AS (${ivfAssignSql("c1")}), c2 AS (${ivfRecomputeSql("c1", "a2")}), " +
+      s"cells AS (${ivfAssignSql("c2")}), " +
+      "qsim AS (SELECT qq.vec_id AS qid, c.cid, ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY pcos(qq.embedding, c.cvec) DESC NULLS LAST, c.cid) AS rnk FROM embeddings qq CROSS JOIN c2 c WHERE qq.vec_id < 10), " +
+      s"${probeCtes(1)}, ${probeCtes(2)}, ${probeCtes(4)} " +
+      s"${readout("lsh_2band", "apl")} UNION ALL ${readout("ivf_p01", "ap1")} UNION ALL ${readout("ivf_p02", "ap2")} UNION ALL ${readout("ivf_p04", "ap4")} ORDER BY method"
+  }
+
   /** Nearest-centroid assignment for the q40/q167 oracles (C = centroid
     * CTE; `where` restricts the assigned corpus, e.g. to the index's base
     * set).
@@ -9697,17 +9740,22 @@ object SparkEntry {
     def mp(pfx: String) = (1 to 3).map(i =>
       s"(CASE WHEN c.b$i = 1 THEN s.$pfx$i ELSE 1 - s.$pfx$i END)")
       .mkString(" * ")
+    // Winkler clamp on the 1e-9 grid — mirrors Linkage.grid9's
+    // max(1e-9).min(1-1e-9) so the degenerate-census path (all resp
+    // rounding to 0 at scale) replays instead of dividing 0/0.
+    def cl(x: String) =
+      s"CAST(least(greatest(round($x, 9), 0.000000001), 0.999999999) AS DECIMAL(11,9))"
     val steps = (1 to iters).map { i =>
       val e = s"e$i AS MATERIALIZED (SELECT c.b1, c.b2, c.b3, c.cnt, " +
-        s"CAST(round(CAST(s.lam * ${mp("m")} AS DOUBLE) / " +
-        s"CAST(s.lam * ${mp("m")} + (1 - s.lam) * ${mp("u")} AS DOUBLE), 9) " +
-        s"AS DECIMAL(11,9)) AS resp FROM cen c, s${i - 1} s)"
+        cl(s"CAST(s.lam * ${mp("m")} AS DOUBLE) / " +
+          s"CAST(s.lam * ${mp("m")} + (1 - s.lam) * ${mp("u")} AS DOUBLE)") +
+        s" AS resp FROM cen c, s${i - 1} s)"
       def mU(i2: Int) =
-        s"CAST(round(CAST(SUM(CASE WHEN b$i2 = 1 THEN cnt * resp ELSE 0 END) AS DOUBLE) / CAST(SUM(cnt * resp) AS DOUBLE), 9) AS DECIMAL(11,9)) AS m$i2"
+        cl(s"CAST(SUM(CASE WHEN b$i2 = 1 THEN cnt * resp ELSE 0 END) AS DOUBLE) / CAST(SUM(cnt * resp) AS DOUBLE)") + s" AS m$i2"
       def uU(i2: Int) =
-        s"CAST(round(CAST(SUM(CASE WHEN b$i2 = 1 THEN cnt * (1 - resp) ELSE 0 END) AS DOUBLE) / CAST(SUM(cnt * (1 - resp)) AS DOUBLE), 9) AS DECIMAL(11,9)) AS u$i2"
+        cl(s"CAST(SUM(CASE WHEN b$i2 = 1 THEN cnt * (1 - resp) ELSE 0 END) AS DOUBLE) / CAST(SUM(cnt * (1 - resp)) AS DOUBLE)") + s" AS u$i2"
       val st = s"s$i AS MATERIALIZED (SELECT " +
-        s"CAST(round(CAST(SUM(cnt * resp) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 9) AS DECIMAL(11,9)) AS lam, " +
+        cl(s"CAST(SUM(cnt * resp) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)") + " AS lam, " +
         (1 to 3).map(mU).mkString(", ") + ", " +
         (1 to 3).map(uU).mkString(", ") + s" FROM e$i)"
       s"$e, $st"
@@ -10690,6 +10738,9 @@ object SparkEntry {
     // pinned OBF boundary literals; stop decision broadcast
     "q472_group_sequential" ->
       """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, event_type = 'view' AS isa, epoch_ns(ts) // 1000000000 AS sec FROM events WHERE event_type IN ('view', 'click')), bb AS (SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM e), lk AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 3.471), (CAST(2 AS BIGINT), 2.454), (CAST(3 AS BIGINT), 2.004)) AS t(look, boundary)), cu AS (SELECT lk.look, lk.boundary, bb.lo + (bb.hi - bb.lo) * lk.look // 3 AS cut FROM lk, bb), m AS (SELECT cu.look, cu.boundary, CAST(SUM(CASE WHEN e.sec <= cu.cut AND isa THEN 1 ELSE 0 END) AS BIGINT) AS na, CAST(SUM(CASE WHEN e.sec <= cu.cut AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb, SUM(CASE WHEN e.sec <= cu.cut AND isa THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sa, SUM(CASE WHEN e.sec <= cu.cut AND NOT isa THEN CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sb, SUM(CASE WHEN e.sec <= cu.cut AND isa THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS saa, SUM(CASE WHEN e.sec <= cu.cut AND NOT isa THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE 0 END) AS sbb FROM cu, e GROUP BY 1, 2), zz AS (SELECT look, boundary, na, nb, round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(((CAST(na AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) + ((CAST(nb AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)), 6) AS z FROM m), st AS (SELECT *, abs(z) > boundary AS crossed FROM zz) SELECT look, na AS n_a, nb AS n_b, boundary, z, crossed, MIN(CASE WHEN crossed THEN look END) OVER () AS stop_at_look FROM st ORDER BY look""",
+    // exact + LSH + per-probe IVF retrievals all replayed; recall is
+    // exact hit counts over the shared ground truth
+    "q474_recall_sweep" -> recallSweepOracleSql,
     // exact Q1/Q3 order stats; 1.5·IQR fences exact in double
     "q473_tukey_fences" ->
       """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), cen AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM cen), q1 AS (SELECT g, MIN(v) AS q1 FROM rk WHERE c * 4 >= n * 1 GROUP BY g), q3 AS (SELECT g, MIN(v) AS q3 FROM rk WHERE c * 4 >= n * 3 GROUP BY g), f AS (SELECT q1.g, q1.q1, q3.q3, q3.q3 - q1.q1 AS iqr, CAST(q1.q1 AS DOUBLE) - 1.5 * CAST(q3.q3 - q1.q1 AS DOUBLE) AS lo, CAST(q3.q3 AS DOUBLE) + 1.5 * CAST(q3.q3 - q1.q1 AS DOUBLE) AS hi FROM q1 JOIN q3 USING (g)) SELECT cen.g, CAST(SUM(t) AS BIGINT) AS n, MAX(f.q1) AS q1, MAX(f.q3) AS q3, MAX(f.iqr) AS iqr, MAX(f.lo) AS fence_lo, MAX(f.hi) AS fence_hi, CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < f.lo THEN t ELSE 0 END) AS BIGINT) AS n_low, CAST(SUM(CASE WHEN CAST(v AS DOUBLE) > f.hi THEN t ELSE 0 END) AS BIGINT) AS n_high FROM cen JOIN f USING (g) GROUP BY cen.g ORDER BY g""",

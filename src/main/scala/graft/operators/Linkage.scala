@@ -102,9 +102,20 @@ object Linkage {
       .sortBy(_._1.map(b => if (b) "1" else "0").mkString)
     val nTotal = census.map(_._2).sum
     require(nTotal > 0, "fellegiSunter: no candidate pairs")
+    // Winkler clamp: every fitted quantity stays in [1e-9, 1-1e-9] ON
+    // THE GRID. Without it, at scale the sorted-neighborhood census is
+    // overwhelmingly non-matches, every responsibility rounds to 0,
+    // srm == 0 and the next M-step divides 0/0 -> NaN ->
+    // BigDecimal.valueOf blows up (the r8 sf0.1 bench failure). The
+    // clamp keeps srm >= nTotal*1e-9 > 0 so the EM degrades gracefully
+    // to lam ~ 1e-9 instead of crashing; the oracle mirrors it with
+    // least/greatest on the same DECIMAL(11,9) grid.
+    val gLo = BigDecimal("0.000000001")
+    val gHi = BigDecimal("0.999999999")
     def grid9(x: Double): BigDecimal =
       BigDecimal(java.math.BigDecimal.valueOf(x))
         .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .max(gLo).min(gHi)
     val one = BigDecimal(1)
     var lam = BigDecimal("0.1")
     var m = Vector.fill(k)(BigDecimal("0.9"))

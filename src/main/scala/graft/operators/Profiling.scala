@@ -303,7 +303,7 @@ object Profiling {
       c.cast("double")
     val melted = cols.map { c =>
       df.select(lit(c).as("col_name"),
-        coalesce(col(c).cast("string"), lit(" null")).as("v"))
+        coalesce(col(c).cast("string"), lit("\u0000null")).as("v"))
     }.reduce(_.unionByName(_))
     val census = melted.groupBy(col("col_name"), col("v"))
       .agg(count(lit(1)).as("c"))

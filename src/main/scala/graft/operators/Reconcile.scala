@@ -120,23 +120,32 @@ object Reconcile {
       source: DataFrame,
       lakePath: String,
       keyCol: String,
-      buckets: Int = 1024): (Long, Long) = {
+      buckets: Int = 1024,
+      maxIsinOrphans: Int = 10000): (Long, Long) = {
     val replica = graft.sources.TxLake.readSnapshot(spark, lakePath)
     val diffs = diffKeys(source, replica, keyCol, buckets)
       .filter(col(keyCol).isNotNull)
       .localCheckpoint(true)
-    val orphans = diffs.filter(col("status") === "B_only")
-      .select(col(keyCol)).collect().map(_.getLong(0))
-    if (orphans.nonEmpty)
+    val orphanDf = diffs.filter(col("status") === "B_only").select(col(keyCol))
+    // COUNT before collecting: a healthy replica's diff is tiny, but a
+    // badly diverged one can orphan a data-sized key set — above the
+    // threshold the keys stay on the executors and the DV marks come from
+    // a left-semi join instead of a driver-sized isin literal list
+    val nOrphans = orphanDf.count()
+    if (nOrphans > 0 && nOrphans <= maxIsinOrphans) {
+      val orphans = orphanDf.collect().map(_.getLong(0))
       graft.sources.TxLake.deleteWhereDv(spark, lakePath,
         col(keyCol).isin(orphans.map(x => x: Any): _*))
+    } else if (nOrphans > maxIsinOrphans) {
+      graft.sources.TxLake.deleteKeysDv(spark, lakePath, keyCol, orphanDf)
+    }
     val upserts = source.join(
       diffs.filter(col("status") =!= "B_only").select(col(keyCol)),
       Seq(keyCol), "left_semi").localCheckpoint(true)
     val nUp = upserts.count()
     if (nUp > 0)
       graft.sources.TxLake.mergeByKey(spark, lakePath, upserts, keyCol)
-    (orphans.length.toLong, nUp)
+    (nOrphans, nUp)
   }
 
   /** Golden-source election across THREE replicas by field-level majority

@@ -323,6 +323,21 @@ object Similarity {
     val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
     val corpusCells = assign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("nid"), col("cid"))
+    ivfRank(corpus, queries, centroids, corpusCells, idCol, vecCol, nProbe, k)
+  }
+
+  /** The probe/rank half of [[annIvf]] against an already-built
+    * (centroids, cells) pair — shared with [[recallSweep]] so a probe
+    * sweep clusters ONCE and varies only the probe arithmetic. */
+  private def ivfRank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      corpusCells: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int,
+      k: Int): DataFrame = {
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("__sim").desc, col("cid"))
     val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -344,6 +359,56 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), col("cos_r"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** ANN RECALL SWEEP — the index-quality decision table the whole
+    * approximate-search shelf rests on: brute-force exact top-k on a
+    * SAMPLED query set is the ground truth; each approximate method
+    * (2-band LSH, IVF at every probe count in `probes`) is scored by
+    * corpus-wide recall@k against it. This turns "the LSH/IVF indexes
+    * are good enough" from an assumption into a measured number, and the
+    * probe sweep shows exactly where recall saturates — the knob a
+    * production deployment tunes before committing probe cost.
+    *
+    * Scale shape: ground truth is brute force over QUERIES × corpus with
+    * the query side sampled and broadcast (q26's posture — never
+    * all-pairs); the IVF clustering runs ONCE and every probe level
+    * reuses the same cells (the sweep costs one extra probe/rank pass
+    * per level, not one clustering); all recall joins live on k×queries
+    * rows. Recall ratios are exact integer hit counts divided once.
+    */
+  def recallSweep(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      k: Int = 10,
+      nCentroids: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be >= 1")
+    val exact = knnBrute(corpus, queries, idCol, vecCol, k)
+      .localCheckpoint(true) // reused by every method's recall join
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    val cells = assign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("nid"), col("cid"))
+      .localCheckpoint(true) // clustered once, probed per level
+    val perMethod =
+      Seq(("lsh_2band",
+        annRecall(annLsh(corpus, queries, idCol, vecCol, dims, k), exact))) ++
+      probes.map(p => (f"ivf_p$p%02d",
+        annRecall(
+          ivfRank(corpus, queries, centroids, cells, idCol, vecCol, p, k),
+          exact)))
+    perMethod.map { case (m, r) =>
+      r.agg(count(lit(1)).as("n_queries"),
+          sum(col("n_exact")).as("n_exact"),
+          sum(col("n_hit")).as("n_hit"))
+        .select(lit(m).as("method"), col("n_queries"), col("n_exact"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+            .as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("method"))
   }
 
   /** Product-quantization ANN: the memory-compression path beyond int8

@@ -120,10 +120,12 @@ object TextPipeline {
     *
     * The global prefix sum is the scale-relevant part and is computed in
     * TWO PHASES: an intra-bucket running sum (window partitioned by a
-    * doc_id bucket — parallel) plus per-bucket base offsets (one tiny
-    * aggregate over #buckets rows, window over an unpartitioned but
-    * metadata-sized frame, broadcast back). No unpartitioned window ever
-    * touches a data-sized row set.
+    * doc_id bucket — parallel) plus per-bucket base offsets from
+    * [[GlobalOrder.prefixSums]] (range shuffle + O(partitions) driver
+    * longs — the bucket table is corpus/bucketSize-sized, so an
+    * unpartitioned cumulative window over it would still be a
+    * corpus-proportional single task at 10¹² docs). No unpartitioned
+    * window ever touches a data-sized row set.
     */
   def packSequences(
       docs: DataFrame,
@@ -138,14 +140,14 @@ object TextPipeline {
       sum(col("tokens")).over(
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val bases = toks.groupBy(col("bucket"))
-      .agg(sum(col("tokens")).as("bsum"))
-      .withColumn("base",
-        coalesce(sum(col("bsum")).over(
-          Window.orderBy(col("bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("base"))
-    intra.join(broadcast(bases), Seq("bucket"))
+    val bases = GlobalOrder.prefixSums(
+        toks.groupBy(col("bucket")).agg(sum(col("tokens")).as("bsum")),
+        Seq(col("bucket")), "bsum", "__pfx")
+      .select(col("bucket"), (col("__pfx") - col("bsum")).as("base"))
+    // no broadcast hint: the bucket table is corpus/bucketSize-sized, so
+    // the equi-join must be free to shuffle at scale (AQE broadcasts it
+    // whenever it is actually small)
+    intra.join(bases, Seq("bucket"))
       .withColumn("off", col("base") + col("run") - col("tokens"))
       .select(col("doc_id"), col("tokens"),
         expr(s"off div $capacity").as("pack_id"),
@@ -221,10 +223,11 @@ object TextPipeline {
     * share of all corpus tokens the vocabulary covers up to that rank.
     *
     * Scale shape: the word counting is a map-side-combined hash aggregate
-    * over exploded words (corpus-sized, fully distributed); only the
-    * DISTINCT VOCABULARY — orders of magnitude smaller than the corpus —
-    * flows into the single-partition ranking window, which is the standard
-    * and correct place for a global sort this size.
+    * over exploded words (corpus-sized, fully distributed); the top-N cut
+    * is a distributed TakeOrderedAndProject (per-partition top-N, merge of
+    * N·partitions survivors — a web corpus has billions of DISTINCT
+    * tokens, so even the vocab domain must never hit a single-partition
+    * sort); only the topN-row result sees a ranking window.
     */
   /** POSITIONAL inverted index — the retrieval structure BM25/TF-IDF
     * scoring (q85/q96) can't provide: per (term, doc), the sorted word
@@ -264,20 +267,26 @@ object TextPipeline {
   }
 
   def vocabulary(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    // localCheckpoint so the total-tokens branch and the top-N branch both
+    // read the materialized vocab domain instead of re-running the corpus
+    // scan + word explode (the domain is distinct-word-sized, distributed)
     val counts = docs
       .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("cnt")).cast("double").as("__total"))
+    // TakeOrderedAndProject: each partition keeps its own top-N, then the
+    // N·partitions survivors merge — no full-domain single-partition sort
+    // ever forms (the r8 scale-cliff fix); the ranking window below runs
+    // over the ALREADY-LIMITED topN-row frame, which is parameter-sized.
+    val top = counts.orderBy(col("cnt").desc, col("w")).limit(topN)
     val rk = Window.orderBy(col("cnt").desc, col("w"))
     val cum = Window.orderBy(col("rn"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      // the corpus token total comes from the ALREADY-AGGREGATED vocab via
-      // a whole-frame window — a separate `counts.agg(sum)` branch would
-      // re-execute the corpus scan + word explode a second time
-      .withColumn("__total", sum(col("cnt")).over(Window.partitionBy()).cast("double"))
+    top
+      .crossJoin(broadcast(total))
       .withColumn("rn", row_number().over(rk))
-      .filter(col("rn") <= topN)
       .select(
         (col("rn") - 1).cast("long").as("token_id"), col("w"), col("cnt"),
         col("df"),
@@ -300,10 +309,9 @@ object TextPipeline {
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(TextFunctions.words(col("text"))).as("w"))
     val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // ranking window over the aggregated word table (the q156 posture)
-    val rk = Window.orderBy(col("cnt").desc, col("w"))
-    val vocab = counts.withColumn("rn", row_number().over(rk))
-      .filter(col("rn") <= topN)
+    // distributed top-N (TakeOrderedAndProject) — membership needs no rank
+    // column at all, so no window touches the word domain (q156 posture)
+    val vocab = counts.orderBy(col("cnt").desc, col("w")).limit(topN)
       .select(col("w"), lit(1).as("__in"))
     toks.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("lang"))
@@ -336,10 +344,9 @@ object TextPipeline {
       .select(expr("substring(w, i, 2)").as("pair"), col("w"), col("cnt"))
       .groupBy(col("pair"))
       .agg(sum(col("cnt")).as("total"), count_distinct(col("w")).as("n_words"))
-    val rk = Window.orderBy(col("total").desc, col("pair"))
-    pairs
-      .withColumn("rk", row_number().over(rk).cast("long"))
-      .filter(col("rk") <= topN)
+    pairs.orderBy(col("total").desc, col("pair")).limit(topN)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("total").desc, col("pair"))).cast("long"))
       .select(col("rk"), col("pair"), col("total"), col("n_words"))
   }
 
@@ -526,10 +533,11 @@ object TextPipeline {
     val counts = df.select(explode(split(
         regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val ranked = counts
+    // distributed top-N first (TakeOrderedAndProject), then the rank
+    // window runs over the topN-row frame only — never the word domain
+    val ranked = counts.orderBy(col("cnt").desc, col("w").asc).limit(topN)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("cnt").desc, col("w").asc)))
-      .filter(col("rn") <= topN)
     val lx = log(col("rn").cast("double"))
     val ly = log(col("cnt").cast("double"))
     def term(c: Column): Column = round(c, 9).cast(DecimalType(18, 9))
@@ -676,9 +684,11 @@ object TextPipeline {
       dbl(col("c_x").cast(d38) * col("c_y").cast(d38)))
     scored.crossJoin(broadcast(nAll))
       .withColumn("pmi", round(pmi, 6))
+      // distributed top-N over the supported-bigram domain, then rank the
+      // topN-row survivors — no full-domain unpartitioned window
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topN)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
-      .filter(col("rank") <= topN)
       .select(col("rank"), col("w1"), col("w2"), col("c_xy"), col("pmi"))
   }
 
@@ -740,9 +750,10 @@ object TextPipeline {
       .agg(max(col("n_words")).as("n_words"),
         count(lit(1)).as("n_occurrences"),
         max(col("score")).as("score"))
+      // distributed top-N over the phrase domain, then rank the topN rows
+      .orderBy(col("score").desc, col("phrase")).limit(topN)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("phrase"))).cast("long"))
-      .filter(col("rank") <= topN)
       .select(col("rank"), col("phrase"), col("n_words"),
         col("n_occurrences"), round(col("score").cast("double"), 6)
           .as("score"))

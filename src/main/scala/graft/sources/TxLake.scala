@@ -1477,6 +1477,33 @@ object TxLake {
       .filter(coalesce(predicate, lit(false)))
       .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
       .localCheckpoint(true)
+    commitDvMarks(path, marks)
+  }
+
+  /** [[deleteWhereDv]] keyed by a DataFrame of keys instead of a predicate
+    * Column: rows are marked via a LEFT-SEMI equi-join on `keyCol`, so the
+    * key set never leaves the executors — the scale path for a badly
+    * diverged replica where collecting the keys into an `isin` literal
+    * list would be a driver-sized predicate (Reconcile.repair's guard
+    * switches here above its orphan threshold). Same sidecar commit as
+    * [[deleteWhereDv]]; the keys side broadcasts when small, shuffles when
+    * not — either way the delete cost stays O(matches).
+    */
+  def deleteKeysDv(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val marks = snapshotWithPos(spark, path)
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .localCheckpoint(true)
+    commitDvMarks(path, marks)
+  }
+
+  /** Shared sidecar-commit tail of [[deleteWhereDv]] / [[deleteKeysDv]]. */
+  private def commitDvMarks(path: String, marks: DataFrame): Long = {
     if (marks.isEmpty) return latestVersion(path)
     val next = latestVersion(path) + 1
     Files.createDirectories(logDir(path))

