@@ -6249,6 +6249,17 @@ object SparkEntry {
       "o_orderpriority", "cents")
       .orderBy(col("g"))
 
+  /** Multi-iteration BPE trainer ([[graft.operators.TextPipeline.bpeTrain]]):
+    * 8 rounds of count-pairs → argmax → merge-everywhere over the
+    * distinct-word table — the ordered merge list a BPE tokenizer ships,
+    * where q157 stops after round one's statistics. The oracle unrolls
+    * the identical 8 rounds (census → LIMIT 1 argmax → literal replace on
+    * the delimited symbol string) as MATERIALIZED CTEs.
+    */
+  private def q475(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.bpeTrain(T(s, dir, "documents"), "text", 8)
+      .orderBy(col("rank"))
+
   /** ANN recall sweep ([[graft.operators.Similarity.recallSweep]]):
     * brute-force exact top-10 over the 10-query sample as ground truth;
     * 2-band LSH and IVF at nProbe ∈ {1,2,4} each scored by corpus-wide
@@ -9483,6 +9494,7 @@ object SparkEntry {
     "q472_group_sequential" -> (q472 _),
     "q473_tukey_fences" -> (q473 _),
     "q474_recall_sweep" -> (q474 _),
+    "q475_bpe_train" -> (q475 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9609,6 +9621,27 @@ object SparkEntry {
     (0 until 64).map(j =>
       s"(CASE WHEN 2 * len(list_filter(h, x -> (x >> $j) & 1 = 1)) >= n THEN CAST('${uns(1L << j)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
       .mkString("(", " + ", ")")
+
+  /** q475 replay: the 8-round BPE trainer unrolled — per round a pair
+    * census over the delimited symbol strings, a LIMIT-1 argmax
+    * (total desc, lft, rgt — the engine's total order) and the literal
+    * greedy replace; `replace` is non-overlapping left-to-right in both
+    * engines, which IS the BPE scan rule.
+    */
+  private def bpeTrainOracleSql(merges: Int): String = {
+    val round = (1 to merges).map { k =>
+      val prev = s"s${k - 1}"
+      s"p$k AS MATERIALIZED (SELECT t[i] AS lft, t[i+1] AS rgt, CAST(SUM(cnt) AS BIGINT) AS total FROM (SELECT cnt, list_filter(string_split_regex(seq, '[\\x1E\\x1F]'), x9 -> x9 <> '') AS t FROM $prev), LATERAL (SELECT unnest(range(1, len(t))) AS i) u GROUP BY 1, 2), " +
+        s"m$k AS MATERIALIZED (SELECT lft, rgt, total FROM p$k ORDER BY total DESC, lft, rgt LIMIT 1), " +
+        s"s$k AS MATERIALIZED (SELECT w, cnt, replace(seq, chr(31) || m.lft || chr(30) || chr(31) || m.rgt || chr(30), chr(31) || m.lft || m.rgt || chr(30)) AS seq FROM $prev, m$k m)"
+    }.mkString(", ")
+    val out = (1 to merges).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, lft, rgt, lft || rgt AS merged, total FROM m$k")
+      .mkString(" UNION ALL ")
+    "WITH wc AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w FROM documents) WHERE w <> '' GROUP BY w), " +
+      "s0 AS MATERIALIZED (SELECT w, cnt, list_reduce(list_prepend('', list_transform(range(1, length(w) + 1), i8 -> chr(31) || substr(w, CAST(i8 AS INTEGER), 1) || chr(30))), (a8, b8) -> a8 || b8) AS seq FROM wc), " +
+      s"$round $out ORDER BY rank"
+  }
 
   /** q474 replay: exact top-10 (q26), 2-band LSH top-10 (q215's ap),
     * the full 2-iteration k-means + cells (q40), one probe-ranked
@@ -10741,6 +10774,8 @@ object SparkEntry {
     // exact + LSH + per-probe IVF retrievals all replayed; recall is
     // exact hit counts over the shared ground truth
     "q474_recall_sweep" -> recallSweepOracleSql,
+    // 8 unrolled census → argmax → greedy-replace rounds
+    "q475_bpe_train" -> bpeTrainOracleSql(8),
     // exact Q1/Q3 order stats; 1.5·IQR fences exact in double
     "q473_tukey_fences" ->
       """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), cen AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM cen), q1 AS (SELECT g, MIN(v) AS q1 FROM rk WHERE c * 4 >= n * 1 GROUP BY g), q3 AS (SELECT g, MIN(v) AS q3 FROM rk WHERE c * 4 >= n * 3 GROUP BY g), f AS (SELECT q1.g, q1.q1, q3.q3, q3.q3 - q1.q1 AS iqr, CAST(q1.q1 AS DOUBLE) - 1.5 * CAST(q3.q3 - q1.q1 AS DOUBLE) AS lo, CAST(q3.q3 AS DOUBLE) + 1.5 * CAST(q3.q3 - q1.q1 AS DOUBLE) AS hi FROM q1 JOIN q3 USING (g)) SELECT cen.g, CAST(SUM(t) AS BIGINT) AS n, MAX(f.q1) AS q1, MAX(f.q3) AS q3, MAX(f.iqr) AS iqr, MAX(f.lo) AS fence_lo, MAX(f.hi) AS fence_hi, CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < f.lo THEN t ELSE 0 END) AS BIGINT) AS n_low, CAST(SUM(CASE WHEN CAST(v AS DOUBLE) > f.hi THEN t ELSE 0 END) AS BIGINT) AS n_high FROM cen JOIN f USING (g) GROUP BY cen.g ORDER BY g""",

@@ -350,6 +350,69 @@ object TextPipeline {
       .select(col("rk"), col("pair"), col("total"), col("n_words"))
   }
 
+  /** MULTI-ITERATION BPE TRAINER — the actual tokenizer-prep artifact
+    * [[bpePairStats]] only computes the first step of: `merges` rounds of
+    * (count adjacent symbol pairs weighted by word frequency → pick the
+    * most frequent pair → merge it everywhere), returning the ordered
+    * merge table (rank, lft, rgt, merged, total) a BPE tokenizer ships.
+    *
+    * Representation: each word's symbol sequence is ONE delimited string
+    * (`\u001F tok \u001E` per symbol, both wrappers from outside any text
+    * alphabet), so the greedy LEFT-TO-RIGHT NON-OVERLAPPING merge is a
+    * single literal `replace` — the semantics `replace` has in both
+    * engines, and exactly BPE's scan rule (a merged token can never
+    * immediately re-merge with itself: merged = lft||rgt ≠ lft).
+    *
+    * Scale shape: state is the DISTINCT-WORD table (domain-sized, never
+    * the corpus — the corpus is read once for the frequency census); each
+    * round is one pair-explode aggregate + a 1-row driver collect (the
+    * argmax pair, O(1)) + one map-side replace, with a lineage cut per
+    * round. Tie-break: total desc, then (lft, rgt) text asc — total
+    * order, so the merge sequence is deterministic and the oracle replays
+    * it as `merges` unrolled CTE rounds.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      textCol: String,
+      merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64, "merges must be in [1, 64]")
+    val spark = docs.sparkSession
+    val sepL = "\u001f"
+    val sepR = "\u001e"
+    var state = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("seq", concat_ws("",
+        transform(split(col("w"), ""),
+          c => concat(lit(sepL), c, lit(sepR)))))
+      .localCheckpoint(true)
+    val log = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (k <- 1 to merges) {
+      val toks = state.select(col("cnt"),
+        filter(split(col("seq"), s"[$sepR$sepL]"), x => x =!= lit("")).as("t"))
+      val top = toks.filter(size(col("t")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("l"),
+            element_at(col("t"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"bpeTrain: no adjacent pairs left at merge $k")
+      val (l, r, tot) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      log += ((k.toLong, l, r, l + r, tot))
+      state = state.withColumn("seq",
+        org.apache.spark.sql.functions.replace(col("seq"),
+          lit(sepL + l + sepR + sepL + r + sepR), lit(sepL + l + r + sepR)))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    log.toSeq.toDF("rank", "lft", "rgt", "merged", "total")
+  }
+
   /** Character-distribution quality scoring: per-document Shannon entropy
     * of the character histogram, the standard cheap gibberish/boilerplate
     * detector in pretraining filters (near-zero entropy = one repeated

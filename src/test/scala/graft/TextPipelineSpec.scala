@@ -236,4 +236,27 @@ class TextPipelineSpec extends SparkSuite {
     assert(got(("new", "york")) == ((2L, 3L, pmi)))
   }
 
+  test("bpeTrain: merge sequence hand-traced, later merges build on earlier") {
+    // corpus: "abab" x3, "abc" x2 -> pair census round 1 over chars:
+    // "abab" holds (a,b) twice and (b,a) once, "abc" holds (a,b), (b,c)
+    // -> (a,b): 2*3 + 1*2 = 8; (b,a): 3; (b,c): 2 -> merge 1 = ab (8)
+    // round 2 symbols: [ab,ab] x3, [ab,c] x2 -> (ab,ab): 3; (ab,c): 2
+    //   -> merge 2 = abab (3) — built FROM merge 1's token
+    // round 3: [abab] x3, [ab,c] x2 -> only (ab,c): 2 -> merge 3 = abc
+    val docs = Seq((1L, "abab abab abab abc abc")).toDF("doc_id", "text")
+    val got = graft.operators.TextPipeline.bpeTrain(docs, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", "ab", 8L),
+      (2L, "ab", "ab", "abab", 3L),
+      (3L, "ab", "c", "abc", 2L)))
+    // overlap rule: "aaa" merges left-to-right non-overlapping -> (a,a)
+    // counts 2 per word occurrence, and ONE merge leaves [aa, a]
+    val aaa = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val g2 = graft.operators.TextPipeline.bpeTrain(aaa, "text", 2)
+      .collect().map(r => (r.getString(3), r.getLong(4)))
+    assert(g2.toSeq == Seq(("aa", 2L), ("aaa", 1L)))
+  }
+
 }
