@@ -6249,6 +6249,47 @@ object SparkEntry {
       "o_orderpriority", "cents")
       .orderBy(col("g"))
 
+  /** Skewness / excess kurtosis ([[graft.operators.Relational.skewKurtosis]]):
+    * per-priority Fisher g1 and excess g2 over order cents — the shape
+    * moments that decide whether q83's mean±stddev summary is even
+    * meaningful; exact DECIMAL(38,0) power sums, one pinned finish
+    * (m2·√m2, never libm pow).
+    */
+  private def q476(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.skewKurtosis(
+      T(s, dir, "orders").select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents")),
+      "o_orderpriority", "cents")
+      .orderBy(col("g"))
+
+  /** Bartlett variance homogeneity ([[graft.operators.Drift.bartlett]]):
+    * do the priorities share a variance — the parametric sibling of
+    * q428's Brown–Forsythe and the admissibility gate for any
+    * pooled-variance readout; grid-summed cross-group reductions, only
+    * O(1)-magnitude statistics leave.
+    */
+  private def q477(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.bartlett(
+      T(s, dir, "orders").select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents")),
+      "o_orderpriority", "cents")
+
+  /** Two-sample Anderson–Darling ([[graft.operators.Relational.andersonDarling]]):
+    * purchase-funnel value distributions view vs click, tail-weighted —
+    * completes the two-sample family (q385 KS supremum, q470 CvM
+    * integral, q393 energy distance) with the member that catches tail
+    * divergence first.
+    */
+  private def q478(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.andersonDarling(
+      T(s, dir, "events").filter(col("event_type").isin("view", "click"))
+        .select((col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+            .as("cents"),
+          (col("event_type") === "view").as("isa")),
+      "cents", col("isa"))
+
   /** Multi-iteration BPE trainer ([[graft.operators.TextPipeline.bpeTrain]]):
     * 8 rounds of count-pairs → argmax → merge-everywhere over the
     * distinct-word table — the ordered merge list a BPE tokenizer ships,
@@ -9495,6 +9536,9 @@ object SparkEntry {
     "q473_tukey_fences" -> (q473 _),
     "q474_recall_sweep" -> (q474 _),
     "q475_bpe_train" -> (q475 _),
+    "q476_skew_kurtosis" -> (q476 _),
+    "q477_bartlett" -> (q477 _),
+    "q478_anderson_darling" -> (q478 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10776,6 +10820,17 @@ object SparkEntry {
     "q474_recall_sweep" -> recallSweepOracleSql,
     // 8 unrolled census → argmax → greedy-replace rounds
     "q475_bpe_train" -> bpeTrainOracleSql(8),
+    // exact DECIMAL(38,0) power sums; pinned central-moment finish
+    // (m2·sqrt(m2), not pow — libm pow is not cross-engine)
+    "q476_skew_kurtosis" ->
+      """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s1, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s2, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s3, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s4 FROM e GROUP BY g HAVING COUNT(*) >= 2), f AS (SELECT g, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2, CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3, CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4 FROM a), m AS (SELECT g, n, mean, r2 - mean * mean AS m2, r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3, r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2 - 3.0 * mean * mean * mean * mean AS m4 FROM f) SELECT g, n, round(mean, 6) AS mean, round(CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END, 6) AS skew_g1, round(CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 END, 6) AS kurt_g2 FROM m ORDER BY g""",
+    // per-group pinned S²; grid-summed cross-group reductions; only
+    // ln S²_p and T leave (the q458 magnitude rule)
+    "q477_bartlett" ->
+      """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s1, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s2 FROM e GROUP BY g HAVING COUNT(*) >= 2), p AS (SELECT n, (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS s2i FROM a), ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_total, SUM(CAST(round((CAST(n AS DOUBLE) - 1.0) * s2i, 9) AS DECIMAL(38,9))) AS spnum, SUM(CAST(round((CAST(n AS DOUBLE) - 1.0) * ln(s2i), 9) AS DECIMAL(28,9))) AS sumln, SUM(CAST(round(1.0 / (CAST(n AS DOUBLE) - 1.0), 9) AS DECIMAL(28,9))) AS suminv FROM p), z AS (SELECT k, n_total, ln(CAST(spnum AS DOUBLE) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) AS lnsp, 1.0 + (CAST(suminv AS DOUBLE) - 1.0 / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS corr, (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)) AS nmk, CAST(sumln AS DOUBLE) AS sl FROM ag) SELECT k, n_total, round(lnsp, 6) AS ln_sp2, round(CASE WHEN k >= 2 THEN (nmk * lnsp - sl) / corr END, 6) AS t_bartlett, k - 1 AS dof FROM z""",
+    // q470's census numerator, tail weight 1/(c·(N−c)), last block out
+    "q478_anderson_darling" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, event_type = 'view' AS isa FROM events WHERE event_type IN ('view', 'click')), cen AS (SELECT v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb FROM e GROUP BY v), rk AS (SELECT *, CAST(SUM(ta) OVER w AS BIGINT) AS ca, CAST(SUM(tb) OVER w AS BIGINT) AS cb, CAST(SUM(ta) OVER () AS BIGINT) AS na, CAST(SUM(tb) OVER () AS BIGINT) AS nb FROM cen WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), dd AS (SELECT *, ca + cb AS c, na + nb AS nn, CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na AS d FROM rk), tm AS (SELECT na, nb, CAST(round(CAST(ta + tb AS DOUBLE) * CAST(d * d AS DOUBLE) / (CAST(c AS DOUBLE) * CAST(nn - c AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term FROM dd WHERE c < nn), ag AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b, SUM(term) AS u FROM tm) SELECT n_a, n_b, round(CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(u AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END, 6) AS ad_a2 FROM ag""",
     // exact Q1/Q3 order stats; 1.5·IQR fences exact in double
     "q473_tukey_fences" ->
       """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), cen AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM e GROUP BY 1, 2), rk AS (SELECT g, v, t, CAST(SUM(t) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, CAST(SUM(t) OVER (PARTITION BY g) AS BIGINT) AS n FROM cen), q1 AS (SELECT g, MIN(v) AS q1 FROM rk WHERE c * 4 >= n * 1 GROUP BY g), q3 AS (SELECT g, MIN(v) AS q3 FROM rk WHERE c * 4 >= n * 3 GROUP BY g), f AS (SELECT q1.g, q1.q1, q3.q3, q3.q3 - q1.q1 AS iqr, CAST(q1.q1 AS DOUBLE) - 1.5 * CAST(q3.q3 - q1.q1 AS DOUBLE) AS lo, CAST(q3.q3 AS DOUBLE) + 1.5 * CAST(q3.q3 - q1.q1 AS DOUBLE) AS hi FROM q1 JOIN q3 USING (g)) SELECT cen.g, CAST(SUM(t) AS BIGINT) AS n, MAX(f.q1) AS q1, MAX(f.q3) AS q3, MAX(f.iqr) AS iqr, MAX(f.lo) AS fence_lo, MAX(f.hi) AS fence_hi, CAST(SUM(CASE WHEN CAST(v AS DOUBLE) < f.lo THEN t ELSE 0 END) AS BIGINT) AS n_low, CAST(SUM(CASE WHEN CAST(v AS DOUBLE) > f.hi THEN t ELSE 0 END) AS BIGINT) AS n_high FROM cen JOIN f USING (g) GROUP BY cen.g ORDER BY g""",

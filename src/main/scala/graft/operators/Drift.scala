@@ -268,6 +268,57 @@ object Drift {
       round(t, 6).as("t_stat"), round(dfW, 6).as("df_welch"))
   }
 
+  /** BARTLETT'S TEST of variance homogeneity across k groups — the
+    * parametric (and more powerful, under normality) sibling of q428's
+    * robust Brown–Forsythe: T = [(N−k)·ln S²_p − Σ(n_i−1)·ln S²_i] / C
+    * with the standard correction C = 1 + (Σ1/(n_i−1) − 1/(N−k)) /
+    * (3(k−1)). The gate that decides whether pooled-variance machinery
+    * (classic ANOVA, pooled t) is even admissible.
+    *
+    * One conditional pass collects per-group (n, Σx, Σx²) with exact
+    * DECIMAL(38,0) sums; each group's S²_i is the q362 pinned
+    * expression; the cross-group reductions — Σ(n_i−1)S²_i (for S²_p),
+    * Σ(n_i−1)ln S²_i, Σ1/(n_i−1) — each land once on the 1e-9 grid and
+    * DECIMAL-sum (order-independent; the S²_p accumulator is
+    * DECIMAL(38,9) because cents²·rows-scale terms overflow 28 digits).
+    * Only ln S²_p (O(30)) and the T statistic leave the operator —
+    * never a raw cents²-scale number (the q458 ulp rule). Groups with
+    * n < 2 are excluded (stated contract — they carry no variance).
+    */
+  def bartlett(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val d389 = DecimalType(38, 9)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val per = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"))
+      .filter(col("n") >= 2L)
+    val ni = dbl(col("n"))
+    val s2i = (ni * dbl(col("s2")) - dbl(col("s1")) * dbl(col("s1"))) /
+      (ni * (ni - 1.0))
+    val agg = per.agg(
+      count(lit(1)).as("k"),
+      sum(col("n")).as("n_total"),
+      sum(round((ni - 1.0) * s2i, 9).cast(d389)).as("spNum"),
+      sum(round((ni - 1.0) * log(s2i), 9).cast(d289)).as("sumLn"),
+      sum(round(lit(1.0) / (ni - 1.0), 9).cast(d289)).as("sumInv"))
+    val kD = dbl(col("k"))
+    val nmk = dbl(col("n_total")) - kD
+    val lnSp = log(dbl(col("spNum")) / nmk)
+    val corr = lit(1.0) + (dbl(col("sumInv")) - lit(1.0) / nmk) /
+      (lit(3.0) * (kD - 1.0))
+    val t = (nmk * lnSp - dbl(col("sumLn"))) / corr
+    agg.select(col("k"), col("n_total"),
+      round(lnSp, 6).as("ln_sp2"),
+      round(when(col("k") >= 2L, t), 6).as("t_bartlett"),
+      (col("k") - 1L).as("dof"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH check — the first gate every experimentation
     * platform runs before reading an A/B result: do the ARM COUNTS match
     * the declared split? A mismatch means broken assignment or

@@ -938,6 +938,99 @@ object Relational {
       round(when(l1 =!= lit(0.0), l2 / l1), 6).as("l_cv"))
   }
 
+  /** EXACT SKEWNESS / EXCESS KURTOSIS per group — the shape moments the
+    * q83 mean/stddev/corr family stops short of: Fisher g1 = m3/m2^1.5
+    * flags asymmetry (revenue tails, latency pile-ups) and excess
+    * g2 = m4/m2² − 3 flags tail weight, the two numbers that decide
+    * whether a mean±stddev summary is even meaningful for a column.
+    *
+    * Raw power sums Σv..Σv⁴ accumulate as EXACT DECIMAL(38,0) integers
+    * over the integer value domain (cents⁴ · rows must fit 38 digits —
+    * stated contract, same class as q470's c·n products), so the sums
+    * are order-independent; the central-moment conversion and both
+    * ratios are ONE pinned double expression (g1 uses m2·√m2, never
+    * pow(x,1.5) — pow's libm varies across engines, multiply+sqrt are
+    * IEEE-exact). Degenerate groups (m2 = 0) yield NULL shape stats.
+    */
+  def skewKurtosis(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast(d38)
+    val agg = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+      .filter(col("n") >= 2L)
+    val n = dbl(col("n"))
+    val mean = dbl(col("s1")) / n
+    val m2 = dbl(col("s2")) / n - mean * mean
+    val m3 = dbl(col("s3")) / n - lit(3.0) * mean * (dbl(col("s2")) / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = dbl(col("s4")) / n - lit(4.0) * mean * (dbl(col("s3")) / n) +
+      lit(6.0) * mean * mean * (dbl(col("s2")) / n) -
+      lit(3.0) * mean * mean * mean * mean
+    agg.select(col("g"), col("n"),
+      round(mean, 6).as("mean"),
+      round(when(m2 > 0.0, m3 / (m2 * sqrt(m2))), 6).as("skew_g1"),
+      round(when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurt_g2"))
+  }
+
+  /** TWO-SAMPLE ANDERSON–DARLING (discrete/bucketed-census form) — the
+    * TAIL-WEIGHTED member of the two-sample family: KS (q385) reads one
+    * supremum, CvM (q470) integrates squared CDF gaps uniformly, AD
+    * re-weights the same gaps by 1/(F(1−F)), so divergence out in the
+    * tails — exactly where risk and quality regressions hide — counts
+    * hardest.
+    *
+    *   A² = Σ_v≠last t_v·(c_a·n_b − c_b·n_a)² / (c_v·(N−c_v)) / (n_a·n_b)
+    *
+    * over the pooled value census (the q470 numerator, per-block tail
+    * weight; c = N blocks excluded — zero denominator, zero gap). Each
+    * term's numerator is an exact DECIMAL(38,0) integer; the per-term
+    * division is pinned, rounded to the 1e-9 grid and DECIMAL-summed
+    * (order-independent), one final pinned division by n_a·n_b.
+    */
+  def andersonDarling(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.select(col(valueCol).cast("long").as("v"),
+        when(sampleACol, 1L).otherwise(0L).as("ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ta"), sum(lit(1L) - col("ia")).as("tb"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val ranked = census
+      .withColumn("ca", sum(col("ta")).over(cum))
+      .withColumn("cb", sum(col("tb")).over(cum))
+      .withColumn("na", sum(col("ta")).over(tot))
+      .withColumn("nb", sum(col("tb")).over(tot))
+      .withColumn("c", col("ca") + col("cb"))
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("d", col("ca").cast(d38) * col("nb").cast(d38) -
+        col("cb").cast(d38) * col("na").cast(d38))
+    val term = round(
+      dbl(col("ta") + col("tb")) * dbl(col("d") * col("d")) /
+        (dbl(col("c")) * dbl(col("nn") - col("c"))), 9).cast(d289)
+    val agg = ranked.filter(col("c") < col("nn"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(term).as("u"))
+    agg.select(col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0L && col("n_b") > 0L,
+        dbl(col("u")) / (dbl(col("n_a")) * dbl(col("n_b")))), 6)
+        .as("ad_a2"))
+  }
+
   /** TWO-SAMPLE CRAMÉR–VON MISES — the INTEGRATED-CDF-difference test
     * completing the two-sample family: q385's KS reads the supremum
     * (one worst point), q393's energy distance the pairwise means; CvM

@@ -643,4 +643,20 @@ class ProfilingSpec extends SparkSuite {
     assert(c.getDouble(3) == 0.0 && c.isNullAt(4))
   }
 
+  test("bartlett: equal variances read T = 0 exactly; spread inflates T") {
+    import spark.implicits._
+    // two groups of [1,2,3]: S² = 1 each → Sp² = 1, ln = 0, Σ(n−1)lnS² = 0
+    val eq = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 1L), ("b", 2L), ("b", 3L)).toDF("g", "v")
+    val r = graft.operators.Drift.bartlett(eq, "g", "v").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+    assert(r.getLong(4) == 1L)
+    // b's variance 100× a's: T must move well off zero
+    val ne = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 20L), ("b", 30L)).toDF("g", "v")
+    assert(graft.operators.Drift.bartlett(ne, "g", "v")
+      .head().getDouble(3) > 3.0)
+  }
+
 }

@@ -471,4 +471,31 @@ class RelationalSpec extends SparkSuite {
       .head().getDouble(2) == 0.375)
   }
 
+  test("skewKurtosis: symmetric reads g1=0 g2=-1.5, constant reads NULL") {
+    import spark.implicits._
+    // [1,2,3]: mean 2, m2 = 2/3, m3 = 0, m4 = 2/3
+    // g1 = 0; g2 = (2/3)/(4/9) - 3 = -1.5
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("c", 7L), ("c", 7L))
+      .toDF("g", "v")
+    val out = Relational.skewKurtosis(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out("a") == ((3L, Some(0.0), Some(-1.5))))
+    assert(out("c") == ((2L, None, None)), "zero variance must yield NULLs")
+  }
+
+  test("andersonDarling: identical = 0 exactly, disjoint hand value") {
+    import spark.implicits._
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "isa")
+    assert(Relational.andersonDarling(same, "v", col("isa"))
+      .head().getDouble(2) == 0.0)
+    // A=[1,2], B=[3,4]: blocks v=1 term 4/(1·3), v=2 term 16/(2·2),
+    // v=3 term 4/(3·1), v=4 excluded → (4/3 + 4 + 4/3)/4 = 1.666667
+    val disj = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "isa")
+    assert(Relational.andersonDarling(disj, "v", col("isa"))
+      .head().getDouble(2) == 1.666667)
+  }
+
 }
