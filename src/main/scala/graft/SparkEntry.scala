@@ -6290,6 +6290,66 @@ object SparkEntry {
           (col("event_type") === "view").as("isa")),
       "cents", col("isa"))
 
+  /** DSIR importance weights ([[graft.operators.TextPipeline.dsirWeights]]):
+    * every document scored by how much more likely its hashed-unigram
+    * profile is under the English target slice than under the raw
+    * corpus — the importance-resampling data-selection score (hashed
+    * n-gram DSIR) beside the rule gates; 64 hash buckets, add-one
+    * smoothing, log-ratios on exact integer cross-products.
+    */
+  private def q479(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.dsirWeights(
+      T(s, dir, "documents"), "doc_id", "text", col("lang") === "en", 64)
+      .orderBy(col("doc_id"))
+
+  /** Streaming PSI maintenance
+    * ([[graft.streaming.StreamVerify.psiMaintenance]]): q109's
+    * population-stability report as an ingestion side effect — bin
+    * edges pinned from the reference scan, per-batch (bin, n_act,
+    * n_ref) censuses land exactly-once, counts add, the drained store
+    * reads through psiFromCensus and shares q109's oracle verbatim.
+    * Seventh self-maintaining surface.
+    */
+  private def q480(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.psiMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q480"))
+
+  /** Orphan-file GC ([[graft.sources.TxLake.orphanFiles]] /
+    * [[graft.sources.TxLake.gcOrphans]]): a crashed writer lands data
+    * files but never fills its reservation — bytes no snapshot can
+    * reach. The audit lists them (disk walk minus every entry's adds,
+    * metadata-only), GC reclaims them, and the snapshot is provably
+    * untouched. Readout: counts before/after + orphan row mass +
+    * surviving snapshot rows.
+    */
+  private def q481(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    graft.sources.LocalFs.deleteRecursively(scratch(dir, "q481"))
+    val lake = scratch(dir, "q481") + "/t"
+    val o = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 2 === 0).repartition(3))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 2 === 1).repartition(3))
+    // crashed writer: data landed under the next version dir, reservation
+    // never filled — exactly the abandonPending residue
+    val vNext = TxLake.latestVersion(lake) + 1
+    o.filter(col("o_orderkey") % 97 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$lake/data/v$vNext")
+    o.filter(col("o_orderkey") % 89 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$lake/data/v$vNext")
+    val orphans = TxLake.orphanFiles(lake)
+    val orphanRows =
+      if (orphans.isEmpty) 0L else s.read.parquet(orphans: _*).count()
+    val removed = TxLake.gcOrphans(lake)
+    val after = TxLake.orphanFiles(lake).size
+    val snapRows = TxLake.readSnapshot(s, lake).count()
+    import s.implicits._
+    Seq((orphans.size.toLong, orphanRows, removed.size.toLong,
+      after.toLong, snapRows))
+      .toDF("n_orphans", "orphan_rows", "n_removed", "n_after",
+        "snapshot_rows")
+  }
+
   /** Multi-iteration BPE trainer ([[graft.operators.TextPipeline.bpeTrain]]):
     * 8 rounds of count-pairs → argmax → merge-everywhere over the
     * distinct-word table — the ordered merge list a BPE tokenizer ships,
@@ -9539,6 +9599,9 @@ object SparkEntry {
     "q476_skew_kurtosis" -> (q476 _),
     "q477_bartlett" -> (q477 _),
     "q478_anderson_darling" -> (q478 _),
+    "q479_dsir_weights" -> (q479 _),
+    "q480_stream_psi" -> (q480 _),
+    "q481_orphan_gc" -> (q481 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9665,6 +9728,12 @@ object SparkEntry {
     (0 until 64).map(j =>
       s"(CASE WHEN 2 * len(list_filter(h, x -> (x >> $j) & 1 = 1)) >= n THEN CAST('${uns(1L << j)}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
       .mkString("(", " + ", ")")
+
+  /** q109 AND q480 (the streaming PSI store shares it verbatim): global
+    * min/max bins, Laplace-smoothed shares, per-bin PSI terms.
+    */
+  private val psiDriftOracleSql: String =
+    """WITH ev AS (SELECT value, strftime(ts, '%Y-%m-%d') AS date_id FROM events), mxd AS (SELECT MAX(date_id) AS d FROM ev), b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev), c AS (SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 1 ELSE 0 END) AS BIGINT) AS n_act, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 0 ELSE 1 END) AS BIGINT) AS n_ref FROM ev, b GROUP BY 1), t AS (SELECT CAST(SUM(n_act) AS BIGINT) AS t_act, CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM c), p AS (SELECT bin, n_ref, n_act, (CAST(n_ref AS DOUBLE) + 1.0) / CAST(t_ref + 10 AS DOUBLE) AS p_r, (CAST(n_act AS DOUBLE) + 1.0) / CAST(t_act + 10 AS DOUBLE) AS p_a FROM c, t) SELECT bin, n_ref, n_act, round(p_r, 6) AS p_reference, round(p_a, 6) AS p_actual, round((p_a - p_r) * ln(p_a / p_r), 6) AS psi_term FROM p ORDER BY bin"""
 
   /** q475 replay: the 8-round BPE trainer unrolled — per round a pair
     * census over the delimited symbol strings, a LIMIT-1 argmax
@@ -10725,8 +10794,10 @@ object SparkEntry {
       """SELECT l_returnflag, round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS wavg_price, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // densities from integer counts with the same fixed-order double ops;
     // psi terms computed from the UNROUNDED densities like the Spark side
-    "q109_psi_drift" ->
-      """WITH ev AS (SELECT value, strftime(ts, '%Y-%m-%d') AS date_id FROM events), mxd AS (SELECT MAX(date_id) AS d FROM ev), b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev), c AS (SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 1 ELSE 0 END) AS BIGINT) AS n_act, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 0 ELSE 1 END) AS BIGINT) AS n_ref FROM ev, b GROUP BY 1), t AS (SELECT CAST(SUM(n_act) AS BIGINT) AS t_act, CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM c), p AS (SELECT bin, n_ref, n_act, (CAST(n_ref AS DOUBLE) + 1.0) / CAST(t_ref + 10 AS DOUBLE) AS p_r, (CAST(n_act AS DOUBLE) + 1.0) / CAST(t_act + 10 AS DOUBLE) AS p_a FROM c, t) SELECT bin, n_ref, n_act, round(p_r, 6) AS p_reference, round(p_a, 6) AS p_actual, round((p_a - p_r) * ln(p_a / p_r), 6) AS psi_term FROM p ORDER BY bin""",
+    "q109_psi_drift" -> psiDriftOracleSql,
+    // the streaming PSI store's batch-split censuses ADD, so the drained
+    // readout replays the one-pass q109 oracle verbatim
+    "q480_stream_psi" -> psiDriftOracleSql,
     "q110_hierarchy_closure" ->
       """WITH RECURSIVE r AS (SELECT c_custkey AS id, c_custkey AS cur, CAST(0 AS BIGINT) AS depth FROM customer UNION ALL SELECT id, cur // 10, depth + 1 FROM r WHERE cur >= 10) SELECT id, cur AS root, depth FROM r WHERE cur < 10 ORDER BY id""",
     // compaction must be row-invisible: the read-back equals the plain
@@ -10828,6 +10899,14 @@ object SparkEntry {
     // ln S²_p and T leave (the q458 magnitude rule)
     "q477_bartlett" ->
       """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s1, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s2 FROM e GROUP BY g HAVING COUNT(*) >= 2), p AS (SELECT n, (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS s2i FROM a), ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_total, SUM(CAST(round((CAST(n AS DOUBLE) - 1.0) * s2i, 9) AS DECIMAL(38,9))) AS spnum, SUM(CAST(round((CAST(n AS DOUBLE) - 1.0) * ln(s2i), 9) AS DECIMAL(28,9))) AS sumln, SUM(CAST(round(1.0 / (CAST(n AS DOUBLE) - 1.0), 9) AS DECIMAL(28,9))) AS suminv FROM p), z AS (SELECT k, n_total, ln(CAST(spnum AS DOUBLE) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) AS lnsp, 1.0 + (CAST(suminv AS DOUBLE) - 1.0 / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS corr, (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)) AS nmk, CAST(sumln AS DOUBLE) AS sl FROM ag) SELECT k, n_total, round(lnsp, 6) AS ln_sp2, round(CASE WHEN k >= 2 THEN (nmk * lnsp - sl) / corr END, 6) AS t_bartlett, k - 1 AS dof FROM z""",
+    // hashed-unigram bucket censuses; ln over exact integer
+    // cross-products; count×grid-decimal per-doc sums
+    "q479_dsir_weights" ->
+      """WITH w0 AS (SELECT doc_id, lang = 'en' AS tgt, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), w2 AS (SELECT doc_id, tgt, CAST(concat('0x', substr(md5(w), 1, 13)) AS BIGINT) % 64 AS b FROM w0 WHERE w <> ''), dcb AS (SELECT doc_id, tgt, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM w2 GROUP BY 1, 2, 3), src AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cs FROM dcb GROUP BY b), tg AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS ct FROM dcb WHERE tgt GROUP BY b), tot AS (SELECT (SELECT CAST(SUM(cs) AS BIGINT) FROM src) AS ns, (SELECT CAST(SUM(ct) AS BIGINT) FROM tg) AS nt), lr AS (SELECT src.b, CAST(round(ln(CAST(CAST(COALESCE(tg.ct, 0) + 1 AS DECIMAL(38,0)) * (tot.ns + 64) AS DOUBLE) / CAST(CAST(src.cs + 1 AS DECIMAL(38,0)) * (tot.nt + 64) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lr FROM src LEFT JOIN tg ON src.b = tg.b, tot), agg AS (SELECT dcb.doc_id, CAST(SUM(dcb.cnt) AS BIGINT) AS n_tokens, CAST(SUM(CAST(dcb.cnt AS DECIMAL(18,0)) * lr.lr) AS DOUBLE) AS lw FROM dcb JOIN lr ON dcb.b = lr.b GROUP BY dcb.doc_id) SELECT doc_id, n_tokens, round(lw, 6) AS log_weight, lw > 0.0 AS target_like FROM agg ORDER BY doc_id""",
+    // metadata-only: 2 injected crashed-writer files; orphan mass and
+    // the untouched snapshot replay as plain counts
+    "q481_orphan_gc" ->
+      """SELECT CAST(2 AS BIGINT) AS n_orphans, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 97 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 89 = 0) AS orphan_rows, CAST(2 AS BIGINT) AS n_removed, CAST(0 AS BIGINT) AS n_after, (SELECT COUNT(*) FROM orders) AS snapshot_rows""",
     // q470's census numerator, tail weight 1/(c·(N−c)), last block out
     "q478_anderson_darling" ->
       """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, event_type = 'view' AS isa FROM events WHERE event_type IN ('view', 'click')), cen AS (SELECT v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb FROM e GROUP BY v), rk AS (SELECT *, CAST(SUM(ta) OVER w AS BIGINT) AS ca, CAST(SUM(tb) OVER w AS BIGINT) AS cb, CAST(SUM(ta) OVER () AS BIGINT) AS na, CAST(SUM(tb) OVER () AS BIGINT) AS nb FROM cen WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)), dd AS (SELECT *, ca + cb AS c, na + nb AS nn, CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na AS d FROM rk), tm AS (SELECT na, nb, CAST(round(CAST(ta + tb AS DOUBLE) * CAST(d * d AS DOUBLE) / (CAST(c AS DOUBLE) * CAST(nn - c AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term FROM dd WHERE c < nn), ag AS (SELECT MAX(na) AS n_a, MAX(nb) AS n_b, SUM(term) AS u FROM tm) SELECT n_a, n_b, round(CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(u AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END, 6) AS ad_a2 FROM ag""",

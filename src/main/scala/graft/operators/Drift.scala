@@ -40,9 +40,19 @@ object Drift {
       .agg(
         sum(when(actualCol, 1L).otherwise(0L)).as("n_act"),
         sum(when(actualCol, 0L).otherwise(1L)).as("n_ref"))
-      // bins-sized; materialized so the totals lookup and the final
-      // select don't each re-scan the input
-      .localCheckpoint(true)
+    psiFromCensus(counts, bins)
+  }
+
+  /** [[psiBins]]' readout computed from a (bin, n_act, n_ref) CENSUS —
+    * counts ADD across partials, so a store that commits per-batch bin
+    * censuses (the streaming PSI surface) merges by re-aggregation and
+    * this finish replays the one-pass [[psiBins]] bit for bit; that is
+    * the property that lets the streaming store share the batch oracle.
+    */
+  def psiFromCensus(census: DataFrame, bins: Int): DataFrame = {
+    // bins-sized; materialized so the totals lookup and the final
+    // select don't each re-scan the input
+    val counts = census.localCheckpoint(true)
     val totals = counts.agg(
       sum(col("n_act")).as("t_act"), sum(col("n_ref")).as("t_ref")).head()
     val tAct = totals.getLong(0)

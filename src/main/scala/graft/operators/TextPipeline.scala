@@ -350,6 +350,68 @@ object TextPipeline {
       .select(col("rk"), col("pair"), col("total"), col("n_words"))
   }
 
+  /** DSIR-STYLE IMPORTANCE WEIGHTS for data selection (hashed-feature
+    * importance resampling, Xie et al. 2023) — the principled upgrade of
+    * threshold quality gates: score every raw document by how much more
+    * likely its hashed-unigram profile is under the TARGET distribution
+    * (e.g. the wiki-like slice you want more of) than under the raw
+    * corpus, then sample by weight. log w(doc) = Σ_tokens [ln p̂_t(b) −
+    * ln p̂_s(b)] over `buckets` hashed word buckets with add-one
+    * smoothing — the bucket trick that makes the estimator work at any
+    * vocabulary size with two fixed-size censuses.
+    *
+    * Scale shape: ONE corpus explode lands on the (doc, bucket) census
+    * (localCheckpoint'd — bounded by docs × buckets), from which both
+    * global bucket censuses AND the per-doc probe read; the log-ratio
+    * table is `buckets` rows and broadcasts. Exactness: each bucket's
+    * log-ratio is ln over EXACT DECIMAL(38,0) integer cross-products
+    * ((ct+1)·(Ns+B) vs (cs+1)·(Nt+B) — the q256/q466 discipline),
+    * rounded once to the 1e-9 grid; per-doc log-weights are then
+    * count×grid-decimal products — order-independent exact sums.
+    */
+  def dsirWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val dcb = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("is_target"),
+        explode(TextFunctions.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("b",
+        conv(substring(md5(col("w")), 1, 13), 16, 10).cast("long")
+          % buckets)
+      .groupBy(col("doc_id"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // three readers, one corpus explode
+    val srcC = dcb.groupBy(col("b")).agg(sum(col("cnt")).as("cs"))
+    val tgtC = dcb.filter(col("is_target"))
+      .groupBy(col("b")).agg(sum(col("cnt")).as("ct"))
+    val totals = srcC.agg(sum(col("cs"))).head() ->
+      tgtC.agg(sum(col("ct"))).head()
+    require(!totals._1.isNullAt(0) && !totals._2.isNullAt(0),
+      "dsirWeights: empty corpus or empty target slice")
+    val (ns, nt) = (totals._1.getLong(0), totals._2.getLong(0))
+    val lr = srcC.join(tgtC, Seq("b"), "left")
+      .select(col("b"),
+        round(log(
+          dbl((coalesce(col("ct"), lit(0L)) + 1L).cast(d38) *
+            lit(ns + buckets).cast(d38)) /
+          dbl((col("cs") + 1L).cast(d38) * lit(nt + buckets).cast(d38))),
+          9).cast(DecimalType(18, 9)).as("lr"))
+    dcb.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt").cast(DecimalType(18, 0)) * col("lr")).as("__lw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(dbl(col("__lw")), 6).as("log_weight"),
+        (dbl(col("__lw")) > 0.0).as("target_like"))
+  }
+
   /** MULTI-ITERATION BPE TRAINER — the actual tokenizer-prep artifact
     * [[bpePairStats]] only computes the first step of: `merges` rounds of
     * (count adjacent symbol pairs weighted by word frequency → pick the

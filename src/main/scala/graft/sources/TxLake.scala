@@ -2026,6 +2026,55 @@ object TxLake {
     }
   }
 
+  /** ORPHAN-FILE LISTING — the complement of [[vacuum]]: vacuum reclaims
+    * files the log REMOVED (rewritten/deleted but retained for time
+    * travel); orphans are files the log NEVER SAW — a writer that crashed
+    * between landing its parquet files under `data/vN` and filling its
+    * reservation (the
+    * [[abandonPending]] path) leaves parquet bytes no snapshot at any
+    * version can reach, silently billing storage forever. Orphans = the
+    * on-disk data-file walk minus the union of EVERY entry's adds;
+    * metadata-only (one directory walk + one log scan — file contents are
+    * never read), so the audit costs the same at 100 TB as at 100 MB.
+    * DV sidecars live under `dv/`, outside the walk.
+    */
+  def orphanFiles(path: String): Seq[String] = {
+    val dataRoot = Paths.get(s"$path/data")
+    if (!Files.isDirectory(dataRoot)) return Seq.empty
+    val walk = Files.walk(dataRoot)
+    val onDisk =
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally walk.close()
+    // read EVERY log file raw — not entries(), whose pending-reservation
+    // cut hides entries from writers that raced ahead of a crashed one;
+    // those entries' files are invisible TODAY but become reachable the
+    // moment abandonPending clears the stall, so they are NOT orphans
+    val dir = logDir(path)
+    val referenced: Set[String] =
+      if (!Files.isDirectory(dir)) Set.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".json"))
+          .flatMap(f => jsonList(
+            new String(Files.readAllBytes(f), "UTF-8"), "adds"))
+          .toSet
+        finally s.close()
+      }
+    onDisk.filterNot(referenced).sorted
+  }
+
+  /** Delete [[orphanFiles]]; returns the reclaimed paths. Safe by
+    * construction: a file in no version's adds can never be read through
+    * the log, so removal cannot change any snapshot at any version.
+    */
+  def gcOrphans(path: String): Seq[String] = {
+    val orphans = orphanFiles(path)
+    orphans.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    orphans
+  }
+
   /** Remove a trailing pending (empty) reservation left by a crashed
     * writer so the log can move forward. Returns true if one was removed.
     */

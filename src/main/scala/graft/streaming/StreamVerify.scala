@@ -921,6 +921,65 @@ object StreamVerify {
       .orderBy(col("ka"), col("kb"))
   }
 
+  /** STREAMING PSI maintenance — q109's population-stability report as
+    * an ingestion side effect (the SEVENTH self-maintaining surface):
+    * bin edges and the actual-slice cutoff are PINNED from a reference
+    * scan up front (the only global facts the binning needs — exactly
+    * what a production drift monitor freezes from its reference period),
+    * then each micro-batch commits its (bin, n_act, n_ref) census
+    * partial exactly-once. Counts ADD, so the drained store re-aggregates
+    * and reads through [[graft.operators.Drift.psiFromCensus]] —
+    * bit-identical to the one-pass batch q109, which is why both share
+    * the oracle verbatim and why batch boundaries are invisible.
+    */
+  def psiMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      bins: Int = 10): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/psi"
+    // pinned reference facts: global value range + newest date slice
+    val ref = spark.read.parquet(eventsPath)
+      .select(col("value").cast("double").as("v"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("d"))
+    val pin = ref.agg(min(col("v")), max(col("v")), max(col("d"))).head()
+    val (mn, mx, maxDate) = (pin.getDouble(0), pin.getDouble(1), pin.getString(2))
+    require(mx > mn, s"degenerate value range [$mn, $mx]")
+    def censusOf(batch: DataFrame): DataFrame = {
+      val v = col("value").cast("double")
+      // the q109 bin expression verbatim: driver-side (mx - mn) literal,
+      // fixed-order (v - mn) * k / range, top edge in the last bin
+      val bin = least(
+        floor((v - lit(mn)) * lit(bins.toDouble) / lit(mx - mn)),
+        lit(bins - 1L)).cast("long")
+      batch
+        .select(v.as("value"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .groupBy(bin.as("bin"))
+        .agg(sum(when(col("d") === maxDate, 1L).otherwise(0L)).as("n_act"),
+          sum(when(col("d") === maxDate, 0L).otherwise(1L)).as("n_ref"))
+    }
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("value"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"psi-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val merged = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(sum(col("n_act")).as("n_act"), sum(col("n_ref")).as("n_ref"))
+    graft.operators.Drift.psiFromCensus(merged, bins)
+      .orderBy(col("bin"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -124,6 +124,31 @@ class ProfilingSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("psiFromCensus: batch-split bin censuses equal the one-pass path") {
+    import spark.implicits._
+    // rows in [0, 10); reference = first 6, actual = last 4. The census
+    // path splits each bin's counts across two uneven "micro-batch"
+    // partials — counts add, so the readout must match bit for bit.
+    val rows = Seq((0.0, false), (1.0, false), (4.9, false), (5.0, false),
+      (9.0, false), (10.0, false), (0.5, true), (5.5, true), (9.5, true),
+      (10.0, true)).toDF("v", "isa")
+    val onePass = graft.operators.Drift.psiBins(rows, "v", col("isa"), 4)
+      .orderBy(col("bin")).collect().toSeq
+    val bin = least(floor((col("v") - lit(0.0)) * lit(4.0) / lit(10.0)),
+      lit(3L)).cast("long")
+    val half1 = rows.limit(5)
+    val half2 = rows.exceptAll(half1)
+    def cen(df: org.apache.spark.sql.DataFrame) = df.groupBy(bin.as("bin"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("n_act"),
+        sum(when(col("isa"), 0L).otherwise(1L)).as("n_ref"))
+    val merged = cen(half1).unionByName(cen(half2))
+      .groupBy(col("bin"))
+      .agg(sum(col("n_act")).as("n_act"), sum(col("n_ref")).as("n_ref"))
+    val census = graft.operators.Drift.psiFromCensus(merged, 4)
+      .orderBy(col("bin")).collect().toSeq
+    assert(census == onePass)
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away

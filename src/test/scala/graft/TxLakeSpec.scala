@@ -925,4 +925,35 @@ class TxLakeSpec extends SparkSuite {
       TxLake.sketchQuantiles(spark, lake3, "v", qs))
     assert(e2.getMessage.contains("deletion vectors"))
   }
+
+  test("orphanFiles/gcOrphans: crashed-writer residue reclaimed, racer safe") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2))
+    TxLake.commit(spark, lake, df(3))
+    assert(TxLake.orphanFiles(lake).isEmpty, "a clean lake has no orphans")
+    // crashed writer: data landed under v3, reservation never filled
+    df(90, 91).coalesce(1).write.mode("overwrite").parquet(s"$lake/data/v3")
+    val orphans = TxLake.orphanFiles(lake)
+    assert(orphans.size == 1 && orphans.head.contains("/data/v3/"))
+    // racer-ahead safety: a FILLED later entry's files are reachable the
+    // moment the pending reservation clears — they must never be flagged,
+    // even while an empty reservation stalls the log below them
+    val logDir = java.nio.file.Paths.get(s"$lake/_log")
+    java.nio.file.Files.createFile(logDir.resolve("00000003.json"))
+    df(77).coalesce(1).write.mode("overwrite").parquet(s"$lake/data/v4")
+    val racerAdd = new java.io.File(s"$lake/data/v4").listFiles()
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted.head
+    java.nio.file.Files.write(logDir.resolve("00000004.json"),
+      s"""{"version":4,"tag":"","adds":["$racerAdd"],"removes":[]}"""
+        .getBytes("UTF-8"))
+    val flagged = TxLake.orphanFiles(lake)
+    assert(flagged.size == 1 && flagged.head.contains("/data/v3/"),
+      "the racer's landed file must not be treated as an orphan")
+    val removed = TxLake.gcOrphans(lake)
+    assert(removed == flagged && TxLake.orphanFiles(lake).isEmpty)
+    // the stalled log is untouched: snapshot still reads v2's rows
+    java.nio.file.Files.delete(logDir.resolve("00000003.json"))
+    java.nio.file.Files.delete(logDir.resolve("00000004.json"))
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 3L))
+  }
 }
