@@ -6290,6 +6290,51 @@ object SparkEntry {
           (col("event_type") === "view").as("isa")),
       "cents", col("isa"))
 
+  /** Gopher rule gate ([[graft.operators.TextPipeline.gopherRules]]):
+    * the composite MassiveText heuristic battery — mean word length
+    * band, alphabetic-word share, symbol ratio, 2-of-8 stopwords —
+    * plus the pass/fail verdict, all as row-local array expressions.
+    */
+  private def q482(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.gopherRules(
+      T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Panel harmonic centrality ([[graft.operators.Graph.multiSourceHarmonic]]):
+    * Σ 1/d within 4 hops over the customer↔supplier bipartite graph for
+    * an 8-customer panel — k sources ride ONE shared BFS lattice (one
+    * edge join per hop total), the bounded centrality form beside
+    * q190's single-source hop map.
+    */
+  private def q483(s: SparkSession, dir: String): DataFrame = {
+    val pairs = T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), (-col("supp")).as("dst"))
+      .unionByName(pairs.select((-col("supp")).as("src"),
+        col("cust").as("dst")))
+    val sources = T(s, dir, "customer").filter(col("c_custkey") <= 8)
+      .select(col("c_custkey").as("node"))
+    graft.operators.Graph.multiSourceHarmonic(edges, sources, maxHops = 4)
+      .orderBy(col("src"))
+  }
+
+  /** Theta-method forecast ([[graft.operators.Trend.thetaPerKey]]): the
+    * M3-winning SES-with-drift — OLS theta-0 line + SES-smoothed
+    * theta-2 line, equal-weight one-step combination — per user over
+    * hourly spend; beside q147 (pure OLS) and q261 (Holt).
+    */
+  private def q484(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("user_id"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.thetaPerKey(hourly, "user_id", "hid", "cents")
+      .orderBy(col("user_id"))
+  }
+
   /** DSIR importance weights ([[graft.operators.TextPipeline.dsirWeights]]):
     * every document scored by how much more likely its hashed-unigram
     * profile is under the English target slice than under the raw
@@ -9602,6 +9647,9 @@ object SparkEntry {
     "q479_dsir_weights" -> (q479 _),
     "q480_stream_psi" -> (q480 _),
     "q481_orphan_gc" -> (q481 _),
+    "q482_gopher_rules" -> (q482 _),
+    "q483_harmonic_centrality" -> (q483 _),
+    "q484_theta_forecast" -> (q484 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10899,6 +10947,17 @@ object SparkEntry {
     // ln S²_p and T leave (the q458 magnitude rule)
     "q477_bartlett" ->
       """WITH e AS (SELECT o_orderpriority AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(v AS DECIMAL(38,0))) AS s1, SUM(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS s2 FROM e GROUP BY g HAVING COUNT(*) >= 2), p AS (SELECT n, (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS s2i FROM a), ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_total, SUM(CAST(round((CAST(n AS DOUBLE) - 1.0) * s2i, 9) AS DECIMAL(38,9))) AS spnum, SUM(CAST(round((CAST(n AS DOUBLE) - 1.0) * ln(s2i), 9) AS DECIMAL(28,9))) AS sumln, SUM(CAST(round(1.0 / (CAST(n AS DOUBLE) - 1.0), 9) AS DECIMAL(28,9))) AS suminv FROM p), z AS (SELECT k, n_total, ln(CAST(spnum AS DOUBLE) / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) AS lnsp, 1.0 + (CAST(suminv AS DOUBLE) - 1.0 / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE))) / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS corr, (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)) AS nmk, CAST(sumln AS DOUBLE) AS sl FROM ag) SELECT k, n_total, round(lnsp, 6) AS ln_sp2, round(CASE WHEN k >= 2 THEN (nmk * lnsp - sl) / corr END, 6) AS t_bartlett, k - 1 AS dof FROM z""",
+    // row-local array-expression signals; pass compares the ROUNDED
+    // columns on both engines; pinned thresholds + stopword list
+    "q482_gopher_rules" ->
+      s"""$HASH_MACROS; WITH w AS (SELECT doc_id, text, docwords(text) AS ws FROM documents), m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, round(CAST(list_sum(list_transform(ws, w2 -> CAST(length(w2) AS BIGINT))) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len, round(CAST(len(list_filter(ws, w3 -> regexp_matches(w3, '[a-z]'))) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS alpha_word_share, CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols, round(CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / CAST(len(ws) AS DOUBLE), 6) AS symbol_ratio, CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s2 -> list_contains(ws, s2))) AS BIGINT) AS stop_hits FROM w) SELECT *, n_words >= 10 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND alpha_word_share >= 0.8 AND symbol_ratio <= 0.1 AND stop_hits >= 2 AS pass FROM m ORDER BY doc_id""",
+    // one shared recursive walk carrying the source id; BFS distance =
+    // MIN over the walk; 1/d terms on the grid
+    "q483_harmonic_centrality" ->
+      """WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), ed AS (SELECT cust AS src, -supp AS dst FROM pairs UNION ALL SELECT -supp AS src, cust AS dst FROM pairs), srcs AS (SELECT c_custkey AS s FROM customer WHERE c_custkey <= 8), walk(s, node, hops) AS (SELECT s, s, 0 FROM srcs UNION SELECT w.s, ed.dst, w.hops + 1 FROM walk w JOIN ed ON ed.src = w.node WHERE w.hops < 4), mh AS (SELECT s, node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY 1, 2) SELECT s AS src, COUNT(*) AS n_reached, MAX(hops) AS max_hop, round(CAST(SUM(CAST(round(1.0 / CAST(hops AS DOUBLE), 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS harmonic FROM mh WHERE hops >= 1 GROUP BY s ORDER BY src""",
+    // exact-integer OLS sums; SES fold replayed in list_reduce order
+    "q484_theta_forecast" ->
+      """WITH h AS (SELECT user_id, epoch_ns(ts)//1000000000//3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS v FROM events GROUP BY 1, 2), r AS (SELECT user_id, hid, v, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hid) AS BIGINT) AS t, CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM h), s AS (SELECT user_id, MAX(n) AS n, CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t * t) AS BIGINT) AS stt, SUM(CAST(v AS DECIMAL(38,0))) AS sx, SUM(CAST(t AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))) AS stx FROM r GROUP BY user_id HAVING MAX(n) >= 3), f AS (SELECT user_id, n, (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b, st, sx FROM s), f2 AS (SELECT user_id, n, b, (CAST(sx AS DOUBLE) - b * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS a FROM f), l AS (SELECT r.user_id, f2.n, f2.a, f2.b, list(2.0 * CAST(r.v AS DOUBLE) - (f2.a + f2.b * CAST(r.t AS DOUBLE)) ORDER BY r.t) AS ys FROM r JOIN f2 ON r.user_id = f2.user_id GROUP BY 1, 2, 3, 4), z AS (SELECT user_id, n, a, b, list_reduce(ys, (a9, y9) -> 0.5 * y9 + 0.5 * a9) AS lvl FROM l) SELECT user_id, n, round(a, 6) AS a, round(b, 6) AS b, round(lvl, 6) AS level, round(0.5 * lvl + 0.5 * (a + b * (CAST(n AS DOUBLE) + 1.0)), 6) AS forecast FROM z ORDER BY user_id""",
     // hashed-unigram bucket censuses; ln over exact integer
     // cross-products; count×grid-decimal per-doc sums
     "q479_dsir_weights" ->

@@ -150,6 +150,52 @@ object Graph {
     known
   }
 
+  /** Bounded-depth HARMONIC CENTRALITY for a PANEL of source nodes —
+    * per source s: Σ_{v reached, d(s,v) ≥ 1} 1/d(s,v) within `maxHops`,
+    * the bounded form large-graph centrality actually ships (exact
+    * closeness needs all-pairs distances; harmonic truncates gracefully
+    * and handles disconnection for free). [[bfsHops]] generalized to
+    * carry the source id: frontier rows are (src, node), so k panel
+    * sources run as k BFS lattices SHARING each round's edge join — one
+    * shuffle per hop total, never one BFS pass per source. Dedup is the
+    * same known-set anti-join, per (src, node). The 1/d terms land once
+    * on the 1e-9 grid and decimal-sum. Panel size is the caller's
+    * contract (the q431 fixed-panel posture); per-round lineage cuts.
+    */
+  def multiSourceHarmonic(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxHops >= 1)
+    val e = edges.select(col("src").as("__es"), col("dst").as("__ed"))
+      .distinct().localCheckpoint(true)
+    var known = sources.select(col("node").as("src"), col("node"),
+      lit(0L).as("hops")).distinct().localCheckpoint(true)
+    var frontier = known
+    var hop = 0L
+    while (hop < maxHops && frontier.limit(1).count() > 0) {
+      hop += 1
+      val next = frontier
+        .join(e, col("node") === col("__es"))
+        .select(col("src"), col("__ed").as("node")).distinct()
+        .join(known.select(col("src").as("__ks"), col("node").as("__kn")),
+          col("src") === col("__ks") && col("node") === col("__kn"),
+          "left_anti")
+        .select(col("src"), col("node"), lit(hop).as("hops"))
+        .localCheckpoint(true)
+      known = known.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    known.filter(col("hops") >= 1L)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reached"), max(col("hops")).as("max_hop"),
+        sum(round(lit(1.0) / col("hops").cast("double"), 9)
+          .cast(DecimalType(18, 9))).as("__h"))
+      .select(col("src"), col("n_reached"), col("max_hop"),
+        round(col("__h").cast("double"), 6).as("harmonic"))
+  }
+
   /** Per-node triangle counts over an undirected edge list (`src`, `dst`).
     *
     * The classic degree-ordered orientation: every edge points from its

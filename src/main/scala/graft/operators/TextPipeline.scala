@@ -350,6 +350,57 @@ object TextPipeline {
       .select(col("rk"), col("pair"), col("total"), col("n_words"))
   }
 
+  /** Pinned Gopher-rule stopword list (Rae et al. 2021's "must contain
+    * at least 2 of" set) — shared verbatim with the oracle SQL.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER-STYLE RULE GATE — the composite heuristic filter battery of
+    * the Gopher/MassiveText cleaning stage, complementing the engine's
+    * single-signal gates (q29 surface stats, q176 entropy, q139
+    * repetition, q241 lexicon): per document, mean word length (3–10
+    * band), the share of words containing an alphabetic character
+    * (≥ 0.8), the symbol-to-word ratio (# and … hashes/ellipses,
+    * ≤ 0.1), and the must-contain-2-of-8-stopwords rule — plus the
+    * single pass/fail verdict the pipeline actually branches on.
+    *
+    * One corpus scan, all signals as array expressions over the split
+    * word list (no explode — nothing leaves the row), ratios rounded
+    * once to the 1e-6 grid; thresholds are pinned literals shared with
+    * the oracle.
+    */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 10): DataFrame = {
+    val ws = TextFunctions.words(col(textCol))
+    val nWords = size(ws).cast("long")
+    val meanLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x).cast("double") / nWords.cast("double")
+    val alphaShare = size(filter(ws, w => w.rlike("[a-z]"))).cast("double") /
+      nWords.cast("double")
+    val symbols = (regexp_count(col(textCol), lit("#")) +
+      regexp_count(col(textCol), lit("\\.\\.\\."))).cast("long")
+    val symbolRatio = symbols.cast("double") / nWords.cast("double")
+    val stopHits = size(filter(
+      array(GopherStops.map(lit): _*), s => array_contains(ws, s)))
+      .cast("long")
+    docs.select(col(idCol).as("doc_id"), nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(alphaShare, 6).as("alpha_word_share"),
+        symbols.as("n_symbols"),
+        round(symbolRatio, 6).as("symbol_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("pass",
+        col("n_words") >= minWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("alpha_word_share") >= 0.8 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("stop_hits") >= 2L)
+  }
+
   /** DSIR-STYLE IMPORTANCE WEIGHTS for data selection (hashed-feature
     * importance resampling, Xie et al. 2023) — the principled upgrade of
     * threshold quality gates: score every raw document by how much more

@@ -297,6 +297,69 @@ object Trend {
     * inside bᵢ — the same IEEE value, determinism unaffected). Keys need
     * ≥ 2 points for a defined trend; singletons are dropped.
     */
+  /** Per-key THETA-METHOD forecast (Assimakopoulos & Nikolopoulos 2000 —
+    * the M3 benchmark winner, equivalent to SES-with-drift): the series
+    * decomposes into the θ=0 line (the OLS trend, pure long-run signal)
+    * and the θ=2 line (2x_t − trend_t, curvature doubled); SES smooths
+    * the θ=2 line and the one-step forecast is the equal-weight average
+    * of the smoothed level and the trend extrapolated to n+1 — the
+    * robust middle ground between q147's pure OLS and q261's Holt.
+    *
+    * Scale shape: OLS sums come from ONE exact-integer aggregate per key
+    * (rank t from a key-partitioned window; Σt/Σt² long, Σx/Σtx
+    * DECIMAL(38,0) over cents); the SES recursion folds in one codegen'd
+    * higher-order aggregate over the key's collected series (per-key
+    * series bound is the caller's contract — the q261/q374 posture).
+    * α = 0.5 so the complement is IEEE-exact; a/b and every fold step
+    * are pinned double expressions the oracle replays in list_reduce
+    * order.
+    */
+  def thetaPerKey(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      vCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val ranked = df.select(col(keyCol), col(orderCol),
+        col(vCol).cast("long").as("__v"))
+      .withColumn("__t", row_number().over(w).cast("long"))
+      .localCheckpoint(true) // feeds the OLS sums AND the fold join
+    val sums = ranked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__t")).as("st"),
+        sum(col("__t") * col("__t")).as("stt"),
+        sum(col("__v").cast(d38)).as("sx"),
+        sum(col("__t").cast(d38) * col("__v").cast(d38)).as("stx"))
+      .filter(col("n") >= 3L)
+    val nD = dbl(col("n"))
+    val b = (nD * dbl(col("stx")) - dbl(col("st")) * dbl(col("sx"))) /
+      (nD * dbl(col("stt")) - dbl(col("st")) * dbl(col("st")))
+    val fit2 = sums.select(col(keyCol), col("n"), b.as("__b"),
+      ((dbl(col("sx")) - b * dbl(col("st"))) / nD).as("__a"))
+    val y = lit(2.0) * dbl(col("__v")) -
+      (col("__a") + col("__b") * dbl(col("__t")))
+    val series = ranked.join(fit2, Seq(keyCol))
+      .select(col(keyCol), col("n"), col("__a"), col("__b"),
+        col("__t"), y.as("__y"))
+      .groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), max(col("__a")).as("__a"),
+        max(col("__b")).as("__b"),
+        sort_array(collect_list(struct(col("__t"), col("__y")))).as("__s"))
+    val level = aggregate(
+      expr("slice(__s, 2, greatest(size(__s) - 1, 0))"),
+      element_at(col("__s"), 1).getField("__y"),
+      (acc, e) => lit(0.5) * e.getField("__y") + lit(0.5) * acc)
+    series.select(col(keyCol), col("n"),
+      round(col("__a"), 6).as("a"), round(col("__b"), 6).as("b"),
+      round(level, 6).as("level"),
+      round(lit(0.5) * level + lit(0.5) *
+        (col("__a") + col("__b") * (dbl(col("n")) + lit(1.0))), 6)
+        .as("forecast"))
+  }
+
   def holtPerKey(
       df: DataFrame,
       keyCol: String,

@@ -483,4 +483,18 @@ class GraphSpec extends SparkSuite {
     assert(Graph.degreeAssortativity(cyc).head().isNullAt(2))
   }
 
+  test("multiSourceHarmonic: path graph hand case, shared lattice, panel") {
+    import spark.implicits._
+    // undirected path 1-2-3-4; sources {1, 3}, 2 hops:
+    //   from 1: d(2)=1, d(3)=2          -> 1 + 1/2   = 1.5
+    //   from 3: d(2)=d(4)=1, d(1)=2     -> 1 + 1 + 1/2 = 2.5
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val sources = Seq(1L, 3L).toDF("node")
+    val out = Graph.multiSourceHarmonic(edges, sources, maxHops = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(1L -> ((2L, 2L, 1.5)), 3L -> ((3L, 2L, 2.5))))
+  }
+
 }

@@ -236,6 +236,23 @@ class TextPipelineSpec extends SparkSuite {
     assert(got(("new", "york")) == ((2L, 3L, pmi)))
   }
 
+  test("gopherRules: clean doc passes, symbol-heavy doc fails on ratio") {
+    import org.apache.spark.sql.Row
+    val clean = "the cat and the dog have fun with all of that stuff here"
+    val spam = "the of ### and ... that ### have ... with ### be to"
+    val docs = Seq((1L, clean), (2L, spam)).toDF("doc_id", "text")
+    val out = graft.operators.TextPipeline
+      .gopherRules(docs, "doc_id", "text", minWords = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c: Row = out(1L)
+    assert(c.getAs[Boolean]("pass"), s"clean doc must pass: $c")
+    assert(c.getAs[Long]("stop_hits") >= 2L && c.getAs[Long]("n_symbols") == 0L)
+    val sp: Row = out(2L)
+    assert(!sp.getAs[Boolean]("pass"), "symbol spam must fail")
+    // '#' counts per CHARACTER (### = 3) — 9 hash chars + 2 ellipses
+    assert(sp.getAs[Long]("n_symbols") == 11L, s"unexpected symbols: $sp")
+  }
+
   test("bpeTrain: merge sequence hand-traced, later merges build on earlier") {
     // corpus: "abab" x3, "abc" x2 -> pair census round 1 over chars:
     // "abab" holds (a,b) twice and (b,a) once, "abc" holds (a,b), (b,c)

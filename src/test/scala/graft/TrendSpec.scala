@@ -453,4 +453,20 @@ class TrendSpec extends SparkSuite {
       "zero-variance keys are not overdispersed")
   }
 
+  test("thetaPerKey: exact-linear series, hand SES fold and combination") {
+    import spark.implicits._
+    // v = [0,10,20] at t=1..3: OLS line -10+10t fits exactly, so the
+    // theta-2 series equals v; SES(0.5): 0 -> 5 -> 12.5;
+    // forecast = 0.5*12.5 + 0.5*(-10+10*4) = 21.25
+    val df = Seq((7L, 1L, 0L), (7L, 2L, 10L), (7L, 3L, 20L),
+      (8L, 1L, 5L), (8L, 2L, 5L)).toDF("k", "o", "v")
+    val out = graft.operators.Trend.thetaPerKey(df, "k", "o", "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r7 = out(7L)
+    assert(r7.getLong(1) == 3L)
+    assert(r7.getDouble(2) == -10.0 && r7.getDouble(3) == 10.0)
+    assert(r7.getDouble(4) == 12.5 && r7.getDouble(5) == 21.25)
+    assert(!out.contains(8L), "series shorter than 3 must drop")
+  }
+
 }
