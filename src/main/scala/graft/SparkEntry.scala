@@ -6421,6 +6421,52 @@ object SparkEntry {
       k = 10, nCentroids = 16, probes = Seq(1, 2, 4))
   }
 
+  /** Wilcoxon signed-rank test ([[graft.operators.Drift
+    * .wilcoxonSignedRank]]): per-customer paired yearly spend (1996 vs
+    * 1995) — did customer totals systematically move year-over-year,
+    * the paired rank test beside q319's two-sample Mann–Whitney and
+    * q362's parametric Welch; |d| ranks from the value-domain census,
+    * doubled-rank/tie sums exact in DECIMAL(38,0), pinned z.
+    */
+  private def q485(s: SparkSession, dir: String): DataFrame = {
+    val y = T(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy(col("o_custkey").as("k"), year(col("o_orderdate")).as("yr"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val a = y.filter(col("yr") === 1996).select(col("k"), col("cents").as("a"))
+    val b = y.filter(col("yr") === 1995).select(col("k"), col("cents").as("b"))
+    graft.operators.Drift.wilcoxonSignedRank(a.join(b, "k"), "a", "b")
+  }
+
+  /** Streaming Benford maintenance
+    * ([[graft.streaming.StreamVerify.benfordMaintenance]]): q291's
+    * leading-digit forensic as an ingestion side effect — each
+    * micro-batch commits its ≤9-row (digit, n) census exactly-once,
+    * counts add, the drained store reads through benfordFromCensus and
+    * replays the batch oracle shape over events.value. Eighth
+    * self-maintaining surface.
+    */
+  private def q486(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.benfordMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q486"))
+
+  /** Hampel filter ([[graft.operators.Trend.hampelPerKey]]): per-user
+    * hourly spend despiked by the centered 7-point rolling median —
+    * outlier iff |x − med| > 3·1.4826·MAD (pinned 4.4478), the robust
+    * gate q253's EWMA and q300's z-band can't give on heavy tails;
+    * exact integer order statistics inside one key-partitioned window.
+    */
+  private def q487(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("user_id"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.hampelPerKey(hourly, "user_id", "hid", "cents")
+      .withColumnRenamed("v", "cents")
+      .orderBy(col("user_id"), col("hid"))
+  }
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -9650,6 +9696,9 @@ object SparkEntry {
     "q482_gopher_rules" -> (q482 _),
     "q483_harmonic_centrality" -> (q483 _),
     "q484_theta_forecast" -> (q484 _),
+    "q485_wilcoxon_signed_rank" -> (q485 _),
+    "q486_stream_benford" -> (q486 _),
+    "q487_hampel_filter" -> (q487 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10962,6 +11011,18 @@ object SparkEntry {
     // cross-products; count×grid-decimal per-doc sums
     "q479_dsir_weights" ->
       """WITH w0 AS (SELECT doc_id, lang = 'en' AS tgt, unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), w2 AS (SELECT doc_id, tgt, CAST(concat('0x', substr(md5(w), 1, 13)) AS BIGINT) % 64 AS b FROM w0 WHERE w <> ''), dcb AS (SELECT doc_id, tgt, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM w2 GROUP BY 1, 2, 3), src AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS cs FROM dcb GROUP BY b), tg AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS ct FROM dcb WHERE tgt GROUP BY b), tot AS (SELECT (SELECT CAST(SUM(cs) AS BIGINT) FROM src) AS ns, (SELECT CAST(SUM(ct) AS BIGINT) FROM tg) AS nt), lr AS (SELECT src.b, CAST(round(ln(CAST(CAST(COALESCE(tg.ct, 0) + 1 AS DECIMAL(38,0)) * (tot.ns + 64) AS DOUBLE) / CAST(CAST(src.cs + 1 AS DECIMAL(38,0)) * (tot.nt + 64) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lr FROM src LEFT JOIN tg ON src.b = tg.b, tot), agg AS (SELECT dcb.doc_id, CAST(SUM(dcb.cnt) AS BIGINT) AS n_tokens, CAST(SUM(CAST(dcb.cnt AS DECIMAL(18,0)) * lr.lr) AS DOUBLE) AS lw FROM dcb JOIN lr ON dcb.b = lr.b GROUP BY dcb.doc_id) SELECT doc_id, n_tokens, round(lw, 6) AS log_weight, lw > 0.0 AS target_like FROM agg ORDER BY doc_id""",
+    // |d|-domain census ranks (doubled averages), DECIMAL(38,0) W/tie
+    // sums, one pinned tie-corrected z — the paired mannWhitney shape
+    "q485_wilcoxon_signed_rank" ->
+      """WITH y AS (SELECT o_custkey AS k, year(o_orderdate) AS yr, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1, 2), p AS (SELECT a.k, a.cents AS a, b.cents AS b FROM y a JOIN y b ON a.k = b.k AND a.yr = 1996 AND b.yr = 1995), dd AS (SELECT a - b AS d FROM p), cz AS (SELECT COUNT(*) AS n_zero FROM dd WHERE d = 0), c AS (SELECT abs(d) AS ad, CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos, COUNT(*) AS t FROM dd WHERE d <> 0 GROUP BY 1), r AS (SELECT ad, npos, t, SUM(t) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct FROM c), r2 AS (SELECT npos, t, 2 * ct - t + 1 AS r2 FROM r), ag AS (SELECT CAST(SUM(t) AS BIGINT) AS n, SUM(CAST(npos AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))) AS w2, SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties FROM r2) SELECT COALESCE(n, 0) AS n_pairs, (SELECT n_zero FROM cz) AS n_zero, CASE WHEN n > 0 THEN CAST(w2 AS DOUBLE) / 2.0 END AS w_plus, CASE WHEN n > 0 THEN round((CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 2.0) / (2.0 * sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0 - CAST(ties AS DOUBLE) / 48.0)), 6) END AS z FROM ag""",
+    // digit censuses add across batches, so the drained store replays
+    // the one-pass q291 shape over events.value verbatim
+    "q486_stream_benford" ->
+      """WITH obs AS (SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit, COUNT(*) AS n FROM events WHERE value >= 1 GROUP BY 1), sp AS (SELECT * FROM (VALUES (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608), (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631), (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561)) AS t(digit, expected_p)), j AS (SELECT sp.digit, COALESCE(obs.n, 0) AS n, sp.expected_p FROM sp LEFT JOIN obs USING (digit)), t2 AS (SELECT digit, n, expected_p, expected_p * CAST(SUM(n) OVER () AS DOUBLE) AS expected_n FROM j), d AS (SELECT digit, n, expected_p, expected_n, CAST(round((CAST(n AS DOUBLE) - expected_n) * (CAST(n AS DOUBLE) - expected_n) / expected_n, 6) AS DECIMAL(18,6)) AS chi2_term FROM t2) SELECT digit, n, expected_p, round(expected_n, 6) AS expected_n, CAST(chi2_term AS DOUBLE) AS chi2_term, CAST(SUM(chi2_term) OVER () AS DOUBLE) AS chi2_total FROM d ORDER BY digit""",
+    // exact 7-element order statistics (list_sort + [4]) inside the
+    // key-partitioned centered window; pinned 4.4478 robust compare
+    "q487_hampel_filter" ->
+      """WITH h AS (SELECT user_id, epoch_ns(ts)//1000000000//3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents FROM events GROUP BY 1, 2), w AS (SELECT user_id, hid, cents, list(cents) OVER win AS win FROM h WINDOW win AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), m AS (SELECT user_id, hid, cents, win, len(win) AS nwin, CASE WHEN len(win) = 7 THEN list_sort(win)[4] END AS med FROM w), d AS (SELECT user_id, hid, cents, nwin, med, CASE WHEN nwin = 7 THEN list_sort(list_transform(win, x -> abs(x - med)))[4] END AS mad FROM m) SELECT user_id, hid, cents, med, mad, CASE WHEN nwin = 7 THEN CAST(abs(cents - med) AS DOUBLE) > 4.4478 * CAST(mad AS DOUBLE) END AS is_outlier FROM d ORDER BY user_id, hid""",
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

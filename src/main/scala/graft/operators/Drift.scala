@@ -1685,4 +1685,55 @@ object Drift {
       (dbl(col("r2sum")) / 2.0).as("rank_sum"),
       round(when(col("den") =!= lit(0).cast(d38), chi), 6).as("chi2"))
   }
+
+  /** WILCOXON SIGNED-RANK test — the PAIRED sibling of [[mannWhitney]]'s
+    * two-sample rank test: per subject, did the value systematically move
+    * between two paired measurements (before/after, year-over-year),
+    * robust to outliers and any monotone transform where q362's Welch-t
+    * assumes a mean. Zero differences drop before ranking (the standard
+    * Wilcoxon treatment, reported as `n_zero`); |d| ranks come from a
+    * cumulative window over the VALUE-DOMAIN census (never a per-row
+    * sort — the [[mannWhitney]] 100 TB formulation), with doubled average
+    * ranks (2·avg = 2c − t + 1, always integral). W⁺ and the tie term
+    * Σ(t³−t) accumulate exactly in DECIMAL(38,0); only the final z =
+    * (2W⁺ − n(n+1)/2) / 2σ is double, evaluated in pinned order with the
+    * tie-corrected σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48 and rounded to 1e-6.
+    * Input contract: one row per subject, `aCol`/`bCol` integer-valued
+    * (cents discipline).
+    */
+  def wilcoxonSignedRank(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val diffs = pairs
+      .select((col(aCol).cast("long") - col(bCol).cast("long")).as("d"))
+    // one census over the |d| domain; the d=0 row stays visible so the
+    // dropped-pair count comes from the same pass, but never enters ranks
+    val census = diffs
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(sum(when(col("d") > 0L, 1L).otherwise(0L)).as("npos"),
+        count(lit(1)).as("t"))
+    val zeros = census.filter(col("ad") === 0L)
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_zero"))
+    val cum = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census.filter(col("ad") > 0L)
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("r2", lit(2L) * col("c") - col("t") + 1L)
+    val agg = ranked.agg(
+      sum(col("t")).as("n"),
+      sum(col("npos").cast(d38) * col("r2").cast(d38)).as("w2"),
+      sum(col("t").cast(d38) * col("t").cast(d38) * col("t").cast(d38) -
+        col("t").cast(d38)).as("ties"))
+    def dbl(c: Column): Column = c.cast("double")
+    val n = dbl(col("n"))
+    val sig2 = n * (n + lit(1.0)) * (lit(2.0) * n + lit(1.0)) / 24.0 -
+      dbl(col("ties")) / 48.0
+    val z = (dbl(col("w2")) - n * (n + lit(1.0)) / 2.0) /
+      (lit(2.0) * sqrt(sig2))
+    agg.crossJoin(broadcast(zeros)).select(
+      coalesce(col("n"), lit(0L)).as("n_pairs"), col("n_zero"),
+      when(col("n") > 0L, dbl(col("w2")) / 2.0).as("w_plus"),
+      when(col("n") > 0L, round(z, 6)).as("z"))
+  }
 }

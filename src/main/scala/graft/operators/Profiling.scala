@@ -102,13 +102,26 @@ object Profiling {
     * order-independent, engine-exact discipline.
     */
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     val v = col(valueCol).cast("double")
-    val obs = df.filter(v >= 1.0)
+    benfordFromCensus(df.filter(v >= 1.0)
       .select(substring(floor(v).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n")))
+  }
+
+  /** [[benfordDigits]] computed from a DIGIT CENSUS — rows of (digit, n)
+    * partials (e.g. the streaming store's per-batch commits). Counts ADD,
+    * so however the partials were batched the merged census — and every
+    * output bit — equals the one-pass [[benfordDigits]] over the raw
+    * rows; that property lets the streaming surface share the batch
+    * oracle shape verbatim.
+    */
+  def benfordFromCensus(censusDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val obs = censusDf
+      .groupBy(col("digit").cast("int").as("digit"))
+      .agg(sum(col("n")).as("n"))
     val spine = obs.sparkSession.createDataFrame(benfordP)
       .toDF("digit", "expected_p")
     val all = Window.partitionBy()

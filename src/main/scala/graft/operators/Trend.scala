@@ -1586,4 +1586,42 @@ object Trend {
         round(dbl(col("ys")) / dbl(col("n")), 6).as("raw_rate"),
         round(dbl(col("f")), 6).as("fitted_rate"))
   }
+
+  /** HAMPEL FILTER — per-key rolling-median outlier flags: a point is
+    * anomalous when it sits more than 3 robust sigmas (3·1.4826·MAD,
+    * pinned as the single literal 4.4478) from the CENTERED 7-point
+    * rolling median. The median/MAD pair shrugs off the very outliers
+    * that poison q253's EWMA and q300's z-score bands — the standard
+    * despiking gate for sensor/metric series.
+    *
+    * Exactness: values are integer (cents discipline), the window median
+    * and MAD are exact order statistics of a 7-element array (array_sort
+    * + element_at — all codegen HOFs, nothing leaves the row), and the
+    * only double op is the final pinned `|x−med| > 4.4478·mad` compare of
+    * exact integers — engine-identical. Incomplete edge windows emit NULL
+    * med/mad/flag (the q293 rolling-OLS convention). Shape: one key-
+    * partitioned ordered window — per-key series bound contract, no
+    * global sort, no shuffle beyond the key hash.
+    */
+  def hampelPerKey(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+      .rowsBetween(-3, 3)
+    val full = col("nwin") === 7
+    df.select(col(keyCol), col(xCol), col(valueCol).cast("long").as("v"))
+      .withColumn("win", collect_list(col("v")).over(w))
+      .withColumn("nwin", size(col("win")))
+      .withColumn("med",
+        when(full, element_at(array_sort(col("win")), 4)))
+      .withColumn("mad",
+        when(full, element_at(array_sort(
+          transform(col("win"), x => abs(x - col("med")))), 4)))
+      .withColumn("is_outlier",
+        when(full, abs(col("v") - col("med")).cast("double") >
+          lit(4.4478) * col("mad").cast("double")))
+      .drop("win", "nwin")
+  }
 }

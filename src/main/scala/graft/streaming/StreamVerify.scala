@@ -980,6 +980,52 @@ object StreamVerify {
       .orderBy(col("bin"))
   }
 
+  /** STREAMING BENFORD maintenance — q291's leading-digit forensic kept
+    * current as an ingestion side effect (the EIGHTH self-maintaining
+    * surface): each micro-batch commits its (digit, n) census partial
+    * exactly-once — a ≤9-row commit whatever the batch size, the
+    * smallest sufficient statistic on the board. Counts ADD, so the
+    * drained store re-aggregates and reads through
+    * [[graft.operators.Profiling.benfordFromCensus]] — bit-identical to
+    * the one-pass batch audit over the same rows, which is why batch
+    * boundaries are invisible and the oracle replays the batch shape
+    * verbatim.
+    */
+  def benfordMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/benford"
+    def censusOf(batch: DataFrame): DataFrame = {
+      // the q291 digit expression verbatim: integer part's first digit,
+      // rows below 1 excluded (no leading digit in 10^0..)
+      val v = col("value").cast("double")
+      batch.filter(v >= 1.0)
+        .select(substring(floor(v).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    }
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"benford-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Profiling.benfordFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("digit").cast("int").as("digit"),
+          col("n").cast("long").as("n")))
+      .orderBy(col("digit"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

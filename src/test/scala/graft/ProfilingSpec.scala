@@ -149,6 +149,40 @@ class ProfilingSpec extends SparkSuite {
     assert(census == onePass)
   }
 
+  test("benfordFromCensus: batch-split digit censuses equal the one-pass path") {
+    import spark.implicits._
+    val rows = (Seq.fill(8)(1.5) ++ Seq(19.99, 2.0, 0.4)).toDF("v")
+    val onePass = Profiling.benfordDigits(rows, "v")
+      .orderBy(col("digit")).collect().toSeq
+    def cen(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("v") >= 1.0)
+        .select(substring(floor(col("v")).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // uneven micro-batch partials: counts add, readout must be bit-equal
+    val half1 = rows.limit(3)
+    val half2 = rows.exceptAll(half1)
+    val census = Profiling.benfordFromCensus(
+        cen(half1).unionByName(cen(half2)))
+      .orderBy(col("digit")).collect().toSeq
+    assert(census == onePass)
+  }
+
+  test("wilcoxonSignedRank: hand-ranked ties, zero diffs dropped but counted") {
+    import spark.implicits._
+    // d = a-b: +3, -1, +2, +2, 0 → nonzero ranks |1|→1, |2|,|2|→2.5 each,
+    // |3|→4; W+ = 2.5 + 2.5 + 4 = 9, n = 4, one zero pair dropped
+    val pairs = Seq((13L, 10L), (9L, 10L), (12L, 10L), (22L, 20L), (5L, 5L))
+      .toDF("a", "b")
+    val r = graft.operators.Drift.wilcoxonSignedRank(pairs, "a", "b").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 9.0)
+    val sig2 = 4.0 * 5.0 * 9.0 / 24.0 - (8.0 - 2.0) / 48.0
+    val manual = BigDecimal((2.0 * 9.0 - 4.0 * 5.0 / 2.0 * 1.0) /
+      (2.0 * math.sqrt(sig2))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(r.getDouble(3) - manual.toDouble) < 1e-9)
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away

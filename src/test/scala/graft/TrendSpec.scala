@@ -469,4 +469,26 @@ class TrendSpec extends SparkSuite {
     assert(!out.contains(8L), "series shorter than 3 must drop")
   }
 
+  test("hampelPerKey: spike flagged, inliers pass, edge windows NULL") {
+    import spark.implicits._
+    // key 1: flat 10s with one 100 spike at x=5. Center windows (x=4..6)
+    // see med=10, MAD=0 → the spike (|100-10| > 0) flags, neighbors don't.
+    val rows = ((1L to 9L).map(x => (1L, x, if (x == 5) 100L else 10L)) ++
+      Seq((2L, 1L, 7L))).toDF("k", "x", "v")
+    val got = graft.operators.Trend.hampelPerKey(rows, "k", "x", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // x=1..3 and 7..9 have incomplete centered windows → NULL verdicts
+    Seq(1L, 2L, 3L, 7L, 8L, 9L).foreach { x =>
+      assert(got((1L, x)).isNullAt(3) && got((1L, x)).isNullAt(5),
+        s"edge x=$x must be NULL")
+    }
+    assert(got((1L, 5L)).getBoolean(5), "the spike must flag")
+    assert(got((1L, 5L)).getLong(3) == 10L) // median ignores the spike
+    assert(!got((1L, 4L)).getBoolean(5) && !got((1L, 6L)).getBoolean(5))
+    // x=4 window [1..7] contains the spike: MAD still 0 (4th of
+    // [0,0,0,0,0,0,90]), inlier |10-10| = 0 is NOT > 0 → false
+    assert(got((1L, 4L)).getLong(4) == 0L)
+    assert(got((2L, 1L)).isNullAt(5), "short series never completes")
+  }
+
 }
