@@ -6467,6 +6467,58 @@ object SparkEntry {
       .orderBy(col("user_id"), col("hid"))
   }
 
+  /** Neyman allocation ([[graft.operators.Sampling.neymanAllocation]]):
+    * the variance-optimal stratified sampling plan — 500 samples split
+    * across order priorities ∝ N_h·S_h by the largest-remainder rule;
+    * exact integer micro-share arithmetic, allocations sum to the
+    * budget exactly.
+    */
+  private def q488(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.neymanAllocation(
+      T(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      "o_orderpriority", "cents", budget = 500L)
+      .orderBy(col("stratum"))
+
+  /** Clustering-depth audit ([[graft.operators.Layout.clusterDepthAudit]]):
+    * the same orders laid out two ways — md5-hash-bucketed (unclustered)
+    * vs key-range-bucketed (clustered) into 8 files each — then judged
+    * from per-file [min,max] stats alone: overlapping file pairs and the
+    * max overlap depth a point lookup pays. The range layout must read
+    * 1 file where the hash layout reads all 8 — the measured argument
+    * for q81/q164's layout writers.
+    */
+  private def q489(s: SparkSession, dir: String): DataFrame = {
+    val k0 = T(s, dir, "orders").select(col("o_orderkey").cast("long").as("k"))
+    val maxk = k0.agg(max(col("k"))).head().getLong(0) // one pinned scalar
+    val width = maxk / 8 + 1
+    val hashed = k0.select(lit("hash").as("layout"),
+      (conv(substring(md5(col("k").cast("string")), 1, 13), 16, 10)
+        .cast("long") % 8).as("file_id"), col("k"))
+    val ranged = k0.select(lit("range").as("layout"),
+      expr(s"(k - 1) div $width").as("file_id"), col("k"))
+    val stats = hashed.unionByName(ranged)
+      .groupBy(col("layout"), col("file_id"))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    graft.operators.Layout.clusterDepthAudit(stats).orderBy(col("layout"))
+  }
+
+  /** Ansari–Bradley dispersion test ([[graft.operators.Drift
+    * .ansariBradley]]): are urgent orders' totals more spread than
+    * low-priority ones — the rank test for SCALE beside q428's
+    * Brown–Forsythe (parametric-robust) and q477's Bartlett
+    * (parametric); tie-robust doubled score sums from the value-domain
+    * census, exact without-replacement variance.
+    */
+  private def q490(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.ansariBradley(
+      T(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"), col("o_orderpriority")),
+      "cents", col("o_orderpriority") === "1-URGENT")
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -9699,6 +9751,9 @@ object SparkEntry {
     "q485_wilcoxon_signed_rank" -> (q485 _),
     "q486_stream_benford" -> (q486 _),
     "q487_hampel_filter" -> (q487 _),
+    "q488_neyman_allocation" -> (q488 _),
+    "q489_cluster_depth" -> (q489 _),
+    "q490_ansari_bradley" -> (q490 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -11023,6 +11078,18 @@ object SparkEntry {
     // key-partitioned centered window; pinned 4.4478 robust compare
     "q487_hampel_filter" ->
       """WITH h AS (SELECT user_id, epoch_ns(ts)//1000000000//3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents FROM events GROUP BY 1, 2), w AS (SELECT user_id, hid, cents, list(cents) OVER win AS win FROM h WINDOW win AS (PARTITION BY user_id ORDER BY hid ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), m AS (SELECT user_id, hid, cents, win, len(win) AS nwin, CASE WHEN len(win) = 7 THEN list_sort(win)[4] END AS med FROM w), d AS (SELECT user_id, hid, cents, nwin, med, CASE WHEN nwin = 7 THEN list_sort(list_transform(win, x -> abs(x - med)))[4] END AS mad FROM m) SELECT user_id, hid, cents, med, mad, CASE WHEN nwin = 7 THEN CAST(abs(cents - med) AS DOUBLE) > 4.4478 * CAST(mad AS DOUBLE) END AS is_outlier FROM d ORDER BY user_id, hid""",
+    // exact DECIMAL moments, pinned sd, integer micro-shares + Hamilton
+    // largest-remainder — allocations replay as pure integers
+    "q488_neyman_allocation" ->
+      """WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS stratum, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM orders), per AS (SELECT stratum, COUNT(*) AS n_rows, SUM(CAST(c AS DECIMAL(38,0))) AS sv, SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS svv FROM b GROUP BY 1), sd0 AS (SELECT stratum, n_rows, CASE WHEN n_rows > 1 THEN round(sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0)), 6) ELSE 0.0 END AS sd FROM per), w0 AS (SELECT stratum, n_rows, sd, CAST(round(CAST(n_rows AS DOUBLE) * sd, 6) AS DECIMAL(28,6)) AS w FROM sd0), sh AS (SELECT stratum, n_rows, sd, CASE WHEN SUM(w) OVER () > 0 THEN CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) ELSE CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) END AS share FROM w0), su0 AS (SELECT stratum, n_rows, sd, CAST(round(share * 1.0e12, 0) AS BIGINT) AS su FROM sh), st AS (SELECT stratum, n_rows, sd, su, SUM(su) OVER () AS s_total FROM su0), ba AS (SELECT stratum, n_rows, sd, su, (500 * su) // s_total AS base, (500 * su) % s_total AS rem FROM st), lf AS (SELECT stratum, n_rows, sd, su, base, 500 - SUM(base) OVER () AS leftover, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS erk FROM ba) SELECT stratum, n_rows, sd, su AS weight_ppt, CAST(base + CASE WHEN erk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc, (base + CASE WHEN erk <= leftover THEN 1 ELSE 0 END) > n_rows AS over_allocated FROM lf ORDER BY stratum""",
+    // metadata-sized: per-file [min,max] from the portable md5-bucket /
+    // range-bucket layouts; boundary sweep + interval self-join replay
+    "q489_cluster_depth" ->
+      """WITH k0 AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders), mx AS (SELECT MAX(k) AS maxk FROM k0), f AS (SELECT 'hash' AS layout, CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 13)) AS BIGINT) % 8 AS fid, k FROM k0 UNION ALL SELECT 'range', (k - 1) // ((SELECT maxk FROM mx) // 8 + 1), k FROM k0), st AS (SELECT layout, fid, MIN(k) AS mn, MAX(k) AS mx2 FROM f GROUP BY 1, 2), ev AS (SELECT layout, mn AS pos, 1 AS delta FROM st UNION ALL SELECT layout, mx2 + 1, -1 FROM st), dep AS (SELECT layout, CAST(MAX(open) AS BIGINT) AS max_depth FROM (SELECT layout, SUM(delta) OVER (PARTITION BY layout ORDER BY pos, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open FROM ev) GROUP BY 1), pr AS (SELECT a.layout, COUNT(*) AS overlap_pairs FROM st a JOIN st b ON a.layout = b.layout AND a.fid < b.fid AND a.mn <= b.mx2 AND b.mn <= a.mx2 GROUP BY 1), nf AS (SELECT layout, COUNT(*) AS n_files FROM st GROUP BY 1) SELECT nf.layout, nf.n_files, COALESCE(pr.overlap_pairs, CAST(0 AS BIGINT)) AS overlap_pairs, dep.max_depth FROM nf LEFT JOIN pr ON nf.layout = pr.layout JOIN dep ON nf.layout = dep.layout ORDER BY nf.layout""",
+    // doubled tie-run score sums (no division in the exact path), grid
+    // decimals for A and the score second moment, pinned z
+    "q490_ansari_bradley" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, o_orderpriority = '1-URGENT' AS isa FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), c AS (SELECT v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na, COUNT(*) AS t FROM o GROUP BY 1), s AS (SELECT na, t, SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2, SUM(t) OVER () AS nn FROM c), st AS (SELECT na, t, c2, nn, c2 - t + 1 AS lo, (nn + 1) // 2 AS k FROM s), sc AS (SELECT na, t, nn, CASE WHEN lo <= LEAST(c2, k) THEN (CAST(lo AS DECIMAL(38,0)) + CAST(LEAST(c2, k) AS DECIMAL(38,0))) * (CAST(LEAST(c2, k) AS DECIMAL(38,0)) - CAST(lo AS DECIMAL(38,0)) + 1) ELSE CAST(0 AS DECIMAL(38,0)) END + CASE WHEN GREATEST(lo, k + 1) <= c2 THEN CAST(nn + 1 AS DECIMAL(38,0)) * (CAST(c2 AS DECIMAL(38,0)) - CAST(GREATEST(lo, k + 1) AS DECIMAL(38,0)) + 1) * 2 - (CAST(GREATEST(lo, k + 1) AS DECIMAL(38,0)) + CAST(c2 AS DECIMAL(38,0))) * (CAST(c2 AS DECIMAL(38,0)) - CAST(GREATEST(lo, k + 1) AS DECIMAL(38,0)) + 1) ELSE CAST(0 AS DECIMAL(38,0)) END AS sg2 FROM st), ag AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(t - na) AS BIGINT) AS n_b, CAST(SUM(t) AS BIGINT) AS n, SUM(sg2) AS m1x2, SUM(CAST(round(CAST(sg2 AS DOUBLE) * CAST(sg2 AS DOUBLE) / (4.0 * CAST(t AS DOUBLE)), 9) AS DECIMAL(28,9))) AS m2, SUM(CAST(round(CAST(na AS DOUBLE) * CAST(sg2 AS DOUBLE) / (2.0 * CAST(t AS DOUBLE)), 9) AS DECIMAL(28,9))) AS ab FROM sc) SELECT n_a, n_b, CAST(ab AS DOUBLE) AS ab_stat, round(CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * (CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)))) > 0.0 THEN (CAST(ab AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)))) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * (CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))))) END, 6) AS z FROM ag""",
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

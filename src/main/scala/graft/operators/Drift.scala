@@ -1686,6 +1686,72 @@ object Drift {
       round(when(col("den") =!= lit(0).cast(d38), chi), 6).as("chi2"))
   }
 
+  /** ANSARI–BRADLEY test — the RANK test for equal DISPERSION: scores
+    * min(r, N+1−r) grow toward the middle of the pooled ordering, so a
+    * sample squeezed into the center scores high and one pushed to the
+    * tails scores low — the nonparametric sibling of q428's
+    * Brown–Forsythe and q477's Bartlett that needs no variance to exist
+    * at all. Tie-robust via the general linear-rank form: per tie run
+    * the EXACT integer score sum S_g has a closed form (the min() split
+    * of the arithmetic series at k = ⌊(N+1)/2⌋), averaged scores enter
+    * A = Σ n_Ag·S_g/t_g and the score second moment Σ S_g²/t_g as
+    * 1e-9-grid decimals (order-independent), and z uses the exact
+    * without-replacement variance n_a·n_b·Σ(a−ā)²/(N(N−1)). Value-domain
+    * census shape — never a per-row sort (the [[mannWhitney]] contract).
+    */
+  def ansariBradley(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val byValue = df
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(sampleACol, 1L).otherwise(0L)).as("na"),
+        count(lit(1)).as("t"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    def d(c: Column): Column = c.cast(d38)
+    val staged = byValue
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("nn", sum(col("t")).over(tot))
+      .withColumn("lo", col("c") - col("t") + 1L)
+      .withColumn("k", expr("(nn + 1) div 2"))
+      // DOUBLED score sums — no division anywhere in the exact path:
+      // ascending half 2·Σr = (lo+h1)(h1−lo+1) over r in [lo, min(c,k)]
+      .withColumn("h1", least(col("c"), col("k")))
+      .withColumn("s1", when(col("lo") <= col("h1"),
+        (d(col("lo")) + d(col("h1"))) * (d(col("h1")) - d(col("lo")) + 1))
+        .otherwise(lit(0).cast(d38)))
+      // descending half 2·Σ(N+1−r) over r in [max(lo,k+1), c]
+      .withColumn("l2", greatest(col("lo"), col("k") + 1L))
+      .withColumn("s2", when(col("l2") <= col("c"),
+        d(col("nn") + 1L) * (d(col("c")) - d(col("l2")) + 1) * 2 -
+          (d(col("l2")) + d(col("c"))) * (d(col("c")) - d(col("l2")) + 1))
+        .otherwise(lit(0).cast(d38)))
+      .withColumn("sg2", col("s1") + col("s2")) // = 2·S_g, exact
+    def dbl(c: Column): Column = c.cast("double")
+    val agg = staged.agg(
+      sum(col("na")).as("n_a"),
+      sum(col("t") - col("na")).as("n_b"),
+      sum(col("t")).as("n"),
+      sum(col("sg2")).as("m1x2"),
+      sum(round(dbl(col("sg2")) * dbl(col("sg2")) / (lit(4.0) * dbl(col("t"))), 9)
+        .cast(DecimalType(28, 9))).as("m2"),
+      sum(round(dbl(col("na")) * dbl(col("sg2")) / (lit(2.0) * dbl(col("t"))), 9)
+        .cast(DecimalType(28, 9))).as("ab"))
+    val nD = dbl(col("n"))
+    val abar = dbl(col("m1x2")) / (lit(2.0) * nD)
+    val varNum = dbl(col("m2")) - nD * abar * abar
+    val v = dbl(col("n_a")) * dbl(col("n_b")) / (nD * (nD - 1.0)) * varNum
+    agg.select(col("n_a"), col("n_b"),
+      dbl(col("ab")).as("ab_stat"),
+      round(when(v > 0.0,
+        (dbl(col("ab")) - dbl(col("n_a")) * abar) / sqrt(v)), 6).as("z"))
+  }
+
   /** WILCOXON SIGNED-RANK test — the PAIRED sibling of [[mannWhitney]]'s
     * two-sample rank test: per subject, did the value systematically move
     * between two paired measurements (before/after, year-over-year),

@@ -130,4 +130,49 @@ object Layout {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     bounds
   }
+
+  /** CLUSTERING-DEPTH AUDIT — how well a file layout actually clusters
+    * its sort key, measured from per-file [min, max] stats alone (the
+    * numbers OPTIMIZE/ZORDER jobs are scheduled on): for each layout,
+    * the number of OVERLAPPING file pairs (every overlap is a file a
+    * point lookup may have to read twice) and the MAX OVERLAP DEPTH —
+    * the worst-case number of files any single key value forces a scan
+    * to open (Delta/Iceberg's clustering-depth metric; 1 = perfectly
+    * clustered, n_files = unclustered). Input: one row per file with
+    * `layout`, `file_id`, integer `mn`/`mx` stats.
+    *
+    * Shape: metadata-sized by construction (one row per FILE). Depth is
+    * a boundary sweep — +1 at mn, −1 past mx, cumulative max over the
+    * per-layout ordered event list (delta asc at equal position, so
+    * back-to-back ranges [a,b][b+1,c] never fake an overlap); pairs by
+    * interval self-join within the layout. Pure integer arithmetic.
+    */
+  def clusterDepthAudit(files: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = files.select(col("layout"), col("mn").as("pos"),
+        lit(1L).as("delta"))
+      .unionByName(files.select(col("layout"), (col("mx") + 1L).as("pos"),
+        lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("layout"))
+      .orderBy(col("pos"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val depth = events
+      .withColumn("open", sum(col("delta")).over(sweep))
+      .groupBy(col("layout"))
+      .agg(max(col("open")).as("max_depth"))
+    val l = files.select(col("layout"), col("file_id").as("ia"),
+      col("mn").as("mna"), col("mx").as("mxa"))
+    val r = files.select(col("layout"), col("file_id").as("ib"),
+      col("mn").as("mnb"), col("mx").as("mxb"))
+    val pairs = l.join(r, Seq("layout"))
+      .filter(col("ia") < col("ib") &&
+        col("mna") <= col("mxb") && col("mnb") <= col("mxa"))
+      .groupBy(col("layout")).agg(count(lit(1)).as("overlap_pairs"))
+    files.groupBy(col("layout")).agg(count(lit(1)).as("n_files"))
+      .join(pairs, Seq("layout"), "left")
+      .join(depth, Seq("layout"))
+      .withColumn("overlap_pairs", coalesce(col("overlap_pairs"), lit(0L)))
+      .select(col("layout"), col("n_files"), col("overlap_pairs"),
+        col("max_depth"))
+  }
 }

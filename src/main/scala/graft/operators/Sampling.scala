@@ -486,4 +486,65 @@ object Sampling {
       round(p * lit(tokenBudget.toDouble) / dbl(col("n_tokens")), 6)
         .as("eff_epochs"))
   }
+
+  /** NEYMAN ALLOCATION — the variance-optimal stratified sampling plan:
+    * given a total budget, stratum h draws n_h ∝ N_h·S_h (size × spread),
+    * the allocation that minimizes the estimator variance where
+    * proportional allocation ignores spread entirely. The output is the
+    * PLAN a sampler (q48's stratified draw) executes.
+    *
+    * Exactness: per-stratum moments are exact DECIMAL(38,0) integer sums
+    * (cents discipline); S_h is one pinned double rounded to 1e-6;
+    * weights scale to integer micro-shares of the decimal-summed total,
+    * and the budget splits by the largest-remainder (Hamilton) rule —
+    * the [[largestRemainderSplit]] discipline — so allocations are pure
+    * integers summing EXACTLY to the budget (remainder ties break by
+    * stratum key). Single-row and zero-variance strata carry weight 0
+    * (S undefined / zero — they need no sample to be known exactly).
+    * Shape: one group census; everything after is strata-domain-sized.
+    * Note: an allocation may exceed its stratum's N_h when budgets are
+    * large and a stratum is tiny — redistribution is the caller's policy
+    * decision, flagged in `over_allocated`.
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      strataCol: String,
+      valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "need a positive sample budget")
+    require(budget <= 1000000L,
+      "budget above 1e6 would overflow the micro-share arithmetic")
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val v = col(valueCol).cast("long").cast(d38)
+    val per = df.groupBy(col(strataCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_rows"), sum(v).as("sv"), sum(v * v).as("svv"))
+    val nD = dbl(col("n_rows"))
+    val sd = when(col("n_rows") > 1L,
+      round(sqrt((dbl(col("svv")) - dbl(col("sv")) * dbl(col("sv")) / nD) /
+        (nD - 1.0)), 6)).otherwise(lit(0.0))
+    val withW = per.withColumn("sd", sd)
+      .withColumn("w", round(nD * col("sd"), 6).cast(DecimalType(28, 6)))
+    val tot = Window.partitionBy()
+    // integer micro-shares: share in [0,1] over the exact decimal total,
+    // scaled to 1e12 units — all allocation arithmetic below is integer
+    // all-degenerate spread (every stratum single-row or constant) falls
+    // back to proportional-to-size shares rather than dividing by zero
+    val share = when(sum(col("w")).over(tot) > lit(0).cast(DecimalType(28, 6)),
+      dbl(col("w")) / dbl(sum(col("w")).over(tot)))
+      .otherwise(nD / dbl(sum(col("n_rows")).over(tot)))
+    val staged = withW
+      .withColumn("su", round(share * 1.0e12, 0).cast("long"))
+      .withColumn("s_total", sum(col("su")).over(tot))
+      .withColumn("base", expr(s"($budget * su) div s_total"))
+      .withColumn("rem", expr(s"($budget * su) % s_total"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(tot))
+      .withColumn("erk", row_number().over(
+        tot.orderBy(col("rem").desc, col("stratum"))))
+      .withColumn("alloc",
+        col("base") + when(col("erk") <= col("leftover"), 1L).otherwise(0L))
+    staged.select(col("stratum"), col("n_rows"), col("sd"),
+      col("su").as("weight_ppt"), col("alloc"),
+      (col("alloc") > col("n_rows")).as("over_allocated"))
+  }
 }

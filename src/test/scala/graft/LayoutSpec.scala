@@ -205,4 +205,20 @@ class LayoutSpec extends SparkSuite {
     val got = rd.select(col("event_id"), col("sec"), col("user_id"), col("event_type"), col("value"))
     assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
   }
+
+  test("clusterDepthAudit: disjoint runs read depth 1, nested stacks count") {
+    import spark.implicits._
+    val files = Seq(
+      // sorted layout: adjacent but non-overlapping ranges
+      ("sorted", 0L, 1L, 10L), ("sorted", 1L, 11L, 20L), ("sorted", 2L, 21L, 30L),
+      // messy layout: [1,30] ⊃ [5,10] ⊃ [6,8], plus disjoint [40,50]
+      ("messy", 0L, 1L, 30L), ("messy", 1L, 5L, 10L),
+      ("messy", 2L, 6L, 8L), ("messy", 3L, 40L, 50L))
+      .toDF("layout", "file_id", "mn", "mx")
+    val got = graft.operators.Layout.clusterDepthAudit(files)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("sorted") == ((3L, 0L, 1L)),
+      "back-to-back integer ranges must not fake an overlap")
+    assert(got("messy") == ((4L, 3L, 3L))) // 3 nested pairs, depth 3 at 6..8
+  }
 }

@@ -183,6 +183,25 @@ class ProfilingSpec extends SparkSuite {
     assert(math.abs(r.getDouble(3) - manual.toDouble) < 1e-9)
   }
 
+  test("ansariBradley: hand scores, extremes read negative, ties averaged") {
+    import spark.implicits._
+    // pooled 1,2,3,4 scores min(r, N+1-r) = 1,2,2,1; A = {1,4} takes the
+    // extremes: AB = 2, abar = 1.5, var = (2·2/12)·1 → z = -1/√(1/3)
+    val df = Seq((1L, true), (4L, true), (2L, false), (3L, false))
+      .toDF("v", "isa")
+    val r = graft.operators.Drift.ansariBradley(df, "v", col("isa")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0)
+    assert(math.abs(r.getDouble(3) - (-1.0 / math.sqrt(1.0 / 3.0))) < 1e-6)
+    // tie run of 2 at v=1 (avg score 1.5): A={1,2}, B={1,3} → AB=3.5,
+    // varNum = 9.5 - 4·2.25 = 0.5, z = 0.5/√(1/6)
+    val t = Seq((1L, true), (2L, true), (1L, false), (3L, false))
+      .toDF("v", "isa")
+    val rt = graft.operators.Drift.ansariBradley(t, "v", col("isa")).head()
+    assert(rt.getDouble(2) == 3.5)
+    assert(math.abs(rt.getDouble(3) - 0.5 / math.sqrt(1.0 / 6.0)) < 1e-6)
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away

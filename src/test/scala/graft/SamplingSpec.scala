@@ -199,4 +199,21 @@ class SamplingSpec extends SparkSuite {
       "unsampled strata are reported, not renormalized away")
   }
 
+  test("neymanAllocation: spread wins over size, budget lands exactly") {
+    import spark.implicits._
+    // stratum a: 4 constant rows (S=0, needs no sample); b: 2 spread rows
+    val df = (Seq.fill(4)(("a", 10L)) ++ Seq(("b", 0L), ("b", 100L)))
+      .toDF("h", "v")
+    val got = Sampling.neymanAllocation(df, "h", "v", budget = 9L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(4) == 0L, "zero-variance stratum draws nothing")
+    assert(got("b").getLong(4) == 9L)
+    assert(got("b").getBoolean(5), "allocation over stratum size must flag")
+    // all-degenerate spread falls back to proportional-to-size
+    val flat = (Seq.fill(3)(("a", 5L)) ++ Seq.fill(1)(("b", 7L))).toDF("h", "v")
+    val fb = Sampling.neymanAllocation(flat, "h", "v", budget = 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(fb("a") == 3L && fb("b") == 1L)
+  }
+
 }
