@@ -6519,6 +6519,53 @@ object SparkEntry {
           .cast("long").as("cents"), col("o_orderpriority")),
       "cents", col("o_orderpriority") === "1-URGENT")
 
+  /** Top movers ([[graft.operators.Drift.topMovers]]): the 10 users whose
+    * event volume shifted most between the first and second half of the
+    * time range — period-over-period "heavy changers" via the map-side
+    * bounded TopK aggregator (≤k rows per partition cross the shuffle,
+    * never the user domain).
+    */
+  private def q491(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("user_id"), evSec.as("sec"))
+    val pin = ev.agg(min(col("sec")), max(col("sec"))).head()
+    val cutoff = (pin.getLong(0) + pin.getLong(1)) / 2 // pinned midpoint
+    graft.operators.Drift.topMovers(ev, "user_id",
+      col("sec") >= cutoff, k = 10)
+      .orderBy(col("rank"))
+  }
+
+  /** Tokenizer fertility ([[graft.operators.TextPipeline
+    * .tokenizerFertility]]): per-language BPE-tokens-per-word and
+    * chars-per-token with the exact p90 of per-document fertility —
+    * the tokenizer-choice audit; integer micro-ratios in the census,
+    * order-statistic p90, pinned corpus ratios.
+    */
+  private def q492(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.tokenizerFertility(
+      T(s, dir, "documents"), "lang", "text")
+      .orderBy(col("lang"))
+
+  /** Bipartiteness audit ([[graft.operators.Graph.bipartiteCheck]]): a
+    * 60-component lattice of alternating 5-cycles (odd → NOT bipartite)
+    * and 6-cycles (even → bipartite) derived from part keys — per
+    * component the encoded-state min-propagation labels every node with
+    * (root, shortest-hop parity) and odd cycles surface as same-parity
+    * edges; the 2-colorability gate an identity-resolution graph runs
+    * before trusting "customer vs account" sides.
+    */
+  private def q493(s: SparkSession, dir: String): DataFrame = {
+    val gi = T(s, dir, "part")
+      .filter(col("p_partkey") <= 480)
+      .select((col("p_partkey").cast("long") - 1L).as("k0"))
+      .select(expr("k0 div 8").as("g"), expr("k0 % 8").as("i"))
+      .withColumn("c", when(col("g") % 2 === 0, 5L).otherwise(6L))
+    val edges = gi.filter(col("i") < col("c"))
+      .select((col("g") * 8L + col("i")).as("src"),
+        (col("g") * 8L + (col("i") + 1L) % col("c")).as("dst"))
+    graft.operators.Graph.bipartiteCheck(edges, rounds = 8)
+      .orderBy(col("root"))
+  }
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -9754,6 +9801,9 @@ object SparkEntry {
     "q488_neyman_allocation" -> (q488 _),
     "q489_cluster_depth" -> (q489 _),
     "q490_ansari_bradley" -> (q490 _),
+    "q491_top_movers" -> (q491 _),
+    "q492_tokenizer_fertility" -> (q492 _),
+    "q493_bipartite_check" -> (q493 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -9886,6 +9936,34 @@ object SparkEntry {
     */
   private val psiDriftOracleSql: String =
     """WITH ev AS (SELECT value, strftime(ts, '%Y-%m-%d') AS date_id FROM events), mxd AS (SELECT MAX(date_id) AS d FROM ev), b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev), c AS (SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 1 ELSE 0 END) AS BIGINT) AS n_act, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 0 ELSE 1 END) AS BIGINT) AS n_ref FROM ev, b GROUP BY 1), t AS (SELECT CAST(SUM(n_act) AS BIGINT) AS t_act, CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM c), p AS (SELECT bin, n_ref, n_act, (CAST(n_ref AS DOUBLE) + 1.0) / CAST(t_ref + 10 AS DOUBLE) AS p_r, (CAST(n_act AS DOUBLE) + 1.0) / CAST(t_act + 10 AS DOUBLE) AS p_a FROM c, t) SELECT bin, n_ref, n_act, round(p_r, 6) AS p_reference, round(p_a, 6) AS p_actual, round((p_a - p_r) * ln(p_a / p_r), 6) AS psi_term FROM p ORDER BY bin"""
+
+  /** q493 replay: the encoded-state (root·64 + dist) min-propagation
+    * unrolled 8 rounds over the synthetic cycle lattice; the bipartite
+    * verdict is the same-parity edge census per component root.
+    */
+  private def bipartiteOracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"s$r AS MATERIALIZED (SELECT s.node, LEAST(s.st, COALESCE(MIN(t.st + 1), s.st)) AS st " +
+        s"FROM s${r - 1} s LEFT JOIN sym ON sym.u = s.node " +
+        s"LEFT JOIN s${r - 1} t ON t.node = sym.v GROUP BY s.node, s.st)"
+    }.mkString(", ")
+    "WITH ks AS (SELECT CAST(p_partkey AS BIGINT) - 1 AS k0 FROM part WHERE p_partkey <= 480), " +
+      "gi AS (SELECT k0 // 8 AS g, k0 % 8 AS i FROM ks), " +
+      "gc AS (SELECT g, i, CASE WHEN g % 2 = 0 THEN 5 ELSE 6 END AS c FROM gi), " +
+      "e1 AS (SELECT g * 8 + i AS src, g * 8 + ((i + 1) % c) AS dst FROM gc WHERE i < c), " +
+      "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e1 WHERE src <> dst), " +
+      "sym AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und), " +
+      "n0 AS (SELECT DISTINCT u AS node FROM sym), " +
+      "s0 AS (SELECT node, node * 64 AS st FROM n0), " + rounds + ", " +
+      "lab AS (SELECT node, st // 64 AS root, (st % 64) % 2 AS par FROM s8), " +
+      "ej AS (SELECT la.root AS root, la.par AS pa, lb.par AS pb FROM und " +
+      "JOIN lab la ON la.node = und.a JOIN lab lb ON lb.node = und.b), " +
+      "cn AS (SELECT root, COUNT(*) AS n_nodes FROM lab GROUP BY 1), " +
+      "ce AS (SELECT root, COUNT(*) AS n_edges, CAST(SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) AS odd_edges FROM ej GROUP BY 1) " +
+      "SELECT cn.root, cn.n_nodes, COALESCE(ce.n_edges, 0) AS n_edges, " +
+      "COALESCE(ce.odd_edges, 0) AS odd_edges, COALESCE(ce.odd_edges, 0) = 0 AS is_bipartite " +
+      "FROM cn LEFT JOIN ce ON cn.root = ce.root ORDER BY cn.root"
+  }
 
   /** q475 replay: the 8-round BPE trainer unrolled — per round a pair
     * census over the delimited symbol strings, a LIMIT-1 argmax
@@ -11090,6 +11168,15 @@ object SparkEntry {
     // decimals for A and the score second moment, pinned z
     "q490_ansari_bradley" ->
       """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, o_orderpriority = '1-URGENT' AS isa FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), c AS (SELECT v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na, COUNT(*) AS t FROM o GROUP BY 1), s AS (SELECT na, t, SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2, SUM(t) OVER () AS nn FROM c), st AS (SELECT na, t, c2, nn, c2 - t + 1 AS lo, (nn + 1) // 2 AS k FROM s), sc AS (SELECT na, t, nn, CASE WHEN lo <= LEAST(c2, k) THEN (CAST(lo AS DECIMAL(38,0)) + CAST(LEAST(c2, k) AS DECIMAL(38,0))) * (CAST(LEAST(c2, k) AS DECIMAL(38,0)) - CAST(lo AS DECIMAL(38,0)) + 1) ELSE CAST(0 AS DECIMAL(38,0)) END + CASE WHEN GREATEST(lo, k + 1) <= c2 THEN CAST(nn + 1 AS DECIMAL(38,0)) * (CAST(c2 AS DECIMAL(38,0)) - CAST(GREATEST(lo, k + 1) AS DECIMAL(38,0)) + 1) * 2 - (CAST(GREATEST(lo, k + 1) AS DECIMAL(38,0)) + CAST(c2 AS DECIMAL(38,0))) * (CAST(c2 AS DECIMAL(38,0)) - CAST(GREATEST(lo, k + 1) AS DECIMAL(38,0)) + 1) ELSE CAST(0 AS DECIMAL(38,0)) END AS sg2 FROM st), ag AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(t - na) AS BIGINT) AS n_b, CAST(SUM(t) AS BIGINT) AS n, SUM(sg2) AS m1x2, SUM(CAST(round(CAST(sg2 AS DOUBLE) * CAST(sg2 AS DOUBLE) / (4.0 * CAST(t AS DOUBLE)), 9) AS DECIMAL(28,9))) AS m2, SUM(CAST(round(CAST(na AS DOUBLE) * CAST(sg2 AS DOUBLE) / (2.0 * CAST(t AS DOUBLE)), 9) AS DECIMAL(28,9))) AS ab FROM sc) SELECT n_a, n_b, CAST(ab AS DOUBLE) AS ab_stat, round(CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * (CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)))) > 0.0 THEN (CAST(ab AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)))) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * (CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))))) END, 6) AS z FROM ag""",
+    // the TopK aggregator's (|Δ| desc, key asc) total order replays as
+    // a rank filter; pinned midpoint cutoff from min/max scan
+    "q491_top_movers" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec FROM events), cut AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS c FROM ev), cen AS (SELECT user_id AS key, CAST(SUM(CASE WHEN sec >= (SELECT c FROM cut) THEN 0 ELSE 1 END) AS BIGINT) AS n_prev, CAST(SUM(CASE WHEN sec >= (SELECT c FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_curr FROM ev GROUP BY 1), d AS (SELECT key, n_prev, n_curr, n_curr - n_prev AS delta FROM cen), r AS (SELECT key, n_prev, n_curr, delta, CAST(ROW_NUMBER() OVER (ORDER BY abs(delta) DESC, key) AS BIGINT) AS rank FROM d) SELECT rank, key, n_prev, n_curr, delta FROM r WHERE rank <= 10 ORDER BY rank""",
+    // integer micro-ratio census, ceiling-rank order-stat p90, pinned
+    // corpus ratios — the q31 tokenizers aggregated per language
+    "q492_tokenizer_fertility" ->
+      """WITH pd AS (SELECT lang, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS w, CAST(array_length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS b, CAST(length(text) AS BIGINT) AS nchars FROM documents), pd2 AS (SELECT lang, w, b, nchars, (b * 1000000) // w AS fert_ppm FROM pd WHERE w > 0), tot AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS words, CAST(SUM(b) AS BIGINT) AS bpe_tokens, CAST(SUM(nchars) AS BIGINT) AS chars FROM pd2 GROUP BY 1), cen AS (SELECT lang, fert_ppm, COUNT(*) AS t FROM pd2 GROUP BY 1, 2), cc AS (SELECT lang, fert_ppm, SUM(t) OVER (PARTITION BY lang ORDER BY fert_ppm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, SUM(t) OVER (PARTITION BY lang) AS n FROM cen), p90 AS (SELECT lang, MIN(fert_ppm) AS p90_fert_ppm FROM cc WHERE c >= (9 * n + 9) // 10 GROUP BY 1) SELECT tot.lang, tot.n_docs, tot.words, tot.bpe_tokens, round(CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE), 6) AS fertility, round(CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) AS chars_per_token, p90.p90_fert_ppm FROM tot JOIN p90 USING (lang) ORDER BY lang""",
+    "q493_bipartite_check" -> bipartiteOracleSql,
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

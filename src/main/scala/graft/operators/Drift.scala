@@ -1686,6 +1686,40 @@ object Drift {
       round(when(col("den") =!= lit(0).cast(d38), chi), 6).as("chi2"))
   }
 
+  /** TOP MOVERS — the period-over-period "heavy changers" monitor: which
+    * keys' activity shifted most between two slices (yesterday vs today,
+    * pre vs post deploy), the question a plain q13 top-k by volume never
+    * answers (a stable heavy hitter isn't news; a quiet key that tripled
+    * is). One conditional census per key, then the GLOBAL top-k by
+    * |Δ| cut with the map-side bounded [[graft.functions.Aggregators
+    * .TopK]] — ≤ k rows per partition cross the shuffle, never the key
+    * domain (the q203 discipline; a rank window here would single-task
+    * sort every key). Ties break by key ascending; the census
+    * localCheckpoints because the winners join back for their counts.
+    */
+  def topMovers(
+      df: DataFrame,
+      keyCol: String,
+      isCurrCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"unreasonable top-k $k")
+    val census = df
+      .groupBy(col(keyCol).cast("long").as("key"))
+      .agg(sum(when(isCurrCol, 0L).otherwise(1L)).as("n_prev"),
+        sum(when(isCurrCol, 1L).otherwise(0L)).as("n_curr"))
+      .withColumn("delta", col("n_curr") - col("n_prev"))
+      .localCheckpoint(true)
+    val top = census
+      .agg(graft.functions.Aggregators.topK(k)(
+        abs(col("delta")).cast("double"), col("key")).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("i", "p")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("p._2").as("__key"))
+    top.join(census, col("__key") === col("key"))
+      .select(col("rank"), col("key"), col("n_prev"), col("n_curr"),
+        col("delta"))
+  }
+
   /** ANSARI–BRADLEY test — the RANK test for equal DISPERSION: scores
     * min(r, N+1−r) grow toward the middle of the pooled ordering, so a
     * sample squeezed into the center scores high and one pushed to the

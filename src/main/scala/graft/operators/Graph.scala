@@ -800,4 +800,62 @@ object Graph {
       .select(col("n_nodes"), expr("m div 2").as("n_edges"),
         round(when(den =!= lit(0.0), num / den), 6).as("assortativity"))
   }
+
+  /** BIPARTITENESS / ODD-CYCLE audit — per component: can the graph be
+    * 2-colored (user↔item, buyer↔seller), or does an odd cycle prove an
+    * identity-resolution graph has merged two sides it shouldn't? The
+    * whole per-node state is ONE encoded long `root·64 + dist`
+    * (component-min root, shortest-hop distance), so min-propagation is
+    * literally `min(state, min(neighbor state) + 1)` — the +1 advances
+    * the distance while the dominant root bits make the min pick the
+    * smallest root first, then the shortest path to it. After `rounds`
+    * rounds (caller contract: ≥ the component diameter, < 64 so the
+    * distance bits never carry), a component is bipartite iff NO edge
+    * joins two nodes of equal shortest-path parity.
+    *
+    * Shape: one edge↔state join + one aggregation per round, lineage cut
+    * per round (the q59/q100 discipline); the verdict join is
+    * edge-sized, everything else node-sized.
+    */
+  def bipartiteCheck(edges: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds < 63, s"rounds=$rounds must stay below the 6 distance bits")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    var state = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), (col("node") * 64L).as("st"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val neigh = sym
+        .join(state.select(col("node").as("__vn"), col("st").as("__vs")),
+          col("v") === col("__vn"))
+        .groupBy(col("u")).agg(min(col("__vs") + 1L).as("cand"))
+      state = state
+        .join(neigh, col("node") === col("u"), "left")
+        .select(col("node"),
+          least(col("st"), coalesce(col("cand"), col("st"))).as("st"))
+        .localCheckpoint(true)
+    }
+    val lab = state.select(col("node"), expr("st div 64").as("root"),
+      (col("st") % 64L % 2L).as("par"))
+    val ej = und
+      .join(lab.select(col("node").as("a"), col("root"), col("par").as("pa")),
+        Seq("a"))
+      .join(lab.select(col("node").as("b"), col("par").as("pb")), Seq("b"))
+    val perComp = lab.groupBy(col("root")).agg(count(lit(1)).as("n_nodes"))
+    val eStats = ej.groupBy(col("root").as("__r"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("pa") === col("pb"), 1L).otherwise(0L)).as("odd_edges"))
+    perComp.join(eStats, col("root") === col("__r"), "left")
+      .select(col("root"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("odd_edges"), lit(0L)).as("odd_edges"))
+      .withColumn("is_bipartite", col("odd_edges") === 0L)
+  }
 }

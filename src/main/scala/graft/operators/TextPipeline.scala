@@ -934,4 +934,52 @@ object TextPipeline {
         col("n_occurrences"), round(col("score").cast("double"), 6)
           .as("score"))
   }
+
+  /** TOKENIZER FERTILITY report — the tokenizer-choice audit a
+    * multilingual training run starts from: per language, how many
+    * BPE-style tokens each whitespace word costs (fertility — the
+    * compression-quality number that decides whether a language is
+    * over-paying context window) and chars per token, with the exact
+    * per-language p90 of per-document fertility so a fat tail of
+    * pathological documents can't hide behind the mean.
+    *
+    * Exactness: per-document fertility is the INTEGER micro-ratio
+    * bpe·10⁶ div words (no doubles in the census), the p90 is an exact
+    * order statistic from the (lang, fert_ppm) value-domain census with
+    * integer ceiling rank (the q318 form — never a per-row sort), and
+    * corpus ratios are single pinned divisions over exact long sums.
+    * Shape: one doc-level scan, then language-domain-sized everything.
+    */
+  def tokenizerFertility(
+      docs: DataFrame,
+      langCol: String,
+      textCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val perDoc = docs.select(col(langCol).as("lang"),
+        TextFunctions.wordCount(col(textCol)).as("w"),
+        TextFunctions.bpeishTokenCount(col(textCol)).as("b"),
+        length(col(textCol)).cast("long").as("nchars"))
+      .filter(col("w") > 0L)
+      .withColumn("fert_ppm", expr("(b * 1000000) div w"))
+      .localCheckpoint(true) // feeds the totals AND the p90 census
+    val totals = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("b")).as("bpe_tokens"), sum(col("nchars")).as("chars"))
+    val census = perDoc.groupBy(col("lang"), col("fert_ppm"))
+      .agg(count(lit(1)).as("t"))
+    val cum = Window.partitionBy(col("lang")).orderBy(col("fert_ppm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p90 = census
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(Window.partitionBy(col("lang"))))
+      .filter(col("c") >= expr("(9 * n + 9) div 10")) // ceil(0.9 n)
+      .groupBy(col("lang"))
+      .agg(min(col("fert_ppm")).as("p90_fert_ppm"))
+    totals.join(p90, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("words"), col("bpe_tokens"),
+        round(dbl(col("bpe_tokens")) / dbl(col("words")), 6).as("fertility"),
+        round(dbl(col("chars")) / dbl(col("bpe_tokens")), 6)
+          .as("chars_per_token"),
+        col("p90_fert_ppm"))
+  }
 }

@@ -497,4 +497,19 @@ class GraphSpec extends SparkSuite {
     assert(out == Map(1L -> ((2L, 2L, 1.5)), 3L -> ((3L, 2L, 2.5))))
   }
 
+  test("bipartiteCheck: odd cycle flags, even cycle and tree pass") {
+    import spark.implicits._
+    // C5 on 1..5 (odd), C4 on 10..13 (even), path 20-21-22 (tree)
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)) ++
+      Seq((20L, 21L), (21L, 22L))).toDF("src", "dst")
+    val got = graft.operators.Graph.bipartiteCheck(edges, rounds = 6)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got(1L) == ((5L, 5L, 1L, false)), "C5 has exactly one odd edge")
+    assert(got(10L) == ((4L, 4L, 0L, true)))
+    assert(got(20L) == ((3L, 2L, 0L, true)))
+  }
+
 }

@@ -202,6 +202,22 @@ class ProfilingSpec extends SparkSuite {
     assert(math.abs(rt.getDouble(3) - 0.5 / math.sqrt(1.0 / 6.0)) < 1e-6)
   }
 
+  test("topMovers: |delta| ranks, key tie-break, disappearing keys count") {
+    import spark.implicits._
+    // key 1: 1 -> 4 (+3); key 2: 5 -> 1 (-4); key 3: 2 -> 2 (0);
+    // key 4: 3 -> 0 (-3, ties key 1 on |delta| — lower key wins)
+    val rows = (Seq.fill(1)((1L, false)) ++ Seq.fill(4)((1L, true)) ++
+      Seq.fill(5)((2L, false)) ++ Seq.fill(1)((2L, true)) ++
+      Seq.fill(2)((3L, false)) ++ Seq.fill(2)((3L, true)) ++
+      Seq.fill(3)((4L, false))).toDF("k", "curr")
+    val got = graft.operators.Drift.topMovers(rows, "k", col("curr"), 3)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 1L, 4L))
+    assert(got(0).getLong(4) == -4L && got(1).getLong(4) == 3L &&
+      got(2).getLong(4) == -3L)
+    assert(got(2).getLong(3) == 0L, "a key absent from the current period still reports")
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away

@@ -276,4 +276,21 @@ class TextPipelineSpec extends SparkSuite {
     assert(g2.toSeq == Seq(("aa", 2L), ("aaa", 1L)))
   }
 
+  test("tokenizerFertility: hand counts, exact ceiling-rank p90") {
+    import spark.implicits._
+    // lang a: "ab cd" = 2 words / 2 bpe tokens (fert 1.0, ppm 1000000)
+    //         "a-b x" = 2 words / 4 bpe tokens (a,-,b,x → ppm 2000000)
+    // p90 rank over 2 docs = ceil(1.8) = 2 → second value
+    val docs = Seq(("a", "ab cd"), ("a", "a-b x"), ("b", "q")).toDF("lang", "text")
+    val got = graft.operators.TextPipeline
+      .tokenizerFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 2L) // n_docs
+    assert(a.getLong(2) == 4L && a.getLong(3) == 6L) // words, bpe tokens
+    assert(a.getDouble(4) == 1.5) // 6 bpe / 4 words
+    assert(a.getLong(6) == 2000000L)
+    assert(got("b").getLong(6) == 1000000L)
+  }
+
 }
