@@ -6566,6 +6566,96 @@ object SparkEntry {
       .orderBy(col("root"))
   }
 
+  /** Blocking-recall meter: the "measured, not assumed" loop (q215 ANN,
+    * q340 minhash, q474 recall sweep) closed for the LINKAGE shelf —
+    * truth = Jaro-Winkler ≥ 0.95 over a capped broadcast record sample
+    * (300 clean + 300 transposed-suffix copies), candidates from TWO
+    * blocking schemes: an 8-char prefix block (misses the dirty pairs
+    * whose transposition crosses the prefix boundary) and q243's
+    * sorted-neighborhood window (w=4). Per scheme: candidate volume,
+    * precision, recall — the table that decides a blocking config
+    * before anyone trusts it at 100 TB.
+    */
+  private def q494(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.StringSimilarityExpressions.jaroWinkler
+    val cust = T(s, dir, "customer").filter(col("c_custkey") < 300)
+    val clean = cust.select(col("c_custkey").cast("long").as("rid"),
+      col("c_name").as("name"))
+    val dirty = cust.select((col("c_custkey") + 1000000L).as("rid"),
+      concat(expr("substring(c_name, 1, length(c_name) - 2)"),
+        expr("substring(c_name, length(c_name), 1)"),
+        expr("substring(c_name, length(c_name) - 1, 1)")).as("name"))
+    val recs = clean.unionByName(dirty).localCheckpoint(true)
+    val truth = recs.select(col("rid").as("id_a"), col("name").as("na"))
+      .join(broadcast(recs.select(col("rid").as("id_b"), col("name").as("nb"))),
+        col("id_a") < col("id_b"))
+      .filter(jaroWinkler(col("na"), col("nb")) >= 0.95)
+      .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+      .localCheckpoint(true)
+    def meter(method: String, cand: DataFrame): DataFrame =
+      truth.join(cand.withColumn("c", lit(1L)), Seq("id_a", "id_b"), "full")
+        .agg(sum(col("t")).as("n_truth"), sum(col("c")).as("n_cand"),
+          sum(col("t") * col("c")).as("n_hit"))
+        .select(lit(method).as("method"), col("n_truth"), col("n_cand"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_cand").cast("double"), 6)
+            .as("precision"),
+          round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+            .as("recall"))
+    val pb = recs.select(col("rid"), substring(col("name"), 10, 8).as("blk"))
+    val prefixCand = pb.select(col("rid").as("id_a"), col("blk"))
+      .join(pb.select(col("rid").as("id_b"), col("blk")), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ranked = graft.operators.GlobalOrder.rowNumbers(
+      recs, Seq(col("name"), col("rid")), idCol = "rnk")
+    val blocked = ranked.select(col("rid"), col("rnk"),
+      explode(array(floor((col("rnk") - 1) / 4),
+        floor((col("rnk") - 1) / 4) + 1)).as("blk"))
+    val snCand = blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("b.rnk") > col("a.rnk") &&
+          col("b.rnk") - col("a.rnk") <= 4)
+      .select(least(col("a.rid"), col("b.rid")).as("id_a"),
+        greatest(col("a.rid"), col("b.rid")).as("id_b"))
+      .distinct()
+    meter("prefix8", prefixCand)
+      .unionByName(meter("sn4", snCand))
+      .orderBy(col("method"))
+  }
+
+  /** Partial correlation ([[graft.operators.Relational.partialCorr]]):
+    * order total vs line count with quantity partialled out — the
+    * confounder screen over q457's raw correlations; one exact-moment
+    * pass, grid-rounded pairwise r's, pinned partial formula.
+    */
+  private def q495(s: SparkSession, dir: String): DataFrame = {
+    val per = T(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("x"),
+        count(lit(1)).as("y"),
+        sum(floor(col("l_quantity")).cast("long")).as("z"))
+    graft.operators.Relational.partialCorr(per, "x", "y", "z")
+  }
+
+  /** Delta-method ratio z-test ([[graft.operators.Drift.ratioDeltaZ]]):
+    * value-per-event between two md5-split user arms, tested the
+    * statistically correct way for a ratio metric — per-UNIT numerator/
+    * denominator moments, delta-method variance (covariance term
+    * included), never a per-row t-test.
+    */
+  private def q496(s: SparkSession, dir: String): DataFrame = {
+    val units = T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("x"), count(lit(1)).as("y"))
+      .withColumn("arm",
+        pmod(conv(substring(md5(concat(lit("ratio1:"),
+          col("user_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+          lit(2)))
+    graft.operators.Drift.ratioDeltaZ(units, "x", "y", col("arm") === 0)
+  }
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -9804,6 +9894,9 @@ object SparkEntry {
     "q491_top_movers" -> (q491 _),
     "q492_tokenizer_fertility" -> (q492 _),
     "q493_bipartite_check" -> (q493 _),
+    "q494_blocking_recall" -> (q494 _),
+    "q495_partial_corr" -> (q495 _),
+    "q496_ratio_delta_z" -> (q496 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -11177,6 +11270,18 @@ object SparkEntry {
     "q492_tokenizer_fertility" ->
       """WITH pd AS (SELECT lang, CAST(array_length(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS w, CAST(array_length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS b, CAST(length(text) AS BIGINT) AS nchars FROM documents), pd2 AS (SELECT lang, w, b, nchars, (b * 1000000) // w AS fert_ppm FROM pd WHERE w > 0), tot AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS words, CAST(SUM(b) AS BIGINT) AS bpe_tokens, CAST(SUM(nchars) AS BIGINT) AS chars FROM pd2 GROUP BY 1), cen AS (SELECT lang, fert_ppm, COUNT(*) AS t FROM pd2 GROUP BY 1, 2), cc AS (SELECT lang, fert_ppm, SUM(t) OVER (PARTITION BY lang ORDER BY fert_ppm ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, SUM(t) OVER (PARTITION BY lang) AS n FROM cen), p90 AS (SELECT lang, MIN(fert_ppm) AS p90_fert_ppm FROM cc WHERE c >= (9 * n + 9) // 10 GROUP BY 1) SELECT tot.lang, tot.n_docs, tot.words, tot.bpe_tokens, round(CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE), 6) AS fertility, round(CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) AS chars_per_token, p90.p90_fert_ppm FROM tot JOIN p90 USING (lang) ORDER BY lang""",
     "q493_bipartite_check" -> bipartiteOracleSql,
+    // truth = JW >= 0.95 over the broadcast sample; prefix-8 equi-block
+    // and the w=4 sorted-neighborhood window replay identically
+    "q494_blocking_recall" ->
+      """WITH cl AS (SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS name FROM customer WHERE c_custkey < 300), dr AS (SELECT CAST(c_custkey + 1000000 AS BIGINT) AS rid, concat(substring(c_name, 1, length(c_name) - 2), substring(c_name, length(c_name), 1), substring(c_name, length(c_name) - 1, 1)) AS name FROM customer WHERE c_custkey < 300), recs AS (SELECT * FROM cl UNION ALL SELECT * FROM dr), tr AS (SELECT a.rid AS id_a, b.rid AS id_b, 1 AS t FROM recs a JOIN recs b ON a.rid < b.rid AND jaro_winkler_similarity(a.name, b.name) >= 0.95), pb AS (SELECT rid, substring(name, 10, 8) AS blk FROM recs), pc AS (SELECT DISTINCT a.rid AS id_a, b.rid AS id_b, 1 AS c FROM pb a JOIN pb b ON a.blk = b.blk AND a.rid < b.rid), rk AS (SELECT rid, ROW_NUMBER() OVER (ORDER BY name, rid) AS rnk FROM recs), bl AS (SELECT rid, rnk, (rnk - 1) // 4 AS blk FROM rk UNION ALL SELECT rid, rnk, (rnk - 1) // 4 + 1 FROM rk), sc AS (SELECT DISTINCT LEAST(a.rid, b.rid) AS id_a, GREATEST(a.rid, b.rid) AS id_b, 1 AS c FROM bl a JOIN bl b ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk - a.rnk <= 4), m1 AS (SELECT 'prefix8' AS method, CAST(SUM(t) AS BIGINT) AS n_truth, CAST(SUM(c) AS BIGINT) AS n_cand, CAST(SUM(t * c) AS BIGINT) AS n_hit FROM tr FULL JOIN pc USING (id_a, id_b)), m2 AS (SELECT 'sn4' AS method, CAST(SUM(t) AS BIGINT) AS n_truth, CAST(SUM(c) AS BIGINT) AS n_cand, CAST(SUM(t * c) AS BIGINT) AS n_hit FROM tr FULL JOIN sc USING (id_a, id_b)), mm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2) SELECT method, n_truth, n_cand, n_hit, round(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS precision, round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall FROM mm ORDER BY method""",
+    // one exact DECIMAL(38,0) moment pass, grid-rounded pairwise r's,
+    // pinned partial formula over the grid values
+    "q495_partial_corr" ->
+      """WITH per AS (SELECT l_orderkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS x, COUNT(*) AS y, CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS z FROM lineitem GROUP BY 1), ag AS (SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy, SUM(CAST(z AS DECIMAL(38,0))) AS sz, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy, SUM(CAST(z AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS szz, SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS sxz, SUM(CAST(y AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))) AS syz FROM per), rr AS (SELECT CAST(n AS BIGINT) AS n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r_xy, round((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 9) AS r_xz, round((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 9) AS r_yz FROM ag) SELECT n, r_xy, r_xz, r_yz, CASE WHEN (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0.0 THEN round((r_xy - r_xz * r_yz) / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6) END AS r_xy_given_z FROM rr""",
+    // per-unit moment censuses, delta-method variance with the
+    // covariance term, pinned z — md5-split arms replay exactly
+    "q496_ratio_delta_z" ->
+      """WITH u AS (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x, COUNT(*) AS y FROM events GROUP BY 1), a AS (SELECT x, y, CAST(concat('0x', substr(md5(concat('ratio1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa FROM u), g AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b, SUM(CASE WHEN isa THEN CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxa, SUM(CASE WHEN NOT isa THEN CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxb, SUM(CASE WHEN isa THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sya, SUM(CASE WHEN NOT isa THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS syb, SUM(CASE WHEN isa THEN CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxxa, SUM(CASE WHEN NOT isa THEN CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxxb, SUM(CASE WHEN isa THEN CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS syya, SUM(CASE WHEN NOT isa THEN CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS syyb, SUM(CASE WHEN isa THEN CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxya, SUM(CASE WHEN NOT isa THEN CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxyb FROM a), h AS (SELECT n_a, n_b, sya, syb, CAST(n_a AS DOUBLE) AS nda, CAST(n_b AS DOUBLE) AS ndb, CAST(sxa AS DOUBLE) / CAST(sya AS DOUBLE) AS ra, CAST(sxb AS DOUBLE) / CAST(syb AS DOUBLE) AS rb, CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE) AS ybara, CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) AS ybarb, (CAST(n_a AS DOUBLE) * CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS vxa, (CAST(n_a AS DOUBLE) * CAST(syya AS DOUBLE) - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS vya, (CAST(n_a AS DOUBLE) * CAST(sxya AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS cxya, (CAST(n_b AS DOUBLE) * CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vxb, (CAST(n_b AS DOUBLE) * CAST(syyb AS DOUBLE) - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vyb, (CAST(n_b AS DOUBLE) * CAST(sxyb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS cxyb FROM g), i AS (SELECT n_a, n_b, ra, rb, (vxa + ra * ra * vya - 2.0 * ra * cxya) / (nda * ybara * ybara) AS va, (vxb + rb * rb * vyb - 2.0 * rb * cxyb) / (ndb * ybarb * ybarb) AS vb2, n_a > 1 AND n_b > 1 AND sya <> 0 AND syb <> 0 AS ok FROM h) SELECT n_a, n_b, CASE WHEN ok THEN round(ra, 6) END AS ratio_a, CASE WHEN ok THEN round(rb, 6) END AS ratio_b, CASE WHEN ok AND va + vb2 > 0.0 THEN round((ra - rb) / sqrt(va + vb2), 6) END AS z FROM i""",
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

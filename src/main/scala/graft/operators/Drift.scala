@@ -1686,6 +1686,63 @@ object Drift {
       round(when(col("den") =!= lit(0).cast(d38), chi), 6).as("chi2"))
   }
 
+  /** DELTA-METHOD RATIO z-TEST — the A/B readout for RATIO metrics
+    * (revenue per session, clicks per view) where the naive per-row
+    * t-test is statistically WRONG: the unit of randomization is the
+    * user, numerator and denominator are correlated within a user, and
+    * only the delta method prices that in: Var(x̄/ȳ) ≈ (s²_x + R²s²_y −
+    * 2R·s_xy)/(n·ȳ²). Inputs are PER-UNIT aggregates (x = numerator,
+    * y = denominator per unit); one conditional-moment pass computes
+    * both arms' n, Σx, Σy, Σx², Σy², Σxy exactly in DECIMAL(38,0)
+    * (integer contract), and the ratio/variance/z finish is pinned
+    * doubles rounded once. NULL z when a denominator or variance
+    * degenerates.
+    */
+  def ratioDeltaZ(
+      units: DataFrame,
+      xCol: String,
+      yCol: String,
+      armACol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val x = col(xCol).cast("long").cast(d38)
+    val y = col(yCol).cast("long").cast(d38)
+    def side(p: Column, c: Column, nm: String): Column =
+      sum(when(p, c).otherwise(lit(0).cast(d38))).as(nm)
+    val agg = units.agg(
+      sum(when(armACol, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!armACol, 1L).otherwise(0L)).as("n_b"),
+      side(armACol, x, "sxa"), side(!armACol, x, "sxb"),
+      side(armACol, y, "sya"), side(!armACol, y, "syb"),
+      side(armACol, x * x, "sxxa"), side(!armACol, x * x, "sxxb"),
+      side(armACol, y * y, "syya"), side(!armACol, y * y, "syyb"),
+      side(armACol, x * y, "sxya"), side(!armACol, x * y, "sxyb"))
+    def arm(n: String, sx: String, sy: String, sxx: String, syy: String,
+        sxy: String): (Column, Column) = {
+      val nD = dbl(col(n))
+      val r = dbl(col(sx)) / dbl(col(sy))
+      val ybar = dbl(col(sy)) / nD
+      // sample (co)variances over the exact moments, pinned order
+      val vx = (nD * dbl(col(sxx)) - dbl(col(sx)) * dbl(col(sx))) /
+        (nD * (nD - 1.0))
+      val vy = (nD * dbl(col(syy)) - dbl(col(sy)) * dbl(col(sy))) /
+        (nD * (nD - 1.0))
+      val cxy = (nD * dbl(col(sxy)) - dbl(col(sx)) * dbl(col(sy))) /
+        (nD * (nD - 1.0))
+      val varR = (vx + r * r * vy - lit(2.0) * r * cxy) / (nD * ybar * ybar)
+      (r, varR)
+    }
+    val (ra, va) = arm("n_a", "sxa", "sya", "sxxa", "syya", "sxya")
+    val (rb, vb) = arm("n_b", "sxb", "syb", "sxxb", "syyb", "sxyb")
+    val ok = col("n_a") > 1L && col("n_b") > 1L &&
+      col("sya") =!= lit(0).cast(d38) && col("syb") =!= lit(0).cast(d38)
+    agg.select(col("n_a"), col("n_b"),
+      when(ok, round(ra, 6)).as("ratio_a"),
+      when(ok, round(rb, 6)).as("ratio_b"),
+      when(ok && va + vb > 0.0, round((ra - rb) / sqrt(va + vb), 6)).as("z"))
+  }
+
   /** TOP MOVERS — the period-over-period "heavy changers" monitor: which
     * keys' activity shifted most between two slices (yesterday vs today,
     * pre vs post deploy), the question a plain q13 top-k by volume never

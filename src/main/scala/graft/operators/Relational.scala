@@ -1228,4 +1228,47 @@ object Relational {
           dbl(coalesce(col("top4"), lit(0).cast(d38))) / dbl(col("s"))), 6)
           .as("cr4"))
   }
+
+  /** PARTIAL CORRELATION r_xy·z — does x still track y once the common
+    * driver z is held fixed? The confounder screen q457's raw correlation
+    * matrix can't answer (two metrics both scale with order size and
+    * look correlated; partial out size and the "relationship" may
+    * vanish). ONE aggregation computes all three pairwise moments
+    * exactly in DECIMAL(38,0) (integer-cents contract); each pairwise r
+    * is a pinned double rounded to the 1e-9 grid, and the partial
+    * formula (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) runs over those
+    * GRID values — so the output replays bit-for-bit however the input
+    * was partitioned. NULL when either conditioning correlation is ±1
+    * (denominator 0: z explains one variable completely).
+    */
+  def partialCorr(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      zCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def m(c: String): Column = col(c).cast("long").cast(d38)
+    def dbl(c: Column): Column = c.cast("double")
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(m(xCol)).as("sx"), sum(m(yCol)).as("sy"), sum(m(zCol)).as("sz"),
+      sum(m(xCol) * m(xCol)).as("sxx"), sum(m(yCol) * m(yCol)).as("syy"),
+      sum(m(zCol) * m(zCol)).as("szz"),
+      sum(m(xCol) * m(yCol)).as("sxy"), sum(m(xCol) * m(zCol)).as("sxz"),
+      sum(m(yCol) * m(zCol)).as("syz"))
+    val nD = dbl(col("n"))
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String): Column =
+      round((nD * dbl(col(sab)) - dbl(col(sa)) * dbl(col(sb))) /
+        sqrt((nD * dbl(col(saa)) - dbl(col(sa)) * dbl(col(sa))) *
+          (nD * dbl(col(sbb)) - dbl(col(sb)) * dbl(col(sb)))), 9)
+    val staged = agg.select(col("n"),
+      r("sxy", "sx", "sy", "sxx", "syy").as("r_xy"),
+      r("sxz", "sx", "sz", "sxx", "szz").as("r_xz"),
+      r("syz", "sy", "sz", "syy", "szz").as("r_yz"))
+    val den = (lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz"))
+    staged.select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+      when(den > 0.0, round((col("r_xy") - col("r_xz") * col("r_yz")) /
+        sqrt(den), 6)).as("r_xy_given_z"))
+  }
 }

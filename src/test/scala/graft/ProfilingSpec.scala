@@ -218,6 +218,25 @@ class ProfilingSpec extends SparkSuite {
     assert(got(2).getLong(3) == 0L, "a key absent from the current period still reports")
   }
 
+  test("ratioDeltaZ: hand moments, covariance term included") {
+    import spark.implicits._
+    // A: (10,2),(20,2) → R=7.5, varR = 50/8 = 6.25
+    // B: (8,1),(12,3) → R=5, varR = (8 + 50 - 40)/8 = 2.25
+    val units = Seq((10L, 2L, true), (20L, 2L, true),
+      (8L, 1L, false), (12L, 3L, false)).toDF("x", "y", "isa")
+    val r = graft.operators.Drift.ratioDeltaZ(units, "x", "y", col("isa"))
+      .head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 7.5 && r.getDouble(3) == 5.0)
+    val manual = BigDecimal(2.5 / math.sqrt(6.25 + 2.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == manual)
+    // a single-unit arm degenerates to NULLs, never 0/0
+    val deg = Seq((10L, 2L, true), (8L, 1L, false)).toDF("x", "y", "isa")
+    assert(graft.operators.Drift.ratioDeltaZ(deg, "x", "y", col("isa"))
+      .head().isNullAt(4))
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away

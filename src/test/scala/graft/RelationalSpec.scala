@@ -498,4 +498,19 @@ class RelationalSpec extends SparkSuite {
       .head().getDouble(2) == 1.666667)
   }
 
+  test("partialCorr: confounder partialled out, degenerate conditioning NULL") {
+    import spark.implicits._
+    // z drives both; within each z level x and y swap → r_xy·z = -1
+    val df = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 3L), (4L, 3L, 3L))
+      .toDF("x", "y", "z")
+    val r = graft.operators.Relational.partialCorr(df, "x", "y", "z").head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.6) // raw r_xy looks positive
+    assert(r.getDouble(4) == -1.0) // conditioned on z it is exactly opposed
+    // x == z: conditioning correlation is 1 → denominator 0 → NULL
+    val dg = Seq((1L, 5L, 1L), (2L, 9L, 2L), (3L, 4L, 3L)).toDF("x", "y", "z")
+    assert(graft.operators.Relational.partialCorr(dg, "x", "y", "z")
+      .head().isNullAt(4))
+  }
+
 }
