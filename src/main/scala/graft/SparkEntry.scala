@@ -6656,6 +6656,42 @@ object SparkEntry {
     graft.operators.Drift.ratioDeltaZ(units, "x", "y", col("arm") === 0)
   }
 
+  /** Streaming top-movers maintenance
+    * ([[graft.streaming.StreamVerify.topMoversMaintenance]]): q491's
+    * heavy-changers monitor as an ingestion side effect — pinned period
+    * cutoff, per-batch (key, n_prev, n_curr) censuses land exactly-once,
+    * counts add, the drained store reads through topMoversFromCensus
+    * and shares q491's oracle verbatim. Ninth self-maintaining surface.
+    */
+  private def q497(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.topMoversMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q497"))
+
+  /** LangID confusion matrix ([[graft.operators.TextPipeline
+    * .langidConfusion]]): q30's n-gram language gate measured against
+    * the labeled `lang` column — confusion cells, per-label share, and
+    * the global accuracy; the audit that catches a gate silently
+    * starving a language slice.
+    */
+  private def q498(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.langidConfusion(
+      T(s, dir, "documents"), "lang", "text")
+      .orderBy(col("label"), col("pred"))
+
+  /** Dunn post-hoc test ([[graft.operators.Drift.dunnTest]]): WHICH
+    * order priorities differ in totals after q373's Kruskal–Wallis says
+    * "some do" — all pairwise mean-rank gaps over the POOLED ranking,
+    * tie-corrected σ, A&S tail p-values, BH step-up over the 10-pair
+    * family.
+    */
+  private def q499(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.dunnTest(
+      T(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      "cents", "o_orderpriority")
+      .orderBy(col("p_rank"))
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -9897,6 +9933,9 @@ object SparkEntry {
     "q494_blocking_recall" -> (q494 _),
     "q495_partial_corr" -> (q495 _),
     "q496_ratio_delta_z" -> (q496 _),
+    "q497_stream_top_movers" -> (q497 _),
+    "q498_langid_confusion" -> (q498 _),
+    "q499_dunn_posthoc" -> (q499 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10029,6 +10068,13 @@ object SparkEntry {
     */
   private val psiDriftOracleSql: String =
     """WITH ev AS (SELECT value, strftime(ts, '%Y-%m-%d') AS date_id FROM events), mxd AS (SELECT MAX(date_id) AS d FROM ev), b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM ev), c AS (SELECT CAST(least(floor((value - mn) * 10.0 / (mx - mn)), 9) AS BIGINT) AS bin, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 1 ELSE 0 END) AS BIGINT) AS n_act, CAST(SUM(CASE WHEN date_id = (SELECT d FROM mxd) THEN 0 ELSE 1 END) AS BIGINT) AS n_ref FROM ev, b GROUP BY 1), t AS (SELECT CAST(SUM(n_act) AS BIGINT) AS t_act, CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM c), p AS (SELECT bin, n_ref, n_act, (CAST(n_ref AS DOUBLE) + 1.0) / CAST(t_ref + 10 AS DOUBLE) AS p_r, (CAST(n_act AS DOUBLE) + 1.0) / CAST(t_act + 10 AS DOUBLE) AS p_a FROM c, t) SELECT bin, n_ref, n_act, round(p_r, 6) AS p_reference, round(p_a, 6) AS p_actual, round((p_a - p_r) * ln(p_a / p_r), 6) AS psi_term FROM p ORDER BY bin"""
+
+  /** q491 AND q497 (the streaming top-movers store shares it verbatim):
+    * pinned midpoint cutoff, per-key period census, (|Δ| desc, key asc)
+    * rank filter.
+    */
+  private val topMoversOracleSql: String =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec FROM events), cut AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS c FROM ev), cen AS (SELECT user_id AS key, CAST(SUM(CASE WHEN sec >= (SELECT c FROM cut) THEN 0 ELSE 1 END) AS BIGINT) AS n_prev, CAST(SUM(CASE WHEN sec >= (SELECT c FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_curr FROM ev GROUP BY 1), d AS (SELECT key, n_prev, n_curr, n_curr - n_prev AS delta FROM cen), r AS (SELECT key, n_prev, n_curr, delta, CAST(ROW_NUMBER() OVER (ORDER BY abs(delta) DESC, key) AS BIGINT) AS rank FROM d) SELECT rank, key, n_prev, n_curr, delta FROM r WHERE rank <= 10 ORDER BY rank"""
 
   /** q493 replay: the encoded-state (root·64 + dist) min-propagation
     * unrolled 8 rounds over the synthetic cycle lattice; the bipartite
@@ -11263,8 +11309,9 @@ object SparkEntry {
       """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, o_orderpriority = '1-URGENT' AS isa FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), c AS (SELECT v, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na, COUNT(*) AS t FROM o GROUP BY 1), s AS (SELECT na, t, SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2, SUM(t) OVER () AS nn FROM c), st AS (SELECT na, t, c2, nn, c2 - t + 1 AS lo, (nn + 1) // 2 AS k FROM s), sc AS (SELECT na, t, nn, CASE WHEN lo <= LEAST(c2, k) THEN (CAST(lo AS DECIMAL(38,0)) + CAST(LEAST(c2, k) AS DECIMAL(38,0))) * (CAST(LEAST(c2, k) AS DECIMAL(38,0)) - CAST(lo AS DECIMAL(38,0)) + 1) ELSE CAST(0 AS DECIMAL(38,0)) END + CASE WHEN GREATEST(lo, k + 1) <= c2 THEN CAST(nn + 1 AS DECIMAL(38,0)) * (CAST(c2 AS DECIMAL(38,0)) - CAST(GREATEST(lo, k + 1) AS DECIMAL(38,0)) + 1) * 2 - (CAST(GREATEST(lo, k + 1) AS DECIMAL(38,0)) + CAST(c2 AS DECIMAL(38,0))) * (CAST(c2 AS DECIMAL(38,0)) - CAST(GREATEST(lo, k + 1) AS DECIMAL(38,0)) + 1) ELSE CAST(0 AS DECIMAL(38,0)) END AS sg2 FROM st), ag AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(t - na) AS BIGINT) AS n_b, CAST(SUM(t) AS BIGINT) AS n, SUM(sg2) AS m1x2, SUM(CAST(round(CAST(sg2 AS DOUBLE) * CAST(sg2 AS DOUBLE) / (4.0 * CAST(t AS DOUBLE)), 9) AS DECIMAL(28,9))) AS m2, SUM(CAST(round(CAST(na AS DOUBLE) * CAST(sg2 AS DOUBLE) / (2.0 * CAST(t AS DOUBLE)), 9) AS DECIMAL(28,9))) AS ab FROM sc) SELECT n_a, n_b, CAST(ab AS DOUBLE) AS ab_stat, round(CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * (CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)))) > 0.0 THEN (CAST(ab AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)))) / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * (CAST(m2 AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))) * (CAST(m1x2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE))))) END, 6) AS z FROM ag""",
     // the TopK aggregator's (|Δ| desc, key asc) total order replays as
     // a rank filter; pinned midpoint cutoff from min/max scan
-    "q491_top_movers" ->
-      """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec FROM events), cut AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS c FROM ev), cen AS (SELECT user_id AS key, CAST(SUM(CASE WHEN sec >= (SELECT c FROM cut) THEN 0 ELSE 1 END) AS BIGINT) AS n_prev, CAST(SUM(CASE WHEN sec >= (SELECT c FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_curr FROM ev GROUP BY 1), d AS (SELECT key, n_prev, n_curr, n_curr - n_prev AS delta FROM cen), r AS (SELECT key, n_prev, n_curr, delta, CAST(ROW_NUMBER() OVER (ORDER BY abs(delta) DESC, key) AS BIGINT) AS rank FROM d) SELECT rank, key, n_prev, n_curr, delta FROM r WHERE rank <= 10 ORDER BY rank""",
+    "q491_top_movers" -> topMoversOracleSql,
+    // censuses add across batches: the drained store IS batch q491
+    "q497_stream_top_movers" -> topMoversOracleSql,
     // integer micro-ratio census, ceiling-rank order-stat p90, pinned
     // corpus ratios — the q31 tokenizers aggregated per language
     "q492_tokenizer_fertility" ->
@@ -11282,6 +11329,13 @@ object SparkEntry {
     // covariance term, pinned z — md5-split arms replay exactly
     "q496_ratio_delta_z" ->
       """WITH u AS (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS x, COUNT(*) AS y FROM events GROUP BY 1), a AS (SELECT x, y, CAST(concat('0x', substr(md5(concat('ratio1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa FROM u), g AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b, SUM(CASE WHEN isa THEN CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxa, SUM(CASE WHEN NOT isa THEN CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxb, SUM(CASE WHEN isa THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sya, SUM(CASE WHEN NOT isa THEN CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS syb, SUM(CASE WHEN isa THEN CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxxa, SUM(CASE WHEN NOT isa THEN CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxxb, SUM(CASE WHEN isa THEN CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS syya, SUM(CASE WHEN NOT isa THEN CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS syyb, SUM(CASE WHEN isa THEN CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxya, SUM(CASE WHEN NOT isa THEN CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sxyb FROM a), h AS (SELECT n_a, n_b, sya, syb, CAST(n_a AS DOUBLE) AS nda, CAST(n_b AS DOUBLE) AS ndb, CAST(sxa AS DOUBLE) / CAST(sya AS DOUBLE) AS ra, CAST(sxb AS DOUBLE) / CAST(syb AS DOUBLE) AS rb, CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE) AS ybara, CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) AS ybarb, (CAST(n_a AS DOUBLE) * CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS vxa, (CAST(n_a AS DOUBLE) * CAST(syya AS DOUBLE) - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS vya, (CAST(n_a AS DOUBLE) * CAST(sxya AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE)) / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS cxya, (CAST(n_b AS DOUBLE) * CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vxb, (CAST(n_b AS DOUBLE) * CAST(syyb AS DOUBLE) - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vyb, (CAST(n_b AS DOUBLE) * CAST(sxyb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE)) / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS cxyb FROM g), i AS (SELECT n_a, n_b, ra, rb, (vxa + ra * ra * vya - 2.0 * ra * cxya) / (nda * ybara * ybara) AS va, (vxb + rb * rb * vyb - 2.0 * rb * cxyb) / (ndb * ybarb * ybarb) AS vb2, n_a > 1 AND n_b > 1 AND sya <> 0 AND syb <> 0 AS ok FROM h) SELECT n_a, n_b, CASE WHEN ok THEN round(ra, 6) END AS ratio_a, CASE WHEN ok THEN round(rb, 6) END AS ratio_b, CASE WHEN ok AND va + vb2 > 0.0 THEN round((ra - rb) / sqrt(va + vb2), 6) END AS z FROM i""",
+    // the q30 langid CASE verbatim, then label-domain windows only
+    "q498_langid_confusion" ->
+      """WITH m AS (SELECT lang AS label, ' ' || lower(text) || ' ' AS p FROM documents), sc AS (SELECT label, (length(p) - length(replace(p, ' the ', ' '))) / 4 + (length(p) - length(replace(p, ' a ', ' '))) / 2 AS s_en, (length(p) - length(replace(p, ' der ', ' '))) / 4 + (length(p) - length(replace(p, ' und ', ' '))) / 4 AS s_de, (length(p) - length(replace(p, ' el ', ' '))) / 3 + (length(p) - length(replace(p, ' los ', ' '))) / 4 AS s_es, (length(p) - length(replace(p, ' le ', ' '))) / 3 + (length(p) - length(replace(p, ' et ', ' '))) / 3 AS s_fr FROM m), pr AS (SELECT label, CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en' WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de' WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr AND s_es > 0 THEN 'es' WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es AND s_fr > 0 THEN 'fr' ELSE 'unknown' END AS pred FROM sc), cells AS (SELECT label, pred, COUNT(*) AS n FROM pr GROUP BY 1, 2), w AS (SELECT label, pred, n, SUM(n) OVER (PARTITION BY label) AS label_n, SUM(CASE WHEN label = pred THEN n ELSE 0 END) OVER () AS hits, SUM(n) OVER () AS tot FROM cells) SELECT label, pred, n, CAST(label_n AS BIGINT) AS label_n, round(CAST(n AS DOUBLE) / CAST(label_n AS DOUBLE), 6) AS share_of_label, round(CAST(hits AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS accuracy FROM w ORDER BY label, pred""",
+    // pooled doubled ranks, tie-corrected sigma, A&S tail polynomial in
+    // the identical literal order, q420 step-up over the pair family
+    "q499_dunn_posthoc" ->
+      """WITH o AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), vg AS (SELECT CAST(cents AS DOUBLE) AS v, g, COUNT(*) AS tvg FROM o GROUP BY 1, 2), bv AS (SELECT v, CAST(SUM(tvg) AS BIGINT) AS t FROM vg GROUP BY 1), rk AS (SELECT v, t, SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM bv), r2t AS (SELECT v, t, 2 * c - t + 1 AS r2 FROM rk), pg AS (SELECT g, CAST(SUM(tvg) AS BIGINT) AS n_g, SUM(CAST(tvg AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))) AS r2sum FROM vg JOIN r2t USING (v) GROUP BY 1), pg2 AS (SELECT g, n_g, round(CAST(r2sum AS DOUBLE) / CAST(n_g AS DOUBLE), 9) AS mr2 FROM pg), gl AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties, CAST(SUM(t) AS BIGINT) AS nn FROM r2t), pr AS (SELECT a.g AS g_i, a.n_g AS n_i, a.mr2 AS mr2_i, b.g AS g_j, b.n_g AS n_j, b.mr2 AS mr2_j FROM pg2 a JOIN pg2 b ON a.g < b.g), zz AS (SELECT g_i, g_j, n_i, n_j, mr2_i, mr2_j, (mr2_i - mr2_j) / 2.0 / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0 - CAST(ties AS DOUBLE) / (12.0 * (CAST(nn AS DOUBLE) - 1.0))) * (1.0 / CAST(n_i AS DOUBLE) + 1.0 / CAST(n_j AS DOUBLE))) AS z FROM pr, gl), pt AS (SELECT g_i, g_j, n_i, n_j, mr2_i, mr2_j, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zz), pp AS (SELECT g_i, g_j, n_i, n_j, mr2_i, mr2_j, round(z, 6) AS zr, round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), bh AS (SELECT g_i, g_j, n_i, n_j, mr2_i, mr2_j, zr, p, CAST(ROW_NUMBER() OVER (ORDER BY p, g_i, g_j) AS BIGINT) AS r, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pp), km AS (SELECT MAX(CASE WHEN p * CAST(m AS DOUBLE) <= CAST(r AS DOUBLE) * 0.05 THEN r END) AS kmax FROM bh) SELECT g_i, g_j, n_i, n_j, mr2_i / 2.0 AS mean_rank_i, mr2_j / 2.0 AS mean_rank_j, zr AS z, p, r AS p_rank, (km.kmax IS NOT NULL AND r <= km.kmax) AS significant FROM bh, km ORDER BY p_rank""",
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

@@ -800,6 +800,78 @@ object Drift {
         round(h / corr, 6).as("h_tie_corrected"))
   }
 
+  /** DUNN POST-HOC TEST with Benjamini–Hochberg control — WHICH groups
+    * differ, after [[kruskalWallis]] says "some do": every unordered
+    * group pair's mean-rank gap over the POOLED ranking (never re-ranked
+    * per pair — that is Dunn's point vs pairwise Mann–Whitney), the
+    * tie-corrected σ² = (N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/nᵢ+1/nⱼ),
+    * two-sided p from the pinned A&S 26.2.17 tail polynomial
+    * ([[normalTailP2]]) and the q420 step-up rule over the
+    * k(k−1)/2-sized family. Doubled pooled ranks from the value-domain
+    * census (the [[kruskalWallis]] machinery), mean doubled ranks on the
+    * 1e-9 grid, every window family-sized.
+    */
+  def dunnTest(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val byVG = df
+      .groupBy(col(valueCol).cast("double").as("v"),
+        col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("tvg"))
+    val byV = byVG.groupBy(col("v")).agg(sum(col("tvg")).as("t"))
+    val cum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("r2", lit(2L) * col("c") - col("t") + 1L)
+    val perGroup = byVG.join(ranked, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("tvg")).as("n_g"),
+        sum(col("tvg").cast(d38) * col("r2").cast(d38)).as("r2sum"))
+      .withColumn("mr2", round(dbl(col("r2sum")) / dbl(col("n_g")), 9))
+      .localCheckpoint(true) // both pair sides + the N total read it
+    val globals = ranked.agg(
+      sum(col("t").cast(d38) * col("t").cast(d38) * col("t").cast(d38) -
+        col("t").cast(d38)).as("ties"),
+      sum(col("t")).as("nn"))
+    val a = perGroup.select(col("g").as("g_i"), col("n_g").as("n_i"),
+      col("mr2").as("mr2_i"))
+    val b = perGroup.select(col("g").as("g_j"), col("n_g").as("n_j"),
+      col("mr2").as("mr2_j"))
+    val pairs = a.join(b, col("g_i") < col("g_j"))
+      .crossJoin(broadcast(globals))
+    val nD = dbl(col("nn"))
+    val sig2 = (nD * (nD + 1.0) / 12.0 -
+      dbl(col("ties")) / (lit(12.0) * (nD - 1.0))) *
+      (lit(1.0) / dbl(col("n_i")) + lit(1.0) / dbl(col("n_j")))
+    val z = (col("mr2_i") - col("mr2_j")) / 2.0 / sqrt(sig2)
+    val staged = pairs
+      .withColumn("z", round(z, 6))
+      .withColumn("p", round(normalTailP2(z), 9))
+    val fam = Window.partitionBy()
+    val withRank = staged
+      .withColumn("r", row_number().over(
+        fam.orderBy(col("p"), col("g_i"), col("g_j"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(fam))
+    // BH step-up: reject every rank up to the LARGEST passing rank —
+    // a per-rank filter would wrongly resurrect past a gap (q420)
+    withRank
+      .withColumn("kmax", max(when(
+        col("p") * dbl(col("m")) <= dbl(col("r")) * lit(alpha), col("r")))
+        .over(fam))
+      .select(col("g_i"), col("g_j"), col("n_i"), col("n_j"),
+        (col("mr2_i") / 2.0).as("mean_rank_i"),
+        (col("mr2_j") / 2.0).as("mean_rank_j"),
+        col("z"), col("p"), col("r").as("p_rank"),
+        (col("kmax").isNotNull && col("r") <= col("kmax")).as("significant"))
+  }
+
   /** Two-sided normal tail probability 2·Q(|z|) as ONE pinned double
     * polynomial — Abramowitz–Stegun 26.2.17 (|ε| < 7.5e-8), written in
     * the identical literal order on engine and oracle so the p-values
@@ -1758,12 +1830,24 @@ object Drift {
       df: DataFrame,
       keyCol: String,
       isCurrCol: Column,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    topMoversFromCensus(
+      df.groupBy(col(keyCol).cast("long").as("key"))
+        .agg(sum(when(isCurrCol, 0L).otherwise(1L)).as("n_prev"),
+          sum(when(isCurrCol, 1L).otherwise(0L)).as("n_curr")), k)
+
+  /** [[topMovers]] computed from a (key, n_prev, n_curr) CENSUS — rows
+    * of partials (e.g. the streaming store's per-batch commits). Counts
+    * ADD, so however the partials were batched the merged census — and
+    * every output bit — equals the one-pass [[topMovers]] over the raw
+    * rows; that is what lets the streaming surface share the batch
+    * oracle verbatim.
+    */
+  def topMoversFromCensus(censusDf: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 10000, s"unreasonable top-k $k")
-    val census = df
-      .groupBy(col(keyCol).cast("long").as("key"))
-      .agg(sum(when(isCurrCol, 0L).otherwise(1L)).as("n_prev"),
-        sum(when(isCurrCol, 1L).otherwise(0L)).as("n_curr"))
+    val census = censusDf
+      .groupBy(col("key").cast("long").as("key"))
+      .agg(sum(col("n_prev")).as("n_prev"), sum(col("n_curr")).as("n_curr"))
       .withColumn("delta", col("n_curr") - col("n_prev"))
       .localCheckpoint(true)
     val top = census

@@ -935,6 +935,38 @@ object TextPipeline {
           .as("score"))
   }
 
+  /** LANGID CONFUSION MATRIX — the "measured, not assumed" loop closed
+    * for the language gate (q30): predicted vs labeled language as
+    * confusion cells with per-cell share-of-label (row-normalized
+    * recall decomposition) and the global accuracy broadcast onto every
+    * row. A language gate that silently routes 30% of German to
+    * `unknown` starves that slice of training data — this is the table
+    * that catches it BEFORE the corpus ships. One doc-level scan, then
+    * language-domain-sized windows only.
+    */
+  def langidConfusion(
+      docs: DataFrame,
+      labelCol: String,
+      textCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val cells = docs
+      .select(col(labelCol).as("label"),
+        TextFunctions.langId(col(textCol)).as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val byLabel = Window.partitionBy(col("label"))
+    val tot = Window.partitionBy()
+    cells
+      .withColumn("label_n", sum(col("n")).over(byLabel))
+      .withColumn("share_of_label",
+        round(dbl(col("n")) / dbl(col("label_n")), 6))
+      .withColumn("accuracy",
+        round(dbl(sum(when(col("label") === col("pred"), col("n"))
+          .otherwise(0L)).over(tot)) / dbl(sum(col("n")).over(tot)), 6))
+      .select(col("label"), col("pred"), col("n"), col("label_n"),
+        col("share_of_label"), col("accuracy"))
+  }
+
   /** TOKENIZER FERTILITY report — the tokenizer-choice audit a
     * multilingual training run starts from: per language, how many
     * BPE-style tokens each whitespace word costs (fertility — the

@@ -1026,6 +1026,55 @@ object StreamVerify {
       .orderBy(col("digit"))
   }
 
+  /** STREAMING TOP-MOVERS maintenance — q491's period-over-period
+    * "heavy changers" monitor as an ingestion side effect (the NINTH
+    * self-maintaining surface): the period cutoff is PINNED from a
+    * reference scan up front (what a production monitor freezes when the
+    * comparison window is declared), each micro-batch commits its
+    * (key, n_prev, n_curr) census partial exactly-once, counts ADD, and
+    * the drained store reads through
+    * [[graft.operators.Drift.topMoversFromCensus]] — bit-identical to
+    * the one-pass batch q491, whose oracle it shares verbatim. The
+    * store is user-domain-sized, never event-volume-sized.
+    */
+  def topMoversMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      k: Int = 10): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/movers"
+    val ref = spark.read.parquet(eventsPath)
+      .select(expr("unix_timestamp(ts)").as("sec"))
+    val pin = ref.agg(min(col("sec")), max(col("sec"))).head()
+    val cutoff = (pin.getLong(0) + pin.getLong(1)) / 2
+    def censusOf(batch: DataFrame): DataFrame = {
+      val isCurr = expr("unix_timestamp(ts)") >= cutoff
+      batch.groupBy(col("user_id").cast("long").as("key"))
+        .agg(sum(when(isCurr, 0L).otherwise(1L)).as("n_prev"),
+          sum(when(isCurr, 1L).otherwise(0L)).as("n_curr"))
+    }
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"movers-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.topMoversFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("key").cast("long").as("key"),
+          col("n_prev").cast("long").as("n_prev"),
+          col("n_curr").cast("long").as("n_curr")), k)
+      .orderBy(col("rank"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

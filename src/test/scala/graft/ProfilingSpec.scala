@@ -237,6 +237,41 @@ class ProfilingSpec extends SparkSuite {
       .head().isNullAt(4))
   }
 
+  test("topMoversFromCensus: batch-split censuses equal the one-pass path") {
+    import spark.implicits._
+    val rows = Seq((1L, false), (1L, true), (1L, true), (2L, false),
+      (2L, false), (3L, true)).toDF("k", "curr")
+    val onePass = graft.operators.Drift.topMovers(rows, "k", col("curr"), 3)
+      .orderBy(col("rank")).collect().toSeq
+    def cen(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k").as("key"))
+        .agg(sum(when(col("curr"), 0L).otherwise(1L)).as("n_prev"),
+          sum(when(col("curr"), 1L).otherwise(0L)).as("n_curr"))
+    val half1 = rows.limit(2)
+    val half2 = rows.exceptAll(half1)
+    val census = graft.operators.Drift.topMoversFromCensus(
+        cen(half1).unionByName(cen(half2)), 3)
+      .orderBy(col("rank")).collect().toSeq
+    assert(census == onePass)
+  }
+
+  test("dunnTest: pooled ranking, hand z values, BH gate") {
+    import spark.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 10L), ("C", 11L)).toDF("g", "v")
+    val got = graft.operators.Drift.dunnTest(df, "v", "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ac = got(("A", "C"))
+    // pooled mean ranks 1.5 / 3.5 / 5.5; sigma^2 = 3.5 per pair
+    assert(ac.getDouble(4) == 1.5 && ac.getDouble(5) == 5.5)
+    val zAC = BigDecimal(-4.0 / math.sqrt(3.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ac.getDouble(6) == zAC)
+    // strongest pair ranks first; family is too small for BH at 0.05
+    assert(ac.getLong(8) == 1L)
+    assert(got.values.forall(!_.getBoolean(9)))
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away

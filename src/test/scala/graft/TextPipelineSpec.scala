@@ -276,6 +276,22 @@ class TextPipelineSpec extends SparkSuite {
     assert(g2.toSeq == Seq(("aa", 2L), ("aaa", 1L)))
   }
 
+  test("langidConfusion: cells, row shares, global accuracy") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the cat and a dog the end"), // scores en
+      ("en", "der hund und der mann"),     // mislabeled as en, reads de
+      ("de", "der hund und der mann")).toDF("lang", "text")
+    val got = graft.operators.TextPipeline
+      .langidConfusion(docs, "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got(("en", "en")).getLong(2) == 1L)
+    assert(got(("en", "de")).getLong(2) == 1L)
+    assert(got(("de", "de")).getLong(2) == 1L)
+    assert(got(("en", "de")).getDouble(4) == 0.5) // half of en routes wrong
+    assert(got.values.forall(r => math.abs(r.getDouble(5) - 0.666667) < 1e-9))
+  }
+
   test("tokenizerFertility: hand counts, exact ceiling-rank p90") {
     import spark.implicits._
     // lang a: "ab cd" = 2 words / 2 bpe tokens (fert 1.0, ppm 1000000)
