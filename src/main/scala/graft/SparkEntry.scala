@@ -6692,6 +6692,62 @@ object SparkEntry {
       "cents", "o_orderpriority")
       .orderBy(col("p_rank"))
 
+  /** Personalized PageRank ([[graft.operators.Graph
+    * .personalizedPageRank]]): importance relative to a 4-customer
+    * source panel over the customer↔supplier bipartite graph — the
+    * teleport floor lands only on the sources, so the ranking answers
+    * "what matters to THESE customers" where q100 answers "overall".
+    */
+  private def q500(s: SparkSession, dir: String): DataFrame = {
+    val pairs = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), (-col("supp")).as("dst"))
+      .unionByName(pairs.select((-col("supp")).as("src"), col("cust").as("dst")))
+    val sources = T(s, dir, "customer").filter(col("c_custkey") <= 4)
+      .select(col("c_custkey").as("node"))
+    graft.operators.Graph.personalizedPageRank(edges, sources, iters = 3)
+      .orderBy(col("ppr").desc, col("node"))
+      .limit(100)
+  }
+
+  /** Dominant period ([[graft.operators.Trend.dominantPeriodPerKey]]):
+    * per event type, the hourly-lag (2..24) with the strongest
+    * autocorrelation — the periodicity screen run before fitting a
+    * seasonal model with a guessed season length; argmax over q255's
+    * exact-moment ACF grid.
+    */
+  private def q501(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .groupBy(col("event_type"), expr("(ts div 1000000000) div 3600").as("hid"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.dominantPeriodPerKey(
+        hourly, "event_type", "hid", "cents", maxLag = 24)
+      .orderBy(col("event_type"))
+  }
+
+  /** Heterogeneous-treatment-effect z-test ([[graft.operators.Drift
+    * .hteZTest]]): does the md5-split arm effect on event value DIFFER
+    * between view and click events — the interaction readout that
+    * catches segment-opposite effects hiding behind a flat global
+    * q362; one conditional-moment pass over the four cells.
+    */
+  private def q502(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select((col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("cents"), col("event_type"), col("user_id"))
+      .withColumn("arm",
+        pmod(conv(substring(md5(concat(lit("hte1:"),
+          col("user_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+          lit(2)))
+    graft.operators.Drift.hteZTest(ev, "cents",
+      col("arm") === 0, col("event_type") === "view")
+  }
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -9936,6 +9992,9 @@ object SparkEntry {
     "q497_stream_top_movers" -> (q497 _),
     "q498_langid_confusion" -> (q498 _),
     "q499_dunn_posthoc" -> (q499 _),
+    "q500_personalized_pagerank" -> (q500 _),
+    "q501_dominant_period" -> (q501 _),
+    "q502_hte_ztest" -> (q502 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10075,6 +10134,16 @@ object SparkEntry {
     */
   private val topMoversOracleSql: String =
     """WITH ev AS (SELECT user_id, epoch_ns(ts)//1000000000 AS sec FROM events), cut AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS c FROM ev), cen AS (SELECT user_id AS key, CAST(SUM(CASE WHEN sec >= (SELECT c FROM cut) THEN 0 ELSE 1 END) AS BIGINT) AS n_prev, CAST(SUM(CASE WHEN sec >= (SELECT c FROM cut) THEN 1 ELSE 0 END) AS BIGINT) AS n_curr FROM ev GROUP BY 1), d AS (SELECT key, n_prev, n_curr, n_curr - n_prev AS delta FROM cen), r AS (SELECT key, n_prev, n_curr, delta, CAST(ROW_NUMBER() OVER (ORDER BY abs(delta) DESC, key) AS BIGINT) AS rank FROM d) SELECT rank, key, n_prev, n_curr, delta FROM r WHERE rank <= 10 ORDER BY rank"""
+
+  /** q501 replay: the q255 per-lag LEAD census for every lag 2..24,
+    * grid-rounded ACF, (acf desc, lag asc) argmax per key.
+    */
+  private def dominantPeriodOracleSql: String = {
+    val lagUnions = (2 to 24).map(l =>
+      s"SELECT event_type, hid, v, lead(v, $l) OVER (PARTITION BY event_type ORDER BY hid) AS w, CAST($l AS BIGINT) AS lag FROM h")
+      .mkString(" UNION ALL ")
+    s"""WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM ($lagUnions) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2), acf AS (SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3), f AS (SELECT event_type, lag, n, acf, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY acf DESC, lag) AS rk, COUNT(*) OVER (PARTITION BY event_type) AS n_lags FROM acf WHERE acf IS NOT NULL) SELECT event_type, lag AS period, acf AS strength, n AS n_pairs, CAST(n_lags AS BIGINT) AS n_lags FROM f WHERE rk = 1 ORDER BY event_type"""
+  }
 
   /** q493 replay: the encoded-state (root·64 + dist) min-propagation
     * unrolled 8 rounds over the synthetic cycle lattice; the bipartite
@@ -11336,6 +11405,15 @@ object SparkEntry {
     // the identical literal order, q420 step-up over the pair family
     "q499_dunn_posthoc" ->
       """WITH o AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders), vg AS (SELECT CAST(cents AS DOUBLE) AS v, g, COUNT(*) AS tvg FROM o GROUP BY 1, 2), bv AS (SELECT v, CAST(SUM(tvg) AS BIGINT) AS t FROM vg GROUP BY 1), rk AS (SELECT v, t, SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM bv), r2t AS (SELECT v, t, 2 * c - t + 1 AS r2 FROM rk), pg AS (SELECT g, CAST(SUM(tvg) AS BIGINT) AS n_g, SUM(CAST(tvg AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))) AS r2sum FROM vg JOIN r2t USING (v) GROUP BY 1), pg2 AS (SELECT g, n_g, round(CAST(r2sum AS DOUBLE) / CAST(n_g AS DOUBLE), 9) AS mr2 FROM pg), gl AS (SELECT SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties, CAST(SUM(t) AS BIGINT) AS nn FROM r2t), pr AS (SELECT a.g AS g_i, a.n_g AS n_i, a.mr2 AS mr2_i, b.g AS g_j, b.n_g AS n_j, b.mr2 AS mr2_j FROM pg2 a JOIN pg2 b ON a.g < b.g), zz AS (SELECT g_i, g_j, n_i, n_j, mr2_i, mr2_j, (mr2_i - mr2_j) / 2.0 / sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) / 12.0 - CAST(ties AS DOUBLE) / (12.0 * (CAST(nn AS DOUBLE) - 1.0))) * (1.0 / CAST(n_i AS DOUBLE) + 1.0 / CAST(n_j AS DOUBLE))) AS z FROM pr, gl), pt AS (SELECT g_i, g_j, n_i, n_j, mr2_i, mr2_j, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zz), pp AS (SELECT g_i, g_j, n_i, n_j, mr2_i, mr2_j, round(z, 6) AS zr, round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), bh AS (SELECT g_i, g_j, n_i, n_j, mr2_i, mr2_j, zr, p, CAST(ROW_NUMBER() OVER (ORDER BY p, g_i, g_j) AS BIGINT) AS r, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pp), km AS (SELECT MAX(CASE WHEN p * CAST(m AS DOUBLE) <= CAST(r AS DOUBLE) * 0.05 THEN r END) AS kmax FROM bh) SELECT g_i, g_j, n_i, n_j, mr2_i / 2.0 AS mean_rank_i, mr2_j / 2.0 AS mean_rank_j, zr AS z, p, r AS p_rank, (km.kmax IS NOT NULL AND r <= km.kmax) AS significant FROM bh, km ORDER BY p_rank""",
+    // the q100 iteration replay with the teleport floor confined to the
+    // source set; decimal-grid contributions, (ppr desc, node) cut
+    "q500_personalized_pagerank" ->
+      s"""WITH pairs AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), edges AS (SELECT cust AS src, -supp AS dst FROM pairs UNION ALL SELECT -supp AS src, cust AS dst FROM pairs), deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src), srcs AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer WHERE c_custkey <= 4), base AS (SELECT d.node, d.deg, CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_src FROM deg d LEFT JOIN srcs s ON d.node = s.node), pr0 AS (SELECT node, deg, is_src, CAST(is_src AS DOUBLE) AS pr FROM base), it1 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr0 p ON e.src = p.node GROUP BY e.dst), pr1 AS (SELECT b.node, b.deg, b.is_src, ${1.0 - 0.85} * CAST(b.is_src AS DOUBLE) + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM base b LEFT JOIN it1 i ON b.node = i.node), it2 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr1 p ON e.src = p.node GROUP BY e.dst), pr2 AS (SELECT b.node, b.deg, b.is_src, ${1.0 - 0.85} * CAST(b.is_src AS DOUBLE) + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM base b LEFT JOIN it2 i ON b.node = i.node), it3 AS (SELECT e.dst AS node, SUM(CAST(p.pr / p.deg * ${0.85} AS DECIMAL(28,9))) AS c FROM edges e JOIN pr2 p ON e.src = p.node GROUP BY e.dst), pr3 AS (SELECT b.node, b.deg, b.is_src, ${1.0 - 0.85} * CAST(b.is_src AS DOUBLE) + COALESCE(CAST(i.c AS DOUBLE), 0.0) AS pr FROM base b LEFT JOIN it3 i ON b.node = i.node) SELECT node, is_src = 1 AS is_source, round(pr, 6) AS ppr FROM pr3 ORDER BY ppr DESC, node LIMIT 100""",
+    "q501_dominant_period" -> dominantPeriodOracleSql,
+    // four (segment x arm) moment cells in one pass, Welch per-segment
+    // effects, pinned interaction z
+    "q502_hte_ztest" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_type = 'view' AS s1, CAST(concat('0x', substr(md5(concat('hte1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa FROM events WHERE event_type IN ('view', 'click')), g AS (SELECT CAST(SUM(CASE WHEN s1 AND isa THEN 1 ELSE 0 END) AS BIGINT) AS n1a, SUM(CASE WHEN s1 AND isa THEN CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s1a, SUM(CASE WHEN s1 AND isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss1a, CAST(SUM(CASE WHEN s1 AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n1b, SUM(CASE WHEN s1 AND NOT isa THEN CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s1b, SUM(CASE WHEN s1 AND NOT isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss1b, CAST(SUM(CASE WHEN NOT s1 AND isa THEN 1 ELSE 0 END) AS BIGINT) AS n2a, SUM(CASE WHEN NOT s1 AND isa THEN CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2a, SUM(CASE WHEN NOT s1 AND isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss2a, CAST(SUM(CASE WHEN NOT s1 AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n2b, SUM(CASE WHEN NOT s1 AND NOT isa THEN CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2b, SUM(CASE WHEN NOT s1 AND NOT isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss2b FROM e), h AS (SELECT n1a, n1b, n2a, n2b, CAST(s1a AS DOUBLE) / CAST(n1a AS DOUBLE) AS m1a, CAST(s1b AS DOUBLE) / CAST(n1b AS DOUBLE) AS m1b, CAST(s2a AS DOUBLE) / CAST(n2a AS DOUBLE) AS m2a, CAST(s2b AS DOUBLE) / CAST(n2b AS DOUBLE) AS m2b, (CAST(n1a AS DOUBLE) * CAST(ss1a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)) / (CAST(n1a AS DOUBLE) * (CAST(n1a AS DOUBLE) - 1.0)) / CAST(n1a AS DOUBLE) AS v1a, (CAST(n1b AS DOUBLE) * CAST(ss1b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)) / (CAST(n1b AS DOUBLE) * (CAST(n1b AS DOUBLE) - 1.0)) / CAST(n1b AS DOUBLE) AS v1b, (CAST(n2a AS DOUBLE) * CAST(ss2a AS DOUBLE) - CAST(s2a AS DOUBLE) * CAST(s2a AS DOUBLE)) / (CAST(n2a AS DOUBLE) * (CAST(n2a AS DOUBLE) - 1.0)) / CAST(n2a AS DOUBLE) AS v2a, (CAST(n2b AS DOUBLE) * CAST(ss2b AS DOUBLE) - CAST(s2b AS DOUBLE) * CAST(s2b AS DOUBLE)) / (CAST(n2b AS DOUBLE) * (CAST(n2b AS DOUBLE) - 1.0)) / CAST(n2b AS DOUBLE) AS v2b FROM g), i AS (SELECT n1a, n1b, n2a, n2b, m1a - m1b AS d1, m2a - m2b AS d2, v1a + v1b AS vv1, v2a + v2b AS vv2, n1a > 1 AND n1b > 1 AND n2a > 1 AND n2b > 1 AS ok FROM h) SELECT n1a, n1b, n2a, n2b, CASE WHEN ok THEN round(d1, 6) END AS effect_seg1, CASE WHEN ok THEN round(d2, 6) END AS effect_seg2, CASE WHEN ok AND vv1 + vv2 > 0.0 THEN round((d1 - d2) / sqrt(vv1 + vv2), 6) END AS z_interaction FROM i""",
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

@@ -800,6 +800,54 @@ object Drift {
         round(h / corr, 6).as("h_tie_corrected"))
   }
 
+  /** HETEROGENEOUS-TREATMENT-EFFECT (interaction) z-TEST — does the
+    * treatment effect DIFFER between two segments: z = (Δ₁ − Δ₂) /
+    * √(V₁ + V₂) where each segment's Δ is its own Welch mean difference
+    * — the two-segment interaction readout that catches "the feature
+    * helps mobile and hurts desktop" hiding behind a flat q362 global
+    * effect. ONE conditional-moment pass computes all four (segment ×
+    * arm) cells' n/Σx/Σx² exactly in DECIMAL(38,0); per-segment effects
+    * and the interaction finish in pinned doubles. Rows with segment
+    * NULL (outside both segments) are excluded by the caller's
+    * predicates.
+    */
+  def hteZTest(
+      df: DataFrame,
+      valueCol: String,
+      armACol: Column,
+      seg1Col: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    def cell(p: Column, nm: String): Seq[Column] = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n$nm"),
+      sum(when(p, v).otherwise(lit(0).cast(d38))).as(s"s$nm"),
+      sum(when(p, v * v).otherwise(lit(0).cast(d38))).as(s"ss$nm"))
+    val cells =
+      cell(seg1Col && armACol, "1a") ++ cell(seg1Col && !armACol, "1b") ++
+      cell(!seg1Col && armACol, "2a") ++ cell(!seg1Col && !armACol, "2b")
+    val agg = df.agg(cells.head, cells.tail: _*)
+    def mv(nm: String): (Column, Column) = {
+      val n = dbl(col(s"n$nm"))
+      val m = dbl(col(s"s$nm")) / n
+      val va = (n * dbl(col(s"ss$nm")) - dbl(col(s"s$nm")) * dbl(col(s"s$nm"))) /
+        (n * (n - 1.0)) / n
+      (m, va)
+    }
+    val (m1a, v1a) = mv("1a"); val (m1b, v1b) = mv("1b")
+    val (m2a, v2a) = mv("2a"); val (m2b, v2b) = mv("2b")
+    val d1 = m1a - m1b; val d2 = m2a - m2b
+    val vv1 = v1a + v1b; val vv2 = v2a + v2b
+    val ok = Seq("1a", "1b", "2a", "2b")
+      .map(nm => col(s"n$nm") > 1L).reduce(_ && _)
+    agg.select(col("n1a"), col("n1b"), col("n2a"), col("n2b"),
+      when(ok, round(d1, 6)).as("effect_seg1"),
+      when(ok, round(d2, 6)).as("effect_seg2"),
+      when(ok && vv1 + vv2 > 0.0,
+        round((d1 - d2) / sqrt(vv1 + vv2), 6)).as("z_interaction"))
+  }
+
   /** DUNN POST-HOC TEST with Benjamini–Hochberg control — WHICH groups
     * differ, after [[kruskalWallis]] says "some do": every unordered
     * group pair's mean-rank gap over the POOLED ranking (never re-ranked

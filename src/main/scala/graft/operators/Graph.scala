@@ -114,6 +114,51 @@ object Graph {
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** PERSONALIZED PageRank — importance RELATIVE to a source set: the
+    * teleport floor (1−d) lands only on the sources, so mass
+    * concentrates in their neighborhood and the ranking answers "what
+    * matters to THESE customers", the recommender/expansion query
+    * [[pageRank]]'s global ranking can't ([[pageRank]] answers "what
+    * matters overall"). Same iteration shape as [[pageRank]]: one
+    * edge↔rank join + one aggregation per round, contributions on the
+    * 1e-9 decimal grid (order-independent sums, oracle-replayable),
+    * lineage cut per round. Contract: nodes are ranked if they have
+    * out-degree (pass both directions for undirected graphs).
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      sources: DataFrame,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val srcSet = sources.select(col("node")).distinct()
+      .withColumn("__s", lit(1L))
+    var pr = deg.select(col("src").as("node"), col("deg"))
+      .join(srcSet, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("__s"), lit(0L)).as("is_src"))
+      .withColumn("pr", col("is_src").cast("double"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr, e("src") === pr("node"))
+        .select(col("dst"),
+          (col("pr") / col("deg") * lit(damping)).cast(DecimalType(28, 9)).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("c_sum"))
+      pr = pr.select(col("node"), col("deg"), col("is_src"))
+        .join(contrib, pr("node") === contrib("dst"), "left")
+        .select(col("node"), col("deg"), col("is_src"),
+          (lit(1.0 - damping) * col("is_src").cast("double") +
+            coalesce(col("c_sum").cast("double"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), (col("is_src") === 1L).as("is_source"),
+      round(col("pr"), 6).as("ppr"))
+  }
+
   /** Multi-source BFS hop distance over a directed edge list `(src,
     * dst)`: every node reachable from the source set within `maxHops`
     * hops, with `hops` = length of the shortest path (sources are hop 0;

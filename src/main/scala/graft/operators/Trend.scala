@@ -1587,6 +1587,32 @@ object Trend {
         round(dbl(col("f")), 6).as("fitted_rate"))
   }
 
+  /** DOMINANT PERIOD detection — per key, the lag (2..maxLag) whose
+    * autocorrelation is strongest: "does this series have a cycle, and
+    * how long is it" — the periodicity screen run before anyone fits
+    * [[holtWintersPerKey]]'s seasonal model with a guessed season
+    * length. Composes [[autocorrPerKey]]'s exact-moment ACF (lag 1 is
+    * excluded — trend momentum always wins it); the argmax is one
+    * max(struct) per key over the grid-rounded ACF with the smaller lag
+    * breaking ties — no window, no sort, lag-domain-sized.
+    */
+  def dominantPeriodPerKey(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      centsCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 2, "need at least lag 2 to call anything a period")
+    val acf = autocorrPerKey(df, keyCol, bucketCol, centsCol, 2 to maxLag)
+      .filter(col("acf").isNotNull)
+    acf.groupBy(col(keyCol))
+      .agg(max(struct(col("acf"), (-col("lag")).as("nl"), col("lag"),
+        col("n"))).as("b"), count(lit(1)).as("n_lags"))
+      .select(col(keyCol), col("b.lag").as("period"),
+        col("b.acf").as("strength"), col("b.n").as("n_pairs"),
+        col("n_lags"))
+  }
+
   /** HAMPEL FILTER — per-key rolling-median outlier flags: a point is
     * anomalous when it sits more than 3 robust sigmas (3·1.4826·MAD,
     * pinned as the single literal 4.4478) from the CENTERED 7-point

@@ -497,6 +497,22 @@ class GraphSpec extends SparkSuite {
     assert(out == Map(1L -> ((2L, 2L, 1.5)), 3L -> ((3L, 2L, 2.5))))
   }
 
+  test("personalizedPageRank: mass stays near the source, hand-stepped") {
+    import spark.implicits._
+    // path A(1)-B(2)-C(3), undirected, source {1}; 2 iterations:
+    // pr1 = (0.15, 0.85, 0); pr2 = (0.15+0.36125, 0.1275, 0.36125)
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val src = Seq(1L).toDF("node")
+    val got = graft.operators.Graph.personalizedPageRank(edges, src, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((true, 0.51125)))
+    assert(got(2L) == ((false, 0.1275)))
+    assert(got(3L) == ((false, 0.36125)))
+  }
+
   test("bipartiteCheck: odd cycle flags, even cycle and tree pass") {
     import spark.implicits._
     // C5 on 1..5 (odd), C4 on 10..13 (even), path 20-21-22 (tree)

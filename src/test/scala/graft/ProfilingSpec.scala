@@ -272,6 +272,19 @@ class ProfilingSpec extends SparkSuite {
     assert(got.values.forall(!_.getBoolean(9)))
   }
 
+  test("hteZTest: opposite per-segment effects, hand interaction z") {
+    import spark.implicits._
+    // seg1: A={1,3} vs B={5,5} → d1=-3, v=1.0; seg2: A={2,2} vs B={1,1}
+    // → d2=+1, v=0 → z = (-3-1)/1 = -4
+    val rows = Seq((1L, true, true), (3L, true, true), (5L, false, true),
+      (5L, false, true), (2L, true, false), (2L, true, false),
+      (1L, false, false), (1L, false, false)).toDF("v", "isa", "s1")
+    val r = graft.operators.Drift.hteZTest(rows, "v", col("isa"), col("s1"))
+      .head()
+    assert(r.getDouble(4) == -3.0 && r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) == -4.0)
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away

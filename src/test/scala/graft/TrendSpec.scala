@@ -469,6 +469,17 @@ class TrendSpec extends SparkSuite {
     assert(!out.contains(8L), "series shorter than 3 must drop")
   }
 
+  test("dominantPeriodPerKey: exact period-3 series reads lag 3, strength 1") {
+    import spark.implicits._
+    val rows = (0L until 24L).map(i =>
+      (1L, i, if (i % 3 == 0) 10L else 0L)).toDF("k", "b", "v")
+    val r = graft.operators.Trend.dominantPeriodPerKey(rows, "k", "b", "v", 6)
+      .head()
+    assert(r.getLong(1) == 3L, "period must be the true cycle length")
+    assert(r.getDouble(2) == 1.0, "an exactly periodic series correlates 1")
+    assert(r.getLong(4) == 5L) // lags 2..6 all had enough pairs
+  }
+
   test("hampelPerKey: spike flagged, inliers pass, edge windows NULL") {
     import spark.implicits._
     // key 1: flat 10s with one 100 spike at x=5. Center windows (x=4..6)
