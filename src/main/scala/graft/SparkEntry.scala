@@ -6748,6 +6748,72 @@ object SparkEntry {
       col("arm") === 0, col("event_type") === "view")
   }
 
+  /** Snapshot expiry ([[graft.sources.TxLake.expireSnapshots]]): trim
+    * table history to the last 3 versions — a checkpoint lands AT the
+    * cutoff, data files removed below it are vacuumed (before the log
+    * trim erases their removes records), older entries drop; surviving
+    * versions replay bit-identically, pre-cutoff time travel is gone by
+    * design. Readout proves the reclaim AND the untouched snapshots.
+    */
+  private def q503(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    graft.sources.LocalFs.deleteRecursively(scratch(dir, "q503"))
+    val lake = scratch(dir, "q503") + "/t"
+    val o = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 2 === 1)) // v1
+    // v2 overwrites: v1's files become removed-at-2 — reclaimable once
+    // the cutoff moves past version 2
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 4 === 0),
+      overwrite = true)
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 4 === 2)) // v3
+    TxLake.commit(s, lake,
+      o.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0)) // v4
+    TxLake.commit(s, lake,
+      o.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 1)) // v5
+    val beforeLatest = TxLake.readSnapshot(s, lake).count()
+    val beforeCutoff = TxLake.readSnapshot(s, lake, version = 3L).count()
+    val (cutoff, dropped, reclaimed) = TxLake.expireSnapshots(lake, keepLast = 3)
+    val afterLatest = TxLake.readSnapshot(s, lake).count()
+    val afterCutoff = TxLake.readSnapshot(s, lake, version = 3L).count()
+    val preCutoffRows = scala.util.Try(
+      TxLake.readSnapshot(s, lake, version = 2L).count()).getOrElse(0L)
+    import s.implicits._
+    // reclaimed FILE count tracks the writer's partitioning — report the
+    // boolean fact (v1's removed files were reclaimed), not the count
+    Seq((cutoff, dropped, reclaimed > 0L,
+      beforeLatest, afterLatest, beforeCutoff, afterCutoff, preCutoffRows))
+      .toDF("cutoff", "n_dropped", "reclaimed", "rows_latest_before",
+        "rows_latest_after", "rows_cutoff_before", "rows_cutoff_after",
+        "rows_below_cutoff")
+  }
+
+  /** Seasonal band monitor ([[graft.operators.Trend.seasonalBandPerKey]]):
+    * per (event type, hour-of-day) the exact p10/p50/p90 envelope of
+    * per-day spend at that slot and whether the newest day breaches it —
+    * "is today's 3pm normal for a 3pm".
+    */
+  private def q504(s: SparkSession, dir: String): DataFrame = {
+    val slots = T(s, dir, "events")
+      .groupBy(col("event_type"), evDateId.as("d"),
+        pmod(expr("(ts div 1000000000) div 3600"), lit(24L)).as("hod"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.seasonalBandPerKey(
+        slots, "event_type", "d", "hod", "cents")
+      .orderBy(col("k"), col("slot"))
+  }
+
+  /** Rare-category collapse ([[graft.operators.Features.rareCollapse]]):
+    * part type and brand vocabularies folded below support 5 into
+    * `__other__` — the encoder-prep census a training job pins and a
+    * serving path replays.
+    */
+  private def q505(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.rareCollapse(
+      T(s, dir, "part"), Seq("p_type", "p_brand"), minSupport = 5L)
+      .orderBy(col("column"), col("out_value"))
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -9995,6 +10061,9 @@ object SparkEntry {
     "q500_personalized_pagerank" -> (q500 _),
     "q501_dominant_period" -> (q501 _),
     "q502_hte_ztest" -> (q502 _),
+    "q503_expire_snapshots" -> (q503 _),
+    "q504_seasonal_band" -> (q504 _),
+    "q505_rare_collapse" -> (q505 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -11414,6 +11483,17 @@ object SparkEntry {
     // effects, pinned interaction z
     "q502_hte_ztest" ->
       """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, event_type = 'view' AS s1, CAST(concat('0x', substr(md5(concat('hte1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa FROM events WHERE event_type IN ('view', 'click')), g AS (SELECT CAST(SUM(CASE WHEN s1 AND isa THEN 1 ELSE 0 END) AS BIGINT) AS n1a, SUM(CASE WHEN s1 AND isa THEN CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s1a, SUM(CASE WHEN s1 AND isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss1a, CAST(SUM(CASE WHEN s1 AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n1b, SUM(CASE WHEN s1 AND NOT isa THEN CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s1b, SUM(CASE WHEN s1 AND NOT isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss1b, CAST(SUM(CASE WHEN NOT s1 AND isa THEN 1 ELSE 0 END) AS BIGINT) AS n2a, SUM(CASE WHEN NOT s1 AND isa THEN CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2a, SUM(CASE WHEN NOT s1 AND isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss2a, CAST(SUM(CASE WHEN NOT s1 AND NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n2b, SUM(CASE WHEN NOT s1 AND NOT isa THEN CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2b, SUM(CASE WHEN NOT s1 AND NOT isa THEN CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss2b FROM e), h AS (SELECT n1a, n1b, n2a, n2b, CAST(s1a AS DOUBLE) / CAST(n1a AS DOUBLE) AS m1a, CAST(s1b AS DOUBLE) / CAST(n1b AS DOUBLE) AS m1b, CAST(s2a AS DOUBLE) / CAST(n2a AS DOUBLE) AS m2a, CAST(s2b AS DOUBLE) / CAST(n2b AS DOUBLE) AS m2b, (CAST(n1a AS DOUBLE) * CAST(ss1a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)) / (CAST(n1a AS DOUBLE) * (CAST(n1a AS DOUBLE) - 1.0)) / CAST(n1a AS DOUBLE) AS v1a, (CAST(n1b AS DOUBLE) * CAST(ss1b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)) / (CAST(n1b AS DOUBLE) * (CAST(n1b AS DOUBLE) - 1.0)) / CAST(n1b AS DOUBLE) AS v1b, (CAST(n2a AS DOUBLE) * CAST(ss2a AS DOUBLE) - CAST(s2a AS DOUBLE) * CAST(s2a AS DOUBLE)) / (CAST(n2a AS DOUBLE) * (CAST(n2a AS DOUBLE) - 1.0)) / CAST(n2a AS DOUBLE) AS v2a, (CAST(n2b AS DOUBLE) * CAST(ss2b AS DOUBLE) - CAST(s2b AS DOUBLE) * CAST(s2b AS DOUBLE)) / (CAST(n2b AS DOUBLE) * (CAST(n2b AS DOUBLE) - 1.0)) / CAST(n2b AS DOUBLE) AS v2b FROM g), i AS (SELECT n1a, n1b, n2a, n2b, m1a - m1b AS d1, m2a - m2b AS d2, v1a + v1b AS vv1, v2a + v2b AS vv2, n1a > 1 AND n1b > 1 AND n2a > 1 AND n2b > 1 AS ok FROM h) SELECT n1a, n1b, n2a, n2b, CASE WHEN ok THEN round(d1, 6) END AS effect_seg1, CASE WHEN ok THEN round(d2, 6) END AS effect_seg2, CASE WHEN ok AND vv1 + vv2 > 0.0 THEN round((d1 - d2) / sqrt(vv1 + vv2), 6) END AS z_interaction FROM i""",
+    // declarative replay: cutoff/dropped are construction facts, row
+    // masses derive from the same orderkey predicates, below-cutoff = 0
+    "q503_expire_snapshots" ->
+      """SELECT CAST(3 AS BIGINT) AS cutoff, CAST(2 AS BIGINT) AS n_dropped, TRUE AS reclaimed, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 1) AS rows_latest_before, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 1) AS rows_latest_after, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS rows_cutoff_before, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS rows_cutoff_after, CAST(0 AS BIGINT) AS rows_below_cutoff""",
+    // (key, slot, value) census order stats with integer ceiling ranks;
+    // pinned newest-day probe; all windows slot-partitioned
+    "q504_seasonal_band" ->
+      """WITH sl AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, (epoch_ns(ts)//1000000000//3600) % 24 AS hod, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM events GROUP BY 1, 2, 3), mx AS (SELECT MAX(d) AS dmax FROM sl), cen AS (SELECT event_type AS k, hod AS slot, cents AS v, COUNT(*) AS t FROM sl GROUP BY 1, 2, 3), cc AS (SELECT k, slot, v, SUM(t) OVER (PARTITION BY k, slot ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, SUM(t) OVER (PARTITION BY k, slot) AS n FROM cen), bd AS (SELECT k, slot, CAST(MAX(n) AS BIGINT) AS n_days, MIN(CASE WHEN c >= (1 * n + 9) // 10 THEN v END) AS p10, MIN(CASE WHEN c >= (5 * n + 9) // 10 THEN v END) AS p50, MIN(CASE WHEN c >= (9 * n + 9) // 10 THEN v END) AS p90 FROM cc GROUP BY 1, 2), lv AS (SELECT event_type AS k, hod AS slot, cents AS latest_v FROM sl, mx WHERE d = mx.dmax) SELECT bd.k, bd.slot, bd.n_days, bd.p10, bd.p50, bd.p90, lv.latest_v, CASE WHEN lv.latest_v IS NOT NULL THEN lv.latest_v < bd.p10 OR lv.latest_v > bd.p90 END AS breach FROM bd LEFT JOIN lv ON bd.k = lv.k AND bd.slot = lv.slot ORDER BY bd.k, bd.slot""",
+    // one melted census, support cut, re-aggregate — the pinned mapping
+    "q505_rare_collapse" ->
+      """WITH m AS (SELECT 'p_type' AS "column", CAST(p_type AS VARCHAR) AS value FROM part UNION ALL SELECT 'p_brand', CAST(p_brand AS VARCHAR) FROM part), c AS (SELECT "column", value, COUNT(*) AS n FROM m GROUP BY 1, 2), o AS (SELECT "column", CASE WHEN n >= 5 THEN value ELSE '__other__' END AS out_value, n FROM c) SELECT "column", out_value, CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_source_values, out_value = '__other__' AS collapsed FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

@@ -468,4 +468,34 @@ object Features {
         "p", intervals, "lo", "hi", bucketSize.toDouble)
       .select(col("g"), col("id"), col("v"), col("v_norm"))
   }
+
+  /** RARE-CATEGORY COLLAPSE — the categorical-encoder prep that folds
+    * every value below `minSupport` into one `__other__` bucket: a
+    * target/one-hot encoder fitted on the raw tail memorizes noise
+    * (each rare level seen once gets a degenerate estimate) and breaks
+    * on unseen levels at serving; collapsing first caps the cardinality
+    * and makes the unseen-level path explicit. Emits the RESOLVED
+    * mapping census per column — output value, rows it covers, and how
+    * many source levels folded into it — which is the artifact a
+    * training job pins and a serving path replays. One melted union,
+    * one (column, value) census, category-domain-sized everything.
+    */
+  def rareCollapse(
+      df: DataFrame,
+      cols: Seq[String],
+      minSupport: Long): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to encode")
+    require(minSupport >= 1, "support threshold must be positive")
+    val melted = cols.map(c =>
+      df.select(lit(c).as("column"), col(c).cast("string").as("value")))
+      .reduce(_ unionByName _)
+    melted.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("out_value",
+        when(col("n") >= minSupport, col("value")).otherwise(lit("__other__")))
+      .groupBy(col("column"), col("out_value"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_source_values"))
+      .withColumn("collapsed", col("out_value") === "__other__")
+  }
 }

@@ -1613,6 +1613,48 @@ object Trend {
         col("n_lags"))
   }
 
+  /** SEASONAL BAND monitor — per (key, slot-of-cycle): the exact
+    * p10/p50/p90 envelope of the per-day values at that slot, and
+    * whether the NEWEST day breaches it. The "is today's 3pm normal for
+    * a 3pm" check — q300's global z-band reads a daily-seasonal series
+    * as one distribution and alarms on every peak hour; this compares
+    * each slot only to its own history. Order statistics are exact
+    * integer ceiling-rank lookups from the (key, slot, value) census
+    * (q318 form — never a per-row sort), the latest day is one pinned
+    * scan, all windows are (key, slot)-partitioned.
+    */
+  def seasonalBandPerKey(
+      df: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      slotCol: String,
+      centsCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"), col(dayCol).as("d"),
+      col(slotCol).as("slot"), col(centsCol).cast("long").as("v"))
+      .localCheckpoint(true) // feeds the census AND the latest-day probe
+    val latest = base.agg(max(col("d")).as("__dmax"))
+    val census = base.groupBy(col("k"), col("slot"), col("v"))
+      .agg(count(lit(1)).as("t"))
+    val bySlot = Window.partitionBy(col("k"), col("slot"))
+    val cum = bySlot.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cc = census
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(bySlot))
+    def stat(tenths: Int, nm: String): Column =
+      min(when(col("c") >= expr(s"($tenths * n + 9) div 10"), col("v"))).as(nm)
+    val bands = cc.groupBy(col("k"), col("slot"))
+      .agg(max(col("n")).as("n_days"), stat(1, "p10"), stat(5, "p50"),
+        stat(9, "p90"))
+    val latestV = base.crossJoin(broadcast(latest))
+      .filter(col("d") === col("__dmax"))
+      .select(col("k"), col("slot"), col("v").as("latest_v"))
+    bands.join(latestV, Seq("k", "slot"), "left")
+      .withColumn("breach",
+        when(col("latest_v").isNotNull,
+          col("latest_v") < col("p10") || col("latest_v") > col("p90")))
+  }
+
   /** HAMPEL FILTER — per-key rolling-median outlier flags: a point is
     * anomalous when it sits more than 3 robust sigmas (3·1.4826·MAD,
     * pinned as the single literal 4.4478) from the CENTERED 7-point

@@ -249,9 +249,15 @@ object TxLake {
     * travel to pre-checkpoint versions still replays the full history.
     * Returns the checkpointed version.
     */
-  def checkpoint(path: String): Long = {
-    val v = latestVersion(path)
-    require(v > 0, "nothing to checkpoint")
+  def checkpoint(path: String): Long = checkpointAt(path, latestVersion(path))
+
+  /** [[checkpoint]] pinned at an arbitrary VISIBLE version — the summary
+    * a history expiry writes at its cutoff so every surviving version
+    * keeps reading after the older per-commit entries are dropped.
+    */
+  def checkpointAt(path: String, v: Long): Long = {
+    require(v > 0 && v <= latestVersion(path),
+      s"version $v is not a visible version to checkpoint")
     val active = activeEntries(path, v)
     val json =
       s"""{"version":$v,"adds":[${active.map("\"" + _._1 + "\"").mkString(",")}]${statsJson(active)}${sketchCarry(path, v, active.map(_._1))}${opsJson(path, v)}${dvsJson(path, v)}}"""
@@ -260,6 +266,42 @@ object TxLake {
     Files.move(tmp, ckptFile(path, v), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     v
+  }
+
+  /** EXPIRE SNAPSHOTS — trim table HISTORY to the last `keepLast`
+    * versions (the Iceberg `expire_snapshots` / Delta log-retention
+    * operation): a checkpoint lands AT the cutoff so every surviving
+    * version reads from the summary, data files removed strictly below
+    * the cutoff are vacuumed (they are unreachable from any surviving
+    * version — and the vacuum must run BEFORE the log trim, which erases
+    * the removes records it scans), then per-commit entries and
+    * checkpoints below the cutoff are dropped. Time travel below the
+    * cutoff is gone BY DESIGN; every version ≥ cutoff replays
+    * bit-identically. Metadata-only except the reclaimed bytes.
+    * Returns (cutoff, log entries dropped, data files reclaimed).
+    */
+  def expireSnapshots(path: String, keepLast: Int): (Long, Long, Long) = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val latest = latestVersion(path)
+    val cutoff = math.max(1L, latest - keepLast + 1)
+    if (cutoff <= 1L) return (1L, 0L, 0L)
+    checkpointAt(path, cutoff)
+    val reclaimed = vacuum(path, cutoff - 1)
+    val dir = logDir(path)
+    val droppable = {
+      val all = Files.list(dir)
+      try all.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        (n.endsWith(".json") &&
+          n.stripSuffix(".json").forall(_.isDigit) &&
+          n.stripSuffix(".json").toLong < cutoff) ||
+        (n.startsWith("checkpoint-") && n.endsWith(".ckpt") &&
+          n.stripPrefix("checkpoint-").stripSuffix(".ckpt").toLong < cutoff)
+      }.toSeq
+      finally all.close()
+    }
+    droppable.foreach(Files.deleteIfExists(_))
+    (cutoff, droppable.size.toLong, reclaimed.toLong)
   }
 
   /** How many per-commit log entries a read at `version` replays after the

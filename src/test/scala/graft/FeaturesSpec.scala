@@ -206,4 +206,18 @@ class FeaturesSpec extends SparkSuite {
     // the max rank of every group lands exactly on the pooled max
     // (p = N), and ties resolve by id so the mapping is deterministic
   }
+
+  test("rareCollapse: tail folds into __other__, kept levels pass through") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("red") ++ Seq.fill(3)("blue") ++
+      Seq("green", "teal", "teal")).toDF("c")
+    val got = graft.operators.Features.rareCollapse(df, Seq("c"), 3L)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(got("red").getLong(2) == 5L && !got("red").getBoolean(4))
+    assert(got("blue").getLong(2) == 3L) // exactly at support keeps
+    val other = got("__other__")
+    assert(other.getLong(2) == 3L && other.getLong(3) == 2L)
+    assert(other.getBoolean(4))
+    assert(!got.contains("green") && !got.contains("teal"))
+  }
 }

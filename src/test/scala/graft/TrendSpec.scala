@@ -480,6 +480,23 @@ class TrendSpec extends SparkSuite {
     assert(r.getLong(4) == 5L) // lags 2..6 all had enough pairs
   }
 
+  test("seasonalBandPerKey: slot-local envelope, newest-day breach") {
+    import spark.implicits._
+    // slot 0: days 1..10 read 10,20,...,100 (p10=10, p50=50, p90=90);
+    // the newest day (10) reads 100 → breach. slot 1: flat 50s → no breach.
+    val rows = (1L to 10L).flatMap(d =>
+      Seq(("a", d, 0L, d * 10L), ("a", d, 1L, 50L))).toDF("k", "d", "slot", "v")
+    val got = graft.operators.Trend
+      .seasonalBandPerKey(rows, "k", "d", "slot", "v")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val s0 = got(0L)
+    assert(s0.getLong(2) == 10L)
+    assert(s0.getLong(3) == 10L && s0.getLong(4) == 50L && s0.getLong(5) == 90L)
+    assert(s0.getLong(6) == 100L && s0.getBoolean(7))
+    val s1 = got(1L)
+    assert(s1.getLong(3) == 50L && s1.getLong(5) == 50L && !s1.getBoolean(7))
+  }
+
   test("hampelPerKey: spike flagged, inliers pass, edge windows NULL") {
     import spark.implicits._
     // key 1: flat 10s with one 100 spike at x=5. Center windows (x=4..6)

@@ -956,4 +956,29 @@ class TxLakeSpec extends SparkSuite {
     java.nio.file.Files.delete(logDir.resolve("00000004.json"))
     assert(ids(TxLake.readSnapshot(spark, lake)) == Set(1L, 2L, 3L))
   }
+
+  test("expireSnapshots: surviving versions replay, history below is gone") {
+    val lake = tmp()
+    TxLake.commit(spark, lake, df(1, 2))                     // v1
+    TxLake.commit(spark, lake, df(10), overwrite = true)     // v2: v1 removed
+    TxLake.commit(spark, lake, df(11))                       // v3
+    TxLake.commit(spark, lake, df(12))                       // v4
+    TxLake.commit(spark, lake, df(13))                       // v5
+    val v3Before = ids(TxLake.readSnapshot(spark, lake, 3L))
+    val (cutoff, dropped, reclaimed) = TxLake.expireSnapshots(lake, keepLast = 3)
+    assert(cutoff == 3L)
+    assert(dropped == 2L, "entries v1 and v2 must drop")
+    assert(reclaimed >= 1L, "v1's overwritten files reclaim")
+    // every surviving version replays bit-identically
+    assert(ids(TxLake.readSnapshot(spark, lake, 3L)) == v3Before)
+    assert(ids(TxLake.readSnapshot(spark, lake, 4L)) == Set(10L, 11L, 12L))
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(10L, 11L, 12L, 13L))
+    // appends after expiry keep working on the checkpointed log
+    TxLake.commit(spark, lake, df(14))
+    assert(ids(TxLake.readSnapshot(spark, lake)) == Set(10L, 11L, 12L, 13L, 14L))
+    // time travel below the cutoff is gone BY DESIGN
+    val below = scala.util.Try(
+      TxLake.readSnapshot(spark, lake, 2L).count()).getOrElse(0L)
+    assert(below == 0L)
+  }
 }
