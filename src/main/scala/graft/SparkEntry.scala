@@ -6814,6 +6814,50 @@ object SparkEntry {
       T(s, dir, "part"), Seq("p_type", "p_brand"), minSupport = 5L)
       .orderBy(col("column"), col("out_value"))
 
+  /** Streaming seasonal-band maintenance
+    * ([[graft.streaming.StreamVerify.seasonalBandMaintenance]]): q504's
+    * per-slot envelope monitor as an ingestion side effect — per-batch
+    * (type, day, slot, partial-sum) censuses land exactly-once, decimal
+    * sums add, the drained store re-aggregates the exact slot table and
+    * reads through seasonalBandPerKey, sharing q504's oracle verbatim.
+    * Tenth self-maintaining surface.
+    */
+  private def q506(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.seasonalBandMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q506"))
+
+  /** Curve knee ([[graft.operators.Relational.curveKnee]]): the elbow of
+    * the cumulative-revenue-vs-rank curve — how many top customers
+    * before diminishing returns, the cut q339's ABC classes eyeball; the
+    * chord-distance argmax reduces to an exact integer cross-product.
+    */
+  private def q507(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val order = Seq(col("cents").desc, col("o_custkey"))
+    val ranked = graft.operators.GlobalOrder.rowNumbers(rev, order, idCol = "x")
+    val summed = graft.operators.GlobalOrder.prefixSums(
+      rev, order, "cents", outCol = "y")
+    val curve = ranked.select(col("o_custkey").as("ck"), col("x"))
+      .join(summed.select(col("o_custkey"), col("y")),
+        col("ck") === col("o_custkey"))
+    graft.operators.Relational.curveKnee(curve, "x", "y")
+  }
+
+  /** Effective sample size ([[graft.operators.Sampling.essWeights]]):
+    * Kish ESS = (Σw)²/Σw² of order totals per priority — how many
+    * equal-weight rows the weighted set is statistically worth, the
+    * diagnostic run before importance-weighted training (q479/q371).
+    */
+  private def q508(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.essWeights(
+      T(s, dir, "orders").select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents")),
+      "o_orderpriority", "cents")
+      .orderBy(col("g"))
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -10064,6 +10108,9 @@ object SparkEntry {
     "q503_expire_snapshots" -> (q503 _),
     "q504_seasonal_band" -> (q504 _),
     "q505_rare_collapse" -> (q505 _),
+    "q506_stream_seasonal_band" -> (q506 _),
+    "q507_curve_knee" -> (q507 _),
+    "q508_ess_weights" -> (q508 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10213,6 +10260,13 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     s"""WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM ($lagUnions) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2), acf AS (SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3), f AS (SELECT event_type, lag, n, acf, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY acf DESC, lag) AS rk, COUNT(*) OVER (PARTITION BY event_type) AS n_lags FROM acf WHERE acf IS NOT NULL) SELECT event_type, lag AS period, acf AS strength, n AS n_pairs, CAST(n_lags AS BIGINT) AS n_lags FROM f WHERE rk = 1 ORDER BY event_type"""
   }
+
+  /** q504 AND q506 (the streaming seasonal-band store shares it
+    * verbatim): slot-value census order stats with ceiling ranks, pinned
+    * newest-day probe.
+    */
+  private val seasonalBandOracleSql: String =
+    """WITH sl AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, (epoch_ns(ts)//1000000000//3600) % 24 AS hod, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM events GROUP BY 1, 2, 3), mx AS (SELECT MAX(d) AS dmax FROM sl), cen AS (SELECT event_type AS k, hod AS slot, cents AS v, COUNT(*) AS t FROM sl GROUP BY 1, 2, 3), cc AS (SELECT k, slot, v, SUM(t) OVER (PARTITION BY k, slot ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, SUM(t) OVER (PARTITION BY k, slot) AS n FROM cen), bd AS (SELECT k, slot, CAST(MAX(n) AS BIGINT) AS n_days, MIN(CASE WHEN c >= (1 * n + 9) // 10 THEN v END) AS p10, MIN(CASE WHEN c >= (5 * n + 9) // 10 THEN v END) AS p50, MIN(CASE WHEN c >= (9 * n + 9) // 10 THEN v END) AS p90 FROM cc GROUP BY 1, 2), lv AS (SELECT event_type AS k, hod AS slot, cents AS latest_v FROM sl, mx WHERE d = mx.dmax) SELECT bd.k, bd.slot, bd.n_days, bd.p10, bd.p50, bd.p90, lv.latest_v, CASE WHEN lv.latest_v IS NOT NULL THEN lv.latest_v < bd.p10 OR lv.latest_v > bd.p90 END AS breach FROM bd LEFT JOIN lv ON bd.k = lv.k AND bd.slot = lv.slot ORDER BY bd.k, bd.slot"""
 
   /** q493 replay: the encoded-state (root·64 + dist) min-propagation
     * unrolled 8 rounds over the synthetic cycle lattice; the bipartite
@@ -11489,8 +11543,15 @@ object SparkEntry {
       """SELECT CAST(3 AS BIGINT) AS cutoff, CAST(2 AS BIGINT) AS n_dropped, TRUE AS reclaimed, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 1) AS rows_latest_before, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 1) AS rows_latest_after, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS rows_cutoff_before, (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS rows_cutoff_after, CAST(0 AS BIGINT) AS rows_below_cutoff""",
     // (key, slot, value) census order stats with integer ceiling ranks;
     // pinned newest-day probe; all windows slot-partitioned
-    "q504_seasonal_band" ->
-      """WITH sl AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, (epoch_ns(ts)//1000000000//3600) % 24 AS hod, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM events GROUP BY 1, 2, 3), mx AS (SELECT MAX(d) AS dmax FROM sl), cen AS (SELECT event_type AS k, hod AS slot, cents AS v, COUNT(*) AS t FROM sl GROUP BY 1, 2, 3), cc AS (SELECT k, slot, v, SUM(t) OVER (PARTITION BY k, slot ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, SUM(t) OVER (PARTITION BY k, slot) AS n FROM cen), bd AS (SELECT k, slot, CAST(MAX(n) AS BIGINT) AS n_days, MIN(CASE WHEN c >= (1 * n + 9) // 10 THEN v END) AS p10, MIN(CASE WHEN c >= (5 * n + 9) // 10 THEN v END) AS p50, MIN(CASE WHEN c >= (9 * n + 9) // 10 THEN v END) AS p90 FROM cc GROUP BY 1, 2), lv AS (SELECT event_type AS k, hod AS slot, cents AS latest_v FROM sl, mx WHERE d = mx.dmax) SELECT bd.k, bd.slot, bd.n_days, bd.p10, bd.p50, bd.p90, lv.latest_v, CASE WHEN lv.latest_v IS NOT NULL THEN lv.latest_v < bd.p10 OR lv.latest_v > bd.p90 END AS breach FROM bd LEFT JOIN lv ON bd.k = lv.k AND bd.slot = lv.slot ORDER BY bd.k, bd.slot""",
+    "q504_seasonal_band" -> seasonalBandOracleSql,
+    // per-batch slot partial-sums add: the drained store IS batch q504
+    "q506_stream_seasonal_band" -> seasonalBandOracleSql,
+    // exact-integer chord cross-product argmax over the rank/cumsum curve
+    "q507_curve_knee" ->
+      """WITH rev AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents FROM orders GROUP BY 1), r AS (SELECT o_custkey, cents, CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS x, CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS y FROM rev), e AS (SELECT MIN(x) AS x1, arg_min(y, x) AS y1, MAX(x) AS xn, arg_max(y, x) AS yn FROM r), d AS (SELECT x, y, abs((CAST(yn AS DECIMAL(38,0)) - CAST(y1 AS DECIMAL(38,0))) * (CAST(x AS DECIMAL(38,0)) - CAST(x1 AS DECIMAL(38,0))) - (CAST(xn AS DECIMAL(38,0)) - CAST(x1 AS DECIMAL(38,0))) * (CAST(y AS DECIMAL(38,0)) - CAST(y1 AS DECIMAL(38,0)))) AS dist FROM r, e), k AS (SELECT x, y, dist, ROW_NUMBER() OVER (ORDER BY dist DESC, x) AS rk FROM d) SELECT (SELECT COUNT(*) FROM r) AS n_points, (SELECT MIN(x) FROM r) AS x_lo, (SELECT MAX(x) FROM r) AS x_hi, x AS knee_x, y AS knee_y, CAST(dist AS DOUBLE) AS chord_cross FROM k WHERE rk = 1""",
+    // exact DECIMAL weight moments, two pinned ratios
+    "q508_ess_weights" ->
+      """WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w FROM orders) SELECT g, COUNT(*) AS n, round(CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS DOUBLE), 6) AS ess, round(CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ess_ratio FROM b GROUP BY 1 ORDER BY 1""",
     // one melted census, support cut, re-aggregate — the pinned mapping
     "q505_rare_collapse" ->
       """WITH m AS (SELECT 'p_type' AS "column", CAST(p_type AS VARCHAR) AS value FROM part UNION ALL SELECT 'p_brand', CAST(p_brand AS VARCHAR) FROM part), c AS (SELECT "column", value, COUNT(*) AS n FROM m GROUP BY 1, 2), o AS (SELECT "column", CASE WHEN n >= 5 THEN value ELSE '__other__' END AS out_value, n FROM c) SELECT "column", out_value, CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_source_values, out_value = '__other__' AS collapsed FROM o GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -1229,6 +1229,39 @@ object Relational {
           .as("cr4"))
   }
 
+  /** CURVE KNEE detection — the Kneedle-style elbow of an increasing
+    * concave curve: the point maximizing the distance to the chord
+    * between the endpoints — "how many top customers before diminishing
+    * returns", "which k stops paying" — the cut every ABC/topN policy
+    * (q339) eyeballs, made deterministic. The perpendicular-distance
+    * argmax reduces to maximizing the CROSS PRODUCT |(yₙ−y₁)(x−x₁) −
+    * (xₙ−x₁)(y−y₁)| — pure integers in DECIMAL(38,0) (the chord's
+    * constant norm divides out of an argmax), so the knee is exact, no
+    * doubles anywhere. Endpoints from one min/max_by pass; argmax one
+    * max(struct) with the smaller x breaking ties.
+    */
+  def curveKnee(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val pts = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+      .localCheckpoint(true) // endpoints pass + argmax pass
+    val ends = pts.agg(min(col("x")).as("x1"), min_by(col("y"), col("x")).as("y1"),
+      max(col("x")).as("xn"), max_by(col("y"), col("x")).as("yn"))
+    def d(c: Column): Column = c.cast(d38)
+    val cross =
+      (d(col("yn")) - d(col("y1"))) * (d(col("x")) - d(col("x1"))) -
+        (d(col("xn")) - d(col("x1"))) * (d(col("y")) - d(col("y1")))
+    pts.crossJoin(broadcast(ends))
+      .withColumn("dist", abs(cross))
+      .agg(max(struct(col("dist"), (-col("x")).as("nx"), col("x"),
+        col("y"))).as("b"),
+        min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+        count(lit(1)).as("n_points"))
+      .select(col("n_points"), col("x_lo"), col("x_hi"),
+        col("b.x").as("knee_x"), col("b.y").as("knee_y"),
+        col("b.dist").cast("double").as("chord_cross"))
+  }
+
   /** PARTIAL CORRELATION r_xy·z — does x still track y once the common
     * driver z is held fixed? The confounder screen q457's raw correlation
     * matrix can't answer (two metrics both scale with order size and

@@ -487,6 +487,30 @@ object Sampling {
         .as("eff_epochs"))
   }
 
+  /** EFFECTIVE SAMPLE SIZE of weighted data — ESS = (Σw)²/Σw², the
+    * Kish diagnostic that says how many EQUAL-WEIGHT rows a weighted
+    * set is actually worth: importance weighting (q479's DSIR scores,
+    * q371's IPS) silently concentrates the estimator on a few heavy
+    * rows, and ESS/n is the number that catches it before anyone trains
+    * on a "10M-row" corpus that is statistically 40k rows. Exact
+    * DECIMAL(38,0) weight moments per group (integer-weight contract),
+    * two pinned ratios, group-domain-sized output.
+    */
+  def essWeights(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val w = col(weightCol).cast("long").cast(d38)
+    df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), sum(w).as("sw"), sum(w * w).as("sww"))
+      .select(col("g"), col("n"),
+        round(dbl(col("sw")) * dbl(col("sw")) / dbl(col("sww")), 6).as("ess"),
+        round(dbl(col("sw")) * dbl(col("sw")) / dbl(col("sww")) /
+          dbl(col("n")), 6).as("ess_ratio"))
+  }
+
   /** NEYMAN ALLOCATION — the variance-optimal stratified sampling plan:
     * given a total budget, stratum h draws n_h ∝ N_h·S_h (size × spread),
     * the allocation that minimizes the estimator variance where

@@ -1075,6 +1075,50 @@ object StreamVerify {
       .orderBy(col("rank"))
   }
 
+  /** STREAMING SEASONAL-BAND maintenance — q504's per-slot envelope
+    * monitor as an ingestion side effect (the TENTH self-maintaining
+    * surface): each micro-batch commits its (key, day, slot,
+    * partial-cents) SUM census exactly-once; sums ADD, so the drained
+    * store re-aggregates into the exact per-(key, day, slot) value table
+    * and reads through [[graft.operators.Trend.seasonalBandPerKey]] —
+    * bit-identical to the one-pass batch q504, whose oracle it shares
+    * verbatim. Store is (keys × days × slots)-sized, never event volume.
+    */
+  def seasonalBandMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/band"
+    def censusOf(batch: DataFrame): DataFrame =
+      batch.groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        pmod(expr("unix_timestamp(ts) div 3600"), lit(24L)).as("hod"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("part"))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("ts"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"band-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val slots = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("event_type"), col("d").cast("string").as("d"),
+        col("hod").cast("long").as("hod"))
+      .agg((sum(col("part").cast(DecimalType(18, 2))) * 100).cast("long")
+        .as("cents"))
+    graft.operators.Trend.seasonalBandPerKey(
+        slots, "event_type", "d", "hod", "cents")
+      .orderBy(col("k"), col("slot"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -498,6 +498,17 @@ class RelationalSpec extends SparkSuite {
       .head().getDouble(2) == 1.666667)
   }
 
+  test("curveKnee: exact cross-product argmax finds the elbow") {
+    import spark.implicits._
+    // concave curve; chord (1,10)->(6,33): |cross| peaks at x=3 (34)
+    val pts = Seq((1L, 10L), (2L, 19L), (3L, 26L), (4L, 30L), (5L, 32L),
+      (6L, 33L)).toDF("x", "y")
+    val r = graft.operators.Relational.curveKnee(pts, "x", "y").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 1L && r.getLong(2) == 6L)
+    assert(r.getLong(3) == 3L && r.getLong(4) == 26L)
+    assert(r.getDouble(5) == 34.0)
+  }
+
   test("partialCorr: confounder partialled out, degenerate conditioning NULL") {
     import spark.implicits._
     // z drives both; within each z level x and y swap → r_xy·z = -1

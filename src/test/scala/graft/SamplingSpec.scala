@@ -199,6 +199,15 @@ class SamplingSpec extends SparkSuite {
       "unsampled strata are reported, not renormalized away")
   }
 
+  test("essWeights: equal weights read full, concentration shrinks it") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(("a", 1L)) ++ Seq(("b", 3L), ("b", 1L))).toDF("g", "w")
+    val got = Sampling.essWeights(df, "g", "w")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(2) == 4.0 && got("a").getDouble(3) == 1.0)
+    assert(got("b").getDouble(2) == 1.6 && got("b").getDouble(3) == 0.8)
+  }
+
   test("neymanAllocation: spread wins over size, budget lands exactly") {
     import spark.implicits._
     // stratum a: 4 constant rows (S=0, needs no sample); b: 2 spread rows
