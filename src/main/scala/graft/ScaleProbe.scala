@@ -502,6 +502,91 @@ object ScaleProbe {
           corpus, corpus.filter(col("vec_id") < 8), "vec_id", "embedding",
           "label", k = 10))
       },
+      "ansari_bradley" -> { () =>
+        // q490 (and the q485/q499 rank-test family): value-domain census
+        // + doubled closed-form score sums; census is value-domain-sized
+        // so the shuffle grows sublinearly in rows
+        val ev = eventsAt(f)
+        consume(graft.operators.Drift.ansariBradley(
+          ev.select((col("value") * 100).cast("long").as("cents"),
+            col("event_type")),
+          "cents", col("event_type") === "view"))
+      },
+      "dunn_posthoc" -> { () =>
+        // q499: pooled census ranks + k(k-1)/2 pair family
+        val ev = eventsAt(f)
+        consume(graft.operators.Drift.dunnTest(
+          ev.select((col("value") * 100).cast("long").as("cents"),
+            col("event_type")), "cents", "event_type"))
+      },
+      "top_movers" -> { () =>
+        // q491: user-domain census + map-side bounded TopK — the k rows
+        // per partition contract is exactly what this probe watches
+        val ev = eventsAt(f)
+        consume(graft.operators.Drift.topMovers(
+          ev.select(col("user_id"), (col("event_id") % 2 === 0).as("c")),
+          "user_id", col("c"), 10))
+      },
+      "seasonal_band" -> { () =>
+        // q504: (key, slot, value) census order stats, slot windows
+        val ev = eventsAt(f)
+        val slots = ev.groupBy(col("event_type"),
+          (evSec.cast("long") / 86400).cast("long").as("d"),
+          pmod((evSec.cast("long") / 3600).cast("long"), lit(24L)).as("hod"))
+          .agg(sum((col("value") * 100).cast("long")).as("cents"))
+        consume(graft.operators.Trend.seasonalBandPerKey(
+          slots, "event_type", "d", "hod", "cents"))
+      },
+      "hampel" -> { () =>
+        // q487: centered 7-window order stats, key-partitioned only
+        val ev = eventsAt(f)
+        val hourly = ev.groupBy(col("user_id"),
+          (evSec.cast("long") / 3600).cast("long").as("hid"))
+          .agg(sum((col("value") * 100).cast("long")).as("cents"))
+        consume(graft.operators.Trend.hampelPerKey(
+          hourly, "user_id", "hid", "cents"))
+      },
+      "curve_knee" -> { () =>
+        // q507: GlobalOrder rank + prefix sums + integer argmax
+        val o = ordersAt(f)
+        val rev = o.groupBy(col("o_custkey"))
+          .agg(sum((col("o_totalprice") * 100).cast("long")).as("cents"))
+        val ord = Seq(col("cents").desc, col("o_custkey"))
+        val ranked = graft.operators.GlobalOrder.rowNumbers(rev, ord, idCol = "x")
+        val summed = graft.operators.GlobalOrder.prefixSums(rev, ord, "cents",
+          outCol = "y")
+        val curve = ranked.select(col("o_custkey").as("ck"), col("x"))
+          .join(summed.select(col("o_custkey"), col("y")),
+            col("ck") === col("o_custkey"))
+        consume(graft.operators.Relational.curveKnee(curve, "x", "y"))
+      },
+      "personalized_pagerank" -> { () =>
+        // q500: 3 edge-join rounds over the replicated bipartite graph;
+        // source panel fixed, mass decays — work tracks edge volume
+        val li = lineitemAt(f)
+        val o = ordersAt(f)
+        val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey").as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), (-col("supp")).as("dst"))
+          .unionByName(pairs.select((-col("supp")).as("src"),
+            col("cust").as("dst")))
+        val sources = pairs.select(col("cust").as("node")).distinct()
+          .filter(col("node") % 1000000L <= 4)
+        consume(graft.operators.Graph.personalizedPageRank(edges, sources, 3))
+      },
+      "bipartite_check" -> { () =>
+        // q493: 8 min-prop rounds over an f-proportional cycle lattice
+        // (bounded component diameter — rounds stay constant, edges scale)
+        val o = ordersAt(f)
+        val gi = o.select((col("o_orderkey") - 1L).as("k0"))
+          .select(expr("k0 div 8").as("g"), expr("k0 % 8").as("i"))
+          .withColumn("c", when(col("g") % 2 === 0, 5L).otherwise(6L))
+        val edges = gi.filter(col("i") < col("c"))
+          .select((col("g") * 8L + col("i")).as("src"),
+            (col("g") * 8L + (col("i") + 1L) % col("c")).as("dst"))
+        consume(graft.operators.Graph.bipartiteCheck(edges, rounds = 8))
+      },
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
       // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not

@@ -6858,6 +6858,43 @@ object SparkEntry {
       "o_orderpriority", "cents")
       .orderBy(col("g"))
 
+  /** Wilson funnel ([[graft.operators.Drift.funnelWilson]]): the
+    * view→click→purchase conversion chain with score-interval error
+    * bars — monotone prefix counts in one pass, pinned-order Wilson
+    * bounds; the "2% ± we actually know" reading q50's bare rates lack.
+    */
+  private def q509(s: SparkSession, dir: String): DataFrame = {
+    val flags = T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(col("event_type") === "view").as("view"),
+        max(col("event_type") === "click").as("click"),
+        max(col("event_type") === "purchase").as("purchase"))
+    graft.operators.Drift.funnelWilson(
+      flags, Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+  }
+
+  /** Vocabulary coverage curve ([[graft.operators.TextPipeline
+    * .vocabCoverage]]): token share covered by the top-K vocabulary at
+    * K ∈ {256, 1024, 4096} — the table a tokenizer's vocab budget is
+    * chosen from; distributed top-K cut, parameter-sized ranking only.
+    */
+  private def q510(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.vocabCoverage(
+      T(s, dir, "documents"), "text", Seq(256, 1024, 4096))
+      .orderBy(col("k"))
+
+  /** Streaming ESS maintenance
+    * ([[graft.streaming.StreamVerify.essMaintenance]]): q508's Kish
+    * diagnostic as an ingestion side effect — per-batch (g, n, Σw, Σw²)
+    * moment partials land exactly-once, moments add, the drained store
+    * reads through essFromMoments bit-identically to the batch path.
+    * Eleventh self-maintaining surface.
+    */
+  private def q511(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.essMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q511"))
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -10111,6 +10148,9 @@ object SparkEntry {
     "q506_stream_seasonal_band" -> (q506 _),
     "q507_curve_knee" -> (q507 _),
     "q508_ess_weights" -> (q508 _),
+    "q509_wilson_funnel" -> (q509 _),
+    "q510_vocab_coverage" -> (q510 _),
+    "q511_stream_ess" -> (q511 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -11555,6 +11595,18 @@ object SparkEntry {
     // one melted census, support cut, re-aggregate — the pinned mapping
     "q505_rare_collapse" ->
       """WITH m AS (SELECT 'p_type' AS "column", CAST(p_type AS VARCHAR) AS value FROM part UNION ALL SELECT 'p_brand', CAST(p_brand AS VARCHAR) FROM part), c AS (SELECT "column", value, COUNT(*) AS n FROM m GROUP BY 1, 2), o AS (SELECT "column", CASE WHEN n >= 5 THEN value ELSE '__other__' END AS out_value, n FROM c) SELECT "column", out_value, CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_source_values, out_value = '__other__' AS collapsed FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
+    // monotone prefix counts in one pass; Wilson terms computed at
+    // runtime in the identical op order (z pinned at 1.96)
+    "q509_wilson_funnel" ->
+      """WITH f AS (SELECT user_id, BOOL_OR(event_type = 'view') AS v, BOOL_OR(event_type = 'click') AS c, BOOL_OR(event_type = 'purchase') AS p FROM events GROUP BY 1), g AS (SELECT CAST(SUM(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS c1, CAST(SUM(CASE WHEN v AND c THEN 1 ELSE 0 END) AS BIGINT) AS c2, CAST(SUM(CASE WHEN v AND c AND p THEN 1 ELSE 0 END) AS BIGINT) AS c3 FROM f), s AS (SELECT 'view->click' AS step, c1 AS trials, c2 AS successes FROM g UNION ALL SELECT 'click->purchase', c2, c3 FROM g), w AS (SELECT step, trials, successes, CAST(trials AS DOUBLE) AS n, CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS p FROM s) SELECT step, trials, successes, CASE WHEN trials > 0 THEN round(p, 6) END AS rate, CASE WHEN trials > 0 THEN round((p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n) - 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 6) END AS lo, CASE WHEN trials > 0 THEN round((p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n) + 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 6) END AS hi FROM w ORDER BY step""",
+    // census + distributed top-K cut; per-K coverage over the exact
+    // cumulative token counts
+    "q510_vocab_coverage" ->
+      """WITH w0 AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), wf AS (SELECT w, COUNT(*) AS n FROM w0 WHERE w <> '' GROUP BY 1), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM wf), r AS (SELECT w, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rk FROM wf), c AS (SELECT rk, CAST(SUM(n) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn FROM r), u AS (SELECT CAST(256 AS BIGINT) AS k UNION ALL SELECT 1024 UNION ALL SELECT 4096) SELECT u.k, MAX(c.rk) AS vocab_used, MAX(c.cumn) AS top_tokens, t.total_tokens, round(CAST(MAX(c.cumn) AS DOUBLE) / CAST(t.total_tokens AS DOUBLE), 6) AS coverage FROM u JOIN c ON c.rk <= u.k CROSS JOIN t GROUP BY u.k, t.total_tokens ORDER BY u.k""",
+    // per-batch weight moments add: the drained store IS the batch ESS
+    // over events cents by type
+    "q511_stream_ess" ->
+      """WITH b AS (SELECT CAST(event_type AS VARCHAR) AS g, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w FROM events) SELECT g, COUNT(*) AS n, round(CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS DOUBLE), 6) AS ess, round(CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ess_ratio FROM b GROUP BY 1 ORDER BY 1""",
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

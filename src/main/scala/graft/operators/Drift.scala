@@ -800,6 +800,46 @@ object Drift {
         round(h / corr, 6).as("h_tie_corrected"))
   }
 
+  /** FUNNEL with WILSON intervals — per funnel transition, the
+    * conversion rate WITH the score-interval error bars a bare q50 rate
+    * lacks: Wilson's interval stays inside [0,1] and behaves at small n
+    * and extreme p where the naive Wald interval collapses — the
+    * difference between "step 3 converts at 2%" and "step 3 converts at
+    * 2% ± we actually know". One conditional pass counts users true on
+    * every prefix of the step chain (monotone funnel semantics);
+    * trials/successes are adjacent prefix counts; z is a pinned literal
+    * and every interval term is computed at runtime in the identical
+    * operation order on both engines. Zero-trial steps emit NULLs.
+    */
+  def funnelWilson(
+      flags: DataFrame,
+      steps: Seq[String],
+      z: Double = 1.96): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    def dbl(c: Column): Column = c.cast("double")
+    val aggs = (1 to steps.size).map { i =>
+      sum(when(steps.take(i).map(col).reduce(_ && _), 1L).otherwise(0L))
+        .as(s"c$i")
+    }
+    val agg = flags.agg(aggs.head, aggs.tail: _*)
+    val rows = (1 until steps.size).map { i =>
+      agg.select(lit(s"${steps(i - 1)}->${steps(i)}").as("step"),
+        col(s"c$i").as("trials"), col(s"c${i + 1}").as("successes"))
+    }.reduce(_ unionByName _)
+    val n = dbl(col("trials"))
+    val p = dbl(col("successes")) / n
+    val zc = lit(z)
+    val z2 = zc * zc
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = zc * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    rows.select(col("step"), col("trials"), col("successes"),
+      when(col("trials") > 0L, round(p, 6)).as("rate"),
+      when(col("trials") > 0L, round(center - half, 6)).as("lo"),
+      when(col("trials") > 0L, round(center + half, 6)).as("hi"))
+  }
+
   /** HETEROGENEOUS-TREATMENT-EFFECT (interaction) z-TEST — does the
     * treatment effect DIFFER between two segments: z = (Δ₁ − Δ₂) /
     * √(V₁ + V₂) where each segment's Δ is its own Welch mean difference

@@ -501,10 +501,23 @@ object Sampling {
       groupCol: String,
       weightCol: String): DataFrame = {
     val d38 = DecimalType(38, 0)
-    def dbl(c: Column): Column = c.cast("double")
     val w = col(weightCol).cast("long").cast(d38)
-    df.groupBy(col(groupCol).cast("string").as("g"))
-      .agg(count(lit(1)).as("n"), sum(w).as("sw"), sum(w * w).as("sww"))
+    essFromMoments(df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"), sum(w).as("sw"), sum(w * w).as("sww")))
+  }
+
+  /** [[essWeights]] computed from a (g, n, Σw, Σw²) MOMENT CENSUS — rows
+    * of partials (e.g. the streaming store's per-batch commits). The
+    * moments are associative sums, so however the partials were batched
+    * the merged readout equals the one-pass [[essWeights]] bit for bit —
+    * the property that lets the streaming surface share the batch oracle.
+    */
+  def essFromMoments(census: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    census.groupBy(col("g"))
+      .agg(sum(col("n")).as("n"), sum(col("sw").cast(d38)).as("sw"),
+        sum(col("sww").cast(d38)).as("sww"))
       .select(col("g"), col("n"),
         round(dbl(col("sw")) * dbl(col("sw")) / dbl(col("sww")), 6).as("ess"),
         round(dbl(col("sw")) * dbl(col("sw")) / dbl(col("sww")) /

@@ -935,6 +935,44 @@ object TextPipeline {
           .as("score"))
   }
 
+  /** VOCABULARY COVERAGE curve — what share of corpus TOKENS the top-K
+    * vocabulary types cover, at each candidate K: the table that sizes
+    * a tokenizer's vocab budget (q156 builds the vocab, q262 reads the
+    * OOV rate at ONE cut; this is the whole curve the cut is chosen
+    * from). The top-K cut is a distributed TakeOrderedAndProject (never
+    * a full-domain rank window — the retired-q156-plan lesson); only the
+    * parameter-sized K_max frame meets a ranking window; coverage is an
+    * exact token-count ratio per K.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks.size <= 16,
+      "a handful of candidate vocab sizes")
+    val census = docs
+      .select(explode(TextFunctions.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // the total AND the top-K cut both read it
+    val total = census.agg(sum(col("n")).as("total_tokens"))
+    val ord = Window.orderBy(col("n").desc, col("w"))
+    val ranked = census.orderBy(col("n").desc, col("w")).limit(ks.max)
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("cumn", sum(col("n")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true) // one reader per candidate K
+    val rows = ks.sorted.map(k => ranked.filter(col("rk") <= k)
+      .agg(lit(k.toLong).as("k"), max(col("rk")).as("vocab_used"),
+        max(col("cumn")).as("top_tokens")))
+      .reduce(_ unionByName _)
+    rows.crossJoin(broadcast(total))
+      .select(col("k"), col("vocab_used"), col("top_tokens"),
+        col("total_tokens"),
+        round(col("top_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("coverage"))
+  }
+
   /** LANGID CONFUSION MATRIX — the "measured, not assumed" loop closed
     * for the language gate (q30): predicted vs labeled language as
     * confusion cells with per-cell share-of-label (row-normalized

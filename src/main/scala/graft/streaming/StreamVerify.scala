@@ -1119,6 +1119,49 @@ object StreamVerify {
       .orderBy(col("k"), col("slot"))
   }
 
+  /** STREAMING ESS maintenance — the Kish effective-sample-size
+    * diagnostic (q508) kept current as an ingestion side effect (the
+    * ELEVENTH self-maintaining surface): each micro-batch commits its
+    * per-group (n, Σw, Σw²) weight-moment partial exactly-once; moments
+    * ADD, so the drained store reads through
+    * [[graft.operators.Sampling.essFromMoments]] bit-identically to the
+    * one-pass batch readout over the same rows. The store is
+    * group-domain-sized (3 longs per group per batch), never row volume
+    * — the cheapest sufficient statistic after q486's digit census.
+    */
+  def essMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/ess"
+    def censusOf(batch: DataFrame): DataFrame = {
+      val w = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+        .cast(DecimalType(38, 0))
+      batch.groupBy(col("event_type").as("g"))
+        .agg(count(lit(1)).as("n"), sum(w).as("sw"), sum(w * w).as("sww"))
+    }
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"ess-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Sampling.essFromMoments(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("g").cast("string").as("g"), col("n").cast("long").as("n"),
+          col("sw"), col("sww")))
+      .orderBy(col("g"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -285,6 +285,26 @@ class ProfilingSpec extends SparkSuite {
     assert(r.getDouble(6) == -4.0)
   }
 
+  test("funnelWilson: monotone prefix counts, hand Wilson interval") {
+    import spark.implicits._
+    val flags = Seq((true, false, false), (true, true, false),
+      (true, true, false), (true, true, true)).toDF("v", "c", "p")
+    val got = graft.operators.Drift.funnelWilson(flags, Seq("v", "c", "p"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = got("v->c")
+    assert(s1.getLong(1) == 4L && s1.getLong(2) == 3L)
+    assert(s1.getDouble(3) == 0.75)
+    val z = 1.96; val n = 4.0; val p = 0.75
+    val denom = 1.0 + z * z / n
+    val center = (p + z * z / (2.0 * n)) / denom
+    val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) / denom
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s1.getDouble(4) == r6(center - half))
+    assert(s1.getDouble(5) == r6(center + half))
+    assert(got("c->p").getLong(1) == 3L && got("c->p").getLong(2) == 1L)
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away

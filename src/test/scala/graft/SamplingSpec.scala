@@ -208,6 +208,24 @@ class SamplingSpec extends SparkSuite {
     assert(got("b").getDouble(2) == 1.6 && got("b").getDouble(3) == 0.8)
   }
 
+  test("essFromMoments: batch-split moment partials equal the one-pass path") {
+    import spark.implicits._
+    val rows = (Seq.fill(4)(("a", 1L)) ++ Seq(("b", 3L), ("b", 1L))).toDF("g", "w")
+    val onePass = Sampling.essWeights(rows, "g", "w")
+      .orderBy(col("g")).collect().toSeq
+    def cen(df: org.apache.spark.sql.DataFrame) = {
+      val w = col("w").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      df.groupBy(col("g")).agg(count(lit(1)).as("n"), sum(w).as("sw"),
+        sum(w * w).as("sww"))
+    }
+    val half1 = rows.limit(3)
+    val half2 = rows.exceptAll(half1)
+    val census = Sampling.essFromMoments(
+        cen(half1).unionByName(cen(half2)))
+      .orderBy(col("g")).collect().toSeq
+    assert(census == onePass)
+  }
+
   test("neymanAllocation: spread wins over size, budget lands exactly") {
     import spark.implicits._
     // stratum a: 4 constant rows (S=0, needs no sample); b: 2 spread rows

@@ -276,6 +276,18 @@ class TextPipelineSpec extends SparkSuite {
     assert(g2.toSeq == Seq(("aa", 2L), ("aaa", 1L)))
   }
 
+  test("vocabCoverage: exact cumulative shares at each candidate K") {
+    import spark.implicits._
+    val docs = Seq("a a a b b c").toDF("text")
+    val got = graft.operators.TextPipeline
+      .vocabCoverage(docs, "text", Seq(1, 2, 5))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(2) == 3L && got(1L).getDouble(4) == 0.5)
+    assert(got(2L).getDouble(4) == 0.833333)
+    assert(got(5L).getLong(1) == 3L, "vocab smaller than K reports its size")
+    assert(got(5L).getDouble(4) == 1.0)
+  }
+
   test("langidConfusion: cells, row shares, global accuracy") {
     import spark.implicits._
     val docs = Seq(
