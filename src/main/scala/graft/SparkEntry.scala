@@ -6895,6 +6895,71 @@ object SparkEntry {
     graft.streaming.StreamVerify.essMaintenance(
       s, q135Events(s, dir), scratch(dir, "q511"))
 
+  /** Holm–Bonferroni gate ([[graft.operators.Drift.holmBonferroni]]):
+    * the step-DOWN FWER control beside q420's BH step-up over the same
+    * per-nation Welch-z family — reject smallest p while
+    * p ≤ α/(m−r+1), stop at the first failure; the gate for "one false
+    * page costs more than a few missed ones".
+    */
+  private def q512(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.holmBonferroni(
+      T(s, dir, "customer")
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents")),
+      "n_name", "cents")
+      .orderBy(col("p_rank"))
+
+  /** Lake log-health report: the observability surface an operator
+    * watches before a 100 TB table's open cost degrades — latest
+    * version, raw entry/checkpoint counts, [[TxLake.replayCount]] at
+    * latest (entries a read parses after the newest checkpoint), orphan
+    * count, snapshot mass. Built against a staged lake with a known
+    * history (6 commits, checkpoint, 2 more, 1 injected orphan) so every
+    * number is a construction fact.
+    */
+  private def q513(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLake
+    graft.sources.LocalFs.deleteRecursively(scratch(dir, "q513"))
+    val lake = scratch(dir, "q513") + "/t"
+    val o = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    (0 until 6).foreach(i =>
+      TxLake.commit(s, lake, o.filter(col("o_orderkey") % 6 === i)))
+    TxLake.checkpoint(lake) // summarizes v6
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 11 === 0))
+    TxLake.commit(s, lake, o.filter(col("o_orderkey") % 11 === 1))
+    // crashed-writer residue: one parquet file no reservation ever saw
+    val vNext = TxLake.latestVersion(lake) + 1
+    o.filter(col("o_orderkey") % 97 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$lake/data/v$vNext")
+    val logFiles = new java.io.File(s"$lake/_log").listFiles().map(_.getName)
+    import s.implicits._
+    Seq((TxLake.latestVersion(lake),
+      logFiles.count(_.endsWith(".json")).toLong,
+      logFiles.count(_.endsWith(".ckpt")).toLong,
+      logFiles.filter(_.endsWith(".ckpt"))
+        .map(_.stripPrefix("checkpoint-").stripSuffix(".ckpt").toLong).max,
+      TxLake.replayCount(lake).toLong,
+      TxLake.orphanFiles(lake).size.toLong,
+      TxLake.readSnapshot(s, lake).count()))
+      .toDF("latest_version", "n_log_entries", "n_checkpoints",
+        "ckpt_version", "replay_at_latest", "n_orphans", "snapshot_rows")
+  }
+
+  /** Streaming funnel maintenance
+    * ([[graft.streaming.StreamVerify.funnelMaintenance]]): q509's
+    * Wilson funnel as an ingestion side effect — per-batch per-user
+    * step-flag partials land exactly-once; boolean OR is associative,
+    * commutative and idempotent, so the drained readout is bit-equal to
+    * batch q509 and shares its oracle verbatim. Twelfth self-maintaining
+    * surface.
+    */
+  private def q514(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.funnelMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q514"))
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -10151,6 +10216,9 @@ object SparkEntry {
     "q509_wilson_funnel" -> (q509 _),
     "q510_vocab_coverage" -> (q510 _),
     "q511_stream_ess" -> (q511 _),
+    "q512_holm_bonferroni" -> (q512 _),
+    "q513_log_health" -> (q513 _),
+    "q514_stream_funnel" -> (q514 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10300,6 +10368,12 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     s"""WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM ($lagUnions) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2), acf AS (SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3), f AS (SELECT event_type, lag, n, acf, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY acf DESC, lag) AS rk, COUNT(*) OVER (PARTITION BY event_type) AS n_lags FROM acf WHERE acf IS NOT NULL) SELECT event_type, lag AS period, acf AS strength, n AS n_pairs, CAST(n_lags AS BIGINT) AS n_lags FROM f WHERE rk = 1 ORDER BY event_type"""
   }
+
+  /** q509 AND q514 (the streaming funnel store shares it verbatim):
+    * monotone prefix counts + runtime Wilson terms, z pinned 1.96.
+    */
+  private val wilsonFunnelOracleSql: String =
+    """WITH f AS (SELECT user_id, BOOL_OR(event_type = 'view') AS v, BOOL_OR(event_type = 'click') AS c, BOOL_OR(event_type = 'purchase') AS p FROM events GROUP BY 1), g AS (SELECT CAST(SUM(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS c1, CAST(SUM(CASE WHEN v AND c THEN 1 ELSE 0 END) AS BIGINT) AS c2, CAST(SUM(CASE WHEN v AND c AND p THEN 1 ELSE 0 END) AS BIGINT) AS c3 FROM f), s AS (SELECT 'view->click' AS step, c1 AS trials, c2 AS successes FROM g UNION ALL SELECT 'click->purchase', c2, c3 FROM g), w AS (SELECT step, trials, successes, CAST(trials AS DOUBLE) AS n, CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS p FROM s) SELECT step, trials, successes, CASE WHEN trials > 0 THEN round(p, 6) END AS rate, CASE WHEN trials > 0 THEN round((p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n) - 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 6) END AS lo, CASE WHEN trials > 0 THEN round((p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n) + 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 6) END AS hi FROM w ORDER BY step"""
 
   /** q504 AND q506 (the streaming seasonal-band store shares it
     * verbatim): slot-value census order stats with ceiling ranks, pinned
@@ -11597,8 +11671,9 @@ object SparkEntry {
       """WITH m AS (SELECT 'p_type' AS "column", CAST(p_type AS VARCHAR) AS value FROM part UNION ALL SELECT 'p_brand', CAST(p_brand AS VARCHAR) FROM part), c AS (SELECT "column", value, COUNT(*) AS n FROM m GROUP BY 1, 2), o AS (SELECT "column", CASE WHEN n >= 5 THEN value ELSE '__other__' END AS out_value, n FROM c) SELECT "column", out_value, CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_source_values, out_value = '__other__' AS collapsed FROM o GROUP BY 1, 2 ORDER BY 1, 2""",
     // monotone prefix counts in one pass; Wilson terms computed at
     // runtime in the identical op order (z pinned at 1.96)
-    "q509_wilson_funnel" ->
-      """WITH f AS (SELECT user_id, BOOL_OR(event_type = 'view') AS v, BOOL_OR(event_type = 'click') AS c, BOOL_OR(event_type = 'purchase') AS p FROM events GROUP BY 1), g AS (SELECT CAST(SUM(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS c1, CAST(SUM(CASE WHEN v AND c THEN 1 ELSE 0 END) AS BIGINT) AS c2, CAST(SUM(CASE WHEN v AND c AND p THEN 1 ELSE 0 END) AS BIGINT) AS c3 FROM f), s AS (SELECT 'view->click' AS step, c1 AS trials, c2 AS successes FROM g UNION ALL SELECT 'click->purchase', c2, c3 FROM g), w AS (SELECT step, trials, successes, CAST(trials AS DOUBLE) AS n, CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS p FROM s) SELECT step, trials, successes, CASE WHEN trials > 0 THEN round(p, 6) END AS rate, CASE WHEN trials > 0 THEN round((p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n) - 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 6) END AS lo, CASE WHEN trials > 0 THEN round((p + 1.96 * 1.96 / (2.0 * n)) / (1.0 + 1.96 * 1.96 / n) + 1.96 * sqrt(p * (1.0 - p) / n + 1.96 * 1.96 / (4.0 * n * n)) / (1.0 + 1.96 * 1.96 / n), 6) END AS hi FROM w ORDER BY step""",
+    "q509_wilson_funnel" -> wilsonFunnelOracleSql,
+    // OR-mergeable per-user flags: the drained store IS batch q509
+    "q514_stream_funnel" -> wilsonFunnelOracleSql,
     // census + distributed top-K cut; per-K coverage over the exact
     // cumulative token counts
     "q510_vocab_coverage" ->
@@ -11607,6 +11682,13 @@ object SparkEntry {
     // over events cents by type
     "q511_stream_ess" ->
       """WITH b AS (SELECT CAST(event_type AS VARCHAR) AS g, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w FROM events) SELECT g, COUNT(*) AS n, round(CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS DOUBLE), 6) AS ess, round(CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) * CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) / CAST(SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS ess_ratio FROM b GROUP BY 1 ORDER BY 1""",
+    // the q420 Welch-z/A&S-p family with the step-DOWN scan: first
+    // failing rank kills everything after (min-window, never per-rank)
+    "q512_holm_bonferroni" ->
+      """WITH c AS (SELECT n.n_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM customer JOIN nation n ON c_nationkey = n_nationkey), g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS na, SUM(CAST(cents AS DECIMAL(38,0))) AS sa, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS saa FROM c GROUP BY 1), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, SUM(CAST(cents AS DECIMAL(38,0))) AS st, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS stt FROM c), j AS (SELECT n_name, na, CAST(sa AS DOUBLE) AS saD, CAST(saa AS DOUBLE) AS saaD, nt - na AS nb, CAST(st - sa AS DOUBLE) AS sbD, CAST(stt - saa AS DOUBLE) AS sbbD FROM g, t), zc AS (SELECT n_name, na, (saD / CAST(na AS DOUBLE) - sbD / CAST(nb AS DOUBLE)) / sqrt(((CAST(na AS DOUBLE) * saaD - saD * saD) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) + ((CAST(nb AS DOUBLE) * sbbD - sbD * sbD) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)) AS z FROM j), pt AS (SELECT n_name, na, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zc), pp AS (SELECT n_name, na, round(z, 6) AS zr, round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), hb AS (SELECT n_name, na, zr, p, CAST(ROW_NUMBER() OVER (ORDER BY p, n_name) AS BIGINT) AS r, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pp), kf AS (SELECT MIN(CASE WHEN p * (CAST(m AS DOUBLE) - CAST(r AS DOUBLE) + 1.0) > 0.05 THEN r END) AS kfail FROM hb) SELECT n_name AS g, na AS n, zr AS z, p, r AS p_rank, round(0.05 / (CAST(m AS DOUBLE) - CAST(r AS DOUBLE) + 1.0), 9) AS holm_crit, (kf.kfail IS NULL OR r < kf.kfail) AS rejected FROM hb, kf ORDER BY p_rank""",
+    // every number is a construction fact of the staged 8-version lake
+    "q513_log_health" ->
+      """SELECT CAST(8 AS BIGINT) AS latest_version, CAST(8 AS BIGINT) AS n_log_entries, CAST(1 AS BIGINT) AS n_checkpoints, CAST(6 AS BIGINT) AS ckpt_version, CAST(2 AS BIGINT) AS replay_at_latest, CAST(1 AS BIGINT) AS n_orphans, (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 1) AS snapshot_rows""",
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

@@ -800,6 +800,60 @@ object Drift {
         round(h / corr, 6).as("h_tie_corrected"))
   }
 
+  /** HOLM–BONFERRONI step-DOWN control — the FWER sibling of [[bhFdr]]'s
+    * FDR step-up: reject the smallest p-values while p_r ≤ α/(m−r+1) and
+    * STOP at the first failure (monotone by construction — a later rank
+    * can never resurrect). Strictly stronger guarantee than BH (no false
+    * rejection at all, with probability 1−α) at the price of power — the
+    * right gate when ONE false "this nation shifted" page costs more
+    * than a few missed ones. Same per-nation Welch-z family machinery as
+    * [[bhFdr]]: exact DECIMAL moments, pinned z and A&S tail p, then the
+    * step-down scan as family-sized windows (rank, first-failure min).
+    */
+  def holmBonferroni(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val g = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("na"), sum(v).as("sa"), sum(v * v).as("saa"))
+    val t = df.agg(count(lit(1)).as("nt"), sum(v).as("st"),
+      sum(v * v).as("stt"))
+    val j = g.crossJoin(broadcast(t))
+      .withColumn("nb", col("nt") - col("na"))
+      .withColumn("sb", col("st") - col("sa"))
+      .withColumn("sbb", col("stt") - col("saa"))
+    val na = dbl(col("na")); val nb = dbl(col("nb"))
+    val va = (na * dbl(col("saa")) - dbl(col("sa")) * dbl(col("sa"))) /
+      (na * (na - 1.0)) / na
+    val vb = (nb * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))) /
+      (nb * (nb - 1.0)) / nb
+    val z = (dbl(col("sa")) / na - dbl(col("sb")) / nb) / sqrt(va + vb)
+    val staged = j
+      .withColumn("zr", round(z, 6))
+      .withColumn("p", round(normalTailP2(z), 9))
+    val fam = Window.partitionBy()
+    val ranked = staged
+      .withColumn("r", row_number().over(
+        fam.orderBy(col("p"), col("g"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(fam))
+    // step-down: first rank whose scaled p fails kills everything after
+    ranked
+      .withColumn("kfail", min(when(
+        col("p") * (dbl(col("m")) - dbl(col("r")) + lit(1.0)) > lit(alpha),
+        col("r"))).over(fam))
+      .select(col("g"), col("na").as("n"), col("zr").as("z"), col("p"),
+        col("r").as("p_rank"),
+        round(lit(alpha) / (dbl(col("m")) - dbl(col("r")) + lit(1.0)), 9)
+          .as("holm_crit"),
+        (col("kfail").isNull || col("r") < col("kfail")).as("rejected"))
+  }
+
   /** FUNNEL with WILSON intervals — per funnel transition, the
     * conversion rate WITH the score-interval error bars a bare q50 rate
     * lacks: Wilson's interval stays inside [0,1] and behaves at small n

@@ -1162,6 +1162,48 @@ object StreamVerify {
       .orderBy(col("g"))
   }
 
+  /** STREAMING FUNNEL maintenance — q509's Wilson-interval funnel as an
+    * ingestion side effect (the TWELFTH self-maintaining surface): each
+    * micro-batch commits its per-user step-flag partials exactly-once;
+    * boolean OR is associative, commutative AND idempotent, so the
+    * drained store's OR-merge equals the batch per-user flags however
+    * events were batched (even under replays), and the funnel readout is
+    * bit-equal to batch q509 — whose oracle it shares verbatim. Store is
+    * user-domain-sized.
+    */
+  def funnelMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/funnel"
+    def flagsOf(batch: DataFrame): DataFrame =
+      batch.groupBy(col("user_id"))
+        .agg(max(col("event_type") === "view").as("view"),
+          max(col("event_type") === "click").as("click"),
+          max(col("event_type") === "purchase").as("purchase"))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("event_type"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          flagsOf(batch).coalesce(1), tag = s"funnel-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val merged = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("user_id"))
+      .agg(max(col("view")).as("view"), max(col("click")).as("click"),
+        max(col("purchase")).as("purchase"))
+    graft.operators.Drift.funnelWilson(
+        merged, Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -305,6 +305,31 @@ class ProfilingSpec extends SparkSuite {
     assert(got("c->p").getLong(1) == 3L && got("c->p").getLong(2) == 1L)
   }
 
+  test("holmBonferroni: step-down prefix property, criticals scale") {
+    import spark.implicits._
+    // one wildly shifted group, one mildly, two null — whatever the
+    // p-values land at, rejection must be a PREFIX of the p-ranking with
+    // the first failing scaled p killing everything after
+    val rows = (Seq.fill(40)(("a", 1000L)) ++ Seq.fill(40)(("b", 60L)) ++
+      Seq.fill(40)(("c", 52L)) ++ Seq.fill(40)(("d", 49L)))
+      .zipWithIndex.map { case ((g, base), i) => (g, base + (i % 7)) }
+      .toDF("g", "v")
+    val got = graft.operators.Drift.holmBonferroni(rows, "g", "v")
+      .orderBy(col("p_rank")).collect()
+    val m = got.length.toDouble
+    val scaled = got.zipWithIndex.map { case (r, i) =>
+      r.getDouble(3) * (m - (i + 1) + 1.0) <= 0.05
+    }
+    val expected = scaled.scanLeft(true)(_ && _).tail // prefix-and
+    assert(got.map(_.getBoolean(6)).toSeq == expected.toSeq)
+    assert(got.head.getBoolean(6), "the extreme shift must reject")
+    got.zipWithIndex.foreach { case (r, i) =>
+      val crit = BigDecimal(0.05 / (m - (i + 1) + 1.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == crit)
+    }
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away
