@@ -6960,6 +6960,99 @@ object SparkEntry {
     graft.streaming.StreamVerify.funnelMaintenance(
       s, q135Events(s, dir), scratch(dir, "q514"))
 
+  /** Dedup threshold sweep: the est-Jaccard PRECISION curve over the
+    * production q84 banding — at each candidate threshold, how many
+    * candidate pairs survive and what fraction are TRUE near-dups
+    * (exact 3-shingle Jaccard ≥ 0.35 on the capped sample, the q340
+    * truth) — the curve a dedup run picks its cut from, where q340
+    * meters one config's recall.
+    */
+  private def q515(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val docs = T(s, dir, "documents").filter(col("doc_id") < 300)
+    val cand = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.0)
+    val sets = Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("g"))
+    val scored = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("g").as("ga")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("g").as("gb")), "id_b")
+      .withColumn("true_j",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double"))
+      .localCheckpoint(true) // one reader per threshold
+    val rows = Seq(0.3, 0.4, 0.5, 0.6, 0.7).map { t =>
+      scored.agg(lit(t).as("threshold"),
+        sum(when(col("est_jaccard") >= t, 1L).otherwise(0L))
+          .as("n_candidates"),
+        sum(when(col("est_jaccard") >= t && col("true_j") >= 0.35, 1L)
+          .otherwise(0L)).as("n_true"))
+    }.reduce(_ unionByName _)
+    rows.withColumn("precision",
+      when(col("n_candidates") > 0L,
+        round(col("n_true").cast("double") /
+          col("n_candidates").cast("double"), 6)))
+      .orderBy(col("threshold"))
+  }
+
+  /** Neyman plan EXECUTION: q488's variance-optimal allocation drawn —
+    * per stratum, the planned quota filled by the deterministic md5
+    * rank (the q48 recipe), capped at the stratum's size; readout
+    * proves the draw hit the plan exactly (keys checksummed).
+    */
+  private def q516(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "orders").select(col("o_orderpriority"),
+      col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val plan = graft.operators.Sampling.neymanAllocation(
+      base, "o_orderpriority", "cents", budget = 500L)
+      .select(col("stratum"), col("alloc"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(md5(col("o_orderkey").cast("string").cast("binary")),
+        col("o_orderkey"))
+    val drawn = base.withColumn("rn", row_number().over(w))
+      .join(broadcast(plan), col("o_orderpriority") === col("stratum"))
+      .filter(col("rn") <= col("alloc"))
+    drawn.groupBy(col("stratum"))
+      .agg(max(col("alloc")).as("alloc"), count(lit(1)).as("n_drawn"),
+        sum(col("o_orderkey")).as("drawn_key_sum"))
+      .orderBy(col("stratum"))
+  }
+
+  /** Streaming vocab-coverage maintenance
+    * ([[graft.streaming.StreamVerify.vocabCoverageMaintenance]]):
+    * q510's coverage curve as an ingestion side effect — per-batch
+    * (token, n) censuses land exactly-once, counts add, the drained
+    * store reads through vocabCoverageFromCensus and shares q510's
+    * oracle verbatim. Thirteenth self-maintaining surface.
+    */
+  private def q517(s: SparkSession, dir: String): DataFrame = {
+    // stage documents as TWO files so the drain really merges batches
+    val staged = scratch(dir, "q517_docs")
+    if (!new java.io.File(s"$staged/_half0/_SUCCESS").exists()) {
+      Seq(0, 1).foreach { par =>
+        T(s, dir, "documents").filter(col("doc_id") % 2 === par)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$staged/_half$par")
+      }
+    }
+    val src = scratch(dir, "q517_src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq(0, 1).foreach { par =>
+      val part = new java.io.File(s"$staged/_half$par").listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("doc half write produced no part file"))
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/half$par.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    graft.streaming.StreamVerify.vocabCoverageMaintenance(
+      s, src, scratch(dir, "q517"), Seq(256, 1024, 4096))
+  }
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -10219,6 +10312,9 @@ object SparkEntry {
     "q512_holm_bonferroni" -> (q512 _),
     "q513_log_health" -> (q513 _),
     "q514_stream_funnel" -> (q514 _),
+    "q515_dedup_threshold_sweep" -> (q515 _),
+    "q516_neyman_draw" -> (q516 _),
+    "q517_stream_vocab_coverage" -> (q517 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10368,6 +10464,12 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     s"""WITH h AS (SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 AS hid, CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v FROM events GROUP BY 1, 2), l AS (SELECT event_type, lag, v AS x, w FROM ($lagUnions) WHERE w IS NOT NULL), a AS (SELECT event_type, lag, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(w AS DECIMAL(38,0))) AS sy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx, SUM(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS syy, SUM(CAST(x AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS sxy FROM l GROUP BY 1, 2), acf AS (SELECT event_type, lag, n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf FROM a WHERE n >= 3), f AS (SELECT event_type, lag, n, acf, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY acf DESC, lag) AS rk, COUNT(*) OVER (PARTITION BY event_type) AS n_lags FROM acf WHERE acf IS NOT NULL) SELECT event_type, lag AS period, acf AS strength, n AS n_pairs, CAST(n_lags AS BIGINT) AS n_lags FROM f WHERE rk = 1 ORDER BY event_type"""
   }
+
+  /** q510 AND q517 (the streaming vocab store shares it verbatim):
+    * token census + distributed top-K cut, per-K coverage.
+    */
+  private val vocabCoverageOracleSql: String =
+    """WITH w0 AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), wf AS (SELECT w, COUNT(*) AS n FROM w0 WHERE w <> '' GROUP BY 1), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM wf), r AS (SELECT w, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rk FROM wf), c AS (SELECT rk, CAST(SUM(n) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn FROM r), u AS (SELECT CAST(256 AS BIGINT) AS k UNION ALL SELECT 1024 UNION ALL SELECT 4096) SELECT u.k, MAX(c.rk) AS vocab_used, MAX(c.cumn) AS top_tokens, t.total_tokens, round(CAST(MAX(c.cumn) AS DOUBLE) / CAST(t.total_tokens AS DOUBLE), 6) AS coverage FROM u JOIN c ON c.rk <= u.k CROSS JOIN t GROUP BY u.k, t.total_tokens ORDER BY u.k"""
 
   /** q509 AND q514 (the streaming funnel store shares it verbatim):
     * monotone prefix counts + runtime Wilson terms, z pinned 1.96.
@@ -11676,8 +11778,9 @@ object SparkEntry {
     "q514_stream_funnel" -> wilsonFunnelOracleSql,
     // census + distributed top-K cut; per-K coverage over the exact
     // cumulative token counts
-    "q510_vocab_coverage" ->
-      """WITH w0 AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), wf AS (SELECT w, COUNT(*) AS n FROM w0 WHERE w <> '' GROUP BY 1), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM wf), r AS (SELECT w, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rk FROM wf), c AS (SELECT rk, CAST(SUM(n) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn FROM r), u AS (SELECT CAST(256 AS BIGINT) AS k UNION ALL SELECT 1024 UNION ALL SELECT 4096) SELECT u.k, MAX(c.rk) AS vocab_used, MAX(c.cumn) AS top_tokens, t.total_tokens, round(CAST(MAX(c.cumn) AS DOUBLE) / CAST(t.total_tokens AS DOUBLE), 6) AS coverage FROM u JOIN c ON c.rk <= u.k CROSS JOIN t GROUP BY u.k, t.total_tokens ORDER BY u.k""",
+    "q510_vocab_coverage" -> vocabCoverageOracleSql,
+    // token censuses add: the drained store IS the batch curve
+    "q517_stream_vocab_coverage" -> vocabCoverageOracleSql,
     // per-batch weight moments add: the drained store IS the batch ESS
     // over events cents by type
     "q511_stream_ess" ->
@@ -11689,6 +11792,13 @@ object SparkEntry {
     // every number is a construction fact of the staged 8-version lake
     "q513_log_health" ->
       """SELECT CAST(8 AS BIGINT) AS latest_version, CAST(8 AS BIGINT) AS n_log_entries, CAST(1 AS BIGINT) AS n_checkpoints, CAST(6 AS BIGINT) AS ckpt_version, CAST(2 AS BIGINT) AS replay_at_latest, CAST(1 AS BIGINT) AS n_orphans, (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 1) AS snapshot_rows""",
+    // the q84 banding with threshold 0, exact shingle Jaccard on the
+    // candidates, and the per-threshold precision sweep
+    "q515_dedup_threshold_sweep" ->
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs WHERE doc_id < 300), sets AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform(sh, s -> tosigned(s)))) AS g FROM shingled), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands), cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32.0 AS est FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64), sc AS (SELECT cp.id_a, cp.id_b, cp.est, CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.g, sb.g))) AS DOUBLE) AS tj FROM cp JOIN sets sa ON cp.id_a = sa.id JOIN sets sb ON cp.id_b = sb.id), u AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS th) SELECT th AS threshold, CAST(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates, CAST(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true, CASE WHEN SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) > 0 THEN round(CAST(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS precision FROM u CROSS JOIN sc GROUP BY th ORDER BY threshold""",
+    // the q488 micro-share plan + the q48 md5 rank draw, checksummed
+    "q516_neyman_draw" ->
+      """WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS stratum, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM orders), per AS (SELECT stratum, COUNT(*) AS n_rows, SUM(CAST(c AS DECIMAL(38,0))) AS sv, SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS svv FROM b GROUP BY 1), sd0 AS (SELECT stratum, n_rows, CASE WHEN n_rows > 1 THEN round(sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0)), 6) ELSE 0.0 END AS sd FROM per), w0 AS (SELECT stratum, n_rows, sd, CAST(round(CAST(n_rows AS DOUBLE) * sd, 6) AS DECIMAL(28,6)) AS w FROM sd0), sh AS (SELECT stratum, n_rows, CASE WHEN SUM(w) OVER () > 0 THEN CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) ELSE CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) END AS share FROM w0), su0 AS (SELECT stratum, CAST(round(share * 1.0e12, 0) AS BIGINT) AS su FROM sh), st AS (SELECT stratum, su, SUM(su) OVER () AS s_total FROM su0), ba AS (SELECT stratum, su, (500 * su) // s_total AS base, (500 * su) % s_total AS rem FROM st), lf AS (SELECT stratum, base, 500 - SUM(base) OVER () AS leftover, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS erk FROM ba), plan AS (SELECT stratum, CAST(base + CASE WHEN erk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM lf), rk AS (SELECT stratum, o_orderkey, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn FROM b), dr AS (SELECT rk.stratum, rk.o_orderkey FROM rk JOIN plan ON rk.stratum = plan.stratum AND rk.rn <= plan.alloc) SELECT dr.stratum, MAX(plan.alloc) AS alloc, COUNT(*) AS n_drawn, CAST(SUM(dr.o_orderkey) AS BIGINT) AS drawn_key_sum FROM dr JOIN plan ON dr.stratum = plan.stratum GROUP BY 1 ORDER BY 1""",
     // metadata-only: 2 injected crashed-writer files; orphan mass and
     // the untouched snapshot replay as plain counts
     "q481_orphan_gc" ->

@@ -947,13 +947,23 @@ object TextPipeline {
   def vocabCoverage(
       docs: DataFrame,
       textCol: String,
-      ks: Seq[Int]): DataFrame = {
+      ks: Seq[Int]): DataFrame =
+    vocabCoverageFromCensus(
+      docs.select(explode(TextFunctions.words(col(textCol))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n")), ks)
+
+  /** [[vocabCoverage]] computed from a (w, n) TOKEN CENSUS — rows of
+    * partials (e.g. the streaming store's per-batch commits). Counts
+    * ADD, so however the partials were batched the merged census — and
+    * every output bit — equals the one-pass [[vocabCoverage]]; the
+    * property that lets the streaming surface share the batch oracle.
+    */
+  def vocabCoverageFromCensus(censusDf: DataFrame, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks.size <= 16,
       "a handful of candidate vocab sizes")
-    val census = docs
-      .select(explode(TextFunctions.words(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val census = censusDf
+      .groupBy(col("w")).agg(sum(col("n")).as("n"))
       .localCheckpoint(true) // the total AND the top-K cut both read it
     val total = census.agg(sum(col("n")).as("total_tokens"))
     val ord = Window.orderBy(col("n").desc, col("w"))

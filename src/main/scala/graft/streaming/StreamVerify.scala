@@ -1204,6 +1204,50 @@ object StreamVerify {
       .orderBy(col("step"))
   }
 
+  /** STREAMING VOCAB-COVERAGE maintenance — q510's coverage curve as an
+    * ingestion side effect (the THIRTEENTH self-maintaining surface):
+    * each micro-batch commits its (token, n) census partial
+    * exactly-once; counts ADD, so the drained store reads through
+    * [[graft.operators.TextPipeline.vocabCoverageFromCensus]]
+    * bit-identically to the one-pass batch curve — whose oracle it
+    * shares verbatim. Store is token-domain-sized (the vocabulary a
+    * tokenizer team maintains anyway), never corpus volume.
+    */
+  def vocabCoverageMaintenance(
+      spark: SparkSession,
+      docsPath: String,
+      scratchDir: String,
+      ks: Seq[Int]): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/vocab"
+    def censusOf(batch: DataFrame): DataFrame =
+      batch.select(explode(
+        graft.functions.TextFunctions.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val q = spark.readStream
+      .schema(spark.read.parquet(docsPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsPath)
+      .select(col("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"vocab-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.TextPipeline.vocabCoverageFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("w").cast("string").as("w"), col("n").cast("long").as("n")),
+      ks)
+      .orderBy(col("k"))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

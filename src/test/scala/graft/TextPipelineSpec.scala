@@ -288,6 +288,23 @@ class TextPipelineSpec extends SparkSuite {
     assert(got(5L).getDouble(4) == 1.0)
   }
 
+  test("vocabCoverageFromCensus: batch-split token censuses equal one pass") {
+    import spark.implicits._
+    val docs = Seq("a a b", "a b c d").toDF("text")
+    val onePass = graft.operators.TextPipeline
+      .vocabCoverage(docs, "text", Seq(2, 4))
+      .orderBy(col("k")).collect().toSeq
+    def cen(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(graft.functions.TextFunctions.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val census = graft.operators.TextPipeline.vocabCoverageFromCensus(
+        cen(docs.limit(1)).unionByName(cen(docs.exceptAll(docs.limit(1)))),
+        Seq(2, 4))
+      .orderBy(col("k")).collect().toSeq
+    assert(census == onePass)
+  }
+
   test("langidConfusion: cells, row shares, global accuracy") {
     import spark.implicits._
     val docs = Seq(
