@@ -7053,6 +7053,51 @@ object SparkEntry {
       s, src, scratch(dir, "q517"), Seq(256, 1024, 4096))
   }
 
+  /** Mann–Whitney effect sizes ([[graft.operators.Drift.mwEffectSizes]]):
+    * q319's rank test shipped WITH its effect report — CLES (probability
+    * a random urgent total exceeds a random low one) and rank-biserial
+    * r; at 10⁹ rows everything is "significant", only these say whether
+    * anyone should care.
+    */
+  private def q518(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.mwEffectSizes(
+      T(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"), col("o_orderpriority")),
+      "cents", col("o_orderpriority") === "1-URGENT")
+
+  /** Restricted mean survival time ([[graft.operators.Trend.rmstFromKm]]):
+    * the area under q321's KM curve to a 200-bucket horizon — the
+    * censoring-proof "average lifetime" summary; step integral with
+    * grid-survival × integer-gap terms.
+    */
+  private def q519(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000000").cast("long").as("sec"))
+    val b = ev.agg(min(col("sec")).as("lo"), max(col("sec")).as("hi")).head()
+    val cutoff = b.getLong(0) + 2L * (b.getLong(1) - b.getLong(0)) / 3L
+    graft.operators.Trend.rmstFromKm(
+      graft.operators.Trend.kaplanMeier(ev, "user_id", "sec", cutoff),
+      tau = 200L)
+  }
+
+  /** Log-rank test ([[graft.operators.Trend.logRank]]): do the two
+    * md5-split user arms' survival curves differ — the censoring-aware
+    * whole-curve comparison completing the survival shelf (q321 curve,
+    * q519 summary, this gate); hypergeometric O−E/V terms per duration.
+    */
+  private def q520(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000000000").cast("long").as("sec"))
+    val b = ev.agg(min(col("sec")).as("lo"), max(col("sec")).as("hi")).head()
+    val cutoff = b.getLong(0) + 2L * (b.getLong(1) - b.getLong(0)) / 3L
+    graft.operators.Trend.logRank(ev, "user_id", "sec", cutoff,
+      pmod(conv(substring(md5(concat(lit("lr1:"),
+        col("user_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+        lit(2)) === 0)
+  }
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -10315,6 +10360,9 @@ object SparkEntry {
     "q515_dedup_threshold_sweep" -> (q515 _),
     "q516_neyman_draw" -> (q516 _),
     "q517_stream_vocab_coverage" -> (q517 _),
+    "q518_mw_effect_sizes" -> (q518 _),
+    "q519_rmst" -> (q519 _),
+    "q520_logrank" -> (q520 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -11796,6 +11844,15 @@ object SparkEntry {
     // candidates, and the per-threshold precision sweep
     "q515_dedup_threshold_sweep" ->
       s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs WHERE doc_id < 300), sets AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform(sh, s -> tosigned(s)))) AS g FROM shingled), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands), cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32.0 AS est FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64), sc AS (SELECT cp.id_a, cp.id_b, cp.est, CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.g, sb.g))) AS DOUBLE) AS tj FROM cp JOIN sets sa ON cp.id_a = sa.id JOIN sets sb ON cp.id_b = sb.id), u AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS th) SELECT th AS threshold, CAST(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates, CAST(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true, CASE WHEN SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) > 0 THEN round(CAST(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS precision FROM u CROSS JOIN sc GROUP BY th ORDER BY threshold""",
+    // the q319 census machinery over order cents + two pinned ratios
+    "q518_mw_effect_sizes" ->
+      """WITH e AS (SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) AS v, o_orderpriority = '1-URGENT' AS isa FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), bv AS (SELECT v, SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ta, SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS tb FROM e GROUP BY v), rk AS (SELECT ta, tb, ta + tb AS t, SUM(ta + tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM bv), ag AS (SELECT CAST(SUM(ta) AS BIGINT) AS na, CAST(SUM(tb) AS BIGINT) AS nb, SUM(CAST(ta AS DECIMAL(38,0)) * CAST(2 * c - t + 1 AS DECIMAL(38,0))) AS ra2, SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties FROM rk), f AS (SELECT na, nb, CAST(ra2 - CAST(na AS DECIMAL(38,0)) * CAST(na + 1 AS DECIMAL(38,0)) AS DOUBLE) AS u2d, ties FROM ag) SELECT na AS n_a, nb AS n_b, u2d / 2.0 AS u_a, round((u2d - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 * ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))))), 6) AS z, round(u2d / 2.0 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cles, round(2.0 * (u2d / 2.0) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6) AS rank_biserial FROM f""",
+    // the q321 KM chain + the step integral to tau=200, grid terms
+    "q519_rmst" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), b AS (SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM e), u AS (SELECT user_id, MIN(sec) AS first, MAX(sec) AS last FROM e GROUP BY 1), lv AS (SELECT CAST((last - first) // 3600 AS BIGINT) AS t, CASE WHEN last > (SELECT lo + 2 * (hi - lo) // 3 FROM b) THEN 0 ELSE 1 END AS death FROM u), bt AS (SELECT t, CAST(SUM(death) AS BIGINT) AS d, COUNT(*) AS n_t FROM lv GROUP BY 1), rk AS (SELECT t, d, CAST(SUM(n_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk FROM bt), f AS (SELECT t, 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor FROM rk), idx AS (SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS i FROM f), arr AS (SELECT list(factor ORDER BY t) AS fs FROM f), km AS (SELECT t, round(list_reduce(list_prepend(CAST(1 AS DOUBLE), fs[1:CAST(i AS INTEGER)]), (a, x) -> a * x), 6) AS survival FROM idx, arr), lg AS (SELECT t, survival, COALESCE(LAG(t) OVER (ORDER BY t), 0) AS prev_t, COALESCE(LAG(survival) OVER (ORDER BY t), 1.0) AS prev_s FROM km), seg AS (SELECT CAST(round(prev_s * CAST(LEAST(t, 200) - prev_t AS DOUBLE), 6) AS DECIMAL(18,6)) AS term FROM lg WHERE prev_t < 200), tl AS (SELECT MAX(t) AS last_t, arg_max(survival, t) AS last_s FROM km), bd AS (SELECT CAST(SUM(term) AS DOUBLE) AS body, COUNT(*) AS n_steps FROM seg), rm AS (SELECT round(bd.body + CASE WHEN tl.last_t < 200 THEN round(tl.last_s * CAST(200 - tl.last_t AS DOUBLE), 6) ELSE 0.0 END, 6) AS rmst, bd.n_steps FROM bd, tl) SELECT CAST(200 AS BIGINT) AS tau, CAST(n_steps AS BIGINT) AS n_steps, rmst, round(rmst / 200.0, 6) AS mean_survival FROM rm""",
+    // hypergeometric O-E/V terms per duration bucket, grid-decimal sums
+    "q520_logrank" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events), b AS (SELECT MIN(sec) AS lo, MAX(sec) AS hi FROM e), u AS (SELECT user_id, MIN(sec) AS first, MAX(sec) AS last, CAST(concat('0x', substr(md5(concat('lr1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa FROM e GROUP BY user_id), lv AS (SELECT CAST((last - first) // 3600 AS BIGINT) AS t, CASE WHEN last > (SELECT lo + 2 * (hi - lo) // 3 FROM b) THEN 0 ELSE 1 END AS death, isa FROM u), bt AS (SELECT t, CAST(SUM(CASE WHEN isa THEN death ELSE 0 END) AS BIGINT) AS da, CAST(SUM(death) AS BIGINT) AS d, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS nta, COUNT(*) AS nt FROM lv GROUP BY 1), rk AS (SELECT t, da, d, nta, CAST(SUM(nta) OVER lat AS BIGINT) AS ra, CAST(SUM(nt) OVER lat AS BIGINT) AS r FROM bt WINDOW lat AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), tm AS (SELECT da, CAST(round(CAST(ra AS DOUBLE) / CAST(r AS DOUBLE) * CAST(d AS DOUBLE), 9) AS DECIMAL(28,9)) AS e_t, CAST(CASE WHEN r > 1 THEN round(CAST(d AS DOUBLE) * (CAST(ra AS DOUBLE) / CAST(r AS DOUBLE)) * (1.0 - CAST(ra AS DOUBLE) / CAST(r AS DOUBLE)) * (CAST(r AS DOUBLE) - CAST(d AS DOUBLE)) / (CAST(r AS DOUBLE) - 1.0), 9) ELSE 0.0 END AS DECIMAL(28,9)) AS v_t FROM rk), ag AS (SELECT CAST(SUM(da) AS BIGINT) AS o_a, SUM(e_t) AS e_a, SUM(v_t) AS v FROM tm), us AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b FROM u) SELECT us.n_a, us.n_b, ag.o_a, round(CAST(ag.e_a AS DOUBLE), 6) AS e_a, CASE WHEN CAST(ag.v AS DOUBLE) > 0.0 THEN round((CAST(ag.o_a AS DOUBLE) - CAST(ag.e_a AS DOUBLE)) * (CAST(ag.o_a AS DOUBLE) - CAST(ag.e_a AS DOUBLE)) / CAST(ag.v AS DOUBLE), 6) END AS chi2 FROM ag, us""",
     // the q488 micro-share plan + the q48 md5 rank draw, checksummed
     "q516_neyman_draw" ->
       """WITH b AS (SELECT CAST(o_orderpriority AS VARCHAR) AS stratum, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM orders), per AS (SELECT stratum, COUNT(*) AS n_rows, SUM(CAST(c AS DECIMAL(38,0))) AS sv, SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS svv FROM b GROUP BY 1), sd0 AS (SELECT stratum, n_rows, CASE WHEN n_rows > 1 THEN round(sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0)), 6) ELSE 0.0 END AS sd FROM per), w0 AS (SELECT stratum, n_rows, sd, CAST(round(CAST(n_rows AS DOUBLE) * sd, 6) AS DECIMAL(28,6)) AS w FROM sd0), sh AS (SELECT stratum, n_rows, CASE WHEN SUM(w) OVER () > 0 THEN CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) ELSE CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE) END AS share FROM w0), su0 AS (SELECT stratum, CAST(round(share * 1.0e12, 0) AS BIGINT) AS su FROM sh), st AS (SELECT stratum, su, SUM(su) OVER () AS s_total FROM su0), ba AS (SELECT stratum, su, (500 * su) // s_total AS base, (500 * su) % s_total AS rem FROM st), lf AS (SELECT stratum, base, 500 - SUM(base) OVER () AS leftover, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS erk FROM ba), plan AS (SELECT stratum, CAST(base + CASE WHEN erk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM lf), rk AS (SELECT stratum, o_orderkey, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn FROM b), dr AS (SELECT rk.stratum, rk.o_orderkey FROM rk JOIN plan ON rk.stratum = plan.stratum AND rk.rn <= plan.alloc) SELECT dr.stratum, MAX(plan.alloc) AS alloc, COUNT(*) AS n_drawn, CAST(SUM(dr.o_orderkey) AS BIGINT) AS drawn_key_sum FROM dr JOIN plan ON dr.stratum = plan.stratum GROUP BY 1 ORDER BY 1""",

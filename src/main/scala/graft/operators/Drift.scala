@@ -212,6 +212,26 @@ object Drift {
         round((dbl(u2) - mu2) / (lit(2.0) * sqrt(sig2)), 6).as("z"))
   }
 
+  /** [[mannWhitney]] with EFFECT SIZES — the report a test should have
+    * shipped with: CLES = U/(n_a·n_b), the probability a random A value
+    * exceeds a random B value (the directly interpretable number), and
+    * the rank-biserial r = 2U/(n_a·n_b) − 1 ∈ [−1, 1] — because at 10⁹
+    * rows EVERYTHING is "significant" and only the effect size says
+    * whether anyone should care. Same census machinery; two extra pinned
+    * ratios over the exact U.
+    */
+  def mwEffectSizes(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val prod = dbl(col("n_a")) * dbl(col("n_b"))
+    mannWhitney(df, valueCol, sampleACol)
+      .select(col("n_a"), col("n_b"), col("u_a"), col("z"),
+        round(col("u_a") / prod, 6).as("cles"),
+        round(lit(2.0) * col("u_a") / prod - lit(1.0), 6).as("rank_biserial"))
+  }
+
   /** WELCH'S t-TEST (unequal variances) between two slices of an
     * integer-valued column — the mean-difference test beside q283's
     * proportion z-test and [[mannWhitney]]'s rank test: t =

@@ -733,6 +733,99 @@ object Trend {
           lit(1.0), (acc, f) => acc * f), 6).as("survival"))
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME — the area under the [[kaplanMeier]]
+    * curve up to horizon τ: "average lifetime within the first τ
+    * buckets", the single-number summary that stays defined under heavy
+    * censoring where the median or mean lifetime may not exist. Step
+    * integral over the duration-domain KM table: each inter-event
+    * segment contributes S(t_{k−1})·(min(t_k, τ) − t_{k−1}) with S(0)=1,
+    * plus the tail from the last event time to τ. Terms are
+    * grid-survival × integer gaps rounded once to 1e-6 and summed as
+    * decimals (order-independent). Input contract: the [[kaplanMeier]]
+    * output frame (duration-domain-sized, so the unpartitioned lag
+    * window is bounded).
+    */
+  def rmstFromKm(km: DataFrame, tau: Long): DataFrame = {
+    require(tau >= 1, "need a positive horizon")
+    val w = Window.orderBy(col("t"))
+    val staged = km.select(col("t"), col("survival"))
+      .withColumn("prev_t", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+      .withColumn("prev_s", coalesce(lag(col("survival"), 1).over(w), lit(1.0)))
+      .filter(col("prev_t") < tau)
+      .withColumn("term",
+        round(col("prev_s") *
+          (least(col("t"), lit(tau)) - col("prev_t")).cast("double"), 6)
+          .cast(DecimalType(18, 6)))
+    val tail = km.agg(max(col("t")).as("last_t"),
+      max_by(col("survival"), col("t")).as("last_s"))
+    val body = staged.agg(sum(col("term")).as("body"),
+      count(lit(1)).as("n_steps"))
+    body.crossJoin(broadcast(tail))
+      .withColumn("rmst",
+        round(col("body").cast("double") +
+          when(col("last_t") < tau,
+            round(col("last_s") * (lit(tau) - col("last_t")).cast("double"), 6))
+            .otherwise(lit(0.0)), 6))
+      .select(lit(tau).as("tau"), col("n_steps"), col("rmst"),
+        round(col("rmst") / lit(tau.toDouble), 6).as("mean_survival"))
+  }
+
+  /** LOG-RANK TEST — do two arms' survival curves differ, judged the
+    * way survival analysis requires (censoring-aware, whole-curve):
+    * at every event time, observed arm-A deaths vs the hypergeometric
+    * expectation E = n_riskA·d/n_risk, with variance
+    * V = d·(n_riskA/n_risk)(1 − n_riskA/n_risk)(n_risk − d)/(n_risk − 1);
+    * χ² = (Σ(O − E))² / ΣV. The comparison gate beside [[kaplanMeier]]'s
+    * curve and [[rmstFromKm]]'s summary. Per-duration terms are pinned
+    * doubles on the 1e-9 grid summed as decimals; at-risk counts come
+    * from duration-domain suffix windows (never a per-row sort).
+    */
+  def logRank(
+      df: DataFrame,
+      userCol: String,
+      secCol: String,
+      censorCutoffSec: Long,
+      armACol: Column,
+      bucketSec: Long = 3600L): DataFrame = {
+    val lives = df
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(secCol)).as("first"), max(col(secCol)).as("last"),
+        max(armACol).as("isa"))
+      .select(((col("last") - col("first")) / bucketSec).cast("long").as("t"),
+        when(col("last") > censorCutoffSec, 0L).otherwise(1L).as("death"),
+        col("isa"))
+    val byT = lives.groupBy(col("t"))
+      .agg(sum(when(col("isa"), col("death")).otherwise(0L)).as("da"),
+        sum(col("death")).as("d"),
+        sum(when(col("isa"), 1L).otherwise(0L)).as("nta"),
+        count(lit(1)).as("nt"))
+    val later = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def dbl(c: Column): Column = c.cast("double")
+    val risked = byT
+      .withColumn("ra", sum(col("nta")).over(later))
+      .withColumn("r", sum(col("nt")).over(later))
+    val share = dbl(col("ra")) / dbl(col("r"))
+    val eTerm = round(share * dbl(col("d")), 9)
+    val vTerm = when(col("r") > 1L,
+      round(dbl(col("d")) * share * (lit(1.0) - share) *
+        (dbl(col("r")) - dbl(col("d"))) / (dbl(col("r")) - lit(1.0)), 9))
+      .otherwise(lit(0.0))
+    val agg = risked.agg(
+      sum(col("da")).as("o_a"),
+      sum(eTerm.cast(DecimalType(28, 9))).as("e_a"),
+      sum(vTerm.cast(DecimalType(28, 9))).as("v"))
+    val users = lives.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("isa"), 0L).otherwise(1L)).as("n_b"))
+    val ome = dbl(col("o_a")) - dbl(col("e_a"))
+    agg.crossJoin(broadcast(users))
+      .select(col("n_a"), col("n_b"), col("o_a"),
+        round(dbl(col("e_a")), 6).as("e_a"),
+        round(when(dbl(col("v")) > 0.0, ome * ome / dbl(col("v"))), 6)
+          .as("chi2"))
+  }
+
   /** LAGGED CROSS-CORRELATION between two integer series on a shared
     * time axis: for each lag L, Pearson r over the pairs (x_t, y_{t+L})
     * — the lead/lag detector ("views move purchases three hours later")

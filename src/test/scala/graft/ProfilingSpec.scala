@@ -330,6 +330,15 @@ class ProfilingSpec extends SparkSuite {
     }
   }
 
+  test("mwEffectSizes: total separation reads CLES 1, rank-biserial 1") {
+    import spark.implicits._
+    val df = Seq((3L, true), (4L, true), (1L, false), (2L, false))
+      .toDF("v", "isa")
+    val r = graft.operators.Drift.mwEffectSizes(df, "v", col("isa")).head()
+    assert(r.getDouble(2) == 4.0) // U = n_a*n_b, every A beats every B
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away

@@ -497,6 +497,29 @@ class TrendSpec extends SparkSuite {
     assert(s1.getLong(3) == 50L && s1.getLong(5) == 50L && !s1.getBoolean(7))
   }
 
+  test("rmstFromKm: step integral with tail, truncation at tau") {
+    import spark.implicits._
+    val km = Seq((2L, 0.5), (5L, 0.25)).toDF("t", "survival")
+    val r = graft.operators.Trend.rmstFromKm(km, tau = 10L).head()
+    // 1.0*2 + 0.5*3 + 0.25*5 = 4.75
+    assert(r.getDouble(2) == 4.75 && r.getDouble(3) == 0.475)
+    val cut = graft.operators.Trend.rmstFromKm(km, tau = 4L).head()
+    assert(cut.getDouble(2) == 3.0) // 1.0*2 + 0.5*min(5,4)-2, no tail
+  }
+
+  test("logRank: hand hypergeometric terms, chi2 = 3") {
+    import spark.implicits._
+    // arm A dies at t=1 (both), arm B at t=2: O_A=2, E_A=1, V=1/3
+    val df = Seq((1L, 0L, true), (1L, 3600L, true), (2L, 0L, true),
+      (2L, 3600L, true), (3L, 0L, false), (3L, 7200L, false),
+      (4L, 0L, false), (4L, 7200L, false)).toDF("u", "sec", "ua")
+    val r = graft.operators.Trend.logRank(df, "u", "sec",
+      censorCutoffSec = 999999L, armACol = col("ua")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 1.0)
+    assert(math.abs(r.getDouble(4) - 3.0) < 1e-6)
+  }
+
   test("hampelPerKey: spike flagged, inliers pass, edge windows NULL") {
     import spark.implicits._
     // key 1: flat 10s with one 100 spike at x=5. Center windows (x=4..6)
