@@ -7098,6 +7098,48 @@ object SparkEntry {
         lit(2)) === 0)
   }
 
+  /** Simpson-reversal detector ([[graft.operators.Drift
+    * .simpsonReversal]]): per event type, does the md5-split arm's
+    * high-value rate point OPPOSITE to the pooled effect — the
+    * aggregation-paradox screen run before "the feature wins overall"
+    * ships.
+    */
+  private def q521(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.simpsonReversal(
+      T(s, dir, "events").select(col("event_type"), col("value"),
+        pmod(conv(substring(md5(concat(lit("sp1:"),
+          col("user_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+          lit(2)).as("arm")),
+      "event_type", col("arm") === 0, col("value") > 100.0)
+      .orderBy(col("segment"))
+
+  /** Jackknife ratio SE ([[graft.operators.Drift.jackknifeRatio]]):
+    * revenue-per-event with a delete-one-DAY jackknife — the
+    * cluster-respecting standard error beside q297's bootstrap and
+    * q496's delta method.
+    */
+  private def q522(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.jackknifeRatio(
+      T(s, dir, "events").select(evDateId.as("d"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("x"),
+        lit(1L).as("one")),
+      "d", "x", "one")
+
+  /** Quantile treatment effects ([[graft.operators.Drift
+    * .quantileTreatmentEffects]]): per-arm exact p25/p50/p75/p90 of
+    * event value cents and their gaps — the distributional experiment
+    * readout a mean test can't give.
+    */
+  private def q523(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.quantileTreatmentEffects(
+      T(s, dir, "events").select(
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"),
+        pmod(conv(substring(md5(concat(lit("qte1:"),
+          col("user_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+          lit(2)).as("arm")),
+      "cents", col("arm") === 0)
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -10363,6 +10405,9 @@ object SparkEntry {
     "q518_mw_effect_sizes" -> (q518 _),
     "q519_rmst" -> (q519 _),
     "q520_logrank" -> (q520 _),
+    "q521_simpson_reversal" -> (q521 _),
+    "q522_jackknife_ratio" -> (q522 _),
+    "q523_qte" -> (q523 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -11844,6 +11889,15 @@ object SparkEntry {
     // candidates, and the per-threshold precision sweep
     "q515_dedup_threshold_sweep" ->
       s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs WHERE doc_id < 300), sets AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform(sh, s -> tosigned(s)))) AS g FROM shingled), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands), cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32.0 AS est FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64), sc AS (SELECT cp.id_a, cp.id_b, cp.est, CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.g, sb.g))) AS DOUBLE) AS tj FROM cp JOIN sets sa ON cp.id_a = sa.id JOIN sets sb ON cp.id_b = sb.id), u AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS th) SELECT th AS threshold, CAST(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates, CAST(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true, CASE WHEN SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) > 0 THEN round(CAST(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS precision FROM u CROSS JOIN sc GROUP BY th ORDER BY threshold""",
+    // (segment, arm) censuses; pooled rates broadcast; grid verdicts
+    "q521_simpson_reversal" ->
+      """WITH e AS (SELECT event_type AS segment, CAST(concat('0x', substr(md5(concat('sp1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa, value > 100.0 AS succ FROM events), c AS (SELECT segment, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b, CAST(SUM(CASE WHEN isa AND succ THEN 1 ELSE 0 END) AS BIGINT) AS s_a, CAST(SUM(CASE WHEN NOT isa AND succ THEN 1 ELSE 0 END) AS BIGINT) AS s_b FROM e GROUP BY 1), w AS (SELECT segment, n_a, n_b, round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a, round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b, round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS diff, round(CAST(SUM(s_a) OVER () AS DOUBLE) / CAST(SUM(n_a) OVER () AS DOUBLE) - CAST(SUM(s_b) OVER () AS DOUBLE) / CAST(SUM(n_b) OVER () AS DOUBLE), 6) AS pooled_diff FROM c) SELECT segment, n_a, n_b, rate_a, rate_b, diff, pooled_diff, CASE WHEN n_a > 0 AND n_b > 0 THEN (diff > 0.0 AND pooled_diff < 0.0) OR (diff < 0.0 AND pooled_diff > 0.0) END AS reversed FROM w ORDER BY segment""",
+    // day-bucket census, leave-one-out grid thetas, (B-1)/B variance
+    "q522_jackknife_ratio" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS b, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x, 1 AS y FROM events), cen AS (SELECT b, SUM(CAST(x AS DECIMAL(38,0))) AS x, SUM(CAST(y AS DECIMAL(38,0))) AS y FROM d GROUP BY 1), st AS (SELECT x, y, SUM(x) OVER () AS tx, SUM(y) OVER () AS ty, COUNT(*) OVER () AS nb FROM cen), th AS (SELECT tx, ty, nb, CAST(round(CAST(tx - x AS DOUBLE) / CAST(ty - y AS DOUBLE), 9) AS DECIMAL(28,9)) AS theta FROM st), tb AS (SELECT tx, ty, nb, theta, CAST(SUM(theta) OVER () AS DOUBLE) / CAST(nb AS DOUBLE) AS tbar FROM th), dv AS (SELECT tx, ty, nb, CAST(round((CAST(theta AS DOUBLE) - tbar) * (CAST(theta AS DOUBLE) - tbar), 12) AS DECIMAL(28,12)) AS dev2 FROM tb) SELECT CAST(MAX(nb) AS BIGINT) AS n_buckets, MAX(round(CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE), 6)) AS ratio, round(sqrt((CAST(MAX(nb) AS DOUBLE) - 1.0) / CAST(MAX(nb) AS DOUBLE) * CAST(SUM(dev2) AS DOUBLE)), 6) AS jack_se FROM dv""",
+    // per-arm ceiling-rank order stats from the value census; exact QTE
+    "q523_qte" ->
+      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, CAST(concat('0x', substr(md5(concat('qte1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa FROM events), cen AS (SELECT isa, v, COUNT(*) AS t FROM e GROUP BY 1, 2), cc AS (SELECT isa, v, SUM(t) OVER (PARTITION BY isa ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, SUM(t) OVER (PARTITION BY isa) AS n FROM cen), pa AS (SELECT isa, CAST(MAX(n) AS BIGINT) AS n, MIN(CASE WHEN c >= (25 * n + 99) // 100 THEN v END) AS p25, MIN(CASE WHEN c >= (50 * n + 99) // 100 THEN v END) AS p50, MIN(CASE WHEN c >= (75 * n + 99) // 100 THEN v END) AS p75, MIN(CASE WHEN c >= (90 * n + 99) // 100 THEN v END) AS p90 FROM cc GROUP BY 1), u AS (SELECT unnest([25, 50, 75, 90]) AS pct) SELECT CAST(u.pct AS BIGINT) AS pct, a.n AS n_a, b.n AS n_b, CASE u.pct WHEN 25 THEN a.p25 WHEN 50 THEN a.p50 WHEN 75 THEN a.p75 ELSE a.p90 END AS q_a, CASE u.pct WHEN 25 THEN b.p25 WHEN 50 THEN b.p50 WHEN 75 THEN b.p75 ELSE b.p90 END AS q_b, (CASE u.pct WHEN 25 THEN a.p25 WHEN 50 THEN a.p50 WHEN 75 THEN a.p75 ELSE a.p90 END) - (CASE u.pct WHEN 25 THEN b.p25 WHEN 50 THEN b.p50 WHEN 75 THEN b.p75 ELSE b.p90 END) AS qte FROM u, (SELECT * FROM pa WHERE isa) a, (SELECT * FROM pa WHERE NOT isa) b ORDER BY pct""",
     // the q319 census machinery over order cents + two pinned ratios
     "q518_mw_effect_sizes" ->
       """WITH e AS (SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) AS v, o_orderpriority = '1-URGENT' AS isa FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), bv AS (SELECT v, SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ta, SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS tb FROM e GROUP BY v), rk AS (SELECT ta, tb, ta + tb AS t, SUM(ta + tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM bv), ag AS (SELECT CAST(SUM(ta) AS BIGINT) AS na, CAST(SUM(tb) AS BIGINT) AS nb, SUM(CAST(ta AS DECIMAL(38,0)) * CAST(2 * c - t + 1 AS DECIMAL(38,0))) AS ra2, SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties FROM rk), f AS (SELECT na, nb, CAST(ra2 - CAST(na AS DECIMAL(38,0)) * CAST(na + 1 AS DECIMAL(38,0)) AS DOUBLE) AS u2d, ties FROM ag) SELECT na AS n_a, nb AS n_b, u2d / 2.0 AS u_a, round((u2d - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 * ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))))), 6) AS z, round(u2d / 2.0 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cles, round(2.0 * (u2d / 2.0) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6) AS rank_biserial FROM f""",

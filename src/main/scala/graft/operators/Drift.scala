@@ -914,6 +914,128 @@ object Drift {
       when(col("trials") > 0L, round(center + half, 6)).as("hi"))
   }
 
+  /** SIMPSON-REVERSAL detector — per segment, does the arm effect point
+    * the OPPOSITE way from the pooled effect: the aggregation paradox
+    * screen run before anyone ships "the feature wins overall" (the
+    * pooled diff can be an artifact of segment mix; a reversal means the
+    * segmentation, not the feature, is driving the number). One
+    * conditional census per (segment, arm); pooled rates broadcast onto
+    * the segment-domain frame (the mi_total shape); rates and diffs are
+    * pinned doubles on the 1e-6 grid, the verdict compares GRID values
+    * so both engines flag identically.
+    */
+  def simpsonReversal(
+      df: DataFrame,
+      segCol: String,
+      armACol: Column,
+      successCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dbl(c: Column): Column = c.cast("double")
+    val cells = df.groupBy(col(segCol).as("segment"))
+      .agg(sum(when(armACol, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!armACol, 1L).otherwise(0L)).as("n_b"),
+        sum(when(armACol && successCol, 1L).otherwise(0L)).as("s_a"),
+        sum(when(!armACol && successCol, 1L).otherwise(0L)).as("s_b"))
+    val tot = Window.partitionBy()
+    val pooledDiff = round(
+      dbl(sum(col("s_a")).over(tot)) / dbl(sum(col("n_a")).over(tot)) -
+        dbl(sum(col("s_b")).over(tot)) / dbl(sum(col("n_b")).over(tot)), 6)
+    val segDiff = round(
+      dbl(col("s_a")) / dbl(col("n_a")) - dbl(col("s_b")) / dbl(col("n_b")), 6)
+    cells
+      .withColumn("rate_a", round(dbl(col("s_a")) / dbl(col("n_a")), 6))
+      .withColumn("rate_b", round(dbl(col("s_b")) / dbl(col("n_b")), 6))
+      .withColumn("diff", segDiff)
+      .withColumn("pooled_diff", pooledDiff)
+      .withColumn("reversed",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          (col("diff") > 0.0 && col("pooled_diff") < 0.0) ||
+            (col("diff") < 0.0 && col("pooled_diff") > 0.0)))
+      .select(col("segment"), col("n_a"), col("n_b"), col("rate_a"),
+        col("rate_b"), col("diff"), col("pooled_diff"), col("reversed"))
+  }
+
+  /** DELETE-ONE-GROUP JACKKNIFE for a RATIO — the standard-error of
+    * Σx/Σy when rows are dependent within buckets (days, shards,
+    * clusters): leave each bucket out, recompute the ratio, and read the
+    * spread — the deterministic sibling of q297's Poisson bootstrap and
+    * the finite-sample check on q496's delta method. One bucket census,
+    * totals broadcast; each leave-one-out ratio is a pinned double on
+    * the 1e-9 grid, the variance finish is
+    * (B−1)/B · Σ(θ_i − θ̄)² over the bucket-domain frame. Contract:
+    * bucket count ≥ 2 and every leave-one-out denominator nonzero.
+    */
+  def jackknifeRatio(
+      df: DataFrame,
+      bucketCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.groupBy(col(bucketCol).as("b"))
+      .agg(sum(col(xCol).cast("long").cast(d38)).as("x"),
+        sum(col(yCol).cast("long").cast(d38)).as("y"))
+    val tot = Window.partitionBy()
+    val staged = cen
+      .withColumn("tx", sum(col("x")).over(tot))
+      .withColumn("ty", sum(col("y")).over(tot))
+      .withColumn("nb", count(lit(1)).over(tot))
+      .withColumn("theta_i",
+        round(dbl(col("tx") - col("x")) / dbl(col("ty") - col("y")), 9)
+          .cast(DecimalType(28, 9)))
+      .withColumn("tbar",
+        dbl(sum(col("theta_i")).over(tot)) / dbl(col("nb")))
+      .withColumn("dev2",
+        round((dbl(col("theta_i")) - col("tbar")) *
+          (dbl(col("theta_i")) - col("tbar")), 12).cast(DecimalType(28, 12)))
+    staged.agg(max(col("nb")).as("n_buckets"),
+        max(round(dbl(col("tx")) / dbl(col("ty")), 6)).as("ratio"),
+        max(col("nb")).as("__b"), sum(col("dev2")).as("ss"))
+      .select(col("n_buckets"), col("ratio"),
+        round(sqrt((dbl(col("__b")) - lit(1.0)) / dbl(col("__b")) *
+          dbl(col("ss"))), 6).as("jack_se"))
+  }
+
+  /** QUANTILE TREATMENT EFFECTS — per-arm EXACT percentiles and their
+    * gaps at p ∈ {25, 50, 75, 90}: the distributional readout of an
+    * experiment (a mean shift from a fat tail and a median shift are
+    * different products; q362's Welch can't tell them apart). Ceiling-
+    * rank order statistics from the per-arm value-domain census — never
+    * a per-row sort; integer quantiles, exact integer QTE.
+    */
+  def quantileTreatmentEffects(
+      df: DataFrame,
+      valueCol: String,
+      armACol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cen = df
+      .select(col(valueCol).cast("long").as("v"), armACol.as("isa"))
+      .groupBy(col("isa"), col("v")).agg(count(lit(1)).as("t"))
+    val byArm = Window.partitionBy(col("isa"))
+    val cum = byArm.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cc = cen
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("n", sum(col("t")).over(byArm))
+    def stat(pct: Int): Column =
+      min(when(col("c") >= expr(s"($pct * n + 99) div 100"), col("v")))
+        .as(s"p$pct")
+    val perArm = cc.groupBy(col("isa"))
+      .agg(max(col("n")).as("n"), stat(25), stat(50), stat(75), stat(90))
+      .localCheckpoint(true) // 2-row frame, two readers
+    val a = perArm.filter(col("isa"))
+    val b = perArm.filter(!col("isa"))
+    val ps = Seq(25, 50, 75, 90)
+    ps.map { p =>
+      a.crossJoin(b.select(col("n").as("n_b2"), col(s"p$p").as("qb")))
+        .select(lit(p.toLong).as("pct"), col("n").as("n_a"),
+          col("n_b2").as("n_b"), col(s"p$p").as("q_a"), col("qb").as("q_b"),
+          (col(s"p$p") - col("qb")).as("qte"))
+    }.reduce(_ unionByName _).orderBy(col("pct"))
+  }
+
   /** HETEROGENEOUS-TREATMENT-EFFECT (interaction) z-TEST — does the
     * treatment effect DIFFER between two segments: z = (Δ₁ − Δ₂) /
     * √(V₁ + V₂) where each segment's Δ is its own Welch mean difference

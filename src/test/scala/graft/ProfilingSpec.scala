@@ -339,6 +339,47 @@ class ProfilingSpec extends SparkSuite {
     assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
   }
 
+  test("simpsonReversal: A wins every segment, loses pooled → flagged") {
+    import spark.implicits._
+    // the kidney-stone construction: A beats B inside both segments but
+    // the mix makes the pooled rate favor B
+    def cell(seg: String, isa: Boolean, s: Int, n: Int) =
+      (0 until n).map(i => (seg, isa, i < s))
+    val rows = (cell("s1", true, 81, 87) ++ cell("s1", false, 234, 270) ++
+      cell("s2", true, 192, 263) ++ cell("s2", false, 55, 80))
+      .toDF("seg", "isa", "succ")
+    val got = graft.operators.Drift.simpsonReversal(
+        rows, "seg", col("isa"), col("succ"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("s1").getDouble(5) > 0 && got("s2").getDouble(5) > 0)
+    assert(got("s1").getDouble(6) < 0, "pooled must favor B")
+    assert(got("s1").getBoolean(7) && got("s2").getBoolean(7))
+  }
+
+  test("jackknifeRatio: hand leave-one-out spread") {
+    import spark.implicits._
+    val rows = Seq(("b1", 10L, 2L), ("b2", 20L, 3L)).toDF("b", "x", "y")
+    val r = graft.operators.Drift.jackknifeRatio(rows, "b", "x", "y").head()
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 6.0)
+    // theta = (20/3, 5); se = sqrt(1/2 * 2 * (5/6)^2) = 5/6
+    assert(math.abs(r.getDouble(2) - 5.0 / 6.0) < 1e-6)
+  }
+
+  test("quantileTreatmentEffects: identical arms read zero QTE, shift reads it") {
+    import spark.implicits._
+    val base = (1L to 100L)
+    val same = (base.map((_, true)) ++ base.map((_, false))).toDF("v", "isa")
+    val g0 = graft.operators.Drift.quantileTreatmentEffects(same, "v", col("isa"))
+      .collect()
+    assert(g0.forall(_.getLong(5) == 0L))
+    val shifted = (base.map(v => (v + 10L, true)) ++ base.map((_, false)))
+      .toDF("v", "isa")
+    val g1 = graft.operators.Drift
+      .quantileTreatmentEffects(shifted, "v", col("isa"))
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(g1.values.forall(_ == 10L))
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away
