@@ -7140,6 +7140,45 @@ object SparkEntry {
           lit(2)).as("arm")),
       "cents", col("arm") === 0)
 
+  /** BH q-values ([[graft.operators.Drift.bhQValues]]): per-nation
+    * adjusted p-values — the smallest FDR level at which each test
+    * rejects, the reporting artifact beside q420's binary verdicts and
+    * q512's FWER gate.
+    */
+  private def q524(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.bhQValues(
+      T(s, dir, "customer")
+        .join(T(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents")),
+      "n_name", "cents")
+      .orderBy(col("p_rank"))
+
+  /** Cohen's d / Hedges' g ([[graft.operators.Drift.cohensD]]): the
+    * standardized urgent-vs-low mean difference in pooled-SD units —
+    * the effect report q362's z can't give; Hedges small-sample
+    * correction included.
+    */
+  private def q525(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.cohensD(
+      T(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"), col("o_orderpriority")),
+      "cents", col("o_orderpriority") === "1-URGENT")
+
+  /** Streaming QTE maintenance
+    * ([[graft.streaming.StreamVerify.qteMaintenance]]): q523's
+    * quantile-treatment-effect table as an ingestion side effect —
+    * per-batch (arm, value) censuses land exactly-once, counts add,
+    * the drained store reads through qteFromCensus and shares q523's
+    * oracle verbatim. Fourteenth self-maintaining surface.
+    */
+  private def q526(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamVerify.qteMaintenance(
+      s, q135Events(s, dir), scratch(dir, "q526"))
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -10408,6 +10447,9 @@ object SparkEntry {
     "q521_simpson_reversal" -> (q521 _),
     "q522_jackknife_ratio" -> (q522 _),
     "q523_qte" -> (q523 _),
+    "q524_bh_qvalues" -> (q524 _),
+    "q525_cohens_d" -> (q525 _),
+    "q526_stream_qte" -> (q526 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -10563,6 +10605,12 @@ object SparkEntry {
     */
   private val vocabCoverageOracleSql: String =
     """WITH w0 AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w FROM documents), wf AS (SELECT w, COUNT(*) AS n FROM w0 WHERE w <> '' GROUP BY 1), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM wf), r AS (SELECT w, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rk FROM wf), c AS (SELECT rk, CAST(SUM(n) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn FROM r), u AS (SELECT CAST(256 AS BIGINT) AS k UNION ALL SELECT 1024 UNION ALL SELECT 4096) SELECT u.k, MAX(c.rk) AS vocab_used, MAX(c.cumn) AS top_tokens, t.total_tokens, round(CAST(MAX(c.cumn) AS DOUBLE) / CAST(t.total_tokens AS DOUBLE), 6) AS coverage FROM u JOIN c ON c.rk <= u.k CROSS JOIN t GROUP BY u.k, t.total_tokens ORDER BY u.k"""
+
+  /** q523 AND q526 (the streaming QTE store shares it verbatim):
+    * per-arm ceiling-rank order stats from the value census.
+    */
+  private val qteOracleSql: String =
+    """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, CAST(concat('0x', substr(md5(concat('qte1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa FROM events), cen AS (SELECT isa, v, COUNT(*) AS t FROM e GROUP BY 1, 2), cc AS (SELECT isa, v, SUM(t) OVER (PARTITION BY isa ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, SUM(t) OVER (PARTITION BY isa) AS n FROM cen), pa AS (SELECT isa, CAST(MAX(n) AS BIGINT) AS n, MIN(CASE WHEN c >= (25 * n + 99) // 100 THEN v END) AS p25, MIN(CASE WHEN c >= (50 * n + 99) // 100 THEN v END) AS p50, MIN(CASE WHEN c >= (75 * n + 99) // 100 THEN v END) AS p75, MIN(CASE WHEN c >= (90 * n + 99) // 100 THEN v END) AS p90 FROM cc GROUP BY 1), u AS (SELECT unnest([25, 50, 75, 90]) AS pct) SELECT CAST(u.pct AS BIGINT) AS pct, a.n AS n_a, b.n AS n_b, CASE u.pct WHEN 25 THEN a.p25 WHEN 50 THEN a.p50 WHEN 75 THEN a.p75 ELSE a.p90 END AS q_a, CASE u.pct WHEN 25 THEN b.p25 WHEN 50 THEN b.p50 WHEN 75 THEN b.p75 ELSE b.p90 END AS q_b, (CASE u.pct WHEN 25 THEN a.p25 WHEN 50 THEN a.p50 WHEN 75 THEN a.p75 ELSE a.p90 END) - (CASE u.pct WHEN 25 THEN b.p25 WHEN 50 THEN b.p50 WHEN 75 THEN b.p75 ELSE b.p90 END) AS qte FROM u, (SELECT * FROM pa WHERE isa) a, (SELECT * FROM pa WHERE NOT isa) b ORDER BY pct"""
 
   /** q509 AND q514 (the streaming funnel store shares it verbatim):
     * monotone prefix counts + runtime Wilson terms, z pinned 1.96.
@@ -11896,8 +11944,15 @@ object SparkEntry {
     "q522_jackknife_ratio" ->
       """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS b, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x, 1 AS y FROM events), cen AS (SELECT b, SUM(CAST(x AS DECIMAL(38,0))) AS x, SUM(CAST(y AS DECIMAL(38,0))) AS y FROM d GROUP BY 1), st AS (SELECT x, y, SUM(x) OVER () AS tx, SUM(y) OVER () AS ty, COUNT(*) OVER () AS nb FROM cen), th AS (SELECT tx, ty, nb, CAST(round(CAST(tx - x AS DOUBLE) / CAST(ty - y AS DOUBLE), 9) AS DECIMAL(28,9)) AS theta FROM st), tb AS (SELECT tx, ty, nb, theta, CAST(SUM(theta) OVER () AS DOUBLE) / CAST(nb AS DOUBLE) AS tbar FROM th), dv AS (SELECT tx, ty, nb, CAST(round((CAST(theta AS DOUBLE) - tbar) * (CAST(theta AS DOUBLE) - tbar), 12) AS DECIMAL(28,12)) AS dev2 FROM tb) SELECT CAST(MAX(nb) AS BIGINT) AS n_buckets, MAX(round(CAST(tx AS DOUBLE) / CAST(ty AS DOUBLE), 6)) AS ratio, round(sqrt((CAST(MAX(nb) AS DOUBLE) - 1.0) / CAST(MAX(nb) AS DOUBLE) * CAST(SUM(dev2) AS DOUBLE)), 6) AS jack_se FROM dv""",
     // per-arm ceiling-rank order stats from the value census; exact QTE
-    "q523_qte" ->
-      """WITH e AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, CAST(concat('0x', substr(md5(concat('qte1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa FROM events), cen AS (SELECT isa, v, COUNT(*) AS t FROM e GROUP BY 1, 2), cc AS (SELECT isa, v, SUM(t) OVER (PARTITION BY isa ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c, SUM(t) OVER (PARTITION BY isa) AS n FROM cen), pa AS (SELECT isa, CAST(MAX(n) AS BIGINT) AS n, MIN(CASE WHEN c >= (25 * n + 99) // 100 THEN v END) AS p25, MIN(CASE WHEN c >= (50 * n + 99) // 100 THEN v END) AS p50, MIN(CASE WHEN c >= (75 * n + 99) // 100 THEN v END) AS p75, MIN(CASE WHEN c >= (90 * n + 99) // 100 THEN v END) AS p90 FROM cc GROUP BY 1), u AS (SELECT unnest([25, 50, 75, 90]) AS pct) SELECT CAST(u.pct AS BIGINT) AS pct, a.n AS n_a, b.n AS n_b, CASE u.pct WHEN 25 THEN a.p25 WHEN 50 THEN a.p50 WHEN 75 THEN a.p75 ELSE a.p90 END AS q_a, CASE u.pct WHEN 25 THEN b.p25 WHEN 50 THEN b.p50 WHEN 75 THEN b.p75 ELSE b.p90 END AS q_b, (CASE u.pct WHEN 25 THEN a.p25 WHEN 50 THEN a.p50 WHEN 75 THEN a.p75 ELSE a.p90 END) - (CASE u.pct WHEN 25 THEN b.p25 WHEN 50 THEN b.p50 WHEN 75 THEN b.p75 ELSE b.p90 END) AS qte FROM u, (SELECT * FROM pa WHERE isa) a, (SELECT * FROM pa WHERE NOT isa) b ORDER BY pct""",
+    "q523_qte" -> qteOracleSql,
+    // per-arm value censuses add: the drained store IS batch q523
+    "q526_stream_qte" -> qteOracleSql,
+    // the q420 family with the monotone suffix-min q adjustment
+    "q524_bh_qvalues" ->
+      """WITH c AS (SELECT n.n_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM customer JOIN nation n ON c_nationkey = n_nationkey), g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS na, SUM(CAST(cents AS DECIMAL(38,0))) AS sa, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS saa FROM c GROUP BY 1), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, SUM(CAST(cents AS DECIMAL(38,0))) AS st, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS stt FROM c), j AS (SELECT n_name, na, CAST(sa AS DOUBLE) AS saD, CAST(saa AS DOUBLE) AS saaD, nt - na AS nb, CAST(st - sa AS DOUBLE) AS sbD, CAST(stt - saa AS DOUBLE) AS sbbD FROM g, t), zc AS (SELECT n_name, na, (saD / CAST(na AS DOUBLE) - sbD / CAST(nb AS DOUBLE)) / sqrt(((CAST(na AS DOUBLE) * saaD - saD * saD) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) + ((CAST(nb AS DOUBLE) * sbbD - sbD * sbD) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)) AS z FROM j), pt AS (SELECT n_name, na, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zc), pp AS (SELECT n_name, na, round(z, 6) AS zr, round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) AS p FROM pt), bq AS (SELECT n_name, na, zr, p, CAST(ROW_NUMBER() OVER (ORDER BY p, n_name) AS BIGINT) AS r, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pp), qq AS (SELECT n_name, na, zr, p, r, round(p * CAST(m AS DOUBLE) / CAST(r AS DOUBLE), 9) AS qraw FROM bq) SELECT n_name AS g, na AS n, zr AS z, p, r AS p_rank, MIN(qraw) OVER (ORDER BY r ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q_value FROM qq ORDER BY p_rank""",
+    // one conditional moment pass, pooled-SD standardization, Hedges fix
+    "q525_cohens_d" ->
+      """WITH e AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, o_orderpriority = '1-URGENT' AS isa FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), g AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b, SUM(CASE WHEN isa THEN CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa, SUM(CASE WHEN NOT isa THEN CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sb, SUM(CASE WHEN isa THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS saa, SUM(CASE WHEN NOT isa THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sbb FROM e), h AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb, CAST(sa AS DOUBLE) AS saD, CAST(sb AS DOUBLE) AS sbD, CAST(saa AS DOUBLE) AS saaD, CAST(sbb AS DOUBLE) AS sbbD FROM g), i AS (SELECT n_a, n_b, (saD / na - sbD / nb) / sqrt(((saaD - saD * saD / na) + (sbbD - sbD * sbD / nb)) / (na + nb - 2.0)) AS d, 1.0 - 3.0 / (4.0 * (na + nb) - 9.0) AS gc, n_a > 1 AND n_b > 1 AS ok FROM h) SELECT n_a, n_b, CASE WHEN ok THEN round(d, 6) END AS cohens_d, CASE WHEN ok THEN round(d * gc, 6) END AS hedges_g FROM i""",
     // the q319 census machinery over order cents + two pinned ratios
     "q518_mw_effect_sizes" ->
       """WITH e AS (SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DOUBLE) AS v, o_orderpriority = '1-URGENT' AS isa FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), bv AS (SELECT v, SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ta, SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS tb FROM e GROUP BY v), rk AS (SELECT ta, tb, ta + tb AS t, SUM(ta + tb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM bv), ag AS (SELECT CAST(SUM(ta) AS BIGINT) AS na, CAST(SUM(tb) AS BIGINT) AS nb, SUM(CAST(ta AS DECIMAL(38,0)) * CAST(2 * c - t + 1 AS DECIMAL(38,0))) AS ra2, SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))) AS ties FROM rk), f AS (SELECT na, nb, CAST(ra2 - CAST(na AS DECIMAL(38,0)) * CAST(na + 1 AS DECIMAL(38,0)) AS DOUBLE) AS u2d, ties FROM ag) SELECT na AS n_a, nb AS n_b, u2d / 2.0 AS u_a, round((u2d - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / (2.0 * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 * ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))))), 6) AS z, round(u2d / 2.0 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cles, round(2.0 * (u2d / 2.0) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) - 1.0, 6) AS rank_biserial FROM f""",

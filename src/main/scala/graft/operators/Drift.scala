@@ -914,6 +914,90 @@ object Drift {
       when(col("trials") > 0L, round(center + half, 6)).as("hi"))
   }
 
+  /** BH q-VALUES — the REPORTING artifact of multiple-testing control:
+    * per test, the smallest FDR level at which it would be rejected
+    * (q = min over ranks ≥ r of p·m/r′, the monotone step-up
+    * adjustment), so downstream consumers pick their own α instead of
+    * inheriting the gate's — the adjusted-p companion to q420's binary
+    * verdicts and q512's FWER gate. Same per-nation Welch-z/A&S-p family
+    * machinery; the suffix min runs over the family-sized frame with
+    * raw q-terms on the 1e-9 grid.
+    */
+  def bhQValues(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val g = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("na"), sum(v).as("sa"), sum(v * v).as("saa"))
+    val t = df.agg(count(lit(1)).as("nt"), sum(v).as("st"),
+      sum(v * v).as("stt"))
+    val j = g.crossJoin(broadcast(t))
+      .withColumn("nb", col("nt") - col("na"))
+      .withColumn("sb", col("st") - col("sa"))
+      .withColumn("sbb", col("stt") - col("saa"))
+    val na = dbl(col("na")); val nb = dbl(col("nb"))
+    val va = (na * dbl(col("saa")) - dbl(col("sa")) * dbl(col("sa"))) /
+      (na * (na - 1.0)) / na
+    val vb = (nb * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))) /
+      (nb * (nb - 1.0)) / nb
+    val z = (dbl(col("sa")) / na - dbl(col("sb")) / nb) / sqrt(va + vb)
+    val fam = Window.partitionBy()
+    val ranked = j
+      .withColumn("zr", round(z, 6))
+      .withColumn("p", round(normalTailP2(z), 9))
+      .withColumn("r", row_number().over(
+        fam.orderBy(col("p"), col("g"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(fam))
+      .withColumn("qraw",
+        round(col("p") * dbl(col("m")) / dbl(col("r")), 9))
+    val suffix = fam.orderBy(col("r"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("q_value", min(col("qraw")).over(suffix))
+      .select(col("g"), col("na").as("n"), col("zr").as("z"), col("p"),
+        col("r").as("p_rank"), col("q_value"))
+  }
+
+  /** COHEN'S d / HEDGES' g — the standardized mean difference the
+    * q362 Welch test should ship with: d = (m̄_a − m̄_b)/s_pooled with
+    * the pooled SD, and the small-sample-corrected g = d·(1 −
+    * 3/(4(n_a+n_b) − 9)) — because "z = 40" says nothing about whether
+    * the shift is a hair or a chasm; d is in SD units and comparable
+    * across metrics. One conditional DECIMAL(38,0) moment pass; every
+    * ratio pinned.
+    */
+  def cohensD(
+      df: DataFrame,
+      valueCol: String,
+      sampleACol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val agg = df.agg(
+      sum(when(sampleACol, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!sampleACol, 1L).otherwise(0L)).as("n_b"),
+      sum(when(sampleACol, v).otherwise(lit(0).cast(d38))).as("sa"),
+      sum(when(!sampleACol, v).otherwise(lit(0).cast(d38))).as("sb"),
+      sum(when(sampleACol, v * v).otherwise(lit(0).cast(d38))).as("saa"),
+      sum(when(!sampleACol, v * v).otherwise(lit(0).cast(d38))).as("sbb"))
+    val na = dbl(col("n_a")); val nb = dbl(col("n_b"))
+    val ssa = dbl(col("saa")) - dbl(col("sa")) * dbl(col("sa")) / na
+    val ssb = dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb")) / nb
+    val sp = sqrt((ssa + ssb) / (na + nb - 2.0))
+    val d = (dbl(col("sa")) / na - dbl(col("sb")) / nb) / sp
+    val gcorr = lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - lit(9.0))
+    val ok = col("n_a") > 1L && col("n_b") > 1L
+    agg.select(col("n_a"), col("n_b"),
+      when(ok, round(d, 6)).as("cohens_d"),
+      when(ok, round(d * gcorr, 6)).as("hedges_g"))
+  }
+
   /** SIMPSON-REVERSAL detector — per segment, does the arm effect point
     * the OPPOSITE way from the pooled effect: the aggregation paradox
     * screen run before anyone ships "the feature wins overall" (the
@@ -1008,11 +1092,21 @@ object Drift {
   def quantileTreatmentEffects(
       df: DataFrame,
       valueCol: String,
-      armACol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cen = df
+      armACol: Column): DataFrame =
+    qteFromCensus(df
       .select(col(valueCol).cast("long").as("v"), armACol.as("isa"))
-      .groupBy(col("isa"), col("v")).agg(count(lit(1)).as("t"))
+      .groupBy(col("isa"), col("v")).agg(count(lit(1)).as("t")))
+
+  /** [[quantileTreatmentEffects]] computed from an (isa, v, t) CENSUS —
+    * rows of partials (e.g. the streaming store's per-batch commits).
+    * Counts ADD, so however the partials were batched the merged census
+    * — and every output bit — equals the one-pass path; the property
+    * that lets the streaming surface share the batch oracle verbatim.
+    */
+  def qteFromCensus(censusDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cen = censusDf.groupBy(col("isa"), col("v"))
+      .agg(sum(col("t")).as("t"))
     val byArm = Window.partitionBy(col("isa"))
     val cum = byArm.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

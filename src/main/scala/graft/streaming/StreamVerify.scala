@@ -1248,6 +1248,48 @@ object StreamVerify {
       .orderBy(col("k"))
   }
 
+  /** STREAMING QTE maintenance — q523's quantile-treatment-effect table
+    * as an ingestion side effect (the FOURTEENTH self-maintaining
+    * surface): each micro-batch commits its per-arm (isa, v, t) value
+    * census exactly-once; counts ADD, so the drained store reads
+    * through [[graft.operators.Drift.qteFromCensus]] bit-identically to
+    * batch q523, whose oracle it shares verbatim. The distributional
+    * experiment readout stays current at ingest cadence; store is
+    * arm×value-domain-sized.
+    */
+  def qteMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/qte"
+    def censusOf(batch: DataFrame): DataFrame =
+      batch.select(
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("v"),
+        (pmod(conv(substring(md5(concat(lit("qte1:"),
+          col("user_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+          lit(2)) === 0).as("isa"))
+        .groupBy(col("isa"), col("v")).agg(count(lit(1)).as("t"))
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          censusOf(batch).coalesce(1), tag = s"qte-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.qteFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("isa").cast("boolean").as("isa"),
+          col("v").cast("long").as("v"), col("t").cast("long").as("t")))
+  }
+
   /** STREAMING SLO burn-rate alerting on FINALIZED hours — q346's
     * multiwindow rule (page only when the 1h AND trailing-6h burns both
     * exceed) computed the way production alerting must: each hour's

@@ -380,6 +380,56 @@ class ProfilingSpec extends SparkSuite {
     assert(g1.values.forall(_ == 10L))
   }
 
+  test("bhQValues: monotone adjustment, last rank reads its own p") {
+    import spark.implicits._
+    val rows = (Seq.fill(40)(("a", 1000L)) ++ Seq.fill(40)(("b", 60L)) ++
+      Seq.fill(40)(("c", 52L)) ++ Seq.fill(40)(("d", 49L)))
+      .zipWithIndex.map { case ((g, base), i) => (g, base + (i % 7)) }
+      .toDF("g", "v")
+    val got = graft.operators.Drift.bhQValues(rows, "g", "v")
+      .orderBy(col("p_rank")).collect()
+    val m = got.length
+    // q is non-decreasing in rank and bounded by the scaled p
+    got.sliding(2).foreach { w =>
+      assert(w(0).getDouble(5) <= w(1).getDouble(5) + 1e-12)
+    }
+    got.zipWithIndex.foreach { case (r, i) =>
+      val scaled = BigDecimal(r.getDouble(3) * m / (i + 1.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) <= scaled + 1e-12)
+    }
+    assert(math.abs(got.last.getDouble(5) - got.last.getDouble(3)) < 1e-9,
+      "rank m's q-value is its own p")
+  }
+
+  test("cohensD: hand pooled-SD standardization with Hedges correction") {
+    import spark.implicits._
+    val df = Seq((0L, true), (2L, true), (4L, false), (6L, false))
+      .toDF("v", "isa")
+    val r = graft.operators.Drift.cohensD(df, "v", col("isa")).head()
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = -4.0 / math.sqrt(2.0)
+    assert(r.getDouble(2) == r6(d))
+    assert(r.getDouble(3) == r6(d * (1.0 - 3.0 / 7.0)))
+  }
+
+  test("qteFromCensus: batch-split value censuses equal the one-pass path") {
+    import spark.implicits._
+    val rows = ((1L to 20L).map((_, true)) ++ (5L to 24L).map((_, false)))
+      .toDF("v", "isa")
+    val onePass = graft.operators.Drift
+      .quantileTreatmentEffects(rows, "v", col("isa"))
+      .orderBy(col("pct")).collect().toSeq
+    def cen(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("isa"), col("v")).agg(count(lit(1)).as("t"))
+    val half1 = rows.limit(13)
+    val census = graft.operators.Drift.qteFromCensus(
+        cen(half1).unionByName(cen(rows.exceptAll(half1))))
+      .orderBy(col("pct")).collect().toSeq
+    assert(census == onePass)
+  }
+
   test("tCloseness: ordered EMD against the global distribution") {
     import spark.implicits._
     // global over {1,2} is (0.75, 0.25); both classes sit 0.25 away
