@@ -6982,12 +6982,14 @@ object SparkEntry {
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))).cast("double"))
       .localCheckpoint(true) // one reader per threshold
+    // coalesce: an empty candidate set must read 0, not NULL — at larger
+    // SFs the <300-id sample can be dup-free and the sweep still reports
     val rows = Seq(0.3, 0.4, 0.5, 0.6, 0.7).map { t =>
       scored.agg(lit(t).as("threshold"),
-        sum(when(col("est_jaccard") >= t, 1L).otherwise(0L))
-          .as("n_candidates"),
-        sum(when(col("est_jaccard") >= t && col("true_j") >= 0.35, 1L)
-          .otherwise(0L)).as("n_true"))
+        coalesce(sum(when(col("est_jaccard") >= t, 1L).otherwise(0L)),
+          lit(0L)).as("n_candidates"),
+        coalesce(sum(when(col("est_jaccard") >= t && col("true_j") >= 0.35,
+          1L).otherwise(0L)), lit(0L)).as("n_true"))
     }.reduce(_ unionByName _)
     rows.withColumn("precision",
       when(col("n_candidates") > 0L,
@@ -11936,7 +11938,7 @@ object SparkEntry {
     // the q84 banding with threshold 0, exact shingle Jaccard on the
     // candidates, and the per-threshold precision sweep
     "q515_dedup_threshold_sweep" ->
-      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs WHERE doc_id < 300), sets AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform(sh, s -> tosigned(s)))) AS g FROM shingled), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands), cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32.0 AS est FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64), sc AS (SELECT cp.id_a, cp.id_b, cp.est, CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.g, sb.g))) AS DOUBLE) AS tj FROM cp JOIN sets sa ON cp.id_a = sa.id JOIN sets sb ON cp.id_b = sb.id), u AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS th) SELECT th AS threshold, CAST(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates, CAST(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true, CASE WHEN SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) > 0 THEN round(CAST(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS precision FROM u CROSS JOIN sc GROUP BY th ORDER BY threshold""",
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), shingled AS (SELECT doc_id, list_transform(range(CASE WHEN n >= 3 THEN n - 2 ELSE 1 END), p -> shmix(shmix(h[p+1], coalesce(h[p+2], ${padLit(1)})), coalesce(h[p+3], ${padLit(2)}))) AS sh FROM hs WHERE doc_id < 300), sets AS (SELECT doc_id AS id, list_sort(list_distinct(list_transform(sh, s -> tosigned(s)))) AS g FROM shingled), sigs AS (SELECT doc_id AS id, $sigSql AS sig FROM shingled), bands AS (SELECT id, sig, unnest(list_zip([${(0 until 8).map(bandSql).mkString(", ")}], [0,1,2,3,4,5,6,7])) AS z FROM sigs), wb AS (SELECT id, sig, z[2] AS band_idx, z[1] AS band_hash, ROW_NUMBER() OVER (PARTITION BY z[2], z[1] ORDER BY id) AS rn FROM bands), cp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, CAST(len(list_filter(range(32), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 32.0 AS est FROM wb a JOIN wb b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id WHERE a.rn <= 64 AND b.rn <= 64), sc AS (SELECT cp.id_a, cp.id_b, cp.est, CAST(len(list_intersect(sa.g, sb.g)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.g, sb.g))) AS DOUBLE) AS tj FROM cp JOIN sets sa ON cp.id_a = sa.id JOIN sets sb ON cp.id_b = sb.id), u AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS th) SELECT th AS threshold, CAST(COALESCE(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_candidates, CAST(COALESCE(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true, CASE WHEN COALESCE(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END), 0) > 0 THEN round(CAST(SUM(CASE WHEN est >= th AND tj >= 0.35 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN est >= th THEN 1 ELSE 0 END) AS DOUBLE), 6) END AS precision FROM u LEFT JOIN sc ON TRUE GROUP BY th ORDER BY threshold""",
     // (segment, arm) censuses; pooled rates broadcast; grid verdicts
     "q521_simpson_reversal" ->
       """WITH e AS (SELECT event_type AS segment, CAST(concat('0x', substr(md5(concat('sp1:', CAST(user_id AS VARCHAR))), 1, 13)) AS BIGINT) % 2 = 0 AS isa, value > 100.0 AS succ FROM events), c AS (SELECT segment, CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b, CAST(SUM(CASE WHEN isa AND succ THEN 1 ELSE 0 END) AS BIGINT) AS s_a, CAST(SUM(CASE WHEN NOT isa AND succ THEN 1 ELSE 0 END) AS BIGINT) AS s_b FROM e GROUP BY 1), w AS (SELECT segment, n_a, n_b, round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a, round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b, round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS diff, round(CAST(SUM(s_a) OVER () AS DOUBLE) / CAST(SUM(n_a) OVER () AS DOUBLE) - CAST(SUM(s_b) OVER () AS DOUBLE) / CAST(SUM(n_b) OVER () AS DOUBLE), 6) AS pooled_diff FROM c) SELECT segment, n_a, n_b, rate_a, rate_b, diff, pooled_diff, CASE WHEN n_a > 0 AND n_b > 0 THEN (diff > 0.0 AND pooled_diff < 0.0) OR (diff < 0.0 AND pooled_diff > 0.0) END AS reversed FROM w ORDER BY segment""",
