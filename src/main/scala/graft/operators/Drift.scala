@@ -854,16 +854,22 @@ object Drift {
     val vb = (nb * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))) /
       (nb * (nb - 1.0)) / nb
     val z = (dbl(col("sa")) / na - dbl(col("sb")) / nb) / sqrt(va + vb)
+    // a single-row group (or complement) has no variance: its z/p surface
+    // as NULL and it stays OUT of the family (m counts tested groups
+    // only) instead of flowing NaN through every rank — the cohensD n>1
+    // discipline applied to the whole rank scan
+    val ok = col("na") > 1L && col("nb") > 1L
     val staged = j
-      .withColumn("zr", round(z, 6))
-      .withColumn("p", round(normalTailP2(z), 9))
+      .withColumn("zr", when(ok, round(z, 6)))
+      .withColumn("p", when(ok, round(normalTailP2(z), 9)))
+      .localCheckpoint(true) // group-domain frame, two readers below
     val fam = Window.partitionBy()
-    val ranked = staged
+    val ranked = staged.filter(col("p").isNotNull)
       .withColumn("r", row_number().over(
         fam.orderBy(col("p"), col("g"))).cast("long"))
       .withColumn("m", count(lit(1)).over(fam))
     // step-down: first rank whose scaled p fails kills everything after
-    ranked
+    val tested = ranked
       .withColumn("kfail", min(when(
         col("p") * (dbl(col("m")) - dbl(col("r")) + lit(1.0)) > lit(alpha),
         col("r"))).over(fam))
@@ -872,6 +878,11 @@ object Drift {
         round(lit(alpha) / (dbl(col("m")) - dbl(col("r")) + lit(1.0)), 9)
           .as("holm_crit"),
         (col("kfail").isNull || col("r") < col("kfail")).as("rejected"))
+    tested.unionByName(staged.filter(col("p").isNull)
+      .select(col("g"), col("na").as("n"), col("zr").as("z"), col("p"),
+        lit(null).cast("long").as("p_rank"),
+        lit(null).cast("double").as("holm_crit"),
+        lit(null).cast("boolean").as("rejected")))
   }
 
   /** FUNNEL with WILSON intervals — per funnel transition, the
@@ -946,10 +957,15 @@ object Drift {
     val vb = (nb * dbl(col("sbb")) - dbl(col("sb")) * dbl(col("sb"))) /
       (nb * (nb - 1.0)) / nb
     val z = (dbl(col("sa")) / na - dbl(col("sb")) / nb) / sqrt(va + vb)
+    // single-row groups have no variance: NULL z/p, excluded from the
+    // family (m counts tested groups only) — see holmBonferroni
+    val ok = col("na") > 1L && col("nb") > 1L
     val fam = Window.partitionBy()
-    val ranked = j
-      .withColumn("zr", round(z, 6))
-      .withColumn("p", round(normalTailP2(z), 9))
+    val staged = j
+      .withColumn("zr", when(ok, round(z, 6)))
+      .withColumn("p", when(ok, round(normalTailP2(z), 9)))
+      .localCheckpoint(true) // group-domain frame, two readers below
+    val ranked = staged.filter(col("p").isNotNull)
       .withColumn("r", row_number().over(
         fam.orderBy(col("p"), col("g"))).cast("long"))
       .withColumn("m", count(lit(1)).over(fam))
@@ -961,6 +977,10 @@ object Drift {
       .withColumn("q_value", min(col("qraw")).over(suffix))
       .select(col("g"), col("na").as("n"), col("zr").as("z"), col("p"),
         col("r").as("p_rank"), col("q_value"))
+      .unionByName(staged.filter(col("p").isNull)
+        .select(col("g"), col("na").as("n"), col("zr").as("z"), col("p"),
+          lit(null).cast("long").as("p_rank"),
+          lit(null).cast("double").as("q_value")))
   }
 
   /** COHEN'S d / HEDGES' g — the standardized mean difference the
@@ -1074,12 +1094,19 @@ object Drift {
       .withColumn("dev2",
         round((dbl(col("theta_i")) - col("tbar")) *
           (dbl(col("theta_i")) - col("tbar")), 12).cast(DecimalType(28, 12)))
+    // contract enforcement (not silent skew): a zero leave-one-out
+    // denominator makes theta_i NULL (round/cast of Infinity) — counting
+    // that bucket in nb while dropping it from the deviance sum would
+    // BIAS jack_se, so any NULL theta_i (or a single-bucket census)
+    // surfaces as a NULL jack_se instead
     staged.agg(max(col("nb")).as("n_buckets"),
         max(round(dbl(col("tx")) / dbl(col("ty")), 6)).as("ratio"),
-        max(col("nb")).as("__b"), sum(col("dev2")).as("ss"))
+        max(col("nb")).as("__b"), sum(col("dev2")).as("ss"),
+        sum(when(col("theta_i").isNull, 1L).otherwise(0L)).as("__bad"))
       .select(col("n_buckets"), col("ratio"),
-        round(sqrt((dbl(col("__b")) - lit(1.0)) / dbl(col("__b")) *
-          dbl(col("ss"))), 6).as("jack_se"))
+        when(col("__b") >= 2L && col("__bad") === 0L,
+          round(sqrt((dbl(col("__b")) - lit(1.0)) / dbl(col("__b")) *
+            dbl(col("ss"))), 6)).as("jack_se"))
   }
 
   /** QUANTILE TREATMENT EFFECTS — per-arm EXACT percentiles and their

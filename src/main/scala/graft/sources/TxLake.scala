@@ -300,8 +300,13 @@ object TxLake {
       }.toSeq
       finally all.close()
     }
-    droppable.foreach(Files.deleteIfExists(_))
-    (cutoff, droppable.size.toLong, reclaimed.toLong)
+    // count ACTUAL deletions, not candidates: a failed or already-missing
+    // delete must not inflate the dropped tally. Expiry assumes the
+    // single-writer contract of the whole mutation family (a concurrent
+    // commit racing the list-then-delete window could reference an entry
+    // this scan decided to drop).
+    val dropped = droppable.count(Files.deleteIfExists(_))
+    (cutoff, dropped.toLong, reclaimed.toLong)
   }
 
   /** How many per-commit log entries a read at `version` replays after the
