@@ -3518,11 +3518,13 @@ object SparkEntry {
   /** STREAMING incremental components
     * ([[graft.streaming.StreamVerify.componentsMaintenance]]): the
     * edit-distance pair graph arrives as 3 micro-batches; each folds into
-    * the standing assignment through the contracted root graph and lands
-    * as a tagged exactly-once overwrite commit. Union-find merging
-    * commutes, so the batch-split result equals the one-shot recompute —
-    * the oracle is q59's full recursive CTE, shared verbatim (the q189/
-    * q200 proof pattern applied to graph maintenance).
+    * the standing assignment through the contracted root graph and ONLY
+    * the changed rows land, via a tagged exactly-once merge-on-read
+    * upsert (delta appends + deletion-vector masks in one atomic entry —
+    * per-batch commit cost O(batch + touched clusters), never O(state)).
+    * Union-find merging commutes, so the batch-split result equals the
+    * one-shot recompute — the oracle is q59's full recursive CTE, shared
+    * verbatim (the q189/q200 proof pattern applied to graph maintenance).
     */
   private def q219(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamVerify.componentsMaintenance(

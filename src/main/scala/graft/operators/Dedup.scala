@@ -384,32 +384,67 @@ object Dedup {
       comp: DataFrame,
       newEdges: DataFrame,
       maxIter: Int = 10): DataFrame = {
+    val known = comp.select(col("node"), col("cluster_rep"))
+    val delta = updateClustersDelta(known, newEdges, maxIter)
+      .localCheckpoint(true)
+    known.join(delta, Seq("node"), "left_anti").unionByName(delta)
+  }
+
+  /** The DELTA of [[updateClusters]]: ONLY the rows an edge batch changes
+    * — new nodes entering the assignment plus existing members of merged
+    * clusters — never the untouched remainder of the standing state. This
+    * is what a streaming maintenance store must COMMIT per batch: at
+    * 100 TB the node table is billions of rows, and rewriting it per
+    * micro-batch (the r9 q219 shape) is O(state); the delta is
+    * O(batch + touched-cluster members) by construction, landed via
+    * [[graft.sources.TxLake.upsertKeysDv]]'s merge-on-read commit.
+    * Propagation still runs only over the batch's contracted root graph;
+    * the relabel join touches members of CHANGED roots only (standing
+    * rows reached through their `cluster_rep`, a broadcast-scale join
+    * against the changed-root map).
+    */
+  def updateClustersDelta(
+      comp: DataFrame,
+      newEdges: DataFrame,
+      maxIter: Int = 10): DataFrame = {
     val e = newEdges.select(col("id_a"), col("id_b")).localCheckpoint(true)
     val newNodes = e.select(col("id_a").as("node"))
       .unionAll(e.select(col("id_b").as("node"))).distinct()
     val known = comp.select(col("node"), col("cluster_rep"))
-    val allNodes = known.unionByName(
-      newNodes.join(known, Seq("node"), "left_anti")
-        .select(col("node"), col("node").as("cluster_rep")))
+    // unseen endpoints enter as their own root; known endpoints carry
+    // their standing root — only BATCH endpoints are ever looked up
+    val fresh = newNodes.join(known, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("cluster_rep"))
+    val batchAssign = known.join(newNodes, Seq("node"), "left_semi")
+      .unionByName(fresh)
       .localCheckpoint(true)
     val contracted = e
-      .join(allNodes.select(col("node").as("id_a"), col("cluster_rep").as("__ra")),
+      .join(batchAssign.select(col("node").as("id_a"), col("cluster_rep").as("__ra")),
         Seq("id_a"))
-      .join(allNodes.select(col("node").as("id_b"), col("cluster_rep").as("__rb")),
+      .join(batchAssign.select(col("node").as("id_b"), col("cluster_rep").as("__rb")),
         Seq("id_b"))
       .select(col("__ra").as("id_a"), col("__rb").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
       .localCheckpoint(true)
-    if (contracted.isEmpty) return allNodes
+    if (contracted.isEmpty) return fresh // isolated new nodes only
     val touched = contracted.select(col("id_a").as("node"))
       .unionAll(contracted.select(col("id_b").as("node"))).distinct()
     val rootMap = dupClusters(touched, "node", contracted, maxIter)
       .select(col("node").as("__root"), col("cluster_rep").as("__newRoot"))
-    allNodes
-      .join(rootMap, allNodes("cluster_rep") === rootMap("__root"), "left")
+      .localCheckpoint(true) // touched-root-sized, two readers below
+    // every member of a cluster whose root CHANGED relabels (roots are
+    // already the min of their sub-cluster, so min-over-merged-roots ==
+    // min-over-members: equal to a full recompute by construction)
+    val changedRoots = rootMap.filter(col("__root") =!= col("__newRoot"))
+    val changedExisting = known
+      .join(changedRoots, known("cluster_rep") === changedRoots("__root"))
+      .select(col("node"), col("__newRoot").as("cluster_rep"))
+    val freshFinal = fresh.alias("f")
+      .join(rootMap, col("f.cluster_rep") === rootMap("__root"), "left")
       .select(col("node"),
-        coalesce(col("__newRoot"), col("cluster_rep")).as("cluster_rep"))
+        coalesce(col("__newRoot"), col("f.cluster_rep")).as("cluster_rep"))
+    changedExisting.unionByName(freshFinal)
   }
 
   /** Incremental CANONICAL-COPY maintenance — [[canonicalPerCluster]] at

@@ -352,7 +352,8 @@ object TxLake {
       tag: String = "",
       statsCol: String = "",
       statsCols: Seq[String] = Seq.empty,
-      sketch: Option[SketchSpec] = None): Long = {
+      sketch: Option[SketchSpec] = None,
+      dvMarks: Option[DataFrame] = None): Long = {
     require(!tag.contains("\"") && !tag.contains("\\"), "tag must be JSON-safe")
     require(statsCols.forall(_.matches("[A-Za-z0-9_]+")),
       "statsCols feed flat JSON keys and the regex extractor: identifiers only")
@@ -459,12 +460,32 @@ object TxLake {
           s""","sketchK:${spec.vCol}":[${spec.k}]""" +
           s""","sketchCols":["${spec.vCol}"]"""
     }
+    // deletion-vector sidecars landing in the SAME atomic entry as the
+    // adds (the upsertKeysDv merge-on-read path): marks and new rows
+    // become visible together or not at all — a two-commit upsert would
+    // expose a deleted-but-not-reinserted intermediate state to a crash
+    val dvAdds: Seq[String] = dvMarks match {
+      case Some(m) if !m.isEmpty =>
+        val dvDir = s"$path/dv/v$next"
+        m.coalesce(1).write.mode("overwrite").parquet(dvDir)
+        val d = Paths.get(dvDir)
+        val s = Files.list(d)
+        try s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+        finally s.close()
+      case _ => Seq.empty
+    }
+    require(dvAdds.forall(p => !p.contains("\"") && !p.contains("\\")),
+      "dv paths must be JSON-safe")
+    val dvPart =
+      if (dvAdds.isEmpty) ""
+      else s""","dvs":[${dvAdds.map("\"" + _ + "\"").mkString(",")}]"""
     // 3. publish: write content to a tmp file, atomically swap onto the
     //    reservation
     val json =
       s"""{"version":$next,"tag":"$tag",""" +
         s""""adds":[${adds.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]$stats$sketchPart}"""
+        s""""removes":[${removes.map("\"" + _ + "\"").mkString(",")}]$stats$sketchPart$dvPart}"""
     val tmp = logDir(path).resolve(f".tmp-$next%08d")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
@@ -1578,6 +1599,46 @@ object TxLake {
     Files.move(tmp, log, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+
+  /** MERGE-ON-READ upsert — one ATOMIC commit that appends `updates` as
+    * new data files and masks the superseded rows (same `keyCol` in the
+    * standing snapshot) via deletion-vector sidecars in the SAME log
+    * entry. No data file is ever rewritten: commit cost is
+    * O(updates + matches) rows — the shape a per-micro-batch streaming
+    * MERGE needs, where [[mergeByKey]]'s copy-on-write would rewrite
+    * every affected file each batch. The two halves land together or not
+    * at all (single atomic entry), so a crash can never expose a
+    * deleted-but-not-reinserted state. Read cost until an OPTIMIZE
+    * compacts is the standing DV anti-join. `tag` keeps the exactly-once
+    * idempotency contract of [[commit]]; the table must be key-unique on
+    * `keyCol` (the mergeByKey family's contract), null update keys match
+    * nothing and insert.
+    */
+  def upsertKeysDv(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyCol: String,
+      tag: String = ""): Long = {
+    import org.apache.spark.sql.functions.col
+    if (tag.nonEmpty) {
+      val already = taggedVersion(path, tag)
+      if (already.isDefined) return already.get
+    }
+    val u = updates.localCheckpoint(true)
+    require(u.filter(col(keyCol).isNotNull).groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).isEmpty, "duplicate keys in updates")
+    if (latestVersion(path) == 0L) return commit(spark, path, u, tag = tag)
+    val snap = snapshotWithPos(spark, path)
+    val dataCols = snap.columns.toSeq.filterNot(Set("__dv_file", "__dv_pos"))
+    require(u.columns.toSeq.sorted == dataCols.sorted,
+      "updates must carry exactly the table's columns")
+    val marks = snap
+      .join(u.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .localCheckpoint(true)
+    commit(spark, path, u, tag = tag, dvMarks = Some(marks))
   }
 
   // ------------------------------------------------------------- OCC ----

@@ -1554,16 +1554,20 @@ object StreamVerify {
 
   /** STREAMING incremental connected-components maintenance: edge batches
     * arrive as a stream, and each micro-batch folds into the standing
-    * cluster assignment via [[graft.operators.Dedup.updateClusters]] —
-    * propagation runs only over the batch's contracted root graph, never
-    * the accumulated edge history, and the refreshed assignment lands as
-    * one tagged exactly-once TxLake overwrite commit per batch. Because
-    * union-find merging is order-insensitive, the batch-split assignment
-    * equals the one-shot recompute over all edges — which is exactly what
-    * the gate proves (the oracle is the full recursive-CTE components).
-    * This is near-dup cluster maintenance at ingest cadence: the 100 TB
-    * corpus's pair graph never re-propagates, each batch pays for its own
-    * merges.
+    * cluster assignment via [[graft.operators.Dedup.updateClustersDelta]]
+    * — propagation runs only over the batch's contracted root graph,
+    * never the accumulated edge history, and ONLY the rows the batch
+    * changed (new nodes + members of merged clusters) land, through one
+    * tagged exactly-once merge-on-read commit
+    * ([[graft.sources.TxLake.upsertKeysDv]]: delta rows append, the
+    * superseded rows mask via deletion vectors in the same atomic entry
+    * — no data file rewritten, no full-snapshot overwrite). Per-batch
+    * commit cost is O(batch + touched-cluster members), never O(state):
+    * the posture that keeps near-dup cluster maintenance at ingest
+    * cadence on a standing 100 TB corpus. Because union-find merging is
+    * order-insensitive, the batch-split assignment equals the one-shot
+    * recompute over all edges — which is exactly what the gate proves
+    * (the oracle is the full recursive-CTE components).
     */
   def componentsMaintenance(
       spark: SparkSession,
@@ -1593,10 +1597,14 @@ object StreamVerify {
             edges.select(col("id_a").as("node"),
               col("id_a").as("cluster_rep")).limit(0)
           else graft.sources.TxLake.readSnapshot(spark, lake)
-        val updated = graft.operators.Dedup
-          .updateClusters(comp, edges, maxIter = 30)
-        graft.sources.TxLake.commit(spark, lake, updated.coalesce(1),
-          overwrite = true, tag = s"cc-$id")
+        val delta = graft.operators.Dedup
+          .updateClustersDelta(comp, edges, maxIter = 30)
+          .localCheckpoint(true)
+        // an empty delta (re-delivered batch, or all edges intra-cluster)
+        // commits nothing — the standing state already answers it
+        if (!delta.isEmpty)
+          graft.sources.TxLake.upsertKeysDv(spark, lake, delta, "node",
+            tag = s"cc-$id")
         ()
       }
       .option("checkpointLocation", s"$scratchDir/chk")

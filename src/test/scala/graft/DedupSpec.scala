@@ -80,6 +80,28 @@ class DedupSpec extends SparkSuite {
     assert(same == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("updateClustersDelta emits ONLY changed rows; untouched clusters absent") {
+    // standing: {1,2}→1, {5,6}→5, and a 3-member cluster {20,21,22}→20
+    // the batch never touches; delta: 2-5 merges the first two clusters,
+    // 10-11 arrives new
+    val comp = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L),
+      (20L, 20L), (21L, 20L), (22L, 20L)).toDF("node", "cluster_rep")
+    val edges = Seq((2L, 5L), (10L, 11L)).toDF("id_a", "id_b")
+    val delta = Dedup.updateClustersDelta(comp, edges)
+      .as[(Long, Long)].collect().toMap
+    // exactly the relabeled members of the merged cluster + the new pair:
+    // the untouched {20,21,22} MUST NOT appear — this is the per-batch
+    // commit bound (O(batch + touched-cluster members), never O(state))
+    assert(delta == Map(5L -> 1L, 6L -> 1L, 10L -> 10L, 11L -> 10L))
+    // an intra-cluster edge contracts to a self-loop: empty delta
+    assert(Dedup.updateClustersDelta(comp,
+      Seq((1L, 2L)).toDF("id_a", "id_b")).isEmpty)
+    // isolated new nodes only: delta is just the fresh self-roots
+    assert(Dedup.updateClustersDelta(comp,
+      Seq((30L, 31L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap == Map(30L -> 30L, 31L -> 30L))
+  }
+
   test("updateCanonical re-picks only touched clusters; ties to min id") {
     // standing: cluster {1,2} keeps 2 (weight 9 > 5); singleton {8} keeps 8.
     // batch: node 3 (weight 9) joins {1,2} — tie with 2 → keep goes to 2

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.TxLake
+import graft.streaming.StreamVerify
+
+/** Per-batch COMMIT-SIZE locks for the self-maintaining streaming stores.
+  * The exactly-once and batching-invariance claims are spec-proven
+  * elsewhere; these assert the commit COST the scale posture depends on:
+  * sufficient-statistic stores commit O(domain) rows per batch whatever
+  * the batch size, and the components store commits only its batch DELTA
+  * — never a rewrite of the standing state (the r9 O(state)-per-batch
+  * surface, retired).
+  */
+class StreamStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString
+
+  test("components store commits per-batch DELTAS, never the standing state") {
+    // 20 disjoint pairs + one bridge: whatever the deterministic hash
+    // split assigns to each micro-batch, every node inserts exactly once
+    // and the bridge relabels at most 2 rows — so TOTAL committed rows
+    // must stay <= nodes + 2, where the old snapshot-overwrite store
+    // wrote ~|state| rows PER BATCH
+    val pairs = (0L until 20L).map(i => (i * 10 + 1, i * 10 + 2)) :+ (1L, 11L)
+    val df = pairs.toDF("id_a", "id_b")
+    val dir = tmp("cc_delta")
+    val out = StreamVerify.componentsMaintenance(spark, df, dir)
+      .as[(Long, Long)].collect().toMap
+    // the one-shot recompute over all edges is the semantic oracle
+    val nodes = df.select(col("id_a").as("node"))
+      .unionAll(df.select(col("id_b").as("node"))).distinct()
+    val oneShot = graft.operators.Dedup
+      .dupClusters(nodes, "node", df).as[(Long, Long)].collect().toMap
+    assert(out == oneShot)
+    val commits = TxLake.commitAddCounts(s"$dir/comp")
+    val nNodes = out.size.toLong
+    assert(commits.forall(_._2.startsWith("cc-")), "every commit tagged")
+    assert(commits.map(_._3).sum <= nNodes + 2,
+      s"delta bound violated: ${commits.map(_._3).sum} rows committed " +
+        s"for $nNodes nodes — a snapshot-shaped commit leaked in")
+    // with >=2 data commits the later ones are batch-bounded, not
+    // state-sized
+    if (commits.size >= 2)
+      assert(commits.last._3 < nNodes)
+    // a cross-batch relabel (bridge in a later batch than its clusters)
+    // must mask the superseded rows via DV sidecars, not rewrite files
+    if (commits.map(_._3).sum > nNodes)
+      assert(TxLake.dvFiles(s"$dir/comp").nonEmpty)
+  }
+
+  test("benford store commits <= 9 census rows per batch at any batch size") {
+    val src = tmp("benford_src")
+    (1 to 3).foreach { i =>
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        Paths.get(s"$src/events_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("benford_store") + "/s"
+    StreamVerify.benfordMaintenance(spark, src, scratch)
+    val commits = TxLake.commitAddCounts(s"$scratch/benford")
+    assert(commits.size == 3, s"expected 3 micro-batch commits: $commits")
+    assert(commits.forall(_._3 <= 9L),
+      s"a digit census can never exceed 9 rows: $commits")
+    assert(commits.forall(_._2.startsWith("benford-")))
+  }
+
+  test("top-k store commits at most k rows per group per batch") {
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val k = 5
+    val nGroups = events.select(col("event_type")).distinct().count()
+    val scratch = tmp("topk_store") + "/s"
+    StreamVerify.topkMaintenance(spark, events, scratch, k)
+    val commits = TxLake.commitAddCounts(s"$scratch/topk")
+    assert(commits.nonEmpty)
+    assert(commits.forall(_._3 <= k * nGroups),
+      s"top-k state must stay k x groups: $commits (groups=$nGroups)")
+  }
+}

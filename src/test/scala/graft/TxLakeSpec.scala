@@ -594,6 +594,41 @@ class TxLakeSpec extends SparkSuite {
     assert(ids(TxLake.readSnapshot(spark, lake)) == Set(2L, 3L, 7L))
   }
 
+  test("upsertKeysDv: delta adds + DV masks in ONE atomic entry, no rewrite") {
+    import spark.implicits._
+    val lake = tmp()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    assert(TxLake.commit(spark, lake, base) == 1L)
+    val up = Seq((2L, "B"), (4L, "d")).toDF("id", "v")
+    assert(TxLake.upsertKeysDv(spark, lake, up, "id", tag = "b1") == 2L)
+    val got = TxLake.readSnapshot(spark, lake)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // merge-on-read: the upsert commit ADDED exactly the 2 delta rows
+    // (never the affected file's survivors — that's mergeByKey's
+    // copy-on-write shape) and masked the superseded row via a sidecar
+    assert(TxLake.commitAddCounts(lake) ==
+      Seq((1L, "", 3L), (2L, "b1", 2L)))
+    assert(TxLake.dvFiles(lake).nonEmpty)
+    // time travel below the upsert still reads the pre-image
+    assert(TxLake.readSnapshot(spark, lake, 1L)
+      .as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // exactly-once: a re-delivered tag is a no-op returning its version
+    assert(TxLake.upsertKeysDv(spark, lake, up, "id", tag = "b1") == 2L)
+    assert(TxLake.latestVersion(lake) == 2L)
+    // a checkpoint carries the sidecars (a dvs-blind summary would
+    // resurrect the superseded row)
+    TxLake.checkpoint(lake)
+    assert(TxLake.readSnapshot(spark, lake)
+      .as[(Long, String)].collect().toMap == got)
+    // insert-only upsert against an empty table degrades to plain commit
+    val lake2 = tmp()
+    assert(TxLake.upsertKeysDv(spark, lake2, base, "id", tag = "b0") == 1L)
+    assert(TxLake.readSnapshot(spark, lake2).count() == 3L)
+    assert(TxLake.dvFiles(lake2).isEmpty)
+  }
+
   test("countRows is metadata-only and DV/rewrite/checkpoint-exact") {
     val lake = tmp()
     TxLake.commit(spark, lake, df(1L to 10L: _*), tag = "b1")
