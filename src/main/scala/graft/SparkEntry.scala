@@ -7185,6 +7185,19 @@ object SparkEntry {
     graft.streaming.StreamVerify.qteMaintenance(
       s, q135Events(s, dir), scratch(dir, "q526"))
 
+  /** Substring-level repeated-span dedup
+    * ([[graft.operators.Dedup.repeatedSpans]]): every maximal >= 8-token
+    * span whose every 8-shingle occurs at least twice in the corpus — the
+    * Lee-et-al-style repeated-passage cut between document dedup (q21)
+    * and chunk dedup (q179), found by shingle-anchor census + island
+    * merge, never a suffix array. The oracle replays the same xorshift
+    * shingle fold and gaps-and-islands extension in SQL.
+    */
+  private def q527(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.repeatedSpans(
+      T(s, dir, "documents"), "doc_id", "text", k = 8, minOcc = 2)
+      .orderBy(col("doc_id"), col("start_tok"))
+
   /** L-moments ([[graft.operators.Relational.lMoments]]): λ₁, λ₂ and the
     * robust L-CV of order prices per priority — the dispersion family
     * that stays stable on heavy tails where classical variance explodes;
@@ -10456,6 +10469,7 @@ object SparkEntry {
     "q524_bh_qvalues" -> (q524 _),
     "q525_cohens_d" -> (q525 _),
     "q526_stream_qte" -> (q526 _),
+    "q527_repeated_spans" -> (q527 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -11956,6 +11970,11 @@ object SparkEntry {
     // the q420 family with the monotone suffix-min q adjustment
     "q524_bh_qvalues" ->
       """WITH c AS (SELECT n.n_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM customer JOIN nation n ON c_nationkey = n_nationkey), g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS na, SUM(CAST(cents AS DECIMAL(38,0))) AS sa, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS saa FROM c GROUP BY 1), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, SUM(CAST(cents AS DECIMAL(38,0))) AS st, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS stt FROM c), j AS (SELECT n_name, na, CAST(sa AS DOUBLE) AS saD, CAST(saa AS DOUBLE) AS saaD, nt - na AS nb, CAST(st - sa AS DOUBLE) AS sbD, CAST(stt - saa AS DOUBLE) AS sbbD FROM g, t), zc AS (SELECT n_name, na, nb, (saD / CAST(na AS DOUBLE) - sbD / CAST(nb AS DOUBLE)) / sqrt(((CAST(na AS DOUBLE) * saaD - saD * saD) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) + ((CAST(nb AS DOUBLE) * sbbD - sbD * sbD) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)) AS z FROM j), pt AS (SELECT n_name, na, nb, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zc), pp AS (SELECT n_name, na, CASE WHEN na > 1 AND nb > 1 THEN round(z, 6) END AS zr, CASE WHEN na > 1 AND nb > 1 THEN round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) END AS p FROM pt), bq AS (SELECT n_name, na, zr, p, CAST(ROW_NUMBER() OVER (ORDER BY p, n_name) AS BIGINT) AS r, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pp WHERE p IS NOT NULL), qq AS (SELECT n_name, na, zr, p, r, round(p * CAST(m AS DOUBLE) / CAST(r AS DOUBLE), 9) AS qraw FROM bq), tq AS (SELECT n_name AS g, na AS n, zr AS z, p, r AS p_rank, MIN(qraw) OVER (ORDER BY r ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q_value FROM qq) SELECT g, n, z, p, p_rank, q_value FROM tq UNION ALL SELECT n_name AS g, na AS n, zr AS z, p, CAST(NULL AS BIGINT) AS p_rank, CAST(NULL AS DOUBLE) AS q_value FROM pp WHERE p IS NULL ORDER BY p_rank""",
+    // the engine's xorshift shingle fold + census + gaps-and-islands
+    // extension, replayed verbatim: every maximal run of positions whose
+    // 8-shingle occurs >= 2x corpus-wide
+    "q527_repeated_spans" ->
+      s"""$HASH_MACROS; WITH hs AS ($DOC_HASHES), ps AS (SELECT doc_id, unnest(range(greatest(n - 7, 0))) AS pos, h FROM hs), sh AS (SELECT doc_id, pos, list_reduce(h[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], (a, b) -> shmix(a, b)) AS s FROM ps), rep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2), mk AS (SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM rep)), il AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM mk) SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 7 AS end_tok, MAX(pos) + 8 - MIN(pos) AS span_tokens FROM il GROUP BY doc_id, grp ORDER BY doc_id, start_tok""",
     // one conditional moment pass, pooled-SD standardization, Hedges fix
     "q525_cohens_d" ->
       """WITH e AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v, o_orderpriority = '1-URGENT' AS isa FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')), g AS (SELECT CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a, CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b, SUM(CASE WHEN isa THEN CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa, SUM(CASE WHEN NOT isa THEN CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sb, SUM(CASE WHEN isa THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS saa, SUM(CASE WHEN NOT isa THEN CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS sbb FROM e), h AS (SELECT n_a, n_b, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb, CAST(sa AS DOUBLE) AS saD, CAST(sb AS DOUBLE) AS sbD, CAST(saa AS DOUBLE) AS saaD, CAST(sbb AS DOUBLE) AS sbbD FROM g), i AS (SELECT n_a, n_b, (saD / na - sbD / nb) / sqrt(((saaD - saD * saD / na) + (sbbD - sbD * sbD / nb)) / (na + nb - 2.0)) AS d, 1.0 - 3.0 / (4.0 * (na + nb) - 9.0) AS gc, n_a > 1 AND n_b > 1 AS ok FROM h) SELECT n_a, n_b, CASE WHEN ok THEN round(d, 6) END AS cohens_d, CASE WHEN ok THEN round(d * gc, 6) END AS hedges_g FROM i""",

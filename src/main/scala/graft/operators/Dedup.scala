@@ -101,6 +101,73 @@ object Dedup {
       .select(col(idCol), col("sh"))
   }
 
+  /** CORPUS-WIDE REPEATED-SPAN detection — the SUBSTRING-level exact-dedup
+    * tier between document dedup ([[exact]]) and chunk dedup: every
+    * maximal run of consecutive tokens, >= k long, whose every k-token
+    * shingle occurs at least `minOcc` times across the whole corpus is
+    * reported as a removable span (the "repeated passage" LLM-training
+    * hygiene cut — boilerplate, licenses, templated paragraphs).
+    *
+    * Tractable Spark shape — shingle-ANCHOR grouping, never a suffix
+    * array and never all-pairs:
+    *   1. one explode + per-doc window pass hashes every k-token shingle
+    *      with its position (the [[shingleHashRows]] plan, positions
+    *      kept);
+    *   2. ONE corpus-wide groupBy censuses the shingle hashes — repeated
+    *      anchors are the hashes with >= minOcc occurrences (cost is the
+    *      distinct-shingle domain, linear in corpus tokens);
+    *   3. anchors semi-join back onto the positions (hash-partitioned
+    *      equi-join, no fan-out) and ADJACENT matched positions merge
+    *      into maximal spans per doc (gaps-and-islands over the per-doc
+    *      window — the extension step, paid per matched position).
+    *
+    * A span of length L >= k is emitted iff all of its k-shingles repeat
+    * — exactly the "every k-token window of the span occurs elsewhere"
+    * criterion, so the cut never removes text whose k-context is unique.
+    * Output: (idCol, start_tok, end_tok, span_tokens), token indices
+    * 0-based inclusive.
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minOcc: Int = 2): DataFrame = {
+    require(k >= 2 && minOcc >= 2, "degenerate span parameters")
+    val rows = df.select(col(idCol),
+      posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
+      .select(col(idCol), col("__pos"), xsHash(col("__w")).as("__h"))
+    val ws = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val cw = Window.partitionBy(col(idCol))
+    val sh = (1 until k).foldLeft(col("__h")) { (acc, j) =>
+      mix(acc, coalesce(lead(col("__h"), j).over(ws),
+        lit(0x9e3779b97f4a7c15L * (j + 1))))
+    }
+    // COMPLETE shingles only (pads never contribute: a short doc has no
+    // k-token span to cut); materialized once — census and semi-join both
+    // consume it, and re-executing the explode+window DAG per branch
+    // would double the corpus scan
+    val shingles = rows
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .withColumn("sh", sh)
+      .filter(col("__pos") <= col("__cnt") - k)
+      .select(col(idCol), col("__pos").cast("long").as("pos"), col("sh"))
+      .localCheckpoint(true)
+    val repeated = shingles.groupBy(col("sh"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOcc)
+      .select(col("sh"))
+    val wp = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    shingles.join(repeated, Seq("sh"), "left_semi")
+      .withColumn("__grp", col("pos") - row_number().over(wp))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("start_tok"), max(col("pos")).as("__last"))
+      .select(col(idCol), col("start_tok"),
+        (col("__last") + lit(k - 1).cast("long")).as("end_tok"),
+        (col("__last") + lit(k).cast("long") - col("start_tok"))
+          .as("span_tokens"))
+  }
+
   /** Permutation i of a 64-bit hash: rotate by a per-i amount then xor a
     * per-i constant — a bijection family replacing "re-hash the shingle
     * string numHashes times" (each min-hash seed costs two bitwise ops).

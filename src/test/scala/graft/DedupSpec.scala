@@ -80,6 +80,29 @@ class DedupSpec extends SparkSuite {
     assert(same == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("repeatedSpans finds maximal repeated passages, never unique k-context") {
+    // doc 1 and doc 2 share a 10-word paragraph (k=4 => positions whose
+    // every 4-shingle repeats span the whole paragraph); doc 3 is unique
+    // apart from its OWN internal repetition of a 5-word phrase; doc 4 is
+    // entirely unique and must emit nothing
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val docs = Seq(
+      (1L, s"unique one two three $para tail1 tailx"),
+      (2L, s"$para other words entirely here"),
+      (3L, "pre red green blue white black mid red green blue white black post"),
+      (4L, "nothing here repeats at all ever truly once only"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", k = 4, minOcc = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc1: para at tokens 4..13; doc2: 0..9; doc3: the 5-word phrase at
+    // 1..5 and 7..11 (k=4: matched shingle starts 1,2 and 7,8)
+    assert(out == Set(
+      (1L, 4L, 13L, 10L),
+      (2L, 0L, 9L, 10L),
+      (3L, 1L, 5L, 5L),
+      (3L, 7L, 11L, 5L)))
+  }
+
   test("updateClustersDelta emits ONLY changed rows; untouched clusters absent") {
     // standing: {1,2}→1, {5,6}→5, and a 3-member cluster {20,21,22}→20
     // the batch never touches; delta: 2-5 merges the first two clusters,
