@@ -44,25 +44,41 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
 
-    // sf1 section: when the staged 10×-replica directory exists (built by
-    // `runMain graft.ScaleUp /root/testdata/sf0.1 target/sf1 10`), time a
-    // batch headline subset there too — the above-sf0.1 exercise of the 2×
-    // gate. Guarded so a missing/partial stage can never break the main
-    // JSON line; one warm-up + one measured pass (wall-time bound).
+    // sf1 section: time a batch headline subset on a 10×-replica of
+    // sf0.1 — the above-sf0.1 exercise of the 2× gate. The stage is
+    // AUTO-BUILT via graft.ScaleUp when missing or partial (the r9
+    // verdict's evidence gap: a silently-skipped stage left the sf1
+    // ratios uncommitted), so the committed bench artifact always
+    // carries an "sf1" key — either numbers or an explicit skip marker.
+    // SPARK_GRAFT_SF1=0 disables (dev runs); a dev SPARK_GRAFT_ONLY run
+    // skips unless SPARK_GRAFT_SF1=1 forces. One warm-up + one measured
+    // pass (wall-time bound). Errors degrade to a marker, never break
+    // the main JSON line.
     val sf1Json: String = {
       val sf1Dir = "/root/repo/target/sf1"
-      val staged = graft.sources.Tables.all.forall(t =>
-        new java.io.File(s"$sf1Dir/$t.parquet/_SUCCESS").exists())
+      val srcDir = "/root/testdata/sf0.1"
+      val disabled = sys.env.get("SPARK_GRAFT_SF1").contains("0")
       val forced = sys.env.get("SPARK_GRAFT_SF1").contains("1")
-      if (!staged || (only.nonEmpty && !forced)) ""
+      def staged: Boolean = graft.sources.Tables.all.forall(t =>
+        new java.io.File(s"$sf1Dir/$t.parquet/_SUCCESS").exists())
+      if (disabled || (only.nonEmpty && !forced))
+        s""","sf1":{"skipped":"${if (disabled) "SPARK_GRAFT_SF1=0" else "dev SPARK_GRAFT_ONLY run"}"}"""
       else try {
+        if (!staged) ScaleUp.stage(spark, srcDir, sf1Dir, 10)
+        require(staged, "sf1 stage incomplete after ScaleUp")
+        // headline: the 18 batch queries + the TxLake-mutation trio and
+        // two streaming stores — the families whose scale behavior the
+        // batch subset alone can't witness (streaming last: state-store
+        // residue must never precede a batch timing)
         val headline = Seq(
           "q07_agg_full", "q08_filter_pushdown", "q09_join_broadcast",
           "q10_join_multiway", "q11_window", "q13_distinct_topk",
           "q14_events_hourly", "q15_sessionize", "q18_quantiles",
           "q19_skew_salted_agg", "q21_dedup_exact", "q22_dedup_minhash",
           "q31_token_count", "q42_explode_words", "q85_tfidf",
-          "q100_pagerank", "q138_seq_packing", "q156_vocab_build")
+          "q100_pagerank", "q138_seq_packing", "q156_vocab_build",
+          "q78_merge_upsert", "q97_incremental_agg", "q98_time_travel",
+          "q200_stream_bitmap", "q486_stream_benford")
         def consume1(name: String): Boolean =
           try {
             SparkEntry.queries(name)(spark, sf1Dir).queryExecution.toRdd
@@ -80,7 +96,13 @@ object Bench {
         val f1 = r1.collect { case (k, _, false) => s"\"" + k + "\"" }
           .mkString("[", ",", "]")
         s""","sf1":{"value":${r1.map(_._2).sum},"queries":$q1,"failed":$f1,"dir":"$sf1Dir"}"""
-      } catch { case _: Throwable => "" }
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replace("\\", "/").replace("\"", "'")
+            .replace("\n", " ").replace("\r", " ").take(200)
+          s""","sf1":{"skipped":"$msg"}"""
+      }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$out,"failed":$failed,"sf":"$sfDir"$sf1Json}""")
     spark.stop()

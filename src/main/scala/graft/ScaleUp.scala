@@ -24,10 +24,21 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
-    require(factor >= 1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark: SparkSession = GraftSession.local("graft-scaleup", cpus)
     spark.sparkContext.setLogLevel("WARN")
+    stage(spark, src, out, factor)
+    spark.stop()
+  }
+
+  /** Stage `<out>/<table>.parquet` as a `factor`x replica of `src` —
+    * callable from an existing session (graft.Bench auto-stages the sf1
+    * directory with this before its sf1 section when the stage is
+    * missing, so the committed bench artifact always carries the
+    * above-sf0.1 evidence).
+    */
+  def stage(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    require(factor >= 1)
     val reps = spark.range(factor).select(col("id").cast("long").as("__rep"))
 
     val B = 1000000000L // key-domain stride: far above any sf0.1 key
@@ -62,12 +73,19 @@ object ScaleUp {
       .withColumn("l_suppkey", col("l_suppkey") + col("__rep") * B))
     shifted("events")(d => d
       .withColumn("event_id", col("event_id") + col("__rep") * B)
-      .withColumn("user_id", col("user_id") + col("__rep") * 1000000L))
+      .withColumn("user_id", col("user_id") + col("__rep") * 1000000L)
+      // land ts in the driver-testdata PHYSICAL form (parquet
+      // TIMESTAMP(MICROS) without UTC adjustment = TIMESTAMP_NTZ):
+      // Tables.load hands ScaleUp the canonical epoch-nanos LONG, but the
+      // streaming stores stage raw event files and declare the NTZ
+      // storage schema (EventsStream.rawEventsSchema) — a LONG ts in the
+      // staged replica would fail every stream read at sf1
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")))
     shifted("documents")(d => d
       .withColumn("doc_id", col("doc_id") + col("__rep") * B)
       .withColumn("text", concat(col("text"), lit(" r"), col("__rep"))))
     shifted("embeddings")(d =>
       d.withColumn("vec_id", col("vec_id") + col("__rep") * B))
-    spark.stop()
   }
 }

@@ -7185,6 +7185,40 @@ object SparkEntry {
     graft.streaming.StreamVerify.qteMaintenance(
       s, q135Events(s, dir), scratch(dir, "q526"))
 
+  /** Iceberg-layout interop ([[graft.sources.IcebergLite]]): a TxLake
+    * table (two append commits over orders) exports ZERO-COPY as an
+    * Iceberg-shaped metadata chain — version hint → metadata json → avro
+    * manifest list → avro manifests → data files referenced in place —
+    * and the readout aggregates what came back from WALKING THE FOREIGN
+    * CHAIN, never TxLake's log (the reference README's "Apache Iceberg
+    * table format" noun, read-only scope). The query self-checks the
+    * manifest accounting (chain row total == scanned rows) before
+    * returning; snapshot_id is a construction fact (2 commits).
+    */
+  private def q528(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "q528")
+    graft.sources.LocalFs.deleteRecursively(root)
+    val lake = s"$root/lake"
+    val ice = s"$root/ice"
+    val orders = T(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    graft.sources.TxLake.commit(s, lake,
+      orders.filter(col("o_orderkey") % 2 === 0))
+    graft.sources.TxLake.commit(s, lake,
+      orders.filter(col("o_orderkey") % 2 === 1))
+    val snapId = graft.sources.IcebergLite.export(s, lake, ice)
+    val back = graft.sources.IcebergLite.read(s, ice).localCheckpoint(true)
+    val info = graft.sources.IcebergLite.snapshotInfo(s, ice)
+    require(info._1 == snapId && info._4 == back.count(),
+      "manifest chain accounting diverges from the scanned snapshot")
+    back.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .withColumn("snapshot_id", lit(snapId))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Substring-level repeated-span dedup
     * ([[graft.operators.Dedup.repeatedSpans]]): every maximal >= 8-token
     * span whose every 8-shingle occurs at least twice in the corpus — the
@@ -10470,6 +10504,7 @@ object SparkEntry {
     "q525_cohens_d" -> (q525 _),
     "q526_stream_qte" -> (q526 _),
     "q527_repeated_spans" -> (q527 _),
+    "q528_iceberg_export" -> (q528 _),
     "q309_star_bucketed" -> (q309 _),
     "q310_rel_division" -> (q310 _),
     "q311_share_of_parent" -> (q311 _),
@@ -11970,6 +12005,11 @@ object SparkEntry {
     // the q420 family with the monotone suffix-min q adjustment
     "q524_bh_qvalues" ->
       """WITH c AS (SELECT n.n_name, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM customer JOIN nation n ON c_nationkey = n_nationkey), g AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS na, SUM(CAST(cents AS DECIMAL(38,0))) AS sa, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS saa FROM c GROUP BY 1), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt, SUM(CAST(cents AS DECIMAL(38,0))) AS st, SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS stt FROM c), j AS (SELECT n_name, na, CAST(sa AS DOUBLE) AS saD, CAST(saa AS DOUBLE) AS saaD, nt - na AS nb, CAST(st - sa AS DOUBLE) AS sbD, CAST(stt - saa AS DOUBLE) AS sbbD FROM g, t), zc AS (SELECT n_name, na, nb, (saD / CAST(na AS DOUBLE) - sbD / CAST(nb AS DOUBLE)) / sqrt(((CAST(na AS DOUBLE) * saaD - saD * saD) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE) + ((CAST(nb AS DOUBLE) * sbbD - sbD * sbD) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE)) AS z FROM j), pt AS (SELECT n_name, na, nb, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS tt FROM zc), pp AS (SELECT n_name, na, CASE WHEN na > 1 AND nb > 1 THEN round(z, 6) END AS zr, CASE WHEN na > 1 AND nb > 1 THEN round(2.0 * 0.3989422804014327 * exp(-(abs(z) * abs(z)) / 2.0) * ((((1.330274429 * tt - 1.821255978) * tt + 1.781477937) * tt - 0.356563782) * tt + 0.319381530) * tt, 9) END AS p FROM pt), bq AS (SELECT n_name, na, zr, p, CAST(ROW_NUMBER() OVER (ORDER BY p, n_name) AS BIGINT) AS r, CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pp WHERE p IS NOT NULL), qq AS (SELECT n_name, na, zr, p, r, round(p * CAST(m AS DOUBLE) / CAST(r AS DOUBLE), 9) AS qraw FROM bq), tq AS (SELECT n_name AS g, na AS n, zr AS z, p, r AS p_rank, MIN(qraw) OVER (ORDER BY r ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q_value FROM qq) SELECT g, n, z, p, p_rank, q_value FROM tq UNION ALL SELECT n_name AS g, na AS n, zr AS z, p, CAST(NULL AS BIGINT) AS p_rank, CAST(NULL AS DOUBLE) AS q_value FROM pp WHERE p IS NULL ORDER BY p_rank""",
+    // what the foreign-layout chain walk must reproduce: the plain
+    // aggregate over the exported rows; snapshot_id is a construction
+    // fact (2 commits)
+    "q528_iceberg_export" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents, CAST(2 AS BIGINT) AS snapshot_id FROM (SELECT o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders) GROUP BY 1 ORDER BY 1""",
     // the engine's xorshift shingle fold + census + gaps-and-islands
     // extension, replayed verbatim: every maximal run of positions whose
     // 8-shingle occurs >= 2x corpus-wide
