@@ -587,6 +587,50 @@ object ScaleProbe {
             (col("g") * 8L + (col("i") + 1L) % col("c")).as("dst"))
         consume(graft.operators.Graph.bipartiteCheck(edges, rounds = 8))
       },
+      "kaplan_meier_rmst" -> { () =>
+        // q321/q519: per-user lifetime reduce → duration-bucket census →
+        // KM chain + step integral; everything after the reduce is
+        // duration-domain-sized (hours), so the slope should track the
+        // per-user groupBy only
+        val ev = eventsAt(f)
+        val lives = ev.select(col("user_id"), evSec.cast("long").as("sec"))
+        val b = lives.agg(min(col("sec")).as("lo"), max(col("sec")).as("hi"))
+          .head()
+        val cutoff = b.getLong(0) + 2L * (b.getLong(1) - b.getLong(0)) / 3L
+        consume(graft.operators.Trend.rmstFromKm(
+          graft.operators.Trend.kaplanMeier(lives, "user_id", "sec", cutoff),
+          tau = 200L))
+      },
+      "logrank" -> { () =>
+        // q520: the KM census split by arm + hypergeometric O−E/V terms —
+        // same duration-domain finish, two censuses instead of one
+        val ev = eventsAt(f)
+        val lives = ev.select(col("user_id"), evSec.cast("long").as("sec"))
+        val b = lives.agg(min(col("sec")).as("lo"), max(col("sec")).as("hi"))
+          .head()
+        val cutoff = b.getLong(0) + 2L * (b.getLong(1) - b.getLong(0)) / 3L
+        consume(graft.operators.Trend.logRank(lives, "user_id", "sec",
+          cutoff, col("user_id") % 2L === 0L))
+      },
+      "qte" -> { () =>
+        // q523: per-arm value-domain census + ceiling-rank order stats —
+        // the census shuffle is value-domain-bounded, never a sort
+        val ev = eventsAt(f)
+        consume(graft.operators.Drift.quantileTreatmentEffects(
+          ev.select((col("value") * 100).cast("long").as("cents"),
+            col("user_id")),
+          "cents", col("user_id") % 2L === 0L))
+      },
+      "bh_qvalues" -> { () =>
+        // q524/q512/q420: per-group DECIMAL moment census + the
+        // family-sized rank scan — the family is the GROUP domain (event
+        // types), so the window never sees data-sized input
+        val ev = eventsAt(f)
+        consume(graft.operators.Drift.bhQValues(
+          ev.select(col("event_type"),
+            (col("value") * 100).cast("long").as("cents")),
+          "event_type", "cents"))
+      },
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
       // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not

@@ -479,12 +479,17 @@ object Dedup {
       .unionAll(e.select(col("id_b").as("node"))).distinct()
     val known = comp.select(col("node"), col("cluster_rep"))
     // unseen endpoints enter as their own root; known endpoints carry
-    // their standing root — only BATCH endpoints are ever looked up
-    val fresh = newNodes.join(known, Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("cluster_rep"))
+    // their standing root — only BATCH endpoints are ever looked up. One
+    // materialization serves both consumers (the fresh marker rides
+    // along so the anti-join never re-executes)
     val batchAssign = known.join(newNodes, Seq("node"), "left_semi")
-      .unionByName(fresh)
+      .withColumn("__fresh", lit(false))
+      .unionByName(newNodes.join(known, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("cluster_rep"))
+        .withColumn("__fresh", lit(true)))
       .localCheckpoint(true)
+    val fresh = batchAssign.filter(col("__fresh"))
+      .select(col("node"), col("cluster_rep"))
     val contracted = e
       .join(batchAssign.select(col("node").as("id_a"), col("cluster_rep").as("__ra")),
         Seq("id_a"))
