@@ -132,8 +132,30 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int = 8,
-      minOcc: Int = 2): DataFrame = {
-    require(k >= 2 && minOcc >= 2, "degenerate span parameters")
+      minOcc: Int = 2): DataFrame =
+    // materialized once — census and semi-join both consume the shingle
+    // table, and re-executing the explode+window DAG per branch would
+    // double the corpus scan
+    spansFromShingles(
+      shinglePositions(df, idCol, textCol, k).localCheckpoint(true),
+      idCol, k, minOcc)
+
+  /** The (idCol, pos, sh) COMPLETE-shingle position table of
+    * [[repeatedSpans]] — its incrementally-buildable half: a document's
+    * shingle rows are a pure function of the document and never change
+    * once written, so a streaming ingest APPENDS each batch's rows to a
+    * standing shingle index at O(batch tokens) per batch (the q154
+    * standing-index posture applied to substring dedup) and the span
+    * readout ([[spansFromShingles]]) runs over the store. Pads never
+    * contribute: a doc shorter than k words has no k-token span to cut,
+    * so only complete shingles are emitted.
+    */
+  def shinglePositions(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "degenerate shingle width")
     val rows = df.select(col(idCol),
       posexplode(TextFunctions.words(col(textCol))).as(Seq("__pos", "__w")))
       .select(col(idCol), col("__pos"), xsHash(col("__w")).as("__h"))
@@ -143,16 +165,22 @@ object Dedup {
       mix(acc, coalesce(lead(col("__h"), j).over(ws),
         lit(0x9e3779b97f4a7c15L * (j + 1))))
     }
-    // COMPLETE shingles only (pads never contribute: a short doc has no
-    // k-token span to cut); materialized once — census and semi-join both
-    // consume it, and re-executing the explode+window DAG per branch
-    // would double the corpus scan
-    val shingles = rows
+    rows
       .withColumn("__cnt", count(lit(1)).over(cw))
       .withColumn("sh", sh)
       .filter(col("__pos") <= col("__cnt") - k)
       .select(col(idCol), col("__pos").cast("long").as("pos"), col("sh"))
-      .localCheckpoint(true)
+  }
+
+  /** Census + gaps-and-islands half of [[repeatedSpans]], over any
+    * (idCol, pos, sh) shingle table — one-shot or a standing index read.
+    */
+  def spansFromShingles(
+      shingles: DataFrame,
+      idCol: String,
+      k: Int,
+      minOcc: Int): DataFrame = {
+    require(k >= 2 && minOcc >= 2, "degenerate span parameters")
     val repeated = shingles.groupBy(col("sh"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minOcc)

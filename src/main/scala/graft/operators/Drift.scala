@@ -1018,6 +1018,48 @@ object Drift {
       when(ok, round(d * gcorr, 6)).as("hedges_g"))
   }
 
+  /** FLEISS' KAPPA — chance-corrected agreement for ANY number of raters
+    * (the multi-rater generalization of q447's two-rater Cohen κ): each
+    * item carries exactly `n` categorical ratings (the caller's contract,
+    * ENFORCED — a ragged panel silently biases P̄), per-item agreement
+    * P_i = (Σ_j n_ij² − n)/(n(n−1)), chance agreement P̄_e = Σ_j p_j²
+    * from the pooled category shares, κ = (P̄ − P̄_e)/(1 − P̄_e). One
+    * (item, category) census; every sum is integer until the k pinned
+    * 1e-9-grid share terms and the final ratios.
+    */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: String,
+      categoryCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, "agreement needs at least two ratings per item")
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val cells = df.groupBy(col(itemCol).as("i"), col(categoryCol).as("j"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true) // item-category census, three readers
+    val per = cells.groupBy(col("i"))
+      .agg(sum(col("nij")).as("ni"), sum(col("nij") * col("nij")).as("sq"))
+    require(per.filter(col("ni") =!= n.toLong).isEmpty,
+      s"fleissKappa contract: every item must carry exactly $n ratings")
+    val st = per.agg(count(lit(1)).as("n_items"), sum(col("sq")).as("sumsq"))
+      .localCheckpoint(true) // 1-row totals, two readers
+    val pe = cells.groupBy(col("j")).agg(sum(col("nij")).as("cj"))
+      .crossJoin(broadcast(st))
+      .select(round((dbl(col("cj")) / (dbl(col("n_items")) * lit(n.toDouble))) *
+        (dbl(col("cj")) / (dbl(col("n_items")) * lit(n.toDouble))), 9)
+        .cast(DecimalType(28, 9)).as("term"))
+      .agg(sum(col("term")).as("pe"))
+    val pbar = (dbl(col("sumsq")) - dbl(col("n_items")) * lit(n.toDouble)) /
+      (dbl(col("n_items")) * lit(n.toDouble) * lit((n - 1).toDouble))
+    st.crossJoin(broadcast(pe))
+      .select(col("n_items"), lit(n.toLong).as("n_raters"),
+        round(pbar, 9).as("p_bar"),
+        round(dbl(col("pe")), 9).as("p_e"),
+        round((pbar - dbl(col("pe"))) / (lit(1.0) - dbl(col("pe"))), 6)
+          .as("kappa"))
+  }
+
   /** SIMPSON-REVERSAL detector — per segment, does the arm effect point
     * the OPPOSITE way from the pooled effect: the aggregation paradox
     * screen run before anyone ships "the feature wins overall" (the

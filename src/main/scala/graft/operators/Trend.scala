@@ -826,6 +826,89 @@ object Trend {
           .as("chi2"))
   }
 
+  /** NELSON–AALEN cumulative hazard — the estimator that ADDS where
+    * [[kaplanMeier]] multiplies: H(t) = Σ_{u ≤ t} d_u/n_risk(u), the
+    * instantaneous-risk view (its slope is the hazard rate — "is churn
+    * accelerating", which the survival curve's shape obscures) plus the
+    * Fleming–Harrington survival exp(−H), the small-risk-set-preferred
+    * alternative to the KM product. Input contract: the [[kaplanMeier]]
+    * output frame (duration-domain-sized, so the unpartitioned running
+    * window is bounded). Increments are pinned 1e-9-grid decimals; the
+    * running sum is exact decimal addition, cast to double for output
+    * (grid values stay far under 2^53 — no conversion ulp).
+    */
+  def nelsonAalen(km: DataFrame): DataFrame = {
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    km.select(col("t"), col("n_death"), col("n_risk"))
+      .withColumn("__h",
+        round(col("n_death").cast("double") / col("n_risk").cast("double"), 9)
+          .cast(DecimalType(28, 9)))
+      .withColumn("cum_hazard", sum(col("__h")).over(cum).cast("double"))
+      .select(col("t"), col("n_death"), col("n_risk"),
+        col("__h").cast("double").as("h_inc"), col("cum_hazard"),
+        round(exp(-col("cum_hazard")), 6).as("fh_survival"))
+  }
+
+  /** GEHAN–BRESLOW–WILCOXON test — the EARLY-difference-weighted member
+    * of the weighted-log-rank family: each event time's O−E term is
+    * weighted by the at-risk share w = n_risk/N (χ² and z are invariant
+    * under uniform weight scaling, so the share form equals the classic
+    * n_risk weighting while keeping every term O(1) — the q83/q408
+    * magnitude discipline), which up-weights early deaths where
+    * [[logRank]] weighs all times equally: the right gate when early
+    * churn matters more than tail behavior. Same duration-domain census
+    * as logRank; per-time terms pinned on the 1e-9 grid in a fixed
+    * operation order; degenerate variance gates z/chi2 to NULL.
+    */
+  def gehanWilcoxon(
+      df: DataFrame,
+      userCol: String,
+      secCol: String,
+      censorCutoffSec: Long,
+      armACol: Column,
+      bucketSec: Long = 3600L): DataFrame = {
+    val lives = df
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(secCol)).as("first"), max(col(secCol)).as("last"),
+        max(armACol).as("isa"))
+      .select(((col("last") - col("first")) / bucketSec).cast("long").as("t"),
+        when(col("last") > censorCutoffSec, 0L).otherwise(1L).as("death"),
+        col("isa"))
+      .localCheckpoint(true) // two readers: census and the user tally
+    val byT = lives.groupBy(col("t"))
+      .agg(sum(when(col("isa"), col("death")).otherwise(0L)).as("da"),
+        sum(col("death")).as("d"),
+        sum(when(col("isa"), 1L).otherwise(0L)).as("nta"),
+        count(lit(1)).as("nt"))
+    val later = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def dbl(c: Column): Column = c.cast("double")
+    val users = lives.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("isa"), 0L).otherwise(1L)).as("n_b"))
+    val risked = byT
+      .withColumn("ra", sum(col("nta")).over(later))
+      .withColumn("r", sum(col("nt")).over(later))
+      .crossJoin(broadcast(users))
+    val w = dbl(col("r")) / (dbl(col("n_a")) + dbl(col("n_b")))
+    val share = dbl(col("ra")) / dbl(col("r"))
+    val uTerm = round(w * (dbl(col("da")) - share * dbl(col("d"))), 9)
+    val vTerm = when(col("r") > 1L,
+      round(w * w * dbl(col("d")) * share * (lit(1.0) - share) *
+        (dbl(col("r")) - dbl(col("d"))) / (dbl(col("r")) - lit(1.0)), 9))
+      .otherwise(lit(0.0))
+    val agg = risked.agg(
+      max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+      sum(uTerm.cast(DecimalType(28, 9))).as("u"),
+      sum(vTerm.cast(DecimalType(28, 9))).as("v"))
+    agg.select(col("n_a"), col("n_b"),
+      round(when(dbl(col("v")) > 0.0,
+        dbl(col("u")) / sqrt(dbl(col("v")))), 6).as("z"),
+      round(when(dbl(col("v")) > 0.0,
+        dbl(col("u")) * dbl(col("u")) / dbl(col("v"))), 6).as("chi2"))
+  }
+
   /** LAGGED CROSS-CORRELATION between two integer series on a shared
     * time axis: for each lag L, Pearson r over the pairs (x_t, y_{t+L})
     * — the lead/lag detector ("views move purchases three hours later")

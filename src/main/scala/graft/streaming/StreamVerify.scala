@@ -1615,6 +1615,112 @@ object StreamVerify {
     graft.sources.TxLake.readSnapshot(spark, lake)
   }
 
+  /** STREAMING SHINGLE-INDEX maintenance — substring dedup (q527) at
+    * ingest cadence: each micro-batch of documents APPENDS its
+    * (doc_id, pos, shingle-hash) rows to a standing index, one
+    * exactly-once append commit per batch at O(batch tokens) — the index
+    * is never rebuilt, because a document's shingle rows are a pure
+    * function of the document ([[graft.operators.Dedup.shinglePositions]]).
+    * The drained readout runs the census + island merge
+    * ([[graft.operators.Dedup.spansFromShingles]]) over the store, which
+    * equals the one-shot batch q527 verbatim — its oracle is shared. The
+    * 100 TB story: the corpus-wide repeated-span audit stops being a
+    * re-tokenize-everything job and becomes one census over an index the
+    * ingest already paid for.
+    */
+  def repeatedSpansMaintenance(
+      spark: SparkSession,
+      docsPath: String,
+      scratchDir: String,
+      k: Int,
+      minOcc: Int): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/shingles"
+    val q = spark.readStream
+      .schema(spark.read.parquet(docsPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsPath)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          graft.operators.Dedup.shinglePositions(batch, "doc_id", "text", k),
+          tag = s"sh-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Dedup.spansFromShingles(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("sh")),
+      "doc_id", k, minOcc)
+  }
+
+  /** STREAMING SURVIVAL maintenance — per-user lifetime bounds are
+    * MERGEABLE (min of firsts, max of lasts), so each micro-batch reduces
+    * to its per-user (first, last) and folds into a standing lifetime
+    * store via the merge-on-read upsert
+    * ([[graft.sources.TxLake.upsertKeysDv]]): commit cost O(batch users),
+    * state O(users), no file rewritten — the first streaming consumer of
+    * the atomic delta-MERGE beside the components store. min/max merging
+    * commutes and is idempotent, so the drained lifetimes equal the
+    * one-pass reduce whatever the batch split, and the log-rank readout
+    * over them shares batch q520's oracle verbatim. The censor cutoff is
+    * PINNED from a reference scan up front (the q497 pattern — the
+    * horizon a production monitor declares when the study starts).
+    */
+  def survivalMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/lives"
+    val ref = spark.read.parquet(eventsPath)
+      .select(expr("unix_timestamp(ts)").as("sec"))
+    val pin = ref.agg(min(col("sec")), max(col("sec"))).head()
+    val cutoff = pin.getLong(0) + 2L * (pin.getLong(1) - pin.getLong(0)) / 3L
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val bounds = batch.groupBy(col("user_id"))
+          .agg(min(col("sec")).as("first"), max(col("sec")).as("last"))
+          .localCheckpoint(true)
+        if (graft.sources.TxLake.latestVersion(lake) == 0L)
+          graft.sources.TxLake.commit(spark, lake, bounds, tag = s"km-$id")
+        else {
+          // widen against the standing bounds of only the BATCH's users,
+          // then land the merged rows as one atomic delta commit
+          val existing = graft.sources.TxLake.readSnapshot(spark, lake)
+            .join(bounds.select(col("user_id")), Seq("user_id"), "left_semi")
+          val merged = existing.unionByName(bounds)
+            .groupBy(col("user_id"))
+            .agg(min(col("first")).as("first"), max(col("last")).as("last"))
+          graft.sources.TxLake.upsertKeysDv(spark, lake, merged, "user_id",
+            tag = s"km-$id")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    // two rows per user (first, last) recover exactly the min/max the
+    // batch operator reduces from raw events — logRank sees the same
+    // lifetimes it would over the full stream history
+    val lives = graft.sources.TxLake.readSnapshot(spark, lake)
+    val asEvents = lives.select(col("user_id"), col("first").as("sec"))
+      .unionByName(lives.select(col("user_id"), col("last").as("sec")))
+    graft.operators.Trend.logRank(asEvents, "user_id", "sec", cutoff,
+      pmod(conv(substring(md5(concat(lit("lr1:"),
+        col("user_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+        lit(2L)) === 0L)
+  }
+
   /** Streaming per-group top-k maintenance: each micro-batch's candidate
     * top-k merges into a k-rows-per-group state table committed
     * exactly-once per batch. Top-k is a mergeable summary —

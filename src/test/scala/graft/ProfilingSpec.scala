@@ -402,6 +402,27 @@ class ProfilingSpec extends SparkSuite {
       "rank m's q-value is its own p")
   }
 
+  test("fleissKappa: perfect panel reads 1, split panel lands the hand value") {
+    import spark.implicits._
+    // perfect: every item's 3 raters agree -> kappa = 1 whatever Pe
+    val perfect = Seq((1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "y"), (2L, "y"), (2L, "y")).toDF("i", "j")
+    val p = graft.operators.Drift.fleissKappa(perfect, "i", "j", 3).head()
+    assert(p.getLong(0) == 2L && p.getDouble(4) == 1.0)
+    // split: (x,x,y) and (x,y,y): P_bar = 1/3, Pe = 0.5, kappa = -1/3
+    val split = Seq((1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"), (2L, "y")).toDF("i", "j")
+    val s = graft.operators.Drift.fleissKappa(split, "i", "j", 3).head()
+    assert(s.getDouble(2) == 0.333333333 && s.getDouble(3) == 0.5)
+    assert(s.getDouble(4) == -0.333333)
+    // the fixed-panel contract is enforced, not silently biased
+    val ragged = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"), (2L, "y"))
+      .toDF("i", "j")
+    intercept[IllegalArgumentException] {
+      graft.operators.Drift.fleissKappa(ragged, "i", "j", 3)
+    }
+  }
+
   test("cohensD: hand pooled-SD standardization with Hedges correction") {
     import spark.implicits._
     val df = Seq((0L, true), (2L, true), (4L, false), (6L, false))

@@ -70,6 +70,75 @@ class StreamStoreSpec extends SparkSuite {
     assert(commits.forall(_._2.startsWith("benford-")))
   }
 
+  test("shingle-index store appends per-batch rows; drain equals batch q527") {
+    import org.apache.spark.sql.DataFrame
+    val para = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val docs = Seq(
+      (1L, s"unique one two three $para tail1 tailx"),
+      (2L, s"$para other words entirely here"),
+      (3L, "nothing here repeats at all ever truly once only"))
+      .toDF("doc_id", "text")
+    val src = tmp("spans_src")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/a.parquet.dir")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$src/b.parquet.dir")
+    val flat = tmp("spans_flat")
+    Seq("a", "b").foreach { n =>
+      val part = new java.io.File(s"$src/$n.parquet.dir").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$flat/$n.parquet"))
+    }
+    val scratch = tmp("spans_store") + "/s"
+    def key(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val drained = StreamVerify.repeatedSpansMaintenance(
+      spark, flat, scratch, k = 4, minOcc = 2)
+    val oneShot = graft.operators.Dedup.repeatedSpans(
+      docs, "doc_id", "text", k = 4, minOcc = 2)
+    assert(key(drained) == key(oneShot))
+    // append-only: each batch committed exactly its own shingle rows
+    val commits = TxLake.commitAddCounts(s"$scratch/shingles")
+    assert(commits.size == 2 && commits.forall(_._2.startsWith("sh-")))
+    val totalShingles = graft.operators.Dedup
+      .shinglePositions(docs, "doc_id", "text", 4).count()
+    assert(commits.map(_._3).sum == totalShingles)
+    assert(TxLake.dvFiles(s"$scratch/shingles").isEmpty,
+      "an append-only index never masks rows")
+  }
+
+  test("survival store merges lifetime bounds; drain equals one-copy logRank") {
+    // two copies of the same events file: batch 2 re-delivers every user,
+    // exercising the merge path; min/max merging makes the duplicate
+    // invisible, so the drained test equals the single-copy batch answer
+    val src = tmp("surv_src")
+    (1 to 2).foreach { i =>
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        Paths.get(s"$src/events_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("surv_store") + "/s"
+    val drained = StreamVerify.survivalMaintenance(spark, src, scratch)
+      .head()
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"),
+        expr("ts div 1000000000").cast("long").as("sec"))
+    val b = ev.agg(min(col("sec")).as("lo"), max(col("sec")).as("hi")).head()
+    val cutoff = b.getLong(0) + 2L * (b.getLong(1) - b.getLong(0)) / 3L
+    val batch = graft.operators.Trend.logRank(ev, "user_id", "sec", cutoff,
+      pmod(conv(substring(md5(concat(lit("lr1:"),
+        col("user_id").cast("string"))), 1, 13), 16, 10).cast("long"),
+        lit(2)) === 0).head()
+    assert(drained == batch)
+    // commit bounds: every commit is user-domain-sized; the re-delivery
+    // batch landed as a DV-masked delta, not a rewrite
+    val users = ev.select(col("user_id")).distinct().count()
+    val commits = TxLake.commitAddCounts(s"$scratch/lives")
+    assert(commits.size == 2 && commits.forall(_._3 <= users))
+    assert(TxLake.dvFiles(s"$scratch/lives").nonEmpty)
+  }
+
   test("top-k store commits at most k rows per group per batch") {
     val events = graft.sources.Tables.load(spark, sf, "events")
     val k = 5

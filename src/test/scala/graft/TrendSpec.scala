@@ -520,6 +520,44 @@ class TrendSpec extends SparkSuite {
     assert(math.abs(r.getDouble(4) - 3.0) < 1e-6)
   }
 
+  test("nelsonAalen: hand additive-hazard chain over the KM census") {
+    import spark.implicits._
+    // users 1,2 die at t=1 (n_risk 4), users 3,4 at t=2 (n_risk 2):
+    // h = 0.5 then 1.0, H = 0.5 then 1.5
+    val df = Seq((1L, 0L), (1L, 3600L), (2L, 0L), (2L, 3600L),
+      (3L, 0L), (3L, 7200L), (4L, 0L), (4L, 7200L)).toDF("u", "sec")
+    val km = graft.operators.Trend.kaplanMeier(df, "u", "sec", 999999L)
+    val got = graft.operators.Trend.nelsonAalen(km)
+      .orderBy(col("t")).collect()
+    assert(got.length == 2)
+    assert(got(0).getDouble(3) == 0.5 && got(0).getDouble(4) == 0.5)
+    assert(got(1).getDouble(3) == 1.0 && got(1).getDouble(4) == 1.5)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(5) == r6(math.exp(-0.5)))
+    assert(got(1).getDouble(5) == r6(math.exp(-1.5)))
+  }
+
+  test("gehanWilcoxon up-weights early differences vs logRank") {
+    import spark.implicits._
+    // A dies at t=1 and t=3; B at t=2 and t=3. Hand terms (w = r/4):
+    // U = 1·(1−.5) + .75·(0−1/3) + .5·0 = 0.25, V = 0.25 + 0.125 = 0.375
+    val df = Seq((1L, 0L, true), (1L, 3600L, true),
+      (2L, 0L, true), (2L, 10800L, true),
+      (3L, 0L, false), (3L, 7200L, false),
+      (4L, 0L, false), (4L, 10800L, false)).toDF("u", "sec", "ua")
+    val g = graft.operators.Trend.gehanWilcoxon(df, "u", "sec",
+      censorCutoffSec = 999999L, armACol = col("ua")).head()
+    assert(g.getLong(0) == 2L && g.getLong(1) == 2L)
+    assert(g.getDouble(3) == 0.166667, s"chi2 was ${g.getDouble(3)}")
+    assert(g.getDouble(2) == 0.408248)
+    // the unweighted test reads the same data much weaker: the early
+    // death difference is exactly what the Gehan weighting amplifies
+    val lr = graft.operators.Trend.logRank(df, "u", "sec",
+      censorCutoffSec = 999999L, armACol = col("ua")).head()
+    assert(lr.getDouble(4) < g.getDouble(3))
+  }
+
   test("hampelPerKey: spike flagged, inliers pass, edge windows NULL") {
     import spark.implicits._
     // key 1: flat 10s with one 100 spike at x=5. Center windows (x=4..6)
