@@ -1408,6 +1408,41 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** BENJAMINI–YEKUTIELI step-up — [[bhFdr]]'s FDR control made valid
+    * under ARBITRARY dependence between the tests (BH's guarantee needs
+    * independence or positive dependence; correlated metrics over the
+    * same users violate it routinely): the critical line shrinks by the
+    * harmonic number, p_r ≤ r·α/(m·H_m), H_m = Σ_{i≤m} 1/i — the
+    * conservative gate to reach for when the family's dependence
+    * structure is unknown. H_m sums the same 1e-9-grid reciprocal terms
+    * on both engines (family-sized window, decimal addition).
+    */
+  def byFdr(
+      tests: DataFrame,
+      keyCol: String,
+      pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val fam = Window.partitionBy()
+    val w = Window.orderBy(col("p"), col("k"))
+    tests.select(col(keyCol).as("k"), col(pCol).cast("double").as("p"))
+      .withColumn("m", count(lit(1)).over(fam))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("hm", sum(round(lit(1.0) / col("r").cast("double"), 9)
+        .cast(DecimalType(18, 9))).over(fam).cast("double"))
+      .withColumn("ok",
+        col("p") * col("m").cast("double") * col("hm") <=
+          col("r").cast("double") * lit(alpha))
+      .withColumn("kmax", max(when(col("ok"), col("r"))).over(fam))
+      .select(col("k"), col("p"), col("r").as("p_rank"), col("m"),
+        round(col("hm"), 9).as("h_m"),
+        round(col("r").cast("double") * lit(alpha) /
+          (col("m").cast("double") * col("hm")), 9).as("by_crit"),
+        (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
+  }
+
   /** INTRACLASS CORRELATION ICC(1) — "how much of the variance is
     * BETWEEN groups": the reliability/clustering number behind design
     * effects and mixed-model decisions, read off the same one-way

@@ -338,6 +338,47 @@ object Graph {
     * Edge tables are localCheckpoint'd per round (lineage cut, like
     * [[pageRank]]); undirected input is canonicalized first.
     */
+  /** RICH-CLUB coefficient — for each degree threshold k, the realized
+    * edge density among the nodes with degree > k:
+    * φ(k) = 2·E_k / (N_k·(N_k − 1)). A rising φ(k) means the hubs
+    * preferentially wire to each other (the supplier-oligopoly /
+    * power-user-clique structure q452's global assortativity averages
+    * away); a flat φ is degree mixing at random. Input contract:
+    * undirected edge list, each edge once (id_a ≠ id_b after dedup).
+    * One degree census, then the threshold sweep rides a broadcast
+    * k-spine over the node census and the degree-joined edges — the
+    * edge table is scanned once per sweep, never self-joined.
+    */
+  def richClub(pairs: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.distinct.size == ks.size, "distinct thresholds")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+      .localCheckpoint(true) // two readers: degree census and club edges
+    val deg = e.select(col("id_a").as("n"))
+      .unionAll(e.select(col("id_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // node census, three readers
+    val spine = broadcast(ks.map(_.toLong).toDF("k"))
+    val nk = deg.crossJoin(spine).filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_club"))
+    val ek = e
+      .join(deg.select(col("n").as("id_a"), col("deg").as("da")), Seq("id_a"))
+      .join(deg.select(col("n").as("id_b"), col("deg").as("db")), Seq("id_b"))
+      .crossJoin(spine).filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_club"))
+    spine.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_club"), lit(0L)).as("n_club"),
+        coalesce(col("e_club"), lit(0L)).as("e_club"),
+        when(coalesce(col("n_club"), lit(0L)) >= 2L,
+          round(lit(2.0) * coalesce(col("e_club"), lit(0L)).cast("double") /
+            (col("n_club").cast("double") *
+              (col("n_club").cast("double") - lit(1.0))), 6)).as("phi"))
+      .orderBy(col("k"))
+  }
+
   def kCore(edges: DataFrame, k: Long, maxRounds: Int = 40): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
     var e = edges

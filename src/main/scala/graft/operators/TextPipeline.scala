@@ -730,6 +730,55 @@ object TextPipeline {
       round((sy - slope * sx) / nD, 6).as("intercept"))
   }
 
+  /** HEAPS'-LAW fit — vocabulary growth V(T) ≈ K·T^β over the corpus in
+    * document order: the sub-linearity exponent that says how fast NEW
+    * types keep arriving as tokens accumulate (β near 1 = vocabulary
+    * still exploding, the signature of leaking junk/IDs past the quality
+    * gates; ~0.4–0.6 = healthy natural-language growth) — the capacity
+    * planner beside q510's fixed-corpus coverage curve and q377's
+    * unseen-mass estimate. Distributed shape: doc positions and both
+    * running totals ride [[graft.operators.GlobalOrder]] (range-
+    * partitioned rank + prefix sums — never a global rank window); each
+    * type's FIRST position is one census, V(n) is the prefix sum of the
+    * per-position new-type counts; the log-log OLS uses the q277 grid
+    * discipline over the doc-position domain.
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("d"),
+        size(TextFunctions.words(col(textCol))).cast("long").as("nw"))
+    val pos = graft.operators.GlobalOrder
+      .rowNumbers(perDoc, Seq(col("d")), idCol = "pos")
+      .localCheckpoint(true) // doc-domain frame, three readers below
+    val toks = graft.operators.GlobalOrder
+      .prefixSums(pos, Seq(col("pos")), "nw", outCol = "toks")
+    val firstPos = docs
+      .select(col(idCol).as("d"),
+        explode(TextFunctions.words(col(textCol))).as("w"))
+      .join(pos.select(col("d"), col("pos")), Seq("d"))
+      .groupBy(col("w")).agg(min(col("pos")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("nn"))
+    val curve = graft.operators.GlobalOrder.prefixSums(
+      toks.join(firstPos, toks("pos") === firstPos("fp"), "left")
+        .select(col("pos"), col("toks"), coalesce(col("nn"), lit(0L)).as("nn")),
+      Seq(col("pos")), "nn", outCol = "vocab")
+    val lx = log(col("toks").cast("double"))
+    val ly = log(col("vocab").cast("double"))
+    def term(c: Column): Column = round(c, 9).cast(DecimalType(18, 9))
+    val sums = curve.filter(col("toks") > 0L && col("vocab") > 0L).agg(
+      count(lit(1)).as("n_docs"),
+      max(col("toks")).as("n_tokens"), max(col("vocab")).as("vocab"),
+      sum(term(lx)).as("sx"), sum(term(ly)).as("sy"),
+      sum(term(lx * lx)).as("sxx"), sum(term(lx * ly)).as("sxy"))
+    val nD = col("n_docs").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    sums.select(col("n_docs"), col("n_tokens"), col("vocab"),
+      round(slope, 6).as("beta"),
+      round((sy - slope * sx) / nD, 6).as("ln_k"))
+  }
+
   /** GOOD–TURING unseen-mass estimate per language slice: the fraction
     * of the NEXT token expected to be a never-seen type, estimated by
     * the singleton mass N₁/N (Good 1953) — the "how much of this

@@ -528,4 +528,19 @@ class GraphSpec extends SparkSuite {
     assert(got(20L) == ((3L, 2L, 0L, true)))
   }
 
+  test("richClub: triangle hubs wire to each other, pendant diluted") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 1-4: degrees 3,2,2,1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Graph.richClub(pairs, Seq(1, 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // k=1: club {1,2,3}, all 3 edges realized -> phi = 1.0
+    assert(got(1L).getLong(1) == 3L && got(1L).getLong(2) == 3L)
+    assert(got(1L).getDouble(3) == 1.0)
+    // k=2: club {1} alone -> density undefined (NULL, not 0)
+    assert(got(2L).getLong(1) == 1L && got(2L).getLong(2) == 0L)
+    assert(got(2L).isNullAt(3))
+  }
+
 }

@@ -402,6 +402,24 @@ class ProfilingSpec extends SparkSuite {
       "rank m's q-value is its own p")
   }
 
+  test("byFdr: harmonic-shrunk line is strictly more conservative than BH") {
+    import spark.implicits._
+    // H_4 = 1 + 1/2 + 1/3 + 1/4 = 2.083333333 on the 1e-9 grid
+    val tests = Seq(("a", 0.001), ("b", 0.01), ("c", 0.03), ("d", 0.5))
+      .toDF("k", "p")
+    val by = graft.operators.Drift.byFdr(tests, "k", "p", 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by("a").getDouble(4) == 2.083333333)
+    // BY crit at rank 3 = 3*0.05/(4*H) = 0.018 < 0.03 -> only ranks 1,2
+    assert(by("a").getBoolean(6) && by("b").getBoolean(6))
+    assert(!by("c").getBoolean(6) && !by("d").getBoolean(6))
+    // BH (independence-assuming) accepts rank 3 on the same family:
+    // 0.03 <= 3*0.05/4 — the dependence insurance costs exactly this
+    val bh = graft.operators.Drift.bhFdr(tests, "k", "p", 0.05)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(bh("c"), "BH must reject rank 3 here")
+  }
+
   test("fleissKappa: perfect panel reads 1, split panel lands the hand value") {
     import spark.implicits._
     // perfect: every item's 3 raters agree -> kappa = 1 whatever Pe

@@ -338,4 +338,29 @@ class TextPipelineSpec extends SparkSuite {
     assert(got("b").getLong(6) == 1000000L)
   }
 
+  test("heapsLaw: hand doc-order growth curve and OLS fit") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextPipeline.heapsLaw(docs, "doc_id", "text")
+      .head()
+    // T = 2,4,8; V = 2,3,4
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L && r.getLong(2) == 4L)
+    // replicate the grid OLS by hand
+    def t9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val pts = Seq((2.0, 2.0), (4.0, 3.0), (8.0, 4.0))
+      .map { case (t, v) => (math.log(t), math.log(v)) }
+    // decimal-exact sums of the grid terms, like the engine's aggregation
+    val sx = pts.map(p => t9(p._1)).sum.toDouble
+    val sy = pts.map(p => t9(p._2)).sum.toDouble
+    val sxx = pts.map(p => t9(p._1 * p._1)).sum.toDouble
+    val sxy = pts.map(p => t9(p._1 * p._2)).sum.toDouble
+    val slope = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == r6(slope))
+    assert(r.getDouble(4) == r6((sy - slope * sx) / 3.0))
+  }
+
 }
