@@ -1491,6 +1491,62 @@ object Drift {
       round(when(den =!= lit(0.0), (msb - msw) / den), 6).as("icc"))
   }
 
+  /** JAMES–STEIN / EMPIRICAL-BAYES shrinkage of group means — partial
+    * pooling toward the grand mean with a per-group factor
+    * λ_g = n_g·τ̂² / (σ̂² + n_g·τ̂²): small or noisy groups borrow
+    * strength from the family, big clean groups keep their own mean —
+    * the estimator that beats every raw per-group mean in aggregate risk
+    * (Stein's paradox) and the standard fix for "the smallest segment
+    * always tops the leaderboard". The variance ratio comes off the
+    * [[icc]] one-way decomposition: τ̂²/σ̂² = (MSB/MSW − 1)/n₀ (method
+    * of moments, floored at 0 → full pooling when groups explain
+    * nothing), so only O(1)-magnitude ratios cross engines (the q83/q408
+    * discipline — raw mean squares at cents² scale never leave). Means
+    * are exact integer/count divisions. Degenerate MSW → NULLs.
+    */
+  def jamesStein(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val perGroup = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"), sum(v * v).as("ss_g"))
+      .withColumn("term", round(dbl(col("s_g")) * dbl(col("s_g")) /
+        dbl(col("n_g")), 6).cast(DecimalType(38, 6)))
+      .localCheckpoint(true) // group census, two readers
+    val m = perGroup.agg(
+      sum(col("n_g")).as("nn"), count(lit(1)).as("k"),
+      sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+      sum(col("term")).as("tsum"),
+      sum(col("n_g").cast(d38) * col("n_g").cast(d38)).as("sn2"))
+    val n = dbl(col("nn"))
+    val k = dbl(col("k"))
+    val ssb = dbl(col("tsum")) - dbl(col("s")) * dbl(col("s")) / n
+    val ssw = (dbl(col("ss")) - dbl(col("s")) * dbl(col("s")) / n) - ssb
+    val msb = ssb / (k - 1.0)
+    val msw = ssw / (n - k)
+    val n0 = (n - dbl(col("sn2")) / n) / (k - 1.0)
+    val totals = m.select(col("nn"), col("s"),
+      when(msw =!= lit(0.0), msb / msw).as("f"), round(n0, 9).as("n0"))
+    val xbar = dbl(col("s")) / dbl(col("nn"))
+    val xg = dbl(col("s_g")) / dbl(col("n_g"))
+    val fm1 = greatest(col("f") - lit(1.0), lit(0.0))
+    // zero MSW means "no within-group noise was measurable" — emit NULL
+    // rather than a silently wrong full-pool λ=0 (greatest() would
+    // swallow the NULL f on both engines otherwise)
+    val lam = when(col("f").isNotNull,
+      dbl(col("n_g")) * fm1 / (col("n0") + dbl(col("n_g")) * fm1))
+    perGroup.crossJoin(broadcast(totals))
+      .select(col("g"), col("n_g").as("n"),
+        round(xg, 6).as("raw_mean"),
+        round(lam, 6).as("lambda"),
+        round(xbar + lam * (xg - xbar), 6).as("shrunk_mean"))
+      .orderBy(col("g"))
+  }
+
   /** PAIRWISE JENSEN–SHANNON DIVERGENCE matrix — how DIFFERENT every
     * pair of groups' distributions over a shared categorical support is,
     * on the symmetric bounded [0, ln 2] scale: the all-pairs

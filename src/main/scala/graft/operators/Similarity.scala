@@ -711,6 +711,59 @@ object Similarity {
         col("mean_cosine"))
   }
 
+  /** LABEL-NOISE audit by CENTROID PURITY — the confident-learning-style
+    * screen run before labels are trusted for training: per label an
+    * exact centroid (1e-6-grid components, decimal sums), every vector
+    * re-assigned to its nearest centroid by cosine, and the
+    * label × assigned confusion with per-label shares read off. A heavy
+    * off-diagonal cell is a candidate mislabeled slice (or a label whose
+    * cluster structure is genuinely mixed — either way, the rows a
+    * labeling pass re-examines first). Bounded-label contract: the score
+    * join is corpus × dims × |labels| with the label-domain centroid
+    * table BROADCAST — labels are a bounded domain (classes, languages,
+    * sources), never corpus-scaled. Dot terms and norms ride the
+    * q328 1e-12 product grid so both engines fold identical decimals;
+    * assignment ties break to the smaller label.
+    */
+  def labelNoiseAudit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val comp = round(col("__x").cast("double"), 6).cast(DecimalType(18, 6))
+    val vx = df.select(col(idCol).as("vid"),
+        col(labelCol).cast("long").as("lt"),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("vid"), col("lt"), col("dim").cast("long").as("dim"),
+        comp.as("xc"))
+      .localCheckpoint(true) // corpus×dim rows: centroids AND dots read it
+    val cd = vx.groupBy(col("lt").as("cl"), col("dim"))
+      .agg((sum(col("xc")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .localCheckpoint(true) // label×dim frame, two readers
+    val d12 = DecimalType(30, 12)
+    val nrm = cd.groupBy(col("cl"))
+      .agg(sqrt(sum(round(col("m") * col("m"), 12).cast(d12))
+        .cast("double")).as("nc"))
+    val dots = vx.select(col("vid"), col("lt"), col("dim"),
+        col("xc").cast("double").as("xd"))
+      .join(broadcast(cd), Seq("dim"))
+      .groupBy(col("vid"), col("lt"), col("cl"))
+      .agg(sum(round(col("xd") * col("m"), 12).cast(d12))
+        .cast("double").as("dot"))
+    val sc = dots.join(broadcast(nrm), Seq("cl"))
+      .select(col("vid"), col("lt"), col("cl"),
+        round(col("dot") / col("nc"), 6).as("score"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("score").desc, col("cl"))
+    val lw = Window.partitionBy(col("label"))
+    sc.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy(col("lt").as("label"), col("cl").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(lw).cast("double"), 6))
+  }
+
   /** MMR (Maximal Marginal Relevance) DIVERSIFIED re-ranking: from each
     * query's top-`m` cosine candidates, greedily select `k` — step t
     * picks argmax of `lamRel·rel(c) − lamDiv·max_{s∈S} cos(c, s)` over

@@ -402,6 +402,18 @@ class ProfilingSpec extends SparkSuite {
       "rank m's q-value is its own p")
   }
 
+  test("jamesStein: hand shrinkage toward the grand mean") {
+    import spark.implicits._
+    // A = {0,2} (mean 1), B = {4,6} (mean 5): F = 8, n0 = 2,
+    // lambda = 2*7/(2+14) = 0.875, grand mean 3
+    val df = Seq(("A", 0L), ("A", 2L), ("B", 4L), ("B", 6L)).toDF("g", "v")
+    val got = graft.operators.Drift.jamesStein(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("A").getDouble(2) == 1.0 && got("B").getDouble(2) == 5.0)
+    assert(got("A").getDouble(3) == 0.875)
+    assert(got("A").getDouble(4) == 1.25 && got("B").getDouble(4) == 4.75)
+  }
+
   test("byFdr: harmonic-shrunk line is strictly more conservative than BH") {
     import spark.implicits._
     // H_4 = 1 + 1/2 + 1/3 + 1/4 = 2.083333333 on the 1e-9 grid

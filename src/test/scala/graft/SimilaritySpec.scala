@@ -224,4 +224,24 @@ class SimilaritySpec extends SparkSuite {
     assert(r.getDouble(2) == 0.09)
   }
 
+  test("labelNoiseAudit: mislabeled vector lands in the other cluster") {
+    import spark.implicits._
+    // label 0: two (1,0) vectors plus ONE (0,1) mislabeled; label 1: two
+    // (0,1). The mislabeled row must assign to centroid 1.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 0),
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseAudit(df, "vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got((0L, 0L)) == ((2L, 0.666667)))
+    assert(got((0L, 1L)) == ((1L, 0.333333)))
+    assert(got((1L, 1L)) == ((2L, 1.0)))
+    assert(!got.contains((1L, 0L)), "clean label never leaks")
+  }
+
 }
