@@ -160,6 +160,96 @@ object Drift {
         col("mi_term").cast("double").as("mi_term"), col("mi_total"))
   }
 
+  /** HODGES–LEHMANN shift estimate — the MEDIAN of all pairwise
+    * differences between two arms: the robust "how big is the shift"
+    * companion to q319's Mann–Whitney verdict and q518's unitless effect
+    * sizes (CLES says 0.61; HL says "$42.50 higher"), insensitive to
+    * outliers where the mean difference is not. Value-domain² pair frame
+    * (the q435 Jonckheere bounded-census contract — never row pairs):
+    * per-difference weights are exact integer products, the median is a
+    * cumulative-weight ceiling-rank order statistic, and the even-count
+    * case averages the two middle differences exactly.
+    */
+  def hodgesLehmann(
+      df: DataFrame,
+      valueCol: String,
+      armACol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(valueCol).cast("long").as("v"), armACol.as("isa"))
+    val ca = base.filter(col("isa"))
+      .groupBy(col("v").as("va")).agg(count(lit(1)).as("ta"))
+    val cb = base.filter(!col("isa"))
+      .groupBy(col("v").as("vb")).agg(count(lit(1)).as("tb"))
+    val diffs = ca.crossJoin(cb)
+      .groupBy((col("va") - col("vb")).as("d"))
+      .agg(sum(col("ta") * col("tb")).as("w"))
+    val cum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fam = Window.partitionBy()
+    val staged = diffs
+      .withColumn("cw", sum(col("w")).over(cum))
+      .withColumn("tw", sum(col("w")).over(fam))
+    staged.agg(max(col("tw")).as("n_pairs"),
+        min(when(col("cw") >= expr("(tw + 1) div 2"), col("d"))).as("__d1"),
+        min(when(col("cw") >= expr("(tw div 2) + 1"), col("d"))).as("__d2"))
+      .select(col("n_pairs"),
+        round((col("__d1").cast("double") + col("__d2").cast("double")) /
+          lit(2.0), 6).as("hl_shift"))
+  }
+
+  /** THEIL'S U (uncertainty coefficient) — the DIRECTIONAL categorical
+    * association [[mutualInfo]] and Cramér's V can't give: U(X|Y) =
+    * I(X;Y)/H(X) is the fraction of X's uncertainty Y removes, and it is
+    * asymmetric — priority may predict status far better than status
+    * predicts priority, which one symmetric number hides. Same exact
+    * integer-census ln-term discipline as [[mutualInfo]] (grid decimals,
+    * order-independent sums); entropies from the marginal censuses; one
+    * bounded-domain joint pass. Degenerate (zero-entropy) marginals emit
+    * NULL for the corresponding U.
+    */
+  def theilsU(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    theilsUFromCensus(df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy")))
+
+  /** [[theilsU]] from an (x, y, n_xy) JOINT census — cell counts ADD
+    * across batches and both marginals derive from the joint, so a
+    * streaming store's drained census reads identically to the one-pass
+    * path and shares the batch oracle verbatim.
+    */
+  def theilsUFromCensus(censusDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d189 = DecimalType(18, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val fam = Window.partitionBy()
+    val cells = censusDf.groupBy(col("x"), col("y"))
+      .agg(sum(col("n_xy")).as("n_xy"))
+      .localCheckpoint(true) // joint census: MI + both marginals read it
+    val joint = cells
+      .withColumn("n_x", sum(col("n_xy")).over(Window.partitionBy(col("x"))))
+      .withColumn("n_y", sum(col("n_xy")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("n_xy")).over(fam))
+    val miTerm = dbl(col("n_xy")) / dbl(col("n")) *
+      log(dbl(col("n_xy")) * dbl(col("n")) /
+        (dbl(col("n_x")) * dbl(col("n_y"))))
+    def entropy(margin: String): DataFrame = cells
+      .groupBy(col(margin)).agg(sum(col("n_xy")).as("c"))
+      .withColumn("n", sum(col("c")).over(fam))
+      .select(round(-(dbl(col("c")) / dbl(col("n")) *
+        log(dbl(col("c")) / dbl(col("n")))), 9).cast(d189).as("t"))
+      .agg(sum(col("t")).cast("double").as(s"h_$margin"))
+    val mi = joint
+      .select(round(miTerm, 9).cast(d189).as("t"))
+      .agg(sum(col("t")).cast("double").as("mi"))
+    mi.crossJoin(broadcast(entropy("x"))).crossJoin(broadcast(entropy("y")))
+      .select(round(col("mi"), 9).as("mi"),
+        round(col("h_x"), 9).as("h_x"), round(col("h_y"), 9).as("h_y"),
+        round(when(col("h_x") > 0.0, col("mi") / col("h_x")), 6)
+          .as("u_x_given_y"),
+        round(when(col("h_y") > 0.0, col("mi") / col("h_y")), 6)
+          .as("u_y_given_x"))
+  }
+
   /** MANN–WHITNEY U (Wilcoxon rank-sum) with tie correction — the
     * NON-parametric two-sample location test next to the parametric
     * z-test (q283) and the distributional KS (q295): "are sample A's
@@ -1491,6 +1581,60 @@ object Drift {
       round(when(den =!= lit(0.0), (msb - msw) / den), 6).as("icc"))
   }
 
+  /** EXACT WASSERSTEIN-1 (earth-mover) distance between two arms'
+    * distributions on an integer value domain — the L1 area between the
+    * CDFs, W1 = Σ_v |F_a(v) − F_b(v)|·gap(v): the effect-size that
+    * measures HOW MUCH mass must move and HOW FAR, completing the
+    * distance family beside q385's KS supremum and q470's Cramér–von
+    * Mises L2 (two distributions can share a KS yet differ 10× in
+    * transport cost). Value-domain census shape (the q319 discipline —
+    * never a row sort); per-gap terms are pinned 1e-9-grid decimals
+    * NORMALIZED by the domain range so every magnitude stays O(1)
+    * (the q83/q408 rule), with the cents-scale W1 recovered at the end
+    * as normalized × range. Output: n_a, n_b, range, w1_norm, w1.
+    */
+  def wasserstein1(
+      df: DataFrame,
+      valueCol: String,
+      armACol: Column): DataFrame =
+    w1FromCensus(df
+      .select(col(valueCol).cast("long").as("v"), armACol.as("isa"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("tb")))
+
+  /** [[wasserstein1]] from an (v, ta, tb) value census — counts ADD, so
+    * the streaming store's drained census reads identically to the
+    * one-pass path and shares the batch oracle verbatim.
+    */
+  def w1FromCensus(censusDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = censusDf.groupBy(col("v"))
+      .agg(sum(col("ta")).as("ta"), sum(col("tb")).as("tb"))
+    val w = Window.orderBy(col("v"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fam = Window.partitionBy()
+    val staged = cen
+      .withColumn("ca", sum(col("ta")).over(cum))
+      .withColumn("cb", sum(col("tb")).over(cum))
+      .withColumn("na", sum(col("ta")).over(fam))
+      .withColumn("nb", sum(col("tb")).over(fam))
+      .withColumn("rng", max(col("v")).over(fam) - min(col("v")).over(fam))
+      .withColumn("gap", lead(col("v"), 1).over(w) - col("v"))
+      .filter(col("gap").isNotNull)
+      .withColumn("term",
+        round(abs(dbl(col("ca")) / dbl(col("na")) -
+          dbl(col("cb")) / dbl(col("nb"))) * dbl(col("gap")) /
+          dbl(col("rng")), 9).cast(DecimalType(28, 9)))
+    staged.agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("rng")).as("v_range"), sum(col("term")).as("__w"))
+      .select(col("n_a"), col("n_b"), col("v_range"),
+        round(dbl(col("__w")), 9).as("w1_norm"),
+        round(dbl(col("__w")) * dbl(col("v_range")), 6).as("w1"))
+  }
+
   /** JAMES–STEIN / EMPIRICAL-BAYES shrinkage of group means — partial
     * pooling toward the grand mean with a per-group factor
     * λ_g = n_g·τ̂² / (σ̂² + n_g·τ̂²): small or noisy groups borrow
@@ -1509,11 +1653,24 @@ object Drift {
       groupCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    val v = col(valueCol).cast("long").cast(DecimalType(38, 0))
+    jamesSteinFromCensus(df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"), sum(v * v).as("ss_g")))
+  }
+
+  /** [[jamesStein]] from an already-aggregated (g, n_g, s_g, ss_g) moment
+    * CENSUS — partials ADD across batches, so a streaming store's drained
+    * census finishes identically to the one-pass path (the welch/qte
+    * pattern) and shares the batch oracle verbatim.
+    */
+  def jamesSteinFromCensus(censusDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
     def dbl(c: Column): Column = c.cast("double")
-    val v = col(valueCol).cast("long").cast(d38)
-    val perGroup = df.groupBy(col(groupCol).cast("string").as("g"))
-      .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"), sum(v * v).as("ss_g"))
+    val perGroup = censusDf.groupBy(col("g"))
+      .agg(sum(col("n_g")).as("n_g"),
+        sum(col("s_g").cast(d38)).as("s_g"),
+        sum(col("ss_g").cast(d38)).as("ss_g"))
       .withColumn("term", round(dbl(col("s_g")) * dbl(col("s_g")) /
         dbl(col("n_g")), 6).cast(DecimalType(38, 6)))
       .localCheckpoint(true) // group census, two readers

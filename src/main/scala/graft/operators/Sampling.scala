@@ -584,4 +584,53 @@ object Sampling {
       col("su").as("weight_ppt"), col("alloc"),
       (col("alloc") > col("n_rows")).as("over_allocated"))
   }
+  /** RAKING / ITERATIVE PROPORTIONAL FITTING — calibrate (row, col) cell
+    * weights so the weighted marginals hit DECLARED targets: the survey
+    * post-stratification workhorse and the training-data MIXTURE
+    * calibration step ("equal mass per source, keep the observed
+    * language mix") that q225's schedule and q159's temperature sampling
+    * assume someone already ran. Here the row target is the uniform
+    * share over the observed row domain and the column target is the
+    * observed column marginal (a production run passes declared
+    * targets); `rounds` alternating row/column scalings, each rescaled
+    * weight ROUNDED to the 1e-9 grid so both engines walk the identical
+    * trajectory (the iteration is a contraction - grid rounding does not
+    * stall it). Cell-domain-sized frame throughout (bounded-domain
+    * contract); the row-domain cardinality pin is one distinct count.
+    * Output: (row, col, n, weight, factor) where factor = weight / raw
+    * share - the up/down-weighting each cell receives.
+    */
+  def rake(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, "bounded IPF rounds")
+    val d189 = DecimalType(18, 9)
+    def dbl(x: Column): Column = x.cast("double")
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // cell census, domain pin + iteration
+    val nRows = cells.select(col("r")).distinct().count().toDouble
+    val fam = Window.partitionBy()
+    val byR = Window.partitionBy(col("r"))
+    val byC = Window.partitionBy(col("c"))
+    val base = cells
+      .withColumn("tot", sum(col("n")).over(fam))
+      .withColumn("ct", dbl(sum(col("n")).over(byC)) / dbl(col("tot")))
+      .withColumn("w",
+        round(dbl(col("n")) / dbl(col("tot")), 9).cast(d189))
+    val rt = lit(1.0) / lit(nRows)
+    val fitted = (1 to rounds).foldLeft(base) { (acc, _) =>
+      acc
+        .withColumn("w", round(dbl(col("w")) *
+          (rt / dbl(sum(col("w")).over(byR))), 9).cast(d189))
+        .withColumn("w", round(dbl(col("w")) *
+          (col("ct") / dbl(sum(col("w")).over(byC))), 9).cast(d189))
+    }
+    fitted.select(col("r"), col("c"), col("n"),
+      dbl(col("w")).as("weight"),
+      round(dbl(col("w")) / (dbl(col("n")) / dbl(col("tot"))), 6)
+        .as("factor"))
+  }
 }

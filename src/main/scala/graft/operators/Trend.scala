@@ -850,6 +850,36 @@ object Trend {
         round(exp(-col("cum_hazard")), 6).as("fh_survival"))
   }
 
+  /** GREENWOOD confidence bands for the [[kaplanMeier]] curve — the
+    * error bars the bare survival estimate needs before anyone reads a
+    * retention difference off it: Var[S(t)] = S(t)²·Σ_{u≤t} d/(n(n−d))
+    * (Greenwood 1926), bands S ± z·SE clamped to [0, 1]. Input contract:
+    * the kaplanMeier output frame (duration-domain-sized, so the
+    * unpartitioned running sum is bounded). The running sum accumulates
+    * pinned 1e-9-grid increments; a saturated risk set (n = d) yields a
+    * NULL band, not an infinity.
+    */
+  def kmGreenwood(km: DataFrame, z: Double = 1.96): DataFrame = {
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dbl(c: Column): Column = c.cast("double")
+    val inc = when(col("n_risk") > col("n_death"),
+      round(dbl(col("n_death")) / (dbl(col("n_risk")) *
+        (dbl(col("n_risk")) - dbl(col("n_death")))), 9))
+    val staged = km.select(col("t"), col("n_death"), col("n_risk"),
+        col("survival"))
+      .withColumn("__g", sum(inc.cast(DecimalType(28, 9))).over(cum))
+      .withColumn("__bad",
+        sum(when(inc.isNull, 1L).otherwise(0L)).over(cum))
+    val se = round(col("survival") * sqrt(col("__g").cast("double")), 6)
+    staged.select(col("t"), col("n_death"), col("n_risk"), col("survival"),
+      when(col("__bad") === 0L, se).as("se"),
+      when(col("__bad") === 0L,
+        round(greatest(col("survival") - lit(z) * se, lit(0.0)), 6)).as("lo"),
+      when(col("__bad") === 0L,
+        round(least(col("survival") + lit(z) * se, lit(1.0)), 6)).as("hi"))
+  }
+
   /** GEHAN–BRESLOW–WILCOXON test — the EARLY-difference-weighted member
     * of the weighted-log-rank family: each event time's O−E term is
     * weighted by the at-risk share w = n_risk/N (χ² and z are invariant

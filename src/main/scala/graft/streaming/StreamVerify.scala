@@ -1721,6 +1721,120 @@ object StreamVerify {
         lit(2L)) === 0L)
   }
 
+  /** STREAMING JAMES–STEIN maintenance — the shrinkage leaderboard
+    * (q538) kept current as an ingestion side effect: each micro-batch
+    * commits its per-group (n, Σv, Σv²) moment partials exactly-once;
+    * moments ADD, so the drained census finishes through
+    * [[graft.operators.Drift.jamesSteinFromCensus]] bit-identical to the
+    * one-pass batch q538, whose oracle it shares verbatim. State is
+    * O(groups) rows per batch — the sufficient-statistic posture.
+    */
+  def jamesSteinMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/js"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val d38 = DecimalType(38, 0)
+        val v = col("cents").cast(d38)
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("g"))
+            .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"),
+              sum(v * v).as("ss_g"))
+            .coalesce(1),
+          tag = s"js-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.jamesSteinFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("g"), col("n_g").cast("long").as("n_g"),
+          col("s_g"), col("ss_g")))
+  }
+
+  /** STREAMING THEIL'S-U maintenance — q544's directional association
+    * kept current as an ingestion side effect: per-batch JOINT (x, y)
+    * censuses land exactly-once, cell counts ADD and both marginals
+    * derive from the joint, so the drained readout goes through
+    * [[graft.operators.Drift.theilsUFromCensus]] bit-identical to the
+    * one-pass batch q544 (oracle shared verbatim). State is O(cells).
+    */
+  def theilsUMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/tu"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+            .coalesce(1),
+          tag = s"tu-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.theilsUFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("x"), col("y"), col("n_xy").cast("long").as("n_xy")))
+  }
+
+  /** STREAMING WASSERSTEIN-1 maintenance — q541's transport effect size
+    * as an ingestion side effect: per-batch (value, arm) censuses land
+    * exactly-once, counts ADD, the drained readout goes through
+    * [[graft.operators.Drift.w1FromCensus]] — bit-identical to the
+    * one-pass batch answer, oracle shared verbatim. State is
+    * O(value domain) rows per batch.
+    */
+  def w1Maintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/w1"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("v"))
+            .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
+              sum(when(!col("isa"), 1L).otherwise(0L)).as("tb"))
+            .coalesce(1),
+          tag = s"w1-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.w1FromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("v").cast("long").as("v"),
+          col("ta").cast("long").as("ta"), col("tb").cast("long").as("tb")))
+  }
+
   /** Streaming per-group top-k maintenance: each micro-batch's candidate
     * top-k merges into a k-rows-per-group state table committed
     * exactly-once per batch. Top-k is a mergeable summary —

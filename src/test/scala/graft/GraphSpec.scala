@@ -543,4 +543,22 @@ class GraphSpec extends SparkSuite {
     assert(got(2L).isNullAt(3))
   }
 
+  test("modularity: two bridged triangles under their true vs trivial labels") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val good = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "community")
+    val r = graft.operators.Graph.modularity(pairs, good).head()
+    // m = 7, e_A = e_B = 3, d_A = d_B = 7:
+    // Q = 2 * round(3/7 - (7/14)^2, 9) = 0.357142858
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L && r.getLong(2) == 7L)
+    assert(r.getLong(3) == 0L)
+    assert(r.getDouble(4) == 0.357142858)
+    // one community explains nothing: Q = 1 - 1 = 0 exactly
+    val trivial = good.select(col("node"), lit("Z").as("community"))
+    assert(graft.operators.Graph.modularity(pairs, trivial)
+      .head().getDouble(4) == 0.0)
+  }
+
 }

@@ -402,6 +402,71 @@ class ProfilingSpec extends SparkSuite {
       "rank m's q-value is its own p")
   }
 
+  test("hodgesLehmann: median of pairwise differences, even case averaged") {
+    import spark.implicits._
+    // A = {10, 20}, B = {0, 5}: diffs 5,10,15,20 -> HL = (10+15)/2
+    val df = Seq((10L, true), (20L, true), (0L, false), (5L, false))
+      .toDF("v", "isa")
+    val r = graft.operators.Drift.hodgesLehmann(df, "v", col("isa")).head()
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 12.5)
+  }
+
+  test("theilsU: perfect determination reads 1 both ways") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("x", "y")
+    val r = graft.operators.Drift.theilsU(df, "x", "y").head()
+    // H(X) = H(Y) = MI = ln 2 on the grid
+    assert(r.getDouble(0) == 0.69314718 && r.getDouble(1) == 0.69314718)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+  }
+
+  test("wasserstein1: hand CDF-area transport distance") {
+    import spark.implicits._
+    // arm A mass at {0, 10}, arm B mass at {10, 20}: |F_a - F_b| is 0.5
+    // over [0,10) and 0.5 over [10,20) -> w1 = 10, range 20, norm 0.5
+    val df = Seq((0L, true), (10L, true), (10L, false), (20L, false))
+      .toDF("v", "isa")
+    val r = graft.operators.Drift.wasserstein1(df, "v", col("isa")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 20L)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 10.0)
+  }
+
+  test("w1/jamesStein census finishers: batch-split partials equal one pass") {
+    import spark.implicits._
+    val rows = ((1L to 20L).map(v => (v, v % 3 == 0)) ++
+      (5L to 30L).map(v => (v, v % 2 == 0))).toDF("v", "isa")
+    val onePass = graft.operators.Drift.wasserstein1(rows, "v", col("isa"))
+      .head()
+    def cen(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("tb"))
+    val half = rows.limit(17)
+    assert(graft.operators.Drift.w1FromCensus(
+      cen(half).unionByName(cen(rows.exceptAll(half)))).head() == onePass)
+    val gv = ((1L to 9L).map(v => ("a", v)) ++ (4L to 15L).map(v => ("b", v)))
+      .toDF("g", "v")
+    val js = graft.operators.Drift.jamesStein(gv, "g", "v")
+      .collect().toSeq
+    def mo(df: org.apache.spark.sql.DataFrame) = {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val vv = col("v").cast("long").cast(d38)
+      df.groupBy(col("g")).agg(count(lit(1)).as("n_g"),
+        sum(vv).as("s_g"), sum(vv * vv).as("ss_g"))
+    }
+    val gh = gv.limit(11)
+    assert(graft.operators.Drift.jamesSteinFromCensus(
+      mo(gh).unionByName(mo(gv.exceptAll(gh)))).collect().toSeq == js)
+    // joint censuses add for the directional-association finisher too
+    val xy = (Seq.fill(4)(("a", 1L)) ++ Seq.fill(2)(("a", 2L)) ++
+      Seq.fill(5)(("b", 2L))).toDF("x", "y")
+    val one = graft.operators.Drift.theilsU(xy, "x", "y").head()
+    def jc(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("x"),
+      col("y")).agg(count(lit(1)).as("n_xy"))
+    val xh = xy.limit(7)
+    assert(graft.operators.Drift.theilsUFromCensus(
+      jc(xh).unionByName(jc(xy.exceptAll(xh)))).head() == one)
+  }
+
   test("jamesStein: hand shrinkage toward the grand mean") {
     import spark.implicits._
     // A = {0,2} (mean 1), B = {4,6} (mean 5): F = 8, n0 = 2,

@@ -243,4 +243,24 @@ class SamplingSpec extends SparkSuite {
     assert(fb("a") == 3L && fb("b") == 1L)
   }
 
+  test("rake: IPF hits the row target while keeping the observed col mix") {
+    import spark.implicits._
+    // A underrepresented (2/8 raw vs 0.5 target), B over (6/8)
+    val rows = (Seq.fill(1)(("A", "x")) ++ Seq.fill(1)(("A", "y")) ++
+      Seq.fill(6)(("B", "x"))).toDF("src", "lng")
+    // IPF contracts geometrically (~5x per round on this skew): 6 rounds
+    // land the row target within 1e-4, the column pass (run last) exactly
+    val got = graft.operators.Sampling.rake(rows, "src", "lng", rounds = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val rowA = got(("A", "x")).getDouble(3) + got(("A", "y")).getDouble(3)
+    val rowB = got(("B", "x")).getDouble(3)
+    assert(math.abs(rowA - 0.5) < 1e-4 && math.abs(rowB - 0.5) < 1e-4,
+      s"row marginals must converge to the 0.5 target: $rowA / $rowB")
+    val colX = got(("A", "x")).getDouble(3) + got(("B", "x")).getDouble(3)
+    assert(math.abs(colX - 7.0 / 8.0) < 2e-6,
+      "the observed column mix is preserved (col pass runs last)")
+    // the up/down-weighting direction is visible in the factors
+    assert(got(("A", "x")).getDouble(4) > 1.0)
+    assert(got(("B", "x")).getDouble(4) < 1.0)
+  }
 }

@@ -538,6 +538,20 @@ class TrendSpec extends SparkSuite {
     assert(got(1).getDouble(5) == r6(math.exp(-1.5)))
   }
 
+  test("kmGreenwood: hand variance bands; saturated risk set reads NULL") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (1L, 3600L), (2L, 0L), (2L, 3600L),
+      (3L, 0L), (3L, 7200L), (4L, 0L), (4L, 7200L)).toDF("u", "sec")
+    val km = graft.operators.Trend.kaplanMeier(df, "u", "sec", 999999L)
+    val got = graft.operators.Trend.kmGreenwood(km)
+      .orderBy(col("t")).collect()
+    // t=1: S=0.5, g=2/(4*2)=0.25 -> se=0.25, lo=0.01, hi=0.99
+    assert(got(0).getDouble(4) == 0.25)
+    assert(got(0).getDouble(5) == 0.01 && got(0).getDouble(6) == 0.99)
+    // t=2: n_risk == n_death -> the band is undefined, never infinite
+    assert(got(1).isNullAt(4) && got(1).isNullAt(5) && got(1).isNullAt(6))
+  }
+
   test("gehanWilcoxon up-weights early differences vs logRank") {
     import spark.implicits._
     // A dies at t=1 and t=3; B at t=2 and t=3. Hand terms (w = r/4):
