@@ -160,6 +160,68 @@ object Drift {
         col("mi_term").cast("double").as("mi_term"), col("mi_total"))
   }
 
+  /** STRATIFIED ATT — the average treatment effect ON THE TREATED under
+    * stratified adjustment: ATT = Σ_s w_s·(ȳ₁s − ȳ₀s) with
+    * TREATED-share weights w_s = n₁s/N₁ (the estimand q462's
+    * post-stratification — population weights — does not give), plus the
+    * stratified SE and z. The causal companion to q453's balance table:
+    * balance says the strata are comparable, this reads the effect off
+    * them. Strata missing either arm DROP with their treated mass
+    * reported (unmatchable units — silently reweighting them would
+    * change the estimand); a used stratum with n < 2 in either arm
+    * NULLs the SE (no variance is measurable) rather than biasing it.
+    * One conditional DECIMAL(38,0) moment pass; per-stratum terms are
+    * grid decimals, the finish pinned doubles.
+    */
+  def strataAtt(
+      df: DataFrame,
+      strataCol: String,
+      armACol: Column,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val cen = df.groupBy(col(strataCol).as("s"))
+      .agg(sum(when(armACol, 1L).otherwise(0L)).as("n1"),
+        sum(when(!armACol, 1L).otherwise(0L)).as("n0"),
+        sum(when(armACol, v).otherwise(lit(0).cast(d38))).as("s1"),
+        sum(when(!armACol, v).otherwise(lit(0).cast(d38))).as("s0"),
+        sum(when(armACol, v * v).otherwise(lit(0).cast(d38))).as("ss1"),
+        sum(when(!armACol, v * v).otherwise(lit(0).cast(d38))).as("ss0"))
+      .localCheckpoint(true) // strata census, used + dropped readers
+    val used = cen.filter(col("n1") > 0L && col("n0") > 0L)
+    val dropped = cen.filter(!(col("n1") > 0L && col("n0") > 0L))
+      .agg(count(lit(1)).as("n_strata_dropped"),
+        sum(col("n1")).as("__dt"))
+      .select(col("n_strata_dropped"),
+        coalesce(col("__dt"), lit(0L)).as("treated_dropped"))
+    val fam = Window.partitionBy()
+    val n1 = dbl(col("n1")); val n0 = dbl(col("n0"))
+    val w = n1 / dbl(sum(col("n1")).over(fam))
+    val diff = dbl(col("s1")) / n1 - dbl(col("s0")) / n0
+    val v1 = (n1 * dbl(col("ss1")) - dbl(col("s1")) * dbl(col("s1"))) /
+      (n1 * (n1 - 1.0))
+    val v0 = (n0 * dbl(col("ss0")) - dbl(col("s0")) * dbl(col("s0"))) /
+      (n0 * (n0 - 1.0))
+    val staged = used
+      .withColumn("at", round(w * diff, 6).cast(DecimalType(18, 6)))
+      .withColumn("st", when(col("n1") > 1L && col("n0") > 1L,
+        round(w * w * (v1 / n1 + v0 / n0), 6)).cast(DecimalType(28, 6)))
+    val agg = staged.agg(count(lit(1)).as("n_strata_used"),
+      sum(col("n1")).as("n_treated"),
+      sum(col("at")).as("__a"), sum(col("st")).as("__s"),
+      sum(when(col("st").isNull, 1L).otherwise(0L)).as("__bad"))
+    val att = round(dbl(col("__a")), 6)
+    val se = when(col("__bad") === 0L, round(sqrt(dbl(col("__s"))), 6))
+    agg.crossJoin(broadcast(dropped))
+      .select(col("n_strata_used"), col("n_strata_dropped"),
+        col("n_treated"), col("treated_dropped"),
+        att.as("att"), se.as("se"),
+        round(when(se > 0.0, att / se), 6).as("z"))
+  }
+
   /** HODGES–LEHMANN shift estimate — the MEDIAN of all pairwise
     * differences between two arms: the robust "how big is the shift"
     * companion to q319's Mann–Whitney verdict and q518's unitless effect
@@ -173,13 +235,27 @@ object Drift {
   def hodgesLehmann(
       df: DataFrame,
       valueCol: String,
-      armACol: Column): DataFrame = {
+      armACol: Column): DataFrame =
+    hlFromCensus(df
+      .select(col(valueCol).cast("long").as("v"), armACol.as("isa"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("tb")))
+
+  /** [[hodgesLehmann]] from an (v, ta, tb) value census — counts ADD, so
+    * a streaming store's drained census reads identically to the
+    * one-pass path (the w1FromCensus shape; the two even share a census
+    * layout).
+    */
+  def hlFromCensus(censusDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(valueCol).cast("long").as("v"), armACol.as("isa"))
-    val ca = base.filter(col("isa"))
-      .groupBy(col("v").as("va")).agg(count(lit(1)).as("ta"))
-    val cb = base.filter(!col("isa"))
-      .groupBy(col("v").as("vb")).agg(count(lit(1)).as("tb"))
+    val cen = censusDf.groupBy(col("v"))
+      .agg(sum(col("ta")).as("ta"), sum(col("tb")).as("tb"))
+      .localCheckpoint(true) // both sides of the difference census
+    val ca = cen.filter(col("ta") > 0L)
+      .select(col("v").as("va"), col("ta"))
+    val cb = cen.filter(col("tb") > 0L)
+      .select(col("v").as("vb"), col("tb"))
     val diffs = ca.crossJoin(cb)
       .groupBy((col("va") - col("vb")).as("d"))
       .agg(sum(col("ta") * col("tb")).as("w"))

@@ -1762,6 +1762,113 @@ object StreamVerify {
           col("s_g"), col("ss_g")))
   }
 
+  /** STREAMING HODGES–LEHMANN maintenance — q548's robust shift estimate
+    * as an ingestion side effect: per-batch (value, arm) censuses land
+    * exactly-once, counts ADD, and the drained readout goes through
+    * [[graft.operators.Drift.hlFromCensus]] — bit-identical to the
+    * one-pass batch q548 (oracle shared verbatim). State O(value domain).
+    */
+  def hlMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/hl"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("v"))
+            .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
+              sum(when(!col("isa"), 1L).otherwise(0L)).as("tb"))
+            .coalesce(1),
+          tag = s"hl-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.hlFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("v").cast("long").as("v"),
+          col("ta").cast("long").as("ta"), col("tb").cast("long").as("tb")))
+  }
+
+  /** STREAMING CUPED maintenance — the "how much less traffic does the
+    * next test need" readout (q395) kept current at ingest cadence: the
+    * sufficient statistic is the PER-USER (pre, post) cents totals, and
+    * sums ADD — so each micro-batch reduces to its per-user partials and
+    * folds into a standing user-totals store via the merge-on-read
+    * upsert (read standing rows for the BATCH's users, add, land the
+    * merged rows as one atomic delta commit — O(batch users) per batch,
+    * the q531 shape with addition instead of min/max). Unlike min/max
+    * merging, ADDITION IS NOT REPLAY-IDEMPOTENT: the exactly-once tag on
+    * the commit is load-bearing here, not belt-and-braces. The pre/post
+    * cutoff and arm assignment are pure functions of (ts, user_id), so
+    * the drained per-user totals equal the one-pass reduce and the CUPED
+    * finish shares batch q395's oracle verbatim.
+    */
+  def cupedMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/cuped"
+    // the batch operator (q395) splits pre/post on the NANOS midpoint of
+    // the canonical epoch-nanos ts; events carry sub-second precision, so
+    // the store must read raw micros (NOT the second-floored readEvents
+    // surface) or boundary events would classify differently
+    val nanos = expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000")
+    val ref = spark.read.parquet(eventsPath).select(nanos.as("t"))
+    val pin = ref.agg(min(col("t")), max(col("t"))).head()
+    val cutoff = (pin.getLong(0) + pin.getLong(1)) / 2L
+    val q = spark.readStream
+      .schema(spark.read.parquet(eventsPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(eventsPath)
+      .select(col("user_id"), nanos.as("t"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("cents"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val part = batch
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("t") <= cutoff, col("cents")).otherwise(0L))
+            .as("x"),
+            sum(when(col("t") > cutoff, col("cents")).otherwise(0L))
+              .as("y"))
+          .localCheckpoint(true)
+        if (graft.sources.TxLake.latestVersion(lake) == 0L)
+          graft.sources.TxLake.commit(spark, lake, part, tag = s"cu-$id")
+        else {
+          val existing = graft.sources.TxLake.readSnapshot(spark, lake)
+            .join(part.select(col("user_id")), Seq("user_id"), "left_semi")
+          val merged = existing.unionByName(part)
+            .groupBy(col("user_id"))
+            .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+          graft.sources.TxLake.upsertKeysDv(spark, lake, merged, "user_id",
+            tag = s"cu-$id")
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val per = graft.sources.TxLake.readSnapshot(spark, lake)
+      .withColumn("arm", when(pmod(conv(substring(md5(concat(
+        lit("cuped:"), col("user_id").cast("string")).cast("binary")),
+        1, 13), 16, 10).cast("long"), lit(2L)) === 0L,
+        lit("control")).otherwise(lit("treatment")))
+    graft.operators.Features.cuped(per, "arm", "x", "y")
+  }
+
   /** STREAMING THEIL'S-U maintenance — q544's directional association
     * kept current as an ingestion side effect: per-batch JOINT (x, y)
     * censuses land exactly-once, cell counts ADD and both marginals

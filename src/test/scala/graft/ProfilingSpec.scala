@@ -402,6 +402,22 @@ class ProfilingSpec extends SparkSuite {
       "rank m's q-value is its own p")
   }
 
+  test("strataAtt: treated-share weighting, unmatchable strata drop loudly") {
+    import spark.implicits._
+    // stratum A: treated {2,4} vs control {0,2} -> diff 2, var 2 each;
+    // stratum B has treated only -> drops with its mass reported
+    val df = Seq(("A", 2L, true), ("A", 4L, true), ("A", 0L, false),
+      ("A", 2L, false), ("B", 10L, true)).toDF("s", "v", "isa")
+    val r = graft.operators.Drift.strataAtt(df, "s", col("isa"), "v").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 2.0)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == r6(math.sqrt(2.0)))
+    assert(r.getDouble(6) == r6(2.0 / r6(math.sqrt(2.0))))
+  }
+
   test("hodgesLehmann: median of pairwise differences, even case averaged") {
     import spark.implicits._
     // A = {10, 20}, B = {0, 5}: diffs 5,10,15,20 -> HL = (10+15)/2
@@ -443,6 +459,11 @@ class ProfilingSpec extends SparkSuite {
     val half = rows.limit(17)
     assert(graft.operators.Drift.w1FromCensus(
       cen(half).unionByName(cen(rows.exceptAll(half)))).head() == onePass)
+    // the Hodges-Lehmann finisher rides the identical census layout
+    val hlOne = graft.operators.Drift.hodgesLehmann(rows, "v", col("isa"))
+      .head()
+    assert(graft.operators.Drift.hlFromCensus(
+      cen(half).unionByName(cen(rows.exceptAll(half)))).head() == hlOne)
     val gv = ((1L to 9L).map(v => ("a", v)) ++ (4L to 15L).map(v => ("b", v)))
       .toDF("g", "v")
     val js = graft.operators.Drift.jamesStein(gv, "g", "v")
