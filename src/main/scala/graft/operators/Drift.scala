@@ -222,6 +222,84 @@ object Drift {
         round(when(se > 0.0, att / se), 6).as("z"))
   }
 
+  /** META-ANALYSIS across strata — fixed-effect pooling, Cochran's Q
+    * heterogeneity, I², and the DerSimonian–Laird RANDOM-effects
+    * re-pool: the readout that asks whether per-stratum effects are ONE
+    * effect measured k times or genuinely different effects (I² ≫ 0 —
+    * in which case [[strataAtt]]'s single number is an average of
+    * unlike things and the random-effects interval is the honest one).
+    * Per-stratum effect d_s and variance var_s come off the same
+    * conditional moment census as strataAtt (strata with n < 2 in
+    * either arm are excluded — no variance, no weight); inverse-variance
+    * weights are O(1e-9)-scale doubles, far below any usable decimal
+    * grid, so cross-engine exactness comes from PINNED FOLD ORDER
+    * instead: the (d, var) pairs pack into ONE stratum-sorted array and
+    * every sum folds sequentially (the KM list_reduce pattern) — the
+    * bounded-strata-domain contract, stated.
+    */
+  def metaAnalysis(
+      df: DataFrame,
+      strataCol: String,
+      armACol: Column,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val cen = df.groupBy(col(strataCol).cast("string").as("s"))
+      .agg(sum(when(armACol, 1L).otherwise(0L)).as("n1"),
+        sum(when(!armACol, 1L).otherwise(0L)).as("n0"),
+        sum(when(armACol, v).otherwise(lit(0).cast(d38))).as("s1"),
+        sum(when(!armACol, v).otherwise(lit(0).cast(d38))).as("s0"),
+        sum(when(armACol, v * v).otherwise(lit(0).cast(d38))).as("ss1"),
+        sum(when(!armACol, v * v).otherwise(lit(0).cast(d38))).as("ss0"))
+      .filter(col("n1") > 1L && col("n0") > 1L)
+    val n1 = dbl(col("n1")); val n0 = dbl(col("n0"))
+    // 1e-3 grid: d and var sit at cents / cents-squared magnitudes where
+    // a 1e-9 grid pins nothing and the wide-decimal->double cast ulp
+    // (q83/q408) leaks into the cancellation-heavy tau2 denominator; the
+    // coarser grid absorbs it with no semantic cost at this scale
+    val dEff = round(dbl(col("s1")) / n1 - dbl(col("s0")) / n0, 3)
+    val v1 = (n1 * dbl(col("ss1")) - dbl(col("s1")) * dbl(col("s1"))) /
+      (n1 * (n1 - 1.0))
+    val v0 = (n0 * dbl(col("ss0")) - dbl(col("s0")) * dbl(col("s0"))) /
+      (n0 * (n0 - 1.0))
+    val varEff = round(v1 / n1 + v0 / n0, 3)
+    val packed = cen
+      .select(col("s"), dEff.as("d"), varEff.as("vv"))
+      .filter(col("vv") > 0.0)
+      .agg(sort_array(collect_list(struct(col("s"), col("d"), col("vv"))))
+        .as("rows"))
+    def fold(term: String): Column =
+      expr(s"aggregate(rows, CAST(0.0 AS DOUBLE), (a, x) -> a + ($term))")
+    val sw = fold("1.0 / x.vv")
+    val swd = fold("x.d / x.vv")
+    val swd2 = fold("x.d * x.d / x.vv")
+    val sw2 = fold("1.0 / x.vv / x.vv")
+    val staged = packed.select(size(col("rows")).cast("long").as("k"),
+      sw.as("sw"), swd.as("swd"), swd2.as("swd2"), sw2.as("sw2"),
+      col("rows"))
+    val dFe = col("swd") / col("sw")
+    val q = col("swd2") - col("swd") * col("swd") / col("sw")
+    val dfree = dbl(col("k")) - lit(1.0)
+    val i2 = greatest((q - dfree) / q, lit(0.0))
+    val tau2 = greatest((q - dfree) /
+      (col("sw") - col("sw2") / col("sw")), lit(0.0))
+    // random-effects re-pool: a second fold with tau2 inside the weight
+    val withT = staged.withColumn("__t", tau2)
+    def foldT(term: String): Column =
+      expr(s"aggregate(rows, CAST(0.0 AS DOUBLE), (a, x) -> a + ($term))")
+    val swr = foldT("1.0 / (x.vv + __t)")
+    val swdr = foldT("x.d / (x.vv + __t)")
+    withT.select(col("k"),
+        round(dFe, 6).as("d_fixed"),
+        round(q, 6).as("q_stat"),
+        round(i2, 6).as("i2"),
+        round(tau2, 6).as("tau2"),
+        round(swdr / swr, 6).as("d_random"),
+        round(sqrt(lit(1.0) / swr), 6).as("se_random"))
+  }
+
   /** HODGES–LEHMANN shift estimate — the MEDIAN of all pairwise
     * differences between two arms: the robust "how big is the shift"
     * companion to q319's Mann–Whitney verdict and q518's unitless effect

@@ -402,6 +402,21 @@ class ProfilingSpec extends SparkSuite {
       "rank m's q-value is its own p")
   }
 
+  test("metaAnalysis: hand Q/I2/tau2 and the random-effects re-pool") {
+    import spark.implicits._
+    // stratum A: d=2, var=4; stratum B: d=12, var=4 ->
+    // sw=0.5, d_fe=7, Q=12.5, I2=0.92, tau2=46, d_re=7, se_re=5
+    val df = Seq(("A", 0L, true), ("A", 4L, true), ("A", 0L, false),
+      ("A", 0L, false), ("B", 10L, true), ("B", 14L, true),
+      ("B", 0L, false), ("B", 0L, false)).toDF("s", "v", "isa")
+    val r = graft.operators.Drift.metaAnalysis(df, "s", col("isa"), "v")
+      .head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 7.0 && r.getDouble(2) == 12.5)
+    assert(r.getDouble(3) == 0.92 && r.getDouble(4) == 46.0)
+    assert(r.getDouble(5) == 7.0 && r.getDouble(6) == 5.0)
+  }
+
   test("strataAtt: treated-share weighting, unmatchable strata drop loudly") {
     import spark.implicits._
     // stratum A: treated {2,4} vs control {0,2} -> diff 2, var 2 each;
