@@ -631,6 +631,72 @@ object ScaleProbe {
             (col("value") * 100).cast("long").as("cents")),
           "event_type", "cents"))
       },
+      "wasserstein1" -> { () =>
+        // q541: value-domain census + CDF gap terms — the census shuffle
+        // is value-domain-bounded, the scan linear
+        val ev = eventsAt(f)
+        consume(graft.operators.Drift.wasserstein1(
+          ev.select((col("value") * 100).cast("long").as("cents"),
+            (col("event_id") % 2 === 0).as("isa")),
+          "cents", col("isa")))
+      },
+      "hodges_lehmann" -> { () =>
+        // q548: value-domain² difference census — replicas repeat the
+        // SAME value set, so the pair frame is fixed-domain and only the
+        // census scan grows (the q435 bounded-census posture)
+        val ev = eventsAt(f)
+        consume(graft.operators.Drift.hodgesLehmann(
+          ev.select((col("value") * 100).cast("long").as("cents"),
+            (col("event_id") % 2 === 0).as("isa")),
+          "cents", col("isa")))
+      },
+      "modularity" -> { () =>
+        // q543: degree census + labeled-edge pass over the f×-replicated
+        // co-purchase pair graph; community domain (brand) fixed
+        val li = lineitemAt(f)
+        val base = li.select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("pk")).distinct()
+        val pairs = base.as("a").join(base.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("id_a"), col("b.pk").as("id_b"))
+          .distinct()
+        val labels = graft.sources.Tables.load(spark, sfDir, "part")
+          .select(col("p_partkey").as("node"), col("p_brand").as("community"))
+        consume(graft.operators.Graph.modularity(pairs, labels))
+      },
+      "raking" -> { () =>
+        // q546: (source, lang) cell domain fixed, census scan linear,
+        // 3 IPF rounds over the cell frame
+        val docs = documentsAt(f)
+        consume(graft.operators.Sampling.rake(
+          docs.select(col("source"), col("lang")), "source", "lang"))
+      },
+      "heaps_law" -> { () =>
+        // q535: GlobalOrder rank + two prefix sums over the doc domain +
+        // the first-occurrence census — everything linear in docs/tokens
+        val docs = documentsAt(f)
+        consume(graft.operators.TextPipeline.heapsLaw(
+          docs, "doc_id", "text"))
+      },
+      "repeated_spans" -> { () =>
+        // q527: shingle-position explode + corpus census + island merge;
+        // replica-tagged texts keep the shingle domain growing with
+        // volume (weak scaling, the dedup posture)
+        val docs = documentsAt(f)
+        consume(graft.operators.Dedup.repeatedSpans(
+          docs, "doc_id", "text", k = 8, minOcc = 2))
+      },
+      "label_noise" -> { () =>
+        // q539: centroid census + corpus×dims×|labels| score join with
+        // the label-domain centroid table broadcast
+        val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        val reps = spark.range(f).select(col("id").cast("long").as("__rep"))
+        val corpus = emb.crossJoin(reps)
+          .select((col("vec_id") + col("__rep") * 1000000L).as("vec_id"),
+            col("embedding"), col("label"))
+        consume(graft.operators.Similarity.labelNoiseAudit(
+          corpus, "vec_id", "embedding", "label"))
+      },
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
       // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not

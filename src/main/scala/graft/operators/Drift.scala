@@ -178,18 +178,34 @@ object Drift {
       strataCol: String,
       armACol: Column,
       valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
-    def dbl(c: Column): Column = c.cast("double")
     val v = col(valueCol).cast("long").cast(d38)
-    val cen = df.groupBy(col(strataCol).as("s"))
+    strataAttFromCensus(df.groupBy(col(strataCol).as("s"))
       .agg(sum(when(armACol, 1L).otherwise(0L)).as("n1"),
         sum(when(!armACol, 1L).otherwise(0L)).as("n0"),
         sum(when(armACol, v).otherwise(lit(0).cast(d38))).as("s1"),
         sum(when(!armACol, v).otherwise(lit(0).cast(d38))).as("s0"),
         sum(when(armACol, v * v).otherwise(lit(0).cast(d38))).as("ss1"),
-        sum(when(!armACol, v * v).otherwise(lit(0).cast(d38))).as("ss0"))
+        sum(when(!armACol, v * v).otherwise(lit(0).cast(d38))).as("ss0")))
+  }
+
+  /** [[strataAtt]] from an already-aggregated per-stratum conditional
+    * moment census (s, n1, n0, s1, s0, ss1, ss0) — moments ADD across
+    * batches, so a streaming store's drained census finishes identically
+    * to the one-pass path and shares the batch oracle verbatim.
+    */
+  def strataAttFromCensus(censusDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = censusDf.groupBy(col("s"))
+      .agg(sum(col("n1")).as("n1"), sum(col("n0")).as("n0"),
+        sum(col("s1").cast(d38)).as("s1"),
+        sum(col("s0").cast(d38)).as("s0"),
+        sum(col("ss1").cast(d38)).as("ss1"),
+        sum(col("ss0").cast(d38)).as("ss0"))
       .localCheckpoint(true) // strata census, used + dropped readers
     val used = cen.filter(col("n1") > 0L && col("n0") > 0L)
     val dropped = cen.filter(!(col("n1") > 0L && col("n0") > 0L))

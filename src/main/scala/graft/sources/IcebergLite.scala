@@ -69,9 +69,12 @@ object IcebergLite {
     val meta = Paths.get(outDir, "metadata")
     Files.createDirectories(meta)
     import spark.implicits._
+    // manifests are namespaced by snapshot: a re-export must never
+    // overwrite an older chain's files or time travel silently reads the
+    // new data through the old metadata
     val manifests = perFile.grouped(filesPerManifest).zipWithIndex.map {
       case (group, k) =>
-        val mDir = meta.resolve(f"manifest-$k%05d").toString
+        val mDir = meta.resolve(f"manifest-$snapshotId-$k%05d").toString
         val rows = AvroIo.write(
           group.map { case (f, n) => (f, n.getOrElse(-1L)) }
             .toDF("file_path", "record_count").coalesce(1), mDir)
@@ -100,12 +103,15 @@ object IcebergLite {
     snapshotId
   }
 
-  private def metadataJson(dir: String): String = {
+  private def metadataJson(dir: String, snapshotId: Long = -1L): String = {
     val meta = Paths.get(dir, "metadata")
-    val hint = new String(
-      Files.readAllBytes(meta.resolve("version-hint.text")), "UTF-8").trim
-    new String(Files.readAllBytes(
-      meta.resolve(s"v$hint.metadata.json")), "UTF-8")
+    val v =
+      if (snapshotId > 0L) snapshotId.toString
+      else new String(
+        Files.readAllBytes(meta.resolve("version-hint.text")), "UTF-8").trim
+    val f = meta.resolve(s"v$v.metadata.json")
+    require(Files.exists(f), s"no exported snapshot v$v at $dir")
+    new String(Files.readAllBytes(f), "UTF-8")
   }
 
   private def field(json: String, key: String): String =
@@ -118,8 +124,17 @@ object IcebergLite {
     * schema applied (never inferred from footers). No directory of data
     * files is ever listed.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val json = metadataJson(dir)
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readAt(spark, dir, -1L)
+
+  /** [[read]] pinned at an exported snapshot id — TIME TRAVEL through
+    * the foreign layout: older metadata files stay on disk after a
+    * re-export (only the hint advances), so every exported snapshot
+    * keeps reading through its own manifest chain (the Iceberg
+    * `snapshot-id` read option). Fails loudly on a never-exported id.
+    */
+  def readAt(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
+    val json = metadataJson(dir, snapshotId)
     val schema = StructType.fromDDL(field(json, "schema-ddl"))
     val listDir = field(json, "manifest-list")
     val manifestDirs = AvroIo.read(spark, listDir, manifestListSchema)

@@ -1762,6 +1762,55 @@ object StreamVerify {
           col("s_g"), col("ss_g")))
   }
 
+  /** STREAMING STRATIFIED-ATT maintenance — q551's causal readout as an
+    * ingestion side effect: per-batch per-stratum conditional moment
+    * partials land exactly-once (arm assignment is a pure hash of the
+    * order key, so each batch censuses itself), moments ADD, and the
+    * drained readout goes through
+    * [[graft.operators.Drift.strataAttFromCensus]] — bit-identical to
+    * the one-pass batch q551, whose oracle it shares verbatim. State is
+    * O(strata) rows per batch.
+    */
+  def strataAttMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/att"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val d38 = DecimalType(38, 0)
+        val v = col("cents").cast(d38)
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("s"))
+            .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("n1"),
+              sum(when(!col("isa"), 1L).otherwise(0L)).as("n0"),
+              sum(when(col("isa"), v).otherwise(lit(0).cast(d38))).as("s1"),
+              sum(when(!col("isa"), v).otherwise(lit(0).cast(d38))).as("s0"),
+              sum(when(col("isa"), v * v).otherwise(lit(0).cast(d38)))
+                .as("ss1"),
+              sum(when(!col("isa"), v * v).otherwise(lit(0).cast(d38)))
+                .as("ss0"))
+            .coalesce(1),
+          tag = s"att-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.strataAttFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("s"), col("n1").cast("long").as("n1"),
+          col("n0").cast("long").as("n0"), col("s1"), col("s0"),
+          col("ss1"), col("ss0")))
+  }
+
   /** STREAMING HODGES–LEHMANN maintenance — q548's robust shift estimate
     * as an ingestion side effect: per-batch (value, arm) censuses land
     * exactly-once, counts ADD, and the drained readout goes through

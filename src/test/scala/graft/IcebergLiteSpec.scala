@@ -54,5 +54,11 @@ class IcebergLiteSpec extends SparkSuite {
     assert(IcebergLite.export(spark, lake, ice) == 2L)
     // the reader follows the hint to the NEW snapshot
     assert(IcebergLite.read(spark, ice).count() == 9L)
+    // TIME TRAVEL: the old chain stays readable by snapshot id, and a
+    // never-exported id fails loudly
+    assert(IcebergLite.readAt(spark, ice, 1L).count() == 5L)
+    intercept[IllegalArgumentException] {
+      IcebergLite.readAt(spark, ice, 7L)
+    }
   }
 }
