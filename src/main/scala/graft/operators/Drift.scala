@@ -238,6 +238,56 @@ object Drift {
         round(when(se > 0.0, att / se), 6).as("z"))
   }
 
+  /** UPPER TAIL DEPENDENCE — λ_U(q) = P(X > x_q | Y > y_q) at each
+    * requested percentile: do the two metrics' EXTREMES co-occur, the
+    * question correlation answers wrong (q83's Pearson is dominated by
+    * the body of the distribution; two metrics can correlate 0.9 with
+    * independent tails, or 0.2 with tails that always fire together —
+    * the risk/capacity question). Thresholds are exact ceiling-rank
+    * order statistics on each marginal's value census (never a row
+    * sort); exceedance counts are one conditional pass with the
+    * percentile spine broadcast. Integer counts, one pinned ratio.
+    */
+  def tailDependence(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 99) &&
+      pcts.distinct.size == pcts.size, "percentiles in [1, 99], distinct")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .localCheckpoint(true) // two threshold censuses + the exceedance pass
+    def thresh(c: String, out: String): DataFrame = {
+      val cum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fam = Window.partitionBy()
+      val st = base.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+        .withColumn("cw", sum(col("t")).over(cum))
+        .withColumn("n", sum(col("t")).over(fam))
+        .localCheckpoint(true) // value-domain frame, one agg per pct
+      pcts.map { p =>
+        st.agg(min(when(col("cw") >= expr(s"($p * n + 99) div 100"),
+          col("v"))).as(out))
+          .select(lit(p.toLong).as("pct"), col(out))
+      }.reduce(_ unionByName _)
+    }
+    val ths = broadcast(thresh("x", "tx").join(thresh("y", "ty"), Seq("pct")))
+    base.crossJoin(ths)
+      .groupBy(col("pct"), col("tx"), col("ty"))
+      .agg(sum(when(col("y") > col("ty"), 1L).otherwise(0L))
+        .as("n_y_exceed"),
+        sum(when(col("x") > col("tx") && col("y") > col("ty"), 1L)
+          .otherwise(0L)).as("n_joint"))
+      .select(col("pct"), col("tx").as("x_thresh"), col("ty").as("y_thresh"),
+        col("n_y_exceed"), col("n_joint"),
+        round(when(col("n_y_exceed") > 0L,
+          col("n_joint").cast("double") / col("n_y_exceed").cast("double")),
+          6).as("lambda_u"))
+      .orderBy(col("pct"))
+  }
+
   /** META-ANALYSIS across strata — fixed-effect pooling, Cochran's Q
     * heterogeneity, I², and the DerSimonian–Laird RANDOM-effects
     * re-pool: the readout that asks whether per-stratum effects are ONE

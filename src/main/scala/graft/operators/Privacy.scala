@@ -182,4 +182,64 @@ object Privacy {
       .withColumn("close", (col("emd") <= t).cast("int"))
       .drop("__emd_sum")
   }
+  /** K-ANONYMITY SWEEP — the utility/privacy CURVE a suppression policy
+    * is chosen from, where q217 anonymizes at one fixed k: for each
+    * candidate k, how many equivalence classes (and how much row mass)
+    * fall below it and would be suppressed. One QI-census collapsed to
+    * the CLASS-SIZE census (a frame bounded by the distinct class sizes,
+    * tiny at any scale), then the k spine broadcasts over it — the whole
+    * sweep costs one corpus aggregation however many k are asked.
+    */
+  def kAnonSweep(
+      df: DataFrame,
+      qiCols: Seq[String],
+      ks: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty && ks.nonEmpty && ks.forall(_ >= 2) &&
+      ks.distinct.size == ks.size, "distinct k >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("classes"))
+      .localCheckpoint(true) // class-size census, one agg per k
+    val spine = broadcast(ks.map(_.toLong).toDF("k"))
+    sizes.crossJoin(spine)
+      .groupBy(col("k"))
+      .agg(sum(col("classes")).as("n_classes"),
+        sum(col("sz") * col("classes")).as("n_rows"),
+        sum(when(col("sz") < col("k"), col("classes")).otherwise(0L))
+          .as("classes_suppressed"),
+        sum(when(col("sz") < col("k"), col("sz") * col("classes"))
+          .otherwise(0L)).as("rows_suppressed"))
+      .select(col("k"), col("n_classes"), col("classes_suppressed"),
+        col("rows_suppressed"),
+        round(col("rows_suppressed").cast("double") /
+          col("n_rows").cast("double"), 6).as("suppressed_share"))
+      .orderBy(col("k"))
+  }
+
+  /** QUASI-IDENTIFIER UNIQUENESS RISK — for each DECLARED column combo,
+    * the share of rows that are UNIQUE under it (singleton equivalence
+    * classes — the re-identification surface a journalist attack walks
+    * in through). The measured-not-assumed meter for the privacy shelf:
+    * run it BEFORE choosing which columns q217's anonymizer must
+    * generalize. One census per combo (each a single corpus
+    * aggregation), unioned.
+    */
+  def uniquenessRisk(
+      df: DataFrame,
+      combos: Seq[(String, Seq[String])]): DataFrame = {
+    require(combos.nonEmpty && combos.map(_._1).distinct.size == combos.size)
+    combos.map { case (name, cols) =>
+      df.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("sz")).as("n_rows"),
+          sum(when(col("sz") === 1L, 1L).otherwise(0L)).as("n_singletons"))
+        .select(lit(name).as("combo"), col("n_classes"),
+          col("n_singletons"),
+          round(col("n_singletons").cast("double") /
+            col("n_rows").cast("double"), 6).as("unique_row_share"))
+    }.reduce(_ unionByName _).orderBy(col("combo"))
+  }
 }

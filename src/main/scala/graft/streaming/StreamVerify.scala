@@ -1762,6 +1762,44 @@ object StreamVerify {
           col("s_g"), col("ss_g")))
   }
 
+  /** STREAMING TREND maintenance — q147's per-key OLS slopes as an
+    * ingestion side effect: each micro-batch commits its (key, hour,
+    * count) census partial exactly-once; hourly counts ADD, so the
+    * drained census feeds [[graft.operators.Trend.olsPerKey]]
+    * bit-identical to the one-pass batch q147 (oracle shared verbatim).
+    * State is O(keys × observed hours) — time-growing by design (a
+    * production dashboard bounds it with a trailing-window cut; the
+    * census stays mergeable either way).
+    */
+  def trendOlsMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/trend"
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"),
+        expr("CAST(ts AS LONG) div 3600").as("hour_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("event_type"), col("hour_id"))
+            .agg(count(lit(1)).as("n"))
+            .coalesce(1),
+          tag = s"tr-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val census = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(sum(col("n")).as("n"))
+    graft.operators.Trend.olsPerKey(census, "event_type", "hour_id", "n")
+  }
+
   /** STREAMING STRATIFIED-ATT maintenance — q551's causal readout as an
     * ingestion side effect: per-batch per-stratum conditional moment
     * partials land exactly-once (arm assignment is a pure hash of the

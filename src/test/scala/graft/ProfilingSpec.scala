@@ -402,6 +402,41 @@ class ProfilingSpec extends SparkSuite {
       "rank m's q-value is its own p")
   }
 
+  test("kAnonSweep and uniquenessRisk: hand class-size accounting") {
+    import spark.implicits._
+    // classes: (a,1)x3, (a,2)x1, (b,1)x2 -> sizes {3,1,2}
+    val df = (Seq.fill(3)(("a", 1)) ++ Seq(("a", 2)) ++ Seq.fill(2)(("b", 1)))
+      .toDF("g", "h")
+    val sweep = graft.operators.Privacy
+      .kAnonSweep(df, Seq("g", "h"), Seq(2, 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // k=2: the singleton class suppresses (1 class, 1 row of 6)
+    assert(sweep(2L).getLong(1) == 3L && sweep(2L).getLong(2) == 1L)
+    assert(sweep(2L).getLong(3) == 1L)
+    assert(sweep(2L).getDouble(4) == 0.166667)
+    // k=3: the size-2 class suppresses too (3 rows of 6)
+    assert(sweep(3L).getLong(2) == 2L && sweep(3L).getLong(3) == 3L)
+    val risk = graft.operators.Privacy.uniquenessRisk(df,
+      Seq(("g_only", Seq("g")), ("g_h", Seq("g", "h"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(risk("g_only").getLong(2) == 0L)
+    assert(risk("g_h").getLong(1) == 3L && risk("g_h").getLong(2) == 1L)
+    assert(risk("g_h").getDouble(3) == 0.166667)
+  }
+
+  test("tailDependence: comonotone tails read 1, antitone tails read 0") {
+    import spark.implicits._
+    val co = (1L to 100L).map(i => (i, i)).toDF("x", "y")
+    val g1 = graft.operators.Drift.tailDependence(co, "x", "y", Seq(90))
+      .head()
+    assert(g1.getLong(1) == 90L && g1.getLong(2) == 90L)
+    assert(g1.getLong(3) == 10L && g1.getLong(4) == 10L)
+    assert(g1.getDouble(5) == 1.0)
+    val anti = (1L to 100L).map(i => (i, 101L - i)).toDF("x", "y")
+    assert(graft.operators.Drift.tailDependence(anti, "x", "y", Seq(90))
+      .head().getDouble(5) == 0.0)
+  }
+
   test("metaAnalysis: hand Q/I2/tau2 and the random-effects re-pool") {
     import spark.implicits._
     // stratum A: d=2, var=4; stratum B: d=12, var=4 ->
