@@ -730,6 +730,40 @@ object TextPipeline {
       round((sy - slope * sx) / nD, 6).as("intercept"))
   }
 
+  /** LANGUAGE-MIXTURE profile — the CODE-SWITCHING detector q30's
+    * argmax hides: per doc, the marker-score posterior over the language
+    * set, its entropy, and a mixed flag (≥ 2 languages hit AND no
+    * language holds > 75% of the marker mass). Mixed documents are the
+    * rows a per-language pipeline silently mangles (wrong tokenizer,
+    * wrong quality thresholds) — route them, don't argmax them. Same
+    * replace-shrinkage marker counts as q30 (exact integers), per-row
+    * fixed-order entropy terms on the 1e-9 grid; zero-marker docs emit
+    * NULL entropy and mixed = false.
+    */
+  def langMixture(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val scored = docs.select(col(idCol) +: langs.map(l =>
+      TextFunctions.langScore(col(textCol), l).cast("long").as(s"s_$l")): _*)
+    val total = langs.map(l => col(s"s_$l")).reduce(_ + _)
+    val nLangs = langs.map(l =>
+      when(col(s"s_$l") > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    def dbl(c: Column): Column = c.cast("double")
+    val entropy = langs.map { l =>
+      val p = dbl(col(s"s_$l")) / dbl(col("total"))
+      when(col(s"s_$l") > 0L, round(-(p * log(p)), 9)
+        .cast(DecimalType(18, 9)))
+        .otherwise(lit(0).cast(DecimalType(18, 9)))
+    }.reduce(_ + _)
+    val maxShare = dbl(greatest(langs.map(l => col(s"s_$l")): _*)) /
+      dbl(col("total"))
+    scored.withColumn("total", total)
+      .select(col(idCol), col("total").as("total_markers"),
+        nLangs.as("n_langs"),
+        when(col("total") > 0L, entropy.cast("double")).as("mix_entropy"),
+        (col("total") > 0L && nLangs >= 2L && maxShare <= 0.75)
+          .as("mixed"))
+  }
+
   /** HEAPS'-LAW fit — vocabulary growth V(T) ≈ K·T^β over the corpus in
     * document order: the sub-linearity exponent that says how fast NEW
     * types keep arriving as tokens accumulate (β near 1 = vocabulary

@@ -850,6 +850,40 @@ object Trend {
         round(exp(-col("cum_hazard")), 6).as("fh_survival"))
   }
 
+  /** PER-KEY Kaplan–Meier from a pre-reduced LIVES frame
+    * (key, t, death) — censoring-correct retention curves per cohort
+    * where [[kaplanMeier]] gives one global curve and q72's raw cohort
+    * retention silently treats still-active users as churned. Same
+    * duration-domain census shape, keyed: at-risk counts from
+    * key-partitioned suffix windows, the survival product folded over
+    * each key's sorted factor array (replayable list_reduce) — the
+    * per-key frame is duration-domain-sized, so the collected arrays
+    * are bounded however large the cohorts are.
+    */
+  def kaplanMeierFromLives(lives: DataFrame, keyCol: String): DataFrame = {
+    val byT = lives
+      .groupBy(col(keyCol), col("t"))
+      .agg(sum(col("death")).as("d"),
+        sum(lit(1L) - col("death")).as("c"),
+        count(lit(1)).as("n_t"))
+    val later = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risked = byT
+      .withColumn("n_risk", sum(col("n_t")).over(later))
+      .withColumn("factor",
+        lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+    val packed = risked.groupBy(col(keyCol)).agg(
+      sort_array(collect_list(struct(col("t"), col("d"), col("c"),
+        col("n_risk"), col("factor")))).as("rows"))
+    packed
+      .select(col(keyCol), col("rows"), posexplode(col("rows")).as(Seq("i", "r")))
+      .select(col(keyCol), col("r.t").as("t"), col("r.d").as("n_death"),
+        col("r.c").as("n_censored"), col("r.n_risk").as("n_risk"),
+        round(aggregate(
+          expr("slice(transform(rows, x -> x.factor), 1, i + 1)"),
+          lit(1.0), (acc, f) => acc * f), 6).as("survival"))
+  }
+
   /** GREENWOOD confidence bands for the [[kaplanMeier]] curve — the
     * error bars the bare survival estimate needs before anyone reads a
     * retention difference off it: Var[S(t)] = S(t)²·Σ_{u≤t} d/(n(n−d))

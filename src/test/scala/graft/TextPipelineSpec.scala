@@ -363,4 +363,23 @@ class TextPipelineSpec extends SparkSuite {
     assert(r.getDouble(4) == r6((sy - slope * sx) / 3.0))
   }
 
+  test("langMixture: pure doc reads 1 lang, code-switched doc flags mixed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog a x"),
+      (2L, "le chat et the dog"),
+      (3L, "zzz qqq")).toDF("doc_id", "text")
+    val got = graft.operators.TextPipeline
+      .langMixture(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val pure = got(1L)
+    assert(pure.getLong(1) == 3L && pure.getLong(2) == 1L)
+    assert(pure.getDouble(3) == 0.0 && !pure.getBoolean(4))
+    val mixed = got(2L) // fr 2 markers, en 1 -> shares 2/3, 1/3
+    assert(mixed.getLong(1) == 3L && mixed.getLong(2) == 2L)
+    assert(mixed.getDouble(3) == 0.636514168 && mixed.getBoolean(4))
+    val none = got(3L)
+    assert(none.getLong(1) == 0L && none.isNullAt(3) && !none.getBoolean(4))
+  }
+
 }

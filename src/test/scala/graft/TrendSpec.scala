@@ -538,6 +538,22 @@ class TrendSpec extends SparkSuite {
     assert(got(1).getDouble(5) == r6(math.exp(-1.5)))
   }
 
+  test("kaplanMeierFromLives: per-cohort curves, censoring respected") {
+    import spark.implicits._
+    // cohort 0: deaths at t=1 (2 of 4) and t=2 (2) -> S = 0.5 then 0.0;
+    // cohort 1: one censored user -> S stays 1.0
+    val lives = Seq((0L, 1L, 1L), (0L, 1L, 1L), (0L, 2L, 1L), (0L, 2L, 1L),
+      (1L, 1L, 0L)).toDF("cohort_week", "t", "death")
+    val got = graft.operators.Trend
+      .kaplanMeierFromLives(lives, "cohort_week")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got((0L, 1L)).getLong(4) == 4L)
+    assert(got((0L, 1L)).getDouble(5) == 0.5)
+    assert(got((0L, 2L)).getDouble(5) == 0.0)
+    assert(got((1L, 1L)).getLong(3) == 1L) // censored, not dead
+    assert(got((1L, 1L)).getDouble(5) == 1.0)
+  }
+
   test("kmGreenwood: hand variance bands; saturated risk set reads NULL") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 3600L), (2L, 0L), (2L, 3600L),
