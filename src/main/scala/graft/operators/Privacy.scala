@@ -193,13 +193,27 @@ object Privacy {
   def kAnonSweep(
       df: DataFrame,
       qiCols: Seq[String],
+      ks: Seq[Int]): DataFrame =
+    kAnonSweepFromCounts(
+      df.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("n")),
+      qiCols, ks)
+
+  /** [[kAnonSweep]] from an already-aggregated per-QI-class count table
+    * (qiCols..., n) — counts ADD across batches, so a streaming store's
+    * drained census sweeps identically to the one-pass path (and new
+    * data can only GROW classes, never shrink them: the monitor's
+    * suppressed share is monotone non-increasing under ingestion).
+    */
+  def kAnonSweepFromCounts(
+      counts: DataFrame,
+      qiCols: Seq[String],
       ks: Seq[Int]): DataFrame = {
     require(qiCols.nonEmpty && ks.nonEmpty && ks.forall(_ >= 2) &&
       ks.distinct.size == ks.size, "distinct k >= 2")
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     import spark.implicits._
-    val sizes = df.groupBy(qiCols.map(col): _*)
-      .agg(count(lit(1)).as("sz"))
+    val sizes = counts.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("n")).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("classes"))
       .localCheckpoint(true) // class-size census, one agg per k
     val spine = broadcast(ks.map(_.toLong).toDF("k"))

@@ -850,6 +850,45 @@ object Trend {
         round(exp(-col("cum_hazard")), 6).as("fh_survival"))
   }
 
+  /** SEASONAL STRENGTH per key — the share of a series' variance the
+    * seasonal profile explains: 1 − SS_within-slot / SS_total over the
+    * slot means (Hyndman's strength measure on the slot-mean model).
+    * The FEATURE-SELECTION scalar the seasonal shelf lacked: q148 flags
+    * anomalies against the profile and q504 bands it, but neither says
+    * whether the profile explains 5% or 95% of the movement — i.e.
+    * whether seasonal machinery should run on this key at all. One
+    * (key, slot) moment census; integer sums, two pinned ratios,
+    * clamped to [0, 1]; keys with zero total variance emit NULL.
+    */
+  def seasonalStrength(
+      counts: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      seasonLen: Int,
+      valueCol: String): DataFrame = {
+    require(seasonLen >= 2, "a season needs at least two slots")
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast("long").cast(d38)
+    val perSlot = counts.groupBy(col(keyCol).as("k"),
+        pmod(col(bucketCol).cast("long"), lit(seasonLen.toLong)).as("slot"))
+      .agg(count(lit(1)).as("n_h"), sum(v).as("s_h"), sum(v * v).as("ss_h"))
+      .withColumn("w_term",
+        round(dbl(col("ss_h")) - dbl(col("s_h")) * dbl(col("s_h")) /
+          dbl(col("n_h")), 6).cast(DecimalType(38, 6)))
+    val perKey = perSlot.groupBy(col("k"))
+      .agg(sum(col("n_h")).as("n"), count(lit(1)).as("n_slots"),
+        sum(col("s_h")).as("s"), sum(col("ss_h")).as("ss"),
+        sum(col("w_term")).as("ssw"))
+    val ssTot = dbl(col("ss")) - dbl(col("s")) * dbl(col("s")) / dbl(col("n"))
+    perKey.select(col("k").as(keyCol), col("n").as("n_buckets"),
+      col("n_slots"),
+      when(ssTot > 0.0,
+        greatest(round(lit(1.0) - dbl(col("ssw")) / ssTot, 6), lit(0.0)))
+        .as("strength"))
+  }
+
   /** PER-KEY Kaplan–Meier from a pre-reduced LIVES frame
     * (key, t, death) — censoring-correct retention curves per cohort
     * where [[kaplanMeier]] gives one global curve and q72's raw cohort

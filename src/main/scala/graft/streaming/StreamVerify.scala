@@ -1762,6 +1762,47 @@ object StreamVerify {
           col("s_g"), col("ss_g")))
   }
 
+  /** STREAMING K-ANONYMITY maintenance — the privacy posture monitored
+    * AT INGEST CADENCE: each micro-batch commits its per-QI-class count
+    * partials exactly-once, counts ADD (ingestion can only GROW classes,
+    * so the suppressed share is monotone non-increasing), and the
+    * drained sweep goes through
+    * [[graft.operators.Privacy.kAnonSweepFromCounts]] — bit-identical to
+    * batch q557, whose oracle it shares verbatim. This is the monitor
+    * that catches a NEW data source re-fragmenting the equivalence
+    * classes before the next anonymized release ships.
+    */
+  def kanonMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String,
+      qiCols: Seq[String],
+      ks: Seq[Int]): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/kanon"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("n"))
+            .coalesce(1),
+          tag = s"ka-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Privacy.kAnonSweepFromCounts(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(qiCols.map(col) :+ col("n").cast("long").as("n"): _*),
+      qiCols, ks)
+  }
+
   /** STREAMING TREND maintenance — q147's per-key OLS slopes as an
     * ingestion side effect: each micro-batch commits its (key, hour,
     * count) census partial exactly-once; hourly counts ADD, so the

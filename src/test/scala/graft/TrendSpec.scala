@@ -538,6 +538,19 @@ class TrendSpec extends SparkSuite {
     assert(got(1).getDouble(5) == r6(math.exp(-1.5)))
   }
 
+  test("seasonalStrength: periodic 1, constant NULL, profile-free 0") {
+    import spark.implicits._
+    val rows = (0L to 5L).map(b => ("a", b, if (b % 2 == 0) 10L else 20L)) ++
+      (0L to 5L).map(b => ("b", b, 5L)) ++
+      Seq(("c", 0L, 1L), ("c", 1L, 1L), ("c", 2L, 5L), ("c", 3L, 5L))
+    val got = graft.operators.Trend.seasonalStrength(
+        rows.toDF("k", "b", "v"), "k", "b", 2, "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(3) == 1.0, "perfectly periodic -> 1")
+    assert(got("b").isNullAt(3), "zero total variance -> NULL")
+    assert(got("c").getDouble(3) == 0.0, "slot means explain nothing -> 0")
+  }
+
   test("kaplanMeierFromLives: per-cohort curves, censoring respected") {
     import spark.implicits._
     // cohort 0: deaths at t=1 (2 of 4) and t=2 (2) -> S = 0.5 then 0.0;
