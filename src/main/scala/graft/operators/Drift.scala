@@ -2892,4 +2892,114 @@ object Drift {
       when(col("n") > 0L, dbl(col("w2")) / 2.0).as("w_plus"),
       when(col("n") > 0L, round(z, 6)).as("z"))
   }
+
+  /** PROPORTION EFFECT SIZES on a 2×2 — the "how big and in what
+    * units" readout beside the q283 z-test's verdict: risk difference,
+    * risk RATIO with its Katz log-CI, ODDS ratio with its Woolf log-CI,
+    * and Cohen's h (the arcsine-stabilized difference whose magnitude
+    * is comparable across baseline rates — a 1pp lift means a very
+    * different thing at 2% than at 50%, and h is the number that says
+    * so). One conditional census (four exact integer cells); every
+    * statistic is O(1) double arithmetic over those integers with the
+    * log terms pinned on the 1e-9 grid before the exp re-expansion so
+    * both engines walk identical CI bounds. Degenerate cells NULL their
+    * family (zero conversions → no ratio CI; an empty 2×2 cell → no
+    * odds ratio) instead of emitting infinities.
+    */
+  def propEffects(
+      df: DataFrame,
+      armACol: Column,
+      convCol: Column): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val conv = convCol.cast("long")
+    val cen = df.agg(
+      sum(when(armACol, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!armACol, 1L).otherwise(0L)).as("n_b"),
+      sum(when(armACol, conv).otherwise(0L)).as("conv_a"),
+      sum(when(!armACol, conv).otherwise(0L)).as("conv_b"))
+    val a = dbl(col("conv_a")); val b = dbl(col("n_a") - col("conv_a"))
+    val c = dbl(col("conv_b")); val d = dbl(col("n_b") - col("conv_b"))
+    val na = dbl(col("n_a")); val nb = dbl(col("n_b"))
+    val pa = a / na; val pb = c / nb
+    // Katz: se(ln RR) = sqrt(1/a - 1/n_a + 1/c - 1/n_b); defined when
+    // both arms converted at least once
+    val rrOk = col("conv_a") > 0L && col("conv_b") > 0L
+    val lrr = round(log(pa / pb), 9)
+    val seRr = round(sqrt(lit(1.0) / a - lit(1.0) / na +
+      lit(1.0) / c - lit(1.0) / nb), 9)
+    // Woolf: se(ln OR) = sqrt(1/a + 1/b + 1/c + 1/d); all four cells > 0
+    val orOk = col("conv_a") > 0L && col("conv_b") > 0L &&
+      col("n_a") > col("conv_a") && col("n_b") > col("conv_b")
+    val lor = round(log(a * d / (b * c)), 9)
+    val seOr = round(sqrt(lit(1.0) / a + lit(1.0) / b +
+      lit(1.0) / c + lit(1.0) / d), 9)
+    cen.filter(col("n_a") > 0L && col("n_b") > 0L).select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(pa - pb, 6).as("risk_diff"),
+      when(rrOk, round(pa / pb, 6)).as("risk_ratio"),
+      when(rrOk, round(exp(lrr - lit(1.96) * seRr), 6)).as("rr_lo"),
+      when(rrOk, round(exp(lrr + lit(1.96) * seRr), 6)).as("rr_hi"),
+      when(orOk, round(a * d / (b * c), 6)).as("odds_ratio"),
+      when(orOk, round(exp(lor - lit(1.96) * seOr), 6)).as("or_lo"),
+      when(orOk, round(exp(lor + lit(1.96) * seOr), 6)).as("or_hi"),
+      round(lit(2.0) * (asin(sqrt(pa)) - asin(sqrt(pb))), 6)
+        .as("cohens_h"))
+  }
+
+  /** CATEGORICAL DISTRIBUTION DISTANCES between every pair of groups —
+    * total variation, Hellinger, and the Bhattacharyya
+    * coefficient/distance over each group's category mix: the
+    * categorical-domain member of the distance family beside q385's KS
+    * supremum, q470's CvM L2 and q541's W1 transport (none of which
+    * apply when the domain has no order). TVD is the worst-case
+    * probability gap any event sees; Hellinger is the proper metric
+    * that saturates more slowly; BC is the overlap mass. One
+    * (group, category) census; shares pin on the 1e-9 grid; the pair
+    * sweep runs on the category-domain grid (groups × categories —
+    * bounded however large the corpus), never on rows.
+    */
+  def categoricalDistances(
+      df: DataFrame,
+      groupCol: String,
+      catCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d189 = DecimalType(18, 9)
+    val d289 = DecimalType(28, 9)
+    val cen = df.select(col(groupCol).cast("string").as("g"),
+        col(catCol).cast("string").as("cat"))
+      .groupBy(col("g"), col("cat")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // census-sized: grid + totals + pair sweep
+    val tots = cen.groupBy(col("g")).agg(sum(col("n")).as("tot"))
+    val grid = cen.select(col("g")).distinct()
+      .crossJoin(cen.select(col("cat")).distinct())
+      .join(cen, Seq("g", "cat"), "left")
+      .join(broadcast(tots), Seq("g"))
+      .select(col("g"), col("cat"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast("double") /
+          col("tot").cast("double"), 9).cast(d189).as("p"))
+    val a = grid.select(col("g").as("g_a"), col("cat"),
+      col("n").as("na"), col("p").as("pa"))
+    val b = grid.select(col("g").as("g_b"), col("cat"),
+      col("n").as("nb"), col("p").as("pb"))
+    val hellTerm = round((sqrt(dbl(col("pa"))) - sqrt(dbl(col("pb")))) *
+      (sqrt(dbl(col("pa"))) - sqrt(dbl(col("pb")))), 9).cast(d289)
+    val bcTerm = round(sqrt(dbl(col("pa")) * dbl(col("pb"))), 9).cast(d289)
+    val pairs = a.join(b, Seq("cat")).filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(sum(when(col("na") > 0L || col("nb") > 0L, 1L).otherwise(0L))
+        .as("n_cats"),
+        sum(abs(col("pa") - col("pb"))).as("__l1"),
+        sum(hellTerm).as("__h2"), sum(bcTerm).as("__bc"))
+    val bc = dbl(col("__bc"))
+    pairs.select(col("g_a"), col("g_b"), col("n_cats"),
+      round(dbl(col("__l1")) / 2.0, 6).as("tvd"),
+      round(sqrt(dbl(col("__h2")) / 2.0), 6).as("hellinger"),
+      round(bc, 6).as("bc"),
+      when(bc > 0.0, round(-log(least(bc, lit(1.0))), 6))
+        .as("b_dist"))
+      .orderBy(col("g_a"), col("g_b"))
+  }
 }

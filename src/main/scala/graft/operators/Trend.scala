@@ -1971,4 +1971,68 @@ object Trend {
           lit(4.4478) * col("mad").cast("double")))
       .drop("win", "nwin")
   }
+
+  /** DURBIN–WATSON serial-correlation screen on per-key OLS residuals —
+    * the "is the trend model missing structure" meter the slope alone
+    * can't give: DW ≈ 2 means the residuals are white, DW → 0 means
+    * positive lag-1 autocorrelation (the series wanders around the
+    * line: the OLS standard errors everything downstream quotes are
+    * optimistic), DW → 4 means alternation. Complements q429's
+    * Ljung–Box, which tests the RAW series — DW asks the question
+    * AFTER detrending, which is the form regression diagnostics need.
+    * The [[olsPerKey]] census yields exact-integer slope/intercept
+    * operands; each residual pins on the 1e-9 grid, the lag-1
+    * differences and squares sum as exact decimals per key (windows
+    * partitioned by key over the bucket domain — never an
+    * unpartitioned sort), and the final ratio is one correctly-rounded
+    * double division. Keys with a degenerate fit (under 3 points, one
+    * distinct x, or zero residual mass) read NULL, never an infinity.
+    */
+  def durbinWatson(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val byKey = Window.partitionBy(col(keyCol))
+    val based = df
+      .withColumn("__xb", col(xCol) - min(col(xCol)).over(byKey))
+      .select(col(keyCol), col("__xb").cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .localCheckpoint(true) // census + the residual pass share the scan
+    val cen = based.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        countDistinct(col("x")).as("nx"))
+      .filter(col("nx") >= 2 && col("n") >= 3)
+      .withColumn("slope",
+        (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))))
+      .withColumn("icept",
+        (dbl(col("sy")) - col("slope") * dbl(col("sx"))) / dbl(col("n")))
+    val resid = round(dbl(col("y")) -
+      (col("icept") + col("slope") * dbl(col("x"))), 9).cast(d289)
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("x"))
+    val rows = based.join(broadcast(cen.select(col(keyCol), col("n"),
+        col("slope"), col("icept"))), Seq(keyCol))
+      .withColumn("e", resid)
+      .withColumn("ep", lag(col("e"), 1).over(ord))
+    val d2 = round((dbl(col("e")) - dbl(col("ep"))) *
+      (dbl(col("e")) - dbl(col("ep"))), 9).cast(d289)
+    val e2 = round(dbl(col("e")) * dbl(col("e")), 9).cast(d289)
+    rows.groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"),
+        round(max(col("slope")), 6).as("slope"),
+        round(max(col("icept")), 6).as("intercept"),
+        sum(when(col("ep").isNotNull, d2)).as("__num"),
+        sum(e2).as("__den"))
+      .select(col(keyCol), col("n"), col("slope"), col("intercept"),
+        when(dbl(col("__den")) > 0.0,
+          round(dbl(col("__num")) / dbl(col("__den")), 6)).as("dw"),
+        when(dbl(col("__den")) > 0.0,
+          round(lit(1.0) - dbl(col("__num")) / dbl(col("__den")) / 2.0, 6))
+          .as("rho1"))
+  }
 }

@@ -1152,4 +1152,56 @@ class ProfilingSpec extends SparkSuite {
       .head().getDouble(3) > 3.0)
   }
 
+  test("propEffects: hand 2x2 lands RD/RR/OR/h; degenerate cells NULL") {
+    import spark.implicits._
+    def df(convA: Int, convB: Int) =
+      ((1 to 10).map(i => (true, if (i <= convA) 1L else 0L)) ++
+        (1 to 10).map(i => (false, if (i <= convB) 1L else 0L)))
+        .toDF("a", "conv")
+    // a: 4/10, b: 2/10 → RD 0.2, RR 2, OR (4·8)/(6·2) = 8/3
+    val r = graft.operators.Drift.propEffects(df(4, 2), col("a"),
+      col("conv")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 10L, 4L, 2L)))
+    assert(r.getDouble(6) == 0.2 && r.getDouble(7) == 2.0)
+    assert(r.getDouble(10) == math.rint(8.0 / 3.0 * 1e6) / 1e6)
+    val h = 2.0 * (math.asin(math.sqrt(0.4)) - math.asin(math.sqrt(0.2)))
+    assert(r.getDouble(13) == math.rint(h * 1e6) / 1e6)
+    // the CI orders hold and straddle sanely
+    assert(r.getDouble(8) < 2.0 && 2.0 < r.getDouble(9))
+    assert(r.getDouble(11) < 8.0 / 3.0 && 8.0 / 3.0 < r.getDouble(12))
+    // zero conversions in b → no ratio/odds family, h still defined
+    val z = graft.operators.Drift.propEffects(df(4, 0), col("a"),
+      col("conv")).head()
+    Seq(7, 8, 9, 10, 11, 12).foreach(i => assert(z.isNullAt(i)))
+    assert(!z.isNullAt(13))
+    // a fully converted → odds family NULL, risk ratio still defined
+    val f = graft.operators.Drift.propEffects(df(10, 2), col("a"),
+      col("conv")).head()
+    assert(!f.isNullAt(7) && f.isNullAt(10))
+  }
+
+  test("categoricalDistances: hand mixes land TVD/Hellinger/BC exactly") {
+    import spark.implicits._
+    // A = {x:.5, y:.5}, B = {x:1}, C ≡ A
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("A", "y"),
+      ("B", "x"), ("B", "x"), ("B", "x"), ("B", "x"),
+      ("C", "x"), ("C", "x"), ("C", "y"), ("C", "y")).toDF("g", "c")
+    val got = graft.operators.Drift.categoricalDistances(df, "g", "c")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 3)
+    val ab = got(("A", "B"))
+    assert(ab.getLong(2) == 2L && ab.getDouble(3) == 0.5)
+    val hell = math.sqrt((math.pow(math.sqrt(0.5) - 1.0, 2) + 0.5) / 2.0)
+    assert(ab.getDouble(4) == math.rint(hell * 1e6) / 1e6)
+    assert(ab.getDouble(5) == math.rint(math.sqrt(0.5) * 1e6) / 1e6)
+    // BC sums the 1e-9-pinned terms: -ln runs on the pinned mass
+    assert(ab.getDouble(6) ==
+      math.rint(-math.log(0.707106781) * 1e6) / 1e6)
+    // identical mixes: all distances 0, overlap mass 1
+    val ac = got(("A", "C"))
+    assert(ac.getDouble(3) == 0.0 && ac.getDouble(4) == 0.0)
+    assert(ac.getDouble(5) == 1.0 && ac.getDouble(6) == 0.0)
+  }
+
 }

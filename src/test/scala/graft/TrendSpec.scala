@@ -623,4 +623,27 @@ class TrendSpec extends SparkSuite {
     assert(got((2L, 1L)).isNullAt(5), "short series never completes")
   }
 
+  test("durbinWatson: hand residuals land DW; perfect fit and short " +
+    "series NULL/drop") {
+    import spark.implicits._
+    // key a: x=0..3, y=(1,-1,-1,1) → slope 0, icept 0, residuals = y.
+    // num = (−2)² + 0² + 2² = 8, den = 4 → DW 2 (white), rho1 0.
+    // key b: y = 2x+3 exactly → residual mass 0 → DW NULL, not ∞.
+    // key c: two points → under the n≥3 contract, dropped.
+    val df = (Seq((0L, 1L), (1L, -1L), (2L, -1L), (3L, 1L))
+      .map { case (x, y) => ("a", x, y) } ++
+      (0L to 4L).map(x => ("b", x, 2 * x + 3)) ++
+      Seq(("c", 0L, 1L), ("c", 1L, 2L))).toDF("k", "x", "y")
+    val got = graft.operators.Trend.durbinWatson(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b"))
+    val a = got("a")
+    assert(a.getLong(1) == 4L && a.getDouble(2) == 0.0 &&
+      a.getDouble(3) == 0.0)
+    assert(a.getDouble(4) == 2.0 && a.getDouble(5) == 0.0)
+    val b = got("b")
+    assert(b.getDouble(2) == 2.0 && b.getDouble(3) == 3.0)
+    assert(b.isNullAt(4) && b.isNullAt(5))
+  }
+
 }
