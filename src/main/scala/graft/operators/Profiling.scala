@@ -332,4 +332,78 @@ object Profiling {
       round(when(col("n_distinct") > 1L,
         h / log(dbl(col("n_distinct")))), 6).as("entropy_norm"))
   }
+
+  /** CHAO1 RICHNESS + GOOD'S COVERAGE per group — "how much vocabulary
+    * haven't we seen yet": the observed species count is a lower bound
+    * that keeps climbing with corpus size (Heaps' law, q535); Chao1
+    * extrapolates the unseen mass from the singleton/doubleton balance
+    * (many singletons = the accumulation curve is nowhere near flat)
+    * and Good's coverage 1 − f1/n says what share of the next sample
+    * will be already-known species. The deduplication/crawl-planning
+    * question ("is another crawl of this source worth it") answered
+    * from ONE abundance census: per-(group, species) counts collapse
+    * to the frequency-of-frequencies, everything after is O(groups)
+    * integer arithmetic. Uses the bias-corrected estimator
+    * f1(f1−1)/(2(f2+1)) — defined even when doubletons are absent,
+    * where the classic f1²/2f2 blows up.
+    */
+  def chao1(
+      df: DataFrame,
+      groupCol: String,
+      speciesCol: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    val census = df.select(col(groupCol).cast("string").as("g"),
+        col(speciesCol).cast("string").as("sp"))
+      .groupBy(col("g"), col("sp")).agg(count(lit(1)).as("c"))
+    val a = census.groupBy(col("g"))
+      .agg(count(lit(1)).as("s_obs"), sum(col("c")).as("n"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+    a.select(col("g").as(groupCol), col("n").as("n_tokens"),
+      col("s_obs"), col("f1"), col("f2"),
+      round(dbl(col("s_obs")) + dbl(col("f1")) * (dbl(col("f1")) - 1.0) /
+        (lit(2.0) * (dbl(col("f2")) + 1.0)), 6).as("chao1"),
+      when(col("n") > 0L,
+        round(lit(1.0) - dbl(col("f1")) / dbl(col("n")), 6))
+        .as("coverage"))
+  }
+
+  /** HILL-NUMBER DIVERSITY PROFILE per group — the "effective number
+    * of units" ladder that puts richness, Shannon and Simpson on ONE
+    * comparable scale: q0 = observed distinct units, q1 = exp(Shannon)
+    * (effective count weighting units by share), q2 = 1/Σp² (inverse
+    * Simpson, weighting toward dominants). An event type with a
+    * million registered users but hill2 ≈ 40 is a forty-user feature
+    * wearing a big denominator — the audience-concentration readout
+    * q460's entropy states in nats and q338's Gini states as
+    * inequality, here in UNITS so thresholds mean something. One
+    * (group, unit) census; the Shannon terms pin on the 1e-9 grid
+    * (q460's discipline) and Σc² is an exact DECIMAL(38,0) integer, so
+    * both engines read identical profiles. Evenness = hill1/richness.
+    */
+  def hillNumbers(
+      df: DataFrame,
+      groupCol: String,
+      unitCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    val d189 = DecimalType(18, 9)
+    val d38 = DecimalType(38, 0)
+    val census = df.select(col(groupCol).cast("string").as("g"),
+        col(unitCol).cast("string").as("u"))
+      .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c"))
+    val a = census.groupBy(col("g"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("richness"),
+        sum(round(dbl(col("c")) * log(dbl(col("c"))), 9).cast(d189))
+          .as("clogc"),
+        sum(col("c").cast(d38) * col("c").cast(d38)).as("c2"))
+    val h = log(dbl(col("n"))) - dbl(col("clogc")) / dbl(col("n"))
+    a.select(col("g").as(groupCol), col("n"), col("richness"),
+      round(exp(h), 6).as("hill1"),
+      round(dbl(col("n")) * dbl(col("n")) / dbl(col("c2")), 6).as("hill2"),
+      when(col("richness") > 0L, round(exp(h) / dbl(col("richness")), 6))
+        .as("evenness"))
+  }
 }

@@ -1304,4 +1304,68 @@ object Relational {
       when(den > 0.0, round((col("r_xy") - col("r_xz") * col("r_yz")) /
         sqrt(den), 6)).as("r_xy_given_z"))
   }
+
+  /** GOODMAN–KRUSKAL GAMMA and both SOMERS' D's for two ORDINAL columns
+    * — the tie-aware association readouts q424's tau-b folds into one
+    * number: gamma ignores ties entirely ((C−D)/(C+D): "among pairs
+    * that actually order, how lopsided"), Somers' d(Y|X) charges ties
+    * on the DEPENDENT side ((C−D)/(C+D+T_y): the asymmetric "does
+    * knowing X order Y" that tau-b's symmetric denominator can't say),
+    * and d(X|Y) is its converse. Same bounded-census contract as
+    * tau-b: one (x, y) census, concordance counted on the census grid
+    * (domain², never row pairs), every count an exact DECIMAL(38,0)
+    * integer; tie masses carried DOUBLED (t(t−1)) so the /2 stays
+    * integer-exact. A pairless degenerate (all rows one cell) NULLs
+    * every ratio instead of dividing by zero.
+    */
+  def gkGamma(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // probed four ways below
+    val other = census.select(col("x").as("x2"), col("y").as("y2"),
+      col("c").as("c2"))
+    val cd = census.join(other,
+        col("x2") > col("x") && col("y2") =!= col("y"))
+      .groupBy(col("x"), col("y"), col("c"))
+      .agg(
+        sum(when(col("y2") > col("y"), col("c2")).otherwise(0L)).as("gt"),
+        sum(when(col("y2") < col("y"), col("c2")).otherwise(0L)).as("lt"))
+      .agg(
+        // an all-ties census empties the join: 0 ordering pairs, not NULL
+        coalesce(sum(col("c").cast(d38) * col("gt").cast(d38)),
+          lit(0).cast(d38)).as("cc"),
+        coalesce(sum(col("c").cast(d38) * col("lt").cast(d38)),
+          lit(0).cast(d38)).as("dd"))
+    val m = census.agg(sum(col("c")).cast(d38).as("n"),
+      sum(col("c").cast(d38) * (col("c").cast(d38) - 1)).as("tb2"))
+    val tx = census.groupBy(col("x")).agg(sum(col("c")).as("t"))
+      .agg(sum(col("t").cast(d38) * (col("t").cast(d38) - 1)).as("tx2"))
+    val ty = census.groupBy(col("y")).agg(sum(col("c")).as("t"))
+      .agg(sum(col("t").cast(d38) * (col("t").cast(d38) - 1)).as("ty2"))
+    val txOnly = ((col("tx2") - col("tb2")) / 2).cast("long")
+    val tyOnly = ((col("ty2") - col("tb2")) / 2).cast("long")
+    val s = dbl(col("concordant")) - dbl(col("discordant"))
+    cd.crossJoin(broadcast(m)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n").cast("long").as("n"),
+        col("cc").cast("long").as("concordant"),
+        col("dd").cast("long").as("discordant"),
+        txOnly.as("tied_x_only"), tyOnly.as("tied_y_only"),
+        (col("tb2") / 2).cast("long").as("tied_both"))
+      .select(col("*"),
+        when(col("concordant") + col("discordant") > 0L,
+          round(s / (dbl(col("concordant")) + dbl(col("discordant"))), 6))
+          .as("gamma"),
+        when(col("concordant") + col("discordant") +
+            col("tied_y_only") > 0L,
+          round(s / (dbl(col("concordant")) + dbl(col("discordant")) +
+            dbl(col("tied_y_only"))), 6)).as("somers_d_yx"),
+        when(col("concordant") + col("discordant") +
+            col("tied_x_only") > 0L,
+          round(s / (dbl(col("concordant")) + dbl(col("discordant")) +
+            dbl(col("tied_x_only"))), 6)).as("somers_d_xy"))
+  }
 }

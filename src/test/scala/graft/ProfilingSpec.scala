@@ -1204,4 +1204,37 @@ class ProfilingSpec extends SparkSuite {
     assert(ac.getDouble(5) == 1.0 && ac.getDouble(6) == 0.0)
   }
 
+  test("chao1: singleton/doubleton balance extrapolates richness") {
+    import spark.implicits._
+    // abundances a:1 b:1 c:2 d:3 → S=4, n=7, f1=2, f2=1
+    // chao1 = 4 + 2·1/(2·2) = 4.5; coverage = 1 − 2/7
+    val df = (Seq("a", "b", "c", "c") ++ Seq.fill(3)("d"))
+      .map(("g", _)).toDF("g", "sp")
+    val r = graft.operators.Profiling.chao1(df, "g", "sp").head()
+    assert(r.getLong(1) == 7L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 1L)
+    assert(r.getDouble(5) == 4.5)
+    assert(r.getDouble(6) == math.rint(5.0 / 7.0 * 1e6) / 1e6)
+    // no singletons → nothing unseen: chao1 = S_obs, coverage 1
+    val sat = Seq("a", "a", "b", "b").map(("g", _)).toDF("g", "sp")
+    val s = graft.operators.Profiling.chao1(sat, "g", "sp").head()
+    assert(s.getDouble(5) == 2.0 && s.getDouble(6) == 1.0)
+  }
+
+  test("hillNumbers: uniform reads its richness at every q, skew drops") {
+    import spark.implicits._
+    val uni = Seq(("g", "u1"), ("g", "u2")).toDF("g", "u")
+    val u = graft.operators.Profiling.hillNumbers(uni, "g", "u").head()
+    assert(u.getLong(1) == 2L && u.getLong(2) == 2L)
+    assert(u.getDouble(3) == 2.0 && u.getDouble(4) == 2.0 &&
+      u.getDouble(5) == 1.0)
+    // u1:3 u2:1 → hill2 = 16/10 = 1.6; hill1 from the pinned 3·ln3 term
+    val skew = (Seq.fill(3)("u1") ++ Seq("u2")).map(("g", _)).toDF("g", "u")
+    val s = graft.operators.Profiling.hillNumbers(skew, "g", "u").head()
+    assert(s.getDouble(4) == 1.6)
+    val h1 = math.exp(math.log(4.0) - 3.295836866 / 4.0)
+    assert(s.getDouble(3) == math.rint(h1 * 1e6) / 1e6)
+    assert(s.getDouble(3) < 2.0 && s.getDouble(4) < s.getDouble(3))
+  }
+
 }

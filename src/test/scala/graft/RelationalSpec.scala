@@ -524,4 +524,26 @@ class RelationalSpec extends SparkSuite {
       .head().isNullAt(4))
   }
 
+  test("gkGamma: hand census lands C/D/tie split, gamma and both D's") {
+    import spark.implicits._
+    // cells (1,1):1 (1,2):1 (2,1):1 (2,2):2 → of the 10 pairs:
+    // C=2, D=1, tied-x-only=3, tied-y-only=3, tied-both=1
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 2L))
+      .toDF("x", "y")
+    val r = graft.operators.Relational.gkGamma(df, "x", "y").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 2L, 1L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((3L, 3L, 1L)))
+    assert(r.getDouble(6) == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    assert(r.getDouble(7) == math.rint(1.0 / 6.0 * 1e6) / 1e6)
+    assert(r.getDouble(8) == math.rint(1.0 / 6.0 * 1e6) / 1e6)
+    // a perfect ordering reads 1 everywhere; one-cell degenerate NULLs
+    val perfect = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val p = graft.operators.Relational.gkGamma(perfect, "x", "y").head()
+    assert(p.getDouble(6) == 1.0 && p.getDouble(7) == 1.0 &&
+      p.getDouble(8) == 1.0)
+    val one = Seq((1L, 1L), (1L, 1L)).toDF("x", "y")
+    val o = graft.operators.Relational.gkGamma(one, "x", "y").head()
+    assert(o.isNullAt(6) && o.isNullAt(7) && o.isNullAt(8))
+  }
+
 }
