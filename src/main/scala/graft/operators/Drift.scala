@@ -3002,4 +3002,63 @@ object Drift {
         .as("b_dist"))
       .orderBy(col("g_a"), col("g_b"))
   }
+
+  /** MURPHY DECOMPOSITION of the Brier score — WHY a forecast is bad:
+    * Brier ≈ reliability − resolution + uncertainty splits the q288
+    * ECE story into the three levers (reliability = how far each bin's
+    * claimed probability sits from its realized rate — fixable by
+    * recalibration; resolution = how much the bins actually separate
+    * outcomes — fixable only by a better model; uncertainty = the
+    * outcome's own variance — not fixable at all). ECE says "off by
+    * 0.07"; this says whether remapping scores can help or the model
+    * just can't discriminate. The exact Brier is ALSO emitted from its
+    * own row pass so the binned decomposition's approximation error is
+    * visible, not hidden. One row pass + one K-bin census; every
+    * squared term lands once on the 1e-9 grid before an
+    * order-independent decimal sum, the score sum itself is an exact
+    * decimal. Empty input yields no row rather than 0/0.
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      scoreCol: Column,
+      outcomeCol: Column,
+      nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val rows = df.select(scoreCol.as("p"), outcomeCol.cast("long").as("o"))
+      .withColumn("bin",
+        least(floor(col("p") * nBins).cast("long"), lit(nBins - 1L)))
+    val bins = rows.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("posk"),
+        sum(col("p")).as("psum"),
+        sum(round((dbl(col("p")) - dbl(col("o"))) *
+          (dbl(col("p")) - dbl(col("o"))), 9).cast(d289)).as("sq"))
+      .localCheckpoint(true) // K rows: totals + the two sweeps reuse it
+    val tot = bins.agg(sum(col("nk")).as("n"), sum(col("posk")).as("pos"),
+      sum(col("sq")).as("sqsum"))
+    val obar = dbl(col("pos")) / dbl(col("n"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("pos"), col("sqsum"),
+        round(dbl(col("nk")) *
+          (dbl(col("psum")) / dbl(col("nk")) -
+            dbl(col("posk")) / dbl(col("nk"))) *
+          (dbl(col("psum")) / dbl(col("nk")) -
+            dbl(col("posk")) / dbl(col("nk"))), 9).cast(d289).as("rel_t"),
+        round(dbl(col("nk")) *
+          (dbl(col("posk")) / dbl(col("nk")) - obar) *
+          (dbl(col("posk")) / dbl(col("nk")) - obar), 9).cast(d289)
+          .as("res_t"))
+    terms.groupBy(col("n"), col("pos"), col("sqsum"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("rel_t")).as("rel"),
+        sum(col("res_t")).as("res"))
+      .select(col("n"), col("n_bins"),
+        round(dbl(col("sqsum")) / dbl(col("n")), 6).as("brier"),
+        round(dbl(col("rel")) / dbl(col("n")), 6).as("reliability"),
+        round(dbl(col("res")) / dbl(col("n")), 6).as("resolution"),
+        round(obar * (lit(1.0) - obar), 6).as("uncertainty"),
+        round(dbl(col("rel")) / dbl(col("n")) -
+          dbl(col("res")) / dbl(col("n")) +
+          obar * (lit(1.0) - obar), 6).as("brier_decomp"))
+  }
 }

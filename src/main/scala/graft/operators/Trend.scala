@@ -2035,4 +2035,126 @@ object Trend {
           round(lit(1.0) - dbl(col("__num")) / dbl(col("__den")) / 2.0, 6))
           .as("rho1"))
   }
+
+  /** GOLDFELD–QUANDT heteroscedasticity screen on per-key OLS — is the
+    * noise GROWING along the regressor: fit the low-x third and the
+    * high-x third separately (the middle dropped, as GQ prescribes, so
+    * the variance contrast isn't diluted) and read F = (SSE_hi/df_hi)
+    * / (SSE_lo/df_lo). F ≫ 1 means the trend's later residuals are
+    * wider than its earlier ones — q564's DW says the residuals
+    * REMEMBER each other, this says they're FANNING OUT, and either
+    * one invalidates the homoscedastic SEs downstream quotes. Each
+    * segment is an exact-integer census (Σx..Σxy..Σy²); SSE uses the
+    * OLS orthogonality form Σy² − aΣy − bΣxy (one O(1) double
+    * expression over exact integers, clamped at 0 against FP dust,
+    * pinned at 1e-9), so both engines read identical ratios. The
+    * rank split runs in a window PARTITIONED BY KEY over the bucket
+    * domain — never an unpartitioned sort. Keys whose thirds are
+    * under `minSeg` points or degenerate (one distinct x, zero lo-SSE)
+    * read NULL F rather than an infinity.
+    */
+  def goldfeldQuandt(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      minSeg: Int = 3): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val byKey = Window.partitionBy(col(keyCol))
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+    val seg = df
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__nk", count(lit(1)).over(byKey))
+      .withColumn("__third", expr("__nk div 3"))
+      .withColumn("seg",
+        when(col("__rn") <= col("__third"), lit("lo"))
+          .when(col("__rn") > col("__nk") - col("__third"), lit("hi")))
+      .filter(col("seg").isNotNull && col("__third") >= minSeg)
+      .select(col(keyCol), col("seg"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+    val cen = seg.groupBy(col(keyCol), col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"),
+        countDistinct(col("x")).as("nx"))
+      .filter(col("nx") >= 2)
+    val b = (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+      (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+    val a = (dbl(col("sy")) - b * dbl(col("sx"))) / dbl(col("n"))
+    val fit = cen.select(col(keyCol), col("seg"), col("n"),
+      round(b, 6).as("slope"),
+      round(greatest(lit(0.0),
+        dbl(col("syy")) - a * dbl(col("sy")) - b * dbl(col("sxy"))), 9)
+        .as("sse"))
+    val wide = fit.groupBy(col(keyCol)).agg(
+      max(when(col("seg") === "lo", col("n"))).as("n_lo"),
+      max(when(col("seg") === "hi", col("n"))).as("n_hi"),
+      max(when(col("seg") === "lo", col("slope"))).as("slope_lo"),
+      max(when(col("seg") === "hi", col("slope"))).as("slope_hi"),
+      max(when(col("seg") === "lo", col("sse"))).as("sse_lo"),
+      max(when(col("seg") === "hi", col("sse"))).as("sse_hi"))
+    wide.select(col(keyCol), col("n_lo"), col("n_hi"),
+      col("slope_lo"), col("slope_hi"), col("sse_lo"), col("sse_hi"),
+      when(col("n_lo") > 2L && col("n_hi") > 2L && col("sse_lo") > 0.0,
+        round((col("sse_hi") / (dbl(col("n_hi")) - 2.0)) /
+          (col("sse_lo") / (dbl(col("n_lo")) - 2.0)), 6)).as("f_ratio"))
+  }
+
+  /** COOK'S DISTANCE per observation on the per-key OLS — WHICH points
+    * own the trend: leverage h_ii = 1/n + (x−x̄)²/Sxx says how far out
+    * on the regressor a point sits, the studentized residual says how
+    * surprising its y is, and D folds both into the one
+    * "refit-without-it and the line moves this much" number, flagged
+    * at the classic 4/n. The per-point complement to q564's global DW
+    * and q569's variance split — an anomalous HOUR (a spike that
+    * dragged the whole slope) is found here, not in the aggregates.
+    * Exact-integer census → slope/intercept/SSE (orthogonality form,
+    * clamped, pinned); every per-point statistic is O(1) double
+    * arithmetic over those integers, rows stay bucket-domain-sized per
+    * key. Degenerate fits (n ≤ 3, one distinct x, zero residual mass
+    * or h → 1) NULL their readouts instead of emitting infinities.
+    */
+  def cooksDistance(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val based = df.select(col(keyCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .localCheckpoint(true) // census + the per-point pass share the scan
+    val cen = based.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"),
+        countDistinct(col("x")).as("nx"))
+      .filter(col("nx") >= 2 && col("n") >= 4)
+    val b = (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+      (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+    val a = (dbl(col("sy")) - b * dbl(col("sx"))) / dbl(col("n"))
+    val fit = cen.select(col(keyCol), col("n"), round(b, 9).as("slope"),
+      round(a, 9).as("icept"),
+      round(greatest(lit(0.0),
+        dbl(col("syy")) - a * dbl(col("sy")) - b * dbl(col("sxy"))), 9)
+        .as("sse"),
+      (dbl(col("sx")) / dbl(col("n"))).as("xbar"),
+      (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / dbl(col("n")))
+        .as("sxx_c"))
+    val rows = based.join(broadcast(fit), Seq(keyCol))
+    val e = round(dbl(col("y")) -
+      (col("icept") + col("slope") * dbl(col("x"))), 9)
+    val h = lit(1.0) / dbl(col("n")) +
+      (dbl(col("x")) - col("xbar")) * (dbl(col("x")) - col("xbar")) /
+        col("sxx_c")
+    val s2 = col("sse") / (dbl(col("n")) - 2.0)
+    val ok = col("sse") > 0.0 && h < 1.0
+    val d = e * e * h / (lit(2.0) * s2 * (lit(1.0) - h) * (lit(1.0) - h))
+    rows.select(col(keyCol), col("x"), col("y"), col("n"),
+      e.as("resid"), round(h, 6).as("leverage"),
+      when(ok, round(e / sqrt(s2 * (lit(1.0) - h)), 6)).as("r_student"),
+      when(ok, round(d, 6)).as("cooks_d"),
+      when(ok, d > lit(4.0) / dbl(col("n"))).as("influential"))
+  }
 }

@@ -1237,4 +1237,32 @@ class ProfilingSpec extends SparkSuite {
     assert(s.getDouble(3) < 2.0 && s.getDouble(4) < s.getDouble(3))
   }
 
+  test("brierDecomposition: constant-per-bin forecasts make the " +
+    "identity exact") {
+    import spark.implicits._
+    // 0.1→{0,0}, 0.9→{1,1}: Brier = 0.01; REL = 0.01, RES = 0.25,
+    // UNC = 0.25 → REL − RES + UNC = 0.01 exactly (p̄_k is constant)
+    val df = Seq((0.1, 0L), (0.1, 0L), (0.9, 1L), (0.9, 1L))
+      .toDF("p0", "o")
+      .select(col("p0").cast(org.apache.spark.sql.types
+        .DataTypes.createDecimalType(12, 6)).as("p"), col("o"))
+    val r = graft.operators.Drift.brierDecomposition(df, col("p"),
+      col("o")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.01 && r.getDouble(3) == 0.01)
+    assert(r.getDouble(4) == 0.25 && r.getDouble(5) == 0.25)
+    assert(r.getDouble(6) == 0.01)
+    // a resolution-free forecaster: same score everywhere → RES 0,
+    // REL = (p̄−ō)², brier_decomp still ties out
+    val flat = Seq((0.5, 1L), (0.5, 0L), (0.5, 0L), (0.5, 0L))
+      .toDF("p0", "o")
+      .select(col("p0").cast(org.apache.spark.sql.types
+        .DataTypes.createDecimalType(12, 6)).as("p"), col("o"))
+    val f = graft.operators.Drift.brierDecomposition(flat, col("p"),
+      col("o")).head()
+    assert(f.getDouble(4) == 0.0)
+    assert(f.getDouble(3) == 0.0625 && f.getDouble(5) == 0.1875)
+    assert(f.getDouble(2) == 0.25 && f.getDouble(6) == 0.25)
+  }
+
 }

@@ -646,4 +646,49 @@ class TrendSpec extends SparkSuite {
     assert(b.isNullAt(4) && b.isNullAt(5))
   }
 
+  test("goldfeldQuandt: hand thirds land F=4; flat lo-SSE and short " +
+    "keys guard") {
+    import spark.implicits._
+    // key a, x=0..8: lo third y=(0,1,0) → SSE 2/3; mid ignored;
+    // hi third y=(0,2,0) → SSE 8/3; df 1 each → F = 4.
+    val a = Seq(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 100L, 4L -> 200L,
+      5L -> 300L, 6L -> 0L, 7L -> 2L, 8L -> 0L)
+      .map { case (x, y) => ("a", x, y) }
+    // key b: lo third fits exactly (y=x) → SSE 0 → F NULL
+    val b = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 7L, 4L -> 1L,
+      5L -> 9L, 6L -> 0L, 7L -> 5L, 8L -> 0L)
+      .map { case (x, y) => ("b", x, y) }
+    // key c: 8 points → third = 2 < minSeg → dropped entirely
+    val c = (0L to 7L).map(x => ("c", x, x))
+    val df = (a ++ b ++ c).toDF("k", "x", "y")
+    val got = graft.operators.Trend.goldfeldQuandt(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b"))
+    val ra = got("a")
+    assert(ra.getLong(1) == 3L && ra.getLong(2) == 3L)
+    assert(ra.getDouble(3) == 0.0 && ra.getDouble(4) == 0.0)
+    assert(ra.getDouble(5) == 0.666666667 &&
+      ra.getDouble(6) == 2.666666667)
+    assert(ra.getDouble(7) == 4.0)
+    assert(got("b").isNullAt(7), "zero lo-SSE must NULL F")
+  }
+
+  test("cooksDistance: the dragging outlier flags, an inlier doesn't") {
+    import spark.implicits._
+    // y=x for x=0..3 plus (4,10): slope 2.2, icept −1.2, SSE 14.4,
+    // s²=4.8, x̄=2, Sxx=10. x=4: e=2.4 h=0.6 D=2.25 > 4/5 → flags.
+    val df = (Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L), (4L, 10L)))
+      .map { case (x, y) => ("k", x, y) }.toDF("k", "x", "y")
+    val got = graft.operators.Trend.cooksDistance(df, "k", "x", "y")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val p4 = got(4L)
+    assert(p4.getDouble(4) == 2.4 && p4.getDouble(5) == 0.6)
+    assert(p4.getDouble(6) ==
+      math.rint(2.4 / math.sqrt(4.8 * 0.4) * 1e6) / 1e6)
+    assert(p4.getDouble(7) == 2.25 && p4.getBoolean(8))
+    val p0 = got(0L)
+    assert(p0.getDouble(4) == 1.2 && p0.getDouble(7) == 0.5625)
+    assert(!p0.getBoolean(8), "D=0.5625 < 4/n=0.8 must not flag")
+  }
+
 }
