@@ -2910,13 +2910,24 @@ object Drift {
       df: DataFrame,
       armACol: Column,
       convCol: Column): DataFrame = {
-    def dbl(c: Column): Column = c.cast("double")
     val conv = convCol.cast("long")
-    val cen = df.agg(
+    propEffectsFromCells(df.agg(
       sum(when(armACol, 1L).otherwise(0L)).as("n_a"),
       sum(when(!armACol, 1L).otherwise(0L)).as("n_b"),
       sum(when(armACol, conv).otherwise(0L)).as("conv_a"),
-      sum(when(!armACol, conv).otherwise(0L)).as("conv_b"))
+      sum(when(!armACol, conv).otherwise(0L)).as("conv_b")))
+  }
+
+  /** [[propEffects]] from (n_a, n_b, conv_a, conv_b) cell PARTIALS —
+    * the four 2×2 cells add across batches, so a streaming store's
+    * drained census reads identically to the one-pass path and shares
+    * the batch oracle verbatim.
+    */
+  def propEffectsFromCells(cells: DataFrame): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = cells.agg(
+      sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+      sum(col("conv_a")).as("conv_a"), sum(col("conv_b")).as("conv_b"))
     val a = dbl(col("conv_a")); val b = dbl(col("n_a") - col("conv_a"))
     val c = dbl(col("conv_b")); val d = dbl(col("n_b") - col("conv_b"))
     val na = dbl(col("n_a")); val nb = dbl(col("n_b"))

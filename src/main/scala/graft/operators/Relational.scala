@@ -1318,12 +1318,22 @@ object Relational {
     * integer-exact. A pairless degenerate (all rows one cell) NULLs
     * every ratio instead of dividing by zero.
     */
-  def gkGamma(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def gkGamma(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    gkGammaFromCensus(df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c")))
+
+  /** [[gkGamma]] from an (x, y, c) census — cell counts ADD across
+    * batches (concordance/discordance/ties are all census-grid
+    * functionals), so a streaming store's drained census reads
+    * identically to the one-pass path and shares the batch oracle
+    * verbatim.
+    */
+  def gkGammaFromCensus(censusDf: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
     def dbl(c: Column): Column = c.cast("double")
-    val census = df.select(col(xCol).cast("long").as("x"),
-        col(yCol).cast("long").as("y"))
-      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    val census = censusDf.groupBy(col("x"), col("y"))
+      .agg(sum(col("c")).as("c"))
       .localCheckpoint(true) // probed four ways below
     val other = census.select(col("x").as("x2"), col("y").as("y2"),
       col("c").as("c2"))

@@ -2490,4 +2490,90 @@ object StreamVerify {
           .filter(unix_timestamp(col("ts")) > cutoffSec),
         initial), "update")
     }
+
+  /** STREAMING 2×2 EFFECT-SIZE maintenance — q563's proportion-effect
+    * readout as an ingestion side effect: each micro-batch commits its
+    * FOUR exact 2×2 cells (one row: n_a/n_b/conv_a/conv_b partials,
+    * which ADD), the drained readout goes through
+    * [[graft.operators.Drift.propEffectsFromCells]] — bit-identical to
+    * the one-pass batch answer, oracle shared verbatim. The
+    * experiment's effect sizes and CIs stay current at ingest cadence
+    * with O(1) state per batch — the cheapest store on the shelf.
+    * Input rows carry (arm ∈ {0,1}, conv ∈ {0,1}).
+    */
+  def propEffectsMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/pe"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.agg(
+            sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") =!= 0L, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("arm") === 0L, col("conv")).otherwise(0L))
+              .as("conv_a"),
+            sum(when(col("arm") =!= 0L, col("conv")).otherwise(0L))
+              .as("conv_b"))
+            .coalesce(1),
+          tag = s"pe-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.propEffectsFromCells(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("conv_a").cast("long").as("conv_a"),
+          col("conv_b").cast("long").as("conv_b")))
+  }
+
+  /** STREAMING ORDINAL-ASSOCIATION maintenance — q566's
+    * gamma/Somers'-D family as an ingestion side effect: per-batch
+    * (x, y) censuses land exactly-once, cell counts ADD (concordance,
+    * discordance and every tie mass are census-grid functionals), the
+    * drained readout goes through
+    * [[graft.operators.Relational.gkGammaFromCensus]] — bit-identical
+    * to the one-pass batch answer, oracle shared verbatim. State is
+    * O(ordinal domain²) rows per batch, bounded however large the
+    * corpus.
+    */
+  def gkGammaMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/gk"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+            .coalesce(1),
+          tag = s"gk-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Relational.gkGammaFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("x").cast("long").as("x"),
+          col("y").cast("long").as("y"), col("c").cast("long").as("c")))
+  }
 }

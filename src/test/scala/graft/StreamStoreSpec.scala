@@ -21,6 +21,61 @@ class StreamStoreSpec extends SparkSuite {
   private def tmp(name: String): String =
     Files.createTempDirectory(s"graft_$name").toString
 
+  test("prop-effects store: 1-row cell commits; drain equals batch") {
+    // arms/conversions split across two files however they fall — the
+    // four cells add, so the drained readout must equal the one-pass one
+    val rows = Seq((0L, 0L, 1L), (1L, 0L, 0L), (2L, 1L, 1L), (3L, 1L, 0L),
+      (4L, 0L, 1L), (5L, 1L, 1L), (6L, 0L, 0L), (7L, 1L, 0L),
+      (8L, 0L, 1L), (9L, 1L, 1L)).toDF("id", "arm", "conv")
+    val src = tmp("pe_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"pe_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("pe_store") + "/s"
+    val drained = StreamVerify.propEffectsMaintenance(spark, src, scratch)
+      .head()
+    val batch = graft.operators.Drift.propEffects(rows.drop("id"),
+      col("arm") === 0L, col("conv")).head()
+    assert(drained.toSeq == batch.toSeq)
+    val commits = TxLake.commitAddCounts(s"$scratch/pe")
+    assert(commits.size == 2 && commits.forall(_._3 == 1L),
+      s"a 2x2 cell store commits exactly one row per batch: $commits")
+    assert(commits.forall(_._2.startsWith("pe-")))
+  }
+
+  test("gk-gamma store: domain-bounded commits; drain equals batch") {
+    val rows = Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 2L, 1L), (3L, 2L, 2L),
+      (4L, 2L, 2L), (5L, 3L, 3L), (6L, 3L, 1L), (7L, 1L, 3L))
+      .toDF("id", "x", "y")
+    val src = tmp("gk_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"gk_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("gk_store") + "/s"
+    val drained = StreamVerify.gkGammaMaintenance(spark, src, scratch)
+      .head()
+    val batch = graft.operators.Relational.gkGamma(rows.drop("id"),
+      "x", "y").head()
+    assert(drained.toSeq == batch.toSeq)
+    // each batch commits at most its own census rows (domain is 3x3)
+    val commits = TxLake.commitAddCounts(s"$scratch/gk")
+    assert(commits.size == 2 && commits.forall(_._3 <= 9L),
+      s"census commits must stay domain-bounded: $commits")
+    assert(commits.forall(_._2.startsWith("gk-")))
+  }
+
   test("components store commits per-batch DELTAS, never the standing state") {
     // 20 disjoint pairs + one bridge: whatever the deterministic hash
     // split assigns to each micro-batch, every node inserts exactly once
