@@ -3072,4 +3072,115 @@ object Drift {
           dbl(col("res")) / dbl(col("n")) +
           obar * (lit(1.0) - obar), 6).as("brier_decomp"))
   }
+
+  /** INCIDENCE-RATE RATIOS vs a baseline group — the
+    * exposure-normalized comparison the raw 2×2 can't make: each
+    * group's rate is events per ACTIVE exposure unit (its own distinct
+    * hours), so a type that fires 3× as often but was only live a
+    * third of the time reads flat. IRR = rate_g/rate_base with the
+    * Poisson log-CI (se = √(1/n_g + 1/n_base) — exposure enters the
+    * point estimate, counts alone the variance) and the Wald z — the
+    * epidemiology-shelf member beside q563's proportion family. One
+    * census (count + distinct-exposure per group), O(groups) double
+    * arithmetic after, log terms pinned at 1e-9 before the exp
+    * re-expansion. Zero-count groups NULL their CI/z, the baseline row
+    * is the reference and not emitted.
+    */
+  def incidenceRates(
+      df: DataFrame,
+      groupCol: String,
+      exposureCol: String,
+      baseline: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(exposureCol)).as("h"))
+      .localCheckpoint(true) // group census: baseline + others read it
+    val base = cen.filter(col("g") === baseline)
+      .select(col("n").as("n0"), col("h").as("h0"))
+    val rate = dbl(col("n")) / dbl(col("h"))
+    val rate0 = dbl(col("n0")) / dbl(col("h0"))
+    val ok = col("n") > 0L && col("n0") > 0L
+    val lirr = round(log(rate / rate0), 9)
+    val se = round(sqrt(lit(1.0) / dbl(col("n")) +
+      lit(1.0) / dbl(col("n0"))), 9)
+    cen.filter(col("g") =!= baseline).crossJoin(broadcast(base))
+      .select(col("g").as(groupCol), col("n"), col("h").as("exposure"),
+        round(rate, 6).as("rate"),
+        when(ok, round(rate / rate0, 6)).as("irr"),
+        when(ok, round(exp(lirr - lit(1.96) * se), 6)).as("irr_lo"),
+        when(ok, round(exp(lirr + lit(1.96) * se), 6)).as("irr_hi"),
+        when(ok, round(lirr / se, 6)).as("z"))
+  }
+
+  /** FISHER'S EXACT TEST on a 2×2 — the small-sample verdict q283's
+    * normal approximation can't give: the exact conditional
+    * hypergeometric p, two-sided by the standard
+    * sum-of-no-more-likely-tables rule plus both one-sided tails.
+    * Exact tests are a SMALL-SAMPLE instrument (at corpus scale the z
+    * is correct and this is pointless), so callers pass a bounded
+    * frame — the q574 gate samples the 200 hash-smallest events, a
+    * fixed support at ANY corpus scale. Determinism discipline: ln n!
+    * is a sum of per-integer ln terms each pinned at 1e-12 and
+    * accumulated as exact decimals (never libm lgamma, which differs
+    * across engines), each table's log-pmf lands once on the 1e-9
+    * grid, the pmf on the 1e-12 grid, and the tail sums are decimal
+    * adds — both engines walk identical tables. The equal-probability
+    * tie uses the classic (1+1e-7) tolerance so the observed table's
+    * mirror image is never dropped to FP dust.
+    */
+  def fisherExact(
+      df: DataFrame,
+      armACol: Column,
+      convCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val conv = convCol.cast("long")
+    val cells = df.agg(
+        sum(when(armACol, conv).otherwise(0L)).as("a"),
+        sum(when(armACol, lit(1L) - conv).otherwise(0L)).as("b"),
+        sum(when(!armACol, conv).otherwise(0L)).as("c"),
+        sum(when(!armACol, lit(1L) - conv).otherwise(0L)).as("d"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("r2", col("c") + col("d"))
+      .withColumn("c1", col("a") + col("c"))
+      .withColumn("nn", col("a") + col("b") + col("c") + col("d"))
+    // ln-factorial on the pinned grid: lf(n) = Σ_{i=2..n} round(ln i, 1e-12)
+    def lf(n: String): String =
+      s"CASE WHEN $n >= 2 THEN aggregate(sequence(CAST(2 AS BIGINT), " +
+        s"CAST($n AS BIGINT)), CAST(0 AS DECIMAL(28,12)), (acc, i) -> " +
+        "CAST(acc + CAST(round(ln(CAST(i AS DOUBLE)), 12) AS " +
+        "DECIMAL(28,12)) AS DECIMAL(28,12))) " +
+        "ELSE CAST(0 AS DECIMAL(28,12)) END"
+    val support = cells
+      .select(col("*"), explode(sequence(
+        greatest(lit(0L), col("c1") - col("r2")),
+        least(col("r1"), col("c1")))).as("k"))
+      .withColumn("r1k", col("r1") - col("k"))
+      .withColumn("c1k", col("c1") - col("k"))
+      .withColumn("r2k", col("r2") - col("c1") + col("k"))
+      .withColumn("c2n", col("nn") - col("c1"))
+      .withColumn("lnp", expr(
+        s"CAST(${lf("r1")} + ${lf("r2")} + ${lf("c1")} + ${lf("c2n")} " +
+          s"- ${lf("nn")} - ${lf("k")} - ${lf("r1k")} - ${lf("c1k")} " +
+          s"- ${lf("r2k")} AS DOUBLE)"))
+      .withColumn("pmf",
+        round(exp(round(col("lnp"), 9)), 12).cast(DecimalType(16, 12)))
+    val pobs = support.filter(col("k") === col("a"))
+      .select(col("pmf").as("pobs"))
+    val agg = support.crossJoin(broadcast(pobs))
+      .groupBy(col("a"), col("b"), col("c"), col("d"))
+      .agg(
+        sum(when(dbl(col("pmf")) <=
+          dbl(col("pobs")) * (1.0 + 1e-7), col("pmf"))).as("s_two"),
+        sum(when(col("k") <= col("a"), col("pmf"))).as("s_less"),
+        sum(when(col("k") >= col("a"), col("pmf"))).as("s_greater"))
+    agg.select(col("a"), col("b"), col("c"), col("d"),
+      when(col("b") * col("c") > 0L,
+        round(dbl(col("a")) * dbl(col("d")) /
+          (dbl(col("b")) * dbl(col("c"))), 6)).as("odds_ratio"),
+      round(least(lit(1.0), dbl(col("s_less"))), 9).as("p_less"),
+      round(least(lit(1.0), dbl(col("s_greater"))), 9).as("p_greater"),
+      round(least(lit(1.0), dbl(col("s_two"))), 9).as("p_two"))
+  }
 }

@@ -174,6 +174,43 @@ object Graph {
     * which enumerates every (node, depth) pair it can prove. Frontiers
     * are localCheckpoint'd per round (lineage cut, like [[pageRank]]).
     */
+  /** KATZ CENTRALITY — influence that counts EVERY walk, attenuated by
+    * length: x = Σ_t α^t A^t·1, here as the fixed-point iteration
+    * x ← 1 + α·Aᵀx truncated at `iters`. The member of the centrality
+    * shelf that gives every node a floor ([[pageRank]] divides
+    * influence among out-edges, so a hub's endorsement dilutes; Katz
+    * lets it count fully at α-discount, which is why it's the standard
+    * score on bounded-degree interaction graphs where PageRank's
+    * drain-to-hubs is unwanted). Contract: α must be under 1/λ_max for
+    * the untruncated series to converge — callers pick α against a
+    * degree bound (α·max_deg < 1 is the safe envelope). Same plan
+    * shape and determinism discipline as [[pageRank]]: one edge↔score
+    * equi-join + one aggregation per round, contributions land on the
+    * 1e-9 decimal grid (order-independent sums → oracle-replayable),
+    * lineage cut per round. Ranks every node that appears on either
+    * edge side.
+    */
+  def katz(edges: DataFrame, iters: Int, alpha: Double): DataFrame = {
+    require(iters >= 1 && alpha > 0.0 && alpha < 1.0)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var x = nodes.withColumn("katz", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(x, e("src") === x("node"))
+        .select(col("dst"),
+          (col("katz") * lit(alpha)).cast(DecimalType(28, 9)).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c_sum"))
+      x = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(1.0) + coalesce(col("c_sum").cast("double"), lit(0.0)))
+            .as("katz"))
+        .localCheckpoint(true)
+    }
+    x.select(col("node"), round(col("katz"), 6).as("katz"))
+  }
+
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)

@@ -561,4 +561,20 @@ class GraphSpec extends SparkSuite {
       .head().getDouble(4) == 0.0)
   }
 
+  test("katz: walks count at alpha-discount, every node keeps the floor") {
+    import spark.implicits._
+    // chain 1→2→3, α=0.5, 2 rounds: x(1)=1 (no in-edges), x(2)=1.5,
+    // x(3)=1+0.5·x(2)=1.75 — the length-2 walk arrives in round 2
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.operators.Graph.katz(chain, iters = 2, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.5, 3L -> 1.75))
+    // a hub fed by two spokes gets both contributions whole — no
+    // per-out-degree dilution (the PageRank contrast)
+    val star = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val s = graft.operators.Graph.katz(star, iters = 2, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s == Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0))
+  }
+
 }

@@ -1265,4 +1265,53 @@ class ProfilingSpec extends SparkSuite {
     assert(f.getDouble(2) == 0.25 && f.getDouble(6) == 0.25)
   }
 
+  test("fisherExact: hypergeometric tails land the textbook 2x2") {
+    import spark.implicits._
+    // a=1 b=9 / c=9 d=1: support k=0..10 of hypergeom(20,10,10).
+    // p_less = 101/C(20,10), p_two = 202/C(20,10) (symmetric mirror).
+    val df = ((1 to 10).map(i => (true, if (i <= 1) 1L else 0L)) ++
+      (1 to 10).map(i => (false, if (i <= 9) 1L else 0L)))
+      .toDF("isa", "cv")
+    val r = graft.operators.Drift.fisherExact(df, col("isa"), col("cv"))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 9L, 9L, 1L)))
+    assert(r.getDouble(4) == math.rint(1.0 / 81.0 * 1e6) / 1e6)
+    val c2010 = 184756.0
+    assert(math.abs(r.getDouble(5) - 101.0 / c2010) < 1e-8, "p_less")
+    assert(math.abs(r.getDouble(6) - (1.0 - 1.0 / c2010)) < 1e-8,
+      "p_greater")
+    assert(math.abs(r.getDouble(7) - 202.0 / c2010) < 1e-8, "p_two")
+    // a perfectly balanced table is as likely as every mirror: p_two 1
+    val bal = ((1 to 10).map(i => (true, if (i <= 5) 1L else 0L)) ++
+      (1 to 10).map(i => (false, if (i <= 5) 1L else 0L)))
+      .toDF("isa", "cv")
+    assert(graft.operators.Drift.fisherExact(bal, col("isa"), col("cv"))
+      .head().getDouble(7) == 1.0)
+  }
+
+  test("incidenceRates: exposure enters the rate, counts the CI") {
+    import spark.implicits._
+    // base 'v': 4 events / 2 hours (rate 2); 'g': 6/3 (rate 2 → IRR 1,
+    // z 0); 'x': 8/2 (rate 4 → IRR 2, z = ln2/√(1/8+1/4))
+    val rows = (1 to 4).map(i => ("v", (i % 2).toLong)) ++
+      (1 to 6).map(i => ("g", (i % 3 + 10).toLong)) ++
+      (1 to 8).map(i => ("x", (i % 2 + 20).toLong))
+    val got = graft.operators.Drift.incidenceRates(
+      rows.toDF("g", "hr"), "g", "hr", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("g", "x"), "baseline row is the reference")
+    val g = got("g")
+    assert(g.getLong(1) == 6L && g.getLong(2) == 3L)
+    assert(g.getDouble(3) == 2.0 && g.getDouble(4) == 1.0 &&
+      g.getDouble(7) == 0.0)
+    val x = got("x")
+    assert(x.getDouble(3) == 4.0 && x.getDouble(4) == 2.0)
+    val lirr = math.rint(math.log(2.0) * 1e9) / 1e9
+    val se = math.rint(math.sqrt(1.0 / 8 + 1.0 / 4) * 1e9) / 1e9
+    assert(x.getDouble(7) == math.rint(lirr / se * 1e6) / 1e6)
+    assert(x.getDouble(5) < 2.0 && 2.0 < x.getDouble(6),
+      "the CI straddles the point estimate")
+  }
+
 }
