@@ -3183,4 +3183,66 @@ object Drift {
       round(least(lit(1.0), dbl(col("s_greater"))), 9).as("p_greater"),
       round(least(lit(1.0), dbl(col("s_two"))), 9).as("p_two"))
   }
+
+  /** STUART–MAXWELL marginal-homogeneity test on a PAIRED 3-category
+    * square table — "did the population's category mix shift between
+    * the two measurements", with each subject as its own control: the
+    * k=3 generalization of q409's McNemar (which only sees 2×2
+    * discordance). χ² = d'V⁻¹d over the first two marginal differences
+    * with the 2×2 covariance inverted in closed form — no matrix
+    * library, no iteration, every operand an exact integer from ONE
+    * (before, after) census until the final ratio. The category spine
+    * ranks in a window over the bounded category domain (≤ k rows,
+    * never data). A non-3-category domain or a singular V reads NULL
+    * χ² instead of a wrong number — the closed form is k=3-specific
+    * by contract.
+    */
+  def stuartMaxwell(
+      df: DataFrame,
+      beforeCol: Column,
+      afterCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.select(beforeCol.cast("string").as("b"),
+        afterCol.cast("string").as("a"))
+      .groupBy(col("b"), col("a")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // k² cells: spine + cell sums read it
+    val cats = census.select(col("b").as("cat"))
+      .unionByName(census.select(col("a").as("cat"))).distinct()
+      .withColumn("r", row_number().over(Window.orderBy(col("cat"))))
+    val ranked = census
+      .join(cats.select(col("cat").as("b"), col("r").as("rb")), Seq("b"))
+      .join(cats.select(col("cat").as("a"), col("r").as("ra")), Seq("a"))
+    val agg = ranked.agg(sum(col("n")).as("nn"),
+      sum(when(col("rb") === 1, col("n")).otherwise(0L)).as("row1"),
+      sum(when(col("rb") === 2, col("n")).otherwise(0L)).as("row2"),
+      sum(when(col("ra") === 1, col("n")).otherwise(0L)).as("col1"),
+      sum(when(col("ra") === 2, col("n")).otherwise(0L)).as("col2"),
+      sum(when(col("rb") === 1 && col("ra") === 1, col("n"))
+        .otherwise(0L)).as("n11"),
+      sum(when(col("rb") === 2 && col("ra") === 2, col("n"))
+        .otherwise(0L)).as("n22"),
+      sum(when(col("rb") === 1 && col("ra") === 2, col("n"))
+        .otherwise(0L)).as("n12"),
+      sum(when(col("rb") === 2 && col("ra") === 1, col("n"))
+        .otherwise(0L)).as("n21"))
+    val names = cats.groupBy()
+      .agg(max(when(col("r") === 1, col("cat"))).as("cat1"),
+        max(when(col("r") === 2, col("cat"))).as("cat2"),
+        count(lit(1)).as("n_cats"))
+    val d1 = dbl(col("row1") - col("col1"))
+    val d2 = dbl(col("row2") - col("col2"))
+    val v11 = dbl(col("row1") + col("col1") - lit(2L) * col("n11"))
+    val v22 = dbl(col("row2") + col("col2") - lit(2L) * col("n22"))
+    val v12 = -dbl(col("n12") + col("n21"))
+    val det = v11 * v22 - v12 * v12
+    agg.crossJoin(broadcast(names))
+      .select(col("nn").as("n"), col("n_cats"),
+        col("cat1"), col("cat2"),
+        (col("row1") - col("col1")).as("d1"),
+        (col("row2") - col("col2")).as("d2"),
+        when(col("n_cats") === 3L && det > 0.0,
+          round((d1 * d1 * v22 - lit(2.0) * d1 * d2 * v12 +
+            d2 * d2 * v11) / det, 6)).as("chi2"))
+  }
 }

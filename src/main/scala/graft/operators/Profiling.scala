@@ -385,15 +385,26 @@ object Profiling {
   def hillNumbers(
       df: DataFrame,
       groupCol: String,
-      unitCol: String): DataFrame = {
+      unitCol: String): DataFrame =
+    hillNumbersFromCensus(df.select(col(groupCol).cast("string").as("g"),
+        col(unitCol).cast("string").as("u"))
+      .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c")), groupCol)
+
+  /** [[hillNumbers]] from a (g, u, c) census — unit counts ADD across
+    * batches (richness, Shannon and Σc² are all census functionals),
+    * so a streaming store's drained census reads identically to the
+    * one-pass path and shares the batch oracle verbatim.
+    */
+  def hillNumbersFromCensus(
+      censusDf: DataFrame,
+      groupCol: String = "g"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       c.cast("double")
     val d189 = DecimalType(18, 9)
     val d38 = DecimalType(38, 0)
-    val census = df.select(col(groupCol).cast("string").as("g"),
-        col(unitCol).cast("string").as("u"))
-      .groupBy(col("g"), col("u")).agg(count(lit(1)).as("c"))
+    val census = censusDf.groupBy(col("g"), col("u"))
+      .agg(sum(col("c")).as("c"))
     val a = census.groupBy(col("g"))
       .agg(sum(col("c")).as("n"), count(lit(1)).as("richness"),
         sum(round(dbl(col("c")) * log(dbl(col("c"))), 9).cast(d189))

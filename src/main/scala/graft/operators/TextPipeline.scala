@@ -1145,4 +1145,41 @@ object TextPipeline {
           .as("chars_per_token"),
         col("p90_fert_ppm"))
   }
+
+  /** FLESCH READABILITY per document — the classic reading-ease and
+    * grade-level meters from three regexp censuses: whitespace words,
+    * sentence-terminator runs (floored at 1 — a fragment is one
+    * sentence, not a division by zero), and vowel-group runs as the
+    * engine-portable syllable proxy (the dictionary-true count needs a
+    * lexicon; vowel groups are the standard deterministic stand-in and
+    * BOTH engines count them with the same regex). The
+    * quality-filtering shelf's interpretable complement to q176's
+    * entropy and q482's Gopher gates: a 206.835-scale number editors
+    * recognize. Per-row scalar arithmetic, no shuffle — corpus-scan
+    * cost at any scale.
+    */
+  def readability(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(idCol),
+      TextFunctions.wordCount(col(textCol)).as("n_words"),
+      greatest(lit(1L),
+        regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+        .as("n_sentences"),
+      regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+        .as("n_syllables"))
+    base.select(col(idCol), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      when(col("n_words") > 0L,
+        round(lit(206.835) -
+          lit(1.015) * (dbl(col("n_words")) / dbl(col("n_sentences"))) -
+          lit(84.6) * (dbl(col("n_syllables")) / dbl(col("n_words"))), 6))
+        .as("flesch"),
+      when(col("n_words") > 0L,
+        round(lit(0.39) * (dbl(col("n_words")) / dbl(col("n_sentences"))) +
+          lit(11.8) * (dbl(col("n_syllables")) / dbl(col("n_words"))) -
+          lit(15.59), 6)).as("fk_grade"))
+  }
 }

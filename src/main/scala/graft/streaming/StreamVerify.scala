@@ -2548,6 +2548,46 @@ object StreamVerify {
     * O(ordinal domain²) rows per batch, bounded however large the
     * corpus.
     */
+  /** STREAMING DIVERSITY maintenance — q568's Hill-number profile as
+    * an ingestion side effect: per-batch (group, unit) censuses land
+    * exactly-once, unit counts ADD (richness, Shannon and Σc² are all
+    * census functionals), the drained readout goes through
+    * [[graft.operators.Profiling.hillNumbersFromCensus]] —
+    * bit-identical to the one-pass batch answer, oracle shared
+    * verbatim. State is O(groups × units) rows, the audience-census
+    * bound.
+    */
+  def hillMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String,
+      groupCol: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/hn"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("g"), col("u")).agg(count(lit(1)).as("c"))
+            .coalesce(1),
+          tag = s"hn-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Profiling.hillNumbersFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("g").cast("string").as("g"),
+          col("u").cast("string").as("u"),
+          col("c").cast("long").as("c")), groupCol)
+  }
+
   def gkGammaMaintenance(
       spark: SparkSession,
       srcPath: String,

@@ -1314,4 +1314,22 @@ class ProfilingSpec extends SparkSuite {
       "the CI straddles the point estimate")
   }
 
+  test("stuartMaxwell: hand 3x3 lands chi2 = 16/7; k != 3 NULLs") {
+    import spark.implicits._
+    // (a,b)×5 (b,a)×2 (a,a)×3 (c,c)×4 (b,c)×1: d=(3,−2),
+    // V = [[7,−7],[−7,8]], det 7 → χ² = (72 − 84 + 28)/7
+    val pairs = Seq.fill(5)(("a", "b")) ++ Seq.fill(2)(("b", "a")) ++
+      Seq.fill(3)(("a", "a")) ++ Seq.fill(4)(("c", "c")) ++ Seq(("b", "c"))
+    val r = graft.operators.Drift.stuartMaxwell(
+      pairs.toDF("bf", "af"), col("bf"), col("af")).head()
+    assert(r.getLong(0) == 15L && r.getLong(1) == 3L)
+    assert(r.getString(2) == "a" && r.getString(3) == "b")
+    assert(r.getLong(4) == 3L && r.getLong(5) == -2L)
+    assert(r.getDouble(6) == math.rint(16.0 / 7.0 * 1e6) / 1e6)
+    // two categories: the k=3 closed form refuses, not mis-answers
+    val two = Seq(("a", "b"), ("b", "a"), ("a", "a")).toDF("bf", "af")
+    assert(graft.operators.Drift.stuartMaxwell(two, col("bf"), col("af"))
+      .head().isNullAt(6))
+  }
+
 }

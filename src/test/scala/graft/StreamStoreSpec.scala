@@ -76,6 +76,33 @@ class StreamStoreSpec extends SparkSuite {
     assert(commits.forall(_._2.startsWith("gk-")))
   }
 
+  test("hill store: census-bounded commits; drain equals batch") {
+    val rows = Seq((0L, "t1", "u1"), (1L, "t1", "u1"), (2L, "t1", "u2"),
+      (3L, "t2", "u1"), (4L, "t2", "u2"), (5L, "t2", "u3"),
+      (6L, "t1", "u1"), (7L, "t2", "u3")).toDF("id", "g", "u")
+    val src = tmp("hn_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"hn_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("hn_store") + "/s"
+    val drained = StreamVerify.hillMaintenance(spark, src, scratch, "g")
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val batch = graft.operators.Profiling.hillNumbers(rows.drop("id"),
+      "g", "u").collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(drained == batch)
+    // each batch commits at most its own (group, unit) census rows
+    val commits = TxLake.commitAddCounts(s"$scratch/hn")
+    assert(commits.size == 2 && commits.forall(_._3 <= 5L),
+      s"census commits must stay audience-bounded: $commits")
+    assert(commits.forall(_._2.startsWith("hn-")))
+  }
+
   test("components store commits per-batch DELTAS, never the standing state") {
     // 20 disjoint pairs + one bridge: whatever the deterministic hash
     // split assigns to each micro-batch, every node inserts exactly once

@@ -382,4 +382,24 @@ class TextPipelineSpec extends SparkSuite {
     assert(none.getLong(1) == 0L && none.isNullAt(3) && !none.getBoolean(4))
   }
 
+  test("readability: hand censuses land Flesch; fragments floor at one " +
+    "sentence") {
+    import spark.implicits._
+    // "The cat sat. It ran!": 5 words, 2 sentence runs, 5 vowel groups
+    // → flesch = 206.835 − 1.015·2.5 − 84.6·1 = 119.6975
+    val df = Seq((1L, "The cat sat. It ran!"), (2L, "tsk brr"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextPipeline.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = got(1L)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((5L, 2L, 5L)))
+    assert(a.getDouble(4) == 119.6975)
+    assert(a.getDouble(5) == math.rint((0.39 * 2.5 + 11.8 - 15.59) * 1e6)
+      / 1e6)
+    // no terminator, no vowels: the sentence floor keeps ratios finite
+    val b = got(2L)
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) == ((2L, 1L, 0L)))
+    assert(b.getDouble(4) == math.rint((206.835 - 1.015 * 2.0) * 1e6) / 1e6)
+  }
+
 }
