@@ -3197,6 +3197,107 @@ object Drift {
     * χ² instead of a wrong number — the closed form is k=3-specific
     * by contract.
     */
+  /** BOWKER SYMMETRY TEST on a PAIRED k-category square table — is the
+    * flow between every category pair balanced: χ² = Σ_{i<j}
+    * (n_ij−n_ji)²/(n_ij+n_ji), the ANY-k companion to
+    * [[stuartMaxwell]] (marginal homogeneity can hold while specific
+    * pair flows churn asymmetrically; Bowker sees the churn, and needs
+    * no matrix inverse so k is unrestricted). One (before, after)
+    * census folded to the UNORDERED pair census (≤ k(k−1)/2 rows);
+    * each pair's term lands once on the 1e-9 grid before the
+    * order-independent decimal sum. df counts the pairs that actually
+    * flowed (the zero-denominator pairs contribute no information, the
+    * standard convention); an all-diagonal table reads χ² = 0 with
+    * df = 0.
+    */
+  def bowker(
+      df: DataFrame,
+      beforeCol: Column,
+      afterCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val census = df.select(beforeCol.cast("string").as("b"),
+        afterCol.cast("string").as("a"))
+      .groupBy(col("b"), col("a")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // totals + the pair fold read it
+    val tot = census.agg(sum(col("n")).as("nn"))
+    val cats = census.select(col("b").as("cat"))
+      .unionByName(census.select(col("a").as("cat"))).distinct()
+      .agg(count(lit(1)).as("n_cats"))
+    val pairs = census.filter(col("b") =!= col("a"))
+      .select(least(col("b"), col("a")).as("lo"),
+        greatest(col("b"), col("a")).as("hi"),
+        when(col("b") < col("a"), col("n")).otherwise(0L).as("up"),
+        when(col("b") > col("a"), col("n")).otherwise(0L).as("dn"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(sum(col("up")).as("nij"), sum(col("dn")).as("nji"))
+    val term = round((dbl(col("nij")) - dbl(col("nji"))) *
+      (dbl(col("nij")) - dbl(col("nji"))) /
+      (dbl(col("nij")) + dbl(col("nji"))), 9).cast(d289)
+    val agg = pairs.agg(
+      coalesce(sum(when(col("nij") + col("nji") > 0L, term)),
+        lit(0).cast(d289)).as("chi2s"),
+      coalesce(sum(when(col("nij") + col("nji") > 0L, 1L).otherwise(0L)),
+        lit(0L)).as("df"))
+    agg.crossJoin(broadcast(tot)).crossJoin(broadcast(cats))
+      .select(col("nn").cast("long").as("n"), col("n_cats"), col("df"),
+        round(dbl(col("chi2s")), 6).as("chi2"))
+  }
+
+  /** WEIGHTED COHEN'S KAPPA for two ORDINAL raters on a fixed k-point
+    * scale — chance-corrected agreement where NEAR-misses count:
+    * q447's binary κ and q532's Fleiss treat a 1-step and a 4-step
+    * disagreement identically, which is wrong on ordinal scales;
+    * linear weights charge |i−j|/(k−1), quadratic charge its square
+    * (the ICC-equivalent convention). κ_w = 1 − ΣwO/ΣwE with observed
+    * disagreement over the (i, j) census and expected over the FULL
+    * k×k margin grid (an unobserved cell still owes its r_i·c_j/n
+    * chance mass). Every weight lands once on the 1e-9 grid, both
+    * sums are exact decimals over integers, and the final ratio is
+    * one double division. Contract: rater columns are rank-coded in
+    * [0, k); a chance-free degenerate (E = 0) reads NULL.
+    */
+  def weightedKappa(
+      df: DataFrame,
+      r1Col: Column,
+      r2Col: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 2)
+    def dbl(c: Column): Column = c.cast("double")
+    val d389 = DecimalType(38, 9)
+    val census = df.select(r1Col.cast("long").as("i"),
+        r2Col.cast("long").as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // margins + observed sums read it
+    def wLin(i: Column, j: Column): Column =
+      round(abs(i - j).cast("double") / (k - 1.0), 9)
+    def wQuad(i: Column, j: Column): Column =
+      round(abs(i - j).cast("double") / (k - 1.0) *
+        (abs(i - j).cast("double") / (k - 1.0)), 9)
+    val obs = census.agg(sum(col("n")).as("nn"),
+      sum(when(col("i") === col("j"), col("n")).otherwise(0L)).as("agree"),
+      sum((wLin(col("i"), col("j")) * dbl(col("n"))).cast(d389)).as("ol"),
+      sum((wQuad(col("i"), col("j")) * dbl(col("n"))).cast(d389)).as("oq"))
+    val ri = census.groupBy(col("i")).agg(sum(col("n")).as("r"))
+    val cj = census.groupBy(col("j")).agg(sum(col("n")).as("c"))
+    val exp0 = ri.crossJoin(cj).agg(
+      sum((wLin(col("i"), col("j")) * dbl(col("r")) * dbl(col("c")))
+        .cast(d389)).as("el"),
+      sum((wQuad(col("i"), col("j")) * dbl(col("r")) * dbl(col("c")))
+        .cast(d389)).as("eq"))
+    obs.crossJoin(broadcast(exp0))
+      .select(col("nn").cast("long").as("n"), lit(k).as("k"),
+        round(dbl(col("agree")) / dbl(col("nn")), 6).as("po"),
+        when(dbl(col("el")) > 0.0,
+          round(lit(1.0) - dbl(col("nn")) * dbl(col("ol")) /
+            dbl(col("el")), 6)).as("kappa_linear"),
+        when(dbl(col("eq")) > 0.0,
+          round(lit(1.0) - dbl(col("nn")) * dbl(col("oq")) /
+            dbl(col("eq")), 6)).as("kappa_quadratic"))
+  }
+
   def stuartMaxwell(
       df: DataFrame,
       beforeCol: Column,

@@ -2101,6 +2101,82 @@ object Trend {
           (col("sse_lo") / (dbl(col("n_lo")) - 2.0)), 6)).as("f_ratio"))
   }
 
+  /** CHOW STRUCTURAL-BREAK TEST at the median of each key's regressor
+    * — is ONE line enough, or do the halves genuinely need different
+    * lines: F = ((SSE_pooled − SSE₁ − SSE₂)/2) / ((SSE₁+SSE₂)/(n−4)).
+    * The significance companion to q301's changepoint DETECTOR (q301
+    * finds where the series most wants to break; Chow says whether
+    * granting the break explains more than 2 parameters' worth of
+    * noise) and the mean-shift complement to q569's variance split.
+    * Three exact-integer censuses (pooled + both halves), SSE via the
+    * orthogonality form clamped + pinned (q569's discipline), the
+    * rank split in a key-partitioned window over the bucket domain.
+    * Keys with halves under `minSeg` points or a degenerate fit read
+    * NULL F rather than an infinity.
+    */
+  def chowTest(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      minSeg: Int = 3): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val byKey = Window.partitionBy(col(keyCol))
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(xCol))
+    val seg = df
+      .withColumn("__rn", row_number().over(ord))
+      .withColumn("__nk", count(lit(1)).over(byKey))
+      .withColumn("seg",
+        when(col("__rn") <= expr("__nk div 2"), lit(1)).otherwise(lit(2)))
+      .filter(expr("__nk div 2") >= minSeg)
+      .select(col(keyCol), col("seg"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .localCheckpoint(true) // pooled + split censuses share the scan
+    def census(d: DataFrame, keys: Seq[String]): DataFrame =
+      d.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"),
+          countDistinct(col("x")).as("nx"))
+        .filter(col("nx") >= 2)
+    def sse: Column = {
+      val b = (dbl(col("n")) * dbl(col("sxy")) -
+        dbl(col("sx")) * dbl(col("sy"))) /
+        (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      val a = (dbl(col("sy")) - b * dbl(col("sx"))) / dbl(col("n"))
+      round(greatest(lit(0.0),
+        dbl(col("syy")) - a * dbl(col("sy")) - b * dbl(col("sxy"))), 9)
+    }
+    def slope: Column =
+      round((dbl(col("n")) * dbl(col("sxy")) -
+        dbl(col("sx")) * dbl(col("sy"))) /
+        (dbl(col("n")) * dbl(col("sxx")) -
+          dbl(col("sx")) * dbl(col("sx"))), 6)
+    val pooled = census(seg, Seq(keyCol))
+      .select(col(keyCol), col("n"), sse.as("sse_pooled"))
+    val halves = census(seg, Seq(keyCol, "seg"))
+      .select(col(keyCol), col("seg"), col("n").as("nh"),
+        slope.as("sl"), sse.as("sseh"))
+    val wide = halves.groupBy(col(keyCol)).agg(
+      max(when(col("seg") === 1, col("nh"))).as("n1"),
+      max(when(col("seg") === 2, col("nh"))).as("n2"),
+      max(when(col("seg") === 1, col("sl"))).as("slope1"),
+      max(when(col("seg") === 2, col("sl"))).as("slope2"),
+      max(when(col("seg") === 1, col("sseh"))).as("sse1"),
+      max(when(col("seg") === 2, col("sseh"))).as("sse2"))
+    val sseSplit = col("sse1") + col("sse2")
+    pooled.join(wide, Seq(keyCol))
+      .select(col(keyCol), col("n"), col("n1"), col("n2"),
+        col("slope1"), col("slope2"), col("sse_pooled"),
+        round(sseSplit, 9).as("sse_split"),
+        when(col("n1").isNotNull && col("n2").isNotNull &&
+            col("n") > 4L && sseSplit > 0.0,
+          round((greatest(lit(0.0), col("sse_pooled") - sseSplit) /
+            lit(2.0)) /
+            (sseSplit / (dbl(col("n")) - 4.0)), 6)).as("f_stat"))
+  }
+
   /** COOK'S DISTANCE per observation on the per-key OLS — WHICH points
     * own the trend: leverage h_ii = 1/n + (x−x̄)²/Sxx says how far out
     * on the regressor a point sits, the studentized residual says how

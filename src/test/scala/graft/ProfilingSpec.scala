@@ -1332,4 +1332,36 @@ class ProfilingSpec extends SparkSuite {
       .head().isNullAt(6))
   }
 
+  test("bowker: pair flows land chi2 = 9/7 + 1; all-diagonal reads 0") {
+    import spark.implicits._
+    // (a,b) 5 vs (b,a) 2 → 9/7; (b,c) 1 vs 0 → 1; (a,c) never flowed
+    val pairs = Seq.fill(5)(("a", "b")) ++ Seq.fill(2)(("b", "a")) ++
+      Seq.fill(3)(("a", "a")) ++ Seq.fill(4)(("c", "c")) ++ Seq(("b", "c"))
+    val r = graft.operators.Drift.bowker(pairs.toDF("bf", "af"),
+      col("bf"), col("af")).head()
+    assert(r.getLong(0) == 15L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) ==
+      math.rint((math.rint(9.0 / 7.0 * 1e9) / 1e9 + 1.0) * 1e6) / 1e6)
+    val diag = Seq(("a", "a"), ("b", "b")).toDF("bf", "af")
+    val d = graft.operators.Drift.bowker(diag, col("bf"), col("af")).head()
+    assert(d.getLong(2) == 0L && d.getDouble(3) == 0.0)
+  }
+
+  test("weightedKappa: a 2-step miss on a 3-point scale charges whole") {
+    import spark.implicits._
+    // (0,0)×2 (2,2)×2 (0,2)×1: O = 1, E = 13/n → κ = 1 − 5/13
+    val df = (Seq.fill(2)((0L, 0L)) ++ Seq.fill(2)((2L, 2L)) ++
+      Seq((0L, 2L))).toDF("r1", "r2")
+    val r = graft.operators.Drift.weightedKappa(df, col("r1"), col("r2"),
+      k = 3).head()
+    assert(r.getLong(0) == 5L && r.getDouble(2) == 0.8)
+    assert(r.getDouble(3) == math.rint(8.0 / 13.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(8.0 / 13.0 * 1e6) / 1e6)
+    // perfect agreement reads 1 under both weightings
+    val perfect = Seq((0L, 0L), (1L, 1L)).toDF("r1", "r2")
+    val p = graft.operators.Drift.weightedKappa(perfect, col("r1"),
+      col("r2"), k = 3).head()
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 1.0)
+  }
+
 }

@@ -691,4 +691,32 @@ class TrendSpec extends SparkSuite {
     assert(!p0.getBoolean(8), "D=0.5625 < 4/n=0.8 must not flag")
   }
 
+  test("chowTest: a level shift beats the pooled line; exact fits NULL") {
+    import spark.implicits._
+    // key a: halves (0,1,0) and (10,12,10) — each flat with small SSE,
+    // pooled line pays hugely for the 10-unit jump
+    val a = Seq(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 10L, 4L -> 12L,
+      5L -> 10L).map { case (x, y) => ("a", x, y) }
+    // key c: y = x exactly → both halves fit perfectly → SSE 0 → NULL F
+    val c = (0L to 5L).map(x => ("c", x, x))
+    // key d: 5 points → half = 2 < minSeg → dropped
+    val d = (0L to 4L).map(x => ("d", x, x))
+    val got = graft.operators.Trend.chowTest(
+      (a ++ c ++ d).toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "c"))
+    val ra = got("a")
+    assert(ra.getLong(1) == 6L && ra.getLong(2) == 3L && ra.getLong(3) == 3L)
+    assert(ra.getDouble(4) == 0.0 && ra.getDouble(5) == 0.0)
+    assert(ra.getDouble(7) == 3.333333334)
+    // replay the pooled fit by hand: the F the operator must land
+    val b = (6.0 * 129 - 15 * 33) / (6.0 * 55 - 225)
+    val icp = (33 - b * 15) / 6.0
+    val sseP = math.rint((345 - icp * 33 - b * 129) * 1e9) / 1e9
+    val split = 3.333333334
+    val f = math.rint((sseP - split) / 2.0 / (split / 2.0) * 1e6) / 1e6
+    assert(ra.getDouble(8) == f && f > 10.0)
+    assert(got("c").isNullAt(8), "zero split-SSE must NULL F")
+  }
+
 }
