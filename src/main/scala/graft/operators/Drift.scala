@@ -3113,6 +3113,52 @@ object Drift {
         when(ok, round(lirr / se, 6)).as("z"))
   }
 
+  /** DIRECT + INDIRECT RATE STANDARDIZATION — the "adjust for the mix
+    * before comparing" meter: two cohorts' crude event rates differ
+    * partly because their STRATUM mixes differ (one cohort skews
+    * toward high-error hours), and the standardized rate re-weights
+    * each cohort's stratum rates by ONE standard population (the
+    * pooled stratum sizes) so the mix cancels — the
+    * rate-domain sibling of q443's Mantel–Haenszel odds pooling and
+    * q462's post-stratified mean. Also emits the SMR (observed over
+    * expected-at-pooled-rates — the indirect form that stays stable
+    * when a cohort's small strata make direct weights noisy). One
+    * (group, stratum) census; every weight term lands once on the
+    * 1e-9 grid before order-independent decimal sums; a group's
+    * standardized rate averages over the strata IT observed (absent
+    * strata contribute no weight — documented, not silent).
+    */
+  def directStandardization(
+      df: DataFrame,
+      groupCol: Column,
+      stratumCol: Column,
+      eventCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val cen = df.select(groupCol.cast("string").as("g"),
+        stratumCol.cast("long").as("s"), eventCol.cast("long").as("e"))
+      .groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("ev"))
+      .localCheckpoint(true) // standard pop + both sweeps read it
+    val std = cen.groupBy(col("s"))
+      .agg(sum(col("n")).as("ns"), sum(col("ev")).as("es"))
+    val joined = cen.join(broadcast(std), Seq("s"))
+    val dirTerm = round(dbl(col("ns")) * (dbl(col("ev")) / dbl(col("n"))), 9)
+      .cast(d289)
+    val expTerm = round(dbl(col("n")) * (dbl(col("es")) / dbl(col("ns"))), 9)
+      .cast(d289)
+    val byG = joined.groupBy(col("g"))
+      .agg(sum(col("n")).as("n"), sum(col("ev")).as("events"),
+        sum(col("ns")).as("wsum"), sum(dirTerm).as("dirs"),
+        sum(expTerm).as("expected"))
+    byG.select(col("g").as("cohort"), col("n"), col("events"),
+      round(dbl(col("events")) / dbl(col("n")), 6).as("crude_rate"),
+      round(dbl(col("dirs")) / dbl(col("wsum")), 6).as("std_rate"),
+      when(dbl(col("expected")) > 0.0,
+        round(dbl(col("events")) / dbl(col("expected")), 6)).as("smr"))
+  }
+
   /** FISHER'S EXACT TEST on a 2×2 — the small-sample verdict q283's
     * normal approximation can't give: the exact conditional
     * hypergeometric p, two-sided by the standard
@@ -3213,13 +3259,22 @@ object Drift {
   def bowker(
       df: DataFrame,
       beforeCol: Column,
-      afterCol: Column): DataFrame = {
+      afterCol: Column): DataFrame =
+    bowkerFromCensus(df.select(beforeCol.cast("string").as("b"),
+        afterCol.cast("string").as("a"))
+      .groupBy(col("b"), col("a")).agg(count(lit(1)).as("n")))
+
+  /** [[bowker]] from a (b, a, n) census — pair counts ADD across
+    * batches (every flow term is a census functional), so a streaming
+    * store whose batches each own WHOLE subjects drains to the
+    * one-pass answer and shares the batch oracle verbatim.
+    */
+  def bowkerFromCensus(censusDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def dbl(c: Column): Column = c.cast("double")
     val d289 = DecimalType(28, 9)
-    val census = df.select(beforeCol.cast("string").as("b"),
-        afterCol.cast("string").as("a"))
-      .groupBy(col("b"), col("a")).agg(count(lit(1)).as("n"))
+    val census = censusDf.groupBy(col("b"), col("a"))
+      .agg(sum(col("n")).as("n"))
       .localCheckpoint(true) // totals + the pair fold read it
     val tot = census.agg(sum(col("n")).as("nn"))
     val cats = census.select(col("b").as("cat"))

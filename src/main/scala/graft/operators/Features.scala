@@ -125,6 +125,56 @@ object Features {
         .as("auc"))
   }
 
+  /** CLASSIFIER SUITE beyond P/R/F1 — the prevalence-robust readouts
+    * [[binaryMetrics]] omits, from the SAME four confusion integers:
+    * MCC (the correlation coefficient of the confusion matrix — the
+    * one scalar that stays honest under class imbalance, where
+    * accuracy and even F1 flatter a majority-class guesser), Youden's
+    * J and balanced accuracy (threshold quality independent of
+    * prevalence), specificity and NPV (the negative-side column F1
+    * ignores entirely), and F2 (recall-weighted, for screens where a
+    * miss costs more than a false alarm). One conditional census;
+    * every metric is O(1) double arithmetic; one-sided degenerates
+    * NULL their metric instead of dividing by zero.
+    */
+  def classifierSuite(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: Column,
+      threshold: Double): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val s = col(scoreCol).cast("double")
+    val agg = df.agg(
+      sum(when(labelCol && s >= threshold, 1L).otherwise(0L)).as("tp"),
+      sum(when(!labelCol && s >= threshold, 1L).otherwise(0L)).as("fp"),
+      sum(when(labelCol && s < threshold, 1L).otherwise(0L)).as("fn"),
+      sum(when(!labelCol && s < threshold, 1L).otherwise(0L)).as("tn"))
+    val n = dbl(col("tp") + col("fp") + col("fn") + col("tn"))
+    val sens = dbl(col("tp")) / dbl(col("tp") + col("fn"))
+    val spec = dbl(col("tn")) / dbl(col("tn") + col("fp"))
+    val prec = dbl(col("tp")) / dbl(col("tp") + col("fp"))
+    val npv = dbl(col("tn")) / dbl(col("tn") + col("fn"))
+    val posOk = col("tp") + col("fn") > 0L
+    val negOk = col("tn") + col("fp") > 0L
+    val mccDen = dbl(col("tp") + col("fp")) * dbl(col("tp") + col("fn")) *
+      dbl(col("tn") + col("fp")) * dbl(col("tn") + col("fn"))
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round((dbl(col("tp")) + dbl(col("tn"))) / n, 6).as("accuracy"),
+      round(dbl(col("tp") + col("fn")) / n, 6).as("prevalence"),
+      when(mccDen > 0.0,
+        round((dbl(col("tp")) * dbl(col("tn")) -
+          dbl(col("fp")) * dbl(col("fn"))) / sqrt(mccDen), 6)).as("mcc"),
+      when(posOk && negOk, round(sens + spec - 1.0, 6)).as("youden_j"),
+      when(posOk && negOk, round((sens + spec) / 2.0, 6))
+        .as("balanced_acc"),
+      when(negOk, round(spec, 6)).as("specificity"),
+      when(col("tn") + col("fn") > 0L, round(npv, 6)).as("npv"),
+      when(col("tp") + col("fp") > 0L && posOk &&
+          lit(4.0) * prec + sens > 0.0,
+        round(lit(5.0) * prec * sens / (lit(4.0) * prec + sens), 6))
+        .as("f2"))
+  }
+
   /** WEIGHT OF EVIDENCE / INFORMATION VALUE over fixed-width bins — the
     * credit-scoring feature audit: per bin of a numeric column,
     * woe = ln(goodShare/badShare) with +0.5 Laplace smoothing, and

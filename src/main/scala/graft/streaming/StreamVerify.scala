@@ -2588,6 +2588,53 @@ object StreamVerify {
           col("c").cast("long").as("c")), groupCol)
   }
 
+  /** STREAMING PAIRED-FLOW maintenance — q580's Bowker symmetry test
+    * as an ingestion side effect. The staging contract is
+    * ENTITY-PARTITIONED batches: each user's whole event history lands
+    * in ONE batch (first/last within a user is NOT mergeable across
+    * batches — split a user and the pair census lies; partitioned, the
+    * per-batch paired censuses simply ADD). Each batch folds its own
+    * users to (first, last) pairs and commits the (b, a) census
+    * exactly-once; the drained test goes through
+    * [[graft.operators.Drift.bowkerFromCensus]] — bit-identical to the
+    * one-pass batch answer, oracle shared verbatim. State is O(k²)
+    * census rows per batch.
+    */
+  def bowkerMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/bw"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val fl = batch.groupBy(col("user_id"))
+          .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("f"),
+            max(struct(col("ts"), col("event_id"), col("event_type")))
+              .as("l"))
+          .select(col("f.event_type").as("b"), col("l.event_type").as("a"))
+        graft.sources.TxLake.commit(spark, lake,
+          fl.groupBy(col("b"), col("a")).agg(count(lit(1)).as("n"))
+            .coalesce(1),
+          tag = s"bw-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.bowkerFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("b").cast("string").as("b"),
+          col("a").cast("string").as("a"), col("n").cast("long").as("n")))
+  }
+
   def gkGammaMaintenance(
       spark: SparkSession,
       srcPath: String,

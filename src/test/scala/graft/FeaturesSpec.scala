@@ -220,4 +220,25 @@ class FeaturesSpec extends SparkSuite {
     assert(other.getBoolean(4))
     assert(!got.contains("green") && !got.contains("teal"))
   }
+
+  test("classifierSuite: balanced 8/2/2/8 confusion lands MCC 0.6") {
+    import spark.implicits._
+    val rows = Seq.fill(8)((1.0, true)) ++ Seq.fill(2)((1.0, false)) ++
+      Seq.fill(2)((0.0, true)) ++ Seq.fill(8)((0.0, false))
+    val df = rows.toDF("score", "lab")
+    val r = graft.operators.Features.classifierSuite(df, "score",
+      col("lab"), 0.5).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((8L, 2L, 2L, 8L)))
+    assert(r.getDouble(4) == 0.8 && r.getDouble(5) == 0.5)
+    assert(r.getDouble(6) == 0.6) // (64−4)/√10⁴
+    assert(r.getDouble(7) == 0.6 && r.getDouble(8) == 0.8)
+    assert(r.getDouble(9) == 0.8 && r.getDouble(10) == 0.8)
+    assert(r.getDouble(11) == 0.8)
+    // no positives at all: the positive-side metrics refuse
+    val neg = Seq.fill(4)((0.3, false)).toDF("score", "lab")
+    val n = graft.operators.Features.classifierSuite(neg, "score",
+      col("lab"), 0.5).head()
+    assert(n.isNullAt(7) && n.isNullAt(8) && n.isNullAt(11))
+  }
 }

@@ -1364,4 +1364,22 @@ class ProfilingSpec extends SparkSuite {
     assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 1.0)
   }
 
+  test("directStandardization: identical stratum rates standardize " +
+    "equal despite opposite mixes") {
+    import spark.implicits._
+    // A: 10@s0 (rate .1) + 90@s1 (rate .5); B: 90@s0 (.1) + 10@s1 (.5)
+    // crude .46 vs .14 — the Simpson gap; standardized both 0.3, SMR 1
+    def block(g: String, s: Long, n: Int, ev: Int) =
+      (1 to n).map(i => (g, s, if (i <= ev) 1L else 0L))
+    val df = (block("A", 0L, 10, 1) ++ block("A", 1L, 90, 45) ++
+      block("B", 0L, 90, 9) ++ block("B", 1L, 10, 5)).toDF("g", "s", "e")
+    val got = graft.operators.Drift.directStandardization(df,
+      col("g"), col("s"), col("e"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A"); val b = got("B")
+    assert(a.getDouble(3) == 0.46 && b.getDouble(3) == 0.14)
+    assert(a.getDouble(4) == 0.3 && b.getDouble(4) == 0.3)
+    assert(a.getDouble(5) == 1.0 && b.getDouble(5) == 1.0)
+  }
+
 }

@@ -103,6 +103,42 @@ class StreamStoreSpec extends SparkSuite {
     assert(commits.forall(_._2.startsWith("hn-")))
   }
 
+  test("bowker store: entity-partitioned batches; drain equals batch") {
+    // users split by parity — each user's whole history in one batch,
+    // so the per-batch paired censuses add to the one-pass answer
+    val rows = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"),
+      (2L, 10L, 102L, "b"), (2L, 20L, 103L, "a"),
+      (3L, 10L, 104L, "a"), (3L, 20L, 105L, "a"),
+      (4L, 10L, 106L, "a"), (4L, 20L, 107L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val src = tmp("bw_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"bw_half$par")
+      rows.filter(col("user_id") % 2 === par)
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("bw_store") + "/s"
+    val drained = StreamVerify.bowkerMaintenance(spark, src, scratch)
+      .head()
+    val fl = rows.groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("f"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("l"))
+      .select(col("f.event_type").as("b"), col("l.event_type").as("a"))
+    val batch = graft.operators.Drift.bowker(fl, col("b"), col("a")).head()
+    assert(drained.toSeq == batch.toSeq)
+    val commits = TxLake.commitAddCounts(s"$scratch/bw")
+    assert(commits.size == 2 && commits.forall(_._3 <= 4L),
+      s"paired census commits stay k²-bounded: $commits")
+    assert(commits.forall(_._2.startsWith("bw-")))
+  }
+
   test("components store commits per-batch DELTAS, never the standing state") {
     // 20 disjoint pairs + one bridge: whatever the deterministic hash
     // split assigns to each micro-batch, every node inserts exactly once
