@@ -261,4 +261,60 @@ object Multimodal {
     }
     MediaMeta(r.doc_id, n, 64L + n % 512, 64L + first % 512, 3, format)
   }
+
+  /** BLOB NEAR-DUP PAIRS via content-defined BYTE chunks — the binary
+    * column's answer to "these two assets are mostly the same file":
+    * re-encoded, header-patched or appended-to blobs share most of
+    * their CDC chunks even though whole-payload hashes (q237's pHash
+    * is perceptual, q21's md5 is exact) see different objects. The
+    * payload hexifies (2 chars/byte, engine-portable) and runs the
+    * q179 rolling-hash cut machinery (codegen `XsWindowCuts`); each
+    * blob collapses to its DISTINCT chunk-hash set; pairs form ONLY
+    * inside a shared chunk hash (bucketed, never all-pairs), with a
+    * document-frequency cap dropping boilerplate chunks (a chunk in >
+    * `maxDf` blobs is shared STRUCTURE, not shared identity — the
+    * stop-chunk filter, same reasoning as stopword removal). Emits
+    * pairs with `minShared`+ shared chunks and containment
+    * (shared / smaller set) ≥ `minContainment`.
+    */
+  def blobChunkPairs(
+      docs: DataFrame,
+      minShared: Int = 2,
+      minContainment: Double = 0.5,
+      maxDf: Int = 50): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    val hexed = attachPayload(docs)
+      .select(col("doc_id"), hex(col("payload")).as("bh"))
+    val ch = Dedup.contentChunks(hexed, "doc_id", "bh",
+        w = 16, modulus = 64)
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+    val dfreq = ch.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("nd"))
+    val kept = ch.join(dfreq, Seq("chunk_hash"))
+      .filter(col("nd") <= maxDf)
+      .select(col("doc_id"), col("chunk_hash"))
+      .localCheckpoint(true) // sizes + the pair join read it
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+    val pairs = kept
+      .join(kept.select(col("doc_id").as("id_b"), col("chunk_hash")),
+        Seq("chunk_hash"))
+      .filter(col("doc_id") < col("id_b"))
+      .groupBy(col("doc_id").as("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    val cont = dbl(col("shared_chunks")) /
+      dbl(least(col("n_a"), col("n_b")))
+    // sizes is blob-count-sized (data, not parameters) — shuffle joins,
+    // never a broadcast
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("nc").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("nc").as("n_b")),
+        Seq("id_b"))
+      .filter(col("shared_chunks") >= minShared &&
+        cont >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared_chunks"),
+        col("n_a"), col("n_b"), round(cont, 6).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

@@ -1158,6 +1158,60 @@ object TextPipeline {
     * recognize. Per-row scalar arithmetic, no shuffle — corpus-scan
     * cost at any scale.
     */
+  /** FUNCTION-WORD STYLOMETRY between groups — authorship's classic
+    * signal: content words track TOPIC, function words track HABIT, so
+    * two sources writing about different things in the same house
+    * style still read near-identical here (and a style change inside
+    * one source is a provenance flag). Per group, the exact count
+    * vector over a fixed 10-marker function-word list (replace-
+    * shrinkage counting — no tokenize, no explode), then pairwise
+    * cosine on the raw count vectors (scale-invariant, so corpus-size
+    * imbalance between sources doesn't move it). The census is
+    * (groups × 10) rows; the pair sweep runs on that grid, never on
+    * text. All-integer until the final cosine division.
+    */
+  val StyleMarkers: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  def stylometryCosine(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val counts = StyleMarkers.zipWithIndex.map { case (m, i) =>
+      sum(TextFunctions.markerCount(col(textCol), s" $m ").cast("long"))
+        .as(s"m$i")
+    }
+    val perG = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(counts.head, counts.tail: _*)
+    val melted = StyleMarkers.indices.map { i =>
+      perG.select(col("g"), lit(i.toLong).as("marker"),
+        col(s"m$i").as("cnt"))
+    }.reduce(_.unionByName(_)).localCheckpoint(true) // grid: norms + pairs
+    val norms = melted.groupBy(col("g"))
+      .agg(sum(col("cnt").cast(d38) * col("cnt").cast(d38)).as("nrm2"),
+        sum(col("cnt")).as("total"))
+    val b = melted.select(col("g").as("g_b"), col("marker"),
+      col("cnt").as("cnt_b"))
+    val dots = melted.join(b, Seq("marker"))
+      .filter(col("g") < col("g_b"))
+      .groupBy(col("g").as("g_a"), col("g_b"))
+      .agg(sum(col("cnt").cast(d38) * col("cnt_b").cast(d38)).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("g").as("g_a"),
+        col("nrm2").as("n2a"), col("total").as("tot_a"))), Seq("g_a"))
+      .join(broadcast(norms.select(col("g").as("g_b"),
+        col("nrm2").as("n2b"), col("total").as("tot_b"))), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("tot_a"), col("tot_b"),
+        when(dbl(col("n2a")) > 0.0 && dbl(col("n2b")) > 0.0,
+          round(dbl(col("dot")) /
+            (sqrt(dbl(col("n2a"))) * sqrt(dbl(col("n2b")))), 6))
+          .as("style_cosine"))
+      .orderBy(col("g_a"), col("g_b"))
+  }
+
   def readability(
       df: DataFrame,
       idCol: String,

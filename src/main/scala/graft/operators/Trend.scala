@@ -2101,6 +2101,66 @@ object Trend {
           (col("sse_lo") / (dbl(col("n_lo")) - 2.0)), 6)).as("f_ratio"))
   }
 
+  /** PARTIAL AUTOCORRELATION to lag 3 per key, via the Durbin–Levinson
+    * recursion unrolled — the AR-ORDER meter raw ACF can't give: an
+    * AR(1) series shows geometric ACF at every lag (q255 reads "memory
+    * everywhere"), but its PACF cuts off dead after lag 1; where the
+    * PACF dies is the order the trend model needs. Classic
+    * common-mean ACF first (r_k over the observed bucket sequence,
+    * exact-integer lag sums with the mean correction Σxy − x̄(Σ_head +
+    * Σ_tail) + (n−k)x̄²), each r_k pinned at 1e-9, then the DL ladder
+    * φ11 = r1, φ22 = (r2−r1²)/(1−r1²), φ33 via the order-2
+    * coefficients — O(1) doubles per key, both engines walk the same
+    * ladder. Zero-variance keys and saturated denominators read NULL;
+    * keys need ≥ 4 observed buckets.
+    */
+  def pacf3PerKey(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("w1", lead(col("v"), 1).over(ord))
+      .withColumn("w2", lead(col("v"), 2).over(ord))
+      .withColumn("w3", lead(col("v"), 3).over(ord))
+    def lagSums(k: Int) = Seq(
+      sum(when(col(s"w$k").isNotNull, col("v") * col(s"w$k"))
+        .otherwise(0L)).as(s"svw$k"),
+      sum(when(col(s"w$k").isNotNull, col("v")).otherwise(0L))
+        .as(s"sh$k"),
+      sum(coalesce(col(s"w$k"), lit(0L))).as(s"st$k"),
+      sum(when(col(s"w$k").isNotNull, 1L).otherwise(0L)).as(s"nk$k"))
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("v") * col("v")).as("svv")) ++
+      lagSums(1) ++ lagSums(2) ++ lagSums(3)
+    val cen = base.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n") >= 4)
+    val xbar = dbl(col("sv")) / dbl(col("n"))
+    val den = dbl(col("svv")) - dbl(col("sv")) * dbl(col("sv")) /
+      dbl(col("n"))
+    def r(k: Int): Column = round(
+      (dbl(col(s"svw$k")) - xbar * (dbl(col(s"sh$k")) + dbl(col(s"st$k"))) +
+        dbl(col(s"nk$k")) * xbar * xbar) / den, 9)
+    val staged = cen.filter(den > 0.0)
+      .select(col(keyCol), col("n"),
+        r(1).as("r1"), r(2).as("r2"), r(3).as("r3"))
+    val p22den = lit(1.0) - col("r1") * col("r1")
+    val p22 = (col("r2") - col("r1") * col("r1")) / p22den
+    val p21 = col("r1") - p22 * col("r1")
+    val p33den = lit(1.0) - p21 * col("r1") - p22 * col("r2")
+    staged.select(col(keyCol), col("n"),
+      col("r1"), col("r2"), col("r3"),
+      round(col("r1"), 6).as("pacf1"),
+      when(p22den =!= 0.0, round(p22, 6)).as("pacf2"),
+      when(p22den =!= 0.0 && p33den =!= 0.0,
+        round((col("r3") - p21 * col("r2") - p22 * col("r1")) / p33den, 6))
+        .as("pacf3"))
+  }
+
   /** CHOW STRUCTURAL-BREAK TEST at the median of each key's regressor
     * — is ONE line enough, or do the halves genuinely need different
     * lines: F = ((SSE_pooled − SSE₁ − SSE₂)/2) / ((SSE₁+SSE₂)/(n−4)).

@@ -76,4 +76,25 @@ class MultimodalSpec extends SparkSuite {
       org.apache.spark.sql.types.BinaryType)
     assert(payload.head().getAs[Array[Byte]]("payload").sameElements("x".getBytes))
   }
+
+  test("blobChunkPairs: identical payloads pair at containment 1, " +
+    "unrelated blobs never pair") {
+    import spark.implicits._
+    val body = (1 to 12).map(i =>
+      s"paragraph $i with enough repeated filler bytes to cut chunks")
+      .mkString(" ")
+    val other = (1 to 12).map(i =>
+      s"completely different content block $i nothing shared here at all")
+      .mkString(" ")
+    val docs = Seq((1L, body), (2L, body), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Multimodal.blobChunkPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.contains((1L, 2L)), "identical blobs must pair")
+    val p = got((1L, 2L))
+    assert(p.getLong(2) == p.getLong(3) && p.getLong(3) == p.getLong(4))
+    assert(p.getDouble(5) == 1.0)
+    assert(!got.keySet.exists(k => k._1 == 3L || k._2 == 3L),
+      "an unrelated blob shares no chunks")
+  }
 }

@@ -402,4 +402,17 @@ class TextPipelineSpec extends SparkSuite {
     assert(b.getDouble(4) == math.rint((206.835 - 1.015 * 2.0) * 1e6) / 1e6)
   }
 
+  test("stylometryCosine: same habit reads 1 at any volume, disjoint 0") {
+    import spark.implicits._
+    // g1 and g2 use only 'the' (different volumes); g3 only 'for'
+    val df = Seq(("g1", "the cow the dog the"), ("g2", "the end the"),
+      ("g3", "for x for y for z")).toDF("source", "text")
+    val got = graft.operators.TextPipeline.stylometryCosine(df,
+      "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got(("g1", "g2")).getDouble(4) == 1.0)
+    assert(got(("g1", "g3")).getDouble(4) == 0.0)
+    assert(got(("g2", "g3")).getDouble(4) == 0.0)
+  }
+
 }

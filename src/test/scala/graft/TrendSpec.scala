@@ -719,4 +719,26 @@ class TrendSpec extends SparkSuite {
     assert(got("c").isNullAt(8), "zero split-SSE must NULL F")
   }
 
+  test("pacf3PerKey: the DL ladder lands hand ACFs; degenerates drop") {
+    import spark.implicits._
+    // v = 1..8: r1 = 26.25/42, r2 = 11.5/42, r3 = −1.25/42 by hand
+    val lin = (1L to 8L).map(x => ("k", x, x))
+    val const = (1L to 8L).map(x => ("c", x, 5L)) // zero variance
+    val short = (1L to 3L).map(x => ("s", x, x)) // under 4 buckets
+    val got = graft.operators.Trend.pacf3PerKey(
+      (lin ++ const ++ short).toDF("k", "x", "v"), "k", "x", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("k"))
+    val r = got("k")
+    val (r1, r2, r3) = (0.625, 0.273809524, -0.029761905)
+    assert(r.getDouble(2) == r1 && r.getDouble(3) == r2 &&
+      r.getDouble(4) == r3)
+    assert(r.getDouble(5) == 0.625)
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(r.getDouble(6) == math.rint(p22 * 1e6) / 1e6)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    assert(r.getDouble(7) == math.rint(p33 * 1e6) / 1e6)
+  }
+
 }
