@@ -2101,6 +2101,107 @@ object Trend {
           (col("sse_lo") / (dbl(col("n_lo")) - 2.0)), 6)).as("f_ratio"))
   }
 
+  /** GUMBEL BLOCK-MAXIMA FIT per key — the capacity-planning question
+    * the mean-and-variance shelf can't answer: "what hourly peak should
+    * we expect once a month / once a year". Block maxima (per
+    * `blockSize` buckets) are the classical extreme-value reduction;
+    * the Gumbel method-of-moments fit (β = s·√6/π, μ = m − γβ) turns
+    * their two exact moments into return levels x_T = μ −
+    * β·ln(−ln(1−1/T)) — the extreme-VALUE complement to q383's Hill
+    * tail INDEX (heaviness vs expected magnitude). One (key, block)
+    * max census + one moment pass, all exact integers until the O(1)
+    * fit; keys need ≥ `minBlocks` blocks and nonzero spread, else
+    * NULL.
+    */
+  def gumbelMaxima(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      blockSize: Int = 24,
+      minBlocks: Int = 3): DataFrame = {
+    require(blockSize >= 1)
+    def dbl(c: Column): Column = c.cast("double")
+    val blocks = df.select(col(keyCol),
+        (col(bucketCol).cast("long") / blockSize).cast("long").as("blk"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col(keyCol), col("blk")).agg(max(col("v")).as("m"))
+    val cen = blocks.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_blocks"), max(col("m")).as("max_obs"),
+        sum(col("m")).as("sm"), sum(col("m") * col("m")).as("smm"))
+      .filter(col("n_blocks") >= minBlocks)
+    val mean = dbl(col("sm")) / dbl(col("n_blocks"))
+    val variance = (dbl(col("smm")) - dbl(col("sm")) * dbl(col("sm")) /
+      dbl(col("n_blocks"))) / (dbl(col("n_blocks")) - 1.0)
+    val beta = sqrt(variance) * lit(math.sqrt(6.0) / math.Pi)
+    val mu = mean - lit(0.5772156649) * beta
+    def rl(t: Double): Column =
+      mu - beta * math.log(-math.log(1.0 - 1.0 / t))
+    cen.filter(variance > 0.0)
+      .select(col(keyCol), col("n_blocks"), col("max_obs"),
+        round(mu, 6).as("mu"), round(beta, 6).as("beta"),
+        round(rl(10.0), 6).as("rl10"), round(rl(100.0), 6).as("rl100"))
+  }
+
+  /** ACTUARIAL LIFE TABLE — grouped-interval survival, the estimator
+    * demography and insurance actually publish: lifetimes bucket into
+    * fixed-width intervals, withdrawals (censored) count HALF an
+    * exposure in their interval (the actuarial n' = n − c/2
+    * convention), q = d/n' is the conditional death probability and
+    * the survival column chains the (1−q) factors. The
+    * grouped-interval sibling of q321's exact-time KM: where KM steps
+    * at every distinct duration (right at corpus granularity), the
+    * life table reads at reporting granularity — the retention table a
+    * finance team actually consumes. Duration-domain census →
+    * interval census → the [[kaplanMeier]] fold discipline (factors
+    * collected once, sorted, list-fold replayed). An all-withdrawn
+    * interval (n' = 0) carries q = 0 rather than 0/0.
+    */
+  def lifeTable(
+      df: DataFrame,
+      userCol: String,
+      secCol: String,
+      censorCutoffSec: Long,
+      bucketSec: Long = 3600L,
+      intervalBuckets: Long = 24L): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val lives = df
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(secCol)).as("first"), max(col(secCol)).as("last"))
+      .select(((col("last") - col("first")) / bucketSec).cast("long")
+        .as("t"),
+        when(col("last") > censorCutoffSec, 0L).otherwise(1L).as("death"))
+    val byI = lives
+      .select((col("t") / intervalBuckets).cast("long").as("iv"),
+        col("death"))
+      .groupBy(col("iv"))
+      .agg(sum(col("death")).as("d"),
+        sum(lit(1L) - col("death")).as("c"), count(lit(1)).as("n_t"))
+    val later = Window.orderBy(col("iv"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risked = byI
+      .withColumn("n_enter", sum(col("n_t")).over(later))
+      .withColumn("n_eff",
+        dbl(col("n_enter")) - dbl(col("c")) / 2.0)
+      .withColumn("q",
+        when(col("n_eff") > 0.0, dbl(col("d")) / col("n_eff"))
+          .otherwise(lit(0.0)))
+      .withColumn("factor", lit(1.0) - col("q"))
+    val packed = risked.agg(
+      sort_array(collect_list(struct(col("iv"), col("d"), col("c"),
+        col("n_enter"), col("n_eff"), col("q"), col("factor"))))
+        .as("rows"))
+    packed
+      .select(col("rows"), posexplode(col("rows")).as(Seq("i", "r")))
+      .select(col("r.iv").as("interval"), col("r.n_enter").as("n_enter"),
+        col("r.d").as("n_death"), col("r.c").as("n_censored"),
+        round(col("r.n_eff"), 6).as("n_eff"),
+        round(col("r.q"), 6).as("q_prob"),
+        round(aggregate(
+          expr("slice(transform(rows, x -> x.factor), 1, i + 1)"),
+          lit(1.0), (acc, f) => acc * f), 6).as("survival"))
+  }
+
   /** PARTIAL AUTOCORRELATION to lag 3 per key, via the Durbin–Levinson
     * recursion unrolled — the AR-ORDER meter raw ACF can't give: an
     * AR(1) series shows geometric ACF at every lag (q255 reads "memory

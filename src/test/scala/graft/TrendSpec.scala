@@ -741,4 +741,46 @@ class TrendSpec extends SparkSuite {
     assert(r.getDouble(7) == math.rint(p33 * 1e6) / 1e6)
   }
 
+  test("gumbelMaxima: daily maxima land the MoM fit; flat keys drop") {
+    import spark.implicits._
+    // one row per block: maxima 10,12,14,16 → mean 13, var 20/3
+    val k = Seq(0L -> 10L, 24L -> 12L, 48L -> 14L, 72L -> 16L)
+      .map { case (b, v) => ("k", b, v) }
+    val flat = Seq(0L -> 5L, 24L -> 5L, 48L -> 5L)
+      .map { case (b, v) => ("f", b, v) }
+    val got = graft.operators.Trend.gumbelMaxima(
+      (k ++ flat).toDF("k", "b", "v"), "k", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("k"), "zero-spread maxima must drop")
+    val r = got("k")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 16L)
+    val beta = math.sqrt(20.0 / 3.0) * (math.sqrt(6.0) / math.Pi)
+    val mu = 13.0 - 0.5772156649 * beta
+    assert(r.getDouble(3) == math.rint(mu * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(beta * 1e6) / 1e6)
+    val rl10 = mu - beta * math.log(-math.log(0.9))
+    assert(r.getDouble(5) == math.rint(rl10 * 1e6) / 1e6)
+    assert(r.getDouble(5) > r.getDouble(3), "return level above location")
+  }
+
+  test("lifeTable: the c/2 withdrawal convention and the chained S") {
+    import spark.implicits._
+    // iv0: 2 deaths + 1 censored of 4 → n' = 3.5, q = 4/7; iv1: 1 death
+    val rows = Seq((1L, 0L), (1L, 36000L), (4L, 0L), (4L, 7200L),
+      (3L, 1000000L), (3L, 1018000L), (2L, 0L), (2L, 108000L))
+      .toDF("u", "sec")
+    val got = graft.operators.Trend.lifeTable(rows, "u", "sec",
+      censorCutoffSec = 1000000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val i0 = got(0L)
+    assert(i0.getLong(1) == 4L && i0.getLong(2) == 2L &&
+      i0.getLong(3) == 1L)
+    assert(i0.getDouble(4) == 3.5)
+    assert(i0.getDouble(5) == math.rint(2.0 / 3.5 * 1e6) / 1e6)
+    assert(i0.getDouble(6) == math.rint((1.0 - 2.0 / 3.5) * 1e6) / 1e6)
+    val i1 = got(1L)
+    assert(i1.getLong(1) == 1L && i1.getDouble(5) == 1.0 &&
+      i1.getDouble(6) == 0.0)
+  }
+
 }
