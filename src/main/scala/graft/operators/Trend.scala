@@ -826,6 +826,113 @@ object Trend {
           .as("chi2"))
   }
 
+  /** COX PROPORTIONAL HAZARDS for one BINARY covariate — the hazard
+    * RATIO with its CI machinery, the number [[logRank]]'s χ² verdict
+    * doesn't give ("arm A churns 1.4× as fast", not just "the curves
+    * differ"). Breslow-ties partial likelihood; with a binary
+    * covariate the score collapses to duration-census sums, U(θ) =
+    * Σ_t [d₁ − d·n₁θ/(n₀+n₁θ)] with θ = e^β, STRICTLY decreasing in
+    * θ — so the MLE is a 1-D root found by GEOMETRIC BISECTION on θ
+    * (midpoint √(lo·hi): sqrt is correctly rounded IEEE, so both
+    * engines walk bit-identical midpoints — the reason θ is bisected
+    * instead of β, whose exp() is not cross-engine exact). Every score
+    * term lands once on the 1e-9 grid and sums exactly, so every sign
+    * decision is deterministic; 60 halvings of a [1e-4, 1e4] bracket
+    * land far inside the 1e-6 output grid. SE from the observed
+    * information Σ d·n₀n₁θ/(n₀+n₁θ)². The duration census collapses
+    * before a documented BOUNDED collect (duration-domain rows — the
+    * k-means-centroid posture); everything before it is distributed.
+    * A bracket with no sign change (one arm never dies) reads NULL.
+    */
+  def coxBinary(
+      df: DataFrame,
+      userCol: String,
+      secCol: String,
+      censorCutoffSec: Long,
+      armACol: Column,
+      bucketSec: Long = 3600L,
+      iters: Int = 60): DataFrame =
+    coxBinaryFromLives(df
+      .groupBy(col(userCol).as("u"))
+      .agg(min(col(secCol)).as("first"), max(col(secCol)).as("last"),
+        max(armACol).as("isa"))
+      .select(((col("last") - col("first")) / bucketSec).cast("long")
+        .as("t"),
+        when(col("last") > censorCutoffSec, 0L).otherwise(1L).as("death"),
+        col("isa")), iters)
+
+  /** [[coxBinary]] from a prepared (t, death, isa) lives frame — the
+    * entry point when the event is something other than
+    * activity-cutoff churn (time-to-first-purchase, time-to-error…).
+    */
+  def coxBinaryFromLives(livesDf: DataFrame, iters: Int = 60): DataFrame = {
+    val spark = livesDf.sparkSession
+    val lives = livesDf.select(col("t").cast("long").as("t"),
+        col("death").cast("long").as("death"), col("isa"))
+      .localCheckpoint(true) // census + user totals share the reduce
+    val byT = lives.groupBy(col("t"))
+      .agg(sum(when(col("isa"), col("death")).otherwise(0L)).as("d1"),
+        sum(col("death")).as("d"),
+        sum(when(col("isa"), 1L).otherwise(0L)).as("nt1"),
+        count(lit(1)).as("nt"))
+    val later = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cenDf = byT
+      .withColumn("n1", sum(col("nt1")).over(later))
+      .withColumn("nr", sum(col("nt")).over(later))
+      .filter(col("d") > 0L)
+      .select(col("d1"), col("d"), (col("nr") - col("n1")).as("n0"),
+        col("n1"))
+    // duration-domain rows only — the documented bounded collect
+    val cen = cenDf.collect().map(r =>
+      (r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble))
+    // Spark's double round semantics exactly (BigDecimal.valueOf +
+    // HALF_UP) so the driver-side sums share the engine's grid
+    def rnd9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    def score(th: Double): java.math.BigDecimal =
+      cen.foldLeft(java.math.BigDecimal.ZERO) { case (acc, (d1, d, n0, n1)) =>
+        acc.add(rnd9(d1 - d * n1 * th / (n0 + n1 * th)))
+      }
+    def info(th: Double): java.math.BigDecimal =
+      cen.foldLeft(java.math.BigDecimal.ZERO) { case (acc, (_, d, n0, n1)) =>
+        acc.add(rnd9(d * n0 * n1 * th /
+          ((n0 + n1 * th) * (n0 + n1 * th))))
+      }
+    val (lo0, hi0) = (1e-4, 1e4)
+    val ok = cen.nonEmpty && score(lo0).signum > 0 && score(hi0).signum <= 0
+    var lo = lo0; var hi = hi0
+    if (ok) (1 to iters).foreach { _ =>
+      val m = math.sqrt(lo * hi)
+      if (score(m).signum > 0) lo = m else hi = m
+    }
+    val th = math.sqrt(lo * hi)
+    val ii = if (ok) info(th).doubleValue else 0.0
+    val users = lives.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("isa"), 0L).otherwise(1L)).as("n_b"),
+      sum(when(col("isa"), col("death")).otherwise(0L)).as("d_a"),
+      sum(col("death")).as("d_total")).head()
+    def r6(x: Double): java.lang.Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val (hr, beta, se, z) =
+      if (ok && ii > 0.0)
+        (r6(th), r6(math.log(th)), r6(1.0 / math.sqrt(ii)),
+          r6(math.log(th) * math.sqrt(ii)))
+      else (null: java.lang.Double, null: java.lang.Double,
+        null: java.lang.Double, null: java.lang.Double)
+    import spark.implicits._
+    Seq((users.getLong(0), users.getLong(1), users.getLong(2),
+      users.getLong(3)))
+      .toDF("n_a", "n_b", "d_a", "d_total")
+      .select(col("*"), lit(hr).cast("double").as("hr"),
+        lit(beta).cast("double").as("beta"),
+        lit(se).cast("double").as("se"), lit(z).cast("double").as("z"))
+  }
+
   /** NELSON–AALEN cumulative hazard — the estimator that ADDS where
     * [[kaplanMeier]] multiplies: H(t) = Σ_{u ≤ t} d_u/n_risk(u), the
     * instantaneous-risk view (its slope is the hazard rate — "is churn

@@ -783,4 +783,36 @@ class TrendSpec extends SparkSuite {
       i1.getDouble(6) == 0.0)
   }
 
+  test("coxBinary: the bisected MLE lands the hand score's root; " +
+    "no-overlap brackets NULL") {
+    import spark.implicits._
+    // arm1 dies at t=1,2 (one censored survivor), arm0 at t=3,4:
+    // U(θ) = 1/(1+θ) + 3/(3+2θ) − θ/(3+θ) − θ/(2+θ)
+    val rows = Seq((1L, 0L), (1L, 3600L), (2L, 0L), (2L, 7200L),
+      (3L, 1000000L), (3L, 1018000L),
+      (11L, 0L), (11L, 10800L), (12L, 0L), (12L, 14400L),
+      (13L, 1000000L), (13L, 1018000L)).toDF("u", "sec")
+    val r = graft.operators.Trend.coxBinary(rows, "u", "sec",
+      censorCutoffSec = 1000000L, armACol = col("u") < 10L).head()
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert((r.getLong(2), r.getLong(3)) == ((2L, 4L)))
+    // independent plain-double bisection of the hand score
+    def u(th: Double) = 1.0 / (1 + th) + 3.0 / (3 + 2 * th) -
+      th / (3 + th) - th / (2 + th)
+    var (lo, hi) = (1e-4, 1e4)
+    (1 to 80).foreach { _ =>
+      val m = math.sqrt(lo * hi); if (u(m) > 0) lo = m else hi = m
+    }
+    assert(math.abs(r.getDouble(4) - math.sqrt(lo * hi)) < 1e-4)
+    assert(r.getDouble(4) > 1.0, "arm1 dies faster: HR above 1")
+    assert(r.getDouble(7) > 0.0, "z positive with the hazard excess")
+    // arm0's deaths all happen after arm1's risk set empties: the
+    // score never crosses zero and the fit refuses
+    val deg = Seq((1L, 0L), (1L, 3600L), (11L, 0L), (11L, 7200L))
+      .toDF("u", "sec")
+    val d = graft.operators.Trend.coxBinary(deg, "u", "sec",
+      censorCutoffSec = 1000000L, armACol = col("u") < 10L).head()
+    assert(d.isNullAt(4) && d.isNullAt(7))
+  }
+
 }
