@@ -3230,6 +3230,88 @@ object Drift {
       round(least(lit(1.0), dbl(col("s_two"))), 9).as("p_two"))
   }
 
+  /** p-CHART — the attribute control chart: per subgroup (day), the
+    * defective share against ±3σ BINOMIAL limits around the pooled
+    * center line, each subgroup's limits widening as its own n
+    * shrinks (the property q446's XmR chart — built for continuous
+    * individual values — cannot give a proportion: a 20%-error day
+    * means nothing at n=5 and everything at n=5000). The SPC shelf's
+    * rate member beside XmR; one (bucket, flag) census, pooled p̄ from
+    * exact integers, O(buckets) double arithmetic after, LCL clamped
+    * at 0. Degenerate subgroups (n = 0 never occur by construction;
+    * p̄ ∈ {0,1} collapses the limits to the center) stay well-defined.
+    */
+  def pChart(
+      df: DataFrame,
+      bucketCol: Column,
+      flagCol: Column): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.select(bucketCol.cast("long").as("b"),
+        flagCol.cast("long").as("x"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("x"))
+      .localCheckpoint(true) // center line + per-bucket limits read it
+    val tot = cen.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"))
+    val pbar = dbl(col("xx")) / dbl(col("nn"))
+    val sig = sqrt(pbar * (lit(1.0) - pbar) / dbl(col("n")))
+    val share = dbl(col("x")) / dbl(col("n"))
+    cen.crossJoin(broadcast(tot))
+      .select(col("b").as("bucket"), col("n"), col("x"),
+        round(share, 6).as("share"),
+        round(pbar, 6).as("center"),
+        round(greatest(lit(0.0), pbar - lit(3.0) * sig), 6).as("lcl"),
+        round(least(lit(1.0), pbar + lit(3.0) * sig), 6).as("ucl"),
+        (share > pbar + lit(3.0) * sig ||
+          share < pbar - lit(3.0) * sig).as("ooc"))
+      .orderBy(col("bucket"))
+  }
+
+  /** ONE-WAY EFFECT SIZES — the "how big" beside q408's ANOVA F
+    * verdict: η² (variance share explained, biased upward), ω² (the
+    * unbiased estimate — the honest number for small groups), ε²
+    * (between them), and Cohen's f (the power-analysis input). A
+    * significant F over a million rows can mean a trivial 0.1%
+    * η² — these are the numbers that say whether the grouping
+    * MATTERS. Exact cents-integer group moments (q408's census), all
+    * four ratios O(1) doubles over them; zero total variance NULLs
+    * every ratio.
+    */
+  def anovaEffects(
+      df: DataFrame,
+      groupCol: String,
+      centsCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val g = df.select(col(groupCol).cast("string").as("g"),
+        centsCol.cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("s"),
+        sum((col("v") * col("v")).cast(d38)).as("ss"))
+    val agg = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("s")).as("st"), sum(col("ss")).as("sst_raw"),
+      // Σ s_g²/n_g carried as per-group pinned doubles on the 1e-6
+      // grid (cents²/n — magnitudes far under 2^53 per group)
+      sum(round(dbl(col("s")) * dbl(col("s")) / dbl(col("n")), 6)
+        .cast(DecimalType(38, 6))).as("sbn"))
+    val sst = dbl(col("sst_raw")) - dbl(col("st")) * dbl(col("st")) /
+      dbl(col("nn"))
+    val ssb = dbl(col("sbn")) - dbl(col("st")) * dbl(col("st")) /
+      dbl(col("nn"))
+    val ssw = dbl(col("sst_raw")) - dbl(col("sbn"))
+    val msw = ssw / (dbl(col("nn")) - dbl(col("k")))
+    val eta2 = ssb / sst
+    agg.filter(col("nn") > col("k"))
+      .select(col("k").cast("long").as("k"), col("nn").cast("long").as("n"),
+        when(sst > 0.0, round(eta2, 6)).as("eta2"),
+        when(sst > 0.0, round((ssb - (dbl(col("k")) - 1.0) * msw) /
+          (sst + msw), 6)).as("omega2"),
+        when(sst > 0.0, round((ssb - (dbl(col("k")) - 1.0) * msw) /
+          sst, 6)).as("epsilon2"),
+        when(sst > 0.0 && eta2 < 1.0,
+          round(sqrt(eta2 / (lit(1.0) - eta2)), 6)).as("cohens_f"))
+  }
+
   /** STUART–MAXWELL marginal-homogeneity test on a PAIRED 3-category
     * square table — "did the population's category mix shift between
     * the two measurements", with each subject as its own control: the

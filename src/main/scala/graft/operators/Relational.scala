@@ -1305,6 +1305,61 @@ object Relational {
         sqrt(den), 6)).as("r_xy_given_z"))
   }
 
+  /** LASPEYRES / PAASCHE / FISHER PRICE INDICES between two periods —
+    * "how much did the basket's price level move, holding the mix
+    * fixed": Laspeyres weights by BASE-period quantities (what the old
+    * basket costs now), Paasche by CURRENT-period quantities, Fisher
+    * is their geometric mean (the superlative index that bounds the
+    * substitution bias both one-sided indices carry). Unit values
+    * (Σcents/Σqty per item-period) stand in for prices — the standard
+    * trade-data practice. Items must trade in BOTH periods (the
+    * matched-sample convention; unmatched items are counted and
+    * reported, not silently dropped). One (item, period) census; each
+    * item's cross terms land once on the 1e-9 grid before
+    * order-independent decimal sums; one O(1) ratio block at the end.
+    */
+  def priceIndices(
+      df: DataFrame,
+      itemCol: Column,
+      periodCol: Column,
+      centsCol: Column,
+      qtyCol: Column,
+      basePeriod: Long,
+      curPeriod: Long): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val cen = df.select(itemCol.cast("long").as("item"),
+        periodCol.cast("long").as("p"), centsCol.cast("long").as("cents"),
+        qtyCol.cast("long").as("q"))
+      .filter(col("p") === basePeriod || col("p") === curPeriod)
+      .groupBy(col("item"), col("p"))
+      .agg(sum(col("cents")).as("v"), sum(col("q")).as("q"))
+    val base = cen.filter(col("p") === basePeriod)
+      .select(col("item"), col("v").as("v0"), col("q").as("q0"))
+    val cur = cen.filter(col("p") === curPeriod)
+      .select(col("item"), col("v").as("v1"), col("q").as("q1"))
+    val matched = base.join(cur, Seq("item"))
+      .filter(col("q0") > 0L && col("q1") > 0L)
+    val p0 = dbl(col("v0")) / dbl(col("q0"))
+    val p1 = dbl(col("v1")) / dbl(col("q1"))
+    val agg = matched.agg(count(lit(1)).as("n_matched"),
+      sum(round(p1 * dbl(col("q0")), 9).cast(d289)).as("l_num"),
+      sum(round(p0 * dbl(col("q0")), 9).cast(d289)).as("l_den"),
+      sum(round(p1 * dbl(col("q1")), 9).cast(d289)).as("p_num"),
+      sum(round(p0 * dbl(col("q1")), 9).cast(d289)).as("p_den"))
+    val unmatched = base.join(cur, Seq("item"), "full")
+      .agg(sum(when(col("v0").isNull || col("v1").isNull, 1L)
+        .otherwise(0L)).as("n_unmatched"))
+    val lasp = dbl(col("l_num")) / dbl(col("l_den"))
+    val paas = dbl(col("p_num")) / dbl(col("p_den"))
+    agg.crossJoin(broadcast(unmatched))
+      .select(col("n_matched"), col("n_unmatched"),
+        when(dbl(col("l_den")) > 0.0, round(lasp, 6)).as("laspeyres"),
+        when(dbl(col("p_den")) > 0.0, round(paas, 6)).as("paasche"),
+        when(dbl(col("l_den")) > 0.0 && dbl(col("p_den")) > 0.0,
+          round(sqrt(lasp * paas), 6)).as("fisher"))
+  }
+
   /** GOODMAN–KRUSKAL GAMMA and both SOMERS' D's for two ORDINAL columns
     * — the tie-aware association readouts q424's tau-b folds into one
     * number: gamma ignores ties entirely ((C−D)/(C+D): "among pairs

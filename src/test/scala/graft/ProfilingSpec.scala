@@ -1364,6 +1364,37 @@ class ProfilingSpec extends SparkSuite {
     assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 1.0)
   }
 
+  test("pChart: the spike day breaches its binomial limit, quiet days " +
+    "don't; LCL clamps at 0") {
+    import spark.implicits._
+    def day(b: Long, n: Int, bad: Int) =
+      (1 to n).map(i => (b, if (i <= bad) 1L else 0L))
+    val df = (day(0L, 10, 1) ++ day(1L, 10, 1) ++ day(2L, 10, 9))
+      .toDF("b", "x")
+    val got = graft.operators.Drift.pChart(df, col("b"), col("x"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val pbar = 11.0 / 30.0
+    assert(got(0L).getDouble(4) == math.rint(pbar * 1e6) / 1e6)
+    assert(got(0L).getDouble(5) == 0.0, "negative LCL clamps to 0")
+    assert(!got(0L).getBoolean(7) && !got(1L).getBoolean(7))
+    assert(got(2L).getBoolean(7), "the 90% day must breach")
+    val sig = math.sqrt(pbar * (1 - pbar) / 10.0)
+    assert(got(2L).getDouble(6) == math.rint(
+      math.min(1.0, pbar + 3 * sig) * 1e6) / 1e6)
+  }
+
+  test("anovaEffects: separated groups land eta2 = 6/7 and f = sqrt(6)") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "v")
+    val r = graft.operators.Drift.anovaEffects(df, "g", col("v")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == math.rint(6.0 / 7.0 * 1e6) / 1e6)
+    assert(r.getDouble(3) == math.rint(23.0 / 29.0 * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(23.0 / 28.0 * 1e6) / 1e6)
+    assert(r.getDouble(5) == math.rint(math.sqrt(6.0) * 1e6) / 1e6)
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

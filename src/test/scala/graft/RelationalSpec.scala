@@ -524,6 +524,23 @@ class RelationalSpec extends SparkSuite {
       .head().isNullAt(4))
   }
 
+  test("priceIndices: base-weighted vs current-weighted baskets " +
+    "disagree exactly as the hand baskets say") {
+    import spark.implicits._
+    // item1: p 2→3 at q 10/10; item2: p 10→8 at q 10/5; item3 unmatched
+    // L = (30+80)/(20+100) = 11/12, P = (30+40)/(20+50) = 1
+    val df = Seq((1L, 0L, 20L, 10L), (1L, 1L, 30L, 10L),
+      (2L, 0L, 100L, 10L), (2L, 1L, 40L, 5L), (3L, 0L, 7L, 1L))
+      .toDF("item", "p", "cents", "q")
+    val r = graft.operators.Relational.priceIndices(df, col("item"),
+      col("p"), col("cents"), col("q"), basePeriod = 0L, curPeriod = 1L)
+      .head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == math.rint(11.0 / 12.0 * 1e6) / 1e6)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == math.rint(math.sqrt(11.0 / 12.0) * 1e6) / 1e6)
+  }
+
   test("gkGamma: hand census lands C/D/tie split, gamma and both D's") {
     import spark.implicits._
     // cells (1,1):1 (1,2):1 (2,1):1 (2,2):2 → of the 10 pairs:
