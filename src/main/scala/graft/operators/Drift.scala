@@ -3073,6 +3073,114 @@ object Drift {
           obar * (lit(1.0) - obar), 6).as("brier_decomp"))
   }
 
+  /** HOSMER–LEMESHOW calibration TEST — the χ² companion to q288's
+    * ECE magnitude and q570's decomposition: over score bins, HL =
+    * Σ (O_k − n_k·p̄_k)² / (n_k·p̄_k·(1−p̄_k)) with df = bins − 2 —
+    * the number you compare to a χ² table to say "this model's
+    * claimed probabilities are statistically inconsistent with its
+    * outcomes", which the descriptive meters can't. Bins whose mean
+    * score saturates (p̄ ∈ {0,1} — a zero chance-variance cell) carry
+    * no information and are EXCLUDED AND COUNTED, not silently
+    * absorbed. One K-bin census over the scored frame; each bin's
+    * term lands once on the 1e-9 grid.
+    */
+  def hosmerLemeshow(
+      df: DataFrame,
+      scoreCol: Column,
+      outcomeCol: Column,
+      nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val bins = df.select(scoreCol.as("p"), outcomeCol.cast("long").as("o"))
+      .withColumn("bin",
+        least(floor(col("p") * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("ok"),
+        sum(col("p")).as("psum"))
+    val pb = dbl(col("psum")) / dbl(col("nk"))
+    val ek = dbl(col("nk")) * pb
+    val usable = pb > 0.0 && pb < 1.0
+    val term = round((dbl(col("ok")) - ek) * (dbl(col("ok")) - ek) /
+      (ek * (lit(1.0) - pb)), 9).cast(d289)
+    bins.agg(sum(col("nk")).as("n"),
+      sum(when(usable, 1L).otherwise(0L)).as("n_bins"),
+      sum(when(!usable, 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(usable, term)).as("hl"))
+      .select(col("n"), col("n_bins"), col("n_dropped"),
+        when(col("n_bins") > 2L, col("n_bins") - 2L).as("df"),
+        when(col("n_bins") > 2L, round(dbl(col("hl")), 6)).as("hl_chi2"))
+  }
+
+  /** POISSON GOODNESS-OF-FIT on the user-day ACTIVITY MATRIX — "is
+    * per-user daily volume Poisson noise, or does the corpus hide
+    * burst/heavy-user structure": the full users×days grid (zeros
+    * INCLUDED — the observed-rows-only version silently fits a
+    * zero-truncated model and always looks overdispersed), λ from the
+    * exact grand mean, expected cell masses from the pmf recursion
+    * pmf(k) = pmf(k−1)·λ/k with every step pinned at 1e-12 (so both
+    * engines walk identical masses — no k! overflow, no lgamma), a
+    * closing TAIL cell absorbing the remaining mass, and χ² over the
+    * count-domain census. The distribution-SHAPE companion to q456's
+    * single-number variance-mean ratio. Cells run k = 0..`kMax` then
+    * tail; the count census is bounded by the count domain.
+    */
+  def poissonGof(
+      df: DataFrame,
+      userCol: Column,
+      dayCol: Column,
+      kMax: Int = 30): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val dd = df.select(userCol.as("u"), dayCol.cast("long").as("d"))
+    val perCell = dd.groupBy(col("u"), col("d")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true) // totals + the k-census read it
+    val users = dd.select(col("u")).distinct().count()
+    val days = dd.select(col("d")).distinct().count()
+    val grid = users * days
+    val tot = perCell.agg(sum(col("k")).as("ev"),
+      count(lit(1)).as("nonzero")).head()
+    val events = tot.getLong(0)
+    val lambda = events.toDouble / grid.toDouble
+    // the pinned pmf ladder, built once on the driver (kMax entries)
+    def rnd12(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue
+    val pmf = new Array[Double](kMax + 1)
+    pmf(0) = rnd12(math.exp(-lambda))
+    (1 to kMax).foreach(k => pmf(k) = rnd12(pmf(k - 1) * lambda / k))
+    // the grid masses are exact 1e-12 decimals: sum them exactly so
+    // the tail matches the oracle's decimal sum bit for bit
+    val pmfMass = pmf.foldLeft(java.math.BigDecimal.ZERO)((a, p) =>
+      a.add(java.math.BigDecimal.valueOf(p)
+        .setScale(12, java.math.RoundingMode.HALF_UP)))
+    val tail = math.max(0.0,
+      java.math.BigDecimal.ONE.subtract(pmfMass).doubleValue)
+    val kCensus = perCell.groupBy(col("k")).agg(count(lit(1)).as("obs"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = (0 to kMax).map(k =>
+      (k.toLong, rnd12(grid.toDouble * pmf(k)))) :+
+      (kMax + 1L, rnd12(grid.toDouble * tail))
+    val expDf = expected.toDF("cell", "e")
+    val zeros = grid - tot.getLong(1)
+    val obs = kCensus
+      .select(least(col("k"), lit(kMax + 1L)).as("cell"), col("obs"))
+      .unionByName(Seq((0L, zeros)).toDF("cell", "obs"))
+      .groupBy(col("cell")).agg(sum(col("obs")).as("obs"))
+    val joined = expDf.join(obs, Seq("cell"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .filter(col("e") > 0.0)
+    val term = round((dbl(col("obs")) - col("e")) *
+      (dbl(col("obs")) - col("e")) / col("e"), 9).cast(d289)
+    joined.agg(count(lit(1)).as("n_cells"), sum(term).as("chi2s"))
+      .select(lit(grid).as("n_grid"), lit(events).as("n_events"),
+        round(lit(lambda), 6).as("lambda"), col("n_cells"),
+        (col("n_cells") - 2L).as("df"),
+        round(dbl(col("chi2s")), 6).as("chi2"))
+  }
+
   /** INCIDENCE-RATE RATIOS vs a baseline group — the
     * exposure-normalized comparison the raw 2×2 can't make: each
     * group's rate is events per ACTIVE exposure unit (its own distinct

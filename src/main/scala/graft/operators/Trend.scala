@@ -2228,11 +2228,25 @@ object Trend {
       blockSize: Int = 24,
       minBlocks: Int = 3): DataFrame = {
     require(blockSize >= 1)
-    def dbl(c: Column): Column = c.cast("double")
-    val blocks = df.select(col(keyCol),
+    gumbelFromBlockMaxima(df.select(col(keyCol).as("g"),
         (col(bucketCol).cast("long") / blockSize).cast("long").as("blk"),
-        col(valueCol).cast("long").as("v"))
-      .groupBy(col(keyCol), col("blk")).agg(max(col("v")).as("m"))
+        col(valueCol).cast("long").as("m"))
+      .groupBy(col("g"), col("blk")).agg(max(col("m")).as("m")),
+      keyCol, minBlocks)
+  }
+
+  /** [[gumbelMaxima]] from (g, blk, m) block-maxima PARTIALS — MAX
+    * merges, so a streaming store whose batches each own whole
+    * base buckets drains to the one-pass fit and shares the batch
+    * oracle verbatim.
+    */
+  def gumbelFromBlockMaxima(
+      blocksDf: DataFrame,
+      keyCol: String = "g",
+      minBlocks: Int = 3): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val blocks = blocksDf.groupBy(col("g").as(keyCol), col("blk"))
+      .agg(max(col("m")).as("m"))
     val cen = blocks.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_blocks"), max(col("m")).as("max_obs"),
         sum(col("m")).as("sm"), sum(col("m") * col("m")).as("smm"))

@@ -2635,6 +2635,51 @@ object StreamVerify {
           col("a").cast("string").as("a"), col("n").cast("long").as("n")))
   }
 
+  /** STREAMING EXTREME-VALUE maintenance — q589's Gumbel return
+    * levels as an ingestion side effect. Staging contract:
+    * entity-partitioned batches own WHOLE base buckets (hours), so
+    * each batch's hourly counts are final and its per-block maxima
+    * are true partials — MAX merges, the drained re-max equals the
+    * one-pass block census and the fit goes through
+    * [[graft.operators.Trend.gumbelFromBlockMaxima]] (oracle shared
+    * verbatim). State is O(keys × blocks) rows — calendar-bounded.
+    * Input rows carry (g, hour_id).
+    */
+  def gumbelMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String,
+      blockSize: Int = 24): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/gm"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("g"), col("hour_id"))
+            .agg(count(lit(1)).as("n"))
+            .groupBy(col("g"),
+              (col("hour_id") / blockSize).cast("long").as("blk"))
+            .agg(max(col("n")).as("m"))
+            .coalesce(1),
+          tag = s"gm-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Trend.gumbelFromBlockMaxima(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("g").cast("string").as("g"),
+          col("blk").cast("long").as("blk"), col("m").cast("long").as("m")),
+      "event_type")
+  }
+
   def gkGammaMaintenance(
       spark: SparkSession,
       srcPath: String,

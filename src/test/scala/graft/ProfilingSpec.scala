@@ -1395,6 +1395,56 @@ class ProfilingSpec extends SparkSuite {
     assert(r.getDouble(5) == math.rint(math.sqrt(6.0) * 1e6) / 1e6)
   }
 
+  test("hosmerLemeshow: hand bins land HL; saturated bins counted out") {
+    import spark.implicits._
+    def dec(x: Double) = col("p0").cast(org.apache.spark.sql.types
+      .DataTypes.createDecimalType(12, 6)).as("p")
+    // bins: 0.25 (perfect), 0.55 (term 0.04/0.99), 0.75 (term 4/0.75),
+    // and a saturated 1.0 bin that must drop
+    val rows = Seq.fill(3)((0.25, 0L)) ++ Seq((0.25, 1L)) ++
+      (Seq.fill(2)((0.55, 1L)) ++ Seq.fill(2)((0.55, 0L))) ++
+      (Seq((0.75, 1L)) ++ Seq.fill(3)((0.75, 0L))) ++
+      Seq.fill(2)((1.0, 1L))
+    val df = rows.toDF("p0", "o").select(dec(0), col("o"))
+    val r = graft.operators.Drift.hosmerLemeshow(df, col("p"), col("o"))
+      .head()
+    assert(r.getLong(0) == 14L && r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 1L)
+    val expect = (math.rint(4.0 / 0.75 * 1e9) / 1e9) +
+      (math.rint(0.04 / 0.99 * 1e9) / 1e9)
+    assert(r.getDouble(4) == math.rint(expect * 1e6) / 1e6)
+  }
+
+  test("poissonGof: the pinned pmf ladder replays; a tiny grid ties out") {
+    import spark.implicits._
+    // users {1,2} × days {0,1}: counts 2,1,1 and one structural zero
+    val df = Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L)).toDF("u", "d")
+    val r = graft.operators.Drift.poissonGof(df, col("u"), col("d"))
+      .head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 1.0)
+    // replay the operator's ladder: pinned pmf, expected, chi2
+    def rnd(x: Double, s: Int) = java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue
+    val pmf = new Array[Double](31)
+    pmf(0) = rnd(math.exp(-1.0), 12)
+    (1 to 30).foreach(k => pmf(k) = rnd(pmf(k - 1) / k, 12))
+    val mass = pmf.foldLeft(java.math.BigDecimal.ZERO)((a, p) =>
+      a.add(java.math.BigDecimal.valueOf(p).setScale(12,
+        java.math.RoundingMode.HALF_UP)))
+    val tail = math.max(0.0,
+      java.math.BigDecimal.ONE.subtract(mass).doubleValue)
+    val e = (0 to 30).map(k => rnd(4.0 * pmf(k), 12)) :+ rnd(4.0 * tail, 12)
+    val obs = Map(0 -> 1L, 1 -> 2L, 2 -> 1L).withDefaultValue(0L)
+    val chi2 = e.zipWithIndex.filter(_._1 > 0.0).foldLeft(
+      java.math.BigDecimal.ZERO) { case (acc, (ek, k)) =>
+      acc.add(java.math.BigDecimal.valueOf(
+        rnd((obs(k) - ek) * (obs(k) - ek) / ek, 9)).setScale(9,
+        java.math.RoundingMode.HALF_UP))
+    }
+    assert(r.getDouble(5) == rnd(chi2.doubleValue, 6))
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

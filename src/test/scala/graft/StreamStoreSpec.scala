@@ -139,6 +139,42 @@ class StreamStoreSpec extends SparkSuite {
     assert(commits.forall(_._2.startsWith("bw-")))
   }
 
+  test("gumbel store: hour-partitioned block maxima MAX-merge to batch") {
+    // spike hours are all odd → batch 1 owns every true block max;
+    // batch 0's partial maxima (the quiet 1s) must merge away
+    val hours = (0L until 96L).flatMap { h =>
+      val copies = h match {
+        case 5L => 2; case 29L => 3; case 53L => 4; case 77L => 5
+        case _ => 1
+      }
+      (1 to copies).map(_ => ("t", h))
+    }
+    val rows = hours.toDF("g", "hour_id")
+      .withColumn("par", col("hour_id") % 2)
+    val src = tmp("gm_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"gm_half$par")
+      rows.filter(col("par") === par).drop("par")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("gm_store") + "/s"
+    val drained = StreamVerify.gumbelMaintenance(spark, src, scratch)
+      .head()
+    val hourly = rows.groupBy(col("g"), col("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    val batch = graft.operators.Trend.gumbelMaxima(hourly, "g",
+      "hour_id", "n").head()
+    assert(drained.toSeq.drop(1) == batch.toSeq.drop(1))
+    assert(drained.getLong(2) == 5L, "the merged max is the spike")
+    val commits = TxLake.commitAddCounts(s"$scratch/gm")
+    assert(commits.size == 2 && commits.forall(_._3 <= 4L),
+      s"block-partial commits stay calendar-bounded: $commits")
+  }
+
   test("components store commits per-batch DELTAS, never the standing state") {
     // 20 disjoint pairs + one bridge: whatever the deterministic hash
     // split assigns to each micro-batch, every node inserts exactly once
