@@ -3267,6 +3267,45 @@ object Drift {
         round(dbl(col("events")) / dbl(col("expected")), 6)).as("smr"))
   }
 
+  /** TOST EQUIVALENCE for two proportions — the release-gate question
+    * every other test on the shelf gets BACKWARD: q283/q563 ask "is
+    * there a difference" (absence of evidence ≠ evidence of absence);
+    * TOST asks "is the difference provably INSIDE ±δ" — two one-sided
+    * z's against the margin, both must clear the one-sided critical
+    * value (equivalently the 90% CI sits inside the margin). The
+    * deploy/rollback decision for a no-regression launch. One 2×2
+    * census, unpooled SE (the TOST convention), O(1) doubles; the
+    * critical value is a shared literal on both engines. Degenerate
+    * arms NULL the verdict.
+    */
+  def tostEquivalence(
+      df: DataFrame,
+      armACol: Column,
+      convCol: Column,
+      delta: Double,
+      zCrit: Double = 1.6448536269514722): DataFrame = {
+    require(delta > 0.0)
+    def dbl(c: Column): Column = c.cast("double")
+    val conv = convCol.cast("long")
+    val cen = df.agg(
+      sum(when(armACol, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!armACol, 1L).otherwise(0L)).as("n_b"),
+      sum(when(armACol, conv).otherwise(0L)).as("conv_a"),
+      sum(when(!armACol, conv).otherwise(0L)).as("conv_b"))
+    val pa = dbl(col("conv_a")) / dbl(col("n_a"))
+    val pb = dbl(col("conv_b")) / dbl(col("n_b"))
+    val se = sqrt(pa * (lit(1.0) - pa) / dbl(col("n_a")) +
+      pb * (lit(1.0) - pb) / dbl(col("n_b")))
+    val diff = pa - pb
+    val ok = col("n_a") > 0L && col("n_b") > 0L && se > 0.0
+    cen.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(diff, 6).as("risk_diff"), lit(delta).as("margin"),
+      when(ok, round((diff + lit(delta)) / se, 6)).as("z_lower"),
+      when(ok, round((lit(delta) - diff) / se, 6)).as("z_upper"),
+      when(ok, (diff + lit(delta)) / se > zCrit &&
+        (lit(delta) - diff) / se > zCrit).as("equivalent"))
+  }
+
   /** FISHER'S EXACT TEST on a 2×2 — the small-sample verdict q283's
     * normal approximation can't give: the exact conditional
     * hypergeometric p, two-sided by the standard

@@ -1305,6 +1305,79 @@ object Relational {
         sqrt(den), 6)).as("r_xy_given_z"))
   }
 
+  /** LIKELIHOOD-RATIO G-TEST for a contingency table — χ²'s
+    * information-theoretic twin: G = 2·Σ O·ln(O/E) is additive across
+    * nested partitions (sub-tables' G's SUM to the full table's —
+    * the property that lets a drill-down reconcile exactly, which
+    * Pearson χ² can't) and equals 2n·MI in nats, tying the verdict to
+    * q256's mutual information on the same pair. Empty cells
+    * contribute 0 (lim x·ln x = 0 — E>0 everywhere by construction).
+    * One census; each occupied cell's term is ln over exact integer
+    * cross-ratios pinned once at 1e-9 (the q256 discipline).
+    */
+  def gTest(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val t = census
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("x"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("nx",
+        size(collect_set(col("x")).over(Window.partitionBy())).cast("long"))
+      .withColumn("ny",
+        size(collect_set(col("y")).over(Window.partitionBy())).cast("long"))
+    // O·ln(O·n/(r·c)) on exact integers — E never materializes
+    val term = round(dbl(col("o")) *
+      log(dbl(col("o")) * dbl(col("n")) /
+        (dbl(col("rt")) * dbl(col("ct")))), 9).cast(d289)
+    t.groupBy(col("n"), col("nx"), col("ny"))
+      .agg(sum(term).as("gs"))
+      .select(col("n").cast("long").as("n"),
+        ((col("nx") - 1L) * (col("ny") - 1L)).as("df"),
+        round(lit(2.0) * dbl(col("gs")), 6).as("g_stat"),
+        round(dbl(col("gs")) / dbl(col("n")), 6).as("mi_nats"))
+  }
+
+  /** HABERMAN ADJUSTED RESIDUALS — the WHICH-CELL drill-down behind a
+    * significant contingency verdict: per cell, (O−E)/√(E(1−r/n)(1−c/n))
+    * is asymptotically standard normal, so |adj| > 2 marks the cells
+    * that actually carry the dependence (q128's total χ² and q425's V
+    * say THAT the table deviates; this says WHERE). FULL R×C spine —
+    * an empty cell with a large expectation is exactly the kind of
+    * hole this exists to flag. One census, O(R·C) arithmetic after.
+    */
+  def adjustedResiduals(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val census = df.select(col(xCol).cast("string").as("x"),
+        col(yCol).cast("string").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val spine = census.select(col("x")).distinct()
+      .crossJoin(census.select(col("y")).distinct())
+    val t = spine.join(census, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("x"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = dbl(col("rt")) * dbl(col("ct")) / dbl(col("n"))
+    val denom = e * (lit(1.0) - dbl(col("rt")) / dbl(col("n"))) *
+      (lit(1.0) - dbl(col("ct")) / dbl(col("n")))
+    val adj = (dbl(col("o")) - e) / sqrt(denom)
+    t.select(col("x"), col("y"), col("o"), round(e, 6).as("expected"),
+        when(e > 0.0, round((dbl(col("o")) - e) / sqrt(e), 6))
+          .as("std_resid"),
+        when(denom > 0.0, round(adj, 6)).as("adj_resid"),
+        when(denom > 0.0, abs(adj) > 2.0).as("notable"))
+      .orderBy(col("x"), col("y"))
+  }
+
   /** LASPEYRES / PAASCHE / FISHER PRICE INDICES between two periods —
     * "how much did the basket's price level move, holding the mix
     * fixed": Laspeyres weights by BASE-period quantities (what the old

@@ -1445,6 +1445,28 @@ class ProfilingSpec extends SparkSuite {
     assert(r.getDouble(5) == rnd(chi2.doubleValue, 6))
   }
 
+  test("tostEquivalence: a hair's difference proves equivalent inside " +
+    "a wide margin, a real gap doesn't") {
+    import spark.implicits._
+    def arm(isa: Boolean, n: Int, c: Int) =
+      (1 to n).map(i => (isa, if (i <= c) 1L else 0L))
+    // .1 vs .101 inside ±.05 → both one-sided z's clear 1.645
+    val close = (arm(true, 1000, 100) ++ arm(false, 1000, 101))
+      .toDF("isa", "cv")
+    val r = graft.operators.Drift.tostEquivalence(close, col("isa"),
+      col("cv"), delta = 0.05).head()
+    val se = math.sqrt(0.1 * 0.9 / 1000 + 0.101 * 0.899 / 1000)
+    assert(r.getDouble(4) == math.rint(-0.001 * 1e6) / 1e6)
+    assert(r.getDouble(6) ==
+      math.rint((-0.001 + 0.05) / se * 1e6) / 1e6)
+    assert(r.getBoolean(8), "0.1pp inside a 5pp margin is equivalence")
+    // .1 vs .2: the 90% CI pokes far outside ±.05
+    val far = (arm(true, 1000, 100) ++ arm(false, 1000, 200))
+      .toDF("isa", "cv")
+    assert(!graft.operators.Drift.tostEquivalence(far, col("isa"),
+      col("cv"), delta = 0.05).head().getBoolean(8))
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

@@ -541,6 +541,36 @@ class RelationalSpec extends SparkSuite {
     assert(r.getDouble(4) == math.rint(math.sqrt(11.0 / 12.0) * 1e6) / 1e6)
   }
 
+  test("gTest: the 2x2 hand table lands G and its MI identity") {
+    import spark.implicits._
+    // cells 30/10/10/30 on 40-40 margins: every E = 20
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))
+    val r = graft.operators.Relational.gTest(rows.toDF("s", "p"), "s", "p")
+      .head()
+    assert(r.getLong(0) == 80L && r.getLong(1) == 1L)
+    def t(o: Double) = math.rint(o * math.log(o / 20.0) * 1e9) / 1e9
+    val gs = 2 * t(30) + 2 * t(10)
+    assert(r.getDouble(2) == math.rint(2.0 * gs * 1e6) / 1e6)
+    assert(r.getDouble(3) == math.rint(gs / 80.0 * 1e6) / 1e6)
+  }
+
+  test("adjustedResiduals: the dependent cells flag at |adj| > 2") {
+    import spark.implicits._
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))
+    val got = graft.operators.Relational.adjustedResiduals(
+      rows.toDF("s", "p"), "s", "p")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ax = got(("a", "x"))
+    assert(ax.getLong(2) == 30L && ax.getDouble(3) == 20.0)
+    // denom = 20·(1/2)·(1/2) = 5 → adj = 10/√5
+    assert(ax.getDouble(5) == math.rint(10.0 / math.sqrt(5.0) * 1e6) / 1e6)
+    assert(ax.getBoolean(6))
+    assert(got(("a", "y")).getDouble(5) ==
+      -math.rint(10.0 / math.sqrt(5.0) * 1e6) / 1e6)
+  }
+
   test("gkGamma: hand census lands C/D/tie split, gamma and both D's") {
     import spark.implicits._
     // cells (1,1):1 (1,2):1 (2,1):1 (2,2):2 → of the 10 pairs:
