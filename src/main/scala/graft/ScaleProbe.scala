@@ -697,6 +697,82 @@ object ScaleProbe {
         consume(graft.operators.Similarity.labelNoiseAudit(
           corpus, "vec_id", "embedding", "label"))
       },
+      "regression_diag" -> { () =>
+        // q564/q569/q571/q582 family: corpus scan → hourly census →
+        // duration-domain diagnostics; the census shrinks relative to
+        // volume, so the scan should dominate
+        val ev = eventsAt(f)
+        val hourly = ev
+          .select(expr("ts div 1000000000 div 3600").as("h"), col("event_type"))
+          .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+        consume(graft.operators.Trend.durbinWatson(hourly,
+          "event_type", "h", "n"))
+      },
+      "gk_gamma" -> { () =>
+        // q566/q573: one census shuffle, domain²-grid concordance after
+        val o = ordersAt(f)
+        consume(graft.operators.Relational.gkGamma(
+          o.select(when(col("o_orderstatus") === "F", 0L)
+            .when(col("o_orderstatus") === "P", 1L).otherwise(2L)
+            .as("x"),
+            when(col("o_totalprice") < 50000, 0L)
+              .when(col("o_totalprice") < 150000, 1L)
+              .when(col("o_totalprice") < 300000, 2L).otherwise(3L)
+              .as("y")), "x", "y"))
+      },
+      "chao1_richness" -> { () =>
+        // q567/q568 family: explode → (group, species) census →
+        // frequency-of-frequencies; vocab grows sub-linearly (Heaps)
+        val d = documentsAt(f)
+        consume(graft.operators.Profiling.chao1(
+          d.select(col("source"),
+            explode(graft.functions.TextFunctions.words(col("text")))
+              .as("w")).filter(col("w") =!= ""),
+          "source", "w"))
+      },
+      "cox_ph" -> { () =>
+        // q591: per-user lifetime reduce → duration census → bounded
+        // collect + driver bisection; user domain scales with volume
+        val ev = eventsAt(f)
+        val lives = ev
+          .select(col("user_id"), expr("ts div 1000000000").cast("long")
+            .as("sec"), col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(min(col("sec")).as("first"), max(col("sec")).as("last"),
+            min(when(col("event_type") === "purchase", col("sec")))
+              .as("conv"))
+          .select(((coalesce(col("conv"), col("last")) - col("first")) /
+            3600L).cast("long").as("t"),
+            col("conv").isNotNull.cast("long").as("death"),
+            (col("user_id") % 2 === 0).as("isa"))
+        graft.operators.Trend.coxBinaryFromLives(lives).head()
+        ()
+      },
+      "price_indices" -> { () =>
+        // q594: (item, period) census → matched join → pinned cross sums
+        val li = lineitemAt(f)
+        graft.operators.Relational.priceIndices(
+          li.select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"),
+            col("l_quantity").cast("long").as("q")),
+          col("l_partkey"), col("yr"), col("cents"), col("q"),
+          1996L, 1997L).head()
+        ()
+      },
+      "stylometry" -> { () =>
+        // q587: replace-shrinkage marker census (no explode), grid pairs
+        val d = documentsAt(f)
+        consume(graft.operators.TextPipeline.stylometryCosine(
+          d, "source", "text"))
+      },
+      // blob_chunk_pairs (q586) is deliberately NOT probed: replica
+      // suffixes keep payloads distinct but nearly chunk-identical, so
+      // the qualifying near-dup PAIR count grows quadratically in the
+      // replica factor — answer growth, not operator overhead (the
+      // set_similarity precedent below); the df stop-chunk cap is the
+      // production control. fisher_exact (q574) is top-k-bounded by
+      // construction — its cost is the scan feeding TakeOrdered.
       // set_similarity is deliberately NOT probed: replicating this
       // dup-dense corpus grows the QUALIFYING-PAIR count quadratically
       // (measured: 22.6s at 1×, 1098s at 10× — answer growth, not

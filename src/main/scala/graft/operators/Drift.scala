@@ -3285,13 +3285,28 @@ object Drift {
       delta: Double,
       zCrit: Double = 1.6448536269514722): DataFrame = {
     require(delta > 0.0)
-    def dbl(c: Column): Column = c.cast("double")
     val conv = convCol.cast("long")
-    val cen = df.agg(
+    tostFromCells(df.agg(
       sum(when(armACol, 1L).otherwise(0L)).as("n_a"),
       sum(when(!armACol, 1L).otherwise(0L)).as("n_b"),
       sum(when(armACol, conv).otherwise(0L)).as("conv_a"),
-      sum(when(!armACol, conv).otherwise(0L)).as("conv_b"))
+      sum(when(!armACol, conv).otherwise(0L)).as("conv_b")),
+      delta, zCrit)
+  }
+
+  /** [[tostEquivalence]] from (n_a, n_b, conv_a, conv_b) cell
+    * PARTIALS — the four cells add across batches, so a streaming
+    * store's drained verdict reads identically to the one-pass path
+    * and shares the batch oracle verbatim.
+    */
+  def tostFromCells(
+      cells: DataFrame,
+      delta: Double,
+      zCrit: Double = 1.6448536269514722): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = cells.agg(
+      sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"),
+      sum(col("conv_a")).as("conv_a"), sum(col("conv_b")).as("conv_b"))
     val pa = dbl(col("conv_a")) / dbl(col("n_a"))
     val pb = dbl(col("conv_b")) / dbl(col("n_b"))
     val se = sqrt(pa * (lit(1.0) - pa) / dbl(col("n_a")) +

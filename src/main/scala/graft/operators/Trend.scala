@@ -2208,6 +2208,113 @@ object Trend {
           (col("sse_lo") / (dbl(col("n_lo")) - 2.0)), 6)).as("f_ratio"))
   }
 
+  /** DYNAMIC TIME WARPING between every pair of keys' slot PROFILES —
+    * shape similarity that tolerates PHASE: two event types with the
+    * same daily rhythm shifted two hours read as near-identical here
+    * and as far apart under q455's slot-by-slot JSD (Euclidean-family
+    * distances charge the shift at every slot; DTW's elastic alignment
+    * charges it once). Profiles are integer ppm shares ((count·10⁶)
+    * div total — integer division, so both engines hold identical
+    * vectors), costs are |Δppm|, and the DP is PURE INTEGER — zero
+    * floating point anywhere, cross-engine exactness by construction.
+    * The (key, slot) census collapses before a documented bounded
+    * collect (keys × nSlots rows); the O(keys²·nSlots²) DP runs on
+    * the driver over that bounded grid. Output: raw integer DTW cost
+    * plus the share-denominated reading.
+    */
+  def dtwProfiles(
+      df: DataFrame,
+      keyCol: Column,
+      slotCol: Column,
+      nSlots: Int = 24): DataFrame = {
+    require(nSlots >= 2)
+    val spark = df.sparkSession
+    val cen = df.select(keyCol.cast("string").as("k"),
+        slotCol.cast("long").as("s"))
+      .groupBy(col("k"), col("s")).agg(count(lit(1)).as("c"))
+    val tot = cen.groupBy(col("k")).agg(sum(col("c")).as("t"))
+    val prof = cen.join(tot, Seq("k"))
+      .select(col("k"), col("s"), expr("c * 1000000 div t").as("ppm"))
+    // bounded collect: keys × nSlots profile rows
+    val byKey: Map[String, Array[Long]] = prof.collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        val arr = Array.fill(nSlots)(0L)
+        rs.foreach { r =>
+          val s = r.getLong(1)
+          if (s >= 0 && s < nSlots) arr(s.toInt) = r.getLong(2)
+        }
+        k -> arr
+      }
+    val keys = byKey.keys.toSeq.sorted
+    val out = for {
+      i <- keys.indices
+      j <- (i + 1) until keys.size
+    } yield {
+      val a = byKey(keys(i)); val b = byKey(keys(j))
+      val dp = Array.ofDim[Long](nSlots, nSlots)
+      for (x <- 0 until nSlots; y <- 0 until nSlots) {
+        val cost = math.abs(a(x) - b(y))
+        dp(x)(y) = cost + ((x, y) match {
+          case (0, 0) => 0L
+          case (0, _) => dp(0)(y - 1)
+          case (_, 0) => dp(x - 1)(0)
+          case _ => math.min(dp(x - 1)(y),
+            math.min(dp(x)(y - 1), dp(x - 1)(y - 1)))
+        })
+      }
+      (keys(i), keys(j), dp(nSlots - 1)(nSlots - 1))
+    }
+    import spark.implicits._
+    out.toDF("key_a", "key_b", "dtw_ppm")
+      .select(col("key_a"), col("key_b"), col("dtw_ppm"),
+        round(col("dtw_ppm").cast("double") / 1e6, 6).as("dtw_share"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /** CIRCULAR STATISTICS for time-of-day — hour is a CIRCLE, and the
+    * linear mean of {23h, 1h} is the nonsense "noon": per key, the
+    * mean DIRECTION (the honest peak hour), the resultant length R ∈
+    * [0,1] (how concentrated around it — the circular analogue of
+    * 1−variance), circular variance 1−R, and the Rayleigh statistic
+    * z = nR² (large z = the uniform-phase null is dead; z ≈ 0 = the
+    * key has no daily rhythm at all — the EXISTENCE test under
+    * q561's strength share and q501's period pick). One (key, slot)
+    * census; per-slot cos/sin land once on the 1e-12 grid (24 libm
+    * calls per engine, pinned before the exact decimal sums), the
+    * atan2 readout at the end. Empty keys can't occur; R ≈ 0 keys
+    * keep a defined (if meaningless) direction.
+    */
+  def circularStats(
+      df: DataFrame,
+      keyCol: Column,
+      slotCol: Column,
+      nSlots: Int = 24): DataFrame = {
+    require(nSlots >= 2)
+    def dbl(c: Column): Column = c.cast("double")
+    val d1512 = DecimalType(15, 12)
+    val cen = df.select(keyCol.cast("string").as("k"),
+        slotCol.cast("long").as("s"))
+      .groupBy(col("k"), col("s")).agg(count(lit(1)).as("c"))
+    val ang = col("s").cast("double") * (2.0 * math.Pi / nSlots)
+    val staged = cen
+      .withColumn("cs", round(cos(ang), 12).cast(d1512))
+      .withColumn("sn", round(sin(ang), 12).cast(d1512))
+    val agg = staged.groupBy(col("k"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(DecimalType(26, 12)) * col("cs")).as("sc"),
+        sum(col("c").cast(DecimalType(26, 12)) * col("sn")).as("ss"))
+    val r = sqrt(dbl(col("sc")) * dbl(col("sc")) +
+      dbl(col("ss")) * dbl(col("ss"))) / dbl(col("n"))
+    val dir = atan2(dbl(col("ss")), dbl(col("sc")))
+    val dirSlots = (dir + lit(2.0 * math.Pi)) % lit(2.0 * math.Pi) *
+      (nSlots / (2.0 * math.Pi))
+    agg.select(col("k").as("key"), col("n"),
+      round(dirSlots, 6).as("mean_hour"),
+      round(r, 6).as("resultant_r"),
+      round(lit(1.0) - r, 6).as("circ_variance"),
+      round(dbl(col("n")) * r * r, 6).as("rayleigh_z"))
+  }
+
   /** GUMBEL BLOCK-MAXIMA FIT per key — the capacity-planning question
     * the mean-and-variance shelf can't answer: "what hourly peak should
     * we expect once a month / once a year". Block maxima (per

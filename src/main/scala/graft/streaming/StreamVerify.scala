@@ -2538,6 +2538,51 @@ object StreamVerify {
           col("conv_b").cast("long").as("conv_b")))
   }
 
+  /** STREAMING EQUIVALENCE-GATE maintenance — q600's TOST verdict as
+    * an ingestion side effect: the same O(1) 2×2 cell partials as
+    * [[propEffectsMaintenance]] (they ADD), drained through
+    * [[graft.operators.Drift.tostFromCells]] — the no-regression
+    * release gate stays current at ingest cadence, oracle shared
+    * verbatim with batch q600.
+    */
+  def tostMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String,
+      delta: Double): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/te"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.agg(
+            sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") =!= 0L, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("arm") === 0L, col("conv")).otherwise(0L))
+              .as("conv_a"),
+            sum(when(col("arm") =!= 0L, col("conv")).otherwise(0L))
+              .as("conv_b"))
+            .coalesce(1),
+          tag = s"te-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.tostFromCells(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          col("conv_a").cast("long").as("conv_a"),
+          col("conv_b").cast("long").as("conv_b")), delta)
+  }
+
   /** STREAMING ORDINAL-ASSOCIATION maintenance — q566's
     * gamma/Somers'-D family as an ingestion side effect: per-batch
     * (x, y) censuses land exactly-once, cell counts ADD (concordance,

@@ -175,6 +175,31 @@ class StreamStoreSpec extends SparkSuite {
       s"block-partial commits stay calendar-bounded: $commits")
   }
 
+  test("tost store: 1-row cell commits; drained verdict equals batch") {
+    val rows = Seq((0L, 0L, 1L), (1L, 0L, 0L), (2L, 1L, 1L), (3L, 1L, 0L),
+      (4L, 0L, 1L), (5L, 1L, 1L), (6L, 0L, 0L), (7L, 1L, 0L))
+      .toDF("id", "arm", "conv")
+    val src = tmp("te_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"te_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("te_store") + "/s"
+    val drained = StreamVerify.tostMaintenance(spark, src, scratch, 0.2)
+      .head()
+    val batch = graft.operators.Drift.tostEquivalence(rows.drop("id"),
+      col("arm") === 0L, col("conv"), 0.2).head()
+    assert(drained.toSeq == batch.toSeq)
+    val commits = TxLake.commitAddCounts(s"$scratch/te")
+    assert(commits.size == 2 && commits.forall(_._3 == 1L))
+    assert(commits.forall(_._2.startsWith("te-")))
+  }
+
   test("components store commits per-batch DELTAS, never the standing state") {
     // 20 disjoint pairs + one bridge: whatever the deterministic hash
     // split assigns to each micro-batch, every node inserts exactly once

@@ -783,6 +783,39 @@ class TrendSpec extends SparkSuite {
       i1.getDouble(6) == 0.0)
   }
 
+  test("dtwProfiles: identical rhythms read 0, a one-slot shift pays " +
+    "the impulse once") {
+    import spark.implicits._
+    // a and a2 put all mass in slot 0; b in slot 1 (4-slot circle):
+    // the (0,0) start is mandatory, so DTW(a,b) = one impulse = 1e6
+    val rows = Seq(("a", 0L), ("a", 0L), ("a2", 0L), ("a2", 0L),
+      ("b", 1L), ("b", 1L)).toDF("k", "s")
+    val got = graft.operators.Trend.dtwProfiles(rows, col("k"), col("s"),
+      nSlots = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got(("a", "a2")).getLong(2) == 0L)
+    assert(got(("a", "a2")).getDouble(3) == 0.0)
+    assert(got(("a", "b")).getLong(2) == 1000000L)
+    assert(got(("a2", "b")).getDouble(3) == 1.0)
+  }
+
+  test("circularStats: a single-slot key points at its hour with R=1; " +
+    "uniform keys have no rhythm") {
+    import spark.implicits._
+    val rows = (1 to 10).map(_ => ("c", 6L)) ++
+      (0 until 24).map(s => ("u", s.toLong))
+    val got = graft.operators.Trend.circularStats(rows.toDF("k", "s"),
+      col("k"), col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = got("c")
+    assert(c.getLong(1) == 10L && c.getDouble(2) == 6.0)
+    assert(c.getDouble(3) == 1.0 && c.getDouble(4) == 0.0)
+    assert(c.getDouble(5) == 10.0)
+    val u = got("u")
+    assert(u.getDouble(3) == 0.0, "uniform phase has no resultant")
+    assert(u.getDouble(5) == 0.0, "Rayleigh finds no rhythm")
+  }
+
   test("coxBinary: the bisected MLE lands the hand score's root; " +
     "no-overlap brackets NULL") {
     import spark.implicits._
