@@ -2208,6 +2208,67 @@ object Trend {
           (col("sse_lo") / (dbl(col("n_lo")) - 2.0)), 6)).as("f_ratio"))
   }
 
+  /** UNNORMALIZED HAAR ENERGY DECOMPOSITION per key — WHERE the
+    * series' variance lives on the time axis: level-1 details are
+    * hour-to-hour jitter, level-5 details are 16-to-32-hour swells; a
+    * series whose energy concentrates low is noise, one that
+    * concentrates high has slow structure worth modeling (the
+    * multi-resolution complement to q501's single dominant period and
+    * q255's fixed-lag ACF). Unnormalized transform (d = a−b,
+    * s = a+b — no √2, so every coefficient is an EXACT INTEGER and
+    * both engines hold identical energies; shares are the only
+    * doubles). Each key's ordered series truncates to its largest
+    * multiple of 2^levels (documented — Haar needs dyadic length),
+    * then `levels` rounds of pair-halving; rank windows partition by
+    * key over the bucket domain. Keys shorter than one full block
+    * drop.
+    */
+  def haarEnergy(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      levels: Int = 5): DataFrame = {
+    require(levels >= 1 && levels <= 16)
+    def dbl(c: Column): Column = c.cast("double")
+    val block = 1L << levels
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol))
+    val byKey = Window.partitionBy(col(keyCol))
+    var cur = df
+      .withColumn("__i", row_number().over(ord).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .filter(col("__i") < expr(s"__n div $block") * block)
+      .select(col(keyCol), col("__i").as("i"),
+        col(valueCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    val energies = (1 to levels).map { lvl =>
+      val paired = cur.groupBy(col(keyCol), expr("i div 2").as("i2"))
+        .agg(max(when(col("i") % 2 === 0, col("v"))).as("a"),
+          max(when(col("i") % 2 === 1, col("v"))).as("b"))
+      val e = paired.groupBy(col(keyCol))
+        .agg(sum((col("a") - col("b")) * (col("a") - col("b")))
+          .as("energy"), count(lit(1)).as("n_coeffs"))
+        .select(col(keyCol), lit(lvl.toLong).as("level"),
+          col("n_coeffs"), col("energy"))
+      cur = paired.select(col(keyCol), col("i2").as("i"),
+        (col("a") + col("b")).as("v")).localCheckpoint(true)
+      e
+    }
+    val detail = energies.reduce(_.unionByName(_))
+    val approx = cur.groupBy(col(keyCol))
+      .agg(sum(col("v") * col("v")).as("energy"),
+        count(lit(1)).as("n_coeffs"))
+      .select(col(keyCol), lit(0L).as("level"), col("n_coeffs"),
+        col("energy"))
+    val all = detail.unionByName(approx)
+    val tot = all.groupBy(col(keyCol)).agg(sum(col("energy")).as("te"))
+    all.join(broadcast(tot), Seq(keyCol))
+      .select(col(keyCol), col("level"), col("n_coeffs"), col("energy"),
+        when(col("te") > 0L, round(dbl(col("energy")) / dbl(col("te")), 6))
+          .as("energy_share"))
+      .orderBy(col(keyCol), col("level"))
+  }
+
   /** DYNAMIC TIME WARPING between every pair of keys' slot PROFILES —
     * shape similarity that tolerates PHASE: two event types with the
     * same daily rhythm shifted two hours read as near-identical here
@@ -2313,6 +2374,119 @@ object Trend {
       round(r, 6).as("resultant_r"),
       round(lit(1.0) - r, 6).as("circ_variance"),
       round(dbl(col("n")) * r * r, 6).as("rayleigh_z"))
+  }
+
+  /** MEAN-EXCESS (peaks-over-threshold) TABLE per key — the other half
+    * of the extreme-value toolkit beside [[gumbelMaxima]]'s block
+    * maxima: at each exact ceiling-rank percentile threshold u, the
+    * exceedance count and the mean excess E[X−u | X>u]. The SLOPE of
+    * mean excess in u is the classical tail diagnostic (rising =
+    * heavy/Pareto tail — q383's Hill index is then meaningful; flat =
+    * exponential tail; falling = short tail), and the level at the
+    * chosen u is the expected overshoot a capacity planner budgets
+    * above the alert line. One value census; thresholds by exact
+    * ceiling rank (never a sort of rows); one conditional excess pass
+    * with the threshold spine broadcast. All-integer until the two
+    * final ratios.
+    */
+  def meanExcess(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      percents: Seq[Int] = Seq(50, 75, 90, 95)): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 99))
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(keyCol), col(valueCol).cast("long").as("v"))
+      .localCheckpoint(true) // census + the excess pass share the scan
+    val cen = base.groupBy(col(keyCol), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byKey = Window.partitionBy(col(keyCol))
+    val ranked = cen
+      .withColumn("cum", sum(col("c")).over(ord))
+      .withColumn("n", sum(col("c")).over(byKey))
+    val spine = percents.map(p =>
+      base.sparkSession.range(1).select(lit(p.toLong).as("pct")))
+      .reduce(_.unionByName(_))
+    // threshold = the ceiling-rank value: smallest v with cum ≥ ⌈p·n/100⌉
+    val th = ranked.crossJoin(broadcast(spine))
+      .filter(col("cum") * 100L >= col("pct") * col("n"))
+      .groupBy(col(keyCol), col("pct"))
+      .agg(min(col("v")).as("u"), max(col("n")).as("n"))
+    val joined = base.join(broadcast(th), Seq(keyCol))
+      .filter(col("v") > col("u"))
+      .groupBy(col(keyCol), col("pct"), col("u"), col("n"))
+      .agg(count(lit(1)).as("n_exceed"),
+        sum(col("v") - col("u")).as("excess_sum"))
+    th.join(joined, Seq(keyCol, "pct", "u", "n"), "left")
+      .select(col(keyCol), col("pct"), col("u").as("threshold"), col("n"),
+        coalesce(col("n_exceed"), lit(0L)).as("n_exceed"),
+        round(coalesce(col("n_exceed"), lit(0L)).cast("double") /
+          dbl(col("n")), 6).as("exceed_share"),
+        when(col("n_exceed") > 0L,
+          round(dbl(col("excess_sum")) / dbl(col("n_exceed")), 6))
+          .as("mean_excess"))
+      .orderBy(col(keyCol), col("pct"))
+  }
+
+  /** KUPIEC PROPORTION-OF-FAILURES backtest — does an alert line
+    * actually fire at its claimed rate OUT OF SAMPLE: the threshold
+    * calibrates on each key's FIRST half (exact ceiling-rank
+    * percentile) and the violations count on the SECOND half, then
+    * LR = −2[ (n−x)ln(1−p) + x·ln p − (n−x)ln(1−x̂) − x·ln x̂ ] ~ χ²(1)
+    * says whether observed x/n is consistent with the claimed p. The
+    * risk-management verdict the in-sample percentile can't give
+    * (in-sample it passes by construction). Exact integer counts; the
+    * four log terms pin once at 1e-9; the x = 0 and x = n boundary
+    * cases take their exact limits (x·ln x̂ → 0) instead of NaN.
+    */
+  def kupiecPof(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      pct: Int = 95): DataFrame = {
+    require(pct >= 1 && pct <= 99)
+    def dbl(c: Column): Column = c.cast("double")
+    // (100−pct)/100 — NOT 1−pct/100, whose FP residue would desync the
+    // shared ln literals across engines
+    val p = (100 - pct) / 100.0
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("b"))
+    val byKey = Window.partitionBy(col(keyCol))
+    val base = df
+      .select(col(keyCol), col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("__r", row_number().over(ord).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .withColumn("half", col("__r") * 2L <= col("__n"))
+      .localCheckpoint(true) // calibration + backtest share the scan
+    val cal = base.filter(col("half"))
+      .groupBy(col(keyCol), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(col(keyCol))
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nc", sum(col("c")).over(byKey))
+      .filter(col("cum") * 100L >= lit(pct.toLong) * col("nc"))
+      .groupBy(col(keyCol)).agg(min(col("v")).as("u"))
+    val test = base.filter(!col("half"))
+      .join(broadcast(cal), Seq(keyCol))
+      .groupBy(col(keyCol), col("u"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") > col("u"), 1L).otherwise(0L)).as("x"))
+    val xhat = dbl(col("x")) / dbl(col("n"))
+    val lnTermClaim = round(
+      (dbl(col("n")) - dbl(col("x"))) * math.log(1.0 - p) +
+        dbl(col("x")) * math.log(p), 9)
+    val lnObs = round(
+      when(col("x") === 0L, dbl(col("n")) * log(lit(1.0) - xhat))
+        .when(col("x") === col("n"), dbl(col("n")) * log(xhat))
+        .otherwise((dbl(col("n")) - dbl(col("x"))) *
+          log(lit(1.0) - xhat) + dbl(col("x")) * log(xhat)), 9)
+    test.select(col(keyCol), col("u").as("threshold"), col("n"), col("x"),
+      lit(p).as("claimed_rate"), round(xhat, 6).as("observed_rate"),
+      round(lit(-2.0) * (lnTermClaim - lnObs), 6).as("kupiec_lr"))
+      .orderBy(col(keyCol))
   }
 
   /** GUMBEL BLOCK-MAXIMA FIT per key — the capacity-planning question

@@ -816,6 +816,54 @@ class TrendSpec extends SparkSuite {
     assert(u.getDouble(5) == 0.0, "Rayleigh finds no rhythm")
   }
 
+  test("haarEnergy: alternation lives at level 1, DC in the approx; " +
+    "tails truncate and short keys drop") {
+    import spark.implicits._
+    // 32 points of 1,0,1,0…: level-1 energy 16, everything else in the
+    // approx (16² = 256); 8 trailing 999s beyond the dyadic cut are
+    // ignored; a 16-point key can't fill one 32-block and drops
+    val k = (0L until 32L).map(i => ("k", i, (1L - i % 2))) ++
+      (32L until 40L).map(i => ("k", i, 999L))
+    val short = (0L until 16L).map(i => ("s", i, i))
+    val got = graft.operators.Trend.haarEnergy(
+      (k ++ short).toDF("k", "x", "v"), "k", "x", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(!got.keySet.exists(_._1 == "s"))
+    assert(got(("k", 1L)).getLong(3) == 16L)
+    (2L to 5L).foreach(l => assert(got(("k", l)).getLong(3) == 0L))
+    val dc = got(("k", 0L))
+    assert(dc.getLong(2) == 1L && dc.getLong(3) == 256L)
+    assert(dc.getDouble(4) == math.rint(256.0 / 272.0 * 1e6) / 1e6)
+  }
+
+  test("meanExcess: ceiling-rank thresholds and exact excess means") {
+    import spark.implicits._
+    val df = (1L to 10L).map(v => ("k", v)).toDF("k", "v")
+    val got = graft.operators.Trend.meanExcess(df, "k", "v")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(got(50L).getLong(2) == 5L && got(50L).getDouble(6) == 3.0)
+    assert(got(75L).getLong(2) == 8L && got(75L).getDouble(6) == 1.5)
+    assert(got(90L).getLong(2) == 9L && got(90L).getDouble(6) == 1.0)
+    val p95 = got(95L)
+    assert(p95.getLong(2) == 10L && p95.getLong(4) == 0L &&
+      p95.isNullAt(6))
+  }
+
+  test("kupiecPof: the out-of-sample violation count lands the LR") {
+    import spark.implicits._
+    // calibration half 1..20 → u = 19; test half has 2/20 violations
+    val rows = (0L until 20L).map(b => ("k", b, b + 1)) ++
+      (20L until 38L).map(b => ("k", b, 5L)) ++
+      Seq(("k", 38L, 25L), ("k", 39L, 25L))
+    val r = graft.operators.Trend.kupiecPof(rows.toDF("k", "b", "v"),
+      "k", "b", "v").head()
+    assert(r.getLong(1) == 19L && r.getLong(2) == 20L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.05 && r.getDouble(5) == 0.1)
+    val lc = math.rint((18 * math.log(0.95) + 2 * math.log(0.05)) * 1e9) / 1e9
+    val lo = math.rint((18 * math.log(0.9) + 2 * math.log(0.1)) * 1e9) / 1e9
+    assert(r.getDouble(6) == math.rint(-2.0 * (lc - lo) * 1e6) / 1e6)
+  }
+
   test("coxBinary: the bisected MLE lands the hand score's root; " +
     "no-overlap brackets NULL") {
     import spark.implicits._
