@@ -3267,6 +3267,48 @@ object Drift {
         round(dbl(col("events")) / dbl(col("expected")), 6)).as("smr"))
   }
 
+  /** OVERLAP COEFFICIENT between two arms' binned score distributions
+    * — the COMMON-SUPPORT audit every propensity/matching method
+    * assumes and rarely checks: OVL = Σ_bins min(share_a, share_b) is
+    * the probability mass where the two groups actually coexist;
+    * OVL → 0 means the score separates the groups perfectly and any
+    * "controlling for it" is extrapolation, not adjustment (the
+    * distributional companion to q453's per-covariate SMD balance).
+    * One K-bin × 2-arm census; shares pin at 1e-9 and the min-mass
+    * sums as exact decimals. Degenerate arms (one side empty) read
+    * NULL.
+    */
+  def overlapCoefficient(
+      df: DataFrame,
+      scoreCol: Column,
+      armACol: Column,
+      nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d189 = DecimalType(18, 9)
+    val bins = df.select(scoreCol.as("p"), armACol.as("isa"))
+      .withColumn("bin",
+        least(floor(col("p") * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(true) // totals + the min sweep read it
+    val tot = bins.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val withShares = bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("na"), col("nb"),
+        when(col("na") > 0L, round(dbl(col("ca")) / dbl(col("na")), 9))
+          .otherwise(lit(0.0)).cast(d189).as("sa"),
+        when(col("nb") > 0L, round(dbl(col("cb")) / dbl(col("nb")), 9))
+          .otherwise(lit(0.0)).cast(d189).as("sb"))
+    withShares.groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(least(col("sa"), col("sb"))).as("ovl"))
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"), col("n_bins"),
+        when(col("na") > 0L && col("nb") > 0L,
+          round(dbl(col("ovl")), 6)).as("overlap"))
+  }
+
   /** TOST EQUIVALENCE for two proportions — the release-gate question
     * every other test on the shelf gets BACKWARD: q283/q563 ask "is
     * there a difference" (absence of evidence ≠ evidence of absence);

@@ -979,6 +979,45 @@ object Relational {
       round(when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurt_g2"))
   }
 
+  /** JARQUE–BERA normality VERDICT per group — the χ²(2) statistic
+    * JB = n/6·(g1² + g2²/4) over [[skewKurtosis]]'s exact power sums:
+    * q476 describes the shape, this says whether the shape is
+    * statistically incompatible with normal (the gate before any
+    * ±k·σ rule or t-interval is trusted on the column). Same exact
+    * DECIMAL(38,0) power-sum contract (cents⁴·rows within 38 digits);
+    * the moments and the one statistic are O(1) doubles per group;
+    * zero-variance groups read NULL.
+    */
+  def jarqueBera(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val v = col(valueCol).cast(d38)
+    val agg = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).as("s1"), sum(v * v).as("s2"),
+        sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+      .filter(col("n") >= 4L)
+    val n = dbl(col("n"))
+    val mean = dbl(col("s1")) / n
+    val m2 = dbl(col("s2")) / n - mean * mean
+    val m3 = dbl(col("s3")) / n - lit(3.0) * mean * (dbl(col("s2")) / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = dbl(col("s4")) / n - lit(4.0) * mean * (dbl(col("s3")) / n) +
+      lit(6.0) * mean * mean * (dbl(col("s2")) / n) -
+      lit(3.0) * mean * mean * mean * mean
+    val g1 = m3 / (m2 * sqrt(m2))
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    agg.select(col("g"), col("n"),
+      round(when(m2 > 0.0, g1), 6).as("skew_g1"),
+      round(when(m2 > 0.0, g2), 6).as("kurt_g2"),
+      round(when(m2 > 0.0,
+        n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)), 6).as("jarque_bera"))
+  }
+
   /** TWO-SAMPLE ANDERSON–DARLING (discrete/bucketed-census form) — the
     * TAIL-WEIGHTED member of the two-sample family: KS (q385) reads one
     * supremum, CvM (q470) integrates squared CDF gaps uniformly, AD

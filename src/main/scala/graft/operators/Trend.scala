@@ -2376,6 +2376,46 @@ object Trend {
       round(dbl(col("n")) * r * r, 6).as("rayleigh_z"))
   }
 
+  /** RECORD-BREAKING STATISTICS per key — the trend detector built
+    * from NOTHING but maxima: in an exchangeable (trendless) series
+    * the k-th observation is a new running maximum with probability
+    * 1/k, so expected records = H_n ≈ ln n; a series still setting
+    * records far above its harmonic budget is growing, one that
+    * stopped early has plateaued — and unlike q421's Mann–Kendall this
+    * reads from the EXTREMES only, so level shifts in the bulk can't
+    * mask it. One ordered pass (strict running-max flags, window
+    * partitioned by key over the bucket domain); H_n from per-integer
+    * 1e-12-pinned reciprocals summed exactly — both engines hold the
+    * identical budget.
+    */
+  def recordStats(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = df
+      .select(col(keyCol), col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("prevmax", max(col("v")).over(ord))
+      .withColumn("rec",
+        when(col("prevmax").isNull || col("v") > col("prevmax"), 1L)
+          .otherwise(0L))
+    val agg = flagged.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("rec")).as("n_records"),
+        max(when(col("rec") === 1L, col("b"))).as("last_record_bucket"))
+    val hn = expr("aggregate(sequence(CAST(1 AS BIGINT), n), " +
+      "CAST(0 AS DECIMAL(28,12)), (acc, i) -> CAST(acc + " +
+      "CAST(round(1.0 / CAST(i AS DOUBLE), 12) AS DECIMAL(28,12)) " +
+      "AS DECIMAL(28,12)))")
+    agg.select(col(keyCol), col("n"), col("n_records"),
+      col("last_record_bucket"),
+      round(dbl(hn), 6).as("expected_records"),
+      round(dbl(col("n_records")) / dbl(hn), 6).as("record_ratio"))
+  }
+
   /** MEAN-EXCESS (peaks-over-threshold) TABLE per key — the other half
     * of the extreme-value toolkit beside [[gumbelMaxima]]'s block
     * maxima: at each exact ceiling-rank percentile threshold u, the

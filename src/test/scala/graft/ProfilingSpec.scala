@@ -1467,6 +1467,20 @@ class ProfilingSpec extends SparkSuite {
       col("cv"), delta = 0.05).head().getBoolean(8))
   }
 
+  test("overlapCoefficient: half-shared bins read OVL = 0.5") {
+    import spark.implicits._
+    // A in bins {0,1}, B in bins {1,2}, each half-and-half
+    val rows = Seq((0.05, true), (0.05, true), (0.15, true), (0.15, true),
+      (0.15, false), (0.15, false), (0.25, false), (0.25, false))
+    val df = rows.toDF("p0", "isa")
+      .select(col("p0").cast(org.apache.spark.sql.types
+        .DataTypes.createDecimalType(12, 6)).as("p"), col("isa"))
+    val r = graft.operators.Drift.overlapCoefficient(df, col("p"),
+      col("isa")).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(3) == 0.5)
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

@@ -541,6 +541,25 @@ class RelationalSpec extends SparkSuite {
     assert(r.getDouble(4) == math.rint(math.sqrt(11.0 / 12.0) * 1e6) / 1e6)
   }
 
+  test("jarqueBera: hand moments land the chi-square; flat groups NULL") {
+    import spark.implicits._
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq.fill(4)(("c", 7L))).toDF("g", "v")
+    val got = graft.operators.Relational.jarqueBera(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getDouble(2) == 0.0) // symmetric
+    val m2 = 30.0 / 4 - 2.5 * 2.5
+    val m4 = 88.5 - 4.0 * 2.5 * 25 + 6.0 * 2.5 * 2.5 * 7.5 -
+      3.0 * 2.5 * 2.5 * 2.5 * 2.5
+    val g2 = m4 / (m2 * m2) - 3.0
+    assert(a.getDouble(3) == math.rint(g2 * 1e6) / 1e6)
+    assert(a.getDouble(4) ==
+      math.rint(4.0 / 6.0 * (g2 * g2 / 4.0) * 1e6) / 1e6)
+    val c = got("c")
+    assert(c.isNullAt(2) && c.isNullAt(4), "zero variance must refuse")
+  }
+
   test("gTest: the 2x2 hand table lands G and its MI identity") {
     import spark.implicits._
     // cells 30/10/10/30 on 40-40 margins: every E = 20

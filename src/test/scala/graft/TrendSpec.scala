@@ -864,6 +864,22 @@ class TrendSpec extends SparkSuite {
     assert(r.getDouble(6) == math.rint(-2.0 * (lc - lo) * 1e6) / 1e6)
   }
 
+  test("recordStats: a monotone series sets every record, a flat one " +
+    "only the first; the harmonic budget is pinned") {
+    import spark.implicits._
+    val rows = (1L to 8L).map(i => ("up", i, i)) ++
+      (1L to 4L).map(i => ("flat", i, 5L))
+    val got = graft.operators.Trend.recordStats(rows.toDF("k", "b", "v"),
+      "k", "b", "v").collect().map(r => r.getString(0) -> r).toMap
+    val up = got("up")
+    assert(up.getLong(2) == 8L && up.getLong(3) == 8L)
+    val h8 = (1 to 8).map(i => math.rint(1.0 / i * 1e12) / 1e12).sum
+    assert(up.getDouble(4) == math.rint(h8 * 1e6) / 1e6)
+    assert(up.getDouble(5) == math.rint(8.0 / h8 * 1e6) / 1e6)
+    val fl = got("flat")
+    assert(fl.getLong(2) == 1L && fl.getLong(3) == 1L)
+  }
+
   test("coxBinary: the bisected MLE lands the hand score's root; " +
     "no-overlap brackets NULL") {
     import spark.implicits._
