@@ -3448,12 +3448,20 @@ object Drift {
   def pChart(
       df: DataFrame,
       bucketCol: Column,
-      flagCol: Column): DataFrame = {
-    def dbl(c: Column): Column = c.cast("double")
-    val cen = df.select(bucketCol.cast("long").as("b"),
+      flagCol: Column): DataFrame =
+    pChartFromCensus(df.select(bucketCol.cast("long").as("b"),
         flagCol.cast("long").as("x"))
       .groupBy(col("b"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("x")))
+
+  /** [[pChart]] from (b, n, x) subgroup PARTIALS — counts add across
+    * batches, so a streaming store's drained chart reads identically
+    * to the one-pass path and shares the batch oracle verbatim.
+    */
+  def pChartFromCensus(censusDf: DataFrame): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = censusDf.groupBy(col("b"))
+      .agg(sum(col("n")).as("n"), sum(col("x")).as("x"))
       .localCheckpoint(true) // center line + per-bucket limits read it
     val tot = cen.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"))
     val pbar = dbl(col("xx")) / dbl(col("nn"))

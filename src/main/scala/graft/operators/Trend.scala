@@ -2376,6 +2376,62 @@ object Trend {
       round(dbl(col("n")) * r * r, 6).as("rayleigh_z"))
   }
 
+  /** THEIL'S U + ERROR DECOMPOSITION against the SEASONAL-NAIVE
+    * forecast — the "is your model worth having" yardstick and the
+    * "WHY is it wrong" split in one: U1 compares RMSE to the scale of
+    * the series (0 = perfect); the Theil decomposition splits MSE into
+    * UM (bias² — systematic level miss, fixable by an intercept), US
+    * (variance mismatch — the forecast is too smooth or too wild) and
+    * UC (covariance — irreducible phase noise; the only share a good
+    * model is ALLOWED to have). Here the forecast is each key's own
+    * value `seasonLag` buckets earlier — the baseline every
+    * seasonal model must beat (q361/q404 score Holt; this scores the
+    * zero-parameter rival and diagnoses it). Exact integer pair
+    * moments from one lag self-join (window, key-partitioned);
+    * everything after is O(1) doubles per key.
+    */
+  def theilU(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      seasonLag: Int = 24): DataFrame = {
+    require(seasonLag >= 1)
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("b"))
+    val pairs = df
+      .select(col(keyCol), col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("f", lag(col("v"), seasonLag).over(ord))
+      .filter(col("f").isNotNull)
+    val cen = pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sa"),
+        sum(col("f")).as("sf"), sum(col("v") * col("v")).as("saa"),
+        sum(col("f") * col("f")).as("sff"),
+        sum((col("v") - col("f")) * (col("v") - col("f"))).as("sse"))
+      .filter(col("n") >= 3L)
+    val n = dbl(col("n"))
+    val abar = dbl(col("sa")) / n
+    val fbar = dbl(col("sf")) / n
+    val va = dbl(col("saa")) / n - abar * abar
+    val vf = dbl(col("sff")) / n - fbar * fbar
+    val mse = dbl(col("sse")) / n
+    val um = (fbar - abar) * (fbar - abar) / mse
+    val us = (sqrt(vf) - sqrt(va)) * (sqrt(vf) - sqrt(va)) / mse
+    val u1 = sqrt(mse) /
+      (sqrt(dbl(col("saa")) / n) + sqrt(dbl(col("sff")) / n))
+    cen.select(col(keyCol), col("n"),
+      round(sqrt(mse), 6).as("rmse"),
+      when(dbl(col("saa")) / n + dbl(col("sff")) / n > 0.0,
+        round(u1, 6)).as("theil_u1"),
+      when(mse > 0.0, round(um, 6)).as("um_bias"),
+      when(mse > 0.0 && va >= 0.0 && vf >= 0.0, round(us, 6))
+        .as("us_variance"),
+      when(mse > 0.0 && va >= 0.0 && vf >= 0.0,
+        round(lit(1.0) - um - us, 6)).as("uc_covariance"))
+      .orderBy(col(keyCol))
+  }
+
   /** RECORD-BREAKING STATISTICS per key — the trend detector built
     * from NOTHING but maxima: in an exchangeable (trendless) series
     * the k-th observation is a new running maximum with probability

@@ -2583,6 +2583,44 @@ object StreamVerify {
           col("conv_b").cast("long").as("conv_b")), delta)
   }
 
+  /** STREAMING p-CHART maintenance — q592's attribute control chart
+    * as an ingestion side effect: per-batch (day, n, x) subgroup
+    * partials land exactly-once and ADD, the drained chart goes
+    * through [[graft.operators.Drift.pChartFromCensus]] — center line,
+    * per-day limits and OOC verdicts bit-identical to the one-pass
+    * batch answer, oracle shared verbatim. State is O(days) rows —
+    * calendar-bounded, the SPC monitor at ingest cadence.
+    */
+  def pChartMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/pc"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("b"))
+            .agg(count(lit(1)).as("n"), sum(col("x")).as("x"))
+            .coalesce(1),
+          tag = s"pc-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.pChartFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("b").cast("long").as("b"),
+          col("n").cast("long").as("n"), col("x").cast("long").as("x")))
+  }
+
   /** STREAMING ORDINAL-ASSOCIATION maintenance — q566's
     * gamma/Somers'-D family as an ingestion side effect: per-batch
     * (x, y) censuses land exactly-once, cell counts ADD (concordance,

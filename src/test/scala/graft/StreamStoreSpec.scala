@@ -200,6 +200,34 @@ class StreamStoreSpec extends SparkSuite {
     assert(commits.forall(_._2.startsWith("te-")))
   }
 
+  test("pchart store: daily partials add across batches; drain equals " +
+    "batch") {
+    // days split ACROSS batches on purpose — subgroup counts add, so
+    // no entity partitioning is needed for this store
+    val rows = (0L until 40L).map(i =>
+      (i, i % 4, if (i % 10 == 0) 1L else 0L)).toDF("id", "b", "x")
+    val src = tmp("pc_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"pc_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("pc_store") + "/s"
+    val drained = StreamVerify.pChartMaintenance(spark, src, scratch)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Drift.pChart(rows.drop("id"),
+      col("b"), col("x")).collect().map(_.toSeq)
+    assert(drained.toSeq == batch.toSeq)
+    val commits = TxLake.commitAddCounts(s"$scratch/pc")
+    assert(commits.size == 2 && commits.forall(_._3 <= 4L),
+      s"day-census commits stay calendar-bounded: $commits")
+    assert(commits.forall(_._2.startsWith("pc-")))
+  }
+
   test("components store commits per-batch DELTAS, never the standing state") {
     // 20 disjoint pairs + one bridge: whatever the deterministic hash
     // split assigns to each micro-batch, every node inserts exactly once

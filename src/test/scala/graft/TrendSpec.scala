@@ -880,6 +880,25 @@ class TrendSpec extends SparkSuite {
     assert(fl.getLong(2) == 1L && fl.getLong(3) == 1L)
   }
 
+  test("theilU: a constant overshoot is PURE bias; short keys drop") {
+    import spark.implicits._
+    // period-2 series +2 per cycle: every naive error is exactly 2 →
+    // UM = 1, US = UC = 0, rmse = 2
+    val k = Seq(10L, 20L, 12L, 22L, 14L, 24L).zipWithIndex
+      .map { case (v, b) => ("k", b.toLong, v) }
+    val short = Seq(("s", 0L, 1L), ("s", 1L, 2L), ("s", 2L, 3L))
+    val got = graft.operators.Trend.theilU(
+      (k ++ short).toDF("k", "b", "v"), "k", "b", "v", seasonLag = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("k"), "a 1-pair key can't decompose")
+    val r = got("k")
+    assert(r.getLong(1) == 4L && r.getDouble(2) == 2.0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 0.0 &&
+      r.getDouble(6) == 0.0)
+    val u1 = 2.0 / (math.sqrt(350.0) + math.sqrt(282.0))
+    assert(r.getDouble(3) == math.rint(u1 * 1e6) / 1e6)
+  }
+
   test("coxBinary: the bisected MLE lands the hand score's root; " +
     "no-overlap brackets NULL") {
     import spark.implicits._
