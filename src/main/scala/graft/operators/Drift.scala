@@ -3309,6 +3309,52 @@ object Drift {
           round(dbl(col("ovl")), 6)).as("overlap"))
   }
 
+  /** KPI BRIDGE — the "why did the rate move" decomposition every
+    * metrics review reinvents badly: between two periods, the overall
+    * rate's change splits EXACTLY into per-segment RATE effects
+    * (w₀·Δr — the segment itself got worse), MIX effects (Δw·r₀ —
+    * traffic shifted toward segments that were always worse) and
+    * interactions (Δw·Δr), and the three columns SUM to ΔKPI by
+    * construction — so "the error rate doubled" resolves to "checkout
+    * got worse" vs "more traffic hit checkout" in one table. One
+    * (segment, period) census; every effect term is O(1) doubles over
+    * exact integers. A segment absent from a period carries w = 0 and
+    * r = 0 on that side (its whole contribution lands in the
+    * interaction column — documented, and the identity still holds).
+    */
+  def kpiBridge(
+      df: DataFrame,
+      segmentCol: Column,
+      basePeriodCol: Column,
+      eventCol: Column): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.select(segmentCol.cast("string").as("seg"),
+        basePeriodCol.as("isbase"), eventCol.cast("long").as("e"))
+      .groupBy(col("seg"))
+      .agg(sum(when(col("isbase"), 1L).otherwise(0L)).as("n0"),
+        sum(when(!col("isbase"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("isbase"), col("e")).otherwise(0L)).as("e0"),
+        sum(when(!col("isbase"), col("e")).otherwise(0L)).as("e1"))
+      .localCheckpoint(true) // totals + the effect sweep read it
+    val tot = cen.agg(sum(col("n0")).as("t0"), sum(col("n1")).as("t1"))
+    val w0 = when(col("n0") > 0L, dbl(col("n0")) / dbl(col("t0")))
+      .otherwise(lit(0.0))
+    val w1 = when(col("n1") > 0L, dbl(col("n1")) / dbl(col("t1")))
+      .otherwise(lit(0.0))
+    val r0 = when(col("n0") > 0L, dbl(col("e0")) / dbl(col("n0")))
+      .otherwise(lit(0.0))
+    val r1 = when(col("n1") > 0L, dbl(col("e1")) / dbl(col("n1")))
+      .otherwise(lit(0.0))
+    cen.crossJoin(broadcast(tot))
+      .select(col("seg"), col("n0"), col("n1"),
+        round(r0, 6).as("rate_base"), round(r1, 6).as("rate_cur"),
+        round(w0, 6).as("mix_base"), round(w1, 6).as("mix_cur"),
+        round(w0 * (r1 - r0), 6).as("rate_effect"),
+        round((w1 - w0) * r0, 6).as("mix_effect"),
+        round((w1 - w0) * (r1 - r0), 6).as("interaction"))
+      .orderBy(col("seg"))
+  }
+
   /** TOST EQUIVALENCE for two proportions — the release-gate question
     * every other test on the shelf gets BACKWARD: q283/q563 ask "is
     * there a difference" (absence of evidence ≠ evidence of absence);

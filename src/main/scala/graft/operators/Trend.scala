@@ -2349,13 +2349,23 @@ object Trend {
       df: DataFrame,
       keyCol: Column,
       slotCol: Column,
+      nSlots: Int = 24): DataFrame =
+    circularFromCensus(df.select(keyCol.cast("string").as("k"),
+        slotCol.cast("long").as("s"))
+      .groupBy(col("k"), col("s")).agg(count(lit(1)).as("c")), nSlots)
+
+  /** [[circularStats]] from a (k, s, c) slot census — counts add
+    * across batches, so a streaming store's drained readout matches
+    * the one-pass path and shares the batch oracle verbatim.
+    */
+  def circularFromCensus(
+      censusDf: DataFrame,
       nSlots: Int = 24): DataFrame = {
     require(nSlots >= 2)
     def dbl(c: Column): Column = c.cast("double")
     val d1512 = DecimalType(15, 12)
-    val cen = df.select(keyCol.cast("string").as("k"),
-        slotCol.cast("long").as("s"))
-      .groupBy(col("k"), col("s")).agg(count(lit(1)).as("c"))
+    val cen = censusDf.groupBy(col("k"), col("s"))
+      .agg(sum(col("c")).as("c"))
     val ang = col("s").cast("double") * (2.0 * math.Pi / nSlots)
     val staged = cen
       .withColumn("cs", round(cos(ang), 12).cast(d1512))
@@ -2430,6 +2440,45 @@ object Trend {
       when(mse > 0.0 && va >= 0.0 && vf >= 0.0,
         round(lit(1.0) - um - us, 6)).as("uc_covariance"))
       .orderBy(col(keyCol))
+  }
+
+  /** HOUR-OF-DAY UNIFORMITY χ² per key — the ANY-shape rhythm test
+    * beside [[circularStats]]' Rayleigh (Rayleigh is powered for
+    * UNIMODAL concentration; a bimodal commute pattern with opposed
+    * peaks cancels its resultant to zero, while this χ² against the
+    * uniform slot law sees any departure). FULL slot spine (an empty
+    * slot still owes its n/k expectation), χ² = Σ(O−n/k)²/(n/k) with
+    * each term pinned once at 1e-9, df = k−1. One (key, slot) census.
+    */
+  def uniformityChi2(
+      df: DataFrame,
+      keyCol: Column,
+      slotCol: Column,
+      nSlots: Int = 24): DataFrame = {
+    require(nSlots >= 2)
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val cen = df.select(keyCol.cast("string").as("k"),
+        slotCol.cast("long").as("s"))
+      .groupBy(col("k"), col("s")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // spine + totals read it
+    val spine = cen.select(col("k")).distinct()
+      .crossJoin(cen.sparkSession.range(nSlots)
+        .select(col("id").cast("long").as("s")))
+    val full = spine.join(cen, Seq("k", "s"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val tot = full.groupBy(col("k")).agg(sum(col("c")).as("n"))
+    val e = dbl(col("n")) / nSlots
+    val term = round((dbl(col("c")) - e) * (dbl(col("c")) - e) / e, 9)
+      .cast(d289)
+    full.join(broadcast(tot), Seq("k"))
+      .filter(col("n") > 0L)
+      .groupBy(col("k"), col("n"))
+      .agg(sum(term).as("chi2s"))
+      .select(col("k").as("key"), col("n"),
+        lit(nSlots - 1L).as("df"),
+        round(dbl(col("chi2s")), 6).as("chi2"))
+      .orderBy(col("key"))
   }
 
   /** RECORD-BREAKING STATISTICS per key — the trend detector built

@@ -2621,6 +2621,43 @@ object StreamVerify {
           col("n").cast("long").as("n"), col("x").cast("long").as("x")))
   }
 
+  /** STREAMING CIRCULAR-RHYTHM maintenance — q602's time-of-day
+    * statistics as an ingestion side effect: per-batch (key, slot)
+    * censuses land exactly-once and ADD, the drained mean
+    * direction/resultant/Rayleigh go through
+    * [[graft.operators.Trend.circularFromCensus]] — bit-identical to
+    * the one-pass batch answer, oracle shared verbatim. State is
+    * O(keys × slots) rows, slot-domain-bounded.
+    */
+  def circularMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/ci"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("k"), col("s")).agg(count(lit(1)).as("c"))
+            .coalesce(1),
+          tag = s"ci-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Trend.circularFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("k").cast("string").as("k"),
+          col("s").cast("long").as("s"), col("c").cast("long").as("c")))
+  }
+
   /** STREAMING ORDINAL-ASSOCIATION maintenance — q566's
     * gamma/Somers'-D family as an ingestion side effect: per-batch
     * (x, y) censuses land exactly-once, cell counts ADD (concordance,

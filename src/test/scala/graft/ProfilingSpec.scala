@@ -1481,6 +1481,32 @@ class ProfilingSpec extends SparkSuite {
     assert(r.getDouble(3) == 0.5)
   }
 
+  test("kpiBridge: rate moves and mix moves land in their own columns " +
+    "and sum to the KPI change") {
+    import spark.implicits._
+    def seg(s: String, base: Boolean, n: Int, e: Int) =
+      (1 to n).map(i => (s, base, if (i <= e) 1L else 0L))
+    // pure rate move: A worsens .1 → .3 at constant mix
+    val rateMove = (seg("A", true, 100, 10) ++ seg("A", false, 100, 30) ++
+      seg("B", true, 100, 10) ++ seg("B", false, 100, 10))
+      .toDF("s", "isb", "e")
+    val r = graft.operators.Drift.kpiBridge(rateMove, col("s"),
+      col("isb"), col("e"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("A").getDouble(7) == 0.1 && r("A").getDouble(8) == 0.0)
+    assert(r("B").getDouble(7) == 0.0 && r("B").getDouble(8) == 0.0)
+    // pure mix move: traffic shifts toward the clean segment
+    val mixMove = (seg("A", true, 100, 10) ++ seg("A", false, 150, 15) ++
+      seg("B", true, 100, 30) ++ seg("B", false, 50, 15))
+      .toDF("s", "isb", "e")
+    val m = graft.operators.Drift.kpiBridge(mixMove, col("s"),
+      col("isb"), col("e"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(m("A").getDouble(7) == 0.0 && m("A").getDouble(8) == 0.025)
+    assert(m("B").getDouble(8) == -0.075)
+    assert(m("A").getDouble(9) == 0.0 && m("B").getDouble(9) == 0.0)
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

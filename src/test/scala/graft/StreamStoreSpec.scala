@@ -228,6 +228,31 @@ class StreamStoreSpec extends SparkSuite {
     assert(commits.forall(_._2.startsWith("pc-")))
   }
 
+  test("circular store: slot censuses add; drain equals batch") {
+    val rows = (0L until 48L).map(i => (i, "t", i % 24))
+      .toDF("id", "k", "s")
+    val src = tmp("ci_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"ci_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("ci_store") + "/s"
+    val drained = StreamVerify.circularMaintenance(spark, src, scratch)
+      .head()
+    val batch = graft.operators.Trend.circularStats(rows.drop("id"),
+      col("k"), col("s")).head()
+    assert(drained.toSeq == batch.toSeq)
+    val commits = TxLake.commitAddCounts(s"$scratch/ci")
+    assert(commits.size == 2 && commits.forall(_._3 <= 24L),
+      s"slot censuses stay slot-domain-bounded: $commits")
+    assert(commits.forall(_._2.startsWith("ci-")))
+  }
+
   test("components store commits per-batch DELTAS, never the standing state") {
     // 20 disjoint pairs + one bridge: whatever the deterministic hash
     // split assigns to each micro-batch, every node inserts exactly once

@@ -899,6 +899,20 @@ class TrendSpec extends SparkSuite {
     assert(r.getDouble(3) == math.rint(u1 * 1e6) / 1e6)
   }
 
+  test("uniformityChi2: uniform reads 0, a point mass pays every " +
+    "empty slot") {
+    import spark.implicits._
+    val rows = (0 until 24).flatMap(s => Seq(("u", s.toLong),
+      ("u", s.toLong))) ++ (1 to 24).map(_ => ("p", 0L))
+    val got = graft.operators.Trend.uniformityChi2(rows.toDF("k", "s"),
+      col("k"), col("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("u").getDouble(3) == 0.0)
+    assert(got("u").getLong(2) == 23L)
+    // point mass: (24−1)²/1 + 23·(0−1)²/1 = 552
+    assert(got("p").getDouble(3) == 552.0)
+  }
+
   test("coxBinary: the bisected MLE lands the hand score's root; " +
     "no-overlap brackets NULL") {
     import spark.implicits._
