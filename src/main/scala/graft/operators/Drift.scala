@@ -3309,6 +3309,51 @@ object Drift {
           round(dbl(col("ovl")), 6)).as("overlap"))
   }
 
+  /** MARKOV ENTROPY RATE of the behavior chain — how much of the NEXT
+    * event is genuinely new information once you know the current
+    * one: H = −Σ_ij (n_ij/N)·ln(n_ij/n_i·) in nats per step, with the
+    * normalized ratio H/ln(k) as the "how far from maximally
+    * unpredictable" gauge. The sequence-level complement to q460's
+    * marginal entropy (a corpus can have maximal marginal entropy and
+    * near-zero entropy RATE if transitions are deterministic — that
+    * gap IS the behavioral structure q222's raw transition matrix
+    * shows but doesn't score). One per-user lag pass + one transition
+    * census; ln terms over exact integer ratios pin once at 1e-9.
+    */
+  def markovEntropyRate(
+      df: DataFrame,
+      userCol: Column,
+      orderCol: Column,
+      stateCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val trans = df
+      .select(userCol.as("u"), orderCol.as("o"),
+        stateCol.cast("string").as("st"))
+      .withColumn("prev", lag(col("st"), 1).over(
+        Window.partitionBy(col("u")).orderBy(col("o"))))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("st")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // rows + totals + terms read it
+    val rowT = trans.groupBy(col("prev")).agg(sum(col("n")).as("nr"))
+    val joined = trans.join(broadcast(rowT), Seq("prev"))
+    val tot = trans.agg(sum(col("n")).as("nn"),
+      countDistinct(col("st")).as("k"))
+    val term = round(dbl(col("n")) *
+      log(dbl(col("n")) / dbl(col("nr"))), 9).cast(d289)
+    joined.crossJoin(broadcast(tot))
+      .groupBy(col("nn"), col("k"))
+      .agg(sum(term).as("ts"))
+      .select(col("nn").cast("long").as("n_transitions"),
+        col("k").cast("long").as("n_states"),
+        round(-dbl(col("ts")) / dbl(col("nn")), 6).as("entropy_rate"),
+        when(col("k") > 1L,
+          round(-dbl(col("ts")) / dbl(col("nn")) /
+            log(dbl(col("k"))), 6)).as("predictability_gap"))
+  }
+
   /** KPI BRIDGE — the "why did the rate move" decomposition every
     * metrics review reinvents badly: between two periods, the overall
     * rate's change splits EXACTLY into per-segment RATE effects

@@ -125,6 +125,57 @@ object Features {
         .as("auc"))
   }
 
+  /** DECISION-STUMP SPLIT — the best single threshold on a bucketed
+    * numeric feature by Gini gain: the tree-based sibling of q325's
+    * WOE/IV feature audit (IV scores the feature's total separating
+    * power; the stump says WHERE one cut buys the most purity, which
+    * is what a triage rule or a first tree node actually uses).
+    * Candidates are bucket boundaries (domain-bounded — never raw
+    * values), cumulative class counts run over the ordered bucket
+    * domain, gains pin at 1e-9 and ties break toward the LOWEST
+    * boundary deterministically. Splits with an empty side are not
+    * candidates.
+    */
+  def stumpSplit(
+      df: DataFrame,
+      bucketCol: Column,
+      labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.select(bucketCol.cast("long").as("b"),
+        labelCol.cast("long").as("y"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(true) // cumulative sweep over the bucket domain
+    val ord = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val sw = cen
+      .withColumn("cn", sum(col("n")).over(ord))
+      .withColumn("cp", sum(col("pos")).over(ord))
+      .withColumn("tn", sum(col("n")).over(all))
+      .withColumn("tp", sum(col("pos")).over(all))
+      .filter(col("cn") > 0L && col("cn") < col("tn"))
+    def gini(p: Column, n: Column): Column = {
+      val q = dbl(p) / dbl(n)
+      lit(1.0) - q * q - (lit(1.0) - q) * (lit(1.0) - q)
+    }
+    val nl = col("cn"); val nr = col("tn") - col("cn")
+    val weighted = (dbl(nl) * gini(col("cp"), nl) +
+      dbl(nr) * gini(col("tp") - col("cp"), nr)) / dbl(col("tn"))
+    val parent = gini(col("tp"), col("tn"))
+    val scored = sw.select(col("b"), nl.as("n_left"), nr.as("n_right"),
+      round(parent, 9).as("parent_gini"),
+      round(weighted, 9).as("weighted_gini"),
+      round(parent - weighted, 9).as("gain"))
+    scored.orderBy(col("gain").desc, col("b"))
+      .limit(1)
+      .select(col("b").as("split_bucket"), col("n_left"), col("n_right"),
+        round(col("parent_gini"), 6).as("parent_gini"),
+        round(col("weighted_gini"), 6).as("weighted_gini"),
+        round(col("gain"), 6).as("gain"))
+  }
+
   /** CLASSIFIER SUITE beyond P/R/F1 — the prevalence-robust readouts
     * [[binaryMetrics]] omits, from the SAME four confusion integers:
     * MCC (the correlation coefficient of the confusion matrix — the

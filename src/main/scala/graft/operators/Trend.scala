@@ -2481,6 +2481,83 @@ object Trend {
       .orderBy(col("key"))
   }
 
+  /** HURST EXPONENT by R/S ANALYSIS per key — long-memory in one
+    * number: H ≈ 0.5 is a random walk's increments, H > 0.5 means
+    * persistence (busy hours clump — yesterday's load predicts
+    * today's beyond any fixed lag q255/q588 can see), H < 0.5 means
+    * mean reversion. For each dyadic window size the series splits
+    * into FULL blocks; per block R = range of cumulative deviations
+    * from the block mean and S = the block σ; H is the OLS slope of
+    * ln(mean R/S) on ln(window). Every per-block statistic is O(1)
+    * doubles over exact integer block sums (cumulative deviations via
+    * an in-block running sum — windows partitioned by (key, block)),
+    * R/S ratios pin at 1e-9 before the per-size decimal mean, and the
+    * 4-point regression is closed-form. Keys missing a size's single
+    * full block drop that size; under 3 usable sizes the key reads
+    * NULL.
+    */
+  def hurstRS(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.size >= 3 && sizes.forall(_ >= 4))
+    def dbl(c: Column): Column = c.cast("double")
+    val d289 = DecimalType(28, 9)
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("b"))
+    val base = df
+      .select(col(keyCol), col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("i", row_number().over(ord).cast("long") - 1L)
+      .localCheckpoint(true) // every window size re-reads it
+    val perSize = sizes.map { w =>
+      val inBlk = Window.partitionBy(col(keyCol), col("blk"))
+        .orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blkAgg = Window.partitionBy(col(keyCol), col("blk"))
+      val staged = base
+        .withColumn("blk", expr(s"i div $w"))
+        .withColumn("cnt", count(lit(1)).over(blkAgg))
+        .filter(col("cnt") === w.toLong)
+        .withColumn("s1", sum(col("v")).over(blkAgg))
+        .withColumn("s2", sum(col("v") * col("v")).over(blkAgg))
+        .withColumn("cum", sum(col("v")).over(inBlk))
+        .withColumn("j", row_number().over(
+          Window.partitionBy(col(keyCol), col("blk")).orderBy(col("i")))
+          .cast("long"))
+      val mean = dbl(col("s1")) / w
+      val dev = dbl(col("cum")) - dbl(col("j")) * mean
+      val blocks = staged.groupBy(col(keyCol), col("blk"),
+          col("s1"), col("s2"))
+        .agg(max(dev).as("dmax"), min(dev).as("dmin"))
+      val s = sqrt(dbl(col("s2")) / w -
+        (dbl(col("s1")) / w) * (dbl(col("s1")) / w))
+      val rs = round((col("dmax") - col("dmin")) / s, 9).cast(d289)
+      blocks.filter(s > 0.0)
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n_blocks"), sum(rs).as("rs_sum"))
+        .select(col(keyCol), lit(w.toLong).as("w"),
+          (dbl(col("rs_sum")) / dbl(col("n_blocks"))).as("mrs"))
+    }.reduce(_.unionByName(_))
+    val d189 = DecimalType(18, 9)
+    val pts = perSize
+      .select(col(keyCol),
+        round(log(dbl(col("w"))), 9).cast(d189).as("x"),
+        round(log(col("mrs")), 9).cast(d189).as("y"))
+    val fit = pts.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("np") >= 3L)
+    fit.select(col(keyCol), col("np").as("n_sizes"),
+      round((dbl(col("np")) * dbl(col("sxy")) -
+        dbl(col("sx")) * dbl(col("sy"))) /
+        (dbl(col("np")) * dbl(col("sxx")) -
+          dbl(col("sx")) * dbl(col("sx"))), 6).as("hurst"))
+      .orderBy(col(keyCol))
+  }
+
   /** RECORD-BREAKING STATISTICS per key — the trend detector built
     * from NOTHING but maxima: in an exchangeable (trendless) series
     * the k-th observation is a new running maximum with probability

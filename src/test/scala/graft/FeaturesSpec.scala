@@ -221,6 +221,20 @@ class FeaturesSpec extends SparkSuite {
     assert(!got.contains("green") && !got.contains("teal"))
   }
 
+  test("stumpSplit: the clean boundary wins with the full parent gini") {
+    import spark.implicits._
+    def blk(b: Long, n: Int, pos: Int) =
+      (1 to n).map(i => (b, if (i <= pos) 1L else 0L))
+    val df = (blk(1L, 10, 0) ++ blk(2L, 10, 0) ++ blk(3L, 10, 10) ++
+      blk(4L, 10, 10)).toDF("b", "y")
+    val r = graft.operators.Features.stumpSplit(df, col("b"), col("y"))
+      .head()
+    assert(r.getLong(0) == 2L, "the clean cut is at bucket 2")
+    assert(r.getLong(1) == 20L && r.getLong(2) == 20L)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == 0.5)
+  }
+
   test("classifierSuite: balanced 8/2/2/8 confusion lands MCC 0.6") {
     import spark.implicits._
     val rows = Seq.fill(8)((1.0, true)) ++ Seq.fill(2)((1.0, false)) ++

@@ -1507,6 +1507,27 @@ class ProfilingSpec extends SparkSuite {
     assert(m("A").getDouble(9) == 0.0 && m("B").getDouble(9) == 0.0)
   }
 
+  test("markovEntropyRate: deterministic chains read 0, a fair branch " +
+    "reads its share of ln 2") {
+    import spark.implicits._
+    // a,b,a,c,a,b,a,c,a: from 'a' the walk branches 50/50, from b/c
+    // it is deterministic → H = (4/8)·ln2
+    val seq1 = Seq("a", "b", "a", "c", "a", "b", "a", "c", "a")
+    val rows = seq1.zipWithIndex.map { case (st, i) => (1L, i.toLong, st) }
+    val r = graft.operators.Drift.markovEntropyRate(
+      rows.toDF("u", "o", "st"), col("u"), col("o"), col("st")).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == math.rint(0.5 * math.log(2.0) * 1e6) / 1e6)
+    assert(r.getDouble(3) ==
+      math.rint(0.5 * math.log(2.0) / math.log(3.0) * 1e6) / 1e6)
+    // a pure cycle carries zero new information per step
+    val cyc = Seq("a", "b", "a", "b", "a").zipWithIndex
+      .map { case (st, i) => (1L, i.toLong, st) }
+    assert(graft.operators.Drift.markovEntropyRate(
+      cyc.toDF("u", "o", "st"), col("u"), col("o"), col("st"))
+      .head().getDouble(2) == 0.0)
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

@@ -913,6 +913,21 @@ class TrendSpec extends SparkSuite {
     assert(got("p").getDouble(3) == 552.0)
   }
 
+  test("hurstRS: a trending series reads persistent, alternation " +
+    "reads antipersistent") {
+    import spark.implicits._
+    val lin = (0L until 128L).map(i => ("lin", i, i))
+    val alt = (0L until 128L).map(i => ("alt", i, i % 2))
+    val got = graft.operators.Trend.hurstRS(
+      (lin ++ alt).toDF("k", "b", "v"), "k", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("lin").getLong(1) == 4L)
+    assert(got("lin").getDouble(2) > 0.9,
+      s"a straight line is maximally persistent: ${got("lin")}")
+    assert(got("alt").getDouble(2) < 0.3,
+      s"strict alternation is antipersistent: ${got("alt")}")
+  }
+
   test("coxBinary: the bisected MLE lands the hand score's root; " +
     "no-overlap brackets NULL") {
     import spark.implicits._
