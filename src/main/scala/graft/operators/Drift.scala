@@ -3309,6 +3309,65 @@ object Drift {
           round(dbl(col("ovl")), 6)).as("overlap"))
   }
 
+  /** KENDALL'S W — coefficient of concordance for m raters RANKING n
+    * items: do the daily volume leaderboards actually agree, or is
+    * yesterday's #1 today's #4? The ordinal-RANKING member of the
+    * agreement shelf (q447/q581 score categorical labels, q532 fixed
+    * panels; W scores whole orderings, with the Friedman-equivalent
+    * χ²_r = m(n−1)W as its verdict). Tie-averaged ranks with the
+    * classic ΣT = Σ(t³−t) correction; ranks are carried DOUBLED
+    * (2·minrank + t − 1) so every sum stays an exact integer — S
+    * appears ×4 and cancels against the ×4 in the denominator
+    * algebraically (W = 3·S₄/denominator). FULL rater×item spine
+    * (an item a rater never saw ranks last at score 0, it doesn't
+    * vanish). One (rater, item) census; rank windows partition by
+    * rater over the item domain.
+    */
+  def kendallW(
+      df: DataFrame,
+      raterCol: Column,
+      itemCol: Column,
+      scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val cen = df.select(raterCol.cast("string").as("r"),
+        itemCol.cast("string").as("it"), scoreCol.cast("long").as("sc"))
+      .groupBy(col("r"), col("it")).agg(sum(col("sc")).as("s"))
+      .localCheckpoint(true) // spine + ranks + tie masses read it
+    val spine = cen.select(col("r")).distinct()
+      .crossJoin(cen.select(col("it")).distinct())
+    val full = spine.join(cen, Seq("r", "it"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+    val byRater = Window.partitionBy(col("r")).orderBy(col("s"))
+    val ranked = full
+      .withColumn("minrank", rank().over(byRater).cast("long"))
+      .withColumn("t", count(lit(1)).over(
+        Window.partitionBy(col("r"), col("s"))))
+      .withColumn("r2", lit(2L) * col("minrank") + col("t") - 1L)
+    val dims = ranked.agg(countDistinct(col("r")).as("m"),
+      countDistinct(col("it")).as("n"))
+    val ties = ranked.select(col("r"), col("s"), col("t")).distinct()
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("tsum"))
+    val rsum = ranked.groupBy(col("it")).agg(sum(col("r2")).as("rr2"))
+    val s4 = rsum.crossJoin(broadcast(dims))
+      .select(((col("rr2") - col("m") * (col("n") + 1L)) *
+        (col("rr2") - col("m") * (col("n") + 1L))).cast(d38).as("sq"))
+      .agg(sum(col("sq")).as("s4"))
+    val denom = dbl(col("m")) * dbl(col("m")) *
+      (dbl(col("n")) * dbl(col("n")) * dbl(col("n")) - dbl(col("n"))) -
+      dbl(col("m")) * dbl(col("tsum"))
+    val w = lit(3.0) * dbl(col("s4")) / denom
+    s4.crossJoin(broadcast(dims)).crossJoin(broadcast(ties))
+      .select(col("m").cast("long").as("m"), col("n").cast("long").as("n"),
+        when(denom > 0.0, round(w, 6)).as("kendall_w"),
+        when(denom > 0.0,
+          round(dbl(col("m")) * (dbl(col("n")) - 1.0) * w, 6))
+          .as("friedman_chi2"))
+  }
+
   /** MARKOV ENTROPY RATE of the behavior chain — how much of the NEXT
     * event is genuinely new information once you know the current
     * one: H = −Σ_ij (n_ij/N)·ln(n_ij/n_i·) in nats per step, with the

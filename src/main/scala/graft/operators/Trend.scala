@@ -2481,6 +2481,55 @@ object Trend {
       .orderBy(col("key"))
   }
 
+  /** SAMPLE ENTROPY per key — regularity the linear tools can't see:
+    * SampEn = −ln(A/B), where B counts pairs of length-2 templates
+    * matching within tolerance `r` and A counts those still matching
+    * at length 3. A perfectly repeating series has A ≈ B (every match
+    * extends → SampEn ≈ 0); white noise extends almost never (SampEn
+    * large). The nonlinear complement to [[hurstRS]] (long-memory) and
+    * [[haarEnergy]] (where variance lives): two series can share both
+    * and differ in REGULARITY. Integer tolerance, integer comparisons
+    * — the match censuses are exact on both engines, ln is the only
+    * libm call. The template pair join runs per key over the bucket
+    * domain (calendar-bounded — at any corpus volume the hour domain
+    * is the hour domain); i < j dedups pairs, self-matches excluded.
+    * Keys with no length-2 match read NULL.
+    */
+  def sampleEntropy(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      tolerance: Long = 20L): DataFrame = {
+    require(tolerance >= 0L)
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("b"))
+    val base = df
+      .select(col(keyCol), col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("v1", lead(col("v"), 1).over(ord))
+      .withColumn("v2", lead(col("v"), 2).over(ord))
+      .filter(col("v1").isNotNull)
+      .localCheckpoint(true) // both sides of the pair join read it
+    val other = base.select(col(keyCol), col("i").as("j"),
+      col("v").as("w"), col("v1").as("w1"), col("v2").as("w2"))
+    val pairs = base.join(other, Seq(keyCol))
+      .filter(col("i") < col("j") &&
+        abs(col("v") - col("w")) <= tolerance &&
+        abs(col("v1") - col("w1")) <= tolerance)
+    val agg = pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("b_matches"),
+        sum(when(col("v2").isNotNull && col("w2").isNotNull &&
+          abs(col("v2") - col("w2")) <= tolerance, 1L).otherwise(0L))
+          .as("a_matches"))
+    agg.select(col(keyCol), col("b_matches"), col("a_matches"),
+      when(col("a_matches") > 0L && col("b_matches") > 0L,
+        round(-log(dbl(col("a_matches")) / dbl(col("b_matches"))), 6))
+        .as("sampen"))
+      .orderBy(col(keyCol))
+  }
+
   /** HURST EXPONENT by R/S ANALYSIS per key — long-memory in one
     * number: H ≈ 0.5 is a random walk's increments, H > 0.5 means
     * persistence (busy hours clump — yesterday's load predicts

@@ -1528,6 +1528,24 @@ class ProfilingSpec extends SparkSuite {
       .head().getDouble(2) == 0.0)
   }
 
+  test("kendallW: unanimous leaderboards read 1, opposed rankings 0") {
+    import spark.implicits._
+    def rater(r: Long, scores: Seq[(String, Long)]) =
+      scores.map { case (it, s) => (r, it, s) }
+    val agree = (rater(1L, Seq("a" -> 1L, "b" -> 2L, "c" -> 3L)) ++
+      rater(2L, Seq("a" -> 1L, "b" -> 2L, "c" -> 3L)) ++
+      rater(3L, Seq("a" -> 1L, "b" -> 2L, "c" -> 3L)))
+      .toDF("r", "it", "s")
+    val w = graft.operators.Drift.kendallW(agree, col("r"), col("it"),
+      col("s")).head()
+    assert(w.getLong(0) == 3L && w.getLong(1) == 3L)
+    assert(w.getDouble(2) == 1.0 && w.getDouble(3) == 6.0)
+    val oppose = (rater(1L, Seq("a" -> 1L, "b" -> 2L)) ++
+      rater(2L, Seq("a" -> 2L, "b" -> 1L))).toDF("r", "it", "s")
+    assert(graft.operators.Drift.kendallW(oppose, col("r"), col("it"),
+      col("s")).head().getDouble(2) == 0.0)
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

@@ -928,6 +928,26 @@ class TrendSpec extends SparkSuite {
       s"strict alternation is antipersistent: ${got("alt")}")
   }
 
+  test("sampleEntropy: repetition extends its matches, a broken " +
+    "extension refuses") {
+    import spark.implicits._
+    // 1,2,1,2…: same-template pairs B = C(4,2)+C(3,2) = 9, of which
+    // A = 6 still match at length 3 → SampEn = −ln(6/9)
+    val rep = Seq(1L, 2L, 1L, 2L, 1L, 2L, 1L, 2L).zipWithIndex
+      .map { case (v, b) => ("rep", b.toLong, v) }
+    // 1,2,9,1,2,5: the one template match breaks at extension → NULL
+    val brk = Seq(1L, 2L, 9L, 1L, 2L, 5L).zipWithIndex
+      .map { case (v, b) => ("brk", b.toLong, v) }
+    val got = graft.operators.Trend.sampleEntropy(
+      (rep ++ brk).toDF("k", "b", "v"), "k", "b", "v", tolerance = 0L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r = got("rep")
+    assert(r.getLong(1) == 9L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == math.rint(-math.log(6.0 / 9.0) * 1e6) / 1e6)
+    val b = got("brk")
+    assert(b.getLong(1) == 1L && b.getLong(2) == 0L && b.isNullAt(3))
+  }
+
   test("coxBinary: the bisected MLE lands the hand score's root; " +
     "no-overlap brackets NULL") {
     import spark.implicits._
