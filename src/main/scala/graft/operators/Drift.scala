@@ -3327,14 +3327,23 @@ object Drift {
       df: DataFrame,
       raterCol: Column,
       itemCol: Column,
-      scoreCol: Column): DataFrame = {
+      scoreCol: Column): DataFrame =
+    kendallWFromCensus(df.select(raterCol.cast("string").as("r"),
+        itemCol.cast("string").as("it"), scoreCol.cast("long").as("sc"))
+      .groupBy(col("r"), col("it")).agg(sum(col("sc")).as("s")))
+
+  /** [[kendallW]] from an (r, it, s) score census — scores ADD across
+    * batches, so a streaming store's drained concordance reads
+    * identically to the one-pass path and shares the batch oracle
+    * verbatim.
+    */
+  def kendallWFromCensus(censusDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     def dbl(c: Column): Column = c.cast("double")
     val d38 = DecimalType(38, 0)
-    val cen = df.select(raterCol.cast("string").as("r"),
-        itemCol.cast("string").as("it"), scoreCol.cast("long").as("sc"))
-      .groupBy(col("r"), col("it")).agg(sum(col("sc")).as("s"))
+    val cen = censusDf.groupBy(col("r"), col("it"))
+      .agg(sum(col("s")).as("s"))
       .localCheckpoint(true) // spine + ranks + tie masses read it
     val spine = cen.select(col("r")).distinct()
       .crossJoin(cen.select(col("it")).distinct())
@@ -3366,6 +3375,60 @@ object Drift {
         when(denom > 0.0,
           round(dbl(col("m")) * (dbl(col("n")) - 1.0) * w, 6))
           .as("friedman_chi2"))
+  }
+
+  /** DISPROPORTIONALITY SCREEN (PRR/ROR) — pharmacovigilance's
+    * cell-sweep pointed at any (segment, outcome) table: for EVERY
+    * cell, the proportional reporting ratio (its outcome share vs all
+    * other segments' pooled share) and the reporting odds ratio with
+    * its Woolf CI, plus the classic signal gate (a ≥ `minCell` and
+    * PRR ≥ `prrGate` and CI floor > 1). The ratio-scaled sibling of
+    * q599's adjusted residuals: residuals rank surprise in σ units,
+    * PRR says "3.4× the background rate", which is the number an
+    * incident review quotes. One contingency census; each cell's 2×2
+    * derives from the margins by subtraction (exact integers), the CI
+    * log terms pin at 1e-9. Degenerate complements NULL their
+    * family.
+    */
+  def disproportionality(
+      df: DataFrame,
+      segmentCol: Column,
+      outcomeCol: Column,
+      minCell: Long = 3L,
+      prrGate: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.select(segmentCol.cast("string").as("seg"),
+        outcomeCol.cast("string").as("out"))
+      .groupBy(col("seg"), col("out")).agg(count(lit(1)).as("a"))
+      .localCheckpoint(true)
+    val t = cen
+      .withColumn("rt", sum(col("a")).over(Window.partitionBy(col("seg"))))
+      .withColumn("ct", sum(col("a")).over(Window.partitionBy(col("out"))))
+      .withColumn("nn", sum(col("a")).over(Window.partitionBy()))
+    val b = t.withColumn("b", col("rt") - col("a"))
+      .withColumn("c", col("ct") - col("a"))
+      .withColumn("d", col("nn") - col("rt") - col("ct") + col("a"))
+    val prr = (dbl(col("a")) / dbl(col("rt"))) /
+      (dbl(col("c")) / (dbl(col("c")) + dbl(col("d"))))
+    val prrOk = col("a") > 0L && col("c") > 0L
+    val orOk = prrOk && col("b") > 0L && col("d") > 0L
+    val lor = round(log(dbl(col("a")) * dbl(col("d")) /
+      (dbl(col("b")) * dbl(col("c")))), 9)
+    val seOr = round(sqrt(lit(1.0) / dbl(col("a")) + lit(1.0) / dbl(col("b")) +
+      lit(1.0) / dbl(col("c")) + lit(1.0) / dbl(col("d"))), 9)
+    val orLo = exp(lor - lit(1.96) * seOr)
+    b.select(col("seg"), col("out"), col("a").as("n_cell"),
+        col("rt").as("n_segment"), col("ct").as("n_outcome"),
+        when(prrOk, round(prr, 6)).as("prr"),
+        when(orOk, round(dbl(col("a")) * dbl(col("d")) /
+          (dbl(col("b")) * dbl(col("c"))), 6)).as("ror"),
+        when(orOk, round(orLo, 6)).as("ror_lo"),
+        when(orOk, round(exp(lor + lit(1.96) * seOr), 6)).as("ror_hi"),
+        when(prrOk && orOk,
+          col("a") >= minCell && prr >= prrGate && orLo > 1.0)
+          .as("signal"))
+      .orderBy(col("seg"), col("out"))
   }
 
   /** MARKOV ENTROPY RATE of the behavior chain — how much of the NEXT

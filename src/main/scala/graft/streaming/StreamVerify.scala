@@ -2658,6 +2658,43 @@ object StreamVerify {
           col("s").cast("long").as("s"), col("c").cast("long").as("c")))
   }
 
+  /** STREAMING LEADERBOARD-CONCORDANCE maintenance — q618's Kendall W
+    * as an ingestion side effect: per-batch (rater, item) score
+    * partials land exactly-once and ADD, the drained concordance goes
+    * through [[graft.operators.Drift.kendallWFromCensus]] —
+    * bit-identical to the one-pass batch answer, oracle shared
+    * verbatim. State is O(raters × items) rows, calendar × domain
+    * bounded.
+    */
+  def kendallWMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/kw"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("r"), col("it")).agg(count(lit(1)).as("s"))
+            .coalesce(1),
+          tag = s"kw-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.kendallWFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("r").cast("string").as("r"),
+          col("it").cast("string").as("it"), col("s").cast("long").as("s")))
+  }
+
   /** STREAMING ORDINAL-ASSOCIATION maintenance — q566's
     * gamma/Somers'-D family as an ingestion side effect: per-batch
     * (x, y) censuses land exactly-once, cell counts ADD (concordance,

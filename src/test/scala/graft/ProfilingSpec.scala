@@ -1546,6 +1546,24 @@ class ProfilingSpec extends SparkSuite {
       col("s")).head().getDouble(2) == 0.0)
   }
 
+  test("disproportionality: the loaded cell signals at PRR 3, its " +
+    "mirror stays quiet") {
+    import spark.implicits._
+    def blk(s: String, o: String, n: Int) = (1 to n).map(_ => (s, o))
+    val df = (blk("X", "o1", 30) ++ blk("X", "o2", 10) ++
+      blk("Y", "o1", 10) ++ blk("Y", "o2", 30)).toDF("s", "o")
+    val got = graft.operators.Drift.disproportionality(df, col("s"),
+      col("o")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val x1 = got(("X", "o1"))
+    assert(x1.getLong(2) == 30L && x1.getDouble(5) == 3.0)
+    assert(x1.getDouble(6) == 9.0)
+    assert(x1.getDouble(7) > 1.0 && x1.getBoolean(9))
+    val x2 = got(("X", "o2"))
+    assert(x2.getDouble(5) == math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    assert(!x2.getBoolean(9))
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

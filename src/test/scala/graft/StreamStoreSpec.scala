@@ -253,6 +253,32 @@ class StreamStoreSpec extends SparkSuite {
     assert(commits.forall(_._2.startsWith("ci-")))
   }
 
+  test("kendall-w store: score partials add; drain equals batch") {
+    val rows = (0L until 40L).map(i => (i, i % 4, s"t${i % 3}"))
+      .toDF("id", "r", "it")
+    val src = tmp("kw_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"kw_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("kw_store") + "/s"
+    val drained = StreamVerify.kendallWMaintenance(spark, src, scratch)
+      .head()
+    val batch = graft.operators.Drift.kendallW(
+      rows.drop("id").withColumn("one", lit(1L)),
+      col("r"), col("it"), col("one")).head()
+    assert(drained.toSeq == batch.toSeq)
+    val commits = TxLake.commitAddCounts(s"$scratch/kw")
+    assert(commits.size == 2 && commits.forall(_._3 <= 12L),
+      s"rater-item censuses stay domain-bounded: $commits")
+    assert(commits.forall(_._2.startsWith("kw-")))
+  }
+
   test("components store commits per-batch DELTAS, never the standing state") {
     // 20 disjoint pairs + one bridge: whatever the deterministic hash
     // split assigns to each micro-batch, every node inserts exactly once
