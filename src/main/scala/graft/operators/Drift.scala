@@ -3395,12 +3395,26 @@ object Drift {
       segmentCol: Column,
       outcomeCol: Column,
       minCell: Long = 3L,
+      prrGate: Double = 2.0): DataFrame =
+    disproportionalityFromCensus(
+      df.select(segmentCol.cast("string").as("seg"),
+          outcomeCol.cast("string").as("out"))
+        .groupBy(col("seg"), col("out")).agg(count(lit(1)).as("a")),
+      minCell, prrGate)
+
+  /** [[disproportionality]] from a (seg, out, a) census — cell counts
+    * ADD across batches, so a streaming store's drained screen reads
+    * identically to the one-pass path and shares the batch oracle
+    * verbatim.
+    */
+  def disproportionalityFromCensus(
+      censusDf: DataFrame,
+      minCell: Long = 3L,
       prrGate: Double = 2.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dbl(c: Column): Column = c.cast("double")
-    val cen = df.select(segmentCol.cast("string").as("seg"),
-        outcomeCol.cast("string").as("out"))
-      .groupBy(col("seg"), col("out")).agg(count(lit(1)).as("a"))
+    val cen = censusDf.groupBy(col("seg"), col("out"))
+      .agg(sum(col("a")).as("a"))
       .localCheckpoint(true)
     val t = cen
       .withColumn("rt", sum(col("a")).over(Window.partitionBy(col("seg"))))
@@ -3429,6 +3443,79 @@ object Drift {
           col("a") >= minCell && prr >= prrGate && orLo > 1.0)
           .as("signal"))
       .orderBy(col("seg"), col("out"))
+  }
+
+  /** BRESLOW–DAY HOMOGENEITY TEST — the validity check
+    * [[mantelHaenszel]] silently assumes: MH pools the per-stratum
+    * odds ratios into ONE number, which is only meaningful if the
+    * strata share a common OR; BD tests exactly that (for each
+    * stratum, the expected exposed-case count E under the pooled OR
+    * solves the standard quadratic in closed form, and χ² = Σ(a−E)²/V
+    * on k−1 df — a significant BD means q443's pooled estimate is
+    * averaging genuinely different effects and should be reported
+    * per-stratum instead). Exact integer stratum cells, the pooled OR
+    * from the same 1e-9-pinned MH term sums q443 uses, one
+    * sqrt-and-pick-the-in-bounds-root per stratum (IEEE sqrt —
+    * deterministic), per-stratum terms pinned at 1e-9. Degenerate
+    * strata (an empty margin) carry no information and are counted
+    * out of df, not silently absorbed; a near-1 pooled OR takes the
+    * exact linear limit instead of dividing by A ≈ 0.
+    */
+  def breslowDay(
+      df: DataFrame,
+      stratumCol: String,
+      exposedCol: Column,
+      outcomeCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d189 = DecimalType(18, 9)
+    val d289 = DecimalType(28, 9)
+    val cen = df.select(col(stratumCol).cast("string").as("st"),
+        exposedCol.as("ex"), outcomeCol.as("oc"))
+      .groupBy(col("st"))
+      .agg(sum(when(col("ex") && col("oc"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("ex") && !col("oc"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("ex") && col("oc"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ex") && !col("oc"), 1L).otherwise(0L)).as("d"))
+      .withColumn("nn", col("a") + col("b") + col("c") + col("d"))
+      .localCheckpoint(true) // MH terms + the per-stratum sweep read it
+    val mh = cen.agg(
+      sum(round(dbl(col("a")) * dbl(col("d")) / dbl(col("nn")), 9)
+        .cast(d189)).as("rr"),
+      sum(round(dbl(col("b")) * dbl(col("c")) / dbl(col("nn")), 9)
+        .cast(d189)).as("ss"))
+    val or0 = dbl(col("rr")) / dbl(col("ss"))
+    val n1 = dbl(col("a") + col("b")); val n2 = dbl(col("c") + col("d"))
+    val m1 = dbl(col("a") + col("c"))
+    val qa = or0 - lit(1.0)
+    val qb = -(or0 * (n1 + m1) + (n2 - m1))
+    val qc = or0 * n1 * m1
+    val disc = sqrt(qb * qb - lit(4.0) * qa * qc)
+    val lo = greatest(lit(0.0), m1 - n2)
+    val hi = least(n1, m1)
+    val root1 = (-qb - disc) / (lit(2.0) * qa)
+    val root2 = (-qb + disc) / (lit(2.0) * qa)
+    val eQuad = when(root1 > lo && root1 < hi, root1).otherwise(root2)
+    val eCol = when(abs(qa) < 1e-9, -qc / qb).otherwise(eQuad)
+    val informative = col("a") + col("b") > 0L && col("c") + col("d") > 0L &&
+      col("a") + col("c") > 0L && col("b") + col("d") > 0L
+    val vInv = lit(1.0) / eCol + lit(1.0) / (n1 - eCol) +
+      lit(1.0) / (m1 - eCol) + lit(1.0) / (n2 - m1 + eCol)
+    val term = round((dbl(col("a")) - eCol) * (dbl(col("a")) - eCol) *
+      vInv, 9).cast(d289)
+    val swept = cen.crossJoin(broadcast(mh))
+      .select(col("st"),
+        when(informative && eCol > lo && eCol < hi, term).as("t"),
+        when(informative && eCol > lo && eCol < hi, 1L).otherwise(0L)
+          .as("inf"), or0.as("or0"))
+    swept.groupBy(col("or0"))
+      .agg(count(lit(1)).as("k"), sum(col("inf")).as("k_inf"),
+        sum(col("t")).as("bd"))
+      .select(col("k").cast("long").as("n_strata"),
+        col("k_inf").as("n_informative"),
+        round(col("or0"), 6).as("or_mh"),
+        when(col("k_inf") > 1L, col("k_inf") - 1L).as("df"),
+        when(col("k_inf") > 1L, round(dbl(col("bd")), 6)).as("bd_chi2"))
   }
 
   /** MARKOV ENTROPY RATE of the behavior chain — how much of the NEXT

@@ -2695,6 +2695,44 @@ object StreamVerify {
           col("it").cast("string").as("it"), col("s").cast("long").as("s")))
   }
 
+  /** STREAMING DISPROPORTIONALITY maintenance — q621's PRR/ROR screen
+    * as an ingestion side effect: per-batch (segment, outcome) cell
+    * partials land exactly-once and ADD, the drained screen goes
+    * through [[graft.operators.Drift.disproportionalityFromCensus]] —
+    * every cell's signal verdict bit-identical to the one-pass batch
+    * answer, oracle shared verbatim. State is O(segments × outcomes)
+    * rows — the safety-signal monitor at ingest cadence.
+    */
+  def disproMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/dp"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("seg"), col("out")).agg(count(lit(1)).as("a"))
+            .coalesce(1),
+          tag = s"dp-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.disproportionalityFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("seg").cast("string").as("seg"),
+          col("out").cast("string").as("out"),
+          col("a").cast("long").as("a")))
+  }
+
   /** STREAMING ORDINAL-ASSOCIATION maintenance — q566's
     * gamma/Somers'-D family as an ingestion side effect: per-batch
     * (x, y) censuses land exactly-once, cell counts ADD (concordance,

@@ -1564,6 +1564,33 @@ class ProfilingSpec extends SparkSuite {
     assert(!x2.getBoolean(9))
   }
 
+  test("breslowDay: shared odds ratios read 0, opposed strata pay " +
+    "their full deviation") {
+    import spark.implicits._
+    def cell(st: Long, ex: Boolean, oc: Boolean, n: Int) =
+      (1 to n).map(_ => (st, ex, oc))
+    // both strata OR = 1 at different sizes → homogeneous, BD = 0
+    val homo = (cell(1, true, true, 10) ++ cell(1, true, false, 10) ++
+      cell(1, false, true, 10) ++ cell(1, false, false, 10) ++
+      cell(2, true, true, 20) ++ cell(2, true, false, 20) ++
+      cell(2, false, true, 20) ++ cell(2, false, false, 20))
+      .toDF("st", "ex", "oc")
+    val h = graft.operators.Drift.breslowDay(homo, "st", col("ex"),
+      col("oc")).head()
+    assert(h.getLong(0) == 2L && h.getLong(1) == 2L)
+    assert(h.getDouble(2) == 1.0 && h.getLong(3) == 1L)
+    assert(h.getDouble(4) == 0.0)
+    // OR 9 vs OR 1/9 pooling to 1: each stratum owes (10)²·0.2 = 20
+    val het = (cell(1, true, true, 30) ++ cell(1, true, false, 10) ++
+      cell(1, false, true, 10) ++ cell(1, false, false, 30) ++
+      cell(2, true, true, 10) ++ cell(2, true, false, 30) ++
+      cell(2, false, true, 30) ++ cell(2, false, false, 10))
+      .toDF("st", "ex", "oc")
+    val x = graft.operators.Drift.breslowDay(het, "st", col("ex"),
+      col("oc")).head()
+    assert(x.getDouble(2) == 1.0 && x.getDouble(4) == 40.0)
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

@@ -279,6 +279,32 @@ class StreamStoreSpec extends SparkSuite {
     assert(commits.forall(_._2.startsWith("kw-")))
   }
 
+  test("dispro store: cell partials add; drained screen equals batch") {
+    val rows = (0L until 60L).map { i =>
+      (i, s"s${i % 2}", if (i % 2 == 0 && i % 3 != 0) "hot" else s"o${i % 4}")
+    }.toDF("id", "seg", "out")
+    val src = tmp("dp_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"dp_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("dp_store") + "/s"
+    val drained = StreamVerify.disproMaintenance(spark, src, scratch)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Drift.disproportionality(rows.drop("id"),
+      col("seg"), col("out")).collect().map(_.toSeq).toSet
+    assert(drained == batch)
+    val commits = TxLake.commitAddCounts(s"$scratch/dp")
+    assert(commits.size == 2 && commits.forall(_._3 <= 10L),
+      s"cell censuses stay domain-bounded: $commits")
+    assert(commits.forall(_._2.startsWith("dp-")))
+  }
+
   test("components store commits per-batch DELTAS, never the standing state") {
     // 20 disjoint pairs + one bridge: whatever the deterministic hash
     // split assigns to each micro-batch, every node inserts exactly once
