@@ -3445,6 +3445,50 @@ object Drift {
       .orderBy(col("seg"), col("out"))
   }
 
+  /** PROCESS CAPABILITY Cp/Cpk against DECLARED spec limits — the SPC
+    * shelf's "can this process even meet the spec" number: Cp compares
+    * the spec width to 6σ of natural variation (potential capability
+    * if centered), Cpk charges off-centering (min distance from the
+    * mean to either limit over 3σ) — Cp ≫ Cpk means the process is
+    * capable but aimed wrong, which is a different fix than Cp < 1
+    * (not capable at all). Beside the exact out-of-spec share, which
+    * at scale is the number the capability indices only approximate.
+    * q446/q592 chart the process over time; this scores it against
+    * the CONTRACT. Exact integer cents moments per group, O(1)
+    * doubles after; zero-variance groups NULL the indices.
+    */
+  def processCapability(
+      df: DataFrame,
+      groupCol: Column,
+      centsCol: Column,
+      lsl: Long,
+      usl: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(usl > lsl)
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val v = centsCol.cast("long")
+    val cen = df.select(groupCol.cast("string").as("g"), v.as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("s"),
+        sum((col("v") * col("v")).cast(d38)).as("ss"),
+        sum(when(col("v") < lsl || col("v") > usl, 1L).otherwise(0L))
+          .as("oos"))
+      .filter(col("n") >= 2L)
+    val n = dbl(col("n"))
+    val mean = dbl(col("s")) / n
+    val sd = sqrt((dbl(col("ss")) - n * mean * mean) / (n - lit(1.0)))
+    val cp = (lit(usl.toDouble) - lsl.toDouble) / (lit(6.0) * sd)
+    val cpk = least(lit(usl.toDouble) - mean, mean - lit(lsl.toDouble)) /
+      (lit(3.0) * sd)
+    cen.select(col("g"), col("n"), round(mean, 6).as("mean"),
+      when(sd > 0.0, round(sd, 6)).as("sd"),
+      when(sd > 0.0, round(cp, 6)).as("cp"),
+      when(sd > 0.0, round(cpk, 6)).as("cpk"),
+      round(dbl(col("oos")) / n, 6).as("oos_share"))
+      .orderBy(col("g"))
+  }
+
   /** BRESLOW–DAY HOMOGENEITY TEST — the validity check
     * [[mantelHaenszel]] silently assumes: MH pools the per-stratum
     * odds ratios into ONE number, which is only meaningful if the

@@ -2607,6 +2607,54 @@ object Trend {
       .orderBy(col(keyCol))
   }
 
+  /** SHARPE AND SORTINO of a keyed daily series' LOG RETURNS — risk-
+    * adjusted drift: mean return over total volatility (Sharpe) and
+    * over DOWNSIDE-only deviation (Sortino — the one that doesn't
+    * punish growth for being fast; two series with the same Sharpe
+    * can differ wildly in how much of their volatility is drawdown).
+    * The rate-of-change companion to q370's max drawdown and q253's
+    * EWMA level. Per key: day-over-day ln ratios pinned once at 1e-9,
+    * then exact decimal moment sums (Σr, Σr², Σ min(r,0)² with the
+    * squares re-pinned) — order-independent, both engines hold
+    * identical moments; the three ratios are O(1) doubles. Keys need
+    * ≥ 3 returns; zero volatility or zero downside NULL their ratio.
+    */
+  def sharpeSortino(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d189 = DecimalType(18, 9)
+    val d289 = DecimalType(28, 9)
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("b"))
+    val rets = df
+      .select(col(keyCol), col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("pv", lag(col("v"), 1).over(ord))
+      .filter(col("pv").isNotNull && col("pv") > 0L && col("v") > 0L)
+      .withColumn("r", round(log(dbl(col("v")) / dbl(col("pv"))), 9)
+        .cast(d189))
+    val cen = rets.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+        sum(round(dbl(col("r")) * dbl(col("r")), 9).cast(d289)).as("srr"),
+        sum(when(col("r") < 0,
+          round(dbl(col("r")) * dbl(col("r")), 9).cast(d289))
+          .otherwise(lit(0).cast(d289))).as("sneg"))
+      .filter(col("n") >= 3L)
+    val n = dbl(col("n"))
+    val mean = dbl(col("sr")) / n
+    val variance = (dbl(col("srr")) - n * mean * mean) / (n - lit(1.0))
+    val dd = sqrt(dbl(col("sneg")) / n)
+    cen.select(col(keyCol), col("n").as("n_returns"),
+      round(mean, 6).as("mean_return"),
+      when(variance > 0.0, round(sqrt(variance), 6)).as("volatility"),
+      round(dd, 6).as("downside_dev"),
+      when(variance > 0.0, round(mean / sqrt(variance), 6)).as("sharpe"),
+      when(dd > 0.0, round(mean / dd, 6)).as("sortino"))
+      .orderBy(col(keyCol))
+  }
+
   /** RECORD-BREAKING STATISTICS per key — the trend detector built
     * from NOTHING but maxima: in an exchangeable (trendless) series
     * the k-th observation is a new running maximum with probability

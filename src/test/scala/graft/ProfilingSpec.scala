@@ -1591,6 +1591,23 @@ class ProfilingSpec extends SparkSuite {
     assert(x.getDouble(2) == 1.0 && x.getDouble(4) == 40.0)
   }
 
+  test("processCapability: a centered process reads Cp = Cpk = 1, " +
+    "off-center pays in Cpk only") {
+    import spark.implicits._
+    val df = (Seq(90L, 100L, 110L).map(("c", _)) ++
+      Seq(100L, 110L, 120L).map(("o", _))).toDF("g", "v")
+    val got = graft.operators.Drift.processCapability(df, col("g"),
+      col("v"), lsl = 70L, usl = 130L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = got("c")
+    assert(c.getDouble(2) == 100.0 && c.getDouble(3) == 10.0)
+    assert(c.getDouble(4) == 1.0 && c.getDouble(5) == 1.0)
+    assert(c.getDouble(6) == 0.0)
+    val o = got("o")
+    assert(o.getDouble(4) == 1.0)
+    assert(o.getDouble(5) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+  }
+
   test("directStandardization: identical stratum rates standardize " +
     "equal despite opposite mixes") {
     import spark.implicits._

@@ -948,6 +948,27 @@ class TrendSpec extends SparkSuite {
     assert(b.getLong(1) == 1L && b.getLong(2) == 0L && b.isNullAt(3))
   }
 
+  test("sharpeSortino: the pinned oscillation lands its replayed " +
+    "moments") {
+    import spark.implicits._
+    // 100,200,100,200 → returns ln2, −ln2, ln2 (pinned at 1e-9)
+    val rows = Seq(0L -> 100L, 1L -> 200L, 2L -> 100L, 3L -> 200L)
+      .map { case (b, v) => ("k", b, v) }
+    val r = graft.operators.Trend.sharpeSortino(rows.toDF("k", "b", "v"),
+      "k", "b", "v").head()
+    val ln2 = math.rint(math.log(2.0) * 1e9) / 1e9
+    val sq = math.rint(ln2 * ln2 * 1e9) / 1e9
+    val mean = ln2 / 3.0
+    val vr = (3 * sq - 3.0 * mean * mean) / 2.0
+    val dd = math.sqrt(sq / 3.0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) == math.rint(mean * 1e6) / 1e6)
+    assert(r.getDouble(3) == math.rint(math.sqrt(vr) * 1e6) / 1e6)
+    assert(r.getDouble(4) == math.rint(dd * 1e6) / 1e6)
+    assert(r.getDouble(5) == math.rint(mean / math.sqrt(vr) * 1e6) / 1e6)
+    assert(r.getDouble(6) == math.rint(mean / dd * 1e6) / 1e6)
+  }
+
   test("coxBinary: the bisected MLE lands the hand score's root; " +
     "no-overlap brackets NULL") {
     import spark.implicits._
