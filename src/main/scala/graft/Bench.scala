@@ -24,19 +24,35 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
       .sortBy(SparkEntry.streamingQueries.contains)
-    // warm-up pass: JVM JIT + codegen compilation; then two measured passes
-    // with min-per-query — steady-state throughput with less scheduler/GC
-    // noise than a single pass (this box shows ±20% run-to-run)
-    names.foreach(consume)
+    // The r10 lesson: at 600+ queries, 3 full board passes (global
+    // warm-up + 2 measured) outgrew the driver's wall-clock budget —
+    // a bench that times out records nothing. Budget-adaptive scheme:
+    // a short warm-up over the headline batch subset primes shared
+    // infra (parquet reader, shuffle, codegen pipeline), then every
+    // query runs once and only SUB-SECOND queries take a second pass
+    // (min-of-2 absorbs first-run codegen compile where it is the
+    // dominant share of the timing; for multi-second queries the
+    // compile share is noise and a re-run would double the board's
+    // wall-clock for nothing).
+    val warm = Seq("q07_agg_full", "q08_filter_pushdown",
+      "q09_join_broadcast", "q10_join_multiway", "q11_window",
+      "q14_events_hourly", "q18_quantiles", "q21_dedup_exact",
+      "q31_token_count", "q42_explode_words", "q85_tfidf")
+      .filter(SparkEntry.queries.contains)
+    warm.foreach(consume)
     def once(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = consume(name)
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    val rerunBelow =
+      sys.env.getOrElse("SPARK_GRAFT_RERUN_BELOW", "1.0").toDouble
     val results = names.map { name =>
       val (t1, ok1) = once(name)
-      val (t2, ok2) = once(name)
-      (name, math.min(t1, t2), ok1 && ok2)
+      if (ok1 && t1 < rerunBelow) {
+        val (t2, ok2) = once(name)
+        (name, math.min(t1, t2), ok1 && ok2)
+      } else (name, t1, ok1)
     }
     val out = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

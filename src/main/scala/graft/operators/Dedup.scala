@@ -925,4 +925,80 @@ object Dedup {
           .as("corpus_share"),
         ((col("s") - 1L) * col("n_clusters")).as("rows_removable"))
   }
+
+  /** LSH DESIGN TABLE — pick (bands, rows) BEFORE paying for the index:
+    * for each power-of-two (b, r) split of the signature, the candidate
+    * probability s-curve p(s) = 1 − (1 − s^r)^b integrated against the
+    * OBSERVED pair-similarity histogram — expected candidate volume,
+    * recall over the ≥0.7 near-dup mass, and the sub-threshold false
+    * candidate share. The capacity-planning sibling of
+    * [[minhashNearDupPairs]] (which hard-codes one (8, 4) split): at
+    * 100 TB the wrong split either floods the bucket join or silently
+    * drops near-dups, and THIS table is where that trade is read. Every
+    * s^r and (1−s^r)^b is a REPEATED-SQUARING chain (pure IEEE
+    * multiplication — no libm pow, which rounds differently across
+    * engines); bucket midpoints are single divisions of exact integers;
+    * per-bucket expectation terms pin at 1e-9 and decimal-sum. Output is
+    * configs × 1 rows — answer-sized whatever the corpus.
+    */
+  def lshDesignTable(
+      pairs: DataFrame,
+      simCol: String,
+      gridDiv: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(gridDiv >= 2)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val hist = pairs
+      .select(least(floor(col(simCol) * gridDiv).cast("long"),
+        lit(gridDiv - 1L)).as("j"))
+      .groupBy(col("j")).agg(count(lit(1)).as("nj"))
+      .withColumn("s", (lit(2L) * col("j") + 1L).cast("double") /
+        lit(2.0 * gridDiv))
+    val configs = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+    val conf = hist.sparkSession.createDataFrame(configs)
+      .toDF("b", "r")
+    // repeated-squaring ladders: s^{2^k} then (1-s^r)^{2^k}
+    val grid = conf.crossJoin(hist)
+      .withColumn("s1", col("s"))
+      .withColumn("s2", col("s1") * col("s1"))
+      .withColumn("s4", col("s2") * col("s2"))
+      .withColumn("s8", col("s4") * col("s4"))
+      .withColumn("s16", col("s8") * col("s8"))
+      .withColumn("s32", col("s16") * col("s16"))
+      .withColumn("sr",
+        when(col("r") === 1, col("s1")).when(col("r") === 2, col("s2"))
+          .when(col("r") === 4, col("s4")).when(col("r") === 8, col("s8"))
+          .when(col("r") === 16, col("s16")).otherwise(col("s32")))
+      .withColumn("c1", lit(1.0) - col("sr"))
+      .withColumn("c2", col("c1") * col("c1"))
+      .withColumn("c4", col("c2") * col("c2"))
+      .withColumn("c8", col("c4") * col("c4"))
+      .withColumn("c16", col("c8") * col("c8"))
+      .withColumn("c32", col("c16") * col("c16"))
+      .withColumn("cb",
+        when(col("b") === 1, col("c1")).when(col("b") === 2, col("c2"))
+          .when(col("b") === 4, col("c4")).when(col("b") === 8, col("c8"))
+          .when(col("b") === 16, col("c16")).otherwise(col("c32")))
+      .withColumn("p", lit(1.0) - col("cb"))
+      .withColumn("hi", col("s") >= 0.7)
+    val agg = grid.groupBy(col("b"), col("r"))
+      .agg(sum(col("nj")).as("n_pairs"),
+        sum(round(col("p") * dbl(col("nj")), 9).cast(d289)).as("exp_all"),
+        sum(when(col("hi"), col("nj")).otherwise(0L)).as("n_hi"),
+        sum(when(col("hi"),
+          round(col("p") * dbl(col("nj")), 9).cast(d289))
+          .otherwise(lit(0).cast(d289))).as("exp_hi"))
+    agg.select(col("b").cast("long").as("bands"),
+        col("r").cast("long").as("rows_per_band"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        round(dbl(col("exp_all")), 3).as("expected_candidates"),
+        col("n_hi").cast("long").as("n_above_07"),
+        when(col("n_hi") > 0L,
+          round(dbl(col("exp_hi")) / dbl(col("n_hi")), 6)).as("recall_07"),
+        when(dbl(col("exp_all")) > 0.0,
+          round((dbl(col("exp_all")) - dbl(col("exp_hi"))) /
+            dbl(col("exp_all")), 6)).as("fp_share"))
+      .orderBy(col("bands").desc)
+  }
 }

@@ -390,30 +390,84 @@ object Drift {
     * a streaming store's drained census reads identically to the
     * one-pass path (the w1FromCensus shape; the two even share a census
     * layout).
+    *
+    * Scale shape (the r11 lesson — this used to MATERIALIZE the
+    * domain-A × domain-B difference census, which is quadratic when the
+    * value domain tracks row count, e.g. near-unique order cents: one
+    * ~10⁹-pair single task at sf0.1 was the r10 bench's silent killer):
+    * the two order statistics among pairwise differences are now found
+    * by DRIVER-SIDE BINARY SEARCH on the difference value, where each
+    * probe counts pairs with va − vb ≤ d EXACTLY in one pass over the
+    * two censuses (query rows at key va − d merge-sorted against the B
+    * census; B ties sort after queries so equality lands on the correct
+    * side; counts in DECIMAL(38,0)). O(log range) census-sized passes,
+    * no pair frame anywhere, bit-identical d1/d2 to the census
+    * formulation the oracle still replays (the count function is
+    * monotone, so "min d with count ≥ r" is the same d).
     */
   def hlFromCensus(censusDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val spark = censusDf.sparkSession
     val cen = censusDf.groupBy(col("v"))
       .agg(sum(col("ta")).as("ta"), sum(col("tb")).as("tb"))
-      .localCheckpoint(true) // both sides of the difference census
-    val ca = cen.filter(col("ta") > 0L)
-      .select(col("v").as("va"), col("ta"))
-    val cb = cen.filter(col("tb") > 0L)
-      .select(col("v").as("vb"), col("tb"))
-    val diffs = ca.crossJoin(cb)
-      .groupBy((col("va") - col("vb")).as("d"))
-      .agg(sum(col("ta") * col("tb")).as("w"))
-    val cum = Window.orderBy(col("d"))
+      .localCheckpoint(true) // every probe re-reads it
+    val st = cen.agg(
+      sum(col("ta").cast(d38)).as("na"), sum(col("tb").cast(d38)).as("nb"),
+      min(when(col("ta") > 0L, col("v"))).as("minA"),
+      max(when(col("ta") > 0L, col("v"))).as("maxA"),
+      min(when(col("tb") > 0L, col("v"))).as("minB"),
+      max(when(col("tb") > 0L, col("v"))).as("maxB")).head()
+    def big(d: java.math.BigDecimal): BigInt =
+      if (d == null) BigInt(0) else BigInt(d.toBigInteger)
+    val na = big(st.getDecimal(0))
+    val nb = big(st.getDecimal(1))
+    import spark.implicits._
+    if (na == 0 || nb == 0) {
+      // either arm empty: the old census aggregate read nulls
+      return Seq(1).toDF("__one")
+        .select(lit(null).cast("long").as("n_pairs"),
+          lit(null).cast("double").as("hl_shift"))
+    }
+    val t = na * nb
+    val ord = Window.orderBy(col("key"), col("pr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fam = Window.partitionBy()
-    val staged = diffs
-      .withColumn("cw", sum(col("w")).over(cum))
-      .withColumn("tw", sum(col("w")).over(fam))
-    staged.agg(max(col("tw")).as("n_pairs"),
-        min(when(col("cw") >= expr("(tw + 1) div 2"), col("d"))).as("__d1"),
-        min(when(col("cw") >= expr("(tw div 2) + 1"), col("d"))).as("__d2"))
-      .select(col("n_pairs"),
-        round((col("__d1").cast("double") + col("__d2").cast("double")) /
+    def countLE(d: Long): BigInt = {
+      // #pairs with va − vb <= d  =  Σ_a ta · #B{vb >= va − d}
+      val q = cen.filter(col("ta") > 0L)
+        .select((col("v") - lit(d)).as("key"), col("ta").as("w"),
+          lit(1).as("pr"))
+      val b = cen.filter(col("tb") > 0L)
+        .select(col("v").as("key"), col("tb").as("w"), lit(0).as("pr"))
+      val got = q.unionByName(b).repartition(1)
+        .withColumn("pref",
+          sum(when(col("pr") === 0, col("w")).otherwise(0L).cast(d38))
+            .over(ord))
+        .filter(col("pr") === 1)
+        .agg(sum(col("w").cast(d38) *
+          (lit(nb.toString).cast(d38) - col("pref"))).as("c"))
+        .head()
+      if (got.isNullAt(0)) BigInt(0)
+      else BigInt(got.getDecimal(0).toBigInteger)
+    }
+    def select(rank: BigInt, loInit: Long): Long = {
+      var lo = loInit
+      var hi = st.getLong(3) - st.getLong(4) // maxA − minB
+      while (lo < hi) {
+        // floor midpoint (works for negative ranges too)
+        val mid = Math.floorDiv(lo + hi, 2L)
+        if (countLE(mid) >= rank) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    val d1 = select((t + 1) / 2, st.getLong(2) - st.getLong(5))
+    // the higher rank's statistic can never sit below the lower's —
+    // seed the second search at d1 and pay only the residual probes
+    val d2 = select(t / 2 + 1, d1)
+    Seq(1).toDF("__one")
+      .select(lit(t.toString).cast(d38).cast("long").as("n_pairs"),
+        round((lit(d1).cast("double") + lit(d2).cast("double")) /
           lit(2.0), 6).as("hl_shift"))
   }
 
@@ -3445,17 +3499,22 @@ object Drift {
       .orderBy(col("seg"), col("out"))
   }
 
-  /** PROCESS CAPABILITY Cp/Cpk against DECLARED spec limits — the SPC
-    * shelf's "can this process even meet the spec" number: Cp compares
-    * the spec width to 6σ of natural variation (potential capability
-    * if centered), Cpk charges off-centering (min distance from the
-    * mean to either limit over 3σ) — Cp ≫ Cpk means the process is
-    * capable but aimed wrong, which is a different fix than Cp < 1
-    * (not capable at all). Beside the exact out-of-spec share, which
-    * at scale is the number the capability indices only approximate.
-    * q446/q592 chart the process over time; this scores it against
-    * the CONTRACT. Exact integer cents moments per group, O(1)
-    * doubles after; zero-variance groups NULL the indices.
+  /** PROCESS PERFORMANCE Pp/Ppk against DECLARED spec limits — the
+    * SPC shelf's "does this process meet the spec" number: Pp
+    * compares the spec width to 6σ of OVERALL variation (potential
+    * if centered), Ppk charges off-centering (min distance from the
+    * mean to either limit over 3σ) — Pp ≫ Ppk means the process is
+    * capable but aimed wrong, which is a different fix than Pp < 1
+    * (not capable at all). Named Pp/Ppk, not Cp/Cpk, by SPC
+    * convention: σ here is the LONG-TERM overall sample standard
+    * deviation (one census per group), not the within-subgroup
+    * short-term sigma Cp/Cpk demand — a subgrouping is a rational
+    * sampling-plan input this batch census doesn't take. Beside the
+    * exact out-of-spec share, which at scale is the number the
+    * indices only approximate. q446/q592 chart the process over
+    * time; this scores it against the CONTRACT. Exact integer cents
+    * moments per group, O(1) doubles after; zero-variance groups
+    * NULL the indices.
     */
   def processCapability(
       df: DataFrame,
@@ -3478,13 +3537,13 @@ object Drift {
     val n = dbl(col("n"))
     val mean = dbl(col("s")) / n
     val sd = sqrt((dbl(col("ss")) - n * mean * mean) / (n - lit(1.0)))
-    val cp = (lit(usl.toDouble) - lsl.toDouble) / (lit(6.0) * sd)
-    val cpk = least(lit(usl.toDouble) - mean, mean - lit(lsl.toDouble)) /
+    val pp = (lit(usl.toDouble) - lsl.toDouble) / (lit(6.0) * sd)
+    val ppk = least(lit(usl.toDouble) - mean, mean - lit(lsl.toDouble)) /
       (lit(3.0) * sd)
     cen.select(col("g"), col("n"), round(mean, 6).as("mean"),
       when(sd > 0.0, round(sd, 6)).as("sd"),
-      when(sd > 0.0, round(cp, 6)).as("cp"),
-      when(sd > 0.0, round(cpk, 6)).as("cpk"),
+      when(sd > 0.0, round(pp, 6)).as("pp"),
+      when(sd > 0.0, round(ppk, 6)).as("ppk"),
       round(dbl(col("oos")) / n, 6).as("oos_share"))
       .orderBy(col("g"))
   }
@@ -3565,8 +3624,9 @@ object Drift {
   /** MARKOV ENTROPY RATE of the behavior chain — how much of the NEXT
     * event is genuinely new information once you know the current
     * one: H = −Σ_ij (n_ij/N)·ln(n_ij/n_i·) in nats per step, with the
-    * normalized ratio H/ln(k) as the "how far from maximally
-    * unpredictable" gauge. The sequence-level complement to q460's
+    * normalized ratio H/ln(k) (`entropy_norm`, 1 = maximally
+    * unpredictable, 0 = deterministic) over the FULL alphabet k —
+    * states on either side of a transition count. The sequence-level complement to q460's
     * marginal entropy (a corpus can have maximal marginal entropy and
     * near-zero entropy RATE if transitions are deterministic — that
     * gap IS the behavioral structure q222's raw transition matrix
@@ -3592,8 +3652,12 @@ object Drift {
       .localCheckpoint(true) // rows + totals + terms read it
     val rowT = trans.groupBy(col("prev")).agg(sum(col("n")).as("nr"))
     val joined = trans.join(broadcast(rowT), Seq("prev"))
-    val tot = trans.agg(sum(col("n")).as("nn"),
-      countDistinct(col("st")).as("k"))
+    // the alphabet spans BOTH sides of the census: a state seen only
+    // as a source (e.g. only ever first) still belongs to the chain
+    val alphabet = trans.select(col("prev").as("s0"))
+      .union(trans.select(col("st").as("s0")))
+      .agg(countDistinct(col("s0")).as("k"))
+    val tot = trans.agg(sum(col("n")).as("nn")).crossJoin(alphabet)
     val term = round(dbl(col("n")) *
       log(dbl(col("n")) / dbl(col("nr"))), 9).cast(d289)
     joined.crossJoin(broadcast(tot))
@@ -3604,7 +3668,7 @@ object Drift {
         round(-dbl(col("ts")) / dbl(col("nn")), 6).as("entropy_rate"),
         when(col("k") > 1L,
           round(-dbl(col("ts")) / dbl(col("nn")) /
-            log(dbl(col("k"))), 6)).as("predictability_gap"))
+            log(dbl(col("k"))), 6)).as("entropy_norm"))
   }
 
   /** KPI BRIDGE — the "why did the rate move" decomposition every
@@ -4038,5 +4102,58 @@ object Drift {
         when(col("n_cats") === 3L && det > 0.0,
           round((d1 * d1 * v22 - lit(2.0) * d1 * d2 * v12 +
             d2 * d2 * v11) / det, 6)).as("chi2"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimate when
+    * there is no randomized control: Δ = (treat_post − treat_pre) −
+    * (ctrl_post − ctrl_pre) cancels both the groups' LEVEL difference
+    * and the common TIME shock, which is exactly what the naive
+    * post-period comparison (q283's z) confounds when assignment is not
+    * random. One conditional census over the four (treat, post) cells,
+    * rates as one pinned division each, pooled binomial SE over the
+    * four cells, z = Δ/SE. The parallel-trends assumption is the
+    * caller's to defend — this operator states the estimate and its
+    * noise, not the identification. Empty cells NULL the estimate
+    * loudly rather than reading a 0-rate as evidence.
+    */
+  def diffInDiff(
+      df: DataFrame,
+      treatCol: Column,
+      postCol: Column,
+      outcomeCol: Column): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.select(treatCol.as("tr"), postCol.as("po"),
+        outcomeCol.cast("long").as("y"))
+      .agg(
+        sum(when(col("tr") && col("po"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("tr") && col("po"), col("y")).otherwise(0L)).as("e11"),
+        sum(when(col("tr") && !col("po"), 1L).otherwise(0L)).as("n10"),
+        sum(when(col("tr") && !col("po"), col("y")).otherwise(0L)).as("e10"),
+        sum(when(!col("tr") && col("po"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("tr") && col("po"), col("y")).otherwise(0L)).as("e01"),
+        sum(when(!col("tr") && !col("po"), 1L).otherwise(0L)).as("n00"),
+        sum(when(!col("tr") && !col("po"), col("y")).otherwise(0L)).as("e00"))
+    // ANSI-safe: an empty cell never evaluates its division — the rate
+    // reads NULL and every downstream expression propagates it
+    def rate(e: String, n: String): Column =
+      when(col(n) > 0L, dbl(col(e)) / dbl(col(n)))
+    val p11 = rate("e11", "n11")
+    val p10 = rate("e10", "n10")
+    val p01 = rate("e01", "n01")
+    val p00 = rate("e00", "n00")
+    val did = (p11 - p10) - (p01 - p00)
+    def vterm(p: Column, n: Column): Column = p * (lit(1.0) - p) / dbl(n)
+    val se = sqrt(vterm(p11, col("n11")) + vterm(p10, col("n10")) +
+      vterm(p01, col("n01")) + vterm(p00, col("n00")))
+    val ok = col("n11") > 0L && col("n10") > 0L && col("n01") > 0L &&
+      col("n00") > 0L
+    cen.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      when(ok, round(p10, 6)).as("rate_treat_pre"),
+      when(ok, round(p11, 6)).as("rate_treat_post"),
+      when(ok, round(p00, 6)).as("rate_ctrl_pre"),
+      when(ok, round(p01, 6)).as("rate_ctrl_post"),
+      when(ok, round(did, 6)).as("did"),
+      when(ok && se > 0.0, round(se, 6)).as("se"),
+      when(ok && se > 0.0, round(did / se, 6)).as("z"))
   }
 }

@@ -599,4 +599,82 @@ object Features {
         count(lit(1)).as("n_source_values"))
       .withColumn("collapsed", col("out_value") === "__other__")
   }
+
+  /** PLATT SCALING — the parametric calibrator the calibration shelf
+    * was missing: fit p = σ(a + b·s) over the (score, outcome) census
+    * by `iters` fixed NEWTON steps, so raw scores become probabilities
+    * a threshold can be set on. q288/q570 MEASURE miscalibration and
+    * q406 fits the nonparametric monotone curve; Platt is the two-
+    * parameter fix that extrapolates and ships as two constants. All
+    * state is the (a, b) pair, re-pinned to the 1e-9 grid after every
+    * step; every σ has a pinned input and a 1e-12-pinned output; the
+    * gradient/Hessian sums accumulate re-pinned per-cell terms as exact
+    * decimals over the SCORE-DOMAIN census (never row-level), and the
+    * 2×2 solve is closed-form. A degenerate Hessian freezes the step
+    * (emitted iteration count says how many steps actually moved).
+    * Fixed iteration count, deterministic everywhere — the oracle
+    * unrolls the identical steps.
+    */
+  def plattScaling(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      iters: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iters >= 1 && iters <= 16)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.select(scoreCol.cast("long").as("s"),
+        labelCol.cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(true) // every Newton step re-reads it
+    val tot = cen.agg(count(lit(1)).as("cells"), sum(col("n")).as("nt"),
+      sum(col("pos")).as("pt")).head()
+    val (cells, nt, pt) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // init: b = 0, a = the base-rate logit with +1 smoothing
+    var params = Seq((0, 0.0, 0.0)).toDF("it", "a", "b")
+      .select(col("it"),
+        round(log((dbl(lit(pt)) + 1.0) / (dbl(lit(nt - pt)) + 1.0)), 9)
+          .as("a"), col("b"))
+    (1 to iters).foreach { _ =>
+      val z = round(col("a") + col("b") * dbl(col("s")), 9)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 12)
+      val stepped = cen.crossJoin(broadcast(params))
+        .select(col("it"), col("a"), col("b"),
+          round(dbl(col("pos")) - dbl(col("n")) * p, 9).cast(d289)
+            .as("g1t"),
+          round(dbl(col("s")) * (dbl(col("pos")) - dbl(col("n")) * p), 9)
+            .cast(d289).as("g2t"),
+          round(dbl(col("n")) * p * (lit(1.0) - p), 9).cast(d289)
+            .as("w0t"),
+          round(dbl(col("s")) * (dbl(col("n")) * p * (lit(1.0) - p)), 9)
+            .cast(d289).as("w1t"),
+          round(dbl(col("s")) * dbl(col("s")) *
+            (dbl(col("n")) * p * (lit(1.0) - p)), 9).cast(d289).as("w2t"))
+        .groupBy(col("it"), col("a"), col("b"))
+        .agg(sum(col("g1t")).as("g1"), sum(col("g2t")).as("g2"),
+          sum(col("w0t")).as("h11"), sum(col("w1t")).as("h12"),
+          sum(col("w2t")).as("h22"))
+      val det = dbl(col("h11")) * dbl(col("h22")) -
+        dbl(col("h12")) * dbl(col("h12"))
+      val moved = det > lit(1e-12)
+      params = stepped.select(
+        (col("it") + when(moved, 1).otherwise(0)).as("it"),
+        when(moved, round(col("a") +
+          (dbl(col("h22")) * dbl(col("g1")) -
+            dbl(col("h12")) * dbl(col("g2"))) / det, 9))
+          .otherwise(col("a")).as("a"),
+        when(moved, round(col("b") +
+          (dbl(col("h11")) * dbl(col("g2")) -
+            dbl(col("h12")) * dbl(col("g1"))) / det, 9))
+          .otherwise(col("b")).as("b"))
+        .localCheckpoint(true) // pin the step; keep the lineage flat
+    }
+    params.select(lit(cells).as("n_cells"), lit(nt).as("n"),
+      lit(pt).as("n_pos"), col("it").cast("long").as("steps_moved"),
+      round(col("a"), 6).as("a"), round(col("b"), 6).as("b"))
+  }
 }

@@ -1545,4 +1545,232 @@ object Relational {
           round(s / (dbl(col("concordant")) + dbl(col("discordant")) +
             dbl(col("tied_x_only"))), 6)).as("somers_d_xy"))
   }
+
+  /** LORENZ CURVE deciles per group — the distribution TABLE the Gini
+    * scalar (q436) summarizes: for each decile d, the share of total
+    * value held by the bottom d/10 of units. The chartable inequality
+    * report ("the bottom 50% of orders carry 11% of revenue") beside
+    * [[concentration]]'s one-number verdicts. EXACT at tie boundaries:
+    * the value census's cumulative count brackets each decile cut
+    * k_d = ⌊n·d/10⌋, and the straddling tie group contributes
+    * x·(k_d − c_before) — integer apportionment, the q391 trimmed-mean
+    * rank-interval discipline, never a per-row global sort. Cumulative
+    * value in DECIMAL(38,0); one pinned share division per decile row.
+    * Census is value-domain-sized per group; the decile spine is 10
+    * rows per group. Zero-total groups read NULL shares.
+    */
+  def lorenzCurve(
+      members: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    lorenzFromCensus(
+      members.select(col(groupCol).cast("string").as("g"),
+          col(valueCol).cast("long").as("x"))
+        .groupBy(col("g"), col("x")).agg(count(lit(1)).as("t")))
+
+  /** [[lorenzCurve]] on a pre-aggregated (g, x, t) value census — the
+    * mergeable form (censuses ADD across batches), shared by the
+    * streaming maintenance store. */
+  def lorenzFromCensus(census: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val cum = Window.partitionBy(col("g")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      // partials ADD: re-sum so batch-committed census fragments and the
+      // one-pass batch census read identically
+      .groupBy(col("g"), col("x")).agg(sum(col("t")).as("t"))
+      .withColumn("c", sum(col("t")).over(cum))
+      .withColumn("s", sum(col("x").cast(d38) * col("t").cast(d38))
+        .over(cum))
+      .localCheckpoint(true) // totals + the decile bracket join read it
+    val tot = ranked.groupBy(col("g"))
+      .agg(max(col("c")).as("n"), max(col("s")).as("stot"))
+    val spine = tot.select(col("g"), col("n"), col("stot"),
+        explode(sequence(lit(1), lit(10))).as("decile"))
+      .withColumn("k", expr("n * decile div 10"))
+    // bracket join: the census row whose cumulative count first reaches
+    // k_d; k_d = 0 (tiny groups' early deciles) short-circuits to zero
+    val hit = spine.filter(col("k") > 0L)
+      .join(ranked.select(col("g"), col("x"), col("t"), col("c"),
+        col("s")), Seq("g"))
+      .filter(col("c") - col("t") < col("k") && col("k") <= col("c"))
+      .select(col("g"), col("decile"), col("n"), col("stot"), col("k"),
+        (col("s") + col("x").cast(d38) * (col("k") - col("c")).cast(d38))
+          .as("cumv"))
+    val zero = spine.filter(col("k") === 0L)
+      .select(col("g"), col("decile"), col("n"), col("stot"),
+        col("k"), lit(0).cast(d38).as("cumv"))
+    hit.unionByName(zero)
+      .select(col("g"), col("decile").cast("long").as("decile"),
+        col("n").cast("long").as("n_units"),
+        col("k").cast("long").as("k_units"),
+        col("cumv").cast("long").as("cum_value"),
+        round(dbl(col("decile")) / 10.0, 6).as("pop_share"),
+        when(col("stot") =!= lit(0).cast(d38),
+          round(dbl(col("cumv")) / dbl(col("stot")), 6)).as("value_share"))
+      .orderBy(col("g"), col("decile"))
+  }
+
+  /** CONCURRENCY SWEEP + LITTLE'S LAW — the ops-capacity readout over an
+    * interval table: average concurrency L = Σduration/span (the exact
+    * time-average), arrival rate λ = n/span, mean residence W = Σdur/n,
+    * and the sweep-line PEAK (boundary census: +starts −ends per second,
+    * one cumulative window over the BOUNDARY domain — never a per-second
+    * explode; ties pin to the earliest second). L = λ·W is Little's law;
+    * both sides are emitted from their own op orders so the identity is
+    * visible, not assumed. Intervals are [s, e) with e > s enforced
+    * loudly; all sums exact integers, three pinned divisions.
+    */
+  def concurrencySweep(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val iv = intervals.select(col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e"))
+      .localCheckpoint(true) // totals + the boundary census read it
+    val tot = iv.select(lit(1L).as("cnt"), col("s"), col("e"),
+      (col("e") - col("s")).cast(d38).as("dur"))
+    val bounds = iv.select(col("s").as("sec"), lit(1L).as("d"))
+      .unionByName(iv.select(col("e").as("sec"), lit(-1L).as("d")))
+    concurrencyFromCensus(tot, bounds)
+  }
+
+  /** [[concurrencySweep]] on pre-aggregated partials — the mergeable
+    * form (interval totals and boundary deltas both ADD across
+    * batches), shared by the streaming maintenance store. `totals`
+    * rows: (cnt, s, e, dur); `bounds` rows: (sec, d). */
+  def concurrencyFromCensus(
+      totals: DataFrame, bounds: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val tot = totals.agg(sum(col("cnt")).as("n"), min(col("s")).as("lo"),
+      max(col("e")).as("hi"), sum(col("dur").cast(d38)).as("busy"))
+    val cum = Window.orderBy(col("sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = bounds.groupBy(col("sec")).agg(sum(col("d")).as("net"))
+      .repartition(1)
+      .withColumn("c", sum(col("net")).over(cum))
+      .agg(max(struct(col("c"), (-col("sec")).as("ns"), col("sec")))
+        .as("p"))
+      .select(col("p.c").as("peak"), col("p.sec").as("peak_sec"))
+    val span = dbl(col("hi") - col("lo"))
+    val ok = col("hi") > col("lo") && col("n") > 0L
+    tot.crossJoin(peak)
+      .select(col("n").cast("long").as("n"),
+        (col("hi") - col("lo")).as("span_sec"),
+        col("busy").cast("long").as("busy_sec"),
+        when(ok, round(dbl(col("n")) / span, 9)).as("lambda"),
+        when(ok, round(dbl(col("busy")) / dbl(col("n")), 6)).as("w_avg"),
+        when(ok, round(dbl(col("busy")) / span, 6)).as("l_avg"),
+        when(ok, round(dbl(col("n")) / span *
+          (dbl(col("busy")) / dbl(col("n"))), 6)).as("l_littles"),
+        col("peak"), col("peak_sec"))
+  }
+
+  /** LTV ACCUMULATION CURVES per cohort — cumulative value per customer
+    * by account age: the "when does a cohort pay back" table behind
+    * every acquisition decision, the VALUE-weighted complement to q72's
+    * distinct-active retention counts and q560's censoring-correct
+    * survival. Cohort = first-activity year, age in whole weeks since
+    * each unit's own first activity. Exact integer cents and counts,
+    * one cumulative window per cohort over the WEEK domain, one pinned
+    * division per row. Census form is mergeable under entity-partitioned
+    * batching (each unit's rows land in one batch): per-batch activity
+    * and size partials ADD, shared with the streaming store.
+    */
+  def ltvCurve(
+      df: DataFrame,
+      unitCol: String,
+      dateCol: String,
+      centsCol: String): DataFrame = {
+    val base = df.select(col(unitCol).as("u"), col(dateCol).as("d"),
+        col(centsCol).cast("long").as("v"))
+      .withColumn("f", min(col("d")).over(
+        Window.partitionBy(col("u"))))
+      .select(col("u"), year(col("f")).cast("long").as("cohort"),
+        expr("CAST(datediff(d, f) AS BIGINT) div 7").as("age_week"),
+        col("v"))
+    val census = base.groupBy(col("cohort"), col("age_week"))
+      .agg(count_distinct(col("u")).as("act"), sum(col("v")).as("rev"))
+    val sizes = base.groupBy(col("cohort"))
+      .agg(count_distinct(col("u")).as("sz"))
+    ltvFromCensus(census, sizes)
+  }
+
+  /** [[ltvCurve]] on pre-aggregated (cohort, age_week, act, rev) and
+    * (cohort, sz) partials — the mergeable form the streaming store
+    * drains through (partials add when batches are entity-partitioned).
+    */
+  def ltvFromCensus(census: DataFrame, sizes: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = census.groupBy(col("cohort"), col("age_week"))
+      .agg(sum(col("act")).as("n_active"),
+        sum(col("rev").cast(d38)).as("rev"))
+    val sz = sizes.groupBy(col("cohort")).agg(sum(col("sz")).as("sz"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cen.withColumn("cum", sum(col("rev")).over(cum))
+      .join(broadcast(sz), Seq("cohort"))
+      .select(col("cohort"), col("age_week"),
+        col("n_active").cast("long").as("n_active"),
+        col("rev").cast("long").as("revenue_cents"),
+        col("cum").cast("long").as("cum_revenue_cents"),
+        col("sz").cast("long").as("cohort_size"),
+        when(col("sz") > 0L, round(dbl(col("cum")) / dbl(col("sz")), 6))
+          .as("ltv_cents"))
+      .orderBy(col("cohort"), col("age_week"))
+  }
+
+  /** JOIN-CARDINALITY AUDIT — the exact pre-flight every 100 TB join
+    * deserves: from the two sides' KEY CENSUSES alone (never the join
+    * itself), the exact output row count Σ n_l(k)·n_r(k), the
+    * amplification factor vs the larger input, and the top fan-out keys
+    * that would dominate the shuffle — the join-shaped sibling of
+    * q166's groupBy skew report (a join that "worked at sf0.1" and
+    * explodes at sf100 is caught HERE, census-sized, before any
+    * row-level work). Exact DECIMAL(38,0) products; one pinned division.
+    */
+  def joinCardinalityAudit(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      topK: Int = 5): DataFrame = {
+    require(topK >= 1)
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val lc = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("nl"))
+    val rc = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("nr"))
+    val prod = lc.join(rc, Seq("k"))
+      .select(col("k"), col("nl"), col("nr"),
+        (col("nl").cast(d38) * col("nr").cast(d38)).as("out"))
+      .localCheckpoint(true) // totals + the top-k scan read it
+    // amplification compares against the FULL inputs, not just the
+    // matched keys — "6 output rows from a 7-row table" is the honest
+    // blow-up figure
+    val inTot = lc.agg(sum(col("nl").cast(d38)).as("tl"))
+      .crossJoin(rc.agg(sum(col("nr").cast(d38)).as("tr")))
+    val tot = prod.agg(sum(col("out")).as("total_out"),
+      count(lit(1)).as("n_keys")).crossJoin(inTot)
+    prod.withColumn("rk", row_number().over(
+        Window.orderBy(col("out").desc, col("k"))).cast("long"))
+      .filter(col("rk") <= topK.toLong)
+      .crossJoin(broadcast(tot))
+      .select(col("rk").as("rank"), col("k").cast("string").as("key"),
+        col("nl").cast("long").as("n_left"),
+        col("nr").cast("long").as("n_right"),
+        col("out").cast("long").as("out_rows"),
+        col("total_out").cast("long").as("total_out_rows"),
+        col("n_keys").cast("long").as("n_matched_keys"),
+        when(greatest(col("tl"), col("tr")) =!= lit(0).cast(d38),
+          round(dbl(col("total_out")) /
+            dbl(greatest(col("tl"), col("tr"))), 6)).as("amplification"),
+        when(col("total_out") =!= lit(0).cast(d38),
+          round(dbl(col("out")) / dbl(col("total_out")), 6))
+          .as("share_of_out"))
+      .orderBy(col("rank"))
+  }
 }

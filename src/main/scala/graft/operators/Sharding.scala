@@ -157,4 +157,46 @@ object Sharding {
       .select(st("agent").as("agent"), col("target"),
         col("a_rank"))
   }
+
+  /** LARGEST-REMAINDER (Hamilton) APPORTIONMENT — exact integer quotas
+    * for a sampling budget: allocate `budget` draws across groups
+    * proportional to their counts, with Σquota = budget EXACTLY (floor
+    * everyone, then hand the leftover units to the largest fractional
+    * remainders). The data-mixture arithmetic in front of corpus
+    * sampling — "10,000 training docs across sources at corpus
+    * proportions" — where independent rounding drifts the total and
+    * per-group ceil overshoots it. Pure integers end-to-end: ideal
+    * share budget·c/N as DECIMAL(38,0) products, base = floor division,
+    * remainder = mod, the leftover rank a deterministic (remainder
+    * desc, group asc) window over the GROUP-domain aggregate. One
+    * pinned division only for the reported share.
+    */
+  def largestRemainder(
+      df: DataFrame,
+      groupCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(budget >= 0L)
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val all = Window.partitionBy()
+    val q = cen
+      .withColumn("nt", sum(col("c")).over(all))
+      .withColumn("num", lit(budget).cast(d38) * col("c").cast(d38))
+      .withColumn("rem", pmod(col("num"), col("nt").cast(d38)))
+      .withColumn("base",
+        ((col("num") - col("rem")) / col("nt").cast(d38)).cast("long"))
+      .withColumn("left", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("g"))).cast("long"))
+    q.select(col("g"), col("c").cast("long").as("n"),
+        round(dbl(col("c")) / dbl(col("nt")), 6).as("share"),
+        col("base"),
+        (col("base") + when(col("rk") <= col("left"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy(col("g"))
+  }
 }

@@ -1236,4 +1236,64 @@ object TextPipeline {
           lit(11.8) * (dbl(col("n_syllables")) / dbl(col("n_words"))) -
           lit(15.59), 6)).as("fk_grade"))
   }
+
+  /** SKIP-GRAM PAIR GENERATION with deterministic negative sampling —
+    * the word2vec-style training-example factory: every (center,
+    * context) token pair within a ±`window` offset, censused across the
+    * corpus, plus `negK` hash-drawn negative tokens per surviving pair.
+    * The pair census is DOC-KEYED (positions self-join inside one doc —
+    * per-doc cost len·window, never corpus²); the vocabulary is ranked
+    * (count desc, token asc) once, and each negative is
+    * md5('ng:'+center+':'+context+':'+i) mod |V| looked up by rank — a
+    * pure function of the pair, so retries, re-partitions and the
+    * oracle all draw the SAME negatives (the q268 counter-based-RNG
+    * discipline; no RNG state anywhere). Collisions with the positive
+    * pair are allowed and documented (standard practice — unigram
+    * draws hit positives too). Whitespace tokenization (shared
+    * `docwords` convention). Output: top `limit` pairs by (n desc,
+    * center, context) with their negatives as columns.
+    */
+  def skipgramPairs(
+      docs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      window: Int = 2,
+      negK: Int = 2,
+      limit: Int = 200): DataFrame = {
+    require(window >= 1 && negK >= 1 && limit >= 1)
+    val toks = docs.select(col(docIdCol).as("did"),
+        posexplode(split(regexp_replace(lower(trim(col(textCol))),
+          "\\s+", " "), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .localCheckpoint(true) // vocab census + both pair sides read it
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val ranked = vocab.select(col("w").as("vw"),
+      (row_number().over(Window.orderBy(col("cnt").desc, col("w"))) - 1)
+        .cast("long").as("vid"))
+    val vsize = ranked.agg(count(lit(1)).as("vn"))
+    val other = toks.select(col("did"), col("pos").as("pos2"),
+      col("w").as("ctx"))
+    val pairs = toks.join(other, Seq("did"))
+      .filter(col("pos2") =!= col("pos") &&
+        abs(col("pos2") - col("pos")) <= window)
+      .groupBy(col("w").as("center"), col("ctx"))
+      .agg(count(lit(1)).as("n"))
+    val top = pairs
+      .orderBy(col("n").desc, col("center"), col("ctx"))
+      .limit(limit)
+      .crossJoin(broadcast(vsize))
+    val negs = (1 to negK).foldLeft(top) { (acc, i) =>
+      val vidCol = pmod(
+        conv(substring(md5(concat(lit("ng:"), col("center"), lit(":"),
+          col("ctx"), lit(":"), lit(i.toString))), 1, 13), 16, 10)
+          .cast("long"),
+        col("vn")).as(s"nid$i")
+      acc.withColumn(s"nid$i", vidCol)
+        .join(broadcast(ranked.select(col("vid").as(s"nid$i"),
+          col("vw").as(s"neg$i"))), Seq(s"nid$i"))
+    }
+    negs.select(Seq(col("center"), col("ctx").as("context"), col("n")) ++
+        (1 to negK).map(i => col(s"neg$i")): _*)
+      .orderBy(col("n").desc, col("center"), col("context"))
+  }
 }

@@ -2493,7 +2493,11 @@ object Trend {
     * libm call. The template pair join runs per key over the bucket
     * domain (calendar-bounded — at any corpus volume the hour domain
     * is the hour domain); i < j dedups pairs, self-matches excluded.
-    * Keys with no length-2 match read NULL.
+    * Both censuses run over the SAME template positions — only those
+    * with a length-3 extension (the canonical Richman–Moorman
+    * N−m−1 set), so B never counts a template A cannot reach and a
+    * perfectly repeating series reads exactly 0. Keys with no
+    * length-2 match read NULL.
     */
   def sampleEntropy(
       df: DataFrame,
@@ -2510,7 +2514,7 @@ object Trend {
       .withColumn("i", row_number().over(ord).cast("long"))
       .withColumn("v1", lead(col("v"), 1).over(ord))
       .withColumn("v2", lead(col("v"), 2).over(ord))
-      .filter(col("v1").isNotNull)
+      .filter(col("v2").isNotNull)
       .localCheckpoint(true) // both sides of the pair join read it
     val other = base.select(col(keyCol), col("i").as("j"),
       col("v").as("w"), col("v1").as("w1"), col("v2").as("w2"))
@@ -2520,12 +2524,14 @@ object Trend {
         abs(col("v1") - col("w1")) <= tolerance)
     val agg = pairs.groupBy(col(keyCol))
       .agg(count(lit(1)).as("b_matches"),
-        sum(when(col("v2").isNotNull && col("w2").isNotNull &&
-          abs(col("v2") - col("w2")) <= tolerance, 1L).otherwise(0L))
-          .as("a_matches"))
+        sum(when(abs(col("v2") - col("w2")) <= tolerance, 1L)
+          .otherwise(0L)).as("a_matches"))
+    // + 0.0 normalizes the A == B case's −0.0 to 0.0 (hash-stable
+    // across engines)
     agg.select(col(keyCol), col("b_matches"), col("a_matches"),
       when(col("a_matches") > 0L && col("b_matches") > 0L,
-        round(-log(dbl(col("a_matches")) / dbl(col("b_matches"))), 6))
+        round(-log(dbl(col("a_matches")) / dbl(col("b_matches"))), 6) +
+          lit(0.0))
         .as("sampen"))
       .orderBy(col(keyCol))
   }
@@ -3114,5 +3120,491 @@ object Trend {
       when(ok, round(e / sqrt(s2 * (lit(1.0) - h)), 6)).as("r_student"),
       when(ok, round(d, 6)).as("cooks_d"),
       when(ok, d > lit(4.0) / dbl(col("n"))).as("influential"))
+  }
+
+  /** TAYLOR'S POWER LAW across keys — the variance-mean scaling
+    * exponent: ln(var) = ln(a) + b·ln(mean) fitted over one (mean,
+    * variance) point per key. b ≈ 1 is Poisson-like noise, b → 2 is
+    * mean-proportional (clumped) fluctuation — the ONE number that says
+    * how alert bands must widen with volume (±k·√λ assumes b = 1; at
+    * b = 2 they must scale with λ itself), the cross-key complement to
+    * q456's per-key dispersion verdict. Per-key moments are exact
+    * integer sums; each point's ln(mean)/ln(var) pins once on the 1e-9
+    * grid; the 4-sum OLS accumulates rounded-grid term products as
+    * exact decimals (order-independent), one pinned-double finish for
+    * slope/intercept/r². Keys need n ≥ 2 buckets, positive mean and
+    * variance; the fit needs ≥ 3 points and x-spread, else NULL.
+    */
+  def taylorLaw(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.select(col(keyCol).cast("string").as("k"),
+        col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("k"), col("b")).agg(sum(col("v")).as("v"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("s"),
+        sum((col("v") * col("v")).cast(d38)).as("ss"))
+      .filter(col("n") >= 2L)
+    val n = dbl(col("n"))
+    val mean = dbl(col("s")) / n
+    val vr = (dbl(col("ss")) - n * mean * mean) / (n - lit(1.0))
+    val pts = cen
+      .select(col("k"), mean.as("m"), vr.as("vv"))
+      .filter(col("m") > 0.0 && col("vv") > 0.0)
+      .select(round(log(col("m")), 9).cast(d289).as("lx"),
+        round(log(col("vv")), 9).cast(d289).as("ly"))
+      .select(col("lx"), col("ly"),
+        round(dbl(col("lx")) * dbl(col("lx")), 9).cast(d289).as("xx"),
+        round(dbl(col("lx")) * dbl(col("ly")), 9).cast(d289).as("xy"),
+        round(dbl(col("ly")) * dbl(col("ly")), 9).cast(d289).as("yy"))
+    val f = pts.agg(count(lit(1)).as("np"), sum(col("lx")).as("sx"),
+      sum(col("ly")).as("sy"), sum(col("xx")).as("sxx"),
+      sum(col("xy")).as("sxy"), sum(col("yy")).as("syy"))
+    val np = dbl(col("np"))
+    val cxx = np * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val cxy = np * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val cyy = np * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val ok = col("np") >= 3L && cxx > 0.0
+    f.select(col("np").cast("long").as("n_points"),
+      when(ok, round(cxy / cxx, 6)).as("slope"),
+      when(ok, round((dbl(col("sy")) - cxy / cxx * dbl(col("sx"))) / np,
+        6)).as("intercept"),
+      when(ok && cyy > 0.0,
+        round(cxy * cxy / (cxx * cyy), 6)).as("r2"))
+  }
+
+  /** DICKEY–FULLER unit-root screen per key — random walk or
+    * mean-reverting: Δx_t = α + ρ·x_{t−1} + ε, and the DF statistic
+    * ρ̂/SE(ρ̂) compared to the 5% critical value −2.86 (constant-only
+    * tables, shared literal). ρ ≈ 0 (DF high) means shocks PERSIST —
+    * levels drift like a random walk and every "trend" q147 fits on it
+    * is suspect (spurious-regression territory); DF below the critical
+    * value means the level genuinely pulls back. The stationarity gate
+    * before any levels-on-levels modeling; [[grangerCausality]] and
+    * q564's DW assume it. One lag pass per key, exact integer moment
+    * sums in DECIMAL(38,0) (values and diffs are integers), centered
+    * cross-forms n·Σ − Σ·Σ exactly, one pinned-double finish; perfect
+    * fits and degenerate spreads NULL.
+    */
+  def dickeyFuller(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col("k")).orderBy(col("b"))
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("nx", lead(col("v"), 1).over(ord))
+      .filter(col("nx").isNotNull)
+      .select(col("k"), col("v").as("x"), (col("nx") - col("v")).as("d"))
+    val f = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(d38)).as("sx"),
+        sum(col("d").cast(d38)).as("sd"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("x") * col("d")).cast(d38)).as("sxd"),
+        sum((col("d") * col("d")).cast(d38)).as("sdd"))
+      .filter(col("n") >= 4L)
+    val n = dbl(col("n"))
+    val cxx = n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val cxy = n * dbl(col("sxd")) - dbl(col("sx")) * dbl(col("sd"))
+    val cyy = n * dbl(col("sdd")) - dbl(col("sd")) * dbl(col("sd"))
+    val rho = cxy / cxx
+    val sse = (cyy - cxy * cxy / cxx) / n
+    val se = sqrt(sse / (n - lit(2.0)) * n / cxx)
+    val ok = cxx > 0.0 && sse > 0.0
+    f.select(col("k").as(keyCol), col("n").cast("long").as("n_diffs"),
+      when(ok, round(rho, 6)).as("rho"),
+      when(ok, round(rho / se, 6)).as("df_stat"),
+      when(ok, rho / se < lit(-2.86)).as("stationary"))
+      .orderBy(col(keyCol))
+  }
+
+  /** GRANGER CAUSALITY (one lag, both directions) — does yesterday's x
+    * help predict today's y BEYOND y's own history: F-test of y_t ~
+    * y_{t−1} vs y_t ~ y_{t−1} + x_{t−1}. The directional upgrade of
+    * q360's symmetric lagged correlation — cross-correlation can't say
+    * which series leads INCREMENTALLY; Granger charges x's lag only for
+    * variance y's own lag couldn't explain. Both directions emitted:
+    * the interesting readouts are asymmetric (views "Granger-cause"
+    * purchases, rarely the reverse). Input is one aligned bucket frame
+    * (caller zero-fills the spine — missing hours as NULL rows would
+    * silently shrink n). Exact integer moment sums in DECIMAL(38,0),
+    * centered n·Σ−Σ·Σ cross-forms, the 2×2 normal equations solved
+    * closed-form, pinned-double F finish; degenerate determinants or
+    * saturated fits NULL.
+    */
+  def grangerCausality(
+      df: DataFrame,
+      bucketCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.orderBy(col("b"))
+    val base = df.select(col(bucketCol).cast("long").as("b"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .repartition(1)
+      .withColumn("xl", lag(col("x"), 1).over(ord))
+      .withColumn("yl", lag(col("y"), 1).over(ord))
+      .filter(col("xl").isNotNull)
+      .localCheckpoint(true) // both directions read it
+    def direction(tag: String, yc: String, ylc: String,
+        xlc: String): DataFrame = {
+      val f = base.select(col(yc).as("yy"), col(ylc).as("l1"),
+          col(xlc).as("l2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("yy").cast(d38)).as("sy"),
+          sum(col("l1").cast(d38)).as("s1"),
+          sum(col("l2").cast(d38)).as("s2"),
+          sum((col("yy") * col("yy")).cast(d38)).as("syy"),
+          sum((col("yy") * col("l1")).cast(d38)).as("sy1"),
+          sum((col("yy") * col("l2")).cast(d38)).as("sy2"),
+          sum((col("l1") * col("l1")).cast(d38)).as("s11"),
+          sum((col("l2") * col("l2")).cast(d38)).as("s22"),
+          sum((col("l1") * col("l2")).cast(d38)).as("s12"))
+      val n = dbl(col("n"))
+      val cyy = n * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+      val c11 = n * dbl(col("s11")) - dbl(col("s1")) * dbl(col("s1"))
+      val c22 = n * dbl(col("s22")) - dbl(col("s2")) * dbl(col("s2"))
+      val c12 = n * dbl(col("s12")) - dbl(col("s1")) * dbl(col("s2"))
+      val c1y = n * dbl(col("sy1")) - dbl(col("s1")) * dbl(col("sy"))
+      val c2y = n * dbl(col("sy2")) - dbl(col("s2")) * dbl(col("sy"))
+      val sseR = (cyy - c1y * c1y / c11) / n
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      val sseU = (cyy - b1 * c1y - b2 * c2y) / n
+      val ok = col("n") >= 5L && c11 > 0.0 && det > 0.0 && sseU > 0.0
+      f.select(lit(tag).as("direction"), col("n").cast("long").as("n"),
+        when(ok, round(b2, 6)).as("lag_coef"),
+        when(ok, round(sseR, 6)).as("sse_restricted"),
+        when(ok, round(sseU, 6)).as("sse_unrestricted"),
+        when(ok, round((sseR - sseU) / (sseU / (n - lit(3.0))), 6))
+          .as("f_stat"))
+    }
+    direction("x->y", "y", "yl", "xl")
+      .unionByName(direction("y->x", "x", "xl", "yl"))
+      .orderBy(col("direction"))
+  }
+
+  /** NEWEY–WEST (HAC) STANDARD ERROR for the per-key trend slope — the
+    * honest error bar when residuals are serially correlated: q564's DW
+    * DETECTS the autocorrelation that makes OLS SEs optimistic; this is
+    * the CORRECTION (Bartlett kernel over `lags` lags of the score
+    * u_t = (x_t − x̄)·e_t). se_nw/se_ols ≫ 1 is the "your trend's
+    * t-statistic was inflated" verdict that changes decisions q147's
+    * point slope can't. Row-index regressor (the lag structure assumes
+    * consecutive observations — the caller supplies a dense series),
+    * exact integer moments for the fit, residuals and scores pinned on
+    * the 1e-9 grid, lagged score products re-pinned before the
+    * order-independent decimal sums, Bartlett weights as exact literals,
+    * one pinned-double finish. Degenerate fits NULL.
+    */
+  def neweyWestSlope(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      lags: Int = 3): DataFrame = {
+    require(lags >= 1 && lags <= 8)
+    val d38 = DecimalType(38, 0)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col("k")).orderBy(col("b"))
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .localCheckpoint(true) // the moment pass + the score pass read it
+    val mom = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("i").cast(d38)).as("si"),
+        sum(col("v").cast(d38)).as("sv"),
+        sum((col("i") * col("v")).cast(d38)).as("siv"),
+        sum((col("i") * col("i")).cast(d38)).as("sii"),
+        sum((col("v") * col("v")).cast(d38)).as("svv"))
+      .filter(col("n") >= (lags + 5).toLong)
+    val n = dbl(col("n"))
+    val cxx = n * dbl(col("sii")) - dbl(col("si")) * dbl(col("si"))
+    val cxy = n * dbl(col("siv")) - dbl(col("si")) * dbl(col("sv"))
+    val cyy = n * dbl(col("svv")) - dbl(col("sv")) * dbl(col("sv"))
+    val slope = cxy / cxx
+    val icept = (dbl(col("sv")) - cxy / cxx * dbl(col("si"))) / n
+    val xbar = dbl(col("si")) / n
+    val fit = mom.select(col("k"), col("n"), round(slope, 9).as("bb"),
+      round(icept, 9).as("aa"), round(xbar, 9).as("xb"),
+      cxx.as("cxx"), cyy.as("cyy"), cxy.as("cxy"))
+    val scored = base.join(broadcast(fit), Seq("k"))
+      .withColumn("e", round(dbl(col("v")) - col("aa") -
+        col("bb") * dbl(col("i")), 9))
+      .withColumn("u", round((dbl(col("i")) - col("xb")) * col("e"), 9))
+    val lagged = (1 to lags).foldLeft(scored) { (acc, l) =>
+      acc.withColumn(s"u$l", lag(col("u"), l).over(ord))
+    }
+    val hacCols = sum(round(col("u") * col("u"), 9).cast(d289)).as("g0") +:
+      (1 to lags).map(l =>
+        sum(round(col("u") * col(s"u$l"), 9).cast(d289)).as(s"g$l"))
+    val hac = lagged.groupBy(col("k")).agg(hacCols.head, hacCols.tail: _*)
+    val s0 = dbl(col("g0"))
+    val sHac = (1 to lags).foldLeft(s0) { (acc, l) =>
+      acc + lit(2.0) * lit(1.0 - l.toDouble / (lags + 1).toDouble) *
+        dbl(coalesce(col(s"g$l"), lit(0).cast(d289)))
+    }
+    val out = fit.join(hac, Seq("k"))
+    val sse = (col("cyy") - col("cxy") * col("cxy") / col("cxx")) / dbl(col("n"))
+    val sxxc = col("cxx") / dbl(col("n"))
+    val seOls = sqrt(sse / (dbl(col("n")) - lit(2.0)) / sxxc)
+    val seNw = sqrt(sHac) / sxxc
+    val ok = col("cxx") > 0.0 && sse > 0.0 && sHac > 0.0
+    out.select(col("k").as(keyCol), col("n").cast("long").as("n"),
+      when(ok, round(dbl(col("bb")), 6)).as("slope"),
+      when(ok, round(seOls, 6)).as("se_ols"),
+      when(ok, round(seNw, 6)).as("se_nw"),
+      when(ok, round(seNw / seOls, 6)).as("se_ratio"))
+      .orderBy(col(keyCol))
+  }
+
+  /** CLASSICAL ADDITIVE SEASONAL DECOMPOSITION per key — trend by the
+    * standard 2×m centered moving average, seasonal indices as centered
+    * slot means of the detrended series, and the STRENGTH of seasonality
+    * 1 − Var(remainder)/Var(detrended) (Hyndman's gauge): the "HOW MUCH
+    * of this series is just the daily cycle" table behind q181/q439's
+    * cycle-aware corrections and the additive complement to q315's
+    * recursive Holt–Winters state. Caller supplies a DENSE bucket spine
+    * (gaps would silently bend the centered window). The 2×m numerator
+    * v_{t−m/2} + 2Σ + v_{t+m/2} stays an exact integer; detrended values
+    * pin once at 1e-9 and every later mean/variance is decimal sums of
+    * re-pinned grid terms with one pinned division each. Edge buckets
+    * without a full window drop from the census (stated; they carry no
+    * trend estimate). Keys need ≥ 2 full periods.
+    */
+  def classicalDecomposition(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String,
+      period: Int = 24): DataFrame = {
+    require(period >= 2 && period % 2 == 0)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val half = period / 2
+    val ord = Window.partitionBy(col("k")).orderBy(col("b"))
+    val win = ord.rowsBetween(-(half - 1), half - 1)
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("inner2", lit(2L) * sum(col("v")).over(win))
+      .withColumn("lo", lag(col("v"), half).over(ord))
+      .withColumn("hi", lead(col("v"), half).over(ord))
+      .withColumn("cnt", count(lit(1)).over(win))
+      .filter(col("lo").isNotNull && col("hi").isNotNull &&
+        col("cnt") === (period - 1).toLong)
+      .withColumn("detr", round(dbl(col("v")) -
+        dbl(col("lo") + col("inner2") + col("hi")) /
+          lit(2.0 * period), 9).cast(d289))
+      .withColumn("slot", pmod(col("b"), lit(period.toLong)))
+      .localCheckpoint(true) // slot means + variance sweep read it
+    val slotMeans = base.groupBy(col("k"), col("slot"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("detr")).as("sd"))
+      .withColumn("raw", round(dbl(col("sd")) / dbl(col("n_obs")), 9)
+        .cast(d289))
+    val centers = slotMeans.groupBy(col("k"))
+      .agg(count(lit(1)).as("ns"), sum(col("raw")).as("sraw"))
+      .select(col("k"), round(dbl(col("sraw")) / dbl(col("ns")), 9)
+        .cast(d289).as("ctr"), col("ns"))
+      .filter(col("ns") === period.toLong)
+    val seas = slotMeans.join(broadcast(centers), Seq("k"))
+      .withColumn("sj", (col("raw") - col("ctr")).cast(d289))
+    val rem = base.join(broadcast(seas.select(col("k"), col("slot"),
+        col("sj"))), Seq("k", "slot"))
+      .select(col("k"), col("detr"), (col("detr") - col("sj")).as("r"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("nt"),
+        sum(col("detr")).as("sdt"),
+        sum(round(dbl(col("detr")) * dbl(col("detr")), 9).cast(d289))
+          .as("sdd"),
+        sum(col("r")).as("sr"),
+        sum(round(dbl(col("r")) * dbl(col("r")), 9).cast(d289)).as("srr"))
+    val nt = dbl(col("nt"))
+    val vd = (dbl(col("sdd")) - nt * (dbl(col("sdt")) / nt) *
+      (dbl(col("sdt")) / nt)) / (nt - lit(1.0))
+    val vr = (dbl(col("srr")) - nt * (dbl(col("sr")) / nt) *
+      (dbl(col("sr")) / nt)) / (nt - lit(1.0))
+    val strength = rem.filter(col("nt") >= (2 * period).toLong)
+      .select(col("k"),
+        when(vd > 0.0, round(greatest(lit(0.0), lit(1.0) - vr / vd), 6))
+          .as("strength"))
+    seas.join(broadcast(strength), Seq("k"))
+      .select(col("k").as(keyCol), col("slot"),
+        col("n_obs").cast("long").as("n_obs"),
+        round(dbl(col("sj")), 6).as("seasonal"), col("strength"))
+      .orderBy(col(keyCol), col("slot"))
+  }
+
+  /** ENGLE–GRANGER COINTEGRATION (two-step) — do two drifting series
+    * share ONE stochastic trend: OLS y ~ x on the shared spine, then
+    * [[dickeyFuller]]'s unit-root screen ON THE RESIDUAL (5% two-series
+    * critical value −3.34, shared literal). Two series can each fail
+    * q628's stationarity screen and still be tied by an equilibrium —
+    * that tie is tradeable/actionable where the individual trends are
+    * spurious-regression bait; the levels-modeling license q629's
+    * differenced Granger deliberately gives up. Step-1 fit over exact
+    * integer moments, residuals pinned once at 1e-9, step-2 moment sums
+    * decimal-exact over re-pinned grid products, pinned-double DF
+    * finish. Degenerate fits NULL.
+    */
+  def engleGranger(
+      df: DataFrame,
+      bucketCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.orderBy(col("b"))
+    val base = df.select(col(bucketCol).cast("long").as("b"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .repartition(1)
+      .localCheckpoint(true) // the fit pass + the residual pass read it
+    val mom = base.agg(count(lit(1)).as("n"), sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"))
+    val n0 = dbl(col("n"))
+    val cxx0 = n0 * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val cxy0 = n0 * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val fit = mom.select(col("n").as("nn"),
+      when(cxx0 > 0.0, round(cxy0 / cxx0, 9)).as("beta"),
+      when(cxx0 > 0.0,
+        round((dbl(col("sy")) - cxy0 / cxx0 * dbl(col("sx"))) / n0, 9))
+        .as("alpha"), cxx0.as("cxx0"))
+    val resid = base.crossJoin(broadcast(fit))
+      .withColumn("r", round(dbl(col("y")) - col("alpha") -
+        col("beta") * dbl(col("x")), 9).cast(d289))
+      .withColumn("rn", lead(col("r"), 1).over(ord))
+      .filter(col("rn").isNotNull)
+      .select(col("nn"), col("beta"), col("alpha"), col("cxx0"),
+        col("r"), (col("rn") - col("r")).cast(d289).as("d"))
+    val f = resid.groupBy(col("nn"), col("beta"), col("alpha"), col("cxx0"))
+      .agg(count(lit(1)).as("m"), sum(col("r")).as("sr"),
+        sum(col("d")).as("sd"),
+        sum(round(dbl(col("r")) * dbl(col("r")), 9).cast(d289)).as("srr"),
+        sum(round(dbl(col("r")) * dbl(col("d")), 9).cast(d289)).as("srd"),
+        sum(round(dbl(col("d")) * dbl(col("d")), 9).cast(d289)).as("sdd"))
+    val m = dbl(col("m"))
+    val cxx = m * dbl(col("srr")) - dbl(col("sr")) * dbl(col("sr"))
+    val cxy = m * dbl(col("srd")) - dbl(col("sr")) * dbl(col("sd"))
+    val cyy = m * dbl(col("sdd")) - dbl(col("sd")) * dbl(col("sd"))
+    val rho = cxy / cxx
+    val sse = (cyy - cxy * cxy / cxx) / m
+    val se = sqrt(sse / (m - lit(2.0)) * m / cxx)
+    val ok = col("cxx0") > 0.0 && col("m") >= 4L && cxx > 0.0 && sse > 0.0
+    f.select(col("nn").cast("long").as("n"),
+      when(col("cxx0") > 0.0, round(dbl(col("beta")), 6)).as("beta"),
+      when(col("cxx0") > 0.0, round(dbl(col("alpha")), 6)).as("alpha"),
+      when(ok, round(rho, 6)).as("rho"),
+      when(ok, round(rho / se, 6)).as("df_stat"),
+      when(ok, rho / se < lit(-3.34)).as("cointegrated"))
+  }
+
+  /** TWO-STATE HMM REGIME EVIDENCE per key — is this series one Poisson
+    * rate or a quiet/burst MIXTURE: the scaled forward algorithm's
+    * log-likelihood under a 2-state chain (rates λ/2 and 2λ, sticky 0.9
+    * transitions) against the single-rate null, reported as the
+    * likelihood ratio 2·(ll₂ − ll₁). The MODEL-BASED burst detector
+    * beside q341's burstiness moment and q456's dispersion ratio: those
+    * say "overdispersed", this says HOW MUCH better a regime-switching
+    * story explains the data (χ²-scaled, flag at the 5.99 two-df 5%
+    * literal). Determinism discipline: the common −ln v! emission term
+    * cancels in the ratio and is dropped; every libm call (exp/ln) has
+    * a 1e-9-pinned input and a 1e-12-pinned output; the forward pass is
+    * RENORMALIZED each step — the fold carries only the two bounded
+    * relative scores while the large total accumulates in an EXACT
+    * decimal (a raw double that big could not even represent the 1e-9
+    * grid) — so both engines walk identical folds at any series length.
+    * One codegen'd HOF fold per key over the ordered value array
+    * (bucket-domain bounded); zero-mean keys drop.
+    */
+  def hmmRegimeEvidence(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        col(bucketCol).cast("long").as("b"),
+        col(valueCol).cast("long").as("v"))
+    val cen = base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("s"),
+        array_sort(collect_list(struct(col("b"), col("v")))).as("rows"))
+      .filter(col("n") >= 8L && col("s") > lit(0).cast(d38))
+      .withColumn("vs", transform(col("rows"), r => r.getField("v")))
+      .drop("rows")
+      .withColumn("lam", round(dbl(col("s")) / dbl(col("n")), 9))
+      .withColumn("lam0", round(lit(0.5) * col("lam"), 9))
+      .withColumn("lam1", round(lit(2.0) * col("lam"), 9))
+      .withColumn("l0", round(log(col("lam0")), 12))
+      .withColumn("l1", round(log(col("lam1")), 12))
+      .withColumn("lm", round(log(col("lam")), 12))
+    val ls = round(log(lit(0.9)), 12)   // stay
+    val lw = round(log(lit(0.1)), 12)   // switch
+    val lp = round(log(lit(0.5)), 12)   // uniform prior
+    def e0(v: Column): Column = round(dbl(v) * col("l0") - col("lam0"), 9)
+    def e1(v: Column): Column = round(dbl(v) * col("l1") - col("lam1"), 9)
+    // pinned log-sum-exp of two bounded terms
+    def lse(a: Column, b: Column): Column = {
+      val hi = greatest(a, b); val lo = least(a, b)
+      round(hi + round(log(lit(1.0) +
+        round(exp(round(lo - hi, 9)), 12)), 12), 9)
+    }
+    // fold accumulator: (d0, d1) bounded relative scores + exact total
+    val init = struct(
+      (round(lp + e0(element_at(col("vs"), 1)), 9) -
+        greatest(round(lp + e0(element_at(col("vs"), 1)), 9),
+          round(lp + e1(element_at(col("vs"), 1)), 9))).as("d0"),
+      (round(lp + e1(element_at(col("vs"), 1)), 9) -
+        greatest(round(lp + e0(element_at(col("vs"), 1)), 9),
+          round(lp + e1(element_at(col("vs"), 1)), 9))).as("d1"),
+      greatest(round(lp + e0(element_at(col("vs"), 1)), 9),
+        round(lp + e1(element_at(col("vs"), 1)), 9)).cast(d289).as("ll"))
+    val folded = cen.withColumn("fin",
+      aggregate(slice(col("vs"), 2, 1000000), init, (acc, v) => {
+        val f0 = round(lse(acc.getField("d0") + ls,
+          acc.getField("d1") + lw) + e0(v), 9)
+        val f1 = round(lse(acc.getField("d0") + lw,
+          acc.getField("d1") + ls) + e1(v), 9)
+        val m = greatest(f0, f1)
+        struct((f0 - m).as("d0"), (f1 - m).as("d1"),
+          (acc.getField("ll") + m.cast(d289)).cast(d289).as("ll"))
+      }))
+    val ll2 = (col("fin").getField("ll") +
+      lse(col("fin").getField("d0"), col("fin").getField("d1"))
+        .cast(d289)).as("ll2")
+    val ll1 = cen.select(col("k"), col("lm"), col("lam"),
+        explode(col("vs")).as("v"))
+      .groupBy(col("k"), col("lm"), col("lam"))
+      .agg(sum(round(dbl(col("v")) * col("lm") - col("lam"), 9)
+        .cast(d289)).as("ll1"))
+      .select(col("k"), col("ll1"))
+    val out = folded.select(col("k"), col("n"), ll2)
+      .join(ll1, Seq("k"))
+    def d2(c: Column): Column = dbl(c)
+    val lr = round(lit(2.0) * (d2(col("ll2")) - d2(col("ll1"))), 6)
+    out.select(col("k").as(keyCol), col("n").cast("long").as("n"),
+      round(d2(col("ll1")), 4).as("ll_single"),
+      round(d2(col("ll2")), 4).as("ll_regime"),
+      lr.as("lr"), (lr > lit(5.99)).as("regime_evidence"))
+      .orderBy(col(keyCol))
   }
 }

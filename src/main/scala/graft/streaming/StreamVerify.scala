@@ -2783,6 +2783,152 @@ object StreamVerify {
           col("c").cast("long").as("c")), groupCol)
   }
 
+  /** STREAMING LORENZ/INEQUALITY maintenance — q626's decile table as
+    * an ingestion side effect: per-batch (group, value) censuses commit
+    * exactly-once and simply ADD (a value census is a pure count
+    * functional), so the drained decile sweep through
+    * [[graft.operators.Relational.lorenzFromCensus]] is bit-identical
+    * to the one-pass batch answer — oracle shared verbatim. State is
+    * value-domain-sized per group per batch; the decile bracket join
+    * runs only at READ time over the merged census.
+    */
+  def lorenzMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/lz"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("g"), col("x")).agg(count(lit(1)).as("t"))
+            .coalesce(1),
+          tag = s"lz-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Relational.lorenzFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("g").cast("string").as("g"),
+          col("x").cast("long").as("x"), col("t").cast("long").as("t")))
+  }
+
+  /** STREAMING CONCURRENCY maintenance — q635's sweep as an ingestion
+    * side effect: each batch commits its interval-total partials and
+    * boundary deltas (both pure SUMS/MIN/MAX — they add across batches),
+    * so the drained readout through
+    * [[graft.operators.Relational.concurrencyFromCensus]] is
+    * bit-identical to the one-pass batch sweep — oracle shared verbatim.
+    * Committed state is boundary-domain-sized per batch, never
+    * interval-row-sized standing state.
+    */
+  def concurrencyMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lakeT = s"$scratchDir/cct"
+    val lakeB = s"$scratchDir/ccb"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
+        graft.sources.TxLake.commit(spark, lakeT,
+          batch.agg(count(lit(1)).as("cnt"), min(col("s")).as("s"),
+            max(col("e")).as("e"),
+            sum((col("e") - col("s")).cast(d38)).as("dur")).coalesce(1),
+          tag = s"cct-$id")
+        graft.sources.TxLake.commit(spark, lakeB,
+          batch.select(col("s").as("sec"), lit(1L).as("d"))
+            .unionByName(batch.select(col("e").as("sec"),
+              lit(-1L).as("d")))
+            .groupBy(col("sec")).agg(sum(col("d")).as("d")).coalesce(1),
+          tag = s"ccb-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Relational.concurrencyFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lakeT)
+        .select(col("cnt").cast("long").as("cnt"),
+          col("s").cast("long").as("s"), col("e").cast("long").as("e"),
+          col("dur")),
+      graft.sources.TxLake.readSnapshot(spark, lakeB)
+        .select(col("sec").cast("long").as("sec"),
+          col("d").cast("long").as("d")))
+  }
+
+  /** STREAMING LTV maintenance — q642's payback curves as an ingestion
+    * side effect. Staging contract: ENTITY-PARTITIONED batches (each
+    * unit's whole history lands in ONE batch — a unit's first-activity
+    * date is not mergeable across batches; partitioned, the per-batch
+    * (cohort, age_week) activity/revenue censuses and cohort sizes
+    * simply ADD). Drained through
+    * [[graft.operators.Relational.ltvFromCensus]] — bit-identical to
+    * the one-pass batch answer, oracle shared verbatim. State is
+    * (cohort × week)-domain-sized per batch.
+    */
+  def ltvMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lakeC = s"$scratchDir/ltc"
+    val lakeS = s"$scratchDir/lts"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch
+          .withColumn("f", min(col("d")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+          .select(col("u"), year(col("f")).cast("long").as("cohort"),
+            expr("CAST(datediff(d, f) AS BIGINT) div 7").as("age_week"),
+            col("v"))
+        graft.sources.TxLake.commit(spark, lakeC,
+          b.groupBy(col("cohort"), col("age_week"))
+            .agg(count_distinct(col("u")).as("act"),
+              sum(col("v")).as("rev")).coalesce(1),
+          tag = s"ltc-$id")
+        graft.sources.TxLake.commit(spark, lakeS,
+          b.groupBy(col("cohort"))
+            .agg(count_distinct(col("u")).as("sz")).coalesce(1),
+          tag = s"lts-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Relational.ltvFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lakeC)
+        .select(col("cohort").cast("long").as("cohort"),
+          col("age_week").cast("long").as("age_week"),
+          col("act").cast("long").as("act"),
+          col("rev").cast("long").as("rev")),
+      graft.sources.TxLake.readSnapshot(spark, lakeS)
+        .select(col("cohort").cast("long").as("cohort"),
+          col("sz").cast("long").as("sz")))
+  }
+
   /** STREAMING PAIRED-FLOW maintenance — q580's Bowker symmetry test
     * as an ingestion side effect. The staging contract is
     * ENTITY-PARTITIONED batches: each user's whole event history lands

@@ -279,4 +279,23 @@ class DedupSpec extends SparkSuite {
     assert(got(3L) == ((3L, 1L, 3L, 0.5, 2L)))
   }
 
+  test("lshDesignTable: more bands buy recall and pay in false " +
+    "candidates; one wide band does the reverse") {
+    import spark.implicits._
+    val pairs = (Seq.fill(10)(0.95) ++ Seq.fill(10)(0.05)).toDF("sim")
+    val got = graft.operators.Dedup.lshDesignTable(pairs, "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.size == 6)
+    assert(got.values.forall(_.getLong(2) == 20L))
+    val manyBands = got((32L, 1L))
+    val oneBand = got((1L, 32L))
+    assert(manyBands.getDouble(5) > 0.99,
+      s"32 bands of 1 row catch everything similar: $manyBands")
+    assert(manyBands.getDouble(6) > 0.4,
+      "and drown in sub-threshold candidates")
+    assert(oneBand.getDouble(5) < 0.5,
+      s"one 32-row band misses near-dups: $oneBand")
+    assert(oneBand.getDouble(6) < 0.01,
+      "but admits almost no false candidates")
+  }
 }

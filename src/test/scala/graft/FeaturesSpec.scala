@@ -255,4 +255,24 @@ class FeaturesSpec extends SparkSuite {
       col("lab"), 0.5).head()
     assert(n.isNullAt(7) && n.isNullAt(8) && n.isNullAt(11))
   }
+
+  test("plattScaling: a symmetric S-curve centers near its midpoint " +
+    "and every step moves") {
+    import spark.implicits._
+    def cell(s: Long, n: Int, pos: Int) =
+      (1 to n).map(i => (s, if (i <= pos) 1L else 0L))
+    val df = (cell(0L, 10, 1) ++ cell(1L, 10, 5) ++ cell(2L, 10, 9))
+      .toDF("s", "y")
+    val r = graft.operators.Features.plattScaling(df, col("s"), col("y"))
+      .head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 30L && r.getLong(2) == 15L)
+    assert(r.getLong(3) == 8L, s"all Newton steps should move: $r")
+    val (a, b) = (r.getDouble(4), r.getDouble(5))
+    assert(b > 1.0, s"the curve must rise: b=$b")
+    val pMid = 1.0 / (1.0 + math.exp(-(a + b * 1.0)))
+    assert(math.abs(pMid - 0.5) < 0.05,
+      s"midpoint must calibrate to ~0.5: $pMid")
+    val pHi = 1.0 / (1.0 + math.exp(-(a + b * 2.0)))
+    assert(math.abs(pHi - 0.9) < 0.05, s"s=2 must read ~0.9: $pHi")
+  }
 }

@@ -1526,6 +1526,13 @@ class ProfilingSpec extends SparkSuite {
     assert(graft.operators.Drift.markovEntropyRate(
       cyc.toDF("u", "o", "st"), col("u"), col("o"), col("st"))
       .head().getDouble(2) == 0.0)
+    // a state seen ONLY as a source (the walk's first step) still
+    // counts toward the alphabet k
+    val src = Seq("z", "a", "b", "a", "b").zipWithIndex
+      .map { case (st, i) => (1L, i.toLong, st) }
+    assert(graft.operators.Drift.markovEntropyRate(
+      src.toDF("u", "o", "st"), col("u"), col("o"), col("st"))
+      .head().getLong(1) == 3L)
   }
 
   test("kendallW: unanimous leaderboards read 1, opposed rankings 0") {
@@ -1591,8 +1598,8 @@ class ProfilingSpec extends SparkSuite {
     assert(x.getDouble(2) == 1.0 && x.getDouble(4) == 40.0)
   }
 
-  test("processCapability: a centered process reads Cp = Cpk = 1, " +
-    "off-center pays in Cpk only") {
+  test("processCapability: a centered process reads Pp = Ppk = 1, " +
+    "off-center pays in Ppk only") {
     import spark.implicits._
     val df = (Seq(90L, 100L, 110L).map(("c", _)) ++
       Seq(100L, 110L, 120L).map(("o", _))).toDF("g", "v")
@@ -1626,4 +1633,28 @@ class ProfilingSpec extends SparkSuite {
     assert(a.getDouble(5) == 1.0 && b.getDouble(5) == 1.0)
   }
 
+  test("diffInDiff: the level gap and the common shock both cancel; " +
+    "an empty cell NULLs the estimate") {
+    import spark.implicits._
+    def cell(tr: Boolean, po: Boolean, n: Int, ev: Int) =
+      (1 to n).map(i => (tr, po, if (i <= ev) 1L else 0L))
+    // treat jumps .25 -> .5 while control holds .25: did = .25
+    val df = (cell(true, false, 4, 1) ++ cell(true, true, 4, 2) ++
+      cell(false, false, 4, 1) ++ cell(false, true, 4, 1))
+      .toDF("tr", "po", "y")
+    val r = graft.operators.Drift.diffInDiff(df, col("tr"), col("po"),
+      col("y")).head()
+    assert(r.getLong(0) == 4L && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 0.25 && r.getDouble(5) == 0.5)
+    assert(r.getDouble(8) == 0.25)
+    val se = math.sqrt(0.5 * 0.5 / 4.0 + 0.25 * 0.75 / 4.0 +
+      0.25 * 0.75 / 4.0 + 0.25 * 0.75 / 4.0)
+    assert(r.getDouble(9) == math.rint(se * 1e6) / 1e6)
+    assert(r.getDouble(10) == math.rint(0.25 / se * 1e6) / 1e6)
+    val empty = graft.operators.Drift.diffInDiff(
+      (cell(true, true, 4, 2) ++ cell(false, true, 4, 1) ++
+        cell(false, false, 4, 1)).toDF("tr", "po", "y"),
+      col("tr"), col("po"), col("y")).head()
+    assert(empty.isNullAt(8) && empty.isNullAt(10))
+  }
 }

@@ -612,4 +612,103 @@ class RelationalSpec extends SparkSuite {
     assert(o.isNullAt(6) && o.isNullAt(7) && o.isNullAt(8))
   }
 
+  test("lorenzCurve: tie groups apportion decile cuts exactly; " +
+    "concentrated value shows in the bottom shares") {
+    // "a": nine 1s and one 91 — bottom 90% holds 9% of value
+    val a = (1 to 9).map(_ => ("a", 1L)) :+ (("a", 91L))
+    // "b": four equal 5s — k=1 cut takes ONE unit out of the tie group
+    val b = (1 to 4).map(_ => ("b", 5L))
+    val got = Relational.lorenzCurve((a ++ b).toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val a9 = got(("a", 9L))
+    assert(a9.getLong(3) == 9L && a9.getLong(4) == 9L)
+    assert(a9.getDouble(6) == 0.09)
+    assert(got(("a", 10L)).getDouble(6) == 1.0)
+    // b: n=4 so deciles 1..2 cut at k=0 (zero rows), decile 3 at k=1
+    assert(got(("b", 1L)).getLong(4) == 0L)
+    val b3 = got(("b", 3L))
+    assert(b3.getLong(3) == 1L && b3.getLong(4) == 5L)
+    assert(b3.getDouble(6) == 0.25)
+    assert(got(("b", 5L)).getLong(4) == 10L &&
+      got(("b", 5L)).getDouble(6) == 0.5)
+    // every group emits exactly 10 decile rows
+    assert(got.keys.count(_._1 == "a") == 10 &&
+      got.keys.count(_._1 == "b") == 10)
+  }
+
+  test("lorenzFromCensus: split censuses add back to the one-pass table") {
+    val rows = Seq(("g", 1L), ("g", 1L), ("g", 3L), ("g", 7L), ("g", 7L))
+      .toDF("g", "v")
+    val whole = Relational.lorenzCurve(rows, "g", "v").collect().toSeq
+    val half1 = Seq(("g", 1L, 1L), ("g", 3L, 1L), ("g", 7L, 1L))
+      .toDF("g", "x", "t")
+    val half2 = Seq(("g", 1L, 1L), ("g", 7L, 1L)).toDF("g", "x", "t")
+    val merged = Relational.lorenzFromCensus(half1.unionByName(half2))
+      .collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("concurrencySweep: overlap peaks where intervals stack, and " +
+    "both Little's-law sides agree") {
+    val iv = Seq((0L, 10L), (5L, 15L), (20L, 21L)).toDF("s", "e")
+    val r = Relational.concurrencySweep(iv, "s", "e").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 21L && r.getLong(2) == 21L)
+    assert(r.getDouble(5) == 1.0) // l_avg = 21 busy / 21 span
+    assert(r.getDouble(6) == 1.0) // λ·W lands the same number
+    assert(r.getLong(7) == 2L && r.getLong(8) == 5L)
+  }
+
+  test("concurrencyFromCensus: split partials drain to the one-pass " +
+    "sweep") {
+    val iv = Seq((0L, 10L), (5L, 15L), (20L, 21L), (7L, 9L)).toDF("s", "e")
+    val whole = Relational.concurrencySweep(iv, "s", "e").head()
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def part(rows: Seq[(Long, Long)]) = {
+      val df = rows.toDF("s", "e")
+      (df.select(lit(1L).as("cnt"), col("s"), col("e"),
+        (col("e") - col("s")).cast(d38).as("dur")),
+        df.select(col("s").as("sec"), lit(1L).as("d"))
+          .unionByName(df.select(col("e").as("sec"), lit(-1L).as("d"))))
+    }
+    val (t1, b1) = part(Seq((0L, 10L), (20L, 21L)))
+    val (t2, b2) = part(Seq((5L, 15L), (7L, 9L)))
+    val merged = Relational.concurrencyFromCensus(
+      t1.unionByName(t2), b1.unionByName(b2)).head()
+    assert(merged == whole)
+  }
+
+  test("ltvCurve: cohorts anchor on each unit's own first date and " +
+    "cumulate per capita") {
+    import java.sql.Date
+    val rows = Seq(
+      (1L, Date.valueOf("2020-01-01"), 1000L),
+      (1L, Date.valueOf("2020-01-10"), 2000L),
+      (2L, Date.valueOf("2020-06-01"), 3000L),
+      (3L, Date.valueOf("2021-03-05"), 5000L))
+      .toDF("u", "d", "v")
+    val got = Relational.ltvCurve(rows, "u", "d", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val w0 = got((2020L, 0L))
+    assert(w0.getLong(2) == 2L && w0.getLong(3) == 4000L)
+    assert(w0.getLong(5) == 2L && w0.getDouble(6) == 2000.0)
+    val w1 = got((2020L, 1L))
+    assert(w1.getLong(3) == 2000L && w1.getLong(4) == 6000L)
+    assert(w1.getDouble(6) == 3000.0)
+    assert(got((2021L, 0L)).getDouble(6) == 5000.0)
+  }
+
+  test("joinCardinalityAudit: exact output rows and fan-out ranking " +
+    "from the censuses alone") {
+    val left = Seq("a", "a", "b").toDF("k")
+    val right = Seq("a", "a", "a", "c", "c", "c", "c").toDF("k")
+    val rows = Relational.joinCardinalityAudit(left, right, "k", "k")
+      .collect()
+    assert(rows.length == 1) // only "a" matches
+    val r = rows.head
+    assert(r.getString(1) == "a" && r.getLong(2) == 2L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 6L && r.getLong(5) == 6L && r.getLong(6) == 1L)
+    assert(r.getDouble(7) == math.rint(6.0 / 7.0 * 1e6) / 1e6)
+    assert(r.getDouble(8) == 1.0)
+  }
 }

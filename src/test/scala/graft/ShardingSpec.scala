@@ -73,4 +73,22 @@ class ShardingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(m == Map(1L -> Some("t"), 2L -> Some("t"), 3L -> None))
   }
+
+  test("largestRemainder: quotas sum to the budget exactly; leftovers " +
+    "go to the largest remainders, ties to the first group") {
+    import spark.implicits._
+    val docs = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("src")
+    val got = graft.operators.Sharding.largestRemainder(docs, "src", 7L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // ideal 3.5 / 2.1 / 1.4 -> floors 3/2/1, the one leftover to "a"
+    assert(got("a").getLong(4) == 4L)
+    assert(got("b").getLong(4) == 2L && got("c").getLong(4) == 1L)
+    assert(got.values.map(_.getLong(4)).sum == 7L)
+    // equal counts, budget 10 over 3: remainders tie, "a" wins the unit
+    val even = Seq("a", "b", "c").toDF("src")
+    val g2 = graft.operators.Sharding.largestRemainder(even, "src", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(g2 == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
 }

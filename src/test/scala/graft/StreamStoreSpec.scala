@@ -434,4 +434,88 @@ class StreamStoreSpec extends SparkSuite {
     assert(commits.forall(_._3 <= k * nGroups),
       s"top-k state must stay k x groups: $commits (groups=$nGroups)")
   }
+
+  test("lorenz store: value-census commits add; drain equals batch") {
+    val rows = Seq((0L, "g", 1L), (1L, "g", 1L), (2L, "g", 3L),
+      (3L, "g", 7L), (4L, "g", 7L), (5L, "h", 2L), (6L, "h", 4L))
+      .toDF("id", "g", "x")
+    val src = tmp("lz_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"lz_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("lz_store") + "/s"
+    val drained = StreamVerify.lorenzMaintenance(spark, src, scratch)
+      .collect().toSeq
+    val batch = graft.operators.Relational.lorenzCurve(
+      rows.select(col("g"), col("x")), "g", "x").collect().toSeq
+    assert(drained == batch)
+    // commits are value-domain-sized per batch
+    val commits = TxLake.commitAddCounts(s"$scratch/lz")
+    assert(commits.size == 2 && commits.forall(_._3 <= 5L))
+    assert(commits.forall(_._2.startsWith("lz-")))
+  }
+
+  test("concurrency store: boundary partials add; drain equals batch") {
+    val rows = Seq((0L, 0L, 10L), (1L, 5L, 15L), (2L, 20L, 21L),
+      (3L, 7L, 9L), (4L, 8L, 30L)).toDF("id", "s", "e")
+    val src = tmp("cc_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"cc_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("cc_store") + "/s"
+    val drained = StreamVerify.concurrencyMaintenance(spark, src, scratch)
+      .head()
+    val batch = graft.operators.Relational.concurrencySweep(
+      rows.drop("id"), "s", "e").head()
+    assert(drained == batch)
+    // totals store commits exactly one row per batch; boundary store is
+    // boundary-domain-sized
+    val tc = TxLake.commitAddCounts(s"$scratch/cct")
+    val bc = TxLake.commitAddCounts(s"$scratch/ccb")
+    assert(tc.size == 2 && tc.forall(_._3 == 1L))
+    assert(bc.size == 2 && bc.forall(_._3 <= 6L))
+  }
+
+  test("ltv store: entity-partitioned cohort censuses add; drain " +
+    "equals batch") {
+    import java.sql.Date
+    val rows = Seq(
+      (1L, Date.valueOf("2020-01-01"), 1000L),
+      (1L, Date.valueOf("2020-01-10"), 2000L),
+      (2L, Date.valueOf("2020-06-01"), 3000L),
+      (3L, Date.valueOf("2021-03-05"), 5000L),
+      (4L, Date.valueOf("2020-02-01"), 700L),
+      (4L, Date.valueOf("2020-03-01"), 800L))
+      .toDF("u", "d", "v")
+    val src = tmp("ltv_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"ltv_half$par")
+      rows.filter(col("u") % 2 === par)
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("ltv_store") + "/s"
+    val drained = StreamVerify.ltvMaintenance(spark, src, scratch)
+      .collect().toSeq
+    val batch = graft.operators.Relational.ltvCurve(rows, "u", "d", "v")
+      .collect().toSeq
+    assert(drained == batch)
+    val cc = TxLake.commitAddCounts(s"$scratch/ltc")
+    assert(cc.size == 2 && cc.forall(_._3 <= 4L))
+  }
 }

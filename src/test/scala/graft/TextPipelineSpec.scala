@@ -415,4 +415,23 @@ class TextPipelineSpec extends SparkSuite {
     assert(got(("g2", "g3")).getDouble(4) == 0.0)
   }
 
+  test("skipgramPairs: the ±window pair census is exact and the " +
+    "negative draws are a pure function of the pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = TextPipeline.skipgramPairs(docs, "doc_id", "text",
+      window = 2, negK = 2, limit = 100).collect()
+    val pairs = got.map(r => (r.getString(0), r.getString(1))).toSet
+    // distance-3 pairs are out; every within-2 ordered pair is in
+    assert(!pairs.contains(("a", "d")) && !pairs.contains(("d", "a")))
+    assert(pairs == Set(("a","b"),("a","c"),("b","a"),("b","c"),("b","d"),
+      ("c","a"),("c","b"),("c","d"),("d","b"),("d","c")))
+    assert(got.forall(_.getLong(2) == 1L))
+    val vocab = Set("a", "b", "c", "d")
+    assert(got.forall(r => vocab(r.getString(3)) && vocab(r.getString(4))))
+    // determinism: a second run draws the identical negatives
+    val again = TextPipeline.skipgramPairs(docs, "doc_id", "text",
+      window = 2, negK = 2, limit = 100).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -931,8 +931,9 @@ class TrendSpec extends SparkSuite {
   test("sampleEntropy: repetition extends its matches, a broken " +
     "extension refuses") {
     import spark.implicits._
-    // 1,2,1,2…: same-template pairs B = C(4,2)+C(3,2) = 9, of which
-    // A = 6 still match at length 3 → SampEn = −ln(6/9)
+    // 1,2,1,2…: both censuses over the extendable positions 1..6 —
+    // B = C(3,2)+C(3,2) = 6 and every match extends (A = 6), so a
+    // perfect repeat reads exactly SampEn = −ln(6/6) = 0
     val rep = Seq(1L, 2L, 1L, 2L, 1L, 2L, 1L, 2L).zipWithIndex
       .map { case (v, b) => ("rep", b.toLong, v) }
     // 1,2,9,1,2,5: the one template match breaks at extension → NULL
@@ -942,8 +943,10 @@ class TrendSpec extends SparkSuite {
       (rep ++ brk).toDF("k", "b", "v"), "k", "b", "v", tolerance = 0L)
       .collect().map(r => r.getString(0) -> r).toMap
     val r = got("rep")
-    assert(r.getLong(1) == 9L && r.getLong(2) == 6L)
-    assert(r.getDouble(3) == math.rint(-math.log(6.0 / 9.0) * 1e6) / 1e6)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(3)) == 0L,
+      "A == B must read +0.0, not -0.0 (hash stability)")
     val b = got("brk")
     assert(b.getLong(1) == 1L && b.getLong(2) == 0L && b.isNullAt(3))
   }
@@ -1001,4 +1004,139 @@ class TrendSpec extends SparkSuite {
     assert(d.isNullAt(4) && d.isNullAt(7))
   }
 
+  test("taylorLaw: var = 2·mean² series land slope 2, intercept ln 2, " +
+    "r2 = 1") {
+    import spark.implicits._
+    // per key two buckets (0, 2m): mean m, var 2m² exactly
+    val rows = Seq(1L, 2L, 3L).flatMap(m =>
+      Seq((s"k$m", 0L, 0L), (s"k$m", 1L, 2L * m)))
+    val r = graft.operators.Trend.taylorLaw(rows.toDF("k", "b", "v"),
+      "k", "b", "v").head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 2.0)
+    assert(r.getDouble(2) == math.rint(math.log(2.0) * 1e6) / 1e6)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("taylorLaw: degenerate keys drop, under 3 points the fit NULLs") {
+    import spark.implicits._
+    // constant series (var 0) and a single-bucket key contribute nothing
+    val rows = Seq(("c", 0L, 5L), ("c", 1L, 5L), ("s", 0L, 9L),
+      ("k1", 0L, 0L), ("k1", 1L, 2L), ("k2", 0L, 0L), ("k2", 1L, 4L))
+    val r = graft.operators.Trend.taylorLaw(rows.toDF("k", "b", "v"),
+      "k", "b", "v").head()
+    assert(r.getLong(0) == 2L && r.isNullAt(1) && r.isNullAt(3))
+  }
+
+  test("dickeyFuller: a perfect mean-reverter NULLs (zero residual), " +
+    "noise makes it strongly stationary, a trend walk is not") {
+    import spark.implicits._
+    def series(k: String, vs: Seq[Long]) =
+      vs.zipWithIndex.map { case (v, i) => (k, i.toLong, v) }
+    val perfect = series("p", Seq(10L, 0L, 10L, 0L, 10L, 0L, 10L, 0L))
+    val noisy = series("n", Seq(10L, 0L, 9L, 1L, 10L, 0L, 9L, 0L, 10L))
+    val walk = series("w", Seq(1L, 2L, 4L, 5L, 9L, 11L, 12L, 15L, 16L))
+    val got = graft.operators.Trend.dickeyFuller(
+      (perfect ++ noisy ++ walk).toDF("k", "b", "v"), "k", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("p").isNullAt(2) && got("p").isNullAt(3))
+    assert(got("n").getBoolean(4), s"oscillation reverts: ${got("n")}")
+    assert(!got("w").getBoolean(4), s"a doubling walk persists: ${got("w")}")
+    assert(got("n").getDouble(2) < -1.5) // rho near full reversion
+  }
+
+  test("grangerCausality: a 1-step lead shows up only in its own " +
+    "direction's F") {
+    import spark.implicits._
+    val x = Seq(1L, 5L, 2L, 7L, 3L, 8L, 4L, 9L, 5L, 10L)
+    // y follows x by one step; one bumped point keeps the fit inexact
+    val y = 0L +: x.dropRight(1)
+    val rows = x.indices.map(i =>
+      (i.toLong, x(i), if (i == 9) y(i) + 1L else y(i)))
+    val got = graft.operators.Trend.grangerCausality(
+      rows.toDF("b", "x", "y"), "b", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val fx = got("x->y").getDouble(5)
+    val fy = got("y->x").getDouble(5)
+    assert(got("x->y").getLong(1) == 9L)
+    assert(fx > 10.0, s"the lead direction must dominate: $fx")
+    assert(fx > fy, s"F(x->y)=$fx vs F(y->x)=$fy")
+  }
+
+  test("neweyWestSlope: autocorrelated residuals widen the HAC error " +
+    "bar; short keys drop") {
+    import spark.implicits._
+    // v = i + a slow square wave: residuals run in 6-long same-sign
+    // stretches, so the first three autocovariances are positive and
+    // OLS's independence assumption understates the slope noise
+    val wave = Seq.fill(6)(3L) ++ Seq.fill(6)(-3L)
+    val rows = (0 until 36).map(t =>
+      ("w", t.toLong, t.toLong + wave(t % 12))) ++
+      (0 until 5).map(t => ("short", t.toLong, t.toLong))
+    val got = graft.operators.Trend.neweyWestSlope(
+      rows.toDF("k", "b", "v"), "k", "b", "v", lags = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("short"))
+    val w = got("w")
+    assert(w.getDouble(2) > 0.9 && w.getDouble(2) < 1.1)
+    assert(w.getDouble(5) > 1.25,
+      s"positive autocorrelation must widen the bar: ${w}")
+  }
+
+  test("classicalDecomposition: a clean trend+seasonal series recovers " +
+    "its indices exactly with strength 1") {
+    import spark.implicits._
+    val s = Seq(3L, -1L, -1L, -1L)
+    val rows = (0 until 16).map(t => ("k", t.toLong, t.toLong + s(t % 4)))
+    val got = graft.operators.Trend.classicalDecomposition(
+      rows.toDF("k", "b", "v"), "k", "b", "v", period = 4)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(got.size == 4)
+    assert(got(0L).getDouble(3) == 3.0 && got(1L).getDouble(3) == -1.0)
+    assert(got(2L).getDouble(3) == -1.0 && got(3L).getDouble(3) == -1.0)
+    assert(got(0L).getLong(2) == 3L) // 12 windowed rows / 4 slots
+    assert(got(0L).getDouble(4) == 1.0,
+      "zero remainder reads full seasonal strength")
+  }
+
+  test("engleGranger: a shared trend cointegrates, an unrelated walk " +
+    "does not") {
+    import spark.implicits._
+    val steps = Seq(1L, 2L, 1L, 3L)
+    val xs = (0 until 40).scanLeft(10L)((a, t) => a + steps(t % 4)).tail
+    val noise = (0 until 40).map(t => if (t % 2 == 0) 1L else -1L)
+    val yCo = xs.zip(noise).map { case (xv, e) => 2L * xv + e }
+    val co = (0 until 40).map(t => (t.toLong, xs(t), yCo(t)))
+    val r1 = graft.operators.Trend.engleGranger(
+      co.toDF("b", "x", "y"), "b", "x", "y").head()
+    assert(r1.getDouble(1) > 1.8 && r1.getDouble(1) < 2.2)
+    assert(r1.getBoolean(5), s"shared trend must cointegrate: $r1")
+    // a quadratic drift the linear tie can't absorb: the residual
+    // keeps its own trend, so no equilibrium exists
+    val yIn = (0 until 40).map(t => 2L * xs(t) + (t.toLong * t) / 4L)
+    val in2 = (0 until 40).map(t => (t.toLong, xs(t), yIn(t)))
+    val r2 = graft.operators.Trend.engleGranger(
+      in2.toDF("b", "x", "y"), "b", "x", "y").head()
+    assert(r2.isNullAt(5) || !r2.getBoolean(5),
+      s"a drifting residual must not cointegrate: $r2")
+  }
+
+  test("hmmRegimeEvidence: alternating quiet/burst blocks read strong " +
+    "evidence, a flat series refuses, short keys drop") {
+    import spark.implicits._
+    val bursty = (0 until 40).map(t =>
+      ("b", t.toLong, if ((t / 10) % 2 == 0) 2L else 20L))
+    val flat = (0 until 40).map(t => ("f", t.toLong, 5L))
+    val short = (0 until 5).map(t => ("s", t.toLong, 3L))
+    val got = graft.operators.Trend.hmmRegimeEvidence(
+      (bursty ++ flat ++ short).toDF("k", "b", "v"), "k", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("s"))
+    assert(got("b").getBoolean(5),
+      s"block switching is regime evidence: ${got("b")}")
+    assert(got("b").getDouble(4) > 50.0)
+    assert(!got("f").getBoolean(5),
+      s"a flat series fits one rate better: ${got("f")}")
+    assert(got("f").getDouble(4) < 0.0)
+  }
 }
