@@ -1296,4 +1296,40 @@ object TextPipeline {
         (1 to negK).map(i => col(s"neg$i")): _*)
       .orderBy(col("n").desc, col("center"), col("context"))
   }
+
+  /** WORD BURSTINESS (Church–Gale adaptation) — the property that
+    * separates TOPIC words from FUNCTION words even at equal corpus
+    * frequency: topical words CLUMP (if a document mentions a word
+    * once it likely repeats it), so per word the census reads cf/df
+    * (mean in-document count among containing docs) and the
+    * ADAPTATION df2/df = P(repeats | occurs). High-burst words are
+    * content anchors; burst ≈ 1 words are glue — the
+    * keyword/stopword prior q85's tf-idf assumes but never measures.
+    * One word×doc census pass, two pinned divisions per word, df
+    * floor, deterministic (burst desc, word) top-k. Whitespace
+    * tokenization (the shared `docwords` convention).
+    */
+  def wordBurstiness(
+      docs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      minDf: Long = 5L,
+      topK: Int = 200): DataFrame = {
+    require(minDf >= 1L && topK >= 1)
+    def dbl(c: Column): Column = c.cast("double")
+    val perDoc = docs.select(col(docIdCol).as("did"),
+        explode(split(regexp_replace(lower(trim(col(textCol))),
+          "\\s+", " "), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("did"), col("w")).agg(count(lit(1)).as("c"))
+    val cen = perDoc.groupBy(col("w"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"),
+        sum(when(col("c") >= 2L, 1L).otherwise(0L)).as("df2"))
+      .filter(col("df") >= minDf)
+    cen.select(col("w").as("word"), col("cf"), col("df"), col("df2"),
+        round(dbl(col("cf")) / dbl(col("df")), 6).as("burst"),
+        round(dbl(col("df2")) / dbl(col("df")), 6).as("adaptation"))
+      .orderBy(col("burst").desc, col("word"))
+      .limit(topK)
+  }
 }

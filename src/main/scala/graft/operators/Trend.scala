@@ -3607,4 +3607,173 @@ object Trend {
       lr.as("lr"), (lr > lit(5.99)).as("regime_evidence"))
       .orderBy(col(keyCol))
   }
+
+  /** COMPETING-RISKS CUMULATIVE INCIDENCE (Aalen–Johansen, two causes)
+    * — WHAT ends each lifetime, not just when: 1 − KM overstates every
+    * cause-specific risk when another cause can strike first (the
+    * classic bias); the CIF charges cause k only with its own share of
+    * each step's hazard, weighted by the probability of still being
+    * around: CIF_k(t) = Σ_{u≤t} S(u−)·d_k(u)/n(u) with S the ALL-cause
+    * KM. Extends q321/q519's single-cause shelf. Duration-domain
+    * census (d_a, d_b, censored per t), suffix-window risk sets, the
+    * q321 factor-fold for S(u−), per-step increments pinned at 1e-9
+    * and decimal-summed — the oracle replays the identical chain.
+    * Inputs: one row per unit with duration `t` and its end: causeA /
+    * causeB / neither (censored).
+    */
+  def competingRisks(
+      lives: DataFrame,
+      durationCol: String,
+      causeACol: Column,
+      causeBCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val byT = lives.select(col(durationCol).cast("long").as("t"),
+        causeACol.as("ia"), causeBCol.as("ib"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("ia"), 1L).otherwise(0L)).as("da"),
+        sum(when(col("ib") && !col("ia"), 1L).otherwise(0L)).as("db"),
+        sum(when(!col("ia") && !col("ib"), 1L).otherwise(0L)).as("c"),
+        count(lit(1)).as("n_t"))
+    val later = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risked = byT
+      .withColumn("n_risk", sum(col("n_t")).over(later))
+      .withColumn("factor", lit(1.0) -
+        dbl(col("da") + col("db")) / dbl(col("n_risk")))
+    val packed = risked.agg(
+      sort_array(collect_list(struct(col("t"), col("da"), col("db"),
+        col("c"), col("n_risk"), col("factor")))).as("rows"))
+    val stepped = packed
+      .select(col("rows"), posexplode(col("rows")).as(Seq("i", "r")))
+      .select(col("r.t").as("t"), col("r.da").as("da"),
+        col("r.db").as("db"), col("r.c").as("n_censored"),
+        col("r.n_risk").as("n_risk"),
+        aggregate(
+          expr("slice(transform(rows, x -> x.factor), 1, i)"),
+          lit(1.0), (acc, f) => acc * f).as("sprev"),
+        aggregate(
+          expr("slice(transform(rows, x -> x.factor), 1, i + 1)"),
+          lit(1.0), (acc, f) => acc * f).as("snow"))
+      .withColumn("inca", round(col("sprev") *
+        (dbl(col("da")) / dbl(col("n_risk"))), 9).cast(d289))
+      .withColumn("incb", round(col("sprev") *
+        (dbl(col("db")) / dbl(col("n_risk"))), 9).cast(d289))
+    val cum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped
+      .withColumn("cifa", sum(col("inca")).over(cum))
+      .withColumn("cifb", sum(col("incb")).over(cum))
+      .select(col("t"), col("n_risk"), col("da").as("n_cause_a"),
+        col("db").as("n_cause_b"), col("n_censored"),
+        round(col("snow"), 6).as("surv_all"),
+        round(dbl(col("cifa")), 6).as("cif_a"),
+        round(dbl(col("cifb")), 6).as("cif_b"))
+      .orderBy(col("t"))
+  }
+
+  /** MEAN CUMULATIVE FUNCTION for RECURRENT events — expected
+    * cumulative event count per unit by its own age: the survival
+    * shelf ends a unit once (q321/q645); real units keep erroring,
+    * re-ordering, re-engaging, and the MCF is the population-honest
+    * running total (a per-age event count divided by the units still
+    * OLD enough to be observed at that age — naive cumulative averages
+    * silently divide late ages by the whole cohort). One event-age
+    * census + one lifespan census; risk sets by a suffix window over
+    * the age domain; per-age rates pinned at 1e-9, MCF an exact
+    * decimal running sum. The censuses ADD under entity-partitioned
+    * batching — shared with the streaming store.
+    */
+  def meanCumulativeFunction(
+      df: DataFrame,
+      unitCol: String,
+      secCol: String,
+      bucketSec: Long = 3600L): DataFrame = {
+    val base = df.select(col(unitCol).as("u"), col(secCol).as("sec"))
+      .withColumn("first", min(col("sec")).over(
+        Window.partitionBy(col("u"))))
+      .withColumn("last", max(col("sec")).over(
+        Window.partitionBy(col("u"))))
+    val dCen = base.select(
+        ((col("sec") - col("first")) / bucketSec).cast("long").as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val lCen = base.select(col("u"),
+        ((col("last") - col("first")) / bucketSec).cast("long").as("l"))
+      .distinct()
+      .groupBy(col("l")).agg(count(lit(1)).as("w"))
+    mcfFromCensus(dCen, lCen)
+  }
+
+  /** [[meanCumulativeFunction]] on pre-aggregated event-age and
+    * lifespan censuses — the mergeable form the streaming store drains
+    * through. */
+  def mcfFromCensus(dCen: DataFrame, lCen: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val d = dCen.groupBy(col("a")).agg(sum(col("d")).as("d"))
+    val l = lCen.groupBy(col("l")).agg(sum(col("w")).as("w"))
+    val merged = d.select(col("a"), col("d"), lit(0L).as("w"))
+      .unionByName(l.select(col("l").as("a"), lit(0L).as("d"), col("w")))
+      .groupBy(col("a")).agg(sum(col("d")).as("d"), sum(col("w")).as("w"))
+    val fromAbove = Window.orderBy(col("a"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cum = Window.orderBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged.repartition(1)
+      .withColumn("n_risk", sum(col("w")).over(fromAbove))
+      .withColumn("rate", when(col("n_risk") > 0L,
+        round(dbl(col("d")) / dbl(col("n_risk")), 9)))
+      .withColumn("mcf",
+        sum(coalesce(col("rate"), lit(0.0)).cast(d289)).over(cum))
+      .filter(col("d") > 0L)
+      .select(col("a").as("age"), col("d").as("n_events"),
+        col("n_risk"), col("rate"),
+        round(dbl(col("mcf")), 6).as("mcf"))
+      .orderBy(col("age"))
+  }
+
+  /** PER-GROUP LOG-LOG FIT — the power-law regression ln y = a + b·ln x
+    * over each group's member points: b is the ELASTICITY when x is
+    * price and y is quantity ("1% up in price moves demand b%"), the
+    * within-group sibling of [[taylorLaw]]'s cross-key scaling fit.
+    * Positive-quadrant points only (stated); ln points pinned once at
+    * 1e-9, term products re-pinned into exact decimal sums, one
+    * pinned-double closed-form finish per group; < 3 points or no
+    * x-spread NULL.
+    */
+  def logLogFit(
+      df: DataFrame,
+      groupCol: String,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val pts = df.select(col(groupCol).cast("string").as("g"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .filter(col("x") > 0L && col("y") > 0L)
+      .select(col("g"), round(log(dbl(col("x"))), 9).cast(d289).as("lx"),
+        round(log(dbl(col("y"))), 9).cast(d289).as("ly"))
+      .select(col("g"), col("lx"), col("ly"),
+        round(dbl(col("lx")) * dbl(col("lx")), 9).cast(d289).as("xx"),
+        round(dbl(col("lx")) * dbl(col("ly")), 9).cast(d289).as("xy"),
+        round(dbl(col("ly")) * dbl(col("ly")), 9).cast(d289).as("yy"))
+    val f = pts.groupBy(col("g"))
+      .agg(count(lit(1)).as("np"), sum(col("lx")).as("sx"),
+        sum(col("ly")).as("sy"), sum(col("xx")).as("sxx"),
+        sum(col("xy")).as("sxy"), sum(col("yy")).as("syy"))
+    val np = dbl(col("np"))
+    val cxx = np * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val cxy = np * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val cyy = np * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val ok = col("np") >= 3L && cxx > 0.0
+    f.select(col("g"), col("np").cast("long").as("n_points"),
+      when(ok, round(cxy / cxx, 6)).as("slope"),
+      when(ok, round((dbl(col("sy")) - cxy / cxx * dbl(col("sx"))) / np,
+        6)).as("intercept"),
+      when(ok && cyy > 0.0, round(cxy * cxy / (cxx * cyy), 6)).as("r2"))
+      .orderBy(col("g"))
+  }
 }

@@ -2929,6 +2929,60 @@ object StreamVerify {
           col("sz").cast("long").as("sz")))
   }
 
+  /** STREAMING MCF maintenance — q646's recurrent-event curve as an
+    * ingestion side effect. Staging contract: ENTITY-PARTITIONED
+    * batches (a unit's own first/last anchor is not mergeable across
+    * batches; partitioned, each batch's event-age census and lifespan
+    * census simply ADD). Drained through
+    * [[graft.operators.Trend.mcfFromCensus]] — bit-identical to the
+    * one-pass batch answer, oracle shared verbatim. State is
+    * age-domain-sized per batch.
+    */
+  def mcfMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String,
+      bucketSec: Long = 3600L): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lakeD = s"$scratchDir/mcd"
+    val lakeL = s"$scratchDir/mcl"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u"))
+        val b = batch
+          .withColumn("first", min(col("sec")).over(w))
+          .withColumn("last", max(col("sec")).over(w))
+        graft.sources.TxLake.commit(spark, lakeD,
+          b.select(((col("sec") - col("first")) / bucketSec)
+              .cast("long").as("a"))
+            .groupBy(col("a")).agg(count(lit(1)).as("d")).coalesce(1),
+          tag = s"mcd-$id")
+        graft.sources.TxLake.commit(spark, lakeL,
+          b.select(col("u"), ((col("last") - col("first")) / bucketSec)
+              .cast("long").as("l")).distinct()
+            .groupBy(col("l")).agg(count(lit(1)).as("w")).coalesce(1),
+          tag = s"mcl-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Trend.mcfFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lakeD)
+        .select(col("a").cast("long").as("a"),
+          col("d").cast("long").as("d")),
+      graft.sources.TxLake.readSnapshot(spark, lakeL)
+        .select(col("l").cast("long").as("l"),
+          col("w").cast("long").as("w")))
+  }
+
   /** STREAMING PAIRED-FLOW maintenance — q580's Bowker symmetry test
     * as an ingestion side effect. The staging contract is
     * ENTITY-PARTITIONED batches: each user's whole event history lands

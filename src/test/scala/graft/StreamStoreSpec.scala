@@ -518,4 +518,28 @@ class StreamStoreSpec extends SparkSuite {
     val cc = TxLake.commitAddCounts(s"$scratch/ltc")
     assert(cc.size == 2 && cc.forall(_._3 <= 4L))
   }
+
+  test("mcf store: entity-partitioned age censuses add; drain equals " +
+    "batch") {
+    val ev = Seq((1L, 100L), (1L, 110L), (1L, 120L), (2L, 500L),
+      (3L, 40L), (3L, 60L)).toDF("u", "sec")
+    val src = tmp("mcf_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"mcf_half$par")
+      ev.filter(col("u") % 2 === par)
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("mcf_store") + "/s"
+    val drained = StreamVerify.mcfMaintenance(spark, src, scratch,
+      bucketSec = 10L).collect().toSeq
+    val batch = graft.operators.Trend.meanCumulativeFunction(
+      ev, "u", "sec", bucketSec = 10L).collect().toSeq
+    assert(drained == batch)
+    val dc = TxLake.commitAddCounts(s"$scratch/mcd")
+    assert(dc.size == 2 && dc.forall(_._3 <= 3L))
+  }
 }

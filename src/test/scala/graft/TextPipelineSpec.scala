@@ -434,4 +434,22 @@ class TextPipelineSpec extends SparkSuite {
       window = 2, negK = 2, limit = 100).collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("wordBurstiness: clumping words read high burst and " +
+    "adaptation, glue words read 1") {
+    import spark.implicits._
+    val docs = (1 to 6).map { i =>
+      (i.toLong, if (i <= 4) "the topic topic topic filler"
+      else "the filler other words here")
+    }
+    val got = TextPipeline.wordBurstiness(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minDf = 4L, topK = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t = got("topic")
+    assert(t.getLong(1) == 12L && t.getLong(2) == 4L && t.getLong(3) == 4L)
+    assert(t.getDouble(4) == 3.0 && t.getDouble(5) == 1.0)
+    val g = got("the")
+    assert(g.getDouble(4) == 1.0 && g.getDouble(5) == 0.0)
+    assert(!got.contains("other"), "df floor drops rare words")
+  }
 }

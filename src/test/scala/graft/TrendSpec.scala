@@ -1139,4 +1139,59 @@ class TrendSpec extends SparkSuite {
       s"a flat series fits one rate better: ${got("f")}")
     assert(got("f").getDouble(4) < 0.0)
   }
+
+  test("competingRisks: each cause gets only its own share of the " +
+    "hazard, weighted by still-being-around") {
+    import spark.implicits._
+    // t=1: 1 of 4 dies of A; t=2: 1 of 3 dies of B; t=3: 1 censored,
+    // 1 dies of A
+    val lives = Seq((1L, true, false), (2L, false, true),
+      (3L, false, false), (3L, true, false))
+    val got = graft.operators.Trend.competingRisks(
+      lives.toDF("t", "ia", "ib"), "t", col("ia"), col("ib"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 4L && r1.getLong(2) == 1L)
+    assert(r1.getDouble(5) == 0.75 && r1.getDouble(6) == 0.25)
+    val r2 = got(2L)
+    assert(r2.getDouble(6) == 0.25) // CIF_A unchanged at t=2
+    assert(r2.getDouble(7) == 0.25) // S(1)=0.75 · 1/3
+    assert(r2.getDouble(5) == 0.5)
+    val r3 = got(3L)
+    // S(2)=0.5, 1 of 2 dies of A: CIF_A = 0.25 + 0.25
+    assert(r3.getDouble(6) == 0.5 && r3.getDouble(7) == 0.25)
+    assert(r3.getDouble(5) == 0.25)
+  }
+
+  test("meanCumulativeFunction: late ages divide by the units still " +
+    "old enough, not the whole cohort") {
+    import spark.implicits._
+    // u1 lives 2 buckets with events at ages 0,1,2; u2 lives 0 buckets
+    // with one event; bucket = 10s
+    val ev = Seq((1L, 100L), (1L, 110L), (1L, 120L), (2L, 500L))
+    val got = graft.operators.Trend.meanCumulativeFunction(
+      ev.toDF("u", "sec"), "u", "sec", bucketSec = 10L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a0 = got(0L)
+    assert(a0.getLong(1) == 2L && a0.getLong(2) == 2L)
+    assert(a0.getDouble(4) == 1.0)
+    val a1 = got(1L)
+    assert(a1.getLong(2) == 1L, "only u1 is observable at age 1")
+    assert(a1.getDouble(4) == 2.0)
+    assert(got(2L).getDouble(4) == 3.0)
+  }
+
+  test("logLogFit: an exact power law reads its exponent; degenerate " +
+    "groups NULL") {
+    import spark.implicits._
+    // y = x^2 exactly on x in {2, 4, 8}: slope 2, r2 1
+    val rows = Seq(("g", 2L, 4L), ("g", 4L, 16L), ("g", 8L, 64L),
+      ("one", 5L, 7L), ("zero", 0L, 3L), ("zero", 4L, 0L))
+    val got = graft.operators.Trend.logLogFit(rows.toDF("g", "x", "y"),
+      "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("g").getDouble(2) == 2.0 && got("g").getDouble(4) == 1.0)
+    assert(got("one").isNullAt(2))
+    assert(!got.contains("zero"), "non-positive points drop entirely")
+  }
 }
