@@ -4156,4 +4156,196 @@ object Drift {
       when(ok && se > 0.0, round(se, 6)).as("se"),
       when(ok && se > 0.0, round(did / se, 6)).as("z"))
   }
+
+  /** INSTRUMENTAL-VARIABLE (WALD) ESTIMATE — the causal effect when
+    * treatment is self-selected but an ENCOURAGEMENT was randomized:
+    * β_IV = ITT / first-stage = (E[y|z=1] − E[y|z=0]) /
+    * (E[x|z=1] − E[x|z=0]). The estimator that stays honest where the
+    * naive treated-vs-untreated difference is confounded by who CHOSE
+    * treatment — both are emitted so the confounding gap is visible.
+    * Completes the causal shelf beside q630's DiD (no randomization at
+    * all) and q553's strata-ATT (selection on observables). One
+    * conditional census over (z, x, y) unit rows; every estimate is a
+    * pinned division over exact integers; a weak first stage NULLs the
+    * Wald ratio loudly (|FS| below `minFirstStage`) instead of
+    * emitting a divide-by-noise artifact. Census cells ADD — shared
+    * with the streaming store.
+    */
+  def ivWald(
+      df: DataFrame,
+      zCol: Column,
+      xCol: Column,
+      yCol: Column,
+      minFirstStage: Double = 0.01): DataFrame =
+    ivWaldFromCensus(
+      df.select(zCol.as("z"), xCol.cast("long").as("x"),
+          yCol.cast("long").as("y"))
+        .groupBy(col("z"), col("x"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("e")),
+      minFirstStage)
+
+  /** [[ivWald]] on a pre-aggregated (z, x, n, e) cell census — cells
+    * add across batches, shared with the streaming store. */
+  def ivWaldFromCensus(
+      census: DataFrame, minFirstStage: Double = 0.01): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val f = census.groupBy(col("z"), col("x"))
+      .agg(sum(col("n")).as("n"), sum(col("e")).as("e"))
+      .agg(
+        sum(when(col("z"), col("n")).otherwise(0L)).as("n1"),
+        sum(when(!col("z"), col("n")).otherwise(0L)).as("n0"),
+        sum(when(col("z"), col("x") * col("n")).otherwise(0L)).as("x1"),
+        sum(when(!col("z"), col("x") * col("n")).otherwise(0L)).as("x0"),
+        sum(when(col("z"), col("e")).otherwise(0L)).as("y1"),
+        sum(when(!col("z"), col("e")).otherwise(0L)).as("y0"),
+        sum(when(col("x") === 1L, col("n")).otherwise(0L)).as("nt"),
+        sum(when(col("x") === 0L, col("n")).otherwise(0L)).as("nc"),
+        sum(when(col("x") === 1L, col("e")).otherwise(0L)).as("yt"),
+        sum(when(col("x") === 0L, col("e")).otherwise(0L)).as("yc"))
+    val ok = col("n1") > 0L && col("n0") > 0L
+    val itt = dbl(col("y1")) / dbl(col("n1")) -
+      dbl(col("y0")) / dbl(col("n0"))
+    val fs = dbl(col("x1")) / dbl(col("n1")) -
+      dbl(col("x0")) / dbl(col("n0"))
+    val naiveOk = col("nt") > 0L && col("nc") > 0L
+    val naive = dbl(col("yt")) / dbl(col("nt")) -
+      dbl(col("yc")) / dbl(col("nc"))
+    f.select(col("n1"), col("n0"),
+      when(ok, round(fs, 6)).as("first_stage"),
+      when(ok, round(itt, 6)).as("itt"),
+      when(ok && abs(fs) > minFirstStage, round(itt / fs, 6)).as("wald"),
+      when(naiveOk, round(naive, 6)).as("naive_diff"))
+  }
+
+  /** REGRESSION DISCONTINUITY — the causal read at a THRESHOLD RULE:
+    * units just below and just above a cutoff are as-good-as-random,
+    * so the jump between the two local linear fits AT the cutoff is
+    * the effect of crossing it — the design for "does the credit
+    * cutoff itself change behavior", where q630's DiD needs a time
+    * dimension and q650's IV needs an instrument. Bandwidth-windowed
+    * rows, running variable centered at the cutoff so each side's
+    * INTERCEPT is its value at the threshold; exact integer moments
+    * per side, closed-form fits, intercept variance
+    * s²·(1/n + x̄²/Sxx) per side, pinned gap z. Degenerate sides NULL.
+    */
+  def regressionDiscontinuity(
+      df: DataFrame,
+      runCol: Column,
+      outcomeCol: Column,
+      cutoff: Long,
+      bandwidth: Long): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(bandwidth > 0L)
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val base = df.select((runCol.cast("long") - cutoff).as("x"),
+        outcomeCol.cast("long").as("y"))
+      .filter(col("x") >= -bandwidth && col("x") < bandwidth)
+      .withColumn("above", col("x") >= 0L)
+    val mom = base.groupBy(col("above"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .filter(col("n") >= 3L)
+    val n = dbl(col("n"))
+    val cxx = n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val cxy = n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val cyy = n * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val b = cxy / cxx
+    val a = (dbl(col("sy")) - cxy / cxx * dbl(col("sx"))) / n
+    val sse = (cyy - cxy * cxy / cxx) / n
+    val s2 = sse / (n - lit(2.0))
+    val xbar = dbl(col("sx")) / n
+    val va = s2 * (lit(1.0) / n + xbar * xbar / (cxx / n))
+    val sided = mom.select(col("above"), col("n"),
+      when(cxx > 0.0, round(a, 9)).as("a"),
+      when(cxx > 0.0, round(b, 9)).as("b"),
+      when(cxx > 0.0 && sse > 0.0, round(va, 9)).as("va"))
+    val lo = sided.filter(!col("above"))
+      .select(col("n").as("n_below"), col("a").as("a0"),
+        col("b").as("slope_below"), col("va").as("v0"))
+    val hi = sided.filter(col("above"))
+      .select(col("n").as("n_above"), col("a").as("a1"),
+        col("b").as("slope_above"), col("va").as("v1"))
+    val gap = col("a1") - col("a0")
+    val se = sqrt(col("v0") + col("v1"))
+    lo.crossJoin(hi).select(col("n_below"), col("n_above"),
+      round(col("a0"), 6).as("est_below"),
+      round(col("a1"), 6).as("est_above"),
+      round(col("slope_below"), 6).as("slope_below"),
+      round(col("slope_above"), 6).as("slope_above"),
+      round(gap, 6).as("gap"),
+      when(col("v0").isNotNull && col("v1").isNotNull, round(se, 6))
+        .as("se"),
+      when(col("v0").isNotNull && col("v1").isNotNull && se > 0.0,
+        round(gap / se, 6)).as("z"))
+  }
+
+  /** MEDIATION ANALYSIS (Baron–Kenny with the Sobel test) — HOW an
+    * effect travels: the total effect of x on y splits into the
+    * indirect path a·b through the mediator m (x → m → y) and the
+    * direct remainder c′, with Sobel's z on the product term. The
+    * mechanism question the causal shelf's single-equation estimators
+    * (q630/q650/q651) can't ask. Three closed-form fits over ONE exact
+    * moment pass: m ~ x, y ~ x, and y ~ x + m via the 2×2 normal
+    * equations (the q629 shape); coefficient variances from the
+    * standard centered forms, every finish a pinned double. Degenerate
+    * designs NULL.
+    */
+  def mediation(
+      df: DataFrame,
+      xCol: Column,
+      mCol: Column,
+      yCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val f = df.select(xCol.cast("long").as("x"), mCol.cast("long").as("m"),
+        yCol.cast("long").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("m").cast(d38)).as("sm"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("m")).cast(d38)).as("sxm"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("m") * col("y")).cast(d38)).as("smy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("m") * col("m")).cast(d38)).as("smm"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+    val n = dbl(col("n"))
+    val cxx = n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val cmm = n * dbl(col("smm")) - dbl(col("sm")) * dbl(col("sm"))
+    val cyy = n * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val cxm = n * dbl(col("sxm")) - dbl(col("sx")) * dbl(col("sm"))
+    val cxy = n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val cmy = n * dbl(col("smy")) - dbl(col("sm")) * dbl(col("sy"))
+    // m ~ x
+    val aPath = cxm / cxx
+    val sseA = (cmm - cxm * cxm / cxx) / n
+    val varA = sseA / (n - lit(2.0)) * n / cxx
+    // y ~ x (total)
+    val cTot = cxy / cxx
+    // y ~ x + m (the 2x2 normal equations)
+    val det = cxx * cmm - cxm * cxm
+    val cDir = (cxy * cmm - cmy * cxm) / det
+    val bPath = (cmy * cxx - cxy * cxm) / det
+    val sseU = (cyy - cDir * cxy - bPath * cmy) / n
+    val s2 = sseU / (n - lit(3.0))
+    val varB = s2 * n * cxx / det
+    val indirect = aPath * bPath
+    val sobelSe = sqrt(aPath * aPath * varB + bPath * bPath * varA)
+    val ok = col("n") >= 5L && cxx > 0.0 && det > 0.0 && sseU > 0.0 &&
+      sseA > 0.0
+    f.select(col("n").cast("long").as("n"),
+      when(ok, round(aPath, 6)).as("a_x_to_m"),
+      when(ok, round(bPath, 6)).as("b_m_to_y"),
+      when(ok, round(cTot, 6)).as("total_effect"),
+      when(ok, round(cDir, 6)).as("direct_effect"),
+      when(ok, round(indirect, 6)).as("indirect_effect"),
+      when(ok && abs(cTot) > 0.0,
+        round(indirect / cTot, 6)).as("prop_mediated"),
+      when(ok && sobelSe > 0.0, round(indirect / sobelSe, 6))
+        .as("sobel_z"))
+  }
 }

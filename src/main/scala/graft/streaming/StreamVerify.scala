@@ -2983,6 +2983,43 @@ object StreamVerify {
           col("w").cast("long").as("w")))
   }
 
+  /** STREAMING IV maintenance — q650's Wald estimate as an ingestion
+    * side effect: per-batch (z, x) cell censuses (units are one row
+    * each, so any batching adds); drained estimate ≡ batch q650 through
+    * [[graft.operators.Drift.ivWaldFromCensus]] — oracle shared
+    * verbatim. State is four cells per batch.
+    */
+  def ivMaintenance(
+      spark: SparkSession,
+      srcPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/iv"
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("z"), col("x"))
+            .agg(count(lit(1)).as("n"), sum(col("y")).as("e"))
+            .coalesce(1),
+          tag = s"iv-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    graft.operators.Drift.ivWaldFromCensus(
+      graft.sources.TxLake.readSnapshot(spark, lake)
+        .select(col("z").cast("boolean").as("z"),
+          col("x").cast("long").as("x"), col("n").cast("long").as("n"),
+          col("e").cast("long").as("e")))
+  }
+
   /** STREAMING PAIRED-FLOW maintenance — q580's Bowker symmetry test
     * as an ingestion side effect. The staging contract is
     * ENTITY-PARTITIONED batches: each user's whole event history lands

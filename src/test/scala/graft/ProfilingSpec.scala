@@ -1657,4 +1657,63 @@ class ProfilingSpec extends SparkSuite {
       col("tr"), col("po"), col("y")).head()
     assert(empty.isNullAt(8) && empty.isNullAt(10))
   }
+
+  test("ivWald: the Wald ratio recovers the complier effect the naive " +
+    "diff confounds; a weak first stage NULLs") {
+    import spark.implicits._
+    // 8 encouraged (z): 4 comply (x=1) and those 4 convert; 8 controls:
+    // none treated, none convert. ITT = 0.5, FS = 0.5 -> wald = 1.0
+    val rows = (1 to 16).map { i =>
+      val z = i <= 8
+      val x = if (z && i <= 4) 1L else 0L
+      (z, x, x) // y == x: only the treated convert
+    }
+    val r = graft.operators.Drift.ivWald(rows.toDF("z", "x", "y"),
+      col("z"), col("x"), col("y")).head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 1.0) // here naive happens to agree
+    // no exposure difference: wald refuses
+    val weak = (1 to 16).map(i => (i <= 8, 0L, if (i % 4 == 0) 1L else 0L))
+    val w = graft.operators.Drift.ivWald(weak.toDF("z", "x", "y"),
+      col("z"), col("x"), col("y")).head()
+    assert(w.isNullAt(4), s"zero first stage must NULL the ratio: $w")
+  }
+
+  test("regressionDiscontinuity: a planted jump at the cutoff is " +
+    "recovered with its slopes") {
+    import spark.implicits._
+    // below: y = 0 everywhere; above: y = 1 everywhere (slope 0 both
+    // sides, gap exactly 1... with noise so variances exist)
+    val below = (-10 to -1).map(v => (v.toLong, if (v == -5) 1L else 0L))
+    val above = (0 to 9).map(v => (v.toLong, if (v == 5) 0L else 1L))
+    val r = graft.operators.Drift.regressionDiscontinuity(
+      (below ++ above).toDF("run", "y"), col("run"), col("y"),
+      cutoff = 0L, bandwidth = 10L).head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getDouble(6) > 0.7 && r.getDouble(6) < 1.1,
+      s"the jump is ~0.8-1: $r")
+    assert(r.getDouble(8) > 2.0, s"and clearly nonzero: $r")
+  }
+
+  test("mediation: a pure chain x -> m -> y reads full mediation") {
+    import spark.implicits._
+    // m = 2x + tiny alternation, y = 3m + tiny alternation: indirect
+    // carries (almost) everything, direct ~ 0
+    val rows = (0 until 40).map { i =>
+      val x = (i % 2).toLong
+      val m = 2L * x + (if (i % 4 < 2) 0L else 1L)
+      val y = 3L * m + (if (i % 8 < 4) 0L else 1L)
+      (x, m, y)
+    }
+    val r = graft.operators.Drift.mediation(rows.toDF("x", "m", "y"),
+      col("x"), col("m"), col("y")).head()
+    assert(r.getLong(0) == 40L)
+    assert(math.abs(r.getDouble(1) - 2.0) < 0.2) // a
+    assert(math.abs(r.getDouble(2) - 3.0) < 0.2) // b
+    assert(r.getDouble(6) > 0.9,
+      s"nearly all of the effect travels through m: $r")
+    assert(r.getDouble(7) > 3.0, s"Sobel confirms: $r")
+  }
 }

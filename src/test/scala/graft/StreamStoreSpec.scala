@@ -542,4 +542,29 @@ class StreamStoreSpec extends SparkSuite {
     val dc = TxLake.commitAddCounts(s"$scratch/mcd")
     assert(dc.size == 2 && dc.forall(_._3 <= 3L))
   }
+
+  test("iv store: four-cell censuses add; drain equals batch") {
+    val rows = (1 to 16).map { i =>
+      val z = i <= 8
+      val x = if (z && i <= 4) 1L else 0L
+      (i.toLong, z, x, x)
+    }.toDF("id", "z", "x", "y")
+    val src = tmp("iv_src")
+    Seq(0, 1).foreach { par =>
+      val side = tmp(s"iv_half$par")
+      rows.filter(col("id") % 2 === par).drop("id")
+        .coalesce(1).write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/half$par.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val scratch = tmp("iv_store") + "/s"
+    val drained = StreamVerify.ivMaintenance(spark, src, scratch).head()
+    val batch = graft.operators.Drift.ivWald(rows.drop("id"),
+      col("z"), col("x"), col("y")).head()
+    assert(drained == batch)
+    val cc = TxLake.commitAddCounts(s"$scratch/iv")
+    assert(cc.size == 2 && cc.forall(_._3 <= 4L))
+  }
 }
