@@ -1773,4 +1773,151 @@ object Relational {
           .as("share_of_out"))
       .orderBy(col("rank"))
   }
+
+  /** SKYLINE (PARETO FRONTIER) — the non-dominated set under
+    * (minimize x, maximize y): a cell survives iff nothing is both
+    * cheaper-or-equal and better-or-equal with one strict — the
+    * "cheap AND popular" shortlist a top-k on either axis can't
+    * produce (top-k by price keeps duds, top-k by popularity keeps
+    * gold plate). Exact and one-sort cheap: collapse to the (x, y)
+    * cell census, keep only each x's best y (same-x lower-y cells are
+    * dominated by it), then one ordered sweep — a cell survives iff
+    * its y strictly beats every strictly-cheaper x's best y
+    * (cheaper-same-y dominates on price). Equal (x, y) members tie
+    * onto the frontier together: counts and the min exemplar id ride
+    * the cell. No pair joins anywhere; the sweep window runs over the
+    * DISTINCT-x domain.
+    */
+  def skyline(
+      df: DataFrame,
+      idCol: String,
+      minimizeCol: Column,
+      maximizeCol: Column): DataFrame = {
+    val cells = df.select(col(idCol).as("id"),
+        minimizeCol.cast("long").as("x"), maximizeCol.cast("long").as("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("exemplar"))
+    val bestPerX = cells
+      .withColumn("ymax", max(col("y")).over(
+        Window.partitionBy(col("x"))))
+      .filter(col("y") === col("ymax"))
+      .drop("ymax")
+    val prev = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bestPerX.repartition(1)
+      .withColumn("best_cheaper", max(col("y")).over(prev))
+      .filter(col("best_cheaper").isNull ||
+        col("y") > col("best_cheaper"))
+      .select(col("x"), col("y"), col("n_members"), col("exemplar"))
+      .orderBy(col("x"))
+  }
+
+  /** ONE-WAY FIXED-EFFECTS (within) ESTIMATOR — the panel answer to
+    * "does x move y WITHIN a unit", immune to everything constant
+    * about the unit: pooled OLS on (x, y) is confounded by any
+    * between-unit difference (heavy users differ in both exposure and
+    * outcome); demeaning within each unit removes every unit-level
+    * confounder in one algebraic stroke, and the pooled slope is
+    * emitted beside it so the between-unit bias is VISIBLE. Exact
+    * per-unit integer moments; each unit's within-contribution
+    * S_xy − S_x·S_y/n pins once at 1e-9 and decimal-sums
+    * (order-independent); σ² on N − k − 1 within degrees of freedom;
+    * one pinned finish. Degenerate within-variation NULLs.
+    */
+  def fixedEffects(
+      df: DataFrame,
+      unitCol: Column,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val per = df.select(unitCol.as("u"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("ni"), sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+    val ni = dbl(col("ni"))
+    val w = per.select(col("ni"),
+      col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+      round(dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) / ni, 9)
+        .cast(d289).as("wxy"),
+      round(dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / ni, 9)
+        .cast(d289).as("wxx"),
+      round(dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / ni, 9)
+        .cast(d289).as("wyy"))
+    val f = w.agg(sum(col("ni")).as("n"), count(lit(1)).as("k"),
+      sum(col("wxy")).as("wxy"), sum(col("wxx")).as("wxx"),
+      sum(col("wyy")).as("wyy"),
+      sum(col("sx")).as("tsx"), sum(col("sy")).as("tsy"),
+      sum(col("sxy")).as("tsxy"), sum(col("sxx")).as("tsxx"))
+    val n = dbl(col("n"))
+    val beta = dbl(col("wxy")) / dbl(col("wxx"))
+    val sse = dbl(col("wyy")) - dbl(col("wxy")) * dbl(col("wxy")) /
+      dbl(col("wxx"))
+    val dfree = n - dbl(col("k")) - lit(1.0)
+    val varB = sse / dfree / dbl(col("wxx"))
+    val cxxP = n * dbl(col("tsxx")) - dbl(col("tsx")) * dbl(col("tsx"))
+    val cxyP = n * dbl(col("tsxy")) - dbl(col("tsx")) * dbl(col("tsy"))
+    val ok = dbl(col("wxx")) > 0.0 && sse > 0.0 && dfree > 0.0
+    f.select(col("n").cast("long").as("n"),
+      col("k").cast("long").as("k_units"),
+      when(ok, round(beta, 6)).as("beta_within"),
+      when(ok, round(sqrt(varB), 6)).as("se_within"),
+      when(ok, round(beta / sqrt(varB), 6)).as("t_within"),
+      when(cxxP > 0.0, round(cxyP / cxxP, 6)).as("beta_pooled"))
+  }
+
+  /** OAXACA–BLINDER DECOMPOSITION — how much of a two-group outcome
+    * gap is COMPOSITION vs TREATMENT: gap = (x̄_A − x̄_B)·β_B
+    * (explained — group A simply has more of the covariate, priced at
+    * B's rate) + the remainder (unexplained — different intercepts and
+    * returns for the SAME covariate). The group-gap sibling of q614's
+    * KPI bridge (segments over time) pointed at two populations. Exact
+    * per-group moments, closed-form fits, pinned arithmetic; the two
+    * parts sum to the gap by construction. Degenerate groups NULL.
+    */
+  def oaxacaBlinder(
+      df: DataFrame,
+      groupACol: Column,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dbl(c: Column): Column = c.cast("double")
+    val mom = df.select(groupACol.as("isa"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .groupBy(col("isa"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+      .filter(col("n") >= 3L)
+    val n = dbl(col("n"))
+    val cxx = n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val cxy = n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val fitted = mom.select(col("isa"), col("n"),
+      when(cxx > 0.0, round(cxy / cxx, 9)).as("beta"),
+      round(dbl(col("sx")) / n, 9).as("xbar"),
+      round(dbl(col("sy")) / n, 9).as("ybar"))
+    val a = fitted.filter(col("isa"))
+      .select(col("n").as("n_a"), col("beta").as("beta_a"),
+        col("xbar").as("xbar_a"), col("ybar").as("ybar_a"))
+    val b = fitted.filter(!col("isa"))
+      .select(col("n").as("n_b"), col("beta").as("beta_b"),
+        col("xbar").as("xbar_b"), col("ybar").as("ybar_b"))
+    val gap = col("ybar_a") - col("ybar_b")
+    val explained = (col("xbar_a") - col("xbar_b")) * col("beta_b")
+    val ok = col("beta_a").isNotNull && col("beta_b").isNotNull
+    a.crossJoin(b).select(col("n_a"), col("n_b"),
+      round(col("beta_a"), 6).as("beta_a"),
+      round(col("beta_b"), 6).as("beta_b"),
+      round(gap, 6).as("gap"),
+      when(ok, round(explained, 6)).as("explained"),
+      when(ok, round(gap - explained, 6)).as("unexplained"),
+      when(ok && abs(gap) > 0.0, round(explained / gap, 6))
+        .as("share_explained"))
+  }
 }

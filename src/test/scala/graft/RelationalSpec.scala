@@ -711,4 +711,51 @@ class RelationalSpec extends SparkSuite {
     assert(r.getDouble(7) == math.rint(6.0 / 7.0 * 1e6) / 1e6)
     assert(r.getDouble(8) == 1.0)
   }
+
+  test("skyline: dominated cells drop, price ties keep the best y, " +
+    "exact (x, y) ties ride together") {
+    val rows = Seq((1L, 10L, 5L), (2L, 10L, 9L), (3L, 20L, 9L),
+      (4L, 20L, 12L), (5L, 30L, 12L), (6L, 30L, 20L), (7L, 10L, 9L))
+      .toDF("id", "price", "qty")
+    val got = Relational.skyline(rows, "id", col("price"), col("qty"))
+      .collect()
+    // frontier: (10, 9) [ids 2 and 7 tie on], (20, 12), (30, 20)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 9L), (20L, 12L), (30L, 20L)))
+    assert(got.head.getLong(2) == 2L && got.head.getLong(3) == 2L)
+  }
+
+  test("fixedEffects: a within-unit effect survives between-unit " +
+    "confounding that flips the pooled slope") {
+    import spark.implicits._
+    // unit A: high baseline, x mostly 1; unit B: low baseline, x mostly
+    // 0 — within each unit x ADDS 1 to y, but pooled the baselines
+    // dominate with the OPPOSITE alignment
+    val a = Seq((0L, 10L), (0L, 10L), (1L, 11L), (1L, 11L), (1L, 12L),
+      (1L, 10L)).map { case (x, y) => ("A", x, y) }
+    val b = Seq((0L, 30L), (0L, 29L), (0L, 31L), (0L, 30L), (1L, 31L),
+      (1L, 31L)).map { case (x, y) => ("B", x, y) }
+    val r = graft.operators.Relational.fixedEffects(
+      (a ++ b).toDF("u", "x", "y"), col("u"), col("x"), col("y")).head()
+    assert(r.getLong(0) == 12L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) > 0.7 && r.getDouble(2) < 1.3,
+      s"within effect is ~+1: $r")
+    assert(r.getDouble(4) > 2.0, s"and clearly nonzero: $r")
+    assert(r.getDouble(5) < 0.0,
+      s"the pooled slope is confounded negative: $r")
+  }
+
+  test("oaxacaBlinder: identical returns make the gap fully explained") {
+    import spark.implicits._
+    // both groups: y = 2x exactly; A simply has higher x
+    val a = Seq(10L, 20L, 30L).map(x => (true, x, 2 * x))
+    val b = Seq(1L, 2L, 3L).map(x => (false, x, 2 * x))
+    val r = graft.operators.Relational.oaxacaBlinder(
+      (a ++ b).toDF("isa", "x", "y"), col("isa"), col("x"), col("y"))
+      .head()
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 36.0)
+    assert(r.getDouble(5) == 36.0 && r.getDouble(6) == 0.0)
+    assert(r.getDouble(7) == 1.0)
+  }
 }
