@@ -34,6 +34,12 @@ object Bench {
     // dominant share of the timing; for multi-second queries the
     // compile share is noise and a re-run would double the board's
     // wall-clock for nothing).
+    // METHODOLOGY NOTE (r11 ADVICE): boards from r10 and earlier were
+    // min-of-2 over a fully-warmed 3-pass run; since r11, multi-second
+    // queries get one measured pass whose sample includes first-run
+    // codegen. Cross-round comparisons of multi-second queries carry
+    // that skew — set SPARK_GRAFT_RERUN_BELOW high to reproduce the old
+    // scheme for an apples-to-apples run.
     val warm = Seq("q07_agg_full", "q08_filter_pushdown",
       "q09_join_broadcast", "q10_join_multiway", "q11_window",
       "q14_events_hourly", "q18_quantiles", "q21_dedup_exact",
@@ -120,7 +126,15 @@ object Bench {
           s""","sf1":{"skipped":"$msg"}"""
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$out,"failed":$failed,"sf":"$sfDir"$sf1Json}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$out,"failed":$failed,"sf":"$sfDir"$sf1Json}"""
+    println(line)
+    // Persist the full line: every driver BENCH artifact truncates the
+    // stdout tail (parsed: null), so the per-query record must survive on
+    // disk for the round to commit (r10/r11 verdict item).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

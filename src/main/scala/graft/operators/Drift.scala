@@ -431,33 +431,62 @@ object Drift {
           lit(null).cast("double").as("hl_shift"))
     }
     val t = na * nb
-    val ord = Window.orderBy(col("key"), col("pr").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def countLE(d: Long): BigInt = {
-      // #pairs with va − vb <= d  =  Σ_a ta · #B{vb >= va − d}
-      val q = cen.filter(col("ta") > 0L)
-        .select((col("v") - lit(d)).as("key"), col("ta").as("w"),
-          lit(1).as("pr"))
-      val b = cen.filter(col("tb") > 0L)
-        .select(col("v").as("key"), col("tb").as("w"), lit(0).as("pr"))
-      val got = q.unionByName(b).repartition(1)
+    // BATCHED probes (r11 verdict item 8): one driver round evaluates m
+    // candidate thresholds in a SINGLE job — the per-probe prefix walk
+    // becomes a window PARTITIONED BY probe id, so the m merge-sorted
+    // passes run as m parallel census-sized tasks instead of m
+    // sequential single-task jobs, and the search narrows (m+1)-fold per
+    // round instead of 2-fold. Counts are the same exact DECIMAL(38,0)
+    // arithmetic per partition — bit-identical to the one-probe walk.
+    def countLEBatch(ds: Seq[Long]): Map[Long, BigInt] = {
+      import spark.implicits._
+      val dDf = ds.toDF("d")
+      val q = cen.filter(col("ta") > 0L).crossJoin(dDf)
+        .select(col("d"), (col("v") - col("d")).as("key"),
+          col("ta").as("w"), lit(1).as("pr"))
+      val b = cen.filter(col("tb") > 0L).crossJoin(dDf)
+        .select(col("d"), col("v").as("key"), col("tb").as("w"),
+          lit(0).as("pr"))
+      val ordD = Window.partitionBy(col("d"))
+        .orderBy(col("key"), col("pr").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      q.unionByName(b)
         .withColumn("pref",
           sum(when(col("pr") === 0, col("w")).otherwise(0L).cast(d38))
-            .over(ord))
+            .over(ordD))
         .filter(col("pr") === 1)
+        .groupBy(col("d"))
         .agg(sum(col("w").cast(d38) *
           (lit(nb.toString).cast(d38) - col("pref"))).as("c"))
-        .head()
-      if (got.isNullAt(0)) BigInt(0)
-      else BigInt(got.getDecimal(0).toBigInteger)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) BigInt(0)
+           else BigInt(r.getDecimal(1).toBigInteger)))
+        .toMap.withDefaultValue(BigInt(0))
     }
+    // invariant: countLE(hi) >= rank, countLE(lo − 1) < rank; the m-ary
+    // step keeps both sides exact, so the result is the same "min d with
+    // count >= rank" the binary search returned
+    val mWay = 7
     def select(rank: BigInt, loInit: Long): Long = {
       var lo = loInit
       var hi = st.getLong(3) - st.getLong(4) // maxA − minB
       while (lo < hi) {
-        // floor midpoint (works for negative ranges too)
-        val mid = Math.floorDiv(lo + hi, 2L)
-        if (countLE(mid) >= rank) hi = mid else lo = mid + 1
+        val probes: Seq[Long] =
+          if (hi - lo <= mWay) (lo until hi)
+          else {
+            val step = Math.floorDiv(hi - lo, (mWay + 1).toLong)
+            (1 to mWay).map(i => lo + step * i).distinct.filter(_ < hi)
+          }
+        val counts = countLEBatch(probes)
+        val firstGe = probes.find(counts(_) >= rank)
+        firstGe match {
+          case Some(p) =>
+            hi = p
+            val below = probes.filter(_ < p)
+            if (below.nonEmpty) lo = below.max + 1
+          case None => lo = probes.max + 1
+        }
       }
       lo
     }
@@ -3711,9 +3740,11 @@ object Drift {
       .select(col("seg"), col("n0"), col("n1"),
         round(r0, 6).as("rate_base"), round(r1, 6).as("rate_cur"),
         round(w0, 6).as("mix_base"), round(w1, 6).as("mix_cur"),
-        round(w0 * (r1 - r0), 6).as("rate_effect"),
-        round((w1 - w0) * r0, 6).as("mix_effect"),
-        round((w1 - w0) * (r1 - r0), 6).as("interaction"))
+        // + 0.0 normalizes an exact-zero effect's −0.0 to 0.0
+        // (hash-stable across engines; the q619 pattern)
+        (round(w0 * (r1 - r0), 6) + lit(0.0)).as("rate_effect"),
+        (round((w1 - w0) * r0, 6) + lit(0.0)).as("mix_effect"),
+        (round((w1 - w0) * (r1 - r0), 6) + lit(0.0)).as("interaction"))
       .orderBy(col("seg"))
   }
 

@@ -673,8 +673,11 @@ object Features {
           .otherwise(col("b")).as("b"))
         .localCheckpoint(true) // pin the step; keep the lineage flat
     }
+    // + 0.0 normalizes a tiny-negative residue's −0.0 to 0.0
+    // (hash-stable across engines; the q619 pattern)
     params.select(lit(cells).as("n_cells"), lit(nt).as("n"),
       lit(pt).as("n_pos"), col("it").cast("long").as("steps_moved"),
-      round(col("a"), 6).as("a"), round(col("b"), 6).as("b"))
+      (round(col("a"), 6) + lit(0.0)).as("a"),
+      (round(col("b"), 6) + lit(0.0)).as("b"))
   }
 }

@@ -889,37 +889,134 @@ object Graph {
     */
   def kTruss(edges: DataFrame, k: Long, maxRounds: Int = 30): DataFrame = {
     require(k >= 3 && maxRounds >= 1, "k-truss needs k >= 3")
-    var e = fresh(edges
+    val e0 = fresh(edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
-    var nEdges = e.count()
-    var out = e.withColumn("support", lit(0L)).limit(0)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val adj = e.select(col("a").as("node"), col("b").as("nbr"))
-        .unionAll(e.select(col("b").as("node"), col("a").as("nbr")))
-        .groupBy(col("node"))
-        .agg(sort_array(collect_list(col("nbr"))).as("ns"))
-        .localCheckpoint(true) // both endpoint joins read it
-      val pruned = fresh(e
-        .join(adj.select(col("node").as("a"), col("ns").as("__na")), Seq("a"))
-        .join(adj.select(col("node").as("b"), col("ns").as("__nb")), Seq("b"))
+    // Support is intersected ONCE, over the original adjacency; every
+    // later round is DECREMENT-DRIVEN (r11 verdict item — the previous
+    // full-recompute loop paid the Σ(deg(a)+deg(b)) intersect bill and
+    // two full-edge shuffles EVERY round, ~31 s at sf0.1 over 8 rounds
+    // of which the last five removed < 0.1% of edges each). The delta is
+    // k-bounded: a removed edge has support < k−2, so it closes < k−2
+    // live triangles — each destroyed triangle decrements its two other
+    // edges by exactly one. Rounds after the first therefore touch
+    // O(k·|removed|) rows, not O(m).
+    //
+    // Exactness: a triangle is charged at the round its FIRST edge dies
+    // — commons are taken in the ORIGINAL graph and a candidate third
+    // vertex c of dying edge (a,b) is kept only while both (a,c) and
+    // (b,c) were alive entering the round (anti-join against deaths from
+    // strictly earlier rounds); two edges of one triangle dying in the
+    // SAME round both emit the triangle, deduplicated by its (edge,
+    // third-vertex) identity. So each destroyed triangle subtracts 1
+    // from each surviving edge exactly once, per-round death sets match
+    // the synchronized full recompute bit-for-bit, and a survivor's
+    // final support is support_init − triangles lost = its support
+    // measured inside the truss.
+    val adj = e0.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e0.select(col("b").as("node"), col("a").as("nbr")))
+      .groupBy(col("node"))
+      .agg(collect_list(col("nbr")).as("ns"))
+      .localCheckpoint(true) // every endpoint join reads it
+    // Adjacency totals one array cell per directed edge instance, so its
+    // bytes are known EXACTLY from the materialized edge count — when the
+    // whole table fits a broadcast comfortably (≤ ~64 MB), ship it to
+    // every task once and both the scoring pass and every cascade round
+    // become single-stage map-side joins (no 2×m array-carrying
+    // shuffles). Above that, fall back to shuffle joins — a billion-edge
+    // graph must never be driver-collected.
+    val mEdges = e0.count()
+    val bcastAdj = mEdges * 20L < 64L * 1024 * 1024
+    def adjA = {
+      val d = adj.select(col("node").as("a"), col("ns").as("__na"))
+      if (bcastAdj) broadcast(d) else d
+    }
+    def adjB = {
+      val d = adj.select(col("node").as("b"), col("ns").as("__nb"))
+      if (bcastAdj) broadcast(d) else d
+    }
+    val scored = fresh(e0
+      .join(adjA, Seq("a"))
+      .join(adjB, Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__na"), col("__nb"))).cast("long")
+          .as("support")))
+    // One state frame, re-checkpointed per round: every edge whose
+    // support ever dropped, with its running loss and death flags.
+    // justDied marks the round's frontier (processed next round); dead
+    // spans all rounds. No per-round full-edge materialization, no
+    // growing union chains.
+    var hurt = fresh(scored.filter(col("support") < k - 2)
+      .select(col("a"), col("b"), col("support").as("sinit"),
+        lit(0L).as("loss"), lit(true).as("dead"),
+        lit(true).as("justDied")))
+    var nJust = hurt.count()
+    var round = 1
+    while (nJust > 0 && round < maxRounds) {
+      val rPrev = hurt.filter(col("justDied")).select(col("a"), col("b"))
+      val rStar = hurt.filter(col("dead") && !col("justDied"))
+        .select(col("a"), col("b"))
+      // triangles the dying edges close, w.r.t. the ORIGINAL adjacency,
+      // filtered down to thirds whose two flank edges entered the round
+      // alive; delta-sized joins AQE broadcasts when small
+      val tri = rPrev
+        .join(adjA, Seq("a"))
+        .join(adjB, Seq("b"))
         .select(col("a"), col("b"),
-          size(array_intersect(col("__na"), col("__nb"))).cast("long")
-            .as("support"))
-        .filter(col("support") >= k - 2))
-      val nNext = pruned.count()
-      converged = nNext == nEdges
-      out = pruned
-      e = pruned.select(col("a"), col("b"))
-      nEdges = nNext
+          explode(array_intersect(col("__na"), col("__nb"))).as("c"))
+        .select(col("a"), col("b"), col("c"),
+          least(col("a"), col("c")).as("x1"),
+          greatest(col("a"), col("c")).as("y1"),
+          least(col("b"), col("c")).as("x2"),
+          greatest(col("b"), col("c")).as("y2"))
+      val alive = tri
+        .join(rStar.select(col("a").as("x1"), col("b").as("y1"),
+          lit(true).as("__d1")), Seq("x1", "y1"), "left")
+        .join(rStar.select(col("a").as("x2"), col("b").as("y2"),
+          lit(true).as("__d2")), Seq("x2", "y2"), "left")
+        .filter(col("__d1").isNull && col("__d2").isNull)
+      // one decrement per destroyed triangle per flank edge; the
+      // (edge, third) distinct collapses same-round double kills.
+      // Materialized once — it feeds both the first-hurt lookup and the
+      // loss fold, and recomputing the triangle scan twice per round
+      // measured slower than the checkpoint round-trip.
+      val dec = fresh(alive
+        .select(col("x1").as("a"), col("y1").as("b"), col("b").as("third"))
+        .unionAll(alive
+          .select(col("x2").as("a"), col("y2").as("b"),
+            col("a").as("third")))
+        .distinct()
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("dloss")))
+      // pull support_init for first-time-hurt edges (one probe scan of
+      // the scored base), fold this round's losses + flag flips in
+      val fetched = scored
+        .join(dec.select(col("a"), col("b"))
+          .join(hurt.select(col("a"), col("b")), Seq("a", "b"),
+            "left_anti"), Seq("a", "b"), "left_semi")
+        .select(col("a"), col("b"), col("support").as("sinit"),
+          lit(0L).as("loss"), lit(false).as("dead"),
+          lit(false).as("justDied"))
+      val loss2 = col("loss") + coalesce(col("__dl"), lit(0L))
+      val newlyDead = !col("dead") && coalesce(col("__dl"), lit(0L)) > 0L &&
+        col("sinit") - loss2 < k - 2
+      hurt = fresh(hurt.unionByName(fetched)
+        .join(dec.withColumnRenamed("dloss", "__dl"), Seq("a", "b"), "left")
+        .select(col("a"), col("b"), col("sinit"), loss2.as("loss"),
+          (col("dead") || newlyDead).as("dead"), newlyDead.as("justDied")))
+      nJust = hurt.filter(col("justDied")).count()
       round += 1
     }
-    require(converged, s"k-truss did not stabilize within $maxRounds rounds")
-    out
+    require(nJust == 0,
+      s"k-truss did not stabilize within $maxRounds rounds")
+    scored
+      .join(hurt.filter(col("dead")).select(col("a"), col("b")),
+        Seq("a", "b"), "left_anti")
+      .join(hurt.select(col("a"), col("b"), col("loss")), Seq("a", "b"),
+        "left")
+      .select(col("a"), col("b"),
+        (col("support") - coalesce(col("loss"), lit(0L))).as("support"))
   }
 
   /** DEGREE ASSORTATIVITY — the one-number answer to "do hubs connect

@@ -1630,6 +1630,10 @@ object Relational {
     val iv = intervals.select(col(startCol).cast("long").as("s"),
         col(endCol).cast("long").as("e"))
       .localCheckpoint(true) // totals + the boundary census read it
+    // an e <= s row would silently corrupt busy_sec, span, lambda and
+    // the boundary-sweep peak — refuse loudly (the ffdPlan posture)
+    require(iv.filter(col("e") <= col("s")).isEmpty,
+      "concurrencySweep needs e > s on every interval")
     val tot = iv.select(lit(1L).as("cnt"), col("s"), col("e"),
       (col("e") - col("s")).cast(d38).as("dur"))
     val bounds = iv.select(col("s").as("sec"), lit(1L).as("d"))

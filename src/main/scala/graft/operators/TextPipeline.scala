@@ -1273,9 +1273,17 @@ object TextPipeline {
     val vsize = ranked.agg(count(lit(1)).as("vn"))
     val other = toks.select(col("did"), col("pos").as("pos2"),
       col("w").as("ctx"))
-    val pairs = toks.join(other, Seq("did"))
-      .filter(col("pos2") =!= col("pos") &&
-        abs(col("pos2") - col("pos")) <= window)
+    // true equi-join on (did, pos + off): each center row explodes into
+    // its 2·window candidate offsets and the join key pins the context
+    // position — len·window pair candidates per doc. A doc-id-only join
+    // filtered on |pos2 − pos| afterwards would materialize len² rows
+    // per doc first (the r11 ADVICE item: exactly the quadratic shape
+    // long documents blow up on).
+    val offs = ((-window to -1) ++ (1 to window)).map(o => lit(o))
+    val pairs = toks
+      .withColumn("off", explode(array(offs: _*)))
+      .withColumn("pos2", col("pos") + col("off"))
+      .join(other, Seq("did", "pos2"))
       .groupBy(col("w").as("center"), col("ctx"))
       .agg(count(lit(1)).as("n"))
     val top = pairs

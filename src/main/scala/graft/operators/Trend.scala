@@ -3384,7 +3384,12 @@ object Trend {
     * pin once at 1e-9 and every later mean/variance is decimal sums of
     * re-pinned grid terms with one pinned division each. Edge buckets
     * without a full window drop from the census (stated; they carry no
-    * trend estimate). Keys need ≥ 2 full periods.
+    * trend estimate). Key minimum: the strength variance needs ≥
+    * 2·period DETRENDED rows, and the centered 2×m window eats `period`
+    * edge rows — so a key needs ≥ 3 full periods of raw buckets, and a
+    * key below that drops from the output ENTIRELY (seasonal rows join
+    * the strength table inner; emitting them with a NULL strength would
+    * misread as "seasonality measured, strength unknown").
     */
   def classicalDecomposition(
       df: DataFrame,
@@ -3775,5 +3780,147 @@ object Trend {
         6)).as("intercept"),
       when(ok && cyy > 0.0, round(cxy * cxy / (cxx * cyy), 6)).as("r2"))
       .orderBy(col("g"))
+  }
+
+  /** YULE–WALKER AR(2) FIT per key — the MODEL the diagnostic shelf
+    * keeps gesturing at: q255's autocorrelations and q588's PACF say "an
+    * AR signature is present"; this fits the actual recurrence
+    * v_t = m + φ₁(v_{t−1}−m) + φ₂(v_{t−2}−m) + ε and emits φ₁, φ₂, the
+    * innovation variance σ², and the ONE-STEP FORECAST from the key's
+    * last two observations — the number a capacity planner actually
+    * wants. Method of moments on the biased (divide-by-n)
+    * autocovariances, the estimator that keeps the fitted AR stationary.
+    *
+    * Caller supplies a DENSE bucket spine (gaps would silently splice
+    * non-adjacent buckets into lag pairs). Census is one pass: exact
+    * integer lag-product sums (the q588 discipline), autocorrelations
+    * pinned at 1e-9, φ's closed-form from the pinned ρ's, σ²/forecast
+    * pinned at 1e-6. Keys need ≥ 5 buckets; a flat series (c₀ = 0) or a
+    * degenerate ρ₁ = ±1 reads NULL coefficients rather than infinities.
+    * Census shape: O(keys) rows out, bucket-domain state — mergeable
+    * under count-addition (the stream twin re-runs this on the drained
+    * hourly census).
+    */
+  def yuleWalkerAr2(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("w1", lead(col("v"), 1).over(ord))
+      .withColumn("w2", lead(col("v"), 2).over(ord))
+      .localCheckpoint(true) // moment census + last-two lookup share it
+    def lagSums(k: Int) = Seq(
+      sum(when(col(s"w$k").isNotNull, col("v") * col(s"w$k"))
+        .otherwise(0L)).as(s"svw$k"),
+      sum(when(col(s"w$k").isNotNull, col("v")).otherwise(0L)).as(s"sh$k"),
+      sum(coalesce(col(s"w$k"), lit(0L))).as(s"st$k"),
+      sum(when(col(s"w$k").isNotNull, 1L).otherwise(0L)).as(s"nk$k"))
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("v") * col("v")).as("svv")) ++ lagSums(1) ++ lagSums(2)
+    val cen = base.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n") >= 5L)
+    val ordDesc = Window.partitionBy(col(keyCol)).orderBy(col("__b").desc)
+    val lastTwo = base.withColumn("__rn", row_number().over(ordDesc))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(keyCol))
+      .agg(max(when(col("__rn") === 1, col("v"))).as("v_last"),
+        max(when(col("__rn") === 2, col("v"))).as("v_prev"))
+    val n = dbl(col("n"))
+    val m = dbl(col("sv")) / n
+    val c0 = dbl(col("svv")) / n - m * m
+    def cLag(k: Int): Column =
+      (dbl(col(s"svw$k")) - m * (dbl(col(s"sh$k")) + dbl(col(s"st$k"))) +
+        dbl(col(s"nk$k")) * m * m) / n
+    val staged = cen.join(lastTwo, Seq(keyCol))
+      .select(col(keyCol), col("n"), col("v_last"), col("v_prev"),
+        round(m, 9).as("m"), round(c0, 9).as("c0"),
+        when(c0 > 0.0, round(cLag(1) / c0, 9)).as("r1"),
+        when(c0 > 0.0, round(cLag(2) / c0, 9)).as("r2"))
+    val den = lit(1.0) - col("r1") * col("r1")
+    val phi1 = col("r1") * (lit(1.0) - col("r2")) / den
+    val phi2 = (col("r2") - col("r1") * col("r1")) / den
+    val ok = col("r1").isNotNull && den =!= 0.0
+    staged.select(col(keyCol), col("n"),
+        round(col("m"), 6).as("mean"),
+        when(ok, round(phi1, 6)).as("phi1"),
+        when(ok, round(phi2, 6)).as("phi2"),
+        when(ok, round(col("c0") *
+          (lit(1.0) - phi1 * col("r1") - phi2 * col("r2")), 6))
+          .as("sigma2"),
+        when(ok, round(col("m") +
+          phi1 * (dbl(col("v_last")) - col("m")) +
+          phi2 * (dbl(col("v_prev")) - col("m")), 6)).as("forecast_next"))
+      .orderBy(col(keyCol))
+  }
+
+  /** DIEBOLD–MARIANO TEST — are two forecasters DIFFERENT, or is the
+    * backtest gap luck: the mean of the per-bucket squared-error loss
+    * differential d_t = e₁² − e₂², studentized by a Newey–West
+    * long-run variance (forecast errors overlap, so d_t is serially
+    * correlated and the naive t-test overstates certainty — the same
+    * honesty [[neweyWestSlope]] brings to trend errors). The missing
+    * VERDICT beside q404's MASE magnitudes and q465's pinball scores:
+    * those rank forecasters, this says whether the ranking is evidence.
+    * DM < 0 favors forecast 1.
+    *
+    * One ordered pass per key: d_t pinned to the 1e-9 grid at birth,
+    * decimal-summed moments, lag-ℓ autocovariance products of the
+    * pinned d's via lead windows, Bartlett weights as exact literals,
+    * one pinned studentization. Keys need ≥ 8 loss points; a zero
+    * long-run variance (identical forecasts) reads NULL. O(keys) out.
+    */
+  def dieboldMariano(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      actualCol: String,
+      f1Col: String,
+      f2Col: String,
+      lags: Int = 3): DataFrame = {
+    require(lags >= 1 && lags <= 8)
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+    val e1 = dbl(col(actualCol)) - dbl(col(f1Col))
+    val e2 = dbl(col(actualCol)) - dbl(col(f2Col))
+    val laggedCols = Seq(col(keyCol), col("__b"), col("d")) ++
+      (1 to lags).map(l => lead(col("d"), l).over(ord).as(s"d$l"))
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+        round(e1 * e1 - e2 * e2, 9).as("d"))
+      .select(laggedCols: _*)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(col("d").cast(d289)).as("sd"),
+      sum(round(col("d") * col("d"), 9).cast(d289)).as("sdd")) ++
+      (1 to lags).flatMap(l => Seq(
+        sum(when(col(s"d$l").isNotNull,
+          round(col("d") * col(s"d$l"), 9)).otherwise(0.0).cast(d289))
+          .as(s"sx$l"),
+        sum(when(col(s"d$l").isNotNull, col("d")).otherwise(0.0)
+          .cast(d289)).as(s"sa$l"),
+        sum(coalesce(col(s"d$l"), lit(0.0)).cast(d289)).as(s"sb$l"),
+        sum(when(col(s"d$l").isNotNull, 1L).otherwise(0L)).as(s"nl$l")))
+    val cen = base.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .filter(col("n") >= 8L)
+    val n = dbl(col("n"))
+    val dbar = dbl(col("sd")) / n
+    val g0 = dbl(col("sdd")) / n - dbar * dbar
+    def gl(l: Int): Column =
+      (dbl(col(s"sx$l")) - dbar * (dbl(col(s"sa$l")) + dbl(col(s"sb$l"))) +
+        dbl(col(s"nl$l")) * dbar * dbar) / n
+    val lrv = (1 to lags).foldLeft(g0) { (acc, l) =>
+      acc + lit(2.0 * (1.0 - l.toDouble / (lags + 1.0))) * gl(l)
+    }
+    cen.select(col(keyCol), col("n"),
+        round(dbar, 6).as("mean_loss_diff"),
+        round(lrv, 6).as("lrv"),
+        when(lrv > 0.0, round(dbar / sqrt(lrv / n), 6)).as("dm_stat"),
+        when(lrv > 0.0, abs(dbar / sqrt(lrv / n)) > 1.96)
+          .as("significant_95"))
+      .orderBy(col(keyCol))
   }
 }

@@ -51,6 +51,20 @@ def dtype_drift(g: pd.DataFrame, e: pd.DataFrame) -> str:
     return ""
 
 
+def render_drift(g: pd.DataFrame, e: pd.DataFrame) -> str:
+    """Return the first RENDERED divergence between numerically-equal
+    frames. The driver hashes rendered values, where -0.0 != 0.0 (and any
+    other repr split fails) even though pandas check_exact passes — the
+    r11 q614/q640 blind spot. Run only after assert_frame_equal passed."""
+    for c in g.columns:
+        gs, es = g[c].astype(str), e[c].astype(str)
+        neq = (gs != es)
+        if neq.any():
+            i = neq.idxmax()
+            return f"col={c} row={i}: rendered {gs[i]!r} vs {es[i]!r}"
+    return ""
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
@@ -89,7 +103,11 @@ def main(sf_dir: str, out_dir: str) -> int:
                 try:
                     pd.testing.assert_frame_equal(
                         g, e, check_dtype=False, check_exact=True)
-                    ok, status = True, f"match rows={len(g)}"
+                    rd = render_drift(g, e)
+                    if rd:
+                        ok, status = False, "render drift: " + rd
+                    else:
+                        ok, status = True, f"match rows={len(g)}"
                 except AssertionError as ex:
                     ok, status = False, "value mismatch: " + str(ex).split("\n")[0]
                     # show first differing cells
