@@ -3845,16 +3845,19 @@ object Trend {
     val phi1 = col("r1") * (lit(1.0) - col("r2")) / den
     val phi2 = (col("r2") - col("r1") * col("r1")) / den
     val ok = col("r1").isNotNull && den =!= 0.0
+    // + 0.0 normalizes a tiny-negative round to 0.0 (hash-stable
+    // across engines; the q619 pattern)
     staged.select(col(keyCol), col("n"),
         round(col("m"), 6).as("mean"),
-        when(ok, round(phi1, 6)).as("phi1"),
-        when(ok, round(phi2, 6)).as("phi2"),
+        when(ok, round(phi1, 6) + lit(0.0)).as("phi1"),
+        when(ok, round(phi2, 6) + lit(0.0)).as("phi2"),
         when(ok, round(col("c0") *
-          (lit(1.0) - phi1 * col("r1") - phi2 * col("r2")), 6))
+          (lit(1.0) - phi1 * col("r1") - phi2 * col("r2")), 6) + lit(0.0))
           .as("sigma2"),
         when(ok, round(col("m") +
           phi1 * (dbl(col("v_last")) - col("m")) +
-          phi2 * (dbl(col("v_prev")) - col("m")), 6)).as("forecast_next"))
+          phi2 * (dbl(col("v_prev")) - col("m")), 6) + lit(0.0))
+          .as("forecast_next"))
       .orderBy(col(keyCol))
   }
 
@@ -3915,10 +3918,13 @@ object Trend {
     val lrv = (1 to lags).foldLeft(g0) { (acc, l) =>
       acc + lit(2.0 * (1.0 - l.toDouble / (lags + 1.0))) * gl(l)
     }
+    // + 0.0 normalizes a tiny-negative round to 0.0 (hash-stable
+    // across engines; the q619 pattern)
     cen.select(col(keyCol), col("n"),
-        round(dbar, 6).as("mean_loss_diff"),
-        round(lrv, 6).as("lrv"),
-        when(lrv > 0.0, round(dbar / sqrt(lrv / n), 6)).as("dm_stat"),
+        (round(dbar, 6) + lit(0.0)).as("mean_loss_diff"),
+        (round(lrv, 6) + lit(0.0)).as("lrv"),
+        when(lrv > 0.0, round(dbar / sqrt(lrv / n), 6) + lit(0.0))
+          .as("dm_stat"),
         when(lrv > 0.0, abs(dbar / sqrt(lrv / n)) > 1.96)
           .as("significant_95"))
       .orderBy(col(keyCol))

@@ -1194,4 +1194,61 @@ class TrendSpec extends SparkSuite {
     assert(got("one").isNullAt(2))
     assert(!got.contains("zero"), "non-positive points drop entirely")
   }
+
+  test("yuleWalkerAr2: an exact AR(1) reads phi1=rho phi2=0, a flat " +
+    "series NULLs, short keys drop") {
+    import spark.implicits._
+    // v_t - 8 alternates +4/-4: rho1 = -1... that's degenerate; use a
+    // period-3 cycle instead: autocovariances are exact rationals and
+    // the YW system solves to phi1 = phi2 = -1 (v_t = -v_{t-1} -
+    // v_{t-2} + const reproduces any zero-mean period-3 cycle)
+    val cyc = Seq(5L, 11L, 8L)
+    val per3 = (0 until 18).map(t => ("c", t.toLong, cyc(t % 3)))
+    val flat = (0 until 12).map(t => ("f", t.toLong, 7L))
+    val short = (0 until 4).map(t => ("s", t.toLong, t.toLong))
+    val got = graft.operators.Trend.yuleWalkerAr2(
+      (per3 ++ flat ++ short).toDF("k", "b", "v"), "k", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("s"), "keys under 5 buckets drop")
+    assert(got("f").isNullAt(3) && got("f").isNullAt(4),
+      s"zero variance reads NULL coefficients: ${got("f")}")
+    assert(got("f").getDouble(2) == 7.0)
+    val c = got("c")
+    assert(math.abs(c.getDouble(3) + 1.0) < 0.2 &&
+      math.abs(c.getDouble(4) + 1.0) < 0.2,
+      s"period-3 cycle fits phi1=phi2=-1: $c")
+    // forecast: m + phi1(v_last-m) + phi2(v_prev-m); last two are 8, 11
+    // (t=17 is cyc(2)=8, t=16 is cyc(1)=11), next true value 5
+    assert(math.abs(c.getDouble(6) - 5.0) < 1.5,
+      s"one-step forecast lands near the cycle's next value: $c")
+  }
+
+  test("dieboldMariano: a strictly-better forecast 2 reads positive " +
+    "significant DM, identical forecasts NULL, short keys drop") {
+    import spark.implicits._
+    // f2 is exact, f1 always misses by 3: d_t = 9 - 0 = 9 every bucket
+    // -> dbar 9, but lrv 0 (constant d) -> stat NULL. Perturb one
+    // bucket so the variance is positive and the stat fires.
+    val rows = (0 until 20).map { t =>
+      val v = 10L + (t % 4)
+      val miss = if (t == 7) 4L else 3L
+      ("w", t.toLong, v, v + miss, v)
+    }
+    val ident = (0 until 20).map(t => ("i", t.toLong, t.toLong,
+      t.toLong + 2L, t.toLong + 2L))
+    val short = (0 until 5).map(t => ("s", t.toLong, t.toLong, t + 1L,
+      t.toLong))
+    val got = graft.operators.Trend.dieboldMariano(
+      (rows ++ ident ++ short).toDF("k", "b", "v", "f1", "f2"),
+      "k", "b", "v", "f1", "f2")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("s"), "keys under 8 buckets drop")
+    val i = got("i")
+    assert(i.getDouble(2) == 0.0 && i.isNullAt(4),
+      s"identical losses: zero mean, NULL stat: $i")
+    val w = got("w")
+    assert(w.getDouble(2) > 8.0, s"loss differential favors f2: $w")
+    assert(w.getDouble(4) > 1.96 && w.getBoolean(5),
+      s"a 20-bucket unanimous gap is significant: $w")
+  }
 }
