@@ -278,6 +278,25 @@ class GraphSpec extends SparkSuite {
     assert(Graph.kTruss(edges, k = 5).count() == 0)
   }
 
+  test("kTruss: driver peel and distributed cascade agree edge-for-edge " +
+    "on a cascading random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph dense enough to cascade:
+    // 40 nodes, edges picked by a multiplicative hash
+    val edges = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      if ((a * 2654435761L + b * 40503L) % 97L) < 30L
+    } yield (a, b)).toDF("src", "dst")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaDriver = canon(Graph.kTruss(edges, k = 4))
+    val viaRounds = canon(Graph.kTruss(edges, k = 4,
+      driverPeelMaxEdges = 0L))
+    assert(viaDriver.nonEmpty, "the test graph must keep a 4-truss")
+    assert(viaDriver == viaRounds,
+      s"paths disagree: ${viaDriver.size} vs ${viaRounds.size} edges")
+  }
+
   test("profile: null and distinct accounting per column") {
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("s", StringType)))
