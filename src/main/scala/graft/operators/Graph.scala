@@ -99,9 +99,18 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var pr = deg.select(col("src").as("node"), col("deg"), lit(1.0).as("pr"))
       .localCheckpoint(true)
+    // localCheckpoint resets the rank table's size statistic to the
+    // session default, so the per-iteration edge⋈rank join silently
+    // loses auto-broadcast and re-SHUFFLES the whole edge list every
+    // round. The rank table is node-sized (~40 B/row) — broadcast it
+    // explicitly while it fits, and the edge list never moves; above
+    // the guard (a 100M+-node graph) the shuffle join is the right
+    // plan anyway.
+    val bcastPr = pr.count() <= 2000000L
+    def ranks = if (bcastPr) broadcast(pr) else pr
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(pr, e("src") === pr("node"))
+        .join(ranks, e("src") === pr("node"))
         .select(col("dst"),
           (col("pr") / col("deg") * lit(damping)).cast(DecimalType(28, 9)).as("c"))
         .groupBy(col("dst"))
@@ -146,9 +155,14 @@ object Graph {
         coalesce(col("__s"), lit(0L)).as("is_src"))
       .withColumn("pr", col("is_src").cast("double"))
       .localCheckpoint(true)
+    // same broadcast-while-small posture as [[pageRank]] — the
+    // checkpointed rank table's default size stat would otherwise cost
+    // a full edge shuffle per iteration
+    val bcastPr = pr.count() <= 2000000L
+    def ranks = if (bcastPr) broadcast(pr) else pr
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(pr, e("src") === pr("node"))
+        .join(ranks, e("src") === pr("node"))
         .select(col("dst"),
           (col("pr") / col("deg") * lit(damping)).cast(DecimalType(28, 9)).as("c"))
         .groupBy(col("dst"))
