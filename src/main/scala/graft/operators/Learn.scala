@@ -1,0 +1,403 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** ML-lite shelf: clustering, projection, and classification primitives
+  * as exact census + closed-form operators — no ML runtime, every number
+  * oracle-replayable.
+  *
+  * Shared discipline: integer inputs censused exactly (DECIMAL(38,0)
+  * sums), centered cross-moments formed in ONE fixed double expression
+  * shape shared verbatim with the oracle SQL, divisions pinned
+  * (`round(x, 9)`) the moment they happen, final reports rounded at 6
+  * with `+ 0.0` normalizing any −0.0 (the q619 pattern). Everything
+  * after the census is O(domain) or O(1) — the 100 TB shape is the one
+  * corpus aggregation that builds the census.
+  */
+object Learn {
+
+  private val d38 = DecimalType(38, 0)
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** 1-D LLOYD K-MEANS over the value census — the segmentation
+    * primitive behind "split customers into k balance bands that
+    * actually fit the data" (vs q67's fixed-width bins). Deterministic
+    * end to end: centroids init at the k equal-frequency slice medians
+    * (exact discrete ranks on the census, no sampling), `iters` Lloyd
+    * rounds run driver-side over the DOMAIN-sized census (the
+    * hlFromCensus posture — each round is one census aggregation; rows
+    * never re-scan), assignment is nearest-centroid with smallest-index
+    * tie-break, updates are exact decimal sums with ONE pinned division
+    * each. An emptied cluster keeps its previous centroid (stated).
+    * Output: one row per cluster — n, centroid, within-cluster sum of
+    * squares (grid-pinned) — plus the assignment boundaries implied.
+    */
+  def kMeans1D(
+      df: DataFrame,
+      valueCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2 && k <= 16 && iters >= 1 && iters <= 16)
+    val spark = df.sparkSession
+    val cen = df.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // every Lloyd round re-reads it
+    val nTotal = cen.agg(sum(col("n"))).head().getLong(0)
+    require(nTotal > 0, "kMeans1D needs rows")
+    // init: value at discrete rank floor((2j-1)*N/(2k)) + 1 — the
+    // median of the j-th equal-frequency slice
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cen.withColumn("cum", sum(col("n")).over(wOrd))
+      .localCheckpoint(true)
+    val ranks = (1 to k).map(j => (2L * j - 1) * nTotal / (2L * k) + 1L)
+    var cents: Seq[Double] = ranks.map { r =>
+      cum.filter(col("cum") >= r).orderBy(col("v"))
+        .limit(1).head().getLong(0).toDouble
+    }
+    // assignment for the CURRENT centroid literals: nearest, ties to
+    // the smallest cluster index (the when-chain encodes the tie-break)
+    def assigned: DataFrame = {
+      val dists = cents.zipWithIndex.map { case (c, j) =>
+        abs(dbl(col("v")) - lit(c)).as(s"__d$j")
+      }
+      val withD = cen.select(col("v") +: col("n") +: dists: _*)
+      val dmin = least(cents.indices.map(j => col(s"__d$j")): _*)
+      val cl = cents.indices.tail.foldLeft(
+        when(col("__d0") === dmin, 0)) { (acc, j) =>
+        acc.when(col(s"__d$j") === dmin, j)
+      }
+      withD.select(col("v"), col("n"), cl.as("cluster"))
+    }
+    for (_ <- 1 to iters) {
+      val got = assigned.groupBy(col("cluster"))
+        .agg(sum(col("n").cast(d38)).as("sn"),
+          sum((col("v") * col("n")).cast(d38)).as("sv"))
+        .select(col("cluster"),
+          round(dbl(col("sv")) / dbl(col("sn")), 9).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      cents = cents.indices.map(j => got.getOrElse(j, cents(j)))
+    }
+    // WSS on an EXACT integer path: the centroid (pinned at 1e-9) is
+    // rescaled to whole 1e-9 units, deviations are exact longs, squares
+    // exact decimals, ONE final division by 1e18. Rounding the ~1e12
+    // squared-deviation doubles instead diverges across engines — the
+    // scale-then-divide round loses integer precision past 2^53.
+    val perCluster = assigned
+      .withColumn("c", cents.indices.tail.foldLeft(
+        when(col("cluster") === 0, lit(cents(0)))) { (acc, j) =>
+        acc.when(col("cluster") === j, lit(cents(j)))
+      })
+      .withColumn("d9",
+        col("v") * lit(1000000000L) -
+          round(col("c") * lit(1e9), 0).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("d9").cast(DecimalType(31, 0)) *
+          col("d9").cast(DecimalType(31, 0)) *
+          col("n").cast(DecimalType(7, 0)))
+          .as("wss"))
+    import spark.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (c, j) => (j, c) }.toDF("cluster", "centroid")
+    // wss ships as the exact decimal's correctly-rounded double — a
+    // round(x, 6) on a ~1e12 double differs between engines (the
+    // scale-then-divide form loses integer precision past 2^53)
+    perCluster.join(broadcast(centDf), Seq("cluster"))
+      .select(col("cluster").cast("long").as("cluster"), col("n"),
+        (round(col("centroid"), 6) + lit(0.0)).as("centroid"),
+        (dbl(col("wss")) / lit(1e18) + lit(0.0)).as("wss"))
+      .orderBy(col("cluster"))
+  }
+
+  /** 2-FEATURE PCA — the principal direction and the variance split of
+    * an (x, y) cloud from ONE exact moment pass: population covariances
+    * pinned at 1e-9, eigenvalues in closed form (trace/discriminant —
+    * sqrt is a correctly-rounded IEEE primitive, no iterative eigen
+    * anywhere), the leading axis from the (cov, λ₁ − var_x) eigenvector
+    * normalized to unit length with its sign fixed (axis_x ≥ 0). The
+    * "is this 2-D cloud really 1-D" meter beside q83's correlation —
+    * explained_share IS the answer. Degenerate clouds (zero total
+    * variance) read NULL; an axis-aligned cloud (cov = 0) reads the
+    * dominant coordinate axis exactly.
+    */
+  def pca2(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val f = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val mom = f.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("y") * col("y")).cast(d38)).as("syy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"))
+    val n = dbl(col("n"))
+    val mx = dbl(col("sx")) / n
+    val my = dbl(col("sy")) / n
+    val staged = mom.select(col("n"),
+      round(dbl(col("sxx")) / n - mx * mx, 9).as("cxx"),
+      round(dbl(col("syy")) / n - my * my, 9).as("cyy"),
+      round(dbl(col("sxy")) / n - mx * my, 9).as("cxy"))
+    val disc = sqrt((col("cxx") - col("cyy")) * (col("cxx") - col("cyy")) /
+      lit(4.0) + col("cxy") * col("cxy"))
+    val l1 = (col("cxx") + col("cyy")) / lit(2.0) + disc
+    val l2 = (col("cxx") + col("cyy")) / lit(2.0) - disc
+    // eigenvector of λ₁: (cxy, λ₁ − cxx) when cov ≠ 0, else the
+    // dominant coordinate axis; normalized, sign pinned by axis_x ≥ 0
+    val vx0 = when(col("cxy") =!= 0.0, col("cxy"))
+      .otherwise(when(col("cxx") >= col("cyy"), lit(1.0)).otherwise(lit(0.0)))
+    val vy0 = when(col("cxy") =!= 0.0, l1 - col("cxx"))
+      .otherwise(when(col("cxx") >= col("cyy"), lit(0.0)).otherwise(lit(1.0)))
+    val nrm = sqrt(vx0 * vx0 + vy0 * vy0)
+    val sgn = when(vx0 < 0.0, lit(-1.0))
+      .when(vx0 === 0.0 && vy0 < 0.0, lit(-1.0)).otherwise(lit(1.0))
+    val ok = col("cxx") + col("cyy") > 0.0
+    staged.select(col("n"),
+      (col("cxx") + lit(0.0)).as("var_x"),
+      (col("cyy") + lit(0.0)).as("var_y"),
+      (col("cxy") + lit(0.0)).as("cov_xy"),
+      when(ok, round(l1, 6) + lit(0.0)).as("lambda1"),
+      when(ok, round(l2, 6) + lit(0.0)).as("lambda2"),
+      when(ok, round(l1 / (col("cxx") + col("cyy")), 6) + lit(0.0))
+        .as("explained_share"),
+      when(ok, round(sgn * vx0 / nrm, 6) + lit(0.0)).as("axis_x"),
+      when(ok, round(sgn * vy0 / nrm, 6) + lit(0.0)).as("axis_y"))
+  }
+
+  /** THREE-REGRESSOR OLS via the centered normal equations solved in
+    * closed form (Cramer's rule on the symmetric 3×3) — the multiple
+    * regression the shelf's 1- and 2-regressor fits (q147, q629/q652's
+    * 2×2) stop short of: "how much order value does EACH of line count,
+    * total quantity, and urgency carry, holding the others fixed".
+    * ONE exact moment pass (every raw sum DECIMAL(38,0)); centered
+    * cross-moments C_ij = n·S_ij − S_i·S_j in a fixed double expression
+    * shape shared verbatim with the oracle; determinant and the three
+    * column-replaced determinants expanded explicitly; R² from the
+    * fitted inner product. A singular design (collinear regressors)
+    * reads NULL coefficients rather than exploding.
+    */
+  def ols3(
+      df: DataFrame,
+      yCol: String,
+      x1Col: String,
+      x2Col: String,
+      x3Col: String): DataFrame = {
+    val f = df.select(col(yCol).cast("long").as("y"),
+      col(x1Col).cast("long").as("x1"), col(x2Col).cast("long").as("x2"),
+      col(x3Col).cast("long").as("x3"))
+    def s(a: String, b: String) =
+      sum((col(a) * col(b)).cast(d38)).as(s"s_${a}_$b")
+    val mom = f.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(d38)).as("s_y"),
+      sum(col("x1").cast(d38)).as("s_x1"),
+      sum(col("x2").cast(d38)).as("s_x2"),
+      sum(col("x3").cast(d38)).as("s_x3"),
+      s("y", "y"), s("x1", "x1"), s("x2", "x2"), s("x3", "x3"),
+      s("x1", "x2"), s("x1", "x3"), s("x2", "x3"),
+      s("x1", "y"), s("x2", "y"), s("x3", "y"))
+    val n = dbl(col("n"))
+    def cc(sij: String, si: String, sj: String): Column =
+      n * dbl(col(sij)) - dbl(col(si)) * dbl(col(sj))
+    val c11 = cc("s_x1_x1", "s_x1", "s_x1")
+    val c22 = cc("s_x2_x2", "s_x2", "s_x2")
+    val c33 = cc("s_x3_x3", "s_x3", "s_x3")
+    val c12 = cc("s_x1_x2", "s_x1", "s_x2")
+    val c13 = cc("s_x1_x3", "s_x1", "s_x3")
+    val c23 = cc("s_x2_x3", "s_x2", "s_x3")
+    val cy1 = cc("s_x1_y", "s_x1", "s_y")
+    val cy2 = cc("s_x2_y", "s_x2", "s_y")
+    val cy3 = cc("s_x3_y", "s_x3", "s_y")
+    val cyy = cc("s_y_y", "s_y", "s_y")
+    val det = c11 * (c22 * c33 - c23 * c23) -
+      c12 * (c12 * c33 - c23 * c13) + c13 * (c12 * c23 - c22 * c13)
+    val det1 = cy1 * (c22 * c33 - c23 * c23) -
+      c12 * (cy2 * c33 - c23 * cy3) + c13 * (cy2 * c23 - c22 * cy3)
+    val det2 = c11 * (cy2 * c33 - c23 * cy3) -
+      cy1 * (c12 * c33 - c23 * c13) + c13 * (c12 * cy3 - cy2 * c13)
+    val det3 = c11 * (c22 * cy3 - c23 * cy2) -
+      c12 * (c12 * cy3 - cy2 * c13) + cy1 * (c12 * c23 - c22 * c13)
+    val b1 = det1 / det
+    val b2 = det2 / det
+    val b3 = det3 / det
+    val icept = (dbl(col("s_y")) - b1 * dbl(col("s_x1")) -
+      b2 * dbl(col("s_x2")) - b3 * dbl(col("s_x3"))) / n
+    val r2 = (b1 * cy1 + b2 * cy2 + b3 * cy3) / cyy
+    val ok = det =!= 0.0 && cyy > 0.0 && col("n") >= 5L
+    mom.select(col("n"),
+      when(ok, round(b1, 6) + lit(0.0)).as("beta1"),
+      when(ok, round(b2, 6) + lit(0.0)).as("beta2"),
+      when(ok, round(b3, 6) + lit(0.0)).as("beta3"),
+      when(ok, round(icept, 6) + lit(0.0)).as("intercept"),
+      when(ok, round(r2, 6) + lit(0.0)).as("r2"))
+  }
+
+  /** 2-FEATURE MAHALANOBIS OUTLIERS — covariance-aware distance from
+    * the centroid, so a point far along the cloud's thin axis outranks
+    * one equally far along its fat axis (the multivariate upgrade of
+    * q84-style per-column z-scores, which miss exactly the correlated
+    * outliers). Σ and its closed-form 2×2 inverse from one exact moment
+    * pass (pinned at 1e-9); md² per row is a fixed double expression;
+    * top `topK` by md² with id tie-break. A singular Σ (collinear
+    * features) refuses loudly — distances would be meaningless.
+    */
+  def mahalanobis2(
+      df: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      topK: Int = 20): DataFrame = {
+    val f = df.select(col(idCol).as("id"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .localCheckpoint(true) // moment pass + scoring pass share it
+    val momRow = f.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("y") * col("y")).cast(d38)).as("syy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"))
+    val st = momRow.select(col("n"),
+      round(dbl(col("sx")) / dbl(col("n")), 9).as("mx"),
+      round(dbl(col("sy")) / dbl(col("n")), 9).as("my"),
+      round(dbl(col("sxx")) / dbl(col("n")) -
+        (dbl(col("sx")) / dbl(col("n"))) * (dbl(col("sx")) / dbl(col("n"))),
+        9).as("cxx"),
+      round(dbl(col("syy")) / dbl(col("n")) -
+        (dbl(col("sy")) / dbl(col("n"))) * (dbl(col("sy")) / dbl(col("n"))),
+        9).as("cyy"),
+      round(dbl(col("sxy")) / dbl(col("n")) -
+        (dbl(col("sx")) / dbl(col("n"))) * (dbl(col("sy")) / dbl(col("n"))),
+        9).as("cxy")).head()
+    val (mx, my) = (st.getDouble(1), st.getDouble(2))
+    val (cxx, cyy, cxy) = (st.getDouble(3), st.getDouble(4), st.getDouble(5))
+    val detS = cxx * cyy - cxy * cxy
+    require(detS != 0.0,
+      "mahalanobis2 needs a non-singular covariance (collinear features?)")
+    val dx = dbl(col("x")) - lit(mx)
+    val dy = dbl(col("y")) - lit(my)
+    // md² = (cyy·dx² − 2·cxy·dx·dy + cxx·dy²) / det
+    val md2 = (lit(cyy) * dx * dx - lit(2.0) * lit(cxy) * dx * dy +
+      lit(cxx) * dy * dy) / lit(detS)
+    f.select(col("id"), col("x"), col("y"),
+        (round(md2, 6) + lit(0.0)).as("md2"))
+      .orderBy(col("md2").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** DECISION STUMP — the best single threshold split of a binary label
+    * on one integer feature, by exact Gini impurity reduction over the
+    * value census: prefix counts give every candidate split's left/right
+    * class balance in ONE window pass (O(domain), never O(rows·splits)),
+    * impurities are pinned doubles, the winner takes the LOWEST
+    * splitting value on gain ties. The interpretable one-rule baseline
+    * (and feature screen) beside the shelf's calibrated models — if the
+    * stump's gain is near zero, a deeper tree is fitting noise.
+    * Output: one row — split (left = values ≤ split), counts, left/right
+    * positive rates, root and split Gini, the gain.
+    */
+  def decisionStump(
+      df: DataFrame,
+      featureCol: String,
+      labelCol: Column): DataFrame = {
+    val cen = df.select(col(featureCol).cast("long").as("v"),
+        labelCol.cast("long").as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cen.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+    val pre = cen.select(col("v"), sum(col("n")).over(wOrd).as("nl"),
+        sum(col("pos")).over(wOrd).as("pl"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") < col("nt")) // a split must leave a right side
+    val nl = dbl(col("nl")); val pl = dbl(col("pl"))
+    val nr = dbl(col("nt") - col("nl")); val pr = dbl(col("pt") - col("pl"))
+    val nt = dbl(col("nt")); val pt = dbl(col("pt"))
+    def gini(p: Column, q: Column): Column =
+      lit(1.0) - p * p - q * q
+    val gl = gini(pl / nl, (nl - pl) / nl)
+    val gr = gini(pr / nr, (nr - pr) / nr)
+    val g0 = gini(pt / nt, (nt - pt) / nt)
+    val gain = round(g0 - (nl / nt) * gl - (nr / nt) * gr, 9)
+    val best = pre
+      .select(struct(gain.as("g"), (-col("v")).as("negv"), col("v"),
+        col("nl"), col("pl"), col("nt"), col("pt")).as("s"))
+      .agg(max(col("s")).as("s")) // max gain, then LOWEST v (via −v)
+      .select(col("s.*"))
+    best.select(col("v").as("split"), col("nt").as("n"),
+      col("nl").as("n_left"), (col("nt") - col("nl")).as("n_right"),
+      (round(dbl(col("pl")) / dbl(col("nl")), 6) + lit(0.0))
+        .as("pos_rate_left"),
+      (round(dbl(col("pt") - col("pl")) / dbl(col("nt") - col("nl")), 6) +
+        lit(0.0)).as("pos_rate_right"),
+      (round(lit(1.0) - (dbl(col("pt")) / dbl(col("nt"))) *
+        (dbl(col("pt")) / dbl(col("nt"))) -
+        ((dbl(col("nt")) - dbl(col("pt"))) / dbl(col("nt"))) *
+        ((dbl(col("nt")) - dbl(col("pt"))) / dbl(col("nt"))), 6) + lit(0.0))
+        .as("gini_root"),
+      (col("g") + lit(0.0)).as("gain"))
+  }
+
+  /** FISHER LDA (2 features, 2 classes) — the closed-form separating
+    * direction w = Σ_w⁻¹(μ₁ − μ₀) from per-class exact moments: pooled
+    * WITHIN-class covariance (the piece q660's class-blind PCA cannot
+    * see — PCA's top axis may be exactly the direction that mixes the
+    * classes), 2×2 inverse in closed form, Fisher criterion
+    * (between-class gap over within-class spread along w) as the
+    * separation meter. Direction normalized, sign pinned so class 1's
+    * projection mean is the larger. Degenerate designs (a class with
+    * < 2 rows, singular pooled Σ) read NULL.
+    */
+  def lda2(
+      df: DataFrame,
+      classCol: Column,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val f = df.select(classCol.cast("long").as("g"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val mom = f.groupBy(col("g")).agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("y") * col("y")).cast(d38)).as("syy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"))
+    val n = dbl(col("n"))
+    // per-class CENTERED scatter (not divided — pooled below), pinned
+    val staged = mom.select(col("g"), col("n"),
+      round(dbl(col("sx")) / n, 9).as("mx"),
+      round(dbl(col("sy")) / n, 9).as("my"),
+      round(dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / n, 9)
+        .as("wxx"),
+      round(dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / n, 9)
+        .as("wyy"),
+      round(dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) / n, 9)
+        .as("wxy"))
+    val a = staged.filter(col("g") === 1L).select(col("n").as("n1"),
+      col("mx").as("mx1"), col("my").as("my1"), col("wxx").as("wxx1"),
+      col("wyy").as("wyy1"), col("wxy").as("wxy1"))
+    val b = staged.filter(col("g") === 0L).select(col("n").as("n0"),
+      col("mx").as("mx0"), col("my").as("my0"), col("wxx").as("wxx0"),
+      col("wyy").as("wyy0"), col("wxy").as("wxy0"))
+    val j = a.crossJoin(b)
+    val dfree = dbl(col("n1")) + dbl(col("n0")) - lit(2.0)
+    val pxx = (col("wxx1") + col("wxx0")) / dfree
+    val pyy = (col("wyy1") + col("wyy0")) / dfree
+    val pxy = (col("wxy1") + col("wxy0")) / dfree
+    val detP = pxx * pyy - pxy * pxy
+    val dmx = col("mx1") - col("mx0")
+    val dmy = col("my1") - col("my0")
+    // w = Σ⁻¹ Δμ (un-normalized), then unit-scaled
+    val wx0 = (pyy * dmx - pxy * dmy) / detP
+    val wy0 = (pxx * dmy - pxy * dmx) / detP
+    val nrm = sqrt(wx0 * wx0 + wy0 * wy0)
+    // sign already points from class 0 toward class 1 by construction
+    // (w·Δμ = Δμᵀ Σ⁻¹ Δμ ≥ 0); fisher = (w·Δμ)² / (wᵀ Σ_w w) = w·Δμ
+    val fisher = wx0 * dmx + wy0 * dmy
+    val ok = col("n1") >= 2L && col("n0") >= 2L && detP =!= 0.0 &&
+      dfree > 0.0 && nrm > 0.0
+    j.select(col("n1"), col("n0"),
+      when(ok, round(wx0 / nrm, 6) + lit(0.0)).as("w_x"),
+      when(ok, round(wy0 / nrm, 6) + lit(0.0)).as("w_y"),
+      when(ok, round(dmx, 6) + lit(0.0)).as("gap_x"),
+      when(ok, round(dmy, 6) + lit(0.0)).as("gap_y"),
+      when(ok, round(fisher, 6) + lit(0.0)).as("fisher_separation"))
+  }
+}

@@ -1841,6 +1841,55 @@ object StreamVerify {
     graft.operators.Trend.olsPerKey(census, "event_type", "hour_id", "n")
   }
 
+  /** STREAMING AR-MODEL maintenance — q657's Yule–Walker AR(2) fit as an
+    * ingestion side effect: each micro-batch commits its (key, hour,
+    * count) census partial exactly-once; hourly counts ADD, the drained
+    * census rebuilds the SAME dense zero-filled spine the batch path
+    * uses (global hour bounds come from the census itself — observed
+    * rows bound the range identically), and
+    * [[graft.operators.Trend.yuleWalkerAr2]] reads bit-identical to
+    * batch q657 (oracle shared verbatim). State is O(keys × observed
+    * hours), mergeable under count addition.
+    */
+  def yuleWalkerMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame = {
+    graft.sources.LocalFs.deleteRecursively(scratchDir)
+    val lake = s"$scratchDir/yw"
+    val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
+      .select(col("event_type"),
+        expr("CAST(ts AS LONG) div 3600").as("hour_id"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.TxLake.commit(spark, lake,
+          batch.groupBy(col("event_type"), col("hour_id"))
+            .agg(count(lit(1)).as("n"))
+            .coalesce(1),
+          tag = s"yw-$id")
+        ()
+      }
+      .option("checkpointLocation", s"$scratchDir/chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    settle(spark)
+    val census = graft.sources.TxLake.readSnapshot(spark, lake)
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(sum(col("n")).as("n"))
+      .localCheckpoint(true) // bounds + types + the spine join read it
+    val hours = census.agg(min(col("hour_id")).as("lo"),
+        max(col("hour_id")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour_id"))
+    val types = census.select(col("event_type")).distinct()
+    val dense = types.crossJoin(hours)
+      .join(census, Seq("event_type", "hour_id"), "left")
+      .select(col("event_type"), col("hour_id"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    graft.operators.Trend.yuleWalkerAr2(
+      dense, "event_type", "hour_id", "n")
+  }
+
   /** STREAMING STRATIFIED-ATT maintenance — q551's causal readout as an
     * ingestion side effect: per-batch per-stratum conditional moment
     * partials land exactly-once (arm assignment is a pure hash of the

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Learn
+import graft.streaming.{EventsStream, StreamVerify}
+
+class LearnSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("kMeans1D: two well-separated value bands land their slice-median " +
+    "init and exact centroids/WSS") {
+    val df = Seq(1L, 2L, 3L, 100L, 101L, 102L).toDF("v")
+    val got = Learn.kMeans1D(df, "v", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 2)
+    assert(got(0L).getLong(1) == 3L && got(0L).getDouble(2) == 2.0)
+    assert(got(1L).getLong(1) == 3L && got(1L).getDouble(2) == 101.0)
+    assert(got(0L).getDouble(3) == 2.0, "WSS = 1 + 0 + 1 per band")
+    assert(got(1L).getDouble(3) == 2.0)
+  }
+
+  test("pca2: an exact y = 2x cloud reads explained_share 1 and the " +
+    "(1,2)/sqrt(5) axis") {
+    val df = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val r = Learn.pca2(df, "x", "y").head()
+    assert(r.getDouble(1) == 1.25 && r.getDouble(2) == 5.0 &&
+      r.getDouble(3) == 2.5, s"population moments: $r")
+    assert(r.getDouble(6) == 1.0, s"a 1-D cloud explains fully: $r")
+    assert(math.abs(r.getDouble(7) - 0.447214) < 1e-6 &&
+      math.abs(r.getDouble(8) - 0.894427) < 1e-6, s"axis: $r")
+  }
+
+  test("ols3: a planted y = 2 + 3x1 - x2 + 4x3 recovers every " +
+    "coefficient with r2 = 1; a collinear design reads NULL") {
+    val xs = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 0L), (1L, 0L, 1L), (2L, 1L, 1L), (3L, 1L, 0L))
+    val df = xs.map { case (a, b, c) => (2L + 3 * a - b + 4 * c, a, b, c) }
+      .toDF("y", "x1", "x2", "x3")
+    val r = Learn.ols3(df, "y", "x1", "x2", "x3").head()
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == -1.0 &&
+      r.getDouble(3) == 4.0, s"betas: $r")
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 1.0, s"fit: $r")
+    val col3 = xs.map { case (a, b, c) => (2L + 3 * a - b + 4 * a, a, b, a) }
+      .toDF("y", "x1", "x2", "x3")
+    val d = Learn.ols3(col3, "y", "x1", "x2", "x3").head()
+    assert(d.isNullAt(1) && d.isNullAt(5), s"singular design NULLs: $d")
+  }
+
+  test("mahalanobis2: the against-the-correlation outlier outranks an " +
+    "equally-far along-the-cloud point; collinear features refuse") {
+    // tight y = x cloud; A displaced ALONG it, B the same Euclidean
+    // distance ACROSS it
+    val cloud = (0L to 9L).map(i => (i, i, i + (i % 2)))
+    val df = (cloud :+ (100L, 14L, 14L) :+ (101L, 14L, 5L))
+      .toDF("id", "x", "y")
+    val got = Learn.mahalanobis2(df, "id", "x", "y", topK = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(101L) > got(100L),
+      s"covariance-aware distance must flag the cross-cloud point: $got")
+    val collinear = (0L to 9L).map(i => (i, i, 2 * i)).toDF("id", "x", "y")
+    assertThrows[IllegalArgumentException] {
+      Learn.mahalanobis2(collinear, "id", "x", "y")
+    }
+  }
+
+  test("decisionStump: a perfectly separable label splits at the band " +
+    "edge with gain = root Gini") {
+    val df = (Seq(1L, 2L, 3L, 4L).map((_, false)) ++
+      Seq(10L, 11L, 12L, 13L).map((_, true))).toDF("v", "lab")
+    val r = Learn.decisionStump(df, "v", col("lab")).head()
+    assert(r.getLong(0) == 4L, s"split at the last left value: $r")
+    assert(r.getLong(2) == 4L && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) == 0.5 && r.getDouble(7) == 0.5,
+      s"a 50/50 label has root Gini 0.5, fully recovered: $r")
+  }
+
+  test("lda2: classes displaced along x read an x-dominant unit " +
+    "direction and the planted gap") {
+    // within-class xy-covariance is exactly zero by construction, so
+    // the pooled whitening leaves the x displacement untouched
+    val c0 = Seq((0L, 0L), (1L, 1L), (2L, 1L), (3L, 0L)).map {
+      case (x, y) => (0L, x, y)
+    }
+    val c1 = Seq((10L, 0L), (11L, 1L), (12L, 1L), (13L, 0L)).map {
+      case (x, y) => (1L, x, y)
+    }
+    val r = Learn.lda2((c0 ++ c1).toDF("g", "x", "y"),
+      col("g") === 1L, "x", "y").head()
+    assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 0.0,
+      s"planted mean gap: $r")
+    assert(math.abs(r.getDouble(2)) > 0.9, s"x carries the split: $r")
+    assert(r.getDouble(6) > 5.0, s"Fisher separation: $r")
+  }
+
+  test("yule-walker stream store: hourly censuses add; drain equals " +
+    "batch on the dense spine") {
+    import org.apache.spark.sql.{Row => R}
+    val dir = Files.createTempDirectory("graft_yw_src")
+    def writeFile(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val side = Files.createTempDirectory("graft_yw_side").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (id, sec, et) =>
+            R(id, EventsStream.ntzOfEpochSec(sec), 1L, et, 0.0, null) }, 1),
+        EventsStream.rawEventsSchema)
+        .write.mode("overwrite").parquet(side)
+      val part = new java.io.File(side).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, dir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    // 8 hours of a period-2 volume cycle for one type, split so hour
+    // censuses STRADDLE the two files (partial counts must add)
+    val evs = (0 until 40).map { i =>
+      (i.toLong, i.toLong / 5 * 3600L + (i % 5) * 60L, "click")
+    }
+    writeFile("a.parquet", evs.filter(_._1 % 2 == 0L))
+    writeFile("b.parquet", evs.filter(_._1 % 2 == 1L))
+    val scratch = Files.createTempDirectory("graft_yw_store").toString + "/s"
+    val drained = StreamVerify.yuleWalkerMaintenance(
+      spark, dir.toString, scratch).collect().toSeq
+    val batch = {
+      val h = evs.map { case (_, sec, et) => (et, sec / 3600L) }
+        .toDF("event_type", "hour_id")
+      val cen = h.groupBy(col("event_type"), col("hour_id"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Trend.yuleWalkerAr2(
+        cen, "event_type", "hour_id", "n").collect().toSeq
+    }
+    assert(drained.map(_.toSeq) == batch.map(_.toSeq),
+      s"drain $drained vs batch $batch")
+  }
+}
