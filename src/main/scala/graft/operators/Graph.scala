@@ -790,11 +790,20 @@ object Graph {
     var hub = e.select(col("h")).distinct()
       .select(col("h"), lit(1L).cast(d38).as("hs"))
       .localCheckpoint(true)
+    // localCheckpoint resets the score tables' size statistics, so the
+    // per-round edge⋈score joins would silently lose auto-broadcast and
+    // re-shuffle the whole edge list 2×rounds times. The score tables
+    // are node-sized — broadcast them explicitly while they fit; above
+    // the guard the shuffle join is the right plan anyway (the
+    // pageRank posture). Guarded by the edge count, which bounds both
+    // node sets.
+    val bcastScores = e.count() <= 1000000L
+    def maybeB(d: DataFrame): DataFrame = if (bcastScores) broadcast(d) else d
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
-      auth = e.join(hub, Seq("h")).groupBy(col("a"))
+      auth = e.join(maybeB(hub), Seq("h")).groupBy(col("a"))
         .agg(sum(col("hs")).as("asc")).localCheckpoint(true)
-      hub = e.join(auth, Seq("a")).groupBy(col("h"))
+      hub = e.join(maybeB(auth), Seq("a")).groupBy(col("h"))
         .agg(sum(col("asc")).as("hs")).localCheckpoint(true)
     }
     (hub, auth)

@@ -44,6 +44,12 @@ object HiddenPartitioning {
             floor(col(tsSecCol) / lit(86400L)).cast("int")),
           "yyyy-MM-dd"))
       .withColumn("__bucket", pmod(col(keyCol), lit(nBuckets.toLong)))
+      // co-locate each (day, bucket) into one task before the
+      // partitioned write: otherwise EVERY write task opens a file in
+      // EVERY directory it sees rows for — tasks × partitions small
+      // files instead of one per partition (the small-file explosion
+      // that kills a 100 TB lake's downstream scans)
+      .repartition(col("__day"), col("__bucket"))
       .write.mode("overwrite")
       .partitionBy("__day", "__bucket")
       .parquet(root)

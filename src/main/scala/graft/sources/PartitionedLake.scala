@@ -16,7 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PartitionedLake {
 
-  /** Full (re)materialization of a table, partitioned by `partCols`. */
+  /** Full (re)materialization of a table, partitioned by `partCols`.
+    *
+    * File-count contract: the caller owns the task layout. A frame
+    * whose tasks each hold rows of many partitions writes tasks ×
+    * partitions files — pre-cluster with `repartition(partCols)` when
+    * partitions are small and numerous (the [[HiddenPartitioning]]
+    * grid does), keep multiple tasks per partition when partitions are
+    * large, and use [[compact]] / [[overBudgetPartitions]] to repair
+    * fragmentation after the fact. */
   def writeAll(df: DataFrame, path: String, partCols: Seq[String]): Unit =
     df.write
       .mode("overwrite")
