@@ -35,13 +35,16 @@ object Learn {
     * Output: one row per cluster — n, centroid, within-cluster sum of
     * squares (grid-pinned) — plus the assignment boundaries implied.
     */
-  def kMeans1D(
+  /** Shared Lloyd core: the value census (checkpointed), the final
+    * centroids after `iters` driver-paced rounds, and the assignment
+    * builder. Used by [[kMeans1D]] and the clustering-quality meters
+    * ([[silhouette1D]]). */
+  private[operators] def lloydCore(
       df: DataFrame,
       valueCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): (DataFrame, Seq[Double]) = {
     require(k >= 2 && k <= 16 && iters >= 1 && iters <= 16)
-    val spark = df.sparkSession
     val cen = df.select(col(valueCol).cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // every Lloyd round re-reads it
@@ -58,22 +61,8 @@ object Learn {
       cum.filter(col("cum") >= r).orderBy(col("v"))
         .limit(1).head().getLong(0).toDouble
     }
-    // assignment for the CURRENT centroid literals: nearest, ties to
-    // the smallest cluster index (the when-chain encodes the tie-break)
-    def assigned: DataFrame = {
-      val dists = cents.zipWithIndex.map { case (c, j) =>
-        abs(dbl(col("v")) - lit(c)).as(s"__d$j")
-      }
-      val withD = cen.select(col("v") +: col("n") +: dists: _*)
-      val dmin = least(cents.indices.map(j => col(s"__d$j")): _*)
-      val cl = cents.indices.tail.foldLeft(
-        when(col("__d0") === dmin, 0)) { (acc, j) =>
-        acc.when(col(s"__d$j") === dmin, j)
-      }
-      withD.select(col("v"), col("n"), cl.as("cluster"))
-    }
     for (_ <- 1 to iters) {
-      val got = assigned.groupBy(col("cluster"))
+      val got = assign(cen, cents).groupBy(col("cluster"))
         .agg(sum(col("n").cast(d38)).as("sn"),
           sum((col("v") * col("n")).cast(d38)).as("sv"))
         .select(col("cluster"),
@@ -81,6 +70,33 @@ object Learn {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       cents = cents.indices.map(j => got.getOrElse(j, cents(j)))
     }
+    (cen, cents)
+  }
+
+  /** Assignment for the given centroid literals: nearest, ties to the
+    * smallest cluster index (the when-chain encodes the tie-break). */
+  private[operators] def assign(
+      cen: DataFrame, cents: Seq[Double]): DataFrame = {
+    val dists = cents.zipWithIndex.map { case (c, j) =>
+      abs(dbl(col("v")) - lit(c)).as(s"__d$j")
+    }
+    val withD = cen.select(col("v") +: col("n") +: dists: _*)
+    val dmin = least(cents.indices.map(j => col(s"__d$j")): _*)
+    val cl = cents.indices.tail.foldLeft(
+      when(col("__d0") === dmin, 0)) { (acc, j) =>
+      acc.when(col(s"__d$j") === dmin, j)
+    }
+    withD.select(col("v"), col("n"), cl.as("cluster"))
+  }
+
+  def kMeans1D(
+      df: DataFrame,
+      valueCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val (cen, cents) = lloydCore(df, valueCol, k, iters)
+    def assigned: DataFrame = assign(cen, cents)
     // WSS on an EXACT integer path: the centroid (pinned at 1e-9) is
     // rescaled to whole 1e-9 units, deviations are exact longs, squares
     // exact decimals, ONE final division by 1e18. Rounding the ~1e12
@@ -111,6 +127,227 @@ object Learn {
         (round(col("centroid"), 6) + lit(0.0)).as("centroid"),
         (dbl(col("wss")) / lit(1e18) + lit(0.0)).as("wss"))
       .orderBy(col("cluster"))
+  }
+
+  /** 1-D SILHOUETTE per cluster — the measured-not-assumed quality
+    * meter for [[kMeans1D]]'s bands: s = (b − a)/max(a, b) with a the
+    * mean distance to the OWN cluster's other members and b the best
+    * other cluster's mean distance. All pairwise distance sums come
+    * from per-cluster PREFIX SUMS over the value-ordered census
+    * (v·cntBelow − sumBelow + sumAbove − v·cntAbove — the q393
+    * energy-distance machinery per cluster), so the cost is k windows
+    * over the DOMAIN-sized census — zero pairs materialized. Exact
+    * integer distance sums, one pinned division per side, s on the
+    * 1e-9 grid, per-cluster weighted mean at 1e-6. Singleton clusters
+    * read s = 0 (stated convention, as does a point with no other
+    * non-empty cluster).
+    */
+  def silhouette1D(
+      df: DataFrame,
+      valueCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val (cen, cents) = lloydCore(df, valueCol, k, iters)
+    val asg = assign(cen, cents).localCheckpoint(true)
+    val tots = asg.groupBy(col("cluster"))
+      .agg(sum(col("n")).as("ct"),
+        sum((col("v") * col("n")).cast(d38)).as("st"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))).toMap
+    def ctOf(j: Int): Long = tots.get(j).map(_._1).getOrElse(0L)
+    def stOf(j: Int): String = tots.get(j).map(_._2).getOrElse(BigInt(0))
+      .toString
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPre = cents.indices.foldLeft(asg) { (acc, j) =>
+      acc
+        .withColumn(s"__cb$j",
+          sum(when(col("cluster") === j, col("n")).otherwise(0L)
+            .cast(d38)).over(wOrd))
+        .withColumn(s"__sb$j",
+          sum(when(col("cluster") === j, col("v") * col("n"))
+            .otherwise(0L).cast(d38)).over(wOrd))
+    }
+    def distJ(j: Int): Column =
+      col("v").cast(d38) * col(s"__cb$j") - col(s"__sb$j") +
+        (lit(stOf(j)).cast(d38) - col(s"__sb$j")) -
+        col("v").cast(d38) * (lit(ctOf(j)).cast(d38) - col(s"__cb$j"))
+    val scored = withPre
+      .withColumn("__a", cents.indices.tail.foldLeft(
+        when(col("cluster") === 0,
+          if (ctOf(0) > 1L)
+            round(dbl(distJ(0)) / lit((ctOf(0) - 1L).toDouble), 9)
+          else lit(null).cast("double"))) { (acc, j) =>
+        acc.when(col("cluster") === j,
+          if (ctOf(j) > 1L)
+            round(dbl(distJ(j)) / lit((ctOf(j) - 1L).toDouble), 9)
+          else lit(null).cast("double"))
+      })
+      .withColumn("__b", least(cents.indices.map { j =>
+        if (ctOf(j) > 0L)
+          when(col("cluster") =!= j,
+            round(dbl(distJ(j)) / lit(ctOf(j).toDouble), 9))
+        else lit(null).cast("double")
+      }: _*))
+      .withColumn("__s",
+        when(col("__a").isNull || col("__b").isNull, lit(0.0))
+          .when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+          .otherwise(round((col("__b") - col("__a")) /
+            greatest(col("__a"), col("__b")), 9)))
+    scored.groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("__s").cast(DecimalType(10, 9)) *
+          col("n").cast(DecimalType(19, 0))).as("ssum"))
+      .select(col("cluster").cast("long").as("cluster"), col("n"),
+        (round(dbl(col("ssum")) / dbl(col("n")), 6) + lit(0.0))
+          .as("mean_silhouette"))
+      .orderBy(col("cluster"))
+  }
+
+  /** K-MEANS ELBOW SWEEP — the "how many bands does this data actually
+    * have" meter run BEFORE committing to a k: [[kMeans1D]]'s Lloyd
+    * core at every k in `ks` (driver-paced; the census is re-read, rows
+    * never re-scan), total WSS per k on the same exact integer path,
+    * and the knee flagged at the maximum SECOND DIFFERENCE of the WSS
+    * curve (the discrete curvature argmax, smallest-k tie-break;
+    * endpoints carry no curvature). Complements q507's generic
+    * curve-knee: this sweep OWNS the clustering loop, so the curve is
+    * guaranteed consistent with q659's estimator.
+    */
+  def kMeansElbow(
+      df: DataFrame,
+      valueCol: String,
+      ks: Seq[Int],
+      iters: Int): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
+      "ks must be distinct ascending")
+    val spark = df.sparkSession
+    val wss: Seq[(Int, Double)] = ks.map { k =>
+      val (cen, cents) = lloydCore(df, valueCol, k, iters)
+      val asg = assign(cen, cents)
+        .withColumn("c", cents.indices.tail.foldLeft(
+          when(col("cluster") === 0, lit(cents(0)))) { (acc, j) =>
+          acc.when(col("cluster") === j, lit(cents(j)))
+        })
+        .withColumn("d9",
+          col("v") * lit(1000000000L) -
+            round(col("c") * lit(1e9), 0).cast("long"))
+      val w = asg.agg(
+        sum(col("d9").cast(DecimalType(31, 0)) *
+          col("d9").cast(DecimalType(31, 0)) *
+          col("n").cast(DecimalType(7, 0))).as("w"))
+        .select(dbl(col("w")) / lit(1e18)).head().getDouble(0)
+      k -> w
+    }
+    val byK = wss.toMap
+    // discrete curvature: only where both neighbors exist in the sweep
+    val curv: Seq[(Int, Option[Double])] = ks.map { k =>
+      k -> (for { p <- byK.get(k - 1); nx <- byK.get(k + 1) }
+        yield (p + nx) - 2.0 * byK(k))
+    }
+    val defined = curv.collect { case (k, Some(c)) => (k, c) }
+    val knee: Option[Int] =
+      if (defined.isEmpty) None
+      else {
+        val mx = defined.map(_._2).max
+        Some(defined.filter(_._2 == mx).map(_._1).min)
+      }
+    import spark.implicits._
+    ks.map { k =>
+      (k.toLong, byK(k) + 0.0,
+        curv.toMap.apply(k).map(_ + 0.0),
+        knee.contains(k))
+    }.toDF("k", "total_wss", "curvature", "is_knee")
+  }
+
+  /** DAVIES–BOULDIN INDEX from a [[kMeans1D]] result — the one-number
+    * "are the bands separated relative to their spread" verdict:
+    * DB = (1/k)·Σᵢ maxⱼ≠ᵢ (Sᵢ + Sⱼ)/|cᵢ − cⱼ| with Sᵢ = √(WSSᵢ/nᵢ)
+    * (the rms spread the kmeans output already carries exactly). Lower
+    * is better; coincident centroids read NULL rather than dividing by
+    * zero. Pure closed-form over the k-row result — O(k²) driver-free
+    * arithmetic, pinned at 1e-9, report at 1e-6.
+    */
+  def daviesBouldin(kmeansOut: DataFrame): DataFrame = {
+    val a = kmeansOut.select(col("cluster").as("i"), col("n").as("ni"),
+      col("centroid").as("ci"), col("wss").as("wi"))
+    val b = kmeansOut.select(col("cluster").as("j"), col("n").as("nj"),
+      col("centroid").as("cj"), col("wss").as("wj"))
+    val si = round(sqrt(col("wi") / dbl(col("ni"))), 9)
+    val sj = round(sqrt(col("wj") / dbl(col("nj"))), 9)
+    val ratio = when(abs(col("ci") - col("cj")) > 0.0,
+      round((si + sj) / abs(col("ci") - col("cj")), 9))
+    a.crossJoin(b).filter(col("i") =!= col("j"))
+      .groupBy(col("i"))
+      .agg(max(ratio).as("r"))
+      .agg(count(lit(1)).as("k"),
+        (round(dbl(sum(col("r").cast(DecimalType(28, 9)))) /
+          dbl(count(lit(1))), 6) + lit(0.0))
+          .as("db_index"))
+  }
+
+  /** HUBER ROBUST LOCATION — the outlier-resistant center the mean
+    * can't give and the median overshoots (the median throws away all
+    * magnitude information; Huber down-weights only past the cutoff):
+    * 4 IRLS rounds over the value census with ψ-weights w = min(1,
+    * c/|v − μ|), c = 1.345·1.4826·MAD (the 95%-efficiency convention).
+    * Median and MAD are exact discrete census ranks (lower-median
+    * convention), weights pinned at 1e-12, weighted sums on the 1e-9
+    * decimal grid, μ re-pinned per round — the plattScaling unrolled
+    * shape, oracle-replayable step for step. A zero MAD (over half the
+    * mass on one value) reports the median outright (stated).
+    */
+  def huberLocation(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cen = df.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cen.agg(sum(col("n")).as("nt"),
+      sum((col("v") * col("n")).cast(d38)).as("sv")).head()
+    val nt = tot.getLong(0)
+    val medRank = (nt + 1L) / 2L
+    val med = cen.withColumn("cum", sum(col("n")).over(wOrd))
+      .filter(col("cum") >= medRank).orderBy(col("v"))
+      .limit(1).head().getLong(0)
+    val madCen = cen.select(abs(col("v") - lit(med)).as("v"), col("n"))
+      .groupBy(col("v")).agg(sum(col("n")).as("n"))
+    val mad = madCen.withColumn("cum", sum(col("n")).over(wOrd))
+      .filter(col("cum") >= medRank).orderBy(col("v"))
+      .limit(1).head().getLong(0)
+    val mean = BigDecimal(tot.getDecimal(1)).toDouble / nt.toDouble
+    import spark.implicits._
+    if (mad == 0L) {
+      return Seq(1).toDF("__one").select(lit(nt).as("n"),
+        lit(med).as("median"), lit(mad).as("mad"),
+        lit(null).cast("double").as("c"),
+        (lit(med).cast("double") + lit(0.0)).as("huber_mu"),
+        (round(lit(mean), 6) + lit(0.0)).as("mean"))
+    }
+    var mu: Double = med.toDouble
+    // c = 1.345 sigma-units of the MAD-consistent scale
+    val cCut = BigDecimal(1.345 * (1.4826 * mad.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to 4) {
+      // the weight is the ONLY pinned double (12 decimals, |w| ≤ 1);
+      // everything it multiplies stays an exact integer decimal — a
+      // round() on the ~1e9-magnitude products would diverge across
+      // engines past 2^53 (the kMeans1D WSS lesson)
+      val w = when(abs(dbl(col("v")) - lit(mu)) <= lit(cCut), lit(1.0))
+        .otherwise(round(lit(cCut) / abs(dbl(col("v")) - lit(mu)), 12))
+        .cast(DecimalType(13, 12))
+      val got = cen.agg(
+        sum(w * (col("v") * col("n")).cast(DecimalType(20, 0))).as("swv"),
+        sum(w * col("n").cast(DecimalType(19, 0))).as("sw"))
+        .select(round(dbl(col("swv")) / dbl(col("sw")), 9)).head()
+      mu = got.getDouble(0)
+    }
+    Seq(1).toDF("__one").select(lit(nt).as("n"),
+      lit(med).as("median"), lit(mad).as("mad"),
+      (lit(cCut) + lit(0.0)).as("c"),
+      (round(lit(mu), 6) + lit(0.0)).as("huber_mu"),
+      (round(lit(mean), 6) + lit(0.0)).as("mean"))
   }
 
   /** 2-FEATURE PCA — the principal direction and the variance split of

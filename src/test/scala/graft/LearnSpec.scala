@@ -96,6 +96,64 @@ class LearnSpec extends SparkSuite {
     assert(r.getDouble(6) > 5.0, s"Fisher separation: $r")
   }
 
+  test("silhouette1D: tight separated bands read near-1 silhouettes, " +
+    "one merged band reads visibly worse") {
+    val tight = (Seq(1L, 2L, 3L) ++ Seq(200L, 201L, 202L) ++
+      Seq(400L, 401L, 402L) ++ Seq(600L, 601L, 602L)).toDF("v")
+    val got = Learn.silhouette1D(tight, "v", k = 4, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 4)
+    assert(got.values.forall(_ > 0.95), s"tight bands: $got")
+    // two true bands forced into k=4: split clusters sit next to their
+    // twin, so their silhouettes collapse
+    val merged = (Seq(1L, 2L, 3L, 4L, 5L, 6L) ++
+      Seq(600L, 601L, 602L, 603L, 604L, 605L)).toDF("v")
+    val m = Learn.silhouette1D(merged, "v", k = 4, iters = 3)
+      .collect().map(_.getDouble(2))
+    assert(m.exists(_ < 0.6), s"over-split bands must read poorly: ${m.toSeq}")
+  }
+
+  test("daviesBouldin: separated bands score far lower (better) than " +
+    "overlapping ones") {
+    val sep = Learn.daviesBouldin(Learn.kMeans1D(
+      (Seq(1L, 2L, 3L) ++ Seq(200L, 201L, 202L) ++ Seq(400L, 401L, 402L) ++
+        Seq(600L, 601L, 602L)).toDF("v"), "v", k = 4, iters = 3)).head()
+    assert(sep.getLong(0) == 4L)
+    assert(sep.getDouble(1) < 0.05, s"tight bands: $sep")
+    val blur = Learn.daviesBouldin(Learn.kMeans1D(
+      (1L to 40L).toDF("v"), "v", k = 4, iters = 3)).head()
+    assert(blur.getDouble(1) > 0.5, s"a uniform smear scores poorly: $blur")
+  }
+
+  test("kMeansElbow: three true bands put the curvature knee at k = 3 " +
+    "with WSS collapsing there") {
+    val df = (Seq(1L, 2L, 3L, 4L) ++ Seq(300L, 301L, 302L, 303L) ++
+      Seq(600L, 601L, 602L, 603L)).toDF("v")
+    val got = Learn.kMeansElbow(df, "v", ks = 2 to 5, iters = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), if (r.isNullAt(3)) None else Some(r.getBoolean(3))))
+      .toMap
+    assert(got.size == 4)
+    assert(got(3L)._1 < got(2L)._1 / 10.0,
+      s"WSS must collapse at the true k: $got")
+    assert(got(3L)._2 == Some(true) &&
+      got(4L)._2 == Some(false), s"knee at 3: $got")
+  }
+
+  test("huberLocation: one wild outlier barely moves the Huber center " +
+    "but drags the mean; zero MAD reports the median") {
+    val df = (Seq.fill(1)(100000L) ++ (1L to 20L).map(i => 100L + i))
+      .toDF("v")
+    val r = Learn.huberLocation(df, "v").head()
+    assert(r.getLong(1) == 111L, s"median: $r")
+    assert(r.getDouble(4) < 130.0, s"huber center resists the outlier: $r")
+    assert(r.getDouble(5) > 4000.0, s"the mean does not: $r")
+    val flat = Seq.fill(5)(7L).toDF("v")
+    val f = Learn.huberLocation(flat, "v").head()
+    assert(f.getLong(2) == 0L && f.isNullAt(3) && f.getDouble(4) == 7.0,
+      s"zero MAD reports the median outright: $f")
+  }
+
   test("yule-walker stream store: hourly censuses add; drain equals " +
     "batch on the dense spine") {
     import org.apache.spark.sql.{Row => R}
