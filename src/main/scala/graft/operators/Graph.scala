@@ -236,10 +236,15 @@ object Graph {
     var known = sources.select(col("node"), lit(0L).as("hops"))
       .distinct().localCheckpoint(true)
     var frontier = known
+    var fCnt = frontier.count()
     var hop = 0L
-    while (hop < maxHops && frontier.limit(1).count() > 0) {
+    while (hop < maxHops && fCnt > 0) {
       hop += 1
-      val next = frontier
+      // the frontier is the small side and its checkpoint lost the size
+      // stats — broadcast it while it fits so the edge list never
+      // re-shuffles per hop (the pageRank posture)
+      val f = if (fCnt <= 2000000L) broadcast(frontier) else frontier
+      val next = f
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(known.select(col("node").as("__k")), col("node") === col("__k"), "left_anti")
@@ -247,6 +252,7 @@ object Graph {
         .localCheckpoint(true)
       known = known.unionByName(next).localCheckpoint(true)
       frontier = next
+      fCnt = frontier.count()
     }
     known
   }
@@ -274,10 +280,14 @@ object Graph {
     var known = sources.select(col("node").as("src"), col("node"),
       lit(0L).as("hops")).distinct().localCheckpoint(true)
     var frontier = known
+    var fCnt = frontier.count()
     var hop = 0L
-    while (hop < maxHops && frontier.limit(1).count() > 0) {
+    while (hop < maxHops && fCnt > 0) {
       hop += 1
-      val next = frontier
+      // broadcast the (src, node) frontier lattice while it fits — the
+      // edge list must not re-shuffle per hop (the pageRank posture)
+      val f = if (fCnt <= 2000000L) broadcast(frontier) else frontier
+      val next = f
         .join(e, col("node") === col("__es"))
         .select(col("src"), col("__ed").as("node")).distinct()
         .join(known.select(col("src").as("__ks"), col("node").as("__kn")),
@@ -287,6 +297,7 @@ object Graph {
         .localCheckpoint(true)
       known = known.unionByName(next).localCheckpoint(true)
       frontier = next
+      fCnt = frontier.count()
     }
     known.filter(col("hops") >= 1L)
       .groupBy(col("src"))
@@ -611,7 +622,10 @@ object Graph {
     var dist = sources.select(col("node"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val relaxed = dist.join(e, dist("node") === e("src"))
+      // dist is node-bounded and its checkpoint lost the size stats —
+      // broadcast while it fits so the edge list never re-shuffles
+      val d = if (dist.count() <= 2000000L) broadcast(dist) else dist
+      val relaxed = d.join(e, dist("node") === e("src"))
         .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -675,10 +689,54 @@ object Graph {
     * `edges`: (src, dst, w) undirected, one row per edge. Returns the
     * forest's (src, dst, w) rows in the input orientation.
     */
-  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def minimumSpanningForest(
+      edges: DataFrame,
+      maxRounds: Int = 20,
+      driverKruskalMaxEdges: Long = 4000000L): DataFrame = {
     val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .localCheckpoint(true)
+    // DRIVER-SIDE KRUSKAL while the edge list is collectable (the
+    // kTruss/hlFromCensus posture): Borůvka's log-n synchronized rounds
+    // each pay several Spark jobs PLUS a nested pointer-jumping loop —
+    // tens of fixed-overhead round-trips on a component table that is
+    // tiny from round one. Below the guard, sort-once union-find gives
+    // the same forest: with distinct weights the MSF is unique; with
+    // ties both paths are deterministic ((w, src, dst) order here, the
+    // lexicographic struct min below) but may differ — callers needing
+    // cross-path identity supply distinct weights (as q367 does).
+    // Above the guard the synchronized Borůvka rounds run — a
+    // billion-edge graph is never driver-collected.
+    if (e0.count() <= driverKruskalMaxEdges) {
+      import scala.collection.mutable
+      val spark = e0.sparkSession
+      val parts = e0.rdd.mapPartitions { it =>
+        val xs = mutable.ArrayBuilder.make[(Long, Long, Long)]
+        it.foreach(r => xs += ((r.getLong(2), r.getLong(0), r.getLong(1))))
+        Iterator(xs.result())
+      }.collect()
+      val all = parts.flatten
+      java.util.Arrays.sort(all, implicitly[Ordering[(Long, Long, Long)]])
+      val parent = new mutable.LongMap[Long](1 << 16)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent.update(c, r); c = nxt
+        }
+        r
+      }
+      val picked = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      all.foreach { case (w, s, d) =>
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) { parent.update(rs, rd); picked += ((s, d, w)) }
+      }
+      import spark.implicits._
+      return spark.sparkContext
+        .parallelize(picked.toSeq, math.max(1, picked.length / 500000 + 1))
+        .toDF("src", "dst", "w")
+    }
     val nodes = e0.select(col("src").as("id"))
       .unionByName(e0.select(col("dst").as("id"))).distinct()
     var comp = nodes.select(col("id"), col("id").as("c")).localCheckpoint(true)

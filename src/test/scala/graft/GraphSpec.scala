@@ -408,6 +408,12 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == kruskal(edges), "unique MSF: Boruvka must equal Kruskal")
     assert(got.size == (29 + 19), "n-1 edges per island")
+    // distinct weights: the distributed Boruvka rounds (forced past the
+    // driver-Kruskal guard) land the identical unique forest
+    val viaRounds = Graph.minimumSpanningForest(
+      edges.toDF("src", "dst", "w"), driverKruskalMaxEdges = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaRounds == got, "both paths produce the unique MSF")
   }
 
   test("minimumSpanningForest: the mutual-pick 2-cycle resolves cleanly") {
