@@ -55,9 +55,15 @@ def render_drift(g: pd.DataFrame, e: pd.DataFrame) -> str:
     """Return the first RENDERED divergence between numerically-equal
     frames. The driver hashes rendered values, where -0.0 != 0.0 (and any
     other repr split fails) even though pandas check_exact passes — the
-    r11 q614/q640 blind spot. Run only after assert_frame_equal passed."""
+    r11 q614/q640 blind spot. Nulls are normalized first: parquet None vs
+    DuckDB NaN in object columns is a pandas artifact the driver's own
+    hash already tolerates (q487/q504 would false-positive otherwise).
+    Run only after assert_frame_equal passed."""
     for c in g.columns:
-        gs, es = g[c].astype(str), e[c].astype(str)
+        gc = g[c].where(pd.notna(g[c]), None)
+        ec = e[c].where(pd.notna(e[c]), None)
+        gs = gc.map(lambda x: "NULL" if x is None else str(x))
+        es = ec.map(lambda x: "NULL" if x is None else str(x))
         neq = (gs != es)
         if neq.any():
             i = neq.idxmax()
