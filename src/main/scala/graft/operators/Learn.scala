@@ -39,15 +39,22 @@ object Learn {
     * centroids after `iters` driver-paced rounds, and the assignment
     * builder. Used by [[kMeans1D]] and the clustering-quality meters
     * ([[silhouette1D]]). */
+  /** Build the checkpointed value census once — shared across the
+    * Lloyd rounds and, in [[kMeansElbow]], across every k. */
+  private[operators] def valueCensus(
+      df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+
   private[operators] def lloydCore(
       df: DataFrame,
       valueCol: String,
       k: Int,
-      iters: Int): (DataFrame, Seq[Double]) = {
+      iters: Int,
+      census: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
     require(k >= 2 && k <= 16 && iters >= 1 && iters <= 16)
-    val cen = df.select(col(valueCol).cast("long").as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // every Lloyd round re-reads it
+    val cen = census.getOrElse(valueCensus(df, valueCol))
     val nTotal = cen.agg(sum(col("n"))).head().getLong(0)
     require(nTotal > 0, "kMeans1D needs rows")
     // init: value at discrete rank floor((2j-1)*N/(2k)) + 1 — the
@@ -222,8 +229,9 @@ object Learn {
     require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
       "ks must be distinct ascending")
     val spark = df.sparkSession
+    val shared = valueCensus(df, valueCol)
     val wss: Seq[(Int, Double)] = ks.map { k =>
-      val (cen, cents) = lloydCore(df, valueCol, k, iters)
+      val (cen, cents) = lloydCore(df, valueCol, k, iters, Some(shared))
       val asg = assign(cen, cents)
         .withColumn("c", cents.indices.tail.foldLeft(
           when(col("cluster") === 0, lit(cents(0)))) { (acc, j) =>

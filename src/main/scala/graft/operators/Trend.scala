@@ -1796,6 +1796,82 @@ object Trend {
       round(when(over, mean / variance), 6).as("p_hat"))
   }
 
+  /** ZERO-INFLATED POISSON FIT (method of moments) per key — the
+    * STRUCTURAL-ZEROS answer beside [[negbinFit]]'s burstiness: weekly
+    * part demand is zero most weeks not because a Poisson got unlucky
+    * but because nothing was ordered at all; ZIP splits the two with
+    * π (the structural-zero mass) and λ (the rate WHEN active):
+    * λ̂ = (v + m² − m)/m, π̂ = 1 − m/λ̂. The routing question q464's SBC
+    * classes gesture at, answered parametrically. Exact integer
+    * moments, pinned finishes, the fitted zero share
+    * π + (1−π)·e^{−λ} emitted beside the OBSERVED zero share (the
+    * one-glance fit diagnostic; exp pinned at 1e-12, the q640 sigmoid
+    * discipline). Keys that are not zero-over-dispersed (λ̂ ≤ m: plain
+    * Poisson or thinner) read NULL parameters. Caller supplies a
+    * DENSE series — absent zero buckets would silently bias m upward.
+    */
+  def zipFit(
+      df: DataFrame,
+      keyCol: String,
+      countCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val c = col(countCol).cast("long")
+    zipFinish(df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(c.cast(d38)).as("s"),
+        sum((c * c).cast(d38)).as("ss"),
+        sum(when(c === 0L, 1L).otherwise(0L)).as("z"))
+      .filter(col("n") >= 2L), keyCol)
+  }
+
+  /** [[zipFit]] from a SPARSE series: absent buckets ARE the zeros, so
+    * the key × bucket grid is never materialized — per key the moments
+    * come from the observed rows alone (zeros add nothing to Σx/Σx²)
+    * and the zero count is `totalBuckets − observed + explicit zeros`.
+    * Bit-identical to [[zipFit]] over the densified frame (spec-pinned)
+    * at a fraction of the cost — the shape that survives 10⁹ keys ×
+    * 10³ buckets.
+    */
+  def zipFitFromSparse(
+      df: DataFrame,
+      keyCol: String,
+      countCol: String,
+      totalBuckets: Long): DataFrame = {
+    require(totalBuckets >= 2L, "zipFit needs >= 2 buckets")
+    val d38 = DecimalType(38, 0)
+    val c = col(countCol).cast("long")
+    zipFinish(df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__obs"),
+        sum(c.cast(d38)).as("s"),
+        sum((c * c).cast(d38)).as("ss"),
+        sum(when(c === 0L, 1L).otherwise(0L)).as("__z0"))
+      .select(col(keyCol), lit(totalBuckets).as("n"), col("s"), col("ss"),
+        (lit(totalBuckets) - col("__obs") + col("__z0")).as("z")), keyCol)
+  }
+
+  /** Shared ZIP finisher over a (key, n, s, ss, z) census. */
+  private def zipFinish(m0: DataFrame, keyCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val n = dbl(col("n"))
+    val m = round(dbl(col("s")) / n, 9)
+    val v = round((n * dbl(col("ss")) - dbl(col("s")) * dbl(col("s"))) /
+      (n * (n - 1.0)), 9)
+    val lam = round((v + m * m - m) / m, 9)
+    val pi = round(lit(1.0) - m / lam, 9)
+    val ok = col("s") > lit(0).cast(d38) && lam > m && lam > 0.0
+    val ez = round(exp(-lam), 12)
+    m0.select(col(keyCol), col("n"),
+      (m + lit(0.0)).as("mean"),
+      (v + lit(0.0)).as("variance"),
+      (round(dbl(col("z")) / n, 6) + lit(0.0)).as("zero_share"),
+      when(ok, round(pi, 6) + lit(0.0)).as("pi_hat"),
+      when(ok, round(lam, 6) + lit(0.0)).as("lambda_hat"),
+      when(ok, round(pi + (lit(1.0) - pi) * ez, 6) + lit(0.0))
+        .as("fit_zero_share"))
+      .orderBy(col(keyCol))
+  }
+
   /** XmR (individuals + moving range) CONTROL CHART per key — the SPC
     * workhorse for "is this series just noise or did something change":
     * natural process limits x̄ ± 2.66·M̄R from the mean moving range

@@ -1223,6 +1223,38 @@ class TrendSpec extends SparkSuite {
       s"one-step forecast lands near the cycle's next value: $c")
   }
 
+  test("zipFit: planted structural zeros read the exact MoM pi/lambda, " +
+    "a constant active series reads NULL, short keys drop") {
+    import spark.implicits._
+    // six structural zeros + six weeks of exactly 4: m=2, v=48/11,
+    // lam=(v+2)/2, pi=1-2/lam — hand-derivable
+    val zip = (0 until 12).map(t => ("z", t.toLong, if (t % 2 == 0) 0L else 4L))
+    val const = (0 until 12).map(t => ("c", t.toLong, 3L))
+    val short = Seq(("s", 0L, 5L))
+    val got = graft.operators.Trend.zipFit(
+      (zip ++ const ++ short).toDF("k", "b", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("s"), "single-bucket keys drop")
+    val c = got("c")
+    assert(c.isNullAt(5) && c.isNullAt(6),
+      s"zero variance is not zero-inflated: $c")
+    val z = got("z")
+    assert(z.getDouble(2) == 2.0 && z.getDouble(4) == 0.5, s"moments: $z")
+    assert(z.getDouble(5) == 0.371429, s"pi_hat: $z")
+    assert(z.getDouble(6) == 3.181818, s"lambda_hat: $z")
+    assert(z.getDouble(7) > z.getDouble(5) &&
+      math.abs(z.getDouble(7) - 0.5) < 0.12,
+      s"fitted zero share approaches the observed: $z")
+    // the sparse path over only the NONZERO rows is bit-identical to
+    // the dense fit (absent buckets are the zeros)
+    val sparse = graft.operators.Trend.zipFitFromSparse(
+      (zip.filter(_._3 > 0L) ++ const).toDF("k", "b", "v"), "k", "v",
+      totalBuckets = 12L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(sparse("z").toSeq == z.toSeq && sparse("c").toSeq == got("c").toSeq,
+      s"sparse == dense: ${sparse("z")} vs $z")
+  }
+
   test("dieboldMariano: a strictly-better forecast 2 reads positive " +
     "significant DM, identical forecasts NULL, short keys drop") {
     import spark.implicits._
