@@ -984,73 +984,31 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
-    // Support is intersected ONCE, over the original adjacency; every
-    // later round is DECREMENT-DRIVEN (r11 verdict item — the previous
-    // full-recompute loop paid the Σ(deg(a)+deg(b)) intersect bill and
-    // two full-edge shuffles EVERY round, ~31 s at sf0.1 over 8 rounds
-    // of which the last five removed < 0.1% of edges each). The delta is
-    // k-bounded: a removed edge has support < k−2, so it closes < k−2
-    // live triangles — each destroyed triangle decrements its two other
-    // edges by exactly one. Rounds after the first therefore touch
-    // O(k·|removed|) rows, not O(m).
-    //
-    // Exactness: a triangle is charged at the round its FIRST edge dies
-    // — commons are taken in the ORIGINAL graph and a candidate third
-    // vertex c of dying edge (a,b) is kept only while both (a,c) and
-    // (b,c) were alive entering the round (anti-join against deaths from
-    // strictly earlier rounds); two edges of one triangle dying in the
-    // SAME round both emit the triangle, deduplicated by its (edge,
-    // third-vertex) identity. So each destroyed triangle subtracts 1
-    // from each surviving edge exactly once, per-round death sets match
-    // the synchronized full recompute bit-for-bit, and a survivor's
-    // final support is support_init − triangles lost = its support
-    // measured inside the truss.
-    val adj = e0.select(col("a").as("node"), col("b").as("nbr"))
-      .unionAll(e0.select(col("b").as("node"), col("a").as("nbr")))
-      .groupBy(col("node"))
-      .agg(collect_list(col("nbr")).as("ns"))
-      .localCheckpoint(true) // every endpoint join reads it
-    // Adjacency totals one array cell per directed edge instance, so its
-    // bytes are known EXACTLY from the materialized edge count — when the
-    // whole table fits a broadcast comfortably (≤ ~64 MB), ship it to
-    // every task once and both the scoring pass and every cascade round
-    // become single-stage map-side joins (no 2×m array-carrying
-    // shuffles). Above that, fall back to shuffle joins — a billion-edge
-    // graph must never be driver-collected.
+    // The strategy splits on collectability, and the guard is the
+    // CANONICAL edge count — a billion-edge graph never reaches the
+    // driver and always takes the distributed cascade below.
     val mEdges = e0.count()
-    val bcastAdj = mEdges * 20L < 64L * 1024 * 1024
-    def adjA = {
-      val d = adj.select(col("node").as("a"), col("ns").as("__na"))
-      if (bcastAdj) broadcast(d) else d
-    }
-    def adjB = {
-      val d = adj.select(col("node").as("b"), col("ns").as("__nb"))
-      if (bcastAdj) broadcast(d) else d
-    }
-    val scored = fresh(e0
-      .join(adjA, Seq("a"))
-      .join(adjB, Seq("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("__na"), col("__nb"))).cast("long")
-          .as("support")))
-    // DRIVER-SIDE PEEL when the edge list is collectable (the
-    // hlFromCensus posture: the heavy, edge-linear work — distinct,
-    // adjacency, support intersection — already ran distributed above;
-    // the CASCADE is inherently sequential and touches a small fraction
-    // of edges, yet the synchronized-rounds formulation pays ~7 Spark
-    // round-trips of join+checkpoint overhead for a tail that removes
-    // <0.3% of edges, measured 12 s of a 23 s sf0.1 run). Sequential
-    // peeling charges each destroyed triangle at its first PROCESSED
-    // edge, decrementing the other two IF not yet processed — the same
-    // once-per-triangle accounting as the round-synchronized delta, so
-    // survivor supports are identical (and the survivor SET is the
-    // unique maximal k-truss regardless of removal order). Only the
-    // small dead-edge and loss deltas ship back; the survivor frame
-    // stays distributed. Above the guard the synchronized cascade
-    // below runs — a billion-edge graph is never driver-collected.
+    // DRIVER-SIDE SCORE + PEEL when the edge list is collectable (the
+    // hlFromCensus posture, one step further than r11: the edge BUILD —
+    // table scan, basket explode, distinct — stays distributed, but once
+    // the canonical edge list fits the driver, both the support scan and
+    // the cascade run there. Support comes from a DEGREE-ORDERED ORIENTED
+    // triangle scan: orient each edge toward its higher-(degree, id)
+    // endpoint, sort forward lists, and merge-intersect N+(u) ∩ N+(v)
+    // per edge — each triangle is discovered exactly once and credits all
+    // THREE of its edges, so per-edge cost is Σ min(fdeg), bounded by the
+    // graph's arboricity instead of Σ(deg(a)+deg(b)). Measured at sf0.1
+    // (1.2M edges, 1.9M triangles): 2.3 s on the driver vs ~8.5 s for
+    // the distributed adjacency build + array_intersect pass + its
+    // checkpoint, bit-identical support sums. The CASCADE then charges
+    // each destroyed triangle at its first PROCESSED edge, decrementing
+    // the other two IF not yet processed — the same once-per-triangle
+    // accounting as the synchronized rounds below, so survivor supports
+    // are identical (and the survivor SET is the unique maximal k-truss
+    // regardless of removal order).
     if (mEdges <= driverPeelMaxEdges) {
       import scala.collection.mutable
-      val spark = scored.sparkSession
+      val spark = e0.sparkSession
       val m = mEdges.toInt
       val ea = new Array[Long](m); val eb = new Array[Long](m)
       val sup = new Array[Long](m); val loss = new Array[Long](m)
@@ -1063,24 +1021,21 @@ object Graph {
       def pack(i: Int, j: Int): Long =
         if (i < j) (i.toLong << 32) | j.toLong else (j.toLong << 32) | i.toLong
       val endA = new Array[Int](m); val endB = new Array[Int](m)
-      // compact collect: one job, each partition ships three primitive
-      // arrays (24 B/edge) instead of an m-row Row array — 8M edges is
-      // ~190 MB transient, not gigabytes of boxed Rows
-      val parts = scored.select(col("a"), col("b"), col("support")).rdd
+      // compact collect: one job, each partition ships two primitive
+      // arrays (16 B/edge) instead of an m-row Row array — 8M edges is
+      // ~130 MB transient, not gigabytes of boxed Rows
+      val parts = e0.select(col("a"), col("b")).rdd
         .mapPartitions { it =>
           val xa = mutable.ArrayBuilder.make[Long]
           val xb = mutable.ArrayBuilder.make[Long]
-          val xs = mutable.ArrayBuilder.make[Long]
-          it.foreach { r =>
-            xa += r.getLong(0); xb += r.getLong(1); xs += r.getLong(2)
-          }
-          Iterator((xa.result(), xb.result(), xs.result()))
+          it.foreach { r => xa += r.getLong(0); xb += r.getLong(1) }
+          Iterator((xa.result(), xb.result()))
         }.collect()
       var eid = 0
-      parts.foreach { case (xa, xb, xs) =>
+      parts.foreach { case (xa, xb) =>
         var p = 0
         while (p < xa.length) {
-          ea(eid) = xa(p); eb(eid) = xb(p); sup(eid) = xs(p)
+          ea(eid) = xa(p); eb(eid) = xb(p)
           val ia = idxOf(ea(eid)); val ib = idxOf(eb(eid))
           endA(eid) = ia; endB(eid) = ib
           adjN(ia) += eid; adjN(ib) += eid
@@ -1089,12 +1044,60 @@ object Graph {
         }
       }
       require(eid == m, s"k-truss collect raced a changing edge frame")
+      // oriented scoring: forward CSR sorted by neighbor id, one packed
+      // (nbr << 32 | eid) long per oriented edge so a single Arrays.sort
+      // orders both in tandem
+      val nN = adjN.length
+      def fwd(u: Int, v: Int): Boolean = {
+        val du = adjN(u).length; val dv = adjN(v).length
+        du < dv || (du == dv && u < v)
+      }
+      val off = new Array[Int](nN + 1)
+      var i = 0
+      while (i < m) {
+        off((if (fwd(endA(i), endB(i))) endA(i) else endB(i)) + 1) += 1
+        i += 1
+      }
+      i = 0
+      while (i < nN) { off(i + 1) += off(i); i += 1 }
+      val fcsr = new Array[Long](m)
+      val cur = java.util.Arrays.copyOf(off, nN)
+      i = 0
+      while (i < m) {
+        val u = if (fwd(endA(i), endB(i))) endA(i) else endB(i)
+        val v = if (endA(i) == u) endB(i) else endA(i)
+        fcsr(cur(u)) = (v.toLong << 32) | i.toLong
+        cur(u) += 1; i += 1
+      }
+      i = 0
+      while (i < nN) {
+        if (off(i + 1) - off(i) > 1)
+          java.util.Arrays.sort(fcsr, off(i), off(i + 1))
+        i += 1
+      }
+      i = 0
+      while (i < m) {
+        val u = if (fwd(endA(i), endB(i))) endA(i) else endB(i)
+        val v = if (endA(i) == u) endB(i) else endA(i)
+        var p = off(u); var q = off(v)
+        val pe = off(u + 1); val qe = off(v + 1)
+        while (p < pe && q < qe) {
+          val a = (fcsr(p) >>> 32).toInt; val b = (fcsr(q) >>> 32).toInt
+          if (a == b) {
+            sup(i) += 1L
+            sup(fcsr(p).toInt) += 1L
+            sup(fcsr(q).toInt) += 1L
+            p += 1; q += 1
+          } else if (a < b) p += 1 else q += 1
+        }
+        i += 1
+      }
       // processed = removed; a triangle is charged when its FIRST edge
       // is processed, so flanks still in the queue DO get decremented
       val processed = new Array[Boolean](m)
       val queued = new Array[Boolean](m)
       val queue = new java.util.ArrayDeque[Integer]()
-      var i = 0
+      i = 0
       while (i < m) {
         if (sup(i) < k - 2) { queued(i) = true; queue.add(i) }
         i += 1
@@ -1125,27 +1128,86 @@ object Graph {
           }
         }
       }
-      // ship back only the deltas; the big frame stays distributed
+      // survivors ship back whole — support now lives only on the
+      // driver, so there is no distributed frame to delta-join against,
+      // and the row volume is bounded by the same guard the collect was
+      // (≤ guard edges × 3 longs, the symmetric trip). Shipped as ONE
+      // torrent broadcast of primitive arrays that tasks slice by range:
+      // parallelize of a boxed tuple Seq re-serialized ~300 MB of tuples
+      // through the closure path and measured 4 s of the sf0.1 run.
       import spark.implicits._
-      val deadSeq = (0 until m).filter(processed(_))
-        .map(e => (ea(e), eb(e)))
-      val lossSeq = (0 until m)
-        .filter(e => !processed(e) && loss(e) > 0L)
-        .map(e => (ea(e), eb(e), loss(e)))
-      val deadDf = spark.sparkContext
-        .parallelize(deadSeq, math.max(1, deadSeq.length / 500000 + 1))
-        .toDF("a", "b")
-      val lossDf = spark.sparkContext
-        .parallelize(lossSeq, math.max(1, lossSeq.length / 500000 + 1))
-        .toDF("a", "b", "__l")
-      return scored
-        .join(broadcastIfSmall(deadDf, deadSeq.length), Seq("a", "b"),
-          "left_anti")
-        .join(broadcastIfSmall(lossDf, lossSeq.length), Seq("a", "b"),
-          "left")
-        .select(col("a"), col("b"),
-          (col("support") - coalesce(col("__l"), lit(0L))).as("support"))
+      var nSurv = 0
+      i = 0
+      while (i < m) { if (!processed(i)) nSurv += 1; i += 1 }
+      val sa = new Array[Long](nSurv)
+      val sb = new Array[Long](nSurv)
+      val ss = new Array[Long](nSurv)
+      var w = 0
+      i = 0
+      while (i < m) {
+        if (!processed(i)) {
+          sa(w) = ea(i); sb(w) = eb(i); ss(w) = sup(i) - loss(i); w += 1
+        }
+        i += 1
+      }
+      val bc = spark.sparkContext.broadcast((sa, sb, ss))
+      val nSlices = math.max(1, nSurv / 500000 + 1)
+      return spark.sparkContext.parallelize(0 until nSlices, nSlices)
+        .flatMap { s =>
+          val (xa, xb, xs) = bc.value
+          val lo = (s.toLong * xa.length / nSlices).toInt
+          val hi = ((s + 1).toLong * xa.length / nSlices).toInt
+          Iterator.range(lo, hi).map(j => (xa(j), xb(j), xs(j)))
+        }
+        .toDF("a", "b", "support")
     }
+    // DISTRIBUTED cascade above the guard. Support is intersected ONCE,
+    // over the original adjacency; every later round is DECREMENT-DRIVEN
+    // (r11 verdict item — the previous full-recompute loop paid the
+    // Σ(deg(a)+deg(b)) intersect bill and two full-edge shuffles EVERY
+    // round, ~31 s at sf0.1 over 8 rounds of which the last five removed
+    // < 0.1% of edges each). The delta is k-bounded: a removed edge has
+    // support < k−2, so it closes < k−2 live triangles — each destroyed
+    // triangle decrements its two other edges by exactly one. Rounds
+    // after the first therefore touch O(k·|removed|) rows, not O(m).
+    //
+    // Exactness: a triangle is charged at the round its FIRST edge dies
+    // — commons are taken in the ORIGINAL graph and a candidate third
+    // vertex c of dying edge (a,b) is kept only while both (a,c) and
+    // (b,c) were alive entering the round (anti-join against deaths from
+    // strictly earlier rounds); two edges of one triangle dying in the
+    // SAME round both emit the triangle, deduplicated by its (edge,
+    // third-vertex) identity. So each destroyed triangle subtracts 1
+    // from each surviving edge exactly once, per-round death sets match
+    // the synchronized full recompute bit-for-bit, and a survivor's
+    // final support is support_init − triangles lost = its support
+    // measured inside the truss.
+    val adj = e0.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(e0.select(col("b").as("node"), col("a").as("nbr")))
+      .groupBy(col("node"))
+      .agg(collect_list(col("nbr")).as("ns"))
+      .localCheckpoint(true) // every endpoint join reads it
+    // Adjacency totals one array cell per directed edge instance, so its
+    // bytes are known EXACTLY from the materialized edge count — when the
+    // whole table fits a broadcast comfortably (≤ ~64 MB), ship it to
+    // every task once and both the scoring pass and every cascade round
+    // become single-stage map-side joins (no 2×m array-carrying
+    // shuffles). Above that, fall back to shuffle joins.
+    val bcastAdj = mEdges * 20L < 64L * 1024 * 1024
+    def adjA = {
+      val d = adj.select(col("node").as("a"), col("ns").as("__na"))
+      if (bcastAdj) broadcast(d) else d
+    }
+    def adjB = {
+      val d = adj.select(col("node").as("b"), col("ns").as("__nb"))
+      if (bcastAdj) broadcast(d) else d
+    }
+    val scored = fresh(e0
+      .join(adjA, Seq("a"))
+      .join(adjB, Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__na"), col("__nb"))).cast("long")
+          .as("support")))
     // One state frame, re-checkpointed per round: every edge whose
     // support ever dropped, with its running loss and death flags.
     // justDied marks the round's frontier (processed next round); dead
