@@ -3937,6 +3937,141 @@ object Trend {
       .orderBy(col(keyCol))
   }
 
+  /** MA(1) FIT per key — the moving-average counterpart to
+    * [[yuleWalkerAr2]]: v_t = μ + ε_t + θ ε_{t−1}, the model for a
+    * series whose shocks echo for exactly ONE bucket (an AR signature
+    * decays geometrically; an MA(1) autocorrelation CUTS OFF after lag
+    * 1 — q588's PACF/ACF shapes point at which family applies, this
+    * fits the MA side). Method of moments: ρ₁ = θ/(1+θ²), inverted to
+    * the INVERTIBLE root θ = (1 − √(1−4ρ₁²))/(2ρ₁); an MA(1) cannot
+    * produce |ρ₁| ≥ ½, so such keys read NULL θ — itself the verdict
+    * "this is not an MA(1)". Innovation variance σ² = c₀/(1+θ²).
+    *
+    * Caller supplies a DENSE bucket spine (the [[yuleWalkerAr2]]
+    * contract). One exact integer lag-1 census pass; ρ₁ pinned at 1e-9
+    * so the √ argument is identical in both engines (√ is
+    * correctly-rounded IEEE — no iterative solve anywhere); outputs
+    * pinned at 1e-6 with the `+ 0.0` signed-zero normalization. Keys
+    * need ≥ 5 buckets; a flat series reads NULL; ρ₁ = 0 exactly reads
+    * θ = 0 (white noise IS an MA(1)). O(keys) rows out.
+    */
+  def ma1Fit(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("w1", lead(col("v"), 1).over(ord))
+    val cen = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(when(col("w1").isNotNull, col("v") * col("w1"))
+          .otherwise(0L)).as("svw1"),
+        sum(when(col("w1").isNotNull, col("v")).otherwise(0L)).as("sh1"),
+        sum(coalesce(col("w1"), lit(0L))).as("st1"),
+        sum(when(col("w1").isNotNull, 1L).otherwise(0L)).as("nk1"))
+      .filter(col("n") >= 5L)
+    val n = dbl(col("n"))
+    val m = dbl(col("sv")) / n
+    val c0 = dbl(col("svv")) / n - m * m
+    val c1 = (dbl(col("svw1")) - m * (dbl(col("sh1")) + dbl(col("st1"))) +
+      dbl(col("nk1")) * m * m) / n
+    val staged = cen.select(col(keyCol), col("n"),
+      round(m, 9).as("m"), round(c0, 9).as("c0"),
+      when(c0 > 0.0, round(c1 / c0, 9)).as("r1"))
+    val invertible = col("r1").isNotNull && abs(col("r1")) < 0.5
+    val theta = when(col("r1") === 0.0, lit(0.0))
+      .otherwise((lit(1.0) -
+        sqrt(lit(1.0) - lit(4.0) * col("r1") * col("r1"))) /
+        (lit(2.0) * col("r1")))
+    staged.select(col(keyCol), col("n"),
+        round(col("m"), 6).as("mean"),
+        when(col("r1").isNotNull, round(col("r1"), 6) + lit(0.0))
+          .as("r1"),
+        when(invertible, round(theta, 6) + lit(0.0)).as("theta"),
+        when(invertible,
+          round(col("c0") / (lit(1.0) + theta * theta), 6) + lit(0.0))
+          .as("sigma2"))
+      .orderBy(col(keyCol))
+  }
+
+  /** ARMA(1,1) FIT per key — the bridge between [[yuleWalkerAr2]] and
+    * [[ma1Fit]]: v_t = μ + φ(v_{t−1}−μ) + ε_t + θ ε_{t−1}, the
+    * smallest model whose ACF both DECAYS (the AR part) and starts from
+    * a free lag-1 value (the MA part). Method of moments: φ = ρ₂/ρ₁
+    * (the decay rate from lag 1 to 2 — pure AR(1) curvature), then θ
+    * from ρ₁ via the quadratic Aθ² + Bθ + A = 0 with A = ρ₁ − φ,
+    * B = 2ρ₁φ − 1 − φ² (the two roots are reciprocal; the invertible
+    * |θ| ≤ 1 one is kept). σ² = c₀(1−φ²)/(1+2φθ+θ²).
+    *
+    * Caller supplies a DENSE bucket spine. One exact integer lag-1/
+    * lag-2 census (the [[yuleWalkerAr2]] sums verbatim); ρ's pinned at
+    * 1e-9, φ and the quadratic's coefficients are then deterministic
+    * doubles, √ correctly-rounded IEEE; outputs pinned at 1e-6 with
+    * `+ 0.0`. Refusals read NULL rather than fitting garbage: flat
+    * series, ρ₁ = 0 (no lag structure to split), |φ| ≥ 1
+    * (non-stationary), negative discriminant (no real MA root —
+    * the (ρ₁, ρ₂) pair is not an ARMA(1,1) signature); A = 0 with
+    * B ≠ 0 reads θ = 0 exactly (a pure AR(1) IS an ARMA(1,1)).
+    * Keys need ≥ 6 buckets. O(keys) rows out.
+    */
+  def arma11Fit(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+    val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("w1", lead(col("v"), 1).over(ord))
+      .withColumn("w2", lead(col("v"), 2).over(ord))
+    def lagSums(k: Int) = Seq(
+      sum(when(col(s"w$k").isNotNull, col("v") * col(s"w$k"))
+        .otherwise(0L)).as(s"svw$k"),
+      sum(when(col(s"w$k").isNotNull, col("v")).otherwise(0L)).as(s"sh$k"),
+      sum(coalesce(col(s"w$k"), lit(0L))).as(s"st$k"),
+      sum(when(col(s"w$k").isNotNull, 1L).otherwise(0L)).as(s"nk$k"))
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("v") * col("v")).as("svv")) ++ lagSums(1) ++ lagSums(2)
+    val cen = base.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n") >= 6L)
+    val n = dbl(col("n"))
+    val m = dbl(col("sv")) / n
+    val c0 = dbl(col("svv")) / n - m * m
+    def cLag(k: Int): Column =
+      (dbl(col(s"svw$k")) - m * (dbl(col(s"sh$k")) + dbl(col(s"st$k"))) +
+        dbl(col(s"nk$k")) * m * m) / n
+    val staged = cen.select(col(keyCol), col("n"),
+      round(m, 9).as("m"), round(c0, 9).as("c0"),
+      when(c0 > 0.0, round(cLag(1) / c0, 9)).as("r1"),
+      when(c0 > 0.0, round(cLag(2) / c0, 9)).as("r2"))
+    val phi = col("r2") / col("r1")
+    val qa = col("r1") - phi
+    val qb = lit(2.0) * col("r1") * phi - lit(1.0) - phi * phi
+    val disc = qb * qb - lit(4.0) * qa * qa
+    val t1 = (-qb - sqrt(disc)) / (lit(2.0) * qa)
+    val t2 = (-qb + sqrt(disc)) / (lit(2.0) * qa)
+    val theta = when(qa === 0.0, lit(0.0))
+      .otherwise(when(abs(t1) <= 1.0, t1).otherwise(t2))
+    val ok = col("r1").isNotNull && col("r1") =!= 0.0 &&
+      abs(phi) < 1.0 &&
+      (qa === 0.0 && qb =!= 0.0 || qa =!= 0.0 && disc >= 0.0)
+    val sden = lit(1.0) + lit(2.0) * phi * theta + theta * theta
+    staged.select(col(keyCol), col("n"),
+        round(col("m"), 6).as("mean"),
+        when(ok, round(phi, 6) + lit(0.0)).as("phi"),
+        when(ok, round(theta, 6) + lit(0.0)).as("theta"),
+        when(ok && sden > 0.0,
+          round(col("c0") * (lit(1.0) - phi * phi) / sden, 6) + lit(0.0))
+          .as("sigma2"))
+      .orderBy(col(keyCol))
+  }
+
   /** DIEBOLD–MARIANO TEST — are two forecasters DIFFERENT, or is the
     * backtest gap luck: the mean of the per-bucket squared-error loss
     * differential d_t = e₁² − e₂², studentized by a Newey–West

@@ -1223,6 +1223,69 @@ class TrendSpec extends SparkSuite {
       s"one-step forecast lands near the cycle's next value: $c")
   }
 
+  // deterministic ±1 shock sequence shared by the MA/ARMA fit specs —
+  // java.util.Random's LCG is spec-fixed, so a pinned seed is
+  // reproducible everywhere (a linear hash's sign bit toggles in runs
+  // and reads as spurious positive autocorrelation)
+  private val shocks: Vector[Long] = {
+    val rng = new java.util.Random(1L)
+    Vector.fill(128)(if (rng.nextBoolean()) 1L else -1L)
+  }
+  private def shock(t: Int): Long = shocks(t)
+
+  test("ma1Fit: a generated MA(1) recovers theta's sign and scale, " +
+    "|r1| >= 0.5 refuses theta, a flat series NULLs, short keys drop") {
+    import spark.implicits._
+    // v_t = 10 + e_t + 0.5 e_{t-1} scaled by 2 to stay integral:
+    // v_t = 20 + 2 e_t + e_{t-1}, true rho1 = 2/5, theta = 1/2
+    val ma = (0 until 96).map(t =>
+      ("m", t.toLong, 20L + 2L * shock(t) + (if (t > 0) shock(t - 1) else 0L)))
+    val alt = (0 until 12).map(t =>
+      ("a", t.toLong, if (t % 2 == 0) 4L else 12L))
+    val flat = (0 until 8).map(t => ("f", t.toLong, 7L))
+    val short = (0 until 4).map(t => ("s", t.toLong, t.toLong))
+    val got = graft.operators.Trend.ma1Fit(
+      (ma ++ alt ++ flat ++ short).toDF("k", "b", "v"), "k", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("s"), "keys under 5 buckets drop")
+    assert(got("f").isNullAt(3) && got("f").isNullAt(4),
+      s"zero variance reads NULL: ${got("f")}")
+    val a = got("a")
+    assert(!a.isNullAt(3) && a.getDouble(3) <= -0.5 && a.isNullAt(4),
+      s"alternating series shows its r1 but refuses the MA(1) fit: $a")
+    val m = got("m")
+    assert(math.abs(m.getDouble(3) - 0.4) < 0.15, s"r1 near 2/5: $m")
+    assert(math.abs(m.getDouble(4) - 0.5) < 0.25, s"theta near 1/2: $m")
+    assert(m.getDouble(5) > 0.0, s"positive innovation variance: $m")
+  }
+
+  test("arma11Fit: an MA(1) sample reads small phi, a pure cycle " +
+    "refuses as non-stationary, flat NULLs, short keys drop") {
+    import spark.implicits._
+    val ma = (0 until 96).map(t =>
+      ("m", t.toLong, 20L + 2L * shock(t) + (if (t > 0) shock(t - 1) else 0L)))
+    // exact period-3 cycle: rho1 = rho2 => phi = 1, refused loudly
+    val cyc = Seq(5L, 11L, 8L)
+    val per3 = (0 until 18).map(t => ("c", t.toLong, cyc(t % 3)))
+    val flat = (0 until 8).map(t => ("f", t.toLong, 7L))
+    val short = (0 until 5).map(t => ("s", t.toLong, t.toLong))
+    val got = graft.operators.Trend.arma11Fit(
+      (ma ++ per3 ++ flat ++ short).toDF("k", "b", "v"), "k", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("s"), "keys under 6 buckets drop")
+    assert(got("f").isNullAt(3) && got("f").isNullAt(5),
+      s"zero variance reads NULL: ${got("f")}")
+    val c = got("c")
+    assert(c.isNullAt(3) || math.abs(c.getDouble(3)) > 0.9,
+      s"a pure cycle's rho2/rho1 ~ 1 is (near-)unit-root: $c")
+    val m = got("m")
+    assert(!m.isNullAt(3) && math.abs(m.getDouble(3)) < 0.45,
+      s"MA(1) data reads a small AR share: $m")
+    assert(!m.isNullAt(4) && m.getDouble(4) > 0.0,
+      s"positive MA coefficient recovered: $m")
+    assert(m.getDouble(5) > 0.0, s"positive innovation variance: $m")
+  }
+
   test("zipFit: planted structural zeros read the exact MoM pi/lambda, " +
     "a constant active series reads NULL, short keys drop") {
     import spark.implicits._
