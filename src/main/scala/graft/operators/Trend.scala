@@ -4072,6 +4072,82 @@ object Trend {
       .orderBy(col(keyCol))
   }
 
+  /** WEIBULL FIT by median-rank regression per key — the LIFETIME
+    * distribution the extremes shelf lacks: q589's Gumbel models block
+    * MAXIMA, q383's Hill the tail INDEX; Weibull models the duration
+    * itself, and its shape parameter is a one-number verdict on the
+    * hazard's direction (k < 1 infant mortality, k = 1 memoryless,
+    * k > 1 wear-out). The classic probability-plot estimator: sort
+    * durations, assign Bernard's median rank F_i = (i−0.3)/(n+0.4),
+    * and OLS ln(−ln(1−F_i)) on ln(t_i) — slope IS the shape k,
+    * scale λ = exp(−a/k) from the intercept, r² the plot-linearity
+    * goodness a reliability engineer reads before trusting either.
+    *
+    * Scale shape: ranks come from the (key, duration) CENSUS — windows
+    * and the rank explode run over the day-domain census rows, never a
+    * per-key sort of raw rows (a 7-key window over raw data would be 7
+    * tasks at any scale; the census keeps every stage key×day-bounded
+    * until the final explode feeds a map-side-combined aggregate).
+    * Ties are exact by construction: tied durations share x, so the
+    * OLS sums are independent of rank order within a tie group. x and
+    * y pinned at 1e-9 at birth, decimal-summed; λ's exponent pinned
+    * before the exp (the q670 discipline). Durations < 1 drop (ln);
+    * keys need ≥ 5 durations; zero x-variance reads NULL; k ≤ 0 reads
+    * NULL scale. O(keys) rows out.
+    */
+  def weibullFit(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val d289 = DecimalType(28, 9)
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.select(col(keyCol).as("k"),
+        col(valueCol).cast("long").as("t"))
+      .filter(col("t") >= 1L)
+      .groupBy(col("k"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("t"))
+    val wAll = Window.partitionBy(col("k"))
+    val ranks = cen
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .select(col("k"), col("t"), col("n"),
+        explode(sequence(col("cum") - col("c") + lit(1L), col("cum")))
+          .as("i"))
+    val fCol = (dbl(col("i")) - lit(0.3)) / (dbl(col("n")) + lit(0.4))
+    val pts = ranks.select(col("k"), col("n"), col("t"),
+        round(log(dbl(col("t"))), 9).as("x"),
+        round(log(-log(lit(1.0) - fCol)), 9).as("y"))
+      .select(col("k"), col("n"), col("t"), col("x"), col("y"),
+        round(col("x") * col("x"), 9).cast(d289).as("xx"),
+        round(col("x") * col("y"), 9).cast(d289).as("xy"),
+        round(col("y") * col("y"), 9).cast(d289).as("yy"))
+    // nd: EXACT degeneracy guard — a constant-duration key's cxx is
+    // not zero but rounding dust (xx is the ROUNDED square of the
+    // pinned x, so n*sxx - sx*sx ~ n^2*1e-10), and dust scales with
+    // n^2 — no epsilon survives every n. Distinct-duration count does.
+    val f = pts.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("t")).as("nd"),
+        sum(col("x").cast(d289)).as("sx"),
+        sum(col("y").cast(d289)).as("sy"), sum(col("xx")).as("sxx"),
+        sum(col("xy")).as("sxy"), sum(col("yy")).as("syy"))
+      .filter(col("n") >= 5L)
+    val n = dbl(col("n"))
+    val cxx = n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val cxy = n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val cyy = n * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    val ok = col("nd") >= 2L && cxx > 0.0
+    val shape = cxy / cxx
+    val icept = (dbl(col("sy")) - shape * dbl(col("sx"))) / n
+    f.select(col("k").as(keyCol), col("n"),
+        when(ok, round(shape, 6) + lit(0.0)).as("shape"),
+        when(ok && shape > 0.0,
+          round(exp(-round(icept / shape, 9)), 6)).as("scale"),
+        when(ok && cyy > 0.0,
+          round(cxy * cxy / (cxx * cyy), 6) + lit(0.0)).as("r2"))
+      .orderBy(col(keyCol))
+  }
+
   /** DIEBOLD–MARIANO TEST — are two forecasters DIFFERENT, or is the
     * backtest gap luck: the mean of the per-bucket squared-error loss
     * differential d_t = e₁² − e₂², studentized by a Newey–West

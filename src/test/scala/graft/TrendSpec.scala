@@ -1286,6 +1286,33 @@ class TrendSpec extends SparkSuite {
     assert(m.getDouble(5) > 0.0, s"positive innovation variance: $m")
   }
 
+  test("weibullFit: ideal-quantile Weibull samples recover shape and " +
+    "scale, constant durations NULL, sub-1 durations drop") {
+    import spark.implicits._
+    // ideal quantiles of Weibull(k=2, lambda=40): t_j = 40*sqrt(-ln(1-u))
+    // at u = (j-0.5)/64 — the probability plot is near-perfectly linear,
+    // so median-rank regression must land close to (2, 40)
+    val wei = (1 to 64).map { j =>
+      val u = (j - 0.5) / 64.0
+      ("w", math.round(40.0 * math.sqrt(-math.log(1.0 - u))))
+    }
+    val const = (0 until 8).map(_ => ("c", 9L))
+    val zeros = (0 until 8).map(_ => ("z", 0L))
+    val short = (0 until 4).map(j => ("s", j + 1L))
+    val got = graft.operators.Trend.weibullFit(
+      (wei ++ const ++ zeros ++ short).toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("z"), "all-sub-1 keys drop entirely")
+    assert(!got.contains("s"), "keys under 5 durations drop")
+    val c = got("c")
+    assert(c.isNullAt(2) && c.isNullAt(3),
+      s"zero x-variance reads NULL: $c")
+    val w = got("w")
+    assert(math.abs(w.getDouble(2) - 2.0) < 0.25, s"shape near 2: $w")
+    assert(math.abs(w.getDouble(3) - 40.0) < 3.0, s"scale near 40: $w")
+    assert(w.getDouble(4) > 0.98, s"ideal quantiles plot near-linear: $w")
+  }
+
   test("zipFit: planted structural zeros read the exact MoM pi/lambda, " +
     "a constant active series reads NULL, short keys drop") {
     import spark.implicits._
