@@ -128,6 +128,55 @@ object Graph {
     pr.select(col("node"), round(col("pr"), 6).as("pr"))
   }
 
+  /** EIGENVECTOR CENTRALITY by LAZY power iteration — influence as the
+    * fixed point "you matter as much as the sum of your neighbors'
+    * mattering": the Perron eigenvector of the adjacency matrix, the
+    * undirected answer beside [[pageRank]]'s random-surfer rank (which
+    * dilutes a hub's vote by its out-degree; eigen centrality does not
+    * — one well-connected neighbor outweighs many isolated ones) and
+    * [[hits]]'s directed hub/authority split. Iterates x ← (x + Ax)/m
+    * (A+I, the LAZY walk): same eigenvectors as A, but the +I shift
+    * breaks the ±λ₁ symmetry of BIPARTITE graphs — co-purchase graphs
+    * are bipartite by construction and plain power iteration would
+    * oscillate between the two sides forever instead of converging.
+    * Max-normalization keeps the top node at exactly 1.0 and needs no
+    * division by a sum that loses precision.
+    *
+    * Exactness is the [[pageRank]] discipline: per-edge contributions
+    * cast to DECIMAL(28,9) so the gather sum is FP-order-free, the
+    * per-round max is an exact decimal, and the one double division per
+    * node divides identical bits in both engines. Score tables are
+    * node-sized and broadcast while they fit (≤ 2M nodes) so the edge
+    * list never re-shuffles; localCheckpoint per round cuts lineage.
+    * Caller supplies symmetric (both-direction) edges for an undirected
+    * reading. O(iters × |E|) work, O(|V|) state.
+    */
+  def eigenCentrality(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val d289 = DecimalType(28, 9)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var x = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("x"))
+      .localCheckpoint(true)
+    val bcastX = x.count() <= 2000000L
+    def scores = if (bcastX) broadcast(x) else x
+    for (_ <- 1 to iters) {
+      val gathered = e.join(scores, e("src") === x("node"))
+        .select(col("dst"), col("x").cast(d289).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("c_sum"))
+      val lazyC = gathered.join(scores, gathered("dst") === x("node"))
+        .select(col("dst").as("n2"),
+          (col("c_sum") + col("x").cast(d289)).as("c2"))
+      val m = lazyC.agg(max(col("c2")).as("m"))
+      x = lazyC.crossJoin(broadcast(m))
+        .select(col("n2").as("node"),
+          (col("c2").cast("double") / col("m").cast("double")).as("x"))
+        .localCheckpoint(true)
+    }
+    x.select(col("node"), round(col("x"), 6).as("score"))
+  }
+
   /** PERSONALIZED PageRank — importance RELATIVE to a source set: the
     * teleport floor (1−d) lands only on the sources, so mass
     * concentrates in their neighborhood and the ranking answers "what

@@ -263,6 +263,24 @@ class GraphSpec extends SparkSuite {
     assert(Graph.kCore(edges, k = 4).count() == 0)
   }
 
+  test("eigenCentrality: a star's hub reads 1 and its leaves 1/sqrt(n), " +
+    "and the lazy walk converges on the bipartite star at all") {
+    import spark.implicits._
+    // K1,4: eigenvector is (1, 1/2, 1/2, 1/2, 1/2) — and a star is
+    // bipartite, so the PLAIN power iteration would oscillate between
+    // hub-heavy and leaf-heavy profiles forever; the +I shift is what
+    // makes this converge
+    val pairs = (1L to 4L).map(l => (0L, l))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val out = Graph.eigenCentrality(edges, iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) == 1.0, s"hub is the max-normalized 1: $out")
+    val leaves = (1L to 4L).map(out)
+    assert(leaves.distinct.size == 1, s"symmetric leaves tie exactly: $out")
+    assert(math.abs(leaves.head - 0.5) < 0.01,
+      s"leaf score converges to 1/sqrt(n) = 0.5: $out")
+  }
+
   test("kTruss: pendant triangle peels, the 4-clique survives with support 2") {
     import spark.implicits._
     // K4 on {1,2,3,4} (every edge closes 2 triangles) with a pendant
