@@ -677,6 +677,58 @@ object TextPipeline {
     * per-(doc, word) combine then a per-doc fold: the two-level
     * aggregation is map-side combinable at any scale, no windows.
     */
+  /** GAZETTEER TAGGING — dictionary-lookup entity marking, the
+    * retrieval-free tagger every extraction pipeline starts with: given
+    * a TERM LIST (product vocabulary, place names, a blocklist), mark
+    * each document with how much of it is dictionary mass — matched
+    * token count, distinct matched terms, coverage share, and the
+    * dominant term. The routing signal beside q30's language-ID and
+    * q241's lexicon flags: "which catalog concepts does this doc talk
+    * about, and how hard".
+    *
+    * Scale shape: the gazetteer is BROADCAST (dictionaries are
+    * answer-sized; a billion-row corpus streams past it map-side), both
+    * aggregations are map-side combinable, and the only window runs
+    * over per-doc MATCHED-TERM rows (doc-bounded, never corpus-keyed).
+    * Tokenization is the corpus-standard whitespace fold shared with
+    * [[lexicalDiversity]] so coverage composes with q31's token counts.
+    * The dominant term breaks count ties LEXICOGRAPHICALLY (row_number
+    * over (count desc, term) — deterministic in both engines, where an
+    * arg_max tie would be engine-arbitrary). Unmatched docs read zero
+    * counts and a NULL top term. O(docs) rows out.
+    */
+  def gazetteerTag(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gazetteer: DataFrame,
+      termCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("did"),
+      explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "),
+        " ")).as("w"))
+    val dict = gazetteer
+      .select(lower(trim(col(termCol))).as("term")).distinct()
+    val tot = toks.groupBy(col("did")).agg(count(lit(1)).as("n_tokens"))
+    val mc = toks.join(broadcast(dict), col("w") === col("term"))
+      .groupBy(col("did"), col("w")).agg(count(lit(1)).as("c"))
+    val byDoc = Window.partitionBy(col("did"))
+      .orderBy(col("c").desc, col("w"))
+    val stats = mc.withColumn("rn", row_number().over(byDoc))
+      .groupBy(col("did"))
+      .agg(sum(col("c")).as("n_matched"), count(lit(1)).as("n_terms"),
+        max(when(col("rn") === 1, col("w"))).as("top_term"),
+        max(when(col("rn") === 1, col("c"))).as("top_count"))
+    tot.join(stats, Seq("did"), "left")
+      .select(col("did").as(idCol), col("n_tokens"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        round(coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("coverage"),
+        col("top_term"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"))
+      .orderBy(col(idCol))
+  }
+
   def lexicalDiversity(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val words = df.select(col(idCol),

@@ -18,6 +18,28 @@ class TextPipelineSpec extends SparkSuite {
     assert(!out.contains(3L), "a doc shorter than one n-gram yields no row")
   }
 
+  test("gazetteerTag: exact match counts, lexicographic tie-break, " +
+    "unmatched docs read zeros and a NULL top term") {
+    val docs = Seq(
+      (1L, "red widget blue bolt red"), // red x2, bolt x1 of 5 tokens
+      (2L, "nothing matches here"),
+      (3L, "red bolt")) // count tie -> lexicographic first = bolt
+      .toDF("doc_id", "text")
+    val gaz = Seq("Red", "bolt", "bolt").toDF("term") // dedup + case fold
+    val out = TextPipeline.gazetteerTag(docs, "doc_id", "text", gaz, "term")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 5L && d1.getLong(2) == 3L && d1.getLong(3) == 2L,
+      s"5 tokens, 3 matched, 2 terms: $d1")
+    assert(d1.getDouble(4) == 0.6 && d1.getString(5) == "red" &&
+      d1.getLong(6) == 2L, s"coverage and dominant term: $d1")
+    val d2 = out(2L)
+    assert(d2.getLong(2) == 0L && d2.isNullAt(5) && d2.getLong(6) == 0L,
+      s"unmatched doc: $d2")
+    assert(out(3L).getString(5) == "bolt",
+      s"count tie breaks lexicographically: ${out(3L)}")
+  }
+
   test("redactPii masks emails before digit runs and counts both") {
     val docs = Seq((1L, "mail me at jo.doe+x@site-a.org or call 0123456"))
       .toDF("id", "text")
