@@ -1854,9 +1854,40 @@ object StreamVerify {
   def yuleWalkerMaintenance(
       spark: SparkSession,
       eventsPath: String,
-      scratchDir: String): DataFrame = {
+      scratchDir: String): DataFrame =
+    graft.operators.Trend.yuleWalkerAr2(
+      denseHourlyDrain(spark, eventsPath, scratchDir, "yw"),
+      "event_type", "hour_id", "n")
+
+  /** STREAMING MA(1) maintenance — q671's moving-average fit as an
+    * ingestion side effect, the MA twin of [[yuleWalkerMaintenance]]:
+    * hour-partitioned count PARTIALS commit exactly-once per
+    * micro-batch, counts ADD, and the drained re-census feeds
+    * [[graft.operators.Trend.ma1Fit]] over the re-derived dense spine —
+    * bit-identical to the one-pass batch q671, whose oracle it shares
+    * verbatim. State O(types × hours), calendar-bounded.
+    */
+  def ma1Maintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame =
+    graft.operators.Trend.ma1Fit(
+      denseHourlyDrain(spark, eventsPath, scratchDir, "ma1"),
+      "event_type", "hour_id", "n")
+
+  /** Shared drain for the time-series model maintenance stores: stream
+    * the event slices, commit per-batch (type, hour) count partials to
+    * a TxLake exactly-once, then re-census the snapshot and densify the
+    * hour spine. Counts ADD across batches, so the drained census
+    * equals the one-pass batch census row for row — the property every
+    * downstream fit relies on. */
+  private def denseHourlyDrain(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String,
+      tagPrefix: String): DataFrame = {
     graft.sources.LocalFs.deleteRecursively(scratchDir)
-    val lake = s"$scratchDir/yw"
+    val lake = s"$scratchDir/$tagPrefix"
     val q = EventsStream.readEvents(spark, eventsPath, maxFilesPerTrigger = Some(1))
       .select(col("event_type"),
         expr("CAST(ts AS LONG) div 3600").as("hour_id"))
@@ -1866,7 +1897,7 @@ object StreamVerify {
           batch.groupBy(col("event_type"), col("hour_id"))
             .agg(count(lit(1)).as("n"))
             .coalesce(1),
-          tag = s"yw-$id")
+          tag = s"$tagPrefix-$id")
         ()
       }
       .option("checkpointLocation", s"$scratchDir/chk")
@@ -1882,12 +1913,10 @@ object StreamVerify {
         max(col("hour_id")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("hour_id"))
     val types = census.select(col("event_type")).distinct()
-    val dense = types.crossJoin(hours)
+    types.crossJoin(hours)
       .join(census, Seq("event_type", "hour_id"), "left")
       .select(col("event_type"), col("hour_id"),
         coalesce(col("n"), lit(0L)).as("n"))
-    graft.operators.Trend.yuleWalkerAr2(
-      dense, "event_type", "hour_id", "n")
   }
 
   /** STREAMING STRATIFIED-ATT maintenance — q551's causal readout as an

@@ -193,5 +193,20 @@ class LearnSpec extends SparkSuite {
     }
     assert(drained.map(_.toSeq) == batch.map(_.toSeq),
       s"drain $drained vs batch $batch")
+    // the MA twin drains the SAME census shape; its fit must equal the
+    // one-pass batch ma1Fit bit for bit too
+    val scratch2 = Files.createTempDirectory("graft_ma_store").toString + "/s"
+    val drainedMa = StreamVerify.ma1Maintenance(
+      spark, dir.toString, scratch2).collect().toSeq
+    val batchMa = {
+      val h = evs.map { case (_, sec, et) => (et, sec / 3600L) }
+        .toDF("event_type", "hour_id")
+      val cen = h.groupBy(col("event_type"), col("hour_id"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Trend.ma1Fit(
+        cen, "event_type", "hour_id", "n").collect().toSeq
+    }
+    assert(drainedMa.map(_.toSeq) == batchMa.map(_.toSeq),
+      s"MA drain $drainedMa vs batch $batchMa")
   }
 }
