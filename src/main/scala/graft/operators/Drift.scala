@@ -1861,6 +1861,70 @@ object Drift {
         (col("kmax").isNotNull && col("r") <= col("kmax")).as("rejected"))
   }
 
+  /** META-ANALYTIC P-VALUE COMBINATION — the question the multiplicity
+    * shelf ([[bhFdr]]/[[holmBonferroni]]/[[byFdr]]) never answers:
+    * those control errors across a family of SEPARATE verdicts; this
+    * pools the family into ONE verdict ("is there any effect in this
+    * group at all"). Two classic poolers side by side: STOUFFER's
+    * Z = Σzᵢ/√m (direction-aware — effects in opposite directions
+    * cancel) and FISHER's X² = −2Σln pᵢ (direction-blind — any
+    * deviation accumulates), with Fisher's combined p from the exact
+    * even-df chi-square survival series
+    * P(χ²_{2m} > X) = e^{−X/2} Σ_{k<m} (X/2)^k / k!.
+    *
+    * Exactness: per-test −2 ln p terms pinned at 1e-9 and
+    * decimal-summed (FP-order-free); the series' ln k! is the q574
+    * discipline — per-integer 1e-12-pinned ln's accumulated as exact
+    * decimals over the per-group k-explode (group-sized, never
+    * corpus-sized); each survival term exp-pinned at 1e-12 and
+    * decimal-summed. p-values clamp to ≥ 1e-9 before ln on both
+    * engines (a 9-grid p of exactly 0 would send ln to −∞). The k = 0
+    * term is special-cased: at X = 0 the generic 0·ln(0) is NaN, while
+    * e^{−X/2} alone is the exact answer 1. O(groups) rows out.
+    */
+  def combinePvalues(
+      tests: DataFrame,
+      groupCol: String,
+      pCol: String,
+      zCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val agg = tests.select(col(groupCol).as("g"),
+        col(pCol).cast("double").as("p"), col(zCol).cast("double").as("z"))
+      .groupBy(col("g")).agg(
+        count(lit(1)).as("m"),
+        sum(col("z").cast(DecimalType(18, 6))).as("sz"),
+        sum(round(lit(-2.0) * log(greatest(col("p"), lit(1e-9))), 9)
+          .cast(DecimalType(18, 9))).as("x2"))
+    val stat = agg.select(col("g"), col("m"),
+      (round(dbl(col("sz")) / sqrt(dbl(col("m"))), 6) + lit(0.0))
+        .as("stouffer_z"),
+      dbl(col("x2")).as("x"))
+    val wk = Window.partitionBy(col("g")).orderBy(col("k"))
+    val terms = stat.select(col("g"), col("m"), col("stouffer_z"),
+        col("x"), explode(sequence(lit(0L), col("m") - 1L)).as("k"))
+      .withColumn("lnk", when(col("k") === 0L, lit(0.0))
+        .otherwise(round(log(dbl(col("k"))), 12)))
+      .withColumn("lf",
+        sum(col("lnk").cast(DecimalType(28, 12))).over(wk).cast("double"))
+    // x <= 0 guard: every k >= 1 term of a zero statistic is exactly 0,
+    // and the generic branch's ln(0) is engine-divergent (Spark NULL,
+    // DuckDB error) — never let either engine evaluate it
+    val term = when(col("k") === 0L, exp(-col("x") / 2.0))
+      .when(col("x") <= 0.0, lit(0.0))
+      .otherwise(exp(-col("x") / 2.0 +
+        dbl(col("k")) * log(col("x") / 2.0) - col("lf")))
+    terms.select(col("g"), col("m"), col("stouffer_z"), col("x"),
+        round(term, 12).cast(DecimalType(28, 12)).as("t"))
+      .groupBy(col("g"), col("m"), col("stouffer_z"), col("x"))
+      .agg(sum(col("t")).as("s"))
+      .select(col("g").as(groupCol), col("m"), col("stouffer_z"),
+        round(col("x"), 6).as("fisher_stat"),
+        round(least(dbl(col("s")), lit(1.0)), 6).as("fisher_p"))
+      .orderBy(col(groupCol))
+  }
+
   /** BENJAMINI–YEKUTIELI step-up — [[bhFdr]]'s FDR control made valid
     * under ARBITRARY dependence between the tests (BH's guarantee needs
     * independence or positive dependence; correlated metrics over the

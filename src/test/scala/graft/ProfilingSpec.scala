@@ -1100,6 +1100,29 @@ class ProfilingSpec extends SparkSuite {
     assert(none.forall(!_))
   }
 
+  test("combinePvalues: Fisher's chi-square survival and Stouffer's Z " +
+    "land hand values; an all-null family reads p = 1 exactly") {
+    import spark.implicits._
+    // group a: p = {0.05, 0.2} -> X = -2 ln(0.01), so e^{-X/2} = 0.01
+    // and P(chi2_4 > X) = 0.01 * (1 + X/2); z = {2, 1} -> 3/sqrt(2)
+    val df = Seq(("a", "t1", 0.05, 2.0), ("a", "t2", 0.2, 1.0),
+      ("b", "t3", 1.0, 0.0)).toDF("g", "k", "p", "z")
+    val got = graft.operators.Drift.combinePvalues(df, "g", "p", "z")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 2L, s"family size: $a")
+    assert(math.abs(a.getDouble(2) - 3.0 / math.sqrt(2.0)) < 1e-5,
+      s"stouffer 3/sqrt(2): $a")
+    assert(math.abs(a.getDouble(3) - 9.210340) < 1e-5, s"X = -2ln(.01): $a")
+    assert(math.abs(a.getDouble(4) -
+      0.01 * (1.0 + 9.210340372 / 2.0)) < 1e-5,
+      s"chi2_4 survival 0.0560517: $a")
+    val b = got("b")
+    assert(b.getDouble(2) == 0.0 && b.getDouble(3) == 0.0 &&
+      b.getDouble(4) == 1.0,
+      s"a p=1 singleton pools to exactly no evidence: $b")
+  }
+
   test("mannKendall: hand-counted S with ties, continuity-corrected Z") {
     import spark.implicits._
     // series 1,2,2,3 -> S = 5 (one tied pair), tsum = 18,
