@@ -1430,6 +1430,100 @@ object Relational {
     * item's cross terms land once on the 1e-9 grid before
     * order-independent decimal sums; one O(1) ratio block at the end.
     */
+  /** NEWSVENDOR ORDER QUANTITY per key — the inventory decision the
+    * demand-model shelf feeds (q670's ZIP, q463's Croston, q464's SBC
+    * classes DESCRIBE weekly demand; this prescribes the stock level):
+    * q* = the smallest quantity whose empirical demand CDF reaches the
+    * critical fractile cu/(cu+co) (underage cost vs overage cost — the
+    * classic "how many papers to print" optimum), plus the expected
+    * underage/overage/cost AT q* so the trade-off is auditable, not
+    * just the argmin.
+    *
+    * Everything is census arithmetic: one (key, demand) count census,
+    * demand-domain windows for the cumulative count and value prefix
+    * sums, q* picked as the exact struct-min over threshold-passing
+    * census rows, and the expectations from prefix/total sums — pure
+    * integers until the final pinned divisions. The threshold compare
+    * (cum ≥ r·n) is one double product of exact integers per census
+    * row, identical in both engines. O(keys) rows out; no window ever
+    * touches raw rows.
+    */
+  def newsvendor(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      underageCost: Double,
+      overageCost: Double): DataFrame = {
+    require(underageCost > 0.0 && overageCost > 0.0)
+    val ratio = underageCost / (underageCost + overageCost)
+    def dbl(c: Column): Column = c.cast("double")
+    val cen = df.select(col(keyCol).as("k"),
+        col(valueCol).cast("long").as("d"))
+      .groupBy(col("k"), col("d")).agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("d"))
+    val wAll = Window.partitionBy(col("k"))
+    val cum = cen
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("cumv", sum(col("c") * col("d")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("totv", sum(col("c") * col("d")).over(wAll))
+    val hit = cum.filter(dbl(col("cum")) >= lit(ratio) * dbl(col("n")))
+      .groupBy(col("k"))
+      .agg(min(struct(col("d"), col("cum"), col("cumv"), col("n"),
+        col("totv"))).as("s"))
+      .select(col("k"), col("s.d").as("q"), col("s.cum").as("cq"),
+        col("s.cumv").as("vq"), col("s.n").as("n"),
+        col("s.totv").as("totv"))
+    val n = dbl(col("n"))
+    val eu = (dbl(col("totv") - col("vq")) -
+      dbl(col("q")) * dbl(col("n") - col("cq"))) / n
+    val eo = (dbl(col("q")) * dbl(col("cq")) - dbl(col("vq"))) / n
+    hit.select(col("k").as(keyCol), col("n"), col("q").as("q_star"),
+        round(dbl(col("cq")) / n, 6).as("service_level"),
+        round(eu, 6).as("exp_underage"),
+        round(eo, 6).as("exp_overage"),
+        round(lit(underageCost) * eu + lit(overageCost) * eo, 6)
+          .as("exp_cost"))
+      .orderBy(col(keyCol))
+  }
+
+  /** ATKINSON INEQUALITY INDEX (ε = 1) per key — the inequality number
+    * with a WELFARE reading the shelf's others lack: q338's Gini is a
+    * rank statistic, q411's Theil an entropy; Atkinson(1) = 1 −
+    * geomean/mean says directly "society would accept losing this
+    * share of total income for perfect equality". The geometric mean
+    * comes from the pinned-ln census (per-value ln at 1e-9, exact
+    * decimal sum — the corpus ln discipline), the arithmetic mean from
+    * exact integer sums; one pinned exp at the end. Non-positive
+    * values carry no defined ln and are EXCLUDED but COUNTED (n vs
+    * n_pos disclosed — silently dropping them would overstate
+    * equality); keys with no positive mass read NULL. O(keys) out.
+    */
+  def atkinsonIndex(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val d2812 = DecimalType(28, 12)
+    val agg = df.select(col(keyCol).as("k"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") > 0L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("v") > 0L, col("v")).otherwise(0L)).as("sv"),
+        sum(when(col("v") > 0L,
+          round(log(dbl(col("v"))), 9)).otherwise(0.0).cast(d2812))
+          .as("sl"))
+    val np = dbl(col("np"))
+    val mean = dbl(col("sv")) / np
+    val gm = exp(round(dbl(col("sl")) / np, 9))
+    agg.select(col("k").as(keyCol), col("n"), col("np").as("n_pos"),
+        when(col("np") >= 1L, round(mean, 6)).as("mean"),
+        when(col("np") >= 1L && mean > 0.0,
+          round(lit(1.0) - gm / mean, 6) + lit(0.0)).as("atkinson"))
+      .orderBy(col(keyCol))
+  }
+
   def priceIndices(
       df: DataFrame,
       itemCol: Column,

@@ -524,6 +524,42 @@ class RelationalSpec extends SparkSuite {
       .head().isNullAt(4))
   }
 
+  test("newsvendor: uniform demand 1..4 at fractile 0.75 orders 3 with " +
+    "hand-exact expected costs") {
+    import spark.implicits._
+    // cu=3, co=1 -> r = 0.75; F(3) = 0.75 exactly -> q* = 3;
+    // Eu = (4-3)/4, Eo = (3*3 - 6)/4, cost = 3*0.25 + 1*0.75
+    val d = Seq(("p", 1L), ("p", 2L), ("p", 3L), ("p", 4L),
+      ("hi", 10L), ("hi", 10L)).toDF("k", "v")
+    val got = graft.operators.Relational.newsvendor(d, "k", "v", 3.0, 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val p = got("p")
+    assert(p.getLong(2) == 3L && p.getDouble(3) == 0.75, s"q*: $p")
+    assert(p.getDouble(4) == 0.25 && p.getDouble(5) == 0.75 &&
+      p.getDouble(6) == 1.5, s"expected costs: $p")
+    val hi = got("hi")
+    assert(hi.getLong(2) == 10L && hi.getDouble(4) == 0.0 &&
+      hi.getDouble(5) == 0.0, s"constant demand orders itself: $hi")
+  }
+
+  test("atkinsonIndex: {1, 100} reads 1 - 10/50.5, non-positive rows " +
+    "are excluded but counted, all-non-positive keys NULL") {
+    import spark.implicits._
+    val d = Seq(("a", 1L), ("a", 100L), ("b", 5L), ("b", 5L), ("b", -3L),
+      ("z", 0L)).toDF("k", "v")
+    val got = graft.operators.Relational.atkinsonIndex(d, "k", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(math.abs(a.getDouble(4) - (1.0 - 10.0 / 50.5)) < 1e-6,
+      s"geomean 10 vs mean 50.5: $a")
+    val b = got("b")
+    assert(b.getLong(1) == 3L && b.getLong(2) == 2L,
+      s"the -3 row is counted but excluded: $b")
+    assert(b.getDouble(4) == 0.0, s"equal positives read zero: $b")
+    assert(got("z").isNullAt(4) && got("z").isNullAt(3),
+      s"no positive mass refuses: ${got("z")}")
+  }
+
   test("priceIndices: base-weighted vs current-weighted baskets " +
     "disagree exactly as the hand baskets say") {
     import spark.implicits._
