@@ -2075,6 +2075,61 @@ object Drift {
     * discipline — raw mean squares at cents² scale never leave). Means
     * are exact integer/count divisions. Degenerate MSW → NULLs.
     */
+  /** EMPIRICAL-BAYES RATE SHRINKAGE (beta-binomial, method of moments)
+    * — [[jamesStein]] for RATES: a part seen twice with one return
+    * reads a raw 50% return rate; shrinking toward the corpus prior by
+    * the evidence each part actually carries is the difference between
+    * a rate table you can rank by and one dominated by small-n noise.
+    * The Beta(α, β) prior comes from the per-key rate moments: with
+    * m = mean(rᵢ), v = var(rᵢ) across keys, the MoM concentration is
+    * K = m(1−m)/v − 1, α = mK, β = (1−m)K, and each key's posterior
+    * mean is (sᵢ + α)/(nᵢ + K) — more trials, less shrink.
+    *
+    * One key census (n, s) pass; raw rates pinned at 1e-9 and their
+    * cross-key moments decimal-summed; the prior is a one-row broadcast
+    * every key joins. Refusals read NULL shrunk rates: v = 0 (all keys
+    * identical — nothing to learn a prior from), v ≥ m(1−m) (more
+    * dispersed than ANY beta-binomial; K ≤ 0), or a degenerate corpus
+    * mean (m = 0 or 1 exactly). O(keys) rows out.
+    */
+  def ebBetaBinomial(
+      df: DataFrame,
+      keyCol: String,
+      successCol: Column,
+      minKeys: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d189 = DecimalType(18, 9)
+    val cen = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("s"))
+      .withColumn("r", round(dbl(col("s")) / dbl(col("n")), 9))
+      .localCheckpoint(true) // the prior aggregate + the final join
+    val pr = cen.agg(count(lit(1)).as("p"),
+        sum(col("r").cast(d189)).as("sr"),
+        sum(round(col("r") * col("r"), 9).cast(d189)).as("srr"))
+    val p = dbl(col("p"))
+    val m = dbl(col("sr")) / p
+    val v = (p * dbl(col("srr")) - dbl(col("sr")) * dbl(col("sr"))) /
+      (p * (p - 1.0))
+    val kk = m * (lit(1.0) - m) / v - lit(1.0)
+    val prior = pr.select(col("p"), round(m, 9).as("m"),
+      round(v, 9).as("v"),
+      when(col("p") >= minKeys && v > 0.0 && m > 0.0 && m < 1.0 &&
+        kk > 0.0, round(kk, 9)).as("kc"))
+    cen.crossJoin(broadcast(prior))
+      .select(col("k").as(keyCol), col("n"), col("s"),
+        round(col("r"), 6).as("raw_rate"),
+        when(col("kc").isNotNull,
+          round(col("m") * col("kc"), 6)).as("prior_alpha"),
+        when(col("kc").isNotNull,
+          round((lit(1.0) - col("m")) * col("kc"), 6)).as("prior_beta"),
+        when(col("kc").isNotNull,
+          round((dbl(col("s")) + col("m") * col("kc")) /
+            (dbl(col("n")) + col("kc")), 6)).as("shrunk_rate"))
+      .orderBy(col(keyCol))
+  }
+
   def jamesStein(
       df: DataFrame,
       groupCol: String,

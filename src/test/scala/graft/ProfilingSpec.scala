@@ -1123,6 +1123,30 @@ class ProfilingSpec extends SparkSuite {
       s"a p=1 singleton pools to exactly no evidence: $b")
   }
 
+  test("ebBetaBinomial: hand MoM prior alpha=beta=1/4 shrinks small-n " +
+    "rates, a zero-variance family refuses") {
+    import spark.implicits._
+    // rates .5, 0, .5, 1 -> m = 1/2, v = 1/6, K = 1/2, alpha = beta = 1/4
+    val rows = Seq(("a", true), ("a", false), ("b", false), ("b", false),
+      ("c", true), ("c", false), ("d", true), ("d", true))
+    val got = graft.operators.Drift.ebBetaBinomial(
+      rows.toDF("k", "hit"), "k", col("hit"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(4) == 0.25 && got("a").getDouble(5) == 0.25,
+      s"prior: ${got("a")}")
+    assert(got("a").getDouble(6) == 0.5, s"center stays put: ${got("a")}")
+    assert(got("b").getDouble(6) == 0.1 && got("d").getDouble(6) == 0.9,
+      s"extremes shrink inward: ${got("b")} ${got("d")}")
+    // all keys identical -> v = 0 -> no prior to learn
+    val flat = Seq(("x", true), ("x", false), ("y", true), ("y", false),
+      ("z", true), ("z", false))
+    val f = graft.operators.Drift.ebBetaBinomial(
+      flat.toDF("k", "hit"), "k", col("hit"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(f("x").isNullAt(6) && f("x").getDouble(3) == 0.5,
+      s"zero cross-key variance refuses the shrink: ${f("x")}")
+  }
+
   test("mannKendall: hand-counted S with ties, continuity-corrected Z") {
     import spark.implicits._
     // series 1,2,2,3 -> S = 5 (one tied pair), tsum = 18,
