@@ -2075,6 +2075,81 @@ object Drift {
     * discipline — raw mean squares at cents² scale never leave). Means
     * are exact integer/count divisions. Degenerate MSW → NULLs.
     */
+  /** ANDERSON–DARLING NORMALITY TEST per key — the tail-weighted
+    * goodness-of-fit the drift shelf lacks: q295's binned KS sees the
+    * body, AD's 1/[F(1−F)] weighting is SPECIFICALLY sensitive in the
+    * tails where risk lives; the standard "can I use the z-machinery on
+    * this metric at all" gate (case 3: mean and variance estimated).
+    *
+    *   A² = −n − (1/n) Σᵢ (2i−1)[ln Φ(zᵢ) + ln(1 − Φ(z_{n+1−i}))]
+    *
+    * computed WITHOUT ranking raw rows: ranks collapse onto the VALUE
+    * CENSUS — a value with count c occupying ranks a+1..a+c contributes
+    * coefficient Σ(2i−1) = 2ca + c² to its ln Φ and Σ(2n+1−2j) =
+    * 2c(n−a) − c² to its ln(1−Φ), both exact integers off the
+    * cumulative-count window (value-domain-sized: the test column's
+    * RANGE bounds the census per key no matter the row count — stated
+    * caller contract). Φ replays the shared A&S polynomial
+    * ([[normalTailP2]]), z's pinned at 1e-9, Φ clamped to
+    * [1e-12, 1−1e-12] before ln (an extreme z would send it to ±∞),
+    * per-value terms pinned and decimal-summed. Emits A², the
+    * small-sample-modified A*² = A²(1 + 0.75/n + 2.25/n²), and the
+    * α=0.05 verdict against the 0.787 critical — compared on the
+    * PINNED A*² so both engines flip together. Keys need ≥ 8 rows and
+    * positive variance. O(keys) rows out.
+    */
+  def andersonDarling(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def dbl(c: Column): Column = c.cast("double")
+    val d38 = DecimalType(38, 0)
+    val d289 = DecimalType(28, 9)
+    val cen = df.select(col(keyCol).as("k"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val mom = cen.groupBy(col("k"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") * col("v")).cast(d38)).as("sv"),
+        sum((col("c").cast(d38) * col("v") * col("v"))).as("svv"))
+      .filter(col("n") >= 8L)
+    val nD = dbl(col("n"))
+    val mean = dbl(col("sv")) / nD
+    val varS = (nD * dbl(col("svv")) - dbl(col("sv")) * dbl(col("sv"))) /
+      (nD * (nD - 1.0))
+    val key = mom.select(col("k"), col("n"), mean.as("mu"),
+        when(varS > 0.0, sqrt(varS)).as("sd"))
+      .filter(col("sd").isNotNull)
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("v"))
+    val ranked = cen.join(key, Seq("k"))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("a", col("cum") - col("c"))
+      .withColumn("z", round((dbl(col("v")) - col("mu")) / col("sd"), 9))
+    val p = normalTailP2(col("z"))
+    def clamp(c: Column): Column =
+      least(greatest(c, lit(1e-12)), lit(1.0 - 1e-12))
+    val phi = clamp(when(col("z") >= 0.0, lit(1.0) - p / 2.0)
+      .otherwise(p / 2.0))
+    val sf = clamp(when(col("z") >= 0.0, p / 2.0)
+      .otherwise(lit(1.0) - p / 2.0))
+    val terms = ranked.select(col("k"), col("n"),
+      round(dbl(lit(2L) * col("c") * col("a") + col("c") * col("c")) *
+        round(log(phi), 9), 9).cast(d289).as("ta"),
+      round(dbl(lit(2L) * col("c") * (col("n") - col("a")) -
+        col("c") * col("c")) * round(log(sf), 9), 9).cast(d289).as("tb"))
+    val agg = terms.groupBy(col("k"), col("n"))
+      .agg(sum(col("ta")).as("sa"), sum(col("tb")).as("sb"))
+    val a2 = -dbl(col("n")) - (dbl(col("sa")) + dbl(col("sb"))) / dbl(col("n"))
+    val a2s = round(a2 * (lit(1.0) + lit(0.75) / dbl(col("n")) +
+      lit(2.25) / (dbl(col("n")) * dbl(col("n")))), 6)
+    agg.select(col("k").as(keyCol), col("n"),
+        round(a2, 6).as("a2"), a2s.as("a2_star"),
+        (a2s > 0.787).as("reject_normal_05"))
+      .orderBy(col(keyCol))
+  }
+
   /** EMPIRICAL-BAYES RATE SHRINKAGE (beta-binomial, method of moments)
     * — [[jamesStein]] for RATES: a part seen twice with one return
     * reads a raw 50% return rate; shrinking toward the corpus prior by

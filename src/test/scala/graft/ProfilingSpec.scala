@@ -1147,6 +1147,42 @@ class ProfilingSpec extends SparkSuite {
       s"zero cross-key variance refuses the shrink: ${f("x")}")
   }
 
+  test("andersonDarling: census-coefficient collapse equals the direct " +
+    "rank loop on a tied sample; degenerate keys drop") {
+    import spark.implicits._
+    val vs = Seq(1L, 2L, 2L, 3L, 3L, 3L, 4L, 4L, 5L, 9L)
+    val df = (vs.map(("g", _)) ++ Seq.fill(9)(("flat", 7L)) ++
+      Seq(("s", 1L), ("s", 2L))).toDF("k", "v")
+    val got = graft.operators.Drift.andersonDarling(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("flat"), "zero variance drops")
+    assert(!got.contains("s"), "keys under 8 rows drop")
+    // independent reference: the direct (2i-1) rank loop over the
+    // sorted raw sample with the same A&S polynomial
+    def phi(z: Double): Double = {
+      val az = math.abs(z)
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      val poly = ((((1.330274429 * t - 1.821255978) * t +
+        1.781477937) * t - 0.356563782) * t + 0.319381530) * t
+      val p2 = 2.0 * 0.3989422804014327 * math.exp(-az * az / 2.0) * poly
+      if (z >= 0) 1.0 - p2 / 2.0 else p2 / 2.0
+    }
+    val n = vs.length
+    val mu = vs.sum.toDouble / n
+    val sd = math.sqrt(vs.map(v => (v - mu) * (v - mu)).sum / (n - 1.0))
+    val z = vs.sorted.map(v => (v - mu) / sd)
+    val s = (1 to n).map { i =>
+      (2 * i - 1).toDouble *
+        (math.log(phi(z(i - 1))) + math.log(1.0 - phi(z(n - i))))
+    }.sum
+    val ref = -n - s / n
+    val g = got("g")
+    assert(math.abs(g.getDouble(2) - ref) < 1e-4,
+      s"census A2 ${g.getDouble(2)} vs rank-loop $ref")
+    assert(g.getDouble(3) > g.getDouble(2),
+      s"small-sample modification inflates: $g")
+  }
+
   test("mannKendall: hand-counted S with ties, continuity-corrected Z") {
     import spark.implicits._
     // series 1,2,2,3 -> S = 5 (one tied pair), tsum = 18,
