@@ -1487,6 +1487,74 @@ object Relational {
       .orderBy(col(keyCol))
   }
 
+  /** ERLANG-C STAFFING per key — the queueing PRESCRIPTION the arrival
+    * shelf feeds (q14's hourly volumes, q636's concurrency sweep
+    * DESCRIBE load; this answers "how many servers so a job rarely
+    * waits"): offered load a = λ·s/3600 Erlangs from the hourly
+    * census, then the smallest server count c whose Erlang-C wait
+    * probability C(c, a) = c·B/(c − a(1−B)) meets the target, where
+    * B = Erlang-B computed from the CLOSED FORM (aᵏ/k!)/Σ_{j≤c} aʲ/j!
+    * — the textbook recurrence is a sequential fold, but the ratio
+    * form is two PREFIX SUMS over the k-explode, so every candidate c
+    * is priced in one window pass (k ≤ maxServers, a bounded explode
+    * per key).
+    *
+    * Exactness: ln a pinned at 1e-9, ln k! per-integer 1e-12-pinned
+    * decimals (the q574 discipline), each aᵏ/k! term exp-pinned at
+    * 1e-12 and decimal-prefix-summed, the wait probability pinned at
+    * 1e-9 BEFORE the threshold compare so both engines pick the same
+    * c. Keys whose load is zero, or that no c ≤ maxServers can staff
+    * (a ≥ c or wait above target throughout), read NULL c — the
+    * "capacity bound too small" refusal, not a silent clamp.
+    * O(keys) rows out.
+    */
+  def erlangStaffing(
+      df: DataFrame,
+      keyCol: String,
+      hourlyCountCol: String,
+      serviceTimeSec: Double,
+      targetWait: Double,
+      maxServers: Int = 40): DataFrame = {
+    require(serviceTimeSec > 0.0 && targetWait > 0.0 && targetWait < 1.0 &&
+      maxServers >= 1 && maxServers <= 200)
+    def dbl(c: Column): Column = c.cast("double")
+    val d2812 = DecimalType(28, 12)
+    val load = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("hours"), sum(col(hourlyCountCol)).as("tot"))
+      .select(col("k"), col("hours"),
+        round(dbl(col("tot")) / dbl(col("hours")) *
+          lit(serviceTimeSec / 3600.0), 9).as("a"))
+    val wk = Window.partitionBy(col("k")).orderBy(col("kk"))
+    val terms = load.filter(col("a") > 0.0)
+      .select(col("k"), col("hours"), col("a"),
+        explode(sequence(lit(0L), lit(maxServers.toLong))).as("kk"))
+      .withColumn("lnk", when(col("kk") === 0L, lit(0.0))
+        .otherwise(round(log(dbl(col("kk"))), 12)))
+      .withColumn("lf",
+        sum(col("lnk").cast(d2812)).over(wk).cast("double"))
+      .withColumn("t",
+        round(exp(dbl(col("kk")) * round(log(col("a")), 9) - col("lf")), 12)
+          .cast(d2812))
+      .withColumn("s", sum(col("t")).over(wk))
+    val b = dbl(col("t")) / dbl(col("s"))
+    val cD = dbl(col("kk"))
+    val waitP = round(cD * b / (cD - col("a") * (lit(1.0) - b)), 9)
+    val cand = terms.filter(col("kk") >= 1L && col("a") < cD)
+      .select(col("k"), col("hours"), col("a"), col("kk"), waitP.as("w"))
+      .filter(col("w") <= lit(targetWait))
+      .groupBy(col("k"))
+      .agg(min(struct(col("kk"), col("w"))).as("pick"))
+      .select(col("k"), col("pick.kk").as("c_star"), col("pick.w").as("w"))
+    load.join(cand, Seq("k"), "left")
+      .select(col("k").as(keyCol), col("hours"),
+        round(col("a"), 6).as("erlangs"),
+        col("c_star"),
+        when(col("c_star").isNotNull, round(col("w"), 6)).as("wait_prob"),
+        when(col("c_star").isNotNull,
+          round(col("a") / dbl(col("c_star")), 6)).as("utilization"))
+      .orderBy(col(keyCol))
+  }
+
   /** ATKINSON INEQUALITY INDEX (ε = 1) per key — the inequality number
     * with a WELFARE reading the shelf's others lack: q338's Gini is a
     * rank statistic, q411's Theil an entropy; Atkinson(1) = 1 −

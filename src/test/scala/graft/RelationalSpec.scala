@@ -560,6 +560,26 @@ class RelationalSpec extends SparkSuite {
       s"no positive mass refuses: ${got("z")}")
   }
 
+  test("erlangStaffing: 2 Erlangs at a 20% wait target staffs 4 servers " +
+    "with the textbook wait probability; zero load refuses") {
+    import spark.implicits._
+    // 24/hour at 300 s handle time -> a = 2; Erlang-C: C(3)=4/9 > 0.2,
+    // C(4) = 0.173913 <= 0.2 -> c* = 4, utilization 1/2
+    val hours = (0 until 12).map(h => ("et", h.toLong, 24L)) ++
+      (0 until 12).map(h => ("idle", h.toLong, 0L))
+    val got = graft.operators.Relational.erlangStaffing(
+      hours.toDF("k", "h", "n"), "k", "n",
+      serviceTimeSec = 300.0, targetWait = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val e = got("et")
+    assert(e.getDouble(2) == 2.0, s"offered load: $e")
+    assert(e.getLong(3) == 4L, s"smallest passing c: $e")
+    assert(math.abs(e.getDouble(4) - 0.173913) < 1e-6, s"C(4, 2): $e")
+    assert(e.getDouble(5) == 0.5, s"utilization a/c: $e")
+    assert(got("idle").isNullAt(3) && got("idle").getDouble(2) == 0.0,
+      s"zero load refuses: ${got("idle")}")
+  }
+
   test("priceIndices: base-weighted vs current-weighted baskets " +
     "disagree exactly as the hand baskets say") {
     import spark.implicits._
