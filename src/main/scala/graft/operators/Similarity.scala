@@ -677,6 +677,57 @@ object Similarity {
     * decimal-grid treatment (the q256 discipline), so every number
     * replays cross-engine.
     */
+  /** JOHNSON–LINDENSTRAUSS RANDOM-PROJECTION AUDIT — the measured
+    * answer to "can we serve k dims instead of 64": project every
+    * embedding through a deterministic ±1/√k sign matrix (the
+    * [[graft.functions.VectorFunctions.planeWeights]] family, plane ids
+    * offset so the LSH planes stay untouched) and report, for a
+    * hash-bucketed pair sample, the original vs projected squared
+    * distance and their ratio — JL says the ratio concentrates near 1,
+    * this shows the actual spread on YOUR corpus, the audit beside
+    * q467's truncation-fidelity (truncation keeps prefix dims; a sign
+    * projection mixes all of them and keeps distances, not rankings).
+    *
+    * Pairs form only INSIDE md5 buckets (n²/buckets, never all-pairs —
+    * the q25 LSH posture); projected components are pinned to the 1e-6
+    * grid so both engines difference identical values; distances are
+    * the codegen left-to-right [[graft.plans.VecL2Sq]] fold the oracle
+    * replays with an ordered list_reduce. Coincident originals read a
+    * NULL ratio. O(pairs-in-buckets) rows out.
+    */
+  def randomProjectionAudit(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      projDims: Int = 16,
+      buckets: Int = 41): DataFrame = {
+    require(projDims >= 2 && dims >= projDims && buckets >= 1)
+    val scale = math.sqrt(projDims.toDouble)
+    import graft.functions.{VectorFunctions => VF}
+    def proj(v: Column): Column = array((0 until projDims).map { j =>
+      round(VF.dot(v,
+        array(VF.planeWeights(1000 + j, dims).map(lit): _*)) / lit(scale),
+        6)
+    }: _*)
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("y", proj(col("v")))
+      .withColumn("bkt", pmod(conv(substring(md5(concat(lit("jl:"),
+        col("id").cast("string"))), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong)))
+    base.as("a").join(base.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        VF.l2sq(col("a.v"), col("b.v")).as("d2o"),
+        VF.l2sq(col("a.y"), col("b.y")).as("d2p"))
+      .select(col("id_a"), col("id_b"),
+        round(col("d2o"), 6).as("d2_orig"),
+        round(col("d2p"), 6).as("d2_proj"),
+        when(col("d2o") > 0.0, round(col("d2p") / col("d2o"), 6))
+          .as("ratio"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def embeddingDrift(
       df: DataFrame,
       vecCol: String,

@@ -19,6 +19,35 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("orth")) < 1e-12)
   }
 
+  test("randomProjectionAudit: one-hot pair distances match the " +
+    "plane-weight reference loop; coincident vectors read NULL ratio") {
+    // a = e0, b = e1 (8 dims, k = 4): d2_orig = 2 and d2_proj =
+    // sum_j ((s_j(0) - s_j(1))/2)^2 over the SAME plane family the
+    // operator uses — recomputed here independently
+    val dims = 8
+    val k = 4
+    def oneHot(d: Int) =
+      Array.tabulate(dims)(i => if (i == d) 1.0f else 0.0f)
+    val df = Seq((1L, oneHot(0)), (2L, oneHot(1)), (3L, oneHot(1)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProjectionAudit(
+      df, "vec_id", "embedding", dims, projDims = k, buckets = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val ref = (0 until k).map { j =>
+      val w = VectorFunctions.planeWeights(1000 + j, dims)
+      val d = (w(0) - w(1)) / math.sqrt(k.toDouble)
+      d * d
+    }.sum
+    val ab = got((1L, 2L))
+    assert(ab.getDouble(2) == 2.0, s"original one-hot distance: $ab")
+    assert(math.abs(ab.getDouble(3) - ref) < 1e-5,
+      s"projected ${ab.getDouble(3)} vs reference $ref")
+    assert(math.abs(ab.getDouble(4) - ref / 2.0) < 1e-5, s"ratio: $ab")
+    val dup = got((2L, 3L))
+    assert(dup.getDouble(2) == 0.0 && dup.isNullAt(4),
+      s"coincident pair refuses the ratio: $dup")
+  }
+
   test("knnBrute: a planted duplicate vector is its query's top neighbor") {
     val emb = Tables.load(spark, sf, "embeddings")
     val planted = emb.filter(col("vec_id") === 0)
