@@ -1555,6 +1555,43 @@ object Relational {
       .orderBy(col(keyCol))
   }
 
+  /** XYZ DEMAND-VARIABILITY CLASSES per key — the stability axis of the
+    * classic ABC/XYZ inventory matrix (q339's ABC ranks by VALUE; this
+    * classifies by PREDICTABILITY): coefficient of variation of the
+    * dense weekly series, computed from the SPARSE census with the
+    * q670 discipline — absent buckets ARE the zeros, so mean = S/T and
+    * population variance = SS/T − mean² come from two exact integer
+    * sums plus the spine length T, and the key×bucket grid is never
+    * materialized. X (cv < 0.5) forecast-friendly, Y (cv < 1.0)
+    * seasonal-ish, Z (cv ≥ 1.0) erratic — thresholds compared on the
+    * PINNED cv so both engines classify identically. Keys need a
+    * positive total; T must cover the observed span (caller passes the
+    * global bucket count). O(keys) rows out.
+    */
+  def xyzClasses(
+      sparse: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      totalBuckets: Long): DataFrame = {
+    require(totalBuckets >= 2L)
+    def dbl(c: Column): Column = c.cast("double")
+    val t = lit(totalBuckets).cast("double")
+    val agg = sparse.groupBy(col(keyCol).as("k"))
+      .agg(sum(col(valueCol).cast("long")).as("s"),
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long"))
+          .as("ss"))
+      .filter(col("s") > 0L)
+    val mean = dbl(col("s")) / t
+    val varP = dbl(col("ss")) / t - mean * mean
+    val cv = round(sqrt(varP) / mean, 9)
+    agg.select(col("k").as(keyCol), lit(totalBuckets).as("t_buckets"),
+        round(mean, 6).as("mean"),
+        (round(cv, 6) + lit(0.0)).as("cv"),
+        when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise(lit("Z"))
+          .as("xyz_class"))
+      .orderBy(col(keyCol))
+  }
+
   /** ATKINSON INEQUALITY INDEX (ε = 1) per key — the inequality number
     * with a WELFARE reading the shelf's others lack: q338's Gini is a
     * rank statistic, q411's Theil an entropy; Atkinson(1) = 1 −

@@ -1875,6 +1875,22 @@ object StreamVerify {
       denseHourlyDrain(spark, eventsPath, scratchDir, "ma1"),
       "event_type", "hour_id", "n")
 
+  /** STREAMING STAFFING maintenance — q682's Erlang-C prescription kept
+    * live at ingestion: the same exactly-once hourly count partials as
+    * the AR/MA stores ([[denseHourlyDrain]]), re-priced through
+    * [[graft.operators.Relational.erlangStaffing]] on drain —
+    * bit-identical to the one-pass batch q682, whose oracle it shares
+    * verbatim. The operations loop this closes: arrivals stream in,
+    * the staffing table is always current. State O(types × hours).
+    */
+  def erlangMaintenance(
+      spark: SparkSession,
+      eventsPath: String,
+      scratchDir: String): DataFrame =
+    graft.operators.Relational.erlangStaffing(
+      denseHourlyDrain(spark, eventsPath, scratchDir, "erl"),
+      "event_type", "n", serviceTimeSec = 300.0, targetWait = 0.2)
+
   /** Shared drain for the time-series model maintenance stores: stream
     * the event slices, commit per-batch (type, hour) count partials to
     * a TxLake exactly-once, then re-census the snapshot and densify the

@@ -208,5 +208,20 @@ class LearnSpec extends SparkSuite {
     }
     assert(drainedMa.map(_.toSeq) == batchMa.map(_.toSeq),
       s"MA drain $drainedMa vs batch $batchMa")
+    // the Erlang staffing twin drains the same census shape too
+    val scratch3 = Files.createTempDirectory("graft_erl_store").toString + "/s"
+    val drainedErl = StreamVerify.erlangMaintenance(
+      spark, dir.toString, scratch3).collect().toSeq
+    val batchErl = {
+      val h = evs.map { case (_, sec, et) => (et, sec / 3600L) }
+        .toDF("event_type", "hour_id")
+      val cen = h.groupBy(col("event_type"), col("hour_id"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Relational.erlangStaffing(
+        cen, "event_type", "n",
+        serviceTimeSec = 300.0, targetWait = 0.2).collect().toSeq
+    }
+    assert(drainedErl.map(_.toSeq) == batchErl.map(_.toSeq),
+      s"Erlang drain $drainedErl vs batch $batchErl")
   }
 }

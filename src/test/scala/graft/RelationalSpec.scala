@@ -580,6 +580,27 @@ class RelationalSpec extends SparkSuite {
       s"zero load refuses: ${got("idle")}")
   }
 
+  test("xyzClasses: constant demand reads X at cv 0, a half-empty spine " +
+    "reads the exact boundary Z, absent buckets count as zeros") {
+    import spark.implicits._
+    // T = 8; "c" fills every week with 4 -> cv 0 -> X; "h" fills 4 of 8
+    // weeks with 4 -> mean 2, var = 4, cv = 1 exactly -> Z (boundary);
+    // "m" fills 6 of 8 with 4 -> mean 3, var = 3, cv = 0.577 -> Y
+    val rows = (0 until 8).map(w => ("c", w.toLong, 4L)) ++
+      (0 until 4).map(w => ("h", w.toLong, 4L)) ++
+      (0 until 6).map(w => ("m", w.toLong, 4L))
+    val got = graft.operators.Relational.xyzClasses(
+      rows.toDF("k", "w", "v"), "k", "v", totalBuckets = 8L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("c").getDouble(3) == 0.0 && got("c").getString(4) == "X",
+      s"constant: ${got("c")}")
+    assert(got("h").getDouble(3) == 1.0 && got("h").getString(4) == "Z",
+      s"half-empty boundary: ${got("h")}")
+    assert(got("m").getString(4) == "Y" &&
+      math.abs(got("m").getDouble(3) - math.sqrt(3.0) / 3.0) < 1e-6,
+      s"middle: ${got("m")}")
+  }
+
   test("priceIndices: base-weighted vs current-weighted baskets " +
     "disagree exactly as the hand baskets say") {
     import spark.implicits._
