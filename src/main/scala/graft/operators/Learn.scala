@@ -96,6 +96,116 @@ object Learn {
     withD.select(col("v"), col("n"), cl.as("cluster"))
   }
 
+  /** 2-COMPONENT 1-D GAUSSIAN MIXTURE by DRIVER-PACED EM — the SOFT
+    * version of [[kMeans1D]]'s hard bands and the model-based answer to
+    * "is this metric one population or two" (a bimodality verdict with
+    * the component shapes attached, where q301's changepoint looks in
+    * time and q295's KS compares two given samples). Fixed `iters` EM
+    * rounds; every E-step runs distributed over the VALUE CENSUS and
+    * every M-step reduces to SIX decimal sums collected to the driver
+    * (answer-sized — the [[lloydCore]] pacing), so the loop costs
+    * iters × one census aggregate.
+    *
+    * Determinism is total, not stochastic: init is the exact
+    * quartile-rank split (μ's at the discrete 25/75 ranks, shared
+    * variance, π = ½ — no RNG), responsibilities come from the PINNED
+    * log-odds d = ℓ₂ − ℓ₁ (1e-9, clamped ±700 so exp never overflows
+    * apart) through one logistic pinned at 1e-12, and every M-step
+    * parameter is re-pinned at 1e-9 before the next round — both
+    * engines walk the identical trajectory, which the oracle replays
+    * as unrolled CTE rounds. A variance FLOOR of 1e-6 keeps a
+    * component that collapses onto a single census value from emitting
+    * ±∞ log-densities (the classic EM degeneracy, handled identically
+    * on both sides). Needs n ≥ 10 and positive variance; a degenerate
+    * quartile split (q25 = q75) refuses. Two rows out.
+    */
+  def gmm2(df: DataFrame, valueCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 8)
+    val spark = df.sparkSession
+    val cen = valueCensus(df, valueCol)
+    val mom = cen.agg(sum(col("n")).as("n"),
+      sum((col("v") * col("n")).cast(d38)).as("sv"),
+      sum((col("n").cast(d38) * col("v") * col("v"))).as("svv")).head()
+    val n = mom.getLong(0)
+    require(n >= 10L, s"gmm2 needs >= 10 rows, got $n")
+    val mean = mom.getDecimal(1).doubleValue() / n
+    val varP = mom.getDecimal(2).doubleValue() / n - mean * mean
+    require(varP > 0.0, "gmm2 needs positive variance")
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cen.withColumn("cum", sum(col("n")).over(wOrd))
+      .localCheckpoint(true)
+    def atRank(r: Long): Double =
+      cum.filter(col("cum") >= r).orderBy(col("v"))
+        .limit(1).head().getLong(0).toDouble
+    val mu10 = atRank(n / 4L + 1L)
+    val mu20 = atRank(3L * n / 4L + 1L)
+    require(mu10 < mu20, "degenerate quartile split — not a mixture")
+    def pin(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // variances live at the VALUE-SQUARED magnitude (~1e10 here), where
+    // a 1e-9 or even 1e-6 pin crosses 2^53 and the scale-then-divide
+    // round diverges between engines (the kMeans WSS lesson) — pin them
+    // at 1e-3, which is exact far past this magnitude
+    def pin3(x: Double): Double =
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var pi = 0.5
+    var mu1 = pin(mu10); var mu2 = pin(mu20)
+    var s1 = math.max(pin3(varP), 1e-6); var s2 = s1
+    for (_ <- 1 to iters) {
+      val l1 = lit(math.log(pi) - 0.5 * math.log(s1)) -
+        (dbl(col("v")) - lit(mu1)) * (dbl(col("v")) - lit(mu1)) /
+          lit(2.0 * s1)
+      val l2 = lit(math.log(1.0 - pi) - 0.5 * math.log(s2)) -
+        (dbl(col("v")) - lit(mu2)) * (dbl(col("v")) - lit(mu2)) /
+          lit(2.0 * s2)
+      val d = least(greatest(round(l2 - l1, 9), lit(-700.0)), lit(700.0))
+      // responsibilities as INTEGER 1e-12 units: a fractional decimal
+      // responsibility would overflow DECIMAL(38) when multiplied by
+      // n·v² and Spark/DuckDB clamp overflow differently (Spark drops
+      // scale, DuckDB errors or widens) — integer units keep every
+      // E-step product an exact (38,0) decimal on both engines, and
+      // the 1e12 scale cancels in every M-step ratio
+      val r1i = round(lit(1.0) / (lit(1.0) + exp(d)) * lit(1e12), 0)
+        .cast("long")
+      val g = cen
+        .select(col("v"), col("n"), r1i.as("r1"),
+          (lit(1000000000000L) - r1i).as("r2"))
+        .agg(sum(col("r1").cast(d38) * col("n")).as("w1"),
+          sum(col("r1").cast(d38) * col("n") * col("v")).as("m1"),
+          sum(col("r1").cast(d38) * col("n") * col("v") * col("v"))
+            .as("q1"),
+          sum(col("r2").cast(d38) * col("n")).as("w2"),
+          sum(col("r2").cast(d38) * col("n") * col("v")).as("m2"),
+          sum(col("r2").cast(d38) * col("n") * col("v") * col("v"))
+            .as("q2")).head()
+      val w1 = g.getDecimal(0).doubleValue()
+      val w2 = g.getDecimal(3).doubleValue()
+      pi = pin(w1 / (n.toDouble * 1e12))
+      mu1 = pin(g.getDecimal(1).doubleValue() / w1)
+      mu2 = pin(g.getDecimal(4).doubleValue() / w2)
+      s1 = math.max(pin3(g.getDecimal(2).doubleValue() / w1 - mu1 * mu1),
+        1e-6)
+      s2 = math.max(pin3(g.getDecimal(5).doubleValue() / w2 - mu2 * mu2),
+        1e-6)
+    }
+    val sep = BigDecimal(math.abs(mu2 - mu1) /
+        math.sqrt((s1 + s2) / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def out(c: Long, p: Double, m: Double, v: Double) =
+      (c, n, BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0,
+        BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0,
+        // already 3-pinned; a 6-re-round at this magnitude is the
+        // nonportable op
+        v + 0.0, sep + 0.0)
+    import spark.implicits._
+    Seq(out(1L, pi, mu1, s1), out(2L, 1.0 - pi, mu2, s2))
+      .toDF("component", "n", "pi", "mu", "sigma2", "separation")
+      .orderBy(col("component"))
+  }
+
   def kMeans1D(
       df: DataFrame,
       valueCol: String,

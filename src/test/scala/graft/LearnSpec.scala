@@ -154,6 +154,33 @@ class LearnSpec extends SparkSuite {
       s"zero MAD reports the median outright: $f")
   }
 
+  test("gmm2: two planted clumps recover their means, weights and " +
+    "spreads; a degenerate quartile split refuses") {
+    import spark.implicits._
+    // 20 rows around 10 and 40 rows around 50 — EM from the quartile
+    // init must land the clump means, the 1/3-2/3 weights, and unit-ish
+    // within-clump variances
+    val low = Seq.fill(6)(9L) ++ Seq.fill(8)(10L) ++ Seq.fill(6)(11L)
+    val high = Seq.fill(12)(49L) ++ Seq.fill(16)(50L) ++ Seq.fill(12)(51L)
+    val got = graft.operators.Learn.gmm2(
+      (low ++ high).toDF("v"), "v").collect()
+    assert(got.length == 2)
+    val c1 = got(0); val c2 = got(1)
+    assert(math.abs(c1.getDouble(3) - 10.0) < 0.3 &&
+      math.abs(c2.getDouble(3) - 50.0) < 0.3,
+      s"clump means: ${got.toSeq}")
+    assert(math.abs(c1.getDouble(2) - 1.0 / 3.0) < 0.05 &&
+      math.abs(c1.getDouble(2) + c2.getDouble(2) - 1.0) < 1e-9,
+      s"weights: ${got.toSeq}")
+    assert(c1.getDouble(4) < 2.0 && c2.getDouble(4) < 2.0,
+      s"within-clump variances stay tight: ${got.toSeq}")
+    assert(c1.getDouble(5) > 10.0, s"separation: ${got.toSeq}")
+    intercept[IllegalArgumentException] {
+      graft.operators.Learn.gmm2(
+        Seq.fill(20)(7L).toDF("v"), "v").collect()
+    }
+  }
+
   test("yule-walker stream store: hourly censuses add; drain equals " +
     "batch on the dense spine") {
     import org.apache.spark.sql.{Row => R}
