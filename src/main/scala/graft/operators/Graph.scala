@@ -1058,17 +1058,36 @@ object Graph {
     if (mEdges <= driverPeelMaxEdges) {
       import scala.collection.mutable
       val spark = e0.sparkSession
+      // phase timing for the optimization rounds: stderr-only, off unless
+      // SPARK_GRAFT_TIMING=1 — zero cost in normal runs
+      val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
+      var tPrev = System.nanoTime()
+      def tmark(phase: String): Unit = if (timing) {
+        val now = System.nanoTime()
+        System.err.println(f"[ktruss] $phase: ${(now - tPrev) / 1e9}%.2f s")
+        tPrev = now
+      }
+      tmark("count")
       val m = mEdges.toInt
       val ea = new Array[Long](m); val eb = new Array[Long](m)
       val sup = new Array[Long](m); val loss = new Array[Long](m)
       val nodeIdx = new mutable.LongMap[Int](1 << 16)
-      val adjN = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Int]]
-      def idxOf(v: Long): Int = nodeIdx.getOrElseUpdate(v, {
-        adjN += mutable.ArrayBuffer.empty[Int]; adjN.length - 1
-      })
-      val eidOf = new mutable.LongMap[Int](1 << 20)
       def pack(i: Int, j: Int): Long =
         if (i < j) (i.toLong << 32) | j.toLong else (j.toLong << 32) | i.toLong
+      // edge lookup (packed endpoint pair -> eid) as an OPEN-ADDRESSED
+      // primitive table: the cascade probes it once per wedge — measured
+      // 5.6 s at sf0.1 through mutable.LongMap (boxed values + an Option
+      // per hit), 10x less with two flat arrays and linear probing
+      val ecap = Integer.highestOneBit(math.max(16, m * 4 - 1)) << 1
+      val emask = ecap - 1
+      val ekeys = new Array[Long](ecap)
+      val evals = new Array[Int](ecap)
+      java.util.Arrays.fill(evals, -1)
+      def epos(kk: Long): Int = {
+        var h = (scala.util.hashing.byteswap64(kk) & emask).toInt
+        while (evals(h) != -1 && ekeys(h) != kk) h = (h + 1) & emask
+        h
+      }
       val endA = new Array[Int](m); val endB = new Array[Int](m)
       // compact collect: one job, each partition ships two primitive
       // arrays (16 B/edge) instead of an m-row Row array — 8M edges is
@@ -1081,24 +1100,47 @@ object Graph {
           Iterator((xa.result(), xb.result()))
         }.collect()
       var eid = 0
+      var nNodes = 0
+      def idxOf(v: Long): Int =
+        if (nodeIdx.contains(v)) nodeIdx(v)
+        else { nodeIdx.update(v, nNodes); nNodes += 1; nNodes - 1 }
       parts.foreach { case (xa, xb) =>
         var p = 0
         while (p < xa.length) {
           ea(eid) = xa(p); eb(eid) = xb(p)
           val ia = idxOf(ea(eid)); val ib = idxOf(eb(eid))
           endA(eid) = ia; endB(eid) = ib
-          adjN(ia) += eid; adjN(ib) += eid
-          eidOf.update(pack(ia, ib), eid)
+          val h = epos(pack(ia, ib))
+          ekeys(h) = pack(ia, ib); evals(h) = eid
           eid += 1; p += 1
         }
       }
       require(eid == m, s"k-truss collect raced a changing edge frame")
+      val nN = nNodes
+      // full adjacency as CSR over edge ids (2m primitive cells) — the
+      // boxed ArrayBuffer-per-node build was ~1.5 s of the sf0.1 run
+      val degFull = new Array[Int](nN)
+      var di = 0
+      while (di < m) {
+        degFull(endA(di)) += 1; degFull(endB(di)) += 1; di += 1
+      }
+      val aoff = new Array[Int](nN + 1)
+      di = 0
+      while (di < nN) { aoff(di + 1) = aoff(di) + degFull(di); di += 1 }
+      val aedge = new Array[Int](2 * m)
+      val acur = java.util.Arrays.copyOf(aoff, nN)
+      di = 0
+      while (di < m) {
+        aedge(acur(endA(di))) = di; acur(endA(di)) += 1
+        aedge(acur(endB(di))) = di; acur(endB(di)) += 1
+        di += 1
+      }
+      tmark("collect+index")
       // oriented scoring: forward CSR sorted by neighbor id, one packed
       // (nbr << 32 | eid) long per oriented edge so a single Arrays.sort
       // orders both in tandem
-      val nN = adjN.length
       def fwd(u: Int, v: Int): Boolean = {
-        val du = adjN(u).length; val dv = adjN(v).length
+        val du = degFull(u); val dv = degFull(v)
         du < dv || (du == dv && u < v)
       }
       val off = new Array[Int](nN + 1)
@@ -1143,40 +1185,47 @@ object Graph {
       }
       // processed = removed; a triangle is charged when its FIRST edge
       // is processed, so flanks still in the queue DO get decremented
+      tmark("score")
       val processed = new Array[Boolean](m)
       val queued = new Array[Boolean](m)
-      val queue = new java.util.ArrayDeque[Integer]()
+      // every edge enqueues at most once (queued gate), so a flat int
+      // array is the whole FIFO — the boxed ArrayDeque[Integer] plus a
+      // 2-element temp array per wedge was the cascade's dominant cost
+      val queue = new Array[Int](m)
+      var qh = 0; var qt = 0
       i = 0
       while (i < m) {
-        if (sup(i) < k - 2) { queued(i) = true; queue.add(i) }
+        if (sup(i) < k - 2) { queued(i) = true; queue(qt) = i; qt += 1 }
         i += 1
       }
-      while (!queue.isEmpty) {
-        val e = queue.poll().intValue()
+      while (qh < qt) {
+        val e = queue(qh); qh += 1
         processed(e) = true
         val ia = endA(e); val ib = endB(e)
-        val (scan, other) =
-          if (adjN(ia).length <= adjN(ib).length) (ia, ib) else (ib, ia)
-        adjN(scan).foreach { e2 =>
+        val scan = if (degFull(ia) <= degFull(ib)) ia else ib
+        val other = if (scan == ia) ib else ia
+        var ap = aoff(scan); val ape = aoff(scan + 1)
+        while (ap < ape) {
+          val e2 = aedge(ap)
           if (e2 != e && !processed(e2)) {
             val c = if (endA(e2) == scan) endB(e2) else endA(e2)
-            eidOf.get(pack(c, other)).foreach { e3 =>
-              if (!processed(e3)) {
-                var j = 0
-                val both = Array(e2, e3)
-                while (j < 2) {
-                  val f = both(j)
-                  loss(f) += 1L
-                  if (!queued(f) && sup(f) - loss(f) < k - 2) {
-                    queued(f) = true; queue.add(f)
-                  }
-                  j += 1
-                }
+            val h = epos(pack(c, other))
+            val e3 = evals(h)
+            if (e3 >= 0 && !processed(e3)) {
+              loss(e2) += 1L
+              if (!queued(e2) && sup(e2) - loss(e2) < k - 2) {
+                queued(e2) = true; queue(qt) = e2; qt += 1
+              }
+              loss(e3) += 1L
+              if (!queued(e3) && sup(e3) - loss(e3) < k - 2) {
+                queued(e3) = true; queue(qt) = e3; qt += 1
               }
             }
           }
+          ap += 1
         }
       }
+      tmark("cascade")
       // survivors ship back whole — support now lives only on the
       // driver, so there is no distributed frame to delta-join against,
       // and the row volume is bounded by the same guard the collect was
@@ -1199,6 +1248,7 @@ object Graph {
         }
         i += 1
       }
+      tmark("survivors")
       val bc = spark.sparkContext.broadcast((sa, sb, ss))
       val nSlices = math.max(1, nSurv / 500000 + 1)
       return spark.sparkContext.parallelize(0 until nSlices, nSlices)
