@@ -62,12 +62,19 @@ object Profiling {
     */
   def jsonSchemaProfile(df: DataFrame, jsonCol: String): DataFrame = {
     val total = df.agg(count(lit(1)).as("__total"))
+    // ONE Jackson parse per row: from_json to map<string,string> keeps each
+    // scalar's raw token text (the same text get_json_object('$.<key>')
+    // returns), then the map explodes to (path, value) pairs. The previous
+    // formulation called get_json_object with a NON-FOLDABLE path, which
+    // re-parses both the JSONPath and the document once per (row, key) in
+    // interpreted mode — measured 8.5 s of q274's 14 s at sf0.1 in that one
+    // stage; this form runs inside whole-stage codegen.
     val kv = df.select(col(jsonCol).as("__j"))
-      .select(col("__j"), explode(json_object_keys(col("__j"))).as("path"))
-      .withColumn("__v",
-        // dynamic per-row path: the SQL form accepts a non-foldable path
-        // (the Scala wrapper pins it to a literal)
-        expr("get_json_object(__j, concat('$.', path))"))
+      .select(explode(from_json(col("__j"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+        .as(Seq("path", "__v")))
     val vtype = when(col("__v").isNull, "null")
       .when(col("__v").rlike("^-?[0-9]+$"), "long")
       .when(col("__v").rlike("^-?[0-9]*\\.[0-9]+$"), "double")
