@@ -416,12 +416,93 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10,
+      driverMaxRows: Long = 4000000L): DataFrame = {
     // materialize once: the loop would otherwise re-execute the entire
     // upstream candidate-pair DAG on every propagation iteration
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+    val rawPairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // DRIVER-SIDE UNION-FIND when the pair list and the node set are
+    // collectable (the k-truss/hlFromCensus posture): the distributed
+    // min-label loop below pays 4-6 Spark jobs PER ITERATION, and the
+    // graphs routed here (near-dup candidate pairs, contracted root
+    // graphs, word-similarity pairs) are almost always metadata-sized
+    // while the corpus they came from is not. Semantics are identical by
+    // construction: the representative is the component's minimum id
+    // under Spark's own ordering (numeric, or unsigned UTF-8 bytes for
+    // strings — UTF8String.compareTo), edges with an endpoint outside
+    // `df`'s node set contribute nothing (exactly as the propagation
+    // join drops them), and one output row is emitted per input row.
+    // A billion-node graph never reaches the driver: both counts are
+    // checked against the guard and the synchronized loop still runs.
+    val idt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val driverEligible =
+      idt == LongType || idt == IntegerType || idt == StringType
+    if (driverEligible && rawPairs.count() <= driverMaxRows) {
+      val spark = df.sparkSession
+      val nodeRows = df.select(col(idCol)).localCheckpoint(true)
+      if (nodeRows.count() <= driverMaxRows) {
+        val nodeVals: Array[Any] =
+          nodeRows.collect().map(_.get(0))
+        val pairRows: Array[(Any, Any)] =
+          rawPairs.collect().map(r => (r.get(0), r.get(1)))
+        val idx = new java.util.HashMap[Any, Integer](nodeVals.length * 2)
+        var i = 0
+        while (i < nodeVals.length) {
+          if (!idx.containsKey(nodeVals(i))) idx.put(nodeVals(i), idx.size())
+          i += 1
+        }
+        val n = idx.size()
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        pairRows.foreach { case (a, b) =>
+          val ia = idx.get(a); val ib = idx.get(b)
+          if (ia != null && ib != null) {
+            val ra = find(ia); val rb = find(ib)
+            if (ra != rb) parent(ra) = rb
+          }
+        }
+        // component minimum under Spark's ordering
+        val lt: (Any, Any) => Boolean = idt match {
+          case StringType => (x, y) =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(x.asInstanceOf[String])
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(y.asInstanceOf[String])) < 0
+          case IntegerType => (x, y) =>
+            x.asInstanceOf[Int] < y.asInstanceOf[Int]
+          case _ => (x, y) => x.asInstanceOf[Long] < y.asInstanceOf[Long]
+        }
+        val minOf = new Array[Any](n)
+        val it = idx.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val r = find(e.getValue.intValue())
+          if (minOf(r) == null || lt(e.getKey, minOf(r))) minOf(r) = e.getKey
+        }
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val outRows: Array[Row] = nodeVals.map { v =>
+          Row(v, minOf(find(idx.get(v).intValue())))
+        }
+        val schema = StructType(Seq(
+          StructField(idCol, idt), StructField("cluster_rep", idt)))
+        val slices = math.max(1, outRows.length / 500000 + 1)
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(outRows),
+            slices),
+          schema)
+      }
+    }
+    val edges = rawPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(rawPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
     var iter = 0
     var converged = false
