@@ -54,9 +54,12 @@ object Sharding {
     df.select(col(keyCol))
       .crossJoin(broadcast(ring))
       .withColumn("__hk", h52(col(keyCol)))
-      // index of the first ring point >= hk = count of points below it
+      // index of the first ring point >= hk = count of points below it;
+      // binary search (codegen) — the HOF filter evaluated its lambda
+      // interpreted per vnode, 320 boxed calls per key
       .withColumn("__c",
-        size(filter(col("rings"), r => r < col("__hk"))))
+        graft.plans.SearchExpressions.sortedCountBelow(
+          col("rings"), col("__hk")))
       .withColumn("shard",
         when(col("__c") === size(col("rings")), element_at(col("ss"), 1))
           .otherwise(element_at(col("ss"), col("__c") + 1)))
