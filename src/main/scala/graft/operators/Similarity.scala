@@ -216,14 +216,21 @@ object Similarity {
       case "l2" => -graft.functions.VectorFunctions.l2sq(col("__v"), col("cvec"))
       case other => throw new IllegalArgumentException(s"unknown metric $other")
     }
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("cid"))
+    // argmin as a partial-aggregating min(struct) instead of a sort window:
+    // the window shuffled and SORTED all n·k candidate rows, the aggregate
+    // map-side-combines to one row per id before the exchange. Ordering is
+    // identical: (__sim desc, cid asc) rank 1 == min(struct(-__sim, cid)),
+    // with a +Inf sentinel reproducing the window's NULLS-LAST placement
+    // for the null a NaN cosine maps to (ties on the sentinel still break
+    // to the lowest cid, exactly like the window's tiebreaker).
     corpus.select(col(idCol), col(vecCol).as("__v"))
       .crossJoin(broadcast(centroids))
-      .select(col(idCol), col("cid"), sim.as("__sim"))
-      .withColumn("__rnk", row_number().over(w))
-      .filter(col("__rnk") === 1)
-      .select(col(idCol), col("cid"))
+      .select(col(idCol),
+        struct(coalesce(-sim, lit(Double.PositiveInfinity)).as("__no"),
+          col("cid")).as("__sc"))
+      .groupBy(col(idCol))
+      .agg(min(col("__sc")).as("__m"))
+      .select(col(idCol), col("__m").getField("cid").as("cid"))
   }
 
   /** Build-once IVF index persisted to a lake: centroids as one tiny
@@ -460,15 +467,67 @@ object Similarity {
       vecCol: String,
       dims: Int,
       subspaces: Int,
-      codebookSize: Int): DataFrame = {
+      codebookSize: Int,
+      iters: Int = 2): DataFrame = {
     require(dims % subspaces == 0, s"$dims dims not divisible into $subspaces subspaces")
     val sub = dims / subspaces
-    (0 until subspaces).map { m =>
-      val sliced = corpus.select(
-        col(idCol), slice(col(vecCol), m * sub + 1, sub).as("__sv"))
-      kmeansCentroids(sliced, idCol, "__sv", codebookSize, metric = "l2")
-        .select(lit(m).as("sub_idx"), col("cid"), col("cvec"))
-    }.reduce(_ unionByName _).localCheckpoint(true)
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // ALL subspaces train in one keyed Lloyd loop: the previous
+    // per-subspace kmeansCentroids calls paid (init collect + iters
+    // recompute collects) × subspaces Spark jobs over the same corpus —
+    // measured as most of q207's 67-job board entry. One exploded
+    // (id, sub_idx, subvector) frame drives every subspace's assignment
+    // and mean-recompute together; per-(sub_idx, cid) arithmetic —
+    // L2 argmin with lowest-cid ties, decimal-exact means, emptied
+    // clusters carrying their previous centroid — is the per-subspace
+    // computation verbatim, so codebooks are bit-identical.
+    val schema = StructType(Seq(
+      StructField("sub_idx", IntegerType, nullable = false),
+      StructField("cid", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType, containsNull = false))))
+    def literal(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*), schema)
+    // init = first codebookSize vectors by id, sliced per subspace (the
+    // same rows each per-subspace init selected)
+    val initVecs = corpus.orderBy(col(idCol)).limit(codebookSize)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().toSeq.zipWithIndex
+    var cur: Seq[(Int, Int, Seq[Double])] =
+      for { m <- 0 until subspaces; (r, i) <- initVecs }
+        yield (m, i, r.getSeq[Double](0).slice(m * sub, (m + 1) * sub))
+    val sliced = corpus.select(
+      col(idCol).as("__id"),
+      posexplode(array((0 until subspaces).map(m =>
+        slice(col(vecCol), m * sub + 1, sub)): _*)).as(Seq("sub_idx", "__sv")))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = sliced.join(broadcast(literal(cur)), Seq("sub_idx"))
+        .select(col("__id"), col("sub_idx"), col("__sv"),
+          struct(graft.functions.VectorFunctions.l2sq(col("__sv"), col("cvec"))
+            .as("__d"), col("cid")).as("__sc"))
+        .groupBy(col("__id"), col("sub_idx"), col("__sv"))
+        .agg(min(col("__sc")).getField("cid").as("cid"))
+      val recomputed = assigned
+        .select(col("sub_idx"), col("cid"),
+          posexplode(col("__sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub_idx"), col("cid"), col("pos"))
+        .agg((sum(col("x").cast("double").cast(DecimalType(30, 12))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("sub_idx"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("sub_idx"), col("cid"),
+          transform(col("ps"), p => p.getField("m")).as("nvec"))
+        .collect().toSeq
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+        .toMap
+      cur = cur.map { case (m, cid, cvec) =>
+        (m, cid, recomputed.getOrElse((m, cid), cvec))
+      }
+    }
+    literal(cur).localCheckpoint(true)
   }
 
   /** ONE corpus pass: each vector → its subvectors → nearest codeword
@@ -486,14 +545,16 @@ object Similarity {
       col(idCol).as("nid"),
       posexplode(array((0 until subspaces).map(m =>
         slice(col(vecCol), m * sub + 1, sub)): _*)).as(Seq("sub_idx", "sv")))
-    val wa = Window.partitionBy(col("nid"), col("sub_idx"))
-      .orderBy(col("__d"), col("cid"))
+    // argmin via partial-aggregating min(struct) — same (distance, cid)
+    // ordering as the previous rank-1 window, without sorting the
+    // n·subspaces·codebookSize candidate rows (the assign() rationale)
     exploded.join(broadcast(codebook), Seq("sub_idx"))
-      .select(col("nid"), col("sub_idx"), col("cid"),
-        graft.functions.VectorFunctions.l2sq(col("sv"), col("cvec")).as("__d"))
-      .withColumn("__rnk", row_number().over(wa))
-      .filter(col("__rnk") === 1)
-      .select(col("nid"), col("sub_idx"), col("cid"))
+      .select(col("nid"), col("sub_idx"),
+        struct(graft.functions.VectorFunctions.l2sq(col("sv"), col("cvec"))
+          .as("__d"), col("cid")).as("__sc"))
+      .groupBy(col("nid"), col("sub_idx"))
+      .agg(min(col("__sc")).as("__m"))
+      .select(col("nid"), col("sub_idx"), col("__m").getField("cid").as("cid"))
   }
 
   /** Reconstruction: codes → codeword vectors concatenated in subspace
