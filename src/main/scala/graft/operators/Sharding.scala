@@ -118,7 +118,8 @@ object Sharding {
   def stableMatch(
       prefs: DataFrame,
       cap: Int,
-      maxRounds: Int = 200): DataFrame = {
+      maxRounds: Int = 200,
+      driverMaxRows: Long = 4000000L): DataFrame = {
     require(cap >= 1 && maxRounds >= 1)
     def fresh(df: DataFrame): DataFrame = {
       val d = df.localCheckpoint(true)
@@ -128,6 +129,106 @@ object Sharding {
       col("a_rank").cast("long").as("a_rank"),
       col("t_score").cast("long").as("t_score"))
       .localCheckpoint(true)
+    // DRIVER-SIDE SEQUENTIAL DEFERRED ACCEPTANCE when the preference
+    // spine is collectable (the k-truss/union-find posture): the
+    // synchronized loop below pays ~4 jobs per proposal round and runs
+    // as many rounds as the longest bump chain. DA's outcome is
+    // proposal-order invariant (the agent-optimal stable matching is
+    // unique under the strict orders used here: a_rank on the agent
+    // side, (t_score, agent) on the target side), so a free-agent-queue
+    // sequential pass lands the identical matching in one collect.
+    // Above the guard — a 100 TB agent table — the synchronized
+    // distributed loop still runs.
+    val agentT = spine.schema(spine.schema.fieldIndex("agent")).dataType
+    val targetT = spine.schema(spine.schema.fieldIndex("target")).dataType
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val numericIds = Seq(agentT, targetT)
+      .forall(t => t == LongType || t == IntegerType)
+    if (numericIds && spine.count() <= driverMaxRows) {
+      val spark = spine.sparkSession
+      import scala.collection.mutable
+      def asLong(v: Any): Long = v match {
+        case i: Int => i.toLong; case l: Long => l
+      }
+      val rows = spine.collect()
+      val agentIdx = mutable.LinkedHashMap.empty[Long, Int]
+      val targetIdx = mutable.LinkedHashMap.empty[Long, Int]
+      rows.foreach { r =>
+        agentIdx.getOrElseUpdate(asLong(r.get(0)), agentIdx.size)
+        targetIdx.getOrElseUpdate(asLong(r.get(1)), targetIdx.size)
+      }
+      val nA = agentIdx.size
+      val nT = targetIdx.size
+      // per-agent preference list indexed by a_rank (1-based, may have
+      // gaps — a missing rank stalls the agent exactly like the
+      // synchronized join finding no occupancy row)
+      val prefT = Array.fill(nA)(mutable.LongMap.empty[(Int, Long)])
+      rows.foreach { r =>
+        val a = agentIdx(asLong(r.get(0)))
+        val t = targetIdx(asLong(r.get(1)))
+        prefT(a).update(r.getLong(2), (t, r.getLong(3)))
+      }
+      val ptr = new Array[Long](nA)
+      val agentKey = new Array[Long](nA)
+      agentIdx.foreach { case (k, i) => agentKey(i) = k }
+      // per-target pool: worst occupant on top — max by (t_score, agent
+      // key), the exact ordering the synchronized round's row_number
+      // used to keep the cap best
+      val poolOrd = Ordering.by[(Long, Int), (Long, Long)] {
+        case (s, a) => (s, agentKey(a))
+      }
+      val pools = Array.fill(nT)(
+        mutable.PriorityQueue.empty[(Long, Int)](poolOrd))
+      val agentsSorted = agentIdx.toSeq.sortBy(_._1).map(_._2)
+      val freeQ = mutable.Queue.empty[Int] ++ agentsSorted
+      while (freeQ.nonEmpty) {
+        val a = freeQ.dequeue()
+        var settled = false
+        while (!settled) {
+          if (ptr(a) >= nT) settled = true // exhausted, unmatched
+          else prefT(a).get(ptr(a) + 1L) match {
+            case None => settled = true // rank gap: stalls, unmatched
+            case Some((t, score)) =>
+              val pool = pools(t)
+              if (pool.size < cap) { pool.enqueue((score, a)); settled = true }
+              else {
+                val (ws, wa) = pool.head
+                // target prefers lower (t_score, agent key)
+                if (score < ws || (score == ws && agentKey(a) < agentKey(wa))) {
+                  pool.dequeue(); pool.enqueue((score, a))
+                  ptr(wa) += 1; freeQ.enqueue(wa)
+                  settled = true
+                } else ptr(a) += 1
+              }
+          }
+        }
+      }
+      val matchedT = new Array[Int](nA); java.util.Arrays.fill(matchedT, -1)
+      pools.zipWithIndex.foreach { case (pool, t) =>
+        pool.foreach { case (_, a) => matchedT(a) = t }
+      }
+      val targetKey = new Array[Long](nT)
+      targetIdx.foreach { case (k, i) => targetKey(i) = k }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructField, StructType}
+      def back(t: org.apache.spark.sql.types.DataType, v: Long): Any =
+        if (t == IntegerType) v.toInt else v
+      val out: Array[Row] = agentIdx.toArray.map { case (ak, a) =>
+        if (matchedT(a) >= 0)
+          Row(back(agentT, ak), back(targetT, targetKey(matchedT(a))),
+            ptr(a) + 1L)
+        else Row(back(agentT, ak), null, null)
+      }
+      val schema = StructType(Seq(
+        StructField("agent", agentT),
+        StructField("target", targetT),
+        StructField("a_rank", org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(out),
+          math.max(1, out.length / 500000 + 1)),
+        schema)
+    }
     val nTargets = spine.select(col("target")).distinct().count()
     var st = fresh(spine.select(col("agent")).distinct()
       .select(col("agent"), lit(0L).as("ptr")))
