@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   *      are balanced and globally ordered;
   *   2. count rows per partition — a metadata-sized driver collect of
   *      O(partitions) longs;
-  *   3. broadcast the cumulative offsets back and add each partition's
-  *      offset to its local rank.
+  *   3. fold the cumulative offsets back in as an O(partitions) array
+  *      literal and add each partition's offset to its local rank.
   *
   * The numbering is deterministic whenever the sort key is a total order
   * (callers must include a tiebreaker): partition BOUNDARIES may vary with
@@ -29,12 +29,27 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
-  /** Assign `idCol` = 1-based global rank of each row under `sortCols`. */
-  def rowNumbers(
+  /** Shared machinery behind [[rowNumbers]]/[[ntiles]]/[[exactPercentiles]]:
+    * range-repartition + sort-within-partitions + eager localCheckpoint
+    * (pinning ONE physical partitioning), then one O(partitions) counts
+    * collect. Returns the pinned frame carrying `__rank` = the 1-based
+    * GLOBAL rank, plus the total row count — so tiling/quantile callers
+    * no longer pay a separate full COUNT(*) pass (the counts collect IS
+    * the count).
+    *
+    * The global rank is offsets(__pid) + the local row_number; the
+    * offsets ride along as a foldable array literal (O(partitions)
+    * longs) instead of a broadcast-joined offsets frame, dropping a
+    * BroadcastExchange + BroadcastHashJoin per call. (A
+    * monotonically_increasing_id() local position was measured and
+    * rejected: it removes the window's Exchange but the expression is
+    * flagged nondeterministic, which blocks pushdown/pruning through
+    * the rank projection and regressed the downstream-heavy callers.)
+    */
+  private def ranked(
       df: DataFrame,
       sortCols: Seq[Column],
-      idCol: String = "global_id",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions
@@ -49,18 +64,25 @@ object GlobalOrder {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
-    val offsets = {
-      var acc = 0L
-      counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
-    }
-    val offDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__off")
+    val offsets = new Array[Long](counts.lastOption.map(_._1 + 1).getOrElse(0))
+    var acc = 0L
+    counts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
     val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    ranged
-      .withColumn("__lr", row_number().over(local))
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn(idCol, col("__off") + col("__lr"))
-      .drop("__pid", "__lr", "__off")
+    val rankedDf = ranged
+      .withColumn("__rank",
+        element_at(lit(offsets), col("__pid") + 1) +
+          row_number().over(local))
+      .drop("__pid")
+    (rankedDf, acc)
   }
+
+  /** Assign `idCol` = 1-based global rank of each row under `sortCols`. */
+  def rowNumbers(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      idCol: String = "global_id",
+      numPartitions: Int = 0): DataFrame =
+    ranked(df, sortCols, numPartitions)._1.withColumnRenamed("__rank", idCol)
 
   /** SQL-standard NTILE(k) without the single-partition window: the
     * global rank comes from [[rowNumbers]] (range-partitioned, no
@@ -76,16 +98,17 @@ object GlobalOrder {
       k: Int,
       outCol: String): DataFrame = {
     require(k >= 1)
-    val n = df.count()
+    // one ranked pass: its O(partitions) counts collect doubles as the
+    // COUNT(*) — the previous separate df.count() was a full extra job
+    val (rankedDf, n) = ranked(df, sortCols, 0)
     val big = n % k          // tiles 1..big hold `per + 1` rows
     val per = n / k
-    val ranked = rowNumbers(df, sortCols, "__rn")
     val cut = big * (per + 1) // last row index covered by the big tiles
     val tile = expr(
-      s"""CASE WHEN $per = 0 THEN __rn
-         |     WHEN __rn <= $cut THEN (__rn - 1) div ${per + 1} + 1
-         |     ELSE $big + (__rn - $cut - 1) div $per + 1 END""".stripMargin)
-    ranked.withColumn(outCol, tile.cast("long")).drop("__rn")
+      s"""CASE WHEN $per = 0 THEN __rank
+         |     WHEN __rank <= $cut THEN (__rank - 1) div ${per + 1} + 1
+         |     ELSE $big + (__rank - $cut - 1) div $per + 1 END""".stripMargin)
+    rankedDf.withColumn(outCol, tile.cast("long")).drop("__rank")
   }
 
   /** Global PREFIX SUMS under a total order with no single-partition
@@ -127,15 +150,15 @@ object GlobalOrder {
         val o = (pid, acc); acc = Math.addExact(acc, t); o
       }
     }
-    val offDf = spark.createDataFrame(offsets.toIndexedSeq)
-      .toDF("__pid", "__off")
+    val offArr = new Array[Long](offsets.lastOption.map(_._1 + 1).getOrElse(0))
+    offsets.foreach { case (pid, off) => offArr(pid) = off }
     val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
       .withColumn("__run", sum(col(valueCol).cast("long")).over(local))
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn(outCol, col("__off") + col("__run"))
-      .drop("__pid", "__run", "__off")
+      .withColumn(outCol,
+        element_at(lit(offArr), col("__pid") + 1) + col("__run"))
+      .drop("__pid", "__run")
   }
 
   /** EXACT global percentiles as order statistics — the ground truth the
@@ -157,14 +180,16 @@ object GlobalOrder {
       "quantiles must lie in (0, 1]")
     val base = df.select(col(vCol).cast("double").as("__v"),
       col(tieCol).cast("long").as("__t"))
-    val n = base.count()
+    // the ranked pass's counts collect doubles as the COUNT(*) — the
+    // previous separate base.count() was a full extra job
+    val (rankedDf, n) = ranked(base, Seq(col("__v"), col("__t")), 0)
     require(n > 0, "exactPercentiles: empty input")
     val targets = qs.map(q =>
       (q, math.max(1L, math.ceil(q * n).toLong), n))
     val spine = df.sparkSession.createDataFrame(targets)
       .toDF("quantile", "__target", "n_total")
-    rowNumbers(base, Seq(col("__v"), col("__t")), "__rn")
-      .join(broadcast(spine), col("__rn") === col("__target"))
+    rankedDf
+      .join(broadcast(spine), col("__rank") === col("__target"))
       .select(col("quantile"), col("__v").as("exact_value"), col("n_total"))
       .orderBy(col("quantile"))
   }

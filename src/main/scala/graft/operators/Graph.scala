@@ -66,6 +66,12 @@ object Graph {
   private def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame =
     if (rows < 2000000L) broadcast(df) else df
 
+  /** Driver finishers intern node ids as primitive longs; non-long node
+    * columns (e.g. textrank's word nodes) keep the distributed loop. */
+  private def longKeyed(df: DataFrame, cols: String*): Boolean =
+    cols.forall(c => df.schema(c).dataType ==
+      org.apache.spark.sql.types.LongType)
+
   def rootClosure(nodes: DataFrame, maxRounds: Int = 20): DataFrame = {
     var state = fresh(nodes
       .select(col("id"),
@@ -96,6 +102,94 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val mEdges = e.count()
+    // DRIVER-SIDE POWER LOOP when the edge list is collectable (the
+    // kTruss/dupClusters posture). Bit-exactness is replayable off-engine
+    // because every per-round step is deterministic JVM library
+    // arithmetic, identical on driver and executor: the contribution is
+    // Spark's double→DECIMAL(28,9) cast = BigDecimal.valueOf(d) (the
+    // canonical Double.toString form) setScale(9, HALF_UP); the gather
+    // sum is exact decimal addition (order-free); the teleport add is
+    // one IEEE double add of Decimal.toDouble = BigDecimal.doubleValue.
+    // The final round(…, 6) stays a DISTRIBUTED expression over the
+    // rebuilt frame. Distributed loop retained above the guard.
+    if (mEdges <= 4000000L && longKeyed(e, "src", "dst")) {
+      import scala.collection.mutable
+      val spark = e.sparkSession
+      val m = mEdges.toInt
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      val idx = new mutable.LongMap[Int](1 << 12)
+      val ids = mutable.ArrayBuilder.make[Long]
+      def idxOf(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; idx.size })
+      val parts = e.rdd.mapPartitions { it =>
+        val xs = mutable.ArrayBuilder.make[Long]
+        val xd = mutable.ArrayBuilder.make[Long]
+        it.foreach { r => xs += r.getLong(0); xd += r.getLong(1) }
+        Iterator((xs.result(), xd.result()))
+      }.collect()
+      var eid = 0
+      parts.foreach { case (xs, xd) =>
+        var p = 0
+        while (p < xs.length) {
+          es(eid) = idxOf(xs(p)); ed(eid) = idxOf(xd(p)); eid += 1; p += 1
+        }
+      }
+      require(eid == m, "pageRank collect raced a changing edge frame")
+      val n = idx.size
+      val degA = new Array[Long](n)
+      var i = 0
+      while (i < m) { degA(es(i)) += 1; i += 1 }
+      // ranked set = nodes with out-degree, exactly the deg table below
+      val prA = new Array[Double](n)
+      i = 0; while (i < n) { prA(i) = 1.0; i += 1 }
+      val floor = 1.0 - damping
+      val rm = java.math.RoundingMode.HALF_UP
+      val contrib = new Array[java.math.BigDecimal](n)
+      for (_ <- 1 to iters) {
+        // the cast contribution is per SOURCE NODE — hoist it out of the
+        // edge scan (valueOf goes through Double.toString; per-edge it
+        // dominated the loop)
+        i = 0
+        while (i < n) {
+          if (degA(i) > 0L)
+            contrib(i) = java.math.BigDecimal
+              .valueOf(prA(i) / degA(i) * damping).setScale(9, rm)
+          i += 1
+        }
+        val sums = new Array[java.math.BigDecimal](n)
+        i = 0
+        while (i < m) {
+          val d = ed(i)
+          if (degA(d) > 0L) { // only ranked nodes receive (the left join)
+            val c = contrib(es(i))
+            sums(d) = if (sums(d) == null) c else sums(d).add(c)
+          }
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          if (degA(i) > 0L)
+            prA(i) = floor +
+              (if (sums(i) == null) 0.0 else sums(i).doubleValue())
+          i += 1
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+      val allIds = ids.result()
+      i = 0
+      while (i < n) {
+        if (degA(i) > 0L)
+          rows.add(org.apache.spark.sql.Row(allIds(i), prA(i)))
+        i += 1
+      }
+      val rebuilt = spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pr",
+            org.apache.spark.sql.types.DoubleType))))
+      return rebuilt.select(col("node"), round(col("pr"), 6).as("pr"))
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var pr = deg.select(col("src").as("node"), col("deg"), lit(1.0).as("pr"))
       .localCheckpoint(true)
@@ -155,6 +249,102 @@ object Graph {
     require(iters >= 1)
     val d289 = DecimalType(28, 9)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val mEdges = e.count()
+    // DRIVER-SIDE LAZY POWER LOOP when the edge list is collectable —
+    // the pageRank-finisher discipline: every step is deterministic JVM
+    // library arithmetic identical on driver and executor (double→
+    // DECIMAL(28,9) cast = BigDecimal.valueOf setScale(9, HALF_UP);
+    // exact decimal adds and max; one double division of
+    // BigDecimal.doubleValue quotients). Final round(…, 6) stays a
+    // distributed expression. Distributed loop retained above the guard.
+    if (mEdges <= 4000000L && longKeyed(e, "src", "dst")) {
+      import scala.collection.mutable
+      val spark = e.sparkSession
+      val m = mEdges.toInt
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      val idx = new mutable.LongMap[Int](1 << 12)
+      val ids = mutable.ArrayBuilder.make[Long]
+      def idxOf(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; idx.size })
+      val parts = e.rdd.mapPartitions { it =>
+        val xs = mutable.ArrayBuilder.make[Long]
+        val xd = mutable.ArrayBuilder.make[Long]
+        it.foreach { r => xs += r.getLong(0); xd += r.getLong(1) }
+        Iterator((xs.result(), xd.result()))
+      }.collect()
+      var eid = 0
+      parts.foreach { case (xs, xd) =>
+        var p = 0
+        while (p < xs.length) {
+          es(eid) = idxOf(xs(p)); ed(eid) = idxOf(xd(p)); eid += 1; p += 1
+        }
+      }
+      require(eid == m, "eigenCentrality collect raced a changing edge frame")
+      val n = idx.size
+      val inX = new Array[Boolean](n)
+      var i = 0
+      while (i < m) { inX(es(i)) = true; i += 1 }
+      val xv = new Array[Double](n)
+      i = 0; while (i < n) { xv(i) = 1.0; i += 1 }
+      val rm = java.math.RoundingMode.HALF_UP
+      val castX = new Array[java.math.BigDecimal](n)
+      for (_ <- 1 to iters) {
+        // the cast score is per SOURCE NODE — hoist it out of the edge
+        // scan (valueOf goes through Double.toString; per-edge it
+        // dominates the loop)
+        i = 0
+        while (i < n) {
+          if (inX(i))
+            castX(i) = java.math.BigDecimal.valueOf(xv(i)).setScale(9, rm)
+          i += 1
+        }
+        // gather: c_sum(dst) = Σ over edges with src ∈ x of cast(x(src))
+        val sums = new Array[java.math.BigDecimal](n)
+        i = 0
+        while (i < m) {
+          if (inX(es(i))) {
+            val c = castX(es(i))
+            val d = ed(i)
+            sums(d) = if (sums(d) == null) c else sums(d).add(c)
+          }
+          i += 1
+        }
+        // lazy add + max over dsts that are BOTH gathered and in x
+        // (the inner gathered⋈scores join)
+        var mx: java.math.BigDecimal = null
+        val c2 = new Array[java.math.BigDecimal](n)
+        i = 0
+        while (i < n) {
+          if (sums(i) != null && inX(i)) {
+            val v = sums(i).add(castX(i))
+            c2(i) = v
+            if (mx == null || v.compareTo(mx) > 0) mx = v
+          }
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          if (c2(i) != null) {
+            inX(i) = true
+            xv(i) = c2(i).doubleValue() / mx.doubleValue()
+          } else inX(i) = false
+          i += 1
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+      val allIds = ids.result()
+      i = 0
+      while (i < n) {
+        if (inX(i)) rows.add(org.apache.spark.sql.Row(allIds(i), xv(i)))
+        i += 1
+      }
+      val rebuilt = spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.DoubleType))))
+      return rebuilt.select(col("node"), round(col("x"), 6).as("score"))
+    }
     var x = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("x"))
       .localCheckpoint(true)
@@ -279,9 +469,98 @@ object Graph {
     x.select(col("node"), round(col("katz"), 6).as("katz"))
   }
 
+  /** Collect a distinct (src, dst) edge frame into a CSR over interned
+    * node ids — the driver-finisher front half shared by [[bfsHops]] /
+    * [[multiSourceHarmonic]] (the kTruss compact-collect idiom: primitive
+    * arrays per partition, never boxed Rows). Returns (node ids by index,
+    * id→index map, CSR offsets, CSR neighbor indices). */
+  private def collectCsr(e: DataFrame, m: Int): (Array[Long],
+      scala.collection.mutable.LongMap[Int], Array[Int], Array[Int]) = {
+    import scala.collection.mutable
+    val es = new Array[Int](m); val ed = new Array[Int](m)
+    val idx = new mutable.LongMap[Int](1 << 12)
+    val ids = mutable.ArrayBuilder.make[Long]
+    def idxOf(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; idx.size })
+    val parts = e.rdd.mapPartitions { it =>
+      val xs = mutable.ArrayBuilder.make[Long]
+      val xd = mutable.ArrayBuilder.make[Long]
+      it.foreach { r => xs += r.getLong(0); xd += r.getLong(1) }
+      Iterator((xs.result(), xd.result()))
+    }.collect()
+    var eid = 0
+    parts.foreach { case (xs, xd) =>
+      var p = 0
+      while (p < xs.length) {
+        es(eid) = idxOf(xs(p)); ed(eid) = idxOf(xd(p)); eid += 1; p += 1
+      }
+    }
+    require(eid == m, "graph collect raced a changing edge frame")
+    val n = idx.size
+    val deg = new Array[Int](n)
+    var i = 0
+    while (i < m) { deg(es(i)) += 1; i += 1 }
+    val aoff = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { aoff(i + 1) = aoff(i) + deg(i); i += 1 }
+    val anbr = new Array[Int](m)
+    val acur = java.util.Arrays.copyOf(aoff, n)
+    i = 0
+    while (i < m) { anbr(acur(es(i))) = ed(i); acur(es(i)) += 1; i += 1 }
+    (ids.result(), idx, aoff, anbr)
+  }
+
+  private val hopsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("node",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("hops",
+      org.apache.spark.sql.types.LongType)))
+
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val mEdges = e.count()
+    // DRIVER-SIDE BFS when the distinct edge list is collectable (the
+    // kTruss/dupClusters posture): hop levels are pure integers, so the
+    // collected flat-queue BFS is the same frontier expansion as the
+    // per-hop join+anti-join+checkpoint loop below (~5 jobs per hop)
+    // in one collect. Distributed loop retained above the guard.
+    if (mEdges <= 4000000L && longKeyed(e, "src", "dst") &&
+        longKeyed(sources.select(col("node")), "node")) {
+      val spark = e.sparkSession
+      val (ids, idx, aoff, anbr) = collectCsr(e, mEdges.toInt)
+      val srcIds = sources.select(col("node").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      // sources absent from the edge list still emit a hops=0 row
+      val extra = srcIds.filterNot(idx.contains)
+      val n = idx.size
+      val hops = Array.fill(n)(-1L)
+      val queue = new Array[Int](n)
+      var qh = 0; var qt = 0
+      srcIds.foreach { s =>
+        idx.get(s).foreach { i =>
+          if (hops(i) < 0) { hops(i) = 0L; queue(qt) = i; qt += 1 }
+        }
+      }
+      while (qh < qt) {
+        val u = queue(qh); qh += 1
+        if (hops(u) < maxHops) {
+          var p = aoff(u)
+          while (p < aoff(u + 1)) {
+            val v = anbr(p)
+            if (hops(v) < 0) { hops(v) = hops(u) + 1; queue(qt) = v; qt += 1 }
+            p += 1
+          }
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      var j = 0
+      while (j < n) {
+        if (hops(j) >= 0) rows.add(org.apache.spark.sql.Row(ids(j), hops(j)))
+        j += 1
+      }
+      extra.foreach(s => rows.add(org.apache.spark.sql.Row(s, 0L)))
+      return spark.createDataFrame(rows, hopsSchema)
+    }
     var known = sources.select(col("node"), lit(0L).as("hops"))
       .distinct().localCheckpoint(true)
     var frontier = known
@@ -326,6 +605,65 @@ object Graph {
     require(maxHops >= 1)
     val e = edges.select(col("src").as("__es"), col("dst").as("__ed"))
       .distinct().localCheckpoint(true)
+    val mEdges = e.count()
+    // DRIVER-SIDE panel BFS when the edge list is collectable (see
+    // [[bfsHops]]): one flat BFS per panel source over the shared CSR
+    // replaces maxHops×(join+distinct+anti-join+2 checkpoints) jobs.
+    // The harmonic 1/d decimal aggregation stays DISTRIBUTED over the
+    // rebuilt (src, node, hops) frame, so the rounding/decimal-sum
+    // semantics are Spark's own, bit-identical to the loop below.
+    if (mEdges <= 4000000L && longKeyed(e, "__es", "__ed") &&
+        longKeyed(sources.select(col("node")), "node")) {
+      val spark = e.sparkSession
+      val (ids, idx, aoff, anbr) = collectCsr(
+        e.select(col("__es").as("src"), col("__ed").as("dst")), mEdges.toInt)
+      val srcIds = sources.select(col("node").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      val n = idx.size
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val hops = new Array[Long](n)
+      val queue = new Array[Int](n)
+      srcIds.foreach { s =>
+        java.util.Arrays.fill(hops, -1L)
+        var qh = 0; var qt = 0
+        idx.get(s).foreach { i => hops(i) = 0L; queue(qt) = i; qt += 1 }
+        while (qh < qt) {
+          val u = queue(qh); qh += 1
+          if (hops(u) < maxHops) {
+            var p = aoff(u)
+            while (p < aoff(u + 1)) {
+              val v = anbr(p)
+              if (hops(v) < 0) { hops(v) = hops(u) + 1; queue(qt) = v; qt += 1 }
+              p += 1
+            }
+          }
+        }
+        var j = 0
+        while (j < n) {
+          if (hops(j) >= 1L)
+            rows.add(org.apache.spark.sql.Row(s, ids(j), hops(j)))
+          j += 1
+        }
+      }
+      val lattice = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          scala.jdk.CollectionConverters.ListHasAsScala(rows).asScala.toSeq,
+          math.max(1, spark.sparkContext.defaultParallelism)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("hops",
+            org.apache.spark.sql.types.LongType))))
+      return lattice
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_reached"), max(col("hops")).as("max_hop"),
+          sum(round(lit(1.0) / col("hops").cast("double"), 9)
+            .cast(DecimalType(18, 9))).as("__h"))
+        .select(col("src"), col("n_reached"), col("max_hop"),
+          round(col("__h").cast("double"), 6).as("harmonic"))
+    }
     var known = sources.select(col("node").as("src"), col("node"),
       lit(0L).as("hops")).distinct().localCheckpoint(true)
     var frontier = known
@@ -668,6 +1006,85 @@ object Graph {
     require(rounds >= 0)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .localCheckpoint(true)
+    val mEdges = e.count()
+    // DRIVER-SIDE BELLMAN–FORD when the edge list is collectable (the
+    // kTruss/dupClusters posture): every relaxation is exact long
+    // arithmetic, so the collected loop is the same min-plus fold as the
+    // per-round join+min below without rounds×3 jobs — with the free
+    // fixpoint early-exit (min-plus is idempotent: once no distance
+    // changes, further rounds are identity). Distributed loop retained
+    // above the guard.
+    if (mEdges <= 4000000L && longKeyed(e, "src", "dst") &&
+        longKeyed(sources.select(col("node")), "node")) {
+      import scala.collection.mutable
+      val spark = e.sparkSession
+      val m = mEdges.toInt
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      val ew = new Array[Long](m)
+      val idx = new mutable.LongMap[Int](1 << 12)
+      val ids = mutable.ArrayBuilder.make[Long]
+      val parts = e.rdd.mapPartitions { it =>
+        val xs = mutable.ArrayBuilder.make[Long]
+        val xd = mutable.ArrayBuilder.make[Long]
+        val xw = mutable.ArrayBuilder.make[Long]
+        it.foreach { r => xs += r.getLong(0); xd += r.getLong(1); xw += r.getLong(2) }
+        Iterator((xs.result(), xd.result(), xw.result()))
+      }.collect()
+      def idxOf(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; idx.size })
+      var eid = 0
+      parts.foreach { case (xs, xd, xw) =>
+        var p = 0
+        while (p < xs.length) {
+          es(eid) = idxOf(xs(p)); ed(eid) = idxOf(xd(p)); ew(eid) = xw(p)
+          eid += 1; p += 1
+        }
+      }
+      require(eid == m, "shortestPaths collect raced a changing edge frame")
+      val srcIds = sources.select(col("node").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      srcIds.foreach(idxOf) // sources unseen in edges still get a row
+      val n = idx.size
+      val dist = Array.fill(n)(Long.MaxValue)
+      val reached = new Array[Boolean](n)
+      srcIds.foreach { s => val i = idx(s); dist(i) = 0L; reached(i) = true }
+      var round = 0
+      var changed = true
+      while (round < rounds && changed) {
+        changed = false
+        // two-phase (gather then commit) = the synchronized round below:
+        // a relaxation sees only LAST round's distances
+        val next = dist.clone()
+        var i = 0
+        while (i < m) {
+          if (reached(es(i))) {
+            // unreached next(j) is the MaxValue sentinel, so `cand <`
+            // covers both first-touch and improvement
+            val cand = dist(es(i)) + ew(i)
+            if (cand < next(ed(i))) { next(ed(i)) = cand; changed = true }
+          }
+          i += 1
+        }
+        var j = 0
+        while (j < n) {
+          if (next(j) != Long.MaxValue) reached(j) = true
+          dist(j) = next(j); j += 1
+        }
+        round += 1
+      }
+      val allIds = ids.result()
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+      var j = 0
+      while (j < n) {
+        if (reached(j)) rows.add(org.apache.spark.sql.Row(allIds(j), dist(j)))
+        j += 1
+      }
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dist",
+            org.apache.spark.sql.types.LongType))))
+    }
     var dist = sources.select(col("node"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
     for (_ <- 1 to rounds) {
@@ -894,6 +1311,70 @@ object Graph {
     val d38 = DecimalType(38, 0)
     val e = edges.select(col(hubCol).cast("long").as("h"),
       col(authCol).cast("long").as("a")).distinct().localCheckpoint(true)
+    val mEdges = e.count()
+    // DRIVER-SIDE POWER LOOP when the distinct edge list is collectable
+    // (the kTruss/dupClusters posture): the alternating hub/auth updates
+    // are EXACT INTEGER sums (DECIMAL(38,0) adds of integers), so a
+    // BigInteger gather over a collected CSR is the same arithmetic with
+    // none of the 2×rounds join+aggregate+checkpoint jobs. The edge
+    // BUILD (scan/join/distinct) stays distributed; above the guard the
+    // broadcast-join loop below remains the plan.
+    if (mEdges <= 4000000L) {
+      import scala.collection.mutable
+      val spark = e.sparkSession
+      val m = mEdges.toInt
+      val eh = new Array[Int](m); val ea = new Array[Int](m)
+      val hubIdx = new mutable.LongMap[Int](1 << 12)
+      val authIdx = new mutable.LongMap[Int](1 << 12)
+      val hubIds = mutable.ArrayBuilder.make[Long]
+      val authIds = mutable.ArrayBuilder.make[Long]
+      // compact collect: primitive arrays per partition, not boxed Rows
+      val parts = e.select(col("h"), col("a")).rdd.mapPartitions { it =>
+        val xh = mutable.ArrayBuilder.make[Long]
+        val xa = mutable.ArrayBuilder.make[Long]
+        it.foreach { r => xh += r.getLong(0); xa += r.getLong(1) }
+        Iterator((xh.result(), xa.result()))
+      }.collect()
+      var eid = 0
+      parts.foreach { case (xh, xa) =>
+        var p = 0
+        while (p < xh.length) {
+          val h = xh(p); val a = xa(p)
+          eh(eid) = hubIdx.getOrElseUpdate(h, { hubIds += h; hubIdx.size })
+          ea(eid) = authIdx.getOrElseUpdate(a, { authIds += a; authIdx.size })
+          eid += 1; p += 1
+        }
+      }
+      require(eid == m, "hits collect raced a changing edge frame")
+      val nH = hubIdx.size; val nA = authIdx.size
+      var hubS = Array.fill(nH)(java.math.BigInteger.ONE)
+      var authS: Array[java.math.BigInteger] = null
+      val zero = java.math.BigInteger.ZERO
+      for (_ <- 1 to rounds) {
+        authS = Array.fill(nA)(zero)
+        var i = 0
+        while (i < m) { authS(ea(i)) = authS(ea(i)).add(hubS(eh(i))); i += 1 }
+        hubS = Array.fill(nH)(zero)
+        i = 0
+        while (i < m) { hubS(eh(i)) = hubS(eh(i)).add(authS(ea(i))); i += 1 }
+      }
+      val hubArr = hubIds.result(); val authArr = authIds.result()
+      def frame(ids: Array[Long], ss: Array[java.math.BigInteger],
+          idName: String, sName: String): DataFrame = {
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+        var i = 0
+        while (i < ids.length) {
+          rows.add(org.apache.spark.sql.Row(
+            ids(i), new java.math.BigDecimal(ss(i))))
+          i += 1
+        }
+        spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idName,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(sName, d38))))
+      }
+      return (frame(hubArr, hubS, "h", "hs"), frame(authArr, authS, "a", "asc"))
+    }
     var hub = e.select(col("h")).distinct()
       .select(col("h"), lit(1L).cast(d38).as("hs"))
       .localCheckpoint(true)
@@ -904,7 +1385,7 @@ object Graph {
     // the guard the shuffle join is the right plan anyway (the
     // pageRank posture). Guarded by the edge count, which bounds both
     // node sets.
-    val bcastScores = e.count() <= 1000000L
+    val bcastScores = mEdges <= 1000000L
     def maybeB(d: DataFrame): DataFrame = if (bcastScores) broadcast(d) else d
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
