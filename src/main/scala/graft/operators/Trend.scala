@@ -181,28 +181,39 @@ object Trend {
     val base = df.select(col(keyCol), col(bucketCol).cast("long").as("__b"),
       col(centsCol).cast("long").as("__v"))
     val dec = DecimalType(38, 0)
-    lags.map { lag0 =>
-      val pairs = base
-        .withColumn("__w", lead(col("__v"), lag0).over(byKey))
-        .filter(col("__w").isNotNull)
-      pairs.groupBy(col(keyCol))
-        .agg(count(lit(1)).as("n"),
-          sum(col("__v").cast(dec)).as("sx"),
-          sum(col("__w").cast(dec)).as("sy"),
-          sum((col("__v") * col("__v")).cast(dec)).as("sxx"),
-          sum((col("__w") * col("__w")).cast(dec)).as("syy"),
-          sum((col("__v") * col("__w")).cast(dec)).as("sxy"))
-        .select(col(keyCol), lit(lag0.toLong).as("lag"), col("n"),
-          round(
-            (col("n").cast("double") * col("sxy").cast("double") -
-              col("sx").cast("double") * col("sy").cast("double")) /
-            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")) *
-             sqrt(col("n").cast("double") * col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double"))), 6)
-            .as("acf"))
-        .filter(col("n") >= 3)
-    }.reduce(_.unionByName(_))
+    // ALL lags in ONE pass: a union of per-lag branches re-shuffled,
+    // re-sorted and re-aggregated the same base |lags| times (q501's
+    // 23-lag sweep was 23 plan branches — most of its time was Catalyst
+    // planning + 23 window sorts). One WindowExec evaluates every
+    // lead(v, lag) over the same frame spec in a single sorted pass;
+    // the (lag, w) pairs then stack via explode and aggregate grouped
+    // by (key, lag). Per-(key, lag) counts and exact decimal sums are
+    // identical, so acf values are bit-equal to the per-lag plan.
+    val wide = base.select(col(keyCol) +: col("__v") +:
+      lags.map(l => lead(col("__v"), l).over(byKey).as(s"__w$l")): _*)
+    val stacked = wide.select(col(keyCol), col("__v"),
+      explode(array(lags.map(l => struct(lit(l.toLong).as("lag"),
+        col(s"__w$l").as("__w"))): _*)).as("__lw"))
+      .select(col(keyCol), col("__v"), col("__lw.lag").as("lag"),
+        col("__lw.__w").as("__w"))
+      .filter(col("__w").isNotNull)
+    stacked.groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast(dec)).as("sx"),
+        sum(col("__w").cast(dec)).as("sy"),
+        sum((col("__v") * col("__v")).cast(dec)).as("sxx"),
+        sum((col("__w") * col("__w")).cast(dec)).as("syy"),
+        sum((col("__v") * col("__w")).cast(dec)).as("sxy"))
+      .select(col(keyCol), col("lag"), col("n"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("acf"))
+      .filter(col("n") >= 3)
   }
 
   /** LJUNG–BOX whiteness test per key — "is there ANY serial structure
