@@ -385,6 +385,95 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val mEdges = e.count()
+    // DRIVER-SIDE loop under the [[pageRank]] finisher discipline (see
+    // there for the exact-replication argument; the only delta is the
+    // teleport floor landing on sources only: floor·is_src is the same
+    // one IEEE multiply-add as the expression below).
+    if (mEdges <= 4000000L && longKeyed(e, "src", "dst") &&
+        longKeyed(sources.select(col("node")), "node")) {
+      import scala.collection.mutable
+      val spark = e.sparkSession
+      val m = mEdges.toInt
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      val idx = new mutable.LongMap[Int](1 << 12)
+      val ids = mutable.ArrayBuilder.make[Long]
+      def idxOf(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; idx.size })
+      val parts = e.rdd.mapPartitions { it =>
+        val xs = mutable.ArrayBuilder.make[Long]
+        val xd = mutable.ArrayBuilder.make[Long]
+        it.foreach { r => xs += r.getLong(0); xd += r.getLong(1) }
+        Iterator((xs.result(), xd.result()))
+      }.collect()
+      var eid = 0
+      parts.foreach { case (xs, xd) =>
+        var p = 0
+        while (p < xs.length) {
+          es(eid) = idxOf(xs(p)); ed(eid) = idxOf(xd(p)); eid += 1; p += 1
+        }
+      }
+      require(eid == m, "personalizedPageRank collect raced a changing edge frame")
+      val n = idx.size
+      val degA = new Array[Long](n)
+      var i = 0
+      while (i < m) { degA(es(i)) += 1; i += 1 }
+      val isSrc = new Array[Boolean](n)
+      sources.select(col("node").cast("long")).distinct().collect()
+        .foreach { r => idx.get(r.getLong(0)).foreach(j => isSrc(j) = true) }
+      val prA = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        if (degA(i) > 0L) prA(i) = if (isSrc(i)) 1.0 else 0.0
+        i += 1
+      }
+      val floor = 1.0 - damping
+      val rm = java.math.RoundingMode.HALF_UP
+      val contrib = new Array[java.math.BigDecimal](n)
+      for (_ <- 1 to iters) {
+        i = 0
+        while (i < n) {
+          if (degA(i) > 0L)
+            contrib(i) = java.math.BigDecimal
+              .valueOf(prA(i) / degA(i) * damping).setScale(9, rm)
+          i += 1
+        }
+        val sums = new Array[java.math.BigDecimal](n)
+        i = 0
+        while (i < m) {
+          val d = ed(i)
+          if (degA(d) > 0L) {
+            val c = contrib(es(i))
+            sums(d) = if (sums(d) == null) c else sums(d).add(c)
+          }
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          if (degA(i) > 0L)
+            prA(i) = floor * (if (isSrc(i)) 1.0 else 0.0) +
+              (if (sums(i) == null) 0.0 else sums(i).doubleValue())
+          i += 1
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+      val allIds = ids.result()
+      i = 0
+      while (i < n) {
+        if (degA(i) > 0L)
+          rows.add(org.apache.spark.sql.Row(allIds(i), isSrc(i), prA(i)))
+        i += 1
+      }
+      val rebuilt = spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("is_source",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("ppr",
+            org.apache.spark.sql.types.DoubleType))))
+      return rebuilt.select(col("node"), col("is_source"),
+        round(col("ppr"), 6).as("ppr"))
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val srcSet = sources.select(col("node")).distinct()
       .withColumn("__s", lit(1L))
@@ -451,6 +540,75 @@ object Graph {
   def katz(edges: DataFrame, iters: Int, alpha: Double): DataFrame = {
     require(iters >= 1 && alpha > 0.0 && alpha < 1.0)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val mEdges = e.count()
+    // DRIVER-SIDE loop under the [[pageRank]] finisher discipline: the
+    // attenuated contribution x·α casts per SOURCE node, sums are exact
+    // decimal adds, the refresh is 1.0 + sum.doubleValue — each one the
+    // same JVM library call the expressions below make.
+    if (mEdges <= 4000000L && longKeyed(e, "src", "dst")) {
+      import scala.collection.mutable
+      val spark = e.sparkSession
+      val m = mEdges.toInt
+      val es = new Array[Int](m); val ed = new Array[Int](m)
+      val idx = new mutable.LongMap[Int](1 << 12)
+      val ids = mutable.ArrayBuilder.make[Long]
+      def idxOf(v: Long): Int = idx.getOrElseUpdate(v, { ids += v; idx.size })
+      val parts = e.rdd.mapPartitions { it =>
+        val xs = mutable.ArrayBuilder.make[Long]
+        val xd = mutable.ArrayBuilder.make[Long]
+        it.foreach { r => xs += r.getLong(0); xd += r.getLong(1) }
+        Iterator((xs.result(), xd.result()))
+      }.collect()
+      var eid = 0
+      parts.foreach { case (xs, xd) =>
+        var p = 0
+        while (p < xs.length) {
+          es(eid) = idxOf(xs(p)); ed(eid) = idxOf(xd(p)); eid += 1; p += 1
+        }
+      }
+      require(eid == m, "katz collect raced a changing edge frame")
+      val n = idx.size
+      val xv = new Array[Double](n)
+      var i = 0
+      while (i < n) { xv(i) = 1.0; i += 1 }
+      val rm = java.math.RoundingMode.HALF_UP
+      val castX = new Array[java.math.BigDecimal](n)
+      for (_ <- 1 to iters) {
+        i = 0
+        while (i < n) {
+          castX(i) = java.math.BigDecimal
+            .valueOf(xv(i) * alpha).setScale(9, rm)
+          i += 1
+        }
+        val sums = new Array[java.math.BigDecimal](n)
+        i = 0
+        while (i < m) {
+          val d = ed(i)
+          val c = castX(es(i))
+          sums(d) = if (sums(d) == null) c else sums(d).add(c)
+          i += 1
+        }
+        i = 0
+        while (i < n) {
+          xv(i) = 1.0 + (if (sums(i) == null) 0.0 else sums(i).doubleValue())
+          i += 1
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+      val allIds = ids.result()
+      i = 0
+      while (i < n) {
+        rows.add(org.apache.spark.sql.Row(allIds(i), xv(i)))
+        i += 1
+      }
+      val rebuilt = spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("katz",
+            org.apache.spark.sql.types.DoubleType))))
+      return rebuilt.select(col("node"), round(col("katz"), 6).as("katz"))
+    }
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
