@@ -1053,6 +1053,58 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     var nEdges = e.count()
+    // DRIVER-SIDE PEEL when the canonical edge list is collectable (the
+    // kTruss posture): the round-synchronized degree prune is pure
+    // integer arithmetic, and peeling to the fixpoint removes exactly
+    // the same edges whatever the round split — the k-core is the
+    // unique maximal subgraph with min-degree ≥ k. The distributed
+    // loop's maxRounds bound only guards divergence; the driver cascade
+    // always reaches the fixpoint. Distributed loop above the guard.
+    if (nEdges <= 4000000L && longKeyed(e, "a", "b")) {
+      val spark = e.sparkSession
+      val m = nEdges.toInt
+      val (ids, _, aoff, anbr) = collectCsr(
+        e.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(e.select(col("b").as("src"), col("a").as("dst"))),
+        2 * m)
+      val n = ids.length
+      val deg = new Array[Int](n)
+      var i = 0
+      while (i < n) { deg(i) = aoff(i + 1) - aoff(i); i += 1 }
+      val alive = Array.fill(n)(true)
+      val queue = new Array[Int](n)
+      var qt = 0
+      i = 0
+      while (i < n) {
+        if (deg(i) < k) { alive(i) = false; queue(qt) = i; qt += 1 }
+        i += 1
+      }
+      var qh = 0
+      while (qh < qt) {
+        val u = queue(qh); qh += 1
+        var p = aoff(u)
+        while (p < aoff(u + 1)) {
+          val v = anbr(p)
+          if (alive(v)) {
+            deg(v) -= 1
+            if (deg(v) < k) { alive(v) = false; queue(qt) = v; qt += 1 }
+          }
+          p += 1
+        }
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      i = 0
+      while (i < n) {
+        if (alive(i)) rows.add(org.apache.spark.sql.Row(ids(i), deg(i).toLong))
+        i += 1
+      }
+      return spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("core_deg",
+            org.apache.spark.sql.types.LongType))))
+    }
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
