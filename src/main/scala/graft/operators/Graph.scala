@@ -99,7 +99,8 @@ object Graph {
   def pageRank(
       edges: DataFrame,
       iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val mEdges = e.count()
@@ -113,7 +114,7 @@ object Graph {
     // one IEEE double add of Decimal.toDouble = BigDecimal.doubleValue.
     // The final round(…, 6) stays a DISTRIBUTED expression over the
     // rebuilt frame. Distributed loop retained above the guard.
-    if (mEdges <= 4000000L && longKeyed(e, "src", "dst")) {
+    if (mEdges <= driverMaxEdges && longKeyed(e, "src", "dst")) {
       import scala.collection.mutable
       val spark = e.sparkSession
       val m = mEdges.toInt
@@ -245,7 +246,8 @@ object Graph {
     * Caller supplies symmetric (both-direction) edges for an undirected
     * reading. O(iters × |E|) work, O(|V|) state.
     */
-  def eigenCentrality(edges: DataFrame, iters: Int): DataFrame = {
+  def eigenCentrality(edges: DataFrame, iters: Int,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(iters >= 1)
     val d289 = DecimalType(28, 9)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
@@ -257,7 +259,7 @@ object Graph {
     // exact decimal adds and max; one double division of
     // BigDecimal.doubleValue quotients). Final round(…, 6) stays a
     // distributed expression. Distributed loop retained above the guard.
-    if (mEdges <= 4000000L && longKeyed(e, "src", "dst")) {
+    if (mEdges <= driverMaxEdges && longKeyed(e, "src", "dst")) {
       import scala.collection.mutable
       val spark = e.sparkSession
       val m = mEdges.toInt
@@ -382,7 +384,8 @@ object Graph {
       edges: DataFrame,
       sources: DataFrame,
       iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val mEdges = e.count()
@@ -390,7 +393,7 @@ object Graph {
     // there for the exact-replication argument; the only delta is the
     // teleport floor landing on sources only: floor·is_src is the same
     // one IEEE multiply-add as the expression below).
-    if (mEdges <= 4000000L && longKeyed(e, "src", "dst") &&
+    if (mEdges <= driverMaxEdges && longKeyed(e, "src", "dst") &&
         longKeyed(sources.select(col("node")), "node")) {
       import scala.collection.mutable
       val spark = e.sparkSession
@@ -537,7 +540,8 @@ object Graph {
     * lineage cut per round. Ranks every node that appears on either
     * edge side.
     */
-  def katz(edges: DataFrame, iters: Int, alpha: Double): DataFrame = {
+  def katz(edges: DataFrame, iters: Int, alpha: Double,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(iters >= 1 && alpha > 0.0 && alpha < 1.0)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val mEdges = e.count()
@@ -545,7 +549,7 @@ object Graph {
     // attenuated contribution x·α casts per SOURCE node, sums are exact
     // decimal adds, the refresh is 1.0 + sum.doubleValue — each one the
     // same JVM library call the expressions below make.
-    if (mEdges <= 4000000L && longKeyed(e, "src", "dst")) {
+    if (mEdges <= driverMaxEdges && longKeyed(e, "src", "dst")) {
       import scala.collection.mutable
       val spark = e.sparkSession
       val m = mEdges.toInt
@@ -673,7 +677,8 @@ object Graph {
     org.apache.spark.sql.types.StructField("hops",
       org.apache.spark.sql.types.LongType)))
 
-  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(maxHops >= 0)
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val mEdges = e.count()
@@ -682,7 +687,7 @@ object Graph {
     // collected flat-queue BFS is the same frontier expansion as the
     // per-hop join+anti-join+checkpoint loop below (~5 jobs per hop)
     // in one collect. Distributed loop retained above the guard.
-    if (mEdges <= 4000000L && longKeyed(e, "src", "dst") &&
+    if (mEdges <= driverMaxEdges && longKeyed(e, "src", "dst") &&
         longKeyed(sources.select(col("node")), "node")) {
       val spark = e.sparkSession
       val (ids, idx, aoff, anbr) = collectCsr(e, mEdges.toInt)
@@ -758,7 +763,8 @@ object Graph {
   def multiSourceHarmonic(
       edges: DataFrame,
       sources: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(maxHops >= 1)
     val e = edges.select(col("src").as("__es"), col("dst").as("__ed"))
@@ -770,7 +776,7 @@ object Graph {
     // The harmonic 1/d decimal aggregation stays DISTRIBUTED over the
     // rebuilt (src, node, hops) frame, so the rounding/decimal-sum
     // semantics are Spark's own, bit-identical to the loop below.
-    if (mEdges <= 4000000L && longKeyed(e, "__es", "__ed") &&
+    if (mEdges <= driverMaxEdges && longKeyed(e, "__es", "__ed") &&
         longKeyed(sources.select(col("node")), "node")) {
       val spark = e.sparkSession
       val (ids, idx, aoff, anbr) = collectCsr(
@@ -1044,7 +1050,8 @@ object Graph {
       .orderBy(col("k"))
   }
 
-  def kCore(edges: DataFrame, k: Long, maxRounds: Int = 40): DataFrame = {
+  def kCore(edges: DataFrame, k: Long, maxRounds: Int = 40,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
     var e = edges
       .select(least(col("src"), col("dst")).as("a"),
@@ -1060,7 +1067,7 @@ object Graph {
     // unique maximal subgraph with min-degree ≥ k. The distributed
     // loop's maxRounds bound only guards divergence; the driver cascade
     // always reaches the fixpoint. Distributed loop above the guard.
-    if (nEdges <= 4000000L && longKeyed(e, "a", "b")) {
+    if (nEdges <= driverMaxEdges && longKeyed(e, "a", "b")) {
       val spark = e.sparkSession
       val m = nEdges.toInt
       val (ids, _, aoff, anbr) = collectCsr(
@@ -1212,7 +1219,8 @@ object Graph {
   def shortestPaths(
       edges: DataFrame,
       sources: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int,
+      driverMaxEdges: Long = 4000000L): DataFrame = {
     require(rounds >= 0)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .localCheckpoint(true)
@@ -1224,7 +1232,7 @@ object Graph {
     // fixpoint early-exit (min-plus is idempotent: once no distance
     // changes, further rounds are identity). Distributed loop retained
     // above the guard.
-    if (mEdges <= 4000000L && longKeyed(e, "src", "dst") &&
+    if (mEdges <= driverMaxEdges && longKeyed(e, "src", "dst") &&
         longKeyed(sources.select(col("node")), "node")) {
       import scala.collection.mutable
       val spark = e.sparkSession
@@ -1516,7 +1524,8 @@ object Graph {
       edges: DataFrame,
       hubCol: String,
       authCol: String,
-      rounds: Int): (DataFrame, DataFrame) = {
+      rounds: Int,
+      driverMaxEdges: Long = 4000000L): (DataFrame, DataFrame) = {
     require(rounds >= 1)
     val d38 = DecimalType(38, 0)
     val e = edges.select(col(hubCol).cast("long").as("h"),
@@ -1529,7 +1538,7 @@ object Graph {
     // none of the 2×rounds join+aggregate+checkpoint jobs. The edge
     // BUILD (scan/join/distinct) stays distributed; above the guard the
     // broadcast-join loop below remains the plan.
-    if (mEdges <= 4000000L) {
+    if (mEdges <= driverMaxEdges) {
       import scala.collection.mutable
       val spark = e.sparkSession
       val m = mEdges.toInt

@@ -224,14 +224,15 @@ object Multimodal {
           .as(Seq("frame_idx", "off")),
         col("payload"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-        hex(expr(s"substring(payload, off + 1, $frameBytes)")).as("h"))
-      .withColumn("flen", expr("cast(length(h) div 2 as bigint)"))
-      // exact integer frame energy from the hex pairs (conv is codegen'd)
-      .withColumn("energy", expr(
-        """aggregate(
-          |  sequence(0, int(length(h) div 2 - 1)),
-          |  0L,
-          |  (acc, i6) -> acc + cast(conv(substring(h, i6 * 2 + 1, 2), 16, 10) as long))""".stripMargin))
+        expr(s"substring(payload, off + 1, $frameBytes)").as("fr"))
+      .withColumn("flen", length(col("fr")).cast("long"))
+      // exact integer frame energy: one codegen'd byte scan
+      // (graft.plans.ByteCellSums, n=1 ≡ whole-frame unsigned-byte sum).
+      // The previous hex + aggregate/conv(substring) walk evaluated an
+      // interpreted lambda per byte — the q237/q378 trap.
+      .withColumn("energy",
+        element_at(graft.plans.BytesExpressions.byteCellSums(
+          col("fr"), lit(1)), 1))
       .filter(col("energy") > lit(minAvgByte.toLong) * col("flen"))
       .withColumn("__new",
         when(lag(col("frame_idx"), 1).over(w) === col("frame_idx") - 1, 0L)

@@ -620,4 +620,36 @@ class GraphSpec extends SparkSuite {
     assert(s == Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0))
   }
 
+  test("driver finishers match the distributed loops bit-for-bit") {
+    import spark.implicits._
+    // small-but-irregular graph: a hub, a chain, a 2-cycle, a dangler
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (2L, 5L), (5L, 2L), (6L, 1L)).toDF("src", "dst")
+    val sym = e.unionByName(e.select($"dst".as("src"), $"src".as("dst")))
+    val srcs = Seq(1L).toDF("node")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // driverMaxEdges = 0 forces the distributed loop; default takes the
+    // driver finisher — results must be identical (same rounding path)
+    assert(rows(Graph.pageRank(e, 4)) ===
+      rows(Graph.pageRank(e, 4, driverMaxEdges = 0L)))
+    assert(rows(Graph.eigenCentrality(sym, 4)) ===
+      rows(Graph.eigenCentrality(sym, 4, driverMaxEdges = 0L)))
+    assert(rows(Graph.personalizedPageRank(e, srcs, 4)) ===
+      rows(Graph.personalizedPageRank(e, srcs, 4, driverMaxEdges = 0L)))
+    assert(rows(Graph.katz(e, 4, 0.3)) ===
+      rows(Graph.katz(e, 4, 0.3, driverMaxEdges = 0L)))
+    assert(rows(Graph.bfsHops(e, srcs, 3)) ===
+      rows(Graph.bfsHops(e, srcs, 3, driverMaxEdges = 0L)))
+    assert(rows(Graph.multiSourceHarmonic(sym, srcs, 3)) ===
+      rows(Graph.multiSourceHarmonic(sym, srcs, 3, driverMaxEdges = 0L)))
+    val we = e.withColumn("w", $"dst" % 3 + 1)
+    assert(rows(Graph.shortestPaths(we, srcs, 4)) ===
+      rows(Graph.shortestPaths(we, srcs, 4, driverMaxEdges = 0L)))
+    assert(rows(Graph.kCore(sym, 2)) ===
+      rows(Graph.kCore(sym, 2, driverMaxEdges = 0L)))
+    val (h1, a1) = Graph.hits(e, "src", "dst", 3)
+    val (h0, a0) = Graph.hits(e, "src", "dst", 3, driverMaxEdges = 0L)
+    assert(rows(h1) === rows(h0) && rows(a1) === rows(a0))
+  }
 }
