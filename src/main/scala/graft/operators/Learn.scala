@@ -55,6 +55,80 @@ object Learn {
       census: Option[DataFrame] = None): (DataFrame, Seq[Double]) = {
     require(k >= 2 && k <= 16 && iters >= 1 && iters <= 16)
     val cen = census.getOrElse(valueCensus(df, valueCol))
+    // DRIVER-PACED loop, driver-LOCAL arithmetic when the census is
+    // collectable (the Graph-finisher posture): the init rank lookups
+    // were k jobs and every Lloyd round one census aggregate + collect —
+    // the elbow sweep paid ~(k + iters) jobs per k. All replayed steps
+    // are deterministic JVM library arithmetic identical to the
+    // expressions: |v − c| double distance with smallest-index ties,
+    // exact integer sn/sv sums, round(sv/sn, 9) =
+    // BigDecimal.valueOf(q).setScale(9, HALF_UP).doubleValue. Callers'
+    // assignment/WSS/silhouette stages stay distributed over the census.
+    // Distributed loop retained above the guard.
+    val censusRows = cen.count()
+    if (censusRows <= 4000000L) {
+      import scala.collection.mutable
+      val parts = cen.select(col("v"), col("n")).rdd.mapPartitions { it =>
+        val xv = mutable.ArrayBuilder.make[Long]
+        val xn = mutable.ArrayBuilder.make[Long]
+        it.foreach { r => xv += r.getLong(0); xn += r.getLong(1) }
+        Iterator((xv.result(), xn.result()))
+      }.collect()
+      val nC = censusRows.toInt
+      val vs = new Array[Long](nC); val ns = new Array[Long](nC)
+      var p0 = 0
+      parts.foreach { case (xv, xn) =>
+        System.arraycopy(xv, 0, vs, p0, xv.length)
+        System.arraycopy(xn, 0, ns, p0, xn.length)
+        p0 += xv.length
+      }
+      require(p0 == nC, "kMeans census collect raced a changing frame")
+      // sort by value (census rows are unique per v)
+      val order = (0 until nC).sortBy(vs(_)).toArray
+      var nTotal = 0L
+      ns.foreach(nTotal += _)
+      require(nTotal > 0, "kMeans1D needs rows")
+      val ranks = (1 to k).map(j => (2L * j - 1) * nTotal / (2L * k) + 1L)
+      val cents0 = new Array[Double](k)
+      var ri = 0; var cum = 0L; var oi = 0
+      while (oi < nC && ri < k) {
+        cum += ns(order(oi))
+        while (ri < k && cum >= ranks(ri)) {
+          cents0(ri) = vs(order(oi)).toDouble; ri += 1
+        }
+        oi += 1
+      }
+      var cents: Seq[Double] = cents0.toSeq
+      val rm = java.math.RoundingMode.HALF_UP
+      for (_ <- 1 to iters) {
+        val sn = new Array[Long](k)
+        val sv = Array.fill(k)(java.math.BigInteger.ZERO)
+        var i = 0
+        while (i < nC) {
+          val vd = vs(i).toDouble
+          var best = 0; var bd = math.abs(vd - cents(0))
+          var j = 1
+          while (j < k) {
+            val d = math.abs(vd - cents(j))
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          sn(best) += ns(i)
+          sv(best) = sv(best).add(
+            java.math.BigInteger.valueOf(vs(i) * ns(i)))
+          i += 1
+        }
+        cents = cents.indices.map { j =>
+          if (sn(j) == 0L) cents(j)
+          else {
+            val q = new java.math.BigDecimal(sv(j)).doubleValue() /
+              java.math.BigDecimal.valueOf(sn(j)).doubleValue()
+            java.math.BigDecimal.valueOf(q).setScale(9, rm).doubleValue()
+          }
+        }
+      }
+      return (cen, cents)
+    }
     val nTotal = cen.agg(sum(col("n"))).head().getLong(0)
     require(nTotal > 0, "kMeans1D needs rows")
     // init: value at discrete rank floor((2j-1)*N/(2k)) + 1 — the
