@@ -178,6 +178,74 @@ object Similarity {
         .select(transform(col(vecCol), x => x.cast("double")).as("v"))
         .collect().toSeq.zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0)) }
+    // DRIVER-LOCAL Lloyd rounds when the corpus vectors are collectable
+    // (the Graph-finisher posture; guard on total ELEMENTS — rows×dims —
+    // since memory is what the collect spends). Every replayed step is
+    // the same JVM arithmetic the expressions run: the [[graft.plans
+    // .VecCosine]]/[[graft.plans.VecL2Sq]] left-to-right double folds,
+    // the assign() argmin ordering (score +0.0 so −0.0 ties like Spark,
+    // NaN greatest, lowest cid on ties), and the mean's
+    // double→DECIMAL(30,12) HALF_UP cast, exact decimal sum, and
+    // doubleValue/count division. The previous loop paid (assign +
+    // recompute-collect) jobs per round for every trainer in the
+    // ANN/IVF/PQ family. Distributed loop retained above the guard.
+    val nRows = corpus.count()
+    val dims0 = cur.headOption.map(_._2.length.toLong).getOrElse(0L)
+    if (nRows * math.max(dims0, 1L) <= 4000000L) {
+      val vecs: Array[Array[Double]] = corpus
+        .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val rm = java.math.RoundingMode.HALF_UP
+      // a corpus smaller than k yields fewer init centroids — size to it
+      val kk = cur.length
+      for (_ <- 0 until iters) {
+        val cents = cur.map(_._2.toArray).toArray
+        val sums = Array.fill(kk, cents.map(_.length).max max 1)(
+          java.math.BigDecimal.ZERO)
+        val cnts = new Array[Long](kk)
+        vecs.foreach { v =>
+          var best = -1; var bestScore = 0.0
+          var j = 0
+          while (j < kk) {
+            val c = cents(j)
+            val n = math.min(v.length, c.length)
+            var score =
+              if (metric == "cosine") {
+                var dot = 0.0; var na = 0.0; var nb = 0.0
+                var i = 0
+                while (i < n) {
+                  dot += v(i) * c(i); na += v(i) * v(i); nb += c(i) * c(i)
+                  i += 1
+                }
+                val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+                if (cos.isNaN) Double.PositiveInfinity else -cos
+              } else {
+                var s = 0.0; var i = 0
+                while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+                s
+              }
+            score = score + 0.0 // −0.0 compares equal, like Spark
+            if (best < 0 || java.lang.Double.compare(score, bestScore) < 0) {
+              best = j; bestScore = score
+            }
+            j += 1
+          }
+          cnts(best) += 1L
+          var p = 0
+          while (p < v.length) {
+            sums(best)(p) = sums(best)(p).add(
+              java.math.BigDecimal.valueOf(v(p)).setScale(12, rm))
+            p += 1
+          }
+        }
+        cur = cur.map { case (cid, cvec) =>
+          if (cnts(cid) == 0L) (cid, cvec)
+          else (cid, cvec.indices.map(p =>
+            sums(cid)(p).doubleValue() / cnts(cid).toDouble))
+        }
+      }
+      return literal(cur)
+    }
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, literal(cur), idCol, vecCol, metric)
       val recomputed = corpus
