@@ -564,9 +564,15 @@ object Features {
       .select(col("v").as("v_norm"),
         (col("cum") - col("cnt") + 1L).as("lo"),
         (col("cum") + 1L).as("hi"))
+    // merge-join hint: after the prefixSums slimming (r12) the interval
+    // table's size estimate fell under the auto-broadcast threshold, and
+    // broadcasting the EXPLODED bucket intervals builds the relation on
+    // one thread — measured ~1.5 s slower than the shuffled merge join
+    // this plan had before (and a value census is unbounded at scale, so
+    // the merge join is also the honest 100 TB default here)
     Relational.rangeJoin(
         fact.select(col("g"), col("id"), col("v"), col("p")),
-        "p", intervals, "lo", "hi", bucketSize.toDouble)
+        "p", intervals.hint("merge"), "lo", "hi", bucketSize.toDouble)
       .select(col("g"), col("id"), col("v"), col("v_norm"))
   }
 
