@@ -100,7 +100,7 @@ object Graph {
       edges: DataFrame,
       iters: Int,
       damping: Double = 0.85,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 8000000L): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val mEdges = e.count()
@@ -247,7 +247,7 @@ object Graph {
     * reading. O(iters × |E|) work, O(|V|) state.
     */
   def eigenCentrality(edges: DataFrame, iters: Int,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 8000000L): DataFrame = {
     require(iters >= 1)
     val d289 = DecimalType(28, 9)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
@@ -385,7 +385,7 @@ object Graph {
       sources: DataFrame,
       iters: Int,
       damping: Double = 0.85,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 8000000L): DataFrame = {
     require(iters >= 1)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val mEdges = e.count()
@@ -541,7 +541,7 @@ object Graph {
     * edge side.
     */
   def katz(edges: DataFrame, iters: Int, alpha: Double,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 8000000L): DataFrame = {
     require(iters >= 1 && alpha > 0.0 && alpha < 1.0)
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val mEdges = e.count()
@@ -678,7 +678,7 @@ object Graph {
       org.apache.spark.sql.types.LongType)))
 
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 8000000L): DataFrame = {
     require(maxHops >= 0)
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val mEdges = e.count()
@@ -764,7 +764,7 @@ object Graph {
       edges: DataFrame,
       sources: DataFrame,
       maxHops: Int,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 8000000L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(maxHops >= 1)
     val e = edges.select(col("src").as("__es"), col("dst").as("__ed"))
@@ -1051,7 +1051,7 @@ object Graph {
   }
 
   def kCore(edges: DataFrame, k: Long, maxRounds: Int = 40,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 8000000L): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
     var e = edges
       .select(least(col("src"), col("dst")).as("a"),
@@ -1220,7 +1220,7 @@ object Graph {
       edges: DataFrame,
       sources: DataFrame,
       rounds: Int,
-      driverMaxEdges: Long = 4000000L): DataFrame = {
+      driverMaxEdges: Long = 8000000L): DataFrame = {
     require(rounds >= 0)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .localCheckpoint(true)
@@ -1525,7 +1525,7 @@ object Graph {
       hubCol: String,
       authCol: String,
       rounds: Int,
-      driverMaxEdges: Long = 4000000L): (DataFrame, DataFrame) = {
+      driverMaxEdges: Long = 8000000L): (DataFrame, DataFrame) = {
     require(rounds >= 1)
     val d38 = DecimalType(38, 0)
     val e = edges.select(col(hubCol).cast("long").as("h"),
